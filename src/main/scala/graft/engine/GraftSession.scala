@@ -1,0 +1,47 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the engine.
+  *
+  * Design decisions (SURVEY.md §4, §7.0):
+  *  - UTC session timezone: the reference's date-truncation semantics
+  *    (`fecha_trx::date`, /root/reference/src/bot_ventas.py:41,55) are
+  *    timezone-sensitive; pinning UTC makes them deterministic and
+  *    oracle-comparable.
+  *  - ANSI off: the reference's cast hygiene is coerce-to-null
+  *    (`errors='coerce'`, /root/reference/src/transform.py:61-64,113-122);
+  *    we additionally use explicit `try_cast` at every such site so the
+  *    behavior is pinned regardless of ANSI mode.
+  *  - shuffle.partitions sized to cores, not the 200 default: correct for
+  *    local[N]; on a real cluster this is overridden by AQE coalescing.
+  *  - AQE on: runtime re-planning (skew joins, partition coalescing) is the
+  *    scale story for 100 TB — plans are declared, Spark adapts them.
+  */
+object GraftSession {
+  def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Apply the engine's required configs to an externally-created session
+    * (the driver's Verify/Bench mains build their own). Session-local,
+    * no restart needed.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark
+  }
+}
