@@ -18,11 +18,20 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    import datetime
+    from decimal import Decimal
     df = df.reindex(sorted(df.columns), axis=1)
-    # make timestamps naive for comparison parity
     for c in df.columns:
-        if pd.api.types.is_datetime64tz_dtype(df[c]):
+        if isinstance(df[c].dtype, pd.DatetimeTZDtype):
             df[c] = df[c].dt.tz_localize(None)
+        elif df[c].dtype == object and len(df):
+            first = df[c].dropna().head(1)
+            if len(first):
+                v = first.iloc[0]
+                if isinstance(v, (datetime.date, datetime.datetime)):
+                    df[c] = pd.to_datetime(df[c])
+                elif isinstance(v, Decimal):
+                    df[c] = df[c].astype("float64")
     if len(df):
         df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
