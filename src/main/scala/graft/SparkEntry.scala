@@ -3,13 +3,13 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.engine.GraftSession
-import graft.queries.{Parity, Q}
+import graft.queries.{Ext, Parity, Q}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** Full ordered registry (parity + EXT). */
-  def registry: Seq[Q] = Parity.all
+  def registry: Seq[Q] = Parity.all ++ Ext.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

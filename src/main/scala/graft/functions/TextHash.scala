@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable text-hashing primitives for the
+  * LLM-data-pipeline operators (SURVEY.md §2.11).
+  *
+  * Everything here is a left-fold polynomial hash mod a 30-bit prime,
+  * built from Spark higher-order functions — codegen-friendly, no UDFs,
+  * no JVM-specific hashing. The folds are order-pinned (a left fold over
+  * the array), so any engine with list lambdas computes bit-identical
+  * values; the DuckDB oracle mirrors each fold with
+  * `list_reduce(list_prepend(0, …))`. That portability is what lets the
+  * driver hash-compare MinHash/SimHash outputs across engines — Spark's
+  * own `hash`/`xxhash64` are murmur-based and not reproducible elsewhere.
+  *
+  * Scale: all of these are per-row array expressions — narrow, no
+  * shuffle, whole-stage-codegen'd. Cost is O(total chars) per document.
+  *
+  * Char-indexed folds need literal positions that the Scala HOF API
+  * cannot express (`substring` takes Int positions), so the fold bodies
+  * are SQL `expr` templates over a column *name*; the typed-Column
+  * helpers below cover the rest.
+  */
+object TextHash {
+
+  /** 30-bit prime modulus; keeps every intermediate < 2^35 so the fold
+    * arithmetic never overflows a long (and never goes negative, which
+    * would make `%` semantics engine-dependent). */
+  val P: Long = 1000000007L
+
+  /** Whitespace tokenization: trim → split on runs of whitespace → drop
+    * empties. The filter makes leading/trailing/duplicate whitespace
+    * harmless in both engines. */
+  def tokens(textCol: Column): Column = {
+    val w = split(trim(textCol), "\\s+")
+    filter(w, t => t =!= lit(""))
+  }
+
+  /** Per-token polynomial char hash: h = (h*31 + ascii(c)) % P, folded
+    * left over the token's characters. Applied to a tokens-array column
+    * (by name), returns the parallel array of token hashes. */
+  def tokenHashes(wordsCol: String): Column =
+    expr(s"""
+      transform($wordsCol, t ->
+        aggregate(transform(sequence(1, length(t)), j -> ascii(substring(t, j, 1))),
+          0L, (h, c) -> ((h * 31L) + c) % ${P}L))""")
+
+  /** Hashed word-3-gram shingles, distinct per document. Combines three
+    * consecutive token hashes with the same 31/mod-P fold. 0-based Spark
+    * indexing: positions i-1, i, i+1 for i in [1, size-2]; callers must
+    * guard size >= 3 (Spark's `sequence(1, 0)` counts DOWN, it is not
+    * empty). */
+  def shingleHashes(tokenHashCol: String): Column =
+    expr(s"""
+      array_distinct(transform(sequence(1, size($tokenHashCol) - 2), i ->
+        ((((($tokenHashCol[i-1] * 31L) + $tokenHashCol[i]) % ${P}L) * 31L)
+          + $tokenHashCol[i+1]) % ${P}L))""")
+
+  /** String word-3-gram shingles (space-joined), distinct per document —
+    * the exact-set variant used by the Jaccard verifier. Same size >= 3
+    * guard requirement as [[shingleHashes]]. */
+  def shingleStrings(wordsCol: String): Column =
+    expr(s"""
+      array_distinct(transform(sequence(1, size($wordsCol) - 2), i ->
+        concat_ws(' ', $wordsCol[i-1], $wordsCol[i], $wordsCol[i+1])))""")
+
+  /** Rolling fingerprint over an array-of-hashes column:
+    * fp = (fp*131 + h_i) % P, folded left. */
+  def rollingFold(hashesCol: String): Column =
+    expr(s"aggregate($hashesCol, 0L, (a, x) -> ((a * 131L) + x) % ${P}L)")
+
+  /** The i-th MinHash permutation of a shingle hash:
+    * (a_i * h + b_i) % P with a_i = 2i+1 (odd, nonzero mod the prime P)
+    * and b_i an arbitrary fixed offset. */
+  def minhashPerm(i: Int, shingleHash: Column): Column =
+    (shingleHash * lit(2L * i + 1) + lit(1000003L * i + 12345L)) % lit(P)
+
+  /** The j-th SimHash bit of a hash: parity of an independent affine
+    * re-hash — ((2j+3)*h + 7j+1) % P, lowest bit. Independent per-bit
+    * re-hashing (rather than slicing one 30-bit hash) is what lets the
+    * fingerprint carry 48 useful bits. */
+  def simhashBit(j: Int, hashCol: Column): Column =
+    ((hashCol * lit(2L * j + 3) + lit(7L * j + 1)) % lit(P)).bitwiseAND(lit(1L))
+}

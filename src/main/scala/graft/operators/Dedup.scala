@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+
+/** Document deduplication operators (SURVEY.md §2.11; the
+  * training-data-pipeline surface required by BASELINE.json beyond the
+  * reference's own inventory — the reference's closest analog is its
+  * keep-first key dedup, /root/reference/src/transform.py:79).
+  *
+  * Four escalating strategies, all shuffle-on-key (never all-pairs):
+  *  - exact: content-hash groupBy — one shuffle of 32-byte keys.
+  *  - n-gram Jaccard: inverted-index self-join on shingles — the
+  *    candidate generator is the shingle key, not a cross join; a
+  *    document-frequency cap bounds the worst hot-shingle skew.
+  *  - MinHash-LSH: constant-size signature per doc (16 mins), banded
+  *    bucketing — candidate volume is per-bucket, independent of corpus
+  *    size; the verify step touches candidate pairs only.
+  *  - SimHash: constant-size fingerprint per doc (one long), chunked
+  *    bucketing with a pigeonhole recall guarantee for hamming <= 3.
+  *
+  * At 100 TB the pattern is the same for all four: per-row signature
+  * computation (narrow, codegen), then a groupBy on a small key whose
+  * cardinality the algorithm controls. All hashes are the portable
+  * folds from [[TextHash]], so an external oracle reproduces results
+  * bit-for-bit.
+  */
+object Dedup {
+
+  import TextHash.P
+
+  /** Exact + normalized content-hash dedup: one row per distinct text,
+    * keep-first (min id) semantics like the reference's
+    * drop_duplicates. `norm_hash` additionally collapses
+    * case/whitespace-only variants. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(
+        col(idCol),
+        sha2(col(textCol), 256).as("content_hash"),
+        sha2(regexp_replace(lower(col(textCol)), "\\s+", " "), 256)
+          .as("norm_hash"))
+      .groupBy(col("content_hash"))
+      .agg(
+        min(col("norm_hash")).as("norm_hash"),
+        min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** (doc_id, shingle) pairs, distinct, with hot shingles capped at
+    * `maxDf` documents — stopword-shingles would otherwise generate
+    * O(df^2) candidate pairs; dropping them loses no near-dup signal
+    * and bounds skew at scale. */
+  private def shingled(docs: DataFrame, idCol: String, textCol: String,
+      maxDf: Int): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"),
+        TextHash.tokens(col(textCol)).as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(TextHash.shingleStrings("w")).as("s"))
+    val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+      .select(col("s"))
+    sh.join(df, Seq("s"))
+  }
+
+  /** Pairwise Jaccard >= `threshold` over word-3-gram shingle sets via
+    * an inverted-index self-join (SURVEY §2.11: "shuffle-based, scales
+    * to 100 TB"). Output: (doc_a, doc_b, n_common, n_union, jaccard). */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, maxDf: Int = 100): DataFrame = {
+    val sh = shingled(docs, idCol, textCol, maxDf)
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("da"), col("s"))
+    val b = sh.select(col("doc_id").as("db"), col("s"))
+    val inter = a.join(b, Seq("s"))
+      .where(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
+    val union = col("na") + col("nb") - col("i")
+    inter
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .withColumn("jaccard", col("i").cast("double") / union)
+      .where(col("jaccard") >= threshold)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("i").as("n_common"), union.as("n_union"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** (doc_id, shingle_hash) distinct pairs — the hashed-set variant the
+    * MinHash path runs on (collisions are deterministic and identical
+    * in the oracle, so verification stays exact). */
+  private def hashShingled(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), TextHash.tokens(col(textCol)).as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"), TextHash.tokenHashes("w").as("wh"))
+      .select(col("doc_id"), explode(TextHash.shingleHashes("wh")).as("hs"))
+
+  /** MinHash-LSH near-dup pairs (SURVEY §2.11: shingle → minhash
+    * signature → band-bucket → pairwise verify; never all-pairs).
+    *
+    * k=16 permutations in 4 bands of 4: one groupBy builds all 16 mins
+    * (partial-aggregable — executors pre-fold before the shuffle), the
+    * band signatures bucket candidates, and only candidate pairs pay
+    * the exact-Jaccard verification join. Recall for j=0.98 pairs is
+    * ~1; pairs near the 0.5 threshold may be (deterministically)
+    * missed — that is the documented LSH trade. */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val sh = hashShingled(docs, idCol, textCol)
+
+    val mins = (0 until k).map(i =>
+      min(TextHash.minhashPerm(i, col("hs"))).as(s"mh$i"))
+    val sigs = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+
+    val bandStructs = (0 until bands).map { b =>
+      val sig = concat_ws("|",
+        (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
+    val bucketed = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+
+    val cand = bucketed.select(col("doc_id").as("da"), col("band"), col("sig"))
+      .join(bucketed.select(col("doc_id").as("db"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .where(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("da"), col("hs")), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("hs")), Seq("db", "hs"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
+    val union = col("na") + col("nb") - col("i")
+    inter
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .withColumn("jaccard", col("i").cast("double") / union)
+      .where(col("jaccard") >= threshold)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 48-bit SimHash fingerprints over hashed shingles. One long per
+    * document; near-dups land within small hamming distance. */
+  def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 48): DataFrame = {
+    val sh = hashShingled(docs, idCol, textCol)
+    val bitSums = (0 until bits).map(j =>
+      sum(when(TextHash.simhashBit(j, col("hs")) === 1, 1).otherwise(-1))
+        .as(s"s$j"))
+    val fp = (0 until bits).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sh.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming <= `maxHamming` (default 3).
+    * Candidates come from 4 × 12-bit chunk buckets: any pair within
+    * hamming 3 differs in <= 3 of 48 bits, so by pigeonhole at least
+    * one 12-bit chunk is identical — recall is exact, not
+    * probabilistic. Verification is a single bit_count(xor). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fps = simhashFingerprints(docs, idCol, textCol)
+    val chunks = fps.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk_id"),
+          shiftright(col("simhash"), c * 12).bitwiseAND(lit(4095L))
+            .as("chunk"))): _*)).as("cs"))
+      .select(col("doc_id"), col("simhash"),
+        col("cs.chunk_id").as("chunk_id"), col("cs.chunk").as("chunk"))
+    val hamming = bit_count(col("fa").bitwiseXOR(col("fb")))
+    chunks.select(col("doc_id").as("da"), col("simhash").as("fa"),
+        col("chunk_id"), col("chunk"))
+      .join(chunks.select(col("doc_id").as("db"), col("simhash").as("fb"),
+        col("chunk_id"), col("chunk")), Seq("chunk_id", "chunk"))
+      .where(col("da") < col("db"))
+      .select(col("da"), col("db"), col("fa"), col("fb")).distinct()
+      .where(hamming <= maxHamming)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        hamming.as("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+
+/** Text-analysis operators for the training-data pipeline (SURVEY.md
+  * §2.11): language-ID heuristic, quality scoring, token statistics,
+  * and rolling-hash document fingerprinting, all over the `documents`
+  * table.
+  *
+  * Everything is built from codegen'd built-ins (split / filter /
+  * explode / regexp) plus the portable folds of [[TextHash]] — no UDFs.
+  * Per-document computations are narrow; the only shuffles are the
+  * final small aggregations (language matrix, term counts). Cross-row
+  * floating aggregation is avoided on purpose: every double in an
+  * output is a single division of exactly-computed integers, so results
+  * hash-match an external oracle regardless of partitioning.
+  */
+object TextAnalysis {
+
+  private val markerSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "et", "est", "une"))
+
+  private def markerCount(words: Column, markers: Seq[String]): Column =
+    size(filter(words, t => t.isin(markers.map(lit): _*)))
+
+  /** Marker-token language-ID heuristic: count stopword hits per
+    * language profile, predict the argmax (deterministic preference
+    * order on ties), 'und' when no marker hits at all. Output is the
+    * (actual, predicted) confusion matrix with exact token totals. */
+  def langIdMatrix(docs: DataFrame, textCol: String, langCol: String)
+      : DataFrame = {
+    val scored = docs
+      .select(col(langCol).as("lang"),
+        TextHash.tokens(lower(col(textCol))).as("w"))
+      .select(col("lang") +: size(col("w")).as("n_tokens") +:
+        markerSets.map { case (l, ms) =>
+          markerCount(col("w"), ms).as(s"c_$l")
+        }: _*)
+    val Seq(en, es, de, fr) = markerSets.map(m => col(s"c_${m._1}"))
+    val pred = scored.withColumn("lang_pred",
+      when(en === 0 && es === 0 && de === 0 && fr === 0, "und")
+        .when(en >= es && en >= de && en >= fr, "en")
+        .when(es >= de && es >= fr, "es")
+        .when(de >= fr, "de")
+        .otherwise("fr"))
+    val markers = en + es + de + fr
+    pred.groupBy(col("lang"), col("lang_pred"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(markers).cast("long").as("marker_tokens"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"))
+      .withColumn("marker_ratio",
+        col("marker_tokens").cast("double") / col("total_tokens"))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
+  /** Per-document quality signals: char/token counts, mean token
+    * length, stopword ratio, punctuation ratio, and a banded verdict —
+    * the length/punct/stopword heuristics a pretraining filter runs
+    * before anything model-based. All ratios are single divisions of
+    * exact integers. */
+  def qualityScores(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "is", "to", "in")
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      length(col(textCol)).as("n_chars"),
+      TextHash.tokens(col(textCol)).as("w"),
+      length(regexp_replace(col(textCol), "[a-zA-Z0-9\\s]", ""))
+        .as("n_punct"))
+    val m = base.select(
+      col("doc_id"), col("n_chars"),
+      size(col("w")).as("n_tokens"),
+      expr("aggregate(transform(w, x -> length(x)), 0L, (a, b) -> a + b)")
+        .as("sum_tok_len"),
+      markerCount(col("w"), stop).as("n_stop"),
+      col("n_punct"))
+    val stopRatio = col("n_stop").cast("double") / col("n_tokens")
+    m.select(
+      col("doc_id"), col("n_chars"), col("n_tokens"),
+      (col("sum_tok_len").cast("double") / col("n_tokens"))
+        .as("avg_token_len"),
+      stopRatio.as("stopword_ratio"),
+      (col("n_punct").cast("double") / col("n_chars")).as("punct_ratio"),
+      when(col("n_tokens") >= 40 && stopRatio >= 0.05, "high")
+        .when(col("n_tokens") >= 15, "medium")
+        .otherwise("low").as("quality_band"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus term statistics under a BPE-ish regex tokenizer
+    * (letter-runs | digit-runs | single punctuation): global occurrence
+    * and document-frequency counts, top `limit` terms. Partial-
+    * aggregable counts; the explode is the only row expansion. */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String,
+      limit: Int = 50): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(expr(
+          s"regexp_extract_all(lower($textCol), '([a-z]+|[0-9]+|[^a-z0-9\\\\s])', 1)"))
+          .as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(limit)
+
+  /** Rolling-hash document fingerprints: a whole-document polynomial
+    * fold over token hashes plus the minimum 8-token-gram hash (the
+    * winnowing-style marker used for containment detection — shared
+    * min-gram => likely shared passage). */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    import TextHash.P
+    docs
+      .select(col(idCol).as("doc_id"), TextHash.tokens(col(textCol)).as("w"))
+      .select(col("doc_id"), size(col("w")).as("n_tokens"),
+        TextHash.tokenHashes("w").as("wh"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        TextHash.rollingFold("wh").as("rolling_fp"),
+        when(col("n_tokens") >= 8,
+          array_min(expr(s"""
+            transform(sequence(1, size(wh) - 7), i ->
+              aggregate(slice(wh, i, 8), 0L, (a, x) -> ((a * 131L) + x) % ${P}L))""")))
+          .otherwise(lit(null).cast("long")).as("min_gram_fp"))
+      .orderBy(col("doc_id"))
+  }
+}

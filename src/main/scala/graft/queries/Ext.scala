@@ -1,0 +1,422 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** EXT — the LLM-training-data-pipeline operators (SURVEY.md §2.11;
+  * BASELINE.json north star) over the `documents` / `embeddings`
+  * fixtures: dedup (exact, n-gram Jaccard, MinHash-LSH, SimHash),
+  * embedding similarity (brute-force top-k, bucketed near-dup), text
+  * analysis (language-ID, quality, token stats, fingerprints) and
+  * multimodal column plumbing.
+  *
+  * Every query has a full DuckDB oracle — including MinHash-LSH and
+  * SimHash, which are usually "unverifiable": the portable arithmetic
+  * hashes in [[graft.functions.TextHash]] make the whole pipeline
+  * reproducible bit-for-bit in any engine with list lambdas, so the
+  * oracle replays signature building, banding, candidate generation and
+  * verification and must land on the identical pair set.
+  *
+  * Oracle type discipline (learned from the driver's exact compare):
+  * Spark `size`/`length`/`row_number`/`bit_count` are INT32 while
+  * DuckDB's are INT64 — every such column is cast explicitly on the
+  * DuckDB side; doubles come only from order-pinned folds or single
+  * divisions of exact integers.
+  */
+object Ext {
+
+  private val P = graft.functions.TextHash.P // 1000000007
+
+  /** DuckDB fragment: tokens array per doc (mirrors TextHash.tokens). */
+  private val duckWords =
+    """words AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') w
+      |  FROM documents
+      |)""".stripMargin
+
+  /** DuckDB fragment: per-token char-fold hashes (mirrors
+    * TextHash.tokenHashes). */
+  private val duckTokenHashes =
+    s"""wh AS (
+      |  SELECT doc_id, len(w) n_tokens, list_transform(w, t ->
+      |    list_reduce(list_prepend(0::BIGINT,
+      |      list_transform(range(1, length(t) + 1), j -> ascii(t[j]))),
+      |      (h, c) -> ((h * 31) + c) % $P)) whl
+      |  FROM words WHERE len(w) >= 3
+      |)""".stripMargin
+
+  /** DuckDB fragment: distinct hashed 3-gram shingles per doc (mirrors
+    * TextHash.shingleHashes; 1-based DuckDB indexing). */
+  private val duckHashShingles =
+    s"""sh AS (
+      |  SELECT DISTINCT doc_id, hs
+      |  FROM wh, LATERAL unnest(list_transform(range(1, len(whl) - 1),
+      |    i -> ((((((whl[i] * 31) + whl[i+1]) % $P) * 31) + whl[i+2]) % $P))) AS t(hs)
+      |)""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+
+  val q16: Q = Q(
+    "q16_exact_dedup",
+    (s, d) => Dedup.exact(Tables.documents(s, d), "doc_id", "text"),
+    Some("""
+      SELECT sha256(text) AS content_hash,
+        min(sha256(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_hash,
+        min(doc_id) AS keep_id,
+        count(*) AS n_copies
+      FROM documents
+      GROUP BY 1
+      ORDER BY keep_id
+    """.trim))
+
+  // ---------------------------------------------------------------- q17
+
+  val q17: Q = Q(
+    "q17_ngram_jaccard_neardup",
+    (s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.5, maxDf = 100),
+    Some(s"""
+      WITH $duckWords,
+      sh AS (
+        SELECT DISTINCT doc_id, s
+        FROM words, LATERAL unnest(list_transform(range(1, len(w) - 1),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t(s)
+        WHERE len(w) >= 3
+      ),
+      shf AS (
+        SELECT doc_id, s FROM sh
+        QUALIFY count(*) OVER (PARTITION BY s) <= 100
+      ),
+      sz AS (SELECT doc_id, count(*) n FROM shf GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id da, b.doc_id db, count(*) i
+        FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT da AS doc_a, db AS doc_b, i AS n_common,
+        (sa.n + sb.n - i) AS n_union,
+        (CAST(i AS DOUBLE) / (sa.n + sb.n - i)) AS jaccard
+      FROM inter
+      JOIN sz sa ON sa.doc_id = da
+      JOIN sz sb ON sb.doc_id = db
+      WHERE (CAST(i AS DOUBLE) / (sa.n + sb.n - i)) >= 0.5
+      ORDER BY doc_a, doc_b
+    """.trim),
+    headline = true)
+
+  // ---------------------------------------------------------------- q18
+
+  private val minhashK = 16
+  private val minhashBands = 4
+
+  private def q18OracleSql: String = {
+    val rows = minhashK / minhashBands
+    val mhCols = (0 until minhashK).map(i =>
+      s"min((${2 * i + 1} * hs + ${1000003 * i + 12345}) % $P) AS mh$i")
+      .mkString(",\n        ")
+    val bandSigs = (0 until minhashBands).map(b =>
+      "concat_ws('|', " +
+        (0 until rows).map(r => s"mh${b * rows + r}").mkString(", ") +
+        s") AS sig$b").mkString(",\n        ")
+    val bandRows = (0 until minhashBands).map(b =>
+      s"SELECT doc_id, $b AS band, sig$b AS sig FROM sigs2")
+      .mkString(" UNION ALL ")
+    s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      $duckHashShingles,
+      sigs AS (
+        SELECT doc_id,
+        $mhCols
+        FROM sh GROUP BY doc_id
+      ),
+      sigs2 AS (
+        SELECT doc_id,
+        $bandSigs
+        FROM sigs
+      ),
+      bands AS ($bandRows),
+      cand AS (
+        SELECT DISTINCT a.doc_id da, b.doc_id db
+        FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+          AND a.doc_id < b.doc_id
+      ),
+      sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT da, db, count(*) i
+        FROM cand
+        JOIN sh a ON a.doc_id = da
+        JOIN sh b ON b.doc_id = db AND b.hs = a.hs
+        GROUP BY da, db
+      )
+      SELECT da AS doc_a, db AS doc_b,
+        (CAST(i AS DOUBLE) / (sa.n + sb.n - i)) AS jaccard
+      FROM inter
+      JOIN sz sa ON sa.doc_id = da
+      JOIN sz sb ON sb.doc_id = db
+      WHERE (CAST(i AS DOUBLE) / (sa.n + sb.n - i)) >= 0.5
+      ORDER BY doc_a, doc_b
+    """.trim
+  }
+
+  val q18: Q = Q(
+    "q18_minhash_lsh_neardup",
+    (s, d) =>
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.5, k = minhashK, bands = minhashBands),
+    Some(q18OracleSql),
+    headline = true)
+
+  // ---------------------------------------------------------------- q19
+
+  private val simhashBits = 48
+
+  private def q19OracleSql: String = {
+    val bitSums = (0 until simhashBits).map(j =>
+      s"sum(CASE WHEN (((${2 * j + 3} * hs + ${7 * j + 1}) % $P) & 1) = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(",\n        ")
+    val fp = (0 until simhashBits).map(j =>
+      s"(CASE WHEN s$j > 0 THEN ${1L << j}::BIGINT ELSE 0 END)")
+      .mkString(" + ")
+    s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      $duckHashShingles,
+      bits AS (
+        SELECT doc_id,
+        $bitSums
+        FROM sh GROUP BY doc_id
+      ),
+      fps AS (SELECT doc_id, ($fp) AS simhash FROM bits),
+      chunks AS (
+        SELECT doc_id, simhash, c AS chunk_id,
+          ((simhash >> (c * 12)) & 4095) AS chunk
+        FROM fps, LATERAL unnest([0, 1, 2, 3]) AS u(c)
+      ),
+      cand AS (
+        SELECT DISTINCT a.doc_id da, a.simhash fa, b.doc_id db, b.simhash fb
+        FROM chunks a JOIN chunks b
+          ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+      )
+      SELECT da AS doc_a, db AS doc_b,
+        CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+      FROM cand
+      WHERE bit_count(xor(fa, fb)) <= 3
+      ORDER BY doc_a, doc_b
+    """.trim
+  }
+
+  val q19: Q = Q(
+    "q19_simhash_neardup",
+    (s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3),
+    Some(q19OracleSql))
+
+  // ---------------------------------------------------------------- q20
+
+  val q20: Q = Q(
+    "q20_embedding_topk",
+    (s, d) =>
+      Similarity.cosineTopK(Tables.embeddings(s, d), k = 5, queryStride = 50),
+    Some("""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, v,
+          sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(v, x -> x * x)), (a, b) -> a + b)) nrm
+        FROM e),
+      q AS (SELECT vec_id query_id, v qv, nrm qn FROM n WHERE vec_id % 50 = 0),
+      s AS (
+        SELECT query_id, c.vec_id neighbor_id,
+          (list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i])),
+             (x, y) -> x + y) / (qn * c.nrm)) AS cosine
+        FROM q, n c WHERE c.vec_id <> query_id)
+      SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) rank
+        FROM s) t
+      WHERE rank <= 5
+      ORDER BY query_id, rank
+    """.trim),
+    headline = true)
+
+  // ---------------------------------------------------------------- q21
+
+  val q21: Q = Q(
+    "q21_embedding_neardup_ivf",
+    (s, d) =>
+      Similarity.bucketedNearDupPairs(Tables.embeddings(s, d),
+        bucketCol = "label", threshold = 0.3),
+    Some("""
+      WITH e AS (
+        SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, label, v,
+          sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(v, x -> x * x)), (a, b) -> a + b)) nrm
+        FROM e)
+      SELECT bucket, vec_a, vec_b, cosine FROM (
+        SELECT a.label AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+          (list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
+             (x, y) -> x + y) / (a.nrm * b.nrm)) AS cosine
+        FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id) t
+      WHERE cosine >= 0.3
+      ORDER BY bucket, vec_a, vec_b
+    """.trim))
+
+  // ---------------------------------------------------------------- q22
+
+  val q22: Q = Q(
+    "q22_lang_id",
+    (s, d) =>
+      TextAnalysis.langIdMatrix(Tables.documents(s, d), "text", "lang"),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+          list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') w
+        FROM documents),
+      sc AS (
+        SELECT doc_id, lang, len(w) n_tokens,
+          len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is'))) c_en,
+          len(list_filter(w, x -> x IN ('el', 'la', 'los', 'y', 'es'))) c_es,
+          len(list_filter(w, x -> x IN ('der', 'die', 'das', 'und', 'ist'))) c_de,
+          len(list_filter(w, x -> x IN ('le', 'les', 'et', 'est', 'une'))) c_fr
+        FROM t),
+      pred AS (
+        SELECT *,
+          CASE WHEN c_en = 0 AND c_es = 0 AND c_de = 0 AND c_fr = 0 THEN 'und'
+               WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+               WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+               WHEN c_de >= c_fr THEN 'de'
+               ELSE 'fr' END AS lang_pred
+        FROM sc)
+      SELECT lang, lang_pred, count(*) AS n_docs,
+        CAST(sum(c_en + c_es + c_de + c_fr) AS BIGINT) AS marker_tokens,
+        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        (CAST(sum(c_en + c_es + c_de + c_fr) AS DOUBLE) / sum(n_tokens))
+          AS marker_ratio
+      FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+    """.trim))
+
+  // ---------------------------------------------------------------- q23
+
+  val q23: Q = Q(
+    "q23_quality_score",
+    (s, d) =>
+      TextAnalysis.qualityScores(Tables.documents(s, d), "doc_id", "text"),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, text, length(text) AS n_chars,
+          list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') w
+        FROM documents),
+      m AS (
+        SELECT doc_id, n_chars, len(w) n_tokens,
+          list_reduce(list_prepend(0::BIGINT,
+            list_transform(w, x -> length(x))), (a, b) -> a + b) sum_tok_len,
+          len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) n_stop,
+          length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) n_punct
+        FROM t)
+      SELECT doc_id, CAST(n_chars AS INT) AS n_chars,
+        CAST(n_tokens AS INT) AS n_tokens,
+        (CAST(sum_tok_len AS DOUBLE) / n_tokens) AS avg_token_len,
+        (CAST(n_stop AS DOUBLE) / n_tokens) AS stopword_ratio,
+        (CAST(n_punct AS DOUBLE) / n_chars) AS punct_ratio,
+        CASE WHEN n_tokens >= 40 AND (CAST(n_stop AS DOUBLE) / n_tokens) >= 0.05 THEN 'high'
+             WHEN n_tokens >= 15 THEN 'medium'
+             ELSE 'low' END AS quality_band
+      FROM m ORDER BY doc_id
+    """.trim))
+
+  // ---------------------------------------------------------------- q24
+
+  val q24: Q = Q(
+    "q24_token_stats",
+    (s, d) =>
+      TextAnalysis.tokenStats(Tables.documents(s, d), "doc_id", "text",
+        limit = 50),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, t
+        FROM documents, LATERAL unnest(
+          regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\s])', 1)) AS u(t))
+      SELECT t AS token, count(*) AS n_occurrences,
+        count(DISTINCT doc_id) AS n_docs
+      FROM tok GROUP BY t
+      ORDER BY n_occurrences DESC, token
+      LIMIT 50
+    """.trim))
+
+  // ---------------------------------------------------------------- q25
+
+  val q25: Q = Q(
+    "q25_doc_fingerprint",
+    (s, d) =>
+      TextAnalysis.fingerprints(Tables.documents(s, d), "doc_id", "text"),
+    Some(s"""
+      WITH $duckWords,
+      wh AS (
+        SELECT doc_id, len(w) n_tokens, list_transform(w, t ->
+          list_reduce(list_prepend(0::BIGINT,
+            list_transform(range(1, length(t) + 1), j -> ascii(t[j]))),
+            (h, c) -> ((h * 31) + c) % $P)) whl
+        FROM words)
+      SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        list_reduce(list_prepend(0::BIGINT, whl),
+          (a, x) -> ((a * 131) + x) % $P) AS rolling_fp,
+        CASE WHEN n_tokens >= 8 THEN
+          list_min(list_transform(range(1, n_tokens - 6),
+            i -> list_reduce(list_prepend(0::BIGINT, array_slice(whl, i, i + 7)),
+              (a, x) -> ((a * 131) + x) % $P)))
+        ELSE NULL END AS min_gram_fp
+      FROM wh ORDER BY doc_id
+    """.trim))
+
+  // ---------------------------------------------------------------- q26
+
+  val q26: Q = Q(
+    "q26_multimodal_meta",
+    (s, d) => {
+      val media = Multimodal.mediaFrame(Tables.documents(s, d),
+        "doc_id", "text")
+      media.select(
+        col("doc_id"), col("uri"), col("mime"),
+        octet_length(col("payload")).as("n_bytes"),
+        sha2(decode(col("payload"), "UTF-8"), 256).as("fingerprint"),
+        (lit(16) + octet_length(col("payload")) % 1024).cast("long")
+          .as("frame_w"),
+        (lit(16) + (octet_length(col("payload")) * 31) % 768).cast("long")
+          .as("frame_h"),
+        (lit(1) + col("doc_id") % 30).cast("long").as("n_frames"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id,
+          ('memory://docs/' || CAST(doc_id AS VARCHAR)) AS uri,
+          CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+            WHEN 2 THEN 'video/mp4' ELSE 'text/plain' END AS mime,
+          encode(text) AS payload
+        FROM documents)
+      SELECT doc_id, uri, mime,
+        CAST(octet_length(payload) AS INT) AS n_bytes,
+        sha256(decode(payload)) AS fingerprint,
+        CAST(16 + (octet_length(payload) % 1024) AS BIGINT) AS frame_w,
+        CAST(16 + ((octet_length(payload) * 31) % 768) AS BIGINT) AS frame_h,
+        CAST(1 + (doc_id % 30) AS BIGINT) AS n_frames
+      FROM m ORDER BY doc_id
+    """.trim))
+
+  def all: Seq[Q] =
+    Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26)
+}
