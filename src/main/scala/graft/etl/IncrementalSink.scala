@@ -26,9 +26,14 @@ final class IncrementalSink(spark: SparkSession, warehouseDir: String) {
 
   private def path(table: String) = s"$warehouseDir/$table"
 
-  def exists(table: String): Boolean =
-    Files.exists(Paths.get(path(table))) &&
-      Files.list(Paths.get(path(table))).findFirst().isPresent
+  def exists(table: String): Boolean = {
+    val p = Paths.get(path(table))
+    Files.exists(p) && {
+      val s = Files.list(p)
+      try s.findFirst().isPresent
+      finally s.close()
+    }
+  }
 
   def read(table: String): DataFrame = spark.read.parquet(path(table))
 
@@ -47,15 +52,17 @@ final class IncrementalSink(spark: SparkSession, warehouseDir: String) {
       (incomingCount, 0L)
     } else {
       val existingKeys = read(table).select(col(pkCol))
+      // localCheckpoint (eager) CUTS the lineage and materializes the
+      // anti-join result before the append touches the target directory.
+      // persist() would not be safe here: it is best-effort, and an
+      // evicted block would recompute from a plan that reads the very
+      // directory being appended to (self-referential append).
       val fresh = df.join(existingKeys, Seq(pkCol), "left_anti")
-      // materialize the anti-join before touching the target directory
-      // (self-referential append: the plan reads what it writes)
-      fresh.persist()
-      val freshCount = fresh.count()
+        .localCheckpoint(true)
+      val freshCount = fresh.count() // served from checkpointed blocks
       if (freshCount > 0)
         fresh.select(df.columns.map(col).toIndexedSeq: _*)
           .write.mode(SaveMode.Append).parquet(path(table))
-      fresh.unpersist()
       (freshCount, incomingCount - freshCount)
     }
   }

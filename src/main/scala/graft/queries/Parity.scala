@@ -168,8 +168,8 @@ object Parity {
   /** q5 — left anti-join orphan detection (SURVEY §2.3 J2; the RI check at
     * transform.py:57-68 incl. its explicit not-null exclusion). The
     * testdata has dense FKs so the orphan set is empty — the oracle proves
-    * the plan computes the same (empty) answer, and the J2 semantics are
-    * additionally unit-tested on dirty in-memory data. */
+    * the plan computes the same (empty) answer; ParitySpec exercises the
+    * same J2 shape on dirty in-memory data (orphans + null keys). */
   val q5: Q = Q(
     "q5_anti_orphans",
     (s, d) =>
@@ -302,10 +302,12 @@ object Parity {
     Some("""
       SELECT o_orderkey AS id_trx, CAST(o_orderdate AS DATE) AS fecha,
         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS monto
-      FROM orders
-      WHERE o_orderdate >= DATE '2000-01-01'
-        AND o_orderkey NOT IN (
-          SELECT o_orderkey FROM orders WHERE o_orderdate < DATE '2000-07-01')
+      FROM orders o
+      WHERE o.o_orderdate >= DATE '2000-01-01'
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o2
+          WHERE o2.o_orderdate < DATE '2000-07-01'
+            AND o2.o_orderkey = o.o_orderkey)
       ORDER BY id_trx
     """.stripMargin.trim))
 
@@ -400,22 +402,24 @@ object Parity {
 
   /** q15 — the SQL-text API path (SURVEY §3.2: the reference ships SQL
     * strings to Postgres; our engine internalizes them via spark.sql over
-    * registered temp views — same Catalyst plan as the DataFrame chain,
-    * tested equal in ParitySpec). */
+    * registered temp views — same Catalyst plan as the DataFrame chain;
+    * ParitySpec asserts q15 ≡ q9 row-for-row). View names are
+    * query-scoped (`q15_*`) so registering them can never poison another
+    * query's resolution in the shared session. */
   val q15: Q = Q(
     "q15_sql_api",
     (s, d) => {
-      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-      Tables.orders(s, d).createOrReplaceTempView("orders")
-      Tables.customer(s, d).createOrReplaceTempView("customer")
-      Tables.nation(s, d).createOrReplaceTempView("nation")
+      Tables.lineitem(s, d).createOrReplaceTempView("q15_lineitem")
+      Tables.orders(s, d).createOrReplaceTempView("q15_orders")
+      Tables.customer(s, d).createOrReplaceTempView("q15_customer")
+      Tables.nation(s, d).createOrReplaceTempView("q15_nation")
       s.sql("""
         SELECT COALESCE(n_name, 'Venta Directa') AS nation,
           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS total_prestamos
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        LEFT JOIN nation ON c_nationkey = n_nationkey
+        FROM q15_lineitem
+        JOIN q15_orders ON l_orderkey = o_orderkey
+        JOIN q15_customer ON o_custkey = c_custkey
+        LEFT JOIN q15_nation ON c_nationkey = n_nationkey
         WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
         GROUP BY 1
         ORDER BY total_prestamos DESC, nation
