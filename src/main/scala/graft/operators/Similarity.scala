@@ -3,30 +3,34 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.VectorOps
 
 /** Embedding similarity search (SURVEY.md §2.11) over
   * `embeddings.parquet` (vec_id, embedding: array<float>, label).
   *
-  * Numeric discipline: elements are cast float→double (exact) before
-  * any arithmetic, and the dot product is a LEFT FOLD via
-  * `aggregate(zip_with(...))` — order-pinned, so an external engine
-  * folding the same element order produces bit-identical doubles (the
-  * correctness gate hash-compares them; "close enough" floats are not
-  * enough). No UDFs — the fold is a codegen'd higher-order expression.
+  * Scoring runs on the raw `array<float>` through the native codegen'd
+  * [[graft.functions.DotProduct]] — elements widen float→double (exact)
+  * inside the generated loop and accumulate strictly left-to-right, so
+  * results are bit-identical to an external engine folding the same
+  * element order (the correctness gate hash-compares doubles). No UDFs,
+  * no interpreted higher-order functions, no per-row array allocation.
   */
 object Similarity {
 
-  /** embedding cast to array<double> */
-  private def vec(embeddingCol: Column): Column =
-    transform(embeddingCol, x => x.cast("double"))
-
-  /** Left-fold dot product of two array<double> columns (by name —
-    * fold body is a SQL expr). */
   private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    VectorOps.dot(col(a), col(b))
 
-  private def norm(v: String): Column =
-    sqrt(expr(s"aggregate(transform($v, x -> x * x), 0D, (acc, v) -> acc + v)"))
+  /** vec_id + raw float vector + L2 norm, the shared scoring input.
+    * Persisted: both sides of every similarity join read it, and the
+    * vectors are small relative to executor memory (MEMORY_AND_DISK
+    * spills rather than evicting under pressure). */
+  private def normed(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Brute-force cosine top-k: every `vec_id % queryStride == 0` vector
     * is a query; rank all other vectors by cosine, keep the top k.
@@ -34,15 +38,12 @@ object Similarity {
     * Scale shape: the (small) query set is broadcast against the
     * candidate stream — a broadcast nested-loop with narrow candidates,
     * no shuffle of the big side; the only shuffle is the per-query
-    * window over k·|queries| pre-filtered rows. This is the exactness
-    * baseline; [[bucketedNearDupPairs]] is the pruned scale path, and a
-    * production ANN would put an IVF/HNSW index in front of the same
-    * scoring expression. */
+    * window over the scored rows. This is the labelled EXACTNESS
+    * baseline — O(|queries|·N·dim) by construction — and the recall
+    * oracle for [[ivfCosinePairs]], which is the scale path. */
   def cosineTopK(embeddings: DataFrame, k: Int = 5, queryStride: Long = 50)
       : DataFrame = {
-    val n = embeddings.select(col("vec_id"),
-      vec(col("embedding")).as("v"))
-      .withColumn("nrm", norm("v"))
+    val n = normed(embeddings)
     val q = n.where(col("vec_id") % queryStride === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"))
@@ -60,18 +61,20 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Bucketed (IVF-style) cosine near-dup pairs: vectors are compared
-    * only within their coarse-quantizer cell — here the `label` column
-    * stands in for the centroid assignment a k-means front end would
-    * produce. The join shuffles both sides on the bucket key and is
-    * embarrassingly parallel across buckets; cost is Σ|bucket|²
-    * instead of N². At 100 TB the bucket count scales with the data
-    * and hot buckets split by AQE skew handling. */
+  /** Bucketed cosine near-dup pairs over a PRE-ASSIGNED bucket column:
+    * vectors are compared only within their bucket. Kept as the simple
+    * variant for callers that already have a partition key (and as the
+    * unit-test harness for the join shape); its cost is Σ|bucket|²,
+    * which is only scale-safe if the bucket count grows with the data —
+    * for a fixed-cardinality column it degenerates to O(N²/buckets).
+    * [[ivfCosinePairs]] is the scale path: it builds a real coarse
+    * quantizer whose cell count scales with N. */
   def bucketedNearDupPairs(embeddings: DataFrame, bucketCol: String = "label",
       threshold: Double = 0.3): DataFrame = {
-    val n = embeddings.select(col("vec_id"), col(bucketCol).as("bucket"),
-      vec(col("embedding")).as("v"))
-      .withColumn("nrm", norm("v"))
+    val n = embeddings
+      .select(col("vec_id"), col(bucketCol).as("bucket"),
+        col("embedding").as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
     val a = n.select(col("bucket"), col("vec_id").as("vec_a"),
       col("v").as("va"), col("nrm").as("na"))
     val b = n.select(col("bucket"), col("vec_id").as("vec_b"),
@@ -82,5 +85,59 @@ object Similarity {
       .where(col("cosine") >= threshold)
       .select(col("bucket"), col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy(col("bucket"), col("vec_a"), col("vec_b"))
+  }
+
+  /** IVF-style near-dup pairs with a REAL coarse quantizer: the
+    * centroid set is a deterministic sample of the corpus itself
+    * (`vec_id % centroidStride == 0`), so the cell count C = N/stride
+    * GROWS with the corpus — per-cell population stays ~stride and the
+    * candidate volume Σ|cell|² stays O(N·stride) instead of O(N²).
+    * Multi-probe (`probes` nearest centroids per vector) buys recall
+    * near cell boundaries, the standard IVF trade.
+    *
+    * Deterministic by construction (sampled centroids, cosine argmax
+    * tie-broken on centroid id), so an external oracle replays the
+    * same assignment and the SAME pair set — recall loss vs the exact
+    * answer is a documented property of the index, not nondeterminism.
+    *
+    * Plan shape at 100 TB: assignment is a broadcast nested-loop of N
+    * vectors × C centroids (C ≪ N, broadcast-able by construction: at
+    * stride 50 the centroid table is 2% of the corpus; a k-means front
+    * end would shrink it further), then one shuffle on `cell` and a
+    * within-cell self-join — embarrassingly parallel across cells, hot
+    * cells split by AQE skew handling. */
+  def ivfCosinePairs(embeddings: DataFrame, threshold: Double = 0.3,
+      centroidStride: Long = 50, probes: Int = 2): DataFrame = {
+    val n = normed(embeddings)
+    val cents = n.where(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    // nearest-`probes` centroids per vector (cosine, ties → low cent_id)
+    val byAffinity = Window.partitionBy(col("vec_id"))
+      .orderBy(col("affinity").desc, col("cent_id"))
+    val assigned = n.join(broadcast(cents), expr("true"))
+      .withColumn("affinity", dot("v", "cv") / (col("nrm") * col("cn")))
+      .withColumn("probe", row_number().over(byAffinity))
+      .where(col("probe") <= probes)
+      .select(col("cent_id").as("cell"), col("vec_id"))
+    // candidate pairs are generated over (cell, id) ONLY — the wide
+    // vector columns never enter the candidate shuffle; multi-probe can
+    // surface a pair in several shared cells, hence the distinct on the
+    // 16-byte id pair
+    val cand = assigned.select(col("cell"), col("vec_id").as("vec_a"))
+      .join(assigned.select(col("cell"), col("vec_id").as("vec_b")),
+        Seq("cell"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    // verify step: re-attach vectors (cached in `n`) to candidates only
+    cand
+      .join(n.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("nrm").as("na")), Seq("vec_a"))
+      .join(n.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("vec_b"))
+      .withColumn("cosine", dot("va", "vb") / (col("na") * col("nb")))
+      .where(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
   }
 }

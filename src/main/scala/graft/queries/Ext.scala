@@ -249,29 +249,55 @@ object Ext {
 
   // ---------------------------------------------------------------- q21
 
+  /** q21 — IVF near-dup with a REAL coarse quantizer (r2 verdict item
+    * 4): deterministic sampled centroids (vec_id % 50), multi-probe 2,
+    * candidate pairs within shared cells only. The oracle replays the
+    * identical assignment — every double on both sides comes from the
+    * same left-to-right fold, so the argmax/row_number probe selection
+    * is bit-reproducible. */
   val q21: Q = Q(
     "q21_embedding_neardup_ivf",
     (s, d) =>
-      Similarity.bucketedNearDupPairs(Tables.embeddings(s, d),
-        bucketCol = "label", threshold = 0.3),
+      Similarity.ivfCosinePairs(Tables.embeddings(s, d),
+        threshold = 0.3, centroidStride = 50, probes = 2),
     Some("""
       WITH e AS (
-        SELECT vec_id, label,
-          list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
         FROM embeddings),
       n AS (
-        SELECT vec_id, label, v,
+        SELECT vec_id, v,
           sqrt(list_reduce(list_prepend(0.0::DOUBLE,
             list_transform(v, x -> x * x)), (a, b) -> a + b)) nrm
-        FROM e)
-      SELECT bucket, vec_a, vec_b, cosine FROM (
-        SELECT a.label AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        FROM e),
+      cents AS (
+        SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+        WHERE vec_id % 50 = 0),
+      aff AS (
+        SELECT n.vec_id, c.cent_id,
           (list_reduce(list_prepend(0.0::DOUBLE,
-             list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
-             (x, y) -> x + y) / (a.nrm * b.nrm)) AS cosine
-        FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id) t
+             list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i])),
+             (x, y) -> x + y) / (n.nrm * c.cn)) AS affinity
+        FROM n, cents c),
+      assigned AS (
+        SELECT cent_id AS cell, vec_id FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY affinity DESC, cent_id) AS probe
+          FROM aff) t
+        WHERE probe <= 2),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id)
+      SELECT vec_a, vec_b, cosine FROM (
+        SELECT vec_a, vec_b,
+          (list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(range(1, len(na.v) + 1), i -> na.v[i] * nb.v[i])),
+             (x, y) -> x + y) / (na.nrm * nb.nrm)) AS cosine
+        FROM cand
+        JOIN n na ON na.vec_id = vec_a
+        JOIN n nb ON nb.vec_id = vec_b) t
       WHERE cosine >= 0.3
-      ORDER BY bucket, vec_a, vec_b
+      ORDER BY vec_a, vec_b
     """.trim))
 
   // ---------------------------------------------------------------- q22

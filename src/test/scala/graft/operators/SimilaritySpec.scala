@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.engine.Tables
+import graft.functions.VectorOps
+
+/** Similarity-search semantics on the sf0.001 embeddings fixture:
+  * the label-bucket variant (kept as the join-shape harness — r2 verdict
+  * item 4), and the IVF quantizer's soundness (no false positives;
+  * candidates scored exactly) against the brute-force answer.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  /** exact all-pairs cosine >= t — the recall oracle. */
+  private def exactPairs(t: Double): Set[(Long, Long)] = {
+    val n = emb.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+    val a = n.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    a.crossJoin(b).where(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("cosine") >= t)
+      .select(col("vec_a"), col("vec_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("bucketedNearDupPairs: pairs only within the bucket column") {
+    val out = Similarity.bucketedNearDupPairs(emb, "label", threshold = 0.3)
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(1), r.getLong(2))
+      assert(a < b)
+      assert(labels(a) == labels(b)) // same bucket by construction
+      assert(r.getDouble(3) >= 0.3)
+    }
+  }
+
+  test("ivfCosinePairs: sound (subset of exact) with real recall") {
+    val exact = exactPairs(0.3)
+    val ivf = Similarity.ivfCosinePairs(emb, threshold = 0.3,
+      centroidStride = 50, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.subsetOf(exact)) // verify step scores exactly → no false positives
+    assert(ivf.nonEmpty)
+    // multi-probe recall on the fixture should be substantial; pin a
+    // floor so a quantizer regression (e.g. probe ordering) is caught
+    assert(ivf.size.toDouble / exact.size >= 0.5,
+      s"recall ${ivf.size}/${exact.size}")
+  }
+
+  test("cosineTopK: ranks exactly like a brute-force window") {
+    val out = Similarity.cosineTopK(emb, k = 3, queryStride = 100).collect()
+    assert(out.nonEmpty)
+    val byQuery = out.groupBy(_.getLong(0))
+    byQuery.foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(2)).toSeq.sorted == (1 to rows.length))
+      // ranks ordered by descending cosine
+      val cosines = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(cosines.zip(cosines.tail).forall { case (x, y) => x >= y })
+    }
+  }
+}
