@@ -58,14 +58,6 @@ object TextHash {
         ((((($tokenHashCol[i-1] * 31L) + $tokenHashCol[i]) % ${P}L) * 31L)
           + $tokenHashCol[i+1]) % ${P}L))""")
 
-  /** String word-3-gram shingles (space-joined), distinct per document —
-    * the exact-set variant used by the Jaccard verifier. Same size >= 3
-    * guard requirement as [[shingleHashes]]. */
-  def shingleStrings(wordsCol: String): Column =
-    expr(s"""
-      array_distinct(transform(sequence(1, size($wordsCol) - 2), i ->
-        concat_ws(' ', $wordsCol[i-1], $wordsCol[i], $wordsCol[i+1])))""")
-
   /** Rolling fingerprint over an array-of-hashes column:
     * fp = (fp*131 + h_i) % P, folded left. */
   def rollingFold(hashesCol: String): Column =

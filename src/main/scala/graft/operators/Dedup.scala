@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextHash
 
@@ -33,8 +34,10 @@ object Dedup {
 
   /** Exact + normalized content-hash dedup: one row per distinct text,
     * keep-first (min id) semantics like the reference's
-    * drop_duplicates. `norm_hash` additionally collapses
-    * case/whitespace-only variants. */
+    * drop_duplicates. Grouping is by `content_hash` (byte-exact);
+    * `norm_hash` (case/whitespace-folded) is carried as a REPORTED key
+    * so a downstream pass can additionally collapse normalized variants
+    * — it does not collapse them here. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(
@@ -49,34 +52,30 @@ object Dedup {
         count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
-  /** (doc_id, shingle) pairs, distinct, with hot shingles capped at
-    * `maxDf` documents — stopword-shingles would otherwise generate
-    * O(df^2) candidate pairs; dropping them loses no near-dup signal
-    * and bounds skew at scale. */
-  private def shingled(docs: DataFrame, idCol: String, textCol: String,
-      maxDf: Int): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("doc_id"),
-        TextHash.tokens(col(textCol)).as("w"))
-      .where(size(col("w")) >= 3)
-      .select(col("doc_id"),
-        explode(TextHash.shingleStrings("w")).as("s"))
-    val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDf)
-      .select(col("s"))
-    sh.join(df, Seq("s"))
-  }
-
   /** Pairwise Jaccard >= `threshold` over word-3-gram shingle sets via
     * an inverted-index self-join (SURVEY §2.11: "shuffle-based, scales
-    * to 100 TB"). Output: (doc_a, doc_b, n_common, n_union, jaccard). */
+    * to 100 TB"). Output: (doc_a, doc_b, n_common, n_union, jaccard).
+    *
+    * Plan shape (r2 verdict item 5): the index runs on 8-byte shingle
+    * HASHES, never the raw 3-word strings — the self-join shuffles
+    * longs, and hash collisions are deterministic and replayed
+    * identically by the oracle. Hot shingles (document frequency >
+    * `maxDf`) are dropped before the join: stopword-shingles would
+    * generate O(df²) candidate pairs for zero near-dup signal, and the
+    * cap bounds worst-case skew at scale. The shingle DF feeds three
+    * consumers (sizes, both join sides) and is persisted once — it was
+    * previously recomputed (tokenize + explode) per consumer. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, maxDf: Int = 100): DataFrame = {
-    val sh = shingled(docs, idCol, textCol, maxDf)
+    val all = hashShingled(docs, idCol, textCol)
+    val hot = all.groupBy(col("hs")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select(col("hs"))
+    val sh = all.join(hot, Seq("hs"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("da"), col("s"))
-    val b = sh.select(col("doc_id").as("db"), col("s"))
-    val inter = a.join(b, Seq("s"))
+    val a = sh.select(col("doc_id").as("da"), col("hs"))
+    val b = sh.select(col("doc_id").as("db"), col("hs"))
+    val inter = a.join(b, Seq("hs"))
       .where(col("da") < col("db"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
     val union = col("na") + col("nb") - col("i")
@@ -113,7 +112,10 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, k: Int = 16, bands: Int = 4): DataFrame = {
     val rows = k / bands
+    // four consumers (signature agg, both verify-join sides, sizes) —
+    // persist so tokenize+explode runs once, not per consumer
     val sh = hashShingled(docs, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val mins = (0 until k).map(i =>
       min(TextHash.minhashPerm(i, col("hs"))).as(s"mh$i"))
@@ -165,17 +167,27 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with hamming <= `maxHamming` (default 3).
-    * Candidates come from 4 × 12-bit chunk buckets: any pair within
-    * hamming 3 differs in <= 3 of 48 bits, so by pigeonhole at least
-    * one 12-bit chunk is identical — recall is exact, not
-    * probabilistic. Verification is a single bit_count(xor). */
+    * Candidates come from `maxHamming + 1` equal-width chunk buckets:
+    * a pair within hamming h differs in at most h of the 48 bits, so by
+    * pigeonhole at least one of h+1 chunks is identical — recall is
+    * exact for the given `maxHamming`, not probabilistic (the chunk
+    * count is DERIVED from the parameter so the guarantee can't drift).
+    * Verification is a single bit_count(xor). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val fps = simhashFingerprints(docs, idCol, textCol)
+      maxHamming: Int = 3, bits: Int = 48): DataFrame = {
+    val nChunks = maxHamming + 1
+    require(bits % nChunks == 0,
+      s"bits=$bits must split evenly into ${nChunks} chunks")
+    val width = bits / nChunks
+    val mask = (1L << width) - 1
+    // fingerprints feed both sides of the chunk self-join — persist the
+    // 2-longs-per-doc frame instead of recomputing the signature agg
+    val fps = simhashFingerprints(docs, idCol, textCol, bits)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val chunks = fps.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(c =>
+      explode(array((0 until nChunks).map(c =>
         struct(lit(c).as("chunk_id"),
-          shiftright(col("simhash"), c * 12).bitwiseAND(lit(4095L))
+          shiftright(col("simhash"), c * width).bitwiseAND(lit(mask))
             .as("chunk"))): _*)).as("cs"))
       .select(col("doc_id"), col("simhash"),
         col("cs.chunk_id").as("chunk_id"), col("cs.chunk").as("chunk"))

@@ -73,6 +73,10 @@ object Ext {
 
   // ---------------------------------------------------------------- q17
 
+  /** q17 oracle mirrors the hashed inverted index (r2 verdict item 5):
+    * shingle hashes, the maxDf hot-shingle cap, and the intersection
+    * counts all replay on the same portable hashes, so the pair set —
+    * including any deterministic hash collisions — is identical. */
   val q17: Q = Q(
     "q17_ngram_jaccard_neardup",
     (s, d) =>
@@ -80,20 +84,16 @@ object Ext {
         threshold = 0.5, maxDf = 100),
     Some(s"""
       WITH $duckWords,
-      sh AS (
-        SELECT DISTINCT doc_id, s
-        FROM words, LATERAL unnest(list_transform(range(1, len(w) - 1),
-          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t(s)
-        WHERE len(w) >= 3
-      ),
+      $duckTokenHashes,
+      $duckHashShingles,
       shf AS (
-        SELECT doc_id, s FROM sh
-        QUALIFY count(*) OVER (PARTITION BY s) <= 100
+        SELECT doc_id, hs FROM sh
+        QUALIFY count(*) OVER (PARTITION BY hs) <= 100
       ),
       sz AS (SELECT doc_id, count(*) n FROM shf GROUP BY 1),
       inter AS (
         SELECT a.doc_id da, b.doc_id db, count(*) i
-        FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+        FROM shf a JOIN shf b ON a.hs = b.hs AND a.doc_id < b.doc_id
         GROUP BY 1, 2
       )
       SELECT da AS doc_a, db AS doc_b, i AS n_common,
