@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.time.LocalDate
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions.monotonically_increasing_id
+
+import graft.engine.GraftSession
+import graft.etl.{EtlJob, IncrementalSink, Report, VariosSplitter}
+import graft.sources.{CsvSource, JsonArraySource, Source}
+
+/** The spark-submit-able entry point (SURVEY.md §3.3): one binary with
+  * `etl` and `report` subcommands, mirroring the reference's two
+  * scheduled processes (`python src/main.py` then `python
+  * src/bot_ventas.py`, etl_pipeline.yml:30-50). Scheduling stays
+  * external to the engine, exactly like the reference's cron.
+  *
+  * Source layout for `etl <srcDir> <warehouseDir>`:
+  *   clientes.csv        headered (IDCLIENTE, fechaafiliacion, fechaprimertrx)
+  *   transacciones.csv   headered, 7 columns consumed POSITIONALLY
+  *   varios.csv          headerless 2-column stacked sheet (sentinel 'ID' rows)
+  *   recomendados.json   one JSON array of records
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "etl" :: srcDir :: warehouse :: Nil => etl(srcDir, warehouse)
+    case "report" :: warehouse :: cut :: Nil =>
+      report(warehouse, LocalDate.parse(cut))
+    case _ =>
+      System.err.println(
+        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate>")
+      sys.exit(2)
+  }
+
+  /** The Varios sheet is KB-scale control data whose ROW ORDER is part
+    * of its meaning (sentinel split) — read it on the driver, in file
+    * order, like the reference's sheet reader (SURVEY §7.1 M3). Cells
+    * are split on the first comma only (names may contain commas). */
+  private def readVarios(path: String): Seq[VariosSplitter.RawRow] =
+    Files.readAllLines(Paths.get(path)).asScala.toSeq
+      .filter(_.nonEmpty)
+      .map { line =>
+        val cut = line.indexOf(',')
+        val (a, b) =
+          if (cut < 0) (line, "") else (line.take(cut), line.drop(cut + 1))
+        def cell(s: String) = Option(s.trim).filter(_.nonEmpty)
+        VariosSplitter.RawRow(cell(a), cell(b))
+      }
+
+  /** JSON records carry no explicit order column; the keep-first dedup
+    * needs one (SURVEY §7.3). A single multiLine JSON array loads as
+    * one partition, so monotonically_increasing_id IS the file order
+    * here — valid only because of that single-partition property, which
+    * matches the reference reading one small JSON doc. */
+  private final case class OrderedJson(path: String) extends Source {
+    def load(spark: org.apache.spark.sql.SparkSession) =
+      JsonArraySource(path).load(spark)
+        .withColumn("__ord", monotonically_increasing_id())
+  }
+
+  private def etl(srcDir: String, warehouse: String): Unit = {
+    val spark = GraftSession.local()
+    val sources = EtlJob.Sources(
+      clientes = CsvSource(s"$srcDir/clientes.csv"),
+      transacciones = CsvSource(s"$srcDir/transacciones.csv"),
+      varios = readVarios(s"$srcDir/varios.csv"),
+      recomendados = OrderedJson(s"$srcDir/recomendados.json"),
+      recomendadosOrderCol = "__ord")
+    val accounting = EtlJob.run(spark, sources, new IncrementalSink(spark, warehouse))
+    // per-table accounting like the reference's load logs (load.py:53-57)
+    accounting.toSeq.sortBy(_._1).foreach { case (t, (ins, ign)) =>
+      println(s"[etl] $t: inserted=$ins ignored=$ign")
+    }
+    spark.stop()
+  }
+
+  private def report(warehouse: String, cut: LocalDate): Unit = {
+    val spark = GraftSession.local()
+    val sink = new IncrementalSink(spark, warehouse)
+    val fact = sink.read("fct_transacciones")
+    val metricsRow = Report.metrics(fact, cut).collect().head
+    val dist = Report.distributorPerformance(
+      fact, sink.read("dim_clientes"), sink.read("dim_distribuidores"), cut)
+      .collect().toSeq
+    println(Report.formatMessage(metricsRow, dist, cut,
+      dashboardUrl = "http://localhost/dashboard"))
+    spark.stop()
+  }
+}
