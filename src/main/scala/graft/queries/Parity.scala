@@ -1,10 +1,13 @@
 package graft.queries
 
+import java.time.LocalDate
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.engine.{Dec, Tables}
+import graft.etl.Report
 
 /** Parity operators: every relational capability in SURVEY.md §2 (the
   * reference's inventory) re-targeted onto the driver's TPC-H-ish tables
@@ -427,6 +430,110 @@ object Parity {
     },
     q9.oracle)
 
+  /** Star-mapping of the TPC-H-ish testdata onto the reference's fact
+    * shape (FIXTURES.md §B): orders plays fct_transacciones. Shared by
+    * the Report-path queries so they exercise the ACTUAL
+    * `graft.etl.Report` code, not a reimplementation. */
+  private def ordersAsFact(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey").as("id_trx"),
+      col("o_custkey").as("id_cliente"),
+      col("o_orderdate").cast("timestamp").as("fecha_trx"),
+      Dec.d2(col("o_totalprice")).as("monto"))
+
+  /** q27 — Report.metrics itself, oracle-checked (r2 verdict item 6;
+    * bot_ventas.py:39-45 is the reference's first real query). The
+    * oracle mirrors the timestamp<=midnight-of-cut boundary the
+    * reference has (see Report.metrics scaladoc). */
+  val q27: Q = Q(
+    "q27_report_metrics",
+    (s, d) =>
+      Report.metrics(ordersAsFact(s, d), LocalDate.parse("1997-06-15"))
+        .select(
+          Dec.outD(col("diaria")).as("diaria"),
+          Dec.outD(col("acumulado_mes")).as("acumulado_mes")),
+    Some("""
+      SELECT
+        CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) = DATE '1997-06-15'
+          THEN CAST(o_totalprice AS DECIMAL(12,2)) ELSE 0 END) AS DOUBLE) AS diaria,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS acumulado_mes
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
+        AND o_orderdate <= TIMESTAMP '1997-06-15 00:00:00'
+    """.stripMargin.trim))
+
+  /** q28 — Report.distributorPerformance itself, oracle-checked
+    * (bot_ventas.py:48-57). customer→dim_clientes with every 5th
+    * nation-key nulled so the 'Venta Directa' coalesce bucket is
+    * actually exercised; nation→dim_distribuidores. */
+  val q28: Q = Q(
+    "q28_report_distributors",
+    (s, d) => {
+      val dimCli = Tables.customer(s, d).select(
+        col("c_custkey").as("id_cliente"),
+        when(col("c_nationkey") % 5 === 0, lit(null))
+          .otherwise(col("c_nationkey")).as("id_distribuidor"))
+      val dimDist = Tables.nation(s, d).select(
+        col("n_nationkey").as("id_distribuidor"),
+        col("n_name").as("nombre_distribuidor"))
+      Report.distributorPerformance(ordersAsFact(s, d), dimCli, dimDist,
+        LocalDate.parse("1997-06-15"))
+        .select(col("nombre_distribuidor"),
+          Dec.outD(col("total_prestamos")).as("total_prestamos"))
+    },
+    Some("""
+      SELECT nombre_distribuidor,
+        CAST(SUM(monto) AS DOUBLE) AS total_prestamos
+      FROM (
+        SELECT COALESCE(d.n_name, 'Venta Directa') AS nombre_distribuidor,
+          CAST(f.o_totalprice AS DECIMAL(12,2)) AS monto
+        FROM orders f
+        LEFT JOIN customer c ON f.o_custkey = c.c_custkey
+        LEFT JOIN nation d
+          ON (CASE WHEN c.c_nationkey % 5 = 0 THEN NULL
+                   ELSE c.c_nationkey END) = d.n_nationkey
+        WHERE CAST(f.o_orderdate AS DATE) = DATE '1997-06-15') t
+      GROUP BY nombre_distribuidor
+      ORDER BY total_prestamos DESC, nombre_distribuidor
+    """.stripMargin.trim))
+
+  /** q29 — F1 try-cast-to-timestamp on DIRTY strings (transform.py:117
+    * `errors='coerce'`; r2 verdict item 7): date-only strings parse to
+    * midnight, datetime strings parse fully, junk coerces to null —
+    * pinned against the oracle on all three shapes. The parsed value is
+    * emitted as a formatted STRING: raw timestamp columns are compared
+    * as epoch integers by the gate and Spark writes ns while DuckDB
+    * writes µs — a unit mismatch, not a value one (verified locally). */
+  val q29: Q = Q(
+    "q29_trycast_timestamp",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey").as("id"),
+          when(col("o_orderkey") % 3 === 0,
+            concat(col("o_orderdate").cast("date").cast("string"),
+              lit(" 12:34:56")))
+            .when(col("o_orderkey") % 3 === 1,
+              col("o_orderdate").cast("date").cast("string"))
+            .otherwise(concat(lit("junk-"), col("o_orderstatus"))).as("raw"))
+        .select(col("id"), col("raw"),
+          date_format(expr("try_cast(raw AS TIMESTAMP)"),
+            "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+        .orderBy(col("id")),
+    Some("""
+      SELECT id, raw, strftime(TRY_CAST(raw AS TIMESTAMP),
+        '%Y-%m-%d %H:%M:%S') AS ts_str FROM (
+        SELECT o_orderkey AS id,
+          CASE WHEN o_orderkey % 3 = 0
+                 THEN CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || ' 12:34:56'
+               WHEN o_orderkey % 3 = 1
+                 THEN CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+               ELSE 'junk-' || o_orderstatus END AS raw
+        FROM orders) t
+      ORDER BY id
+    """.stripMargin.trim))
+
   def all: Seq[Q] =
-    Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15)
+    Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15,
+      q27, q28, q29)
 }
