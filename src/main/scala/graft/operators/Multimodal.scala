@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column support (SURVEY.md §2.11): media payloads ride as
@@ -66,7 +66,9 @@ object Multimodal {
     * body with the actual codec call (e.g. ImageIO/FFmpeg over
     * `payload`); the signature and the byte-in/features-out contract
     * are the real interface. Width/height/frames are derived from the
-    * payload size so tests pin the plumbing end-to-end. */
+    * payload size so tests pin the plumbing end-to-end.
+    * [[featureCols]] is the columnar twin of these formulas;
+    * MultimodalSpec asserts the two paths equal so they cannot drift. */
   def decodeStub(r: MediaRecord): MediaFeatures = {
     val n = r.payload.length.toLong
     MediaFeatures(
@@ -77,6 +79,17 @@ object Multimodal {
       frame_h = 16L + (n * 31L) % 768L,
       n_frames = 1L + r.doc_id % 30L)
   }
+
+  /** Columnar twin of [[decodeStub]] for metadata-only plans (reads
+    * nothing but the pruned columns; the SQL-expressible path the
+    * oracle checks via q26). Keep in lockstep with decodeStub — the
+    * spec enforces it. */
+  def featureCols(docIdCol: Column, payloadCol: Column): Seq[Column] = Seq(
+    octet_length(payloadCol).cast("long").as("n_bytes"),
+    (lit(16) + octet_length(payloadCol) % 1024).cast("long").as("frame_w"),
+    (lit(16) + (octet_length(payloadCol) * 31) % 768).cast("long")
+      .as("frame_h"),
+    (lit(1) + docIdCol % 30).cast("long").as("n_frames"))
 
   /** Distributed decode: one pass per partition so a real decoder would
     * init its native context once per task, then stream records

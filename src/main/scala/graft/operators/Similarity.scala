@@ -23,13 +23,18 @@ object Similarity {
     VectorOps.dot(col(a), col(b))
 
   /** vec_id + raw float vector + L2 norm, the shared scoring input.
-    * Persisted: both sides of every similarity join read it, and the
-    * vectors are small relative to executor memory (MEMORY_AND_DISK
-    * spills rather than evicting under pressure). */
+    * Zero-norm (all-zero) vectors are dropped here: cosine is undefined
+    * for them, and 0/0 diverges across engines (null in Spark, NaN —
+    * which sorts ABOVE every number — in DuckDB), so the guard is a
+    * correctness requirement, not hygiene. Persisted: both sides of
+    * every similarity join read it, and the vectors are small relative
+    * to executor memory (MEMORY_AND_DISK spills rather than evicting
+    * under pressure). */
   private def normed(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
+      .where(col("nrm") > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Brute-force cosine top-k: every `vec_id % queryStride == 0` vector
@@ -75,6 +80,7 @@ object Similarity {
       .select(col("vec_id"), col(bucketCol).as("bucket"),
         col("embedding").as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
+      .where(col("nrm") > 0) // cosine undefined for zero vectors
     val a = n.select(col("bucket"), col("vec_id").as("vec_a"),
       col("v").as("va"), col("nrm").as("na"))
     val b = n.select(col("bucket"), col("vec_id").as("vec_b"),

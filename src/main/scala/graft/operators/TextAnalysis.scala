@@ -81,13 +81,20 @@ object TextAnalysis {
         .as("sum_tok_len"),
       markerCount(col("w"), stop).as("n_stop"),
       col("n_punct"))
-    val stopRatio = col("n_stop").cast("double") / col("n_tokens")
+    // zero-divisor guards: Spark's Divide yields null on /0 but DuckDB
+    // yields inf/nan under IEEE semantics — an empty doc would silently
+    // break the exact cross-engine compare. Pin null explicitly in both
+    // engines (the oracle mirrors these CASE WHEN guards).
+    val stopRatio = when(col("n_tokens") > 0,
+      col("n_stop").cast("double") / col("n_tokens"))
     m.select(
       col("doc_id"), col("n_chars"), col("n_tokens"),
-      (col("sum_tok_len").cast("double") / col("n_tokens"))
+      when(col("n_tokens") > 0,
+        col("sum_tok_len").cast("double") / col("n_tokens"))
         .as("avg_token_len"),
       stopRatio.as("stopword_ratio"),
-      (col("n_punct").cast("double") / col("n_chars")).as("punct_ratio"),
+      when(col("n_chars") > 0,
+        col("n_punct").cast("double") / col("n_chars")).as("punct_ratio"),
       when(col("n_tokens") >= 40 && stopRatio >= 0.05, "high")
         .when(col("n_tokens") >= 15, "medium")
         .otherwise("low").as("quality_band"))

@@ -226,11 +226,12 @@ object Ext {
       WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
         FROM embeddings),
-      n AS (
+      n0 AS (
         SELECT vec_id, v,
           sqrt(list_reduce(list_prepend(0.0::DOUBLE,
             list_transform(v, x -> x * x)), (a, b) -> a + b)) nrm
         FROM e),
+      n AS (SELECT * FROM n0 WHERE nrm > 0),
       q AS (SELECT vec_id query_id, v qv, nrm qn FROM n WHERE vec_id % 50 = 0),
       s AS (
         SELECT query_id, c.vec_id neighbor_id,
@@ -264,11 +265,12 @@ object Ext {
       WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
         FROM embeddings),
-      n AS (
+      n0 AS (
         SELECT vec_id, v,
           sqrt(list_reduce(list_prepend(0.0::DOUBLE,
             list_transform(v, x -> x * x)), (a, b) -> a + b)) nrm
         FROM e),
+      n AS (SELECT * FROM n0 WHERE nrm > 0),
       cents AS (
         SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
         WHERE vec_id % 50 = 0),
@@ -354,10 +356,14 @@ object Ext {
         FROM t)
       SELECT doc_id, CAST(n_chars AS INT) AS n_chars,
         CAST(n_tokens AS INT) AS n_tokens,
-        (CAST(sum_tok_len AS DOUBLE) / n_tokens) AS avg_token_len,
-        (CAST(n_stop AS DOUBLE) / n_tokens) AS stopword_ratio,
-        (CAST(n_punct AS DOUBLE) / n_chars) AS punct_ratio,
-        CASE WHEN n_tokens >= 40 AND (CAST(n_stop AS DOUBLE) / n_tokens) >= 0.05 THEN 'high'
+        CASE WHEN n_tokens > 0
+          THEN (CAST(sum_tok_len AS DOUBLE) / n_tokens) END AS avg_token_len,
+        CASE WHEN n_tokens > 0
+          THEN (CAST(n_stop AS DOUBLE) / n_tokens) END AS stopword_ratio,
+        CASE WHEN n_chars > 0
+          THEN (CAST(n_punct AS DOUBLE) / n_chars) END AS punct_ratio,
+        CASE WHEN n_tokens >= 40 AND n_tokens > 0
+               AND (CAST(n_stop AS DOUBLE) / n_tokens) >= 0.05 THEN 'high'
              WHEN n_tokens >= 15 THEN 'medium'
              ELSE 'low' END AS quality_band
       FROM m ORDER BY doc_id
@@ -409,20 +415,18 @@ object Ext {
 
   // ---------------------------------------------------------------- q26
 
+  /** q26 uses [[Multimodal.featureCols]] — the columnar twin of the
+    * typed `decodeFeatures` path; MultimodalSpec pins the two equal so
+    * the stub formulas cannot drift between the copies. */
   val q26: Q = Q(
     "q26_multimodal_meta",
     (s, d) => {
       val media = Multimodal.mediaFrame(Tables.documents(s, d),
         "doc_id", "text")
       media.select(
-        col("doc_id"), col("uri"), col("mime"),
-        octet_length(col("payload")).as("n_bytes"),
-        sha2(decode(col("payload"), "UTF-8"), 256).as("fingerprint"),
-        (lit(16) + octet_length(col("payload")) % 1024).cast("long")
-          .as("frame_w"),
-        (lit(16) + (octet_length(col("payload")) * 31) % 768).cast("long")
-          .as("frame_h"),
-        (lit(1) + col("doc_id") % 30).cast("long").as("n_frames"))
+        Seq(col("doc_id"), col("uri"), col("mime"),
+          sha2(decode(col("payload"), "UTF-8"), 256).as("fingerprint")) ++
+          Multimodal.featureCols(col("doc_id"), col("payload")): _*)
         .orderBy(col("doc_id"))
     },
     Some("""
@@ -435,7 +439,7 @@ object Ext {
           encode(text) AS payload
         FROM documents)
       SELECT doc_id, uri, mime,
-        CAST(octet_length(payload) AS INT) AS n_bytes,
+        CAST(octet_length(payload) AS BIGINT) AS n_bytes,
         sha256(decode(payload)) AS fingerprint,
         CAST(16 + (octet_length(payload) % 1024) AS BIGINT) AS frame_w,
         CAST(16 + ((octet_length(payload) * 31) % 768) AS BIGINT) AS frame_h,

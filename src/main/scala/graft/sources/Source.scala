@@ -58,6 +58,41 @@ final case class InlineRowsSource(rows: Seq[Row], schema: StructType)
       schema)
 }
 
+/** JDBC table scan (SURVEY §2.1 S4; /root/reference/src/load.py:7-18
+  * reads `SELECT {pk} FROM {table}` from Postgres). `keys` is the
+  * column-pruned existing-PK read the incremental load pairs with a
+  * left_anti join — pushdown sends only the key column over the wire.
+  *
+  * Offline note: this container ships no JDBC driver jar, so the path
+  * is compile-checked here and exercised end-to-end by the parquet-dir
+  * sink (same anti-join semantics, IncrementalSinkSpec); a deployment
+  * adds the driver jar and these options work unchanged.
+  */
+final case class JdbcSource(url: String, table: String,
+    properties: Map[String, String] = Map.empty) extends Source {
+  def load(spark: SparkSession): DataFrame =
+    properties.foldLeft(
+      spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    ) { case (r, (k, v)) => r.option(k, v) }.load()
+
+  /** Key-only scan — the S4 shape (`get_existing_ids`, load.py:13-14). */
+  def keys(spark: SparkSession, pkCol: String): DataFrame =
+    load(spark).select(org.apache.spark.sql.functions.col(pkCol))
+}
+
+/** JDBC append writer (SURVEY §2.1 S5; load.py:40,58 —
+  * `to_sql(if_exists='append')`). Append-only like the reference:
+  * the insert-if-absent logic stays in the caller's anti-join
+  * (IncrementalSink semantics), never an UPDATE/MERGE. */
+object JdbcSink {
+  def append(df: DataFrame, url: String, table: String,
+      properties: Map[String, String] = Map.empty): Unit =
+    properties.foldLeft(
+      df.write.format("jdbc").option("url", url).option("dbtable", table)
+    ) { case (w, (k, v)) => w.option(k, v) }
+      .mode(org.apache.spark.sql.SaveMode.Append).save()
+}
+
 /** Driver-side fetch of a remote object to a local path before scanning
   * (SURVEY §2.1 S3: the reference's Drive connector is a pre-scan
   * side-channel, not a dataflow operator). Implementations wrap whatever
