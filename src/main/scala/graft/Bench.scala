@@ -10,8 +10,15 @@ import org.apache.spark.sql.SparkSession
   *  - deterministic order: queries run in `SparkEntry.registry` order
   *    (a Seq), never hash-map order, so JIT/GC tax lands on the same
   *    queries every round and rounds are comparable;
-  *  - per-query 1 warmup + 2 timed runs, reporting the MIN — the min is
-  *    the least-noise estimator for a cold-cache-free single-node run;
+  *  - per-query 1 warmup + 2 timed runs, reporting the MIN — the min
+  *    is the least-noise estimator once JIT/codegen compilation has
+  *    happened (which is what the warmup is for);
+  *  - `spark.catalog.clearCache()` before EVERY run, warmup and timed:
+  *    several operators persist() shared intermediate frames, and
+  *    Spark's CacheManager matches plan-identical frames across
+  *    invocations — without the clear, timed runs would read the
+  *    warmup's cache and report the post-cache path, not the honest
+  *    per-invocation cost;
   *  - a query that throws is a FAILURE: it is reported in `failed`,
   *    excluded from the total, and the process exits non-zero (the old
   *    harness recorded thrown queries as fast successes).
@@ -33,6 +40,7 @@ object Bench {
     var failed = List.empty[String]
     val results = SparkEntry.registry.map { q =>
       def once(): Double = {
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         q.run(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
