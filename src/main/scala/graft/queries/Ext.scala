@@ -447,6 +447,65 @@ object Ext {
       FROM m ORDER BY doc_id
     """.trim))
 
+  // ---------------------------------------------------------------- q30
+
+  private val rpPlanes = 16
+
+  private def q30OracleSql: String = {
+    // mirrors Similarity.rpBit: left fold of v[i] * (±1 from the affine
+    // parity hash), bit j set when the projection is positive
+    def bit(j: Int): String = {
+      val base = j * 8192L
+      s"""(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+         |  list_transform(range(0, len(v)),
+         |    i -> v[i+1] * (1 - 2 * (((1000003 * ($base + i) + 12345)
+         |         % 1000000007) & 1)))),
+         |  (acc, p) -> acc + p) > 0 THEN ${1L << j} ELSE 0 END)""".stripMargin
+    }
+    val sig = (0 until rpPlanes).map(bit).mkString(" + ")
+    s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        FROM embeddings),
+      n0 AS (
+        SELECT vec_id, v,
+          sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(v, x -> x * x)), (a, b) -> a + b)) nrm
+        FROM e),
+      n AS (SELECT * FROM n0 WHERE nrm > 0),
+      sigs AS (SELECT vec_id, ($sig) AS sig FROM n),
+      bands AS (
+        SELECT vec_id, 0 AS band, sig & 255 AS bv FROM sigs
+        UNION ALL
+        SELECT vec_id, 1 AS band, (sig >> 8) & 255 AS bv FROM sigs),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id)
+      SELECT vec_a, vec_b, cosine FROM (
+        SELECT vec_a, vec_b,
+          (list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(range(1, len(na.v) + 1), i -> na.v[i] * nb.v[i])),
+             (x, y) -> x + y) / (na.nrm * nb.nrm)) AS cosine
+        FROM cand
+        JOIN n na ON na.vec_id = vec_a
+        JOIN n nb ON nb.vec_id = vec_b) t
+      WHERE cosine >= 0.3
+      ORDER BY vec_a, vec_b
+    """.trim
+  }
+
+  /** q30 — the LSH-bucketed ANN variant: random-hyperplane signatures
+    * from a deterministic hyperplane family, two 8-bit band buckets,
+    * exact cosine verify on candidates only. Complements q21's IVF
+    * path (no centroid structure; fully row-local signatures). */
+  val q30: Q = Q(
+    "q30_embedding_neardup_rplsh",
+    (s, d) =>
+      Similarity.rpLshCosinePairs(Tables.embeddings(s, d),
+        threshold = 0.3, planes = rpPlanes),
+    Some(q30OracleSql))
+
   def all: Seq[Q] =
-    Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26)
+    Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30)
 }

