@@ -22,9 +22,19 @@ import org.apache.spark.sql.functions.col
   * single-writer tests (a production deployment would use a transactional
   * table format for multi-writer).
   */
-final class IncrementalSink(spark: SparkSession, warehouseDir: String) {
+final class IncrementalSink(spark: SparkSession, warehouseDir: String,
+    partitioning: Map[String, Seq[String]] = StarSchema.partitioning) {
 
   private def path(table: String) = s"$warehouseDir/$table"
+
+  /** Partitioned write when the table has a partition spec (SURVEY §4:
+    * the fact by date) and the columns are present in the frame. */
+  private def write(df: DataFrame, mode: SaveMode, table: String): Unit = {
+    val cols = partitioning.getOrElse(table, Nil)
+      .filter(df.columns.contains)
+    val w = df.write.mode(mode)
+    (if (cols.nonEmpty) w.partitionBy(cols: _*) else w).parquet(path(table))
+  }
 
   def exists(table: String): Boolean = {
     val p = Paths.get(path(table))
@@ -40,7 +50,7 @@ final class IncrementalSink(spark: SparkSession, warehouseDir: String) {
   /** Bootstrap / full-refresh load — the DDL-reset analog
     * (/root/reference/sql/ddl_tienda_pago_bi.sql:1-6). */
   def overwrite(df: DataFrame, table: String): Unit =
-    df.write.mode(SaveMode.Overwrite).parquet(path(table))
+    write(df, SaveMode.Overwrite, table)
 
   /** Incremental append of only-new PKs. Returns (inserted, ignored) —
     * the reference logs the same accounting (load.py:53-57). */
@@ -48,7 +58,7 @@ final class IncrementalSink(spark: SparkSession, warehouseDir: String) {
       : (Long, Long) = {
     val incomingCount = df.count()
     if (!exists(table)) {
-      df.write.mode(SaveMode.Overwrite).parquet(path(table))
+      write(df, SaveMode.Overwrite, table)
       (incomingCount, 0L)
     } else {
       val existingKeys = read(table).select(col(pkCol))
@@ -61,8 +71,8 @@ final class IncrementalSink(spark: SparkSession, warehouseDir: String) {
         .localCheckpoint(true)
       val freshCount = fresh.count() // served from checkpointed blocks
       if (freshCount > 0)
-        fresh.select(df.columns.map(col).toIndexedSeq: _*)
-          .write.mode(SaveMode.Append).parquet(path(table))
+        write(fresh.select(df.columns.map(col).toIndexedSeq: _*),
+          SaveMode.Append, table)
       (freshCount, incomingCount - freshCount)
     }
   }

@@ -15,6 +15,21 @@ import org.apache.spark.sql.functions._
   */
 object Report {
 
+  /** Prepend a filter on the fact's PARTITION column (`fecha_trx_date`,
+    * Transform.buildFact) when the frame carries it — this is what
+    * turns the queries' date predicates into partition pruning (only
+    * the matching date directories are listed, let alone read). The
+    * predicate is a strict superset of the timestamp conditions that
+    * follow (fecha_trx_date = to_date(fecha_trx)), so results are
+    * unchanged; facts without the physical column (e.g. ad-hoc frames)
+    * skip it. */
+  private def pruneDates(fact: DataFrame, from: LocalDate, to: LocalDate)
+      : DataFrame =
+    if (fact.columns.contains("fecha_trx_date"))
+      fact.where(col("fecha_trx_date") >= lit(from.toString).cast("date")
+        && col("fecha_trx_date") <= lit(to.toString).cast("date"))
+    else fact
+
   /** Daily vs month-to-date metrics (bot_ventas.py:39-45):
     * SUM(CASE WHEN fecha_trx::date = cut THEN monto ELSE 0 END) and
     * SUM(monto) over [first-of-month, cut]. Fully partial-aggregable,
@@ -30,7 +45,7 @@ object Report {
   def metrics(fact: DataFrame, cut: LocalDate): DataFrame = {
     val cutLit = lit(cut.toString).cast("date")
     val monthStart = lit(cut.withDayOfMonth(1).toString).cast("date")
-    fact
+    pruneDates(fact, cut.withDayOfMonth(1), cut)
       .where(col("fecha_trx") >= monthStart && col("fecha_trx") <= cutLit)
       .agg(
         sum(when(col("fecha_trx").cast("date") === cutLit, col("monto"))
@@ -51,7 +66,7 @@ object Report {
     * when the fact is date-partitioned). */
   def distributorPerformance(fact: DataFrame, dimClientes: DataFrame,
       dimDistribuidores: DataFrame, cut: LocalDate): DataFrame =
-    fact
+    pruneDates(fact, cut, cut)
       .where(col("fecha_trx").cast("date") === lit(cut.toString).cast("date"))
       .join(dimClientes.select(col("id_cliente"), col("id_distribuidor")),
         Seq("id_cliente"), "left")

@@ -58,6 +58,13 @@ object StarSchema {
     "dim_sedes", "dim_tipo_transaccion", "dim_distribuidores",
     "dim_clientes", "fct_transacciones")
 
+  /** Physical partitioning per table (SURVEY §4): the fact partitions
+    * by transaction date (the derived `fecha_trx_date` column from
+    * Transform.buildFact); dims stay unpartitioned — they are
+    * catalog-scale and a partition per value would be pure overhead. */
+  val partitioning: Map[String, Seq[String]] = Map(
+    "fct_transacciones" -> Seq("fecha_trx_date"))
+
   // Raw source shapes (FIXTURES.md §A) — all-string where the reference
   // relies on coerce-to-null casting downstream.
 

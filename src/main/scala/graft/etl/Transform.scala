@@ -97,7 +97,13 @@ object Transform {
     * positional schema assignment (the toDF analog of `df.columns = ...`),
     * coerce-cast of the timestamp, strict non-null cast of id_tipo_trx —
     * null or junk there must FAIL the pipeline like pandas astype(int)
-    * (transform.py:124), expressed distributedly with assert_true. */
+    * (transform.py:124), expressed distributedly with assert_true.
+    *
+    * `fecha_trx_date` is a PHYSICAL design column, not part of the
+    * logical DDL (SURVEY §4): the fact is partitioned by transaction
+    * date on write, so day-filtered report queries prune to one
+    * partition directory instead of scanning history — the difference
+    * between a day and 100 TB at scale. */
   def buildFact(transacciones: DataFrame): DataFrame =
     transacciones
       .toDF("id_cliente", "fecha_trx", "id_tipo_trx", "id_trx",
@@ -113,6 +119,7 @@ object Transform {
       .withColumn("id_sede", expr("try_cast(id_sede AS INT)"))
       .withColumn("monto", col("monto").cast(DecimalType(12, 2)))
       .withColumn("fee", col("fee").cast(DecimalType(12, 2)))
+      .withColumn("fecha_trx_date", to_date(col("fecha_trx")))
 
   /** The full transform (transform.py:8-134): Varios has already been
     * split (VariosSplitter — ingest concern); everything else composes

@@ -104,9 +104,19 @@ object TextAnalysis {
   /** Corpus term statistics under a BPE-ish regex tokenizer
     * (letter-runs | digit-runs | single punctuation): global occurrence
     * and document-frequency counts, top `limit` terms. Partial-
-    * aggregable counts; the explode is the only row expansion. */
+    * aggregable counts; the explode is the only row expansion.
+    *
+    * `exactDocFreq = false` switches document frequency to
+    * `approx_count_distinct` (HyperLogLog++) — the 100 TB flag: an
+    * exact distinct-doc set per hot token is the one memory hazard in
+    * this aggregation, and HLL sketches are constant-size and
+    * merge-friendly across partials. Default stays exact (the oracle
+    * gate hash-compares counts). */
   def tokenStats(docs: DataFrame, idCol: String, textCol: String,
-      limit: Int = 50): DataFrame =
+      limit: Int = 50, exactDocFreq: Boolean = true): DataFrame = {
+    val docFreq =
+      if (exactDocFreq) countDistinct(col("doc_id"))
+      else approx_count_distinct(col("doc_id"))
     docs
       .select(col(idCol).as("doc_id"),
         explode(expr(
@@ -114,9 +124,10 @@ object TextAnalysis {
           .as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n_occurrences"),
-        countDistinct(col("doc_id")).as("n_docs"))
+        docFreq.as("n_docs"))
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(limit)
+  }
 
   /** Rolling-hash document fingerprints: a whole-document polynomial
     * fold over token hashes plus the minimum 8-token-gram hash (the

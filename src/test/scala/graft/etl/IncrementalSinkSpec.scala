@@ -60,6 +60,34 @@ class IncrementalSinkSpec extends SparkSpec {
     assert(sink.loadStar(tables).values.forall(_ == (0L, 1L)))
   }
 
+  test("partitioned table: date directories on disk, day filters prune the scan") {
+    import java.nio.file.Paths
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val whDir = Files.createTempDirectory("graft_sink_part").toString
+    val sink = new IncrementalSink(spark, whDir,
+      partitioning = Map("t" -> Seq("d")))
+    val pschema = StructType(Seq(
+      StructField("pk", IntegerType), StructField("d", DateType)))
+    val day1 = java.sql.Date.valueOf("2025-06-10")
+    val day2 = java.sql.Date.valueOf("2025-06-11")
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1, day1), Row(2, day1), Row(3, day2)), 2), pschema)
+    sink.appendOnlyNew(df, "t", "pk")
+    // hive-style date directories exist
+    assert(Files.exists(Paths.get(s"$whDir/t/d=2025-06-10")))
+    assert(Files.exists(Paths.get(s"$whDir/t/d=2025-06-11")))
+    // a day filter must reach the scan as a PartitionFilter (pruning),
+    // not a post-scan Filter over all partitions
+    val q = sink.read("t").where(col("d") === day1)
+    val scan = q.queryExecution.executedPlan.toString()
+    assert(scan.contains("PartitionFilters") &&
+      scan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("d#")), scan)
+    assert(q.count() == 2)
+  }
+
   test("overwrite is the full-refresh bootstrap (DDL-reset analog)") {
     val sink = freshSink()
     sink.appendOnlyNew(df(Row(1, "a"), Row(2, "b")), "t", "pk")
