@@ -67,10 +67,15 @@ object Dedup {
     * previously recomputed (tokenize + explode) per consumer. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, maxDf: Int = 100): DataFrame = {
-    val all = hashShingled(docs, idCol, textCol)
-    val hot = all.groupBy(col("hs")).agg(count(lit(1)).as("df"))
-      .where(col("df") > maxDf).select(col("hs"))
-    val sh = all.join(hot, Seq("hs"), "left_anti")
+    // the hot-shingle cap as a count-over-partition window: ONE pass
+    // over the shingle frame (tokenize+explode is the expensive part),
+    // one shuffle on hs — the groupBy+anti-join formulation computed
+    // the frame twice
+    import org.apache.spark.sql.expressions.Window
+    val sh = hashShingled(docs, idCol, textCol)
+      .withColumn("__df",
+        count(lit(1)).over(Window.partitionBy(col("hs"))))
+      .where(col("__df") <= maxDf).drop("__df")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("da"), col("hs"))
