@@ -103,7 +103,7 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "graft_dot_product"
 }
 
-/** Column-level vector math built on [[DotProduct]]. */
+/** Column-level vector math built on the native expressions. */
 object VectorOps {
   /** Codegen'd dot product of two array<float|double> columns. */
   def dot(a: Column, b: Column): Column =
@@ -112,4 +112,9 @@ object VectorOps {
   /** L2 norm via the same codegen'd loop (dot(v, v) then sqrt) — the
     * fold order matches `aggregate(transform(v, x -> x*x), 0D, +)`. */
   def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** All random-hyperplane sign bits in one codegen pass
+    * ([[RpSignature]]). */
+  def rpSignature(v: Column, planes: Int): Column =
+    GraftColumns.of(RpSignature(GraftColumns.expr(v), planes))
 }

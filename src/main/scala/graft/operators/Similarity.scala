@@ -93,35 +93,17 @@ object Similarity {
       .orderBy(col("bucket"), col("vec_a"), col("vec_b"))
   }
 
-  /** Sign bit of the vector's projection onto deterministic hyperplane
-    * `j`. The ±1 weight per (plane, dimension) is the parity of the
-    * same affine re-hash family TextHash uses — no RNG, no stored
-    * projection matrix, replayable by any engine with integer
-    * arithmetic. The projection is a strictly left-to-right fold of
-    * v[i] * sign(j, i), so the bit (projection > 0) is
-    * bit-reproducible across engines. Per-row cost is O(planes · dim)
-    * on the corpus scan (linear, narrow) — never in a pairwise path. */
-  private def rpBit(j: Int, vCol: String): Column = {
-    val base = j * 8192L
-    (expr(s"""
-      aggregate(
-        zip_with($vCol,
-          transform(sequence(0, size($vCol) - 1),
-            i -> cast(1 - 2 * (((1000003L * (${base}L + i) + 12345L)
-                 % 1000000007L) & 1L) as double)),
-          (x, s) -> x * s),
-        0D, (acc, p) -> acc + p)""") > 0).cast("long")
-  }
 
   /** Random-hyperplane LSH near-dup pairs — the LSH-bucketed ANN
     * variant (SimHash for vectors): `planes` sign bits per vector form
     * the signature; two bands bucket candidates (a hamming-pigeonhole
     * on the signature halves); only candidates pay the exact cosine
     * verify. Complements [[ivfCosinePairs]]: RP-LSH needs no centroid
-    * structure at all — signatures are computed row-local from the
-    * deterministic hyperplane family, so the corpus scan stays fully
-    * narrow and the only shuffle is the band-bucket groupBy, whose key
-    * cardinality (2^(planes/2) per band) controls candidate volume.
+    * structure at all — signatures come from the single-pass codegen'd
+    * [[graft.functions.RpSignature]] over the deterministic hyperplane
+    * family, so the corpus scan stays fully narrow and the only shuffle
+    * is the band-bucket groupBy, whose key cardinality (2^(planes/2)
+    * per band) controls candidate volume.
     *
     * Recall: cos-similar vectors agree on each bit with probability
     * 1 - θ/π; requiring an exact match on one 8-bit band keeps pairs
@@ -132,9 +114,8 @@ object Similarity {
     require(planes % 2 == 0, s"planes=$planes must split into 2 bands")
     val half = planes / 2
     val n = normed(embeddings)
-    val sig = (0 until planes)
-      .map(j => rpBit(j, "v") * lit(1L << j)).reduce(_ + _)
-    val sigs = n.select(col("vec_id"), sig.as("sig"))
+    val sigs = n.select(col("vec_id"),
+      VectorOps.rpSignature(col("v"), planes).as("sig"))
     val bands = sigs.select(col("vec_id"),
       explode(array(
         struct(lit(0).as("band"),
