@@ -171,6 +171,57 @@ object Dedup {
       .select(col("doc_id"), fp.as("simhash"))
   }
 
+  /** Near-dup CLUSTERS from a pair list — the step that turns pairwise
+    * similarity into an actual dedup decision. Connected components by
+    * min-id label propagation: every doc starts as its own label; each
+    * iteration every doc takes the min label among itself and its
+    * neighbors; fixpoint = the component's min doc id. Iteration count
+    * is the cluster DIAMETER — near-dup clusters are shallow (dups of a
+    * common source), so a handful of passes closes them; the hard cap
+    * exists so pathological chains fail loudly instead of looping.
+    *
+    * Scale shape: each pass is one join on doc_id + one groupBy — all
+    * shuffle-on-key, no driver data; lineage is cut per pass with
+    * localCheckpoint so the plan doesn't grow with iterations (the
+    * classic iterative-algorithm hazard). `docs` supplies the universe:
+    * documents in no pair come out as their own singleton cluster.
+    *
+    * Output: (doc_id, cluster_id, is_canonical) — canonical = the
+    * cluster's min id, the keep-first rule the reference's dedup uses
+    * (transform.py:79 semantics lifted to near-dup groups). */
+  def nearDupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"),
+        col("doc_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = docs.select(col(idCol).as("doc_id"),
+      col(idCol).as("cluster_id")).localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // min over self + neighbors' labels
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .select(col("dst").as("doc_id"), col("cluster_id"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy(col("doc_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint(true) // cut lineage per pass
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
+        Seq("doc_id"))
+        .where(col("cluster_id") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIters passes")
+    edges.unpersist()
+    labels.select(col("doc_id"), col("cluster_id"),
+      (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup pairs with hamming <= `maxHamming` (default 3).
     * Candidates come from `maxHamming + 1` equal-width chunk buckets:
     * a pair within hamming h differs in at most h of the 48 bits, so by

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Scrub, Similarity, TextAnalysis}
 
 /** EXT — the LLM-training-data-pipeline operators (SURVEY.md §2.11;
   * BASELINE.json north star) over the `documents` / `embeddings`
@@ -506,6 +506,101 @@ object Ext {
         threshold = 0.3, planes = rpPlanes),
     Some(q30OracleSql))
 
+  // ---------------------------------------------------------------- q31
+
+  /** q31 — near-dup clusters: MinHash-LSH pairs closed into connected
+    * components (min-id label propagation), singletons included — the
+    * actual KEEP/DROP decision a dedup pipeline emits. The oracle
+    * computes the same components with a recursive CTE over the same
+    * replayed pair set: min reachable id ≡ the propagation fixpoint. */
+  val q31: Q = Q(
+    "q31_neardup_clusters",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.nearDupClusters(docs, "doc_id",
+        Dedup.minhashLshPairs(docs, "doc_id", "text",
+          threshold = 0.5, k = minhashK, bands = minhashBands))
+    },
+    Some(s"""
+      WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ($q18OracleSql) q
+      ),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+      ),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+      )
+      SELECT id AS doc_id, min(r) AS cluster_id,
+        (id = min(r)) AS is_canonical
+      FROM reach GROUP BY id ORDER BY doc_id
+    """.trim))
+
+  // ---------------------------------------------------------------- q32
+
+  /** q32 — deterministic stratified sampling for corpus mixing: keep a
+    * per-language percentage chosen by the portable id hash (no rand();
+    * same mixture on every engine/run/retry). */
+  val q32: Q = Q(
+    "q32_stratified_sample",
+    (s, d) =>
+      Sampling.stratifiedByHash(Tables.documents(s, d), "doc_id", "lang",
+        Map("en" -> 75, "es" -> 50, "de" -> 25, "fr" -> 10),
+        defaultPct = 5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      SELECT doc_id, lang FROM documents
+      WHERE ((doc_id % $P) * 2654435761 % $P + 12345) % $P % 100 <
+        CASE lang WHEN 'en' THEN 75 WHEN 'es' THEN 50
+                  WHEN 'de' THEN 25 WHEN 'fr' THEN 10 ELSE 5 END
+      ORDER BY doc_id
+    """.trim))
+
+  // ---------------------------------------------------------------- q33
+
+  /** q33 — PII redaction: synthetic addresses/numbers are woven into a
+    * slice of the fixture text (it contains none naturally), then
+    * scrubbed; output pins counts and the redacted text's hash. */
+  val q33: Q = Q(
+    "q33_pii_redact",
+    (s, d) => {
+      val seeded = Tables.documents(s, d).select(
+        col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" Contact user"), col("doc_id"),
+            lit("@example.com or call 555123"), col("doc_id"), lit(".")))
+          .otherwise(col("text")).as("text"))
+      Scrub.redactPii(seeded, "doc_id", "text")
+        .select(col("doc_id"), col("n_emails"), col("n_digit_runs"),
+          sha2(col("redacted"), 256).as("redacted_hash"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH seeded AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0
+            THEN text || ' Contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call 555123' || CAST(doc_id AS VARCHAR) || '.'
+            ELSE text END AS text
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '${Scrub.emailRe}')) AS INT)
+          AS n_emails,
+        CAST(len(regexp_extract_all(
+          regexp_replace(text, '${Scrub.emailRe}', '<EMAIL>', 'g'),
+          '${Scrub.longDigitsRe}')) AS INT) AS n_digit_runs,
+        sha256(regexp_replace(
+          regexp_replace(text, '${Scrub.emailRe}', '<EMAIL>', 'g'),
+          '${Scrub.longDigitsRe}', '<NUM>', 'g')) AS redacted_hash
+      FROM seeded ORDER BY doc_id
+    """.trim))
+
   def all: Seq[Q] =
-    Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30)
+    Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
+      q32, q33)
 }

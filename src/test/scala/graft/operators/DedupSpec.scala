@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Cluster-closure semantics on crafted graphs: transitivity across
+  * chains (a-b, b-c ⇒ one cluster), singleton preservation, canonical
+  * = min id.
+  */
+class DedupSpec extends SparkSpec {
+
+  private def docs(ids: Long*) = spark.createDataFrame(
+    spark.sparkContext.parallelize(ids.map(Row(_)), 2),
+    StructType(Seq(StructField("doc_id", LongType))))
+
+  private def pairs(ps: (Long, Long)*) = spark.createDataFrame(
+    spark.sparkContext.parallelize(ps.map(p => Row(p._1, p._2)), 2),
+    StructType(Seq(StructField("doc_a", LongType),
+      StructField("doc_b", LongType))))
+
+  test("chains close transitively; singletons stay; canonical is min id") {
+    // components: {1,2,3,4} (a chain), {5,6}, {7} (singleton)
+    val out = Dedup.nearDupClusters(
+      docs(1, 2, 3, 4, 5, 6, 7),
+      "doc_id",
+      pairs(1L -> 2L, 2L -> 3L, 3L -> 4L, 5L -> 6L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 1L, false),
+      (5L, 5L, true), (6L, 5L, false),
+      (7L, 7L, true)))
+  }
+
+  test("a long chain converges within the diameter bound") {
+    val n = 12
+    val chain = (1 until n).map(i => i.toLong -> (i + 1).toLong)
+    val out = Dedup.nearDupClusters(docs((1 to n).map(_.toLong): _*),
+      "doc_id", pairs(chain: _*), maxIters = n + 2)
+      .collect().map(_.getLong(1)).distinct
+    assert(out.toSeq == Seq(1L)) // one component, all labeled min id
+  }
+}
