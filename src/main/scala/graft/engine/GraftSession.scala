@@ -36,12 +36,33 @@ object GraftSession {
 
   /** Apply the engine's required configs to an externally-created session
     * (the driver's Verify/Bench mains build their own). Session-local,
-    * no restart needed.
+    * no restart needed. Also registers the engine's native expressions
+    * as SQL functions so the spark.sql text path reaches them too.
     */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    registerFunctions(spark)
     spark
+  }
+
+  /** Session-local SQL registration of the native codegen expressions
+    * (`graft_dot_product(a, b)`, `graft_rp_signature(v, planes)`). */
+  def registerFunctions(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.GraftColumns
+    import graft.functions.{DotProduct, RpSignature}
+    GraftColumns.registerFunction(spark, "graft_dot_product",
+      args => DotProduct(args(0), args(1)))
+    GraftColumns.registerFunction(spark, "graft_rp_signature", {
+      case Seq(v, planes) =>
+        val n = planes match {
+          case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
+            lit.value.toString.toInt
+          case other => sys.error(
+            s"graft_rp_signature planes must be a literal, got $other")
+        }
+        RpSignature(v, n)
+    })
   }
 }
