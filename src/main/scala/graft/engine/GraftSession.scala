@@ -43,6 +43,9 @@ object GraftSession {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // the events fixture stores TIMESTAMP(NANOS), which the vectorized
+    // reader rejects; long nanos keep the arithmetic integer-exact
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     registerFunctions(spark)
     spark
   }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.engine.Tables
+import graft.engine.{Dec, Tables}
 import graft.operators.{Dedup, Multimodal, Sampling, Scrub, Similarity, TextAnalysis}
 
 /** EXT — the LLM-training-data-pipeline operators (SURVEY.md §2.11;
@@ -600,7 +600,68 @@ object Ext {
       FROM seeded ORDER BY doc_id
     """.trim))
 
+  // ---------------------------------------------------------------- q34
+
+  /** q34 — event sessionization over the `events` stream table: a gap
+    * > 30 min opens a new session (lag + running-sum window pair, the
+    * standard sessionize idiom). Timestamps run as MICROSECOND LONGS on
+    * both sides: Spark reads the fixture's TIMESTAMP(NANOS) as raw
+    * longs (`nanosAsLong`, set in GraftSession.tune) and integer-divides
+    * to µs; DuckDB's timestamps are natively µs — so the gap arithmetic
+    * is integer-exact and unit-identical in both engines (ns would
+    * silently truncate on the DuckDB side). One shuffle on user_id;
+    * windows are per-user ordered scans. */
+  val q34: Q = Q(
+    "q34_event_sessionize",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val gapUs = 30L * 60 * 1000 * 1000
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val newSess = when(lag(col("ts_us"), 1).over(byUser).isNull
+        || col("ts_us") - lag(col("ts_us"), 1).over(byUser) > gapUs, 1)
+        .otherwise(0)
+      Tables.events(s, d)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("new_sess", newSess)
+        .withColumn("session_idx",
+          sum(col("new_sess")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"),
+          sum(Dec.d2(col("value"))).cast("double").as("sum_value"))
+        .orderBy(col("user_id"), col("session_idx"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_ns,
+          value
+        FROM events),
+      flagged AS (
+        SELECT user_id, event_id, ts_ns, value,
+          CASE WHEN lag(ts_ns) OVER w IS NULL
+                 OR ts_ns - lag(ts_ns) OVER w > 1800000000 THEN 1
+               ELSE 0 END AS new_sess
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+      sess AS (
+        SELECT user_id, ts_ns, value,
+          CAST(SUM(new_sess) OVER (
+            PARTITION BY user_id ORDER BY ts_ns, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        FROM flagged)
+      SELECT user_id, session_idx, count(*) AS n_events,
+        min(ts_ns) AS start_us, max(ts_ns) AS end_us,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM sess
+      GROUP BY user_id, session_idx
+      ORDER BY user_id, session_idx
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
-      q32, q33)
+      q32, q33, q34)
 }
