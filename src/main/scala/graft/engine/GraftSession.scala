@@ -25,13 +25,12 @@ object GraftSession {
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark
+    // all SQL-level configs + function registration live in tune() so
+    // the two session paths (own factory vs driver-provided) can't drift
+    tune(spark)
   }
 
   /** Apply the engine's required configs to an externally-created session

@@ -637,24 +637,24 @@ object Ext {
     },
     Some("""
       WITH e AS (
-        SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_ns,
+        SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
           value
         FROM events),
       flagged AS (
-        SELECT user_id, event_id, ts_ns, value,
-          CASE WHEN lag(ts_ns) OVER w IS NULL
-                 OR ts_ns - lag(ts_ns) OVER w > 1800000000 THEN 1
+        SELECT user_id, event_id, ts_us, value,
+          CASE WHEN lag(ts_us) OVER w IS NULL
+                 OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
                ELSE 0 END AS new_sess
         FROM e
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
       sess AS (
-        SELECT user_id, ts_ns, value,
+        SELECT user_id, ts_us, value,
           CAST(SUM(new_sess) OVER (
-            PARTITION BY user_id ORDER BY ts_ns, event_id
+            PARTITION BY user_id ORDER BY ts_us, event_id
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
         FROM flagged)
       SELECT user_id, session_idx, count(*) AS n_events,
-        min(ts_ns) AS start_us, max(ts_ns) AS end_us,
+        min(ts_us) AS start_us, max(ts_us) AS end_us,
         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       FROM sess
       GROUP BY user_id, session_idx
