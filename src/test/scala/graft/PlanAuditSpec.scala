@@ -47,6 +47,16 @@ class PlanAuditSpec extends SparkSpec {
       l.contains("*(") && l.contains("graft_dot_product")), p)
   }
 
+  test("q17: the shingle frame is cached and REUSED, not recomputed") {
+    // r2's regression: tokenize+explode ran 3× (once per consumer).
+    // The fix persists the frame — consumers must show as
+    // InMemoryTableScan over one shared InMemoryRelation.
+    spark.catalog.clearCache()
+    val p = plan("q17_ngram_jaccard_neardup")
+    val scans = p.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(scans >= 3, s"expected >=3 cached-scan consumers, got $scans:\n$p")
+  }
+
   test("q27: single-row aggregate is partial (map-side combine)") {
     val p = plan("q27_report_metrics")
     // two-phase agg: partial_sum before the exchange, final after
