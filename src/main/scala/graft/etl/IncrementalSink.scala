@@ -28,10 +28,16 @@ final class IncrementalSink(spark: SparkSession, warehouseDir: String,
   private def path(table: String) = s"$warehouseDir/$table"
 
   /** Partitioned write when the table has a partition spec (SURVEY §4:
-    * the fact by date) and the columns are present in the frame. */
+    * the fact by date). A declared partition column MISSING from the
+    * frame fails loudly: silently writing unpartitioned files into a
+    * partitioned directory corrupts the table's layout (mixed
+    * root-level and `col=.../` files break partition discovery on the
+    * next read). */
   private def write(df: DataFrame, mode: SaveMode, table: String): Unit = {
     val cols = partitioning.getOrElse(table, Nil)
-      .filter(df.columns.contains)
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"table '$table' declares partition columns $cols but the frame lacks $missing")
     val w = df.write.mode(mode)
     (if (cols.nonEmpty) w.partitionBy(cols: _*) else w).parquet(path(table))
   }

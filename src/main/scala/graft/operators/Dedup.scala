@@ -27,6 +27,14 @@ import graft.functions.TextHash
   * cardinality the algorithm controls. All hashes are the portable
   * folds from [[TextHash]], so an external oracle reproduces results
   * bit-for-bit.
+  *
+  * Cache lifecycle contract: the multi-consumer operators persist
+  * their shared intermediate frames (shingles, fingerprints) and the
+  * returned DataFrame stays lazily dependent on them, so they are NOT
+  * unpersisted here. Blocks live until `spark.catalog.clearCache()` or
+  * session end — per-query processes (Verify) and the bench (which
+  * clears per run) are fine; a long-lived session interleaving many
+  * dedup calls should clear the cache between them.
   */
 object Dedup {
 
@@ -215,8 +223,8 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    edges.unpersist() // before the require — no leak on the failure path
     require(converged, s"label propagation did not converge in $maxIters passes")
-    edges.unpersist()
     labels.select(col("doc_id"), col("cluster_id"),
       (col("doc_id") === col("cluster_id")).as("is_canonical"))
       .orderBy(col("doc_id"))

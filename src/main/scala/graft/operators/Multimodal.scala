@@ -84,12 +84,17 @@ object Multimodal {
     * nothing but the pruned columns; the SQL-expressible path the
     * oracle checks via q26). Keep in lockstep with decodeStub — the
     * spec enforces it. */
-  def featureCols(docIdCol: Column, payloadCol: Column): Seq[Column] = Seq(
-    octet_length(payloadCol).cast("long").as("n_bytes"),
-    (lit(16) + octet_length(payloadCol) % 1024).cast("long").as("frame_w"),
-    (lit(16) + (octet_length(payloadCol) * 31) % 768).cast("long")
-      .as("frame_h"),
-    (lit(1) + docIdCol % 30).cast("long").as("n_frames"))
+  def featureCols(docIdCol: Column, payloadCol: Column): Seq[Column] = {
+    // widen to LONG before arithmetic: octet_length is INT32 and
+    // `n * 31` overflows Int at ~69 MB payloads, silently diverging
+    // from decodeStub's Long math (and the BIGINT oracle)
+    val n = octet_length(payloadCol).cast("long")
+    Seq(
+      n.as("n_bytes"),
+      (lit(16L) + n % 1024L).as("frame_w"),
+      (lit(16L) + (n * 31L) % 768L).as("frame_h"),
+      (lit(1L) + docIdCol.cast("long") % 30L).as("n_frames"))
+  }
 
   /** Distributed decode: one pass per partition so a real decoder would
     * init its native context once per task, then stream records

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation utilities (SURVEY.md intro: "salting for skew").
@@ -15,17 +15,30 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Deterministic salt for a row: content hash + the input partition
+    * id. The partition id matters for the degenerate case content
+    * hashing alone can't spread — a hot key whose rows are IDENTICAL
+    * (repeated events, denormalized dims): those rows span many input
+    * partitions, so the partition id still fans them out. Identical
+    * rows within ONE input partition remain a single salt — that
+    * residual case needs a row_number, which costs the very shuffle
+    * salting tries to avoid; documented limit, not fixed. Both inputs
+    * are stable under task retry (same partition ⇒ same id), unlike
+    * rand(), whose per-retry drift corrupts shuffle replay. */
+  private def saltCol(df: DataFrame, salt: Int): Column =
+    pmod(xxhash64(
+      (spark_partition_id().cast("long") +:
+        df.columns.map(col).toIndexedSeq): _*), lit(salt.toLong))
+
   /** Inner equi-join with the big side salted into `salt` sub-keys and
-    * the small side replicated `salt` ways. Row-content hashing makes
-    * the salt deterministic (no rand(): plans stay replayable and
-    * retry-safe); hot keys spread across `salt` reducers at the cost of
-    * a `salt`× blowup of the SMALL side only. Result set is exactly the
-    * unsalted join's (SkewSpec pins it). */
+    * the small side replicated `salt` ways; hot keys spread across
+    * `salt` reducers at the cost of a `salt`× blowup of the SMALL side
+    * only. Result set is exactly the unsalted join's (SkewSpec pins
+    * it — salt values never affect CONTENT, only distribution). */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salt: Int = 16): DataFrame = {
     require(salt > 0, s"salt=$salt must be positive")
-    val bigS = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salt.toLong)))
+    val bigS = big.withColumn("__salt", saltCol(big, salt))
     val smallS = small.withColumn("__salt",
       explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
     bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
@@ -36,8 +49,7 @@ object Skew {
     * the per-salt partials. Equivalent to groupBy(key).count. */
   def saltedCount(df: DataFrame, key: String, salt: Int = 16): DataFrame = {
     require(salt > 0, s"salt=$salt must be positive")
-    df.withColumn("__salt",
-        pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salt.toLong)))
+    df.withColumn("__salt", saltCol(df, salt))
       .groupBy(col(key), col("__salt")).agg(count(lit(1)).as("__partial"))
       .groupBy(col(key)).agg(sum(col("__partial")).as("n"))
   }

@@ -37,18 +37,29 @@ object Xlsx {
         val e = zip.getEntry(entry)
         require(e != null, s"xlsx missing $entry")
         val dbf = DocumentBuilderFactory.newInstance()
+        // namespace-aware: spec-valid workbooks may PREFIX the main
+        // namespace (<x:row>), which literal-tag matching silently
+        // misses (empty sheet, no error) — match on local name instead
+        dbf.setNamespaceAware(true)
         dbf.newDocumentBuilder().parse(zip.getInputStream(e))
       }
       def elems(doc: org.w3c.dom.Document, tag: String): Seq[Element] = {
-        val nl = doc.getElementsByTagName(tag)
+        val nl = doc.getElementsByTagNameNS("*", tag)
         (0 until nl.getLength).map(nl.item(_).asInstanceOf[Element])
       }
+      def elemsIn(e: Element, tag: String): Seq[Element] = {
+        val nl = e.getElementsByTagNameNS("*", tag)
+        (0 until nl.getLength).map(nl.item(_).asInstanceOf[Element])
+      }
+      val relNs =
+        "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
 
       // sheet name -> r:id -> worksheet part path
       val wb = parse("xl/workbook.xml")
       val rid = elems(wb, "sheet")
         .find(_.getAttribute("name") == sheetName)
-        .map(_.getAttribute("r:id"))
+        .map(s => Option(s.getAttributeNS(relNs, "id")).filter(_.nonEmpty)
+          .getOrElse(s.getAttribute("r:id")))
         .getOrElse(sys.error(s"sheet '$sheetName' not found in $path"))
       val rels = parse("xl/_rels/workbook.xml.rels")
       val target = elems(rels, "Relationship")
@@ -67,10 +78,7 @@ object Xlsx {
         ref.takeWhile(_.isLetter).foldLeft(0)((a, c) => a * 26 + (c - 'A' + 1)) - 1
 
       def cellValue(c: Element): Option[String] = {
-        def child(tag: String): Option[Element] = {
-          val nl = c.getElementsByTagName(tag)
-          if (nl.getLength > 0) Some(nl.item(0).asInstanceOf[Element]) else None
-        }
+        def child(tag: String): Option[Element] = elemsIn(c, tag).headOption
         c.getAttribute("t") match {
           case "s" => child("v").map(v => shared(v.getTextContent.trim.toInt))
           case "inlineStr" => child("is").map(_.getTextContent)
@@ -81,7 +89,7 @@ object Xlsx {
       val rows = ArrayBuffer.empty[ArrayBuffer[Option[String]]]
       elems(parse(sheetPath), "row").foreach { r =>
         val cells = ArrayBuffer.empty[Option[String]]
-        val nl = r.getElementsByTagName("c")
+        val nl = r.getElementsByTagNameNS("*", "c")
         (0 until nl.getLength).foreach { i =>
           val c = nl.item(i).asInstanceOf[Element]
           val idx =

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Watermarked tumbling-window aggregation over an event stream — the
   * idiomatic Structured-Streaming shape (readStream → event-time window
@@ -18,10 +19,16 @@ import org.apache.spark.sql.functions._
 object EventRollup {
 
   /** Event-time from the fixture's raw nanosecond longs (read with
-    * `spark.sql.legacy.parquet.nanosAsLong`): integer µs conversion,
-    * no double rounding. */
+    * `spark.sql.legacy.parquet.nanosAsLong`): exact µs conversion via
+    * DECIMAL division — Column `/` on longs is double division, and
+    * epoch nanos (~1.7e18) need 61 bits against a double's 53-bit
+    * mantissa, so the naive form can land ±1 µs off at window
+    * boundaries. Decimal divides exactly; the long cast truncates the
+    * fractional digits (floor for the post-epoch domain), matching
+    * integer `div 1000`. */
   def nanosToTimestamp(tsNanos: Column): Column =
-    timestamp_micros((tsNanos / 1000L).cast("long"))
+    timestamp_micros(
+      (tsNanos.cast(DecimalType(20, 0)) / lit(1000)).cast("long"))
 
   /** Tumbling-window counts + value sums per key. `events` needs an
     * event-time TIMESTAMP column `tsCol`; watermark `delay` declares

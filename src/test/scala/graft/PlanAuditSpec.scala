@@ -59,7 +59,8 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q27: single-row aggregate is partial (map-side combine)") {
     val p = plan("q27_report_metrics")
-    // two-phase agg: partial_sum before the exchange, final after
-    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
+    // two-phase agg: a Partial-mode sum must appear before the exchange
+    // (a plain "HashAggregate" check would pass for ANY aggregate plan)
+    assert(p.contains("partial_sum"), p)
   }
 }

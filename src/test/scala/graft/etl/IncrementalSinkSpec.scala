@@ -50,7 +50,11 @@ class IncrementalSinkSpec extends SparkSpec {
   }
 
   test("loadStar loads FK-ordered and accounts per table") {
-    val sink = freshSink()
+    // toy single-column frames: disable the fact's partition contract
+    // (EtlJobSpec covers the real partitioned star)
+    val sink = new IncrementalSink(spark,
+      Files.createTempDirectory("graft_sink").toString,
+      partitioning = Map.empty)
     val tables = StarSchema.loadOrder.map { t =>
       t -> df(Row(1, t)).withColumnRenamed("pk", StarSchema.primaryKeys(t))
     }.toMap

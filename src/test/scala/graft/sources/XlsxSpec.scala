@@ -93,4 +93,33 @@ class XlsxSpec extends SparkSpec {
   test("missing sheet fails loudly") {
     assertThrows[RuntimeException](Xlsx.readSheet(writeXlsx(), "Nope"))
   }
+
+  test("namespace-PREFIXED worksheet parts parse identically (x:row etc.)") {
+    // some writers prefix the main spreadsheetml namespace; literal tag
+    // matching would silently return zero rows for these
+    val path = Files.createTempFile("graft_test_ns", ".xlsx")
+    val zos = new ZipOutputStream(Files.newOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(content.getBytes(UTF_8))
+      zos.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?>
+        |<x:workbook xmlns:x="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<x:sheets><x:sheet name="S" sheetId="1" r:id="rId1"/></x:sheets>
+        |</x:workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin)
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?>
+        |<x:worksheet xmlns:x="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><x:sheetData>
+        |<x:row r="1"><x:c r="A1" t="inlineStr"><x:is><x:t>hello</x:t></x:is></x:c><x:c r="B1"><x:v>7</x:v></x:c></x:row>
+        |</x:sheetData></x:worksheet>""".stripMargin)
+    zos.close()
+    assert(Xlsx.readSheet(path.toString, "S") ==
+      Seq(Seq(Some("hello"), Some("7"))))
+  }
 }

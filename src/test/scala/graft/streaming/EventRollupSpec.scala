@@ -14,6 +14,16 @@ import graft.engine.Tables
   */
 class EventRollupSpec extends SparkSpec {
 
+  test("nanosToTimestamp is exact integer µs (no double-mantissa loss)") {
+    val mismatches = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(
+        unix_micros(EventRollup.nanosToTimestamp(col("ts"))).as("via_fn"),
+        expr("ts div 1000").as("exact"))
+      .where(col("via_fn") =!= col("exact"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("streaming AvailableNow windowed rollup ≡ batch over same events") {
     val srcDir = Files.createTempDirectory("graft_roll_src").toString
     val ckpt = Files.createTempDirectory("graft_roll_ckpt").toString
