@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions.monotonically_increasing_id
 
 import graft.engine.GraftSession
 import graft.etl.{EtlJob, IncrementalSink, Report, VariosSplitter}
-import graft.sources.{CsvSource, JsonArraySource, Source}
+import graft.sources.{CsvSource, ExcelSource, JsonArraySource, Source, Xlsx}
 
 /** The spark-submit-able entry point (SURVEY.md §3.3): one binary with
   * `etl` and `report` subcommands, mirroring the reference's two
@@ -16,11 +16,16 @@ import graft.sources.{CsvSource, JsonArraySource, Source}
   * src/bot_ventas.py`, etl_pipeline.yml:30-50). Scheduling stays
   * external to the engine, exactly like the reference's cron.
   *
-  * Source layout for `etl <srcDir> <warehouseDir>`:
+  * Source layout for `etl <srcDir> <warehouseDir>` — either the
+  * reference's native modality, one workbook (preferred when present):
+  *   workbook.xlsx       sheets Clientes / Transacciones (headered) and
+  *                       Varios (headerless sentinel-split) —
+  *                       extract.py:143-149's exact shape
+  *   recomendados.json   one JSON array of records
+  * or the pre-converted CSV layout:
   *   clientes.csv        headered (IDCLIENTE, fechaafiliacion, fechaprimertrx)
   *   transacciones.csv   headered, 7 columns consumed POSITIONALLY
   *   varios.csv          headerless 2-column stacked sheet (sentinel 'ID' rows)
-  *   recomendados.json   one JSON array of records
   */
 object Main {
 
@@ -62,10 +67,21 @@ object Main {
 
   private def etl(srcDir: String, warehouse: String): Unit = {
     val spark = GraftSession.local()
+    val workbook = s"$srcDir/workbook.xlsx"
+    val (clientesSrc, trxSrc, variosRows) =
+      if (Files.exists(Paths.get(workbook)))
+        (ExcelSource(workbook, "Clientes"): Source,
+          ExcelSource(workbook, "Transacciones"): Source,
+          Xlsx.readSheet(workbook, "Varios")
+            .map(r => VariosSplitter.RawRow(r.head, r(1))))
+      else
+        (CsvSource(s"$srcDir/clientes.csv"): Source,
+          CsvSource(s"$srcDir/transacciones.csv"): Source,
+          readVarios(s"$srcDir/varios.csv"))
     val sources = EtlJob.Sources(
-      clientes = CsvSource(s"$srcDir/clientes.csv"),
-      transacciones = CsvSource(s"$srcDir/transacciones.csv"),
-      varios = readVarios(s"$srcDir/varios.csv"),
+      clientes = clientesSrc,
+      transacciones = trxSrc,
+      varios = variosRows,
       recomendados = OrderedJson(s"$srcDir/recomendados.json"),
       recomendadosOrderCol = "__ord")
     val accounting = EtlJob.run(spark, sources, new IncrementalSink(spark, warehouse))

@@ -205,6 +205,13 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = docs.select(col(idCol).as("doc_id"),
       col(idCol).as("cluster_id")).localCheckpoint(true)
+    // convergence check WITHOUT a join: per-key labels only ever
+    // DECREASE, so the global label sum strictly decreases while any
+    // label changes — equal consecutive sums ⇔ fixpoint. One cheap
+    // aggregate per pass instead of a full-frame equality join.
+    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("cluster_id"))).collect().head.getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -216,11 +223,10 @@ object Dedup {
         .groupBy(col("doc_id"))
         .agg(min(col("cluster_id")).as("cluster_id"))
         .localCheckpoint(true) // cut lineage per pass
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
-        Seq("doc_id"))
-        .where(col("cluster_id") =!= col("old")).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
     }
     edges.unpersist() // before the require — no leak on the failure path

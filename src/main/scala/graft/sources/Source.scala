@@ -32,6 +32,13 @@ final case class JsonArraySource(path: String, schema: Option[StructType] = None
   }
 }
 
+/** ORC directory/file scan — the second columnar format Spark ships
+  * natively (vectorized reader, pushdown/pruning like parquet); here so
+  * a warehouse standardized on ORC plugs into the same Source seam. */
+final case class OrcSource(path: String) extends Source {
+  def load(spark: SparkSession): DataFrame = spark.read.orc(path)
+}
+
 /** Header-bearing CSV scan — the portable stand-in for tabular sheet data
   * when fixtures are pre-converted (SURVEY §2.1 S1 option a). */
 final case class CsvSource(path: String, header: Boolean = true,

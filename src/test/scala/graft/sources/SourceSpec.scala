@@ -48,6 +48,18 @@ class SourceSpec extends SparkSpec {
     assert(typed.schema == schema)
   }
 
+  test("OrcSource round-trips with pushdown-capable scan") {
+    val dir = Files.createTempDirectory("graft_orc").toString + "/t"
+    val df = spark.range(100).toDF("id")
+    df.write.orc(dir)
+    val back = OrcSource(dir).load(spark)
+    assert(back.count() == 100)
+    val pruned = back.where(org.apache.spark.sql.functions.col("id") < 10)
+    assert(pruned.queryExecution.executedPlan.toString()
+      .contains("PushedFilters"), "filter should reach the ORC scan")
+    assert(pruned.count() == 10)
+  }
+
   test("InlineRowsSource preserves driver-side row order per partition") {
     val schema = StructType(Seq(StructField("i", IntegerType)))
     val rows = (0 until 100).map(Row(_))

@@ -1,0 +1,51 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+/** Test-side OOXML workbook writer: every cell as an inline string
+  * (spec-conformant; the reader's shared-string / numeric paths are
+  * covered separately in XlsxSpec). */
+object XlsxFixtures {
+
+  private def esc(s: String): String = s
+    .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Write a workbook with the given sheets (name → rows of cells;
+    * null cells skipped). Returns the file path. */
+  def writeWorkbook(sheets: Seq[(String, Seq[Seq[String]])]): Path = {
+    val path = Files.createTempFile("graft_wb", ".xlsx")
+    val zos = new ZipOutputStream(Files.newOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes(UTF_8))
+      zos.closeEntry()
+    }
+    val ns = "xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\""
+    val sheetTags = sheets.zipWithIndex.map { case ((name, _), i) =>
+      s"""<sheet name="${esc(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+    }.mkString
+    put("xl/workbook.xml",
+      s"""<?xml version="1.0"?><workbook $ns xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>$sheetTags</sheets></workbook>""")
+    val rels = sheets.indices.map { i =>
+      s"""<Relationship Id="rId${i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet${i + 1}.xml"/>"""
+    }.mkString
+    put("xl/_rels/workbook.xml.rels",
+      s"""<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">$rels</Relationships>""")
+    sheets.zipWithIndex.foreach { case ((_, rows), i) =>
+      val colName = "ABCDEFGHIJ"
+      val body = rows.zipWithIndex.map { case (cells, r) =>
+        val cs = cells.zipWithIndex.collect {
+          case (v, c) if v != null =>
+            s"""<c r="${colName(c)}${r + 1}" t="inlineStr"><is><t>${esc(v)}</t></is></c>"""
+        }.mkString
+        s"""<row r="${r + 1}">$cs</row>"""
+      }.mkString
+      put(s"xl/worksheets/sheet${i + 1}.xml",
+        s"""<?xml version="1.0"?><worksheet $ns><sheetData>$body</sheetData></worksheet>""")
+    }
+    zos.close()
+    path
+  }
+}
