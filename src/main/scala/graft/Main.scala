@@ -41,18 +41,38 @@ object Main {
 
   /** The Varios sheet is KB-scale control data whose ROW ORDER is part
     * of its meaning (sentinel split) — read it on the driver, in file
-    * order, like the reference's sheet reader (SURVEY §7.1 M3). Cells
-    * are split on the first comma only (names may contain commas). */
+    * order, like the reference's sheet reader (SURVEY §7.1 M3). The
+    * 2-column split honors standard CSV quoting (a quoted field may
+    * contain commas; `""` unescapes to `"`), matching what Spark's CSV
+    * reader does for the other tables of the same format. */
   private def readVarios(path: String): Seq[VariosSplitter.RawRow] =
     Files.readAllLines(Paths.get(path)).asScala.toSeq
       .filter(_.nonEmpty)
       .map { line =>
-        val cut = line.indexOf(',')
-        val (a, b) =
-          if (cut < 0) (line, "") else (line.take(cut), line.drop(cut + 1))
+        val (a, rest) = csvField(line)
+        val b = if (rest.startsWith(",")) csvField(rest.drop(1))._1 else ""
         def cell(s: String) = Option(s.trim).filter(_.nonEmpty)
         VariosSplitter.RawRow(cell(a), cell(b))
       }
+
+  /** Consume one CSV field (quoted or bare) off the front of `s`;
+    * returns (field value, remainder starting at the delimiter). */
+  private def csvField(s: String): (String, String) =
+    if (s.startsWith("\"")) {
+      val sb = new StringBuilder
+      var i = 1
+      var done = false
+      while (!done && i < s.length) {
+        if (s(i) == '"') {
+          if (i + 1 < s.length && s(i + 1) == '"') { sb += '"'; i += 2 }
+          else { done = true; i += 1 }
+        } else { sb += s(i); i += 1 }
+      }
+      (sb.result(), s.drop(i))
+    } else {
+      val cut = s.indexOf(',')
+      if (cut < 0) (s, "") else (s.take(cut), s.drop(cut))
+    }
 
   /** JSON records carry no explicit order column; the keep-first dedup
     * needs one (SURVEY §7.3). A single multiLine JSON array loads as
@@ -73,7 +93,8 @@ object Main {
         (ExcelSource(workbook, "Clientes"): Source,
           ExcelSource(workbook, "Transacciones"): Source,
           Xlsx.readSheet(workbook, "Varios")
-            .map(r => VariosSplitter.RawRow(r.head, r(1))))
+            .map(r => VariosSplitter.RawRow( // sheets may be < 2 cols wide
+              r.lift(0).flatten, r.lift(1).flatten)))
       else
         (CsvSource(s"$srcDir/clientes.csv"): Source,
           CsvSource(s"$srcDir/transacciones.csv"): Source,

@@ -54,17 +54,21 @@ object GraftSession {
   def registerFunctions(spark: SparkSession): Unit = {
     import org.apache.spark.sql.GraftColumns
     import graft.functions.{DotProduct, RpSignature}
-    GraftColumns.registerFunction(spark, "graft_dot_product",
-      args => DotProduct(args(0), args(1)))
-    GraftColumns.registerFunction(spark, "graft_rp_signature", {
-      case Seq(v, planes) =>
-        val n = planes match {
-          case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
-            lit.value.toString.toInt
-          case other => sys.error(
-            s"graft_rp_signature planes must be a literal, got $other")
-        }
-        RpSignature(v, n)
+    GraftColumns.registerFunction(spark, "graft_dot_product", { args =>
+      require(args.length == 2,
+        s"graft_dot_product expects 2 arguments (a, b), got ${args.length}")
+      DotProduct(args(0), args(1))
+    })
+    GraftColumns.registerFunction(spark, "graft_rp_signature", { args =>
+      require(args.length == 2,
+        s"graft_rp_signature expects 2 arguments (vector, planes literal), got ${args.length}")
+      val n = args(1) match {
+        case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
+          lit.value.toString.toInt
+        case other => sys.error(
+          s"graft_rp_signature planes must be an integer literal, got $other")
+      }
+      RpSignature(args.head, n)
     })
   }
 }

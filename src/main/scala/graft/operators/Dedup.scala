@@ -209,8 +209,10 @@ object Dedup {
     // DECREASE, so the global label sum strictly decreases while any
     // label changes — equal consecutive sums ⇔ fixpoint. One cheap
     // aggregate per pass instead of a full-frame equality join.
-    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-      df.agg(sum(col("cluster_id"))).collect().head.getLong(0)
+    def labelSum(df: org.apache.spark.sql.DataFrame): Long = {
+      val r = df.agg(sum(col("cluster_id"))).collect().head
+      if (r.isNullAt(0)) 0L else r.getLong(0) // sum of zero rows is null
+    }
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0

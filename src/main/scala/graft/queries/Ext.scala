@@ -463,6 +463,10 @@ object Ext {
          |  (acc, p) -> acc + p) > 0 THEN ${1L << j} ELSE 0 END)""".stripMargin
     }
     val sig = (0 until rpPlanes).map(bit).mkString(" + ")
+    // band layout DERIVED from rpPlanes, like the Scala side — a
+    // hardcoded 255/8 here would silently diverge if the knob changes
+    val half = rpPlanes / 2
+    val mask = (1L << half) - 1
     s"""
       WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
@@ -475,9 +479,9 @@ object Ext {
       n AS (SELECT * FROM n0 WHERE nrm > 0),
       sigs AS (SELECT vec_id, ($sig) AS sig FROM n),
       bands AS (
-        SELECT vec_id, 0 AS band, sig & 255 AS bv FROM sigs
+        SELECT vec_id, 0 AS band, sig & $mask AS bv FROM sigs
         UNION ALL
-        SELECT vec_id, 1 AS band, (sig >> 8) & 255 AS bv FROM sigs),
+        SELECT vec_id, 1 AS band, (sig >> $half) & $mask AS bv FROM sigs),
       cand AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM bands a JOIN bands b

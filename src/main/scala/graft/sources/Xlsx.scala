@@ -41,6 +41,12 @@ object Xlsx {
         // namespace (<x:row>), which literal-tag matching silently
         // misses (empty sheet, no error) — match on local name instead
         dbf.setNamespaceAware(true)
+        // XXE/entity-expansion hardening: a workbook is UNTRUSTED input
+        // to the ETL driver; forbid DOCTYPE (and thus external/nested
+        // entities) outright — OOXML needs none of it
+        dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl",
+          true)
+        dbf.setExpandEntityReferences(false)
         dbf.newDocumentBuilder().parse(zip.getInputStream(e))
       }
       def elems(doc: org.w3c.dom.Document, tag: String): Seq[Element] = {
