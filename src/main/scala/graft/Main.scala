@@ -57,7 +57,7 @@ object Main {
 
   /** Consume one CSV field (quoted or bare) off the front of `s`;
     * returns (field value, remainder starting at the delimiter). */
-  private def csvField(s: String): (String, String) =
+  private[graft] def csvField(s: String): (String, String) =
     if (s.startsWith("\"")) {
       val sb = new StringBuilder
       var i = 1
