@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Portability invariants of the TextHash folds over GENERATED text:
+  * every hash stays in [0, P) — the no-overflow/no-negative claim the
+  * scaladoc makes (negative values would make `%` engine-dependent and
+  * break every oracle replay) — and tokenization is whitespace-robust.
+  */
+object TextHashProps extends Properties("TextHash") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10).withWorkers(1)
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("TextHashProps")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val wordGen: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+  private val textGen: Gen[String] = for {
+    words <- Gen.listOfN(30, wordGen)
+    sep <- Gen.oneOf(" ", "  ", "\t", " \n ")
+  } yield words.mkString(sep)
+
+  private def hashesOf(texts: Seq[String]): Seq[Seq[Long]] = {
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      texts.zipWithIndex.map { case (t, i) =>
+        org.apache.spark.sql.Row(i.toLong, t)
+      }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    df.select(TextHash.tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 3)
+      .select(TextHash.tokenHashes("w").as("wh"))
+      .select(TextHash.shingleHashes("wh").as("hs"))
+      .collect().toSeq.map(_.getSeq[Long](0).toSeq)
+  }
+
+  property("all token/shingle hashes stay in [0, P) — never negative") =
+    forAll(Gen.listOfN(5, textGen)) { texts =>
+      hashesOf(texts).flatten.forall(h => h >= 0 && h < TextHash.P)
+    }
+
+  property("tokenization collapses arbitrary whitespace runs") =
+    forAll(Gen.listOfN(20, wordGen)) { words =>
+      val spaced = words.mkString(" ")
+      val messy = "  " + words.mkString(" \t ") + "\n"
+      val out = spark.createDataFrame(
+        java.util.List.of(
+          org.apache.spark.sql.Row(spaced),
+          org.apache.spark.sql.Row(messy)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+        .select(TextHash.tokens(col("text")).as("w"))
+        .collect().map(_.getSeq[String](0).toSeq)
+      out(0) == out(1) && out(0) == words
+    }
+}
