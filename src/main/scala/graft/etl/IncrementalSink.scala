@@ -83,6 +83,52 @@ final class IncrementalSink(spark: SparkSession, warehouseDir: String,
     }
   }
 
+  /** Compact a table's accumulated small append-files into ~`targetFileBytes`
+    * outputs. Daily incremental appends (load.py's cadence) add a file
+    * per run per partition; after months the fact is thousands of tiny
+    * files and scan planning/open overhead dominates — the classic
+    * small-files problem of append-only sinks. Rewrite is atomic-enough
+    * for the sink's single-writer contract: write to a temp dir, swap
+    * directories, drop the old (a transactional table format does this
+    * with a commit instead of a rename — same shape).
+    * Returns (files before, files after). */
+  def compact(table: String, targetFileBytes: Long = 128L << 20)
+      : (Long, Long) = {
+    import java.nio.file.{Files => JFiles}
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(path(table))
+    def parquetFiles(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val s = JFiles.walk(p)
+      try s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+      finally s.close()
+    }
+    val before = parquetFiles(dir)
+    val totalBytes = before.map(JFiles.size).sum
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = read(table)
+    val partCols = partitioning.getOrElse(table, Nil)
+    val repartitioned =
+      if (partCols.nonEmpty)
+        // co-partition by the table's partition columns so each task
+        // writes few directories (not every task × every partition)
+        df.repartition(nFiles, partCols.map(col): _*)
+      else df.repartition(nFiles)
+    val tmp = Paths.get(path(table) + ".compact_tmp")
+    val old = Paths.get(path(table) + ".compact_old")
+    val w = repartitioned.write.mode(SaveMode.Overwrite)
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+      .parquet(tmp.toString)
+    JFiles.move(dir, old)
+    JFiles.move(tmp, dir)
+    def rmTree(p: java.nio.file.Path): Unit = {
+      val s = JFiles.walk(p)
+      try s.iterator().asScala.toSeq.reverse.foreach(JFiles.delete)
+      finally s.close()
+    }
+    rmTree(old)
+    (before.size.toLong, parquetFiles(dir).size.toLong)
+  }
+
   /** FK-ordered load of the whole star (SURVEY §3.1;
     * /root/reference/src/main.py:70-89): parents before children before
     * the fact; empty tables are skipped with a warning, like the

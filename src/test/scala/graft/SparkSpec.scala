@@ -13,6 +13,9 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.ansi.enabled", "false")
     // the events fixture stores TIMESTAMP(NANOS); read as long nanos
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // catalog tables (bucketing tests) land in a temp dir, not the cwd
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh_spec").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

@@ -92,6 +92,49 @@ class IncrementalSinkSpec extends SparkSpec {
     assert(q.count() == 2)
   }
 
+  test("compact collapses accumulated append-files, data intact") {
+    val sink = freshSink()
+    // 8 daily appends → at least 8 small files
+    (1 to 8).foreach(day => sink.appendOnlyNew(
+      df((day * 10 until day * 10 + 5).map(i => Row(i, s"v$i")): _*),
+      "t", "pk"))
+    val beforeData = sink.read("t").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val (nBefore, nAfter) = sink.compact("t")
+    assert(nBefore >= 8)
+    assert(nAfter < nBefore)
+    val afterData = sink.read("t").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(afterData == beforeData)
+    // the sink keeps working after a compaction
+    assert(sink.appendOnlyNew(df(Row(999, "new")), "t", "pk") == (1L, 0L))
+  }
+
+  test("compact preserves partition layout for partitioned tables") {
+    import java.nio.file.Paths
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val whDir = Files.createTempDirectory("graft_sink_cpart").toString
+    val sink = new IncrementalSink(spark, whDir,
+      partitioning = Map("t" -> Seq("d")))
+    val pschema = StructType(Seq(
+      StructField("pk", IntegerType), StructField("d", DateType)))
+    val day1 = java.sql.Date.valueOf("2025-06-10")
+    val day2 = java.sql.Date.valueOf("2025-06-11")
+    (0 until 6).foreach { i =>
+      sink.appendOnlyNew(spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row(i * 2, day1), Row(i * 2 + 1, day2)), 1), pschema), "t", "pk")
+    }
+    val (nBefore, nAfter) = sink.compact("t")
+    assert(nAfter < nBefore)
+    // date directories survive and pruning still works
+    assert(Files.exists(Paths.get(s"$whDir/t/d=2025-06-10")))
+    val q = sink.read("t")
+      .where(org.apache.spark.sql.functions.col("d") === day1)
+    assert(q.count() == 6)
+  }
+
   test("overwrite is the full-refresh bootstrap (DDL-reset analog)") {
     val sink = freshSink()
     sink.appendOnlyNew(df(Row(1, "a"), Row(2, "b")), "t", "pk")
