@@ -33,9 +33,10 @@ object Main {
     case "etl" :: srcDir :: warehouse :: Nil => etl(srcDir, warehouse)
     case "report" :: warehouse :: cut :: Nil =>
       report(warehouse, LocalDate.parse(cut))
+    case "compact" :: warehouse :: Nil => compact(warehouse)
     case _ =>
       System.err.println(
-        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate>")
+        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir>")
       sys.exit(2)
   }
 
@@ -109,6 +110,18 @@ object Main {
     // per-table accounting like the reference's load logs (load.py:53-57)
     accounting.toSeq.sortBy(_._1).foreach { case (t, (ins, ign)) =>
       println(s"[etl] $t: inserted=$ins ignored=$ign")
+    }
+    spark.stop()
+  }
+
+  /** Maintenance pass: collapse each star table's accumulated daily
+    * append-files (run periodically, like a VACUUM). */
+  private def compact(warehouse: String): Unit = {
+    val spark = GraftSession.local()
+    val sink = new IncrementalSink(spark, warehouse)
+    graft.etl.StarSchema.loadOrder.filter(sink.exists).foreach { t =>
+      val (before, after) = sink.compact(t)
+      println(s"[compact] $t: $before -> $after files")
     }
     spark.stop()
   }
