@@ -194,42 +194,53 @@ object Dedup {
     * classic iterative-algorithm hazard). `docs` supplies the universe:
     * documents in no pair come out as their own singleton cluster.
     *
+    * Driver synchronization is ONE blocking job per pass (the eager
+    * checkpoint). Convergence is NOT checked every pass: the first
+    * `uncheckedIters` passes run back-to-back (near-dup components are
+    * shallow, so early checks never fire), then a check runs every 2nd
+    * pass. The check itself is exact and join-free: the previous label
+    * rides through the min-aggregate as a side column (neighbors
+    * contribute null, which min ignores), so "any row changed" is a
+    * short-circuiting `where(new < prev).isEmpty` over the
+    * already-checkpointed blocks — no sums, so no overflow aliasing at
+    * any id magnitude. On a multi-executor cluster prefer reliable
+    * `checkpoint()` (HDFS-backed) over localCheckpoint for long runs:
+    * localCheckpoint blocks are non-replicated executor state and a
+    * lost executor kills the iteration.
+    *
     * Output: (doc_id, cluster_id, is_canonical) — canonical = the
     * cluster's min id, the keep-first rule the reference's dedup uses
     * (transform.py:79 semantics lifted to near-dup groups). */
   def nearDupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20, uncheckedIters: Int = 3): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"),
         col("doc_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val idType = docs.schema(idCol).dataType
     var labels = docs.select(col(idCol).as("doc_id"),
       col(idCol).as("cluster_id")).localCheckpoint(true)
-    // convergence check WITHOUT a join: per-key labels only ever
-    // DECREASE, so the global label sum strictly decreases while any
-    // label changes — equal consecutive sums ⇔ fixpoint. One cheap
-    // aggregate per pass instead of a full-frame equality join.
-    def labelSum(df: org.apache.spark.sql.DataFrame): Long = {
-      val r = df.agg(sum(col("cluster_id"))).collect().head
-      if (r.isNullAt(0)) 0L else r.getLong(0) // sum of zero rows is null
-    }
-    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      // min over self + neighbors' labels
+      // min over self + neighbors' labels; the self row carries the old
+      // label in `prev` (neighbor rows carry null, ignored by min), so
+      // the checkpointed frame contains its own convergence signal
       val viaNeighbors = edges
-        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
-        .select(col("dst").as("doc_id"), col("cluster_id"))
-      val next = labels.unionByName(viaNeighbors)
+        .join(labels.select(col("doc_id").as("src"), col("cluster_id")),
+          Seq("src"))
+        .select(col("dst").as("doc_id"), col("cluster_id"),
+          lit(null).cast(idType).as("prev"))
+      val next = labels.withColumn("prev", col("cluster_id"))
+        .unionByName(viaNeighbors)
         .groupBy(col("doc_id"))
-        .agg(min(col("cluster_id")).as("cluster_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"), min(col("prev")).as("prev"))
         .localCheckpoint(true) // cut lineage per pass
-      val nextSum = labelSum(next)
-      labels = next
-      converged = nextSum == prevSum
-      prevSum = nextSum
       iter += 1
+      if ((iter >= uncheckedIters && (iter - uncheckedIters) % 2 == 0)
+          || iter == maxIters)
+        converged = next.where(col("cluster_id") < col("prev")).isEmpty
+      labels = next.drop("prev")
     }
     edges.unpersist() // before the require — no leak on the failure path
     require(converged, s"label propagation did not converge in $maxIters passes")

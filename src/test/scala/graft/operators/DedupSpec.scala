@@ -41,4 +41,26 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(1)).distinct
     assert(out.toSeq == Seq(1L)) // one component, all labeled min id
   }
+
+  test("an unconverged run fails loudly at the maxIters cap") {
+    // diameter 11 chain cannot close in 3 passes; the final-pass check
+    // must detect the still-changing labels and trip the require, not
+    // return a partially-propagated labeling
+    val n = 12
+    val chain = (1 until n).map(i => i.toLong -> (i + 1).toLong)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.nearDupClusters(docs((1 to n).map(_.toLong): _*),
+        "doc_id", pairs(chain: _*), maxIters = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("convergence is correct when the first check lands past the fixpoint") {
+    // a single edge converges in 1 pass; with uncheckedIters = 5 the
+    // first check runs at pass 5 and must still report the fixpoint
+    val out = Dedup.nearDupClusters(docs(1, 2, 3), "doc_id",
+      pairs(1L -> 2L), maxIters = 8, uncheckedIters = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 3L)))
+  }
 }
