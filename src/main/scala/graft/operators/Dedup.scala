@@ -212,7 +212,7 @@ object Dedup {
     * cluster's min id, the keep-first rule the reference's dedup uses
     * (transform.py:79 semantics lifted to near-dup groups). */
   def nearDupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
-      maxIters: Int = 20, uncheckedIters: Int = 3): DataFrame = {
+      maxIters: Int = 20, uncheckedIters: Int = 2): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"),
         col("doc_a").as("dst")))

@@ -140,39 +140,115 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  /** IVF-style near-dup pairs with a REAL coarse quantizer: the
-    * centroid set is a deterministic sample of the corpus itself
-    * (`vec_id % centroidStride == 0`), so the cell count C = N/stride
-    * GROWS with the corpus — per-cell population stays ~stride and the
-    * candidate volume Σ|cell|² stays O(N·stride) instead of O(N²).
-    * Multi-probe (`probes` nearest centroids per vector) buys recall
-    * near cell boundaries, the standard IVF trade.
-    *
-    * Deterministic by construction (sampled centroids, cosine argmax
-    * tie-broken on centroid id), so an external oracle replays the
-    * same assignment and the SAME pair set — recall loss vs the exact
-    * answer is a documented property of the index, not nondeterminism.
-    *
-    * Plan shape at 100 TB: assignment is a broadcast nested-loop of N
-    * vectors × C centroids (C ≪ N, broadcast-able by construction: at
-    * stride 50 the centroid table is 2% of the corpus; a k-means front
-    * end would shrink it further), then one shuffle on `cell` and a
-    * within-cell self-join — embarrassingly parallel across cells, hot
-    * cells split by AQE skew handling. */
-  def ivfCosinePairs(embeddings: DataFrame, threshold: Double = 0.3,
-      centroidStride: Long = 50, probes: Int = 2): DataFrame = {
-    val n = normed(embeddings)
-    val cents = n.where(col("vec_id") % centroidStride === 0)
+  /** Top-`probes` nearest centroids per vector, computed ROW-LOCALLY:
+    * the full centroid table (C rows) is collapsed into ONE array-of-
+    * structs row, broadcast, and each vector sorts its C affinities in
+    * an expression — `struct(-affinity, cent_id)` ascending ≡ affinity
+    * desc with ties to the low centroid id, the exact order an external
+    * engine's `row_number() OVER (ORDER BY affinity DESC, cent_id)`
+    * replays. The alternative (join + window over the exploded N×C
+    * affinity frame) shuffles N·C rows — at C ≈ √N that is N^1.5, a
+    * scale-killer; this shape shuffles NOTHING for assignment. */
+  private def assignCells(n: DataFrame, cents: DataFrame, probes: Int,
+      keep: Seq[String]): DataFrame = {
+    val centArr = cents.agg(sort_array(collect_list(
+      struct(col("cent_id"), col("cv"), col("cn")))).as("cents_arr"))
+    val byAffinity = transform(col("cents_arr"), c =>
+      struct(
+        (-(VectorOps.dot(col("v"), c.getField("cv")) /
+          (col("nrm") * c.getField("cn")))).as("na"),
+        c.getField("cent_id").as("cent_id")))
+    val topCells = transform(slice(array_sort(byAffinity), 1, probes),
+      s => s.getField("cent_id"))
+    n.crossJoin(broadcast(centArr))
+      .select(col("vec_id") +: keep.map(col) :+
+        explode(topCells).as("cell"): _*)
+  }
+
+  /** Build the k-means coarse quantizer over an already-normed frame and
+    * return the multi-probe assignments (cell, vec_id) — the shared core
+    * of [[ivfCosinePairs]]; see its scaladoc for the design. */
+  private def quantize(n: DataFrame, probes: Int, kmeansIters: Int)
+      : DataFrame = {
+    val c = math.max(1, math.ceil(math.sqrt(n.count().toDouble)).toInt)
+    val h = (col("vec_id") % lit(2147483648L)) * lit(2654435761L) %
+      lit(2147483648L)
+    val seeds = n.select(col("vec_id"), h.as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(c).select("vec_id")
+    var cents = n.join(seeds, "vec_id")
       .select(col("vec_id").as("cent_id"), col("v").as("cv"),
         col("nrm").as("cn"))
-    // nearest-`probes` centroids per vector (cosine, ties → low cent_id)
-    val byAffinity = Window.partitionBy(col("vec_id"))
-      .orderBy(col("affinity").desc, col("cent_id"))
-    val assigned = n.join(broadcast(cents), expr("true"))
-      .withColumn("affinity", dot("v", "cv") / (col("nrm") * col("cn")))
-      .withColumn("probe", row_number().over(byAffinity))
-      .where(col("probe") <= probes)
-      .select(col("cent_id").as("cell"), col("vec_id"))
+    for (_ <- 1 to kmeansIters) {
+      // element-wise fixed-point mean per cell: long sums commute, so
+      // no float-order nondeterminism can enter the refined centroids
+      val dims = assignCells(n, cents, probes = 1, keep = Seq("v"))
+        .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
+        .withColumn("f", floor(col("x") * lit(1048576.0)).cast("long"))
+        .groupBy(col("cell"), col("d"))
+        .agg(sum(col("f")).as("fs"), count(lit(1)).as("cnt"))
+      cents = dims
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("d"), col("fs"),
+          col("cnt")))).as("ds"))
+        .select(col("cell").as("cent_id"),
+          transform(col("ds"), s => s.getField("fs").cast("double") /
+            (s.getField("cnt").cast("double") * lit(1048576.0))).as("cv"))
+        .withColumn("cn", VectorOps.norm(col("cv")))
+        .where(col("cn") > 0)
+    }
+    assignCells(n, cents, probes, keep = Nil)
+      .select(col("cell"), col("vec_id"))
+  }
+
+  /** Diagnostic/test window into the quantizer: the multi-probe (cell,
+    * vec_id) assignments for a raw embeddings frame. */
+  def cellAssignments(embeddings: DataFrame, probes: Int = 2,
+      kmeansIters: Int = 1): DataFrame =
+    quantize(normed(embeddings), probes, kmeansIters)
+
+  /** IVF near-dup pairs with a deterministic k-means coarse quantizer
+    * (r3 verdict item 2 — replaces the stride sampler whose C = N/50
+    * made assignment O(N²/50) and the "broadcast-able" centroid table
+    * 2% of the corpus):
+    *
+    *  - C = ⌈√N⌉ centroids — candidate volume Σ|cell|² stays ~O(N^1.5 /
+    *    C)·probes² = O(N·probes²) when cells are balanced, and the
+    *    centroid table is √N·dim doubles (KB–MB at any realistic N,
+    *    genuinely broadcast-able; assignment is O(N·√N·dim) flops, not
+    *    O(N²));
+    *  - seeded init from the portable hash family: the C corpus vectors
+    *    with the smallest `(vec_id % 2^31) · 2654435761 mod 2^31`
+    *    (Knuth multiplicative hash — plain BIGINT arithmetic any engine
+    *    replays; products stay < 2^63);
+    *  - a FIXED number of refinement passes (`kmeansIters`, default 1):
+    *    assign every vector to its nearest seed by cosine, then recompute
+    *    each cell's centroid as the element-wise mean — in FIXED-POINT:
+    *    components are floored to 2^-20 grid longs and summed as
+    *    integers, which is order-independent and exact, so the refined
+    *    centroids are bit-identical across engines without imposing any
+    *    float-summation order (the one thing a distributed sum can't
+    *    promise); the mean's single double division is then the same
+    *    one rounding everywhere. Empty cells simply drop (their seed
+    *    assigned elsewhere on a tie) — C shrinks, nothing breaks.
+    *
+    * Multi-probe (`probes` nearest centroids per vector) buys recall
+    * near cell boundaries, the standard IVF trade. Deterministic end to
+    * end, so an external oracle replays the same assignment and the
+    * SAME pair set — recall loss vs the exact answer is a documented
+    * property of the index, not nondeterminism.
+    *
+    * Plan shape at 100 TB: per refinement pass, one row-local
+    * assignment over broadcast centroids (no shuffle; see
+    * [[assignCells]]) + one partial-aggregated groupBy(cell, dim) of
+    * long pairs (shuffle volume ≈ partitions · C · dim, independent of
+    * N); then one shuffle on `cell` for the within-cell self-join —
+    * embarrassingly parallel across cells, hot cells split by AQE skew
+    * handling. The driver holds C ids for the seed take and C·dim
+    * doubles for the centroid collect — √N-scale, never corpus-scale. */
+  def ivfCosinePairs(embeddings: DataFrame, threshold: Double = 0.3,
+      probes: Int = 2, kmeansIters: Int = 1): DataFrame = {
+    val n = normed(embeddings)
+    val assigned = quantize(n, probes, kmeansIters)
     // candidate pairs are generated over (cell, id) ONLY — the wide
     // vector columns never enter the candidate shuffle; multi-probe can
     // surface a pair in several shared cells, hence the distinct on the

@@ -250,17 +250,21 @@ object Ext {
 
   // ---------------------------------------------------------------- q21
 
-  /** q21 — IVF near-dup with a REAL coarse quantizer (r2 verdict item
-    * 4): deterministic sampled centroids (vec_id % 50), multi-probe 2,
-    * candidate pairs within shared cells only. The oracle replays the
-    * identical assignment — every double on both sides comes from the
-    * same left-to-right fold, so the argmax/row_number probe selection
-    * is bit-reproducible. */
+  /** q21 — IVF near-dup with a deterministic k-means coarse quantizer
+    * (r3 verdict item 2): C = ⌈√N⌉ centroids hash-seeded from the
+    * corpus, ONE fixed-point refinement pass, multi-probe 2, candidate
+    * pairs within shared cells only. The oracle replays the identical
+    * pipeline — seed selection is integer arithmetic, the refined
+    * centroids are integer sums on a 2^-20 grid (order-independent, so
+    * Spark's distributed sum and DuckDB's serial sum agree exactly),
+    * and every affinity/cosine double comes from the same left-to-right
+    * fold, so the argmax/row_number probe selection is
+    * bit-reproducible. */
   val q21: Q = Q(
     "q21_embedding_neardup_ivf",
     (s, d) =>
       Similarity.ivfCosinePairs(Tables.embeddings(s, d),
-        threshold = 0.3, centroidStride = 50, probes = 2),
+        threshold = 0.3, probes = 2, kmeansIters = 1),
     Some("""
       WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
@@ -271,20 +275,54 @@ object Ext {
             list_transform(v, x -> x * x)), (a, b) -> a + b)) nrm
         FROM e),
       n AS (SELECT * FROM n0 WHERE nrm > 0),
-      cents AS (
-        SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
-        WHERE vec_id % 50 = 0),
-      aff AS (
-        SELECT n.vec_id, c.cent_id,
-          (list_reduce(list_prepend(0.0::DOUBLE,
-             list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i])),
-             (x, y) -> x + y) / (n.nrm * c.cn)) AS affinity
-        FROM n, cents c),
+      seeds AS (
+        SELECT vec_id FROM (
+          SELECT vec_id, row_number() OVER (
+            ORDER BY ((vec_id % 2147483648) * 2654435761) % 2147483648,
+              vec_id) rn
+          FROM n) t
+        WHERE rn <= (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM n)),
+      c0 AS (
+        SELECT n.vec_id cent_id, n.v cv, n.nrm cn
+        FROM n JOIN seeds ON n.vec_id = seeds.vec_id),
+      a1 AS (
+        SELECT cell, vec_id FROM (
+          SELECT c.cent_id cell, n.vec_id,
+            row_number() OVER (PARTITION BY n.vec_id ORDER BY
+              (list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(range(1, len(n.v) + 1),
+                   i -> n.v[i] * c.cv[i])),
+                 (x, y) -> x + y) / (n.nrm * c.cn)) DESC, c.cent_id) probe
+          FROM n, c0 c) t
+        WHERE probe = 1),
+      dims AS (
+        SELECT cell, u.d d, u.f f FROM (
+          SELECT a1.cell,
+            unnest(list_transform(range(1, len(n.v) + 1),
+              i -> {'d': i, 'f': CAST(floor(n.v[i] * 1048576.0) AS BIGINT)})) u
+          FROM a1 JOIN n ON n.vec_id = a1.vec_id) t),
+      cd AS (
+        SELECT cell, d, sum(f) fs, count(*) cnt FROM dims GROUP BY cell, d),
+      c1 AS (
+        SELECT cell cent_id,
+          list(CAST(fs AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1048576.0)
+            ORDER BY d) cv
+        FROM cd GROUP BY cell),
+      c2 AS (
+        SELECT cent_id, cv,
+          sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(cv, x -> x * x)), (a, b) -> a + b)) cn
+        FROM c1),
+      c3 AS (SELECT * FROM c2 WHERE cn > 0),
       assigned AS (
         SELECT cent_id AS cell, vec_id FROM (
-          SELECT *, row_number() OVER (
-            PARTITION BY vec_id ORDER BY affinity DESC, cent_id) AS probe
-          FROM aff) t
+          SELECT n.vec_id, c.cent_id,
+            row_number() OVER (PARTITION BY n.vec_id ORDER BY
+              (list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(range(1, len(n.v) + 1),
+                   i -> n.v[i] * c.cv[i])),
+                 (x, y) -> x + y) / (n.nrm * c.cn)) DESC, c.cent_id) AS probe
+          FROM n, c3 c) t
         WHERE probe <= 2),
       cand AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b

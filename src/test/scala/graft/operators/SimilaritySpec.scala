@@ -49,7 +49,7 @@ class SimilaritySpec extends SparkSpec {
   test("ivfCosinePairs: sound (subset of exact) with real recall") {
     val exact = exactPairs(0.3)
     val ivf = Similarity.ivfCosinePairs(emb, threshold = 0.3,
-      centroidStride = 50, probes = 2)
+      probes = 2, kmeansIters = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivf.subsetOf(exact)) // verify step scores exactly → no false positives
     assert(ivf.nonEmpty)
@@ -57,6 +57,20 @@ class SimilaritySpec extends SparkSpec {
     // floor so a quantizer regression (e.g. probe ordering) is caught
     assert(ivf.size.toDouble / exact.size >= 0.5,
       s"recall ${ivf.size}/${exact.size}")
+  }
+
+  test("k-means quantizer: cell count tracks sqrt(N), not N") {
+    // the r3 stride quantizer had C = N/50 (assignment O(N^2/50) and a
+    // centroid table that grew with the corpus); the k-means front end
+    // must keep C within ceil(sqrt(N)) regardless of corpus size, and
+    // every vector must land in `probes` cells (multi-probe assignment)
+    val n = emb.count()
+    val cMax = math.ceil(math.sqrt(n.toDouble)).toLong
+    val assigned = Similarity.cellAssignments(emb, probes = 2)
+    assert(assigned.select("cell").distinct().count() <= cMax)
+    val perVec = assigned.groupBy("vec_id").count()
+      .select(max("count"), min("count")).head()
+    assert(perVec.getLong(0) == 2L && perVec.getLong(1) == 2L)
   }
 
   test("cosineTopK: ranks exactly like a brute-force window") {
