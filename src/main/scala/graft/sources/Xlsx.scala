@@ -19,12 +19,22 @@ import org.w3c.dom.Element
   * Supported: shared strings (`t="s"`), inline strings
   * (`t="inlineStr"`), formula-string cells (`t="str"`), raw numeric
   * text, sparse rows (cells placed by their `r="B3"` reference so
-  * positional consumption P3 stays correct), headerless mode. Cell
+  * positional consumption P3 stays correct), headerless mode, and
+  * DATE-SERIAL decoding: a numeric cell whose style resolves to a date
+  * number format (built-in ids 14-22/45-47, or a custom format whose
+  * code carries date tokens) is decoded to an ISO string — real-world
+  * workbooks store dates as serials, which openpyxl hands the reference
+  * as datetime objects (extract.py:100) and pandas re-parses
+  * (transform.py:114-117); without decoding, downstream F1/F2 try-casts
+  * would silently null every date column of a styled workbook. Decoding
+  * covers serials >= 61 (1900-03-01 onward, past the 1900 leap-year
+  * phantom day): day 0 = 1899-12-30, time = the day fraction rounded to
+  * the second; whole days print `yyyy-MM-dd`, otherwise `yyyy-MM-dd
+  * HH:mm:ss`. Pre-1900-03-01 serials stay raw text (ambiguous under the
+  * phantom day; out of scope for the reference's data). All other cell
   * values come back as raw STRINGS — the transform owns typing via its
   * coerce/strict casts (transform.py:61-64,113-124), exactly as it does
-  * for every other source. Not supported (documented): Excel
-  * date-serial decoding and styles — the reference's date columns are
-  * re-parsed downstream by F1/F2 try-casts anyway.
+  * for every other source.
   */
 object Xlsx {
 
@@ -83,12 +93,60 @@ object Xlsx {
       def colIndex(ref: String): Int =
         ref.takeWhile(_.isLetter).foldLeft(0)((a, c) => a * 26 + (c - 'A' + 1)) - 1
 
+      // style indices (the cell `s` attribute) whose number format is a
+      // date format — built-in ids 14-22/45-47, or a custom <numFmt>
+      // whose code still has date tokens after stripping [sections],
+      // "quoted text" and \-escapes (the tokens y/m/d/h/s only survive
+      // that stripping in date formats)
+      val dateStyles: Set[Int] =
+        if (zip.getEntry("xl/styles.xml") == null) Set.empty
+        else {
+          val doc = parse("xl/styles.xml")
+          val custom = elems(doc, "numFmt").map(e =>
+            e.getAttribute("numFmtId").toInt -> e.getAttribute("formatCode"))
+            .toMap
+          def isDateFmt(id: Int): Boolean =
+            (id >= 14 && id <= 22) || (id >= 45 && id <= 47) ||
+              custom.get(id).exists { code =>
+                val bare = code.replaceAll("\\[[^\\]]*\\]", "")
+                  .replaceAll("\"[^\"]*\"", "").replaceAll("\\\\.", "")
+                bare.exists(ch => "ymdhsYMDHS".indexOf(ch.toInt) >= 0)
+              }
+          elems(doc, "cellXfs").headOption.map(e => elemsIn(e, "xf"))
+            .getOrElse(Seq.empty).zipWithIndex.collect {
+              case (xf, i) if xf.getAttribute("numFmtId").nonEmpty &&
+                isDateFmt(xf.getAttribute("numFmtId").toInt) => i
+            }.toSet
+        }
+
+      // 1900-date-system serial -> ISO string; day 0 = 1899-12-30 (the
+      // offset that absorbs Excel's phantom 1900-02-29 for serials >= 61)
+      def serialToIso(serial: Double): String = {
+        val days = math.floor(serial).toLong
+        val secs = math.round((serial - days) * 86400.0)
+        val dt = java.time.LocalDate.of(1899, 12, 30).atStartOfDay
+          .plusDays(days).plusSeconds(secs)
+        if (dt.toLocalTime == java.time.LocalTime.MIDNIGHT)
+          dt.toLocalDate.toString
+        else dt.format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss"))
+      }
+
       def cellValue(c: Element): Option[String] = {
         def child(tag: String): Option[Element] = elemsIn(c, tag).headOption
         c.getAttribute("t") match {
           case "s" => child("v").map(v => shared(v.getTextContent.trim.toInt))
           case "inlineStr" => child("is").map(_.getTextContent)
-          case _ => child("v").map(_.getTextContent) // "str", numbers, bools
+          case "str" => child("v").map(_.getTextContent) // formula strings
+          case _ => // untyped = numeric (or bool); date-styled → decode
+            child("v").map(_.getTextContent).map { v =>
+              val s = c.getAttribute("s")
+              if (s.nonEmpty && s.forall(_.isDigit) &&
+                  dateStyles.contains(s.toInt))
+                v.trim.toDoubleOption.filter(_ >= 61.0).map(serialToIso)
+                  .getOrElse(v)
+              else v
+            }
         }
       }
 

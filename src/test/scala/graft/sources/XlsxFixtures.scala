@@ -6,8 +6,16 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
 
 /** Test-side OOXML workbook writer: every cell as an inline string
   * (spec-conformant; the reader's shared-string / numeric paths are
-  * covered separately in XlsxSpec). */
+  * covered separately in XlsxSpec) — EXCEPT cells marked
+  * `@serial:<num>` / `@serialdt:<num>`, written as NUMERIC cells styled
+  * with a date format (built-in id 14 / a custom datetime format), the
+  * way real writers store date-typed cells. */
 object XlsxFixtures {
+
+  /** Marker prefix: a date-styled numeric cell (built-in numFmtId 14). */
+  val DateSerial = "@serial:"
+  /** Marker prefix: a datetime-styled numeric cell (custom numFmt). */
+  val DateTimeSerial = "@serialdt:"
 
   private def esc(s: String): String = s
     .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
@@ -33,12 +41,21 @@ object XlsxFixtures {
     }.mkString
     put("xl/_rels/workbook.xml.rels",
       s"""<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">$rels</Relationships>""")
+    // style 1 = built-in date (numFmtId 14), style 2 = custom datetime
+    put("xl/styles.xml",
+      s"""<?xml version="1.0"?><styleSheet $ns><numFmts count="1"><numFmt numFmtId="164" formatCode="yyyy\\-mm\\-dd\\ hh:mm:ss"/></numFmts><cellXfs count="3"><xf numFmtId="0"/><xf numFmtId="14" applyNumberFormat="1"/><xf numFmtId="164" applyNumberFormat="1"/></cellXfs></styleSheet>""")
     sheets.zipWithIndex.foreach { case ((_, rows), i) =>
       val colName = "ABCDEFGHIJ"
       val body = rows.zipWithIndex.map { case (cells, r) =>
         val cs = cells.zipWithIndex.collect {
           case (v, c) if v != null =>
-            s"""<c r="${colName(c)}${r + 1}" t="inlineStr"><is><t>${esc(v)}</t></is></c>"""
+            val ref = s"${colName(c)}${r + 1}"
+            if (v.startsWith(DateSerial))
+              s"""<c r="$ref" s="1"><v>${v.stripPrefix(DateSerial)}</v></c>"""
+            else if (v.startsWith(DateTimeSerial))
+              s"""<c r="$ref" s="2"><v>${v.stripPrefix(DateTimeSerial)}</v></c>"""
+            else
+              s"""<c r="$ref" t="inlineStr"><is><t>${esc(v)}</t></is></c>"""
         }.mkString
         s"""<row r="${r + 1}">$cs</row>"""
       }.mkString

@@ -94,6 +94,20 @@ class XlsxSpec extends SparkSpec {
     assertThrows[RuntimeException](Xlsx.readSheet(writeXlsx(), "Nope"))
   }
 
+  test("date-serial cells decode to ISO; pre-1900 serials stay raw") {
+    val serial = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.of(1899, 12, 30),
+      java.time.LocalDate.parse("2024-01-10"))
+    val wb = XlsxFixtures.writeWorkbook(Seq("F" -> Seq(
+      Seq("d", "dt", "old"),
+      Seq(XlsxFixtures.DateSerial + serial,          // built-in fmt 14
+        XlsxFixtures.DateTimeSerial + s"$serial.25", // custom fmt, 6:00 am
+        XlsxFixtures.DateSerial + "59"))))           // phantom-day zone
+    val rows = Xlsx.readSheet(wb.toString, "F")
+    assert(rows(1) == Seq(Some("2024-01-10"),
+      Some("2024-01-10 06:00:00"), Some("59")))
+  }
+
   test("namespace-PREFIXED worksheet parts parse identically (x:row etc.)") {
     // some writers prefix the main spreadsheetml namespace; literal tag
     // matching would silently return zero rows for these
