@@ -59,10 +59,31 @@ final class IncrementalSink(spark: SparkSession, warehouseDir: String,
     write(df, SaveMode.Overwrite, table)
 
   /** Incremental append of only-new PKs. Returns (inserted, ignored) —
-    * the reference logs the same accounting (load.py:53-57). */
+    * the reference logs the same accounting (load.py:53-57).
+    *
+    * Within-batch PK uniqueness is ENFORCED (the analog of the
+    * reference's Postgres PK constraints, ddl_tienda_pago_bi.sql:10-42 —
+    * its DB rejects a load carrying internal duplicates; silently
+    * appending both rows would poison the never-update table forever):
+    * a batch with duplicate non-null PKs fails loudly before anything
+    * is written. Dedup belongs UPSTREAM where an order exists to pick
+    * the survivor (Transform.dedupKeepFirst, the A2 operator) — the
+    * sink has no row order to make that choice deterministically.
+    * Null PKs are exempt (pandas `~isin` parity keeps null-PK rows;
+    * SQL PK columns are NOT NULL so the reference never faces them).
+    * The check is FREE of extra scans: it rides the same aggregate
+    * that produces the incoming count. */
   def appendOnlyNew(df: DataFrame, table: String, pkCol: String)
       : (Long, Long) = {
-    val incomingCount = df.count()
+    import org.apache.spark.sql.functions.{count, countDistinct, lit}
+    val acct = df.agg(count(lit(1)), count(col(pkCol)),
+      countDistinct(col(pkCol))).head()
+    val incomingCount = acct.getLong(0)
+    val dupes = acct.getLong(1) - acct.getLong(2)
+    require(dupes == 0L,
+      s"table '$table': incoming batch carries $dupes duplicate non-null " +
+        s"'$pkCol' rows; the never-update sink refuses ambiguous batches — " +
+        s"dedup upstream (Transform.dedupKeepFirst) where row order exists")
     if (!exists(table)) {
       write(df, SaveMode.Overwrite, table)
       (incomingCount, 0L)
@@ -91,6 +112,19 @@ final class IncrementalSink(spark: SparkSession, warehouseDir: String,
     * for the sink's single-writer contract: write to a temp dir, swap
     * directories, drop the old (a transactional table format does this
     * with a commit instead of a rename — same shape).
+    *
+    * Crash-safe under the single-writer contract: every crash window
+    * of a previous run is healed at entry before any new work —
+    *  - stale `.compact_tmp` (died mid-write): deleted, the rewrite
+    *    restarts from the live table;
+    *  - `.compact_old` present and the table directory MISSING (died
+    *    between the two moves — the one window where data is only in
+    *    `.compact_old`): the old directory is restored as the table;
+    *  - `.compact_old` present alongside a live table (died after the
+    *    swap, before cleanup): the leftover is deleted.
+    * So the manual recovery the directory names suggest (move
+    * `<table>.compact_old` back) is never required — rerunning
+    * `compact` repairs and retries.
     * Returns (files before, files after). */
   def compact(table: String, targetFileBytes: Long = 128L << 20)
       : (Long, Long) = {
@@ -101,6 +135,19 @@ final class IncrementalSink(spark: SparkSession, warehouseDir: String,
       val s = JFiles.walk(p)
       try s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
       finally s.close()
+    }
+    def rmTree(p: java.nio.file.Path): Unit = {
+      val s = JFiles.walk(p)
+      try s.iterator().asScala.toSeq.reverse.foreach(JFiles.delete)
+      finally s.close()
+    }
+    val tmp = Paths.get(path(table) + ".compact_tmp")
+    val old = Paths.get(path(table) + ".compact_old")
+    // heal any crash window of a previous run (see scaladoc)
+    if (JFiles.exists(tmp)) rmTree(tmp)
+    if (JFiles.exists(old)) {
+      if (!JFiles.exists(dir)) JFiles.move(old, dir) // mid-swap crash
+      else rmTree(old) // post-swap crash: table is live, drop leftover
     }
     val before = parquetFiles(dir)
     val totalBytes = before.map(JFiles.size).sum
@@ -113,18 +160,11 @@ final class IncrementalSink(spark: SparkSession, warehouseDir: String,
         // writes few directories (not every task × every partition)
         df.repartition(nFiles, partCols.map(col): _*)
       else df.repartition(nFiles)
-    val tmp = Paths.get(path(table) + ".compact_tmp")
-    val old = Paths.get(path(table) + ".compact_old")
     val w = repartitioned.write.mode(SaveMode.Overwrite)
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .parquet(tmp.toString)
     JFiles.move(dir, old)
     JFiles.move(tmp, dir)
-    def rmTree(p: java.nio.file.Path): Unit = {
-      val s = JFiles.walk(p)
-      try s.iterator().asScala.toSeq.reverse.foreach(JFiles.delete)
-      finally s.close()
-    }
     rmTree(old)
     (before.size.toLong, parquetFiles(dir).size.toLong)
   }

@@ -70,19 +70,32 @@ object Transform {
   /** Client dim (SURVEY §2.3 J1; transform.py:82-106): rename the base,
     * left-join the JSON subset on differing key names, drop the duplicate
     * key, rename — duplicate IDCLIENTEs in the JSON multiply rows, which
-    * is the reference's (preserved) behavior. The accented `categoría`
-    * column is renamed to plain `categoria` here. Dates are coerce-cast
-    * (transform.py:114-115). */
-  def buildDimClientes(clientes: DataFrame, recomendados: DataFrame)
-      : DataFrame = {
+    * is the reference's (preserved) behavior AT TRANSFORM LEVEL. The
+    * accented `categoría` column is renamed to plain `categoria` here.
+    * Dates are coerce-cast (transform.py:114-115).
+    *
+    * `dedupOrderCol` (the LOAD path's mode): the reference's DDL puts a
+    * PRIMARY KEY on dim_clientes.id_cliente (ddl_tienda_pago_bi.sql:22),
+    * so a blowup row reaching its `to_sql` append is rejected by
+    * Postgres — the transform's multiply-rows behavior and the
+    * warehouse's PK cannot BOTH survive contact with duplicate-key JSON.
+    * When set (EtlJob passes the JSON ingest-order column), the blowup
+    * collapses keep-FIRST in file order — the same drop_duplicates
+    * convention the reference itself applies one table over
+    * (transform.py:79) and the fix it would need. When None, the raw
+    * join (with blowup) comes back for parity/inspection use. */
+  def buildDimClientes(clientes: DataFrame, recomendados: DataFrame,
+      dedupOrderCol: Option[String] = None): DataFrame = {
     val base = clientes
       .withColumnRenamed("IDCLIENTE", "id_cliente")
       .withColumnRenamed("fechaafiliacion", "fecha_afiliacion")
       .withColumnRenamed("fechaprimertrx", "fecha_primera_trx")
     val subset = recomendados.select(
-      col("IDCLIENTE"), col("IDDISTRIBUIDOR"), col("TELEFONO"),
-      col("`categoría`"), col("recomendados"))
-    base.join(subset, base("id_cliente") === subset("IDCLIENTE"), "left")
+      col("IDCLIENTE") +: col("IDDISTRIBUIDOR") +: col("TELEFONO") +:
+        col("`categoría`") +: col("recomendados") +:
+        dedupOrderCol.map(col).toSeq: _*)
+    val joined = base
+      .join(subset, base("id_cliente") === subset("IDCLIENTE"), "left")
       .drop("IDCLIENTE")
       .withColumnRenamed("IDDISTRIBUIDOR", "id_distribuidor")
       .withColumnRenamed("TELEFONO", "telefono")
@@ -91,6 +104,10 @@ object Transform {
         expr("try_cast(fecha_afiliacion AS DATE)"))
       .withColumn("fecha_primera_trx",
         expr("try_cast(fecha_primera_trx AS DATE)"))
+    dedupOrderCol match {
+      case Some(ord) => dedupKeepFirst(joined, "id_cliente", Seq(ord)).drop(ord)
+      case None => joined
+    }
   }
 
   /** Fact build (SURVEY §2.2 P3 + §2.6 F1/F3; transform.py:108-124):
@@ -142,7 +159,8 @@ object Transform {
       "dim_tipo_transaccion" -> tipos,
       "dim_distribuidores" ->
         buildDimDistribuidores(recomendados, recomendadosOrderCol),
-      "dim_clientes" -> buildDimClientes(clientes, recomendados),
+      "dim_clientes" -> buildDimClientes(clientes, recomendados,
+        dedupOrderCol = Some(recomendadosOrderCol)),
       "fct_transacciones" -> fact)
   }
 }

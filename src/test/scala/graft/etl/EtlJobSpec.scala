@@ -21,7 +21,10 @@ class EtlJobSpec extends SparkSpec {
       "dim_sedes" -> (2L, 0L),
       "dim_tipo_transaccion" -> (3L, 0L), // 2 catalog + 1 RI-repair dummy
       "dim_distribuidores" -> (3L, 0L),
-      "dim_clientes" -> (6L, 0L),         // 5 base + 1 duplicate-key blowup
+      // 5 base rows: the duplicate-key JSON blowup (J1, preserved at
+      // transform level — TransformSpec) collapses keep-first on the
+      // LOAD path, because the warehouse PK (ddl:22) forbids it
+      "dim_clientes" -> (5L, 0L),
       "fct_transacciones" -> (5L, 0L)))
 
     // the daily re-run (etl_pipeline.yml cron): same sources, 0 inserts

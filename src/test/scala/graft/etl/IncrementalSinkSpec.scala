@@ -141,4 +141,53 @@ class IncrementalSinkSpec extends SparkSpec {
     sink.overwrite(df(Row(9, "z")), "t")
     assert(sink.read("t").collect().map(_.getInt(0)).toSeq == Seq(9))
   }
+
+  test("duplicate non-null PKs in one batch are refused before any write") {
+    // the Postgres PK constraint analog (ddl_tienda_pago_bi.sql): the
+    // reference's DB rejects such loads; silently appending both rows
+    // would poison the never-update table forever
+    val sink = freshSink()
+    val e = intercept[IllegalArgumentException] {
+      sink.appendOnlyNew(df(Row(1, "a"), Row(1, "b")), "t", "pk")
+    }
+    assert(e.getMessage.contains("duplicate"))
+    assert(!sink.exists("t")) // bootstrap path: nothing was written
+    sink.appendOnlyNew(df(Row(1, "a")), "t", "pk")
+    assertThrows[IllegalArgumentException] { // incremental path too
+      sink.appendOnlyNew(df(Row(2, "x"), Row(2, "y")), "t", "pk")
+    }
+    assert(sink.read("t").count() == 1)
+  }
+
+  test("multiple null PKs in one batch are NOT duplicates (SQL semantics)") {
+    val sink = freshSink()
+    assert(sink.appendOnlyNew(
+      df(Row(null, "n1"), Row(null, "n2"), Row(1, "a")), "t", "pk")
+      == (3L, 0L))
+  }
+
+  test("compact heals every crash window of a previous run") {
+    import java.nio.file.Paths
+    val whDir = Files.createTempDirectory("graft_sink_crash").toString
+    val sink = new IncrementalSink(spark, whDir, partitioning = Map.empty)
+    sink.appendOnlyNew(df(Row(1, "a"), Row(2, "b")), "t", "pk")
+    val dir = Paths.get(s"$whDir/t")
+    val tmp = Paths.get(s"$whDir/t.compact_tmp")
+    val old = Paths.get(s"$whDir/t.compact_old")
+    // window 1: stale tmp from a run that died mid-write
+    Files.createDirectories(tmp)
+    Files.write(tmp.resolve("garbage.parquet"), Array[Byte](1, 2, 3))
+    sink.compact("t")
+    assert(!Files.exists(tmp) && !Files.exists(old))
+    assert(sink.read("t").count() == 2)
+    // window 2: died between the moves — table dir GONE, data only in old
+    Files.move(dir, old)
+    sink.compact("t")
+    assert(sink.read("t").count() == 2 && !Files.exists(old))
+    // window 3: died after the swap, before cleanup — stale old beside live
+    Files.createDirectories(old)
+    Files.write(old.resolve("leftover.parquet"), Array[Byte](1))
+    sink.compact("t")
+    assert(sink.read("t").count() == 2 && !Files.exists(old))
+  }
 }

@@ -38,11 +38,13 @@ class ReportSpec extends SparkSpec {
       tables("fct_transacciones"), tables("dim_clientes"),
       tables("dim_distribuidores"), cut)
       .collect().map(r => r.getString(0) -> r.getDecimal(1).toString).toSeq
-    // client 2 appears twice in dim_clientes (duplicate JSON row) → its
-    // 2000.00 trx double-counts under Distribuidora Sur, the reference's
-    // preserved J1 hazard; client 5 has no distributor → 'Venta Directa'
+    // client 2's duplicate JSON row collapsed on the load path (the
+    // warehouse PK forbids it — the report reads the STAR, and the
+    // reference's Postgres star can never hold the blowup either), so
+    // its 2000.00 trx counts ONCE under Distribuidora Sur; client 5 has
+    // no distributor → 'Venta Directa'
     assert(rows == Seq(
-      "Distribuidora Sur" -> "4000.00",
+      "Distribuidora Sur" -> "2000.00",
       "Venta Directa" -> "750.00"))
   }
 
@@ -56,7 +58,7 @@ class ReportSpec extends SparkSpec {
     assert(msg.contains("FECHA DE CORTE: 14 JUN, 2025"))
     assert(msg.contains("PRÉSTAMOS DEL DÍA: $2,750.00"))
     assert(msg.contains("ACUMULADO MENSUAL: $4,250.50"))
-    assert(msg.contains("- Distribuidora Sur: $4,000.00"))
+    assert(msg.contains("- Distribuidora Sur: $2,000.00"))
     assert(msg.contains("- Venta Directa: $750.00"))
     assert(msg.contains("http://dash"))
   }

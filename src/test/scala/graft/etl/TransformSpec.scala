@@ -51,15 +51,27 @@ class TransformSpec extends SparkSpec {
   }
 
   test("dim_clientes: left-join enrichment preserves duplicate-key blowup (J1)") {
+    // the raw TRANSFORM build (no dedup order) keeps the blowup — the
+    // reference's transform.py:82-106 behavior
+    val raw = Transform.buildDimClientes(
+      EtlFixture.sources(spark).clientes.load(spark),
+      EtlFixture.sources(spark).recomendados.load(spark))
+    assert(raw.count() == 6) // 5 base rows + 1 extra from duplicate IDCLIENTE=2
+    assert(raw.where(col("id_cliente") === 2).count() == 2)
+
+    // the LOAD-path build (transformData) collapses it keep-FIRST in
+    // JSON file order: the warehouse PK (ddl:22) forbids the duplicate,
+    // so ord=1's telefono survives and ord=2's loses
     val cli = tables("dim_clientes")
-    assert(cli.count() == 6) // 5 base rows + 1 extra from duplicate IDCLIENTE=2
-    assert(cli.where(col("id_cliente") === 2).count() == 2)
+    assert(cli.count() == 5)
+    val c2 = cli.where(col("id_cliente") === 2).collect()
+    assert(c2.length == 1)
+    assert(c2.head.getLong(c2.head.fieldIndex("telefono")) == 5551002L)
     // client 9 exists only in the JSON → no base row for it
     assert(cli.where(col("id_cliente") === 9).count() == 0)
     // F2 coerce: 'not-a-date'/'junk' → null dates
-    val c2 = cli.where(col("id_cliente") === 2).select("fecha_primera_trx")
-      .collect()
-    assert(c2.forall(_.isNullAt(0)))
+    assert(cli.where(col("id_cliente") === 2).select("fecha_primera_trx")
+      .collect().forall(_.isNullAt(0)))
     val c4 = cli.where(col("id_cliente") === 4).select("fecha_afiliacion")
       .collect()
     assert(c4.forall(_.isNullAt(0)))
