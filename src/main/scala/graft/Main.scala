@@ -42,38 +42,61 @@ object Main {
 
   /** The Varios sheet is KB-scale control data whose ROW ORDER is part
     * of its meaning (sentinel split) — read it on the driver, in file
-    * order, like the reference's sheet reader (SURVEY §7.1 M3). The
-    * 2-column split honors standard CSV quoting (a quoted field may
-    * contain commas; `""` unescapes to `"`), matching what Spark's CSV
-    * reader does for the other tables of the same format. */
-  private def readVarios(path: String): Seq[VariosSplitter.RawRow] =
-    Files.readAllLines(Paths.get(path)).asScala.toSeq
-      .filter(_.nonEmpty)
-      .map { line =>
-        val (a, rest) = csvField(line)
-        val b = if (rest.startsWith(",")) csvField(rest.drop(1))._1 else ""
-        def cell(s: String) = Option(s.trim).filter(_.nonEmpty)
-        VariosSplitter.RawRow(cell(a), cell(b))
+    * order, like the reference's sheet reader (SURVEY §7.1 M3). Parsed
+    * as a character stream (not line-split), so quoting matches what
+    * pandas to_csv emits and Spark's CSV reader accepts for the other
+    * tables: a quoted field may contain commas, `""` escapes, and
+    * EMBEDDED NEWLINES. Fully blank rows are skipped (the line filter
+    * the old line-based reader applied). */
+  private def readVarios(path: String): Seq[VariosSplitter.RawRow] = {
+    val text = new String(Files.readAllBytes(Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    csvRows(text)
+      .map { cells =>
+        def cell(ix: Int) = cells.lift(ix).map(_.trim).filter(_.nonEmpty)
+        VariosSplitter.RawRow(cell(0), cell(1))
       }
+      .filter(r => r.c0.nonEmpty || r.c1.nonEmpty)
+  }
 
-  /** Consume one CSV field (quoted or bare) off the front of `s`;
-    * returns (field value, remainder starting at the delimiter). */
-  private[graft] def csvField(s: String): (String, String) =
-    if (s.startsWith("\"")) {
-      val sb = new StringBuilder
-      var i = 1
-      var done = false
-      while (!done && i < s.length) {
-        if (s(i) == '"') {
-          if (i + 1 < s.length && s(i + 1) == '"') { sb += '"'; i += 2 }
-          else { done = true; i += 1 }
-        } else { sb += s(i); i += 1 }
+  /** Character-stream CSV parser: rows of fields. Quote state is
+    * tracked ACROSS newlines, so a quoted field containing a line break
+    * (legal CSV, emitted by pandas to_csv for such values) stays one
+    * field instead of shearing into two malformed rows. Row breaks are
+    * `\n` / `\r\n` / `\r` outside quotes; `""` inside quotes unescapes
+    * to `"`; an unterminated quote at end of input fails loudly rather
+    * than silently swallowing the tail. */
+  private[graft] def csvRows(text: String): Seq[Seq[String]] = {
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val row = scala.collection.mutable.ArrayBuffer.empty[String]
+    val field = new StringBuilder
+    var inQuotes = false
+    var sawQuote = false // current field began with an opening quote
+    def endField(): Unit = { row += field.result(); field.clear(); sawQuote = false }
+    def endRow(): Unit = { endField(); rows += row.toSeq; row.clear() }
+    var i = 0
+    while (i < text.length) {
+      val ch = text(i)
+      if (inQuotes) {
+        if (ch == '"') {
+          if (i + 1 < text.length && text(i + 1) == '"') { field += '"'; i += 1 }
+          else inQuotes = false
+        } else field += ch
+      } else ch match {
+        case '"' if field.isEmpty && !sawQuote => inQuotes = true; sawQuote = true
+        case ',' => endField()
+        case '\n' => endRow()
+        case '\r' =>
+          endRow()
+          if (i + 1 < text.length && text(i + 1) == '\n') i += 1
+        case c => field += c
       }
-      (sb.result(), s.drop(i))
-    } else {
-      val cut = s.indexOf(',')
-      if (cut < 0) (s, "") else (s.take(cut), s.drop(cut))
+      i += 1
     }
+    require(!inQuotes, "unterminated CSV quote at end of input")
+    if (field.nonEmpty || row.nonEmpty || sawQuote) endRow()
+    rows.toSeq
+  }
 
   /** JSON records carry no explicit order column; the keep-first dedup
     * needs one (SURVEY §7.3). A single multiLine JSON array loads as

@@ -21,6 +21,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // several operators persist() shared intermediates whose lifetime
+      // is the consumer's to end (their results are lazy frames); this
+      // query's result is fully materialized above, so its caches are
+      // dead weight for the remaining queries — drop them
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -23,9 +23,31 @@ import org.apache.spark.sql.functions.col
   * table format for multi-writer).
   */
 final class IncrementalSink(spark: SparkSession, warehouseDir: String,
-    partitioning: Map[String, Seq[String]] = StarSchema.partitioning) {
+    partitioning: Map[String, Seq[String]] = StarSchema.partitioning,
+    varcharLimits: Map[String, Map[String, Int]] = StarSchema.varcharLimits) {
 
   private def path(table: String) = s"$warehouseDir/$table"
+
+  /** VARCHAR(n) width enforcement (ddl_tienda_pago_bi.sql:11,18,24,32):
+    * Postgres errors on overflow, Spark silently stores — so the sink
+    * checks declared string widths before any write lands. One
+    * max(length) aggregate over the (dim-scale) frame; tables with no
+    * declared limits (the fact) pay nothing. */
+  private def checkVarchar(df: DataFrame, table: String): Unit = {
+    import org.apache.spark.sql.functions.{length, max}
+    val limits = varcharLimits.getOrElse(table, Map.empty)
+      .filter { case (c, _) => df.columns.contains(c) }.toSeq
+    if (limits.nonEmpty) {
+      val widest = df.agg(max(length(col(limits.head._1))),
+        limits.tail.map { case (c, _) => max(length(col(c))) }: _*).head()
+      limits.zipWithIndex.foreach { case ((c, n), i) =>
+        val got = if (widest.isNullAt(i)) 0 else widest.getInt(i)
+        require(got <= n,
+          s"table '$table' column '$c' exceeds VARCHAR($n): longest " +
+            s"incoming value is $got chars — the warehouse DDL rejects this")
+      }
+    }
+  }
 
   /** Partitioned write when the table has a partition spec (SURVEY §4:
     * the fact by date). A declared partition column MISSING from the
@@ -38,6 +60,7 @@ final class IncrementalSink(spark: SparkSession, warehouseDir: String,
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty,
       s"table '$table' declares partition columns $cols but the frame lacks $missing")
+    checkVarchar(df, table)
     val w = df.write.mode(mode)
     (if (cols.nonEmpty) w.partitionBy(cols: _*) else w).parquet(path(table))
   }

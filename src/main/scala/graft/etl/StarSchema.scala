@@ -52,6 +52,17 @@ object StarSchema {
     "dim_clientes" -> "id_cliente",
     "fct_transacciones" -> "id_trx")
 
+  /** VARCHAR(n) width limits from the DDL
+    * (ddl_tienda_pago_bi.sql:11,18,24,32) — Postgres ERRORS on overflow
+    * where Spark's StringType silently stores; the sink enforces these
+    * at load so an over-wide value fails the batch exactly where the
+    * reference's warehouse would (SURVEY §1.2's open note, closed). */
+  val varcharLimits: Map[String, Map[String, Int]] = Map(
+    "dim_sedes" -> Map("nombre_sede" -> 50),
+    "dim_tipo_transaccion" -> Map("descripcion_tipo" -> 50),
+    "dim_distribuidores" -> Map("nombre_distribuidor" -> 100),
+    "dim_clientes" -> Map("categoria" -> 50))
+
   /** FK-respecting load order (/root/reference/src/main.py:70-80):
     * independent dims, then dependent dims, then the fact. */
   val loadOrder: Seq[String] = Seq(

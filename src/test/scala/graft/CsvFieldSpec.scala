@@ -2,30 +2,44 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The driver-side 2-column CSV split for the Varios sheet must honor
-  * standard quoting — pandas `to_csv` (the reference's converter)
-  * quotes any field containing a comma.
+/** The driver-side CSV parser for the Varios sheet must honor standard
+  * quoting — pandas `to_csv` (the reference's converter) quotes any
+  * field containing a comma, a quote, OR A NEWLINE, and the parser
+  * tracks quote state across line breaks (the r3 advisory: a
+  * line-splitting reader shears such rows into malformed halves).
   */
 class CsvFieldSpec extends AnyFunSuite {
 
-  test("bare fields split on the first comma") {
-    assert(Main.csvField("1,Sede Centro") == ("1", ",Sede Centro"))
-    assert(Main.csvField("solo") == ("solo", ""))
+  test("bare fields split on commas; rows on newlines") {
+    assert(Main.csvRows("1,Sede Centro\n2,Sede Norte") ==
+      Seq(Seq("1", "Sede Centro"), Seq("2", "Sede Norte")))
+    assert(Main.csvRows("solo") == Seq(Seq("solo")))
   }
 
   test("quoted field may contain commas") {
-    val (v, rest) = Main.csvField("\"Sede Centro, Anexo\",tail")
-    assert(v == "Sede Centro, Anexo")
-    assert(rest == ",tail")
+    assert(Main.csvRows("\"Sede Centro, Anexo\",tail") ==
+      Seq(Seq("Sede Centro, Anexo", "tail")))
   }
 
   test("doubled quotes unescape inside a quoted field") {
-    val (v, _) = Main.csvField("\"di \"\"maria\"\"\",x")
-    assert(v == "di \"maria\"")
+    assert(Main.csvRows("\"di \"\"maria\"\"\",x") ==
+      Seq(Seq("di \"maria\"", "x")))
   }
 
-  test("unterminated quote consumes to end of line (no crash)") {
-    val (v, rest) = Main.csvField("\"oops")
-    assert(v == "oops" && rest == "")
+  test("quoted field may contain embedded newlines (pandas to_csv)") {
+    assert(Main.csvRows("1,\"Sede\nCentro\"\n2,Norte") ==
+      Seq(Seq("1", "Sede\nCentro"), Seq("2", "Norte")))
+    // CRLF row breaks, LF inside quotes
+    assert(Main.csvRows("a,\"x\ny\"\r\nb,z") ==
+      Seq(Seq("a", "x\ny"), Seq("b", "z")))
+  }
+
+  test("empty quoted field and trailing newline round-trip") {
+    assert(Main.csvRows("\"\",b\n") == Seq(Seq("", "b")))
+  }
+
+  test("unterminated quote fails loudly instead of swallowing the tail") {
+    val e = intercept[IllegalArgumentException](Main.csvRows("1,\"oops"))
+    assert(e.getMessage.contains("unterminated"))
   }
 }

@@ -166,6 +166,19 @@ class IncrementalSinkSpec extends SparkSpec {
       == (3L, 0L))
   }
 
+  test("VARCHAR(n) overflow is rejected like the warehouse DDL") {
+    val sink = new IncrementalSink(spark,
+      Files.createTempDirectory("graft_sink_vc").toString,
+      partitioning = Map.empty,
+      varcharLimits = Map("t" -> Map("v" -> 5)))
+    sink.appendOnlyNew(df(Row(1, "cinco")), "t", "pk") // exactly 5: fits
+    val e = intercept[IllegalArgumentException] {
+      sink.appendOnlyNew(df(Row(2, "toolong")), "t", "pk")
+    }
+    assert(e.getMessage.contains("VARCHAR(5)"))
+    assert(sink.read("t").count() == 1) // nothing landed
+  }
+
   test("compact heals every crash window of a previous run") {
     import java.nio.file.Paths
     val whDir = Files.createTempDirectory("graft_sink_crash").toString

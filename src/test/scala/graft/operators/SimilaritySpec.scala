@@ -32,8 +32,9 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
-  test("bucketedNearDupPairs: pairs only within the bucket column") {
-    val out = Similarity.bucketedNearDupPairs(emb, "label", threshold = 0.3)
+  test("withinBucketPairsForTests: pairs only within the bucket column") {
+    val out = Similarity.withinBucketPairsForTests(emb, "label",
+      threshold = 0.3)
     val labels = emb.select(col("vec_id"), col("label")).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     val rows = out.collect()
