@@ -63,4 +63,19 @@ class PlanAuditSpec extends SparkSpec {
     // (a plain "HashAggregate" check would pass for ANY aggregate plan)
     assert(p.contains("partial_sum"), p)
   }
+
+  test("q21: centroid assignment is ROW-LOCAL — no window over the N×C frame") {
+    // the r3 formulation ranked probes with row_number() over
+    // partitionBy(vec_id), which shuffles N·C affinity rows (N^1.5 at
+    // C = sqrt(N)); the k-means rewrite sorts each vector's C
+    // affinities inside a projection over ONE broadcast centroid row.
+    // A Window node reappearing in this plan is that shuffle coming
+    // back.
+    graft.engine.GraftSession.tune(spark)
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val p = graft.operators.Similarity.cellAssignments(emb, probes = 2)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // one broadcast row
+  }
 }
