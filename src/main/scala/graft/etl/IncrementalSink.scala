@@ -24,7 +24,9 @@ import org.apache.spark.sql.functions.col
   */
 final class IncrementalSink(spark: SparkSession, warehouseDir: String,
     partitioning: Map[String, Seq[String]] = StarSchema.partitioning,
-    varcharLimits: Map[String, Map[String, Int]] = StarSchema.varcharLimits) {
+    varcharLimits: Map[String, Map[String, Int]] = StarSchema.varcharLimits,
+    foreignKeys: Map[String, Seq[(String, String, String)]] =
+      StarSchema.foreignKeys) {
 
   private def path(table: String) = s"$warehouseDir/$table"
 
@@ -192,14 +194,36 @@ final class IncrementalSink(spark: SparkSession, warehouseDir: String,
     (before.size.toLong, parquetFiles(dir).size.toLong)
   }
 
+  /** FK enforcement against the LOADED parents (the REFERENCES analog,
+    * ddl_tienda_pago_bi.sql:33,40-42 — Postgres rejects an insert whose
+    * non-null FK has no parent row). One left_anti per declared FK; the
+    * parent side is a key-only scan of a dim (broadcast-scale), so the
+    * fact pays three cheap broadcast anti-joins, mirroring what the
+    * database did on every insert. Null FKs pass, as in SQL. A missing
+    * parent TABLE fails too — load order should have created it. */
+  private def checkForeignKeys(df: DataFrame, table: String): Unit =
+    foreignKeys.getOrElse(table, Nil).foreach { case (fk, parent, ppk) =>
+      require(exists(parent),
+        s"table '$table' declares FK $fk -> $parent($ppk) but '$parent' " +
+          s"is not loaded — star load order violated")
+      val orphans = df.select(col(fk)).where(col(fk).isNotNull)
+        .join(read(parent).select(col(ppk).as(fk)), Seq(fk), "left_anti")
+        .count()
+      require(orphans == 0L,
+        s"table '$table': $orphans rows violate FK $fk -> $parent($ppk) — " +
+          s"the warehouse REFERENCES constraint rejects this batch")
+    }
+
   /** FK-ordered load of the whole star (SURVEY §3.1;
     * /root/reference/src/main.py:70-89): parents before children before
     * the fact; empty tables are skipped with a warning, like the
-    * reference. Returns per-table (inserted, ignored). */
+    * reference. FKs are checked against the already-loaded parents
+    * before each table lands. Returns per-table (inserted, ignored). */
   def loadStar(tables: Map[String, DataFrame]): Map[String, (Long, Long)] =
     StarSchema.loadOrder.flatMap { t =>
       tables.get(t).map { df =>
         val pk = StarSchema.primaryKeys(t)
+        checkForeignKeys(df, t)
         t -> appendOnlyNew(df, t, pk)
       }
     }.toMap

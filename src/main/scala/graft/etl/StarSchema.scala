@@ -69,6 +69,19 @@ object StarSchema {
     "dim_sedes", "dim_tipo_transaccion", "dim_distribuidores",
     "dim_clientes", "fct_transacciones")
 
+  /** FK registry from the DDL (ddl_tienda_pago_bi.sql:33,40-42):
+    * child table → (fk column, parent table, parent pk). Postgres
+    * REFERENCES rejects an insert whose non-null FK has no parent row;
+    * the sink replays that check against the loaded parents (load
+    * order guarantees parents land first). Null FKs pass, as in SQL. */
+  val foreignKeys: Map[String, Seq[(String, String, String)]] = Map(
+    "dim_clientes" -> Seq(
+      ("id_distribuidor", "dim_distribuidores", "id_distribuidor")),
+    "fct_transacciones" -> Seq(
+      ("id_cliente", "dim_clientes", "id_cliente"),
+      ("id_sede", "dim_sedes", "id_sede"),
+      ("id_tipo_trx", "dim_tipo_transaccion", "id_tipo_trx")))
+
   /** Physical partitioning per table (SURVEY §4): the fact partitions
     * by transaction date (the derived `fecha_trx_date` column from
     * Transform.buildFact); dims stay unpartitioned — they are

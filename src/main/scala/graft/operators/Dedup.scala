@@ -195,10 +195,13 @@ object Dedup {
     * documents in no pair come out as their own singleton cluster.
     *
     * Driver synchronization is ONE blocking job per pass (the eager
-    * checkpoint). Convergence is NOT checked every pass: the first
-    * `uncheckedIters` passes run back-to-back (near-dup components are
-    * shallow, so early checks never fire), then a check runs every 2nd
-    * pass. The check itself is exact and join-free: the previous label
+    * checkpoint). Convergence checks are skipped for the first
+    * `uncheckedIters` passes (near-dup components are shallow, so
+    * early checks never fire), then run EVERY pass: the check reads
+    * already-checkpointed blocks, so it is orders cheaper than the one
+    * full propagation pass that a sparser check cadence would waste
+    * past the fixpoint. The check itself is exact and join-free: the
+    * previous label
     * rides through the min-aggregate as a side column (neighbors
     * contribute null, which min ignores), so "any row changed" is a
     * short-circuiting `where(new < prev).isEmpty` over the
@@ -237,8 +240,7 @@ object Dedup {
         .agg(min(col("cluster_id")).as("cluster_id"), min(col("prev")).as("prev"))
         .localCheckpoint(true) // cut lineage per pass
       iter += 1
-      if ((iter >= uncheckedIters && (iter - uncheckedIters) % 2 == 0)
-          || iter == maxIters)
+      if (iter >= uncheckedIters || iter == maxIters)
         converged = next.where(col("cluster_id") < col("prev")).isEmpty
       labels = next.drop("prev")
     }

@@ -41,8 +41,13 @@ object EtlFixture {
     Row("1", "2025-06-10", "100", "1001", "1500.50", "15.00", "1"),
     Row("2", "2025-06-14", "101", "1002", "2000.00", "20.00", "2"),
     Row("2", "junk-date", "101", "1003", "300.25", "3.00", "1"), // F1 → null
-    // orphan tipo 99 → RI repair synthesizes the dummy dim row
-    Row("5", "2025-06-14", "99", "1004", "750.00", "7.50", "9"),
+    // orphan tipo 99 → RI repair synthesizes the dummy dim row BEFORE
+    // load — which is exactly why the reference repairs tipos: the
+    // warehouse FK would reject the fact otherwise. Sedes get no such
+    // repair (reference parity), so the sede here must be real: the
+    // sink's FK check (REFERENCES analog) rejects orphan sedes, as the
+    // reference's Postgres would (IncrementalSinkSpec covers that).
+    Row("5", "2025-06-14", "99", "1004", "750.00", "7.50", "1"),
     Row("x", "2025-06-16", "100", "1005", "100.00", "1.00", "2")) // junk id_cliente → null
 
   val variosRows: Seq[RawRow] = Seq(

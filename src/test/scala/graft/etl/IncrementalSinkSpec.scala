@@ -54,7 +54,8 @@ class IncrementalSinkSpec extends SparkSpec {
     // (EtlJobSpec covers the real partitioned star)
     val sink = new IncrementalSink(spark,
       Files.createTempDirectory("graft_sink").toString,
-      partitioning = Map.empty)
+      partitioning = Map.empty,
+      foreignKeys = Map.empty) // toy frames lack the FK columns
     val tables = StarSchema.loadOrder.map { t =>
       t -> df(Row(1, t)).withColumnRenamed("pk", StarSchema.primaryKeys(t))
     }.toMap
@@ -164,6 +165,32 @@ class IncrementalSinkSpec extends SparkSpec {
     assert(sink.appendOnlyNew(
       df(Row(null, "n1"), Row(null, "n2"), Row(1, "a")), "t", "pk")
       == (3L, 0L))
+  }
+
+  test("FK orphans are rejected like the warehouse REFERENCES constraint") {
+    val sink = new IncrementalSink(spark,
+      Files.createTempDirectory("graft_sink_fk").toString,
+      partitioning = Map.empty,
+      foreignKeys = Map("fct_transacciones" ->
+        Seq(("id_sede", "dim_sedes", "id_sede"))))
+    def frame(schema: StructType, rows: Row*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    val sedes = frame(
+      StructType(Seq(StructField("id_sede", IntegerType))), Row(1))
+    val fctSchema = StructType(Seq(
+      StructField("id_trx", IntegerType),
+      StructField("id_sede", IntegerType, nullable = true)))
+    // a real parent and a NULL FK both pass (SQL REFERENCES semantics)
+    val ok = sink.loadStar(Map(
+      "dim_sedes" -> sedes,
+      "fct_transacciones" -> frame(fctSchema, Row(10, 1), Row(11, null))))
+    assert(ok("fct_transacciones") == (2L, 0L))
+    // orphan FK (sede 9 has no parent row) → the batch is rejected
+    val e = intercept[IllegalArgumentException] {
+      sink.loadStar(Map("fct_transacciones" -> frame(fctSchema, Row(12, 9))))
+    }
+    assert(e.getMessage.contains("FK"))
+    assert(sink.read("fct_transacciones").count() == 2) // nothing landed
   }
 
   test("VARCHAR(n) overflow is rejected like the warehouse DDL") {
