@@ -60,6 +60,17 @@ class SimilaritySpec extends SparkSpec {
       s"recall ${ivf.size}/${exact.size}")
   }
 
+  test("extra k-means refinement iterations stay sound and deterministic") {
+    val exact = exactPairs(0.3)
+    def run() = Similarity.ivfCosinePairs(emb, threshold = 0.3,
+      probes = 2, kmeansIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val first = run()
+    assert(first.subsetOf(exact)) // verify step still exact
+    assert(first.nonEmpty)
+    assert(run() == first) // fixed-point means ⇒ run-to-run identical
+  }
+
   test("k-means quantizer: cell count tracks sqrt(N), not N") {
     // the r3 stride quantizer had C = N/50 (assignment O(N^2/50) and a
     // centroid table that grew with the corpus); the k-means front end
