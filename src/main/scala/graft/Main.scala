@@ -46,17 +46,20 @@ object Main {
     * as a character stream (not line-split), so quoting matches what
     * pandas to_csv emits and Spark's CSV reader accepts for the other
     * tables: a quoted field may contain commas, `""` escapes, and
-    * EMBEDDED NEWLINES. Fully blank rows are skipped (the line filter
-    * the old line-based reader applied). */
+    * EMBEDDED NEWLINES. Empty LINES are skipped (matching the old
+    * line-based reader) — but a `,` line (pandas to_csv of a blank
+    * sheet row) stays a (null, null) row, exactly as the xlsx ingest
+    * path of the same sheet yields it: the two paths must agree row
+    * for row, because the sentinel split is order-sensitive. */
   private def readVarios(path: String): Seq[VariosSplitter.RawRow] = {
     val text = new String(Files.readAllBytes(Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8)
     csvRows(text)
+      .filter(_ != Seq("")) // empty line ≠ a row; "," IS a 2-cell row
       .map { cells =>
         def cell(ix: Int) = cells.lift(ix).map(_.trim).filter(_.nonEmpty)
         VariosSplitter.RawRow(cell(0), cell(1))
       }
-      .filter(r => r.c0.nonEmpty || r.c1.nonEmpty)
   }
 
   /** Character-stream CSV parser: rows of fields. Quote state is

@@ -37,8 +37,15 @@ final class IncrementalSink(spark: SparkSession, warehouseDir: String,
     * declared limits (the fact) pay nothing. */
   private def checkVarchar(df: DataFrame, table: String): Unit = {
     import org.apache.spark.sql.functions.{length, max}
-    val limits = varcharLimits.getOrElse(table, Map.empty)
-      .filter { case (c, _) => df.columns.contains(c) }.toSeq
+    val limits = varcharLimits.getOrElse(table, Map.empty).toSeq
+    val absent = limits.collect {
+      case (c, _) if !df.columns.contains(c) => c
+    }
+    // loud, like the missing-partition-column case: silently skipping a
+    // declared limit is exactly the Spark-vs-Postgres gap being closed
+    require(absent.isEmpty,
+      s"table '$table' declares VARCHAR limits on $absent but the frame " +
+        s"lacks those columns")
     if (limits.nonEmpty) {
       val widest = df.agg(max(length(col(limits.head._1))),
         limits.tail.map { case (c, _) => max(length(col(c))) }: _*).head()

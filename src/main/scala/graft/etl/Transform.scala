@@ -83,13 +83,35 @@ object Transform {
     * collapses keep-FIRST in file order — the same drop_duplicates
     * convention the reference itself applies one table over
     * (transform.py:79) and the fix it would need. When None, the raw
-    * join (with blowup) comes back for parity/inspection use. */
+    * join (with blowup) comes back for parity/inspection use.
+    *
+    * The collapse is only DEFINED for join multiplicity, where `ord`
+    * (a unique JSON row index) totally orders the candidates. A
+    * duplicate id in the BASE sheet has no such order — keep-first
+    * would pick a shuffle-dependent survivor and silently bypass the
+    * sink's PK rejection — so base duplicates FAIL the materialization
+    * loudly instead (the reference's Postgres PK is the behavior being
+    * preserved; its pipeline could never load such a sheet either). */
   def buildDimClientes(clientes: DataFrame, recomendados: DataFrame,
       dedupOrderCol: Option[String] = None): DataFrame = {
-    val base = clientes
+    import org.apache.spark.sql.expressions.Window
+    val base0 = clientes
       .withColumnRenamed("IDCLIENTE", "id_cliente")
       .withColumnRenamed("fechaafiliacion", "fecha_afiliacion")
       .withColumnRenamed("fechaprimertrx", "fecha_primera_trx")
+    val base = dedupOrderCol match {
+      case None => base0
+      case Some(_) => // load path: base ids must be unique (see scaladoc)
+        base0
+          .withColumn("__bc",
+            count(lit(1)).over(Window.partitionBy(col("id_cliente"))))
+          .withColumn("id_cliente",
+            when(col("__bc") > 1, expr(
+              "assert_true(false, 'duplicate id_cliente in the Clientes sheet: the warehouse PK rejects this; fix the source')")
+              .cast(base0.schema("id_cliente").dataType))
+              .otherwise(col("id_cliente")))
+          .drop("__bc")
+    }
     val subset = recomendados.select(
       col("IDCLIENTE") +: col("IDDISTRIBUIDOR") +: col("TELEFONO") +:
         col("`categoría`") +: col("recomendados") +:

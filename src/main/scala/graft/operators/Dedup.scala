@@ -195,9 +195,10 @@ object Dedup {
     * documents in no pair come out as their own singleton cluster.
     *
     * Driver synchronization is ONE blocking job per pass (the eager
-    * checkpoint). Convergence checks are skipped for the first
-    * `uncheckedIters` passes (near-dup components are shallow, so
-    * early checks never fire), then run EVERY pass: the check reads
+    * checkpoint). Convergence checks are skipped while `iter <
+    * uncheckedIters` — the first check runs AT pass `uncheckedIters`
+    * (near-dup components are shallow, so earlier checks never fire) —
+    * then run EVERY pass: the check reads
     * already-checkpointed blocks, so it is orders cheaper than the one
     * full propagation pass that a sparser check cadence would waste
     * past the fixpoint. The check itself is exact and join-free: the
@@ -241,7 +242,13 @@ object Dedup {
         .localCheckpoint(true) // cut lineage per pass
       iter += 1
       if (iter >= uncheckedIters || iter == maxIters)
-        converged = next.where(col("cluster_id") < col("prev")).isEmpty
+        // null prev = the id FIRST appeared this pass (a pair endpoint
+        // outside `docs`): that is a change, not a fixpoint — filtering
+        // nulls out would declare early convergence and truncate
+        // propagation through such chains
+        converged = next
+          .where(col("prev").isNull || col("cluster_id") < col("prev"))
+          .isEmpty
       labels = next.drop("prev")
     }
     edges.unpersist() // before the require — no leak on the failure path

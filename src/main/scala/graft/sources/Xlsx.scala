@@ -108,9 +108,16 @@ object Xlsx {
           def isDateFmt(id: Int): Boolean =
             (id >= 14 && id <= 22) || (id >= 45 && id <= 47) ||
               custom.get(id).exists { code =>
+                // ELAPSED-duration formats carry the token itself in
+                // brackets ([h]:mm:ss, [mm]:ss) — their serials are
+                // durations, not instants; decoding one as a date would
+                // fabricate a timestamp, so they are NOT dates here and
+                // pass through as raw numbers
+                val elapsed =
+                  "\\[[hmsHMS]+\\]".r.findFirstIn(code).isDefined
                 val bare = code.replaceAll("\\[[^\\]]*\\]", "")
                   .replaceAll("\"[^\"]*\"", "").replaceAll("\\\\.", "")
-                bare.exists(ch => "ymdhsYMDHS".indexOf(ch.toInt) >= 0)
+                !elapsed && bare.exists(ch => "ymdhsYMDHS".indexOf(ch.toInt) >= 0)
               }
           elems(doc, "cellXfs").headOption.map(e => elemsIn(e, "xf"))
             .getOrElse(Seq.empty).zipWithIndex.collect {

@@ -89,9 +89,12 @@ object SessionizeStream {
             }
             open.foreach { o =>
               st.update(o)
-              // timeout in ms (the GroupState API's unit); +1 so the
-              // boundary instant itself does not fire early
-              st.setTimeoutTimestamp(o.end_us / 1000 + gap / 1000 + 1)
+              // timeout in ms (the GroupState API's unit): sum in µs
+              // FIRST, then round the boundary UP to the next ms —
+              // per-term truncation could fire up to ~1 ms before
+              // end + gap and close a session a within-gap event would
+              // still extend
+              st.setTimeoutTimestamp((o.end_us + gap) / 1000 + 1)
             }
           }
           out.result().iterator

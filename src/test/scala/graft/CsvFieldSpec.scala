@@ -38,6 +38,14 @@ class CsvFieldSpec extends AnyFunSuite {
     assert(Main.csvRows("\"\",b\n") == Seq(Seq("", "b")))
   }
 
+  test("empty line yields a 1-empty-cell row; ',' yields a 2-cell row") {
+    // callers (readVarios) skip the former but must KEEP the latter —
+    // pandas to_csv writes a blank sheet row as ',', and the xlsx path
+    // of the same sheet keeps it too (sentinel split is order-sensitive)
+    assert(Main.csvRows("a,b\n\n,\nc,d") ==
+      Seq(Seq("a", "b"), Seq(""), Seq("", ""), Seq("c", "d")))
+  }
+
   test("unterminated quote fails loudly instead of swallowing the tail") {
     val e = intercept[IllegalArgumentException](Main.csvRows("1,\"oops"))
     assert(e.getMessage.contains("unterminated"))

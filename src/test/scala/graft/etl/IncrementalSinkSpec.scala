@@ -55,7 +55,8 @@ class IncrementalSinkSpec extends SparkSpec {
     val sink = new IncrementalSink(spark,
       Files.createTempDirectory("graft_sink").toString,
       partitioning = Map.empty,
-      foreignKeys = Map.empty) // toy frames lack the FK columns
+      varcharLimits = Map.empty,
+      foreignKeys = Map.empty) // toy frames lack the FK/varchar columns
     val tables = StarSchema.loadOrder.map { t =>
       t -> df(Row(1, t)).withColumnRenamed("pk", StarSchema.primaryKeys(t))
     }.toMap
@@ -171,6 +172,7 @@ class IncrementalSinkSpec extends SparkSpec {
     val sink = new IncrementalSink(spark,
       Files.createTempDirectory("graft_sink_fk").toString,
       partitioning = Map.empty,
+      varcharLimits = Map.empty,
       foreignKeys = Map("fct_transacciones" ->
         Seq(("id_sede", "dim_sedes", "id_sede"))))
     def frame(schema: StructType, rows: Row*) = spark.createDataFrame(
@@ -204,6 +206,16 @@ class IncrementalSinkSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("VARCHAR(5)"))
     assert(sink.read("t").count() == 1) // nothing landed
+    // a declared limit column MISSING from the frame is drift, not a
+    // pass — loud, like the missing-partition-column case
+    val sinkBad = new IncrementalSink(spark,
+      Files.createTempDirectory("graft_sink_vc2").toString,
+      partitioning = Map.empty,
+      varcharLimits = Map("t" -> Map("nope" -> 5)))
+    val e2 = intercept[IllegalArgumentException] {
+      sinkBad.appendOnlyNew(df(Row(1, "a")), "t", "pk")
+    }
+    assert(e2.getMessage.contains("lacks"))
   }
 
   test("compact heals every crash window of a previous run") {

@@ -77,6 +77,28 @@ class TransformSpec extends SparkSpec {
     assert(c4.forall(_.isNullAt(0)))
   }
 
+  test("duplicate id_cliente in the BASE sheet fails the load path loudly") {
+    // keep-first is only defined for JOIN multiplicity (ord orders it);
+    // a base duplicate has no order — collapsing it would pick a
+    // shuffle-dependent survivor and mask the PK violation the
+    // reference's warehouse rejects
+    import org.apache.spark.sql.Row
+    val dupBase = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1, "2024-01-10", "2024-02-01"),
+        Row(1, "2024-03-03", "2024-04-04")), 2),
+      StarSchema.rawClientes)
+    val recomendados = EtlFixture.sources(spark).recomendados.load(spark)
+    val e = intercept[Exception] {
+      Transform.buildDimClientes(dupBase, recomendados,
+        dedupOrderCol = Some("ord")).collect()
+    }
+    assert(e.getMessage.contains("duplicate id_cliente")
+      || Option(e.getCause).exists(_.getMessage.contains("duplicate id_cliente")))
+    // the raw transform build (None) still tolerates it for inspection
+    assert(Transform.buildDimClientes(dupBase, recomendados).count() == 2)
+  }
+
   test("buildFact: coerce casts null junk, keeps all rows (F1/F4)") {
     val fct = tables("fct_transacciones")
     assert(fct.count() == 5)

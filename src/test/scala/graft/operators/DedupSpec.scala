@@ -55,6 +55,17 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("pairs reaching ids OUTSIDE docs still propagate to their fixpoint") {
+    // ids 2..4 exist only as pair endpoints: they join in as label rows
+    // with null prev on their first appearance, which the convergence
+    // check must read as CHANGE — filtering nulls would declare an
+    // early fixpoint and leave the chain tail unlabeled
+    val out = Dedup.nearDupClusters(docs(1), "doc_id",
+      pairs(1L -> 2L, 2L -> 3L, 3L -> 4L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("convergence is correct when the first check lands past the fixpoint") {
     // a single edge converges in 1 pass; with uncheckedIters = 5 the
     // first check runs at pass 5 and must still report the fixpoint

@@ -16,6 +16,9 @@ object XlsxFixtures {
   val DateSerial = "@serial:"
   /** Marker prefix: a datetime-styled numeric cell (custom numFmt). */
   val DateTimeSerial = "@serialdt:"
+  /** Marker prefix: an ELAPSED-duration-styled numeric cell
+    * ([h]:mm:ss) — must NOT decode as a date. */
+  val ElapsedSerial = "@elapsed:"
 
   private def esc(s: String): String = s
     .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
@@ -41,9 +44,10 @@ object XlsxFixtures {
     }.mkString
     put("xl/_rels/workbook.xml.rels",
       s"""<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">$rels</Relationships>""")
-    // style 1 = built-in date (numFmtId 14), style 2 = custom datetime
+    // style 1 = built-in date (numFmtId 14), style 2 = custom datetime,
+    // style 3 = elapsed duration (NOT a date)
     put("xl/styles.xml",
-      s"""<?xml version="1.0"?><styleSheet $ns><numFmts count="1"><numFmt numFmtId="164" formatCode="yyyy\\-mm\\-dd\\ hh:mm:ss"/></numFmts><cellXfs count="3"><xf numFmtId="0"/><xf numFmtId="14" applyNumberFormat="1"/><xf numFmtId="164" applyNumberFormat="1"/></cellXfs></styleSheet>""")
+      s"""<?xml version="1.0"?><styleSheet $ns><numFmts count="2"><numFmt numFmtId="164" formatCode="yyyy\\-mm\\-dd\\ hh:mm:ss"/><numFmt numFmtId="165" formatCode="[h]:mm:ss"/></numFmts><cellXfs count="4"><xf numFmtId="0"/><xf numFmtId="14" applyNumberFormat="1"/><xf numFmtId="164" applyNumberFormat="1"/><xf numFmtId="165" applyNumberFormat="1"/></cellXfs></styleSheet>""")
     sheets.zipWithIndex.foreach { case ((_, rows), i) =>
       val colName = "ABCDEFGHIJ"
       val body = rows.zipWithIndex.map { case (cells, r) =>
@@ -54,6 +58,8 @@ object XlsxFixtures {
               s"""<c r="$ref" s="1"><v>${v.stripPrefix(DateSerial)}</v></c>"""
             else if (v.startsWith(DateTimeSerial))
               s"""<c r="$ref" s="2"><v>${v.stripPrefix(DateTimeSerial)}</v></c>"""
+            else if (v.startsWith(ElapsedSerial))
+              s"""<c r="$ref" s="3"><v>${v.stripPrefix(ElapsedSerial)}</v></c>"""
             else
               s"""<c r="$ref" t="inlineStr"><is><t>${esc(v)}</t></is></c>"""
         }.mkString

@@ -99,13 +99,15 @@ class XlsxSpec extends SparkSpec {
       java.time.LocalDate.of(1899, 12, 30),
       java.time.LocalDate.parse("2024-01-10"))
     val wb = XlsxFixtures.writeWorkbook(Seq("F" -> Seq(
-      Seq("d", "dt", "old"),
+      Seq("d", "dt", "old", "dur"),
       Seq(XlsxFixtures.DateSerial + serial,          // built-in fmt 14
         XlsxFixtures.DateTimeSerial + s"$serial.25", // custom fmt, 6:00 am
-        XlsxFixtures.DateSerial + "59"))))           // phantom-day zone
+        XlsxFixtures.DateSerial + "59",              // phantom-day zone
+        XlsxFixtures.ElapsedSerial + "62.5"))))      // [h]:mm:ss duration
     val rows = Xlsx.readSheet(wb.toString, "F")
     assert(rows(1) == Seq(Some("2024-01-10"),
-      Some("2024-01-10 06:00:00"), Some("59")))
+      Some("2024-01-10 06:00:00"), Some("59"),
+      Some("62.5"))) // elapsed-duration style is NOT a date: raw serial
   }
 
   test("namespace-PREFIXED worksheet parts parse identically (x:row etc.)") {
