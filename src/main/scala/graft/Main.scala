@@ -112,8 +112,12 @@ object Main {
         .withColumn("__ord", monotonically_increasing_id())
   }
 
-  private def etl(srcDir: String, warehouse: String): Unit = {
-    val spark = GraftSession.local()
+  /** Session-independent core of `etl` (tests drive this directly; the
+    * CLI wraps it in its own session): resolve the source layout —
+    * workbook preferred, pre-converted CSV otherwise — run the
+    * pipeline, return per-table accounting. */
+  private[graft] def runEtl(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, warehouse: String): Map[String, (Long, Long)] = {
     val workbook = s"$srcDir/workbook.xlsx"
     val (clientesSrc, trxSrc, variosRows) =
       if (Files.exists(Paths.get(workbook)))
@@ -132,7 +136,12 @@ object Main {
       varios = variosRows,
       recomendados = OrderedJson(s"$srcDir/recomendados.json"),
       recomendadosOrderCol = "__ord")
-    val accounting = EtlJob.run(spark, sources, new IncrementalSink(spark, warehouse))
+    EtlJob.run(spark, sources, new IncrementalSink(spark, warehouse))
+  }
+
+  private def etl(srcDir: String, warehouse: String): Unit = {
+    val spark = GraftSession.local()
+    val accounting = runEtl(spark, srcDir, warehouse)
     // per-table accounting like the reference's load logs (load.py:53-57)
     accounting.toSeq.sortBy(_._1).foreach { case (t, (ins, ign)) =>
       println(s"[etl] $t: inserted=$ins ignored=$ign")
@@ -140,28 +149,42 @@ object Main {
     spark.stop()
   }
 
+  /** Session-independent core of `compact`: (table, before, after). */
+  private[graft] def runCompact(spark: org.apache.spark.sql.SparkSession,
+      warehouse: String): Seq[(String, Long, Long)] = {
+    val sink = new IncrementalSink(spark, warehouse)
+    graft.etl.StarSchema.loadOrder.filter(sink.exists).map { t =>
+      val (before, after) = sink.compact(t)
+      (t, before, after)
+    }
+  }
+
   /** Maintenance pass: collapse each star table's accumulated daily
     * append-files (run periodically, like a VACUUM). */
   private def compact(warehouse: String): Unit = {
     val spark = GraftSession.local()
-    val sink = new IncrementalSink(spark, warehouse)
-    graft.etl.StarSchema.loadOrder.filter(sink.exists).foreach { t =>
-      val (before, after) = sink.compact(t)
+    runCompact(spark, warehouse).foreach { case (t, before, after) =>
       println(s"[compact] $t: $before -> $after files")
     }
     spark.stop()
   }
 
-  private def report(warehouse: String, cut: LocalDate): Unit = {
-    val spark = GraftSession.local()
+  /** Session-independent core of `report`: the formatted message. */
+  private[graft] def runReport(spark: org.apache.spark.sql.SparkSession,
+      warehouse: String, cut: LocalDate): String = {
     val sink = new IncrementalSink(spark, warehouse)
     val fact = sink.read("fct_transacciones")
     val metricsRow = Report.metrics(fact, cut).collect().head
     val dist = Report.distributorPerformance(
       fact, sink.read("dim_clientes"), sink.read("dim_distribuidores"), cut)
       .collect().toSeq
-    println(Report.formatMessage(metricsRow, dist, cut,
-      dashboardUrl = "http://localhost/dashboard"))
+    Report.formatMessage(metricsRow, dist, cut,
+      dashboardUrl = "http://localhost/dashboard")
+  }
+
+  private def report(warehouse: String, cut: LocalDate): Unit = {
+    val spark = GraftSession.local()
+    println(runReport(spark, warehouse, cut))
     spark.stop()
   }
 }

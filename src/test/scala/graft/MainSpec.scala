@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import graft.etl.{IncrementalSink, StarSchema}
+
+/** The CLI cores end-to-end over the PRE-CONVERTED CSV source layout
+  * (`Main etl|report|compact`'s non-workbook path), including a quoted
+  * field with an EMBEDDED NEWLINE in the order-sensitive Varios sheet —
+  * the case the character-stream CSV parser exists for — and a `,`
+  * blank row that must survive as a (null, null) row for xlsx-path
+  * parity.
+  */
+class MainSpec extends SparkSpec {
+
+  private def write(dir: Path, name: String, content: String): Unit =
+    Files.writeString(dir.resolve(name), content)
+
+  test("etl over the CSV layout → star; report; compact — end to end") {
+    val src = Files.createTempDirectory("graft_cli_src")
+    val wh = Files.createTempDirectory("graft_cli_wh").toString
+    write(src, "clientes.csv",
+      """IDCLIENTE,fechaafiliacion,fechaprimertrx
+        |1,2024-01-10,2024-02-01
+        |2,2024-02-15,not-a-date
+        |3,,2024-03-05
+        |4,junk,2024-04-01
+        |5,2024-05-20,2024-05-25
+        |""".stripMargin)
+    write(src, "transacciones.csv",
+      """c0,c1,c2,c3,c4,c5,c6
+        |1,2025-06-10,100,1001,1500.50,15.00,1
+        |2,2025-06-14,101,1002,2000.00,20.00,2
+        |2,junk-date,101,1003,300.25,3.00,1
+        |5,2025-06-14,99,1004,750.00,7.50,1
+        |x,2025-06-16,100,1005,100.00,1.00,2
+        |""".stripMargin)
+    // sede 1's name carries an embedded newline inside quotes (legal
+    // CSV, what pandas to_csv emits); the ',' line is a blank sheet row
+    write(src, "varios.csv",
+      "ID,NOMBRE\n1,\"Sede\nCentro\"\n2,Sede Norte\n,\n" +
+        "ID,DESCRIPCION\n100,Prestamo\n101,Pago\n")
+    write(src, "recomendados.json",
+      """[
+        |{"IDCLIENTE": 1, "IDDISTRIBUIDOR": 10, "NOMBRE DISTRIBUIDOR": "Distribuidora Norte", "TELEFONO": 5551001, "categoría": "A", "recomendados": 3},
+        |{"IDCLIENTE": 2, "IDDISTRIBUIDOR": 20, "NOMBRE DISTRIBUIDOR": "Distribuidora Sur", "TELEFONO": 5551002, "categoría": "B", "recomendados": 1},
+        |{"IDCLIENTE": 2, "IDDISTRIBUIDOR": 20, "NOMBRE DISTRIBUIDOR": "Distribuidora Sur BIS", "TELEFONO": 5551003, "categoría": "B", "recomendados": 2},
+        |{"IDCLIENTE": 9, "IDDISTRIBUIDOR": 30, "NOMBRE DISTRIBUIDOR": "Distribuidora Este", "TELEFONO": 5551004, "categoría": "C", "recomendados": 0}
+        |]""".stripMargin)
+
+    val acct = Main.runEtl(spark, src.toString, wh)
+    assert(acct == Map(
+      "dim_sedes" -> (2L, 0L),
+      "dim_tipo_transaccion" -> (3L, 0L), // 2 catalog + RI-repair dummy
+      "dim_distribuidores" -> (3L, 0L),
+      "dim_clientes" -> (5L, 0L),
+      "fct_transacciones" -> (5L, 0L)))
+
+    // the newline-bearing name survived the stream parser into the dim;
+    // the (null, null) blank row was filtered by the dim key clean
+    val sink = new IncrementalSink(spark, wh)
+    val sedes = sink.read("dim_sedes").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(sedes == Map(1 -> "Sede\nCentro", 2 -> "Sede Norte"))
+
+    // daily re-run: idempotent (0 inserted everywhere)
+    assert(Main.runEtl(spark, src.toString, wh).values.map(_._1).sum == 0L)
+
+    val msg = Main.runReport(spark, wh,
+      java.time.LocalDate.parse("2025-06-14"))
+    assert(msg.contains("PRÉSTAMOS DEL DÍA: $2,750.00"))
+    assert(msg.contains("ACUMULADO MENSUAL: $4,250.50"))
+    assert(msg.contains("- Distribuidora Sur: $2,000.00"))
+    assert(msg.contains("- Venta Directa: $750.00"))
+
+    val comp = Main.runCompact(spark, wh)
+    assert(comp.map(_._1).toSet == StarSchema.loadOrder.toSet)
+    assert(sink.read("fct_transacciones").count() == 5) // data intact
+  }
+}
