@@ -41,6 +41,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUPS", "1").toInt
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // dev-loop filter: comma-separated query-name substrings; unset = all.
+    // The driver never sets it, so the artifact is always the full registry.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     require(runs >= 1 && warmups >= 0,
       s"need runs >= 1 (got $runs) and warmups >= 0 (got $warmups)")
     val spark = SparkSession.builder()
@@ -51,12 +55,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     graft.engine.GraftSession.tune(spark)
 
+    val selected = only match {
+      case Some(subs) =>
+        SparkEntry.registry.filter(q => subs.exists(q.name.contains))
+      case None => SparkEntry.registry
+    }
     var failed = Set.empty[String]
     // best[i] = min across timed sweeps for registry query i (-1 = failed)
-    val best = Array.fill(SparkEntry.registry.size)(Double.MaxValue)
+    val best = Array.fill(selected.size)(Double.MaxValue)
     for (sweep <- 1 to (warmups + runs)) {
       val timed = sweep > warmups
-      SparkEntry.registry.zipWithIndex.foreach { case (q, i) =>
+      selected.zipWithIndex.foreach { case (q, i) =>
         if (!failed.contains(q.name)) {
           try {
             spark.catalog.clearCache()
@@ -77,7 +86,7 @@ object Bench {
         }
       }
     }
-    val results = SparkEntry.registry.zipWithIndex.map { case (q, i) =>
+    val results = selected.zipWithIndex.map { case (q, i) =>
       q.name -> (if (failed.contains(q.name)) -1.0 else best(i))
     }
     val qs = results

@@ -62,13 +62,35 @@ object GraftSession {
     GraftColumns.registerFunction(spark, "graft_rp_signature", { args =>
       require(args.length == 2,
         s"graft_rp_signature expects 2 arguments (vector, planes literal), got ${args.length}")
-      val n = args(1) match {
-        case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
-          lit.value.toString.toInt
-        case other => sys.error(
-          s"graft_rp_signature planes must be an integer literal, got $other")
-      }
-      RpSignature(args.head, n)
+      RpSignature(args.head, intLiteral("graft_rp_signature planes", args(1)))
     })
+    import graft.functions.{MinhashSignature, ShingleHashes, SimhashFingerprint, TokenHashes}
+    GraftColumns.registerFunction(spark, "graft_token_hashes", { args =>
+      require(args.length == 1,
+        s"graft_token_hashes expects 1 argument (text), got ${args.length}")
+      TokenHashes(args.head)
+    })
+    GraftColumns.registerFunction(spark, "graft_shingle_hashes", { args =>
+      require(args.length == 1,
+        s"graft_shingle_hashes expects 1 argument (text), got ${args.length}")
+      ShingleHashes(args.head)
+    })
+    GraftColumns.registerFunction(spark, "graft_minhash_signature", { args =>
+      require(args.length == 2,
+        s"graft_minhash_signature expects 2 arguments (shingles, k literal), got ${args.length}")
+      MinhashSignature(args.head, intLiteral("graft_minhash_signature k", args(1)))
+    })
+    GraftColumns.registerFunction(spark, "graft_simhash", { args =>
+      require(args.length == 2,
+        s"graft_simhash expects 2 arguments (shingles, bits literal), got ${args.length}")
+      SimhashFingerprint(args.head, intLiteral("graft_simhash bits", args(1)))
+    })
+  }
+
+  private def intLiteral(what: String,
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Int = e match {
+    case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
+      lit.value.toString.toInt
+    case other => sys.error(s"$what must be an integer literal, got $other")
   }
 }

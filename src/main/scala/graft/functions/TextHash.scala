@@ -75,4 +75,29 @@ object TextHash {
     * fingerprint carry 48 useful bits. */
   def simhashBit(j: Int, hashCol: Column): Column =
     ((hashCol * lit(2L * j + 3) + lit(7L * j + 1)) % lit(P)).bitwiseAND(lit(1L))
+
+  // ---- compiled equivalents ([[TextHashNative]]) -------------------
+  // The HOF folds above stay as the executable REFERENCE semantics
+  // (property-pinned equal); operators use these codegen'd forms so the
+  // per-character work runs as one primitive JVM loop per row instead
+  // of an interpreted Catalyst eval per character.
+
+  import org.apache.spark.sql.GraftColumns
+
+  /** Codegen'd `tokenHashes(tokens(text))`: ordered per-token hashes. */
+  def tokenHashesOf(text: Column): Column =
+    GraftColumns.of(TokenHashes(GraftColumns.expr(text)))
+
+  /** Codegen'd distinct word-3-gram shingle hashes of a text column
+    * (empty array below 3 tokens). */
+  def shingleHashesOf(text: Column): Column =
+    GraftColumns.of(ShingleHashes(GraftColumns.expr(text)))
+
+  /** Codegen'd k-permutation MinHash signature of a shingle array. */
+  def minhashSignatureOf(sh: Column, k: Int): Column =
+    GraftColumns.of(MinhashSignature(GraftColumns.expr(sh), k))
+
+  /** Codegen'd SimHash fingerprint of a shingle array. */
+  def simhashOf(sh: Column, bits: Int): Column =
+    GraftColumns.of(SimhashFingerprint(GraftColumns.expr(sh), bits))
 }

@@ -1,0 +1,233 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled implementations of the [[TextHash]] folds.
+  *
+  * Why this exists (r4 bench forensics): the HOF formulations
+  * (`aggregate(transform(sequence(...)))` per character) are evaluated
+  * interpretively — Spark higher-order functions never enter
+  * whole-stage codegen, and each character pays a Catalyst
+  * `Expression.eval` round trip plus a boxed lambda call. At sf0.1 the
+  * tokenize+hash chain alone measured ~0.45 s warm (~30% of q18's
+  * whole floor), and under host contention that interpreted CPU is the
+  * first thing to stall — q17/q18/q19 were the three queries that blew
+  * their 2× per-query budgets in BENCH_r04. These expressions run the
+  * identical arithmetic as one primitive JVM loop per row.
+  *
+  * Numeric contract: BIT-IDENTICAL to the [[TextHash]] HOF reference
+  * on the engine's supported text domain. Tokenization splits on runs
+  * of Java-regex `\s` characters (space, \t, \n, \x0B, \f, \r —
+  * exactly the class `split(trim(text), "\\s+")` uses); hashing folds
+  * h = (h*31 + codepoint) % P left-to-right. Code points, not UTF-8
+  * bytes, keep the fold engine-portable: DuckDB's `ascii()` (the
+  * oracle's mirror) is code-point based. `TextHashPropsSpec`
+  * property-pins native ≡ HOF on ASCII strings (the corpus domain —
+  * all driver fixtures verified 100% ASCII at every SF) and pins the
+  * code-point semantics on non-ASCII directly.
+  *
+  * All methods are static forwarders callable from generated Java, so
+  * every expression here participates in whole-stage codegen with one
+  * invoke per row and zero allocation beyond the output array.
+  */
+object TextHashNative {
+  import TextHash.P
+
+  private def isWs(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b || cp == '\f' ||
+      cp == '\r'
+
+  /** Ordered per-token polynomial hashes — compiled
+    * `TextHash.tokenHashes(TextHash.tokens(text))`. */
+  def tokenHashes(s: UTF8String): ArrayData =
+    new GenericArrayData(tokenHashArray(s))
+
+  private def tokenHashArray(s: UTF8String): Array[Long] = {
+    val str = s.toString
+    val n = str.length
+    var out = new Array[Long](8)
+    var m = 0
+    var h = 0L
+    var inTok = false
+    var i = 0
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      if (isWs(cp)) {
+        if (inTok) {
+          if (m == out.length) out = java.util.Arrays.copyOf(out, m * 2)
+          out(m) = h; m += 1; h = 0L; inTok = false
+        }
+      } else {
+        inTok = true
+        h = (h * 31L + cp) % P
+      }
+      i += Character.charCount(cp)
+    }
+    if (inTok) {
+      if (m == out.length) out = java.util.Arrays.copyOf(out, m + 1)
+      out(m) = h; m += 1
+    }
+    if (m == out.length) out else java.util.Arrays.copyOf(out, m)
+  }
+
+  /** Distinct hashed word-3-gram shingles in first-occurrence order —
+    * compiled `array_distinct(TextHash.shingleHashes(tokenHashes))`.
+    * Empty array (not null) when the text has fewer than 3 tokens. */
+  def shingleHashes(s: UTF8String): ArrayData = {
+    val th = tokenHashArray(s)
+    if (th.length < 3) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long](th.length * 2)
+    var i = 0
+    while (i <= th.length - 3) {
+      val hs = (((th(i) * 31L + th(i + 1)) % P) * 31L + th(i + 2)) % P
+      seen.add(hs)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = it.next(); m += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** k MinHash permutation minimums over a shingle-hash array — the
+    * row-local equivalent of `groupBy(doc).agg(min(minhashPerm(i, hs))
+    * for i < k)` (same set, same mins; order-independent). Null for an
+    * empty array (min of nothing), matching the groupBy formulation
+    * where such a doc never has a row. */
+  def minhashSignature(sh: ArrayData, k: Int): ArrayData = {
+    val n = sh.numElements()
+    if (n == 0) return null
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h = sh.getLong(j)
+      var i = 0
+      while (i < k) {
+        val p = (h * (2L * i + 1) + (1000003L * i + 12345L)) % P
+        if (p < mins(i)) mins(i) = p
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** SimHash fingerprint over a shingle-hash array — the row-local
+    * equivalent of the exploded `sum(when(simhashBit(j, hs) === 1, 1)
+    * .otherwise(-1))` per bit (sum over the same set; order-free).
+    * Null for an empty array. */
+  def simhashFingerprint(sh: ArrayData, bits: Int): Any = {
+    val n = sh.numElements()
+    if (n == 0) return null
+    var fp = 0L
+    var j = 0
+    while (j < bits) {
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        val h = sh.getLong(i)
+        val bit = ((h * (2L * j + 3) + (7L * j + 1)) % P) & 1L
+        s += (if (bit == 1L) 1L else -1L)
+        i += 1
+      }
+      if (s > 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+}
+
+/** `graft_token_hashes(text)` → array<bigint>: ordered per-token
+  * polynomial hashes; one compiled pass over the string. */
+case class TokenHashes(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_token_hashes needs a string input, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(s: Any): Any =
+    TextHashNative.tokenHashes(s.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashNative.tokenHashes($c);")
+  override protected def withNewChildInternal(newChild: Expression): TokenHashes =
+    copy(child = newChild)
+  override def prettyName: String = "graft_token_hashes"
+}
+
+/** `graft_shingle_hashes(text)` → array<bigint>: distinct hashed
+  * word-3-gram shingles (empty array below 3 tokens); one compiled
+  * pass — tokenize, per-token fold, 3-gram fold, dedup. */
+case class ShingleHashes(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hashes needs a string input, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(s: Any): Any =
+    TextHashNative.shingleHashes(s.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashNative.shingleHashes($c);")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shingle_hashes"
+}
+
+/** `graft_minhash_signature(sh, k)` → array<bigint> of the k MinHash
+  * permutation minimums of a shingle-hash array (null on empty). */
+case class MinhashSignature(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"minhash signature needs k >= 1, got $k")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_signature needs array<bigint>, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // empty input array => null
+  override protected def nullSafeEval(sh: Any): Any =
+    TextHashNative.minhashSignature(sh.asInstanceOf[ArrayData], k)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TextHashNative.minhashSignature($c, $k);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash_signature"
+}
+
+/** `graft_simhash(sh, bits)` → bigint SimHash fingerprint of a
+  * shingle-hash array (null on empty). */
+case class SimhashFingerprint(child: Expression, bits: Int)
+    extends UnaryExpression {
+  require(bits >= 1 && bits <= 63, s"simhash needs 1 <= bits <= 63, got $bits")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash needs array<bigint>, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true // empty input array => null
+  override protected def nullSafeEval(sh: Any): Any =
+    TextHashNative.simhashFingerprint(sh.asInstanceOf[ArrayData], bits)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("fp")
+      s"""
+      Object $r = graft.functions.TextHashNative.simhashFingerprint($c, $bits);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Long) $r).longValue(); }"""
+    })
+  override protected def withNewChildInternal(newChild: Expression): SimhashFingerprint =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash"
+}

@@ -75,15 +75,19 @@ object Dedup {
     * previously recomputed (tokenize + explode) per consumer. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, maxDf: Int = 100): DataFrame = {
-    // the hot-shingle cap as a count-over-partition window: ONE pass
-    // over the shingle frame (tokenize+explode is the expensive part),
-    // one shuffle on hs — the groupBy+anti-join formulation computed
-    // the frame twice
-    import org.apache.spark.sql.expressions.Window
-    val sh = hashShingled(docs, idCol, textCol)
-      .withColumn("__df",
-        count(lit(1)).over(Window.partitionBy(col("hs"))))
-      .where(col("__df") <= maxDf).drop("__df")
+    // the hot-shingle cap as a tiny hot-key list + anti-join, NOT a
+    // count-over-partition window: the window formulation sorted the
+    // ENTIRE exploded shingle frame on hs (the single most expensive
+    // stage of r4's q17 and the first thing to stall under host
+    // contention), where the groupBy is partial-aggregated map-side —
+    // the exchange carries (hs, partial count), and the hot list it
+    // produces is heavy-hitters-small, so AQE plans the anti-join as a
+    // broadcast. The capped index is the frame every downstream
+    // consumer (sizes + both self-join sides) shares — persist it once.
+    val ex = hashShingled(docs, idCol, textCol)
+    val hot = ex.groupBy(col("hs")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDf).select(col("hs"))
+    val sh = ex.join(hot, Seq("hs"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("da"), col("hs"))
@@ -102,16 +106,27 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** (doc_id, shingle_hash) distinct pairs — the hashed-set variant the
-    * MinHash path runs on (collisions are deterministic and identical
-    * in the oracle, so verification stays exact). */
+  /** (doc_id, sh: array<long>) — each doc's DISTINCT shingle-hash set
+    * as one row-local array, computed by the codegen'd
+    * [[graft.functions.ShingleHashes]] pass (docs under 3 tokens drop
+    * out, matching the HOF guard). Signatures (minhash, simhash) and
+    * set sizes are order-free folds over this set, so everything but
+    * candidate generation stays narrow. */
+  private[graft] def shingleArrays(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        TextHash.shingleHashesOf(col(textCol)).as("sh"))
+      .where(size(col("sh")) >= 1)
+
+  /** (doc_id, shingle_hash) distinct pairs — [[shingleArrays]] exploded
+    * for the paths that need an inverted index (collisions are
+    * deterministic and identical in the oracle, so verification stays
+    * exact). */
   private def hashShingled(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame =
-    docs
-      .select(col(idCol).as("doc_id"), TextHash.tokens(col(textCol)).as("w"))
-      .where(size(col("w")) >= 3)
-      .select(col("doc_id"), TextHash.tokenHashes("w").as("wh"))
-      .select(col("doc_id"), explode(TextHash.shingleHashes("wh")).as("hs"))
+    shingleArrays(docs, idCol, textCol)
+      .select(col("doc_id"), explode(col("sh")).as("hs"))
 
   /** MinHash-LSH near-dup pairs (SURVEY §2.11: shingle → minhash
     * signature → band-bucket → pairwise verify; never all-pairs).
@@ -124,19 +139,29 @@ object Dedup {
     * missed — that is the documented LSH trade. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, k: Int = 16, bands: Int = 4): DataFrame = {
+    require(threshold > 0.0,
+      s"minhashLshPairs needs threshold > 0 (got $threshold): zero-overlap " +
+        "band collisions are excluded from the output by construction")
     val rows = k / bands
-    // four consumers (signature agg, both verify-join sides, sizes) —
-    // persist so tokenize+explode runs once, not per consumer
-    val sh = hashShingled(docs, idCol, textCol)
+    // three consumers (signatures, both verify-join sides) share the
+    // per-doc shingle-array frame — persist so the codegen'd
+    // tokenize+shingle pass runs once. Everything per-doc is ROW-LOCAL
+    // from the array (signature mins via the compiled k-permutation
+    // pass, set size via size()): the r4 formulation exploded the
+    // shingles and paid a 16-column groupBy shuffle for the signatures
+    // plus another for the sizes before any candidate was generated.
+    val base = shingleArrays(docs, idCol, textCol)
+      .withColumn("n", size(col("sh")).cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val mins = (0 until k).map(i =>
-      min(TextHash.minhashPerm(i, col("hs"))).as(s"mh$i"))
-    val sigs = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-
+    // two selects on purpose: the signature array materializes ONCE in
+    // the first projection; CollapseProject keeps the multi-referenced
+    // alias rather than inlining k copies of the signature pass
+    val sigs = base.select(col("doc_id"),
+      TextHash.minhashSignatureOf(col("sh"), k).as("sig"))
     val bandStructs = (0 until bands).map { b =>
       val sig = concat_ws("|",
-        (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
+        (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)
       struct(lit(b).as("band"), sig.as("sig"))
     }
     val bucketed = sigs
@@ -149,15 +174,20 @@ object Dedup {
       .where(col("da") < col("db"))
       .select(col("da"), col("db")).distinct()
 
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("da"), col("hs")), Seq("da"))
-      .join(sh.select(col("doc_id").as("db"), col("hs")), Seq("db", "hs"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
+    // verify = re-attach both shingle ARRAYS and intersect row-locally:
+    // the arrays are distinct-element sets, so size(array_intersect) is
+    // the exact overlap — same count the r4 exploded inner join +
+    // groupBy produced, without shuffling the index twice. A candidate
+    // pair with zero overlap (band collision without a shared shingle)
+    // gets jaccard 0 and is dropped by the threshold filter, exactly as
+    // the old inner join dropped it.
     val union = col("na") + col("nb") - col("i")
-    inter
-      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+    cand
+      .join(base.select(col("doc_id").as("da"), col("sh").as("sha"),
+        col("n").as("na")), Seq("da"))
+      .join(base.select(col("doc_id").as("db"), col("sh").as("shb"),
+        col("n").as("nb")), Seq("db"))
+      .withColumn("i", size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .withColumn("jaccard", col("i").cast("double") / union)
       .where(col("jaccard") >= threshold)
       .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jaccard"))
@@ -165,19 +195,15 @@ object Dedup {
   }
 
   /** 48-bit SimHash fingerprints over hashed shingles. One long per
-    * document; near-dups land within small hamming distance. */
+    * document; near-dups land within small hamming distance.
+    * Row-local: the compiled fingerprint pass folds each doc's shingle
+    * array directly — no explode, no 48-column groupBy shuffle (the r4
+    * shape). Bit-identical: each bit's majority vote sums ±1 over the
+    * same distinct-shingle set, so order never enters. */
   def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String,
-      bits: Int = 48): DataFrame = {
-    val sh = hashShingled(docs, idCol, textCol)
-    val bitSums = (0 until bits).map(j =>
-      sum(when(TextHash.simhashBit(j, col("hs")) === 1, 1).otherwise(-1))
-        .as(s"s$j"))
-    val fp = (0 until bits).map(j =>
-      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    sh.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), fp.as("simhash"))
-  }
+      bits: Int = 48): DataFrame =
+    shingleArrays(docs, idCol, textCol)
+      .select(col("doc_id"), TextHash.simhashOf(col("sh"), bits).as("simhash"))
 
   /** Near-dup CLUSTERS from a pair list — the step that turns pairwise
     * similarity into an actual dedup decision. Connected components by

@@ -136,10 +136,13 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     import TextHash.P
+    // the codegen'd token-hash pass replaces tokens()+tokenHashes():
+    // n_tokens = size of the parallel hash array, and the rolling folds
+    // below consume only the hashes, never the token strings
     docs
-      .select(col(idCol).as("doc_id"), TextHash.tokens(col(textCol)).as("w"))
-      .select(col("doc_id"), size(col("w")).as("n_tokens"),
-        TextHash.tokenHashes("w").as("wh"))
+      .select(col(idCol).as("doc_id"),
+        TextHash.tokenHashesOf(col(textCol)).as("wh"))
+      .select(col("doc_id"), size(col("wh")).as("n_tokens"), col("wh"))
       .select(
         col("doc_id"), col("n_tokens"),
         TextHash.rollingFold("wh").as("rolling_fp"),
