@@ -7,7 +7,9 @@ import org.apache.spark.sql.SparkSession
   *
   * Harness discipline (r2 verdict item 2 — the previous harness hid real
   * regressions behind noise; r3 verdict "What's wrong #3" — back-to-back
-  * runs shared one contention window):
+  * runs shared one contention window; r5 verdict item 1 — a burst that
+  * outlasted the whole bench poisoned every sweep sample of q31 and the
+  * artifact, not the code, became the round's one weak number):
   *  - deterministic order: queries run in `SparkEntry.registry` order
   *    (a Seq), never hash-map order, so JIT/GC tax lands on the same
   *    queries every round and rounds are comparable;
@@ -19,6 +21,19 @@ import org.apache.spark.sql.SparkSession
   *    on both, while quiet-host runs are 2-3 s) — sweeps space the
   *    repeats ~a full registry apart, so a burst must outlast the whole
   *    bench to poison every sample of a query;
+  *  - OUTLIER RE-MEASURE (r5 item 1): a burst CAN outlast the bench —
+  *    BENCH_r05 recorded q31 at 16.3 s (all three sweeps poisoned)
+  *    against a 3.1 s recorded floor, reproduced at 3.36 s quiet. After
+  *    the sweeps, any query whose min still exceeds
+  *    `remeasureFactor` (default 1.5×) its recorded BASELINE floor gets
+  *    one extra isolated run (its own contention window, after the
+  *    burst had the whole bench to die down) and keeps the min. The
+  *    floors table below is the machine-readable mirror of BASELINE.md;
+  *    it only applies at the gate SF (sf0.1 — floors are SF-specific);
+  *  - PER-SAMPLE AUDIT TRAIL: every timed sample (sweeps + re-measure)
+  *    is emitted in the JSON (`"samples"`), so a poisoned min is
+  *    visible in the artifact instead of indistinguishable from a slow
+  *    query;
   *  - `spark.catalog.clearCache()` before EVERY run, warmup and timed:
   *    several operators persist() shared intermediate frames, and
   *    Spark's CacheManager matches plan-identical frames across
@@ -33,16 +48,42 @@ import org.apache.spark.sql.SparkSession
   *  - a query that throws is a FAILURE: it is reported in `failed`,
   *    excluded from the total, skipped in later sweeps, and the process
   *    exits non-zero (the old harness recorded thrown queries as fast
-  *    successes).
+  *    successes);
+  *  - a FILTERED run is SELF-IDENTIFYING (ADVICE r5): when
+  *    SPARK_GRAFT_BENCH_ONLY is set the JSON carries
+  *    `"partial":true,"only":"<filter>"`, so a dev-loop artifact can
+  *    never pass for a full-registry run even if the env var leaks into
+  *    the driver environment.
   */
 object Bench {
+
+  /** Best-observed per-query minimums (seconds, sf0.1, local[32],
+    * quiet host) — the machine-readable mirror of BASELINE.md's
+    * measured-results table, read by the outlier re-measure pass.
+    * Stale-floor failure mode is benign: a floor that is too LOW only
+    * triggers a spare isolated run; queries absent here use
+    * `defaultFloor` (BASELINE.md: "remaining queries ≤ 1.2 each"). */
+  private[graft] val floors: Map[String, Double] = Map(
+    "q31_neardup_clusters" -> 3.1,
+    "q17_ngram_jaccard_neardup" -> 2.5,
+    "q21_embedding_neardup_ivf" -> 2.0,
+    "q30_embedding_neardup_rplsh" -> 1.8,
+    "q18_minhash_lsh_neardup" -> 0.8,
+    "q19_simhash_neardup" -> 0.65,
+    "q25_doc_fingerprint" -> 1.1,
+    "q34_event_sessionize" -> 1.0,
+    "q9_sales_by_nation" -> 0.9,
+    "q20_embedding_topk" -> 0.5)
+  private[graft] val defaultFloor = 1.2
+  private[graft] val remeasureFactor = 1.5
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUPS", "1").toInt
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // dev-loop filter: comma-separated query-name substrings; unset = all.
-    // The driver never sets it, so the artifact is always the full registry.
+    // The driver never sets it; a filtered artifact says so in its JSON.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     require(runs >= 1 && warmups >= 0,
@@ -61,40 +102,71 @@ object Bench {
       case None => SparkEntry.registry
     }
     var failed = Set.empty[String]
-    // best[i] = min across timed sweeps for registry query i (-1 = failed)
-    val best = Array.fill(selected.size)(Double.MaxValue)
+    // every timed sample per query, in measurement order (audit trail)
+    val samples = Array.fill(selected.size)(
+      scala.collection.mutable.ArrayBuffer.empty[Double])
+
+    def timeOne(i: Int, record: Boolean): Unit = {
+      val q = selected(i)
+      try {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        // noop sink, NOT count(): under a count aggregate Catalyst
+        // prunes every projection-only column, so a query like q33
+        // would time the scan and skip the regex/hash work entirely —
+        // the noop writer materializes every output column
+        q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (record) samples(i) += sec
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} FAILED: $e")
+          failed += q.name
+      }
+      System.gc() // let the ContextCleaner drop checkpoint debris
+    }
+
     for (sweep <- 1 to (warmups + runs)) {
       val timed = sweep > warmups
-      selected.zipWithIndex.foreach { case (q, i) =>
-        if (!failed.contains(q.name)) {
-          try {
-            spark.catalog.clearCache()
-            val t0 = System.nanoTime()
-            // noop sink, NOT count(): under a count aggregate Catalyst
-            // prunes every projection-only column, so a query like q33
-            // would time the scan and skip the regex/hash work entirely —
-            // the noop writer materializes every output column
-            q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-            val sec = (System.nanoTime() - t0) / 1e9
-            if (timed && sec < best(i)) best(i) = sec
-          } catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] ${q.name} FAILED: $e")
-              failed += q.name
-          }
-          System.gc() // let the ContextCleaner drop checkpoint debris
+      selected.indices.foreach { i =>
+        if (!failed.contains(selected(i).name)) timeOne(i, timed)
+      }
+    }
+
+    // outlier re-measure: floors are recorded at the gate SF only
+    val floorsApply = sfDir.contains("sf0.1")
+    val remeasured = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (floorsApply) selected.indices.foreach { i =>
+      val name = selected(i).name
+      if (!failed.contains(name) && samples(i).nonEmpty) {
+        val floor = floors.getOrElse(name, defaultFloor)
+        if (samples(i).min > remeasureFactor * floor) {
+          remeasured += name
+          timeOne(i, record = true)
         }
       }
     }
+
     val results = selected.zipWithIndex.map { case (q, i) =>
-      q.name -> (if (failed.contains(q.name)) -1.0 else best(i))
+      q.name -> (if (failed.contains(q.name) || samples(i).isEmpty) -1.0
+                 else samples(i).min)
     }
+    def fmt(d: Double): String = f"$d%.4f"
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val samplesJson = selected.zipWithIndex
+      .map { case (q, i) =>
+        "\"" + q.name + "\":" + samples(i).map(fmt).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
     val failedJson = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val remeasuredJson = remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"warmups":$warmups,"runs":$runs,"sf":"$sfDir"}""")
+    val partial = only match {
+      case Some(subs) => s""""partial":true,"only":"${subs.mkString(",")}","""
+      case None => ""
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$partial"queries":$qs,"samples":$samplesJson,"remeasured":$remeasuredJson,"failed":$failedJson,"warmups":$warmups,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -85,6 +85,28 @@ object GraftSession {
         s"graft_simhash expects 2 arguments (shingles, bits literal), got ${args.length}")
       SimhashFingerprint(args.head, intLiteral("graft_simhash bits", args(1)))
     })
+    import graft.functions.{MarkerCount, MinGramFold, PolyFold, SumTokenLengths}
+    GraftColumns.registerFunction(spark, "graft_marker_count", { args =>
+      require(args.length >= 2,
+        s"graft_marker_count expects (words, marker literals...), got ${args.length} arguments")
+      MarkerCount(args.head,
+        args.tail.map(a => stringLiteral("graft_marker_count marker", a)))
+    })
+    GraftColumns.registerFunction(spark, "graft_sum_token_lengths", { args =>
+      require(args.length == 1,
+        s"graft_sum_token_lengths expects 1 argument (words), got ${args.length}")
+      SumTokenLengths(args.head)
+    })
+    GraftColumns.registerFunction(spark, "graft_poly_fold", { args =>
+      require(args.length == 2,
+        s"graft_poly_fold expects 2 arguments (hashes, mult literal), got ${args.length}")
+      PolyFold(args.head, intLiteral("graft_poly_fold mult", args(1)).toLong)
+    })
+    GraftColumns.registerFunction(spark, "graft_min_gram_fold", { args =>
+      require(args.length == 2,
+        s"graft_min_gram_fold expects 2 arguments (hashes, gram literal), got ${args.length}")
+      MinGramFold(args.head, intLiteral("graft_min_gram_fold gram", args(1)))
+    })
   }
 
   private def intLiteral(what: String,
@@ -92,5 +114,13 @@ object GraftSession {
     case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
       lit.value.toString.toInt
     case other => sys.error(s"$what must be an integer literal, got $other")
+  }
+
+  private def stringLiteral(what: String,
+      e: org.apache.spark.sql.catalyst.expressions.Expression): String = e match {
+    case lit: org.apache.spark.sql.catalyst.expressions.Literal
+        if lit.value != null =>
+      lit.value.toString
+    case other => sys.error(s"$what must be a string literal, got $other")
   }
 }

@@ -100,4 +100,20 @@ object TextHash {
   /** Codegen'd SimHash fingerprint of a shingle array. */
   def simhashOf(sh: Column, bits: Int): Column =
     GraftColumns.of(SimhashFingerprint(GraftColumns.expr(sh), bits))
+
+  /** Codegen'd marker-set token count (`size(filter(w, isin(...)))`). */
+  def markerCountOf(words: Column, markers: Seq[String]): Column =
+    GraftColumns.of(MarkerCount(GraftColumns.expr(words), markers))
+
+  /** Codegen'd sum of per-token character counts. */
+  def sumTokenLengthsOf(words: Column): Column =
+    GraftColumns.of(SumTokenLengths(GraftColumns.expr(words)))
+
+  /** Codegen'd [[rollingFold]] (whole-array 131-multiplier fold). */
+  def rollingFoldOf(hashes: Column): Column =
+    GraftColumns.of(PolyFold(GraftColumns.expr(hashes), 131L))
+
+  /** Codegen'd minimum `gram`-window fold (null below `gram` hashes). */
+  def minGramFoldOf(hashes: Column, gram: Int): Column =
+    GraftColumns.of(MinGramFold(GraftColumns.expr(hashes), gram))
 }

@@ -119,6 +119,80 @@ object TextHashNative {
     new GenericArrayData(mins)
   }
 
+  /** Count of tokens that belong to a marker set — compiled
+    * `size(filter(words, t => t.isin(markers)))`. Null elements are
+    * never hits (`isin` yields null there, which `filter` drops). */
+  def markerCount(words: ArrayData, markers: Array[UTF8String]): Int = {
+    val n = words.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!words.isNullAt(i)) {
+        val w = words.getUTF8String(i)
+        var j = 0
+        while (j < markers.length) {
+          if (markers(j).equals(w)) { c += 1; j = markers.length }
+          else j += 1
+        }
+      }
+      i += 1
+    }
+    c
+  }
+
+  /** Sum of per-token character counts — compiled
+    * `aggregate(transform(words, x -> length(x)), 0L, (a, b) -> a + b)`.
+    * A null element poisons the whole sum to null, exactly as `a + null`
+    * does in the HOF fold. */
+  def sumTokenLengths(words: ArrayData): Any = {
+    val n = words.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (words.isNullAt(i)) return null
+      s += words.getUTF8String(i).numChars()
+      i += 1
+    }
+    s
+  }
+
+  /** Whole-array polynomial fold — compiled
+    * `aggregate(hashes, 0L, (a, x) -> ((a * mult) + x) % P)`.
+    * 0 on an empty array (the fold's zero), like the HOF. */
+  def polyFold(hs: ArrayData, mult: Long): Long = {
+    val n = hs.numElements()
+    var a = 0L
+    var i = 0
+    while (i < n) {
+      a = (a * mult + hs.getLong(i)) % P
+      i += 1
+    }
+    a
+  }
+
+  /** Minimum `gram`-window polynomial fold over a hash array — compiled
+    * `array_min(transform(sequence(1, n - gram + 1), i ->
+    *   aggregate(slice(hs, i, gram), 0L, (a, x) -> ((a * 131) + x) % P)))`
+    * guarded by `n >= gram`. Null below `gram` elements (the guard's
+    * `otherwise(null)` branch folded in). */
+  def minGramFold(hs: ArrayData, gram: Int): Any = {
+    val n = hs.numElements()
+    if (n < gram) return null
+    var best = Long.MaxValue
+    var i = 0
+    while (i <= n - gram) {
+      var a = 0L
+      var j = 0
+      while (j < gram) {
+        a = (a * 131L + hs.getLong(i + j)) % P
+        j += 1
+      }
+      if (a < best) best = a
+      i += 1
+    }
+    best
+  }
+
   /** SimHash fingerprint over a shingle-hash array — the row-local
     * equivalent of the exploded `sum(when(simhashBit(j, hs) === 1, 1)
     * .otherwise(-1))` per bit (sum over the same set; order-free).
@@ -188,10 +262,14 @@ case class ShingleHashes(child: Expression) extends UnaryExpression {
 case class MinhashSignature(child: Expression, k: Int)
     extends UnaryExpression {
   require(k >= 1, s"minhash signature needs k >= 1, got $k")
+  // containsNull=false required (ADVICE r5): getLong on a null element
+  // reads 0 or NPEs depending on the array encoding — via the SQL
+  // registration a null-bearing array would silently poison the
+  // signature. The operators only ever feed null-free hash arrays.
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(
-      s"graft_minhash_signature needs array<bigint>, got ${dt.catalogString}")
+      s"graft_minhash_signature needs array<bigint> without null elements, got ${dt.catalogString}")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true // empty input array => null
@@ -211,10 +289,11 @@ case class MinhashSignature(child: Expression, k: Int)
 case class SimhashFingerprint(child: Expression, bits: Int)
     extends UnaryExpression {
   require(bits >= 1 && bits <= 63, s"simhash needs 1 <= bits <= 63, got $bits")
+  // containsNull=false required — same rationale as MinhashSignature
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(
-      s"graft_simhash needs array<bigint>, got ${dt.catalogString}")
+      s"graft_simhash needs array<bigint> without null elements, got ${dt.catalogString}")
   }
   override def dataType: DataType = LongType
   override def nullable: Boolean = true // empty input array => null
@@ -230,4 +309,108 @@ case class SimhashFingerprint(child: Expression, bits: Int)
   override protected def withNewChildInternal(newChild: Expression): SimhashFingerprint =
     copy(child = newChild)
   override def prettyName: String = "graft_simhash"
+}
+
+/** `graft_marker_count(words, m1, m2, ...)` → int: number of tokens in
+  * the marker set — compiled `size(filter(words, t => t.isin(...)))`.
+  * The marker set is tiny (language stopword profiles), so membership
+  * is a linear probe over a shared UTF8String array, no per-row
+  * allocation. */
+case class MarkerCount(child: Expression, markers: Seq[String])
+    extends UnaryExpression {
+  require(markers.nonEmpty, "marker count needs a non-empty marker set")
+  @transient private lazy val utf8Markers: Array[UTF8String] =
+    markers.map(UTF8String.fromString).toArray
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_marker_count needs array<string>, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(words: Any): Any =
+    TextHashNative.markerCount(words.asInstanceOf[ArrayData], utf8Markers)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("graftMarkers", utf8Markers,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashNative.markerCount($c, $m);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MarkerCount =
+    copy(child = newChild)
+  override def prettyName: String = "graft_marker_count"
+}
+
+/** `graft_sum_token_lengths(words)` → bigint: sum of per-token char
+  * counts — compiled `aggregate(transform(words, x -> length(x)), 0L,
+  * (a, b) -> a + b)` (null element => null sum, like the HOF fold). */
+case class SumTokenLengths(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_sum_token_lengths needs array<string>, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true // null element poisons the sum
+  override protected def nullSafeEval(words: Any): Any =
+    TextHashNative.sumTokenLengths(words.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("sumLen")
+      s"""
+      Object $r = graft.functions.TextHashNative.sumTokenLengths($c);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Long) $r).longValue(); }"""
+    })
+  override protected def withNewChildInternal(newChild: Expression): SumTokenLengths =
+    copy(child = newChild)
+  override def prettyName: String = "graft_sum_token_lengths"
+}
+
+/** `graft_poly_fold(hashes, mult)` → bigint: whole-array left fold
+  * h = (h*mult + x) % P — compiled `TextHash.rollingFold` (0 on empty,
+  * the fold's zero element). */
+case class PolyFold(child: Expression, mult: Long) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_poly_fold needs array<bigint> without null elements, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(hs: Any): Any =
+    TextHashNative.polyFold(hs.asInstanceOf[ArrayData], mult)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashNative.polyFold($c, ${mult}L);")
+  override protected def withNewChildInternal(newChild: Expression): PolyFold =
+    copy(child = newChild)
+  override def prettyName: String = "graft_poly_fold"
+}
+
+/** `graft_min_gram_fold(hashes, gram)` → bigint: minimum over all
+  * `gram`-length windows of the 131-multiplier polynomial fold — the
+  * winnowing-style min-gram marker, compiled from the nested
+  * `array_min(transform(sequence(...), i -> aggregate(slice(...))))`
+  * HOF (null below `gram` elements, folding in the caller's size
+  * guard). */
+case class MinGramFold(child: Expression, gram: Int)
+    extends UnaryExpression {
+  require(gram >= 1, s"min-gram fold needs gram >= 1, got $gram")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_min_gram_fold needs array<bigint> without null elements, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true // fewer than `gram` hashes => null
+  override protected def nullSafeEval(hs: Any): Any =
+    TextHashNative.minGramFold(hs.asInstanceOf[ArrayData], gram)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("mgf")
+      s"""
+      Object $r = graft.functions.TextHashNative.minGramFold($c, $gram);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Long) $r).longValue(); }"""
+    })
+  override protected def withNewChildInternal(newChild: Expression): MinGramFold =
+    copy(child = newChild)
+  override def prettyName: String = "graft_min_gram_fold"
 }

@@ -70,9 +70,10 @@ object Dedup {
     * identically by the oracle. Hot shingles (document frequency >
     * `maxDf`) are dropped before the join: stopword-shingles would
     * generate O(df²) candidate pairs for zero near-dup signal, and the
-    * cap bounds worst-case skew at scale. The shingle DF feeds three
-    * consumers (sizes, both join sides) and is persisted once — it was
-    * previously recomputed (tokenize + explode) per consumer. */
+    * cap bounds worst-case skew at scale. The exploded shingle frame is
+    * computed (tokenize + explode) exactly once and persisted; every
+    * downstream consumer — the hot-key aggregate, the per-doc sizes,
+    * both self-join sides — reads that one cache. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, maxDf: Int = 100): DataFrame = {
     // the hot-shingle cap as a tiny hot-key list + anti-join, NOT a
@@ -82,13 +83,22 @@ object Dedup {
     // contention), where the groupBy is partial-aggregated map-side —
     // the exchange carries (hs, partial count), and the hot list it
     // produces is heavy-hitters-small, so AQE plans the anti-join as a
-    // broadcast. The capped index is the frame every downstream
-    // consumer (sizes + both self-join sides) shares — persist it once.
+    // broadcast. The EXPLODED frame is the one persisted frame (r5
+    // verdict item 3): it feeds the hot-key aggregate AND the anti-join
+    // left side, so persisting downstream of the cap (the r5 shape)
+    // still paid tokenize+explode twice — at 100 TB that is two full
+    // corpus scans. The capped `sh` stays UNpersisted on purpose: each
+    // of its consumers (sizes + both self-join sides) re-runs only a
+    // broadcast hash probe over the cached exploded rows (narrow,
+    // no shuffle — the hot-list broadcast is built once and reused via
+    // exchange reuse), which is far cheaper than materializing a second
+    // near-identical cache. PlanAuditSpec pins the single
+    // InMemoryRelation and the generator living inside its build plan.
     val ex = hashShingled(docs, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val hot = ex.groupBy(col("hs")).agg(count(lit(1)).as("__df"))
       .where(col("__df") > maxDf).select(col("hs"))
     val sh = ex.join(hot, Seq("hs"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("da"), col("hs"))
     val b = sh.select(col("doc_id").as("db"), col("hs"))

@@ -26,8 +26,13 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "fr" -> Seq("le", "les", "et", "est", "une"))
 
+  // compiled marker-set counter (r5 verdict item 5): the HOF
+  // formulation `size(filter(w, t => t.isin(...)))` evaluated
+  // interpretively per token; [[graft.functions.MarkerCount]] runs the
+  // same membership test as one generated loop (TextHashNativeSpec
+  // pins the two equal)
   private def markerCount(words: Column, markers: Seq[String]): Column =
-    size(filter(words, t => t.isin(markers.map(lit): _*)))
+    TextHash.markerCountOf(words, markers)
 
   /** Marker-token language-ID heuristic: count stopword hits per
     * language profile, predict the argmax (deterministic preference
@@ -77,8 +82,7 @@ object TextAnalysis {
     val m = base.select(
       col("doc_id"), col("n_chars"),
       size(col("w")).as("n_tokens"),
-      expr("aggregate(transform(w, x -> length(x)), 0L, (a, b) -> a + b)")
-        .as("sum_tok_len"),
+      TextHash.sumTokenLengthsOf(col("w")).as("sum_tok_len"),
       markerCount(col("w"), stop).as("n_stop"),
       col("n_punct"))
     // zero-divisor guards: Spark's Divide yields null on /0 but DuckDB
@@ -134,23 +138,20 @@ object TextAnalysis {
     * winnowing-style marker used for containment detection — shared
     * min-gram => likely shared passage). */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String)
-      : DataFrame = {
-    import TextHash.P
-    // the codegen'd token-hash pass replaces tokens()+tokenHashes():
-    // n_tokens = size of the parallel hash array, and the rolling folds
-    // below consume only the hashes, never the token strings
+      : DataFrame =
+    // fully compiled (r5 verdict item 4): the token-hash pass, the
+    // whole-document rolling fold, and the min-8-gram fold are all
+    // codegen expressions — the nested transform/aggregate/slice HOF
+    // this replaces was the last interpreted hot loop (q25's per-window
+    // re-fold paid a Catalyst eval round trip per element). MinGramFold
+    // folds the caller's `n_tokens >= 8` guard in (null below 8);
+    // TextHashNativeSpec pins both folds ≡ the HOF reference.
     docs
       .select(col(idCol).as("doc_id"),
         TextHash.tokenHashesOf(col(textCol)).as("wh"))
-      .select(col("doc_id"), size(col("wh")).as("n_tokens"), col("wh"))
       .select(
-        col("doc_id"), col("n_tokens"),
-        TextHash.rollingFold("wh").as("rolling_fp"),
-        when(col("n_tokens") >= 8,
-          array_min(expr(s"""
-            transform(sequence(1, size(wh) - 7), i ->
-              aggregate(slice(wh, i, 8), 0L, (a, x) -> ((a * 131L) + x) % ${P}L))""")))
-          .otherwise(lit(null).cast("long")).as("min_gram_fp"))
+        col("doc_id"), size(col("wh")).as("n_tokens"),
+        TextHash.rollingFoldOf(col("wh")).as("rolling_fp"),
+        TextHash.minGramFoldOf(col("wh"), 8).as("min_gram_fp"))
       .orderBy(col("doc_id"))
-  }
 }

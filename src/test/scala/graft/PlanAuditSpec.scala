@@ -57,6 +57,55 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans >= 3, s"expected >=3 cached-scan consumers, got $scans:\n$p")
   }
 
+  test("q17: ONE InMemoryRelation; tokenize+explode only inside its build") {
+    // r5 verdict item 3: the r5 shape persisted downstream of the
+    // df-cap, so the hot-key aggregate and the anti-join left EACH
+    // recomputed tokenize+explode — two full corpus scans at 100 TB.
+    // Pin: exactly one distinct cache, its build plan contains the
+    // shingle generator, and NO generator survives outside it.
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    spark.catalog.clearCache()
+    graft.engine.GraftSession.tune(spark)
+    val qe = SparkEntry.queries("q17_ngram_jaccard_neardup")(spark, sf)
+      .queryExecution
+    val imrs = qe.optimizedPlan.collect { case r: InMemoryRelation => r }
+    assert(imrs.nonEmpty, qe.optimizedPlan.toString)
+    val distinctCaches =
+      imrs.map(r => System.identityHashCode(r.cacheBuilder.cachedPlan)).toSet
+    assert(distinctCaches.size == 1,
+      s"expected ONE shared cache, got ${distinctCaches.size}:\n${qe.optimizedPlan}")
+    assert(imrs.head.cacheBuilder.cachedPlan.toString.contains("Generate"),
+      imrs.head.cacheBuilder.cachedPlan.toString)
+    val outsideGenerates = qe.optimizedPlan.collect { case g: Generate => g }
+    assert(outsideGenerates.isEmpty,
+      s"generator recomputed outside the cache:\n${qe.optimizedPlan}")
+  }
+
+  test("q18/q19: signatures are ROW-LOCAL — no min/sum aggregate in the plan") {
+    // r5 made minhash signatures a compiled per-row pass (r4 shape:
+    // groupBy(doc).agg(min(perm_i) × 16)) and simhash a per-row fold
+    // (r4: 48-column sum aggregate). Pin: the only Aggregates left in
+    // either plan are the candidate-pair `distinct` (grouping only, no
+    // aggregate functions) — a refactor reintroducing the signature
+    // shuffle shows up as a Min/Sum aggregate function here.
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    spark.catalog.clearCache()
+    graft.engine.GraftSession.tune(spark)
+    Seq("q18_minhash_lsh_neardup", "q19_simhash_neardup").foreach { name =>
+      val qe = SparkEntry.queries(name)(spark, sf).queryExecution
+      val aggFns = qe.optimizedPlan.collect { case a: Aggregate =>
+        a.aggregateExpressions.flatMap(_.collect {
+          case ae: AggregateExpression => ae.aggregateFunction.prettyName
+        })
+      }.flatten
+      assert(aggFns.isEmpty,
+        s"$name: signature aggregation is back ($aggFns):\n${qe.optimizedPlan}")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q27: single-row aggregate is partial (map-side combine)") {
     val p = plan("q27_report_metrics")
     // two-phase agg: a Partial-mode sum must appear before the exchange

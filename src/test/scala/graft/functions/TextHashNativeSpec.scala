@@ -118,6 +118,66 @@ class TextHashNativeSpec extends SparkSpec {
       nativeRows.map(_.getLong(0)).toSet.diff(hof.keySet))
   }
 
+  test("marker count: native == size(filter(isin)) HOF on 200 random texts") {
+    val markers = Seq("the", "a", "of", "and", "is")
+    // salt random texts with real markers so hits actually occur
+    val texts = (0 until 200).map(_ =>
+      randText() + " " + markers(rng.nextInt(markers.length)) +
+        (if (rng.nextBoolean()) " the" else "")) ++
+      Seq("", "the the the", "THE The the", "a-of and. is")
+    val d = df(texts: _*)
+    val words = TextHash.tokens(lower(col("text")))
+    val hof = d.select(col("id"),
+        size(filter(words, t => t.isin(markers.map(lit): _*))).as("c"))
+      .orderBy("id").collect().map(_.getInt(1)).toSeq
+    val native = d.select(col("id"),
+        TextHash.markerCountOf(words, markers).as("c"))
+      .orderBy("id").collect().map(_.getInt(1)).toSeq
+    assert(hof == native)
+  }
+
+  test("sum of token lengths: native == aggregate(transform(length)) HOF") {
+    val texts = (0 until 200).map(_ => randText()) ++ Seq("", " ", "ab cde")
+    val d = df(texts: _*)
+    val hof = d.select(col("id"), TextHash.tokens(col("text")).as("w"))
+      .select(col("id"),
+        expr("aggregate(transform(w, x -> length(x)), 0L, (a, b) -> a + b)")
+          .as("s"))
+      .orderBy("id").collect().map(_.getLong(1)).toSeq
+    val native = d.select(col("id"), TextHash.tokens(col("text")).as("w"))
+      .select(col("id"), TextHash.sumTokenLengthsOf(col("w")).as("s"))
+      .orderBy("id").collect().map(_.getLong(1)).toSeq
+    assert(hof == native)
+  }
+
+  test("rolling + min-gram folds: native == HOF reference incl. null guard") {
+    import TextHash.P
+    val texts = (0 until 200).map(_ => randText()) ++ Seq(
+      "", "one", "a b c d e f g",      // 0, 1, 7 tokens -> null min-gram
+      "a b c d e f g h",               // exactly 8
+      "a b c d e f g h i j k l m n o") // many windows
+    val d = df(texts: _*)
+    val base = d.select(col("id"),
+      TextHash.tokenHashesOf(col("text")).as("wh"))
+    val hof = base
+      .select(col("id"),
+        TextHash.rollingFold("wh").as("r"),
+        when(size(col("wh")) >= 8,
+          array_min(expr(s"""
+            transform(sequence(1, size(wh) - 7), i ->
+              aggregate(slice(wh, i, 8), 0L, (a, x) -> ((a * 131L) + x) % ${P}L))""")))
+          .otherwise(lit(null).cast("long")).as("m"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) null else r.getLong(2)))
+    val native = base
+      .select(col("id"),
+        TextHash.rollingFoldOf(col("wh")).as("r"),
+        TextHash.minGramFoldOf(col("wh"), 8).as("m"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) null else r.getLong(2)))
+    assert(hof.toSeq == native.toSeq)
+  }
+
   test("unicode: per-char fold is code-point based (oracle-aligned)") {
     // 'é' = U+00E9 (233), '😀' = U+1F600 (128512) — DuckDB ascii()
     // values; one token each, fold h = (h*31 + cp) % P
@@ -140,5 +200,26 @@ class TextHashNativeSpec extends SparkSpec {
       .select(TextHash.shingleHashesOf(col("text")).as("hs"))
       .collect().head.getSeq[Long](0)
     assert(viaSql == viaCol && viaSql.size == 2)
+  }
+
+  test("SQL registration: marker-count and fold functions reachable") {
+    graft.engine.GraftSession.tune(spark)
+    df("the quick the lazy the").createOrReplaceTempView("thn_docs2")
+    val row = spark.sql("""
+      SELECT
+        graft_marker_count(split(text, ' '), 'the', 'a') AS mc,
+        graft_sum_token_lengths(split(text, ' ')) AS sl,
+        graft_poly_fold(graft_token_hashes(text), 131) AS pf,
+        graft_min_gram_fold(graft_token_hashes(text), 3) AS mg
+      FROM thn_docs2""").collect().head
+    assert(row.getInt(0) == 3)
+    assert(row.getLong(1) == 18L) // "thequickthelazythe"
+    val viaCol = df("the quick the lazy the")
+      .select(
+        TextHash.rollingFoldOf(TextHash.tokenHashesOf(col("text"))).as("pf"),
+        TextHash.minGramFoldOf(TextHash.tokenHashesOf(col("text")), 3).as("mg"))
+      .collect().head
+    assert(row.getLong(2) == viaCol.getLong(0))
+    assert(row.getLong(3) == viaCol.getLong(1))
   }
 }
