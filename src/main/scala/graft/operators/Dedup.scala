@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import graft.engine.CacheScope
 import graft.functions.TextHash
 
 /** Document deduplication operators (SURVEY.md §2.11; the
@@ -31,10 +32,12 @@ import graft.functions.TextHash
   * Cache lifecycle contract: the multi-consumer operators persist
   * their shared intermediate frames (shingles, fingerprints) and the
   * returned DataFrame stays lazily dependent on them, so they are NOT
-  * unpersisted here. Blocks live until `spark.catalog.clearCache()` or
-  * session end — per-query processes (Verify) and the bench (which
-  * clears per run) are fine; a long-lived session interleaving many
-  * dedup calls should clear the cache between them.
+  * unpersisted here. With the default (unmanaged) scope, blocks live
+  * until `spark.catalog.clearCache()` or session end — per-query
+  * processes (Verify) and the bench (which clears per run) are fine. A
+  * long-lived session interleaving many dedup calls should pass a
+  * managed [[graft.engine.CacheScope]] (or use `CacheScope.eager`) so
+  * each call's intermediates are released deterministically.
   */
 object Dedup {
 
@@ -75,7 +78,8 @@ object Dedup {
     * downstream consumer — the hot-key aggregate, the per-doc sizes,
     * both self-join sides — reads that one cache. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.5, maxDf: Int = 100): DataFrame = {
+      threshold: Double = 0.5, maxDf: Int = 100,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     // the hot-shingle cap as a tiny hot-key list + anti-join, NOT a
     // count-over-partition window: the window formulation sorted the
     // ENTIRE exploded shingle frame on hs (the single most expensive
@@ -94,8 +98,7 @@ object Dedup {
     // exchange reuse), which is far cheaper than materializing a second
     // near-identical cache. PlanAuditSpec pins the single
     // InMemoryRelation and the generator living inside its build plan.
-    val ex = hashShingled(docs, idCol, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ex = scope.persist(hashShingled(docs, idCol, textCol))
     val hot = ex.groupBy(col("hs")).agg(count(lit(1)).as("__df"))
       .where(col("__df") > maxDf).select(col("hs"))
     val sh = ex.join(hot, Seq("hs"), "left_anti")
@@ -148,7 +151,8 @@ object Dedup {
     * ~1; pairs near the 0.5 threshold may be (deterministically)
     * missed — that is the documented LSH trade. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.5, k: Int = 16, bands: Int = 4): DataFrame = {
+      threshold: Double = 0.5, k: Int = 16, bands: Int = 4,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(threshold > 0.0,
       s"minhashLshPairs needs threshold > 0 (got $threshold): zero-overlap " +
         "band collisions are excluded from the output by construction")
@@ -160,9 +164,8 @@ object Dedup {
     // pass, set size via size()): the r4 formulation exploded the
     // shingles and paid a 16-column groupBy shuffle for the signatures
     // plus another for the sizes before any candidate was generated.
-    val base = shingleArrays(docs, idCol, textCol)
-      .withColumn("n", size(col("sh")).cast("long"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = scope.persist(shingleArrays(docs, idCol, textCol)
+      .withColumn("n", size(col("sh")).cast("long")))
 
     // two selects on purpose: the signature array materializes ONCE in
     // the first projection; CollapseProject keeps the multi-referenced
@@ -302,7 +305,8 @@ object Dedup {
     * count is DERIVED from the parameter so the guarantee can't drift).
     * Verification is a single bit_count(xor). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, bits: Int = 48): DataFrame = {
+      maxHamming: Int = 3, bits: Int = 48,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val nChunks = maxHamming + 1
     require(bits % nChunks == 0,
       s"bits=$bits must split evenly into ${nChunks} chunks")
@@ -310,8 +314,7 @@ object Dedup {
     val mask = (1L << width) - 1
     // fingerprints feed both sides of the chunk self-join — persist the
     // 2-longs-per-doc frame instead of recomputing the signature agg
-    val fps = simhashFingerprints(docs, idCol, textCol, bits)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val fps = scope.persist(simhashFingerprints(docs, idCol, textCol, bits))
     val chunks = fps.select(col("doc_id"), col("simhash"),
       explode(array((0 until nChunks).map(c =>
         struct(lit(c).as("chunk_id"),

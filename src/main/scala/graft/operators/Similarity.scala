@@ -3,8 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
+import graft.engine.CacheScope
 import graft.functions.VectorOps
 
 /** Embedding similarity search (SURVEY.md §2.11) over
@@ -34,18 +34,18 @@ object Similarity {
     * Cache lifecycle contract (this applies to every operator here that
     * persists an intermediate): the returned frame is LAZY and reads
     * the persisted input on every action, so the operator cannot
-    * unpersist before returning — the CONSUMER ends the lifetime by
-    * calling `spark.catalog.clearCache()` once the result is
-    * materialized (written/collected). Verify does this per query;
+    * unpersist before returning — the CONSUMER ends the lifetime, by
+    * passing a managed [[graft.engine.CacheScope]] and closing it after
+    * materializing, or by calling `spark.catalog.clearCache()` under
+    * the default unmanaged scope. Verify does the latter per query;
     * Bench per run. Repeat invocations do NOT stack entries: Spark's
     * CacheManager matches plan-identical frames, so the same input
     * yields the same single cache entry. */
-  private def normed(embeddings: DataFrame): DataFrame =
-    embeddings
+  private def normed(embeddings: DataFrame, scope: CacheScope): DataFrame =
+    scope.persist(embeddings
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
-      .where(col("nrm") > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .where(col("nrm") > 0))
 
   /** Brute-force cosine top-k: every `vec_id % queryStride == 0` vector
     * is a query; rank all other vectors by cosine, keep the top k.
@@ -56,9 +56,9 @@ object Similarity {
     * window over the scored rows. This is the labelled EXACTNESS
     * baseline — O(|queries|·N·dim) by construction — and the recall
     * oracle for [[ivfCosinePairs]], which is the scale path. */
-  def cosineTopK(embeddings: DataFrame, k: Int = 5, queryStride: Long = 50)
-      : DataFrame = {
-    val n = normed(embeddings)
+  def cosineTopK(embeddings: DataFrame, k: Int = 5, queryStride: Long = 50,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val n = normed(embeddings, scope)
     val q = n.where(col("vec_id") % queryStride === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"))
@@ -120,10 +120,11 @@ object Similarity {
     * with high cosine at high probability — deterministic, mirrored by
     * the oracle, and a documented LSH trade (like MinHash-LSH's). */
   def rpLshCosinePairs(embeddings: DataFrame, threshold: Double = 0.3,
-      planes: Int = 16): DataFrame = {
+      planes: Int = 16,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(planes % 2 == 0, s"planes=$planes must split into 2 bands")
     val half = planes / 2
-    val n = normed(embeddings)
+    val n = normed(embeddings, scope)
     val sigs = n.select(col("vec_id"),
       VectorOps.rpSignature(col("v"), planes).as("sig"))
     val bands = sigs.select(col("vec_id"),
@@ -213,8 +214,9 @@ object Similarity {
   /** Diagnostic/test window into the quantizer: the multi-probe (cell,
     * vec_id) assignments for a raw embeddings frame. */
   def cellAssignments(embeddings: DataFrame, probes: Int = 2,
-      kmeansIters: Int = 1): DataFrame =
-    quantize(normed(embeddings), probes, kmeansIters)
+      kmeansIters: Int = 1,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    quantize(normed(embeddings, scope), probes, kmeansIters)
 
   /** IVF near-dup pairs with a deterministic k-means coarse quantizer
     * (r3 verdict item 2 — replaces the stride sampler whose C = N/50
@@ -256,8 +258,9 @@ object Similarity {
     * handling. The driver holds C ids for the seed take and C·dim
     * doubles for the centroid collect — √N-scale, never corpus-scale. */
   def ivfCosinePairs(embeddings: DataFrame, threshold: Double = 0.3,
-      probes: Int = 2, kmeansIters: Int = 1): DataFrame = {
-    val n = normed(embeddings)
+      probes: Int = 2, kmeansIters: Int = 1,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val n = normed(embeddings, scope)
     val assigned = quantize(n, probes, kmeansIters)
     // candidate pairs are generated over (cell, id) ONLY — the wide
     // vector columns never enter the candidate shuffle; multi-probe can

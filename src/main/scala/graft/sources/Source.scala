@@ -70,10 +70,11 @@ final case class InlineRowsSource(rows: Seq[Row], schema: StructType)
   * column-pruned existing-PK read the incremental load pairs with a
   * left_anti join — pushdown sends only the key column over the wire.
   *
-  * Offline note: this container ships no JDBC driver jar, so the path
-  * is compile-checked here and exercised end-to-end by the parquet-dir
-  * sink (same anti-join semantics, IncrementalSinkSpec); a deployment
-  * adds the driver jar and these options work unchanged.
+  * Runtime-exercised against embedded Apache Derby (which ships in the
+  * Spark distribution's jars): JdbcSpec drives load/keys/append and the
+  * full insert-if-absent flow through the real JDBC read/write
+  * machinery. A deployment swaps the URL (+ driver jar) for its
+  * warehouse and these options work unchanged.
   */
 final case class JdbcSource(url: String, table: String,
     properties: Map[String, String] = Map.empty) extends Source {
