@@ -184,7 +184,16 @@ object Main {
 
   private def report(warehouse: String, cut: LocalDate): Unit = {
     val spark = GraftSession.local()
-    println(runReport(spark, warehouse, cut))
+    val msg = runReport(spark, warehouse, cut)
+    println(msg)
+    // optional HTTP fan-out (SURVEY §2.1 S7): when a report endpoint is
+    // configured, POST the same message there — delivery failure is
+    // logged, never fatal (the reference's bot contract; the report
+    // already reached stdout above)
+    sys.env.get("SPARK_GRAFT_REPORT_URL").foreach { url =>
+      graft.etl.HttpJsonTransport.deliverLogged(
+        new graft.etl.HttpJsonTransport(java.net.URI.create(url)), msg)
+    }
     spark.stop()
   }
 }

@@ -133,6 +133,40 @@ object TextAnalysis {
       .limit(limit)
   }
 
+  /** Within-document repetition signals — the duplicate-text quality
+    * filter of large-scale pretraining pipelines (the Gopher/
+    * MassiveText-style "fraction of duplicate n-grams" rule): a
+    * document whose 3-grams are mostly repeats of each other is
+    * boilerplate/spam, whatever its length. Everything is row-local
+    * over the compiled hash passes ([[graft.functions.TokenHashes]] /
+    * [[graft.functions.ShingleHashes]] — the latter is already the
+    * DISTINCT shingle set, so the dup-gram ratio is one size division):
+    * no shuffle at any corpus size, O(chars) per document.
+    *
+    * Output per doc: token totals/distincts, 3-gram totals/distincts,
+    * and the two ratios (null for docs too short to have the unit —
+    * mirrored CASE guards in the oracle). */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        TextHash.tokenHashesOf(col(textCol)).as("wh"),
+        TextHash.shingleHashesOf(col(textCol)).as("sh"))
+      .select(col("doc_id"),
+        size(col("wh")).as("n_tokens"),
+        size(array_distinct(col("wh"))).as("n_distinct_tokens"),
+        greatest(size(col("wh")) - 2, lit(0)).as("n_grams"),
+        size(col("sh")).as("n_distinct_grams"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        col("n_grams"), col("n_distinct_grams"),
+        when(col("n_tokens") > 0, lit(1.0) -
+          col("n_distinct_tokens").cast("double") / col("n_tokens"))
+          .as("dup_token_ratio"),
+        when(col("n_grams") > 0, lit(1.0) -
+          col("n_distinct_grams").cast("double") / col("n_grams"))
+          .as("dup_gram_ratio"))
+      .orderBy(col("doc_id"))
+
   /** Rolling-hash document fingerprints: a whole-document polynomial
     * fold over token hashes plus the minimum 8-token-gram hash (the
     * winnowing-style marker used for containment detection — shared

@@ -703,7 +703,44 @@ object Ext {
       ORDER BY user_id, session_idx
     """.trim))
 
+  // ---------------------------------------------------------------- q35
+
+  /** q35 — within-document repetition signals (duplicate token / 3-gram
+    * ratios, the pretraining boilerplate filter). Fully row-local from
+    * the compiled hash passes; the oracle replays the same folds with
+    * list lambdas. Hash-collision parity: a 3-gram collision dedupes
+    * identically in both engines because both count DISTINCT HASHES,
+    * never distinct gram strings. */
+  val q35: Q = Q(
+    "q35_repetition_signals",
+    (s, d) =>
+      TextAnalysis.repetitionSignals(Tables.documents(s, d), "doc_id", "text"),
+    Some(s"""
+      WITH $duckWords,
+      wh AS (
+        SELECT doc_id, list_transform(w, t ->
+          list_reduce(list_prepend(0::BIGINT,
+            list_transform(range(1, length(t) + 1), j -> ascii(t[j]))),
+            (h, c) -> ((h * 31) + c) % $P)) whl
+        FROM words),
+      g AS (
+        SELECT doc_id,
+          CAST(len(whl) AS INT) n_tokens,
+          CAST(len(list_distinct(whl)) AS INT) n_distinct_tokens,
+          CAST(greatest(len(whl) - 2, 0) AS INT) n_grams,
+          CAST(len(list_distinct(list_transform(range(1, len(whl) - 1),
+            i -> ((((((whl[i] * 31) + whl[i+1]) % $P) * 31) + whl[i+2]) % $P))))
+            AS INT) n_distinct_grams
+        FROM wh)
+      SELECT doc_id, n_tokens, n_distinct_tokens, n_grams, n_distinct_grams,
+        CASE WHEN n_tokens > 0 THEN CAST(1 AS DOUBLE)
+          - (CAST(n_distinct_tokens AS DOUBLE) / n_tokens) END AS dup_token_ratio,
+        CASE WHEN n_grams > 0 THEN CAST(1 AS DOUBLE)
+          - (CAST(n_distinct_grams AS DOUBLE) / n_grams) END AS dup_gram_ratio
+      FROM g ORDER BY doc_id
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
-      q32, q33, q34)
+      q32, q33, q34, q35)
 }

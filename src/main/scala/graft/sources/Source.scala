@@ -86,6 +86,13 @@ final case class JdbcSource(url: String, table: String,
   /** Key-only scan — the S4 shape (`get_existing_ids`, load.py:13-14). */
   def keys(spark: SparkSession, pkCol: String): DataFrame =
     load(spark).select(org.apache.spark.sql.functions.col(pkCol))
+
+  /** Whether the table resolves on the remote database. Spark's JDBC
+    * relation fetches the schema eagerly (a `WHERE 1=0` probe) at
+    * DataFrame creation, so resolution failure IS the existence test —
+    * no dialect-specific catalog query needed. */
+  def tableExists(spark: SparkSession): Boolean =
+    try { load(spark).schema; true } catch { case _: Exception => false }
 }
 
 /** JDBC append writer (SURVEY §2.1 S5; load.py:40,58 —
@@ -99,6 +106,53 @@ object JdbcSink {
       df.write.format("jdbc").option("url", url).option("dbtable", table)
     ) { case (w, (k, v)) => w.option(k, v) }
       .mode(org.apache.spark.sql.SaveMode.Append).save()
+
+  /** Insert-if-absent against a live JDBC table — the reference's exact
+    * serving flow (load.py:13-14 reads existing PKs, :40,58 appends only
+    * absent rows), with the same contract as the parquet
+    * `IncrementalSink.appendOnlyNew`:
+    *  - never update — re-sent changed rows are silently ignored;
+    *  - within-batch PK uniqueness ENFORCED (the remote DDL's PK
+    *    constraint would reject the load anyway — failing before any
+    *    row lands keeps the append all-or-nothing at the batch level);
+    *  - null-PK rows always pass the anti-join (pandas `~isin` parity);
+    *  - the fresh set is materialized (eager localCheckpoint) BEFORE the
+    *    append so no executor re-evaluates a plan that reads the very
+    *    table being written (persist would be best-effort, not a
+    *    barrier).
+    * Scale: existing keys arrive as a column-pruned distributed JDBC
+    * scan partitioned by the usual jdbc options (partitionColumn /
+    * numPartitions in `properties`), anti-joined without driver
+    * involvement — the reference's driver-side Python `set` is the one
+    * thing this must never recreate.
+    * Returns (inserted, ignored) — load.py:53-57's accounting. */
+  def appendOnlyNew(spark: SparkSession, df: DataFrame, url: String,
+      table: String, pkCol: String,
+      properties: Map[String, String] = Map.empty): (Long, Long) = {
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
+    val acct = df.agg(count(lit(1)), count(col(pkCol)),
+      countDistinct(col(pkCol))).head()
+    val incomingCount = acct.getLong(0)
+    val dupes = acct.getLong(1) - acct.getLong(2)
+    require(dupes == 0L,
+      s"jdbc table '$table': incoming batch carries $dupes duplicate " +
+        s"non-null '$pkCol' rows; the never-update sink refuses ambiguous " +
+        s"batches — dedup upstream (Transform.dedupKeepFirst) where row " +
+        s"order exists")
+    val src = JdbcSource(url, table, properties)
+    if (!src.tableExists(spark)) {
+      append(df, url, table, properties)
+      (incomingCount, 0L)
+    } else {
+      val fresh = df.join(src.keys(spark, pkCol), Seq(pkCol), "left_anti")
+        .localCheckpoint(true)
+      val freshCount = fresh.count() // served from checkpointed blocks
+      if (freshCount > 0)
+        append(fresh.select(df.columns.map(col).toIndexedSeq: _*),
+          url, table, properties)
+      (freshCount, incomingCount - freshCount)
+    }
+  }
 }
 
 /** Driver-side fetch of a remote object to a local path before scanning

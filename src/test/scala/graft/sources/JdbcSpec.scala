@@ -83,6 +83,35 @@ class JdbcSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("appendOnlyNew: creates, inserts only absent PKs, idempotent rerun") {
+    // first batch bootstraps the table
+    val r1 = JdbcSink.appendOnlyNew(spark,
+      df(1L -> "ana", 2L -> "luis"), url, "aon", "id")
+    assert(r1 == (2L, 0L))
+    // overlapping batch: only the absent rows land
+    val r2 = JdbcSink.appendOnlyNew(spark,
+      df(2L -> "LUIS-CHANGED", 3L -> "sofia"), url, "aon", "id")
+    assert(r2 == (1L, 1L))
+    // rerun of the same batch: pure no-op (run-twice idempotence)
+    val r3 = JdbcSink.appendOnlyNew(spark,
+      df(2L -> "LUIS-CHANGED", 3L -> "sofia"), url, "aon", "id")
+    assert(r3 == (0L, 2L))
+    val back = JdbcSource(url, "aon").load(spark)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    // never-update: row 2 keeps its ORIGINAL value
+    assert(back.toSeq == Seq(1L -> "ana", 2L -> "luis", 3L -> "sofia"))
+  }
+
+  test("appendOnlyNew: refuses a batch with duplicate non-null PKs") {
+    val e = intercept[IllegalArgumentException] {
+      JdbcSink.appendOnlyNew(spark,
+        df(7L -> "a", 7L -> "b"), url, "aon_dupes", "id")
+    }
+    assert(e.getMessage.contains("duplicate"))
+    // nothing was created by the refused batch
+    assert(!JdbcSource(url, "aon_dupes").tableExists(spark))
+  }
+
   test("raw JDBC round-trip sanity: the Derby driver is live in this JVM") {
     val conn = DriverManager.getConnection(url)
     try {
