@@ -75,6 +75,7 @@ object Bench {
     "q23_quality_score" -> 0.6,
     "q20_embedding_topk" -> 0.5,
     "q22_lang_id" -> 0.45,
+    "q35_repetition_signals" -> 0.33,
     "q25_doc_fingerprint" -> 0.3)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5

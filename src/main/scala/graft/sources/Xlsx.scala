@@ -35,6 +35,15 @@ import org.w3c.dom.Element
   * values come back as raw STRINGS — the transform owns typing via its
   * coerce/strict casts (transform.py:61-64,113-124), exactly as it does
   * for every other source.
+  *
+  * Non-date number formats (percent, currency, thousands separators,
+  * arbitrary custom codes) deliberately pass through as the RAW stored
+  * number: Excel stores 15% as 0.15 and the format only changes the
+  * DISPLAY string, and openpyxl's `cell.value` — the reference's reader
+  * — likewise returns the stored number for every non-date style. Dates
+  * are the single format family where the stored value (a serial) is
+  * not the logical value, hence the single special case above. XlsxSpec
+  * pins the percent/currency pass-through.
   */
 object Xlsx {
 

@@ -19,6 +19,13 @@ object XlsxFixtures {
   /** Marker prefix: an ELAPSED-duration-styled numeric cell
     * ([h]:mm:ss) — must NOT decode as a date. */
   val ElapsedSerial = "@elapsed:"
+  /** Marker prefix: a percent-styled numeric cell (built-in numFmtId 9,
+    * "0%") — must come back as the RAW stored fraction, openpyxl
+    * parity. */
+  val Percent = "@pct:"
+  /** Marker prefix: a currency-styled numeric cell (custom "$"#,##0.00)
+    * — raw number back, openpyxl parity. */
+  val Currency = "@ccy:"
 
   private def esc(s: String): String = s
     .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
@@ -45,9 +52,11 @@ object XlsxFixtures {
     put("xl/_rels/workbook.xml.rels",
       s"""<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">$rels</Relationships>""")
     // style 1 = built-in date (numFmtId 14), style 2 = custom datetime,
-    // style 3 = elapsed duration (NOT a date)
+    // style 3 = elapsed duration (NOT a date), style 4 = built-in
+    // percent (id 9), style 5 = custom currency — the last two must
+    // pass through as raw numbers
     put("xl/styles.xml",
-      s"""<?xml version="1.0"?><styleSheet $ns><numFmts count="2"><numFmt numFmtId="164" formatCode="yyyy\\-mm\\-dd\\ hh:mm:ss"/><numFmt numFmtId="165" formatCode="[h]:mm:ss"/></numFmts><cellXfs count="4"><xf numFmtId="0"/><xf numFmtId="14" applyNumberFormat="1"/><xf numFmtId="164" applyNumberFormat="1"/><xf numFmtId="165" applyNumberFormat="1"/></cellXfs></styleSheet>""")
+      s"""<?xml version="1.0"?><styleSheet $ns><numFmts count="3"><numFmt numFmtId="164" formatCode="yyyy\\-mm\\-dd\\ hh:mm:ss"/><numFmt numFmtId="165" formatCode="[h]:mm:ss"/><numFmt numFmtId="166" formatCode="&quot;$$&quot;#,##0.00"/></numFmts><cellXfs count="6"><xf numFmtId="0"/><xf numFmtId="14" applyNumberFormat="1"/><xf numFmtId="164" applyNumberFormat="1"/><xf numFmtId="165" applyNumberFormat="1"/><xf numFmtId="9" applyNumberFormat="1"/><xf numFmtId="166" applyNumberFormat="1"/></cellXfs></styleSheet>""")
     sheets.zipWithIndex.foreach { case ((_, rows), i) =>
       val colName = "ABCDEFGHIJ"
       val body = rows.zipWithIndex.map { case (cells, r) =>
@@ -60,6 +69,10 @@ object XlsxFixtures {
               s"""<c r="$ref" s="2"><v>${v.stripPrefix(DateTimeSerial)}</v></c>"""
             else if (v.startsWith(ElapsedSerial))
               s"""<c r="$ref" s="3"><v>${v.stripPrefix(ElapsedSerial)}</v></c>"""
+            else if (v.startsWith(Percent))
+              s"""<c r="$ref" s="4"><v>${v.stripPrefix(Percent)}</v></c>"""
+            else if (v.startsWith(Currency))
+              s"""<c r="$ref" s="5"><v>${v.stripPrefix(Currency)}</v></c>"""
             else
               s"""<c r="$ref" t="inlineStr"><is><t>${esc(v)}</t></is></c>"""
         }.mkString

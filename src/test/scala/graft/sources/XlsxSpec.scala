@@ -110,6 +110,20 @@ class XlsxSpec extends SparkSpec {
       Some("62.5"))) // elapsed-duration style is NOT a date: raw serial
   }
 
+  test("percent/currency-styled numerics return RAW stored values (openpyxl parity)") {
+    // Excel stores 15% as 0.15 and formats only the DISPLAY; openpyxl's
+    // cell.value (the reference's reader, extract.py:100) returns the
+    // stored number for every non-date format. Dates are the one format
+    // family where the stored value (a serial) is not the logical value
+    // — which is exactly the one family the reader decodes. So raw
+    // pass-through here is behavioral parity, not a gap.
+    val wb = XlsxFixtures.writeWorkbook(Seq("F" -> Seq(
+      Seq("pct", "ccy"),
+      Seq(XlsxFixtures.Percent + "0.15", XlsxFixtures.Currency + "1234.5"))))
+    val rows = Xlsx.readSheet(wb.toString, "F")
+    assert(rows(1) == Seq(Some("0.15"), Some("1234.5")))
+  }
+
   test("namespace-PREFIXED worksheet parts parse identically (x:row etc.)") {
     // some writers prefix the main spreadsheetml namespace; literal tag
     // matching would silently return zero rows for these
