@@ -119,6 +119,46 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Cross-corpus near-dup pairs — the DECONTAMINATION operator: find
+    * documents of `right` (e.g. an eval benchmark) that near-duplicate
+    * documents of `left` (the training corpus), so they can be held out
+    * of training. Same inverted-index shape as [[ngramJaccardPairs]]
+    * but the join is LEFT×RIGHT, never within a side — candidate volume
+    * is Σ_hs df_A(hs)·df_B(hs), bounded by the same document-frequency
+    * cap, which is computed over the COMBINED corpus (a shingle hot in
+    * either side floods the cross join all the same).
+    *
+    * Scale: each side is tokenized+exploded exactly once (persisted);
+    * the index join shuffles 8-byte hashes keyed identically on both
+    * sides; output is (left_id, right_id, n_common, n_union, jaccard).
+    */
+  def crossNgramJaccardPairs(left: DataFrame, right: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.5,
+      maxDf: Int = 100,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val exA = scope.persist(hashShingled(left, idCol, textCol))
+    val exB = scope.persist(hashShingled(right, idCol, textCol))
+    val hot = exA.unionByName(exB)
+      .groupBy(col("hs")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDf).select(col("hs"))
+    val a = exA.join(hot, Seq("hs"), "left_anti")
+    val b = exB.join(hot, Seq("hs"), "left_anti")
+    val szA = a.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val szB = b.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = a.select(col("doc_id").as("da"), col("hs"))
+      .join(b.select(col("doc_id").as("db"), col("hs")), Seq("hs"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
+    val union = col("na") + col("nb") - col("i")
+    inter
+      .join(szA.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(szB.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .withColumn("jaccard", col("i").cast("double") / union)
+      .where(col("jaccard") >= threshold)
+      .select(col("da").as("left_id"), col("db").as("right_id"),
+        col("i").as("n_common"), union.as("n_union"), col("jaccard"))
+      .orderBy(col("left_id"), col("right_id"))
+  }
+
   /** (doc_id, sh: array<long>) — each doc's DISTINCT shingle-hash set
     * as one row-local array, computed by the codegen'd
     * [[graft.functions.ShingleHashes]] pass (docs under 3 tokens drop

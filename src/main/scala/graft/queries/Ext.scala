@@ -740,7 +740,51 @@ object Ext {
       FROM g ORDER BY doc_id
     """.trim))
 
+  // ---------------------------------------------------------------- q36
+
+  /** q36 — cross-corpus contamination: even-id docs play the training
+    * corpus, odd-id docs the eval set; report eval docs that
+    * near-duplicate a training doc (the decontamination join). The
+    * oracle replays the split, the combined-corpus df cap, and the
+    * cross-side index join; thresholds match q17's so the fixture's
+    * known near-dup families surface wherever they straddle the
+    * parity split. */
+  val q36: Q = Q(
+    "q36_cross_contamination",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.crossNgramJaccardPairs(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", threshold = 0.5, maxDf = 100)
+    },
+    Some(s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      $duckHashShingles,
+      hot AS (
+        SELECT hs FROM sh GROUP BY hs HAVING count(*) > 100),
+      capped AS (
+        SELECT doc_id, hs FROM sh WHERE hs NOT IN (SELECT hs FROM hot)),
+      a AS (SELECT doc_id, hs FROM capped WHERE doc_id % 2 = 0),
+      b AS (SELECT doc_id, hs FROM capped WHERE doc_id % 2 = 1),
+      sza AS (SELECT doc_id, count(*) n FROM a GROUP BY doc_id),
+      szb AS (SELECT doc_id, count(*) n FROM b GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id da, b.doc_id db, count(*) i
+        FROM a JOIN b USING (hs)
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT da AS left_id, db AS right_id,
+        i AS n_common, CAST(sza.n + szb.n - i AS BIGINT) AS n_union,
+        (CAST(i AS DOUBLE) / (sza.n + szb.n - i)) AS jaccard
+      FROM inter
+      JOIN sza ON sza.doc_id = da
+      JOIN szb ON szb.doc_id = db
+      WHERE (CAST(i AS DOUBLE) / (sza.n + szb.n - i)) >= 0.5
+      ORDER BY left_id, right_id
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
-      q32, q33, q34, q35)
+      q32, q33, q34, q35, q36)
 }

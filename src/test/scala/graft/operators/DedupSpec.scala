@@ -74,4 +74,40 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 3L)))
   }
+
+  private def textDocs(rows: (Long, String)*) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.map { case (i, t) => Row(i, t) }.asJava,
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+  }
+
+  test("cross-corpus pairs: only left×right, equal to the union self-join restricted to cross pairs") {
+    // 1≈2 within LEFT (must NOT appear), 3≈11 across (must appear),
+    // 12≈13 within RIGHT (must not), 4 and 14 unrelated
+    val mk = (s: String) => s + " relleno para alcanzar suficientes tokens"
+    val left = textDocs(
+      1L -> mk("uno dos tres cuatro cinco seis"),
+      2L -> mk("uno dos tres cuatro cinco seis"),
+      3L -> mk("alfa beta gamma delta epsilon zeta"),
+      4L -> "texto completamente distinto sin pareja en ningun lado aqui")
+    val right = textDocs(
+      11L -> mk("alfa beta gamma delta epsilon zeta"),
+      12L -> mk("rojo verde azul morado amarillo gris"),
+      13L -> mk("rojo verde azul morado amarillo gris"),
+      14L -> "otro texto aislado que no se parece a nada mas tampoco")
+    val cross = Dedup.crossNgramJaccardPairs(left, right, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cross == Set(3L -> 11L))
+    // property: the cross operator ≡ the self-join over the union,
+    // restricted to pairs that straddle the sides (id < 10 vs >= 10
+    // encodes the side here, and union ids are distinct)
+    val all = Dedup.ngramJaccardPairs(left.unionByName(right),
+      "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a < 10) != (b < 10) }
+      .map { case (a, b) => if (a < 10) (a, b) else (b, a) }.toSet
+    assert(cross == all)
+  }
 }
