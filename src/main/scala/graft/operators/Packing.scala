@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.engine.CacheScope
+import graft.functions.TextHash
+
+/** Sequence packing for context-window training (SURVEY.md §2.11): the
+  * concat-and-chunk step that turns a document stream into fixed-size
+  * token windows. Documents are concatenated in `idCol` order and cut
+  * every `maxTokens`; each document's pack assignment is a pure
+  * function of the GLOBAL token offset where it starts.
+  *
+  * The interesting part at scale is that global offset: it is a prefix
+  * sum over the whole ordered corpus, and the naive formulation —
+  * `sum(n) over (ORDER BY id)` with no partition — collapses the entire
+  * dataset into ONE task (Spark warns `No Partition Defined for Window`
+  * and ships every row to a single partition; at 100 TB that is not
+  * slow, it is dead). This operator computes the same number in two
+  * phases, the textbook distributed scan:
+  *
+  *   1. range-repartition by `idCol` (partition i holds ids strictly
+  *      below partition i+1's — so (partition, id) IS the global order)
+  *      and take a per-partition running sum with an ordinary
+  *      partition-local window;
+  *   2. collect the K per-partition token totals (K = shuffle
+  *      partitions — KB-scale, like q21's √N centroid table, never
+  *      corpus-scale), exclusive-prefix them on the driver, and add
+  *      each partition's prefix back via a broadcast join on the
+  *      partition id.
+  *
+  * The result is identical for ANY partition count (offsets depend only
+  * on the id order), which is what the single-window DuckDB oracle
+  * replays. PackingSpec pins partition-count invariance explicitly.
+  *
+  * Output per doc: n_tokens, global_offset (tokens before it), pack_id
+  * (the window its first token lands in), pack_offset (position within
+  * that window), spans_boundary (whether it crosses into the next
+  * window — the consumer's signal to split or re-pad).
+  */
+object Packing {
+
+  def contiguousOffsets(docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int = 2048,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(maxTokens >= 1, s"need maxTokens >= 1, got $maxTokens")
+    val spark = docs.sparkSession
+    val counts = docs.select(col(idCol).as("doc_id"),
+      size(TextHash.tokenHashesOf(col(textCol))).as("n_tokens"))
+    // phase 1: range partitions aligned with the global order + local scan.
+    // Persisted: the totals aggregate and the output projection both read
+    // it, and re-running it would re-shuffle the corpus.
+    val parts = math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val ranged = scope.persist(counts
+      .repartitionByRange(parts, col("doc_id"))
+      .withColumn("pid", spark_partition_id()))
+    val w = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // phase 2: K partition totals -> exclusive prefix on the driver
+    val totals = ranged.groupBy(col("pid"))
+      .agg(sum(col("n_tokens")).cast("long").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val prefixRows = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
+      (pid, acc + t)
+    }.init.zip(totals).map { case ((_, before), (pid, _)) =>
+      Row(pid.toLong, before)
+    }
+    val prefix = spark.createDataFrame(
+      spark.sparkContext.parallelize(prefixRows.toSeq, 1),
+      StructType(Seq(StructField("pid_l", LongType),
+        StructField("part_before", LongType))))
+    val off = col("part_before") +
+      coalesce(sum(col("n_tokens")).over(w), lit(0L))
+    ranged
+      .join(broadcast(prefix), col("pid") === col("pid_l"))
+      .select(col("doc_id"), col("n_tokens"), off.as("global_offset"))
+      // `div` = exact integer division on longs — a double round-trip
+      // would silently mis-bucket offsets past 2^53 (a few hundred TB
+      // of tokens, i.e. exactly the regime this operator targets)
+      .select(col("doc_id"), col("n_tokens"), col("global_offset"),
+        expr(s"global_offset div $maxTokens").as("pack_id"),
+        (col("global_offset") % maxTokens).as("pack_offset"),
+        ((col("global_offset") % maxTokens) + col("n_tokens") > maxTokens)
+          .as("spans_boundary"))
+      .orderBy(col("doc_id"))
+  }
+}

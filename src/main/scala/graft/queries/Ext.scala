@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Dec, Tables}
-import graft.operators.{Dedup, Multimodal, Sampling, Scrub, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Packing, Sampling, Scrub, Similarity, TextAnalysis}
 
 /** EXT — the LLM-training-data-pipeline operators (SURVEY.md §2.11;
   * BASELINE.json north star) over the `documents` / `embeddings`
@@ -784,7 +784,39 @@ object Ext {
       ORDER BY left_id, right_id
     """.trim))
 
+  // ---------------------------------------------------------------- q37
+
+  /** q37 — sequence packing offsets: concatenate documents in doc_id
+    * order, cut every 2048 tokens, report where each doc lands. The
+    * engine computes the global prefix sum with the two-phase
+    * distributed scan (see [[graft.operators.Packing]]); the oracle is
+    * the single-window formulation the naive Spark version would have
+    * used — identical numbers, only the execution shape differs.
+    * DuckDB window SUM over INT returns HUGEINT → cast (memory-noted
+    * gotcha); `//` is DuckDB's exact integer division like Spark's
+    * `div`. */
+  val q37: Q = Q(
+    "q37_sequence_packing",
+    (s, d) =>
+      Packing.contiguousOffsets(Tables.documents(s, d), "doc_id", "text",
+        maxTokens = 2048),
+    Some(s"""
+      WITH $duckWords,
+      t AS (SELECT doc_id, CAST(len(w) AS INT) AS n_tokens FROM words),
+      o AS (
+        SELECT doc_id, n_tokens,
+          CAST(COALESCE(SUM(n_tokens) OVER (
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) AS BIGINT) AS global_offset
+        FROM t)
+      SELECT doc_id, n_tokens, global_offset,
+        global_offset // 2048 AS pack_id,
+        global_offset % 2048 AS pack_offset,
+        (global_offset % 2048) + n_tokens > 2048 AS spans_boundary
+      FROM o ORDER BY doc_id
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
-      q32, q33, q34, q35, q36)
+      q32, q33, q34, q35, q36, q37)
 }

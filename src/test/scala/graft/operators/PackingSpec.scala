@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.SparkSpec
+
+/** Pins [[Packing.contiguousOffsets]]: exact offsets on a crafted
+  * corpus, and — the property the two-phase prefix sum exists for —
+  * invariance of every output number under the partition count. */
+class PackingSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.map { case (i, t) => Row(i, t) }.asJava,
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+  }
+
+  test("offsets, pack ids, and boundary spans on a crafted corpus") {
+    // token counts: 3, 4, 2, 5 with maxTokens 6 ->
+    //   offsets 0, 3, 7, 9; packs 0, 0, 1, 1
+    //   doc 1 spans (3+4 > 6), doc 3 spans (3+5 > 6... offset 9 % 6 = 3)
+    val out = Packing.contiguousOffsets(
+      docs(
+        0L -> "a b c",
+        1L -> "d e f g",
+        2L -> "h i",
+        3L -> "j k l m n"),
+      "doc_id", "text", maxTokens = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      (0L, 3, 0L, 0L, 0L, false),
+      (1L, 4, 3L, 0L, 3L, true),   // 3 + 4 crosses the 6-token cut
+      (2L, 2, 7L, 1L, 1L, false),
+      (3L, 5, 9L, 1L, 3L, true)))  // 3 + 5 crosses the 12-token cut
+  }
+
+  test("every output is invariant under the partition count") {
+    val corpus = (0L until 400L).map(i =>
+      i -> (("w " * (1 + (i % 17).toInt)).trim))
+    def run(parts: Int): Seq[Row] = {
+      val before = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try Packing.contiguousOffsets(docs(corpus: _*), "doc_id", "text",
+        maxTokens = 64).collect().toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    }
+    val one = run(1) // degenerate: the whole corpus in one partition
+    assert(run(7) == one)
+    assert(run(32) == one)
+  }
+}
