@@ -65,12 +65,14 @@ object Bench {
     * `defaultFloor` (BASELINE.md: "remaining queries ≤ 1.2 each"). */
   private[graft] val floors: Map[String, Double] = Map(
     "q17_ngram_jaccard_neardup" -> 2.3,
-    "q31_neardup_clusters" -> 2.1,
+    "q31_neardup_clusters" -> 1.8,
     "q21_embedding_neardup_ivf" -> 2.0,
+    "q36_cross_contamination" -> 1.8,
     "q30_embedding_neardup_rplsh" -> 1.8,
     "q34_event_sessionize" -> 1.0,
     "q9_sales_by_nation" -> 0.9,
     "q18_minhash_lsh_neardup" -> 0.8,
+    "q37_sequence_packing" -> 0.8,
     "q19_simhash_neardup" -> 0.65,
     "q23_quality_score" -> 0.6,
     "q20_embedding_topk" -> 0.5,

@@ -106,6 +106,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q37: the global prefix sum never funnels through one partition") {
+    // the naive formulation (sum over an unpartitioned ORDER BY window)
+    // plans an Exchange SinglePartition carrying the whole corpus into
+    // one task — the exact shape Packing's two-phase scan exists to
+    // avoid. Its reappearance here is the operator silently degrading
+    // to the naive plan.
+    graft.engine.GraftSession.tune(spark)
+    spark.catalog.clearCache()
+    val p = plan("q37_sequence_packing")
+    assert(!p.contains("SinglePartition"), p)
+    spark.catalog.clearCache()
+  }
+
   test("q27: single-row aggregate is partial (map-side combine)") {
     val p = plan("q27_report_metrics")
     // two-phase agg: a Partial-mode sum must appear before the exchange
