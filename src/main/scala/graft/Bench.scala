@@ -93,6 +93,15 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     require(runs >= 1 && warmups >= 0,
       s"need runs >= 1 (got $runs) and warmups >= 0 (got $warmups)")
+    // host-load provenance: the 1-minute loadavg before and after the
+    // sweeps goes into the artifact, so a contended run is identifiable
+    // from the JSON alone (BENCH_r05's poisoned q31 was only diagnosed
+    // by a manual quiet-host rerun)
+    def loadAvg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+")(0).toDouble
+      catch { case _: Exception => -1.0 }
+    val loadStart = loadAvg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -171,7 +180,8 @@ object Bench {
       case Some(subs) => s""""partial":true,"only":"${subs.mkString(",")}","""
       case None => ""
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$partial"queries":$qs,"samples":$samplesJson,"remeasured":$remeasuredJson,"failed":$failedJson,"warmups":$warmups,"runs":$runs,"sf":"$sfDir"}""")
+    val load = s"""[${fmt(loadStart)},${fmt(loadAvg())}]"""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$partial"queries":$qs,"samples":$samplesJson,"remeasured":$remeasuredJson,"failed":$failedJson,"warmups":$warmups,"runs":$runs,"loadavg":$load,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -40,4 +40,33 @@ object Scrub {
       regexp_replace(
         regexp_replace(col(textCol), emailRe, "<EMAIL>"),
         longDigitsRe, "<NUM>").as("redacted"))
+
+  /** URLs, scheme-anchored with a greedy path class. A trailing
+    * sentence dot can be absorbed into the match — acceptable for
+    * redaction (the span was getting removed anyway) and, like every
+    * pattern here, byte-identical in Java regex and RE2. */
+  val urlRe = "https?://[A-Za-z0-9./_%?=&#-]+"
+
+  /** Dotted-quad IPv4. No word anchors (`\\b` is backslash territory —
+    * see [[emailRe]]'s splicing note), so a dotted version string also
+    * redacts; deliberate over-redaction, mirrored by the oracle. */
+  val ipv4Re = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+
+  /** Network-identifier redaction: URLs then IPv4s — URL FIRST, because
+    * a URL's host may itself be a dotted quad and must come out as one
+    * `<URL>`, not a `<IP>` embedded in link text. Counts follow the
+    * redactPii discipline: each pattern counted on the text its
+    * replacement actually sees. */
+  def redactNetwork(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(expr(s"regexp_extract_all($textCol, '$urlRe', 0)"))
+        .as("n_urls"),
+      size(expr(
+        s"regexp_extract_all(regexp_replace($textCol, '$urlRe', '<URL>'), '$ipv4Re', 0)"))
+        .as("n_ips"),
+      regexp_replace(
+        regexp_replace(col(textCol), urlRe, "<URL>"),
+        ipv4Re, "<IP>").as("redacted"))
 }

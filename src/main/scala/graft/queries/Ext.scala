@@ -816,7 +816,49 @@ object Ext {
       FROM o ORDER BY doc_id
     """.trim))
 
+  // ---------------------------------------------------------------- q38
+
+  /** q38 — network-identifier redaction (q33's sibling): synthetic URLs
+    * and dotted-quad IPs are woven into a slice of the fixture text,
+    * then scrubbed URL-first (a dotted-quad URL host must come out as
+    * one `<URL>`). Output pins counts and the redacted text's hash. */
+  val q38: Q = Q(
+    "q38_network_redact",
+    (s, d) => {
+      val seeded = Tables.documents(s, d).select(
+        col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" See https://host"), col("doc_id"),
+            lit(".example.com/p?src="), col("doc_id"),
+            lit(" or ping 10.0."), col("doc_id") % 256, lit(".7 now.")))
+          .otherwise(col("text")).as("text"))
+      Scrub.redactNetwork(seeded, "doc_id", "text")
+        .select(col("doc_id"), col("n_urls"), col("n_ips"),
+          sha2(col("redacted"), 256).as("redacted_hash"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH seeded AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0
+            THEN text || ' See https://host' || CAST(doc_id AS VARCHAR)
+              || '.example.com/p?src=' || CAST(doc_id AS VARCHAR)
+              || ' or ping 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 now.'
+            ELSE text END AS text
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '${Scrub.urlRe}')) AS INT)
+          AS n_urls,
+        CAST(len(regexp_extract_all(
+          regexp_replace(text, '${Scrub.urlRe}', '<URL>', 'g'),
+          '${Scrub.ipv4Re}')) AS INT) AS n_ips,
+        sha256(regexp_replace(
+          regexp_replace(text, '${Scrub.urlRe}', '<URL>', 'g'),
+          '${Scrub.ipv4Re}', '<IP>', 'g')) AS redacted_hash
+      FROM seeded ORDER BY doc_id
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
-      q32, q33, q34, q35, q36, q37)
+      q32, q33, q34, q35, q36, q37, q38)
 }
