@@ -65,7 +65,7 @@ object Bench {
     * `defaultFloor` (BASELINE.md: "remaining queries ≤ 1.2 each"). */
   private[graft] val floors: Map[String, Double] = Map(
     "q17_ngram_jaccard_neardup" -> 2.3,
-    "q31_neardup_clusters" -> 1.8,
+    "q31_neardup_clusters" -> 1.7,
     "q21_embedding_neardup_ivf" -> 2.0,
     "q36_cross_contamination" -> 1.8,
     "q30_embedding_neardup_rplsh" -> 1.8,
@@ -77,6 +77,7 @@ object Bench {
     "q23_quality_score" -> 0.6,
     "q20_embedding_topk" -> 0.5,
     "q22_lang_id" -> 0.45,
+    "q38_network_redact" -> 0.35,
     "q35_repetition_signals" -> 0.33,
     "q25_doc_fingerprint" -> 0.3)
   private[graft] val defaultFloor = 1.2
