@@ -166,7 +166,10 @@ object Bench {
       q.name -> (if (failed.contains(q.name) || samples(i).isEmpty) -1.0
                  else samples(i).min)
     }
-    def fmt(d: Double): String = f"$d%.4f"
+    // Locale pinned: the `f` interpolator honors the default locale, and
+    // a comma-decimal locale would print 25,0413 — malformed JSON
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.US, "%.4f", Double.box(d))
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val samplesJson = selected.zipWithIndex

@@ -202,6 +202,32 @@ class TextHashNativeSpec extends SparkSpec {
     assert(viaSql == viaCol && viaSql.size == 2)
   }
 
+  test("generated code COMPILES for every native expression (no silent fallback)") {
+    // Spark quietly degrades to interpreted eval when doGenCode output
+    // fails to compile — results stay right, the perf win silently
+    // vanishes. fallback=false turns that into a loud failure.
+    val before = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val d = df("the quick brown fox jumps over the lazy dog again and again")
+      val out = d.select(
+        TextHash.tokenHashesOf(col("text")).as("wh"),
+        TextHash.shingleHashesOf(col("text")).as("sh"),
+        TextHash.markerCountOf(TextHash.tokens(col("text")),
+          Seq("the", "a")).as("mc"),
+        TextHash.sumTokenLengthsOf(TextHash.tokens(col("text"))).as("sl"))
+        .select(col("mc"), col("sl"),
+          TextHash.rollingFoldOf(col("wh")).as("pf"),
+          TextHash.minGramFoldOf(col("wh"), 3).as("mg"),
+          TextHash.minhashSignatureOf(col("sh"), 4).as("sig"),
+          TextHash.simhashOf(col("sh"), 16).as("fp"))
+        .collect().head
+      assert(out.getInt(0) == 2 && out.getLong(1) > 0)
+      assert(!out.isNullAt(2) && !out.isNullAt(3))
+      assert(out.getSeq[Long](4).size == 4 && !out.isNullAt(5))
+    } finally spark.conf.set("spark.sql.codegen.fallback", before)
+  }
+
   test("SQL registration: marker-count and fold functions reachable") {
     graft.engine.GraftSession.tune(spark)
     df("the quick the lazy the").createOrReplaceTempView("thn_docs2")
