@@ -53,6 +53,47 @@ object TextHashProps extends Properties("TextHash") {
       hashesOf(texts).flatten.forall(h => h >= 0 && h < TextHash.P)
     }
 
+  property("native folds == HOF folds on generated text; results in [0, P)") =
+    forAll(Gen.listOfN(5, textGen)) { texts =>
+      import scala.jdk.CollectionConverters._
+      val P = TextHash.P
+      val markers = Seq("the", "a0", "zz")
+      val df = spark.createDataFrame(
+        texts.zipWithIndex.map { case (t, i) =>
+          org.apache.spark.sql.Row(i.toLong, t)
+        }.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+      val base = df.select(col("id"), TextHash.tokens(col("text")).as("w"),
+        TextHash.tokenHashesOf(col("text")).as("wh"))
+      val native = base.select(col("id"),
+        TextHash.rollingFoldOf(col("wh")).as("r"),
+        TextHash.minGramFoldOf(col("wh"), 8).as("m"),
+        TextHash.sumTokenLengthsOf(col("w")).as("s"),
+        TextHash.markerCountOf(col("w"), markers).as("c"))
+        .orderBy("id").collect()
+      val hof = base.select(col("id"),
+        TextHash.rollingFold("wh").as("r"),
+        when(size(col("wh")) >= 8, array_min(expr(s"""
+          transform(sequence(1, size(wh) - 7), i ->
+            aggregate(slice(wh, i, 8), 0L, (a, x) -> ((a * 131L) + x) % ${P}L))""")))
+          .otherwise(lit(null).cast("long")).as("m"),
+        expr("aggregate(transform(w, x -> length(x)), 0L, (a, b) -> a + b)").as("s"),
+        size(filter(col("w"), t => t.isin(markers.map(lit): _*))).as("c"))
+        .orderBy("id").collect()
+      native.zip(hof).forall { case (n, h) =>
+        n.getLong(1) == h.getLong(1) && n.getLong(1) >= 0 && n.getLong(1) < P &&
+        n.isNullAt(2) == h.isNullAt(2) &&
+        (n.isNullAt(2) || (n.getLong(2) == h.getLong(2) &&
+          n.getLong(2) >= 0 && n.getLong(2) < P)) &&
+        n.getLong(3) == h.getLong(3) &&
+        n.getInt(4) == h.getInt(4)
+      }
+    }
+
   property("tokenization collapses arbitrary whitespace runs") =
     forAll(Gen.listOfN(20, wordGen)) { words =>
       val spaced = words.mkString(" ")
