@@ -34,10 +34,21 @@ object Main {
     case "report" :: warehouse :: cut :: Nil =>
       report(warehouse, LocalDate.parse(cut))
     case "compact" :: warehouse :: Nil => compact(warehouse)
+    case "corpus" :: docsParquet :: outDir :: Nil => corpus(docsParquet, outDir)
     case _ =>
       System.err.println(
-        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir>")
+        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir>")
       sys.exit(2)
+  }
+
+  /** The LLM-corpus curation funnel (dedup → filters → redaction →
+    * packing) as a CLI pass; see [[graft.etl.CorpusPipeline]]. */
+  private def corpus(docsParquet: String, outDir: String): Unit = {
+    val spark = GraftSession.local()
+    val s = graft.etl.CorpusPipeline.curate(spark, docsParquet, outDir)
+    println(s"[corpus] raw=${s.raw} exact=${s.afterExact} " +
+      s"neardup=${s.afterNearDup} quality=${s.afterQuality} packs=${s.packs}")
+    spark.stop()
   }
 
   /** The Varios sheet is KB-scale control data whose ROW ORDER is part

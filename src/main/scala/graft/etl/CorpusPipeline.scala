@@ -1,0 +1,94 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.CacheScope
+import graft.operators.{Dedup, Packing, Scrub, TextAnalysis}
+
+/** The LLM-corpus curation funnel (SURVEY.md §2.11 composed end to
+  * end): the individual operators are each oracle-checked in the
+  * registry; this is the product shape a corpus team actually runs —
+  * one pass from raw documents to a training-ready, packed corpus.
+  *
+  *   raw → exact dedup (content hash, keep-first)
+  *       → near-dup clusters (MinHash-LSH pairs → components, keep the
+  *         canonical doc per cluster)
+  *       → quality + repetition gates (length/stopword bands, dup-gram
+  *         ratio — the boilerplate rules)
+  *       → PII + network redaction (emails, digit runs, URLs, IPs)
+  *       → sequence packing offsets (2048-token windows)
+  *
+  * Every stage is shuffle-on-key or row-local — the funnel inherits
+  * each operator's 100 TB shape. Stage survivor counts come back as
+  * [[CorpusPipeline.Stats]]; the driver never holds document data.
+  *
+  * Filter thresholds mirror the registry defaults (q16/q18/q31's
+  * parameters, q23's bands, q35's ratio) so a funnel run is consistent
+  * with what the oracles verified.
+  */
+object CorpusPipeline {
+
+  final case class Stats(raw: Long, afterExact: Long, afterNearDup: Long,
+      afterQuality: Long, packs: Long)
+
+  /** Run the funnel over `docsParquet` (the documents schema: doc_id,
+    * text, ...), writing `clean/` (curated, redacted docs) and `packs/`
+    * (packing offsets) under `outDir`. Intermediates live in one
+    * managed [[CacheScope]], released before return. */
+  def curate(spark: SparkSession, docsParquet: String, outDir: String,
+      maxRepetition: Double = 0.5): Stats =
+    CacheScope.withScope { scope =>
+      val docs = spark.read.parquet(docsParquet)
+      val raw = docs.count()
+
+      // exact dedup: one survivor per byte-identical content
+      val keepExact = Dedup.exact(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val exact = scope.persist(docs.join(keepExact, Seq("doc_id")))
+      val afterExact = exact.count()
+
+      // near-dup: LSH pairs over the survivors, closed into clusters;
+      // keep each cluster's canonical (min-id) doc
+      val pairs = Dedup.minhashLshPairs(exact, "doc_id", "text",
+        scope = scope)
+      val canonical = Dedup.nearDupClusters(exact, "doc_id", pairs)
+        .where(col("is_canonical")).select(col("doc_id"))
+      val deduped = scope.persist(exact.join(canonical, Seq("doc_id")))
+      val afterNearDup = deduped.count()
+
+      // quality + repetition gates (the q23/q35 signals)
+      val quality = TextAnalysis.qualityScores(deduped, "doc_id", "text")
+        .where(col("quality_band") =!= "low").select(col("doc_id"))
+      val lowRep = TextAnalysis.repetitionSignals(deduped, "doc_id", "text")
+        .where(col("dup_gram_ratio").isNull ||
+          col("dup_gram_ratio") <= maxRepetition)
+        .select(col("doc_id"))
+      val kept = scope.persist(
+        deduped.join(quality, Seq("doc_id")).join(lowRep, Seq("doc_id")))
+      val afterQuality = kept.count()
+
+      // redaction: PII then network identifiers over the final text
+      val pii = Scrub.redactPii(kept, "doc_id", "text")
+        .select(col("doc_id"), col("redacted").as("text"))
+      val clean = Scrub.redactNetwork(pii, "doc_id", "text")
+        .select(col("doc_id"), col("redacted").as("text"))
+        .join(kept.drop("text"), Seq("doc_id"))
+
+      clean.write.mode("overwrite").parquet(s"$outDir/clean")
+
+      // packing offsets over the curated corpus (re-read: the packing
+      // scan should see the redacted text that will actually train)
+      val packed = Packing.contiguousOffsets(
+        spark.read.parquet(s"$outDir/clean"), "doc_id", "text",
+        scope = scope)
+      packed.write.mode("overwrite").parquet(s"$outDir/packs")
+      val packs = spark.read.parquet(s"$outDir/packs")
+        .agg(max(col("pack_id"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0) + 1
+      }
+
+      Stats(raw, afterExact, afterNearDup, afterQuality, packs)
+    }
+}
