@@ -67,6 +67,7 @@ object Bench {
     "q17_ngram_jaccard_neardup" -> 2.3,
     "q31_neardup_clusters" -> 1.7,
     "q21_embedding_neardup_ivf" -> 2.0,
+    "q39_embedding_topk_ivf" -> 2.0,
     "q36_cross_contamination" -> 1.8,
     "q30_embedding_neardup_rplsh" -> 1.8,
     "q34_event_sessionize" -> 1.0,

@@ -45,6 +45,12 @@ final class CacheScope private[engine] (managed: Boolean) {
     p
   }
 
+  /** The frames this scope persisted and will release — test-visible so
+    * specs can assert per-frame cache-registry state instead of racing
+    * other suites on global block-manager counts. */
+  private[graft] def trackedFrames: Seq[DataFrame] =
+    synchronized { frames.toSeq }
+
   /** Release every cache this scope created. Idempotent; non-blocking
     * (block eviction completes asynchronously, but the entries leave
     * the cache registry immediately, so repeated scoped calls never

@@ -250,6 +250,59 @@ object Ext {
 
   // ---------------------------------------------------------------- q21
 
+  /** DuckDB fragment: the deterministic k-means coarse quantizer replay
+    * shared by q21 and q39 — normed vectors (`n`), hash-seeded init,
+    * one fixed-point refinement pass, refined centroid table (`c3`). */
+  private val duckIvfQuantizer =
+    """e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+      |  FROM embeddings),
+      |n0 AS (
+      |  SELECT vec_id, v,
+      |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(v, x -> x * x)), (a, b) -> a + b)) nrm
+      |  FROM e),
+      |n AS (SELECT * FROM n0 WHERE nrm > 0),
+      |seeds AS (
+      |  SELECT vec_id FROM (
+      |    SELECT vec_id, row_number() OVER (
+      |      ORDER BY ((vec_id % 2147483648) * 2654435761) % 2147483648,
+      |        vec_id) rn
+      |    FROM n) t
+      |  WHERE rn <= (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM n)),
+      |c0 AS (
+      |  SELECT n.vec_id cent_id, n.v cv, n.nrm cn
+      |  FROM n JOIN seeds ON n.vec_id = seeds.vec_id),
+      |a1 AS (
+      |  SELECT cell, vec_id FROM (
+      |    SELECT c.cent_id cell, n.vec_id,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |        (list_reduce(list_prepend(0.0::DOUBLE,
+      |           list_transform(range(1, len(n.v) + 1),
+      |             i -> n.v[i] * c.cv[i])),
+      |           (x, y) -> x + y) / (n.nrm * c.cn)) DESC, c.cent_id) probe
+      |    FROM n, c0 c) t
+      |  WHERE probe = 1),
+      |dims AS (
+      |  SELECT cell, u.d d, u.f f FROM (
+      |    SELECT a1.cell,
+      |      unnest(list_transform(range(1, len(n.v) + 1),
+      |        i -> {'d': i, 'f': CAST(floor(n.v[i] * 1048576.0) AS BIGINT)})) u
+      |    FROM a1 JOIN n ON n.vec_id = a1.vec_id) t),
+      |cd AS (
+      |  SELECT cell, d, sum(f) fs, count(*) cnt FROM dims GROUP BY cell, d),
+      |c1 AS (
+      |  SELECT cell cent_id,
+      |    list(CAST(fs AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1048576.0)
+      |      ORDER BY d) cv
+      |  FROM cd GROUP BY cell),
+      |c2 AS (
+      |  SELECT cent_id, cv,
+      |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(cv, x -> x * x)), (a, b) -> a + b)) cn
+      |  FROM c1),
+      |c3 AS (SELECT * FROM c2 WHERE cn > 0)""".stripMargin
+
   /** q21 — IVF near-dup with a deterministic k-means coarse quantizer
     * (r3 verdict item 2): C = ⌈√N⌉ centroids hash-seeded from the
     * corpus, ONE fixed-point refinement pass, multi-probe 2, candidate
@@ -265,55 +318,8 @@ object Ext {
     (s, d) =>
       Similarity.ivfCosinePairs(Tables.embeddings(s, d),
         threshold = 0.3, probes = 2, kmeansIters = 1),
-    Some("""
-      WITH e AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
-        FROM embeddings),
-      n0 AS (
-        SELECT vec_id, v,
-          sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-            list_transform(v, x -> x * x)), (a, b) -> a + b)) nrm
-        FROM e),
-      n AS (SELECT * FROM n0 WHERE nrm > 0),
-      seeds AS (
-        SELECT vec_id FROM (
-          SELECT vec_id, row_number() OVER (
-            ORDER BY ((vec_id % 2147483648) * 2654435761) % 2147483648,
-              vec_id) rn
-          FROM n) t
-        WHERE rn <= (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM n)),
-      c0 AS (
-        SELECT n.vec_id cent_id, n.v cv, n.nrm cn
-        FROM n JOIN seeds ON n.vec_id = seeds.vec_id),
-      a1 AS (
-        SELECT cell, vec_id FROM (
-          SELECT c.cent_id cell, n.vec_id,
-            row_number() OVER (PARTITION BY n.vec_id ORDER BY
-              (list_reduce(list_prepend(0.0::DOUBLE,
-                 list_transform(range(1, len(n.v) + 1),
-                   i -> n.v[i] * c.cv[i])),
-                 (x, y) -> x + y) / (n.nrm * c.cn)) DESC, c.cent_id) probe
-          FROM n, c0 c) t
-        WHERE probe = 1),
-      dims AS (
-        SELECT cell, u.d d, u.f f FROM (
-          SELECT a1.cell,
-            unnest(list_transform(range(1, len(n.v) + 1),
-              i -> {'d': i, 'f': CAST(floor(n.v[i] * 1048576.0) AS BIGINT)})) u
-          FROM a1 JOIN n ON n.vec_id = a1.vec_id) t),
-      cd AS (
-        SELECT cell, d, sum(f) fs, count(*) cnt FROM dims GROUP BY cell, d),
-      c1 AS (
-        SELECT cell cent_id,
-          list(CAST(fs AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1048576.0)
-            ORDER BY d) cv
-        FROM cd GROUP BY cell),
-      c2 AS (
-        SELECT cent_id, cv,
-          sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-            list_transform(cv, x -> x * x)), (a, b) -> a + b)) cn
-        FROM c1),
-      c3 AS (SELECT * FROM c2 WHERE cn > 0),
+    Some(s"""
+      WITH $duckIvfQuantizer,
       assigned AS (
         SELECT cent_id AS cell, vec_id FROM (
           SELECT n.vec_id, c.cent_id,
@@ -858,7 +864,63 @@ object Ext {
       FROM seeded ORDER BY doc_id
     """.trim))
 
+  // ---------------------------------------------------------------- q39
+
+  /** q39 — IVF-probed ANN top-k (q20's scale path): the same
+    * deterministic quantizer as q21, but used for SEARCH — the corpus
+    * indexed at one cell per vector, each query (q20's `vec_id % 50`
+    * set) probing its 4 nearest cells, exact cosine + ranking paid only
+    * inside probed cells. Same output schema as q20, so recall@k is a
+    * direct row comparison (SimilaritySpec pins it). The oracle replays
+    * quantizer, probe choice, and ranking bit-for-bit. */
+  val q39: Q = Q(
+    "q39_embedding_topk_ivf",
+    (s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d), k = 5, queryStride = 50,
+        probes = 4, kmeansIters = 1),
+    Some(s"""
+      WITH $duckIvfQuantizer,
+      idx AS (
+        SELECT cell, vec_id AS neighbor_id FROM (
+          SELECT c.cent_id cell, n.vec_id,
+            row_number() OVER (PARTITION BY n.vec_id ORDER BY
+              (list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(range(1, len(n.v) + 1),
+                   i -> n.v[i] * c.cv[i])),
+                 (x, y) -> x + y) / (n.nrm * c.cn)) DESC, c.cent_id) AS probe
+          FROM n, c3 c) t
+        WHERE probe = 1),
+      qa AS (
+        SELECT cell, vec_id AS query_id FROM (
+          SELECT c.cent_id cell, n.vec_id,
+            row_number() OVER (PARTITION BY n.vec_id ORDER BY
+              (list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(range(1, len(n.v) + 1),
+                   i -> n.v[i] * c.cv[i])),
+                 (x, y) -> x + y) / (n.nrm * c.cn)) DESC, c.cent_id) AS probe
+          FROM n, c3 c WHERE n.vec_id % 50 = 0) t
+        WHERE probe <= 4),
+      cand AS (
+        SELECT DISTINCT qa.query_id, idx.neighbor_id
+        FROM qa JOIN idx ON qa.cell = idx.cell
+        WHERE qa.query_id <> idx.neighbor_id),
+      scored AS (
+        SELECT query_id, neighbor_id,
+          (list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(range(1, len(nq.v) + 1), i -> nq.v[i] * nc.v[i])),
+             (x, y) -> x + y) / (nq.nrm * nc.nrm)) AS cosine
+        FROM cand
+        JOIN n nq ON nq.vec_id = query_id
+        JOIN n nc ON nc.vec_id = neighbor_id)
+      SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) rank
+        FROM scored) t
+      WHERE rank <= 5
+      ORDER BY query_id, rank
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
-      q32, q33, q34, q35, q36, q37, q38)
+      q32, q33, q34, q35, q36, q37, q38, q39)
 }

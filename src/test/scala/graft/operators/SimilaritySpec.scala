@@ -85,6 +85,40 @@ class SimilaritySpec extends SparkSpec {
     assert(perVec.getLong(0) == 2L && perVec.getLong(1) == 2L)
   }
 
+  test("ivfTopK: well-formed ranks, exact scores, real recall vs cosineTopK") {
+    val k = 5
+    val exact = Similarity.cosineTopK(emb, k = k, queryStride = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.ivfTopK(emb, k = k, queryStride = 50,
+      probes = 4, kmeansIters = 1).collect()
+    assert(ann.nonEmpty)
+    // per-query: contiguous ranks from 1, ordered by descending cosine,
+    // never more than k, never the query itself
+    ann.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.length <= k)
+      assert(rows.map(_.getInt(2)).toSeq.sorted == (1 to rows.length))
+      assert(rows.forall(_.getLong(1) != q))
+      val cos = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (x, y) => x >= y })
+    }
+    // approximate-search recall floor vs the exact baseline: probing 2
+    // of ~sqrt(N) cells must still find most true top-k neighbors; a
+    // quantizer/probe regression shows up here
+    val annSet = ann.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (annSet & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@$k $recall")
+    // every query in the exact baseline is answered by the ANN path too
+    assert(ann.map(_.getLong(0)).toSet ==
+      exact.map(_._1))
+  }
+
+  test("ivfTopK: deterministic run to run") {
+    def run() = Similarity.ivfTopK(emb, k = 3, queryStride = 100,
+      probes = 2, kmeansIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(run() == run())
+  }
+
   test("cosineTopK: ranks exactly like a brute-force window") {
     val out = Similarity.cosineTopK(emb, k = 3, queryStride = 100).collect()
     assert(out.nonEmpty)
