@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextHash
+
 /** Deterministic corpus sampling/mixing: keep a per-stratum fraction of
   * documents chosen by a portable affine hash of the id — NOT `rand()`.
   * Reproducibility is the point: the same mixture comes out on every
@@ -30,5 +32,90 @@ object Sampling {
       case (acc, (s, p)) => when(col(stratumCol) === s, lit(p)).otherwise(acc)
     }
     df.where(pctBucket(col(idCol)) < pct)
+  }
+
+  /** Weighted corpus mixing to a token budget — the pretraining-mixture
+    * op ("a B-token corpus at 50% en / 25% es / 12.5% de / 12.5% fr"):
+    * each stratum contributes `budget · wᵢ/Σw` tokens IN EXPECTATION,
+    * realized by keeping docs whose per-million affine id-hash bucket
+    * falls under the stratum's keep fraction `min(1, targetᵢ/Tᵢ)`
+    * (`Tᵢ` = the stratum's total tokens). A stratum with fewer tokens
+    * than its target is kept whole (the fraction caps at 1) — the
+    * shortfall stays visible in the realized output rather than being
+    * silently rebalanced onto other strata (weights are a statement of
+    * intent; rebalancing would corrupt the mixture).
+    *
+    * Same determinism contract as [[stratifiedByHash]]: no rand(), a
+    * doc's fate is a pure function of (id, weights, budget, corpus
+    * totals), stable across runs/engines/retries. NOTE the corpus-total
+    * dependence: unlike plain stratified sampling, the keep fraction
+    * moves as the corpus grows — budgeted mixing is a SNAPSHOT
+    * operation by nature (fixed budget over a growing corpus must
+    * dilute someone).
+    *
+    * Scale shape: one partial-aggregated groupBy over (stratum) —
+    * shuffle volume = |strata| rows per partition — broadcast back to a
+    * row-local filter; no corpus-wide shuffle, no driver data. Exact
+    * cross-engine replay needs dyadic weights (0.5, 0.25, …): every
+    * intermediate double is then exact, so the floor() boundary cannot
+    * flip between engines (q41 uses such weights; arbitrary weights are
+    * still run-to-run deterministic within Spark). */
+  def mixToTokenBudget(df: DataFrame, idCol: String, stratumCol: String,
+      textCol: String, weights: Map[String, Double],
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens=$budgetTokens must be positive")
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "need at least one stratum with a positive weight")
+    val wsum = weights.values.sum
+    val counts = df.select(col(idCol), col(stratumCol),
+      size(TextHash.tokens(col(textCol))).as("n_tokens"))
+    val target = weights.foldLeft(lit(0.0)) { case (acc, (s, wgt)) =>
+      when(col(stratumCol) === s,
+        lit(budgetTokens.toDouble) * lit(wgt) / lit(wsum)).otherwise(acc)
+    }
+    val thr = counts.groupBy(col(stratumCol))
+      .agg(sum(col("n_tokens")).cast("long").as("t"))
+      .select(col(stratumCol),
+        floor(least(lit(1.0), target / col("t").cast("double")) *
+          lit(1000000.0)).cast("long").as("thr"))
+    val bucket =
+      ((col(idCol) % P) * lit(2654435761L) % P + lit(12345L)) % P % 1000000L
+    counts.join(broadcast(thr), Seq(stratumCol))
+      .where(bucket < col("thr"))
+      .select(col(idCol), col(stratumCol), col("n_tokens"))
+  }
+
+  /** Deterministic training-order shuffle: the last step of every
+    * corpus pipeline — randomize document order for training, sharded
+    * so a 1000-executor writer (and later a 1000-worker data loader)
+    * each own one shard.
+    *
+    * Each doc gets a portable affine hash of (id, seed): `shard` =
+    * hash % shards, `pos` = dense rank of the hash within the shard
+    * (ties broken by id — total order, engine-independent). The seed is
+    * the EPOCH: a different seed reshuffles every doc into a new shard
+    * and position, which is exactly the "reshuffle between epochs"
+    * semantics trainers want, with no state carried between epochs.
+    *
+    * Scale shape: the hash/shard assignment is row-local; the only
+    * shuffle is the per-shard window (`partitionBy(shard)` — `shards`
+    * balanced partitions, each ~N/shards rows, AQE-splittable). Never a
+    * GLOBAL sort or single-partition window: position is only
+    * meaningful WITHIN a shard, the cross-shard interleave being the
+    * data loader's round-robin. The downstream write is
+    * `repartition(col("shard")).sortWithinPartitions(col("pos"))` —
+    * one more shuffle, inherent to materializing any permutation. */
+  def trainingOrder(df: DataFrame, idCol: String, shards: Int = 8,
+      seed: Long = 0L): DataFrame = {
+    require(shards > 0, s"shards=$shards must be positive")
+    val h = ((col(idCol) % P) * lit(2654435761L) % P +
+      (lit(seed % P) * lit(40503L)) % P) % P
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("skey"), col(idCol))
+    df.withColumn("skey", h)
+      .withColumn("shard", (col("skey") % shards).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .drop("skey")
   }
 }

@@ -920,7 +920,73 @@ object Ext {
       ORDER BY query_id, rank
     """.trim))
 
+  // ---------------------------------------------------------------- q40
+
+  /** q40 — deterministic training-order shuffle (the corpus pipeline's
+    * last step): portable (id, seed)-hash → shard + within-shard
+    * position; seed = epoch, so reshuffling between epochs is just a
+    * seed change. Row-local assignment, per-shard window — never a
+    * global sort. Spark `row_number` is INT32, DuckDB's BIGINT → cast. */
+  val q40: Q = Q(
+    "q40_training_order",
+    (s, d) =>
+      Sampling.trainingOrder(Tables.documents(s, d), "doc_id",
+        shards = 8, seed = 1L)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos")),
+    Some(s"""
+      WITH h AS (
+        SELECT doc_id,
+          ((doc_id % $P) * 2654435761 % $P + (1 % $P) * 40503 % $P) % $P
+            AS skey
+        FROM documents),
+      s AS (SELECT doc_id, skey, CAST(skey % 8 AS INT) AS shard FROM h)
+      SELECT doc_id, shard,
+        CAST(row_number() OVER (
+          PARTITION BY shard ORDER BY skey, doc_id) AS INT) AS pos
+      FROM s ORDER BY shard, pos
+    """.trim))
+
+  // ---------------------------------------------------------------- q41
+
+  /** q41 — weighted mixing to a token budget: 20k tokens at en 0.5 /
+    * es 0.25 / de 0.125 / fr 0.125 (dyadic weights → every double in
+    * the keep-fraction arithmetic is exact, so the per-million floor()
+    * boundary replays identically in DuckDB; see the operator's
+    * scaladoc). The oracle mirrors the arithmetic ORDER too:
+    * (budget · w) / Σw, one division by the stratum total, floor. */
+  val q41: Q = Q(
+    "q41_token_budget_mix",
+    (s, d) =>
+      Sampling.mixToTokenBudget(Tables.documents(s, d), "doc_id", "lang",
+        "text", Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.125,
+          "fr" -> 0.125), budgetTokens = 20000L)
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH c AS (
+        SELECT doc_id, lang,
+          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+            t -> t <> '')) AS INT) AS n_tokens
+        FROM documents),
+      tot AS (
+        SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS t
+        FROM c GROUP BY lang),
+      thr AS (
+        SELECT lang,
+          CAST(floor(least(1.0,
+            (20000.0 * CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25
+                       WHEN 'de' THEN 0.125 WHEN 'fr' THEN 0.125
+                       ELSE 0.0 END / 1.0) / CAST(t AS DOUBLE))
+            * 1000000.0) AS BIGINT) AS thr
+        FROM tot)
+      SELECT c.doc_id, c.lang, c.n_tokens
+      FROM c JOIN thr ON c.lang = thr.lang
+      WHERE ((c.doc_id % $P) * 2654435761 % $P + 12345) % $P % 1000000
+        < thr.thr
+      ORDER BY c.doc_id
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
-      q32, q33, q34, q35, q36, q37, q38, q39)
+      q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
 }

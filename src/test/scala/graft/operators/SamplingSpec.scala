@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.engine.Tables
+
+/** Sampling/mixing semantics on the sf0.001 documents fixture:
+  * hash-stratified sampling's determinism contract (q32's operator) and
+  * the training-order shuffle's permutation/epoch properties (q40's).
+  */
+class SamplingSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("stratifiedByHash: a doc's fate never changes as the corpus grows") {
+    val pcts = Map("en" -> 60, "es" -> 30)
+    val full = Sampling.stratifiedByHash(docs, "doc_id", "lang", pcts,
+      defaultPct = 10).select("doc_id").collect().map(_.getLong(0)).toSet
+    // rerun over HALF the corpus: every survivor from the half must be
+    // a survivor of the full run restricted to that half (incremental
+    // growth can only ADD docs to the sample, never flip old ones)
+    val halfIds = docs.where(col("doc_id") % 2 === 0)
+    val half = Sampling.stratifiedByHash(halfIds, "doc_id", "lang", pcts,
+      defaultPct = 10).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(half == full.filter(_ % 2 == 0))
+  }
+
+  test("mixToTokenBudget: realized mixture tracks the weights, capped strata kept whole") {
+    val weights = Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.125,
+      "fr" -> 0.125)
+    val budget = 20000L
+    val out = Sampling.mixToTokenBudget(docs, "doc_id", "lang", "text",
+      weights, budget)
+    val realized = out.groupBy("lang")
+      .agg(sum(col("n_tokens")).cast("long").as("rt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // zero-weight strata contribute nothing
+    assert(realized.keySet.subsetOf(weights.keySet))
+    // per-stratum totals of the WHOLE corpus, to find capped strata
+    val totals = docs
+      .groupBy("lang")
+      .agg(sum(size(graft.functions.TextHash.tokens(col("text"))))
+        .cast("long").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    weights.foreach { case (lang, w) =>
+      val target = budget * w
+      if (totals(lang) <= target)
+        // under-supplied stratum: kept whole, shortfall visible
+        assert(realized(lang) == totals(lang))
+      else {
+        // hash sampling hits the target in expectation; the fixture
+        // draw is deterministic, so this tolerance cannot flake
+        val ratio = realized(lang) / target
+        assert(ratio > 0.5 && ratio < 1.5,
+          s"$lang realized ${realized(lang)} vs target $target")
+      }
+    }
+  }
+
+  test("mixToTokenBudget: deterministic and a subset of the corpus") {
+    val weights = Map("en" -> 0.5, "es" -> 0.5)
+    def run() = Sampling.mixToTokenBudget(docs, "doc_id", "lang", "text",
+      weights, 5000L).select("doc_id").collect().map(_.getLong(0)).toSet
+    val first = run()
+    assert(first.nonEmpty && run() == first)
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(first.subsetOf(all))
+  }
+
+  test("trainingOrder: a permutation — every doc once, positions contiguous per shard") {
+    val out = Sampling.trainingOrder(docs, "doc_id", shards = 8, seed = 0L)
+      .select("doc_id", "shard", "pos").collect()
+    val n = docs.count()
+    assert(out.length == n) // nothing dropped, nothing duplicated
+    assert(out.map(_.getLong(0)).distinct.length == n)
+    out.groupBy(_.getInt(1)).foreach { case (shard, rows) =>
+      assert(0 <= shard && shard < 8)
+      // positions are exactly 1..|shard| — a dense total order
+      assert(rows.map(_.getInt(2)).toSeq.sorted == (1 to rows.length))
+    }
+  }
+
+  test("trainingOrder: seed is the epoch — different seed, different order") {
+    def order(seed: Long): Seq[(Long, Int, Int)] =
+      Sampling.trainingOrder(docs, "doc_id", shards = 8, seed = seed)
+        .select("doc_id", "shard", "pos").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq.sorted
+    val e0 = order(0L)
+    assert(order(0L) == e0) // deterministic run to run
+    val e1 = order(1L)
+    assert(e0 != e1, "epoch reshuffle must move documents")
+    // same doc set either way — reshuffling never loses data
+    assert(e0.map(_._1) == e1.map(_._1))
+  }
+
+  test("trainingOrder: shards stay balanced enough to own a writer each") {
+    val sizes = Sampling.trainingOrder(docs, "doc_id", shards = 8, seed = 0L)
+      .groupBy("shard").count().collect().map(_.getLong(1))
+    assert(sizes.length == 8, "every shard must be non-empty on the fixture")
+    val avg = sizes.sum.toDouble / sizes.length
+    assert(sizes.forall(s => s < 2 * avg),
+      s"hash sharding skewed: ${sizes.mkString(",")}")
+  }
+}
