@@ -34,18 +34,24 @@ object Main {
     case "report" :: warehouse :: cut :: Nil =>
       report(warehouse, LocalDate.parse(cut))
     case "compact" :: warehouse :: Nil => compact(warehouse)
-    case "corpus" :: docsParquet :: outDir :: Nil => corpus(docsParquet, outDir)
+    case "corpus" :: docsParquet :: outDir :: Nil =>
+      corpus(docsParquet, outDir, epoch = None)
+    case "corpus" :: docsParquet :: outDir :: epochSeed :: Nil =>
+      corpus(docsParquet, outDir, epoch = Some(epochSeed.toLong))
     case _ =>
       System.err.println(
-        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir>")
+        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed]")
       sys.exit(2)
   }
 
   /** The LLM-corpus curation funnel (dedup → filters → redaction →
-    * packing) as a CLI pass; see [[graft.etl.CorpusPipeline]]. */
-  private def corpus(docsParquet: String, outDir: String): Unit = {
+    * packing) as a CLI pass; an `epochSeed` switches the packing stage
+    * to epoch-sharded training shards. See [[graft.etl.CorpusPipeline]]. */
+  private def corpus(docsParquet: String, outDir: String,
+      epoch: Option[Long]): Unit = {
     val spark = GraftSession.local()
-    val s = graft.etl.CorpusPipeline.curate(spark, docsParquet, outDir)
+    val s = graft.etl.CorpusPipeline.curate(spark, docsParquet, outDir,
+      epoch = epoch)
     println(s"[corpus] raw=${s.raw} exact=${s.afterExact} " +
       s"neardup=${s.afterNearDup} quality=${s.afterQuality} packs=${s.packs}")
     spark.stop()

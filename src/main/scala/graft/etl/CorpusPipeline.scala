@@ -35,9 +35,21 @@ object CorpusPipeline {
   /** Run the funnel over `docsParquet` (the documents schema: doc_id,
     * text, ...), writing `clean/` (curated, redacted docs) and `packs/`
     * (packing offsets) under `outDir`. Intermediates live in one
-    * managed [[CacheScope]], released before return. */
+    * managed [[CacheScope]], released before return.
+    *
+    * `epoch = Some(seed)` makes the packing stage epoch-sharded
+    * ([[Packing.epochShardedOffsets]]): docs are dealt into `shards`
+    * training shards in seed-shuffled order and packed per shard — the
+    * form a data loader consumes, re-runnable per epoch with a new
+    * seed over the SAME `clean/` output. `None` keeps the global
+    * doc-id-order packing (q37's shape). */
   def curate(spark: SparkSession, docsParquet: String, outDir: String,
-      maxRepetition: Double = 0.5): Stats =
+      maxRepetition: Double = 0.5, epoch: Option[Long] = None,
+      shards: Int = 8,
+      // test seam: observe the managed scope right before it closes, so
+      // specs can assert per-frame release without racing other suites
+      // on global block-manager counts
+      onScope: CacheScope => Unit = _ => ()): Stats =
     CacheScope.withScope { scope =>
       val docs = spark.read.parquet(docsParquet)
       val raw = docs.count()
@@ -79,16 +91,27 @@ object CorpusPipeline {
 
       // packing offsets over the curated corpus (re-read: the packing
       // scan should see the redacted text that will actually train)
-      val packed = Packing.contiguousOffsets(
-        spark.read.parquet(s"$outDir/clean"), "doc_id", "text",
-        scope = scope)
-      packed.write.mode("overwrite").parquet(s"$outDir/packs")
-      val packs = spark.read.parquet(s"$outDir/packs")
-        .agg(max(col("pack_id"))).head() match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0) + 1
+      val cleanDocs = spark.read.parquet(s"$outDir/clean")
+      val packed = epoch match {
+        case Some(seed) =>
+          Packing.epochShardedOffsets(cleanDocs, "doc_id", "text",
+            shards = shards, seed = seed)
+        case None =>
+          Packing.contiguousOffsets(cleanDocs, "doc_id", "text",
+            scope = scope)
       }
+      packed.write.mode("overwrite").parquet(s"$outDir/packs")
+      val packFrame = spark.read.parquet(s"$outDir/packs")
+      val packs =
+        if (epoch.isDefined)
+          packFrame.select(col("shard"), col("pack_id")).distinct().count()
+        else packFrame.agg(max(col("pack_id"))).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0) + 1
+        }
 
-      Stats(raw, afterExact, afterNearDup, afterQuality, packs)
+      val stats = Stats(raw, afterExact, afterNearDup, afterQuality, packs)
+      onScope(scope)
+      stats
     }
 }

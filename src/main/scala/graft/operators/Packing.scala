@@ -87,4 +87,42 @@ object Packing {
           .as("spans_boundary"))
       .orderBy(col("doc_id"))
   }
+
+  /** Epoch-sharded packing — [[Sampling.trainingOrder]] composed with
+    * per-shard chunking: docs are dealt into `shards` training shards
+    * in seed-(= epoch-)dependent shuffled order, then each shard is
+    * concatenated in its own order and cut every `maxTokens`. This is
+    * the form a trainer actually consumes: one shard per data-loader
+    * worker, each holding an independent stream of fixed-size windows,
+    * reshuffled every epoch by a seed change.
+    *
+    * Scale shape: sharding bounds every window to ~N/shards rows, so
+    * the prefix sum needs NO two-phase trick here — `partitionBy(shard)`
+    * is an ordinary distributed window (the global, unsharded case is
+    * what [[contiguousOffsets]]'s two-phase scan exists for). Both
+    * windows (position, then offsets) hash-partition on `shard`, so
+    * Catalyst plans ONE exchange for the whole operator.
+    *
+    * `pack_id` is per-shard; consumers key windows by (shard, pack_id).
+    */
+  def epochShardedOffsets(docs: DataFrame, idCol: String, textCol: String,
+      shards: Int = 8, seed: Long = 0L, maxTokens: Int = 2048): DataFrame = {
+    require(maxTokens >= 1, s"need maxTokens >= 1, got $maxTokens")
+    val ordered = Sampling.trainingOrder(docs, idCol, shards, seed)
+      .select(col(idCol).as("doc_id"), col("shard"), col("pos"),
+        size(TextHash.tokenHashesOf(col(textCol))).as("n_tokens"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = coalesce(sum(col("n_tokens")).over(w), lit(0L))
+    ordered
+      .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"),
+        off.as("shard_offset"))
+      .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"),
+        col("shard_offset"),
+        expr(s"shard_offset div $maxTokens").as("pack_id"),
+        (col("shard_offset") % maxTokens).as("pack_offset"),
+        ((col("shard_offset") % maxTokens) + col("n_tokens") > maxTokens)
+          .as("spans_boundary"))
+      .orderBy(col("shard"), col("pos"))
+  }
 }

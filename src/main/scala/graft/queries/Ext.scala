@@ -986,7 +986,48 @@ object Ext {
       ORDER BY c.doc_id
     """.trim))
 
+  // ---------------------------------------------------------------- q42
+
+  /** q42 — epoch-sharded packing (q40 ∘ q37): training-order shuffle
+    * into 8 shards, then per-shard concat-and-chunk at 2048 tokens —
+    * the epoch-ready form a data loader consumes. Sharding bounds the
+    * prefix-sum window, so no two-phase scan is needed here; both
+    * windows share one hash-exchange on `shard` (PlanAuditSpec pins
+    * no single-partition window). DuckDB window SUM over INT returns
+    * HUGEINT → cast; `//` is exact BIGINT division like Spark `div`. */
+  val q42: Q = Q(
+    "q42_epoch_sharded_packing",
+    (s, d) =>
+      Packing.epochShardedOffsets(Tables.documents(s, d), "doc_id", "text",
+        shards = 8, seed = 1L, maxTokens = 2048),
+    Some(s"""
+      WITH $duckWords,
+      t AS (SELECT doc_id, CAST(len(w) AS INT) AS n_tokens FROM words),
+      h AS (
+        SELECT doc_id, n_tokens,
+          ((doc_id % $P) * 2654435761 % $P + (1 % $P) * 40503 % $P) % $P
+            AS skey
+        FROM t),
+      s AS (SELECT doc_id, n_tokens, skey, CAST(skey % 8 AS INT) AS shard
+            FROM h),
+      o AS (
+        SELECT doc_id, shard,
+          CAST(row_number() OVER (
+            PARTITION BY shard ORDER BY skey, doc_id) AS INT) AS pos,
+          n_tokens,
+          CAST(COALESCE(SUM(n_tokens) OVER (
+            PARTITION BY shard ORDER BY skey, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) AS BIGINT) AS shard_offset
+        FROM s)
+      SELECT doc_id, shard, pos, n_tokens, shard_offset,
+        shard_offset // 2048 AS pack_id,
+        shard_offset % 2048 AS pack_offset,
+        (shard_offset % 2048) + n_tokens > 2048 AS spans_boundary
+      FROM o ORDER BY shard, pos
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
-      q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
+      q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
 }

@@ -119,6 +119,21 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q42: both per-shard windows share ONE hash exchange; no single-partition funnel") {
+    // trainingOrder's row_number window and the packing prefix-sum
+    // window both partition on `shard`: Catalyst must satisfy the
+    // second from the first's exchange (a local re-sort, not a second
+    // shuffle). A second hashpartitioning exchange here means the
+    // composed operator started double-shuffling the corpus; a
+    // SinglePartition means it degraded to the naive global window.
+    graft.engine.GraftSession.tune(spark)
+    spark.catalog.clearCache()
+    val p = plan("q42_epoch_sharded_packing")
+    assert(!p.contains("SinglePartition"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    spark.catalog.clearCache()
+  }
+
   test("q27: single-row aggregate is partial (map-side combine)") {
     val p = plan("q27_report_metrics")
     // two-phase agg: a Partial-mode sum must appear before the exchange

@@ -2,27 +2,33 @@ package graft.etl
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
+import graft.engine.CacheScope
 
 /** The curation funnel end-to-end over the sf0.001 documents fixture:
   * stage counts form a monotone funnel, outputs are readable, and the
-  * curated text is actually redacted and packed consistently. */
+  * curated text is actually redacted and packed consistently. Scope
+  * release is asserted PER-FRAME via the `onScope` seam — a global
+  * persistent-RDD count would race whatever a concurrently-running
+  * suite persists. */
 class CorpusPipelineSpec extends SparkSpec {
+
+  private def isCached(f: DataFrame): Boolean =
+    spark.sharedState.cacheManager
+      .lookupCachedData(f.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+      .isDefined
 
   test("curate: monotone funnel, consistent outputs, scope fully released") {
     val out = Files.createTempDirectory("graft_corpus").toString
-    // scope-managed persist() caches must return to baseline.
-    // localCheckpoint RDDs (q31's lineage cuts) are excluded: their
-    // lifetime is GC-driven via the ContextCleaner, not scope-driven —
-    // the funnel's result frames may still reference the last one.
-    def caches: Int = spark.sparkContext.getPersistentRDDs.values
-      .count(!_.toString.contains("localCheckpoint"))
-    val before = caches
+    var tracked: Seq[DataFrame] = Nil
     val s = CorpusPipeline.curate(spark,
-      "/root/testdata/sf0.001/documents.parquet", out)
-    assert(caches == before, "curate leaked persisted intermediates")
+      "/root/testdata/sf0.001/documents.parquet", out,
+      onScope = scope => tracked = scope.trackedFrames)
+    assert(tracked.nonEmpty, "the funnel should persist intermediates")
+    assert(!tracked.exists(isCached), "curate leaked persisted intermediates")
 
     assert(s.raw > 0)
     assert(s.raw >= s.afterExact && s.afterExact >= s.afterNearDup &&
@@ -44,5 +50,31 @@ class CorpusPipelineSpec extends SparkSpec {
     val expected = rows.map(_.getInt(0).toLong)
       .scanLeft(0L)(_ + _).init
     assert(rows.map(_.getLong(1)).toSeq == expected.toSeq)
+  }
+
+  test("curate with an epoch seed: packs become per-shard streams over the same clean set") {
+    val out = Files.createTempDirectory("graft_corpus_epoch").toString
+    val s = CorpusPipeline.curate(spark,
+      "/root/testdata/sf0.001/documents.parquet", out,
+      epoch = Some(3L), shards = 4)
+    val clean = spark.read.parquet(s"$out/clean")
+    assert(clean.count() == s.afterQuality) // curation unchanged by epoch
+    val packs = spark.read.parquet(s"$out/packs")
+    assert(packs.count() == s.afterQuality)
+    // every curated doc appears once, dealt across the 4 shards
+    assert(packs.select("doc_id").distinct().count() == s.afterQuality)
+    assert(packs.select("shard").distinct().count() == 4)
+    // per-shard offsets are that shard's prefix sum in pos order
+    packs.select("shard", "pos", "n_tokens", "shard_offset").collect()
+      .groupBy(_.getInt(0)).foreach { case (_, rs) =>
+        var acc = 0L
+        rs.sortBy(_.getInt(1)).foreach { r =>
+          assert(r.getLong(3) == acc)
+          acc += r.getInt(2)
+        }
+      }
+    // stats count (shard, pack) windows, consistent with the data
+    val windows = packs.select("shard", "pack_id").distinct().count()
+    assert(s.packs == windows)
   }
 }

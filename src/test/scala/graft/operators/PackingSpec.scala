@@ -38,6 +38,44 @@ class PackingSpec extends SparkSpec {
       (3L, 5, 9L, 1L, 3L, true)))  // 3 + 5 crosses the 12-token cut
   }
 
+  test("epochShardedOffsets: self-consistent shard streams over the full doc set") {
+    val corpus = (0L until 300L).map(i =>
+      i -> (("w " * (1 + (i % 13).toInt)).trim))
+    val out = Packing.epochShardedOffsets(docs(corpus: _*), "doc_id",
+      "text", shards = 4, seed = 1L, maxTokens = 32)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getBoolean(7)))
+    // a permutation: every doc exactly once
+    assert(out.map(_._1).distinct.length == 300)
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(0 <= shard && shard < 4)
+      val inOrder = rows.sortBy(_._3)
+      assert(inOrder.map(_._3).toSeq == (1 to rows.length)) // dense pos
+      // shard_offset is the running sum of the tokens before each doc,
+      // and pack fields derive from it exactly
+      var acc = 0L
+      inOrder.foreach { case (_, _, _, n, off, packId, packOff, spans) =>
+        assert(off == acc)
+        assert(packId == off / 32 && packOff == off % 32)
+        assert(spans == (off % 32 + n > 32))
+        acc += n
+      }
+    }
+  }
+
+  test("epochShardedOffsets: a new epoch seed re-deals docs, preserving the set") {
+    val corpus = (0L until 200L).map(i => i -> "a b c")
+    def run(seed: Long) = Packing.epochShardedOffsets(docs(corpus: _*),
+      "doc_id", "text", shards = 4, seed = seed, maxTokens = 32)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    val e0 = run(0L)
+    assert(run(0L) == e0) // deterministic
+    val e1 = run(1L)
+    assert(e0 != e1)
+    assert(e0.map(_._1).sorted == e1.map(_._1).sorted)
+  }
+
   test("every output is invariant under the partition count") {
     val corpus = (0L until 400L).map(i =>
       i -> (("w " * (1 + (i % 17).toInt)).trim))
