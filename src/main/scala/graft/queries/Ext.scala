@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Dec, Tables}
-import graft.operators.{Dedup, Multimodal, Packing, Sampling, Scrub, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Joins, Multimodal, Packing, Sampling, Scrub, Similarity, TextAnalysis}
 
 /** EXT — the LLM-training-data-pipeline operators (SURVEY.md §2.11;
   * BASELINE.json north star) over the `documents` / `embeddings`
@@ -1027,7 +1027,94 @@ object Ext {
       FROM o ORDER BY shard, pos
     """.trim))
 
+  // ---------------------------------------------------------------- q43
+
+  /** q43 — as-of join over the event stream: each purchase matched to
+    * the user's most recent view at-or-before it (the
+    * attribution/feature-lookup join). Runs on µs longs like q34. The
+    * right side is pre-aggregated to one row per (user, ts) — the
+    * determinism contract [[graft.operators.Joins.asOf]] documents and
+    * DuckDB's ASOF shares — so the oracle can be DuckDB's own native
+    * `ASOF LEFT JOIN`, an implementation-independent check (not a
+    * replay of our union-window trick). */
+  val q43: Q = Q(
+    "q43_asof_join",
+    (s, d) => {
+      val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), expr("ts div 1000").as("ts_us"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val views = e.where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("view_event_id"))
+        .withColumn("view_ts_us", col("ts_us"))
+      Joins.asOf(purchases, views, "user_id", "ts_us")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("view_event_id"), col("view_ts_us"),
+          (col("ts_us") - col("view_ts_us")).as("gap_us"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, event_type,
+          CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        FROM events),
+      p AS (
+        SELECT event_id, user_id, ts_us FROM e
+        WHERE event_type = 'purchase'),
+      v AS (
+        SELECT user_id, ts_us AS view_ts_us, max(event_id) AS view_event_id
+        FROM e WHERE event_type = 'view' GROUP BY 1, 2)
+      SELECT p.event_id, p.user_id, p.ts_us, v.view_event_id, v.view_ts_us,
+        p.ts_us - v.view_ts_us AS gap_us
+      FROM p ASOF LEFT JOIN v
+        ON p.user_id = v.user_id AND p.ts_us >= v.view_ts_us
+      ORDER BY p.event_id
+    """.trim))
+
+  // ---------------------------------------------------------------- q44
+
+  /** q44 — interval join with NO equi-key: the 20 highest-value events
+    * define ±10-minute incident windows; count and sum every event
+    * falling inside each window, across all users. Catalyst's native
+    * plan for this predicate is BroadcastNestedLoopJoin (O(N·M));
+    * [[graft.operators.Joins.intervalJoin]] buckets time to make it a
+    * hash join (PlanAuditSpec pins the shape). The oracle is DuckDB's
+    * own inequality join — engine-independent. Money sums ride
+    * DECIMAL(12,2) like q34, so they are order-exact in both engines. */
+  val q44: Q = Q(
+    "q44_interval_join",
+    (s, d) => {
+      val halfUs = 600000000L // ±10 min in µs
+      val e = Tables.events(s, d).select(col("event_id"),
+        expr("ts div 1000").as("ts_us"), col("value"))
+      val windows = e.orderBy(col("value").desc, col("event_id")).limit(20)
+        .select(col("event_id").as("wid"), col("ts_us").as("w_ts_us"),
+          (col("ts_us") - halfUs).as("w_start"),
+          (col("ts_us") + halfUs).as("w_end"))
+      Joins.intervalJoin(windows, "w_start", "w_end", e, "ts_us",
+        bucketWidth = 2 * halfUs)
+        .groupBy(col("wid"), col("w_ts_us"))
+        .agg(count(lit(1)).as("n_events"),
+          Dec.outD(sum(Dec.d2(col("value")))).as("sum_value"))
+        .orderBy(col("wid"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value
+        FROM events),
+      w AS (
+        SELECT event_id AS wid, ts_us AS w_ts_us
+        FROM e ORDER BY value DESC, event_id LIMIT 20)
+      SELECT wid, w_ts_us, count(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM w JOIN e
+        ON e.ts_us BETWEEN w_ts_us - 600000000 AND w_ts_us + 600000000
+      GROUP BY wid, w_ts_us
+      ORDER BY wid
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
-      q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
+      q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44)
 }

@@ -134,6 +134,32 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q43: as-of join is ONE keyed window — no per-key history explosion") {
+    // the naive non-equi formulation plans the range predicate as a join
+    // condition Catalyst can only evaluate post-explosion (every left
+    // row × its whole right history); Joins.asOf's union-window shape
+    // has no such join at all. A join node with a non-equi time
+    // predicate reappearing here is the explosion coming back.
+    graft.engine.GraftSession.tune(spark)
+    val p = plan("q43_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SinglePartition"), p) // window is keyed, never global
+    assert(p.contains("Window"), p)
+  }
+
+  test("q44: interval join is a HASH join on time buckets — never a nested loop") {
+    // a pure range predicate (no equi-key) natively plans as
+    // BroadcastNestedLoopJoin: O(N·M) evaluated scans. intervalJoin's
+    // bucket column restores an equi-key; the physical join must be a
+    // hash (or sort-merge) join on it.
+    graft.engine.GraftSession.tune(spark)
+    val p = plan("q44_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("q27: single-row aggregate is partial (map-side combine)") {
     val p = plan("q27_report_metrics")
     // two-phase agg: a Partial-mode sum must appear before the exchange
