@@ -167,6 +167,49 @@ object TextAnalysis {
           .as("dup_gram_ratio"))
       .orderBy(col("doc_id"))
 
+  /** Per-group corpus length profile: document counts, token totals,
+    * and the token-count distribution (mean, min/max, and the
+    * 25/50/75/87.5 percentiles) per `groupCol` — the distributional
+    * snapshot a corpus team reads before setting length filters or
+    * mixing weights.
+    *
+    * The percentile points are deliberately DYADIC (k/2^m): with
+    * integer token counts, `p*(n-1)` then has a dyadic fractional part,
+    * every term in the linear interpolation is exact in binary floating
+    * point, and Spark's `percentile` and DuckDB's `quantile_cont` land
+    * on bit-identical doubles — which is what lets q45 hash-verify a
+    * continuous-quantile output. Non-dyadic points (0.9, 0.99) would
+    * differ in the last ulp between engines.
+    *
+    * `exact = false` is the 100 TB flag, mirroring [[tokenStats]]'s
+    * HLL switch: exact `percentile` buffers every value per group —
+    * the one memory hazard here — while `approx_percentile`
+    * (Greenwald-Khanna) is constant-size and merge-friendly across
+    * partials. Default stays exact for the oracle gate. */
+  def lengthProfile(docs: DataFrame, textCol: String, groupCol: String,
+      exact: Boolean = true): DataFrame = {
+    val qs = "array(0.25D, 0.5D, 0.75D, 0.875D)"
+    val pct = if (exact) s"percentile(n_tokens, $qs)"
+              else s"approx_percentile(n_tokens, $qs)"
+    docs
+      .select(col(groupCol).as("__g"),
+        size(TextHash.tokenHashesOf(col(textCol))).as("n_tokens"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        avg(col("n_tokens")).as("mean_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        expr(pct).as("__pt"))
+      .select(col("__g").as(groupCol), col("n_docs"), col("total_tokens"),
+        col("mean_tokens"), col("min_tokens"), col("max_tokens"),
+        element_at(col("__pt"), 1).cast("double").as("p25_tokens"),
+        element_at(col("__pt"), 2).cast("double").as("p50_tokens"),
+        element_at(col("__pt"), 3).cast("double").as("p75_tokens"),
+        element_at(col("__pt"), 4).cast("double").as("p875_tokens"))
+      .orderBy(col(groupCol))
+  }
+
   /** Rolling-hash document fingerprints: a whole-document polynomial
     * fold over token hashes plus the minimum 8-token-gram hash (the
     * winnowing-style marker used for containment detection — shared

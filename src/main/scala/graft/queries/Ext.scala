@@ -1114,7 +1114,40 @@ object Ext {
       ORDER BY wid
     """.trim))
 
+  // ---------------------------------------------------------------- q45
+
+  /** q45 — per-language corpus length profile: the distributional
+    * snapshot read before setting length filters or mixing weights.
+    * The percentile points are dyadic on purpose — integer token
+    * counts + dyadic `p` make the linear interpolation exact in both
+    * engines, so a CONTINUOUS quantile hash-verifies (see
+    * [[graft.operators.TextAnalysis.lengthProfile]]). The approx
+    * (Greenwald-Khanna sketch) variant is the 100 TB path, like q24's
+    * HLL flag. */
+  val q45: Q = Q(
+    "q45_length_profile",
+    (s, d) =>
+      TextAnalysis.lengthProfile(Tables.documents(s, d), "text", "lang"),
+    Some("""
+      WITH w AS (
+        SELECT lang,
+          CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+            t -> t <> '')) AS INT) AS n_tokens
+        FROM documents)
+      SELECT lang, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        avg(n_tokens) AS mean_tokens,
+        CAST(min(n_tokens) AS INT) AS min_tokens,
+        CAST(max(n_tokens) AS INT) AS max_tokens,
+        quantile_cont(n_tokens, 0.25) AS p25_tokens,
+        quantile_cont(n_tokens, 0.5) AS p50_tokens,
+        quantile_cont(n_tokens, 0.75) AS p75_tokens,
+        quantile_cont(n_tokens, 0.875) AS p875_tokens
+      FROM w GROUP BY lang ORDER BY lang
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
-      q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44)
+      q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
+      q45)
 }

@@ -38,6 +38,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(row(3).getDouble(6) == 1.0 - 1.0 / 3)
   }
 
+  test("length profile: dyadic percentiles interpolate exactly") {
+    import scala.jdk.CollectionConverters._
+    // one group, token counts 1,2,3,4 -> p*(n-1) positions 0.75, 1.5,
+    // 2.25, 2.625: every interpolated value is exact in binary FP
+    val df = spark.createDataFrame(
+      Seq("a", "a a", "a a a", "a a a a").zipWithIndex
+        .map { case (t, i) => Row(i.toLong, t, "en") }.asJava,
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("lang", StringType))))
+    val r = TextAnalysis.lengthProfile(df, "text", "lang").collect().head
+    assert(r.getString(0) == "en" && r.getLong(1) == 4L && r.getLong(2) == 10L)
+    assert(r.getDouble(3) == 2.5) // mean
+    assert(r.getInt(4) == 1 && r.getInt(5) == 4)
+    assert(r.getDouble(6) == 1.75)  // p25 = 1 + 0.75*(2-1)
+    assert(r.getDouble(7) == 2.5)   // p50
+    assert(r.getDouble(8) == 3.25)  // p75
+    assert(r.getDouble(9) == 3.625) // p87.5
+  }
+
+  test("length profile: approx flag keeps the schema and lands near exact") {
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = TextAnalysis.lengthProfile(docs, "text", "lang")
+    val approx = TextAnalysis.lengthProfile(docs, "text", "lang",
+      exact = false)
+    assert(exact.schema == approx.schema)
+    val e = exact.collect().map(r => r.getString(0) -> r.getDouble(7)).toMap
+    val a = approx.collect().map(r => r.getString(0) -> r.getDouble(7)).toMap
+    assert(e.keySet == a.keySet)
+    // GK sketch at default accuracy is rank-exact at this cardinality;
+    // allow interpolation slack only
+    e.foreach { case (k, v) => assert(math.abs(a(k) - v) <= v * 0.05 + 1.0,
+      s"$k: exact $v vs approx ${a(k)}") }
+  }
+
   test("repetition signals: repeated passage raises the gram ratio above the token ratio signal") {
     // 8 tokens, 4 distinct; grams: 6 total, "a b c" appears twice etc.
     val out = TextAnalysis.repetitionSignals(
