@@ -80,6 +80,9 @@ object Bench {
     "q22_lang_id" -> 0.45,
     "q38_network_redact" -> 0.35,
     "q35_repetition_signals" -> 0.33,
+    "q43_asof_join" -> 0.6,
+    "q44_interval_join" -> 0.4,
+    "q45_length_profile" -> 0.3,
     "q25_doc_fingerprint" -> 0.3)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
