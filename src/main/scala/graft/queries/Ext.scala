@@ -1146,8 +1146,40 @@ object Ext {
       FROM w GROUP BY lang ORDER BY lang
     """.trim))
 
+  // ---------------------------------------------------------------- q46
+
+  /** q46 — grouped top-k (the per-group sibling of q12's global top-k):
+    * the 3 longest documents per language. The scale property is rank
+    * PUSHDOWN: Spark plans `row_number() <= k` as WindowGroupLimit —
+    * each task keeps a k-row heap per group BEFORE the shuffle, so the
+    * exchange carries ≤ k·groups·partitions rows instead of the corpus
+    * (the window itself then ranks a k-bounded set). PlanAuditSpec pins
+    * the node's presence; without it this query shuffles 100 TB to rank
+    * it. Spark `row_number` is INT32, DuckDB's BIGINT → cast. */
+  val q46: Q = Q(
+    "q46_grouped_topk",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .orderBy(col("lang"), col("rank"))
+    },
+    Some("""
+      SELECT lang, doc_id, n_chars, CAST(rank AS INT) AS rank FROM (
+        SELECT lang, doc_id, n_chars,
+          row_number() OVER (
+            PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rank
+        FROM documents) t
+      WHERE rank <= 3
+      ORDER BY lang, rank
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
-      q45)
+      q45, q46)
 }

@@ -160,6 +160,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("q46: rank filter pushes down as WindowGroupLimit (per-task k-heap)") {
+    // `row_number() <= k` must plan a WindowGroupLimit below the
+    // exchange so each task forwards at most k rows per group; without
+    // it the shuffle carries the whole corpus into the window sort.
+    graft.engine.GraftSession.tune(spark)
+    val p = plan("q46_grouped_topk")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q27: single-row aggregate is partial (map-side combine)") {
     val p = plan("q27_report_metrics")
     // two-phase agg: a Partial-mode sum must appear before the exchange
