@@ -83,6 +83,8 @@ object Bench {
     "q43_asof_join" -> 0.6,
     "q44_interval_join" -> 0.4,
     "q45_length_profile" -> 0.3,
+    "q46_grouped_topk" -> 0.4,
+    "q47_sliding_chunks" -> 0.6,
     "q25_doc_fingerprint" -> 0.3)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5

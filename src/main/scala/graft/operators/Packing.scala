@@ -88,6 +88,52 @@ object Packing {
       .orderBy(col("doc_id"))
   }
 
+  /** Sliding-window chunking — the retrieval-side sibling of packing:
+    * split each document into fixed-size token windows with overlap
+    * (the RAG / embedding-prep step; stride < chunkTokens makes
+    * consecutive chunks share `chunkTokens - stride` tokens so no
+    * boundary context is lost). Entirely ROW-LOCAL: tokenize, explode
+    * the start offsets, slice — no shuffle at any corpus size, and the
+    * explode is the only row expansion (×ceil(n/stride) per doc, the
+    * output's own size).
+    *
+    * Start-offset rule: starts run `0, stride, 2·stride, …` strictly
+    * below `max(n_tokens - overlap, 1)`. The upper bound trims a
+    * trailing start that would only re-emit a suffix of the previous
+    * chunk: chunk i ≥ 1 starting at s covers `[s, min(s+C, n))` while
+    * its predecessor already covers `[s-stride, s+overlap)`, so the
+    * bound `s < n - overlap` is exactly "the new chunk reaches at
+    * least one token its predecessor doesn't" (PackingSpec pins
+    * no-containment plus full coverage). Zero-token docs emit no
+    * chunks.
+    *
+    * Output: (doc_id, chunk_idx, start_token, n_chunk_tokens,
+    * chunk_hash) — the hash stands in for chunk text so verification
+    * doesn't ship the corpus twice; a consumer materializes text with
+    * the same slice+join. */
+  def slidingChunks(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride >= 1 && chunkTokens >= stride,
+      s"need 1 <= stride <= chunkTokens, got stride=$stride chunk=$chunkTokens")
+    val overlap = chunkTokens - stride
+    docs
+      .select(col(idCol).as("doc_id"),
+        TextHash.tokens(col(textCol)).as("w"))
+      .withColumn("n_tokens", size(col("w")))
+      .where(col("n_tokens") > 0)
+      .withColumn("start", explode(sequence(lit(0),
+        greatest(col("n_tokens") - overlap, lit(1)) - 1, lit(stride))))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("int").as("chunk_idx"),
+        col("start").as("start_token"),
+        least(lit(chunkTokens), col("n_tokens") - col("start"))
+          .as("n_chunk_tokens"),
+        sha2(array_join(
+          slice(col("w"), col("start") + 1, lit(chunkTokens)), " "), 256)
+          .as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Epoch-sharded packing — [[Sampling.trainingOrder]] composed with
     * per-shard chunking: docs are dealt into `shards` training shards
     * in seed-(= epoch-)dependent shuffled order, then each shard is

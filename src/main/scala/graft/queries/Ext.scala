@@ -1178,8 +1178,40 @@ object Ext {
       ORDER BY lang, rank
     """.trim))
 
+  // ---------------------------------------------------------------- q47
+
+  /** q47 — sliding-window chunking (64-token windows, stride 48): the
+    * RAG/embedding-prep step, row-local end to end (see
+    * [[graft.operators.Packing.slidingChunks]] for the start-offset
+    * rule). The oracle replays tokenize → offset range → slice → join
+    * → sha256; DuckDB `range` is exclusive-stop like the Spark
+    * sequence's `S-1` inclusive bound, and `list_slice`'s inclusive
+    * 1-based [start+1, start+C] is Spark `slice(w, start+1, C)`. */
+  val q47: Q = Q(
+    "q47_sliding_chunks",
+    (s, d) =>
+      Packing.slidingChunks(Tables.documents(s, d), "doc_id", "text",
+        chunkTokens = 64, stride = 48),
+    Some(s"""
+      WITH $duckWords,
+      t AS (
+        SELECT doc_id, w, CAST(len(w) AS INT) AS n FROM words
+        WHERE len(w) > 0),
+      st AS (
+        SELECT doc_id, w, n,
+          unnest(range(0, greatest(n - 16, 1), 48)) AS start
+        FROM t)
+      SELECT doc_id,
+        CAST(start // 48 AS INT) AS chunk_idx,
+        CAST(start AS INT) AS start_token,
+        CAST(least(64, n - start) AS INT) AS n_chunk_tokens,
+        sha256(array_to_string(list_slice(w, start + 1, start + 64), ' '))
+          AS chunk_hash
+      FROM st ORDER BY doc_id, chunk_idx
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
-      q45, q46)
+      q45, q46, q47)
 }

@@ -38,6 +38,54 @@ class PackingSpec extends SparkSpec {
       (3L, 5, 9L, 1L, 3L, true)))  // 3 + 5 crosses the 12-token cut
   }
 
+  test("slidingChunks: exact windows on crafted lengths") {
+    // C=4, stride=3, overlap=1; bound = max(n-1, 1)
+    //   n=0 -> no chunks; n=1 -> one [0,1); n=4 -> one [0,4)
+    //   n=5 -> starts 0,3 -> [0,4), [3,5)
+    //   n=7 -> starts 0,3 -> [0,4), [3,7)  (start 6 trimmed: suffix-only)
+    val out = Packing.slidingChunks(
+      docs(0L -> "", 1L -> "a", 2L -> "a b c d", 3L -> "a b c d e",
+        4L -> "a b c d e f g"),
+      "doc_id", "text", chunkTokens = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0, 0, 1),
+      (2L, 0, 0, 4),
+      (3L, 0, 0, 4), (3L, 1, 3, 2),
+      (4L, 0, 0, 4), (4L, 1, 3, 4)))
+  }
+
+  test("slidingChunks: full coverage, correct overlap, no contained chunks") {
+    val corpus = (0L until 120L).map(i =>
+      i -> (("w " * (i % 17).toInt).trim))
+    val out = Packing.slidingChunks(docs(corpus: _*), "doc_id", "text",
+      chunkTokens = 8, stride = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3)))
+    val nTokens = corpus.toMap.view.mapValues(t =>
+      if (t.isEmpty) 0 else t.split(" ").length).toMap
+    out.groupBy(_._1).foreach { case (id, chunks) =>
+      val n = nTokens(id)
+      val sorted = chunks.sortBy(_._2)
+      // contiguous idx, stride-spaced starts
+      assert(sorted.map(_._2).toSeq == sorted.indices.toSeq)
+      sorted.foreach { case (_, idx, start, len) =>
+        assert(start == idx * 5 && len == math.min(8, n - start) && len > 0)
+      }
+      // coverage: last chunk reaches the end; each chunk adds new tokens
+      assert(sorted.last._3 + sorted.last._4 == n)
+      sorted.sliding(2).foreach {
+        case Array((_, _, s1, l1), (_, _, s2, l2)) =>
+          assert(s2 + l2 > s1 + l1, s"contained chunk for doc $id")
+        case _ =>
+      }
+    }
+    // every non-empty doc chunked
+    assert(out.map(_._1).distinct.length ==
+      nTokens.count { case (_, n) => n > 0 })
+  }
+
   test("epochShardedOffsets: self-consistent shard streams over the full doc set") {
     val corpus = (0L until 300L).map(i =>
       i -> (("w " * (1 + (i % 13).toInt)).trim))
