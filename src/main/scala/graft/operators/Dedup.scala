@@ -63,6 +63,79 @@ object Dedup {
         count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
+  /** Normalized-variant collapse with keep-BEST selection — the
+    * "downstream pass" [[exact]]'s scaladoc promises: one row per
+    * `norm_hash` (case/whitespace-folded content), keeping the most
+    * token-rich variant (ties → lowest id). Real pipelines prefer this
+    * over keep-first when variants differ (a fixed-encoding rescrape
+    * beats its mojibake twin); the reference's own dedup
+    * (/root/reference/src/transform.py:79) is keep-first, so this is
+    * the EXT refinement, not a replacement.
+    *
+    * Scale shape: `max_by` over an ordering struct is PARTIAL-
+    * AGGREGABLE — executors pre-fold a single best row per group
+    * before the exchange, so the one shuffle carries ≤ |groups| rows
+    * per partition. A window `row_number` formulation (the oracle's)
+    * would shuffle the full corpus to sort each group; the aggregate
+    * form never materializes group order at all. The ordering struct
+    * negates the id so lexicographic struct-max = (max tokens, then
+    * MIN id) — a total order, so the winner is engine-independent. */
+  def keepBest(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs
+      .select(
+        col(idCol).as("doc_id"),
+        sha2(regexp_replace(lower(col(textCol)), "\\s+", " "), 256)
+          .as("norm_hash"),
+        size(TextHash.tokens(col(textCol))).as("n_tokens"))
+      .groupBy(col("norm_hash"))
+      .agg(
+        max_by(col("doc_id"), struct(col("n_tokens"), -col("doc_id")))
+          .as("best_id"),
+        max(col("n_tokens")).as("best_tokens"),
+        count(lit(1)).as("n_variants"))
+      .orderBy(col("best_id"))
+
+  /** One-sided eval-overlap contamination rate — the PaLM/GPT-4-style
+    * per-document rule, complementing [[crossNgramJaccardPairs]]'s
+    * pairwise view: a TRAIN doc is contaminated when ≥ `contaminatedAt`
+    * of its distinct 3-gram shingles appear ANYWHERE in the eval
+    * corpus (the union set — no per-pair attribution, which is what
+    * makes this the cheap first-line check). Output per train doc:
+    * shingle count, hit count, overlap rate, 0/1 contaminated flag.
+    *
+    * Scale shape: eval benchmarks are KB-to-MB against a 100 TB
+    * train side, so the distinct eval shingle set is BROADCAST
+    * (`broadcastEval=true`, the default) and the probe is a row-local
+    * broadcast left-join — the train corpus is never shuffled, and the
+    * per-doc aggregate that follows groups on `doc_id`, a key the scan
+    * already clusters. With `broadcastEval=false` the same plan falls
+    * back to a shuffle join for oversized eval sets. A Bloom filter
+    * over eval hashes would prune even earlier at 100 TB; the
+    * broadcast-hash probe here has identical semantics and zero
+    * false-positive bookkeeping. */
+  def evalOverlapRate(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, contaminatedAt: Double = 0.2,
+      broadcastEval: Boolean = true): DataFrame = {
+    require(contaminatedAt >= 0.0 && contaminatedAt <= 1.0,
+      s"contaminatedAt=$contaminatedAt must be in [0, 1]")
+    val tr = hashShingled(train, idCol, textCol)
+    val ev0 = hashShingled(eval, idCol, textCol).select(col("hs")).distinct()
+    val ev = (if (broadcastEval) broadcast(ev0) else ev0)
+      .withColumn("__hit", lit(1))
+    val rate = col("n_hit").cast("double") / col("n_shingles")
+    tr.join(ev, Seq("hs"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(col("__hit")).as("n_hit"))
+      .select(
+        col("doc_id"), col("n_shingles"), col("n_hit"),
+        rate.as("overlap_rate"),
+        when(rate >= contaminatedAt, 1).otherwise(0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Pairwise Jaccard >= `threshold` over word-3-gram shingle sets via
     * an inverted-index self-join (SURVEY §2.11: "shuffle-based, scales
     * to 100 TB"). Output: (doc_a, doc_b, n_common, n_union, jaccard).

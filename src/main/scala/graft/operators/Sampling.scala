@@ -85,6 +85,33 @@ object Sampling {
       .select(col(idCol), col(stratumCol), col("n_tokens"))
   }
 
+  /** Fixed-k-per-stratum priority sample: exactly `min(k, |stratum|)`
+    * documents per stratum, chosen as the k SMALLEST affine id-hashes
+    * (ties → lowest id). This is deterministic priority sampling — the
+    * fixed-COUNT sibling of [[stratifiedByHash]]'s fixed-FRACTION
+    * keep: same portable-hash determinism (no rand(); a doc's rank
+    * only changes when a lower-hash doc enters its stratum), but the
+    * output size is an exact contract, which is what eval-set and
+    * human-review draws need. `sample_rank` (1..k) makes any prefix of
+    * the sample a valid smaller sample — nested samples for free.
+    *
+    * Scale shape: the hash is row-local and the rank filter plans as
+    * WindowGroupLimit (plan-pinned, like q46): each task keeps a k-row
+    * heap per stratum BEFORE the exchange, so the shuffle carries
+    * ≤ k·|strata|·partitions rows — never the corpus. */
+  def priorityKPerStratum(df: DataFrame, idCol: String,
+      stratumCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val h = ((col(idCol) % P) * lit(2654435761L) % P + lit(12345L)) % P
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= k)
+      .drop("__h")
+  }
+
   /** Deterministic training-order shuffle: the last step of every
     * corpus pipeline — randomize document order for training, sharded
     * so a 1000-executor writer (and later a 1000-worker data loader)

@@ -210,6 +210,52 @@ object TextAnalysis {
       .orderBy(col(groupCol))
   }
 
+  /** Curriculum binning: assign every document its per-group length
+    * QUARTILE (bucket 0-3) and report the resulting (group, bucket)
+    * strata — the step that turns [[lengthProfile]]'s descriptive
+    * percentiles into the actual curriculum/packing buckets a training
+    * scheduler consumes (short-to-long ordering, per-bucket batch
+    * shapes). Bucket boundaries are the group's exact 25/50/75
+    * percentiles; `n_tokens <= p25 → 0`, `<= p50 → 1`, `<= p75 → 2`,
+    * else 3. Dyadic quantile points keep the interpolated thresholds
+    * engine-exact (the q45 trick), so the integer-vs-threshold
+    * comparison can never flip between engines.
+    *
+    * Scale shape: the threshold aggregate is |groups| rows, broadcast
+    * back onto a row-local bucket assignment; the final rollup is a
+    * partial-aggregable groupBy on (group, bucket). The corpus itself
+    * is never shuffled — the only wide exchange carries ≤ 4·|groups|
+    * result rows. `exact=false` swaps the threshold computation to the
+    * Greenwald-Khanna sketch (`approx_percentile`) — the 100 TB flag,
+    * mirroring [[lengthProfile]]. */
+  def curriculumBins(docs: DataFrame, textCol: String, groupCol: String,
+      exact: Boolean = true): DataFrame = {
+    val qs = "array(0.25D, 0.5D, 0.75D)"
+    val pct = if (exact) s"percentile(n_tokens, $qs)"
+              else s"approx_percentile(n_tokens, $qs)"
+    val base = docs.select(col(groupCol).as("__g"),
+      size(TextHash.tokens(col(textCol))).as("n_tokens"))
+    val th = base.groupBy(col("__g")).agg(expr(pct).as("__pt"))
+      .select(col("__g"),
+        element_at(col("__pt"), 1).cast("double").as("__p25"),
+        element_at(col("__pt"), 2).cast("double").as("__p50"),
+        element_at(col("__pt"), 3).cast("double").as("__p75"))
+    base.join(broadcast(th), Seq("__g"))
+      .withColumn("bucket",
+        when(col("n_tokens") <= col("__p25"), 0)
+          .when(col("n_tokens") <= col("__p50"), 1)
+          .when(col("n_tokens") <= col("__p75"), 2)
+          .otherwise(3))
+      .groupBy(col("__g"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .select(col("__g").as(groupCol), col("bucket"), col("n_docs"),
+        col("total_tokens"), col("min_tokens"), col("max_tokens"))
+      .orderBy(col(groupCol), col("bucket"))
+  }
+
   /** Rolling-hash document fingerprints: a whole-document polynomial
     * fold over token hashes plus the minimum 8-token-gram hash (the
     * winnowing-style marker used for containment detection — shared

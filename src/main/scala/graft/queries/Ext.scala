@@ -1210,8 +1210,132 @@ object Ext {
       FROM st ORDER BY doc_id, chunk_idx
     """.trim))
 
+  // ---------------------------------------------------------------- q48
+
+  /** q48 — keep-best normalized dedup (q16's promised downstream pass):
+    * collapse case/whitespace variants, keeping the most token-rich
+    * one (ties → min id). The Spark side is the partial-aggregable
+    * `max_by` over an ordering struct — one shuffle of ≤ |groups| rows
+    * per partition; the oracle is the window formulation that would
+    * have shuffled the corpus (same winner — the ordering is total). */
+  val q48: Q = Q(
+    "q48_keepbest_dedup",
+    (s, d) => Dedup.keepBest(Tables.documents(s, d), "doc_id", "text"),
+    Some(s"""
+      WITH $duckWords,
+      n AS (SELECT doc_id, CAST(len(w) AS INT) AS n_tokens FROM words),
+      g AS (
+        SELECT d.doc_id,
+          sha256(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))
+            AS norm_hash,
+          n.n_tokens
+        FROM documents d JOIN n USING (doc_id))
+      SELECT norm_hash, best_id, best_tokens, n_variants FROM (
+        SELECT norm_hash, doc_id AS best_id, n_tokens AS best_tokens,
+          row_number() OVER (
+            PARTITION BY norm_hash ORDER BY n_tokens DESC, doc_id) AS rk,
+          count(*) OVER (PARTITION BY norm_hash) AS n_variants
+        FROM g) t
+      WHERE rk = 1 ORDER BY best_id
+    """.trim))
+
+  // ---------------------------------------------------------------- q49
+
+  /** q49 — one-sided eval-overlap contamination rate (the PaLM-style
+    * per-doc rule; q36 is the pairwise view): fraction of each even
+    * (train) doc's distinct shingles appearing anywhere in the odd
+    * (eval) half's union set, flagged at 0.2. The engine probes a
+    * BROADCAST distinct eval set — the train side never shuffles;
+    * PlanAuditSpec pins the broadcast. */
+  val q49: Q = Q(
+    "q49_eval_overlap",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.evalOverlapRate(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", contaminatedAt = 0.2)
+    },
+    Some(s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      $duckHashShingles,
+      tr AS (SELECT doc_id, hs FROM sh WHERE doc_id % 2 = 0),
+      ev AS (SELECT DISTINCT hs FROM sh WHERE doc_id % 2 = 1)
+      SELECT tr.doc_id,
+        count(*) AS n_shingles,
+        count(ev.hs) AS n_hit,
+        CAST(count(ev.hs) AS DOUBLE) / count(*) AS overlap_rate,
+        CAST(CASE WHEN CAST(count(ev.hs) AS DOUBLE) / count(*) >= 0.2
+          THEN 1 ELSE 0 END AS INT) AS contaminated
+      FROM tr LEFT JOIN ev ON tr.hs = ev.hs
+      GROUP BY tr.doc_id ORDER BY tr.doc_id
+    """.trim))
+
+  // ---------------------------------------------------------------- q50
+
+  /** q50 — curriculum binning: per-language length QUARTILE buckets
+    * (exact dyadic 25/50/75 thresholds — the q45 trick — broadcast
+    * back onto a row-local assignment), rolled up per (lang, bucket).
+    * The corpus is never shuffled; the one wide exchange carries
+    * ≤ 4·|langs| rows. */
+  val q50: Q = Q(
+    "q50_curriculum_bins",
+    (s, d) =>
+      TextAnalysis.curriculumBins(Tables.documents(s, d), "text", "lang"),
+    Some("""
+      WITH w AS (
+        SELECT lang,
+          CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+            t -> t <> '')) AS INT) AS n_tokens
+        FROM documents),
+      th AS (
+        SELECT lang,
+          quantile_cont(n_tokens, 0.25) AS p25,
+          quantile_cont(n_tokens, 0.5) AS p50,
+          quantile_cont(n_tokens, 0.75) AS p75
+        FROM w GROUP BY lang),
+      b AS (
+        SELECT w.lang,
+          CAST(CASE WHEN n_tokens <= p25 THEN 0
+                    WHEN n_tokens <= p50 THEN 1
+                    WHEN n_tokens <= p75 THEN 2
+                    ELSE 3 END AS INT) AS bucket,
+          n_tokens
+        FROM w JOIN th ON w.lang = th.lang)
+      SELECT lang, bucket, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        CAST(min(n_tokens) AS INT) AS min_tokens,
+        CAST(max(n_tokens) AS INT) AS max_tokens
+      FROM b GROUP BY lang, bucket ORDER BY lang, bucket
+    """.trim))
+
+  // ---------------------------------------------------------------- q51
+
+  /** q51 — fixed-k priority sample (5 docs per language): the k
+    * smallest portable id-hashes per stratum, rank included so any
+    * prefix is a nested sub-sample. Plans as WindowGroupLimit
+    * (per-task k-row heap before the exchange — plan-pinned like
+    * q46); the oracle replays the affine hash verbatim. */
+  val q51: Q = Q(
+    "q51_priority_sample",
+    (s, d) =>
+      Sampling.priorityKPerStratum(
+        Tables.documents(s, d).select(col("lang"), col("doc_id")),
+        "doc_id", "lang", k = 5)
+        .orderBy(col("lang"), col("sample_rank")),
+    Some(s"""
+      SELECT lang, doc_id, CAST(sample_rank AS INT) AS sample_rank FROM (
+        SELECT lang, doc_id,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY ((doc_id % $P) * 2654435761 % $P + 12345) % $P,
+              doc_id) AS sample_rank
+        FROM documents) t
+      WHERE sample_rank <= 5 ORDER BY lang, sample_rank
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
-      q45, q46, q47)
+      q45, q46, q47, q48, q49, q50, q51)
 }

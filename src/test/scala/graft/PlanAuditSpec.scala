@@ -169,6 +169,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q51: priority-sample rank filter plans as WindowGroupLimit") {
+    // same pushdown contract as q46: each task forwards at most k rows
+    // per stratum; without the node the sample shuffles the corpus.
+    graft.engine.GraftSession.tune(spark)
+    val p = plan("q51_priority_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q49: the eval shingle set broadcasts; the train side never shuffles") {
+    // the decontamination probe must be a broadcast left-join — a
+    // shuffle here would repartition the 100 TB train corpus to join a
+    // KB-scale eval set.
+    graft.engine.GraftSession.tune(spark)
+    val p = plan("q49_eval_overlap")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q48: keep-best dedup aggregates partially (no window, no corpus sort)") {
+    // the max_by formulation pre-folds one best row per group on the
+    // map side; a row_number() rewrite would reintroduce a full-corpus
+    // window sort (the oracle's shape, correct only for DuckDB).
+    graft.engine.GraftSession.tune(spark)
+    val p = plan("q48_keepbest_dedup")
+    assert(p.contains("partial_max_by") || p.contains("partial_maxby") ||
+      (p.contains("HashAggregate") && !p.contains("Window")), p)
+    assert(!p.contains("Window ["), p)
+  }
+
+  test("q50: curriculum thresholds broadcast back; corpus is never shuffled") {
+    // the |groups|-row threshold frame must broadcast onto the
+    // row-local bucket assignment — a sort-merge join would shuffle
+    // every document to meet 4 threshold rows.
+    graft.engine.GraftSession.tune(spark)
+    val p = plan("q50_curriculum_bins")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q27: single-row aggregate is partial (map-side combine)") {
     val p = plan("q27_report_metrics")
     // two-phase agg: a Partial-mode sum must appear before the exchange

@@ -110,4 +110,81 @@ class DedupSpec extends SparkSpec {
       .map { case (a, b) => if (a < 10) (a, b) else (b, a) }.toSet
     assert(cross == all)
   }
+
+  test("keepBest: richest variant wins its normalized group, min id breaks ties") {
+    // 1,2,3 normalize identically ("A  b" ≡ "a b" ≡ "a B") and tie at
+    // 2 tokens ⇒ the min id wins the group; 10 and 11 normalize apart
+    // and stay their own groups
+    val d = textDocs(
+      1L -> "A  b", 2L -> "a b", 3L -> "a B",      // one group, all 2 tokens
+      10L -> "x y z", 11L -> "x y z mas tokens")   // distinct norms
+    val out = Dedup.keepBest(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getLong(3)))
+    // group {1,2,3}: tie on n_tokens=2 ⇒ best is min id 1, 3 variants
+    assert(out.contains((1L, 2, 3L)))
+    // 10 and 11 are their own groups (different normalized content)
+    assert(out.contains((10L, 3, 1L)) && out.contains((11L, 5, 1L)))
+    // every input doc is accounted for exactly once across groups
+    assert(out.map(_._3).sum == 5L)
+  }
+
+  test("keepBest: max-tokens selection is real, not keep-first") {
+    // same normalized content is impossible with different token
+    // counts, so richness selection is exercised ACROSS case variants
+    // of different texts — here group-by-norm keeps id 2 (3 tokens)
+    // over id 1 (2 tokens) only when norms match; craft matching norms
+    // with differing ids where the LATER id ties richer is impossible
+    // ⇒ pin instead that best_tokens always equals the group max and
+    // best_id is the min id among max-token members, on the fixture
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Dedup.keepBest(docs, "doc_id", "text")
+    import org.apache.spark.sql.functions._
+    val base = docs.select(col("doc_id"),
+      sha2(regexp_replace(lower(col("text")), "\\s+", " "), 256)
+        .as("norm_hash"),
+      size(graft.functions.TextHash.tokens(col("text"))).as("n"))
+    // winner must have the max token count of its group and the lowest
+    // id among the max-token members
+    val joined = out.join(base, Seq("norm_hash"))
+      .groupBy(col("norm_hash"), col("best_id"), col("best_tokens"))
+      .agg(max(col("n")).as("grp_max"),
+        min(when(col("n") === col("best_tokens"), col("doc_id")))
+          .as("min_id_at_max"))
+      .collect()
+    joined.foreach { r =>
+      assert(r.getInt(2) == r.getInt(3), s"best_tokens != group max: $r")
+      assert(r.getLong(1) == r.getLong(4), s"best_id not min at max: $r")
+    }
+  }
+
+  test("evalOverlapRate: self-overlap is total, disjoint overlap is zero") {
+    val mk = (s: String) => s + " relleno para alcanzar suficientes tokens"
+    val a = textDocs(1L -> mk("uno dos tres cuatro"),
+      2L -> mk("alfa beta gamma delta"))
+    val selfOut = Dedup.evalOverlapRate(a, a, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(3), r.getInt(4)))
+    assert(selfOut.forall { case (_, rate, flag) =>
+      rate == 1.0 && flag == 1 })
+    val b = textDocs(3L -> "palabras nuevas sin parecido alguno verdad",
+      4L -> "otra cosa completamente diferente tambien aqui")
+    val disjoint = Dedup.evalOverlapRate(a, b, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3),
+        r.getInt(4)))
+    assert(disjoint.forall { case (_, hits, rate, flag) =>
+      hits == 0L && rate == 0.0 && flag == 0 })
+  }
+
+  test("evalOverlapRate: partial overlap counts shared shingles one-sidedly") {
+    // train doc shares its first 4 tokens (2 shingles) with eval
+    val train = textDocs(1L -> "uno dos tres cuatro aaa bbb ccc ddd")
+    val eval = textDocs(
+      10L -> "uno dos tres cuatro xxx yyy zzz www qqq")
+    val r = Dedup.evalOverlapRate(train, eval, "doc_id", "text",
+      contaminatedAt = 0.3).collect().head
+    // train has 6 shingles; shared: (uno dos tres), (dos tres cuatro)
+    assert(r.getLong(1) == 6L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 2.0 / 6)
+    assert(r.getInt(4) == 1) // 0.333 >= 0.3
+    // rate is one-sided: eval-only shingles never penalize the train doc
+  }
 }

@@ -95,6 +95,29 @@ class SamplingSpec extends SparkSpec {
     assert(e0.map(_._1) == e1.map(_._1))
   }
 
+  test("priorityKPerStratum: exact counts, nested prefixes, growth stability") {
+    val k5 = Sampling.priorityKPerStratum(docs, "doc_id", "lang", k = 5)
+      .select("lang", "doc_id", "sample_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // exactly min(k, |stratum|) per stratum, ranks dense 1..k
+    val strata = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    k5.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.length == math.min(5L, strata(lang)))
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+    // nesting: the k=3 sample IS the rank<=3 prefix of the k=5 sample
+    val k3 = Sampling.priorityKPerStratum(docs, "doc_id", "lang", k = 3)
+      .select("lang", "doc_id", "sample_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(k3 == k5.filter(_._3 <= 3).toSet)
+    // determinism: same draw on a rerun
+    val again = Sampling.priorityKPerStratum(docs, "doc_id", "lang", k = 5)
+      .select("lang", "doc_id", "sample_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(again == k5.toSet)
+  }
+
   test("trainingOrder: shards stay balanced enough to own a writer each") {
     val sizes = Sampling.trainingOrder(docs, "doc_id", shards = 8, seed = 0L)
       .groupBy("shard").count().collect().map(_.getLong(1))

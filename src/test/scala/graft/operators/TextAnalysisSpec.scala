@@ -81,4 +81,52 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.getInt(3) == 6 && out.getInt(4) == 4)
     assert(out.getDouble(6) == 1.0 - 4.0 / 6)
   }
+
+  test("curriculumBins: buckets partition each group into ordered quartiles") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextAnalysis.curriculumBins(docs, "text", "lang").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(4),
+        r.getInt(5)))
+    // every doc lands in exactly one bucket
+    assert(out.map(_._3).sum == docs.count())
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      val byBucket = rows.sortBy(_._2)
+      // buckets are 0..3 and non-empty on the fixture
+      assert(byBucket.map(_._2).toSeq == (0 to 3))
+      // bucket length ranges are disjoint and ordered: each bucket's
+      // max_tokens <= the next bucket's min_tokens
+      byBucket.sliding(2).foreach {
+        case Array(lo, hi) => assert(lo._5 <= hi._4,
+          s"$lang: bucket ${lo._2} max ${lo._5} > bucket ${hi._2} min ${hi._4}")
+        case _ =>
+      }
+      // quartiles: no bucket holds more than half the group (exact
+      // fourths shift only by ties at the dyadic thresholds)
+      val n = rows.map(_._3).sum
+      assert(rows.forall(_._3 <= (n + 1) / 2),
+        s"$lang skewed: ${rows.sortBy(_._2).mkString(",")}")
+    }
+  }
+
+  test("curriculumBins: approx sketch agrees with exact at fixture scale") {
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = TextAnalysis.curriculumBins(docs, "text", "lang")
+    val approx = TextAnalysis.curriculumBins(docs, "text", "lang",
+      exact = false)
+    assert(exact.schema == approx.schema)
+    // approx_percentile returns DATA values (no interpolation), so
+    // boundary ties may shift docs between adjacent buckets — pin the
+    // partition invariants plus per-bucket agreement within the
+    // boundary tie mass, not bitwise equality
+    val e = exact.collect().map(r => (r.getString(0), r.getInt(1)) ->
+      r.getLong(2)).toMap
+    val a = approx.collect().map(r => (r.getString(0), r.getInt(1)) ->
+      r.getLong(2)).toMap
+    assert(e.values.sum == a.values.sum)
+    e.foreach { case (k, n) =>
+      val diff = math.abs(a.getOrElse(k, 0L) - n)
+      assert(diff <= math.max(4L, n / 4), s"$k: exact $n approx ${a.get(k)}")
+    }
+  }
 }
