@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus retrieval scoring — the ranking side of the training-data
+  * pipeline (SURVEY.md §2.11): given a small fixed term set (a user
+  * query, a topic lexicon, a contamination probe), score every
+  * document by a BM25-family relevance function so a corpus team can
+  * pull "most on-topic" slices at 100 TB.
+  *
+  * Scale shape: tokens are exploded ROW-LOCALLY and filtered to the
+  * query terms BEFORE any shuffle, so the only data that moves is the
+  * (doc, matched-term) stream — for a q-term query that is at most
+  * q·N_docs rows, independent of corpus token count. Document frequency
+  * is a |terms|-row aggregate joined back by broadcast; document length
+  * and the global average length are one small aggregate broadcast the
+  * same way. Nothing driver-side, no window, no second corpus scan.
+  *
+  * Engine-exactness (the property that lets the DuckDB oracle
+  * hash-verify a *ranking* function): the usual BM25 `ln((N-df+0.5)/
+  * (df+0.5))` is replaced by the rational idf `(N-df+0.5)/(df+0.5)`
+  * itself — transcendental functions differ across libm
+  * implementations; field operations on doubles are IEEE-exact
+  * everywhere. `k1 = 1.25` and `b = 0.75` are dyadic, every
+  * division/multiplication is written with pinned parenthesization on
+  * both engines, and per-term contributions are floored to 2^-20-grid
+  * longs and summed as integers — the same order-independent
+  * fixed-point trick as the IVF centroid means (Similarity.scala) —
+  * so the per-doc total never depends on Spark's reduce order.
+  */
+object Retrieval {
+
+  /** `(k1 + 1)` and the length-normalization constants, dyadic so the
+    * literal parses to the same double in every engine. */
+  private val K1 = 1.25
+  private val K1p1 = 2.25
+  private val B = 0.75
+  private val OneMinusB = 0.25
+
+  /** Word tokens only (letters / digit runs) — punctuation carries no
+    * relevance signal; mirrors the `[a-z]+|[0-9]+` classes of
+    * [[TextAnalysis.tokenStats]]'s tokenizer minus the punct class. */
+  private val wordRe = "([a-z]+|[0-9]+)"
+
+  /** Per-document log-free BM25 over `terms`.
+    *
+    * Output: `(doc_id, n_terms_matched, score_fp)` for every document
+    * matching at least one term, ordered by `doc_id`; `score_fp` is
+    * the fixed-point score (units of 2^-20) as a BIGINT — exact,
+    * comparable, and engine-portable where a float sum would not be.
+    */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "bm25Scores needs at least one query term")
+    require(terms.forall(t => t.matches("[a-z0-9]+")),
+      s"terms must be lowercase word tokens: $terms")
+
+    val tok = docs.select(col(idCol).as("doc_id"),
+      expr(s"regexp_extract_all(lower($textCol), '$wordRe', 1)").as("w"))
+
+    // per-doc length (row-local) + the two corpus scalars in ONE pass:
+    // sum/count partials combine map-side, the result is a 1-row frame
+    val dl = tok.select(col("doc_id"), size(col("w")).as("dl"))
+    val stats = dl.agg(
+      sum(col("dl").cast("long")).as("tot_tokens"),
+      count(lit(1)).as("n_docs"))
+
+    // matched-term stream: filter precedes the (doc, term) shuffle
+    val tf = tok
+      .select(col("doc_id"), explode(col("w")).as("term"))
+      .where(col("term").isInCollection(terms))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+    // |terms|-row document frequency; broadcast back onto the stream
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    val scored = tf
+      .join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("tot_tokens").cast("double") / col("n_docs").cast("double"))
+      // idf * (tf*(k1+1)) / (tf + k1*(1-b + b*(dl/avgdl))) — identical
+      // parenthesization in the oracle SQL; floor to 2^-20 grid
+      .withColumn("fp", floor(
+        ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))) *
+        ((col("tf").cast("double") * lit(K1p1)) /
+          (col("tf").cast("double") + lit(K1) *
+            (lit(OneMinusB) + lit(B) *
+              (col("dl").cast("double") / col("avgdl"))))) *
+        lit(1048576.0)).cast("long"))
+
+    scored
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_terms_matched"),
+        sum(col("fp")).as("score_fp"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -167,6 +167,37 @@ object TextAnalysis {
           .as("dup_gram_ratio"))
       .orderBy(col("doc_id"))
 
+  /** Cross-corpus shingle commonness — the "is this document made of
+    * text the corpus has seen a thousand times" signal (q35 measures
+    * repetition WITHIN a doc; this measures it ACROSS the corpus:
+    * boilerplate headers, license blocks, and template spam share
+    * 3-grams corpus-wide long before they become exact duplicates).
+    * Per doc: how many of its distinct 3-gram shingles occur in at
+    * least `minDf` documents, and the common ratio.
+    *
+    * Scale shape: the per-doc distinct shingle set comes from the
+    * compiled row-local [[TextHash.shingleHashesOf]] pass; the ONLY
+    * shuffles are the document-frequency groupBy over 8-byte shingle
+    * hashes and the equi-join back — both partial-aggregable /
+    * hash-partitioned, no window, no driver state, the same shape as
+    * q17's inverted index minus the pair blowup. Docs with < 3 tokens
+    * have no shingle unit and are absent, like the oracle. */
+  def shingleNovelty(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(TextHash.shingleHashesOf(col(textCol))).as("hs"))
+    // per-doc sets are distinct, so count(*) per shingle IS its df
+    val df = sh.groupBy(col("hs")).agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("hs"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_common"))
+      .select(col("doc_id"), col("n_shingles"), col("n_common"),
+        (col("n_common").cast("double") / col("n_shingles"))
+          .as("common_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-group corpus length profile: document counts, token totals,
     * and the token-count distribution (mean, min/max, and the
     * 25/50/75/87.5 percentiles) per `groupCol` — the distributional

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Dec, Tables}
-import graft.operators.{Dedup, Joins, Multimodal, Packing, Sampling, Scrub, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Joins, Multimodal, Packing, Quantize, Retrieval, Sampling, Scrub, Similarity, TextAnalysis}
 
 /** EXT — the LLM-training-data-pipeline operators (SURVEY.md §2.11;
   * BASELINE.json north star) over the `documents` / `embeddings`
@@ -495,7 +495,9 @@ object Ext {
 
   private val rpPlanes = 16
 
-  private def q30OracleSql: String = {
+  private def q30OracleSql: String = q30OracleSqlAt(0.3)
+
+  private def q30OracleSqlAt(threshold: Double): String = {
     // mirrors Similarity.rpBit: left fold of v[i] * (±1 from the affine
     // parity hash), bit j set when the projection is positive
     def bit(j: Int): String = {
@@ -538,7 +540,7 @@ object Ext {
         FROM cand
         JOIN n na ON na.vec_id = vec_a
         JOIN n nb ON nb.vec_id = vec_b) t
-      WHERE cosine >= 0.3
+      WHERE cosine >= $threshold
       ORDER BY vec_a, vec_b
     """.trim
   }
@@ -1334,8 +1336,151 @@ object Ext {
       WHERE sample_rank <= 5 ORDER BY lang, sample_rank
     """.trim))
 
+  // ---------------------------------------------------------------- q52
+
+  /** q52 — log-free BM25 relevance over a fixed query-term set (the
+    * "pull the on-topic slice" operator): tokens filtered to the terms
+    * BEFORE any shuffle, |terms|-row document frequency broadcast
+    * back, per-term contributions floored to 2^-20-grid longs and
+    * summed as integers so the score is engine-exact (the rational
+    * idf `(N-df+0.5)/(df+0.5)` replaces `ln` — transcendentals differ
+    * across libm; IEEE field ops don't). The oracle replays the exact
+    * parenthesization. */
+  val q52: Q = Q(
+    "q52_bm25_scores",
+    (s, d) =>
+      Retrieval.bm25Scores(Tables.documents(s, d), "doc_id", "text",
+        Seq("spark", "query", "window", "vector", "stream", "shuffle")),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, t
+        FROM documents, LATERAL unnest(
+          regexp_extract_all(lower(text), '([a-z]+|[0-9]+)', 1)) AS u(t)),
+      dl AS (
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+)', 1))
+            AS INT) AS dl
+        FROM documents),
+      stats AS (
+        SELECT (SELECT count(*) FROM tok) AS tot_tokens,
+               (SELECT count(*) FROM documents) AS n_docs),
+      tf AS (
+        SELECT doc_id, t AS term, count(*) AS tf FROM tok
+        WHERE t IN ('spark', 'query', 'window', 'vector', 'stream', 'shuffle')
+        GROUP BY doc_id, t),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      scored AS (
+        SELECT tf.doc_id,
+          CAST(floor(
+            ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+              (CAST(df AS DOUBLE) + 0.5)) *
+            ((CAST(tf AS DOUBLE) * 2.25) /
+              (CAST(tf AS DOUBLE) + 1.25 *
+                (0.25 + 0.75 * (CAST(dl AS DOUBLE) /
+                  (CAST(tot_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) *
+            1048576.0) AS BIGINT) AS fp
+        FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats)
+      SELECT doc_id, CAST(count(*) AS INT) AS n_terms_matched,
+        sum(fp) AS score_fp
+      FROM scored GROUP BY doc_id ORDER BY doc_id
+    """.trim))
+
+  // ---------------------------------------------------------------- q53
+
+  /** q53 — SEMANTIC near-dup clusters: the dedup decision (q31) lifted
+    * from lexical MinHash pairs to embedding-space RP-LSH pairs at a
+    * tight 0.6 cosine — "same meaning, different words" duplicates
+    * that no shingle method can see. Same min-id label propagation,
+    * same recursive-CTE oracle, base set = ALL vectors (zero-norm
+    * vectors cluster as singletons). */
+  val q53: Q = Q(
+    "q53_semantic_clusters",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val pairs = Similarity.rpLshCosinePairs(emb, threshold = 0.6,
+        planes = rpPlanes)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      Dedup.nearDupClusters(emb, "vec_id", pairs)
+        .select(col("doc_id").as("vec_id"),
+          col("cluster_id"), col("is_canonical"))
+    },
+    Some(s"""
+      WITH RECURSIVE pairs AS (
+        SELECT vec_a, vec_b FROM (${q30OracleSqlAt(0.6)}) q
+      ),
+      edges AS (
+        SELECT vec_a AS src, vec_b AS dst FROM pairs
+        UNION ALL
+        SELECT vec_b AS src, vec_a AS dst FROM pairs
+      ),
+      reach(id, r) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+      )
+      SELECT id AS vec_id, min(r) AS cluster_id,
+        (id = min(r)) AS is_canonical
+      FROM reach GROUP BY id ORDER BY vec_id
+    """.trim))
+
+  // ---------------------------------------------------------------- q54
+
+  /** q54 — cross-corpus shingle commonness: q35's repetition rule
+    * measured ACROSS the corpus (boilerplate/template detection). One
+    * df groupBy over 8-byte shingle hashes + the join back — q17's
+    * index shape without the pair blowup. */
+  val q54: Q = Q(
+    "q54_shingle_novelty",
+    (s, d) =>
+      TextAnalysis.shingleNovelty(Tables.documents(s, d), "doc_id",
+        "text", minDf = 3),
+    Some(s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      $duckHashShingles,
+      df AS (SELECT hs, count(*) AS df FROM sh GROUP BY hs)
+      SELECT sh.doc_id, count(*) AS n_shingles,
+        CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+        CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+          / count(*) AS common_ratio
+      FROM sh JOIN df USING (hs)
+      GROUP BY sh.doc_id ORDER BY sh.doc_id
+    """.trim))
+
+  // ---------------------------------------------------------------- q55
+
+  /** q55 — int8 scalar quantization of the embedding store (the 4×
+    * compression rung below any PQ/IVF structure): per-dimension
+    * min/max partial-aggregated then BROADCAST back, codes and
+    * fixed-point reconstruction errors computed row-locally with
+    * pinned IEEE parenthesization. Output is the long-form
+    * verification surface. */
+  val q55: Q = Q(
+    "q55_embedding_quantize",
+    (s, d) => Quantize.int8Codes(Tables.embeddings(s, d)),
+    Some("""
+      WITH xs AS (
+        SELECT vec_id, CAST(p - 1 AS INT) AS pos,
+          CAST(embedding[p] AS DOUBLE) AS x
+        FROM embeddings, LATERAL unnest(
+          range(1, len(embedding) + 1)) AS t(p)),
+      st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM xs GROUP BY pos),
+      c AS (
+        SELECT vec_id, xs.pos, x, mn, mx,
+          CAST(CASE WHEN mx > mn
+            THEN least(floor(((x - mn) * 255.0) / (mx - mn)), 255.0)
+            ELSE 0.0 END AS INT) AS code
+        FROM xs JOIN st ON xs.pos = st.pos)
+      SELECT vec_id, pos, code,
+        CAST(floor(
+          ((x - (mn + (CAST(code AS DOUBLE) * (mx - mn)) / 255.0)) *
+           (x - (mn + (CAST(code AS DOUBLE) * (mx - mn)) / 255.0)))
+          * 1048576.0) AS BIGINT) AS err_fp
+      FROM c ORDER BY vec_id, pos
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
-      q45, q46, q47, q48, q49, q50, q51)
+      q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55)
 }

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.engine.Tables
+
+/** Int8 scalar-quantization semantics (q55's operator). */
+class QuantizeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("int8Codes: hand-checkable codes, constant dims code to 0 with zero error") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(0.0f, 10.0f)),
+      (2L, Array(5.0f, 10.0f))).toDF("vec_id", "embedding")
+    val rows = Quantize.int8Codes(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getLong(3)))
+      .toMap
+    // dim 0: mn=0 mx=5 → x=0 codes 0, x=5 (the max) codes 255
+    assert(rows((1L, 0))._1 == 0)
+    assert(rows((2L, 0))._1 == 255)
+    // dim 1 is constant → code 0, reconstruction exact
+    assert(rows((1L, 1)) == ((0, 0L)))
+    assert(rows((2L, 1)) == ((0, 0L)))
+  }
+
+  test("int8Codes: reconstruction error bounded by one quantization step") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Quantize.int8Codes(emb)
+    val st = out.join(
+      emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf"))),
+      Seq("vec_id", "pos"))
+    // per-dim step = (mx-mn)/255; err^2 must stay under step^2 (code is
+    // the floor, so |err| < step) — check via the global worst dim
+    val dims = emb.select(posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .groupBy("pos").agg((max(col("xf").cast("double")) -
+        min(col("xf").cast("double"))).as("range"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val worstStep = dims.values.max / 255.0
+    val maxErrFp = out.agg(max(col("err_fp"))).collect().head.getLong(0)
+    assert(maxErrFp <= math.ceil(worstStep * worstStep * 1048576.0).toLong)
+    assert(st.count() == out.count())
+  }
+
+  test("int8Codes: partitioning-invariant") {
+    val emb = Tables.embeddings(spark, sf)
+    val one = Quantize.int8Codes(emb.coalesce(1)).collect().toSeq
+    val many = Quantize.int8Codes(emb.repartition(7)).collect().toSeq
+    assert(one == many)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.engine.Tables
+
+/** BM25 relevance semantics (q52's operator) on the sf0.001 documents
+  * fixture plus hand-built corpora where the score is checkable by
+  * hand-replaying the formula.
+  */
+class RetrievalSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("bm25Scores: only matching docs appear, n_terms_matched counts distinct terms") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spark query spark table"),
+      (2L, "window sort merge"),
+      (3L, "the row agg filter")).toDF("doc_id", "text")
+    val out = Retrieval.bm25Scores(corpus, "doc_id", "text",
+      Seq("spark", "window")).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val byId = out.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byId(1L) == 1) // "spark" twice = one distinct term
+    assert(byId(2L) == 1)
+  }
+
+  test("bm25Scores: hand-replayed fixed-point score on a 2-doc corpus") {
+    import spark.implicits._
+    // doc 1: tf(spark)=2, dl=4; doc 2: dl=2, no match. N=2, avgdl=3.
+    val corpus = Seq(
+      (1L, "spark query spark table"),
+      (2L, "window sort")).toDF("doc_id", "text")
+    val out = Retrieval.bm25Scores(corpus, "doc_id", "text", Seq("spark"))
+      .collect()
+    assert(out.length == 1 && out.head.getLong(0) == 1L)
+    val idf = (2.0 - 1.0 + 0.5) / (1.0 + 0.5)
+    val sat = (2.0 * 2.25) / (2.0 + 1.25 * (0.25 + 0.75 * (4.0 / 3.0)))
+    val expected = math.floor(idf * sat * 1048576.0).toLong
+    assert(out.head.getLong(2) == expected)
+  }
+
+  test("bm25Scores: rarer term dominates a common one at equal tf/dl") {
+    import spark.implicits._
+    // "hash" in 1 of 4 docs, "table" in 4 of 4; probe docs have equal
+    // length and tf=1 each — the rare-term doc must outrank
+    val corpus = Seq(
+      (1L, "hash key row value"),
+      (2L, "table key row value"),
+      (3L, "table scan agg sort"),
+      (4L, "table line part col")).toDF("doc_id", "text")
+    val scores = Retrieval.bm25Scores(corpus, "doc_id", "text",
+      Seq("hash", "table"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scores(1L) > scores(2L))
+  }
+
+  test("bm25Scores: partitioning-invariant (fixed-point sum commutes)") {
+    val terms = Seq("spark", "query", "window", "vector")
+    val one = Retrieval.bm25Scores(docs.coalesce(1), "doc_id", "text", terms)
+      .collect().toSeq
+    val many = Retrieval.bm25Scores(docs.repartition(13), "doc_id", "text",
+      terms).collect().toSeq
+    assert(one == many)
+  }
+
+  test("bm25Scores: fixture run is non-trivial and doc_id-ordered") {
+    val out = Retrieval.bm25Scores(docs, "doc_id", "text",
+      Seq("spark", "query", "window", "vector", "stream", "shuffle"))
+      .collect()
+    assert(out.length > 10)
+    val ids = out.map(_.getLong(0)).toSeq
+    assert(ids == ids.sorted)
+    assert(out.forall(_.getLong(2) > 0L))
+  }
+}

@@ -129,4 +129,32 @@ class TextAnalysisSpec extends SparkSpec {
       assert(diff <= math.max(4L, n / 4), s"$k: exact $n approx ${a.get(k)}")
     }
   }
+
+  test("shingleNovelty: shared 3-grams count as common, short docs absent") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d"), // shingles abc (shared), bcd (unique)
+      (2L, "a b c"),
+      (3L, "a b c"),
+      (4L, "x y")) // < 3 tokens: no shingle unit
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.shingleNovelty(corpus, "doc_id", "text",
+      minDf = 2).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val d1 = out.find(_.getLong(0) == 1L).get
+    assert(d1.getLong(1) == 2L && d1.getLong(2) == 1L)
+    assert(d1.getDouble(3) == 0.5)
+    val d2 = out.find(_.getLong(0) == 2L).get
+    assert(d2.getLong(1) == 1L && d2.getLong(2) == 1L)
+  }
+
+  test("shingleNovelty: partitioning-invariant on the fixture") {
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val one = TextAnalysis.shingleNovelty(docs.coalesce(1), "doc_id", "text")
+      .collect().toSeq
+    val many = TextAnalysis.shingleNovelty(docs.repartition(11), "doc_id",
+      "text").collect().toSeq
+    assert(one == many)
+    assert(one.nonEmpty)
+  }
 }
