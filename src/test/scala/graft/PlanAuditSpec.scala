@@ -229,4 +229,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
     assert(p.contains("BroadcastNestedLoopJoin"), p) // one broadcast row
   }
+
+  test("q52: BM25 df and corpus stats broadcast; no window anywhere") {
+    // the (doc, term) stream joins the |terms|-row df frame and the
+    // 1-row stats frame by BROADCAST — a shuffle join on either would
+    // re-exchange the matched-token stream once per small side
+    val p = plan("q52_bm25_scores")
+    assert(!p.contains("Window"), p)
+    assert(p.split("BroadcastExchange").length >= 3, p)
+  }
+
+  test("q55: dim stats broadcast onto the exploded frame — codes never shuffle") {
+    // the N·dims code computation must join the dims-row min/max frame
+    // via broadcast; its only exchanges are the stats partial-agg and
+    // the output sort
+    val p = plan("q55_embedding_quantize")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
 }
