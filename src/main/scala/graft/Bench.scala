@@ -85,6 +85,14 @@ object Bench {
     "q45_length_profile" -> 0.3,
     "q46_grouped_topk" -> 0.4,
     "q47_sliding_chunks" -> 0.6,
+    "q48_keepbest_dedup" -> 0.5,
+    "q49_eval_overlap" -> 0.8,
+    "q50_curriculum_bins" -> 0.65,
+    "q51_priority_sample" -> 0.3,
+    "q52_bm25_scores" -> 1.4,
+    "q53_semantic_clusters" -> 3.3,
+    "q54_shingle_novelty" -> 0.7,
+    "q55_embedding_quantize" -> 0.6,
     "q25_doc_fingerprint" -> 0.3)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
