@@ -3,6 +3,9 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.engine.CacheScope
+import graft.functions.VectorOps
+
 /** Embedding compression for the similarity stack (SURVEY.md §2.11):
   * per-dimension int8 scalar quantization — the standard first rung of
   * vector-index compression (4× smaller than float32 before any PQ),
@@ -50,5 +53,98 @@ object Quantize {
           * lit(1048576.0)).cast("long"))
       .select(col("vec_id"), col("pos"), col("code"), col("err_fp"))
       .orderBy(col("vec_id"), col("pos"))
+  }
+
+  /** Product quantization — the compression rung ABOVE [[int8Codes]]
+    * and the standard ANN-index encoding (IVF-PQ): the vector is split
+    * into `m` subvectors and each subvector is coded as its nearest of
+    * `k` per-subspace centroids, so a 64-dim float32 vector becomes
+    * `m` small codes (with `m=8, k=8`: 8 codes ≈ 3 bits each — 85×
+    * smaller than the raw vector).
+    *
+    * Training is the deterministic k-means scheme the IVF quantizer
+    * established (Similarity.scala): seeds = the `k` smallest
+    * affine-hashed vec_ids (their subvectors initialize every
+    * subspace), ONE fixed-point refinement pass (per-(subspace, cell)
+    * dimension means as 2^-20-grid long sums — order-independent), then
+    * the final assignment. Assignment is ROW-LOCAL over one broadcast
+    * centroids-per-subspace row: squared L2 via the codegen'd
+    * [[VectorOps.dot]] identity `(sv·sv - 2·sv·cv) + cv·cv`, ties to
+    * the smallest cent_id — the order an external `row_number() OVER
+    * (ORDER BY dist, cent_id)` replays. The corpus never shuffles for
+    * assignment; the only exchanges are the k-seed TakeOrdered and the
+    * (m·k·dims)-row fixed-point mean aggregate.
+    *
+    * Codes keep their centroid's SEED vec_id as identity (no rank
+    * remapping — stable, joinable, replayable). Output long form
+    * (vec_id, sub, code, err_fp): the verification surface, like
+    * [[int8Codes]]; err_fp is the squared distance floored to the
+    * 2^-20 grid (clamped at 0: the dot identity can go −ulp on exact
+    * matches). */
+  def pqCodes(embeddings: DataFrame, m: Int = 8, k: Int = 8,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(m > 0 && k > 0, s"need m > 0 and k > 0, got m=$m k=$k")
+    val dims = embeddings.select(size(col("embedding")).as("d"))
+      .agg(min(col("d")).as("lo"), max(col("d")).as("hi")).head()
+    require(dims.getInt(0) == dims.getInt(1),
+      s"ragged embedding lengths: ${dims.getInt(0)}..${dims.getInt(1)}")
+    require(dims.getInt(0) % m == 0,
+      s"dims=${dims.getInt(0)} not divisible by m=$m")
+    val w = dims.getInt(0) / m
+
+    val sv = scope.persist(embeddings
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("v"), col("sub") * lit(w) + lit(1), lit(w)).as("sv")))
+
+    // seeds: the k smallest affine-hashed ids (the IVF seed family) —
+    // one TakeOrdered(k), their subvectors initialize every subspace
+    val h = (col("vec_id") % lit(2147483648L)) * lit(2654435761L) %
+      lit(2147483648L)
+    val seeds = embeddings.select(col("vec_id"), h.as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(k).select("vec_id")
+    val init = sv.join(seeds, "vec_id")
+      .select(col("sub"), col("vec_id").as("cent_id"), col("sv").as("cv"))
+
+    // row-local nearest-centroid assignment over one broadcast
+    // centroids row per subspace; (dist, cent_id) struct min = the
+    // row_number(ORDER BY dist, cent_id) an external engine replays
+    def assign(cents: DataFrame): DataFrame = {
+      val centArr = cents.groupBy(col("sub"))
+        .agg(sort_array(collect_list(struct(col("cent_id"), col("cv"))))
+          .as("ca"))
+      val byDist = transform(col("ca"), c => struct(
+        ((VectorOps.dot(col("sv"), col("sv")) -
+          lit(2.0) * VectorOps.dot(col("sv"), c.getField("cv"))) +
+          VectorOps.dot(c.getField("cv"), c.getField("cv"))).as("dist"),
+        c.getField("cent_id").as("cent_id")))
+      sv.join(broadcast(centArr), Seq("sub"))
+        .withColumn("best", element_at(array_sort(byDist), 1))
+        .select(col("vec_id"), col("sub"), col("sv"),
+          col("best.cent_id").as("code"), col("best.dist").as("dist"))
+    }
+
+    // one refinement pass: fixed-point per-(subspace, cell) dim means
+    val a1 = assign(init)
+    val refined = a1
+      .select(col("sub"), col("code").as("cell"),
+        posexplode(col("sv")).as(Seq("d", "x")))
+      .withColumn("f", floor(col("x") * lit(1048576.0)).cast("long"))
+      .groupBy(col("sub"), col("cell"), col("d"))
+      .agg(sum(col("f")).as("fs"), count(lit(1)).as("cnt"))
+      .groupBy(col("sub"), col("cell"))
+      .agg(sort_array(collect_list(struct(col("d"), col("fs"),
+        col("cnt")))).as("ds"))
+      .select(col("sub"), col("cell").as("cent_id"),
+        transform(col("ds"), s => s.getField("fs").cast("double") /
+          (s.getField("cnt").cast("double") * lit(1048576.0))).as("cv"))
+
+    assign(refined)
+      .select(col("vec_id"), col("sub"), col("code"),
+        floor(greatest(col("dist"), lit(0.0)) * lit(1048576.0))
+          .cast("long").as("err_fp"))
+      .orderBy(col("vec_id"), col("sub"))
   }
 }

@@ -1479,8 +1479,84 @@ object Ext {
       FROM c ORDER BY vec_id, pos
     """.trim))
 
+  // ---------------------------------------------------------------- q56
+
+  /** DuckDB fragment: ordered-fold dot product of two `w`-element list
+    * expressions (mirrors the codegen'd VectorOps.dot ascending-index
+    * loop). */
+  private def duckDot(a: String, b: String, w: Int): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       |  list_transform(range(1, ${w + 1}), i -> $a[i] * $b[i])),
+       |  (x, y) -> x + y)""".stripMargin
+
+  private def q56OracleSql: String = {
+    val m = 8; val w = 8; val k = 8
+    // ((sv·sv − 2·sv·cv) + cv·cv): the exact parenthesization of the
+    // engine's squared-L2 identity
+    def dist(sv: String, cv: String): String =
+      s"((${duckDot(sv, sv, w)} - 2.0 * ${duckDot(sv, cv, w)})" +
+        s" + ${duckDot(cv, cv, w)})"
+    def assignFrom(cents: String): String =
+      s"""SELECT vec_id, sub, sv, cent_id AS code, dist FROM (
+         |  SELECT s.vec_id, s.sub, s.sv, c.cent_id,
+         |    ${dist("s.sv", "c.cv")} AS dist,
+         |    row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+         |      ${dist("s.sv", "c.cv")}, c.cent_id) AS rn
+         |  FROM sv s JOIN $cents c ON s.sub = c.sub) t
+         |WHERE rn = 1""".stripMargin
+    s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        FROM embeddings),
+      sv AS (
+        SELECT vec_id, CAST(u.s AS INT) AS sub,
+          v[CAST(u.s AS INT) * $w + 1 : CAST(u.s AS INT) * $w + $w] AS sv
+        FROM e, LATERAL unnest(range(0, $m)) AS u(s)),
+      seeds AS (
+        SELECT vec_id FROM (
+          SELECT vec_id, row_number() OVER (
+            ORDER BY ((vec_id % 2147483648) * 2654435761) % 2147483648,
+              vec_id) rn
+          FROM e) t
+        WHERE rn <= $k),
+      c0 AS (
+        SELECT s.sub, s.vec_id AS cent_id, s.sv AS cv
+        FROM sv s JOIN seeds ON s.vec_id = seeds.vec_id),
+      a1 AS (${assignFrom("c0")}),
+      dims1 AS (
+        SELECT sub, code AS cell, u.d, u.f FROM (
+          SELECT sub, code, unnest(list_transform(range(1, ${w + 1}),
+            i -> {'d': i,
+                  'f': CAST(floor(sv[i] * 1048576.0) AS BIGINT)})) u
+          FROM a1) t),
+      cd AS (
+        SELECT sub, cell, d, sum(f) AS fs, count(*) AS cnt
+        FROM dims1 GROUP BY sub, cell, d),
+      c1 AS (
+        SELECT sub, cell AS cent_id,
+          list(CAST(fs AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1048576.0)
+            ORDER BY d) AS cv
+        FROM cd GROUP BY sub, cell),
+      a2 AS (${assignFrom("c1")})
+      SELECT vec_id, sub, code,
+        CAST(floor(greatest(dist, 0.0) * 1048576.0) AS BIGINT) AS err_fp
+      FROM a2 ORDER BY vec_id, sub
+    """.trim
+  }
+
+  /** q56 — product quantization (the IVF-PQ encoding rung): m=8
+    * subvectors × k=8 per-subspace centroids, trained by the
+    * deterministic hash-seeded k-means scheme with one fixed-point
+    * refinement pass; row-local assignment over one broadcast
+    * centroids row per subspace. Codes keep their seed vec_id as
+    * identity. */
+  val q56: Q = Q(
+    "q56_pq_codes",
+    (s, d) => Quantize.pqCodes(Tables.embeddings(s, d), m = 8, k = 8),
+    Some(q56OracleSql))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
-      q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55)
+      q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56)
 }

@@ -50,4 +50,48 @@ class QuantizeSpec extends SparkSpec {
     val many = Quantize.int8Codes(emb.repartition(7)).collect().toSeq
     assert(one == many)
   }
+
+  test("pqCodes: one row per (vector, subspace); codes are seed ids") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val out = Quantize.pqCodes(emb, m = 8, k = 8)
+    val rows = out.collect()
+    assert(rows.length == n * 8)
+    assert(rows.map(r => (r.getLong(0), r.getInt(1))).distinct.length ==
+      rows.length)
+    // codes are centroid identities = seed vec_ids: at most k distinct
+    // per subspace, and all of them real vector ids
+    val ids = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    val bySub = rows.groupBy(_.getInt(1))
+    assert(bySub.size == 8)
+    bySub.values.foreach { g =>
+      val codes = g.map(_.getLong(2)).toSet
+      assert(codes.size <= 8 && codes.subsetOf(ids))
+    }
+  }
+
+  test("pqCodes: k >= N degenerates to zero reconstruction error") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array.tabulate(16)(i => i.toFloat)),
+      (2L, Array.tabulate(16)(i => (i * 2).toFloat)),
+      (3L, Array.tabulate(16)(i => (i % 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    // every vector is a seed -> its own subvectors are centroids ->
+    // every code is the vector itself with dist 0 (refinement keeps
+    // singleton cells' means exact on the 2^-20 grid for these values)
+    val out = Quantize.pqCodes(emb, m = 4, k = 3).collect()
+    assert(out.length == 12)
+    assert(out.forall(_.getLong(3) == 0L),
+      out.filter(_.getLong(3) != 0L).mkString(","))
+  }
+
+  test("pqCodes: partitioning-invariant") {
+    val emb = Tables.embeddings(spark, sf)
+    val one = Quantize.pqCodes(emb.coalesce(1), m = 8, k = 8)
+      .collect().toSeq
+    val many = Quantize.pqCodes(emb.repartition(7), m = 8, k = 8)
+      .collect().toSeq
+    assert(one == many)
+  }
 }
