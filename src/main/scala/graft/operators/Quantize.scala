@@ -83,6 +83,42 @@ object Quantize {
     * matches). */
   def pqCodes(embeddings: DataFrame, m: Int = 8, k: Int = 8,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val (sv, refined) = trainPq(embeddings, m, k, scope)
+    assign(sv, refined)
+      .select(col("vec_id"), col("sub"), col("code"),
+        floor(greatest(col("dist"), lit(0.0)) * lit(1048576.0))
+          .cast("long").as("err_fp"))
+      .orderBy(col("vec_id"), col("sub"))
+  }
+
+  /** The squared-L2 identity `(sv·sv − 2·sv·cv) + cv·cv` over the
+    * codegen'd dot — the exact parenthesization the oracle replays. */
+  private def sqDist(svCol: org.apache.spark.sql.Column,
+      cvCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (VectorOps.dot(svCol, svCol) -
+      lit(2.0) * VectorOps.dot(svCol, cvCol)) +
+      VectorOps.dot(cvCol, cvCol)
+
+  /** Row-local nearest-centroid assignment over one broadcast
+    * centroids row per subspace; (dist, cent_id) struct min = the
+    * row_number(ORDER BY dist, cent_id) an external engine replays. */
+  private def assign(sv: DataFrame, cents: DataFrame): DataFrame = {
+    val centArr = cents.groupBy(col("sub"))
+      .agg(sort_array(collect_list(struct(col("cent_id"), col("cv"))))
+        .as("ca"))
+    val byDist = transform(col("ca"), c => struct(
+      sqDist(col("sv"), c.getField("cv")).as("dist"),
+      c.getField("cent_id").as("cent_id")))
+    sv.join(broadcast(centArr), Seq("sub"))
+      .withColumn("best", element_at(array_sort(byDist), 1))
+      .select(col("vec_id"), col("sub"), col("sv"),
+        col("best.cent_id").as("code"), col("best.dist").as("dist"))
+  }
+
+  /** Shared PQ training core: the persisted subvector frame plus the
+    * refined per-subspace centroid table. */
+  private def trainPq(embeddings: DataFrame, m: Int, k: Int,
+      scope: CacheScope): (DataFrame, DataFrame) = {
     require(m > 0 && k > 0, s"need m > 0 and k > 0, got m=$m k=$k")
     val dims = embeddings.select(size(col("embedding")).as("d"))
       .agg(min(col("d")).as("lo"), max(col("d")).as("hi")).head()
@@ -108,27 +144,8 @@ object Quantize {
     val init = sv.join(seeds, "vec_id")
       .select(col("sub"), col("vec_id").as("cent_id"), col("sv").as("cv"))
 
-    // row-local nearest-centroid assignment over one broadcast
-    // centroids row per subspace; (dist, cent_id) struct min = the
-    // row_number(ORDER BY dist, cent_id) an external engine replays
-    def assign(cents: DataFrame): DataFrame = {
-      val centArr = cents.groupBy(col("sub"))
-        .agg(sort_array(collect_list(struct(col("cent_id"), col("cv"))))
-          .as("ca"))
-      val byDist = transform(col("ca"), c => struct(
-        ((VectorOps.dot(col("sv"), col("sv")) -
-          lit(2.0) * VectorOps.dot(col("sv"), c.getField("cv"))) +
-          VectorOps.dot(c.getField("cv"), c.getField("cv"))).as("dist"),
-        c.getField("cent_id").as("cent_id")))
-      sv.join(broadcast(centArr), Seq("sub"))
-        .withColumn("best", element_at(array_sort(byDist), 1))
-        .select(col("vec_id"), col("sub"), col("sv"),
-          col("best.cent_id").as("code"), col("best.dist").as("dist"))
-    }
-
     // one refinement pass: fixed-point per-(subspace, cell) dim means
-    val a1 = assign(init)
-    val refined = a1
+    val refined = assign(sv, init)
       .select(col("sub"), col("code").as("cell"),
         posexplode(col("sv")).as(Seq("d", "x")))
       .withColumn("f", floor(col("x") * lit(1048576.0)).cast("long"))
@@ -140,11 +157,48 @@ object Quantize {
       .select(col("sub"), col("cell").as("cent_id"),
         transform(col("ds"), s => s.getField("fs").cast("double") /
           (s.getField("cnt").cast("double") * lit(1048576.0))).as("cv"))
+    (sv, refined)
+  }
 
-    assign(refined)
-      .select(col("vec_id"), col("sub"), col("code"),
-        floor(greatest(col("dist"), lit(0.0)) * lit(1048576.0))
-          .cast("long").as("err_fp"))
-      .orderBy(col("vec_id"), col("sub"))
+  /** PQ-ADC approximate top-k search — the query path that makes
+    * [[pqCodes]] an INDEX (the "AD" in IVF-ADC/PQ search): each query
+    * computes one small (m·k)-entry table of partial squared distances
+    * to every per-subspace centroid, and a candidate's approximate
+    * distance is the SUM of the table entries its codes select —
+    * O(m·k·dim) per query to build the table, O(m) per candidate to
+    * score, never O(dim) per candidate like the exact path (q20).
+    *
+    * Scale shape: the table frame (queries·m·k rows) is BROADCAST onto
+    * the codes frame; scoring shuffles only the fixed-point partial
+    * sums (map-side combined per (query, vec)); the per-query top-k
+    * plans as WindowGroupLimit like q46/q51. Partial distances are
+    * floored to 2^-20-grid longs BEFORE summing, so the total is
+    * order-independent and engine-exact — the trade is quantization of
+    * the ranking metric itself, which IS the PQ-ADC approximation. */
+  def pqTopK(embeddings: DataFrame, m: Int = 8, k: Int = 8,
+      topK: Int = 5, queryStride: Long = 50,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val (sv, refined) = trainPq(embeddings, m, k, scope)
+    val codes = assign(sv, refined)
+      .select(col("vec_id"), col("sub"), col("code"))
+    val table = sv.where(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("query_id"), col("sub"),
+        col("sv").as("qsv"))
+      .join(refined, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cent_id").as("code"),
+        floor(greatest(sqDist(col("qsv"), col("cv")), lit(0.0))
+          * lit(1048576.0)).cast("long").as("pd_fp"))
+    val adc = codes.join(broadcast(table), Seq("sub", "code"))
+      .where(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd_fp")).as("adist_fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adist_fp"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("adist_fp"))
+      .orderBy(col("query_id"), col("rank"))
   }
 }

@@ -1489,7 +1489,11 @@ object Ext {
        |  list_transform(range(1, ${w + 1}), i -> $a[i] * $b[i])),
        |  (x, y) -> x + y)""".stripMargin
 
-  private def q56OracleSql: String = {
+  private def q56OracleSql: String = pqOracleSql(adc = false)
+
+  private def q57OracleSql: String = pqOracleSql(adc = true)
+
+  private def pqOracleSql(adc: Boolean): String = {
     val m = 8; val w = 8; val k = 8
     // ((sv·sv − 2·sv·cv) + cv·cv): the exact parenthesization of the
     // engine's squared-L2 identity
@@ -1538,9 +1542,33 @@ object Ext {
             ORDER BY d) AS cv
         FROM cd GROUP BY sub, cell),
       a2 AS (${assignFrom("c1")})
+      ${if (!adc) s"""
       SELECT vec_id, sub, code,
         CAST(floor(greatest(dist, 0.0) * 1048576.0) AS BIGINT) AS err_fp
       FROM a2 ORDER BY vec_id, sub
+      """.trim
+      else s"""
+      , tbl AS (
+        SELECT q.query_id, q.sub, c.cent_id AS code,
+          CAST(floor(greatest(${dist("q.qsv", "c.cv")}, 0.0)
+            * 1048576.0) AS BIGINT) AS pd_fp
+        FROM (SELECT vec_id AS query_id, sub, sv AS qsv FROM sv
+              WHERE vec_id % 50 = 0) q
+        JOIN c1 c ON q.sub = c.sub),
+      adc AS (
+        SELECT query_id, a2.vec_id, CAST(sum(pd_fp) AS BIGINT) AS adist_fp
+        FROM a2 JOIN tbl ON a2.sub = tbl.sub AND a2.code = tbl.code
+        WHERE query_id <> a2.vec_id
+        GROUP BY query_id, a2.vec_id)
+      SELECT query_id, vec_id AS neighbor_id, CAST(rank AS INT) AS rank,
+        adist_fp
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY adist_fp, vec_id) AS rank
+        FROM adc) t
+      WHERE rank <= 5
+      ORDER BY query_id, rank
+      """.trim}
     """.trim
   }
 
@@ -1555,8 +1583,22 @@ object Ext {
     (s, d) => Quantize.pqCodes(Tables.embeddings(s, d), m = 8, k = 8),
     Some(q56OracleSql))
 
+  // ---------------------------------------------------------------- q57
+
+  /** q57 — PQ-ADC approximate top-k search (q56's query path; the
+    * approximate sibling of exact q20): per query an (m·k)-entry
+    * partial-distance table, broadcast onto the codes frame, summed as
+    * 2^-20-grid longs per candidate (order-independent), per-query
+    * top-k via WindowGroupLimit. O(m) per candidate instead of
+    * O(dim). */
+  val q57: Q = Q(
+    "q57_pq_adc_topk",
+    (s, d) => Quantize.pqTopK(Tables.embeddings(s, d), m = 8, k = 8,
+      topK = 5, queryStride = 50),
+    Some(q57OracleSql))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
-      q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56)
+      q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57)
 }

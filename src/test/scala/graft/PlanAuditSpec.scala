@@ -239,6 +239,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.split("BroadcastExchange").length >= 3, p)
   }
 
+  test("q57: ADC table broadcasts; per-query top-k pushes down as WindowGroupLimit") {
+    val p = plan("q57_pq_adc_topk")
+    assert(p.contains("WindowGroupLimit"), p)
+    // the (queries·m·k)-row partial-distance table must broadcast onto
+    // the codes frame — a shuffle join would re-exchange N·m rows
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q55: dim stats broadcast onto the exploded frame — codes never shuffle") {
     // the N·dims code computation must join the dims-row min/max frame
     // via broadcast; its only exchanges are the stats partial-agg and

@@ -94,4 +94,34 @@ class QuantizeSpec extends SparkSpec {
       .collect().toSeq
     assert(one == many)
   }
+
+  test("pqTopK: every query gets ranks 1..topK; exact duplicate ranks first") {
+    import spark.implicits._
+    // vec 0 is the (stride-selected) query; vec 7 is its exact copy —
+    // identical subvectors share codes, so ADC distance(query, dup) is
+    // the self-distance minimum and the duplicate must rank 1
+    val base = Array.tabulate(16)(i => (i * 3 % 7).toFloat)
+    val emb = (Seq((0L, base), (7L, base)) ++
+      (1L to 5L).map(i => (i, Array.tabulate(16)(j =>
+        (j * 3 % 7) + i * 10f)))).toDF("vec_id", "embedding")
+    val out = Quantize.pqTopK(emb, m = 4, k = 4, topK = 3,
+      queryStride = 50).collect()
+    assert(out.map(_.getLong(0)).distinct.toSeq == Seq(0L))
+    assert(out.map(_.getInt(2)).toSeq == Seq(1, 2, 3))
+    assert(out.head.getLong(1) == 7L, out.mkString(","))
+  }
+
+  test("pqTopK: fixture run — all queries covered, ranks dense, deterministic") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Quantize.pqTopK(emb, m = 8, k = 8, topK = 5,
+      queryStride = 50).collect()
+    val nQueries = emb.where(col("vec_id") % 50 === 0).count()
+    assert(out.map(_.getLong(0)).distinct.length == nQueries)
+    out.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.map(_.getInt(2)).sorted.toSeq == (1 to 5))
+    }
+    val again = Quantize.pqTopK(emb.repartition(9), m = 8, k = 8,
+      topK = 5, queryStride = 50).collect()
+    assert(out.toSeq == again.toSeq)
+  }
 }
