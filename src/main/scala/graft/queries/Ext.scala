@@ -1597,8 +1597,69 @@ object Ext {
       topK = 5, queryStride = 50),
     Some(q57OracleSql))
 
+  // ---------------------------------------------------------------- q58
+
+  /** q58 — ROLLUP subtotal hierarchy (relational breadth beyond the
+    * reference: multi-level report totals in ONE aggregate pass —
+    * Spark plans rollup as a single Expand + hash aggregate, partial-
+    * aggregable map-side, not one scan per level). grouping_id
+    * disambiguates a real NULL key from a rolled-up level, exactly as
+    * DuckDB's GROUPING_ID replays. Money stays exact decimal until the
+    * DOUBLE output boundary (the q14 discipline). */
+  val q58: Q = Q(
+    "q58_rollup_revenue",
+    (s, d) =>
+      Tables.orders(s, d)
+        .rollup(year(col("o_orderdate")).as("anio"),
+          col("o_orderstatus").as("estado"))
+        .agg(grouping_id().cast("int").as("nivel"),
+          Dec.outD(sum(Dec.d2(col("o_totalprice")))).as("ingresos"),
+          count(lit(1)).as("n_ordenes"))
+        .orderBy(col("nivel"), col("anio").asc_nulls_first,
+          col("estado").asc_nulls_first),
+    Some("""
+      SELECT CAST(year(o_orderdate) AS INT) AS anio, o_orderstatus AS estado,
+        CAST(GROUPING_ID(year(o_orderdate), o_orderstatus) AS INT) AS nivel,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS ingresos,
+        COUNT(*) AS n_ordenes
+      FROM orders
+      GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)
+      ORDER BY nivel, anio NULLS FIRST, estado NULLS FIRST
+    """.trim))
+
+  // ---------------------------------------------------------------- q59
+
+  /** q59 — PIVOT to a fixed column set (the report-matrix shape BI
+    * tools ask of an engine): monthly revenue split by return flag
+    * into columns. Spark's pivot with an EXPLICIT value list plans as
+    * one conditional aggregate (no second pass to discover values —
+    * the only shape that works on 100 TB); the oracle replays it as
+    * CASE sums. Missing (month, flag) combos are NULL in both. */
+  val q59: Q = Q(
+    "q59_pivot_returnflag",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("date")
+          .as("mes"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(Dec.outD(sum(Dec.d2(col("l_extendedprice")))))
+        .orderBy(col("mes")),
+    Some("""
+      SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS mes,
+        CAST(SUM(CASE WHEN l_returnflag = 'A'
+          THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS "A",
+        CAST(SUM(CASE WHEN l_returnflag = 'N'
+          THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS "N",
+        CAST(SUM(CASE WHEN l_returnflag = 'R'
+          THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS "R"
+      FROM lineitem
+      GROUP BY 1
+      ORDER BY mes
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
-      q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57)
+      q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
+      q58, q59)
 }
