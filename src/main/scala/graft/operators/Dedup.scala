@@ -410,6 +410,50 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-wide PARAGRAPH dedup — the C4-style sub-document pass
+    * (documents that are each unique can still share a boilerplate
+    * footer/header/license paragraph thousands of times over): any
+    * paragraph occurring in >= `maxDf` distinct documents is removed
+    * from EVERY document, and the cleaned text is reassembled in
+    * original paragraph order. Complements exact (doc-level, q16) and
+    * shingle (near-dup, q17-q19) dedup, and the cross-corpus
+    * commonness SIGNAL (q54) — this one edits the text.
+    *
+    * Scale shape: paragraphs explode row-locally; the document
+    * frequency is one groupBy over 32-byte paragraph hashes (distinct
+    * (doc, hash) first, partial-aggregable); the join back is on the
+    * same hash; reassembly is a per-document collect bounded by the
+    * document's own size (sort_array over (idx, para) structs — no
+    * window, no global sort). Dropping ALL copies (not keep-first)
+    * keeps the rule engine-order-independent and replayable.
+    *
+    * Output per doc: paragraph counts and the cleaned text's hash (the
+    * verification surface — shipping the corpus back out belongs to a
+    * sink, not the metric frame). */
+  def dropBoilerplateParagraphs(docs: DataFrame, idCol: String,
+      textCol: String, maxDf: Int = 10): DataFrame = {
+    require(maxDf > 1, s"need maxDf > 1, got $maxDf")
+    val paras = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), "\n\n")).as(Seq("idx", "para")))
+    val df = paras.select(col("doc_id"), sha2(col("para"), 256).as("h"))
+      .distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    paras.withColumn("h", sha2(col("para"), 256))
+      .join(df, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("df") < maxDf, 1L).otherwise(0L)).as("n_kept"),
+        // when() without otherwise is NULL for dropped paras and
+        // collect_list skips NULLs; sort by idx restores text order
+        array_join(transform(
+          array_sort(collect_list(when(col("df") < maxDf,
+            struct(col("idx"), col("para"))))),
+          s => s.getField("para")), "\n\n").as("cleaned"))
+      .select(col("doc_id"), col("n_paras"), col("n_kept"),
+        sha2(col("cleaned"), 256).as("cleaned_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup pairs with hamming <= `maxHamming` (default 3).
     * Candidates come from `maxHamming + 1` equal-width chunk buckets:
     * a pair within hamming h differs in at most h of the 48 bits, so by

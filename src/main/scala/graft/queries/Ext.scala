@@ -1657,9 +1657,62 @@ object Ext {
       ORDER BY mes
     """.trim))
 
+  // ---------------------------------------------------------------- q60
+
+  /** q60 — paragraph-level boilerplate removal (the C4-style
+    * sub-document dedup): the fixture text is single-paragraph, so —
+    * the q33 seeding pattern — a hot boilerplate footer is woven onto
+    * every 5th doc (df ≈ N/5, dropped at any SF) and a cold one onto
+    * every 97th (df scale-dependent: kept at the gate SF, dropped at
+    * 10× — both engines replay the same rule, so the boundary is
+    * exercised, not dodged). */
+  val q60: Q = Q(
+    "q60_paragraph_dedup",
+    (s, d) => {
+      val seeded = Tables.documents(s, d).select(
+        col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            lit("\n\nCALL NOW limited offer - unsubscribe footer"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 97 === 0,
+            lit("\n\nmirror hosted by example archive"))
+            .otherwise(lit(""))).as("text"))
+      Dedup.dropBoilerplateParagraphs(seeded, "doc_id", "text", maxDf = 10)
+    },
+    Some(s"""
+      WITH seeded AS (
+        SELECT doc_id,
+          text ||
+          CASE WHEN doc_id % 5 = 0
+            THEN chr(10) || chr(10) ||
+              'CALL NOW limited offer - unsubscribe footer'
+            ELSE '' END ||
+          CASE WHEN doc_id % 97 = 0
+            THEN chr(10) || chr(10) || 'mirror hosted by example archive'
+            ELSE '' END AS text
+        FROM documents),
+      p AS (
+        SELECT doc_id, CAST(u.i - 1 AS INT) AS idx, paras[u.i] AS para
+        FROM (SELECT doc_id,
+                string_split_regex(text, chr(10) || chr(10)) AS paras
+              FROM seeded) s,
+        LATERAL unnest(range(1, len(paras) + 1)) AS u(i)),
+      d AS (
+        SELECT h, count(*) AS df FROM (
+          SELECT DISTINCT doc_id, sha256(para) AS h FROM p) t
+        GROUP BY h)
+      SELECT p.doc_id, count(*) AS n_paras,
+        CAST(sum(CASE WHEN df < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        sha256(COALESCE(string_agg(CASE WHEN df < 10 THEN para END,
+          chr(10) || chr(10) ORDER BY idx), '')) AS cleaned_hash
+      FROM p JOIN d ON sha256(p.para) = d.h
+      GROUP BY p.doc_id ORDER BY p.doc_id
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
       q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
-      q58, q59)
+      q58, q59, q60)
 }

@@ -187,4 +187,42 @@ class DedupSpec extends SparkSpec {
     assert(r.getInt(4) == 1) // 0.333 >= 0.3
     // rate is one-sided: eval-only shingles never penalize the train doc
   }
+
+  test("dropBoilerplateParagraphs: hot paragraph dropped everywhere, order kept") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter"
+    val corpus = Seq(
+      (1L, s"alpha one\n\n$boiler\n\nbeta two"),
+      (2L, s"$boiler\n\ngamma three"),
+      (3L, s"delta four\n\n$boiler"),
+      (4L, "epsilon five")).toDF("doc_id", "text")
+    val out = Dedup.dropBoilerplateParagraphs(corpus, "doc_id", "text",
+      maxDf = 3).collect()
+    val byId = out.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(byId(1L)._1 == 3 && byId(1L)._2 == 2)
+    assert(byId(2L)._1 == 2 && byId(2L)._2 == 1)
+    assert(byId(4L) == ((1L, 1L,
+      sha256Hex("epsilon five"))))
+    // doc 1's cleaned text restores original order minus the boiler
+    assert(byId(1L)._3 == sha256Hex("alpha one\n\nbeta two"))
+    // doc 3 keeps only its leading paragraph (no trailing separator)
+    assert(byId(3L)._3 == sha256Hex("delta four"))
+  }
+
+  test("dropBoilerplateParagraphs: a doc that is ALL boilerplate hashes empty") {
+    import spark.implicits._
+    val corpus = (1L to 5L).map(i => (i, "the same thing"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dropBoilerplateParagraphs(corpus, "doc_id", "text",
+      maxDf = 5).collect()
+    assert(out.forall(r => r.getLong(2) == 0L &&
+      r.getString(3) == sha256Hex("")))
+  }
+
+  private def sha256Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
 }
