@@ -93,6 +93,11 @@ object Bench {
     "q53_semantic_clusters" -> 3.3,
     "q54_shingle_novelty" -> 0.7,
     "q55_embedding_quantize" -> 0.6,
+    "q56_pq_codes" -> 1.4,
+    "q57_pq_adc_topk" -> 1.95,
+    "q58_rollup_revenue" -> 0.73,
+    "q59_pivot_returnflag" -> 1.1,
+    "q60_paragraph_dedup" -> 0.84,
     "q25_doc_fingerprint" -> 0.3)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
