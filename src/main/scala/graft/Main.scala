@@ -53,7 +53,8 @@ object Main {
     val s = graft.etl.CorpusPipeline.curate(spark, docsParquet, outDir,
       epoch = epoch)
     println(s"[corpus] raw=${s.raw} exact=${s.afterExact} " +
-      s"neardup=${s.afterNearDup} quality=${s.afterQuality} packs=${s.packs}")
+      s"neardup=${s.afterNearDup} paragraph=${s.afterParagraph} " +
+      s"quality=${s.afterQuality} packs=${s.packs}")
     spark.stop()
   }
 

@@ -14,6 +14,10 @@ import graft.operators.{Dedup, Packing, Scrub, TextAnalysis}
   *   raw → exact dedup (content hash, keep-first)
   *       → near-dup clusters (MinHash-LSH pairs → components, keep the
   *         canonical doc per cluster)
+  *       → paragraph-level boilerplate removal (corpus-wide df ≥ 10
+  *         paragraphs cut from every doc, C4-style; docs left empty
+  *         are dropped) — BEFORE the quality gates, which must score
+  *         the text that will actually train
   *       → quality + repetition gates (length/stopword bands, dup-gram
   *         ratio — the boilerplate rules)
   *       → PII + network redaction (emails, digit runs, URLs, IPs)
@@ -30,7 +34,7 @@ import graft.operators.{Dedup, Packing, Scrub, TextAnalysis}
 object CorpusPipeline {
 
   final case class Stats(raw: Long, afterExact: Long, afterNearDup: Long,
-      afterQuality: Long, packs: Long)
+      afterParagraph: Long, afterQuality: Long, packs: Long)
 
   /** Run the funnel over `docsParquet` (the documents schema: doc_id,
     * text, ...), writing `clean/` (curated, redacted docs) and `packs/`
@@ -69,15 +73,26 @@ object CorpusPipeline {
       val deduped = scope.persist(exact.join(canonical, Seq("doc_id")))
       val afterNearDup = deduped.count()
 
+      // paragraph-level boilerplate removal (the q60 operator): edits
+      // the text, so it runs BEFORE the gates that score it; documents
+      // that were ALL boilerplate drop out here
+      val stripped = scope.persist(
+        Dedup.cleanBoilerplateParagraphs(deduped, "doc_id", "text",
+          maxDf = 10)
+          .where(col("n_kept") > 0)
+          .select(col("doc_id"), col("cleaned").as("text"))
+          .join(deduped.drop("text"), Seq("doc_id")))
+      val afterParagraph = stripped.count()
+
       // quality + repetition gates (the q23/q35 signals)
-      val quality = TextAnalysis.qualityScores(deduped, "doc_id", "text")
+      val quality = TextAnalysis.qualityScores(stripped, "doc_id", "text")
         .where(col("quality_band") =!= "low").select(col("doc_id"))
-      val lowRep = TextAnalysis.repetitionSignals(deduped, "doc_id", "text")
+      val lowRep = TextAnalysis.repetitionSignals(stripped, "doc_id", "text")
         .where(col("dup_gram_ratio").isNull ||
           col("dup_gram_ratio") <= maxRepetition)
         .select(col("doc_id"))
       val kept = scope.persist(
-        deduped.join(quality, Seq("doc_id")).join(lowRep, Seq("doc_id")))
+        stripped.join(quality, Seq("doc_id")).join(lowRep, Seq("doc_id")))
       val afterQuality = kept.count()
 
       // redaction: PII then network identifiers over the final text
@@ -110,7 +125,8 @@ object CorpusPipeline {
           case r => r.getLong(0) + 1
         }
 
-      val stats = Stats(raw, afterExact, afterNearDup, afterQuality, packs)
+      val stats = Stats(raw, afterExact, afterNearDup, afterParagraph,
+        afterQuality, packs)
       onScope(scope)
       stats
     }

@@ -431,6 +431,16 @@ object Dedup {
     * verification surface — shipping the corpus back out belongs to a
     * sink, not the metric frame). */
   def dropBoilerplateParagraphs(docs: DataFrame, idCol: String,
+      textCol: String, maxDf: Int = 10): DataFrame =
+    cleanBoilerplateParagraphs(docs, idCol, textCol, maxDf)
+      .select(col("doc_id"), col("n_paras"), col("n_kept"),
+        sha2(col("cleaned"), 256).as("cleaned_hash"))
+      .orderBy(col("doc_id"))
+
+  /** [[dropBoilerplateParagraphs]]'s text-returning core — what a
+    * pipeline stage consumes (the CLEANED text itself, q60 hashes it
+    * for the verification surface). */
+  def cleanBoilerplateParagraphs(docs: DataFrame, idCol: String,
       textCol: String, maxDf: Int = 10): DataFrame = {
     require(maxDf > 1, s"need maxDf > 1, got $maxDf")
     val paras = docs.select(col(idCol).as("doc_id"),
@@ -449,9 +459,6 @@ object Dedup {
           array_sort(collect_list(when(col("df") < maxDf,
             struct(col("idx"), col("para"))))),
           s => s.getField("para")), "\n\n").as("cleaned"))
-      .select(col("doc_id"), col("n_paras"), col("n_kept"),
-        sha2(col("cleaned"), 256).as("cleaned_hash"))
-      .orderBy(col("doc_id"))
   }
 
   /** SimHash near-dup pairs with hamming <= `maxHamming` (default 3).

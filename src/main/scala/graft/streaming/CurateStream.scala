@@ -16,9 +16,11 @@ import graft.operators.Scrub
   * operator in the stream is [[DedupStream.uniqueDocs]]'s bounded
   * dedup — state stays at the watermark horizon regardless of corpus
   * size, and the gates add zero state. Near-dup dedup (LSH clustering)
-  * deliberately stays batch-side: its candidate joins need corpus-wide
-  * visibility that a bounded state store cannot give (same argument as
-  * full-history exact dedup, see DedupStream's scaladoc).
+  * and paragraph-level boilerplate removal deliberately stay
+  * batch-side: the former's candidate joins and the latter's
+  * paragraph document-frequency both need corpus-wide visibility that
+  * a bounded state store cannot give (same argument as full-history
+  * exact dedup, see DedupStream's scaladoc).
   *
   * Two documented deltas vs the batch funnel, both inherent to
   * streaming: (a) dedup keeps the FIRST ARRIVAL, where batch keeps the

@@ -32,7 +32,8 @@ class CorpusPipelineSpec extends SparkSpec {
 
     assert(s.raw > 0)
     assert(s.raw >= s.afterExact && s.afterExact >= s.afterNearDup &&
-      s.afterNearDup >= s.afterQuality)
+      s.afterNearDup >= s.afterParagraph &&
+      s.afterParagraph >= s.afterQuality)
     assert(s.afterNearDup < s.raw, "fixture contains known near-dups")
     assert(s.packs > 0)
 
