@@ -115,6 +115,23 @@ object Quantize {
         col("best.cent_id").as("code"), col("best.dist").as("dist"))
   }
 
+  /** [[assign]]'s multi-probe sibling: the `probes` nearest centroids
+    * per row (still row-local over the broadcast centroids row), the
+    * same slice-of-sorted-structs shape as the IVF assignCells. */
+  private def assignProbes(sv: DataFrame, cents: DataFrame,
+      probes: Int): DataFrame = {
+    val centArr = cents.groupBy(col("sub"))
+      .agg(sort_array(collect_list(struct(col("cent_id"), col("cv"))))
+        .as("ca"))
+    val byDist = transform(col("ca"), c => struct(
+      sqDist(col("sv"), c.getField("cv")).as("dist"),
+      c.getField("cent_id").as("cent_id")))
+    sv.join(broadcast(centArr), Seq("sub"))
+      .select(col("vec_id"), col("sub"),
+        explode(transform(slice(array_sort(byDist), 1, probes),
+          s => s.getField("cent_id"))).as("cell"))
+  }
+
   /** Shared PQ training core: the persisted subvector frame plus the
     * refined per-subspace centroid table. */
   private def trainPq(embeddings: DataFrame, m: Int, k: Int,
@@ -190,6 +207,63 @@ object Quantize {
           * lit(1048576.0)).cast("long").as("pd_fp"))
     val adc = codes.join(broadcast(table), Seq("sub", "code"))
       .where(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd_fp")).as("adist_fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adist_fp"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("adist_fp"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF-PQ top-k — the full FAISS-layout composition and the 100 TB
+    * form of [[pqTopK]]: a COARSE whole-vector quantizer (the same
+    * training core with m=1, C=⌈√N⌉ centroids — exactly the IVF cell
+    * structure, built from PQ's machinery) restricts each query to its
+    * `probes` nearest cells, and only the vectors IN those cells pay
+    * the O(m) ADC scoring. Per query that is probes·(N/C)·m table
+    * lookups instead of N·m ([[pqTopK]]) instead of N·dim (exact q20)
+    * — the three rungs of the same ladder, all oracle-replayable.
+    *
+    * Scale shape: both quantizers train exactly like [[pqCodes]]
+    * (seeds TakeOrdered, fixed-point means, broadcast row-local
+    * assignment); the candidate restriction is an equi-join on the
+    * cell id; the ADC join/aggregation then runs over candidate pairs
+    * only. Recall is the IVF trade (a true neighbor outside the probed
+    * cells is missed) ON TOP of the PQ quantization of the metric —
+    * both deterministic, both replayed by the oracle. */
+  def ivfPqTopK(embeddings: DataFrame, m: Int = 8, k: Int = 8,
+      probes: Int = 2, topK: Int = 5, queryStride: Long = 50,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(probes > 0, s"need probes > 0, got $probes")
+    val n = embeddings.count()
+    val c = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    // coarse: whole-vector cells (m = 1 — subvector 0 IS the vector)
+    val (csv, coarse) = trainPq(embeddings, 1, c, scope)
+    val corpusCells = assign(csv, coarse)
+      .select(col("vec_id"), col("code").as("cell"))
+    val queryCells = assignProbes(
+      csv.where(col("vec_id") % queryStride === 0), coarse, probes)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val cand = queryCells.join(corpusCells, Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    // fine: PQ codes + per-query ADC tables, scored on candidates only
+    val (fsv, refined) = trainPq(embeddings, m, k, scope)
+    val codes = assign(fsv, refined)
+      .select(col("vec_id"), col("sub"), col("code"))
+    val table = fsv.where(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("query_id"), col("sub"),
+        col("sv").as("qsv"))
+      .join(refined, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cent_id").as("code"),
+        floor(greatest(sqDist(col("qsv"), col("cv")), lit(0.0))
+          * lit(1048576.0)).cast("long").as("pd_fp"))
+    val adc = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(table), Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("pd_fp")).as("adist_fp"))
     val w = org.apache.spark.sql.expressions.Window

@@ -1710,9 +1710,122 @@ object Ext {
       GROUP BY p.doc_id ORDER BY p.doc_id
     """.trim))
 
+  // ---------------------------------------------------------------- q61
+
+  /** DuckDB fragment: one full PQ-quantizer replay (subvector split,
+    * hash seeding, one fixed-point refinement, final assignment) with
+    * every CTE name prefixed `p` — so q61 can replay TWO quantizers
+    * (coarse cells + fine codes) in one statement. `kSel` is a SQL
+    * expression for the seed count (a literal for fine, ⌈√N⌉ for
+    * coarse). Mirrors pqOracleSql's fragments exactly. */
+  private def duckPqCtes(p: String, m: Int, w: Int, kSel: String): String = {
+    def dist(sv: String, cv: String): String =
+      s"((${duckDot(sv, sv, w)} - 2.0 * ${duckDot(sv, cv, w)})" +
+        s" + ${duckDot(cv, cv, w)})"
+    def assignFrom(cents: String): String =
+      s"""SELECT vec_id, sub, sv, cent_id AS code, dist FROM (
+         |  SELECT s.vec_id, s.sub, s.sv, c.cent_id,
+         |    ${dist("s.sv", "c.cv")} AS dist,
+         |    row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+         |      ${dist("s.sv", "c.cv")}, c.cent_id) AS rn
+         |  FROM ${p}sv s JOIN $cents c ON s.sub = c.sub) t
+         |WHERE rn = 1""".stripMargin
+    s"""${p}sv AS (
+      |  SELECT vec_id, CAST(u.s AS INT) AS sub,
+      |    v[CAST(u.s AS INT) * $w + 1 : CAST(u.s AS INT) * $w + $w] AS sv
+      |  FROM e, LATERAL unnest(range(0, $m)) AS u(s)),
+      |${p}seeds AS (
+      |  SELECT vec_id FROM (
+      |    SELECT vec_id, row_number() OVER (
+      |      ORDER BY ((vec_id % 2147483648) * 2654435761) % 2147483648,
+      |        vec_id) rn
+      |    FROM e) t
+      |  WHERE rn <= $kSel),
+      |${p}c0 AS (
+      |  SELECT s.sub, s.vec_id AS cent_id, s.sv AS cv
+      |  FROM ${p}sv s JOIN ${p}seeds ON s.vec_id = ${p}seeds.vec_id),
+      |${p}a1 AS (${assignFrom(p + "c0")}),
+      |${p}dims1 AS (
+      |  SELECT sub, code AS cell, u.d, u.f FROM (
+      |    SELECT sub, code, unnest(list_transform(range(1, ${w + 1}),
+      |      i -> {'d': i,
+      |            'f': CAST(floor(sv[i] * 1048576.0) AS BIGINT)})) u
+      |    FROM ${p}a1) t),
+      |${p}cd AS (
+      |  SELECT sub, cell, d, sum(f) AS fs, count(*) AS cnt
+      |  FROM ${p}dims1 GROUP BY sub, cell, d),
+      |${p}c1 AS (
+      |  SELECT sub, cell AS cent_id,
+      |    list(CAST(fs AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1048576.0)
+      |      ORDER BY d) AS cv
+      |  FROM ${p}cd GROUP BY sub, cell),
+      |${p}a2 AS (${assignFrom(p + "c1")})""".stripMargin
+  }
+
+  private def q61OracleSql: String = {
+    def dist(sv: String, cv: String, w: Int): String =
+      s"((${duckDot(sv, sv, w)} - 2.0 * ${duckDot(sv, cv, w)})" +
+        s" + ${duckDot(cv, cv, w)})"
+    val sqrtSel = "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e)"
+    s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        FROM embeddings),
+      ${duckPqCtes("c_", 1, 64, sqrtSel)},
+      ${duckPqCtes("f_", 8, 8, "8")},
+      qc AS (
+        SELECT query_id, cell FROM (
+          SELECT s.vec_id AS query_id, c.cent_id AS cell,
+            row_number() OVER (PARTITION BY s.vec_id ORDER BY
+              ${dist("s.sv", "c.cv", 64)}, c.cent_id) AS rn
+          FROM c_sv s JOIN c_c1 c ON s.sub = c.sub
+          WHERE s.vec_id % 50 = 0) t
+        WHERE rn <= 2),
+      cand AS (
+        SELECT DISTINCT qc.query_id, a.vec_id
+        FROM qc JOIN c_a2 a ON a.code = qc.cell
+        WHERE a.vec_id <> qc.query_id),
+      tbl AS (
+        SELECT q.query_id, q.sub, c.cent_id AS code,
+          CAST(floor(greatest(${dist("q.qsv", "c.cv", 8)}, 0.0)
+            * 1048576.0) AS BIGINT) AS pd_fp
+        FROM (SELECT vec_id AS query_id, sub, sv AS qsv FROM f_sv
+              WHERE vec_id % 50 = 0) q
+        JOIN f_c1 c ON q.sub = c.sub),
+      adc AS (
+        SELECT cand.query_id, cand.vec_id,
+          CAST(sum(pd_fp) AS BIGINT) AS adist_fp
+        FROM cand
+        JOIN f_a2 codes ON codes.vec_id = cand.vec_id
+        JOIN tbl ON tbl.query_id = cand.query_id
+          AND tbl.sub = codes.sub AND tbl.code = codes.code
+        GROUP BY cand.query_id, cand.vec_id)
+      SELECT query_id, vec_id AS neighbor_id, CAST(rank AS INT) AS rank,
+        adist_fp
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY adist_fp, vec_id) AS rank
+        FROM adc) t
+      WHERE rank <= 5
+      ORDER BY query_id, rank
+    """.trim
+  }
+
+  /** q61 — IVF-PQ top-k (the full FAISS-layout composition): coarse
+    * whole-vector cells (the PQ training core with m=1, C=⌈√N⌉)
+    * restrict each query to its 2 nearest cells; only in-cell
+    * candidates pay the O(m) ADC scoring. probes·(N/C)·m work per
+    * query vs q57's N·m vs q20's N·dim — three rungs of one ladder,
+    * all oracle-replayed. */
+  val q61: Q = Q(
+    "q61_ivfpq_topk",
+    (s, d) => Quantize.ivfPqTopK(Tables.embeddings(s, d), m = 8, k = 8,
+      probes = 2, topK = 5, queryStride = 50),
+    Some(q61OracleSql))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
       q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
-      q58, q59, q60)
+      q58, q59, q60, q61)
 }

