@@ -89,15 +89,16 @@ object Bench {
     "q49_eval_overlap" -> 0.8,
     "q50_curriculum_bins" -> 0.65,
     "q51_priority_sample" -> 0.3,
-    "q52_bm25_scores" -> 1.4,
-    "q53_semantic_clusters" -> 3.3,
+    "q52_bm25_scores" -> 1.35,
+    "q53_semantic_clusters" -> 3.0,
     "q54_shingle_novelty" -> 0.7,
     "q55_embedding_quantize" -> 0.6,
-    "q56_pq_codes" -> 1.4,
-    "q57_pq_adc_topk" -> 1.95,
+    "q56_pq_codes" -> 1.1,
+    "q57_pq_adc_topk" -> 1.7,
     "q58_rollup_revenue" -> 0.73,
     "q59_pivot_returnflag" -> 1.1,
     "q60_paragraph_dedup" -> 0.84,
+    "q61_ivfpq_topk" -> 2.35,
     "q25_doc_fingerprint" -> 0.3)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
