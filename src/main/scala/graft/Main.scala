@@ -38,10 +38,37 @@ object Main {
       corpus(docsParquet, outDir, epoch = None)
     case "corpus" :: docsParquet :: outDir :: epochSeed :: Nil =>
       corpus(docsParquet, outDir, epoch = Some(epochSeed.toLong))
+    case "index" :: embParquet :: outDir :: Nil => index(embParquet, outDir)
     case _ =>
       System.err.println(
-        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed]")
+        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir>")
       sys.exit(2)
+  }
+
+  /** PQ index build/maintain (the q56/q57/q61 stack as a CLI pass):
+    * first run trains the codebook and encodes the corpus; later runs
+    * find `outDir/codebook` and encode ONLY against the frozen
+    * codebook — the 100 TB append path, where re-training would
+    * silently re-code the whole history. */
+  private def index(embParquet: String, outDir: String): Unit = {
+    val spark = GraftSession.local()
+    val emb = spark.read.parquet(embParquet)
+    val bookDir = s"$outDir/codebook"
+    val frozen = Files.exists(Paths.get(bookDir))
+    val book =
+      if (frozen) spark.read.parquet(bookDir)
+      else {
+        val b = graft.operators.Quantize.trainCodebook(emb)
+        b.write.parquet(bookDir)
+        spark.read.parquet(bookDir)
+      }
+    val codes = graft.operators.Quantize.encodeWith(book)(emb)
+    codes.write.mode("overwrite").parquet(s"$outDir/codes")
+    val n = spark.read.parquet(s"$outDir/codes")
+      .select("vec_id").distinct().count()
+    println(s"[index] codebook=${if (frozen) "frozen" else "trained"} " +
+      s"vectors=$n")
+    spark.stop()
   }
 
   /** The LLM-corpus curation funnel (dedup → filters → redaction →

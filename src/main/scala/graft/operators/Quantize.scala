@@ -84,11 +84,47 @@ object Quantize {
   def pqCodes(embeddings: DataFrame, m: Int = 8, k: Int = 8,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val (sv, refined) = trainPq(embeddings, m, k, scope)
-    assign(sv, refined)
+    codesFrom(sv, refined)
+  }
+
+  private def codesFrom(sv: DataFrame, cents: DataFrame): DataFrame =
+    assign(sv, cents)
       .select(col("vec_id"), col("sub"), col("code"),
         floor(greatest(col("dist"), lit(0.0)) * lit(1048576.0))
           .cast("long").as("err_fp"))
       .orderBy(col("vec_id"), col("sub"))
+
+  /** The trained per-subspace codebook alone — (sub, cent_id, cv) —
+    * the artifact an index stores next to its codes. */
+  def trainCodebook(embeddings: DataFrame, m: Int = 8, k: Int = 8,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    trainPq(embeddings, m, k, scope)._2
+
+  /** Encode vectors against a FROZEN codebook — the index-maintenance
+    * path: a 100 TB embedding store trains its codebook ONCE and then
+    * encodes every new batch against it, because (a) re-training on
+    * each append would re-code the whole history (every stored code
+    * potentially changes), and (b) a code is only meaningful relative
+    * to the codebook that produced it. Codes for already-indexed
+    * vectors are trivially append-invariant under a frozen codebook —
+    * assignment is row-local per vector (QuantizeSpec pins it). Same
+    * output shape as [[pqCodes]]. */
+  def encodeWith(codebook: DataFrame)(embeddings: DataFrame): DataFrame = {
+    val shape = codebook
+      .agg(max(col("sub")).as("maxSub"),
+        min(size(col("cv"))).as("wLo"), max(size(col("cv"))).as("wHi"))
+      .head()
+    val m = shape.getInt(0) + 1
+    require(shape.getInt(1) == shape.getInt(2),
+      s"ragged codebook widths: ${shape.getInt(1)}..${shape.getInt(2)}")
+    val w = shape.getInt(1)
+    val sv = embeddings
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("v"), col("sub") * lit(w) + lit(1), lit(w)).as("sv"))
+    codesFrom(sv, codebook)
   }
 
   /** The squared-L2 identity `(sv·sv − 2·sv·cv) + cv·cv` over the

@@ -111,6 +111,23 @@ class QuantizeSpec extends SparkSpec {
     assert(out.head.getLong(1) == 7L, out.mkString(","))
   }
 
+  test("encodeWith: frozen-codebook encode equals pqCodes; appends never re-code") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val book = Quantize.trainCodebook(emb, m = 8, k = 8)
+    assert(Quantize.encodeWith(book)(emb).collect().toSeq ==
+      Quantize.pqCodes(emb, m = 8, k = 8).collect().toSeq)
+    // the index-maintenance property: encoding a GROWN corpus against
+    // the frozen codebook leaves every previously-indexed vector's
+    // codes untouched (assignment is row-local per vector)
+    val half = emb.where(col("vec_id") % 2 === 0)
+    val halfBook = Quantize.trainCodebook(half, m = 8, k = 8)
+    val before = Quantize.encodeWith(halfBook)(half).collect().toSeq
+    val after = Quantize.encodeWith(halfBook)(emb)
+      .where(col("vec_id") % 2 === 0).collect().toSeq
+    assert(before == after)
+  }
+
   test("ivfPqTopK: exact duplicate shares the query's cell and ranks first") {
     import spark.implicits._
     val base = Array.tabulate(16)(i => (i * 3 % 7).toFloat)
