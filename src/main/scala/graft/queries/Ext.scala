@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Dec, Tables}
-import graft.operators.{Dedup, Joins, Multimodal, Packing, Quantize, Retrieval, Sampling, Scrub, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Sampling, Scrub, Similarity, TextAnalysis}
 
 /** EXT — the LLM-training-data-pipeline operators (SURVEY.md §2.11;
   * BASELINE.json north star) over the `documents` / `embeddings`
@@ -1823,9 +1823,53 @@ object Ext {
       probes = 2, topK = 5, queryStride = 50),
     Some(q61OracleSql))
 
+  // ---------------------------------------------------------------- q62
+
+  /** q62 — data-quality column profile (the pre-flight before trusting
+    * a new table): per column, row/null/exact-distinct counts from ONE
+    * partial-aggregable pass; the unpivot to long form happens on the
+    * 1-row aggregate, never the table. Counts only — min/max would
+    * need per-type rendering to stay engine-portable. */
+  val q62: Q = Q(
+    "q62_column_profile",
+    (s, d) =>
+      Profiling.columnProfile(Tables.orders(s, d),
+        Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+          "o_orderpriority")),
+    Some("""
+      WITH m AS (
+        SELECT 'o_custkey' AS column_name,
+          CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_nulls,
+          count(DISTINCT o_custkey) AS n_distinct, count(*) AS n_rows
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus',
+          CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+          count(DISTINCT o_orderstatus), count(*) FROM orders
+        UNION ALL
+        SELECT 'o_totalprice',
+          CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+          count(DISTINCT o_totalprice), count(*) FROM orders
+        UNION ALL
+        SELECT 'o_orderdate',
+          CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+          count(DISTINCT o_orderdate), count(*) FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority',
+          CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+          count(DISTINCT o_orderpriority), count(*) FROM orders)
+      SELECT column_name, n_rows, n_nulls, n_distinct
+      FROM m ORDER BY column_name
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
       q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
-      q58, q59, q60, q61)
+      q58, q59, q60, q61, q62)
 }
