@@ -247,6 +247,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q58: rollup is ONE scan + Expand, not one aggregate per level") {
+    val p = plan("q58_rollup_revenue")
+    assert(p.contains("Expand"), p)
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p)
+  }
+
+  test("q54/q60: corpus-df signals never need a Window or a nested loop") {
+    Seq("q54_shingle_novelty", "q60_paragraph_dedup").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Window"), s"$name:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+    }
+  }
+
   test("q55: dim stats broadcast onto the exploded frame — codes never shuffle") {
     // the N·dims code computation must join the dims-row min/max frame
     // via broadcast; its only exchanges are the stats partial-agg and
