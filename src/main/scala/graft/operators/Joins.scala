@@ -88,6 +88,30 @@ object Joins {
       } ++ payload.map(c => col("__m").getField(c).as(c)): _*)
   }
 
+  /** [[asOf]] with a max-staleness bound — the feature-store lookup
+    * rule ("use the latest feature value, but never one older than
+    * T"): matches whose right row is more than `tolerance` time-units
+    * behind the left row come back as null payload, exactly as if no
+    * row qualified. Purely compositional: the latest at-or-before row
+    * either IS within tolerance or nothing is, so this is [[asOf]]
+    * carrying the matched timestamp plus a row-local null-out — no
+    * second shuffle, no new join shape. `time` must be numeric (the
+    * µs-long convention of the events fixture). */
+  def asOfWithin(left: DataFrame, right: DataFrame, key: String,
+      time: String, tolerance: Long, inclusive: Boolean = true)
+      : DataFrame = {
+    require(tolerance >= 0, s"need tolerance >= 0, got $tolerance")
+    val payload = right.columns.toSeq.filterNot(c => c == key || c == time)
+    require(!(payload ++ left.columns).contains("__rt"),
+      "column name '__rt' is reserved by asOfWithin")
+    val out = asOf(left, right.withColumn("__rt", col(time)), key, time,
+      inclusive)
+    val fresh = col("__rt").isNotNull &&
+      col("__rt") >= col(time) - lit(tolerance)
+    out.select(left.columns.toSeq.map(col) ++
+      payload.map(c => when(fresh, col(c)).as(c)): _*)
+  }
+
   /** One row per (interval, point) pair with
     * `start <= point.time <= end`. Column sets must be disjoint.
     * `bucketWidth` is in `time`'s own units.

@@ -1867,9 +1867,57 @@ object Ext {
       FROM m ORDER BY column_name
     """.trim))
 
+  // ---------------------------------------------------------------- q63
+
+  /** q63 — tolerance-bounded as-of (the feature-store staleness rule):
+    * q43's lookup but matches older than 1 h are nulled as if absent.
+    * Compositional — one null-out over the carried match timestamp,
+    * no new join shape; the oracle is DuckDB's native ASOF plus the
+    * same CASE. */
+  val q63: Q = Q(
+    "q63_asof_tolerance",
+    (s, d) => {
+      val tolUs = 3600000000L // 1 h
+      val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), expr("ts div 1000").as("ts_us"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val views = e.where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("view_event_id"))
+        .withColumn("view_ts_us", col("ts_us"))
+      Joins.asOfWithin(purchases, views, "user_id", "ts_us", tolUs)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("view_event_id"), col("view_ts_us"),
+          (col("ts_us") - col("view_ts_us")).as("gap_us"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, event_type,
+          CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        FROM events),
+      p AS (
+        SELECT event_id, user_id, ts_us FROM e
+        WHERE event_type = 'purchase'),
+      v AS (
+        SELECT user_id, ts_us AS view_ts_us, max(event_id) AS view_event_id
+        FROM e WHERE event_type = 'view' GROUP BY 1, 2)
+      SELECT p.event_id, p.user_id, p.ts_us,
+        CASE WHEN v.view_ts_us >= p.ts_us - 3600000000
+          THEN v.view_event_id END AS view_event_id,
+        CASE WHEN v.view_ts_us >= p.ts_us - 3600000000
+          THEN v.view_ts_us END AS view_ts_us,
+        CASE WHEN v.view_ts_us >= p.ts_us - 3600000000
+          THEN p.ts_us - v.view_ts_us END AS gap_us
+      FROM p ASOF LEFT JOIN v
+        ON p.user_id = v.user_id AND p.ts_us >= v.view_ts_us
+      ORDER BY p.event_id
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
       q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
-      q58, q59, q60, q61, q62)
+      q58, q59, q60, q61, q62, q63)
 }

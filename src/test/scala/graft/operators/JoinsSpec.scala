@@ -145,4 +145,25 @@ class JoinsSpec extends SparkSpec {
       .select("wid", "event_id").as[(Long, Long)].collect().toSet
     assert(got === naive && got.nonEmpty)
   }
+
+  test("asOfWithin: stale matches null out, fresh ones identical to asOf") {
+    import spark.implicits._
+    val probes = Seq((1L, 10L, 100L), (2L, 10L, 250L), (3L, 20L, 50L))
+      .toDF("pid", "key", "t")
+    val updates = Seq((10L, 90L, 7L), (10L, 200L, 8L))
+      .toDF("key", "t", "rv")
+    val out = Joins.asOfWithin(probes, updates, "key", "t",
+      tolerance = 60L)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out(1L) == Some(7L)) // 100-90=10 <= 60: fresh
+    assert(out(2L) == Some(8L)) // 250-200=50 <= 60: fresh
+    assert(out(3L) == None) // key 20: no update at all
+    val strictTol = Joins.asOfWithin(probes, updates, "key", "t",
+      tolerance = 5L)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // the latest at-or-before row exists but is too old -> nulled
+    assert(strictTol(1L) == None && strictTol(2L) == None)
+  }
 }
