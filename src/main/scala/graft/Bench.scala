@@ -99,6 +99,8 @@ object Bench {
     "q59_pivot_returnflag" -> 1.1,
     "q60_paragraph_dedup" -> 0.84,
     "q61_ivfpq_topk" -> 2.35,
+    "q62_column_profile" -> 0.85,
+    "q63_asof_tolerance" -> 0.66,
     "q25_doc_fingerprint" -> 0.3)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
