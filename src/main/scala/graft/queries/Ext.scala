@@ -1915,9 +1915,39 @@ object Ext {
       ORDER BY p.event_id
     """.trim))
 
+  // ---------------------------------------------------------------- q64
+
+  /** q64 — CUBE over (year, priority): the full 2^n grouping lattice
+    * (q58's rollup is the hierarchical subset) — cross-tab totals in
+    * the same ONE Expand + partial hash aggregate pass, never a scan
+    * per grouping set. grouping_id separates the four levels. */
+  val q64: Q = Q(
+    "q64_cube_revenue",
+    (s, d) =>
+      Tables.orders(s, d)
+        .cube(year(col("o_orderdate")).as("anio"),
+          col("o_orderpriority").as("prioridad"))
+        .agg(grouping_id().cast("int").as("nivel"),
+          Dec.outD(sum(Dec.d2(col("o_totalprice")))).as("ingresos"),
+          count(lit(1)).as("n_ordenes"))
+        .orderBy(col("nivel"), col("anio").asc_nulls_first,
+          col("prioridad").asc_nulls_first),
+    Some("""
+      SELECT CAST(year(o_orderdate) AS INT) AS anio,
+        o_orderpriority AS prioridad,
+        CAST(GROUPING_ID(year(o_orderdate), o_orderpriority) AS INT)
+          AS nivel,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+          AS ingresos,
+        COUNT(*) AS n_ordenes
+      FROM orders
+      GROUP BY CUBE(year(o_orderdate), o_orderpriority)
+      ORDER BY nivel, anio NULLS FIRST, prioridad NULLS FIRST
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
       q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
-      q58, q59, q60, q61, q62, q63)
+      q58, q59, q60, q61, q62, q63, q64)
 }

@@ -247,10 +247,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("q58: rollup is ONE scan + Expand, not one aggregate per level") {
-    val p = plan("q58_rollup_revenue")
-    assert(p.contains("Expand"), p)
-    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p)
+  test("q58/q64: grouping sets are ONE scan + Expand, not one aggregate per level") {
+    Seq("q58_rollup_revenue", "q64_cube_revenue").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("Expand"), s"$name:\n$p")
+      assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+        s"$name:\n$p")
+    }
+  }
+
+  test("q61: both quantizer assignments broadcast; top-k is WindowGroupLimit") {
+    val p = plan("q61_ivfpq_topk")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
   }
 
   test("q54/q60: corpus-df signals never need a Window or a nested loop") {
