@@ -101,6 +101,7 @@ object Bench {
     "q61_ivfpq_topk" -> 2.35,
     "q62_column_profile" -> 0.85,
     "q63_asof_tolerance" -> 0.66,
+    "q64_cube_revenue" -> 0.75,
     "q25_doc_fingerprint" -> 0.3)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
