@@ -32,6 +32,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
                     df[c] = pd.to_datetime(df[c])
                 elif isinstance(v, Decimal):
                     df[c] = df[c].astype("float64")
+        # unify datetime resolution (ns vs us is a pandas/pyarrow artifact
+        # the driver's hash does not distinguish — r06 proves those pass)
+        if df[c].dtype.kind == "M":
+            df[c] = df[c].astype("datetime64[us]")
     if len(df):
         df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
@@ -69,10 +73,29 @@ def main(sf_dir: str, out_dir: str) -> int:
         try:
             pd.testing.assert_frame_equal(g, w, check_dtype=False,
                                           check_exact=True)
-            print(f"PASS {name} ({len(g)} rows)")
         except AssertionError as e:
             print(f"FAIL {name}: value mismatch\n{str(e)[:800]}")
             failures += 1
+            continue
+        # dtype-strict pass: the driver hashes materialized column bytes,
+        # so an int64-vs-float64 divergence (e.g. DuckDB HUGEINT from an
+        # un-CAST sum(BIGINT)) fails the driver even when values match.
+        # Compare dtypes on the normalized frames (dates/decimals unified
+        # the same way on both sides, matching the driver's tolerance).
+        bad = [(c, str(g[c].dtype), str(w[c].dtype))
+               for c in g.columns if g[c].dtype != w[c].dtype]
+        if bad:
+            hints = []
+            for c, gd, wd in bad:
+                hint = ""
+                if gd.startswith("int") and wd in ("float64", "object"):
+                    hint = " (oracle likely needs CAST — DuckDB HUGEINT/int128?)"
+                hints.append(f"  {c}: spark={gd} oracle={wd}{hint}")
+            print(f"FAIL {name}: dtype mismatch (values equal; driver hash "
+                  f"would differ)\n" + "\n".join(hints))
+            failures += 1
+            continue
+        print(f"PASS {name} ({len(g)} rows)")
     # queries without oracle: rows-only check
     import os
     for name in sorted(os.listdir(out_dir)):

@@ -1381,7 +1381,7 @@ object Ext {
             1048576.0) AS BIGINT) AS fp
         FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats)
       SELECT doc_id, CAST(count(*) AS INT) AS n_terms_matched,
-        sum(fp) AS score_fp
+        CAST(sum(fp) AS BIGINT) AS score_fp
       FROM scored GROUP BY doc_id ORDER BY doc_id
     """.trim))
 
