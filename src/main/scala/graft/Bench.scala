@@ -21,19 +21,23 @@ import org.apache.spark.sql.SparkSession
   *    on both, while quiet-host runs are 2-3 s) — sweeps space the
   *    repeats ~a full registry apart, so a burst must outlast the whole
   *    bench to poison every sample of a query;
-  *  - OUTLIER RE-MEASURE (r5 item 1): a burst CAN outlast the bench —
-  *    BENCH_r05 recorded q31 at 16.3 s (all three sweeps poisoned)
-  *    against a 3.1 s recorded floor, reproduced at 3.36 s quiet. After
-  *    the sweeps, any query whose min still exceeds
+  *  - OUTLIER RE-MEASURE (r5 item 1; retry bound r6 item 3): a burst
+  *    CAN outlast the bench — BENCH_r05 recorded q31 at 16.3 s (all
+  *    three sweeps poisoned) against a 3.1 s recorded floor, reproduced
+  *    at 3.36 s quiet; BENCH_r06's single re-measure of q37 was then
+  *    ITSELF poisoned (3.42 s on a host whose loadavg doubled mid-run).
+  *    After the sweeps, any query whose min still exceeds
   *    `remeasureFactor` (default 1.5×) its recorded BASELINE floor gets
-  *    one extra isolated run (its own contention window, after the
-  *    burst had the whole bench to die down) and keeps the min. The
-  *    floors table below is the machine-readable mirror of BASELINE.md;
-  *    it only applies at the gate SF (sf0.1 — floors are SF-specific);
+  *    up to `maxRemeasures` (3) extra isolated runs — each its own
+  *    contention window — stopping early the moment the min drops under
+  *    the threshold, and keeps the min. The floors table below is the
+  *    machine-readable mirror of BASELINE.md; it only applies at the
+  *    gate SF (sf0.1 — floors are SF-specific);
   *  - PER-SAMPLE AUDIT TRAIL: every timed sample (sweeps + re-measure)
-  *    is emitted in the JSON (`"samples"`), so a poisoned min is
-  *    visible in the artifact instead of indistinguishable from a slow
-  *    query;
+  *    is emitted in the JSON (`"samples"`), each with the 1-minute
+  *    loadavg observed right after it (`"sample_loadavg"`), so a
+  *    poisoned min — or a re-measure ladder that never found a quiet
+  *    window — is provable from the artifact alone;
   *  - `spark.catalog.clearCache()` before EVERY run, warmup and timed:
   *    several operators persist() shared intermediate frames, and
   *    Spark's CacheManager matches plan-identical frames across
@@ -105,6 +109,7 @@ object Bench {
     "q25_doc_fingerprint" -> 0.3)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
+  private[graft] val maxRemeasures = 3
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -140,8 +145,11 @@ object Bench {
       case None => SparkEntry.registry
     }
     var failed = Set.empty[String]
-    // every timed sample per query, in measurement order (audit trail)
+    // every timed sample per query, in measurement order (audit trail),
+    // plus the loadavg observed right after each sample
     val samples = Array.fill(selected.size)(
+      scala.collection.mutable.ArrayBuffer.empty[Double])
+    val sampleLoads = Array.fill(selected.size)(
       scala.collection.mutable.ArrayBuffer.empty[Double])
 
     def timeOne(i: Int, record: Boolean): Unit = {
@@ -155,7 +163,7 @@ object Bench {
         // the noop writer materializes every output column
         q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
-        if (record) samples(i) += sec
+        if (record) { samples(i) += sec; sampleLoads(i) += loadAvg() }
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] ${q.name} FAILED: $e")
@@ -178,9 +186,12 @@ object Bench {
       val name = selected(i).name
       if (!failed.contains(name) && samples(i).nonEmpty) {
         val floor = floors.getOrElse(name, defaultFloor)
-        if (samples(i).min > remeasureFactor * floor) {
-          remeasured += name
+        var tries = 0
+        while (tries < maxRemeasures && !failed.contains(name) &&
+            samples(i).min > remeasureFactor * floor) {
+          if (tries == 0) remeasured += name
           timeOne(i, record = true)
+          tries += 1
         }
       }
     }
@@ -199,6 +210,10 @@ object Bench {
       .map { case (q, i) =>
         "\"" + q.name + "\":" + samples(i).map(fmt).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
+    val sampleLoadsJson = selected.zipWithIndex
+      .map { case (q, i) =>
+        "\"" + q.name + "\":" + sampleLoads(i).map(fmt).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
     val failedJson = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val remeasuredJson = remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -208,7 +223,7 @@ object Bench {
       case None => ""
     }
     val load = s"""[${fmt(loadStart)},${fmt(loadAvg())}]"""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$partial"queries":$qs,"samples":$samplesJson,"remeasured":$remeasuredJson,"failed":$failedJson,"warmups":$warmups,"runs":$runs,"loadavg":$load,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$partial"queries":$qs,"samples":$samplesJson,"sample_loadavg":$sampleLoadsJson,"remeasured":$remeasuredJson,"failed":$failedJson,"warmups":$warmups,"runs":$runs,"loadavg":$load,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -54,12 +54,20 @@ object Main {
     val spark = GraftSession.local()
     val emb = spark.read.parquet(embParquet)
     val bookDir = s"$outDir/codebook"
-    val frozen = Files.exists(Paths.get(bookDir))
+    // Frozen-ness is decided through the Hadoop FileSystem for the
+    // path's scheme (java.nio can't see non-local warehouses) and gated
+    // on the parquet _SUCCESS commit marker, so a codebook directory
+    // left half-written by a crashed first run is retrained (overwrite)
+    // instead of being trusted as frozen.
+    val success =
+      new org.apache.hadoop.fs.Path(bookDir, "_SUCCESS")
+    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val frozen = fs.exists(success)
     val book =
       if (frozen) spark.read.parquet(bookDir)
       else {
         val b = graft.operators.Quantize.trainCodebook(emb)
-        b.write.parquet(bookDir)
+        b.write.mode("overwrite").parquet(bookDir)
         spark.read.parquet(bookDir)
       }
     val codes = graft.operators.Quantize.encodeWith(book)(emb)

@@ -359,23 +359,36 @@ object Dedup {
     * contribute null, which min ignores), so "any row changed" is a
     * short-circuiting `where(new < prev).isEmpty` over the
     * already-checkpointed blocks — no sums, so no overflow aliasing at
-    * any id magnitude. On a multi-executor cluster prefer reliable
-    * `checkpoint()` (HDFS-backed) over localCheckpoint for long runs:
-    * localCheckpoint blocks are non-replicated executor state and a
-    * lost executor kills the iteration.
+    * any id magnitude.
+    *
+    * `checkpointDir` picks the lineage-cut durability: None (default)
+    * uses `localCheckpoint` — blocks are non-replicated executor state,
+    * right for single-JVM runs but a lost executor kills the iteration
+    * on a cluster; Some(dir) sets the SparkContext checkpoint dir and
+    * uses reliable `checkpoint()` (HDFS-backed on a cluster), the
+    * long-run multi-executor mode.
     *
     * Output: (doc_id, cluster_id, is_canonical) — canonical = the
     * cluster's min id, the keep-first rule the reference's dedup uses
     * (transform.py:79 semantics lifted to near-dup groups). */
   def nearDupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
-      maxIters: Int = 20, uncheckedIters: Int = 2): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"),
+      maxIters: Int = 20, uncheckedIters: Int = 2,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(docs.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() // eager, reliable
+      else df.localCheckpoint(true)
+    // persist the pair frame BEFORE the src/dst mirror union: its two
+    // branches otherwise re-materialize the entire upstream pair
+    // pipeline (LSH banding + cosine/jaccard verify) once each
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(p.select(col("doc_b").as("src"),
         col("doc_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val idType = docs.schema(idCol).dataType
     var labels = docs.select(col(idCol).as("doc_id"),
-      col(idCol).as("cluster_id")).localCheckpoint(true)
+      col(idCol).as("cluster_id")).transform(cut)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -391,7 +404,7 @@ object Dedup {
         .unionByName(viaNeighbors)
         .groupBy(col("doc_id"))
         .agg(min(col("cluster_id")).as("cluster_id"), min(col("prev")).as("prev"))
-        .localCheckpoint(true) // cut lineage per pass
+        .transform(cut) // cut lineage per pass
       iter += 1
       if (iter >= uncheckedIters || iter == maxIters)
         // null prev = the id FIRST appeared this pass (a pair endpoint
@@ -403,7 +416,7 @@ object Dedup {
           .isEmpty
       labels = next.drop("prev")
     }
-    edges.unpersist() // before the require — no leak on the failure path
+    edges.unpersist(); p.unpersist() // before the require — no leak on the failure path
     require(converged, s"label propagation did not converge in $maxIters passes")
     labels.select(col("doc_id"), col("cluster_id"),
       (col("doc_id") === col("cluster_id")).as("is_canonical"))

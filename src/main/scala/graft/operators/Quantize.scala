@@ -118,9 +118,19 @@ object Quantize {
     require(shape.getInt(1) == shape.getInt(2),
       s"ragged codebook widths: ${shape.getInt(1)}..${shape.getInt(2)}")
     val w = shape.getInt(1)
+    // Row-local dimensionality guard: a wrong-dim vector would slice to
+    // short/empty subvectors whose NULL dot products get masked into
+    // err_fp=0 with an arbitrary "nearest" centroid — fail loudly
+    // instead, without an extra validation scan over the store.
+    val dimOk = when(size(col("v")) === lit(m * w), lit(true))
+      .otherwise(raise_error(format_string(
+        s"encodeWith: embedding dim %s != codebook m*w = ${m * w} (vec_id=%s)",
+        size(col("v")), col("vec_id"))))
     val sv = embeddings
       .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .filter(dimOk)
+      .select(col("vec_id"), col("v"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"))
       .select(col("vec_id"), col("sub"),
         slice(col("v"), col("sub") * lit(w) + lit(1), lit(w)).as("sv"))

@@ -43,7 +43,10 @@ object AttributionStream {
   def attributed(impressions: DataFrame, clicks: DataFrame,
       windowUs: Long, delayUs: Long = 10_000_000L): DataFrame = {
     require(windowUs > 0, s"need windowUs > 0, got $windowUs")
-    val delay = s"${delayUs / 1000} milliseconds"
+    require(delayUs >= 0, s"need delayUs >= 0, got $delayUs")
+    // microsecond interval form directly — a ms division would silently
+    // truncate sub-ms tolerances to a 0 ms watermark
+    val delay = s"$delayUs microseconds"
     val imp = impressions
       .select(col("imp_id"), col("imp_user"), col("imp_ts_us"),
         timestamp_micros(col("imp_ts_us")).as("imp_ts"))

@@ -30,4 +30,18 @@ class ProfilingSpec extends SparkSpec {
       Profiling.columnProfile(frame, Seq("nope"))
     }
   }
+
+  test("column names with quotes, backticks, and dots profile safely") {
+    import scala.jdk.CollectionConverters._
+    val nasty = "o'brien.`col"
+    val df = spark.createDataFrame(
+      Seq(Row(1L, "x"), Row(null, "x"), Row(3L, "y")).asJava,
+      StructType(Seq(StructField(nasty, LongType),
+        StructField("plain", StringType))))
+    val out = Profiling.columnProfile(df, Seq(nasty, "plain")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(nasty) == ((3L, 1L, 2L)))
+    assert(out("plain") == ((3L, 0L, 2L)))
+  }
 }

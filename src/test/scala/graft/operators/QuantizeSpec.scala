@@ -128,6 +128,23 @@ class QuantizeSpec extends SparkSpec {
     assert(before == after)
   }
 
+  test("encodeWith: wrong-dimension batch fails loudly, not silent codes") {
+    import spark.implicits._
+    val emb = (0L to 7L).map(i =>
+      (i, Array.tabulate(16)(j => (i * 16 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val book = Quantize.trainCodebook(emb, m = 4, k = 2)
+    val bad = Seq((99L, Array.tabulate(12)(_.toFloat)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Quantize.encodeWith(book)(bad).collect()
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(chain.contains("encodeWith: embedding dim"), chain)
+  }
+
   test("ivfPqTopK: exact duplicate shares the query's cell and ranks first") {
     import spark.implicits._
     val base = Array.tabulate(16)(i => (i * 3 % 7).toFloat)

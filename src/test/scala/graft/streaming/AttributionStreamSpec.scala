@@ -104,4 +104,26 @@ class AttributionStreamSpec extends SparkSpec {
     assert(pairs == Set((10L, 20L, 500_000L)),
       s"got $pairs")
   }
+
+  test("sub-millisecond delay reaches the watermark untruncated") {
+    import org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val imps = MemoryStream[(Long, Long, Long)].toDF()
+      .toDF("imp_id", "imp_user", "imp_ts_us")
+    val clks = MemoryStream[(Long, Long, Long)].toDF()
+      .toDF("click_id", "click_user", "click_ts_us")
+    val plan = AttributionStream
+      .attributed(imps, clks, windowUs = 10L, delayUs = 500L)
+      .queryExecution.analyzed
+    val delays = plan.collect {
+      case w: EventTimeWatermark => w.delay.microseconds }
+    assert(delays.size == 2 && delays.forall(_ == 500L),
+      delays.toString + "\n" + plan.treeString)
+    intercept[IllegalArgumentException] {
+      AttributionStream.attributed(imps, clks, windowUs = 10L,
+        delayUs = -1L)
+    }
+  }
 }
