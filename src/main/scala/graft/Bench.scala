@@ -77,7 +77,7 @@ object Bench {
     "q34_event_sessionize" -> 1.0,
     "q9_sales_by_nation" -> 0.9,
     "q18_minhash_lsh_neardup" -> 0.8,
-    "q37_sequence_packing" -> 0.8,
+    "q37_sequence_packing" -> 0.62,
     "q19_simhash_neardup" -> 0.65,
     "q23_quality_score" -> 0.6,
     "q20_embedding_topk" -> 0.5,
@@ -87,23 +87,23 @@ object Bench {
     "q43_asof_join" -> 0.6,
     "q44_interval_join" -> 0.4,
     "q45_length_profile" -> 0.3,
-    "q46_grouped_topk" -> 0.4,
+    "q46_grouped_topk" -> 0.32,
     "q47_sliding_chunks" -> 0.6,
     "q48_keepbest_dedup" -> 0.5,
     "q49_eval_overlap" -> 0.8,
     "q50_curriculum_bins" -> 0.65,
     "q51_priority_sample" -> 0.3,
-    "q52_bm25_scores" -> 1.35,
-    "q53_semantic_clusters" -> 3.0,
-    "q54_shingle_novelty" -> 0.7,
+    "q52_bm25_scores" -> 1.18,
+    "q53_semantic_clusters" -> 2.4,
+    "q54_shingle_novelty" -> 0.48,
     "q55_embedding_quantize" -> 0.6,
     "q56_pq_codes" -> 1.1,
     "q57_pq_adc_topk" -> 1.7,
-    "q58_rollup_revenue" -> 0.73,
-    "q59_pivot_returnflag" -> 1.1,
+    "q58_rollup_revenue" -> 0.53,
+    "q59_pivot_returnflag" -> 0.9,
     "q60_paragraph_dedup" -> 0.84,
     "q61_ivfpq_topk" -> 2.35,
-    "q62_column_profile" -> 0.85,
+    "q62_column_profile" -> 0.64,
     "q63_asof_tolerance" -> 0.66,
     "q64_cube_revenue" -> 0.75,
     "q25_doc_fingerprint" -> 0.3)
