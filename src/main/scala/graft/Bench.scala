@@ -106,7 +106,10 @@ object Bench {
     "q62_column_profile" -> 0.64,
     "q63_asof_tolerance" -> 0.66,
     "q64_cube_revenue" -> 0.75,
-    "q25_doc_fingerprint" -> 0.3)
+    "q25_doc_fingerprint" -> 0.3,
+    "q65_term_zipf" -> 0.63,
+    "q66_lexical_richness" -> 0.65,
+    "q67_novelty_decay" -> 0.78)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3

@@ -308,4 +308,97 @@ object TextAnalysis {
         TextHash.rollingFoldOf(col("wh")).as("rolling_fp"),
         TextHash.minGramFoldOf(col("wh"), 8).as("min_gram_fp"))
       .orderBy(col("doc_id"))
+
+  /** The word tokenizer the retrieval/vocabulary side shares
+    * ([[Retrieval.bm25Scores]] uses the same classes): letter / digit
+    * runs of the lowercased text — punctuation carries no vocabulary
+    * signal. */
+  private def wordTokens(textCol: String): Column =
+    expr(s"regexp_extract_all(lower($textCol), '([a-z]+|[0-9]+)', 1)")
+
+  /** Corpus vocabulary head — the Zipf profile: the `topK` most
+    * frequent terms with collection frequency (total occurrences),
+    * document frequency, and dense frequency rank. The table a corpus
+    * team reads to build stopword lists, spot template spam (a
+    * non-stopword term with df ≈ n_docs is boilerplate), and check a
+    * tokenizer's health after an ingest change.
+    *
+    * Scale shape: tokens explode row-locally; ONE partial-aggregable
+    * groupBy over terms (count + distinct-doc count) is the only
+    * corpus-wide shuffle; the global top-k is TakeOrderedAndProject
+    * (per-partition k-heaps, k rows to the driver side of the sort),
+    * and the rank window runs over the ALREADY-LIMITED topK-row frame —
+    * never over the vocabulary. Ties break lexicographically, pinned on
+    * both engines. */
+  def zipfProfile(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int = 100): DataFrame = {
+    require(topK > 0, s"need topK > 0, got $topK")
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(wordTokens(textCol)).as("term"))
+    val counts = tok.groupBy(col("term"))
+      .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+    val top = counts.orderBy(col("cf").desc, col("term")).limit(topK)
+    // rank over the topK-row frame only (bounded single partition)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cf").desc, col("term"))
+    top.withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("rank"), col("term"), col("cf"), col("df"))
+      .orderBy(col("rank"))
+  }
+
+  /** Per-document lexical richness: token total, distinct-type count,
+    * hapax count (types occurring exactly once IN the document), and
+    * the type-token ratio on the 2^-20 fixed-point grid — the
+    * vocabulary-diversity quality signal (machine-generated spam sits
+    * at the extremes: keyword stuffing → TTR near 1, template loops →
+    * TTR near 0).
+    *
+    * Scale shape: ONE (doc, term) groupBy — the same matched-term
+    * stream shape as BM25's tf, partial-aggregable both levels; the
+    * ratio is INTEGER division (n_distinct·2^20 div n_tokens), exact on
+    * any engine, no doubles anywhere. Docs with zero word tokens have
+    * no richness to measure and are absent, like the oracle. */
+  def lexicalRichness(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(wordTokens(textCol)).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("n_hapax"),
+        expr("(n_distinct * 1048576) div n_tokens").as("ttr_fp"))
+      .orderBy(col("doc_id"))
+
+  /** Novelty decay — per document, the fraction of its distinct 3-gram
+    * shingles FIRST seen in an earlier document (ingest order = id
+    * order): the curve a curation team watches to decide when a source
+    * has stopped contributing new text and dedup should get more
+    * aggressive. [[shingleNovelty]] measures symmetric commonness; this
+    * is the ORDERED variant — late documents made entirely of
+    * already-seen text score 2^20 even if no single earlier doc
+    * contains them whole.
+    *
+    * Scale shape: identical to [[shingleNovelty]] — the compiled
+    * row-local shingle pass, one min-aggregating groupBy over 8-byte
+    * shingle hashes (first sighting per shingle), the equi-join back,
+    * and an integer-division fixed-point ratio. No window, no driver
+    * state. */
+  def noveltyDecay(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(TextHash.shingleHashesOf(col(textCol))).as("hs"))
+    val first = sh.groupBy(col("hs")).agg(min(col("doc_id")).as("first_id"))
+    sh.join(first, Seq("hs"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_id") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_seen_before"))
+      .select(col("doc_id"), col("n_shingles"), col("n_seen_before"),
+        expr("(n_seen_before * 1048576) div n_shingles").as("seen_fp"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1945,9 +1945,85 @@ object Ext {
       ORDER BY nivel, anio NULLS FIRST, prioridad NULLS FIRST
     """.trim))
 
+  // ---------------------------------------------------------------- q65
+
+  /** q65 — corpus vocabulary head (Zipf profile): top-100 terms by
+    * collection frequency with document frequency and rank. One
+    * partial-aggregable vocabulary groupBy; the global top-k is
+    * TakeOrderedAndProject and the rank window touches only the
+    * already-limited 100-row frame. */
+  val q65: Q = Q(
+    "q65_term_zipf",
+    (s, d) =>
+      TextAnalysis.zipfProfile(Tables.documents(s, d), "doc_id", "text",
+        topK = 100),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, t
+        FROM documents, LATERAL unnest(
+          regexp_extract_all(lower(text), '([a-z]+|[0-9]+)', 1)) AS u(t)),
+      c AS (
+        SELECT t AS term, count(*) AS cf, count(DISTINCT doc_id) AS df
+        FROM tok GROUP BY t)
+      SELECT CAST(row_number() OVER (ORDER BY cf DESC, term) AS INT)
+        AS rank, term, cf, df
+      FROM c ORDER BY cf DESC, term LIMIT 100
+    """.trim))
+
+  // ---------------------------------------------------------------- q66
+
+  /** q66 — per-document lexical richness: token/type/hapax counts and
+    * the type-token ratio as an INTEGER-division fixed-point (no
+    * doubles anywhere — `div` on both engines). Same (doc, term)
+    * shuffle shape as q52's tf stream. */
+  val q66: Q = Q(
+    "q66_lexical_richness",
+    (s, d) =>
+      TextAnalysis.lexicalRichness(Tables.documents(s, d), "doc_id", "text"),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, t
+        FROM documents, LATERAL unnest(
+          regexp_extract_all(lower(text), '([a-z]+|[0-9]+)', 1)) AS u(t)),
+      tf AS (
+        SELECT doc_id, t AS term, count(*) AS cnt
+        FROM tok GROUP BY doc_id, t)
+      SELECT doc_id,
+        CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        count(*) AS n_distinct,
+        CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_hapax,
+        CAST((count(*) * 1048576) // sum(cnt) AS BIGINT) AS ttr_fp
+      FROM tf GROUP BY doc_id ORDER BY doc_id
+    """.trim))
+
+  // ---------------------------------------------------------------- q67
+
+  /** q67 — novelty decay: fraction of each doc's distinct 3-gram
+    * shingles FIRST seen in an earlier doc (id = ingest order) — q54's
+    * commonness signal made ORDER-AWARE. One min-aggregating shingle
+    * groupBy + the join back; integer-division fixed-point ratio. */
+  val q67: Q = Q(
+    "q67_novelty_decay",
+    (s, d) =>
+      TextAnalysis.noveltyDecay(Tables.documents(s, d), "doc_id", "text"),
+    Some(s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      $duckHashShingles,
+      fs AS (SELECT hs, min(doc_id) AS first_id FROM sh GROUP BY hs)
+      SELECT sh.doc_id, count(*) AS n_shingles,
+        CAST(sum(CASE WHEN first_id < sh.doc_id THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_seen_before,
+        CAST((sum(CASE WHEN first_id < sh.doc_id THEN 1 ELSE 0 END)
+          * 1048576) // count(*) AS BIGINT) AS seen_fp
+      FROM sh JOIN fs USING (hs)
+      GROUP BY sh.doc_id ORDER BY sh.doc_id
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
       q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
-      q58, q59, q60, q61, q62, q63, q64)
+      q58, q59, q60, q61, q62, q63, q64, q65, q66, q67)
 }

@@ -278,4 +278,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
+
+  test("q62: ONE table scan; the unpivot generates AFTER the aggregate") {
+    // the profile is one aggregate pass over the table; the long-form
+    // unpivot (explode of the |cols|-entry struct array) must sit on the
+    // 1-row aggregate output, never against the table — a per-column
+    // scan (or a pre-agg Generate) multiplies the 100 TB read by |cols|
+    val p = plan("q62_column_profile")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan"))
+    assert(scans == 1, s"expected ONE scan, got $scans:\n$p")
+    val genIdx = p.indexOf("Generate")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(genIdx >= 0 && aggIdx >= 0, p)
+    // executed plans print top-down: the Generate (downstream) must
+    // appear ABOVE the aggregate that feeds it
+    assert(genIdx < aggIdx, s"unpivot not post-aggregate:\n$p")
+  }
+
+  test("q65: global top-k is TakeOrderedAndProject; rank window sits above it") {
+    // the vocabulary groupBy must NOT feed a global sort or a window —
+    // the top-k is per-partition k-heaps; only the already-limited
+    // 100-row frame pays the single-partition rank window
+    val p = plan("q65_term_zipf")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val winIdx = p.indexOf("Window")
+    val topIdx = p.indexOf("TakeOrderedAndProject")
+    assert(winIdx >= 0 && winIdx < topIdx,
+      s"rank window must consume the limited frame, not the vocabulary:\n$p")
+  }
+
+  test("q66/q67: richness and novelty are window-free partial aggregates") {
+    for (name <- Seq("q66_lexical_richness", "q67_novelty_decay")) {
+      val p = plan(name)
+      assert(!p.contains("Window"), s"$name grew a window:\n$p")
+      assert(p.contains("partial"), s"$name lost map-side combine:\n$p")
+    }
+  }
 }

@@ -157,4 +157,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one == many)
     assert(one.nonEmpty)
   }
+
+  test("zipfProfile: rank by cf desc then term; df counts docs not copies") {
+    val out = TextAnalysis.zipfProfile(
+      docs("b b a", "b a c", "zz"), "doc_id", "text", topK = 3)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // cf: b=3, a=2, c=1, zz=1 -> top3 ranks b, a, c (tie c < zz)
+    assert(out.toSeq == Seq((1, "b", 3L, 2L), (2, "a", 2L, 2L),
+      (3, "c", 1L, 1L)))
+  }
+
+  test("lexicalRichness: hapax and integer-exact TTR; empty docs absent") {
+    val out = TextAnalysis.lexicalRichness(
+      docs("a a b", "", "x y z"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc0: 3 tokens, 2 types, 1 hapax, floor(2*2^20/3) = 699050
+    assert(out(0L) == ((3L, 2L, 1L, 699050L)))
+    // doc2: all hapax, TTR exactly 1.0 on the 2^-20 grid
+    assert(out(2L) == ((3L, 3L, 3L, 1048576L)))
+    assert(!out.contains(1L)) // zero word tokens -> absent
+  }
+
+  test("noveltyDecay: a verbatim repeat of an earlier doc scores 2^20") {
+    val out = TextAnalysis.noveltyDecay(
+      docs("uno dos tres cuatro", "uno dos tres cuatro",
+        "cinco seis siete", "uno dos"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L)._2 == 0L)            // first sighting of everything
+    assert(out(1L) == ((2L, 2L, 1048576L))) // all shingles seen in doc0
+    assert(out(2L)._2 == 0L)            // disjoint text, nothing seen
+    assert(!out.contains(3L))           // < 3 tokens: no shingle unit
+  }
 }
