@@ -105,7 +105,7 @@ object Bench {
     "q61_ivfpq_topk" -> 2.35,
     "q62_column_profile" -> 0.64,
     "q63_asof_tolerance" -> 0.66,
-    "q64_cube_revenue" -> 0.75,
+    "q64_cube_revenue" -> 0.67,
     "q25_doc_fingerprint" -> 0.3,
     "q65_term_zipf" -> 0.63,
     "q66_lexical_richness" -> 0.65,

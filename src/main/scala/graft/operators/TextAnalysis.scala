@@ -329,14 +329,23 @@ object TextAnalysis {
     * (per-partition k-heaps, k rows to the driver side of the sort),
     * and the rank window runs over the ALREADY-LIMITED topK-row frame —
     * never over the vocabulary. Ties break lexicographically, pinned on
-    * both engines. */
+    * both engines.
+    *
+    * `exactDf = false` is the 100 TB flag ([[tokenStats]]'s HLL switch):
+    * an exact distinct-doc set per hot term is the one memory hazard
+    * here — a stopword's doc set is the whole corpus — while
+    * HyperLogLog++ sketches are constant-size and merge-friendly across
+    * partials. Default stays exact for the oracle gate. */
   def zipfProfile(docs: DataFrame, idCol: String, textCol: String,
-      topK: Int = 100): DataFrame = {
+      topK: Int = 100, exactDf: Boolean = true): DataFrame = {
     require(topK > 0, s"need topK > 0, got $topK")
+    val dfAgg =
+      if (exactDf) countDistinct(col("doc_id"))
+      else approx_count_distinct(col("doc_id"))
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(wordTokens(textCol)).as("term"))
     val counts = tok.groupBy(col("term"))
-      .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+      .agg(count(lit(1)).as("cf"), dfAgg.as("df"))
     val top = counts.orderBy(col("cf").desc, col("term")).limit(topK)
     // rank over the topK-row frame only (bounded single partition)
     val w = org.apache.spark.sql.expressions.Window

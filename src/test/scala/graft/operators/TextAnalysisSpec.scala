@@ -168,6 +168,21 @@ class TextAnalysisSpec extends SparkSpec {
       (3, "c", 1L, 1L)))
   }
 
+  test("zipfProfile: approx-df flag keeps the schema and lands near exact") {
+    val d = docs("b b a", "b a c", "zz")
+    val exact = TextAnalysis.zipfProfile(d, "doc_id", "text", topK = 3)
+      .collect()
+    val approx = TextAnalysis.zipfProfile(d, "doc_id", "text", topK = 3,
+      exactDf = false).collect()
+    assert(exact.map(_.schema.fieldNames.toSeq).head ==
+      approx.map(_.schema.fieldNames.toSeq).head)
+    // HLL is exact at this cardinality; ranks and cf identical
+    assert(exact.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq ==
+      approx.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq)
+    assert(approx.forall(r => math.abs(r.getLong(3) - exact(
+      approx.indexOf(r)).getLong(3)) <= 1))
+  }
+
   test("lexicalRichness: hapax and integer-exact TTR; empty docs absent") {
     val out = TextAnalysis.lexicalRichness(
       docs("a a b", "", "x y z"), "doc_id", "text")
