@@ -39,10 +39,40 @@ object Main {
     case "corpus" :: docsParquet :: outDir :: epochSeed :: Nil =>
       corpus(docsParquet, outDir, epoch = Some(epochSeed.toLong))
     case "index" :: embParquet :: outDir :: Nil => index(embParquet, outDir)
+    case "explain" :: name :: rest if rest.size <= 1 =>
+      explain(name, rest.headOption.getOrElse("/root/testdata/sf0.001"))
     case _ =>
       System.err.println(
-        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir>")
+        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | explain <queryName|all> [sfDir]")
       sys.exit(2)
+  }
+
+  /** Dump the formatted physical plan for one registry query (or every
+    * query with `all`) — the plan-quality inspection surface: pushdown
+    * (`PushedFilters`/`ReadSchema`), broadcast sides, WholeStageCodegen
+    * spans, and WindowGroupLimit pushdowns read directly off the output.
+    * PlanAuditSpec pins the load-bearing shapes; this makes the rest
+    * inspectable without writing a test. */
+  private def explain(name: String, sfDir: String): Unit = {
+    val spark = GraftSession.local()
+    runExplain(spark, name, sfDir)
+    spark.stop()
+  }
+
+  /** Testable core of `explain` (the [[runCompact]] pattern). */
+  private[graft] def runExplain(spark: org.apache.spark.sql.SparkSession,
+      name: String, sfDir: String): Unit = {
+    val names =
+      if (name == "all") SparkEntry.registry.map(_.name)
+      else {
+        require(SparkEntry.queries.contains(name),
+          s"unknown query '$name'; known: ${SparkEntry.registry.map(_.name).mkString(", ")}")
+        Seq(name)
+      }
+    names.foreach { n =>
+      println(s"==== $n ($sfDir)")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
   }
 
   /** PQ index build/maintain (the q56/q57/q61 stack as a CLI pass):

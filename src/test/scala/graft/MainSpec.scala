@@ -77,4 +77,18 @@ class MainSpec extends SparkSpec {
     assert(comp.map(_._1).toSet == StarSchema.loadOrder.toSet)
     assert(sink.read("fct_transacciones").count() == 5) // data intact
   }
+
+  test("explain: dumps a formatted plan for a known query, rejects unknown") {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Main.runExplain(spark, "q11_distinct", "/root/testdata/sf0.001")
+    }
+    val printed = out.toString("UTF-8")
+    assert(printed.contains("==== q11_distinct"), printed.take(200))
+    assert(printed.contains("== Physical Plan =="), printed.take(400))
+    val e = intercept[IllegalArgumentException] {
+      Main.runExplain(spark, "nope", "/root/testdata/sf0.001")
+    }
+    assert(e.getMessage.contains("unknown query"))
+  }
 }
