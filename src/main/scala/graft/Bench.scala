@@ -72,7 +72,7 @@ object Bench {
     "q31_neardup_clusters" -> 1.7,
     "q21_embedding_neardup_ivf" -> 2.0,
     "q39_embedding_topk_ivf" -> 2.0,
-    "q36_cross_contamination" -> 1.8,
+    "q36_cross_contamination" -> 1.7,
     "q30_embedding_neardup_rplsh" -> 1.8,
     "q34_event_sessionize" -> 1.0,
     "q9_sales_by_nation" -> 0.9,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -214,8 +214,38 @@ object Dedup {
     val hot = exA.unionByName(exB)
       .groupBy(col("hs")).agg(count(lit(1)).as("__df"))
       .where(col("__df") > maxDf).select(col("hs"))
-    val a = exA.join(hot, Seq("hs"), "left_anti")
-    val b = exB.join(hot, Seq("hs"), "left_anti")
+    crossPairsFrom(
+      exA.join(hot, Seq("hs"), "left_anti"),
+      exB.join(hot, Seq("hs"), "left_anti"), threshold)
+  }
+
+  /** [[crossNgramJaccardPairs]] for the SAME-TABLE split case (a parity
+    * holdout, a time cut, a source split): `leftSide` partitions one
+    * corpus into the two sides. The general two-corpus path must scan
+    * and tokenize each input separately; here the exploded shingle
+    * index is built and persisted ONCE and both sides (and the df cap —
+    * no union pass needed) filter the single cache, halving parquet IO
+    * at any scale. Predicate columns must survive into the index frame
+    * (doc_id does; arbitrary columns would not). Same output contract. */
+  def crossNgramJaccardPairsSplit(docs: DataFrame, idCol: String,
+      textCol: String, leftSide: Column, threshold: Double = 0.5,
+      maxDf: Int = 100,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val ex = scope.persist(hashShingled(docs, idCol, textCol)
+      .withColumn("__left", leftSide))
+    val hot = ex.groupBy(col("hs")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDf).select(col("hs"))
+    val capped = ex.join(hot, Seq("hs"), "left_anti")
+    crossPairsFrom(
+      capped.where(col("__left")).drop("__left"),
+      capped.where(!col("__left")).drop("__left"), threshold)
+  }
+
+  /** Shared tail of the cross-corpus contamination paths: per-side set
+    * sizes, the inverted-index intersection join, and the Jaccard
+    * threshold — inputs are the df-capped (doc_id, hs) streams. */
+  private def crossPairsFrom(a: DataFrame, b: DataFrame,
+      threshold: Double): DataFrame = {
     val szA = a.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val szB = b.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = a.select(col("doc_id").as("da"), col("hs"))

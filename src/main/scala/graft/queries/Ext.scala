@@ -759,13 +759,12 @@ object Ext {
     * parity split. */
   val q36: Q = Q(
     "q36_cross_contamination",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      Dedup.crossNgramJaccardPairs(
-        docs.where(col("doc_id") % 2 === 0),
-        docs.where(col("doc_id") % 2 === 1),
-        "doc_id", "text", threshold = 0.5, maxDf = 100)
-    },
+    (s, d) =>
+      // same-table parity split → the single-cache variant: the shingle
+      // index is built and persisted once, both sides filter it
+      Dedup.crossNgramJaccardPairsSplit(Tables.documents(s, d),
+        "doc_id", "text", leftSide = col("doc_id") % 2 === 0,
+        threshold = 0.5, maxDf = 100),
     Some(s"""
       WITH $duckWords,
       $duckTokenHashes,

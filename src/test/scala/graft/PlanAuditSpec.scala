@@ -296,6 +296,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(genIdx < aggIdx, s"unpivot not post-aggregate:\n$p")
   }
 
+  test("q36: ONE shared shingle cache feeds both split sides and the df cap") {
+    // the same-table split variant must build the exploded index once:
+    // one distinct InMemoryRelation, generator only inside its build —
+    // the two-frame path would scan the parquet twice
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    spark.catalog.clearCache()
+    graft.engine.GraftSession.tune(spark)
+    val qe = SparkEntry.queries("q36_cross_contamination")(spark, sf)
+      .queryExecution
+    val imrs = qe.optimizedPlan.collect { case r: InMemoryRelation => r }
+    assert(imrs.nonEmpty, qe.optimizedPlan.toString)
+    val distinctCaches =
+      imrs.map(r => System.identityHashCode(r.cacheBuilder.cachedPlan)).toSet
+    assert(distinctCaches.size == 1,
+      s"expected ONE shared cache, got ${distinctCaches.size}:\n${qe.optimizedPlan}")
+    assert(qe.optimizedPlan.collect { case g: Generate => g }.isEmpty,
+      s"shingle generator recomputed outside the cache:\n${qe.optimizedPlan}")
+  }
+
   test("q65: global top-k is TakeOrderedAndProject; rank window sits above it") {
     // the vocabulary groupBy must NOT feed a global sort or a window —
     // the top-k is per-partition k-heaps; only the already-limited

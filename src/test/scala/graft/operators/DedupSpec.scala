@@ -127,6 +127,14 @@ class DedupSpec extends SparkSpec {
       .filter { case (a, b) => (a < 10) != (b < 10) }
       .map { case (a, b) => if (a < 10) (a, b) else (b, a) }.toSet
     assert(cross == all)
+    // the same-table single-cache variant must agree row for row with
+    // the general two-frame path on the equivalent split
+    import org.apache.spark.sql.functions.col
+    val split = Dedup.crossNgramJaccardPairsSplit(
+      left.unionByName(right), "doc_id", "text",
+      leftSide = col("doc_id") < 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(split == cross)
   }
 
   test("keepBest: richest variant wins its normalized group, min id breaks ties") {
