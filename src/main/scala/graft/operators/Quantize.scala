@@ -285,6 +285,12 @@ object Quantize {
       probes: Int = 2, topK: Int = 5, queryStride: Long = 50,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(probes > 0, s"need probes > 0, got $probes")
+    // NOTE: the two trainPq calls each scan the (columnar, pruned)
+    // store — measured FASTER here than sharing one persisted cast
+    // frame, which adds a cache-materialization barrier and breaks the
+    // scan→cast→slice codegen fusion (tried and reverted: q61
+    // 3.2 s → 4.3 s at sf0.1). Revisit only if the store scan itself
+    // becomes the bottleneck.
     val n = embeddings.count()
     val c = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
     // coarse: whole-vector cells (m = 1 — subvector 0 IS the vector)
