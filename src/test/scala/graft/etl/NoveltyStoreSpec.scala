@@ -1,0 +1,64 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.SparkSpec
+import graft.operators.TextAnalysis
+
+/** The incremental-novelty invariants: batch splits never change
+  * scores (incremental ≡ the one-shot q67 operator over the union),
+  * and re-ingesting a recorded batch reports everything seen. */
+class NoveltyStoreSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.map { case (i, t) => Row(i, t) }.asJava,
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+  }
+
+  private val corpus = Seq(
+    1L -> "uno dos tres cuatro cinco",
+    2L -> "uno dos tres cuatro cinco",       // verbatim repeat of 1
+    3L -> "alfa beta gamma delta",
+    4L -> "gamma delta epsilon zeta eta",    // overlaps 3's tail
+    5L -> "texto totalmente nuevo aqui")
+
+  private def collect(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+  test("id-ordered batch splits reproduce the one-shot noveltyDecay scores") {
+    val oneShot = collect(TextAnalysis.noveltyDecay(
+      docs(corpus: _*), "doc_id", "text"))
+
+    val dir = Files.createTempDirectory("graft_novelty").toString + "/store"
+    val store = new NoveltyStore(spark, dir)
+    val batched =
+      collect(store.scoreAndRecord(docs(corpus.take(2): _*), "doc_id", "text")) ++
+      collect(store.scoreAndRecord(docs(corpus.slice(2, 4): _*), "doc_id", "text")) ++
+      collect(store.scoreAndRecord(docs(corpus.drop(4): _*), "doc_id", "text"))
+
+    assert(batched == oneShot,
+      s"batched=$batched\noneShot=$oneShot")
+    assert(oneShot.exists(_._4 > 0L)) // the fixture exercises overlap
+  }
+
+  test("re-ingesting a recorded batch scores everything seen; compact keeps it") {
+    val dir = Files.createTempDirectory("graft_novelty2").toString + "/store"
+    val store = new NoveltyStore(spark, dir)
+    store.scoreAndRecord(docs(corpus: _*), "doc_id", "text").collect()
+    val n = store.compact()
+    assert(n > 0L)
+    val again = collect(
+      store.scoreAndRecord(docs(corpus: _*), "doc_id", "text"))
+    assert(again.nonEmpty)
+    assert(again.forall(_._4 == 1048576L), again.toString) // all seen
+    // the store never grows from a re-ingest (append-only-NEW)
+    assert(store.compact() == n)
+  }
+}
