@@ -75,13 +75,13 @@ object Bench {
     "q36_cross_contamination" -> 1.7,
     "q30_embedding_neardup_rplsh" -> 1.8,
     "q34_event_sessionize" -> 1.0,
-    "q9_sales_by_nation" -> 0.9,
+    "q9_sales_by_nation" -> 0.84,
     "q18_minhash_lsh_neardup" -> 0.8,
     "q37_sequence_packing" -> 0.62,
     "q19_simhash_neardup" -> 0.65,
     "q23_quality_score" -> 0.6,
     "q20_embedding_topk" -> 0.5,
-    "q22_lang_id" -> 0.45,
+    "q22_lang_id" -> 0.39,
     "q38_network_redact" -> 0.35,
     "q35_repetition_signals" -> 0.33,
     "q43_asof_join" -> 0.6,
@@ -89,19 +89,19 @@ object Bench {
     "q45_length_profile" -> 0.3,
     "q46_grouped_topk" -> 0.32,
     "q47_sliding_chunks" -> 0.6,
-    "q48_keepbest_dedup" -> 0.5,
+    "q48_keepbest_dedup" -> 0.46,
     "q49_eval_overlap" -> 0.8,
-    "q50_curriculum_bins" -> 0.65,
-    "q51_priority_sample" -> 0.3,
+    "q50_curriculum_bins" -> 0.61,
+    "q51_priority_sample" -> 0.24,
     "q52_bm25_scores" -> 1.18,
     "q53_semantic_clusters" -> 2.4,
-    "q54_shingle_novelty" -> 0.48,
-    "q55_embedding_quantize" -> 0.6,
+    "q54_shingle_novelty" -> 0.42,
+    "q55_embedding_quantize" -> 0.52,
     "q56_pq_codes" -> 1.1,
     "q57_pq_adc_topk" -> 1.7,
     "q58_rollup_revenue" -> 0.53,
     "q59_pivot_returnflag" -> 0.9,
-    "q60_paragraph_dedup" -> 0.84,
+    "q60_paragraph_dedup" -> 0.66,
     "q61_ivfpq_topk" -> 2.35,
     "q62_column_profile" -> 0.64,
     "q63_asof_tolerance" -> 0.66,
