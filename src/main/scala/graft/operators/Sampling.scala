@@ -34,6 +34,26 @@ object Sampling {
     df.where(pctBucket(col(idCol)) < pct)
   }
 
+  /** Deterministic train/val/test holdout assignment — the split every
+    * training pipeline makes before anything else touches the corpus.
+    * A doc's split is a pure function of its id through [[pctBucket]]:
+    * stable across runs, engines, retries, AND corpus growth (a doc
+    * never migrates between splits as data arrives — the property that
+    * keeps yesterday's eval set uncontaminated by today's re-split).
+    * Row-local (adds one column, no shuffle); downstream per-split
+    * reads filter on it or partition by it. */
+  def holdoutSplit(df: DataFrame, idCol: String, trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"need 0 < trainPct, 0 <= valPct, trainPct+valPct < 100; " +
+        s"got train=$trainPct val=$valPct")
+    val b = pctBucket(col(idCol))
+    df.withColumn("split",
+      when(b < trainPct, lit("train"))
+        .when(b < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
   /** Weighted corpus mixing to a token budget — the pretraining-mixture
     * op ("a B-token corpus at 50% en / 25% es / 12.5% de / 12.5% fr"):
     * each stratum contributes `budget · wᵢ/Σw` tokens IN EXPECTATION,

@@ -2020,9 +2020,39 @@ object Ext {
       GROUP BY sh.doc_id ORDER BY sh.doc_id
     """.trim))
 
+  // ---------------------------------------------------------------- q68
+
+  /** q68 — deterministic train/val/test holdout: every doc's split is
+    * a pure function of its id through the portable affine hash (docs
+    * never migrate splits as the corpus grows), verified as the
+    * per-(source, split) census. Row-local assignment; the census
+    * groupBy is the only shuffle. */
+  val q68: Q = Q(
+    "q68_holdout_split",
+    (s, d) =>
+      Sampling.holdoutSplit(Tables.documents(s, d), "doc_id")
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .orderBy(col("source"), col("split")),
+    Some("""
+      WITH s AS (
+        SELECT source, n_chars,
+          CASE WHEN b < 80 THEN 'train'
+               WHEN b < 90 THEN 'val'
+               ELSE 'test' END AS split
+        FROM (
+          SELECT source, n_chars,
+            ((doc_id % 1000000007) * 2654435761 % 1000000007 + 12345)
+              % 1000000007 % 100 AS b
+          FROM documents))
+      SELECT source, split, count(*) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM s GROUP BY source, split ORDER BY source, split
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
       q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
-      q58, q59, q60, q61, q62, q63, q64, q65, q66, q67)
+      q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68)
 }

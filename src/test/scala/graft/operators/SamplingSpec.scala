@@ -126,4 +126,26 @@ class SamplingSpec extends SparkSpec {
     assert(sizes.forall(s => s < 2 * avg),
       s"hash sharding skewed: ${sizes.mkString(",")}")
   }
+
+  test("holdoutSplit: total partition; docs never migrate as the corpus grows") {
+    val assigned = Sampling.holdoutSplit(docs, "doc_id")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(assigned.size == docs.count())
+    assert(assigned.values.toSet.subsetOf(Set("train", "val", "test")))
+    val shares = assigned.values.groupBy(identity).view.mapValues(_.size)
+    // 80/10/10 in expectation; loose bounds so the pin is about the
+    // partition being total and deterministic, not sampling noise
+    assert(shares("train") > shares.getOrElse("val", 0), shares.toMap.toString)
+    // growth stability: assigning over half the corpus gives the same
+    // split for every doc in that half
+    val half = Sampling.holdoutSplit(
+      docs.where(col("doc_id") % 2 === 0), "doc_id")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(half == assigned.filter { case (id, _) => id % 2 == 0 })
+    intercept[IllegalArgumentException] {
+      Sampling.holdoutSplit(docs, "doc_id", trainPct = 95, valPct = 10)
+    }
+  }
 }
