@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Dec, Tables}
-import graft.operators.{Dedup, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Sampling, Scrub, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Sampling, Scrub, Similarity, TextAnalysis}
 
 /** EXT — the LLM-training-data-pipeline operators (SURVEY.md §2.11;
   * BASELINE.json north star) over the `documents` / `embeddings`
@@ -2050,9 +2050,39 @@ object Ext {
       FROM s GROUP BY source, split ORDER BY source, split
     """.trim))
 
+  // ---------------------------------------------------------------- q69
+
+  /** q69 — daily event-mix drift: exact integer L1 distance between
+    * consecutive days' event-type distributions (the ingest-health
+    * alarm). Timestamps follow q34's ns-long → µs lift; the day is cut
+    * in UTC on both engines. */
+  val q69: Q = Q(
+    "q69_event_drift",
+    (s, d) =>
+      Drift.dailyMixDrift(
+        Tables.events(s, d),
+        to_date(timestamp_micros(expr("ts div 1000"))), "event_type"),
+    Some("""
+      WITH bd AS (
+        SELECT CAST(ts AS DATE) AS day, event_type AS t, count(*) AS c
+        FROM events GROUP BY 1, 2),
+      tot AS (SELECT day, CAST(sum(c) AS BIGINT) AS n FROM bd GROUP BY day),
+      pv AS (SELECT day + 1 AS day, t, c AS cp FROM bd),
+      pt AS (SELECT day + 1 AS day, n AS np FROM tot),
+      pairs AS (
+        SELECT day, t, COALESCE(c, 0) AS c, COALESCE(cp, 0) AS cp
+        FROM bd FULL JOIN pv USING (day, t)),
+      j AS (SELECT pairs.day AS day, c, cp, n, np
+            FROM pairs JOIN tot USING (day) JOIN pt USING (day))
+      SELECT day, n AS n_events,
+        CAST((sum(abs(c * np - cp * n)) * 1048576) // (n * np) AS BIGINT)
+          AS drift_fp
+      FROM j GROUP BY day, n, np ORDER BY day
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
       q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
-      q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68)
+      q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69)
 }

@@ -1,0 +1,49 @@
+package graft.operators
+
+import java.sql.Date
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DateType, StringType, StructField, StructType}
+
+import graft.SparkSpec
+
+/** Hand-computed L1 drift on crafted day mixes (bulk correctness is
+  * the q69 DuckDB oracle gate). */
+class DriftSpec extends SparkSpec {
+
+  private def events(rows: (String, String)*) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.map { case (d, t) => Row(Date.valueOf(d), t) }.asJava,
+      StructType(Seq(StructField("day0", DateType),
+        StructField("t0", StringType))))
+  }
+
+  test("exact L1 on the 2^-20 grid; boundary days absent") {
+    // day1: 2 view + 2 click; day2: 4 view  -> L1 = 1 exactly
+    // day3: 1 view + 1 click + 1 error vs day2 -> L1 = 4/3
+    val e = events(
+      Seq.fill(2)("2024-01-01" -> "view") ++
+        Seq.fill(2)("2024-01-01" -> "click") ++
+        Seq.fill(4)("2024-01-02" -> "view") ++
+        Seq("2024-01-03" -> "view", "2024-01-03" -> "click",
+          "2024-01-03" -> "error"): _*)
+    val out = Drift.dailyMixDrift(e, col("day0"), "t0").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("2024-01-02", 4L, 1048576L),          // L1 = 1 -> 2^20
+      ("2024-01-03", 3L, 1398101L)))         // floor(4/3 * 2^20)
+  }
+
+  test("identical consecutive mixes drift zero; gap days drop out") {
+    val e = events(
+      Seq("2024-02-01" -> "view", "2024-02-01" -> "click",
+        "2024-02-02" -> "view", "2024-02-02" -> "click",
+        // 2024-02-03 has no events; 02-04 has no previous day
+        "2024-02-04" -> "view"): _*)
+    val out = Drift.dailyMixDrift(e, col("day0"), "t0").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(2)))
+    assert(out.toSeq == Seq("2024-02-02" -> 0L))
+  }
+}
