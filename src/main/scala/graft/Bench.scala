@@ -69,7 +69,7 @@ object Bench {
     * `defaultFloor` (BASELINE.md: "remaining queries ≤ 1.2 each"). */
   private[graft] val floors: Map[String, Double] = Map(
     "q17_ngram_jaccard_neardup" -> 2.3,
-    "q31_neardup_clusters" -> 1.7,
+    "q31_neardup_clusters" -> 1.37,
     "q21_embedding_neardup_ivf" -> 2.0,
     "q39_embedding_topk_ivf" -> 2.0,
     "q36_cross_contamination" -> 1.7,
@@ -78,7 +78,7 @@ object Bench {
     "q9_sales_by_nation" -> 0.84,
     "q18_minhash_lsh_neardup" -> 0.8,
     "q37_sequence_packing" -> 0.62,
-    "q19_simhash_neardup" -> 0.65,
+    "q19_simhash_neardup" -> 0.5,
     "q23_quality_score" -> 0.6,
     "q20_embedding_topk" -> 0.5,
     "q22_lang_id" -> 0.39,
@@ -87,7 +87,7 @@ object Bench {
     "q43_asof_join" -> 0.6,
     "q44_interval_join" -> 0.4,
     "q45_length_profile" -> 0.3,
-    "q46_grouped_topk" -> 0.32,
+    "q46_grouped_topk" -> 0.25,
     "q47_sliding_chunks" -> 0.6,
     "q48_keepbest_dedup" -> 0.46,
     "q49_eval_overlap" -> 0.8,
@@ -109,7 +109,9 @@ object Bench {
     "q25_doc_fingerprint" -> 0.3,
     "q65_term_zipf" -> 0.63,
     "q66_lexical_richness" -> 0.65,
-    "q67_novelty_decay" -> 0.78)
+    "q67_novelty_decay" -> 0.78,
+    "q68_holdout_split" -> 0.34,
+    "q69_event_drift" -> 0.88)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
