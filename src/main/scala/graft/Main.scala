@@ -261,8 +261,11 @@ object Main {
     val dist = Report.distributorPerformance(
       fact, sink.read("dim_clientes"), sink.read("dim_distribuidores"), cut)
       .collect().toSeq
+    // the dashboard link is deployment config, like the report endpoint
+    // below — never hardcoded (bot_ventas.py:89 bakes its Looker URL in;
+    // copying that would leak a real URL into a library)
     Report.formatMessage(metricsRow, dist, cut,
-      dashboardUrl = "http://localhost/dashboard")
+      dashboardUrl = sys.env.get("SPARK_GRAFT_DASHBOARD_URL"))
   }
 
   private def report(warehouse: String, cut: LocalDate): Unit = {

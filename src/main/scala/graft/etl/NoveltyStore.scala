@@ -41,12 +41,40 @@ import graft.functions.TextHash
   */
 final class NoveltyStore(spark: SparkSession, storeDir: String) {
 
+  import org.apache.hadoop.fs.Path
+
+  private def hfs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The store is valid ONLY under a `_SUCCESS` job-commit marker
+    * (every successful append/compact rewrites one). A directory with
+    * data files but no marker means a writer died between task commit
+    * and job commit — reading it as "seen" would silently shift scores
+    * away from the one-shot semantics this class pins, so it FAILS
+    * loudly instead (mirroring Main.index's codebook gate). A crashed
+    * [[compact]] leaves its own breadcrumb (`.compact_old`); that one
+    * heals by re-running compact, and the error says so. */
   private def storeExists: Boolean = {
-    val p = new org.apache.hadoop.fs.Path(storeDir, "_SUCCESS")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) || {
-      val d = new org.apache.hadoop.fs.Path(storeDir)
-      fs.exists(d) && fs.listStatus(d).nonEmpty
+    val d = new Path(storeDir)
+    val fs = hfs(d)
+    val old = new Path(storeDir + ".compact_old")
+    if (!fs.exists(d)) {
+      if (fs.exists(old)) throw new IllegalStateException(
+        s"novelty store $storeDir missing but $old exists — a compact() " +
+          "crashed mid-swap; call compact() to heal before scoring")
+      false
+    } else {
+      val entries = fs.listStatus(d).filterNot { s =>
+        val n = s.getPath.getName
+        n.startsWith("_") || n.startsWith(".")
+      }
+      if (entries.isEmpty) false
+      else if (fs.exists(new Path(d, "_SUCCESS"))) true
+      else throw new IllegalStateException(
+        s"novelty store $storeDir has data files but no _SUCCESS marker " +
+          "— a prior append crashed before job commit; rebuild the store " +
+          "(delete the directory and re-ingest) rather than scoring " +
+          "against partial state")
     }
   }
 
@@ -84,11 +112,48 @@ final class NoveltyStore(spark: SparkSession, storeDir: String) {
     scored
   }
 
-  /** Rewrite the accumulated per-batch appends into one compact set of
-    * files (the store's analog of [[IncrementalSink.compact]]). */
-  def compact(): Long = {
-    val all = seenShingles.localCheckpoint(true)
-    all.coalesce(1).write.mode(SaveMode.Overwrite).parquet(storeDir)
-    all.count()
+  /** Rewrite the accumulated per-batch appends into few SIZED files —
+    * the store's analog of [[IncrementalSink.compact]], and the same
+    * crash discipline: the compacted copy is written to a TEMP
+    * directory off the live store (never overwriting the only copy —
+    * the pre-r8 in-place rewrite read through non-replicated
+    * localCheckpoint blocks, so an executor loss mid-write destroyed
+    * the store on a real cluster), then swapped in with two renames.
+    * File count is size-aware (`ceil(bytes / targetFileBytes)`,
+    * IncrementalSink.compact's rule) — the store is the corpus's
+    * distinct shingle vocabulary, billions of rows at 100 TB, and a
+    * single-task `coalesce(1)` rewrite would both serialize the job
+    * and emit one giant file.
+    *
+    * Crash windows self-heal on the next call, exactly like the sink:
+    * stale `.compact_tmp` → deleted, rewrite restarts; `.compact_old`
+    * with the store missing (died between renames) → old restored;
+    * `.compact_old` beside a live store (died before cleanup) →
+    * leftover deleted. Returns (files before, files after). */
+  def compact(targetFileBytes: Long = 128L << 20): (Long, Long) = {
+    val store = new Path(storeDir)
+    val fs = hfs(store)
+    val tmp = new Path(storeDir + ".compact_tmp")
+    val old = new Path(storeDir + ".compact_old")
+    // heal any crash window of a previous run (see scaladoc)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(old)) {
+      if (!fs.exists(store)) fs.rename(old, store) // mid-swap crash
+      else fs.delete(old, true) // post-swap crash: store is live
+    }
+    def parquetFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles(store)
+    val totalBytes = before.map(_.getLen).sum
+    val nFiles = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    seenShingles.repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.rename(store, old)
+    fs.rename(tmp, store)
+    fs.delete(old, true)
+    (before.size.toLong, parquetFiles(store).size.toLong)
   }
 }

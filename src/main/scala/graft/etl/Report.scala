@@ -89,7 +89,7 @@ object Report {
     * distributor. Runs post-collect over the tiny aggregates. */
   def formatMessage(metricsRow: org.apache.spark.sql.Row,
       distribuidores: Seq[org.apache.spark.sql.Row],
-      cut: LocalDate, dashboardUrl: String): String = {
+      cut: LocalDate, dashboardUrl: Option[String] = None): String = {
     val fecha = s"${cut.getDayOfMonth} ${mesesEs(cut.getMonthValue)}, ${cut.getYear}"
     val zero = java.math.BigDecimal.ZERO
     def dec(r: org.apache.spark.sql.Row, i: Int): java.math.BigDecimal =
@@ -104,7 +104,13 @@ object Report {
     distribuidores.foreach { d =>
       sb ++= s"- ${d.getString(0)}: ${money(dec(d, 1))}\n"
     }
-    sb ++= s"\nANÁLISIS DETALLADO:\n[CONSULTAR DASHBOARD COMPLETO]($dashboardUrl)\n"
+    // Dashboard footer (bot_ventas.py:89,104-106): the reference appends
+    // a hardcoded Looker link; here the URL is deployment config — the
+    // line renders only when one is configured (hardcoding an external
+    // URL into an engine would be both a leak and a lie).
+    dashboardUrl.foreach { url =>
+      sb ++= s"\nANÁLISIS DETALLADO:\n[CONSULTAR DASHBOARD COMPLETO]($url)\n"
+    }
     sb.result()
   }
 }

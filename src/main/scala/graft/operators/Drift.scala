@@ -26,18 +26,35 @@ import org.apache.spark.sql.functions._
   * (partial-aggregable), a |days|-sized totals rollup, a day-shifted
   * full join on (day, type) — |days|·|types| rows, nothing
   * corpus-sized — and integer arithmetic. No window, no driver state.
-  * Long-range caveat: the denominator n_a·n_b overflows BIGINT past
-  * ~3·10^9 events/day·pair; at that volume cast the product side to
-  * DECIMAL(38,0) (the counts themselves stay exact far beyond it). */
+  *
+  * Overflow: the cross-products c·np / cp·n and the denominator n·np
+  * are computed in DECIMAL(38,0) unconditionally (the cast costs one
+  * widening at |days|·|types| rows — nothing), which moves the exact
+  * range from the old silent BIGINT wrap at ~3·10^9 events/day·pair
+  * out to ~6.9·10^15 events PER DAY (where Σ|c·np−cp·n|·2^20 meets
+  * DECIMAL(38)'s 10^38 ceiling). Past THAT bound the metric does not
+  * degrade silently either: a raise_error guard on the day totals
+  * fails the job with an explicit message — at 6.9·10^15 events/day
+  * (~80 GHz sustained) the right response is aggregating upstream,
+  * not a wider number. DriftProps pins the decimal path against
+  * BigInt arithmetic across the exact range and pins the guard
+  * beyond it. */
 object Drift {
 
   /** Per-day drift vs the PREVIOUS day: (day, n_events, drift_fp),
     * for days whose previous day has events; `dayCol` supplies the
     * day, `typeCol` the category. */
   def dailyMixDrift(events: DataFrame, dayCol: Column, typeCol: String)
-      : DataFrame = {
-    val byDay = events.select(dayCol.as("day"), col(typeCol).as("t"))
-      .groupBy(col("day"), col("t")).agg(count(lit(1)).as("c"))
+      : DataFrame =
+    mixDriftFromCounts(events.select(dayCol.as("day"), col(typeCol).as("t"))
+      .groupBy(col("day"), col("t")).agg(count(lit(1)).as("c")))
+
+  /** Counts-level entry: `byDay` is pre-aggregated (day, t, c) rows —
+    * the form an ingest that already maintains per-type daily counters
+    * (or a rollup sink) feeds directly, skipping the event-level
+    * aggregate. Same output contract as [[dailyMixDrift]]. */
+  def mixDriftFromCounts(byDay: DataFrame): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val totals = byDay.groupBy(col("day")).agg(sum(col("c")).as("n"))
     val prevC = byDay.select(date_add(col("day"), 1).as("day"), col("t"),
       col("c").as("cp"))
@@ -48,9 +65,21 @@ object Drift {
       .join(totals, Seq("day")) // inner: drift needs BOTH days' totals
       .join(prevN, Seq("day"))
       .groupBy(col("day"), col("n"), col("np"))
-      .agg(sum(abs(col("c") * col("np") - col("cp") * col("n"))).as("num"))
+      .agg(sum(abs(col("c").cast(dec38) * col("np") -
+        col("cp").cast(dec38) * col("n"))).as("num"))
       .select(col("day"), col("n").as("n_events"),
-        expr("(num * 1048576) div (n * np)").as("drift_fp"))
+        when(col("n") > maxExactDayTotal || col("np") > maxExactDayTotal,
+          raise_error(format_string(
+            "mixDrift: day totals %s/%s exceed the exact range " +
+              s"($maxExactDayTotal events/day) — aggregate upstream",
+            col("n"), col("np"))).cast("long"))
+          .otherwise(
+            expr("(num * 1048576) div (CAST(n AS DECIMAL(38,0)) * np)"))
+          .as("drift_fp"))
       .orderBy(col("day"))
   }
+
+  /** Largest day total with num·2^20 provably inside DECIMAL(38,0):
+    * num ≤ 2·n·np ≤ 2·(6.9·10^15)² and ·2^20 stays under 10^38. */
+  val maxExactDayTotal: Long = 6900000000000000L
 }

@@ -181,15 +181,17 @@ object Quantize {
   /** Shared PQ training core: the persisted subvector frame plus the
     * refined per-subspace centroid table. */
   private def trainPq(embeddings: DataFrame, m: Int, k: Int,
-      scope: CacheScope): (DataFrame, DataFrame) = {
+      scope: CacheScope, knownDim: Option[Int] = None): (DataFrame, DataFrame) = {
     require(m > 0 && k > 0, s"need m > 0 and k > 0, got m=$m k=$k")
-    val dims = embeddings.select(size(col("embedding")).as("d"))
-      .agg(min(col("d")).as("lo"), max(col("d")).as("hi")).head()
-    require(dims.getInt(0) == dims.getInt(1),
-      s"ragged embedding lengths: ${dims.getInt(0)}..${dims.getInt(1)}")
-    require(dims.getInt(0) % m == 0,
-      s"dims=${dims.getInt(0)} not divisible by m=$m")
-    val w = dims.getInt(0) / m
+    val d = knownDim.getOrElse {
+      val dims = embeddings.select(size(col("embedding")).as("d"))
+        .agg(min(col("d")).as("lo"), max(col("d")).as("hi")).head()
+      require(dims.getInt(0) == dims.getInt(1),
+        s"ragged embedding lengths: ${dims.getInt(0)}..${dims.getInt(1)}")
+      dims.getInt(0)
+    }
+    require(d % m == 0, s"dims=$d not divisible by m=$m")
+    val w = d / m
 
     val sv = scope.persist(embeddings
       .select(col("vec_id"),
@@ -291,10 +293,21 @@ object Quantize {
     // scan→cast→slice codegen fusion (tried and reverted: q61
     // 3.2 s → 4.3 s at sf0.1). Revisit only if the store scan itself
     // becomes the bottleneck.
-    val n = embeddings.count()
+    // ONE shape job: N (for C = ⌈√N⌉) and the ragged-dims check share a
+    // single aggregate scan; both trainPq calls then skip their own
+    // dims pass (r7 verdict item 4 — the standalone count() was a
+    // third scan for one scalar).
+    val shape = embeddings.agg(count(lit(1)).as("n"),
+      min(size(col("embedding"))).as("lo"),
+      max(size(col("embedding"))).as("hi")).head()
+    val n = shape.getLong(0)
+    require(n > 0, "ivfPqTopK: empty embeddings")
+    require(shape.getInt(1) == shape.getInt(2),
+      s"ragged embedding lengths: ${shape.getInt(1)}..${shape.getInt(2)}")
+    val dim = shape.getInt(1)
     val c = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
     // coarse: whole-vector cells (m = 1 — subvector 0 IS the vector)
-    val (csv, coarse) = trainPq(embeddings, 1, c, scope)
+    val (csv, coarse) = trainPq(embeddings, 1, c, scope, Some(dim))
     val corpusCells = assign(csv, coarse)
       .select(col("vec_id"), col("code").as("cell"))
     val queryCells = assignProbes(
@@ -304,7 +317,7 @@ object Quantize {
       .where(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id")).distinct()
     // fine: PQ codes + per-query ADC tables, scored on candidates only
-    val (fsv, refined) = trainPq(embeddings, m, k, scope)
+    val (fsv, refined) = trainPq(embeddings, m, k, scope, Some(dim))
     val codes = assign(fsv, refined)
       .select(col("vec_id"), col("sub"), col("code"))
     val table = fsv.where(col("vec_id") % queryStride === 0)

@@ -43,12 +43,17 @@ object Sampling {
     * Row-local (adds one column, no shuffle); downstream per-split
     * reads filter on it or partition by it. */
   def holdoutSplit(df: DataFrame, idCol: String, trainPct: Int = 80,
-      valPct: Int = 10): DataFrame = {
+      valPct: Int = 10, outCol: String = "split"): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
       s"need 0 < trainPct, 0 <= valPct, trainPct+valPct < 100; " +
         s"got train=$trainPct val=$valPct")
+    // fail-loud like the neighboring operators: withColumn REPLACES an
+    // existing column, which would silently discard caller data
+    require(!df.columns.contains(outCol),
+      s"holdoutSplit: input already has a '$outCol' column — pass a " +
+        s"different outCol instead of silently overwriting it")
     val b = pctBucket(col(idCol))
-    df.withColumn("split",
+    df.withColumn(outCol,
       when(b < trainPct, lit("train"))
         .when(b < trainPct + valPct, lit("val"))
         .otherwise(lit("test")))

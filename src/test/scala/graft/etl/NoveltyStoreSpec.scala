@@ -52,13 +52,41 @@ class NoveltyStoreSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_novelty2").toString + "/store"
     val store = new NoveltyStore(spark, dir)
     store.scoreAndRecord(docs(corpus: _*), "doc_id", "text").collect()
-    val n = store.compact()
-    assert(n > 0L)
+    val vocab = store.seenShingles.count()
+    assert(vocab > 0L)
+    val (_, after) = store.compact()
+    assert(after == 1L) // tiny store -> one sized file, not one-per-task
+    assert(store.seenShingles.count() == vocab) // compact loses nothing
     val again = collect(
       store.scoreAndRecord(docs(corpus: _*), "doc_id", "text"))
     assert(again.nonEmpty)
     assert(again.forall(_._4 == 1048576L), again.toString) // all seen
     // the store never grows from a re-ingest (append-only-NEW)
-    assert(store.compact() == n)
+    store.compact()
+    assert(store.seenShingles.count() == vocab)
+  }
+
+  test("a store directory without _SUCCESS fails loudly; crashed compact heals") {
+    val base = Files.createTempDirectory("graft_novelty3").toString
+    val dir = base + "/store"
+    val store = new NoveltyStore(spark, dir)
+    store.scoreAndRecord(docs(corpus.take(2): _*), "doc_id", "text").collect()
+    val vocab = store.seenShingles.count()
+
+    // torn append: data files present, job-commit marker gone
+    val marker = java.nio.file.Paths.get(dir, "_SUCCESS")
+    Files.delete(marker)
+    val e = intercept[IllegalStateException] { store.seenShingles }
+    assert(e.getMessage.contains("_SUCCESS"))
+    Files.createFile(marker) // restore
+
+    // compact crash window: died between the two renames — the only
+    // copy lives in .compact_old; the next compact() must restore it
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir),
+      java.nio.file.Paths.get(dir + ".compact_old"))
+    intercept[IllegalStateException] { store.seenShingles } // loud pre-heal
+    store.compact()
+    assert(store.seenShingles.count() == vocab)
+    assert(!Files.exists(java.nio.file.Paths.get(dir + ".compact_old")))
   }
 }

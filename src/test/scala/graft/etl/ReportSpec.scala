@@ -54,12 +54,16 @@ class ReportSpec extends SparkSpec {
     val dist = Report.distributorPerformance(
       tables("fct_transacciones"), tables("dim_clientes"),
       tables("dim_distribuidores"), cut).collect().toSeq
-    val msg = Report.formatMessage(metricsRow, dist, cut, "http://dash")
+    val msg = Report.formatMessage(metricsRow, dist, cut, Some("http://dash"))
     assert(msg.contains("FECHA DE CORTE: 14 JUN, 2025"))
     assert(msg.contains("PRÉSTAMOS DEL DÍA: $2,750.00"))
     assert(msg.contains("ACUMULADO MENSUAL: $4,250.50"))
     assert(msg.contains("- Distribuidora Sur: $2,000.00"))
     assert(msg.contains("- Venta Directa: $750.00"))
-    assert(msg.contains("http://dash"))
+    assert(msg.contains("[CONSULTAR DASHBOARD COMPLETO](http://dash)"))
+    // no configured URL → no footer (S7: the link is deployment config)
+    val bare = Report.formatMessage(metricsRow, dist, cut, None)
+    assert(!bare.contains("CONSULTAR DASHBOARD"))
+    assert(bare.contains("- Venta Directa: $750.00"))
   }
 }

@@ -147,5 +147,15 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.holdoutSplit(docs, "doc_id", trainPct = 95, valPct = 10)
     }
+    // a pre-existing output column fails loudly instead of being
+    // silently replaced by withColumn (ADVICE r7); a caller-chosen
+    // outCol sidesteps the clash
+    val pre = Sampling.holdoutSplit(docs, "doc_id")
+    intercept[IllegalArgumentException] {
+      Sampling.holdoutSplit(pre, "doc_id")
+    }
+    val re = Sampling.holdoutSplit(pre, "doc_id", outCol = "split2")
+    assert(re.columns.count(_ == "split") == 1 &&
+      re.columns.contains("split2"))
   }
 }
