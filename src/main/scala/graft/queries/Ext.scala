@@ -2080,9 +2080,51 @@ object Ext {
       FROM j GROUP BY day, n, np ORDER BY day
     """.trim))
 
+  // ---------------------------------------------------------------- q70
+
+  /** q70 — the INCREMENTAL novelty path under the driver oracle: the
+    * corpus is scored through [[graft.etl.NoveltyStore]] in two
+    * id-ordered batches (a fresh store per run, split at the id
+    * midpoint), and the per-doc scores must hash-match the ONE-SHOT
+    * q67 CTE — the batch-split-invariance contract
+    * (NoveltyStoreProps) as a green CORRECTNESS row. The store's
+    * append/score machinery (hash equi-join + left_anti append, no
+    * window, no driver state) is exactly what a live ingest runs. */
+  val q70: Q = Q(
+    "q70_novelty_store",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val mm = docs.agg(min(col("doc_id")).as("lo"),
+        max(col("doc_id")).as("hi")).head()
+      val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_q70_store").toString + "/store"
+      val store = new graft.etl.NoveltyStore(s, dir)
+      val first = store.scoreAndRecord(
+        docs.where(col("doc_id") <= cut), "doc_id", "text")
+      val second = store.scoreAndRecord(
+        docs.where(col("doc_id") > cut), "doc_id", "text")
+      first.unionByName(second)
+        .withColumnRenamed("n_seen", "n_seen_before")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      $duckHashShingles,
+      fs AS (SELECT hs, min(doc_id) AS first_id FROM sh GROUP BY hs)
+      SELECT sh.doc_id, count(*) AS n_shingles,
+        CAST(sum(CASE WHEN first_id < sh.doc_id THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_seen_before,
+        CAST((sum(CASE WHEN first_id < sh.doc_id THEN 1 ELSE 0 END)
+          * 1048576) // count(*) AS BIGINT) AS seen_fp
+      FROM sh JOIN fs USING (hs)
+      GROUP BY sh.doc_id ORDER BY sh.doc_id
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
       q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
-      q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69)
+      q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70)
 }
