@@ -63,6 +63,21 @@ object TextHash {
   def rollingFold(hashesCol: String): Column =
     expr(s"aggregate($hashesCol, 0L, (a, x) -> ((a * 131L) + x) % ${P}L)")
 
+  /** POSITIONAL `span`-token window hashes of a token-hash array
+    * column: element i (0-based) is the 31-multiplier fold of hashes
+    * i..i+span-1; duplicates and order kept (unlike [[shingleHashes]]),
+    * empty array below `span` hashes. This slice/aggregate form is the
+    * executable reference for the rolling O(tokens) compiled
+    * [[windowHashesOf]] (TextHashProps pins them equal); the DuckDB
+    * oracle mirrors this form 1-based. */
+  def windowHashes(tokenHashCol: String, span: Int): Column =
+    expr(s"""
+      CASE WHEN size($tokenHashCol) >= $span THEN
+        transform(sequence(1, size($tokenHashCol) - ${span - 1}), i ->
+          aggregate(slice($tokenHashCol, i, $span),
+            0L, (h, x) -> ((h * 31L) + x) % ${P}L))
+      ELSE cast(array() AS array<bigint>) END""")
+
   /** The i-th MinHash permutation of a shingle hash:
     * (a_i * h + b_i) % P with a_i = 2i+1 (odd, nonzero mod the prime P)
     * and b_i an arbitrary fixed offset. */
@@ -116,4 +131,9 @@ object TextHash {
   /** Codegen'd minimum `gram`-window fold (null below `gram` hashes). */
   def minGramFoldOf(hashes: Column, gram: Int): Column =
     GraftColumns.of(MinGramFold(GraftColumns.expr(hashes), gram))
+
+  /** Codegen'd positional `span`-token window hashes of a text column
+    * (empty array below `span` tokens; rolling O(tokens) pass). */
+  def windowHashesOf(text: Column, span: Int): Column =
+    GraftColumns.of(WindowHashes(GraftColumns.expr(text), span))
 }

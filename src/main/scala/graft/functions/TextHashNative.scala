@@ -216,6 +216,44 @@ object TextHashNative {
     }
     fp
   }
+
+  /** POSITIONAL polynomial hashes of every `span`-token window — the
+    * substring-dedup unit (each element w_i is the 31-multiplier fold
+    * of token hashes i..i+span-1; empty array below `span` tokens).
+    * Unlike [[shingleHashes]] this keeps duplicates AND order: element
+    * index IS the window's 0-based token position, which is what lets
+    * the span-dedup operator turn "window w repeats" into "tokens
+    * [i, i+span) are covered".
+    *
+    * One compiled O(tokens) pass: the naive per-window fold is
+    * O(tokens·span) — at span=50 that is 50× the corpus's total CPU —
+    * so the window hash is maintained incrementally: drop the leading
+    * term (w - th_i·31^(span-1)) mod P, shift by 31, add the entering
+    * token. All intermediates stay under 2^61 (P < 2^30), no overflow,
+    * never negative. The HOF slice/aggregate form in
+    * [[TextHash.windowHashes]] is the executable reference semantics;
+    * TextHashProps pins them equal. */
+  def windowHashes(s: UTF8String, span: Int): ArrayData = {
+    val th = tokenHashArray(s)
+    val n = th.length
+    if (n < span) return new GenericArrayData(Array.emptyLongArray)
+    // 31^(span-1) mod P, for removing the window's leading term
+    var pw = 1L
+    var k = 1
+    while (k < span) { pw = (pw * 31L) % P; k += 1 }
+    val out = new Array[Long](n - span + 1)
+    var w = 0L
+    var j = 0
+    while (j < span) { w = (w * 31L + th(j)) % P; j += 1 }
+    out(0) = w
+    var i = 1
+    while (i <= n - span) {
+      w = (((w - (th(i - 1) * pw) % P + P) % P) * 31L + th(i + span - 1)) % P
+      out(i) = w
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `graft_token_hashes(text)` → array<bigint>: ordered per-token
@@ -413,4 +451,27 @@ case class MinGramFold(child: Expression, gram: Int)
   override protected def withNewChildInternal(newChild: Expression): MinGramFold =
     copy(child = newChild)
   override def prettyName: String = "graft_min_gram_fold"
+}
+
+/** `graft_window_hashes(text, span)` → array<bigint>: positional
+  * polynomial hashes of every `span`-token window (empty array below
+  * `span` tokens) — one compiled rolling O(tokens) pass; see
+  * [[TextHashNative.windowHashes]]. */
+case class WindowHashes(child: Expression, span: Int)
+    extends UnaryExpression {
+  require(span >= 1, s"window hashes need span >= 1, got $span")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_window_hashes needs a string input, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(s: Any): Any =
+    TextHashNative.windowHashes(s.asInstanceOf[UTF8String], span)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashNative.windowHashes($c, $span);")
+  override protected def withNewChildInternal(newChild: Expression): WindowHashes =
+    copy(child = newChild)
+  override def prettyName: String = "graft_window_hashes"
 }

@@ -504,6 +504,108 @@ object Dedup {
           s => s.getField("para")), "\n\n").as("cleaned"))
   }
 
+  /** Exact SUBSTRING-level dedup profile — the ">= L-token duplicated
+    * span" pass run on large pretraining corpora (doc-level q16 misses
+    * two long documents that share one long quoted block; paragraph
+    * q60 misses spans that cross paragraph boundaries or repeat inside
+    * one paragraph). A span occurrence is REPEATED if its `spanTokens`-
+    * window hash has an earlier occurrence anywhere in the corpus —
+    * earlier = lexicographically smaller (doc_id, position), so the
+    * first occurrence corpus-wide keeps its text and every later copy
+    * is flagged (keep-first, like the reference's dedup and unlike
+    * q60's drop-all rule). Per doc, the profile reports how many of
+    * its windows are repeats and how many TOKENS the union of repeated
+    * windows covers (overlapping windows merged, each token counted
+    * once) — the number [[maskRepeatedSpans]] would remove.
+    *
+    * Scale shape: window hashes are ONE compiled rolling O(tokens)
+    * pass per row ([[TextHash.windowHashesOf]]); the corpus-wide
+    * machinery is a single groupBy on the 8-byte window hash — the
+    * first-occurrence pick is a partial-aggregable min(struct) — and
+    * an equi-join back on the same key (the exchange is reused), with
+    * everything after the `n_occ >= 2` filter proportional to the
+    * DUPLICATED volume only. Coverage merging is a per-doc fold over
+    * that doc's own repeat positions (no window function, no second
+    * shuffle). Never all-pairs, no suffix array: the fixed-L window
+    * hash is the standard scalable relaxation of suffix-array substring
+    * dedup — spans >= L are caught exactly (every length-L sub-window
+    * repeats), spans < L never; 31^k collisions mod P are possible in
+    * principle and shared deterministically with the oracle replay. */
+  def repeatedSpanProfile(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 20): DataFrame = {
+    val span = spanTokens
+    val base = docs.select(col(idCol).as("doc_id"),
+      size(TextHash.tokenHashesOf(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("n_windows",
+        greatest(col("n_tokens") - lit(span - 1), lit(0L)))
+    val perDoc = repeatedSpanPositions(docs, idCol, textCol, span)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_rep_windows"),
+        // union length of the fixed-length cover intervals: fold the
+        // sorted positions carrying (covered count, previous end) —
+        // each window adds span tokens minus its overlap with the
+        // previous one; pe starts at 0, positions are >= 0, so the
+        // first window always contributes the full span
+        expr(s"""aggregate(array_sort(collect_list(pos)),
+          named_struct('c', 0L, 'pe', 0L),
+          (a, p) -> named_struct(
+            'c', a.c + (p + ${span}L) - greatest(a.pe, p),
+            'pe', p + ${span}L),
+          a -> a.c)""").as("n_masked_tokens"))
+    base.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_rep_windows"), lit(0L)).as("n_rep_windows"),
+        coalesce(col("n_masked_tokens"), lit(0L)).as("n_masked_tokens"))
+      .withColumn("masked_fp", when(col("n_tokens") > 0,
+        expr("(n_masked_tokens * 1048576) div n_tokens")).otherwise(lit(0L)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[repeatedSpanProfile]]'s text-editing core: tokens covered by
+    * any repeated span are removed (first occurrence kept), the
+    * survivors rejoined with single spaces (whitespace normalizes,
+    * like every tokenizing rewrite here). The per-token keep test is a
+    * row-local scan of the doc's own repeat positions — no extra
+    * shuffle beyond the profile's. DedupSpec pins the token accounting
+    * against the profile: kept tokens == n_tokens - n_masked_tokens. */
+  def maskRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 20): DataFrame = {
+    val span = spanTokens
+    val covs = repeatedSpanPositions(docs, idCol, textCol, span)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("covpos"))
+    docs.select(col(idCol).as("doc_id"),
+        TextHash.tokens(col(textCol)).as("w"))
+      .join(covs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("covpos").isNull, concat_ws(" ", col("w")))
+          .otherwise(expr(s"""concat_ws(' ', filter(w, (t, i) ->
+            NOT exists(covpos, p -> p <= i AND i < p + $span)))"""))
+          .as("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared candidate pass for the span-dedup pair above: the (doc_id,
+    * pos) of every REPEAT window occurrence (first occurrence
+    * excluded). Positions are cast to long so downstream folds never
+    * mix int/long arithmetic. */
+  private def repeatedSpanPositions(docs: DataFrame, idCol: String,
+      textCol: String, span: Int): DataFrame = {
+    require(span >= 1, s"span dedup needs spanTokens >= 1, got $span")
+    val win = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextHash.windowHashesOf(col(textCol), span))
+        .as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("w"))
+    val dup = win.groupBy(col("w"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"),
+        count(lit(1)).as("n_occ"))
+      .where(col("n_occ") >= 2)
+    win.join(dup, Seq("w"))
+      .where(col("doc_id") =!= col("f.doc_id") ||
+        col("pos") =!= col("f.pos"))
+      .select(col("doc_id"), col("pos"))
+  }
+
   /** SimHash near-dup pairs with hamming <= `maxHamming` (default 3).
     * Candidates come from `maxHamming + 1` equal-width chunk buckets:
     * a pair within hamming h differs in at most h of the 48 bits, so by

@@ -2122,9 +2122,70 @@ object Ext {
       GROUP BY sh.doc_id ORDER BY sh.doc_id
     """.trim))
 
+  // ---------------------------------------------------------------- q71
+
+  /** q71 — exact substring-level dedup profile (keep-first, 20-token
+    * spans): per doc, how many window positions repeat an earlier
+    * corpus occurrence and how many tokens the merged repeated spans
+    * cover. The oracle replays the positional rolling-window hashes on
+    * the same portable fold, picks the first occurrence with the same
+    * lexicographic (doc_id, pos) rule (two-step min in SQL ==
+    * min(struct) on the engine side), and merges cover intervals with
+    * a lag window (== the engine's sorted positional fold — both are
+    * the union length of fixed-length intervals). */
+  val q71: Q = Q(
+    "q71_span_dedup",
+    (s, d) => Dedup.repeatedSpanProfile(Tables.documents(s, d),
+      "doc_id", "text", spanTokens = 20),
+    Some(s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      win AS (
+        SELECT doc_id, i - 1 AS pos,
+          list_reduce(list_prepend(0::BIGINT, whl[i : i + 19]),
+            (h, c) -> ((h * 31) + c) % $P) AS w
+        FROM wh, LATERAL unnest(range(1, len(whl) - 18)) AS t(i)
+        WHERE len(whl) >= 20
+      ),
+      occ AS (SELECT w, min(doc_id) AS fdoc, count(*) AS n_occ
+              FROM win GROUP BY 1),
+      f2 AS (
+        SELECT win.w, min(pos) AS fpos
+        FROM win JOIN occ ON win.w = occ.w AND win.doc_id = occ.fdoc
+        WHERE occ.n_occ >= 2 GROUP BY win.w
+      ),
+      rep AS (
+        SELECT win.doc_id, win.pos
+        FROM win JOIN occ ON win.w = occ.w JOIN f2 ON win.w = f2.w
+        WHERE occ.n_occ >= 2
+          AND (win.doc_id > occ.fdoc
+            OR (win.doc_id = occ.fdoc AND win.pos > f2.fpos))
+      ),
+      cov AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rep_windows,
+          CAST(sum(CASE WHEN ppos IS NULL THEN 20
+            ELSE least(pos - ppos, 20) END) AS BIGINT) AS n_masked
+        FROM (SELECT doc_id, pos,
+                lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) ppos
+              FROM rep)
+        GROUP BY 1
+      ),
+      base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM words)
+      SELECT base.doc_id, n_tokens,
+        CAST(greatest(n_tokens - 19, 0) AS BIGINT) AS n_windows,
+        coalesce(n_rep_windows, 0) AS n_rep_windows,
+        coalesce(n_masked, 0) AS n_masked_tokens,
+        CASE WHEN n_tokens > 0
+          THEN (coalesce(n_masked, 0) * 1048576) // n_tokens
+          ELSE 0 END AS masked_fp
+      FROM base LEFT JOIN cov USING (doc_id)
+      ORDER BY doc_id
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
       q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
-      q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70)
+      q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
+      q71)
 }

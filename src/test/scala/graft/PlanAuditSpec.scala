@@ -335,4 +335,44 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.contains("partial"), s"$name lost map-side combine:\n$p")
     }
   }
+
+  test("q71: span dedup is window-free; first-occurrence pick aggregates partially") {
+    // the corpus-wide first-occurrence rule is min(struct(doc_id, pos))
+    // — partial-aggregable — and interval merging is a per-doc fold;
+    // neither may regress to a rank/lag Window over the window-hash
+    // frame (that would sort the full corpus explode)
+    val p = plan("q71_span_dedup")
+    assert(!p.contains("Window"), s"q71 grew a window:\n$p")
+    assert(p.contains("partial"), s"q71 lost map-side combine:\n$p")
+  }
+
+  test("registry sweep: no cartesian product, no nested-loop join beyond the documented set") {
+    // per-query pins only exist where a builder remembered to add one;
+    // this sweep holds the whole registry to the two non-negotiables.
+    // Documented exceptions only:
+    //  - q20: brute-force exact top-k scores 50 query rows against
+    //    every doc via BNLJ BY DESIGN (the ladder's exact rung —
+    //    q57/q61 are the at-scale paths);
+    //  - q21/q39: the IVF centroid frame is ONE broadcast row (all C
+    //    means in a single array), so their BNLJ-Cross is a
+    //    constant-side append per vector row — the row-local
+    //    assignment the q21 pin above asserts, not a pair blowup;
+    //  - q52: crossJoin(broadcast(stats)) appends the ONE-ROW corpus
+    //    scalars (tot_tokens, n_docs) to the matched-term stream —
+    //    the broadcast-stats shape the q52 pin above asserts.
+    // (the repo's only crossJoin call sites are those two one-row
+    // appends: Similarity.assignCells and Retrieval.bm25Scores)
+    val bnljByDesign = Set("q20_embedding_topk",
+      "q21_embedding_neardup_ivf", "q39_embedding_topk_ivf",
+      "q52_bm25_scores")
+    for (name <- SparkEntry.queries.keys.toSeq.sorted
+         if !bnljByDesign.contains(name)) {
+      spark.catalog.clearCache()
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a nested-loop join:\n$p")
+    }
+  }
 }

@@ -94,6 +94,33 @@ object TextHashProps extends Properties("TextHash") {
       }
     }
 
+  property("rolling windowHashes == HOF slice/aggregate reference") =
+    forAll(Gen.listOfN(5, textGen), Gen.oneOf(1, 3, 8, 20, 40)) {
+      (texts, span) =>
+        import scala.jdk.CollectionConverters._
+        val df = spark.createDataFrame(
+          texts.zipWithIndex.map { case (t, i) =>
+            org.apache.spark.sql.Row(i.toLong, t)
+          }.asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType))))
+        // HOF reads the token-hash array column; build it first
+        val out = df
+          .select(col("id"), TextHash.tokenHashesOf(col("text")).as("wh"),
+            TextHash.windowHashesOf(col("text"), span).as("native"))
+          .select(col("id"), col("native"),
+            TextHash.windowHashes("wh", span).as("hof"))
+          .orderBy("id").collect()
+        out.forall { r =>
+          val n = r.getSeq[Long](1)
+          val h = r.getSeq[Long](2)
+          n == h && n.forall(x => x >= 0 && x < TextHash.P)
+        }
+    }
+
   property("tokenization collapses arbitrary whitespace runs") =
     forAll(Gen.listOfN(20, wordGen)) { words =>
       val spaced = words.mkString(" ")

@@ -247,6 +247,61 @@ class DedupSpec extends SparkSpec {
       r.getString(3) == sha256Hex("")))
   }
 
+  test("repeatedSpanProfile: keep-first span accounting, cross-doc and within-doc") {
+    import spark.implicits._
+    // doc 1: 30 unique tokens (the FIRST occurrence of the a-block);
+    // doc 2: 5 own tokens + a 25-token copy of doc 1's prefix — its 6
+    //        span-20 windows at positions 5..10 all repeat doc 1, and
+    //        the merged cover is [5, 30) = 25 tokens;
+    // doc 3: a 20-token block repeated back-to-back — exactly ONE
+    //        window (position 20) re-sees the block, masking [20, 40)
+    val a = (1 to 30).map("a" + _).mkString(" ")
+    val b = ((1 to 5).map("b" + _) ++ (1 to 25).map("a" + _)).mkString(" ")
+    val c = ((1 to 20).map("c" + _) ++ (1 to 20).map("c" + _)).mkString(" ")
+    val corpus = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpanProfile(corpus, "doc_id", "text",
+      spanTokens = 20).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(1L) == ((30L, 11L, 0L, 0L, 0L))) // first occurrence kept
+    assert(out(2L) == ((30L, 11L, 6L, 25L, 25L * 1048576 / 30)))
+    assert(out(3L) == ((40L, 21L, 1L, 20L, 20L * 1048576 / 40)))
+  }
+
+  test("maskRepeatedSpans: covered tokens removed; accounting matches the profile") {
+    import spark.implicits._
+    val a = (1 to 30).map("a" + _).mkString(" ")
+    val b = ((1 to 5).map("b" + _) ++ (1 to 25).map("a" + _)).mkString(" ")
+    val c = ((1 to 20).map("c" + _) ++ (1 to 20).map("c" + _)).mkString(" ")
+    val corpus = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val cleaned = Dedup.maskRepeatedSpans(corpus, "doc_id", "text",
+      spanTokens = 20).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(1L) == a)
+    assert(cleaned(2L) == (1 to 5).map("b" + _).mkString(" "))
+    assert(cleaned(3L) == (1 to 20).map("c" + _).mkString(" "))
+    // token accounting pins the two operators together: kept tokens ==
+    // n_tokens - n_masked_tokens, per doc
+    val prof = Dedup.repeatedSpanProfile(corpus, "doc_id", "text",
+      spanTokens = 20).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(4)))).toMap
+    cleaned.foreach { case (id, text) =>
+      val kept = text.split("\\s+").count(_.nonEmpty)
+      assert(kept == prof(id)._1 - prof(id)._2)
+    }
+  }
+
+  test("repeatedSpanProfile: docs below the span emit zero windows, never negative") {
+    import spark.implicits._
+    val corpus = Seq((1L, "just three tokens"), (2L, "")).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpanProfile(corpus, "doc_id", "text",
+      spanTokens = 20).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(5)))).toMap
+    assert(out(1L) == ((3L, 0L, 0L)))
+    assert(out(2L) == ((0L, 0L, 0L))) // empty text: fp guarded, no div0
+  }
+
   private def sha256Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("SHA-256")
     d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
