@@ -68,50 +68,51 @@ object Bench {
     * triggers a spare isolated run; queries absent here use
     * `defaultFloor` (BASELINE.md: "remaining queries ≤ 1.2 each"). */
   private[graft] val floors: Map[String, Double] = Map(
-    "q17_ngram_jaccard_neardup" -> 2.3,
-    "q31_neardup_clusters" -> 1.37,
-    "q21_embedding_neardup_ivf" -> 2.0,
-    "q39_embedding_topk_ivf" -> 2.0,
+    "q70_novelty_store" -> 1.32,
+    "q17_ngram_jaccard_neardup" -> 2.29,
+    "q31_neardup_clusters" -> 1.08,
+    "q21_embedding_neardup_ivf" -> 1.5,
+    "q39_embedding_topk_ivf" -> 1.66,
     "q36_cross_contamination" -> 1.7,
-    "q30_embedding_neardup_rplsh" -> 1.8,
-    "q34_event_sessionize" -> 1.0,
-    "q9_sales_by_nation" -> 0.84,
-    "q18_minhash_lsh_neardup" -> 0.8,
-    "q37_sequence_packing" -> 0.62,
-    "q19_simhash_neardup" -> 0.5,
-    "q23_quality_score" -> 0.6,
-    "q20_embedding_topk" -> 0.5,
-    "q22_lang_id" -> 0.39,
-    "q38_network_redact" -> 0.35,
-    "q35_repetition_signals" -> 0.33,
-    "q43_asof_join" -> 0.6,
-    "q44_interval_join" -> 0.4,
-    "q45_length_profile" -> 0.3,
+    "q30_embedding_neardup_rplsh" -> 1.74,
+    "q34_event_sessionize" -> 0.77,
+    "q9_sales_by_nation" -> 0.69,
+    "q18_minhash_lsh_neardup" -> 0.56,
+    "q37_sequence_packing" -> 0.52,
+    "q19_simhash_neardup" -> 0.37,
+    "q23_quality_score" -> 0.53,
+    "q20_embedding_topk" -> 0.37,
+    "q22_lang_id" -> 0.31,
+    "q38_network_redact" -> 0.25,
+    "q35_repetition_signals" -> 0.23,
+    "q43_asof_join" -> 0.57,
+    "q44_interval_join" -> 0.39,
+    "q45_length_profile" -> 0.27,
     "q46_grouped_topk" -> 0.25,
-    "q47_sliding_chunks" -> 0.6,
-    "q48_keepbest_dedup" -> 0.46,
-    "q49_eval_overlap" -> 0.8,
-    "q50_curriculum_bins" -> 0.61,
-    "q51_priority_sample" -> 0.24,
-    "q52_bm25_scores" -> 1.18,
-    "q53_semantic_clusters" -> 2.4,
-    "q54_shingle_novelty" -> 0.42,
-    "q55_embedding_quantize" -> 0.52,
+    "q47_sliding_chunks" -> 0.46,
+    "q48_keepbest_dedup" -> 0.37,
+    "q49_eval_overlap" -> 0.59,
+    "q50_curriculum_bins" -> 0.44,
+    "q51_priority_sample" -> 0.19,
+    "q52_bm25_scores" -> 0.99,
+    "q53_semantic_clusters" -> 2.22,
+    "q54_shingle_novelty" -> 0.35,
+    "q55_embedding_quantize" -> 0.4,
     "q56_pq_codes" -> 1.1,
-    "q57_pq_adc_topk" -> 1.7,
-    "q58_rollup_revenue" -> 0.53,
-    "q59_pivot_returnflag" -> 0.9,
+    "q57_pq_adc_topk" -> 1.49,
+    "q58_rollup_revenue" -> 0.45,
+    "q59_pivot_returnflag" -> 0.75,
     "q60_paragraph_dedup" -> 0.66,
-    "q61_ivfpq_topk" -> 2.35,
-    "q62_column_profile" -> 0.64,
-    "q63_asof_tolerance" -> 0.66,
-    "q64_cube_revenue" -> 0.67,
-    "q25_doc_fingerprint" -> 0.3,
+    "q61_ivfpq_topk" -> 1.92,
+    "q62_column_profile" -> 0.57,
+    "q63_asof_tolerance" -> 0.55,
+    "q64_cube_revenue" -> 0.53,
+    "q25_doc_fingerprint" -> 0.23,
     "q65_term_zipf" -> 0.63,
     "q66_lexical_richness" -> 0.65,
-    "q67_novelty_decay" -> 0.78,
-    "q68_holdout_split" -> 0.34,
-    "q69_event_drift" -> 0.88)
+    "q67_novelty_decay" -> 0.62,
+    "q68_holdout_split" -> 0.3,
+    "q69_event_drift" -> 0.85)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
