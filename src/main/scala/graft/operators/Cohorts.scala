@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cohort/funnel analytics over the event stream — the product-side
+  * OLAP complement to [[Drift]]'s ingest-health view: `Drift` alarms on
+  * "does today's mix look like yesterday's?", these answer "do the
+  * users we acquired in week W keep coming back?" (retention) and
+  * "how far do users get through an ordered step sequence?" (funnel).
+  * Both are the standard warehouse workloads a team running this
+  * engine would otherwise ship events OUT to a BI store for.
+  *
+  * Engine-portability: no calendar functions anywhere. `weekofyear`/
+  * `date_trunc('week')` differ across engines in week-start and
+  * year-boundary conventions, so the week index is plain integer
+  * arithmetic — days-since-epoch `div` 7 — which every engine replays
+  * bit-for-bit (the same reasoning that keeps q69 on integer L1
+  * instead of KL). Funnel step ordering compares microsecond longs
+  * (q34's ns→µs lift), never timestamps.
+  *
+  * Scale shape (both operators):
+  *   - retention: ONE distinct over (user, week) — the only
+  *     corpus-sized shuffle, partial-aggregable — then a per-user min
+  *     and the matrix rollup, all hash-partitioned on the SAME key
+  *     (`user`), so consecutive exchanges reuse the partitioning; the
+  *     output is |cohorts|·|offsets| rows, nothing user-sized leaves
+  *     the cluster.
+  *   - funnel: per-step frames are ≤ |users| rows after their
+  *     `groupBy(user)` partial aggregate; every join/groupBy in the
+  *     cascade keys on `user`. Depth counting is a CASE over left-join
+  *     nullability — no window, no per-user event sort, no driver
+  *     state. A step's event filter is pushed to the scan (only that
+  *     step's rows are read from a type-partitioned store).
+  */
+object Cohorts {
+
+  /** Days-since-epoch `div` 7 — the portable week index. */
+  private def weekIndex(day: Column): Column =
+    call_function("div", datediff(day, to_date(lit("1970-01-01"))), lit(7))
+
+  /** Weekly retention matrix: one row per (cohort_week, week_offset)
+    * with the count of cohort users active in that offset week.
+    * `cohort_week` is the user's FIRST active week (the acquisition
+    * cohort); offset 0 rows carry each cohort's size. Counts are
+    * exact distinct users — (user, week) is deduplicated first, and
+    * within one user a week maps to exactly one (cohort, offset) cell,
+    * so the final rollup needs no second distinct. */
+  def retentionMatrix(events: DataFrame, userCol: String, dayCol: Column)
+      : DataFrame = {
+    val uw = events
+      .select(col(userCol).as("u"), dayCol.as("day"))
+      .select(col("u"), weekIndex(col("day")).as("w"))
+      .distinct()
+    // cohort week via an unordered window-min over the DISTINCT frame —
+    // not a groupBy+self-join, which would scan and re-distinct the
+    // event stream twice (the window's input is |active user-weeks|
+    // rows, already 'events'-to-'uw' reduced; its only cost is one
+    // hash exchange on u over that reduced frame)
+    val byUser = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    uw.withColumn("cohort_week", min(col("w")).over(byUser))
+      .groupBy(col("cohort_week"),
+        (col("w") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Ordered-step funnel: how many users completed exactly `d` of the
+    * `steps` sequence IN ORDER (each step strictly after the user's
+    * earliest completion of the previous one — the standard
+    * first-touch funnel). Output: (funnel_depth, step, n_users), one
+    * row per depth 0..steps.length present in the data; `step` names
+    * the deepest step reached ("(none)" at depth 0). Depths with no
+    * users produce no row (counts-only output hash-verifies).
+    *
+    * Semantics note: "strictly after" (`>`, not `>=`) means a
+    * same-microsecond view+click pair does NOT advance the funnel —
+    * the deliberate choice, since equal-timestamp ordering would
+    * otherwise be engine-dependent tie-breaking. */
+  def funnel(events: DataFrame, userCol: String, tsUsCol: Column,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.distinct == steps,
+      s"funnel: steps must be non-empty and distinct, got $steps")
+    val e = events.select(col(userCol).as("u"), tsUsCol.as("ts_us"),
+      col(typeCol).as("t"))
+    // t_i = min event time of step i strictly after t_{i-1}; ≤|users| rows.
+    val stepTimes: Seq[DataFrame] = steps.zipWithIndex
+      .foldLeft(Vector.empty[DataFrame]) { case (acc, (step, i)) =>
+        val matched = acc.lastOption match {
+          case None => e.where(col("t") === step)
+          case Some(prev) =>
+            e.where(col("t") === step)
+              .join(prev.select(col("u"), col(s"t${i - 1}")), Seq("u"))
+              .where(col("ts_us") > col(s"t${i - 1}"))
+        }
+        acc :+ matched.groupBy(col("u")).agg(min(col("ts_us")).as(s"t$i"))
+      }
+    val joined = stepTimes.zipWithIndex.foldLeft(e.select(col("u")).distinct()) {
+      case (df, (st, i)) => df.join(st.select(col("u"), col(s"t$i")), Seq("u"), "left")
+    }
+    // forward fold so the DEEPEST step's branch is the outermost `when`
+    // (each later step wraps the earlier chain as its `otherwise`)
+    val depth = steps.indices.foldLeft(lit(0)) { (els, i) =>
+      when(col(s"t$i").isNotNull, lit(i + 1)).otherwise(els)
+    }
+    val stepName = steps.indices.foldLeft(lit("(none)")) { (els, i) =>
+      when(col(s"t$i").isNotNull, lit(steps(i))).otherwise(els)
+    }
+    joined
+      .select(depth.cast("int").as("funnel_depth"), stepName.as("step"))
+      .groupBy(col("funnel_depth"), col("step"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("funnel_depth"))
+  }
+}

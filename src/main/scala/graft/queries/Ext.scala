@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Dec, Tables}
-import graft.operators.{Dedup, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Sampling, Scrub, Similarity, TextAnalysis}
+import graft.operators.{Cohorts, Dedup, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Sampling, Scrub, Similarity, TextAnalysis}
 
 /** EXT — the LLM-training-data-pipeline operators (SURVEY.md §2.11;
   * BASELINE.json north star) over the `documents` / `embeddings`
@@ -2182,10 +2182,82 @@ object Ext {
       ORDER BY doc_id
     """.trim))
 
+  // ---------------------------------------------------------------- q72
+
+  /** q72 — weekly retention cohort matrix over the event stream: for
+    * each acquisition cohort (a user's FIRST active week), how many of
+    * its users were active again k weeks later. The product-analytics
+    * staple (every BI export job exists to answer this); here it runs
+    * where the events already live. Week = days-since-epoch div 7 —
+    * NO weekofyear/date_trunc('week'): week-start and year-boundary
+    * conventions differ across engines, integer day arithmetic
+    * doesn't. One corpus-sized distinct on (user, week); everything
+    * after is |users| rows hash-partitioned on the same key. */
+  val q72: Q = Q(
+    "q72_retention_cohorts",
+    (s, d) =>
+      Cohorts.retentionMatrix(
+        Tables.events(s, d), "user_id",
+        to_date(timestamp_micros(expr("ts div 1000")))),
+    Some("""
+      WITH uw AS (
+        SELECT DISTINCT user_id AS u,
+          (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS w
+        FROM events),
+      ch AS (SELECT u, min(w) AS cohort_week FROM uw GROUP BY u)
+      SELECT cohort_week, w - cohort_week AS week_offset,
+        count(*) AS n_active
+      FROM uw JOIN ch USING (u)
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """.trim))
+
+  // ---------------------------------------------------------------- q73
+
+  /** q73 — ordered-step conversion funnel (view → click → purchase):
+    * users counted at the DEEPEST step reached, each step strictly
+    * after the user's earliest completion of the previous one.
+    * Strictly-after (`>`) is deliberate: a same-microsecond pair must
+    * not advance the funnel, because equal-timestamp ordering would be
+    * engine-dependent tie-breaking (the q34 lesson applied to
+    * cross-event causality). Cascade of ≤|users|-row per-step min
+    * aggregates, all keyed on user — no window, no event sort. */
+  val q73: Q = Q(
+    "q73_conversion_funnel",
+    (s, d) =>
+      Cohorts.funnel(Tables.events(s, d), "user_id",
+        expr("ts div 1000"), "event_type",
+        Seq("view", "click", "purchase")),
+    Some("""
+      WITH e AS (
+        SELECT user_id AS u, event_type AS t,
+          CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        FROM events),
+      s0 AS (SELECT u, min(ts_us) AS t0 FROM e WHERE t = 'view' GROUP BY u),
+      s1 AS (SELECT e.u, min(ts_us) AS t1
+             FROM e JOIN s0 ON e.u = s0.u AND e.ts_us > s0.t0
+             WHERE t = 'click' GROUP BY e.u),
+      s2 AS (SELECT e.u, min(ts_us) AS t2
+             FROM e JOIN s1 ON e.u = s1.u AND e.ts_us > s1.t1
+             WHERE t = 'purchase' GROUP BY e.u),
+      depth AS (
+        SELECT CAST(CASE WHEN t2 IS NOT NULL THEN 3
+                         WHEN t1 IS NOT NULL THEN 2
+                         WHEN t0 IS NOT NULL THEN 1
+                         ELSE 0 END AS INTEGER) AS funnel_depth,
+          CASE WHEN t2 IS NOT NULL THEN 'purchase'
+               WHEN t1 IS NOT NULL THEN 'click'
+               WHEN t0 IS NOT NULL THEN 'view'
+               ELSE '(none)' END AS step
+        FROM (SELECT DISTINCT u FROM e) u0
+        LEFT JOIN s0 USING (u) LEFT JOIN s1 USING (u) LEFT JOIN s2 USING (u))
+      SELECT funnel_depth, step, count(*) AS n_users
+      FROM depth GROUP BY 1, 2 ORDER BY 1
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
       q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-      q71)
+      q71, q72, q73)
 }

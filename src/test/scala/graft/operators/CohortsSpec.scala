@@ -1,0 +1,80 @@
+package graft.operators
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantics the q72/q73 oracle fixtures can't be trusted to exercise:
+  * cohort assignment at week boundaries, funnel steps arriving OUT of
+  * order (a click before any view must not count), and the pinned
+  * strictly-after tie rule (same-microsecond pairs don't advance). */
+class CohortsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("retentionMatrix: cohort = first active week, offsets count distinct users") {
+    // week index: 1970-01-01 is day 0 → week 0; 1970-01-08 is day 7 → week 1
+    val events = Seq(
+      (1L, "1970-01-01"), (1L, "1970-01-02"),   // u1 week 0, twice (dedup)
+      (1L, "1970-01-08"),                        // u1 week 1
+      (2L, "1970-01-08"), (2L, "1970-01-22"),    // u2 cohort week 1, offset 2
+      (3L, "1970-01-07")                         // u3 day 6 → still week 0
+    ).toDF("user_id", "d").select(col("user_id"), to_date(col("d")).as("d"))
+
+    val m = Cohorts.retentionMatrix(events, "user_id", col("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(m.toSeq == Seq(
+      (0L, 0L, 2L),   // u1 + u3 acquired week 0 (u1's two day-0 events dedup)
+      (0L, 1L, 1L),   // u1 back in week 1
+      (1L, 0L, 1L),   // u2 acquired week 1
+      (1L, 2L, 1L)))  // u2 back two weeks later
+  }
+
+  test("funnel: out-of-order and tied steps do not advance") {
+    val events = Seq(
+      // u1: full ordered funnel
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // u2: click BEFORE its only view — depth stops at view
+      (2L, 20L, "click"), (2L, 30L, "view"),
+      // u3: click at the SAME microsecond as the view — strictly-after
+      // rule says not advanced; later purchase can't fire without click
+      (3L, 10L, "view"), (3L, 10L, "click"), (3L, 40L, "purchase"),
+      // u4: no funnel steps at all
+      (4L, 10L, "error")
+    ).toDF("user_id", "ts_us", "event_type")
+
+    val f = Cohorts.funnel(events, "user_id", col("ts_us"), "event_type",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(f == Seq(
+      (0, "(none)", 1L),   // u4
+      (1, "view", 2L),     // u2, u3
+      (3, "purchase", 1L)))// u1
+  }
+
+  test("funnel: a later view can restart the chain for a previously-early click") {
+    // u5's first view at 30 is AFTER its click at 20 — but a second
+    // click at 40 follows the view, so the funnel completes through
+    // click. Earliest-completion semantics: t_view = 30, t_click = 40.
+    val events = Seq(
+      (5L, 20L, "click"), (5L, 30L, "view"), (5L, 40L, "click")
+    ).toDF("user_id", "ts_us", "event_type")
+    val f = Cohorts.funnel(events, "user_id", col("ts_us"), "event_type",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(f == Seq((2, "click", 1L)))
+  }
+
+  test("funnel rejects duplicate or empty step lists") {
+    val df = Seq((1L, 1L, "view")).toDF("user_id", "ts_us", "event_type")
+    intercept[IllegalArgumentException] {
+      Cohorts.funnel(df, "user_id", col("ts_us"), "event_type",
+        Seq("view", "view"))
+    }
+    intercept[IllegalArgumentException] {
+      Cohorts.funnel(df, "user_id", col("ts_us"), "event_type", Nil)
+    }
+  }
+}
