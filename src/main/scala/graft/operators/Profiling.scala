@@ -47,4 +47,52 @@ object Profiling {
         col("e.n_nulls").as("n_nulls"), col("e.n_distinct").as("n_distinct"))
       .orderBy(col("column_name"))
   }
+
+  /** True iff `w` is an exact power of two (2^k, k any integer) —
+    * the widths for which IEEE division is a pure exponent shift, so
+    * `floor(x / w)` is bit-identical on every engine. */
+  private def isDyadic(w: Double): Boolean =
+    w > 0 && java.lang.Double.isFinite(w) &&
+      (java.lang.Double.doubleToLongBits(w) & 0x000fffffffffffffL) == 0L
+
+  /** Equi-width value histograms for numeric columns — the
+    * distribution half of the profile ([[columnProfile]] counts; this
+    * shapes), the input to skew diagnosis, curriculum thresholds, and
+    * any optimizer-stats analog. Output: (column_name, bucket,
+    * bucket_lo, n_rows) per non-empty bucket, where
+    * `bucket = floor(value / width)` and `bucket_lo = bucket · width`;
+    * NULL values land in a NULL bucket row so the histogram still
+    * accounts every row.
+    *
+    * Widths are REQUIRED to be powers of two (any 2^k — 4096, 8,
+    * 0.015625): dividing by 2^k only shifts the exponent, so bucket
+    * assignment is exact IEEE on every engine — no "value on a bucket
+    * boundary" drift, the same reasoning as the dyadic quantiles in
+    * the length profile. A non-dyadic width fails loudly rather than
+    * profiling approximately.
+    *
+    * Scale shape: ONE table scan; the (column, bucket) pairs are a
+    * row-local explode (×|cols| before the map-side combine collapses
+    * them to ≤ |cols|·|buckets| rows per task), then one tiny shuffle.
+    * Per-column groupBys would scan the table |cols| times instead. */
+  def histogram(df: DataFrame, widths: Seq[(String, Double)]): DataFrame = {
+    require(widths.nonEmpty, "histogram needs at least one column")
+    val bad = widths.map(_._1).filterNot(df.columns.contains)
+    require(bad.isEmpty, s"unknown columns: $bad")
+    val nonDyadic = widths.filterNot { case (_, w) => isDyadic(w) }
+    require(nonDyadic.isEmpty,
+      s"histogram widths must be powers of two for engine-exact " +
+        s"bucketing, got: $nonDyadic")
+    val entries = widths.map { case (c, w) =>
+      struct(lit(c).as("column_name"),
+        floor(raw(c) / lit(w)).cast("long").as("bucket"),
+        lit(w).as("width"))
+    }
+    df.select(explode(array(entries: _*)).as("e"))
+      .groupBy(col("e.column_name").as("column_name"),
+        col("e.bucket").as("bucket"),
+        (col("e.bucket") * col("e.width")).as("bucket_lo"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("column_name"), col("bucket").asc_nulls_first)
+  }
 }

@@ -2254,10 +2254,81 @@ object Ext {
       FROM depth GROUP BY 1, 2 ORDER BY 1
     """.trim))
 
+  // ---------------------------------------------------------------- q74
+
+  /** q74 — equi-width histograms over the fact's numeric columns (the
+    * distribution half of q62's profile; optimizer-stats / skew-
+    * diagnosis input). Widths are powers of two so bucket assignment
+    * is a pure IEEE exponent shift — exact on every engine; ONE scan,
+    * row-local explode, one tiny (column, bucket) aggregate. */
+  val q74: Q = Q(
+    "q74_histogram",
+    (s, d) =>
+      Profiling.histogram(Tables.lineitem(s, d), Seq(
+        "l_quantity" -> 8.0, "l_extendedprice" -> 4096.0,
+        "l_discount" -> 0.015625, "l_tax" -> 0.015625)),
+    Some("""
+      SELECT column_name, bucket, bucket_lo, count(*) AS n_rows FROM (
+        SELECT 'l_quantity' AS column_name,
+          CAST(floor(l_quantity / 8.0) AS BIGINT) AS bucket,
+          CAST(floor(l_quantity / 8.0) AS BIGINT) * 8.0 AS bucket_lo
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice',
+          CAST(floor(l_extendedprice / 4096.0) AS BIGINT),
+          CAST(floor(l_extendedprice / 4096.0) AS BIGINT) * 4096.0
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount',
+          CAST(floor(l_discount / 0.015625) AS BIGINT),
+          CAST(floor(l_discount / 0.015625) AS BIGINT) * 0.015625
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_tax',
+          CAST(floor(l_tax / 0.015625) AS BIGINT),
+          CAST(floor(l_tax / 0.015625) AS BIGINT) * 0.015625
+        FROM lineitem)
+      GROUP BY 1, 2, 3
+      ORDER BY column_name, bucket NULLS FIRST
+    """.trim))
+
+  // ---------------------------------------------------------------- q75
+
+  /** q75 — GROUPING SETS: the arbitrary-set member of the q58/q64/q59
+    * family (ROLLUP is the hierarchical prefix chain, CUBE the full
+    * lattice; GROUPING SETS expresses what neither can — here both
+    * one-dimension marginals WITHOUT the grand total or the pair).
+    * Same execution shape: ONE Expand + partial hash aggregate, one
+    * scan; grouping_id disambiguates set membership from real NULLs.
+    * SQL API on both engines — Spark's Dataset API deliberately only
+    * exposes rollup/cube, so the SQL surface IS the idiomatic form. */
+  val q75: Q = {
+    val sql = """
+      SELECT l_returnflag, l_linestatus,
+        CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS nivel,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+          AS ingresos,
+        COUNT(*) AS n_rows
+      FROM lineitem_q75
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        (l_returnflag), (l_linestatus))
+      ORDER BY nivel, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """.trim
+    Q(
+      "q75_grouping_sets",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q75")
+        s.sql(sql)
+      },
+      Some(sql.replace("lineitem_q75", "lineitem").replace(
+        "grouping_id(l_returnflag, l_linestatus)",
+        "GROUPING_ID(l_returnflag, l_linestatus)")))
+  }
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
       q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-      q71, q72, q73)
+      q71, q72, q73, q74, q75)
 }

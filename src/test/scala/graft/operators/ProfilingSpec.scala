@@ -31,6 +31,34 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("histogram: dyadic buckets, NULL bucket accounted, every row counted") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Double, Long)](
+      (0.0, 1L), (7.9, 2L), (8.0, 3L), (16.1, 4L), (null, 5L), (-0.5, 6L)
+    ).toDF("v", "id")
+    val h = Profiling.histogram(df, Seq("v" -> 8.0)).collect()
+      .map(r => (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getLong(3))).toSeq
+    // -0.5 → bucket -1 (floor, not truncate); 8.0 lands in bucket 1
+    assert(h == Seq((None, 1L), (Some(-1L), 1L), (Some(0L), 2L),
+      (Some(1L), 1L), (Some(2L), 1L)))
+    assert(h.map(_._2).sum == df.count())
+  }
+
+  test("histogram rejects non-dyadic widths and unknown columns") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Profiling.histogram(df, Seq("a" -> 10.0))   // not a power of two
+    }
+    intercept[IllegalArgumentException] {
+      Profiling.histogram(df, Seq("nope" -> 8.0))
+    }
+    intercept[IllegalArgumentException] {
+      Profiling.histogram(df, Seq("a" -> 0.0))
+    }
+  }
+
   test("column names with quotes, backticks, and dots profile safely") {
     import scala.jdk.CollectionConverters._
     val nasty = "o'brien.`col"
