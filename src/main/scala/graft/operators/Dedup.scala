@@ -110,30 +110,68 @@ object Dedup {
     * broadcast left-join — the train corpus is never shuffled, and the
     * per-doc aggregate that follows groups on `doc_id`, a key the scan
     * already clusters. With `broadcastEval=false` the same plan falls
-    * back to a shuffle join for oversized eval sets. A Bloom filter
-    * over eval hashes would prune even earlier at 100 TB; the
-    * broadcast-hash probe here has identical semantics and zero
-    * false-positive bookkeeping. */
+    * back to a shuffle join for oversized eval sets.
+    *
+    * The THIRD rung, `bloomPrefilter=true` (use with
+    * `broadcastEval=false`), covers the gap between the other two: an
+    * eval shingle set too big for a broadcast HASH RELATION (~40
+    * bytes/key of join-table overhead) but whose Bloom filter (~1.2
+    * bytes/key at 1% fpp) still fits every executor. The train side is
+    * filtered ROW-LOCALLY through the codegen'd
+    * `BloomFilterMightContain` before the confirm join, so only the
+    * true hits plus the fpp-sized false-positive trickle ever shuffle
+    * — per-doc totals come from a separate partial aggregate whose
+    * exchange carries counts, not shingles. EXACTNESS IS PRESERVED: a
+    * Bloom filter has no false negatives, and the exact join confirms
+    * away its false positives — q76 pins the composition against the
+    * same DuckDB oracle as q49. The filter is built from the eval side
+    * with one `stat.bloomFilter` pass sized by `bloomExpectedItems` /
+    * `bloomFpp` (caller-supplied — the q61 lesson: no hidden count()
+    * job; an undersized filter only raises fpp, never breaks
+    * exactness). */
   def evalOverlapRate(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, contaminatedAt: Double = 0.2,
-      broadcastEval: Boolean = true): DataFrame = {
+      broadcastEval: Boolean = true,
+      bloomPrefilter: Boolean = false,
+      bloomExpectedItems: Long = 4L << 20,
+      bloomFpp: Double = 0.01): DataFrame = {
     require(contaminatedAt >= 0.0 && contaminatedAt <= 1.0,
       s"contaminatedAt=$contaminatedAt must be in [0, 1]")
     val tr = hashShingled(train, idCol, textCol)
     val ev0 = hashShingled(eval, idCol, textCol).select(col("hs")).distinct()
-    val ev = (if (broadcastEval) broadcast(ev0) else ev0)
-      .withColumn("__hit", lit(1))
     val rate = col("n_hit").cast("double") / col("n_shingles")
-    tr.join(ev, Seq("hs"), "left")
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_shingles"),
-        count(col("__hit")).as("n_hit"))
+    val flagged = (counts: DataFrame) => counts
       .select(
         col("doc_id"), col("n_shingles"), col("n_hit"),
         rate.as("overlap_rate"),
         when(rate >= contaminatedAt, 1).otherwise(0).as("contaminated"))
       .orderBy(col("doc_id"))
+    if (!bloomPrefilter) {
+      val ev = (if (broadcastEval) broadcast(ev0) else ev0)
+        .withColumn("__hit", lit(1))
+      flagged(tr.join(ev, Seq("hs"), "left")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          count(col("__hit")).as("n_hit")))
+    } else {
+      val bf = ev0.stat.bloomFilter("hs", bloomExpectedItems, bloomFpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val might = org.apache.spark.sql.GraftColumns.of(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            bos.toByteArray,
+            org.apache.spark.sql.types.BinaryType),
+          org.apache.spark.sql.GraftColumns.expr(col("hs"))))
+      val totals = tr.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"))
+      val ev = if (broadcastEval) broadcast(ev0) else ev0
+      val hits = tr.where(might).join(ev, Seq("hs"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      flagged(totals.join(hits, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_hit")))
+    }
   }
 
   /** Pairwise Jaccard >= `threshold` over word-3-gram shingle sets via

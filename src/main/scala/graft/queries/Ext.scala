@@ -1248,16 +1248,7 @@ object Ext {
     * (eval) half's union set, flagged at 0.2. The engine probes a
     * BROADCAST distinct eval set — the train side never shuffles;
     * PlanAuditSpec pins the broadcast. */
-  val q49: Q = Q(
-    "q49_eval_overlap",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      Dedup.evalOverlapRate(
-        docs.where(col("doc_id") % 2 === 0),
-        docs.where(col("doc_id") % 2 === 1),
-        "doc_id", "text", contaminatedAt = 0.2)
-    },
-    Some(s"""
+  private lazy val q49OracleSql: String = s"""
       WITH $duckWords,
       $duckTokenHashes,
       $duckHashShingles,
@@ -1271,7 +1262,18 @@ object Ext {
           THEN 1 ELSE 0 END AS INT) AS contaminated
       FROM tr LEFT JOIN ev ON tr.hs = ev.hs
       GROUP BY tr.doc_id ORDER BY tr.doc_id
-    """.trim))
+    """.trim
+
+  val q49: Q = Q(
+    "q49_eval_overlap",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.evalOverlapRate(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", contaminatedAt = 0.2)
+    },
+    Some(q49OracleSql))
 
   // ---------------------------------------------------------------- q50
 
@@ -2325,10 +2327,34 @@ object Ext {
         "GROUPING_ID(l_returnflag, l_linestatus)")))
   }
 
+  // ---------------------------------------------------------------- q76
+
+  /** q76 — q49's decontamination through the BLOOM-PREFILTER rung (the
+    * middle of the three scale paths: broadcast hash set → Bloom +
+    * confirm join → plain shuffle join). The train side is filtered
+    * row-locally through the codegen'd `might_contain` before anything
+    * shuffles; the exact confirm join removes the false-positive
+    * trickle, so the output — and therefore the oracle — is
+    * IDENTICAL to q49's. A deliberately UNDERSIZED filter (expected
+    * items far below the fixture's shingle count) keeps the fpp real
+    * in the verified path rather than vanishingly small. */
+  val q76: Q = Q(
+    "q76_eval_overlap_bloom",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.evalOverlapRate(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", contaminatedAt = 0.2,
+        broadcastEval = false, bloomPrefilter = true,
+        bloomExpectedItems = 1L << 14, bloomFpp = 0.05)
+    },
+    Some(q49OracleSql))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
       q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-      q71, q72, q73, q74, q75)
+      q71, q72, q73, q74, q75, q76)
 }

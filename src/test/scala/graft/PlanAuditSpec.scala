@@ -346,6 +346,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial"), s"q71 lost map-side combine:\n$p")
   }
 
+  test("q76: bloom prefilter runs row-locally before the confirm join") {
+    // the Bloom rung's whole point: BloomFilterMightContain must appear
+    // as a Filter on the train shingle stream (before any join/exchange
+    // of that stream), so at scale only hits + the fpp trickle shuffle
+    val p = plan("q76_eval_overlap_bloom")
+    assert(p.contains("might_contain"), s"q76 lost the bloom prefilter:\n$p")
+  }
+
   test("registry sweep: no cartesian product, no nested-loop join beyond the documented set") {
     // per-query pins only exist where a builder remembered to add one;
     // this sweep holds the whole registry to the two non-negotiables.
