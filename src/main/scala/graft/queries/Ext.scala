@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Dec, Tables}
-import graft.operators.{Cohorts, Dedup, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Sampling, Scrub, Similarity, TextAnalysis}
+import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Sampling, Scrub, Similarity, TextAnalysis}
 
 /** EXT — the LLM-training-data-pipeline operators (SURVEY.md §2.11;
   * BASELINE.json north star) over the `documents` / `embeddings`
@@ -2351,10 +2351,48 @@ object Ext {
     },
     Some(q49OracleSql))
 
+  // ---------------------------------------------------------------- q77
+
+  /** q77 — snapshot diff between two corpus versions (the post-ingest
+    * audit): old = docs outside residue 4 (mod 5), new = docs outside
+    * residue 3 with every 7th text amended — so the fixture
+    * deterministically exercises all four change kinds. The engine
+    * joins 32-byte sha-256 fingerprints through ONE full-outer hash
+    * join; the oracle reaches the same verdicts by comparing text
+    * directly (collision-free ≡ identical decisions). */
+  val q77: Q = Q(
+    "q77_snapshot_diff",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Diff.snapshotDiff(
+        docs.where(col("doc_id") % 5 =!= 4),
+        docs.where(col("doc_id") % 5 =!= 3)
+          .withColumn("text",
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text"))),
+        "doc_id", "source", Seq("text"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT doc_id, source, text FROM documents WHERE doc_id % 5 <> 4),
+      n AS (
+        SELECT doc_id, source,
+          CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        FROM documents WHERE doc_id % 5 <> 3)
+      SELECT COALESCE(n.source, o.source) AS source,
+        CASE WHEN o.doc_id IS NULL THEN 'added'
+             WHEN n.doc_id IS NULL THEN 'removed'
+             WHEN o.text <> n.text THEN 'changed'
+             ELSE 'unchanged' END AS change,
+        count(*) AS n_docs
+      FROM o FULL JOIN n ON o.doc_id = n.doc_id
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
       q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-      q71, q72, q73, q74, q75, q76)
+      q71, q72, q73, q74, q75, q76, q77)
 }

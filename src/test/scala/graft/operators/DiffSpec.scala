@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Edges the q77 oracle fixture can't exercise: multi-column
+  * fingerprint aliasing and the fail-loud column check. */
+class DiffSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("multi-column content does not alias across the column boundary") {
+    // ("ab","c") vs ("a","bc") concatenate identically without a
+    // separator — the NUL join must classify them as changed
+    val oldSnap = Seq((1L, "s", "ab", "c")).toDF("id", "src", "a", "b")
+    val newSnap = Seq((1L, "s", "a", "bc")).toDF("id", "src", "a", "b")
+    val out = Diff.snapshotDiff(oldSnap, newSnap, "id", "src", Seq("a", "b"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(("changed", 1L)))
+  }
+
+  test("all four change kinds classify; removed docs keep their old source") {
+    val oldSnap = Seq((1L, "s1", "x"), (2L, "s2", "y"), (3L, "s3", "z"))
+      .toDF("id", "src", "t")
+    val newSnap = Seq((1L, "s1", "x"), (2L, "s2", "Y"), (4L, "s4", "w"))
+      .toDF("id", "src", "t")
+    val out = Diff.snapshotDiff(oldSnap, newSnap, "id", "src", Seq("t"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(out == Seq(
+      ("s1", "unchanged", 1L), ("s2", "changed", 1L),
+      ("s3", "removed", 1L), ("s4", "added", 1L)))
+  }
+
+  test("unknown columns fail loudly") {
+    val df = Seq((1L, "s", "x")).toDF("id", "src", "t")
+    intercept[IllegalArgumentException] {
+      Diff.snapshotDiff(df, df, "id", "src", Seq("nope"))
+    }
+  }
+}
