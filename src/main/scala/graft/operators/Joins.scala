@@ -34,6 +34,11 @@ import org.apache.spark.sql.functions._
   * same contract DuckDB's ASOF documents, where a tied right side picks
   * an arbitrary row.
   *
+  * `forward = true` flips the direction — the EARLIEST right row
+  * at-or-after (q78's time-to-next-event form, DuckDB `ASOF ... <=`):
+  * the same single window iterated in reverse time order, so cost and
+  * state are identical to the backward join.
+  *
   * == Interval join ==
   * Point-in-interval matching with NO equi-key (the hard case: with an
   * equi-key the range predicate is just a post-filter on an ordinary
@@ -58,7 +63,7 @@ object Joins {
     * key or time never match (SQL equality/inequality semantics).
     */
   def asOf(left: DataFrame, right: DataFrame, key: String, time: String,
-      inclusive: Boolean = true): DataFrame = {
+      inclusive: Boolean = true, forward: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
     val payload = right.columns.toSeq.filterNot(c => c == key || c == time)
     require(payload.nonEmpty, "right side has no payload columns")
@@ -75,8 +80,14 @@ object Joins {
     val l = left.select(col(key).as("__k"), col(time).as("__t"),
       struct(lPayload.map(col): _*).as("__l"), lit(lTag).as("__side"))
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    // forward = the EARLIEST right row at-or-after: identical machinery
+    // iterated in reverse time order — the carried "most recent right
+    // seen" becomes "nearest following right". The tag order (and with
+    // it the inclusive/strict tie rule) is unchanged because __side
+    // still sorts ascending within one timestamp.
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(if (forward) col("__t").desc else col("__t").asc,
+        col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))

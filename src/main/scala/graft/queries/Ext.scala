@@ -2389,10 +2389,53 @@ object Ext {
       GROUP BY 1, 2 ORDER BY 1, 2
     """.trim))
 
+  // ---------------------------------------------------------------- q78
+
+  /** q78 — FORWARD as-of join: for each click, the same user's next
+    * purchase at-or-after it (time-to-convert — the attribution
+    * counterpart of q43's look-back enrichment). Same single-window
+    * union machinery run in reverse time order; the oracle is DuckDB's
+    * native forward ASOF (`<=`). Right side deduplicated per
+    * (user, ts) with max(event_id), the shared determinism contract. */
+  val q78: Q = Q(
+    "q78_asof_forward",
+    (s, d) => {
+      val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), expr("ts div 1000").as("ts_us"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("purch_event_id"))
+        .withColumn("purch_ts_us", col("ts_us"))
+      Joins.asOf(clicks, purchases, "user_id", "ts_us", forward = true)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("purch_event_id"), col("purch_ts_us"),
+          (col("purch_ts_us") - col("ts_us")).as("wait_us"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, event_type,
+          CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        FROM events),
+      c AS (
+        SELECT event_id, user_id, ts_us FROM e
+        WHERE event_type = 'click'),
+      p AS (
+        SELECT user_id, ts_us AS purch_ts_us, max(event_id) AS purch_event_id
+        FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+      SELECT c.event_id, c.user_id, c.ts_us, p.purch_event_id,
+        p.purch_ts_us, p.purch_ts_us - c.ts_us AS wait_us
+      FROM c ASOF LEFT JOIN p
+        ON c.user_id = p.user_id AND c.ts_us <= p.purch_ts_us
+      ORDER BY c.event_id
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
       q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-      q71, q72, q73, q74, q75, q76, q77)
+      q71, q72, q73, q74, q75, q76, q77, q78)
 }

@@ -46,6 +46,25 @@ class JoinsSpec extends SparkSpec {
     assert(got(2L) === Some(8L)) // unaffected: 100 < 150 either way
   }
 
+  test("asOf forward inclusive: ties match, gaps carry the nearest later row") {
+    val got = Joins.asOf(leftDf, rightDf, "k", "t", forward = true)
+      .select("lid", "rv").as[(Long, Option[Long])].collect().toMap
+    assert(got === Map(
+      1L -> Some(8L),  // exact tie visible
+      2L -> Some(9L),  // next row after 150 is 200
+      3L -> Some(7L),  // earliest right row
+      4L -> None,      // key with no right rows
+      5L -> None))     // after the last right row — nothing follows
+  }
+
+  test("asOf forward strict: an equal-timestamp right row is NOT visible") {
+    val got = Joins.asOf(leftDf, rightDf, "k", "t",
+      inclusive = false, forward = true)
+      .select("lid", "rv").as[(Long, Option[Long])].collect().toMap
+    assert(got(1L) === Some(9L)) // 100 excluded, next is 200
+    assert(got(3L) === Some(7L)) // unaffected: 10 < 50 either way
+  }
+
   test("asOf: null key / null time on either side never matches") {
     val l = Seq((1L, Option("a"), Option(100L)),
       (2L, Option.empty[String], Option(100L)),
