@@ -75,7 +75,18 @@ object Profiling {
     * row-local explode (×|cols| before the map-side combine collapses
     * them to ≤ |cols|·|buckets| rows per task), then one tiny shuffle.
     * Per-column groupBys would scan the table |cols| times instead. */
-  def histogram(df: DataFrame, widths: Seq[(String, Double)]): DataFrame = {
+  def histogram(df: DataFrame, widths: Seq[(String, Double)]): DataFrame =
+    bucketEntries(df, widths)
+      .groupBy(col("column_name"), col("bucket"), col("bucket_lo"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("column_name"), col("bucket").asc_nulls_first)
+
+  /** The row-local half of [[histogram]]: one (column_name, bucket,
+    * bucket_lo) row per (input row × profiled column), pre-aggregation.
+    * Shared with the streaming twin ([[graft.streaming.HistogramStream]])
+    * so both execution modes bucket identically by construction. */
+  private[graft] def bucketEntries(df: DataFrame,
+      widths: Seq[(String, Double)]): DataFrame = {
     require(widths.nonEmpty, "histogram needs at least one column")
     val bad = widths.map(_._1).filterNot(df.columns.contains)
     require(bad.isEmpty, s"unknown columns: $bad")
@@ -89,10 +100,8 @@ object Profiling {
         lit(w).as("width"))
     }
     df.select(explode(array(entries: _*)).as("e"))
-      .groupBy(col("e.column_name").as("column_name"),
+      .select(col("e.column_name").as("column_name"),
         col("e.bucket").as("bucket"),
         (col("e.bucket") * col("e.width")).as("bucket_lo"))
-      .agg(count(lit(1)).as("n_rows"))
-      .orderBy(col("column_name"), col("bucket").asc_nulls_first)
   }
 }
