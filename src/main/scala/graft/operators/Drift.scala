@@ -49,6 +49,37 @@ object Drift {
     mixDriftFromCounts(events.select(dayCol.as("day"), col(typeCol).as("t"))
       .groupBy(col("day"), col("t")).agg(count(lit(1)).as("c")))
 
+  /** Ingest-completeness matrix — [[dailyMixDrift]]'s sibling alarm:
+    * drift asks "does today's mix look like yesterday's?", this asks
+    * the prior question, "did every stream deliver at all?". Output:
+    * one row per (event_type, day) over the observed global day span,
+    * INCLUDING the zero-count cells — the zeros ARE the signal (a
+    * source that went dark produces no rows to alarm on; only the
+    * dense matrix makes absence visible).
+    *
+    * Scale shape: one partial-aggregable (day, type) count (the only
+    * corpus-sized pass), a 1-row span aggregate appended to the
+    * |types| frame via `crossJoin(broadcast(...))` — the same ONE-ROW
+    * scalar-append shape as bm25's corpus stats (a constant-key
+    * equi-join folds to this exact plan anyway; the registry sweep
+    * documents it) — then a row-local `explode(sequence(lo, hi))`
+    * builds the |days|·|types| expected grid that left-joins the
+    * observed counts. Nothing event-sized shuffles twice. */
+  def ingestCompleteness(events: DataFrame, dayCol: Column,
+      typeCol: String): DataFrame = {
+    val b = events.select(dayCol.as("day"), col(typeCol).as("t"))
+    val obs = b.groupBy(col("day"), col("t"))
+      .agg(count(lit(1)).as("n_events"))
+    val span = b.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val expected = b.select(col("t")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("t"), explode(sequence(col("lo"), col("hi"))).as("day"))
+    expected.join(obs, Seq("day", "t"), "left")
+      .na.fill(0L, Seq("n_events"))
+      .select(col("t").as("event_type"), col("day"), col("n_events"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Counts-level entry: `byDay` is pre-aggregated (day, t, c) rows —
     * the form an ingest that already maintains per-type daily counters
     * (or a rollup sink) feeds directly, skipping the event-level

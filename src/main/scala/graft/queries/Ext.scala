@@ -2432,10 +2432,41 @@ object Ext {
       ORDER BY c.event_id
     """.trim))
 
+  // ---------------------------------------------------------------- q79
+
+  /** q79 — ingest-completeness matrix over the high-value event stream
+    * (value ≥ 300 keeps the grid SPARSE, so the zero-fill path — the
+    * whole point of the operator — is exercised, not just present):
+    * one row per (event_type, day) across the observed span, zero
+    * cells included. The q69 drift alarm's prior question: before
+    * asking whether the mix shifted, ask whether anything arrived. */
+  val q79: Q = Q(
+    "q79_ingest_gaps",
+    (s, d) =>
+      Drift.ingestCompleteness(
+        Tables.events(s, d).where(col("value") >= 300),
+        to_date(timestamp_micros(expr("ts div 1000"))), "event_type"),
+    Some("""
+      WITH b AS (
+        SELECT CAST(ts AS DATE) AS day, event_type AS t
+        FROM events WHERE value >= 300),
+      obs AS (SELECT day, t, count(*) AS n FROM b GROUP BY 1, 2),
+      span AS (SELECT min(day) AS lo, max(day) AS hi FROM b),
+      types AS (SELECT DISTINCT t FROM b),
+      alld AS (
+        SELECT t, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE
+          AS day
+        FROM types, span)
+      SELECT alld.t AS event_type, alld.day AS day,
+        CAST(COALESCE(n, 0) AS BIGINT) AS n_events
+      FROM alld LEFT JOIN obs ON alld.day = obs.day AND alld.t = obs.t
+      ORDER BY 1, 2
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
       q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-      q71, q72, q73, q74, q75, q76, q77, q78)
+      q71, q72, q73, q74, q75, q76, q77, q78, q79)
 }

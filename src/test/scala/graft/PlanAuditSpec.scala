@@ -367,12 +367,20 @@ class PlanAuditSpec extends SparkSpec {
     //    assignment the q21 pin above asserts, not a pair blowup;
     //  - q52: crossJoin(broadcast(stats)) appends the ONE-ROW corpus
     //    scalars (tot_tokens, n_docs) to the matched-term stream —
-    //    the broadcast-stats shape the q52 pin above asserts.
-    // (the repo's only crossJoin call sites are those two one-row
-    // appends: Similarity.assignCells and Retrieval.bm25Scores)
+    //    the broadcast-stats shape the q52 pin above asserts;
+    //  - q79: crossJoin(broadcast(span)) appends the ONE-ROW day span
+    //    to the |types| frame (a constant-key equi-join folds to this
+    //    exact plan anyway).
+    // (the repo's only crossJoin call sites are those three one-row
+    // appends: Similarity.assignCells, Retrieval.bm25Scores, and
+    // Drift.ingestCompleteness)
     val bnljByDesign = Set("q20_embedding_topk",
       "q21_embedding_neardup_ivf", "q39_embedding_topk_ivf",
-      "q52_bm25_scores")
+      "q52_bm25_scores",
+      // q79: the (lo, hi) day span — a ONE-ROW broadcast appended to
+      // the |types| frame before the sequence explode, the same
+      // scalar-append shape as q52's corpus stats
+      "q79_ingest_gaps")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()

@@ -46,4 +46,22 @@ class DriftSpec extends SparkSpec {
       .map(r => (r.getDate(0).toString, r.getLong(2)))
     assert(out.toSeq == Seq("2024-02-02" -> 0L))
   }
+
+  test("ingest completeness fills the full day x type grid with zeros") {
+    // span is 01..04 (global min/max); click goes dark on 02-04,
+    // view misses 02-02 and 02-03, error appears only on 02-03.
+    val e = events(
+      Seq("2024-02-01" -> "view", "2024-02-01" -> "click",
+        "2024-02-02" -> "click", "2024-02-03" -> "click",
+        "2024-02-03" -> "error", "2024-02-04" -> "view"): _*)
+    val out = Drift.ingestCompleteness(e, col("day0"), "t0").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("click", "2024-02-01", 1L), ("click", "2024-02-02", 1L),
+      ("click", "2024-02-03", 1L), ("click", "2024-02-04", 0L),
+      ("error", "2024-02-01", 0L), ("error", "2024-02-02", 0L),
+      ("error", "2024-02-03", 1L), ("error", "2024-02-04", 0L),
+      ("view", "2024-02-01", 1L), ("view", "2024-02-02", 0L),
+      ("view", "2024-02-03", 0L), ("view", "2024-02-04", 1L)))
+  }
 }
