@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Dec, Tables}
-import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Sampling, Scrub, Similarity, TextAnalysis}
+import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Sampling, Scd, Scrub, Similarity, Sketch, TextAnalysis}
 
 /** EXT — the LLM-training-data-pipeline operators (SURVEY.md §2.11;
   * BASELINE.json north star) over the `documents` / `embeddings`
@@ -2463,10 +2463,127 @@ object Ext {
       ORDER BY 1, 2
     """.trim))
 
+  // ---------------------------------------------------------------- q80
+
+  /** q80 — count-min sketch heavy-hitter estimates: exact top-20
+    * whitespace-token frequencies side-by-side with their CMS
+    * estimates (`est_cf` ≥ `cf` always — a counter is a superset sum).
+    * The sketch's (r, b) groupBy key space is the fixed d·w grid, so
+    * the shuffle is constant-size regardless of corpus OR vocabulary —
+    * the scale rung under q65's |vocab|-key profile. The portable
+    * affine bucket hashes are what let an "approximate" sketch
+    * hash-verify: the estimate is a deterministic function of the
+    * corpus, replayed bit-for-bit by the oracle. */
+  val q80: Q = Q(
+    "q80_cms_heavy_hitters",
+    (s, d) =>
+      Sketch.heavyHittersEstimate(Tables.documents(s, d), "text",
+        topK = 20, width = 1024),
+    Some(s"""
+      WITH words AS (
+        SELECT list_filter(string_split_regex(trim(text), '\\s+'),
+          t -> t <> '') w
+        FROM documents),
+      tok AS (
+        SELECT t, list_reduce(list_prepend(0::BIGINT,
+          list_transform(range(1, length(t) + 1), j -> ascii(t[j]))),
+          (h, c) -> ((h * 31) + c) % $P) AS h
+        FROM words, LATERAL unnest(w) AS u(t)),
+      rs AS (SELECT unnest(range(4)) AS r),
+      sk AS (
+        SELECT r, ((h * (2*r + 1) + (1000003*r + 12345)) % $P) % 1024 AS b,
+          count(*) AS cnt
+        FROM tok, rs GROUP BY 1, 2),
+      top AS (
+        SELECT t AS term, h, count(*) AS cf FROM tok GROUP BY 1, 2
+        ORDER BY cf DESC, term LIMIT 20),
+      pb AS (
+        SELECT term, cf, r,
+          ((h * (2*r + 1) + (1000003*r + 12345)) % $P) % 1024 AS b
+        FROM top, rs)
+      SELECT term, cf, CAST(min(COALESCE(cnt, 0)) AS BIGINT) AS est_cf
+      FROM pb LEFT JOIN sk USING (r, b)
+      GROUP BY term, cf
+      ORDER BY cf DESC, term
+    """.trim))
+
+  // ---------------------------------------------------------------- q81
+
+  /** q81 — trailing 7-day moving revenue per nation: the RANGE-frame
+    * window surface (value distance, not row count — missing days must
+    * NOT stretch the window). The window sees only the |nations|·|days|
+    * daily-total frame; money is exact decimal end-to-end and the
+    * frame axis is integer days-since-epoch, both engine-portable. */
+  val q81: Q = Q(
+    "q81_moving_revenue",
+    (s, d) => {
+      val j = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+      Rolling.movingDailySum(j, col("n_name"),
+          col("o_orderdate").cast("date"), col("o_totalprice"), 7)
+        .select(col("key").as("nation"), col("day"),
+          col("total").as("rev"), col("moving").as("rev_7d"))
+        .orderBy(col("nation"), col("day"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT n_name AS nation, CAST(o_orderdate AS DATE) AS day,
+          SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2)
+      SELECT nation, day, CAST(rev AS DOUBLE) AS rev,
+        CAST(SUM(rev) OVER (PARTITION BY nation
+          ORDER BY day - DATE '1970-01-01'
+          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
+      FROM daily ORDER BY nation, day
+    """.trim))
+
+  // ---------------------------------------------------------------- q82
+
+  /** q82 — SCD2 validity intervals from the event stream: each user's
+    * event_type reigns [valid_from, valid_to) with consecutive equal
+    * values collapsed and the latest interval open (NULL). One shuffle
+    * on user_id; both windows share it (plan-pinned). Microsecond-long
+    * timestamps keep the interval arithmetic integer-exact. */
+  val q82: Q = Q(
+    "q82_scd2_intervals",
+    (s, d) =>
+      Scd.intervals(
+          Tables.events(s, d).withColumn("ts_us", expr("ts div 1000")),
+          col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+        .select(col("key").as("user_id"), col("tie").as("event_id"),
+          col("value").as("event_type"),
+          col("valid_from"), col("valid_to"))
+        .orderBy(col("user_id"), col("valid_from"), col("event_id")),
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+          event_type
+        FROM events),
+      c AS (
+        SELECT user_id, event_id, ts_us, event_type,
+          lag(event_type) OVER
+            (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev,
+          row_number() OVER
+            (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+        FROM e),
+      ch AS (
+        SELECT * FROM c
+        WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+      SELECT user_id, event_id, event_type, ts_us AS valid_from,
+        lead(ts_us) OVER
+          (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to
+      FROM ch ORDER BY user_id, valid_from, event_id
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
       q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-      q71, q72, q73, q74, q75, q76, q77, q78, q79)
+      q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82)
 }

@@ -354,6 +354,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("might_contain"), s"q76 lost the bloom prefilter:\n$p")
   }
 
+  test("q80: constant-grid sketch broadcasts; top-k is heap-based; no Window") {
+    val p = plan("q80_cms_heavy_hitters")
+    // vocab top-k via per-partition k-heaps, never a rank window
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+    // the d·w sketch is the BROADCAST side of the estimate join, and its
+    // build combines map-side (partial_count under the (r,b) grid key) —
+    // the constant-size-shuffle property the operator exists for
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftOuter")), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q81: ONE RANGE-frame window over the reduced daily frame") {
+    val p = plan("q81_moving_revenue")
+    // the frame is value-distance (days), not row-count
+    assert(p.contains("RangeFrame"), p)
+    assert(p.linesIterator.count(_.contains("Window [")) == 1, p)
+    // the daily rollup combines map-side before its exchange, so the
+    // window's input is the |keys|·|days| frame, never the fact
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q82: both windows share ONE hash exchange with no re-sort") {
+    val p = plan("q82_scd2_intervals")
+    assert(p.linesIterator.count(_.contains("Window [")) == 2, p)
+    // one hashpartitioning exchange total (the output ORDER BY is range
+    // partitioning); the change-filter between the windows preserves
+    // partitioning AND ordering, so the second window re-sorts nothing
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 1, p)
+    assert(p.linesIterator.count(_.contains("Sort [")) == 2, p)
+  }
+
   test("registry sweep: no cartesian product, no nested-loop join beyond the documented set") {
     // per-query pins only exist where a builder remembered to add one;
     // this sweep holds the whole registry to the two non-negotiables.

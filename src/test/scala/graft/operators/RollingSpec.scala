@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Hand-computed moving sums (bulk correctness is the q81 DuckDB
+  * oracle gate): the RANGE-vs-ROWS distinction — the one thing this
+  * operator exists for — and pre-aggregation of same-day rows. */
+class RollingSpec extends SparkSpec {
+
+  private def run(rows: Seq[(String, String, Double)]) = {
+    val s = spark; import s.implicits._
+    val df = rows.toDF("k", "d", "v").withColumn("d", col("d").cast("date"))
+    Rolling.movingDailySum(df, col("k"), col("d"), col("v"), 7)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        r.getDouble(2), r.getDouble(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+  }
+
+  test("RANGE frame: missing days do NOT stretch the window") {
+    val out = run(Seq(
+      ("x", "2024-01-01", 10.00),
+      ("x", "2024-01-02", 1.50),
+      ("x", "2024-01-03", 2.25),
+      ("x", "2024-01-10", 4.00),
+      ("y", "2024-01-02", 7.00)))
+    assert(out == Seq(
+      ("x", "2024-01-01", 10.00, 10.00),
+      ("x", "2024-01-02", 1.50, 11.50),
+      ("x", "2024-01-03", 2.25, 13.75),
+      // a 7-ROW frame would still include 01-01..03 here; the 7-DAY
+      // frame [01-04, 01-10] holds only the day itself
+      ("x", "2024-01-10", 4.00, 4.00),
+      // keys are isolated partitions
+      ("y", "2024-01-02", 7.00, 7.00)))
+  }
+
+  test("same-day rows pre-aggregate; boundary day 7-back is included") {
+    val out = run(Seq(
+      ("x", "2024-03-01", 1.25),
+      ("x", "2024-03-01", 2.50),
+      ("x", "2024-03-07", 4.00),  // exactly windowDays-1 = 6 days later
+      ("x", "2024-03-08", 8.00))) // 03-01 just fell out
+    assert(out == Seq(
+      ("x", "2024-03-01", 3.75, 3.75),
+      ("x", "2024-03-07", 4.00, 7.75),
+      ("x", "2024-03-08", 8.00, 12.00)))
+  }
+}

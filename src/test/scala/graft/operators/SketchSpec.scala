@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextHash
+
+/** Hand-replay of the count-min sketch (q80's operator): the sketch,
+  * the estimates, and the never-undercount invariant recomputed in
+  * plain Scala over a crafted corpus with a deliberately TINY width so
+  * collisions actually occur (a collision-free sketch only tests the
+  * trivial path). */
+class SketchSpec extends SparkSpec {
+
+  private val P = TextHash.P
+
+  private def charFold(t: String): Long =
+    t.foldLeft(0L)((h, c) => (h * 31 + c) % P)
+
+  private def bucket(i: Int, h: Long, w: Int): Long =
+    ((h * (2L * i + 1) + (1000003L * i + 12345L)) % P) % w
+
+  test("estimates replay the hand-computed sketch exactly; est >= cf") {
+    val s = spark; import s.implicits._
+    val texts = Seq("a a a b b c", "a b d d", "c a e")
+    val docs = texts.toDF("text")
+    val occs = texts.flatMap(_.split("\\s+"))
+    val w = 2 // tiny: forces bucket collisions among the 5 terms
+    val sk = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    for (t <- occs; i <- 0 until Sketch.depth) {
+      val key = (i, bucket(i, charFold(t), w))
+      sk(key) = sk.getOrElse(key, 0L) + 1
+    }
+    val cf = occs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = cf.toSeq.map { case (t, c) =>
+      val est = (0 until Sketch.depth)
+        .map(i => sk((i, bucket(i, charFold(t), w)))).min
+      (t, c, est)
+    }.sortBy { case (t, c, _) => (-c, t) }
+    val out = Sketch.heavyHittersEstimate(docs, "text", topK = 10, width = w)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == expected)
+    out.foreach { case (t, c, e) => assert(e >= c, s"undercount on $t") }
+    // the tiny width must actually have produced at least one overcount,
+    // or this test is only exercising the collision-free path
+    assert(out.exists { case (_, c, e) => e > c }, out.toString)
+  }
+
+  test("width must be a power of two") {
+    val s = spark; import s.implicits._
+    val docs = Seq("a").toDF("text")
+    intercept[IllegalArgumentException] {
+      Sketch.cmBuild(docs.select(
+        org.apache.spark.sql.functions.lit(1L).as("h")), "h", width = 100)
+    }
+  }
+}
