@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.engine.CacheScope
+
 /** Distribution-drift monitoring — the pipeline-health signal a corpus
   * or event-ingest team alarms on: "does today's event mix look like
   * yesterday's?". A shifted mix (clicks collapse, errors spike, a
@@ -77,6 +79,45 @@ object Drift {
     expected.join(obs, Seq("day", "t"), "left")
       .na.fill(0L, Seq("n_events"))
       .select(col("t").as("event_type"), col("day"), col("n_events"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Robust per-day volume anomaly — the third monitoring rung
+    * ([[dailyMixDrift]] asks "did the mix shift?", [[ingestCompleteness]]
+    * "did anything arrive?", this asks "is today's VOLUME for this
+    * stream out of line with its own history?"). Score is the
+    * median/MAD robust z: (n − median) / MAD per event type — median
+    * and MAD, unlike mean/stddev, don't let the anomaly poison its own
+    * baseline. Types whose history is constant (MAD 0) score NULL:
+    * no dispersion, no scale to judge against.
+    *
+    * Engine-exactness: medians of integer counts land on the 0.5 grid
+    * and MADs of their deviations on the 0.25 grid (exactly
+    * representable doubles via the dyadic-interpolation `percentile`,
+    * the q45 trick), so the score is ONE IEEE division of two exact
+    * dyadic values — portable, no transcendentals.
+    *
+    * Scale shape: the only corpus-sized pass is the (type, day) count
+    * (partial-aggregable), persisted under `scope` because three
+    * consumers read it (median agg, MAD agg, output) — without the
+    * persist each would re-scan the event stream. Both percentile
+    * aggregates and joins run on the |types|·|days| frame; the
+    * |types|-row stats broadcast back. */
+  def dailyVolumeAnomaly(events: DataFrame, dayCol: Column,
+      typeCol: String, scope: CacheScope = CacheScope.unmanaged)
+      : DataFrame = {
+    val c = scope.persist(
+      events.select(dayCol.as("day"), col(typeCol).as("t"))
+        .groupBy(col("t"), col("day")).agg(count(lit(1)).as("n_events")))
+    val med = c.groupBy(col("t"))
+      .agg(expr("percentile(n_events, 0.5D)").as("m"))
+    val dev = c.join(broadcast(med), Seq("t"))
+      .withColumn("d", abs(col("n_events") - col("m")))
+    val mad = dev.groupBy(col("t")).agg(expr("percentile(d, 0.5D)").as("md"))
+    dev.join(broadcast(mad), Seq("t"))
+      .select(col("t").as("event_type"), col("day"), col("n_events"),
+        when(col("md") === 0D, lit(null).cast("double"))
+          .otherwise((col("n_events") - col("m")) / col("md")).as("score"))
       .orderBy(col("event_type"), col("day"))
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus retrieval scoring — the ranking side of the training-data
@@ -98,5 +98,49 @@ object Retrieval {
       .agg(count(lit(1)).cast("int").as("n_terms_matched"),
         sum(col("fp")).as("score_fp"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Inverted-index posting lists — the materialized index artifact
+    * under [[bm25Scores]] (scoring re-derives the matched-term stream
+    * per query; a served search system reads it from this table): for
+    * every term with `df >= minDf` that appears in at most HALF the
+    * corpus, the sorted doc_id posting list. `terms` is any per-doc
+    * term-array column — word tokens, hashed shingles
+    * ([[graft.functions.TextHash.shingleHashesOf]]), minhash bands —
+    * so the same build serves a text index or an n-gram
+    * contamination-lookup index. The band is semantics,
+    * not just safety — below minDf is typo noise, above n_docs/2 is
+    * stopword mass no ranked query reads (a FRACTIONAL cap, so the
+    * rule means the same thing at every corpus size) — but it is ALSO
+    * what makes the build safe at 100 TB: document frequency is
+    * aggregated FIRST (a cheap partial-aggregable count) and the band
+    * filter runs BEFORE any list materializes, so a stopword's
+    * corpus-wide posting list (|postings| = n_docs) is never collected
+    * anywhere. Posting length is bounded by n_docs/2 by construction.
+    *
+    * Shape: distinct (term, doc) presence pairs (one shuffle); the
+    * |vocab|-row df aggregate with the ONE-ROW corpus count appended
+    * via `crossJoin(broadcast(...))` (the bm25 scalar-append shape —
+    * the count itself is a parquet count-pushdown scan, no data read);
+    * an equi-join back (AQE broadcasts the band dictionary when it is
+    * small); and a hash-based collect (ObjectHashAggregate — no sort
+    * of the pair stream; only each term's bounded postings sort,
+    * row-locally). */
+  def postingLists(docs: DataFrame, idCol: String, terms: Column,
+      minDf: Long = 2L): DataFrame = {
+    require(minDf >= 1, s"need minDf >= 1, got $minDf")
+    val pairs = docs.select(col(idCol).as("doc_id"),
+        explode(terms).as("term"))
+      .distinct()
+    val nd = docs.agg(count(lit(1)).as("nd"))
+    val dfs = pairs.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nd))
+      // integer form of df/n_docs <= 1/2 — no division, no doubles
+      .where(col("df") >= minDf && col("df") * 2 <= col("nd"))
+      .select(col("term"), col("df"))
+    pairs.join(dfs, Seq("term"))
+      .groupBy(col("term"), col("df"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+      .orderBy(col("term"))
   }
 }

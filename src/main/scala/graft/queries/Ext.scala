@@ -2580,10 +2580,78 @@ object Ext {
       FROM ch ORDER BY user_id, valid_from, event_id
     """.trim))
 
+  // ---------------------------------------------------------------- q83
+
+  /** q83 — robust daily-volume anomaly per event type: the median/MAD
+    * robust z-score ((n − median) / MAD), the third monitoring rung
+    * after q69 (mix shift) and q79 (delivery gaps). Median and MAD of
+    * integer counts land on the 0.5/0.25 dyadic grids (the q45 trick),
+    * so the score is one IEEE division of exact values — portable.
+    * Constant-history types (MAD 0) score NULL. */
+  val q83: Q = Q(
+    "q83_volume_anomaly",
+    (s, d) =>
+      Drift.dailyVolumeAnomaly(
+        Tables.events(s, d),
+        to_date(timestamp_micros(expr("ts div 1000"))), "event_type"),
+    Some("""
+      WITH b AS (
+        SELECT CAST(ts AS DATE) AS day, event_type AS t FROM events),
+      c AS (SELECT t, day, count(*) AS n FROM b GROUP BY 1, 2),
+      med AS (SELECT t, quantile_cont(n, 0.5) AS m FROM c GROUP BY 1),
+      dev AS (
+        SELECT c.t, c.day, n, m, abs(n - m) AS d
+        FROM c JOIN med USING (t)),
+      mad AS (SELECT t, quantile_cont(d, 0.5) AS md FROM dev GROUP BY 1)
+      SELECT dev.t AS event_type, dev.day AS day,
+        CAST(n AS BIGINT) AS n_events,
+        CASE WHEN md = 0 THEN NULL ELSE (n - m) / md END AS score
+      FROM dev JOIN mad USING (t)
+      ORDER BY 1, 2
+    """.trim))
+
+  // ---------------------------------------------------------------- q84
+
+  /** q84 — inverted-index posting lists over hashed 3-gram shingles
+    * (the n-gram contamination/plagiarism lookup index — q17/q36
+    * re-derive this stream per run; a serving system reads it from
+    * this artifact): every shingle shared by ≥ 2 docs but at most
+    * HALF the corpus (a fractional stopword cap — the rule means the
+    * same thing at every corpus size), with its sorted posting list.
+    * The band filter runs on the df AGGREGATE before any list
+    * collects, so boilerplate-scale postings never materialize; the
+    * output stringifies the sorted lists (scalar columns hash-verify;
+    * arrays don't sort portably in the compare harness). */
+  val q84: Q = Q(
+    "q84_posting_lists",
+    (s, d) =>
+      Retrieval.postingLists(Tables.documents(s, d), "doc_id",
+          graft.functions.TextHash.shingleHashesOf(col("text")), minDf = 2L)
+        .select(col("term").as("shingle"), col("df"),
+          expr("array_join(transform(postings, x -> cast(x AS string)), ',')")
+            .as("postings"))
+        .orderBy(col("shingle")),
+    Some(s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      $duckHashShingles,
+      nd AS (SELECT count(*) AS n FROM documents),
+      d AS (
+        SELECT hs, count(*) AS df FROM sh GROUP BY hs
+        HAVING count(*) >= 2 AND count(*) * 2 <= (SELECT n FROM nd))
+      SELECT d.hs AS shingle, d.df,
+        string_agg(CAST(sh.doc_id AS VARCHAR), ',' ORDER BY sh.doc_id)
+          AS postings
+      FROM d JOIN sh ON d.hs = sh.hs
+      GROUP BY 1, 2
+      ORDER BY 1
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
       q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-      q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82)
+      q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
+      q84)
 }

@@ -387,6 +387,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Sort [")) == 2, p)
   }
 
+  test("q83: the (type, day) count is cached once and read three times") {
+    // median agg, MAD agg, and the output row stream all read the
+    // count frame — without the persist each consumer would re-scan
+    // the event stream (three corpus passes instead of one)
+    spark.catalog.clearCache()
+    val p = plan("q83_volume_anomaly")
+    val scans = p.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(scans >= 3, s"expected >=3 cached-scan consumers, got $scans:\n$p")
+    // both |types|-row stats frames broadcast back onto the day rows
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2, p)
+  }
+
   test("registry sweep: no cartesian product, no nested-loop join beyond the documented set") {
     // per-query pins only exist where a builder remembered to add one;
     // this sweep holds the whole registry to the two non-negotiables.
@@ -403,17 +415,22 @@ class PlanAuditSpec extends SparkSpec {
     //    the broadcast-stats shape the q52 pin above asserts;
     //  - q79: crossJoin(broadcast(span)) appends the ONE-ROW day span
     //    to the |types| frame (a constant-key equi-join folds to this
-    //    exact plan anyway).
-    // (the repo's only crossJoin call sites are those three one-row
-    // appends: Similarity.assignCells, Retrieval.bm25Scores, and
-    // Drift.ingestCompleteness)
+    //    exact plan anyway);
+    //  - q84: crossJoin(broadcast(count)) appends the ONE-ROW corpus
+    //    count to the |vocab|-row df frame for the fractional
+    //    stopword cap.
+    // (the repo's only crossJoin call sites are those four one-row
+    // appends: Similarity.assignCells, Retrieval.bm25Scores,
+    // Drift.ingestCompleteness, and Retrieval.postingLists)
     val bnljByDesign = Set("q20_embedding_topk",
       "q21_embedding_neardup_ivf", "q39_embedding_topk_ivf",
       "q52_bm25_scores",
       // q79: the (lo, hi) day span — a ONE-ROW broadcast appended to
       // the |types| frame before the sequence explode, the same
       // scalar-append shape as q52's corpus stats
-      "q79_ingest_gaps")
+      "q79_ingest_gaps",
+      // q84: the ONE-ROW corpus count appended to the df aggregate
+      "q84_posting_lists")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()

@@ -47,6 +47,33 @@ class DriftSpec extends SparkSpec {
     assert(out.toSeq == Seq("2024-02-02" -> 0L))
   }
 
+  test("volume anomaly: median/MAD robust z, dyadic halves, MAD-0 nulls") {
+    // a: counts [1,2,3,4,9] -> median 3, devs [2,1,0,1,6], MAD 1,
+    //    scores [-2,-1,0,1,6] — the spike (9) does not poison its own
+    //    baseline the way mean/stddev would
+    // b: constant [2,2] -> MAD 0 -> NULL scores
+    // c: counts [1,2] -> median 1.5, devs [.5,.5], MAD .5 -> [-1, 1]
+    //    (the dyadic-interpolation path)
+    val days = Seq("2024-05-01", "2024-05-02", "2024-05-03",
+      "2024-05-04", "2024-05-05")
+    val rows =
+      Seq(1, 2, 3, 4, 9).zip(days).flatMap { case (n, d) =>
+        Seq.fill(n)(d -> "a") } ++
+      Seq("2024-05-01" -> "b", "2024-05-01" -> "b",
+        "2024-05-02" -> "b", "2024-05-02" -> "b") ++
+      Seq("2024-05-01" -> "c", "2024-05-02" -> "c", "2024-05-02" -> "c")
+    val out = Drift.dailyVolumeAnomaly(events(rows: _*), col("day0"), "t0")
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("a", "2024-05-01", 1L, -2.0), ("a", "2024-05-02", 2L, -1.0),
+      ("a", "2024-05-03", 3L, 0.0), ("a", "2024-05-04", 4L, 1.0),
+      ("a", "2024-05-05", 9L, 6.0),
+      ("b", "2024-05-01", 2L, null), ("b", "2024-05-02", 2L, null),
+      ("c", "2024-05-01", 1L, -1.0), ("c", "2024-05-02", 2L, 1.0)))
+  }
+
   test("ingest completeness fills the full day x type grid with zeros") {
     // span is 01..04 (global min/max); click goes dark on 02-04,
     // view misses 02-02 and 02-03, error appears only on 02-03.

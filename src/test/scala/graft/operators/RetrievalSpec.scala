@@ -76,4 +76,37 @@ class RetrievalSpec extends SparkSpec {
     assert(ids == ids.sorted)
     assert(out.forall(_.getLong(2) > 0L))
   }
+
+  test("postingLists: df band by hand — rare dropped, over-half dropped") {
+    import spark.implicits._
+    // 4 docs; term arrays passed directly (the generic surface).
+    // df: x=3 (> 4/2, stopword-capped out), y=2 (kept), z=1 (< minDf).
+    val corpus = Seq(
+      (10L, Seq("x", "y")),
+      (11L, Seq("x", "y")),
+      (12L, Seq("x", "z")),
+      (13L, Seq.empty[String])).toDF("doc_id", "terms")
+    val out = Retrieval.postingLists(corpus, "doc_id", col("terms"),
+      minDf = 2L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2).toSeq))
+    assert(out.toSeq == Seq(("y", 2L, Seq(10L, 11L))))
+  }
+
+  test("postingLists: duplicate occurrences within a doc count once") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq("a", "a", "b")),
+      (2L, Seq("a")),
+      (3L, Seq("b")),
+      (4L, Seq("c")),
+      (5L, Seq("c"))).toDF("doc_id", "terms")
+    val out = Retrieval.postingLists(corpus, "doc_id", col("terms"),
+      minDf = 2L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2).toSeq))
+    // a: df 2 (not 3 — doc 1's repeat collapses); b, c: df 2
+    assert(out.toSeq == Seq(
+      ("a", 2L, Seq(1L, 2L)),
+      ("b", 2L, Seq(1L, 3L)),
+      ("c", 2L, Seq(4L, 5L))))
+  }
 }
