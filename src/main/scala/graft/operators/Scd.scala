@@ -43,4 +43,23 @@ object Scd {
       .select(col("key"), col("tie"), col("value"),
         col("ts").as("valid_from"), col("valid_to"))
   }
+
+  /** Dwell-time rollup over [[intervals]] — "how long do keys SIT in
+    * each state" (the time-in-stage/funnel-latency readout an interval
+    * table exists to answer): per value, the closed-interval count,
+    * total dwell, and mean dwell as INTEGER division (exact on any
+    * engine — no doubles). Open intervals (valid_to NULL) have no
+    * duration yet and are excluded — their dwell is censored, and
+    * counting "now minus start" would make the result
+    * clock-dependent. Compositional: one partial-aggregable groupBy
+    * over the already-reduced interval frame. */
+  def dwellByValue(df: DataFrame, keyCol: Column, tsCol: Column,
+      tieCol: Column, valCol: Column): DataFrame =
+    intervals(df, keyCol, tsCol, tieCol, valCol)
+      .where(col("valid_to").isNotNull)
+      .groupBy(col("value"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("valid_to") - col("valid_from")).as("total_dwell"))
+      .withColumn("mean_dwell", expr("total_dwell div n_intervals"))
+      .orderBy(col("value"))
 }

@@ -2647,11 +2647,55 @@ object Ext {
       ORDER BY 1
     """.trim))
 
+  // ---------------------------------------------------------------- q85
+
+  /** q85 — state dwell-time rollup over q82's SCD2 intervals: per
+    * event_type, how many closed reigns and how long they lasted
+    * (total + mean dwell in µs, mean as INTEGER division — `div` both
+    * engines, no doubles). Open intervals are censored, not clocked. */
+  val q85: Q = Q(
+    "q85_state_dwell",
+    (s, d) =>
+      Scd.dwellByValue(
+        Tables.events(s, d).withColumn("ts_us", expr("ts div 1000")),
+        col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+        .select(col("value").as("event_type"), col("n_intervals"),
+          col("total_dwell"), col("mean_dwell"))
+        .orderBy(col("event_type")),
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+          event_type
+        FROM events),
+      c AS (
+        SELECT user_id, event_id, ts_us, event_type,
+          lag(event_type) OVER
+            (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev,
+          row_number() OVER
+            (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+        FROM e),
+      ch AS (
+        SELECT * FROM c
+        WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+      iv AS (
+        SELECT user_id, event_type, ts_us AS valid_from,
+          lead(ts_us) OVER
+            (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to
+        FROM ch)
+      SELECT event_type, count(*) AS n_intervals,
+        CAST(sum(valid_to - valid_from) AS BIGINT) AS total_dwell,
+        CAST(sum(valid_to - valid_from) // count(*) AS BIGINT)
+          AS mean_dwell
+      FROM iv WHERE valid_to IS NOT NULL
+      GROUP BY event_type
+      ORDER BY event_type
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
       q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
       q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-      q84)
+      q84, q85)
 }

@@ -32,6 +32,21 @@ class ScdSpec extends SparkSpec {
       (1L, 5L, "A", 50L, -1L)))
   }
 
+  test("dwellByValue: closed reigns only, integer mean") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      // user 1: A[10,30) B[30,50) A[50,open-censored)
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "A"), (1L, 30L, 3L, "B"),
+      (1L, 40L, 4L, "B"), (1L, 50L, 5L, "A"),
+      // user 2: A[5,12) B[12,open) -> A dwell 7
+      (2L, 5L, 6L, "A"), (2L, 12L, 7L, "B")).toDF("u", "ts", "id", "v")
+    val out = Scd.dwellByValue(df, col("u"), col("ts"), col("id"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // A: dwells {20, 7} -> total 27, mean 27 div 2 = 13 (integer floor)
+    assert(out == Seq(("A", 2L, 27L, 13L), ("B", 1L, 20L, 20L)))
+  }
+
   test("equal timestamps order by the tie id; NULL is a real state") {
     val out = run(Seq(
       // user 2: two changes in the same microsecond — id order decides
