@@ -112,4 +112,34 @@ object Cohorts {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("funnel_depth"))
   }
+
+  /** User growth curve — the other product-analytics staple next to
+    * [[retentionMatrix]]: per day, distinct active users (DAU), users
+    * seen for the FIRST time that day, and the cumulative distinct
+    * user count. The cumulative column is NOT a running distinct over
+    * events (quadratic re-scan, or a giant distinct-state window) —
+    * "distinct users ever, as of day d" ≡ "users whose first day ≤ d",
+    * so it reduces to a running SUM of the new-user counts.
+    *
+    * Scale shape: two corpus-sized aggregates, both
+    * partial-aggregable — the (day, user) distinct behind DAU and the
+    * per-user min(day) behind first-seen — then day-keyed rollups and
+    * one running-sum window over the \|days\|-row frame (bounded by
+    * the calendar, not the corpus; the single-partition window is ~
+    * hundreds of rows). All counts integer-exact. */
+  def growthCurve(events: DataFrame, userCol: String, dayCol: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = events.select(dayCol.as("day"), col(userCol).as("u"))
+    val dau = b.groupBy(col("day"))
+      .agg(countDistinct(col("u")).as("dau"))
+    val newu = b.groupBy(col("u")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dau.join(newu, Seq("day"), "left")
+      .na.fill(0L, Seq("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .orderBy(col("day"))
+  }
 }

@@ -2691,11 +2691,38 @@ object Ext {
       ORDER BY event_type
     """.trim))
 
+  // ---------------------------------------------------------------- q86
+
+  /** q86 — user growth curve: per day, DAU, first-seen users, and the
+    * cumulative distinct user count as a running SUM of first-seens
+    * ("distinct ever as of d" ≡ "first day ≤ d" — never a running
+    * distinct over events). The running window is \|days\|-row
+    * bounded. */
+  val q86: Q = Q(
+    "q86_growth_curve",
+    (s, d) =>
+      Cohorts.growthCurve(Tables.events(s, d), "user_id",
+        to_date(timestamp_micros(expr("ts div 1000")))),
+    Some("""
+      WITH b AS (
+        SELECT CAST(ts AS DATE) AS day, user_id AS u FROM events),
+      dau AS (SELECT day, count(DISTINCT u) AS dau FROM b GROUP BY 1),
+      f AS (SELECT u, min(day) AS day FROM b GROUP BY 1),
+      nu AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+      SELECT dau.day AS day, CAST(dau.dau AS BIGINT) AS dau,
+        CAST(COALESCE(nu.new_users, 0) AS BIGINT) AS new_users,
+        CAST(sum(COALESCE(nu.new_users, 0)) OVER (ORDER BY dau.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_users
+      FROM dau LEFT JOIN nu ON dau.day = nu.day
+      ORDER BY dau.day
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
       q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
       q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-      q84, q85)
+      q84, q85, q86)
 }

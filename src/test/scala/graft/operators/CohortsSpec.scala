@@ -77,4 +77,21 @@ class CohortsSpec extends SparkSpec {
       Cohorts.funnel(df, "user_id", col("ts_us"), "event_type", Nil)
     }
   }
+
+  test("growthCurve: cumulative distinct = running sum of first-seens") {
+    val events = Seq(
+      (1L, "2024-06-01"), (1L, "2024-06-01"),  // u1 twice day 1 (dedup)
+      (2L, "2024-06-01"),
+      (1L, "2024-06-02"), (3L, "2024-06-02"),
+      (3L, "2024-06-04")                        // gap day 3; no new users
+    ).toDF("user_id", "d").select(col("user_id"), to_date(col("d")).as("d"))
+    val out = Cohorts.growthCurve(events, "user_id", col("d"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("2024-06-01", 2L, 2L, 2L),
+      ("2024-06-02", 2L, 1L, 3L),
+      ("2024-06-04", 1L, 0L, 3L)))
+  }
 }
