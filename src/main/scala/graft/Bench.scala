@@ -121,7 +121,8 @@ object Bench {
     "q83_volume_anomaly" -> 0.46,
     "q84_posting_lists" -> 1.03,
     "q85_state_dwell" -> 0.48,
-    "q86_growth_curve" -> 0.4)
+    "q86_growth_curve" -> 0.4,
+    "q87_sliding_wau" -> 0.47)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3

@@ -142,4 +142,30 @@ object Cohorts {
       .withColumn("cum_users", sum(col("new_users")).over(w))
       .orderBy(col("day"))
   }
+
+  /** Trailing `windowDays`-day distinct active users per observed day
+    * (WAU/MAU when windowDays = 7/28) — the sliding-DISTINCT problem a
+    * RANGE window can't do at scale (distinct state per frame position
+    * re-scans the window per day). The contribution-interval trick
+    * makes it a plain aggregate: a user active on day d is "window
+    * active" on exactly the days [d, d+windowDays−1], so explode each
+    * distinct (user, day) into the days it covers, re-distinct, and
+    * count per day — two partial-aggregable distincts with a bounded
+    * ×windowDays blowup of the ALREADY-REDUCED (user, day) frame, the
+    * corpus itself never re-scanned. Output days are the observed
+    * event days (coverage past the last event day is truncated, not
+    * reported as ghost days). */
+  def slidingActiveUsers(events: DataFrame, userCol: String,
+      dayCol: Column, windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"need windowDays >= 1, got $windowDays")
+    val b = events.select(dayCol.as("day"), col(userCol).as("u")).distinct()
+    val cov = b.select(col("u"),
+        explode(sequence(col("day"),
+          date_add(col("day"), windowDays - 1))).as("day"))
+      .distinct()
+    b.select(col("day")).distinct()
+      .join(cov, Seq("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("active_users"))
+      .orderBy(col("day"))
+  }
 }

@@ -2718,11 +2718,38 @@ object Ext {
       ORDER BY dau.day
     """.trim))
 
+  // ---------------------------------------------------------------- q87
+
+  /** q87 — trailing 7-day distinct active users (WAU) per observed
+    * day, by the contribution-interval trick: explode each distinct
+    * (user, day) into the `windowDays` days it covers, re-distinct,
+    * count — a sliding DISTINCT as two partial-aggregable passes with
+    * a bounded ×7 blowup of the reduced frame, never per-frame window
+    * state. */
+  val q87: Q = Q(
+    "q87_sliding_wau",
+    (s, d) =>
+      Cohorts.slidingActiveUsers(Tables.events(s, d), "user_id",
+        to_date(timestamp_micros(expr("ts div 1000"))), windowDays = 7),
+    Some("""
+      WITH b AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u
+        FROM events),
+      cov AS (
+        SELECT DISTINCT u, unnest(generate_series(day,
+          day + INTERVAL 6 DAY, INTERVAL 1 DAY))::DATE AS day
+        FROM b),
+      days AS (SELECT DISTINCT day FROM b)
+      SELECT days.day AS day, CAST(count(*) AS BIGINT) AS active_users
+      FROM days JOIN cov ON days.day = cov.day
+      GROUP BY 1 ORDER BY 1
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
       q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
       q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-      q84, q85, q86)
+      q84, q85, q86, q87)
 }

@@ -94,4 +94,19 @@ class CohortsSpec extends SparkSpec {
       ("2024-06-02", 2L, 1L, 3L),
       ("2024-06-04", 1L, 0L, 3L)))
   }
+
+  test("slidingActiveUsers: 7-day coverage, observed days only") {
+    val events = Seq(
+      (1L, "2024-07-01"), (1L, "2024-07-01"),  // u1 dup same day
+      (2L, "2024-07-01"),
+      (2L, "2024-07-08"),                       // u1's 07-01 does NOT reach 07-08
+      (3L, "2024-07-09")
+    ).toDF("user_id", "d").select(col("user_id"), to_date(col("d")).as("d"))
+    val out = Cohorts.slidingActiveUsers(events, "user_id", col("d"), 7)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+    assert(out.toSeq == Seq(
+      ("2024-07-01", 2L),  // u1 + u2
+      ("2024-07-08", 1L),  // only u2's 07-08 — day 1 coverage ended 07-07
+      ("2024-07-09", 2L))) // u2 (via 07-08) + u3; no ghost days past 07-09
+  }
 }
