@@ -68,39 +68,39 @@ object Bench {
     * triggers a spare isolated run; queries absent here use
     * `defaultFloor` (BASELINE.md: "remaining queries ≤ 1.2 each"). */
   private[graft] val floors: Map[String, Double] = Map(
-    "q75_grouping_sets" -> 1.12,
-    "q70_novelty_store" -> 1.32,
+    "q75_grouping_sets" -> 1.08,
+    "q70_novelty_store" -> 1.26,
     "q17_ngram_jaccard_neardup" -> 1.9,
-    "q31_neardup_clusters" -> 1.0,
-    "q21_embedding_neardup_ivf" -> 1.38,
+    "q31_neardup_clusters" -> 0.97,
+    "q21_embedding_neardup_ivf" -> 1.32,
     "q39_embedding_topk_ivf" -> 1.43,
-    "q36_cross_contamination" -> 1.7,
-    "q30_embedding_neardup_rplsh" -> 1.69,
-    "q34_event_sessionize" -> 0.76,
-    "q9_sales_by_nation" -> 0.64,
+    "q36_cross_contamination" -> 1.34,
+    "q30_embedding_neardup_rplsh" -> 1.35,
+    "q34_event_sessionize" -> 0.75,
+    "q9_sales_by_nation" -> 0.61,
     "q18_minhash_lsh_neardup" -> 0.52,
-    "q37_sequence_packing" -> 0.41,
-    "q19_simhash_neardup" -> 0.37,
-    "q23_quality_score" -> 0.42,
+    "q37_sequence_packing" -> 0.39,
+    "q19_simhash_neardup" -> 0.36,
+    "q23_quality_score" -> 0.4,
     "q20_embedding_topk" -> 0.36,
-    "q22_lang_id" -> 0.29,
+    "q22_lang_id" -> 0.27,
     "q38_network_redact" -> 0.24,
     "q35_repetition_signals" -> 0.19,
     "q43_asof_join" -> 0.41,
-    "q44_interval_join" -> 0.28,
-    "q45_length_profile" -> 0.26,
+    "q44_interval_join" -> 0.25,
+    "q45_length_profile" -> 0.23,
     "q46_grouped_topk" -> 0.2,
     "q47_sliding_chunks" -> 0.4,
     "q48_keepbest_dedup" -> 0.29,
     "q49_eval_overlap" -> 0.49,
-    "q50_curriculum_bins" -> 0.44,
-    "q51_priority_sample" -> 0.18,
+    "q50_curriculum_bins" -> 0.4,
+    "q51_priority_sample" -> 0.17,
     "q52_bm25_scores" -> 0.89,
-    "q53_semantic_clusters" -> 1.86,
-    "q54_shingle_novelty" -> 0.34,
-    "q55_embedding_quantize" -> 0.35,
-    "q56_pq_codes" -> 0.95,
-    "q57_pq_adc_topk" -> 1.38,
+    "q53_semantic_clusters" -> 1.81,
+    "q54_shingle_novelty" -> 0.31,
+    "q55_embedding_quantize" -> 0.33,
+    "q56_pq_codes" -> 0.94,
+    "q57_pq_adc_topk" -> 1.24,
     "q58_rollup_revenue" -> 0.4,
     "q59_pivot_returnflag" -> 0.69,
     "q60_paragraph_dedup" -> 0.53,
@@ -115,14 +115,14 @@ object Bench {
     "q68_holdout_split" -> 0.2,
     "q69_event_drift" -> 0.71,
     "q79_ingest_gaps" -> 0.34,
-    "q80_cms_heavy_hitters" -> 0.31,
+    "q80_cms_heavy_hitters" -> 0.28,
     "q81_moving_revenue" -> 0.8,
     "q82_scd2_intervals" -> 0.4,
     "q83_volume_anomaly" -> 0.46,
     "q84_posting_lists" -> 1.03,
-    "q85_state_dwell" -> 0.48,
-    "q86_growth_curve" -> 0.4,
-    "q87_sliding_wau" -> 0.47)
+    "q85_state_dwell" -> 0.4,
+    "q86_growth_curve" -> 0.33,
+    "q87_sliding_wau" -> 0.46)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
