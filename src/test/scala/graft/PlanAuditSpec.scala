@@ -399,6 +399,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2, p)
   }
 
+  test("q86/q87: growth curves never window over the corpus") {
+    // q86: the ONE running-sum window reads the |days|-row joined
+    // rollup, never the event stream
+    val p86 = plan("q86_growth_curve")
+    assert(p86.linesIterator.count(_.contains("Window [")) == 1, p86)
+    assert(p86.contains("partial_count") || p86.contains("partial_min"), p86)
+    // q87: sliding DISTINCT by contribution intervals — no Window at
+    // all, both distincts partial-aggregated before their exchange
+    val p87 = plan("q87_sliding_wau")
+    assert(!p87.contains("Window ["), p87)
+    assert(p87.contains("partial_count"), p87)
+  }
+
   test("registry sweep: no cartesian product, no nested-loop join beyond the documented set") {
     // per-query pins only exist where a builder remembered to add one;
     // this sweep holds the whole registry to the two non-negotiables.
