@@ -122,7 +122,8 @@ object Bench {
     "q84_posting_lists" -> 1.03,
     "q85_state_dwell" -> 0.4,
     "q86_growth_curve" -> 0.33,
-    "q87_sliding_wau" -> 0.46)
+    "q87_sliding_wau" -> 0.46,
+    "q88_equidepth_histogram" -> 0.6)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3

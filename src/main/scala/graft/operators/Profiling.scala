@@ -81,6 +81,55 @@ object Profiling {
       .agg(count(lit(1)).as("n_rows"))
       .orderBy(col("column_name"), col("bucket").asc_nulls_first)
 
+  /** Equi-depth (quantile-bucket) histograms — [[histogram]]'s other
+    * half: equi-WIDTH shows the shape of a distribution on a fixed
+    * grid; equi-DEPTH puts ~25% of rows in each bucket, which is what
+    * a range-partitioner, a skew diagnosis ("is the top quartile one
+    * value?"), or an optimizer's selectivity estimate actually wants.
+    * Buckets: 0..3 split at the exact 25/50/75 percentiles
+    * (`x <= p25 → 0`, … else 3), NULLs in an accounted −1 bucket.
+    *
+    * Exactness contract (the q45/q50 dyadic trick, one step further):
+    * thresholds interpolate at dyadic quantile points over
+    * INTEGER-VALUED columns, so `lower + (higher−lower)·f` incurs no
+    * rounding at all — the threshold is the same exact rational on
+    * every engine regardless of how the interpolation is algebraically
+    * arranged, and the `<=` boundary comparison can never flip.
+    * Fractional columns would make the threshold a rounded double
+    * whose last ulp is engine-dependent; profile those with
+    * [[histogram]]'s fixed grid instead.
+    *
+    * Scale shape: ONE pass computes all columns' percentile triples
+    * (a single 1-row aggregate), appended via `crossJoin(broadcast)`
+    * (the documented one-row scalar-append shape); bucket assignment
+    * is a row-local CASE, and the rollup ships ≤ 5·|cols| pre-folded
+    * rows per partition. */
+  def equiDepthHistogram(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "equiDepthHistogram needs at least one column")
+    val bad = cols.filterNot(df.columns.contains)
+    require(bad.isEmpty, s"unknown columns: $bad")
+    val th = df.agg(
+      expr(s"percentile(${cols.head}, array(0.25D, 0.5D, 0.75D))")
+        .as(s"__q_${cols.head}"),
+      cols.tail.map(c =>
+        expr(s"percentile($c, array(0.25D, 0.5D, 0.75D))").as(s"__q_$c")): _*)
+    val entries = cols.map { c =>
+      val q = col(s"__q_$c")
+      val b = when(raw(c).isNull, lit(-1))
+        .when(raw(c) <= element_at(q, 1), lit(0))
+        .when(raw(c) <= element_at(q, 2), lit(1))
+        .when(raw(c) <= element_at(q, 3), lit(2))
+        .otherwise(lit(3))
+      struct(lit(c).as("column_name"), b.cast("int").as("bucket"))
+    }
+    df.crossJoin(broadcast(th))
+      .select(explode(array(entries: _*)).as("e"))
+      .groupBy(col("e.column_name").as("column_name"),
+        col("e.bucket").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("column_name"), col("bucket"))
+  }
+
   /** The row-local half of [[histogram]]: one (column_name, bucket,
     * bucket_lo) row per (input row × profiled column), pre-aggregation.
     * Shared with the streaming twin ([[graft.streaming.HistogramStream]])

@@ -2745,11 +2745,55 @@ object Ext {
       GROUP BY 1 ORDER BY 1
     """.trim))
 
+  // ---------------------------------------------------------------- q88
+
+  /** q88 — equi-depth histograms over lineitem's integer-valued
+    * columns: ~25% of rows per bucket split at the exact dyadic
+    * 25/50/75 percentiles (integer-valued inputs ⇒ the interpolated
+    * threshold is an exact rational on both engines — the q45/q50
+    * trick one step further); NULLs in the accounted −1 bucket. */
+  val q88: Q = Q(
+    "q88_equidepth_histogram",
+    (s, d) =>
+      Profiling.equiDepthHistogram(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_linenumber", "l_suppkey")),
+    Some("""
+      WITH th AS (
+        SELECT quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qq,
+          quantile_cont(l_linenumber, [0.25, 0.5, 0.75]) AS ql,
+          quantile_cont(l_suppkey, [0.25, 0.5, 0.75]) AS qs
+        FROM lineitem),
+      e AS (
+        SELECT 'l_quantity' AS column_name, CASE
+          WHEN l_quantity IS NULL THEN -1
+          WHEN l_quantity <= qq[1] THEN 0
+          WHEN l_quantity <= qq[2] THEN 1
+          WHEN l_quantity <= qq[3] THEN 2 ELSE 3 END AS bucket
+        FROM lineitem, th
+        UNION ALL
+        SELECT 'l_linenumber', CASE
+          WHEN l_linenumber IS NULL THEN -1
+          WHEN l_linenumber <= ql[1] THEN 0
+          WHEN l_linenumber <= ql[2] THEN 1
+          WHEN l_linenumber <= ql[3] THEN 2 ELSE 3 END
+        FROM lineitem, th
+        UNION ALL
+        SELECT 'l_suppkey', CASE
+          WHEN l_suppkey IS NULL THEN -1
+          WHEN l_suppkey <= qs[1] THEN 0
+          WHEN l_suppkey <= qs[2] THEN 1
+          WHEN l_suppkey <= qs[3] THEN 2 ELSE 3 END
+        FROM lineitem, th)
+      SELECT column_name, CAST(bucket AS INT) AS bucket,
+        count(*) AS n_rows
+      FROM e GROUP BY 1, 2 ORDER BY 1, 2
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
       q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
       q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-      q84, q85, q86, q87)
+      q84, q85, q86, q87, q88)
 }

@@ -443,7 +443,10 @@ class PlanAuditSpec extends SparkSpec {
       // scalar-append shape as q52's corpus stats
       "q79_ingest_gaps",
       // q84: the ONE-ROW corpus count appended to the df aggregate
-      "q84_posting_lists")
+      "q84_posting_lists",
+      // q88: the ONE-ROW percentile-threshold aggregate appended to
+      // the fact before the row-local bucket CASE
+      "q88_equidepth_histogram")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()

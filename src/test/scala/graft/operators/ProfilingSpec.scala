@@ -72,4 +72,18 @@ class ProfilingSpec extends SparkSpec {
     assert(out(nasty) == ((3L, 1L, 2L)))
     assert(out("plain") == ((3L, 0L, 2L)))
   }
+
+  test("equiDepthHistogram: quartile splits by hand, NULLs in bucket -1") {
+    import scala.jdk.CollectionConverters._
+    // values 1..8: p25/p50/p75 = 2.75/4.5/6.25 (dyadic interpolation
+    // over integers — exact), so buckets hold {1,2} {3,4} {5,6} {7,8}
+    val df = spark.createDataFrame(
+      ((1L to 8L).map(v => Row(v: java.lang.Long)) :+ Row(null)).asJava,
+      StructType(Seq(StructField("v", LongType))))
+    val out = Profiling.equiDepthHistogram(df, Seq("v")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("v", -1, 1L), ("v", 0, 2L), ("v", 1, 2L), ("v", 2, 2L),
+      ("v", 3, 2L)))
+  }
 }
