@@ -73,7 +73,7 @@ object Bench {
     "q17_ngram_jaccard_neardup" -> 1.9,
     "q31_neardup_clusters" -> 0.97,
     "q21_embedding_neardup_ivf" -> 1.32,
-    "q39_embedding_topk_ivf" -> 1.43,
+    "q39_embedding_topk_ivf" -> 1.35,
     "q36_cross_contamination" -> 1.34,
     "q30_embedding_neardup_rplsh" -> 1.35,
     "q34_event_sessionize" -> 0.75,
@@ -88,7 +88,7 @@ object Bench {
     "q35_repetition_signals" -> 0.19,
     "q43_asof_join" -> 0.41,
     "q44_interval_join" -> 0.25,
-    "q45_length_profile" -> 0.23,
+    "q45_length_profile" -> 0.22,
     "q46_grouped_topk" -> 0.2,
     "q47_sliding_chunks" -> 0.4,
     "q48_keepbest_dedup" -> 0.29,
@@ -113,7 +113,7 @@ object Bench {
     "q66_lexical_richness" -> 0.45,
     "q67_novelty_decay" -> 0.59,
     "q68_holdout_split" -> 0.2,
-    "q69_event_drift" -> 0.71,
+    "q69_event_drift" -> 0.65,
     "q79_ingest_gaps" -> 0.34,
     "q80_cms_heavy_hitters" -> 0.28,
     "q81_moving_revenue" -> 0.8,
