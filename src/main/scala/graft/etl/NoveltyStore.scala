@@ -138,8 +138,11 @@ final class NoveltyStore(spark: SparkSession, storeDir: String) {
     // heal any crash window of a previous run (see scaladoc)
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (fs.exists(old)) {
-      if (!fs.exists(store)) fs.rename(old, store) // mid-swap crash
-      else fs.delete(old, true) // post-swap crash: store is live
+      if (!fs.exists(store)) { // mid-swap crash: restore the last copy
+        if (!fs.rename(old, store)) throw new java.io.IOException(
+          s"compact: healing rename $old -> $store failed; the last " +
+            "complete copy is still at the .compact_old path")
+      } else fs.delete(old, true) // post-swap crash: store is live
     }
     def parquetFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       if (!fs.exists(p)) Nil
@@ -151,9 +154,27 @@ final class NoveltyStore(spark: SparkSession, storeDir: String) {
       (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     seenShingles.repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.rename(store, old)
-    fs.rename(tmp, store)
-    fs.delete(old, true)
-    (before.size.toLong, parquetFiles(store).size.toLong)
+    // The swap treats FileSystem.rename as what it is on HDFS: an
+    // operation that reports most failures by RETURNING FALSE, not by
+    // throwing. An unchecked `rename(tmp, store)` after a successful
+    // `rename(store, old)` followed by the unconditional delete of
+    // `old` would destroy the only durable copy — so each rename is
+    // verified, and `old` (the last complete copy until the swap
+    // proves itself) is only deleted once the live store path exists
+    // and lists the compacted parquet files.
+    def renameOrDie(src: Path, dst: Path): Unit =
+      if (!fs.rename(src, dst)) throw new java.io.IOException(
+        s"compact: rename $src -> $dst failed (FileSystem returned " +
+          "false); store left in a self-healing state — re-run compact()")
+    if (fs.exists(store)) renameOrDie(store, old)
+    renameOrDie(tmp, store)
+    val after = parquetFiles(store)
+    if (!fs.exists(new Path(store, "_SUCCESS")) || after.isEmpty)
+      throw new IllegalStateException(
+        s"compact: post-swap verification failed — $store lacks " +
+          "committed parquet files; previous copy preserved at " +
+          s"$old for healing")
+    if (fs.exists(old)) fs.delete(old, true)
+    (before.size.toLong, after.size.toLong)
   }
 }

@@ -116,9 +116,11 @@ object Dedup {
     * `broadcastEval=false`), covers the gap between the other two: an
     * eval shingle set too big for a broadcast HASH RELATION (~40
     * bytes/key of join-table overhead) but whose Bloom filter (~1.2
-    * bytes/key at 1% fpp) still fits every executor. The train side is
-    * filtered ROW-LOCALLY through the codegen'd
-    * `BloomFilterMightContain` before the confirm join, so only the
+    * bytes/key at 1% fpp) still fits every executor — it ships as a
+    * broadcast VARIABLE (a plan-side handle; the bytes move once per
+    * executor), see [[graft.functions.BloomMightContain]]. The train
+    * side is filtered ROW-LOCALLY through that codegen'd probe
+    * before the confirm join, so only the
     * true hits plus the fpp-sized false-positive trickle ever shuffle
     * — per-doc totals come from a separate partial aggregate whose
     * exchange carries counts, not shingles. EXACTNESS IS PRESERVED: a
@@ -158,11 +160,14 @@ object Dedup {
       val bf = ev0.stat.bloomFilter("hs", bloomExpectedItems, bloomFpp)
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)
+      // the filter rides a broadcast VARIABLE (torrent, once per
+      // executor), never an inline Literal — an embedded multi-MB
+      // binary would ship inside every serialized plan fragment and
+      // explain string, the exact overhead this rung exists to avoid
+      // (see graft.functions.BloomMightContain)
+      val bloomBc = train.sparkSession.sparkContext.broadcast(bos.toByteArray)
       val might = org.apache.spark.sql.GraftColumns.of(
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          org.apache.spark.sql.catalyst.expressions.Literal(
-            bos.toByteArray,
-            org.apache.spark.sql.types.BinaryType),
+        graft.functions.BloomMightContain(bloomBc,
           org.apache.spark.sql.GraftColumns.expr(col("hs"))))
       val totals = tr.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shingles"))

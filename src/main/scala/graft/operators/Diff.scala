@@ -19,19 +19,26 @@ import org.apache.spark.sql.functions._
   * the corpus through the shuffle twice), then ONE full-outer hash
   * join on the id — both sides partition on the same key — and a
   * partial-aggregable (source, change) rollup whose exchange carries
-  * counts. Nothing else shuffles; no window, no driver state. The
-  * NULL byte join-separator between columns prevents ("ab","c") /
-  * ("a","bc") hash-aliasing.
+  * counts. Nothing else shuffles; no window, no driver state.
+  *
+  * The fingerprint is a hash OF per-column hashes: each compared
+  * column is hashed independently (sha-256 of its string form, NULL
+  * mapped to a one-char sentinel no 64-hex-char hash can equal), and
+  * the outer hash covers the fixed-arity concatenation. Every column
+  * therefore contributes exactly one token at a fixed position —
+  * ("ab","c") / ("a","bc") can't alias (per-column hashing), and
+  * ("a",NULL) / (NULL,"a") can't either (the sentinel holds the
+  * NULL column's position, where a bare `concat_ws` would drop the
+  * column together with its separator and collapse the two rows).
   */
 object Diff {
 
   /** Per-(source, change) counts between two snapshots keyed by
     * `idCol`: change ∈ added | removed | changed | unchanged, source
     * taken from the new side when present (else the old side — a
-    * removed doc still reports under its original source). Compared
-    * content = `contentCols` joined with a NUL separator (concat_ws —
-    * NULL columns are skipped together with their separator, the same
-    * rule on every engine). */
+    * removed doc still reports under its original source). Two rows
+    * compare equal iff they agree column-by-column, NULL ≡ NULL —
+    * see the class scaladoc for the NULL-safe fingerprint shape. */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
       sourceCol: String, contentCols: Seq[String]): DataFrame = {
     require(contentCols.nonEmpty, "snapshotDiff needs content columns")
@@ -41,7 +48,11 @@ object Diff {
       require(bad.isEmpty, s"snapshotDiff: unknown columns $bad")
       df.select(col(idCol).as("id"),
         col(sourceCol).as(s"${side}_source"),
-        sha2(concat_ws("\u0000", contentCols.map(col): _*), 256)
+        // 64 hex chars per non-NULL column, one non-hex sentinel char
+        // for NULL: the token stream parses back uniquely, so the
+        // outer hash is injective over per-column (value-or-NULL)
+        sha2(concat(contentCols.map(c =>
+          coalesce(sha2(col(c).cast("string"), 256), lit("N"))): _*), 256)
           .as(s"${side}_hash"))
     }
     fingerprinted(oldSnap, "old")

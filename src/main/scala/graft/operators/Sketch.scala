@@ -49,25 +49,49 @@ object Sketch {
       width: Int = 1024): DataFrame = {
     require(width > 0 && (width & (width - 1)) == 0,
       s"width must be a power of two, got $width")
+    // the build width travels WITH the sketch (column metadata on
+    // `cnt`), so a probe against a sketch built at a different width
+    // fails fast instead of silently mis-bucketing and undercounting
+    val widthMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("cm_width", width.toLong).putLong("cm_depth", depth.toLong)
+      .build()
     hashes
       .select(posexplode(buckets(col(hashCol), width)).as(Seq("r", "b")))
       .groupBy(col("r"), col("b")).agg(count(lit(1)).as("cnt"))
+      .select(col("r"), col("b"), col("cnt").as("cnt", widthMeta))
   }
 
   /** Point-estimate counts for probe rows carrying `hashCol`: min over
     * the `depth` counters (absent bucket = 0 — nothing ever
     * incremented it). The sketch is BROADCAST (≤ d·w rows by
-    * construction); probes keep all their columns. Adds `est_cf`. */
+    * construction); probes keep all their columns AND their
+    * multiplicity — a transient per-row id regroups after the bucket
+    * explode, so duplicate probe rows each come back with their own
+    * `est_cf` instead of collapsing. `width` must match the sketch's
+    * build width (checked against the metadata [[cmBuild]] stamps —
+    * probing at a different width mis-buckets and can undercount,
+    * breaking the `est_cf ≥ cf` guarantee). Adds `est_cf`. */
   def cmEstimate(probes: DataFrame, hashCol: String, sketch: DataFrame,
       width: Int = 1024): DataFrame = {
+    require(width > 0 && (width & (width - 1)) == 0,
+      s"width must be a power of two, got $width")
+    sketch.schema.fields.find(_.name == "cnt")
+      .map(_.metadata).filter(_.contains("cm_width")).foreach { m =>
+        require(m.getLong("cm_width") == width.toLong,
+          s"cmEstimate width=$width but the sketch was built at " +
+            s"width=${m.getLong("cm_width")} — estimates would " +
+            "mis-bucket; probe with the build width")
+      }
     val keep = probes.columns.toSeq
     probes
+      .withColumn("__probe_id", monotonically_increasing_id())
       .select(col("*"),
         posexplode(buckets(col(hashCol), width)).as(Seq("r", "b")))
       .join(broadcast(sketch), Seq("r", "b"), "left")
       .na.fill(0L, Seq("cnt"))
-      .groupBy(keep.map(col): _*)
+      .groupBy((col("__probe_id") +: keep.map(col)): _*)
       .agg(min(col("cnt")).as("est_cf"))
+      .drop("__probe_id")
   }
 
   /** The verification composition: exact top-`topK` whitespace-token

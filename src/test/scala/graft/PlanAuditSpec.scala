@@ -352,6 +352,15 @@ class PlanAuditSpec extends SparkSpec {
     // of that stream), so at scale only hits + the fpp trickle shuffle
     val p = plan("q76_eval_overlap_bloom")
     assert(p.contains("might_contain"), s"q76 lost the bloom prefilter:\n$p")
+    // the filter must ride a broadcast HANDLE, never an inline binary
+    // Literal — an embedded filter would put its serialized bytes
+    // (hex-printed) into every plan string / serialized fragment. The
+    // whole executed-plan string staying small is the direct evidence.
+    assert(p.contains("graft_bloom_might_contain(broadcast_"),
+      s"q76 bloom probe lost its broadcast handle:\n$p")
+    assert(p.length < 100 * 1024,
+      s"q76 plan string is ${p.length} chars — a multi-KB binary is " +
+        "embedded in the plan again")
   }
 
   test("q80: constant-grid sketch broadcasts; top-k is heap-based; no Window") {

@@ -89,4 +89,52 @@ class NoveltyStoreSpec extends SparkSpec {
     assert(store.seenShingles.count() == vocab)
     assert(!Files.exists(java.nio.file.Paths.get(dir + ".compact_old")))
   }
+
+  test("compact survives rename failures without losing the last copy") {
+    // HDFS reports most rename failures by RETURNING FALSE, not by
+    // throwing — inject that via a local FileSystem registered under
+    // the `faulty://` scheme whose rename fails on a flagged dst.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faulty.impl", classOf[FaultyRenameFs].getName)
+    val base = Files.createTempDirectory("graft_novelty4").toString
+    val dir = base + "/store"
+    val store = new NoveltyStore(spark, "faulty://" + dir)
+    store.scoreAndRecord(docs(corpus: _*), "doc_id", "text").collect()
+    val vocab = store.seenShingles.count()
+    assert(vocab > 0L)
+
+    // first rename (store -> old) fails: compact throws, store intact
+    FaultyRenameFs.failDst = Some(dir + ".compact_old")
+    try intercept[java.io.IOException] { store.compact() }
+    finally FaultyRenameFs.failDst = None
+    assert(store.seenShingles.count() == vocab)
+
+    // second rename (tmp -> store) fails AFTER store moved to old:
+    // compact throws, the only durable copy survives at .compact_old,
+    // and the next compact() heals and restores every shingle
+    FaultyRenameFs.failDst = Some(dir)
+    try intercept[java.io.IOException] { store.compact() }
+    finally FaultyRenameFs.failDst = None
+    assert(Files.exists(java.nio.file.Paths.get(dir + ".compact_old")),
+      "the pre-swap copy must survive a failed swap")
+    store.compact() // heals: old -> store, then a clean swap
+    assert(store.seenShingles.count() == vocab)
+    assert(!Files.exists(java.nio.file.Paths.get(dir + ".compact_old")))
+  }
+}
+
+/** Test-only local FileSystem whose rename returns false when the
+  * destination matches [[FaultyRenameFs.failDst]] — the HDFS failure
+  * mode NoveltyStore.compact's swap must tolerate. */
+class FaultyRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "faulty"
+  override def getUri: java.net.URI = java.net.URI.create("faulty:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean =
+    if (FaultyRenameFs.failDst.contains(dst.toUri.getPath)) false
+    else super.rename(src, dst)
+}
+
+object FaultyRenameFs {
+  @volatile var failDst: Option[String] = None
 }

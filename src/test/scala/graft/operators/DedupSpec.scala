@@ -214,6 +214,32 @@ class DedupSpec extends SparkSpec {
     // rate is one-sided: eval-only shingles never penalize the train doc
   }
 
+  test("evalOverlapRate: the bloom rung matches the broadcast rung exactly") {
+    // exactness across all three scale rungs: the Bloom prefilter has
+    // no false negatives and the confirm join removes false positives,
+    // so its output must be row-identical to the broadcast-set path.
+    // An undersized filter (expectedItems << real count) keeps the
+    // false-positive trickle real rather than vanishingly rare.
+    val train = textDocs(
+      1L -> "uno dos tres cuatro aaa bbb ccc ddd",
+      2L -> "alfa beta gamma delta epsilon zeta",
+      3L -> "texto nuevo sin solape con nada mas")
+    val eval = textDocs(
+      10L -> "uno dos tres cuatro xxx yyy zzz",
+      11L -> "gamma delta epsilon zeta eta theta")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSeq
+    val viaBroadcast = rows(Dedup.evalOverlapRate(
+      train, eval, "doc_id", "text", contaminatedAt = 0.2))
+    val viaBloom = rows(Dedup.evalOverlapRate(
+      train, eval, "doc_id", "text", contaminatedAt = 0.2,
+      broadcastEval = false, bloomPrefilter = true,
+      bloomExpectedItems = 4L, bloomFpp = 0.5))
+    assert(viaBloom == viaBroadcast,
+      s"bloom=$viaBloom\nbroadcast=$viaBroadcast")
+  }
+
   test("dropBoilerplateParagraphs: hot paragraph dropped everywhere, order kept") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

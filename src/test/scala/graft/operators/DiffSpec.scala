@@ -10,12 +10,30 @@ class DiffSpec extends SparkSpec {
 
   test("multi-column content does not alias across the column boundary") {
     // ("ab","c") vs ("a","bc") concatenate identically without a
-    // separator — the NUL join must classify them as changed
+    // boundary — per-column hashing must classify them as changed
     val oldSnap = Seq((1L, "s", "ab", "c")).toDF("id", "src", "a", "b")
     val newSnap = Seq((1L, "s", "a", "bc")).toDF("id", "src", "a", "b")
     val out = Diff.snapshotDiff(oldSnap, newSnap, "id", "src", Seq("a", "b"))
       .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
     assert(out == Seq(("changed", 1L)))
+  }
+
+  test("a NULL shifting between columns classifies as changed") {
+    // ("a", NULL) vs (NULL, "a"): concat_ws drops a NULL column WITH
+    // its separator, so both sides would fingerprint as just "a" and
+    // report unchanged — the per-column hash + NULL sentinel keeps
+    // the NULL's position in the fingerprint
+    val oldSnap = Seq((1L, "s", Some("a"), Option.empty[String]))
+      .toDF("id", "src", "a", "b")
+    val newSnap = Seq((1L, "s", Option.empty[String], Some("a")))
+      .toDF("id", "src", "a", "b")
+    val out = Diff.snapshotDiff(oldSnap, newSnap, "id", "src", Seq("a", "b"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(("changed", 1L)))
+    // and NULL ≡ NULL still reads unchanged
+    val same = Diff.snapshotDiff(oldSnap, oldSnap, "id", "src", Seq("a", "b"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(same == Seq(("unchanged", 1L)))
   }
 
   test("all four change kinds classify; removed docs keep their old source") {

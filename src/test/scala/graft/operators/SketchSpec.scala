@@ -44,6 +44,33 @@ class SketchSpec extends SparkSpec {
     assert(out.exists { case (_, c, e) => e > c }, out.toString)
   }
 
+  test("duplicate probe rows each keep their own estimate row") {
+    val s = spark; import s.implicits._
+    val build = Seq.fill(3)(7L).toDF("h") // cf(7) = 3
+    val sketch = Sketch.cmBuild(build, "h", width = 4)
+    // the probe frame repeats the same row — a groupBy over the probe
+    // columns alone would collapse them to one output row
+    val probes = Seq(7L, 7L, 9L).toDF("h")
+    val out = Sketch.cmEstimate(probes, "h", sketch, width = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(out.size == 3, s"duplicate probes collapsed: $out")
+    assert(out.count(_._1 == 7L) == 2)
+    out.filter(_._1 == 7L).foreach { case (_, e) => assert(e >= 3L) }
+  }
+
+  test("probing at a width other than the build width fails fast") {
+    val s = spark; import s.implicits._
+    val sketch = Sketch.cmBuild(Seq(1L, 2L).toDF("h"), "h", width = 8)
+    val probes = Seq(1L).toDF("h")
+    val e = intercept[IllegalArgumentException] {
+      Sketch.cmEstimate(probes, "h", sketch, width = 16)
+    }
+    assert(e.getMessage.contains("built at width=8"))
+    // and the matching width still estimates
+    assert(Sketch.cmEstimate(probes, "h", sketch, width = 8)
+      .collect().length == 1)
+  }
+
   test("width must be a power of two") {
     val s = spark; import s.implicits._
     val docs = Seq("a").toDF("text")
