@@ -1,6 +1,8 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
@@ -26,6 +28,29 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame     = apply(s, d, "events")
+
+  /** The `events.ts` column as BIGINT microseconds-since-epoch,
+    * adapting to however the parquet encodes it — the fixture has
+    * shipped it both as TIMESTAMP(NANOS) (read as long nanos under
+    * `nanosAsLong`) and as TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ).
+    * The UTC session timezone (GraftSession.tune) makes the NTZ→LTZ
+    * cast an identity reinterpretation, so every branch agrees with
+    * DuckDB's `epoch_us(ts)` — the form the oracle SQL uses — and all
+    * downstream µs arithmetic (sessionize gaps, as-of tolerances,
+    * interval bounds) is integer-exact regardless of encoding. */
+  def tsUs(events: DataFrame): Column = events.schema("ts").dataType match {
+    case LongType         => expr("ts div 1000")
+    case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+    case TimestampType    => unix_micros(col("ts"))
+    case other => throw new IllegalArgumentException(
+      s"events.ts has unsupported type ${other.catalogString}")
+  }
+
+  /** `events.ts` as a TIMESTAMP event-time column (for windowed /
+    * streaming use) — `timestamp_micros` over [[tsUs]], so every
+    * encoding branch is integer-exact µs first. */
+  def eventTime(events: DataFrame): Column =
+    org.apache.spark.sql.functions.timestamp_micros(tsUs(events))
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

@@ -29,6 +29,15 @@ object Ext {
 
   private val P = graft.functions.TextHash.P // 1000000007
 
+  /** `events` with `ts_us` (BIGINT µs since epoch) appended — the
+    * encoding-adaptive [[Tables.tsUs]] form every temporal query keys
+    * on, so µs gap/tolerance/interval arithmetic stays integer-exact
+    * whichever way the fixture encodes `ts`. */
+  private def eventsUs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val e = Tables.events(s, d)
+    e.withColumn("ts_us", Tables.tsUs(e))
+  }
+
   /** DuckDB fragment: tokens array per doc (mirrors TextHash.tokens). */
   private val duckWords =
     """words AS (
@@ -655,9 +664,9 @@ object Ext {
   /** q34 — event sessionization over the `events` stream table: a gap
     * > 30 min opens a new session (lag + running-sum window pair, the
     * standard sessionize idiom). Timestamps run as MICROSECOND LONGS on
-    * both sides: Spark reads the fixture's TIMESTAMP(NANOS) as raw
-    * longs (`nanosAsLong`, set in GraftSession.tune) and integer-divides
-    * to µs; DuckDB's timestamps are natively µs — so the gap arithmetic
+    * both sides: Spark converts `ts` via the encoding-adaptive
+    * [[Tables.tsUs]] (long nanos or TIMESTAMP parquet both land on µs);
+    * DuckDB's timestamps are natively µs — so the gap arithmetic
     * is integer-exact and unit-identical in both engines (ns would
     * silently truncate on the DuckDB side). One shuffle on user_id;
     * windows are per-user ordered scans. */
@@ -671,8 +680,7 @@ object Ext {
       val newSess = when(lag(col("ts_us"), 1).over(byUser).isNull
         || col("ts_us") - lag(col("ts_us"), 1).over(byUser) > gapUs, 1)
         .otherwise(0)
-      Tables.events(s, d)
-        .withColumn("ts_us", expr("ts div 1000"))
+      eventsUs(s, d)
         .withColumn("new_sess", newSess)
         .withColumn("session_idx",
           sum(col("new_sess")).over(
@@ -1041,8 +1049,8 @@ object Ext {
   val q43: Q = Q(
     "q43_asof_join",
     (s, d) => {
-      val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
-        col("event_type"), expr("ts div 1000").as("ts_us"))
+      val e = eventsUs(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts_us"))
       val purchases = e.where(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts_us"))
       val views = e.where(col("event_type") === "view")
@@ -1087,8 +1095,8 @@ object Ext {
     "q44_interval_join",
     (s, d) => {
       val halfUs = 600000000L // ±10 min in µs
-      val e = Tables.events(s, d).select(col("event_id"),
-        expr("ts div 1000").as("ts_us"), col("value"))
+      val e = eventsUs(s, d).select(col("event_id"),
+        col("ts_us"), col("value"))
       val windows = e.orderBy(col("value").desc, col("event_id")).limit(20)
         .select(col("event_id").as("wid"), col("ts_us").as("w_ts_us"),
           (col("ts_us") - halfUs).as("w_start"),
@@ -1879,8 +1887,8 @@ object Ext {
     "q63_asof_tolerance",
     (s, d) => {
       val tolUs = 3600000000L // 1 h
-      val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
-        col("event_type"), expr("ts div 1000").as("ts_us"))
+      val e = eventsUs(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts_us"))
       val purchases = e.where(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts_us"))
       val views = e.where(col("event_type") === "view")
@@ -2062,8 +2070,8 @@ object Ext {
     "q69_event_drift",
     (s, d) =>
       Drift.dailyMixDrift(
-        Tables.events(s, d),
-        to_date(timestamp_micros(expr("ts div 1000"))), "event_type"),
+        eventsUs(s, d),
+        to_date(timestamp_micros(col("ts_us"))), "event_type"),
     Some("""
       WITH bd AS (
         SELECT CAST(ts AS DATE) AS day, event_type AS t, count(*) AS c
@@ -2199,8 +2207,8 @@ object Ext {
     "q72_retention_cohorts",
     (s, d) =>
       Cohorts.retentionMatrix(
-        Tables.events(s, d), "user_id",
-        to_date(timestamp_micros(expr("ts div 1000")))),
+        eventsUs(s, d), "user_id",
+        to_date(timestamp_micros(col("ts_us")))),
     Some("""
       WITH uw AS (
         SELECT DISTINCT user_id AS u,
@@ -2226,8 +2234,8 @@ object Ext {
   val q73: Q = Q(
     "q73_conversion_funnel",
     (s, d) =>
-      Cohorts.funnel(Tables.events(s, d), "user_id",
-        expr("ts div 1000"), "event_type",
+      Cohorts.funnel(eventsUs(s, d), "user_id",
+        col("ts_us"), "event_type",
         Seq("view", "click", "purchase")),
     Some("""
       WITH e AS (
@@ -2400,8 +2408,8 @@ object Ext {
   val q78: Q = Q(
     "q78_asof_forward",
     (s, d) => {
-      val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
-        col("event_type"), expr("ts div 1000").as("ts_us"))
+      val e = eventsUs(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts_us"))
       val clicks = e.where(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts_us"))
       val purchases = e.where(col("event_type") === "purchase")
@@ -2444,8 +2452,8 @@ object Ext {
     "q79_ingest_gaps",
     (s, d) =>
       Drift.ingestCompleteness(
-        Tables.events(s, d).where(col("value") >= 300),
-        to_date(timestamp_micros(expr("ts div 1000"))), "event_type"),
+        eventsUs(s, d).where(col("value") >= 300),
+        to_date(timestamp_micros(col("ts_us"))), "event_type"),
     Some("""
       WITH b AS (
         SELECT CAST(ts AS DATE) AS day, event_type AS t
@@ -2553,7 +2561,7 @@ object Ext {
     "q82_scd2_intervals",
     (s, d) =>
       Scd.intervals(
-          Tables.events(s, d).withColumn("ts_us", expr("ts div 1000")),
+          eventsUs(s, d),
           col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
         .select(col("key").as("user_id"), col("tie").as("event_id"),
           col("value").as("event_type"),
@@ -2592,8 +2600,8 @@ object Ext {
     "q83_volume_anomaly",
     (s, d) =>
       Drift.dailyVolumeAnomaly(
-        Tables.events(s, d),
-        to_date(timestamp_micros(expr("ts div 1000"))), "event_type"),
+        eventsUs(s, d),
+        to_date(timestamp_micros(col("ts_us"))), "event_type"),
     Some("""
       WITH b AS (
         SELECT CAST(ts AS DATE) AS day, event_type AS t FROM events),
@@ -2657,7 +2665,7 @@ object Ext {
     "q85_state_dwell",
     (s, d) =>
       Scd.dwellByValue(
-        Tables.events(s, d).withColumn("ts_us", expr("ts div 1000")),
+        eventsUs(s, d),
         col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
         .select(col("value").as("event_type"), col("n_intervals"),
           col("total_dwell"), col("mean_dwell"))
@@ -2701,8 +2709,8 @@ object Ext {
   val q86: Q = Q(
     "q86_growth_curve",
     (s, d) =>
-      Cohorts.growthCurve(Tables.events(s, d), "user_id",
-        to_date(timestamp_micros(expr("ts div 1000")))),
+      Cohorts.growthCurve(eventsUs(s, d), "user_id",
+        to_date(timestamp_micros(col("ts_us")))),
     Some("""
       WITH b AS (
         SELECT CAST(ts AS DATE) AS day, user_id AS u FROM events),
@@ -2729,8 +2737,8 @@ object Ext {
   val q87: Q = Q(
     "q87_sliding_wau",
     (s, d) =>
-      Cohorts.slidingActiveUsers(Tables.events(s, d), "user_id",
-        to_date(timestamp_micros(expr("ts div 1000"))), windowDays = 7),
+      Cohorts.slidingActiveUsers(eventsUs(s, d), "user_id",
+        to_date(timestamp_micros(col("ts_us"))), windowDays = 7),
     Some("""
       WITH b AS (
         SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u

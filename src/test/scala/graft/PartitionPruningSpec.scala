@@ -21,9 +21,8 @@ class PartitionPruningSpec extends SparkSpec {
   private lazy val dir: String = {
     val d = java.nio.file.Files
       .createTempDirectory("graft_pp_events").toString
-    graft.engine.Tables.events(spark, "/root/testdata/sf0.001")
-      .withColumn("day",
-        to_date(timestamp_micros(expr("ts div 1000"))))
+    val e0 = graft.engine.Tables.events(spark, "/root/testdata/sf0.001")
+    e0.withColumn("day", to_date(graft.engine.Tables.eventTime(e0)))
       .write.partitionBy("day").mode("overwrite").parquet(d)
     d
   }

@@ -85,8 +85,9 @@ class JoinsSpec extends SparkSpec {
   }
 
   test("asOf ≡ naive history-explosion formulation on the events fixture") {
-    val e = graft.engine.Tables.events(spark, sf).select(col("event_id"),
-      col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+    val e0 = graft.engine.Tables.events(spark, sf)
+    val e = e0.select(col("event_id"), col("user_id"), col("event_type"),
+      graft.engine.Tables.tsUs(e0).as("ts_us"))
     val purchases = e.where(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts_us"))
     val views = e.where(col("event_type") === "view")
@@ -150,8 +151,9 @@ class JoinsSpec extends SparkSpec {
   }
 
   test("intervalJoin ≡ naive inequality join on the events fixture") {
-    val e = graft.engine.Tables.events(spark, sf).select(col("event_id"),
-      expr("ts div 1000").as("ts_us"), col("value"))
+    val e0 = graft.engine.Tables.events(spark, sf)
+    val e = e0.select(col("event_id"),
+      graft.engine.Tables.tsUs(e0).as("ts_us"), col("value"))
     val windows = e.orderBy(col("value").desc, col("event_id")).limit(20)
       .select(col("event_id").as("wid"),
         (col("ts_us") - 600000000L).as("w_start"),

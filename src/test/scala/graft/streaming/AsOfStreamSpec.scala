@@ -19,9 +19,10 @@ class AsOfStreamSpec extends SparkSpec {
     val srcU = Files.createTempDirectory("graft_asof_u").toString
     val ckpt = Files.createTempDirectory("graft_asof_ckpt").toString
 
-    val e = Tables.events(spark, "/root/testdata/sf0.001")
+    val e0 = Tables.events(spark, "/root/testdata/sf0.001")
+    val e = e0
       .select(col("event_id"), col("user_id"), col("event_type"),
-        expr("ts div 1000").as("ts_us"))
+        Tables.tsUs(e0).as("ts_us"))
     val purchases = e.where(col("event_type") === "purchase")
       .select(col("event_id").as("pid"), col("user_id").as("key"),
         col("ts_us"))

@@ -19,9 +19,10 @@ class AttributionStreamSpec extends SparkSpec {
     val srcC = Files.createTempDirectory("graft_attr_c").toString
     val ckpt = Files.createTempDirectory("graft_attr_ckpt").toString
 
-    val e = Tables.events(spark, "/root/testdata/sf0.001")
+    val e0 = Tables.events(spark, "/root/testdata/sf0.001")
+    val e = e0
       .select(col("event_id"), col("user_id"), col("event_type"),
-        expr("ts div 1000").as("ts_us"))
+        Tables.tsUs(e0).as("ts_us"))
     val imps = e.where(col("event_type") === "view")
       .select(col("event_id").as("imp_id"), col("user_id").as("imp_user"),
         col("ts_us").as("imp_ts_us"))

@@ -15,10 +15,16 @@ import graft.engine.Tables
 class EventRollupSpec extends SparkSpec {
 
   test("nanosToTimestamp is exact integer µs (no double-mantissa loss)") {
-    val mismatches = Tables.events(spark, "/root/testdata/sf0.001")
+    // synthesize epoch-nanos longs from the fixture's (encoding-
+    // adaptive) µs so the exactness property is pinned regardless of
+    // how the parquet stores ts
+    val e = Tables.events(spark, "/root/testdata/sf0.001")
+    val mismatches = e
+      .select(Tables.tsUs(e).as("us"))
       .select(
-        unix_micros(EventRollup.nanosToTimestamp(col("ts"))).as("via_fn"),
-        expr("ts div 1000").as("exact"))
+        unix_micros(EventRollup.nanosToTimestamp(col("us") * 1000L))
+          .as("via_fn"),
+        col("us").as("exact"))
       .where(col("via_fn") =!= col("exact"))
       .count()
     assert(mismatches == 0)
@@ -28,8 +34,9 @@ class EventRollupSpec extends SparkSpec {
     val srcDir = Files.createTempDirectory("graft_roll_src").toString
     val ckpt = Files.createTempDirectory("graft_roll_ckpt").toString
 
-    val events = Tables.events(spark, "/root/testdata/sf0.001")
-      .withColumn("event_time", EventRollup.nanosToTimestamp(col("ts")))
+    val events0 = Tables.events(spark, "/root/testdata/sf0.001")
+    val events = events0
+      .withColumn("event_time", Tables.eventTime(events0))
     events.coalesce(1).write.mode("append").parquet(srcDir)
 
     val streamIn = spark.readStream

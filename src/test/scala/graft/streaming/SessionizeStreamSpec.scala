@@ -25,9 +25,10 @@ class SessionizeStreamSpec extends SparkSpec {
     val srcDir = Files.createTempDirectory("graft_sess_src").toString
     val ckpt = Files.createTempDirectory("graft_sess_ckpt").toString
 
-    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val ev0 = Tables.events(spark, "/root/testdata/sf0.001")
+    val ev = ev0
       .select(col("user_id").cast("long").as("user_id"),
-        expr("ts div 1000").as("ts_us"))
+        Tables.tsUs(ev0).as("ts_us"))
     ev.coalesce(1).write.mode("append").parquet(srcDir)
     // sentinels: one event per user at a SINGLE flush instant 10 gaps
     // past the globally last real event — closes every user's final
