@@ -94,6 +94,74 @@ object Sketch {
       .drop("__probe_id")
   }
 
+  /** HLL bias-correction constant α_m (Flajolet et al. 2007, the
+    * published large-m approximation). Computed ONCE here and inlined
+    * as a literal on both engines — the portability rule for anything
+    * non-field-op: never let two libms each compute it. */
+  def hllAlpha(m: Int): Double = 0.7213 / (1.0 + 1.079 / m)
+
+  /** Linear-counting estimates `m·ln(m/V)` for V = 1..m empty buckets
+    * — the HLL small-range branch. `ln` is transcendental, so the
+    * values are computed once HERE and carried as literals into both
+    * the Spark plan and the oracle SQL; `Double.toString` is shortest
+    * round-trip, so the oracle parses back the bit-identical double. */
+  def hllLinearLut(m: Int): IndexedSeq[Double] =
+    (1 to m).map(v => m * math.log(m.toDouble / v))
+
+  /** HyperLogLog distinct count per group — the fixed-memory
+    * cardinality rung under exact `count(distinct)`. An exact distinct
+    * shuffles every distinct key; at 100 TB a per-group user/entity
+    * distinct over billions of keys is itself a corpus-scale exchange.
+    * HLL replaces it with m registers per group: the (group, bucket)
+    * partial aggregate combines map-side, so the first exchange
+    * carries ≤ m rows per group PER PARTITION and the second ≤ m rows
+    * per group total — both independent of cardinality.
+    *
+    * DETERMINISTIC AND ORACLE-REPLAYABLE: `hashCol` must hold a
+    * non-negative BIGINT with `hash < m·2^wBits`; bucket is `h mod m`,
+    * rho is leading-zero rank of the remaining `wBits` bits computed
+    * EXACTLY via `length(bin(w))` (both engines print minimal binary),
+    * registers sum as exact `2^(K−M_j)` BIGINTs, and the only floating
+    * ops are the final pinned-parenthesization raw estimate and the
+    * literal linear-counting lookup — IEEE field ops + shared literals,
+    * bit-identical across engines.
+    *
+    * Output per group: `n_filled`, `n_empty`, `est_distinct` (raw HLL
+    * estimate, or linear counting when the raw estimate ≤ 2.5m with
+    * empty buckets remaining — the standard regime switch). */
+  def hllDistinct(rows: DataFrame, groupCol: String, hashCol: String,
+      m: Int = 256, wBits: Int = 52): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0,
+      s"m must be a power of two >= 16, got $m")
+    require(wBits > 0 && wBits <= 56, s"need 0 < wBits <= 56, got $wBits")
+    val k = wBits + 1 // max rho; scaled register term = 2^(k - M_j)
+    val alpha = hllAlpha(m)
+    val lut = hllLinearLut(m)
+    val raw = ((lit(alpha) * lit((m.toLong * m).toDouble)) *
+      lit(math.pow(2.0, k))) / col("s_scaled").cast("double")
+    rows
+      .select(col(groupCol),
+        (col(hashCol) % m).as("b"),
+        expr(s"`$hashCol` div $m").as("w"))
+      .withColumn("rho",
+        when(col("w") === 0L, lit(wBits + 1))
+          .otherwise(lit(wBits) - length(bin(col("w"))) + 1))
+      .groupBy(col(groupCol), col("b"))
+      .agg(max(col("rho")).as("mj"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_filled"),
+        expr(s"sum(shiftleft(1L, $k - mj))").as("s_present"))
+      .select(col(groupCol), col("n_filled"),
+        (lit(m.toLong) - col("n_filled")).as("n_empty"),
+        ((lit(m.toLong) - col("n_filled")) * lit(1L << k) +
+          col("s_present")).as("s_scaled"))
+      .withColumn("est_distinct",
+        when(col("n_empty") > 0L && raw <= lit(2.5 * m),
+          element_at(array(lut.map(lit): _*), col("n_empty").cast("int")))
+          .otherwise(raw))
+      .drop("s_scaled")
+  }
+
   /** The verification composition: exact top-`topK` whitespace-token
     * frequencies (ground truth) side-by-side with their CMS estimates —
     * `est_cf ≥ cf` always, equality when none of a term's `depth`

@@ -2797,11 +2797,88 @@ object Ext {
       FROM e GROUP BY 1, 2 ORDER BY 1, 2
     """.trim))
 
+  // ---------------------------------------------------------------- q89
+
+  /** q89 — HyperLogLog distinct users per event type
+    * ([[Sketch.hllDistinct]]): the fixed-memory cardinality rung under
+    * exact count(distinct). The 64-bit-ish key is built from two
+    * independent affine-mod-P hashes SQUARED mod P before combining —
+    * sequential ids under a purely affine map are MORE equidistributed
+    * than random (too few bucket collisions), which biases the
+    * occupancy-based estimator; the quadratic step restores hash-like
+    * statistics while staying exact BIGINT arithmetic both engines
+    * replay. The oracle rebuilds registers bit-for-bit and applies the
+    * identical literal constants (α, the m·ln(m/V) linear-counting
+    * table) — see [[Sketch.hllLinearLut]] for why the literals, not
+    * each engine's libm, carry the transcendentals. */
+  /** A Double as SQL text DuckDB will type as DOUBLE, not DECIMAL: an
+    * exponent forces the double parser, which is correctly-rounded on
+    * the shortest round-trip form `Double.toString` emits — the plain
+    * form would be read as DECIMAL(18,_) and both quantize and
+    * overflow. */
+  private def sqlDouble(d: Double): String = {
+    val s = d.toString
+    if (s.contains('E') || s.contains('e')) s else s + "E0"
+  }
+
+  val q89: Q = {
+    val m = 256
+    val wBits = 52
+    val k = wBits + 1
+    val alpha = Sketch.hllAlpha(m)
+    val lut = Sketch.hllLinearLut(m)
+    Q(
+      "q89_hll_distinct",
+      (s, d) => {
+        val h1 = (col("user_id") % P * 2654435761L % P + 12345L) % P
+        val h2 = (col("user_id") % P * 1779033703L % P + 54321L) % P
+        val hashed = Tables.events(s, d).select(col("event_type"),
+          ((h1 * h1 % P) * P + (h2 * h2 % P)).as("h"))
+        Sketch.hllDistinct(hashed, "event_type", "h", m, wBits)
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT event_type,
+            (user_id % $P * 2654435761 % $P + 12345) % $P AS h1,
+            (user_id % $P * 1779033703 % $P + 54321) % $P AS h2
+          FROM events),
+        h AS (
+          SELECT event_type, (h1*h1 % $P) * $P + (h2*h2 % $P) AS h FROM e),
+        b AS (
+          SELECT event_type, h % $m AS b, h // $m AS w FROM h),
+        r AS (
+          SELECT event_type, b, CASE WHEN w = 0 THEN ${wBits + 1}
+            ELSE $wBits - length(bin(w)) + 1 END AS rho FROM b),
+        reg AS (
+          SELECT event_type, b, max(rho) AS mj FROM r GROUP BY 1, 2),
+        agg AS (
+          SELECT event_type, count(*) AS n_filled,
+            sum(1::BIGINT << ($k - mj)) AS s_present
+          FROM reg GROUP BY 1),
+        sc AS (
+          SELECT event_type, n_filled, ($m - n_filled) AS n_empty,
+            ($m::BIGINT - n_filled) * (1::BIGINT << $k) + s_present AS s
+          FROM agg)
+        SELECT event_type, n_filled, n_empty,
+          CASE WHEN n_empty > 0 AND
+              ((${sqlDouble(alpha)} * ${sqlDouble((m.toLong * m).toDouble)}) *
+                ${sqlDouble(math.pow(2.0, k))}) / CAST(s AS DOUBLE)
+                <= ${sqlDouble(2.5 * m)}
+            THEN list_extract([${lut.map(sqlDouble).mkString(", ")}],
+              CAST(n_empty AS INT))
+            ELSE ((${sqlDouble(alpha)} * ${sqlDouble((m.toLong * m).toDouble)}) *
+              ${sqlDouble(math.pow(2.0, k))}) / CAST(s AS DOUBLE)
+          END AS est_distinct
+        FROM sc ORDER BY event_type
+      """.trim))
+  }
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
       q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
       q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-      q84, q85, q86, q87, q88)
+      q84, q85, q86, q87, q88, q89)
 }

@@ -376,6 +376,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q89: HLL registers combine map-side; both aggregates partial; no Window") {
+    val p = plan("q89_hll_distinct")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // register build = partial_max under the (group, bucket) key, so
+    // the first exchange carries <= m rows per group per partition;
+    // the final per-group fold is partial too
+    assert(p.contains("partial_max"), p)
+    assert(p.contains("partial_count"), p)
+    // exactly the two hash-aggregate pairs — registers, then the fold
+    assert(p.linesIterator.count(_.contains("HashAggregate")) == 4, p)
+  }
+
   test("q81: ONE RANGE-frame window over the reduced daily frame") {
     val p = plan("q81_moving_revenue")
     // the frame is value-distance (days), not row-count

@@ -71,6 +71,61 @@ class SketchSpec extends SparkSpec {
       .collect().length == 1)
   }
 
+  test("hllDistinct: raw regime tracks true cardinality within 3 std errors") {
+    val s = spark; import s.implicits._
+    // 20k sequential ids through the q89 squared-mix hash: n >> 2.5m,
+    // so the RAW estimate branch runs (no empty buckets expected)
+    val m = 256
+    val hashed = s.range(20000).toDF("id").selectExpr(
+      "'g' AS g",
+      s"""((id % ${P}L) * 2654435761L % ${P}L + 12345L) % ${P}L AS h1""",
+      s"""((id % ${P}L) * 1779033703L % ${P}L + 54321L) % ${P}L AS h2""")
+      .selectExpr("g", s"(h1*h1 % ${P}L) * ${P}L + (h2*h2 % ${P}L) AS h")
+    val out = Sketch.hllDistinct(hashed, "g", "h", m = m, wBits = 52)
+      .collect()
+    assert(out.length == 1)
+    val est = out.head.getAs[Double]("est_distinct")
+    // standard error 1.04/sqrt(m) = 6.5%; 3 sigma = 19.5%
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.195, s"est=$est")
+  }
+
+  test("hllDistinct: small-range branch uses the linear-counting table") {
+    val s = spark; import s.implicits._
+    val m = 256
+    // 40 distinct keys: raw HLL would report ~alpha*m; the branch must
+    // switch to m*ln(m/V), which is accurate in this regime
+    val hashed = s.range(40).toDF("id").selectExpr(
+      "'g' AS g",
+      s"""((id % ${P}L) * 2654435761L % ${P}L + 12345L) % ${P}L AS h1""",
+      s"""((id % ${P}L) * 1779033703L % ${P}L + 54321L) % ${P}L AS h2""")
+      .selectExpr("g", s"(h1*h1 % ${P}L) * ${P}L + (h2*h2 % ${P}L) AS h")
+    val row = Sketch.hllDistinct(hashed, "g", "h", m = m, wBits = 52)
+      .collect().head
+    val est = row.getAs[Double]("est_distinct")
+    val filled = row.getAs[Long]("n_filled")
+    val empty = row.getAs[Long]("n_empty")
+    assert(filled + empty == m.toLong)
+    // the reported value must BE the shared literal-table entry —
+    // bit-equal, the exact portability contract the oracle relies on
+    assert(est == Sketch.hllLinearLut(m)(empty.toInt - 1))
+    assert(math.abs(est - 40.0) / 40.0 < 0.25, s"est=$est")
+  }
+
+  test("hllDistinct: duplicate keys do not move the estimate") {
+    val s = spark; import s.implicits._
+    val m = 64
+    def build(rep: Int) = {
+      val base = s.range(500).toDF("id").selectExpr("'g' AS g",
+        s"""((id % ${P}L) * 2654435761L % ${P}L + 12345L) % ${P}L AS h1""",
+        s"""((id % ${P}L) * 1779033703L % ${P}L + 54321L) % ${P}L AS h2""")
+        .selectExpr("g", s"(h1*h1 % ${P}L) * ${P}L + (h2*h2 % ${P}L) AS h")
+      val rows = (1 to rep).map(_ => base).reduce(_ union _)
+      Sketch.hllDistinct(rows, "g", "h", m = m, wBits = 52)
+        .collect().head.getAs[Double]("est_distinct")
+    }
+    assert(build(1) == build(3)) // registers are max-folds: idempotent
+  }
+
   test("width must be a power of two") {
     val s = spark; import s.implicits._
     val docs = Seq("a").toDF("text")
