@@ -284,6 +284,48 @@ object Dedup {
       capped.where(!col("__left")).drop("__left"), threshold)
   }
 
+  /** Pairwise SOURCE-level shingle overlap — the corpus-composition
+    * matrix: for every pair of sources, the exact Jaccard similarity
+    * of their distinct 3-gram shingle VOCABULARIES. Doc-level dedup
+    * answers "which documents repeat"; this answers "which feeds are
+    * republishing each other" — the signal for collapsing mirrored
+    * crawls or re-weighting a training mix before any per-doc work.
+    *
+    * Scale shape: one distinct over (source, shingle-hash) — 8-byte
+    * hashes through the exchange, persisted ONCE and read three times
+    * (sizes, both join sides). The intersection self-join keys on the
+    * shingle hash; a shingle shared by s sources expands to s² rows,
+    * bounded by the SOURCE count (hundreds at web scale), not the
+    * corpus — and the per-pair count aggregate combines map-side. The
+    * |sources|-row size frames broadcast. Exact integers throughout;
+    * the one division runs on both engines' IEEE doubles identically. */
+  def sourceOverlapMatrix(docs: DataFrame, sourceCol: String,
+      textCol: String,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val srcSh = scope.persist(
+      docs.select(col(sourceCol).as("src"),
+          explode(TextHash.shingleHashesOf(col(textCol))).as("hs"))
+        .distinct())
+    // sizes is |sources| rows but joins TWICE — persisting it keeps the
+    // big exploded frame at exactly three reads (sizes build + 2 sides)
+    val sizes = scope.persist(
+      srcSh.groupBy(col("src")).agg(count(lit(1)).as("n")))
+    val inter = srcSh.select(col("src").as("sa"), col("hs"))
+      .join(srcSh.select(col("src").as("sb"), col("hs")), Seq("hs"))
+      .where(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_common"))
+    val union = col("na") + col("nb") - col("n_common")
+    inter
+      .join(broadcast(sizes.select(col("src").as("sa"), col("n").as("na"))),
+        Seq("sa"))
+      .join(broadcast(sizes.select(col("src").as("sb"), col("n").as("nb"))),
+        Seq("sb"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("n_common"), union.as("n_union"),
+        (col("n_common").cast("double") / union).as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Shared tail of the cross-corpus contamination paths: per-side set
     * sizes, the inverted-index intersection join, and the Jaccard
     * threshold — inputs are the df-capped (doc_id, hs) streams. */

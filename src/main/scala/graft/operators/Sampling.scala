@@ -137,6 +137,36 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Weighted (probability-proportional-to-size) priority sample:
+    * `min(k, |stratum|)` rows per stratum where a row's chance of
+    * selection scales with `weightCol` — the Duffield–Lund–Thorup
+    * priority-sampling scheme with the portable affine hash standing
+    * in for the uniform draw. Priority = w/u with u = (h+1)/P; we keep
+    * the k LARGEST priorities, i.e. the k smallest u/w keys. The key
+    * is one IEEE division of exact integers (`(h+1)/w` in doubles) —
+    * correctly rounded, so every engine orders identically; ties break
+    * on id. Zero/negative weights are excluded (they carry no mass).
+    *
+    * The training-mix use case: draw human-review or eval candidates
+    * where longer / higher-value documents should surface
+    * proportionally more often, still fully deterministic re-run to
+    * re-run. Same WindowGroupLimit scale shape as
+    * [[priorityKPerStratum]]: per-task k-heaps before the exchange. */
+  def weightedPriorityK(df: DataFrame, idCol: String, stratumCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val h = ((col(idCol) % P) * lit(2654435761L) % P + lit(12345L)) % P
+    val key = (h + lit(1L)).cast("double") / col(weightCol).cast("double")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__key"), col(idCol))
+    df.where(col(weightCol) > 0)
+      .withColumn("__key", key)
+      .withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= k)
+      .drop("__key")
+  }
+
   /** Deterministic training-order shuffle: the last step of every
     * corpus pipeline — randomize document order for training, sharded
     * so a 1000-executor writer (and later a 1000-worker data loader)

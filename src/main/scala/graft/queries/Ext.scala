@@ -2874,11 +2874,70 @@ object Ext {
       """.trim))
   }
 
+  // ---------------------------------------------------------------- q90
+
+  /** q90 — weighted (PPS) priority sample
+    * ([[Sampling.weightedPriorityK]]): 5 docs per lang with selection
+    * probability ∝ `n_chars`. The sort key `(h+1)/w` is a single
+    * correctly-rounded IEEE division of exact integers, so both
+    * engines order identically; q51 is the uniform sibling. */
+  val q90: Q = Q(
+    "q90_weighted_sample",
+    (s, d) =>
+      Sampling.weightedPriorityK(
+        Tables.documents(s, d).select(col("lang"), col("doc_id"),
+          col("n_chars")),
+        "doc_id", "lang", "n_chars", k = 5)
+        .orderBy(col("lang"), col("sample_rank")),
+    Some(s"""
+      SELECT lang, doc_id, n_chars, CAST(sample_rank AS INT) AS sample_rank
+      FROM (
+        SELECT lang, doc_id, n_chars,
+          row_number() OVER (PARTITION BY lang ORDER BY
+            CAST(((doc_id % $P) * 2654435761 % $P + 12345) % $P + 1 AS DOUBLE)
+              / CAST(n_chars AS DOUBLE),
+            doc_id) AS sample_rank
+        FROM documents WHERE n_chars > 0) t
+      WHERE sample_rank <= 5 ORDER BY lang, sample_rank
+    """.trim))
+
+  // ---------------------------------------------------------------- q91
+
+  /** q91 — source-overlap matrix ([[Dedup.sourceOverlapMatrix]]):
+    * exact shingle-vocabulary Jaccard for every source pair — the
+    * corpus-composition signal (which feeds republish each other)
+    * ahead of any per-doc dedup. Intersection fan-out is bounded by
+    * the SOURCE count, never the corpus. */
+  val q91: Q = Q(
+    "q91_source_overlap",
+    (s, d) =>
+      Dedup.sourceOverlapMatrix(Tables.documents(s, d), "source", "text"),
+    Some(s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      $duckHashShingles,
+      srcsh AS (
+        SELECT DISTINCT d.source AS src, s.hs
+        FROM sh s JOIN documents d USING (doc_id)),
+      sz AS (SELECT src, count(*) AS n FROM srcsh GROUP BY 1),
+      inter AS (
+        SELECT a.src sa, b.src sb, count(*) AS c
+        FROM srcsh a JOIN srcsh b ON a.hs = b.hs AND a.src < b.src
+        GROUP BY 1, 2)
+      SELECT sa AS source_a, sb AS source_b, c AS n_common,
+        (na.n + nb.n - c) AS n_union,
+        (CAST(c AS DOUBLE) / (na.n + nb.n - c)) AS jaccard
+      FROM inter
+      JOIN sz na ON na.src = sa
+      JOIN sz nb ON nb.src = sb
+      ORDER BY source_a, source_b
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
       q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
       q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-      q84, q85, q86, q87, q88, q89)
+      q84, q85, q86, q87, q88, q89, q90, q91)
 }

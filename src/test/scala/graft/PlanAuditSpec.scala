@@ -376,6 +376,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q90: weighted-sample rank filter plans as WindowGroupLimit") {
+    // per-task k-heaps before the exchange — the shuffle carries
+    // <= k * strata * partitions rows, never the corpus
+    val p = plan("q90_weighted_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q91: shingle explode runs once inside its cache; sizes cached + broadcast") {
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    spark.catalog.clearCache()
+    graft.engine.GraftSession.tune(spark)
+    val qe = SparkEntry.queries("q91_source_overlap")(spark, sf).queryExecution
+    // both frames cached: the (source, shingle) frame and the tiny
+    // sizes frame (persisted so the big frame is read exactly 3×);
+    // exactly ONE cache build contains the shingle generator
+    val imrs = qe.optimizedPlan.collect { case r: InMemoryRelation => r }
+    assert(imrs.nonEmpty, qe.optimizedPlan.toString)
+    // the shingle generator never survives OUTSIDE a cache build —
+    // tokenize+explode is one corpus pass, everything else reads cache
+    assert(qe.optimizedPlan.collect { case g: Generate => g }.isEmpty,
+      qe.optimizedPlan.toString)
+    val p = qe.executedPlan.toString()
+    // the sizes frames ride broadcast joins (the inter join may ALSO
+    // broadcast at spec scale — at 100 TB AQE re-plans it to a hash
+    // exchange on the 8-byte shingle key, never a nested loop)
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q89: HLL registers combine map-side; both aggregates partial; no Window") {
     val p = plan("q89_hll_distinct")
     assert(!p.contains("Window"), p)

@@ -240,6 +240,27 @@ class DedupSpec extends SparkSpec {
       s"bloom=$viaBloom\nbroadcast=$viaBroadcast")
   }
 
+  test("sourceOverlapMatrix: exact pair Jaccards; disjoint sources absent") {
+    val s = spark; import s.implicits._
+    // A and B share an identical doc (2 shingles); C overlaps A/B in
+    // exactly one shingle out of its four; D's vocabulary is disjoint
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "A"),
+      (2L, "alpha beta gamma delta", "B"),
+      (3L, "alpha beta gamma zeta eta theta", "C"),
+      (4L, "uno dos tres", "D"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlapMatrix(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == Seq(
+      ("A", "B", 2L, 2L, 1.0),
+      ("A", "C", 1L, 5L, 0.2),
+      ("B", "C", 1L, 5L, 0.2)), got.toString)
+    // pairs with empty intersection (anything with D) never surface —
+    // at web scale the matrix is as sparse as the real overlap
+  }
+
   test("dropBoilerplateParagraphs: hot paragraph dropped everywhere, order kept") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

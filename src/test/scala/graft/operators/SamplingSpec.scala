@@ -118,6 +118,38 @@ class SamplingSpec extends SparkSpec {
     assert(again == k5.toSet)
   }
 
+  test("weightedPriorityK: replays the hand-computed PPS order; weights bias the draw") {
+    val s = spark; import s.implicits._
+    val P = graft.functions.TextHash.P
+    val rows = Seq(
+      (1L, "a", 100L), (2L, "a", 1L), (3L, "a", 5000L), (4L, "a", 40L),
+      (5L, "a", 900L), (6L, "b", 10L), (7L, "b", 10L))
+      .toDF("id", "g", "w")
+    val got = Sampling.weightedPriorityK(rows, "id", "g", "w", k = 3)
+      .select("g", "id", "sample_rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    // hand replay: key = (affine-hash(id)+1) / w, k smallest per group
+    def h(id: Long) = ((id % P) * 2654435761L % P + 12345L) % P
+    val weights = Map(1L -> 100L, 2L -> 1L, 3L -> 5000L, 4L -> 40L,
+      5L -> 900L, 6L -> 10L, 7L -> 10L)
+    def expectFor(g: String, ids: Seq[Long], k: Int) =
+      ids.map(id => id -> (h(id) + 1).toDouble / weights(id))
+        .sortBy { case (id, key) => (key, id) }.take(k).zipWithIndex
+        .map { case ((id, _), i) => (g, id, i + 1) }.toSet
+    val expect = expectFor("a", Seq(1L, 2L, 3L, 4L, 5L), 3) ++
+      expectFor("b", Seq(6L, 7L), 3)
+    assert(got == expect, s"got=$got expect=$expect")
+  }
+
+  test("weightedPriorityK: zero/negative weights carry no mass; contract size") {
+    val s = spark; import s.implicits._
+    val rows = Seq((1L, "a", 0L), (2L, "a", -5L), (3L, "a", 7L))
+      .toDF("id", "g", "w")
+    val got = Sampling.weightedPriorityK(rows, "id", "g", "w", k = 2)
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(3L)) // min(k, |positive-weight stratum|) rows
+  }
+
   test("trainingOrder: shards stay balanced enough to own a writer each") {
     val sizes = Sampling.trainingOrder(docs, "doc_id", shards = 8, seed = 0L)
       .groupBy("shard").count().collect().map(_.getLong(1))
