@@ -326,6 +326,46 @@ object Dedup {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Fuzzy ENTITY matching — near-identical name pairs by edit
+    * distance, the record-linkage step before merging product /
+    * author / site catalogs that doc-level shingle dedup can't see
+    * (names are too short for 3-gram statistics to separate typos
+    * from distinct entities; edit distance is the right metric).
+    *
+    * The classic scalable shape: collapse to DISTINCT names first
+    * (entity vocabularies are domain-bounded — the corpus may be
+    * 100 TB, the name set is not), derive a cheap BLOCKING key, and
+    * pay the quadratic `levenshtein` (codegen'd in Spark) only inside
+    * blocks — a `maxDist`-edit pair must agree on a robust block key,
+    * so the all-pairs product never exists. `n_rows` rides along so
+    * the caller can see how much mass each side of a match carries.
+    *
+    * `blockOf` maps the name column to its block key; the default —
+    * the second whitespace token (empty when absent, matching
+    * `split_part` semantics) — blocks two-token catalog names on
+    * their head noun ("cold bolt" / "old bolt"). A pair is emitted once (`name_a < name_b`), with
+    * pairs in DIFFERENT blocks never compared: recall is the blocking
+    * key's contract, the standard trade of blocked linkage. */
+  def fuzzyMatchPairs(rows: DataFrame, nameCol: String, maxDist: Int = 2,
+      blockOf: Column => Column = n =>
+        coalesce(element_at(split(n, " "), 2), lit(""))): DataFrame = {
+    require(maxDist >= 1, s"maxDist=$maxDist must be >= 1")
+    val names = rows
+      .groupBy(col(nameCol).as("name")).agg(count(lit(1)).as("n_rows"))
+      .withColumn("blk", blockOf(col("name")))
+    val a = names.select(col("name").as("name_a"), col("n_rows").as("n_a"),
+      col("blk"))
+    val b = names.select(col("name").as("name_b"), col("n_rows").as("n_b"),
+      col("blk"))
+    a.join(b, Seq("blk"))
+      .where(col("name_a") < col("name_b"))
+      .where(levenshtein(col("name_a"), col("name_b")) <= maxDist)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("distance"),
+        col("n_a"), col("n_b"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
   /** Shared tail of the cross-corpus contamination paths: per-side set
     * sizes, the inverted-index intersection join, and the Jaccard
     * threshold — inputs are the df-capped (doc_id, hs) streams. */

@@ -2933,11 +2933,35 @@ object Ext {
       ORDER BY source_a, source_b
     """.trim))
 
+  // ---------------------------------------------------------------- q92
+
+  /** q92 — fuzzy entity matching ([[Dedup.fuzzyMatchPairs]]): part
+    * names within two edits of each other, blocked on the trailing
+    * token so the quadratic edit distance only runs inside blocks of
+    * the DISTINCT name set — record linkage that shingle dedup can't
+    * express at name length. */
+  val q92: Q = Q(
+    "q92_fuzzy_match",
+    (s, d) =>
+      Dedup.fuzzyMatchPairs(Tables.part(s, d), "p_name", maxDist = 2),
+    Some("""
+      WITH g AS (
+        SELECT p_name AS name, count(*) AS n_rows FROM part GROUP BY 1),
+      b AS (
+        SELECT name, n_rows, split_part(name, ' ', 2) AS blk FROM g)
+      SELECT a.name AS name_a, c.name AS name_b,
+        CAST(levenshtein(a.name, c.name) AS INT) AS distance,
+        a.n_rows AS n_a, c.n_rows AS n_b
+      FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+      WHERE levenshtein(a.name, c.name) <= 2
+      ORDER BY name_a, name_b
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
       q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
       q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-      q84, q85, q86, q87, q88, q89, q90, q91)
+      q84, q85, q86, q87, q88, q89, q90, q91, q92)
 }

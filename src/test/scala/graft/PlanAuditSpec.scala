@@ -407,6 +407,18 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q92: edit distance runs inside a keyed join on the block — never all-pairs") {
+    val p = plan("q92_fuzzy_match")
+    // the self-join must key on blk (hash or broadcast-hash), with the
+    // levenshtein predicate as a post-join filter — a cross product
+    // would pay |names|^2 regardless of blocking
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("levenshtein"), p)
+    // distinct-name collapse combines map-side before its exchange
+    assert(p.contains("partial_count"), p)
+  }
+
   test("q89: HLL registers combine map-side; both aggregates partial; no Window") {
     val p = plan("q89_hll_distinct")
     assert(!p.contains("Window"), p)

@@ -261,6 +261,25 @@ class DedupSpec extends SparkSpec {
     // at web scale the matrix is as sparse as the real overlap
   }
 
+  test("fuzzyMatchPairs: within-block edit pairs only; row mass rides along") {
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      "cold bolt", "cold bolt", "cold bolt", // 3 rows of one entity
+      "old bolt",                            // 1 edit from cold bolt
+      "gold ring",                           // different block (ring)
+      "bold ring",                           // 2 edits from gold ring
+      "cold brlt")                           // 1 edit, but block 'brlt'
+      .map(Tuple1(_)).toDF("name")
+    val got = Dedup.fuzzyMatchPairs(rows, "name", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      ("bold ring", "gold ring", 1, 1L, 1L),
+      ("cold bolt", "old bolt", 1, 3L, 1L)), got.toString)
+    // 'cold brlt' is 1 edit from 'cold bolt' but blocks differ — the
+    // documented recall trade of blocked linkage: never compared
+  }
+
   test("dropBoilerplateParagraphs: hot paragraph dropped everywhere, order kept") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
