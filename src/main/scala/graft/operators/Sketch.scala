@@ -130,15 +130,22 @@ object Sketch {
     * estimate, or linear counting when the raw estimate ≤ 2.5m with
     * empty buckets remaining — the standard regime switch). */
   def hllDistinct(rows: DataFrame, groupCol: String, hashCol: String,
+      m: Int = 256, wBits: Int = 52): DataFrame =
+    hllEstimateFromRegisters(
+      hllRegisters(rows, groupCol, hashCol, m, wBits), groupCol, m, wBits)
+
+  /** The register-build stage of [[hllDistinct]]: (group, bucket,
+    * max-rho) rows. A PLAN-ONLY transform whose aggregate is a keyed
+    * `max` — associative, commutative, idempotent — which is what
+    * makes HLL the mergeable/streamable sketch: re-feeding the same
+    * keys can never move a register, and a streaming aggregation holds
+    * exactly these ≤ m rows per group as its bounded state
+    * ([[graft.streaming.HllStream]]). */
+  def hllRegisters(rows: DataFrame, groupCol: String, hashCol: String,
       m: Int = 256, wBits: Int = 52): DataFrame = {
     require(m >= 16 && (m & (m - 1)) == 0,
       s"m must be a power of two >= 16, got $m")
     require(wBits > 0 && wBits <= 56, s"need 0 < wBits <= 56, got $wBits")
-    val k = wBits + 1 // max rho; scaled register term = 2^(k - M_j)
-    val alpha = hllAlpha(m)
-    val lut = hllLinearLut(m)
-    val raw = ((lit(alpha) * lit((m.toLong * m).toDouble)) *
-      lit(math.pow(2.0, k))) / col("s_scaled").cast("double")
     rows
       .select(col(groupCol),
         (col(hashCol) % m).as("b"),
@@ -148,6 +155,23 @@ object Sketch {
           .otherwise(lit(wBits) - length(bin(col("w"))) + 1))
       .groupBy(col(groupCol), col("b"))
       .agg(max(col("rho")).as("mj"))
+  }
+
+  /** The estimate fold of [[hllDistinct]] over a (group, b, mj)
+    * register table — exact BIGINT register sums, then the one pinned
+    * IEEE estimate (see [[hllLinearLut]] for the literal-constant
+    * portability contract). */
+  def hllEstimateFromRegisters(registers: DataFrame, groupCol: String,
+      m: Int = 256, wBits: Int = 52): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0,
+      s"m must be a power of two >= 16, got $m")
+    require(wBits > 0 && wBits <= 56, s"need 0 < wBits <= 56, got $wBits")
+    val k = wBits + 1 // max rho; scaled register term = 2^(k - M_j)
+    val alpha = hllAlpha(m)
+    val lut = hllLinearLut(m)
+    val raw = ((lit(alpha) * lit((m.toLong * m).toDouble)) *
+      lit(math.pow(2.0, k))) / col("s_scaled").cast("double")
+    registers
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_filled"),
         expr(s"sum(shiftleft(1L, $k - mj))").as("s_present"))
