@@ -123,7 +123,11 @@ object Bench {
     "q85_state_dwell" -> 0.4,
     "q86_growth_curve" -> 0.33,
     "q87_sliding_wau" -> 0.46,
-    "q88_equidepth_histogram" -> 0.6)
+    "q88_equidepth_histogram" -> 0.6,
+    "q89_hll_distinct" -> 0.4,
+    "q90_weighted_sample" -> 0.31,
+    "q91_source_overlap" -> 1.45,
+    "q92_fuzzy_match" -> 0.32)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3

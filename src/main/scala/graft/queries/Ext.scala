@@ -2367,7 +2367,9 @@ object Ext {
     * deterministically exercises all four change kinds. The engine
     * joins 32-byte sha-256 fingerprints through ONE full-outer hash
     * join; the oracle reaches the same verdicts by comparing text
-    * directly (collision-free ≡ identical decisions). */
+    * directly with IS DISTINCT FROM — the NULL ≡ NULL, NULL ≠ value
+    * contract the per-column fingerprint implements (collision-free ≡
+    * identical decisions). */
   val q77: Q = Q(
     "q77_snapshot_diff",
     (s, d) => {
@@ -2390,7 +2392,7 @@ object Ext {
       SELECT COALESCE(n.source, o.source) AS source,
         CASE WHEN o.doc_id IS NULL THEN 'added'
              WHEN n.doc_id IS NULL THEN 'removed'
-             WHEN o.text <> n.text THEN 'changed'
+             WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
              ELSE 'unchanged' END AS change,
         count(*) AS n_docs
       FROM o FULL JOIN n ON o.doc_id = n.doc_id
