@@ -153,4 +153,29 @@ object Profiling {
         col("e.bucket").as("bucket"),
         (col("e.bucket") * col("e.width")).as("bucket_lo"))
   }
+
+  /** Per-stratum PERCENTILE normalization — `pct` ∈ [0,1] is the SQL
+    * `percent_rank` of `valueCol` within its stratum: (rank−1)/(n−1),
+    * ties share a rank, a single-row stratum scores 0. The curation
+    * use: raw quality/length/loss signals are NOT comparable across
+    * languages or sources (different alphabets, different scoring
+    * regimes), so per-stratum thresholds ("keep each language's top
+    * quartile") need each doc's rank INSIDE its stratum, not a global
+    * cut. Engine-portable by construction: rank and count are exact
+    * integers and the one division is a correctly-rounded IEEE op —
+    * both engines define percent_rank identically.
+    *
+    * Scale shape: one hash exchange on the stratum + a per-stratum
+    * sort — the honest cost of EXACT ranks (this is the exact sibling
+    * of `TextAnalysis.curriculumBins`' threshold bins, which is the
+    * cheap path when 4 buckets are enough). No global sort; skewed
+    * strata split under AQE. */
+  def stratumPercentile(df: DataFrame, stratumCol: String,
+      valueCol: String): DataFrame = {
+    require(df.columns.contains(stratumCol) && df.columns.contains(valueCol),
+      s"need columns $stratumCol and $valueCol in ${df.columns.toSeq}")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("pct", percent_rank().over(
+      Window.partitionBy(raw(stratumCol)).orderBy(raw(valueCol))))
+  }
 }

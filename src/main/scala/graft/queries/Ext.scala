@@ -2959,11 +2959,34 @@ object Ext {
       ORDER BY name_a, name_b
     """.trim))
 
+  // ---------------------------------------------------------------- q93
+
+  /** q93 — per-stratum percentile normalization
+    * ([[Profiling.stratumPercentile]]): each doc's length percentile
+    * WITHIN its language — the per-stratum rank that makes "keep each
+    * language's top quartile" a one-filter curation policy where a
+    * global cut would starve compact-alphabet languages. Exact-integer
+    * rank arithmetic, one IEEE division, identical percent_rank
+    * definition on both engines. */
+  val q93: Q = Q(
+    "q93_stratum_percentile",
+    (s, d) =>
+      Profiling.stratumPercentile(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          col("n_chars")),
+        "lang", "n_chars")
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id, lang, n_chars,
+        percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pct
+      FROM documents ORDER BY doc_id
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
       q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
       q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-      q84, q85, q86, q87, q88, q89, q90, q91, q92)
+      q84, q85, q86, q87, q88, q89, q90, q91, q92, q93)
 }

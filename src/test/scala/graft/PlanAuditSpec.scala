@@ -407,6 +407,15 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q93: ONE stratum-keyed window — no global sort before it") {
+    val p = plan("q93_stratum_percentile")
+    assert(p.linesIterator.count(_.contains("Window [")) == 1, p)
+    // the only full sort is the final presentation orderBy; the rank
+    // sort is per-stratum inside the window's hash exchange
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(lang")) == 1, p)
+  }
+
   test("q92: edit distance runs inside a keyed join on the block — never all-pairs") {
     val p = plan("q92_fuzzy_match")
     // the self-join must key on blk (hash or broadcast-hash), with the

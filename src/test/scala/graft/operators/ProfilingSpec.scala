@@ -86,4 +86,34 @@ class ProfilingSpec extends SparkSpec {
       ("v", -1, 1L), ("v", 0, 2L), ("v", 1, 2L), ("v", 2, 2L),
       ("v", 3, 2L)))
   }
+
+  test("stratumPercentile: rank arithmetic by hand; ties share; singleton is 0") {
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 20L), ("a", 4L, 40L),
+      ("a", 5L, 50L),
+      ("b", 6L, 7L))
+      .toDF("g", "id", "v")
+    val got = Profiling.stratumPercentile(rows, "g", "v")
+      .select("id", "pct").as[(Long, Double)].collect().toMap
+    // stratum a (n=5): ranks 1,2,2,4,5 -> (rank-1)/4
+    assert(got(1L) == 0.0)
+    assert(got(2L) == 0.25 && got(3L) == 0.25) // ties share a rank
+    assert(got(4L) == 0.75)
+    assert(got(5L) == 1.0)
+    assert(got(6L) == 0.0) // single-row stratum scores 0, never NaN
+  }
+
+  test("stratumPercentile: top-quartile filter is a per-stratum cut") {
+    val s = spark; import s.implicits._
+    // global top-25% by value would keep ONLY stratum b's rows; the
+    // per-stratum percentile keeps each stratum's own tail
+    val rows = (1L to 8L).map(i => ("a", i, i)) ++
+      (9L to 16L).map(i => ("b", i, i * 100))
+    val kept = Profiling.stratumPercentile(rows.toDF("g", "id", "v"), "g", "v")
+      .where(org.apache.spark.sql.functions.col("pct") >= 0.75)
+      .select("g", "id")
+      .as[(String, Long)].collect().toSet
+    assert(kept == Set(("a", 7L), ("a", 8L), ("b", 15L), ("b", 16L)))
+  }
 }

@@ -141,6 +141,25 @@ class SamplingSpec extends SparkSpec {
     assert(got == expect, s"got=$got expect=$expect")
   }
 
+  test("weightedPriorityK: growth stability — keys never recompute, only displace") {
+    val s = spark; import s.implicits._
+    // a doc's key is a pure function of (id, weight): growing the
+    // corpus can only DISPLACE docs whose keys now rank below the new
+    // arrivals — survivors keep their relative order (nested-sample
+    // stability, the re-run contract training draws rely on)
+    val base = (1L to 30L).map(i => (i, "a", (i % 7) * 100L + 1L))
+    val grown = base ++ (31L to 60L).map(i => (i, "a", (i % 5) * 90L + 1L))
+    def ranked(rows: Seq[(Long, String, Long)]) =
+      Sampling.weightedPriorityK(rows.toDF("id", "g", "w"), "id", "g", "w",
+        k = 10).select("id", "sample_rank")
+        .as[(Long, Int)].collect().sortBy(_._2).map(_._1).toSeq
+    val before = ranked(base)
+    val after = ranked(grown)
+    val survivors = after.filter(before.contains)
+    assert(survivors == before.filter(survivors.contains),
+      s"survivor order changed: before=$before after=$after")
+  }
+
   test("weightedPriorityK: zero/negative weights carry no mass; contract size") {
     val s = spark; import s.implicits._
     val rows = Seq((1L, "a", 0L), (2L, "a", -5L), (3L, "a", 7L))
