@@ -59,6 +59,42 @@ object Sampling {
         .otherwise(lit("test")))
   }
 
+  /** LEAKAGE-SAFE holdout: [[holdoutSplit]] keyed by near-dup CLUSTER
+    * instead of doc id. An id-keyed split puts near-duplicate docs on
+    * both sides of the train/eval fence — the eval set then "tests"
+    * paraphrases of training data and scores leak upward. Splitting on
+    * the cluster id (every doc carries one from
+    * [[Dedup.nearDupClusters]] — singletons are their own cluster)
+    * sends ENTIRE near-dup families to one side: a doc's split is a
+    * pure function of its cluster, so the q68 stability contract
+    * (engines, runs, retries, growth) carries over at cluster
+    * granularity — with the documented cluster-growth caveat that a
+    * NEW near-dup edge can merge clusters and move the merged family
+    * together (that move is the point: the family must never straddle
+    * the fence).
+    *
+    * Scale shape: one equi-join of docs to the (doc, cluster) frame on
+    * the id — both sides key-partitioned, no new corpus pass; the
+    * split column itself is row-local. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String,
+      clusters: DataFrame, trainPct: Int = 80, valPct: Int = 10,
+      outCol: String = "split"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"need 0 < trainPct, 0 <= valPct, trainPct+valPct < 100; " +
+        s"got train=$trainPct val=$valPct")
+    require(!docs.columns.contains(outCol) &&
+      !docs.columns.contains("cluster_id"),
+      s"leakageSafeSplit: input already has '$outCol'/'cluster_id'")
+    val b = pctBucket(col("cluster_id"))
+    docs
+      .join(clusters.select(col("doc_id").as(idCol), col("cluster_id")),
+        Seq(idCol))
+      .withColumn(outCol,
+        when(b < trainPct, lit("train"))
+          .when(b < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+  }
+
   /** Weighted corpus mixing to a token budget — the pretraining-mixture
     * op ("a B-token corpus at 50% en / 25% es / 12.5% de / 12.5% fr"):
     * each stratum contributes `budget · wᵢ/Σw` tokens IN EXPECTATION,

@@ -2982,11 +2982,44 @@ object Ext {
       FROM documents ORDER BY doc_id
     """.trim))
 
+  // ---------------------------------------------------------------- q94
+
+  /** q94 — leakage-safe holdout ([[Sampling.leakageSafeSplit]]):
+    * q68's split keyed by q31's near-dup CLUSTER, so a near-duplicate
+    * family can never straddle the train/eval fence (an id-keyed
+    * split would let the eval set "test" paraphrases of training
+    * data). The oracle nests q31's recursive-closure replay and
+    * applies the identical bucket CASE to the cluster id. */
+  val q94: Q = Q(
+    "q94_leakage_safe_split",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Sampling.leakageSafeSplit(
+        docs.select(col("doc_id"), col("lang")), "doc_id",
+        Dedup.nearDupClusters(docs, "doc_id",
+          Dedup.minhashLshPairs(docs, "doc_id", "text",
+            threshold = 0.5, k = minhashK, bands = minhashBands)))
+        .select(col("doc_id"), col("lang"), col("cluster_id"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH c AS (${q31.oracle.get}),
+      s AS (
+        SELECT d.doc_id, d.lang, c.cluster_id,
+          (c.cluster_id % $P) * 2654435761 % $P + 12345 AS h
+        FROM documents d JOIN c USING (doc_id))
+      SELECT doc_id, lang, cluster_id,
+        CASE WHEN h % $P % 100 < 80 THEN 'train'
+             WHEN h % $P % 100 < 90 THEN 'val'
+             ELSE 'test' END AS split
+      FROM s ORDER BY doc_id
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
       q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
       q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-      q84, q85, q86, q87, q88, q89, q90, q91, q92, q93)
+      q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94)
 }

@@ -169,6 +169,35 @@ class SamplingSpec extends SparkSpec {
     assert(got == Seq(3L)) // min(k, |positive-weight stratum|) rows
   }
 
+  test("leakageSafeSplit: a near-dup family never straddles the fence") {
+    val s = spark; import s.implicits._
+    // ids 1 (bucket 97 → test) and 2 (bucket 11 → train) land in
+    // different id-hash buckets (an id-keyed split WOULD separate
+    // them) but share a cluster — they must co-locate
+    val clusters = Seq((1L, 1L), (2L, 1L), (7L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val docs = Seq(1L, 2L, 7L).toDF("doc_id")
+    val out = Sampling.leakageSafeSplit(docs, "doc_id", clusters)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out(1L) == out(2L), s"family split apart: $out")
+    // sanity: the id-keyed split really would have separated them —
+    // the scenario is live, not vacuous
+    val idSplit = Sampling.holdoutSplit(docs, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(idSplit(1L) != idSplit(2L),
+      s"fixture ids no longer demonstrate id-split leakage: $idSplit")
+    // per-cluster split uniqueness over the real fixture machinery
+    val fix = Tables.documents(spark, sf)
+    val cl = Dedup.nearDupClusters(fix, "doc_id",
+      Dedup.minhashLshPairs(fix, "doc_id", "text", threshold = 0.5))
+    val perCluster = Sampling.leakageSafeSplit(
+      fix.select("doc_id"), "doc_id", cl)
+      .groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .where(col("n_splits") > 1).count()
+    assert(perCluster == 0L)
+  }
+
   test("trainingOrder: shards stay balanced enough to own a writer each") {
     val sizes = Sampling.trainingOrder(docs, "doc_id", shards = 8, seed = 0L)
       .groupBy("shard").count().collect().map(_.getLong(1))
