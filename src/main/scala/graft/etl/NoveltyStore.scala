@@ -41,42 +41,12 @@ import graft.functions.TextHash
   */
 final class NoveltyStore(spark: SparkSession, storeDir: String) {
 
-  import org.apache.hadoop.fs.Path
-
-  private def hfs(p: Path) =
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-
   /** The store is valid ONLY under a `_SUCCESS` job-commit marker
-    * (every successful append/compact rewrites one). A directory with
-    * data files but no marker means a writer died between task commit
-    * and job commit — reading it as "seen" would silently shift scores
-    * away from the one-shot semantics this class pins, so it FAILS
-    * loudly instead (mirroring Main.index's codebook gate). A crashed
-    * [[compact]] leaves its own breadcrumb (`.compact_old`); that one
-    * heals by re-running compact, and the error says so. */
-  private def storeExists: Boolean = {
-    val d = new Path(storeDir)
-    val fs = hfs(d)
-    val old = new Path(storeDir + ".compact_old")
-    if (!fs.exists(d)) {
-      if (fs.exists(old)) throw new IllegalStateException(
-        s"novelty store $storeDir missing but $old exists — a compact() " +
-          "crashed mid-swap; call compact() to heal before scoring")
-      false
-    } else {
-      val entries = fs.listStatus(d).filterNot { s =>
-        val n = s.getPath.getName
-        n.startsWith("_") || n.startsWith(".")
-      }
-      if (entries.isEmpty) false
-      else if (fs.exists(new Path(d, "_SUCCESS"))) true
-      else throw new IllegalStateException(
-        s"novelty store $storeDir has data files but no _SUCCESS marker " +
-          "— a prior append crashed before job commit; rebuild the store " +
-          "(delete the directory and re-ingest) rather than scoring " +
-          "against partial state")
-    }
-  }
+    * (every successful append/compact rewrites one) — see
+    * [[ParquetStore.gatedExists]] for the full crash-window contract
+    * (mirroring Main.index's codebook gate). */
+  private def storeExists: Boolean =
+    ParquetStore.gatedExists(spark, storeDir, "novelty store")
 
   /** The stored shingle hashes (empty frame before the first record). */
   def seenShingles: DataFrame =
@@ -130,51 +100,6 @@ final class NoveltyStore(spark: SparkSession, storeDir: String) {
     * with the store missing (died between renames) → old restored;
     * `.compact_old` beside a live store (died before cleanup) →
     * leftover deleted. Returns (files before, files after). */
-  def compact(targetFileBytes: Long = 128L << 20): (Long, Long) = {
-    val store = new Path(storeDir)
-    val fs = hfs(store)
-    val tmp = new Path(storeDir + ".compact_tmp")
-    val old = new Path(storeDir + ".compact_old")
-    // heal any crash window of a previous run (see scaladoc)
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    if (fs.exists(old)) {
-      if (!fs.exists(store)) { // mid-swap crash: restore the last copy
-        if (!fs.rename(old, store)) throw new java.io.IOException(
-          s"compact: healing rename $old -> $store failed; the last " +
-            "complete copy is still at the .compact_old path")
-      } else fs.delete(old, true) // post-swap crash: store is live
-    }
-    def parquetFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
-      if (!fs.exists(p)) Nil
-      else fs.listStatus(p).toSeq
-        .filter(_.getPath.getName.endsWith(".parquet"))
-    val before = parquetFiles(store)
-    val totalBytes = before.map(_.getLen).sum
-    val nFiles = math.max(1L,
-      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    seenShingles.repartition(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    // The swap treats FileSystem.rename as what it is on HDFS: an
-    // operation that reports most failures by RETURNING FALSE, not by
-    // throwing. An unchecked `rename(tmp, store)` after a successful
-    // `rename(store, old)` followed by the unconditional delete of
-    // `old` would destroy the only durable copy — so each rename is
-    // verified, and `old` (the last complete copy until the swap
-    // proves itself) is only deleted once the live store path exists
-    // and lists the compacted parquet files.
-    def renameOrDie(src: Path, dst: Path): Unit =
-      if (!fs.rename(src, dst)) throw new java.io.IOException(
-        s"compact: rename $src -> $dst failed (FileSystem returned " +
-          "false); store left in a self-healing state — re-run compact()")
-    if (fs.exists(store)) renameOrDie(store, old)
-    renameOrDie(tmp, store)
-    val after = parquetFiles(store)
-    if (!fs.exists(new Path(store, "_SUCCESS")) || after.isEmpty)
-      throw new IllegalStateException(
-        s"compact: post-swap verification failed — $store lacks " +
-          "committed parquet files; previous copy preserved at " +
-          s"$old for healing")
-    if (fs.exists(old)) fs.delete(old, true)
-    (before.size.toLong, after.size.toLong)
-  }
+  def compact(targetFileBytes: Long = 128L << 20): (Long, Long) =
+    ParquetStore.compact(spark, storeDir, seenShingles, targetFileBytes)
 }

@@ -418,13 +418,39 @@ object Dedup {
     * the exact-Jaccard verification join. Recall for j=0.98 pairs is
     * ~1; pairs near the 0.5 threshold may be (deterministically)
     * missed — that is the documented LSH trade. */
+  /** (doc_id, band, sig) MinHash LSH band signatures — the banding
+    * stage of [[minhashLshPairs]] exposed for consumers that persist
+    * or index signatures instead of immediately pairing them
+    * ([[graft.etl.LshIndex]]'s store rows). Row-local from the shingle
+    * arrays; two selects on purpose — the signature array materializes
+    * ONCE in the first projection and CollapseProject keeps the
+    * multi-referenced alias rather than inlining k copies of the
+    * signature pass. */
+  def bandSignatures(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4): DataFrame =
+    bandSignaturesFrom(shingleArrays(docs, idCol, textCol), k, bands)
+
+  private def bandSignaturesFrom(base: DataFrame, k: Int,
+      bands: Int): DataFrame = {
+    val rows = k / bands
+    val sigs = base.select(col("doc_id"),
+      TextHash.minhashSignatureOf(col("sh"), k).as("sig"))
+    val bandStructs = (0 until bands).map { b =>
+      val sig = concat_ws("|",
+        (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
+    sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, k: Int = 16, bands: Int = 4,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(threshold > 0.0,
       s"minhashLshPairs needs threshold > 0 (got $threshold): zero-overlap " +
         "band collisions are excluded from the output by construction")
-    val rows = k / bands
     // three consumers (signatures, both verify-join sides) share the
     // per-doc shingle-array frame — persist so the codegen'd
     // tokenize+shingle pass runs once. Everything per-doc is ROW-LOCAL
@@ -435,19 +461,7 @@ object Dedup {
     val base = scope.persist(shingleArrays(docs, idCol, textCol)
       .withColumn("n", size(col("sh")).cast("long")))
 
-    // two selects on purpose: the signature array materializes ONCE in
-    // the first projection; CollapseProject keeps the multi-referenced
-    // alias rather than inlining k copies of the signature pass
-    val sigs = base.select(col("doc_id"),
-      TextHash.minhashSignatureOf(col("sh"), k).as("sig"))
-    val bandStructs = (0 until bands).map { b =>
-      val sig = concat_ws("|",
-        (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)
-      struct(lit(b).as("band"), sig.as("sig"))
-    }
-    val bucketed = sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val bucketed = bandSignaturesFrom(base, k, bands)
 
     val cand = bucketed.select(col("doc_id").as("da"), col("band"), col("sig"))
       .join(bucketed.select(col("doc_id").as("db"), col("band"), col("sig")),
