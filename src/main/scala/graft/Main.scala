@@ -39,12 +39,39 @@ object Main {
     case "corpus" :: docsParquet :: outDir :: epochSeed :: Nil =>
       corpus(docsParquet, outDir, epoch = Some(epochSeed.toLong))
     case "index" :: embParquet :: outDir :: Nil => index(embParquet, outDir)
+    case "dedup-ingest" :: docsParquet :: storeDir :: outDir :: Nil =>
+      dedupIngest(docsParquet, storeDir, outDir)
     case "explain" :: name :: rest if rest.size <= 1 =>
       explain(name, rest.headOption.getOrElse("/root/testdata/sf0.001"))
     case _ =>
       System.err.println(
-        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | explain <queryName|all> [sfDir]")
+        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | dedup-ingest <docsParquet> <lshStoreDir> <outDir> | explain <queryName|all> [sfDir]")
       sys.exit(2)
+  }
+
+  /** Incremental near-dup ingest (the [[graft.etl.LshIndex]] stack as
+    * a CLI pass): probe the batch against the persisted band-signature
+    * store, write the candidate pairs to `outDir`, record the batch's
+    * signatures. Run per arriving batch with id-ordered corpora — the
+    * spec-pinned split-invariance contract. */
+  private def dedupIngest(docsParquet: String, storeDir: String,
+      outDir: String): Unit = {
+    val spark = GraftSession.local()
+    val n = runDedupIngest(spark, docsParquet, storeDir, outDir)
+    println(s"dedup-ingest: $n candidate pairs -> $outDir")
+    spark.stop()
+  }
+
+  /** Testable core of `dedup-ingest` (the [[runCompact]] pattern). */
+  private[graft] def runDedupIngest(
+      spark: org.apache.spark.sql.SparkSession, docsParquet: String,
+      storeDir: String, outDir: String): Long = {
+    val idx = new graft.etl.LshIndex(spark, storeDir)
+    val cands = idx.probeAndRecord(
+      spark.read.parquet(docsParquet), "doc_id", "text")
+    cands.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(outDir)
+    cands.count()
   }
 
   /** Dump the formatted physical plan for one registry query (or every

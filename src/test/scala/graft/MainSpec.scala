@@ -78,6 +78,31 @@ class MainSpec extends SparkSpec {
     assert(sink.read("fct_transacciones").count() == 5) // data intact
   }
 
+  test("dedup-ingest: two CLI passes reproduce the one-shot candidate set") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft_di").toString
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.where(col("doc_id") < 250).write.parquet(s"$base/b1")
+    docs.where(col("doc_id") >= 250).write.parquet(s"$base/b2")
+    val n1 = Main.runDedupIngest(spark, s"$base/b1", s"$base/store",
+      s"$base/out1")
+    val n2 = Main.runDedupIngest(spark, s"$base/b2", s"$base/store",
+      s"$base/out2")
+    val got = spark.read.parquet(s"$base/out1")
+      .unionByName(spark.read.parquet(s"$base/out2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.size == (n1 + n2))
+    val sigs = graft.operators.Dedup.bandSignatures(docs, "doc_id", "text")
+    val oneShot = sigs.select(col("doc_id").as("doc_a"), col("band"),
+        col("sig"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("band"),
+        col("sig")), Seq("band", "sig"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == oneShot)
+  }
+
   test("explain: dumps a formatted plan for a known query, rejects unknown") {
     val out = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
