@@ -111,6 +111,28 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(est - 40.0) / 40.0 < 0.25, s"est=$est")
   }
 
+  test("hllDistinct: registers of a union == max-merge of part registers") {
+    // the mergeability contract the streaming twin and any multi-corpus
+    // union rely on: build registers per part, max-merge, fold — must
+    // equal the one-shot build over the union
+    val s = spark; import s.implicits._
+    val m = 64
+    def hashed(lo: Long, hi: Long) =
+      s.range(lo, hi).toDF("id").selectExpr("'g' AS g",
+        s"""((id % ${P}L) * 2654435761L % ${P}L + 12345L) % ${P}L AS h1""",
+        s"""((id % ${P}L) * 1779033703L % ${P}L + 54321L) % ${P}L AS h2""")
+        .selectExpr("g", s"(h1*h1 % ${P}L) * ${P}L + (h2*h2 % ${P}L) AS h")
+    val merged = Sketch.hllEstimateFromRegisters(
+      Sketch.hllRegisters(hashed(0, 300), "g", "h", m = m)
+        .unionByName(Sketch.hllRegisters(hashed(200, 600), "g", "h", m = m))
+        .groupBy("g", "b")
+        .agg(org.apache.spark.sql.functions.max("mj").as("mj")),
+      "g", m = m).collect().head.getAs[Double]("est_distinct")
+    val oneShot = Sketch.hllDistinct(hashed(0, 600), "g", "h", m = m)
+      .collect().head.getAs[Double]("est_distinct")
+    assert(merged == oneShot)
+  }
+
   test("hllDistinct: duplicate keys do not move the estimate") {
     val s = spark; import s.implicits._
     val m = 64
