@@ -127,7 +127,9 @@ object Bench {
     "q89_hll_distinct" -> 0.4,
     "q90_weighted_sample" -> 0.31,
     "q91_source_overlap" -> 1.45,
-    "q92_fuzzy_match" -> 0.32)
+    "q92_fuzzy_match" -> 0.32,
+    "q93_stratum_percentile" -> 0.3,
+    "q94_leakage_safe_split" -> 1.61)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
