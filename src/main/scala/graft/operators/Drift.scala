@@ -154,4 +154,56 @@ object Drift {
   /** Largest day total with num·2^20 provably inside DECIMAL(38,0):
     * num ≤ 2·n·np ≤ 2·(6.9·10^15)² and ·2^20 stays under 10^38. */
   val maxExactDayTotal: Long = 6900000000000000L
+
+  /** NUMERIC distribution drift between two corpus slices — the
+    * continuous sibling of [[dailyMixDrift]]'s categorical alarm
+    * ("has the VALUE distribution shifted?" — loss spikes, price
+    * re-denomination, a feed switching units): both sides bucket on
+    * the same dyadic equi-width grid ([[Profiling.bucketEntries]]'s
+    * exact IEEE-exponent bucketing), then ONE cross-normalized integer
+    * L1 over the joined bucket counts — `Σ|c_new·N_old − c_old·N_new|`
+    * on DECIMAL(38,0), scaled to the 2^-20 fixed-point grid by one
+    * integer division. PSI/KL are deliberately avoided (their `ln` is
+    * not engine-portable); L1 carries the alarm signal on exact
+    * arithmetic. NULL values land in an accounted sentinel bucket like
+    * the histogram itself.
+    *
+    * Output is ONE row: (n_old, n_new, n_buckets, drift_fp), with
+    * drift_fp ∈ [0, 2·2^20] and NULL when either side is empty (no
+    * distribution to compare). Scale shape: two partial-aggregable
+    * bucket counts (each the only pass over its slice), a |buckets|
+    * full-outer join on the bucket id, and constant-size folds after. */
+  def histogramDrift(oldDf: DataFrame, newDf: DataFrame, valueCol: String,
+      width: Double,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def counts(df: DataFrame, side: String) =
+      Profiling.bucketEntries(df.select(col(valueCol)),
+          Seq(valueCol -> width))
+        .groupBy(coalesce(col("bucket"), lit(Long.MinValue)).as("bucket"))
+        .agg(count(lit(1)).as(side))
+    // the joined bucket frame is |buckets| rows but has TWO consumers
+    // (the totals scalar and the term fold) — persist so each slice is
+    // scanned once, the dailyVolumeAnomaly discipline
+    val joined = scope.persist(counts(oldDf, "c_old")
+      .join(counts(newDf, "c_new"), Seq("bucket"), "full")
+      .na.fill(0L, Seq("c_old", "c_new")))
+    val totals = joined.agg(sum(col("c_old")).as("n_old"),
+      sum(col("c_new")).as("n_new"))
+    joined.crossJoin(broadcast(totals))
+      .groupBy(col("n_old"), col("n_new"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(abs(col("c_new").cast(dec38) * col("n_old") -
+          col("c_old").cast(dec38) * col("n_new"))).as("num"))
+      .select(col("n_old"), col("n_new"), col("n_buckets"),
+        when(col("n_old") > maxExactDayTotal ||
+          col("n_new") > maxExactDayTotal,
+          raise_error(format_string(
+            "histogramDrift: totals %s/%s exceed the exact range " +
+              s"($maxExactDayTotal rows/side) — aggregate upstream",
+            col("n_old"), col("n_new"))).cast("long"))
+          .when(col("n_old") > 0 && col("n_new") > 0,
+            expr("(num * 1048576) div (CAST(n_old AS DECIMAL(38,0)) * n_new)"))
+          .as("drift_fp"))
+  }
 }

@@ -3015,11 +3015,50 @@ object Ext {
       FROM s ORDER BY doc_id
     """.trim))
 
+  // ---------------------------------------------------------------- q95
+
+  /** q95 — numeric distribution drift ([[Drift.histogramDrift]]):
+    * value-distribution L1 between two event slices on a shared
+    * dyadic bucket grid — q69's alarm for CONTINUOUS signals (loss
+    * spikes, unit changes). PSI/KL deliberately avoided: `ln` is not
+    * engine-portable, the exact-integer L1 carries the alarm. */
+  val q95: Q = Q(
+    "q95_value_drift",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      Drift.histogramDrift(
+        e.where(col("event_type") === "view").select(col("value")),
+        e.where(col("event_type") === "purchase").select(col("value")),
+        "value", 64.0)
+    },
+    Some("""
+      WITH o AS (
+        SELECT CAST(COALESCE(floor(value / 64.0),
+          -9223372036854775808) AS BIGINT) AS bucket
+        FROM events WHERE event_type = 'view'),
+      n AS (
+        SELECT CAST(COALESCE(floor(value / 64.0),
+          -9223372036854775808) AS BIGINT) AS bucket
+        FROM events WHERE event_type = 'purchase'),
+      oc AS (SELECT bucket, count(*) AS c_old FROM o GROUP BY 1),
+      nc AS (SELECT bucket, count(*) AS c_new FROM n GROUP BY 1),
+      j AS (
+        SELECT COALESCE(oc.bucket, nc.bucket) AS bucket,
+          COALESCE(c_old, 0) AS c_old, COALESCE(c_new, 0) AS c_new
+        FROM oc FULL JOIN nc ON oc.bucket = nc.bucket),
+      t AS (SELECT sum(c_old) AS n_old, sum(c_new) AS n_new FROM j)
+      SELECT CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+        count(*) AS n_buckets,
+        CAST((sum(abs(c_new * n_old - c_old * n_new)) * 1048576)
+          // (n_old * n_new) AS BIGINT) AS drift_fp
+      FROM j, t GROUP BY n_old, n_new
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
       q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
       q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-      q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94)
+      q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95)
 }

@@ -407,6 +407,19 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q95: both slice scans filter-pushed; bucket counts combine map-side") {
+    val p = plan("q95_value_drift")
+    // each side's event_type predicate reaches its parquet scan
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)"), p)
+    assert(p.contains("EqualTo(event_type,purchase)"), p)
+    // per-bucket counts pre-fold before their exchange
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the ONE-ROW totals scalar-append is the only BNLJ, and its build
+    // side is a broadcast of a single aggregate row
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1, p)
+  }
+
   test("q93: ONE stratum-keyed window — no global sort before it") {
     val p = plan("q93_stratum_percentile")
     assert(p.linesIterator.count(_.contains("Window [")) == 1, p)
@@ -506,9 +519,10 @@ class PlanAuditSpec extends SparkSpec {
     //  - q84: crossJoin(broadcast(count)) appends the ONE-ROW corpus
     //    count to the |vocab|-row df frame for the fractional
     //    stopword cap.
-    // (the repo's only crossJoin call sites are those four one-row
-    // appends: Similarity.assignCells, Retrieval.bm25Scores,
-    // Drift.ingestCompleteness, and Retrieval.postingLists)
+    // (the repo's only crossJoin call sites are these one-row appends:
+    // Similarity.assignCells, Retrieval.bm25Scores,
+    // Drift.ingestCompleteness, Retrieval.postingLists, and
+    // Drift.histogramDrift's totals)
     val bnljByDesign = Set("q20_embedding_topk",
       "q21_embedding_neardup_ivf", "q39_embedding_topk_ivf",
       "q52_bm25_scores",
@@ -520,7 +534,11 @@ class PlanAuditSpec extends SparkSpec {
       "q84_posting_lists",
       // q88: the ONE-ROW percentile-threshold aggregate appended to
       // the fact before the row-local bucket CASE
-      "q88_equidepth_histogram")
+      "q88_equidepth_histogram",
+      // q95: the ONE-ROW (n_old, n_new) totals appended to the
+      // |buckets| frame before the L1 fold — Drift.histogramDrift's
+      // scalar-append, same shape as q52/q79/q84/q88
+      "q95_value_drift")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()

@@ -91,4 +91,28 @@ class DriftSpec extends SparkSpec {
       ("view", "2024-02-01", 1L), ("view", "2024-02-02", 0L),
       ("view", "2024-02-03", 0L), ("view", "2024-02-04", 1L)))
   }
+
+  test("histogramDrift: hand-computed L1; identical slices drift 0; NULL bucketed") {
+    val s = spark; import s.implicits._
+    // width 2: old = {0:2, 1:1}, new = {0:1, 2:2} (values 4,5 -> b=2)
+    // N_old=3 N_new=3; L1 = |1*3-2*3| + |0*3-1*3| + |2*3-0*3| = 12
+    // drift_fp = 12 * 2^20 div 9 = 1398101
+    val oldDf = Seq(0.5, 1.0, 2.0).toDF("v")
+    val newDf = Seq(1.5, 4.0, 5.0).toDF("v")
+    val row = Drift.histogramDrift(oldDf, newDf, "v", 2.0).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      == ((3L, 3L, 3L, 12L * 1048576 / 9)))
+    // identical slices: exact zero
+    val same = Drift.histogramDrift(oldDf, oldDf, "v", 2.0).collect().head
+    assert(same.getLong(3) == 0L)
+    // NULLs land in the accounted sentinel bucket, not dropped
+    val withNull = Seq(Some(0.5), None).toDF("v")
+    val nb = Drift.histogramDrift(withNull, withNull, "v", 2.0)
+      .collect().head
+    assert(nb.getLong(0) == 2L && nb.getLong(2) == 2L && nb.getLong(3) == 0L)
+    // an empty side yields NULL drift, never a divide-by-zero
+    val empty = Seq.empty[Double].toDF("v")
+    val e = Drift.histogramDrift(oldDf, empty, "v", 2.0).collect().head
+    assert(e.isNullAt(3) && e.getLong(1) == 0L)
+  }
 }
