@@ -119,6 +119,16 @@ object Similarity {
     * 1 - θ/π; requiring an exact match on one 8-bit band keeps pairs
     * with high cosine at high probability — deterministic, mirrored by
     * the oracle, and a documented LSH trade (like MinHash-LSH's). */
+  /** (vec_id, sig) random-projection signatures — the row-local
+    * bit-signature stage of [[rpLshCosinePairs]] exposed for consumers
+    * that profile or compare signature DISTRIBUTIONS instead of
+    * pairing vectors (q96's embedding-drift histograms). Zero-norm
+    * vectors drop (no direction to sign), matching the pair path. */
+  def rpSignatures(embeddings: DataFrame, planes: Int = 16,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    normed(embeddings, scope).select(col("vec_id"),
+      VectorOps.rpSignature(col("v"), planes).as("sig"))
+
   def rpLshCosinePairs(embeddings: DataFrame, threshold: Double = 0.3,
       planes: Int = 16,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {

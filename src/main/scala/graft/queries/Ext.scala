@@ -506,9 +506,12 @@ object Ext {
 
   private def q30OracleSql: String = q30OracleSqlAt(0.3)
 
-  private def q30OracleSqlAt(threshold: Double): String = {
-    // mirrors Similarity.rpBit: left fold of v[i] * (±1 from the affine
-    // parity hash), bit j set when the projection is positive
+  /** DuckDB CTE chain `e, n0, n, sigs` replaying
+    * [[graft.operators.Similarity.rpSignatures]] (mirrors
+    * Similarity.rpBit: left fold of v[i] * (±1 from the affine parity
+    * hash), bit j set when the projection is positive) — shared by the
+    * q30 pair replay and the q96 drift replay. */
+  private def duckRpSigCtes: String = {
     def bit(j: Int): String = {
       val base = j * 8192L
       s"""(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
@@ -518,21 +521,25 @@ object Ext {
          |  (acc, p) -> acc + p) > 0 THEN ${1L << j} ELSE 0 END)""".stripMargin
     }
     val sig = (0 until rpPlanes).map(bit).mkString(" + ")
+    s"""e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+       |  FROM embeddings),
+       |n0 AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(v, x -> x * x)), (a, b) -> a + b)) nrm
+       |  FROM e),
+       |n AS (SELECT * FROM n0 WHERE nrm > 0),
+       |sigs AS (SELECT vec_id, ($sig) AS sig FROM n)""".stripMargin
+  }
+
+  private def q30OracleSqlAt(threshold: Double): String = {
     // band layout DERIVED from rpPlanes, like the Scala side — a
     // hardcoded 255/8 here would silently diverge if the knob changes
     val half = rpPlanes / 2
     val mask = (1L << half) - 1
     s"""
-      WITH e AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
-        FROM embeddings),
-      n0 AS (
-        SELECT vec_id, v,
-          sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-            list_transform(v, x -> x * x)), (a, b) -> a + b)) nrm
-        FROM e),
-      n AS (SELECT * FROM n0 WHERE nrm > 0),
-      sigs AS (SELECT vec_id, ($sig) AS sig FROM n),
+      WITH $duckRpSigCtes,
       bands AS (
         SELECT vec_id, 0 AS band, sig & $mask AS bv FROM sigs
         UNION ALL
@@ -3054,11 +3061,49 @@ object Ext {
       FROM j, t GROUP BY n_old, n_new
     """.trim))
 
+  // ---------------------------------------------------------------- q96
+
+  /** q96 — embedding-distribution drift: [[Drift.histogramDrift]] over
+    * RP-LSH signature buckets ([[Similarity.rpSignatures]] — row-local
+    * integer signatures, no training, already oracle-replayable). The
+    * monitoring question is "did the EMBEDDING distribution shift
+    * between snapshots" (an encoder change, a domain shift) — raw
+    * float centroids can't hash-verify, but signature HISTOGRAMS are
+    * exact integers, so the drift score is engine-exact. Width 1 makes
+    * each signature its own bucket. */
+  val q96: Q = Q(
+    "q96_embedding_drift",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      def sigs(side: org.apache.spark.sql.Column) =
+        Similarity.rpSignatures(e.where(side), rpPlanes)
+          .select(col("sig"))
+      Drift.histogramDrift(sigs(col("vec_id") % 2 === 0),
+        sigs(col("vec_id") % 2 =!= 0), "sig", 1.0)
+    },
+    Some(s"""
+      WITH $duckRpSigCtes,
+      oc AS (SELECT sig AS bucket, count(*) AS c_old FROM sigs
+             WHERE vec_id % 2 = 0 GROUP BY 1),
+      nc AS (SELECT sig AS bucket, count(*) AS c_new FROM sigs
+             WHERE vec_id % 2 <> 0 GROUP BY 1),
+      j AS (
+        SELECT COALESCE(oc.bucket, nc.bucket) AS bucket,
+          COALESCE(c_old, 0) AS c_old, COALESCE(c_new, 0) AS c_new
+        FROM oc FULL JOIN nc ON oc.bucket = nc.bucket),
+      t AS (SELECT sum(c_old) AS n_old, sum(c_new) AS n_new FROM j)
+      SELECT CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+        count(*) AS n_buckets,
+        CAST((sum(abs(c_new * n_old - c_old * n_new)) * 1048576)
+          // (n_old * n_new) AS BIGINT) AS drift_fp
+      FROM j, t GROUP BY n_old, n_new
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
       q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
       q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-      q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95)
+      q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96)
 }

@@ -535,10 +535,10 @@ class PlanAuditSpec extends SparkSpec {
       // q88: the ONE-ROW percentile-threshold aggregate appended to
       // the fact before the row-local bucket CASE
       "q88_equidepth_histogram",
-      // q95: the ONE-ROW (n_old, n_new) totals appended to the
+      // q95/q96: the ONE-ROW (n_old, n_new) totals appended to the
       // |buckets| frame before the L1 fold — Drift.histogramDrift's
       // scalar-append, same shape as q52/q79/q84/q88
-      "q95_value_drift")
+      "q95_value_drift", "q96_embedding_drift")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()
