@@ -115,4 +115,20 @@ class DriftSpec extends SparkSpec {
     val e = Drift.histogramDrift(oldDf, empty, "v", 2.0).collect().head
     assert(e.isNullAt(3) && e.getLong(1) == 0L)
   }
+
+  test("histogramDrift: symmetric in its sides and invariant to uniform scale") {
+    val s = spark; import s.implicits._
+    val a = Seq(0.5, 1.0, 2.0, 7.5, 7.9).toDF("v")
+    val b = Seq(1.5, 4.0, 5.0, 0.1).toDF("v")
+    def fp(x: org.apache.spark.sql.DataFrame,
+        y: org.apache.spark.sql.DataFrame) =
+      Drift.histogramDrift(x, y, "v", 2.0).collect().head.getLong(3)
+    // the L1 term and its normalizer are both symmetric
+    assert(fp(a, b) == fp(b, a))
+    // replicating every row of ONE side k-fold changes nothing: the
+    // cross-normalization divides the multiplicity back out — drift
+    // measures SHAPE, not volume (volume is q83's alarm)
+    val a3 = a.unionAll(a).unionAll(a)
+    assert(fp(a3, b) == fp(a, b))
+  }
 }
