@@ -74,7 +74,7 @@ object Bench {
     "q31_neardup_clusters" -> 0.97,
     "q21_embedding_neardup_ivf" -> 1.32,
     "q39_embedding_topk_ivf" -> 1.35,
-    "q36_cross_contamination" -> 1.34,
+    "q36_cross_contamination" -> 1.15,
     "q30_embedding_neardup_rplsh" -> 1.35,
     "q34_event_sessionize" -> 0.75,
     "q9_sales_by_nation" -> 0.61,
@@ -125,11 +125,13 @@ object Bench {
     "q87_sliding_wau" -> 0.46,
     "q88_equidepth_histogram" -> 0.6,
     "q89_hll_distinct" -> 0.4,
-    "q90_weighted_sample" -> 0.31,
+    "q90_weighted_sample" -> 0.28,
     "q91_source_overlap" -> 1.45,
-    "q92_fuzzy_match" -> 0.32,
+    "q92_fuzzy_match" -> 0.29,
     "q93_stratum_percentile" -> 0.3,
-    "q94_leakage_safe_split" -> 1.61)
+    "q94_leakage_safe_split" -> 1.61,
+    "q95_value_drift" -> 0.51,
+    "q96_embedding_drift" -> 0.48)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
