@@ -410,4 +410,54 @@ object TextAnalysis {
         expr("(n_seen_before * 1048576) div n_shingles").as("seen_fp"))
       .orderBy(col("doc_id"))
   }
+
+  /** Collocation LIFT — the corpus-analysis staple for phrase mining
+    * ("which word pairs co-occur far beyond chance"): for each bigram,
+    * `lift = P(ab) / (P(a)·P(b)) = c_ab·N / (c_a·c_b)` — PMI WITHOUT
+    * the log, because `ln` is not engine-portable and the RANKING it
+    * induces is identical (log is monotone). Scored on the 2^-20
+    * fixed-point grid by one integer division of exact counts; top
+    * `topK` by (lift desc, bigram) with a `minCount` support floor —
+    * the floor is what keeps one-off hapax pairs (whose lift is
+    * spuriously maximal) out, the standard collocation hygiene.
+    *
+    * Scale shape: bigram construction is a row-local array transform;
+    * bigram and unigram counts are partial-aggregable groupBys over
+    * hashable strings; the unigram frame joins back twice (left and
+    * right word of each surviving bigram — AFTER the support floor,
+    * so only candidate bigrams pay the join); the corpus token total
+    * is the documented ONE-ROW broadcast scalar-append. Top-k plans
+    * as TakeOrderedAndProject (per-partition heaps). Counts guarded
+    * into DECIMAL(38,0) before the cross-multiply — at web scale
+    * `c_ab·N` overflows a BIGINT. */
+  def collocationLift(docs: DataFrame, textCol: String, topK: Int = 20,
+      minCount: Long = 5L): DataFrame = {
+    require(topK > 0 && minCount >= 1,
+      s"need topK > 0 and minCount >= 1, got $topK/$minCount")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = docs.select(TextHash.tokens(col(textCol)).as("w"))
+    val uni = w.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    // the >= 2 guard matters: Spark's sequence(1, 0) DESCENDS (step
+    // defaults to -1 when start > stop), which would index element 0
+    val bi = w.where(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+        .as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+    val n = uni.agg(sum(col("c")).as("n_tokens"))
+    bi
+      .withColumn("a", split(col("bigram"), " ").getItem(0))
+      .withColumn("b", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("t").as("a"), col("c").as("c_a")), Seq("a"))
+      .join(uni.select(col("t").as("b"), col("c").as("c_b")), Seq("b"))
+      .crossJoin(broadcast(n))
+      .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+        expr(s"((CAST(c_ab AS DECIMAL(38,0)) * 1048576) * n_tokens) " +
+          "div (CAST(c_a AS DECIMAL(38,0)) * c_b)").as("lift_fp"))
+      .orderBy(col("lift_fp").desc, col("bigram"))
+      .limit(topK)
+  }
 }

@@ -3099,11 +3099,48 @@ object Ext {
       FROM j, t GROUP BY n_old, n_new
     """.trim))
 
+  // ---------------------------------------------------------------- q97
+
+  /** q97 — collocation lift ([[TextAnalysis.collocationLift]]): top
+    * bigrams by `c_ab·N / (c_a·c_b)` — PMI without the log (log is
+    * monotone, the ranking is identical, and `ln` isn't
+    * engine-portable), support floor ≥ 5 keeping hapax pairs out. */
+  val q97: Q = Q(
+    "q97_collocations",
+    (s, d) =>
+      TextAnalysis.collocationLift(Tables.documents(s, d), "text",
+        topK = 20, minCount = 5L),
+    Some("""
+      WITH w AS (
+        SELECT list_filter(string_split_regex(trim(text), '\s+'),
+          t -> t <> '') AS w
+        FROM documents),
+      uni AS (
+        SELECT t, count(*) AS c
+        FROM w, LATERAL unnest(w) AS u(t) GROUP BY 1),
+      n AS (SELECT sum(c) AS n_tokens FROM uni),
+      bi AS (
+        SELECT bigram, count(*) AS c_ab FROM (
+          SELECT unnest(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i + 1])) AS bigram
+          FROM w) t
+        GROUP BY 1 HAVING count(*) >= 5)
+      SELECT bigram, c_ab, ua.c AS c_a, ub.c AS c_b,
+        CAST(((c_ab * 1048576) * n_tokens)
+          // (ua.c * ub.c) AS BIGINT) AS lift_fp
+      FROM bi
+      JOIN uni ua ON ua.t = split_part(bigram, ' ', 1)
+      JOIN uni ub ON ub.t = split_part(bigram, ' ', 2)
+      CROSS JOIN n
+      ORDER BY lift_fp DESC, bigram LIMIT 20
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
       q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
       q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-      q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96)
+      q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
+      q97)
 }

@@ -407,6 +407,19 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q97: top-k is heap-based; support floor precedes the unigram joins") {
+    val p = plan("q97_collocations")
+    // top-k by lift plans as per-partition heaps, never a global rank
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+    // bigram/unigram counts combine map-side before their exchanges
+    assert(p.contains("partial_count"), p)
+    // the c_ab >= minCount floor runs on the aggregate BEFORE the two
+    // unigram joins — only surviving bigrams pay the join
+    assert(p.indexOf("(c_ab") < p.indexOf("SortMergeJoin") ||
+      p.indexOf("(c_ab") < p.indexOf("BroadcastHashJoin"), p)
+  }
+
   test("q95: both slice scans filter-pushed; bucket counts combine map-side") {
     val p = plan("q95_value_drift")
     // each side's event_type predicate reaches its parquet scan
@@ -538,7 +551,10 @@ class PlanAuditSpec extends SparkSpec {
       // q95/q96: the ONE-ROW (n_old, n_new) totals appended to the
       // |buckets| frame before the L1 fold — Drift.histogramDrift's
       // scalar-append, same shape as q52/q79/q84/q88
-      "q95_value_drift", "q96_embedding_drift")
+      "q95_value_drift", "q96_embedding_drift",
+      // q97: the ONE-ROW corpus token total appended to the surviving
+      // bigram frame — collocationLift's scalar-append
+      "q97_collocations")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()

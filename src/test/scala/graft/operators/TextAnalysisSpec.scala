@@ -206,4 +206,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L)._2 == 0L)            // disjoint text, nothing seen
     assert(!out.contains(3L))           // < 3 tokens: no shingle unit
   }
+
+  test("collocationLift: hand-computed lift; hapax pairs floored out") {
+    val s = spark; import s.implicits._
+    // corpus: "x y" appears 5x (always together), "p q" appears 5x but
+    // p also occurs 5x alone -> lift(x y) > lift(p q); "r s" once only
+    // (hapax pair, floored out despite maximal lift)
+    val docs = (Seq.fill(5)("x y") ++ Seq.fill(5)("p q") ++
+      Seq.fill(5)("p") ++ Seq("r s")).map(Tuple1(_)).toDF("text")
+    val out = TextAnalysis.collocationLift(docs, "text", topK = 10,
+      minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // N = 5*2 + 5*2 + 5 + 2 = 27 tokens
+    // lift(x y) = 5*27/(5*5) = 5.4 -> 5.4 * 2^20 floor = 5662310
+    // lift(p q) = 5*27/(10*5) = 2.7 -> 2831155
+    assert(out == Seq(
+      ("x y", 5L, 5L, 5L, 5662310L),
+      ("p q", 5L, 10L, 5L, 2831155L)), out.toString)
+  }
 }
