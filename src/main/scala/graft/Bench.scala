@@ -125,13 +125,14 @@ object Bench {
     "q87_sliding_wau" -> 0.46,
     "q88_equidepth_histogram" -> 0.6,
     "q89_hll_distinct" -> 0.4,
-    "q90_weighted_sample" -> 0.28,
+    "q90_weighted_sample" -> 0.25,
     "q91_source_overlap" -> 1.45,
     "q92_fuzzy_match" -> 0.29,
-    "q93_stratum_percentile" -> 0.3,
+    "q93_stratum_percentile" -> 0.27,
     "q94_leakage_safe_split" -> 1.61,
     "q95_value_drift" -> 0.51,
-    "q96_embedding_drift" -> 0.48)
+    "q96_embedding_drift" -> 0.48,
+    "q97_collocations" -> 1.03)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
