@@ -39,7 +39,23 @@ object Tables {
     * downstream µs arithmetic (sessionize gaps, as-of tolerances,
     * interval bounds) is integer-exact regardless of encoding. */
   def tsUs(events: DataFrame): Column = events.schema("ts").dataType match {
-    case LongType         => expr("ts div 1000")
+    // The long branch is ONLY the nanosAsLong read path (TIMESTAMP
+    // with NANOS logical type surfacing as INT64). A plain BIGINT
+    // column of µs would also arrive here and a silent div-1000 would
+    // shift every temporal query by 1000× — so the div is guarded by a
+    // magnitude bound: any epoch-nanos after 1973 is ≥ 1e17, while the
+    // same instants in µs are ~3 orders of magnitude smaller. Values
+    // below the bound fail loudly instead of being reinterpreted.
+    case LongType =>
+      import org.apache.spark.sql.functions.{format_string, lit, raise_error, when}
+      val minPlausibleNs = 100000000000000000L // 1973-03-03 in ns
+      when(col("ts").isNull, lit(null).cast(LongType))
+        .when(col("ts") >= minPlausibleNs, expr("ts div 1000"))
+        .otherwise(raise_error(format_string(
+          "events.ts INT64 value %s is too small to be epoch " +
+            "nanoseconds — a plain-BIGINT microseconds encoding? " +
+            "Refusing the silent div-1000; fix the read path " +
+            "(Tables.tsUs) for this encoding", col("ts"))).cast(LongType))
     case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
     case TimestampType    => unix_micros(col("ts"))
     case other => throw new IllegalArgumentException(

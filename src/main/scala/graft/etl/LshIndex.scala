@@ -48,7 +48,11 @@ final class LshIndex(spark: SparkSession, storeDir: String,
   private def storeExists: Boolean =
     ParquetStore.gatedExists(spark, storeDir, "LSH index")
 
-  /** The stored band signatures (empty before the first record). */
+  /** The stored band signatures (empty before the first record).
+    * Before any record the id type is unknowable from disk, so the
+    * empty frame defaults doc_id to long — [[probeAndRecord]] never
+    * uses this default (it derives the empty frame from the batch's
+    * actual signature schema, so non-long ids join cleanly). */
   def storedSignatures: DataFrame =
     if (storeExists) spark.read.parquet(storeDir)
     else spark.range(0).select(col("id").as("doc_id"),
@@ -64,7 +68,11 @@ final class LshIndex(spark: SparkSession, storeDir: String,
       : DataFrame = {
     val sigs = Dedup.bandSignatures(batch, idCol, textCol, k, bands)
       .localCheckpoint(true) // one banding pass feeds probe + append
-    val stored = storedSignatures
+    // empty-store fallback mirrors the BATCH's signature schema (not a
+    // hardcoded long doc_id) so a non-long id column probes cleanly on
+    // the first batch instead of hitting a join type mismatch
+    val stored = if (storeExists) spark.read.parquet(storeDir)
+      else sigs.limit(0)
     val vsStore = sigs.select(col("doc_id").as("doc_b"), col("band"),
         col("sig"))
       .join(stored.select(col("doc_id").as("doc_a"), col("band"),

@@ -68,11 +68,25 @@ private[etl] object ParquetStore {
     // heal any crash window of a previous run (see scaladoc)
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (fs.exists(old)) {
+      // committed = _SUCCESS marker plus at least one parquet data file;
+      // a store that exists but fails this check is the post-swap
+      // verification-failure window whose message promised the previous
+      // copy stays at old — deleting old here would lose that copy.
+      def committed(p: Path): Boolean =
+        fs.exists(new Path(p, "_SUCCESS")) && fs.listStatus(p).toSeq
+          .exists(_.getPath.getName.endsWith(".parquet"))
       if (!fs.exists(store)) { // mid-swap crash: restore the last copy
         if (!fs.rename(old, store)) throw new java.io.IOException(
           s"compact: healing rename $old -> $store failed; the last " +
             "complete copy is still at the .compact_old path")
-      } else fs.delete(old, true) // post-swap crash: store is live
+      } else if (committed(store)) {
+        fs.delete(old, true) // post-swap crash: store is live and whole
+      } else { // store present but uncommitted: old IS the live data
+        fs.delete(store, true)
+        if (!fs.rename(old, store)) throw new java.io.IOException(
+          s"compact: healing rename $old -> $store failed; the last " +
+            "complete copy is still at the .compact_old path")
+      }
     }
     def parquetFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       if (!fs.exists(p)) Nil

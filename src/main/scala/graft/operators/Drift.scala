@@ -168,9 +168,10 @@ object Drift {
     * arithmetic. NULL values land in an accounted sentinel bucket like
     * the histogram itself.
     *
-    * Output is ONE row: (n_old, n_new, n_buckets, drift_fp), with
-    * drift_fp ∈ [0, 2·2^20] and NULL when either side is empty (no
-    * distribution to compare). Scale shape: two partial-aggregable
+    * Output is ONE row in every case — both sides empty included,
+    * where it is (0, 0, 0, NULL): (n_old, n_new, n_buckets, drift_fp),
+    * with drift_fp ∈ [0, 2·2^20] and NULL when either side is empty
+    * (no distribution to compare). Scale shape: two partial-aggregable
     * bucket counts (each the only pass over its slice), a |buckets|
     * full-outer join on the bucket id, and constant-size folds after. */
   def histogramDrift(oldDf: DataFrame, newDf: DataFrame, valueCol: String,
@@ -188,13 +189,17 @@ object Drift {
     val joined = scope.persist(counts(oldDf, "c_old")
       .join(counts(newDf, "c_new"), Seq("bucket"), "full")
       .na.fill(0L, Seq("c_old", "c_new")))
-    val totals = joined.agg(sum(col("c_old")).as("n_old"),
-      sum(col("c_new")).as("n_new"))
-    joined.crossJoin(broadcast(totals))
-      .groupBy(col("n_old"), col("n_new"))
+    // global (ungrouped) aggregates so BOTH frames are one row even
+    // when both slices are empty — a groupBy on the totals would
+    // return ZERO rows there, breaking the one-row output contract
+    val totals = joined.agg(
+      coalesce(sum(col("c_old")), lit(0L)).as("n_old"),
+      coalesce(sum(col("c_new")), lit(0L)).as("n_new"))
+    val fold = joined.crossJoin(broadcast(totals))
       .agg(count(lit(1)).as("n_buckets"),
         sum(abs(col("c_new").cast(dec38) * col("n_old") -
           col("c_old").cast(dec38) * col("n_new"))).as("num"))
+    totals.crossJoin(broadcast(fold))
       .select(col("n_old"), col("n_new"), col("n_buckets"),
         when(col("n_old") > maxExactDayTotal ||
           col("n_new") > maxExactDayTotal,

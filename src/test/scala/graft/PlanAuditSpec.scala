@@ -549,8 +549,10 @@ class PlanAuditSpec extends SparkSpec {
       // the fact before the row-local bucket CASE
       "q88_equidepth_histogram",
       // q95/q96: the ONE-ROW (n_old, n_new) totals appended to the
-      // |buckets| frame before the L1 fold — Drift.histogramDrift's
-      // scalar-append, same shape as q52/q79/q84/q88
+      // |buckets| frame before the L1 fold, plus the final one-row ×
+      // one-row totals × fold join (kept ungrouped so the both-empty
+      // case still emits its contract row) — Drift.histogramDrift's
+      // scalar-appends, same shape as q52/q79/q84/q88
       "q95_value_drift", "q96_embedding_drift",
       // q97: the ONE-ROW corpus token total appended to the surviving
       // bigram frame — collocationLift's scalar-append

@@ -65,4 +65,30 @@ class LshIndexSpec extends SparkSpec {
     // pairs, if any, are ordered and never self-referential
     assert(p.forall { case (a, b) => a < b })
   }
+
+  test("string ids probe cleanly from the first (empty-store) batch") {
+    // the empty-store fallback frame must mirror the BATCH id type —
+    // a hardcoded long doc_id would type-mismatch this join
+    val dir = Files.createTempDirectory("graft_lsh_idx3").toString + "/store"
+    val idx = new LshIndex(spark, dir)
+    // zero-padded so string order == numeric order and the pair set
+    // maps 1:1 onto the long-id run over the same docs
+    val sdocs = Tables.documents(spark, sf).where(col("doc_id") < 250)
+      .select(format_string("d%06d", col("doc_id")).as("doc_id"),
+        col("text"))
+    val p1 = idx.probeAndRecord(
+        sdocs.where(col("doc_id") < "d000100"), "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val p2 = idx.probeAndRecord(
+        sdocs.where(col("doc_id") >= "d000100"), "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val longIdx = new LshIndex(spark,
+      Files.createTempDirectory("graft_lsh_idx4").toString + "/store")
+    val expected = longIdx.probeAndRecord(
+        Tables.documents(spark, sf).where(col("doc_id") < 250),
+        "doc_id", "text")
+      .collect().map(r => ("d%06d".format(r.getLong(0)),
+        "d%06d".format(r.getLong(1)))).toSet
+    assert((p1 ++ p2) == expected)
+  }
 }

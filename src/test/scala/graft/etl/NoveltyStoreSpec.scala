@@ -90,6 +90,27 @@ class NoveltyStoreSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(dir + ".compact_old")))
   }
 
+  test("heal keeps .compact_old while the live store is uncommitted") {
+    // the post-swap verification-failure window: compact() threw after
+    // the swap landed an UNCOMMITTED directory at the live path, with
+    // the only complete copy promised to survive at .compact_old. The
+    // next compact() must restore that copy, not delete it just
+    // because a (broken) store directory exists.
+    import java.nio.file.{Paths, Files => JF}
+    val base = Files.createTempDirectory("graft_novelty5").toString
+    val dir = base + "/store"
+    val store = new NoveltyStore(spark, dir)
+    store.scoreAndRecord(docs(corpus: _*), "doc_id", "text").collect()
+    val vocab = store.seenShingles.count()
+    JF.move(Paths.get(dir), Paths.get(dir + ".compact_old"))
+    JF.createDirectory(Paths.get(dir)) // data file, no _SUCCESS marker
+    JF.createFile(Paths.get(dir, "part-00000-torn.parquet"))
+    store.compact() // heal: restore old over the uncommitted wreck
+    assert(store.seenShingles.count() == vocab,
+      "heal lost the last complete copy")
+    assert(!JF.exists(Paths.get(dir + ".compact_old")))
+  }
+
   test("compact survives rename failures without losing the last copy") {
     // HDFS reports most rename failures by RETURNING FALSE, not by
     // throwing — inject that via a local FileSystem registered under

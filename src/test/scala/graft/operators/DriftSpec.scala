@@ -114,6 +114,13 @@ class DriftSpec extends SparkSpec {
     val empty = Seq.empty[Double].toDF("v")
     val e = Drift.histogramDrift(oldDf, empty, "v", 2.0).collect().head
     assert(e.isNullAt(3) && e.getLong(1) == 0L)
+    // BOTH sides empty still honors the one-row contract: (0,0,0,NULL)
+    // — a grouped fold here would return zero rows and break
+    // collect().head callers exactly like this one
+    val both = Drift.histogramDrift(empty, empty, "v", 2.0).collect()
+    assert(both.length == 1, s"expected one row, got ${both.length}")
+    assert((both.head.getLong(0), both.head.getLong(1),
+      both.head.getLong(2), both.head.isNullAt(3)) == ((0L, 0L, 0L, true)))
   }
 
   test("histogramDrift: symmetric in its sides and invariant to uniform scale") {
