@@ -196,7 +196,8 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, maxDf: Int = 100,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    // the hot-shingle cap as a tiny hot-key list + anti-join, NOT a
+    // the hot-shingle cap is the shared [[Skew.capHotKeys]]: a tiny
+    // hot-key list + broadcast anti-join, NOT a
     // count-over-partition window: the window formulation sorted the
     // ENTIRE exploded shingle frame on hs (the single most expensive
     // stage of r4's q17 and the first thing to stall under host
@@ -215,9 +216,7 @@ object Dedup {
     // near-identical cache. PlanAuditSpec pins the single
     // InMemoryRelation and the generator living inside its build plan.
     val ex = scope.persist(hashShingled(docs, idCol, textCol))
-    val hot = ex.groupBy(col("hs")).agg(count(lit(1)).as("__df"))
-      .where(col("__df") > maxDf).select(col("hs"))
-    val sh = ex.join(hot, Seq("hs"), "left_anti")
+    val sh = Skew.capHotKeys(ex, "hs", maxDf.toLong)
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("da"), col("hs"))
     val b = sh.select(col("doc_id").as("db"), col("hs"))
@@ -340,28 +339,46 @@ object Dedup {
     * so the all-pairs product never exists. `n_rows` rides along so
     * the caller can see how much mass each side of a match carries.
     *
-    * `blockOf` maps the name column to its block key; the default —
-    * the second whitespace token (empty when absent, matching
-    * `split_part` semantics) — blocks two-token catalog names on
-    * their head noun ("cold bolt" / "old bolt"). A pair is emitted once (`name_a < name_b`), with
-    * pairs in DIFFERENT blocks never compared: recall is the blocking
-    * key's contract, the standard trade of blocked linkage. */
+    * `blockOf` maps the name column to its block key; the default
+    * blocks multi-token names on the second whitespace token (the
+    * head noun of two-token catalog names — "cold bolt" / "old bolt")
+    * and single-token names on their 4-char prefix, so a vocabulary
+    * of brands / usernames / one-word products spreads across prefix
+    * blocks instead of piling into one degenerate `""` block whose
+    * quadratic inside-block join would dwarf the rest of the plan. A
+    * pair is emitted once (`name_a < name_b`), with pairs in
+    * DIFFERENT blocks never compared: recall is the blocking key's
+    * contract, the standard trade of blocked linkage.
+    *
+    * No blockOf is degenerate-proof against adversarial data, so the
+    * quadratic is ALSO hard-bounded structurally: any block holding
+    * more than `maxBlockNames` distinct names is dropped whole by
+    * [[Skew.capHotKeys]] before the join — the same discipline as
+    * [[ngramJaccardPairs]]'s hot-shingle df-cap, trading recall
+    * inside oversized blocks for a worst-block pair count that can
+    * never exceed `maxBlockNames·(maxBlockNames−1)/2`. */
   def fuzzyMatchPairs(rows: DataFrame, nameCol: String, maxDist: Int = 2,
       blockOf: Column => Column = n =>
-        coalesce(element_at(split(n, " "), 2), lit(""))): DataFrame = {
+        when(instr(n, " ") === 0, substring(n, 1, 4))
+          .otherwise(coalesce(element_at(split(n, " "), 2), lit(""))),
+      maxBlockNames: Long = 4096,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(maxDist >= 1, s"maxDist=$maxDist must be >= 1")
-    val names = rows
+    // the distinct-name frame feeds the cap's count AND both join
+    // sides — persist so the corpus-wide name collapse runs once
+    val names = scope.persist(rows
       .groupBy(col(nameCol).as("name")).agg(count(lit(1)).as("n_rows"))
-      .withColumn("blk", blockOf(col("name")))
-    val a = names.select(col("name").as("name_a"), col("n_rows").as("n_a"),
+      .withColumn("blk", blockOf(col("name"))))
+    val capped = Skew.capHotKeys(names, "blk", maxBlockNames)
+    val a = capped.select(col("name").as("name_a"), col("n_rows").as("n_a"),
       col("blk"))
-    val b = names.select(col("name").as("name_b"), col("n_rows").as("n_b"),
+    val b = capped.select(col("name").as("name_b"), col("n_rows").as("n_b"),
       col("blk"))
     a.join(b, Seq("blk"))
       .where(col("name_a") < col("name_b"))
-      .where(levenshtein(col("name_a"), col("name_b")) <= maxDist)
-      .select(col("name_a"), col("name_b"),
-        levenshtein(col("name_a"), col("name_b")).as("distance"),
+      .withColumn("distance", levenshtein(col("name_a"), col("name_b")))
+      .where(col("distance") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("distance"),
         col("n_a"), col("n_b"))
       .orderBy(col("name_a"), col("name_b"))
   }

@@ -44,6 +44,38 @@ object Skew {
     bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Bound a keyed self-join's quadratic blow-up BEFORE it happens:
+    * drop every row of any key holding more than `maxKeyRows` rows.
+    * A key with c rows costs O(c²) pairs downstream, so the bound to
+    * enforce is ABSOLUTE key mass, not share-of-total — a 1M-row key
+    * is a 5·10¹¹-pair reducer whether the corpus is 10M or 10B rows.
+    * After the cap the worst key contributes at most
+    * `maxKeyRows·(maxKeyRows−1)/2` pairs, so the join's cost is
+    * linear in the number of keys with a constant quadratic factor.
+    *
+    * This is ONE discipline with three instances in the repo:
+    * [[Dedup.ngramJaccardPairs]]'s shingle df-cap (hot shingles carry
+    * no near-dup signal), [[Dedup.fuzzyMatchPairs]]'s block cap (a
+    * degenerate blocking key piles unrelated names into one quadratic
+    * block), and the cross-corpus caps (computed over the combined
+    * frame, so they stay inline). Dropping is the documented RECALL
+    * trade of every capped path: pairs inside a dropped key are never
+    * compared, exactly like q17's hot shingles.
+    *
+    * Plan shape: the count aggregate partial-combines map-side; the
+    * hot list is heavy-hitters-small BY CONSTRUCTION (at most
+    * total/maxKeyRows keys can exceed the cap), so it rides an
+    * explicit broadcast into a LeftAnti hash join — no sort, no
+    * second shuffle of `df`. Rows with a NULL key are never capped
+    * (an equi-self-join drops them anyway; callers' block keys
+    * coalesce NULL upstream). */
+  def capHotKeys(df: DataFrame, key: String, maxKeyRows: Long): DataFrame = {
+    require(maxKeyRows >= 1, s"maxKeyRows=$maxKeyRows must be >= 1")
+    val hot = df.groupBy(col(key)).agg(count(lit(1)).as("__c"))
+      .where(col("__c") > maxKeyRows).select(col(key))
+    df.join(broadcast(hot), Seq(key), "left_anti")
+  }
+
   /** Two-phase skewed aggregation: count per (key, salt) first (spreads
     * a hot key over `salt` reducers with map-side partials), then merge
     * the per-salt partials. Equivalent to groupBy(key).count. */

@@ -2945,10 +2945,14 @@ object Ext {
   // ---------------------------------------------------------------- q92
 
   /** q92 — fuzzy entity matching ([[Dedup.fuzzyMatchPairs]]): part
-    * names within two edits of each other, blocked on the trailing
-    * token so the quadratic edit distance only runs inside blocks of
-    * the DISTINCT name set — record linkage that shingle dedup can't
-    * express at name length. */
+    * names within two edits of each other, blocked on the second
+    * token (4-char-prefix fallback for single-token names) so the
+    * quadratic edit distance only runs inside blocks of the DISTINCT
+    * name set — record linkage that shingle dedup can't express at
+    * name length. The oracle replays the block key, the 4096-name
+    * block cap (a no-op at fixture scale, mirrored anyway so the
+    * contract is checked, not assumed), and the post-join distance
+    * filter identically. */
   val q92: Q = Q(
     "q92_fuzzy_match",
     (s, d) =>
@@ -2957,11 +2961,18 @@ object Ext {
       WITH g AS (
         SELECT p_name AS name, count(*) AS n_rows FROM part GROUP BY 1),
       b AS (
-        SELECT name, n_rows, split_part(name, ' ', 2) AS blk FROM g)
+        SELECT name, n_rows,
+          CASE WHEN strpos(name, ' ') = 0 THEN substr(name, 1, 4)
+               ELSE split_part(name, ' ', 2) END AS blk
+        FROM g),
+      k AS (
+        SELECT name, n_rows, blk FROM (
+          SELECT b.*, count(*) OVER (PARTITION BY blk) AS c_blk FROM b)
+        WHERE c_blk <= 4096)
       SELECT a.name AS name_a, c.name AS name_b,
         CAST(levenshtein(a.name, c.name) AS INT) AS distance,
         a.n_rows AS n_a, c.n_rows AS n_b
-      FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+      FROM k a JOIN k c ON a.blk = c.blk AND a.name < c.name
       WHERE levenshtein(a.name, c.name) <= 2
       ORDER BY name_a, name_b
     """.trim))

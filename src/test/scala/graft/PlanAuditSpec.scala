@@ -428,9 +428,11 @@ class PlanAuditSpec extends SparkSpec {
     // per-bucket counts pre-fold before their exchange
     assert(p.contains("partial_count"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // the ONE-ROW totals scalar-append is the only BNLJ, and its build
-    // side is a broadcast of a single aggregate row
-    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1, p)
+    // exactly TWO one-row joins: the totals scalar-append onto the
+    // |buckets| frame, and the final totals × fold row assembly (kept
+    // ungrouped so the both-empty case still emits its contract row);
+    // each build side is a broadcast of a single aggregate row
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 2, p)
   }
 
   test("q93: ONE stratum-keyed window — no global sort before it") {
@@ -452,6 +454,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("levenshtein"), p)
     // distinct-name collapse combines map-side before its exchange
     assert(p.contains("partial_count"), p)
+    // the block cap is live: the hot-block list rides a broadcast
+    // into a LeftAnti hash join ahead of the pair join, so the worst
+    // block's pair count is structurally bounded even when blockOf
+    // degenerates on adversarial name data
+    assert(p.contains("LeftAnti"), p)
   }
 
   test("q89: HLL registers combine map-side; both aggregates partial; no Window") {
