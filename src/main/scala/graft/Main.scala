@@ -41,11 +41,15 @@ object Main {
     case "index" :: embParquet :: outDir :: Nil => index(embParquet, outDir)
     case "dedup-ingest" :: docsParquet :: storeDir :: outDir :: Nil =>
       dedupIngest(docsParquet, storeDir, outDir)
+    case "cms-ingest" :: srcParquet :: hashCol :: storeDir :: Nil =>
+      cmsIngest(srcParquet, hashCol, storeDir)
+    case "hll-ingest" :: srcParquet :: groupCol :: hashCol :: storeDir :: Nil =>
+      hllIngest(srcParquet, groupCol, hashCol, storeDir)
     case "explain" :: name :: rest if rest.size <= 1 =>
       explain(name, rest.headOption.getOrElse("/root/testdata/sf0.001"))
     case _ =>
       System.err.println(
-        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | dedup-ingest <docsParquet> <lshStoreDir> <outDir> | explain <queryName|all> [sfDir]")
+        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | dedup-ingest <docsParquet> <lshStoreDir> <outDir> | cms-ingest <parquet> <hashCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | explain <queryName|all> [sfDir]")
       sys.exit(2)
   }
 
@@ -72,6 +76,47 @@ object Main {
     cands.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(outDir)
     cands.count()
+  }
+
+  /** Incremental CMS ingest: fold one batch (a parquet of rows with a
+    * BIGINT `hashCol`) into its partial counter grid and append it to
+    * the durable store — run per arriving batch; reads merge by SUM.
+    * Exactly-once delivery is the scheduler's contract (counters are
+    * not idempotent, scaladoc [[graft.etl.CmsStore]]). */
+  private def cmsIngest(srcParquet: String, hashCol: String,
+      storeDir: String): Unit = {
+    val spark = GraftSession.local()
+    val n = runCmsIngest(spark, srcParquet, hashCol, storeDir)
+    println(s"cms-ingest: merged grid holds $n counters -> $storeDir")
+    spark.stop()
+  }
+
+  /** Testable core of `cms-ingest` (the [[runCompact]] pattern). */
+  private[graft] def runCmsIngest(spark: org.apache.spark.sql.SparkSession,
+      srcParquet: String, hashCol: String, storeDir: String): Long = {
+    val store = new graft.etl.CmsStore(spark, storeDir)
+    store.ingest(spark.read.parquet(srcParquet), hashCol)
+    store.sketch.count()
+  }
+
+  /** Incremental HLL ingest: fold one batch into its register table
+    * and append — reads merge by idempotent MAX, so re-delivery is
+    * harmless ([[graft.etl.HllStore]]). */
+  private def hllIngest(srcParquet: String, groupCol: String,
+      hashCol: String, storeDir: String): Unit = {
+    val spark = GraftSession.local()
+    val n = runHllIngest(spark, srcParquet, groupCol, hashCol, storeDir)
+    println(s"hll-ingest: $n groups tracked -> $storeDir")
+    spark.stop()
+  }
+
+  /** Testable core of `hll-ingest` (the [[runCompact]] pattern). */
+  private[graft] def runHllIngest(spark: org.apache.spark.sql.SparkSession,
+      srcParquet: String, groupCol: String, hashCol: String,
+      storeDir: String): Long = {
+    val store = new graft.etl.HllStore(spark, storeDir, groupCol)
+    store.ingest(spark.read.parquet(srcParquet), hashCol)
+    store.estimates.count()
   }
 
   /** Dump the formatted physical plan for one registry query (or every

@@ -1,0 +1,156 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MetadataBuilder
+
+import graft.operators.Sketch
+
+/** Durable, mergeable sketch stores — the [[NoveltyStore]]/[[LshIndex]]
+  * append-and-compact discipline applied to the two sketches built for
+  * it ([[Sketch]]): a live ingest appends each batch's PARTIAL sketch
+  * (a CMS counter grid, an HLL register table) and every read folds the
+  * appends with the sketch's own merge — SUM for CMS counters, MAX for
+  * HLL registers. Both merges are associative and commutative, so
+  * batch boundaries can never change the result (spec-pinned
+  * batch-split ≡ one-shot, the LshIndexSpec pattern); HLL's max is
+  * additionally IDEMPOTENT, so re-delivered batches cannot move a
+  * register, while CMS counts occurrences — exactly-once delivery is
+  * the ingest pipeline's contract there, as for any counter.
+  *
+  * Scale shape: what lands on disk per batch is the SKETCH, never the
+  * data — ≤ depth·width rows for CMS regardless of corpus size, ≤
+  * m rows per group for HLL regardless of cardinality — and the
+  * merge-fold reads only those rows back. `compact()` rewrites the
+  * accumulated appends into the single merged grid via the shared
+  * verified-rename swap ([[ParquetStore.compact]]: `_SUCCESS`-gated
+  * reads, self-healing crash windows), after which the store holds one
+  * row per counter/register again.
+  *
+  * Shape parameters ride as column metadata (the [[Sketch.cmBuild]]
+  * fail-fast pattern) so reopening a store at a mismatched
+  * width/m/wBits throws instead of silently mis-bucketing.
+  */
+final class CmsStore(spark: SparkSession, storeDir: String,
+    width: Int = 1024) {
+  require(width > 0 && (width & (width - 1)) == 0,
+    s"width must be a power of two, got $width")
+
+  private val widthMeta = new MetadataBuilder()
+    .putLong("cm_width", width.toLong)
+    .putLong("cm_depth", Sketch.depth.toLong).build()
+
+  private def storeExists: Boolean =
+    ParquetStore.gatedExists(spark, storeDir, "CMS store")
+
+  /** Parquet round-trips Spark column metadata, so the width the grid
+    * was BUILT at survives on `cnt` — reject a reopen at any other. */
+  private def checkedRead(): DataFrame = {
+    val df = spark.read.parquet(storeDir)
+    df.schema.fields.find(_.name == "cnt").map(_.metadata)
+      .filter(_.contains("cm_width")).foreach { m =>
+        require(m.getLong("cm_width") == width.toLong,
+          s"CMS store $storeDir was built at width=" +
+            s"${m.getLong("cm_width")} but opened at width=$width — " +
+            "estimates would mis-bucket; open with the build width")
+      }
+    df
+  }
+
+  /** Append one batch's partial counter grid (≤ depth·width rows —
+    * the batch is folded to its sketch BEFORE anything is written). */
+  def ingest(hashes: DataFrame, hashCol: String): Unit = {
+    if (storeExists) checkedRead() // fail fast on a width mismatch
+    Sketch.cmBuild(hashes, hashCol, width)
+      .write.mode(SaveMode.Append).parquet(storeDir)
+  }
+
+  /** The merged sketch over everything ingested: counters SUM across
+    * appended partial grids, ≤ depth·width rows, width metadata
+    * re-stamped so [[Sketch.cmEstimate]]'s probe-width check holds. */
+  def sketch: DataFrame = {
+    val grid =
+      if (storeExists) checkedRead()
+      else spark.range(0).select(col("id").cast("int").as("r"),
+        col("id").as("b"), col("id").as("cnt"))
+    grid.groupBy(col("r"), col("b")).agg(sum(col("cnt")).as("cnt"))
+      .select(col("r"), col("b"), col("cnt").as("cnt", widthMeta))
+  }
+
+  /** Point estimates against the merged store ([[Sketch.cmEstimate]]:
+    * broadcast grid, probes keep columns and multiplicity). */
+  def estimate(probes: DataFrame, hashCol: String): DataFrame =
+    Sketch.cmEstimate(probes, hashCol, sketch, width)
+
+  /** Merge-on-compact: rewrite the appends into the single merged
+    * grid via the shared verified swap. Returns (files before, after). */
+  def compact(targetFileBytes: Long = 128L << 20): (Long, Long) =
+    ParquetStore.compact(spark, storeDir, sketch, targetFileBytes)
+}
+
+/** HLL register store — see [[CmsStore]]'s scaladoc for the shared
+  * discipline. Registers merge by keyed MAX (idempotent: re-ingesting
+  * a batch is a no-op), estimates fold from the merged registers at
+  * read time with [[Sketch.hllEstimateFromRegisters]]. */
+final class HllStore(spark: SparkSession, storeDir: String,
+    groupCol: String, m: Int = 256, wBits: Int = 52) {
+  require(m >= 16 && (m & (m - 1)) == 0,
+    s"m must be a power of two >= 16, got $m")
+  require(wBits > 0 && wBits <= 56, s"need 0 < wBits <= 56, got $wBits")
+
+  private val shapeMeta = new MetadataBuilder()
+    .putLong("hll_m", m.toLong).putLong("hll_wbits", wBits.toLong).build()
+
+  private def storeExists: Boolean =
+    ParquetStore.gatedExists(spark, storeDir, "HLL store")
+
+  private def checkedRead(): DataFrame = {
+    val df = spark.read.parquet(storeDir)
+    df.schema.fields.find(_.name == "mj").map(_.metadata)
+      .filter(_.contains("hll_m")).foreach { meta =>
+        require(meta.getLong("hll_m") == m.toLong &&
+          meta.getLong("hll_wbits") == wBits.toLong,
+          s"HLL store $storeDir was built at m=${meta.getLong("hll_m")}/" +
+            s"wBits=${meta.getLong("hll_wbits")} but opened at " +
+            s"m=$m/wBits=$wBits — registers would mis-bucket; open " +
+            "with the build shape")
+      }
+    df
+  }
+
+  /** Append one batch's register table (≤ m rows per group in the
+    * batch; `hashCol` must satisfy [[Sketch.hllRegisters]]'s
+    * non-negative `hash < m·2^wBits` contract). */
+  def ingest(rows: DataFrame, hashCol: String): Unit = {
+    if (storeExists) checkedRead() // fail fast on a shape mismatch
+    Sketch.hllRegisters(rows, groupCol, hashCol, m, wBits)
+      .select(col(groupCol), col("b"), col("mj").as("mj", shapeMeta))
+      .write.mode(SaveMode.Append).parquet(storeDir)
+  }
+
+  /** The merged register table: keyed max across appended batches —
+    * exactly [[Sketch.hllRegisters]] over the union of everything
+    * ingested. Before the first ingest the empty frame types the
+    * group column as string; the first ingest fixes the schema from
+    * the data, and the empty frame is never joined against (the
+    * LshIndex empty-store rule). */
+  def registers: DataFrame = {
+    val regs =
+      if (storeExists) checkedRead()
+      else spark.range(0).select(col("id").cast("string").as(groupCol),
+        col("id").as("b"), col("id").cast("int").as("mj"))
+    regs.groupBy(col(groupCol), col("b")).agg(max(col("mj")).as("mj"))
+  }
+
+  /** Per-group cardinality estimates from the merged registers —
+    * ≡ [[Sketch.hllDistinct]] over the union of everything ingested. */
+  def estimates: DataFrame =
+    Sketch.hllEstimateFromRegisters(registers, groupCol, m, wBits)
+
+  /** Merge-on-compact ([[CmsStore.compact]]). */
+  def compact(targetFileBytes: Long = 128L << 20): (Long, Long) = {
+    val merged = registers
+      .select(col(groupCol), col("b"), col("mj").as("mj", shapeMeta))
+    ParquetStore.compact(spark, storeDir, merged, targetFileBytes)
+  }
+}

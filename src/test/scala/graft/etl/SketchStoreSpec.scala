@@ -1,0 +1,94 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Sketch
+
+/** The sketch-store invariants, the LshIndexSpec pattern: batch-split
+  * ingest must merge to EXACTLY the one-shot sketch (sum for CMS
+  * counters, max for HLL registers), compact() must preserve it, HLL
+  * re-delivery must be a no-op, and a shape-mismatched reopen must
+  * fail fast instead of silently mis-bucketing. */
+class SketchStoreSpec extends SparkSpec {
+
+  // an occurrence stream with deliberate duplicates: 600 rows over
+  // 200 distinct hashes, every hash small enough for the HLL contract
+  private def hashes = spark.range(600)
+    .select((col("id") % 200L).as("h"),
+      concat(lit("g"), col("id") % 3L).as("grp"))
+
+  test("CMS: batch-split ingest merges to the one-shot grid; compact keeps it") {
+    val dir = Files.createTempDirectory("graft_cms_store").toString + "/store"
+    val store = new CmsStore(spark, dir, width = 64)
+    store.ingest(hashes.where(col("h") < 100L), "h")
+    store.ingest(hashes.where(col("h") >= 100L), "h")
+    def grid(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val oneShot = grid(Sketch.cmBuild(hashes, "h", width = 64))
+    assert(grid(store.sketch) == oneShot)
+    val (before, after) = store.compact(targetFileBytes = 1L << 20)
+    assert(before > after, s"compact $before -> $after files")
+    assert(grid(store.sketch) == oneShot) // merge-on-compact loses nothing
+    // estimates against the store keep the never-undercount guarantee
+    val probes = hashes.select(col("h")).distinct()
+      .withColumn("cf", lit(3L)) // every hash occurs exactly 3x
+    val est = store.estimate(probes, "h").collect()
+    assert(est.length == 200)
+    assert(est.forall(r => r.getAs[Long]("est_cf") >= r.getAs[Long]("cf")))
+  }
+
+  test("CMS: reopening at a different width fails fast") {
+    val dir = Files.createTempDirectory("graft_cms_store2").toString + "/store"
+    new CmsStore(spark, dir, width = 64).ingest(hashes, "h")
+    val wrong = new CmsStore(spark, dir, width = 128)
+    val e = intercept[IllegalArgumentException] { wrong.ingest(hashes, "h") }
+    assert(e.getMessage.contains("width"))
+    intercept[IllegalArgumentException] { wrong.sketch.collect() }
+  }
+
+  test("HLL: batch-split ingest == one-shot registers; re-delivery is a no-op") {
+    val dir = Files.createTempDirectory("graft_hll_store").toString + "/store"
+    val store = new HllStore(spark, dir, "grp", m = 16, wBits = 20)
+    val b1 = hashes.where(col("h") < 100L)
+    store.ingest(b1, "h")
+    store.ingest(hashes.where(col("h") >= 100L), "h")
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val oneShot = regs(Sketch.hllRegisters(hashes, "grp", "h", 16, 20))
+    assert(regs(store.registers) == oneShot)
+    // idempotence: re-delivering batch 1 moves nothing
+    store.ingest(b1, "h")
+    assert(regs(store.registers) == oneShot)
+    // estimates fold ≡ the one-shot operator, row for row
+    val direct = Sketch.hllDistinct(hashes, "grp", "h", 16, 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val stored = store.estimates.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(stored == direct)
+    // compact merges to one row per (group, bucket) and keeps results
+    store.compact(targetFileBytes = 1L << 20)
+    assert(regs(store.registers) == oneShot)
+  }
+
+  test("HLL: reopening at a different shape fails fast") {
+    val dir = Files.createTempDirectory("graft_hll_store2").toString + "/store"
+    new HllStore(spark, dir, "grp", m = 16, wBits = 20).ingest(hashes, "h")
+    val wrong = new HllStore(spark, dir, "grp", m = 32, wBits = 20)
+    val e = intercept[IllegalArgumentException] { wrong.registers.collect() }
+    assert(e.getMessage.contains("m="))
+  }
+
+  test("CLI cores: cms-ingest and hll-ingest append to their stores") {
+    val base = Files.createTempDirectory("graft_sketch_cli").toString
+    val src = base + "/batch.parquet"
+    hashes.write.parquet(src)
+    val n1 = graft.Main.runCmsIngest(spark, src, "h", base + "/cms")
+    assert(n1 > 0L && n1 <= 4L * 1024L) // ≤ depth·width counters
+    val n2 = graft.Main.runHllIngest(spark, src, "grp", "h", base + "/hll")
+    assert(n2 == 3L) // one estimate row per group
+  }
+}
