@@ -41,6 +41,11 @@ object Main {
     case "index" :: embParquet :: outDir :: Nil => index(embParquet, outDir)
     case "dedup-ingest" :: docsParquet :: storeDir :: outDir :: Nil =>
       dedupIngest(docsParquet, storeDir, outDir)
+    case "search" :: indexDir :: queriesParquet :: outDir :: rest
+        if rest.size <= 2 =>
+      search(indexDir, queriesParquet, outDir,
+        topK = rest.headOption.map(_.toInt).getOrElse(5),
+        probes = rest.drop(1).headOption.map(_.toInt))
     case "cms-ingest" :: srcParquet :: hashCol :: storeDir :: Nil =>
       cmsIngest(srcParquet, hashCol, storeDir)
     case "hll-ingest" :: srcParquet :: groupCol :: hashCol :: storeDir :: Nil =>
@@ -49,7 +54,7 @@ object Main {
       explain(name, rest.headOption.getOrElse("/root/testdata/sf0.001"))
     case _ =>
       System.err.println(
-        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | dedup-ingest <docsParquet> <lshStoreDir> <outDir> | cms-ingest <parquet> <hashCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | explain <queryName|all> [sfDir]")
+        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> | cms-ingest <parquet> <hashCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | explain <queryName|all> [sfDir]")
       sys.exit(2)
   }
 
@@ -154,31 +159,77 @@ object Main {
     * silently re-code the whole history. */
   private def index(embParquet: String, outDir: String): Unit = {
     val spark = GraftSession.local()
+    val (frozen, n) = runIndex(spark, embParquet, outDir)
+    println(s"[index] codebook=${if (frozen) "frozen" else "trained"} " +
+      s"vectors=$n")
+    spark.stop()
+  }
+
+  /** Testable core of `index` (the [[runCompact]] pattern). Stores
+    * FOUR artifacts under `outDir`: `codebook` + `codes` (the PQ
+    * layer) and `coarse_codebook` + `cells` (the IVF layer), which is
+    * everything [[runSearch]] needs to serve both search rungs
+    * without retraining. Returns (codebook was frozen, vectors). */
+  private[graft] def runIndex(spark: org.apache.spark.sql.SparkSession,
+      embParquet: String, outDir: String): (Boolean, Long) = {
     val emb = spark.read.parquet(embParquet)
-    val bookDir = s"$outDir/codebook"
     // Frozen-ness is decided through the Hadoop FileSystem for the
     // path's scheme (java.nio can't see non-local warehouses) and gated
     // on the parquet _SUCCESS commit marker, so a codebook directory
     // left half-written by a crashed first run is retrained (overwrite)
     // instead of being trusted as frozen.
-    val success =
-      new org.apache.hadoop.fs.Path(bookDir, "_SUCCESS")
-    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val frozen = fs.exists(success)
-    val book =
-      if (frozen) spark.read.parquet(bookDir)
+    def loadOrTrain(dir: String, train: => org.apache.spark.sql.DataFrame)
+        : (Boolean, org.apache.spark.sql.DataFrame) = {
+      val success = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+      val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(success)) (true, spark.read.parquet(dir))
       else {
-        val b = graft.operators.Quantize.trainCodebook(emb)
-        b.write.mode("overwrite").parquet(bookDir)
-        spark.read.parquet(bookDir)
+        train.write.mode("overwrite").parquet(dir)
+        (false, spark.read.parquet(dir))
       }
-    val codes = graft.operators.Quantize.encodeWith(book)(emb)
-    codes.write.mode("overwrite").parquet(s"$outDir/codes")
+    }
+    val (frozen, book) = loadOrTrain(s"$outDir/codebook",
+      graft.operators.Quantize.trainCodebook(emb))
+    graft.operators.Quantize.encodeWith(book)(emb)
+      .write.mode("overwrite").parquet(s"$outDir/codes")
+    val (_, coarse) = loadOrTrain(s"$outDir/coarse_codebook",
+      graft.operators.Quantize.trainCoarseCodebook(emb))
+    graft.operators.Quantize.assignCells(coarse)(emb)
+      .write.mode("overwrite").parquet(s"$outDir/cells")
     val n = spark.read.parquet(s"$outDir/codes")
       .select("vec_id").distinct().count()
-    println(s"[index] codebook=${if (frozen) "frozen" else "trained"} " +
-      s"vectors=$n")
+    (frozen, n)
+  }
+
+  /** Serve ANN queries against a STORED index (`index`'s artifacts)
+    * without retraining: plain ADC over all stored codes, or — with
+    * `probes` — the IVF-restricted rung that only scores candidates
+    * in each query's probed cells. */
+  private def search(indexDir: String, queriesParquet: String,
+      outDir: String, topK: Int, probes: Option[Int]): Unit = {
+    val spark = GraftSession.local()
+    val n = runSearch(spark, indexDir, queriesParquet, outDir, topK, probes)
+    println(s"[search] ${probes.fold("adc")(p => s"ivf(probes=$p)")} " +
+      s"results=$n -> $outDir")
     spark.stop()
+  }
+
+  /** Testable core of `search` (the [[runCompact]] pattern). */
+  private[graft] def runSearch(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queriesParquet: String, outDir: String,
+      topK: Int, probes: Option[Int]): Long = {
+    val queries = spark.read.parquet(queriesParquet)
+    val book = spark.read.parquet(s"$indexDir/codebook")
+    val codes = spark.read.parquet(s"$indexDir/codes")
+    val hits = probes match {
+      case Some(p) => graft.operators.Quantize.ivfPqSearch(queries, book,
+        codes, spark.read.parquet(s"$indexDir/coarse_codebook"),
+        spark.read.parquet(s"$indexDir/cells"), probes = p, topK = topK)
+      case None =>
+        graft.operators.Quantize.pqSearch(queries, book, codes, topK = topK)
+    }
+    hits.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
+    spark.read.parquet(outDir).count()
   }
 
   /** The LLM-corpus curation funnel (dedup → filters → redaction →

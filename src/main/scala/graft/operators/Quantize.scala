@@ -110,23 +110,34 @@ object Quantize {
     * assignment is row-local per vector (QuantizeSpec pins it). Same
     * output shape as [[pqCodes]]. */
   def encodeWith(codebook: DataFrame)(embeddings: DataFrame): DataFrame = {
+    val (m, w) = bookShape(codebook)
+    codesFrom(slicedAgainst(embeddings, m, w), codebook)
+  }
+
+  /** A stored codebook's (m, w) — one action over the tiny (sub,
+    * cent_id, cv) frame, with the ragged-width guard. */
+  private def bookShape(codebook: DataFrame): (Int, Int) = {
     val shape = codebook
       .agg(max(col("sub")).as("maxSub"),
         min(size(col("cv"))).as("wLo"), max(size(col("cv"))).as("wHi"))
       .head()
-    val m = shape.getInt(0) + 1
     require(shape.getInt(1) == shape.getInt(2),
       s"ragged codebook widths: ${shape.getInt(1)}..${shape.getInt(2)}")
-    val w = shape.getInt(1)
-    // Row-local dimensionality guard: a wrong-dim vector would slice to
-    // short/empty subvectors whose NULL dot products get masked into
-    // err_fp=0 with an arbitrary "nearest" centroid — fail loudly
-    // instead, without an extra validation scan over the store.
+    (shape.getInt(0) + 1, shape.getInt(1))
+  }
+
+  /** (vec_id, sub, sv) subvectors sliced to a FROZEN codebook's shape.
+    * Row-local dimensionality guard: a wrong-dim vector would slice to
+    * short/empty subvectors whose NULL dot products get masked into
+    * err_fp=0 with an arbitrary "nearest" centroid — fail loudly
+    * instead, without an extra validation scan over the store. */
+  private def slicedAgainst(embeddings: DataFrame, m: Int,
+      w: Int): DataFrame = {
     val dimOk = when(size(col("v")) === lit(m * w), lit(true))
       .otherwise(raise_error(format_string(
         s"encodeWith: embedding dim %s != codebook m*w = ${m * w} (vec_id=%s)",
         size(col("v")), col("vec_id"))))
-    val sv = embeddings
+    embeddings
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .filter(dimOk)
@@ -134,7 +145,6 @@ object Quantize {
         explode(sequence(lit(0), lit(m - 1))).as("sub"))
       .select(col("vec_id"), col("sub"),
         slice(col("v"), col("sub") * lit(w) + lit(1), lit(w)).as("sv"))
-    codesFrom(sv, codebook)
   }
 
   /** The squared-L2 identity `(sv·sv − 2·sv·cv) + cv·cv` over the
@@ -335,6 +345,117 @@ object Quantize {
       .partitionBy(col("query_id"))
       .orderBy(col("adist_fp"), col("vec_id"))
     adc.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("adist_fp"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The coarse IVF quantizer as a STORED artifact — whole-vector
+    * cells, C = ⌈√N⌉ centroids, exactly the structure [[ivfPqTopK]]
+    * trains inline — so a persisted index can freeze it next to the
+    * PQ codebook and serve probed searches without retraining
+    * ([[ivfPqSearch]]). Same training core, same determinism. */
+  def trainCoarseCodebook(embeddings: DataFrame,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val shape = embeddings.agg(count(lit(1)).as("n"),
+      min(size(col("embedding"))).as("lo"),
+      max(size(col("embedding"))).as("hi")).head()
+    val n = shape.getLong(0)
+    require(n > 0, "trainCoarseCodebook: empty embeddings")
+    require(shape.getInt(1) == shape.getInt(2),
+      s"ragged embedding lengths: ${shape.getInt(1)}..${shape.getInt(2)}")
+    val c = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    trainPq(embeddings, 1, c, scope, Some(shape.getInt(1)))._2
+  }
+
+  /** Assign vectors to their IVF cell against a FROZEN coarse
+    * codebook — (vec_id, cell), row-local per vector like
+    * [[encodeWith]]; the maintenance path that appends new vectors'
+    * cells to a stored index. */
+  def assignCells(coarseBook: DataFrame)(embeddings: DataFrame)
+      : DataFrame = {
+    val (m1, dim) = bookShape(coarseBook)
+    require(m1 == 1, s"coarse codebook must be whole-vector (m=1), got m=$m1")
+    assign(slicedAgainst(embeddings, 1, dim), coarseBook)
+      .select(col("vec_id"), col("code").as("cell"))
+  }
+
+  /** ADC top-k against a FROZEN index — the query path of [[pqTopK]]
+    * decoupled from training: the codebook and codes come from a
+    * store (`graft.Main index`), only the QUERY vectors are live.
+    * Per query: one (m·k)-entry partial-distance table built from the
+    * stored codebook, broadcast onto the stored codes, fixed-point
+    * sums, WindowGroupLimit top-k — identical arithmetic to
+    * [[pqTopK]], so searching a frozen index over the corpus it was
+    * built from reproduces it row for row (SearchSpec pins it).
+    * Query ids share the index id namespace; a stored vector never
+    * matches itself. */
+  def pqSearch(queries: DataFrame, codebook: DataFrame, codes: DataFrame,
+      topK: Int = 5): DataFrame = {
+    require(topK > 0, s"need topK > 0, got $topK")
+    val (m, w) = bookShape(codebook)
+    val table = slicedAgainst(queries, m, w)
+      .select(col("vec_id").as("query_id"), col("sub"),
+        col("sv").as("qsv"))
+      .join(codebook, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cent_id").as("code"),
+        floor(greatest(sqDist(col("qsv"), col("cv")), lit(0.0))
+          * lit(1048576.0)).cast("long").as("pd_fp"))
+    val adc = codes.select(col("vec_id"), col("sub"), col("code"))
+      .join(broadcast(table), Seq("sub", "code"))
+      .where(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd_fp")).as("adist_fp"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adist_fp"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w2))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("adist_fp"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF-PQ top-k against a FROZEN index — [[ivfPqTopK]]'s query path
+    * over stored artifacts (coarse codebook + cell assignments + PQ
+    * codebook + codes): each query probes its `probes` nearest stored
+    * cells, and only candidates IN those cells pay the O(m) ADC
+    * scoring — probes·(N/C)·m lookups per query at any stored-index
+    * scale. Identical arithmetic to [[ivfPqTopK]] (SearchSpec pins
+    * the row-for-row replay over the build corpus). */
+  def ivfPqSearch(queries: DataFrame, codebook: DataFrame,
+      codes: DataFrame, coarseBook: DataFrame, cells: DataFrame,
+      probes: Int = 2, topK: Int = 5): DataFrame = {
+    require(probes > 0, s"need probes > 0, got $probes")
+    require(topK > 0, s"need topK > 0, got $topK")
+    val (m1, dim) = bookShape(coarseBook)
+    require(m1 == 1, s"coarse codebook must be whole-vector (m=1), got m=$m1")
+    val queryCells = assignProbes(
+      slicedAgainst(queries, 1, dim), coarseBook, probes)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val cand = queryCells
+      .join(cells.select(col("vec_id"), col("cell")), Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val (m, w) = bookShape(codebook)
+    val table = slicedAgainst(queries, m, w)
+      .select(col("vec_id").as("query_id"), col("sub"),
+        col("sv").as("qsv"))
+      .join(codebook, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cent_id").as("code"),
+        floor(greatest(sqDist(col("qsv"), col("cv")), lit(0.0))
+          * lit(1048576.0)).cast("long").as("pd_fp"))
+    val adc = cand
+      .join(codes.select(col("vec_id"), col("sub"), col("code")),
+        Seq("vec_id"))
+      .join(broadcast(table), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd_fp")).as("adist_fp"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adist_fp"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w2))
       .where(col("rank") <= topK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rank"), col("adist_fp"))
