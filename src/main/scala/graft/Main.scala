@@ -39,8 +39,11 @@ object Main {
     case "corpus" :: docsParquet :: outDir :: epochSeed :: Nil =>
       corpus(docsParquet, outDir, epoch = Some(epochSeed.toLong))
     case "index" :: embParquet :: outDir :: Nil => index(embParquet, outDir)
-    case "dedup-ingest" :: docsParquet :: storeDir :: outDir :: Nil =>
-      dedupIngest(docsParquet, storeDir, outDir)
+    case "dedup-ingest" :: docsParquet :: storeDir :: outDir :: rest
+        if rest.size <= 2 =>
+      dedupIngest(docsParquet, storeDir, outDir,
+        confirm = rest.headOption.map(corpus =>
+          (corpus, rest.drop(1).headOption.map(_.toDouble).getOrElse(0.5))))
     case "search" :: indexDir :: queriesParquet :: outDir :: rest
         if rest.size <= 2 =>
       search(indexDir, queriesParquet, outDir,
@@ -54,7 +57,7 @@ object Main {
       explain(name, rest.headOption.getOrElse("/root/testdata/sf0.001"))
     case _ =>
       System.err.println(
-        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> | cms-ingest <parquet> <hashCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | explain <queryName|all> [sfDir]")
+        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | explain <queryName|all> [sfDir]")
       sys.exit(2)
   }
 
@@ -62,25 +65,39 @@ object Main {
     * a CLI pass): probe the batch against the persisted band-signature
     * store, write the candidate pairs to `outDir`, record the batch's
     * signatures. Run per arriving batch with id-ordered corpora — the
-    * spec-pinned split-invariance contract. */
+    * spec-pinned split-invariance contract. With `confirm`, the band
+    * candidates additionally pay the exact-Jaccard verify rung
+    * ([[graft.operators.Dedup.verifyCandidates]]) against the caller's
+    * corpus-so-far parquet (which must hold BOTH endpoints of every
+    * candidate — prior batches included), so `outDir` carries VERIFIED
+    * pairs (doc_a, doc_b, jaccard), completing the incremental
+    * decontamination gate. */
   private def dedupIngest(docsParquet: String, storeDir: String,
-      outDir: String): Unit = {
+      outDir: String, confirm: Option[(String, Double)]): Unit = {
     val spark = GraftSession.local()
-    val n = runDedupIngest(spark, docsParquet, storeDir, outDir)
-    println(s"dedup-ingest: $n candidate pairs -> $outDir")
+    val n = runDedupIngest(spark, docsParquet, storeDir, outDir, confirm)
+    val what = if (confirm.isDefined) "verified" else "candidate"
+    println(s"dedup-ingest: $n $what pairs -> $outDir")
     spark.stop()
   }
 
   /** Testable core of `dedup-ingest` (the [[runCompact]] pattern). */
   private[graft] def runDedupIngest(
       spark: org.apache.spark.sql.SparkSession, docsParquet: String,
-      storeDir: String, outDir: String): Long = {
+      storeDir: String, outDir: String,
+      confirm: Option[(String, Double)] = None): Long = {
     val idx = new graft.etl.LshIndex(spark, storeDir)
     val cands = idx.probeAndRecord(
       spark.read.parquet(docsParquet), "doc_id", "text")
-    cands.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    val out = confirm match {
+      case Some((corpusParquet, threshold)) =>
+        graft.operators.Dedup.verifyCandidates(cands,
+          spark.read.parquet(corpusParquet), "doc_id", "text", threshold)
+      case None => cands
+    }
+    out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(outDir)
-    cands.count()
+    spark.read.parquet(outDir).count()
   }
 
   /** Incremental CMS ingest: fold one batch (a parquet of rows with a

@@ -486,13 +486,19 @@ object Dedup {
       .where(col("da") < col("db"))
       .select(col("da"), col("db")).distinct()
 
-    // verify = re-attach both shingle ARRAYS and intersect row-locally:
-    // the arrays are distinct-element sets, so size(array_intersect) is
-    // the exact overlap — same count the r4 exploded inner join +
-    // groupBy produced, without shuffling the index twice. A candidate
-    // pair with zero overlap (band collision without a shared shingle)
-    // gets jaccard 0 and is dropped by the threshold filter, exactly as
-    // the old inner join dropped it.
+    verifyWith(cand, base, threshold)
+  }
+
+  /** The exact-Jaccard verify rung over a (da, db) candidate frame and
+    * a (doc_id, sh, n) shingle-array base: re-attach both shingle
+    * ARRAYS and intersect row-locally — the arrays are distinct-element
+    * sets, so size(array_intersect) is the exact overlap — same count
+    * an exploded inner join + groupBy would produce, without shuffling
+    * the index twice. A candidate pair with zero overlap (band
+    * collision without a shared shingle) gets jaccard 0 and is dropped
+    * by the threshold filter, exactly as an inner join would drop it. */
+  private def verifyWith(cand: DataFrame, base: DataFrame,
+      threshold: Double): DataFrame = {
     val union = col("na") + col("nb") - col("i")
     cand
       .join(base.select(col("doc_id").as("da"), col("sh").as("sha"),
@@ -504,6 +510,33 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** [[minhashLshPairs]]'s verify rung DECOUPLED from candidate
+    * generation — for callers that produce candidates elsewhere (the
+    * incremental [[graft.etl.LshIndex]], whose store emits band
+    * candidates only): confirm a (doc_a, doc_b) frame against the
+    * corpus that holds both docs' texts, emitting exactly the pairs
+    * with exact shingle Jaccard ≥ `threshold`. Composing this over the
+    * index's candidates reproduces one-shot [[minhashLshPairs]] over
+    * the union (LshIndexSpec pins it), because the candidate sets are
+    * split-invariant and the verify is a deterministic per-pair
+    * function of the texts. Scale shape: the pair frame joins the
+    * row-local shingle-array frame twice — no explosion, no index
+    * shuffle; candidates a caller feeds that reference ids ABSENT from
+    * `docs` drop out (inner joins), matching the band-candidate
+    * contract that both endpoints were ingested. */
+  def verifyCandidates(cands: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.5,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(threshold > 0.0,
+      s"verifyCandidates needs threshold > 0 (got $threshold): " +
+        "zero-overlap band collisions are excluded by construction")
+    val base = scope.persist(shingleArrays(docs, idCol, textCol)
+      .withColumn("n", size(col("sh")).cast("long")))
+    verifyWith(
+      cands.select(col("doc_a").as("da"), col("doc_b").as("db")), base,
+      threshold)
   }
 
   /** 48-bit SimHash fingerprints over hashed shingles. One long per

@@ -66,6 +66,32 @@ class LshIndexSpec extends SparkSpec {
     assert(p.forall { case (a, b) => a < b })
   }
 
+  test("confirm rung: incremental verified pairs == one-shot minhashLshPairs") {
+    // the dedup-ingest CLI with the confirm flag: per batch, band
+    // candidates from the index pay the exact-Jaccard verify against
+    // the caller's corpus-so-far — the union of the verified outputs
+    // must be EXACTLY one-shot minhashLshPairs over the whole corpus
+    val base = Files.createTempDirectory("graft_lsh_confirm").toString
+    val docs = Tables.documents(spark, sf)
+    val cut = 250L
+    docs.where(col("doc_id") < cut).write.parquet(s"$base/b1")
+    docs.where(col("doc_id") >= cut).write.parquet(s"$base/b2")
+    docs.write.parquet(s"$base/all")
+    def verified(out: String) = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("jaccard"))).toSet
+    graft.Main.runDedupIngest(spark, s"$base/b1", s"$base/store",
+      s"$base/out1", confirm = Some((s"$base/b1", 0.5)))
+    graft.Main.runDedupIngest(spark, s"$base/b2", s"$base/store",
+      s"$base/out2", confirm = Some((s"$base/all", 0.5)))
+    val oneShot = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(oneShot.nonEmpty, "fixture lost its near-dup pairs")
+    assert((verified(s"$base/out1") ++ verified(s"$base/out2")) == oneShot)
+  }
+
   test("string ids probe cleanly from the first (empty-store) batch") {
     // the empty-store fallback frame must mirror the BATCH id type —
     // a hardcoded long doc_id would type-mismatch this join
