@@ -234,6 +234,47 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Shingle CONTAINMENT pairs — the asymmetric near-dup rung
+    * [[ngramJaccardPairs]] cannot see: a benchmark question quoted
+    * inside a long document shares nearly ALL of ITS shingles while
+    * the symmetric Jaccard `i/(na+nb−i)` stays tiny (the long doc's
+    * mass dominates the union), so a Jaccard threshold misses exactly
+    * the contamination that matters most. Containment normalizes by
+    * the SMALLER side — `i / min(na, nb)` — so a short doc fully
+    * embedded in a long one scores 1.0 regardless of the length gap.
+    *
+    * Same scale shape as [[ngramJaccardPairs]] (one persisted exploded
+    * hash frame, [[Skew.capHotKeys]] df-cap, inverted-index self-join
+    * on 8-byte hashes, partial-aggregated pair counts); only the final
+    * row-local metric differs. Output: (doc_a, doc_b, n_common,
+    * n_small, containment), doc_a < doc_b. The df-cap recall trade is
+    * q17's, with the same justification — a stopword-shingle's O(df²)
+    * candidates carry no containment signal either. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, maxDf: Int = 100,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(threshold > 0.0,
+      s"containmentPairs needs threshold > 0 (got $threshold): " +
+        "zero-overlap pairs are excluded by construction")
+    val ex = scope.persist(hashShingled(docs, idCol, textCol))
+    val sh = Skew.capHotKeys(ex, "hs", maxDf.toLong)
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("da"), col("hs"))
+    val b = sh.select(col("doc_id").as("db"), col("hs"))
+    val inter = a.join(b, Seq("hs"))
+      .where(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
+    val small = least(col("na"), col("nb"))
+    inter
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .withColumn("containment", col("i").cast("double") / small)
+      .where(col("containment") >= threshold)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("i").as("n_common"), small.as("n_small"), col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Cross-corpus near-dup pairs — the DECONTAMINATION operator: find
     * documents of `right` (e.g. an eval benchmark) that near-duplicate
     * documents of `left` (the training corpus), so they can be held out

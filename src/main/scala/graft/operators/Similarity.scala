@@ -358,4 +358,72 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Pairwise cosine AFFINITY between per-label embedding centroids —
+    * the embedding-space sibling of [[Dedup.sourceOverlapMatrix]]'s
+    * shingle matrix: which corpus slices (labels, sources, snapshots)
+    * occupy the same semantic region? The signal for collapsing
+    * redundant slices or flagging a feed whose content drifted into
+    * another's territory, at slice granularity where per-doc ANN would
+    * be noise.
+    *
+    * Exactness: cosine is scale-invariant, so the centroid MEAN is
+    * replaced by the per-label fixed-point coordinate SUM (`Σ
+    * floor(x·2^20)` per dimension — order-free exact integers; the
+    * 1/n factors cancel). Dot and norms fold those integer vectors on
+    * DECIMAL(38,0) — also order-free — and the ONLY floating ops are
+    * the final cast/sqrt/divide, fixed-parenthesization IEEE both
+    * engines replay bit-for-bit. Long-sum bound: a label's per-dim sum
+    * stays exact while rows·max|x| < 2^43 — beyond any slice this
+    * operator targets (cast the fold to decimal if a corpus ever
+    * exceeds it).
+    *
+    * Scale shape: one posexplode pass partial-aggregates to the
+    * |labels|·dim centroid frame; everything after folds frames
+    * bounded by the LABEL count (the q91 argument), and the pair join
+    * keys on the dimension index. Output: (label_a, label_b, n_a,
+    * n_b, cosine), label_a < label_b. */
+  def labelCentroidAffinity(embeddings: DataFrame,
+      labelCol: String = "label", vecCol: String = "embedding",
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val xs = embeddings.select(col(labelCol).as("lbl"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .withColumn("f",
+        floor(col("x").cast("double") * lit(1048576.0)).cast("long"))
+    // THE corpus pass: everything downstream folds this |labels|·dim
+    // frame — persist it so the posexplode scan runs once, not once
+    // per consumer (norms + both pair-join sides)
+    val cent = scope.persist(xs.groupBy(col("lbl"), col("pos"))
+      .agg(sum(col("f")).as("fs")))
+    val sizes = embeddings.groupBy(col(labelCol).as("lbl"))
+      .agg(count(lit(1)).as("n"))
+    val norms = cent.groupBy(col("lbl"))
+      .agg(sum(expr(
+        "CAST(fs AS DECIMAL(19,0)) * CAST(fs AS DECIMAL(19,0))"))
+        .as("nrm"))
+    val pairs = cent.select(col("lbl").as("la"), col("pos"),
+        col("fs").as("fa"))
+      .join(cent.select(col("lbl").as("lb"), col("pos"),
+        col("fs").as("fb")), Seq("pos"))
+      .where(col("la") < col("lb"))
+      .groupBy(col("la"), col("lb"))
+      .agg(sum(expr(
+        "CAST(fa AS DECIMAL(19,0)) * CAST(fb AS DECIMAL(19,0))"))
+        .as("dot"))
+    pairs
+      .join(norms.select(col("lbl").as("la"), col("nrm").as("na")),
+        Seq("la"))
+      .join(norms.select(col("lbl").as("lb"), col("nrm").as("nb")),
+        Seq("lb"))
+      .join(sizes.select(col("lbl").as("la"), col("n").as("n_a")),
+        Seq("la"))
+      .join(sizes.select(col("lbl").as("lb"), col("n").as("n_b")),
+        Seq("lb"))
+      .select(col("la").as("label_a"), col("lb").as("label_b"),
+        col("n_a"), col("n_b"),
+        (col("dot").cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double")))
+          .as("cosine"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
 }

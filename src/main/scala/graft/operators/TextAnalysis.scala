@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.engine.CacheScope
 import graft.functions.TextHash
 
 /** Text-analysis operators for the training-data pipeline (SURVEY.md
@@ -459,5 +460,41 @@ object TextAnalysis {
           "div (CAST(c_a AS DECIMAL(38,0)) * c_b)").as("lift_fp"))
       .orderBy(col("lift_fp").desc, col("bigram"))
       .limit(topK)
+  }
+
+  /** Per-document VOCABULARY COVERAGE against the corpus's own top-K
+    * terms — the tokenizer-coverage signal a training pipeline reads
+    * before committing to a vocabulary: a doc whose tokens are mostly
+    * outside the head vocabulary is boilerplate-free jargon, a
+    * different language the lang-ID missed, or noise — and a corpus
+    * whose mean OOV rate is high at the chosen K needs a bigger vocab
+    * (or a different tokenizer) before any model sees it.
+    *
+    * Scale shape: ONE token-explode pass feeds both the vocabulary
+    * aggregate (partial-combined; top-K via TakeOrdered, never a full
+    * sort) and the per-doc fold; the K-row vocabulary broadcasts onto
+    * the token stream (left join + null test = set membership), so
+    * nothing corpus-sized shuffles except the per-doc groupBy itself.
+    * Ties at the cf boundary break on the term string — a total order
+    * both engines replay. Docs with ZERO whitespace tokens have no
+    * occurrence rows and drop out (documented, matching the explode
+    * semantics of every token-stream operator here). Output: (doc_id,
+    * n_tokens, n_oov, oov_rate), by doc id. */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int = 1000,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(topK > 0, s"need topK > 0, got $topK")
+    val toks = scope.persist(docs.select(col(idCol).as("doc_id"),
+      explode(TextHash.tokens(col(textCol))).as("term")))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+      .orderBy(col("cf").desc, col("term")).limit(topK)
+      .select(col("term"), lit(1).as("__in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens"))
+      .orderBy(col("doc_id"))
   }
 }

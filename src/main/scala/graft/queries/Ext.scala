@@ -3146,6 +3146,115 @@ object Ext {
       ORDER BY lift_fp DESC, bigram LIMIT 20
     """.trim))
 
+  // ---------------------------------------------------------------- q98
+
+  /** q98 — label centroid affinity
+    * ([[Similarity.labelCentroidAffinity]]): pairwise cosine between
+    * per-label embedding centroids — the embedding-space sibling of
+    * q91's shingle source-overlap matrix. Exact fixed-point coordinate
+    * sums (the 1/n mean factors cancel under cosine's scale
+    * invariance), DECIMAL(38,0) dot/norm folds, and a final
+    * cast/sqrt/divide both engines replay bit-for-bit. */
+  val q98: Q = Q(
+    "q98_label_affinity",
+    (s, d) =>
+      Similarity.labelCentroidAffinity(Tables.embeddings(s, d)),
+    Some("""
+      WITH xs AS (
+        SELECT label AS lbl, CAST(p - 1 AS INT) AS pos,
+          CAST(floor(CAST(embedding[p] AS DOUBLE) * 1048576.0) AS BIGINT) AS f
+        FROM embeddings, LATERAL unnest(
+          range(1, len(embedding) + 1)) AS t(p)),
+      cent AS (SELECT lbl, pos, CAST(sum(f) AS BIGINT) AS fs
+               FROM xs GROUP BY 1, 2),
+      sizes AS (SELECT label AS lbl, count(*) AS n FROM embeddings GROUP BY 1),
+      norms AS (SELECT lbl, sum(fs::HUGEINT * fs::HUGEINT) AS nrm
+                FROM cent GROUP BY 1),
+      pair AS (
+        SELECT a.lbl la, b.lbl lb,
+          sum(a.fs::HUGEINT * b.fs::HUGEINT) AS dot
+        FROM cent a JOIN cent b ON a.pos = b.pos AND a.lbl < b.lbl
+        GROUP BY 1, 2)
+      SELECT la AS label_a, lb AS label_b, sa.n AS n_a, sb.n AS n_b,
+        CAST(dot AS DOUBLE) /
+          sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS cosine
+      FROM pair
+      JOIN norms na ON na.lbl = la
+      JOIN norms nb ON nb.lbl = lb
+      JOIN sizes sa ON sa.lbl = la
+      JOIN sizes sb ON sb.lbl = lb
+      ORDER BY label_a, label_b
+    """.trim))
+
+  // ---------------------------------------------------------------- q99
+
+  /** q99 — vocabulary coverage ([[TextAnalysis.vocabCoverage]]):
+    * per-doc OOV rate against the corpus's top-1000 terms — the
+    * tokenizer-coverage pre-flight. One explode pass, TakeOrdered
+    * top-K, K-row broadcast membership join. */
+  val q99: Q = Q(
+    "q99_vocab_coverage",
+    (s, d) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, d), "doc_id",
+        "text", topK = 1000),
+    Some("""
+      WITH words AS (
+        SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+          t -> t <> '') w
+        FROM documents),
+      tok AS (SELECT doc_id, t AS term FROM words, LATERAL unnest(w) AS u(t)),
+      vocab AS (
+        SELECT term FROM (
+          SELECT term, count(*) AS cf FROM tok GROUP BY 1
+          ORDER BY cf DESC, term LIMIT 1000))
+      SELECT doc_id, count(*) AS n_tokens,
+        CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_oov,
+        CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+          / count(*) AS oov_rate
+      FROM tok LEFT JOIN vocab v ON tok.term = v.term
+      GROUP BY doc_id ORDER BY doc_id
+    """.trim))
+
+  // --------------------------------------------------------------- q100
+
+  /** q100 — shingle containment pairs ([[Dedup.containmentPairs]]):
+    * the ASYMMETRIC near-dup rung — `i / min(na, nb)` — that catches a
+    * short document quoted inside a long one, where q17's symmetric
+    * Jaccard stays under threshold because the long doc's mass
+    * dominates the union. The decontamination gap this closes is the
+    * common real-world one: benchmark questions embedded in crawled
+    * pages. Same inverted-index/df-cap shape as q17; the oracle
+    * replays the metric with `least`. */
+  val q100: Q = Q(
+    "q100_containment_pairs",
+    (s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.8, maxDf = 100),
+    Some(s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      $duckHashShingles,
+      shf AS (
+        SELECT doc_id, hs FROM sh
+        QUALIFY count(*) OVER (PARTITION BY hs) <= 100
+      ),
+      sz AS (SELECT doc_id, count(*) n FROM shf GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id da, b.doc_id db, count(*) i
+        FROM shf a JOIN shf b ON a.hs = b.hs AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT da AS doc_a, db AS doc_b, i AS n_common,
+        least(sa.n, sb.n) AS n_small,
+        (CAST(i AS DOUBLE) / least(sa.n, sb.n)) AS containment
+      FROM inter
+      JOIN sz sa ON sa.doc_id = da
+      JOIN sz sb ON sb.doc_id = db
+      WHERE (CAST(i AS DOUBLE) / least(sa.n, sb.n)) >= 0.8
+      ORDER BY doc_a, doc_b
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -3153,5 +3262,5 @@ object Ext {
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
       q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
       q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
-      q97)
+      q97, q98, q99, q100)
 }

@@ -519,6 +519,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(p87.contains("partial_count"), p87)
   }
 
+  private def distinctCaches(name: String): Int = {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    spark.catalog.clearCache()
+    graft.engine.GraftSession.tune(spark)
+    val qe = SparkEntry.queries(name)(spark, sf).queryExecution
+    qe.optimizedPlan.collect { case r: InMemoryRelation =>
+      System.identityHashCode(r.cacheBuilder.cachedPlan) }.toSet.size
+  }
+
+  test("q98: ONE cached centroid frame; every join side broadcasts") {
+    // the posexplode corpus pass materializes once; norms and both
+    // pair-join sides read the cache
+    assert(distinctCaches("q98_label_affinity") == 1)
+    val p = plan("q98_label_affinity")
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q99: top-K vocab is TakeOrdered + broadcast membership, never a full sort") {
+    // one cached token frame feeds the vocab aggregate AND the fold
+    assert(distinctCaches("q99_vocab_coverage") == 1)
+    val p = plan("q99_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the K-row vocabulary broadcasts onto the token stream's left join
+    assert(p.linesIterator.exists(l => l.contains("BroadcastHashJoin")
+      && l.contains("LeftOuter")), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q100: the df-cap anti-join is live ahead of the pair self-join") {
+    val p = plan("q100_containment_pairs")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // pair counts pre-fold map-side before their exchange
+    assert(p.contains("partial_count"), p)
+  }
+
   test("registry sweep: no cartesian product, no nested-loop join beyond the documented set") {
     // per-query pins only exist where a builder remembered to add one;
     // this sweep holds the whole registry to the two non-negotiables.

@@ -368,6 +368,44 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) == ((0L, 0L, 0L))) // empty text: fp guarded, no div0
   }
 
+  test("containmentPairs: a quoted short doc scores 1.0 where Jaccard misses it") {
+    val s = spark; import s.implicits._
+    // doc 1 = a short "benchmark question"; doc 2 quotes it inside a
+    // much longer page; doc 3 is unrelated. The quote shares ALL of
+    // doc 1's shingles, so containment = 1.0 — while the symmetric
+    // Jaccard is i/(na+nb-i) = small, under any useful threshold.
+    val quote = "which river is the longest river on earth"
+    val page = "reference almanac page intro " + quote +
+      " closing remarks about sources and methods and appendix notes"
+    val docs = Seq((1L, quote), (2L, page), (3L, "totally unrelated text"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text",
+      threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.length == 1)
+    val (a, b, i, nSmall, c) = out.head
+    assert((a, b) == ((1L, 2L)))
+    assert(i == nSmall && c == 1.0, out.head.toString) // fully contained
+    // the same pair under the SYMMETRIC metric stays below 0.5
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.5).collect()
+    assert(jac.isEmpty, "fixture meant to demonstrate the Jaccard gap")
+  }
+
+  test("containmentPairs: the df-cap drops hot-shingle evidence like q17") {
+    val s = spark; import s.implicits._
+    // every doc shares the same 3 tokens -> one shingle with df 4;
+    // maxDf = 3 caps it, leaving no evidence, so no pairs emerge
+    val docs = (1L to 4L).map(i => (i, "alpha beta gamma")).toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(docs, "doc_id", "text",
+      threshold = 0.5, maxDf = 3).collect().isEmpty)
+    // with the cap above df, all 6 identical pairs confirm at 1.0
+    val full = Dedup.containmentPairs(docs, "doc_id", "text",
+      threshold = 0.5, maxDf = 10).collect()
+    assert(full.length == 6 && full.forall(_.getDouble(4) == 1.0))
+  }
+
   private def sha256Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("SHA-256")
     d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -130,4 +130,35 @@ class SimilaritySpec extends SparkSpec {
       assert(cosines.zip(cosines.tail).forall { case (x, y) => x >= y })
     }
   }
+
+  test("labelCentroidAffinity: hand-checkable cosines; scale-invariant mean") {
+    val s = spark; import s.implicits._
+    // label 0 centroid-sum -> (2^20-scaled) axis x; label 1 -> axis y;
+    // label 2 -> diagonal. cos(0,1)=0, cos(0,2)=cos(1,2)=1/sqrt(2).
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(3.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 2.0f), 1),
+      (4L, Seq(1.0f, 1.0f), 2), (5L, Seq(2.0f, 2.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroidAffinity(rows)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.keySet == Set((0, 1), (0, 2), (1, 2)))
+    assert(out((0, 1)) == ((2L, 1L, 0.0)))
+    val invSqrt2 = 1.0 / math.sqrt(2.0)
+    assert(math.abs(out((0, 2))._3 - invSqrt2) < 1e-12)
+    assert(math.abs(out((1, 2))._3 - invSqrt2) < 1e-12)
+    // n_a/n_b carry the slice masses
+    assert(out((0, 2))._1 == 2L && out((0, 2))._2 == 2L)
+    // cosine reads the MEAN direction: replicating a slice's rows
+    // scales its centroid-sum, never its affinity
+    val tripled = rows.where(col("label") === 0)
+      .unionAll(rows.where(col("label") === 0))
+      .unionAll(rows)
+    val out3 = Similarity.labelCentroidAffinity(tripled)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(4)))
+      .toMap
+    assert(out3((0, 1)) == out((0, 1))._3)
+    assert(out3((0, 2)) == out((0, 2))._3)
+  }
 }

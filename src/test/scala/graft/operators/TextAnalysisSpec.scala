@@ -225,4 +225,22 @@ class TextAnalysisSpec extends SparkSpec {
       ("x y", 5L, 5L, 5L, 5662310L),
       ("p q", 5L, 10L, 5L, 2831155L)), out.toString)
   }
+
+  test("vocabCoverage: head terms in, tail terms OOV; ties break on the term") {
+    val s = spark; import s.implicits._
+    // cf: "a"->4, "b"->3, then a TIE at cf=2 between "c" and "d" —
+    // topK=3 must take (a, b, c): ties break on the term string
+    val docs = Seq(
+      (1L, "a a b c"), (2L, "a b c d"), (3L, "a b d zz"),
+      (4L, ""), (5L, "   "))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(docs, "doc_id", "text", topK = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    // docs 4/5 have zero whitespace tokens -> no row (explode contract)
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((4L, 0L, 0.0)))              // all in {a,b,c}
+    assert(out(2L) == ((4L, 1L, 0.25)))             // d is OOV
+    assert(out(3L) == ((4L, 2L, 0.5)), out.toString) // d, zz OOV
+  }
 }
