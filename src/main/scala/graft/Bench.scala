@@ -99,7 +99,7 @@ object Bench {
     "q53_semantic_clusters" -> 1.81,
     "q54_shingle_novelty" -> 0.31,
     "q55_embedding_quantize" -> 0.33,
-    "q56_pq_codes" -> 0.94,
+    "q56_pq_codes" -> 0.92,
     "q57_pq_adc_topk" -> 1.24,
     "q58_rollup_revenue" -> 0.4,
     "q59_pivot_returnflag" -> 0.69,
@@ -109,12 +109,12 @@ object Bench {
     "q63_asof_tolerance" -> 0.43,
     "q64_cube_revenue" -> 0.53,
     "q25_doc_fingerprint" -> 0.19,
-    "q65_term_zipf" -> 0.47,
+    "q65_term_zipf" -> 0.39,
     "q66_lexical_richness" -> 0.45,
     "q67_novelty_decay" -> 0.59,
-    "q68_holdout_split" -> 0.2,
+    "q68_holdout_split" -> 0.18,
     "q69_event_drift" -> 0.65,
-    "q79_ingest_gaps" -> 0.34,
+    "q79_ingest_gaps" -> 0.33,
     "q80_cms_heavy_hitters" -> 0.28,
     "q81_moving_revenue" -> 0.8,
     "q82_scd2_intervals" -> 0.4,
@@ -127,12 +127,19 @@ object Bench {
     "q89_hll_distinct" -> 0.4,
     "q90_weighted_sample" -> 0.25,
     "q91_source_overlap" -> 1.45,
-    "q92_fuzzy_match" -> 0.29,
+    // q92's floor moved 0.29 -> 0.41 in r11: the block-cap guard adds
+    // a count aggregate + broadcast anti-join by design (scale safety
+    // traded for ~0.1 s at this SF); best observed for the new plan
+    "q92_fuzzy_match" -> 0.41,
     "q93_stratum_percentile" -> 0.27,
-    "q94_leakage_safe_split" -> 1.61,
+    "q94_leakage_safe_split" -> 1.47,
     "q95_value_drift" -> 0.51,
     "q96_embedding_drift" -> 0.48,
-    "q97_collocations" -> 1.03)
+    "q97_collocations" -> 1.03,
+    "q98_label_affinity" -> 0.59,
+    "q99_vocab_coverage" -> 0.85,
+    "q100_containment_pairs" -> 1.82,
+    "q101_cross_containment" -> 1.39)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3

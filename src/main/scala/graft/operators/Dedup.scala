@@ -302,6 +302,73 @@ object Dedup {
       exB.join(hot, Seq("hs"), "left_anti"), threshold)
   }
 
+  /** The asymmetric tail shared by the cross-corpus CONTAINMENT paths:
+    * same inverted-index intersection as [[crossPairsFrom]], but the
+    * metric normalizes by the RIGHT side's set size alone — `i / nb`,
+    * the fraction of the right doc present in the left doc. */
+  private def crossContainFrom(a: DataFrame, b: DataFrame,
+      threshold: Double): DataFrame = {
+    val szB = b.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = a.select(col("doc_id").as("da"), col("hs"))
+      .join(b.select(col("doc_id").as("db"), col("hs")), Seq("hs"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
+    inter
+      .join(szB.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .withColumn("containment", col("i").cast("double") / col("nb"))
+      .where(col("containment") >= threshold)
+      .select(col("da").as("left_id"), col("db").as("right_id"),
+        col("i").as("n_common"), col("nb").as("n_right"),
+        col("containment"))
+      .orderBy(col("left_id"), col("right_id"))
+  }
+
+  /** Cross-corpus CONTAINMENT — the decontamination metric q36/q49's
+    * symmetric forms approximate: the question that actually matters
+    * at a decontamination gate is "what fraction of THIS EVAL DOC's
+    * shingles appear in that training doc", i.e. `i / n_eval` — a
+    * short benchmark item fully quoted inside a long training page
+    * scores 1.0 where the Jaccard `i/(na+nb−i)` hides it behind the
+    * page's bulk (the [[containmentPairs]] argument, pointed across
+    * corpora). `right` is the eval/held-out side being protected.
+    * Same scale shape as [[crossNgramJaccardPairs]]: each side
+    * tokenized+exploded once (persisted), combined-corpus df cap,
+    * 8-byte-hash index join, partial-aggregated pair counts. */
+  def crossContainmentPairs(left: DataFrame, right: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.8,
+      maxDf: Int = 100,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(threshold > 0.0,
+      s"crossContainmentPairs needs threshold > 0 (got $threshold)")
+    val exA = scope.persist(hashShingled(left, idCol, textCol))
+    val exB = scope.persist(hashShingled(right, idCol, textCol))
+    val hot = exA.unionByName(exB)
+      .groupBy(col("hs")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDf).select(col("hs"))
+    crossContainFrom(
+      exA.join(hot, Seq("hs"), "left_anti"),
+      exB.join(hot, Seq("hs"), "left_anti"), threshold)
+  }
+
+  /** [[crossContainmentPairs]] for the SAME-TABLE split case — ONE
+    * persisted shingle index feeds both sides and the df cap, the
+    * [[crossNgramJaccardPairsSplit]] single-cache shape. `leftSide`
+    * marks the TRAINING side; containment is of the eval (right) doc. */
+  def crossContainmentPairsSplit(docs: DataFrame, idCol: String,
+      textCol: String, leftSide: Column, threshold: Double = 0.8,
+      maxDf: Int = 100,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(threshold > 0.0,
+      s"crossContainmentPairsSplit needs threshold > 0 (got $threshold)")
+    val ex = scope.persist(hashShingled(docs, idCol, textCol)
+      .withColumn("__left", leftSide))
+    val hot = ex.groupBy(col("hs")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDf).select(col("hs"))
+    val capped = ex.join(hot, Seq("hs"), "left_anti")
+    crossContainFrom(
+      capped.where(col("__left")).drop("__left"),
+      capped.where(!col("__left")).drop("__left"), threshold)
+  }
+
   /** [[crossNgramJaccardPairs]] for the SAME-TABLE split case (a parity
     * holdout, a time cut, a source split): `leftSide` partitions one
     * corpus into the two sides. The general two-corpus path must scan

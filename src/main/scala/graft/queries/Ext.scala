@@ -3255,6 +3255,45 @@ object Ext {
       ORDER BY doc_a, doc_b
     """.trim))
 
+  // --------------------------------------------------------------- q101
+
+  /** q101 — cross-corpus containment
+    * ([[Dedup.crossContainmentPairsSplit]]): the decontamination gate
+    * asked with the RIGHT metric — what fraction of each eval doc's
+    * shingles appears in a training doc (`i / n_eval`), q100's
+    * asymmetric argument pointed across the train/eval fence. Same
+    * parity split and single-cache shape as q36; the oracle swaps the
+    * Jaccard for the right-normalized containment. */
+  val q101: Q = Q(
+    "q101_cross_containment",
+    (s, d) =>
+      Dedup.crossContainmentPairsSplit(Tables.documents(s, d),
+        "doc_id", "text", leftSide = col("doc_id") % 2 === 0,
+        threshold = 0.6, maxDf = 100),
+    Some(s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      $duckHashShingles,
+      hot AS (
+        SELECT hs FROM sh GROUP BY hs HAVING count(*) > 100),
+      capped AS (
+        SELECT doc_id, hs FROM sh WHERE hs NOT IN (SELECT hs FROM hot)),
+      a AS (SELECT doc_id, hs FROM capped WHERE doc_id % 2 = 0),
+      b AS (SELECT doc_id, hs FROM capped WHERE doc_id % 2 = 1),
+      szb AS (SELECT doc_id, count(*) n FROM b GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id da, b.doc_id db, count(*) i
+        FROM a JOIN b USING (hs)
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT da AS left_id, db AS right_id,
+        i AS n_common, szb.n AS n_right,
+        (CAST(i AS DOUBLE) / szb.n) AS containment
+      FROM inter
+      JOIN szb ON szb.doc_id = db
+      WHERE (CAST(i AS DOUBLE) / szb.n) >= 0.6
+      ORDER BY left_id, right_id
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -3262,5 +3301,5 @@ object Ext {
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
       q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
       q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
-      q97, q98, q99, q100)
+      q97, q98, q99, q100, q101)
 }

@@ -549,6 +549,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q101: ONE cached shingle index feeds both sides and the df cap") {
+    // the crossContainmentPairsSplit single-cache contract (q36's
+    // shape): tokenize+explode runs once, both split sides and the
+    // hot-key aggregate read the cache
+    assert(distinctCaches("q101_cross_containment") == 1)
+    val p = plan("q101_cross_containment")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q100: the df-cap anti-join is live ahead of the pair self-join") {
     val p = plan("q100_containment_pairs")
     assert(p.contains("LeftAnti"), p)

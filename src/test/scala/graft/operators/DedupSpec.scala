@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 import graft.SparkSpec
@@ -404,6 +405,31 @@ class DedupSpec extends SparkSpec {
     val full = Dedup.containmentPairs(docs, "doc_id", "text",
       threshold = 0.5, maxDf = 10).collect()
     assert(full.length == 6 && full.forall(_.getDouble(4) == 1.0))
+  }
+
+  test("crossContainmentPairs: eval-side normalization, direction matters") {
+    val s = spark; import s.implicits._
+    val quote = "which river is the longest river on earth"
+    val train = Seq((10L, "encyclopedia entry preamble " + quote +
+      " further discussion of nile amazon measurements and sources"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq((20L, quote), (21L, "unrelated eval question text"))
+      .toDF("doc_id", "text")
+    // the quoted eval doc is fully contained in the training page
+    val out = Dedup.crossContainmentPairs(train, eval_, "doc_id", "text",
+      threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(out.toSeq == Seq((10L, 20L, 1.0)), out.mkString(","))
+    // the REVERSE direction normalizes by the page's size — no hit:
+    // containment is deliberately one-sided
+    assert(Dedup.crossContainmentPairs(eval_, train, "doc_id", "text",
+      threshold = 0.8).collect().isEmpty)
+    // split form agrees with the two-corpus form (id-derived predicate —
+    // the split contract: the predicate must survive into the index)
+    val split = Dedup.crossContainmentPairsSplit(train.unionByName(eval_),
+      "doc_id", "text", leftSide = col("doc_id") < 20, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(split.toSeq == Seq((10L, 20L, 1.0)))
   }
 
   private def sha256Hex(s: String): String = {
