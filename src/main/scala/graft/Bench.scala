@@ -139,7 +139,8 @@ object Bench {
     "q98_label_affinity" -> 0.59,
     "q99_vocab_coverage" -> 0.85,
     "q100_containment_pairs" -> 1.82,
-    "q101_cross_containment" -> 1.39)
+    "q101_cross_containment" -> 1.39,
+    "q102_winsorize" -> 0.61)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3

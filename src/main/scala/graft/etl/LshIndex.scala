@@ -36,6 +36,12 @@ import graft.operators.Dedup
   * the shared [[ParquetStore]] swap (verified renames, self-healing
   * crash windows).
   *
+  * LIVE ingest needs no wrapper module: `readStream → foreachBatch {
+  * idx.probeAndRecord }` under `Trigger.AvailableNow` IS the
+  * streaming form — batch-split invariance makes any micro-batch
+  * slicing emit exactly the one-shot candidate set
+  * (LshIndexStreamSpec pins the composition).
+  *
   * The probe result is eagerly materialized (localCheckpoint) BEFORE
   * the append — same lazy-parquet-listing hazard as the novelty
   * store: without the cut, a consumer collecting after

@@ -130,6 +130,40 @@ object Profiling {
       .orderBy(col("column_name"), col("bucket"))
   }
 
+  /** WINSORIZATION — robust outlier clipping, the cleaning step between
+    * profiling and training: clamp `valueCol` to its [pLo, pHi]
+    * percentile bounds so a fat-tailed signal (loss spikes, price
+    * errors, a feed's unit glitch) stops dominating downstream means
+    * and gradients, without dropping the rows the way a filter would.
+    * The exact interpolated percentile is the same aggregate
+    * [[equiDepthHistogram]] already proved engine-portable (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`, identical linear
+    * interpolation), and the clip itself is a row-local CASE over the
+    * broadcast ONE-ROW bounds — the q88 scalar-append shape. NULLs
+    * pass through unclipped (they are absent from the percentile by
+    * both engines' definition). Output: every input column plus
+    * (lo, hi, clipped).
+    *
+    * Scale note: the exact percentile is a single-pass aggregate whose
+    * state is the value multiset per partition — at 100 TB switch the
+    * bound source to the GK-sketch rung ([[lengthProfile]]'s
+    * documented scale path); the clip stage is unchanged either way. */
+  def winsorize(df: DataFrame, valueCol: String, pLo: Double = 0.01,
+      pHi: Double = 0.99): DataFrame = {
+    require(pLo >= 0.0 && pLo < pHi && pHi <= 1.0,
+      s"need 0 <= pLo < pHi <= 1, got $pLo/$pHi")
+    val th = df.agg(
+      expr(s"percentile($valueCol, array(${pLo}D, ${pHi}D))").as("__th"))
+    df.crossJoin(broadcast(th))
+      .withColumn("lo", element_at(col("__th"), 1))
+      .withColumn("hi", element_at(col("__th"), 2))
+      .withColumn("clipped",
+        when(raw(valueCol) < col("lo"), col("lo"))
+          .when(raw(valueCol) > col("hi"), col("hi"))
+          .otherwise(raw(valueCol)))
+      .drop("__th")
+  }
+
   /** The row-local half of [[histogram]]: one (column_name, bucket,
     * bucket_lo) row per (input row × profiled column), pre-aggregation.
     * Shared with the streaming twin ([[graft.streaming.HistogramStream]])

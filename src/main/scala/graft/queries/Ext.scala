@@ -3294,6 +3294,31 @@ object Ext {
       ORDER BY left_id, right_id
     """.trim))
 
+  // --------------------------------------------------------------- q102
+
+  /** q102 — winsorization ([[Profiling.winsorize]]): clamp
+    * `events.value` to its exact [p01, p99] interpolated percentiles —
+    * robust outlier damping that keeps the rows (unlike a filter),
+    * the cleaning step between profiling and training. The percentile
+    * is q88's proven-portable aggregate; the clip is a row-local CASE
+    * over the broadcast one-row bounds. */
+  val q102: Q = Q(
+    "q102_winsorize",
+    (s, d) =>
+      Profiling.winsorize(
+        Tables.events(s, d).select(col("event_id"), col("value")),
+        "value", pLo = 0.01, pHi = 0.99)
+        .orderBy(col("event_id")),
+    Some("""
+      WITH th AS (
+        SELECT quantile_cont(value, [0.01, 0.99]) AS t FROM events)
+      SELECT event_id, value, t[1] AS lo, t[2] AS hi,
+        CASE WHEN value < t[1] THEN t[1]
+             WHEN value > t[2] THEN t[2]
+             ELSE value END AS clipped
+      FROM events, th ORDER BY event_id
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -3301,5 +3326,5 @@ object Ext {
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
       q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
       q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
-      q97, q98, q99, q100, q101)
+      q97, q98, q99, q100, q101, q102)
 }

@@ -613,7 +613,11 @@ class PlanAuditSpec extends SparkSpec {
       "q95_value_drift", "q96_embedding_drift",
       // q97: the ONE-ROW corpus token total appended to the surviving
       // bigram frame — collocationLift's scalar-append
-      "q97_collocations")
+      "q97_collocations",
+      // q102: the ONE-ROW [p01, p99] percentile bounds appended to the
+      // fact before the row-local clip CASE — winsorize's
+      // scalar-append, q88's exact shape
+      "q102_winsorize")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()

@@ -116,4 +116,22 @@ class ProfilingSpec extends SparkSpec {
       .as[(String, Long)].collect().toSet
     assert(kept == Set(("a", 7L), ("a", 8L), ("b", 15L), ("b", 16L)))
   }
+
+  test("winsorize: exact interpolated bounds; tails clamp, body and NULLs pass") {
+    val s = spark; import s.implicits._
+    // values 1..10 with one wild outlier and a NULL; p10/p90 over the
+    // 11 non-null values interpolate exactly: p10 = 2.0, p90 = 10.0
+    val df = ((1 to 10).map(i => Some(i.toDouble)) :+ Some(1000.0) :+
+      (None: Option[Double])).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val out = Profiling.winsorize(df, "v", pLo = 0.1, pHi = 0.9)
+      .collect().map(r => (r.getLong(0),
+        (if (r.isNullAt(1)) null else r.getDouble(1),
+          r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) null else r.getDouble(4)))).toMap
+    assert(out(0L) == ((1.0, 2.0, 10.0, 2.0)))    // low tail clamps up
+    assert(out(4L) == ((5.0, 2.0, 10.0, 5.0)))    // body untouched
+    assert(out(10L) == ((1000.0, 2.0, 10.0, 10.0))) // outlier clamps down
+    assert(out(11L) == ((null, 2.0, 10.0, null)))  // NULL passes through
+  }
 }
