@@ -140,7 +140,7 @@ object Bench {
     "q99_vocab_coverage" -> 0.85,
     "q100_containment_pairs" -> 1.82,
     "q101_cross_containment" -> 1.39,
-    "q102_winsorize" -> 0.61)
+    "q102_winsorize" -> 0.42)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3

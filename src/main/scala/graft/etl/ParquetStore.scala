@@ -38,8 +38,18 @@ private[etl] object ParquetStore {
         val n = s.getPath.getName
         n.startsWith("_") || n.startsWith(".")
       }
-      if (entries.isEmpty) false
-      else if (fs.exists(new Path(d, "_SUCCESS"))) true
+      val committed = entries.nonEmpty && fs.exists(new Path(d, "_SUCCESS"))
+      if (committed) true
+      else if (fs.exists(old)) throw new IllegalStateException(
+        // an uncommitted (or empty) live copy BESIDE old is the
+        // post-swap verification-failure window: the real data is at
+        // old, and reporting "store empty" here would let a reader
+        // silently see nothing while the last complete copy waits —
+        // compact() restores it
+        s"$what $storeDir is uncommitted but $old exists — a " +
+          "compact() crashed mid-swap; call compact() to heal before " +
+          "reading")
+      else if (entries.isEmpty) false
       else throw new IllegalStateException(
         s"$what $storeDir has data files but no _SUCCESS marker " +
           "— a prior append crashed before job commit; rebuild the " +

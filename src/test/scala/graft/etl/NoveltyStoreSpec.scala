@@ -105,6 +105,10 @@ class NoveltyStoreSpec extends SparkSpec {
     JF.move(Paths.get(dir), Paths.get(dir + ".compact_old"))
     JF.createDirectory(Paths.get(dir)) // data file, no _SUCCESS marker
     JF.createFile(Paths.get(dir, "part-00000-torn.parquet"))
+    // a READ in this window must fail loudly toward compact() — not
+    // report an empty store while the last complete copy sits at old
+    val e = intercept[IllegalStateException] { store.seenShingles }
+    assert(e.getMessage.contains("compact() to heal"), e.getMessage)
     store.compact() // heal: restore old over the uncommitted wreck
     assert(store.seenShingles.count() == vocab,
       "heal lost the last complete copy")
