@@ -212,4 +212,35 @@ object Profiling {
     df.withColumn("pct", percent_rank().over(
       Window.partitionBy(raw(stratumCol)).orderBy(raw(valueCol))))
   }
+
+  /** MAD outlier flagging — the robust sibling of a z-score cut:
+    * flag rows where `|x − median| > k · MAD` (MAD = the median of
+    * absolute deviations from the median). Robust because BOTH center
+    * and spread are medians: a fat tail that would inflate a stddev
+    * (and hide its own outliers) cannot move either statistic — the
+    * standard pre-training signal-hygiene gate where [[winsorize]]
+    * clips, this one LABELS (keep the rows, let the mixer decide).
+    *
+    * Exactness: both medians are the interpolated `percentile`
+    * aggregate (≡ DuckDB `quantile_cont`, the q88/q102-proven pair);
+    * the deviation, product and comparison are single IEEE ops over
+    * identically-computed doubles, so the flag boundary cannot flip
+    * between engines. NULL values keep NULL flags (no row drops — the
+    * null-hygiene contract of [[winsorize]]).
+    *
+    * Scale shape: two percentile passes (MAD depends on the median —
+    * inherently sequential) + one row-local flag pass, each over the
+    * narrow projected column; the one-row stats frames ride broadcast
+    * scalar appends (the q88/q102 shape, sweep-documented). */
+  def madOutliers(df: DataFrame, valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val med = df.agg(expr(s"percentile($valueCol, 0.5D)").as("med"))
+    val stats = df.crossJoin(broadcast(med))
+      .agg(expr(s"percentile(abs($valueCol - med), 0.5D)").as("mad"),
+        min(col("med")).as("med"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("is_outlier",
+        abs(raw(valueCol) - col("med")) > lit(k) * col("mad"))
+  }
 }

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality rule audit (SURVEY.md §2.11) — the
+  * "constraint suite" every ingest gate runs before data is allowed
+  * into a training mix (the role Deequ/Great-Expectations checks play
+  * in production pipelines, re-expressed as plain aggregates): each
+  * rule is a named row-local predicate, the audit reports one row per
+  * rule with the violation count and rate over ONE scan of the fact.
+  *
+  * NULL handling is the part naive `WHERE NOT pred` audits get wrong:
+  * under ANSI three-valued logic a NULL predicate is neither true nor
+  * false, so violations silently vanish from both the keep- and the
+  * reject-side of a filter. Here a rule HOLDS only when its predicate
+  * is literally true — `coalesce(pred, false)` — so a NULL in the
+  * audited column is a violation, which is what a constraint check
+  * means by "holds".
+  */
+object Rules {
+
+  /** One named rule: `holds` must evaluate TRUE for a clean row; NULL
+    * (and false) count as violations. */
+  final case class Rule(name: String, holds: Column)
+
+  /** Audit row-local rules in a single pass: one aggregate row with
+    * (total, violations_1..k) — partial-aggregated map-side, the only
+    * shuffle is k+1 counters per partition — exploded back to one row
+    * per rule. Scale shape: counters, never rows, cross the wire. */
+  def audit(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "audit needs at least one rule")
+    require(rules.map(_.name).distinct.size == rules.size,
+      s"duplicate rule names in ${rules.map(_.name)}")
+    val aggs = count(lit(1)).cast("long").as("n_rows") +:
+      rules.zipWithIndex.map { case (r, i) =>
+        sum(when(coalesce(r.holds, lit(false)), 0L).otherwise(1L))
+          .cast("long").as(s"__v$i")
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.name).as("rule"), col(s"__v$i").as("n_violations"))
+    }
+    one.select(col("n_rows"), explode(array(entries: _*)).as("e"))
+      .select(col("e.rule").as("rule"), col("n_rows"),
+        col("e.n_violations").as("n_violations"))
+      .withColumn("violation_rate",
+        col("n_violations").cast("double") / col("n_rows").cast("double"))
+  }
+
+  /** Referential-integrity rule in the same report shape: violations =
+    * child rows whose key finds no parent (NULL keys can never match,
+    * so they violate — the FK semantics of the audit, not of SQL
+    * joins). One pass over the child with the DISTINCT parent keys
+    * broadcast — dims broadcast, the fact never shuffles. */
+  def refAudit(child: DataFrame, childKey: String, parent: DataFrame,
+      parentKey: String, name: String): DataFrame =
+    child.select(col(childKey).as("__k"))
+      .join(broadcast(parent.select(col(parentKey).as("__k"))
+        .where(col("__k").isNotNull).distinct
+        .withColumn("__hit", lit(1))), Seq("__k"), "left_outer")
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(when(col("__hit").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_violations"))
+      .select(lit(name).as("rule"), col("n_rows"), col("n_violations"))
+      .withColumn("violation_rate",
+        col("n_violations").cast("double") / col("n_rows").cast("double"))
+}

@@ -236,4 +236,55 @@ object Sampling {
       .withColumn("pos", row_number().over(w))
       .drop("skey")
   }
+
+  /** Temperature-scaled mixture weights — the multilingual/multi-source
+    * rebalance (the `p_i^α / Σ p_j^α` upsampling rule of the mT5/XLM-R
+    * pretraining recipes): flatten the natural per-stratum token shares
+    * so low-resource strata are seen more than their raw mass and no
+    * head stratum drowns the mixture. Output, one row per stratum:
+    * the exact token count, the natural share `c_i/Σc`, the tempered
+    * share `c_i^α/Σc_j^α`, and `boost` = tempered/natural — the
+    * upsampling factor a loader (or [[mixToTokenBudget]], fed
+    * `share` as its weights) applies.
+    *
+    * `alphaQuarters`∈[1,4] sets α = quarters/4. Restricting α to the
+    * quarter grid is the cross-engine exactness trade: x^(1/4), x^(1/2),
+    * x^(3/4) and x^1 compose from `sqrt` and one multiply — IEEE-exact
+    * everywhere — where a general `pow` is a transcendental whose last
+    * bit varies by libm (the q52 ln-avoidance argument). The tempered
+    * weight is floored to a 2^-20 fixed-point long before normalizing,
+    * so both shares are ratios of EXACT integers; α=1/2 (the default)
+    * is the common published temperature T=2.
+    *
+    * Scale shape: one partial-aggregated groupBy(stratum) over the
+    * corpus — shuffle volume |strata| rows per partition — then windows
+    * over the |strata|-row aggregate only (the over-all window never
+    * sees the corpus; it is bounded by stratum cardinality, which is
+    * what makes it safe where a corpus-wide global window would not
+    * be). */
+  def temperatureMix(docs: DataFrame, stratumCol: String, textCol: String,
+      alphaQuarters: Int = 2): DataFrame = {
+    require(alphaQuarters >= 1 && alphaQuarters <= 4,
+      s"alphaQuarters=$alphaQuarters must be in [1,4] (α = quarters/4)")
+    val counts = docs.groupBy(col(stratumCol))
+      .agg(sum(size(TextHash.tokens(col(textCol)))).cast("long")
+        .as("n_tokens"))
+    val x = col("n_tokens").cast("double")
+    val tempered = alphaQuarters match {
+      case 1 => sqrt(sqrt(x))
+      case 2 => sqrt(x)
+      case 3 => sqrt(x) * sqrt(sqrt(x))
+      case _ => x
+    }
+    import org.apache.spark.sql.expressions.Window
+    val overAll = Window.partitionBy() // |strata|-row frame only
+    counts
+      .withColumn("w_fp", floor(tempered * lit(1048576.0)).cast("long"))
+      .withColumn("natural_share", col("n_tokens").cast("double") /
+        sum(col("n_tokens")).over(overAll).cast("double"))
+      .withColumn("share", col("w_fp").cast("double") /
+        sum(col("w_fp")).over(overAll).cast("double"))
+      .withColumn("boost", col("share") / col("natural_share"))
+      .orderBy(col(stratumCol))
+  }
 }

@@ -426,4 +426,106 @@ object Similarity {
           .as("cosine"))
       .orderBy(col("label_a"), col("label_b"))
   }
+
+  /** HARD-NEGATIVE MINING — for each query vector, the k nearest
+    * vectors carrying a DIFFERENT label: the contrastive-training
+    * staple (the negatives that actually move an encoder are the ones
+    * the current embedding space already confuses with the anchor).
+    * Same exact brute-force rung as [[cosineTopK]] — the labelled
+    * correctness baseline, O(|queries|·N·dim) by construction — with
+    * the label-exclusion predicate in the join; at corpus scale the
+    * candidate stream routes through the IVF/PQ ladder (q57/q61)
+    * with the label filter applied post-retrieval, exactly as a
+    * production miner over a frozen index does. NULL-label rows drop
+    * from both sides (`=!=` is null-rejecting): a row without a label
+    * can be neither anchor nor negative. */
+  def hardNegatives(embeddings: DataFrame, k: Int = 5,
+      queryStride: Long = 50,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val n = scope.persist(embeddings
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+      .where(col("nrm") > 0))
+    val q = n.where(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("query_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val scored = broadcast(q)
+      .join(n.select(col("vec_id").as("neighbor_id"),
+        col("label").as("neighbor_label"), col("v").as("cv"),
+        col("nrm").as("cn")),
+        col("query_label") =!= col("neighbor_label"))
+      .withColumn("cosine", dot("qv", "cv") / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), col("rank"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** INTRA-label semantic diversity — the within-slice complement of
+    * [[labelCentroidAffinity]]: mean pairwise cosine among a label's
+    * own vectors, computed WITHOUT any pairwise join via the sum
+    * identity `Σ_{i≠j}⟨vᵢ,vⱼ⟩ = ‖Σvᵢ‖² − Σ‖vᵢ‖²` over L2-normalized
+    * vectors. A label whose mean pairwise cosine approaches 1 is a
+    * collapsed slice (near-duplicate mass, or a template feed) that
+    * contributes far less diversity than its row count suggests —
+    * the signal that decides "dedup harder" vs "downweight" per slice
+    * before mixing.
+    *
+    * Exactness: each vector is normalized first (fold-ordered norm +
+    * one IEEE division per coordinate — both replayable, the q20
+    * argument), then floored to 2^-20 fixed-point longs, so both sums
+    * in the identity are exact integers (DECIMAL(38,0) folds) and the
+    * final means are single IEEE ops; the 2^40 fixed-point scale
+    * divides out by an exact power of two. Labels need n ≥ 2 (a
+    * singleton has no pairs — excluded, documented).
+    *
+    * Scale shape: ONE posexplode pass, partial-aggregated groupBys
+    * keyed by (label, pos) then label — nothing pairwise, nothing
+    * broadcast, shuffle volume |labels|·dim rows. The identity is what
+    * makes this a 100 TB operator: the naive mean-pairwise-cosine is
+    * O(n²) per label and impossible at corpus scale. */
+  def intraLabelDiversity(embeddings: DataFrame,
+      labelCol: String = "label", vecCol: String = "embedding",
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    // THE corpus pass: normalize, fix-point each coordinate — persisted
+    // once; both aggregate consumers read the cache
+    val base = scope.persist(embeddings
+      .select(col(labelCol).as("lbl"), col(vecCol).as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+      .where(col("nrm") > 0)
+      .select(col("lbl"), expr(
+        "transform(v, x -> CAST(floor(CAST(x AS DOUBLE) / nrm " +
+          "* 1048576.0) AS BIGINT))").as("fv")))
+    val perDim = base
+      .select(col("lbl"), posexplode(col("fv")).as(Seq("pos", "f")))
+      .groupBy(col("lbl"), col("pos"))
+      .agg(sum(col("f")).as("s"))
+    val sumSq = perDim.groupBy(col("lbl"))
+      .agg(sum(expr(
+        "CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))"))
+        .as("sum_sq"))
+    // per-vector self-dot is ROW-LOCAL (integer fold over the array —
+    // associative, order-free), so size and self-norm mass come from
+    // one |labels|-row aggregation
+    val selfSq = base
+      .select(col("lbl"), expr(
+        "aggregate(fv, CAST(0 AS DECIMAL(38,0)), (acc, e) -> " +
+          "acc + CAST(e AS DECIMAL(19,0)) * CAST(e AS DECIMAL(19,0)))")
+        .as("sd"))
+      .groupBy(col("lbl"))
+      .agg(sum(col("sd")).as("self_sq"),
+        count(lit(1)).cast("long").as("n_vectors"))
+      .where(col("n_vectors") >= 2)
+    sumSq.join(selfSq, Seq("lbl"))
+      .select(col("lbl").as("label"), col("n_vectors"),
+        (((col("sum_sq") - col("self_sq")).cast("double") /
+          (col("n_vectors") * (col("n_vectors") - lit(1L))).cast("double"))
+          / lit(1099511627776.0)).as("mean_pair_cosine"))
+      .withColumn("diversity", lit(1.0) - col("mean_pair_cosine"))
+      .orderBy(col("label"))
+  }
 }

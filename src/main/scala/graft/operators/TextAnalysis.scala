@@ -497,4 +497,108 @@ object TextAnalysis {
         col("n_oov").cast("double") / col("n_tokens"))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-document BIGRAM FLUENCY under the corpus's own add-one-
+    * smoothed bigram model — the language-model quality filter (the
+    * CCNet/Gopher "perplexity" gate) with a log-free surrogate: each
+    * doc scores the MEAN smoothed bigram probability
+    * `(c(ab)+1)/(c(a·)+V)` of its adjacent token pairs, floored to a
+    * 2^-20 fixed-point grid per bigram so the per-doc sum is an exact
+    * integer. Boilerplate and fluent prose score high (their bigrams
+    * repeat corpus-wide); keyboard mash, OCR noise and wrong-language
+    * text score near zero. The published gate uses mean LOG prob
+    * (perplexity); `ln` is a transcendental whose last bit varies by
+    * libm (the q52 argument), so this operator ranks by mean
+    * probability instead — the tails that a filter thresholds are the
+    * same docs, and the score is engine-exact. `c(a·)` is the bigram-
+    * context count (occurrences of `a` as a bigram head), V the
+    * distinct-context count — the standard conditional-MLE
+    * denominator pair.
+    *
+    * Scale shape: ONE row-local bigram explode pass (array transform,
+    * no self-join) persisted and read three times — model counts,
+    * context counts, and the scoring join; the ONE-ROW vocabulary size
+    * is a broadcast scalar append (the q84 shape). The scoring join
+    * shuffles on the bigram key with partial aggregation on both
+    * model sides; docs with < 2 tokens have no bigrams and drop
+    * (documented, the token-stream explode semantics). */
+  def bigramFluency(docs: DataFrame, idCol: String, textCol: String,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val bi = scope.persist(docs
+      .select(col(idCol).as("doc_id"), TextHash.tokens(col(textCol)).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), " +
+          "i -> struct(w[i] AS a, w[i + 1] AS b))")).as("e"))
+      .select(col("doc_id"), col("e.a").as("a"), col("e.b").as("b")))
+    val model = bi.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c_ab"))
+    val ctx = bi.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
+    val vsz = bi.agg(count_distinct(col("a")).as("vsz"))
+    val scoredModel = model.join(ctx, Seq("a"))
+      .crossJoin(broadcast(vsz)) // ONE-ROW scalar append (q84 shape)
+      .select(col("a"), col("b"),
+        floor(lit(1048576.0) *
+          ((col("c_ab").cast("double") + lit(1.0)) /
+            (col("c_a").cast("double") + col("vsz").cast("double"))))
+          .cast("long").as("f"))
+    bi.join(scoredModel, Seq("a", "b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("f")).cast("long").as("sum_fp"))
+      .withColumn("fluency_fp",
+        col("sum_fp").cast("double") / col("n_bigrams").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** CURATION FUNNEL — the per-source survival report of a standard
+    * quality-gate stack (the first page of every training-data
+    * curation writeup: "we started with N docs; the length gate kept
+    * X%, the repetition gate Y%…"): four ordered row-local gates —
+    * non-empty, char-length window, minimum token count, distinct-
+    * token ratio — each stage counting docs that pass IT AND EVERY
+    * GATE BEFORE IT, grouped by source. Reading the funnel: a stage
+    * with a large drop is the binding constraint for that source; a
+    * source whose stage-4 survival is far below the corpus's is a feed
+    * to quarantine.
+    *
+    * Scale shape: every gate is a row-local boolean over one scan; the
+    * only shuffle is the |sources|-row groupBy of the five counters
+    * (partial-aggregated map-side), and the stage unpivot explodes the
+    * AGGREGATE frame (5 rows per source), never the corpus. All counts
+    * are exact integers; the survival rate is one division. The
+    * distinct-ratio threshold compares two identically-computed IEEE
+    * doubles, so the boundary cannot flip between engines. */
+  def curationFunnel(docs: DataFrame, textCol: String, groupCol: String,
+      minChars: Int = 100, maxChars: Int = 20000, minTokens: Int = 20,
+      minDistinctRatio: Double = 0.25): DataFrame = {
+    require(minChars <= maxChars && minTokens >= 0,
+      s"bad gate config: chars [$minChars,$maxChars], tokens $minTokens")
+    val w = TextHash.tokens(col(textCol))
+    val g1 = length(trim(col(textCol))) > 0
+    val g2 = g1 && length(col(textCol)).between(minChars, maxChars)
+    val g3 = g2 && size(w) >= minTokens
+    val g4 = g3 && (size(array_distinct(w)).cast("double") /
+      size(w).cast("double")) >= minDistinctRatio
+    val gates = Seq("nonempty" -> g1, "chars_in_range" -> g2,
+      "min_tokens" -> g3, "distinct_ratio" -> g4)
+    val counters = count(lit(1)).cast("long").as("n_docs") +:
+      gates.zipWithIndex.map { case ((_, g), i) =>
+        sum(when(g, 1L).otherwise(0L)).cast("long").as(s"__s$i")
+      }
+    val agg = docs.groupBy(col(groupCol))
+      .agg(counters.head, counters.tail: _*)
+    val entries = gates.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(i + 1).as("stage"), lit(name).as("gate"),
+        col(s"__s$i").as("survivors"))
+    }
+    agg.select(col(groupCol), col("n_docs"),
+        explode(array(entries: _*)).as("e"))
+      .select(col(groupCol), col("e.stage").as("stage"),
+        col("e.gate").as("gate"), col("n_docs"),
+        col("e.survivors").as("survivors"))
+      .withColumn("survival_rate",
+        col("survivors").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col(groupCol), col("stage"))
+  }
 }

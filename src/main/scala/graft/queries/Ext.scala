@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Dec, Tables}
-import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Sampling, Scd, Scrub, Similarity, Sketch, TextAnalysis}
+import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Rules, Sampling, Scd, Scrub, SemiStructured, Similarity, Sketch, TextAnalysis}
 
 /** EXT — the LLM-training-data-pipeline operators (SURVEY.md §2.11;
   * BASELINE.json north star) over the `documents` / `embeddings`
@@ -3319,6 +3319,330 @@ object Ext {
       FROM events, th ORDER BY event_id
     """.trim))
 
+  // --------------------------------------------------------------- q103
+
+  /** q103 — temperature-scaled mixture weights
+    * ([[Sampling.temperatureMix]]): the `p^α/Σp^α` rebalance of the
+    * multilingual pretraining recipes, α on the quarter grid so the
+    * tempering composes from IEEE-exact `sqrt` instead of a libm
+    * `pow` (q52's transcendental-avoidance argument); both shares are
+    * ratios of exact integers. Windows run over the |strata|-row
+    * aggregate only. */
+  val q103: Q = Q(
+    "q103_temperature_mix",
+    (s, d) =>
+      Sampling.temperatureMix(Tables.documents(s, d), "lang", "text",
+        alphaQuarters = 2),
+    Some("""
+      WITH w AS (
+        SELECT lang, list_filter(string_split_regex(trim(text), '\s+'),
+          t -> t <> '') AS w
+        FROM documents),
+      c AS (
+        SELECT lang, CAST(sum(len(w)) AS BIGINT) AS n_tokens
+        FROM w GROUP BY 1),
+      f AS (
+        SELECT lang, n_tokens,
+          CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1048576.0)
+            AS BIGINT) AS w_fp
+        FROM c)
+      SELECT lang, n_tokens, w_fp,
+        CAST(n_tokens AS DOUBLE) /
+          CAST(sum(n_tokens) OVER () AS DOUBLE) AS natural_share,
+        CAST(w_fp AS DOUBLE) /
+          CAST(sum(w_fp) OVER () AS DOUBLE) AS share,
+        (CAST(w_fp AS DOUBLE) / CAST(sum(w_fp) OVER () AS DOUBLE)) /
+          (CAST(n_tokens AS DOUBLE) /
+            CAST(sum(n_tokens) OVER () AS DOUBLE)) AS boost
+      FROM f ORDER BY lang
+    """.trim))
+
+  // --------------------------------------------------------------- q104
+
+  /** q104 — data-quality rule audit ([[Rules.audit]] +
+    * [[Rules.refAudit]]): the declarative constraint suite (Deequ's
+    * role) — three row-local rules in ONE scan of orders plus an FK
+    * rule against broadcast customer keys, one report row per rule.
+    * NULL predicates count as violations (coalesce(pred, false) — the
+    * 3VL trap the scaladoc documents). */
+  val q104: Q = Q(
+    "q104_rule_audit",
+    (s, d) => {
+      val orders = Tables.orders(s, d)
+      Rules.audit(orders, Seq(
+        Rules.Rule("orderdate_not_null", col("o_orderdate").isNotNull),
+        Rules.Rule("orderstatus_domain",
+          col("o_orderstatus").isin("O", "F", "P")),
+        Rules.Rule("totalprice_positive", col("o_totalprice") > 0)))
+        .unionByName(Rules.refAudit(orders, "o_custkey",
+          Tables.customer(s, d), "c_custkey", "custkey_fk"))
+        .orderBy(col("rule"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT count(*) AS n_rows,
+          sum(CASE WHEN coalesce(o_orderdate IS NOT NULL, FALSE)
+                THEN 0 ELSE 1 END) AS v0,
+          sum(CASE WHEN coalesce(o_orderstatus IN ('O','F','P'), FALSE)
+                THEN 0 ELSE 1 END) AS v1,
+          sum(CASE WHEN coalesce(o_totalprice > 0, FALSE)
+                THEN 0 ELSE 1 END) AS v2
+        FROM orders),
+      fk AS (
+        SELECT count(*) AS n_rows,
+          sum(CASE WHEN c.k IS NULL THEN 1 ELSE 0 END) AS v
+        FROM orders o LEFT JOIN (
+          SELECT DISTINCT c_custkey AS k FROM customer
+          WHERE c_custkey IS NOT NULL) c
+          ON o.o_custkey = c.k)
+      SELECT rule, n_rows, CAST(n_violations AS BIGINT) AS n_violations,
+        CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE)
+          AS violation_rate
+      FROM (
+        SELECT 'orderdate_not_null' AS rule, n_rows, v0 AS n_violations
+          FROM s
+        UNION ALL SELECT 'orderstatus_domain', n_rows, v1 FROM s
+        UNION ALL SELECT 'totalprice_positive', n_rows, v2 FROM s
+        UNION ALL SELECT 'custkey_fk', n_rows, v FROM fk)
+      ORDER BY rule
+    """.trim))
+
+  // --------------------------------------------------------------- q105
+
+  /** q105 — bigram fluency ([[TextAnalysis.bigramFluency]]): the
+    * LM-quality gate (CCNet/Gopher perplexity filtering) with a
+    * log-free surrogate — mean add-one-smoothed bigram probability on
+    * a 2^-20 fixed-point grid, so the per-doc sum is an exact integer
+    * and the score replays bit-for-bit (`ln` would not — q52's
+    * argument). One persisted row-local bigram explode feeds model,
+    * context and scoring; the one-row vocab size is a q84-shape
+    * scalar append. */
+  val q105: Q = Q(
+    "q105_bigram_fluency",
+    (s, d) =>
+      TextAnalysis.bigramFluency(Tables.documents(s, d), "doc_id", "text"),
+    Some("""
+      WITH w AS (
+        SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+          t -> t <> '') AS w
+        FROM documents),
+      bi AS (
+        SELECT doc_id, w[i] AS a, w[i + 1] AS b
+        FROM w, LATERAL unnest(range(1, len(w))) AS t(i)
+        WHERE len(w) >= 2),
+      model AS (SELECT a, b, count(*) AS c_ab FROM bi GROUP BY 1, 2),
+      ctx AS (SELECT a, count(*) AS c_a FROM bi GROUP BY 1),
+      v AS (SELECT count(DISTINCT a) AS vsz FROM bi),
+      fp AS (
+        SELECT m.a, m.b,
+          CAST(floor(1048576.0 *
+            ((CAST(c_ab AS DOUBLE) + 1.0) /
+              (CAST(c_a AS DOUBLE) + CAST(vsz AS DOUBLE))))
+            AS BIGINT) AS f
+        FROM model m JOIN ctx USING (a) CROSS JOIN v)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        CAST(sum(f) AS BIGINT) AS sum_fp,
+        CAST(sum(f) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fluency_fp
+      FROM bi JOIN fp USING (a, b)
+      GROUP BY doc_id ORDER BY doc_id
+    """.trim))
+
+  // --------------------------------------------------------------- q106
+
+  /** q106 — hard-negative mining ([[Similarity.hardNegatives]]): for
+    * each anchor, the k nearest DIFFERENT-label vectors — the
+    * contrastive-training staple. q20's exact brute-force rung with
+    * the label-exclusion predicate (BNLJ by design, documented in the
+    * sweep); the at-scale route is the frozen PQ index with a
+    * post-retrieval label filter. */
+  val q106: Q = Q(
+    "q106_hard_negatives",
+    (s, d) =>
+      Similarity.hardNegatives(Tables.embeddings(s, d), k = 5,
+        queryStride = 50),
+    Some("""
+      WITH e AS (
+        SELECT vec_id, label, list_transform(embedding,
+          x -> CAST(x AS DOUBLE)) v
+        FROM embeddings),
+      n0 AS (
+        SELECT vec_id, label, v,
+          sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(v, x -> x * x)), (a, b) -> a + b)) nrm
+        FROM e),
+      n AS (SELECT * FROM n0 WHERE nrm > 0),
+      q AS (SELECT vec_id query_id, label query_label, v qv, nrm qn
+            FROM n WHERE vec_id % 50 = 0),
+      s AS (
+        SELECT query_id, query_label, c.vec_id neighbor_id,
+          c.label neighbor_label,
+          (list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i])),
+             (x, y) -> x + y) / (qn * c.nrm)) AS cosine
+        FROM q, n c WHERE c.label <> query_label)
+      SELECT query_id, query_label, neighbor_id, neighbor_label,
+        CAST(rank AS INT) AS rank, cosine FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) rank
+        FROM s) t
+      WHERE rank <= 5
+      ORDER BY query_id, rank
+    """.trim))
+
+  // --------------------------------------------------------------- q107
+
+  /** q107 — intra-label diversity ([[Similarity.intraLabelDiversity]]):
+    * mean pairwise cosine INSIDE each label via the sum identity
+    * `Σ_{i≠j}⟨vᵢ,vⱼ⟩ = ‖Σv‖² − Σ‖v‖²` — no pairwise join anywhere,
+    * which is what makes "how collapsed is this slice" computable at
+    * corpus scale. Normalized coordinates are floored to fixed-point
+    * longs, so both sums are exact integers. */
+  val q107: Q = Q(
+    "q107_intra_label_diversity",
+    (s, d) =>
+      Similarity.intraLabelDiversity(Tables.embeddings(s, d)),
+    Some("""
+      WITH e AS (
+        SELECT label AS lbl, list_transform(embedding,
+          x -> CAST(x AS DOUBLE)) v
+        FROM embeddings),
+      n0 AS (
+        SELECT lbl, v,
+          sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(v, x -> x * x)), (a, b) -> a + b)) nrm
+        FROM e),
+      fv AS (
+        SELECT lbl, list_transform(v,
+          x -> CAST(floor(x / nrm * 1048576.0) AS BIGINT)) fv
+        FROM n0 WHERE nrm > 0),
+      coords AS (
+        SELECT lbl, p - 1 AS pos, fv[p] AS f
+        FROM fv, LATERAL unnest(range(1, len(fv) + 1)) AS t(p)),
+      perdim AS (
+        SELECT lbl, pos, CAST(sum(f) AS BIGINT) s
+        FROM coords GROUP BY 1, 2),
+      sumsq AS (
+        SELECT lbl, sum(s::HUGEINT * s) sum_sq FROM perdim GROUP BY 1),
+      self AS (
+        SELECT lbl,
+          sum(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+            list_transform(fv, e -> CAST(e AS HUGEINT) * e)),
+            (a, b) -> a + b)) self_sq,
+          count(*) n_vectors
+        FROM fv GROUP BY 1 HAVING count(*) >= 2)
+      SELECT lbl AS label, CAST(n_vectors AS BIGINT) AS n_vectors,
+        (CAST(sum_sq - self_sq AS DOUBLE) /
+          CAST(n_vectors * (n_vectors - 1) AS DOUBLE))
+          / 1099511627776.0 AS mean_pair_cosine,
+        1.0 - ((CAST(sum_sq - self_sq AS DOUBLE) /
+          CAST(n_vectors * (n_vectors - 1) AS DOUBLE))
+          / 1099511627776.0) AS diversity
+      FROM sumsq JOIN self USING (lbl) ORDER BY label
+    """.trim))
+
+  // --------------------------------------------------------------- q108
+
+  /** q108 — MAD outlier flags ([[Profiling.madOutliers]]): the robust
+    * `|x − median| > k·MAD` labeller — both center and spread are
+    * interpolated percentiles (the q88/q102-proven portable pair), the
+    * flag one IEEE comparison; rows are kept, not dropped ([[q102]]
+    * clips, this one labels). */
+  val q108: Q = Q(
+    "q108_mad_outliers",
+    (s, d) =>
+      Profiling.madOutliers(
+        Tables.events(s, d).select(col("event_id"), col("value")),
+        "value", k = 3.0)
+        .orderBy(col("event_id")),
+    Some("""
+      WITH m AS (SELECT quantile_cont(value, 0.5) med FROM events),
+      s AS (
+        SELECT quantile_cont(abs(value - med), 0.5) mad, min(med) med
+        FROM events, m)
+      SELECT event_id, value, mad, med,
+        (abs(value - med) > 3.0 * mad) AS is_outlier
+      FROM events, s ORDER BY event_id
+    """.trim))
+
+  // --------------------------------------------------------------- q109
+
+  /** q109 — JSON payload field stats ([[SemiStructured.jsonFieldStats]]):
+    * schema-on-read over `events.props` — `get_json_object` (codegen'd
+    * JSONPath walk, no UDF, malformed → NULL) extracts `$.k`, then one
+    * partial-aggregated pass profiles presence/sum/mean per event
+    * type. The capability this lands is the semi-structured column
+    * class itself. */
+  val q109: Q = Q(
+    "q109_json_field_stats",
+    (s, d) =>
+      SemiStructured.jsonFieldStats(Tables.events(s, d), "props", "k",
+        "event_type"),
+    Some("""
+      SELECT event_type,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS n_present,
+        CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_value,
+        CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS DOUBLE) /
+          CAST(count(CAST(props->>'$.k' AS BIGINT)) AS DOUBLE)
+          AS mean_value
+      FROM events GROUP BY event_type ORDER BY event_type
+    """.trim))
+
+  // --------------------------------------------------------------- q110
+
+  /** q110 — curation funnel ([[TextAnalysis.curationFunnel]]): the
+    * per-source survival report of the standard quality-gate stack
+    * (non-empty → char window → min tokens → distinct-token ratio),
+    * each stage cumulative — the first page of every curation writeup
+    * and the per-feed health gate of an ingest pipeline. Row-local
+    * gates, one |sources|-row shuffle, stage unpivot on the aggregate
+    * only. */
+  val q110: Q = Q(
+    "q110_curation_funnel",
+    (s, d) =>
+      TextAnalysis.curationFunnel(Tables.documents(s, d), "text",
+        "source", minChars = 100, maxChars = 20000, minTokens = 20,
+        minDistinctRatio = 0.25),
+    Some("""
+      WITH g AS (
+        SELECT source,
+          (length(trim(text)) > 0) AS g1,
+          (length(trim(text)) > 0
+            AND length(text) BETWEEN 100 AND 20000) AS g2,
+          (length(trim(text)) > 0
+            AND length(text) BETWEEN 100 AND 20000
+            AND len(list_filter(string_split_regex(trim(text), '\s+'),
+              t -> t <> '')) >= 20) AS g3,
+          (length(trim(text)) > 0
+            AND length(text) BETWEEN 100 AND 20000
+            AND len(list_filter(string_split_regex(trim(text), '\s+'),
+              t -> t <> '')) >= 20
+            AND (CAST(len(list_distinct(list_filter(
+                  string_split_regex(trim(text), '\s+'), t -> t <> '')))
+                AS DOUBLE) /
+              CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                t -> t <> '')) AS DOUBLE)) >= 0.25) AS g4
+        FROM documents),
+      sums AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+          CAST(sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+          CAST(sum(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+          CAST(sum(CASE WHEN g4 THEN 1 ELSE 0 END) AS BIGINT) AS s4
+        FROM g GROUP BY 1)
+      SELECT source, stage, gate, n_docs, survivors,
+        CAST(survivors AS DOUBLE) / CAST(n_docs AS DOUBLE)
+          AS survival_rate
+      FROM (
+        SELECT source, 1 AS stage, 'nonempty' AS gate, n_docs,
+          s1 AS survivors FROM sums
+        UNION ALL SELECT source, 2, 'chars_in_range', n_docs, s2 FROM sums
+        UNION ALL SELECT source, 3, 'min_tokens', n_docs, s3 FROM sums
+        UNION ALL SELECT source, 4, 'distinct_ratio', n_docs, s4
+          FROM sums)
+      ORDER BY source, stage
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -3326,5 +3650,6 @@ object Ext {
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
       q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
       q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
-      q97, q98, q99, q100, q101, q102)
+      q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
+      q108, q109, q110)
 }

@@ -569,6 +569,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q105: ONE cached bigram frame feeds model, contexts and scoring") {
+    // bigramFluency's explode pass materializes once; the model
+    // groupBy, the context groupBy and the scoring join all read it
+    assert(distinctCaches("q105_bigram_fluency") == 1)
+    val p = plan("q105_bigram_fluency")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Window ["), p) // nothing windows the corpus
+  }
+
+  test("q107: diversity is aggregate-only — one cache, no pairwise join") {
+    // the sum identity removes every pairwise join: the only joins in
+    // the plan stitch |labels|-row aggregates together
+    assert(distinctCaches("q107_intra_label_diversity") == 1)
+    val p = plan("q107_intra_label_diversity")
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("Window ["), p)
+  }
+
+  test("q104: the FK parent broadcasts onto the child scan") {
+    val p = plan("q104_rule_audit")
+    assert(p.linesIterator.exists(l => l.contains("BroadcastHashJoin")
+      && l.contains("LeftOuter")), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("q110: funnel gates aggregate partially; the unpivot never sees the corpus") {
+    val p = plan("q110_curation_funnel")
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("Window ["), p)
+    // the stage explode (Generate) sits ABOVE the final aggregate —
+    // it expands |sources|·4 rows, not documents
+    val lines = p.linesIterator.toSeq
+    val genIdx = lines.indexWhere(_.contains("Generate"))
+    val scanIdx = lines.indexWhere(_.contains("Scan parquet"))
+    assert(genIdx >= 0 && scanIdx >= 0 && genIdx < scanIdx,
+      s"Generate must sit above the scan in the formatted tree:\n$p")
+  }
+
   test("registry sweep: no cartesian product, no nested-loop join beyond the documented set") {
     // per-query pins only exist where a builder remembered to add one;
     // this sweep holds the whole registry to the two non-negotiables.
@@ -617,7 +655,22 @@ class PlanAuditSpec extends SparkSpec {
       // q102: the ONE-ROW [p01, p99] percentile bounds appended to the
       // fact before the row-local clip CASE — winsorize's
       // scalar-append, q88's exact shape
-      "q102_winsorize")
+      "q102_winsorize",
+      // q105: the ONE-ROW vocabulary size appended to the bigram-model
+      // frame before the row-local smoothed-probability fixed-point —
+      // bigramFluency's scalar-append, q84's exact shape
+      "q105_bigram_fluency",
+      // q106: hard-negative mining scores the 50-row anchor set
+      // against every different-label vector via BNLJ BY DESIGN —
+      // q20's exact brute-force rung with the label-exclusion
+      // predicate (the at-scale route is the frozen PQ index with a
+      // post-retrieval label filter)
+      "q106_hard_negatives",
+      // q108: the ONE-ROW median then the ONE-ROW (mad, med) stats
+      // appended to the fact for the row-local flag — madOutliers'
+      // two scalar-appends (MAD depends on the median, inherently
+      // two passes), q102's shape
+      "q108_mad_outliers")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()

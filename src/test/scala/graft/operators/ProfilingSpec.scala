@@ -134,4 +134,26 @@ class ProfilingSpec extends SparkSpec {
     assert(out(10L) == ((1000.0, 2.0, 10.0, 10.0))) // outlier clamps down
     assert(out(11L) == ((null, 2.0, 10.0, null)))  // NULL passes through
   }
+
+  test("madOutliers: median/MAD by hand; only the far tail flags; NULL stays NULL") {
+    import spark.implicits._
+    val vals: Seq[(Long, java.lang.Double)] =
+      (1 to 9).map(i => (i.toLong, java.lang.Double.valueOf(i.toDouble))) :+
+        (10L, java.lang.Double.valueOf(100.0)) :+
+        (11L, null.asInstanceOf[java.lang.Double])
+    val df = vals.toDF("id", "value")
+    // median of {1..9, 100} = 5.5; absdev sorted:
+    // {0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,94.5} → MAD 2.5; cut 7.5
+    val out = Profiling.madOutliers(df, "value", k = 3.0)
+      .collect().map { r =>
+        r.getLong(0) -> (r.getDouble(3), r.getDouble(2),
+          if (r.isNullAt(4)) None else Some(r.getBoolean(4)))
+      }.toMap
+    out.values.foreach { case (med, mad, _) =>
+      assert(med == 5.5 && mad == 2.5)
+    }
+    assert(out(10L)._3.contains(true))   // |100 − 5.5| = 94.5 > 7.5
+    (1L to 9L).foreach(i => assert(out(i)._3.contains(false)))
+    assert(out(11L)._3.isEmpty)          // NULL value → NULL flag
+  }
 }

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Rule-audit semantics (q104's operator) on hand fixtures: NULL
+  * predicates count as violations (the 3VL trap), the FK audit counts
+  * orphans AND null keys, and the report arithmetic is exact.
+  */
+class RulesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("audit: NULL predicate is a violation; counts by hand") {
+    val df = Seq[(java.lang.Long, java.lang.Double, String)](
+      (1L, 10.0, "O"), (2L, -1.0, "F"), (3L, null, "P"),
+      (4L, 5.0, "X"), (5L, 0.0, null))
+      .toDF("id", "value", "status")
+    val out = Rules.audit(df, Seq(
+      Rules.Rule("value_positive", col("value") > 0),
+      Rules.Rule("status_domain", col("status").isin("O", "F", "P"))))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // value_positive: -1 fails, NULL fails, 0 fails → 3 of 5
+    assert(out("value_positive") == ((5L, 3L, 0.6)))
+    // status_domain: X fails, NULL fails → 2 of 5
+    assert(out("status_domain") == ((5L, 2L, 0.4)))
+  }
+
+  test("audit rejects duplicate rule names and empty rule sets") {
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Rules.audit(df, Seq(Rules.Rule("r", col("a") > 0),
+        Rules.Rule("r", col("b") > 0)))
+    }
+    intercept[IllegalArgumentException] { Rules.audit(df, Seq.empty) }
+  }
+
+  test("refAudit: orphan keys AND null keys violate; matches don't") {
+    val child = Seq[java.lang.Long](1L, 1L, 2L, 9L, null)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Rules.refAudit(child, "fk", parent, "pk", "fk_check")
+      .collect().head
+    assert(r.getString(0) == "fk_check")
+    assert(r.getLong(1) == 5L) // n_rows
+    assert(r.getLong(2) == 2L) // 9 (orphan) + null
+    assert(r.getDouble(3) == 0.4)
+  }
+
+  test("refAudit: duplicate parent keys do not inflate the child count") {
+    val child = Seq(1L, 2L).toDF("fk")
+    val parent = Seq(1L, 1L, 1L, 2L).toDF("pk") // dup parents
+    val r = Rules.refAudit(child, "fk", parent, "pk", "fk").collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 0L)
+  }
+}

@@ -238,4 +238,36 @@ class SamplingSpec extends SparkSpec {
     assert(re.columns.count(_ == "split") == 1 &&
       re.columns.contains("split2"))
   }
+
+  test("temperatureMix: α=1/2 boosts the tail, damps the head; shares sum to 1") {
+    val out = Sampling.temperatureMix(docs, "lang", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(out.size >= 2)
+    val sumNat = out.values.map(_._2).sum
+    val sumShare = out.values.map(_._3).sum
+    assert(math.abs(sumNat - 1.0) < 1e-9 &&
+      math.abs(sumShare - 1.0) < 1e-9)
+    val byTokens = out.toSeq.sortBy(_._2._1)
+    val (tail, head) = (byTokens.head._2, byTokens.last._2)
+    assert(tail._1 < head._1, "fixture needs unequal strata")
+    // sqrt-tempering: smallest stratum upsampled, largest damped
+    assert(tail._4 > 1.0, s"tail boost ${tail._4}")
+    assert(head._4 < 1.0, s"head boost ${head._4}")
+    // tempered shares preserve the size ORDER (flatten, not invert)
+    assert(byTokens.map(_._2._3) == byTokens.map(_._2._3).sorted)
+  }
+
+  test("temperatureMix: α=1 is the identity mixture (boost ≈ 1)") {
+    val out = Sampling.temperatureMix(docs, "lang", "text",
+      alphaQuarters = 4)
+      .collect().map(r => r.getDouble(5))
+    // fixed-point flooring costs at most 2^-20 relative — boost is 1
+    // to ~6 decimal places for every stratum
+    out.foreach(b => assert(math.abs(b - 1.0) < 1e-5, b.toString))
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(docs, "lang", "text", alphaQuarters = 0)
+    }
+  }
 }

@@ -161,4 +161,68 @@ class SimilaritySpec extends SparkSpec {
     assert(out3((0, 1)) == out((0, 1))._3)
     assert(out3((0, 2)) == out((0, 2))._3)
   }
+
+  test("hardNegatives: exact top-k among different-label vectors only") {
+    val out = Similarity.hardNegatives(emb, k = 3, queryStride = 100)
+      .collect()
+    assert(out.nonEmpty)
+    // brute-force replay in the driver with the SAME fold order the
+    // codegen'd DotProduct uses (left-to-right double accumulation),
+    // so cosines must be EXACTLY equal
+    val vecs = emb.select(col("vec_id"), col("label"), col("embedding"))
+      .collect().map { r =>
+        (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray) }
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val normed = vecs.map { case (id, l, v) =>
+      (id, l, v, math.sqrt(dot(v, v))) }.filter(_._4 > 0)
+    val expected = normed.filter(_._1 % 100 == 0).flatMap {
+      case (qid, ql, qv, qn) =>
+        normed.filter(_._2 != ql)
+          .map { case (cid, cl, cv, cn) =>
+            (qid, cid, cl, dot(qv, cv) / (qn * cn)) }
+          .sortBy { case (_, cid, _, cos) => (-cos, cid) }
+          .take(3).zipWithIndex
+          .map { case ((q, cid, cl, cos), i) => (q, i + 1) -> (cid, cl, cos) }
+    }.toMap
+    val labels = vecs.map(v => v._1 -> v._2).toMap
+    out.foreach { r =>
+      val (qid, ql) = (r.getLong(0), r.getInt(1))
+      val (nid, nl) = (r.getLong(2), r.getInt(3))
+      assert(ql != nl, s"neighbor $nid shares label $nl with anchor $qid")
+      assert(ql == labels(qid) && nl == labels(nid))
+      val (eid, el, ecos) = expected((qid, r.getInt(4)))
+      assert(nid == eid && nl == el && r.getDouble(5) == ecos)
+    }
+    assert(out.length == expected.size)
+  }
+
+  test("intraLabelDiversity: sum identity equals hand math; singletons and zero vectors drop") {
+    import spark.implicits._
+    val fix = Seq(
+      (1L, 1, Array(1f, 0f)), (2L, 1, Array(1f, 0f)), (3L, 1, Array(0f, 1f)),
+      (10L, 2, Array(1f, 0f)),                   // singleton → excluded
+      (20L, 3, Array(1f, 0f)), (21L, 3, Array(0f, 1f)), // orthogonal
+      (30L, 3, Array(0f, 0f)))                   // zero vector → drops
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.intraLabelDiversity(fix)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(out.keySet == Set(1, 3)) // label 2 singleton gone
+    // label 1: unit vectors, pair cosines {1, 0, 0} over 6 ordered
+    // pairs → mean 2/6 = 1/3 (exact in fixed point: coords are 0/1)
+    val (n1, m1, d1) = out(1)
+    assert(n1 == 3L)
+    assert(math.abs(m1 - 1.0 / 3.0) < 1e-12, m1.toString)
+    assert(d1 == 1.0 - m1)
+    // label 3: two orthogonal unit vectors → mean pair cosine 0
+    val (n3, m3, _) = out(3)
+    assert(n3 == 2L) // zero vector dropped from the count too
+    assert(m3 == 0.0)
+    // the collapsed label is less diverse than the orthogonal one
+    assert(out(1)._3 < out(3)._3)
+  }
 }

@@ -243,4 +243,60 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) == ((4L, 1L, 0.25)))             // d is OOV
     assert(out(3L) == ((4L, 2L, 0.5)), out.toString) // d, zz OOV
   }
+
+  test("bigramFluency: add-one bigram model by hand; short docs drop") {
+    import spark.implicits._
+    val fix = Seq(
+      (1L, "a b a b"), // bigrams: ab, ba, ab
+      (2L, "x y"),     // bigram: xy
+      (3L, "z"),       // < 2 tokens → no row
+      (4L, ""))        // empty → no row
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramFluency(fix, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    // model: c(ab)=2 c(ba)=1 c(xy)=1; contexts: c(a)=2 c(b)=1 c(x)=1;
+    // V = 3 distinct contexts {a, b, x}
+    val fAb = math.floor(1048576.0 * ((2.0 + 1.0) / (2.0 + 3.0))).toLong
+    val fBa = math.floor(1048576.0 * ((1.0 + 1.0) / (1.0 + 3.0))).toLong
+    val fXy = fBa // same (1+1)/(1+3)
+    assert(out(1L) == ((3L, 2 * fAb + fBa,
+      (2 * fAb + fBa).toDouble / 3.0)))
+    assert(out(2L) == ((1L, fXy, fXy.toDouble)))
+    // the repeated-bigram doc reads as more fluent under ITS corpus
+    assert(out(1L)._3 > out(2L)._3)
+  }
+
+  test("curationFunnel: cumulative gates, exact survivors per stage") {
+    import spark.implicits._
+    val good = (1 to 30).map(i => s"w$i").mkString(" ") // 30 distinct tokens
+    val fix = Seq(
+      ("s1", good + " " + ("pad" * 10)),  // passes all four gates
+      ("s1", ""),                         // fails nonempty
+      ("s1", "alpha beta gamma delta epsilon"), // 5 tokens → fails min_tokens
+      ("s2", ("a " * 60).trim),           // 60 tokens, 1 distinct → fails ratio
+      ("s2", good))                       // 30 distinct tokens, len ~ 107
+      .toDF("source", "text")
+    val out = TextAnalysis.curationFunnel(fix, "text", "source",
+      minChars = 20, maxChars = 20000, minTokens = 20,
+      minDistinctRatio = 0.25)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    // s1: 3 docs; nonempty keeps 2; char window keeps 2; min_tokens
+    // drops the 4-token doc → 1; ratio keeps 1
+    assert(out(("s1", 1)) == (("nonempty", 3L, 2L)))
+    assert(out(("s1", 2)) == (("chars_in_range", 3L, 2L)), out.toString)
+    assert(out(("s1", 3)) == (("min_tokens", 3L, 1L)))
+    assert(out(("s1", 4)) == (("distinct_ratio", 3L, 1L)))
+    // s2: 2 docs; both nonempty + in char window + >= 20 tokens; the
+    // all-same-token doc fails the distinct ratio (1/60 < 0.25)
+    assert(out(("s2", 1)) == (("nonempty", 2L, 2L)))
+    assert(out(("s2", 2)) == (("chars_in_range", 2L, 2L)))
+    assert(out(("s2", 3)) == (("min_tokens", 2L, 2L)))
+    assert(out(("s2", 4)) == (("distinct_ratio", 2L, 1L)))
+    // funnel is monotone by construction
+    for (s <- Seq("s1", "s2"))
+      assert((1 to 3).forall(i => out((s, i))._3 >= out((s, i + 1))._3))
+  }
 }
