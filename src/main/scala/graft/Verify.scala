@@ -15,7 +15,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-loop filter (Bench's SPARK_GRAFT_BENCH_ONLY precedent): a
+    // filtered dump writes only matching query dirs, so a later full
+    // check.py run over the SAME outDir still covers everything — the
+    // filter can't silently narrow the driver's gate because the driver
+    // sets no env and always dumps the full registry.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(f => name.contains(f)) }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

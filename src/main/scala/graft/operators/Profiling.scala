@@ -243,4 +243,67 @@ object Profiling {
       .withColumn("is_outlier",
         abs(raw(valueCol) - col("med")) > lit(k) * col("mad"))
   }
+
+  /** MERGEABLE GRID PERCENTILE — the bounded-state sibling of the
+    * exact `percentile` aggregate the family above leans on: bucket
+    * values on a fixed dyadic grid (`bin = floor(x / width)`, the
+    * [[histogram]] contract), count per bin, and answer each requested
+    * percentile with the LOWER EDGE of the first bin whose cumulative
+    * count reaches `ceil(p · N)`. The estimate is within `width` of
+    * the true percentile by construction — and unlike the exact
+    * aggregate (whose state is the value multiset per partition), the
+    * sketch state is ONE COUNTER PER NON-EMPTY BIN: trivially
+    * mergeable (bin counts add — GridPercentileSpec pins
+    * batch-split ≡ one-shot), so the same grid serves incremental
+    * stores, streaming accumulation, and 100 TB single-pass profiling
+    * where a full-width exact percentile would spill.
+    *
+    * Engine-portability: the dyadic width makes bin assignment exact
+    * IEEE ([[isDyadic]]); counts and cumulative sums are exact longs;
+    * `p · N` is one IEEE multiply of a literal double by an
+    * integer-valued double, identical on every engine, so `ceil` and
+    * the `cum >= target` boundary cannot flip.
+    *
+    * Scale shape: ONE partial-aggregated pass over the projected
+    * column builds the bin frame (≤ range/width rows — the caller
+    * chooses `width` to bound it); the cumulative window, the one-row
+    * total (broadcast scalar-append), and the per-p first-bin argmin
+    * all run over that aggregate, never the table. NULLs are absent
+    * from a percentile by definition; an empty input yields zero rows.
+    *
+    * Output: (p, n_values, target_rank, est_percentile), ordered. */
+  def gridPercentile(df: DataFrame, valueCol: String, width: Double,
+      ps: Seq[Double]): DataFrame = {
+    require(isDyadic(width),
+      s"gridPercentile width must be a power of two for engine-exact " +
+        s"bucketing, got $width")
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"percentile points must be in (0, 1], got $ps")
+    import org.apache.spark.sql.expressions.Window
+    val bins = gridBins(df, valueCol, width)
+    val cum = bins.withColumn("cum",
+      sum(col("n")).over(Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = bins.agg(sum(col("n")).as("n_values"))
+    cum.crossJoin(broadcast(total))
+      .select(col("bin"), col("cum"), col("n_values"),
+        explode(array(ps.map(p => lit(p)): _*)).as("p"))
+      .withColumn("target_rank", ceil(col("p") * col("n_values")))
+      .where(col("cum") >= col("target_rank"))
+      .groupBy(col("p"), col("n_values"), col("target_rank"))
+      .agg(min(col("bin")).as("b"))
+      .select(col("p"), col("n_values"), col("target_rank"),
+        (col("b") * lit(width)).as("est_percentile"))
+      .orderBy(col("p"))
+  }
+
+  /** The mergeable state of [[gridPercentile]]: one (bin, n) counter
+    * row per non-empty bin. Factored out so stores / streaming twins
+    * accumulate the IDENTICAL bin assignment by construction. */
+  private[graft] def gridBins(df: DataFrame, valueCol: String,
+      width: Double): DataFrame =
+    df.select(raw(valueCol).as("v"))
+      .where(col("v").isNotNull)
+      .groupBy(floor(col("v") / lit(width)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
 }

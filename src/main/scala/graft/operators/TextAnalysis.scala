@@ -601,4 +601,66 @@ object TextAnalysis {
         col("survivors").cast("double") / col("n_docs").cast("double"))
       .orderBy(col(groupCol), col("stage"))
   }
+
+  /** UNIGRAM DISTRIBUTION DIVERGENCE — total-variation distance
+    * between every pair of groups' unigram distributions:
+    * `TV(a,b) = ½ Σ_t |p_a(t) − p_b(t)|` over the UNION vocabulary.
+    * The corpus-composition question this answers is different from
+    * q91's set overlap (shared vocabulary) and q69's stratum mix
+    * (row shares): two sources can share every term yet weight them so
+    * differently that mixing them shifts the training distribution —
+    * TV is exactly that shift, 0 for identical distributions, 1 for
+    * disjoint ones. TV instead of KL/JS on purpose: divergences with a
+    * `log` would hang the result on libm rounding (the q97/q105
+    * argument), while TV over exact counts needs none —
+    * `|c_a·N_b − c_b·N_a|` summed as DECIMAL(38,0) integers, the
+    * union-vocab tail folded in CLOSED FORM (tokens only in `a`
+    * contribute `(N_a − S_a)·N_b` where `S_a` is `a`'s count mass on
+    * the SHARED vocab — no outer join, no explicit a-only frame), and
+    * ONE final IEEE division by `2·N_a·N_b`.
+    *
+    * Scale shape: one token explode feeds one partial-aggregated
+    * (group, term) count frame, persisted and read twice (pair join
+    * sides); the within-term self-join fans out C(|groups|,2) pairs
+    * per term — bounded by the group count, q91's exact argument — and
+    * the |groups|-row totals ride broadcast joins. Pairs sharing NO
+    * term are absent from the output by construction (their TV is
+    * trivially 1; emitting them would need a non-equi pair skeleton —
+    * a BNLJ — for rows that carry no information).
+    *
+    * Output: (group_a, group_b, n_tokens_a, n_tokens_b, tv_distance),
+    * group_a < group_b, ordered. */
+  def unigramDivergence(docs: DataFrame, groupCol: String,
+      textCol: String,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val dec = "DECIMAL(19,0)"
+    val counts = scope.persist(
+      docs.select(col(groupCol).as("g"),
+          explode(wordTokens(textCol)).as("t"))
+        .groupBy(col("g"), col("t")).agg(count(lit(1)).as("c")))
+    val totals = counts.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val pairs = counts.select(col("g").as("ga"), col("t"),
+        col("c").as("ca"))
+      .join(counts.select(col("g").as("gb"), col("t"),
+        col("c").as("cb")), Seq("t"))
+      .where(col("ga") < col("gb"))
+      .join(broadcast(totals.select(col("g").as("ga"),
+        col("n").as("na"))), Seq("ga"))
+      .join(broadcast(totals.select(col("g").as("gb"),
+        col("n").as("nb"))), Seq("gb"))
+    val agg = pairs.groupBy(col("ga"), col("gb"), col("na"), col("nb"))
+      .agg(
+        sum(abs(col("ca").cast(dec) * col("nb").cast(dec) -
+          col("cb").cast(dec) * col("na").cast(dec))).as("shared_abs"),
+        sum(col("ca")).as("sa"), sum(col("cb")).as("sb"))
+    val numerator = col("shared_abs") +
+      (col("na") - col("sa")).cast(dec) * col("nb").cast(dec) +
+      (col("nb") - col("sb")).cast(dec) * col("na").cast(dec)
+    agg.select(col("ga").as("group_a"), col("gb").as("group_b"),
+        col("na").as("n_tokens_a"), col("nb").as("n_tokens_b"),
+        (numerator.cast("double") /
+          (lit(2.0) * col("na").cast("double") * col("nb").cast("double")))
+          .as("tv_distance"))
+      .orderBy(col("group_a"), col("group_b"))
+  }
 }

@@ -3643,6 +3643,90 @@ object Ext {
       ORDER BY source, stage
     """.trim))
 
+  // --------------------------------------------------------------- q111
+
+  /** q111 — mergeable grid percentile ([[Profiling.gridPercentile]]):
+    * the bounded-state percentile — dyadic-width bin counters (the
+    * q74 histogram contract), answer = lower edge of the first bin
+    * whose cumulative count reaches `ceil(p·N)`, error ≤ width by
+    * construction. The state is one counter per non-empty bin, so the
+    * same sketch serves single-pass 100 TB profiling, incremental
+    * stores, and streaming accumulation where the exact `percentile`
+    * aggregate's value-multiset state would spill
+    * (GridPercentileSpec pins bin-count mergeability:
+    * batch-split ≡ one-shot). Engine-exact throughout: dyadic bins,
+    * long counters, one IEEE multiply before `ceil`. */
+  val q111: Q = Q(
+    "q111_grid_percentile",
+    (s, d) =>
+      Profiling.gridPercentile(Tables.events(s, d), "value",
+        width = 0.25, ps = Seq(0.25, 0.5, 0.9, 0.99)),
+    Some("""
+      WITH b AS (
+        SELECT CAST(floor(value / 0.25e0) AS BIGINT) AS bin,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE value IS NOT NULL GROUP BY 1),
+      c AS (
+        SELECT bin, n, CAST(sum(n) OVER (ORDER BY bin
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM b),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS n_values FROM b),
+      p AS (SELECT CAST(unnest([0.25e0, 0.5e0, 0.9e0, 0.99e0])
+        AS DOUBLE) AS p),
+      x AS (
+        SELECT p.p, t.n_values,
+          CAST(ceil(p.p * t.n_values) AS BIGINT) AS target_rank,
+          min(c.bin) AS bin
+        FROM p CROSS JOIN t
+        JOIN c ON c.cum >= CAST(ceil(p.p * t.n_values) AS BIGINT)
+        GROUP BY 1, 2, 3)
+      SELECT p, n_values, target_rank,
+        CAST(bin AS DOUBLE) * 0.25e0 AS est_percentile
+      FROM x ORDER BY p
+    """.trim))
+
+  // --------------------------------------------------------------- q112
+
+  /** q112 — unigram distribution divergence
+    * ([[TextAnalysis.unigramDivergence]]): pairwise total-variation
+    * distance between sources' unigram distributions — the
+    * corpus-composition shift q91's set overlap can't see (same
+    * vocabulary, different weights). Log-free by design (TV, not
+    * KL/JS): exact `|c_a·N_b − c_b·N_a|` integer sums, closed-form
+    * union-vocab tail, one IEEE division. */
+  val q112: Q = Q(
+    "q112_unigram_divergence",
+    (s, d) =>
+      TextAnalysis.unigramDivergence(Tables.documents(s, d), "source",
+        "text"),
+    Some("""
+      WITH tok AS (
+        SELECT source AS g, t
+        FROM documents, LATERAL unnest(
+          regexp_extract_all(lower(text), '([a-z]+|[0-9]+)', 1)) AS u(t)),
+      counts AS (
+        SELECT g, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+      totals AS (
+        SELECT g, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1),
+      pairs AS (
+        SELECT a.g ga, b.g gb, ta.n na, tb.n nb, a.c ca, b.c cb
+        FROM counts a JOIN counts b ON a.t = b.t AND a.g < b.g
+        JOIN totals ta ON ta.g = a.g
+        JOIN totals tb ON tb.g = b.g),
+      agg AS (
+        SELECT ga, gb, na, nb,
+          sum(abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na))
+            AS shared_abs,
+          CAST(sum(ca) AS BIGINT) AS sa, CAST(sum(cb) AS BIGINT) AS sb
+        FROM pairs GROUP BY 1, 2, 3, 4)
+      SELECT ga AS group_a, gb AS group_b,
+        na AS n_tokens_a, nb AS n_tokens_b,
+        CAST(shared_abs + CAST(na - sa AS HUGEINT) * nb
+            + CAST(nb - sb AS HUGEINT) * na AS DOUBLE) /
+          ((2.0e0 * CAST(na AS DOUBLE)) * CAST(nb AS DOUBLE))
+          AS tv_distance
+      FROM agg ORDER BY group_a, group_b
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -3651,5 +3735,5 @@ object Ext {
       q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
       q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
       q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
-      q108, q109, q110)
+      q108, q109, q110, q111, q112)
 }

@@ -670,7 +670,11 @@ class PlanAuditSpec extends SparkSpec {
       // appended to the fact for the row-local flag — madOutliers'
       // two scalar-appends (MAD depends on the median, inherently
       // two passes), q102's shape
-      "q108_mad_outliers")
+      "q108_mad_outliers",
+      // q111: the ONE-ROW total count appended to the |bins| counter
+      // frame (never the table) before the per-p first-bin argmin —
+      // gridPercentile's scalar-append, q84's exact shape
+      "q111_grid_percentile")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()

@@ -156,4 +156,53 @@ class ProfilingSpec extends SparkSpec {
     (1L to 9L).foreach(i => assert(out(i)._3.contains(false)))
     assert(out(11L)._3.isEmpty)          // NULL value → NULL flag
   }
+
+  test("gridPercentile: lower-edge answers by hand; NULLs excluded; " +
+    "estimate within width of the exact percentile") {
+    val s = spark; import s.implicits._
+    // 8 values on a width-0.5 grid: bins floor(v/0.5) =
+    //   0.3→0, 0.4→0, 0.9→1, 1.1→2, 1.6→3, 2.2→4, 2.4→4, 3.9→7
+    val df = (Seq(0.3, 0.4, 0.9, 1.1, 1.6, 2.2, 2.4, 3.9)
+      .map(v => Some(v)) :+ (None: Option[Double]))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val out = Profiling.gridPercentile(df, "v", width = 0.5,
+      ps = Seq(0.25, 0.5, 1.0)).collect()
+      .map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // N = 8 (NULL excluded). p=.25 → rank 2 → cum hits at bin 0 → 0.0
+    assert(out(0.25) == ((8L, 2L, 0.0)))
+    // p=.5 → rank 4 → bins cum 2,3,4 → bin 2 → 1.0 (true p50 ≤ 1.35)
+    assert(out(0.5) == ((8L, 4L, 1.0)))
+    // p=1 → rank 8 → last bin 7 → 3.5 (true max 3.9, within width)
+    assert(out(1.0) == ((8L, 8L, 3.5)))
+  }
+
+  test("gridPercentile state is mergeable: split-half bin counters " +
+    "sum to the one-shot counters") {
+    val s = spark; import s.implicits._
+    val all = (1 to 100).map(i => (i.toLong, (i * 37 % 100) / 8.0))
+      .toDF("id", "v")
+    val (h1, h2) = (all.where("id % 2 = 0"), all.where("id % 2 = 1"))
+    val merged = Profiling.gridBins(h1, "v", 0.25)
+      .unionByName(Profiling.gridBins(h2, "v", 0.25))
+      .groupBy("bin").agg(org.apache.spark.sql.functions.sum("n").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val oneShot = Profiling.gridBins(all, "v", 0.25)
+      .as[(Long, Long)].collect().toMap
+    assert(merged == oneShot)
+  }
+
+  test("gridPercentile rejects a non-dyadic width and empty/invalid ps") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, 1.0)).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      Profiling.gridPercentile(df, "v", width = 0.3, ps = Seq(0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Profiling.gridPercentile(df, "v", width = 0.5, ps = Seq())
+    }
+    intercept[IllegalArgumentException] {
+      Profiling.gridPercentile(df, "v", width = 0.5, ps = Seq(0.0))
+    }
+  }
 }

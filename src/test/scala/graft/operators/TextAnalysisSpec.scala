@@ -299,4 +299,32 @@ class TextAnalysisSpec extends SparkSpec {
     for (s <- Seq("s1", "s2"))
       assert((1 to 3).forall(i => out((s, i))._3 >= out((s, i + 1))._3))
   }
+
+  test("unigramDivergence: hand-computed TV; identical distributions " +
+    "score 0; disjoint-leaning pairs approach 1") {
+    val s = spark; import s.implicits._
+    // a: {x:2, y:2}  b: {x:1, y:3}  c: {x:2, y:2} (≡ a)  — N = 4 each
+    // TV(a,b) = ½(|2·4−1·4| + |2·4−3·4|)/16 = ½·8/16 = 0.25
+    val df = Seq(
+      ("a", "x x y y"), ("b", "x y y y"), ("c", "x x y y"))
+      .toDF("src", "text")
+    val out = TextAnalysis.unigramDivergence(df, "src", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(("a", "b")) == ((4L, 4L, 0.25)))
+    assert(out(("a", "c")) == ((4L, 4L, 0.0)))
+    assert(out(("b", "c")) == ((4L, 4L, 0.25)))
+  }
+
+  test("unigramDivergence: the union-vocab tail is accounted — a token " +
+    "present only on one side still carries its full mass") {
+    val s = spark; import s.implicits._
+    // a: {x:1, z:1}  b: {x:1, w:1} — shared vocab {x} only.
+    // TV = ½(|1·2−1·2| + 1·2 + 1·2)/4 = 1/2 (half of each side's mass
+    // sits on a token the other side lacks)
+    val df = Seq(("a", "x z"), ("b", "x w")).toDF("src", "text")
+    val out = TextAnalysis.unigramDivergence(df, "src", "text").collect()
+    assert(out.length == 1)
+    assert(out(0).getDouble(4) == 0.5)
+  }
 }
