@@ -306,4 +306,69 @@ object Profiling {
       .where(col("v").isNotNull)
       .groupBy(floor(col("v") / lit(width)).cast("long").as("bin"))
       .agg(count(lit(1)).as("n"))
+
+  /** ONE-PASS PEARSON CORRELATION MATRIX — `r` for every column pair
+    * from exact fixed-point moment sums: each value floors to a
+    * 2^-20 long (the repo-wide grid), and `n`, `Σx`, `Σx²`, `Σxy` are
+    * DECIMAL(38,0) integer folds, so the classic
+    * `r = (nΣxy − ΣxΣy) / (√(nΣx² − (Σx)²) · √(nΣy² − (Σy)²))`
+    * assembles from EXACT integers with three IEEE ops at the end
+    * (two correctly-rounded sqrts and one division over
+    * identically-computed doubles — engine-portable, no running-mean
+    * float accumulation whose order a distributed engine can't pin,
+    * which is why this is NOT Spark's `corr`). The profiling role:
+    * a |cols|² redundancy map — a near-±1 pair is a duplicated or
+    * derived signal (drop one before training), a near-0 pair with a
+    * causal story is a data bug.
+    *
+    * Contract: rows with a NULL in ANY profiled column are excluded
+    * (complete-case, so every pair shares one `n` and the matrix is
+    * consistent); pairs where either side has zero variance on the
+    * grid are excluded (r undefined — 0/0 diverges across engines).
+    * The 2^40 fixed-point scale cancels exactly: √(2^40·a) =
+    * 2^20·√a is exact IEEE (even power of two under sqrt).
+    *
+    * Scale shape: ONE partial-aggregated pass over the projected
+    * columns computes all |cols|·(|cols|+1)/2 moments; the pair
+    * unpivot explodes the 1-ROW aggregate, never the table. At
+    * extreme value·row scale a DECIMAL(38,0) fold can overflow (Spark
+    * nulls, the oracle's int128 wraps sooner) — rescale the inputs
+    * first (winsorize / unit change), the q97 guard discussion. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least two columns, got $cols")
+    val bad = cols.filterNot(df.columns.contains)
+    require(bad.isEmpty, s"unknown columns: $bad")
+    val dec = "DECIMAL(19,0)"
+    val complete = df.where(cols.map(raw(_).isNotNull).reduce(_ && _))
+      .select(cols.zipWithIndex.map { case (c, i) =>
+        floor(raw(c).cast("double") * lit(1048576.0)).cast("long")
+          .as(s"f$i") }: _*)
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (i, j)
+    val aggs =
+      cols.indices.flatMap { i => Seq(
+        sum(col(s"f$i").cast(dec)).as(s"s$i"),
+        sum(expr(s"CAST(f$i AS $dec) * CAST(f$i AS $dec)")).as(s"q$i")) } ++
+      pairs.map { case (i, j) =>
+        sum(expr(s"CAST(f$i AS $dec) * CAST(f$j AS $dec)")).as(s"p${i}_$j")
+      } :+ count(lit(1)).cast("long").as("n")
+    val wide = complete.agg(aggs.head, aggs.tail: _*)
+    val entries = pairs.map { case (i, j) => struct(
+      lit(cols(i)).as("column_a"), lit(cols(j)).as("column_b"),
+      (col("n").cast("DECIMAL(38,0)") * col(s"p${i}_$j") -
+        col(s"s$i") * col(s"s$j")).as("num"),
+      (col("n").cast("DECIMAL(38,0)") * col(s"q$i") -
+        col(s"s$i") * col(s"s$i")).as("dx"),
+      (col("n").cast("DECIMAL(38,0)") * col(s"q$j") -
+        col(s"s$j") * col(s"s$j")).as("dy")) }
+    wide.select(col("n"), explode(array(entries: _*)).as("e"))
+      .where(col("e.dx") > 0 && col("e.dy") > 0)
+      .select(col("e.column_a").as("column_a"),
+        col("e.column_b").as("column_b"), col("n"),
+        (col("e.num").cast("double") /
+          (sqrt(col("e.dx").cast("double")) *
+            sqrt(col("e.dy").cast("double")))).as("r"))
+      .orderBy(col("column_a"), col("column_b"))
+  }
 }

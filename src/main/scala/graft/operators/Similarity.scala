@@ -427,6 +427,69 @@ object Similarity {
       .orderBy(col("label_a"), col("label_b"))
   }
 
+  /** NEAREST-CENTROID CONFUSION MATRIX — label-space health check:
+    * classify every vector to its nearest LABEL CENTROID by cosine and
+    * cross-tabulate (true_label, predicted_label, n). The diagonal is
+    * label coherence; a hot off-diagonal cell is two labels the
+    * embedding space cannot separate — the signal that drives "merge
+    * these classes", "re-annotate that slice", or "don't trust this
+    * taxonomy for eval stratification". The centroid-pair view
+    * ([[labelCentroidAffinity]]) says two PROTOTYPES are close; this
+    * says how many actual VECTORS fall on the wrong side — the
+    * member-level consequence.
+    *
+    * Determinism (the q21 quantizer discipline, label-keyed): centroid
+    * coordinates are fixed-point long sums (order-free) divided once
+    * per dimension; assignment is the [[assignCells]] replay —
+    * `struct(-affinity, label)` ascending inside one broadcast
+    * centroid row ≡ an external `row_number() OVER (ORDER BY affinity
+    * DESC, label)`. NULL-label and zero-norm vectors drop (neither
+    * can train or claim a centroid); an all-zero centroid (a label
+    * whose mass cancels) drops with its rows unclassifiable.
+    *
+    * Scale shape: ONE posexplode pass partial-aggregates to the
+    * |labels|·dim centroid frame; the centroid table collapses to ONE
+    * broadcast array row and assignment is row-local (no N·|labels|
+    * shuffle — the assignCells argument); the confusion rollup ships
+    * ≤ |labels|² pre-folded rows per task. */
+  def nearestCentroidConfusion(embeddings: DataFrame,
+      labelCol: String = "label", vecCol: String = "embedding",
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val base = scope.persist(embeddings
+      .select(col(labelCol).as("lbl"), col(vecCol).as("v"))
+      .where(col("lbl").isNotNull)
+      .withColumn("nrm", VectorOps.norm(col("v")))
+      .where(col("nrm") > 0))
+    val dims = base
+      .select(col("lbl"), posexplode(col("v")).as(Seq("d", "x")))
+      .withColumn("f",
+        floor(col("x").cast("double") * lit(1048576.0)).cast("long"))
+      .groupBy(col("lbl"), col("d"))
+      .agg(sum(col("f")).as("fs"), count(lit(1)).as("cnt"))
+    val cents = dims
+      .groupBy(col("lbl"))
+      .agg(sort_array(collect_list(struct(col("d"), col("fs"),
+        col("cnt")))).as("ds"))
+      .select(col("lbl").as("cent_lbl"),
+        transform(col("ds"), s => s.getField("fs").cast("double") /
+          (s.getField("cnt").cast("double") * lit(1048576.0))).as("cv"))
+      .withColumn("cn", VectorOps.norm(col("cv")))
+      .where(col("cn") > 0)
+    val centArr = cents.agg(sort_array(collect_list(
+      struct(col("cent_lbl"), col("cv"), col("cn")))).as("cents_arr"))
+    val byAff = transform(col("cents_arr"), c =>
+      struct(
+        (-(VectorOps.dot(col("v"), c.getField("cv")) /
+          (col("nrm") * c.getField("cn")))).as("na"),
+        c.getField("cent_lbl").as("cent_lbl")))
+    val pred = element_at(array_sort(byAff), 1).getField("cent_lbl")
+    base.crossJoin(broadcast(centArr))
+      .select(col("lbl").as("true_label"), pred.as("predicted_label"))
+      .groupBy(col("true_label"), col("predicted_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("true_label"), col("predicted_label"))
+  }
+
   /** HARD-NEGATIVE MINING — for each query vector, the k nearest
     * vectors carrying a DIFFERENT label: the contrastive-training
     * staple (the negatives that actually move an encoder are the ones
@@ -463,6 +526,58 @@ object Similarity {
       .select(col("query_id"), col("query_label"), col("neighbor_id"),
         col("neighbor_label"), col("rank"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** SEMANTIC EVAL-OVERLAP DECONTAMINATION — the embedding-space rung
+    * of the decontamination ladder (q36/q49/q76/q101 are n-gram
+    * rungs): flag every train vector whose cosine against ANY eval
+    * vector reaches `threshold`. The gap this closes is paraphrase
+    * leakage — a benchmark item rewritten in different words shares
+    * few shingles (every n-gram gate passes it) but sits next to its
+    * source in embedding space. Output per contaminated train row:
+    * hit count, plus the top eval match (highest cosine, ties to the
+    * smallest eval id — a deterministic `row_number`, not an
+    * engine-dependent `max_by`).
+    *
+    * Exactness: norms and dots are the fold-ordered
+    * [[graft.functions.DotProduct]] doubles of the q20 contract —
+    * both engines compute THE SAME double, so the `>= threshold`
+    * boundary and the rank order cannot flip.
+    *
+    * Scale shape: the eval set is SMALL BY NATURE (benchmarks, not
+    * corpora) — it broadcasts whole, the train side streams with no
+    * shuffle of the big side (BNLJ by design, the q20/q106 sweep
+    * exception), and the per-train aggregation windows only over rows
+    * that already passed the threshold. At eval sets too big to
+    * broadcast, pre-bucket both sides with [[rpLshPairs]]'s signature
+    * and confirm exactly — the documented candidate-then-verify path.
+    *
+    * Output: (train_id, n_eval_hits, top_eval_id, top_cosine),
+    * ordered by train_id. */
+  def semanticOverlap(train: DataFrame, eval: DataFrame,
+      threshold: Double,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"cosine threshold must be in (0, 1], got $threshold")
+    val t = normed(train, scope)
+      .select(col("vec_id").as("train_id"), col("v").as("tv"),
+        col("nrm").as("tn"))
+    val e = normed(eval, scope)
+      .select(col("vec_id").as("eval_id"), col("v").as("ev"),
+        col("nrm").as("en"))
+    val hits = t.crossJoin(broadcast(e))
+      .withColumn("cosine", dot("tv", "ev") / (col("tn") * col("en")))
+      .where(col("cosine") >= lit(threshold))
+    val w = Window.partitionBy(col("train_id"))
+      .orderBy(col("cosine").desc, col("eval_id"))
+    hits
+      .withColumn("rank", row_number().over(w))
+      .withColumn("n_eval_hits",
+        count(lit(1)).over(Window.partitionBy(col("train_id"))))
+      .where(col("rank") === 1)
+      .select(col("train_id"), col("n_eval_hits"),
+        col("eval_id").as("top_eval_id"), col("cosine").as("top_cosine"))
+      .orderBy(col("train_id"))
   }
 
   /** INTRA-label semantic diversity — the within-slice complement of

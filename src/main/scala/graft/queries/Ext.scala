@@ -3727,6 +3727,168 @@ object Ext {
       FROM agg ORDER BY group_a, group_b
     """.trim))
 
+  // --------------------------------------------------------------- q113
+
+  /** q113 — semantic eval-overlap decontamination
+    * ([[Similarity.semanticOverlap]]): flag train vectors whose cosine
+    * against any eval vector (here the `vec_id % 100 = 0` holdout)
+    * reaches 0.2 — the paraphrase-leakage rung the n-gram gates
+    * (q36/q49/q76/q101) cannot see. Eval side broadcasts whole
+    * (benchmarks are small by nature); BNLJ by design, the q20/q106
+    * sweep exception; the fold-ordered q20 doubles make the threshold
+    * and rank engine-exact. */
+  val q113: Q = Q(
+    "q113_semantic_decontam",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.semanticOverlap(
+        emb.where(col("vec_id") % 100 =!= 0),
+        emb.where(col("vec_id") % 100 === 0), threshold = 0.2)
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        FROM embeddings),
+      n0 AS (
+        SELECT vec_id, v,
+          sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(v, x -> x * x)), (a, b) -> a + b)) nrm
+        FROM e),
+      n AS (SELECT * FROM n0 WHERE nrm > 0),
+      ev AS (SELECT vec_id eval_id, v ev, nrm en FROM n
+        WHERE vec_id % 100 = 0),
+      tr AS (SELECT vec_id train_id, v tv, nrm tn FROM n
+        WHERE vec_id % 100 <> 0),
+      hits AS (
+        SELECT * FROM (
+          SELECT train_id, eval_id,
+            (list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(range(1, len(tv) + 1), i -> tv[i] * ev[i])),
+               (x, y) -> x + y) / (tn * en)) AS cosine
+          FROM tr, ev) s0
+        WHERE cosine >= 0.2e0)
+      SELECT train_id,
+        CAST(n_eval_hits AS BIGINT) AS n_eval_hits,
+        eval_id AS top_eval_id, cosine AS top_cosine
+      FROM (
+        SELECT train_id, eval_id, cosine,
+          row_number() OVER (PARTITION BY train_id
+            ORDER BY cosine DESC, eval_id) rnk,
+          count(*) OVER (PARTITION BY train_id) n_eval_hits
+        FROM hits) t
+      WHERE rnk = 1
+      ORDER BY train_id
+    """.trim))
+
+  // --------------------------------------------------------------- q114
+
+  /** q114 — nearest-centroid confusion matrix
+    * ([[Similarity.nearestCentroidConfusion]]): classify every vector
+    * to its nearest label centroid by cosine, cross-tabulate
+    * (true, predicted, n) — the member-level complement of q98's
+    * centroid-pair affinity. Deterministic throughout: fixed-point
+    * centroid sums (q21's quantizer discipline) and the
+    * `struct(-affinity, label)` row-local argmin the oracle replays
+    * as `row_number() OVER (ORDER BY affinity DESC, label)`. */
+  val q114: Q = Q(
+    "q114_centroid_confusion",
+    (s, d) =>
+      Similarity.nearestCentroidConfusion(Tables.embeddings(s, d)),
+    Some("""
+      WITH e AS (
+        SELECT vec_id, label AS lbl,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        FROM embeddings WHERE label IS NOT NULL),
+      n0 AS (
+        SELECT vec_id, lbl, v,
+          sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(v, x -> x * x)), (a, b) -> a + b)) nrm
+        FROM e),
+      n AS (SELECT * FROM n0 WHERE nrm > 0),
+      dims AS (
+        SELECT lbl, u.d d, u.f f FROM (
+          SELECT lbl, unnest(list_transform(range(1, len(v) + 1),
+            i -> {'d': i,
+              'f': CAST(floor(v[i] * 1048576.0) AS BIGINT)})) u
+          FROM n) t),
+      cd AS (
+        SELECT lbl, d, sum(f) fs, count(*) cnt
+        FROM dims GROUP BY 1, 2),
+      c1 AS (
+        SELECT lbl cent_lbl,
+          list(CAST(fs AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1048576.0)
+            ORDER BY d) cv
+        FROM cd GROUP BY 1),
+      c2 AS (
+        SELECT cent_lbl, cv,
+          sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(cv, x -> x * x)), (a, b) -> a + b)) cn
+        FROM c1),
+      c3 AS (SELECT * FROM c2 WHERE cn > 0),
+      assign AS (
+        SELECT lbl, pred FROM (
+          SELECT n.lbl, c.cent_lbl pred,
+            row_number() OVER (PARTITION BY n.vec_id ORDER BY
+              (list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(range(1, len(n.v) + 1),
+                   i -> n.v[i] * c.cv[i])),
+                 (x, y) -> x + y) / (n.nrm * c.cn)) DESC,
+              c.cent_lbl) rnk
+          FROM n, c3 c) t
+        WHERE rnk = 1)
+      SELECT lbl AS true_label, pred AS predicted_label,
+        CAST(count(*) AS BIGINT) AS n
+      FROM assign GROUP BY 1, 2 ORDER BY true_label, predicted_label
+    """.trim))
+
+  // --------------------------------------------------------------- q115
+
+  /** q115 — one-pass correlation matrix
+    * ([[Profiling.correlationMatrix]]): Pearson r for every numeric
+    * column pair from exact fixed-point moment sums — the redundancy
+    * map read before feature selection. NOT Spark's `corr` (running
+    * float means whose accumulation order a distributed engine can't
+    * pin): integer moments on the 2^-20 grid, three IEEE ops at the
+    * end, ONE pass for all pairs. */
+  val q115: Q = Q(
+    "q115_correlation_matrix",
+    (s, d) =>
+      Profiling.correlationMatrix(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount")),
+    Some("""
+      WITH c AS (
+        SELECT CAST(floor(l_quantity * 1048576.0) AS BIGINT) f0,
+          CAST(floor(l_extendedprice * 1048576.0) AS BIGINT) f1,
+          CAST(floor(l_discount * 1048576.0) AS BIGINT) f2
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+          AND l_discount IS NOT NULL),
+      m AS (
+        SELECT CAST(count(*) AS HUGEINT) n,
+          sum(CAST(f0 AS HUGEINT)) s0, sum(CAST(f1 AS HUGEINT)) s1,
+          sum(CAST(f2 AS HUGEINT)) s2,
+          sum(CAST(f0 AS HUGEINT) * f0) q0,
+          sum(CAST(f1 AS HUGEINT) * f1) q1,
+          sum(CAST(f2 AS HUGEINT) * f2) q2,
+          sum(CAST(f0 AS HUGEINT) * f1) p01,
+          sum(CAST(f0 AS HUGEINT) * f2) p02,
+          sum(CAST(f1 AS HUGEINT) * f2) p12
+        FROM c),
+      e AS (
+        SELECT 'l_quantity' a, 'l_extendedprice' b, n,
+          n * p01 - s0 * s1 num, n * q0 - s0 * s0 dx,
+          n * q1 - s1 * s1 dy FROM m
+        UNION ALL SELECT 'l_quantity', 'l_discount', n,
+          n * p02 - s0 * s2, n * q0 - s0 * s0, n * q2 - s2 * s2 FROM m
+        UNION ALL SELECT 'l_extendedprice', 'l_discount', n,
+          n * p12 - s1 * s2, n * q1 - s1 * s1, n * q2 - s2 * s2 FROM m)
+      SELECT a AS column_a, b AS column_b, CAST(n AS BIGINT) AS n,
+        CAST(num AS DOUBLE) /
+          (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))) AS r
+      FROM e WHERE dx > 0 AND dy > 0
+      ORDER BY column_a, column_b
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -3735,5 +3897,5 @@ object Ext {
       q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
       q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
       q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
-      q108, q109, q110, q111, q112)
+      q108, q109, q110, q111, q112, q113, q114, q115)
 }

@@ -674,7 +674,16 @@ class PlanAuditSpec extends SparkSpec {
       // q111: the ONE-ROW total count appended to the |bins| counter
       // frame (never the table) before the per-p first-bin argmin —
       // gridPercentile's scalar-append, q84's exact shape
-      "q111_grid_percentile")
+      "q111_grid_percentile",
+      // q113: the eval set (benchmarks — small by nature) broadcasts
+      // whole against the streaming train side, BNLJ BY DESIGN —
+      // q20's exact rung as a decontamination gate; the at-scale
+      // route is RP-LSH bucketing then exact confirm
+      "q113_semantic_decontam",
+      // q114: the label-centroid table collapses to ONE broadcast
+      // array row appended per vector for row-local assignment —
+      // assignCells' shape, the q21/q39 exception verbatim
+      "q114_centroid_confusion")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()

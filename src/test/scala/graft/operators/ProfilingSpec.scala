@@ -192,6 +192,36 @@ class ProfilingSpec extends SparkSpec {
     assert(merged == oneShot)
   }
 
+  test("correlationMatrix: ±1 on linear pairs, complete-case NULL " +
+    "exclusion, zero-variance pairs dropped") {
+    val s = spark; import s.implicits._
+    // x ↑, y = 2x (r = 1), z = 4 − x (r = −1), w constant (dropped);
+    // the 4th row's NULL x excludes it everywhere (complete-case)
+    val df = Seq(
+      (Some(1.0), 2.0, 3.0, 7.0), (Some(2.0), 4.0, 2.0, 7.0),
+      (Some(3.0), 6.0, 1.0, 7.0), (None: Option[Double], 9.0, 9.0, 9.0))
+      .toDF("x", "y", "z", "w")
+    val out = Profiling.correlationMatrix(df, Seq("x", "y", "z", "w"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(("x", "y"), ("x", "z"), ("y", "z")))
+    out.values.foreach { case (n, _) => assert(n == 3L) }
+    assert(math.abs(out(("x", "y"))._2 - 1.0) < 1e-12)
+    assert(math.abs(out(("x", "z"))._2 + 1.0) < 1e-12)
+    assert(math.abs(out(("y", "z"))._2 + 1.0) < 1e-12)
+  }
+
+  test("correlationMatrix rejects unknown or too-few columns") {
+    val s = spark; import s.implicits._
+    val df = Seq((1.0, 2.0)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Profiling.correlationMatrix(df, Seq("a"))
+    }
+    intercept[IllegalArgumentException] {
+      Profiling.correlationMatrix(df, Seq("a", "nope"))
+    }
+  }
+
   test("gridPercentile rejects a non-dyadic width and empty/invalid ps") {
     val s = spark; import s.implicits._
     val df = Seq((1L, 1.0)).toDF("id", "v")

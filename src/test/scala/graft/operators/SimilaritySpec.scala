@@ -225,4 +225,63 @@ class SimilaritySpec extends SparkSpec {
     // the collapsed label is less diverse than the orthogonal one
     assert(out(1)._3 < out(3)._3)
   }
+
+  test("semanticOverlap: hit count, deterministic top match, zero-norm " +
+    "drop, and sub-threshold rows absent") {
+    val s = spark; import s.implicits._
+    def f(xs: Double*) = xs.map(_.toFloat).toArray
+    // train: t1 ≈ e1 and e2 (both hit; e1 higher), t2 orthogonal to
+    // every eval (no hits), t3 zero-norm (dropped)
+    val train = Seq(
+      (1L, f(1, 0, 0)), (2L, f(0, 0, 1)), (3L, f(0, 0, 0)))
+      .toDF("vec_id", "embedding")
+    // eval: e10 = exact match of t1; e20 = partial; e30 zero-norm
+    val eval = Seq(
+      (10L, f(1, 0, 0)), (20L, f(1, 1, 0)), (30L, f(0, 0, 0)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticOverlap(train, eval, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // t1: cos(e10)=1, cos(e20)=1/√2 ≈ .707 — both ≥ .5 → 2 hits,
+    // top is e10 at 1.0
+    assert(out.keySet == Set(1L))
+    assert(out(1L)._1 == 2L)
+    assert(out(1L)._2 == 10L)
+    assert(out(1L)._3 == 1.0)
+  }
+
+  test("nearestCentroidConfusion: clean labels sit on the diagonal, a " +
+    "mislabeled vector lands off it; NULL-label and zero rows drop") {
+    val s = spark; import s.implicits._
+    def f(xs: Double*) = xs.map(_.toFloat).toArray
+    // label 1 clusters on the x axis, label 2 on y. One label-1 vector
+    // points along y — the space says it belongs to 2.
+    val emb = Seq(
+      (1L, f(1, 0), Some(1)), (2L, f(4, 0), Some(1)),
+      (3L, f(0, 1), Some(1)),                       // the mislabeled one
+      (4L, f(0, 2), Some(2)), (5L, f(0, 3), Some(2)),
+      (6L, f(1, 1), None),                          // NULL label drops
+      (7L, f(0, 0), Some(2)))                       // zero-norm drops
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.nearestCentroidConfusion(emb)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    // centroid(1) ≈ (5/3, 1/3) leans x; centroid(2) = (0, 2.5) is y.
+    // vectors 1, 2 → predicted 1; vector 3 (pure y) → predicted 2;
+    // vectors 4, 5 → predicted 2.
+    assert(out == Map((1, 1) -> 2L, (1, 2) -> 1L, (2, 2) -> 2L))
+  }
+
+  test("semanticOverlap ties break to the smallest eval id") {
+    val s = spark; import s.implicits._
+    def f(xs: Double*) = xs.map(_.toFloat).toArray
+    val train = Seq((1L, f(1, 0))).toDF("vec_id", "embedding")
+    // two evals identical to the train vector — same cosine 1.0
+    val eval = Seq((7L, f(1, 0)), (5L, f(2, 0)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticOverlap(train, eval, threshold = 0.9)
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == 2L && out(0).getLong(2) == 5L)
+  }
 }
