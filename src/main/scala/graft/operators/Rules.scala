@@ -65,4 +65,33 @@ object Rules {
       .select(lit(name).as("rule"), col("n_rows"), col("n_violations"))
       .withColumn("violation_rate",
         col("n_violations").cast("double") / col("n_rows").cast("double"))
+
+  /** FUNCTIONAL-DEPENDENCY AUDIT — the cross-row constraint the
+    * row-local [[audit]] can't express: `lhs → rhs` ("a part has ONE
+    * name", "a zip has ONE city") holds iff no lhs value maps to more
+    * than one rhs value. Violated determinants are the joinable
+    * denormalization-drift report: each output row is one lhs value
+    * whose rows disagree, with how many distinct rhs values it spans
+    * and how many rows sit under it — the blast radius of fixing it.
+    * NULL semantics: a NULL rhs is a DISTINCT assertion (a row that
+    * claims "no value" disagrees with a row that claims one), counted
+    * via the audit's own distinct fold, not `countDistinct` (which
+    * ignores NULL and would pass `{x, NULL}` as clean); NULL lhs rows
+    * group together (one determinant, same as SQL GROUP BY).
+    *
+    * Scale shape: ONE partial-aggregated pass to (lhs, rhs) pairs —
+    * the map-side combine collapses duplicate pairs, so the shuffle
+    * carries the pair cardinality, not rows — then a second
+    * |pairs|-keyed fold to per-determinant stats, filtered to
+    * violations. No row ever leaves its partition unaggregated. */
+  def fdAudit(df: DataFrame, lhs: String, rhs: String): DataFrame = {
+    val pairs = df.groupBy(col(lhs).as("determinant"),
+        col(rhs).as("__rhs"))
+      .agg(count(lit(1)).as("__rows"))
+    pairs.groupBy(col("determinant"))
+      .agg(count(lit(1)).as("n_distinct_rhs"),
+        sum(col("__rows")).as("n_rows"))
+      .where(col("n_distinct_rhs") > 1)
+      .orderBy(col("determinant"))
+  }
 }

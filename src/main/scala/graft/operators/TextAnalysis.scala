@@ -602,6 +602,81 @@ object TextAnalysis {
       .orderBy(col(groupCol), col("stage"))
   }
 
+  /** MIXED-LANGUAGE DETECTION — the segment-level refinement of
+    * [[langIdMatrix]]: a document whose WHOLE-DOC language vote looks
+    * clean can still interleave languages (boilerplate in one, body in
+    * another; code-switching forums; scraped translations) — exactly
+    * the docs a monolingual filter mis-gates. Chunk the token stream
+    * into fixed windows of `chunkTokens`, run the q22 marker vote per
+    * chunk (same marker sets, same deterministic tie order, `und` when
+    * no marker hits), and report per doc: chunk counts, how many
+    * distinct languages the chunks voted for, the majority language
+    * with its share, and the `is_mixed` flag (≥ 2 distinct non-`und`
+    * chunk votes).
+    *
+    * Scale shape: the token posexplode is the corpus pass; it
+    * partial-aggregates straight to (doc, chunk, 4 counters) — the
+    * conditional sums collapse map-side, so the shuffle ships chunk
+    * rows, not tokens. Everything after runs on chunk-level frames
+    * (≤ tokens/chunkTokens rows): the per-doc majority is a window
+    * over the ≤ 4-langs-per-doc vote frame, ties to the
+    * lexicographically first language (pinned on both engines).
+    * All-`und` docs keep NULL majority columns (no vote — the
+    * [[qualityScores]] null-guard contract).
+    *
+    * Output: (doc_id, n_chunks, n_lang_chunks, n_distinct_langs,
+    * majority_lang, majority_share, is_mixed), ordered by doc_id. */
+  def mixedLanguageFlags(docs: DataFrame, idCol: String,
+      textCol: String, chunkTokens: Int = 16): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(TextHash.tokens(lower(col(textCol)))).as(Seq("i", "t")))
+      .withColumn("chunk",
+        floor(col("i") / lit(chunkTokens)).cast("long"))
+    val perChunk = toks.groupBy(col("doc_id"), col("chunk"))
+      .agg(
+        sum(when(col("t").isInCollection(markerSets.head._2), 1L)
+          .otherwise(0L)).as(s"c_${markerSets.head._1}"),
+        markerSets.tail.map { case (l, ms) =>
+          sum(when(col("t").isInCollection(ms), 1L).otherwise(0L))
+            .as(s"c_$l") }: _*)
+    val Seq(en, es, de, fr) = markerSets.map(m => col(s"c_${m._1}"))
+    val voted = perChunk.withColumn("lang_pred",
+      when(en === 0 && es === 0 && de === 0 && fr === 0, "und")
+        .when(en >= es && en >= de && en >= fr, "en")
+        .when(es >= de && es >= fr, "es")
+        .when(de >= fr, "de")
+        .otherwise("fr"))
+    val chunkTotals = voted.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("lang_pred") =!= "und", 1L).otherwise(0L))
+          .as("n_lang_chunks"))
+    val byLang = voted.where(col("lang_pred") =!= "und")
+      .groupBy(col("doc_id"), col("lang_pred"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("c").desc, col("lang_pred"))
+    val major = byLang
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n_distinct_langs",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .where(col("rnk") === 1)
+      .select(col("doc_id"), col("n_distinct_langs"),
+        col("lang_pred").as("majority_lang"),
+        col("c").as("majority_chunks"))
+    chunkTotals.join(major, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"), col("n_lang_chunks"),
+        coalesce(col("n_distinct_langs"), lit(0L))
+          .as("n_distinct_langs"),
+        col("majority_lang"),
+        when(col("n_lang_chunks") > 0,
+          col("majority_chunks").cast("double") /
+            col("n_lang_chunks").cast("double")).as("majority_share"),
+        (coalesce(col("n_distinct_langs"), lit(0L)) > 1).as("is_mixed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** UNIGRAM DISTRIBUTION DIVERGENCE — total-variation distance
     * between every pair of groups' unigram distributions:
     * `TV(a,b) = ½ Σ_t |p_a(t) − p_b(t)|` over the UNION vocabulary.

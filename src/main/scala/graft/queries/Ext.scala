@@ -3889,6 +3889,198 @@ object Ext {
       ORDER BY column_a, column_b
     """.trim))
 
+  // --------------------------------------------------------------- q116
+
+  /** q116 — mixed-language detection
+    * ([[TextAnalysis.mixedLanguageFlags]]): chunk each doc's token
+    * stream into 16-token windows, replay the q22 marker vote per
+    * chunk, and flag docs whose chunks vote for ≥ 2 languages — the
+    * code-switching / embedded-boilerplate docs a whole-doc language
+    * filter mis-gates. Token explode partial-aggregates to chunk
+    * counters; majorities window over ≤ 4-row per-doc vote frames. */
+  val q116: Q = Q(
+    "q116_mixed_language",
+    (s, d) =>
+      TextAnalysis.mixedLanguageFlags(Tables.documents(s, d), "doc_id",
+        "text", chunkTokens = 16),
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(lower(text)), '\s+'),
+            x -> x <> '') w
+        FROM documents),
+      toks AS (
+        SELECT doc_id,
+          CAST(floor((p - 1) / 16.0) AS BIGINT) chunk, w[p] tk
+        FROM t, LATERAL unnest(range(1, len(w) + 1)) AS u(p)),
+      pc AS (
+        SELECT doc_id, chunk,
+          CAST(sum(CASE WHEN tk IN ('the', 'a', 'of', 'and', 'is')
+            THEN 1 ELSE 0 END) AS BIGINT) c_en,
+          CAST(sum(CASE WHEN tk IN ('el', 'la', 'los', 'y', 'es')
+            THEN 1 ELSE 0 END) AS BIGINT) c_es,
+          CAST(sum(CASE WHEN tk IN ('der', 'die', 'das', 'und', 'ist')
+            THEN 1 ELSE 0 END) AS BIGINT) c_de,
+          CAST(sum(CASE WHEN tk IN ('le', 'les', 'et', 'est', 'une')
+            THEN 1 ELSE 0 END) AS BIGINT) c_fr
+        FROM toks GROUP BY 1, 2),
+      pred AS (
+        SELECT *,
+          CASE WHEN c_en = 0 AND c_es = 0 AND c_de = 0 AND c_fr = 0
+                 THEN 'und'
+               WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr
+                 THEN 'en'
+               WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+               WHEN c_de >= c_fr THEN 'de'
+               ELSE 'fr' END AS lang_pred
+        FROM pc),
+      tot AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) n_chunks,
+          CAST(sum(CASE WHEN lang_pred <> 'und' THEN 1 ELSE 0 END)
+            AS BIGINT) n_lang_chunks
+        FROM pred GROUP BY 1),
+      bl AS (
+        SELECT doc_id, lang_pred, CAST(count(*) AS BIGINT) c
+        FROM pred WHERE lang_pred <> 'und' GROUP BY 1, 2),
+      mj AS (
+        SELECT doc_id, n_distinct_langs, lang_pred majority_lang,
+          c majority_chunks
+        FROM (
+          SELECT doc_id, lang_pred, c,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY c DESC, lang_pred) rnk,
+            CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT)
+              n_distinct_langs
+          FROM bl) x
+        WHERE rnk = 1)
+      SELECT doc_id, n_chunks, n_lang_chunks,
+        COALESCE(n_distinct_langs, CAST(0 AS BIGINT))
+          AS n_distinct_langs,
+        majority_lang,
+        CASE WHEN n_lang_chunks > 0 THEN
+          CAST(majority_chunks AS DOUBLE) / CAST(n_lang_chunks AS DOUBLE)
+          END AS majority_share,
+        (COALESCE(n_distinct_langs, CAST(0 AS BIGINT)) > 1) AS is_mixed
+      FROM tot LEFT JOIN mj USING (doc_id)
+      ORDER BY doc_id
+    """.trim))
+
+  // --------------------------------------------------------------- q117
+
+  /** q117 — functional-dependency audit ([[Rules.fdAudit]]): the
+    * cross-row constraint q104's row-local rules can't express —
+    * report every determinant of `source → lang` that maps to more
+    * than one language, with its distinct-value span and row blast
+    * radius ("is this feed monolingual"). Two partial-aggregated
+    * folds; the shuffle carries pair cardinality, never rows. */
+  val q117: Q = Q(
+    "q117_fd_audit",
+    (s, d) =>
+      Rules.fdAudit(Tables.documents(s, d), "source", "lang"),
+    Some("""
+      WITH p AS (
+        SELECT source AS determinant, lang, CAST(count(*) AS BIGINT) r
+        FROM documents GROUP BY 1, 2)
+      SELECT determinant, CAST(count(*) AS BIGINT) AS n_distinct_rhs,
+        CAST(sum(r) AS BIGINT) AS n_rows
+      FROM p GROUP BY 1 HAVING count(*) > 1 ORDER BY determinant
+    """.trim))
+
+  // --------------------------------------------------------------- q118
+
+  /** q118 — last-touch channel attribution: attribute every purchase
+    * to the user's most recent click or view within a 24 h window and
+    * roll up per channel (purchases, revenue, gap stats) — the
+    * standard marketing-attribution report, and the composition
+    * showcase for [[graft.operators.Joins.asOfWithin]]: one
+    * windowed as-of per channel, a row-local later-of pick (ties to
+    * 'click', pinned), no new join machinery. Revenue sums ride
+    * DECIMAL ([[graft.engine.Dec]]) — never floating accumulation —
+    * and gaps are exact µs-long sums. The DuckDB oracle is its native
+    * `ASOF LEFT JOIN` with a staleness CASE — an
+    * implementation-independent check, q43's argument. */
+  val q118: Q = Q(
+    "q118_touch_attribution",
+    (s, d) => {
+      val e = eventsUs(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts_us"), col("value"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("value"))
+      def touches(t: String, p: String) =
+        e.where(col("event_type") === t)
+          .groupBy(col("user_id"), col("ts_us"))
+          .agg(max(col("event_id")).as(s"${p}_id"))
+          .withColumn(s"${p}_ts", col("ts_us"))
+      val windowUs = 24L * 3600 * 1000000L
+      val withClick = Joins.asOfWithin(purchases,
+        touches("click", "click"), "user_id", "ts_us", windowUs)
+      val withBoth = Joins.asOfWithin(withClick,
+        touches("view", "view"), "user_id", "ts_us", windowUs)
+      val attributed = withBoth
+        .withColumn("channel",
+          when(col("click_ts").isNotNull &&
+            (col("view_ts").isNull || col("click_ts") >= col("view_ts")),
+            "click")
+          .when(col("view_ts").isNotNull, "view")
+          .otherwise("unattributed"))
+        .withColumn("touch_ts",
+          when(col("channel") === "click", col("click_ts"))
+            .when(col("channel") === "view", col("view_ts")))
+      attributed.groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          Dec.outD(sum(Dec.d2(col("value")))).as("attributed_value"),
+          sum(col("ts_us") - col("touch_ts")).as("total_gap_us"))
+        .withColumn("mean_gap_us",
+          col("total_gap_us").cast("double") / col("n_purchases"))
+        .orderBy(col("channel"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, event_type,
+          CAST(epoch_us(ts) AS BIGINT) ts_us, value
+        FROM events),
+      p AS (
+        SELECT event_id, user_id, ts_us, value FROM e
+        WHERE event_type = 'purchase'),
+      c AS (
+        SELECT user_id, ts_us AS c_ts, max(event_id) c_id
+        FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+      v AS (
+        SELECT user_id, ts_us AS v_ts, max(event_id) v_id
+        FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+      pc AS (
+        SELECT p.event_id, p.user_id, p.ts_us, p.value,
+          CASE WHEN c.c_ts >= p.ts_us - 86400000000 THEN c.c_ts END
+            AS click_ts
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts_us >= c.c_ts),
+      pv AS (
+        SELECT pc.event_id, pc.user_id, pc.ts_us, pc.value, pc.click_ts,
+          CASE WHEN v.v_ts >= pc.ts_us - 86400000000 THEN v.v_ts END
+            AS view_ts
+        FROM pc ASOF LEFT JOIN v
+          ON pc.user_id = v.user_id AND pc.ts_us >= v.v_ts),
+      ch AS (
+        SELECT *,
+          CASE WHEN click_ts IS NOT NULL
+                 AND (view_ts IS NULL OR click_ts >= view_ts)
+                 THEN 'click'
+               WHEN view_ts IS NOT NULL THEN 'view'
+               ELSE 'unattributed' END AS channel,
+          CASE WHEN click_ts IS NOT NULL
+                 AND (view_ts IS NULL OR click_ts >= view_ts)
+                 THEN click_ts
+               WHEN view_ts IS NOT NULL THEN view_ts END AS touch_ts
+        FROM pv)
+      SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+        CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+          AS attributed_value,
+        CAST(sum(ts_us - touch_ts) AS BIGINT) AS total_gap_us,
+        CAST(sum(ts_us - touch_ts) AS DOUBLE) / count(*) AS mean_gap_us
+      FROM ch GROUP BY 1 ORDER BY channel
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -3897,5 +4089,6 @@ object Ext {
       q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
       q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
       q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
-      q108, q109, q110, q111, q112, q113, q114, q115)
+      q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
+      q118)
 }

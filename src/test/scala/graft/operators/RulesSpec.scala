@@ -55,4 +55,22 @@ class RulesSpec extends SparkSpec {
     val r = Rules.refAudit(child, "fk", parent, "pk", "fk").collect().head
     assert(r.getLong(1) == 2L && r.getLong(2) == 0L)
   }
+
+  test("fdAudit: only multi-valued determinants report; NULL rhs is a " +
+    "distinct assertion; NULL lhs is one determinant") {
+    val df = Seq[(String, java.lang.Long)](
+      ("a", 1L), ("a", 1L), ("a", 2L),   // violated: {1, 2} over 3 rows
+      ("b", 1L), ("b", 1L),              // clean — absent
+      ("c", null), ("c", 1L),            // violated: {NULL, 1}
+      ("d", null),                       // clean — one (NULL) value
+      (null, 1L), (null, 2L))            // violated NULL determinant
+      .toDF("k", "v")
+    val rows = Rules.fdAudit(df, "k", "v").collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet == Set("a", "c", null))
+    assert(rows("a") == ((2L, 3L)))
+    assert(rows("c") == ((2L, 2L)))
+    assert(rows(null) == ((2L, 2L)))
+  }
 }

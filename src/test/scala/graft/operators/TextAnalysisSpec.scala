@@ -316,6 +316,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(("b", "c")) == ((4L, 4L, 0.25)))
   }
 
+  test("mixedLanguageFlags: chunk votes split a code-switching doc; " +
+    "pure and markerless docs keep clean flags; majority ties to the " +
+    "lexicographically first language") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      // two 4-token chunks: en then es — mixed, majority ties → 'en'
+      (1L, "the the the the y y y y"),
+      // one pure-en chunk
+      (2L, "the of and is"),
+      // one chunk with no markers at all → und, no majority
+      (3L, "zz qq ww ee"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.mixedLanguageFlags(df, "doc_id", "text",
+      chunkTokens = 4).collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) null else r.getString(4),
+          if (r.isNullAt(5)) null else r.getDouble(5),
+          r.getBoolean(6)))).toMap
+    assert(out(1L) == ((2L, 2L, 2L, "en", 0.5, true)))
+    assert(out(2L) == ((1L, 1L, 1L, "en", 1.0, false)))
+    assert(out(3L) == ((1L, 0L, 0L, null, null, false)))
+  }
+
   test("unigramDivergence: the union-vocab tail is accounted — a token " +
     "present only on one side still carries its full mass") {
     val s = spark; import s.implicits._
