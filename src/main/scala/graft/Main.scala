@@ -53,11 +53,13 @@ object Main {
       cmsIngest(srcParquet, hashCol, storeDir)
     case "hll-ingest" :: srcParquet :: groupCol :: hashCol :: storeDir :: Nil =>
       hllIngest(srcParquet, groupCol, hashCol, storeDir)
+    case "grid-ingest" :: srcParquet :: valueCol :: width :: storeDir :: Nil =>
+      gridIngest(srcParquet, valueCol, width.toDouble, storeDir)
     case "explain" :: name :: rest if rest.size <= 1 =>
       explain(name, rest.headOption.getOrElse("/root/testdata/sf0.001"))
     case _ =>
       System.err.println(
-        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | explain <queryName|all> [sfDir]")
+        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | explain <queryName|all> [sfDir]")
       sys.exit(2)
   }
 
@@ -139,6 +141,28 @@ object Main {
     val store = new graft.etl.HllStore(spark, storeDir, groupCol)
     store.ingest(spark.read.parquet(srcParquet), hashCol)
     store.estimates.count()
+  }
+
+  /** Incremental grid-percentile ingest: fold one batch's values into
+    * dyadic bin counters and append — reads merge by SUM, answers come
+    * from the one-shot operator's own stage ([[graft.etl.GridStore]]).
+    * Exactly-once delivery is the scheduler's contract (counters, the
+    * CMS caveat). */
+  private def gridIngest(srcParquet: String, valueCol: String,
+      width: Double, storeDir: String): Unit = {
+    val spark = GraftSession.local()
+    val n = runGridIngest(spark, srcParquet, valueCol, width, storeDir)
+    println(s"grid-ingest: merged store holds $n bins -> $storeDir")
+    spark.stop()
+  }
+
+  /** Testable core of `grid-ingest` (the [[runCompact]] pattern). */
+  private[graft] def runGridIngest(spark: org.apache.spark.sql.SparkSession,
+      srcParquet: String, valueCol: String, width: Double,
+      storeDir: String): Long = {
+    val store = new graft.etl.GridStore(spark, storeDir, width)
+    store.ingest(spark.read.parquet(srcParquet), valueCol)
+    store.bins.count()
   }
 
   /** Dump the formatted physical plan for one registry query (or every

@@ -154,3 +154,73 @@ final class HllStore(spark: SparkSession, storeDir: String,
     ParquetStore.compact(spark, storeDir, merged, targetFileBytes)
   }
 }
+
+/** Grid-percentile bin store — the third mergeable sketch under the
+  * shared discipline: [[graft.operators.Profiling.gridPercentile]]'s
+  * state is one counter per non-empty dyadic bin, counters SUM across
+  * batches (the CMS merge), and the store answers any percentile from
+  * the merged counters via the IDENTICAL answer stage the one-shot
+  * operator uses ([[graft.operators.Profiling.gridPercentileFromBins]]
+  * — store ≡ one-shot by shared plan, not by reimplementation). This
+  * is the percentile a 100 TB ingest pipeline can actually afford to
+  * keep warm: the exact `percentile` aggregate would re-scan the
+  * corpus per question; the bin store folds each arriving batch once
+  * and answers every later p from ≤ range/width counter rows.
+  * Counters count occurrences, so exactly-once delivery is the ingest
+  * contract (the [[CmsStore]] caveat, not the idempotent [[HllStore]]
+  * one). The dyadic width rides as column metadata — reopening at a
+  * different width fails fast instead of silently mis-binning. */
+final class GridStore(spark: SparkSession, storeDir: String,
+    width: Double) {
+  require(graft.operators.Profiling.isDyadic(width),
+    s"GridStore width must be a power of two, got $width")
+
+  private val widthMeta = new MetadataBuilder()
+    .putDouble("grid_width", width).build()
+
+  private def storeExists: Boolean =
+    ParquetStore.gatedExists(spark, storeDir, "grid store")
+
+  private def checkedRead(): DataFrame = {
+    val df = spark.read.parquet(storeDir)
+    df.schema.fields.find(_.name == "n").map(_.metadata)
+      .filter(_.contains("grid_width")).foreach { m =>
+        require(m.getDouble("grid_width") == width,
+          s"grid store $storeDir was built at width=" +
+            s"${m.getDouble("grid_width")} but opened at width=$width " +
+            "— bins would mis-align; open with the build width")
+      }
+    df
+  }
+
+  /** Append one batch's bin counters (≤ batch-range/width rows — the
+    * batch folds to its sketch BEFORE anything is written). */
+  def ingest(rows: DataFrame, valueCol: String): Unit = {
+    if (storeExists) checkedRead() // fail fast on a width mismatch
+    graft.operators.Profiling.gridBins(rows, valueCol, width)
+      .select(col("bin"), col("n").as("n", widthMeta))
+      .write.mode(SaveMode.Append).parquet(storeDir)
+  }
+
+  /** The merged counter frame: bin counts SUM across appends. */
+  def bins: DataFrame = {
+    val b =
+      if (storeExists) checkedRead()
+      else spark.range(0).select(col("id").as("bin"), col("id").as("n"))
+    b.groupBy(col("bin")).agg(sum(col("n")).as("n"))
+  }
+
+  /** Percentile answers over everything ingested — the one-shot
+    * operator's answer stage on the merged counters. */
+  def percentiles(ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"percentile points must be in (0, 1], got $ps")
+    graft.operators.Profiling.gridPercentileFromBins(bins, width, ps)
+  }
+
+  /** Merge-on-compact ([[CmsStore.compact]]). */
+  def compact(targetFileBytes: Long = 128L << 20): (Long, Long) = {
+    val merged = bins.select(col("bin"), col("n").as("n", widthMeta))
+    ParquetStore.compact(spark, storeDir, merged, targetFileBytes)
+  }
+}

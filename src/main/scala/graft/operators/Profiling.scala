@@ -51,7 +51,7 @@ object Profiling {
   /** True iff `w` is an exact power of two (2^k, k any integer) —
     * the widths for which IEEE division is a pure exponent shift, so
     * `floor(x / w)` is bit-identical on every engine. */
-  private def isDyadic(w: Double): Boolean =
+  private[graft] def isDyadic(w: Double): Boolean =
     w > 0 && java.lang.Double.isFinite(w) &&
       (java.lang.Double.doubleToLongBits(w) & 0x000fffffffffffffL) == 0L
 
@@ -279,8 +279,17 @@ object Profiling {
         s"bucketing, got $width")
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
       s"percentile points must be in (0, 1], got $ps")
+    gridPercentileFromBins(gridBins(df, valueCol, width), width, ps)
+  }
+
+  /** [[gridPercentile]]'s answer stage over an ALREADY-BUILT (bin, n)
+    * counter frame — the entry point for durable/streaming bin stores
+    * ([[graft.etl.GridStore]]), which accumulate [[gridBins]] state
+    * and answer percentiles from the merged counters. Same plan from
+    * here down, so store answers ≡ one-shot by construction. */
+  private[graft] def gridPercentileFromBins(bins: DataFrame,
+      width: Double, ps: Seq[Double]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bins = gridBins(df, valueCol, width)
     val cum = bins.withColumn("cum",
       sum(col("n")).over(Window.orderBy(col("bin"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

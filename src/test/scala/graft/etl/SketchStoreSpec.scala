@@ -91,4 +91,47 @@ class SketchStoreSpec extends SparkSpec {
     val n2 = graft.Main.runHllIngest(spark, src, "grp", "h", base + "/hll")
     assert(n2 == 3L) // one estimate row per group
   }
+
+  // a value stream for the grid store: 400 doubles over [0, 50)
+  private def values = spark.range(400)
+    .select((col("id") % 200L).cast("double") / 4.0).toDF("v")
+
+  test("Grid: batch-split ingest answers EXACTLY the one-shot " +
+    "percentiles; compact keeps them") {
+    val dir = Files.createTempDirectory("graft_grid_store").toString + "/store"
+    val store = new GridStore(spark, dir, width = 0.5)
+    store.ingest(values.where(col("v") < 25.0), "v")
+    store.ingest(values.where(col("v") >= 25.0), "v")
+    val ps = Seq(0.25, 0.5, 0.99)
+    def ans(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val oneShot = ans(graft.operators.Profiling.gridPercentile(
+      values, "v", width = 0.5, ps = ps))
+    assert(ans(store.percentiles(ps)) == oneShot)
+    val (before, after) = store.compact(targetFileBytes = 1L << 20)
+    assert(before > after, s"compact $before -> $after files")
+    assert(ans(store.percentiles(ps)) == oneShot)
+  }
+
+  test("Grid: reopening at a different width fails fast; non-dyadic " +
+    "width rejected") {
+    val dir = Files.createTempDirectory("graft_grid_store2").toString + "/store"
+    new GridStore(spark, dir, width = 0.5).ingest(values, "v")
+    val wrong = new GridStore(spark, dir, width = 0.25)
+    val e = intercept[IllegalArgumentException] { wrong.ingest(values, "v") }
+    assert(e.getMessage.contains("width"))
+    intercept[IllegalArgumentException] { wrong.bins.collect() }
+    intercept[IllegalArgumentException] {
+      new GridStore(spark, dir, width = 0.3)
+    }
+  }
+
+  test("CLI core: grid-ingest appends and reports the merged bin count") {
+    val base = Files.createTempDirectory("graft_grid_cli").toString
+    val src = base + "/batch.parquet"
+    values.write.parquet(src)
+    val n = graft.Main.runGridIngest(spark, src, "v", 0.5, base + "/grid")
+    assert(n == 100L) // 200 distinct values / (0.5 width · 4 scale)
+  }
 }
