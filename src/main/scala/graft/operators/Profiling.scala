@@ -316,6 +316,71 @@ object Profiling {
       .groupBy(floor(col("v") / lit(width)).cast("long").as("bin"))
       .agg(count(lit(1)).as("n"))
 
+  /** Benford log10(1 + 1/d) shares as FIXED double literals (shared
+    * verbatim with the oracle SQL): both engines parse the same
+    * decimal string to the same nearest double, so no runtime log10 —
+    * a libm call whose last ulp varies by platform — ever runs. */
+  private[graft] val benfordShares: Seq[(Int, Double)] = Seq(
+    1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+    3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+    5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+    7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+    9 -> 0.04575749056067514)
+
+  /** BENFORD FIRST-DIGIT PROFILE — the data-forensics screen: natural
+    * multi-decade measurements (prices, populations, file sizes)
+    * follow Benford's law, `P(d) = log10(1 + 1/d)`; fabricated,
+    * clipped, or unit-glitched feeds don't. Per column: observed
+    * first-significant-digit counts, shares, the Benford expectation,
+    * and the absolute deviation — a column whose deviations are large
+    * ACROSS digits earns a human look before it trains anything. (A
+    * bounded-range column like a 1–50 quantity legitimately deviates;
+    * the profile is a screen, not a verdict — that contrast is why
+    * q120 profiles one of each.)
+    *
+    * Engine-portability, twice over: the first digit comes from the
+    * DECIMAL RENDERING of an exact integer (`floor` to BIGINT, cast
+    * to string, first char) — never from `log10`/`pow`, whose libm
+    * rounding varies — and the Benford expectations are fixed double
+    * LITERALS ([[benfordShares]]) shared verbatim with the oracle.
+    * Values below 1 are excluded (their first significant digit needs
+    * fractional rescaling — a different operator's contract), as are
+    * NULLs; shares divide exact counts once.
+    *
+    * Scale shape: row-local digit extraction, ONE partial-aggregated
+    * groupBy over ≤ 9·|cols| cells, the per-column total a window
+    * over that aggregate — nothing but counters crosses the wire. */
+  def benfordProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "benfordProfile needs at least one column")
+    val bad = cols.filterNot(df.columns.contains)
+    require(bad.isEmpty, s"unknown columns: $bad")
+    import org.apache.spark.sql.expressions.Window
+    val entries = cols.map { c =>
+      struct(lit(c).as("column_name"),
+        substring(floor(raw(c)).cast("long").cast("string"), 1, 1)
+          .cast("int").as("digit"),
+        when(raw(c) >= 1, lit(1L)).as("ok"))
+    }
+    val counts = df.select(explode(array(entries: _*)).as("e"))
+      .where(col("e.ok").isNotNull)
+      .groupBy(col("e.column_name").as("column_name"),
+        col("e.digit").as("digit"))
+      .agg(count(lit(1)).as("n_rows"))
+    val benford = benfordShares.tail.foldLeft(
+      when(col("digit") === benfordShares.head._1,
+        lit(benfordShares.head._2))) { case (acc, (d, p)) =>
+      acc.when(col("digit") === d, lit(p)) }
+    counts
+      .withColumn("n_col", sum(col("n_rows")).over(
+        Window.partitionBy(col("column_name"))))
+      .select(col("column_name"), col("digit"), col("n_rows"),
+        (col("n_rows").cast("double") / col("n_col").cast("double"))
+          .as("share"))
+      .withColumn("benford_share", benford)
+      .withColumn("abs_dev", abs(col("share") - col("benford_share")))
+      .orderBy(col("column_name"), col("digit"))
+  }
+
   /** ONE-PASS PEARSON CORRELATION MATRIX — `r` for every column pair
     * from exact fixed-point moment sums: each value floors to a
     * 2^-20 long (the repo-wide grid), and `n`, `Σx`, `Σx²`, `Σxy` are

@@ -85,4 +85,35 @@ object Skew {
       .groupBy(col(key), col("__salt")).agg(count(lit(1)).as("__partial"))
       .groupBy(col(key)).agg(sum(col("__partial")).as("n"))
   }
+
+  /** JOIN-BLOWUP PROFILER — the pre-flight for any fat equi-join:
+    * per join key, how many rows each side holds and the exact output
+    * mass `n_left · n_right` that key will emit, top-k keys by that
+    * product. This is the number that decides BEFORE the join whether
+    * to run it plain, [[saltedJoin]] it, or [[capHotKeys]] a side —
+    * run the profile (two cheap counts), not the join, to find out; a
+    * key whose product dwarfs the rest IS the straggler task the
+    * stage would stall on. Only keys present on BOTH sides appear
+    * (keys on one side emit nothing from an inner join), and NULL
+    * keys are excluded (SQL equality never matches them — the
+    * [[capHotKeys]] convention).
+    *
+    * Scale shape: each side folds to per-key counts map-side (the
+    * shuffle carries key cardinality, not rows); the count-frame join
+    * keys on the profiled key; the top-k is TakeOrderedAndProject
+    * (per-partition k-heaps — k rows cross, never the key space).
+    * Ties break on the key, pinned on both engines. `est_pairs` is an
+    * exact long product — two sides would need > 3·10^9 rows EACH on
+    * one key to overflow, a join no one should run. */
+  def joinBlowupProfile(left: DataFrame, right: DataFrame, key: String,
+      topK: Int = 20): DataFrame = {
+    require(topK > 0, s"topK=$topK must be positive")
+    def counts(df: DataFrame, as: String) =
+      df.where(col(key).isNotNull)
+        .groupBy(col(key)).agg(count(lit(1)).as(as))
+    counts(left, "n_left").join(counts(right, "n_right"), Seq(key))
+      .withColumn("est_pairs", col("n_left") * col("n_right"))
+      .orderBy(col("est_pairs").desc, col(key))
+      .limit(topK)
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Dec, Tables}
-import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Rules, Sampling, Scd, Scrub, SemiStructured, Similarity, Sketch, TextAnalysis}
+import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Rules, Sampling, Scd, Scrub, SemiStructured, Similarity, Sketch, Skew, TextAnalysis}
 
 /** EXT — the LLM-training-data-pipeline operators (SURVEY.md §2.11;
   * BASELINE.json north star) over the `documents` / `embeddings`
@@ -4081,6 +4081,83 @@ object Ext {
       FROM ch GROUP BY 1 ORDER BY channel
     """.trim))
 
+  // --------------------------------------------------------------- q119
+
+  /** q119 — join-blowup profiler ([[Skew.joinBlowupProfile]]): the
+    * pre-flight for a planned events self-join (sessionization /
+    * co-occurrence shapes) — per user, rows on each side and the
+    * exact pair mass the key would emit, top 20. The number that
+    * picks plain vs salted vs capped BEFORE the join runs; two
+    * partial-aggregated counts and a TakeOrderedAndProject, never the
+    * join itself. */
+  val q119: Q = Q(
+    "q119_join_blowup",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      Skew.joinBlowupProfile(e, e, "user_id", topK = 20)
+    },
+    Some("""
+      WITH l AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) n_left
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      r AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) n_right
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+      SELECT l.user_id, n_left, n_right,
+        n_left * n_right AS est_pairs
+      FROM l JOIN r USING (user_id)
+      ORDER BY est_pairs DESC, user_id LIMIT 20
+    """.trim))
+
+  // --------------------------------------------------------------- q120
+
+  /** q120 — Benford first-digit profile ([[Profiling.benfordProfile]]):
+    * observed vs expected first-significant-digit shares, the
+    * data-forensics screen for fabricated / clipped / unit-glitched
+    * feeds. Profiles the multi-decade `l_extendedprice` (tracks
+    * Benford) beside the bounded `l_quantity` (legitimately doesn't) —
+    * the screen-not-verdict contrast. Digit from exact-integer decimal
+    * rendering, expectations as fixed literals — no libm log10 in
+    * either engine. */
+  val q120: Q = Q(
+    "q120_benford_profile",
+    (s, d) =>
+      Profiling.benfordProfile(Tables.lineitem(s, d),
+        Seq("l_extendedprice", "l_quantity")),
+    Some("""
+      WITH e AS (
+        SELECT col, CAST(substring(CAST(CAST(floor(v) AS BIGINT)
+          AS VARCHAR), 1, 1) AS INT) digit
+        FROM (
+          SELECT 'l_extendedprice' col, l_extendedprice v FROM lineitem
+          UNION ALL SELECT 'l_quantity', l_quantity FROM lineitem) t
+        WHERE v >= 1),
+      c AS (
+        SELECT col column_name, digit, CAST(count(*) AS BIGINT) n_rows
+        FROM e GROUP BY 1, 2),
+      w AS (
+        SELECT *, CAST(sum(n_rows) OVER (PARTITION BY column_name)
+          AS BIGINT) n_col
+        FROM c),
+      x AS (
+        SELECT column_name, digit, n_rows,
+          CAST(n_rows AS DOUBLE) / CAST(n_col AS DOUBLE) AS share,
+          CASE digit
+            WHEN 1 THEN 0.3010299956639812e0
+            WHEN 2 THEN 0.17609125905568124e0
+            WHEN 3 THEN 0.12493873660829992e0
+            WHEN 4 THEN 0.09691001300805642e0
+            WHEN 5 THEN 0.07918124604762482e0
+            WHEN 6 THEN 0.06694678963061322e0
+            WHEN 7 THEN 0.05799194697768673e0
+            WHEN 8 THEN 0.05115252244738129e0
+            WHEN 9 THEN 0.04575749056067514e0 END AS benford_share
+        FROM w)
+      SELECT column_name, digit, n_rows, share, benford_share,
+        abs(share - benford_share) AS abs_dev
+      FROM x ORDER BY column_name, digit
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -4090,5 +4167,5 @@ object Ext {
       q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
       q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
       q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
-      q118)
+      q118, q119, q120)
 }

@@ -211,6 +211,21 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(out(("y", "z"))._2 + 1.0) < 1e-12)
   }
 
+  test("benfordProfile: first digits from integer rendering; sub-1 and " +
+    "NULL excluded; shares and fixed expectations by hand") {
+    val s = spark; import s.implicits._
+    // digits: 10→1, 1.5→1, 25→2, 9.9→9; 0.5 and NULL excluded
+    val df = (Seq(10.0, 1.5, 25.0, 9.9, 0.5).map(Some(_)) :+
+      (None: Option[Double])).map(Tuple1(_)).toDF("v")
+    val out = Profiling.benfordProfile(df, Seq("v")).collect()
+      .map(r => r.getInt(1) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out.keySet == Set(1, 2, 9))
+    assert(out(1) == ((2L, 0.5, 0.3010299956639812)))
+    assert(out(2) == ((1L, 0.25, 0.17609125905568124)))
+    assert(out(9) == ((1L, 0.25, 0.04575749056067514)))
+  }
+
   test("correlationMatrix rejects unknown or too-few columns") {
     val s = spark; import s.implicits._
     val df = Seq((1.0, 2.0)).toDF("a", "b")

@@ -57,4 +57,23 @@ class SkewSpec extends SparkSpec {
     val counts = Skew.saltedCount(hot, "k", salt = 8).collect()
     assert(counts.map(r => r.getInt(0) -> r.getLong(1)).toMap == Map(1 -> 500L))
   }
+
+  test("joinBlowupProfile: exact pair mass per shared key; NULL and " +
+    "one-side-only keys absent; top-k ties break on the key") {
+    val s = spark; import s.implicits._
+    val left = Seq[java.lang.Long](1L, 1L, 1L, 2L, 2L, 3L, null)
+      .toDF("k")
+    val right = Seq[java.lang.Long](1L, 1L, 2L, 2L, 2L, 4L, null)
+      .toDF("k")
+    val all = Skew.joinBlowupProfile(left, right, "k", topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // k=1: 3·2 = 6; k=2: 2·3 = 6 (tie → key asc); 3 and 4 are
+    // one-sided (emit nothing), NULLs never match
+    assert(all.toSeq == Seq((1L, 3L, 2L, 6L), (2L, 2L, 3L, 6L)))
+    // topK truncates after the sort
+    val top1 = Skew.joinBlowupProfile(left, right, "k", topK = 1)
+      .collect()
+    assert(top1.length == 1 && top1(0).getLong(0) == 1L)
+  }
 }
