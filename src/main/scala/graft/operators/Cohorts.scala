@@ -168,4 +168,42 @@ object Cohorts {
       .groupBy(col("day")).agg(count(lit(1)).as("active_users"))
       .orderBy(col("day"))
   }
+
+  /** EVENT TRANSITION MATRIX — the first-order Markov view of user
+    * behavior: for every ordered in-session pair of consecutive
+    * events per user, count (from_type → to_type) and the conditional
+    * share `P(to | from)`. The product questions this one table
+    * answers: what follows an error (rage-quit vs retry), which step
+    * precedes purchase (the de-facto funnel the q73 spec didn't
+    * declare), and whether a release shifted the graph (diff two
+    * matrices — |types|² rows — instead of two event stores).
+    *
+    * Determinism: each user's stream orders by (time, event id) — the
+    * id tiebreak pins simultaneous events, so `lag` is reproducible
+    * on both engines; first events have no predecessor and drop
+    * (transitions, not visits, are the subject). The share divides
+    * exact counts once, windowed over the ≤ |types|² aggregate.
+    *
+    * Scale shape: ONE hash exchange on the user + per-user sort (the
+    * honest cost of sequence order — q34's sessionize shape); the
+    * transition rollup partial-aggregates to ≤ |types|² counters and
+    * the share window runs over that aggregate, never the stream. */
+  def transitionMatrix(events: DataFrame, userCol: String,
+      timeCol: String, typeCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Window.partitionBy(col(userCol))
+      .orderBy(col(timeCol), col(idCol))
+    val paired = events
+      .select(col(userCol), col(timeCol), col(typeCol), col(idCol))
+      .withColumn("__prev", lag(col(typeCol), 1).over(perUser))
+      .where(col("__prev").isNotNull)
+    paired
+      .groupBy(col("__prev").as("from_type"),
+        col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(
+          Window.partitionBy(col("from_type"))).cast("double"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
 }

@@ -69,4 +69,45 @@ object Scrub {
       regexp_replace(
         regexp_replace(col(textCol), urlRe, "<URL>"),
         ipv4Re, "<IP>").as("redacted"))
+
+  /** K-ANONYMITY / L-DIVERSITY AUDIT — the privacy gate's other half
+    * ([[redactPii]] masks direct identifiers; this measures
+    * RE-IDENTIFICATION risk from the quasi-identifiers that remain):
+    * a quasi-identifier combination shared by fewer than `k` rows
+    * pinpoints individuals (k-anonymity), and a group whose sensitive
+    * column holds fewer than `l` distinct values leaks the attribute
+    * even when the group is large (l-diversity — everyone in the
+    * group shares the secret). Output: one row per VIOLATING
+    * quasi-group with its size and distinct-sensitive count, the
+    * worklist a release gate suppresses or generalizes before data
+    * leaves the curation boundary.
+    *
+    * NULL semantics: NULL quasi-values group together (a missing zip
+    * is itself a quasi-identifier value); the distinct-sensitive
+    * count uses the [[Rules.fdAudit]] pair-fold convention — NULL is
+    * a DISTINCT assertion, so `{x, NULL}` counts 2 (a null-sensitive
+    * row still separates the group), making the l-gate conservative
+    * in the safe direction.
+    *
+    * Scale shape: one partial-aggregated pass to (quasi…, sensitive)
+    * pair counts — the shuffle carries pair cardinality, not rows —
+    * then a |pairs|-keyed fold to group stats; the violation filter
+    * prunes before anything is ordered. */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Long = 5L, l: Long = 2L): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 1 && l >= 1, s"need k >= 1 and l >= 1, got k=$k l=$l")
+    val bad = (quasiCols :+ sensitiveCol).filterNot(df.columns.contains)
+    require(bad.isEmpty, s"unknown columns: $bad")
+    val qs = quasiCols.map(col)
+    val pairs = df.groupBy(qs :+ col(sensitiveCol).as("__s"): _*)
+      .agg(count(lit(1)).as("__rows"))
+    pairs.groupBy(qs: _*)
+      .agg(sum(col("__rows")).as("n_rows"),
+        count(lit(1)).as("n_distinct_sensitive"))
+      .withColumn("k_violation", col("n_rows") < k)
+      .withColumn("l_violation", col("n_distinct_sensitive") < l)
+      .where(col("k_violation") || col("l_violation"))
+      .orderBy(quasiCols.map(c => col(c).asc_nulls_first): _*)
+  }
 }

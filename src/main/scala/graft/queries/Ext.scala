@@ -4158,6 +4158,65 @@ object Ext {
       FROM x ORDER BY column_name, digit
     """.trim))
 
+  // --------------------------------------------------------------- q121
+
+  /** q121 — k-anonymity / l-diversity audit
+    * ([[Scrub.kAnonymityAudit]]): the privacy gate's measurement half
+    * (q33 masks direct identifiers; this measures re-identification
+    * risk from what remains) — every (lang, source) quasi-group with
+    * fewer than 5 rows or fewer than 2 distinct sensitive values is a
+    * release-gate worklist row. Pair-fold shuffle carries cardinality,
+    * not rows; NULL sensitive counts as distinct (conservative in the
+    * safe direction). */
+  val q121: Q = Q(
+    "q121_k_anonymity",
+    (s, d) =>
+      Scrub.kAnonymityAudit(Tables.documents(s, d),
+        Seq("lang", "source"), "n_chars", k = 5L, l = 2L),
+    Some("""
+      WITH p AS (
+        SELECT lang, source, n_chars AS sv, CAST(count(*) AS BIGINT) r
+        FROM documents GROUP BY 1, 2, 3),
+      g AS (
+        SELECT lang, source, CAST(sum(r) AS BIGINT) n_rows,
+          CAST(count(*) AS BIGINT) n_distinct_sensitive
+        FROM p GROUP BY 1, 2)
+      SELECT lang, source, n_rows, n_distinct_sensitive,
+        (n_rows < 5) AS k_violation,
+        (n_distinct_sensitive < 2) AS l_violation
+      FROM g WHERE n_rows < 5 OR n_distinct_sensitive < 2
+      ORDER BY lang NULLS FIRST, source NULLS FIRST
+    """.trim))
+
+  // --------------------------------------------------------------- q122
+
+  /** q122 — event transition matrix ([[Cohorts.transitionMatrix]]):
+    * the first-order Markov view of the event stream — per
+    * (from_type, to_type), consecutive-pair counts and `P(to|from)`.
+    * One user-keyed exchange + sort (the q34 sessionize shape), then
+    * everything runs on the ≤ |types|² aggregate; the (ts, event_id)
+    * tiebreak pins simultaneous events on both engines. */
+  val q122: Q = Q(
+    "q122_transition_matrix",
+    (s, d) =>
+      Cohorts.transitionMatrix(Tables.events(s, d), "user_id", "ts",
+        "event_type", "event_id"),
+    Some("""
+      WITH o AS (
+        SELECT user_id, event_type,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS prev
+        FROM events),
+      c AS (
+        SELECT prev AS from_type, event_type AS to_type,
+          CAST(count(*) AS BIGINT) n
+        FROM o WHERE prev IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+        CAST(n AS DOUBLE) /
+          CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+      FROM c ORDER BY from_type, to_type
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -4167,5 +4226,5 @@ object Ext {
       q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
       q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
       q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
-      q118, q119, q120)
+      q118, q119, q120, q121, q122)
 }

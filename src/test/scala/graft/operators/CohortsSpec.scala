@@ -109,4 +109,24 @@ class CohortsSpec extends SparkSpec {
       ("2024-07-08", 1L),  // only u2's 07-08 — day 1 coverage ended 07-07
       ("2024-07-09", 2L))) // u2 (via 07-08) + u3; no ghost days past 07-09
   }
+
+  test("transitionMatrix: per-user consecutive pairs; id pins " +
+    "simultaneous events; first events drop; shares condition on from") {
+    val s = spark; import s.implicits._
+    // u1: a→b→b ; u2: a→c plus a SIMULTANEOUS pair at t=1 where the
+    // event_id order (10 then 11) decides a→c, not c→a
+    val events = Seq(
+      (1L, 1L, "a", 1L), (1L, 2L, "b", 2L), (1L, 3L, "b", 3L),
+      (2L, 1L, "a", 10L), (2L, 1L, "c", 11L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val out = Cohorts.transitionMatrix(events, "user_id", "ts",
+      "event_type", "event_id").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // transitions: u1 a→b, b→b; u2 a→c (id-ordered). From 'a': 2
+    // total → p = .5 each; from 'b': 1 total → p = 1.
+    assert(out == Map(
+      ("a", "b") -> ((1L, 0.5)), ("a", "c") -> ((1L, 0.5)),
+      ("b", "b") -> ((1L, 1.0))))
+  }
 }

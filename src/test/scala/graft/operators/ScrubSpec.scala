@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Privacy-audit semantics (the q121 operator; redaction bulk
+  * correctness is the q33/q38 oracle gate, and the streaming twin
+  * drives the redactors in CurateStreamSpec). */
+class ScrubSpec extends SparkSpec {
+
+  test("kAnonymityAudit: small groups violate k, uniform-sensitive " +
+    "groups violate l, clean groups are absent; NULL sensitive is a " +
+    "distinct assertion") {
+    val s = spark; import s.implicits._
+    val df = Seq[(String, String, java.lang.Long)](
+      // ("z1", "m"): 5 rows, 2 sensitive values — clean
+      ("z1", "m", 1L), ("z1", "m", 1L), ("z1", "m", 2L),
+      ("z1", "m", 2L), ("z1", "m", 2L),
+      // ("z1", "f"): 2 rows — k-violation (also l-clean: 2 values)
+      ("z1", "f", 1L), ("z1", "f", 2L),
+      // ("z2", "m"): 5 rows all sensitive=7 — l-violation only
+      ("z2", "m", 7L), ("z2", "m", 7L), ("z2", "m", 7L),
+      ("z2", "m", 7L), ("z2", "m", 7L),
+      // ("z2", "f"): 5 rows, {7, NULL} — NULL separates → l-clean
+      ("z2", "f", 7L), ("z2", "f", 7L), ("z2", "f", 7L),
+      ("z2", "f", 7L), ("z2", "f", null))
+      .toDF("zip", "sex", "sv")
+    val out = Scrub.kAnonymityAudit(df, Seq("zip", "sex"), "sv",
+      k = 5L, l = 2L).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5))))
+      .toMap
+    assert(out.keySet == Set(("z1", "f"), ("z2", "m")))
+    assert(out(("z1", "f"))  == ((2L, 2L, true, false)))
+    assert(out(("z2", "m"))  == ((5L, 1L, false, true)))
+  }
+
+  test("kAnonymityAudit rejects bad config and unknown columns") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a", 1L)).toDF("q", "sv")
+    intercept[IllegalArgumentException] {
+      Scrub.kAnonymityAudit(df, Seq(), "sv")
+    }
+    intercept[IllegalArgumentException] {
+      Scrub.kAnonymityAudit(df, Seq("q"), "nope")
+    }
+    intercept[IllegalArgumentException] {
+      Scrub.kAnonymityAudit(df, Seq("q"), "sv", k = 0L)
+    }
+  }
+}
