@@ -140,7 +140,28 @@ object Bench {
     "q99_vocab_coverage" -> 0.85,
     "q100_containment_pairs" -> 1.82,
     "q101_cross_containment" -> 1.39,
-    "q102_winsorize" -> 0.42)
+    "q102_winsorize" -> 0.42,
+    // r11 additions: best of the r11d/r11e canonicals (BASELINE.md)
+    "q103_temperature_mix" -> 0.34,
+    "q104_rule_audit" -> 0.43,
+    "q105_bigram_fluency" -> 1.23,
+    "q106_hard_negatives" -> 0.48,
+    "q107_intra_label_diversity" -> 0.53,
+    "q108_mad_outliers" -> 0.47,
+    "q109_json_field_stats" -> 0.72,
+    "q110_curation_funnel" -> 0.38,
+    "q111_grid_percentile" -> 0.4,
+    "q112_unigram_divergence" -> 0.77,
+    "q113_semantic_decontam" -> 0.47,
+    "q114_centroid_confusion" -> 0.64,
+    "q115_correlation_matrix" -> 1.14,
+    "q116_mixed_language" -> 0.79,
+    "q117_fd_audit" -> 0.3,
+    "q118_touch_attribution" -> 0.86,
+    "q119_join_blowup" -> 0.28,
+    "q120_benford_profile" -> 0.57,
+    "q121_k_anonymity" -> 0.29,
+    "q122_transition_matrix" -> 0.5)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3

@@ -143,4 +143,56 @@ object Retrieval {
       .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
       .orderBy(col("term"))
   }
+
+  /** RECIPROCAL-RANK FUSION — the standard hybrid-retrieval merge
+    * (Cormack et al.'s RRF, the default fusion of every modern
+    * lexical+semantic search stack): given two per-query rankings,
+    * score each candidate `Σ 1/(k + rank_i)` over the lists it
+    * appears in and re-rank. Rank-based on purpose — BM25 scores and
+    * cosines live on incomparable scales, and any score-normalization
+    * constant would be corpus-dependent; ranks are scale-free, and
+    * `k` (default 60, the published constant) damps the head so one
+    * list's top hit can't drown the other's consensus.
+    *
+    * Engine-exactness: each addend is one IEEE division of exact
+    * integers (`1/(k + rank)`), the two-addend sum is written in
+    * fixed a-then-b order, and the re-rank breaks score ties on
+    * doc_id — so the fused order is bit-reproducible on any engine.
+    *
+    * Scale shape: the inputs are ALREADY top-k frames (|queries|·k
+    * rows — the expensive retrieval happened upstream); the full-outer
+    * join keys on (query, doc) and the re-rank windows over ≤ 2k rows
+    * per query. Fusion cost is independent of corpus size — the whole
+    * point of fusing ranks instead of re-scoring documents.
+    *
+    * Inputs must both be (query_id, doc_id, rank) with rank ≥ 1;
+    * output: (query_id, doc_id, rank, rrf_score, rank_a, rank_b),
+    * topK rows per query, ordered. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(topK >= 1, s"topK=$topK must be >= 1")
+    Seq(a, b).foreach { df =>
+      val need = Set("query_id", "doc_id", "rank")
+      require(need.subsetOf(df.columns.toSet),
+        s"rrfFuse inputs need columns $need, got ${df.columns.toSeq}")
+    }
+    import org.apache.spark.sql.expressions.Window
+    val aa = a.select(col("query_id"), col("doc_id"),
+      col("rank").cast("int").as("rank_a"))
+    val bb = b.select(col("query_id"), col("doc_id"),
+      col("rank").cast("int").as("rank_b"))
+    val score =
+      coalesce(lit(1.0) / (lit(k) + col("rank_a")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(k) + col("rank_b")), lit(0.0))
+    aa.join(bb, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score", score)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_score").desc, col("doc_id"))))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        col("rrf_score"), col("rank_a"), col("rank_b"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

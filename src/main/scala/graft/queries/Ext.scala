@@ -4217,6 +4217,112 @@ object Ext {
       FROM c ORDER BY from_type, to_type
     """.trim))
 
+  // --------------------------------------------------------------- q123
+
+  /** q123 — hybrid retrieval with reciprocal-rank fusion
+    * ([[Retrieval.rrfFuse]]): for each stride query doc, fuse its
+    * SEMANTIC ranking (q20's exact cosine top-10) with its LEXICAL
+    * ranking (shingle-Jaccard top-10 via the q36 inverted index,
+    * self-match excluded) by `Σ 1/(60 + rank)` — the modern
+    * lexical+semantic search stack's default merge. Fusion cost is
+    * rank-based and corpus-size-independent; both upstream rankings
+    * reuse their operators' plans unchanged. The oracle replays all
+    * three stages from the shared fragments. */
+  val q123: Q = Q(
+    "q123_hybrid_rrf",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+      val docs = Tables.documents(s, d)
+      val sem = Similarity.cosineTopK(emb, k = 10, queryStride = 100)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      val queries = docs.where(col("doc_id") % 100 === 0)
+      val lex = Dedup.crossNgramJaccardPairs(queries, docs, "doc_id",
+          "text", threshold = 0.0, maxDf = 100)
+        .where(col("left_id") =!= col("right_id"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("left_id"))
+            .orderBy(col("jaccard").desc, col("right_id"))))
+        .where(col("rank") <= 10)
+        .select(col("left_id").as("query_id"),
+          col("right_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(sem, lex, k = 60, topK = 10)
+    },
+    Some(s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      $duckHashShingles,
+      hot AS (
+        SELECT hs FROM (
+          SELECT doc_id, hs FROM sh WHERE doc_id % 100 = 0
+          UNION ALL SELECT doc_id, hs FROM sh) u
+        GROUP BY hs HAVING count(*) > 100),
+      qa AS (
+        SELECT doc_id, hs FROM sh
+        WHERE doc_id % 100 = 0 AND hs NOT IN (SELECT hs FROM hot)),
+      cb AS (
+        SELECT doc_id, hs FROM sh
+        WHERE hs NOT IN (SELECT hs FROM hot)),
+      sza AS (SELECT doc_id, count(*) n FROM qa GROUP BY doc_id),
+      szb AS (SELECT doc_id, count(*) n FROM cb GROUP BY doc_id),
+      inter AS (
+        SELECT qa.doc_id da, cb.doc_id db, count(*) i
+        FROM qa JOIN cb USING (hs) GROUP BY 1, 2),
+      jac AS (
+        SELECT da, db,
+          (CAST(i AS DOUBLE) / (sza.n + szb.n - i)) AS jaccard
+        FROM inter
+        JOIN sza ON sza.doc_id = da
+        JOIN szb ON szb.doc_id = db
+        WHERE da <> db),
+      lex AS (
+        SELECT da AS query_id, db AS doc_id, rnk AS rank_b FROM (
+          SELECT da, db, row_number() OVER (PARTITION BY da
+            ORDER BY jaccard DESC, db) rnk
+          FROM jac) t
+        WHERE rnk <= 10),
+      e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        FROM embeddings),
+      n0 AS (
+        SELECT vec_id, v,
+          sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(v, x -> x * x)), (a, b) -> a + b)) nrm
+        FROM e),
+      nn AS (SELECT * FROM n0 WHERE nrm > 0),
+      q AS (SELECT vec_id query_id, v qv, nrm qn FROM nn
+        WHERE vec_id % 100 = 0),
+      sc AS (
+        SELECT query_id, c.vec_id doc_id,
+          (list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i])),
+             (x, y) -> x + y) / (qn * c.nrm)) AS cosine
+        FROM q, nn c WHERE c.vec_id <> query_id),
+      sem AS (
+        SELECT query_id, doc_id, rnk AS rank_a FROM (
+          SELECT query_id, doc_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, doc_id) rnk
+          FROM sc) t
+        WHERE rnk <= 10),
+      fused AS (
+        SELECT COALESCE(sem.query_id, lex.query_id) query_id,
+          COALESCE(sem.doc_id, lex.doc_id) doc_id,
+          CAST(sem.rank_a AS INT) rank_a, CAST(lex.rank_b AS INT) rank_b,
+          (COALESCE(1.0e0 / (60 + sem.rank_a), 0.0e0) +
+           COALESCE(1.0e0 / (60 + lex.rank_b), 0.0e0)) AS rrf_score
+        FROM sem FULL OUTER JOIN lex
+          ON sem.query_id = lex.query_id AND sem.doc_id = lex.doc_id)
+      SELECT query_id, doc_id, CAST(rnk AS INT) AS rank, rrf_score,
+        rank_a, rank_b
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY rrf_score DESC, doc_id) rnk
+        FROM fused) t
+      WHERE rnk <= 10
+      ORDER BY query_id, rank
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -4226,5 +4332,5 @@ object Ext {
       q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
       q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
       q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
-      q118, q119, q120, q121, q122)
+      q118, q119, q120, q121, q122, q123)
 }

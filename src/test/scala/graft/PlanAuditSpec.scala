@@ -683,7 +683,12 @@ class PlanAuditSpec extends SparkSpec {
       // q114: the label-centroid table collapses to ONE broadcast
       // array row appended per vector for row-local assignment —
       // assignCells' shape, the q21/q39 exception verbatim
-      "q114_centroid_confusion")
+      "q114_centroid_confusion",
+      // q123: the semantic arm IS q20's exact brute-force rung
+      // (cosineTopK reused unchanged), so its documented BNLJ rides
+      // along; the fusion itself joins two |queries|·k top-k frames
+      // by hash and is corpus-size-independent
+      "q123_hybrid_rrf")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()

@@ -109,4 +109,38 @@ class RetrievalSpec extends SparkSpec {
       ("b", 2L, Seq(1L, 3L)),
       ("c", 2L, Seq(4L, 5L))))
   }
+
+  test("rrfFuse: consensus beats a single-list head; one-list docs " +
+    "keep a null rank on the missing side; ties break on doc_id") {
+    val s = spark; import s.implicits._
+    // list A: d1 first, d2 second, d3 third; list B: d2 first, d3
+    // second (d1 absent from B)
+    val a = Seq((1L, 1L, 1), (1L, 2L, 2), (1L, 3L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 2L, 1), (1L, 3L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(a, b, k = 60, topK = 10).collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3),
+        if (r.isNullAt(4)) null else r.getInt(4),
+        if (r.isNullAt(5)) null else r.getInt(5)))
+    // d2: 1/62 + 1/61 ≈ .0325 beats d1's single 1/61 ≈ .0164;
+    // d3: 1/63 + 1/62 ≈ .0320 also beats d1
+    assert(out.map(t => (t._1, t._2)).toSeq ==
+      Seq((2L, 1), (3L, 2), (1L, 3)))
+    val byDoc = out.map(t => t._1 -> t).toMap
+    assert(byDoc(2L)._3 == 1.0 / 62 + 1.0 / 61)
+    assert(byDoc(1L)._3 == 1.0 / 61)            // absent side adds 0
+    assert(byDoc(1L)._4 == 1 && byDoc(1L)._5 == null)
+    assert(byDoc(3L)._4 == 3 && byDoc(3L)._5 == 2)
+  }
+
+  test("rrfFuse rejects malformed inputs") {
+    val s = spark; import s.implicits._
+    val ok = Seq((1L, 1L, 1)).toDF("query_id", "doc_id", "rank")
+    val badCols = Seq((1L, 1L)).toDF("query_id", "doc_id")
+    intercept[IllegalArgumentException] { Retrieval.rrfFuse(ok, badCols) }
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(ok, ok, k = 0)
+    }
+  }
 }
