@@ -677,6 +677,62 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** DISTINCT-N DIVERSITY — the standard lexical-diversity report of
+    * generation QA and corpus health (distinct-1/2/3 of the neural
+    * text-gen literature): per group, total vs distinct n-gram counts
+    * and their ratio, for n = 1..3 in ONE pass. A source whose
+    * distinct-2/3 ratios sit far below its peers is template mass —
+    * repeated boilerplate that q35's WITHIN-doc repetition signals
+    * can't see (each doc looks fine; the GROUP repeats) — and
+    * synthetic/model-generated feeds show exactly this collapse, which
+    * is why the metric gates generated training data.
+    *
+    * Scale shape: n-grams assemble ROW-LOCALLY (array transforms over
+    * the token array — no self-join, no window); one explode feeds one
+    * partial-aggregated groupBy(group, n). `exact = true` (the oracle
+    * gate) pays `countDistinct`'s expand; the 100 TB switch is
+    * `approx_count_distinct` (HLL, constant state) — [[zipfProfile]]'s
+    * exactDf argument verbatim. Docs shorter than n tokens contribute
+    * no n-grams (empty transform), and the ratio divides exact counts
+    * once.
+    *
+    * Output: (group, n, total_ngrams, distinct_ngrams, distinct_ratio)
+    * ordered. */
+  def distinctNgramDiversity(docs: DataFrame, groupCol: String,
+      textCol: String, exact: Boolean = true): DataFrame = {
+    val grams = docs.select(col(groupCol).as("g"),
+        TextHash.tokens(col(textCol)).as("w"))
+      .select(col("g"), explode(array(
+        struct(lit(1).as("n"), col("w").as("gr")),
+        // Spark's sequence(0, k) DESCENDS when k < 0, so a doc shorter
+        // than n tokens must short-circuit to an empty array
+        struct(lit(2).as("n"), expr(
+          "CASE WHEN size(w) >= 2 THEN " +
+            "transform(sequence(0, size(w) - 2), i -> " +
+            "concat(element_at(w, i + 1), ' ', element_at(w, i + 2))) " +
+            "ELSE slice(w, 1, 0) END").as("gr")),
+        struct(lit(3).as("n"), expr(
+          "CASE WHEN size(w) >= 3 THEN " +
+            "transform(sequence(0, size(w) - 3), i -> " +
+            "concat(element_at(w, i + 1), ' ', element_at(w, i + 2), " +
+            "' ', element_at(w, i + 3))) ELSE slice(w, 1, 0) END").as("gr"))))
+        .as("e"))
+      .select(col("g"), col("e.n").as("n"),
+        explode(col("e.gr")).as("gram"))
+    val distinctAgg =
+      if (exact) countDistinct(col("gram"))
+      else approx_count_distinct(col("gram"))
+    grams.groupBy(col("g"), col("n"))
+      .agg(count(lit(1)).as("total_ngrams"),
+        distinctAgg.as("distinct_ngrams"))
+      .withColumn("distinct_ratio",
+        col("distinct_ngrams").cast("double") /
+          col("total_ngrams").cast("double"))
+      .select(col("g").as(groupCol), col("n"), col("total_ngrams"),
+        col("distinct_ngrams"), col("distinct_ratio"))
+      .orderBy(col(groupCol), col("n"))
+  }
+
   /** UNIGRAM DISTRIBUTION DIVERGENCE — total-variation distance
     * between every pair of groups' unigram distributions:
     * `TV(a,b) = ½ Σ_t |p_a(t) − p_b(t)|` over the UNION vocabulary.

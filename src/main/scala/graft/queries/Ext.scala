@@ -4323,6 +4323,48 @@ object Ext {
       ORDER BY query_id, rank
     """.trim))
 
+  // --------------------------------------------------------------- q124
+
+  /** q124 — distinct-n diversity
+    * ([[TextAnalysis.distinctNgramDiversity]]): per-source total vs
+    * distinct 1/2/3-gram counts and ratios — the generation-QA
+    * lexical-diversity report, and the template-mass signal q35's
+    * within-doc repetition can't see (each doc looks fine; the GROUP
+    * repeats). Row-local n-gram assembly, one explode, one
+    * partial-aggregated groupBy; `approx_count_distinct` is the
+    * documented 100 TB switch. */
+  val q124: Q = Q(
+    "q124_distinct_ngrams",
+    (s, d) =>
+      TextAnalysis.distinctNgramDiversity(Tables.documents(s, d),
+        "source", "text"),
+    Some("""
+      WITH t AS (
+        SELECT source AS g,
+          list_filter(string_split_regex(trim(text), '\s+'),
+            x -> x <> '') w
+        FROM documents),
+      e AS (
+        SELECT g, 1 AS n, u.gram FROM t, LATERAL unnest(w) AS u(gram)
+        UNION ALL
+        SELECT g, 2, u.gram FROM t, LATERAL unnest(
+          CASE WHEN len(w) >= 2 THEN
+            list_transform(range(1, len(w)),
+              i -> w[i] || ' ' || w[i + 1])
+          ELSE [] END) AS u(gram)
+        UNION ALL
+        SELECT g, 3, u.gram FROM t, LATERAL unnest(
+          CASE WHEN len(w) >= 3 THEN
+            list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
+          ELSE [] END) AS u(gram))
+      SELECT g AS source, n, CAST(count(*) AS BIGINT) AS total_ngrams,
+        CAST(count(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+        CAST(count(DISTINCT gram) AS DOUBLE) / count(*)
+          AS distinct_ratio
+      FROM e GROUP BY 1, 2 ORDER BY source, n
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -4332,5 +4374,5 @@ object Ext {
       q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
       q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
       q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
-      q118, q119, q120, q121, q122, q123)
+      q118, q119, q120, q121, q122, q123, q124)
 }

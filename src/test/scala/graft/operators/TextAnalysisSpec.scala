@@ -300,6 +300,22 @@ class TextAnalysisSpec extends SparkSpec {
       assert((1 to 3).forall(i => out((s, i))._3 >= out((s, i + 1))._3))
   }
 
+  test("distinctNgramDiversity: n-gram totals and distincts by hand; " +
+    "docs shorter than n contribute no n-grams") {
+    val s = spark; import s.implicits._
+    val df = Seq(("s1", "a b a b"), ("s1", "x"))
+      .toDF("source", "text")
+    val out = TextAnalysis.distinctNgramDiversity(df, "source", "text")
+      .collect().map(r => r.getInt(1) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // 1-grams: a b a b x → 5 total, 3 distinct; 2-grams: "a b","b a",
+    // "a b" → 3 total, 2 distinct ("x" doc adds none);
+    // 3-grams: "a b a","b a b" → 2 total, 2 distinct
+    assert(out(1) == ((5L, 3L, 0.6)))
+    assert(out(2) == ((3L, 2L, 2.0 / 3.0)))
+    assert(out(3) == ((2L, 2L, 1.0)))
+  }
+
   test("unigramDivergence: hand-computed TV; identical distributions " +
     "score 0; disjoint-leaning pairs approach 1") {
     val s = spark; import s.implicits._
