@@ -273,13 +273,19 @@ object Profiling {
     *
     * Output: (p, n_values, target_rank, est_percentile), ordered. */
   def gridPercentile(df: DataFrame, valueCol: String, width: Double,
-      ps: Seq[Double]): DataFrame = {
+      ps: Seq[Double],
+      scope: graft.engine.CacheScope = graft.engine.CacheScope.unmanaged)
+      : DataFrame = {
     require(isDyadic(width),
       s"gridPercentile width must be a power of two for engine-exact " +
         s"bucketing, got $width")
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
       s"percentile points must be in (0, 1], got $ps")
-    gridPercentileFromBins(gridBins(df, valueCol, width), width, ps)
+    // the bin frame feeds BOTH the cumulative window and the one-row
+    // total — persisted, so the table scans once (PlanAuditSpec pins
+    // the single scan)
+    gridPercentileFromBins(
+      scope.persist(gridBins(df, valueCol, width)), width, ps)
   }
 
   /** [[gridPercentile]]'s answer stage over an ALREADY-BUILT (bin, n)

@@ -427,6 +427,55 @@ object Similarity {
       .orderBy(col("label_a"), col("label_b"))
   }
 
+  /** EMBEDDING HEALTH AUDIT — the pre-flight before any vector
+    * pipeline trusts a new embedding batch: per label, how many
+    * vectors are NULL, carry a NaN coordinate, have zero norm, or
+    * disagree on dimensionality (dim_min ≠ dim_max is a ragged batch —
+    * an encoder-version mix that poisons every dot product
+    * downstream), plus the mean L2 norm of the clean vectors (a norm
+    * scale shift is the classic silent encoder-swap signal the q96
+    * distribution drift then quantifies). Every ANN operator here
+    * silently DROPS zero-norm rows by contract; this is the operator
+    * that tells you how many you're dropping and from which slice.
+    *
+    * Exactness: NaN/zero/dim checks are row-local exact predicates;
+    * the mean norm avoids float accumulation (a distributed sum of
+    * doubles is order-dependent) by flooring each clean vector's
+    * fold-ordered norm to a 2^-20 long — the sum is then exact and
+    * the mean is one IEEE division, the repo-wide discipline. NULL
+    * and NaN vectors are excluded from the norm mean (their norm is
+    * not a number in the literal sense); a label with no clean
+    * vectors keeps a NULL mean (the qualityScores guard).
+    *
+    * Scale shape: ONE partial-aggregated pass; counters and a long
+    * sum per label, nothing else crosses the wire. */
+  def embeddingHealth(embeddings: DataFrame,
+      labelCol: String = "label", vecCol: String = "embedding")
+      : DataFrame = {
+    val v = col(vecCol)
+    val hasNan = v.isNotNull &&
+      expr(s"exists($vecCol, x -> isnan(CAST(x AS DOUBLE)))")
+    val clean = v.isNotNull && !hasNan
+    val nrm = VectorOps.norm(v)
+    val fpNorm = floor(nrm * lit(1048576.0)).cast("long")
+    embeddings.groupBy(col(labelCol).as("label"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum(when(v.isNull, 1L).otherwise(0L)).as("n_null"),
+        sum(when(hasNan, 1L).otherwise(0L)).as("n_nan"),
+        sum(when(clean && nrm === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        min(when(clean, size(v))).as("dim_min"),
+        max(when(clean, size(v))).as("dim_max"),
+        sum(when(clean, fpNorm)).as("__norm_fp"),
+        sum(when(clean, 1L).otherwise(0L)).as("__n_clean"))
+      .withColumn("mean_norm",
+        when(col("__n_clean") > 0,
+          (col("__norm_fp").cast("double") /
+            col("__n_clean").cast("double")) / lit(1048576.0)))
+      .drop("__norm_fp", "__n_clean")
+      .orderBy(col("label").asc_nulls_first)
+  }
+
   /** NEAREST-CENTROID CONFUSION MATRIX — label-space health check:
     * classify every vector to its nearest LABEL CENTROID by cosine and
     * cross-tabulate (true_label, predicted_label, n). The diagonal is

@@ -627,7 +627,8 @@ object TextAnalysis {
     * Output: (doc_id, n_chunks, n_lang_chunks, n_distinct_langs,
     * majority_lang, majority_share, is_mixed), ordered by doc_id. */
   def mixedLanguageFlags(docs: DataFrame, idCol: String,
-      textCol: String, chunkTokens: Int = 16): DataFrame = {
+      textCol: String, chunkTokens: Int = 16,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol).as("doc_id"),
@@ -642,12 +643,14 @@ object TextAnalysis {
           sum(when(col("t").isInCollection(ms), 1L).otherwise(0L))
             .as(s"c_$l") }: _*)
     val Seq(en, es, de, fr) = markerSets.map(m => col(s"c_${m._1}"))
-    val voted = perChunk.withColumn("lang_pred",
+    // the voted chunk frame feeds the totals AND the majority path —
+    // persisted so the token explode scans the corpus once
+    val voted = scope.persist(perChunk.withColumn("lang_pred",
       when(en === 0 && es === 0 && de === 0 && fr === 0, "und")
         .when(en >= es && en >= de && en >= fr, "en")
         .when(es >= de && es >= fr, "es")
         .when(de >= fr, "de")
-        .otherwise("fr"))
+        .otherwise("fr")))
     val chunkTotals = voted.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("lang_pred") =!= "und", 1L).otherwise(0L))

@@ -4365,6 +4365,53 @@ object Ext {
       FROM e GROUP BY 1, 2 ORDER BY source, n
     """.trim))
 
+  // --------------------------------------------------------------- q125
+
+  /** q125 — embedding health audit ([[Similarity.embeddingHealth]]):
+    * per label, NULL / NaN / zero-norm / ragged-dimension counts and
+    * the fixed-point mean L2 norm — the pre-flight that says how many
+    * rows the ANN ladder's zero-norm drop contract will discard and
+    * whether an encoder mix poisoned a slice. One partial-aggregated
+    * pass; the norm mean sums 2^-20 longs, never doubles. */
+  val q125: Q = Q(
+    "q125_embedding_health",
+    (s, d) =>
+      Similarity.embeddingHealth(Tables.embeddings(s, d)),
+    Some("""
+      WITH e AS (
+        SELECT label, embedding,
+          (embedding IS NULL) AS is_null,
+          (embedding IS NOT NULL AND len(list_filter(embedding,
+             x -> isnan(CAST(x AS DOUBLE)))) > 0) AS has_nan
+        FROM embeddings),
+      n AS (
+        SELECT label, is_null, has_nan,
+          (NOT is_null AND NOT has_nan) AS clean,
+          CASE WHEN NOT is_null AND NOT has_nan THEN
+            sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+              list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+              (a, b) -> a + b)) END AS nrm,
+          CASE WHEN NOT is_null AND NOT has_nan
+            THEN CAST(len(embedding) AS INT) END AS dim
+        FROM e)
+      SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+        CAST(sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_null,
+        CAST(sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_nan,
+        CAST(sum(CASE WHEN clean AND nrm = 0.0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_zero,
+        min(dim) AS dim_min, max(dim) AS dim_max,
+        CASE WHEN sum(CASE WHEN clean THEN 1 ELSE 0 END) > 0 THEN
+          (CAST(sum(CASE WHEN clean
+              THEN CAST(floor(nrm * 1048576.0) AS BIGINT) END)
+            AS DOUBLE) /
+           CAST(sum(CASE WHEN clean THEN 1 ELSE 0 END) AS DOUBLE))
+          / 1048576.0 END AS mean_norm
+      FROM n GROUP BY label ORDER BY label NULLS FIRST
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -4374,5 +4421,5 @@ object Ext {
       q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
       q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
       q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
-      q118, q119, q120, q121, q122, q123, q124)
+      q118, q119, q120, q121, q122, q123, q124, q125)
 }

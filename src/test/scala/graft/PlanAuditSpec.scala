@@ -587,6 +587,73 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window ["), p)
   }
 
+  test("q111: ONE cached bin frame feeds the cumulative window and " +
+    "the one-row total; the window input is the aggregate") {
+    assert(distinctCaches("q111_grid_percentile") == 1)
+    val p = plan("q111_grid_percentile")
+    assert(p.contains("InMemoryTableScan"), p)
+    // the cumulative window's input is the cached bin aggregate — it
+    // sits ABOVE the cache read in the tree
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window ["))
+    val memIdx = lines.indexWhere(_.contains("InMemoryTableScan"))
+    assert(winIdx >= 0 && memIdx >= 0 && winIdx < memIdx, p)
+  }
+
+  test("q112: ONE cached (source, term) count frame feeds both pair " +
+    "sides; totals broadcast") {
+    assert(distinctCaches("q112_unigram_divergence") == 1)
+    val p = plan("q112_unigram_divergence")
+    assert(p.contains("BroadcastHashJoin"), p) // |sources|-row totals
+    assert(!p.contains("Window ["), p)
+  }
+
+  test("q115: all pair moments come from ONE scan and one aggregate") {
+    val p = plan("q115_correlation_matrix")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("Window ["), p)
+    assert(!p.contains("Join"), p) // no joins at all — pure fold
+  }
+
+  test("q116: ONE cached chunk-vote frame feeds totals and majority") {
+    assert(distinctCaches("q116_mixed_language") == 1)
+    val p = plan("q116_mixed_language")
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
+  test("q119: the blowup top-k is TakeOrderedAndProject, never a sort " +
+    "of the key space") {
+    val p = plan("q119_join_blowup")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q122: one user-keyed exchange feeds the lag; the rollup ships " +
+    "counters") {
+    val p = plan("q122_transition_matrix")
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id")) == 1, p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q124: n-grams assemble row-locally — no join, no window, one " +
+    "scan") {
+    val p = plan("q124_distinct_ngrams")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window ["), p)
+  }
+
+  test("q125: the health audit is ONE partial-aggregated pass") {
+    val p = plan("q125_embedding_health")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window ["), p)
+  }
+
   test("q104: the FK parent broadcasts onto the child scan") {
     val p = plan("q104_rule_audit")
     assert(p.linesIterator.exists(l => l.contains("BroadcastHashJoin")

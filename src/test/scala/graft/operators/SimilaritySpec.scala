@@ -272,6 +272,32 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Map((1, 1) -> 2L, (1, 2) -> 1L, (2, 2) -> 2L))
   }
 
+  test("embeddingHealth: NULL / NaN / zero / ragged counts by hand; " +
+    "clean-only norm mean; all-dirty label keeps NULL stats") {
+    val s = spark; import s.implicits._
+    def f(xs: Double*) = xs.map(_.toFloat).toArray
+    val emb = Seq(
+      (1L, f(3, 4), Some(1)),                    // clean, norm 5
+      (2L, f(0, 0), Some(1)),                    // zero-norm (clean)
+      (3L, f(1, 0, 0), Some(1)),                 // ragged: dim 3
+      (4L, f(Double.NaN, 1), Some(1)),           // NaN
+      (5L, null.asInstanceOf[Array[Float]], Some(1)), // NULL vector
+      (6L, f(Double.NaN, 0), Some(2)))           // label 2: only dirt
+      .toDF("vec_id", "embedding", "label")
+    val r1 = Similarity.embeddingHealth(emb).where("label = 1")
+      .collect().head
+    // label 1: 5 vectors; 1 null, 1 nan, 1 zero; clean dims {2, 3};
+    // clean norms {5, 0, 1} → fp mean (5+0+1)·2^20/3 / 2^20 = 2.0
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3), r1.getLong(4),
+      r1.getInt(5), r1.getInt(6), r1.getDouble(7)) ==
+      ((5L, 1L, 1L, 1L, 2, 3, 2.0)))
+    // label 2: the NaN row is its only vector — no clean stats
+    val r2 = Similarity.embeddingHealth(emb).where("label = 2")
+      .collect().head
+    assert(r2.getLong(1) == 1L && r2.getLong(3) == 1L)
+    assert(r2.isNullAt(5) && r2.isNullAt(6) && r2.isNullAt(7))
+  }
+
   test("semanticOverlap ties break to the smallest eval id") {
     val s = spark; import s.implicits._
     def f(xs: Double*) = xs.map(_.toFloat).toArray
