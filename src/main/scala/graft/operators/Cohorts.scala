@@ -169,6 +169,55 @@ object Cohorts {
       .orderBy(col("day"))
   }
 
+  /** RFM SEGMENTATION — the classic customer-value grid (Recency /
+    * Frequency / Monetary): fold each user's activity to three
+    * metrics, quartile-bin each against the population, and code the
+    * segment — the table a retention team reads to pick who gets the
+    * win-back campaign (stale-but-valuable) vs the upsell
+    * (recent-and-frequent). Bins are 0..3 against the exact
+    * 25/50/75 percentiles, LOW to HIGH in the metric's raw order
+    * (recency_us is a timestamp, so bin 3 = most RECENT; the caller
+    * reads r_bin directionally); `segment = r·100 + f·10 + m`.
+    *
+    * Exactness: all three metrics are exact integers — recency an
+    * epoch-µs max, frequency a count, monetary in CENTS (each row's
+    * DECIMAL(12,2)·100 truncated to long — the [[graft.engine.Dec]]
+    * money rule, no float accumulation) — so the interpolated
+    * percentile thresholds are engine-exact (the q88 dyadic-on-
+    * integers argument) and the `<=` bin boundaries cannot flip.
+    *
+    * Scale shape: ONE partial-aggregated per-user pass; the 1-row
+    * threshold triple rides a broadcast scalar-append (q88's shape);
+    * binning is a row-local CASE. */
+  def rfmSegments(events: DataFrame, userCol: String, tsUsCol: String,
+      valueCol: String): DataFrame = {
+    val p = events.groupBy(col(userCol))
+      .agg(max(col(tsUsCol)).as("recency_us"),
+        count(lit(1)).as("frequency"),
+        sum((graft.engine.Dec.d2(col(valueCol)) * lit(100))
+          .cast("long")).as("monetary_cents"))
+    val th = p.agg(
+      expr("percentile(recency_us, array(0.25D, 0.5D, 0.75D))").as("qr"),
+      expr("percentile(frequency, array(0.25D, 0.5D, 0.75D))").as("qf"),
+      expr("percentile(monetary_cents, array(0.25D, 0.5D, 0.75D))")
+        .as("qm"))
+    def bin(c: Column, q: Column) =
+      when(c <= element_at(q, 1), 0)
+        .when(c <= element_at(q, 2), 1)
+        .when(c <= element_at(q, 3), 2)
+        .otherwise(3)
+    p.crossJoin(broadcast(th))
+      .select(col(userCol), col("recency_us"), col("frequency"),
+        col("monetary_cents"),
+        bin(col("recency_us"), col("qr")).cast("int").as("r_bin"),
+        bin(col("frequency"), col("qf")).cast("int").as("f_bin"),
+        bin(col("monetary_cents"), col("qm")).cast("int").as("m_bin"))
+      .withColumn("segment",
+        (col("r_bin") * 100 + col("f_bin") * 10 + col("m_bin"))
+          .cast("int"))
+      .orderBy(col(userCol))
+  }
+
   /** EVENT TRANSITION MATRIX — the first-order Markov view of user
     * behavior: for every ordered in-session pair of consecutive
     * events per user, count (from_type → to_type) and the conditional

@@ -121,6 +121,112 @@ object Drift {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** CUSUM CHANGEPOINT — the sustained-shift detector
+    * [[dailyVolumeAnomaly]] deliberately is not: a robust z-score
+    * flags single outlier DAYS, but a feed whose volume drifts up 20%
+    * and stays there never posts one extreme day — it posts many
+    * slightly-high ones, and the cumulative sum is what accumulates
+    * them. One-sided upper CUSUM per type over daily counts:
+    * `S_t = max(0, S_{t-1} + (n_t − μ − slack))` with μ the per-type
+    * MEDIAN daily count (robust center, the q83 pair) and `slack` the
+    * dead-band; alarm when `S_t > threshold`.
+    *
+    * The recurrence LOOKS inherently sequential, but it has an exact
+    * closed form over prefix sums — `S_t = P_t − min(0, min_{j≤t}
+    * P_j)` where `P` is the running sum of the deviations — so two
+    * same-keyed windows compute it with NO iteration and ONE
+    * exchange. Exactness: a median of integers is an integer or a
+    * half, so everything runs DOUBLED (`2n − 2μ − 2·slack` is an
+    * exact long), the windows sum/min exact longs, and the reported
+    * cusum divides by 2.0 once (an exponent shift).
+    *
+    * Scale shape: the corpus pass is the (type, day) count
+    * (partial-aggregated, persisted — the median and the window path
+    * both read it); windows key on the type, partitions of |days|
+    * rows. Output: (event_type, day, n_events, cusum, is_alarm),
+    * ordered. */
+  def cusumChangepoint(events: DataFrame, dayCol: Column,
+      typeCol: String, slack: Long = 0L, threshold: Long = 10L,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(slack >= 0 && threshold > 0,
+      s"need slack >= 0 and threshold > 0, got $slack/$threshold")
+    import org.apache.spark.sql.expressions.Window
+    val c = scope.persist(
+      events.select(dayCol.as("day"), col(typeCol).as("t"))
+        .groupBy(col("t"), col("day")).agg(count(lit(1)).as("n_events")))
+    val med = c.groupBy(col("t"))
+      .agg(expr("percentile(n_events, 0.5D)").as("m"))
+    val w = Window.partitionBy(col("t")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c.join(broadcast(med), Seq("t"))
+      .withColumn("x", lit(2L) * col("n_events") -
+        (lit(2.0) * col("m")).cast("long") - lit(2L * slack))
+      .withColumn("pp", sum(col("x")).over(w))
+      .withColumn("minpp", min(col("pp")).over(w))
+      .withColumn("s2", col("pp") - least(col("minpp"), lit(0L)))
+      .select(col("t").as("event_type"), col("day"), col("n_events"),
+        (col("s2").cast("double") / lit(2.0)).as("cusum"),
+        (col("s2") > lit(2L * threshold)).as("is_alarm"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** GRID KOLMOGOROV–SMIRNOV DISTANCE — the CDF-based sibling of
+    * [[histogramDrift]]'s L1: `D = max_bin |F_old − F_new|` over the
+    * shared dyadic grid. The two alarms disagree usefully: L1 totals
+    * mass moved anywhere (many small wiggles add up), KS is the
+    * largest CDF gap (one localized shift — a changed clipping bound,
+    * a new floor/cap — dominates it even when total moved mass is
+    * small), so drift dashboards run both. Distribution-free and
+    * log-free by nature, which is why it fits the repo's no-libm
+    * discipline where PSI/KL cannot.
+    *
+    * Exactness: `|cum_old·N_new − cum_new·N_old|` as DECIMAL(38,0)
+    * integers (the q112 cross-multiplication), the max an integer
+    * max, ONE IEEE division at the end. NULL values are absent from a
+    * CDF (dropped); either side empty → NULL distance, and the
+    * both-empty case still emits its one contract row (the
+    * [[histogramDrift]] ungrouped-fold rule).
+    *
+    * Scale shape: per-side bin counts partial-aggregate (bounded by
+    * range/width); the cumulative windows run over the merged bin
+    * frame, totals and the fold ride one-row broadcast appends.
+    * Output: ONE row (n_old, n_new, ks_distance). */
+  def gridKsDistance(oldDf: DataFrame, newDf: DataFrame,
+      valueCol: String, width: Double,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(width > 0 && java.lang.Double.isFinite(width) &&
+      (java.lang.Double.doubleToLongBits(width) & 0x000fffffffffffffL) == 0L,
+      s"gridKsDistance width must be a power of two, got $width")
+    import org.apache.spark.sql.expressions.Window
+    val dec = "DECIMAL(19,0)"
+    def counts(df: DataFrame, as: String) =
+      df.select(col(valueCol).as("v")).where(col("v").isNotNull)
+        .groupBy(floor(col("v") / lit(width)).cast("long").as("bin"))
+        .agg(count(lit(1)).as(as))
+    val a = counts(oldDf, "na")
+    val b = counts(newDf, "nb")
+    val bins = scope.persist(a.join(b, Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb")))
+    val tot = bins.agg(coalesce(sum(col("na")), lit(0L)).as("n_old"),
+      coalesce(sum(col("nb")), lit(0L)).as("n_new"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fold = bins
+      .withColumn("ca", sum(col("na")).over(w))
+      .withColumn("cb", sum(col("nb")).over(w))
+      .crossJoin(broadcast(tot))
+      .agg(max(abs(
+        expr(s"CAST(ca AS $dec) * CAST(n_new AS $dec)") -
+          expr(s"CAST(cb AS $dec) * CAST(n_old AS $dec)"))).as("num"))
+    tot.crossJoin(broadcast(fold))
+      .select(col("n_old"), col("n_new"),
+        when(col("n_old") > 0 && col("n_new") > 0,
+          col("num").cast("double") /
+            (col("n_old").cast("double") * col("n_new").cast("double")))
+          .as("ks_distance"))
+  }
+
   /** Counts-level entry: `byDay` is pre-aggregated (day, t, c) rows —
     * the form an ingest that already maintains per-type daily counters
     * (or a rollup sink) feeds directly, skipping the event-level

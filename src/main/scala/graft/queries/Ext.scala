@@ -4412,6 +4412,143 @@ object Ext {
       FROM n GROUP BY label ORDER BY label NULLS FIRST
     """.trim))
 
+  // --------------------------------------------------------------- q126
+
+  /** q126 — CUSUM changepoint ([[Drift.cusumChangepoint]]): the
+    * sustained-shift detector q83's robust z deliberately is not — a
+    * feed drifting up 20% posts many slightly-high days, never one
+    * extreme one; the cumulative sum accumulates them. The sequential
+    * `max(0, S+x)` recurrence runs as its exact prefix-sum closed form
+    * (`P − min(0, runmin P)`): two same-keyed windows, ONE exchange,
+    * doubled integers end to end. */
+  val q126: Q = Q(
+    "q126_cusum_changepoint",
+    (s, d) =>
+      Drift.cusumChangepoint(eventsUs(s, d),
+        to_date(timestamp_micros(col("ts_us"))), "event_type",
+        slack = 1L, threshold = 10L),
+    Some("""
+      WITH b AS (
+        SELECT CAST(ts AS DATE) AS day, event_type AS t FROM events),
+      c AS (
+        SELECT t, day, CAST(count(*) AS BIGINT) n FROM b GROUP BY 1, 2),
+      med AS (SELECT t, quantile_cont(n, 0.5) m FROM c GROUP BY 1),
+      x AS (
+        SELECT c.t, c.day, n,
+          CAST(2 * n - CAST(2.0e0 * m AS BIGINT) - 2 AS BIGINT) AS x
+        FROM c JOIN med ON med.t = c.t),
+      p AS (
+        SELECT t, day, n, CAST(sum(x) OVER (PARTITION BY t ORDER BY day
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pp
+        FROM x),
+      q AS (
+        SELECT t, day, n, pp, CAST(min(pp) OVER (PARTITION BY t
+          ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS minpp
+        FROM p)
+      SELECT t AS event_type, day, n AS n_events,
+        CAST(pp - least(minpp, 0) AS DOUBLE) / 2.0e0 AS cusum,
+        (pp - least(minpp, 0) > 20) AS is_alarm
+      FROM q ORDER BY event_type, day
+    """.trim))
+
+  // --------------------------------------------------------------- q127
+
+  /** q127 — grid KS distance ([[Drift.gridKsDistance]]): the largest
+    * CDF gap between the view and purchase value distributions on a
+    * dyadic quarter grid — q95's L1 totals moved mass, KS catches the
+    * one localized shift (a changed clip bound) that L1 dilutes.
+    * Exact cross-multiplied integer cumulatives, one IEEE division. */
+  val q127: Q = Q(
+    "q127_ks_drift",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      Drift.gridKsDistance(
+        e.where(col("event_type") === "view").select(col("value")),
+        e.where(col("event_type") === "purchase").select(col("value")),
+        "value", 0.25)
+    },
+    Some("""
+      WITH o AS (
+        SELECT CAST(floor(value / 0.25e0) AS BIGINT) bin
+        FROM events WHERE event_type = 'view' AND value IS NOT NULL),
+      nn AS (
+        SELECT CAST(floor(value / 0.25e0) AS BIGINT) bin
+        FROM events WHERE event_type = 'purchase'
+          AND value IS NOT NULL),
+      oc AS (SELECT bin, CAST(count(*) AS BIGINT) na FROM o GROUP BY 1),
+      nc AS (SELECT bin, CAST(count(*) AS BIGINT) nb FROM nn GROUP BY 1),
+      j AS (
+        SELECT COALESCE(oc.bin, nc.bin) AS bin,
+          COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+        FROM oc FULL OUTER JOIN nc ON oc.bin = nc.bin),
+      t AS (
+        SELECT CAST(COALESCE(sum(na), 0) AS BIGINT) n_old,
+          CAST(COALESCE(sum(nb), 0) AS BIGINT) n_new
+        FROM j),
+      c AS (
+        SELECT bin,
+          CAST(sum(na) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) ca,
+          CAST(sum(nb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) cb
+        FROM j),
+      f AS (
+        SELECT max(abs(CAST(ca AS HUGEINT) * t.n_new -
+          CAST(cb AS HUGEINT) * t.n_old)) AS num
+        FROM c CROSS JOIN t)
+      SELECT n_old, n_new,
+        CASE WHEN n_old > 0 AND n_new > 0 THEN
+          CAST(num AS DOUBLE) /
+            (CAST(n_old AS DOUBLE) * CAST(n_new AS DOUBLE)) END
+          AS ks_distance
+      FROM t CROSS JOIN f
+    """.trim))
+
+  // --------------------------------------------------------------- q128
+
+  /** q128 — RFM segmentation ([[Cohorts.rfmSegments]]) over purchase
+    * events: per-user recency/frequency/monetary folded in one pass,
+    * quartile-binned against exact integer percentiles (µs, counts,
+    * CENTS — the Dec money rule, no float accumulation), segment =
+    * r·100 + f·10 + m. One-row thresholds on the q88 broadcast
+    * scalar-append shape. */
+  val q128: Q = Q(
+    "q128_rfm_segments",
+    (s, d) =>
+      Cohorts.rfmSegments(
+        eventsUs(s, d).where(col("event_type") === "purchase"),
+        "user_id", "ts_us", "value"),
+    Some("""
+      WITH p AS (
+        SELECT user_id,
+          CAST(max(epoch_us(ts)) AS BIGINT) recency_us,
+          CAST(count(*) AS BIGINT) frequency,
+          CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+            AS BIGINT) monetary_cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      t AS (
+        SELECT quantile_cont(recency_us, [0.25, 0.5, 0.75]) qr,
+          quantile_cont(frequency, [0.25, 0.5, 0.75]) qf,
+          quantile_cont(monetary_cents, [0.25, 0.5, 0.75]) qm
+        FROM p),
+      b AS (
+        SELECT user_id, recency_us, frequency, monetary_cents,
+          CAST(CASE WHEN recency_us <= qr[1] THEN 0
+            WHEN recency_us <= qr[2] THEN 1
+            WHEN recency_us <= qr[3] THEN 2 ELSE 3 END AS INT) r_bin,
+          CAST(CASE WHEN frequency <= qf[1] THEN 0
+            WHEN frequency <= qf[2] THEN 1
+            WHEN frequency <= qf[3] THEN 2 ELSE 3 END AS INT) f_bin,
+          CAST(CASE WHEN monetary_cents <= qm[1] THEN 0
+            WHEN monetary_cents <= qm[2] THEN 1
+            WHEN monetary_cents <= qm[3] THEN 2 ELSE 3 END AS INT) m_bin
+        FROM p CROSS JOIN t)
+      SELECT user_id, recency_us, frequency, monetary_cents,
+        r_bin, f_bin, m_bin,
+        CAST(r_bin * 100 + f_bin * 10 + m_bin AS INT) AS segment
+      FROM b ORDER BY user_id
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -4421,5 +4558,5 @@ object Ext {
       q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
       q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
       q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
-      q118, q119, q120, q121, q122, q123, q124, q125)
+      q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128)
 }

@@ -751,6 +751,13 @@ class PlanAuditSpec extends SparkSpec {
       // array row appended per vector for row-local assignment —
       // assignCells' shape, the q21/q39 exception verbatim
       "q114_centroid_confusion",
+      // q128: the ONE-ROW quartile-threshold triple appended to the
+      // per-user fold for the row-local bin CASE - q88's shape
+      "q128_rfm_segments",
+      // q127: the ONE-ROW totals appended to the cumulative frame for
+      // the cross-multiplied fold, then one-row x one-row for the
+      // contract row - histogramDrift's scalar-append shape verbatim
+      "q127_ks_drift",
       // q123: the semantic arm IS q20's exact brute-force rung
       // (cosineTopK reused unchanged), so its documented BNLJ rides
       // along; the fusion itself joins two |queries|·k top-k frames

@@ -110,6 +110,25 @@ class CohortsSpec extends SparkSpec {
       ("2024-07-09", 2L))) // u2 (via 07-08) + u3; no ghost days past 07-09
   }
 
+  test("rfmSegments: exact integer quartile bins by hand; cents " +
+    "truncate exactly; constant metric bins everyone 0") {
+    val s = spark; import s.implicits._
+    // 4 users, one purchase each: recency 1..4, value 1.00..4.00 —
+    // quartiles of {1,2,3,4} interpolate to 1.75/2.5/3.25, so bins
+    // are 0,1,2,3; frequency is constant 1 → everyone bins 0
+    val ev = Seq(
+      (1L, 1L, 1.00), (2L, 2L, 2.00), (3L, 3L, 3.00), (4L, 4L, 4.00))
+      .toDF("user_id", "ts_us", "value")
+    val out = Cohorts.rfmSegments(ev, "user_id", "ts_us", "value")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getInt(4), r.getInt(5), r.getInt(6),
+          r.getInt(7)))).toMap
+    assert(out(1L) == ((100L, 0, 0, 0, 0)))
+    assert(out(2L) == ((200L, 1, 0, 1, 101)))
+    assert(out(3L) == ((300L, 2, 0, 2, 202)))
+    assert(out(4L) == ((400L, 3, 0, 3, 303)))
+  }
+
   test("transitionMatrix: per-user consecutive pairs; id pins " +
     "simultaneous events; first events drop; shares condition on from") {
     val s = spark; import s.implicits._

@@ -138,4 +138,45 @@ class DriftSpec extends SparkSpec {
     val a3 = a.unionAll(a).unionAll(a)
     assert(fp(a3, b) == fp(a, b))
   }
+
+  test("cusumChangepoint: the prefix-sum closed form replays the " +
+    "max(0, S+x) recurrence by hand; sustained shift alarms, the " +
+    "pre-shift days don't") {
+    val s = spark; import s.implicits._
+    // one type, 6 days: counts 5,5,5 then 8,8,8 — median 6.5.
+    // x = 2n-13: -3,-3,-3,+3,+3,+3; S = 0,0,0,1.5,3,4.5
+    val ev = Seq(5, 5, 5, 8, 8, 8).zipWithIndex.flatMap {
+      case (n, d) => Seq.fill(n)((java.sql.Date.valueOf(
+        f"2024-01-${d + 1}%02d"), "t"))
+    }.toDF("day", "event_type")
+    val out = Drift.cusumChangepoint(ev, col("day"), "event_type",
+      slack = 0L, threshold = 2L).collect()
+      .map(r => r.getDate(1).toString ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out("2024-01-01") == ((5L, 0.0, false)))
+    assert(out("2024-01-03") == ((5L, 0.0, false)))
+    assert(out("2024-01-04") == ((8L, 1.5, false))) // accumulating
+    assert(out("2024-01-05") == ((8L, 3.0, true)))  // > threshold 2
+    assert(out("2024-01-06") == ((8L, 4.5, true)))
+  }
+
+  test("gridKsDistance: disjoint distributions score 1; empty sides " +
+    "keep the one-row NULL contract") {
+    val s = spark; import s.implicits._
+    val a = Seq(0.1, 0.3).toDF("value")
+    val b = Seq(0.6, 0.9).toDF("value")
+    val r = Drift.gridKsDistance(a, b, "value", 0.25).collect()
+    assert(r.length == 1)
+    assert((r(0).getLong(0), r(0).getLong(1), r(0).getDouble(2)) ==
+      ((2L, 2L, 1.0)))
+    // identical distributions → 0
+    val same = Drift.gridKsDistance(a, a, "value", 0.25).collect()(0)
+    assert(same.getDouble(2) == 0.0)
+    // one side empty → NULL distance, row still emitted
+    val empty = a.where("value > 99")
+    val e1 = Drift.gridKsDistance(a, empty, "value", 0.25).collect()
+    assert(e1.length == 1 && e1(0).getLong(1) == 0L && e1(0).isNullAt(2))
+    val e2 = Drift.gridKsDistance(empty, empty, "value", 0.25).collect()
+    assert(e2.length == 1 && e2(0).isNullAt(2))
+  }
 }
