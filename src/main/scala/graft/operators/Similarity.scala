@@ -427,6 +427,42 @@ object Similarity {
       .orderBy(col("label_a"), col("label_b"))
   }
 
+  /** TOP-K RECALL — the index-quality gauge of every ANN deployment:
+    * per query, what fraction of the REFERENCE ranking's neighbors the
+    * CANDIDATE ranking recovered. This is the number that justifies an
+    * approximate index in production ("recall@5 ≥ 0.95 at 4 probes"),
+    * and the one to re-measure after every `index` maintenance cycle —
+    * recall decays as frozen codebooks drift from the data
+    * ([[graft.operators.Quantize]]'s maintenance contract), and this
+    * operator is the detector. Rank-agnostic set overlap on purpose:
+    * recall is the retrieval guarantee; rank fidelity within the hit
+    * set is [[graft.operators.Retrieval.rrfFuse]]'s concern.
+    *
+    * Scale shape: both inputs are top-k frames (|queries|·k rows —
+    * the expensive retrieval already happened); one hash join on
+    * (query, neighbor), one partial-aggregated rollup. The recall is
+    * one IEEE division of exact counts. Queries absent from the
+    * candidate entirely (a probe miss) still report — recall 0, not a
+    * dropped row. */
+  def topKRecall(reference: DataFrame, candidate: DataFrame)
+      : DataFrame = {
+    Seq(reference, candidate).foreach { df =>
+      val need = Set("query_id", "neighbor_id")
+      require(need.subsetOf(df.columns.toSet),
+        s"topKRecall inputs need columns $need, got ${df.columns.toSeq}")
+    }
+    val ref = reference.select(col("query_id"), col("neighbor_id"))
+    val cand = candidate.select(col("query_id"), col("neighbor_id"))
+      .withColumn("__hit", lit(1L))
+    ref.join(cand, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_ref"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_ref").cast("double"))
+      .orderBy(col("query_id"))
+  }
+
   /** EMBEDDING HEALTH AUDIT — the pre-flight before any vector
     * pipeline trusts a new embedding batch: per label, how many
     * vectors are NULL, carry a NaN coordinate, have zero norm, or

@@ -312,6 +312,50 @@ object Ext {
       |  FROM c1),
       |c3 AS (SELECT * FROM c2 WHERE cn > 0)""".stripMargin
 
+  /** DuckDB fragment: the q39 IVF-probed top-5 ranking over the
+    * [[duckIvfQuantizer]] frames — shared by q39 and the q129 recall
+    * evaluation (which compares it against the exact ranking). */
+  private val duckIvfTopK5 =
+    """idx AS (
+      |  SELECT cell, vec_id AS neighbor_id FROM (
+      |    SELECT c.cent_id cell, n.vec_id,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |        (list_reduce(list_prepend(0.0::DOUBLE,
+      |           list_transform(range(1, len(n.v) + 1),
+      |             i -> n.v[i] * c.cv[i])),
+      |           (x, y) -> x + y) / (n.nrm * c.cn)) DESC, c.cent_id) AS probe
+      |    FROM n, c3 c) t
+      |  WHERE probe = 1),
+      |qa AS (
+      |  SELECT cell, vec_id AS query_id FROM (
+      |    SELECT c.cent_id cell, n.vec_id,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |        (list_reduce(list_prepend(0.0::DOUBLE,
+      |           list_transform(range(1, len(n.v) + 1),
+      |             i -> n.v[i] * c.cv[i])),
+      |           (x, y) -> x + y) / (n.nrm * c.cn)) DESC, c.cent_id) AS probe
+      |    FROM n, c3 c WHERE n.vec_id % 50 = 0) t
+      |  WHERE probe <= 4),
+      |cand AS (
+      |  SELECT DISTINCT qa.query_id, idx.neighbor_id
+      |  FROM qa JOIN idx ON qa.cell = idx.cell
+      |  WHERE qa.query_id <> idx.neighbor_id),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |    (list_reduce(list_prepend(0.0::DOUBLE,
+      |       list_transform(range(1, len(nq.v) + 1), i -> nq.v[i] * nc.v[i])),
+      |       (x, y) -> x + y) / (nq.nrm * nc.nrm)) AS cosine
+      |  FROM cand
+      |  JOIN n nq ON nq.vec_id = query_id
+      |  JOIN n nc ON nc.vec_id = neighbor_id),
+      |ivf5 AS (
+      |  SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+      |  FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) rank
+      |    FROM scored) t
+      |  WHERE rank <= 5)""".stripMargin
+
   /** q21 — IVF near-dup with a deterministic k-means coarse quantizer
     * (r3 verdict item 2): C = ⌈√N⌉ centroids hash-seeded from the
     * corpus, ONE fixed-point refinement pass, multi-probe 2, candidate
@@ -896,43 +940,8 @@ object Ext {
         probes = 4, kmeansIters = 1),
     Some(s"""
       WITH $duckIvfQuantizer,
-      idx AS (
-        SELECT cell, vec_id AS neighbor_id FROM (
-          SELECT c.cent_id cell, n.vec_id,
-            row_number() OVER (PARTITION BY n.vec_id ORDER BY
-              (list_reduce(list_prepend(0.0::DOUBLE,
-                 list_transform(range(1, len(n.v) + 1),
-                   i -> n.v[i] * c.cv[i])),
-                 (x, y) -> x + y) / (n.nrm * c.cn)) DESC, c.cent_id) AS probe
-          FROM n, c3 c) t
-        WHERE probe = 1),
-      qa AS (
-        SELECT cell, vec_id AS query_id FROM (
-          SELECT c.cent_id cell, n.vec_id,
-            row_number() OVER (PARTITION BY n.vec_id ORDER BY
-              (list_reduce(list_prepend(0.0::DOUBLE,
-                 list_transform(range(1, len(n.v) + 1),
-                   i -> n.v[i] * c.cv[i])),
-                 (x, y) -> x + y) / (n.nrm * c.cn)) DESC, c.cent_id) AS probe
-          FROM n, c3 c WHERE n.vec_id % 50 = 0) t
-        WHERE probe <= 4),
-      cand AS (
-        SELECT DISTINCT qa.query_id, idx.neighbor_id
-        FROM qa JOIN idx ON qa.cell = idx.cell
-        WHERE qa.query_id <> idx.neighbor_id),
-      scored AS (
-        SELECT query_id, neighbor_id,
-          (list_reduce(list_prepend(0.0::DOUBLE,
-             list_transform(range(1, len(nq.v) + 1), i -> nq.v[i] * nc.v[i])),
-             (x, y) -> x + y) / (nq.nrm * nc.nrm)) AS cosine
-        FROM cand
-        JOIN n nq ON nq.vec_id = query_id
-        JOIN n nc ON nc.vec_id = neighbor_id)
-      SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
-        SELECT *, row_number() OVER (
-          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) rank
-        FROM scored) t
-      WHERE rank <= 5
+      $duckIvfTopK5
+      SELECT query_id, neighbor_id, rank, cosine FROM ivf5
       ORDER BY query_id, rank
     """.trim))
 
@@ -4549,6 +4558,49 @@ object Ext {
       FROM b ORDER BY user_id
     """.trim))
 
+  // --------------------------------------------------------------- q129
+
+  /** q129 — ANN recall@5 ([[Similarity.topKRecall]]): per query, the
+    * fraction of q20's exact top-5 the q39 IVF-probed index recovers —
+    * the number that justifies an approximate index in production and
+    * re-measures after every maintenance cycle. The oracle replays
+    * BOTH rankings (the shared quantizer + ivf5 fragments and the q20
+    * exact ranking) and joins them, so index quality itself is under
+    * the correctness gate. */
+  val q129: Q = Q(
+    "q129_ann_recall",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.topKRecall(
+        Similarity.cosineTopK(emb, k = 5, queryStride = 50),
+        Similarity.ivfTopK(emb, k = 5, queryStride = 50, probes = 4,
+          kmeansIters = 1))
+    },
+    Some(s"""
+      WITH $duckIvfQuantizer,
+      $duckIvfTopK5,
+      exact AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id query_id, c.vec_id neighbor_id,
+            row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              (list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(range(1, len(q.v) + 1),
+                   i -> q.v[i] * c.v[i])),
+                 (x, y) -> x + y) / (q.nrm * c.nrm)) DESC, c.vec_id) rnk
+          FROM n q, n c
+          WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id) t
+        WHERE rnk <= 5)
+      SELECT e.query_id,
+        CAST(count(*) AS BIGINT) AS n_ref,
+        CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_hit,
+        CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+          AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+      FROM exact e LEFT JOIN ivf5 i
+        ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id ORDER BY e.query_id
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -4558,5 +4610,5 @@ object Ext {
       q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
       q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
       q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
-      q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128)
+      q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129)
 }

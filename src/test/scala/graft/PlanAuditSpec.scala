@@ -758,6 +758,11 @@ class PlanAuditSpec extends SparkSpec {
       // the cross-multiplied fold, then one-row x one-row for the
       // contract row - histogramDrift's scalar-append shape verbatim
       "q127_ks_drift",
+      // q129: composes q20's exact rung (reference) with q39's
+      // one-broadcast-row IVF assignment (candidate) - both
+      // documented exceptions ride along; the recall join itself is
+      // a hash join of two |queries|*k frames
+      "q129_ann_recall",
       // q123: the semantic arm IS q20's exact brute-force rung
       // (cosineTopK reused unchanged), so its documented BNLJ rides
       // along; the fusion itself joins two |queries|·k top-k frames

@@ -298,6 +298,20 @@ class SimilaritySpec extends SparkSpec {
     assert(r2.isNullAt(5) && r2.isNullAt(6) && r2.isNullAt(7))
   }
 
+  test("topKRecall: per-query hit fractions; a query the candidate " +
+    "missed entirely still reports recall 0") {
+    val s = spark; import s.implicits._
+    val ref = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    val cand = Seq((1L, 10L), (1L, 99L))   // q1: 1 of 2; q2: absent
+      .toDF("query_id", "neighbor_id")
+    val out = Similarity.topKRecall(ref, cand).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 0L, 0.0)))
+  }
+
   test("semanticOverlap ties break to the smallest eval id") {
     val s = spark; import s.implicits._
     def f(xs: Double*) = xs.map(_.toFloat).toArray
