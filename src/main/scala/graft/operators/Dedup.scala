@@ -49,6 +49,37 @@ object Dedup {
     * `norm_hash` (case/whitespace-folded) is carried as a REPORTED key
     * so a downstream pass can additionally collapse normalized variants
     * — it does not collapse them here. */
+  /** DEDUP IMPACT REPORT — the summary page above [[exact]]'s
+    * row-level output: per group (source, feed, language), how many
+    * docs arrived, how many distinct contents they collapse to, and
+    * the duplicate rate. This is the number a corpus team actually
+    * tracks per feed ("crawl X is 40% self-copies — fix the crawler,
+    * don't just dedup harder") and the before/after metric of every
+    * dedup run; the row-level operator says WHICH docs to keep, this
+    * says WHERE the duplication lives. Exact content identity via the
+    * same sha-256 as [[exact]], normalized-whitespace identity
+    * reported beside it (the gap between the two is
+    * whitespace-only near-duplication — a formatting pipeline bug
+    * signature, not true content duplication).
+    *
+    * Scale shape: ONE partial-aggregated pass — hashes are row-local,
+    * `countDistinct` expands map-side, counters cross the wire. */
+  def dedupImpact(docs: DataFrame, groupCol: String, textCol: String)
+      : DataFrame =
+    docs
+      .select(col(groupCol),
+        sha2(col(textCol), 256).as("__h"),
+        sha2(regexp_replace(lower(col(textCol)), "\\s+", " "), 256)
+          .as("__nh"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__h")).as("n_unique"),
+        countDistinct(col("__nh")).as("n_unique_norm"))
+      .withColumn("n_dupes", col("n_docs") - col("n_unique"))
+      .withColumn("dup_rate",
+        col("n_dupes").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col(groupCol))
+
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(

@@ -70,6 +70,40 @@ object Scrub {
         regexp_replace(col(textCol), urlRe, "<URL>"),
         ipv4Re, "<IP>").as("redacted"))
 
+  /** ENCODING HEALTH AUDIT — the mojibake screen of an ingest
+    * pipeline: per group, how many docs carry C0 control characters
+    * (binary leaked into text), U+FFFD replacement characters (a
+    * decode ALREADY failed upstream — the bytes are gone, the marker
+    * is all that's left), or zero-width characters (invisible
+    * ZWSP/ZWJ/BOM debris that splits tokens silently and poisons
+    * dedup hashes — two visually identical docs hash apart). Feeds
+    * with high rates get a transcoding fix, not a filter: the
+    * replacement-char rate especially is a SOURCE defect counter.
+    *
+    * Row-local `rlike` probes (codegen'd), one partial-aggregated
+    * counter pass — the [[graft.operators.Rules]] audit discipline.
+    * Tab/newline/CR are NOT counted as control defects (they are
+    * legitimate text whitespace). */
+  def encodingHealth(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    // escape sequences live in the PATTERN, never raw chars in source
+    // (the DiffProps NUL lesson): C0 minus tab/newline/CR, U+FFFD,
+    // and the ZWSP..ZWJ band + BOM/ZWNBSP
+    val control = col(textCol)
+      .rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+    val replacement = col(textCol).rlike("\\uFFFD")
+    val zeroWidth = col(textCol).rlike("[\\u200B-\\u200D\\uFEFF]")
+    docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(control, 1L).otherwise(0L)).as("n_control"),
+        sum(when(replacement, 1L).otherwise(0L)).as("n_replacement"),
+        sum(when(zeroWidth, 1L).otherwise(0L)).as("n_zero_width"))
+      .withColumn("defect_rate",
+        (col("n_control") + col("n_replacement") + col("n_zero_width"))
+          .cast("double") / col("n_docs").cast("double"))
+      .orderBy(col(groupCol))
+  }
+
   /** K-ANONYMITY / L-DIVERSITY AUDIT — the privacy gate's other half
     * ([[redactPii]] masks direct identifiers; this measures
     * RE-IDENTIFICATION risk from the quasi-identifiers that remain):

@@ -602,6 +602,52 @@ object TextAnalysis {
       .orderBy(col(groupCol), col("stage"))
   }
 
+  /** LENGTH-BIAS CURVE — "is my quality signal length-biased": bucket
+    * docs by character length (integer-width buckets — exact) and
+    * report MICRO-AVERAGED stopword and punctuation ratios per bucket.
+    * A curation team that filters on [[qualityScores]]' per-doc ratios
+    * needs this table before trusting a single threshold: if the
+    * stopword ratio trends with length, one global cut silently
+    * over-filters short docs (the classic length-confound of quality
+    * heuristics). Micro-averaging on purpose, twice over: summing the
+    * integer NUMERATORS and DENOMINATORS per bucket keeps every
+    * aggregate an exact long (a mean of per-doc float ratios would be
+    * an order-dependent float sum — unverifiable), and it weights by
+    * token mass, which is what a corpus-level filter actually acts on.
+    *
+    * Scale shape: the per-doc integers are row-local (the q23
+    * formulas); ONE partial-aggregated groupBy over ≤ maxLen/width
+    * buckets. Zero-denominator buckets keep NULL ratios (the
+    * [[qualityScores]] guard). */
+  def lengthBiasCurve(docs: DataFrame, textCol: String,
+      bucketChars: Int = 1024): DataFrame = {
+    require(bucketChars > 0, s"bucketChars must be positive: $bucketChars")
+    val stop = Seq("the", "a", "of", "and", "is", "to", "in")
+    val base = docs.select(
+      length(col(textCol)).as("n_chars"),
+      TextHash.tokens(col(textCol)).as("w"),
+      length(regexp_replace(col(textCol), "[a-zA-Z0-9\\s]", ""))
+        .as("n_punct"))
+    base.select(
+        (col("n_chars").cast("long") / lit(bucketChars.toLong))
+          .cast("long").as("bucket"),
+        col("n_chars"), size(col("w")).as("n_tokens"),
+        markerCount(col("w"), stop).as("n_stop"), col("n_punct"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_stop")).cast("long").as("total_stop"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_punct")).as("total_punct"))
+      .withColumn("stop_ratio_micro",
+        when(col("total_tokens") > 0, col("total_stop").cast("double") /
+          col("total_tokens").cast("double")))
+      .withColumn("punct_ratio_micro",
+        when(col("total_chars") > 0, col("total_punct").cast("double") /
+          col("total_chars").cast("double")))
+      .orderBy(col("bucket"))
+  }
+
   /** MIXED-LANGUAGE DETECTION — the segment-level refinement of
     * [[langIdMatrix]]: a document whose WHOLE-DOC language vote looks
     * clean can still interleave languages (boilerplate in one, body in

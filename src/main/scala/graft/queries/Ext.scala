@@ -4601,6 +4601,97 @@ object Ext {
       GROUP BY e.query_id ORDER BY e.query_id
     """.trim))
 
+  // --------------------------------------------------------------- q130
+
+  /** q130 — dedup impact report ([[Dedup.dedupImpact]]): per source,
+    * docs vs distinct contents vs whitespace-normalized distincts and
+    * the dup rate — WHERE the duplication lives (q16 says which rows
+    * to keep). One partial-aggregated sha-256 pass. */
+  val q130: Q = Q(
+    "q130_dedup_impact",
+    (s, d) =>
+      Dedup.dedupImpact(Tables.documents(s, d), "source", "text"),
+    Some("""
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_unique,
+        CAST(count(DISTINCT sha256(regexp_replace(lower(text),
+          '\s+', ' ', 'g'))) AS BIGINT) AS n_unique_norm,
+        CAST(count(*) - count(DISTINCT sha256(text)) AS BIGINT)
+          AS n_dupes,
+        CAST(count(*) - count(DISTINCT sha256(text)) AS DOUBLE) /
+          CAST(count(*) AS DOUBLE) AS dup_rate
+      FROM documents GROUP BY source ORDER BY source
+    """.trim))
+
+  // --------------------------------------------------------------- q131
+
+  /** q131 — encoding health audit ([[Scrub.encodingHealth]]): per
+    * source, docs carrying C0 control chars, U+FFFD replacement
+    * chars, or zero-width chars — the mojibake screen whose
+    * replacement-char rate is a SOURCE defect counter (transcode the
+    * feed, don't filter it). Row-local rlike probes, one counter
+    * pass. */
+  val q131: Q = Q(
+    "q131_encoding_health",
+    (s, d) =>
+      Scrub.encodingHealth(Tables.documents(s, d), "source", "text"),
+    Some("""
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN regexp_matches(text,
+          '[\x00-\x08\x0B\x0C\x0E-\x1F]') THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_control,
+        CAST(sum(CASE WHEN regexp_matches(text, '\x{FFFD}')
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_replacement,
+        CAST(sum(CASE WHEN regexp_matches(text,
+          '[\x{200B}-\x{200D}\x{FEFF}]') THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_zero_width,
+        CAST(sum(CASE WHEN regexp_matches(text,
+            '[\x00-\x08\x0B\x0C\x0E-\x1F]') THEN 1 ELSE 0 END) +
+          sum(CASE WHEN regexp_matches(text, '\x{FFFD}')
+            THEN 1 ELSE 0 END) +
+          sum(CASE WHEN regexp_matches(text,
+            '[\x{200B}-\x{200D}\x{FEFF}]') THEN 1 ELSE 0 END)
+          AS DOUBLE) / CAST(count(*) AS DOUBLE) AS defect_rate
+      FROM documents GROUP BY source ORDER BY source
+    """.trim))
+
+  // --------------------------------------------------------------- q132
+
+  /** q132 — length-bias curve ([[TextAnalysis.lengthBiasCurve]]):
+    * micro-averaged stopword / punctuation ratios per 128-char
+    * length bucket — the table that says whether one global quality
+    * threshold over-filters short docs (the length confound). Exact
+    * integer numerators and denominators; one partial-aggregated
+    * pass. */
+  val q132: Q = Q(
+    "q132_length_bias",
+    (s, d) =>
+      TextAnalysis.lengthBiasCurve(Tables.documents(s, d), "text",
+        bucketChars = 128),
+    Some("""
+      WITH m AS (
+        SELECT CAST(floor(length(text) / 128.0e0) AS BIGINT) bucket,
+          CAST(length(text) AS BIGINT) n_chars,
+          CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+            t -> t <> '')) AS BIGINT) n_tokens,
+          CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+            t -> t IN ('the', 'a', 'of', 'and', 'is', 'to', 'in')))
+            AS BIGINT) n_stop,
+          CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+            AS BIGINT) n_punct
+        FROM documents)
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        CAST(sum(n_stop) AS BIGINT) AS total_stop,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        CAST(sum(n_punct) AS BIGINT) AS total_punct,
+        CASE WHEN sum(n_tokens) > 0 THEN CAST(sum(n_stop) AS DOUBLE) /
+          CAST(sum(n_tokens) AS DOUBLE) END AS stop_ratio_micro,
+        CASE WHEN sum(n_chars) > 0 THEN CAST(sum(n_punct) AS DOUBLE) /
+          CAST(sum(n_chars) AS DOUBLE) END AS punct_ratio_micro
+      FROM m GROUP BY bucket ORDER BY bucket
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -4610,5 +4701,5 @@ object Ext {
       q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
       q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
       q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
-      q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129)
+      q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132)
 }

@@ -436,4 +436,23 @@ class DedupSpec extends SparkSpec {
     val d = java.security.MessageDigest.getInstance("SHA-256")
     d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
+
+  test("dedupImpact: exact vs whitespace-normalized distincts — the " +
+    "gap is formatting-only near-duplication") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      ("a", "x y"), ("a", "x y"),          // exact copy
+      ("a", "x  y"),                        // whitespace-only variant
+      ("a", "z"),                           // unique
+      ("b", "w"))                           // clean source
+      .toDF("source", "text")
+    val out = Dedup.dedupImpact(docs, "source", "text").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    // source a: 4 docs, 3 exact contents ("x y", "x  y", "z"), 2
+    // normalized contents ("x y", "z") — the norm gap flags "x  y"
+    assert(out("a") == ((4L, 3L, 2L, 1L, 0.25)))
+    assert(out("b") == ((1L, 1L, 1L, 0L, 0.0)))
+  }
 }

@@ -34,6 +34,25 @@ class ScrubSpec extends SparkSpec {
     assert(out(("z2", "m"))  == ((5L, 1L, false, true)))
   }
 
+  test("encodingHealth: each defect class counted; tab/newline are NOT " +
+    "control defects; clean docs score zero") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      ("a", "clean text"),
+      ("a", "tab\tand\nnewline are fine"),
+      ("a", "bell\u0007leaked"),   // C0 control
+      ("a", "lost\uFFFDbyte"),    // replacement char
+      ("a", "zero\u200Bwidth"),   // ZWSP
+      ("b", "clean"))
+      .toDF("source", "text")
+    val out = Scrub.encodingHealth(docs, "source", "text").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    assert(out("a") == ((5L, 1L, 1L, 1L, 0.6)))
+    assert(out("b") == ((1L, 0L, 0L, 0L, 0.0)))
+  }
+
   test("kAnonymityAudit rejects bad config and unknown columns") {
     val s = spark; import s.implicits._
     val df = Seq(("a", 1L)).toDF("q", "sv")

@@ -300,6 +300,25 @@ class TextAnalysisSpec extends SparkSpec {
       assert((1 to 3).forall(i => out((s, i))._3 >= out((s, i + 1))._3))
   }
 
+  test("lengthBiasCurve: micro-averaged ratios from exact integer " +
+    "sums, per integer-width bucket") {
+    val s = spark; import s.implicits._
+    // bucket 0 (<8 chars): "the x" (2 tokens, 1 stop, 5 chars, 0
+    // punct) + "a!" (1 whitespace token "a!" — NOT a stop hit, the
+    // q23 whole-token contract; 2 chars, 1 punct);
+    // bucket 1 (8..15): "foo bar baz!" (3 tokens, 0 stop, 12 chars,
+    // 1 punct)
+    val docs = Seq("the x", "a!", "foo bar baz!").map(Tuple1(_))
+      .toDF("text")
+    val out = TextAnalysis.lengthBiasCurve(docs, "text",
+      bucketChars = 8).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6), r.getDouble(7)))).toMap
+    assert(out(0L) == ((2L, 3L, 1L, 7L, 1L, 1.0 / 3.0, 1.0 / 7.0)))
+    assert(out(1L) == ((1L, 3L, 0L, 12L, 1L, 0.0, 1.0 / 12.0)))
+  }
+
   test("distinctNgramDiversity: n-gram totals and distincts by hand; " +
     "docs shorter than n contribute no n-grams") {
     val s = spark; import s.implicits._
