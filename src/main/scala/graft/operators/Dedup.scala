@@ -80,6 +80,55 @@ object Dedup {
         col("n_dupes").cast("double") / col("n_docs").cast("double"))
       .orderBy(col(groupCol))
 
+  /** SOFT (sqrt-law) DEDUP — the middle ground between keeping every
+    * duplicate (over-weights boilerplate in training) and keeping one
+    * ([[exact]]'s keep-first, which erases the natural frequency signal
+    * entirely): keep `⌈√n⌉` members of each exact-duplicate family, so
+    * a 10 000-copy page survives as 100, a 4-copy page as 2, and
+    * singletons are untouched. Sub-linear downsampling of duplicate
+    * mass is the published middle rung (a doc's training weight grows
+    * with, but much slower than, its crawl frequency); √ specifically
+    * because it is the one sub-linear law that is ENGINE-EXACT — one
+    * correctly-rounded IEEE `sqrt` of an exact integer, and `ceil` of
+    * a correctly-rounded double cannot flip engines (perfect squares
+    * hit sqrt exactly; non-squares round identically — the q90
+    * one-IEEE-op argument).
+    *
+    * Members are chosen deterministically: rank within the family by
+    * the portable affine id-hash (ties → lowest id), keep rank ≤
+    * quota — so re-runs, retries, and engines agree row for row, and
+    * any smaller quota is a prefix (nested samples, the q51 contract).
+    *
+    * Scale shape: the family key is the 32-byte sha-256, so grouping is
+    * ONE hash exchange; the rank is a per-family window (the quota
+    * varies by family, so no constant-k WindowGroupLimit — the honest
+    * cost is the per-family sort). A pathological family (one page
+    * crawled 10^9 times) makes one fat sort partition: feeds with that
+    * profile should pre-bound families with [[Skew.capHotKeys]] on the
+    * hash — the same guard q17/q92 use — trading the tail above the
+    * cap for bounded partitions. Output: the KEPT rows (doc_id,
+    * content_hash, n_copies, keep_quota, sample_rank), by doc id. */
+  def softDedup(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val P = 1000000007L
+    val h = ((col(idCol) % P) * lit(2654435761L) % P + lit(12345L)) % P
+    val fam = Window.partitionBy(col("content_hash"))
+    val ranked = docs.select(col(idCol),
+        sha2(col(textCol), 256).as("content_hash"))
+      .withColumn("__h", h)
+      .withColumn("sample_rank",
+        row_number().over(fam.orderBy(col("__h"), col(idCol))))
+      .withColumn("n_copies", count(lit(1)).over(fam))
+    ranked
+      .withColumn("keep_quota",
+        ceil(sqrt(col("n_copies").cast("double"))).cast("long"))
+      .where(col("sample_rank") <= col("keep_quota"))
+      .select(col(idCol), col("content_hash"), col("n_copies"),
+        col("keep_quota"), col("sample_rank"))
+      .orderBy(col(idCol))
+  }
+
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(

@@ -843,4 +843,48 @@ object TextAnalysis {
           .as("tv_distance"))
       .orderBy(col("group_a"), col("group_b"))
   }
+
+  /** UNIGRAM SIMPSON CONCENTRATION — per group, the probability that
+    * two token draws (without replacement) are the SAME term:
+    * `λ = Σ c_t(c_t−1) / (N(N−1))`. This is the diversity-vs-template
+    * dial entropy usually measures, WITHOUT entropy's `log` (the
+    * q97/q105/q112 libm argument — `ln` differs across math libraries,
+    * a collision probability is exact rational arithmetic): a group
+    * dominated by templated text (error pages, listings, generated
+    * spam) concentrates token mass on few terms and λ spikes, while
+    * organic prose keeps λ near the background stopword level.
+    * `top_share` (the most frequent term's mass share) rides along as
+    * the "is it ONE term" refinement of the same signal.
+    *
+    * Scale shape: tokens explode row-locally; (group, term) counts are
+    * ONE partial-aggregable groupBy; the per-group fold runs over the
+    * already-reduced count frame. `c(c−1)` and `N(N−1)` fold as
+    * DECIMAL(38,0) — at web scale a hot term's c² overflows BIGINT —
+    * and the only IEEE ops are the two final casts and one division
+    * (correctly rounded from exact integers, the q107 argument).
+    * Single-token groups keep NULL λ (no pair to draw); groups whose
+    * docs have zero word tokens vanish with the explode (the
+    * documented token-stream contract). */
+  def simpsonConcentration(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val dec = "DECIMAL(38,0)"
+    val counts = docs.select(col(groupCol),
+        explode(wordTokens(textCol)).as("t"))
+      .groupBy(col(groupCol), col("t")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col(groupCol))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        max(col("c")).as("n_top"),
+        sum(col("c").cast(dec) * (col("c") - 1).cast(dec)).as("__cc1"))
+      .select(col(groupCol), col("n_tokens"), col("n_types"),
+        col("n_top"),
+        when(col("n_tokens") >= 2,
+          col("__cc1").cast("double") /
+            (col("n_tokens").cast(dec) *
+              (col("n_tokens") - 1).cast(dec)).cast("double"))
+          .as("simpson_idx"),
+        (col("n_top").cast("double") / col("n_tokens").cast("double"))
+          .as("top_share"))
+      .orderBy(col(groupCol))
+  }
 }

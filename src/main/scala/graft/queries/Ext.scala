@@ -4692,6 +4692,70 @@ object Ext {
       FROM m GROUP BY bucket ORDER BY bucket
     """.trim))
 
+  // --------------------------------------------------------------- q133
+
+  /** q133 — unigram Simpson concentration
+    * ([[TextAnalysis.simpsonConcentration]]): per source, the
+    * probability two token draws are the same term — the
+    * diversity-vs-template dial WITHOUT entropy's `log` (collision
+    * probability is exact rational arithmetic); `top_share` rides
+    * along. One partial-aggregated (source, term) pass, DECIMAL(38,0)
+    * folds, one IEEE division. */
+  val q133: Q = Q(
+    "q133_simpson_concentration",
+    (s, d) =>
+      TextAnalysis.simpsonConcentration(Tables.documents(s, d),
+        "source", "text"),
+    Some("""
+      WITH tok AS (
+        SELECT source, t
+        FROM documents, LATERAL unnest(
+          regexp_extract_all(lower(text), '([a-z]+|[0-9]+)', 1)) AS u(t)),
+      c AS (
+        SELECT source, t, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2)
+      SELECT source,
+        CAST(sum(c) AS BIGINT) AS n_tokens,
+        CAST(count(*) AS BIGINT) AS n_types,
+        CAST(max(c) AS BIGINT) AS n_top,
+        CASE WHEN sum(c) >= 2 THEN
+          CAST(sum(CAST(c AS HUGEINT) * (c - 1)) AS DOUBLE) /
+            CAST(CAST(sum(c) AS HUGEINT) * (sum(c) - 1) AS DOUBLE)
+        END AS simpson_idx,
+        CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_share
+      FROM c GROUP BY source ORDER BY source
+    """.trim))
+
+  // --------------------------------------------------------------- q134
+
+  /** q134 — soft (sqrt-law) dedup ([[Dedup.softDedup]]): keep ⌈√n⌉
+    * members of each exact-duplicate family — the middle ground
+    * between keep-all (over-weights boilerplate) and keep-one (erases
+    * the frequency signal); members chosen by the portable affine
+    * id-hash so every engine keeps the same rows. */
+  val q134: Q = Q(
+    "q134_soft_dedup",
+    (s, d) => Dedup.softDedup(Tables.documents(s, d), "doc_id", "text"),
+    Some("""
+      WITH f AS (
+        SELECT doc_id, sha256(text) AS content_hash FROM documents),
+      r AS (
+        SELECT doc_id, content_hash,
+          CAST(row_number() OVER (PARTITION BY content_hash
+            ORDER BY ((doc_id % 1000000007) * 2654435761 % 1000000007
+              + 12345) % 1000000007, doc_id) AS INT) AS sample_rank,
+          CAST(count(*) OVER (PARTITION BY content_hash) AS BIGINT)
+            AS n_copies
+        FROM f)
+      SELECT doc_id, content_hash, n_copies,
+        CAST(ceil(sqrt(CAST(n_copies AS DOUBLE))) AS BIGINT)
+          AS keep_quota,
+        sample_rank
+      FROM r
+      WHERE sample_rank <= ceil(sqrt(CAST(n_copies AS DOUBLE)))
+      ORDER BY doc_id
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -4701,5 +4765,6 @@ object Ext {
       q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
       q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
       q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
-      q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132)
+      q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
+      q129, q130, q131, q132, q133, q134)
 }

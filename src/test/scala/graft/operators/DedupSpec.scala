@@ -455,4 +455,26 @@ class DedupSpec extends SparkSpec {
     assert(out("a") == ((4L, 3L, 2L, 1L, 0.25)))
     assert(out("b") == ((1L, 1L, 1L, 0L, 0.0)))
   }
+
+  test("softDedup: each family keeps exactly ceil(sqrt(n)) rows, " +
+    "deterministically, and smaller quotas are prefixes") {
+    val s = spark; import s.implicits._
+    // families: "a" ×9 (quota 3), "b" ×4 (quota 2), "c" ×2 (quota 2 —
+    // ceil(√2); the sqrt law only bites from n=3), "d" ×1 (quota 1)
+    val rows = (1L to 9L).map(i => (i, "a")) ++
+      (10L to 13L).map(i => (i, "b")) ++
+      Seq((14L, "c"), (15L, "c"), (16L, "d"))
+    val df = rows.toDF("doc_id", "text")
+    val out = Dedup.softDedup(df, "doc_id", "text").collect()
+    val byFam = out.groupBy(_.getString(1)).map { case (h, rs) =>
+      rs.head.getLong(2) -> rs.length }
+    assert(byFam == Map(9L -> 3, 4L -> 2, 2L -> 2, 1L -> 1))
+    // deterministic re-run, row for row
+    val again = Dedup.softDedup(df, "doc_id", "text").collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // nested-prefix contract: rank-1 rows are a valid 1-per-family keep
+    val rank1 = out.filter(_.getInt(4) == 1)
+    assert(rank1.map(_.getString(1)).distinct.length == 4 &&
+      rank1.length == 4)
+  }
 }

@@ -385,4 +385,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.length == 1)
     assert(out(0).getDouble(4) == 0.5)
   }
+
+  test("simpsonConcentration: exact collision probability; single-token " +
+    "and token-free groups follow the contract") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      ("t", "aa aa bb"), ("t", "aa"), // {aa:3, bb:1}: Σc(c−1)=6, N(N−1)=12
+      ("one", "zz"),                  // N=1 → NULL λ (no pair to draw)
+      ("none", "?!")                  // zero word tokens → group vanishes
+    ).toDF("src", "text")
+    val out = TextAnalysis.simpsonConcentration(df, "src", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) null else r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(out.keySet == Set("t", "one"))
+    assert(out("t") == ((4L, 2L, 3L, 0.5, 0.75)))
+    assert(out("one") == ((1L, 1L, 1L, null, 1.0)))
+  }
 }
