@@ -451,4 +451,115 @@ object Profiling {
             sqrt(col("e.dy").cast("double")))).as("r"))
       .orderBy(col("column_a"), col("column_b"))
   }
+
+  /** CRAMÉR'S V — association strength between two CATEGORICAL columns
+    * (the [[correlationMatrix]] sibling for label-like data): does
+    * `lang` predict `source`, does a feed's event mix depend on the
+    * day-of-week, is a "new" dimension really a rename of an old one.
+    * V ∈ [0, 1] normalizes the chi-square statistic by its maximum, so
+    * it compares across tables of different size and cardinality.
+    *
+    * Engine-exact by the q52 discipline: the cross-cell identity
+    * `χ² = N·Σ_{o>0} o²/(r·c) − N` removes the empty-cell grid a
+    * textbook Σ(o−e)²/e needs (zero-observed cells contribute exactly
+    * their expectation, which the −N term folds in closed form) — so
+    * the only frames are the observed contingency cells and the two
+    * margin totals. Each cell's o²·2²⁰/(r·c) is one integral division
+    * of exact DECIMAL(38,0) products (o² overflows BIGINT at web
+    * scale), the fixed-point terms sum as integers (order-free), and
+    * the only IEEE ops are the final casts, two divisions, and one
+    * `sqrt`.
+    *
+    * Scale shape: one partial-aggregable (a, b) count pass over the
+    * table; margins are |a|- and |b|-row rollups of the CELL frame
+    * (never the table) broadcast back onto it; the final reduction is
+    * ONE ungrouped aggregate over ≤ |a|·|b| cells. NULL in either
+    * column drops the row (complete-case, the correlationMatrix
+    * convention). Degenerate tables (either margin constant → dof 0)
+    * keep NULL χ²/V; the contract row survives an empty input. */
+  def cramersV(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val dec = "DECIMAL(38,0)"
+    val obs = df.where(raw(colA).isNotNull && raw(colB).isNotNull)
+      .groupBy(raw(colA).as("a"), raw(colB).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val rowTot = obs.groupBy(col("a")).agg(sum(col("o")).as("r"))
+    val colTot = obs.groupBy(col("b")).agg(sum(col("o")).as("c"))
+    val cells = obs
+      .join(broadcast(rowTot), Seq("a"))
+      .join(broadcast(colTot), Seq("b"))
+      .withColumn("t_fp", expr(
+        s"(CAST(o AS $dec) * CAST(o AS $dec) * 1048576) " +
+          s"div (CAST(r AS $dec) * CAST(c AS $dec))"))
+    cells.agg(
+        coalesce(sum(col("o")), lit(0L)).as("n_rows"),
+        countDistinct(col("a")).as("n_a"),
+        countDistinct(col("b")).as("n_b"),
+        sum(col("t_fp").cast(dec)).as("__st"))
+      .withColumn("dof",
+        when(col("n_a") >= 2 && col("n_b") >= 2,
+          least(col("n_a") - 1, col("n_b") - 1)))
+      .withColumn("chi2",
+        when(col("dof").isNotNull,
+          (col("n_rows").cast(dec) * col("__st") -
+            col("n_rows").cast(dec) * 1048576L).cast("double") /
+            lit(1048576.0)))
+      .withColumn("cramers_v",
+        when(col("dof").isNotNull,
+          sqrt(col("chi2") /
+            (col("n_rows").cast("double") * col("dof").cast("double")))))
+      .select(col("n_rows"), col("n_a"), col("n_b"), col("dof"),
+        col("chi2"), col("cramers_v"))
+  }
+
+  /** GROUP-CONCENTRATION PROFILE — how unevenly the corpus is spread
+    * over a key (source, domain, language, customer): one row with the
+    * three standard concentration readings over the GROUP-SIZE
+    * distribution — `top1_share` (largest group's mass),
+    * `hhi` (Herfindahl–Hirschman, Σ share² — the regulator's
+    * concentration index, also the collision probability of two row
+    * draws landing in the same group), and `gini` (the inequality
+    * coefficient). The corpus-composition alarm a mixer reads before
+    * trusting per-group weights: a Gini near 1 means a handful of
+    * feeds ARE the corpus, and any per-group sampling knob is really a
+    * knob on those feeds.
+    *
+    * Engine-exact: sizes are exact longs; the Gini uses the sorted
+    * closed form `(2·Σ i·xᵢ − (k+1)·N) / (k·N)` with ranks from an
+    * unambiguous (size, group) total order, Σi·x folded as
+    * DECIMAL(38,0); HHI folds Σx² the same way; each output double is
+    * one division (or one divide-of-casts) of exact integers.
+    *
+    * Scale shape: ONE partial-aggregable groupBy reduces the table to
+    * |groups| rows; the rank window and final fold run on that reduced
+    * frame only (the q65 argument — a single-partition sort of
+    * |groups| rows, never the corpus). NULL keys form their own group
+    * (absence concentration is still concentration). */
+  def concentrationProfile(df: DataFrame, groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "DECIMAL(38,0)"
+    val sizes = df.groupBy(raw(groupCol).as("g"))
+      .agg(count(lit(1)).as("x"))
+    val ranked = sizes.withColumn("i",
+      row_number().over(Window.orderBy(col("x"), col("g"))))
+    ranked.agg(
+        count(lit(1)).as("n_groups"),
+        coalesce(sum(col("x")), lit(0L)).as("n_rows"),
+        max(col("x")).as("__top"),
+        sum(expr(s"CAST(i AS $dec) * CAST(x AS $dec)")).as("__ix"),
+        sum(expr(s"CAST(x AS $dec) * CAST(x AS $dec)")).as("__xx"))
+      .select(col("n_groups"), col("n_rows"),
+        when(col("n_rows") > 0,
+          col("__top").cast("double") / col("n_rows").cast("double"))
+          .as("top1_share"),
+        when(col("n_rows") > 0,
+          col("__xx").cast("double") /
+            (col("n_rows").cast(dec) * col("n_rows").cast(dec))
+              .cast("double")).as("hhi"),
+        when(col("n_rows") > 0,
+          (lit(2L).cast(dec) * col("__ix") -
+            (col("n_groups") + 1).cast(dec) * col("n_rows").cast(dec))
+            .cast("double") /
+            (col("n_groups").cast(dec) * col("n_rows").cast(dec))
+              .cast("double")).as("gini"))
+  }
 }

@@ -4756,6 +4756,82 @@ object Ext {
       ORDER BY doc_id
     """.trim))
 
+  // --------------------------------------------------------------- q135
+
+  /** q135 — Cramér's V ([[Profiling.cramersV]]): association strength
+    * between two categorical columns (does `lang` predict `source`),
+    * log-free and grid-free — `χ² = N·Σ o²/(r·c) − N` folds the
+    * zero-observed cells in closed form, each observed cell pays one
+    * integral division of DECIMAL(38,0) products, and the only IEEE
+    * ops are the final casts, two divisions, and one sqrt. */
+  val q135: Q = Q(
+    "q135_cramers_v",
+    (s, d) =>
+      Profiling.cramersV(Tables.documents(s, d), "lang", "source"),
+    Some("""
+      WITH obs AS (
+        SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS o
+        FROM documents
+        WHERE lang IS NOT NULL AND source IS NOT NULL
+        GROUP BY 1, 2),
+      rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+      ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+      cells AS (
+        SELECT o,
+          (CAST(o AS HUGEINT) * o * 1048576)
+            // (CAST(r AS HUGEINT) * c) AS t_fp
+        FROM obs JOIN rt USING (a) JOIN ct USING (b)),
+      agg AS (
+        SELECT coalesce(CAST(sum(o) AS BIGINT), 0) AS n_rows,
+          (SELECT CAST(count(*) AS BIGINT) FROM rt) AS n_a,
+          (SELECT CAST(count(*) AS BIGINT) FROM ct) AS n_b,
+          sum(t_fp) AS st
+        FROM cells)
+      SELECT n_rows, n_a, n_b,
+        CASE WHEN n_a >= 2 AND n_b >= 2
+          THEN least(n_a - 1, n_b - 1) END AS dof,
+        CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+          CAST(CAST(n_rows AS HUGEINT) * st
+            - CAST(n_rows AS HUGEINT) * 1048576 AS DOUBLE) / 1048576.0e0
+        END AS chi2,
+        CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+          sqrt((CAST(CAST(n_rows AS HUGEINT) * st
+              - CAST(n_rows AS HUGEINT) * 1048576 AS DOUBLE)
+              / 1048576.0e0) /
+            (CAST(n_rows AS DOUBLE) *
+              CAST(least(n_a - 1, n_b - 1) AS DOUBLE)))
+        END AS cramers_v
+      FROM agg
+    """.trim))
+
+  // --------------------------------------------------------------- q136
+
+  /** q136 — group-concentration profile
+    * ([[Profiling.concentrationProfile]]): top-1 share, HHI, and Gini
+    * of the docs-per-source distribution — the corpus-composition
+    * alarm ("a handful of feeds ARE the corpus") read before trusting
+    * per-group mixing weights. One groupBy reduces to |groups| rows;
+    * exact integer folds, one IEEE division per reading. */
+  val q136: Q = Q(
+    "q136_source_concentration",
+    (s, d) =>
+      Profiling.concentrationProfile(Tables.documents(s, d), "source"),
+    Some("""
+      WITH s AS (
+        SELECT source AS g, CAST(count(*) AS BIGINT) AS x
+        FROM documents GROUP BY 1),
+      r AS (SELECT g, x, row_number() OVER (ORDER BY x, g) AS i FROM s)
+      SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        coalesce(CAST(sum(x) AS BIGINT), 0) AS n_rows,
+        CAST(max(x) AS DOUBLE) / CAST(sum(x) AS DOUBLE) AS top1_share,
+        CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) /
+          CAST(CAST(sum(x) AS HUGEINT) * sum(x) AS DOUBLE) AS hhi,
+        CAST(2 * sum(CAST(i AS HUGEINT) * x)
+            - (count(*) + 1) * CAST(sum(x) AS HUGEINT) AS DOUBLE) /
+          CAST(CAST(count(*) AS HUGEINT) * sum(x) AS DOUBLE) AS gini
+      FROM r
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -4766,5 +4842,5 @@ object Ext {
       q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
       q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
       q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
-      q129, q130, q131, q132, q133, q134)
+      q129, q130, q131, q132, q133, q134, q135, q136)
 }

@@ -250,4 +250,42 @@ class ProfilingSpec extends SparkSpec {
       Profiling.gridPercentile(df, "v", width = 0.5, ps = Seq(0.0))
     }
   }
+
+  test("cramersV: perfect association scores 1, independence scores 0, " +
+    "constant margins keep NULL stats") {
+    val s = spark; import s.implicits._
+    // b is a pure function of a -> V = 1 (chi2 = N*min(R-1,C-1))
+    val perfect = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"),
+      ("y", "q")).toDF("a", "b")
+    val p = Profiling.cramersV(perfect, "a", "b").collect()(0)
+    assert((p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3)) ==
+      ((5L, 2L, 2L, 1L)))
+    assert(p.getDouble(4) == 5.0 && p.getDouble(5) == 1.0)
+    // uniform 2x2 -> chi2 = 0 exactly (each cell's o2/(rc) = 1/4 is
+    // exact on the 2^-20 grid)
+    val indep = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val i = Profiling.cramersV(indep, "a", "b").collect()(0)
+    assert(i.getDouble(4) == 0.0 && i.getDouble(5) == 0.0)
+    // one-valued column -> dof undefined -> NULL chi2/V, counts real
+    val flat = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    val f = Profiling.cramersV(flat, "a", "b").collect()(0)
+    assert(f.getLong(0) == 2L && f.getLong(1) == 1L && f.isNullAt(3) &&
+      f.isNullAt(4) && f.isNullAt(5))
+  }
+
+  test("concentrationProfile: hand-computed Gini/HHI/top-share; equal " +
+    "groups score Gini 0") {
+    val s = spark; import s.implicits._
+    // sizes {a:1, b:1, c:2}: sorted ranks 1,2,3 -> sum(i*x) = 9
+    // gini = (2*9 - 4*4)/(3*4) = 1/6; hhi = 6/16; top1 = 2/4
+    val df = Seq("a", "b", "c", "c").toDF("g")
+    val r = Profiling.concentrationProfile(df, "g").collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 4L)))
+    assert(r.getDouble(2) == 0.5 && r.getDouble(3) == 0.375 &&
+      r.getDouble(4) == 1.0 / 6)
+    val eq = Seq("a", "a", "b", "b").toDF("g")
+    val e = Profiling.concentrationProfile(eq, "g").collect()(0)
+    assert(e.getDouble(4) == 0.0 && e.getDouble(3) == 0.5)
+  }
 }
