@@ -255,4 +255,79 @@ object Cohorts {
           Window.partitionBy(col("from_type"))).cast("double"))
       .orderBy(col("from_type"), col("to_type"))
   }
+
+  /** INTER-EVENT GAP PROFILE — per event type, the distribution of
+    * microsecond gaps between a user's CONSECUTIVE events of that
+    * type: the cadence table behind every "how often do users do X"
+    * question — retention-period choice, sessionize-gap calibration
+    * (q34's 30-min threshold should come FROM this table, not
+    * folklore), and push-frequency tuning. Quartiles over exact
+    * integer µs make the interpolation engine-exact (the q88
+    * dyadic-on-integers argument: p·(n−1) for quarter points has a
+    * dyadic fractional part, and the interpolated value between two
+    * longs is one exact IEEE expression both engines share).
+    *
+    * Scale shape: ONE (user, type)-keyed exchange + sort feeds the
+    * lag (the [[transitionMatrix]] shape; (ts, event id) ordering pins
+    * simultaneous events); everything after runs on the gap frame. The
+    * exact `percentile` holds a value multiset per type — the honest
+    * cost at profile time; a 100 TB monitor swaps in
+    * [[Profiling.gridPercentile]]'s bounded-state bins (the q111
+    * trade). First events carry no gap and drop (gaps are the
+    * subject). */
+  def interEventGaps(events: DataFrame, userCol: String,
+      tsUsCol: String, idCol: String, typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol), col(typeCol))
+      .orderBy(col(tsUsCol), col(idCol))
+    events
+      .select(col(typeCol).as("event_type"),
+        (col(tsUsCol) - lag(col(tsUsCol), 1).over(w)).as("gap"))
+      .where(col("gap").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap")).as("min_gap_us"),
+        expr("percentile(gap, array(0.25D, 0.5D, 0.75D))").as("__q"),
+        max(col("gap")).as("max_gap_us"))
+      .select(col("event_type"), col("n_gaps"), col("min_gap_us"),
+        element_at(col("__q"), 1).as("p25_us"),
+        element_at(col("__q"), 2).as("p50_us"),
+        element_at(col("__q"), 3).as("p75_us"),
+        col("max_gap_us"))
+      .orderBy(col("event_type"))
+  }
+
+  /** STICKINESS (DAU/WAU) — the engagement ratio product teams track
+    * daily: of the users active in the trailing `windowDays` window,
+    * what fraction showed up TODAY. Composes [[growthCurve]]'s DAU
+    * with [[slidingActiveUsers]]' contribution-interval WAU (a user
+    * active on d is window-active on [d, d+w−1] — never a per-frame
+    * sliding distinct) and divides: one IEEE division of exact counts
+    * per day. DAU ≤ WAU by construction, so the ratio lives in (0, 1].
+    *
+    * Scale shape: ONE corpus-sized (day, user) distinct — persisted,
+    * it feeds both arms — then day-keyed rollups; the coverage explode
+    * is a bounded ×windowDays blowup of the REDUCED frame. Ghost days
+    * (in some user's window but with no events) drop at the inner join
+    * with the DAU arm: stickiness on a day with no activity is not a
+    * reading, and observed-days-only is [[slidingActiveUsers]]'
+    * documented contract too. */
+  def stickiness(events: DataFrame, userCol: String, dayCol: Column,
+      windowDays: Int = 7,
+      scope: graft.engine.CacheScope = graft.engine.CacheScope.unmanaged)
+      : DataFrame = {
+    require(windowDays >= 1, s"need windowDays >= 1, got $windowDays")
+    val b = scope.persist(
+      events.select(dayCol.as("day"), col(userCol).as("u")).distinct())
+    val dau = b.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = b.select(col("u"),
+        explode(sequence(col("day"),
+          date_add(col("day"), windowDays - 1))).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .withColumn("stickiness",
+        col("dau").cast("double") / col("wau").cast("double"))
+      .orderBy(col("day"))
+  }
 }

@@ -4832,6 +4832,64 @@ object Ext {
       FROM r
     """.trim))
 
+  // --------------------------------------------------------------- q137
+
+  /** q137 — inter-event gap profile ([[Cohorts.interEventGaps]]): per
+    * event type, quartiles of a user's consecutive same-type gaps in
+    * exact integer µs — the cadence table that calibrates q34's
+    * session gap and any retention-period choice. One (user, type)
+    * exchange; dyadic-on-integers quartile interpolation. */
+  val q137: Q = Q(
+    "q137_interevent_gaps",
+    (s, d) =>
+      Cohorts.interEventGaps(eventsUs(s, d), "user_id", "ts_us",
+        "event_id", "event_type"),
+    Some("""
+      WITH o AS (
+        SELECT event_type,
+          epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY epoch_us(ts), event_id) AS gap
+        FROM events)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        CAST(min(gap) AS BIGINT) AS min_gap_us,
+        quantile_cont(gap, 0.25) AS p25_us,
+        quantile_cont(gap, 0.5) AS p50_us,
+        quantile_cont(gap, 0.75) AS p75_us,
+        CAST(max(gap) AS BIGINT) AS max_gap_us
+      FROM o WHERE gap IS NOT NULL
+      GROUP BY 1 ORDER BY 1
+    """.trim))
+
+  // --------------------------------------------------------------- q138
+
+  /** q138 — stickiness (DAU/WAU) ([[Cohorts.stickiness]]): per
+    * observed day, the fraction of trailing-7-day actives who showed
+    * up that day — q86's DAU over q87's contribution-interval WAU,
+    * one IEEE division of exact counts. */
+  val q138: Q = Q(
+    "q138_stickiness",
+    (s, d) =>
+      Cohorts.stickiness(eventsUs(s, d), "user_id",
+        to_date(timestamp_micros(col("ts_us"))), windowDays = 7),
+    Some("""
+      WITH b AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u
+        FROM events),
+      dau AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS dau FROM b GROUP BY 1),
+      cov AS (
+        SELECT DISTINCT u, unnest(generate_series(day,
+          day + INTERVAL 6 DAY, INTERVAL 1 DAY))::DATE AS day
+        FROM b),
+      wau AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS wau FROM cov GROUP BY 1)
+      SELECT dau.day AS day, dau, wau,
+        CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+      FROM dau JOIN wau ON dau.day = wau.day
+      ORDER BY 1
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -4842,5 +4900,5 @@ object Ext {
       q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
       q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
       q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
-      q129, q130, q131, q132, q133, q134, q135, q136)
+      q129, q130, q131, q132, q133, q134, q135, q136, q137, q138)
 }

@@ -148,4 +148,40 @@ class CohortsSpec extends SparkSpec {
       ("a", "b") -> ((1L, 0.5)), ("a", "c") -> ((1L, 0.5)),
       ("b", "b") -> ((1L, 1.0))))
   }
+
+  test("interEventGaps: same-type consecutive gaps per user; ties pinned " +
+    "by id; single-occurrence streams carry no gap") {
+    // u1/A: 0,10,30 → gaps 10,20; u2/A: 50,50 (ids pin order) → gap 0;
+    // u2/A: 55 → gap 5; u1/B: one event → no gap, B absent
+    val events = Seq(
+      (1L, "A", 0L, 1L), (1L, "A", 10L, 2L), (1L, "A", 30L, 3L),
+      (2L, "A", 50L, 4L), (2L, "A", 50L, 5L), (2L, "A", 55L, 6L),
+      (1L, "B", 7L, 7L)
+    ).toDF("user_id", "event_type", "ts_us", "event_id")
+    val out = Cohorts.interEventGaps(events, "user_id", "ts_us",
+      "event_id", "event_type").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    // gaps {0, 5, 10, 20}: p·(n−1) = 0.75, 1.5, 2.25 → 3.75, 7.5, 12.5
+    assert(r.getString(0) == "A" && r.getLong(1) == 4L)
+    assert(r.getLong(2) == 0L && r.getLong(6) == 20L)
+    assert((r.getDouble(3), r.getDouble(4), r.getDouble(5)) ==
+      ((3.75, 7.5, 12.5)))
+  }
+
+  test("stickiness: DAU over trailing-window actives; observed days only") {
+    val events = Seq(
+      (1L, "2020-01-01"), (2L, "2020-01-01"), (1L, "2020-01-01"),
+      (1L, "2020-01-05")
+    ).toDF("user_id", "d").select(col("user_id"), to_date(col("d")).as("d"))
+    val out = Cohorts.stickiness(events, "user_id", col("d"), 7)
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // 01-01: dau 2 (u1 dedup), wau 2 → 1.0; 01-05: dau 1, wau 2
+    // (u1+u2 active within the trailing 7 days) → 0.5; ghost days
+    // 01-02..01-04 (inside windows, no events) are absent
+    assert(out == Map(
+      "2020-01-01" -> ((2L, 2L, 1.0)),
+      "2020-01-05" -> ((1L, 2L, 0.5))))
+  }
 }
