@@ -297,6 +297,70 @@ object Cohorts {
       .orderBy(col("event_type"))
   }
 
+  /** SESSION CO-OCCURRENCE LIFT — market-basket analysis with the
+    * session as the basket: which event-type pairs appear in the SAME
+    * session beyond chance, `lift = n_ab·N / (n_a·n_b)` over session
+    * counts — the product-analytics reading of q97's collocation lift
+    * (there the unit is adjacent tokens; here co-presence in one
+    * sitting), and the feature-correlation table behind "users who do
+    * X in a session also do Y". Sessions are q34's gap rule verbatim
+    * (same two windows, one user-keyed exchange); co-presence is SET
+    * semantics (a session doing X five times counts once), so the
+    * session frame is a (user, session, type) DISTINCT. Log-free and
+    * fixed-point for the same reason as q97: the lift RANKING is
+    * log-invariant, and the 2^-20 integral division of DECIMAL(38,0)
+    * counts is engine-exact. `minSupport` keeps one-off pairs (whose
+    * lift is spuriously maximal) out — the q97 hygiene.
+    *
+    * Scale shape: ONE user-keyed exchange sessionizes; the distinct
+    * (user, session, type) frame is persisted and read by all
+    * consumers; the pair self-join keys on the SESSION with fan-out
+    * bounded by distinct types per session (≤ |types| — event
+    * vocabularies are small by nature, the q91 bounded-fan-out
+    * argument); type counts are a |types|-row broadcast and the
+    * session total rides the documented ONE-ROW scalar-append. */
+  def sessionCooccurrence(events: DataFrame, userCol: String,
+      tsUsCol: String, idCol: String, typeCol: String,
+      gapUs: Long = 30L * 60 * 1000 * 1000, minSupport: Long = 2L,
+      scope: graft.engine.CacheScope = graft.engine.CacheScope.unmanaged)
+      : DataFrame = {
+    require(gapUs > 0 && minSupport >= 1,
+      s"need gapUs > 0 and minSupport >= 1, got $gapUs/$minSupport")
+    import org.apache.spark.sql.expressions.Window
+    val dec = "DECIMAL(38,0)"
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsUsCol), col(idCol))
+    val newSess = when(lag(col(tsUsCol), 1).over(byUser).isNull
+      || col(tsUsCol) - lag(col(tsUsCol), 1).over(byUser) > gapUs, 1)
+      .otherwise(0)
+    val st = scope.persist(events
+      .withColumn("__ns", newSess)
+      .withColumn("__sid", sum(col("__ns")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col(userCol).as("u"), col("__sid").as("sid"),
+        col(typeCol).as("t"))
+      .distinct())
+    val nTot = st.select(col("u"), col("sid")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val typeCnt = st.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    st.select(col("u"), col("sid"), col("t").as("ta"))
+      .join(st.select(col("u"), col("sid"), col("t").as("tb")),
+        Seq("u", "sid"))
+      .where(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minSupport)
+      .join(broadcast(typeCnt.select(col("t").as("ta"),
+        col("c").as("n_a"))), Seq("ta"))
+      .join(broadcast(typeCnt.select(col("t").as("tb"),
+        col("c").as("n_b"))), Seq("tb"))
+      .crossJoin(broadcast(nTot))
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("n_ab"), col("n_a"), col("n_b"),
+        expr(s"((CAST(n_ab AS $dec) * 1048576) * n_sessions) " +
+          s"div (CAST(n_a AS $dec) * n_b)").as("lift_fp"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** STICKINESS (DAU/WAU) — the engagement ratio product teams track
     * daily: of the users active in the trailing `windowDays` window,
     * what fraction showed up TODAY. Composes [[growthCurve]]'s DAU

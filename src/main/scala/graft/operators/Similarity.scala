@@ -728,4 +728,57 @@ object Similarity {
       .withColumn("diversity", lit(1.0) - col("mean_pair_cosine"))
       .orderBy(col("label"))
   }
+
+  /** IVF CELL-BALANCE REPORT — the index-health gauge UNDER
+    * [[graft.operators.Quantize]]'s recall numbers ([[topKRecall]]
+    * says how good the answers are; this says WHY): per refined
+    * coarse cell, its population, corpus share, and affinity profile
+    * (mean/min cosine of members to their own centroid). The two
+    * failure smells a serving team watches: population skew (one fat
+    * cell = that probe pays a linear scan — tail latency), and low
+    * member affinity (the centroid stopped representing its cell —
+    * the codebook has drifted from the data, retraining due; the
+    * frozen-codebook maintenance contract of `Quantize.encodeWith`
+    * makes this the scheduled check).
+    *
+    * Engine-exact: assignment is the [[cellAssignments]] quantizer
+    * verbatim (probe = 1); each member's cosine floors to a 2^-20
+    * fixed-point long so the per-cell MEAN is a division of exact
+    * integers (a float sum across members would be order-dependent —
+    * the q107 argument); `min` of identical doubles is order-free and
+    * rides along raw. Share is one more exact division; its
+    * denominator comes from a window over the ≤ C-row aggregate
+    * (never the corpus).
+    *
+    * Scale shape: row-local assignment over ONE broadcast centroid
+    * row (the q21/q39 shape), one extra row-local dot against the
+    * member's own centroid (C = ⌈√N⌉ rows, broadcast back), ONE
+    * partial-aggregable groupBy(cell). */
+  def cellBalance(embeddings: DataFrame, kmeansIters: Int = 1,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "DECIMAL(38,0)"
+    val n = normed(embeddings, scope)
+    val cents = centroids(n, kmeansIters)
+    val assigned = assignCells(n, cents, probes = 1,
+      keep = Seq("v", "nrm"))
+    val withAff = assigned
+      .join(broadcast(cents.select(col("cent_id").as("cell"), col("cv"),
+        col("cn"))), Seq("cell"))
+      .withColumn("aff", dot("v", "cv") / (col("nrm") * col("cn")))
+    val agg = withAff.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(floor(col("aff") * lit(1048576.0)).cast("long").cast(dec))
+          .as("__sfp"),
+        min(col("aff")).as("min_affinity"))
+    agg.select(col("cell"), col("n_vectors"),
+        (col("n_vectors").cast("double") /
+          sum(col("n_vectors")).over(Window.partitionBy())
+            .cast("double")).as("share"),
+        (col("__sfp").cast("double") /
+          (col("n_vectors").cast("double") * lit(1048576.0)))
+          .as("mean_affinity"),
+        col("min_affinity"))
+      .orderBy(col("cell"))
+  }
 }

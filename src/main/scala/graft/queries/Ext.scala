@@ -4890,6 +4890,97 @@ object Ext {
       ORDER BY 1
     """.trim))
 
+  // --------------------------------------------------------------- q139
+
+  /** q139 — session co-occurrence lift ([[Cohorts.sessionCooccurrence]]):
+    * market-basket over q34's sessions — event-type pairs co-present
+    * in one sitting beyond chance, q97's log-free fixed-point lift
+    * with sessions as the documents; set semantics per session,
+    * minSupport hygiene. */
+  val q139: Q = Q(
+    "q139_session_cooccurrence",
+    (s, d) =>
+      Cohorts.sessionCooccurrence(eventsUs(s, d), "user_id", "ts_us",
+        "event_id", "event_type"),
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+          event_type
+        FROM events),
+      flagged AS (
+        SELECT user_id, event_id, ts_us, event_type,
+          CASE WHEN lag(ts_us) OVER w IS NULL
+                 OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+               ELSE 0 END AS new_sess
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      st AS (
+        SELECT DISTINCT user_id AS u,
+          SUM(new_sess) OVER (
+            PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS UNBOUNDED PRECEDING) AS sid,
+          event_type AS t
+        FROM flagged),
+      ns AS (
+        SELECT count(*) AS n FROM (SELECT DISTINCT u, sid FROM st) q),
+      tc AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM st GROUP BY 1),
+      p AS (
+        SELECT a.t AS ta, b.t AS tb, CAST(count(*) AS BIGINT) AS n_ab
+        FROM st a JOIN st b ON a.u = b.u AND a.sid = b.sid AND a.t < b.t
+        GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT ta AS type_a, tb AS type_b, n_ab, ca.c AS n_a, cb.c AS n_b,
+        CAST(((n_ab * 1048576) * n) // (ca.c * cb.c) AS BIGINT)
+          AS lift_fp
+      FROM p
+      JOIN tc ca ON ca.t = p.ta
+      JOIN tc cb ON cb.t = p.tb
+      CROSS JOIN ns
+      ORDER BY 1, 2
+    """.trim))
+
+  // --------------------------------------------------------------- q140
+
+  /** q140 — IVF cell-balance report ([[Similarity.cellBalance]]): per
+    * refined coarse cell, population, corpus share, and fixed-point
+    * mean / raw min member-to-centroid cosine — the index-health gauge
+    * under q129's recall number (population skew = probe tail latency;
+    * low affinity = codebook drift, retraining due). The oracle
+    * replays the shared quantizer CTE. */
+  val q140: Q = Q(
+    "q140_ivf_cell_balance",
+    (s, d) =>
+      Similarity.cellBalance(Tables.embeddings(s, d), kmeansIters = 1),
+    Some(s"""
+      WITH $duckIvfQuantizer,
+      bal AS (
+        SELECT cell, vec_id, aff FROM (
+          SELECT c.cent_id cell, n.vec_id,
+            (list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(range(1, len(n.v) + 1),
+                 i -> n.v[i] * c.cv[i])),
+               (x, y) -> x + y) / (n.nrm * c.cn)) aff,
+            row_number() OVER (PARTITION BY n.vec_id ORDER BY
+              (list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(range(1, len(n.v) + 1),
+                   i -> n.v[i] * c.cv[i])),
+                 (x, y) -> x + y) / (n.nrm * c.cn)) DESC,
+              c.cent_id) probe
+          FROM n, c3 c) t
+        WHERE probe = 1),
+      agg AS (
+        SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+          sum(CAST(floor(aff * 1048576.0) AS HUGEINT)) AS sfp,
+          min(aff) AS min_affinity
+        FROM bal GROUP BY 1)
+      SELECT cell, n_vectors,
+        CAST(n_vectors AS DOUBLE) /
+          CAST(sum(n_vectors) OVER () AS DOUBLE) AS share,
+        CAST(sfp AS DOUBLE) / (CAST(n_vectors AS DOUBLE) * 1048576.0)
+          AS mean_affinity,
+        min_affinity
+      FROM agg ORDER BY cell
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -4900,5 +4991,6 @@ object Ext {
       q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
       q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
       q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
-      q129, q130, q131, q132, q133, q134, q135, q136, q137, q138)
+      q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
+      q139, q140)
 }

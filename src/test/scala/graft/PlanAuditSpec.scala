@@ -767,7 +767,16 @@ class PlanAuditSpec extends SparkSpec {
       // (cosineTopK reused unchanged), so its documented BNLJ rides
       // along; the fusion itself joins two |queries|·k top-k frames
       // by hash and is corpus-size-independent
-      "q123_hybrid_rrf")
+      "q123_hybrid_rrf",
+      // q139: the ONE-ROW session total appended to the |types|²-
+      // bounded pair frame for the fixed-point lift —
+      // sessionCooccurrence's scalar-append, q97's exact shape
+      "q139_session_cooccurrence",
+      // q140: the centroid table collapses to ONE broadcast array row
+      // for row-local assignment — assignCells' shape, the q21/q39
+      // exception verbatim (the affinity re-attach itself is a
+      // broadcast HASH join on the cell id)
+      "q140_ivf_cell_balance")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()

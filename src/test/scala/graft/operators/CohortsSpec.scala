@@ -169,6 +169,34 @@ class CohortsSpec extends SparkSpec {
       ((3.75, 7.5, 12.5)))
   }
 
+  test("sessionCooccurrence: co-presence is set semantics, the gap splits " +
+    "baskets, minSupport drops one-off pairs, lift is exact fixed-point") {
+    // u1 session 1: A,B,A (A counted once) — {A,B}; a >30-min gap then
+    // {A,C}. u2: {A,B}. u3: {D} (lonely type, pairs with nothing).
+    val g = 30L * 60 * 1000 * 1000
+    val events = Seq(
+      (1L, 0L, "A", 1L), (1L, 10L, "B", 2L), (1L, 20L, "A", 3L),
+      (1L, 20L + g + 1, "A", 4L), (1L, 30L + g + 1, "C", 5L),
+      (2L, 0L, "A", 6L), (2L, 5L, "B", 7L),
+      (3L, 0L, "D", 8L)
+    ).toDF("user_id", "ts_us", "event_type", "event_id")
+      .select(col("user_id"), col("ts_us"), col("event_type"),
+        col("event_id"))
+    // N=4 sessions; n_A=3, n_B=2, n_C=1, n_D=1; pairs (A,B):2, (A,C):1
+    val sup2 = Cohorts.sessionCooccurrence(events, "user_id", "ts_us",
+      "event_id", "event_type").collect()
+    assert(sup2.length == 1)
+    val r = sup2(0)
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == (("A", "B", 2L, 3L, 2L)))
+    // lift = 2·4/(3·2) = 4/3 → floor(4·2^20/3) = 1398101
+    assert(r.getLong(5) == 1398101L)
+    val sup1 = Cohorts.sessionCooccurrence(events, "user_id", "ts_us",
+      "event_id", "event_type", minSupport = 1L).collect()
+    assert(sup1.map(x => (x.getString(0), x.getString(1))).toSet ==
+      Set(("A", "B"), ("A", "C")))
+  }
+
   test("stickiness: DAU over trailing-window actives; observed days only") {
     val events = Seq(
       (1L, "2020-01-01"), (2L, "2020-01-01"), (1L, "2020-01-01"),

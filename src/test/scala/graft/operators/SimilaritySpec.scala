@@ -324,4 +324,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out.length == 1)
     assert(out(0).getLong(1) == 2L && out(0).getLong(2) == 5L)
   }
+
+  test("cellBalance: populations match the quantizer's 1-probe census; " +
+    "shares are exact per-cell fractions; affinity profile is sane") {
+    val bal = Similarity.cellBalance(emb, kmeansIters = 1).collect()
+    val census = Similarity.cellAssignments(emb, probes = 1,
+        kmeansIters = 1)
+      .groupBy("cell").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bal.map(r => r.getLong(0) -> r.getLong(1)).toMap == census)
+    val total = census.values.sum
+    bal.foreach { r =>
+      assert(r.getDouble(2) ==
+        r.getLong(1).toDouble / total.toDouble)
+      val (mean, mn) = (r.getDouble(3), r.getDouble(4))
+      // a member's cosine to its own (nearest) centroid: bounded by 1,
+      // mean dominates min, and the fixed-point floor costs < 2^-20
+      assert(mean <= 1.0 + 1e-9 && mn <= mean + 1.0 / 1048576)
+    }
+  }
 }
