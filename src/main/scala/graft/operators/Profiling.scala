@@ -452,6 +452,51 @@ object Profiling {
       .orderBy(col("column_a"), col("column_b"))
   }
 
+  /** KEY-CANDIDATE PROFILE — the uniqueness audit [[columnProfile]]'s
+    * distinct counts gesture at but can't settle: per column, row /
+    * null / distinct counts plus `max_dup` (the largest duplicate
+    * group) and the `is_candidate_key` verdict (no NULLs, distinct ==
+    * rows) — the pre-flight before trusting a column as a join key,
+    * dedup identity, or PK for the insert-if-absent sink (§2.9): a
+    * "key" with max_dup = 3 doesn't just fail uniqueness, it triples
+    * join output where it collides.
+    *
+    * Scale shape: ONE row-local unpivot (a bounded ×|cols| explode)
+    * feeds ONE partial-aggregable (column, value) count, and the
+    * per-column fold runs over the reduced count frame — the shuffle
+    * carries value cardinality, never rows twice (the fdAudit
+    * pair-fold discipline). Values group by their STRING rendering so
+    * one frame holds every column: exact for integer / string / date /
+    * decimal columns; FLOAT columns are rejected (their rendering is
+    * engine-formatting, and a float is not a key — profile those with
+    * [[histogram]]). */
+  def keyCandidates(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val bad = cols.filterNot(df.columns.contains)
+    require(bad.isEmpty, s"unknown columns: $bad")
+    val floaty = cols.filter { c =>
+      val t = df.schema(c).dataType
+      t == org.apache.spark.sql.types.FloatType ||
+        t == org.apache.spark.sql.types.DoubleType }
+    require(floaty.isEmpty,
+      s"float columns are not key material (rendering is engine-" +
+        s"formatting): $floaty")
+    val entries = cols.map(c => struct(lit(c).as("column_name"),
+      raw(c).cast("string").as("v")))
+    df.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.column_name").as("column_name"), col("e.v").as("v"))
+      .groupBy(col("column_name"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("column_name"))
+      .agg(sum(col("c")).as("n_rows"),
+        sum(when(col("v").isNull, col("c")).otherwise(0L)).as("n_nulls"),
+        count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+        max(when(col("v").isNotNull, col("c"))).as("max_dup"))
+      .withColumn("is_candidate_key",
+        col("n_nulls") === 0 && col("n_distinct") === col("n_rows"))
+      .orderBy(col("column_name"))
+  }
+
   /** CRAMÉR'S V — association strength between two CATEGORICAL columns
     * (the [[correlationMatrix]] sibling for label-like data): does
     * `lang` predict `source`, does a feed's event mix depend on the

@@ -729,6 +729,31 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** EMBEDDING DUPLICATE REPORT — [[graft.operators.Dedup.dedupImpact]]
+    * lifted to vector space: per label, vectors vs DISTINCT vectors
+    * (exact float-array equality) and the dup rate. Byte-identical
+    * embeddings under different ids are the signature of an encoder
+    * cache bug, a re-ingested batch, or a default-vector fallback
+    * silently firing — and every downstream ANN/clustering stage pays
+    * them twice while believing the space is denser than it is.
+    * Exact-array equality is deliberately the ONLY rung here: near-dup
+    * vectors are [[rpLshCosinePairs]]/[[ivfCosinePairs]]' job; this
+    * catches the pipeline defect, not the semantic one.
+    *
+    * Scale shape: ONE partial-aggregable groupBy(label) — the distinct
+    * folds via Spark's internal Expand, grouping on the raw float
+    * array (bit equality, no rendering, engine-exact; parquet floats
+    * reread identically everywhere). */
+  def embeddingDupReport(embeddings: DataFrame, labelCol: String)
+      : DataFrame =
+    embeddings.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        countDistinct(col("embedding")).as("n_distinct"))
+      .withColumn("n_dupes", col("n_vectors") - col("n_distinct"))
+      .withColumn("dup_rate",
+        col("n_dupes").cast("double") / col("n_vectors").cast("double"))
+      .orderBy(col("label"))
+
   /** IVF CELL-BALANCE REPORT — the index-health gauge UNDER
     * [[graft.operators.Quantize]]'s recall numbers ([[topKRecall]]
     * says how good the answers are; this says WHY): per refined

@@ -844,6 +844,47 @@ object TextAnalysis {
       .orderBy(col("group_a"), col("group_b"))
   }
 
+  /** READABILITY SIGNALS — the Flesch-family complexity proxy without
+    * syllables (syllable counting is language- and dictionary-bound;
+    * word LENGTH is the standard cross-lingual surrogate — long words
+    * and long sentences are what every readability formula actually
+    * responds to): per document, sentence count (runs of `.!?`), mean
+    * word length, mean sentence length in tokens, and the long-word
+    * (≥ 7 chars) ratio — the gate that separates prose from listings,
+    * logs, and keyword stuffing at a different angle than
+    * [[qualityScores]]' punctuation/stopword view.
+    *
+    * Engine-exact: every signal is a ratio of row-local INTEGER counts
+    * on the 2^-20 fixed-point grid (`div` both engines — no doubles at
+    * all, the q66 discipline); token char-mass comes from the codegen'd
+    * [[TextHash.sumTokenLengthsOf]] fold. Zero-token / zero-sentence
+    * docs keep NULL for the affected ratios (the qualityScores
+    * null-guard contract).
+    *
+    * Scale shape: fully row-local — no shuffle at any corpus size
+    * except the output ordering. */
+  def readabilitySignals(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        TextHash.tokens(col(textCol)).as("w"),
+        regexp_count(col(textCol), lit("[.!?]+")).cast("long")
+          .as("n_sentences"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        col("n_sentences"),
+        TextHash.sumTokenLengthsOf(col("w")).as("__sl"),
+        size(filter(col("w"), t => length(t) >= 7)).cast("long")
+          .as("__lw"))
+      .select(col("doc_id"), col("n_tokens"), col("n_sentences"),
+        when(col("n_tokens") > 0,
+          expr("(__sl * 1048576) div n_tokens")).as("mean_word_len_fp"),
+        when(col("n_sentences") > 0,
+          expr("(n_tokens * 1048576) div n_sentences"))
+          .as("mean_sentence_tokens_fp"),
+        when(col("n_tokens") > 0,
+          expr("(__lw * 1048576) div n_tokens")).as("long_word_ratio_fp"))
+      .orderBy(col("doc_id"))
+
   /** UNIGRAM SIMPSON CONCENTRATION — per group, the probability that
     * two token draws (without replacement) are the SAME term:
     * `λ = Σ c_t(c_t−1) / (N(N−1))`. This is the diversity-vs-template

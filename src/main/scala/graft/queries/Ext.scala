@@ -4981,6 +4981,99 @@ object Ext {
       FROM agg ORDER BY cell
     """.trim))
 
+  // --------------------------------------------------------------- q141
+
+  /** q141 — key-candidate profile ([[Profiling.keyCandidates]]): per
+    * column, row/null/distinct counts plus the largest duplicate group
+    * and the candidate-key verdict — the pre-flight before trusting a
+    * join key or the §2.9 sink PK. One row-local unpivot, one
+    * (column, value) partial count, per-column fold over the reduced
+    * frame. */
+  val q141: Q = Q(
+    "q141_key_candidates",
+    (s, d) =>
+      Profiling.keyCandidates(Tables.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus")),
+    Some("""
+      WITH u AS (
+        SELECT 'o_orderkey' AS column_name,
+          CAST(o_orderkey AS VARCHAR) AS v FROM orders
+        UNION ALL
+        SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', o_orderstatus FROM orders),
+      c AS (
+        SELECT column_name, v, CAST(count(*) AS BIGINT) AS c
+        FROM u GROUP BY 1, 2)
+      SELECT column_name,
+        CAST(sum(c) AS BIGINT) AS n_rows,
+        CAST(sum(CASE WHEN v IS NULL THEN c ELSE 0 END) AS BIGINT)
+          AS n_nulls,
+        CAST(count(CASE WHEN v IS NOT NULL THEN 1 END) AS BIGINT)
+          AS n_distinct,
+        CAST(max(CASE WHEN v IS NOT NULL THEN c END) AS BIGINT)
+          AS max_dup,
+        (sum(CASE WHEN v IS NULL THEN c ELSE 0 END) = 0 AND
+          count(CASE WHEN v IS NOT NULL THEN 1 END) = sum(c))
+          AS is_candidate_key
+      FROM c GROUP BY 1 ORDER BY 1
+    """.trim))
+
+  // --------------------------------------------------------------- q142
+
+  /** q142 — embedding duplicate report
+    * ([[Similarity.embeddingDupReport]]): per label, vectors vs
+    * distinct vectors by exact float-array equality — the encoder-
+    * cache-bug / re-ingest / default-vector detector (q130's dedup
+    * impact lifted to vector space); near-dup stays q30/q21's job. */
+  val q142: Q = Q(
+    "q142_embedding_dups",
+    (s, d) => Similarity.embeddingDupReport(Tables.embeddings(s, d),
+      "label"),
+    Some("""
+      SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+        CAST(count(DISTINCT embedding) AS BIGINT) AS n_distinct,
+        CAST(count(*) - count(DISTINCT embedding) AS BIGINT) AS n_dupes,
+        CAST(count(*) - count(DISTINCT embedding) AS DOUBLE) /
+          CAST(count(*) AS DOUBLE) AS dup_rate
+      FROM embeddings GROUP BY label ORDER BY label
+    """.trim))
+
+  // --------------------------------------------------------------- q143
+
+  /** q143 — readability signals ([[TextAnalysis.readabilitySignals]]):
+    * per doc, sentence count, mean word length, mean sentence length,
+    * long-word ratio — the syllable-free Flesch surrogate, every
+    * signal an integer-division fixed-point of row-local counts. */
+  val q143: Q = Q(
+    "q143_readability",
+    (s, d) =>
+      TextAnalysis.readabilitySignals(Tables.documents(s, d), "doc_id",
+        "text"),
+    Some("""
+      WITH m AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\s+'),
+            t -> t <> '') AS w,
+          CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+            AS n_sentences
+        FROM documents)
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, n_sentences,
+        CASE WHEN len(w) > 0 THEN
+          (list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(w, t -> CAST(length(t) AS BIGINT))),
+            (a, b) -> a + b) * 1048576) // len(w)
+        END AS mean_word_len_fp,
+        CASE WHEN n_sentences > 0 THEN
+          (CAST(len(w) AS BIGINT) * 1048576) // n_sentences
+        END AS mean_sentence_tokens_fp,
+        CASE WHEN len(w) > 0 THEN
+          (CAST(len(list_filter(w, t -> length(t) >= 7)) AS BIGINT)
+            * 1048576) // len(w)
+        END AS long_word_ratio_fp
+      FROM m ORDER BY doc_id
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -4992,5 +5085,5 @@ object Ext {
       q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
       q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
       q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-      q139, q140)
+      q139, q140, q141, q142, q143)
 }

@@ -251,6 +251,26 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("keyCandidates: the verdict needs zero nulls AND full " +
+    "distinctness; max_dup sizes the worst collision; floats rejected") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, Option(10L), "a"), (2L, Option(10L), "a"),
+      (3L, Option(10L), "b"), (4L, None, "b")
+    ).toDF("pk", "dup", "pair")
+    val out = Profiling.keyCandidates(df, Seq("pk", "dup", "pair"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    assert(out("pk") == ((4L, 0L, 4L, 1L, true)))
+    assert(out("dup") == ((4L, 1L, 1L, 3L, false)))  // nulls disqualify
+    assert(out("pair") == ((4L, 0L, 2L, 2L, false))) // dups disqualify
+    intercept[IllegalArgumentException] {
+      Profiling.keyCandidates(
+        Seq((1L, 0.5)).toDF("k", "f"), Seq("k", "f"))
+    }
+  }
+
   test("cramersV: perfect association scores 1, independence scores 0, " +
     "constant margins keep NULL stats") {
     val s = spark; import s.implicits._

@@ -325,6 +325,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0).getLong(1) == 2L && out(0).getLong(2) == 5L)
   }
 
+  test("embeddingDupReport: byte-identical vectors collapse, near-equal " +
+    "ones don't") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0), // exact dup
+      (3L, Seq(1.0f, 1e-7f), 0),                          // near, distinct
+      (4L, Seq(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingDupReport(df, "label").collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out(0) == ((3L, 2L, 1L, 1.0 / 3)))
+    assert(out(1) == ((1L, 1L, 0L, 0.0)))
+  }
+
   test("cellBalance: populations match the quantizer's 1-probe census; " +
     "shares are exact per-cell fractions; affinity profile is sane") {
     val bal = Similarity.cellBalance(emb, kmeansIters = 1).collect()

@@ -386,6 +386,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0).getDouble(4) == 0.5)
   }
 
+  test("readabilitySignals: integer fixed-point by hand; zero-token and " +
+    "zero-sentence docs keep NULL ratios") {
+    val out = TextAnalysis.readabilitySignals(
+      docs(
+        "Hi there. All good?",  // 4 tokens (15 chars), 2 sentence runs
+        "wonderful enormous",   // 2 long words, 0 sentences
+        ""                      // empty
+      ), "doc_id", "text").collect()
+    val r0 = out(0)
+    // tokens: Hi(2) there.(6) All(3) good?(5) → sum 16; long words 0
+    assert((r0.getLong(1), r0.getLong(2)) == ((4L, 2L)))
+    assert(r0.getLong(3) == 16L * 1048576 / 4)
+    assert(r0.getLong(4) == 4L * 1048576 / 2)
+    assert(r0.getLong(5) == 0L)
+    val r1 = out(1)
+    assert((r1.getLong(1), r1.getLong(2)) == ((2L, 0L)))
+    assert(r1.isNullAt(4))                       // no sentences
+    assert(r1.getLong(5) == 1048576L)            // all tokens long
+    val r2 = out(2)
+    assert(r2.getLong(1) == 0L && r2.isNullAt(3) && r2.isNullAt(5))
+  }
+
   test("simpsonConcentration: exact collision probability; single-token " +
     "and token-free groups follow the contract") {
     val s = spark; import s.implicits._
