@@ -129,6 +129,39 @@ object Dedup {
       .orderBy(col(idCol))
   }
 
+  /** PAIR-SET EVALUATION — the dedup family's [[graft.operators
+    * .Similarity.topKRecall]]: given a candidate pair set (`got`) and
+    * a reference pair set (`want`), ONE row with hit counts, precision
+    * and recall. This is how a team picks the LSH operating point
+    * (bands × rows, df caps, block keys) with a MEASURED recall
+    * instead of the formula's idealized curve — and re-measures it
+    * after every tokenizer or threshold change, exactly as q129 does
+    * for the ANN index. Both inputs reduce to distinct (doc_a, doc_b)
+    * id pairs; precision/recall are one IEEE division of exact counts
+    * each (empty sides keep NULL, the contract-row rule).
+    *
+    * Scale shape: two distincts + ONE hash join on the 16-byte pair
+    * key; the three one-row aggregates meet on the documented
+    * broadcast scalar-append. The reference side is usually the
+    * EXPENSIVE exact rung — the eval runs on a sample or a golden
+    * slice, not the corpus (the q129 pattern). */
+  def pairsEval(got: DataFrame, want: DataFrame): DataFrame = {
+    val g = got.select(col("doc_a"), col("doc_b")).distinct()
+    val w = want.select(col("doc_a"), col("doc_b")).distinct()
+    val hit = g.join(w, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    val ng = g.agg(count(lit(1)).as("n_got"))
+    val nw = w.agg(count(lit(1)).as("n_want"))
+    ng.crossJoin(broadcast(nw)).crossJoin(broadcast(hit))
+      .select(col("n_got"), col("n_want"), col("n_hit"),
+        when(col("n_got") > 0,
+          col("n_hit").cast("double") / col("n_got").cast("double"))
+          .as("pair_precision"),
+        when(col("n_want") > 0,
+          col("n_hit").cast("double") / col("n_want").cast("double"))
+          .as("pair_recall"))
+  }
+
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(

@@ -121,7 +121,10 @@ object Ext {
   private val minhashK = 16
   private val minhashBands = 4
 
-  private def q18OracleSql: String = {
+  /** DuckDB fragment: minhash band CANDIDATES over the `sh` shingle
+    * frame (mirrors Dedup.minhashLshPairs' banding) — shared by q18
+    * and the q144 operating-point evaluation. */
+  private def duckMinhashCand: String = {
     val rows = minhashK / minhashBands
     val mhCols = (0 until minhashK).map(i =>
       s"min((${2 * i + 1} * hs + ${1000003 * i + 12345}) % $P) AS mh$i")
@@ -133,12 +136,8 @@ object Ext {
     val bandRows = (0 until minhashBands).map(b =>
       s"SELECT doc_id, $b AS band, sig$b AS sig FROM sigs2")
       .mkString(" UNION ALL ")
-    s"""
-      WITH $duckWords,
-      $duckTokenHashes,
-      $duckHashShingles,
-      sigs AS (
-        SELECT doc_id,
+    s"""sigs AS (
+      SELECT doc_id,
         $mhCols
         FROM sh GROUP BY doc_id
       ),
@@ -152,7 +151,15 @@ object Ext {
         SELECT DISTINCT a.doc_id da, b.doc_id db
         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
           AND a.doc_id < b.doc_id
-      ),
+      )"""
+  }
+
+  private def q18OracleSql: String = {
+    s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      $duckHashShingles,
+      $duckMinhashCand,
       sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
       inter AS (
         SELECT da, db, count(*) i
@@ -5074,6 +5081,69 @@ object Ext {
       FROM m ORDER BY doc_id
     """.trim))
 
+  // --------------------------------------------------------------- q144
+
+  /** q144 — LSH operating-point evaluation ([[Dedup.pairsEval]]):
+    * measured precision/recall of q18's banded MinHash rung against
+    * the exact n-gram Jaccard pair set at the same threshold — the
+    * q129 discipline applied to the dedup family (precision is 1.0 by
+    * construction since the LSH rung exact-verifies; recall IS the
+    * band guarantee's measured value, the number that picks bands ×
+    * rows). The reference side runs uncapped (the honest exact rung);
+    * the oracle replays BOTH pipelines from one shared shingle
+    * frame. */
+  val q144: Q = Q(
+    "q144_lsh_operating_point",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.pairsEval(
+        Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5,
+          k = minhashK, bands = minhashBands),
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5,
+          maxDf = Int.MaxValue))
+    },
+    Some(s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      $duckHashShingles,
+      $duckMinhashCand,
+      sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      ig AS (
+        SELECT da, db, count(*) i
+        FROM cand
+        JOIN sh a ON a.doc_id = da
+        JOIN sh b ON b.doc_id = db AND b.hs = a.hs
+        GROUP BY da, db),
+      got AS (
+        SELECT da, db FROM ig
+        JOIN sz sa ON sa.doc_id = da
+        JOIN sz sb ON sb.doc_id = db
+        WHERE (CAST(i AS DOUBLE) / (sa.n + sb.n - i)) >= 0.5),
+      iw AS (
+        SELECT a.doc_id da, b.doc_id db, count(*) i
+        FROM sh a JOIN sh b ON a.hs = b.hs AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      want AS (
+        SELECT da, db FROM iw
+        JOIN sz sa ON sa.doc_id = da
+        JOIN sz sb ON sb.doc_id = db
+        WHERE (CAST(i AS DOUBLE) / (sa.n + sb.n - i)) >= 0.5),
+      m AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM got) AS n_got,
+          (SELECT CAST(count(*) AS BIGINT) FROM want) AS n_want,
+          (SELECT CAST(count(*) AS BIGINT) FROM got
+            JOIN want ON got.da = want.da AND got.db = want.db)
+            AS n_hit)
+      SELECT n_got, n_want, n_hit,
+        CASE WHEN n_got > 0 THEN
+          CAST(n_hit AS DOUBLE) / CAST(n_got AS DOUBLE)
+        END AS pair_precision,
+        CASE WHEN n_want > 0 THEN
+          CAST(n_hit AS DOUBLE) / CAST(n_want AS DOUBLE)
+        END AS pair_recall
+      FROM m
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -5085,5 +5155,5 @@ object Ext {
       q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
       q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
       q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-      q139, q140, q141, q142, q143)
+      q139, q140, q141, q142, q143, q144)
 }

@@ -776,7 +776,11 @@ class PlanAuditSpec extends SparkSpec {
       // for row-local assignment — assignCells' shape, the q21/q39
       // exception verbatim (the affinity re-attach itself is a
       // broadcast HASH join on the cell id)
-      "q140_ivf_cell_balance")
+      "q140_ivf_cell_balance",
+      // q144: pairsEval's three ONE-ROW count aggregates meet on the
+      // documented broadcast scalar-append; the pair comparison itself
+      // is a hash join on the id pair
+      "q144_lsh_operating_point")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()

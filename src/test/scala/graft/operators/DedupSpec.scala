@@ -456,6 +456,18 @@ class DedupSpec extends SparkSpec {
     assert(out("b") == ((1L, 1L, 1L, 0L, 0.0)))
   }
 
+  test("pairsEval: hand counts; duplicate input rows collapse; empty " +
+    "sides keep the NULL-ratio contract") {
+    val got = pairs(1L -> 2L, 1L -> 2L, 3L -> 4L) // dup row collapses
+    val want = pairs(1L -> 2L, 5L -> 6L)
+    val r = Dedup.pairsEval(got, want).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 2L, 1L)))
+    assert(r.getDouble(3) == 0.5 && r.getDouble(4) == 0.5)
+    val e = Dedup.pairsEval(pairs(), want).collect()(0)
+    assert((e.getLong(0), e.getLong(1), e.getLong(2)) == ((0L, 2L, 0L)))
+    assert(e.isNullAt(3) && e.getDouble(4) == 0.0)
+  }
+
   test("softDedup: each family keeps exactly ceil(sqrt(n)) rows, " +
     "deterministically, and smaller quotas are prefixes") {
     val s = spark; import s.implicits._
