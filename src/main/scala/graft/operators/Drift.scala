@@ -317,4 +317,43 @@ object Drift {
             expr("(num * 1048576) div (CAST(n_old AS DECIMAL(38,0)) * n_new)"))
           .as("drift_fp"))
   }
+
+  /** LABEL PURITY — per group, how label-clean the slice is: row and
+    * distinct-label counts, the majority label, and its mass share
+    * (`purity`). The routing-health gauge of a multi-feed ingest — a
+    * "Spanish" feed whose purity drops below ~0.9 is routing other
+    * languages through the wrong curation profile (and q116's
+    * mixed-language flags say which DOCS; this says which FEEDS) —
+    * and the label-noise pre-flight before any per-label statistic
+    * (q98/q107/q114) is trusted.
+    *
+    * Deterministic everywhere: the majority breaks ties by the
+    * lexicographically first label with NULLs FIRST, pinned
+    * explicitly on both engines (Spark sorts NULLs first by default,
+    * DuckDB last — the one cross-engine ordering trap, so the oracle
+    * says `NULLS FIRST` out loud). NULL labels count as a label
+    * (absence of a label is itself a routing defect). Purity is one
+    * IEEE division of exact counts.
+    *
+    * Scale shape: ONE partial-aggregable (group, label) count; both
+    * windows and the majority filter run on the reduced ≤
+    * |groups|·|labels| frame, sharing one group-keyed exchange. */
+  def labelPurity(df: DataFrame, groupCol: String, labelCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(groupCol).as("g"), col(labelCol).as("l"))
+      .agg(count(lit(1)).as("c"))
+    val byG = Window.partitionBy(col("g"))
+    counts
+      .withColumn("rn", row_number().over(
+        byG.orderBy(col("c").desc, col("l").asc_nulls_first)))
+      .withColumn("n_rows", sum(col("c")).over(byG))
+      .withColumn("n_labels", count(lit(1)).over(byG))
+      .where(col("rn") === 1)
+      .select(col("g").as(groupCol), col("n_rows"), col("n_labels"),
+        col("l").as("majority_label"),
+        (col("c").cast("double") / col("n_rows").cast("double"))
+          .as("purity"))
+      .orderBy(col(groupCol))
+  }
 }

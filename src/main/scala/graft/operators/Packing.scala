@@ -134,6 +134,41 @@ object Packing {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** TOKEN-BUDGET TRUNCATION — context-length preparation: keep each
+    * document's FIRST `maxTokens` tokens and report what was cut — the
+    * row-local sibling of [[slidingChunks]] for consumers that take one
+    * fixed-budget window per doc (embedding models with a hard input
+    * cap, preview/snippet stores, eval harnesses that score prefixes).
+    * Head truncation specifically because it is the convention
+    * downstream tokenizers apply — the point is that the CUT happens
+    * here, once, instead of silently inside every consumer.
+    *
+    * The kept prefix travels as `kept_hash` (sha-256 of the re-joined
+    * token prefix — [[slidingChunks]]' chunk-hash trick), so
+    * verification and dedup-after-truncation never ship the corpus
+    * twice; a caller wanting the text applies the same slice to its
+    * own copy. Zero-token docs keep their row (kept 0, hash of the
+    * empty string) — truncation reports on every doc, the audit
+    * contract.
+    *
+    * Scale shape: fully row-local (tokenize → slice → hash); no
+    * shuffle at any corpus size except the output ordering. */
+  def truncateToTokens(docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int = 2048): DataFrame = {
+    require(maxTokens >= 1, s"need maxTokens >= 1, got $maxTokens")
+    docs
+      .select(col(idCol).as("doc_id"),
+        TextHash.tokens(col(textCol)).as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        least(size(col("w")), lit(maxTokens)).cast("long")
+          .as("kept_tokens"),
+        (size(col("w")) > maxTokens).as("truncated"),
+        sha2(array_join(slice(col("w"), 1, maxTokens), " "), 256)
+          .as("kept_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Epoch-sharded packing — [[Sampling.trainingOrder]] composed with
     * per-shard chunking: docs are dealt into `shards` training shards
     * in seed-(= epoch-)dependent shuffled order, then each shard is

@@ -5144,6 +5144,56 @@ object Ext {
       FROM m
     """.trim))
 
+  // --------------------------------------------------------------- q145
+
+  /** q145 — token-budget truncation ([[Packing.truncateToTokens]]):
+    * keep each doc's first 64 tokens, report the cut, ship the kept
+    * prefix as a sha-256 (q47's chunk-hash trick) — context-length
+    * prep done once instead of silently inside every consumer. Fully
+    * row-local. */
+  val q145: Q = Q(
+    "q145_token_truncation",
+    (s, d) =>
+      Packing.truncateToTokens(Tables.documents(s, d), "doc_id", "text",
+        maxTokens = 64),
+    Some("""
+      WITH m AS (
+        SELECT doc_id, list_filter(string_split_regex(trim(text),
+          '\s+'), t -> t <> '') AS w
+        FROM documents)
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        CAST(least(len(w), 64) AS BIGINT) AS kept_tokens,
+        len(w) > 64 AS truncated,
+        sha256(array_to_string(w[1:64], ' ')) AS kept_hash
+      FROM m ORDER BY doc_id
+    """.trim))
+
+  // --------------------------------------------------------------- q146
+
+  /** q146 — label purity ([[Drift.labelPurity]]): per source, the
+    * majority language and its mass share — the feed-routing health
+    * gauge (q116 flags mixed DOCS; this flags mixed FEEDS) and the
+    * label-noise pre-flight before per-label statistics. Tie order
+    * pinned label-ascending NULLS FIRST on both engines. */
+  val q146: Q = Q(
+    "q146_source_lang_purity",
+    (s, d) => Drift.labelPurity(Tables.documents(s, d), "source", "lang"),
+    Some("""
+      WITH c AS (
+        SELECT source AS g, lang AS l, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2),
+      r AS (
+        SELECT g, l, c,
+          row_number() OVER (PARTITION BY g
+            ORDER BY c DESC, l ASC NULLS FIRST) AS rn,
+          CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n_rows,
+          CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n_labels
+        FROM c)
+      SELECT g AS source, n_rows, n_labels, l AS majority_label,
+        CAST(c AS DOUBLE) / CAST(n_rows AS DOUBLE) AS purity
+      FROM r WHERE rn = 1 ORDER BY source
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -5155,5 +5205,5 @@ object Ext {
       q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
       q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
       q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-      q139, q140, q141, q142, q143, q144)
+      q139, q140, q141, q142, q143, q144, q145, q146)
 }

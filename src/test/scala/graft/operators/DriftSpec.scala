@@ -179,4 +179,23 @@ class DriftSpec extends SparkSpec {
     val e2 = Drift.gridKsDistance(empty, empty, "value", 0.25).collect()
     assert(e2.length == 1 && e2(0).isNullAt(2))
   }
+
+  test("labelPurity: majority with pinned ties (label asc, NULL first); " +
+    "NULL labels count as a label") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      ("clean", Option("es")), ("clean", Option("es")),
+      ("clean", Option("en")),
+      ("tied", Option("en")), ("tied", Option("es")),       // tie → "en"
+      ("nully", None), ("nully", None), ("nully", Option("de"))
+    ).toDF("src", "lang")
+    val out = Drift.labelPurity(df, "src", "lang").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getString(3),
+          r.getDouble(4)))).toMap
+    assert(out("clean") == ((3L, 2L, "es", 2.0 / 3)))
+    assert(out("tied") == ((2L, 2L, "en", 0.5)))
+    assert(out("nully") == ((3L, 2L, null, 2.0 / 3)))
+  }
 }

@@ -138,4 +138,26 @@ class PackingSpec extends SparkSpec {
     assert(run(7) == one)
     assert(run(32) == one)
   }
+
+  test("truncateToTokens: the kept hash is the prefix's, short docs " +
+    "pass whole, empty docs keep their audit row") {
+    import org.apache.spark.sql.functions.sha2
+    import org.apache.spark.sql.functions.lit
+    val out = Packing.truncateToTokens(
+      docs(1L -> "a b c d e", 2L -> "x y", 3L -> ""),
+      "doc_id", "text", maxTokens = 3).collect()
+    val r1 = out(0)
+    assert((r1.getLong(1), r1.getLong(2), r1.getBoolean(3)) ==
+      ((5L, 3L, true)))
+    // the hash is of the JOINED KEPT PREFIX — equal to hashing "a b c"
+    val want = docs(9L -> "a b c").select(
+      sha2(lit("a b c"), 256)).collect()(0).getString(0)
+    assert(r1.getString(4) == want)
+    val r2 = out(1)
+    assert((r2.getLong(1), r2.getLong(2), r2.getBoolean(3)) ==
+      ((2L, 2L, false)))
+    val r3 = out(2)
+    assert(r3.getLong(1) == 0L && r3.getLong(2) == 0L &&
+      !r3.getBoolean(3))
+  }
 }
