@@ -452,6 +452,63 @@ object Profiling {
       .orderBy(col("column_a"), col("column_b"))
   }
 
+  /** TRIMMED (default: interquartile) MEAN — the robust central
+    * tendency completing the robust family ([[winsorize]] clamps,
+    * [[madOutliers]] flags; this SUMMARIZES): per group, the mean of
+    * values inside the exact [pLo, pHi] percentile band — the "typical
+    * order value" a fat tail cannot drag, read next to the plain mean
+    * to size how much the tail is lying.
+    *
+    * Engine-exact by composition of proven parts: the column must be
+    * INTEGER-VALUED (money in cents via the `Dec` rule — the caller
+    * converts; the fixture query shows the shape) and pLo/pHi DYADIC,
+    * so the per-group interpolated thresholds are exact on both
+    * engines (q88's dyadic-on-integers argument); the band test
+    * compares exact doubles, the kept sum folds as DECIMAL(38,0), and
+    * the mean is one IEEE division of exact values. Inclusive
+    * boundaries: ties AT a threshold stay in (deterministic both
+    * engines; with heavy ties the band holds more than pHi−pLo mass —
+    * the standard quantile-ties caveat, documented not hidden).
+    *
+    * Scale shape: per-group exact percentile (the profile-time
+    * multiset cost — q111's grid is the bounded-state alternative),
+    * |groups|-row thresholds broadcast back, ONE partial-aggregable
+    * conditional fold. NULLs drop (complete-case). */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double = 0.25, pHi: Double = 0.75,
+      scope: graft.engine.CacheScope = graft.engine.CacheScope.unmanaged)
+      : DataFrame = {
+    require(0.0 <= pLo && pLo < pHi && pHi <= 1.0,
+      s"need 0 <= pLo < pHi <= 1, got $pLo/$pHi")
+    // dyadic RATIONAL on a coarse grid (k/64) — not isDyadic's
+    // power-of-two test: the interpolation position p·(n−1) and the
+    // fraction·(gap) product must stay exact in 53-bit arithmetic,
+    // which a short binary fraction guarantees and 0.1 does not
+    def onGrid(p: Double): Boolean = p * 64 == math.floor(p * 64)
+    require(onGrid(pLo) && onGrid(pHi),
+      s"pLo/pHi must be multiples of 1/64 (exact interpolation), " +
+        s"got $pLo/$pHi")
+    val dec = "DECIMAL(38,0)"
+    val base = scope.persist(df
+      .select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .where(col("v").isNotNull))
+    val th = base.groupBy(col("g"))
+      .agg(expr(s"percentile(v, array(${pLo}D, ${pHi}D))").as("q"))
+      .select(col("g"), element_at(col("q"), 1).as("lo"),
+        element_at(col("q"), 2).as("hi"))
+    val in = col("v") >= col("lo") && col("v") <= col("hi")
+    base.join(broadcast(th), Seq("g"))
+      .groupBy(col("g"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(in, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(in, col("v")).otherwise(0L).cast(dec)).as("__s"))
+      .select(col("g").as(groupCol), col("n_rows"), col("n_kept"),
+        col("lo"), col("hi"),
+        when(col("n_kept") > 0, col("__s").cast("double") /
+          col("n_kept").cast("double")).as("trimmed_mean"))
+      .orderBy(col(groupCol))
+  }
+
   /** KEY-CANDIDATE PROFILE — the uniqueness audit [[columnProfile]]'s
     * distinct counts gesture at but can't settle: per column, row /
     * null / distinct counts plus `max_dup` (the largest duplicate

@@ -209,4 +209,32 @@ object Sketch {
       .select(col("term"), col("cf"), col("est_cf"))
       .orderBy(col("cf").desc, col("term"))
   }
+
+  /** HLL ACCURACY EVALUATION — the q129/q144 discipline applied to the
+    * sketch family: per group, the exact distinct count next to the
+    * HLL estimate and the signed relative error — the number that
+    * picks `m` (and re-validates after a key-distribution change;
+    * HLL's ±1.04/√m is an EXPECTED error, the measured one on YOUR
+    * keys is what a monitor alarms on). Run at profile time on a
+    * slice the exact count can afford; production reads the sketch
+    * alone.
+    *
+    * `rows` must carry both the PREPARED hash column (the caller owns
+    * hashing — [[hllDistinct]]'s contract) and the original key for
+    * the exact side. rel_error = est/exact − 1, one fixed IEEE
+    * sequence over the exactly-replayed estimate (q89 pins the
+    * estimate itself). Groups with exact 0 cannot appear (no rows, no
+    * group). */
+  def hllAccuracy(rows: DataFrame, groupCol: String, hashCol: String,
+      exactCol: String, m: Int = 256, wBits: Int = 52): DataFrame = {
+    val est = hllDistinct(rows, groupCol, hashCol, m, wBits)
+      .select(col(groupCol), col("est_distinct"))
+    val exact = rows.groupBy(col(groupCol))
+      .agg(countDistinct(col(exactCol)).as("exact_distinct"))
+    exact.join(est, Seq(groupCol))
+      .select(col(groupCol), col("exact_distinct"), col("est_distinct"),
+        (col("est_distinct") / col("exact_distinct").cast("double") -
+          lit(1.0)).as("rel_error"))
+      .orderBy(col(groupCol))
+  }
 }

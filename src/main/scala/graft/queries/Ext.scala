@@ -2846,24 +2846,15 @@ object Ext {
     if (s.contains('E') || s.contains('e')) s else s + "E0"
   }
 
-  val q89: Q = {
-    val m = 256
-    val wBits = 52
+  /** DuckDB fragment: the full HLL replay over events/user_id — the
+    * squared-affine hashing, register build, and the estimate fold —
+    * ending in `hll (event_type, n_filled, n_empty, est_distinct)`.
+    * Shared by q89 and the q148 accuracy evaluation. */
+  private def duckHllEvents(m: Int, wBits: Int): String = {
     val k = wBits + 1
     val alpha = Sketch.hllAlpha(m)
     val lut = Sketch.hllLinearLut(m)
-    Q(
-      "q89_hll_distinct",
-      (s, d) => {
-        val h1 = (col("user_id") % P * 2654435761L % P + 12345L) % P
-        val h2 = (col("user_id") % P * 1779033703L % P + 54321L) % P
-        val hashed = Tables.events(s, d).select(col("event_type"),
-          ((h1 * h1 % P) * P + (h2 * h2 % P)).as("h"))
-        Sketch.hllDistinct(hashed, "event_type", "h", m, wBits)
-          .orderBy(col("event_type"))
-      },
-      Some(s"""
-        WITH e AS (
+    s"""e AS (
           SELECT event_type,
             (user_id % $P * 2654435761 % $P + 12345) % $P AS h1,
             (user_id % $P * 1779033703 % $P + 54321) % $P AS h2
@@ -2884,18 +2875,38 @@ object Ext {
         sc AS (
           SELECT event_type, n_filled, ($m - n_filled) AS n_empty,
             ($m::BIGINT - n_filled) * (1::BIGINT << $k) + s_present AS s
-          FROM agg)
-        SELECT event_type, n_filled, n_empty,
-          CASE WHEN n_empty > 0 AND
-              ((${sqlDouble(alpha)} * ${sqlDouble((m.toLong * m).toDouble)}) *
+          FROM agg),
+        hll AS (
+          SELECT event_type, n_filled, n_empty,
+            CASE WHEN n_empty > 0 AND
+                ((${sqlDouble(alpha)} * ${sqlDouble((m.toLong * m).toDouble)}) *
+                  ${sqlDouble(math.pow(2.0, k))}) / CAST(s AS DOUBLE)
+                  <= ${sqlDouble(2.5 * m)}
+              THEN list_extract([${lut.map(sqlDouble).mkString(", ")}],
+                CAST(n_empty AS INT))
+              ELSE ((${sqlDouble(alpha)} * ${sqlDouble((m.toLong * m).toDouble)}) *
                 ${sqlDouble(math.pow(2.0, k))}) / CAST(s AS DOUBLE)
-                <= ${sqlDouble(2.5 * m)}
-            THEN list_extract([${lut.map(sqlDouble).mkString(", ")}],
-              CAST(n_empty AS INT))
-            ELSE ((${sqlDouble(alpha)} * ${sqlDouble((m.toLong * m).toDouble)}) *
-              ${sqlDouble(math.pow(2.0, k))}) / CAST(s AS DOUBLE)
-          END AS est_distinct
-        FROM sc ORDER BY event_type
+            END AS est_distinct
+          FROM sc)"""
+  }
+
+  val q89: Q = {
+    val m = 256
+    val wBits = 52
+    Q(
+      "q89_hll_distinct",
+      (s, d) => {
+        val h1 = (col("user_id") % P * 2654435761L % P + 12345L) % P
+        val h2 = (col("user_id") % P * 1779033703L % P + 54321L) % P
+        val hashed = Tables.events(s, d).select(col("event_type"),
+          ((h1 * h1 % P) * P + (h2 * h2 % P)).as("h"))
+        Sketch.hllDistinct(hashed, "event_type", "h", m, wBits)
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        WITH ${duckHllEvents(m, wBits)}
+        SELECT event_type, n_filled, n_empty, est_distinct
+        FROM hll ORDER BY event_type
       """.trim))
   }
 
@@ -5194,6 +5205,80 @@ object Ext {
       FROM r WHERE rn = 1 ORDER BY source
     """.trim))
 
+  // --------------------------------------------------------------- q147
+
+  /** q147 — interquartile mean of order value
+    * ([[Profiling.trimmedMean]]): per order priority, the mean of
+    * [Q1, Q3]-band order totals in exact CENTS — the robust "typical
+    * order" a fat tail can't drag; exact dyadic thresholds on
+    * integer-valued money (the q88 argument), DECIMAL(38,0) kept-sum,
+    * one IEEE division. */
+  val q147: Q = Q(
+    "q147_trimmed_order_value",
+    (s, d) =>
+      Profiling.trimmedMean(
+        Tables.orders(s, d).select(col("o_orderpriority"),
+          (Dec.d2(col("o_totalprice")) * 100).cast("long").as("cents")),
+        "o_orderpriority", "cents"),
+    Some("""
+      WITH b AS (
+        SELECT o_orderpriority AS g,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        FROM orders WHERE o_totalprice IS NOT NULL),
+      th AS (
+        SELECT g, quantile_cont(v, [0.25, 0.75]) AS q FROM b GROUP BY 1)
+      SELECT b.g AS o_orderpriority,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(CASE WHEN v >= q[1] AND v <= q[2] THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_kept,
+        q[1] AS lo, q[2] AS hi,
+        CASE WHEN sum(CASE WHEN v >= q[1] AND v <= q[2] THEN 1 ELSE 0
+          END) > 0 THEN
+          CAST(sum(CASE WHEN v >= q[1] AND v <= q[2] THEN CAST(v AS
+            HUGEINT) ELSE 0 END) AS DOUBLE) /
+          CAST(sum(CASE WHEN v >= q[1] AND v <= q[2] THEN 1 ELSE 0 END)
+            AS DOUBLE)
+        END AS trimmed_mean
+      FROM b JOIN th ON b.g = th.g
+      GROUP BY b.g, q[1], q[2]
+      ORDER BY o_orderpriority
+    """.trim))
+
+  // --------------------------------------------------------------- q148
+
+  /** q148 — HLL accuracy evaluation ([[Sketch.hllAccuracy]]): per
+    * event type, the exact distinct user count next to q89's HLL
+    * estimate and the signed relative error — the q129/q144 eval
+    * discipline applied to the sketch family (±1.04/√m is the
+    * EXPECTED error; this measures it on YOUR keys). The oracle
+    * replays the shared HLL fragment plus the exact side. */
+  val q148: Q = {
+    val m = 256
+    val wBits = 52
+    Q(
+      "q148_hll_accuracy",
+      (s, d) => {
+        val h1 = (col("user_id") % P * 2654435761L % P + 12345L) % P
+        val h2 = (col("user_id") % P * 1779033703L % P + 54321L) % P
+        val hashed = Tables.events(s, d).select(col("event_type"),
+          col("user_id"),
+          ((h1 * h1 % P) * P + (h2 * h2 % P)).as("h"))
+        Sketch.hllAccuracy(hashed, "event_type", "h", "user_id", m, wBits)
+      },
+      Some(s"""
+        WITH ${duckHllEvents(m, wBits)},
+        ex AS (
+          SELECT event_type,
+            CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+          FROM events GROUP BY 1)
+        SELECT ex.event_type AS event_type, exact_distinct, est_distinct,
+          est_distinct / CAST(exact_distinct AS DOUBLE) - 1.0e0
+            AS rel_error
+        FROM ex JOIN hll ON ex.event_type = hll.event_type
+        ORDER BY 1
+      """.trim))
+  }
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -5205,5 +5290,5 @@ object Ext {
       q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
       q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
       q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-      q139, q140, q141, q142, q143, q144, q145, q146)
+      q139, q140, q141, q142, q143, q144, q145, q146, q147, q148)
 }

@@ -251,6 +251,26 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("trimmedMean: exact IQR band by hand; an outlier cannot drag the " +
+    "mean; off-grid percentiles rejected") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a", 0L), ("a", 100L), ("a", 200L), ("a", 300L),
+      ("a", 400L),
+      ("b", 0L), ("b", 0L), ("b", 0L), ("b", 0L), ("b", 1000000L))
+      .toDF("g", "v")
+    val out = Profiling.trimmedMean(df, "g", "v").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    // a: Q1=100, Q3=300 → kept {100,200,300} → mean 200
+    assert(out("a") == ((5L, 3L, 100.0, 300.0, 200.0)))
+    // b: Q1=Q3=0 → the outlier is OUT, ties at the threshold stay IN
+    assert(out("b") == ((5L, 4L, 0.0, 0.0, 0.0)))
+    intercept[IllegalArgumentException] {
+      Profiling.trimmedMean(df, "g", "v", pLo = 0.1, pHi = 0.9)
+    }
+  }
+
   test("keyCandidates: the verdict needs zero nulls AND full " +
     "distinctness; max_dup sizes the worst collision; floats rejected") {
     val s = spark; import s.implicits._

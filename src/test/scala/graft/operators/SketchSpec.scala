@@ -156,4 +156,29 @@ class SketchSpec extends SparkSpec {
         org.apache.spark.sql.functions.lit(1L).as("h")), "h", width = 100)
     }
   }
+
+  test("hllAccuracy: exact side is truly exact; rel_error is the " +
+    "estimate's own ratio and lands inside the m=256 expectation") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // two groups with known distinct counts (120 and 40), duplicates
+    // included to prove the exact side dedups
+    val rows = (1L to 120L).map(u => ("a", u)) ++
+      (1L to 120L).map(u => ("a", u)) ++
+      (201L to 240L).map(u => ("b", u))
+    val base = rows.toDF("g", "u")
+    val h1 = (col("u") % P * 2654435761L % P + 12345L) % P
+    val h2 = (col("u") % P * 1779033703L % P + 54321L) % P
+    val hashed = base.select(col("g"), col("u"),
+      ((h1 * h1 % P) * P + (h2 * h2 % P)).as("h"))
+    val out = Sketch.hllAccuracy(hashed, "g", "h", "u").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out("a")._1 == 120L && out("b")._1 == 40L)
+    out.values.foreach { case (exact, est, rel) =>
+      assert(rel == est / exact.toDouble - 1.0)
+      // 1.04/sqrt(256) ≈ 6.5% expected; allow a generous 4σ
+      assert(math.abs(rel) < 0.26, s"rel_error $rel out of band")
+    }
+  }
 }
