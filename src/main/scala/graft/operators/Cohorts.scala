@@ -297,6 +297,60 @@ object Cohorts {
       .orderBy(col("event_type"))
   }
 
+  /** COHORT REVENUE (LTV) CURVE — the money reading of
+    * [[retentionMatrix]]: per acquisition cohort (a user's first
+    * active week) and week offset, revenue, CUMULATIVE revenue, and
+    * cumulative revenue per cohort user — the lifetime-value curve a
+    * growth team reads to decide what a new user is worth. Cohort
+    * membership comes from ALL activity; the caller chooses what
+    * counts as revenue by shaping `valueCol` (the q150 query zeroes
+    * non-purchase events), so acquisition and monetization stay
+    * decoupled.
+    *
+    * Exactness: money folds DECIMAL(12,2) end-to-end ([[graft.engine
+    * .Dec]]) including the cumulative window — the running sum is
+    * exact decimal, cast to DOUBLE only at the boundary; LTV is one
+    * IEEE division. Offsets are DENSE (0..global-last-week per
+    * cohort, zero-filled): a cumulative at calendar week w must exist
+    * even when that week sold nothing.
+    *
+    * Scale shape: per-user week folds are partial-aggregable and all
+    * key on `u`; the dense grid explodes the |cohorts|-row frame
+    * against the ONE-ROW global max week (the documented broadcast
+    * scalar-append); the cumulative window runs per cohort over the
+    * |cohorts|·|weeks| frame. */
+  def cohortRevenue(events: DataFrame, userCol: String, dayCol: Column,
+      valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = events.select(col(userCol).as("u"), weekIndex(dayCol).as("w"),
+      graft.engine.Dec.d2(valueCol).as("v"))
+    val ch = b.groupBy(col("u")).agg(min(col("w")).as("cohort_week"))
+    val sz = ch.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_users"))
+    val mw = b.agg(max(col("w")).as("mw"))
+    val dense = sz.crossJoin(broadcast(mw))
+      .select(col("cohort_week"), col("cohort_users"),
+        explode(sequence(lit(0L), col("mw") - col("cohort_week")))
+          .as("week_offset"))
+    val rev = b.join(ch, Seq("u"))
+      .groupBy(col("cohort_week"),
+        (col("w") - col("cohort_week")).as("week_offset"))
+      .agg(sum(col("v")).as("rev"))
+    val zero = graft.engine.Dec.d2(lit(0))
+    val wdw = Window.partitionBy(col("cohort_week"))
+      .orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense.join(rev, Seq("cohort_week", "week_offset"), "left")
+      .withColumn("r", coalesce(col("rev"), zero))
+      .withColumn("cum", sum(col("r")).over(wdw))
+      .select(col("cohort_week"), col("week_offset"), col("cohort_users"),
+        graft.engine.Dec.outD(col("r")).as("revenue"),
+        graft.engine.Dec.outD(col("cum")).as("cum_revenue"),
+        (graft.engine.Dec.outD(col("cum")) /
+          col("cohort_users").cast("double")).as("ltv_per_user"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** SESSION CO-OCCURRENCE LIFT — market-basket analysis with the
     * session as the basket: which event-type pairs appear in the SAME
     * session beyond chance, `lift = n_ab·N / (n_a·n_b)` over session

@@ -43,4 +43,49 @@ object Rolling {
         Dec.outD(col("total")).as("total"),
         Dec.outD(col("moving")).as("moving"))
   }
+
+  /** DAILY CARRY-FORWARD SNAPSHOT — materialize "the value current at
+    * end of each day" from a sparse update stream: the feature-store /
+    * metrics daily table (q43's as-of answers one lookup; this writes
+    * the whole calendar), with gaps filled by last observation carried
+    * forward. Every key's series runs from its own first observation
+    * to the GLOBAL last observed day, so one snapshot date covers all
+    * keys — the join contract a daily consumer needs; `is_filled`
+    * marks carried rows so staleness stays visible (the q63 tolerance
+    * rule composes on top).
+    *
+    * Deterministic everywhere: the day's closing observation is the
+    * (ts, id)-max (one partial-aggregable struct max — id breaks
+    * same-microsecond ties, the q82 pin), money rides DECIMAL(12,2)
+    * to the output boundary, and the carry is `last(ignoreNulls)`
+    * over a day-ordered key window.
+    *
+    * Scale shape: ONE corpus-sized partial aggregate reduces to
+    * (key, day) closers; the global-last-day window, the calendar
+    * explode (bounded by keys × days), and the carry window all run
+    * on reduced frames, the latter two sharing the key partitioning. */
+  def dailySnapshot(df: DataFrame, keyCol: Column, tsUsCol: Column,
+      idCol: Column, valueCol: Column): DataFrame = {
+    val obs = df
+      .select(keyCol.as("key"),
+        to_date(timestamp_micros(tsUsCol)).as("day"),
+        tsUsCol.as("ts_us"), idCol.as("id"), Dec.d2(valueCol).as("v"))
+      .groupBy(col("key"), col("day"))
+      .agg(max(struct(col("ts_us"), col("id"), col("v"))).as("m"))
+      .select(col("key"), col("day"), col("m.v").as("obs_v"))
+    val grid = obs
+      .withColumn("last_day", max(col("day")).over(Window.partitionBy()))
+      .groupBy(col("key"), col("last_day"))
+      .agg(min(col("day")).as("first_day"))
+      .select(col("key"),
+        explode(sequence(col("first_day"), col("last_day"))).as("day"))
+    val w = Window.partitionBy(col("key")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("key", "day"), "left")
+      .withColumn("carried", last(col("obs_v"), ignoreNulls = true).over(w))
+      .select(col("key"), col("day"),
+        Dec.outD(col("carried")).as("value"),
+        col("obs_v").isNull.as("is_filled"))
+      .orderBy(col("key"), col("day"))
+  }
 }

@@ -5279,6 +5279,100 @@ object Ext {
       """.trim))
   }
 
+  // --------------------------------------------------------------- q149
+
+  /** q149 — daily carry-forward snapshot ([[Rolling.dailySnapshot]]):
+    * the value current at end of each day per event type, gaps filled
+    * by last observation carried forward — the feature-store daily
+    * table (q43 answers one as-of lookup; this writes the calendar);
+    * `is_filled` keeps staleness visible. */
+  val q149: Q = Q(
+    "q149_daily_snapshot",
+    (s, d) =>
+      Rolling.dailySnapshot(eventsUs(s, d), col("event_type"),
+        col("ts_us"), col("event_id"), col("value")),
+    Some("""
+      WITH o AS (
+        SELECT event_type AS key, CAST(ts AS DATE) AS day,
+          CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id,
+          CAST(value AS DECIMAL(12,2)) AS v
+        FROM events),
+      lastv AS (
+        SELECT key, day, v AS obs_v FROM (
+          SELECT key, day, v, row_number() OVER (
+            PARTITION BY key, day
+            ORDER BY ts_us DESC, event_id DESC) AS rn
+          FROM o) t
+        WHERE rn = 1),
+      g AS (
+        SELECT key, unnest(generate_series(first_day, last_day,
+          INTERVAL 1 DAY))::DATE AS day
+        FROM (
+          SELECT key, min(day) AS first_day,
+            (SELECT max(day) FROM lastv) AS last_day
+          FROM lastv GROUP BY 1) t),
+      f AS (
+        SELECT g.key, g.day, lastv.obs_v
+        FROM g LEFT JOIN lastv ON g.key = lastv.key AND g.day = lastv.day)
+      SELECT key, day,
+        CAST(last_value(obs_v IGNORE NULLS) OVER (
+          PARTITION BY key ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          AS value,
+        obs_v IS NULL AS is_filled
+      FROM f ORDER BY key, day
+    """.trim))
+
+  // --------------------------------------------------------------- q150
+
+  /** q150 — cohort revenue / LTV curve ([[Cohorts.cohortRevenue]]):
+    * per acquisition cohort and week offset, purchase revenue,
+    * exact-decimal cumulative, and LTV per cohort user — cohorts from
+    * ALL activity, revenue from purchase events only (the decoupling
+    * the operator's valueCol contract exists for); dense zero-filled
+    * offsets to the global last week. */
+  val q150: Q = Q(
+    "q150_cohort_ltv",
+    (s, d) =>
+      Cohorts.cohortRevenue(eventsUs(s, d), "user_id",
+        to_date(timestamp_micros(col("ts_us"))),
+        when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0))),
+    Some("""
+      WITH b AS (
+        SELECT user_id AS u,
+          (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS w,
+          CAST(CASE WHEN event_type = 'purchase' THEN value
+            ELSE 0 END AS DECIMAL(12,2)) AS v
+        FROM events),
+      ch AS (SELECT u, min(w) AS cohort_week FROM b GROUP BY 1),
+      sz AS (
+        SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+        FROM ch GROUP BY 1),
+      mw AS (SELECT max(w) AS mw FROM b),
+      dense AS (
+        SELECT cohort_week, cohort_users,
+          unnest(generate_series(0, mw - cohort_week)) AS week_offset
+        FROM sz CROSS JOIN mw),
+      rev AS (
+        SELECT cohort_week, w - cohort_week AS week_offset,
+          sum(v) AS rev
+        FROM b JOIN ch USING (u) GROUP BY 1, 2)
+      SELECT d.cohort_week, d.week_offset, d.cohort_users,
+        CAST(coalesce(rev, 0) AS DOUBLE) AS revenue,
+        CAST(sum(coalesce(rev, 0)) OVER (
+          PARTITION BY d.cohort_week ORDER BY d.week_offset
+          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue,
+        CAST(sum(coalesce(rev, 0)) OVER (
+          PARTITION BY d.cohort_week ORDER BY d.week_offset
+          ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
+          CAST(d.cohort_users AS DOUBLE) AS ltv_per_user
+      FROM dense d
+      LEFT JOIN rev ON d.cohort_week = rev.cohort_week
+        AND d.week_offset = rev.week_offset
+      ORDER BY d.cohort_week, d.week_offset
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -5290,5 +5384,6 @@ object Ext {
       q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
       q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
       q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-      q139, q140, q141, q142, q143, q144, q145, q146, q147, q148)
+      q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
+      q149, q150)
 }

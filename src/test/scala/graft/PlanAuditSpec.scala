@@ -780,7 +780,11 @@ class PlanAuditSpec extends SparkSpec {
       // q144: pairsEval's three ONE-ROW count aggregates meet on the
       // documented broadcast scalar-append; the pair comparison itself
       // is a hash join on the id pair
-      "q144_lsh_operating_point")
+      "q144_lsh_operating_point",
+      // q150: the ONE-ROW global max week appended to the |cohorts|
+      // frame for the dense offset explode — cohortRevenue's
+      // scalar-append, q79's exact shape
+      "q150_cohort_ltv")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()

@@ -197,6 +197,31 @@ class CohortsSpec extends SparkSpec {
       Set(("A", "B"), ("A", "C")))
   }
 
+  test("cohortRevenue: dense zero-filled offsets, exact decimal " +
+    "cumulative, LTV per cohort user; cohorts from all activity") {
+    // weeks: 1970-01-01 = week 0, +7d = week 1, +14d = week 2
+    val ev = Seq(
+      (1L, "1970-01-01", 10.0, "purchase"),  // u1 cohort 0, rev wk 0
+      (1L, "1970-01-15", 5.0, "purchase"),   // u1 rev wk 2
+      (2L, "1970-01-01", 99.0, "view"),      // u2 cohort 0, no revenue
+      (3L, "1970-01-08", 1.0, "purchase")    // u3 cohort 1, rev wk 1
+    ).toDF("user_id", "d", "value", "event_type")
+      .select(col("user_id"), to_date(col("d")).as("d"), col("value"),
+        col("event_type"))
+    val out = Cohorts.cohortRevenue(ev, "user_id", col("d"),
+      when(col("event_type") === "purchase", col("value"))
+        .otherwise(lit(0.0)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(out == Map(
+      (0L, 0L) -> ((2L, 10.0, 10.0, 5.0)),
+      (0L, 1L) -> ((2L, 0.0, 10.0, 5.0)),
+      (0L, 2L) -> ((2L, 5.0, 15.0, 7.5)),
+      (1L, 0L) -> ((1L, 1.0, 1.0, 1.0)),
+      (1L, 1L) -> ((1L, 0.0, 1.0, 1.0))))
+  }
+
   test("stickiness: DAU over trailing-window actives; observed days only") {
     val events = Seq(
       (1L, "2020-01-01"), (2L, "2020-01-01"), (1L, "2020-01-01"),

@@ -48,4 +48,30 @@ class RollingSpec extends SparkSpec {
       ("x", "2024-03-07", 4.00, 7.75),
       ("x", "2024-03-08", 8.00, 12.00)))
   }
+
+  test("dailySnapshot: the day's closer wins by (ts, id), gaps carry " +
+    "forward to the GLOBAL last day, fills are flagged") {
+    val s = spark; import s.implicits._
+    val ev = Seq(
+      // type A, day 1: two events — ts 20 closes the day at 2.00
+      ("A", "2024-01-01T00:00:10", 1L, 1.00),
+      ("A", "2024-01-01T00:00:20", 2L, 2.00),
+      ("A", "2024-01-03T00:00:00", 3L, 5.00),
+      // type B observed only on day 2 — must carry to day 3 (global)
+      ("B", "2024-01-02T00:00:00", 4L, 3.00)
+    ).toDF("k", "t", "id", "v")
+      .select(col("k"),
+        unix_micros(to_timestamp(col("t"))).as("ts_us"),
+        col("id"), col("v"))
+    val out = Rolling.dailySnapshot(ev, col("k"), col("ts_us"),
+      col("id"), col("v")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out == Map(
+      ("A", "2024-01-01") -> ((2.0, false)),
+      ("A", "2024-01-02") -> ((2.0, true)),
+      ("A", "2024-01-03") -> ((5.0, false)),
+      ("B", "2024-01-02") -> ((3.0, false)),
+      ("B", "2024-01-03") -> ((3.0, true))))
+  }
 }
