@@ -161,7 +161,36 @@ object Bench {
     "q119_join_blowup" -> 0.28,
     "q120_benford_profile" -> 0.57,
     "q121_k_anonymity" -> 0.29,
-    "q122_transition_matrix" -> 0.5)
+    "q122_transition_matrix" -> 0.5,
+    // r11f canonical (first full run over q123-q146; loadavg 1.8-8.7,
+    // so these seeds are conservative — later quiet canonicals lower
+    // them as better minimums are observed)
+    "q123_hybrid_rrf" -> 1.51,
+    "q124_distinct_ngrams" -> 1.52,
+    "q125_embedding_health" -> 0.35,
+    "q126_cusum_changepoint" -> 0.69,
+    "q127_ks_drift" -> 0.88,
+    "q128_rfm_segments" -> 0.43,
+    "q129_ann_recall" -> 1.75,
+    "q130_dedup_impact" -> 0.5,
+    "q131_encoding_health" -> 0.32,
+    "q132_length_bias" -> 0.44,
+    "q133_simpson_concentration" -> 0.5,
+    "q134_soft_dedup" -> 0.41,
+    "q135_cramers_v" -> 0.53,
+    "q136_source_concentration" -> 0.24,
+    "q137_interevent_gaps" -> 0.77,
+    "q138_stickiness" -> 1.46,
+    "q139_session_cooccurrence" -> 1.0,
+    "q140_ivf_cell_balance" -> 1.18,
+    "q141_key_candidates" -> 0.74,
+    "q142_embedding_dups" -> 0.37,
+    "q143_readability" -> 0.41,
+    // q144 runs BOTH pair pipelines by design (the eval's honest cost:
+    // the exact reference rung plus the banded rung)
+    "q144_lsh_operating_point" -> 2.42,
+    "q145_token_truncation" -> 0.33,
+    "q146_source_lang_purity" -> 0.39)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
