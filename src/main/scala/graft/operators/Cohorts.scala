@@ -77,8 +77,11 @@ object Cohorts {
     * same-microsecond view+click pair does NOT advance the funnel —
     * the deliberate choice, since equal-timestamp ordering would
     * otherwise be engine-dependent tie-breaking. */
-  def funnel(events: DataFrame, userCol: String, tsUsCol: Column,
-      typeCol: String, steps: Seq[String]): DataFrame = {
+  /** Per-user strictly-after step completion times `(u, t0..t{n-1})`
+    * over the distinct-user universe — the cascade shared by
+    * [[funnel]] (depth census) and [[funnelTiming]] (step deltas). */
+  private def funnelTimes(events: DataFrame, userCol: String,
+      tsUsCol: Column, typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty && steps.distinct == steps,
       s"funnel: steps must be non-empty and distinct, got $steps")
     val e = events.select(col(userCol).as("u"), tsUsCol.as("ts_us"),
@@ -95,9 +98,15 @@ object Cohorts {
         }
         acc :+ matched.groupBy(col("u")).agg(min(col("ts_us")).as(s"t$i"))
       }
-    val joined = stepTimes.zipWithIndex.foldLeft(e.select(col("u")).distinct()) {
-      case (df, (st, i)) => df.join(st.select(col("u"), col(s"t$i")), Seq("u"), "left")
+    stepTimes.zipWithIndex.foldLeft(e.select(col("u")).distinct()) {
+      case (df, (st, i)) =>
+        df.join(st.select(col("u"), col(s"t$i")), Seq("u"), "left")
     }
+  }
+
+  def funnel(events: DataFrame, userCol: String, tsUsCol: Column,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    val joined = funnelTimes(events, userCol, tsUsCol, typeCol, steps)
     // forward fold so the DEEPEST step's branch is the outermost `when`
     // (each later step wraps the earlier chain as its `otherwise`)
     val depth = steps.indices.foldLeft(lit(0)) { (els, i) =>
@@ -295,6 +304,47 @@ object Cohorts {
         element_at(col("__q"), 3).as("p75_us"),
         col("max_gap_us"))
       .orderBy(col("event_type"))
+  }
+
+  /** FUNNEL STEP TIMING — the companion reading to [[funnel]]'s depth
+    * census: per consecutive step pair, HOW LONG converting users took
+    * (min / quartiles / max of `t_i − t_{i−1}` in exact integer µs) —
+    * the number that separates "users drop at checkout" from "users
+    * take three days at checkout", and the empirical input to any
+    * attribution-window choice (q118's 24 h should come from this
+    * table). Quartiles over integer µs interpolate exactly (the q88
+    * dyadic-on-integers argument); deltas are strictly positive by the
+    * cascade's strictly-after rule.
+    *
+    * Scale shape: the shared [[funnelTimes]] cascade (per-step
+    * ≤ |users|-row partial aggregates, all keyed on `u`), then a
+    * bounded (steps−1)-way union of delta frames and one small
+    * grouped fold; the exact percentile's multiset state is the
+    * profile-time cost (the q137/q111 trade). */
+  def funnelTiming(events: DataFrame, userCol: String, tsUsCol: Column,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2,
+      s"funnelTiming needs at least two steps, got $steps")
+    val joined = funnelTimes(events, userCol, tsUsCol, typeCol, steps)
+    val deltas = steps.indices.drop(1).map { i =>
+      joined.where(col(s"t${i - 1}").isNotNull && col(s"t$i").isNotNull)
+        .select(lit(i).as("step_idx"),
+          lit(steps(i - 1)).as("step_from"), lit(steps(i)).as("step_to"),
+          (col(s"t$i") - col(s"t${i - 1}")).as("gap"))
+    }.reduce(_ unionByName _)
+    deltas.groupBy(col("step_idx"), col("step_from"), col("step_to"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("gap")).as("min_us"),
+        expr("percentile(gap, array(0.25D, 0.5D, 0.75D))").as("__q"),
+        max(col("gap")).as("max_us"))
+      .select(col("step_idx").cast("int").as("step_idx"),
+        col("step_from"), col("step_to"), col("n_users"),
+        col("min_us"),
+        element_at(col("__q"), 1).as("p25_us"),
+        element_at(col("__q"), 2).as("p50_us"),
+        element_at(col("__q"), 3).as("p75_us"),
+        col("max_us"))
+      .orderBy(col("step_idx"))
   }
 
   /** COHORT REVENUE (LTV) CURVE — the money reading of

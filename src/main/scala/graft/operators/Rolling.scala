@@ -44,6 +44,37 @@ object Rolling {
         Dec.outD(col("moving")).as("moving"))
   }
 
+  /** DAILY VALUE BANDS — the box-plot-over-time feed every SLO /
+    * pricing / payment dashboard draws: per (key, day), count, min,
+    * exact quartiles, and max of an INTEGER-VALUED measure (money in
+    * cents via the `Dec` rule — the caller converts). The
+    * distribution's daily evolution is what a single daily SUM
+    * ([[movingDailySum]]) can't show: a mix shift toward small orders
+    * and a price cut look identical in the total and completely
+    * different in the bands.
+    *
+    * Exactness: quartiles over integer values interpolate exactly on
+    * both engines (the q88 dyadic-on-integers argument). Scale shape:
+    * ONE partial-aggregable groupBy(key, day); the exact percentile's
+    * per-group multiset is the profile-time cost (the q111 grid is
+    * the bounded-state path). NULL values drop. */
+  def dailyValueBands(df: DataFrame, keyCol: Column, dayCol: Column,
+      centsCol: Column): DataFrame =
+    df.select(keyCol.as("key"), dayCol.as("day"), centsCol.as("v"))
+      .where(col("v").isNotNull)
+      .groupBy(col("key"), col("day"))
+      .agg(count(lit(1)).as("n"),
+        min(col("v")).as("min_cents"),
+        expr("percentile(v, array(0.25D, 0.5D, 0.75D))").as("__q"),
+        max(col("v")).as("max_cents"))
+      .select(col("key"), col("day"), col("n"),
+        col("min_cents"),
+        element_at(col("__q"), 1).as("p25_cents"),
+        element_at(col("__q"), 2).as("p50_cents"),
+        element_at(col("__q"), 3).as("p75_cents"),
+        col("max_cents"))
+      .orderBy(col("key"), col("day"))
+
   /** DAILY CARRY-FORWARD SNAPSHOT — materialize "the value current at
     * end of each day" from a sparse update stream: the feature-store /
     * metrics daily table (q43's as-of answers one lookup; this writes

@@ -5373,6 +5373,73 @@ object Ext {
       ORDER BY d.cohort_week, d.week_offset
     """.trim))
 
+  // --------------------------------------------------------------- q151
+
+  /** q151 — daily value bands ([[Rolling.dailyValueBands]]): per
+    * (event type, day), count/min/quartiles/max of the event value in
+    * exact cents — the box-plot-over-time a daily SUM can't show (mix
+    * shift vs price cut). Dyadic-on-integers quartiles. */
+  val q151: Q = Q(
+    "q151_daily_value_bands",
+    (s, d) =>
+      Rolling.dailyValueBands(eventsUs(s, d), col("event_type"),
+        to_date(timestamp_micros(col("ts_us"))),
+        (Dec.d2(col("value")) * 100).cast("long")),
+    Some("""
+      WITH b AS (
+        SELECT event_type AS key, CAST(ts AS DATE) AS day,
+          CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL)
+      SELECT key, day, CAST(count(*) AS BIGINT) AS n,
+        CAST(min(v) AS BIGINT) AS min_cents,
+        quantile_cont(v, 0.25) AS p25_cents,
+        quantile_cont(v, 0.5) AS p50_cents,
+        quantile_cont(v, 0.75) AS p75_cents,
+        CAST(max(v) AS BIGINT) AS max_cents
+      FROM b GROUP BY 1, 2 ORDER BY 1, 2
+    """.trim))
+
+  // --------------------------------------------------------------- q152
+
+  /** q152 — funnel step timing ([[Cohorts.funnelTiming]]): per
+    * consecutive step pair, how long converting users took (exact µs
+    * quartiles over the shared strictly-after cascade) — "drop at
+    * checkout" vs "slow at checkout", and the empirical input to
+    * q118's attribution-window choice. */
+  val q152: Q = Q(
+    "q152_funnel_timing",
+    (s, d) =>
+      Cohorts.funnelTiming(eventsUs(s, d), "user_id", col("ts_us"),
+        "event_type", Seq("view", "click", "purchase")),
+    Some("""
+      WITH e AS (
+        SELECT user_id AS u, event_type AS t,
+          CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        FROM events),
+      s0 AS (SELECT u, min(ts_us) AS t0 FROM e WHERE t = 'view' GROUP BY u),
+      s1 AS (SELECT e.u, min(ts_us) AS t1
+             FROM e JOIN s0 ON e.u = s0.u AND e.ts_us > s0.t0
+             WHERE t = 'click' GROUP BY e.u),
+      s2 AS (SELECT e.u, min(ts_us) AS t2
+             FROM e JOIN s1 ON e.u = s1.u AND e.ts_us > s1.t1
+             WHERE t = 'purchase' GROUP BY e.u),
+      d AS (
+        SELECT 1 AS step_idx, 'view' AS step_from, 'click' AS step_to,
+          t1 - t0 AS gap
+        FROM s0 JOIN s1 USING (u)
+        UNION ALL
+        SELECT 2, 'click', 'purchase', t2 - t1
+        FROM s1 JOIN s2 USING (u))
+      SELECT CAST(step_idx AS INT) AS step_idx, step_from, step_to,
+        CAST(count(*) AS BIGINT) AS n_users,
+        CAST(min(gap) AS BIGINT) AS min_us,
+        quantile_cont(gap, 0.25) AS p25_us,
+        quantile_cont(gap, 0.5) AS p50_us,
+        quantile_cont(gap, 0.75) AS p75_us,
+        CAST(max(gap) AS BIGINT) AS max_us
+      FROM d GROUP BY 1, 2, 3 ORDER BY 1
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -5385,5 +5452,5 @@ object Ext {
       q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
       q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
       q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
-      q149, q150)
+      q149, q150, q151, q152)
 }

@@ -197,6 +197,25 @@ class CohortsSpec extends SparkSpec {
       Set(("A", "B"), ("A", "C")))
   }
 
+  test("funnelTiming: deltas only for converting users, exact quartile " +
+    "interpolation, strictly-positive gaps") {
+    val events = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 50L, "purchase"),
+      (2L, 0L, "view"), (2L, 40L, "click"),
+      (3L, 5L, "click") // click with no prior view — no delta anywhere
+    ).toDF("user_id", "ts_us", "event_type")
+    val out = Cohorts.funnelTiming(events, "user_id", col("ts_us"),
+      "event_type", Seq("view", "click", "purchase")).collect()
+      .map(r => (r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6),
+          r.getDouble(7), r.getLong(8)))).toMap
+    // view→click gaps {10, 40}: p·1 = .25/.5/.75 → 17.5 / 25 / 32.5
+    assert(out(("view", "click")) ==
+      ((2L, 10L, 17.5, 25.0, 32.5, 40L)))
+    assert(out(("click", "purchase")) ==
+      ((1L, 30L, 30.0, 30.0, 30.0, 30L)))
+  }
+
   test("cohortRevenue: dense zero-filled offsets, exact decimal " +
     "cumulative, LTV per cohort user; cohorts from all activity") {
     // weeks: 1970-01-01 = week 0, +7d = week 1, +14d = week 2

@@ -49,6 +49,23 @@ class RollingSpec extends SparkSpec {
       ("x", "2024-03-08", 8.00, 12.00)))
   }
 
+  test("dailyValueBands: exact quartiles on integer cents; NULLs drop") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      ("A", "2024-01-01", Option(100L)), ("A", "2024-01-01", Option(200L)),
+      ("A", "2024-01-01", Option(300L)), ("A", "2024-01-01", Option(400L)),
+      ("A", "2024-01-01", None),
+      ("A", "2024-01-02", Option(5L))
+    ).toDF("k", "d", "cents").withColumn("d", col("d").cast("date"))
+    val out = Rolling.dailyValueBands(df, col("k"), col("d"), col("cents"))
+      .collect().map(r => r.getDate(1).toString ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6), r.getLong(7)))).toMap
+    // {100,200,300,400}: p·3 = .75/1.5/2.25 → 175 / 250 / 325
+    assert(out("2024-01-01") == ((4L, 100L, 175.0, 250.0, 325.0, 400L)))
+    assert(out("2024-01-02") == ((1L, 5L, 5.0, 5.0, 5.0, 5L)))
+  }
+
   test("dailySnapshot: the day's closer wins by (ts, id), gaps carry " +
     "forward to the GLOBAL last day, fills are flagged") {
     val s = spark; import s.implicits._
