@@ -885,6 +885,71 @@ object TextAnalysis {
           expr("(__lw * 1048576) div n_tokens")).as("long_word_ratio_fp"))
       .orderBy(col("doc_id"))
 
+  /** URL DOMAIN PROFILE — the link census behind every domain
+    * blocklist/allowlist decision: extract URLs from the text
+    * ([[graft.operators.Scrub]]'s portable pattern), reduce each to
+    * its lowercased host plus the `apex` last-two-labels
+    * approximation (documented approximation — a true registrable
+    * domain needs the public-suffix list, which is DATA, not code;
+    * for co.uk-style suffixes the caller joins one), and count URL
+    * mentions and distinct citing docs per host. A host with many
+    * URLs in few docs is a template/self-link signature; many docs ×
+    * one host is the "everyone links the same spam domain" signal.
+    *
+    * Scale shape: extraction is row-local (one regexp_extract_all +
+    * explode — output sized by the corpus's actual link mass); ONE
+    * partial-aggregable groupBy(host) with a distinct-doc expand. */
+  def domainProfile(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val urls = docs.select(col(idCol).as("doc_id"),
+        explode(expr(
+          s"regexp_extract_all($textCol, '${graft.operators.Scrub.urlRe}', 0)"))
+          .as("url"))
+      .select(col("doc_id"),
+        lower(regexp_extract(col("url"), "https?://([A-Za-z0-9.%-]+)", 1))
+          .as("domain"))
+    urls.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .withColumn("apex",
+        regexp_extract(col("domain"), "([A-Za-z0-9-]+[.][A-Za-z0-9-]+)$", 1))
+      .select(col("domain"), col("apex"), col("n_urls"), col("n_docs"))
+      .orderBy(col("domain"))
+  }
+
+  /** CASING PROFILE — the SHOUTING/headline screen the Gopher-style
+    * quality rules include and [[qualityScores]]' punctuation view
+    * doesn't: per doc, letter and uppercase-letter counts, the
+    * uppercase ratio, and the ALL-CAPS token share (tokens of ≥ 2
+    * capitals — acronyms score low, headline spam and key-mashing
+    * score high). ASCII letters only, deliberately: locale-dependent
+    * case folding is not engine-portable, and the signal survives.
+    *
+    * Every ratio is an integer-division fixed-point of row-local
+    * counts (the q66/q143 discipline); zero-letter / zero-token docs
+    * keep NULL ratios. Fully row-local — no shuffle at any corpus
+    * size. */
+  def casingProfile(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        length(regexp_replace(col(textCol), "[^A-Za-z]", ""))
+          .cast("long").as("n_letters"),
+        length(regexp_replace(col(textCol), "[^A-Z]", ""))
+          .cast("long").as("n_upper"),
+        TextHash.tokens(col(textCol)).as("w"))
+      .select(col("doc_id"), col("n_letters"), col("n_upper"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(filter(col("w"), t => t.rlike("^[A-Z]{2,}$"))).cast("long")
+          .as("n_caps_tokens"))
+      .select(col("doc_id"), col("n_letters"), col("n_upper"),
+        col("n_tokens"), col("n_caps_tokens"),
+        when(col("n_letters") > 0,
+          expr("(n_upper * 1048576) div n_letters")).as("upper_ratio_fp"),
+        when(col("n_tokens") > 0,
+          expr("(n_caps_tokens * 1048576) div n_tokens"))
+          .as("caps_token_ratio_fp"))
+      .orderBy(col("doc_id"))
+
   /** UNIGRAM SIMPSON CONCENTRATION — per group, the probability that
     * two token draws (without replacement) are the SAME term:
     * `λ = Σ c_t(c_t−1) / (N(N−1))`. This is the diversity-vs-template

@@ -5440,6 +5440,87 @@ object Ext {
       FROM d GROUP BY 1, 2, 3 ORDER BY 1
     """.trim))
 
+  // --------------------------------------------------------------- q153
+
+  /** q153 — URL domain profile ([[TextAnalysis.domainProfile]]): per
+    * lowercased host (plus the documented last-two-labels apex), URL
+    * mentions and distinct citing docs — the census behind domain
+    * block/allowlists. URLs seeded like q38 (doc_id % 7 picks one of
+    * three hosts, mixed case pins the lowercasing). */
+  val q153: Q = Q(
+    "q153_domain_profile",
+    (s, d) => {
+      val host = when(col("doc_id") % 7 === 0, lit("Ads.SPAM.example"))
+        .when(col("doc_id") % 7 === 1, lit("docs.example.org"))
+        .otherwise(lit("a.b.news.example.com"))
+      val seeded = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 3 =!= 0,
+          concat(col("text"), lit(" https://"), host, lit("/p/"),
+            col("doc_id"), lit(" and https://"), host, lit("/q")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.domainProfile(seeded, "doc_id", "text")
+    },
+    Some("""
+      WITH seeded AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 3 <> 0 THEN text || ' https://' ||
+            CASE WHEN doc_id % 7 = 0 THEN 'Ads.SPAM.example'
+                 WHEN doc_id % 7 = 1 THEN 'docs.example.org'
+                 ELSE 'a.b.news.example.com' END ||
+            '/p/' || CAST(doc_id AS VARCHAR) || ' and https://' ||
+            CASE WHEN doc_id % 7 = 0 THEN 'Ads.SPAM.example'
+                 WHEN doc_id % 7 = 1 THEN 'docs.example.org'
+                 ELSE 'a.b.news.example.com' END || '/q'
+          ELSE text END AS text
+        FROM documents),
+      u AS (
+        SELECT doc_id, lower(regexp_extract(url,
+          'https?://([A-Za-z0-9.%-]+)', 1)) AS domain
+        FROM seeded, LATERAL unnest(regexp_extract_all(text,
+          'https?://[A-Za-z0-9./_%?=&#-]+', 0)) AS t(url))
+      SELECT domain,
+        regexp_extract(domain, '([A-Za-z0-9-]+[.][A-Za-z0-9-]+)$', 1)
+          AS apex,
+        CAST(count(*) AS BIGINT) AS n_urls,
+        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM u GROUP BY 1 ORDER BY domain
+    """.trim))
+
+  // --------------------------------------------------------------- q154
+
+  /** q154 — casing profile ([[TextAnalysis.casingProfile]]): per doc,
+    * uppercase-letter ratio and ALL-CAPS token share — the
+    * SHOUTING/headline-spam screen; ASCII-only by design (locale case
+    * folding is not engine-portable), integer fixed-point ratios,
+    * fully row-local. */
+  val q154: Q = Q(
+    "q154_casing_profile",
+    (s, d) =>
+      TextAnalysis.casingProfile(Tables.documents(s, d), "doc_id",
+        "text"),
+    Some("""
+      WITH m AS (
+        SELECT doc_id,
+          CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+            AS BIGINT) AS n_letters,
+          CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+            AS BIGINT) AS n_upper,
+          list_filter(string_split_regex(trim(text), '\s+'),
+            t -> t <> '') AS w
+        FROM documents)
+      SELECT doc_id, n_letters, n_upper,
+        CAST(len(w) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(w, t -> regexp_matches(t, '^[A-Z]{2,}$')))
+          AS BIGINT) AS n_caps_tokens,
+        CASE WHEN n_letters > 0 THEN
+          (n_upper * 1048576) // n_letters END AS upper_ratio_fp,
+        CASE WHEN len(w) > 0 THEN
+          (CAST(len(list_filter(w, t -> regexp_matches(t,
+            '^[A-Z]{2,}$'))) AS BIGINT) * 1048576) // len(w)
+        END AS caps_token_ratio_fp
+      FROM m ORDER BY doc_id
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -5452,5 +5533,5 @@ object Ext {
       q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
       q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
       q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
-      q149, q150, q151, q152)
+      q149, q150, q151, q152, q153, q154)
 }

@@ -386,6 +386,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0).getDouble(4) == 0.5)
   }
 
+  test("domainProfile: hosts lowercase, apex is last-two-labels, counts " +
+    "split URL mentions from citing docs") {
+    val out = TextAnalysis.domainProfile(
+      docs(
+        "see https://News.Example.COM/a and https://news.example.com/b",
+        "also https://news.example.com/c plus http://sub.deep.other.org/x",
+        "no links here"
+      ), "doc_id", "text").collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      "news.example.com" -> (("example.com", 3L, 2L)),
+      "sub.deep.other.org" -> (("other.org", 1L, 1L))))
+  }
+
+  test("casingProfile: ASCII letter/caps counts by hand; acronym vs " +
+    "shouting; zero-letter docs keep NULL ratios") {
+    val out = TextAnalysis.casingProfile(
+      docs(
+        "NASA made it",  // acronym: 1 caps token of 3, upper 4 of 10
+        "BUY NOW",       // shouting: all caps
+        "123 !!"         // no letters, no caps tokens
+      ), "doc_id", "text").collect()
+    val r0 = out(0)
+    assert((r0.getLong(1), r0.getLong(2), r0.getLong(3),
+      r0.getLong(4)) == ((10L, 4L, 3L, 1L)))
+    assert(r0.getLong(5) == 4L * 1048576 / 10)
+    assert(r0.getLong(6) == 1048576L / 3)
+    val r1 = out(1)
+    assert(r1.getLong(5) == 1048576L && r1.getLong(6) == 1048576L)
+    val r2 = out(2)
+    assert(r2.getLong(1) == 0L && r2.isNullAt(5) && r2.getLong(4) == 0L)
+  }
+
   test("readabilitySignals: integer fixed-point by hand; zero-token and " +
     "zero-sentence docs keep NULL ratios") {
     val out = TextAnalysis.readabilitySignals(
