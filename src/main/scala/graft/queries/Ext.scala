@@ -5521,6 +5521,111 @@ object Ext {
       FROM m ORDER BY doc_id
     """.trim))
 
+  // --------------------------------------------------------------- q155
+
+  /** q155 — regional local-supplier volume (the TPC-H Q5 SHAPE on the
+    * fixture star): revenue by nation for ASIA customers served by
+    * same-nation suppliers in 1996 — the 6-table join that exercises
+    * the planner's join-size laddering. Only the CONSTANT-size dims
+    * (region, nation) are explicitly broadcast; customer and supplier
+    * SCALE with the corpus, so their joins are left to
+    * Catalyst/AQE — at fixture SF they auto-broadcast, at 100 TB they
+    * shuffle on their keys, and the code is correct either way (the
+    * q9 discipline one rung up). Money exact decimal end-to-end. */
+  val q155: Q = Q(
+    "q155_regional_volume",
+    (s, d) => {
+      val nat = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+          .where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val ord = Tables.orders(s, d)
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_suppkey"),
+        (Dec.d2(col("l_extendedprice")) *
+          (lit(1) - Dec.d2(col("l_discount")))).as("rev"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(Dec.outD(sum(col("rev"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""
+      SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+          (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+        AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name
+    """.trim))
+
+  // --------------------------------------------------------------- q156
+
+  /** q156 — unshipped-order priority (the TPC-H Q3 SHAPE): top-10
+    * revenue among BUILDING-segment orders placed before the cut
+    * whose items shipped after it — filter-pushdown on BOTH fact
+    * predicates, one orderkey-keyed aggregate, top-k as
+    * TakeOrderedAndProject (per-partition heaps, never a global
+    * sort); ties pinned (revenue desc, date, orderkey). */
+  val q156: Q = Q(
+    "q156_order_priority",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = Tables.orders(s, d)
+        .where(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val li = Tables.lineitem(s, d)
+        .where(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"),
+          (Dec.d2(col("l_extendedprice")) *
+            (lit(1) - Dec.d2(col("l_discount")))).as("rev"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(Dec.outD(sum(col("rev"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"),
+          col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+          (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+        AND l_shipdate > TIMESTAMP '1997-01-01'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, o_orderdate, l_orderkey
+      LIMIT 10
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -5533,5 +5638,5 @@ object Ext {
       q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
       q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
       q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
-      q149, q150, q151, q152, q153, q154)
+      q149, q150, q151, q152, q153, q154, q155, q156)
 }

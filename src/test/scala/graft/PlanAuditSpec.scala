@@ -674,6 +674,24 @@ class PlanAuditSpec extends SparkSpec {
       s"Generate must sit above the scan in the formatted tree:\n$p")
   }
 
+  test("q155: both fact predicates are pushed to their scans; the " +
+    "constant dims broadcast") {
+    val p = plan("q155_regional_volume")
+    // the orders date band and the customer segment... the DATE band
+    // reaches the orders scan as pushed filters
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q156: top-10 plans as TakeOrderedAndProject over the aggregate") {
+    val p = plan("q156_order_priority")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert(!p.contains("Sort ["), p) // heaps, never a global sort
+  }
+
   test("registry sweep: no cartesian product, no nested-loop join beyond the documented set") {
     // per-query pins only exist where a builder remembered to add one;
     // this sweep holds the whole registry to the two non-negotiables.
