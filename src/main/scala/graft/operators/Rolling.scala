@@ -44,6 +44,40 @@ object Rolling {
         Dec.outD(col("moving")).as("moving"))
   }
 
+  /** PERIOD-OVER-PERIOD GROWTH — the dashboard staple next to
+    * [[movingDailySum]]: per key, each observed day's total against
+    * the PREVIOUS OBSERVED day's, with the growth rate and the
+    * `day_gap` that keeps gaps honest (a +300% "daily" growth over a
+    * 14-day gap is a different fact than over 1 day — densify with
+    * [[dailySnapshot]] first if calendar-adjacent comparison is
+    * wanted; observed-day lag is the deliberate default because a
+    * zero-filled gap would print a meaningless −100%/+∞ pair).
+    *
+    * Exactness: totals and the numerator difference fold as exact
+    * DECIMAL ([[Dec]]); the rate is ONE IEEE division at the
+    * boundary; a zero previous total keeps NULL growth (the sign of
+    * x/0 is not a reading). Scale shape: one partial-aggregable
+    * (key, day) rollup, one key-partitioned lag over the reduced
+    * frame. */
+  def periodGrowth(df: DataFrame, keyCol: Column, dayCol: Column,
+      valueCol: Column): DataFrame = {
+    val daily = df
+      .select(keyCol.as("key"), dayCol.as("day"), Dec.d2(valueCol).as("v"))
+      .groupBy(col("key"), col("day")).agg(sum(col("v")).as("total"))
+    val w = Window.partitionBy(col("key")).orderBy(col("day"))
+    daily
+      .withColumn("prev_total", lag(col("total"), 1).over(w))
+      .withColumn("prev_day", lag(col("day"), 1).over(w))
+      .select(col("key"), col("day"),
+        Dec.outD(col("total")).as("total"),
+        Dec.outD(col("prev_total")).as("prev_total"),
+        datediff(col("day"), col("prev_day")).as("day_gap"),
+        when(col("prev_total").isNotNull && col("prev_total") =!= 0,
+          Dec.outD(col("total") - col("prev_total")) /
+            Dec.outD(col("prev_total"))).as("growth"))
+      .orderBy(col("key"), col("day"))
+  }
+
   /** DAILY VALUE BANDS — the box-plot-over-time feed every SLO /
     * pricing / payment dashboard draws: per (key, day), count, min,
     * exact quartiles, and max of an INTEGER-VALUED measure (money in

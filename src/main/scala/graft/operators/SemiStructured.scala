@@ -46,4 +46,33 @@ object SemiStructured {
         col("sum_value").cast("double") / col("n_present").cast("double"))
       .orderBy(col(groupCol))
   }
+
+  /** JSON FIELD TOP-K — the value census of a semi-structured field
+    * per group ("what OS strings appear in props, per platform"):
+    * extract with the same poison-proof [[extractLong]] path, count,
+    * keep each group's k most frequent values. Missing / malformed /
+    * mistyped payloads surface as the NULL value row — the
+    * missing-rate is part of the census, not silently dropped (the
+    * [[jsonFieldStats]] presence-counting convention made visible).
+    *
+    * Deterministic: ties order by count desc then value ASC NULLS
+    * FIRST, pinned on both engines (the labelPurity trap). Scale
+    * shape: extraction row-local; ONE partial-aggregable
+    * (group, value) count; the rank filter plans as WindowGroupLimit
+    * (per-task k-heaps before the exchange — the q46 shape). */
+  def jsonFieldTopK(df: DataFrame, jsonCol: String, field: String,
+      groupCol: String, k: Int = 5): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(groupCol), extractLong(col(jsonCol), field).as("value"))
+      .groupBy(col(groupCol), col("value"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("n").desc, col("value").asc_nulls_first)
+    counts
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .orderBy(col(groupCol), col("rank"))
+  }
 }

@@ -5626,6 +5626,64 @@ object Ext {
       LIMIT 10
     """.trim))
 
+  // --------------------------------------------------------------- q157
+
+  /** q157 — period-over-period growth ([[Rolling.periodGrowth]]): per
+    * event type, each observed day's value total vs the previous
+    * observed day, growth rate and day_gap — the dashboard staple
+    * with gaps kept honest; exact decimal totals, one IEEE division
+    * at the boundary. */
+  val q157: Q = Q(
+    "q157_period_growth",
+    (s, d) =>
+      Rolling.periodGrowth(eventsUs(s, d), col("event_type"),
+        to_date(timestamp_micros(col("ts_us"))), col("value")),
+    Some("""
+      WITH daily AS (
+        SELECT event_type AS key, CAST(ts AS DATE) AS day,
+          sum(CAST(value AS DECIMAL(12,2))) AS total
+        FROM events GROUP BY 1, 2),
+      l AS (
+        SELECT key, day, total,
+          lag(total) OVER w AS prev_total,
+          lag(day) OVER w AS prev_day
+        FROM daily WINDOW w AS (PARTITION BY key ORDER BY day))
+      SELECT key, day, CAST(total AS DOUBLE) AS total,
+        CAST(prev_total AS DOUBLE) AS prev_total,
+        CAST(day - prev_day AS INT) AS day_gap,
+        CASE WHEN prev_total IS NOT NULL AND prev_total <> 0 THEN
+          CAST(total - prev_total AS DOUBLE) / CAST(prev_total AS DOUBLE)
+        END AS growth
+      FROM l ORDER BY key, day
+    """.trim))
+
+  // --------------------------------------------------------------- q158
+
+  /** q158 — JSON field top-k ([[SemiStructured.jsonFieldTopK]]): per
+    * event type, the 3 most frequent values of `props.k` — the value
+    * census of a semi-structured field, missing payloads surfacing as
+    * the NULL row; ties pinned (count desc, value asc NULLS FIRST);
+    * rank filter plans as WindowGroupLimit. */
+  val q158: Q = Q(
+    "q158_json_topk",
+    (s, d) =>
+      SemiStructured.jsonFieldTopK(Tables.events(s, d), "props", "k",
+        "event_type", k = 3),
+    Some("""
+      WITH c AS (
+        SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS value,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      r AS (
+        SELECT event_type, value, n,
+          CAST(row_number() OVER (PARTITION BY event_type
+            ORDER BY n DESC, value ASC NULLS FIRST) AS INT) AS rank
+        FROM c)
+      SELECT event_type, value, n, rank
+      FROM r WHERE rank <= 3
+      ORDER BY event_type, rank
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -5638,5 +5696,5 @@ object Ext {
       q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
       q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
       q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
-      q149, q150, q151, q152, q153, q154, q155, q156)
+      q149, q150, q151, q152, q153, q154, q155, q156, q157, q158)
 }

@@ -49,6 +49,24 @@ class RollingSpec extends SparkSpec {
       ("x", "2024-03-08", 8.00, 12.00)))
   }
 
+  test("periodGrowth: observed-day lag with honest day_gap; zero " +
+    "previous keeps NULL growth; first day has no reading") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      ("A", "2024-01-01", 10.0), ("A", "2024-01-02", 20.0),
+      ("A", "2024-01-05", 10.0),
+      ("B", "2024-01-01", 0.0), ("B", "2024-01-02", 5.0)
+    ).toDF("k", "d", "v").withColumn("d", col("d").cast("date"))
+    val out = Rolling.periodGrowth(df, col("k"), col("d"), col("v"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((if (r.isNullAt(4)) null else r.getInt(4),
+          if (r.isNullAt(5)) null else r.getDouble(5)))).toMap
+    assert(out(("A", "2024-01-01")) == ((null, null)))
+    assert(out(("A", "2024-01-02")) == ((1, 1.0)))
+    assert(out(("A", "2024-01-05")) == ((3, -0.5)))
+    assert(out(("B", "2024-01-02")) == ((1, null))) // prev total 0
+  }
+
   test("dailyValueBands: exact quartiles on integer cents; NULLs drop") {
     val s = spark; import s.implicits._
     val df = Seq(

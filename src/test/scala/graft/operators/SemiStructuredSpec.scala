@@ -48,4 +48,20 @@ class SemiStructuredSpec extends SparkSpec {
     assert(b.getLong(1) == 2L && b.getLong(2) == 0L)
     assert(b.isNullAt(3) && b.isNullAt(4)) // no values → NULL, not 0
   }
+
+  test("jsonFieldTopK: missing payloads are the NULL census row; ties " +
+    "break count desc then value asc NULLS FIRST; k truncates") {
+    val df = Seq(
+      ("g", """{"k": 1}"""), ("g", """{"k": 1}"""), ("g", """{"k": 1}"""),
+      ("g", """{"k": 2}"""), ("g", """{"k": 2}"""),
+      ("g", "not json"), ("g", """{"other": 9}"""), // two NULL rows
+      ("g", """{"k": 3}""")
+    ).toDF("t", "props")
+    val out = SemiStructured.jsonFieldTopK(df, "props", "k", "t", k = 2)
+      .collect().map(r => (r.getInt(3),
+        if (r.isNullAt(1)) null else r.getLong(1), r.getLong(2)))
+    // 1×3 ranks first; the n=2 tie between value 2 and NULL goes to
+    // NULL (asc nulls first); value 3 (n=1) is cut by k=2
+    assert(out.toSeq == Seq((1, 1L, 3L), (2, null, 2L)))
+  }
 }
