@@ -129,6 +129,37 @@ object Dedup {
       .orderBy(col(idCol))
   }
 
+  /** CLUSTER IMPACT BY GROUP — what near-dup deduplication does to
+    * each slice of the corpus: per group (source/feed), member docs,
+    * distinct near-dup FAMILIES touched, canonical survivors (the
+    * family's min-id member — [[nearDupClusters]]' keep rule), and
+    * the survival rate. The per-feed reading of the dedup DECISION:
+    * a source with survival 0.3 is 70% redundant against the corpus —
+    * fix the crawl or down-weight the mix. A family spanning sources
+    * counts once per TOUCHING source (each feed sees its own
+    * exposure), and its one canonical credits only the source that
+    * holds it — so survival reads as "of this feed's docs, how many
+    * does the deduped corpus keep".
+    *
+    * Scale shape: one id-keyed equi-join of docs to the cluster
+    * frame, ONE partial-aggregable groupBy with a distinct-family
+    * expand; one IEEE division. */
+  def clusterImpact(docs: DataFrame, idCol: String, groupCol: String,
+      clusters: DataFrame): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(groupCol).as("g"))
+      .join(clusters.select(col("doc_id"), col("cluster_id")),
+        Seq("doc_id"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_families"),
+        sum(when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L))
+          .as("n_canonical"))
+      .select(col("g").as(groupCol), col("n_docs"), col("n_families"),
+        col("n_canonical"),
+        (col("n_canonical").cast("double") /
+          col("n_docs").cast("double")).as("survival_rate"))
+      .orderBy(col(groupCol))
+
   /** PAIR-SET EVALUATION — the dedup family's [[graft.operators
     * .Similarity.topKRecall]]: given a candidate pair set (`got`) and
     * a reference pair set (`want`), ONE row with hit counts, precision

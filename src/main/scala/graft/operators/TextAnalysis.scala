@@ -885,6 +885,44 @@ object TextAnalysis {
           expr("(__lw * 1048576) div n_tokens")).as("long_word_ratio_fp"))
       .orderBy(col("doc_id"))
 
+  /** VOCABULARY COVERAGE CURVE — how much of the corpus's token mass
+    * the top-K terms carry, at a ladder of K's: the table that sizes a
+    * vocabulary ("32k terms cover 97%; 50k buys 0.4% more"), prices a
+    * stopword list, and flags template corpora (a tiny head covering
+    * almost everything is q133's concentration signal seen
+    * cumulatively). Complements [[vocabCoverage]] (per-DOC OOV at one
+    * K) with the corpus-level curve that picks K in the first place.
+    *
+    * Scale shape: ONE partial-aggregable vocabulary groupBy; the head
+    * is TakeOrdered (per-partition heaps, never a vocabulary sort —
+    * the q65 argument), the cumulative runs over the ≤ max(ks)-row
+    * head, and the corpus total rides the documented one-row
+    * scalar-append. Exact integer cumulative, one IEEE division per
+    * reading. K's exceeding the vocabulary emit no row (the head ran
+    * dry — documented). Ties at the head boundary break on the term
+    * string (the q65/q99 total order). */
+  def coverageCurve(docs: DataFrame, textCol: String,
+      ks: Seq[Int] = Seq(10, 100, 1000)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1) && ks.distinct == ks,
+      s"need distinct positive ks, got $ks")
+    import org.apache.spark.sql.expressions.Window
+    val uni = docs.select(explode(wordTokens(textCol)).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).as("total_cf"))
+    val head = uni.orderBy(col("c").desc, col("t")).limit(ks.max)
+    val w = Window.orderBy(col("c").desc, col("t"))
+    head
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("covered_cf", sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("k").isInCollection(ks.map(_.toLong)))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("covered_cf"), col("total_cf"),
+        (col("covered_cf").cast("double") /
+          col("total_cf").cast("double")).as("share"))
+      .orderBy(col("k"))
+  }
+
   /** URL DOMAIN PROFILE — the link census behind every domain
     * blocklist/allowlist decision: extract URLs from the text
     * ([[graft.operators.Scrub]]'s portable pattern), reduce each to

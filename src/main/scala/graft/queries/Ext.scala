@@ -5684,6 +5684,83 @@ object Ext {
       ORDER BY event_type, rank
     """.trim))
 
+  // --------------------------------------------------------------- q159
+
+  /** q159 — vocabulary coverage curve ([[TextAnalysis.coverageCurve]]):
+    * token-mass share carried by the top-10/100/1000 terms — the
+    * table that sizes a vocabulary and flags template corpora (q133's
+    * concentration seen cumulatively). TakeOrdered head, exact
+    * integer cumulative, one division per reading. */
+  val q159: Q = Q(
+    "q159_coverage_curve",
+    (s, d) =>
+      TextAnalysis.coverageCurve(Tables.documents(s, d), "text",
+        ks = Seq(5, 10, 25)),
+    Some("""
+      WITH tok AS (
+        SELECT t
+        FROM documents, LATERAL unnest(
+          regexp_extract_all(lower(text), '([a-z]+|[0-9]+)', 1)) AS u(t)),
+      uni AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS total_cf FROM uni),
+      r AS (
+        SELECT c, CAST(row_number() OVER (ORDER BY c DESC, t)
+          AS BIGINT) AS k
+        FROM uni),
+      cum AS (
+        SELECT k, CAST(sum(c) OVER (ORDER BY k
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS covered_cf
+        FROM r WHERE k <= 25)
+      SELECT k, covered_cf, total_cf,
+        CAST(covered_cf AS DOUBLE) / CAST(total_cf AS DOUBLE) AS share
+      FROM cum CROSS JOIN tot
+      WHERE k IN (5, 10, 25) ORDER BY k
+    """.trim))
+
+  // --------------------------------------------------------------- q160
+
+  /** q160 — near-dup cluster impact by source
+    * ([[Dedup.clusterImpact]]): per source, member docs vs distinct
+    * families vs canonical survivors under q31's clustering — "this
+    * feed is 70% redundant against the corpus", the per-feed reading
+    * of the dedup decision. The oracle composes the q31 recursive
+    * closure with a source rollup. */
+  val q160: Q = Q(
+    "q160_cluster_impact",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.clusterImpact(docs, "doc_id", "source",
+        Dedup.nearDupClusters(docs, "doc_id",
+          Dedup.minhashLshPairs(docs, "doc_id", "text",
+            threshold = 0.5, k = minhashK, bands = minhashBands)))
+    },
+    Some(s"""
+      WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ($q18OracleSql) q
+      ),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+      ),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+      ),
+      cl AS (SELECT id AS doc_id, min(r) AS cluster_id
+             FROM reach GROUP BY id)
+      SELECT d.source,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(count(DISTINCT cl.cluster_id) AS BIGINT) AS n_families,
+        CAST(sum(CASE WHEN cl.doc_id = cl.cluster_id THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_canonical,
+        CAST(sum(CASE WHEN cl.doc_id = cl.cluster_id THEN 1 ELSE 0 END)
+          AS DOUBLE) / CAST(count(*) AS DOUBLE) AS survival_rate
+      FROM documents d JOIN cl ON d.doc_id = cl.doc_id
+      GROUP BY d.source ORDER BY d.source
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -5696,5 +5773,6 @@ object Ext {
       q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
       q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
       q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
-      q149, q150, q151, q152, q153, q154, q155, q156, q157, q158)
+      q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
+      q159, q160)
 }

@@ -802,7 +802,11 @@ class PlanAuditSpec extends SparkSpec {
       // q150: the ONE-ROW global max week appended to the |cohorts|
       // frame for the dense offset explode — cohortRevenue's
       // scalar-append, q79's exact shape
-      "q150_cohort_ltv")
+      "q150_cohort_ltv",
+      // q159: the ONE-ROW corpus token total appended to the
+      // ≤ max(ks)-row head frame — coverageCurve's scalar-append,
+      // q84's exact shape
+      "q159_coverage_curve")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()

@@ -456,6 +456,25 @@ class DedupSpec extends SparkSpec {
     assert(out("b") == ((1L, 1L, 1L, 0L, 0.0)))
   }
 
+  test("clusterImpact: families count per touching source, canonicals " +
+    "credit only the holder, survival by hand") {
+    val s = spark; import s.implicits._
+    // clusters: {1,2,3} (canonical 1), {4} singleton; sources:
+    // X holds 1,2,4 — touches 2 families, keeps 1 and 4 (survival 1.0
+    // of... 2 canonicals of 3 docs); Y holds 3 — touches family 1,
+    // keeps nothing (its doc lost to X's canonical)
+    val docsDf = Seq((1L, "X"), (2L, "X"), (3L, "Y"), (4L, "X"))
+      .toDF("doc_id", "source")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val out = Dedup.clusterImpact(docsDf, "doc_id", "source", clusters)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out("X") == ((3L, 2L, 2L, 2.0 / 3)))
+    assert(out("Y") == ((1L, 1L, 0L, 0.0)))
+  }
+
   test("pairsEval: hand counts; duplicate input rows collapse; empty " +
     "sides keep the NULL-ratio contract") {
     val got = pairs(1L -> 2L, 1L -> 2L, 3L -> 4L) // dup row collapses

@@ -386,6 +386,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0).getDouble(4) == 0.5)
   }
 
+  test("coverageCurve: exact cumulative shares by hand; ties at the head " +
+    "break on the term; oversized ks emit no row") {
+    // cf: a:4, b:3, c:2, d:1 → total 10; k=1 covers 4, k=3 covers 9
+    val out = TextAnalysis.coverageCurve(
+      docs("a a b c", "a b d", "a b c"), "text", ks = Seq(1, 3, 99))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      1L -> ((4L, 10L, 0.4)),
+      3L -> ((9L, 10L, 0.9)))) // k=99 exceeds the 4-term vocab: no row
+  }
+
   test("domainProfile: hosts lowercase, apex is last-two-labels, counts " +
     "split URL mentions from citing docs") {
     val out = TextAnalysis.domainProfile(
