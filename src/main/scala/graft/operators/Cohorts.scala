@@ -347,6 +347,50 @@ object Cohorts {
       .orderBy(col("step_idx"))
   }
 
+  /** PARETO / ABC CLASSIFICATION — the 80/15/5 inventory-analytics
+    * staple: rank keys by value mass, classify by CUMULATIVE share
+    * (A carries the first `aShare`, B to `bShare`, C the tail) — the
+    * table that decides which brands get premium treatment and which
+    * SKUs get end-of-lifed, and (in corpus terms) which sources
+    * deserve per-source curation budgets. Exactness: per-key values
+    * fold as exact DECIMAL ([[graft.engine.Dec]]), the cumulative is
+    * exact decimal, and the share is ONE boundary IEEE division whose
+    * `<=` class cuts cannot flip engines; ties rank by (value desc,
+    * key) — pinned.
+    *
+    * Scale shape: ONE partial-aggregable groupBy reduces the facts to
+    * |keys| rows; the rank/cumulative windows sort only that reduced
+    * frame (dimension-sized — brands, sources, SKUs; the q65/q136
+    * argument).
+    *
+    * Contract: `valueCol` is RAW money (scale ≤ 2) — the Dec rule
+    * re-rounds to cents, so a pre-multiplied higher-scale product
+    * would be silently double-rounded here; compute derived revenue
+    * upstream at the scale you mean and pass the rounded column. */
+  def paretoClasses(facts: DataFrame, keyCol: Column, valueCol: Column,
+      aShare: Double = 0.8, bShare: Double = 0.95): DataFrame = {
+    require(0 < aShare && aShare < bShare && bShare < 1,
+      s"need 0 < aShare < bShare < 1, got $aShare/$bShare")
+    import org.apache.spark.sql.expressions.Window
+    val byKey = facts
+      .select(keyCol.as("key"), graft.engine.Dec.d2(valueCol).as("v"))
+      .groupBy(col("key")).agg(sum(col("v")).as("value"))
+    val w = Window.orderBy(col("value").desc, col("key"))
+    byKey
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum", sum(col("value")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("value")).over(Window.partitionBy()))
+      .withColumn("cum_share", graft.engine.Dec.outD(col("cum")) /
+        graft.engine.Dec.outD(col("total")))
+      .select(col("key"), graft.engine.Dec.outD(col("value")).as("value"),
+        col("rank"), col("cum_share"),
+        when(col("cum_share") <= aShare, "A")
+          .when(col("cum_share") <= bShare, "B")
+          .otherwise("C").as("abc_class"))
+      .orderBy(col("rank"))
+  }
+
   /** COHORT REVENUE (LTV) CURVE — the money reading of
     * [[retentionMatrix]]: per acquisition cohort (a user's first
     * active week) and week offset, revenue, CUMULATIVE revenue, and

@@ -94,4 +94,43 @@ object Rules {
       .where(col("n_distinct_rhs") > 1)
       .orderBy(col("determinant"))
   }
+
+  /** CATALOG STALENESS AUDIT — the dead-SKU / dead-feed report: per
+    * dimension group, how many catalog items have EVER appeared in the
+    * facts and how many appeared within `horizonDays` of the corpus's
+    * LAST activity — anchored to the data's own clock, never
+    * wall-clock `now()` (a wall-clock-dependent result can neither
+    * hash-verify nor rerun reproducibly — the q85 censoring rule).
+    * The classic catalog-health question ("40% of this brand hasn't
+    * shipped in a year — prune or investigate") and, corpus-side, the
+    * dead-source detector.
+    *
+    * Recency compares INTEGER day distances (casts to DATE, the q72
+    * discipline — interval arithmetic is not engine-portable). Scale
+    * shape: ONE partial-aggregable per-key max over the facts, one
+    * key-join to the dimension, the global-last anchor via a window
+    * over the |items|-row joined frame, one rollup. */
+  def stalenessAudit(dim: DataFrame, dimKey: String, groupCol: String,
+      facts: DataFrame, factKey: String, tsCol: Column,
+      horizonDays: Int): DataFrame = {
+    require(horizonDays >= 0, s"need horizonDays >= 0, got $horizonDays")
+    import org.apache.spark.sql.expressions.Window
+    val last = facts.groupBy(col(factKey).as("k"))
+      .agg(max(tsCol).as("last_ts"))
+    dim.select(col(dimKey).as("k"), col(groupCol).as("g"))
+      .join(last, Seq("k"), "left")
+      .withColumn("gl", max(col("last_ts")).over(Window.partitionBy()))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("last_ts").isNotNull, 1L).otherwise(0L))
+          .as("n_active"),
+        sum(when(col("last_ts").isNotNull &&
+          datediff(to_date(col("gl")), to_date(col("last_ts")))
+            <= horizonDays, 1L).otherwise(0L)).as("n_recent"))
+      .select(col("g").as(groupCol), col("n_items"), col("n_active"),
+        col("n_recent"),
+        ((col("n_items") - col("n_recent")).cast("double") /
+          col("n_items").cast("double")).as("stale_rate"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -5761,6 +5761,75 @@ object Ext {
       GROUP BY d.source ORDER BY d.source
     """.trim))
 
+  // --------------------------------------------------------------- q161
+
+  /** q161 — Pareto / ABC classification ([[Cohorts.paretoClasses]]):
+    * brands ranked by exact-decimal revenue mass, classed by
+    * cumulative share (A ≤ 0.8, B ≤ 0.95, C the tail) — which brands
+    * get premium treatment, which SKUs get end-of-lifed; windows sort
+    * only the |brands|-row reduced frame. */
+  val q161: Q = Q(
+    "q161_abc_classes",
+    (s, d) =>
+      Cohorts.paretoClasses(
+        Tables.lineitem(s, d).join(Tables.part(s, d),
+          col("l_partkey") === col("p_partkey")),
+        col("p_brand"), col("l_extendedprice")),
+    Some("""
+      WITH byk AS (
+        SELECT p_brand AS key,
+          sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS value
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1),
+      r AS (
+        SELECT key, value,
+          CAST(row_number() OVER w AS INT) AS rank,
+          sum(value) OVER (w ROWS UNBOUNDED PRECEDING) AS cum,
+          sum(value) OVER () AS total
+        FROM byk WINDOW w AS (ORDER BY value DESC, key))
+      SELECT key, CAST(value AS DOUBLE) AS value, rank,
+        CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+        CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8
+          THEN 'A'
+          WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95
+          THEN 'B' ELSE 'C' END AS abc_class
+      FROM r ORDER BY rank
+    """.trim))
+
+  // --------------------------------------------------------------- q162
+
+  /** q162 — catalog staleness audit ([[Rules.stalenessAudit]]): per
+    * brand, parts that ever shipped and parts that shipped within 365
+    * days of the corpus's LAST ship date — anchored to the data's own
+    * clock, never now() (hash-verifiable, rerun-stable); the dead-SKU
+    * report. */
+  val q162: Q = Q(
+    "q162_staleness_audit",
+    (s, d) =>
+      Rules.stalenessAudit(Tables.part(s, d), "p_partkey", "p_brand",
+        Tables.lineitem(s, d), "l_partkey", col("l_shipdate"),
+        horizonDays = 365),
+    Some("""
+      WITH last AS (
+        SELECT l_partkey AS k, max(l_shipdate) AS last_ts
+        FROM lineitem GROUP BY 1),
+      j AS (
+        SELECT p_brand AS g, last.last_ts,
+          (SELECT max(last_ts) FROM last) AS gl
+        FROM part LEFT JOIN last ON p_partkey = last.k)
+      SELECT g AS p_brand, CAST(count(*) AS BIGINT) AS n_items,
+        CAST(sum(CASE WHEN last_ts IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_active,
+        CAST(sum(CASE WHEN last_ts IS NOT NULL AND
+          CAST(gl AS DATE) - CAST(last_ts AS DATE) <= 365
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_recent,
+        CAST(count(*) - sum(CASE WHEN last_ts IS NOT NULL AND
+          CAST(gl AS DATE) - CAST(last_ts AS DATE) <= 365
+          THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+          AS stale_rate
+      FROM j GROUP BY g ORDER BY p_brand
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -5774,5 +5843,5 @@ object Ext {
       q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
       q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
       q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
-      q159, q160)
+      q159, q160, q161, q162)
 }

@@ -197,6 +197,21 @@ class CohortsSpec extends SparkSpec {
       Set(("A", "B"), ("A", "C")))
   }
 
+  test("paretoClasses: cumulative-share classes by hand; ties rank by " +
+    "key; boundary values stay in the lower class") {
+    // values: a=80, b=15, c=4, d=1 (total 100): cum shares .80/.95/
+    // .99/1.0 → A, B (both AT their boundaries — <= keeps them), C, C
+    val df = Seq(("a", 80.0), ("b", 15.0), ("c", 4.0), ("d", 1.0))
+      .toDF("k", "v")
+    val out = Cohorts.paretoClasses(df, col("k"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(2), r.getDouble(3), r.getString(4)))).toMap
+    assert(out("a") == ((1, 0.8, "A")))
+    assert(out("b") == ((2, 0.95, "B")))
+    assert(out("c") == ((3, 0.99, "C")))
+    assert(out("d") == ((4, 1.0, "C")))
+  }
+
   test("funnelTiming: deltas only for converting users, exact quartile " +
     "interpolation, strictly-positive gaps") {
     val events = Seq(

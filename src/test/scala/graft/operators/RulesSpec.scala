@@ -73,4 +73,23 @@ class RulesSpec extends SparkSpec {
     assert(rows("c") == ((2L, 2L)))
     assert(rows(null) == ((2L, 2L)))
   }
+
+  test("stalenessAudit: recency anchored to the data's last activity; " +
+    "never-active items are stale but counted") {
+    val dim = Seq((1L, "X"), (2L, "X"), (3L, "X"), (4L, "Y"))
+      .toDF("id", "brand")
+    // global last activity = 2024-12-31; item 1 recent (10 days),
+    // item 2 ancient (2 years), item 3 never active, item 4 IS the
+    // anchor
+    val facts = Seq(
+      (1L, "2024-12-21"), (2L, "2022-12-31"), (4L, "2024-12-31")
+    ).toDF("fid", "t").select(col("fid"), to_timestamp(col("t")).as("t"))
+    val out = Rules.stalenessAudit(dim, "id", "brand", facts, "fid",
+      col("t"), horizonDays = 365).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out("X") == ((3L, 2L, 1L, 2.0 / 3)))
+    assert(out("Y") == ((1L, 1L, 1L, 0.0)))
+  }
 }
