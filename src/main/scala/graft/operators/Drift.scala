@@ -318,6 +318,44 @@ object Drift {
           .as("drift_fp"))
   }
 
+  /** DAY-OF-WEEK-CONDITIONED VOLUME ANOMALY — [[dailyVolumeAnomaly]]
+    * with the weekly season removed: a feed whose weekend volume is
+    * half its weekday volume posts two "anomalies" every week under
+    * one pooled baseline, so the robust z is computed against the
+    * (type, day-of-week) median/MAD instead. Day-of-week is
+    * `days-since-epoch mod 7` — pure integer arithmetic (0 =
+    * Thursday, the epoch's weekday; the CONDITIONING only needs a
+    * stable 7-class partition, not a locale calendar — the q72
+    * no-calendar-functions discipline).
+    *
+    * Same exactness as q83: medians of integer counts land on dyadic
+    * grids, MAD-0 slices score NULL, the score is ONE IEEE division.
+    * Scale shape: the one corpus-sized pass is the persisted
+    * (type, day) count; baselines are (type, dow)-keyed rollups of
+    * that reduced frame, broadcast back. */
+  def dowVolumeAnomaly(events: DataFrame, dayCol: Column,
+      typeCol: String, scope: CacheScope = CacheScope.unmanaged)
+      : DataFrame = {
+    val c = scope.persist(
+      events.select(dayCol.as("day"), col(typeCol).as("t"))
+        .groupBy(col("t"), col("day")).agg(count(lit(1)).as("n_events"))
+        .withColumn("dow",
+          (datediff(col("day"), to_date(lit("1970-01-01"))) % 7)
+            .cast("int")))
+    val med = c.groupBy(col("t"), col("dow"))
+      .agg(expr("percentile(n_events, 0.5D)").as("m"))
+    val dev = c.join(broadcast(med), Seq("t", "dow"))
+      .withColumn("d", abs(col("n_events") - col("m")))
+    val mad = dev.groupBy(col("t"), col("dow"))
+      .agg(expr("percentile(d, 0.5D)").as("md"))
+    dev.join(broadcast(mad), Seq("t", "dow"))
+      .select(col("t").as("event_type"), col("day"), col("dow"),
+        col("n_events"),
+        when(col("md") === 0D, lit(null).cast("double"))
+          .otherwise((col("n_events") - col("m")) / col("md")).as("score"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** LABEL PURITY — per group, how label-clean the slice is: row and
     * distinct-label counts, the majority label, and its mass share
     * (`purity`). The routing-health gauge of a multi-feed ingest — a

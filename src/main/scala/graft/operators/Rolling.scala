@@ -44,6 +44,39 @@ object Rolling {
         Dec.outD(col("moving")).as("moving"))
   }
 
+  /** RUNNING DRAWDOWN — how far each day's total sits below the
+    * series' running PEAK: the finance reading applied to any metered
+    * feed ("revenue is 35% off its high and has been for three
+    * weeks" — a sustained decline [[graft.operators.Drift]]'s
+    * day-scale alarms under-report and the CUSUM reports without
+    * magnitude). Peak is a running max window; drawdown is
+    * `1 − total/peak` ∈ [0, 1].
+    *
+    * Exactness: daily totals fold DECIMAL ([[Dec]]); the running max
+    * of exact decimals is exact; the drawdown is ONE boundary IEEE
+    * division (peak > 0 guaranteed wherever a peak exists — a
+    * zero-or-negative running peak keeps NULL drawdown: "below the
+    * peak" needs a positive peak to mean anything). Scale shape: one
+    * partial-aggregable (key, day) rollup, two same-keyed windows
+    * (max, and the reader's order) on ONE exchange. */
+  def drawdown(df: DataFrame, keyCol: Column, dayCol: Column,
+      valueCol: Column): DataFrame = {
+    val daily = df
+      .select(keyCol.as("key"), dayCol.as("day"), Dec.d2(valueCol).as("v"))
+      .groupBy(col("key"), col("day")).agg(sum(col("v")).as("total"))
+    val w = Window.partitionBy(col("key")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("peak", max(col("total")).over(w))
+      .select(col("key"), col("day"),
+        Dec.outD(col("total")).as("total"),
+        Dec.outD(col("peak")).as("peak"),
+        when(col("peak") > 0,
+          lit(1.0) - Dec.outD(col("total")) / Dec.outD(col("peak")))
+          .as("drawdown"))
+      .orderBy(col("key"), col("day"))
+  }
+
   /** PERIOD-OVER-PERIOD GROWTH — the dashboard staple next to
     * [[movingDailySum]]: per key, each observed day's total against
     * the PREVIOUS OBSERVED day's, with the growth rate and the

@@ -5830,6 +5830,72 @@ object Ext {
       FROM j GROUP BY g ORDER BY p_brand
     """.trim))
 
+  // --------------------------------------------------------------- q163
+
+  /** q163 — day-of-week volume anomaly ([[Drift.dowVolumeAnomaly]]):
+    * q83's robust z conditioned on the weekly season (days-since-epoch
+    * mod 7 — integer arithmetic, no locale calendar) so a weekend/
+    * weekday volume split stops posting two false alarms a week. */
+  val q163: Q = Q(
+    "q163_dow_anomaly",
+    (s, d) =>
+      Drift.dowVolumeAnomaly(eventsUs(s, d),
+        to_date(timestamp_micros(col("ts_us"))), "event_type"),
+    Some("""
+      WITH c AS (
+        SELECT event_type AS t, CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2),
+      c2 AS (
+        SELECT t, day, n_events,
+          CAST((day - DATE '1970-01-01') % 7 AS INT) AS dow
+        FROM c),
+      med AS (
+        SELECT t, dow, quantile_cont(n_events, 0.5) AS m
+        FROM c2 GROUP BY 1, 2),
+      dev AS (
+        SELECT c2.t, c2.day, c2.dow, c2.n_events, med.m,
+          abs(c2.n_events - med.m) AS dd
+        FROM c2 JOIN med ON c2.t = med.t AND c2.dow = med.dow),
+      mad AS (
+        SELECT t, dow, quantile_cont(dd, 0.5) AS md
+        FROM dev GROUP BY 1, 2)
+      SELECT dev.t AS event_type, dev.day, dev.dow, dev.n_events,
+        CASE WHEN mad.md = 0 THEN NULL
+          ELSE (dev.n_events - dev.m) / mad.md END AS score
+      FROM dev JOIN mad ON dev.t = mad.t AND dev.dow = mad.dow
+      ORDER BY event_type, day
+    """.trim))
+
+  // --------------------------------------------------------------- q164
+
+  /** q164 — running drawdown ([[Rolling.drawdown]]): per event type,
+    * each day's value total against the running peak — sustained
+    * decline WITH magnitude (CUSUM alarms, this sizes); exact decimal
+    * peak, one boundary division. */
+  val q164: Q = Q(
+    "q164_drawdown",
+    (s, d) =>
+      Rolling.drawdown(eventsUs(s, d), col("event_type"),
+        to_date(timestamp_micros(col("ts_us"))), col("value")),
+    Some("""
+      WITH daily AS (
+        SELECT event_type AS key, CAST(ts AS DATE) AS day,
+          sum(CAST(value AS DECIMAL(12,2))) AS total
+        FROM events GROUP BY 1, 2),
+      p AS (
+        SELECT key, day, total,
+          max(total) OVER (PARTITION BY key ORDER BY day
+            ROWS UNBOUNDED PRECEDING) AS peak
+        FROM daily)
+      SELECT key, day, CAST(total AS DOUBLE) AS total,
+        CAST(peak AS DOUBLE) AS peak,
+        CASE WHEN peak > 0 THEN
+          1.0e0 - CAST(total AS DOUBLE) / CAST(peak AS DOUBLE)
+        END AS drawdown
+      FROM p ORDER BY key, day
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -5843,5 +5909,5 @@ object Ext {
       q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
       q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
       q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
-      q159, q160, q161, q162)
+      q159, q160, q161, q162, q163, q164)
 }

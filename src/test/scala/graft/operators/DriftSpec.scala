@@ -3,7 +3,7 @@ package graft.operators
 import java.sql.Date
 
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, to_date}
 import org.apache.spark.sql.types.{DateType, StringType, StructField, StructType}
 
 import graft.SparkSpec
@@ -178,6 +178,30 @@ class DriftSpec extends SparkSpec {
     assert(e1.length == 1 && e1(0).getLong(1) == 0L && e1(0).isNullAt(2))
     val e2 = Drift.gridKsDistance(empty, empty, "value", 0.25).collect()
     assert(e2.length == 1 && e2(0).isNullAt(2))
+  }
+
+  test("dowVolumeAnomaly: a weekly season scores clean under its own " +
+    "dow baseline; a genuine break in one weekday class flags") {
+    val s = spark; import s.implicits._
+    // thursdays (epoch dow 0) carry ~10 events, fridays exactly 2 —
+    // a POOLED median would flag every friday; the per-dow baseline
+    // scores constant fridays NULL (MAD 0) and only the broken
+    // thursday large. thu counts {9, 10, 11, 20}: median 10.5,
+    // MAD 1.0 → scores −1.5 / −0.5 / 0.5 / 9.5
+    val rows =
+      Seq.fill(9)(("t", "1970-01-01")) ++
+      Seq.fill(10)(("t", "1970-01-08")) ++
+      Seq.fill(11)(("t", "1970-01-15")) ++
+      Seq.fill(20)(("t", "1970-01-22")) ++             // the break
+      Seq("1970-01-02", "1970-01-09", "1970-01-16").flatMap(d =>
+        Seq.fill(2)(("t", d)))                         // fridays
+    val df = rows.toDF("event_type", "d")
+      .select(col("event_type"), to_date(col("d")).as("d"))
+    val out = Drift.dowVolumeAnomaly(df, col("d"), "event_type")
+      .collect().map(r => r.getDate(1).toString ->
+        (if (r.isNullAt(4)) null else r.getDouble(4))).toMap
+    assert(out("1970-01-02") == null && out("1970-01-09") == null)
+    assert(out("1970-01-22") == 9.5 && out("1970-01-01") == -1.5)
   }
 
   test("labelPurity: majority with pinned ties (label asc, NULL first); " +

@@ -49,6 +49,25 @@ class RollingSpec extends SparkSpec {
       ("x", "2024-03-08", 8.00, 12.00)))
   }
 
+  test("drawdown: running peak holds through the trough; day at the " +
+    "peak reads 0; non-positive peak keeps NULL") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      ("A", "2024-01-01", 100.0), ("A", "2024-01-02", 80.0),
+      ("A", "2024-01-03", 120.0), ("A", "2024-01-04", 60.0),
+      ("B", "2024-01-01", -5.0)
+    ).toDF("k", "d", "v").withColumn("d", col("d").cast("date"))
+    val out = Rolling.drawdown(df, col("k"), col("d"), col("v"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getDouble(3),
+          if (r.isNullAt(4)) null else r.getDouble(4)))).toMap
+    assert(out(("A", "2024-01-01")) == ((100.0, 0.0)))
+    assert(out(("A", "2024-01-02")) == ((100.0, 1.0 - 80.0 / 100.0)))
+    assert(out(("A", "2024-01-03")) == ((120.0, 0.0)))
+    assert(out(("A", "2024-01-04")) == ((120.0, 0.5)))
+    assert(out(("B", "2024-01-01")) == ((-5.0, null)))
+  }
+
   test("periodGrowth: observed-day lag with honest day_gap; zero " +
     "previous keeps NULL growth; first day has no reading") {
     val s = spark; import s.implicits._
