@@ -57,10 +57,47 @@ object Main {
       gridIngest(srcParquet, valueCol, width.toDouble, storeDir)
     case "explain" :: name :: rest if rest.size <= 1 =>
       explain(name, rest.headOption.getOrElse("/root/testdata/sf0.001"))
+    case "profile" :: srcParquet :: outDir :: cols =>
+      profile(srcParquet, outDir, cols)
     case _ =>
       System.err.println(
-        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | explain <queryName|all> [sfDir]")
+        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
       sys.exit(2)
+  }
+
+  /** Pre-flight profile of an arbitrary parquet table — the first
+    * thing to run against data nobody trusts yet: the q62 column
+    * profile over every column (or the listed subset) and the q141
+    * key-candidate audit over its non-float subset, written as two
+    * parquet reports under `outDir`. */
+  private def profile(srcParquet: String, outDir: String,
+      cols: Seq[String]): Unit = {
+    val spark = GraftSession.local()
+    val (nCols, nKeys) = runProfile(spark, srcParquet, outDir, cols)
+    println(s"profile: $nCols columns profiled, $nKeys key-audited " +
+      s"-> $outDir")
+    spark.stop()
+  }
+
+  /** Testable core of `profile` (the [[runCompact]] pattern). */
+  private[graft] def runProfile(spark: org.apache.spark.sql.SparkSession,
+      srcParquet: String, outDir: String,
+      cols: Seq[String] = Nil): (Int, Int) = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val df = spark.read.parquet(srcParquet)
+    val chosen = if (cols.nonEmpty) cols else df.columns.toSeq
+    graft.operators.Profiling.columnProfile(df, chosen)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/column_profile")
+    val keyable = chosen.filter { c =>
+      val t = df.schema(c).dataType
+      t != FloatType && t != DoubleType
+    }
+    if (keyable.nonEmpty)
+      graft.operators.Profiling.keyCandidates(df, keyable)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/key_candidates")
+    (chosen.size, keyable.size)
   }
 
   /** Incremental near-dup ingest (the [[graft.etl.LshIndex]] stack as

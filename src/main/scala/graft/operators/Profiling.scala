@@ -452,6 +452,51 @@ object Profiling {
       .orderBy(col("column_a"), col("column_b"))
   }
 
+  /** CO-MISSINGNESS LIFT — do columns go null TOGETHER: for every
+    * column pair, `lift = P(both null) / (P(a null)·P(b null))` on
+    * the exact-count fixed-point grid — lift ≫ 1 is the signature of
+    * one broken extractor feeding several fields (fix the extractor,
+    * not the columns), lift ≪ 1 of mutually-exclusive variants
+    * (union-typed records hiding in one schema). The missingness
+    * structure [[columnProfile]]'s per-column null counts can't see.
+    *
+    * Engine-exact: null indicators are 0/1 longs, every pair's
+    * AND-count is a product sum, and the lift is q97's integral
+    * division of DECIMAL(38,0) products. Scale shape: ONE ungrouped
+    * partial-aggregable pass computes all |cols|² counters (the
+    * [[correlationMatrix]] shape); the pair unpivot explodes the
+    * 1-row aggregate. Pairs where either column never nulls keep
+    * NULL lift (no mass to correlate). */
+  def missingnessLift(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least two columns, got $cols")
+    val bad = cols.filterNot(df.columns.contains)
+    require(bad.isEmpty, s"unknown columns: $bad")
+    val dec = "DECIMAL(38,0)"
+    val ind = df.select(cols.zipWithIndex.map { case (c, i) =>
+      when(raw(c).isNull, 1L).otherwise(0L).as(s"m$i") }: _*)
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (i, j)
+    val aggs = cols.indices.map(i => sum(col(s"m$i")).as(s"n$i")) ++
+      pairs.map { case (i, j) =>
+        sum(col(s"m$i") * col(s"m$j")).as(s"n${i}_$j") } :+
+      count(lit(1)).as("n")
+    val wide = ind.agg(aggs.head, aggs.tail: _*)
+    val entries = pairs.map { case (i, j) => struct(
+      lit(cols(i)).as("ca"), lit(cols(j)).as("cb"),
+      col(s"n$i").as("na"), col(s"n$j").as("nb"),
+      col(s"n${i}_$j").as("nab")) }
+    wide.select(col("n"), explode(array(entries: _*)).as("e"))
+      .select(col("e.ca").as("column_a"), col("e.cb").as("column_b"),
+        col("n").as("n_rows"), col("e.na").as("n_null_a"),
+        col("e.nb").as("n_null_b"), col("e.nab").as("n_null_both"))
+      .withColumn("lift_fp",
+        when(col("n_null_a") > 0 && col("n_null_b") > 0, expr(
+          s"((CAST(n_null_both AS $dec) * 1048576) * n_rows) " +
+            s"div (CAST(n_null_a AS $dec) * n_null_b)")))
+      .orderBy(col("column_a"), col("column_b"))
+  }
+
   /** TRIMMED (default: interquartile) MEAN — the robust central
     * tendency completing the robust family ([[winsorize]] clamps,
     * [[madOutliers]] flags; this SUMMARIZES): per group, the mean of

@@ -5896,6 +5896,69 @@ object Ext {
       FROM p ORDER BY key, day
     """.trim))
 
+  // --------------------------------------------------------------- q165
+
+  /** q165 — co-missingness lift ([[Profiling.missingnessLift]]): do
+    * fields go null TOGETHER — the one-broken-extractor signature
+    * (lift ≫ 1) vs mutually-exclusive variants (lift ≪ 1); nulls
+    * seeded deterministically (a ∧ b co-missing on id % 4, c
+    * independent on id % 5). One pass, all pairs, fixed-point lift. */
+  val q165: Q = Q(
+    "q165_missingness_lift",
+    (s, d) => {
+      val seeded = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, lit(null).cast("string"))
+          .otherwise(col("lang")).as("a"),
+        when(col("doc_id") % 4 === 0, lit(null).cast("string"))
+          .otherwise(col("source")).as("b"),
+        when(col("doc_id") % 5 === 0, lit(null).cast("long"))
+          .otherwise(col("n_chars")).as("c"))
+      Profiling.missingnessLift(seeded, Seq("a", "b", "c"))
+    },
+    Some("""
+      WITH seeded AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 4 = 0 THEN NULL ELSE lang END AS a,
+          CASE WHEN doc_id % 4 = 0 THEN NULL ELSE source END AS b,
+          CASE WHEN doc_id % 5 = 0 THEN NULL ELSE n_chars END AS c
+        FROM documents),
+      m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN a IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS na,
+          CAST(sum(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS nb,
+          CAST(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS nc,
+          CAST(sum(CASE WHEN a IS NULL AND b IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS nab,
+          CAST(sum(CASE WHEN a IS NULL AND c IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS nac,
+          CAST(sum(CASE WHEN b IS NULL AND c IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS nbc
+        FROM seeded)
+      SELECT * FROM (
+        SELECT 'a' AS column_a, 'b' AS column_b, n AS n_rows,
+          na AS n_null_a, nb AS n_null_b, nab AS n_null_both,
+          CASE WHEN na > 0 AND nb > 0 THEN
+            CAST(((CAST(nab AS HUGEINT) * 1048576) * n)
+              // (CAST(na AS HUGEINT) * nb) AS BIGINT) END AS lift_fp
+        FROM m
+        UNION ALL
+        SELECT 'a', 'c', n, na, nc, nac,
+          CASE WHEN na > 0 AND nc > 0 THEN
+            CAST(((CAST(nac AS HUGEINT) * 1048576) * n)
+              // (CAST(na AS HUGEINT) * nc) AS BIGINT) END
+        FROM m
+        UNION ALL
+        SELECT 'b', 'c', n, nb, nc, nbc,
+          CASE WHEN nb > 0 AND nc > 0 THEN
+            CAST(((CAST(nbc AS HUGEINT) * 1048576) * n)
+              // (CAST(nb AS HUGEINT) * nc) AS BIGINT) END
+        FROM m) t
+      ORDER BY column_a, column_b
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -5909,5 +5972,5 @@ object Ext {
       q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
       q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
       q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
-      q159, q160, q161, q162, q163, q164)
+      q159, q160, q161, q162, q163, q164, q165)
 }

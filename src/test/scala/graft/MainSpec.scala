@@ -116,4 +116,19 @@ class MainSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unknown query"))
   }
+
+  test("profile: writes the column profile over all columns and the " +
+    "key audit over the non-float subset") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_profile").toString
+    val (nCols, nKeys) = Main.runProfile(spark,
+      "/root/testdata/sf0.001/orders.parquet", out)
+    assert(nCols == 6 && nKeys == 5) // o_totalprice is the float-out
+    val prof = spark.read.parquet(s"$out/column_profile")
+    assert(prof.count() == 6)
+    val keys = spark.read.parquet(s"$out/key_candidates").collect()
+      .map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(keys("o_orderkey") && !keys("o_custkey"))
+    assert(!keys.contains("o_totalprice"))
+  }
 }

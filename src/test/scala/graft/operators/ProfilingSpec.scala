@@ -251,6 +251,32 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("missingnessLift: co-missing fields lift above 1, disjoint " +
+    "missingness lifts to 0, never-null columns keep NULL lift") {
+    val s = spark; import s.implicits._
+    // a,b null together on 2 of 8 rows (P=1/4 each, both=1/4 → lift
+    // 4); c null on DIFFERENT rows than a (disjoint → lift 0);
+    // d never null → NULL lift everywhere it appears
+    val df = Seq(
+      (Option("x"), Option("x"), None: Option[String], "k"),
+      (Option("x"), Option("x"), None: Option[String], "k"),
+      (None: Option[String], None: Option[String], Option("x"), "k"),
+      (None: Option[String], None: Option[String], Option("x"), "k"),
+      (Option("x"), Option("x"), Option("x"), "k"),
+      (Option("x"), Option("x"), Option("x"), "k"),
+      (Option("x"), Option("x"), Option("x"), "k"),
+      (Option("x"), Option("x"), Option("x"), "k")
+    ).toDF("a", "b", "c", "d")
+    val out = Profiling.missingnessLift(df, Seq("a", "b", "c", "d"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(5), if (r.isNullAt(6)) null else r.getLong(6))))
+      .toMap
+    assert(out(("a", "b")) == ((2L, 4L * 1048576)))
+    assert(out(("a", "c")) == ((0L, 0L)))
+    assert(out(("a", "d")) == ((0L, null)))
+    assert(out(("c", "d")) == ((0L, null)))
+  }
+
   test("trimmedMean: exact IQR band by hand; an outlier cannot drag the " +
     "mean; off-grid percentiles rejected") {
     val s = spark; import s.implicits._
