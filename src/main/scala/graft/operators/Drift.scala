@@ -356,6 +356,37 @@ object Drift {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** PEAK-RATE PROFILE — the capacity-planning readout: per stream,
+    * event counts bucketed into fixed time windows (integer
+    * `ts_us div bucketUs` — engine-exact, no calendar), then the
+    * bucket-count distribution's median, p99-style max, and the
+    * peak-to-median burstiness ratio. A stream whose peak minute is
+    * 40× its median minute needs a queue, not a bigger average — the
+    * number the day-scale monitors (q83/q126/q163) cannot see.
+    *
+    * Exactness: bucket counts are exact longs, the median interpolates
+    * exactly (q88), the ratio is one IEEE division. Scale shape: ONE
+    * partial-aggregable (type, bucket) count — bounded by streams ×
+    * observed windows — then a per-type fold of that reduced frame. */
+  def peakRateProfile(events: DataFrame, tsUsCol: Column,
+      typeCol: String, bucketUs: Long = 60L * 1000 * 1000): DataFrame = {
+    require(bucketUs > 0, s"need bucketUs > 0, got $bucketUs")
+    val c = events
+      .select(col(typeCol).as("t"), tsUsCol.cast("long").as("__ts"))
+      .select(col("t"), expr(s"__ts div ${bucketUs}L").as("b"))
+      .groupBy(col("t"), col("b")).agg(count(lit(1)).as("n"))
+    c.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_buckets"),
+        expr("percentile(n, 0.5D)").as("p50_rate"),
+        max(col("n")).as("peak_rate"))
+      .select(col("t").as("event_type"), col("n_buckets"),
+        col("p50_rate"), col("peak_rate"),
+        when(col("p50_rate") > 0,
+          col("peak_rate").cast("double") / col("p50_rate"))
+          .as("burstiness"))
+      .orderBy(col("event_type"))
+  }
+
   /** LABEL PURITY — per group, how label-clean the slice is: row and
     * distinct-label counts, the majority label, and its mass share
     * (`purity`). The routing-health gauge of a multi-feed ingest — a

@@ -452,6 +452,31 @@ object Profiling {
       .orderBy(col("column_a"), col("column_b"))
   }
 
+  /** VALUE BANDS — count / min / exact quartiles / max of an
+    * INTEGER-VALUED measure per group: the generic distribution
+    * readout behind [[graft.operators.Rolling.dailyValueBands]]'
+    * time-sliced form — latency distributions, gap profiles, size
+    * bands. Quartiles over integers interpolate exactly on both
+    * engines (the q88 dyadic-on-integers argument). ONE
+    * partial-aggregable groupBy; the per-group multiset is the
+    * documented profile-time cost ([[gridPercentile]] is the
+    * bounded-state path). NULL values drop. */
+  def valueBands(df: DataFrame, groupCol: Column, valueCol: Column)
+      : DataFrame =
+    df.select(groupCol.as("g"), valueCol.as("v"))
+      .where(col("v").isNotNull)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        min(col("v")).as("min_v"),
+        expr("percentile(v, array(0.25D, 0.5D, 0.75D))").as("__q"),
+        max(col("v")).as("max_v"))
+      .select(col("g"), col("n"), col("min_v"),
+        element_at(col("__q"), 1).as("p25_v"),
+        element_at(col("__q"), 2).as("p50_v"),
+        element_at(col("__q"), 3).as("p75_v"),
+        col("max_v"))
+      .orderBy(col("g"))
+
   /** CO-MISSINGNESS LIFT — do columns go null TOGETHER: for every
     * column pair, `lift = P(both null) / (P(a null)·P(b null))` on
     * the exact-count fixed-point grid — lift ≫ 1 is the signature of

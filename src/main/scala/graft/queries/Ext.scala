@@ -5959,6 +5959,62 @@ object Ext {
       ORDER BY column_a, column_b
     """.trim))
 
+  // --------------------------------------------------------------- q166
+
+  /** q166 — peak-rate profile ([[Drift.peakRateProfile]]): per event
+    * type, minute-bucket count distribution (median, peak,
+    * burstiness) — the queue-vs-bigger-average capacity number the
+    * day-scale monitors can't see; integer buckets, exact median,
+    * one division. */
+  val q166: Q = Q(
+    "q166_peak_rate",
+    (s, d) =>
+      Drift.peakRateProfile(eventsUs(s, d), col("ts_us"), "event_type"),
+    Some("""
+      WITH b AS (
+        SELECT event_type AS t,
+          CAST(epoch_us(ts) AS BIGINT) // 60000000 AS b,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2)
+      SELECT t AS event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+        quantile_cont(n, 0.5) AS p50_rate,
+        CAST(max(n) AS BIGINT) AS peak_rate,
+        CASE WHEN quantile_cont(n, 0.5) > 0 THEN
+          CAST(max(n) AS DOUBLE) / quantile_cont(n, 0.5)
+        END AS burstiness
+      FROM b GROUP BY 1 ORDER BY 1
+    """.trim))
+
+  // --------------------------------------------------------------- q167
+
+  /** q167 — order-to-ship latency bands ([[Profiling.valueBands]]):
+    * per order priority, the distribution of integer ship-latency
+    * days (lineitem ship date minus order date) — the logistics SLO
+    * table; exact quartiles on integer days. */
+  val q167: Q = Q(
+    "q167_ship_latency",
+    (s, d) =>
+      Profiling.valueBands(
+        Tables.lineitem(s, d).join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey")),
+        col("o_orderpriority"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long")),
+    Some("""
+      WITH g AS (
+        SELECT o_orderpriority AS g,
+          CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+            AS BIGINT) AS v
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+        CAST(min(v) AS BIGINT) AS min_v,
+        quantile_cont(v, 0.25) AS p25_v,
+        quantile_cont(v, 0.5) AS p50_v,
+        quantile_cont(v, 0.75) AS p75_v,
+        CAST(max(v) AS BIGINT) AS max_v
+      FROM g GROUP BY 1 ORDER BY 1
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -5972,5 +6028,5 @@ object Ext {
       q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
       q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
       q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
-      q159, q160, q161, q162, q163, q164, q165)
+      q159, q160, q161, q162, q163, q164, q165, q166, q167)
 }

@@ -204,6 +204,25 @@ class DriftSpec extends SparkSpec {
     assert(out("1970-01-22") == 9.5 && out("1970-01-01") == -1.5)
   }
 
+  test("peakRateProfile: integer buckets, exact median, burstiness by " +
+    "hand; a steady stream scores 1") {
+    val s = spark; import s.implicits._
+    // bursty: minute buckets carry {1, 1, 10} events → median 1,
+    // peak 10; steady: {2, 2} → burstiness 1.0
+    val m = 60L * 1000 * 1000
+    val rows =
+      Seq(0L * m, 1L * m) ++ Seq.fill(10)(2L * m) :+ (0L * m + 5L)
+    val df = (rows.map(("bursty", _)) ++
+      Seq(("steady", 0L), ("steady", 1L), ("steady", m), ("steady", m + 9)))
+      .toDF("event_type", "ts_us")
+    val out = Drift.peakRateProfile(df, col("ts_us"), "event_type")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out("bursty") == ((3L, 2.0, 10L, 5.0)))
+    assert(out("steady") == ((2L, 2.0, 2L, 1.0)))
+  }
+
   test("labelPurity: majority with pinned ties (label asc, NULL first); " +
     "NULL labels count as a label") {
     val s = spark; import s.implicits._
