@@ -6015,6 +6015,35 @@ object Ext {
       FROM g GROUP BY 1 ORDER BY 1
     """.trim))
 
+  // --------------------------------------------------------------- q168
+
+  /** q168 — customer order-count distribution (the TPC-H Q13 SHAPE):
+    * how many customers placed exactly k orders, INCLUDING the
+    * zero-order customers the fact table alone can't show (the LEFT
+    * join is the point — churn/inactive analysis dies without the
+    * empty bucket); two partial-aggregable levels (per-customer count,
+    * then the count-of-counts), the second over the ≤ |customers|-row
+    * reduced frame. */
+  val q168: Q = Q(
+    "q168_order_distribution",
+    (s, d) =>
+      Tables.customer(s, d).select(col("c_custkey"))
+        .join(Tables.orders(s, d).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_custkey")).as("n_orders"))
+        .groupBy(col("n_orders"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("n_orders")),
+    Some("""
+      SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+      FROM (
+        SELECT c_custkey, CAST(count(o_custkey) AS BIGINT) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey) t
+      GROUP BY n_orders ORDER BY n_orders
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -6028,5 +6057,5 @@ object Ext {
       q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
       q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
       q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
-      q159, q160, q161, q162, q163, q164, q165, q166, q167)
+      q159, q160, q161, q162, q163, q164, q165, q166, q167, q168)
 }
