@@ -542,4 +542,53 @@ object Cohorts {
         col("dau").cast("double") / col("wau").cast("double"))
       .orderBy(col("day"))
   }
+
+  /** ACTIVITY STREAKS — the gaps-and-islands readout [[stickiness]]'s
+    * ratio can't show: per user, runs of CONSECUTIVE active days (a
+    * 7-day streak and 7 scattered days both read DAU 7; only the
+    * streak predicts habit). Classic island detection: on the distinct
+    * (user, day) frame ordered by day, `day − row_number()` is
+    * constant within a consecutive run — pure integer arithmetic every
+    * engine replays exactly (days-since-epoch ints, the q72 rule; no
+    * calendar functions).
+    *
+    * Output per user: total active days, number of streaks, the
+    * longest streak, and its start date — ties between equal-length
+    * streaks pinned to the EARLIEST start (windowed max + filter +
+    * min, never an engine-dependent arg-max).
+    *
+    * Scale shape: ONE corpus-sized shuffle (the partial-aggregable
+    * (user, day) distinct), then every window and groupBy keys on
+    * `user` over the reduced frame — the row_number window, the
+    * island rollup, the per-user summary all reuse the same hash
+    * partitioning; output is |users| rows. */
+  def activityStreaks(events: DataFrame, userCol: String, dayCol: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val epoch = to_date(lit("1970-01-01"))
+    val days = events
+      .select(col(userCol).as("user"),
+        datediff(dayCol, epoch).as("d"))
+      .distinct()
+    val wOrd = Window.partitionBy(col("user")).orderBy(col("d"))
+    val streaks = days
+      .withColumn("island", col("d") - row_number().over(wOrd))
+      .groupBy(col("user"), col("island"))
+      .agg(count(lit(1)).as("len"), min(col("d")).as("start_d"))
+    val wU = Window.partitionBy(col("user"))
+    streaks
+      .withColumn("active_days", sum(col("len")).over(wU))
+      .withColumn("n_streaks", count(lit(1)).over(wU))
+      .withColumn("mx", max(col("len")).over(wU))
+      .where(col("len") === col("mx"))
+      .groupBy(col("user"))
+      .agg(max(col("active_days")).as("active_days"),
+        max(col("n_streaks")).as("n_streaks"),
+        max(col("mx")).as("max_streak"),
+        min(col("start_d")).as("__s"))
+      .select(col("user"), col("active_days"), col("n_streaks"),
+        col("max_streak"),
+        date_add(epoch, col("__s").cast("int")).as("max_streak_start"))
+      .orderBy(col("user"))
+  }
 }

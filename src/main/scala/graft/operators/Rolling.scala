@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.engine.Dec
 
@@ -185,5 +186,105 @@ object Rolling {
         Dec.outD(col("carried")).as("value"),
         col("obs_v").isNull.as("is_filled"))
       .orderBy(col("key"), col("day"))
+  }
+
+  /** TRENDING RANK SHIFT — which keys are CLIMBING, not just growing:
+    * rank keys by exact-decimal value mass in the trailing
+    * `windowDays` window vs the window before it, and report the rank
+    * delta for the current top `topK`. [[periodGrowth]] reads one
+    * key's own trajectory; this reads the LEADERBOARD movement — the
+    * "what changed this month" report (new entries carry NULL
+    * prev_rank: unranked before, not rank-infinity).
+    *
+    * Anchored to the data's own clock (`max(day)`, the q85 rule —
+    * a wall-clock anchor can't hash-verify or re-run). Ranks are
+    * row_number over (value DESC, key ASC) — fully pinned, no
+    * engine-dependent dense/tie behavior.
+    *
+    * Scale shape: ONE corpus-sized partial-aggregable pass reduces to
+    * (key, day); the anchor is a global-window max over that reduced
+    * frame; both period sums are conditional aggregates of it (no
+    * second scan); the two row_number windows sort only the |keys|-row
+    * period frames (the [[Cohorts.paretoClasses]] justification), and
+    * the final join is |keys|-sized on `key`. */
+  def rankShift(df: DataFrame, keyCol: Column, dayCol: Column,
+      valueCol: Column, windowDays: Int = 30, topK: Int = 20): DataFrame = {
+    require(windowDays >= 1, s"need windowDays >= 1, got $windowDays")
+    require(topK >= 1, s"need topK >= 1, got $topK")
+    val daily = df
+      .select(keyCol.as("key"), dayCol.as("day"), Dec.d2(valueCol).as("v"))
+      .groupBy(col("key"), col("day")).agg(sum(col("v")).as("total"))
+    val aged = daily
+      .withColumn("anchor", max(col("day")).over(Window.partitionBy()))
+      .withColumn("age", datediff(col("anchor"), col("day")))
+    val periods = aged
+      .groupBy(col("key"))
+      .agg(
+        sum(when(col("age") < windowDays, col("total"))).as("cur_v"),
+        sum(when(col("age") >= windowDays && col("age") < 2 * windowDays,
+          col("total"))).as("prev_v"))
+    val wCur = Window.orderBy(col("cur_v").desc, col("key"))
+    val wPrev = Window.orderBy(col("prev_v").desc, col("key"))
+    val cur = periods.where(col("cur_v").isNotNull)
+      .withColumn("cur_rank", row_number().over(wCur))
+      .where(col("cur_rank") <= topK)
+      .select(col("key"), col("cur_rank"), col("cur_v"))
+    val prev = periods.where(col("prev_v").isNotNull)
+      .withColumn("prev_rank", row_number().over(wPrev))
+      .select(col("key"), col("prev_rank"), col("prev_v"))
+    cur.join(prev, Seq("key"), "left")
+      .select(col("key"), col("cur_rank"),
+        Dec.outD(col("cur_v")).as("cur_value"),
+        col("prev_rank"),
+        Dec.outD(col("prev_v")).as("prev_value"),
+        (col("prev_rank") - col("cur_rank")).as("rank_gain"))
+      .orderBy(col("cur_rank"))
+  }
+
+  /** CAUSAL (expanding-window) Z-SCORE — leakage-safe standardization:
+    * each row's value scored against the statistics of that key's
+    * STRICTLY PRIOR rows only, the feature-engineering discipline that
+    * keeps a training feature from reading the future (the temporal
+    * twin of [[graft.operators.Sampling.leakageSafeSplit]]'s identity
+    * rule). A whole-history z burns lookahead into every early row;
+    * the expanding frame `[unbounded preceding, 1 preceding]` never
+    * does.
+    *
+    * Engine-exact: values become integer cents (DECIMAL(38,0)), the
+    * window aggregates n, Σx, Σx² are exact-integer and
+    * order-independent; the z-score is a FIXED IEEE expression tree
+    * over those exact scalars —
+    * `(n·x − S) / sqrt(n·Q − S²) · sqrt((n−1)/n)` — so both engines
+    * compute identical doubles (correctly-rounded ·, /, sqrt over
+    * identical operands). Rows with fewer than `minPrior` prior
+    * observations, or zero prior variance, keep NULL z.
+    *
+    * Scale shape: ONE shuffle on `key`; all three window aggregates
+    * share a single frame spec (one physical Window op), ordered by
+    * (ts, id) so ties are pinned; output is row-per-input (a feature
+    * column, not a report). */
+  def causalZScore(df: DataFrame, keyCol: Column, tsUsCol: Column,
+      idCol: Column, valueCol: Column, minPrior: Int = 2): DataFrame = {
+    require(minPrior >= 2, s"need minPrior >= 2, got $minPrior")
+    val dec = DecimalType(38, 0)
+    val base = df.select(keyCol.as("key"), tsUsCol.as("ts_us"),
+      idCol.as("id"),
+      (Dec.d2(valueCol) * 100).cast(dec).as("c"))
+    val w = Window.partitionBy(col("key")).orderBy(col("ts_us"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("n_prior", count(col("c")).over(w))
+      .withColumn("s", sum(col("c")).over(w))
+      .withColumn("q", sum((col("c") * col("c")).cast(dec)).over(w))
+      .withColumn("a", (col("n_prior") * col("c") - col("s")).cast("double"))
+      .withColumn("b",
+        (col("n_prior") * col("q") - col("s") * col("s")).cast("double"))
+      .select(col("key"), col("id"), col("n_prior"),
+        (col("c").cast("double") / 100.0).as("value"),
+        when(col("n_prior") >= minPrior && col("b") > 0,
+          col("a") / sqrt(col("b")) *
+            sqrt((col("n_prior") - lit(1)).cast("double") /
+              col("n_prior").cast("double"))).as("z"))
+      .orderBy(col("key"), col("id"))
   }
 }

@@ -287,4 +287,74 @@ object Sampling {
       .withColumn("boost", col("share") / col("natural_share"))
       .orderBy(col(stratumCol))
   }
+
+  /** TIME-EMBARGO TEMPORAL SPLIT — the leakage-safe split for TEMPORAL
+    * data: train strictly before, test strictly after, and an embargo
+    * gap between them wide enough that trailing features (moving
+    * averages, [[Rolling.causalZScore]] windows) computed on train
+    * rows cannot touch test-period state. [[holdoutSplit]] hashes
+    * identity, [[leakageSafeSplit]] respects near-dup families; this
+    * respects the ARROW OF TIME — the split a forecasting or
+    * early-warning model must use (a random split lets the model
+    * memorize the future).
+    *
+    * Anchored to the data's own max timestamp (the q85 rule), cut
+    * arithmetic in integer microseconds. The report also counts, per
+    * split, the users it SHARES with the test period — the identity
+    * leakage a purely temporal fence leaves open (a user's test-period
+    * behavior is partially predictable from their train-period rows;
+    * quantify it before trusting the eval).
+    *
+    * Scale shape: the anchor is a one-row broadcast scalar append
+    * (q84 shape); classification is row-local; ONE corpus-sized
+    * partial-aggregable pass keys on `user`; the final rollup reduces
+    * the |users| frame to 3 rows via the single-explode unpivot. */
+  def temporalSplit(df: DataFrame, tsUsCol: Column, userCol: Column,
+      testDays: Int, embargoDays: Int): DataFrame = {
+    require(testDays >= 1, s"need testDays >= 1, got $testDays")
+    require(embargoDays >= 0, s"need embargoDays >= 0, got $embargoDays")
+    val usDay = 86400000000L
+    val base = df.select(tsUsCol.as("ts_us"), userCol.as("u"))
+    val anchor = base.agg(max(col("ts_us")).as("__anchor"))
+    val perUser = base.crossJoin(broadcast(anchor))
+      .withColumn("split",
+        when(col("ts_us") > col("__anchor") - lit(testDays * usDay),
+          "test")
+        .when(col("ts_us") >
+          col("__anchor") - lit((testDays + embargoDays) * usDay),
+          "embargo")
+        .otherwise("train"))
+      .groupBy(col("u"))
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L))
+          .as("n_train"),
+        sum(when(col("split") === "embargo", 1L).otherwise(0L))
+          .as("n_embargo"),
+        sum(when(col("split") === "test", 1L).otherwise(0L))
+          .as("n_test"))
+    val wide = perUser.agg(
+      coalesce(sum(col("n_train")), lit(0L)).as("e_train"),
+      coalesce(sum(col("n_embargo")), lit(0L)).as("e_embargo"),
+      coalesce(sum(col("n_test")), lit(0L)).as("e_test"),
+      coalesce(sum(when(col("n_train") > 0, 1L).otherwise(0L)), lit(0L))
+        .as("u_train"),
+      coalesce(sum(when(col("n_embargo") > 0, 1L).otherwise(0L)), lit(0L))
+        .as("u_embargo"),
+      coalesce(sum(when(col("n_test") > 0, 1L).otherwise(0L)), lit(0L))
+        .as("u_test"),
+      coalesce(sum(when(col("n_train") > 0 && col("n_test") > 0, 1L)
+        .otherwise(0L)), lit(0L)).as("s_train"),
+      coalesce(sum(when(col("n_embargo") > 0 && col("n_test") > 0, 1L)
+        .otherwise(0L)), lit(0L)).as("s_embargo"),
+      coalesce(sum(when(col("n_test") > 0, 1L).otherwise(0L)), lit(0L))
+        .as("s_test"))
+    val entries = Seq("train", "embargo", "test").map(sp => struct(
+      lit(sp).as("split"), col(s"e_$sp").as("n_events"),
+      col(s"u_$sp").as("n_users"),
+      col(s"s_$sp").as("n_users_shared_with_test")))
+    wide.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.split").as("split"), col("e.n_events"),
+        col("e.n_users"), col("e.n_users_shared_with_test"))
+      .orderBy(col("split"))
+  }
 }

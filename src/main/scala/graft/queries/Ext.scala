@@ -6044,6 +6044,181 @@ object Ext {
       GROUP BY n_orders ORDER BY n_orders
     """.trim))
 
+  // --------------------------------------------------------------- q169
+
+  /** q169 — activity streaks ([[Cohorts.activityStreaks]]): per user,
+    * runs of consecutive active days via gaps-and-islands (day −
+    * row_number is constant within a run — pure integer arithmetic);
+    * longest-streak ties pinned to the earliest start. The habit
+    * signal q138's DAU/WAU ratio can't see. */
+  val q169: Q = Q(
+    "q169_activity_streaks",
+    (s, d) =>
+      Cohorts.activityStreaks(eventsUs(s, d), "user_id",
+        to_date(timestamp_micros(col("ts_us")))),
+    Some("""
+      WITH days AS (
+        SELECT DISTINCT user_id AS u,
+          CAST(ts AS DATE) - DATE '1970-01-01' AS d
+        FROM events),
+      isl AS (
+        SELECT u, d,
+          d - row_number() OVER (PARTITION BY u ORDER BY d) AS island
+        FROM days),
+      st AS (
+        SELECT u, island, CAST(count(*) AS BIGINT) AS len,
+          min(d) AS start_d
+        FROM isl GROUP BY 1, 2),
+      fl AS (
+        SELECT u, len, start_d,
+          sum(len) OVER (PARTITION BY u) AS active_days,
+          count(*) OVER (PARTITION BY u) AS n_streaks,
+          max(len) OVER (PARTITION BY u) AS mx
+        FROM st)
+      SELECT u AS "user",
+        CAST(max(active_days) AS BIGINT) AS active_days,
+        CAST(max(n_streaks) AS BIGINT) AS n_streaks,
+        CAST(max(mx) AS BIGINT) AS max_streak,
+        DATE '1970-01-01' + CAST(min(start_d) AS INTEGER)
+          AS max_streak_start
+      FROM fl WHERE len = mx GROUP BY u ORDER BY u
+    """.trim))
+
+  // --------------------------------------------------------------- q170
+
+  /** q170 — trending rank shift ([[Rolling.rankShift]]): the
+    * leaderboard movement report — parts ranked by exact-decimal
+    * revenue in the trailing 30 shipping days vs the 30 before,
+    * rank delta for the current top 20; anchored to the data's own
+    * clock, ranks pinned by (value DESC, key ASC) row_number. */
+  val q170: Q = Q(
+    "q170_rank_shift",
+    (s, d) =>
+      Rolling.rankShift(Tables.lineitem(s, d), col("l_partkey"),
+        to_date(col("l_shipdate")), col("l_extendedprice"),
+        windowDays = 30, topK = 20),
+    Some("""
+      WITH daily AS (
+        SELECT l_partkey AS key, CAST(l_shipdate AS DATE) AS day,
+          sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS total
+        FROM lineitem GROUP BY 1, 2),
+      aged AS (
+        SELECT key, total,
+          (max(day) OVER ()) - day AS age
+        FROM daily),
+      periods AS (
+        SELECT key,
+          sum(CASE WHEN age < 30 THEN total END) AS cur_v,
+          sum(CASE WHEN age >= 30 AND age < 60 THEN total END) AS prev_v
+        FROM aged GROUP BY 1),
+      cur AS (
+        SELECT key, cur_v,
+          row_number() OVER (ORDER BY cur_v DESC, key) AS cur_rank
+        FROM periods WHERE cur_v IS NOT NULL
+        QUALIFY cur_rank <= 20),
+      prev AS (
+        SELECT key, prev_v,
+          row_number() OVER (ORDER BY prev_v DESC, key) AS prev_rank
+        FROM periods WHERE prev_v IS NOT NULL)
+      SELECT cur.key AS key, CAST(cur_rank AS INTEGER) AS cur_rank,
+        CAST(cur_v AS DOUBLE) AS cur_value,
+        CAST(prev_rank AS INTEGER) AS prev_rank,
+        CAST(prev_v AS DOUBLE) AS prev_value,
+        CAST(prev_rank - cur_rank AS INTEGER) AS rank_gain
+      FROM cur LEFT JOIN prev ON cur.key = prev.key
+      ORDER BY cur_rank
+    """.trim))
+
+  // --------------------------------------------------------------- q171
+
+  /** q171 — time-embargo temporal split ([[Sampling.temporalSplit]]):
+    * train strictly before, test strictly after, a 2-day embargo
+    * between — the leakage-safe split for temporal models (q94 guards
+    * identity leakage, this guards TIME leakage) — plus the per-split
+    * count of users shared with the test period, the identity leak a
+    * purely temporal fence leaves open. */
+  val q171: Q = Q(
+    "q171_temporal_split",
+    (s, d) =>
+      Sampling.temporalSplit(eventsUs(s, d), col("ts_us"),
+        col("user_id"), testDays = 7, embargoDays = 2),
+    Some("""
+      WITH base AS (
+        SELECT CAST(epoch_us(ts) AS BIGINT) AS ts_us, user_id AS u
+        FROM events),
+      a AS (SELECT max(ts_us) AS anchor FROM base),
+      pu AS (
+        SELECT u,
+          sum(CASE WHEN ts_us <= anchor - 9 * 86400000000 THEN 1
+            ELSE 0 END) AS n_train,
+          sum(CASE WHEN ts_us > anchor - 9 * 86400000000
+            AND ts_us <= anchor - 7 * 86400000000 THEN 1
+            ELSE 0 END) AS n_embargo,
+          sum(CASE WHEN ts_us > anchor - 7 * 86400000000 THEN 1
+            ELSE 0 END) AS n_test
+        FROM base, a GROUP BY u),
+      w AS (
+        SELECT
+          sum(n_train) AS e_train, sum(n_embargo) AS e_embargo,
+          sum(n_test) AS e_test,
+          sum(CASE WHEN n_train > 0 THEN 1 ELSE 0 END) AS u_train,
+          sum(CASE WHEN n_embargo > 0 THEN 1 ELSE 0 END) AS u_embargo,
+          sum(CASE WHEN n_test > 0 THEN 1 ELSE 0 END) AS u_test,
+          sum(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 ELSE 0 END)
+            AS s_train,
+          sum(CASE WHEN n_embargo > 0 AND n_test > 0 THEN 1 ELSE 0 END)
+            AS s_embargo
+        FROM pu)
+      SELECT split, CAST(n_events AS BIGINT) AS n_events,
+        CAST(n_users AS BIGINT) AS n_users,
+        CAST(shared AS BIGINT) AS n_users_shared_with_test
+      FROM (
+        SELECT 'train' AS split, e_train AS n_events, u_train AS n_users,
+          s_train AS shared FROM w
+        UNION ALL
+        SELECT 'embargo', e_embargo, u_embargo, s_embargo FROM w
+        UNION ALL
+        SELECT 'test', e_test, u_test, u_test FROM w)
+      ORDER BY split
+    """.trim))
+
+  // --------------------------------------------------------------- q172
+
+  /** q172 — causal expanding z-score ([[Rolling.causalZScore]]):
+    * leakage-safe standardization — each event's value scored against
+    * its user's STRICTLY PRIOR history only (the training feature
+    * that never reads the future); exact-integer window sums, the
+    * z a fixed IEEE expression tree over exact scalars. */
+  val q172: Q = Q(
+    "q172_causal_zscore",
+    (s, d) =>
+      Rolling.causalZScore(eventsUs(s, d), col("user_id"),
+        col("ts_us"), col("event_id"), col("value")),
+    Some("""
+      WITH base AS (
+        SELECT user_id AS key, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+          event_id AS id,
+          CAST(CAST(value AS DECIMAL(12,2)) * 100 AS HUGEINT) AS c
+        FROM events),
+      w AS (
+        SELECT key, id, c,
+          count(c) OVER win AS n_prior,
+          sum(c) OVER win AS s,
+          sum(c * c) OVER win AS q
+        FROM base
+        WINDOW win AS (PARTITION BY key ORDER BY ts_us, id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      SELECT key, id, CAST(n_prior AS BIGINT) AS n_prior,
+        CAST(c AS DOUBLE) / 100.0 AS value,
+        CASE WHEN n_prior >= 2
+          AND CAST(n_prior * q - s * s AS DOUBLE) > 0 THEN
+          CAST(n_prior * c - s AS DOUBLE)
+            / sqrt(CAST(n_prior * q - s * s AS DOUBLE))
+            * sqrt(CAST(n_prior - 1 AS DOUBLE) / CAST(n_prior AS DOUBLE))
+        END AS z
+      FROM w ORDER BY key, id
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -6057,5 +6232,6 @@ object Ext {
       q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
       q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
       q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
-      q159, q160, q161, q162, q163, q164, q165, q166, q167, q168)
+      q159, q160, q161, q162, q163, q164, q165, q166, q167, q168,
+      q169, q170, q171, q172)
 }

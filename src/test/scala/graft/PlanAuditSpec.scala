@@ -806,7 +806,11 @@ class PlanAuditSpec extends SparkSpec {
       // q159: the ONE-ROW corpus token total appended to the
       // ≤ max(ks)-row head frame — coverageCurve's scalar-append,
       // q84's exact shape
-      "q159_coverage_curve")
+      "q159_coverage_curve",
+      // q171: the ONE-ROW max-ts anchor appended to the event stream
+      // for the row-local split CASE — temporalSplit's scalar-append,
+      // q88's exact shape
+      "q171_temporal_split")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()

@@ -271,4 +271,26 @@ class CohortsSpec extends SparkSpec {
       "2020-01-01" -> ((2L, 2L, 1.0)),
       "2020-01-05" -> ((1L, 2L, 0.5))))
   }
+
+  test("activityStreaks: islands split on gaps; same-day dups dedup; " +
+    "equal-length streak tie takes the EARLIEST start") {
+    val events = Seq(
+      // u1: 3-day streak, isolated day, 2-day streak (6 active days)
+      (1L, "2024-01-01"), (1L, "2024-01-02"), (1L, "2024-01-02"),
+      (1L, "2024-01-03"), (1L, "2024-01-05"),
+      (1L, "2024-01-10"), (1L, "2024-01-11"),
+      // u2: one day only
+      (2L, "2024-02-01"),
+      // u3: two 2-day streaks — the tie must resolve to the first
+      (3L, "2024-03-01"), (3L, "2024-03-02"),
+      (3L, "2024-03-10"), (3L, "2024-03-11")
+    ).toDF("user_id", "d").select(col("user_id"), to_date(col("d")).as("d"))
+    val out = Cohorts.activityStreaks(events, "user_id", col("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDate(4).toString))
+    assert(out.toSeq == Seq(
+      (1L, 6L, 3L, 3L, "2024-01-01"),
+      (2L, 1L, 1L, 1L, "2024-02-01"),
+      (3L, 4L, 2L, 2L, "2024-03-01")))
+  }
 }

@@ -128,4 +128,49 @@ class RollingSpec extends SparkSpec {
       ("B", "2024-01-02") -> ((3.0, false)),
       ("B", "2024-01-03") -> ((3.0, true))))
   }
+
+  test("rankShift: windows age from the data's max day; new entries " +
+    "keep NULL prev_rank; keys outside the current window drop") {
+    val s = spark; import s.implicits._
+    // anchor = 2024-01-10; cur = {09,10}, prev = {07,08} (windowDays 2)
+    val df = Seq(
+      ("a", "2024-01-10", 10.00), ("a", "2024-01-07", 1.00),
+      ("b", "2024-01-09", 5.00), ("b", "2024-01-08", 20.00),
+      ("c", "2024-01-07", 3.00),                    // prev only
+      ("d", "2024-01-09", 1.00)                     // cur only, rank 3
+    ).toDF("k", "d", "v").withColumn("d", col("d").cast("date"))
+    val out = Rolling.rankShift(df, col("k"), col("d"), col("v"),
+      windowDays = 2, topK = 2).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2),
+        Option(r.get(3)), Option(r.get(5))))
+    // prev ranks: b 20.00 → 1, c 3.00 → 2, a 1.00 → 3
+    assert(out.toSeq == Seq(
+      ("a", 1, 10.00, Some(3), Some(2)),
+      ("b", 2, 5.00, Some(1), Some(-1))))
+  }
+
+  test("causalZScore: stats read STRICTLY PRIOR rows; short or " +
+    "zero-variance history keeps NULL z") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      ("x", 10L, 1L, 1.00), ("x", 20L, 2L, 2.00),
+      ("x", 30L, 3L, 3.00), ("x", 40L, 4L, 4.00),
+      // y: constant history → zero variance → NULL forever
+      ("y", 10L, 5L, 7.00), ("y", 20L, 6L, 7.00), ("y", 30L, 7L, 7.00)
+    ).toDF("k", "ts_us", "id", "v")
+    val out = Rolling.causalZScore(df, col("k"), col("ts_us"),
+      col("id"), col("v")).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(out(1L) == ((0L, 1.00, None)))          // no history
+    assert(out(2L) == ((1L, 2.00, None)))          // below minPrior
+    // priors {1,2}: mean 1.5, sample std ≈ 0.7071 → z ≈ 2.1213
+    val z3 = out(3L)._3.get
+    assert(out(3L)._1 == 2L && math.abs(z3 - 2.1213203435596424) < 1e-12)
+    // priors {1,2,3}: mean 2, std 1 → z = 2 exactly
+    val z4 = out(4L)._3.get
+    assert(math.abs(z4 - 2.0) < 1e-12)
+    assert(out(6L)._3.isEmpty && out(7L)._3.isEmpty) // zero variance
+  }
 }

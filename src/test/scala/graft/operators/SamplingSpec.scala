@@ -270,4 +270,26 @@ class SamplingSpec extends SparkSpec {
       Sampling.temperatureMix(docs, "lang", "text", alphaQuarters = 0)
     }
   }
+
+  test("temporalSplit: fences anchor to max ts; embargo excluded from " +
+    "both sides; shared-with-test counts the straddlers") {
+    val s = spark; import s.implicits._
+    val usDay = 86400000000L
+    // anchor = day 30; test = (23, 30], embargo = (21, 23], train ≤ 21
+    val ev = Seq(
+      (1L, 1L * usDay), (1L, 20L * usDay),   // u1: train only
+      (2L, 5L * usDay), (2L, 30L * usDay),   // u2: train + test (leak)
+      (3L, 22L * usDay),                     // u3: embargo only
+      (4L, 25L * usDay), (4L, 29L * usDay),  // u4: test only
+      (5L, 22L * usDay), (5L, 24L * usDay)   // u5: embargo + test
+    ).toDF("u", "ts_us")
+    val out = Sampling.temporalSplit(ev, col("ts_us"), col("u"),
+      testDays = 7, embargoDays = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      "train" -> ((3L, 2L, 1L)),     // u1, u2 rows; u2 straddles
+      "embargo" -> ((2L, 2L, 1L)),   // u3, u5; u5 straddles
+      "test" -> ((4L, 3L, 3L))))     // u2, u4, u5
+  }
 }
