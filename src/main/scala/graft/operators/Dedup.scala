@@ -1084,4 +1084,71 @@ object Dedup {
         hamming.as("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** WINNOWING FINGERPRINT near-dup pairs — the MOSS algorithm
+    * (Schleimer, Wilkerson & Aiken, "Winnowing: Local Algorithms for
+    * Document Fingerprinting", SIGMOD 2003): slide a `window`-wide
+    * frame over the POSITIONAL `span`-token hash sequence and keep
+    * each frame's minimum (ties to the RIGHTMOST position), then pair
+    * documents sharing ≥ `minShared` selected fingerprints. The
+    * guarantee the sampled families ([[minhashLshPairs]],
+    * [[simhashPairs]]) can't give: any shared run of at least
+    * `window + span − 1` tokens is DETECTED with certainty, while only
+    * ~2/(window+1) of positions are kept — deterministic local
+    * sampling, no randomness, robust to where the match sits.
+    *
+    * Portability: the select is encoded as ONE integer
+    * `combo = h·2²⁰ + (2²⁰ − pos)` — `min(combo)` is "min hash, then
+    * rightmost position" in a single engine-exact window aggregate,
+    * decoded back by nonnegative div/mod (documents are bounded at
+    * 2²⁰ window positions by contract; longer inputs should be
+    * chunked first — [[graft.operators.Packing]]). Docs shorter than
+    * one full frame select nothing (the guarantee only speaks above
+    * `window + span − 1` tokens; scoring shorter docs is
+    * [[ngramJaccardPairs]]' job).
+    *
+    * Scale shape: fingerprint selection is per-document local work
+    * (the sliding-min window partitions by doc — no corpus-wide
+    * sort); the ONLY corpus-sized shuffles are the per-doc window
+    * exchange and the inverted-index self-join on the SELECTED
+    * fingerprints (a ~2/(window+1) sample of the shingle stream, vs
+    * q17 joining every shingle); the df-cap is the shared
+    * [[Skew.capHotKeys]] broadcast anti-join. */
+  def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
+      span: Int = 3, window: Int = 4, maxDf: Int = 100,
+      minShared: Int = 2,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(span >= 1, s"need span >= 1, got $span")
+    require(window >= 1, s"need window >= 1, got $window")
+    require(minShared >= 1, s"need minShared >= 1, got $minShared")
+    import org.apache.spark.sql.expressions.Window
+    val M = 1L << 20
+    val wh = docs
+      .select(col(idCol).as("doc_id"),
+        TextHash.windowHashesOf(col(textCol), span).as("wh"))
+      .where(size(col("wh")).between(window, (M - 1).toInt))
+      .select(col("doc_id"), size(col("wh")).as("n_pos"),
+        posexplode(col("wh")).as(Seq("p0", "h")))
+      .select(col("doc_id"), col("n_pos"), (col("p0") + 1).as("pos"),
+        col("h"))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, window - 1)
+    val picks = wh
+      .withColumn("combo",
+        min(col("h") * M + (lit(M) - col("pos"))).over(frame))
+      // only frames fully inside the doc select (pos ≤ n_pos − window + 1)
+      .where(col("pos") <= col("n_pos") - (window - 1))
+      .select(col("doc_id"), expr(s"combo div $M").as("fp"))
+      .distinct()
+    val kept = Skew.capHotKeys(picks, "fp", maxDf.toLong)
+    val a = kept.select(col("doc_id").as("da"), col("fp"))
+    val b = kept.select(col("doc_id").as("db"), col("fp"))
+    a.join(b, Seq("fp"))
+      .where(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("n_shared"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

@@ -425,4 +425,48 @@ object Drift {
           .as("purity"))
       .orderBy(col(groupCol))
   }
+
+  /** SEASONAL-NAIVE FORECAST ERROR — how predictable is each stream at
+    * the weekly season: per key, the WMAPE of the "same day last week"
+    * forecast on daily counts. The monitoring family ([[dailyVolumeAnomaly]],
+    * [[dowVolumeAnomaly]], [[cusumChangepoint]]) asks "is today
+    * anomalous?"; this asks the prior question "how tight CAN an alarm
+    * threshold be?" — a stream whose naive weekly forecast is within
+    * 10% supports a tight band, one at 80% needs [[dowVolumeAnomaly]]'s
+    * robust conditioning or no day-level alarm at all.
+    *
+    * WMAPE = Σ|c_t − c_{t−7}| / Σ c_{t−7}, NOT the mean of per-day
+    * ratios: a MAPE sums IEEE divisions (order-dependent, and blown up
+    * by near-zero days); the weighted form is exact-integer sums with
+    * ONE boundary division, engine-portable and scale-stable. Day
+    * arithmetic is days-since-epoch ints (the q72 rule); only days
+    * with an observed t−7 predecessor score (a missing day is "no
+    * forecast", not "forecast zero").
+    *
+    * Scale shape: ONE corpus-sized partial-aggregable (key, day)
+    * count; the t−7 lookup is a self-join of that reduced frame on
+    * (key, day−7) — both sides hash on `key`; the rollup is
+    * |keys|-row. */
+  def seasonalNaiveError(events: DataFrame, keyCol: Column,
+      dayCol: Column, lagDays: Int = 7,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(lagDays >= 1, s"need lagDays >= 1, got $lagDays")
+    val daily = scope.persist(
+      events.select(keyCol.as("key"),
+          datediff(dayCol, to_date(lit("1970-01-01"))).as("d"))
+        .groupBy(col("key"), col("d")).agg(count(lit(1)).as("n")))
+    val cur = daily.select(col("key"), col("d"), col("n"))
+    val prior = daily.select(col("key"),
+      (col("d") + lagDays).as("d"), col("n").as("n_prior"))
+    cur.join(prior, Seq("key", "d"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_days_scored"),
+        sum(abs(col("n") - col("n_prior"))).as("abs_err"),
+        sum(col("n_prior")).as("base"))
+      .select(col("key"), col("n_days_scored"), col("abs_err"),
+        col("base"),
+        (col("abs_err").cast("double") / col("base").cast("double"))
+          .as("wmape"))
+      .orderBy(col("key"))
+  }
 }

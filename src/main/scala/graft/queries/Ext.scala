@@ -6219,6 +6219,76 @@ object Ext {
       FROM w ORDER BY key, id
     """.trim))
 
+  // --------------------------------------------------------------- q173
+
+  /** q173 — seasonal-naive forecast error ([[Drift.seasonalNaiveError]]):
+    * per stream, the WMAPE of the "same day last week" forecast on
+    * daily counts — how tight an alarm band the stream supports;
+    * exact-integer sums with ONE boundary division (never a mean of
+    * per-day ratios), only days with an observed t−7 predecessor
+    * score. */
+  val q173: Q = Q(
+    "q173_seasonal_naive",
+    (s, d) =>
+      Drift.seasonalNaiveError(eventsUs(s, d), col("event_type"),
+        to_date(timestamp_micros(col("ts_us"))), lagDays = 7),
+    Some("""
+      WITH daily AS (
+        SELECT event_type AS key,
+          CAST(ts AS DATE) - DATE '1970-01-01' AS d,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2)
+      SELECT c.key AS key, CAST(count(*) AS BIGINT) AS n_days_scored,
+        CAST(sum(abs(c.n - p.n)) AS BIGINT) AS abs_err,
+        CAST(sum(p.n) AS BIGINT) AS base,
+        CAST(sum(abs(c.n - p.n)) AS DOUBLE) / CAST(sum(p.n) AS DOUBLE)
+          AS wmape
+      FROM daily c JOIN daily p ON c.key = p.key AND c.d = p.d + 7
+      GROUP BY 1 ORDER BY 1
+    """.trim))
+
+  // --------------------------------------------------------------- q174
+
+  /** q174 — winnowing fingerprint near-dup ([[Dedup.winnowingPairs]]):
+    * MOSS-style deterministic local sampling — per window-of-4
+    * positional 3-token hashes keep the min (ties rightmost, encoded
+    * as one integer min so both engines agree), pair docs sharing ≥ 2
+    * selected fingerprints; any shared run of ≥ 6 tokens is caught
+    * with certainty while only ~2/5 of positions are kept. */
+  val q174: Q = Q(
+    "q174_winnowing_neardup",
+    (s, d) =>
+      Dedup.winnowingPairs(Tables.documents(s, d), "doc_id", "text",
+        span = 3, window = 4, maxDf = 100, minShared = 2),
+    Some(s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      win AS (
+        SELECT doc_id, i AS pos, len(whl) - 2 AS n_pos,
+          list_reduce(list_prepend(0::BIGINT, whl[i : i + 2]),
+            (h, c) -> ((h * 31) + c) % $P) AS h
+        FROM wh, LATERAL unnest(range(1, len(whl) - 1)) AS t(i)
+        WHERE len(whl) - 2 BETWEEN 4 AND 1048575
+      ),
+      mins AS (
+        SELECT doc_id, pos, n_pos,
+          min(h * 1048576 + (1048576 - pos)) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS combo
+        FROM win),
+      picks AS (
+        SELECT DISTINCT doc_id, combo // 1048576 AS fp
+        FROM mins WHERE pos <= n_pos - 3),
+      kept AS (
+        SELECT doc_id, fp FROM picks
+        QUALIFY count(*) OVER (PARTITION BY fp) <= 100)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(count(*) AS BIGINT) AS n_shared
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2
+      ORDER BY doc_a, doc_b
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -6233,5 +6303,5 @@ object Ext {
       q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
       q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168,
-      q169, q170, q171, q172)
+      q169, q170, q171, q172, q173, q174)
 }

@@ -508,4 +508,30 @@ class DedupSpec extends SparkSpec {
     assert(rank1.map(_.getString(1)).distinct.length == 4 &&
       rank1.length == 4)
   }
+
+  test("winnowingPairs: the w+k-1 guarantee catches a shared run; " +
+    "short and disjoint docs never pair; identical docs share all") {
+    val s = spark; import s.implicits._
+    val run = "alpha beta gamma delta epsilon zeta" // 6 tokens = w+k-1
+    val docs = Seq(
+      (1L, s"one two three $run four five six seven"),
+      (2L, s"red blue green $run yellow purple orange pink"),
+      (3L, "tiny doc here"),                      // < w+k-1 tokens
+      (4L, "wholly different words appear in this document body text"),
+      (5L, s"one two three $run four five six seven") // == doc 1
+    ).toDF("doc_id", "text")
+    val out = Dedup.winnowingPairs(docs, "doc_id", "text",
+      span = 3, window = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // guarantee: the 6-token run yields ≥ 1 shared fingerprint
+    assert(out.contains((1L, 2L)) && out((1L, 2L)) >= 1L)
+    assert(out.contains((1L, 5L)) && out.contains((2L, 5L)))
+    // identical docs share every fingerprint — strictly more than the
+    // cross-pair that only shares the run
+    assert(out((1L, 5L)) > out((1L, 2L)))
+    // short docs select nothing; disjoint docs share nothing
+    assert(!out.keys.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!out.keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
 }

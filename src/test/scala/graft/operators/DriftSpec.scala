@@ -241,4 +241,24 @@ class DriftSpec extends SparkSpec {
     assert(out("tied") == ((2L, 2L, "en", 0.5)))
     assert(out("nully") == ((3L, 2L, null, 2.0 / 3)))
   }
+
+  test("seasonalNaiveError: only days with an observed t-7 predecessor " +
+    "score; WMAPE is sum|err| over sum(base), not a mean of ratios") {
+    val s = spark; import s.implicits._
+    def day(n: Int) = f"2024-01-$n%02d"
+    val rows =
+      Seq.fill(2)(("A", day(1))) ++ Seq.fill(3)(("A", day(2))) ++
+      Seq.fill(4)(("A", day(8))) ++ Seq.fill(3)(("A", day(9))) ++
+      Seq.fill(1)(("A", day(10))) ++                // day 3 unobserved
+      Seq.fill(5)(("B", day(1)))                    // B: nothing scores
+    val df = rows.toDF("t", "d")
+      .select(col("t"), to_date(col("d")).as("d"))
+    val out = Drift.seasonalNaiveError(df, col("t"), col("d"), 7)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // A: day8 vs day1 (|4-2|=2, base 2), day9 vs day2 (0, base 3);
+    // day10 has no day-3 forecast → excluded, not treated as zero
+    assert(out == Map("A" -> ((2L, 2L, 5L, 0.4))))
+  }
 }
