@@ -55,13 +55,15 @@ object Main {
       hllIngest(srcParquet, groupCol, hashCol, storeDir)
     case "grid-ingest" :: srcParquet :: valueCol :: width :: storeDir :: Nil =>
       gridIngest(srcParquet, valueCol, width.toDouble, storeDir)
+    case "bloom-ingest" :: srcParquet :: hashCol :: storeDir :: Nil =>
+      bloomIngest(srcParquet, hashCol, storeDir)
     case "explain" :: name :: rest if rest.size <= 1 =>
       explain(name, rest.headOption.getOrElse("/root/testdata/sf0.001"))
     case "profile" :: srcParquet :: outDir :: cols =>
       profile(srcParquet, outDir, cols)
     case _ =>
       System.err.println(
-        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
+        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | bloom-ingest <parquet> <hashCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
       sys.exit(2)
   }
 
@@ -178,6 +180,26 @@ object Main {
     val store = new graft.etl.HllStore(spark, storeDir, groupCol)
     store.ingest(spark.read.parquet(srcParquet), hashCol)
     store.estimates.count()
+  }
+
+  /** Incremental Bloom ingest: fold one batch of BIGINT keys into its
+    * own filter and append ONE row of bytes — reads merge by bitwise
+    * OR (idempotent: re-delivery cannot move a bit), probes are the
+    * q76 broadcast-handle rung ([[graft.etl.BloomStore]]). */
+  private def bloomIngest(srcParquet: String, hashCol: String,
+      storeDir: String): Unit = {
+    val spark = GraftSession.local()
+    val n = runBloomIngest(spark, srcParquet, hashCol, storeDir)
+    println(s"bloom-ingest: store holds $n filter blob(s) -> $storeDir")
+    spark.stop()
+  }
+
+  /** Testable core of `bloom-ingest` (the [[runCompact]] pattern). */
+  private[graft] def runBloomIngest(spark: org.apache.spark.sql.SparkSession,
+      srcParquet: String, hashCol: String, storeDir: String): Long = {
+    val store = new graft.etl.BloomStore(spark, storeDir)
+    store.ingest(spark.read.parquet(srcParquet), hashCol)
+    spark.read.parquet(storeDir).count()
   }
 
   /** Incremental grid-percentile ingest: fold one batch's values into

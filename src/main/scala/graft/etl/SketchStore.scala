@@ -224,3 +224,107 @@ final class GridStore(spark: SparkSession, storeDir: String,
     ParquetStore.compact(spark, storeDir, merged, targetFileBytes)
   }
 }
+
+/** Durable Bloom-filter store — the decontamination gate's membership
+  * set under the same append-and-compact discipline. Each `ingest`
+  * folds one batch of BIGINT keys into its own Bloom filter (one
+  * `stat.bloomFilter` pass — the bit array is the OR of per-key bit
+  * positions, deterministic given (expectedItems, fpp) and the key
+  * SET) and appends ONE row holding the filter bytes. Reads merge by
+  * bitwise OR (`BloomFilter.mergeInPlace`) — associative, commutative
+  * and IDEMPOTENT, so batch boundaries and re-delivery can never
+  * change the merged bits (spec-pinned batch-split ≡ one-shot at the
+  * BYTES level).
+  *
+  * Scale shape: what lands on disk per batch is the FILTER (~1.2
+  * bytes/key at 1% fpp), never the keys; the driver-side merge folds
+  * ≤ #appends blobs (bounded by `compact()`, which rewrites them into
+  * one row via the shared verified swap) and the merged bytes ride a
+  * broadcast VARIABLE into [[graft.functions.BloomMightContain]]'s
+  * codegen'd row-local probe — the q76 rung, now with a persistent
+  * between-runs set. False positives are the fpp trickle (callers
+  * confirm exactly, the [[graft.operators.Dedup.evalOverlapRate]]
+  * contract); false negatives are impossible, so a miss is PROOF the
+  * key was never ingested.
+  *
+  * Shape params (expectedItems, fpp) fix the bit width and hash count
+  * — `mergeInPlace` requires both to match, so they ride as column
+  * metadata and a reopen at a different shape fails fast instead of
+  * producing an incompatible append. */
+final class BloomStore(spark: SparkSession, storeDir: String,
+    expectedItems: Long = 4L << 20, fpp: Double = 0.01) {
+  require(expectedItems > 0, s"need expectedItems > 0, got $expectedItems")
+  require(fpp > 0.0 && fpp < 1.0, s"need 0 < fpp < 1, got $fpp")
+
+  private val shapeMeta = new MetadataBuilder()
+    .putLong("bloom_expected", expectedItems)
+    .putString("bloom_fpp", fpp.toString).build()
+
+  private def storeExists: Boolean =
+    ParquetStore.gatedExists(spark, storeDir, "Bloom store")
+
+  private def checkedRead(): DataFrame = {
+    val df = spark.read.parquet(storeDir)
+    df.schema.fields.find(_.name == "bf").map(_.metadata)
+      .filter(_.contains("bloom_expected")).foreach { m =>
+        require(m.getLong("bloom_expected") == expectedItems &&
+          m.getString("bloom_fpp") == fpp.toString,
+          s"Bloom store $storeDir was built at expectedItems=" +
+            s"${m.getLong("bloom_expected")}, fpp=${m.getString("bloom_fpp")}" +
+            s" but opened at ($expectedItems, $fpp) — merge would be " +
+            "incompatible; open with the build shape")
+      }
+    df
+  }
+
+  /** Append one batch's filter (ONE row of bytes, one corpus pass). */
+  def ingest(keys: DataFrame, hashCol: String): Unit = {
+    if (storeExists) checkedRead() // fail fast on a shape mismatch
+    val bf = keys.stat.bloomFilter(hashCol, expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    import spark.implicits._
+    Seq(Tuple1(bos.toByteArray)).toDF("bf")
+      .select(col("bf").as("bf", shapeMeta))
+      .write.mode(SaveMode.Append).parquet(storeDir)
+  }
+
+  /** The merged filter bytes over everything ingested (OR-fold of the
+    * ≤ #appends blobs; empty store → an empty filter of the store's
+    * shape, which reports every probe as a miss). */
+  def filterBytes(): Array[Byte] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val blobs: Array[Array[Byte]] =
+      if (storeExists) checkedRead().select(col("bf"))
+        .collect().map(_.getAs[Array[Byte]](0))
+      else Array.empty
+    val merged = blobs.foldLeft(
+      BloomFilter.create(expectedItems, fpp)) { (acc, b) =>
+      acc.mergeInPlace(BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(b)))
+      acc
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    merged.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Row-local membership probe against the merged store: appends a
+    * BOOLEAN `mightCol` via the broadcast-handle codegen probe. */
+  def probe(df: DataFrame, hashCol: String, mightCol: String)
+      : DataFrame = {
+    val bc = spark.sparkContext.broadcast(filterBytes())
+    df.withColumn(mightCol, org.apache.spark.sql.GraftColumns.of(
+      graft.functions.BloomMightContain(bc,
+        org.apache.spark.sql.GraftColumns.expr(col(hashCol)))))
+  }
+
+  /** Merge-on-compact: rewrite the appends into ONE merged row via
+    * the shared verified swap. Returns (files before, after). */
+  def compact(targetFileBytes: Long = 128L << 20): (Long, Long) = {
+    import spark.implicits._
+    val merged = Seq(Tuple1(filterBytes())).toDF("bf")
+      .select(col("bf").as("bf", shapeMeta))
+    ParquetStore.compact(spark, storeDir, merged, targetFileBytes)
+  }
+}

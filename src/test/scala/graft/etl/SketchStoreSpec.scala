@@ -90,6 +90,8 @@ class SketchStoreSpec extends SparkSpec {
     assert(n1 > 0L && n1 <= 4L * 1024L) // ≤ depth·width counters
     val n2 = graft.Main.runHllIngest(spark, src, "grp", "h", base + "/hll")
     assert(n2 == 3L) // one estimate row per group
+    val n3 = graft.Main.runBloomIngest(spark, src, "h", base + "/bloom")
+    assert(n3 == 1L) // one filter blob per append
   }
 
   // a value stream for the grid store: 400 doubles over [0, 50)
@@ -133,5 +135,54 @@ class SketchStoreSpec extends SparkSpec {
     values.write.parquet(src)
     val n = graft.Main.runGridIngest(spark, src, "v", 0.5, base + "/grid")
     assert(n == 100L) // 200 distinct values / (0.5 width · 4 scale)
+  }
+
+  test("Bloom: batch-split ingest ORs to the one-shot filter bytes; " +
+    "re-delivery is a no-op; compact keeps the bits") {
+    val dir = Files.createTempDirectory("graft_bloom_store").toString +
+      "/store"
+    val store = new BloomStore(spark, dir, expectedItems = 1000L,
+      fpp = 0.01)
+    val b1 = hashes.where(col("h") < 100L)
+    store.ingest(b1, "h")
+    store.ingest(hashes.where(col("h") >= 100L), "h")
+    // one-shot reference: a single filter over the whole stream
+    val oneDir = Files.createTempDirectory("graft_bloom_one").toString +
+      "/store"
+    val one = new BloomStore(spark, oneDir, expectedItems = 1000L,
+      fpp = 0.01)
+    one.ingest(hashes, "h")
+    assert(java.util.Arrays.equals(store.filterBytes(), one.filterBytes()))
+    // idempotence: re-delivering batch 1 cannot move a bit
+    store.ingest(b1, "h")
+    assert(java.util.Arrays.equals(store.filterBytes(), one.filterBytes()))
+    // compact: 3 appended blobs -> 1, bits identical
+    val bytesBefore = store.filterBytes()
+    val (before, after) = store.compact(targetFileBytes = 1L << 20)
+    assert(before > after, s"compact $before -> $after files")
+    assert(java.util.Arrays.equals(store.filterBytes(), bytesBefore))
+    // no false negatives: every ingested key probes true; a disjoint
+    // range mostly probes false (fpp trickle allowed)
+    val pos = store.probe(hashes.select(col("h")).distinct(), "h", "m")
+    assert(pos.where(!col("m")).count() == 0)
+    val neg = store.probe(
+      spark.range(10000, 11000).select(col("id").as("h")), "h", "m")
+    assert(neg.where(col("m")).count() < 100) // ~1% of 1000
+  }
+
+  test("Bloom: reopening at a different shape fails fast; empty store " +
+    "probes all-miss") {
+    val dir = Files.createTempDirectory("graft_bloom_store2").toString +
+      "/store"
+    new BloomStore(spark, dir, expectedItems = 1000L).ingest(hashes, "h")
+    val wrong = new BloomStore(spark, dir, expectedItems = 2000L)
+    val e = intercept[IllegalArgumentException] { wrong.ingest(hashes, "h") }
+    assert(e.getMessage.contains("shape") ||
+      e.getMessage.contains("expectedItems"))
+    val emptyDir = Files.createTempDirectory("graft_bloom_empty")
+      .toString + "/store"
+    val empty = new BloomStore(spark, emptyDir, expectedItems = 1000L)
+    val out = empty.probe(hashes.select(col("h")), "h", "m")
+    assert(out.where(col("m")).count() == 0)
   }
 }
