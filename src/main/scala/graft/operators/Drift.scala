@@ -469,4 +469,45 @@ object Drift {
           .as("wmape"))
       .orderBy(col("key"))
   }
+
+  /** PROFILE DRIFT — the schema-health diff between two corpus
+    * snapshots: per column, row/null/distinct counts on BOTH sides
+    * plus the null-rate delta and the distinct-count ratio — "did the
+    * new crawl break an extractor" answered before any value-level
+    * drift test runs ([[histogramDrift]]/[[gridKsDistance]] compare
+    * VALUES; this compares the column health [[graft.operators.Profiling.columnProfile]]
+    * measures, across time). The derived columns are fixed IEEE trees
+    * over exact counts (two divisions and a subtract; a side with
+    * zero rows keeps NULL delta, a vanished column keeps NULL ratio).
+    *
+    * Scale shape: one partial-aggregable all-columns pass per side
+    * (the columnProfile shape — |cols| counters in ONE aggregate, the
+    * countDistinct expand being the documented profile-time cost);
+    * the join stitches two |cols|-row frames. */
+  def profileDrift(oldDf: DataFrame, newDf: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    val o = graft.operators.Profiling.columnProfile(oldDf, cols)
+      .select(col("column_name"), col("n_rows").as("n_rows_old"),
+        col("n_nulls").as("n_nulls_old"),
+        col("n_distinct").as("n_distinct_old"))
+    val n = graft.operators.Profiling.columnProfile(newDf, cols)
+      .select(col("column_name"), col("n_rows").as("n_rows_new"),
+        col("n_nulls").as("n_nulls_new"),
+        col("n_distinct").as("n_distinct_new"))
+    o.join(n, Seq("column_name"))
+      .withColumn("null_rate_delta",
+        when(col("n_rows_old") > 0 && col("n_rows_new") > 0,
+          col("n_nulls_new").cast("double") /
+            col("n_rows_new").cast("double") -
+          col("n_nulls_old").cast("double") /
+            col("n_rows_old").cast("double")))
+      .withColumn("ndv_ratio",
+        when(col("n_distinct_old") > 0,
+          col("n_distinct_new").cast("double") /
+            col("n_distinct_old").cast("double")))
+      .select(col("column_name"), col("n_rows_old"), col("n_nulls_old"),
+        col("n_distinct_old"), col("n_rows_new"), col("n_nulls_new"),
+        col("n_distinct_new"), col("null_rate_delta"), col("ndv_ratio"))
+      .orderBy(col("column_name"))
+  }
 }

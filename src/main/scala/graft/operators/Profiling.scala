@@ -734,4 +734,37 @@ object Profiling {
             (col("n_groups").cast(dec) * col("n_rows").cast(dec))
               .cast("double")).as("gini"))
   }
+
+  /** TAIL BANDS — the SLO tail [[valueBands]]' quartiles can't see:
+    * per group, the exact percentiles of an INTEGER measure at the
+    * DYADIC tail points 1/2, 3/4, 7/8, 15/16, 31/32, 63/64 (column
+    * names spell the decimal fraction: p9375 = .9375). A p99 SLO is
+    * conventionally decimal, but 0.99 is not exactly representable in
+    * binary and engines disagree in the last ulp of the interpolation
+    * weight; the dyadic ladder brackets the same tail (63/64 ≈ p98.4)
+    * with interpolation weights that are pure exponent shifts —
+    * engine-exact on integer inputs, the q74/q88/q167 rule.
+    *
+    * Scale shape: ONE partial-aggregable groupBy; the exact per-group
+    * percentile is the documented profile-time cost (the q147
+    * caveat — [[gridPercentile]]'s bounded-bin grid is the
+    * streaming-scale path). */
+  def tailBands(df: DataFrame, groupCol: Column, valueCol: Column)
+      : DataFrame =
+    df.select(groupCol.as("g"), valueCol.as("v"))
+      .where(col("v").isNotNull)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(v, array(0.5D, 0.75D, 0.875D, 0.9375D, " +
+          "0.96875D, 0.984375D))").as("__q"),
+        max(col("v")).as("max_v"))
+      .select(col("g"), col("n"),
+        element_at(col("__q"), 1).as("p50"),
+        element_at(col("__q"), 2).as("p75"),
+        element_at(col("__q"), 3).as("p875"),
+        element_at(col("__q"), 4).as("p9375"),
+        element_at(col("__q"), 5).as("p96875"),
+        element_at(col("__q"), 6).as("p984375"),
+        col("max_v"))
+      .orderBy(col("g"))
 }

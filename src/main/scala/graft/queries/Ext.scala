@@ -6289,6 +6289,93 @@ object Ext {
       ORDER BY doc_a, doc_b
     """.trim))
 
+  // --------------------------------------------------------------- q175
+
+  /** q175 — snapshot profile drift ([[Drift.profileDrift]]): per
+    * column, the schema-health diff between two corpus snapshots —
+    * null-rate delta and distinct-count ratio over exact counts; the
+    * "did the new crawl break an extractor" report before any
+    * value-level drift test. Nulls seeded deterministically on the
+    * new side (doc_id % 3). */
+  val q175: Q = Q(
+    "q175_profile_drift",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldSnap = docs.where(col("doc_id") % 2 === 0)
+      val newSnap = docs.where(col("doc_id") % 2 === 1)
+        .withColumn("lang",
+          when(col("doc_id") % 3 === 0, lit(null).cast("string"))
+            .otherwise(col("lang")))
+      Drift.profileDrift(oldSnap, newSnap, Seq("lang", "source"))
+    },
+    Some("""
+      WITH o AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+      n AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END AS lang,
+          source
+        FROM documents WHERE doc_id % 2 = 1),
+      op AS (
+        SELECT 'lang' AS column_name, count(*) AS r,
+          sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS nl,
+          count(DISTINCT lang) AS nd FROM o
+        UNION ALL
+        SELECT 'source', count(*),
+          sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+          count(DISTINCT source) FROM o),
+      np AS (
+        SELECT 'lang' AS column_name, count(*) AS r,
+          sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS nl,
+          count(DISTINCT lang) AS nd FROM n
+        UNION ALL
+        SELECT 'source', count(*),
+          sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+          count(DISTINCT source) FROM n)
+      SELECT op.column_name AS column_name,
+        CAST(op.r AS BIGINT) AS n_rows_old,
+        CAST(op.nl AS BIGINT) AS n_nulls_old,
+        CAST(op.nd AS BIGINT) AS n_distinct_old,
+        CAST(np.r AS BIGINT) AS n_rows_new,
+        CAST(np.nl AS BIGINT) AS n_nulls_new,
+        CAST(np.nd AS BIGINT) AS n_distinct_new,
+        CASE WHEN op.r > 0 AND np.r > 0 THEN
+          CAST(np.nl AS DOUBLE) / CAST(np.r AS DOUBLE)
+            - CAST(op.nl AS DOUBLE) / CAST(op.r AS DOUBLE)
+        END AS null_rate_delta,
+        CASE WHEN op.nd > 0 THEN
+          CAST(np.nd AS DOUBLE) / CAST(op.nd AS DOUBLE)
+        END AS ndv_ratio
+      FROM op JOIN np USING (column_name) ORDER BY column_name
+    """.trim))
+
+  // --------------------------------------------------------------- q176
+
+  /** q176 — transaction-value tail bands ([[Profiling.tailBands]]):
+    * per event type, the exact dyadic tail ladder (1/2 … 63/64) of
+    * integer-cent values — the SLO tail q167's quartiles can't see,
+    * at percentile points whose interpolation weights are exponent
+    * shifts (engine-exact on integers, never a decimal p99). */
+  val q176: Q = Q(
+    "q176_value_tail_bands",
+    (s, d) =>
+      Profiling.tailBands(eventsUs(s, d), col("event_type"),
+        (Dec.d2(col("value")) * 100).cast("long")),
+    Some("""
+      WITH g AS (
+        SELECT event_type AS g,
+          CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL)
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+        quantile_cont(v, 0.5) AS p50,
+        quantile_cont(v, 0.75) AS p75,
+        quantile_cont(v, 0.875) AS p875,
+        quantile_cont(v, 0.9375) AS p9375,
+        quantile_cont(v, 0.96875) AS p96875,
+        quantile_cont(v, 0.984375) AS p984375,
+        CAST(max(v) AS BIGINT) AS max_v
+      FROM g GROUP BY 1 ORDER BY 1
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -6303,5 +6390,5 @@ object Ext {
       q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
       q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168,
-      q169, q170, q171, q172, q173, q174)
+      q169, q170, q171, q172, q173, q174, q175, q176)
 }

@@ -261,4 +261,30 @@ class DriftSpec extends SparkSpec {
     // day10 has no day-3 forecast → excluded, not treated as zero
     assert(out == Map("A" -> ((2L, 2L, 5L, 0.4))))
   }
+
+  test("profileDrift: null-rate delta and ndv ratio from exact counts; " +
+    "an all-null old column keeps NULL ratio") {
+    val s3 = spark; import s3.implicits._
+    val oldDf = Seq(
+      (Option("en"), Option.empty[String]), (Option("en"), None),
+      (Option.empty[String], None), (Option("fr"), None)
+    ).toDF("lang", "tag")
+    val newDf = Seq(
+      (Option.empty[String], Option("x")), (None, Option("x")),
+      (Option("en"), Option("y")), (Option("en"), Option("y")),
+      (Option("en"), Option("y")), (Option("de"), Option("y"))
+    ).toDF("lang", "tag")
+    val out = Drift.profileDrift(oldDf, newDf, Seq("lang", "tag"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6),
+          Option(r.get(7)).map(_.asInstanceOf[Double]),
+          Option(r.get(8)).map(_.asInstanceOf[Double])))).toMap
+    // lang: old (4 rows, 1 null, 2 ndv), new (6 rows, 2 null, 2 ndv)
+    assert(out("lang") == ((4L, 1L, 2L, 6L, 2L, 2L,
+      Some(2.0 / 6 - 1.0 / 4), Some(1.0))))
+    // tag was ALL NULL in old: ndv_old = 0 -> NULL ratio, delta real
+    assert(out("tag") == ((4L, 4L, 0L, 6L, 0L, 2L,
+      Some(0.0 - 1.0), None)))
+  }
 }

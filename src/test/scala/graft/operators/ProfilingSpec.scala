@@ -354,4 +354,21 @@ class ProfilingSpec extends SparkSpec {
     val e = Profiling.concentrationProfile(eq, "g").collect()(0)
     assert(e.getDouble(4) == 0.0 && e.getDouble(3) == 0.5)
   }
+
+  test("tailBands: dyadic tail points interpolate exactly on integers") {
+    val s2 = spark; import s2.implicits._
+    val df = (0L until 64L).map(v => ("g", v)).toDF("k", "v")
+    val r = Profiling.tailBands(df,
+      org.apache.spark.sql.functions.col("k"),
+      org.apache.spark.sql.functions.col("v")).collect()(0)
+    assert(r.getLong(1) == 64L)
+    // index = p * 63: every weight is an exponent shift — exact
+    assert(r.getDouble(2) == 31.5)        // .5      -> 31.5
+    assert(r.getDouble(3) == 47.25)       // .75     -> 47.25
+    assert(r.getDouble(4) == 55.125)      // .875    -> 55.125
+    assert(r.getDouble(5) == 59.0625)     // .9375
+    assert(r.getDouble(6) == 61.03125)    // .96875
+    assert(r.getDouble(7) == 62.015625)   // .984375
+    assert(r.getLong(8) == 63L)
+  }
 }
