@@ -591,4 +591,68 @@ object Cohorts {
         date_add(epoch, col("__s").cast("int")).as("max_streak_start"))
       .orderBy(col("user"))
   }
+
+  /** TRANSITION PAGERANK — random-surfer importance of event types
+    * over the [[transitionMatrix]] graph, in FIXED-POINT integer
+    * arithmetic so every engine replays it bit-for-bit (a float
+    * power iteration sums IEEE products in engine-dependent order —
+    * the q97/q165 fixed-point rule applied to an ITERATIVE
+    * computation). Ranks live at scale 2⁴⁰; one iteration is
+    *
+    *   r′(j) = (15·2⁴⁰ div 100) div N
+    *         + (85 · Σ_i (r(i)·n_ij div n_i)) div 100
+    *
+    * — every term an integer, every div a floor. Per-term flooring
+    * costs < N·2⁻⁴⁰ relative mass per iteration (documented
+    * truncation, the price of exactness). Nodes with no OUTGOING
+    * transitions leak their damped mass (the "leaky" variant — rank
+    * ORDER is what the readout is for); nodes with no incoming
+    * transitions keep the teleport base.
+    *
+    * Scale shape: ONE corpus-sized user-keyed window pass builds the
+    * edge counts (the [[transitionMatrix]] shape) plus one
+    * column-pruned distinct for the node set; the `iters` power
+    * iterations then join |types|²-bounded edges with |types|-row
+    * rank frames — K-scale work, corpus-size-independent (the
+    * Packing.prefix rule). The node count is ONE small driver job on
+    * the reduced node frame, never a hidden corpus count. */
+  def transitionPageRank(events: DataFrame, userCol: String,
+      timeCol: String, typeCol: String, idCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"need 1 <= iters <= 16, got $iters")
+    import org.apache.spark.sql.expressions.Window
+    val SCALE = 1L << 40
+    val perUser = Window.partitionBy(col(userCol))
+      .orderBy(col(timeCol), col(idCol))
+    val paired = events
+      .select(col(userCol), col(timeCol), col(typeCol), col(idCol))
+      .withColumn("__prev", lag(col(typeCol), 1).over(perUser))
+      .where(col("__prev").isNotNull)
+    val edges = paired
+      .groupBy(col("__prev").as("src"), col(typeCol).as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val outTot = edges.groupBy(col("src")).agg(sum(col("n")).as("n_src"))
+    val ew = edges.join(outTot, Seq("src"))
+    val nodes = events.select(col(typeCol).as("t")).distinct()
+    val nNodes = nodes.count() // |types|-row frame — K-scale job
+    require(nNodes > 0, "transitionPageRank needs at least one event type")
+    val base = ((SCALE * 15L) / 100L) / nNodes
+    val dec = "DECIMAL(38,0)"
+    var rank = nodes.withColumn("r", lit(SCALE / nNodes))
+    for (_ <- 1 to iters) {
+      val inMass = ew
+        .join(rank.withColumnRenamed("t", "src"), Seq("src"))
+        .select(col("dst").as("t"),
+          expr(s"(CAST(r AS $dec) * n) div n_src").as("c"))
+        .groupBy(col("t")).agg(sum(col("c")).as("__m"))
+      rank = nodes.join(inMass, Seq("t"), "left")
+        .select(col("t"),
+          (lit(base) +
+            expr("(85 * coalesce(__m, CAST(0 AS BIGINT))) div 100"))
+            .as("r"))
+    }
+    rank.select(col("t").as("event_type"), col("r").as("rank_fp"),
+        (col("r").cast("double") / SCALE.toDouble).as("rank"))
+      .orderBy(col("rank_fp").desc, col("event_type"))
+  }
 }

@@ -6376,6 +6376,56 @@ object Ext {
       FROM g GROUP BY 1 ORDER BY 1
     """.trim))
 
+  // --------------------------------------------------------------- q177
+
+  /** One unrolled fixed-point PageRank iteration for the q177 oracle
+    * (mirrors [[Cohorts.transitionPageRank]]'s loop body exactly:
+    * integer products, floor divisions, leaky dangling mass). */
+  private def prIter(prev: String, cur: String): String = s"""
+      |$cur AS (
+      |  SELECT nodes.t AS t,
+      |    ((1099511627776 * 15) // 100) // (SELECT n FROM nn)
+      |      + (85 * coalesce(m.s, 0)) // 100 AS r
+      |  FROM nodes LEFT JOIN (
+      |    SELECT ew.dst AS t, sum(($prev.r * ew.n) // ew.n_src) AS s
+      |    FROM ew JOIN $prev ON $prev.t = ew.src GROUP BY 1) m
+      |  ON nodes.t = m.t)""".stripMargin
+
+  /** q177 — event-type PageRank ([[Cohorts.transitionPageRank]]):
+    * random-surfer importance over the q122 transition graph in
+    * fixed-point 2⁴⁰ integer arithmetic — every product, sum and
+    * floor-div engine-exact, so even an ITERATIVE analytic sits under
+    * the oracle gate (a float power iteration could not hash-verify);
+    * 3 iterations, damping 0.85, leaky dangling mass (documented). */
+  val q177: Q = Q(
+    "q177_type_pagerank",
+    (s, d) =>
+      Cohorts.transitionPageRank(Tables.events(s, d), "user_id", "ts",
+        "event_type", "event_id", iters = 3),
+    Some(s"""
+      WITH tr AS (
+        SELECT event_type,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS prev
+        FROM events),
+      e AS (
+        SELECT prev AS src, event_type AS dst,
+          CAST(count(*) AS BIGINT) AS n
+        FROM tr WHERE prev IS NOT NULL GROUP BY 1, 2),
+      ot AS (SELECT src, sum(n) AS n_src FROM e GROUP BY 1),
+      ew AS (SELECT e.src, e.dst, e.n, ot.n_src FROM e JOIN ot USING (src)),
+      nodes AS (SELECT DISTINCT event_type AS t FROM events),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      r0 AS (SELECT t, 1099511627776 // (SELECT n FROM nn) AS r
+             FROM nodes),
+      ${prIter("r0", "r1").trim},
+      ${prIter("r1", "r2").trim},
+      ${prIter("r2", "r3").trim}
+      SELECT t AS event_type, CAST(r AS BIGINT) AS rank_fp,
+        CAST(r AS DOUBLE) / 1099511627776.0 AS rank
+      FROM r3 ORDER BY rank_fp DESC, event_type
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -6390,5 +6440,5 @@ object Ext {
       q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
       q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168,
-      q169, q170, q171, q172, q173, q174, q175, q176)
+      q169, q170, q171, q172, q173, q174, q175, q176, q177)
 }

@@ -293,4 +293,25 @@ class CohortsSpec extends SparkSpec {
       (2L, 1L, 1L, 1L, "2024-02-01"),
       (3L, 4L, 2L, 2L, "2024-03-01")))
   }
+
+  test("transitionPageRank: hand-replayed fixed-point iterations on " +
+    "A->B; terminal node leaks damped mass; deterministic re-run") {
+    val ev = Seq((1L, 10L, "A", 1L), (1L, 20L, "B", 2L))
+      .toDF("user_id", "ts", "t", "id")
+    val out = Cohorts.transitionPageRank(ev, "user_id", "ts", "t", "id",
+      iters = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // SCALE = 2^40; N = 2: r0 = 549755813888 each;
+    // base = ((SCALE*15)//100)//2 = 82463372083
+    // r1(A) = base (no in-edges); r1(B) = base + (85*r0(A))//100
+    // r2(B) = base + (85*base)//100 = 82463372083 + 70093866270
+    // r3(B) = r2(B) (A's rank is base from r1 on)
+    assert(out.toSeq == Seq(
+      ("B", 82463372083L + 70093866270L), ("A", 82463372083L)))
+    // leaky variant: B is terminal, total mass < SCALE
+    assert(out.map(_._2).sum < (1L << 40))
+    val again = Cohorts.transitionPageRank(ev, "user_id", "ts", "t",
+      "id", iters = 3).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == again.toSeq)
+  }
 }
