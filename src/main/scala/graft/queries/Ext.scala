@@ -6426,6 +6426,85 @@ object Ext {
       FROM r3 ORDER BY rank_fp DESC, event_type
     """.trim))
 
+  // --------------------------------------------------------------- q178
+
+  /** q178 — fuzzy-match operating point (q92 ∘ [[Dedup.pairsEval]],
+    * completing the eval quartet with q129/q144/q148): inject
+    * deterministic typos into part names — every 10th key drops the
+    * FIRST character (lev 1, block-preserving: the blocking key is
+    * the second token), every 20th drops a character from the SECOND
+    * token instead (lev 1 but BLOCK-BREAKING) — and measure the
+    * blocked matcher's pair recall
+    * against the injected truth. The blocking trade q92's scaladoc
+    * promises, MEASURED: recall ≈ the block-preserving share, so a
+    * blocking-key change shows up as a number, not an opinion. */
+  val q178: Q = Q(
+    "q178_fuzzy_operating_point",
+    (s, d) => {
+      val base = Tables.part(s, d)
+        .select(col("p_partkey").as("k"), col("p_name").as("name"))
+      val toks = split(col("name"), " ")
+      val t2 = element_at(toks, 2)
+      val rebuilt = concat_ws(" ", concat(
+        slice(toks, 1, 1),
+        array(t2.substr(lit(1), length(t2) - 1)),
+        slice(toks, lit(3), greatest(size(toks) - 2, lit(0)))))
+      val dirty = base.where(col("k") % 10 === 0)
+        .select(col("name"),
+          when(col("k") % 20 === 0 && size(toks) >= 2, rebuilt)
+            .otherwise(expr("substring(name, 2)")).as("dirty"))
+      val union = base.select(col("name"))
+        .unionByName(dirty.select(col("dirty").as("name")))
+      val got = Dedup.fuzzyMatchPairs(union, "name", maxDist = 2)
+        .select(col("name_a").as("doc_a"), col("name_b").as("doc_b"))
+      val want = dirty.select(
+        least(col("name"), col("dirty")).as("doc_a"),
+        greatest(col("name"), col("dirty")).as("doc_b"))
+      Dedup.pairsEval(got, want)
+    },
+    Some("""
+      WITH base AS (SELECT p_partkey AS k, p_name AS name FROM part),
+      dirty AS (
+        SELECT name,
+          CASE WHEN k % 20 = 0 AND len(l) >= 2 THEN
+            array_to_string(list_concat(list_concat(l[1:1],
+              [substr(l[2], 1, length(l[2]) - 1)]), l[3:]), ' ')
+          ELSE substr(name, 2) END AS dirty
+        FROM (SELECT k, name, string_split(name, ' ') AS l FROM base)
+        WHERE k % 10 = 0),
+      u AS (SELECT name FROM base UNION ALL SELECT dirty FROM dirty),
+      g AS (SELECT name, count(*) AS n_rows FROM u GROUP BY 1),
+      b AS (
+        SELECT name,
+          CASE WHEN strpos(name, ' ') = 0 THEN substr(name, 1, 4)
+               ELSE split_part(name, ' ', 2) END AS blk
+        FROM g),
+      k2 AS (
+        SELECT name, blk FROM (
+          SELECT b.*, count(*) OVER (PARTITION BY blk) AS c_blk FROM b)
+        WHERE c_blk <= 4096),
+      got AS (
+        SELECT DISTINCT a.name AS doc_a, c.name AS doc_b
+        FROM k2 a JOIN k2 c ON a.blk = c.blk AND a.name < c.name
+        WHERE levenshtein(a.name, c.name) <= 2),
+      want AS (
+        SELECT DISTINCT least(name, dirty) AS doc_a,
+          greatest(name, dirty) AS doc_b
+        FROM dirty),
+      hit AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+              FROM got JOIN want USING (doc_a, doc_b)),
+      ng AS (SELECT CAST(count(*) AS BIGINT) AS n_got FROM got),
+      nw AS (SELECT CAST(count(*) AS BIGINT) AS n_want FROM want)
+      SELECT n_got, n_want, n_hit,
+        CASE WHEN n_got > 0 THEN
+          CAST(n_hit AS DOUBLE) / CAST(n_got AS DOUBLE)
+        END AS pair_precision,
+        CASE WHEN n_want > 0 THEN
+          CAST(n_hit AS DOUBLE) / CAST(n_want AS DOUBLE)
+        END AS pair_recall
+      FROM ng, nw, hit
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -6440,5 +6519,5 @@ object Ext {
       q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
       q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168,
-      q169, q170, q171, q172, q173, q174, q175, q176, q177)
+      q169, q170, q171, q172, q173, q174, q175, q176, q177, q178)
 }

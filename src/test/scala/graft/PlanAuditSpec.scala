@@ -810,7 +810,10 @@ class PlanAuditSpec extends SparkSpec {
       // q171: the ONE-ROW max-ts anchor appended to the event stream
       // for the row-local split CASE — temporalSplit's scalar-append,
       // q88's exact shape
-      "q171_temporal_split")
+      "q171_temporal_split",
+      // q178: pairsEval's three ONE-ROW count aggregates meet on the
+      // documented broadcast scalar-append — q144's exception verbatim
+      "q178_fuzzy_operating_point")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()
