@@ -767,4 +767,44 @@ object Profiling {
         element_at(col("__q"), 6).as("p984375"),
         col("max_v"))
       .orderBy(col("g"))
+
+  /** GRID-PERCENTILE ACCURACY EVAL — the eval rung for the percentile
+    * sketch (the q129/q144/q148/q178 pattern applied to
+    * [[gridPercentile]]): per percentile point, the grid estimate vs
+    * the EXACT rank-based percentile (the value at rank ⌈p·n⌉), with
+    * the signed error and the guarantee check `0 ≤ err < width` —
+    * the estimate is the target value's bin FLOOR, so the true value
+    * sits in [est, est + width). A violated bound means the grid (or
+    * its merge path, [[graft.etl.GridStore]]) is broken, not noisy.
+    *
+    * The exact side sorts the distinct-VALUE frame through one global
+    * cumulative window — the documented eval-time cost (the q20/q148
+    * convention: the reference rung is allowed to be expensive;
+    * production reads the sketch alone). Rank-based (never
+    * interpolated) percentiles keep both sides engine-exact on any
+    * input doubles. */
+  def gridPercentileAccuracy(df: DataFrame, valueCol: String,
+      width: Double, ps: Seq[Double],
+      scope: graft.engine.CacheScope = graft.engine.CacheScope.unmanaged)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = gridPercentile(df, valueCol, width, ps, scope)
+    val vals = df.select(raw(valueCol).as("v"))
+      .where(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("n"))
+    val cum = vals.withColumn("cum",
+      sum(col("n")).over(Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val exact = cum
+      .join(broadcast(grid.select(col("p"), col("target_rank"))),
+        col("cum") >= col("target_rank"))
+      .groupBy(col("p"), col("target_rank"))
+      .agg(min(col("v")).as("exact_percentile"))
+    grid.join(exact, Seq("p", "target_rank"))
+      .withColumn("err", col("exact_percentile") - col("est_percentile"))
+      .select(col("p"), col("n_values"), col("target_rank"),
+        col("est_percentile"), col("exact_percentile"), col("err"),
+        (col("err") >= 0.0 && col("err") < width).as("within_width"))
+      .orderBy(col("p"))
+  }
 }

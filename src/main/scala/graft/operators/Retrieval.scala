@@ -195,4 +195,50 @@ object Retrieval {
         col("rrf_score"), col("rank_a"), col("rank_b"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** TF-IDF KEYWORD EXTRACTION — the per-document "what is this about"
+    * readout ([[bm25Scores]] ranks docs for a QUERY; this ranks TERMS
+    * for a doc): top-`k` terms by term frequency × inverse document
+    * frequency. The idf is the log-free fixed-point reciprocal
+    * `((N+1)·2²⁰) div (df+1)` — transcendental log differs across
+    * libm implementations (the BM25 rationale above), and the
+    * reciprocal keeps the rare-term ordering exact-integer end to end
+    * (documented variance vs log-idf: rare-term emphasis is stronger;
+    * within one document the ranking is what matters). Add-one
+    * smoothing keeps corpus-absent probes finite.
+    *
+    * Scale shape: ONE corpus-sized explode feeding a persisted
+    * partial-aggregable (doc, term) count; df is a |vocab|-row
+    * aggregate of that frame; the doc count rides a one-row broadcast
+    * scalar append (q84 shape); the top-k window partitions by doc
+    * over the reduced distinct-terms frame, ties pinned (score DESC,
+    * term ASC). Scores multiply in DECIMAL(38,0) — tf × idf_fp can
+    * pass 2⁶³ on a web-scale corpus. */
+  def tfIdfKeywords(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3,
+      scope: graft.engine.CacheScope = graft.engine.CacheScope.unmanaged)
+      : DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextHash
+    val tf = scope.persist(
+      docs.select(col(idCol).as("doc_id"),
+          explode(TextHash.tokens(col(textCol))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("idf_fp", expr("((__n + 1) * 1048576) div (df + 1)"))
+      .withColumn("score_fp",
+        expr("CAST(tf AS DECIMAL(38,0)) * idf_fp"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_fp").desc, col("term"))
+    scored.withColumn("kw_rank", row_number().over(w))
+      .where(col("kw_rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score_fp").cast("double").as("score"), col("kw_rank"))
+      .orderBy(col("doc_id"), col("kw_rank"))
+  }
 }

@@ -214,9 +214,13 @@ object Rolling {
     val daily = df
       .select(keyCol.as("key"), dayCol.as("day"), Dec.d2(valueCol).as("v"))
       .groupBy(col("key"), col("day")).agg(sum(col("v")).as("total"))
+    // the anchor rides a ONE-ROW broadcast scalar append (q88 shape) —
+    // a global window here would funnel the (key, day) frame, which is
+    // near-corpus-sized for high-cardinality keys, through one task
+    val anchor = daily.agg(max(col("day")).as("__anchor"))
     val aged = daily
-      .withColumn("anchor", max(col("day")).over(Window.partitionBy()))
-      .withColumn("age", datediff(col("anchor"), col("day")))
+      .crossJoin(broadcast(anchor))
+      .withColumn("age", datediff(col("__anchor"), col("day")))
     val periods = aged
       .groupBy(col("key"))
       .agg(

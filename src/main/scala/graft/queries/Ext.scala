@@ -6505,6 +6505,91 @@ object Ext {
       FROM ng, nw, hit
     """.trim))
 
+  // --------------------------------------------------------------- q179
+
+  /** q179 — TF-IDF keywords ([[Retrieval.tfIdfKeywords]]): top-3
+    * terms per document by tf × log-free fixed-point reciprocal idf
+    * (the q52/q97 no-transcendentals rule) — the per-doc "what is
+    * this about" readout; ties pinned (score DESC, term ASC). */
+  val q179: Q = Q(
+    "q179_tfidf_keywords",
+    (s, d) =>
+      Retrieval.tfIdfKeywords(Tables.documents(s, d), "doc_id", "text",
+        k = 3),
+    Some(s"""
+      WITH $duckWords,
+      t AS (SELECT doc_id, unnest(w) AS term FROM words),
+      tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM t GROUP BY 1, 2),
+      dfq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM documents),
+      sc AS (
+        SELECT doc_id, term, tf, df,
+          CAST(tf AS HUGEINT) * (((n + 1) * 1048576) // (df + 1))
+            AS score_fp
+        FROM tf JOIN dfq USING (term), n),
+      r AS (
+        SELECT doc_id, term, tf, df, score_fp,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY score_fp DESC, term) AS kw_rank
+        FROM sc)
+      SELECT doc_id, term, tf, df, CAST(score_fp AS DOUBLE) AS score,
+        CAST(kw_rank AS INT) AS kw_rank
+      FROM r WHERE kw_rank <= 3 ORDER BY doc_id, kw_rank
+    """.trim))
+
+  // --------------------------------------------------------------- q180
+
+  /** q180 — grid-percentile accuracy ([[Profiling.gridPercentileAccuracy]]):
+    * the eval rung for the percentile sketch — per point, q111's grid
+    * estimate vs the exact rank-based percentile, signed error, and
+    * the `0 ≤ err < width` guarantee check; the exact side is the
+    * documented eval-time reference cost. */
+  val q180: Q = Q(
+    "q180_grid_accuracy",
+    (s, d) =>
+      Profiling.gridPercentileAccuracy(Tables.events(s, d), "value",
+        width = 0.25, ps = Seq(0.25, 0.5, 0.9, 0.99)),
+    Some("""
+      WITH b AS (
+        SELECT CAST(floor(value / 0.25e0) AS BIGINT) AS bin,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE value IS NOT NULL GROUP BY 1),
+      c AS (
+        SELECT bin, n, CAST(sum(n) OVER (ORDER BY bin
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM b),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS n_values FROM b),
+      p AS (SELECT CAST(unnest([0.25e0, 0.5e0, 0.9e0, 0.99e0])
+        AS DOUBLE) AS p),
+      x AS (
+        SELECT p.p, t.n_values,
+          CAST(ceil(p.p * t.n_values) AS BIGINT) AS target_rank,
+          min(c.bin) AS bin
+        FROM p CROSS JOIN t
+        JOIN c ON c.cum >= CAST(ceil(p.p * t.n_values) AS BIGINT)
+        GROUP BY 1, 2, 3),
+      vals AS (
+        SELECT value AS v, CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE value IS NOT NULL GROUP BY 1),
+      vc AS (
+        SELECT v, CAST(sum(n) OVER (ORDER BY v
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM vals),
+      ex AS (
+        SELECT x.p, x.target_rank, min(vc.v) AS exact_percentile
+        FROM x JOIN vc ON vc.cum >= x.target_rank GROUP BY 1, 2)
+      SELECT x.p AS p, x.n_values, x.target_rank,
+        CAST(x.bin AS DOUBLE) * 0.25e0 AS est_percentile,
+        ex.exact_percentile,
+        ex.exact_percentile - CAST(x.bin AS DOUBLE) * 0.25e0 AS err,
+        (ex.exact_percentile - CAST(x.bin AS DOUBLE) * 0.25e0 >= 0
+          AND ex.exact_percentile - CAST(x.bin AS DOUBLE) * 0.25e0
+            < 0.25e0) AS within_width
+      FROM x JOIN ex ON x.p = ex.p AND x.target_rank = ex.target_rank
+      ORDER BY p
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -6519,5 +6604,5 @@ object Ext {
       q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
       q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168,
-      q169, q170, q171, q172, q173, q174, q175, q176, q177, q178)
+      q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180)
 }

@@ -813,7 +813,17 @@ class PlanAuditSpec extends SparkSpec {
       "q171_temporal_split",
       // q178: pairsEval's three ONE-ROW count aggregates meet on the
       // documented broadcast scalar-append — q144's exception verbatim
-      "q178_fuzzy_operating_point")
+      "q178_fuzzy_operating_point",
+      // q179: the ONE-ROW doc count appended to the (doc, term) tf
+      // frame for the fixed-point idf — q84's exact shape
+      "q179_tfidf_keywords",
+      // q180: q111's documented one-row scalar-appends ride along,
+      // plus the |ps|-row broadcast range probe into the exact
+      // reference side — the eval rung's documented expensive path
+      "q180_grid_accuracy",
+      // q170: the ONE-ROW max-day anchor appended to the reduced
+      // (key, day) frame — rankShift's scalar-append, q88's shape
+      "q170_rank_shift")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()

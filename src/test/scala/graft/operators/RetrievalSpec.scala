@@ -143,4 +143,32 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.rrfFuse(ok, ok, k = 0)
     }
   }
+
+  test("tfIdfKeywords: rare terms outrank frequent ones; within-doc " +
+    "tf breaks idf ties; term breaks full ties; k caps per doc") {
+    val s2 = spark; import s2.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry zebra"),
+      (3L, "apple cherry cherry")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.tfIdfKeywords(docs, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(5)) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // N = 3; df: apple 2, banana 2, cherry 2, zebra 1
+    // idf_fp(df 2) = (4·2^20)//3 = 1398101; idf_fp(df 1) = 2·2^20
+    // doc1: apple tf2 wins over banana tf1 (same idf)
+    assert(out((1L, 1)) == (("apple", 2L, 2L)))
+    assert(out((1L, 2)) == (("banana", 1L, 2L)))
+    assert(!out.contains((1L, 3)))
+    // doc2: rare zebra (idf 2097152) outranks the df-2 pair; the
+    // banana/cherry full tie resolves by term order
+    assert(out((2L, 1)) == (("zebra", 1L, 1L)))
+    assert(out((2L, 2)) == (("banana", 1L, 2L)))
+    assert(out((2L, 3)) == (("cherry", 1L, 2L)))
+    // doc3: cherry tf2 over apple tf1
+    assert(out((3L, 1)) == (("cherry", 2L, 2L)))
+    assert(out((3L, 2)) == (("apple", 1L, 2L)))
+  }
 }
