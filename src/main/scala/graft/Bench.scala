@@ -190,7 +190,44 @@ object Bench {
     // the exact reference rung plus the banded rung)
     "q144_lsh_operating_point" -> 2.42,
     "q145_token_truncation" -> 0.33,
-    "q146_source_lang_purity" -> 0.39)
+    "q146_source_lang_purity" -> 0.39,
+    // r11 third wave: seeded from the 178-query canonical
+    // (BENCH_local_r11g) and the focused q169-q180 follow-up run;
+    // q170's floor reflects the one-pass conditional-fold rewrite
+    "q147_trimmed_order_value" -> 1.1,
+    "q148_hll_accuracy" -> 0.46,
+    "q149_daily_snapshot" -> 0.61,
+    "q150_cohort_ltv" -> 0.75,
+    "q151_daily_value_bands" -> 0.82,
+    "q152_funnel_timing" -> 0.9,
+    "q153_domain_profile" -> 0.36,
+    "q154_casing_profile" -> 0.73,
+    "q155_regional_volume" -> 0.9,
+    "q156_order_priority" -> 0.64,
+    "q157_period_growth" -> 0.41,
+    "q158_json_topk" -> 0.69,
+    "q159_coverage_curve" -> 0.5,
+    "q160_cluster_impact" -> 1.74,
+    "q161_abc_classes" -> 0.78,
+    "q162_staleness_audit" -> 0.5,
+    "q163_dow_anomaly" -> 0.8,
+    "q164_drawdown" -> 0.4,
+    "q165_missingness_lift" -> 0.16,
+    "q166_peak_rate" -> 0.51,
+    "q167_ship_latency" -> 0.92,
+    "q168_order_distribution" -> 0.44,
+    "q169_activity_streaks" -> 0.64,
+    "q170_rank_shift" -> 1.55,
+    "q171_temporal_split" -> 0.42,
+    "q172_causal_zscore" -> 0.95,
+    "q173_seasonal_naive" -> 0.52,
+    "q174_winnowing_neardup" -> 1.67,
+    "q175_profile_drift" -> 0.39,
+    "q176_value_tail_bands" -> 0.52,
+    "q177_type_pagerank" -> 1.31,
+    "q178_fuzzy_operating_point" -> 0.95,
+    "q179_tfidf_keywords" -> 1.41,
+    "q180_grid_accuracy" -> 0.82)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3

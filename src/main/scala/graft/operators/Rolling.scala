@@ -208,25 +208,30 @@ object Rolling {
     * period frames (the [[Cohorts.paretoClasses]] justification), and
     * the final join is |keys|-sized on `key`. */
   def rankShift(df: DataFrame, keyCol: Column, dayCol: Column,
-      valueCol: Column, windowDays: Int = 30, topK: Int = 20): DataFrame = {
+      valueCol: Column, windowDays: Int = 30, topK: Int = 20,
+      scope: graft.engine.CacheScope = graft.engine.CacheScope.unmanaged)
+      : DataFrame = {
     require(windowDays >= 1, s"need windowDays >= 1, got $windowDays")
     require(topK >= 1, s"need topK >= 1, got $topK")
-    val daily = df
-      .select(keyCol.as("key"), dayCol.as("day"), Dec.d2(valueCol).as("v"))
-      .groupBy(col("key"), col("day")).agg(sum(col("v")).as("total"))
-    // the anchor rides a ONE-ROW broadcast scalar append (q88 shape) —
-    // a global window here would funnel the (key, day) frame, which is
-    // near-corpus-sized for high-cardinality keys, through one task
-    val anchor = daily.agg(max(col("day")).as("__anchor"))
-    val aged = daily
+    // no (key, day) pre-aggregate: it is near-corpus-sized for
+    // high-cardinality keys and both summing into it and caching it
+    // cost more than the ONE conditional partial-aggregable pass that
+    // folds the two period sums straight off the scan. The anchor is
+    // a separate column-pruned max over `day` riding a ONE-ROW
+    // broadcast scalar append (q88 shape — never a global window).
+    val base = df.select(keyCol.as("key"), dayCol.as("day"),
+      Dec.d2(valueCol).as("v"))
+    val anchor = base.agg(max(col("day")).as("__anchor"))
+    // periods feeds both rank branches — persist the |keys|-row frame
+    val periods = scope.persist(base
       .crossJoin(broadcast(anchor))
       .withColumn("age", datediff(col("__anchor"), col("day")))
-    val periods = aged
       .groupBy(col("key"))
       .agg(
-        sum(when(col("age") < windowDays, col("total"))).as("cur_v"),
+        sum(when(col("age") < windowDays, col("v"))).as("cur_v"),
         sum(when(col("age") >= windowDays && col("age") < 2 * windowDays,
-          col("total"))).as("prev_v"))
+          col("v"))).as("prev_v"))
+      .where(col("cur_v").isNotNull || col("prev_v").isNotNull))
     val wCur = Window.orderBy(col("cur_v").desc, col("key"))
     val wPrev = Window.orderBy(col("prev_v").desc, col("key"))
     val cur = periods.where(col("cur_v").isNotNull)
