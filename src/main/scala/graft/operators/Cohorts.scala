@@ -655,4 +655,44 @@ object Cohorts {
         (col("r").cast("double") / SCALE.toDouble).as("rank"))
       .orderBy(col("rank_fp").desc, col("event_type"))
   }
+
+  /** TRANSITION PREDICTABILITY — how deterministic is each state's
+    * outflow: per from-type, the MAJORITY-BASELINE accuracy (share of
+    * transitions going to the single most common successor). The
+    * number that tells a modeling team whether a sequence model can
+    * beat a lookup table ("view→click 92% of the time" needs no
+    * model), and the eval-side reading of [[transitionMatrix]]'s
+    * probabilities. Ties for the top successor pin to the
+    * lexicographically smallest to-type (row_number, never an
+    * engine-dependent arg-max); the hit rate is ONE division of exact
+    * counts.
+    *
+    * Scale shape: the [[transitionMatrix]] corpus pass (one
+    * user-keyed window), then a \|types\|²-bounded rank window and
+    * rollup. */
+  def transitionPredictability(events: DataFrame, userCol: String,
+      timeCol: String, typeCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Window.partitionBy(col(userCol))
+      .orderBy(col(timeCol), col(idCol))
+    val edges = events
+      .select(col(userCol), col(timeCol), col(typeCol), col(idCol))
+      .withColumn("__prev", lag(col(typeCol), 1).over(perUser))
+      .where(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_type"),
+        col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wRank = Window.partitionBy(col("from_type"))
+      .orderBy(col("n").desc, col("to_type"))
+    val wTot = Window.partitionBy(col("from_type"))
+    edges
+      .withColumn("n_transitions", sum(col("n")).over(wTot))
+      .withColumn("__r", row_number().over(wRank))
+      .where(col("__r") === 1)
+      .select(col("from_type"), col("n_transitions"),
+        col("to_type").as("top_to_type"), col("n").as("n_top"),
+        (col("n").cast("double") / col("n_transitions").cast("double"))
+          .as("hit_rate"))
+      .orderBy(col("from_type"))
+  }
 }

@@ -807,4 +807,65 @@ object Profiling {
         (col("err") >= 0.0 && col("err") < width).as("within_width"))
       .orderBy(col("p"))
   }
+
+  /** KEY-SEQUENCE GAP AUDIT — where a supposedly-dense integer key
+    * space has HOLES: one row with min/max key, distinct count, total
+    * missing mass, the number of gaps, the largest gap and where it
+    * starts (earliest start among maximal gaps — pinned). The
+    * data-quality complement of [[keyCandidates]]: that audit asks
+    * "is this column a key?", this asks "did part of the keyed data
+    * VANISH?" — a dropped ingest shard shows up as one wide gap, a
+    * lossy filter as many unit gaps.
+    *
+    * Scale shape: the naive lag-over-everything window funnels every
+    * distinct key through ONE task; instead the keys bucket by
+    * `k div 2²⁰` so within-bucket lags run in a PARTITIONED window,
+    * and only the \|buckets\|-row boundary frame (keyspace/2²⁰ rows —
+    * bounded by the key RANGE, not the corpus) pays a global-window
+    * pass for the cross-bucket gaps (the Packing two-phase shape).
+    * Both gap families then fold in one tiny aggregate. All integer
+    * arithmetic; gap ties pin by (gap DESC, start ASC) via the
+    * max-struct encode over exact ints. */
+  def keyGapAudit(df: DataFrame, keyCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = df.select(keyCol.cast("long").as("k"))
+      .where(col("k").isNotNull).distinct()
+      .withColumn("bkt", expr("k div 1048576"))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("k"))
+    val inGaps = keys
+      .withColumn("pk", lag(col("k"), 1).over(wIn))
+      .withColumn("gap", col("k") - col("pk") - 1)
+      .withColumn("gs", col("pk") + 1)
+    val perBucket = inGaps.groupBy(col("bkt"))
+      .agg(min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        count(lit(1)).as("n_k"),
+        coalesce(sum(when(col("gap") > 0, 1L).otherwise(0L)), lit(0L))
+          .as("n_gaps_in"),
+        max(when(col("gap") > 0, struct(col("gap"), (-col("gs"))
+          .as("neg_gs")))).as("mx_in"))
+    val wB = Window.orderBy(col("bkt"))
+    val withBoundary = perBucket
+      .withColumn("prev_max", lag(col("max_k"), 1).over(wB))
+      .withColumn("bgap", col("min_k") - col("prev_max") - 1)
+      .withColumn("bgs", col("prev_max") + 1)
+    withBoundary.agg(
+        min(col("min_k")).as("min_key"),
+        max(col("max_k")).as("max_key"),
+        sum(col("n_k")).as("n_keys"),
+        (sum(col("n_gaps_in")) +
+          coalesce(sum(when(col("bgap") > 0, 1L).otherwise(0L)), lit(0L)))
+          .as("n_gaps"),
+        greatest(
+          coalesce(max(col("mx_in")), struct(lit(0L).as("gap"),
+            lit(0L).as("neg_gs"))),
+          coalesce(max(when(col("bgap") > 0, struct(col("bgap")
+            .as("gap"), (-col("bgs")).as("neg_gs")))),
+            struct(lit(0L).as("gap"), lit(0L).as("neg_gs"))))
+          .as("mx"))
+      .select(col("min_key"), col("max_key"), col("n_keys"),
+        (col("max_key") - col("min_key") + 1 - col("n_keys"))
+          .as("n_missing"),
+        col("n_gaps"), col("mx.gap").as("max_gap"),
+        when(col("mx.gap") > 0, -col("mx.neg_gs")).as("max_gap_start"))
+  }
 }

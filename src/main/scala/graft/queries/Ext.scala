@@ -6590,6 +6590,79 @@ object Ext {
       ORDER BY p
     """.trim))
 
+  // --------------------------------------------------------------- q181
+
+  /** q181 — transition predictability
+    * ([[Cohorts.transitionPredictability]]): per from-type, the
+    * majority-baseline accuracy — the share of transitions going to
+    * the single most common successor; "does a sequence model beat a
+    * lookup table" as a measured number, ties pinned to the smallest
+    * to-type. */
+  val q181: Q = Q(
+    "q181_transition_predictability",
+    (s, d) =>
+      Cohorts.transitionPredictability(Tables.events(s, d), "user_id",
+        "ts", "event_type", "event_id"),
+    Some("""
+      WITH tr AS (
+        SELECT event_type,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS prev
+        FROM events),
+      e AS (
+        SELECT prev AS from_type, event_type AS to_type,
+          CAST(count(*) AS BIGINT) AS n
+        FROM tr WHERE prev IS NOT NULL GROUP BY 1, 2),
+      r AS (
+        SELECT from_type, to_type, n,
+          CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+            AS n_transitions,
+          row_number() OVER (PARTITION BY from_type
+            ORDER BY n DESC, to_type) AS rr
+        FROM e)
+      SELECT from_type, n_transitions, to_type AS top_to_type,
+        n AS n_top,
+        CAST(n AS DOUBLE) / CAST(n_transitions AS DOUBLE) AS hit_rate
+      FROM r WHERE rr = 1 ORDER BY from_type
+    """.trim))
+
+  // --------------------------------------------------------------- q182
+
+  /** q182 — key-sequence gap audit ([[Profiling.keyGapAudit]]): holes
+    * in a supposedly-dense key space — total missing mass, gap count,
+    * the largest gap and its start; gaps seeded deterministically
+    * (every (k div 10) % 7 = 3 decade removed → periodic 10-wide
+    * holes). The two-level bucketed lag replays the naive single
+    * window exactly. */
+  val q182: Q = Q(
+    "q182_key_gap_audit",
+    (s, d) =>
+      Profiling.keyGapAudit(
+        Tables.orders(s, d)
+          .where(!(expr("o_orderkey div 10") % 7 === 3)),
+        col("o_orderkey")),
+    Some("""
+      WITH k AS (
+        SELECT DISTINCT o_orderkey AS k FROM orders
+        WHERE (o_orderkey // 10) % 7 <> 3),
+      g AS (SELECT k, lag(k) OVER (ORDER BY k) AS pk FROM k),
+      gg AS (
+        SELECT k - pk - 1 AS gap, pk + 1 AS gs
+        FROM g WHERE pk IS NOT NULL)
+      SELECT CAST((SELECT min(k) FROM k) AS BIGINT) AS min_key,
+        CAST((SELECT max(k) FROM k) AS BIGINT) AS max_key,
+        CAST((SELECT count(*) FROM k) AS BIGINT) AS n_keys,
+        CAST((SELECT max(k) FROM k) - (SELECT min(k) FROM k) + 1
+          - (SELECT count(*) FROM k) AS BIGINT) AS n_missing,
+        CAST((SELECT count(*) FROM gg WHERE gap > 0) AS BIGINT)
+          AS n_gaps,
+        CAST((SELECT coalesce(max(gap), 0) FROM gg) AS BIGINT)
+          AS max_gap,
+        CAST((SELECT min(gs) FROM gg WHERE gap > 0
+          AND gap = (SELECT max(gap) FROM gg)) AS BIGINT)
+          AS max_gap_start
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -6604,5 +6677,6 @@ object Ext {
       q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
       q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168,
-      q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180)
+      q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
+      q181, q182)
 }

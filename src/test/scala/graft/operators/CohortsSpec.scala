@@ -314,4 +314,23 @@ class CohortsSpec extends SparkSpec {
       "id", iters = 3).collect().map(r => (r.getString(0), r.getLong(1)))
     assert(out.toSeq == again.toSeq)
   }
+
+  test("transitionPredictability: majority successor share; ties pin " +
+    "to the smallest to-type") {
+    val ev = Seq(
+      // u1: a→b, b→a, a→b ; u2: a→c ; u3: b→c
+      (1L, 1L, "a", 1L), (1L, 2L, "b", 2L), (1L, 3L, "a", 3L),
+      (1L, 4L, "b", 4L),
+      (2L, 1L, "a", 5L), (2L, 2L, "c", 6L),
+      (3L, 1L, "b", 7L), (3L, 2L, "c", 8L)
+    ).toDF("user_id", "ts", "t", "id")
+    val out = Cohorts.transitionPredictability(ev, "user_id", "ts",
+      "t", "id").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // from a: b,b,c → top b 2/3; from b: a,c once each → tie → 'a'
+    assert(out("a") == ((3L, "b", 2L, 2.0 / 3)))
+    assert(out("b") == ((2L, "a", 1L, 0.5)))
+  }
 }

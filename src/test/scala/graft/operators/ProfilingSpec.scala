@@ -371,4 +371,30 @@ class ProfilingSpec extends SparkSpec {
     assert(r.getDouble(7) == 62.015625)   // .984375
     assert(r.getLong(8) == 63L)
   }
+
+  test("keyGapAudit: cross-bucket gaps fold with within-bucket ones; " +
+    "equal max gaps pin to the earliest start; dense keys audit clean") {
+    val s3 = spark
+    import s3.implicits._
+    import org.apache.spark.sql.functions.col
+    val M = 1L << 20
+    // buckets 0 and 1: within-gaps 3@7 and 2@(M+3); boundary gap
+    // (M+2) - 10 - 1 = M - 9 starting at 11 — the largest
+    val df = Seq(5L, 6L, 10L, M + 2L, M + 5L).toDF("k")
+    val r = Profiling.keyGapAudit(df, col("k")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((5L, M + 5L, 5L)))
+    assert(r.getLong(3) == M - 4L)      // total missing mass
+    assert(r.getLong(4) == 3L)          // three gaps
+    assert(r.getLong(5) == M - 9L && r.getLong(6) == 11L)
+    // tie: gaps 3@1 and 3@5 — earliest start wins
+    val tie = Profiling.keyGapAudit(Seq(0L, 4L, 8L).toDF("k"), col("k"))
+      .collect()(0)
+    assert(tie.getLong(5) == 3L && tie.getLong(6) == 1L)
+    // dense: zero gaps, NULL start
+    val dense = Profiling.keyGapAudit(Seq(3L, 4L, 5L).toDF("k"), col("k"))
+      .collect()(0)
+    assert(dense.getLong(3) == 0L && dense.getLong(4) == 0L &&
+      dense.getLong(5) == 0L && dense.isNullAt(6))
+  }
 }
