@@ -57,13 +57,17 @@ object Main {
       gridIngest(srcParquet, valueCol, width.toDouble, storeDir)
     case "bloom-ingest" :: srcParquet :: hashCol :: storeDir :: Nil =>
       bloomIngest(srcParquet, hashCol, storeDir)
+    case "winnow-ingest" :: docsParquet :: storeDir :: outDir :: rest
+        if rest.size <= 1 =>
+      winnowIngest(docsParquet, storeDir, outDir,
+        minShared = rest.headOption.map(_.toInt).getOrElse(2))
     case "explain" :: name :: rest if rest.size <= 1 =>
       explain(name, rest.headOption.getOrElse("/root/testdata/sf0.001"))
     case "profile" :: srcParquet :: outDir :: cols =>
       profile(srcParquet, outDir, cols)
     case _ =>
       System.err.println(
-        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | bloom-ingest <parquet> <hashCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
+        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
       sys.exit(2)
   }
 
@@ -180,6 +184,32 @@ object Main {
     val store = new graft.etl.HllStore(spark, storeDir, groupCol)
     store.ingest(spark.read.parquet(srcParquet), hashCol)
     store.estimates.count()
+  }
+
+  /** Incremental winnowing ingest: probe the batch's MOSS
+    * fingerprints against the persisted index, write the
+    * shared-fingerprint pairs to `outDir`, record the batch
+    * ([[graft.etl.WinnowIndex]] — winnowing's ≥ window+span−1-token
+    * detection guarantee, carried across batches). */
+  private def winnowIngest(docsParquet: String, storeDir: String,
+      outDir: String, minShared: Int): Unit = {
+    val spark = GraftSession.local()
+    val n = runWinnowIngest(spark, docsParquet, storeDir, outDir,
+      minShared)
+    println(s"winnow-ingest: $n fingerprint pairs -> $outDir")
+    spark.stop()
+  }
+
+  /** Testable core of `winnow-ingest` (the [[runCompact]] pattern). */
+  private[graft] def runWinnowIngest(
+      spark: org.apache.spark.sql.SparkSession, docsParquet: String,
+      storeDir: String, outDir: String, minShared: Int = 2): Long = {
+    val idx = new graft.etl.WinnowIndex(spark, storeDir,
+      minShared = minShared)
+    idx.probeAndRecord(spark.read.parquet(docsParquet), "doc_id", "text")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(outDir)
+    spark.read.parquet(outDir).count()
   }
 
   /** Incremental Bloom ingest: fold one batch of BIGINT keys into its

@@ -1114,13 +1114,17 @@ object Dedup {
     * fingerprints (a ~2/(window+1) sample of the shingle stream, vs
     * q17 joining every shingle); the df-cap is the shared
     * [[Skew.capHotKeys]] broadcast anti-join. */
-  def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
-      span: Int = 3, window: Int = 4, maxDf: Int = 100,
-      minShared: Int = 2,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+  /** The winnowing SELECTION alone: distinct (doc_id, fp) fingerprint
+    * rows per document — the per-document-local half of
+    * [[winnowingPairs]], exposed so the incremental index
+    * ([[graft.etl.WinnowIndex]]) can record a batch's fingerprints
+    * without pairing. Same contract: positional `span`-token hashes,
+    * `window`-wide sliding min, ties rightmost, docs shorter than one
+    * full frame select nothing, ≤ 2²⁰ window positions per doc. */
+  def winnowFingerprints(docs: DataFrame, idCol: String,
+      textCol: String, span: Int = 3, window: Int = 4): DataFrame = {
     require(span >= 1, s"need span >= 1, got $span")
     require(window >= 1, s"need window >= 1, got $window")
-    require(minShared >= 1, s"need minShared >= 1, got $minShared")
     import org.apache.spark.sql.expressions.Window
     val M = 1L << 20
     val wh = docs
@@ -1133,13 +1137,20 @@ object Dedup {
         col("h"))
     val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, window - 1)
-    val picks = wh
-      .withColumn("combo",
+    wh.withColumn("combo",
         min(col("h") * M + (lit(M) - col("pos"))).over(frame))
       // only frames fully inside the doc select (pos ≤ n_pos − window + 1)
       .where(col("pos") <= col("n_pos") - (window - 1))
       .select(col("doc_id"), expr(s"combo div $M").as("fp"))
       .distinct()
+  }
+
+  def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
+      span: Int = 3, window: Int = 4, maxDf: Int = 100,
+      minShared: Int = 2,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(minShared >= 1, s"need minShared >= 1, got $minShared")
+    val picks = winnowFingerprints(docs, idCol, textCol, span, window)
     val kept = Skew.capHotKeys(picks, "fp", maxDf.toLong)
     val a = kept.select(col("doc_id").as("da"), col("fp"))
     val b = kept.select(col("doc_id").as("db"), col("fp"))
