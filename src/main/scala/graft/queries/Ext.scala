@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Dec, Tables}
-import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Rules, Sampling, Scd, Scrub, SemiStructured, Similarity, Sketch, Skew, TextAnalysis}
+import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Rules, Sampling, Scd, Scrub, SemiStructured, Similarity, Sketch, Skew, TextAnalysis, Trend}
 
 /** EXT — the LLM-training-data-pipeline operators (SURVEY.md §2.11;
   * BASELINE.json north star) over the `documents` / `embeddings`
@@ -6663,6 +6663,76 @@ object Ext {
           AS max_gap_start
     """.trim))
 
+  // --------------------------------------------------------------- q183
+
+  /** q183 — OLS daily trend ([[Trend.olsTrend]]): least-squares
+    * counts/day slope per stream from the five classical sums — one
+    * partial-aggregable pass, exact-integer sums, ONE boundary
+    * division; the cheap rung under q184's robust estimator. */
+  val q183: Q = Q(
+    "q183_ols_trend",
+    (s, d) =>
+      Trend.olsTrend(eventsUs(s, d), col("event_type"),
+        to_date(timestamp_micros(col("ts_us")))),
+    Some("""
+      WITH daily AS (
+        SELECT event_type AS key,
+          CAST(ts AS DATE) - DATE '1970-01-01' AS d,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      a AS (
+        SELECT key, CAST(count(*) AS BIGINT) AS n_days,
+          sum(CAST(d AS HUGEINT)) AS sx, sum(CAST(c AS HUGEINT)) AS sy,
+          sum(CAST(d AS HUGEINT) * c) AS sxy,
+          sum(CAST(d AS HUGEINT) * d) AS sxx
+        FROM daily GROUP BY 1)
+      SELECT key, n_days,
+        CASE WHEN n_days >= 2 THEN
+          CAST(n_days * sxy - sx * sy AS DOUBLE)
+            / CAST(n_days * sxx - sx * sx AS DOUBLE)
+        END AS slope
+      FROM a ORDER BY key
+    """.trim))
+
+  // --------------------------------------------------------------- q184
+
+  /** q184 — robust trend ([[Trend.theilSenTrend]]): Theil–Sen median
+    * slope + Mann–Kendall S per stream — the outlier-proof reading
+    * of q183's fit; pairwise over the calendar-bounded daily frame
+    * (the documented profile-time cost), each slope one IEEE division
+    * of exact ints, the sign-sum exact-integer. */
+  val q184: Q = Q(
+    "q184_robust_trend",
+    (s, d) =>
+      Trend.theilSenTrend(eventsUs(s, d), col("event_type"),
+        to_date(timestamp_micros(col("ts_us")))),
+    Some("""
+      WITH daily AS (
+        SELECT event_type AS key,
+          CAST(ts AS DATE) - DATE '1970-01-01' AS d,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      p AS (
+        SELECT a.key AS key,
+          CAST(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1
+            ELSE 0 END AS BIGINT) AS sgn,
+          CAST(b.c - a.c AS DOUBLE) / CAST(b.d - a.d AS DOUBLE)
+            AS slope
+        FROM daily a JOIN daily b ON a.key = b.key AND a.d < b.d),
+      st AS (
+        SELECT key, CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(sum(sgn) AS BIGINT) AS mk_s,
+          quantile_cont(slope, 0.5) AS sen_slope
+        FROM p GROUP BY 1),
+      nd AS (
+        SELECT key, CAST(count(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY 1)
+      SELECT nd.key AS key, n_days,
+        CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+        CAST(coalesce(mk_s, 0) AS BIGINT) AS mk_s, sen_slope
+      FROM nd LEFT JOIN st USING (key) ORDER BY key
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -6678,5 +6748,5 @@ object Ext {
       q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168,
       q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-      q181, q182)
+      q181, q182, q183, q184)
 }

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Hand-computed trend fits (bulk correctness is the q183/q184 DuckDB
+  * oracle gate): the exact OLS slope, Theil–Sen's robustness to the
+  * spike that drags the least-squares fit, and the single-day NULLs. */
+class TrendSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ev(key: String, counts: Seq[Int]) =
+    counts.zipWithIndex.flatMap { case (c, d) =>
+      Seq.fill(c)((key, f"2024-01-${d + 1}%02d"))
+    }
+
+  private def frame(rows: Seq[(String, String)]) =
+    rows.toDF("t", "d").select(col("t"), to_date(col("d")).as("d"))
+
+  test("olsTrend: exact slope on a clean ramp; the spike drags it; " +
+    "single-day keys keep NULL") {
+    val df = frame(ev("up", Seq(1, 2, 3, 4, 5)) ++
+      ev("spike", Seq(1, 1, 1, 1, 100)) ++ ev("one", Seq(7)))
+    val out = Trend.olsTrend(df, col("t"), col("d")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    assert(out("up") == ((5L, Some(1.0))))
+    // (5·406 − 10·104) / (5·30 − 100) = 990/50
+    assert(out("spike") == ((5L, Some(19.8))))
+    assert(out("one") == ((1L, None)))
+  }
+
+  test("theilSenTrend: the median slope shrugs off the spike OLS " +
+    "chases; Mann–Kendall S counts signed pairs") {
+    val df = frame(ev("up", Seq(1, 2, 3, 4, 5)) ++
+      ev("spike", Seq(1, 1, 1, 1, 100)) ++ ev("one", Seq(7)))
+    val out = Trend.theilSenTrend(df, col("t"), col("d")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    // clean ramp: every pairwise slope is 1
+    assert(out("up") == ((5L, 10L, 10L, Some(1.0))))
+    // spike: 6 zero slopes among the flat days outvote the 4 spike
+    // slopes — median 0 where OLS read 19.8; S = +4
+    assert(out("spike") == ((5L, 10L, 4L, Some(0.0))))
+    assert(out("one") == ((1L, 0L, 0L, None)))
+  }
+}
