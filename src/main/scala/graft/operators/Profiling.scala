@@ -868,4 +868,47 @@ object Profiling {
         col("n_gaps"), col("mx.gap").as("max_gap"),
         when(col("mx.gap") > 0, -col("mx.neg_gs")).as("max_gap_start"))
   }
+
+  /** HEAD-TAIL ROLLUP — the "top-k plus OTHERS" table every report
+    * footer needs: the k most frequent categories with exact counts
+    * and shares, and ONE residual row carrying everything else (how
+    * many categories, how much mass) — the readout
+    * [[concentrationProfile]] summarizes into indexes, kept
+    * row-visible. NULL categories fold into the "(null)" bucket and
+    * compete for the head like any value; a real category literally
+    * named "(other)"/"(null)" would collide with the sentinels
+    * (documented caveat). Ties pin (count DESC, category ASC).
+    *
+    * Scale shape: ONE partial-aggregable category count; the rank
+    * window and the residual fold run over the |categories|-row
+    * reduced frame (single-partition window bounded by category
+    * cardinality — for a high-cardinality PER-GROUP variant use the
+    * grouped top-k, q46); totals ride one-row broadcast appends. */
+  def headTailRollup(df: DataFrame, catCol: Column, k: Int = 10)
+      : DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(coalesce(catCol.cast("string"), lit("(null)")).as("cat"))
+      .groupBy(col("cat")).agg(count(lit(1)).as("n"))
+    val ranked = counts.withColumn("r",
+      row_number().over(Window.orderBy(col("n").desc, col("cat"))))
+    val head = ranked.where(col("r") <= k)
+      .select(col("cat").as("bucket"), col("r").as("rank"),
+        col("n").as("n_rows"), lit(1L).as("n_categories"))
+    val tail = ranked.where(col("r") > k)
+      .agg(sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_categories"))
+      .where(col("n_rows").isNotNull)
+      .select(lit("(other)").as("bucket"), lit(k + 1).as("rank"),
+        col("n_rows"), col("n_categories"))
+    val total = counts.agg(sum(col("n")).as("__t"))
+    head.unionByName(tail)
+      .crossJoin(broadcast(total))
+      .select(col("bucket"), col("rank"), col("n_rows"),
+        col("n_categories"),
+        (col("n_rows").cast("double") / col("__t").cast("double"))
+          .as("share"))
+      .orderBy(col("rank"))
+  }
 }

@@ -6733,6 +6733,46 @@ object Ext {
       FROM nd LEFT JOIN st USING (key) ORDER BY key
     """.trim))
 
+  // --------------------------------------------------------------- q185
+
+  /** q185 — head-tail rollup ([[Profiling.headTailRollup]]): the top-5
+    * part brands by line volume plus ONE "(other)" residual row with
+    * its category count and mass — the report-footer readout; ties
+    * pinned (count DESC, category ASC), shares one division each. */
+  val q185: Q = Q(
+    "q185_head_tail_rollup",
+    (s, d) =>
+      Profiling.headTailRollup(
+        Tables.lineitem(s, d).join(Tables.part(s, d),
+          col("l_partkey") === col("p_partkey")),
+        col("p_brand"), k = 5),
+    Some("""
+      WITH counts AS (
+        SELECT coalesce(CAST(p_brand AS VARCHAR), '(null)') AS cat,
+          CAST(count(*) AS BIGINT) AS n
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1),
+      ranked AS (
+        SELECT cat, n,
+          row_number() OVER (ORDER BY n DESC, cat) AS r
+        FROM counts),
+      head AS (
+        SELECT cat AS bucket, CAST(r AS INT) AS rank, n AS n_rows,
+          CAST(1 AS BIGINT) AS n_categories
+        FROM ranked WHERE r <= 5),
+      tail AS (
+        SELECT '(other)' AS bucket, CAST(6 AS INT) AS rank,
+          CAST(sum(n) AS BIGINT) AS n_rows,
+          CAST(count(*) AS BIGINT) AS n_categories
+        FROM ranked WHERE r > 5
+        HAVING sum(n) IS NOT NULL),
+      u AS (SELECT * FROM head UNION ALL SELECT * FROM tail),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM counts)
+      SELECT bucket, rank, n_rows, n_categories,
+        CAST(n_rows AS DOUBLE) / CAST(tt AS DOUBLE) AS share
+      FROM u, t ORDER BY rank
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -6748,5 +6788,5 @@ object Ext {
       q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168,
       q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-      q181, q182, q183, q184)
+      q181, q182, q183, q184, q185)
 }

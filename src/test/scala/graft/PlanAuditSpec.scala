@@ -823,7 +823,10 @@ class PlanAuditSpec extends SparkSpec {
       "q180_grid_accuracy",
       // q170: the ONE-ROW max-day anchor appended to the reduced
       // (key, day) frame — rankShift's scalar-append, q88's shape
-      "q170_rank_shift")
+      "q170_rank_shift",
+      // q185: the ONE-ROW grand total appended to the ≤ k+1-row
+      // head/tail frame — headTailRollup's scalar-append, q84's shape
+      "q185_head_tail_rollup")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()

@@ -397,4 +397,24 @@ class ProfilingSpec extends SparkSpec {
     assert(dense.getLong(3) == 0L && dense.getLong(4) == 0L &&
       dense.getLong(5) == 0L && dense.isNullAt(6))
   }
+
+  test("headTailRollup: residual row carries the tail mass; NULLs fold " +
+    "into (null) and compete; empty tail emits no (other) row") {
+    val s4 = spark
+    import s4.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c", "d") ++
+      Seq.fill(4)(null: String)).toDF("cat")
+    val out = Profiling.headTailRollup(df, col("cat"), k = 2).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // counts: a 5, (null) 4, b 3, c 1, d 1; total 14
+    assert(out.toSeq == Seq(
+      ("a", 1, 5L, 1L, 5.0 / 14),
+      ("(null)", 2, 4L, 1L, 4.0 / 14),
+      ("(other)", 3, 5L, 3L, 5.0 / 14)))
+    // k covers everything → no residual row
+    val all = Profiling.headTailRollup(df, col("cat"), k = 10).collect()
+    assert(all.length == 5 && !all.exists(_.getString(0) == "(other)"))
+  }
 }
