@@ -837,4 +837,53 @@ class PlanAuditSpec extends SparkSpec {
         s"$name plans a nested-loop join:\n$p")
     }
   }
+
+  test("q172: ONE user-keyed exchange, ONE window op computes all " +
+    "three expanding aggregates") {
+    graft.engine.GraftSession.tune(spark)
+    val p = plan("q172_causal_zscore")
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning")) == 1, p)
+    assert(p.linesIterator.count(_.trim.startsWith("Window")) <= 2, p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("q174: fingerprint selection windows partition by doc — never " +
+    "a global sort; the pair join is hash, not nested-loop") {
+    graft.engine.GraftSession.tune(spark)
+    spark.catalog.clearCache()
+    val p = plan("q174_winnowing_neardup")
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    spark.catalog.clearCache()
+  }
+
+  test("q177: the transition pass partial-aggregates; no cartesian " +
+    "anywhere in the iterated plan") {
+    graft.engine.GraftSession.tune(spark)
+    val p = plan("q177_type_pagerank")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q183: the OLS fit is ONE partial-aggregable pass — no window, " +
+    "one scan") {
+    val p = plan("q183_ols_trend")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("Window ["), p)
+  }
+
+  test("q182: within-bucket lags run PARTITIONED; only the boundary " +
+    "frame pays a global window") {
+    val p = plan("q182_key_gap_audit")
+    // the within-bucket window exchange hashes on bkt
+    assert(p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(bkt")), p)
+    // exactly one single-partition section — the |buckets|-row
+    // boundary window, bounded by key range / 2^20, never the corpus
+    assert(p.linesIterator.count(_.contains("SinglePartition")) <= 2, p)
+  }
 }
