@@ -227,7 +227,13 @@ object Bench {
     "q177_type_pagerank" -> 1.31,
     "q178_fuzzy_operating_point" -> 0.95,
     "q179_tfidf_keywords" -> 1.41,
-    "q180_grid_accuracy" -> 0.82)
+    "q180_grid_accuracy" -> 0.82,
+    // BENCH_local_r11i (focused q181-q185 run)
+    "q181_transition_predictability" -> 0.85,
+    "q182_key_gap_audit" -> 1.1,
+    "q183_ols_trend" -> 0.58,
+    "q184_robust_trend" -> 0.83,
+    "q185_head_tail_rollup" -> 0.96)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
