@@ -357,4 +357,62 @@ object Sampling {
         col("e.n_users"), col("e.n_users_shared_with_test"))
       .orderBy(col("split"))
   }
+
+  /** CONTRASTIVE TRIPLET EXPORT — (anchor, positive, negative) rows
+    * for contrastive/embedding training, composed from the near-dup
+    * cluster decision ([[graft.operators.Dedup.nearDupClusters]],
+    * q31): the POSITIVE is a same-cluster neighbor (the previous
+    * member by id, the first member borrowing the second — NULL only
+    * for singletons), the NEGATIVE a different-cluster doc chosen by
+    * the portable affine hash — no rand(), the [[stratifiedByHash]]
+    * reproducibility contract: same triplets every run, engine and
+    * retry. [[graft.operators.Dedup]]'s hard-negative mining (q106)
+    * picks semantically-CLOSE negatives by embedding; this is the
+    * cheap lexical-pipeline rung that needs no vectors.
+    *
+    * Negative selection is the q40 shard discipline: docs order by
+    * (hash, id) WITHIN hash shards (partitioned windows — no global
+    * sort), and each anchor takes the first of its next 3 hash
+    * neighbors from a DIFFERENT cluster (NULL if all 3 share its
+    * cluster — vanishingly rare off a degenerate clustering, and an
+    * honest NULL beats a silent same-cluster "negative").
+    *
+    * Scale shape: input is the |docs|-row cluster frame (the corpus
+    * pass already happened in q31); one cluster-keyed window for
+    * positives, one shard-keyed window for negatives, one id join. */
+  def contrastiveTriplets(clusters: DataFrame, shards: Int = 8)
+      : DataFrame = {
+    require(shards >= 1, s"need shards >= 1, got $shards")
+    import org.apache.spark.sql.expressions.Window
+    val base = clusters.select(col("doc_id"), col("cluster_id"))
+    val cw = Window.partitionBy(col("cluster_id")).orderBy(col("doc_id"))
+    val pos = base.withColumn("positive_id",
+      coalesce(lag(col("doc_id"), 1).over(cw),
+        lead(col("doc_id"), 1).over(cw)))
+    val hashed = base
+      .withColumn("hh",
+        (col("doc_id") % P) * lit(2654435761L) % P + lit(12345L))
+      .withColumn("hh", col("hh") % P)
+      .withColumn("shard", col("hh") % shards)
+    val sw = Window.partitionBy(col("shard"))
+      .orderBy(col("hh"), col("doc_id"))
+    val neg = hashed
+      .withColumn("n1", lead(col("doc_id"), 1).over(sw))
+      .withColumn("c1", lead(col("cluster_id"), 1).over(sw))
+      .withColumn("n2", lead(col("doc_id"), 2).over(sw))
+      .withColumn("c2", lead(col("cluster_id"), 2).over(sw))
+      .withColumn("n3", lead(col("doc_id"), 3).over(sw))
+      .withColumn("c3", lead(col("cluster_id"), 3).over(sw))
+      .select(col("doc_id"),
+        when(col("c1").isNotNull && col("c1") =!= col("cluster_id"),
+          col("n1"))
+        .when(col("c2").isNotNull && col("c2") =!= col("cluster_id"),
+          col("n2"))
+        .when(col("c3").isNotNull && col("c3") =!= col("cluster_id"),
+          col("n3")).as("negative_id"))
+    pos.join(neg, Seq("doc_id"))
+      .select(col("doc_id").as("anchor_id"), col("cluster_id"),
+        col("positive_id"), col("negative_id"))
+      .orderBy(col("anchor_id"))
+  }
 }

@@ -6773,6 +6773,67 @@ object Ext {
       FROM u, t ORDER BY rank
     """.trim))
 
+  // --------------------------------------------------------------- q186
+
+  /** q186 — contrastive triplets ([[Sampling.contrastiveTriplets]]):
+    * (anchor, positive, negative) export off the q31 cluster
+    * decision — positives same-cluster neighbors, negatives
+    * hash-picked different-cluster docs (no rand(); shard-partitioned
+    * windows, never a global sort); the lexical rung under q106's
+    * embedding-based hard negatives. */
+  val q186: Q = Q(
+    "q186_contrastive_triplets",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Sampling.contrastiveTriplets(
+        Dedup.nearDupClusters(docs, "doc_id",
+          Dedup.minhashLshPairs(docs, "doc_id", "text",
+            threshold = 0.5, k = minhashK, bands = minhashBands)))
+    },
+    Some(s"""
+      WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ($q18OracleSql) q
+      ),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+      ),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+      ),
+      cl AS (
+        SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+      pos AS (
+        SELECT doc_id, cluster_id,
+          coalesce(lag(doc_id) OVER cw, lead(doc_id) OVER cw)
+            AS positive_id
+        FROM cl WINDOW cw AS (PARTITION BY cluster_id ORDER BY doc_id)),
+      h AS (
+        SELECT doc_id, cluster_id,
+          ((doc_id % $P) * 2654435761 % $P + 12345) % $P AS hh
+        FROM cl),
+      sh AS (SELECT *, hh % 8 AS shard FROM h),
+      w AS (
+        SELECT doc_id, cluster_id,
+          lead(doc_id, 1) OVER win AS n1,
+          lead(cluster_id, 1) OVER win AS c1,
+          lead(doc_id, 2) OVER win AS n2,
+          lead(cluster_id, 2) OVER win AS c2,
+          lead(doc_id, 3) OVER win AS n3,
+          lead(cluster_id, 3) OVER win AS c3
+        FROM sh WINDOW win AS (PARTITION BY shard ORDER BY hh, doc_id))
+      SELECT w.doc_id AS anchor_id, w.cluster_id, pos.positive_id,
+        CASE WHEN c1 IS NOT NULL AND c1 <> w.cluster_id THEN n1
+             WHEN c2 IS NOT NULL AND c2 <> w.cluster_id THEN n2
+             WHEN c3 IS NOT NULL AND c3 <> w.cluster_id THEN n3
+        END AS negative_id
+      FROM w JOIN pos ON w.doc_id = pos.doc_id
+      ORDER BY anchor_id
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -6788,5 +6849,5 @@ object Ext {
       q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168,
       q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-      q181, q182, q183, q184, q185)
+      q181, q182, q183, q184, q185, q186)
 }

@@ -292,4 +292,40 @@ class SamplingSpec extends SparkSpec {
       "embargo" -> ((2L, 2L, 1L)),   // u3, u5; u5 straddles
       "test" -> ((4L, 3L, 3L))))     // u2, u4, u5
   }
+
+  test("contrastiveTriplets: positives are same-cluster neighbors " +
+    "(first borrows second, singletons NULL); negatives always cross " +
+    "clusters; fully deterministic") {
+    val s5 = spark; import s5.implicits._
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),   // one 3-member family
+      (10L, 10L),                     // singleton
+      (20L, 20L), (21L, 20L),         // a pair
+      (30L, 30L), (40L, 40L)          // two more singletons
+    ).toDF("doc_id", "cluster_id")
+    // shards = 1 so the tiny fixture has hash neighbors (at corpus
+    // scale the default shards keep the windows partitioned)
+    val out = Sampling.contrastiveTriplets(clusters, shards = 1)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(out(1L)._2 == Some(2L))   // first borrows the second
+    assert(out(2L)._2 == Some(1L))   // previous member
+    assert(out(3L)._2 == Some(2L))
+    assert(out(10L)._2.isEmpty)      // singleton: no positive
+    assert(out(20L)._2 == Some(21L) && out(21L)._2 == Some(20L))
+    // negatives, where present, never share the anchor's cluster
+    val byId = clusters.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (a, (c, _, n)) =>
+      n.foreach(neg => assert(byId(neg) != c, s"anchor $a")) }
+    // 5 clusters over 8 docs in one hash order: everyone except the
+    // hash-tail finds a cross-cluster neighbor within 3 hops
+    assert(out.values.count(_._3.isDefined) >= 5)
+    val again = Sampling.contrastiveTriplets(clusters, shards = 1)
+      .collect().map(r => r.toSeq).toSeq
+    assert(Sampling.contrastiveTriplets(clusters, shards = 1).collect()
+      .map(r => r.toSeq).toSeq == again)
+  }
 }
