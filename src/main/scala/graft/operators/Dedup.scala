@@ -1162,4 +1162,51 @@ object Dedup {
         col("n_shared"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** SORTED-NEIGHBORHOOD fuzzy matching — the OTHER classic record-
+    * linkage blocking (Hernández–Stolfo's merge/purge): sort names and
+    * compare each against its next `windowSize − 1` sort neighbors,
+    * instead of [[fuzzyMatchPairs]]' token-key blocks. The candidate
+    * mass is |names|·(windowSize−1) — LINEAR where token blocks are
+    * quadratic within a block — and typo families that token blocking
+    * scatters (a mutated blocking token) often stay sort-adjacent;
+    * conversely a leading-character typo breaks sort adjacency where
+    * token blocks survive. The two methods are complementary screens;
+    * q178's injected-typo eval measures either's recall.
+    *
+    * Scale shape: the sort runs WITHIN 2-char-prefix partitions (a
+    * partitioned window, never one global sort task); pairs that
+    * straddle a prefix boundary are the documented miss (the classic
+    * SNM pass over a global sort has the same trade at its window
+    * edges). Distinct names collapse first with their row counts (the
+    * q92 shape); each unordered pair surfaces once, from its
+    * sort-earlier end; `levenshtein` computed ONCE per candidate. */
+  def sortedNeighborPairs(rows: DataFrame, nameCol: String,
+      windowSize: Int = 4, maxDist: Int = 2): DataFrame = {
+    require(windowSize >= 2, s"need windowSize >= 2, got $windowSize")
+    require(maxDist >= 1, s"need maxDist >= 1, got $maxDist")
+    import org.apache.spark.sql.expressions.Window
+    val g = rows.select(col(nameCol).as("name"))
+      .where(col("name").isNotNull)
+      .groupBy(col("name")).agg(count(lit(1)).as("n_rows"))
+      .withColumn("blk", substring(col("name"), 1, 2))
+    val w = Window.partitionBy(col("blk")).orderBy(col("name"))
+    // leads materialize as plain columns FIRST (a window expression
+    // cannot live inside the generator), then explode the struct array
+    val withLeads = (1 until windowSize).foldLeft(g) { (df, i) =>
+      df.withColumn(s"__m$i", lead(col("name"), i).over(w))
+        .withColumn(s"__k$i", lead(col("n_rows"), i).over(w))
+    }
+    val cands = (1 until windowSize).map(i => struct(
+      col(s"__m$i").as("cand"), col(s"__k$i").as("cn")))
+    withLeads.select(col("name"), col("n_rows"),
+        explode(array(cands: _*)).as("e"))
+      .where(col("e.cand").isNotNull)
+      .withColumn("distance", levenshtein(col("name"), col("e.cand")))
+      .where(col("distance") <= maxDist)
+      .select(col("name").as("name_a"), col("e.cand").as("name_b"),
+        col("distance").cast("int").as("distance"),
+        col("n_rows").as("n_a"), col("e.cn").as("n_b"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
 }

@@ -6834,6 +6834,59 @@ object Ext {
       ORDER BY anchor_id
     """.trim))
 
+  // --------------------------------------------------------------- q187
+
+  /** q187 — sorted-neighborhood matching ([[Dedup.sortedNeighborPairs]]):
+    * the merge/purge blocking — each name vs its next 3 sort
+    * neighbors within 2-char-prefix partitions; linear candidate
+    * mass where q92's token blocks are block-quadratic; the
+    * complementary record-linkage screen. */
+  val q187: Q = Q(
+    "q187_sorted_neighbor_match",
+    (s, d) => {
+      // inject the LAST-char typos q92's token blocking misses (the
+      // mutated token IS its block key there) — they stay
+      // sort-adjacent, so the SNM screen catches exactly the variant
+      // the other method loses: the complementarity, demonstrated
+      val base = Tables.part(s, d)
+        .select(col("p_partkey").as("k"), col("p_name").as("name"))
+      val withTypos = base.select(col("name"))
+        .unionByName(base.where(col("k") % 10 === 0)
+          .select(expr("substring(name, 1, length(name) - 1)")
+            .as("name")))
+      Dedup.sortedNeighborPairs(withTypos, "name",
+        windowSize = 4, maxDist = 2)
+    },
+    Some("""
+      WITH src AS (
+        SELECT p_name AS name FROM part
+        UNION ALL
+        SELECT substr(p_name, 1, length(p_name) - 1) FROM part
+        WHERE p_partkey % 10 = 0),
+      g AS (
+        SELECT name, CAST(count(*) AS BIGINT) AS n_rows
+        FROM src WHERE name IS NOT NULL GROUP BY 1),
+      b AS (SELECT name, n_rows, substr(name, 1, 2) AS blk FROM g),
+      w AS (
+        SELECT name, n_rows,
+          lead(name, 1) OVER win AS m1, lead(n_rows, 1) OVER win AS k1,
+          lead(name, 2) OVER win AS m2, lead(n_rows, 2) OVER win AS k2,
+          lead(name, 3) OVER win AS m3, lead(n_rows, 3) OVER win AS k3
+        FROM b WINDOW win AS (PARTITION BY blk ORDER BY name)),
+      u AS (
+        SELECT name, n_rows, m1 AS cand, k1 AS cn FROM w
+        WHERE m1 IS NOT NULL
+        UNION ALL
+        SELECT name, n_rows, m2, k2 FROM w WHERE m2 IS NOT NULL
+        UNION ALL
+        SELECT name, n_rows, m3, k3 FROM w WHERE m3 IS NOT NULL)
+      SELECT name AS name_a, cand AS name_b,
+        CAST(levenshtein(name, cand) AS INT) AS distance,
+        n_rows AS n_a, cn AS n_b
+      FROM u WHERE levenshtein(name, cand) <= 2
+      ORDER BY name_a, name_b
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -6849,5 +6902,5 @@ object Ext {
       q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168,
       q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-      q181, q182, q183, q184, q185, q186)
+      q181, q182, q183, q184, q185, q186, q187)
 }

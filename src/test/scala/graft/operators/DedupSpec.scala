@@ -534,4 +534,28 @@ class DedupSpec extends SparkSpec {
     assert(!out.keys.exists(p => p._1 == 3L || p._2 == 3L))
     assert(!out.keys.exists(p => p._1 == 4L || p._2 == 4L))
   }
+
+  test("sortedNeighborPairs: window bounds the neighborhood; pairs " +
+    "surface once from the sort-earlier end; prefix-boundary typos " +
+    "are the documented miss") {
+    val s6 = spark; import s6.implicits._
+    val df = (Seq("aab", "aac", "aad", "aae", "aaf") ++
+      Seq("zebra", "aebra") ++ Seq("aab")).toDF("n")
+    val out = Dedup.sortedNeighborPairs(df, "n", windowSize = 4,
+      maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getInt(2), r.getLong(3), r.getLong(4)))).toMap
+    // aab..aaf are pairwise lev-1; windowSize 4 = 3 leads, so aab
+    // reaches aac/aad/aae but NOT aaf; duplicate "aab" rows collapse
+    // with their count
+    assert(out.contains(("aab", "aac")) && out(("aab", "aac"))._2 == 2L)
+    assert(out.contains(("aab", "aae")))
+    assert(!out.contains(("aab", "aaf")))   // beyond the window
+    assert(out.contains(("aac", "aaf")))    // within its window
+    // zebra/aebra: lev 1 but prefixes 'ze'/'ae' split them — missed
+    assert(!out.keys.exists(p => p._1.contains("ebra") ||
+      p._2.contains("ebra")))
+    // no self pairs, no reversed duplicates
+    assert(out.keys.forall { case (a, b) => a < b })
+  }
 }
