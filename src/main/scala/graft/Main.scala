@@ -61,13 +61,15 @@ object Main {
         if rest.size <= 1 =>
       winnowIngest(docsParquet, storeDir, outDir,
         minShared = rest.headOption.map(_.toInt).getOrElse(2))
+    case "trend-ingest" :: srcParquet :: keyCol :: dayCol :: storeDir :: Nil =>
+      trendIngest(srcParquet, keyCol, dayCol, storeDir)
     case "explain" :: name :: rest if rest.size <= 1 =>
       explain(name, rest.headOption.getOrElse("/root/testdata/sf0.001"))
     case "profile" :: srcParquet :: outDir :: cols =>
       profile(srcParquet, outDir, cols)
     case _ =>
       System.err.println(
-        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
+        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
       sys.exit(2)
   }
 
@@ -184,6 +186,27 @@ object Main {
     val store = new graft.etl.HllStore(spark, storeDir, groupCol)
     store.ingest(spark.read.parquet(srcParquet), hashCol)
     store.estimates.count()
+  }
+
+  /** Incremental trend ingest: fold one batch into its per-(key, day)
+    * counts and append — reads merge by SUM and fit the one-shot OLS
+    * stage; the EXACT mergeable analytic ([[graft.etl.TrendStore]]).
+    * Exactly-once delivery is the scheduler's contract (counters). */
+  private def trendIngest(srcParquet: String, keyCol: String,
+      dayCol: String, storeDir: String): Unit = {
+    val spark = GraftSession.local()
+    val n = runTrendIngest(spark, srcParquet, keyCol, dayCol, storeDir)
+    println(s"trend-ingest: $n keys fitted -> $storeDir")
+    spark.stop()
+  }
+
+  /** Testable core of `trend-ingest` (the [[runCompact]] pattern). */
+  private[graft] def runTrendIngest(spark: org.apache.spark.sql.SparkSession,
+      srcParquet: String, keyCol: String, dayCol: String,
+      storeDir: String): Long = {
+    val store = new graft.etl.TrendStore(spark, storeDir)
+    store.ingest(spark.read.parquet(srcParquet), keyCol, dayCol)
+    store.slopes.count()
   }
 
   /** Incremental winnowing ingest: probe the batch's MOSS

@@ -328,3 +328,52 @@ final class BloomStore(spark: SparkSession, storeDir: String,
     ParquetStore.compact(spark, storeDir, merged, targetFileBytes)
   }
 }
+
+/** Mergeable trend store — the [[GridStore]] discipline applied to
+  * [[graft.operators.Trend.olsTrend]]: each `ingest` folds one batch
+  * of events into its per-(key, day) COUNT rows and appends; reads
+  * merge by SUM and run the one-shot fit stage on the merged frame.
+  * Per-(key, day) counts are the split-additive granularity — the
+  * five OLS sums themselves are NOT mergeable across batches sharing
+  * a day (Σd and Σd² would double-count the shared day), so the store
+  * holds the daily frame and the fit stays a read-time fold. Unlike
+  * the sketch stores this merge is EXACT: batch-split ≡ one-shot to
+  * the last bit (spec-pinned), because counts are integers and
+  * addition is the whole merge. Store size is |keys|·|days| — bounded
+  * by the calendar, never the corpus. Exactly-once delivery is the
+  * scheduler's contract (counters, the CMS caveat). */
+final class TrendStore(spark: SparkSession, storeDir: String) {
+
+  private def storeExists: Boolean =
+    ParquetStore.gatedExists(spark, storeDir, "trend store")
+
+  /** Append one batch's per-(key, day) counts (one corpus pass,
+    * ≤ |keys|·|batch days| rows land). `dayCol` must be DATE-typed or
+    * castable. */
+  def ingest(df: DataFrame, keyCol: String, dayCol: String): Unit = {
+    df.select(col(keyCol).cast("string").as("key"),
+        datediff(col(dayCol).cast("date"),
+          to_date(lit("1970-01-01"))).as("d"))
+      .groupBy(col("key"), col("d")).agg(count(lit(1)).as("c"))
+      .write.mode(SaveMode.Append).parquet(storeDir)
+  }
+
+  /** The merged daily frame over everything ingested. */
+  def dailyCounts: DataFrame = {
+    val b =
+      if (storeExists) spark.read.parquet(storeDir)
+      else spark.range(0).select(col("id").cast("string").as("key"),
+        col("id").cast("int").as("d"), col("id").as("c"))
+    b.groupBy(col("key"), col("d")).agg(sum(col("c")).as("c"))
+  }
+
+  /** Per-key OLS slopes over the merged store — the one-shot fit
+    * stage ([[graft.operators.Trend]]) on [[dailyCounts]]. */
+  def slopes: DataFrame =
+    graft.operators.Trend.olsFromDaily(dailyCounts)
+
+  /** Merge-on-compact ([[CmsStore.compact]]). */
+  def compact(targetFileBytes: Long = 128L << 20): (Long, Long) =
+    ParquetStore.compact(spark, storeDir, dailyCounts, targetFileBytes)
+}
+

@@ -46,7 +46,15 @@ object Trend {
     * below two distinct days. Output: (key, n_days, slope). */
   def olsTrend(events: DataFrame, keyCol: Column, dayCol: Column)
       : DataFrame =
-    daily(events, keyCol, dayCol)
+    olsFromDaily(daily(events, keyCol, dayCol))
+
+  /** The fit stage alone, over an already-reduced (key, d, c) daily
+    * frame — shared with the mergeable [[graft.etl.TrendStore]]
+    * (per-(key, day) counts are the SPLIT-ADDITIVE granularity; the
+    * five sums themselves are not, since Σd/Σd² double-count days
+    * shared across batches). */
+  private[graft] def olsFromDaily(dailyFrame: DataFrame): DataFrame =
+    dailyFrame
       .groupBy(col("key"))
       .agg(count(lit(1)).as("n_days"),
         sum(col("d").cast(dec)).as("sx"),

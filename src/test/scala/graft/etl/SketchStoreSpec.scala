@@ -185,4 +185,42 @@ class SketchStoreSpec extends SparkSpec {
     val out = empty.probe(hashes.select(col("h")), "h", "m")
     assert(out.where(col("m")).count() == 0)
   }
+
+  test("Trend: batch-split ingest fits EXACTLY the one-shot slopes — " +
+    "a shared day across batches merges by SUM; compact keeps it") {
+    val s2 = spark; import s2.implicits._
+    import graft.operators.Trend
+    // key A ramps 1,2,3,4,5 over 5 days; the day-3 mass SPLITS across
+    // the two batches — the case where merged five-sums would
+    // double-count the day and the (key, day) grain does not
+    def rows(counts: Seq[(String, Int, Int)]) = counts.flatMap {
+      case (k, d, c) => Seq.fill(c)((k, f"2024-01-$d%02d")) }
+    val all = rows(Seq(("A", 1, 1), ("A", 2, 2), ("A", 3, 3),
+      ("A", 4, 4), ("A", 5, 5), ("B", 1, 7)))
+    val b1 = rows(Seq(("A", 1, 1), ("A", 2, 2), ("A", 3, 1)))
+    val b2 = rows(Seq(("A", 3, 2), ("A", 4, 4), ("A", 5, 5),
+      ("B", 1, 7)))
+    def frame(r: Seq[(String, String)]) = r.toDF("k", "day")
+      .select(col("k"), to_date(col("day")).as("day"))
+    val dir = Files.createTempDirectory("graft_trend_store")
+      .toString + "/store"
+    val store = new TrendStore(spark, dir)
+    store.ingest(frame(b1), "k", "day")
+    store.ingest(frame(b2), "k", "day")
+    def fit(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    val oneShot = fit(Trend.olsTrend(frame(all), col("k"), col("day")))
+    assert(fit(store.slopes) == oneShot)
+    assert(oneShot("A") == ((5L, Some(1.0)))) // the clean ramp, exactly
+    val (before, after) = store.compact(targetFileBytes = 1L << 20)
+    assert(before > after)
+    assert(fit(store.slopes) == oneShot)
+    // CLI core
+    val base = Files.createTempDirectory("graft_trend_cli").toString
+    frame(b1).write.parquet(s"$base/b1")
+    val n = graft.Main.runTrendIngest(spark, s"$base/b1", "k", "day",
+      s"$base/store")
+    assert(n == 1L) // one key in batch 1
+  }
 }
