@@ -1209,4 +1209,51 @@ object Dedup {
         col("n_rows").as("n_a"), col("e.cn").as("n_b"))
       .orderBy(col("name_a"), col("name_b"))
   }
+
+  /** DEDUP-METHOD AGREEMENT MATRIX — how consistently the near-dup
+    * screens agree, method pair by method pair: given tagged pair
+    * frames (each with doc_a/doc_b), every unordered method pair's
+    * set sizes, intersection and overlap Jaccard. The ops readout
+    * behind choosing an operating point: exact ⊂ every sound screen
+    * (a violated subset is a BUG, not a tuning issue), and a
+    * probabilistic screen's agreement with the exact-Jaccard
+    * reference IS its empirical recall/precision trade (the q144
+    * numbers, across ALL screens at once).
+    *
+    * Scale shape: one union of the (already reduced) pair frames, ONE
+    * groupBy(pair) flag fold, then a single ungrouped counter pass
+    * unpivoted to |methods|²/2 rows — no joins between pair sets. */
+  def pairAgreement(methods: Seq[(String, DataFrame)]): DataFrame = {
+    require(methods.size >= 2, s"need >= 2 methods, got ${methods.size}")
+    require(methods.map(_._1).distinct.size == methods.size,
+      s"method names must be distinct: ${methods.map(_._1)}")
+    val tagged = methods.map { case (m, df) =>
+      df.select(col("doc_a"), col("doc_b")).distinct()
+        .withColumn("m", lit(m))
+    }.reduce(_.unionByName(_))
+    val idx = methods.indices
+    val flagAggs = methods.zipWithIndex.map { case ((m, _), i) =>
+      max(when(col("m") === m, 1L).otherwise(0L)).as(s"f$i") }
+    val flags = tagged.groupBy(col("doc_a"), col("doc_b"))
+      .agg(flagAggs.head, flagAggs.tail: _*)
+    val counterAggs =
+      idx.map(i => sum(col(s"f$i")).as(s"n$i")) ++
+      (for (i <- idx; j <- idx if i < j) yield
+        sum(col(s"f$i") * col(s"f$j")).as(s"b${i}_$j"))
+    val wide = flags.agg(counterAggs.head, counterAggs.tail: _*)
+    val entries = for (i <- idx; j <- idx if i < j) yield struct(
+      lit(methods(i)._1).as("method_a"),
+      lit(methods(j)._1).as("method_b"),
+      coalesce(col(s"n$i"), lit(0L)).as("n_a"),
+      coalesce(col(s"n$j"), lit(0L)).as("n_b"),
+      coalesce(col(s"b${i}_$j"), lit(0L)).as("n_both"))
+    wide.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.method_a"), col("e.method_b"), col("e.n_a"),
+        col("e.n_b"), col("e.n_both"),
+        when(col("e.n_a") + col("e.n_b") - col("e.n_both") > 0,
+          col("e.n_both").cast("double") /
+            (col("e.n_a") + col("e.n_b") - col("e.n_both"))
+              .cast("double")).as("overlap_jaccard"))
+      .orderBy(col("method_a"), col("method_b"))
+  }
 }

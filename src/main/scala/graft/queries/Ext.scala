@@ -6887,6 +6887,122 @@ object Ext {
       ORDER BY name_a, name_b
     """.trim))
 
+  // --------------------------------------------------------------- q188
+
+  /** q188 — dedup-method agreement ([[Dedup.pairAgreement]]): the
+    * four near-dup screens (exact text, n-gram Jaccard, MinHash-LSH,
+    * winnowing) compared pair-set against pair-set — sizes,
+    * intersections, overlap Jaccard per method pair; exact ⊂ every
+    * sound screen, and each screen's agreement with the exact-Jaccard
+    * reference is its measured operating point. */
+  val q188: Q = Q(
+    "q188_dedup_agreement",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val byHash = docs.select(col("doc_id"),
+        sha2(col("text"), 256).as("h"))
+      val exactPairs = byHash.select(col("doc_id").as("doc_a"), col("h"))
+        .join(byHash.select(col("doc_id").as("doc_b"), col("h")),
+          Seq("h"))
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+      Dedup.pairAgreement(Seq(
+        "exact" -> exactPairs,
+        "jaccard" -> Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          threshold = 0.5, maxDf = 100),
+        "minhash" -> Dedup.minhashLshPairs(docs, "doc_id", "text",
+          threshold = 0.5, k = minhashK, bands = minhashBands),
+        "winnow" -> Dedup.winnowingPairs(docs, "doc_id", "text",
+          span = 3, window = 4, maxDf = 100, minShared = 2)))
+    },
+    Some(s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      $duckHashShingles,
+      shf AS (
+        SELECT doc_id, hs FROM sh
+        QUALIFY count(*) OVER (PARTITION BY hs) <= 100
+      ),
+      sz AS (SELECT doc_id, count(*) n FROM shf GROUP BY 1),
+      jacp AS (
+        SELECT da AS doc_a, db AS doc_b
+        FROM (
+          SELECT a.doc_id da, b.doc_id db, count(*) i
+          FROM shf a JOIN shf b ON a.hs = b.hs AND a.doc_id < b.doc_id
+          GROUP BY 1, 2) inter
+        JOIN sz sa ON sa.doc_id = da
+        JOIN sz sb ON sb.doc_id = db
+        WHERE (CAST(i AS DOUBLE) / (sa.n + sb.n - i)) >= 0.5),
+      wpos AS (
+        SELECT doc_id, i AS pos, len(whl) - 2 AS n_pos,
+          list_reduce(list_prepend(0::BIGINT, whl[i : i + 2]),
+            (h, c) -> ((h * 31) + c) % $P) AS h
+        FROM wh, LATERAL unnest(range(1, len(whl) - 1)) AS t(i)
+        WHERE len(whl) - 2 BETWEEN 4 AND 1048575),
+      wmins AS (
+        SELECT doc_id, pos, n_pos,
+          min(h * 1048576 + (1048576 - pos)) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS combo
+        FROM wpos),
+      wpicks AS (
+        SELECT DISTINCT doc_id, combo // 1048576 AS fp
+        FROM wmins WHERE pos <= n_pos - 3),
+      wkept AS (
+        SELECT doc_id, fp FROM wpicks
+        QUALIFY count(*) OVER (PARTITION BY fp) <= 100),
+      winp AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM wkept a JOIN wkept b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      exactp AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM documents a JOIN documents b
+          ON a.text = b.text AND a.doc_id < b.doc_id),
+      tag AS (
+        SELECT 'exact' AS m, doc_a, doc_b FROM exactp
+        UNION ALL
+        SELECT 'jaccard', doc_a, doc_b FROM jacp
+        UNION ALL
+        SELECT 'minhash', doc_a, doc_b FROM ($q18OracleSql) mh
+        UNION ALL
+        SELECT 'winnow', doc_a, doc_b FROM winp),
+      flags AS (
+        SELECT doc_a, doc_b,
+          max(CASE WHEN m = 'exact' THEN 1 ELSE 0 END) AS f0,
+          max(CASE WHEN m = 'jaccard' THEN 1 ELSE 0 END) AS f1,
+          max(CASE WHEN m = 'minhash' THEN 1 ELSE 0 END) AS f2,
+          max(CASE WHEN m = 'winnow' THEN 1 ELSE 0 END) AS f3
+        FROM tag GROUP BY 1, 2),
+      wide AS (
+        SELECT sum(f0) AS n0, sum(f1) AS n1, sum(f2) AS n2,
+          sum(f3) AS n3,
+          sum(f0 * f1) AS b0_1, sum(f0 * f2) AS b0_2,
+          sum(f0 * f3) AS b0_3, sum(f1 * f2) AS b1_2,
+          sum(f1 * f3) AS b1_3, sum(f2 * f3) AS b2_3
+        FROM flags),
+      rowsx AS (
+        SELECT 'exact' AS method_a, 'jaccard' AS method_b,
+          n0 AS n_a, n1 AS n_b, b0_1 AS n_both FROM wide
+        UNION ALL SELECT 'exact', 'minhash', n0, n2, b0_2 FROM wide
+        UNION ALL SELECT 'exact', 'winnow', n0, n3, b0_3 FROM wide
+        UNION ALL SELECT 'jaccard', 'minhash', n1, n2, b1_2 FROM wide
+        UNION ALL SELECT 'jaccard', 'winnow', n1, n3, b1_3 FROM wide
+        UNION ALL SELECT 'minhash', 'winnow', n2, n3, b2_3 FROM wide)
+      SELECT method_a, method_b,
+        CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+        CAST(coalesce(n_b, 0) AS BIGINT) AS n_b,
+        CAST(coalesce(n_both, 0) AS BIGINT) AS n_both,
+        CASE WHEN coalesce(n_a, 0) + coalesce(n_b, 0)
+          - coalesce(n_both, 0) > 0 THEN
+          CAST(coalesce(n_both, 0) AS DOUBLE) /
+            CAST(coalesce(n_a, 0) + coalesce(n_b, 0)
+              - coalesce(n_both, 0) AS DOUBLE)
+        END AS overlap_jaccard
+      FROM rowsx ORDER BY method_a, method_b
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -6902,5 +7018,5 @@ object Ext {
       q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168,
       q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-      q181, q182, q183, q184, q185, q186, q187)
+      q181, q182, q183, q184, q185, q186, q187, q188)
 }

@@ -558,4 +558,26 @@ class DedupSpec extends SparkSpec {
     // no self pairs, no reversed duplicates
     assert(out.keys.forall { case (a, b) => a < b })
   }
+
+  test("pairAgreement: exact subset reads full containment; disjoint " +
+    "sets read zero; duplicate rows inside a method collapse") {
+    val s7 = spark; import s7.implicits._
+    val a = Seq((1L, 2L), (1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val b = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val c = Seq((7L, 8L)).toDF("doc_a", "doc_b")
+    val out = Dedup.pairAgreement(Seq("a" -> a, "b" -> b, "c" -> c))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4),
+          Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    // a ⊂ b: both = |a| = 2 (the duplicate (1,2) row collapsed)
+    assert(out(("a", "b")) == ((2L, 3L, 2L, Some(2.0 / 3))))
+    assert(out(("a", "c")) == ((2L, 1L, 0L, Some(0.0))))
+    assert(out(("b", "c")) == ((3L, 1L, 0L, Some(0.0))))
+    intercept[IllegalArgumentException] {
+      Dedup.pairAgreement(Seq("x" -> a))
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.pairAgreement(Seq("x" -> a, "x" -> b))
+    }
+  }
 }
