@@ -1031,4 +1031,58 @@ object TextAnalysis {
           .as("top_share"))
       .orderBy(col(groupCol))
   }
+
+  /** SKIP-GRAM PMI PAIRS — the non-adjacent association mining
+    * [[collocationLift]]'s bigrams can't see: term pairs co-occurring
+    * within ±`window` positions (any gap up to window−1 tokens), the
+    * counting scheme under word-embedding co-occurrence matrices and
+    * topic-pair mining ("data ... pipeline" with an insertion still
+    * counts; an adjacent-only bigram miner loses it). Pairs are
+    * UNORDERED (alphabetical normalization — skip-gram context is
+    * symmetric); each co-occurrence counts once per position pair.
+    *
+    * Same engine-exact discipline as q97: the association score is
+    * the log-free fixed-point lift `(c_ab·2²⁰·N) div (c_a·c_b)` —
+    * rank-equivalent to PMI (log is monotone), no transcendentals.
+    * Support floor BEFORE the unigram joins; ties at the top-k
+    * boundary pinned (lift DESC, pair ASC).
+    *
+    * Scale shape: the pair explode is ≤ (window−1)·tokens rows —
+    * row-local assembly, ONE partial-aggregable pair count, two
+    * \|vocab\|-row joins, a one-row total append; the top-k is a
+    * TakeOrdered over the floored pair frame. */
+  def skipgramLift(docs: DataFrame, textCol: String, window: Int = 3,
+      topK: Int = 20, minCount: Long = 5L): DataFrame = {
+    require(window >= 2, s"need window >= 2, got $window")
+    require(topK > 0 && minCount >= 1,
+      s"need topK > 0 and minCount >= 1, got $topK/$minCount")
+    val w = docs.select(TextHash.tokens(col(textCol)).as("w"))
+    val uni = w.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val offsetArrays = (1 until window).map(o =>
+      // the >= o+1 guard: sequence(1, 0) DESCENDS (the q97 lesson)
+      s"""CASE WHEN size(w) >= ${o + 1} THEN
+            transform(sequence(1, size(w) - $o), i ->
+              IF(element_at(w, i) <= element_at(w, i + $o),
+                concat(element_at(w, i), ' ', element_at(w, i + $o)),
+                concat(element_at(w, i + $o), ' ', element_at(w, i))))
+          ELSE cast(array() AS array<string>) END""")
+    val pairs = w
+      .select(explode(expr(
+        s"flatten(array(${offsetArrays.mkString(", ")}))")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+    val n = uni.agg(sum(col("c")).as("n_tokens"))
+    pairs
+      .withColumn("a", split(col("pair"), " ").getItem(0))
+      .withColumn("b", split(col("pair"), " ").getItem(1))
+      .join(uni.select(col("t").as("a"), col("c").as("c_a")), Seq("a"))
+      .join(uni.select(col("t").as("b"), col("c").as("c_b")), Seq("b"))
+      .crossJoin(broadcast(n))
+      .select(col("pair"), col("c_ab"), col("c_a"), col("c_b"),
+        expr("((CAST(c_ab AS DECIMAL(38,0)) * 1048576) * n_tokens) " +
+          "div (CAST(c_a AS DECIMAL(38,0)) * c_b)").as("lift_fp"))
+      .orderBy(col("lift_fp").desc, col("pair"))
+      .limit(topK)
+  }
 }

@@ -7003,6 +7003,45 @@ object Ext {
       FROM rowsx ORDER BY method_a, method_b
     """.trim))
 
+  // --------------------------------------------------------------- q189
+
+  /** q189 — skip-gram PMI pairs ([[TextAnalysis.skipgramLift]]): term
+    * pairs co-occurring within ±3 positions, unordered — the
+    * non-adjacent association q97's bigrams lose to one insertion;
+    * the same log-free fixed-point lift, support floor before the
+    * joins, pinned top-k ties. */
+  val q189: Q = Q(
+    "q189_skipgram_pairs",
+    (s, d) =>
+      TextAnalysis.skipgramLift(Tables.documents(s, d), "text",
+        window = 3, topK = 20, minCount = 5L),
+    Some("""
+      WITH w AS (
+        SELECT list_filter(string_split_regex(trim(text), '\s+'),
+          t -> t <> '') AS w
+        FROM documents),
+      uni AS (
+        SELECT t, count(*) AS c
+        FROM w, LATERAL unnest(w) AS u(t) GROUP BY 1),
+      n AS (SELECT sum(c) AS n_tokens FROM uni),
+      pr AS (
+        SELECT pair, count(*) AS c_ab FROM (
+          SELECT CASE WHEN w[i] <= w[i + o] THEN w[i] || ' ' || w[i + o]
+                      ELSE w[i + o] || ' ' || w[i] END AS pair
+          FROM w, LATERAL unnest([1, 2]) AS ot(o),
+            LATERAL unnest(range(1, len(w) - o + 1)) AS it(i)
+          WHERE len(w) >= o + 1) t
+        GROUP BY 1 HAVING count(*) >= 5)
+      SELECT pair, c_ab, ua.c AS c_a, ub.c AS c_b,
+        CAST(((c_ab * 1048576) * n_tokens)
+          // (ua.c * ub.c) AS BIGINT) AS lift_fp
+      FROM pr
+      JOIN uni ua ON ua.t = split_part(pair, ' ', 1)
+      JOIN uni ub ON ub.t = split_part(pair, ' ', 2)
+      CROSS JOIN n
+      ORDER BY lift_fp DESC, pair LIMIT 20
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -7018,5 +7057,5 @@ object Ext {
       q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168,
       q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-      q181, q182, q183, q184, q185, q186, q187, q188)
+      q181, q182, q183, q184, q185, q186, q187, q188, q189)
 }

@@ -826,7 +826,10 @@ class PlanAuditSpec extends SparkSpec {
       "q170_rank_shift",
       // q185: the ONE-ROW grand total appended to the ≤ k+1-row
       // head/tail frame — headTailRollup's scalar-append, q84's shape
-      "q185_head_tail_rollup")
+      "q185_head_tail_rollup",
+      // q189: the ONE-ROW corpus token total appended to the floored
+      // pair frame — skipgramLift's scalar-append, q97's shape
+      "q189_skipgram_pairs")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()

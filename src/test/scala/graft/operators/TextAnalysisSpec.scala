@@ -471,4 +471,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("t") == ((4L, 2L, 3L, 0.5, 0.75)))
     assert(out("one") == ((1L, 1L, 1L, null, 1.0)))
   }
+
+  test("skipgramLift: gapped pairs count where adjacent bigrams miss; " +
+    "pairs normalize alphabetically; support floor holds") {
+    val s8 = spark; import s8.implicits._
+    // "new X york" repeated: adjacent bigram "new york" NEVER occurs,
+    // but the distance-2 skip-gram does — the operator's reason to be
+    val docs = (1 to 6).map(i => s"new gap$i york plus filler").toDF("text")
+    val out = TextAnalysis.skipgramLift(docs, "text", window = 3,
+      topK = 50, minCount = 5L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.contains("new york") && out("new york")._1 == 6L)
+    // adjacency also counts (offset 1): "york plus" seen 6x
+    assert(out.contains("plus york"))  // alphabetical normalization
+    // gap tokens are unique → each pair with them is below minCount
+    assert(!out.keys.exists(_.contains("gap1")))
+    // no pair order duplicates
+    out.keys.foreach { p =>
+      val Array(a, b) = p.split(" "); assert(a <= b, p) }
+  }
 }
