@@ -1085,4 +1085,59 @@ object TextAnalysis {
       .orderBy(col("lift_fp").desc, col("pair"))
       .limit(topK)
   }
+
+  /** HEAPS-LAW VOCABULARY GROWTH — distinct terms seen after the
+    * first N tokens of the corpus, on a fixed grid of N: the classic
+    * sublinear vocab-vs-corpus curve (Heaps/Herdan), and the
+    * capacity-planning number behind vocabulary builds ("how much
+    * MORE vocab does doubling the crawl buy?"). q159's coverage curve
+    * reads the head of a FIXED corpus; this reads vocabulary as a
+    * function of corpus SIZE. The token order is the deterministic
+    * (doc_id, position) order — [[graft.operators.Packing]]'s
+    * two-phase global offset, never a corpus-wide window.
+    *
+    * Output per grid point: (point, n_tokens_seen = min(point, total),
+    * vocab_size, type_token_ratio) — all exact counts, one division.
+    *
+    * Scale shape: the offset pass is Packing's K-scale two-phase
+    * prefix; first occurrences are ONE partial-aggregable min per
+    * term; the curve is a single ungrouped conditional fold over the
+    * \|vocab\|-row frame (the q165 shape) unpivoted to \|points\|
+    * rows. */
+  def heapsCurve(docs: DataFrame, idCol: String, textCol: String,
+      points: Seq[Long] = Seq(256L, 1024L, 4096L, 16384L, 65536L,
+        262144L),
+      scope: graft.engine.CacheScope = graft.engine.CacheScope.unmanaged)
+      : DataFrame = {
+    require(points.nonEmpty && points.forall(_ >= 1),
+      s"need positive grid points, got $points")
+    val offs = Packing.contiguousOffsets(docs, idCol, textCol,
+      maxTokens = 1 << 30, scope = scope)
+      .select(col("doc_id"), col("n_tokens"), col("global_offset"))
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextHash.tokens(col(textCol)).as("w"))
+    val firsts = toks
+      .join(offs.select(col("doc_id"), col("global_offset")),
+        Seq("doc_id"))
+      .select(col("global_offset"),
+        posexplode(col("w")).as(Seq("p0", "t")))
+      .select((col("global_offset") + col("p0") + 1).as("gpos"),
+        col("t"))
+      .groupBy(col("t")).agg(min(col("gpos")).as("fp"))
+    val total = offs.agg(sum(col("n_tokens")).as("n_total"))
+    val aggs = points.zipWithIndex.map { case (pt, i) =>
+      sum(when(col("fp") <= pt, 1L).otherwise(0L)).as(s"v$i") }
+    val wide = firsts.agg(aggs.head, aggs.tail: _*)
+      .crossJoin(broadcast(total))
+    val entries = points.zipWithIndex.map { case (pt, i) => struct(
+      lit(pt).as("point"), col(s"v$i").as("vocab_size")) }
+    wide.select(col("n_total"), explode(array(entries: _*)).as("e"))
+      .select(col("e.point"),
+        least(col("e.point"), col("n_total")).as("n_tokens_seen"),
+        col("e.vocab_size"),
+        (col("e.vocab_size").cast("double") /
+          least(col("e.point"), col("n_total")).cast("double"))
+          .as("type_token_ratio"))
+      .orderBy(col("point"))
+  }
 }

@@ -7042,6 +7042,51 @@ object Ext {
       ORDER BY lift_fp DESC, pair LIMIT 20
     """.trim))
 
+  // --------------------------------------------------------------- q190
+
+  /** q190 — Heaps-law vocab growth ([[TextAnalysis.heapsCurve]]):
+    * distinct terms after the first N corpus tokens on a dyadic grid
+    * of N — the sublinear vocab-vs-corpus curve; token order is the
+    * deterministic (doc_id, position) order via Packing's two-phase
+    * offset, first occurrences one min per term, the curve one
+    * conditional fold. */
+  val q190: Q = Q(
+    "q190_heaps_curve",
+    (s, d) =>
+      TextAnalysis.heapsCurve(Tables.documents(s, d), "doc_id", "text",
+        points = Seq(256L, 1024L, 4096L, 16384L, 65536L, 262144L)),
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\s+'),
+            t -> t <> '') AS w
+        FROM documents),
+      offs AS (
+        SELECT doc_id, w,
+          CAST(coalesce(sum(len(w)) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS off
+        FROM d),
+      pos AS (
+        SELECT off + i AS gpos, w[i] AS t
+        FROM offs, LATERAL unnest(range(1, len(w) + 1)) AS x(i)),
+      f AS (SELECT t, min(gpos) AS fp FROM pos GROUP BY 1),
+      tot AS (SELECT CAST(sum(len(w)) AS BIGINT) AS n_total FROM d),
+      p AS (SELECT CAST(unnest([256, 1024, 4096, 16384, 65536, 262144])
+        AS BIGINT) AS point),
+      v AS (
+        SELECT p.point, CAST(count(*) AS BIGINT) AS vocab_size
+        FROM p JOIN f ON f.fp <= p.point GROUP BY 1)
+      SELECT p.point AS point,
+        CAST(least(p.point, tot.n_total) AS BIGINT) AS n_tokens_seen,
+        coalesce(v.vocab_size, 0) AS vocab_size,
+        CAST(coalesce(v.vocab_size, 0) AS DOUBLE)
+          / CAST(least(p.point, tot.n_total) AS DOUBLE)
+          AS type_token_ratio
+      FROM p CROSS JOIN tot LEFT JOIN v ON v.point = p.point
+      ORDER BY point
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -7057,5 +7102,5 @@ object Ext {
       q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168,
       q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-      q181, q182, q183, q184, q185, q186, q187, q188, q189)
+      q181, q182, q183, q184, q185, q186, q187, q188, q189, q190)
 }

@@ -829,7 +829,10 @@ class PlanAuditSpec extends SparkSpec {
       "q185_head_tail_rollup",
       // q189: the ONE-ROW corpus token total appended to the floored
       // pair frame — skipgramLift's scalar-append, q97's shape
-      "q189_skipgram_pairs")
+      "q189_skipgram_pairs",
+      // q190: the ONE-ROW token total appended to the one-row curve
+      // fold — heapsCurve's scalar-append, q84's shape
+      "q190_heaps_curve")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()

@@ -491,4 +491,19 @@ class TextAnalysisSpec extends SparkSpec {
     out.keys.foreach { p =>
       val Array(a, b) = p.split(" "); assert(a <= b, p) }
   }
+
+  test("heapsCurve: first occurrences follow the (doc, position) " +
+    "order; grid points past the corpus clamp to the total") {
+    val s9 = spark; import s9.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "c a d")).toDF("doc_id", "text")
+    val out = TextAnalysis.heapsCurve(docs, "doc_id", "text",
+      points = Seq(2L, 4L, 8L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // stream: a(1) b(2) a(3) c(4) a(5) d(6)
+    assert(out.toSeq == Seq(
+      (2L, 2L, 2L, 1.0),
+      (4L, 4L, 3L, 0.75),
+      (8L, 6L, 4L, 4.0 / 6)))
+  }
 }
