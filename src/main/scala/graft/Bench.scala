@@ -233,7 +233,15 @@ object Bench {
     "q182_key_gap_audit" -> 1.1,
     "q183_ols_trend" -> 0.58,
     "q184_robust_trend" -> 0.83,
-    "q185_head_tail_rollup" -> 0.96)
+    "q185_head_tail_rollup" -> 0.96,
+    // BENCH_local_r11j (focused q186-q190 run). q188 runs FOUR
+    // near-dup pipelines by design — the agreement eval's honest
+    // cost, the q144 rule
+    "q186_contrastive_triplets" -> 1.79,
+    "q187_sorted_neighbor_match" -> 0.44,
+    "q188_dedup_agreement" -> 3.0,
+    "q189_skipgram_pairs" -> 1.44,
+    "q190_heaps_curve" -> 1.15)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
