@@ -911,4 +911,40 @@ object Profiling {
           .as("share"))
       .orderBy(col("rank"))
   }
+
+  /** CONTRIBUTION SHARES — the two-level "percent of parent / percent
+    * of total" readout every drill-down dashboard opens with: exact
+    * decimal value by (parent, child), each child's share of its
+    * parent and of the grand total. [[graft.operators.Cohorts.paretoClasses]]
+    * ranks a FLAT key space; this reads the HIERARCHY (nation within
+    * region, category within department) — contribution analysis.
+    *
+    * Exactness: sums fold as DECIMAL(12,2) ([[graft.engine.Dec]]);
+    * each share is ONE IEEE division of exact decimals at the
+    * boundary; zero parents/totals keep NULL shares. Scale shape: ONE
+    * partial-aggregable (parent, child) rollup; the parent and total
+    * windows run over that reduced frame (the q162 justification —
+    * bounded by the dimension, not the fact). */
+  def contributionShares(df: DataFrame, parentCol: Column,
+      childCol: Column, valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.engine.Dec
+    val g = df.select(parentCol.as("parent"), childCol.as("child"),
+        Dec.d2(valueCol).as("v"))
+      .groupBy(col("parent"), col("child"))
+      .agg(sum(col("v")).as("value"))
+    val wP = Window.partitionBy(col("parent"))
+    val wAll = Window.partitionBy()
+    g.withColumn("pv", sum(col("value")).over(wP))
+      .withColumn("tv", sum(col("value")).over(wAll))
+      .select(col("parent"), col("child"),
+        Dec.outD(col("value")).as("value"),
+        when(col("pv") =!= 0,
+          Dec.outD(col("value")) / Dec.outD(col("pv")))
+          .as("share_of_parent"),
+        when(col("tv") =!= 0,
+          Dec.outD(col("value")) / Dec.outD(col("tv")))
+          .as("share_of_total"))
+      .orderBy(col("parent"), col("child"))
+  }
 }

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.engine.Dec
+
 /** Declarative data-quality rule audit (SURVEY.md §2.11) — the
   * "constraint suite" every ingest gate runs before data is allowed
   * into a training mix (the role Deequ/Great-Expectations checks play
@@ -132,5 +134,49 @@ object Rules {
         ((col("n_items") - col("n_recent")).cast("double") /
           col("n_items").cast("double")).as("stale_rate"))
       .orderBy(col(groupCol))
+  }
+
+  /** FACT RECONCILIATION AUDIT — does the header agree with its
+    * detail rows: per parent, the stored rollup value vs the exact
+    * decimal sum of its detail lines, reported as the `topK` WORST
+    * relative discrepancies (ties pinned by key) — the classic
+    * header-vs-lines closing check (invoice total vs line items,
+    * order total vs lineitems), and the first thing an auditor asks
+    * of a denormalized store. Parents with NO detail rows surface
+    * with NULL detail_total (a vanished detail set is the worst
+    * discrepancy of all, not a skip).
+    *
+    * Exactness: both sides fold as DECIMAL(12,2) ([[graft.engine.Dec]]);
+    * the diff is exact decimal; the relative magnitude is the
+    * fixed-point `|diff|·2²⁰ div |parent|` (q97's integral division)
+    * so the ranking never touches IEEE. Scale shape: ONE
+    * partial-aggregable detail rollup, a parent-keyed left join, and
+    * a TakeOrdered top-k — no window over the parent space. */
+  def factReconciliation(parent: DataFrame, parentKey: String,
+      parentValue: Column, detail: DataFrame, detailKey: String,
+      detailValue: Column, topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"need topK >= 1, got $topK")
+    val p = parent.select(col(parentKey).as("key"),
+      Dec.d2(parentValue).as("pv"))
+    val d = detail.groupBy(col(detailKey).as("key"))
+      .agg(sum(Dec.d2(detailValue)).as("dv"))
+    p.join(d, Seq("key"), "left")
+      .withColumn("diff", col("pv") - coalesce(col("dv"),
+        lit(0).cast("decimal(12,2)")))
+      .where(col("diff") =!= 0 || col("dv").isNull)
+      // the fixed point divides INTEGER CENTS: decimal // on either
+      // engine rounds the intermediate quotient (DuckDB) or the
+      // precision-loss product (Spark) — pure int64 arithmetic is the
+      // only encoding both replay exactly
+      .withColumn("rel_fp",
+        when(col("pv") =!= 0, expr(
+          "(CAST(abs(diff) * 100 AS BIGINT) * 1048576) " +
+            "div CAST(abs(pv) * 100 AS BIGINT)")))
+      .orderBy(abs(col("diff")).desc, col("key"))
+      .limit(topK)
+      .select(col("key"),
+        Dec.outD(col("pv")).as("parent_value"),
+        Dec.outD(col("dv")).as("detail_total"),
+        Dec.outD(col("diff")).as("diff"), col("rel_fp"))
   }
 }

@@ -97,4 +97,46 @@ object Trend {
         coalesce(col("mk_s"), lit(0L)).as("mk_s"), col("sen_slope"))
       .orderBy(col("key"))
   }
+
+  /** LAG-k AUTOCORRELATION — the seasonality STRENGTH
+    * [[graft.operators.Drift.seasonalNaiveError]]'s WMAPE prices in
+    * error units, read as a correlation instead: per key, the Pearson
+    * r between each day's count and the count `lagDays` earlier
+    * (r → 1: strong weekly rhythm, a dow-conditioned baseline will
+    * pay off; r → 0: the season is noise). Only days with an observed
+    * lagged partner score (the q173 rule).
+    *
+    * Engine-exact: the six classical sums fold as exact integers
+    * (DECIMAL(38,0)); r is a FIXED IEEE tree over those scalars —
+    * `(nΣxy − ΣxΣy) / (sqrt(nΣx² − (Σx)²) · sqrt(nΣy² − (Σy)²))` —
+    * identical on both engines; zero variance on either side keeps
+    * NULL. Scale shape: q173's (key, day) count + day-lag self-join,
+    * then ONE partial-aggregable six-sum fold per key. */
+  def lagAutocorrelation(events: DataFrame, keyCol: Column,
+      dayCol: Column, lagDays: Int = 7): DataFrame = {
+    require(lagDays >= 1, s"need lagDays >= 1, got $lagDays")
+    val dd = daily(events, keyCol, dayCol)
+    val cur = dd.select(col("key"), col("d"), col("c").as("y"))
+    val prior = dd.select(col("key"), (col("d") + lagDays).as("d"),
+      col("c").as("x"))
+    cur.join(prior, Seq("key", "d"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"))
+      .select(col("key"), col("n_days"),
+        when(col("n_days") >= 2 &&
+          (col("n_days") * col("sxx") - col("sx") * col("sx")) > 0 &&
+          (col("n_days") * col("syy") - col("sy") * col("sy")) > 0,
+          (col("n_days") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+          (sqrt((col("n_days") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+           sqrt((col("n_days") * col("syy") - col("sy") * col("sy"))
+            .cast("double")))).as("autocorr"))
+      .orderBy(col("key"))
+  }
 }

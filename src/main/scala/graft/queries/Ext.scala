@@ -7087,6 +7087,126 @@ object Ext {
       ORDER BY point
     """.trim))
 
+  // --------------------------------------------------------------- q191
+
+  /** q191 — lag-7 autocorrelation ([[Trend.lagAutocorrelation]]):
+    * per stream, the Pearson r between each day's count and the count
+    * a week earlier — the seasonality STRENGTH behind q173's WMAPE
+    * and q163's dow conditioning; six exact sums, one fixed IEEE
+    * tree, zero variance keeps NULL. */
+  val q191: Q = Q(
+    "q191_lag_autocorrelation",
+    (s, d) =>
+      Trend.lagAutocorrelation(eventsUs(s, d), col("event_type"),
+        to_date(timestamp_micros(col("ts_us"))), lagDays = 7),
+    Some("""
+      WITH daily AS (
+        SELECT event_type AS key,
+          CAST(ts AS DATE) - DATE '1970-01-01' AS d,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      j AS (
+        SELECT cur.key AS key, p.c AS x, cur.c AS y
+        FROM daily cur JOIN daily p
+          ON cur.key = p.key AND cur.d = p.d + 7),
+      a AS (
+        SELECT key, CAST(count(*) AS BIGINT) AS n_days,
+          sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+          sum(CAST(x AS HUGEINT) * y) AS sxy,
+          sum(CAST(x AS HUGEINT) * x) AS sxx,
+          sum(CAST(y AS HUGEINT) * y) AS syy
+        FROM j GROUP BY 1)
+      SELECT key, n_days,
+        CASE WHEN n_days >= 2 AND n_days * sxx - sx * sx > 0
+          AND n_days * syy - sy * sy > 0 THEN
+          CAST(n_days * sxy - sx * sy AS DOUBLE)
+            / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+               * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)))
+        END AS autocorr
+      FROM a ORDER BY key
+    """.trim))
+
+  // --------------------------------------------------------------- q192
+
+  /** q192 — fact reconciliation ([[Rules.factReconciliation]]): order
+    * headers vs the exact decimal sum of their lineitem prices — the
+    * top-10 worst relative discrepancies (fixed-point ranking, ties
+    * pinned), parents with no details surfacing with NULL totals; the
+    * classic header-vs-lines closing audit. */
+  val q192: Q = Q(
+    "q192_fact_reconciliation",
+    (s, d) =>
+      Rules.factReconciliation(
+        Tables.orders(s, d), "o_orderkey", col("o_totalprice"),
+        Tables.lineitem(s, d), "l_orderkey", col("l_extendedprice"),
+        topK = 10),
+    Some("""
+      WITH p AS (
+        SELECT o_orderkey AS key,
+          CAST(o_totalprice AS DECIMAL(12,2)) AS pv
+        FROM orders),
+      dsum AS (
+        SELECT l_orderkey AS key,
+          sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS dv
+        FROM lineitem GROUP BY 1),
+      j AS (
+        SELECT p.key AS key, pv, dv,
+          pv - coalesce(dv, CAST(0 AS DECIMAL(12,2))) AS diff
+        FROM p LEFT JOIN dsum ON p.key = dsum.key),
+      f AS (
+        SELECT key, pv, dv, diff,
+          CASE WHEN pv <> 0 THEN
+            (CAST(abs(diff) * 100 AS BIGINT) * 1048576)
+              // CAST(abs(pv) * 100 AS BIGINT)
+          END AS rel_fp
+        FROM j WHERE diff <> 0 OR dv IS NULL
+        ORDER BY abs(diff) DESC, key LIMIT 10)
+      SELECT key, CAST(pv AS DOUBLE) AS parent_value,
+        CAST(dv AS DOUBLE) AS detail_total,
+        CAST(diff AS DOUBLE) AS diff, rel_fp
+      FROM f
+    """.trim))
+
+  // --------------------------------------------------------------- q193
+
+  /** q193 — contribution shares ([[Profiling.contributionShares]]):
+    * order revenue by (region, nation) with each nation's share of
+    * its region and of the total — the drill-down "percent of parent"
+    * readout; exact decimal sums, boundary divisions only. */
+  val q193: Q = Q(
+    "q193_contribution_shares",
+    (s, d) =>
+      Profiling.contributionShares(
+        Tables.orders(s, d)
+          .join(Tables.customer(s, d),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables.nation(s, d),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(Tables.region(s, d),
+            col("n_regionkey") === col("r_regionkey")),
+        col("r_name"), col("n_name"), col("o_totalprice")),
+    Some("""
+      WITH g AS (
+        SELECT r_name AS parent, n_name AS child,
+          sum(CAST(o_totalprice AS DECIMAL(12,2))) AS v
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2),
+      w AS (
+        SELECT parent, child, v,
+          sum(v) OVER (PARTITION BY parent) AS pv,
+          sum(v) OVER () AS tv
+        FROM g)
+      SELECT parent, child, CAST(v AS DOUBLE) AS value,
+        CASE WHEN pv <> 0 THEN
+          CAST(v AS DOUBLE) / CAST(pv AS DOUBLE) END AS share_of_parent,
+        CASE WHEN tv <> 0 THEN
+          CAST(v AS DOUBLE) / CAST(tv AS DOUBLE) END AS share_of_total
+      FROM w ORDER BY parent, child
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -7102,5 +7222,6 @@ object Ext {
       q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168,
       q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-      q181, q182, q183, q184, q185, q186, q187, q188, q189, q190)
+      q181, q182, q183, q184, q185, q186, q187, q188, q189, q190,
+      q191, q192, q193)
 }

@@ -417,4 +417,20 @@ class ProfilingSpec extends SparkSpec {
     val all = Profiling.headTailRollup(df, col("cat"), k = 10).collect()
     assert(all.length == 5 && !all.exists(_.getString(0) == "(other)"))
   }
+
+  test("contributionShares: child shares of parent and total from " +
+    "exact decimal sums") {
+    val s11 = spark
+    import s11.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("r1", "a", 4.00), ("r1", "a", 6.00),
+      ("r1", "b", 30.00), ("r2", "c", 60.00)).toDF("p", "c", "v")
+    val out = Profiling.contributionShares(df, col("p"), col("c"),
+      col("v")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(("r1", "a")) == ((10.0, 0.25, 0.1)))
+    assert(out(("r1", "b")) == ((30.0, 0.75, 0.3)))
+    assert(out(("r2", "c")) == ((60.0, 1.0, 0.6)))
+  }
 }

@@ -92,4 +92,24 @@ class RulesSpec extends SparkSpec {
     assert(out("X") == ((3L, 2L, 1L, 2.0 / 3)))
     assert(out("Y") == ((1L, 1L, 1L, 0.0)))
   }
+
+  test("factReconciliation: exact matches drop; vanished details rank " +
+    "by the full header value; fixed point is integer cents") {
+    val s10 = spark; import s10.implicits._
+    import org.apache.spark.sql.functions.col
+    val parents = Seq((1L, 10.00), (2L, 10.00), (3L, 5.00))
+      .toDF("k", "v")
+    val details = Seq((1L, 4.00), (1L, 6.00), (2L, 7.00))
+      .toDF("k", "v")
+    val out = Rules.factReconciliation(parents, "k", col("v"),
+      details, "k", col("v")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getDouble(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      // key 3: no details at all — diff = full 5.00, rel = 2^20
+      (3L, 5.00, None, 5.00, 1048576L),
+      // key 2: 3.00 short; (300·2^20) div 1000 = 314572
+      (2L, 10.00, Some(7.00), 3.00, 314572L)))
+  }
 }

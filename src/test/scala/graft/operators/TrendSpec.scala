@@ -47,4 +47,18 @@ class TrendSpec extends SparkSpec {
     assert(out("spike") == ((5L, 10L, 4L, Some(0.0))))
     assert(out("one") == ((1L, 0L, 0L, None)))
   }
+
+  test("lagAutocorrelation: a linear lagged relation reads r = 1, an " +
+    "alternating one r = -1, a constant NULL") {
+    val df = frame(ev("lin", Seq(1, 2, 3)) ++
+      ev("alt", Seq(1, 2, 1, 2)) ++ ev("const", Seq(3, 3, 3)))
+    val out = Trend.lagAutocorrelation(df, col("t"), col("d"),
+      lagDays = 1).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    assert(out("lin")._1 == 2L &&
+      math.abs(out("lin")._2.get - 1.0) < 1e-12)
+    assert(math.abs(out("alt")._2.get - (-1.0)) < 1e-12)
+    assert(out("const")._2.isEmpty) // zero variance
+  }
 }
