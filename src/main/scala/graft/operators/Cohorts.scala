@@ -695,4 +695,70 @@ object Cohorts {
           .as("hit_rate"))
       .orderBy(col("from_type"))
   }
+
+  /** EVENT TRIGRAM MINING — the 3-step sequential patterns
+    * [[transitionMatrix]]'s first-order pairs can't see (a→b→c and
+    * a→b→d share every transition yet are different funnels): per
+    * user-ordered stream, consecutive type triples counted with a
+    * support floor and their share of all triples — funnel DISCOVERY,
+    * where [[funnel]] measures a funnel someone already named. Ties
+    * pinned (count DESC, trigram ASC).
+    *
+    * Scale shape: ONE user-keyed window (two lags share the frame),
+    * one partial-aggregable trigram count bounded by \|types\|³, a
+    * one-row total append. */
+  def eventTrigrams(events: DataFrame, userCol: String,
+      timeCol: String, typeCol: String, idCol: String,
+      minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"need minCount >= 1, got $minCount")
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Window.partitionBy(col(userCol))
+      .orderBy(col(timeCol), col(idCol))
+    val tri = events
+      .select(col(userCol), col(timeCol), col(typeCol), col(idCol))
+      .withColumn("__p1", lag(col(typeCol), 1).over(perUser))
+      .withColumn("__p2", lag(col(typeCol), 2).over(perUser))
+      .where(col("__p2").isNotNull)
+      .select(concat_ws(" > ", col("__p2"), col("__p1"),
+        col(typeCol)).as("trigram"))
+      .groupBy(col("trigram")).agg(count(lit(1)).as("n"))
+    val total = tri.agg(sum(col("n")).as("__t"))
+    tri.where(col("n") >= minCount)
+      .crossJoin(broadcast(total))
+      .select(col("trigram"), col("n"),
+        (col("n").cast("double") / col("__t").cast("double"))
+          .as("share"))
+      .orderBy(col("n").desc, col("trigram"))
+  }
+
+  /** DAILY NEXT-DAY RETENTION — the day-granular habit trend under
+    * [[retentionMatrix]]'s weekly cohorts: per day, the share of that
+    * day's actives who return the VERY NEXT day. The matrix answers
+    * "do week-W users come back"; this answers "did yesterday's
+    * change move D1 retention" — the launch-day readout. The last
+    * observed day drops (its next day hasn't happened; a 0% row
+    * there would be a lie, not a measurement).
+    *
+    * Scale shape: ONE partial-aggregable (user, day) distinct, a
+    * self-join shifted by one day on the SAME (day, user) key, a
+    * day-keyed rollup; the max-day guard is a global window over the
+    * \|days\|-row frame. Exact counts, one division. */
+  def dailyRetention(events: DataFrame, userCol: String, dayCol: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = events.select(dayCol.as("day"), col(userCol).as("u"))
+      .distinct()
+    val nxt = b.select(date_sub(col("day"), 1).as("day"), col("u"),
+      lit(1L).as("__r"))
+    b.join(nxt, Seq("day", "u"), "left")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        coalesce(sum(col("__r")), lit(0L)).as("n_retained"))
+      .withColumn("__mx", max(col("day")).over(Window.partitionBy()))
+      .where(col("day") < col("__mx"))
+      .select(col("day"), col("n_active"), col("n_retained"),
+        (col("n_retained").cast("double") /
+          col("n_active").cast("double")).as("d1_retention"))
+      .orderBy(col("day"))
+  }
 }

@@ -1256,4 +1256,33 @@ object Dedup {
               .cast("double")).as("overlap_jaccard"))
       .orderBy(col("method_a"), col("method_b"))
   }
+
+  /** DEDUP DISAGREEMENT DRILL-DOWN — the per-pair reading of
+    * [[pairAgreement]]'s matrix: every pair at least one screen
+    * fired on where the screens DISAGREE (not all flags equal),
+    * with one 0/1 flag column per method — the triage table ("which
+    * pairs does winnowing see that jaccard doesn't, and are they
+    * real") behind tuning any screen's operating point. Pairs all
+    * methods agree on are noise for triage and drop.
+    *
+    * Same scale shape as the matrix: union + ONE groupBy(pair) flag
+    * fold; the disagreement filter is row-local. */
+  def pairDisagreements(methods: Seq[(String, DataFrame)]): DataFrame = {
+    require(methods.size >= 2, s"need >= 2 methods, got ${methods.size}")
+    require(methods.map(_._1).distinct.size == methods.size,
+      s"method names must be distinct: ${methods.map(_._1)}")
+    val tagged = methods.map { case (m, df) =>
+      df.select(col("doc_a"), col("doc_b")).distinct()
+        .withColumn("m", lit(m))
+    }.reduce(_.unionByName(_))
+    val flagAggs = methods.map { case (m, _) =>
+      max(when(col("m") === m, 1L).otherwise(0L)).as(s"f_$m") }
+    val flagCols = methods.map { case (m, _) => col(s"f_$m") }
+    tagged.groupBy(col("doc_a"), col("doc_b"))
+      .agg(flagAggs.head, flagAggs.tail: _*)
+      // disagreement = some screen fired and some didn't; an
+      // all-fired pair is consensus, not triage work
+      .where(flagCols.reduce(_ + _) < methods.size)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

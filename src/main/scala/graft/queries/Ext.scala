@@ -7207,6 +7207,142 @@ object Ext {
       FROM w ORDER BY parent, child
     """.trim))
 
+  // --------------------------------------------------------------- q194
+
+  /** q194 — event trigram mining ([[Cohorts.eventTrigrams]]): 3-step
+    * sequential patterns with support floor and share — funnel
+    * DISCOVERY where q73 measures a named funnel; one user-keyed
+    * window, |types|³-bounded counts, pinned ties. */
+  val q194: Q = Q(
+    "q194_event_trigrams",
+    (s, d) =>
+      Cohorts.eventTrigrams(Tables.events(s, d), "user_id", "ts",
+        "event_type", "event_id", minCount = 5L),
+    Some("""
+      WITH o AS (
+        SELECT event_type,
+          lag(event_type, 1) OVER w AS p1,
+          lag(event_type, 2) OVER w AS p2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      tri AS (
+        SELECT p2 || ' > ' || p1 || ' > ' || event_type AS trigram,
+          CAST(count(*) AS BIGINT) AS n
+        FROM o WHERE p2 IS NOT NULL GROUP BY 1),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM tri)
+      SELECT trigram, n,
+        CAST(n AS DOUBLE) / CAST(tt AS DOUBLE) AS share
+      FROM tri, t WHERE n >= 5
+      ORDER BY n DESC, trigram
+    """.trim))
+
+  // --------------------------------------------------------------- q195
+
+  /** q195 — dedup disagreement drill-down ([[Dedup.pairDisagreements]]):
+    * the per-pair triage table under q188's matrix — every pair the
+    * screens disagree on, one 0/1 flag per method; consensus pairs
+    * drop. */
+  val q195: Q = Q(
+    "q195_dedup_disagreements",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.pairDisagreements(Seq(
+        "jaccard" -> Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          threshold = 0.5, maxDf = 100),
+        "minhash" -> Dedup.minhashLshPairs(docs, "doc_id", "text",
+          threshold = 0.5, k = minhashK, bands = minhashBands),
+        "winnow" -> Dedup.winnowingPairs(docs, "doc_id", "text",
+          span = 3, window = 4, maxDf = 100, minShared = 2)))
+    },
+    Some(s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      $duckHashShingles,
+      shf AS (
+        SELECT doc_id, hs FROM sh
+        QUALIFY count(*) OVER (PARTITION BY hs) <= 100
+      ),
+      sz AS (SELECT doc_id, count(*) n FROM shf GROUP BY 1),
+      jacp AS (
+        SELECT da AS doc_a, db AS doc_b
+        FROM (
+          SELECT a.doc_id da, b.doc_id db, count(*) i
+          FROM shf a JOIN shf b ON a.hs = b.hs AND a.doc_id < b.doc_id
+          GROUP BY 1, 2) inter
+        JOIN sz sa ON sa.doc_id = da
+        JOIN sz sb ON sb.doc_id = db
+        WHERE (CAST(i AS DOUBLE) / (sa.n + sb.n - i)) >= 0.5),
+      wpos AS (
+        SELECT doc_id, i AS pos, len(whl) - 2 AS n_pos,
+          list_reduce(list_prepend(0::BIGINT, whl[i : i + 2]),
+            (h, c) -> ((h * 31) + c) % $P) AS h
+        FROM wh, LATERAL unnest(range(1, len(whl) - 1)) AS t(i)
+        WHERE len(whl) - 2 BETWEEN 4 AND 1048575),
+      wmins AS (
+        SELECT doc_id, pos, n_pos,
+          min(h * 1048576 + (1048576 - pos)) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS combo
+        FROM wpos),
+      wpicks AS (
+        SELECT DISTINCT doc_id, combo // 1048576 AS fp
+        FROM wmins WHERE pos <= n_pos - 3),
+      wkept AS (
+        SELECT doc_id, fp FROM wpicks
+        QUALIFY count(*) OVER (PARTITION BY fp) <= 100),
+      winp AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM wkept a JOIN wkept b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      tag AS (
+        SELECT 'jaccard' AS m, doc_a, doc_b FROM jacp
+        UNION ALL
+        SELECT 'minhash', doc_a, doc_b FROM ($q18OracleSql) mh
+        UNION ALL
+        SELECT 'winnow', doc_a, doc_b FROM winp),
+      flags AS (
+        SELECT doc_a, doc_b,
+          max(CASE WHEN m = 'jaccard' THEN 1 ELSE 0 END) AS f_jaccard,
+          max(CASE WHEN m = 'minhash' THEN 1 ELSE 0 END) AS f_minhash,
+          max(CASE WHEN m = 'winnow' THEN 1 ELSE 0 END) AS f_winnow
+        FROM tag GROUP BY 1, 2)
+      SELECT doc_a, doc_b, CAST(f_jaccard AS BIGINT) AS f_jaccard,
+        CAST(f_minhash AS BIGINT) AS f_minhash,
+        CAST(f_winnow AS BIGINT) AS f_winnow
+      FROM flags WHERE f_jaccard + f_minhash + f_winnow < 3
+      ORDER BY doc_a, doc_b
+    """.trim))
+
+  // --------------------------------------------------------------- q196
+
+  /** q196 — daily next-day retention ([[Cohorts.dailyRetention]]):
+    * per day, the share of actives returning the very next day — the
+    * D1 launch-day readout under q72's weekly matrix; the last
+    * observed day drops (its next day hasn't happened). */
+  val q196: Q = Q(
+    "q196_daily_retention",
+    (s, d) =>
+      Cohorts.dailyRetention(eventsUs(s, d), "user_id",
+        to_date(timestamp_micros(col("ts_us")))),
+    Some("""
+      WITH b AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u
+        FROM events),
+      nxt AS (
+        SELECT day - INTERVAL 1 DAY AS day, u, 1 AS r FROM b),
+      j AS (
+        SELECT b.day AS day, CAST(count(*) AS BIGINT) AS n_active,
+          CAST(coalesce(sum(r), 0) AS BIGINT) AS n_retained
+        FROM b LEFT JOIN nxt ON b.day = nxt.day AND b.u = nxt.u
+        GROUP BY 1),
+      mx AS (SELECT max(day) AS m FROM b)
+      SELECT day, n_active, n_retained,
+        CAST(n_retained AS DOUBLE) / CAST(n_active AS DOUBLE)
+          AS d1_retention
+      FROM j, mx WHERE day < m ORDER BY day
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -7223,5 +7359,5 @@ object Ext {
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168,
       q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
       q181, q182, q183, q184, q185, q186, q187, q188, q189, q190,
-      q191, q192, q193)
+      q191, q192, q193, q194, q195, q196)
 }

@@ -832,7 +832,10 @@ class PlanAuditSpec extends SparkSpec {
       "q189_skipgram_pairs",
       // q190: the ONE-ROW token total appended to the one-row curve
       // fold — heapsCurve's scalar-append, q84's shape
-      "q190_heaps_curve")
+      "q190_heaps_curve",
+      // q194: the ONE-ROW trigram total appended to the |types|³-
+      // bounded floored frame — eventTrigrams' scalar-append
+      "q194_event_trigrams")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()

@@ -333,4 +333,35 @@ class CohortsSpec extends SparkSpec {
     assert(out("a") == ((3L, "b", 2L, 2.0 / 3)))
     assert(out("b") == ((2L, "a", 1L, 0.5)))
   }
+
+  test("eventTrigrams: consecutive triples per user; support floor; " +
+    "share of ALL triples (pre-floor)") {
+    val ev = Seq(
+      (1L, 1L, "a", 1L), (1L, 2L, "b", 2L), (1L, 3L, "c", 3L),
+      (1L, 4L, "a", 4L), (1L, 5L, "b", 5L), (1L, 6L, "c", 6L),
+      (2L, 1L, "a", 7L), (2L, 2L, "b", 8L), (2L, 3L, "c", 9L)
+    ).toDF("user_id", "ts", "t", "id")
+    // u1 triples: abc, bca, cab, abc; u2: abc → abc×3, bca, cab (5)
+    val out = Cohorts.eventTrigrams(ev, "user_id", "ts", "t", "id",
+      minCount = 3L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("a > b > c", 3L, 3.0 / 5)))
+  }
+
+  test("dailyRetention: next-day returners over actives; the last " +
+    "observed day drops") {
+    val ev = Seq(
+      (1L, "2024-01-01"), (2L, "2024-01-01"), (3L, "2024-01-01"),
+      (1L, "2024-01-02"), (2L, "2024-01-02"),
+      (1L, "2024-01-04")                          // gap day 3
+    ).toDF("user_id", "d").select(col("user_id"), to_date(col("d")).as("d"))
+    val out = Cohorts.dailyRetention(ev, "user_id", col("d")).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // 01-01: 3 active, 2 back on 01-02; 01-02: 2 active, 0 back on
+    // 01-03 (u1's 01-04 return is NOT next-day); 01-04 = max day drops
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 3L, 2L, 2.0 / 3),
+      ("2024-01-02", 2L, 0L, 0.0)))
+  }
 }

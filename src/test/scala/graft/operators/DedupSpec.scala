@@ -580,4 +580,18 @@ class DedupSpec extends SparkSpec {
       Dedup.pairAgreement(Seq("x" -> a, "x" -> b))
     }
   }
+
+  test("pairDisagreements: consensus pairs drop; partial flags " +
+    "surface with per-method columns") {
+    val s12 = spark; import s12.implicits._
+    val a = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val b = Seq((1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = Dedup.pairDisagreements(Seq("x" -> a, "y" -> b))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // (1,2) is consensus → dropped; the one-sided pairs keep flags
+    assert(out == Map(
+      (3L, 4L) -> ((1L, 0L)),
+      (5L, 6L) -> ((0L, 1L))))
+  }
 }
