@@ -7343,6 +7343,115 @@ object Ext {
       FROM j, mx WHERE day < m ORDER BY day
     """.trim))
 
+  // --------------------------------------------------------------- q197
+
+  /** q197 — dup-family size distribution: how big are the near-dup
+    * families q31 finds — the count-of-counts (the q168 shape) over
+    * cluster sizes: family size 1 = unique docs, the tail = template
+    * farms; the shape that decides keep-one vs down-weight
+    * ([[Dedup.nearDupClusters]] ∘ size histogram). */
+  val q197: Q = Q(
+    "q197_cluster_sizes",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.nearDupClusters(docs, "doc_id",
+          Dedup.minhashLshPairs(docs, "doc_id", "text",
+            threshold = 0.5, k = minhashK, bands = minhashBands))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("family_size"))
+        .groupBy(col("family_size"))
+        .agg(count(lit(1)).as("n_families"))
+        .orderBy(col("family_size"))
+    },
+    Some(s"""
+      WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ($q18OracleSql) q
+      ),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+      ),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+      ),
+      cl AS (
+        SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+      fam AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS family_size
+        FROM cl GROUP BY 1)
+      SELECT family_size, CAST(count(*) AS BIGINT) AS n_families
+      FROM fam GROUP BY 1 ORDER BY 1
+    """.trim))
+
+  // --------------------------------------------------------------- q198
+
+  /** q198 — scrub closure audit ([[Scrub.redactPii]] ∘ itself): run
+    * the redaction twice and count what the SECOND pass still finds —
+    * the idempotence/completeness gate a privacy review actually
+    * asks for ("is anything left after scrubbing?"), as one
+    * oracle-checked row; residual counts must read zero. */
+  val q198: Q = Q(
+    "q198_scrub_closure",
+    (s, d) => {
+      val seeded = Tables.documents(s, d).select(
+        col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" Contact user"), col("doc_id"),
+            lit("@example.com or call 555123"), col("doc_id"), lit(".")))
+          .otherwise(col("text")).as("text"))
+      val pass1 = Scrub.redactPii(seeded, "doc_id", "text")
+      val pass2 = Scrub.redactPii(
+        pass1.select(col("doc_id"), col("redacted").as("text")),
+        "doc_id", "text")
+      val a1 = pass1.agg(count(lit(1)).as("n_docs"),
+        sum(col("n_emails").cast("long")).as("n_emails_pass1"),
+        sum(col("n_digit_runs").cast("long")).as("n_digits_pass1"))
+      val a2 = pass2.agg(
+        sum(col("n_emails").cast("long")).as("n_emails_residual"),
+        sum(col("n_digit_runs").cast("long")).as("n_digits_residual"))
+      a1.crossJoin(broadcast(a2))
+    },
+    Some(s"""
+      WITH seeded AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0
+            THEN text || ' Contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call 555123'
+              || CAST(doc_id AS VARCHAR) || '.'
+            ELSE text END AS text
+        FROM documents),
+      p1 AS (
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '${Scrub.emailRe}')) AS INT)
+            AS n_emails,
+          CAST(len(regexp_extract_all(
+            regexp_replace(text, '${Scrub.emailRe}', '<EMAIL>', 'g'),
+            '${Scrub.longDigitsRe}')) AS INT) AS n_digit_runs,
+          regexp_replace(
+            regexp_replace(text, '${Scrub.emailRe}', '<EMAIL>', 'g'),
+            '${Scrub.longDigitsRe}', '<NUM>', 'g') AS redacted
+        FROM seeded),
+      p2 AS (
+        SELECT
+          CAST(len(regexp_extract_all(redacted, '${Scrub.emailRe}'))
+            AS INT) AS n_emails,
+          CAST(len(regexp_extract_all(
+            regexp_replace(redacted, '${Scrub.emailRe}', '<EMAIL>', 'g'),
+            '${Scrub.longDigitsRe}')) AS INT) AS n_digit_runs
+        FROM p1)
+      SELECT
+        CAST((SELECT count(*) FROM p1) AS BIGINT) AS n_docs,
+        CAST((SELECT sum(n_emails) FROM p1) AS BIGINT) AS n_emails_pass1,
+        CAST((SELECT sum(n_digit_runs) FROM p1) AS BIGINT)
+          AS n_digits_pass1,
+        CAST((SELECT sum(n_emails) FROM p2) AS BIGINT)
+          AS n_emails_residual,
+        CAST((SELECT sum(n_digit_runs) FROM p2) AS BIGINT)
+          AS n_digits_residual
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -7359,5 +7468,5 @@ object Ext {
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168,
       q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
       q181, q182, q183, q184, q185, q186, q187, q188, q189, q190,
-      q191, q192, q193, q194, q195, q196)
+      q191, q192, q193, q194, q195, q196, q197, q198)
 }

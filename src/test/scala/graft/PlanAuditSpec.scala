@@ -835,7 +835,10 @@ class PlanAuditSpec extends SparkSpec {
       "q190_heaps_curve",
       // q194: the ONE-ROW trigram total appended to the |types|³-
       // bounded floored frame — eventTrigrams' scalar-append
-      "q194_event_trigrams")
+      "q194_event_trigrams",
+      // q198: one-row × one-row pass summaries meet on a broadcast
+      // append — the closure audit's scalar join
+      "q198_scrub_closure")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()
