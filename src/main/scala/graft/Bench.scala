@@ -241,7 +241,17 @@ object Bench {
     "q187_sorted_neighbor_match" -> 0.44,
     "q188_dedup_agreement" -> 3.0,
     "q189_skipgram_pairs" -> 1.44,
-    "q190_heaps_curve" -> 1.15)
+    "q190_heaps_curve" -> 1.15,
+    // BENCH_local_r11k (focused q191-q198 run). q195 runs THREE
+    // near-dup pipelines (the q188 rule); q197 pays the q31 closure
+    "q191_lag_autocorrelation" -> 0.62,
+    "q192_fact_reconciliation" -> 1.38,
+    "q193_contribution_shares" -> 0.72,
+    "q194_event_trigrams" -> 0.81,
+    "q195_dedup_disagreements" -> 2.34,
+    "q196_daily_retention" -> 0.64,
+    "q197_cluster_sizes" -> 1.64,
+    "q198_scrub_closure" -> 0.59)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
