@@ -947,4 +947,76 @@ object Profiling {
           .as("share_of_total"))
       .orderBy(col("parent"), col("child"))
   }
+
+  /** 2-D SKYLINE (Pareto frontier) — the maximal points under
+    * "bigger is better on both axes": rows no other row dominates
+    * (≥ on both, > on at least one). The curation shortlist operator
+    * ("the docs that are both long AND high-quality, with nothing
+    * strictly better") — the classic skyline query (Börzsönyi et al.,
+    * ICDE 2001) restricted to 2-D, where it collapses to sorted
+    * cumulative maxima instead of the general block-nested loop.
+    *
+    * Survival rule over the PER-X reduced frame: a row survives iff
+    * its y is the max at its x AND strictly exceeds the best y among
+    * all strictly-greater x (equal (x, y) rows tie into the frontier
+    * together — neither dominates). All integer/exact comparisons; no
+    * pairwise join anywhere.
+    *
+    * Scale shape: ONE partial-aggregable per-x max, a \|distinct x\|-
+    * row cumulative window, a broadcast join back — corpus-sized work
+    * is one groupBy; the window frame is bounded by the x
+    * cardinality. */
+  def skyline2D(df: DataFrame, idCol: Column, xCol: Column,
+      yCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.select(idCol.as("id"), xCol.as("x"), yCol.as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+    val perX = pts.groupBy(col("x")).agg(max(col("y")).as("max_y"))
+    val wDesc = Window.orderBy(col("x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontierX = perX
+      .withColumn("prev_max", max(col("max_y")).over(wDesc))
+      .where(col("prev_max").isNull || col("max_y") > col("prev_max"))
+      .select(col("x"), col("max_y"))
+    val fx = frontierX
+      .select(col("x").as("__fx"), col("max_y").as("__fy"))
+    pts.join(broadcast(fx),
+        col("x") === col("__fx") && col("y") === col("__fy"))
+      .select(col("id"), col("x"), col("y"))
+      .orderBy(col("x").desc, col("id"))
+  }
+
+  /** SAMPLE REPRESENTATIVENESS — did a deterministic sample distort
+    * the stratum mix: per stratum, the full-corpus share vs the
+    * sample share on the exact-count fixed-point grid, plus each
+    * stratum's signed distortion — the audit that validates a
+    * sampling policy BEFORE a model trains on its output (a hash
+    * sample is unbiased in expectation; this measures the realized
+    * draw). L1-style fixed-point arithmetic (the q69 rule): shares as
+    * `count·2²⁰ div total`, distortion the integer difference.
+    *
+    * Scale shape: two partial-aggregable stratum counts (corpus and
+    * sample), one \|strata\|-row join, two one-row total appends. */
+  def sampleRepresentativeness(full: DataFrame, sample: DataFrame,
+      stratumCol: String): DataFrame = {
+    val f = full.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_full"))
+    val sm = sample.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_sample"))
+    val ft = f.agg(sum(col("n_full")).as("__tf"))
+    val st = sm.agg(coalesce(sum(col("n_sample")), lit(0L)).as("__ts"))
+    f.join(sm, Seq("stratum"), "left")
+      .na.fill(0L, Seq("n_sample"))
+      .crossJoin(broadcast(ft)).crossJoin(broadcast(st))
+      .withColumn("share_full_fp",
+        expr("(n_full * 1048576) div __tf"))
+      .withColumn("share_sample_fp",
+        when(col("__ts") > 0, expr("(n_sample * 1048576) div __ts"))
+          .otherwise(lit(0L)))
+      .select(col("stratum"), col("n_full"), col("n_sample"),
+        col("share_full_fp"), col("share_sample_fp"),
+        (col("share_sample_fp") - col("share_full_fp"))
+          .as("distortion_fp"))
+      .orderBy(col("stratum"))
+  }
 }

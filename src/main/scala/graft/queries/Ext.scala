@@ -7452,6 +7452,74 @@ object Ext {
           AS n_digits_residual
     """.trim))
 
+  // --------------------------------------------------------------- q199
+
+  /** q199 — 2-D skyline ([[Profiling.skyline2D]]): parts no other
+    * part dominates on (retail price, size) — the Pareto frontier via
+    * sorted cumulative maxima over the per-x reduced frame, never a
+    * pairwise join; oracle is the literal NOT-EXISTS dominance
+    * definition. */
+  val q199: Q = Q(
+    "q199_skyline",
+    (s, d) =>
+      Profiling.skyline2D(Tables.part(s, d), col("p_partkey"),
+        col("p_retailprice"), col("p_size").cast("long")),
+    Some("""
+      WITH pts AS (
+        SELECT p_partkey AS id, p_retailprice AS x,
+          CAST(p_size AS BIGINT) AS y
+        FROM part WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL)
+      SELECT id, x, y FROM pts b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pts a
+        WHERE a.x >= b.x AND a.y >= b.y AND (a.x > b.x OR a.y > b.y))
+      ORDER BY x DESC, id
+    """.trim))
+
+  // --------------------------------------------------------------- q200
+
+  /** q200 — sample representativeness
+    * ([[Profiling.sampleRepresentativeness]]): q32's hash sample vs
+    * the full corpus, stratum mix on the fixed-point grid with signed
+    * distortion — the audit that validates a sampling policy before
+    * training on its output. */
+  val q200: Q = Q(
+    "q200_sample_representativeness",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val sample = Sampling.stratifiedByHash(docs, "doc_id", "lang",
+        Map("en" -> 75, "es" -> 50, "de" -> 25, "fr" -> 10),
+        defaultPct = 5)
+      Profiling.sampleRepresentativeness(docs, sample, "lang")
+    },
+    Some(s"""
+      WITH smp AS (
+        SELECT doc_id, lang FROM documents
+        WHERE ((doc_id % $P) * 2654435761 % $P + 12345) % $P % 100 <
+          CASE lang WHEN 'en' THEN 75 WHEN 'es' THEN 50
+                    WHEN 'de' THEN 25 WHEN 'fr' THEN 10 ELSE 5 END),
+      f AS (
+        SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_full
+        FROM documents GROUP BY 1),
+      sm AS (
+        SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_sample
+        FROM smp GROUP BY 1),
+      ft AS (SELECT sum(n_full) AS tf FROM f),
+      st AS (SELECT coalesce(sum(n_sample), 0) AS ts FROM sm)
+      SELECT f.stratum AS stratum, n_full,
+        CAST(coalesce(n_sample, 0) AS BIGINT) AS n_sample,
+        CAST((n_full * 1048576) // tf AS BIGINT) AS share_full_fp,
+        CAST(CASE WHEN ts > 0 THEN
+          (coalesce(n_sample, 0) * 1048576) // ts ELSE 0 END AS BIGINT)
+          AS share_sample_fp,
+        CAST(CASE WHEN ts > 0 THEN
+          (coalesce(n_sample, 0) * 1048576) // ts ELSE 0 END
+          - (n_full * 1048576) // tf AS BIGINT) AS distortion_fp
+      FROM f LEFT JOIN sm ON f.stratum = sm.stratum
+      CROSS JOIN ft CROSS JOIN st
+      ORDER BY stratum
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -7468,5 +7536,5 @@ object Ext {
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168,
       q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
       q181, q182, q183, q184, q185, q186, q187, q188, q189, q190,
-      q191, q192, q193, q194, q195, q196, q197, q198)
+      q191, q192, q193, q194, q195, q196, q197, q198, q199, q200)
 }

@@ -838,7 +838,10 @@ class PlanAuditSpec extends SparkSpec {
       "q194_event_trigrams",
       // q198: one-row × one-row pass summaries meet on a broadcast
       // append — the closure audit's scalar join
-      "q198_scrub_closure")
+      "q198_scrub_closure",
+      // q200: the two ONE-ROW totals appended to the |strata| frame —
+      // sampleRepresentativeness' scalar-appends, q95's shape
+      "q200_sample_representativeness")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()

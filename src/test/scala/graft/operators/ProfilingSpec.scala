@@ -433,4 +433,38 @@ class ProfilingSpec extends SparkSpec {
     assert(out(("r1", "b")) == ((30.0, 0.75, 0.3)))
     assert(out(("r2", "c")) == ((60.0, 1.0, 0.6)))
   }
+
+  test("skyline2D: dominated points drop, equal points tie into the " +
+    "frontier together, same-x lower-y drops") {
+    val s12 = spark
+    import s12.implicits._
+    import org.apache.spark.sql.functions.col
+    val pts = Seq((1L, 5L, 1L), (2L, 3L, 3L), (3L, 3L, 2L),
+      (4L, 1L, 5L), (5L, 4L, 1L), (6L, 3L, 3L))
+      .toDF("id", "x", "y")
+    val out = Profiling.skyline2D(pts, col("id"), col("x"), col("y"))
+      .collect().map(_.getLong(0)).toSet
+    // (5,1) kills (4,1); (3,3) kills (3,2); (1,5) stands alone;
+    // ids 2 and 6 share (3,3) — neither dominates, both stay
+    assert(out == Set(1L, 2L, 4L, 6L))
+  }
+
+  test("sampleRepresentativeness: fixed-point shares and signed " +
+    "distortion; empty-stratum samples read zero, not NULL") {
+    val s13 = spark
+    import s13.implicits._
+    val full = (Seq.fill(6)("en") ++ Seq.fill(2)("es") ++ Seq.fill(2)("de"))
+      .toDF("lang")
+    val sample = (Seq.fill(3)("en") ++ Seq.fill(1)("es")).toDF("lang")
+    val out = Profiling.sampleRepresentativeness(full, sample, "lang")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    val M = 1L << 20
+    // full shares: en 6/10, es 2/10, de 2/10; sample: en 3/4, es 1/4
+    assert(out("en") == ((6L, 3L, 6 * M / 10, 3 * M / 4,
+      3 * M / 4 - 6 * M / 10)))
+    assert(out("es") == ((2L, 1L, 2 * M / 10, M / 4, M / 4 - 2 * M / 10)))
+    assert(out("de") == ((2L, 0L, 2 * M / 10, 0L, -(2 * M / 10))))
+  }
 }
