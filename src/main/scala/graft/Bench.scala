@@ -111,7 +111,7 @@ object Bench {
     "q25_doc_fingerprint" -> 0.19,
     "q65_term_zipf" -> 0.39,
     "q66_lexical_richness" -> 0.45,
-    "q67_novelty_decay" -> 0.59,
+    "q67_novelty_decay" -> 0.57,
     "q68_holdout_split" -> 0.18,
     "q69_event_drift" -> 0.65,
     "q79_ingest_gaps" -> 0.33,
@@ -124,31 +124,31 @@ object Bench {
     "q86_growth_curve" -> 0.33,
     "q87_sliding_wau" -> 0.46,
     "q88_equidepth_histogram" -> 0.6,
-    "q89_hll_distinct" -> 0.4,
-    "q90_weighted_sample" -> 0.25,
+    "q89_hll_distinct" -> 0.38,
+    "q90_weighted_sample" -> 0.23,
     "q91_source_overlap" -> 1.45,
     // q92's floor moved 0.29 -> 0.41 in r11: the block-cap guard adds
     // a count aggregate + broadcast anti-join by design (scale safety
     // traded for ~0.1 s at this SF); best observed for the new plan
     "q92_fuzzy_match" -> 0.41,
-    "q93_stratum_percentile" -> 0.27,
+    "q93_stratum_percentile" -> 0.25,
     "q94_leakage_safe_split" -> 1.47,
     "q95_value_drift" -> 0.51,
-    "q96_embedding_drift" -> 0.48,
-    "q97_collocations" -> 1.03,
+    "q96_embedding_drift" -> 0.44,
+    "q97_collocations" -> 0.74,
     "q98_label_affinity" -> 0.59,
-    "q99_vocab_coverage" -> 0.85,
+    "q99_vocab_coverage" -> 0.76,
     "q100_containment_pairs" -> 1.82,
     "q101_cross_containment" -> 1.39,
     "q102_winsorize" -> 0.42,
     // r11 additions: best of the r11d/r11e canonicals (BASELINE.md)
     "q103_temperature_mix" -> 0.34,
-    "q104_rule_audit" -> 0.43,
+    "q104_rule_audit" -> 0.38,
     "q105_bigram_fluency" -> 1.23,
-    "q106_hard_negatives" -> 0.48,
-    "q107_intra_label_diversity" -> 0.53,
+    "q106_hard_negatives" -> 0.46,
+    "q107_intra_label_diversity" -> 0.46,
     "q108_mad_outliers" -> 0.47,
-    "q109_json_field_stats" -> 0.72,
+    "q109_json_field_stats" -> 0.63,
     "q110_curation_funnel" -> 0.38,
     "q111_grid_percentile" -> 0.4,
     "q112_unigram_divergence" -> 0.77,
@@ -158,7 +158,7 @@ object Bench {
     "q116_mixed_language" -> 0.79,
     "q117_fd_audit" -> 0.3,
     "q118_touch_attribution" -> 0.86,
-    "q119_join_blowup" -> 0.28,
+    "q119_join_blowup" -> 0.26,
     "q120_benford_profile" -> 0.57,
     "q121_k_anonymity" -> 0.29,
     "q122_transition_matrix" -> 0.5,
@@ -166,91 +166,91 @@ object Bench {
     // so these seeds are conservative — later quiet canonicals lower
     // them as better minimums are observed)
     "q123_hybrid_rrf" -> 1.51,
-    "q124_distinct_ngrams" -> 1.52,
-    "q125_embedding_health" -> 0.35,
-    "q126_cusum_changepoint" -> 0.69,
-    "q127_ks_drift" -> 0.88,
-    "q128_rfm_segments" -> 0.43,
-    "q129_ann_recall" -> 1.75,
-    "q130_dedup_impact" -> 0.5,
-    "q131_encoding_health" -> 0.32,
-    "q132_length_bias" -> 0.44,
-    "q133_simpson_concentration" -> 0.5,
-    "q134_soft_dedup" -> 0.41,
-    "q135_cramers_v" -> 0.53,
-    "q136_source_concentration" -> 0.24,
-    "q137_interevent_gaps" -> 0.77,
-    "q138_stickiness" -> 1.46,
+    "q124_distinct_ngrams" -> 1.42,
+    "q125_embedding_health" -> 0.3,
+    "q126_cusum_changepoint" -> 0.58,
+    "q127_ks_drift" -> 0.61,
+    "q128_rfm_segments" -> 0.41,
+    "q129_ann_recall" -> 1.71,
+    "q130_dedup_impact" -> 0.41,
+    "q131_encoding_health" -> 0.29,
+    "q132_length_bias" -> 0.43,
+    "q133_simpson_concentration" -> 0.41,
+    "q134_soft_dedup" -> 0.3,
+    "q135_cramers_v" -> 0.39,
+    "q136_source_concentration" -> 0.22,
+    "q137_interevent_gaps" -> 0.71,
+    "q138_stickiness" -> 1.02,
     "q139_session_cooccurrence" -> 1.0,
     "q140_ivf_cell_balance" -> 1.18,
-    "q141_key_candidates" -> 0.74,
-    "q142_embedding_dups" -> 0.37,
+    "q141_key_candidates" -> 0.73,
+    "q142_embedding_dups" -> 0.31,
     "q143_readability" -> 0.41,
     // q144 runs BOTH pair pipelines by design (the eval's honest cost:
     // the exact reference rung plus the banded rung)
     "q144_lsh_operating_point" -> 2.42,
     "q145_token_truncation" -> 0.33,
-    "q146_source_lang_purity" -> 0.39,
+    "q146_source_lang_purity" -> 0.32,
     // r11 third wave: seeded from the 178-query canonical
     // (BENCH_local_r11g) and the focused q169-q180 follow-up run;
     // q170's floor reflects the one-pass conditional-fold rewrite
     "q147_trimmed_order_value" -> 1.1,
-    "q148_hll_accuracy" -> 0.46,
-    "q149_daily_snapshot" -> 0.61,
-    "q150_cohort_ltv" -> 0.75,
-    "q151_daily_value_bands" -> 0.82,
-    "q152_funnel_timing" -> 0.9,
-    "q153_domain_profile" -> 0.36,
-    "q154_casing_profile" -> 0.73,
-    "q155_regional_volume" -> 0.9,
-    "q156_order_priority" -> 0.64,
+    "q148_hll_accuracy" -> 0.43,
+    "q149_daily_snapshot" -> 0.54,
+    "q150_cohort_ltv" -> 0.69,
+    "q151_daily_value_bands" -> 0.75,
+    "q152_funnel_timing" -> 0.8,
+    "q153_domain_profile" -> 0.34,
+    "q154_casing_profile" -> 0.68,
+    "q155_regional_volume" -> 0.82,
+    "q156_order_priority" -> 0.51,
     "q157_period_growth" -> 0.41,
-    "q158_json_topk" -> 0.69,
-    "q159_coverage_curve" -> 0.5,
-    "q160_cluster_impact" -> 1.74,
+    "q158_json_topk" -> 0.58,
+    "q159_coverage_curve" -> 0.38,
+    "q160_cluster_impact" -> 1.73,
     "q161_abc_classes" -> 0.78,
-    "q162_staleness_audit" -> 0.5,
-    "q163_dow_anomaly" -> 0.8,
-    "q164_drawdown" -> 0.4,
+    "q162_staleness_audit" -> 0.46,
+    "q163_dow_anomaly" -> 0.58,
+    "q164_drawdown" -> 0.37,
     "q165_missingness_lift" -> 0.16,
-    "q166_peak_rate" -> 0.51,
+    "q166_peak_rate" -> 0.42,
     "q167_ship_latency" -> 0.92,
     "q168_order_distribution" -> 0.44,
     "q169_activity_streaks" -> 0.64,
-    "q170_rank_shift" -> 1.55,
+    "q170_rank_shift" -> 1.24,
     "q171_temporal_split" -> 0.42,
-    "q172_causal_zscore" -> 0.95,
+    "q172_causal_zscore" -> 0.93,
     "q173_seasonal_naive" -> 0.52,
     "q174_winnowing_neardup" -> 1.67,
-    "q175_profile_drift" -> 0.39,
+    "q175_profile_drift" -> 0.35,
     "q176_value_tail_bands" -> 0.52,
     "q177_type_pagerank" -> 1.31,
     "q178_fuzzy_operating_point" -> 0.95,
     "q179_tfidf_keywords" -> 1.41,
-    "q180_grid_accuracy" -> 0.82,
+    "q180_grid_accuracy" -> 0.76,
     // BENCH_local_r11i (focused q181-q185 run)
-    "q181_transition_predictability" -> 0.85,
-    "q182_key_gap_audit" -> 1.1,
-    "q183_ols_trend" -> 0.58,
-    "q184_robust_trend" -> 0.83,
-    "q185_head_tail_rollup" -> 0.96,
+    "q181_transition_predictability" -> 0.56,
+    "q182_key_gap_audit" -> 0.67,
+    "q183_ols_trend" -> 0.35,
+    "q184_robust_trend" -> 0.56,
+    "q185_head_tail_rollup" -> 0.57,
     // BENCH_local_r11j (focused q186-q190 run). q188 runs FOUR
     // near-dup pipelines by design — the agreement eval's honest
     // cost, the q144 rule
     "q186_contrastive_triplets" -> 1.79,
-    "q187_sorted_neighbor_match" -> 0.44,
-    "q188_dedup_agreement" -> 3.0,
-    "q189_skipgram_pairs" -> 1.44,
-    "q190_heaps_curve" -> 1.15,
+    "q187_sorted_neighbor_match" -> 0.42,
+    "q188_dedup_agreement" -> 2.78,
+    "q189_skipgram_pairs" -> 1.01,
+    "q190_heaps_curve" -> 0.92,
     // BENCH_local_r11k (focused q191-q198 run). q195 runs THREE
     // near-dup pipelines (the q188 rule); q197 pays the q31 closure
-    "q191_lag_autocorrelation" -> 0.62,
-    "q192_fact_reconciliation" -> 1.38,
-    "q193_contribution_shares" -> 0.72,
-    "q194_event_trigrams" -> 0.81,
+    "q191_lag_autocorrelation" -> 0.46,
+    "q192_fact_reconciliation" -> 1.24,
+    "q193_contribution_shares" -> 0.58,
+    "q194_event_trigrams" -> 0.61,
     "q195_dedup_disagreements" -> 2.34,
-    "q196_daily_retention" -> 0.64,
-    "q197_cluster_sizes" -> 1.64,
+    "q196_daily_retention" -> 0.52,
+    "q197_cluster_sizes" -> 1.38,
     "q198_scrub_closure" -> 0.59)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
