@@ -139,4 +139,62 @@ object Trend {
             .cast("double")))).as("autocorr"))
       .orderBy(col("key"))
   }
+
+  /** GROUP CORRELATION — Pearson r between two INTEGER metrics per
+    * group ([[lagAutocorrelation]]'s six-sum machinery off the time
+    * axis): "do bigger orders discount deeper, per segment" as one
+    * exact-integer pass. Same engine-exact contract: six
+    * DECIMAL(38,0) sums, ONE fixed IEEE tree, zero variance on
+    * either side keeps NULL. */
+  def groupCorrelation(df: DataFrame, groupCol: Column, xCol: Column,
+      yCol: Column): DataFrame =
+    df.select(groupCol.as("key"), xCol.as("x"), yCol.as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"))
+      .select(col("key"), col("n"),
+        when(col("n") >= 2 &&
+          (col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+          (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+          (col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+            .cast("double")))).as("r"))
+      .orderBy(col("key"))
+
+  /** STRATUM MEAN ± STANDARD ERROR — the survey-estimator readout
+    * ([[graft.operators.Profiling.columnProfile]] counts; this
+    * estimates): per stratum, the mean of an integer measure with its
+    * standard error — the error bar that turns "en averages 2 341
+    * chars" into a statement with a confidence width, and the number
+    * a mixture designer needs before trusting small-stratum stats.
+    *
+    * Exact sums (n, Σx, Σx² in DECIMAL(38,0)); the mean is ONE
+    * division; the SE is the fixed tree
+    * `sqrt(nΣx² − (Σx)²) / (n · sqrt(n−1))` — sample-variance based,
+    * NULL below two rows. ONE partial-aggregable pass. */
+  def stratumMeanSE(df: DataFrame, stratumCol: Column, valueCol: Column)
+      : DataFrame =
+    df.select(stratumCol.as("stratum"), valueCol.as("v"))
+      .where(col("v").isNotNull)
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(dec)).as("s"),
+        sum((col("v") * col("v")).cast(dec)).as("q"))
+      .select(col("stratum"), col("n"),
+        (col("s").cast("double") / col("n").cast("double")).as("mean"),
+        when(col("n") >= 2 &&
+          (col("n") * col("q") - col("s") * col("s")) >= 0,
+          sqrt((col("n") * col("q") - col("s") * col("s"))
+            .cast("double")) /
+          (col("n").cast("double") *
+            sqrt((col("n") - 1).cast("double")))).as("se"))
+      .orderBy(col("stratum"))
 }

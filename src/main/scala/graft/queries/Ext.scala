@@ -7520,6 +7520,71 @@ object Ext {
       ORDER BY stratum
     """.trim))
 
+  // --------------------------------------------------------------- q201
+
+  /** q201 — stratum mean ± SE ([[Trend.stratumMeanSE]]): per
+    * language, mean doc length with its standard error — the survey
+    * estimator that gives small-stratum stats an honest error bar;
+    * exact sums, one division, one fixed sqrt tree. */
+  val q201: Q = Q(
+    "q201_stratum_mean_se",
+    (s, d) =>
+      Trend.stratumMeanSE(Tables.documents(s, d), col("lang"),
+        col("n_chars")),
+    Some("""
+      WITH a AS (
+        SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n,
+          sum(CAST(n_chars AS HUGEINT)) AS s,
+          sum(CAST(n_chars AS HUGEINT) * n_chars) AS q
+        FROM documents WHERE n_chars IS NOT NULL GROUP BY 1)
+      SELECT stratum, n,
+        CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        CASE WHEN n >= 2 AND n * q - s * s >= 0 THEN
+          sqrt(CAST(n * q - s * s AS DOUBLE))
+            / (CAST(n AS DOUBLE) * sqrt(CAST(n - 1 AS DOUBLE)))
+        END AS se
+      FROM a ORDER BY stratum
+    """.trim))
+
+  // --------------------------------------------------------------- q202
+
+  /** q202 — metric correlation ([[Trend.groupCorrelation]]): per
+    * order priority, Pearson r between line quantity and discount
+    * cents — q191's six-sum machinery off the time axis; exact-int
+    * sums, one fixed IEEE tree. */
+  val q202: Q = Q(
+    "q202_metric_correlation",
+    (s, d) =>
+      Trend.groupCorrelation(
+        Tables.lineitem(s, d).join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey")),
+        col("o_orderpriority"),
+        col("l_quantity").cast("long"),
+        (Dec.d2(col("l_discount")) * 100).cast("long")),
+    Some("""
+      WITH b AS (
+        SELECT o_orderpriority AS key,
+          CAST(l_quantity AS BIGINT) AS x,
+          CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+      a AS (
+        SELECT key, CAST(count(*) AS BIGINT) AS n,
+          sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+          sum(CAST(x AS HUGEINT) * y) AS sxy,
+          sum(CAST(x AS HUGEINT) * x) AS sxx,
+          sum(CAST(y AS HUGEINT) * y) AS syy
+        FROM b GROUP BY 1)
+      SELECT key, n,
+        CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+          AND n * syy - sy * sy > 0 THEN
+          CAST(n * sxy - sx * sy AS DOUBLE)
+            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+               * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        END AS r
+      FROM a ORDER BY key
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -7536,5 +7601,5 @@ object Ext {
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168,
       q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
       q181, q182, q183, q184, q185, q186, q187, q188, q189, q190,
-      q191, q192, q193, q194, q195, q196, q197, q198, q199, q200)
+      q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202)
 }

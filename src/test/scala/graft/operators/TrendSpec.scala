@@ -61,4 +61,34 @@ class TrendSpec extends SparkSpec {
     assert(math.abs(out("alt")._2.get - (-1.0)) < 1e-12)
     assert(out("const")._2.isEmpty) // zero variance
   }
+
+  test("stratumMeanSE: hand-computed mean and SE; singleton strata " +
+    "keep NULL SE") {
+    val s14 = spark; import s14.implicits._
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 7L))
+      .toDF("g", "v")
+    val out = Trend.stratumMeanSE(df, col("g"), col("v")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    // a: mean 2, sample var 1, se = 1/sqrt(3)
+    assert(out("a")._1 == 3L && out("a")._2 == 2.0)
+    assert(math.abs(out("a")._3.get - 1.0 / math.sqrt(3.0)) < 1e-12)
+    assert(out("b") == ((1L, 7.0, None)))
+  }
+
+  test("groupCorrelation: perfect linear r = 1, inverse r = -1, " +
+    "constant side NULL") {
+    val s15 = spark; import s15.implicits._
+    val df = Seq(
+      ("lin", 1L, 10L), ("lin", 2L, 20L), ("lin", 3L, 30L),
+      ("inv", 1L, 3L), ("inv", 2L, 2L), ("inv", 3L, 1L),
+      ("flat", 1L, 5L), ("flat", 2L, 5L)
+    ).toDF("g", "x", "y")
+    val out = Trend.groupCorrelation(df, col("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(math.abs(out("lin").get - 1.0) < 1e-12)
+    assert(math.abs(out("inv").get - (-1.0)) < 1e-12)
+    assert(out("flat").isEmpty)
+  }
 }
