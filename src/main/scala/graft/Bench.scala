@@ -251,7 +251,12 @@ object Bench {
     "q195_dedup_disagreements" -> 2.34,
     "q196_daily_retention" -> 0.52,
     "q197_cluster_sizes" -> 1.38,
-    "q198_scrub_closure" -> 0.59)
+    "q198_scrub_closure" -> 0.59,
+    // q199-q202: closing-canonical (r11l) + focused runs
+    "q199_skyline" -> 0.4,
+    "q200_sample_representativeness" -> 0.35,
+    "q201_stratum_mean_se" -> 0.33,
+    "q202_metric_correlation" -> 1.65)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
