@@ -351,6 +351,9 @@ final class TrendStore(spark: SparkSession, storeDir: String) {
     * ≤ |keys|·|batch days| rows land). `dayCol` must be DATE-typed or
     * castable. */
   def ingest(df: DataFrame, keyCol: String, dayCol: String): Unit = {
+    storeExists // the gate THROWS in a compact() crash window — an
+    // append there would create a fresh committed dir beside
+    // .compact_old and let the next heal discard the pre-crash counts
     df.select(col(keyCol).cast("string").as("key"),
         datediff(col(dayCol).cast("date"),
           to_date(lit("1970-01-01"))).as("d"))

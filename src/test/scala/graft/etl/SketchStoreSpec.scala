@@ -223,4 +223,26 @@ class SketchStoreSpec extends SparkSpec {
       s"$base/store")
     assert(n == 1L) // one key in batch 1
   }
+
+  test("Trend: ingest into a compact crash window THROWS instead of " +
+    "creating a fresh store beside the preserved copy") {
+    val s3 = spark; import s3.implicits._
+    val base = Files.createTempDirectory("graft_trend_crash").toString
+    val store = new TrendStore(spark, s"$base/store")
+    val batch = Seq(("A", "2024-01-01")).toDF("k", "day")
+      .select(col("k"), to_date(col("day")).as("day"))
+    store.ingest(batch, "k", "day")
+    // simulate the mid-swap crash: live dir renamed away to .compact_old
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$base/store"),
+      new org.apache.hadoop.fs.Path(s"$base/store.compact_old"))
+    val e = intercept[IllegalStateException] {
+      store.ingest(batch, "k", "day")
+    }
+    assert(e.getMessage.contains("compact"))
+    // the preserved copy is untouched
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$base/store.compact_old")))
+  }
 }
