@@ -761,4 +761,51 @@ object Cohorts {
           col("n_active").cast("double")).as("d1_retention"))
       .orderBy(col("day"))
   }
+
+  /** A/B CONVERSION Z-TEST — the experiment readout: users split
+    * deterministically into two arms by the portable id hash (the
+    * [[graft.operators.Sampling.pctBucket]] family — no rand(), the
+    * assignment reproduces on every engine and rerun), each arm's
+    * conversion rate (did the user ever emit `convertType`), and the
+    * two-proportion z statistic under the pooled-rate null. |z| ≳ 2
+    * is the conventional "this difference is probably real".
+    *
+    * Engine-exact: arm sizes and conversions are exact counts; the
+    * rates and z are ONE fixed IEEE tree over those four integers
+    * (pooled p̂, the variance product, one sqrt, one division) —
+    * identical on both engines; a zero-variance denominator keeps
+    * NULL z. Scale shape: ONE per-user partial-aggregable fold, a
+    * 2-row arm rollup, a 1×1 join. Output: one row with both arms'
+    * stats and z. */
+  def abConversionZ(events: DataFrame, userCol: String,
+      typeCol: String, convertType: String): DataFrame = {
+    val P = 1000000007L
+    val perUser = events
+      .select(col(userCol).as("u"), col(typeCol).as("t"))
+      .groupBy(col("u"))
+      .agg(max(when(col("t") === convertType, 1L).otherwise(0L))
+        .as("conv"))
+      .withColumn("arm",
+        ((col("u") % P) * lit(2654435761L) % P + lit(12345L)) % P % 2)
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("k"))
+    val a = arms.where(col("arm") === 0)
+      .select(col("n").as("n_a"), col("k").as("k_a"))
+    val b = arms.where(col("arm") === 1)
+      .select(col("n").as("n_b"), col("k").as("k_b"))
+    a.crossJoin(broadcast(b))
+      .select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+        (col("k_a").cast("double") / col("n_a").cast("double"))
+          .as("rate_a"),
+        (col("k_b").cast("double") / col("n_b").cast("double"))
+          .as("rate_b"))
+      .withColumn("z", {
+        val p = (col("k_a") + col("k_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double")
+        val se = sqrt(p * (lit(1.0) - p) *
+          (lit(1.0) / col("n_a").cast("double") +
+           lit(1.0) / col("n_b").cast("double")))
+        when(se > 0.0, (col("rate_a") - col("rate_b")) / se)
+      })
+  }
 }

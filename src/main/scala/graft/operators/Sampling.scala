@@ -415,4 +415,17 @@ object Sampling {
         col("positive_id"), col("negative_id"))
       .orderBy(col("anchor_id"))
   }
+
+  /** SPLIT BALANCE AUDIT — did the split skew the features: per
+    * split of [[temporalSplit]]'s fence (or any split column), the
+    * mean ± standard error of a measure ([[graft.operators.Trend.stratumMeanSE]]
+    * keyed by split). Two splits whose error bars don't overlap on a
+    * feature the model uses = the eval is measuring the SPLIT, not
+    * the model. One corpus pass after the split assignment. */
+  def splitBalance(df: DataFrame, splitCol: Column, valueCol: Column)
+      : DataFrame =
+    graft.operators.Trend.stratumMeanSE(
+      df.select(splitCol.as("split"), valueCol.as("v")),
+      col("split"), col("v"))
+      .withColumnRenamed("stratum", "split")
 }

@@ -7585,6 +7585,150 @@ object Ext {
       FROM a ORDER BY key
     """.trim))
 
+  // --------------------------------------------------------------- q203
+
+  /** q203 — split balance audit ([[Sampling.splitBalance]] over the
+    * q171 fence): per temporal split, mean ± SE of the event value in
+    * cents — non-overlapping error bars on a model feature mean the
+    * eval measures the SPLIT, not the model. */
+  val q203: Q = Q(
+    "q203_split_balance",
+    (s, d) => {
+      val e = eventsUs(s, d)
+      val usDay = 86400000000L
+      val anchor = e.agg(max(col("ts_us")).as("__anchor"))
+      val withSplit = e.crossJoin(broadcast(anchor))
+        .withColumn("split",
+          when(col("ts_us") > col("__anchor") - 7 * usDay, "test")
+          .when(col("ts_us") > col("__anchor") - 9 * usDay, "embargo")
+          .otherwise("train"))
+      Sampling.splitBalance(withSplit, col("split"),
+        (Dec.d2(col("value")) * 100).cast("long"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+          CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        FROM events),
+      a AS (SELECT max(ts_us) AS anchor FROM base),
+      sp AS (
+        SELECT CASE
+          WHEN ts_us > anchor - 7 * 86400000000 THEN 'test'
+          WHEN ts_us > anchor - 9 * 86400000000 THEN 'embargo'
+          ELSE 'train' END AS split, v
+        FROM base, a WHERE v IS NOT NULL),
+      agg AS (
+        SELECT split, CAST(count(*) AS BIGINT) AS n,
+          sum(CAST(v AS HUGEINT)) AS s,
+          sum(CAST(v AS HUGEINT) * v) AS q
+        FROM sp GROUP BY 1)
+      SELECT split, n,
+        CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        CASE WHEN n >= 2 AND n * q - s * s >= 0 THEN
+          sqrt(CAST(n * q - s * s AS DOUBLE))
+            / (CAST(n AS DOUBLE) * sqrt(CAST(n - 1 AS DOUBLE)))
+        END AS se
+      FROM agg ORDER BY split
+    """.trim))
+
+  // --------------------------------------------------------------- q204
+
+  /** q204 — A/B conversion z-test ([[Cohorts.abConversionZ]]): users
+    * hash-split into two arms (no rand(); the assignment reproduces
+    * everywhere), purchase conversion per arm, the two-proportion z
+    * under the pooled null — |z| ≳ 2 says the difference is probably
+    * real; on a hash split of ONE population it should hover near 0
+    * (the A/A sanity reading). */
+  val q204: Q = Q(
+    "q204_ab_conversion_z",
+    (s, d) =>
+      Cohorts.abConversionZ(Tables.events(s, d), "user_id",
+        "event_type", "purchase"),
+    Some(s"""
+      WITH pu AS (
+        SELECT user_id AS u,
+          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS conv
+        FROM events GROUP BY 1),
+      arm AS (
+        SELECT ((u % $P) * 2654435761 % $P + 12345) % $P % 2 AS arm,
+          conv
+        FROM pu),
+      st AS (
+        SELECT arm, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(conv) AS BIGINT) AS k
+        FROM arm GROUP BY 1),
+      ab AS (
+        SELECT
+          (SELECT n FROM st WHERE arm = 0) AS n_a,
+          (SELECT k FROM st WHERE arm = 0) AS k_a,
+          (SELECT n FROM st WHERE arm = 1) AS n_b,
+          (SELECT k FROM st WHERE arm = 1) AS k_b),
+      r AS (
+        SELECT n_a, k_a, n_b, k_b,
+          CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+          CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+          CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS p
+        FROM ab),
+      r2 AS (
+        SELECT *, sqrt(p * (1.0e0 - p) *
+          (1.0e0 / CAST(n_a AS DOUBLE) + 1.0e0 / CAST(n_b AS DOUBLE)))
+          AS se
+        FROM r)
+      SELECT n_a, k_a, n_b, k_b, rate_a, rate_b,
+        CASE WHEN se > 0 THEN (rate_a - rate_b) / se END AS z
+      FROM r2
+    """.trim))
+
+  // --------------------------------------------------------------- q205
+
+  /** q205 — price-volume-mix bridge ([[Rolling.priceVolumeMix]]): per
+    * order priority, the revenue change between trailing 30-day
+    * windows split into volume and price effects — q170 says WHO
+    * moved, this says WHY; exact decimal Δrevenue, fixed-tree
+    * effects, NULL where no unit price exists. */
+  val q205: Q = Q(
+    "q205_price_volume_mix",
+    (s, d) =>
+      Rolling.priceVolumeMix(
+        Tables.lineitem(s, d).join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey")),
+        col("o_orderpriority"), to_date(col("l_shipdate")),
+        col("l_quantity"), col("l_extendedprice"), windowDays = 30),
+    Some("""
+      WITH base AS (
+        SELECT o_orderpriority AS key, CAST(l_shipdate AS DATE) AS day,
+          CAST(l_quantity AS BIGINT) AS q,
+          CAST(l_extendedprice AS DECIMAL(12,2)) AS r
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      a AS (SELECT max(day) AS anchor FROM base),
+      per AS (
+        SELECT key,
+          sum(CASE WHEN anchor - day < 30 THEN q END) AS q2,
+          sum(CASE WHEN anchor - day < 30 THEN r END) AS r2,
+          sum(CASE WHEN anchor - day >= 30 AND anchor - day < 60
+            THEN q END) AS q1,
+          sum(CASE WHEN anchor - day >= 30 AND anchor - day < 60
+            THEN r END) AS r1
+        FROM base, a GROUP BY 1
+        HAVING q1 IS NOT NULL OR q2 IS NOT NULL)
+      SELECT key, CAST(q1 AS BIGINT) AS q1, CAST(r1 AS DOUBLE) AS r1,
+        CAST(q2 AS BIGINT) AS q2, CAST(r2 AS DOUBLE) AS r2,
+        CAST(coalesce(r2, CAST(0 AS DECIMAL(12,2)))
+          - coalesce(r1, CAST(0 AS DECIMAL(12,2))) AS DOUBLE)
+          AS delta_revenue,
+        CASE WHEN q1 > 0 AND q2 > 0 THEN
+          CAST(q2 - q1 AS DOUBLE)
+            * (CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE))
+        END AS volume_effect,
+        CASE WHEN q1 > 0 AND q2 > 0 THEN
+          CAST(q2 AS DOUBLE)
+            * (CAST(r2 AS DOUBLE) / CAST(q2 AS DOUBLE)
+               - CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE))
+        END AS price_effect
+      FROM per ORDER BY key
+    """.trim))
+
   def all: Seq[Q] =
     Seq(q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q30, q31,
       q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44,
@@ -7601,5 +7745,5 @@ object Ext {
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168,
       q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
       q181, q182, q183, q184, q185, q186, q187, q188, q189, q190,
-      q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202)
+      q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205)
 }

@@ -841,7 +841,16 @@ class PlanAuditSpec extends SparkSpec {
       "q198_scrub_closure",
       // q200: the two ONE-ROW totals appended to the |strata| frame —
       // sampleRepresentativeness' scalar-appends, q95's shape
-      "q200_sample_representativeness")
+      "q200_sample_representativeness",
+      // q203: the ONE-ROW max-ts anchor appended for the split CASE —
+      // temporalSplit's scalar-append (q171) reused inline
+      "q203_split_balance",
+      // q204: the two one-row arm frames meet on a 1×1 broadcast
+      // append — abConversionZ's scalar join
+      "q204_ab_conversion_z",
+      // q205: the ONE-ROW max-day anchor appended before the
+      // conditional fold — rankShift's scalar-append (q170)
+      "q205_price_volume_mix")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()

@@ -364,4 +364,25 @@ class CohortsSpec extends SparkSpec {
       ("2024-01-01", 3L, 2L, 2.0 / 3),
       ("2024-01-02", 2L, 0L, 0.0)))
   }
+
+  test("abConversionZ: arm assignment replays the portable hash; " +
+    "counts and the z formula verify against a scala replay") {
+    val P = 1000000007L
+    def arm(u: Long) = (((u % P) * 2654435761L % P + 12345L) % P % 2).toInt
+    val users = (1L to 40L)
+    val ev = users.flatMap { u =>
+      val base = Seq((u, "view"))
+      if (u % 3 == 0) base :+ ((u, "purchase")) else base
+    }.toDF("user_id", "event_type")
+    val r = Cohorts.abConversionZ(ev, "user_id", "event_type",
+      "purchase").collect()(0)
+    val a = users.filter(arm(_) == 0); val b = users.filter(arm(_) == 1)
+    val ka = a.count(_ % 3 == 0).toLong; val kb = b.count(_ % 3 == 0).toLong
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((a.size.toLong, ka, b.size.toLong, kb)))
+    val (ra, rb) = (ka.toDouble / a.size, kb.toDouble / b.size)
+    val p = (ka + kb).toDouble / (a.size + b.size)
+    val se = math.sqrt(p * (1.0 - p) * (1.0 / a.size + 1.0 / b.size))
+    assert(math.abs(r.getDouble(6) - (ra - rb) / se) < 1e-12)
+  }
 }

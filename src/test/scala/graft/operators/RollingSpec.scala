@@ -173,4 +173,29 @@ class RollingSpec extends SparkSpec {
     assert(math.abs(z4 - 2.0) < 1e-12)
     assert(out(6L)._3.isEmpty && out(7L)._3.isEmpty) // zero variance
   }
+
+  test("priceVolumeMix: the bridge decomposes by hand; a missing " +
+    "period keeps NULL effects but the exact delta") {
+    val s16 = spark; import s16.implicits._
+    // anchor = 2024-03-01. current window: 12 units for 132.00
+    // (p2 = 11); prior window: 10 units for 100.00 (p1 = 10).
+    val rows =
+      Seq.fill(2)(("X", "2024-02-28", 6L, 66.00)) ++      // current
+      Seq.fill(2)(("X", "2024-01-20", 5L, 50.00)) ++      // prior
+      Seq(("NEW", "2024-03-01", 3L, 30.00))               // current only
+    val df = rows.toDF("k", "d", "q", "r")
+      .withColumn("d", col("d").cast("date"))
+    val out = Rolling.priceVolumeMix(df, col("k"), col("d"), col("q"),
+      col("r"), windowDays = 30).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val x = out("X")
+    assert((x.getLong(1), x.getDouble(2), x.getLong(3),
+      x.getDouble(4)) == ((10L, 100.0, 12L, 132.0)))
+    assert(x.getDouble(5) == 32.0)            // exact decimal delta
+    assert(x.getDouble(6) == 20.0)            // (12-10)·10
+    assert(x.getDouble(7) == 12.0)            // 12·(11-10)
+    val n = out("NEW")
+    assert(n.isNullAt(1) && n.getDouble(5) == 30.0 &&
+      n.isNullAt(6) && n.isNullAt(7))
+  }
 }
