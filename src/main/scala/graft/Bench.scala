@@ -256,7 +256,11 @@ object Bench {
     "q199_skyline" -> 0.4,
     "q200_sample_representativeness" -> 0.35,
     "q201_stratum_mean_se" -> 0.33,
-    "q202_metric_correlation" -> 1.65)
+    "q202_metric_correlation" -> 1.65,
+    // BENCH_local_r11m (focused q203-q205 run)
+    "q203_split_balance" -> 0.55,
+    "q204_ab_conversion_z" -> 0.31,
+    "q205_price_volume_mix" -> 1.36)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
