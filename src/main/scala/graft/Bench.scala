@@ -135,24 +135,24 @@ object Bench {
     "q94_leakage_safe_split" -> 1.47,
     "q95_value_drift" -> 0.51,
     "q96_embedding_drift" -> 0.44,
-    "q97_collocations" -> 0.74,
+    "q97_collocations" -> 0.71,
     "q98_label_affinity" -> 0.59,
     "q99_vocab_coverage" -> 0.76,
     "q100_containment_pairs" -> 1.82,
     "q101_cross_containment" -> 1.39,
     "q102_winsorize" -> 0.42,
     // r11 additions: best of the r11d/r11e canonicals (BASELINE.md)
-    "q103_temperature_mix" -> 0.34,
+    "q103_temperature_mix" -> 0.3,
     "q104_rule_audit" -> 0.38,
     "q105_bigram_fluency" -> 1.23,
     "q106_hard_negatives" -> 0.46,
     "q107_intra_label_diversity" -> 0.46,
     "q108_mad_outliers" -> 0.47,
-    "q109_json_field_stats" -> 0.63,
-    "q110_curation_funnel" -> 0.38,
+    "q109_json_field_stats" -> 0.57,
+    "q110_curation_funnel" -> 0.35,
     "q111_grid_percentile" -> 0.4,
     "q112_unigram_divergence" -> 0.77,
-    "q113_semantic_decontam" -> 0.47,
+    "q113_semantic_decontam" -> 0.42,
     "q114_centroid_confusion" -> 0.64,
     "q115_correlation_matrix" -> 1.14,
     "q116_mixed_language" -> 0.79,
@@ -194,24 +194,24 @@ object Bench {
     // r11 third wave: seeded from the 178-query canonical
     // (BENCH_local_r11g) and the focused q169-q180 follow-up run;
     // q170's floor reflects the one-pass conditional-fold rewrite
-    "q147_trimmed_order_value" -> 1.1,
+    "q147_trimmed_order_value" -> 1.09,
     "q148_hll_accuracy" -> 0.43,
     "q149_daily_snapshot" -> 0.54,
     "q150_cohort_ltv" -> 0.69,
     "q151_daily_value_bands" -> 0.75,
-    "q152_funnel_timing" -> 0.8,
+    "q152_funnel_timing" -> 0.79,
     "q153_domain_profile" -> 0.34,
     "q154_casing_profile" -> 0.68,
-    "q155_regional_volume" -> 0.82,
+    "q155_regional_volume" -> 0.79,
     "q156_order_priority" -> 0.51,
     "q157_period_growth" -> 0.41,
-    "q158_json_topk" -> 0.58,
-    "q159_coverage_curve" -> 0.38,
+    "q158_json_topk" -> 0.57,
+    "q159_coverage_curve" -> 0.36,
     "q160_cluster_impact" -> 1.73,
-    "q161_abc_classes" -> 0.78,
+    "q161_abc_classes" -> 0.68,
     "q162_staleness_audit" -> 0.46,
     "q163_dow_anomaly" -> 0.58,
-    "q164_drawdown" -> 0.37,
+    "q164_drawdown" -> 0.36,
     "q165_missingness_lift" -> 0.16,
     "q166_peak_rate" -> 0.42,
     "q167_ship_latency" -> 0.92,
@@ -219,11 +219,11 @@ object Bench {
     "q169_activity_streaks" -> 0.64,
     "q170_rank_shift" -> 1.24,
     "q171_temporal_split" -> 0.42,
-    "q172_causal_zscore" -> 0.93,
+    "q172_causal_zscore" -> 0.91,
     "q173_seasonal_naive" -> 0.52,
     "q174_winnowing_neardup" -> 1.67,
     "q175_profile_drift" -> 0.35,
-    "q176_value_tail_bands" -> 0.52,
+    "q176_value_tail_bands" -> 0.5,
     "q177_type_pagerank" -> 1.31,
     "q178_fuzzy_operating_point" -> 0.95,
     "q179_tfidf_keywords" -> 1.41,
@@ -231,7 +231,7 @@ object Bench {
     // BENCH_local_r11i (focused q181-q185 run)
     "q181_transition_predictability" -> 0.56,
     "q182_key_gap_audit" -> 0.67,
-    "q183_ols_trend" -> 0.35,
+    "q183_ols_trend" -> 0.34,
     "q184_robust_trend" -> 0.56,
     "q185_head_tail_rollup" -> 0.57,
     // BENCH_local_r11j (focused q186-q190 run). q188 runs FOUR
@@ -255,12 +255,12 @@ object Bench {
     // q199-q202: closing-canonical (r11l) + focused runs
     "q199_skyline" -> 0.4,
     "q200_sample_representativeness" -> 0.35,
-    "q201_stratum_mean_se" -> 0.33,
-    "q202_metric_correlation" -> 1.65,
+    "q201_stratum_mean_se" -> 0.24,
+    "q202_metric_correlation" -> 1.54,
     // BENCH_local_r11m (focused q203-q205 run)
     "q203_split_balance" -> 0.55,
     "q204_ab_conversion_z" -> 0.31,
-    "q205_price_volume_mix" -> 1.36)
+    "q205_price_volume_mix" -> 1.28)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
