@@ -774,9 +774,14 @@ object Cohorts {
     * rates and z are ONE fixed IEEE tree over those four integers
     * (pooled p̂, the variance product, one sqrt, one division) —
     * identical on both engines; a zero-variance denominator keeps
-    * NULL z. Scale shape: ONE per-user partial-aggregable fold, a
-    * 2-row arm rollup, a 1×1 join. Output: one row with both arms'
-    * stats and z. */
+    * NULL z. User ids must be NUMERIC (a non-numeric id casts to
+    * NULL arm and is excluded from both arms); negative ids are
+    * handled — the arm hash is pmod-guarded, so every numeric id
+    * lands in arm 0 or 1. Scale shape: ONE per-user
+    * partial-aggregable fold, then ONE conditional 1-row rollup (no
+    * arm join — an EMPTY arm still yields the single output row,
+    * with NULL rate and NULL z, instead of vanishing). Output: one
+    * row with both arms' stats and z. */
   def abConversionZ(events: DataFrame, userCol: String,
       typeCol: String, convertType: String): DataFrame = {
     val P = 1000000007L
@@ -786,18 +791,22 @@ object Cohorts {
       .agg(max(when(col("t") === convertType, 1L).otherwise(0L))
         .as("conv"))
       .withColumn("arm",
-        ((col("u") % P) * lit(2654435761L) % P + lit(12345L)) % P % 2)
-    val arms = perUser.groupBy(col("arm"))
-      .agg(count(lit(1)).as("n"), sum(col("conv")).as("k"))
-    val a = arms.where(col("arm") === 0)
-      .select(col("n").as("n_a"), col("k").as("k_a"))
-    val b = arms.where(col("arm") === 1)
-      .select(col("n").as("n_b"), col("k").as("k_b"))
-    a.crossJoin(broadcast(b))
+        (pmod(col("u"), lit(P)) * lit(2654435761L) % P + lit(12345L))
+          % P % 2)
+    perUser
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L))
+          .as("k_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L))
+          .as("k_b"))
       .select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
-        (col("k_a").cast("double") / col("n_a").cast("double"))
+        when(col("n_a") > 0,
+          col("k_a").cast("double") / col("n_a").cast("double"))
           .as("rate_a"),
-        (col("k_b").cast("double") / col("n_b").cast("double"))
+        when(col("n_b") > 0,
+          col("k_b").cast("double") / col("n_b").cast("double"))
           .as("rate_b"))
       .withColumn("z", {
         val p = (col("k_a") + col("k_b")).cast("double") /
@@ -805,7 +814,8 @@ object Cohorts {
         val se = sqrt(p * (lit(1.0) - p) *
           (lit(1.0) / col("n_a").cast("double") +
            lit(1.0) / col("n_b").cast("double")))
-        when(se > 0.0, (col("rate_a") - col("rate_b")) / se)
+        when(col("n_a") > 0 && col("n_b") > 0 && se > 0.0,
+          (col("rate_a") - col("rate_b")) / se)
       })
   }
 }

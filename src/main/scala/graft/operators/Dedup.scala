@@ -1085,35 +1085,6 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** WINNOWING FINGERPRINT near-dup pairs — the MOSS algorithm
-    * (Schleimer, Wilkerson & Aiken, "Winnowing: Local Algorithms for
-    * Document Fingerprinting", SIGMOD 2003): slide a `window`-wide
-    * frame over the POSITIONAL `span`-token hash sequence and keep
-    * each frame's minimum (ties to the RIGHTMOST position), then pair
-    * documents sharing ≥ `minShared` selected fingerprints. The
-    * guarantee the sampled families ([[minhashLshPairs]],
-    * [[simhashPairs]]) can't give: any shared run of at least
-    * `window + span − 1` tokens is DETECTED with certainty, while only
-    * ~2/(window+1) of positions are kept — deterministic local
-    * sampling, no randomness, robust to where the match sits.
-    *
-    * Portability: the select is encoded as ONE integer
-    * `combo = h·2²⁰ + (2²⁰ − pos)` — `min(combo)` is "min hash, then
-    * rightmost position" in a single engine-exact window aggregate,
-    * decoded back by nonnegative div/mod (documents are bounded at
-    * 2²⁰ window positions by contract; longer inputs should be
-    * chunked first — [[graft.operators.Packing]]). Docs shorter than
-    * one full frame select nothing (the guarantee only speaks above
-    * `window + span − 1` tokens; scoring shorter docs is
-    * [[ngramJaccardPairs]]' job).
-    *
-    * Scale shape: fingerprint selection is per-document local work
-    * (the sliding-min window partitions by doc — no corpus-wide
-    * sort); the ONLY corpus-sized shuffles are the per-doc window
-    * exchange and the inverted-index self-join on the SELECTED
-    * fingerprints (a ~2/(window+1) sample of the shingle stream, vs
-    * q17 joining every shingle); the df-cap is the shared
-    * [[Skew.capHotKeys]] broadcast anti-join. */
   /** The winnowing SELECTION alone: distinct (doc_id, fp) fingerprint
     * rows per document — the per-document-local half of
     * [[winnowingPairs]], exposed so the incremental index
@@ -1145,6 +1116,35 @@ object Dedup {
       .distinct()
   }
 
+  /** WINNOWING FINGERPRINT near-dup pairs — the MOSS algorithm
+    * (Schleimer, Wilkerson & Aiken, "Winnowing: Local Algorithms for
+    * Document Fingerprinting", SIGMOD 2003): slide a `window`-wide
+    * frame over the POSITIONAL `span`-token hash sequence and keep
+    * each frame's minimum (ties to the RIGHTMOST position), then pair
+    * documents sharing ≥ `minShared` selected fingerprints. The
+    * guarantee the sampled families ([[minhashLshPairs]],
+    * [[simhashPairs]]) can't give: any shared run of at least
+    * `window + span − 1` tokens is DETECTED with certainty, while only
+    * ~2/(window+1) of positions are kept — deterministic local
+    * sampling, no randomness, robust to where the match sits.
+    *
+    * Portability: the select is encoded as ONE integer
+    * `combo = h·2²⁰ + (2²⁰ − pos)` — `min(combo)` is "min hash, then
+    * rightmost position" in a single engine-exact window aggregate,
+    * decoded back by nonnegative div/mod (documents are bounded at
+    * 2²⁰ window positions by contract; longer inputs should be
+    * chunked first — [[graft.operators.Packing]]). Docs shorter than
+    * one full frame select nothing (the guarantee only speaks above
+    * `window + span − 1` tokens; scoring shorter docs is
+    * [[ngramJaccardPairs]]' job).
+    *
+    * Scale shape: fingerprint selection is per-document local work
+    * (the sliding-min window partitions by doc — no corpus-wide
+    * sort); the ONLY corpus-sized shuffles are the per-doc window
+    * exchange and the inverted-index self-join on the SELECTED
+    * fingerprints (a ~2/(window+1) sample of the shingle stream, vs
+    * q17 joining every shingle); the df-cap is the shared
+    * [[Skew.capHotKeys]] broadcast anti-join. */
   def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
       span: Int = 3, window: Int = 4, maxDf: Int = 100,
       minShared: Int = 2,

@@ -201,12 +201,14 @@ object Rolling {
     * row_number over (value DESC, key ASC) — fully pinned, no
     * engine-dependent dense/tie behavior.
     *
-    * Scale shape: ONE corpus-sized partial-aggregable pass reduces to
-    * (key, day); the anchor is a global-window max over that reduced
-    * frame; both period sums are conditional aggregates of it (no
-    * second scan); the two row_number windows sort only the |keys|-row
-    * period frames (the [[Cohorts.paretoClasses]] justification), and
-    * the final join is |keys|-sized on `key`. */
+    * Scale shape: ONE corpus-sized conditional partial-aggregable
+    * pass folds both period sums per key straight off the scan (no
+    * (key, day) pre-aggregate — it is near-corpus-sized for
+    * high-cardinality keys and costs more than it saves); the anchor
+    * is a separate column-pruned max riding a one-row broadcast
+    * scalar append; the two row_number windows sort only the
+    * |keys|-row period frames (the [[Cohorts.paretoClasses]]
+    * justification), and the final join is |keys|-sized on `key`. */
   def rankShift(df: DataFrame, keyCol: Column, dayCol: Column,
       valueCol: Column, windowDays: Int = 30, topK: Int = 20,
       scope: graft.engine.CacheScope = graft.engine.CacheScope.unmanaged)

@@ -139,7 +139,10 @@ object Rules {
   /** FACT RECONCILIATION AUDIT — does the header agree with its
     * detail rows: per parent, the stored rollup value vs the exact
     * decimal sum of its detail lines, reported as the `topK` WORST
-    * relative discrepancies (ties pinned by key) — the classic
+    * ABSOLUTE discrepancies `abs(diff) DESC` (ties pinned by key;
+    * `rel_fp` is carried as a readout column, not the sort key — a
+    * $0.01 drift on a $1M invoice matters less to the closer than a
+    * $500 drift on a $600 one) — the classic
     * header-vs-lines closing check (invoice total vs line items,
     * order total vs lineitems), and the first thing an auditor asks
     * of a denormalized store. Parents with NO detail rows surface

@@ -59,8 +59,8 @@ object Trend {
       .agg(count(lit(1)).as("n_days"),
         sum(col("d").cast(dec)).as("sx"),
         sum(col("c").cast(dec)).as("sy"),
-        sum((col("d") * col("c")).cast(dec)).as("sxy"),
-        sum((col("d") * col("d")).cast(dec)).as("sxx"))
+        sum(col("d").cast(dec) * col("c").cast(dec)).as("sxy"),
+        sum(col("d").cast(dec) * col("d").cast(dec)).as("sxx"))
       .select(col("key"), col("n_days"),
         when(col("n_days") >= 2,
           (col("n_days") * col("sxy") - col("sx") * col("sy"))
@@ -124,9 +124,9 @@ object Trend {
       .agg(count(lit(1)).as("n_days"),
         sum(col("x").cast(dec)).as("sx"),
         sum(col("y").cast(dec)).as("sy"),
-        sum((col("x") * col("y")).cast(dec)).as("sxy"),
-        sum((col("x") * col("x")).cast(dec)).as("sxx"),
-        sum((col("y") * col("y")).cast(dec)).as("syy"))
+        sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+        sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
       .select(col("key"), col("n_days"),
         when(col("n_days") >= 2 &&
           (col("n_days") * col("sxx") - col("sx") * col("sx")) > 0 &&
@@ -154,9 +154,9 @@ object Trend {
       .agg(count(lit(1)).as("n"),
         sum(col("x").cast(dec)).as("sx"),
         sum(col("y").cast(dec)).as("sy"),
-        sum((col("x") * col("y")).cast(dec)).as("sxy"),
-        sum((col("x") * col("x")).cast(dec)).as("sxx"),
-        sum((col("y") * col("y")).cast(dec)).as("syy"))
+        sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+        sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
       .select(col("key"), col("n"),
         when(col("n") >= 2 &&
           (col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
@@ -187,7 +187,7 @@ object Trend {
       .groupBy(col("stratum"))
       .agg(count(lit(1)).as("n"),
         sum(col("v").cast(dec)).as("s"),
-        sum((col("v") * col("v")).cast(dec)).as("q"))
+        sum(col("v").cast(dec) * col("v").cast(dec)).as("q"))
       .select(col("stratum"), col("n"),
         (col("s").cast("double") / col("n").cast("double")).as("mean"),
         when(col("n") >= 2 &&

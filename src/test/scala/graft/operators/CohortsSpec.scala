@@ -385,4 +385,26 @@ class CohortsSpec extends SparkSpec {
     val se = math.sqrt(p * (1.0 - p) * (1.0 / a.size + 1.0 / b.size))
     assert(math.abs(r.getDouble(6) - (ra - rb) / se) < 1e-12)
   }
+
+  test("abConversionZ: negative ids land in an arm (pmod guard) and " +
+    "an empty arm still yields one row with NULL rate and z") {
+    // negative ids: plain % would read arm -1 and drop the user
+    val neg = Seq((-1L, "view"), (-2L, "purchase"), (-3L, "view"),
+      (7L, "view")).toDF("user_id", "event_type")
+    val rn = Cohorts.abConversionZ(neg, "user_id", "event_type",
+      "purchase").collect()(0)
+    assert(rn.getLong(0) + rn.getLong(2) == 4L,
+      s"all 4 users must land in an arm: $rn")
+    // one user → one arm populated, the other empty: the readout is
+    // still ONE row, empty-arm rate and z NULL (not zero rows)
+    val one = Seq((5L, "purchase")).toDF("user_id", "event_type")
+    val out = Cohorts.abConversionZ(one, "user_id", "event_type",
+      "purchase").collect()
+    assert(out.length == 1)
+    val r1 = out(0)
+    assert(r1.getLong(0) + r1.getLong(2) == 1L)
+    assert(r1.isNullAt(6), "z must be NULL with an empty arm")
+    assert(r1.isNullAt(4) || r1.isNullAt(5),
+      "the empty arm's rate must be NULL")
+  }
 }

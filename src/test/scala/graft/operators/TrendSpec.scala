@@ -76,6 +76,33 @@ class TrendSpec extends SparkSpec {
     assert(out("b") == ((1L, 7.0, None)))
   }
 
+  test("stratumMeanSE: IntegerType values above 46340 do not wrap — " +
+    "operands cast to DECIMAL before the square") {
+    val s16 = spark; import s16.implicits._
+    // 50000² = 2.5e9 overflows Int; pre-fix the sum of squares wrapped
+    val df = Seq(("a", 50000), ("a", 50000), ("a", 50002))
+      .toDF("g", "v")
+    val out = Trend.stratumMeanSE(df, col("g"), col("v")).collect()(0)
+    val vals = Seq(50000.0, 50000.0, 50002.0)
+    val mean = vals.sum / 3
+    val sVar = vals.map(v => (v - mean) * (v - mean)).sum / 2
+    assert(out.getDouble(2) == mean)
+    assert(math.abs(out.getDouble(3) - math.sqrt(sVar / 3)) < 1e-9)
+  }
+
+  test("groupCorrelation: LongType products above 2^63 do not wrap — " +
+    "exact r = 1 on a 3.1e9-scale linear pair") {
+    val s17 = spark; import s17.implicits._
+    // x·y ≈ 9.6e18 > Long.MaxValue: pre-fix the product wrapped
+    val base = 3100000000L
+    val df = Seq(("g", base, base), ("g", base + 1, base + 1),
+      ("g", base + 2, base + 2)).toDF("g", "x", "y")
+    val out = Trend.groupCorrelation(df, col("g"), col("x"), col("y"))
+      .collect()(0)
+    assert(math.abs(out.getDouble(2) - 1.0) < 1e-9,
+      s"r must be exactly 1 on a linear pair, got ${out.get(2)}")
+  }
+
   test("groupCorrelation: perfect linear r = 1, inverse r = -1, " +
     "constant side NULL") {
     val s15 = spark; import s15.implicits._
