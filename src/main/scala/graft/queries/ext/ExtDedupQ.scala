@@ -1,0 +1,1026 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.{Dec, Tables}
+import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Rules, Sampling, Scd, Scrub, SemiStructured, Similarity, Sketch, Skew, TextAnalysis, Trend}
+
+/** [[Ext]] family: exact/near-dup dedup (MinHash-LSH, SimHash, Jaccard, winnowing, spans, fuzzy matching) — queries q16, q17, q18, q19, q31, q36, q48, q49, q60, q71, q76, q91, q92, q100, q101, q130, q134, q144, q160, q174, q178, q187, q188, q195, q197.
+  * Split from the monolithic Ext.scala in round 12
+  * (pure relocation; helpers live in [[ExtHelpers]]). */
+private[queries] trait ExtDedupQ { self: ExtHelpers =>
+  // ---------------------------------------------------------------- q16
+  val q16: Q = Q(
+    "q16_exact_dedup",
+    (s, d) => Dedup.exact(Tables.documents(s, d), "doc_id", "text"),
+    Some("""
+      SELECT sha256(text) AS content_hash,
+        min(sha256(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_hash,
+        min(doc_id) AS keep_id,
+        count(*) AS n_copies
+      FROM documents
+      GROUP BY 1
+      ORDER BY keep_id
+    """.trim))
+
+  // ---------------------------------------------------------------- q17
+  /** q17 oracle mirrors the hashed inverted index (r2 verdict item 5):
+    * shingle hashes, the maxDf hot-shingle cap, and the intersection
+    * counts all replay on the same portable hashes, so the pair set —
+    * including any deterministic hash collisions — is identical. */
+  val q17: Q = Q(
+    "q17_ngram_jaccard_neardup",
+    (s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.5, maxDf = 100),
+    Some(s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      $duckHashShingles,
+      shf AS (
+        SELECT doc_id, hs FROM sh
+        QUALIFY count(*) OVER (PARTITION BY hs) <= 100
+      ),
+      sz AS (SELECT doc_id, count(*) n FROM shf GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id da, b.doc_id db, count(*) i
+        FROM shf a JOIN shf b ON a.hs = b.hs AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT da AS doc_a, db AS doc_b, i AS n_common,
+        (sa.n + sb.n - i) AS n_union,
+        (CAST(i AS DOUBLE) / (sa.n + sb.n - i)) AS jaccard
+      FROM inter
+      JOIN sz sa ON sa.doc_id = da
+      JOIN sz sb ON sb.doc_id = db
+      WHERE (CAST(i AS DOUBLE) / (sa.n + sb.n - i)) >= 0.5
+      ORDER BY doc_a, doc_b
+    """.trim),
+    headline = true)
+
+  // ---------------------------------------------------------------- q18
+  val q18: Q = Q(
+    "q18_minhash_lsh_neardup",
+    (s, d) =>
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.5, k = minhashK, bands = minhashBands),
+    Some(q18OracleSql),
+    headline = true)
+
+  // ---------------------------------------------------------------- q19
+  val q19: Q = Q(
+    "q19_simhash_neardup",
+    (s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3),
+    Some(q19OracleSql))
+
+  // ---------------------------------------------------------------- q31
+  /** q31 — near-dup clusters: MinHash-LSH pairs closed into connected
+    * components (min-id label propagation), singletons included — the
+    * actual KEEP/DROP decision a dedup pipeline emits. The oracle
+    * computes the same components with a recursive CTE over the same
+    * replayed pair set: min reachable id ≡ the propagation fixpoint. */
+  val q31: Q = Q(
+    "q31_neardup_clusters",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.nearDupClusters(docs, "doc_id",
+        Dedup.minhashLshPairs(docs, "doc_id", "text",
+          threshold = 0.5, k = minhashK, bands = minhashBands))
+    },
+    Some(s"""
+      WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ($q18OracleSql) q
+      ),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+      ),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+      )
+      SELECT id AS doc_id, min(r) AS cluster_id,
+        (id = min(r)) AS is_canonical
+      FROM reach GROUP BY id ORDER BY doc_id
+    """.trim))
+
+  // ---------------------------------------------------------------- q36
+  /** q36 — cross-corpus contamination: even-id docs play the training
+    * corpus, odd-id docs the eval set; report eval docs that
+    * near-duplicate a training doc (the decontamination join). The
+    * oracle replays the split, the combined-corpus df cap, and the
+    * cross-side index join; thresholds match q17's so the fixture's
+    * known near-dup families surface wherever they straddle the
+    * parity split. */
+  val q36: Q = Q(
+    "q36_cross_contamination",
+    (s, d) =>
+      // same-table parity split → the single-cache variant: the shingle
+      // index is built and persisted once, both sides filter it
+      Dedup.crossNgramJaccardPairsSplit(Tables.documents(s, d),
+        "doc_id", "text", leftSide = col("doc_id") % 2 === 0,
+        threshold = 0.5, maxDf = 100),
+    Some(s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      $duckHashShingles,
+      hot AS (
+        SELECT hs FROM sh GROUP BY hs HAVING count(*) > 100),
+      capped AS (
+        SELECT doc_id, hs FROM sh WHERE hs NOT IN (SELECT hs FROM hot)),
+      a AS (SELECT doc_id, hs FROM capped WHERE doc_id % 2 = 0),
+      b AS (SELECT doc_id, hs FROM capped WHERE doc_id % 2 = 1),
+      sza AS (SELECT doc_id, count(*) n FROM a GROUP BY doc_id),
+      szb AS (SELECT doc_id, count(*) n FROM b GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id da, b.doc_id db, count(*) i
+        FROM a JOIN b USING (hs)
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT da AS left_id, db AS right_id,
+        i AS n_common, CAST(sza.n + szb.n - i AS BIGINT) AS n_union,
+        (CAST(i AS DOUBLE) / (sza.n + szb.n - i)) AS jaccard
+      FROM inter
+      JOIN sza ON sza.doc_id = da
+      JOIN szb ON szb.doc_id = db
+      WHERE (CAST(i AS DOUBLE) / (sza.n + szb.n - i)) >= 0.5
+      ORDER BY left_id, right_id
+    """.trim))
+
+  // ---------------------------------------------------------------- q48
+  /** q48 — keep-best normalized dedup (q16's promised downstream pass):
+    * collapse case/whitespace variants, keeping the most token-rich
+    * one (ties → min id). The Spark side is the partial-aggregable
+    * `max_by` over an ordering struct — one shuffle of ≤ |groups| rows
+    * per partition; the oracle is the window formulation that would
+    * have shuffled the corpus (same winner — the ordering is total). */
+  val q48: Q = Q(
+    "q48_keepbest_dedup",
+    (s, d) => Dedup.keepBest(Tables.documents(s, d), "doc_id", "text"),
+    Some(s"""
+      WITH $duckWords,
+      n AS (SELECT doc_id, CAST(len(w) AS INT) AS n_tokens FROM words),
+      g AS (
+        SELECT d.doc_id,
+          sha256(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))
+            AS norm_hash,
+          n.n_tokens
+        FROM documents d JOIN n USING (doc_id))
+      SELECT norm_hash, best_id, best_tokens, n_variants FROM (
+        SELECT norm_hash, doc_id AS best_id, n_tokens AS best_tokens,
+          row_number() OVER (
+            PARTITION BY norm_hash ORDER BY n_tokens DESC, doc_id) AS rk,
+          count(*) OVER (PARTITION BY norm_hash) AS n_variants
+        FROM g) t
+      WHERE rk = 1 ORDER BY best_id
+    """.trim))
+
+  // ---------------------------------------------------------------- q49
+  val q49: Q = Q(
+    "q49_eval_overlap",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.evalOverlapRate(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", contaminatedAt = 0.2)
+    },
+    Some(q49OracleSql))
+
+  // ---------------------------------------------------------------- q60
+  /** q60 — paragraph-level boilerplate removal (the C4-style
+    * sub-document dedup): the fixture text is single-paragraph, so —
+    * the q33 seeding pattern — a hot boilerplate footer is woven onto
+    * every 5th doc (df ≈ N/5, dropped at any SF) and a cold one onto
+    * every 97th (df scale-dependent: kept at the gate SF, dropped at
+    * 10× — both engines replay the same rule, so the boundary is
+    * exercised, not dodged). */
+  val q60: Q = Q(
+    "q60_paragraph_dedup",
+    (s, d) => {
+      val seeded = Tables.documents(s, d).select(
+        col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            lit("\n\nCALL NOW limited offer - unsubscribe footer"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 97 === 0,
+            lit("\n\nmirror hosted by example archive"))
+            .otherwise(lit(""))).as("text"))
+      Dedup.dropBoilerplateParagraphs(seeded, "doc_id", "text", maxDf = 10)
+    },
+    Some(s"""
+      WITH seeded AS (
+        SELECT doc_id,
+          text ||
+          CASE WHEN doc_id % 5 = 0
+            THEN chr(10) || chr(10) ||
+              'CALL NOW limited offer - unsubscribe footer'
+            ELSE '' END ||
+          CASE WHEN doc_id % 97 = 0
+            THEN chr(10) || chr(10) || 'mirror hosted by example archive'
+            ELSE '' END AS text
+        FROM documents),
+      p AS (
+        SELECT doc_id, CAST(u.i - 1 AS INT) AS idx, paras[u.i] AS para
+        FROM (SELECT doc_id,
+                string_split_regex(text, chr(10) || chr(10)) AS paras
+              FROM seeded) s,
+        LATERAL unnest(range(1, len(paras) + 1)) AS u(i)),
+      d AS (
+        SELECT h, count(*) AS df FROM (
+          SELECT DISTINCT doc_id, sha256(para) AS h FROM p) t
+        GROUP BY h)
+      SELECT p.doc_id, count(*) AS n_paras,
+        CAST(sum(CASE WHEN df < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        sha256(COALESCE(string_agg(CASE WHEN df < 10 THEN para END,
+          chr(10) || chr(10) ORDER BY idx), '')) AS cleaned_hash
+      FROM p JOIN d ON sha256(p.para) = d.h
+      GROUP BY p.doc_id ORDER BY p.doc_id
+    """.trim))
+
+  // ---------------------------------------------------------------- q71
+  /** q71 — exact substring-level dedup profile (keep-first, 20-token
+    * spans): per doc, how many window positions repeat an earlier
+    * corpus occurrence and how many tokens the merged repeated spans
+    * cover. The oracle replays the positional rolling-window hashes on
+    * the same portable fold, picks the first occurrence with the same
+    * lexicographic (doc_id, pos) rule (two-step min in SQL ==
+    * min(struct) on the engine side), and merges cover intervals with
+    * a lag window (== the engine's sorted positional fold — both are
+    * the union length of fixed-length intervals). */
+  val q71: Q = Q(
+    "q71_span_dedup",
+    (s, d) => Dedup.repeatedSpanProfile(Tables.documents(s, d),
+      "doc_id", "text", spanTokens = 20),
+    Some(s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      win AS (
+        SELECT doc_id, i - 1 AS pos,
+          list_reduce(list_prepend(0::BIGINT, whl[i : i + 19]),
+            (h, c) -> ((h * 31) + c) % $P) AS w
+        FROM wh, LATERAL unnest(range(1, len(whl) - 18)) AS t(i)
+        WHERE len(whl) >= 20
+      ),
+      occ AS (SELECT w, min(doc_id) AS fdoc, count(*) AS n_occ
+              FROM win GROUP BY 1),
+      f2 AS (
+        SELECT win.w, min(pos) AS fpos
+        FROM win JOIN occ ON win.w = occ.w AND win.doc_id = occ.fdoc
+        WHERE occ.n_occ >= 2 GROUP BY win.w
+      ),
+      rep AS (
+        SELECT win.doc_id, win.pos
+        FROM win JOIN occ ON win.w = occ.w JOIN f2 ON win.w = f2.w
+        WHERE occ.n_occ >= 2
+          AND (win.doc_id > occ.fdoc
+            OR (win.doc_id = occ.fdoc AND win.pos > f2.fpos))
+      ),
+      cov AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rep_windows,
+          CAST(sum(CASE WHEN ppos IS NULL THEN 20
+            ELSE least(pos - ppos, 20) END) AS BIGINT) AS n_masked
+        FROM (SELECT doc_id, pos,
+                lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) ppos
+              FROM rep)
+        GROUP BY 1
+      ),
+      base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM words)
+      SELECT base.doc_id, n_tokens,
+        CAST(greatest(n_tokens - 19, 0) AS BIGINT) AS n_windows,
+        coalesce(n_rep_windows, 0) AS n_rep_windows,
+        coalesce(n_masked, 0) AS n_masked_tokens,
+        CASE WHEN n_tokens > 0
+          THEN (coalesce(n_masked, 0) * 1048576) // n_tokens
+          ELSE 0 END AS masked_fp
+      FROM base LEFT JOIN cov USING (doc_id)
+      ORDER BY doc_id
+    """.trim))
+
+  // ---------------------------------------------------------------- q76
+  /** q76 — q49's decontamination through the BLOOM-PREFILTER rung (the
+    * middle of the three scale paths: broadcast hash set → Bloom +
+    * confirm join → plain shuffle join). The train side is filtered
+    * row-locally through the codegen'd `might_contain` before anything
+    * shuffles; the exact confirm join removes the false-positive
+    * trickle, so the output — and therefore the oracle — is
+    * IDENTICAL to q49's. A deliberately UNDERSIZED filter (expected
+    * items far below the fixture's shingle count) keeps the fpp real
+    * in the verified path rather than vanishingly small. */
+  val q76: Q = Q(
+    "q76_eval_overlap_bloom",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.evalOverlapRate(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", contaminatedAt = 0.2,
+        broadcastEval = false, bloomPrefilter = true,
+        bloomExpectedItems = 1L << 14, bloomFpp = 0.05)
+    },
+    Some(q49OracleSql))
+
+  // ---------------------------------------------------------------- q91
+  /** q91 — source-overlap matrix ([[Dedup.sourceOverlapMatrix]]):
+    * exact shingle-vocabulary Jaccard for every source pair — the
+    * corpus-composition signal (which feeds republish each other)
+    * ahead of any per-doc dedup. Intersection fan-out is bounded by
+    * the SOURCE count, never the corpus. */
+  val q91: Q = Q(
+    "q91_source_overlap",
+    (s, d) =>
+      Dedup.sourceOverlapMatrix(Tables.documents(s, d), "source", "text"),
+    Some(s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      $duckHashShingles,
+      srcsh AS (
+        SELECT DISTINCT d.source AS src, s.hs
+        FROM sh s JOIN documents d USING (doc_id)),
+      sz AS (SELECT src, count(*) AS n FROM srcsh GROUP BY 1),
+      inter AS (
+        SELECT a.src sa, b.src sb, count(*) AS c
+        FROM srcsh a JOIN srcsh b ON a.hs = b.hs AND a.src < b.src
+        GROUP BY 1, 2)
+      SELECT sa AS source_a, sb AS source_b, c AS n_common,
+        (na.n + nb.n - c) AS n_union,
+        (CAST(c AS DOUBLE) / (na.n + nb.n - c)) AS jaccard
+      FROM inter
+      JOIN sz na ON na.src = sa
+      JOIN sz nb ON nb.src = sb
+      ORDER BY source_a, source_b
+    """.trim))
+
+  // ---------------------------------------------------------------- q92
+  /** q92 — fuzzy entity matching ([[Dedup.fuzzyMatchPairs]]): part
+    * names within two edits of each other, blocked on the second
+    * token (4-char-prefix fallback for single-token names) so the
+    * quadratic edit distance only runs inside blocks of the DISTINCT
+    * name set — record linkage that shingle dedup can't express at
+    * name length. The oracle replays the block key, the 4096-name
+    * block cap (a no-op at fixture scale, mirrored anyway so the
+    * contract is checked, not assumed), and the post-join distance
+    * filter identically. */
+  val q92: Q = Q(
+    "q92_fuzzy_match",
+    (s, d) =>
+      Dedup.fuzzyMatchPairs(Tables.part(s, d), "p_name", maxDist = 2),
+    Some("""
+      WITH g AS (
+        SELECT p_name AS name, count(*) AS n_rows FROM part GROUP BY 1),
+      b AS (
+        SELECT name, n_rows,
+          CASE WHEN strpos(name, ' ') = 0 THEN substr(name, 1, 4)
+               ELSE split_part(name, ' ', 2) END AS blk
+        FROM g),
+      k AS (
+        SELECT name, n_rows, blk FROM (
+          SELECT b.*, count(*) OVER (PARTITION BY blk) AS c_blk FROM b)
+        WHERE c_blk <= 4096)
+      SELECT a.name AS name_a, c.name AS name_b,
+        CAST(levenshtein(a.name, c.name) AS INT) AS distance,
+        a.n_rows AS n_a, c.n_rows AS n_b
+      FROM k a JOIN k c ON a.blk = c.blk AND a.name < c.name
+      WHERE levenshtein(a.name, c.name) <= 2
+      ORDER BY name_a, name_b
+    """.trim))
+
+  // --------------------------------------------------------------- q100
+  /** q100 — shingle containment pairs ([[Dedup.containmentPairs]]):
+    * the ASYMMETRIC near-dup rung — `i / min(na, nb)` — that catches a
+    * short document quoted inside a long one, where q17's symmetric
+    * Jaccard stays under threshold because the long doc's mass
+    * dominates the union. The decontamination gap this closes is the
+    * common real-world one: benchmark questions embedded in crawled
+    * pages. Same inverted-index/df-cap shape as q17; the oracle
+    * replays the metric with `least`. */
+  val q100: Q = Q(
+    "q100_containment_pairs",
+    (s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.8, maxDf = 100),
+    Some(s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      $duckHashShingles,
+      shf AS (
+        SELECT doc_id, hs FROM sh
+        QUALIFY count(*) OVER (PARTITION BY hs) <= 100
+      ),
+      sz AS (SELECT doc_id, count(*) n FROM shf GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id da, b.doc_id db, count(*) i
+        FROM shf a JOIN shf b ON a.hs = b.hs AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT da AS doc_a, db AS doc_b, i AS n_common,
+        least(sa.n, sb.n) AS n_small,
+        (CAST(i AS DOUBLE) / least(sa.n, sb.n)) AS containment
+      FROM inter
+      JOIN sz sa ON sa.doc_id = da
+      JOIN sz sb ON sb.doc_id = db
+      WHERE (CAST(i AS DOUBLE) / least(sa.n, sb.n)) >= 0.8
+      ORDER BY doc_a, doc_b
+    """.trim))
+
+  // --------------------------------------------------------------- q101
+  /** q101 — cross-corpus containment
+    * ([[Dedup.crossContainmentPairsSplit]]): the decontamination gate
+    * asked with the RIGHT metric — what fraction of each eval doc's
+    * shingles appears in a training doc (`i / n_eval`), q100's
+    * asymmetric argument pointed across the train/eval fence. Same
+    * parity split and single-cache shape as q36; the oracle swaps the
+    * Jaccard for the right-normalized containment. */
+  val q101: Q = Q(
+    "q101_cross_containment",
+    (s, d) =>
+      Dedup.crossContainmentPairsSplit(Tables.documents(s, d),
+        "doc_id", "text", leftSide = col("doc_id") % 2 === 0,
+        threshold = 0.6, maxDf = 100),
+    Some(s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      $duckHashShingles,
+      hot AS (
+        SELECT hs FROM sh GROUP BY hs HAVING count(*) > 100),
+      capped AS (
+        SELECT doc_id, hs FROM sh WHERE hs NOT IN (SELECT hs FROM hot)),
+      a AS (SELECT doc_id, hs FROM capped WHERE doc_id % 2 = 0),
+      b AS (SELECT doc_id, hs FROM capped WHERE doc_id % 2 = 1),
+      szb AS (SELECT doc_id, count(*) n FROM b GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id da, b.doc_id db, count(*) i
+        FROM a JOIN b USING (hs)
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT da AS left_id, db AS right_id,
+        i AS n_common, szb.n AS n_right,
+        (CAST(i AS DOUBLE) / szb.n) AS containment
+      FROM inter
+      JOIN szb ON szb.doc_id = db
+      WHERE (CAST(i AS DOUBLE) / szb.n) >= 0.6
+      ORDER BY left_id, right_id
+    """.trim))
+
+  // --------------------------------------------------------------- q130
+  /** q130 — dedup impact report ([[Dedup.dedupImpact]]): per source,
+    * docs vs distinct contents vs whitespace-normalized distincts and
+    * the dup rate — WHERE the duplication lives (q16 says which rows
+    * to keep). One partial-aggregated sha-256 pass. */
+  val q130: Q = Q(
+    "q130_dedup_impact",
+    (s, d) =>
+      Dedup.dedupImpact(Tables.documents(s, d), "source", "text"),
+    Some("""
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_unique,
+        CAST(count(DISTINCT sha256(regexp_replace(lower(text),
+          '\s+', ' ', 'g'))) AS BIGINT) AS n_unique_norm,
+        CAST(count(*) - count(DISTINCT sha256(text)) AS BIGINT)
+          AS n_dupes,
+        CAST(count(*) - count(DISTINCT sha256(text)) AS DOUBLE) /
+          CAST(count(*) AS DOUBLE) AS dup_rate
+      FROM documents GROUP BY source ORDER BY source
+    """.trim))
+
+  // --------------------------------------------------------------- q134
+  /** q134 — soft (sqrt-law) dedup ([[Dedup.softDedup]]): keep ⌈√n⌉
+    * members of each exact-duplicate family — the middle ground
+    * between keep-all (over-weights boilerplate) and keep-one (erases
+    * the frequency signal); members chosen by the portable affine
+    * id-hash so every engine keeps the same rows. */
+  val q134: Q = Q(
+    "q134_soft_dedup",
+    (s, d) => Dedup.softDedup(Tables.documents(s, d), "doc_id", "text"),
+    Some("""
+      WITH f AS (
+        SELECT doc_id, sha256(text) AS content_hash FROM documents),
+      r AS (
+        SELECT doc_id, content_hash,
+          CAST(row_number() OVER (PARTITION BY content_hash
+            ORDER BY ((doc_id % 1000000007) * 2654435761 % 1000000007
+              + 12345) % 1000000007, doc_id) AS INT) AS sample_rank,
+          CAST(count(*) OVER (PARTITION BY content_hash) AS BIGINT)
+            AS n_copies
+        FROM f)
+      SELECT doc_id, content_hash, n_copies,
+        CAST(ceil(sqrt(CAST(n_copies AS DOUBLE))) AS BIGINT)
+          AS keep_quota,
+        sample_rank
+      FROM r
+      WHERE sample_rank <= ceil(sqrt(CAST(n_copies AS DOUBLE)))
+      ORDER BY doc_id
+    """.trim))
+
+  // --------------------------------------------------------------- q144
+  /** q144 — LSH operating-point evaluation ([[Dedup.pairsEval]]):
+    * measured precision/recall of q18's banded MinHash rung against
+    * the exact n-gram Jaccard pair set at the same threshold — the
+    * q129 discipline applied to the dedup family (precision is 1.0 by
+    * construction since the LSH rung exact-verifies; recall IS the
+    * band guarantee's measured value, the number that picks bands ×
+    * rows). The reference side runs uncapped (the honest exact rung);
+    * the oracle replays BOTH pipelines from one shared shingle
+    * frame. */
+  val q144: Q = Q(
+    "q144_lsh_operating_point",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.pairsEval(
+        Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5,
+          k = minhashK, bands = minhashBands),
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5,
+          maxDf = Int.MaxValue))
+    },
+    Some(s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      $duckHashShingles,
+      $duckMinhashCand,
+      sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      ig AS (
+        SELECT da, db, count(*) i
+        FROM cand
+        JOIN sh a ON a.doc_id = da
+        JOIN sh b ON b.doc_id = db AND b.hs = a.hs
+        GROUP BY da, db),
+      got AS (
+        SELECT da, db FROM ig
+        JOIN sz sa ON sa.doc_id = da
+        JOIN sz sb ON sb.doc_id = db
+        WHERE (CAST(i AS DOUBLE) / (sa.n + sb.n - i)) >= 0.5),
+      iw AS (
+        SELECT a.doc_id da, b.doc_id db, count(*) i
+        FROM sh a JOIN sh b ON a.hs = b.hs AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      want AS (
+        SELECT da, db FROM iw
+        JOIN sz sa ON sa.doc_id = da
+        JOIN sz sb ON sb.doc_id = db
+        WHERE (CAST(i AS DOUBLE) / (sa.n + sb.n - i)) >= 0.5),
+      m AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM got) AS n_got,
+          (SELECT CAST(count(*) AS BIGINT) FROM want) AS n_want,
+          (SELECT CAST(count(*) AS BIGINT) FROM got
+            JOIN want ON got.da = want.da AND got.db = want.db)
+            AS n_hit)
+      SELECT n_got, n_want, n_hit,
+        CASE WHEN n_got > 0 THEN
+          CAST(n_hit AS DOUBLE) / CAST(n_got AS DOUBLE)
+        END AS pair_precision,
+        CASE WHEN n_want > 0 THEN
+          CAST(n_hit AS DOUBLE) / CAST(n_want AS DOUBLE)
+        END AS pair_recall
+      FROM m
+    """.trim))
+
+  // --------------------------------------------------------------- q160
+  /** q160 — near-dup cluster impact by source
+    * ([[Dedup.clusterImpact]]): per source, member docs vs distinct
+    * families vs canonical survivors under q31's clustering — "this
+    * feed is 70% redundant against the corpus", the per-feed reading
+    * of the dedup decision. The oracle composes the q31 recursive
+    * closure with a source rollup. */
+  val q160: Q = Q(
+    "q160_cluster_impact",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.clusterImpact(docs, "doc_id", "source",
+        Dedup.nearDupClusters(docs, "doc_id",
+          Dedup.minhashLshPairs(docs, "doc_id", "text",
+            threshold = 0.5, k = minhashK, bands = minhashBands)))
+    },
+    Some(s"""
+      WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ($q18OracleSql) q
+      ),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+      ),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+      ),
+      cl AS (SELECT id AS doc_id, min(r) AS cluster_id
+             FROM reach GROUP BY id)
+      SELECT d.source,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(count(DISTINCT cl.cluster_id) AS BIGINT) AS n_families,
+        CAST(sum(CASE WHEN cl.doc_id = cl.cluster_id THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_canonical,
+        CAST(sum(CASE WHEN cl.doc_id = cl.cluster_id THEN 1 ELSE 0 END)
+          AS DOUBLE) / CAST(count(*) AS DOUBLE) AS survival_rate
+      FROM documents d JOIN cl ON d.doc_id = cl.doc_id
+      GROUP BY d.source ORDER BY d.source
+    """.trim))
+
+  // --------------------------------------------------------------- q174
+  /** q174 — winnowing fingerprint near-dup ([[Dedup.winnowingPairs]]):
+    * MOSS-style deterministic local sampling — per window-of-4
+    * positional 3-token hashes keep the min (ties rightmost, encoded
+    * as one integer min so both engines agree), pair docs sharing ≥ 2
+    * selected fingerprints; any shared run of ≥ 6 tokens is caught
+    * with certainty while only ~2/5 of positions are kept. */
+  val q174: Q = Q(
+    "q174_winnowing_neardup",
+    (s, d) =>
+      Dedup.winnowingPairs(Tables.documents(s, d), "doc_id", "text",
+        span = 3, window = 4, maxDf = 100, minShared = 2),
+    Some(s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      win AS (
+        SELECT doc_id, i AS pos, len(whl) - 2 AS n_pos,
+          list_reduce(list_prepend(0::BIGINT, whl[i : i + 2]),
+            (h, c) -> ((h * 31) + c) % $P) AS h
+        FROM wh, LATERAL unnest(range(1, len(whl) - 1)) AS t(i)
+        WHERE len(whl) - 2 BETWEEN 4 AND 1048575
+      ),
+      mins AS (
+        SELECT doc_id, pos, n_pos,
+          min(h * 1048576 + (1048576 - pos)) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS combo
+        FROM win),
+      picks AS (
+        SELECT DISTINCT doc_id, combo // 1048576 AS fp
+        FROM mins WHERE pos <= n_pos - 3),
+      kept AS (
+        SELECT doc_id, fp FROM picks
+        QUALIFY count(*) OVER (PARTITION BY fp) <= 100)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(count(*) AS BIGINT) AS n_shared
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2
+      ORDER BY doc_a, doc_b
+    """.trim))
+
+  // --------------------------------------------------------------- q178
+  /** q178 — fuzzy-match operating point (q92 ∘ [[Dedup.pairsEval]],
+    * completing the eval quartet with q129/q144/q148): inject
+    * deterministic typos into part names — every 10th key drops the
+    * FIRST character (lev 1, block-preserving: the blocking key is
+    * the second token), every 20th drops a character from the SECOND
+    * token instead (lev 1 but BLOCK-BREAKING) — and measure the
+    * blocked matcher's pair recall
+    * against the injected truth. The blocking trade q92's scaladoc
+    * promises, MEASURED: recall ≈ the block-preserving share, so a
+    * blocking-key change shows up as a number, not an opinion. */
+  val q178: Q = Q(
+    "q178_fuzzy_operating_point",
+    (s, d) => {
+      val base = Tables.part(s, d)
+        .select(col("p_partkey").as("k"), col("p_name").as("name"))
+      val toks = split(col("name"), " ")
+      val t2 = element_at(toks, 2)
+      val rebuilt = concat_ws(" ", concat(
+        slice(toks, 1, 1),
+        array(t2.substr(lit(1), length(t2) - 1)),
+        slice(toks, lit(3), greatest(size(toks) - 2, lit(0)))))
+      val dirty = base.where(col("k") % 10 === 0)
+        .select(col("name"),
+          when(col("k") % 20 === 0 && size(toks) >= 2, rebuilt)
+            .otherwise(expr("substring(name, 2)")).as("dirty"))
+      val union = base.select(col("name"))
+        .unionByName(dirty.select(col("dirty").as("name")))
+      val got = Dedup.fuzzyMatchPairs(union, "name", maxDist = 2)
+        .select(col("name_a").as("doc_a"), col("name_b").as("doc_b"))
+      val want = dirty.select(
+        least(col("name"), col("dirty")).as("doc_a"),
+        greatest(col("name"), col("dirty")).as("doc_b"))
+      Dedup.pairsEval(got, want)
+    },
+    Some("""
+      WITH base AS (SELECT p_partkey AS k, p_name AS name FROM part),
+      dirty AS (
+        SELECT name,
+          CASE WHEN k % 20 = 0 AND len(l) >= 2 THEN
+            array_to_string(list_concat(list_concat(l[1:1],
+              [substr(l[2], 1, length(l[2]) - 1)]), l[3:]), ' ')
+          ELSE substr(name, 2) END AS dirty
+        FROM (SELECT k, name, string_split(name, ' ') AS l FROM base)
+        WHERE k % 10 = 0),
+      u AS (SELECT name FROM base UNION ALL SELECT dirty FROM dirty),
+      g AS (SELECT name, count(*) AS n_rows FROM u GROUP BY 1),
+      b AS (
+        SELECT name,
+          CASE WHEN strpos(name, ' ') = 0 THEN substr(name, 1, 4)
+               ELSE split_part(name, ' ', 2) END AS blk
+        FROM g),
+      k2 AS (
+        SELECT name, blk FROM (
+          SELECT b.*, count(*) OVER (PARTITION BY blk) AS c_blk FROM b)
+        WHERE c_blk <= 4096),
+      got AS (
+        SELECT DISTINCT a.name AS doc_a, c.name AS doc_b
+        FROM k2 a JOIN k2 c ON a.blk = c.blk AND a.name < c.name
+        WHERE levenshtein(a.name, c.name) <= 2),
+      want AS (
+        SELECT DISTINCT least(name, dirty) AS doc_a,
+          greatest(name, dirty) AS doc_b
+        FROM dirty),
+      hit AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+              FROM got JOIN want USING (doc_a, doc_b)),
+      ng AS (SELECT CAST(count(*) AS BIGINT) AS n_got FROM got),
+      nw AS (SELECT CAST(count(*) AS BIGINT) AS n_want FROM want)
+      SELECT n_got, n_want, n_hit,
+        CASE WHEN n_got > 0 THEN
+          CAST(n_hit AS DOUBLE) / CAST(n_got AS DOUBLE)
+        END AS pair_precision,
+        CASE WHEN n_want > 0 THEN
+          CAST(n_hit AS DOUBLE) / CAST(n_want AS DOUBLE)
+        END AS pair_recall
+      FROM ng, nw, hit
+    """.trim))
+
+  // --------------------------------------------------------------- q187
+  /** q187 — sorted-neighborhood matching ([[Dedup.sortedNeighborPairs]]):
+    * the merge/purge blocking — each name vs its next 3 sort
+    * neighbors within 2-char-prefix partitions; linear candidate
+    * mass where q92's token blocks are block-quadratic; the
+    * complementary record-linkage screen. */
+  val q187: Q = Q(
+    "q187_sorted_neighbor_match",
+    (s, d) => {
+      // inject the LAST-char typos q92's token blocking misses (the
+      // mutated token IS its block key there) — they stay
+      // sort-adjacent, so the SNM screen catches exactly the variant
+      // the other method loses: the complementarity, demonstrated
+      val base = Tables.part(s, d)
+        .select(col("p_partkey").as("k"), col("p_name").as("name"))
+      val withTypos = base.select(col("name"))
+        .unionByName(base.where(col("k") % 10 === 0)
+          .select(expr("substring(name, 1, length(name) - 1)")
+            .as("name")))
+      Dedup.sortedNeighborPairs(withTypos, "name",
+        windowSize = 4, maxDist = 2)
+    },
+    Some("""
+      WITH src AS (
+        SELECT p_name AS name FROM part
+        UNION ALL
+        SELECT substr(p_name, 1, length(p_name) - 1) FROM part
+        WHERE p_partkey % 10 = 0),
+      g AS (
+        SELECT name, CAST(count(*) AS BIGINT) AS n_rows
+        FROM src WHERE name IS NOT NULL GROUP BY 1),
+      b AS (SELECT name, n_rows, substr(name, 1, 2) AS blk FROM g),
+      w AS (
+        SELECT name, n_rows,
+          lead(name, 1) OVER win AS m1, lead(n_rows, 1) OVER win AS k1,
+          lead(name, 2) OVER win AS m2, lead(n_rows, 2) OVER win AS k2,
+          lead(name, 3) OVER win AS m3, lead(n_rows, 3) OVER win AS k3
+        FROM b WINDOW win AS (PARTITION BY blk ORDER BY name)),
+      u AS (
+        SELECT name, n_rows, m1 AS cand, k1 AS cn FROM w
+        WHERE m1 IS NOT NULL
+        UNION ALL
+        SELECT name, n_rows, m2, k2 FROM w WHERE m2 IS NOT NULL
+        UNION ALL
+        SELECT name, n_rows, m3, k3 FROM w WHERE m3 IS NOT NULL)
+      SELECT name AS name_a, cand AS name_b,
+        CAST(levenshtein(name, cand) AS INT) AS distance,
+        n_rows AS n_a, cn AS n_b
+      FROM u WHERE levenshtein(name, cand) <= 2
+      ORDER BY name_a, name_b
+    """.trim))
+
+  // --------------------------------------------------------------- q188
+  /** q188 — dedup-method agreement ([[Dedup.pairAgreement]]): the
+    * four near-dup screens (exact text, n-gram Jaccard, MinHash-LSH,
+    * winnowing) compared pair-set against pair-set — sizes,
+    * intersections, overlap Jaccard per method pair; exact ⊂ every
+    * sound screen, and each screen's agreement with the exact-Jaccard
+    * reference is its measured operating point. */
+  val q188: Q = Q(
+    "q188_dedup_agreement",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val byHash = docs.select(col("doc_id"),
+        sha2(col("text"), 256).as("h"))
+      val exactPairs = byHash.select(col("doc_id").as("doc_a"), col("h"))
+        .join(byHash.select(col("doc_id").as("doc_b"), col("h")),
+          Seq("h"))
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+      Dedup.pairAgreement(Seq(
+        "exact" -> exactPairs,
+        "jaccard" -> Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          threshold = 0.5, maxDf = 100),
+        "minhash" -> Dedup.minhashLshPairs(docs, "doc_id", "text",
+          threshold = 0.5, k = minhashK, bands = minhashBands),
+        "winnow" -> Dedup.winnowingPairs(docs, "doc_id", "text",
+          span = 3, window = 4, maxDf = 100, minShared = 2)))
+    },
+    Some(s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      $duckHashShingles,
+      shf AS (
+        SELECT doc_id, hs FROM sh
+        QUALIFY count(*) OVER (PARTITION BY hs) <= 100
+      ),
+      sz AS (SELECT doc_id, count(*) n FROM shf GROUP BY 1),
+      jacp AS (
+        SELECT da AS doc_a, db AS doc_b
+        FROM (
+          SELECT a.doc_id da, b.doc_id db, count(*) i
+          FROM shf a JOIN shf b ON a.hs = b.hs AND a.doc_id < b.doc_id
+          GROUP BY 1, 2) inter
+        JOIN sz sa ON sa.doc_id = da
+        JOIN sz sb ON sb.doc_id = db
+        WHERE (CAST(i AS DOUBLE) / (sa.n + sb.n - i)) >= 0.5),
+      wpos AS (
+        SELECT doc_id, i AS pos, len(whl) - 2 AS n_pos,
+          list_reduce(list_prepend(0::BIGINT, whl[i : i + 2]),
+            (h, c) -> ((h * 31) + c) % $P) AS h
+        FROM wh, LATERAL unnest(range(1, len(whl) - 1)) AS t(i)
+        WHERE len(whl) - 2 BETWEEN 4 AND 1048575),
+      wmins AS (
+        SELECT doc_id, pos, n_pos,
+          min(h * 1048576 + (1048576 - pos)) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS combo
+        FROM wpos),
+      wpicks AS (
+        SELECT DISTINCT doc_id, combo // 1048576 AS fp
+        FROM wmins WHERE pos <= n_pos - 3),
+      wkept AS (
+        SELECT doc_id, fp FROM wpicks
+        QUALIFY count(*) OVER (PARTITION BY fp) <= 100),
+      winp AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM wkept a JOIN wkept b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      exactp AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM documents a JOIN documents b
+          ON a.text = b.text AND a.doc_id < b.doc_id),
+      tag AS (
+        SELECT 'exact' AS m, doc_a, doc_b FROM exactp
+        UNION ALL
+        SELECT 'jaccard', doc_a, doc_b FROM jacp
+        UNION ALL
+        SELECT 'minhash', doc_a, doc_b FROM ($q18OracleSql) mh
+        UNION ALL
+        SELECT 'winnow', doc_a, doc_b FROM winp),
+      flags AS (
+        SELECT doc_a, doc_b,
+          max(CASE WHEN m = 'exact' THEN 1 ELSE 0 END) AS f0,
+          max(CASE WHEN m = 'jaccard' THEN 1 ELSE 0 END) AS f1,
+          max(CASE WHEN m = 'minhash' THEN 1 ELSE 0 END) AS f2,
+          max(CASE WHEN m = 'winnow' THEN 1 ELSE 0 END) AS f3
+        FROM tag GROUP BY 1, 2),
+      wide AS (
+        SELECT sum(f0) AS n0, sum(f1) AS n1, sum(f2) AS n2,
+          sum(f3) AS n3,
+          sum(f0 * f1) AS b0_1, sum(f0 * f2) AS b0_2,
+          sum(f0 * f3) AS b0_3, sum(f1 * f2) AS b1_2,
+          sum(f1 * f3) AS b1_3, sum(f2 * f3) AS b2_3
+        FROM flags),
+      rowsx AS (
+        SELECT 'exact' AS method_a, 'jaccard' AS method_b,
+          n0 AS n_a, n1 AS n_b, b0_1 AS n_both FROM wide
+        UNION ALL SELECT 'exact', 'minhash', n0, n2, b0_2 FROM wide
+        UNION ALL SELECT 'exact', 'winnow', n0, n3, b0_3 FROM wide
+        UNION ALL SELECT 'jaccard', 'minhash', n1, n2, b1_2 FROM wide
+        UNION ALL SELECT 'jaccard', 'winnow', n1, n3, b1_3 FROM wide
+        UNION ALL SELECT 'minhash', 'winnow', n2, n3, b2_3 FROM wide)
+      SELECT method_a, method_b,
+        CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+        CAST(coalesce(n_b, 0) AS BIGINT) AS n_b,
+        CAST(coalesce(n_both, 0) AS BIGINT) AS n_both,
+        CASE WHEN coalesce(n_a, 0) + coalesce(n_b, 0)
+          - coalesce(n_both, 0) > 0 THEN
+          CAST(coalesce(n_both, 0) AS DOUBLE) /
+            CAST(coalesce(n_a, 0) + coalesce(n_b, 0)
+              - coalesce(n_both, 0) AS DOUBLE)
+        END AS overlap_jaccard
+      FROM rowsx ORDER BY method_a, method_b
+    """.trim))
+
+  // --------------------------------------------------------------- q195
+  /** q195 — dedup disagreement drill-down ([[Dedup.pairDisagreements]]):
+    * the per-pair triage table under q188's matrix — every pair the
+    * screens disagree on, one 0/1 flag per method; consensus pairs
+    * drop. */
+  val q195: Q = Q(
+    "q195_dedup_disagreements",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.pairDisagreements(Seq(
+        "jaccard" -> Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          threshold = 0.5, maxDf = 100),
+        "minhash" -> Dedup.minhashLshPairs(docs, "doc_id", "text",
+          threshold = 0.5, k = minhashK, bands = minhashBands),
+        "winnow" -> Dedup.winnowingPairs(docs, "doc_id", "text",
+          span = 3, window = 4, maxDf = 100, minShared = 2)))
+    },
+    Some(s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      $duckHashShingles,
+      shf AS (
+        SELECT doc_id, hs FROM sh
+        QUALIFY count(*) OVER (PARTITION BY hs) <= 100
+      ),
+      sz AS (SELECT doc_id, count(*) n FROM shf GROUP BY 1),
+      jacp AS (
+        SELECT da AS doc_a, db AS doc_b
+        FROM (
+          SELECT a.doc_id da, b.doc_id db, count(*) i
+          FROM shf a JOIN shf b ON a.hs = b.hs AND a.doc_id < b.doc_id
+          GROUP BY 1, 2) inter
+        JOIN sz sa ON sa.doc_id = da
+        JOIN sz sb ON sb.doc_id = db
+        WHERE (CAST(i AS DOUBLE) / (sa.n + sb.n - i)) >= 0.5),
+      wpos AS (
+        SELECT doc_id, i AS pos, len(whl) - 2 AS n_pos,
+          list_reduce(list_prepend(0::BIGINT, whl[i : i + 2]),
+            (h, c) -> ((h * 31) + c) % $P) AS h
+        FROM wh, LATERAL unnest(range(1, len(whl) - 1)) AS t(i)
+        WHERE len(whl) - 2 BETWEEN 4 AND 1048575),
+      wmins AS (
+        SELECT doc_id, pos, n_pos,
+          min(h * 1048576 + (1048576 - pos)) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS combo
+        FROM wpos),
+      wpicks AS (
+        SELECT DISTINCT doc_id, combo // 1048576 AS fp
+        FROM wmins WHERE pos <= n_pos - 3),
+      wkept AS (
+        SELECT doc_id, fp FROM wpicks
+        QUALIFY count(*) OVER (PARTITION BY fp) <= 100),
+      winp AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM wkept a JOIN wkept b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      tag AS (
+        SELECT 'jaccard' AS m, doc_a, doc_b FROM jacp
+        UNION ALL
+        SELECT 'minhash', doc_a, doc_b FROM ($q18OracleSql) mh
+        UNION ALL
+        SELECT 'winnow', doc_a, doc_b FROM winp),
+      flags AS (
+        SELECT doc_a, doc_b,
+          max(CASE WHEN m = 'jaccard' THEN 1 ELSE 0 END) AS f_jaccard,
+          max(CASE WHEN m = 'minhash' THEN 1 ELSE 0 END) AS f_minhash,
+          max(CASE WHEN m = 'winnow' THEN 1 ELSE 0 END) AS f_winnow
+        FROM tag GROUP BY 1, 2)
+      SELECT doc_a, doc_b, CAST(f_jaccard AS BIGINT) AS f_jaccard,
+        CAST(f_minhash AS BIGINT) AS f_minhash,
+        CAST(f_winnow AS BIGINT) AS f_winnow
+      FROM flags WHERE f_jaccard + f_minhash + f_winnow < 3
+      ORDER BY doc_a, doc_b
+    """.trim))
+
+  // --------------------------------------------------------------- q197
+  /** q197 — dup-family size distribution: how big are the near-dup
+    * families q31 finds — the count-of-counts (the q168 shape) over
+    * cluster sizes: family size 1 = unique docs, the tail = template
+    * farms; the shape that decides keep-one vs down-weight
+    * ([[Dedup.nearDupClusters]] ∘ size histogram). */
+  val q197: Q = Q(
+    "q197_cluster_sizes",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.nearDupClusters(docs, "doc_id",
+          Dedup.minhashLshPairs(docs, "doc_id", "text",
+            threshold = 0.5, k = minhashK, bands = minhashBands))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("family_size"))
+        .groupBy(col("family_size"))
+        .agg(count(lit(1)).as("n_families"))
+        .orderBy(col("family_size"))
+    },
+    Some(s"""
+      WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ($q18OracleSql) q
+      ),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+      ),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+      ),
+      cl AS (
+        SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+      fam AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS family_size
+        FROM cl GROUP BY 1)
+      SELECT family_size, CAST(count(*) AS BIGINT) AS n_families
+      FROM fam GROUP BY 1 ORDER BY 1
+    """.trim))
+
+}

@@ -1,0 +1,1202 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.{Dec, Tables}
+import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Rules, Sampling, Scd, Scrub, SemiStructured, Similarity, Sketch, Skew, TextAnalysis, Trend}
+
+/** [[Ext]] family: relational breadth (joins, rules, scrubbing, SCD, semi-structured, misc) — queries q33, q34, q38, q43, q44, q46, q58, q59, q63, q64, q70, q75, q77, q78, q82, q85, q104, q109, q117, q118, q119, q121, q131, q155, q156, q158, q162, q168, q192, q198.
+  * Split from the monolithic Ext.scala in round 12
+  * (pure relocation; helpers live in [[ExtHelpers]]). */
+private[queries] trait ExtRelationalQ { self: ExtHelpers =>
+  // ---------------------------------------------------------------- q33
+  /** q33 — PII redaction: synthetic addresses/numbers are woven into a
+    * slice of the fixture text (it contains none naturally), then
+    * scrubbed; output pins counts and the redacted text's hash. */
+  val q33: Q = Q(
+    "q33_pii_redact",
+    (s, d) => {
+      val seeded = Tables.documents(s, d).select(
+        col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" Contact user"), col("doc_id"),
+            lit("@example.com or call 555123"), col("doc_id"), lit(".")))
+          .otherwise(col("text")).as("text"))
+      Scrub.redactPii(seeded, "doc_id", "text")
+        .select(col("doc_id"), col("n_emails"), col("n_digit_runs"),
+          sha2(col("redacted"), 256).as("redacted_hash"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH seeded AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0
+            THEN text || ' Contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call 555123' || CAST(doc_id AS VARCHAR) || '.'
+            ELSE text END AS text
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '${Scrub.emailRe}')) AS INT)
+          AS n_emails,
+        CAST(len(regexp_extract_all(
+          regexp_replace(text, '${Scrub.emailRe}', '<EMAIL>', 'g'),
+          '${Scrub.longDigitsRe}')) AS INT) AS n_digit_runs,
+        sha256(regexp_replace(
+          regexp_replace(text, '${Scrub.emailRe}', '<EMAIL>', 'g'),
+          '${Scrub.longDigitsRe}', '<NUM>', 'g')) AS redacted_hash
+      FROM seeded ORDER BY doc_id
+    """.trim))
+
+  // ---------------------------------------------------------------- q34
+  /** q34 — event sessionization over the `events` stream table: a gap
+    * > 30 min opens a new session (lag + running-sum window pair, the
+    * standard sessionize idiom). Timestamps run as MICROSECOND LONGS on
+    * both sides: Spark converts `ts` via the encoding-adaptive
+    * [[Tables.tsUs]] (long nanos or TIMESTAMP parquet both land on µs);
+    * DuckDB's timestamps are natively µs — so the gap arithmetic
+    * is integer-exact and unit-identical in both engines (ns would
+    * silently truncate on the DuckDB side). One shuffle on user_id;
+    * windows are per-user ordered scans. */
+  val q34: Q = Q(
+    "q34_event_sessionize",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val gapUs = 30L * 60 * 1000 * 1000
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val newSess = when(lag(col("ts_us"), 1).over(byUser).isNull
+        || col("ts_us") - lag(col("ts_us"), 1).over(byUser) > gapUs, 1)
+        .otherwise(0)
+      eventsUs(s, d)
+        .withColumn("new_sess", newSess)
+        .withColumn("session_idx",
+          sum(col("new_sess")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"),
+          sum(Dec.d2(col("value"))).cast("double").as("sum_value"))
+        .orderBy(col("user_id"), col("session_idx"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+          value
+        FROM events),
+      flagged AS (
+        SELECT user_id, event_id, ts_us, value,
+          CASE WHEN lag(ts_us) OVER w IS NULL
+                 OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+               ELSE 0 END AS new_sess
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      sess AS (
+        SELECT user_id, ts_us, value,
+          CAST(SUM(new_sess) OVER (
+            PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        FROM flagged)
+      SELECT user_id, session_idx, count(*) AS n_events,
+        min(ts_us) AS start_us, max(ts_us) AS end_us,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM sess
+      GROUP BY user_id, session_idx
+      ORDER BY user_id, session_idx
+    """.trim))
+
+  // ---------------------------------------------------------------- q38
+  /** q38 — network-identifier redaction (q33's sibling): synthetic URLs
+    * and dotted-quad IPs are woven into a slice of the fixture text,
+    * then scrubbed URL-first (a dotted-quad URL host must come out as
+    * one `<URL>`). Output pins counts and the redacted text's hash. */
+  val q38: Q = Q(
+    "q38_network_redact",
+    (s, d) => {
+      val seeded = Tables.documents(s, d).select(
+        col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" See https://host"), col("doc_id"),
+            lit(".example.com/p?src="), col("doc_id"),
+            lit(" or ping 10.0."), col("doc_id") % 256, lit(".7 now.")))
+          .otherwise(col("text")).as("text"))
+      Scrub.redactNetwork(seeded, "doc_id", "text")
+        .select(col("doc_id"), col("n_urls"), col("n_ips"),
+          sha2(col("redacted"), 256).as("redacted_hash"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH seeded AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0
+            THEN text || ' See https://host' || CAST(doc_id AS VARCHAR)
+              || '.example.com/p?src=' || CAST(doc_id AS VARCHAR)
+              || ' or ping 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 now.'
+            ELSE text END AS text
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '${Scrub.urlRe}')) AS INT)
+          AS n_urls,
+        CAST(len(regexp_extract_all(
+          regexp_replace(text, '${Scrub.urlRe}', '<URL>', 'g'),
+          '${Scrub.ipv4Re}')) AS INT) AS n_ips,
+        sha256(regexp_replace(
+          regexp_replace(text, '${Scrub.urlRe}', '<URL>', 'g'),
+          '${Scrub.ipv4Re}', '<IP>', 'g')) AS redacted_hash
+      FROM seeded ORDER BY doc_id
+    """.trim))
+
+  // ---------------------------------------------------------------- q43
+  /** q43 — as-of join over the event stream: each purchase matched to
+    * the user's most recent view at-or-before it (the
+    * attribution/feature-lookup join). Runs on µs longs like q34. The
+    * right side is pre-aggregated to one row per (user, ts) — the
+    * determinism contract [[graft.operators.Joins.asOf]] documents and
+    * DuckDB's ASOF shares — so the oracle can be DuckDB's own native
+    * `ASOF LEFT JOIN`, an implementation-independent check (not a
+    * replay of our union-window trick). */
+  val q43: Q = Q(
+    "q43_asof_join",
+    (s, d) => {
+      val e = eventsUs(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts_us"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val views = e.where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("view_event_id"))
+        .withColumn("view_ts_us", col("ts_us"))
+      Joins.asOf(purchases, views, "user_id", "ts_us")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("view_event_id"), col("view_ts_us"),
+          (col("ts_us") - col("view_ts_us")).as("gap_us"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, event_type,
+          CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        FROM events),
+      p AS (
+        SELECT event_id, user_id, ts_us FROM e
+        WHERE event_type = 'purchase'),
+      v AS (
+        SELECT user_id, ts_us AS view_ts_us, max(event_id) AS view_event_id
+        FROM e WHERE event_type = 'view' GROUP BY 1, 2)
+      SELECT p.event_id, p.user_id, p.ts_us, v.view_event_id, v.view_ts_us,
+        p.ts_us - v.view_ts_us AS gap_us
+      FROM p ASOF LEFT JOIN v
+        ON p.user_id = v.user_id AND p.ts_us >= v.view_ts_us
+      ORDER BY p.event_id
+    """.trim))
+
+  // ---------------------------------------------------------------- q44
+  /** q44 — interval join with NO equi-key: the 20 highest-value events
+    * define ±10-minute incident windows; count and sum every event
+    * falling inside each window, across all users. Catalyst's native
+    * plan for this predicate is BroadcastNestedLoopJoin (O(N·M));
+    * [[graft.operators.Joins.intervalJoin]] buckets time to make it a
+    * hash join (PlanAuditSpec pins the shape). The oracle is DuckDB's
+    * own inequality join — engine-independent. Money sums ride
+    * DECIMAL(12,2) like q34, so they are order-exact in both engines. */
+  val q44: Q = Q(
+    "q44_interval_join",
+    (s, d) => {
+      val halfUs = 600000000L // ±10 min in µs
+      val e = eventsUs(s, d).select(col("event_id"),
+        col("ts_us"), col("value"))
+      val windows = e.orderBy(col("value").desc, col("event_id")).limit(20)
+        .select(col("event_id").as("wid"), col("ts_us").as("w_ts_us"),
+          (col("ts_us") - halfUs).as("w_start"),
+          (col("ts_us") + halfUs).as("w_end"))
+      Joins.intervalJoin(windows, "w_start", "w_end", e, "ts_us",
+        bucketWidth = 2 * halfUs)
+        .groupBy(col("wid"), col("w_ts_us"))
+        .agg(count(lit(1)).as("n_events"),
+          Dec.outD(sum(Dec.d2(col("value")))).as("sum_value"))
+        .orderBy(col("wid"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value
+        FROM events),
+      w AS (
+        SELECT event_id AS wid, ts_us AS w_ts_us
+        FROM e ORDER BY value DESC, event_id LIMIT 20)
+      SELECT wid, w_ts_us, count(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM w JOIN e
+        ON e.ts_us BETWEEN w_ts_us - 600000000 AND w_ts_us + 600000000
+      GROUP BY wid, w_ts_us
+      ORDER BY wid
+    """.trim))
+
+  // ---------------------------------------------------------------- q46
+  /** q46 — grouped top-k (the per-group sibling of q12's global top-k):
+    * the 3 longest documents per language. The scale property is rank
+    * PUSHDOWN: Spark plans `row_number() <= k` as WindowGroupLimit —
+    * each task keeps a k-row heap per group BEFORE the shuffle, so the
+    * exchange carries ≤ k·groups·partitions rows instead of the corpus
+    * (the window itself then ranks a k-bounded set). PlanAuditSpec pins
+    * the node's presence; without it this query shuffles 100 TB to rank
+    * it. Spark `row_number` is INT32, DuckDB's BIGINT → cast. */
+  val q46: Q = Q(
+    "q46_grouped_topk",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .orderBy(col("lang"), col("rank"))
+    },
+    Some("""
+      SELECT lang, doc_id, n_chars, CAST(rank AS INT) AS rank FROM (
+        SELECT lang, doc_id, n_chars,
+          row_number() OVER (
+            PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rank
+        FROM documents) t
+      WHERE rank <= 3
+      ORDER BY lang, rank
+    """.trim))
+
+  // ---------------------------------------------------------------- q58
+  /** q58 — ROLLUP subtotal hierarchy (relational breadth beyond the
+    * reference: multi-level report totals in ONE aggregate pass —
+    * Spark plans rollup as a single Expand + hash aggregate, partial-
+    * aggregable map-side, not one scan per level). grouping_id
+    * disambiguates a real NULL key from a rolled-up level, exactly as
+    * DuckDB's GROUPING_ID replays. Money stays exact decimal until the
+    * DOUBLE output boundary (the q14 discipline). */
+  val q58: Q = Q(
+    "q58_rollup_revenue",
+    (s, d) =>
+      Tables.orders(s, d)
+        .rollup(year(col("o_orderdate")).as("anio"),
+          col("o_orderstatus").as("estado"))
+        .agg(grouping_id().cast("int").as("nivel"),
+          Dec.outD(sum(Dec.d2(col("o_totalprice")))).as("ingresos"),
+          count(lit(1)).as("n_ordenes"))
+        .orderBy(col("nivel"), col("anio").asc_nulls_first,
+          col("estado").asc_nulls_first),
+    Some("""
+      SELECT CAST(year(o_orderdate) AS INT) AS anio, o_orderstatus AS estado,
+        CAST(GROUPING_ID(year(o_orderdate), o_orderstatus) AS INT) AS nivel,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS ingresos,
+        COUNT(*) AS n_ordenes
+      FROM orders
+      GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)
+      ORDER BY nivel, anio NULLS FIRST, estado NULLS FIRST
+    """.trim))
+
+  // ---------------------------------------------------------------- q59
+  /** q59 — PIVOT to a fixed column set (the report-matrix shape BI
+    * tools ask of an engine): monthly revenue split by return flag
+    * into columns. Spark's pivot with an EXPLICIT value list plans as
+    * one conditional aggregate (no second pass to discover values —
+    * the only shape that works on 100 TB); the oracle replays it as
+    * CASE sums. Missing (month, flag) combos are NULL in both. */
+  val q59: Q = Q(
+    "q59_pivot_returnflag",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("date")
+          .as("mes"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(Dec.outD(sum(Dec.d2(col("l_extendedprice")))))
+        .orderBy(col("mes")),
+    Some("""
+      SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS mes,
+        CAST(SUM(CASE WHEN l_returnflag = 'A'
+          THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS "A",
+        CAST(SUM(CASE WHEN l_returnflag = 'N'
+          THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS "N",
+        CAST(SUM(CASE WHEN l_returnflag = 'R'
+          THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS "R"
+      FROM lineitem
+      GROUP BY 1
+      ORDER BY mes
+    """.trim))
+
+  // ---------------------------------------------------------------- q63
+  /** q63 — tolerance-bounded as-of (the feature-store staleness rule):
+    * q43's lookup but matches older than 1 h are nulled as if absent.
+    * Compositional — one null-out over the carried match timestamp,
+    * no new join shape; the oracle is DuckDB's native ASOF plus the
+    * same CASE. */
+  val q63: Q = Q(
+    "q63_asof_tolerance",
+    (s, d) => {
+      val tolUs = 3600000000L // 1 h
+      val e = eventsUs(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts_us"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val views = e.where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("view_event_id"))
+        .withColumn("view_ts_us", col("ts_us"))
+      Joins.asOfWithin(purchases, views, "user_id", "ts_us", tolUs)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("view_event_id"), col("view_ts_us"),
+          (col("ts_us") - col("view_ts_us")).as("gap_us"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, event_type,
+          CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        FROM events),
+      p AS (
+        SELECT event_id, user_id, ts_us FROM e
+        WHERE event_type = 'purchase'),
+      v AS (
+        SELECT user_id, ts_us AS view_ts_us, max(event_id) AS view_event_id
+        FROM e WHERE event_type = 'view' GROUP BY 1, 2)
+      SELECT p.event_id, p.user_id, p.ts_us,
+        CASE WHEN v.view_ts_us >= p.ts_us - 3600000000
+          THEN v.view_event_id END AS view_event_id,
+        CASE WHEN v.view_ts_us >= p.ts_us - 3600000000
+          THEN v.view_ts_us END AS view_ts_us,
+        CASE WHEN v.view_ts_us >= p.ts_us - 3600000000
+          THEN p.ts_us - v.view_ts_us END AS gap_us
+      FROM p ASOF LEFT JOIN v
+        ON p.user_id = v.user_id AND p.ts_us >= v.view_ts_us
+      ORDER BY p.event_id
+    """.trim))
+
+  // ---------------------------------------------------------------- q64
+  /** q64 — CUBE over (year, priority): the full 2^n grouping lattice
+    * (q58's rollup is the hierarchical subset) — cross-tab totals in
+    * the same ONE Expand + partial hash aggregate pass, never a scan
+    * per grouping set. grouping_id separates the four levels. */
+  val q64: Q = Q(
+    "q64_cube_revenue",
+    (s, d) =>
+      Tables.orders(s, d)
+        .cube(year(col("o_orderdate")).as("anio"),
+          col("o_orderpriority").as("prioridad"))
+        .agg(grouping_id().cast("int").as("nivel"),
+          Dec.outD(sum(Dec.d2(col("o_totalprice")))).as("ingresos"),
+          count(lit(1)).as("n_ordenes"))
+        .orderBy(col("nivel"), col("anio").asc_nulls_first,
+          col("prioridad").asc_nulls_first),
+    Some("""
+      SELECT CAST(year(o_orderdate) AS INT) AS anio,
+        o_orderpriority AS prioridad,
+        CAST(GROUPING_ID(year(o_orderdate), o_orderpriority) AS INT)
+          AS nivel,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+          AS ingresos,
+        COUNT(*) AS n_ordenes
+      FROM orders
+      GROUP BY CUBE(year(o_orderdate), o_orderpriority)
+      ORDER BY nivel, anio NULLS FIRST, prioridad NULLS FIRST
+    """.trim))
+
+  // ---------------------------------------------------------------- q70
+  /** q70 — the INCREMENTAL novelty path under the driver oracle: the
+    * corpus is scored through [[graft.etl.NoveltyStore]] in two
+    * id-ordered batches (a fresh store per run, split at the id
+    * midpoint), and the per-doc scores must hash-match the ONE-SHOT
+    * q67 CTE — the batch-split-invariance contract
+    * (NoveltyStoreProps) as a green CORRECTNESS row. The store's
+    * append/score machinery (hash equi-join + left_anti append, no
+    * window, no driver state) is exactly what a live ingest runs. */
+  val q70: Q = Q(
+    "q70_novelty_store",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val mm = docs.agg(min(col("doc_id")).as("lo"),
+        max(col("doc_id")).as("hi")).head()
+      val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_q70_store").toString + "/store"
+      val store = new graft.etl.NoveltyStore(s, dir)
+      val first = store.scoreAndRecord(
+        docs.where(col("doc_id") <= cut), "doc_id", "text")
+      val second = store.scoreAndRecord(
+        docs.where(col("doc_id") > cut), "doc_id", "text")
+      first.unionByName(second)
+        .withColumnRenamed("n_seen", "n_seen_before")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      $duckHashShingles,
+      fs AS (SELECT hs, min(doc_id) AS first_id FROM sh GROUP BY hs)
+      SELECT sh.doc_id, count(*) AS n_shingles,
+        CAST(sum(CASE WHEN first_id < sh.doc_id THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_seen_before,
+        CAST((sum(CASE WHEN first_id < sh.doc_id THEN 1 ELSE 0 END)
+          * 1048576) // count(*) AS BIGINT) AS seen_fp
+      FROM sh JOIN fs USING (hs)
+      GROUP BY sh.doc_id ORDER BY sh.doc_id
+    """.trim))
+
+  // ---------------------------------------------------------------- q75
+  /** q75 — GROUPING SETS: the arbitrary-set member of the q58/q64/q59
+    * family (ROLLUP is the hierarchical prefix chain, CUBE the full
+    * lattice; GROUPING SETS expresses what neither can — here both
+    * one-dimension marginals WITHOUT the grand total or the pair).
+    * Same execution shape: ONE Expand + partial hash aggregate, one
+    * scan; grouping_id disambiguates set membership from real NULLs.
+    * SQL API on both engines — Spark's Dataset API deliberately only
+    * exposes rollup/cube, so the SQL surface IS the idiomatic form. */
+  val q75: Q = {
+    val sql = """
+      SELECT l_returnflag, l_linestatus,
+        CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS nivel,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+          AS ingresos,
+        COUNT(*) AS n_rows
+      FROM lineitem_q75
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        (l_returnflag), (l_linestatus))
+      ORDER BY nivel, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """.trim
+    Q(
+      "q75_grouping_sets",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q75")
+        s.sql(sql)
+      },
+      Some(sql.replace("lineitem_q75", "lineitem").replace(
+        "grouping_id(l_returnflag, l_linestatus)",
+        "GROUPING_ID(l_returnflag, l_linestatus)")))
+  }
+
+  // ---------------------------------------------------------------- q77
+  /** q77 — snapshot diff between two corpus versions (the post-ingest
+    * audit): old = docs outside residue 4 (mod 5), new = docs outside
+    * residue 3 with every 7th text amended — so the fixture
+    * deterministically exercises all four change kinds. The engine
+    * joins 32-byte sha-256 fingerprints through ONE full-outer hash
+    * join; the oracle reaches the same verdicts by comparing text
+    * directly with IS DISTINCT FROM — the NULL ≡ NULL, NULL ≠ value
+    * contract the per-column fingerprint implements (collision-free ≡
+    * identical decisions). */
+  val q77: Q = Q(
+    "q77_snapshot_diff",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Diff.snapshotDiff(
+        docs.where(col("doc_id") % 5 =!= 4),
+        docs.where(col("doc_id") % 5 =!= 3)
+          .withColumn("text",
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text"))),
+        "doc_id", "source", Seq("text"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT doc_id, source, text FROM documents WHERE doc_id % 5 <> 4),
+      n AS (
+        SELECT doc_id, source,
+          CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        FROM documents WHERE doc_id % 5 <> 3)
+      SELECT COALESCE(n.source, o.source) AS source,
+        CASE WHEN o.doc_id IS NULL THEN 'added'
+             WHEN n.doc_id IS NULL THEN 'removed'
+             WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+             ELSE 'unchanged' END AS change,
+        count(*) AS n_docs
+      FROM o FULL JOIN n ON o.doc_id = n.doc_id
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """.trim))
+
+  // ---------------------------------------------------------------- q78
+  /** q78 — FORWARD as-of join: for each click, the same user's next
+    * purchase at-or-after it (time-to-convert — the attribution
+    * counterpart of q43's look-back enrichment). Same single-window
+    * union machinery run in reverse time order; the oracle is DuckDB's
+    * native forward ASOF (`<=`). Right side deduplicated per
+    * (user, ts) with max(event_id), the shared determinism contract. */
+  val q78: Q = Q(
+    "q78_asof_forward",
+    (s, d) => {
+      val e = eventsUs(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts_us"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("purch_event_id"))
+        .withColumn("purch_ts_us", col("ts_us"))
+      Joins.asOf(clicks, purchases, "user_id", "ts_us", forward = true)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("purch_event_id"), col("purch_ts_us"),
+          (col("purch_ts_us") - col("ts_us")).as("wait_us"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, event_type,
+          CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        FROM events),
+      c AS (
+        SELECT event_id, user_id, ts_us FROM e
+        WHERE event_type = 'click'),
+      p AS (
+        SELECT user_id, ts_us AS purch_ts_us, max(event_id) AS purch_event_id
+        FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+      SELECT c.event_id, c.user_id, c.ts_us, p.purch_event_id,
+        p.purch_ts_us, p.purch_ts_us - c.ts_us AS wait_us
+      FROM c ASOF LEFT JOIN p
+        ON c.user_id = p.user_id AND c.ts_us <= p.purch_ts_us
+      ORDER BY c.event_id
+    """.trim))
+
+  // ---------------------------------------------------------------- q82
+  /** q82 — SCD2 validity intervals from the event stream: each user's
+    * event_type reigns [valid_from, valid_to) with consecutive equal
+    * values collapsed and the latest interval open (NULL). One shuffle
+    * on user_id; both windows share it (plan-pinned). Microsecond-long
+    * timestamps keep the interval arithmetic integer-exact. */
+  val q82: Q = Q(
+    "q82_scd2_intervals",
+    (s, d) =>
+      Scd.intervals(
+          eventsUs(s, d),
+          col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+        .select(col("key").as("user_id"), col("tie").as("event_id"),
+          col("value").as("event_type"),
+          col("valid_from"), col("valid_to"))
+        .orderBy(col("user_id"), col("valid_from"), col("event_id")),
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+          event_type
+        FROM events),
+      c AS (
+        SELECT user_id, event_id, ts_us, event_type,
+          lag(event_type) OVER
+            (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev,
+          row_number() OVER
+            (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+        FROM e),
+      ch AS (
+        SELECT * FROM c
+        WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+      SELECT user_id, event_id, event_type, ts_us AS valid_from,
+        lead(ts_us) OVER
+          (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to
+      FROM ch ORDER BY user_id, valid_from, event_id
+    """.trim))
+
+  // ---------------------------------------------------------------- q85
+  /** q85 — state dwell-time rollup over q82's SCD2 intervals: per
+    * event_type, how many closed reigns and how long they lasted
+    * (total + mean dwell in µs, mean as INTEGER division — `div` both
+    * engines, no doubles). Open intervals are censored, not clocked. */
+  val q85: Q = Q(
+    "q85_state_dwell",
+    (s, d) =>
+      Scd.dwellByValue(
+        eventsUs(s, d),
+        col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+        .select(col("value").as("event_type"), col("n_intervals"),
+          col("total_dwell"), col("mean_dwell"))
+        .orderBy(col("event_type")),
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+          event_type
+        FROM events),
+      c AS (
+        SELECT user_id, event_id, ts_us, event_type,
+          lag(event_type) OVER
+            (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev,
+          row_number() OVER
+            (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+        FROM e),
+      ch AS (
+        SELECT * FROM c
+        WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+      iv AS (
+        SELECT user_id, event_type, ts_us AS valid_from,
+          lead(ts_us) OVER
+            (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to
+        FROM ch)
+      SELECT event_type, count(*) AS n_intervals,
+        CAST(sum(valid_to - valid_from) AS BIGINT) AS total_dwell,
+        CAST(sum(valid_to - valid_from) // count(*) AS BIGINT)
+          AS mean_dwell
+      FROM iv WHERE valid_to IS NOT NULL
+      GROUP BY event_type
+      ORDER BY event_type
+    """.trim))
+
+  // --------------------------------------------------------------- q104
+  /** q104 — data-quality rule audit ([[Rules.audit]] +
+    * [[Rules.refAudit]]): the declarative constraint suite (Deequ's
+    * role) — three row-local rules in ONE scan of orders plus an FK
+    * rule against broadcast customer keys, one report row per rule.
+    * NULL predicates count as violations (coalesce(pred, false) — the
+    * 3VL trap the scaladoc documents). */
+  val q104: Q = Q(
+    "q104_rule_audit",
+    (s, d) => {
+      val orders = Tables.orders(s, d)
+      Rules.audit(orders, Seq(
+        Rules.Rule("orderdate_not_null", col("o_orderdate").isNotNull),
+        Rules.Rule("orderstatus_domain",
+          col("o_orderstatus").isin("O", "F", "P")),
+        Rules.Rule("totalprice_positive", col("o_totalprice") > 0)))
+        .unionByName(Rules.refAudit(orders, "o_custkey",
+          Tables.customer(s, d), "c_custkey", "custkey_fk"))
+        .orderBy(col("rule"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT count(*) AS n_rows,
+          sum(CASE WHEN coalesce(o_orderdate IS NOT NULL, FALSE)
+                THEN 0 ELSE 1 END) AS v0,
+          sum(CASE WHEN coalesce(o_orderstatus IN ('O','F','P'), FALSE)
+                THEN 0 ELSE 1 END) AS v1,
+          sum(CASE WHEN coalesce(o_totalprice > 0, FALSE)
+                THEN 0 ELSE 1 END) AS v2
+        FROM orders),
+      fk AS (
+        SELECT count(*) AS n_rows,
+          sum(CASE WHEN c.k IS NULL THEN 1 ELSE 0 END) AS v
+        FROM orders o LEFT JOIN (
+          SELECT DISTINCT c_custkey AS k FROM customer
+          WHERE c_custkey IS NOT NULL) c
+          ON o.o_custkey = c.k)
+      SELECT rule, n_rows, CAST(n_violations AS BIGINT) AS n_violations,
+        CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE)
+          AS violation_rate
+      FROM (
+        SELECT 'orderdate_not_null' AS rule, n_rows, v0 AS n_violations
+          FROM s
+        UNION ALL SELECT 'orderstatus_domain', n_rows, v1 FROM s
+        UNION ALL SELECT 'totalprice_positive', n_rows, v2 FROM s
+        UNION ALL SELECT 'custkey_fk', n_rows, v FROM fk)
+      ORDER BY rule
+    """.trim))
+
+  // --------------------------------------------------------------- q109
+  /** q109 — JSON payload field stats ([[SemiStructured.jsonFieldStats]]):
+    * schema-on-read over `events.props` — `get_json_object` (codegen'd
+    * JSONPath walk, no UDF, malformed → NULL) extracts `$.k`, then one
+    * partial-aggregated pass profiles presence/sum/mean per event
+    * type. The capability this lands is the semi-structured column
+    * class itself. */
+  val q109: Q = Q(
+    "q109_json_field_stats",
+    (s, d) =>
+      SemiStructured.jsonFieldStats(Tables.events(s, d), "props", "k",
+        "event_type"),
+    Some("""
+      SELECT event_type,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS n_present,
+        CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_value,
+        CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS DOUBLE) /
+          CAST(count(CAST(props->>'$.k' AS BIGINT)) AS DOUBLE)
+          AS mean_value
+      FROM events GROUP BY event_type ORDER BY event_type
+    """.trim))
+
+  // --------------------------------------------------------------- q117
+  /** q117 — functional-dependency audit ([[Rules.fdAudit]]): the
+    * cross-row constraint q104's row-local rules can't express —
+    * report every determinant of `source → lang` that maps to more
+    * than one language, with its distinct-value span and row blast
+    * radius ("is this feed monolingual"). Two partial-aggregated
+    * folds; the shuffle carries pair cardinality, never rows. */
+  val q117: Q = Q(
+    "q117_fd_audit",
+    (s, d) =>
+      Rules.fdAudit(Tables.documents(s, d), "source", "lang"),
+    Some("""
+      WITH p AS (
+        SELECT source AS determinant, lang, CAST(count(*) AS BIGINT) r
+        FROM documents GROUP BY 1, 2)
+      SELECT determinant, CAST(count(*) AS BIGINT) AS n_distinct_rhs,
+        CAST(sum(r) AS BIGINT) AS n_rows
+      FROM p GROUP BY 1 HAVING count(*) > 1 ORDER BY determinant
+    """.trim))
+
+  // --------------------------------------------------------------- q118
+  /** q118 — last-touch channel attribution: attribute every purchase
+    * to the user's most recent click or view within a 24 h window and
+    * roll up per channel (purchases, revenue, gap stats) — the
+    * standard marketing-attribution report, and the composition
+    * showcase for [[graft.operators.Joins.asOfWithin]]: one
+    * windowed as-of per channel, a row-local later-of pick (ties to
+    * 'click', pinned), no new join machinery. Revenue sums ride
+    * DECIMAL ([[graft.engine.Dec]]) — never floating accumulation —
+    * and gaps are exact µs-long sums. The DuckDB oracle is its native
+    * `ASOF LEFT JOIN` with a staleness CASE — an
+    * implementation-independent check, q43's argument. */
+  val q118: Q = Q(
+    "q118_touch_attribution",
+    (s, d) => {
+      val e = eventsUs(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts_us"), col("value"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("value"))
+      def touches(t: String, p: String) =
+        e.where(col("event_type") === t)
+          .groupBy(col("user_id"), col("ts_us"))
+          .agg(max(col("event_id")).as(s"${p}_id"))
+          .withColumn(s"${p}_ts", col("ts_us"))
+      val windowUs = 24L * 3600 * 1000000L
+      val withClick = Joins.asOfWithin(purchases,
+        touches("click", "click"), "user_id", "ts_us", windowUs)
+      val withBoth = Joins.asOfWithin(withClick,
+        touches("view", "view"), "user_id", "ts_us", windowUs)
+      val attributed = withBoth
+        .withColumn("channel",
+          when(col("click_ts").isNotNull &&
+            (col("view_ts").isNull || col("click_ts") >= col("view_ts")),
+            "click")
+          .when(col("view_ts").isNotNull, "view")
+          .otherwise("unattributed"))
+        .withColumn("touch_ts",
+          when(col("channel") === "click", col("click_ts"))
+            .when(col("channel") === "view", col("view_ts")))
+      attributed.groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          Dec.outD(sum(Dec.d2(col("value")))).as("attributed_value"),
+          sum(col("ts_us") - col("touch_ts")).as("total_gap_us"))
+        .withColumn("mean_gap_us",
+          col("total_gap_us").cast("double") / col("n_purchases"))
+        .orderBy(col("channel"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, event_type,
+          CAST(epoch_us(ts) AS BIGINT) ts_us, value
+        FROM events),
+      p AS (
+        SELECT event_id, user_id, ts_us, value FROM e
+        WHERE event_type = 'purchase'),
+      c AS (
+        SELECT user_id, ts_us AS c_ts, max(event_id) c_id
+        FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+      v AS (
+        SELECT user_id, ts_us AS v_ts, max(event_id) v_id
+        FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+      pc AS (
+        SELECT p.event_id, p.user_id, p.ts_us, p.value,
+          CASE WHEN c.c_ts >= p.ts_us - 86400000000 THEN c.c_ts END
+            AS click_ts
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts_us >= c.c_ts),
+      pv AS (
+        SELECT pc.event_id, pc.user_id, pc.ts_us, pc.value, pc.click_ts,
+          CASE WHEN v.v_ts >= pc.ts_us - 86400000000 THEN v.v_ts END
+            AS view_ts
+        FROM pc ASOF LEFT JOIN v
+          ON pc.user_id = v.user_id AND pc.ts_us >= v.v_ts),
+      ch AS (
+        SELECT *,
+          CASE WHEN click_ts IS NOT NULL
+                 AND (view_ts IS NULL OR click_ts >= view_ts)
+                 THEN 'click'
+               WHEN view_ts IS NOT NULL THEN 'view'
+               ELSE 'unattributed' END AS channel,
+          CASE WHEN click_ts IS NOT NULL
+                 AND (view_ts IS NULL OR click_ts >= view_ts)
+                 THEN click_ts
+               WHEN view_ts IS NOT NULL THEN view_ts END AS touch_ts
+        FROM pv)
+      SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+        CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+          AS attributed_value,
+        CAST(sum(ts_us - touch_ts) AS BIGINT) AS total_gap_us,
+        CAST(sum(ts_us - touch_ts) AS DOUBLE) / count(*) AS mean_gap_us
+      FROM ch GROUP BY 1 ORDER BY channel
+    """.trim))
+
+  // --------------------------------------------------------------- q119
+  /** q119 — join-blowup profiler ([[Skew.joinBlowupProfile]]): the
+    * pre-flight for a planned events self-join (sessionization /
+    * co-occurrence shapes) — per user, rows on each side and the
+    * exact pair mass the key would emit, top 20. The number that
+    * picks plain vs salted vs capped BEFORE the join runs; two
+    * partial-aggregated counts and a TakeOrderedAndProject, never the
+    * join itself. */
+  val q119: Q = Q(
+    "q119_join_blowup",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      Skew.joinBlowupProfile(e, e, "user_id", topK = 20)
+    },
+    Some("""
+      WITH l AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) n_left
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      r AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) n_right
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+      SELECT l.user_id, n_left, n_right,
+        n_left * n_right AS est_pairs
+      FROM l JOIN r USING (user_id)
+      ORDER BY est_pairs DESC, user_id LIMIT 20
+    """.trim))
+
+  // --------------------------------------------------------------- q121
+  /** q121 — k-anonymity / l-diversity audit
+    * ([[Scrub.kAnonymityAudit]]): the privacy gate's measurement half
+    * (q33 masks direct identifiers; this measures re-identification
+    * risk from what remains) — every (lang, source) quasi-group with
+    * fewer than 5 rows or fewer than 2 distinct sensitive values is a
+    * release-gate worklist row. Pair-fold shuffle carries cardinality,
+    * not rows; NULL sensitive counts as distinct (conservative in the
+    * safe direction). */
+  val q121: Q = Q(
+    "q121_k_anonymity",
+    (s, d) =>
+      Scrub.kAnonymityAudit(Tables.documents(s, d),
+        Seq("lang", "source"), "n_chars", k = 5L, l = 2L),
+    Some("""
+      WITH p AS (
+        SELECT lang, source, n_chars AS sv, CAST(count(*) AS BIGINT) r
+        FROM documents GROUP BY 1, 2, 3),
+      g AS (
+        SELECT lang, source, CAST(sum(r) AS BIGINT) n_rows,
+          CAST(count(*) AS BIGINT) n_distinct_sensitive
+        FROM p GROUP BY 1, 2)
+      SELECT lang, source, n_rows, n_distinct_sensitive,
+        (n_rows < 5) AS k_violation,
+        (n_distinct_sensitive < 2) AS l_violation
+      FROM g WHERE n_rows < 5 OR n_distinct_sensitive < 2
+      ORDER BY lang NULLS FIRST, source NULLS FIRST
+    """.trim))
+
+  // --------------------------------------------------------------- q131
+  /** q131 — encoding health audit ([[Scrub.encodingHealth]]): per
+    * source, docs carrying C0 control chars, U+FFFD replacement
+    * chars, or zero-width chars — the mojibake screen whose
+    * replacement-char rate is a SOURCE defect counter (transcode the
+    * feed, don't filter it). Row-local rlike probes, one counter
+    * pass. */
+  val q131: Q = Q(
+    "q131_encoding_health",
+    (s, d) =>
+      Scrub.encodingHealth(Tables.documents(s, d), "source", "text"),
+    Some("""
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN regexp_matches(text,
+          '[\x00-\x08\x0B\x0C\x0E-\x1F]') THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_control,
+        CAST(sum(CASE WHEN regexp_matches(text, '\x{FFFD}')
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_replacement,
+        CAST(sum(CASE WHEN regexp_matches(text,
+          '[\x{200B}-\x{200D}\x{FEFF}]') THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_zero_width,
+        CAST(sum(CASE WHEN regexp_matches(text,
+            '[\x00-\x08\x0B\x0C\x0E-\x1F]') THEN 1 ELSE 0 END) +
+          sum(CASE WHEN regexp_matches(text, '\x{FFFD}')
+            THEN 1 ELSE 0 END) +
+          sum(CASE WHEN regexp_matches(text,
+            '[\x{200B}-\x{200D}\x{FEFF}]') THEN 1 ELSE 0 END)
+          AS DOUBLE) / CAST(count(*) AS DOUBLE) AS defect_rate
+      FROM documents GROUP BY source ORDER BY source
+    """.trim))
+
+  // --------------------------------------------------------------- q155
+  /** q155 — regional local-supplier volume (the TPC-H Q5 SHAPE on the
+    * fixture star): revenue by nation for ASIA customers served by
+    * same-nation suppliers in 1996 — the 6-table join that exercises
+    * the planner's join-size laddering. Only the CONSTANT-size dims
+    * (region, nation) are explicitly broadcast; customer and supplier
+    * SCALE with the corpus, so their joins are left to
+    * Catalyst/AQE — at fixture SF they auto-broadcast, at 100 TB they
+    * shuffle on their keys, and the code is correct either way (the
+    * q9 discipline one rung up). Money exact decimal end-to-end. */
+  val q155: Q = Q(
+    "q155_regional_volume",
+    (s, d) => {
+      val nat = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+          .where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val ord = Tables.orders(s, d)
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_suppkey"),
+        (Dec.d2(col("l_extendedprice")) *
+          (lit(1) - Dec.d2(col("l_discount")))).as("rev"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(Dec.outD(sum(col("rev"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""
+      SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+          (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+        AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name
+    """.trim))
+
+  // --------------------------------------------------------------- q156
+  /** q156 — unshipped-order priority (the TPC-H Q3 SHAPE): top-10
+    * revenue among BUILDING-segment orders placed before the cut
+    * whose items shipped after it — filter-pushdown on BOTH fact
+    * predicates, one orderkey-keyed aggregate, top-k as
+    * TakeOrderedAndProject (per-partition heaps, never a global
+    * sort); ties pinned (revenue desc, date, orderkey). */
+  val q156: Q = Q(
+    "q156_order_priority",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = Tables.orders(s, d)
+        .where(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val li = Tables.lineitem(s, d)
+        .where(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"),
+          (Dec.d2(col("l_extendedprice")) *
+            (lit(1) - Dec.d2(col("l_discount")))).as("rev"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(Dec.outD(sum(col("rev"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"),
+          col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+          (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+        AND l_shipdate > TIMESTAMP '1997-01-01'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, o_orderdate, l_orderkey
+      LIMIT 10
+    """.trim))
+
+  // --------------------------------------------------------------- q158
+  /** q158 — JSON field top-k ([[SemiStructured.jsonFieldTopK]]): per
+    * event type, the 3 most frequent values of `props.k` — the value
+    * census of a semi-structured field, missing payloads surfacing as
+    * the NULL row; ties pinned (count desc, value asc NULLS FIRST);
+    * rank filter plans as WindowGroupLimit. */
+  val q158: Q = Q(
+    "q158_json_topk",
+    (s, d) =>
+      SemiStructured.jsonFieldTopK(Tables.events(s, d), "props", "k",
+        "event_type", k = 3),
+    Some("""
+      WITH c AS (
+        SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS value,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      r AS (
+        SELECT event_type, value, n,
+          CAST(row_number() OVER (PARTITION BY event_type
+            ORDER BY n DESC, value ASC NULLS FIRST) AS INT) AS rank
+        FROM c)
+      SELECT event_type, value, n, rank
+      FROM r WHERE rank <= 3
+      ORDER BY event_type, rank
+    """.trim))
+
+  // --------------------------------------------------------------- q162
+  /** q162 — catalog staleness audit ([[Rules.stalenessAudit]]): per
+    * brand, parts that ever shipped and parts that shipped within 365
+    * days of the corpus's LAST ship date — anchored to the data's own
+    * clock, never now() (hash-verifiable, rerun-stable); the dead-SKU
+    * report. */
+  val q162: Q = Q(
+    "q162_staleness_audit",
+    (s, d) =>
+      Rules.stalenessAudit(Tables.part(s, d), "p_partkey", "p_brand",
+        Tables.lineitem(s, d), "l_partkey", col("l_shipdate"),
+        horizonDays = 365),
+    Some("""
+      WITH last AS (
+        SELECT l_partkey AS k, max(l_shipdate) AS last_ts
+        FROM lineitem GROUP BY 1),
+      j AS (
+        SELECT p_brand AS g, last.last_ts,
+          (SELECT max(last_ts) FROM last) AS gl
+        FROM part LEFT JOIN last ON p_partkey = last.k)
+      SELECT g AS p_brand, CAST(count(*) AS BIGINT) AS n_items,
+        CAST(sum(CASE WHEN last_ts IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_active,
+        CAST(sum(CASE WHEN last_ts IS NOT NULL AND
+          CAST(gl AS DATE) - CAST(last_ts AS DATE) <= 365
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_recent,
+        CAST(count(*) - sum(CASE WHEN last_ts IS NOT NULL AND
+          CAST(gl AS DATE) - CAST(last_ts AS DATE) <= 365
+          THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+          AS stale_rate
+      FROM j GROUP BY g ORDER BY p_brand
+    """.trim))
+
+  // --------------------------------------------------------------- q168
+  /** q168 — customer order-count distribution (the TPC-H Q13 SHAPE):
+    * how many customers placed exactly k orders, INCLUDING the
+    * zero-order customers the fact table alone can't show (the LEFT
+    * join is the point — churn/inactive analysis dies without the
+    * empty bucket); two partial-aggregable levels (per-customer count,
+    * then the count-of-counts), the second over the ≤ |customers|-row
+    * reduced frame. */
+  val q168: Q = Q(
+    "q168_order_distribution",
+    (s, d) =>
+      Tables.customer(s, d).select(col("c_custkey"))
+        .join(Tables.orders(s, d).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_custkey")).as("n_orders"))
+        .groupBy(col("n_orders"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("n_orders")),
+    Some("""
+      SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+      FROM (
+        SELECT c_custkey, CAST(count(o_custkey) AS BIGINT) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey) t
+      GROUP BY n_orders ORDER BY n_orders
+    """.trim))
+
+  // --------------------------------------------------------------- q192
+  /** q192 — fact reconciliation ([[Rules.factReconciliation]]): order
+    * headers vs the exact decimal sum of their lineitem prices — the
+    * top-10 worst relative discrepancies (fixed-point ranking, ties
+    * pinned), parents with no details surfacing with NULL totals; the
+    * classic header-vs-lines closing audit. */
+  val q192: Q = Q(
+    "q192_fact_reconciliation",
+    (s, d) =>
+      Rules.factReconciliation(
+        Tables.orders(s, d), "o_orderkey", col("o_totalprice"),
+        Tables.lineitem(s, d), "l_orderkey", col("l_extendedprice"),
+        topK = 10),
+    Some("""
+      WITH p AS (
+        SELECT o_orderkey AS key,
+          CAST(o_totalprice AS DECIMAL(12,2)) AS pv
+        FROM orders),
+      dsum AS (
+        SELECT l_orderkey AS key,
+          sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS dv
+        FROM lineitem GROUP BY 1),
+      j AS (
+        SELECT p.key AS key, pv, dv,
+          pv - coalesce(dv, CAST(0 AS DECIMAL(12,2))) AS diff
+        FROM p LEFT JOIN dsum ON p.key = dsum.key),
+      f AS (
+        SELECT key, pv, dv, diff,
+          CASE WHEN pv <> 0 THEN
+            (CAST(abs(diff) * 100 AS BIGINT) * 1048576)
+              // CAST(abs(pv) * 100 AS BIGINT)
+          END AS rel_fp
+        FROM j WHERE diff <> 0 OR dv IS NULL
+        ORDER BY abs(diff) DESC, key LIMIT 10)
+      SELECT key, CAST(pv AS DOUBLE) AS parent_value,
+        CAST(dv AS DOUBLE) AS detail_total,
+        CAST(diff AS DOUBLE) AS diff, rel_fp
+      FROM f
+    """.trim))
+
+  // --------------------------------------------------------------- q198
+  /** q198 — scrub closure audit ([[Scrub.redactPii]] ∘ itself): run
+    * the redaction twice and count what the SECOND pass still finds —
+    * the idempotence/completeness gate a privacy review actually
+    * asks for ("is anything left after scrubbing?"), as one
+    * oracle-checked row; residual counts must read zero. */
+  val q198: Q = Q(
+    "q198_scrub_closure",
+    (s, d) => {
+      val seeded = Tables.documents(s, d).select(
+        col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" Contact user"), col("doc_id"),
+            lit("@example.com or call 555123"), col("doc_id"), lit(".")))
+          .otherwise(col("text")).as("text"))
+      val pass1 = Scrub.redactPii(seeded, "doc_id", "text")
+      val pass2 = Scrub.redactPii(
+        pass1.select(col("doc_id"), col("redacted").as("text")),
+        "doc_id", "text")
+      val a1 = pass1.agg(count(lit(1)).as("n_docs"),
+        sum(col("n_emails").cast("long")).as("n_emails_pass1"),
+        sum(col("n_digit_runs").cast("long")).as("n_digits_pass1"))
+      val a2 = pass2.agg(
+        sum(col("n_emails").cast("long")).as("n_emails_residual"),
+        sum(col("n_digit_runs").cast("long")).as("n_digits_residual"))
+      a1.crossJoin(broadcast(a2))
+    },
+    Some(s"""
+      WITH seeded AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0
+            THEN text || ' Contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call 555123'
+              || CAST(doc_id AS VARCHAR) || '.'
+            ELSE text END AS text
+        FROM documents),
+      p1 AS (
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '${Scrub.emailRe}')) AS INT)
+            AS n_emails,
+          CAST(len(regexp_extract_all(
+            regexp_replace(text, '${Scrub.emailRe}', '<EMAIL>', 'g'),
+            '${Scrub.longDigitsRe}')) AS INT) AS n_digit_runs,
+          regexp_replace(
+            regexp_replace(text, '${Scrub.emailRe}', '<EMAIL>', 'g'),
+            '${Scrub.longDigitsRe}', '<NUM>', 'g') AS redacted
+        FROM seeded),
+      p2 AS (
+        SELECT
+          CAST(len(regexp_extract_all(redacted, '${Scrub.emailRe}'))
+            AS INT) AS n_emails,
+          CAST(len(regexp_extract_all(
+            regexp_replace(redacted, '${Scrub.emailRe}', '<EMAIL>', 'g'),
+            '${Scrub.longDigitsRe}')) AS INT) AS n_digit_runs
+        FROM p1)
+      SELECT
+        CAST((SELECT count(*) FROM p1) AS BIGINT) AS n_docs,
+        CAST((SELECT sum(n_emails) FROM p1) AS BIGINT) AS n_emails_pass1,
+        CAST((SELECT sum(n_digit_runs) FROM p1) AS BIGINT)
+          AS n_digits_pass1,
+        CAST((SELECT sum(n_emails) FROM p2) AS BIGINT)
+          AS n_emails_residual,
+        CAST((SELECT sum(n_digit_runs) FROM p2) AS BIGINT)
+          AS n_digits_residual
+    """.trim))
+
+}

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.{Dec, Tables}
+import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Rules, Sampling, Scd, Scrub, SemiStructured, Similarity, Sketch, Skew, TextAnalysis, Trend}
+
+/** [[Ext]] family: bounded-state sketches (CMS, HLL, grid percentile) and their accuracy evals — queries q80, q89, q148.
+  * Split from the monolithic Ext.scala in round 12
+  * (pure relocation; helpers live in [[ExtHelpers]]). */
+private[queries] trait ExtSketchQ { self: ExtHelpers =>
+  // ---------------------------------------------------------------- q80
+  /** q80 — count-min sketch heavy-hitter estimates: exact top-20
+    * whitespace-token frequencies side-by-side with their CMS
+    * estimates (`est_cf` ≥ `cf` always — a counter is a superset sum).
+    * The sketch's (r, b) groupBy key space is the fixed d·w grid, so
+    * the shuffle is constant-size regardless of corpus OR vocabulary —
+    * the scale rung under q65's |vocab|-key profile. The portable
+    * affine bucket hashes are what let an "approximate" sketch
+    * hash-verify: the estimate is a deterministic function of the
+    * corpus, replayed bit-for-bit by the oracle. */
+  val q80: Q = Q(
+    "q80_cms_heavy_hitters",
+    (s, d) =>
+      Sketch.heavyHittersEstimate(Tables.documents(s, d), "text",
+        topK = 20, width = 1024),
+    Some(s"""
+      WITH words AS (
+        SELECT list_filter(string_split_regex(trim(text), '\\s+'),
+          t -> t <> '') w
+        FROM documents),
+      tok AS (
+        SELECT t, list_reduce(list_prepend(0::BIGINT,
+          list_transform(range(1, length(t) + 1), j -> ascii(t[j]))),
+          (h, c) -> ((h * 31) + c) % $P) AS h
+        FROM words, LATERAL unnest(w) AS u(t)),
+      rs AS (SELECT unnest(range(4)) AS r),
+      sk AS (
+        SELECT r, ((h * (2*r + 1) + (1000003*r + 12345)) % $P) % 1024 AS b,
+          count(*) AS cnt
+        FROM tok, rs GROUP BY 1, 2),
+      top AS (
+        SELECT t AS term, h, count(*) AS cf FROM tok GROUP BY 1, 2
+        ORDER BY cf DESC, term LIMIT 20),
+      pb AS (
+        SELECT term, cf, r,
+          ((h * (2*r + 1) + (1000003*r + 12345)) % $P) % 1024 AS b
+        FROM top, rs)
+      SELECT term, cf, CAST(min(COALESCE(cnt, 0)) AS BIGINT) AS est_cf
+      FROM pb LEFT JOIN sk USING (r, b)
+      GROUP BY term, cf
+      ORDER BY cf DESC, term
+    """.trim))
+
+  // ---------------------------------------------------------------- q89
+  val q89: Q = {
+    val m = 256
+    val wBits = 52
+    Q(
+      "q89_hll_distinct",
+      (s, d) => {
+        val h1 = (col("user_id") % P * 2654435761L % P + 12345L) % P
+        val h2 = (col("user_id") % P * 1779033703L % P + 54321L) % P
+        val hashed = Tables.events(s, d).select(col("event_type"),
+          ((h1 * h1 % P) * P + (h2 * h2 % P)).as("h"))
+        Sketch.hllDistinct(hashed, "event_type", "h", m, wBits)
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        WITH ${duckHllEvents(m, wBits)}
+        SELECT event_type, n_filled, n_empty, est_distinct
+        FROM hll ORDER BY event_type
+      """.trim))
+  }
+
+  // --------------------------------------------------------------- q148
+  /** q148 — HLL accuracy evaluation ([[Sketch.hllAccuracy]]): per
+    * event type, the exact distinct user count next to q89's HLL
+    * estimate and the signed relative error — the q129/q144 eval
+    * discipline applied to the sketch family (±1.04/√m is the
+    * EXPECTED error; this measures it on YOUR keys). The oracle
+    * replays the shared HLL fragment plus the exact side. */
+  val q148: Q = {
+    val m = 256
+    val wBits = 52
+    Q(
+      "q148_hll_accuracy",
+      (s, d) => {
+        val h1 = (col("user_id") % P * 2654435761L % P + 12345L) % P
+        val h2 = (col("user_id") % P * 1779033703L % P + 54321L) % P
+        val hashed = Tables.events(s, d).select(col("event_type"),
+          col("user_id"),
+          ((h1 * h1 % P) * P + (h2 * h2 % P)).as("h"))
+        Sketch.hllAccuracy(hashed, "event_type", "h", "user_id", m, wBits)
+      },
+      Some(s"""
+        WITH ${duckHllEvents(m, wBits)},
+        ex AS (
+          SELECT event_type,
+            CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+          FROM events GROUP BY 1)
+        SELECT ex.event_type AS event_type, exact_distinct, est_distinct,
+          est_distinct / CAST(exact_distinct AS DOUBLE) - 1.0e0
+            AS rel_error
+        FROM ex JOIN hll ON ex.event_type = hll.event_type
+        ORDER BY 1
+      """.trim))
+  }
+
+}
