@@ -8,13 +8,20 @@ import org.apache.spark.sql.functions._
   * `{uri, mime, payload}`, with decode/feature-extraction as
   * per-partition batch functions over a typed Dataset.
   *
-  * The actual codecs (image/audio/video) are NOT available in this
-  * environment, so [[decodeStub]] is a clearly-marked deterministic
-  * fake — but everything Spark-side is real and load-bearing: the
-  * nested schema, the binary column, the mapPartitions batching (one
-  * decoder init per partition, the same shape a JNI/FFmpeg binding
-  * needs), and the columnar metadata path that never touches payload
-  * bytes.
+  * Two decode rungs:
+  *
+  *  - [[decodeImageMeta]] — a REAL image decoder: `javax.imageio`
+  *    header decode of actual PNG/JPEG payload bytes to
+  *    (width, height, channels, format), reading only the header (no
+  *    pixel decode), with corrupt payloads yielding a null-metadata
+  *    row instead of a task failure. [[encodeImageFixture]] is its
+  *    test-fixture twin: real `ImageIO.write` PNG/JPEG encodes with
+  *    dimensions derived from the doc id, so an oracle can state the
+  *    expected metadata without parsing bytes.
+  *  - [[decodeStub]] — the deterministic fake kept for the
+  *    audio/video modalities whose codecs (FFmpeg et al.) are NOT
+  *    available in this environment; the mapPartitions batching and
+  *    the columnar metadata path around it are real and load-bearing.
   *
   * Scale notes: payloads dominate row size, so the media frame should
   * be stored in its own parquet files with metadata columns first —
@@ -104,4 +111,101 @@ object Multimodal {
       // real impl: val codec = Codec.open(); it.map(r => codec.decode(r))
       it.map(decodeStub)
     }
+
+  /** Image header metadata decoded from REAL payload bytes. `ok = 1`
+    * when the header parsed; corrupt/unrecognized payloads keep the
+    * row with `ok = 0` and null metadata (never a task failure). */
+  final case class ImageMeta(
+      doc_id: Long, ok: Long, width: Option[Long],
+      height: Option[Long], channels: Option[Long],
+      format: Option[String])
+
+  implicit val imageMetaEnc: Encoder[ImageMeta] =
+    Encoders.product[ImageMeta]
+
+  /** Header-only image decode of one payload: find the ImageIO reader
+    * claiming the byte stream's magic, read (width, height) and the
+    * color-model component count from the HEADER (no pixel pass), and
+    * normalize the format name to lowercase. Returns None for any
+    * payload no reader claims or whose header is truncated/corrupt —
+    * the decode contract is total, errors are data not exceptions. */
+  def decodeImageHeader(payload: Array[Byte])
+      : Option[(Long, Long, Long, String)] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          r.setInput(iis)
+          try {
+            val w = r.getWidth(0).toLong
+            val h = r.getHeight(0).toLong
+            val types = r.getImageTypes(0)
+            val ch =
+              if (types.hasNext)
+                types.next().getColorModel.getNumComponents.toLong
+              else -1L
+            Some((w, h, ch,
+              r.getFormatName.toLowerCase(java.util.Locale.ROOT)))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Distributed REAL image-header decode: one `ImageIO` setup per
+    * partition (disk cache off — pure in-memory streams), then each
+    * record's payload through [[decodeImageHeader]]. The production
+    * path for a `{uri, mime, payload}` image frame: metadata columns
+    * come out typed, corrupt rows come out flagged, and no payload
+    * byte ever crosses a shuffle — decode runs where the scan runs. */
+  def decodeImageMeta(media: Dataset[MediaRecord]): Dataset[ImageMeta] =
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        decodeImageHeader(r.payload) match {
+          case Some((w, h, ch, fmt)) =>
+            ImageMeta(r.doc_id, 1L, Some(w), Some(h), Some(ch), Some(fmt))
+          case None =>
+            ImageMeta(r.doc_id, 0L, None, None, None, None)
+        }
+      }
+    }
+
+  /** REAL-BYTES image fixture: per doc id, an actual `ImageIO.write`
+    * PNG (even ids) or JPEG (odd ids) encode of a
+    * `(8 + id % 57) × (8 + (id·3) % 41)` 3-channel image — so the
+    * decoded header metadata is a pure function of the id an oracle
+    * can state WITHOUT parsing bytes, while the payload is a byte-true
+    * image file. Two corruption families are injected to pin the
+    * never-fail contract, each hitting BOTH formats (`% 10` parities
+    * pair with the `% 2` format rule): `id % 10 ∈ {3, 4}` zeroes the
+    * magic byte (no reader claims it — 3 hits a JPEG, 4 a PNG),
+    * `id % 10 ∈ {6, 7}` truncates to 16 bytes (the reader claims the
+    * magic, then hits EOF inside the header — 6 a PNG, 7 a JPEG). */
+  def encodeImageFixture(docs: DataFrame, idCol: String)
+      : Dataset[MediaRecord] = {
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+      .where(col("doc_id").isNotNull && col("doc_id") >= 0)
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    ids.as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val w = 8 + (id % 57).toInt
+        val h = 8 + ((id * 3) % 41).toInt
+        val png = id % 2 == 0
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, if (png) "png" else "jpg", bos)
+        var bytes = bos.toByteArray
+        if (id % 10 == 3 || id % 10 == 4) bytes(0) = 0
+        else if (id % 10 == 6 || id % 10 == 7) bytes = bytes.take(16)
+        MediaRecord(id, s"memory://img/$id",
+          if (png) "image/png" else "image/jpeg", bytes)
+      }
+    }
+  }
 }

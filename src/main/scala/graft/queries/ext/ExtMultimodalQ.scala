@@ -41,4 +41,40 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       FROM m ORDER BY doc_id
     """.trim))
 
+  // ---------------------------------------------------------------- q206
+  /** q206 — REAL image decode: [[Multimodal.encodeImageFixture]] writes
+    * actual PNG/JPEG bytes (`ImageIO.write`) with id-derived dimensions
+    * and two injected corruption families, then
+    * [[Multimodal.decodeImageMeta]] header-decodes them back with the
+    * JDK's `javax.imageio` readers. The oracle states the expected
+    * metadata as pure id arithmetic — the decode must round-trip the
+    * encode exactly, and every corrupt payload must surface as an
+    * `ok = 0` null-metadata row rather than a task failure. This is
+    * the decode rung q26's columnar stub deliberately faked
+    * (`extract.py` has no media path; SURVEY §2.11 north star). */
+  val q206: Q = Q(
+    "q206_image_decode",
+    (s, d) => {
+      val media = Multimodal.encodeImageFixture(
+        Tables.documents(s, d), "doc_id")
+      Multimodal.decodeImageMeta(media).toDF()
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+        CAST(CASE WHEN doc_id % 10 IN (3, 4, 6, 7) THEN 0 ELSE 1 END
+          AS BIGINT) AS ok,
+        CASE WHEN doc_id % 10 IN (3, 4, 6, 7) THEN NULL
+             ELSE 8 + doc_id % 57 END AS width,
+        CASE WHEN doc_id % 10 IN (3, 4, 6, 7) THEN NULL
+             ELSE 8 + (doc_id * 3) % 41 END AS height,
+        CASE WHEN doc_id % 10 IN (3, 4, 6, 7) THEN NULL
+             ELSE CAST(3 AS BIGINT) END AS channels,
+        CASE WHEN doc_id % 10 IN (3, 4, 6, 7) THEN NULL
+             WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+      FROM documents
+      WHERE doc_id IS NOT NULL AND doc_id >= 0
+      ORDER BY doc_id
+    """.trim))
+
 }

@@ -46,4 +46,52 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("encode("), s"payload not pruned:\n$plan")
     assert(metaOnly.count() == 500)
   }
+
+  test("decodeImageMeta round-trips real ImageIO encodes: dims, " +
+    "channels and format match the id formulas") {
+    val media = Multimodal.encodeImageFixture(
+      Tables.documents(spark, sf), "doc_id")
+    val out = Multimodal.decodeImageMeta(media).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(out.size == 500)
+    val clean = out.values.filter(_.ok == 1L)
+    assert(clean.nonEmpty)
+    clean.foreach { m =>
+      assert(m.width.get == 8 + m.doc_id % 57, s"width off: $m")
+      assert(m.height.get == 8 + (m.doc_id * 3) % 41, s"height off: $m")
+      assert(m.channels.get == 3L, s"channels off: $m")
+      assert(m.format.get ==
+        (if (m.doc_id % 2 == 0) "png" else "jpeg"), s"format off: $m")
+    }
+  }
+
+  test("corrupt payloads (bad magic, truncated header) yield ok=0 " +
+    "null-metadata rows for BOTH formats — never a task failure") {
+    val media = Multimodal.encodeImageFixture(
+      Tables.documents(spark, sf), "doc_id")
+    val out = Multimodal.decodeImageMeta(media).collect()
+    val corrupt = out.filter(m => Seq(3L, 4L, 6L, 7L).contains(m.doc_id % 10))
+    assert(corrupt.nonEmpty)
+    corrupt.foreach { m =>
+      assert(m.ok == 0L && m.width.isEmpty && m.height.isEmpty &&
+        m.channels.isEmpty && m.format.isEmpty, s"corrupt row leaked: $m")
+    }
+    // all four (corruption × format) combos present: magic-corrupt
+    // jpeg (…3), magic-corrupt png (…4), truncated png (…6),
+    // truncated jpeg (…7)
+    Seq(3L, 4L, 6L, 7L).foreach { d =>
+      assert(corrupt.exists(_.doc_id % 10 == d), s"no id ending $d")
+    }
+    assert(out.count(_.ok == 1L) == out.length - corrupt.length)
+  }
+
+  test("decodeImageHeader is total: garbage, empty and truncated " +
+    "byte arrays return None instead of throwing") {
+    assert(Multimodal.decodeImageHeader(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeImageHeader(Array.fill[Byte](64)(0x41)).isEmpty)
+    // a real PNG signature followed by nothing: reader claims, header EOF
+    val pngMagic = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47,
+      0x0d, 0x0a, 0x1a, 0x0a)
+    assert(Multimodal.decodeImageHeader(pngMagic).isEmpty)
+  }
 }
