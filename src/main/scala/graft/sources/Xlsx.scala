@@ -26,15 +26,23 @@ import org.w3c.dom.Element
   * workbooks store dates as serials, which openpyxl hands the reference
   * as datetime objects (extract.py:100) and pandas re-parses
   * (transform.py:114-117); without decoding, downstream F1/F2 try-casts
-  * would silently null every date column of a styled workbook. Decoding
-  * covers serials >= 61 (1900-03-01 onward, past the 1900 leap-year
-  * phantom day): day 0 = 1899-12-30, time = the day fraction rounded to
-  * the second; whole days print `yyyy-MM-dd`, otherwise `yyyy-MM-dd
-  * HH:mm:ss`. Pre-1900-03-01 serials stay raw text (ambiguous under the
-  * phantom day; out of scope for the reference's data). All other cell
-  * values come back as raw STRINGS — the transform owns typing via its
-  * coerce/strict casts (transform.py:61-64,113-124), exactly as it does
-  * for every other source.
+  * would silently null every date column of a styled workbook.
+  *
+  * BOTH Excel date systems are honored, matching openpyxl (the
+  * reference's reader resolves the epoch per workbook): the default
+  * 1900 system decodes serials >= 61 (1900-03-01 onward, past the
+  * 1900 leap-year phantom day) against day 0 = 1899-12-30, while a
+  * workbook whose `xl/workbook.xml` carries `workbookPr/@date1904`
+  * (mac-Excel heritage) decodes serials >= 0 against day 0 =
+  * 1904-01-01 — that system has no phantom day, so no exclusion zone.
+  * Ignoring the flag would silently shift every date ~4 years
+  * (1462 days). Time = the day fraction rounded to the second; whole
+  * days print `yyyy-MM-dd`, otherwise `yyyy-MM-dd HH:mm:ss`.
+  * Pre-1900-03-01 serials in the 1900 system stay raw text (ambiguous
+  * under the phantom day; out of scope for the reference's data). All
+  * other cell values come back as raw STRINGS — the transform owns
+  * typing via its coerce/strict casts (transform.py:61-64,113-124),
+  * exactly as it does for every other source.
   *
   * Non-date number formats (percent, currency, thousands separators,
   * arbitrary custom codes) deliberately pass through as the RAW stored
@@ -81,6 +89,13 @@ object Xlsx {
 
       // sheet name -> r:id -> worksheet part path
       val wb = parse("xl/workbook.xml")
+      // Excel date system: workbookPr/@date1904 switches the serial
+      // epoch to 1904-01-01 (mac-Excel heritage; openpyxl honors it at
+      // extract.py:100's layer) — missing/false/0 means the 1900 system
+      val date1904 = elems(wb, "workbookPr").headOption.exists { e =>
+        val v = e.getAttribute("date1904")
+        v == "1" || v.equalsIgnoreCase("true")
+      }
       val rid = elems(wb, "sheet")
         .find(_.getAttribute("name") == sheetName)
         .map(s => Option(s.getAttributeNS(relNs, "id")).filter(_.nonEmpty)
@@ -135,13 +150,18 @@ object Xlsx {
             }.toSet
         }
 
-      // 1900-date-system serial -> ISO string; day 0 = 1899-12-30 (the
-      // offset that absorbs Excel's phantom 1900-02-29 for serials >= 61)
+      // serial -> ISO string. 1900 system: day 0 = 1899-12-30 (the
+      // offset that absorbs Excel's phantom 1900-02-29 for serials
+      // >= 61). 1904 system: day 0 = 1904-01-01, valid from serial 0
+      // (no phantom day).
+      val epochDay =
+        if (date1904) java.time.LocalDate.of(1904, 1, 1)
+        else java.time.LocalDate.of(1899, 12, 30)
+      val minSerial = if (date1904) 0.0 else 61.0
       def serialToIso(serial: Double): String = {
         val days = math.floor(serial).toLong
         val secs = math.round((serial - days) * 86400.0)
-        val dt = java.time.LocalDate.of(1899, 12, 30).atStartOfDay
-          .plusDays(days).plusSeconds(secs)
+        val dt = epochDay.atStartOfDay.plusDays(days).plusSeconds(secs)
         if (dt.toLocalTime == java.time.LocalTime.MIDNIGHT)
           dt.toLocalDate.toString
         else dt.format(java.time.format.DateTimeFormatter
@@ -159,7 +179,7 @@ object Xlsx {
               val s = c.getAttribute("s")
               if (s.nonEmpty && s.forall(_.isDigit) &&
                   dateStyles.contains(s.toInt))
-                v.trim.toDoubleOption.filter(_ >= 61.0).map(serialToIso)
+                v.trim.toDoubleOption.filter(_ >= minSerial).map(serialToIso)
                   .getOrElse(v)
               else v
             }

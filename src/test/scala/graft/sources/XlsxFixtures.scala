@@ -31,8 +31,11 @@ object XlsxFixtures {
     .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
   /** Write a workbook with the given sheets (name → rows of cells;
-    * null cells skipped). Returns the file path. */
-  def writeWorkbook(sheets: Seq[(String, Seq[Seq[String]])]): Path = {
+    * null cells skipped). `date1904 = true` stamps
+    * `workbookPr/@date1904` — the mac-Excel 1904 serial epoch.
+    * Returns the file path. */
+  def writeWorkbook(sheets: Seq[(String, Seq[Seq[String]])],
+      date1904: Boolean = false): Path = {
     val path = Files.createTempFile("graft_wb", ".xlsx")
     val zos = new ZipOutputStream(Files.newOutputStream(path))
     def put(name: String, content: String): Unit = {
@@ -44,8 +47,9 @@ object XlsxFixtures {
     val sheetTags = sheets.zipWithIndex.map { case ((name, _), i) =>
       s"""<sheet name="${esc(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
     }.mkString
+    val wbPr = if (date1904) """<workbookPr date1904="1"/>""" else ""
     put("xl/workbook.xml",
-      s"""<?xml version="1.0"?><workbook $ns xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>$sheetTags</sheets></workbook>""")
+      s"""<?xml version="1.0"?><workbook $ns xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">$wbPr<sheets>$sheetTags</sheets></workbook>""")
     val rels = sheets.indices.map { i =>
       s"""<Relationship Id="rId${i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet${i + 1}.xml"/>"""
     }.mkString

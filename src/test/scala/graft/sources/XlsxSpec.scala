@@ -110,6 +110,30 @@ class XlsxSpec extends SparkSpec {
       Some("62.5"))) // elapsed-duration style is NOT a date: raw serial
   }
 
+  test("1904-system workbooks decode against the 1904-01-01 epoch: the " +
+    "same calendar date round-trips from either system's serial") {
+    val date = java.time.LocalDate.parse("2024-01-10")
+    val s1900 = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.of(1899, 12, 30), date)
+    val s1904 = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.of(1904, 1, 1), date)
+    assert(s1900 - s1904 == 1462L) // the ~4-year silent shift at stake
+    val wb1900 = XlsxFixtures.writeWorkbook(Seq("F" -> Seq(
+      Seq(XlsxFixtures.DateSerial + s1900))))
+    val wb1904 = XlsxFixtures.writeWorkbook(Seq("F" -> Seq(
+      Seq(XlsxFixtures.DateSerial + s1904))), date1904 = true)
+    assert(Xlsx.readSheet(wb1900.toString, "F") ==
+      Seq(Seq(Some("2024-01-10"))))
+    assert(Xlsx.readSheet(wb1904.toString, "F") ==
+      Seq(Seq(Some("2024-01-10"))))
+    // 1904 system has no phantom day: small serials decode from 0
+    val wbSmall = XlsxFixtures.writeWorkbook(Seq("F" -> Seq(
+      Seq(XlsxFixtures.DateSerial + "0", XlsxFixtures.DateSerial + "59"))),
+      date1904 = true)
+    assert(Xlsx.readSheet(wbSmall.toString, "F") ==
+      Seq(Seq(Some("1904-01-01"), Some("1904-02-29"))))
+  }
+
   test("percent/currency-styled numerics return RAW stored values (openpyxl parity)") {
     // Excel stores 15% as 0.15 and formats only the DISPLAY; openpyxl's
     // cell.value (the reference's reader, extract.py:100) returns the
