@@ -780,8 +780,9 @@ object Cohorts {
     * lands in arm 0 or 1. Scale shape: ONE per-user
     * partial-aggregable fold, then ONE conditional 1-row rollup (no
     * arm join — an EMPTY arm still yields the single output row,
-    * with NULL rate and NULL z, instead of vanishing). Output: one
-    * row with both arms' stats and z. */
+    * with NULL rate and NULL z, instead of vanishing; counts are
+    * non-null 0 even on fully-empty input). Output: one row with
+    * both arms' stats and z. */
   def abConversionZ(events: DataFrame, userCol: String,
       typeCol: String, convertType: String): DataFrame = {
     val P = 1000000007L
@@ -793,14 +794,19 @@ object Cohorts {
       .withColumn("arm",
         (pmod(col("u"), lit(P)) * lit(2654435761L) % P + lit(12345L))
           % P % 2)
+    // coalesce: a global sum over ZERO rows is NULL, but an empty ARM
+    // already reports count 0 — the fully-empty-input row must agree
+    // (callers read the counts as non-null longs)
     perUser
       .agg(
-        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
-        sum(when(col("arm") === 0, col("conv")).otherwise(0L))
-          .as("k_a"),
-        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
-        sum(when(col("arm") === 1, col("conv")).otherwise(0L))
-          .as("k_b"))
+        coalesce(sum(when(col("arm") === 0, 1L).otherwise(0L)), lit(0L))
+          .as("n_a"),
+        coalesce(sum(when(col("arm") === 0, col("conv")).otherwise(0L)),
+          lit(0L)).as("k_a"),
+        coalesce(sum(when(col("arm") === 1, 1L).otherwise(0L)), lit(0L))
+          .as("n_b"),
+        coalesce(sum(when(col("arm") === 1, col("conv")).otherwise(0L)),
+          lit(0L)).as("k_b"))
       .select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
         when(col("n_a") > 0,
           col("k_a").cast("double") / col("n_a").cast("double"))

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * `{uri, mime, payload}`, with decode/feature-extraction as
   * per-partition batch functions over a typed Dataset.
   *
-  * Two decode rungs:
+  * Three decode rungs:
   *
   *  - [[decodeImageMeta]] — a REAL image decoder: `javax.imageio`
   *    header decode of actual PNG/JPEG payload bytes to
@@ -18,10 +18,15 @@ import org.apache.spark.sql.functions._
   *    test-fixture twin: real `ImageIO.write` PNG/JPEG encodes with
   *    dimensions derived from the doc id, so an oracle can state the
   *    expected metadata without parsing bytes.
-  *  - [[decodeStub]] — the deterministic fake kept for the
-  *    audio/video modalities whose codecs (FFmpeg et al.) are NOT
-  *    available in this environment; the mapPartitions batching and
-  *    the columnar metadata path around it are real and load-bearing.
+  *  - [[decodeAudioMeta]] — a REAL audio decoder: the JDK's
+  *    `javax.sound.sampled` SPI parsing actual WAV/AIFF container
+  *    headers to (sample_rate, channels, frame_count, encoding,
+  *    container), same corrupt-rows-are-data contract;
+  *    [[encodeAudioFixture]] is its `AudioSystem.write` fixture twin.
+  *  - [[decodeStub]] — the deterministic fake kept for the VIDEO
+  *    modality only, whose codecs (FFmpeg et al.) are NOT available
+  *    in this environment; the mapPartitions batching and the
+  *    columnar metadata path around it are real and load-bearing.
   *
   * Scale notes: payloads dominate row size, so the media frame should
   * be stored in its own parquet files with metadata columns first —
@@ -128,12 +133,23 @@ object Multimodal {
     * color-model component count from the HEADER (no pixel pass), and
     * normalize the format name to lowercase. Returns None for any
     * payload no reader claims or whose header is truncated/corrupt —
-    * the decode contract is total, errors are data not exceptions. */
+    * the decode contract is total over DATA, errors are data not
+    * exceptions; a missing ImageInputStream SPI (an environment
+    * fault, not a payload property) throws instead of silently
+    * flagging every row corrupt. */
   def decodeImageHeader(payload: Array[Byte])
-      : Option[(Long, Long, Long, String)] =
+      : Option[(Long, Long, Long, String)] = {
+    // createImageInputStream returning null means NO ImageInputStream
+    // SPI is registered — an environment fault, not corrupt data. Let
+    // it throw (NPE via the explicit check) instead of misreporting
+    // the whole dataset as ok=0 corrupt rows.
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    if (iis == null)
+      throw new IllegalStateException(
+        "no ImageInputStream SPI registered (javax.imageio " +
+          "misconfiguration) — refusing to mark payloads corrupt")
     try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(payload))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         if (!readers.hasNext) None
@@ -152,8 +168,9 @@ object Multimodal {
               r.getFormatName.toLowerCase(java.util.Locale.ROOT)))
           } finally r.dispose()
         }
-      } finally iis.close()
-    } catch { case scala.util.control.NonFatal(_) => None }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    } finally iis.close()
+  }
 
   /** Distributed REAL image-header decode: one `ImageIO` setup per
     * partition (disk cache off — pure in-memory streams), then each
@@ -173,6 +190,104 @@ object Multimodal {
         }
       }
     }
+
+  /** Audio header metadata decoded from REAL payload bytes — the
+    * q206 pattern applied to the second modality: `ok = 1` when the
+    * container header parsed; corrupt/unrecognized payloads keep the
+    * row with `ok = 0` and null metadata (never a task failure). */
+  final case class AudioMeta(
+      doc_id: Long, ok: Long, sample_rate: Option[Long],
+      channels: Option[Long], n_frames: Option[Long],
+      encoding: Option[String], container: Option[String])
+
+  implicit val audioMetaEnc: Encoder[AudioMeta] =
+    Encoders.product[AudioMeta]
+
+  /** Header-only audio decode of one payload via the JDK's
+    * `javax.sound.sampled` SPI (WAV + AIFF ship with the JDK — the
+    * same zero-new-dependency argument as [[decodeImageHeader]]'s
+    * ImageIO): parse the container header to (sample_rate, channels,
+    * frame_count, encoding, container) WITHOUT touching sample data.
+    * Returns None for any payload no provider claims or whose header
+    * is truncated/corrupt — total over DATA; non-IO faults (a missing
+    * SPI would surface as UnsupportedAudioFileException on every row,
+    * which the fixture spec would catch as a wholesale ok=0 failure)
+    * propagate. */
+  def decodeAudioHeader(payload: Array[Byte])
+      : Option[(Long, Long, Long, String, String)] =
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = aff.getFormat
+      Some((fmt.getSampleRate.toLong, fmt.getChannels.toLong,
+        aff.getFrameLength.toLong,
+        fmt.getEncoding.toString.toLowerCase(java.util.Locale.ROOT),
+        aff.getType.toString.toLowerCase(java.util.Locale.ROOT)))
+    } catch {
+      // corrupt-data paths only: no provider claims the magic, or the
+      // claimed header ends early / is internally inconsistent
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Distributed REAL audio-header decode — [[decodeImageMeta]]'s
+    * shape for the audio modality: header-only parse where the scan
+    * runs, metadata out typed, corrupt rows flagged `ok = 0`, no
+    * payload byte crossing a shuffle. */
+  def decodeAudioMeta(media: Dataset[MediaRecord]): Dataset[AudioMeta] =
+    media.mapPartitions { it =>
+      it.map { r =>
+        decodeAudioHeader(r.payload) match {
+          case Some((rate, ch, frames, enc, container)) =>
+            AudioMeta(r.doc_id, 1L, Some(rate), Some(ch), Some(frames),
+              Some(enc), Some(container))
+          case None =>
+            AudioMeta(r.doc_id, 0L, None, None, None, None, None)
+        }
+      }
+    }
+
+  /** REAL-BYTES audio fixture ([[encodeImageFixture]]'s twin): per doc
+    * id, an actual `AudioSystem.write` WAV (even ids — 16-bit signed
+    * little-endian PCM) or AIFF (odd ids — big-endian, the AIFF
+    * container's requirement) encode of silence with id-derived
+    * parameters — sample rate `8000 + (id % 5)·2000`, channels
+    * `1 + id % 2`, frame count `50 + (id·7) % 151` — so the decoded
+    * header metadata is pure id arithmetic an oracle can state without
+    * parsing bytes. The image fixture's two corruption families carry
+    * over, each hitting BOTH containers: `id % 10 ∈ {3, 4}` zeroes the
+    * magic byte (3 an AIFF, 4 a WAV — no provider claims it),
+    * `id % 10 ∈ {6, 7}` truncates to 16 bytes (6 a WAV, 7 an AIFF —
+    * the provider claims the magic, then hits EOF inside the header).
+    */
+  def encodeAudioFixture(docs: DataFrame, idCol: String)
+      : Dataset[MediaRecord] = {
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+      .where(col("doc_id").isNotNull && col("doc_id") >= 0)
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    ids.as[Long].mapPartitions { it =>
+      it.map { id =>
+        val rate = 8000 + (id % 5).toInt * 2000
+        val channels = 1 + (id % 2).toInt
+        val frames = 50 + ((id * 7) % 151).toInt
+        val wav = id % 2 == 0
+        val fmt = new javax.sound.sampled.AudioFormat(
+          rate.toFloat, 16, channels, true, !wav)
+        val pcm = new Array[Byte](frames * fmt.getFrameSize)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          if (wav) javax.sound.sampled.AudioFileFormat.Type.WAVE
+          else javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+        var bytes = bos.toByteArray
+        if (id % 10 == 3 || id % 10 == 4) bytes(0) = 0
+        else if (id % 10 == 6 || id % 10 == 7) bytes = bytes.take(16)
+        MediaRecord(id, s"memory://audio/$id",
+          if (wav) "audio/wav" else "audio/aiff", bytes)
+      }
+    }
+  }
 
   /** REAL-BYTES image fixture: per doc id, an actual `ImageIO.write`
     * PNG (even ids) or JPEG (odd ids) encode of a

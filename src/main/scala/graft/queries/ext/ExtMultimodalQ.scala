@@ -77,4 +77,42 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       ORDER BY doc_id
     """.trim))
 
+  // ---------------------------------------------------------------- q207
+  /** q207 — REAL audio decode: [[Multimodal.encodeAudioFixture]] writes
+    * actual WAV/AIFF container bytes (`AudioSystem.write` of PCM
+    * silence) with id-derived sample rate / channels / frame count and
+    * the q206 corruption families, then [[Multimodal.decodeAudioMeta]]
+    * header-decodes them back with the JDK's `javax.sound.sampled`
+    * providers — zero new dependencies, the q206 argument applied to
+    * the second modality. The oracle states the expected metadata as
+    * pure id arithmetic; every corrupt payload must surface as an
+    * `ok = 0` null-metadata row rather than a task failure. Video
+    * remains the one documented stub (no FFmpeg in this environment). */
+  val q207: Q = Q(
+    "q207_audio_decode",
+    (s, d) => {
+      val media = Multimodal.encodeAudioFixture(
+        Tables.documents(s, d), "doc_id")
+      Multimodal.decodeAudioMeta(media).toDF()
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+        CAST(CASE WHEN doc_id % 10 IN (3, 4, 6, 7) THEN 0 ELSE 1 END
+          AS BIGINT) AS ok,
+        CASE WHEN doc_id % 10 IN (3, 4, 6, 7) THEN NULL
+             ELSE 8000 + (doc_id % 5) * 2000 END AS sample_rate,
+        CASE WHEN doc_id % 10 IN (3, 4, 6, 7) THEN NULL
+             ELSE 1 + doc_id % 2 END AS channels,
+        CASE WHEN doc_id % 10 IN (3, 4, 6, 7) THEN NULL
+             ELSE 50 + (doc_id * 7) % 151 END AS n_frames,
+        CASE WHEN doc_id % 10 IN (3, 4, 6, 7) THEN NULL
+             ELSE 'pcm_signed' END AS encoding,
+        CASE WHEN doc_id % 10 IN (3, 4, 6, 7) THEN NULL
+             WHEN doc_id % 2 = 0 THEN 'wave' ELSE 'aiff' END AS container
+      FROM documents
+      WHERE doc_id IS NOT NULL AND doc_id >= 0
+      ORDER BY doc_id
+    """.trim))
+
 }

@@ -407,4 +407,18 @@ class CohortsSpec extends SparkSpec {
     assert(r1.isNullAt(4) || r1.isNullAt(5),
       "the empty arm's rate must be NULL")
   }
+
+  test("abConversionZ: fully EMPTY input still reports non-null zero " +
+    "counts (ADVICE r13) — getLong never throws") {
+    val none = Seq.empty[(Long, String)].toDF("user_id", "event_type")
+    val out = Cohorts.abConversionZ(none, "user_id", "event_type",
+      "purchase").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    // a global sum over zero rows is NULL unless coalesced; the
+    // empty-input row must agree with the empty-ARM convention (0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((0L, 0L, 0L, 0L)))
+    assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
+  }
 }

@@ -94,4 +94,55 @@ class MultimodalSpec extends SparkSpec {
       0x0d, 0x0a, 0x1a, 0x0a)
     assert(Multimodal.decodeImageHeader(pngMagic).isEmpty)
   }
+
+  test("decodeAudioMeta round-trips real AudioSystem encodes: rate, " +
+    "channels, frames, encoding and container match the id formulas") {
+    val media = Multimodal.encodeAudioFixture(
+      Tables.documents(spark, sf), "doc_id")
+    val out = Multimodal.decodeAudioMeta(media).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(out.size == 500)
+    val clean = out.values.filter(_.ok == 1L)
+    assert(clean.nonEmpty)
+    clean.foreach { m =>
+      assert(m.sample_rate.get == 8000 + (m.doc_id % 5) * 2000,
+        s"rate off: $m")
+      assert(m.channels.get == 1 + m.doc_id % 2, s"channels off: $m")
+      assert(m.n_frames.get == 50 + (m.doc_id * 7) % 151,
+        s"frames off: $m")
+      assert(m.encoding.get == "pcm_signed", s"encoding off: $m")
+      assert(m.container.get ==
+        (if (m.doc_id % 2 == 0) "wave" else "aiff"), s"container off: $m")
+    }
+  }
+
+  test("corrupt audio payloads (bad magic, truncated header) yield " +
+    "ok=0 null-metadata rows for BOTH containers — never a failure") {
+    val media = Multimodal.encodeAudioFixture(
+      Tables.documents(spark, sf), "doc_id")
+    val out = Multimodal.decodeAudioMeta(media).collect()
+    val corrupt = out.filter(m => Seq(3L, 4L, 6L, 7L).contains(m.doc_id % 10))
+    assert(corrupt.nonEmpty)
+    corrupt.foreach { m =>
+      assert(m.ok == 0L && m.sample_rate.isEmpty && m.channels.isEmpty &&
+        m.n_frames.isEmpty && m.encoding.isEmpty && m.container.isEmpty,
+        s"corrupt row leaked: $m")
+    }
+    // all four (corruption × container) combos present: magic-corrupt
+    // aiff (…3), magic-corrupt wav (…4), truncated wav (…6),
+    // truncated aiff (…7)
+    Seq(3L, 4L, 6L, 7L).foreach { d =>
+      assert(corrupt.exists(_.doc_id % 10 == d), s"no id ending $d")
+    }
+    assert(out.count(_.ok == 1L) == out.length - corrupt.length)
+  }
+
+  test("decodeAudioHeader is total: garbage, empty and truncated " +
+    "byte arrays return None instead of throwing") {
+    assert(Multimodal.decodeAudioHeader(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeAudioHeader(Array.fill[Byte](64)(0x41)).isEmpty)
+    // a real RIFF magic followed by nothing: provider claims, then EOF
+    val riffMagic = "RIFF".getBytes("US-ASCII")
+    assert(Multimodal.decodeAudioHeader(riffMagic).isEmpty)
+  }
 }
