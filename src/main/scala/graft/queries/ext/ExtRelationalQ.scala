@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Dec, Tables}
 import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Rules, Sampling, Scd, Scrub, SemiStructured, Similarity, Sketch, Skew, TextAnalysis, Trend}
 
-/** [[Ext]] family: relational breadth (joins, rules, scrubbing, SCD, semi-structured, misc) — queries q33, q34, q38, q43, q44, q46, q58, q59, q63, q64, q70, q75, q77, q78, q82, q85, q104, q109, q117, q118, q119, q121, q131, q155, q156, q158, q162, q168, q192, q198.
+/** [[Ext]] family: relational breadth (joins, rules, scrubbing, SCD, semi-structured, misc) — queries q33, q34, q38, q43, q44, q46, q58, q59, q63, q64, q70, q75, q77, q78, q82, q85, q104, q109, q117, q118, q119, q121, q131, q155, q156, q158, q162, q168, q192, q198, q208.
   * Split from the monolithic Ext.scala in round 12
   * (pure relocation; helpers live in [[ExtHelpers]]). */
 private[queries] trait ExtRelationalQ { self: ExtHelpers =>
@@ -1004,6 +1004,83 @@ private[queries] trait ExtRelationalQ { self: ExtHelpers =>
       GROUP BY l_orderkey, o_orderdate, o_orderpriority
       ORDER BY revenue DESC, o_orderdate, l_orderkey
       LIMIT 10
+    """.trim))
+
+  // --------------------------------------------------------------- q208
+  /** q208 — sole-fault suppliers (the TPC-H Q21 SHAPE, the planner's
+    * classic multi-way semi + anti SELF-JOIN stressor): suppliers of
+    * one nation whose RETURNED line sat in a finalized multi-supplier
+    * order where EXISTS another supplier's line (the order wasn't
+    * theirs alone) and NOT EXISTS another supplier's RETURNED line
+    * (the fault was theirs alone) — count per supplier, worst first.
+    * The fixture has no receipt/commit dates, so "late" is read off
+    * `l_returnflag = 'R'`; the join topology is Q21's exactly.
+    *
+    * Scale shape: the target nation's supplier list is dim-sized and
+    * prunes l1 FIRST (broadcast at any SF), so the expensive stages
+    * run on 1/|nations| of the returned lines. Both self-join sides
+    * then key on `l_orderkey` — the semi (all lines of the order),
+    * the anti (all RETURNED lines of the order), and the orders join
+    * share one hash partitioning, so the exchange is planned once and
+    * reused. The ANTI side must NOT be broadcast at scale: it is the
+    * corpus-sized returned-lineitem stream itself (≈1/3 of the fact
+    * table), and a broadcast anti-join would ship the whole stream to
+    * every executor — it stays a shuffled SortMerge anti on the
+    * orderkey partitioning (AQE may legitimately broadcast it at
+    * fixture SF where it is KBs; the plan is correct either way — the
+    * q155 laddering discipline). The <> predicate rides the equi-join
+    * as a residual condition, never a nested-loop. */
+  val q208: Q = Q(
+    "q208_sole_fault_suppliers",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      val returned = li.where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val natSupp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .where(col("n_name") === "NATION_7")
+          .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      val l1 = returned.join(natSupp,
+        col("l_suppkey") === col("s_suppkey"))
+      val others = li.select(col("l_orderkey").as("k2"),
+        col("l_suppkey").as("sup2"))
+      val lateOthers = returned.select(col("l_orderkey").as("k3"),
+        col("l_suppkey").as("sup3"))
+      l1
+        .join(others, col("l_orderkey") === col("k2") &&
+          col("l_suppkey") =!= col("sup2"), "left_semi")
+        .join(lateOthers, col("l_orderkey") === col("k3") &&
+          col("l_suppkey") =!= col("sup3"), "left_anti")
+        .join(Tables.orders(s, d)
+          .where(col("o_orderstatus") === "F").select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    },
+    Some("""
+      SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      FROM lineitem l1
+      JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+      JOIN supplier ON s_suppkey = l1.l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_7'
+      WHERE l1.l_returnflag = 'R'
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R')
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 100
     """.trim))
 
   // --------------------------------------------------------------- q158
