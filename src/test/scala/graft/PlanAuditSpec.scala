@@ -900,6 +900,51 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window ["), p)
   }
 
+  test("q188/q195: the dedup evals share ONE shingle-array cache " +
+    "across the jaccard+minhash pipelines (r12 verdict item 4)") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    Seq("q188_dedup_agreement", "q195_dedup_disagreements")
+      .foreach { name =>
+        spark.catalog.clearCache()
+        graft.engine.GraftSession.tune(spark)
+        val qe = SparkEntry.queries(name)(spark, sf).queryExecution
+        val imrs = qe.optimizedPlan
+          .collect { case r: InMemoryRelation => r }
+        val builds = imrs
+          .map(r => System.identityHashCode(r.cacheBuilder.cachedPlan) ->
+            r.cacheBuilder.cachedPlan).toMap
+        // exactly 2 TOP-LEVEL caches: jaccard's exploded index and
+        // minhash's arrays+n (the shared shingle-ARRAY cache appears
+        // only inside their builds; text deliberately stays on
+        // parquet — caching it was measured to cost broadcasts, see
+        // the q188 scaladoc) — a 3rd would mean a pipeline grew its
+        // own base
+        assert(builds.size == 2,
+          s"$name: expected 2 shared caches, got " +
+            s"${builds.size}:\n${qe.optimizedPlan}")
+        // typed traversal, NOT substring checks: InMemoryTableScan
+        // renders its relation's build plan inline, so every build's
+        // STRING transitively contains the original parquet scan —
+        // but tree children stop at the cache boundary, which is
+        // exactly the property to pin. NEITHER derived build touches
+        // parquet directly: both read the shared array cache as their
+        // source instead of re-tokenizing the corpus, so the shingle
+        // pass runs once however many screens consume it.
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+        val parquetBuilds = builds.values.count(p =>
+          p.collect { case f: FileSourceScanExec => f }.nonEmpty)
+        assert(parquetBuilds == 0,
+          s"$name: expected no parquet-reading derived cache build, " +
+            s"got $parquetBuilds")
+        val derived = builds.values.count(p =>
+          p.collect { case s: InMemoryTableScanExec => s }.nonEmpty)
+        assert(derived == 2,
+          s"$name: expected 2 cache builds reading the shared array " +
+            s"cache, got $derived")
+      }
+  }
+
   test("q182: within-bucket lags run PARTITIONED; only the boundary " +
     "frame pays a global window") {
     val p = plan("q182_key_gap_audit")
