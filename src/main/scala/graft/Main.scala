@@ -63,14 +63,99 @@ object Main {
         minShared = rest.headOption.map(_.toInt).getOrElse(2))
     case "trend-ingest" :: srcParquet :: keyCol :: dayCol :: storeDir :: Nil =>
       trendIngest(srcParquet, keyCol, dayCol, storeDir)
+    case "stream-curate" :: inDir :: outDir :: ckptDir :: rest
+        if rest.size <= 1 =>
+      streamCurate(inDir, outDir, ckptDir,
+        delay = rest.headOption.getOrElse("10 minutes"))
+    case "stream-funnel" :: inDir :: outDir :: ckptDir :: steps
+        if steps.nonEmpty =>
+      streamFunnel(inDir, outDir, ckptDir, steps)
     case "explain" :: name :: rest if rest.size <= 1 =>
       explain(name, rest.headOption.getOrElse("/root/testdata/sf0.001"))
     case "profile" :: srcParquet :: outDir :: cols =>
       profile(srcParquet, outDir, cols)
     case _ =>
       System.err.println(
-        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
+        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
       sys.exit(2)
+  }
+
+  /** Serve the streaming curation funnel ([[graft.streaming.CurateStream]])
+    * from the CLI: drain every file currently in `inDir` (a parquet
+    * directory with columns doc_id, ts, text) under
+    * `Trigger.AvailableNow`, append the curated rows to `outDir`, and
+    * record source progress + dedup state in `ckptDir`. Run again as
+    * files arrive: the checkpoint makes each pass pick up ONLY new
+    * files, with the watermark-bounded dedup state carried across
+    * restarts by the state store — the daily-batch one-binary shape of
+    * the reference's cron (etl_pipeline.yml:5-6), applied to the
+    * streaming twin. */
+  private def streamCurate(inDir: String, outDir: String,
+      ckptDir: String, delay: String): Unit = {
+    val spark = GraftSession.local()
+    val n = runStreamCurate(spark, inDir, outDir, ckptDir, delay)
+    println(s"stream-curate: $n curated rows -> $outDir")
+    spark.stop()
+  }
+
+  /** Testable core of `stream-curate` (the [[runCompact]] pattern).
+    * Returns the TOTAL curated rows visible in `outDir` after the
+    * drain (prior passes included — the sink is append-only). */
+  private[graft] def runStreamCurate(spark: org.apache.spark.sql.SparkSession,
+      inDir: String, outDir: String, ckptDir: String,
+      delay: String = "10 minutes"): Long = {
+    // file streams need an explicit schema; the batch reader derives it
+    // from the same directory the stream will drain
+    val schema = spark.read.parquet(inDir).schema
+    // externally-written parquet often carries TIMESTAMP_NTZ (e.g.
+    // DuckDB's TIMESTAMP), which the watermark rejects — normalize the
+    // event-time column to TimestampType before it
+    val docs = spark.readStream.schema(schema).parquet(inDir)
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts")
+        .cast("timestamp"))
+    val q = graft.streaming.CurateStream
+      .curatedDocs(docs, "doc_id", "text", "ts", delay)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).count()
+  }
+
+  /** Serve the streaming funnel ([[graft.streaming.FunnelStream]]) from
+    * the CLI: drain `inDir` (a parquet directory with columns user_id,
+    * ts_us, event_id, event_type) under `Trigger.AvailableNow` and
+    * append one row per (user, step) completion to `outDir`. The
+    * per-user step state lives in the checkpoint's state store, so
+    * repeated passes over an arriving event log extend chains exactly
+    * where the last pass left them. */
+  private def streamFunnel(inDir: String, outDir: String,
+      ckptDir: String, steps: Seq[String]): Unit = {
+    val spark = GraftSession.local()
+    val n = runStreamFunnel(spark, inDir, outDir, ckptDir, steps)
+    println(s"stream-funnel: $n completions -> $outDir")
+    spark.stop()
+  }
+
+  /** Testable core of `stream-funnel` (the [[runCompact]] pattern). */
+  private[graft] def runStreamFunnel(spark: org.apache.spark.sql.SparkSession,
+      inDir: String, outDir: String, ckptDir: String,
+      steps: Seq[String]): Long = {
+    val schema = spark.read.parquet(inDir).schema
+    val events = spark.readStream.schema(schema).parquet(inDir)
+    val q = graft.streaming.FunnelStream.completions(events, steps)
+      .toDF()
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).count()
   }
 
   /** Pre-flight profile of an arbitrary parquet table — the first

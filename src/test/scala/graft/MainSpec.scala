@@ -117,6 +117,74 @@ class MainSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown query"))
   }
 
+  test("stream-curate: two AvailableNow drains with a checkpoint " +
+    "restart ≡ the batch stage pipeline over the full corpus") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft_sc").toString
+    def t(s: Long) = new Timestamp(1700000000000L + s * 1000)
+    // the CurateStreamSpec corpus: good doc, exact dup, short,
+    // repetitive, PII-laden — split MID-STREAM across two drains
+    val good = "the quick brown fox jumps over the lazy dog and " +
+      "then runs far away to the old stone bridge where a boat is " +
+      "waiting for the last traveler of the evening as night falls " +
+      "over the valley"
+    val repetitive = Array.fill(30)("spam ham spam").mkString(" ")
+    val pii = "write to the address agent007@example.com or visit " +
+      "https://10.0.0.7/path now and quote the code 123456789 to " +
+      "claim a prize that is of course entirely real and the offer " +
+      "is the best one"
+    val corpus = Seq((1L, t(0), good), (2L, t(1), good),
+      (3L, t(2), "too short"), (4L, t(3), repetitive), (5L, t(4), pii))
+    import spark.implicits._
+    // the stream reads the DIRECTORY; files land as they arrive
+    val in = s"$base/in"
+    corpus.take(3).toDF("doc_id", "ts", "text").write.parquet(in)
+    val n1 = Main.runStreamCurate(spark, in, s"$base/out", s"$base/ckpt")
+    assert(n1 == 1L) // doc 1 kept; dup 2 and short 3 dropped
+    // second arrival: append docs 4-5 as NEW files into the same dir
+    corpus.drop(3).toDF("doc_id", "ts", "text")
+      .write.mode("append").parquet(in)
+    val n2 = Main.runStreamCurate(spark, in, s"$base/out", s"$base/ckpt")
+    assert(n2 == 2L, s"restart must process ONLY the new files: $n2")
+    val got = spark.read.parquet(s"$base/out")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(got.map(_._1) == Seq(1L, 5L))
+    val redacted = got.last._2
+    assert(!redacted.contains("agent007@example.com") &&
+      !redacted.contains("123456789") &&
+      !redacted.contains("https://10.0.0.7"), redacted)
+  }
+
+  test("stream-funnel: the checkpointed state store extends per-user " +
+    "chains across two CLI drains") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft_sf").toString
+    import spark.implicits._
+    val in = s"$base/in"
+    // user 10 walks a→b in drain 1 and finishes c in drain 2; user 20
+    // sends b FIRST (never opens), then a in drain 2 (opens step 0)
+    Seq((10L, 1000L, 1L, "a"), (10L, 2000L, 2L, "b"),
+      (20L, 1500L, 3L, "b"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+      .write.parquet(in)
+    val n1 = Main.runStreamFunnel(spark, in, s"$base/out",
+      s"$base/ckpt", Seq("a", "b", "c"))
+    assert(n1 == 2L) // user 10: a, b
+    Seq((10L, 3000L, 4L, "c"), (20L, 2500L, 5L, "a"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+      .write.mode("append").parquet(in)
+    val n2 = Main.runStreamFunnel(spark, in, s"$base/out",
+      s"$base/ckpt", Seq("a", "b", "c"))
+    assert(n2 == 4L,
+      s"state must carry: user 10 completes c, user 20 opens a: $n2")
+    val got = spark.read.parquet(s"$base/out")
+      .select("user_id", "step_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == Set((10L, 0), (10L, 1), (10L, 2), (20L, 0)))
+  }
+
   test("profile: writes the column profile over all columns and the " +
     "key audit over the non-float subset") {
     val out = java.nio.file.Files
