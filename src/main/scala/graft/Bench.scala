@@ -110,7 +110,7 @@ object Bench {
     "q46_grouped_topk" -> 0.2,
     "q47_sliding_chunks" -> 0.4,
     "q48_keepbest_dedup" -> 0.29,
-    "q49_eval_overlap" -> 0.49,
+    "q49_eval_overlap" -> 0.47,
     "q50_curriculum_bins" -> 0.4,
     "q51_priority_sample" -> 0.17,
     "q52_bm25_scores" -> 0.89,
@@ -129,7 +129,7 @@ object Bench {
     "q25_doc_fingerprint" -> 0.19,
     "q65_term_zipf" -> 0.39,
     "q66_lexical_richness" -> 0.45,
-    "q67_novelty_decay" -> 0.57,
+    "q67_novelty_decay" -> 0.55,
     "q68_holdout_split" -> 0.18,
     "q69_event_drift" -> 0.65,
     "q79_ingest_gaps" -> 0.33,
@@ -144,75 +144,75 @@ object Bench {
     "q88_equidepth_histogram" -> 0.6,
     "q89_hll_distinct" -> 0.38,
     "q90_weighted_sample" -> 0.23,
-    "q91_source_overlap" -> 1.45,
+    "q91_source_overlap" -> 1.22,
     // q92's floor moved 0.29 -> 0.41 in r11: the block-cap guard adds
     // a count aggregate + broadcast anti-join by design (scale safety
     // traded for ~0.1 s at this SF); best observed for the new plan
-    "q92_fuzzy_match" -> 0.41,
+    "q92_fuzzy_match" -> 0.39,
     "q93_stratum_percentile" -> 0.25,
-    "q94_leakage_safe_split" -> 1.47,
+    "q94_leakage_safe_split" -> 1.26,
     "q95_value_drift" -> 0.51,
-    "q96_embedding_drift" -> 0.44,
+    "q96_embedding_drift" -> 0.42,
     "q97_collocations" -> 0.71,
-    "q98_label_affinity" -> 0.59,
-    "q99_vocab_coverage" -> 0.76,
+    "q98_label_affinity" -> 0.56,
+    "q99_vocab_coverage" -> 0.72,
     "q100_containment_pairs" -> 1.82,
     "q101_cross_containment" -> 1.39,
-    "q102_winsorize" -> 0.42,
+    "q102_winsorize" -> 0.37,
     // r11 additions: best of the r11d/r11e canonicals (BASELINE.md)
-    "q103_temperature_mix" -> 0.3,
-    "q104_rule_audit" -> 0.38,
+    "q103_temperature_mix" -> 0.29,
+    "q104_rule_audit" -> 0.37,
     "q105_bigram_fluency" -> 1.23,
     "q106_hard_negatives" -> 0.46,
     "q107_intra_label_diversity" -> 0.46,
-    "q108_mad_outliers" -> 0.47,
+    "q108_mad_outliers" -> 0.46,
     "q109_json_field_stats" -> 0.57,
-    "q110_curation_funnel" -> 0.35,
-    "q111_grid_percentile" -> 0.4,
-    "q112_unigram_divergence" -> 0.77,
+    "q110_curation_funnel" -> 0.33,
+    "q111_grid_percentile" -> 0.37,
+    "q112_unigram_divergence" -> 0.65,
     "q113_semantic_decontam" -> 0.42,
-    "q114_centroid_confusion" -> 0.64,
-    "q115_correlation_matrix" -> 1.14,
+    "q114_centroid_confusion" -> 0.56,
+    "q115_correlation_matrix" -> 1.1,
     "q116_mixed_language" -> 0.79,
-    "q117_fd_audit" -> 0.3,
+    "q117_fd_audit" -> 0.28,
     "q118_touch_attribution" -> 0.86,
-    "q119_join_blowup" -> 0.26,
-    "q120_benford_profile" -> 0.57,
+    "q119_join_blowup" -> 0.25,
+    "q120_benford_profile" -> 0.55,
     "q121_k_anonymity" -> 0.29,
     "q122_transition_matrix" -> 0.5,
     // r11f canonical (first full run over q123-q146; loadavg 1.8-8.7,
     // so these seeds are conservative — later quiet canonicals lower
     // them as better minimums are observed)
-    "q123_hybrid_rrf" -> 1.51,
+    "q123_hybrid_rrf" -> 1.39,
     "q124_distinct_ngrams" -> 1.42,
     "q125_embedding_health" -> 0.3,
-    "q126_cusum_changepoint" -> 0.58,
-    "q127_ks_drift" -> 0.61,
-    "q128_rfm_segments" -> 0.41,
-    "q129_ann_recall" -> 1.71,
+    "q126_cusum_changepoint" -> 0.44,
+    "q127_ks_drift" -> 0.51,
+    "q128_rfm_segments" -> 0.34,
+    "q129_ann_recall" -> 1.64,
     "q130_dedup_impact" -> 0.41,
-    "q131_encoding_health" -> 0.29,
-    "q132_length_bias" -> 0.43,
-    "q133_simpson_concentration" -> 0.41,
-    "q134_soft_dedup" -> 0.3,
+    "q131_encoding_health" -> 0.28,
+    "q132_length_bias" -> 0.39,
+    "q133_simpson_concentration" -> 0.35,
+    "q134_soft_dedup" -> 0.27,
     "q135_cramers_v" -> 0.39,
     "q136_source_concentration" -> 0.22,
-    "q137_interevent_gaps" -> 0.71,
-    "q138_stickiness" -> 1.02,
+    "q137_interevent_gaps" -> 0.69,
+    "q138_stickiness" -> 0.78,
     "q139_session_cooccurrence" -> 1.0,
-    "q140_ivf_cell_balance" -> 1.18,
-    "q141_key_candidates" -> 0.73,
+    "q140_ivf_cell_balance" -> 1.12,
+    "q141_key_candidates" -> 0.69,
     "q142_embedding_dups" -> 0.31,
-    "q143_readability" -> 0.41,
+    "q143_readability" -> 0.4,
     // q144 runs BOTH pair pipelines by design (the eval's honest cost:
     // the exact reference rung plus the banded rung)
     "q144_lsh_operating_point" -> 2.42,
     "q145_token_truncation" -> 0.33,
-    "q146_source_lang_purity" -> 0.32,
+    "q146_source_lang_purity" -> 0.3,
     // r11 third wave: seeded from the 178-query canonical
     // (BENCH_local_r11g) and the focused q169-q180 follow-up run;
     // q170's floor reflects the one-pass conditional-fold rewrite
-    "q147_trimmed_order_value" -> 1.09,
+    "q147_trimmed_order_value" -> 1.03,
     "q148_hll_accuracy" -> 0.43,
     "q149_daily_snapshot" -> 0.54,
     "q150_cohort_ltv" -> 0.69,
@@ -220,65 +220,70 @@ object Bench {
     "q152_funnel_timing" -> 0.79,
     "q153_domain_profile" -> 0.34,
     "q154_casing_profile" -> 0.68,
-    "q155_regional_volume" -> 0.79,
+    "q155_regional_volume" -> 0.77,
     "q156_order_priority" -> 0.51,
-    "q157_period_growth" -> 0.41,
+    "q157_period_growth" -> 0.36,
     "q158_json_topk" -> 0.57,
-    "q159_coverage_curve" -> 0.36,
-    "q160_cluster_impact" -> 1.73,
+    "q159_coverage_curve" -> 0.34,
+    "q160_cluster_impact" -> 1.47,
     "q161_abc_classes" -> 0.68,
-    "q162_staleness_audit" -> 0.46,
-    "q163_dow_anomaly" -> 0.58,
+    "q162_staleness_audit" -> 0.42,
+    "q163_dow_anomaly" -> 0.48,
     "q164_drawdown" -> 0.36,
     "q165_missingness_lift" -> 0.16,
     "q166_peak_rate" -> 0.42,
     "q167_ship_latency" -> 0.92,
     "q168_order_distribution" -> 0.44,
-    "q169_activity_streaks" -> 0.64,
-    "q170_rank_shift" -> 1.24,
-    "q171_temporal_split" -> 0.42,
-    "q172_causal_zscore" -> 0.91,
-    "q173_seasonal_naive" -> 0.52,
+    "q169_activity_streaks" -> 0.59,
+    "q170_rank_shift" -> 0.97,
+    "q171_temporal_split" -> 0.37,
+    "q172_causal_zscore" -> 0.83,
+    "q173_seasonal_naive" -> 0.44,
     "q174_winnowing_neardup" -> 1.67,
-    "q175_profile_drift" -> 0.35,
-    "q176_value_tail_bands" -> 0.5,
+    "q175_profile_drift" -> 0.31,
+    "q176_value_tail_bands" -> 0.47,
     "q177_type_pagerank" -> 1.31,
-    "q178_fuzzy_operating_point" -> 0.95,
-    "q179_tfidf_keywords" -> 1.41,
-    "q180_grid_accuracy" -> 0.76,
+    "q178_fuzzy_operating_point" -> 0.81,
+    "q179_tfidf_keywords" -> 1.1,
+    "q180_grid_accuracy" -> 0.59,
     // BENCH_local_r11i (focused q181-q185 run)
-    "q181_transition_predictability" -> 0.56,
+    "q181_transition_predictability" -> 0.51,
     "q182_key_gap_audit" -> 0.67,
-    "q183_ols_trend" -> 0.34,
-    "q184_robust_trend" -> 0.56,
+    "q183_ols_trend" -> 0.32,
+    "q184_robust_trend" -> 0.38,
     "q185_head_tail_rollup" -> 0.57,
     // BENCH_local_r11j (focused q186-q190 run). q188 runs FOUR
     // near-dup pipelines by design — the agreement eval's honest
     // cost, the q144 rule
-    "q186_contrastive_triplets" -> 1.79,
-    "q187_sorted_neighbor_match" -> 0.42,
+    "q186_contrastive_triplets" -> 1.44,
+    "q187_sorted_neighbor_match" -> 0.4,
     "q188_dedup_agreement" -> 2.78,
     "q189_skipgram_pairs" -> 1.01,
-    "q190_heaps_curve" -> 0.92,
+    "q190_heaps_curve" -> 0.77,
     // BENCH_local_r11k (focused q191-q198 run). q195 runs THREE
     // near-dup pipelines (the q188 rule); q197 pays the q31 closure
-    "q191_lag_autocorrelation" -> 0.46,
+    "q191_lag_autocorrelation" -> 0.44,
     "q192_fact_reconciliation" -> 1.24,
-    "q193_contribution_shares" -> 0.58,
-    "q194_event_trigrams" -> 0.61,
+    "q193_contribution_shares" -> 0.56,
+    "q194_event_trigrams" -> 0.56,
     "q195_dedup_disagreements" -> 2.34,
     "q196_daily_retention" -> 0.52,
-    "q197_cluster_sizes" -> 1.38,
+    "q197_cluster_sizes" -> 1.23,
     "q198_scrub_closure" -> 0.59,
     // q199-q202: closing-canonical (r11l) + focused runs
     "q199_skyline" -> 0.4,
-    "q200_sample_representativeness" -> 0.35,
+    "q200_sample_representativeness" -> 0.33,
     "q201_stratum_mean_se" -> 0.24,
     "q202_metric_correlation" -> 1.54,
     // BENCH_local_r11m (focused q203-q205 run)
-    "q203_split_balance" -> 0.55,
-    "q204_ab_conversion_z" -> 0.31,
-    "q205_price_volume_mix" -> 1.28)
+    "q203_split_balance" -> 0.52,
+    "q204_ab_conversion_z" -> 0.22,
+    "q205_price_volume_mix" -> 1.25,
+    // BENCH_local_r13a (the r13 canonical: first full run with the
+    // file-based artifact + shuffle-bytes meter; 69 floors lowered)
+    "q206_image_decode" -> 0.86,
+    "q207_audio_decode" -> 1.31,
+    "q208_sole_fault_suppliers" -> 1.0)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -286,13 +291,229 @@ object Bench {
   /** Best-observed per-query TOTAL SHUFFLE BYTES (task shuffle read +
     * write, sf0.1, 32 shuffle partitions) — the deterministic floor
     * dimension: unlike wall time, bytes move only when the PLAN moves,
-    * so the 1.5× gate below catches a dropped persist or a
-    * broadcast-turned-shuffle regardless of host load. Queries absent
-    * here (near-zero-shuffle shapes and anything not yet seeded) are
-    * recorded in the artifact but not gated. Seeded from the r13
-    * canonical (BENCH_local_r13a); refresh alongside the time floors. */
-  private[graft] val byteFloors: Map[String, Long] = Map.empty
+    * so the gate below catches a dropped persist or a
+    * broadcast-turned-shuffle regardless of host load. EVERY query is
+    * seeded — the tiniest floors matter MOST: a 4 KB all-broadcast
+    * query whose fact join degrades to sort-merge jumps to MBs (the
+    * q9 `.hint("merge")` demo: 3,995 B → 18.5 MB, 4600×), and a
+    * min-size seeding threshold would exclude exactly those. The gate
+    * is `bytes > byteFactor × floor + byteSlack`: the multiplicative
+    * term scales with legitimate plan cost, the absolute slack
+    * (256 KB) absorbs AQE/compression jitter on small floors
+    * (observed jitter is ≤ ~1 KB even on multi-MB shuffles). Seeded
+    * from the r13 canonical (BENCH_local_r13a); refresh alongside the
+    * time floors. */
+  private[graft] val byteFloors: Map[String, Long] = Map(
+    "q100_containment_pairs" -> 24966935L,
+    "q101_cross_containment" -> 14403855L,
+    "q102_winsorize" -> 3709102L,
+    "q103_temperature_mix" -> 824L,
+    "q104_rule_audit" -> 155176L,
+    "q105_bigram_fluency" -> 457918L,
+    "q106_hard_negatives" -> 21842L,
+    "q107_intra_label_diversity" -> 18201L,
+    "q108_mad_outliers" -> 3112930L,
+    "q109_json_field_stats" -> 1679L,
+    "q10_incremental_antijoin" -> 772922L,
+    "q110_curation_funnel" -> 5893L,
+    "q111_grid_percentile" -> 57200L,
+    "q112_unigram_divergence" -> 120582L,
+    "q113_semantic_decontam" -> 148610L,
+    "q114_centroid_confusion" -> 52751L,
+    "q115_correlation_matrix" -> 962L,
+    "q116_mixed_language" -> 1165838L,
+    "q117_fd_audit" -> 5974L,
+    "q118_touch_attribution" -> 4902470L,
+    "q119_join_blowup" -> 39279L,
+    "q11_distinct" -> 1619L,
+    "q120_benford_profile" -> 4512L,
+    "q121_k_anonymity" -> 148597L,
+    "q122_transition_matrix" -> 3831317L,
+    "q123_hybrid_rrf" -> 3839956L,
+    "q124_distinct_ngrams" -> 9261878L,
+    "q125_embedding_health" -> 2403L,
+    "q126_cusum_changepoint" -> 24043L,
+    "q127_ks_drift" -> 72844L,
+    "q128_rfm_segments" -> 265664L,
+    "q129_ann_recall" -> 563330L,
+    "q12_topk" -> 0L,
+    "q130_dedup_impact" -> 1371791L,
+    "q131_encoding_health" -> 2204L,
+    "q132_length_bias" -> 1787L,
+    "q133_simpson_concentration" -> 23819L,
+    "q134_soft_dedup" -> 1803026L,
+    "q135_cramers_v" -> 10332L,
+    "q136_source_concentration" -> 1284L,
+    "q137_interevent_gaps" -> 7807159L,
+    "q138_stickiness" -> 2803214L,
+    "q139_session_cooccurrence" -> 4152472L,
+    "q13_scalar_funcs" -> 63882L,
+    "q140_ivf_cell_balance" -> 390338L,
+    "q141_key_candidates" -> 2325923L,
+    "q142_embedding_dups" -> 1061188L,
+    "q143_readability" -> 181544L,
+    "q144_lsh_operating_point" -> 35025446L,
+    "q145_token_truncation" -> 792730L,
+    "q146_source_lang_purity" -> 10675L,
+    "q147_trimmed_order_value" -> 2522542L,
+    "q148_hll_accuracy" -> 188206L,
+    "q149_daily_snapshot" -> 15792L,
+    "q14_monthly_revenue" -> 9666L,
+    "q150_cohort_ltv" -> 33772L,
+    "q151_daily_value_bands" -> 1816266L,
+    "q152_funnel_timing" -> 218600L,
+    "q153_domain_profile" -> 55362L,
+    "q154_casing_profile" -> 136782L,
+    "q155_regional_volume" -> 1787L,
+    "q156_order_priority" -> 453660L,
+    "q157_period_growth" -> 25361L,
+    "q158_json_topk" -> 16502L,
+    "q159_coverage_curve" -> 2380L,
+    "q15_sql_api" -> 3995L,
+    "q160_cluster_impact" -> 396494L,
+    "q161_abc_classes" -> 2512L,
+    "q162_staleness_audit" -> 749334L,
+    "q163_dow_anomaly" -> 39366L,
+    "q164_drawdown" -> 23733L,
+    "q165_missingness_lift" -> 158L,
+    "q166_peak_rate" -> 1698489L,
+    "q167_ship_latency" -> 642282L,
+    "q168_order_distribution" -> 243877L,
+    "q169_activity_streaks" -> 1295143L,
+    "q16_exact_dedup" -> 1861055L,
+    "q170_rank_shift" -> 995002L,
+    "q171_temporal_split" -> 42678L,
+    "q172_causal_zscore" -> 12003751L,
+    "q173_seasonal_naive" -> 9207L,
+    "q174_winnowing_neardup" -> 21424786L,
+    "q175_profile_drift" -> 2420L,
+    "q176_value_tail_bands" -> 1146240L,
+    "q177_type_pagerank" -> 5747218L,
+    "q178_fuzzy_operating_point" -> 36950L,
+    "q179_tfidf_keywords" -> 4732783L,
+    "q17_ngram_jaccard_neardup" -> 24968491L,
+    "q180_grid_accuracy" -> 685850L,
+    "q181_transition_predictability" -> 3830209L,
+    "q182_key_gap_audit" -> 2616934L,
+    "q183_ols_trend" -> 7072L,
+    "q184_robust_trend" -> 43955L,
+    "q185_head_tail_rollup" -> 3242L,
+    "q186_contrastive_triplets" -> 895716L,
+    "q187_sorted_neighbor_match" -> 19205L,
+    "q188_dedup_agreement" -> 46572221L,
+    "q189_skipgram_pairs" -> 19604L,
+    "q18_minhash_lsh_neardup" -> 39815L,
+    "q190_heaps_curve" -> 178034L,
+    "q191_lag_autocorrelation" -> 12066L,
+    "q192_fact_reconciliation" -> 4796872L,
+    "q193_contribution_shares" -> 3902L,
+    "q194_event_trigrams" -> 3843554L,
+    "q195_dedup_disagreements" -> 46812243L,
+    "q196_daily_retention" -> 990992L,
+    "q197_cluster_sizes" -> 328515L,
+    "q198_scrub_closure" -> 244L,
+    "q199_skyline" -> 32148L,
+    "q19_simhash_neardup" -> 17903L,
+    "q1_pricing_summary" -> 3666L,
+    "q200_sample_representativeness" -> 3108L,
+    "q201_stratum_mean_se" -> 2034L,
+    "q202_metric_correlation" -> 2836L,
+    "q203_split_balance" -> 1527L,
+    "q204_ab_conversion_z" -> 21384L,
+    "q205_price_volume_mix" -> 2982L,
+    "q206_image_decode" -> 168526L,
+    "q207_audio_decode" -> 162430L,
+    "q208_sole_fault_suppliers" -> 1934L,
+    "q20_embedding_topk" -> 18174L,
+    "q21_embedding_neardup_ivf" -> 4392321L,
+    "q22_lang_id" -> 2819L,
+    "q23_quality_score" -> 241340L,
+    "q24_token_stats" -> 2919348L,
+    "q25_doc_fingerprint" -> 219508L,
+    "q26_multimodal_meta" -> 978338L,
+    "q27_report_metrics" -> 200L,
+    "q28_report_distributors" -> 3514L,
+    "q29_trycast_timestamp" -> 5728028L,
+    "q2_select_project" -> 411036L,
+    "q30_embedding_neardup_rplsh" -> 18274138L,
+    "q31_neardup_clusters" -> 384931L,
+    "q32_stratified_sample" -> 30408L,
+    "q33_pii_redact" -> 708510L,
+    "q34_event_sessionize" -> 10687174L,
+    "q35_repetition_signals" -> 233226L,
+    "q36_cross_contamination" -> 15046905L,
+    "q37_sequence_packing" -> 401665L,
+    "q38_network_redact" -> 715682L,
+    "q39_embedding_topk_ivf" -> 560020L,
+    "q3_try_cast" -> 327520L,
+    "q40_training_order" -> 313050L,
+    "q41_token_budget_mix" -> 10022L,
+    "q42_epoch_sharded_packing" -> 2921896L,
+    "q43_asof_join" -> 4285891L,
+    "q44_interval_join" -> 4153L,
+    "q45_length_profile" -> 13779L,
+    "q46_grouped_topk" -> 2354L,
+    "q47_sliding_chunks" -> 1046390L,
+    "q48_keepbest_dedup" -> 1974238L,
+    "q49_eval_overlap" -> 512358L,
+    "q4_left_join_enrich" -> 730712L,
+    "q50_curriculum_bins" -> 12533L,
+    "q51_priority_sample" -> 3071L,
+    "q52_bm25_scores" -> 1065651L,
+    "q53_semantic_clusters" -> 18108956L,
+    "q54_shingle_novelty" -> 926187L,
+    "q55_embedding_quantize" -> 3004212L,
+    "q56_pq_codes" -> 514816L,
+    "q57_pq_adc_topk" -> 1910169L,
+    "q58_rollup_revenue" -> 5263L,
+    "q59_pivot_returnflag" -> 23920L,
+    "q5_anti_orphans" -> 0L,
+    "q60_paragraph_dedup" -> 4858395L,
+    "q61_ivfpq_topk" -> 611042L,
+    "q62_column_profile" -> 3506626L,
+    "q63_asof_tolerance" -> 3902316L,
+    "q64_cube_revenue" -> 8794L,
+    "q65_term_zipf" -> 2919348L,
+    "q66_lexical_richness" -> 3522687L,
+    "q67_novelty_decay" -> 891038L,
+    "q68_holdout_split" -> 7977L,
+    "q69_event_drift" -> 27940L,
+    "q6_ri_repair" -> 1210L,
+    "q70_novelty_store" -> 1896449L,
+    "q71_span_dedup" -> 5926998L,
+    "q72_retention_cohorts" -> 183938L,
+    "q73_conversion_funnel" -> 123089L,
+    "q74_histogram" -> 5866L,
+    "q75_grouping_sets" -> 3221L,
+    "q76_eval_overlap_bloom" -> 896207L,
+    "q77_snapshot_diff" -> 1192545L,
+    "q78_asof_forward" -> 4282043L,
+    "q79_ingest_gaps" -> 7525L,
+    "q7_dedup_keepfirst" -> 1058870L,
+    "q80_cms_heavy_hitters" -> 4822L,
+    "q81_moving_revenue" -> 8513619L,
+    "q82_scd2_intervals" -> 9292136L,
+    "q83_volume_anomaly" -> 26126L,
+    "q84_posting_lists" -> 11583046L,
+    "q85_state_dwell" -> 3924196L,
+    "q86_growth_curve" -> 512452L,
+    "q87_sliding_wau" -> 1269942L,
+    "q88_equidepth_histogram" -> 20754L,
+    "q89_hll_distinct" -> 32958L,
+    "q8_conditional_agg" -> 524L,
+    "q90_weighted_sample" -> 3705L,
+    "q91_source_overlap" -> 4362785L,
+    "q92_fuzzy_match" -> 11596L,
+    "q93_stratum_percentile" -> 311963L,
+    "q94_leakage_safe_split" -> 419229L,
+    "q95_value_drift" -> 2612L,
+    "q96_embedding_drift" -> 2424L,
+    "q97_collocations" -> 33326L,
+    "q98_label_affinity" -> 40192L,
+    "q99_vocab_coverage" -> 229189L,
+    "q9_sales_by_nation" -> 3995L)
   private[graft] val byteFactor = 1.5
+  private[graft] val byteSlack = 256L * 1024
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -407,7 +628,7 @@ object Bench {
       if (!floorsApply) Seq.empty[String]
       else byteMins.collect {
         case (name, b) if b >= 0 && byteFloors.get(name)
-          .exists(f => b > byteFactor * f) => name
+          .exists(f => b > byteFactor * f + byteSlack) => name
       }
     // Locale pinned: the `f` interpolator honors the default locale, and
     // a comma-decimal locale would print 25,0413 — malformed JSON
