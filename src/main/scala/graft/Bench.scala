@@ -283,7 +283,9 @@ object Bench {
     // file-based artifact + shuffle-bytes meter; 69 floors lowered)
     "q206_image_decode" -> 0.86,
     "q207_audio_decode" -> 1.31,
-    "q208_sole_fault_suppliers" -> 1.0)
+    "q208_sole_fault_suppliers" -> 1.0,
+    // focused post-canonical run (pure byte-arithmetic box parse)
+    "q209_video_decode" -> 0.36)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -424,6 +426,7 @@ object Bench {
     "q206_image_decode" -> 168526L,
     "q207_audio_decode" -> 162430L,
     "q208_sole_fault_suppliers" -> 1934L,
+    "q209_video_decode" -> 169910L,
     "q20_embedding_topk" -> 18174L,
     "q21_embedding_neardup_ivf" -> 4392321L,
     "q22_lang_id" -> 2819L,

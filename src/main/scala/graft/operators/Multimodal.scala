@@ -289,6 +289,155 @@ object Multimodal {
     }
   }
 
+  /** Video container metadata decoded from REAL payload bytes — the
+    * third modality, same contract: `ok = 1` when the MP4 (ISO BMFF)
+    * container header parsed; corrupt/unrecognized payloads keep the
+    * row with `ok = 0` and null metadata. What is and is not real
+    * here: the CONTAINER parse (box tree, `ftyp` brand, `mvhd`
+    * timescale/duration, `trak`/`tkhd` count and dimensions) is a
+    * genuine ISO 14496-12 byte-level decode, the exact metadata a
+    * catalog/curation pass needs; codec-FRAME decode (pixels) is the
+    * part that genuinely needs FFmpeg (absent in this environment)
+    * and remains out of scope — [[decodeStub]] stays only as the
+    * documented interface for that frame-level work. */
+  final case class VideoMeta(
+      doc_id: Long, ok: Long, brand: Option[String],
+      duration_ms: Option[Long], n_tracks: Option[Long],
+      width: Option[Long], height: Option[Long])
+
+  implicit val videoMetaEnc: Encoder[VideoMeta] =
+    Encoders.product[VideoMeta]
+
+  /** Header-only MP4/ISO-BMFF decode of one payload: walk the box
+    * tree (u32 size + fourCC type), require `ftyp` first, then read
+    * `moov`→`mvhd` (v0: timescale, duration) and count `trak` boxes,
+    * taking (width, height) from the FIRST `trak`'s `tkhd` (v0,
+    * 16.16 fixed point). Pure byte arithmetic — no codec, no SPI.
+    * Returns None for anything malformed (unknown first box, box size
+    * past the payload end, missing/truncated mvhd or tkhd, zero
+    * timescale) — total over data, errors are data not exceptions. */
+  def decodeVideoHeader(payload: Array[Byte])
+      : Option[(String, Long, Long, Long, Long)] = {
+    def u32(off: Int): Long =
+      ((payload(off) & 0xffL) << 24) | ((payload(off + 1) & 0xffL) << 16) |
+        ((payload(off + 2) & 0xffL) << 8) | (payload(off + 3) & 0xffL)
+    def fourCC(off: Int): String =
+      new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // children of [start, end): (type, payloadStart, payloadEnd), or
+    // None if any box is malformed (size < 8 or past the window)
+    def boxes(start: Int, end: Int): Option[Seq[(String, Int, Int)]] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var off = start
+      while (off < end) {
+        if (off + 8 > end) return None
+        val sz = u32(off)
+        if (sz < 8 || off + sz > end) return None
+        out += ((fourCC(off + 4), off + 8, off + sz.toInt))
+        off += sz.toInt
+      }
+      Some(out.result())
+    }
+    try {
+      for {
+        top <- boxes(0, payload.length)
+        ftyp <- top.headOption.filter(b =>
+          b._1 == "ftyp" && b._3 - b._2 >= 8)
+        moov <- top.find(_._1 == "moov")
+        inner <- boxes(moov._2, moov._3)
+        mvhd <- inner.find(b => b._1 == "mvhd" && b._3 - b._2 >= 20)
+        traks = inner.filter(_._1 == "trak")
+        tkhd <- traks.headOption.flatMap(t => boxes(t._2, t._3))
+          .flatMap(_.find(b => b._1 == "tkhd" && b._3 - b._2 >= 84))
+        timescale = u32(mvhd._2 + 12)
+        if timescale > 0
+      } yield {
+        val duration = u32(mvhd._2 + 16)
+        (fourCC(ftyp._2), duration * 1000L / timescale,
+          traks.size.toLong,
+          u32(tkhd._2 + 76) >> 16, u32(tkhd._2 + 80) >> 16)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Distributed REAL video-container decode — [[decodeImageMeta]]'s
+    * shape for the third modality: pure-arithmetic header parse where
+    * the scan runs, typed metadata out, corrupt rows flagged `ok = 0`,
+    * no payload byte crossing a shuffle. */
+  def decodeVideoMeta(media: Dataset[MediaRecord]): Dataset[VideoMeta] =
+    media.mapPartitions { it =>
+      it.map { r =>
+        decodeVideoHeader(r.payload) match {
+          case Some((brand, durMs, nTracks, w, h)) =>
+            VideoMeta(r.doc_id, 1L, Some(brand), Some(durMs),
+              Some(nTracks), Some(w), Some(h))
+          case None =>
+            VideoMeta(r.doc_id, 0L, None, None, None, None, None)
+        }
+      }
+    }
+
+  /** REAL-BYTES video fixture: per doc id, a structurally-valid MP4
+    * (ISO 14496-12) box tree — `ftyp` (isom) + `moov` holding a
+    * version-0 `mvhd` (timescale 1000, duration `1000 + (id%97)·250`)
+    * and `1 + id%2` `trak`/`tkhd` boxes (first track
+    * `(160 + (id%8)·80) × (120 + (id%6)·60)` in 16.16 fixed point,
+    * spec-correct 92-byte tkhd and 108-byte mvhd layouts) + a token
+    * `mdat` — so the decoded metadata is pure id arithmetic. The two
+    * corruption families, each hitting BOTH track counts: `id%10 ∈
+    * {3, 4}` zeroes the `ftyp` fourCC (first box unrecognized),
+    * `id%10 ∈ {6, 7}` truncates to 16 bytes (the ftyp box claims 20,
+    * the walk runs past the end). */
+  def encodeVideoFixture(docs: DataFrame, idCol: String)
+      : Dataset[MediaRecord] = {
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+      .where(col("doc_id").isNotNull && col("doc_id") >= 0)
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    ids.as[Long].mapPartitions { it =>
+      def be32(v: Long): Array[Byte] = Array(
+        (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      def be16(v: Int): Array[Byte] = Array((v >>> 8).toByte, v.toByte)
+      def box(tp: String, payload: Array[Byte]): Array[Byte] =
+        be32(payload.length + 8L) ++
+          tp.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ payload
+      val unityMatrix =
+        be32(0x00010000L) ++ be32(0) ++ be32(0) ++
+          be32(0) ++ be32(0x00010000L) ++ be32(0) ++
+          be32(0) ++ be32(0) ++ be32(0x40000000L)
+      it.map { id =>
+        val duration = 1000L + (id % 97) * 250L
+        val w = 160L + (id % 8) * 80L
+        val h = 120L + (id % 6) * 60L
+        val mvhd = box("mvhd",
+          be32(0) ++ // version 0 + flags
+            be32(0) ++ be32(0) ++ // creation, modification
+            be32(1000L) ++ be32(duration) ++ // timescale, duration
+            be32(0x00010000L) ++ be16(0x0100) ++ be16(0) ++ // rate, volume
+            be32(0) ++ be32(0) ++ // reserved
+            unityMatrix ++ Array.fill[Byte](24)(0) ++ // matrix, predefined
+            be32(3)) // next track id
+        def tkhd(trackId: Long, tw: Long, th: Long) = box("tkhd",
+          be32(7) ++ // version 0 + flags (enabled|in-movie|in-preview)
+            be32(0) ++ be32(0) ++ be32(trackId) ++ be32(0) ++
+            be32(duration) ++ be32(0) ++ be32(0) ++ // duration, reserved
+            be16(0) ++ be16(0) ++ be16(0) ++ be16(0) ++ // layer..reserved
+            unityMatrix ++
+            be32(tw << 16) ++ be32(th << 16)) // 16.16 fixed point
+        val traks = box("trak", tkhd(1, w, h)) ++
+          (if (id % 2 == 1) box("trak", tkhd(2, 320, 240)) else Array.emptyByteArray)
+        val ftyp = box("ftyp",
+          "isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+            be32(0x200) ++
+            "isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        var bytes = ftyp ++ box("moov", mvhd ++ traks) ++
+          box("mdat", Array[Byte](0, 0, 0, 0))
+        if (id % 10 == 3 || id % 10 == 4) {
+          bytes(4) = 0; bytes(5) = 0; bytes(6) = 0; bytes(7) = 0
+        } else if (id % 10 == 6 || id % 10 == 7) bytes = bytes.take(16)
+        MediaRecord(id, s"memory://video/$id", "video/mp4", bytes)
+      }
+    }
+  }
+
   /** REAL-BYTES image fixture: per doc id, an actual `ImageIO.write`
     * PNG (even ids) or JPEG (odd ids) encode of a
     * `(8 + id % 57) × (8 + (id·3) % 41)` 3-channel image — so the

@@ -4,7 +4,9 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Dec, Tables}
 import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Rules, Sampling, Scd, Scrub, SemiStructured, Similarity, Sketch, Skew, TextAnalysis, Trend}
 
-/** [[Ext]] family: multimodal binary-column plumbing and decode — queries q26.
+/** [[Ext]] family: multimodal binary-column plumbing and decode —
+  * queries q26 (columnar metadata), q206 (image), q207 (audio),
+  * q209 (video container).
   * Split from the monolithic Ext.scala in round 12
   * (pure relocation; helpers live in [[ExtHelpers]]). */
 private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
@@ -110,6 +112,45 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
              ELSE 'pcm_signed' END AS encoding,
         CASE WHEN doc_id % 10 IN (3, 4, 6, 7) THEN NULL
              WHEN doc_id % 2 = 0 THEN 'wave' ELSE 'aiff' END AS container
+      FROM documents
+      WHERE doc_id IS NOT NULL AND doc_id >= 0
+      ORDER BY doc_id
+    """.trim))
+
+  // ---------------------------------------------------------------- q209
+  /** q209 — REAL video-container decode: [[Multimodal.encodeVideoFixture]]
+    * writes structurally-valid MP4 (ISO 14496-12) box trees —
+    * spec-correct 108-byte mvhd and 92-byte tkhd layouts, 16.16
+    * fixed-point dimensions — with id-derived duration/tracks/size and
+    * the q206 corruption families; [[Multimodal.decodeVideoMeta]]
+    * parses them back with pure byte arithmetic (no codec, no SPI).
+    * This retires the video stub at the CONTAINER level — the metadata
+    * a catalog/curation pass actually reads; codec-FRAME decode is the
+    * part that genuinely needs FFmpeg (absent) and stays out of scope.
+    * The oracle states the expected metadata as pure id arithmetic;
+    * every corrupt payload must surface as `ok = 0`, never a failure. */
+  val q209: Q = Q(
+    "q209_video_decode",
+    (s, d) => {
+      val media = Multimodal.encodeVideoFixture(
+        Tables.documents(s, d), "doc_id")
+      Multimodal.decodeVideoMeta(media).toDF()
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+        CAST(CASE WHEN doc_id % 10 IN (3, 4, 6, 7) THEN 0 ELSE 1 END
+          AS BIGINT) AS ok,
+        CASE WHEN doc_id % 10 IN (3, 4, 6, 7) THEN NULL
+             ELSE 'isom' END AS brand,
+        CASE WHEN doc_id % 10 IN (3, 4, 6, 7) THEN NULL
+             ELSE 1000 + (doc_id % 97) * 250 END AS duration_ms,
+        CASE WHEN doc_id % 10 IN (3, 4, 6, 7) THEN NULL
+             ELSE 1 + doc_id % 2 END AS n_tracks,
+        CASE WHEN doc_id % 10 IN (3, 4, 6, 7) THEN NULL
+             ELSE 160 + (doc_id % 8) * 80 END AS width,
+        CASE WHEN doc_id % 10 IN (3, 4, 6, 7) THEN NULL
+             ELSE 120 + (doc_id % 6) * 60 END AS height
       FROM documents
       WHERE doc_id IS NOT NULL AND doc_id >= 0
       ORDER BY doc_id

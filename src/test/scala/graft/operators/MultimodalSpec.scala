@@ -145,4 +145,56 @@ class MultimodalSpec extends SparkSpec {
     val riffMagic = "RIFF".getBytes("US-ASCII")
     assert(Multimodal.decodeAudioHeader(riffMagic).isEmpty)
   }
+
+  test("decodeVideoMeta round-trips the ISO-BMFF fixture: brand, " +
+    "duration, track count and dimensions match the id formulas") {
+    val media = Multimodal.encodeVideoFixture(
+      Tables.documents(spark, sf), "doc_id")
+    val out = Multimodal.decodeVideoMeta(media).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(out.size == 500)
+    val clean = out.values.filter(_.ok == 1L)
+    assert(clean.nonEmpty)
+    clean.foreach { m =>
+      assert(m.brand.get == "isom", s"brand off: $m")
+      assert(m.duration_ms.get == 1000 + (m.doc_id % 97) * 250,
+        s"duration off: $m")
+      assert(m.n_tracks.get == 1 + m.doc_id % 2, s"tracks off: $m")
+      assert(m.width.get == 160 + (m.doc_id % 8) * 80, s"width off: $m")
+      assert(m.height.get == 120 + (m.doc_id % 6) * 60,
+        s"height off: $m")
+    }
+  }
+
+  test("corrupt video payloads (bad ftyp fourCC, truncated box) yield " +
+    "ok=0 null-metadata rows for BOTH track counts — never a failure") {
+    val media = Multimodal.encodeVideoFixture(
+      Tables.documents(spark, sf), "doc_id")
+    val out = Multimodal.decodeVideoMeta(media).collect()
+    val corrupt = out.filter(m => Seq(3L, 4L, 6L, 7L).contains(m.doc_id % 10))
+    assert(corrupt.nonEmpty)
+    corrupt.foreach { m =>
+      assert(m.ok == 0L && m.brand.isEmpty && m.duration_ms.isEmpty &&
+        m.n_tracks.isEmpty && m.width.isEmpty && m.height.isEmpty,
+        s"corrupt row leaked: $m")
+    }
+    Seq(3L, 4L, 6L, 7L).foreach { d =>
+      assert(corrupt.exists(_.doc_id % 10 == d), s"no id ending $d")
+    }
+    assert(out.count(_.ok == 1L) == out.length - corrupt.length)
+  }
+
+  test("decodeVideoHeader is total and strict: garbage, empty input, " +
+    "a size field past the payload end, and a zero timescale all " +
+    "return None instead of throwing") {
+    assert(Multimodal.decodeVideoHeader(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeVideoHeader(Array.fill[Byte](64)(0x41)).isEmpty)
+    // a well-formed ftyp whose declared size overruns the buffer
+    val lyingSize = Array[Byte](0, 0, 1, 0) ++ "ftyp".getBytes("US-ASCII") ++
+      Array.fill[Byte](8)(0)
+    assert(Multimodal.decodeVideoHeader(lyingSize).isEmpty)
+    // box size < 8 (would loop forever in a naive walker)
+    val tinySize = Array[Byte](0, 0, 0, 4) ++ "ftyp".getBytes("US-ASCII")
+    assert(Multimodal.decodeVideoHeader(tinySize).isEmpty)
+  }
 }
