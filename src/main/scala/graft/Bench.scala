@@ -284,8 +284,9 @@ object Bench {
     "q206_image_decode" -> 0.86,
     "q207_audio_decode" -> 1.31,
     "q208_sole_fault_suppliers" -> 1.0,
-    // focused post-canonical run (pure byte-arithmetic box parse)
-    "q209_video_decode" -> 0.36)
+    // focused post-canonical runs
+    "q209_video_decode" -> 0.36,
+    "q210_key_skew_profile" -> 0.5)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -427,6 +428,7 @@ object Bench {
     "q207_audio_decode" -> 162430L,
     "q208_sole_fault_suppliers" -> 1934L,
     "q209_video_decode" -> 169910L,
+    "q210_key_skew_profile" -> 19978L,
     "q20_embedding_topk" -> 18174L,
     "q21_embedding_neardup_ivf" -> 4392321L,
     "q22_lang_id" -> 2819L,

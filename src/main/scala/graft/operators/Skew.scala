@@ -116,4 +116,49 @@ object Skew {
       .orderBy(col("est_pairs").desc, col(key))
       .limit(topK)
   }
+
+  /** KEY-SKEW PROFILE — the pre-flight readout behind every salting
+    * decision: [[saltedJoin]]/[[saltedCount]]'s `salt` parameter and
+    * [[capHotKeys]]' threshold are INPUTS someone has to choose, and
+    * this is where the numbers come from. Top-`topK` heaviest keys of
+    * a column with, per key: the exact row count, its share of the
+    * table, its multiple of the mean key mass (`skew_x` — the "one
+    * reducer owns half the shuffle" number), and the salt fan-out
+    * `ceil(n_rows / targetRowsPerTask)` that would level it.
+    *
+    * Scale shape: ONE partial-aggregated groupBy builds the per-key
+    * count frame (the shuffle carries key cardinality, not rows),
+    * persisted once for its two consumers (the scalars and the
+    * top-k); top-k is TakeOrderedAndProject (per-partition k-heaps —
+    * k rows cross, never the key space); the (total, n_keys) scalars
+    * reduce to ONE row appended by the documented broadcast
+    * scalar-append (the q52/q79/q84 shape, in the plan sweep's
+    * justified list); the rank window runs over the ALREADY-limited
+    * k-row frame (a bounded SinglePartition of ≤ topK rows). NULL
+    * keys are excluded — they are a missingness question (q165), not
+    * a skew question. Ties pinned (count desc, key asc). */
+  def keySkewProfile(df: DataFrame, key: String, topK: Int = 10,
+      targetRowsPerTask: Long = 1000000L,
+      scope: graft.engine.CacheScope = graft.engine.CacheScope.unmanaged)
+      : DataFrame = {
+    require(topK > 0, s"topK=$topK must be positive")
+    require(targetRowsPerTask > 0,
+      s"targetRowsPerTask=$targetRowsPerTask must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val c = scope.persist(df.where(col(key).isNotNull)
+      .groupBy(col(key)).agg(count(lit(1)).as("n_rows")))
+    val totals = c.agg(sum(col("n_rows")).as("total"),
+      count(lit(1)).as("n_keys"))
+    c.orderBy(col("n_rows").desc, col(key)).limit(topK)
+      .crossJoin(broadcast(totals))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n_rows").desc, col(key))))
+      .select(col("rank"), col(key), col("n_rows"),
+        (col("n_rows").cast("double") / col("total")).as("share"),
+        (col("n_rows").cast("double") * col("n_keys") / col("total"))
+          .as("skew_x"),
+        ceil(col("n_rows").cast("double") / targetRowsPerTask)
+          .cast("bigint").as("n_salts"))
+      .orderBy(col("rank"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Dec, Tables}
 import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Rules, Sampling, Scd, Scrub, SemiStructured, Similarity, Sketch, Skew, TextAnalysis, Trend}
 
-/** [[Ext]] family: relational breadth (joins, rules, scrubbing, SCD, semi-structured, misc) — queries q33, q34, q38, q43, q44, q46, q58, q59, q63, q64, q70, q75, q77, q78, q82, q85, q104, q109, q117, q118, q119, q121, q131, q155, q156, q158, q162, q168, q192, q198, q208.
+/** [[Ext]] family: relational breadth (joins, rules, scrubbing, SCD, semi-structured, misc) — queries q33, q34, q38, q43, q44, q46, q58, q59, q63, q64, q70, q75, q77, q78, q82, q85, q104, q109, q117, q118, q119, q121, q131, q155, q156, q158, q162, q168, q192, q198, q208, q210.
   * Split from the monolithic Ext.scala in round 12
   * (pure relocation; helpers live in [[ExtHelpers]]). */
 private[queries] trait ExtRelationalQ { self: ExtHelpers =>
@@ -1274,6 +1274,40 @@ private[queries] trait ExtRelationalQ { self: ExtHelpers =>
           AS n_emails_residual,
         CAST((SELECT sum(n_digit_runs) FROM p2) AS BIGINT)
           AS n_digits_residual
+    """.trim))
+
+  // --------------------------------------------------------------- q210
+  /** q210 — key-skew profile ([[Skew.keySkewProfile]]): the top-10
+    * heaviest supplier keys of the fact table with exact count, table
+    * share, multiple-of-mean-key-mass, and the salt fan-out that
+    * would level each to 1,000 rows/task — the pre-flight readout
+    * that turns [[Skew.saltedJoin]]'s `salt` parameter and
+    * [[Skew.capHotKeys]]' threshold from guesses into measurements.
+    * One partial-aggregated groupBy + TakeOrderedAndProject + the
+    * documented one-row scalar-append; the rank window is bounded at
+    * topK rows. */
+  val q210: Q = Q(
+    "q210_key_skew_profile",
+    (s, d) =>
+      Skew.keySkewProfile(Tables.lineitem(s, d), "l_suppkey",
+        topK = 10, targetRowsPerTask = 1000L),
+    Some("""
+      WITH c AS (
+        SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1),
+      t AS (
+        SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+          CAST(count(*) AS BIGINT) AS n_keys FROM c),
+      r AS (
+        SELECT l_suppkey, n_rows,
+          CAST(row_number() OVER (ORDER BY n_rows DESC, l_suppkey)
+            AS INT) AS rank
+        FROM c)
+      SELECT rank, l_suppkey, n_rows,
+        CAST(n_rows AS DOUBLE) / total AS share,
+        CAST(n_rows AS DOUBLE) * n_keys / total AS skew_x,
+        CAST(ceil(CAST(n_rows AS DOUBLE) / 1000) AS BIGINT) AS n_salts
+      FROM r, t WHERE rank <= 10 ORDER BY rank
     """.trim))
 
 }

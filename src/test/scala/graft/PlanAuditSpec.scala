@@ -714,8 +714,8 @@ class PlanAuditSpec extends SparkSpec {
     //    stopword cap.
     // (the repo's only crossJoin call sites are these one-row appends:
     // Similarity.assignCells, Retrieval.bm25Scores,
-    // Drift.ingestCompleteness, Retrieval.postingLists, and
-    // Drift.histogramDrift's totals)
+    // Drift.ingestCompleteness, Retrieval.postingLists,
+    // Drift.histogramDrift's totals, and Skew.keySkewProfile's)
     val bnljByDesign = Set("q20_embedding_topk",
       "q21_embedding_neardup_ivf", "q39_embedding_topk_ivf",
       "q52_bm25_scores",
@@ -850,7 +850,11 @@ class PlanAuditSpec extends SparkSpec {
       "q204_ab_conversion_z",
       // q205: the ONE-ROW max-day anchor appended before the
       // conditional fold — rankShift's scalar-append (q170)
-      "q205_price_volume_mix")
+      "q205_price_volume_mix",
+      // q210: the ONE-ROW (total, n_keys) scalars appended to the
+      // ALREADY-limited topK frame — keySkewProfile's scalar-append,
+      // q52's shape
+      "q210_key_skew_profile")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()

@@ -76,4 +76,22 @@ class SkewSpec extends SparkSpec {
       .collect()
     assert(top1.length == 1 && top1(0).getLong(0) == 1L)
   }
+
+  test("keySkewProfile: exact counts, shares, mean multiples and salt " +
+    "fan-out against a hand-computed skewed frame; NULLs excluded") {
+    val s = spark; import s.implicits._
+    // 10 rows of key 1, 4 of key 2, 1 each of 3 and 4, one NULL:
+    // total 16, n_keys 4, mean mass 4
+    val rows = (Seq.fill(10)(1L) ++ Seq.fill(4)(2L) ++ Seq(3L, 4L))
+      .map(java.lang.Long.valueOf) :+ null.asInstanceOf[java.lang.Long]
+    val df = rows.toDF("k")
+    val got = Skew.keySkewProfile(df, "k", topK = 3,
+        targetRowsPerTask = 4L)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (1, 1L, 10L, 10.0 / 16, 10.0 * 4 / 16, 3L), // ceil(10/4)=3 salts
+      (2, 2L, 4L, 4.0 / 16, 1.0, 1L),
+      (3, 3L, 1L, 1.0 / 16, 0.25, 1L))) // tie with key 4 → key asc
+  }
 }
