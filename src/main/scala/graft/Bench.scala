@@ -286,7 +286,8 @@ object Bench {
     "q208_sole_fault_suppliers" -> 1.0,
     // focused post-canonical runs
     "q209_video_decode" -> 0.36,
-    "q210_key_skew_profile" -> 0.5)
+    "q210_key_skew_profile" -> 0.5,
+    "q211_contamination_sweep" -> 0.86)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -429,6 +430,7 @@ object Bench {
     "q208_sole_fault_suppliers" -> 1934L,
     "q209_video_decode" -> 169910L,
     "q210_key_skew_profile" -> 19978L,
+    "q211_contamination_sweep" -> 3355862L,
     "q20_embedding_topk" -> 18174L,
     "q21_embedding_neardup_ivf" -> 4392321L,
     "q22_lang_id" -> 2819L,

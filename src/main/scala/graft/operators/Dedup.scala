@@ -1285,4 +1285,57 @@ object Dedup {
       .where(flagCols.reduce(_ + _) < methods.size)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** CONTAMINATION-BY-SPAN SWEEP — how strict the n-gram
+    * decontamination screen is as a function of the n-gram LENGTH,
+    * the knob real curation teams sweep before fixing a policy
+    * (published decontamination setups disagree between ~8-gram and
+    * ~13-gram overlap precisely because of this curve): for each
+    * span n, the number and fraction of eval-side documents sharing
+    * at least ONE distinct n-token window hash with any train-side
+    * document. Small n over-flags (stopword runs collide
+    * everywhere), large n under-flags (only verbatim spans hit); the
+    * output row per n is the operating curve those policies pick
+    * from. EXISTS semantics — deliberately NO df-cap: a hash shared
+    * by thousands of training docs still contaminates (dropping hot
+    * hashes would change the answer, unlike the near-dup screens
+    * where hot shingles only add candidate noise).
+    *
+    * Scale shape: one pass per span (the sweep's honest cost — the
+    * q144 rule; spans share nothing because the window hash of
+    * length n is not derivable from length m's). Each pass: distinct
+    * (doc, hash) partial-aggregates map-side, the train vocabulary
+    * distincts to one row per hash, the flag join is a LEFT SEMI on
+    * 8-byte hashes (never a pair explosion — semi stops at first
+    * match), and the count folds per side. The (n_eval) scalar is
+    * the documented one-row broadcast append onto the |spans|-row
+    * result. Docs under n tokens have no windows and can never flag
+    * (they still count in n_eval). */
+  def contaminationBySpan(docs: DataFrame, idCol: String,
+      textCol: String, evalSide: Column,
+      spans: Seq[Int] = Seq(3, 5, 8)): DataFrame = {
+    require(spans.nonEmpty && spans.distinct == spans &&
+      spans.forall(_ >= 1), s"spans must be distinct and >= 1: $spans")
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("text"), evalSide.as("__eval"))
+    val nEval = base.where(col("__eval"))
+      .agg(count(lit(1)).as("n_eval"))
+    val perSpan = spans.map { n =>
+      val h = base.select(col("doc_id"), col("__eval"),
+          explode(TextHash.windowHashesOf(col("text"), n)).as("hs"))
+        .distinct()
+      val train = h.where(!col("__eval")).select(col("hs")).distinct()
+      h.where(col("__eval"))
+        .join(train, Seq("hs"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .agg(count(lit(1)).as("n_contaminated"))
+        .select(lit(n).as("n"), col("n_contaminated"))
+    }.reduce(_.unionByName(_))
+    perSpan.crossJoin(broadcast(nEval))
+      .select(col("n"), col("n_eval"), col("n_contaminated"),
+        when(col("n_eval") > 0,
+          col("n_contaminated").cast("double") /
+            col("n_eval").cast("double")).as("contaminated_frac"))
+      .orderBy(col("n"))
+  }
 }

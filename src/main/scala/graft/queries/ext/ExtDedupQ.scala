@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Dec, Tables}
 import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Rules, Sampling, Scd, Scrub, SemiStructured, Similarity, Sketch, Skew, TextAnalysis, Trend}
 
-/** [[Ext]] family: exact/near-dup dedup (MinHash-LSH, SimHash, Jaccard, winnowing, spans, fuzzy matching) — queries q16, q17, q18, q19, q31, q36, q48, q49, q60, q71, q76, q91, q92, q100, q101, q130, q134, q144, q160, q174, q178, q187, q188, q195, q197.
+/** [[Ext]] family: exact/near-dup dedup (MinHash-LSH, SimHash, Jaccard, winnowing, spans, fuzzy matching) — queries q16, q17, q18, q19, q31, q36, q48, q49, q60, q71, q76, q91, q92, q100, q101, q130, q134, q144, q160, q174, q178, q187, q188, q195, q197, q211.
   * Split from the monolithic Ext.scala in round 12
   * (pure relocation; helpers live in [[ExtHelpers]]). */
 private[queries] trait ExtDedupQ { self: ExtHelpers =>
@@ -1043,6 +1043,66 @@ private[queries] trait ExtDedupQ { self: ExtHelpers =>
         FROM cl GROUP BY 1)
       SELECT family_size, CAST(count(*) AS BIGINT) AS n_families
       FROM fam GROUP BY 1 ORDER BY 1
+    """.trim))
+
+  // --------------------------------------------------------------- q211
+  /** q211 — contamination-by-span sweep
+    * ([[Dedup.contaminationBySpan]]): the q36 parity split (even ids
+    * train, odd ids eval) screened at n ∈ {3, 5, 8} — per span, how
+    * many eval docs share at least one n-token window hash with the
+    * training side. The operating curve behind choosing a
+    * decontamination n; EXISTS semantics, deliberately un-capped.
+    * The oracle replays each span's rolling window hash with the
+    * q174/q188 list_reduce form. */
+  val q211: Q = Q(
+    "q211_contamination_sweep",
+    (s, d) =>
+      Dedup.contaminationBySpan(Tables.documents(s, d), "doc_id",
+        "text", evalSide = col("doc_id") % 2 === 1,
+        spans = Seq(3, 5, 8)),
+    Some(s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      ev AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_eval
+        FROM documents WHERE doc_id % 2 = 1),
+      h3 AS (
+        SELECT DISTINCT doc_id,
+          list_reduce(list_prepend(0::BIGINT, whl[i : i + 2]),
+            (h, c) -> ((h * 31) + c) % $P) AS hs
+        FROM wh, LATERAL unnest(range(1, len(whl) - 1)) AS t(i)),
+      h5 AS (
+        SELECT DISTINCT doc_id,
+          list_reduce(list_prepend(0::BIGINT, whl[i : i + 4]),
+            (h, c) -> ((h * 31) + c) % $P) AS hs
+        FROM wh, LATERAL unnest(range(1, len(whl) - 3)) AS t(i)),
+      h8 AS (
+        SELECT DISTINCT doc_id,
+          list_reduce(list_prepend(0::BIGINT, whl[i : i + 7]),
+            (h, c) -> ((h * 31) + c) % $P) AS hs
+        FROM wh, LATERAL unnest(range(1, len(whl) - 6)) AS t(i)),
+      f3 AS (
+        SELECT CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_contaminated
+        FROM h3 e WHERE e.doc_id % 2 = 1
+          AND e.hs IN (SELECT hs FROM h3 t WHERE t.doc_id % 2 = 0)),
+      f5 AS (
+        SELECT CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_contaminated
+        FROM h5 e WHERE e.doc_id % 2 = 1
+          AND e.hs IN (SELECT hs FROM h5 t WHERE t.doc_id % 2 = 0)),
+      f8 AS (
+        SELECT CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_contaminated
+        FROM h8 e WHERE e.doc_id % 2 = 1
+          AND e.hs IN (SELECT hs FROM h8 t WHERE t.doc_id % 2 = 0))
+      SELECT n, n_eval, n_contaminated,
+        CASE WHEN n_eval > 0 THEN
+          CAST(n_contaminated AS DOUBLE) / n_eval END AS contaminated_frac
+      FROM (
+        SELECT CAST(3 AS INT) AS n, n_eval, n_contaminated FROM f3, ev
+        UNION ALL
+        SELECT CAST(5 AS INT), n_eval, n_contaminated FROM f5, ev
+        UNION ALL
+        SELECT CAST(8 AS INT), n_eval, n_contaminated FROM f8, ev)
+      ORDER BY n
     """.trim))
 
 }

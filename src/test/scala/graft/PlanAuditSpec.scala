@@ -715,7 +715,8 @@ class PlanAuditSpec extends SparkSpec {
     // (the repo's only crossJoin call sites are these one-row appends:
     // Similarity.assignCells, Retrieval.bm25Scores,
     // Drift.ingestCompleteness, Retrieval.postingLists,
-    // Drift.histogramDrift's totals, and Skew.keySkewProfile's)
+    // Drift.histogramDrift's totals, Skew.keySkewProfile's, and
+    // Dedup.contaminationBySpan's)
     val bnljByDesign = Set("q20_embedding_topk",
       "q21_embedding_neardup_ivf", "q39_embedding_topk_ivf",
       "q52_bm25_scores",
@@ -854,7 +855,11 @@ class PlanAuditSpec extends SparkSpec {
       // q210: the ONE-ROW (total, n_keys) scalars appended to the
       // ALREADY-limited topK frame — keySkewProfile's scalar-append,
       // q52's shape
-      "q210_key_skew_profile")
+      "q210_key_skew_profile",
+      // q211: the ONE-ROW n_eval count appended to the |spans|-row
+      // sweep result — contaminationBySpan's scalar-append, q52's
+      // shape
+      "q211_contamination_sweep")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()
