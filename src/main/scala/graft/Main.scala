@@ -63,6 +63,8 @@ object Main {
         minShared = rest.headOption.map(_.toInt).getOrElse(2))
     case "trend-ingest" :: srcParquet :: keyCol :: dayCol :: storeDir :: Nil =>
       trendIngest(srcParquet, keyCol, dayCol, storeDir)
+    case "bucketize" :: srcParquet :: table :: key :: buckets :: Nil =>
+      bucketize(srcParquet, table, key, buckets.toInt)
     case "stream-curate" :: inDir :: outDir :: ckptDir :: rest
         if rest.size <= 1 =>
       streamCurate(inDir, outDir, ckptDir,
@@ -76,8 +78,29 @@ object Main {
       profile(srcParquet, outDir, cols)
     case _ =>
       System.err.println(
-        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
+        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
       sys.exit(2)
+  }
+
+  /** Co-locate a parquet table on a join key ([[graft.etl.Bucketed]]):
+    * one bucketed+sorted rewrite now, zero shuffles on every future
+    * join/aggregate over that key against any same-bucketed table —
+    * the storage-layout half of the 100 TB join story. */
+  private def bucketize(srcParquet: String, table: String, key: String,
+      buckets: Int): Unit = {
+    val spark = GraftSession.local()
+    val n = runBucketize(spark, srcParquet, table, key, buckets)
+    println(s"bucketize: $n rows -> table $table ($buckets buckets on $key)")
+    spark.stop()
+  }
+
+  /** Testable core of `bucketize` (the [[runCompact]] pattern). */
+  private[graft] def runBucketize(spark: org.apache.spark.sql.SparkSession,
+      srcParquet: String, table: String, key: String,
+      buckets: Int): Long = {
+    graft.etl.Bucketed.coLocate(spark.read.parquet(srcParquet), table,
+      key, buckets)
+    graft.etl.Bucketed.table(spark, table).count()
   }
 
   /** Serve the streaming curation funnel ([[graft.streaming.CurateStream]])
