@@ -49,12 +49,7 @@ object TextAnalysis {
           markerCount(col("w"), ms).as(s"c_$l")
         }: _*)
     val Seq(en, es, de, fr) = markerSets.map(m => col(s"c_${m._1}"))
-    val pred = scored.withColumn("lang_pred",
-      when(en === 0 && es === 0 && de === 0 && fr === 0, "und")
-        .when(en >= es && en >= de && en >= fr, "en")
-        .when(es >= de && es >= fr, "es")
-        .when(de >= fr, "de")
-        .otherwise("fr"))
+    val pred = scored.withColumn("lang_pred", langPred(en, es, de, fr))
     val markers = en + es + de + fr
     pred.groupBy(col("lang"), col("lang_pred"))
       .agg(
@@ -64,6 +59,58 @@ object TextAnalysis {
       .withColumn("marker_ratio",
         col("marker_tokens").cast("double") / col("total_tokens"))
       .orderBy(col("lang"), col("lang_pred"))
+  }
+
+  /** The marker-count argmax with q22's deterministic tie preference
+    * (en ≥ es ≥ de ≥ fr) and the no-marker 'und' bucket — shared by
+    * the confusion matrix and the fertility readout so the language
+    * decision cannot drift between them. */
+  private def langPred(en: Column, es: Column, de: Column,
+      fr: Column): Column =
+    when(en === 0 && es === 0 && de === 0 && fr === 0, "und")
+      .when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+
+  /** TOKENIZER FERTILITY BY LANGUAGE — the per-language cost readout
+    * behind byte-budgeted corpus planning: bytes per (whitespace)
+    * token and tokens per document, bucketed by PREDICTED language
+    * (the q22 marker heuristic — shared [[langPred]], so the two
+    * readouts can never disagree about a document's language). Real
+    * tokenizers differ by language exactly this way (fertility —
+    * tokens emitted per unit text — is the standard multilingual-cost
+    * metric), so a byte-weighted mix translates to very different
+    * token budgets per language; this is the conversion table.
+    *
+    * Scale shape: one row-local scoring pass (compiled marker counts,
+    * byte length off the ORIGINAL text — lowering can change byte
+    * counts under Unicode), one partial-aggregable groupBy over
+    * ≤ |languages|+1 groups. Ratios guarded null on zero tokens (the
+    * engine-portable division discipline). */
+  def tokenFertility(docs: DataFrame, textCol: String): DataFrame = {
+    val scored = docs
+      .select(octet_length(col(textCol)).cast("long").as("n_bytes"),
+        TextHash.tokens(lower(col(textCol))).as("w"))
+      .select(col("n_bytes") +: size(col("w")).as("n_tokens") +:
+        markerSets.map { case (l, ms) =>
+          markerCount(col("w"), ms).as(s"c_$l")
+        }: _*)
+    val Seq(en, es, de, fr) = markerSets.map(m => col(s"c_${m._1}"))
+    scored.withColumn("lang", langPred(en, es, de, fr))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        sum(col("n_bytes")).as("total_bytes"))
+      .select(col("lang"), col("n_docs"), col("total_tokens"),
+        col("total_bytes"),
+        when(col("total_tokens") > 0,
+          col("total_bytes").cast("double") / col("total_tokens"))
+          .as("bytes_per_token"),
+        (col("total_tokens").cast("double") / col("n_docs"))
+          .as("tokens_per_doc"))
+      .orderBy(col("lang"))
   }
 
   /** Per-document quality signals: char/token counts, mean token

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Dec, Tables}
 import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Rules, Sampling, Scd, Scrub, SemiStructured, Similarity, Sketch, Skew, TextAnalysis, Trend}
 
-/** [[Ext]] family: text analysis (language-ID, quality, tokens, fingerprints, n-gram stats) — queries q22, q23, q24, q25, q35, q45, q50, q54, q65, q66, q67, q97, q99, q105, q110, q112, q116, q124, q132, q133, q143, q153, q154, q159, q189, q190.
+/** [[Ext]] family: text analysis (language-ID, quality, tokens, fingerprints, n-gram stats) — queries q22, q23, q24, q25, q35, q45, q50, q54, q65, q66, q67, q97, q99, q105, q110, q112, q116, q124, q132, q133, q143, q153, q154, q159, q189, q190, q212.
   * Split from the monolithic Ext.scala in round 12
   * (pure relocation; helpers live in [[ExtHelpers]]). */
 private[queries] trait ExtTextQ { self: ExtHelpers =>
@@ -924,6 +924,49 @@ private[queries] trait ExtTextQ { self: ExtHelpers =>
           AS type_token_ratio
       FROM p CROSS JOIN tot LEFT JOIN v ON v.point = p.point
       ORDER BY point
+    """.trim))
+
+  // --------------------------------------------------------------- q212
+  /** q212 — tokenizer fertility by language
+    * ([[TextAnalysis.tokenFertility]]): bytes per whitespace token and
+    * tokens per doc, bucketed by the q22 marker-heuristic language —
+    * the conversion table between a byte-budgeted corpus mix and the
+    * per-language token budgets it actually buys. Byte counts off the
+    * ORIGINAL text (strlen = bytes in DuckDB; lowering can change
+    * byte length under Unicode). */
+  val q212: Q = Q(
+    "q212_token_fertility",
+    (s, d) =>
+      TextAnalysis.tokenFertility(Tables.documents(s, d), "text"),
+    Some("""
+      WITH t AS (
+        SELECT CAST(strlen(text) AS BIGINT) AS n_bytes,
+          list_filter(string_split_regex(trim(lower(text)), '\s+'),
+            x -> x <> '') w
+        FROM documents),
+      sc AS (
+        SELECT n_bytes, len(w) n_tokens,
+          len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is'))) c_en,
+          len(list_filter(w, x -> x IN ('el', 'la', 'los', 'y', 'es'))) c_es,
+          len(list_filter(w, x -> x IN ('der', 'die', 'das', 'und', 'ist'))) c_de,
+          len(list_filter(w, x -> x IN ('le', 'les', 'et', 'est', 'une'))) c_fr
+        FROM t),
+      pred AS (
+        SELECT *,
+          CASE WHEN c_en = 0 AND c_es = 0 AND c_de = 0 AND c_fr = 0 THEN 'und'
+               WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+               WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+               WHEN c_de >= c_fr THEN 'de'
+               ELSE 'fr' END AS lang
+        FROM sc)
+      SELECT lang, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        CASE WHEN sum(n_tokens) > 0 THEN
+          CAST(sum(n_bytes) AS DOUBLE) / sum(n_tokens)
+        END AS bytes_per_token,
+        CAST(sum(n_tokens) AS DOUBLE) / count(*) AS tokens_per_doc
+      FROM pred GROUP BY lang ORDER BY lang
     """.trim))
 
 }
