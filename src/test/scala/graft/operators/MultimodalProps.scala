@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property: the three header decoders are TOTAL over arbitrary
+  * bytes — any payload, including adversarial near-valid prefixes,
+  * yields Some(metadata) or None, never a throw. This is the
+  * never-a-task-failure contract the q206/q207/q209 corrupt-row
+  * semantics rest on: at 100 TB, one crashing payload in a trillion
+  * rows kills the stage, so totality is a correctness property, not
+  * a nicety. No SparkSession needed — the decoders are plain
+  * byte-array functions. */
+object MultimodalProps extends Properties("MultimodalDecode") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(200).withWorkers(1)
+
+  // adversarial generator: pure noise, plus noise stamped with the
+  // real magics (PNG/JPEG/RIFF/FORM/ftyp-box) so the format-specific
+  // parse paths actually run, plus truncations of those
+  private val noise: Gen[Array[Byte]] =
+    Gen.choose(0, 256).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+        .map(_.toArray))
+
+  private val magics: Seq[Array[Byte]] = Seq(
+    Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a),
+    Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte),
+    "RIFF".getBytes("US-ASCII"),
+    "FORM".getBytes("US-ASCII"),
+    // a plausible ftyp box header claiming various sizes
+    Array[Byte](0, 0, 0, 20) ++ "ftyp".getBytes("US-ASCII"),
+    Array[Byte](0, 0, 0, 0) ++ "ftyp".getBytes("US-ASCII"),
+    Array[Byte](0x7f, 0x7f, 0x7f, 0x7f) ++ "ftyp".getBytes("US-ASCII"))
+
+  private val stamped: Gen[Array[Byte]] = for {
+    m <- Gen.oneOf(magics)
+    tail <- noise
+  } yield m ++ tail
+
+  private val payload: Gen[Array[Byte]] = Gen.frequency(
+    3 -> noise, 5 -> stamped,
+    2 -> stamped.flatMap(b =>
+      Gen.choose(0, b.length).map(b.take)))
+
+  property("decodeImageHeader never throws") = forAll(payload) { b =>
+    Multimodal.decodeImageHeader(b); true
+  }
+
+  property("decodeAudioHeader never throws") = forAll(payload) { b =>
+    Multimodal.decodeAudioHeader(b); true
+  }
+
+  property("decodeVideoHeader never throws") = forAll(payload) { b =>
+    Multimodal.decodeVideoHeader(b); true
+  }
+
+  property("decodeVideoHeader only accepts payloads that start with a " +
+    "well-formed ftyp box") = forAll(payload) { b =>
+    val ok = Multimodal.decodeVideoHeader(b)
+    ok.isEmpty || (b.length >= 8 &&
+      new String(b, 4, 4, "US-ASCII") == "ftyp")
+  }
+}
