@@ -288,7 +288,10 @@ object Bench {
     "q209_video_decode" -> 0.36,
     "q210_key_skew_profile" -> 0.5,
     "q211_contamination_sweep" -> 0.86,
-    "q212_token_fertility" -> 0.51)
+    "q212_token_fertility" -> 0.51,
+    // q213 pays the full q17 pipeline + the wedge joins (pair-frame
+    // scale) — the audit's honest cost
+    "q213_pair_transitivity" -> 2.24)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -433,6 +436,7 @@ object Bench {
     "q210_key_skew_profile" -> 19978L,
     "q211_contamination_sweep" -> 3355862L,
     "q212_token_fertility" -> 898L,
+    "q213_pair_transitivity" -> 24963703L,
     "q20_embedding_topk" -> 18174L,
     "q21_embedding_neardup_ivf" -> 4392321L,
     "q22_lang_id" -> 2819L,

@@ -1286,6 +1286,51 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** PAIR-TRANSITIVITY AUDIT — does the similarity graph justify
+    * connected-components clustering? [[nearDupClusters]] (q31)
+    * merges by CONNECTIVITY, which silently assumes near-dup-ness is
+    * roughly transitive; a threshold graph where A~B and B~C rarely
+    * implies A~C chains unrelated documents into giant snake
+    * clusters. This measures exactly that: of all wedges (A—B—C
+    * through a shared endpoint), what fraction close into a triangle
+    * (A—C also a pair). A high closure rate says components ≈ cliques
+    * (keep-one-per-cluster is safe); a low rate says the threshold is
+    * chaining and clustering should tighten (raise the threshold, or
+    * cap cluster diameter). One row: (n_pairs, n_wedges, n_closed,
+    * closure_rate).
+    *
+    * Scale shape: everything runs on the PAIR FRAME, never the
+    * corpus — pairs are already candidate-reduced by the screen that
+    * produced them. The wedge self-join keys on the shared endpoint;
+    * a hub of degree d contributes d² wedges (Σ deg² overall), the
+    * same mass q31's label propagation already traverses — for
+    * screens with super-hubs, df-cap the PAIR SOURCE first (the
+    * screens here already do). Closure check is one hash join back
+    * to the pair set; the n_pairs scalar is the documented one-row
+    * broadcast append. */
+  def pairTransitivityAudit(pairs: DataFrame,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val p = scope.persist(
+      pairs.select(col("doc_a"), col("doc_b")).distinct())
+    val e = p.select(col("doc_a").as("ctr"), col("doc_b").as("leaf"))
+      .unionByName(p.select(col("doc_b").as("ctr"),
+        col("doc_a").as("leaf")))
+    val wedges = e.select(col("ctr"), col("leaf").as("a"))
+      .join(e.select(col("ctr"), col("leaf").as("c")), Seq("ctr"))
+      .where(col("a") < col("c"))
+    val nPairs = p.agg(count(lit(1)).as("n_pairs"))
+    wedges
+      .join(p.select(col("doc_a").as("a"), col("doc_b").as("c"))
+        .withColumn("__hit", lit(1)), Seq("a", "c"), "left")
+      .agg(count(lit(1)).as("n_wedges"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_closed"))
+      .crossJoin(broadcast(nPairs))
+      .select(col("n_pairs"), col("n_wedges"), col("n_closed"),
+        when(col("n_wedges") > 0,
+          col("n_closed").cast("double") / col("n_wedges"))
+          .as("closure_rate"))
+  }
+
   /** CONTAMINATION-BY-SPAN SWEEP — how strict the n-gram
     * decontamination screen is as a function of the n-gram LENGTH,
     * the knob real curation teams sweep before fixing a policy

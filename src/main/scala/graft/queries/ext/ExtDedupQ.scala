@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Dec, Tables}
 import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Rules, Sampling, Scd, Scrub, SemiStructured, Similarity, Sketch, Skew, TextAnalysis, Trend}
 
-/** [[Ext]] family: exact/near-dup dedup (MinHash-LSH, SimHash, Jaccard, winnowing, spans, fuzzy matching) — queries q16, q17, q18, q19, q31, q36, q48, q49, q60, q71, q76, q91, q92, q100, q101, q130, q134, q144, q160, q174, q178, q187, q188, q195, q197, q211.
+/** [[Ext]] family: exact/near-dup dedup (MinHash-LSH, SimHash, Jaccard, winnowing, spans, fuzzy matching) — queries q16, q17, q18, q19, q31, q36, q48, q49, q60, q71, q76, q91, q92, q100, q101, q130, q134, q144, q160, q174, q178, q187, q188, q195, q197, q211, q213.
   * Split from the monolithic Ext.scala in round 12
   * (pure relocation; helpers live in [[ExtHelpers]]). */
 private[queries] trait ExtDedupQ { self: ExtHelpers =>
@@ -1103,6 +1103,58 @@ private[queries] trait ExtDedupQ { self: ExtHelpers =>
         UNION ALL
         SELECT CAST(8 AS INT), n_eval, n_contaminated FROM f8, ev)
       ORDER BY n
+    """.trim))
+
+  // --------------------------------------------------------------- q213
+  /** q213 — pair-transitivity audit ([[Dedup.pairTransitivityAudit]])
+    * over the q17 n-gram-Jaccard pair set: the wedge-closure rate
+    * that says whether q31's connected-components clustering is safe
+    * (components ≈ cliques) or chaining (threshold too loose). The
+    * oracle replays the pair set with the q17 CTEs, then counts
+    * wedges and closed triangles with plain joins. */
+  val q213: Q = Q(
+    "q213_pair_transitivity",
+    (s, d) =>
+      Dedup.pairTransitivityAudit(
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id",
+          "text", threshold = 0.5, maxDf = 100)),
+    Some(s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      $duckHashShingles,
+      shf AS (
+        SELECT doc_id, hs FROM sh
+        QUALIFY count(*) OVER (PARTITION BY hs) <= 100
+      ),
+      sz AS (SELECT doc_id, count(*) n FROM shf GROUP BY 1),
+      jacp AS (
+        SELECT da AS doc_a, db AS doc_b
+        FROM (
+          SELECT a.doc_id da, b.doc_id db, count(*) i
+          FROM shf a JOIN shf b ON a.hs = b.hs AND a.doc_id < b.doc_id
+          GROUP BY 1, 2) inter
+        JOIN sz sa ON sa.doc_id = da
+        JOIN sz sb ON sb.doc_id = db
+        WHERE (CAST(i AS DOUBLE) / (sa.n + sb.n - i)) >= 0.5),
+      e AS (
+        SELECT doc_a AS ctr, doc_b AS leaf FROM jacp
+        UNION ALL
+        SELECT doc_b AS ctr, doc_a AS leaf FROM jacp),
+      w AS (
+        SELECT e1.ctr, e1.leaf AS a, e2.leaf AS c
+        FROM e e1 JOIN e e2 USING (ctr) WHERE e1.leaf < e2.leaf),
+      cl AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_wedges,
+          CAST(coalesce(sum(CASE WHEN EXISTS (
+            SELECT 1 FROM jacp p
+            WHERE p.doc_a = w.a AND p.doc_b = w.c) THEN 1 ELSE 0 END),
+            0) AS BIGINT) AS n_closed
+        FROM w),
+      np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM jacp)
+      SELECT n_pairs, n_wedges, n_closed,
+        CASE WHEN n_wedges > 0 THEN
+          CAST(n_closed AS DOUBLE) / n_wedges END AS closure_rate
+      FROM cl, np
     """.trim))
 
 }

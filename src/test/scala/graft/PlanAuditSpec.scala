@@ -716,7 +716,7 @@ class PlanAuditSpec extends SparkSpec {
     // Similarity.assignCells, Retrieval.bm25Scores,
     // Drift.ingestCompleteness, Retrieval.postingLists,
     // Drift.histogramDrift's totals, Skew.keySkewProfile's, and
-    // Dedup.contaminationBySpan's)
+    // Dedup.contaminationBySpan's and pairTransitivityAudit's)
     val bnljByDesign = Set("q20_embedding_topk",
       "q21_embedding_neardup_ivf", "q39_embedding_topk_ivf",
       "q52_bm25_scores",
@@ -859,7 +859,10 @@ class PlanAuditSpec extends SparkSpec {
       // q211: the ONE-ROW n_eval count appended to the |spans|-row
       // sweep result — contaminationBySpan's scalar-append, q52's
       // shape
-      "q211_contamination_sweep")
+      "q211_contamination_sweep",
+      // q213: the ONE-ROW n_pairs count appended to the one-row
+      // wedge-closure fold — pairTransitivityAudit's scalar-append
+      "q213_pair_transitivity")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()
