@@ -291,7 +291,10 @@ object Bench {
     "q212_token_fertility" -> 0.51,
     // q213 pays the full q17 pipeline + the wedge joins (pair-frame
     // scale) — the audit's honest cost
-    "q213_pair_transitivity" -> 2.24)
+    "q213_pair_transitivity" -> 2.24,
+    // q214 pays the full q17 pipeline once (loosest threshold); the
+    // curve folds are pair-frame-sized
+    "q214_dedup_threshold_curve" -> 2.15)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -437,6 +440,7 @@ object Bench {
     "q211_contamination_sweep" -> 3355862L,
     "q212_token_fertility" -> 898L,
     "q213_pair_transitivity" -> 24963703L,
+    "q214_dedup_threshold_curve" -> 24981381L,
     "q20_embedding_topk" -> 18174L,
     "q21_embedding_neardup_ivf" -> 4392321L,
     "q22_lang_id" -> 2819L,

@@ -1286,6 +1286,69 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** DEDUP-THRESHOLD CURVE — the pair and document mass removed at
+    * each candidate Jaccard threshold, from ONE pipeline run: the
+    * readout behind actually CHOOSING a threshold (every pairwise
+    * screen here takes one as an input; this is where the number
+    * comes from, the [[graft.operators.Skew.keySkewProfile]]
+    * argument applied to dedup). For each t in `thresholds`
+    * (evaluated against a base pair frame computed once at
+    * `min(thresholds)`): the surviving pair count, the count and
+    * fraction of documents touched by ≥ 1 pair at that strength —
+    * i.e. how much of the corpus a dedup pass at t would consider
+    * duplicate-involved.
+    *
+    * Scale shape: the expensive part (the inverted-index pipeline)
+    * runs ONCE at the loosest threshold; the curve itself is two
+    * small folds over the PAIR frame — a conditional count per t,
+    * and a per-doc max-strength unpivot (2 rows per pair) folded to
+    * |docs-in-pairs| rows then conditionally counted per t. No
+    * per-threshold re-run, no explosion; the corpus size is the
+    * documented one-row broadcast append. */
+  def thresholdCurve(docs: DataFrame, idCol: String, textCol: String,
+      thresholds: Seq[Double] = Seq(0.5, 0.7, 0.9), maxDf: Int = 100,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.distinct == thresholds,
+      s"thresholds must be non-empty and distinct: $thresholds")
+    val tMin = thresholds.min
+    require(tMin > 0.0, s"thresholds must be > 0: $thresholds")
+    val pairs = scope.persist(
+      ngramJaccardPairs(docs, idCol, textCol, threshold = tMin,
+        maxDf = maxDf, scope = scope)
+        .select(col("doc_a"), col("doc_b"), col("jaccard")))
+    val nDocs = docs.where(col(idCol).isNotNull)
+      .agg(count(lit(1)).as("n_corpus"))
+    // '.' in a column name reads as struct access downstream — key the
+    // per-threshold columns by INDEX, not by the threshold's rendering
+    def pc(i: Int) = s"p_$i"
+    def dc(i: Int) = s"d_$i"
+    val ts = thresholds.zipWithIndex
+    val pAggs = ts.map { case (t, i) =>
+      sum(when(col("jaccard") >= t, 1L).otherwise(0L)).as(pc(i)) }
+    val pairCounts = pairs.agg(pAggs.head, pAggs.tail: _*)
+    val docStrength = pairs
+      .select(col("doc_a").as("doc"), col("jaccard"))
+      .unionByName(pairs.select(col("doc_b").as("doc"), col("jaccard")))
+      .groupBy(col("doc")).agg(max(col("jaccard")).as("s"))
+    val dAggs = ts.map { case (t, i) =>
+      sum(when(col("s") >= t, 1L).otherwise(0L)).as(dc(i)) }
+    val docCounts = docStrength.agg(dAggs.head, dAggs.tail: _*)
+    val wide = pairCounts.crossJoin(broadcast(docCounts))
+      .crossJoin(broadcast(nDocs))
+    val rows = ts.map { case (t, i) => struct(
+      lit(t).as("threshold"),
+      coalesce(col(pc(i)), lit(0L)).as("n_pairs"),
+      coalesce(col(dc(i)), lit(0L)).as("n_docs_involved")) }
+    wide.select(explode(array(rows: _*)).as("r"), col("n_corpus"))
+      .select(col("r.threshold").as("threshold"),
+        col("r.n_pairs").as("n_pairs"),
+        col("r.n_docs_involved").as("n_docs_involved"),
+        when(col("n_corpus") > 0,
+          col("r.n_docs_involved").cast("double") / col("n_corpus"))
+          .as("involved_frac"))
+      .orderBy(col("threshold"))
+  }
+
   /** PAIR-TRANSITIVITY AUDIT — does the similarity graph justify
     * connected-components clustering? [[nearDupClusters]] (q31)
     * merges by CONNECTIVITY, which silently assumes near-dup-ness is

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Dec, Tables}
 import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Rules, Sampling, Scd, Scrub, SemiStructured, Similarity, Sketch, Skew, TextAnalysis, Trend}
 
-/** [[Ext]] family: exact/near-dup dedup (MinHash-LSH, SimHash, Jaccard, winnowing, spans, fuzzy matching) — queries q16, q17, q18, q19, q31, q36, q48, q49, q60, q71, q76, q91, q92, q100, q101, q130, q134, q144, q160, q174, q178, q187, q188, q195, q197, q211, q213.
+/** [[Ext]] family: exact/near-dup dedup (MinHash-LSH, SimHash, Jaccard, winnowing, spans, fuzzy matching) — queries q16, q17, q18, q19, q31, q36, q48, q49, q60, q71, q76, q91, q92, q100, q101, q130, q134, q144, q160, q174, q178, q187, q188, q195, q197, q211, q213, q214.
   * Split from the monolithic Ext.scala in round 12
   * (pure relocation; helpers live in [[ExtHelpers]]). */
 private[queries] trait ExtDedupQ { self: ExtHelpers =>
@@ -1155,6 +1155,59 @@ private[queries] trait ExtDedupQ { self: ExtHelpers =>
         CASE WHEN n_wedges > 0 THEN
           CAST(n_closed AS DOUBLE) / n_wedges END AS closure_rate
       FROM cl, np
+    """.trim))
+
+  // --------------------------------------------------------------- q214
+  /** q214 — dedup-threshold curve ([[Dedup.thresholdCurve]]): pair
+    * and document mass at Jaccard ≥ {0.5, 0.7, 0.9} from ONE q17
+    * pipeline run at the loosest threshold — the readout behind
+    * choosing the threshold every pairwise screen takes as input.
+    * The oracle replays the pair set with its jaccard values, then
+    * evaluates the curve with per-threshold scalar subqueries. */
+  val q214: Q = Q(
+    "q214_dedup_threshold_curve",
+    (s, d) =>
+      Dedup.thresholdCurve(Tables.documents(s, d), "doc_id", "text",
+        thresholds = Seq(0.5, 0.7, 0.9), maxDf = 100),
+    Some(s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      $duckHashShingles,
+      shf AS (
+        SELECT doc_id, hs FROM sh
+        QUALIFY count(*) OVER (PARTITION BY hs) <= 100
+      ),
+      sz AS (SELECT doc_id, count(*) n FROM shf GROUP BY 1),
+      jp AS (
+        SELECT da, db, (CAST(i AS DOUBLE) / (sa.n + sb.n - i)) AS j
+        FROM (
+          SELECT a.doc_id da, b.doc_id db, count(*) i
+          FROM shf a JOIN shf b ON a.hs = b.hs AND a.doc_id < b.doc_id
+          GROUP BY 1, 2) inter
+        JOIN sz sa ON sa.doc_id = da
+        JOIN sz sb ON sb.doc_id = db
+        WHERE (CAST(i AS DOUBLE) / (sa.n + sb.n - i)) >= 0.5),
+      ds AS (
+        SELECT doc, max(j) AS s FROM (
+          SELECT da AS doc, j FROM jp
+          UNION ALL
+          SELECT db AS doc, j FROM jp) u GROUP BY 1),
+      nc AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_corpus
+        FROM documents WHERE doc_id IS NOT NULL)
+      SELECT CAST(c.t AS DOUBLE) AS threshold,
+        CAST(coalesce(
+          (SELECT count(*) FROM jp WHERE j >= c.t), 0) AS BIGINT)
+          AS n_pairs,
+        CAST(coalesce(
+          (SELECT count(*) FROM ds WHERE s >= c.t), 0) AS BIGINT)
+          AS n_docs_involved,
+        CASE WHEN n_corpus > 0 THEN
+          CAST(coalesce(
+            (SELECT count(*) FROM ds WHERE s >= c.t), 0) AS DOUBLE)
+            / n_corpus END AS involved_frac
+      FROM (VALUES (0.5), (0.7), (0.9)) c(t), nc
+      ORDER BY threshold
     """.trim))
 
 }

@@ -716,7 +716,8 @@ class PlanAuditSpec extends SparkSpec {
     // Similarity.assignCells, Retrieval.bm25Scores,
     // Drift.ingestCompleteness, Retrieval.postingLists,
     // Drift.histogramDrift's totals, Skew.keySkewProfile's, and
-    // Dedup.contaminationBySpan's and pairTransitivityAudit's)
+    // Dedup.contaminationBySpan's, pairTransitivityAudit's and
+    // thresholdCurve's)
     val bnljByDesign = Set("q20_embedding_topk",
       "q21_embedding_neardup_ivf", "q39_embedding_topk_ivf",
       "q52_bm25_scores",
@@ -862,7 +863,11 @@ class PlanAuditSpec extends SparkSpec {
       "q211_contamination_sweep",
       // q213: the ONE-ROW n_pairs count appended to the one-row
       // wedge-closure fold — pairTransitivityAudit's scalar-append
-      "q213_pair_transitivity")
+      "q213_pair_transitivity",
+      // q214: three ONE-ROW aggregates (pair counts, doc counts,
+      // corpus size) meet on broadcast scalar-appends —
+      // thresholdCurve's q144-shape scalar joins
+      "q214_dedup_threshold_curve")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()
