@@ -294,7 +294,7 @@ object Bench {
     "q213_pair_transitivity" -> 2.24,
     // q214 pays the full q17 pipeline once (loosest threshold); the
     // curve folds are pair-frame-sized
-    "q214_dedup_threshold_curve" -> 2.15)
+    "q214_dedup_threshold_curve" -> 2.11)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3

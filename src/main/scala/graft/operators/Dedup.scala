@@ -339,6 +339,20 @@ object Dedup {
     * both self-join sides — reads that one cache. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, maxDf: Int = 100,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    ngramJaccardPairsUnordered(docs, idCol, textCol, threshold, maxDf,
+      scope).orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[ngramJaccardPairs]] WITHOUT the trailing global sort — for
+    * order-insensitive consumers (the agreement/disagreement/
+    * transitivity/threshold-curve compositions, which aggregate or
+    * re-sort anyway): a persisted sorted frame materializes a useless
+    * range exchange + sort in its cache build that EliminateSorts
+    * cannot remove (the sort is the cached plan's root). The public
+    * query keeps the ordered output contract. */
+  private[graft] def ngramJaccardPairsUnordered(docs: DataFrame,
+      idCol: String, textCol: String,
+      threshold: Double = 0.5, maxDf: Int = 100,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     // the hot-shingle cap is the shared [[Skew.capHotKeys]]: a tiny
     // hot-key list + broadcast anti-join, NOT a
@@ -375,7 +389,6 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         col("i").as("n_common"), union.as("n_union"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Shingle CONTAINMENT pairs — the asymmetric near-dup rung
@@ -716,6 +729,15 @@ object Dedup {
 
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, k: Int = 16, bands: Int = 4,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    minhashLshPairsUnordered(docs, idCol, textCol, threshold, k, bands,
+      scope).orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[minhashLshPairs]] without the trailing global sort — the
+    * [[ngramJaccardPairsUnordered]] rationale. */
+  private[graft] def minhashLshPairsUnordered(docs: DataFrame,
+      idCol: String, textCol: String,
+      threshold: Double = 0.5, k: Int = 16, bands: Int = 4,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(threshold > 0.0,
       s"minhashLshPairs needs threshold > 0 (got $threshold): zero-overlap " +
@@ -761,7 +783,6 @@ object Dedup {
       .withColumn("jaccard", col("i").cast("double") / union)
       .where(col("jaccard") >= threshold)
       .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** [[minhashLshPairs]]'s verify rung DECOUPLED from candidate
@@ -788,7 +809,7 @@ object Dedup {
       .withColumn("n", size(col("sh")).cast("long")))
     verifyWith(
       cands.select(col("doc_a").as("da"), col("doc_b").as("db")), base,
-      threshold)
+      threshold).orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** 48-bit SimHash fingerprints over hashed shingles. One long per
@@ -1148,6 +1169,16 @@ object Dedup {
   def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
       span: Int = 3, window: Int = 4, maxDf: Int = 100,
       minShared: Int = 2,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    winnowingPairsUnordered(docs, idCol, textCol, span, window, maxDf,
+      minShared, scope).orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[winnowingPairs]] without the trailing global sort — the
+    * [[ngramJaccardPairsUnordered]] rationale. */
+  private[graft] def winnowingPairsUnordered(docs: DataFrame,
+      idCol: String, textCol: String,
+      span: Int = 3, window: Int = 4, maxDf: Int = 100,
+      minShared: Int = 2,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(minShared >= 1, s"need minShared >= 1, got $minShared")
     val picks = winnowFingerprints(docs, idCol, textCol, span, window)
@@ -1160,7 +1191,6 @@ object Dedup {
       .where(col("n_shared") >= minShared)
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         col("n_shared"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** SORTED-NEIGHBORHOOD fuzzy matching — the OTHER classic record-
@@ -1312,9 +1342,13 @@ object Dedup {
       s"thresholds must be non-empty and distinct: $thresholds")
     val tMin = thresholds.min
     require(tMin > 0.0, s"thresholds must be > 0: $thresholds")
+    // the UNordered pair builder: persisting the public query's
+    // globally-sorted output would materialize a useless range
+    // exchange + sort in the cache build (every consumer below is
+    // order-insensitive)
     val pairs = scope.persist(
-      ngramJaccardPairs(docs, idCol, textCol, threshold = tMin,
-        maxDf = maxDf, scope = scope)
+      ngramJaccardPairsUnordered(docs, idCol, textCol,
+        threshold = tMin, maxDf = maxDf, scope = scope)
         .select(col("doc_a"), col("doc_b"), col("jaccard")))
     val nDocs = docs.where(col(idCol).isNotNull)
       .agg(count(lit(1)).as("n_corpus"))
@@ -1370,11 +1404,18 @@ object Dedup {
     * screens with super-hubs, df-cap the PAIR SOURCE first (the
     * screens here already do). Closure check is one hash join back
     * to the pair set; the n_pairs scalar is the documented one-row
-    * broadcast append. */
+    * broadcast append. Input pairs are NORMALIZED on intake
+    * (least/greatest + self-pair/null drop + distinct), so a caller
+    * feeding unordered or doubled edges — (3,1) alongside (1,3) —
+    * still gets each undirected edge counted once and every closure
+    * found. */
   def pairTransitivityAudit(pairs: DataFrame,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val p = scope.persist(
-      pairs.select(col("doc_a"), col("doc_b")).distinct())
+      pairs.select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+          greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+        .where(col("doc_a") < col("doc_b"))
+        .distinct())
     val e = p.select(col("doc_a").as("ctr"), col("doc_b").as("leaf"))
       .unionByName(p.select(col("doc_b").as("ctr"),
         col("doc_a").as("leaf")))

@@ -209,10 +209,16 @@ object Multimodal {
     * ImageIO): parse the container header to (sample_rate, channels,
     * frame_count, encoding, container) WITHOUT touching sample data.
     * Returns None for any payload no provider claims or whose header
-    * is truncated/corrupt — total over DATA; non-IO faults (a missing
-    * SPI would surface as UnsupportedAudioFileException on every row,
-    * which the fixture spec would catch as a wholesale ok=0 failure)
-    * propagate. */
+    * is truncated/corrupt — total over DATA: the catch is NonFatal,
+    * because `getAudioFileFormat` iterates EVERY AudioFileReader SPI
+    * on the executor classpath (a real cluster often carries
+    * third-party mp3/flac readers transitively), and an unusual
+    * payload making any of them throw an unchecked exception must be
+    * a corrupt-data row, not a stage failure — the same totality
+    * argument MultimodalProps pins for all three decoders. (A missing
+    * SPI is NOT silently absorbed the way ImageIO's null stream would
+    * be: with zero providers every row is UnsupportedAudioFileException
+    * → wholesale ok=0, which the fixture spec catches loudly.) */
   def decodeAudioHeader(payload: Array[Byte])
       : Option[(Long, Long, Long, String, String)] =
     try {
@@ -223,12 +229,7 @@ object Multimodal {
         aff.getFrameLength.toLong,
         fmt.getEncoding.toString.toLowerCase(java.util.Locale.ROOT),
         aff.getType.toString.toLowerCase(java.util.Locale.ROOT)))
-    } catch {
-      // corrupt-data paths only: no provider claims the magic, or the
-      // claimed header ends early / is internally inconsistent
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
-    }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Distributed REAL audio-header decode — [[decodeImageMeta]]'s
     * shape for the audio modality: header-only parse where the scan
@@ -309,33 +310,73 @@ object Multimodal {
     Encoders.product[VideoMeta]
 
   /** Header-only MP4/ISO-BMFF decode of one payload: walk the box
-    * tree (u32 size + fourCC type), require `ftyp` first, then read
-    * `moov`→`mvhd` (v0: timescale, duration) and count `trak` boxes,
-    * taking (width, height) from the FIRST `trak`'s `tkhd` (v0,
-    * 16.16 fixed point). Pure byte arithmetic — no codec, no SPI.
-    * Returns None for anything malformed (unknown first box, box size
-    * past the payload end, missing/truncated mvhd or tkhd, zero
-    * timescale) — total over data, errors are data not exceptions. */
+    * tree, require `ftyp` first, then read `moov`→`mvhd` (timescale,
+    * duration) and count `trak` boxes, taking (width, height) from
+    * the FIRST `trak`'s `tkhd` (16.16 fixed point). Pure byte
+    * arithmetic — no codec, no SPI. Spec coverage the happy path
+    * alone would miss (ISO 14496-12 §4.2): `size == 1` boxes carry a
+    * 64-bit largesize (the > 4 GB mdat case), `size == 0` means
+    * box-extends-to-EOF (legal only for the LAST box — stream-written
+    * files end this way); BOTH mvhd/tkhd versions are parsed — v0
+    * (32-bit times) at the classic offsets and v1 (64-bit times,
+    * emitted by common muxers for long or post-2038 content) at its
+    * shifted ones; any OTHER version is unknown → None, never a
+    * confident misparse. Returns None for anything malformed
+    * (unknown first box, box size past the payload end,
+    * missing/truncated mvhd or tkhd, zero timescale) — total over
+    * data, errors are data not exceptions. */
   def decodeVideoHeader(payload: Array[Byte])
       : Option[(String, Long, Long, Long, Long)] = {
     def u32(off: Int): Long =
       ((payload(off) & 0xffL) << 24) | ((payload(off + 1) & 0xffL) << 16) |
         ((payload(off + 2) & 0xffL) << 8) | (payload(off + 3) & 0xffL)
+    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
     def fourCC(off: Int): String =
       new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
     // children of [start, end): (type, payloadStart, payloadEnd), or
-    // None if any box is malformed (size < 8 or past the window)
+    // None if any box is malformed. size==1 → 64-bit largesize after
+    // the type; size==0 → to end-of-window, last box by construction.
     def boxes(start: Int, end: Int): Option[Seq[(String, Int, Int)]] = {
       val out = Seq.newBuilder[(String, Int, Int)]
       var off = start
       while (off < end) {
         if (off + 8 > end) return None
-        val sz = u32(off)
-        if (sz < 8 || off + sz > end) return None
-        out += ((fourCC(off + 4), off + 8, off + sz.toInt))
+        val sz32 = u32(off)
+        val (sz, hdr) =
+          if (sz32 == 1L) {
+            if (off + 16 > end) return None
+            (u64(off + 8), 16)
+          } else if (sz32 == 0L) ((end - off).toLong, 8)
+          else (sz32, 8)
+        if (sz < hdr || off + sz > end) return None
+        out += ((fourCC(off + 4), off + hdr, off + sz.toInt))
         off += sz.toInt
       }
       Some(out.result())
+    }
+    // FullBox version dispatch: (value offsets, min payload length)
+    // differ between v0 (32-bit times) and v1 (64-bit); unknown
+    // versions must NOT be read at guessed offsets
+    def mvhdFields(start: Int, end: Int): Option[(Long, Long)] = {
+      val len = end - start
+      if (len < 1) None
+      else payload(start) match {
+        // ver/flags 4 + ctime/mtime (4+4 | 8+8) → timescale, duration
+        case 0 if len >= 20 => Some((u32(start + 12), u32(start + 16)))
+        case 1 if len >= 28 => Some((u32(start + 20), u64(start + 24)))
+        case _ => None
+      }
+    }
+    def tkhdDims(start: Int, end: Int): Option[(Long, Long)] = {
+      val len = end - start
+      if (len < 1) None
+      else payload(start) match {
+        // ver/flags + times/id/reserved/duration (v0: 20, v1: 32) +
+        // reserved 8 + layer/alt/volume/reserved 8 + matrix 36 → w, h
+        case 0 if len >= 84 => Some((u32(start + 76), u32(start + 80)))
+        case 1 if len >= 96 => Some((u32(start + 88), u32(start + 92)))
+        case _ => None
+      }
     }
     try {
       for {
@@ -344,18 +385,16 @@ object Multimodal {
           b._1 == "ftyp" && b._3 - b._2 >= 8)
         moov <- top.find(_._1 == "moov")
         inner <- boxes(moov._2, moov._3)
-        mvhd <- inner.find(b => b._1 == "mvhd" && b._3 - b._2 >= 20)
+        mvhd <- inner.find(_._1 == "mvhd")
+        (timescale, duration) <- mvhdFields(mvhd._2, mvhd._3)
+        if timescale > 0
         traks = inner.filter(_._1 == "trak")
         tkhd <- traks.headOption.flatMap(t => boxes(t._2, t._3))
-          .flatMap(_.find(b => b._1 == "tkhd" && b._3 - b._2 >= 84))
-        timescale = u32(mvhd._2 + 12)
-        if timescale > 0
-      } yield {
-        val duration = u32(mvhd._2 + 16)
+          .flatMap(_.find(_._1 == "tkhd"))
+        (w, h) <- tkhdDims(tkhd._2, tkhd._3)
+      } yield
         (fourCC(ftyp._2), duration * 1000L / timescale,
-          traks.size.toLong,
-          u32(tkhd._2 + 76) >> 16, u32(tkhd._2 + 80) >> 16)
-      }
+          traks.size.toLong, w >> 16, h >> 16)
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 

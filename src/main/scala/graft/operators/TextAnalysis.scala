@@ -64,10 +64,16 @@ object TextAnalysis {
   /** The marker-count argmax with q22's deterministic tie preference
     * (en ≥ es ≥ de ≥ fr) and the no-marker 'und' bucket — shared by
     * the confusion matrix and the fertility readout so the language
-    * decision cannot drift between them. */
+    * decision cannot drift between them. NULL text (all marker counts
+    * NULL) is 'und', not a language: without the explicit guard every
+    * `when` condition evaluates NULL → skipped and the row silently
+    * falls through to the `otherwise` bucket — a confidently wrong
+    * answer both engines would agree on (the oracle CASE has the
+    * identical fall-through, so parity testing can never catch it). */
   private def langPred(en: Column, es: Column, de: Column,
       fr: Column): Column =
-    when(en === 0 && es === 0 && de === 0 && fr === 0, "und")
+    when(en.isNull, "und")
+      .when(en === 0 && es === 0 && de === 0 && fr === 0, "und")
       .when(en >= es && en >= de && en >= fr, "en")
       .when(es >= de && es >= fr, "es")
       .when(de >= fr, "de")

@@ -827,12 +827,12 @@ private[queries] trait ExtDedupQ { self: ExtHelpers =>
         .select(col("doc_a"), col("doc_b"))
       Dedup.pairAgreement(Seq(
         "exact" -> exactPairs,
-        "jaccard" -> Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-          threshold = 0.5, maxDf = 100),
-        "minhash" -> Dedup.minhashLshPairs(docs, "doc_id", "text",
-          threshold = 0.5, k = minhashK, bands = minhashBands),
-        "winnow" -> Dedup.winnowingPairs(docs, "doc_id", "text",
-          span = 3, window = 4, maxDf = 100, minShared = 2)))
+        "jaccard" -> Dedup.ngramJaccardPairsUnordered(docs, "doc_id",
+          "text", threshold = 0.5, maxDf = 100),
+        "minhash" -> Dedup.minhashLshPairsUnordered(docs, "doc_id",
+          "text", threshold = 0.5, k = minhashK, bands = minhashBands),
+        "winnow" -> Dedup.winnowingPairsUnordered(docs, "doc_id",
+          "text", span = 3, window = 4, maxDf = 100, minShared = 2)))
     },
     Some(s"""
       WITH $duckWords,
@@ -937,12 +937,12 @@ private[queries] trait ExtDedupQ { self: ExtHelpers =>
       graft.engine.CacheScope.unmanaged.persist(
         Dedup.shingleArrays(docs, "doc_id", "text"))
       Dedup.pairDisagreements(Seq(
-        "jaccard" -> Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-          threshold = 0.5, maxDf = 100),
-        "minhash" -> Dedup.minhashLshPairs(docs, "doc_id", "text",
-          threshold = 0.5, k = minhashK, bands = minhashBands),
-        "winnow" -> Dedup.winnowingPairs(docs, "doc_id", "text",
-          span = 3, window = 4, maxDf = 100, minShared = 2)))
+        "jaccard" -> Dedup.ngramJaccardPairsUnordered(docs, "doc_id",
+          "text", threshold = 0.5, maxDf = 100),
+        "minhash" -> Dedup.minhashLshPairsUnordered(docs, "doc_id",
+          "text", threshold = 0.5, k = minhashK, bands = minhashBands),
+        "winnow" -> Dedup.winnowingPairsUnordered(docs, "doc_id",
+          "text", span = 3, window = 4, maxDf = 100, minShared = 2)))
     },
     Some(s"""
       WITH $duckWords,
@@ -1116,8 +1116,8 @@ private[queries] trait ExtDedupQ { self: ExtHelpers =>
     "q213_pair_transitivity",
     (s, d) =>
       Dedup.pairTransitivityAudit(
-        Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id",
-          "text", threshold = 0.5, maxDf = 100)),
+        Dedup.ngramJaccardPairsUnordered(Tables.documents(s, d),
+          "doc_id", "text", threshold = 0.5, maxDf = 100)),
     Some(s"""
       WITH $duckWords,
       $duckTokenHashes,

@@ -27,7 +27,8 @@ private[queries] trait ExtTextQ { self: ExtHelpers =>
         FROM t),
       pred AS (
         SELECT *,
-          CASE WHEN c_en = 0 AND c_es = 0 AND c_de = 0 AND c_fr = 0 THEN 'und'
+          CASE WHEN c_en IS NULL THEN 'und'
+               WHEN c_en = 0 AND c_es = 0 AND c_de = 0 AND c_fr = 0 THEN 'und'
                WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
                WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
                WHEN c_de >= c_fr THEN 'de'
@@ -953,7 +954,8 @@ private[queries] trait ExtTextQ { self: ExtHelpers =>
         FROM t),
       pred AS (
         SELECT *,
-          CASE WHEN c_en = 0 AND c_es = 0 AND c_de = 0 AND c_fr = 0 THEN 'und'
+          CASE WHEN c_en IS NULL THEN 'und'
+               WHEN c_en = 0 AND c_es = 0 AND c_de = 0 AND c_fr = 0 THEN 'und'
                WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
                WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
                WHEN c_de >= c_fr THEN 'de'

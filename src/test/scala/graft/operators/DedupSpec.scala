@@ -581,6 +581,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("pairTransitivityAudit: hand-computed wedges/closures; " +
+    "non-canonical input (reversed, doubled, self-pairs) normalizes") {
+    val s13 = spark; import s13.implicits._
+    // triangle 1-2-3 plus a dangling edge 3-4:
+    // wedges: (1,3)@2, (2,3)@1, (1,2)@3, (2,4)@3, (1,4)? no — 4 only
+    // touches 3. closed: the 3 triangle wedges; open: (2,4) and (1,4)?
+    // center 3 has leaves {1, 2, 4} → wedges (1,2) closed, (1,4) open,
+    // (2,4) open. total wedges = 5, closed = 3.
+    val clean = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    val r1 = Dedup.pairTransitivityAudit(clean).collect()(0)
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) ==
+      ((4L, 5L, 3L)))
+    assert(math.abs(r1.getDouble(3) - 3.0 / 5) < 1e-15)
+    // the same graph fed adversarially: reversed edges, a doubled
+    // edge in both directions, and a self-pair — must normalize to
+    // identical numbers (the review's undercount/quadruple hazard)
+    val messy = Seq((2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L), (4L, 3L),
+      (5L, 5L)).toDF("doc_a", "doc_b")
+    val r2 = Dedup.pairTransitivityAudit(messy).collect()(0)
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) ==
+      ((4L, 5L, 3L)), r2.toString)
+  }
+
   test("pairDisagreements: consensus pairs drop; partial flags " +
     "surface with per-method columns") {
     val s12 = spark; import s12.implicits._

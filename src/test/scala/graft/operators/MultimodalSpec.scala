@@ -184,6 +184,46 @@ class MultimodalSpec extends SparkSpec {
     assert(out.count(_.ok == 1L) == out.length - corrupt.length)
   }
 
+  test("decodeVideoHeader parses VERSION-1 mvhd/tkhd (64-bit times) at " +
+    "their shifted offsets, size==1 largesize and size==0 to-EOF boxes") {
+    def be32(v: Long) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def box(tp: String, p: Array[Byte]) =
+      be32(p.length + 8L) ++ tp.getBytes("US-ASCII") ++ p
+    val matrix = Array.fill[Byte](36)(0)
+    // v1 mvhd: ver=1, 64-bit ctime/mtime, timescale 600, 64-bit
+    // duration 1200 (→ 2000 ms)
+    val mvhd1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++
+      be64(0) ++ be64(0) ++ be32(600) ++ be64(1200) ++
+      be32(0x00010000L) ++ Array[Byte](1, 0, 0, 0) ++
+      be32(0) ++ be32(0) ++ matrix ++ Array.fill[Byte](24)(0) ++ be32(2))
+    // v1 tkhd: ver=1, 64-bit times/duration, 640×480 in 16.16
+    val tkhd1 = box("tkhd", Array[Byte](1, 0, 0, 7) ++
+      be64(0) ++ be64(0) ++ be32(1) ++ be32(0) ++ be64(1200) ++
+      be32(0) ++ be32(0) ++ Array.fill[Byte](8)(0) ++ matrix ++
+      be32(640L << 16) ++ be32(480L << 16))
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0x200) ++
+      "isom".getBytes("US-ASCII"))
+    val moov = box("moov", mvhd1 ++ box("trak", tkhd1))
+    // mdat via size==1 + 64-bit largesize (header 16 + 4 data bytes)
+    val mdatLarge = be32(1) ++ "mdat".getBytes("US-ASCII") ++
+      be64(20) ++ Array[Byte](0, 0, 0, 0)
+    val v1 = Multimodal.decodeVideoHeader(ftyp ++ moov ++ mdatLarge)
+    assert(v1.contains(("isom", 2000L, 1L, 640L, 480L)), v1)
+    // mdat via size==0 (extends to end of payload — stream-written)
+    val mdatEof = be32(0) ++ "mdat".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3)
+    val v0eof = Multimodal.decodeVideoHeader(ftyp ++ moov ++ mdatEof)
+    assert(v0eof.contains(("isom", 2000L, 1L, 640L, 480L)), v0eof)
+    // an UNKNOWN version must be None, never a guessed-offset parse
+    val mvhd9 = box("mvhd", Array[Byte](9, 0, 0, 0) ++
+      Array.fill[Byte](92)(0))
+    val bad = Multimodal.decodeVideoHeader(
+      ftyp ++ box("moov", mvhd9 ++ box("trak", tkhd1)))
+    assert(bad.isEmpty, bad)
+  }
+
   test("decodeVideoHeader is total and strict: garbage, empty input, " +
     "a size field past the payload end, and a zero timescale all " +
     "return None instead of throwing") {
