@@ -294,7 +294,8 @@ object Bench {
     "q213_pair_transitivity" -> 2.24,
     // q214 pays the full q17 pipeline once (loosest threshold); the
     // curve folds are pair-frame-sized
-    "q214_dedup_threshold_curve" -> 2.11)
+    "q214_dedup_threshold_curve" -> 2.11,
+    "q215_half_life_counts" -> 0.59)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -441,6 +442,7 @@ object Bench {
     "q212_token_fertility" -> 898L,
     "q213_pair_transitivity" -> 24963703L,
     "q214_dedup_threshold_curve" -> 24981381L,
+    "q215_half_life_counts" -> 6650L,
     "q20_embedding_topk" -> 18174L,
     "q21_embedding_neardup_ivf" -> 4392321L,
     "q22_lang_id" -> 2819L,

@@ -197,4 +197,50 @@ object Trend {
           (col("n").cast("double") *
             sqrt((col("n") - 1).cast("double")))).as("se"))
       .orderBy(col("stratum"))
+
+  /** HALF-LIFE DECAYED COUNTS — recency-weighted key mass with a
+    * one-day half-life: `Σ n_day · 2^-(anchor − day)`, the standard
+    * "what's hot NOW" readout (trending topics, freshness-weighted
+    * source sizes) that a plain total cannot give and a trailing
+    * window gives only with a cliff. The half-life is DYADIC on
+    * purpose: every weight is an exact power of two, so the whole
+    * analytic folds in EXACT integer fixed point — value ×
+    * 2^(horizon − age) summed as DECIMAL(38,0) — and hash-verifies
+    * cross-engine, where a general λ^age (pow on doubles, not
+    * correctly rounded) could not. Ages beyond `horizonDays` truncate
+    * to zero: their true weight is < 2^-horizon of a count (far
+    * below any decision threshold), and truncation is what keeps the
+    * fixed point exact. One double materialization at the very end
+    * (a correctly-rounded decimal→double cast + an exact
+    * power-of-two division).
+    *
+    * Scale shape: one partial-aggregable (key, day) count (the
+    * shuffle carries key·day cardinality, not events), the anchor day
+    * as the documented one-row broadcast append, then ONE
+    * partial-aggregable per-key fold — and because the weighted sum
+    * is a SUM, the analytic is exactly mergeable across batches (the
+    * TrendStore argument: ship (key, day) counts, decay at read). */
+  def halfLifeCounts(events: DataFrame, keyCol: Column, dayCol: Column,
+      horizonDays: Int = 40): DataFrame = {
+    require(horizonDays >= 1 && horizonDays <= 62,
+      s"horizonDays=$horizonDays must be in [1, 62] (long shift range)")
+    val daily = events.select(keyCol.as("k"), dayCol.as("day"))
+      .where(col("k").isNotNull && col("day").isNotNull)
+      .groupBy(col("k"), col("day")).agg(count(lit(1)).as("n"))
+    val anchor = daily.agg(max(col("day")).as("anchor"))
+    val scale = (1L << horizonDays).toDouble
+    daily.crossJoin(broadcast(anchor))
+      .withColumn("age", datediff(col("anchor"), col("day")))
+      .groupBy(col("k"))
+      .agg(
+        sum(col("n")).as("n_events"),
+        sum(when(col("age").between(0, horizonDays),
+          col("n").cast("decimal(38,0)") *
+            expr(s"shiftleft(1L, $horizonDays - age)")
+              .cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("fx"))
+      .select(col("k"), col("n_events").cast("long").as("n_events"),
+        (col("fx").cast("double") / lit(scale)).as("decayed"))
+      .orderBy(col("k"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Dec, Tables}
 import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Rules, Sampling, Scd, Scrub, SemiStructured, Similarity, Sketch, Skew, TextAnalysis, Trend}
 
-/** [[Ext]] family: temporal/trend/cohort readouts over events and orders — queries q72, q73, q81, q86, q87, q122, q128, q137, q138, q139, q149, q150, q151, q152, q157, q161, q164, q169, q170, q172, q177, q181, q183, q184, q191, q194, q196, q201, q202, q204, q205.
+/** [[Ext]] family: temporal/trend/cohort readouts over events and orders — queries q72, q73, q81, q86, q87, q122, q128, q137, q138, q139, q149, q150, q151, q152, q157, q161, q164, q169, q170, q172, q177, q181, q183, q184, q191, q194, q196, q201, q202, q204, q205, q215.
   * Split from the monolithic Ext.scala in round 12
   * (pure relocation; helpers live in [[ExtHelpers]]). */
 private[queries] trait ExtTemporalQ { self: ExtHelpers =>
@@ -1097,6 +1097,37 @@ private[queries] trait ExtTemporalQ { self: ExtHelpers =>
                - CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE))
         END AS price_effect
       FROM per ORDER BY key
+    """.trim))
+
+  // --------------------------------------------------------------- q215
+  /** q215 — half-life decayed counts ([[Trend.halfLifeCounts]]): per
+    * event type, total mass and the recency-weighted mass
+    * `Σ n_day · 2^-(anchor − day)` — the "what's hot NOW" readout.
+    * The dyadic half-life makes every weight an exact power of two,
+    * so the fold runs in exact integer fixed point (DECIMAL ×
+    * 1 << (40 − age)) and hash-verifies where a pow-based decay
+    * could not; the oracle replays the same shifts with HUGEINT. */
+  val q215: Q = Q(
+    "q215_half_life_counts",
+    (s, d) =>
+      Trend.halfLifeCounts(eventsUs(s, d), col("event_type"),
+        to_date(timestamp_micros(col("ts_us"))), horizonDays = 40)
+        .withColumnRenamed("k", "event_type"),
+    Some("""
+      WITH c AS (
+        SELECT event_type AS k, CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events
+        WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1, 2),
+      a AS (SELECT max(day) AS anchor FROM c),
+      f AS (SELECT k, n, (anchor - day) AS age FROM c, a)
+      SELECT k AS event_type,
+        CAST(sum(n) AS BIGINT) AS n_events,
+        CAST(sum(CASE WHEN age BETWEEN 0 AND 40 THEN
+            CAST(n AS HUGEINT) * (1::BIGINT << (40 - age))
+          ELSE 0 END) AS DOUBLE) / 1099511627776.0 AS decayed
+      FROM f GROUP BY k ORDER BY k
     """.trim))
 
 }

@@ -867,7 +867,10 @@ class PlanAuditSpec extends SparkSpec {
       // q214: three ONE-ROW aggregates (pair counts, doc counts,
       // corpus size) meet on broadcast scalar-appends —
       // thresholdCurve's q144-shape scalar joins
-      "q214_dedup_threshold_curve")
+      "q214_dedup_threshold_curve",
+      // q215: the ONE-ROW anchor day appended to the (key, day) count
+      // frame — halfLifeCounts' scalar-append, q170's shape
+      "q215_half_life_counts")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()
