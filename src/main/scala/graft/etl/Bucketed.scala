@@ -40,6 +40,24 @@ object Bucketed {
     require(buckets > 0, s"buckets=$buckets must be positive")
     require(df.columns.contains(key),
       s"bucket key '$key' not in ${df.columns.mkString(", ")}")
+    // self-heal the orphaned-location crash/restart window (the
+    // IncrementalSink discipline): with an in-memory catalog, a table
+    // written in a PREVIOUS session leaves its managed directory on
+    // disk while the new session's catalog has never heard of it —
+    // and CTAS then refuses with LOCATION_ALREADY_EXISTS even in
+    // Overwrite mode (Overwrite only drops CATALOGED tables). A
+    // directory at the managed default location of a table name the
+    // catalog does not know is debris of this same table: remove it.
+    // (Persistent-metastore deployments never hit this branch — the
+    // table stays cataloged and Overwrite handles it.)
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"),
+        table.toLowerCase(java.util.Locale.ROOT))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     // repartition INTO the bucket count first: otherwise every writer
     // task emits a file per bucket (tasks × buckets small files), and —
     // the subtler cost — Spark only trusts the on-disk sort order when

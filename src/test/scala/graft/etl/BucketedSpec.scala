@@ -71,6 +71,22 @@ class BucketedSpec extends SparkSpec {
     assert(agg.count() == expected)
   }
 
+  test("coLocate self-heals an orphaned managed-table directory left " +
+    "by a previous session (in-memory catalog forgot, filesystem did " +
+    "not — CTAS would refuse with LOCATION_ALREADY_EXISTS)") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val orphan = java.nio.file.Paths.get(wh, "b_orphan")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.writeString(orphan.resolve("junk"), "debris")
+    assert(!spark.catalog.tableExists("b_orphan"))
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity"))
+    Bucketed.coLocate(li, "b_orphan", "l_orderkey", buckets = 4)
+    assert(Bucketed.bucketsOf(spark, "b_orphan").contains(4))
+    assert(Bucketed.table(spark, "b_orphan").count() == li.count())
+  }
+
   test("coLocate refuses an absent bucket key and non-positive counts") {
     val li = Tables.lineitem(spark, sf).select(col("l_orderkey"))
     intercept[IllegalArgumentException] {
