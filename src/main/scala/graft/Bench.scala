@@ -136,7 +136,7 @@ object Bench {
     "q80_cms_heavy_hitters" -> 0.28,
     "q81_moving_revenue" -> 0.8,
     "q82_scd2_intervals" -> 0.4,
-    "q83_volume_anomaly" -> 0.46,
+    "q83_volume_anomaly" -> 0.45,
     "q84_posting_lists" -> 1.03,
     "q85_state_dwell" -> 0.4,
     "q86_growth_curve" -> 0.33,
@@ -157,7 +157,7 @@ object Bench {
     "q98_label_affinity" -> 0.56,
     "q99_vocab_coverage" -> 0.72,
     "q100_containment_pairs" -> 1.82,
-    "q101_cross_containment" -> 1.39,
+    "q101_cross_containment" -> 1.37,
     "q102_winsorize" -> 0.37,
     // r11 additions: best of the r11d/r11e canonicals (BASELINE.md)
     "q103_temperature_mix" -> 0.29,
@@ -219,8 +219,8 @@ object Bench {
     "q151_daily_value_bands" -> 0.75,
     "q152_funnel_timing" -> 0.79,
     "q153_domain_profile" -> 0.34,
-    "q154_casing_profile" -> 0.68,
-    "q155_regional_volume" -> 0.77,
+    "q154_casing_profile" -> 0.67,
+    "q155_regional_volume" -> 0.75,
     "q156_order_priority" -> 0.51,
     "q157_period_growth" -> 0.36,
     "q158_json_topk" -> 0.57,
@@ -269,33 +269,33 @@ object Bench {
     "q195_dedup_disagreements" -> 2.34,
     "q196_daily_retention" -> 0.52,
     "q197_cluster_sizes" -> 1.23,
-    "q198_scrub_closure" -> 0.59,
+    "q198_scrub_closure" -> 0.58,
     // q199-q202: closing-canonical (r11l) + focused runs
-    "q199_skyline" -> 0.4,
+    "q199_skyline" -> 0.36,
     "q200_sample_representativeness" -> 0.33,
-    "q201_stratum_mean_se" -> 0.24,
+    "q201_stratum_mean_se" -> 0.22,
     "q202_metric_correlation" -> 1.54,
     // BENCH_local_r11m (focused q203-q205 run)
     "q203_split_balance" -> 0.52,
     "q204_ab_conversion_z" -> 0.22,
-    "q205_price_volume_mix" -> 1.25,
+    "q205_price_volume_mix" -> 1.14,
     // BENCH_local_r13a (the r13 canonical: first full run with the
     // file-based artifact + shuffle-bytes meter; 69 floors lowered)
     "q206_image_decode" -> 0.86,
     "q207_audio_decode" -> 1.31,
-    "q208_sole_fault_suppliers" -> 1.0,
+    "q208_sole_fault_suppliers" -> 0.85,
     // focused post-canonical runs
-    "q209_video_decode" -> 0.36,
-    "q210_key_skew_profile" -> 0.5,
-    "q211_contamination_sweep" -> 0.86,
-    "q212_token_fertility" -> 0.51,
+    "q209_video_decode" -> 0.23,
+    "q210_key_skew_profile" -> 0.43,
+    "q211_contamination_sweep" -> 0.83,
+    "q212_token_fertility" -> 0.4,
     // q213 pays the full q17 pipeline + the wedge joins (pair-frame
     // scale) — the audit's honest cost
     "q213_pair_transitivity" -> 2.24,
     // q214 pays the full q17 pipeline once (loosest threshold); the
     // curve folds are pair-frame-sized
-    "q214_dedup_threshold_curve" -> 2.11,
-    "q215_half_life_counts" -> 0.59)
+    "q214_dedup_threshold_curve" -> 1.89,
+    "q215_half_life_counts" -> 0.38)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -313,27 +313,27 @@ object Bench {
     * term scales with legitimate plan cost, the absolute slack
     * (256 KB) absorbs AQE/compression jitter on small floors
     * (observed jitter is ≤ ~1 KB even on multi-MB shuffles). Seeded
-    * from the r13 canonical (BENCH_local_r13a); refresh alongside the
-    * time floors. */
+    * from the r13 closing canonical (BENCH_local_r13b); refresh
+    * alongside the time floors. */
   private[graft] val byteFloors: Map[String, Long] = Map(
     "q100_containment_pairs" -> 24966935L,
     "q101_cross_containment" -> 14403855L,
-    "q102_winsorize" -> 3709102L,
+    "q102_winsorize" -> 3708898L,
     "q103_temperature_mix" -> 824L,
     "q104_rule_audit" -> 155176L,
-    "q105_bigram_fluency" -> 457918L,
+    "q105_bigram_fluency" -> 458028L,
     "q106_hard_negatives" -> 21842L,
     "q107_intra_label_diversity" -> 18201L,
-    "q108_mad_outliers" -> 3112930L,
+    "q108_mad_outliers" -> 3112816L,
     "q109_json_field_stats" -> 1679L,
-    "q10_incremental_antijoin" -> 772922L,
+    "q10_incremental_antijoin" -> 773276L,
     "q110_curation_funnel" -> 5893L,
     "q111_grid_percentile" -> 57200L,
-    "q112_unigram_divergence" -> 120582L,
+    "q112_unigram_divergence" -> 124336L,
     "q113_semantic_decontam" -> 148610L,
     "q114_centroid_confusion" -> 52751L,
     "q115_correlation_matrix" -> 962L,
-    "q116_mixed_language" -> 1165838L,
+    "q116_mixed_language" -> 1165690L,
     "q117_fd_audit" -> 5974L,
     "q118_touch_attribution" -> 4902470L,
     "q119_join_blowup" -> 39279L,
@@ -341,31 +341,31 @@ object Bench {
     "q120_benford_profile" -> 4512L,
     "q121_k_anonymity" -> 148597L,
     "q122_transition_matrix" -> 3831317L,
-    "q123_hybrid_rrf" -> 3839956L,
+    "q123_hybrid_rrf" -> 3839832L,
     "q124_distinct_ngrams" -> 9261878L,
     "q125_embedding_health" -> 2403L,
     "q126_cusum_changepoint" -> 24043L,
     "q127_ks_drift" -> 72844L,
-    "q128_rfm_segments" -> 265664L,
+    "q128_rfm_segments" -> 265678L,
     "q129_ann_recall" -> 563330L,
     "q12_topk" -> 0L,
     "q130_dedup_impact" -> 1371791L,
     "q131_encoding_health" -> 2204L,
     "q132_length_bias" -> 1787L,
     "q133_simpson_concentration" -> 23819L,
-    "q134_soft_dedup" -> 1803026L,
+    "q134_soft_dedup" -> 1803332L,
     "q135_cramers_v" -> 10332L,
     "q136_source_concentration" -> 1284L,
     "q137_interevent_gaps" -> 7807159L,
     "q138_stickiness" -> 2803214L,
     "q139_session_cooccurrence" -> 4152472L,
-    "q13_scalar_funcs" -> 63882L,
+    "q13_scalar_funcs" -> 63636L,
     "q140_ivf_cell_balance" -> 390338L,
     "q141_key_candidates" -> 2325923L,
     "q142_embedding_dups" -> 1061188L,
-    "q143_readability" -> 181544L,
+    "q143_readability" -> 181438L,
     "q144_lsh_operating_point" -> 35025446L,
-    "q145_token_truncation" -> 792730L,
+    "q145_token_truncation" -> 792386L,
     "q146_source_lang_purity" -> 10675L,
     "q147_trimmed_order_value" -> 2522542L,
     "q148_hll_accuracy" -> 188206L,
@@ -375,7 +375,7 @@ object Bench {
     "q151_daily_value_bands" -> 1816266L,
     "q152_funnel_timing" -> 218600L,
     "q153_domain_profile" -> 55362L,
-    "q154_casing_profile" -> 136782L,
+    "q154_casing_profile" -> 136696L,
     "q155_regional_volume" -> 1787L,
     "q156_order_priority" -> 453660L,
     "q157_period_growth" -> 25361L,
@@ -391,18 +391,18 @@ object Bench {
     "q166_peak_rate" -> 1698489L,
     "q167_ship_latency" -> 642282L,
     "q168_order_distribution" -> 243877L,
-    "q169_activity_streaks" -> 1295143L,
-    "q16_exact_dedup" -> 1861055L,
+    "q169_activity_streaks" -> 1295133L,
+    "q16_exact_dedup" -> 1861063L,
     "q170_rank_shift" -> 995002L,
     "q171_temporal_split" -> 42678L,
-    "q172_causal_zscore" -> 12003751L,
+    "q172_causal_zscore" -> 12003239L,
     "q173_seasonal_naive" -> 9207L,
-    "q174_winnowing_neardup" -> 21424786L,
-    "q175_profile_drift" -> 2420L,
+    "q174_winnowing_neardup" -> 21424712L,
+    "q175_profile_drift" -> 2384L,
     "q176_value_tail_bands" -> 1146240L,
     "q177_type_pagerank" -> 5747218L,
     "q178_fuzzy_operating_point" -> 36950L,
-    "q179_tfidf_keywords" -> 4732783L,
+    "q179_tfidf_keywords" -> 4732571L,
     "q17_ngram_jaccard_neardup" -> 24968491L,
     "q180_grid_accuracy" -> 685850L,
     "q181_transition_predictability" -> 3830209L,
@@ -410,17 +410,17 @@ object Bench {
     "q183_ols_trend" -> 7072L,
     "q184_robust_trend" -> 43955L,
     "q185_head_tail_rollup" -> 3242L,
-    "q186_contrastive_triplets" -> 895716L,
+    "q186_contrastive_triplets" -> 895532L,
     "q187_sorted_neighbor_match" -> 19205L,
-    "q188_dedup_agreement" -> 46572221L,
+    "q188_dedup_agreement" -> 35523274L,
     "q189_skipgram_pairs" -> 19604L,
     "q18_minhash_lsh_neardup" -> 39815L,
-    "q190_heaps_curve" -> 178034L,
+    "q190_heaps_curve" -> 177516L,
     "q191_lag_autocorrelation" -> 12066L,
     "q192_fact_reconciliation" -> 4796872L,
     "q193_contribution_shares" -> 3902L,
     "q194_event_trigrams" -> 3843554L,
-    "q195_dedup_disagreements" -> 46812243L,
+    "q195_dedup_disagreements" -> 35765390L,
     "q196_daily_retention" -> 990992L,
     "q197_cluster_sizes" -> 328515L,
     "q198_scrub_closure" -> 244L,
@@ -433,87 +433,87 @@ object Bench {
     "q203_split_balance" -> 1527L,
     "q204_ab_conversion_z" -> 21384L,
     "q205_price_volume_mix" -> 2982L,
-    "q206_image_decode" -> 168526L,
-    "q207_audio_decode" -> 162430L,
+    "q206_image_decode" -> 168648L,
+    "q207_audio_decode" -> 162378L,
     "q208_sole_fault_suppliers" -> 1934L,
-    "q209_video_decode" -> 169910L,
+    "q209_video_decode" -> 169890L,
+    "q20_embedding_topk" -> 18174L,
     "q210_key_skew_profile" -> 19978L,
     "q211_contamination_sweep" -> 3355862L,
     "q212_token_fertility" -> 898L,
-    "q213_pair_transitivity" -> 24963703L,
-    "q214_dedup_threshold_curve" -> 24981381L,
+    "q213_pair_transitivity" -> 17498592L,
+    "q214_dedup_threshold_curve" -> 17508288L,
     "q215_half_life_counts" -> 6650L,
-    "q20_embedding_topk" -> 18174L,
-    "q21_embedding_neardup_ivf" -> 4392321L,
+    "q21_embedding_neardup_ivf" -> 4392385L,
     "q22_lang_id" -> 2819L,
-    "q23_quality_score" -> 241340L,
+    "q23_quality_score" -> 241938L,
     "q24_token_stats" -> 2919348L,
-    "q25_doc_fingerprint" -> 219508L,
-    "q26_multimodal_meta" -> 978338L,
+    "q25_doc_fingerprint" -> 219484L,
+    "q26_multimodal_meta" -> 977888L,
     "q27_report_metrics" -> 200L,
     "q28_report_distributors" -> 3514L,
-    "q29_trycast_timestamp" -> 5728028L,
-    "q2_select_project" -> 411036L,
-    "q30_embedding_neardup_rplsh" -> 18274138L,
-    "q31_neardup_clusters" -> 384931L,
-    "q32_stratified_sample" -> 30408L,
-    "q33_pii_redact" -> 708510L,
-    "q34_event_sessionize" -> 10687174L,
-    "q35_repetition_signals" -> 233226L,
+    "q29_trycast_timestamp" -> 5726842L,
+    "q2_select_project" -> 410614L,
+    "q30_embedding_neardup_rplsh" -> 18274026L,
+    "q31_neardup_clusters" -> 384967L,
+    "q32_stratified_sample" -> 30400L,
+    "q33_pii_redact" -> 708412L,
+    "q34_event_sessionize" -> 10685736L,
+    "q35_repetition_signals" -> 232974L,
     "q36_cross_contamination" -> 15046905L,
-    "q37_sequence_packing" -> 401665L,
-    "q38_network_redact" -> 715682L,
+    "q37_sequence_packing" -> 402328L,
+    "q38_network_redact" -> 715646L,
     "q39_embedding_topk_ivf" -> 560020L,
-    "q3_try_cast" -> 327520L,
-    "q40_training_order" -> 313050L,
+    "q3_try_cast" -> 327838L,
+    "q40_training_order" -> 313398L,
     "q41_token_budget_mix" -> 10022L,
-    "q42_epoch_sharded_packing" -> 2921896L,
-    "q43_asof_join" -> 4285891L,
+    "q42_epoch_sharded_packing" -> 2921874L,
+    "q43_asof_join" -> 4285493L,
     "q44_interval_join" -> 4153L,
     "q45_length_profile" -> 13779L,
     "q46_grouped_topk" -> 2354L,
-    "q47_sliding_chunks" -> 1046390L,
-    "q48_keepbest_dedup" -> 1974238L,
-    "q49_eval_overlap" -> 512358L,
-    "q4_left_join_enrich" -> 730712L,
+    "q47_sliding_chunks" -> 1046428L,
+    "q48_keepbest_dedup" -> 1974316L,
+    "q49_eval_overlap" -> 512510L,
+    "q4_left_join_enrich" -> 730670L,
     "q50_curriculum_bins" -> 12533L,
     "q51_priority_sample" -> 3071L,
-    "q52_bm25_scores" -> 1065651L,
-    "q53_semantic_clusters" -> 18108956L,
-    "q54_shingle_novelty" -> 926187L,
-    "q55_embedding_quantize" -> 3004212L,
-    "q56_pq_codes" -> 514816L,
+    "q52_bm25_scores" -> 1065745L,
+    "q53_semantic_clusters" -> 18108958L,
+    "q54_shingle_novelty" -> 926735L,
+    "q55_embedding_quantize" -> 3003972L,
+    "q56_pq_codes" -> 514942L,
     "q57_pq_adc_topk" -> 1910169L,
     "q58_rollup_revenue" -> 5263L,
     "q59_pivot_returnflag" -> 23920L,
     "q5_anti_orphans" -> 0L,
-    "q60_paragraph_dedup" -> 4858395L,
+    "q60_paragraph_dedup" -> 4858181L,
     "q61_ivfpq_topk" -> 611042L,
-    "q62_column_profile" -> 3506626L,
-    "q63_asof_tolerance" -> 3902316L,
+    "q62_column_profile" -> 3499684L,
+    "q63_asof_tolerance" -> 3902388L,
     "q64_cube_revenue" -> 8794L,
     "q65_term_zipf" -> 2919348L,
-    "q66_lexical_richness" -> 3522687L,
-    "q67_novelty_decay" -> 891038L,
+    "q66_lexical_richness" -> 3522535L,
+    "q67_novelty_decay" -> 890926L,
     "q68_holdout_split" -> 7977L,
     "q69_event_drift" -> 27940L,
     "q6_ri_repair" -> 1210L,
-    "q70_novelty_store" -> 1896449L,
-    "q71_span_dedup" -> 5926998L,
+    "q70_novelty_store" -> 1896109L,
+    "q71_span_dedup" -> 5926834L,
     "q72_retention_cohorts" -> 183938L,
     "q73_conversion_funnel" -> 123089L,
     "q74_histogram" -> 5866L,
     "q75_grouping_sets" -> 3221L,
-    "q76_eval_overlap_bloom" -> 896207L,
+    "q76_eval_overlap_bloom" -> 896125L,
     "q77_snapshot_diff" -> 1192545L,
-    "q78_asof_forward" -> 4282043L,
+    "q78_asof_forward" -> 4282063L,
     "q79_ingest_gaps" -> 7525L,
-    "q7_dedup_keepfirst" -> 1058870L,
+    "q7_dedup_keepfirst" -> 1058748L,
     "q80_cms_heavy_hitters" -> 4822L,
-    "q81_moving_revenue" -> 8513619L,
-    "q82_scd2_intervals" -> 9292136L,
+    "q81_moving_revenue" -> 8514277L,
+    "q82_scd2_intervals" -> 9292864L,
     "q83_volume_anomaly" -> 26126L,
-    "q84_posting_lists" -> 11583046L,
+    "q84_posting_lists" -> 11583162L,
     "q85_state_dwell" -> 3924196L,
     "q86_growth_curve" -> 512452L,
     "q87_sliding_wau" -> 1269942L,
@@ -523,13 +523,13 @@ object Bench {
     "q90_weighted_sample" -> 3705L,
     "q91_source_overlap" -> 4362785L,
     "q92_fuzzy_match" -> 11596L,
-    "q93_stratum_percentile" -> 311963L,
-    "q94_leakage_safe_split" -> 419229L,
+    "q93_stratum_percentile" -> 312245L,
+    "q94_leakage_safe_split" -> 419203L,
     "q95_value_drift" -> 2612L,
     "q96_embedding_drift" -> 2424L,
     "q97_collocations" -> 33326L,
-    "q98_label_affinity" -> 40192L,
-    "q99_vocab_coverage" -> 229189L,
+    "q98_label_affinity" -> 40835L,
+    "q99_vocab_coverage" -> 229241L,
     "q9_sales_by_nation" -> 3995L)
   private[graft] val byteFactor = 1.5
   private[graft] val byteSlack = 256L * 1024
