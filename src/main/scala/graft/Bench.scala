@@ -295,7 +295,9 @@ object Bench {
     // q214 pays the full q17 pipeline once (loosest threshold); the
     // curve folds are pair-frame-sized
     "q214_dedup_threshold_curve" -> 1.89,
-    "q215_half_life_counts" -> 0.38)
+    "q215_half_life_counts" -> 0.38,
+    // q216 pays the q31 closure + the keep-best fold
+    "q216_cluster_keep_best" -> 1.43)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -444,6 +446,7 @@ object Bench {
     "q213_pair_transitivity" -> 17498592L,
     "q214_dedup_threshold_curve" -> 17508288L,
     "q215_half_life_counts" -> 6650L,
+    "q216_cluster_keep_best" -> 729513L,
     "q21_embedding_neardup_ivf" -> 4392385L,
     "q22_lang_id" -> 2819L,
     "q23_quality_score" -> 241938L,

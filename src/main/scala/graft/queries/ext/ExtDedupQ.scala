@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Dec, Tables}
 import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Rules, Sampling, Scd, Scrub, SemiStructured, Similarity, Sketch, Skew, TextAnalysis, Trend}
 
-/** [[Ext]] family: exact/near-dup dedup (MinHash-LSH, SimHash, Jaccard, winnowing, spans, fuzzy matching) — queries q16, q17, q18, q19, q31, q36, q48, q49, q60, q71, q76, q91, q92, q100, q101, q130, q134, q144, q160, q174, q178, q187, q188, q195, q197, q211, q213, q214.
+/** [[Ext]] family: exact/near-dup dedup (MinHash-LSH, SimHash, Jaccard, winnowing, spans, fuzzy matching) — queries q16, q17, q18, q19, q31, q36, q48, q49, q60, q71, q76, q91, q92, q100, q101, q130, q134, q144, q160, q174, q178, q187, q188, q195, q197, q211, q213, q214, q216.
   * Split from the monolithic Ext.scala in round 12
   * (pure relocation; helpers live in [[ExtHelpers]]). */
 private[queries] trait ExtDedupQ { self: ExtHelpers =>
@@ -1208,6 +1208,70 @@ private[queries] trait ExtDedupQ { self: ExtHelpers =>
             / n_corpus END AS involved_frac
       FROM (VALUES (0.5), (0.7), (0.9)) c(t), nc
       ORDER BY threshold
+    """.trim))
+
+  // --------------------------------------------------------------- q216
+  /** q216 — cluster keep-best: the dedup pipeline's actual END
+    * decision. q31 labels clusters with the MIN-ID canonical (a
+    * deterministic placeholder); a real pipeline keeps the BEST
+    * member — here the most token-rich, ties to the lower id (the
+    * q48 ordering applied at the CLUSTER level instead of the
+    * exact-normalized level). Per cluster: member count, the kept
+    * doc, its token count. Scale shape: the q31 closure plus one
+    * |docs|-row token join and ONE partial-aggregable `max_by` fold
+    * over an ordering struct — no window over the corpus (the
+    * oracle's row_number formulation is the cross-engine check, not
+    * the plan). */
+  val q216: Q = Q(
+    "q216_cluster_keep_best",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val clusters = Dedup.nearDupClusters(docs, "doc_id",
+        Dedup.minhashLshPairsUnordered(docs, "doc_id", "text",
+          threshold = 0.5, k = minhashK, bands = minhashBands))
+      val toks = TextAnalysis.qualityScores(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"))
+      clusters.join(toks, Seq("doc_id"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max_by(col("doc_id"),
+            struct(col("n_tokens"), -col("doc_id"))).as("keep_id"),
+          max(col("n_tokens")).as("keep_tokens"))
+        .orderBy(col("cluster_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ($q18OracleSql) q
+      ),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+      ),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+      ),
+      cl AS (
+        SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+      t AS (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+            x -> x <> '')) AS INT) AS n_tokens
+        FROM documents),
+      j AS (
+        SELECT cl.cluster_id, cl.doc_id, t.n_tokens
+        FROM cl JOIN t USING (doc_id)),
+      rk AS (
+        SELECT cluster_id, doc_id, n_tokens,
+          row_number() OVER (PARTITION BY cluster_id
+            ORDER BY n_tokens DESC, doc_id) AS rnk,
+          count(*) OVER (PARTITION BY cluster_id) AS nm
+        FROM j)
+      SELECT cluster_id, CAST(nm AS BIGINT) AS n_members,
+        doc_id AS keep_id, n_tokens AS keep_tokens
+      FROM rk WHERE rnk = 1 ORDER BY cluster_id
     """.trim))
 
 }
