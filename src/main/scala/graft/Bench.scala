@@ -176,8 +176,8 @@ object Bench {
     "q116_mixed_language" -> 0.79,
     "q117_fd_audit" -> 0.28,
     "q118_touch_attribution" -> 0.86,
-    "q119_join_blowup" -> 0.25,
-    "q120_benford_profile" -> 0.55,
+    "q119_join_blowup" -> 0.24,
+    "q120_benford_profile" -> 0.53,
     "q121_k_anonymity" -> 0.29,
     "q122_transition_matrix" -> 0.5,
     // r11f canonical (first full run over q123-q146; loadavg 1.8-8.7,
@@ -185,7 +185,7 @@ object Bench {
     // them as better minimums are observed)
     "q123_hybrid_rrf" -> 1.39,
     "q124_distinct_ngrams" -> 1.42,
-    "q125_embedding_health" -> 0.3,
+    "q125_embedding_health" -> 0.29,
     "q126_cusum_changepoint" -> 0.44,
     "q127_ks_drift" -> 0.51,
     "q128_rfm_segments" -> 0.34,
@@ -297,7 +297,13 @@ object Bench {
     "q214_dedup_threshold_curve" -> 1.89,
     "q215_half_life_counts" -> 0.38,
     // q216 pays the q31 closure + the keep-best fold
-    "q216_cluster_keep_best" -> 1.43)
+    "q216_cluster_keep_best" -> 1.43,
+    // q217 pays two corpus token folds + the vocab band re-join
+    "q217_importance_weights" -> 1.56,
+    "q218_gate_overlap" -> 0.41,
+    // q219 pays the occurrence-frame df fold + semi re-join
+    "q219_boilerplate_ngrams" -> 1.22,
+    "q220_t_closeness" -> 0.78)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -315,231 +321,245 @@ object Bench {
     * term scales with legitimate plan cost, the absolute slack
     * (256 KB) absorbs AQE/compression jitter on small floors
     * (observed jitter is ≤ ~1 KB even on multi-MB shuffles). Seeded
-    * from the r13 closing canonical (BENCH_local_r13b); refresh
-    * alongside the time floors. */
+    * from the r14 canonical (BENCH_local_r14a) at the 32-partition
+    * width the driver benches at — bytes do NOT transfer across
+    * widths (the r13 lesson: floors seeded at the old 4-thread
+    * default flagged q112/q138 as 1.7-7× "regressions" that were
+    * pure width artifacts); refresh alongside the time floors, always
+    * from a 32-width run. */
   private[graft] val byteFloors: Map[String, Long] = Map(
-    "q100_containment_pairs" -> 24966935L,
-    "q101_cross_containment" -> 14403855L,
-    "q102_winsorize" -> 3708898L,
-    "q103_temperature_mix" -> 824L,
-    "q104_rule_audit" -> 155176L,
-    "q105_bigram_fluency" -> 458028L,
-    "q106_hard_negatives" -> 21842L,
-    "q107_intra_label_diversity" -> 18201L,
-    "q108_mad_outliers" -> 3112816L,
-    "q109_json_field_stats" -> 1679L,
-    "q10_incremental_antijoin" -> 773276L,
-    "q110_curation_funnel" -> 5893L,
-    "q111_grid_percentile" -> 57200L,
-    "q112_unigram_divergence" -> 124336L,
-    "q113_semantic_decontam" -> 148610L,
-    "q114_centroid_confusion" -> 52751L,
+    "q100_containment_pairs" -> 30009842L,
+    "q101_cross_containment" -> 16860731L,
+    "q102_winsorize" -> 3714912L,
+    "q103_temperature_mix" -> 1058L,
+    "q104_rule_audit" -> 175892L,
+    "q105_bigram_fluency" -> 510245L,
+    "q106_hard_negatives" -> 29075L,
+    "q107_intra_label_diversity" -> 25829L,
+    "q108_mad_outliers" -> 3119592L,
+    "q109_json_field_stats" -> 1953L,
+    "q10_incremental_antijoin" -> 776136L,
+    "q110_curation_funnel" -> 15401L,
+    "q111_grid_percentile" -> 76300L,
+    "q112_unigram_divergence" -> 913504L,
+    "q113_semantic_decontam" -> 161760L,
+    "q114_centroid_confusion" -> 75390L,
     "q115_correlation_matrix" -> 962L,
-    "q116_mixed_language" -> 1165690L,
-    "q117_fd_audit" -> 5974L,
-    "q118_touch_attribution" -> 4902470L,
-    "q119_join_blowup" -> 39279L,
-    "q11_distinct" -> 1619L,
-    "q120_benford_profile" -> 4512L,
-    "q121_k_anonymity" -> 148597L,
-    "q122_transition_matrix" -> 3831317L,
-    "q123_hybrid_rrf" -> 3839832L,
-    "q124_distinct_ngrams" -> 9261878L,
-    "q125_embedding_health" -> 2403L,
-    "q126_cusum_changepoint" -> 24043L,
-    "q127_ks_drift" -> 72844L,
-    "q128_rfm_segments" -> 265678L,
-    "q129_ann_recall" -> 563330L,
+    "q116_mixed_language" -> 1763141L,
+    "q117_fd_audit" -> 15447L,
+    "q118_touch_attribution" -> 5032674L,
+    "q119_join_blowup" -> 56430L,
+    "q11_distinct" -> 2250L,
+    "q120_benford_profile" -> 7728L,
+    "q121_k_anonymity" -> 170457L,
+    "q122_transition_matrix" -> 3630283L,
+    "q123_hybrid_rrf" -> 3932688L,
+    "q124_distinct_ngrams" -> 10267965L,
+    "q125_embedding_health" -> 3629L,
+    "q126_cusum_changepoint" -> 62447L,
+    "q127_ks_drift" -> 102502L,
+    "q128_rfm_segments" -> 297384L,
+    "q129_ann_recall" -> 684790L,
     "q12_topk" -> 0L,
-    "q130_dedup_impact" -> 1371791L,
-    "q131_encoding_health" -> 2204L,
-    "q132_length_bias" -> 1787L,
-    "q133_simpson_concentration" -> 23819L,
-    "q134_soft_dedup" -> 1803332L,
-    "q135_cramers_v" -> 10332L,
-    "q136_source_concentration" -> 1284L,
-    "q137_interevent_gaps" -> 7807159L,
-    "q138_stickiness" -> 2803214L,
-    "q139_session_cooccurrence" -> 4152472L,
-    "q13_scalar_funcs" -> 63636L,
-    "q140_ivf_cell_balance" -> 390338L,
-    "q141_key_candidates" -> 2325923L,
-    "q142_embedding_dups" -> 1061188L,
-    "q143_readability" -> 181438L,
-    "q144_lsh_operating_point" -> 35025446L,
-    "q145_token_truncation" -> 792386L,
-    "q146_source_lang_purity" -> 10675L,
-    "q147_trimmed_order_value" -> 2522542L,
-    "q148_hll_accuracy" -> 188206L,
-    "q149_daily_snapshot" -> 15792L,
-    "q14_monthly_revenue" -> 9666L,
-    "q150_cohort_ltv" -> 33772L,
-    "q151_daily_value_bands" -> 1816266L,
-    "q152_funnel_timing" -> 218600L,
-    "q153_domain_profile" -> 55362L,
-    "q154_casing_profile" -> 136696L,
-    "q155_regional_volume" -> 1787L,
-    "q156_order_priority" -> 453660L,
-    "q157_period_growth" -> 25361L,
-    "q158_json_topk" -> 16502L,
-    "q159_coverage_curve" -> 2380L,
-    "q15_sql_api" -> 3995L,
-    "q160_cluster_impact" -> 396494L,
-    "q161_abc_classes" -> 2512L,
-    "q162_staleness_audit" -> 749334L,
-    "q163_dow_anomaly" -> 39366L,
-    "q164_drawdown" -> 23733L,
+    "q130_dedup_impact" -> 1522405L,
+    "q131_encoding_health" -> 6918L,
+    "q132_length_bias" -> 2043L,
+    "q133_simpson_concentration" -> 39130L,
+    "q134_soft_dedup" -> 1841707L,
+    "q135_cramers_v" -> 22918L,
+    "q136_source_concentration" -> 2948L,
+    "q137_interevent_gaps" -> 7379665L,
+    "q138_stickiness" -> 4764629L,
+    "q139_session_cooccurrence" -> 4088440L,
+    "q13_scalar_funcs" -> 71444L,
+    "q140_ivf_cell_balance" -> 486214L,
+    "q141_key_candidates" -> 2574221L,
+    "q142_embedding_dups" -> 1064590L,
+    "q143_readability" -> 205260L,
+    "q144_lsh_operating_point" -> 41793762L,
+    "q145_token_truncation" -> 807904L,
+    "q146_source_lang_purity" -> 21394L,
+    "q147_trimmed_order_value" -> 2525204L,
+    "q148_hll_accuracy" -> 206465L,
+    "q149_daily_snapshot" -> 26324L,
+    "q14_monthly_revenue" -> 18404L,
+    "q150_cohort_ltv" -> 44128L,
+    "q151_daily_value_bands" -> 1831968L,
+    "q152_funnel_timing" -> 242202L,
+    "q153_domain_profile" -> 62510L,
+    "q154_casing_profile" -> 157668L,
+    "q155_regional_volume" -> 2296L,
+    "q156_order_priority" -> 470128L,
+    "q157_period_growth" -> 34742L,
+    "q158_json_topk" -> 25384L,
+    "q159_coverage_curve" -> 5683L,
+    "q15_sql_api" -> 10007L,
+    "q160_cluster_impact" -> 492820L,
+    "q161_abc_classes" -> 4676L,
+    "q162_staleness_audit" -> 768656L,
+    "q163_dow_anomaly" -> 119212L,
+    "q164_drawdown" -> 33170L,
     "q165_missingness_lift" -> 158L,
-    "q166_peak_rate" -> 1698489L,
-    "q167_ship_latency" -> 642282L,
-    "q168_order_distribution" -> 243877L,
-    "q169_activity_streaks" -> 1295133L,
-    "q16_exact_dedup" -> 1861063L,
-    "q170_rank_shift" -> 995002L,
-    "q171_temporal_split" -> 42678L,
-    "q172_causal_zscore" -> 12003239L,
-    "q173_seasonal_naive" -> 9207L,
-    "q174_winnowing_neardup" -> 21424712L,
-    "q175_profile_drift" -> 2384L,
-    "q176_value_tail_bands" -> 1146240L,
-    "q177_type_pagerank" -> 5747218L,
-    "q178_fuzzy_operating_point" -> 36950L,
-    "q179_tfidf_keywords" -> 4732571L,
-    "q17_ngram_jaccard_neardup" -> 24968491L,
-    "q180_grid_accuracy" -> 685850L,
-    "q181_transition_predictability" -> 3830209L,
-    "q182_key_gap_audit" -> 2616934L,
-    "q183_ols_trend" -> 7072L,
-    "q184_robust_trend" -> 43955L,
-    "q185_head_tail_rollup" -> 3242L,
-    "q186_contrastive_triplets" -> 895532L,
-    "q187_sorted_neighbor_match" -> 19205L,
-    "q188_dedup_agreement" -> 35523274L,
-    "q189_skipgram_pairs" -> 19604L,
-    "q18_minhash_lsh_neardup" -> 39815L,
-    "q190_heaps_curve" -> 177516L,
-    "q191_lag_autocorrelation" -> 12066L,
-    "q192_fact_reconciliation" -> 4796872L,
-    "q193_contribution_shares" -> 3902L,
-    "q194_event_trigrams" -> 3843554L,
-    "q195_dedup_disagreements" -> 35765390L,
-    "q196_daily_retention" -> 990992L,
-    "q197_cluster_sizes" -> 328515L,
+    "q166_peak_rate" -> 1727209L,
+    "q167_ship_latency" -> 643700L,
+    "q168_order_distribution" -> 259873L,
+    "q169_activity_streaks" -> 1406377L,
+    "q16_exact_dedup" -> 1877902L,
+    "q170_rank_shift" -> 1056670L,
+    "q171_temporal_split" -> 52492L,
+    "q172_causal_zscore" -> 11992692L,
+    "q173_seasonal_naive" -> 28508L,
+    "q174_winnowing_neardup" -> 21677236L,
+    "q175_profile_drift" -> 4842L,
+    "q176_value_tail_bands" -> 1147199L,
+    "q177_type_pagerank" -> 5443190L,
+    "q178_fuzzy_operating_point" -> 122180L,
+    "q179_tfidf_keywords" -> 5027404L,
+    "q17_ngram_jaccard_neardup" -> 30011208L,
+    "q180_grid_accuracy" -> 733984L,
+    "q181_transition_predictability" -> 3626489L,
+    "q182_key_gap_audit" -> 2783028L,
+    "q183_ols_trend" -> 12139L,
+    "q184_robust_trend" -> 84300L,
+    "q185_head_tail_rollup" -> 6514L,
+    "q186_contrastive_triplets" -> 975752L,
+    "q187_sorted_neighbor_match" -> 30458L,
+    "q188_dedup_agreement" -> 39198124L,
+    "q189_skipgram_pairs" -> 30285L,
+    "q18_minhash_lsh_neardup" -> 57809L,
+    "q190_heaps_curve" -> 225754L,
+    "q191_lag_autocorrelation" -> 21696L,
+    "q192_fact_reconciliation" -> 4813018L,
+    "q193_contribution_shares" -> 6280L,
+    "q194_event_trigrams" -> 3652386L,
+    "q195_dedup_disagreements" -> 39464371L,
+    "q196_daily_retention" -> 1073652L,
+    "q197_cluster_sizes" -> 413841L,
     "q198_scrub_closure" -> 244L,
-    "q199_skyline" -> 32148L,
-    "q19_simhash_neardup" -> 17903L,
-    "q1_pricing_summary" -> 3666L,
-    "q200_sample_representativeness" -> 3108L,
-    "q201_stratum_mean_se" -> 2034L,
-    "q202_metric_correlation" -> 2836L,
-    "q203_split_balance" -> 1527L,
-    "q204_ab_conversion_z" -> 21384L,
-    "q205_price_volume_mix" -> 2982L,
-    "q206_image_decode" -> 168648L,
-    "q207_audio_decode" -> 162378L,
-    "q208_sole_fault_suppliers" -> 1934L,
-    "q209_video_decode" -> 169890L,
-    "q20_embedding_topk" -> 18174L,
-    "q210_key_skew_profile" -> 19978L,
-    "q211_contamination_sweep" -> 3355862L,
+    "q199_skyline" -> 38752L,
+    "q19_simhash_neardup" -> 27127L,
+    "q1_pricing_summary" -> 4641L,
+    "q200_sample_representativeness" -> 4106L,
+    "q201_stratum_mean_se" -> 2619L,
+    "q202_metric_correlation" -> 3464L,
+    "q203_split_balance" -> 1728L,
+    "q204_ab_conversion_z" -> 25508L,
+    "q205_price_volume_mix" -> 3454L,
+    "q206_image_decode" -> 176914L,
+    "q207_audio_decode" -> 169166L,
+    "q208_sole_fault_suppliers" -> 4730L,
+    "q209_video_decode" -> 179382L,
+    "q20_embedding_topk" -> 24884L,
+    "q210_key_skew_profile" -> 37418L,
+    "q211_contamination_sweep" -> 3399394L,
     "q212_token_fertility" -> 898L,
-    "q213_pair_transitivity" -> 17498592L,
-    "q214_dedup_threshold_curve" -> 17508288L,
-    "q215_half_life_counts" -> 6650L,
-    "q216_cluster_keep_best" -> 729513L,
-    "q21_embedding_neardup_ivf" -> 4392385L,
-    "q22_lang_id" -> 2819L,
-    "q23_quality_score" -> 241938L,
-    "q24_token_stats" -> 2919348L,
-    "q25_doc_fingerprint" -> 219484L,
-    "q26_multimodal_meta" -> 977888L,
+    "q213_pair_transitivity" -> 20887064L,
+    "q214_dedup_threshold_curve" -> 20928988L,
+    "q215_half_life_counts" -> 11549L,
+    "q216_cluster_keep_best" -> 832698L,
+    "q217_importance_weights" -> 4283016L,
+    "q218_gate_overlap" -> 170L,
+    "q219_boilerplate_ngrams" -> 8989564L,
+    "q220_t_closeness" -> 696325L,
+    "q21_embedding_neardup_ivf" -> 5033608L,
+    "q22_lang_id" -> 4396L,
+    "q23_quality_score" -> 271262L,
+    "q24_token_stats" -> 3229944L,
+    "q25_doc_fingerprint" -> 236844L,
+    "q26_multimodal_meta" -> 983684L,
     "q27_report_metrics" -> 200L,
-    "q28_report_distributors" -> 3514L,
-    "q29_trycast_timestamp" -> 5726842L,
-    "q2_select_project" -> 410614L,
-    "q30_embedding_neardup_rplsh" -> 18274026L,
-    "q31_neardup_clusters" -> 384967L,
-    "q32_stratified_sample" -> 30400L,
-    "q33_pii_redact" -> 708412L,
-    "q34_event_sessionize" -> 10685736L,
-    "q35_repetition_signals" -> 232974L,
-    "q36_cross_contamination" -> 15046905L,
-    "q37_sequence_packing" -> 402328L,
-    "q38_network_redact" -> 715646L,
-    "q39_embedding_topk_ivf" -> 560020L,
-    "q3_try_cast" -> 327838L,
-    "q40_training_order" -> 313398L,
-    "q41_token_budget_mix" -> 10022L,
-    "q42_epoch_sharded_packing" -> 2921874L,
-    "q43_asof_join" -> 4285493L,
-    "q44_interval_join" -> 4153L,
-    "q45_length_profile" -> 13779L,
-    "q46_grouped_topk" -> 2354L,
-    "q47_sliding_chunks" -> 1046428L,
-    "q48_keepbest_dedup" -> 1974316L,
-    "q49_eval_overlap" -> 512510L,
-    "q4_left_join_enrich" -> 730670L,
-    "q50_curriculum_bins" -> 12533L,
-    "q51_priority_sample" -> 3071L,
-    "q52_bm25_scores" -> 1065745L,
-    "q53_semantic_clusters" -> 18108958L,
-    "q54_shingle_novelty" -> 926735L,
-    "q55_embedding_quantize" -> 3003972L,
-    "q56_pq_codes" -> 514942L,
-    "q57_pq_adc_topk" -> 1910169L,
-    "q58_rollup_revenue" -> 5263L,
-    "q59_pivot_returnflag" -> 23920L,
+    "q28_report_distributors" -> 8219L,
+    "q29_trycast_timestamp" -> 5733110L,
+    "q2_select_project" -> 417504L,
+    "q30_embedding_neardup_rplsh" -> 20501401L,
+    "q31_neardup_clusters" -> 466383L,
+    "q32_stratified_sample" -> 35782L,
+    "q33_pii_redact" -> 721556L,
+    "q34_event_sessionize" -> 10666028L,
+    "q35_repetition_signals" -> 253330L,
+    "q36_cross_contamination" -> 17527841L,
+    "q37_sequence_packing" -> 458719L,
+    "q38_network_redact" -> 728946L,
+    "q39_embedding_topk_ivf" -> 672881L,
+    "q3_try_cast" -> 332020L,
+    "q40_training_order" -> 308517L,
+    "q41_token_budget_mix" -> 16110L,
+    "q42_epoch_sharded_packing" -> 2925907L,
+    "q43_asof_join" -> 4568887L,
+    "q44_interval_join" -> 7612L,
+    "q45_length_profile" -> 15385L,
+    "q46_grouped_topk" -> 4152L,
+    "q47_sliding_chunks" -> 1055100L,
+    "q48_keepbest_dedup" -> 2018227L,
+    "q49_eval_overlap" -> 543962L,
+    "q4_left_join_enrich" -> 740022L,
+    "q50_curriculum_bins" -> 17628L,
+    "q51_priority_sample" -> 6082L,
+    "q52_bm25_scores" -> 1123003L,
+    "q53_semantic_clusters" -> 20314969L,
+    "q54_shingle_novelty" -> 958251L,
+    "q55_embedding_quantize" -> 3015224L,
+    "q56_pq_codes" -> 535418L,
+    "q57_pq_adc_topk" -> 2036259L,
+    "q58_rollup_revenue" -> 11541L,
+    "q59_pivot_returnflag" -> 37108L,
     "q5_anti_orphans" -> 0L,
-    "q60_paragraph_dedup" -> 4858181L,
-    "q61_ivfpq_topk" -> 611042L,
-    "q62_column_profile" -> 3499684L,
-    "q63_asof_tolerance" -> 3902388L,
-    "q64_cube_revenue" -> 8794L,
-    "q65_term_zipf" -> 2919348L,
-    "q66_lexical_richness" -> 3522535L,
-    "q67_novelty_decay" -> 890926L,
-    "q68_holdout_split" -> 7977L,
-    "q69_event_drift" -> 27940L,
-    "q6_ri_repair" -> 1210L,
-    "q70_novelty_store" -> 1896109L,
-    "q71_span_dedup" -> 5926834L,
-    "q72_retention_cohorts" -> 183938L,
-    "q73_conversion_funnel" -> 123089L,
-    "q74_histogram" -> 5866L,
-    "q75_grouping_sets" -> 3221L,
-    "q76_eval_overlap_bloom" -> 896125L,
-    "q77_snapshot_diff" -> 1192545L,
-    "q78_asof_forward" -> 4282063L,
-    "q79_ingest_gaps" -> 7525L,
-    "q7_dedup_keepfirst" -> 1058748L,
-    "q80_cms_heavy_hitters" -> 4822L,
-    "q81_moving_revenue" -> 8514277L,
-    "q82_scd2_intervals" -> 9292864L,
-    "q83_volume_anomaly" -> 26126L,
-    "q84_posting_lists" -> 11583162L,
-    "q85_state_dwell" -> 3924196L,
-    "q86_growth_curve" -> 512452L,
-    "q87_sliding_wau" -> 1269942L,
-    "q88_equidepth_histogram" -> 20754L,
-    "q89_hll_distinct" -> 32958L,
+    "q60_paragraph_dedup" -> 4919719L,
+    "q61_ivfpq_topk" -> 762530L,
+    "q62_column_profile" -> 3482762L,
+    "q63_asof_tolerance" -> 4097085L,
+    "q64_cube_revenue" -> 16600L,
+    "q65_term_zipf" -> 3229944L,
+    "q66_lexical_richness" -> 3719211L,
+    "q67_novelty_decay" -> 1005930L,
+    "q68_holdout_split" -> 18433L,
+    "q69_event_drift" -> 55895L,
+    "q6_ri_repair" -> 3814L,
+    "q70_novelty_store" -> 2106073L,
+    "q71_span_dedup" -> 6196066L,
+    "q72_retention_cohorts" -> 200633L,
+    "q73_conversion_funnel" -> 144091L,
+    "q74_histogram" -> 14618L,
+    "q75_grouping_sets" -> 5532L,
+    "q76_eval_overlap_bloom" -> 957475L,
+    "q77_snapshot_diff" -> 1234867L,
+    "q78_asof_forward" -> 4561192L,
+    "q79_ingest_gaps" -> 16700L,
+    "q7_dedup_keepfirst" -> 1110647L,
+    "q80_cms_heavy_hitters" -> 10638L,
+    "q81_moving_revenue" -> 7994208L,
+    "q82_scd2_intervals" -> 9001557L,
+    "q83_volume_anomaly" -> 88350L,
+    "q84_posting_lists" -> 12121277L,
+    "q85_state_dwell" -> 3726840L,
+    "q86_growth_curve" -> 560000L,
+    "q87_sliding_wau" -> 1362039L,
+    "q88_equidepth_histogram" -> 22779L,
+    "q89_hll_distinct" -> 43883L,
     "q8_conditional_agg" -> 524L,
-    "q90_weighted_sample" -> 3705L,
-    "q91_source_overlap" -> 4362785L,
-    "q92_fuzzy_match" -> 11596L,
-    "q93_stratum_percentile" -> 312245L,
-    "q94_leakage_safe_split" -> 419203L,
-    "q95_value_drift" -> 2612L,
-    "q96_embedding_drift" -> 2424L,
-    "q97_collocations" -> 33326L,
-    "q98_label_affinity" -> 40835L,
-    "q99_vocab_coverage" -> 229241L,
-    "q9_sales_by_nation" -> 3995L)
+    "q90_weighted_sample" -> 6716L,
+    "q91_source_overlap" -> 5565754L,
+    "q92_fuzzy_match" -> 26608L,
+    "q93_stratum_percentile" -> 340566L,
+    "q94_leakage_safe_split" -> 500815L,
+    "q95_value_drift" -> 13758L,
+    "q96_embedding_drift" -> 12820L,
+    "q97_collocations" -> 45793L,
+    "q98_label_affinity" -> 311764L,
+    "q99_vocab_coverage" -> 289089L,
+    "q9_sales_by_nation" -> 10007L)
   private[graft] val byteFactor = 1.5
   private[graft] val byteSlack = 256L * 1024
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default matches the driver's environment (local[32]) — shuffle
+    // BYTES are partition-count-dependent (per-reducer block overhead +
+    // compression ratio), so floors seeded at one width don't transfer:
+    // the r13 driver bench flagged q112 (124 KB→910 KB) and q138
+    // (2.8 MB→4.8 MB) purely because the canonical had run at the old
+    // 4-thread default. The byte gate below only applies at this width.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUPS", "1").toInt
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // dev-loop filter: comma-separated query-name substrings; unset = all.
@@ -646,8 +666,12 @@ object Bench {
       q.name -> (if (failed.contains(q.name) || sampleBytes(i).isEmpty) -1L
                  else sampleBytes(i).min)
     }
+    // byte floors are additionally partition-width-specific (see the
+    // `cpus` default above): only gate when this run's width matches
+    // the width the floors were recorded at
+    val byteFloorsApply = floorsApply && cpus == "32"
     val bytesOver =
-      if (!floorsApply) Seq.empty[String]
+      if (!byteFloorsApply) Seq.empty[String]
       else byteMins.collect {
         case (name, b) if b >= 0 && byteFloors.get(name)
           .exists(f => b > byteFactor * f + byteSlack) => name
@@ -680,7 +704,7 @@ object Bench {
     val stamp = java.time.LocalDateTime.now()
       .format(java.time.format.DateTimeFormatter
         .ofPattern("yyyyMMdd'T'HHmmss"))
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$partial"generated":"$stamp","queries":$qs,"samples":$samplesJson,"sample_loadavg":$sampleLoadsJson,"shuffle_bytes":$bytesJson,"shuffle_bytes_samples":$byteSamplesJson,"bytes_over":$bytesOverJson,"remeasured":$remeasuredJson,"failed":$failedJson,"warmups":$warmups,"runs":$runs,"loadavg":$load,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$partial"generated":"$stamp","queries":$qs,"samples":$samplesJson,"sample_loadavg":$sampleLoadsJson,"shuffle_bytes":$bytesJson,"shuffle_bytes_samples":$byteSamplesJson,"bytes_over":$bytesOverJson,"remeasured":$remeasuredJson,"failed":$failedJson,"warmups":$warmups,"runs":$runs,"cpus":$cpus,"loadavg":$load,"sf":"$sfDir"}"""
     // the complete artifact goes to a FILE (driver stdout is
     // tail-truncated to 2,000 chars); default into the repo root so the
     // round's canonical is committed with the round
@@ -714,6 +738,7 @@ object Bench {
       "remeasured" -> remeasured.size.toString,
       (if (floorsApply) "worst_vs_floor" else "slowest") -> worstJson,
       "bytes_over" -> bytesOverJson,
+      "cpus" -> cpus,
       "artifact" -> jStr(outPath),
       "loadavg" -> load,
       "sf" -> jStr(sfDir))))

@@ -144,4 +144,67 @@ object Scrub {
       .where(col("k_violation") || col("l_violation"))
       .orderBy(quasiCols.map(c => col(c).asc_nulls_first): _*)
   }
+
+  /** T-CLOSENESS AUDIT — the third privacy rung ([[kAnonymityAudit]]
+    * covers k and l): a quasi-group can be large (k-safe) and carry
+    * many distinct sensitive values (l-safe) yet still leak —
+    * "every 30-something in src3 has a SHORT document" is an
+    * inference even though the group has 50 rows and 12 values.
+    * t-closeness (Li, Li & Venkatasubramanian, ICDE 2007) bounds the
+    * DISTANCE between each group's sensitive-value distribution and
+    * the global one. Distance here is total variation — the q112
+    * engine-exact choice (the paper's EMD needs a value metric and a
+    * transport solve; TV is the metric-free instance every engine can
+    * replay exactly):
+    * TV_g = [Σ_{v∈g} |c_gv·N − c_v·n_g| + (N − s_g)·n_g] / (2·n_g·N)
+    * with s_g = Σ_{v∈g} c_v — the closed-form tail counts the values
+    * the group never shows (their group probability is 0, so they
+    * contribute their full global mass). All-integer numerator; ONE
+    * IEEE division renders the distance; the violation flag compares
+    * CROSS-MULTIPLIED integers against the dyadic threshold
+    * `tNum/tDen`, so the boundary cannot flip between engines.
+    *
+    * Scale shape: one partial-aggregated (quasi, value) pair fold —
+    * the shuffle carries pair cardinality, not rows — then a
+    * |values|-keyed fold and a |groups|-keyed fold re-attached by
+    * hash join; the global count is the documented ONE-ROW broadcast
+    * scalar-append. Nothing row-scale is ever joined pairwise. */
+  def tClosenessAudit(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, tNum: Long = 3L, tDen: Long = 8L)
+      : DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(tNum >= 0 && tDen >= 1, s"bad threshold $tNum/$tDen")
+    val bad = (quasiCols :+ sensitiveCol).filterNot(df.columns.contains)
+    require(bad.isEmpty, s"unknown columns: $bad")
+    val dec = "DECIMAL(19,0)"
+    val qs = quasiCols.map(col)
+    val pairs = df.groupBy(qs :+ col(sensitiveCol).as("__s"): _*)
+      .agg(count(lit(1)).as("__c_gv"))
+    val vtot = pairs.groupBy(col("__s"))
+      .agg(sum(col("__c_gv")).as("__c_v"))
+    val ntot = vtot.agg(sum(col("__c_v")).as("__n"))
+    val gtot = pairs.groupBy(qs: _*).agg(sum(col("__c_gv")).as("__n_g"))
+    val folded = pairs
+      .join(vtot, Seq("__s"))
+      .join(gtot, quasiCols)
+      .crossJoin(broadcast(ntot))
+      .groupBy(qs :+ col("__n_g") :+ col("__n"): _*)
+      .agg(sum(abs(col("__c_gv").cast(dec) * col("__n").cast(dec) -
+          col("__c_v").cast(dec) * col("__n_g").cast(dec)))
+          .as("__shared"),
+        sum(col("__c_v")).as("__s_g"))
+    val numerator = col("__shared") +
+      (col("__n") - col("__s_g")).cast(dec) * col("__n_g").cast(dec)
+    folded
+      .select(qs :+ col("__n_g").as("n_rows") :+
+        numerator.as("__num") :+
+        (lit(2L).cast(dec) * col("__n_g").cast(dec) *
+          col("__n").cast(dec)).as("__den"): _*)
+      .select(qs :+ col("n_rows") :+
+        (col("__num").cast("double") / col("__den").cast("double"))
+          .as("tv_distance") :+
+        (col("__num") * lit(tDen).cast(dec) >
+          col("__den") * lit(tNum).cast(dec)).as("t_violation"): _*)
+      .orderBy(quasiCols.map(c => col(c).asc_nulls_first): _*)
+  }
 }

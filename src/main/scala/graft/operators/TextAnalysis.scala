@@ -655,6 +655,75 @@ object TextAnalysis {
       .orderBy(col(groupCol), col("stage"))
   }
 
+  /** GATE OVERLAP MATRIX — [[curationFunnel]]'s order-INDEPENDENT
+    * sibling: the funnel charges each document to the FIRST gate that
+    * rejects it, so a gate sitting behind a correlated earlier gate
+    * looks cheap ("distinct-ratio only dropped 1%") when it would
+    * condemn the same documents alone. This readout evaluates every
+    * gate INDEPENDENTLY and reports, per unordered gate pair, how
+    * much their failure sets overlap — failure counts, intersection,
+    * union, and Jaccard. Reading it: Jaccard ≈ 1 means the two gates
+    * are redundant (drop one, or fix the shared root cause); Jaccard
+    * ≈ 0 with both large means the stack is genuinely multiplicative
+    * and reordering won't save documents. Diagonal rows carry each
+    * gate's standalone failure count.
+    *
+    * Scale shape: the four failure bits are row-local booleans over
+    * one scan; ONE ungrouped partial-aggregated fold computes the 11
+    * counters (4 singles + 6 pair intersections + the doc count), and
+    * the pair unpivot explodes the ONE-ROW aggregate — the corpus is
+    * never shuffled. Counts are exact longs; Jaccard is one division
+    * (NULL when the union is empty — no failures to compare).
+    *
+    * Gate semantics: same thresholds as [[curationFunnel]], negated
+    * and de-cascaded — `empty`, `chars_out_of_range`, `few_tokens`,
+    * `low_distinct_ratio` (a tokenless doc fails the ratio gate too:
+    * there is no vocabulary to defend it). */
+  def gateOverlap(docs: DataFrame, textCol: String,
+      minChars: Int = 100, maxChars: Int = 20000, minTokens: Int = 20,
+      minDistinctRatio: Double = 0.25): DataFrame = {
+    require(minChars <= maxChars && minTokens >= 0,
+      s"bad gate config: chars [$minChars,$maxChars], tokens $minTokens")
+    val w = TextHash.tokens(col(textCol))
+    val fails: Seq[(String, Column)] = Seq(
+      "empty" -> (length(trim(col(textCol))) === 0),
+      "chars_out_of_range" -> !length(col(textCol))
+        .between(minChars, maxChars),
+      "few_tokens" -> (size(w) < minTokens),
+      "low_distinct_ratio" -> (size(w) === 0 ||
+        (size(array_distinct(w)).cast("double") /
+          size(w).cast("double")) < minDistinctRatio))
+    val names = fails.map(_._1)
+    val idxPairs = for {
+      i <- names.indices; j <- names.indices if i <= j
+    } yield (i, j)
+    val counters = count(lit(1)).cast("long").as("n_docs") +:
+      idxPairs.map { case (i, j) =>
+        sum(when(fails(i)._2 && fails(j)._2, 1L).otherwise(0L))
+          .cast("long").as(s"__f${i}_$j")
+      }
+    val agg = docs.agg(counters.head, counters.tail: _*)
+    val entries = idxPairs.collect { case (i, j) if i < j =>
+      struct(lit(names(i)).as("gate_a"), lit(names(j)).as("gate_b"),
+        col(s"__f${i}_$i").as("fail_a"), col(s"__f${j}_$j").as("fail_b"),
+        col(s"__f${i}_$j").as("fail_both"))
+    } ++ names.indices.map { i =>
+      struct(lit(names(i)).as("gate_a"), lit(names(i)).as("gate_b"),
+        col(s"__f${i}_$i").as("fail_a"), col(s"__f${i}_$i").as("fail_b"),
+        col(s"__f${i}_$i").as("fail_both"))
+    }
+    agg.select(col("n_docs"), explode(array(entries: _*)).as("e"))
+      .select(col("e.gate_a").as("gate_a"), col("e.gate_b").as("gate_b"),
+        col("n_docs"), col("e.fail_a").as("fail_a"),
+        col("e.fail_b").as("fail_b"), col("e.fail_both").as("fail_both"),
+        (col("e.fail_a") + col("e.fail_b") - col("e.fail_both"))
+          .as("fail_either"))
+      .withColumn("jaccard",
+        when(col("fail_either") > 0, col("fail_both").cast("double") /
+          col("fail_either").cast("double")))
+      .orderBy(col("gate_a"), col("gate_b"))
+  }
+
   /** LENGTH-BIAS CURVE — "is my quality signal length-biased": bucket
     * docs by character length (integer-width buckets — exact) and
     * report MICRO-AVERAGED stopword and punctuation ratios per bucket.
@@ -1192,5 +1261,122 @@ object TextAnalysis {
           least(col("e.point"), col("n_total")).cast("double"))
           .as("type_token_ratio"))
       .orderBy(col("point"))
+  }
+
+  /** BOILERPLATE N-GRAM FRACTION — [[repetitionSignals]]' CROSS-DOC
+    * sibling (that one flags text repeating within itself; this flags
+    * text the CORPUS repeats): per document, the fraction of its
+    * n-token windows whose hash appears in at least `minDf` distinct
+    * documents — headers, footers, license blocks, navigation chrome,
+    * templated disclaimers. The standard CCNet/C4-style signal a
+    * curation team thresholds on AFTER q60's paragraph dedup (q60
+    * removes exact repeated paragraphs; this scores the residue that
+    * repeats at sub-paragraph granularity or with interleaved noise).
+    *
+    * Engine-exact: windows are the [[TextHash.windowHashesOf]] rolling
+    * polynomial hashes (the q211 span machinery); counts are exact
+    * longs; the fraction is one IEEE division. Docs with fewer than
+    * `n` tokens have no windows and drop out (the tokenless-doc
+    * contract).
+    *
+    * Scale shape: the occurrence stream is linear in corpus token
+    * mass; document frequency is ONE partial-aggregable fold over
+    * 8-byte hashes; the frequent set re-attaches by LEFT SEMI hash
+    * join on the hash key (one row per hash on the build side — never
+    * a pair explosion, so no df cap is needed, unlike the pair
+    * screens). At 100 TB the df fold and the semi join shuffle hashes,
+    * not text. */
+  def boilerplateFraction(docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 5, minDf: Int = 2,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(n >= 1 && minDf >= 2,
+      s"need window n >= 1 and minDf >= 2: n=$n, minDf=$minDf")
+    val occ = scope.persist(
+      docs.select(col(idCol).as("doc_id"),
+        explode(TextHash.windowHashesOf(col(textCol), n)).as("hs")))
+    val frequent = occ.select(col("doc_id"), col("hs")).distinct()
+      .groupBy(col("hs")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf).select(col("hs"))
+    val tot = occ.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"))
+    val boiler = occ.join(frequent, Seq("hs"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+    tot.join(boiler, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        col("n_boiler").cast("double") / col("n_windows").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DSIR-STYLE IMPORTANCE WEIGHTS — the domain-targeted sampling
+    * score (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): score every document by how much its
+    * hashed-unigram profile looks like a TARGET domain versus the rest
+    * of the corpus, so a sampler can upweight target-like raw data.
+    * The published score is Σ_t c_t(d)·log(p_target(t)/p_raw(t)); `log`
+    * is libm-bound (the q97/q105 discipline), and unlike the PMI lift
+    * a SUM of logs has no monotone rational surrogate. The engine-exact
+    * replacement: quantize each term's likelihood RATIO to its
+    * floor-log2 BAND via an integer power-of-two comparison ladder —
+    * band(t) = max k ∈ [-20, 20] with a ≥ b·2^k where
+    * a = (c_target+1)·(N_raw+V), b = (c_raw+1)·(N_target+V) (add-one
+    * smoothing over the union vocabulary V) — then score = Σ c_t·band.
+    * All integer: cross-products bounded by N²·2²⁰ (decimal-38 /
+    * HUGEINT-safe at 100 TB), no transcendentals anywhere; the one
+    * IEEE double is the final per-token mean. 1-bit log resolution is
+    * the honest trade for hash-exactness: ranking by dyadic ratio
+    * bands preserves every ≥ 2× likelihood distinction, which is the
+    * resolution importance RESAMPLING actually consumes.
+    *
+    * Scale shape: one token explode into a (doc, term) partial
+    * aggregate; the per-term target/raw counts are a second
+    * |vocab|-keyed partial fold; corpus totals are the documented
+    * ONE-ROW broadcast scalar-append; scoring re-joins the persisted
+    * (doc, term) frame to the banded vocabulary on the term key (hash
+    * join on strings, vocab-bounded, never a pair explosion) and folds
+    * per doc. Zero-token documents drop out (no profile to weigh —
+    * the tokenless-doc contract [[qualityScores]] documents).
+    *
+    * Capability provenance: beyond the reference (its ETL has no
+    * corpus-composition tooling; nearest is the grouped rollup shape
+    * `bot_ventas.py:62-67`); required by the north-star pipeline's
+    * sampling/mixing family next to [[Sampling.mixToTokenBudget]]. */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val dec = "DECIMAL(19,0)"
+    // (doc, term) occurrence counts, carrying the doc's side flag
+    val dtc = scope.persist(
+      docs.select(col(idCol).as("doc_id"), targetPred.as("is_t"),
+          explode(wordTokens(textCol)).as("t"))
+        .groupBy(col("doc_id"), col("is_t"), col("t"))
+        .agg(count(lit(1)).as("c")))
+    val feat = dtc.groupBy(col("t")).agg(
+      sum(when(col("is_t"), col("c")).otherwise(lit(0L))).as("ct"),
+      sum(when(col("is_t"), lit(0L)).otherwise(col("c"))).as("cr"))
+    val tot = feat.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"),
+      count(lit(1)).as("v"))
+    val a = (col("ct") + lit(1L)).cast(dec) *
+      (col("nr") + col("v")).cast(dec)
+    val b = (col("cr") + lit(1L)).cast(dec) *
+      (col("nt") + col("v")).cast(dec)
+    // max k in [-20, 20] with a >= b·2^k — exact integer comparisons,
+    // first match wins scanning k downward (ELSE = -20)
+    val ladder = (19 to -19 by -1).foldLeft(
+      when(a >= b * lit(1L << 20), lit(20))) { (acc, k) =>
+        if (k >= 0) acc.when(a >= b * lit(1L << k), lit(k))
+        else acc.when(a * lit(1L << -k) >= b, lit(k))
+      }.otherwise(lit(-20))
+    val banded = feat.crossJoin(broadcast(tot))
+      .select(col("t"), ladder.cast("long").as("band"))
+    dtc.join(banded, Seq("t"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("band")).as("score_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("score_sum"),
+        (col("score_sum").cast("double") / col("n_tokens").cast("double"))
+          .as("avg_band"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Dec, Tables}
 import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Rules, Sampling, Scd, Scrub, SemiStructured, Similarity, Sketch, Skew, TextAnalysis, Trend}
 
-/** [[Ext]] family: relational breadth (joins, rules, scrubbing, SCD, semi-structured, misc) — queries q33, q34, q38, q43, q44, q46, q58, q59, q63, q64, q70, q75, q77, q78, q82, q85, q104, q109, q117, q118, q119, q121, q131, q155, q156, q158, q162, q168, q192, q198, q208, q210.
+/** [[Ext]] family: relational breadth (joins, rules, scrubbing, SCD, semi-structured, misc) — queries q33, q34, q38, q43, q44, q46, q58, q59, q63, q64, q70, q75, q77, q78, q82, q85, q104, q109, q117, q118, q119, q121, q131, q155, q156, q158, q162, q168, q192, q198, q208, q210, q220.
   * Split from the monolithic Ext.scala in round 12
   * (pure relocation; helpers live in [[ExtHelpers]]). */
 private[queries] trait ExtRelationalQ { self: ExtHelpers =>
@@ -1308,6 +1308,46 @@ private[queries] trait ExtRelationalQ { self: ExtHelpers =>
         CAST(n_rows AS DOUBLE) * n_keys / total AS skew_x,
         CAST(ceil(CAST(n_rows AS DOUBLE) / 1000) AS BIGINT) AS n_salts
       FROM r, t WHERE rank <= 10 ORDER BY rank
+    """.trim))
+
+  // --------------------------------------------------------------- q220
+  /** q220 — t-closeness audit ([[Scrub.tClosenessAudit]]): the third
+    * privacy rung over q121's (lang, source) quasi-groups — a group
+    * can be k- and l-safe yet still leak via its sensitive-value
+    * DISTRIBUTION; total-variation distance to the global n_chars
+    * distribution, the q112 exact-integer machinery, violation flag
+    * by cross-multiplication against the dyadic 3/8 threshold. */
+  val q220: Q = Q(
+    "q220_t_closeness",
+    (s, d) =>
+      Scrub.tClosenessAudit(Tables.documents(s, d),
+        Seq("lang", "source"), "n_chars", tNum = 3L, tDen = 8L),
+    Some("""
+      WITH p AS (
+        SELECT lang, source, n_chars AS sv, CAST(count(*) AS BIGINT) c_gv
+        FROM documents GROUP BY 1, 2, 3),
+      vt AS (SELECT sv, CAST(sum(c_gv) AS BIGINT) c_v FROM p GROUP BY 1),
+      nt AS (SELECT CAST(sum(c_v) AS BIGINT) n FROM vt),
+      gt AS (
+        SELECT lang, source, CAST(sum(c_gv) AS BIGINT) n_g
+        FROM p GROUP BY 1, 2),
+      folded AS (
+        SELECT p.lang, p.source, g.n_g, nt.n,
+          sum(abs(CAST(p.c_gv AS HUGEINT) * nt.n -
+            CAST(vt.c_v AS HUGEINT) * g.n_g)) AS shared,
+          CAST(sum(vt.c_v) AS BIGINT) AS s_g
+        FROM p
+        JOIN vt USING (sv)
+        JOIN gt g ON p.lang IS NOT DISTINCT FROM g.lang
+          AND p.source IS NOT DISTINCT FROM g.source, nt
+        GROUP BY 1, 2, 3, 4)
+      SELECT lang, source, n_g AS n_rows,
+        CAST(shared + CAST(n - s_g AS HUGEINT) * n_g AS DOUBLE) /
+          CAST(2 * CAST(n_g AS HUGEINT) * n AS DOUBLE) AS tv_distance,
+        ((shared + CAST(n - s_g AS HUGEINT) * n_g) * 8 >
+          (2 * CAST(n_g AS HUGEINT) * n) * 3) AS t_violation
+      FROM folded
+      ORDER BY lang NULLS FIRST, source NULLS FIRST
     """.trim))
 
 }

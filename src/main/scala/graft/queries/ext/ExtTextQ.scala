@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Dec, Tables}
 import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Rules, Sampling, Scd, Scrub, SemiStructured, Similarity, Sketch, Skew, TextAnalysis, Trend}
 
-/** [[Ext]] family: text analysis (language-ID, quality, tokens, fingerprints, n-gram stats) — queries q22, q23, q24, q25, q35, q45, q50, q54, q65, q66, q67, q97, q99, q105, q110, q112, q116, q124, q132, q133, q143, q153, q154, q159, q189, q190, q212.
+/** [[Ext]] family: text analysis (language-ID, quality, tokens, fingerprints, n-gram stats) — queries q22, q23, q24, q25, q35, q45, q50, q54, q65, q66, q67, q97, q99, q105, q110, q112, q116, q124, q132, q133, q143, q153, q154, q159, q189, q190, q212, q217, q218, q219.
   * Split from the monolithic Ext.scala in round 12
   * (pure relocation; helpers live in [[ExtHelpers]]). */
 private[queries] trait ExtTextQ { self: ExtHelpers =>
@@ -969,6 +969,172 @@ private[queries] trait ExtTextQ { self: ExtHelpers =>
         END AS bytes_per_token,
         CAST(sum(n_tokens) AS DOUBLE) / count(*) AS tokens_per_doc
       FROM pred GROUP BY lang ORDER BY lang
+    """.trim))
+
+  // --------------------------------------------------------------- q217
+  /** The floor-log2 ratio-band CASE ladder q217's oracle shares with
+    * [[TextAnalysis.importanceWeights]]: max k ∈ [-20, 20] with
+    * a ≥ b·2^k, scanned downward, exact integer comparisons only —
+    * generated here so the two engines can never disagree on a branch
+    * boundary. */
+  private def bandLadderSql(a: String, b: String): String =
+    ((20 to -19 by -1).map { k =>
+      if (k >= 0) s"WHEN $a >= $b * ${1L << k} THEN $k"
+      else s"WHEN $a * ${1L << -k} >= $b THEN $k"
+    } :+ "ELSE -20").mkString("CASE ", " ", " END")
+
+  /** q217 — DSIR-style importance weights
+    * ([[TextAnalysis.importanceWeights]]): per-document
+    * target-vs-raw likelihood score over hashed unigrams with the
+    * floor-log2 band ladder standing in for `log` (a SUM of logs has
+    * no monotone rational surrogate — the band quantization is the
+    * engine-exact replacement). Target domain here: the fixture's
+    * `lang = 'en'` slice. */
+  val q217: Q = Q(
+    "q217_importance_weights",
+    (s, d) =>
+      TextAnalysis.importanceWeights(Tables.documents(s, d), "doc_id",
+        "text", col("lang") === "en"),
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, lang = 'en' AS is_t, t
+        FROM documents, LATERAL unnest(
+          regexp_extract_all(lower(text), '([a-z]+|[0-9]+)', 1)) AS u(t)),
+      dtc AS (
+        SELECT doc_id, is_t, t, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2, 3),
+      feat AS (
+        SELECT t,
+          CAST(sum(CASE WHEN is_t THEN c ELSE 0 END) AS BIGINT) AS ct,
+          CAST(sum(CASE WHEN is_t THEN 0 ELSE c END) AS BIGINT) AS cr
+        FROM dtc GROUP BY 1),
+      tot AS (
+        SELECT CAST(sum(ct) AS BIGINT) AS nt,
+          CAST(sum(cr) AS BIGINT) AS nr,
+          CAST(count(*) AS BIGINT) AS v FROM feat),
+      band AS (
+        SELECT t, CAST(${bandLadderSql("a", "b")} AS BIGINT) AS band
+        FROM (
+          SELECT t,
+            CAST(ct + 1 AS HUGEINT) * CAST(nr + v AS HUGEINT) AS a,
+            CAST(cr + 1 AS HUGEINT) * CAST(nt + v AS HUGEINT) AS b
+          FROM feat, tot) s)
+      SELECT doc_id,
+        CAST(sum(c) AS BIGINT) AS n_tokens,
+        CAST(sum(c * band) AS BIGINT) AS score_sum,
+        CAST(sum(c * band) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+          AS avg_band
+      FROM dtc JOIN band USING (t)
+      GROUP BY doc_id ORDER BY doc_id
+    """.trim))
+
+  // --------------------------------------------------------------- q218
+  /** q218 — gate overlap matrix ([[TextAnalysis.gateOverlap]]):
+    * q110's funnel charges each doc to the FIRST failing gate; this
+    * is the order-independent diagnosis — per gate pair, how much
+    * their standalone failure sets overlap (Jaccard ≈ 1 ⇒ redundant
+    * gates, ≈ 0 ⇒ genuinely multiplicative stack). Same thresholds
+    * as q110, de-cascaded. */
+  val q218: Q = Q(
+    "q218_gate_overlap",
+    (s, d) =>
+      TextAnalysis.gateOverlap(Tables.documents(s, d), "text",
+        minChars = 100, maxChars = 20000, minTokens = 20,
+        minDistinctRatio = 0.25),
+    Some("""
+      WITH f AS (
+        SELECT
+          (length(trim(text)) = 0) AS f0,
+          (NOT (length(text) BETWEEN 100 AND 20000)) AS f1,
+          (len(list_filter(string_split_regex(trim(text), '\s+'),
+            t -> t <> '')) < 20) AS f2,
+          (len(list_filter(string_split_regex(trim(text), '\s+'),
+              t -> t <> '')) = 0
+            OR (CAST(len(list_distinct(list_filter(
+                  string_split_regex(trim(text), '\s+'), t -> t <> '')))
+                AS DOUBLE) /
+              CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                t -> t <> '')) AS DOUBLE)) < 0.25) AS f3
+        FROM documents),
+      s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN f0 THEN 1 ELSE 0 END) AS BIGINT) AS s0,
+          CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+          CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+          CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+          CAST(sum(CASE WHEN f0 AND f1 THEN 1 ELSE 0 END) AS BIGINT) AS s01,
+          CAST(sum(CASE WHEN f0 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS s02,
+          CAST(sum(CASE WHEN f0 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS s03,
+          CAST(sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS s12,
+          CAST(sum(CASE WHEN f1 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS s13,
+          CAST(sum(CASE WHEN f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS s23
+        FROM f),
+      m AS (
+        SELECT 'empty' AS gate_a, 'chars_out_of_range' AS gate_b,
+          n_docs, s0 AS fail_a, s1 AS fail_b, s01 AS fail_both FROM s
+        UNION ALL SELECT 'empty', 'few_tokens', n_docs, s0, s2, s02 FROM s
+        UNION ALL SELECT 'empty', 'low_distinct_ratio', n_docs, s0, s3,
+          s03 FROM s
+        UNION ALL SELECT 'chars_out_of_range', 'few_tokens', n_docs, s1,
+          s2, s12 FROM s
+        UNION ALL SELECT 'chars_out_of_range', 'low_distinct_ratio',
+          n_docs, s1, s3, s13 FROM s
+        UNION ALL SELECT 'few_tokens', 'low_distinct_ratio', n_docs, s2,
+          s3, s23 FROM s
+        UNION ALL SELECT 'empty', 'empty', n_docs, s0, s0, s0 FROM s
+        UNION ALL SELECT 'chars_out_of_range', 'chars_out_of_range',
+          n_docs, s1, s1, s1 FROM s
+        UNION ALL SELECT 'few_tokens', 'few_tokens', n_docs, s2, s2, s2
+          FROM s
+        UNION ALL SELECT 'low_distinct_ratio', 'low_distinct_ratio',
+          n_docs, s3, s3, s3 FROM s)
+      SELECT gate_a, gate_b, n_docs, fail_a, fail_b, fail_both,
+        fail_a + fail_b - fail_both AS fail_either,
+        CASE WHEN fail_a + fail_b - fail_both > 0 THEN
+          CAST(fail_both AS DOUBLE) /
+            CAST(fail_a + fail_b - fail_both AS DOUBLE)
+        END AS jaccard
+      FROM m ORDER BY gate_a, gate_b
+    """.trim))
+
+  // --------------------------------------------------------------- q219
+  /** q219 — boilerplate n-gram fraction
+    * ([[TextAnalysis.boilerplateFraction]]): per document, the share
+    * of its 5-token window hashes that at least 2 distinct documents
+    * contain — the cross-doc boilerplate signal (q35 is the
+    * within-doc one). Oracle replays the q211 rolling window hash;
+    * occurrences (not distinct windows) are scored, matching the
+    * "how much of THIS doc is chrome" reading. */
+  val q219: Q = Q(
+    "q219_boilerplate_ngrams",
+    (s, d) =>
+      TextAnalysis.boilerplateFraction(Tables.documents(s, d),
+        "doc_id", "text", n = 5, minDf = 2),
+    Some(s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      occ AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(0::BIGINT, whl[i : i + 4]),
+            (h, c) -> ((h * 31) + c) % $P) AS hs
+        FROM wh, LATERAL unnest(range(1, len(whl) - 3)) AS t(i)),
+      freq AS (
+        SELECT hs FROM (
+          SELECT hs, count(DISTINCT doc_id) AS df
+          FROM occ GROUP BY 1)
+        WHERE df >= 2),
+      tot AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+        FROM occ GROUP BY 1),
+      boiler AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+        FROM occ WHERE hs IN (SELECT hs FROM freq) GROUP BY 1)
+      SELECT t.doc_id, t.n_windows,
+        COALESCE(b.n_boiler, 0) AS n_boiler,
+        CAST(COALESCE(b.n_boiler, 0) AS DOUBLE) /
+          CAST(t.n_windows AS DOUBLE) AS boiler_frac
+      FROM tot t LEFT JOIN boiler b ON t.doc_id = b.doc_id
+      ORDER BY t.doc_id
     """.trim))
 
 }

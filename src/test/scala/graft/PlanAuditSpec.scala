@@ -870,7 +870,15 @@ class PlanAuditSpec extends SparkSpec {
       "q214_dedup_threshold_curve",
       // q215: the ONE-ROW anchor day appended to the (key, day) count
       // frame — halfLifeCounts' scalar-append, q170's shape
-      "q215_half_life_counts")
+      "q215_half_life_counts",
+      // q217: the ONE-ROW corpus totals (N_target, N_raw, V) appended
+      // to the |vocab| feature frame before the row-local band
+      // ladder — importanceWeights' scalar-append, q84's shape
+      "q217_importance_weights",
+      // q220: the ONE-ROW global count appended to the (quasi, value)
+      // pair frame before the TV fold — tClosenessAudit's
+      // scalar-append, q84's shape
+      "q220_t_closeness")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()
