@@ -303,7 +303,11 @@ object Bench {
     "q218_gate_overlap" -> 0.41,
     // q219 pays the occurrence-frame df fold + semi re-join
     "q219_boilerplate_ngrams" -> 1.22,
-    "q220_t_closeness" -> 0.78)
+    "q220_t_closeness" -> 0.78,
+    // q221 pays all three encode+decode fixture pipelines (the
+    // profile's honest cost — q206+q207+q209 in one query)
+    "q221_media_profile" -> 2.37,
+    "q222_background_jaccard" -> 0.5)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -461,6 +465,10 @@ object Bench {
     "q218_gate_overlap" -> 170L,
     "q219_boilerplate_ngrams" -> 8989564L,
     "q220_t_closeness" -> 696325L,
+    // q221: the ≤ few-dozen-key count is the only exchange
+    "q221_media_profile" -> 14829L,
+    // q222: top-k heap + broadcast pairs — ZERO shuffle by design
+    "q222_background_jaccard" -> 0L,
     "q21_embedding_neardup_ivf" -> 5033608L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

@@ -375,6 +375,19 @@ final class TrendStore(spark: SparkSession, storeDir: String) {
   def slopes: DataFrame =
     graft.operators.Trend.olsFromDaily(dailyCounts)
 
+  /** Per-key half-life decayed mass over the merged store — q215's
+    * decay-at-read fold ([[graft.operators.Trend.halfLifeFromDaily]])
+    * on [[dailyCounts]]. Decay is NOT stored (the anchor moves with
+    * every ingest; yesterday's decayed sums are stale the moment a
+    * new day lands) — the store ships exact integer counts and the
+    * dyadic fixed-point fold runs at read, so batch-split ≡ one-shot
+    * to the bit, however drains slice the days. */
+  def decayed(horizonDays: Int = 40): DataFrame =
+    graft.operators.Trend.halfLifeFromDaily(
+      dailyCounts.select(col("key").as("k"), col("d"),
+        col("c").as("n")),
+      horizonDays)
+
   /** Merge-on-compact ([[CmsStore.compact]]). */
   def compact(targetFileBytes: Long = 128L << 20): (Long, Long) =
     ParquetStore.compact(spark, storeDir, dailyCounts, targetFileBytes)

@@ -1487,4 +1487,71 @@ object Dedup {
             col("n_eval").cast("double")).as("contaminated_frac"))
       .orderBy(col("n"))
   }
+
+  /** BACKGROUND JACCARD CALIBRATION — the false-positive floor behind
+    * every similarity threshold: [[thresholdCurve]] (q214) shows how
+    * much CANDIDATE mass sits above each Jaccard cut, but a threshold
+    * is only meaningful against what UNRELATED pairs score. This draws
+    * a deterministic k-doc sample (smallest portable affine id-hashes,
+    * ties to the lower id — the [[Sampling.priorityKPerStratum]]
+    * hash, so the draw is reproducible across engines, runs, and
+    * corpus growth), scores ALL pairs within it with the exact q17
+    * 3-gram-shingle Jaccard, and reports the pair count per dyadic
+    * similarity band. Read against q214: a threshold whose band the
+    * background distribution reaches is screening noise.
+    *
+    * Engine-exact: band boundaries are integer cross-multiplications
+    * (`inter·16 ≤ union`), never a float compare; the one IEEE double
+    * is the final pair fraction. Pairs with no shingles on either
+    * side (docs under 3 tokens) land in the `zero` band.
+    *
+    * Scale shape: the sample selection is a global top-k on the hash
+    * (TakeOrderedAndProject — per-task k-row heap, never a sort); the
+    * k×k pair join is BNLJ BY DESIGN over two ≤ k-row broadcast
+    * frames (k² ≤ 4096 pairs at the default — corpus-size-
+    * independent, the q20 exception family); the band fold and the
+    * one-row total append act on ≤ 6 rows. The corpus is scanned
+    * once. */
+  def backgroundJaccard(docs: DataFrame, idCol: String, textCol: String,
+      sampleK: Int = 64,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(sampleK >= 2 && sampleK <= 1024,
+      s"sampleK=$sampleK out of [2, 1024]")
+    val P = 1000000007L
+    val h = ((col(idCol) % P) * lit(2654435761L) % P + lit(12345L)) % P
+    // persisted: the band fold and the one-row total both descend from
+    // this k-row frame — without the pin the corpus top-k would run
+    // twice (two full scans at 100 TB for a ≤ 6-row total)
+    val sample = scope.persist(docs.select(col(idCol).as("id"),
+        TextHash.shingleHashesOf(col(textCol)).as("sh"), h.as("__h"))
+      .orderBy(col("__h"), col("id")).limit(sampleK)
+      .select(col("id"), col("sh")))
+    val pairs = sample.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      .crossJoin(broadcast(
+        sample.select(col("id").as("id_b"), col("sh").as("sh_b"))))
+      .where(col("id_a") < col("id_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      .cast("long")
+    val union = (size(col("sh_a")) + size(col("sh_b"))).cast("long") -
+      inter
+    val banded = pairs.select(
+      when(inter === 0L, 0)
+        .when(inter * 16L <= union, 1)
+        .when(inter * 8L <= union, 2)
+        .when(inter * 4L <= union, 3)
+        .when(inter * 2L <= union, 4)
+        .otherwise(5).as("band_id"))
+    val counts = banded.groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val total = counts.agg(sum(col("n_pairs")).as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("band_id"),
+        element_at(array(lit("zero"), lit("le_1_16"), lit("le_1_8"),
+          lit("le_1_4"), lit("le_1_2"), lit("gt_1_2")),
+          col("band_id") + 1).as("band"),
+        col("n_pairs"),
+        (col("n_pairs").cast("double") / col("n_total").cast("double"))
+          .as("pair_frac"))
+      .orderBy(col("band_id"))
+  }
 }

@@ -511,4 +511,71 @@ object Multimodal {
       }
     }
   }
+
+  /** MEDIA CATALOG PROFILE — the first readout a multimodal curation
+    * team asks of a freshly-decoded corpus: per modality, how healthy
+    * is the decode (ok vs corrupt) and how is the catalog distributed
+    * over the buckets that drive training decisions — image
+    * resolution/aspect/format (thumbnails train nothing; extreme
+    * aspect ratios break fixed-size patching), audio container /
+    * sample rate / duration band (resample targets, padding budgets),
+    * video resolution / duration band (frame-sample budgets). Long
+    * format — (modality, dimension, bucket, n) — so one frame answers
+    * every "how many X are Y" without a schema per modality.
+    *
+    * Inputs are the DECODED metadata frames ([[decodeImageMeta]] /
+    * [[decodeAudioMeta]] / [[decodeVideoMeta]] outputs, or any frames
+    * with those columns): the profile is a catalog pass, decoupled
+    * from how the catalog was decoded. Corrupt rows (`ok = 0`) count
+    * in the `health` dimension only — their metadata is NULL by the
+    * decoder contract.
+    *
+    * Engine-exact: every bucket boundary is an integer comparison
+    * (pixel counts and duration bands by cross-multiplication —
+    * `frames·1000 < rate·10`, never a division); counts are exact.
+    * Scale shape: all bucket assignment is row-local; the ONE shuffle
+    * is the partial-aggregated count over ≤ a few dozen (modality,
+    * dimension, bucket) keys. */
+  def mediaProfile(images: DataFrame, audio: DataFrame,
+      video: DataFrame): DataFrame = {
+    def rows(df: DataFrame, modality: String,
+        dims: Seq[(String, Column)]): DataFrame =
+      df.where(col("ok") === 1L).select(explode(array(dims.map {
+        case (d, b) => struct(lit(modality).as("modality"),
+          lit(d).as("dimension"), b.as("bucket"))
+      }: _*)).as("e")).select(col("e.*"))
+    def health(df: DataFrame, modality: String): DataFrame =
+      df.select(lit(modality).as("modality"),
+        lit("health").as("dimension"),
+        when(col("ok") === 1L, "ok").otherwise("corrupt").as("bucket"))
+    val px = col("width") * col("height")
+    val img = rows(images, "image", Seq(
+      "format" -> col("format"),
+      "resolution" -> when(px < 1024L, "tiny")
+        .when(px < 2048L, "small").otherwise("medium"),
+      "aspect" -> when(col("height") > col("width"), "portrait")
+        .when(col("height") === col("width"), "square")
+        .otherwise("landscape")))
+    val aud = rows(audio, "audio", Seq(
+      "container" -> col("container"),
+      "sample_rate" -> col("sample_rate").cast("string"),
+      "duration" -> when(
+        col("n_frames") * lit(1000L) < col("sample_rate") * lit(10L),
+        "lt_10ms")
+        .when(col("n_frames") * lit(1000L) <
+          col("sample_rate") * lit(20L), "lt_20ms")
+        .otherwise("ge_20ms")))
+    val vid = rows(video, "video", Seq(
+      "resolution" -> when(px < 100000L, "lt_0_1mp")
+        .when(px < 200000L, "lt_0_2mp").otherwise("ge_0_2mp"),
+      "duration" -> when(col("duration_ms") < 8000L, "lt_8s")
+        .when(col("duration_ms") < 16000L, "lt_16s")
+        .otherwise("ge_16s")))
+    Seq(img, aud, vid, health(images, "image"), health(audio, "audio"),
+        health(video, "video"))
+      .reduce(_.unionByName(_))
+      .groupBy(col("modality"), col("dimension"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("modality"), col("dimension"), col("bucket"))
+  }
 }

@@ -222,15 +222,27 @@ object Trend {
     * TrendStore argument: ship (key, day) counts, decay at read). */
   def halfLifeCounts(events: DataFrame, keyCol: Column, dayCol: Column,
       horizonDays: Int = 40): DataFrame = {
+    val daily = events.select(keyCol.as("k"),
+        datediff(dayCol, to_date(lit("1970-01-01"))).as("d"))
+      .where(col("k").isNotNull && col("d").isNotNull)
+      .groupBy(col("k"), col("d")).agg(count(lit(1)).as("n"))
+    halfLifeFromDaily(daily, horizonDays)
+  }
+
+  /** The decay-at-read fold of [[halfLifeCounts]] over an already-
+    * aggregated `(k, d, n)` daily frame (`d` = integer day index) —
+    * the stage a mergeable store runs on its summed counts (the
+    * [[olsFromDaily]] discipline: per-(key, day) counts are the
+    * split-additive granularity; the decayed sum is a read-time fold
+    * because the anchor moves with every ingest). */
+  private[graft] def halfLifeFromDaily(daily: DataFrame,
+      horizonDays: Int): DataFrame = {
     require(horizonDays >= 1 && horizonDays <= 62,
       s"horizonDays=$horizonDays must be in [1, 62] (long shift range)")
-    val daily = events.select(keyCol.as("k"), dayCol.as("day"))
-      .where(col("k").isNotNull && col("day").isNotNull)
-      .groupBy(col("k"), col("day")).agg(count(lit(1)).as("n"))
-    val anchor = daily.agg(max(col("day")).as("anchor"))
+    val anchor = daily.agg(max(col("d")).as("anchor"))
     val scale = (1L << horizonDays).toDouble
     daily.crossJoin(broadcast(anchor))
-      .withColumn("age", datediff(col("anchor"), col("day")))
+      .withColumn("age", col("anchor") - col("d"))
       .groupBy(col("k"))
       .agg(
         sum(col("n")).as("n_events"),

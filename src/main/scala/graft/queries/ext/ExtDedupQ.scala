@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Dec, Tables}
 import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Rules, Sampling, Scd, Scrub, SemiStructured, Similarity, Sketch, Skew, TextAnalysis, Trend}
 
-/** [[Ext]] family: exact/near-dup dedup (MinHash-LSH, SimHash, Jaccard, winnowing, spans, fuzzy matching) — queries q16, q17, q18, q19, q31, q36, q48, q49, q60, q71, q76, q91, q92, q100, q101, q130, q134, q144, q160, q174, q178, q187, q188, q195, q197, q211, q213, q214, q216.
+/** [[Ext]] family: exact/near-dup dedup (MinHash-LSH, SimHash, Jaccard, winnowing, spans, fuzzy matching) — queries q16, q17, q18, q19, q31, q36, q48, q49, q60, q71, q76, q91, q92, q100, q101, q130, q134, q144, q160, q174, q178, q187, q188, q195, q197, q211, q213, q214, q216, q222.
   * Split from the monolithic Ext.scala in round 12
   * (pure relocation; helpers live in [[ExtHelpers]]). */
 private[queries] trait ExtDedupQ { self: ExtHelpers =>
@@ -1272,6 +1272,70 @@ private[queries] trait ExtDedupQ { self: ExtHelpers =>
       SELECT cluster_id, CAST(nm AS BIGINT) AS n_members,
         doc_id AS keep_id, n_tokens AS keep_tokens
       FROM rk WHERE rnk = 1 ORDER BY cluster_id
+    """.trim))
+
+  // --------------------------------------------------------------- q222
+  /** q222 — background Jaccard calibration
+    * ([[Dedup.backgroundJaccard]]): the false-positive floor behind
+    * q214's threshold curve — a deterministic 64-doc priority-hash
+    * sample, all pairs within it scored with the exact q17 shingle
+    * Jaccard, pair counts per dyadic similarity band. Band edges by
+    * integer cross-multiplication; the oracle replays the affine
+    * hash draw and the shingle intersection with plain joins. */
+  val q222: Q = Q(
+    "q222_background_jaccard",
+    (s, d) =>
+      Dedup.backgroundJaccard(Tables.documents(s, d), "doc_id",
+        "text", sampleK = 64),
+    Some(s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      $duckHashShingles,
+      samp AS (
+        SELECT doc_id
+        FROM (SELECT doc_id,
+          ((doc_id % $P) * 2654435761 % $P + 12345) % $P AS h
+          FROM documents)
+        ORDER BY h, doc_id LIMIT 64),
+      sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+        FROM sh WHERE doc_id IN (SELECT doc_id FROM samp) GROUP BY 1),
+      pairs AS (
+        SELECT a.doc_id ia, b.doc_id ib
+        FROM samp a JOIN samp b ON a.doc_id < b.doc_id),
+      ints AS (
+        SELECT x.doc_id ia, y.doc_id ib, CAST(count(*) AS BIGINT) i
+        FROM sh x JOIN sh y ON x.hs = y.hs AND x.doc_id < y.doc_id
+        WHERE x.doc_id IN (SELECT doc_id FROM samp)
+          AND y.doc_id IN (SELECT doc_id FROM samp)
+        GROUP BY 1, 2),
+      j AS (
+        SELECT COALESCE(i.i, 0) AS it,
+          COALESCE(sa.sz, 0) + COALESCE(sb.sz, 0) - COALESCE(i.i, 0)
+            AS un
+        FROM pairs p
+        LEFT JOIN ints i ON p.ia = i.ia AND p.ib = i.ib
+        LEFT JOIN sizes sa ON sa.doc_id = p.ia
+        LEFT JOIN sizes sb ON sb.doc_id = p.ib),
+      banded AS (
+        SELECT CASE WHEN it = 0 THEN 0
+                    WHEN it * 16 <= un THEN 1
+                    WHEN it * 8 <= un THEN 2
+                    WHEN it * 4 <= un THEN 3
+                    WHEN it * 2 <= un THEN 4
+                    ELSE 5 END AS band_id
+        FROM j),
+      counts AS (
+        SELECT band_id, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM banded GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS n_total FROM counts)
+      SELECT band_id,
+        CASE band_id WHEN 0 THEN 'zero' WHEN 1 THEN 'le_1_16'
+          WHEN 2 THEN 'le_1_8' WHEN 3 THEN 'le_1_4'
+          WHEN 4 THEN 'le_1_2' ELSE 'gt_1_2' END AS band,
+        n_pairs,
+        CAST(n_pairs AS DOUBLE) / CAST(n_total AS DOUBLE) AS pair_frac
+      FROM counts, tot ORDER BY band_id
     """.trim))
 
 }

@@ -6,7 +6,7 @@ import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing,
 
 /** [[Ext]] family: multimodal binary-column plumbing and decode —
   * queries q26 (columnar metadata), q206 (image), q207 (audio),
-  * q209 (video container).
+  * q209 (video container), q221 (catalog profile over all three).
   * Split from the monolithic Ext.scala in round 12
   * (pure relocation; helpers live in [[ExtHelpers]]). */
 private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
@@ -154,6 +154,79 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       FROM documents
       WHERE doc_id IS NOT NULL AND doc_id >= 0
       ORDER BY doc_id
+    """.trim))
+
+  // ---------------------------------------------------------------- q221
+  /** q221 — media catalog profile ([[Multimodal.mediaProfile]]): the
+    * readout OVER the three real decoders (q206/q207/q209) — per
+    * modality, decode health plus the distributions that drive
+    * training decisions (image resolution/aspect/format, audio
+    * container/rate/duration band, video resolution/duration band) in
+    * one long-format frame. Every bucket boundary is an integer
+    * comparison; the oracle restates the buckets as pure id
+    * arithmetic over the fixture's encode parameters. */
+  val q221: Q = Q(
+    "q221_media_profile",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Multimodal.mediaProfile(
+        Multimodal.decodeImageMeta(
+          Multimodal.encodeImageFixture(docs, "doc_id")).toDF(),
+        Multimodal.decodeAudioMeta(
+          Multimodal.encodeAudioFixture(docs, "doc_id")).toDF(),
+        Multimodal.decodeVideoMeta(
+          Multimodal.encodeVideoFixture(docs, "doc_id")).toDF())
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0),
+      ok AS (
+        SELECT doc_id, 8 + doc_id % 57 AS iw, 8 + (doc_id * 3) % 41 AS ih,
+          CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+          8000 + (doc_id % 5) * 2000 AS rate,
+          50 + (doc_id * 7) % 151 AS frames,
+          CASE WHEN doc_id % 2 = 0 THEN 'wave' ELSE 'aiff' END AS cont,
+          1000 + (doc_id % 97) * 250 AS dur,
+          160 + (doc_id % 8) * 80 AS vw, 120 + (doc_id % 6) * 60 AS vh
+        FROM d WHERE doc_id % 10 NOT IN (3, 4, 6, 7)),
+      r AS (
+        SELECT 'image' AS modality, 'format' AS dimension, fmt AS bucket
+          FROM ok
+        UNION ALL SELECT 'image', 'resolution',
+          CASE WHEN iw * ih < 1024 THEN 'tiny'
+               WHEN iw * ih < 2048 THEN 'small'
+               ELSE 'medium' END FROM ok
+        UNION ALL SELECT 'image', 'aspect',
+          CASE WHEN ih > iw THEN 'portrait'
+               WHEN ih = iw THEN 'square'
+               ELSE 'landscape' END FROM ok
+        UNION ALL SELECT 'audio', 'container', cont FROM ok
+        UNION ALL SELECT 'audio', 'sample_rate', CAST(rate AS VARCHAR)
+          FROM ok
+        UNION ALL SELECT 'audio', 'duration',
+          CASE WHEN frames * 1000 < rate * 10 THEN 'lt_10ms'
+               WHEN frames * 1000 < rate * 20 THEN 'lt_20ms'
+               ELSE 'ge_20ms' END FROM ok
+        UNION ALL SELECT 'video', 'resolution',
+          CASE WHEN vw * vh < 100000 THEN 'lt_0_1mp'
+               WHEN vw * vh < 200000 THEN 'lt_0_2mp'
+               ELSE 'ge_0_2mp' END FROM ok
+        UNION ALL SELECT 'video', 'duration',
+          CASE WHEN dur < 8000 THEN 'lt_8s'
+               WHEN dur < 16000 THEN 'lt_16s'
+               ELSE 'ge_16s' END FROM ok
+        UNION ALL SELECT 'image', 'health',
+          CASE WHEN doc_id % 10 IN (3, 4, 6, 7) THEN 'corrupt'
+               ELSE 'ok' END FROM d
+        UNION ALL SELECT 'audio', 'health',
+          CASE WHEN doc_id % 10 IN (3, 4, 6, 7) THEN 'corrupt'
+               ELSE 'ok' END FROM d
+        UNION ALL SELECT 'video', 'health',
+          CASE WHEN doc_id % 10 IN (3, 4, 6, 7) THEN 'corrupt'
+               ELSE 'ok' END FROM d)
+      SELECT modality, dimension, bucket, CAST(count(*) AS BIGINT) AS n
+      FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
     """.trim))
 
 }

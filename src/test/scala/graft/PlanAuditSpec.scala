@@ -878,7 +878,11 @@ class PlanAuditSpec extends SparkSpec {
       // q220: the ONE-ROW global count appended to the (quasi, value)
       // pair frame before the TV fold — tClosenessAudit's
       // scalar-append, q84's shape
-      "q220_t_closeness")
+      "q220_t_closeness",
+      // q222: BNLJ BY DESIGN over two ≤ 64-row broadcast sample frames
+      // (k² ≤ 4096 pairs, corpus-size-independent — the q20 exception
+      // family), plus the one-row pair-total scalar-append
+      "q222_background_jaccard")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()

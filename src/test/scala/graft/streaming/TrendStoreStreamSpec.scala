@@ -62,5 +62,17 @@ class TrendStoreStreamSpec extends SparkSpec {
     run() // nothing new landed
     assert(spark.read.parquet(storeDir).count() == rowsBefore)
     assert(fit(store.slopes) == oneShot)
+
+    // the q215 decay-at-read fold over the same landings: however the
+    // drains sliced the days, the dyadic fixed point over SUMmed
+    // counts equals the one-shot half-life analytic bit for bit
+    def decayMap(df: DataFrame) = df.collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    val oneShotDecay = decayMap(Trend.halfLifeCounts(events,
+      col("event_type"), col("day")))
+    assert(oneShotDecay.nonEmpty &&
+      oneShotDecay.values.exists(_._2 > 0.0))
+    assert(decayMap(store.decayed()) == oneShotDecay)
   }
 }
