@@ -307,7 +307,9 @@ object Bench {
     // q221 pays all three encode+decode fixture pipelines (the
     // profile's honest cost — q206+q207+q209 in one query)
     "q221_media_profile" -> 2.37,
-    "q222_background_jaccard" -> 0.5)
+    "q222_background_jaccard" -> 0.5,
+    "q223_small_qty_revenue" -> 1.15,
+    "q224_shard_manifest" -> 0.61)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -469,6 +471,8 @@ object Bench {
     "q221_media_profile" -> 14829L,
     // q222: top-k heap + broadcast pairs — ZERO shuffle by design
     "q222_background_jaccard" -> 0L,
+    "q223_small_qty_revenue" -> 629248L,
+    "q224_shard_manifest" -> 236476L,
     "q21_embedding_neardup_ivf" -> 5033608L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

@@ -43,13 +43,14 @@ import graft.functions.TextHash
   */
 object Packing {
 
-  def contiguousOffsets(docs: DataFrame, idCol: String, textCol: String,
-      maxTokens: Int = 2048,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    require(maxTokens >= 1, s"need maxTokens >= 1, got $maxTokens")
-    val spark = docs.sparkSession
-    val counts = docs.select(col(idCol).as("doc_id"),
-      size(TextHash.tokenHashesOf(col(textCol))).as("n_tokens"))
+  /** The shared two-phase distributed prefix sum over a
+    * `(doc_id, n_tokens)` frame — phases 1/2 of the scaladoc above;
+    * returns `(doc_id, n_tokens, global_offset)` unordered.
+    * [[contiguousOffsets]] runs it on token counts,
+    * [[shardManifest]] on byte counts. */
+  private def globalOffsets(counts: DataFrame,
+      scope: CacheScope): DataFrame = {
+    val spark = counts.sparkSession
     // phase 1: range partitions aligned with the global order + local scan.
     // Persisted: the totals aggregate and the output projection both read
     // it, and re-running it would re-shuffle the corpus.
@@ -77,6 +78,15 @@ object Packing {
     ranged
       .join(broadcast(prefix), col("pid") === col("pid_l"))
       .select(col("doc_id"), col("n_tokens"), off.as("global_offset"))
+  }
+
+  def contiguousOffsets(docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int = 2048,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(maxTokens >= 1, s"need maxTokens >= 1, got $maxTokens")
+    val counts = docs.select(col(idCol).as("doc_id"),
+      size(TextHash.tokenHashesOf(col(textCol))).as("n_tokens"))
+    globalOffsets(counts, scope)
       // `div` = exact integer division on longs — a double round-trip
       // would silently mis-bucket offsets past 2^53 (a few hundred TB
       // of tokens, i.e. exactly the regime this operator targets)
@@ -86,6 +96,46 @@ object Packing {
         ((col("global_offset") % maxTokens) + col("n_tokens") > maxTokens)
           .as("spans_boundary"))
       .orderBy(col("doc_id"))
+  }
+
+  /** SHARD MANIFEST — the writer-side plan of a large export: pack the
+    * corpus in deterministic id order into contiguous byte-budget
+    * shards and report, per shard, what lands there — doc count, byte
+    * mass, id range, and how many docs straddle the boundary into the
+    * next shard (the consumer's split-or-round-up signal, q37's
+    * `spans_boundary` at file grain). This is the manifest a 100 TB
+    * job computes BEFORE writing N roughly-equal output files —
+    * deterministic (pure function of ids and byte lengths: stable
+    * across runs, engines, and partition counts), so a re-run resumes
+    * against the same file plan.
+    *
+    * Byte offsets come from the same two-phase distributed prefix sum
+    * as [[contiguousOffsets]] (never a single-partition global
+    * window); sizes are OCTET lengths (bytes, not chars — what files
+    * actually cost); `fill` is the one IEEE division at the output
+    * edge (can exceed 1.0 exactly when a straddling doc carries mass
+    * past the boundary). Scale shape: one range shuffle + a
+    * ≤ |shards|-key partial-aggregated fold. */
+  def shardManifest(docs: DataFrame, idCol: String, textCol: String,
+      shardBytes: Long = 256L << 20,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(shardBytes >= 1L, s"need shardBytes >= 1, got $shardBytes")
+    val counts = docs.select(col(idCol).as("doc_id"),
+      octet_length(col(textCol)).cast("long").as("n_tokens"))
+    globalOffsets(counts, scope)
+      .select(col("doc_id"), col("n_tokens").as("n_bytes"),
+        expr(s"global_offset div $shardBytes").as("shard_id"),
+        ((col("global_offset") % shardBytes) + col("n_tokens") >
+          shardBytes).as("straddles"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("n_bytes"),
+        sum(when(col("straddles"), 1L).otherwise(0L)).as("n_straddle"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .withColumn("fill",
+        col("n_bytes").cast("double") / lit(shardBytes.toDouble))
+      .orderBy(col("shard_id"))
   }
 
   /** Sliding-window chunking — the retrieval-side sibling of packing:

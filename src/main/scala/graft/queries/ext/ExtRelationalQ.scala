@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Dec, Tables}
 import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Rules, Sampling, Scd, Scrub, SemiStructured, Similarity, Sketch, Skew, TextAnalysis, Trend}
 
-/** [[Ext]] family: relational breadth (joins, rules, scrubbing, SCD, semi-structured, misc) — queries q33, q34, q38, q43, q44, q46, q58, q59, q63, q64, q70, q75, q77, q78, q82, q85, q104, q109, q117, q118, q119, q121, q131, q155, q156, q158, q162, q168, q192, q198, q208, q210, q220.
+/** [[Ext]] family: relational breadth (joins, rules, scrubbing, SCD, semi-structured, misc) — queries q33, q34, q38, q43, q44, q46, q58, q59, q63, q64, q70, q75, q77, q78, q82, q85, q104, q109, q117, q118, q119, q121, q131, q155, q156, q158, q162, q168, q192, q198, q208, q210, q220, q223.
   * Split from the monolithic Ext.scala in round 12
   * (pure relocation; helpers live in [[ExtHelpers]]). */
 private[queries] trait ExtRelationalQ { self: ExtHelpers =>
@@ -1348,6 +1348,65 @@ private[queries] trait ExtRelationalQ { self: ExtHelpers =>
           (2 * CAST(n_g AS HUGEINT) * n) * 3) AS t_violation
       FROM folded
       ORDER BY lang NULLS FIRST, source NULLS FIRST
+    """.trim))
+
+  // --------------------------------------------------------------- q223
+  /** q223 — small-quantity revenue (the TPC-H Q17 SHAPE, the
+    * planner's classic AGGREGATE-THEN-REJOIN stressor next to q208's
+    * Q21): revenue sitting in lineitems whose quantity is below 20%
+    * of their part's average order quantity — the "would a
+    * small-order surcharge matter" readout, grouped by brand. The
+    * correlated scalar subquery (`l_quantity < 0.2 · avg(l_quantity)
+    * per part`) plans as a per-part aggregate joined back to the
+    * fact — the shape, not a row-at-a-time subquery. The fractional
+    * threshold is CROSS-MULTIPLIED (`q·5·cnt < Σq` in exact
+    * DECIMAL), never `0.2·avg` in floats, so the boundary cannot
+    * flip between engines; `avg_yearly` is the one IEEE division at
+    * the output edge.
+    *
+    * Scale shape: the per-part stats frame and the fact co-key on
+    * `l_partkey` — one hash partitioning planned once and reused;
+    * the part dim is broadcast; the brand rollup is a ≤ |brands|
+    * partial-aggregated fold. The stats frame must NOT be broadcast
+    * at scale (it is |parts|-sized, ~1/4 of the fact row count in
+    * TPC-H); AQE may legitimately broadcast it at fixture SF. */
+  val q223: Q = Q(
+    "q223_small_qty_revenue",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_partkey"),
+        col("l_quantity"), col("l_extendedprice"))
+      val stats = li.groupBy(col("l_partkey")).agg(
+        count(col("l_quantity")).as("__cnt"),
+        sum(Dec.d2(col("l_quantity"))).as("__sq"))
+      li.join(stats, Seq("l_partkey"))
+        .where(Dec.d2(col("l_quantity")) * lit(5L) * col("__cnt") <
+          col("__sq"))
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_small_qty"),
+          sum(Dec.d2(col("l_extendedprice"))).as("__rev"))
+        .select(col("p_brand"), col("n_small_qty"),
+          Dec.outD(col("__rev")).as("revenue"),
+          (Dec.outD(col("__rev")) / lit(7.0)).as("avg_yearly"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""
+      WITH stats AS (
+        SELECT l_partkey, CAST(count(l_quantity) AS BIGINT) AS cnt,
+          sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+        FROM lineitem GROUP BY 1)
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n_small_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+          AS revenue,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+          / 7.0 AS avg_yearly
+      FROM lineitem
+      JOIN stats USING (l_partkey)
+      JOIN part ON p_partkey = l_partkey
+      WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * cnt < sq
+      GROUP BY p_brand ORDER BY p_brand
     """.trim))
 
 }

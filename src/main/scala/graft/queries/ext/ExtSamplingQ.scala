@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Dec, Tables}
 import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Rules, Sampling, Scd, Scrub, SemiStructured, Similarity, Sketch, Skew, TextAnalysis, Trend}
 
-/** [[Ext]] family: sampling, mixing, splits and sequence packing — queries q32, q37, q40, q41, q42, q47, q51, q68, q90, q94, q103, q145, q171, q186, q203.
+/** [[Ext]] family: sampling, mixing, splits and sequence packing — queries q32, q37, q40, q41, q42, q47, q51, q68, q90, q94, q103, q145, q171, q186, q203, q224.
   * Split from the monolithic Ext.scala in round 12
   * (pure relocation; helpers live in [[ExtHelpers]]). */
 // the leakage-safe split (q94) nests q31's cluster oracle — hence the
@@ -522,6 +522,39 @@ private[queries] trait ExtSamplingQ { self: ExtHelpers with ExtDedupQ =>
             / (CAST(n AS DOUBLE) * sqrt(CAST(n - 1 AS DOUBLE)))
         END AS se
       FROM agg ORDER BY split
+    """.trim))
+
+  // --------------------------------------------------------------- q224
+  /** q224 — shard manifest ([[Packing.shardManifest]]): the
+    * writer-side plan of a large export — pack docs in id order into
+    * contiguous 16 KB byte shards (fixture-scaled; 256 MB at
+    * production) and report per shard the doc count, byte mass,
+    * straddle count, id range, and fill. q37's two-phase prefix sum
+    * over OCTET lengths; the oracle is the single-window
+    * formulation. */
+  val q224: Q = Q(
+    "q224_shard_manifest",
+    (s, d) =>
+      Packing.shardManifest(Tables.documents(s, d), "doc_id", "text",
+        shardBytes = 16384L),
+    Some("""
+      WITH b AS (
+        SELECT doc_id, CAST(strlen(text) AS BIGINT) AS nb
+        FROM documents),
+      o AS (
+        SELECT doc_id, nb,
+          CAST(COALESCE(SUM(nb) OVER (
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) AS BIGINT) AS off
+        FROM b)
+      SELECT off // 16384 AS shard_id,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(nb) AS BIGINT) AS n_bytes,
+        CAST(sum(CASE WHEN (off % 16384) + nb > 16384 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_straddle,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        CAST(sum(nb) AS DOUBLE) / 16384.0 AS fill
+      FROM o GROUP BY 1 ORDER BY 1
     """.trim))
 
 }

@@ -139,6 +139,36 @@ class PackingSpec extends SparkSpec {
     assert(run(32) == one)
   }
 
+  test("shardManifest: crafted boundaries, and invariance under the " +
+    "partition count") {
+    // byte sizes 5, 7, 3, 9 (docs below), shardBytes 10 ->
+    //   offsets 0, 5, 12, 15; shards 0, 0, 1, 1
+    //   doc 1 straddles (5 + 7 > 10), doc 3 straddles (15%10 + 9 > 10)
+    val crafted = docs(
+      0L -> "aaaaa", 1L -> "bbbbbbb", 2L -> "ccc", 3L -> "ddddddddd")
+    val out = Packing.shardManifest(crafted, "doc_id", "text",
+      shardBytes = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 12L, 1L, 0L, 1L),
+      (1L, 2L, 12L, 1L, 2L, 3L)))
+
+    val corpus = (0L until 400L).map(i =>
+      i -> (("w " * (1 + (i % 17).toInt)).trim))
+    def run(parts: Int): Seq[Row] = {
+      val before = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try Packing.shardManifest(docs(corpus: _*), "doc_id", "text",
+        shardBytes = 128L).collect().toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    }
+    val one = run(1)
+    assert(one.size > 1)
+    assert(run(7) == one)
+    assert(run(32) == one)
+  }
+
   test("truncateToTokens: the kept hash is the prefix's, short docs " +
     "pass whole, empty docs keep their audit row") {
     import org.apache.spark.sql.functions.sha2
