@@ -618,4 +618,42 @@ class DedupSpec extends SparkSpec {
       (3L, 4L) -> ((1L, 0L)),
       (5L, 6L) -> ((0L, 1L))))
   }
+
+  test("backgroundJaccard: identical docs land in the top band, " +
+    "disjoint docs in zero; fractions sum the pair count") {
+    val s13 = spark; import s13.implicits._
+    // 4 docs, sampleK = 4 -> all 6 pairs scored. Docs 0 and 1 are
+    // identical (Jaccard 1 -> gt_1_2); every other pair shares no
+    // 3-gram shingle -> zero band.
+    val df = Seq(
+      (0L, "a b c d e"), (1L, "a b c d e"),
+      (2L, "p q r s t"), (3L, "x y z w v")).toDF("doc_id", "text")
+    val out = Dedup.backgroundJaccard(df, "doc_id", "text", sampleK = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (0, "zero", 5L, 5.0 / 6),
+      (5, "gt_1_2", 1L, 1.0 / 6)))
+  }
+
+  test("backgroundJaccard: the draw is the k smallest affine hashes — " +
+    "adding a doc outside the sample leaves the bands unchanged") {
+    val s14 = spark; import s14.implicits._
+    val base = Seq(
+      (0L, "a b c d e"), (1L, "a b c d e"),
+      (2L, "p q r s t"), (3L, "x y z w v")).toDF("doc_id", "text")
+    val P = 1000000007L
+    // find an id whose affine hash exceeds all four in the sample, so
+    // with sampleK = 4 it can never displace a sampled doc
+    def h(id: Long) = ((id % P) * 2654435761L % P + 12345L) % P
+    val maxH = (0L to 3L).map(h).max
+    val outsider = (4L to 400L).find(h(_) > maxH).get
+    val more = base.union(
+      Seq((outsider, "a b c d e")).toDF("doc_id", "text"))
+    val a = Dedup.backgroundJaccard(base, "doc_id", "text", sampleK = 4)
+      .collect().toSeq
+    val b = Dedup.backgroundJaccard(more, "doc_id", "text", sampleK = 4)
+      .collect().toSeq
+    assert(a == b)
+  }
 }

@@ -237,4 +237,41 @@ class MultimodalSpec extends SparkSpec {
     val tinySize = Array[Byte](0, 0, 0, 4) ++ "ftyp".getBytes("US-ASCII")
     assert(Multimodal.decodeVideoHeader(tinySize).isEmpty)
   }
+
+  test("mediaProfile: corrupt rows count in health only; bucket edges " +
+    "are exact integer boundaries") {
+    val s = spark; import s.implicits._
+    // image: 32×32 = 1024 px is NOT tiny (strict <) — the edge case;
+    // the corrupt row (ok=0, null metadata) must appear only in health
+    val images = Seq(
+      (0L, 1L, Some(32L), Some(32L), Some(3L), Some("png")),
+      (1L, 1L, Some(31L), Some(33L), Some(3L), Some("jpeg")),
+      (2L, 0L, None: Option[Long], None: Option[Long],
+        None: Option[Long], None: Option[String]))
+      .toDF("doc_id", "ok", "width", "height", "channels", "format")
+    // audio: 100 frames at 10000 Hz = exactly 10 ms -> NOT lt_10ms
+    val audio = Seq(
+      (0L, 1L, Some(10000L), Some(1L), Some(100L), Some("pcm_signed"),
+        Some("wave")))
+      .toDF("doc_id", "ok", "sample_rate", "channels", "n_frames",
+        "encoding", "container")
+    val video = Seq(
+      (0L, 1L, Some("isom"), Some(7999L), Some(1L), Some(320L),
+        Some(240L)))
+      .toDF("doc_id", "ok", "brand", "duration_ms", "n_tracks",
+        "width", "height")
+    val out = Multimodal.mediaProfile(images, audio, video)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2)) -> r.getLong(3)).toMap
+    assert(out(("image", "resolution", "small")) == 1L)  // 1024 px
+    assert(out(("image", "resolution", "tiny")) == 1L)   // 1023 px
+    assert(out(("image", "aspect", "square")) == 1L)
+    assert(out(("image", "aspect", "portrait")) == 1L)
+    assert(out(("image", "health", "corrupt")) == 1L)
+    assert(out(("image", "health", "ok")) == 2L)
+    assert(!out.contains(("image", "format", "null")))
+    assert(out(("audio", "duration", "lt_20ms")) == 1L)  // exactly 10ms
+    assert(out(("video", "duration", "lt_8s")) == 1L)    // 7999 ms
+    assert(out(("video", "resolution", "lt_0_1mp")) == 1L) // 76800 px
+  }
 }

@@ -66,4 +66,39 @@ class ScrubSpec extends SparkSpec {
       Scrub.kAnonymityAudit(df, Seq("q"), "sv", k = 0L)
     }
   }
+
+  test("tClosenessAudit: hand-computed TV with the closed-form tail; " +
+    "the dyadic flag flips exactly with the threshold") {
+    val s = spark; import s.implicits._
+    // global: N=4, c(a)=3, c(b)=1
+    // g1 = {a, a}: shared |2·4 − 3·2| = 2, tail (4−3)·2 = 2
+    //   -> TV = 4 / 16 = 0.25
+    // g2 = {a, b}: shared |1·4 − 3·2| + |1·4 − 1·2| = 4, tail 0
+    //   -> TV = 4 / 16 = 0.25
+    val df = Seq(("g1", "a"), ("g1", "a"), ("g2", "a"), ("g2", "b"))
+      .toDF("g", "sv")
+    val loose = Scrub.tClosenessAudit(df, Seq("g"), "sv",
+      tNum = 3L, tDen = 8L) // t = 0.375 > 0.25 -> no violations
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(loose == Map(
+      "g1" -> ((2L, 0.25, false)),
+      "g2" -> ((2L, 0.25, false))))
+    val tight = Scrub.tClosenessAudit(df, Seq("g"), "sv",
+      tNum = 1L, tDen = 8L) // t = 0.125 < 0.25 -> both violate
+      .collect().map(r => r.getBoolean(3))
+    assert(tight.toSeq == Seq(true, true))
+  }
+
+  test("tClosenessAudit: a group mirroring the global distribution " +
+    "reads TV = 0") {
+    val s = spark; import s.implicits._
+    // both groups are {a, a, b}: every group distribution IS the
+    // global one, so TV must be exactly zero for both
+    val df = Seq(("g1", "a"), ("g1", "a"), ("g1", "b"),
+      ("g2", "a"), ("g2", "a"), ("g2", "b")).toDF("g", "sv")
+    val out = Scrub.tClosenessAudit(df, Seq("g"), "sv")
+      .collect().map(r => (r.getDouble(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq((0.0, false), (0.0, false)))
+  }
 }

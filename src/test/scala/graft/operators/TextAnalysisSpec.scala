@@ -506,4 +506,64 @@ class TextAnalysisSpec extends SparkSpec {
       (4L, 4L, 3L, 0.75),
       (8L, 6L, 4L, 4.0 / 6)))
   }
+
+  test("gateOverlap: hand-computed failure sets; a fully-redundant " +
+    "pair reads Jaccard 1.0") {
+    // thresholds chars [5,10], tokens >= 2, distinct ratio >= 0.5
+    // doc0 "" fails ALL; doc1 "abcdefg" fails few_tokens only;
+    // doc2 "aa aa" fails nothing (ratio exactly 0.5 passes);
+    // doc3 "a a a a a a" (11 chars) fails chars AND ratio
+    val out = TextAnalysis.gateOverlap(
+      docs("", "abcdefg", "aa aa", "a a a a a a"), "text",
+      minChars = 5, maxChars = 10, minTokens = 2,
+      minDistinctRatio = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          if (r.isNullAt(7)) -1.0 else r.getDouble(7)))).toMap
+    // chars = {0,3}, low_ratio = {0,3}: identical sets -> redundant
+    assert(out(("chars_out_of_range", "low_distinct_ratio")) ==
+      ((2L, 2L, 2L, 2L, 1.0)))
+    // empty = {0} vs few_tokens = {0,1}: both 1, either 2
+    assert(out(("empty", "few_tokens")) == ((1L, 2L, 1L, 2L, 0.5)))
+    // chars = {0,3} vs few_tokens = {0,1}: both 1, either 3
+    assert(out(("chars_out_of_range", "few_tokens")) ==
+      ((2L, 2L, 1L, 3L, 1.0 / 3)))
+    // diagonals carry standalone counts, Jaccard 1 when non-empty
+    assert(out(("empty", "empty")) == ((1L, 1L, 1L, 1L, 1.0)))
+    assert(out.size == 10)
+  }
+
+  test("boilerplateFraction: occurrences scored, df over distinct " +
+    "docs, clean docs at zero") {
+    // 3-gram windows, minDf 2: "a b c" appears in docs 0, 1, 3
+    val out = TextAnalysis.boilerplateFraction(
+      docs(
+        "a b c d",       // windows (a b c)(b c d) -> 1 of 2 boiler
+        "a b c x",       // windows (a b c)(b c x) -> 1 of 2
+        "p q r s",       // no shared window -> 0 of 2
+        "a b c a b c"),  // (a b c)(b c a)(c a b)(a b c) -> 2 of 4
+      "doc_id", "text", n = 3, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0L) == ((2L, 1L, 0.5)))
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 0L, 0.0)))
+    assert(out(3L) == ((4L, 2L, 0.5)))
+  }
+
+  test("importanceWeights: hand-computed floor-log2 bands; target-" +
+    "heavy terms score positive, raw-heavy negative") {
+    // target = doc0 only. Features: 'aa' ct=4 cr=1, 'bb' ct=0 cr=5;
+    // N_t=4, N_r=6, V=2.
+    //   band(aa) = floor(log2(5*8 / (2*6)))  = floor(log2(3.33)) = 1
+    //   band(bb) = floor(log2(1*8 / (6*6)))  = floor(log2(0.22)) = -3
+    val corpus = docs("aa aa aa aa", "bb bb bb bb", "aa bb")
+    val out = TextAnalysis.importanceWeights(corpus, "doc_id", "text",
+      targetPred = org.apache.spark.sql.functions.col("doc_id") === 0L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0L) == ((4L, 4L, 1.0)))    // 4 * band(aa)
+    assert(out(1L) == ((4L, -12L, -3.0))) // 4 * band(bb)
+    assert(out(2L) == ((2L, -2L, -1.0)))  // band(aa) + band(bb)
+  }
 }
