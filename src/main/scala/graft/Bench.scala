@@ -309,7 +309,9 @@ object Bench {
     "q221_media_profile" -> 2.37,
     "q222_background_jaccard" -> 0.5,
     "q223_small_qty_revenue" -> 1.15,
-    "q224_shard_manifest" -> 0.61)
+    "q224_shard_manifest" -> 0.61,
+    // q225 pays the full q17 pair pipeline (the label side)
+    "q225_quality_calibration" -> 2.44)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -473,6 +475,7 @@ object Bench {
     "q222_background_jaccard" -> 0L,
     "q223_small_qty_revenue" -> 629248L,
     "q224_shard_manifest" -> 236476L,
+    "q225_quality_calibration" -> 41841892L,
     "q21_embedding_neardup_ivf" -> 5033608L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

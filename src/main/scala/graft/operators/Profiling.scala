@@ -1019,4 +1019,43 @@ object Profiling {
           .as("distortion_fp"))
       .orderBy(col("stratum"))
   }
+
+  /** SCORE-OUTCOME CALIBRATION — the reliability curve behind using
+    * any per-row ratio score as a gate: bucket rows by the score into
+    * `bins` equal-width bins and report, per bin, how often a binary
+    * outcome holds. The table that answers "is this signal actually
+    * predictive of the thing I filter for" BEFORE a threshold ships —
+    * a flat curve means the score carries no information about the
+    * outcome; a monotone one justifies (and locates) the cut.
+    *
+    * Engine-exact binning: the score is given as an INTEGER
+    * numerator/denominator pair and the bin is
+    * `min((num·bins) div den, bins−1)` — integer division, so the
+    * edges are exact rationals and the boundary cannot flip between
+    * engines (a `floor(ratio · bins)` on IEEE doubles could).
+    * `positives` is an id frame (deduplicated here); rows with a
+    * zero/NULL denominator have no score and drop out. The one IEEE
+    * double is the per-bin rate.
+    *
+    * Scale shape: binning is row-local; the membership join is a hash
+    * join on the id (positives arrive aggregated or raw — never
+    * pairwise); ONE partial-aggregated fold over ≤ `bins` keys. */
+  def scoreOutcomeCalibration(scored: DataFrame, idCol: String,
+      numCol: String, denCol: String, positives: DataFrame,
+      posIdCol: String, bins: Int = 8): DataFrame = {
+    require(bins >= 2 && bins <= 1024, s"bins=$bins out of [2, 1024]")
+    val pos = positives.select(col(posIdCol).as("__pid")).distinct()
+    scored.where(col(denCol) > 0)
+      .select(col(idCol).as("__id"),
+        least(expr(s"($numCol * $bins) div $denCol"), lit(bins - 1))
+          .cast("int").as("bin_id"))
+      .join(pos, col("__id") === col("__pid"), "left")
+      .select(col("bin_id"),
+        when(col("__pid").isNotNull, 1L).otherwise(0L).as("__p"))
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__p")).as("n_positive"))
+      .withColumn("positive_rate",
+        col("n_positive").cast("double") / col("n_rows").cast("double"))
+      .orderBy(col("bin_id"))
+  }
 }

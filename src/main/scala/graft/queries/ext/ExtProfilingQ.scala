@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Dec, Tables}
 import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Rules, Sampling, Scd, Scrub, SemiStructured, Similarity, Sketch, Skew, TextAnalysis, Trend}
 
-/** [[Ext]] family: profiling, drift and distribution diagnostics — queries q62, q69, q74, q79, q83, q88, q93, q95, q102, q108, q111, q115, q120, q126, q127, q135, q136, q141, q146, q147, q163, q165, q166, q167, q173, q175, q176, q180, q182, q185, q193, q199, q200.
+/** [[Ext]] family: profiling, drift and distribution diagnostics — queries q62, q69, q74, q79, q83, q88, q93, q95, q102, q108, q111, q115, q120, q126, q127, q135, q136, q141, q146, q147, q163, q165, q166, q167, q173, q175, q176, q180, q182, q185, q193, q199, q200, q225.
   * Split from the monolithic Ext.scala in round 12
   * (pure relocation; helpers live in [[ExtHelpers]]). */
 private[queries] trait ExtProfilingQ { self: ExtHelpers =>
@@ -1216,6 +1216,73 @@ private[queries] trait ExtProfilingQ { self: ExtHelpers =>
       FROM f LEFT JOIN sm ON f.stratum = sm.stratum
       CROSS JOIN ft CROSS JOIN st
       ORDER BY stratum
+    """.trim))
+
+  // --------------------------------------------------------------- q225
+  /** q225 — quality-score calibration
+    * ([[Profiling.scoreOutcomeCalibration]]): is the q23 stopword
+    * ratio actually predictive of near-duplication? Docs bin by the
+    * exact rational `min((n_stop·8) div n_tokens, 7)`; the outcome is
+    * membership in any q17 Jaccard pair (threshold 0.5). The
+    * reliability table a curation team reads before shipping a
+    * score threshold — a flat curve says the signal carries no
+    * information about the outcome. */
+  val q225: Q = Q(
+    "q225_quality_calibration",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairsUnordered(docs, "doc_id",
+        "text", threshold = 0.5, maxDf = 100)
+      val pos = pairs.select(col("doc_a").as("doc_id"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      val toks = graft.functions.TextHash.tokens(col("text"))
+      val scored = docs.select(col("doc_id"),
+        graft.functions.TextHash.markerCountOf(toks,
+          Seq("the", "a", "of", "and", "is", "to", "in")).as("n_stop"),
+        size(toks).as("n_tokens"))
+      Profiling.scoreOutcomeCalibration(scored, "doc_id", "n_stop",
+        "n_tokens", pos, "doc_id", bins = 8)
+    },
+    Some(s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      $duckHashShingles,
+      shf AS (
+        SELECT doc_id, hs FROM sh
+        QUALIFY count(*) OVER (PARTITION BY hs) <= 100
+      ),
+      sz AS (SELECT doc_id, count(*) n FROM shf GROUP BY 1),
+      jacp AS (
+        SELECT da AS doc_a, db AS doc_b
+        FROM (
+          SELECT a.doc_id da, b.doc_id db, count(*) i
+          FROM shf a JOIN shf b ON a.hs = b.hs AND a.doc_id < b.doc_id
+          GROUP BY 1, 2) inter
+        JOIN sz sa ON sa.doc_id = da
+        JOIN sz sb ON sb.doc_id = db
+        WHERE (CAST(i AS DOUBLE) / (sa.n + sb.n - i)) >= 0.5),
+      pos AS (
+        SELECT DISTINCT doc_id FROM (
+          SELECT doc_a AS doc_id FROM jacp
+          UNION ALL SELECT doc_b FROM jacp)),
+      sc AS (
+        SELECT doc_id,
+          len(list_filter(w,
+            x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in')))
+            AS n_stop,
+          len(w) AS n_tokens
+        FROM words),
+      b AS (
+        SELECT CAST(least((n_stop * 8) // n_tokens, 7) AS INT)
+            AS bin_id,
+          CASE WHEN doc_id IN (SELECT doc_id FROM pos) THEN 1 ELSE 0
+            END AS p
+        FROM sc WHERE n_tokens > 0)
+      SELECT bin_id, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(p) AS BIGINT) AS n_positive,
+        CAST(sum(p) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+          AS positive_rate
+      FROM b GROUP BY 1 ORDER BY 1
     """.trim))
 
 }

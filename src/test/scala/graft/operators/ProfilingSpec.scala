@@ -467,4 +467,26 @@ class ProfilingSpec extends SparkSpec {
     assert(out("es") == ((2L, 1L, 2 * M / 10, M / 4, M / 4 - 2 * M / 10)))
     assert(out("de") == ((2L, 0L, 2 * M / 10, 0L, -(2 * M / 10))))
   }
+
+  test("scoreOutcomeCalibration: exact rational bin edges, the top " +
+    "bin absorbs ratio 1, zero denominators drop, positives dedupe") {
+    val s = spark; import s.implicits._
+    // 4 bins over num/den: 0/4 -> bin 0, 1/4 -> bin 1 (edge lands UP:
+    // (1·4) div 4 = 1), 2/4 -> bin 2, 4/4 -> bin 3 (clamped), 0/0 drops
+    val scored = Seq(
+      (10L, 0L, 4L), (11L, 1L, 4L), (12L, 2L, 4L), (13L, 4L, 4L),
+      (14L, 1L, 0L))
+      .toDF("id", "num", "den")
+    // 11 listed twice: the membership join must not double-count it
+    val pos = Seq(11L, 11L, 13L).toDF("pid")
+    val out = Profiling.scoreOutcomeCalibration(scored, "id", "num",
+      "den", pos, "pid", bins = 4)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      0 -> ((1L, 0L, 0.0)),
+      1 -> ((1L, 1L, 1.0)),
+      2 -> ((1L, 0L, 0.0)),
+      3 -> ((1L, 1L, 1.0))))
+  }
 }
