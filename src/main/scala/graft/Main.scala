@@ -63,6 +63,8 @@ object Main {
         minShared = rest.headOption.map(_.toInt).getOrElse(2))
     case "trend-ingest" :: srcParquet :: keyCol :: dayCol :: storeDir :: Nil =>
       trendIngest(srcParquet, keyCol, dayCol, storeDir)
+    case "export-shards" :: docsParquet :: outDir :: shardBytes :: Nil =>
+      exportShards(docsParquet, outDir, shardBytes.toLong)
     case "bucketize" :: srcParquet :: table :: key :: buckets :: Nil =>
       bucketize(srcParquet, table, key, buckets.toInt)
     case "stream-curate" :: inDir :: outDir :: ckptDir :: rest
@@ -78,9 +80,31 @@ object Main {
       profile(srcParquet, outDir, cols)
     case _ =>
       System.err.println(
-        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
+        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | export-shards <docsParquet> <outDir> <shardBytes> | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
       sys.exit(2)
   }
+
+  /** Export a document corpus as byte-budget shard files
+    * ([[graft.operators.Packing.writeShards]]): deterministic id-order
+    * packing, one parquet file per shard, the manifest under
+    * `outDir/_manifest`. Expects `doc_id`/`text` columns (the corpus
+    * subcommand's contract). */
+  private def exportShards(docsParquet: String, outDir: String,
+      shardBytes: Long): Unit = {
+    val spark = GraftSession.local()
+    val (shards, docs) = runExportShards(spark, docsParquet, outDir,
+      shardBytes)
+    println(s"export-shards: $docs docs -> $shards shards " +
+      s"(~$shardBytes B each) under $outDir")
+    spark.stop()
+  }
+
+  /** Testable core of `export-shards` (the [[runCompact]] pattern). */
+  private[graft] def runExportShards(
+      spark: org.apache.spark.sql.SparkSession, docsParquet: String,
+      outDir: String, shardBytes: Long): (Long, Long) =
+    graft.operators.Packing.writeShards(spark.read.parquet(docsParquet),
+      "doc_id", "text", outDir, shardBytes)
 
   /** Co-locate a parquet table on a join key ([[graft.etl.Bucketed]]):
     * one bucketed+sorted rewrite now, zero shuffles on every future

@@ -138,6 +138,43 @@ object Packing {
       .orderBy(col("shard_id"))
   }
 
+  /** SHARD EXPORT — [[shardManifest]] made actionable: write the
+    * corpus to `outDir` as a parquet tree partitioned by the
+    * manifest's `shard_id`, each shard ONE file of roughly
+    * `shardBytes` of text (the one-file-per-bucket discipline
+    * [[graft.etl.Bucketed]] documents: downstream consumers get
+    * file-count = shard-count, no small-file debris). The hash
+    * repartition on `shard_id` routes every shard to exactly one
+    * task, so `partitionBy` emits exactly one file per shard; the
+    * assignment is the same deterministic prefix sum as the manifest,
+    * so a re-run (fresh outDir) reproduces the same file plan —
+    * which is what makes the export resumable and diffable.
+    *
+    * The manifest itself is written under `outDir/_manifest` —
+    * underscore-prefixed, so a parquet read of `outDir` ignores it
+    * (the `_SUCCESS` convention) while a consumer that wants the file
+    * plan reads it directly. Returns (shards, docs) written. */
+  def writeShards(docs: DataFrame, idCol: String, textCol: String,
+      outDir: String, shardBytes: Long = 256L << 20): (Long, Long) =
+    CacheScope.withScope { scope =>
+      val counts = docs.select(col(idCol).as("doc_id"),
+        octet_length(col(textCol)).cast("long").as("n_tokens"))
+      val assigned = globalOffsets(counts, scope)
+        .select(col("doc_id").as("__sid"),
+          expr(s"global_offset div $shardBytes").as("shard_id"))
+      val data = docs.join(assigned, docs(idCol) === col("__sid"))
+        .drop("__sid")
+      data.repartition(col("shard_id"))
+        .write.partitionBy("shard_id").parquet(outDir)
+      val manifest = shardManifest(docs, idCol, textCol, shardBytes,
+        scope)
+      manifest.coalesce(1).write.parquet(s"$outDir/_manifest")
+      val spark = docs.sparkSession
+      val m = spark.read.parquet(s"$outDir/_manifest")
+        .agg(count(lit(1)), sum(col("n_docs"))).collect()(0)
+      (m.getLong(0), m.getLong(1))
+    }
+
   /** Sliding-window chunking — the retrieval-side sibling of packing:
     * split each document into fixed-size token windows with overlap
     * (the RAG / embedding-prep step; stride < chunkTokens makes

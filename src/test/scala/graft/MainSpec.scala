@@ -199,4 +199,36 @@ class MainSpec extends SparkSpec {
     assert(keys("o_orderkey") && !keys("o_custkey"))
     assert(!keys.contains("o_totalprice"))
   }
+
+  test("export-shards: one file per shard, manifest matches the " +
+    "written tree, round-trip preserves every doc") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString + "/shards"
+    val src = "/root/testdata/sf0.001/documents.parquet"
+    val (shards, docs) = Main.runExportShards(spark, src, out, 4096L)
+    val srcDf = spark.read.parquet(src)
+    assert(docs == srcDf.count())
+    assert(shards > 1)
+    // the partitioned tree reads back whole, ids intact, shard
+    // assignment matching the manifest's id ranges
+    val tree = spark.read.parquet(out)
+    assert(tree.count() == docs)
+    assert(tree.select("doc_id").distinct().count() == docs)
+    val manifest = spark.read.parquet(s"$out/_manifest")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(4),
+        r.getLong(5)))).toMap
+    assert(manifest.size == shards)
+    val byShard = tree.groupBy(col("shard_id"))
+      .agg(org.apache.spark.sql.functions.count(col("doc_id")),
+        org.apache.spark.sql.functions.min(col("doc_id")),
+        org.apache.spark.sql.functions.max(col("doc_id")))
+      .collect().map(r => r.getInt(0).toLong ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(byShard == manifest)
+    // one data file per shard directory (the one-file discipline)
+    val shard0 = new java.io.File(s"$out/shard_id=0")
+    assert(shard0.isDirectory)
+    assert(shard0.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+  }
 }
