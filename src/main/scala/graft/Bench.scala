@@ -121,7 +121,7 @@ object Bench {
     "q57_pq_adc_topk" -> 1.24,
     "q58_rollup_revenue" -> 0.4,
     "q59_pivot_returnflag" -> 0.69,
-    "q60_paragraph_dedup" -> 0.53,
+    "q60_paragraph_dedup" -> 0.52,
     "q61_ivfpq_topk" -> 1.7,
     "q62_column_profile" -> 0.53,
     "q63_asof_tolerance" -> 0.43,
@@ -131,7 +131,7 @@ object Bench {
     "q66_lexical_richness" -> 0.45,
     "q67_novelty_decay" -> 0.55,
     "q68_holdout_split" -> 0.18,
-    "q69_event_drift" -> 0.65,
+    "q69_event_drift" -> 0.64,
     "q79_ingest_gaps" -> 0.33,
     "q80_cms_heavy_hitters" -> 0.28,
     "q81_moving_revenue" -> 0.8,
@@ -149,13 +149,13 @@ object Bench {
     // a count aggregate + broadcast anti-join by design (scale safety
     // traded for ~0.1 s at this SF); best observed for the new plan
     "q92_fuzzy_match" -> 0.39,
-    "q93_stratum_percentile" -> 0.25,
+    "q93_stratum_percentile" -> 0.24,
     "q94_leakage_safe_split" -> 1.26,
-    "q95_value_drift" -> 0.51,
+    "q95_value_drift" -> 0.48,
     "q96_embedding_drift" -> 0.42,
-    "q97_collocations" -> 0.71,
+    "q97_collocations" -> 0.69,
     "q98_label_affinity" -> 0.56,
-    "q99_vocab_coverage" -> 0.72,
+    "q99_vocab_coverage" -> 0.7,
     "q100_containment_pairs" -> 1.82,
     "q101_cross_containment" -> 1.37,
     "q102_winsorize" -> 0.37,
@@ -163,8 +163,8 @@ object Bench {
     "q103_temperature_mix" -> 0.29,
     "q104_rule_audit" -> 0.37,
     "q105_bigram_fluency" -> 1.23,
-    "q106_hard_negatives" -> 0.46,
-    "q107_intra_label_diversity" -> 0.46,
+    "q106_hard_negatives" -> 0.45,
+    "q107_intra_label_diversity" -> 0.43,
     "q108_mad_outliers" -> 0.46,
     "q109_json_field_stats" -> 0.57,
     "q110_curation_funnel" -> 0.33,
@@ -174,11 +174,11 @@ object Bench {
     "q114_centroid_confusion" -> 0.56,
     "q115_correlation_matrix" -> 1.1,
     "q116_mixed_language" -> 0.79,
-    "q117_fd_audit" -> 0.28,
-    "q118_touch_attribution" -> 0.86,
+    "q117_fd_audit" -> 0.26,
+    "q118_touch_attribution" -> 0.85,
     "q119_join_blowup" -> 0.24,
     "q120_benford_profile" -> 0.53,
-    "q121_k_anonymity" -> 0.29,
+    "q121_k_anonymity" -> 0.27,
     "q122_transition_matrix" -> 0.5,
     // r11f canonical (first full run over q123-q146; loadavg 1.8-8.7,
     // so these seeds are conservative — later quiet canonicals lower
@@ -191,11 +191,11 @@ object Bench {
     "q128_rfm_segments" -> 0.34,
     "q129_ann_recall" -> 1.64,
     "q130_dedup_impact" -> 0.41,
-    "q131_encoding_health" -> 0.28,
+    "q131_encoding_health" -> 0.26,
     "q132_length_bias" -> 0.39,
     "q133_simpson_concentration" -> 0.35,
     "q134_soft_dedup" -> 0.27,
-    "q135_cramers_v" -> 0.39,
+    "q135_cramers_v" -> 0.38,
     "q136_source_concentration" -> 0.22,
     "q137_interevent_gaps" -> 0.69,
     "q138_stickiness" -> 0.78,
@@ -220,7 +220,7 @@ object Bench {
     "q152_funnel_timing" -> 0.79,
     "q153_domain_profile" -> 0.34,
     "q154_casing_profile" -> 0.67,
-    "q155_regional_volume" -> 0.75,
+    "q155_regional_volume" -> 0.74,
     "q156_order_priority" -> 0.51,
     "q157_period_growth" -> 0.36,
     "q158_json_topk" -> 0.57,
@@ -256,8 +256,8 @@ object Bench {
     // near-dup pipelines by design — the agreement eval's honest
     // cost, the q144 rule
     "q186_contrastive_triplets" -> 1.44,
-    "q187_sorted_neighbor_match" -> 0.4,
-    "q188_dedup_agreement" -> 2.78,
+    "q187_sorted_neighbor_match" -> 0.39,
+    "q188_dedup_agreement" -> 2.75,
     "q189_skipgram_pairs" -> 1.01,
     "q190_heaps_curve" -> 0.77,
     // BENCH_local_r11k (focused q191-q198 run). q195 runs THREE
@@ -281,35 +281,35 @@ object Bench {
     "q205_price_volume_mix" -> 1.14,
     // BENCH_local_r13a (the r13 canonical: first full run with the
     // file-based artifact + shuffle-bytes meter; 69 floors lowered)
-    "q206_image_decode" -> 0.86,
+    "q206_image_decode" -> 0.85,
     "q207_audio_decode" -> 1.31,
     "q208_sole_fault_suppliers" -> 0.85,
     // focused post-canonical runs
     "q209_video_decode" -> 0.23,
     "q210_key_skew_profile" -> 0.43,
-    "q211_contamination_sweep" -> 0.83,
-    "q212_token_fertility" -> 0.4,
+    "q211_contamination_sweep" -> 0.74,
+    "q212_token_fertility" -> 0.38,
     // q213 pays the full q17 pipeline + the wedge joins (pair-frame
     // scale) — the audit's honest cost
-    "q213_pair_transitivity" -> 2.24,
+    "q213_pair_transitivity" -> 2.22,
     // q214 pays the full q17 pipeline once (loosest threshold); the
     // curve folds are pair-frame-sized
     "q214_dedup_threshold_curve" -> 1.89,
-    "q215_half_life_counts" -> 0.38,
+    "q215_half_life_counts" -> 0.36,
     // q216 pays the q31 closure + the keep-best fold
-    "q216_cluster_keep_best" -> 1.43,
+    "q216_cluster_keep_best" -> 1.39,
     // q217 pays two corpus token folds + the vocab band re-join
     "q217_importance_weights" -> 1.56,
-    "q218_gate_overlap" -> 0.41,
+    "q218_gate_overlap" -> 0.34,
     // q219 pays the occurrence-frame df fold + semi re-join
-    "q219_boilerplate_ngrams" -> 1.22,
-    "q220_t_closeness" -> 0.78,
+    "q219_boilerplate_ngrams" -> 1.12,
+    "q220_t_closeness" -> 0.58,
     // q221 pays all three encode+decode fixture pipelines (the
     // profile's honest cost — q206+q207+q209 in one query)
     "q221_media_profile" -> 2.37,
-    "q222_background_jaccard" -> 0.5,
+    "q222_background_jaccard" -> 0.37,
     "q223_small_qty_revenue" -> 1.15,
-    "q224_shard_manifest" -> 0.61,
+    "q224_shard_manifest" -> 0.57,
     // q225 pays the full q17 pair pipeline (the label side)
     "q225_quality_calibration" -> 2.44)
   private[graft] val defaultFloor = 1.2
@@ -468,7 +468,7 @@ object Bench {
     "q217_importance_weights" -> 4283016L,
     "q218_gate_overlap" -> 170L,
     "q219_boilerplate_ngrams" -> 8989564L,
-    "q220_t_closeness" -> 696325L,
+    "q220_t_closeness" -> 426295L,
     // q221: the ≤ few-dozen-key count is the only exchange
     "q221_media_profile" -> 14829L,
     // q222: top-k heap + broadcast pairs — ZERO shuffle by design

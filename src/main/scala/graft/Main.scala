@@ -63,6 +63,10 @@ object Main {
         minShared = rest.headOption.map(_.toInt).getOrElse(2))
     case "trend-ingest" :: srcParquet :: keyCol :: dayCol :: storeDir :: Nil =>
       trendIngest(srcParquet, keyCol, dayCol, storeDir)
+    case "df-ingest" :: docsParquet :: storeDir :: outDir :: rest
+        if rest.size <= 1 =>
+      dfIngest(docsParquet, storeDir, outDir,
+        minDf = rest.headOption.map(_.toInt).getOrElse(2))
     case "export-shards" :: docsParquet :: outDir :: shardBytes :: Nil =>
       exportShards(docsParquet, outDir, shardBytes.toLong)
     case "bucketize" :: srcParquet :: table :: key :: buckets :: Nil =>
@@ -80,8 +84,35 @@ object Main {
       profile(srcParquet, outDir, cols)
     case _ =>
       System.err.println(
-        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | export-shards <docsParquet> <outDir> <shardBytes> | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
+        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | df-ingest <docsParquet> <storeDir> <outDir> [minDf] | export-shards <docsParquet> <outDir> <shardBytes> | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
       sys.exit(2)
+  }
+
+  /** Incremental boilerplate ingest ([[graft.etl.DfStore]]): fold the
+    * batch's per-window document frequencies into the store, then
+    * score the batch against the MERGED corpus-wide state (q219's
+    * readout with the df side read from disk), writing per-doc
+    * boilerplate fractions to `outDir`. */
+  private def dfIngest(docsParquet: String, storeDir: String,
+      outDir: String, minDf: Int): Unit = {
+    val spark = GraftSession.local()
+    val n = runDfIngest(spark, docsParquet, storeDir, outDir, minDf)
+    println(s"df-ingest: $n docs scored (minDf $minDf) -> $outDir; " +
+      s"store $storeDir")
+    spark.stop()
+  }
+
+  /** Testable core of `df-ingest` (the [[runCompact]] pattern). */
+  private[graft] def runDfIngest(spark: org.apache.spark.sql.SparkSession,
+      docsParquet: String, storeDir: String, outDir: String,
+      minDf: Int = 2): Long = {
+    val store = new graft.etl.DfStore(spark, storeDir)
+    val batch = spark.read.parquet(docsParquet)
+    store.ingest(batch, "doc_id", "text")
+    val scored = store.scoreBatch(batch, "doc_id", "text", minDf)
+    scored.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(outDir)
+    spark.read.parquet(outDir).count()
   }
 
   /** Export a document corpus as byte-budget shard files

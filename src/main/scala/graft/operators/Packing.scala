@@ -171,7 +171,8 @@ object Packing {
       manifest.coalesce(1).write.parquet(s"$outDir/_manifest")
       val spark = docs.sparkSession
       val m = spark.read.parquet(s"$outDir/_manifest")
-        .agg(count(lit(1)), sum(col("n_docs"))).collect()(0)
+        .agg(count(lit(1)),
+          coalesce(sum(col("n_docs")), lit(0L))).collect()(0)
       (m.getLong(0), m.getLong(1))
     }
 

@@ -178,29 +178,39 @@ object Scrub {
     require(bad.isEmpty, s"unknown columns: $bad")
     val dec = "DECIMAL(19,0)"
     val qs = quasiCols.map(col)
-    val pairs = df.groupBy(qs :+ col(sensitiveCol).as("__s"): _*)
+    // NULL keys are GROUPS here (the kAnonymityAudit convention: a
+    // null quasi-value identifies a cohort, a null sensitive value is
+    // a distinct assertion), so every re-join below must be null-safe
+    // — a plain equi-join would silently drop exactly the null-keyed
+    // rows a privacy audit must keep. Struct keys give null-safe
+    // equality in one column (and one join key).
+    val pairs = df
+      .select(struct(qs: _*).as("__qk"), col(sensitiveCol).as("__s"))
+      .groupBy(col("__qk"), col("__s"))
       .agg(count(lit(1)).as("__c_gv"))
-    val vtot = pairs.groupBy(col("__s"))
+    val vtot = pairs.groupBy(col("__s").as("__sv"))
       .agg(sum(col("__c_gv")).as("__c_v"))
     val ntot = vtot.agg(sum(col("__c_v")).as("__n"))
-    val gtot = pairs.groupBy(qs: _*).agg(sum(col("__c_gv")).as("__n_g"))
+    val gtot = pairs.groupBy(col("__qk").as("__gk"))
+      .agg(sum(col("__c_gv")).as("__n_g"))
     val folded = pairs
-      .join(vtot, Seq("__s"))
-      .join(gtot, quasiCols)
+      .join(vtot, col("__s") <=> col("__sv")).drop("__sv")
+      .join(gtot, col("__qk") <=> col("__gk")).drop("__gk")
       .crossJoin(broadcast(ntot))
-      .groupBy(qs :+ col("__n_g") :+ col("__n"): _*)
+      .groupBy(col("__qk"), col("__n_g"), col("__n"))
       .agg(sum(abs(col("__c_gv").cast(dec) * col("__n").cast(dec) -
           col("__c_v").cast(dec) * col("__n_g").cast(dec)))
           .as("__shared"),
         sum(col("__c_v")).as("__s_g"))
     val numerator = col("__shared") +
       (col("__n") - col("__s_g")).cast(dec) * col("__n_g").cast(dec)
+    val outQs = quasiCols.map(c => col("__qk").getField(c).as(c))
     folded
-      .select(qs :+ col("__n_g").as("n_rows") :+
+      .select(outQs :+ col("__n_g").as("n_rows") :+
         numerator.as("__num") :+
         (lit(2L).cast(dec) * col("__n_g").cast(dec) *
           col("__n").cast(dec)).as("__den"): _*)
-      .select(qs :+ col("n_rows") :+
+      .select(quasiCols.map(col) :+ col("n_rows") :+
         (col("__num").cast("double") / col("__den").cast("double"))
           .as("tv_distance") :+
         (col("__num") * lit(tDen).cast(dec) >

@@ -1337,7 +1337,7 @@ private[queries] trait ExtRelationalQ { self: ExtHelpers =>
             CAST(vt.c_v AS HUGEINT) * g.n_g)) AS shared,
           CAST(sum(vt.c_v) AS BIGINT) AS s_g
         FROM p
-        JOIN vt USING (sv)
+        JOIN vt ON p.sv IS NOT DISTINCT FROM vt.sv
         JOIN gt g ON p.lang IS NOT DISTINCT FROM g.lang
           AND p.source IS NOT DISTINCT FROM g.source, nt
         GROUP BY 1, 2, 3, 4)

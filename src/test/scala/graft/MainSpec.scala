@@ -231,4 +231,32 @@ class MainSpec extends SparkSpec {
     assert(shard0.isDirectory)
     assert(shard0.listFiles().count(_.getName.endsWith(".parquet")) == 1)
   }
+
+  test("df-ingest: two CLI passes build corpus-wide dfs; the second " +
+    "batch's score sees the first batch's boilerplate") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_dfi").toString
+    val src = "/root/testdata/sf0.001/documents.parquet"
+    val docs = spark.read.parquet(src)
+    val a = docs.where(col("doc_id") % 2 === 0)
+    val b = docs.where(col("doc_id") % 2 === 1)
+    a.write.parquet(s"$base/a"); b.write.parquet(s"$base/b")
+    val nA = Main.runDfIngest(spark, s"$base/a", s"$base/store",
+      s"$base/outA")
+    val nB = Main.runDfIngest(spark, s"$base/b", s"$base/store",
+      s"$base/outB")
+    assert(nA > 0 && nB > 0)
+    // after both ingests the store's scoring over the FULL corpus
+    // equals the one-shot q219 operator
+    val store = new graft.etl.DfStore(spark, s"$base/store")
+    val stored = store.scoreBatch(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val oneShot = graft.operators.TextAnalysis
+      .boilerplateFraction(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(stored == oneShot)
+  }
 }

@@ -90,6 +90,28 @@ class ScrubSpec extends SparkSpec {
     assert(tight.toSeq == Seq(true, true))
   }
 
+  test("tClosenessAudit: null quasi-values form a group and null " +
+    "sensitive values are a value — neither drops") {
+    val s = spark; import s.implicits._
+    val df = Seq[(String, String)](
+      (null, "a"), (null, "a"),          // null-keyed GROUP
+      ("g1", null), ("g1", null),        // null sensitive VALUE
+      ("g2", "a"), ("g2", "b"))
+      .toDF("g", "sv")
+    val out = Scrub.tClosenessAudit(df, Seq("g"), "sv")
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // all three groups present, each with its 2 rows — nothing lost
+    // to a null-unsafe join
+    assert(out == Map(None -> 2L, Some("g1") -> 2L, Some("g2") -> 2L))
+    // the null-sensitive group is maximally far from a global dist
+    // in which nulls are 2 of 6: hand fold —
+    //   g1 = {null, null}: shared |2·6 − 2·2| = 8, tail (6−2)·2 = 8
+    //   -> TV = 16 / 24 = 2/3
+    val g1 = Scrub.tClosenessAudit(df, Seq("g"), "sv")
+      .collect().find(r => r.getString(0) == "g1").get
+    assert(g1.getDouble(2) == 16.0 / 24.0)
+  }
+
   test("tClosenessAudit: a group mirroring the global distribution " +
     "reads TV = 0") {
     val s = spark; import s.implicits._
