@@ -311,7 +311,10 @@ object Bench {
     "q223_small_qty_revenue" -> 1.15,
     "q224_shard_manifest" -> 0.57,
     // q225 pays the full q17 pair pipeline (the label side)
-    "q225_quality_calibration" -> 2.44)
+    "q225_quality_calibration" -> 2.44,
+    // q226 pays the q39 IVF search (index + probe + rank)
+    "q226_search_mrr" -> 1.78,
+    "q227_effective_sample_size" -> 0.38)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -476,6 +479,8 @@ object Bench {
     "q223_small_qty_revenue" -> 629248L,
     "q224_shard_manifest" -> 236476L,
     "q225_quality_calibration" -> 41841892L,
+    "q226_search_mrr" -> 666285L,
+    "q227_effective_sample_size" -> 1020L,
     "q21_embedding_neardup_ivf" -> 5033608L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

@@ -288,6 +288,56 @@ object Sampling {
       .orderBy(col(stratumCol))
   }
 
+  /** EFFECTIVE SAMPLE SIZE of a weighted mix — the diversity price tag
+    * [[temperatureMix]] doesn't show: re-weighting strata makes some
+    * documents count more than others, and the Kish ESS
+    * `(Σ wᵢ)² / Σ wᵢ²` says how many EQUALLY-weighted documents the
+    * weighted corpus is worth (ESS = N when weights are uniform,
+    * → the heavy stratum's size as weights concentrate). The number a
+    * mixing decision is judged by: a mix that buys 2× more target-
+    * domain share by collapsing ESS to a tenth of the corpus is
+    * usually a bad trade. Per-doc weight = the doc's stratum weight
+    * from the same α-tempered fixed-point table as [[temperatureMix]]
+    * (ESS is scale-invariant, so the 2^20 factor cancels exactly).
+    *
+    * Engine-exact: stratum folds are exact integers; `Σ n_s·w` and
+    * `Σ n_s·w²` fold in DECIMAL(38,0) (w_fp ≤ 2^20·√N keeps the
+    * squares in range); the final ESS is a pinned 3-op IEEE sequence
+    * (`(double)sw · (double)sw / (double)sw2` — sw² itself would
+    * overflow any integer width at corpus scale, and the division is
+    * where exactness is spent anyway).
+    *
+    * Scale shape: one partial-aggregated stratum fold, then an
+    * ungrouped fold over the |strata|-row frame. */
+  def effectiveSampleSize(docs: DataFrame, stratumCol: String,
+      textCol: String, alphaQuarters: Int = 2): DataFrame = {
+    require(alphaQuarters >= 1 && alphaQuarters <= 4,
+      s"alphaQuarters=$alphaQuarters must be in [1,4] (α = quarters/4)")
+    val counts = docs.groupBy(col(stratumCol))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(size(TextHash.tokens(col(textCol)))).cast("long")
+          .as("n_tokens"))
+    val x = col("n_tokens").cast("double")
+    val tempered = alphaQuarters match {
+      case 1 => sqrt(sqrt(x))
+      case 2 => sqrt(x)
+      case 3 => sqrt(x) * sqrt(sqrt(x))
+      case _ => x
+    }
+    val dec = "DECIMAL(38,0)"
+    counts
+      .withColumn("w_fp", floor(tempered * lit(1048576.0)).cast("long"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_strata"),
+        sum(col("n_docs").cast(dec) * col("w_fp").cast(dec)).as("__sw"),
+        sum(col("n_docs").cast(dec) * col("w_fp").cast(dec) *
+          col("w_fp").cast(dec)).as("__sw2"))
+      .select(col("n_docs"), col("n_strata"),
+        (col("__sw").cast("double") * col("__sw").cast("double") /
+          col("__sw2").cast("double")).as("ess"))
+      .withColumn("ess_ratio", col("ess") / col("n_docs").cast("double"))
+  }
+
   /** TIME-EMBARGO TEMPORAL SPLIT — the leakage-safe split for TEMPORAL
     * data: train strictly before, test strictly after, and an embargo
     * gap between them wide enough that trailing features (moving

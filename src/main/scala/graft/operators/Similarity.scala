@@ -359,6 +359,50 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** LABEL-RELEVANCE RETRIEVAL EVAL (MRR / precision@k) — q129's
+    * recall asks "did the ANN find the same neighbors as brute
+    * force"; this asks the question a retrieval USER asks: "did it
+    * find something RELEVANT, and how high" — with same-label
+    * membership standing in for relevance (the standard proxy when no
+    * judgment set exists). Per query: result count, relevant count
+    * (precision@k's numerator), the rank of the first relevant hit,
+    * and its reciprocal (MRR's per-query term; 0.0 when nothing
+    * relevant surfaced — the convention that lets the corpus MRR be a
+    * plain mean). Read together: high recall with low MRR means the
+    * index is faithful but the embedding doesn't separate labels;
+    * the reverse means the quantizer is dropping the easy neighbors.
+    *
+    * Engine-exact: ranks are integers from the top-k frame; the
+    * reciprocal is one IEEE division of exact integers; relevance is
+    * a null-safe label equality (NULL label matches NULL — membership
+    * semantics, not SQL three-valued logic).
+    *
+    * Scale shape: two hash joins on the id attach labels to the
+    * |queries|·k result frame (never the corpus pairwise), then ONE
+    * partial-aggregated per-query fold. */
+  def labelMrr(topk: DataFrame, labels: DataFrame, idCol: String,
+      labelCol: String): DataFrame = {
+    val need = Set("query_id", "neighbor_id", "rank")
+    require(need.subsetOf(topk.columns.toSet),
+      s"labelMrr needs columns $need, got ${topk.columns.toSeq}")
+    val lab = labels.select(col(idCol), col(labelCol))
+    val rel = col("__nl") <=> col("__ql")
+    topk.select(col("query_id"), col("neighbor_id"), col("rank"))
+      .join(lab.select(col(idCol).as("query_id"),
+        col(labelCol).as("__ql")), Seq("query_id"))
+      .join(lab.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("__nl")), Seq("neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_results"),
+        sum(when(rel, 1L).otherwise(0L)).as("n_relevant"),
+        min(when(rel, col("rank"))).cast("int").as("first_rel_rank"))
+      .withColumn("reciprocal_rank",
+        when(col("first_rel_rank").isNotNull,
+          lit(1.0) / col("first_rel_rank").cast("double"))
+          .otherwise(lit(0.0)))
+      .orderBy(col("query_id"))
+  }
+
   /** Pairwise cosine AFFINITY between per-label embedding centroids —
     * the embedding-space sibling of [[Dedup.sourceOverlapMatrix]]'s
     * shingle matrix: which corpus slices (labels, sources, snapshots)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Dec, Tables}
 import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Rules, Sampling, Scd, Scrub, SemiStructured, Similarity, Sketch, Skew, TextAnalysis, Trend}
 
-/** [[Ext]] family: sampling, mixing, splits and sequence packing — queries q32, q37, q40, q41, q42, q47, q51, q68, q90, q94, q103, q145, q171, q186, q203, q224.
+/** [[Ext]] family: sampling, mixing, splits and sequence packing — queries q32, q37, q40, q41, q42, q47, q51, q68, q90, q94, q103, q145, q171, q186, q203, q224, q227.
   * Split from the monolithic Ext.scala in round 12
   * (pure relocation; helpers live in [[ExtHelpers]]). */
 // the leakage-safe split (q94) nests q31's cluster oracle — hence the
@@ -522,6 +522,46 @@ private[queries] trait ExtSamplingQ { self: ExtHelpers with ExtDedupQ =>
             / (CAST(n AS DOUBLE) * sqrt(CAST(n - 1 AS DOUBLE)))
         END AS se
       FROM agg ORDER BY split
+    """.trim))
+
+  // --------------------------------------------------------------- q227
+  /** q227 — effective sample size of the tempered mix
+    * ([[Sampling.effectiveSampleSize]]): the Kish
+    * `(Σw)²/Σw²` over q103's α = 1/2 per-lang weights — how many
+    * equally-weighted documents the weighted corpus is worth (the
+    * diversity price of the re-weighting). Exact integer folds; the
+    * final ESS is the pinned 3-op IEEE sequence. */
+  val q227: Q = Q(
+    "q227_effective_sample_size",
+    (s, d) =>
+      Sampling.effectiveSampleSize(Tables.documents(s, d), "lang",
+        "text", alphaQuarters = 2),
+    Some("""
+      WITH w AS (
+        SELECT lang, list_filter(string_split_regex(trim(text), '\s+'),
+          t -> t <> '') AS w
+        FROM documents),
+      c AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(len(w)) AS BIGINT) AS n_tokens
+        FROM w GROUP BY 1),
+      f AS (
+        SELECT lang, n_docs,
+          CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1048576.0)
+            AS BIGINT) AS w_fp
+        FROM c),
+      a AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS n_docs,
+          CAST(count(*) AS BIGINT) AS n_strata,
+          sum(CAST(n_docs AS HUGEINT) * w_fp) AS sw,
+          sum(CAST(n_docs AS HUGEINT) * w_fp * w_fp) AS sw2
+        FROM f)
+      SELECT n_docs, n_strata,
+        CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sw2 AS DOUBLE)
+          AS ess,
+        (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sw2 AS DOUBLE))
+          / CAST(n_docs AS DOUBLE) AS ess_ratio
+      FROM a
     """.trim))
 
   // --------------------------------------------------------------- q224

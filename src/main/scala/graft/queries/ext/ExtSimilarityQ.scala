@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Dec, Tables}
 import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Rules, Sampling, Scd, Scrub, SemiStructured, Similarity, Sketch, Skew, TextAnalysis, Trend}
 
-/** [[Ext]] family: embedding similarity / ANN (brute-force, IVF, RP-LSH, PQ) and retrieval evals — queries q20, q21, q30, q39, q52, q53, q55, q56, q57, q61, q84, q96, q98, q106, q107, q113, q114, q123, q125, q129, q140, q142, q179.
+/** [[Ext]] family: embedding similarity / ANN (brute-force, IVF, RP-LSH, PQ) and retrieval evals — queries q20, q21, q30, q39, q52, q53, q55, q56, q57, q61, q84, q96, q98, q106, q107, q113, q114, q123, q125, q129, q140, q142, q179, q226.
   * Split from the monolithic Ext.scala in round 12
   * (pure relocation; helpers live in [[ExtHelpers]]). */
 private[queries] trait ExtSimilarityQ { self: ExtHelpers =>
@@ -775,6 +775,43 @@ private[queries] trait ExtSimilarityQ { self: ExtHelpers =>
       FROM exact e LEFT JOIN ivf5 i
         ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
       GROUP BY e.query_id ORDER BY e.query_id
+    """.trim))
+
+  // --------------------------------------------------------------- q226
+  /** q226 — label-relevance retrieval eval ([[Similarity.labelMrr]]):
+    * the user-facing half of q129 — per IVF query, how many same-label
+    * results surfaced, the first relevant rank, and its reciprocal
+    * (MRR's per-query term; 0 when none). Relevance is null-safe
+    * label equality; the oracle reuses the shared ivf5 CTE. */
+  val q226: Q = Q(
+    "q226_search_mrr",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.labelMrr(
+        Similarity.ivfTopK(emb, k = 5, queryStride = 50, probes = 4,
+          kmeansIters = 1),
+        emb, "vec_id", "label")
+    },
+    Some(s"""
+      WITH $duckIvfQuantizer,
+      $duckIvfTopK5,
+      lab AS (SELECT vec_id, label FROM embeddings),
+      j AS (
+        SELECT i.query_id, i.rank,
+          (ql.label IS NOT DISTINCT FROM nl.label) AS rel
+        FROM ivf5 i
+        JOIN lab ql ON ql.vec_id = i.query_id
+        JOIN lab nl ON nl.vec_id = i.neighbor_id)
+      SELECT query_id,
+        CAST(count(*) AS BIGINT) AS n_results,
+        CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_relevant,
+        CAST(min(CASE WHEN rel THEN rank END) AS INT)
+          AS first_rel_rank,
+        CASE WHEN min(CASE WHEN rel THEN rank END) IS NOT NULL THEN
+          1.0 / CAST(min(CASE WHEN rel THEN rank END) AS DOUBLE)
+        ELSE 0.0 END AS reciprocal_rank
+      FROM j GROUP BY query_id ORDER BY query_id
     """.trim))
 
   // --------------------------------------------------------------- q140

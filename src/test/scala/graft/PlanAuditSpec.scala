@@ -882,7 +882,11 @@ class PlanAuditSpec extends SparkSpec {
       // q222: BNLJ BY DESIGN over two ≤ 64-row broadcast sample frames
       // (k² ≤ 4096 pairs, corpus-size-independent — the q20 exception
       // family), plus the one-row pair-total scalar-append
-      "q222_background_jaccard")
+      "q222_background_jaccard",
+      // q226: evaluates ivfTopK, whose ONE-broadcast-row centroid
+      // assignment is the q21/q39 exception — rides along; the MRR
+      // fold itself is two hash joins on the id
+      "q226_search_mrr")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()

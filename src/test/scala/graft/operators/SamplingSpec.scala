@@ -328,4 +328,30 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.contrastiveTriplets(clusters, shards = 1).collect()
       .map(r => r.toSeq).toSeq == again)
   }
+
+  test("effectiveSampleSize: uniform weights read ESS = N; " +
+    "concentration collapses toward the heavy stratum") {
+    val s = spark; import s.implicits._
+    // α = 4/4 keeps natural weights; equal-token strata -> uniform
+    // per-doc weight -> ESS exactly N (ratio 1.0)
+    val uniform = Seq(
+      (0L, "a", "t t t"), (1L, "a", "t t t"),
+      (2L, "b", "t t t"), (3L, "b", "t t t"))
+      .toDF("doc_id", "src", "text")
+    val u = Sampling.effectiveSampleSize(uniform, "src", "text",
+      alphaQuarters = 4).collect()(0)
+    assert(u.getLong(0) == 4L && u.getLong(1) == 2L)
+    assert(u.getDouble(2) == 4.0 && u.getDouble(3) == 1.0)
+
+    // one stratum 100x the token mass at α = 1 (natural weights):
+    // doc weights concentrate, ESS drops well under N
+    val skewed = Seq(
+      (0L, "a", ("t " * 400).trim), (1L, "b", "t"), (2L, "b", "t"),
+      (3L, "b", "t"), (4L, "b", "t"))
+      .toDF("doc_id", "src", "text")
+    val k = Sampling.effectiveSampleSize(skewed, "src", "text",
+      alphaQuarters = 4).collect()(0)
+    assert(k.getLong(0) == 5L)
+    assert(k.getDouble(3) < 0.5, s"expected collapsed ESS, got $k")
+  }
 }

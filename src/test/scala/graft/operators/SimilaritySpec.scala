@@ -359,4 +359,29 @@ class SimilaritySpec extends SparkSpec {
       assert(mean <= 1.0 + 1e-9 && mn <= mean + 1.0 / 1048576)
     }
   }
+
+  test("labelMrr: first-relevant rank drives the reciprocal; no " +
+    "relevant hit reads 0.0; null labels match null-safe") {
+    val s = spark; import s.implicits._
+    val topk = Seq(
+      // q10: relevant at ranks 2 and 3 -> rr = 1/2
+      (10L, 20L, 1), (10L, 21L, 2), (10L, 22L, 3),
+      // q11: nothing relevant -> rr = 0.0
+      (11L, 20L, 1),
+      // q12 (null label): neighbor 23 also null -> relevant at rank 1
+      (12L, 23L, 1), (12L, 20L, 2))
+      .toDF("query_id", "neighbor_id", "rank")
+    val labels = Seq[(Long, java.lang.Long)](
+      (10L, 1L), (11L, 2L), (12L, null),
+      (20L, 9L), (21L, 1L), (22L, 1L), (23L, null))
+      .toDF("vec_id", "label")
+    val out = Similarity.labelMrr(topk, labels, "vec_id", "label")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1 else r.getInt(3), r.getDouble(4))))
+      .toMap
+    assert(out(10L) == ((3L, 2L, 2, 0.5)))
+    assert(out(11L) == ((1L, 0L, -1, 0.0)))
+    assert(out(12L) == ((2L, 1L, 1, 1.0)))
+  }
 }
