@@ -78,13 +78,21 @@ object Main {
     case "stream-funnel" :: inDir :: outDir :: ckptDir :: steps
         if steps.nonEmpty =>
       streamFunnel(inDir, outDir, ckptDir, steps)
+    case "stream-sessionize" :: inDir :: outDir :: ckptDir :: rest
+        if rest.size <= 1 =>
+      streamSessionize(inDir, outDir, ckptDir,
+        gapMinutes = rest.headOption.map(_.toLong).getOrElse(30L))
+    case "stream-dedup" :: inDir :: outDir :: ckptDir :: rest
+        if rest.size <= 1 =>
+      streamDedup(inDir, outDir, ckptDir,
+        delay = rest.headOption.getOrElse("10 minutes"))
     case "explain" :: name :: rest if rest.size <= 1 =>
       explain(name, rest.headOption.getOrElse("/root/testdata/sf0.001"))
     case "profile" :: srcParquet :: outDir :: cols =>
       profile(srcParquet, outDir, cols)
     case _ =>
       System.err.println(
-        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | df-ingest <docsParquet> <storeDir> <outDir> [minDf] | export-shards <docsParquet> <outDir> <shardBytes> | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
+        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | df-ingest <docsParquet> <storeDir> <outDir> [minDf] | export-shards <docsParquet> <outDir> <shardBytes> | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | stream-sessionize <eventsDir> <outDir> <ckptDir> [gapMinutes] | stream-dedup <docsDir> <outDir> <ckptDir> [watermarkDelay] | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
       sys.exit(2)
   }
 
@@ -226,6 +234,81 @@ object Main {
     val events = spark.readStream.schema(schema).parquet(inDir)
     val q = graft.streaming.FunnelStream.completions(events, steps)
       .toDF()
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).count()
+  }
+
+  /** Serve the streaming sessionizer
+    * ([[graft.streaming.SessionizeStream]]) from the CLI: drain
+    * `inDir` (parquet with user_id + either ts_us µs-longs or a ts
+    * timestamp) under `Trigger.AvailableNow`, appending CLOSED
+    * sessions to `outDir`. The one-open-session-per-user state lives
+    * in the checkpoint, so repeated passes extend sessions exactly
+    * where the last drain left them. */
+  private def streamSessionize(inDir: String, outDir: String,
+      ckptDir: String, gapMinutes: Long): Unit = {
+    val spark = GraftSession.local()
+    val n = runStreamSessionize(spark, inDir, outDir, ckptDir,
+      gapMinutes)
+    println(s"stream-sessionize: $n closed sessions -> $outDir")
+    spark.stop()
+  }
+
+  /** Testable core of `stream-sessionize` (the [[runCompact]]
+    * pattern). */
+  private[graft] def runStreamSessionize(
+      spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, ckptDir: String, gapMinutes: Long = 30L): Long = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val schema = spark.read.parquet(inDir).schema
+    var events = spark.readStream.schema(schema).parquet(inDir)
+    if (!schema.fieldNames.contains("ts_us"))
+      events = events.withColumn("ts_us",
+        unix_micros(col("ts").cast("timestamp")))
+    val q = graft.streaming.SessionizeStream
+      .sessions(events, gapUs = gapMinutes * 60L * 1000000L)
+      .toDF()
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).count()
+  }
+
+  /** Serve the streaming exact dedup ([[graft.streaming.DedupStream]])
+    * from the CLI: drain `inDir` (parquet with a text column and a ts
+    * timestamp) under `Trigger.AvailableNow`, appending first-sighted
+    * docs to `outDir` — duplicate content arriving within the
+    * watermark horizon is dropped; state is bounded to that horizon
+    * (full-history dedup stays batch-side by design). */
+  private def streamDedup(inDir: String, outDir: String,
+      ckptDir: String, delay: String): Unit = {
+    val spark = GraftSession.local()
+    val n = runStreamDedup(spark, inDir, outDir, ckptDir, delay)
+    println(s"stream-dedup: $n unique docs -> $outDir")
+    spark.stop()
+  }
+
+  /** Testable core of `stream-dedup` (the [[runCompact]] pattern). */
+  private[graft] def runStreamDedup(
+      spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, ckptDir: String,
+      delay: String = "10 minutes"): Long = {
+    import org.apache.spark.sql.functions.col
+    val schema = spark.read.parquet(inDir).schema
+    val docs = spark.readStream.schema(schema).parquet(inDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val q = graft.streaming.DedupStream
+      .uniqueDocs(docs, "text", "ts", delay)
       .writeStream.format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", ckptDir)

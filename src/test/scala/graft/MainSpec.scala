@@ -232,6 +232,61 @@ class MainSpec extends SparkSpec {
     assert(shard0.listFiles().count(_.getName.endsWith(".parquet")) == 1)
   }
 
+  test("stream-sessionize: closed sessions land across checkpointed " +
+    "drains; the open tail closes when a later event breaks the gap") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft_ss").toString
+    import spark.implicits._
+    val min = 60L * 1000000L
+    // modern epoch base: an event AT the initial zero watermark would
+    // be filtered as late (the epoch-0 edge), which is not what this
+    // test is about
+    val t0 = 1700000000L * 1000000L
+    // user 7: two events 5 min apart (one session), then a drain-2
+    // event 90 min later (> 30-min gap) that CLOSES the first session
+    val in = s"$base/in"
+    Seq((7L, t0 + 0L * min), (7L, t0 + 5L * min), (8L, t0 + 0L * min))
+      .toDF("user_id", "ts_us").write.parquet(in)
+    val n1 = Main.runStreamSessionize(spark, in, s"$base/out",
+      s"$base/ckpt")
+    assert(n1 == 0L) // both sessions still open — nothing closed yet
+    Seq((7L, t0 + 95L * min)).toDF("user_id", "ts_us")
+      .write.mode("append").parquet(in)
+    val n2 = Main.runStreamSessionize(spark, in, s"$base/out",
+      s"$base/ckpt")
+    // the gap break closes user 7's first session, and the advanced
+    // watermark (95 − 10 min lateness) times out user 8's idle one
+    assert(n2 == 2L, s"expected both stale sessions closed: $n2")
+    val sess = spark.read.parquet(s"$base/out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(sess.toSeq == Seq(
+      (7L, t0, t0 + 5L * min, 2L),
+      (8L, t0, t0, 1L)))
+  }
+
+  test("stream-dedup: within-watermark duplicate content drops " +
+    "across drains; novel content passes") {
+    import java.sql.Timestamp
+    val base = Files.createTempDirectory("graft_sd").toString
+    import spark.implicits._
+    def t(s: Long) = new Timestamp(1700000000000L + s * 1000)
+    val in = s"$base/in"
+    Seq((1L, t(0), "alpha text"), (2L, t(1), "alpha text"),
+      (3L, t(2), "beta text"))
+      .toDF("doc_id", "ts", "text").write.parquet(in)
+    val n1 = Main.runStreamDedup(spark, in, s"$base/out", s"$base/ckpt")
+    assert(n1 == 2L) // alpha once, beta once
+    // second drain: a re-send of alpha within the horizon + a new doc
+    Seq((4L, t(3), "alpha text"), (5L, t(4), "gamma text"))
+      .toDF("doc_id", "ts", "text").write.mode("append").parquet(in)
+    val n2 = Main.runStreamDedup(spark, in, s"$base/out", s"$base/ckpt")
+    assert(n2 == 3L, s"only gamma may pass the second drain: $n2")
+    val ids = spark.read.parquet(s"$base/out").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 3L, 5L))
+  }
+
   test("df-ingest: two CLI passes build corpus-wide dfs; the second " +
     "batch's score sees the first batch's boilerplate") {
     import org.apache.spark.sql.functions.col
