@@ -131,7 +131,7 @@ object Bench {
     "q66_lexical_richness" -> 0.45,
     "q67_novelty_decay" -> 0.55,
     "q68_holdout_split" -> 0.18,
-    "q69_event_drift" -> 0.64,
+    "q69_event_drift" -> 0.63,
     "q79_ingest_gaps" -> 0.33,
     "q80_cms_heavy_hitters" -> 0.28,
     "q81_moving_revenue" -> 0.8,
@@ -185,12 +185,12 @@ object Bench {
     // them as better minimums are observed)
     "q123_hybrid_rrf" -> 1.39,
     "q124_distinct_ngrams" -> 1.42,
-    "q125_embedding_health" -> 0.29,
+    "q125_embedding_health" -> 0.28,
     "q126_cusum_changepoint" -> 0.44,
     "q127_ks_drift" -> 0.51,
     "q128_rfm_segments" -> 0.34,
     "q129_ann_recall" -> 1.64,
-    "q130_dedup_impact" -> 0.41,
+    "q130_dedup_impact" -> 0.39,
     "q131_encoding_health" -> 0.26,
     "q132_length_bias" -> 0.39,
     "q133_simpson_concentration" -> 0.35,
@@ -212,7 +212,7 @@ object Bench {
     // r11 third wave: seeded from the 178-query canonical
     // (BENCH_local_r11g) and the focused q169-q180 follow-up run;
     // q170's floor reflects the one-pass conditional-fold rewrite
-    "q147_trimmed_order_value" -> 1.03,
+    "q147_trimmed_order_value" -> 1.02,
     "q148_hll_accuracy" -> 0.43,
     "q149_daily_snapshot" -> 0.54,
     "q150_cohort_ltv" -> 0.69,
@@ -281,7 +281,7 @@ object Bench {
     "q205_price_volume_mix" -> 1.14,
     // BENCH_local_r13a (the r13 canonical: first full run with the
     // file-based artifact + shuffle-bytes meter; 69 floors lowered)
-    "q206_image_decode" -> 0.85,
+    "q206_image_decode" -> 0.83,
     "q207_audio_decode" -> 1.31,
     "q208_sole_fault_suppliers" -> 0.85,
     // focused post-canonical runs
@@ -303,7 +303,7 @@ object Bench {
     "q218_gate_overlap" -> 0.34,
     // q219 pays the occurrence-frame df fold + semi re-join
     "q219_boilerplate_ngrams" -> 1.12,
-    "q220_t_closeness" -> 0.58,
+    "q220_t_closeness" -> 0.52,
     // q221 pays all three encode+decode fixture pipelines (the
     // profile's honest cost — q206+q207+q209 in one query)
     "q221_media_profile" -> 2.37,
@@ -313,8 +313,8 @@ object Bench {
     // q225 pays the full q17 pair pipeline (the label side)
     "q225_quality_calibration" -> 2.44,
     // q226 pays the q39 IVF search (index + probe + rank)
-    "q226_search_mrr" -> 1.78,
-    "q227_effective_sample_size" -> 0.38)
+    "q226_search_mrr" -> 1.65,
+    "q227_effective_sample_size" -> 0.33)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
