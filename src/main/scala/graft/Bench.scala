@@ -314,7 +314,11 @@ object Bench {
     "q225_quality_calibration" -> 2.44,
     // q226 pays the q39 IVF search (index + probe + rank)
     "q226_search_mrr" -> 1.65,
-    "q227_effective_sample_size" -> 0.33)
+    "q227_effective_sample_size" -> 0.33,
+    // r14 continuation: score-gate evals (both pay the sha2 dup-label
+    // shuffle; the rank math itself runs on the distinct-score frame)
+    "q228_score_auc" -> 0.40,
+    "q229_gain_curve" -> 0.48)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -481,6 +485,8 @@ object Bench {
     "q225_quality_calibration" -> 41841892L,
     "q226_search_mrr" -> 666285L,
     "q227_effective_sample_size" -> 1020L,
+    "q228_score_auc" -> 720418L,
+    "q229_gain_curve" -> 720418L,
     "q21_embedding_neardup_ivf" -> 5033608L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

@@ -1058,4 +1058,115 @@ object Profiling {
         col("n_positive").cast("double") / col("n_rows").cast("double"))
       .orderBy(col("bin_id"))
   }
+
+  /** ROC-AUC of an integer score against a binary label — the one
+    * number behind every "does this quality signal rank the bad rows
+    * last" decision, computed exactly via the Mann–Whitney midrank
+    * identity: `AUC = (Σ_pos midrank − P(P+1)/2) / (P·N)`. This is
+    * what [[scoreOutcomeCalibration]]'s curve summarizes: calibration
+    * shows WHERE the signal separates, AUC says HOW MUCH, ties (a
+    * coarse score has many) handled by midranks rather than an
+    * arbitrary tie-break.
+    *
+    * Engine-exact: ranks never materialize per row — the score is
+    * integer-valued, so grouping by score gives (n, n_pos) per
+    * distinct value, `2·midrank = 2·below + n + 1` is exact in
+    * integers, and the fold `Σ n_pos·2·midrank` runs in DECIMAL(38,0)
+    * (corpus-scale n_pos·rank products overflow any 64-bit width). The
+    * single IEEE division at the end is the only double.
+    *
+    * Scale shape: ONE partial-aggregated fold to |distinct scores|
+    * keys, then an unpartitioned running sum over that SMALL frame
+    * (the q84 aggregated-rank discipline: the window touches score
+    * values, never rows) and an ungrouped fold. NULL scores or labels
+    * drop out (no rank is definable for them). */
+  def scoreAuc(scored: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "DECIMAL(38,0)"
+    val g = scored
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).cast("long").as("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col(labelCol) =!= 0, 1L).otherwise(0L)).as("__np"))
+    val w = Window.orderBy(col("__s"))
+    g.withColumn("__below", coalesce(sum(col("__n"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .agg(sum(col("__np")).as("n_pos"),
+        sum(col("__n") - col("__np")).as("n_neg"),
+        count(lit(1)).as("n_scores"),
+        sum(col("__np").cast(dec) *
+          (lit(2L) * col("__below") + col("__n") + lit(1L)).cast(dec))
+          .as("__r2"))
+      .select(col("n_pos"), col("n_neg"), col("n_scores"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          (col("__r2") - col("n_pos").cast(dec) *
+            (col("n_pos") + lit(1L)).cast(dec)).cast("double") /
+            (lit(2L).cast(dec) * col("n_pos").cast(dec) *
+              col("n_neg").cast(dec)).cast("double")).as("auc"))
+  }
+
+  /** CUMULATIVE GAIN / LIFT CURVE of an integer score against a binary
+    * label — the table behind "if we keep only the top X% by score,
+    * what fraction of the positives do we capture": rows rank by score
+    * DESCENDING, split into `bands` equal-population bands, and each
+    * band reports its own and cumulative counts, the captured-positive
+    * share, and the lift over the base rate. [[scoreAuc]] is this
+    * curve's integral; teams act on the curve (pick the band where
+    * capture flattens).
+    *
+    * Engine-exact banding: a distinct score value lands wholly in the
+    * band where its run STARTS — `band = (above·bands) div total`,
+    * `above` = rows with strictly higher score — so band edges are
+    * exact integer rationals and never split a tie between engines
+    * (an ntile over per-row ranks would, nondeterministically).
+    * Capture and lift are 2^20 fixed-point integer divisions, folded
+    * in DECIMAL(38,0) where products exceed 64 bits.
+    *
+    * Scale shape: identical to [[scoreAuc]] — one fold to |distinct
+    * scores| keys, tiny-frame running sums, one fold to ≤ `bands`
+    * rows. Empty high bands (coarse scores) are simply absent. */
+  def gainCurve(scored: DataFrame, scoreCol: String, labelCol: String,
+      bands: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bands >= 2 && bands <= 1024, s"bands=$bands out of [2, 1024]")
+    val dec = "DECIMAL(38,0)"
+    val g = scored
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).cast("long").as("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col(labelCol) =!= 0, 1L).otherwise(0L)).as("__np"))
+    val wDesc = Window.orderBy(col("__s").desc)
+    val banded = g
+      .withColumn("__above", coalesce(sum(col("__n"))
+        .over(wDesc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__total", col("__above") + coalesce(sum(col("__n"))
+        .over(wDesc.rowsBetween(0, Window.unboundedFollowing)), lit(0L)))
+      .withColumn("band_id",
+        expr(s"(__above * $bands) div __total").cast("int"))
+      .groupBy(col("band_id"))
+      .agg(sum(col("__n")).as("n_rows"), sum(col("__np")).as("n_pos"))
+    val wBand = Window.orderBy(col("band_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    banded
+      .withColumn("cum_rows", sum(col("n_rows")).over(wBand))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wBand))
+      .withColumn("__tp", sum(col("n_pos"))
+        .over(Window.orderBy(col("band_id"))
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      .withColumn("__tr", sum(col("n_rows"))
+        .over(Window.orderBy(col("band_id"))
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      .select(col("band_id"), col("n_rows"), col("n_pos"),
+        col("cum_rows"), col("cum_pos"),
+        when(col("__tp") > 0,
+          expr("(cum_pos * 1048576) div __tp")).as("capture_fp"),
+        when(col("__tp") > 0, expr(
+          s"CAST((CAST(cum_pos AS $dec) * CAST(__tr AS $dec) * 1048576)" +
+            s" div (CAST(cum_rows AS $dec) * CAST(__tp AS $dec))" +
+            " AS BIGINT)")).as("lift_fp"))
+      .orderBy(col("band_id"))
+  }
 }

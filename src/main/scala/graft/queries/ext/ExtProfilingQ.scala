@@ -1285,4 +1285,108 @@ private[queries] trait ExtProfilingQ { self: ExtHelpers =>
       FROM b GROUP BY 1 ORDER BY 1
     """.trim))
 
+  /** Shared score/label frame for q228/q229: score = document length
+    * (n_chars), label = membership in an EXACT-dup family (the q16
+    * content-hash groups with more than one copy). Spark groups on
+    * sha2(text) so the shuffle carries a 32-byte key, never the text
+    * (q16 discipline); the oracle partitions by the text itself —
+    * identical modulo SHA-256 collisions. */
+  private def dupScored(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(sha2(col("text"), 256))
+    Tables.documents(s, d).select(col("n_chars").as("score"),
+      when(count(lit(1)).over(w) > 1, 1).otherwise(0).as("label"))
+  }
+
+  private val duckDupLab: String = """
+      lab AS (
+        SELECT n_chars AS s,
+          CASE WHEN count(*) OVER (PARTITION BY text) > 1
+            THEN 1 ELSE 0 END AS y
+        FROM documents),
+      g AS (
+        SELECT s, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(y) AS BIGINT) AS np
+        FROM lab GROUP BY 1)"""
+
+  // --------------------------------------------------------------- q228
+  /** q228 — score-gate ROC-AUC ([[Profiling.scoreAuc]]): does document
+    * LENGTH rank exact-duplicated documents apart from unique ones?
+    * The Mann–Whitney midrank identity computed on the |distinct
+    * lengths|-key aggregate — ranks never materialize per row, tie
+    * mass is handled by midranks, the DECIMAL(38,0) fold survives
+    * corpus-scale rank products, and the one IEEE double is the final
+    * division. The single-number companion to q225's reliability
+    * curve. */
+  val q228: Q = Q(
+    "q228_score_auc",
+    (s, d) => Profiling.scoreAuc(dupScored(s, d), "score", "label"),
+    Some(s"""
+      WITH $duckDupLab,
+      w AS (
+        SELECT s, n, np,
+          CAST(coalesce(sum(n) OVER (ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS below
+        FROM g),
+      t AS (
+        SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+          CAST(sum(n - np) AS BIGINT) AS n_neg,
+          CAST(count(*) AS BIGINT) AS n_scores,
+          sum(CAST(np AS HUGEINT) * (2 * below + n + 1)) AS r2
+        FROM w)
+      SELECT n_pos, n_neg, n_scores,
+        CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+          CAST(r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE) /
+          CAST(2 * CAST(n_pos AS HUGEINT) * CAST(n_neg AS HUGEINT)
+            AS DOUBLE)
+        END AS auc
+      FROM t
+    """.trim))
+
+  // --------------------------------------------------------------- q229
+  /** q229 — cumulative gain / lift curve ([[Profiling.gainCurve]]):
+    * "keep the top X% by length — what share of the exact-dup rows do
+    * we capture, at what lift over the base rate?" Bands are
+    * equal-population by construction `(above·bands) div total` on the
+    * distinct-score aggregate, so a tied score value lands wholly in
+    * one band and the curve is engine-exact; capture and lift are 2^20
+    * fixed-point. q228's AUC is this curve's integral; thresholds are
+    * picked off this table. */
+  val q229: Q = Q(
+    "q229_gain_curve",
+    (s, d) => Profiling.gainCurve(dupScored(s, d), "score", "label",
+      bands = 10),
+    Some(s"""
+      WITH $duckDupLab,
+      w AS (
+        SELECT s, n, np,
+          CAST(coalesce(sum(n) OVER (ORDER BY s DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS above,
+          CAST(sum(n) OVER () AS BIGINT) AS total
+        FROM g),
+      b AS (
+        SELECT CAST((above * 10) // total AS INT) AS band_id,
+          CAST(sum(n) AS BIGINT) AS n_rows,
+          CAST(sum(np) AS BIGINT) AS n_pos
+        FROM w GROUP BY 1),
+      c AS (
+        SELECT band_id, n_rows, n_pos,
+          CAST(sum(n_rows) OVER (ORDER BY band_id) AS BIGINT)
+            AS cum_rows,
+          CAST(sum(n_pos) OVER (ORDER BY band_id) AS BIGINT) AS cum_pos,
+          CAST(sum(n_pos) OVER () AS BIGINT) AS tp,
+          CAST(sum(n_rows) OVER () AS BIGINT) AS tr
+        FROM b)
+      SELECT band_id, n_rows, n_pos, cum_rows, cum_pos,
+        CASE WHEN tp > 0 THEN (cum_pos * 1048576) // tp END
+          AS capture_fp,
+        CASE WHEN tp > 0 THEN
+          CAST((CAST(cum_pos AS HUGEINT) * tr * 1048576)
+            // (CAST(cum_rows AS HUGEINT) * tp) AS BIGINT) END
+          AS lift_fp
+      FROM c ORDER BY band_id
+    """.trim))
 }

@@ -489,4 +489,62 @@ class ProfilingSpec extends SparkSpec {
       2 -> ((1L, 0L, 0.0)),
       3 -> ((1L, 1L, 1.0))))
   }
+
+  test("scoreAuc: midrank tie handling matches the pairwise definition") {
+    val s = spark; import s.implicits._
+    // pos scores {1, 3}, neg scores {1, 2}: pairwise AUC =
+    // (tie 0.5 + 0 + 1 + 1) / 4 = 0.625
+    val scored = Seq((1L, 0), (1L, 1), (2L, 0), (3L, 1))
+      .toDF("score", "label")
+    val r = Profiling.scoreAuc(scored, "score", "label").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 2L, 3L)))
+    assert(r.getDouble(3) == 0.625)
+  }
+
+  test("scoreAuc: perfect separation is 1.0; single-class AUC is NULL; " +
+    "NULL scores/labels drop") {
+    val s = spark; import s.implicits._
+    val perfect = Seq((5L, 1), (4L, 1), (2L, 0), (1L, 0))
+      .toDF("score", "label")
+    assert(Profiling.scoreAuc(perfect, "score", "label")
+      .collect()(0).getDouble(3) == 1.0)
+    val onlyPos = Seq((5L, 1), (4L, 1)).toDF("score", "label")
+    assert(Profiling.scoreAuc(onlyPos, "score", "label")
+      .collect()(0).isNullAt(3))
+    val withNulls = Seq[(java.lang.Long, Integer)](
+      (5L, 1), (4L, 1), (2L, 0), (1L, 0), (null, 0), (9L, null))
+      .toDF("score", "label")
+    val r = Profiling.scoreAuc(withNulls, "score", "label").collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert(r.getDouble(3) == 1.0)
+  }
+
+  test("gainCurve: equal-population bands, fixed-point capture/lift") {
+    val s = spark; import s.implicits._
+    val M = 1L << 20
+    // desc groups: s=3 (n=2, np=2) above=0 -> band 0;
+    //              s=2 (n=1, np=0) above=2 -> band 1;
+    //              s=1 (n=1, np=0) above=3 -> band 1
+    val scored = Seq((3L, 1), (3L, 1), (2L, 0), (1L, 0))
+      .toDF("score", "label")
+    val out = Profiling.gainCurve(scored, "score", "label", bands = 2)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out == Map(
+      0 -> ((2L, 2L, 2L, 2L, M, 2 * M)),
+      1 -> ((2L, 0L, 4L, 2L, M, M))))
+  }
+
+  test("gainCurve: a tied score run lands wholly in the band where it " +
+    "starts — ties never split") {
+    val s = spark; import s.implicits._
+    // s=5 has n=3 starting at above=0 -> all three rows in band 0 even
+    // though equal-population banding would cut at 2
+    val scored = Seq((5L, 1), (5L, 0), (5L, 0), (1L, 1))
+      .toDF("score", "label")
+    val out = Profiling.gainCurve(scored, "score", "label", bands = 2)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(3))))
+      .toMap
+    assert(out == Map(0 -> ((3L, 3L)), 1 -> ((1L, 4L))))
+  }
 }
