@@ -318,7 +318,11 @@ object Bench {
     // r14 continuation: score-gate evals (both pay the sha2 dup-label
     // shuffle; the rank math itself runs on the distinct-score frame)
     "q228_score_auc" -> 0.40,
-    "q229_gain_curve" -> 0.48)
+    "q229_gain_curve" -> 0.48,
+    // the Q20/Q22 planner shapes: two lineitem aggregates + semi
+    // chain; scalar-append + date-filtered anti
+    "q230_dominant_share_suppliers" -> 0.84,
+    "q231_idle_customers" -> 0.52)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -487,6 +491,8 @@ object Bench {
     "q227_effective_sample_size" -> 1020L,
     "q228_score_auc" -> 720418L,
     "q229_gain_curve" -> 720418L,
+    "q230_dominant_share_suppliers" -> 958878L,
+    "q231_idle_customers" -> 7926L,
     "q21_embedding_neardup_ivf" -> 5033608L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

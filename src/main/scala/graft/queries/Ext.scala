@@ -47,6 +47,7 @@ object Ext extends ExtHelpers
       q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201,
       q202, q203, q204, q205, q206, q207, q208, q209, q210,
       q211, q212, q213, q214, q215, q216, q217, q218, q219, q220,
-      q221, q222, q223, q224, q225, q226, q227, q228, q229)
+      q221, q222, q223, q224, q225, q226, q227, q228, q229, q230,
+      q231)
 }
 

@@ -1409,4 +1409,134 @@ private[queries] trait ExtRelationalQ { self: ExtHelpers =>
       GROUP BY p_brand ORDER BY p_brand
     """.trim))
 
+  // --------------------------------------------------------------- q230
+  /** q230 — dominant-share suppliers (the TPC-H Q20 SHAPE, the
+    * planner's NESTED SEMI-JOIN-over-aggregate stressor): suppliers of
+    * one nation who shipped MORE THAN HALF of some small part's 1996
+    * flow — Q20's "excess availability" EXISTS chain re-read on the
+    * fixture star (no partsupp table, so availqty becomes the
+    * supplier's own shipped share vs the part total). The qualifying
+    * (supplier, part) set is an aggregate-of-an-aggregate JOIN that
+    * must collapse into a semi-join, not a blowup.
+    *
+    * Scale shape: both qualifying aggregates — per (part, supplier)
+    * and per part — PARTIAL-AGGREGATE before their exchanges (map-side
+    * combine shrinks the fact to ≈|partsupp| and ≈|parts| rows), then
+    * meet on an `l_partkey` hash join whose per-part side AQE
+    * broadcasts at fixture SF and shuffles at scale — measured 0.96 MB
+    * shuffle vs 5.0 MB for the "one exchange" keyed-window
+    * alternative (`sum over partition by l_partkey` forces the full
+    * (part, supplier) aggregate through a sorted partkey exchange;
+    * the two partial-agged exchanges are strictly lighter — r14
+    * measurement, the cache-intuition lesson again). The part-size
+    * filter is a broadcast semi; the final supplier probe is LEFT
+    * SEMI on `s_suppkey` (first match wins — no distinct, no
+    * multiplication). The share threshold is CROSS-MULTIPLIED in
+    * exact DECIMAL (`2·q_sp > q_p`), never a ratio of doubles. The
+    * qualifying frame is |parts×suppliers-of-part|-sized and must NOT
+    * broadcast at scale; AQE may legitimately do so at fixture SF. */
+  val q230: Q = Q(
+    "q230_dominant_share_suppliers",
+    (s, d) => {
+      val f = Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          Dec.d2(col("l_quantity")).as("__q"))
+      val sp = f.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("__q")).as("__qsp"))
+      val p = f.groupBy(col("l_partkey")).agg(sum(col("__q")).as("__qp"))
+      val qual = sp.join(p, Seq("l_partkey"))
+        .where(col("__qsp") * lit(2L) > col("__qp"))
+        .join(broadcast(Tables.part(s, d).where(col("p_size") <= 10)
+          .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .where(col("n_name") === "NATION_3")
+          .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT l_partkey, l_suppkey,
+          CAST(l_quantity AS DECIMAL(12,2)) AS q
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'),
+      sp AS (
+        SELECT l_partkey, l_suppkey, sum(q) AS qsp FROM f GROUP BY 1, 2),
+      p AS (SELECT l_partkey, sum(q) AS qp FROM f GROUP BY 1)
+      SELECT s_suppkey, s_name
+      FROM supplier
+      JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_3'
+      WHERE EXISTS (
+        SELECT 1 FROM sp
+        JOIN p USING (l_partkey)
+        JOIN part ON p_partkey = l_partkey AND p_size <= 10
+        WHERE sp.l_suppkey = s_suppkey AND qsp * 2 > qp)
+      ORDER BY s_suppkey
+    """.trim))
+
+  // --------------------------------------------------------------- q231
+  /** q231 — idle high-balance customers (the TPC-H Q22 SHAPE: scalar
+    * subquery + ANTI-join): customers whose balance exceeds the
+    * positive-balance average and who placed NO order since the
+    * recency cut, counted and totalled per nation — the "who holds
+    * money but stopped buying" report whose plan is Q22's exactly: a
+    * global scalar, a NOT-EXISTS, a small-key rollup. (Q22's literal
+    * "no orders EVER" is degenerate on this fixture — every customer
+    * has at least one order — so the anti side is the date-filtered
+    * order stream, same topology with a pushed-down scan filter.)
+    *
+    * Scale shape: the average arrives as a ONE-ROW broadcast
+    * scalar-append (q84 discipline) carrying (Σ bal⁺, n⁺), and the
+    * threshold is CROSS-MULTIPLIED in exact DECIMAL
+    * (`bal·n⁺ > Σ bal⁺`) — an avg-as-double compare could flip the
+    * boundary between engines. The anti-join keys on `c_custkey`
+    * against the corpus-scale orders key stream, which must NOT
+    * broadcast at scale (it is the fact table's custkey column; AQE
+    * may legitimately broadcast at fixture SF — q155 laddering);
+    * the rollup is ≤ |nations| keys. Money exact decimal end-to-end,
+    * DOUBLE only at the output boundary. */
+  val q231: Q = Q(
+    "q231_idle_customers",
+    (s, d) => {
+      val cust = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_nationkey"), Dec.d2(col("c_acctbal")).as("__bal"))
+      val stats = cust.where(col("__bal") > 0)
+        .agg(sum(col("__bal")).as("__s"), count(lit(1)).as("__c"))
+      cust.crossJoin(broadcast(stats))
+        .where(col("__bal") * col("__c") > col("__s"))
+        .join(Tables.orders(s, d)
+          .where(col("o_orderdate") >=
+            lit("2000-01-01").cast("timestamp"))
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_custs"),
+          Dec.outD(sum(col("__bal"))).as("total_acctbal"))
+        .orderBy(col("c_nationkey"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT c_custkey, c_nationkey,
+          CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+        FROM customer),
+      t AS (
+        SELECT sum(bal) AS s, CAST(count(*) AS BIGINT) AS c
+        FROM c WHERE bal > 0)
+      SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_custs,
+        CAST(sum(bal) AS DOUBLE) AS total_acctbal
+      FROM c CROSS JOIN t
+      WHERE bal * c > s
+        AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '2000-01-01')
+      GROUP BY 1 ORDER BY 1
+    """.trim))
 }

@@ -886,7 +886,11 @@ class PlanAuditSpec extends SparkSpec {
       // q226: evaluates ivfTopK, whose ONE-broadcast-row centroid
       // assignment is the q21/q39 exception — rides along; the MRR
       // fold itself is two hash joins on the id
-      "q226_search_mrr")
+      "q226_search_mrr",
+      // q231: the ONE-ROW (Σ bal⁺, n⁺) positive-balance stats appended
+      // to the customer stream for the cross-multiplied threshold —
+      // the Q22 scalar subquery as a q84-shape scalar-append
+      "q231_idle_customers")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()
