@@ -322,7 +322,8 @@ object Bench {
     // the Q20/Q22 planner shapes: two lineitem aggregates + semi
     // chain; scalar-append + date-filtered anti
     "q230_dominant_share_suppliers" -> 0.84,
-    "q231_idle_customers" -> 0.52)
+    "q231_idle_customers" -> 0.52,
+    "q232_recursive_l_diversity" -> 0.50)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -493,6 +494,7 @@ object Bench {
     "q229_gain_curve" -> 720418L,
     "q230_dominant_share_suppliers" -> 958878L,
     "q231_idle_customers" -> 7926L,
+    "q232_recursive_l_diversity" -> 335456L,
     "q21_embedding_neardup_ivf" -> 5033608L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

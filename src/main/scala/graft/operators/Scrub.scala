@@ -217,4 +217,62 @@ object Scrub {
           col("__den") * lit(tNum).cast(dec)).as("t_violation"): _*)
       .orderBy(quasiCols.map(c => col(c).asc_nulls_first): _*)
   }
+
+  /** RECURSIVE (c,l)-DIVERSITY AUDIT — the stronger form of
+    * [[kAnonymityAudit]]'s count-based l-gate (Machanavajjhala et al.,
+    * TKDD 2007 §4): a group can hold `l` distinct sensitive values yet
+    * still leak when one value DOMINATES ("29 of 30 rows say X; the
+    * other values are alibis"). A group is recursively (c,l)-diverse
+    * when `r₁ < c·(r_l + r_{l+1} + … + r_m)` — the top frequency is
+    * bounded by `c` times the mass OUTSIDE the l−1 most frequent
+    * values. The entropy variant needs logs, which have no
+    * engine-portable form (the BM25/PMI lesson); the recursive form is
+    * the real published metric AND pure integer arithmetic, so the
+    * repo gets the stronger gate exactly rather than a weaker one
+    * approximately.
+    *
+    * Output: EVERY quasi-group with its size, distinct-sensitive
+    * count, top frequency, tail mass, and the `diverse` verdict
+    * (cross-multiplied `r₁·cDen < cNum·tail`, `c = cNum/cDen` — a
+    * rational c cannot flip between engines). The full table, not a
+    * violations-only worklist: the release decision needs the margins
+    * of the PASSING groups too (a group at `r₁ = c·tail − 1` is one
+    * ingest away from leaking). NULL semantics follow
+    * [[kAnonymityAudit]]: NULL quasi-values group together, a NULL
+    * sensitive value is its own value.
+    *
+    * Tie note: positions among equal frequencies are interchangeable —
+    * `r₁` is the max and the tail mass sums equal values whichever
+    * side of position `l` they land on — so the row_number tie-break
+    * never changes the output and engines cannot disagree.
+    *
+    * Scale shape: one partial-aggregated (quasi…, sensitive) pair
+    * fold (shuffle carries pair cardinality, not rows), a keyed
+    * window over each group's |values| frame, one |pairs|-keyed
+    * fold. */
+  def recursiveLDiversity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, cNum: Long = 2L, cDen: Long = 1L,
+      l: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(cNum >= 1 && cDen >= 1, s"need c > 0, got $cNum/$cDen")
+    require(l >= 2, s"need l >= 2, got l=$l")
+    val bad = (quasiCols :+ sensitiveCol).filterNot(df.columns.contains)
+    require(bad.isEmpty, s"unknown columns: $bad")
+    val qs = quasiCols.map(col)
+    val pairs = df.groupBy(qs :+ col(sensitiveCol).as("__sv"): _*)
+      .agg(count(lit(1)).as("__r"))
+    val w = Window.partitionBy(qs: _*)
+      .orderBy(col("__r").desc, col("__sv"))
+    pairs.withColumn("__pos", row_number().over(w))
+      .groupBy(qs: _*)
+      .agg(sum(col("__r")).as("n_rows"),
+        count(lit(1)).as("n_distinct_sv"),
+        max(when(col("__pos") === 1, col("__r"))).as("r_top"),
+        sum(when(col("__pos") >= l, col("__r")).otherwise(0L))
+          .as("tail_mass"))
+      .withColumn("diverse",
+        col("r_top") * cDen < lit(cNum) * col("tail_mass"))
+      .orderBy(quasiCols.map(c => col(c).asc_nulls_first): _*)
+  }
 }

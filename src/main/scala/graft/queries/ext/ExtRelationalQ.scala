@@ -1539,4 +1539,40 @@ private[queries] trait ExtRelationalQ { self: ExtHelpers =>
             AND o_orderdate >= TIMESTAMP '2000-01-01')
       GROUP BY 1 ORDER BY 1
     """.trim))
+
+  // --------------------------------------------------------------- q232
+  /** q232 — recursive (c,l)-diversity audit
+    * ([[Scrub.recursiveLDiversity]]): the fourth privacy rung (q121
+    * counts distinct values, q220 bounds distributional distance; this
+    * bounds DOMINANCE — `r₁ < c·Σ_{i≥l} rᵢ`, the real Machanavajjhala
+    * recursive form, log-free so it hash-verifies where the entropy
+    * variant cannot). Full per-group table with margins, c = 2, l = 3
+    * over the (lang, source) quasi-grid and document length as the
+    * sensitive attribute; a release gate reads the `diverse` verdict
+    * AND the near-miss margins. */
+  val q232: Q = Q(
+    "q232_recursive_l_diversity",
+    (s, d) =>
+      Scrub.recursiveLDiversity(Tables.documents(s, d),
+        Seq("lang", "source"), "n_chars", cNum = 2L, cDen = 1L, l = 3),
+    Some("""
+      WITH p AS (
+        SELECT lang, source, n_chars AS sv, CAST(count(*) AS BIGINT) r
+        FROM documents GROUP BY 1, 2, 3),
+      rk AS (
+        SELECT lang, source, r,
+          row_number() OVER (PARTITION BY lang, source
+            ORDER BY r DESC, sv) AS pos
+        FROM p)
+      SELECT lang, source, CAST(sum(r) AS BIGINT) AS n_rows,
+        CAST(count(*) AS BIGINT) AS n_distinct_sv,
+        CAST(max(CASE WHEN pos = 1 THEN r END) AS BIGINT) AS r_top,
+        CAST(coalesce(sum(CASE WHEN pos >= 3 THEN r END), 0) AS BIGINT)
+          AS tail_mass,
+        (max(CASE WHEN pos = 1 THEN r END) * 1 <
+          2 * coalesce(sum(CASE WHEN pos >= 3 THEN r END), 0))
+          AS diverse
+      FROM rk GROUP BY 1, 2
+      ORDER BY lang NULLS FIRST, source NULLS FIRST
+    """.trim))
 }

@@ -123,4 +123,47 @@ class ScrubSpec extends SparkSpec {
       .collect().map(r => (r.getDouble(2), r.getBoolean(3)))
     assert(out.toSeq == Seq((0.0, false), (0.0, false)))
   }
+
+  test("recursiveLDiversity: dominance fails, balance passes, " +
+    "single-value groups have zero tail, NULL sensitive is a value") {
+    val s = spark; import s.implicits._
+    val df = Seq[(String, String)](
+      // A: x*4, y*1, z*1 -> r_top 4, tail (pos>=3) 1; 4 < 2*1 false
+      ("A", "x"), ("A", "x"), ("A", "x"), ("A", "x"), ("A", "y"),
+      ("A", "z"),
+      // B: x*2, y*2, z*2 -> r_top 2, tail 2; 2 < 4 true
+      ("B", "x"), ("B", "x"), ("B", "y"), ("B", "y"), ("B", "z"),
+      ("B", "z"),
+      // C: x*5 alone -> r_top 5, tail 0; never diverse
+      ("C", "x"), ("C", "x"), ("C", "x"), ("C", "x"), ("C", "x"),
+      // D: null*3 dominates x*2 -> NULL is a value: r_top 3, tail 0
+      ("D", null), ("D", null), ("D", null), ("D", "x"), ("D", "x"))
+      .toDF("g", "sv")
+    val out = Scrub.recursiveLDiversity(df, Seq("g"), "sv",
+      cNum = 2L, cDen = 1L, l = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out == Map(
+      "A" -> ((6L, 3L, 4L, 1L, false)),
+      "B" -> ((6L, 3L, 2L, 2L, true)),
+      "C" -> ((5L, 1L, 5L, 0L, false)),
+      "D" -> ((5L, 2L, 3L, 0L, false))))
+  }
+
+  test("recursiveLDiversity: rational c cross-multiplies exactly; a " +
+    "tied run straddling position l cannot change the verdict") {
+    val s = spark; import s.implicits._
+    // E: a*2, b*2, c*1 with l=3: whichever of a/b takes position 1,
+    // tail = 1 and r_top = 2 — verdict invariant under the tie
+    val df = Seq(("E", "a"), ("E", "a"), ("E", "b"), ("E", "b"),
+      ("E", "c")).toDF("g", "sv")
+    // c = 2/1: 2 < 2*1 false; c = 3/2: 2*2 < 3*1 false; c = 5/2:
+    // 2*2 < 5*1 true
+    def verdict(cn: Long, cd: Long): Boolean =
+      Scrub.recursiveLDiversity(df, Seq("g"), "sv", cn, cd, l = 3)
+        .collect()(0).getBoolean(5)
+    assert(!verdict(2L, 1L))
+    assert(!verdict(3L, 2L))
+    assert(verdict(5L, 2L))
+  }
 }
