@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data LAYOUT planning — the write-side companion to
+  * partition pruning: a table range-partitioned on ONE column skips
+  * files for predicates on that column only, while a 100 TB fact
+  * queried on TWO keys (part AND supplier, user AND day) needs its
+  * file-level min/max zones tight in BOTH. The standard answer
+  * (Delta/Iceberg `OPTIMIZE ZORDER BY`, the Hudi/ClickHouse space-
+  * filling-curve layouts) is to sort by the Morton Z-VALUE — the
+  * bit-interleave of the dimensions' grid cells — so rows close on the
+  * curve are close in EVERY dimension and each written file's
+  * bounding box stays small.
+  *
+  * This module computes the curve and its MANIFEST declaratively:
+  * [[zOrderManifest]] reports, per z-cell, the row count and the
+  * per-dimension min/max bounding box — the parquet-footer zone map a
+  * z-ordered write WOULD produce, readable as "what fraction of files
+  * does a 2-D predicate skip". Pair with `repartitionByRange(zCol)` +
+  * the [[Packing.writeShards]] one-file discipline for the actual
+  * write.
+  *
+  * Engine-exact: the grid is anchored to the data's own integer
+  * min/max (ONE-ROW broadcast scalar-append, the q84 shape) and the
+  * cell is the exact rational `((v − min) · G) div (max − min + 1)` —
+  * integer division, boundary cannot flip between engines; the
+  * interleave is pure bit arithmetic. No doubles anywhere.
+  *
+  * Scale shape: bounds are one partial-aggregated fold; cell and
+  * z-value assignment are row-local; the manifest is one fold to
+  * ≤ G² keys. The corpus is scanned once and never shuffled by more
+  * than the final small-key aggregate.
+  */
+object Layout {
+
+  /** Morton interleave of two `bits`-bit cell ids: x occupies the even
+    * bit positions, y the odd. Pure bit arithmetic on longs. */
+  def interleaveBits(cx: Column, cy: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 16, s"bits=$bits out of [1, 16]")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc +
+        shiftright(cx, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(cy, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }
+  }
+
+  /** Per-z-cell layout manifest over two INTEGER dimensions: (z,
+    * n_rows, min/max of each dimension) for a 2^bits × 2^bits grid
+    * anchored at the data's own bounds, ordered by z. A z-contiguous
+    * file span's bounding box is the union of its cells' boxes — the
+    * number a 2-D predicate's file-skip rate is read from. NULL
+    * dimension values have no cell and drop out (a real layout sorts
+    * them into a dedicated NULL file). */
+  def zOrderManifest(df: DataFrame, xCol: String, yCol: String,
+      bits: Int = 4): DataFrame = {
+    require(bits >= 1 && bits <= 16, s"bits=$bits out of [1, 16]")
+    val bad = Seq(xCol, yCol).filterNot(df.columns.contains)
+    require(bad.isEmpty, s"unknown columns: $bad")
+    val g = 1L << bits
+    val rows = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+    val bounds = rows.agg(min(col("__x")).as("__minx"),
+      max(col("__x")).as("__maxx"), min(col("__y")).as("__miny"),
+      max(col("__y")).as("__maxy"))
+    rows.crossJoin(broadcast(bounds))
+      .withColumn("__cx",
+        expr(s"((__x - __minx) * $g) div (__maxx - __minx + 1)"))
+      .withColumn("__cy",
+        expr(s"((__y - __miny) * $g) div (__maxy - __miny + 1)"))
+      .withColumn("z", interleaveBits(col("__cx"), col("__cy"), bits))
+      .groupBy(col("z"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__x")).as("min_x"), max(col("__x")).as("max_x"),
+        min(col("__y")).as("min_y"), max(col("__y")).as("max_y"))
+      .orderBy(col("z"))
+  }
+}

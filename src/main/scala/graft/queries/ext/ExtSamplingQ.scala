@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.engine.{Dec, Tables}
-import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Rules, Sampling, Scd, Scrub, SemiStructured, Similarity, Sketch, Skew, TextAnalysis, Trend}
+import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Layout, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Rules, Sampling, Scd, Scrub, SemiStructured, Similarity, Sketch, Skew, TextAnalysis, Trend}
 
 /** [[Ext]] family: sampling, mixing, splits and sequence packing — queries q32, q37, q40, q41, q42, q47, q51, q68, q90, q94, q103, q145, q171, q186, q203, q224, q227.
   * Split from the monolithic Ext.scala in round 12
@@ -597,4 +597,46 @@ private[queries] trait ExtSamplingQ { self: ExtHelpers with ExtDedupQ =>
       FROM o GROUP BY 1 ORDER BY 1
     """.trim))
 
+  // --------------------------------------------------------------- q233
+  /** q233 — z-order layout manifest ([[Layout.zOrderManifest]]): the
+    * zone map a Morton-ordered rewrite of lineitem on (l_partkey,
+    * l_suppkey) would produce — per z-cell on the 16×16 data-anchored
+    * grid, row count and the bounding box in BOTH dimensions. The
+    * write-side answer to "this fact is queried by part AND by
+    * supplier": a single-column sort skips files for one predicate
+    * only; z-contiguous spans keep both boxes small. Cells and
+    * interleave are exact integer arithmetic on a one-row broadcast
+    * bounds append (q84 shape); manifest is a ≤ 256-key fold. */
+  val q233: Q = Q(
+    "q233_zorder_manifest",
+    (s, d) =>
+      Layout.zOrderManifest(Tables.lineitem(s, d), "l_partkey",
+        "l_suppkey", bits = 4),
+    Some("""
+      WITH r AS (
+        SELECT CAST(l_partkey AS BIGINT) AS x,
+          CAST(l_suppkey AS BIGINT) AS y
+        FROM lineitem
+        WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL),
+      b AS (
+        SELECT min(x) AS minx, max(x) AS maxx,
+          min(y) AS miny, max(y) AS maxy
+        FROM r),
+      c AS (
+        SELECT x, y,
+          ((x - minx) * 16) // (maxx - minx + 1) AS cx,
+          ((y - miny) * 16) // (maxy - miny + 1) AS cy
+        FROM r CROSS JOIN b),
+      zv AS (
+        SELECT x, y,
+          ((cx >> 0) & 1) * 1 + ((cy >> 0) & 1) * 2 +
+          ((cx >> 1) & 1) * 4 + ((cy >> 1) & 1) * 8 +
+          ((cx >> 2) & 1) * 16 + ((cy >> 2) & 1) * 32 +
+          ((cx >> 3) & 1) * 64 + ((cy >> 3) & 1) * 128 AS z
+        FROM c)
+      SELECT CAST(z AS BIGINT) AS z, CAST(count(*) AS BIGINT) AS n_rows,
+        min(x) AS min_x, max(x) AS max_x,
+        min(y) AS min_y, max(y) AS max_y
+      FROM zv GROUP BY 1 ORDER BY 1
+    """.trim))
 }

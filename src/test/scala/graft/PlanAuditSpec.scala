@@ -890,7 +890,11 @@ class PlanAuditSpec extends SparkSpec {
       // q231: the ONE-ROW (Σ bal⁺, n⁺) positive-balance stats appended
       // to the customer stream for the cross-multiplied threshold —
       // the Q22 scalar subquery as a q84-shape scalar-append
-      "q231_idle_customers")
+      "q231_idle_customers",
+      // q233: the ONE-ROW (min/max per dimension) grid bounds appended
+      // to the fact before the row-local cell + interleave — Layout's
+      // scalar-append, q88's shape
+      "q233_zorder_manifest")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()
