@@ -324,7 +324,9 @@ object Bench {
     "q230_dominant_share_suppliers" -> 0.84,
     "q231_idle_customers" -> 0.52,
     "q232_recursive_l_diversity" -> 0.50,
-    "q233_zorder_manifest" -> 0.58)
+    "q233_zorder_manifest" -> 0.58,
+    // q234 pays the full q17 pair pipeline (the q225 cost shape)
+    "q234_neighbor_label_audit" -> 2.59)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -497,6 +499,7 @@ object Bench {
     "q231_idle_customers" -> 7926L,
     "q232_recursive_l_diversity" -> 335456L,
     "q233_zorder_manifest" -> 43589L,
+    "q234_neighbor_label_audit" -> 41862805L,
     "q21_embedding_neardup_ivf" -> 5033608L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

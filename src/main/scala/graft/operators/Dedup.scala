@@ -1554,4 +1554,63 @@ object Dedup {
           .as("pair_frac"))
       .orderBy(col("band_id"))
   }
+
+  /** NEIGHBOR-LABEL AUDIT — graph-based label cleaning over a near-dup
+    * pair graph: a document whose metadata label (language, source,
+    * license…) DISAGREES with the majority label of its near-duplicate
+    * neighbors is usually the mislabeled one — near-dups are the same
+    * content, so their labels should agree, and the disagreement list
+    * is the label-repair worklist (one step of majority label
+    * propagation, emitted as an audit instead of applied blindly).
+    *
+    * `pairs` is any (doc_a, doc_b) frame from the dedup family
+    * ([[ngramJaccardPairs]], [[minhashLshPairs]], …); votes flow BOTH
+    * ways along each pair. Ties resolve to the smallest label (NULLS
+    * FIRST) — deterministic and engine-mirrored, and a doc whose own
+    * label ties the winner but sorts later is still flagged
+    * (conservative toward review). A NULL neighbor label votes as its
+    * own bucket; "disagrees" is null-safe.
+    *
+    * Scale shape: the pair graph is |pairs|-sized (never corpus²);
+    * one hash join attaches neighbor labels, one partial-aggregated
+    * (doc, label) vote fold, a keyed window picks the winner over
+    * each doc's ≤ |labels| vote rows, two id-joins re-attach totals
+    * and the doc's own label. */
+  def neighborLabelAudit(docs: DataFrame, idCol: String,
+      labelCol: String, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bad = Seq(idCol, labelCol).filterNot(docs.columns.contains)
+    require(bad.isEmpty, s"unknown columns: $bad")
+    val d = docs.select(col(idCol).cast("long").as("__id"),
+      col(labelCol).as("__lab"))
+    // both directions from ONE scan of the pair frame: a union of two
+    // projections would plan (and pay) the whole upstream pair
+    // pipeline twice — the explode is row-local (measured 2× shuffle
+    // bytes for the union form on the q17 pipeline, r14)
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("__src"), col("doc_b").as("__dst")),
+        struct(col("doc_b").as("__src"), col("doc_a").as("__dst"))))
+        .as("__e"))
+      .select(col("__e.__src").as("__src"), col("__e.__dst").as("__dst"))
+    val votes = edges
+      .join(d.select(col("__id").as("__nid"),
+        col("__lab").as("__nbr_lab")), col("__dst") === col("__nid"))
+      .groupBy(col("__src"), col("__nbr_lab"))
+      .agg(count(lit(1)).as("__votes"))
+    val w = Window.partitionBy(col("__src"))
+      .orderBy(col("__votes").desc, col("__nbr_lab").asc_nulls_first)
+    val top = votes.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .select(col("__src"), col("__nbr_lab").as("majority_label"),
+        col("__votes").as("n_majority"))
+    val tot = votes.groupBy(col("__src").as("__tid"))
+      .agg(sum(col("__votes")).as("n_neighbors"))
+    top.join(tot, col("__src") === col("__tid"))
+      .join(d, col("__src") === col("__id"))
+      .where(!(col("__lab") <=> col("majority_label")))
+      .select(col("__id").as(idCol), col("__lab").as("label"),
+        col("majority_label"), col("n_majority"), col("n_neighbors"))
+      .orderBy(col(idCol))
+  }
 }

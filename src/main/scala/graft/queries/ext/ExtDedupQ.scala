@@ -1338,4 +1338,59 @@ private[queries] trait ExtDedupQ { self: ExtHelpers =>
       FROM counts, tot ORDER BY band_id
     """.trim))
 
+  // --------------------------------------------------------------- q234
+  /** q234 — neighbor-label audit ([[Dedup.neighborLabelAudit]]):
+    * graph-based label cleaning — docs whose `lang` disagrees with the
+    * MAJORITY lang of their q17 near-dup neighbors (near-dups are the
+    * same content; label disagreement usually marks the mislabeled
+    * copy). One step of majority label propagation emitted as a
+    * repair worklist, ties to the smallest label, null-safe
+    * disagreement. The oracle replays the full q17 pair pipeline on
+    * the portable hashes, then the vote. */
+  val q234: Q = Q(
+    "q234_neighbor_label_audit",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.neighborLabelAudit(docs, "doc_id", "lang",
+        Dedup.ngramJaccardPairsUnordered(docs, "doc_id", "text",
+          threshold = 0.5, maxDf = 100))
+    },
+    Some(s"""
+      WITH $duckWords,
+      $duckTokenHashes,
+      $duckHashShingles,
+      shf AS (
+        SELECT doc_id, hs FROM sh
+        QUALIFY count(*) OVER (PARTITION BY hs) <= 100
+      ),
+      sz AS (SELECT doc_id, count(*) n FROM shf GROUP BY 1),
+      jacp AS (
+        SELECT da AS doc_a, db AS doc_b
+        FROM (
+          SELECT a.doc_id da, b.doc_id db, count(*) i
+          FROM shf a JOIN shf b ON a.hs = b.hs AND a.doc_id < b.doc_id
+          GROUP BY 1, 2) inter
+        JOIN sz sa ON sa.doc_id = da
+        JOIN sz sb ON sb.doc_id = db
+        WHERE (CAST(i AS DOUBLE) / (sa.n + sb.n - i)) >= 0.5),
+      e AS (
+        SELECT doc_a AS s, doc_b AS t FROM jacp
+        UNION ALL SELECT doc_b, doc_a FROM jacp),
+      v AS (
+        SELECT s, nb.lang AS nl, CAST(count(*) AS BIGINT) AS votes
+        FROM e JOIN documents nb ON nb.doc_id = e.t GROUP BY 1, 2),
+      tot AS (
+        SELECT s, CAST(sum(votes) AS BIGINT) AS n_neighbors
+        FROM v GROUP BY 1),
+      top AS (
+        SELECT s, nl, votes FROM v
+        QUALIFY row_number() OVER (PARTITION BY s
+          ORDER BY votes DESC, nl NULLS FIRST) = 1)
+      SELECT dd.doc_id, dd.lang AS label, top.nl AS majority_label,
+        votes AS n_majority, n_neighbors
+      FROM top JOIN tot USING (s)
+      JOIN documents dd ON dd.doc_id = top.s
+      WHERE dd.lang IS DISTINCT FROM top.nl
+      ORDER BY dd.doc_id
+    """.trim))
 }

@@ -656,4 +656,30 @@ class DedupSpec extends SparkSpec {
       .collect().toSeq
     assert(a == b)
   }
+
+  test("neighborLabelAudit: majority vote both ways along pairs, " +
+    "smallest-label tie-break, NULL votes and null-safe disagreement, " +
+    "agreeing docs absent") {
+    val s = spark; import s.implicits._
+    val docs = Seq[(Long, String)](
+      (1L, "en"), (2L, "en"), (3L, "de"), (4L, "en"), (5L, null),
+      (6L, "en"), (7L, "en"))
+      .toDF("doc_id", "lang")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (6L, 7L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.neighborLabelAudit(docs, "doc_id", "lang", pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1),
+        r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(
+      // 1 sees {en, de}: tie -> 'de' wins (smallest), own 'en' flagged
+      1L -> (("en", "de", 1L, 2L)),
+      2L -> (("en", "de", 1L, 2L)),
+      // 3 sees {en, en}: clear majority against its own 'de'
+      3L -> (("de", "en", 2L, 2L)),
+      // 4's one neighbor is NULL-labeled; 5's is 'en' — both flagged
+      4L -> (("en", null, 1L, 1L)),
+      5L -> ((null, "en", 1L, 1L))))
+    // 6 and 7 agree with each other: not in the worklist
+    assert(!out.contains(6L) && !out.contains(7L))
+  }
 }
