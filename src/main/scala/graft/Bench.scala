@@ -326,7 +326,8 @@ object Bench {
     "q232_recursive_l_diversity" -> 0.50,
     "q233_zorder_manifest" -> 0.58,
     // q234 pays the full q17 pair pipeline (the q225 cost shape)
-    "q234_neighbor_label_audit" -> 2.59)
+    "q234_neighbor_label_audit" -> 2.59,
+    "q235_part_supplier_census" -> 0.73)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -500,6 +501,7 @@ object Bench {
     "q232_recursive_l_diversity" -> 335456L,
     "q233_zorder_manifest" -> 43589L,
     "q234_neighbor_label_audit" -> 41862805L,
+    "q235_part_supplier_census" -> 1427433L,
     "q21_embedding_neardup_ivf" -> 5033608L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

@@ -1575,4 +1575,54 @@ private[queries] trait ExtRelationalQ { self: ExtHelpers =>
       FROM rk GROUP BY 1, 2
       ORDER BY lang NULLS FIRST, source NULLS FIRST
     """.trim))
+
+  // --------------------------------------------------------------- q235
+  /** q235 — part-supplier census (the TPC-H Q16 SHAPE: NOT-IN
+    * exclusion + grouped COUNT DISTINCT): per (brand, type, size) over
+    * a size short-list, how many DISTINCT suppliers ship the part —
+    * excluding suppliers in arrears (the fixture's stand-in for Q16's
+    * complaints list). The fourth classic planner stressor in the
+    * q208/q223/q230/q231 family.
+    *
+    * Scale shape: the exclusion list is DIM-sized (suppliers with
+    * negative balance), so the NOT-IN plans as a BROADCAST anti-join
+    * at any SF — the deliberate contrast with q231, whose anti side is
+    * corpus-sized and must shuffle; the part dim is broadcast with the
+    * attribute filters pushed into its scan; the count-distinct is
+    * Spark's two-phase partial-distinct aggregate (map-side dedup of
+    * (group, suppkey) before the exchange — repeated (part, supplier)
+    * lineitems never cross the wire twice). Ties pinned (cnt desc,
+    * then all three attributes). */
+  val q235: Q = Q(
+    "q235_part_supplier_census",
+    (s, d) => {
+      val excl = broadcast(Tables.supplier(s, d)
+        .where(col("s_acctbal") < 0).select(col("s_suppkey").as("__ex")))
+      val parts = broadcast(Tables.part(s, d)
+        .where(col("p_brand") =!= "Brand#1" &&
+          !col("p_type").startsWith("PROMO") &&
+          col("p_size").isin(1, 4, 9, 16, 25))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size")))
+      Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+        .join(excl, col("l_suppkey") === col("__ex"), "left_anti")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"),
+          col("p_type"), col("p_size"))
+    },
+    Some("""
+      SELECT p_brand, p_type, p_size,
+        CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#1'
+        AND p_type NOT LIKE 'PROMO%'
+        AND p_size IN (1, 4, 9, 16, 25)
+        AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY 1, 2, 3
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """.trim))
 }
