@@ -1059,6 +1059,70 @@ object Profiling {
       .orderBy(col("bin_id"))
   }
 
+  /** SKETCH-BASED COLUMN PROFILE — the 100 TB path for
+    * [[columnProfile]]: the exact profile's `countDistinct` plans as
+    * an Expand that multiplies every row by |cols| and holds exact
+    * per-value state through the aggregate — fine at audit scale,
+    * not at corpus scale. This variant keeps the exact row/null
+    * counters (cheap sums) and replaces the distinct count with a
+    * per-column HyperLogLog ([[Sketch.hllDistinct]]): ONE pass, a
+    * row-local unpivot, and ≤ m registers per column of mergeable
+    * state — the profile a 1000-executor job can afford on every
+    * ingest.
+    *
+    * Engine-exact: values render through `CAST(x AS STRING)` and hash
+    * with the portable 31/131 char folds, so the estimate — not just
+    * the error bound — replays bit-for-bit in any engine (the q89
+    * discipline). Column types are restricted to strings and
+    * integers, whose string rendering is identical everywhere;
+    * requesting a double/timestamp column fails loudly rather than
+    * risking a formatting divergence.
+    *
+    * Output: (column_name, n_rows, n_nulls, est_distinct), NULLs
+    * excluded from the sketch (they are counted, not hashed). */
+  def columnProfileSketch(df: DataFrame, cols: Seq[String],
+      m: Int = 256, wBits: Int = 52): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
+      ShortType, StringType}
+    require(cols.nonEmpty, "columnProfileSketch needs at least one column")
+    val bad = cols.filterNot(df.columns.contains)
+    require(bad.isEmpty, s"unknown columns: $bad")
+    val allowed: Set[org.apache.spark.sql.types.DataType] =
+      Set(StringType, ByteType, ShortType, IntegerType, LongType)
+    val badType = cols.filter(c =>
+      !allowed.contains(df.schema(c).dataType))
+    require(badType.isEmpty,
+      s"columns with non-portable string rendering: $badType " +
+        "(only string and integer columns profile engine-exactly)")
+    val p = graft.functions.TextHash.P
+    val entries = cols.map(c => struct(lit(c).as("column_name"),
+      raw(c).cast("string").as("__v")))
+    val long = df.select(explode(array(entries: _*)).as("__e"))
+      .select(col("__e.column_name").as("column_name"),
+        col("__e.__v").as("__v"))
+    val counts = long.groupBy(col("column_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_nulls"))
+    def fold(mult: Long, seed: Long): Column = when(length(col("__v")) === 0,
+      lit(seed)).otherwise(expr(
+      s"aggregate(transform(sequence(1, length(__v)), " +
+        s"j -> ascii(substring(__v, j, 1))), ${seed}L, " +
+        s"(h, c) -> ((h * ${mult}L) + c) % ${p}L)"))
+    val hashed = long.where(col("__v").isNotNull)
+      .select(col("column_name"), fold(31L, 0L).as("__h1"),
+        fold(131L, 7L).as("__h2"))
+      .select(col("column_name"),
+        ((col("__h1") * col("__h1") % p) * p +
+          col("__h2") * col("__h2") % p).as("__h"))
+    counts
+      .join(Sketch.hllDistinct(hashed, "column_name", "__h", m, wBits)
+        .select(col("column_name").as("__cn"), col("est_distinct")),
+        col("column_name") === col("__cn"), "left")
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        coalesce(col("est_distinct"), lit(0.0)).as("est_distinct"))
+      .orderBy(col("column_name"))
+  }
+
   /** ROC-AUC of an integer score against a binary label — the one
     * number behind every "does this quality signal rank the bad rows
     * last" decision, computed exactly via the Mann–Whitney midrank

@@ -535,6 +535,44 @@ private[queries] trait ExtHelpers {
     if (s.contains('E') || s.contains('e')) s else s + "E0"
   }
 
+  /** DuckDB fragment: the HLL register build + estimate fold over a
+    * prior CTE `hv (g, h)` of prepared hashes, ending in
+    * `hll (g, n_filled, n_empty, est_distinct)` — the generic tail of
+    * [[duckHllEvents]] for callers that hash something other than
+    * events/user_id (q236 hashes rendered column values). */
+  private[queries] def duckHllTail(m: Int, wBits: Int): String = {
+    val k = wBits + 1
+    val alpha = Sketch.hllAlpha(m)
+    val lut = Sketch.hllLinearLut(m)
+    s"""b AS (
+          SELECT g, h % $m AS b, h // $m AS w FROM hv),
+        r AS (
+          SELECT g, b, CASE WHEN w = 0 THEN ${wBits + 1}
+            ELSE $wBits - length(bin(w)) + 1 END AS rho FROM b),
+        reg AS (
+          SELECT g, b, max(rho) AS mj FROM r GROUP BY 1, 2),
+        agg AS (
+          SELECT g, count(*) AS n_filled,
+            sum(1::BIGINT << ($k - mj)) AS s_present
+          FROM reg GROUP BY 1),
+        sc AS (
+          SELECT g, n_filled, ($m - n_filled) AS n_empty,
+            ($m::BIGINT - n_filled) * (1::BIGINT << $k) + s_present AS s
+          FROM agg),
+        hll AS (
+          SELECT g, n_filled, n_empty,
+            CASE WHEN n_empty > 0 AND
+                ((${sqlDouble(alpha)} * ${sqlDouble((m.toLong * m).toDouble)}) *
+                  ${sqlDouble(math.pow(2.0, k))}) / CAST(s AS DOUBLE)
+                  <= ${sqlDouble(2.5 * m)}
+              THEN list_extract([${lut.map(sqlDouble).mkString(", ")}],
+                CAST(n_empty AS INT))
+              ELSE ((${sqlDouble(alpha)} * ${sqlDouble((m.toLong * m).toDouble)}) *
+                ${sqlDouble(math.pow(2.0, k))}) / CAST(s AS DOUBLE)
+            END AS est_distinct
+          FROM sc)"""
+  }
+
   /** DuckDB fragment: the full HLL replay over events/user_id — the
     * squared-affine hashing, register build, and the estimate fold —
     * ending in `hll (event_type, n_filled, n_empty, est_distinct)`.

@@ -1389,4 +1389,54 @@ private[queries] trait ExtProfilingQ { self: ExtHelpers =>
           AS lift_fp
       FROM c ORDER BY band_id
     """.trim))
+
+  // --------------------------------------------------------------- q236
+  /** q236 — sketch-based column profile
+    * ([[Profiling.columnProfileSketch]]): q62's profile at the scale
+    * where exact `countDistinct` (an Expand that multiplies every row
+    * by |cols| and holds exact per-value state) stops being
+    * affordable — exact row/null counters plus a per-column
+    * HyperLogLog distinct estimate from ONE pass and ≤ 256 mergeable
+    * registers per column. Values render via CAST-to-string and the
+    * portable 31/131 char folds, so the ESTIMATE itself (not just its
+    * error bound) hash-verifies; the oracle replays registers and the
+    * linear-counting switch bit-for-bit. */
+  val q236: Q = Q(
+    "q236_column_profile_sketch",
+    (s, d) =>
+      Profiling.columnProfileSketch(Tables.documents(s, d),
+        Seq("doc_id", "lang", "n_chars", "source"), m = 256, wBits = 52),
+    Some(s"""
+      WITH lv AS (
+        SELECT 'doc_id' AS g, CAST(doc_id AS VARCHAR) AS v FROM documents
+        UNION ALL SELECT 'lang', lang FROM documents
+        UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR)
+          FROM documents
+        UNION ALL SELECT 'source', source FROM documents),
+      cnt AS (
+        SELECT g AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_nulls
+        FROM lv GROUP BY 1),
+      hs AS (
+        SELECT g,
+          CASE WHEN length(v) = 0 THEN 0 ELSE
+            list_reduce(list_prepend(0::BIGINT,
+              list_transform(range(1, length(v) + 1),
+                j -> ascii(v[j]))),
+              (h, c) -> ((h * 31) + c) % $P) END AS h1,
+          CASE WHEN length(v) = 0 THEN 7 ELSE
+            list_reduce(list_prepend(7::BIGINT,
+              list_transform(range(1, length(v) + 1),
+                j -> ascii(v[j]))),
+              (h, c) -> ((h * 131) + c) % $P) END AS h2
+        FROM lv WHERE v IS NOT NULL),
+      hv AS (
+        SELECT g, (h1*h1 % $P) * $P + (h2*h2 % $P) AS h FROM hs),
+      ${duckHllTail(256, 52)}
+      SELECT column_name, n_rows, n_nulls,
+        coalesce(est_distinct, 0.0e0) AS est_distinct
+      FROM cnt LEFT JOIN hll ON cnt.column_name = hll.g
+      ORDER BY column_name
+    """.trim))
 }

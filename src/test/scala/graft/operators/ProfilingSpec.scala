@@ -490,6 +490,35 @@ class ProfilingSpec extends SparkSpec {
       3 -> ((1L, 1L, 1.0))))
   }
 
+  test("columnProfileSketch: exact counters, HLL estimate near exact " +
+    "distinct, all-NULL column estimates 0, empty string is a value") {
+    val s = spark; import s.implicits._
+    val df = (1L to 400L).map(i => (i, s"v${i % 50}",
+      null.asInstanceOf[String])) :+ ((401L, "", null))
+    val out = Profiling.columnProfileSketch(df.toDF("id", "sv", "nul"),
+      Seq("id", "sv", "nul"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val (idN, idNull, idEst) = out("id")
+    assert(idN == 401L && idNull == 0L)
+    assert(math.abs(idEst / 401.0 - 1.0) < 0.25, idEst) // ±1.04/√256 ≈ 6.5%
+    val (svN, svNull, svEst) = out("sv")
+    assert(svN == 401L && svNull == 0L)
+    assert(math.abs(svEst / 51.0 - 1.0) < 0.25, svEst) // 50 values + ""
+    assert(out("nul") == ((401L, 401L, 0.0)))
+  }
+
+  test("columnProfileSketch: non-portable column types fail loudly") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, 0.5)).toDF("id", "d")
+    intercept[IllegalArgumentException] {
+      Profiling.columnProfileSketch(df, Seq("id", "d"))
+    }
+    intercept[IllegalArgumentException] {
+      Profiling.columnProfileSketch(df, Seq("nope"))
+    }
+  }
+
   test("scoreAuc: midrank tie handling matches the pairwise definition") {
     val s = spark; import s.implicits._
     // pos scores {1, 3}, neg scores {1, 2}: pairwise AUC =
