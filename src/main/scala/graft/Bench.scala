@@ -328,7 +328,9 @@ object Bench {
     // q234 pays the full q17 pair pipeline (the q225 cost shape)
     "q234_neighbor_label_audit" -> 2.59,
     "q235_part_supplier_census" -> 0.73,
-    "q236_column_profile_sketch" -> 0.69)
+    "q236_column_profile_sketch" -> 0.69,
+    "q237_waterfill_quota" -> 0.45,
+    "q238_frame_sample_plan" -> 0.32)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -504,6 +506,8 @@ object Bench {
     "q234_neighbor_label_audit" -> 41862805L,
     "q235_part_supplier_census" -> 1427433L,
     "q236_column_profile_sketch" -> 20426L,
+    "q237_waterfill_quota" -> 3547L,
+    "q238_frame_sample_plan" -> 273298L,
     "q21_embedding_neardup_ivf" -> 5033608L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

@@ -578,4 +578,31 @@ object Multimodal {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("modality"), col("dimension"), col("bucket"))
   }
+
+  /** FRAME-SAMPLE PLAN — the deterministic "which k frames do we
+    * grab" schedule a vision-training pipeline derives from
+    * [[decodeVideoMeta]]'s container metadata BEFORE any expensive
+    * frame extraction runs: k timestamps at the MIDPOINTS of k equal
+    * duration segments (`tᵢ = duration·(2i+1) div 2k` — uniform
+    * coverage, never the black first frame at t=0, never a
+    * past-the-end seek at t=duration), one row per (video, frame).
+    * The plan is pure integer arithmetic on the metadata row — the
+    * actual decode stays in the executor-side codec path, and a
+    * re-run or a different engine produces byte-identical seek lists
+    * (the property that makes extracted-frame caches reusable).
+    * Undecodable videos (`ok = 0`) have no plan rows by construction.
+    *
+    * Scale shape: row-local filter + a k-row explode per video; no
+    * shuffle at all until a consumer aggregates. */
+  def frameSamplePlan(videoMeta: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1024, s"k=$k out of [1, 1024]")
+    videoMeta
+      .where(col("ok") === 1L && col("duration_ms").isNotNull)
+      .select(col("doc_id"), col("duration_ms"),
+        explode(sequence(lit(0L), lit(k - 1L))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        expr(s"(duration_ms * (2 * frame_idx + 1)) div ${2L * k}L")
+          .as("t_ms"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
 }

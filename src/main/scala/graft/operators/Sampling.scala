@@ -478,4 +478,70 @@ object Sampling {
       df.select(splitCol.as("split"), valueCol.as("v")),
       col("split"), col("v"))
       .withColumnRenamed("stratum", "split")
+
+  /** WATER-FILLING QUOTA — MAX-MIN FAIR division of a global budget
+    * across strata: [[temperatureMix]] reshapes shares by a smooth
+    * exponent, but a curation contract is often the harder
+    * "every source keeps everything UP TO the fair level; only the
+    * giants are capped". That is water-filling: the level `L` where
+    * `Σ min(massᵢ, L) = budget` — small sources are untouched, all
+    * capped sources land at the same level (no source is cut while a
+    * larger one keeps more), and the budget is met EXACTLY.
+    *
+    * Exact integer solution (no search): sort strata by mass
+    * ascending; stratum `j` is fully satisfiable iff even granting its
+    * mass to every not-smaller stratum fits — `S_{j−1} + (n−j+1)·mⱼ ≤
+    * B`. With `j*` the largest such index, `L = (B − S_{j*}) div
+    * (n − j*)` and the integer remainder goes +1 each to the LARGEST
+    * capped strata (they have headroom by construction: maximality of
+    * `j*` forces `mᵢ ≥ L+1` above it), ties by stratum name — fully
+    * deterministic, `Σ allocated = min(B, Σ mass)` exactly.
+    *
+    * Scale shape: one partial-aggregated mass fold to |strata| keys;
+    * every window below runs on that TINY frame (the q84 aggregated
+    * discipline), never the corpus. */
+  def waterfillQuota(df: DataFrame, stratumCol: String,
+      weightCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0, s"need budget >= 0, got $budget")
+    val bad = Seq(stratumCol, weightCol).filterNot(df.columns.contains)
+    require(bad.isEmpty, s"unknown columns: $bad")
+    val masses = df
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(sum(col(weightCol).cast("long")).as("mass"))
+    val wAsc = Window.orderBy(col("mass").asc, col("stratum").asc)
+    val ranked = masses
+      .withColumn("__j", row_number().over(wAsc).cast("long"))
+      .withColumn("__s_prev", coalesce(sum(col("mass"))
+        .over(wAsc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)).cast("long"))
+      .withColumn("__full",
+        col("__s_prev") + (col("__n") - col("__j") + 1L) * col("mass")
+          <= budget)
+    val jStar = ranked
+      .agg(coalesce(max(when(col("__full"), col("__j"))), lit(0L))
+        .as("__jstar"),
+        coalesce(sum(when(col("__full"), col("mass"))), lit(0L))
+          .as("__sstar"))
+    val out = ranked.crossJoin(broadcast(jStar))
+      .withColumn("__ncap", col("__n") - col("__jstar"))
+      .withColumn("__level", when(col("__ncap") > 0,
+        expr(s"(${budget}L - __sstar) div __ncap")).otherwise(lit(0L)))
+      .withColumn("__rem", when(col("__ncap") > 0,
+        expr(s"(${budget}L - __sstar) % __ncap")).otherwise(lit(0L)))
+      .withColumn("__caprank",
+        when(col("__j") > col("__jstar"),
+          row_number().over(Window
+            .orderBy(col("mass").desc, col("stratum").asc)).cast("long"))
+          .otherwise(lit(0L)))
+    out.select(col("stratum"), col("mass"),
+      when(col("__j") <= col("__jstar"), col("mass"))
+        .otherwise(col("__level") +
+          when(col("__caprank") <= col("__rem"), 1L).otherwise(0L))
+        .as("allocated"),
+      (col("__j") > col("__jstar")).as("capped"))
+      .orderBy(col("stratum").asc_nulls_first)
+  }
 }

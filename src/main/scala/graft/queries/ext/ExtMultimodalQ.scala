@@ -156,6 +156,34 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       ORDER BY doc_id
     """.trim))
 
+  // --------------------------------------------------------------- q238
+  /** q238 — frame-sample plan ([[Multimodal.frameSamplePlan]]): the
+    * deterministic 4-frame seek schedule over q209's decoded video
+    * metadata — midpoints of 4 equal duration segments, pure integer
+    * arithmetic, so re-runs and other engines produce byte-identical
+    * seek lists (extracted-frame caches stay reusable). Undecodable
+    * videos have no plan rows; the oracle restates durations as the
+    * fixture's id arithmetic. */
+  val q238: Q = Q(
+    "q238_frame_sample_plan",
+    (s, d) =>
+      Multimodal.frameSamplePlan(
+        Multimodal.decodeVideoMeta(
+          Multimodal.encodeVideoFixture(Tables.documents(s, d),
+            "doc_id")).toDF(), k = 4),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, 1000 + (doc_id % 97) * 250 AS dur
+        FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0
+          AND doc_id % 10 NOT IN (3, 4, 6, 7)),
+      i AS (SELECT unnest(range(4)) AS frame_idx)
+      SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        CAST((dur * (2 * frame_idx + 1)) // 8 AS BIGINT) AS t_ms
+      FROM d CROSS JOIN i
+      ORDER BY doc_id, frame_idx
+    """.trim))
+
   // ---------------------------------------------------------------- q221
   /** q221 — media catalog profile ([[Multimodal.mediaProfile]]): the
     * readout OVER the three real decoders (q206/q207/q209) — per

@@ -639,4 +639,57 @@ private[queries] trait ExtSamplingQ { self: ExtHelpers with ExtDedupQ =>
         min(y) AS min_y, max(y) AS max_y
       FROM zv GROUP BY 1 ORDER BY 1
     """.trim))
+
+  // --------------------------------------------------------------- q237
+  /** q237 — water-filling quota ([[Sampling.waterfillQuota]]): max-min
+    * fair division of a 2M-char budget across sources — small sources
+    * untouched, every capped source lands at the same level, budget
+    * met EXACTLY (`Σ allocated = min(B, Σ mass)`). The closed-form
+    * integer solve on the sorted |strata| frame (no search), the
+    * remainder distributed +1 to the largest capped strata
+    * deterministically. The contract-style companion to q103's
+    * tempered shares. */
+  val q237: Q = Q(
+    "q237_waterfill_quota",
+    (s, d) =>
+      Sampling.waterfillQuota(Tables.documents(s, d), "source",
+        "n_chars", budget = 2000000L),
+    Some("""
+      WITH m AS (
+        SELECT source AS stratum, CAST(sum(n_chars) AS BIGINT) AS mass
+        FROM documents GROUP BY 1),
+      r AS (
+        SELECT stratum, mass,
+          CAST(row_number() OVER (ORDER BY mass, stratum NULLS FIRST)
+            AS BIGINT) AS j,
+          CAST(coalesce(sum(mass) OVER (
+            ORDER BY mass, stratum NULLS FIRST
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS s_prev,
+          CAST(count(*) OVER () AS BIGINT) AS n
+        FROM m),
+      f AS (
+        SELECT *, (s_prev + (n - j + 1) * mass <= 2000000) AS isfull
+        FROM r),
+      js AS (
+        SELECT coalesce(max(CASE WHEN isfull THEN j END), 0) AS jstar,
+          coalesce(sum(CASE WHEN isfull THEN mass END), 0) AS sstar
+        FROM f),
+      o AS (
+        SELECT f.*, jstar, sstar, (n - jstar) AS ncap,
+          CASE WHEN n - jstar > 0
+            THEN (2000000 - sstar) // (n - jstar) ELSE 0 END AS lvl,
+          CASE WHEN n - jstar > 0
+            THEN (2000000 - sstar) % (n - jstar) ELSE 0 END AS rem,
+          CASE WHEN j > jstar THEN CAST(row_number() OVER (
+            ORDER BY mass DESC NULLS LAST, stratum NULLS FIRST)
+            AS BIGINT) ELSE 0 END AS caprank
+        FROM f CROSS JOIN js)
+      SELECT stratum, mass,
+        CAST(CASE WHEN j <= jstar THEN mass
+          ELSE lvl + CASE WHEN caprank <= rem THEN 1 ELSE 0 END END
+          AS BIGINT) AS allocated,
+        (j > jstar) AS capped
+      FROM o ORDER BY stratum NULLS FIRST
+    """.trim))
 }

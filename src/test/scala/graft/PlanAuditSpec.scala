@@ -894,7 +894,11 @@ class PlanAuditSpec extends SparkSpec {
       // q233: the ONE-ROW (min/max per dimension) grid bounds appended
       // to the fact before the row-local cell + interleave — Layout's
       // scalar-append, q88's shape
-      "q233_zorder_manifest")
+      "q233_zorder_manifest",
+      // q237: the ONE-ROW (j*, S_j*) water-line solve appended to the
+      // |strata| mass frame — waterfillQuota's scalar-append; every
+      // frame in the join is |strata|-sized
+      "q237_waterfill_quota")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()

@@ -274,4 +274,17 @@ class MultimodalSpec extends SparkSpec {
     assert(out(("video", "duration", "lt_8s")) == 1L)    // 7999 ms
     assert(out(("video", "resolution", "lt_0_1mp")) == 1L) // 76800 px
   }
+
+  test("frameSamplePlan: midpoint seeks, never t=0 or t=duration; " +
+    "undecodable and durationless rows emit no plan") {
+    val s = spark; import s.implicits._
+    val meta = Seq[(Long, Long, java.lang.Long)](
+      (1L, 1L, 1000L), (2L, 0L, 1000L), (3L, 1L, null))
+      .toDF("doc_id", "ok", "duration_ms")
+    val out = Multimodal.frameSamplePlan(meta, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 0L, 125L), (1L, 1L, 375L),
+      (1L, 2L, 625L), (1L, 3L, 875L)))
+    assert(out.forall(t => t._3 > 0L && t._3 < 1000L))
+  }
 }

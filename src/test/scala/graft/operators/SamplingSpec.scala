@@ -354,4 +354,45 @@ class SamplingSpec extends SparkSpec {
     assert(k.getLong(0) == 5L)
     assert(k.getDouble(3) < 0.5, s"expected collapsed ESS, got $k")
   }
+
+  private def waterfill(masses: Seq[(String, Long)], budget: Long) = {
+    val s = spark; import s.implicits._
+    val rows = masses.flatMap { case (g, m) =>
+      // split each mass into two rows to prove the fold aggregates
+      Seq((g, m / 2), (g, m - m / 2))
+    }
+    Sampling.waterfillQuota(rows.toDF("src", "w"), "src", "w", budget)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+  }
+
+  test("waterfillQuota: small sources untouched, capped sources share " +
+    "one level, budget met exactly") {
+    val out = waterfill(Seq("a" -> 10L, "b" -> 20L, "c" -> 70L), 50L)
+    assert(out == Map(
+      "a" -> ((10L, 10L, false)),
+      "b" -> ((20L, 20L, false)),
+      "c" -> ((70L, 20L, true))))
+  }
+
+  test("waterfillQuota: integer remainder goes +1 to the largest " +
+    "capped strata, ties by name") {
+    val out = waterfill(
+      Seq("a" -> 10L, "b" -> 20L, "c" -> 70L, "d" -> 70L), 56L)
+    assert(out == Map(
+      "a" -> ((10L, 10L, false)),
+      "b" -> ((20L, 15L, true)),
+      "c" -> ((70L, 16L, true)),  // remainder 1 -> largest, name asc
+      "d" -> ((70L, 15L, true))))
+    assert(out.values.map(_._2).sum == 56L)
+  }
+
+  test("waterfillQuota: budget over total satisfies everyone; budget " +
+    "zero allocates zero") {
+    val rich = waterfill(Seq("a" -> 10L, "b" -> 20L), 100L)
+    assert(rich == Map("a" -> ((10L, 10L, false)),
+      "b" -> ((20L, 20L, false))))
+    val broke = waterfill(Seq("a" -> 10L, "b" -> 20L), 0L)
+    assert(broke("a")._2 == 0L && broke("b")._2 == 0L)
+  }
 }
