@@ -330,7 +330,8 @@ object Bench {
     "q235_part_supplier_census" -> 0.73,
     "q236_column_profile_sketch" -> 0.69,
     "q237_waterfill_quota" -> 0.45,
-    "q238_frame_sample_plan" -> 0.32)
+    "q238_frame_sample_plan" -> 0.32,
+    "q239_disjunctive_revenue" -> 0.52)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -508,6 +509,7 @@ object Bench {
     "q236_column_profile_sketch" -> 20426L,
     "q237_waterfill_quota" -> 3547L,
     "q238_frame_sample_plan" -> 273298L,
+    "q239_disjunctive_revenue" -> 432L,
     "q21_embedding_neardup_ivf" -> 5033608L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

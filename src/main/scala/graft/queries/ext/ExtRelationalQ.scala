@@ -1625,4 +1625,56 @@ private[queries] trait ExtRelationalQ { self: ExtHelpers =>
       GROUP BY 1, 2, 3
       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
     """.trim))
+
+  // --------------------------------------------------------------- q239
+  /** q239 — disjunctive-clause revenue (the TPC-H Q19 SHAPE: an OR of
+    * conjunctive clauses SPANNING the join): revenue from lineitems
+    * matching any of three (brand, size-range, quantity-range)
+    * bundles — the planner stressor whose trap is evaluating the
+    * disjunction only AFTER a full join. Catalyst's
+    * constraint-extraction pulls the part-only factor of each clause
+    * out of the OR (brand ∈ {…} and the size caps reach the part
+    * SCAN as pushed filters) and the quantity arms ride the broadcast
+    * hash join as a residual — never a nested loop, never an
+    * unfiltered dim. Money exact decimal, one ungrouped fold.
+    *
+    * Scale shape: part is dim-sized (broadcast); lineitem is scanned
+    * once with no shuffle at all — filter, broadcast probe, partial
+    * fold. The single-row output is the Q19 contract. */
+  val q239: Q = Q(
+    "q239_disjunctive_revenue",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_partkey"),
+        col("l_quantity"),
+        (Dec.d2(col("l_extendedprice")) *
+          (lit(1) - Dec.d2(col("l_discount")))).as("__rev"))
+      val p = broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_size")))
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#12" &&
+            col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" &&
+            col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" &&
+            col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(count(lit(1)).as("n_lines"),
+          Dec.outD(sum(col("__rev"))).as("revenue"))
+    },
+    Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+          (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+          AS revenue
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+          AND l_quantity BETWEEN 1 AND 11)
+        OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+          AND l_quantity BETWEEN 10 AND 20)
+        OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+          AND l_quantity BETWEEN 20 AND 30)
+    """.trim))
 }

@@ -910,6 +910,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q239: the part-only factor of each OR clause reaches the part " +
+    "scan; the join is broadcast hash, not nested-loop") {
+    graft.engine.GraftSession.tune(spark)
+    val p = plan("q239_disjunctive_revenue")
+    // constraint extraction pulls the disjunction's part-side factor
+    // out of the OR and pushes it into the parquet scan
+    val partScan = p.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n")
+    assert(partScan.contains("p_brand") && partScan.contains("p_size"),
+      p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
   test("q172: ONE user-keyed exchange, ONE window op computes all " +
     "three expanding aggregates") {
     graft.engine.GraftSession.tune(spark)
