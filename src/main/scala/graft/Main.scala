@@ -69,6 +69,11 @@ object Main {
         minDf = rest.headOption.map(_.toInt).getOrElse(2))
     case "export-shards" :: docsParquet :: outDir :: shardBytes :: Nil =>
       exportShards(docsParquet, outDir, shardBytes.toLong)
+    case "export-zorder" :: srcParquet :: outDir :: xCol :: yCol :: rest
+        if rest.size <= 2 =>
+      exportZOrder(srcParquet, outDir, xCol, yCol,
+        bits = rest.headOption.map(_.toInt).getOrElse(4),
+        files = rest.drop(1).headOption.map(_.toInt).getOrElse(16))
     case "bucketize" :: srcParquet :: table :: key :: buckets :: Nil =>
       bucketize(srcParquet, table, key, buckets.toInt)
     case "stream-curate" :: inDir :: outDir :: ckptDir :: rest
@@ -92,7 +97,7 @@ object Main {
       profile(srcParquet, outDir, cols)
     case _ =>
       System.err.println(
-        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | df-ingest <docsParquet> <storeDir> <outDir> [minDf] | export-shards <docsParquet> <outDir> <shardBytes> | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | stream-sessionize <eventsDir> <outDir> <ckptDir> [gapMinutes] | stream-dedup <docsDir> <outDir> <ckptDir> [watermarkDelay] | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
+        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | df-ingest <docsParquet> <storeDir> <outDir> [minDf] | export-shards <docsParquet> <outDir> <shardBytes> | export-zorder <parquet> <outDir> <xCol> <yCol> [bits [files]] | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | stream-sessionize <eventsDir> <outDir> <ckptDir> [gapMinutes] | stream-dedup <docsDir> <outDir> <ckptDir> [watermarkDelay] | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
       sys.exit(2)
   }
 
@@ -137,6 +142,29 @@ object Main {
       s"(~$shardBytes B each) under $outDir")
     spark.stop()
   }
+
+  /** Export a table as z-ordered parquet files
+    * ([[graft.operators.Layout.writeZOrdered]]): deterministic
+    * z-contiguous file spans over two integer dimensions, one parquet
+    * file per span, the per-file zone-map manifest under
+    * `outDir/_manifest`. */
+  private def exportZOrder(srcParquet: String, outDir: String,
+      xCol: String, yCol: String, bits: Int, files: Int): Unit = {
+    val spark = GraftSession.local()
+    val (nFiles, nRows) = runExportZOrder(spark, srcParquet, outDir,
+      xCol, yCol, bits, files)
+    println(s"export-zorder: $nRows rows -> $nFiles z-span files " +
+      s"(${1 << bits}x${1 << bits} grid on $xCol x $yCol) under $outDir")
+    spark.stop()
+  }
+
+  /** Testable core of `export-zorder` (the [[runCompact]] pattern). */
+  private[graft] def runExportZOrder(
+      spark: org.apache.spark.sql.SparkSession, srcParquet: String,
+      outDir: String, xCol: String, yCol: String, bits: Int,
+      files: Int): (Long, Long) =
+    graft.operators.Layout.writeZOrdered(spark.read.parquet(srcParquet),
+      xCol, yCol, outDir, bits, files)
 
   /** Testable core of `export-shards` (the [[runCompact]] pattern). */
   private[graft] def runExportShards(

@@ -78,4 +78,62 @@ object Layout {
         min(col("__y")).as("min_y"), max(col("__y")).as("max_y"))
       .orderBy(col("z"))
   }
+
+  /** Z-ORDERED EXPORT — [[zOrderManifest]] made actionable (the q224 →
+    * `writeShards` pattern): write `df` partitioned into `files`
+    * z-CONTIGUOUS spans, each span exactly ONE parquet file (the
+    * Bucketed one-file discipline — no small-file debris), plus a
+    * per-file zone-map manifest under `outDir/_manifest`
+    * (underscore-ignored by parquet reads). A reader with predicates
+    * on BOTH dimensions prunes whole files from the manifest.
+    *
+    * File assignment is `file_id = (z · files) div G²` — a
+    * deterministic cell-range split, so re-runs reproduce the SAME
+    * file plan byte-for-byte (a `repartitionByRange` would balance
+    * rows better but samples its boundaries — nondeterministic plans
+    * break resume-and-compare). Even z-spans, not even rows: the
+    * manifest's per-file row counts are the skew readout, and `bits`
+    * is the rebalance knob.
+    *
+    * Returns (files written, rows written). NULL-dimension rows are
+    * excluded (a production layout would route them to a dedicated
+    * NULL file). */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
+      outDir: String, bits: Int = 4, files: Int = 16): (Long, Long) = {
+    require(files >= 1 && files <= 4096, s"files=$files out of [1, 4096]")
+    require(bits >= 1 && bits <= 16, s"bits=$bits out of [1, 16]")
+    val g = 1L << bits
+    val rows = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+    val bounds = rows.agg(
+      min(col(xCol).cast("long")).as("__minx"),
+      max(col(xCol).cast("long")).as("__maxx"),
+      min(col(yCol).cast("long")).as("__miny"),
+      max(col(yCol).cast("long")).as("__maxy"))
+    val withZ = rows.crossJoin(broadcast(bounds))
+      .withColumn("__cx", expr(
+        s"((CAST(`$xCol` AS BIGINT) - __minx) * $g)" +
+          " div (__maxx - __minx + 1)"))
+      .withColumn("__cy", expr(
+        s"((CAST(`$yCol` AS BIGINT) - __miny) * $g)" +
+          " div (__maxy - __miny + 1)"))
+      .withColumn("z", interleaveBits(col("__cx"), col("__cy"), bits))
+      .withColumn("file_id", expr(s"(z * $files) div ${g * g}"))
+      .drop("__minx", "__maxx", "__miny", "__maxy", "__cx", "__cy")
+    withZ.repartition(col("file_id"))
+      .write.partitionBy("file_id").parquet(outDir)
+    val manifest = withZ.groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("z")).as("min_z"), max(col("z")).as("max_z"),
+        min(col(xCol).cast("long")).as("min_x"),
+        max(col(xCol).cast("long")).as("max_x"),
+        min(col(yCol).cast("long")).as("min_y"),
+        max(col(yCol).cast("long")).as("max_y"))
+      .orderBy(col("file_id"))
+    manifest.coalesce(1).write.parquet(s"$outDir/_manifest")
+    val spark = df.sparkSession
+    val m = spark.read.parquet(s"$outDir/_manifest")
+      .agg(count(lit(1)), coalesce(sum(col("n_rows")), lit(0L)))
+      .collect()(0)
+    (m.getLong(0), m.getLong(1))
+  }
 }

@@ -232,6 +232,48 @@ class MainSpec extends SparkSpec {
     assert(shard0.listFiles().count(_.getName.endsWith(".parquet")) == 1)
   }
 
+  test("export-zorder: z-contiguous one-file spans, manifest zone map " +
+    "matches the tree, a 2-D predicate prunes files") {
+    import org.apache.spark.sql.functions.{col, count, max, min}
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_zorder").toString + "/z"
+    val src = "/root/testdata/sf0.001/lineitem.parquet"
+    val (nFiles, nRows) = Main.runExportZOrder(spark, src, out,
+      "l_partkey", "l_suppkey", bits = 4, files = 8)
+    val srcDf = spark.read.parquet(src)
+    assert(nRows == srcDf.where(col("l_partkey").isNotNull &&
+      col("l_suppkey").isNotNull).count())
+    assert(nFiles > 1 && nFiles <= 8)
+    val tree = spark.read.parquet(out)
+    assert(tree.count() == nRows)
+    // manifest zone map == recomputed per-file bounds from the tree
+    val manifest = spark.read.parquet(s"$out/_manifest")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(manifest.size == nFiles)
+    val byFile = tree.groupBy(col("file_id"))
+      .agg(count(col("z")), min(col("l_partkey")),
+        max(col("l_partkey")), min(col("l_suppkey")),
+        max(col("l_suppkey")))
+      .collect().map(r => r.getInt(0).toLong -> ((r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(byFile == manifest)
+    // one data file per span directory (the one-file discipline)
+    val f0 = new java.io.File(s"$out/file_id=0")
+    assert(f0.isDirectory)
+    assert(f0.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    // the skip guarantee: a predicate in the low quarter of BOTH dims
+    // is served entirely by files whose zone map intersects it — and
+    // at least one file's zone map misses it (a 1-D sort could not
+    // prune on the second dimension)
+    val xMax = manifest.values.map(_._3).max
+    val yMax = manifest.values.map(_._5).max
+    val hit = manifest.values.count(m =>
+      m._2 <= xMax / 4 && m._4 <= yMax / 4)
+    assert(hit < manifest.size,
+      s"no file prunable for the low-quarter box: $manifest")
+  }
+
   test("stream-sessionize: closed sessions land across checkpointed " +
     "drains; the open tail closes when a later event breaks the gap") {
     import org.apache.spark.sql.functions.col
