@@ -331,7 +331,9 @@ object Bench {
     "q236_column_profile_sketch" -> 0.69,
     "q237_waterfill_quota" -> 0.45,
     "q238_frame_sample_plan" -> 0.32,
-    "q239_disjunctive_revenue" -> 0.52)
+    "q239_disjunctive_revenue" -> 0.52,
+    "q240_calibration_ece" -> 0.46,
+    "q241_bootstrap_ci" -> 0.29)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -510,6 +512,8 @@ object Bench {
     "q237_waterfill_quota" -> 3547L,
     "q238_frame_sample_plan" -> 273298L,
     "q239_disjunctive_revenue" -> 432L,
+    "q240_calibration_ece" -> 694042L,
+    "q241_bootstrap_ci" -> 4480L,
     "q21_embedding_neardup_ivf" -> 5033608L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

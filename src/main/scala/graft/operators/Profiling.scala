@@ -1059,6 +1059,40 @@ object Profiling {
       .orderBy(col("bin_id"))
   }
 
+  /** EXPECTED CALIBRATION ERROR (midpoint form) — the single number
+    * over [[scoreOutcomeCalibration]]'s reliability table: how far, on
+    * average (row-weighted), each bin's observed positive rate sits
+    * from the bin's nominal midpoint. The curve says WHERE a score is
+    * miscalibrated; this is the one-line regression gate ("ECE
+    * worsened since last snapshot") a monitor alarms on. Midpoint-ECE
+    * rather than mean-confidence-ECE deliberately: the bin's mean
+    * predicted score is a ratio mean with no engine-exact form, while
+    * the midpoint `(2b+1)/(2·bins)` is an exact rational.
+    *
+    * Engine-exact: rate and midpoint in 2^20 fixed-point integer
+    * division, the weighted |diff| folded in DECIMAL(38,0), ONE final
+    * IEEE division renders the [0,1] number.
+    *
+    * Scale shape: consumes the ≤ bins-row calibration table — this
+    * fold is free; the cost is whatever built the table. */
+  def calibrationEce(calib: DataFrame, bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 1024, s"bins=$bins out of [2, 1024]")
+    val dec = "DECIMAL(38,0)"
+    calib
+      .select(col("bin_id"), col("n_rows"), col("n_positive"),
+        expr("(n_positive * 1048576) div n_rows").as("__rate_fp"),
+        expr(s"((2 * bin_id + 1) * 1048576) div ${2 * bins}")
+          .as("__mid_fp"))
+      .agg(sum(col("n_rows")).as("n"),
+        sum(col("n_rows").cast(dec) *
+          abs(col("__rate_fp") - col("__mid_fp")).cast(dec))
+          .as("__wsum"))
+      .select(col("n"),
+        when(col("n") > 0, col("__wsum").cast("double") /
+          (col("n").cast(dec) * lit(1048576L).cast(dec)).cast("double"))
+          .as("ece"))
+  }
+
   /** SKETCH-BASED COLUMN PROFILE — the 100 TB path for
     * [[columnProfile]]: the exact profile's `countDistinct` plans as
     * an Expand that multiplies every row by |cols| and holds exact

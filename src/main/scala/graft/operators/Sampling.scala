@@ -479,6 +479,89 @@ object Sampling {
       col("split"), col("v"))
       .withColumnRenamed("stratum", "split")
 
+  /** Truncated-Poisson(1) CDF thresholds in 2^20 fixed-point —
+    * computed ONCE here and interpolated verbatim into the DuckDB
+    * oracle (the importanceWeights shared-constant discipline), so
+    * the weight ladder cannot drift between engines. */
+  val PoissonT: Seq[Long] = {
+    val e1 = math.exp(-1.0)
+    val cum = Seq(e1, 2 * e1, 2.5 * e1, 8.0 / 3.0 * e1)
+    cum.map(c => math.floor(c * 1048576.0).toLong)
+  }
+
+  /** POISSON-BOOTSTRAP CONFIDENCE INTERVAL — the resampling statistic
+    * that actually runs at corpus scale: a classic bootstrap draws n
+    * rows WITH replacement (a global shuffle per replicate — dead at
+    * 100 TB), while the Poisson bootstrap gives every row an
+    * independent Poisson(1) weight per replicate, so all B replicates
+    * fold in ONE pass with a ×B row-local expansion and a ≤ B-key
+    * aggregate. The per-replicate means' spread is the standard error
+    * of the full-sample mean; the 2nd-smallest / 2nd-largest replicate
+    * means bracket a ≈94% percentile CI at B = 32.
+    *
+    * Engine-exact: the weight is a 4-step threshold ladder on the
+    * portable (id, replicate) affine hash against the fixed-point
+    * truncated-Poisson CDF ([[PoissonT]] — weights capped at 4, the
+    * 1.9% tail mass collapsed into the cap; documented bias, exactness
+    * bought). `valueCol` must be integer-valued: replicate sums fold
+    * exactly in DECIMAL(38,0), each replicate mean is ONE fixed-point
+    * division, and the SE is one pinned IEEE sqrt over exact
+    * integer moments of the ≤ B means.
+    *
+    * Scale shape: one corpus pass (row-local explode ×B, partial
+    * aggregation to B keys), then all statistics on the B-row frame.
+    * B = 32 multiplies map output, not shuffle rows — the honest,
+    * documented cost of resampling; subsample first if even that is
+    * too much. */
+  def poissonBootstrapCI(df: DataFrame, idCol: String,
+      valueCol: String, replicates: Int = 32,
+      seed: Long = 1L): DataFrame = {
+    require(replicates >= 4 && replicates <= 256,
+      s"replicates=$replicates out of [4, 256]")
+    val bad = Seq(idCol, valueCol).filterNot(df.columns.contains)
+    require(bad.isEmpty, s"unknown columns: $bad")
+    val p = TextHash.P
+    val dec = "DECIMAL(38,0)"
+    val Seq(t0, t1, t2, t3) = PoissonT
+    val rows = df
+      .where(col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"),
+        col(valueCol).cast("long").as("__v"))
+      .select(col("__id"), col("__v"),
+        explode(sequence(lit(0L), lit(replicates - 1L))).as("__b"))
+      .withColumn("__u", expr(
+        s"((__id % $p) * 2654435761 % $p + " +
+          s"((__b + ${seed}L) % $p) * 40503 % $p) % $p % 1048576"))
+      .withColumn("__w",
+        when(col("__u") < t0, 0L).when(col("__u") < t1, 1L)
+          .when(col("__u") < t2, 2L).when(col("__u") < t3, 3L)
+          .otherwise(4L))
+    val reps = rows.groupBy(col("__b"))
+      .agg(sum(col("__w")).as("__n"),
+        sum((col("__w") * col("__v")).cast(dec)).as("__s"))
+      .where(col("__n") > 0)
+      .select(col("__b"),
+        expr(s"CAST((__s * 1048576) div CAST(__n AS $dec) AS BIGINT)")
+          .as("__mean_fp"))
+    reps
+      .agg(count(lit(1)).as("n_replicates"),
+        sum(col("__mean_fp").cast(dec)).as("__m1"),
+        sum((col("__mean_fp").cast(dec) * col("__mean_fp").cast(dec)))
+          .as("__m2"),
+        sort_array(collect_list(col("__mean_fp"))).as("__sorted"))
+      .select(col("n_replicates"),
+        expr(s"CAST(__m1 div CAST(n_replicates AS $dec) AS BIGINT)")
+          .as("boot_mean_fp"),
+        sqrt(greatest(
+          (col("__m2").cast("double") -
+            col("__m1").cast("double") * col("__m1").cast("double") /
+              col("n_replicates").cast("double")) /
+            (col("n_replicates").cast("double") - 1.0), lit(0.0)))
+          ./(lit(1048576.0)).as("se"),
+        element_at(col("__sorted"), 2).as("ci_lo_fp"),
+        element_at(col("__sorted"), -2).as("ci_hi_fp"))
+  }
+
   /** WATER-FILLING QUOTA — MAX-MIN FAIR division of a global budget
     * across strata: [[temperatureMix]] reshapes shares by a smooth
     * exponent, but a curation contract is often the harder

@@ -1439,4 +1439,55 @@ private[queries] trait ExtProfilingQ { self: ExtHelpers =>
       FROM cnt LEFT JOIN hll ON cnt.column_name = hll.g
       ORDER BY column_name
     """.trim))
+
+  // --------------------------------------------------------------- q240
+  /** q240 — expected calibration error
+    * ([[Profiling.calibrationEce]]): the one-line gate over a q225-
+    * style reliability table — length (capped at 4096 chars) read as
+    * a dup-propensity score, calibrated against exact-dup membership,
+    * summarized as the row-weighted |rate − midpoint| in 2^20
+    * fixed-point with one final IEEE division. The monitor alarms on
+    * this number moving; the q225 curve is what you open next. */
+  val q240: Q = Q(
+    "q240_calibration_ece",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val w = Window.partitionBy(sha2(col("text"), 256))
+      val pos = docs
+        .select(col("doc_id"), count(lit(1)).over(w).as("__c"))
+        .where(col("__c") > 1).select(col("doc_id"))
+      val scored = docs.select(col("doc_id"),
+        col("n_chars").as("num"), lit(4096L).as("den"))
+      Profiling.calibrationEce(
+        Profiling.scoreOutcomeCalibration(scored, "doc_id", "num",
+          "den", pos, "doc_id", bins = 10), bins = 10)
+    },
+    Some("""
+      WITH pos AS (
+        SELECT doc_id FROM (
+          SELECT doc_id, count(*) OVER (PARTITION BY text) AS c
+          FROM documents) WHERE c > 1),
+      b AS (
+        SELECT CAST(least((n_chars * 10) // 4096, 9) AS INT) AS bin_id,
+          CASE WHEN doc_id IN (SELECT doc_id FROM pos)
+            THEN 1 ELSE 0 END AS p
+        FROM documents),
+      cal AS (
+        SELECT bin_id, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(p) AS BIGINT) AS n_positive
+        FROM b GROUP BY 1),
+      e AS (
+        SELECT bin_id, n_rows, n_positive,
+          (n_positive * 1048576) // n_rows AS rate_fp,
+          ((2 * bin_id + 1) * 1048576) // 20 AS mid_fp
+        FROM cal)
+      SELECT CAST(sum(n_rows) AS BIGINT) AS n,
+        CASE WHEN sum(n_rows) > 0 THEN
+          CAST(sum(CAST(n_rows AS HUGEINT) * abs(rate_fp - mid_fp))
+            AS DOUBLE) /
+          CAST(CAST(sum(n_rows) AS HUGEINT) * 1048576 AS DOUBLE)
+        END AS ece
+      FROM e
+    """.trim))
 }

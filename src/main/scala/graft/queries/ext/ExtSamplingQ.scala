@@ -692,4 +692,63 @@ private[queries] trait ExtSamplingQ { self: ExtHelpers with ExtDedupQ =>
         (j > jstar) AS capped
       FROM o ORDER BY stratum NULLS FIRST
     """.trim))
+
+  // --------------------------------------------------------------- q241
+  /** q241 — Poisson-bootstrap CI ([[Sampling.poissonBootstrapCI]]):
+    * the standard error and percentile CI of mean document length
+    * from 32 one-pass Poisson(1)-weighted replicates — resampling
+    * without the per-replicate global shuffle a classic bootstrap
+    * needs. The weight ladder runs on the portable (id, replicate)
+    * hash against shared fixed-point truncated-Poisson thresholds, so
+    * every replicate (and therefore the CI itself) replays
+    * bit-for-bit in the oracle. */
+  val q241: Q = Q(
+    "q241_bootstrap_ci",
+    (s, d) =>
+      Sampling.poissonBootstrapCI(Tables.documents(s, d), "doc_id",
+        "n_chars", replicates = 32, seed = 1L),
+    Some({
+      val Seq(t0, t1, t2, t3) = Sampling.PoissonT
+      s"""
+      WITH r AS (
+        SELECT doc_id, n_chars, unnest(range(32)) AS b
+        FROM documents
+        WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+      u AS (
+        SELECT b, n_chars,
+          ((doc_id % $P) * 2654435761 % $P +
+            ((b + 1) % $P) * 40503 % $P) % $P % 1048576 AS u
+        FROM r),
+      w AS (
+        SELECT b, n_chars,
+          CASE WHEN u < $t0 THEN 0 WHEN u < $t1 THEN 1
+               WHEN u < $t2 THEN 2 WHEN u < $t3 THEN 3
+               ELSE 4 END AS w
+        FROM u),
+      rep AS (
+        SELECT b, CAST(sum(w) AS BIGINT) AS n,
+          sum(CAST(w AS HUGEINT) * n_chars) AS s
+        FROM w GROUP BY 1),
+      mf AS (
+        SELECT b, CAST((s * 1048576) // CAST(n AS HUGEINT) AS BIGINT)
+          AS mean_fp
+        FROM rep WHERE n > 0),
+      agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+          sum(CAST(mean_fp AS HUGEINT)) AS m1,
+          sum(CAST(mean_fp AS HUGEINT) * mean_fp) AS m2,
+          list_sort(list(mean_fp)) AS sorted
+        FROM mf)
+      SELECT n_replicates,
+        CAST(m1 // n_replicates AS BIGINT) AS boot_mean_fp,
+        sqrt(greatest((CAST(m2 AS DOUBLE) -
+          CAST(m1 AS DOUBLE) * CAST(m1 AS DOUBLE) /
+            CAST(n_replicates AS DOUBLE)) /
+          (CAST(n_replicates AS DOUBLE) - 1.0), 0.0)) / 1048576.0
+          AS se,
+        sorted[2] AS ci_lo_fp,
+        sorted[-2] AS ci_hi_fp
+      FROM agg
+      """.trim
+    }))
 }

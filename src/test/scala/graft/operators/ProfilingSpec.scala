@@ -508,6 +508,20 @@ class ProfilingSpec extends SparkSpec {
     assert(out("nul") == ((401L, 401L, 0.0)))
   }
 
+  test("calibrationEce: perfectly calibrated bins give 0; hand case") {
+    val s = spark; import s.implicits._
+    // bins=2 midpoints at 1/4 and 3/4 in 2^20 fp
+    val perfect = Seq((0, 4L, 1L), (1, 4L, 3L))
+      .toDF("bin_id", "n_rows", "n_positive")
+    assert(Profiling.calibrationEce(perfect, bins = 2)
+      .collect()(0).getDouble(1) == 0.0)
+    // bin0: rate 1 vs mid 1/4 -> 3/4 off; bin1: rate 0 vs 3/4
+    val worst = Seq((0, 2L, 2L), (1, 2L, 0L))
+      .toDF("bin_id", "n_rows", "n_positive")
+    assert(Profiling.calibrationEce(worst, bins = 2)
+      .collect()(0).getDouble(1) == 0.75)
+  }
+
   test("columnProfileSketch: non-portable column types fail loudly") {
     val s = spark; import s.implicits._
     val df = Seq((1L, 0.5)).toDF("id", "d")

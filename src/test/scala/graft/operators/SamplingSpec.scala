@@ -387,6 +387,42 @@ class SamplingSpec extends SparkSpec {
     assert(out.values.map(_._2).sum == 56L)
   }
 
+  test("poissonBootstrapCI: constant values collapse to zero SE and a " +
+    "degenerate CI at the exact mean; runs are deterministic") {
+    val s = spark; import s.implicits._
+    val df = (1L to 300L).map(i => (i, 7L)).toDF("id", "v")
+    val r = Sampling.poissonBootstrapCI(df, "id", "v",
+      replicates = 16, seed = 3L).collect()(0)
+    val M = 1L << 20
+    assert(r.getLong(0) == 16L)
+    assert(r.getLong(1) == 7L * M)
+    assert(r.getDouble(2) == 0.0)
+    assert(r.getLong(3) == 7L * M && r.getLong(4) == 7L * M)
+    val again = Sampling.poissonBootstrapCI(df, "id", "v",
+      replicates = 16, seed = 3L).collect()(0)
+    assert(r.toSeq == again.toSeq)
+  }
+
+  test("poissonBootstrapCI: CI brackets the true mean on a mixed " +
+    "frame and the thresholds ladder is the shared constant set") {
+    val s = spark; import s.implicits._
+    // Poisson(1) CDF fp thresholds must be the published constants
+    assert(Sampling.PoissonT ==
+      Seq(385749L, 771499L, 964373L, 1028665L))
+    val df = (1L to 500L).map(i => (i, (i % 10) * 100L))
+      .toDF("id", "v")
+    val r = Sampling.poissonBootstrapCI(df, "id", "v",
+      replicates = 32, seed = 1L).collect()(0)
+    val M = 1L << 20
+    val trueMeanFp = 450L * M // mean of 0,100,...,900 = 450
+    assert(r.getLong(0) == 32L)
+    assert(r.getLong(3) <= r.getLong(4))
+    assert(r.getLong(3) < trueMeanFp + 50 * M &&
+      r.getLong(4) > trueMeanFp - 50 * M,
+      s"CI [${r.getLong(3)}, ${r.getLong(4)}] vs $trueMeanFp")
+    assert(r.getDouble(2) > 0.0)
+  }
+
   test("waterfillQuota: budget over total satisfies everyone; budget " +
     "zero allocates zero") {
     val rich = waterfill(Seq("a" -> 10L, "b" -> 20L), 100L)
