@@ -333,7 +333,8 @@ object Bench {
     "q238_frame_sample_plan" -> 0.32,
     "q239_disjunctive_revenue" -> 0.52,
     "q240_calibration_ece" -> 0.46,
-    "q241_bootstrap_ci" -> 0.29)
+    "q241_bootstrap_ci" -> 0.29,
+    "q242_survival_hazard" -> 0.65)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -514,6 +515,7 @@ object Bench {
     "q239_disjunctive_revenue" -> 432L,
     "q240_calibration_ece" -> 694042L,
     "q241_bootstrap_ci" -> 4480L,
+    "q242_survival_hazard" -> 45886L,
     "q21_embedding_neardup_ivf" -> 5033608L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

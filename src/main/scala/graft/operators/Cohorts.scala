@@ -824,4 +824,61 @@ object Cohorts {
           (col("rate_a") - col("rate_b")) / se)
       })
   }
+
+  /** DISCRETE-TIME SURVIVAL HAZARD TABLE — the retention family's
+    * missing statistical form ([[retentionCohorts]] reports period
+    * survival shares, [[dailyRetention]] the D1 point): per lifetime
+    * day `t`, how many users were STILL AT RISK and what fraction
+    * churned exactly then — the discrete Kaplan–Meier input, with
+    * right-censoring done properly (a user still active at the
+    * observation edge is NOT a churn at their last day; they exit the
+    * risk set as censored, which a naive "lifetime = last − first"
+    * rollup silently gets wrong).
+    *
+    * Definitions: anchor = the data's own max day (the q85 rule);
+    * churned iff `last_day ≤ anchor − inactivityDays`; event time =
+    * `last − first` for churned, censor time = `anchor − first`
+    * otherwise; at-risk(t) = users whose exit time ≥ t (the standard
+    * convention that keeps same-day censors in the risk set).
+    *
+    * Deliberately emitted as the HAZARD TABLE, not the KM curve: the
+    * survival curve is a cumulative PRODUCT of rationals with no
+    * engine-exact representation (the BM25 log lesson, multiplicative
+    * edition) — the hazard column is the curve's sufficient
+    * statistic, and `hazard_fp` is one exact fixed-point division per
+    * row.
+    *
+    * Scale shape: one partial-aggregated per-user fold, a ONE-ROW
+    * anchor scalar-append, a fold to |distinct lifetimes| keys, and a
+    * suffix-sum window over that TINY frame (aggregated-rank
+    * discipline). */
+  def discreteHazard(events: DataFrame, userCol: String, tsCol: Column,
+      inactivityDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(inactivityDays >= 1, s"need inactivityDays >= 1")
+    val epoch = to_date(lit("1970-01-01"))
+    val perUser = events
+      .select(col(userCol).as("user"),
+        datediff(to_date(tsCol), epoch).cast("long").as("d"))
+      .where(col("user").isNotNull && col("d").isNotNull)
+      .groupBy(col("user"))
+      .agg(min(col("d")).as("first_d"), max(col("d")).as("last_d"))
+    val anchor = perUser.agg(max(col("last_d")).as("__anchor"))
+    val labeled = perUser.crossJoin(broadcast(anchor))
+      .withColumn("churned",
+        col("last_d") <= col("__anchor") - inactivityDays)
+      .withColumn("t",
+        when(col("churned"), col("last_d") - col("first_d"))
+          .otherwise(col("__anchor") - col("first_d")))
+    val byT = labeled.groupBy(col("t"))
+      .agg(count(lit(1)).as("__n_exit"),
+        sum(when(col("churned"), 1L).otherwise(0L)).as("n_churned"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    byT.withColumn("n_at_risk", sum(col("__n_exit")).over(w))
+      .select(col("t").as("t_days"), col("n_at_risk"),
+        col("n_churned"),
+        expr("(n_churned * 1048576) div n_at_risk").as("hazard_fp"))
+      .orderBy(col("t_days"))
+  }
 }

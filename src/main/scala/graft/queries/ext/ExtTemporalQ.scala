@@ -1130,4 +1130,47 @@ private[queries] trait ExtTemporalQ { self: ExtHelpers =>
       FROM f GROUP BY k ORDER BY k
     """.trim))
 
+  // --------------------------------------------------------------- q242
+  /** q242 — discrete survival hazard ([[Cohorts.discreteHazard]]):
+    * per lifetime day, users still at risk and the fraction churning
+    * exactly then, with right-censoring at the data's own max day
+    * (1-day inactivity on this 30-day dense fixture, where a 7-day
+    * rule censors literally everyone) — the Kaplan–Meier input
+    * emitted as the
+    * hazard table (the KM curve itself is a cumulative product with
+    * no engine-exact form; the hazard column is its sufficient
+    * statistic, one exact fixed-point division per row). */
+  val q242: Q = Q(
+    "q242_survival_hazard",
+    (s, d) =>
+      Cohorts.discreteHazard(Tables.events(s, d), "user_id", col("ts"),
+        inactivityDays = 1),
+    Some("""
+      WITH e AS (
+        SELECT user_id AS u,
+          CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+            AS BIGINT) AS d
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      pu AS (SELECT u, min(d) AS fd, max(d) AS ld FROM e GROUP BY 1),
+      a AS (SELECT max(ld) AS anchor FROM pu),
+      lab AS (
+        SELECT u, fd, ld, (ld <= anchor - 1) AS churned,
+          CASE WHEN ld <= anchor - 1 THEN ld - fd
+               ELSE anchor - fd END AS t
+        FROM pu CROSS JOIN a),
+      bt AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS n_exit,
+          CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_churned
+        FROM lab GROUP BY 1)
+      SELECT t AS t_days,
+        CAST(sum(n_exit) OVER (ORDER BY t
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+          AS n_at_risk,
+        n_churned,
+        CAST((n_churned * 1048576) // (sum(n_exit) OVER (ORDER BY t
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+          AS BIGINT) AS hazard_fp
+      FROM bt ORDER BY t_days
+    """.trim))
 }

@@ -898,7 +898,11 @@ class PlanAuditSpec extends SparkSpec {
       // q237: the ONE-ROW (j*, S_j*) water-line solve appended to the
       // |strata| mass frame — waterfillQuota's scalar-append; every
       // frame in the join is |strata|-sized
-      "q237_waterfill_quota")
+      "q237_waterfill_quota",
+      // q242: the ONE-ROW observation-edge anchor appended to the
+      // per-user lifetime frame — discreteHazard's scalar-append, the
+      // q85/q215 anchor shape
+      "q242_survival_hazard")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()

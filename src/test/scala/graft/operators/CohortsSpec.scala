@@ -421,4 +421,25 @@ class CohortsSpec extends SparkSpec {
       ((0L, 0L, 0L, 0L)))
     assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
   }
+
+  test("discreteHazard: right-censoring at the observation edge — " +
+    "active-at-edge users exit as censored, not as churn") {
+    val s = spark; import s.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-${day + 1}%02d 12:00:00")
+    // u1 spans days 0-2 (churned, t=2); u2 spans 0-10 (active at the
+    // edge: censored at t=10); u3 appears only on day 10 (censored,
+    // t=0 — at risk on day 0 but NOT a churn there)
+    val ev = (Seq((1L, 0), (1L, 2), (2L, 0), (2L, 10), (3L, 10)))
+      .map { case (u, d) => (u, ts(d)) }.toDF("user_id", "ts")
+    val out = Cohorts.discreteHazard(ev, "user_id", col("ts"),
+      inactivityDays = 7)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val M = 1L << 20
+    assert(out == Map(
+      0L -> ((3L, 0L, 0L)),       // u3 censored at 0: risk 3, no churn
+      2L -> ((2L, 1L, M / 2)),    // u1 churns with 2 still at risk
+      10L -> ((1L, 0L, 0L))))     // u2 censored at the edge
+  }
 }
