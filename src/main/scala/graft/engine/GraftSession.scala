@@ -85,7 +85,7 @@ object GraftSession {
         s"graft_simhash expects 2 arguments (shingles, bits literal), got ${args.length}")
       SimhashFingerprint(args.head, intLiteral("graft_simhash bits", args(1)))
     })
-    import graft.functions.{MarkerCount, MinGramFold, PolyFold, SumTokenLengths}
+    import graft.functions.{CharFold, MarkerCount, MinGramFold, PolyFold, SumTokenLengths}
     GraftColumns.registerFunction(spark, "graft_marker_count", { args =>
       require(args.length >= 2,
         s"graft_marker_count expects (words, marker literals...), got ${args.length} arguments")
@@ -96,6 +96,13 @@ object GraftSession {
       require(args.length == 1,
         s"graft_sum_token_lengths expects 1 argument (words), got ${args.length}")
       SumTokenLengths(args.head)
+    })
+    GraftColumns.registerFunction(spark, "graft_char_fold", { args =>
+      require(args.length == 3,
+        s"graft_char_fold expects 3 arguments (text, mult literal, seed literal), got ${args.length}")
+      CharFold(args.head,
+        intLiteral("graft_char_fold mult", args(1)).toLong,
+        intLiteral("graft_char_fold seed", args(2)).toLong)
     })
     GraftColumns.registerFunction(spark, "graft_poly_fold", { args =>
       require(args.length == 2,

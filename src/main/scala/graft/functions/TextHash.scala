@@ -136,4 +136,28 @@ object TextHash {
     * (empty array below `span` tokens; rolling O(tokens) pass). */
   def windowHashesOf(text: Column, span: Int): Column =
     GraftColumns.of(WindowHashes(GraftColumns.expr(text), span))
+
+  /** Portable whole-string character fold
+    * `h ← (h·mult + codepoint) mod P` starting from `seed` — the q80
+    * term hash generalized to any multiplier/seed. Built from Spark
+    * SQL HOFs (aggregate/transform — inside whole-stage codegen), and
+    * replayed verbatim in DuckDB via list_reduce/list_transform, so
+    * the value — not just the distribution — matches across engines.
+    * Empty strings fold to the seed (a descending `sequence(1, 0)` is
+    * the Spark trap the guard exists for). */
+  def charFoldOf(text: Column, mult: Long, seed: Long): Column =
+    GraftColumns.of(CharFold(GraftColumns.expr(text), mult, seed))
+
+  /** HOF REFERENCE semantics of [[charFoldOf]] (property-pinned
+    * equal) — operators use the compiled form above. */
+  def charFold(c: Column, mult: Long, seed: Long): Column = {
+    import org.apache.spark.sql.functions.{aggregate, ascii, length,
+      lit, sequence, transform, when}
+    when(length(c) === 0, lit(seed)).otherwise(
+      aggregate(
+        transform(sequence(lit(1), length(c)),
+          j => ascii(c.substr(j, lit(1))).cast("long")),
+        lit(seed),
+        (h, ch) => (h * mult + ch) % P))
+  }
 }

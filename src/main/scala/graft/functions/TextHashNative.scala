@@ -159,6 +159,24 @@ object TextHashNative {
   /** Whole-array polynomial fold — compiled
     * `aggregate(hashes, 0L, (a, x) -> ((a * mult) + x) % P)`.
     * 0 on an empty array (the fold's zero), like the HOF. */
+  /** Whole-string character fold `h ← (h·mult + codepoint) mod P`
+    * from `seed` — compiled [[TextHash.charFold]]. CODEPOINT
+    * iteration (not UTF-16 units), the same convention as
+    * [[tokenHashes]] and DuckDB's `ascii()`. Empty string folds to
+    * the seed. */
+  def charFold(s: UTF8String, mult: Long, seed: Long): Long = {
+    val str = s.toString
+    val n = str.length
+    var h = seed % P
+    var i = 0
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      h = (h * mult + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
   def polyFold(hs: ArrayData, mult: Long): Long = {
     val n = hs.numElements()
     var a = 0L
@@ -401,6 +419,28 @@ case class SumTokenLengths(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): SumTokenLengths =
     copy(child = newChild)
   override def prettyName: String = "graft_sum_token_lengths"
+}
+
+/** `graft_char_fold(text, mult, seed)` → bigint: whole-string
+  * codepoint fold h = (h·mult + cp) % P from `seed` — compiled
+  * [[TextHash.charFold]] (the q236/q243 content hash; seed folds out
+  * of an empty string unchanged). */
+case class CharFold(child: Expression, mult: Long, seed: Long)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_char_fold needs a string input, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(s: Any): Any =
+    TextHashNative.charFold(s.asInstanceOf[UTF8String], mult, seed)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashNative.charFold($c, ${mult}L, ${seed}L);")
+  override protected def withNewChildInternal(newChild: Expression): CharFold =
+    copy(child = newChild)
+  override def prettyName: String = "graft_char_fold"
 }
 
 /** `graft_poly_fold(hashes, mult)` → bigint: whole-array left fold

@@ -67,4 +67,42 @@ object Diff {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("source"), col("change"))
   }
+
+  /** CORPUS INTEGRITY FINGERPRINT — verify a copy/export of a 100 TB
+    * corpus WITHOUT sorting it or shuffling a single full row: per
+    * group, the row count, the NULL-content count, and two
+    * ORDER-INSENSITIVE content checksums (an exact DECIMAL sum of the
+    * portable 31-fold char hash, reduced mod 2⁶², and a bit-XOR of
+    * the independent 131-fold). Sum and XOR are commutative,
+    * associative and partition-mergeable, so two sides of a transfer
+    * compute their fingerprints independently — different partition
+    * counts, different row orders, different engines — and compare a
+    * |groups|-row table. Two checksums because each is individually
+    * forgeable by accident (a swap of two rows' contents preserves
+    * the sum of anything; XOR misses duplicate-pair drops); agreeing
+    * on BOTH plus the count is the practical bar for "same bytes".
+    *
+    * [[snapshotDiff]] answers "WHICH ids changed" with an id join;
+    * this answers "is it the SAME corpus" with no join at all.
+    *
+    * Scale shape: one partial-aggregated fold; the shuffle carries
+    * |groups| rows of counters. */
+  def contentChecksum(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val bad = Seq(groupCol, textCol).filterNot(df.columns.contains)
+    require(bad.isEmpty, s"unknown columns: $bad")
+    val dec = "DECIMAL(38,0)"
+    df.select(col(groupCol).as("grp"),
+        graft.functions.TextHash.charFoldOf(col(textCol), 31L, 0L)
+          .as("__h1"),
+        graft.functions.TextHash.charFoldOf(col(textCol), 131L, 7L)
+          .as("__h2"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__h1").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        expr(s"CAST(sum(CAST(__h1 AS $dec)) % 4611686018427387904" +
+          " AS BIGINT)").as("sum_hash"),
+        expr("bit_xor(__h2)").as("xor_hash"))
+      .orderBy(col("grp").asc_nulls_first)
+  }
 }

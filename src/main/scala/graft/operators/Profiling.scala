@@ -1137,14 +1137,12 @@ object Profiling {
     val counts = long.groupBy(col("column_name"))
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_nulls"))
-    def fold(mult: Long, seed: Long): Column = when(length(col("__v")) === 0,
-      lit(seed)).otherwise(expr(
-      s"aggregate(transform(sequence(1, length(__v)), " +
-        s"j -> ascii(substring(__v, j, 1))), ${seed}L, " +
-        s"(h, c) -> ((h * ${mult}L) + c) % ${p}L)"))
     val hashed = long.where(col("__v").isNotNull)
-      .select(col("column_name"), fold(31L, 0L).as("__h1"),
-        fold(131L, 7L).as("__h2"))
+      .select(col("column_name"),
+        graft.functions.TextHash.charFoldOf(col("__v"), 31L, 0L)
+          .as("__h1"),
+        graft.functions.TextHash.charFoldOf(col("__v"), 131L, 7L)
+          .as("__h2"))
       .select(col("column_name"),
         ((col("__h1") * col("__h1") % p) * p +
           col("__h2") * col("__h2") % p).as("__h"))

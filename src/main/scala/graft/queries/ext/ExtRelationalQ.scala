@@ -1677,4 +1677,43 @@ private[queries] trait ExtRelationalQ { self: ExtHelpers =>
         OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
           AND l_quantity BETWEEN 20 AND 30)
     """.trim))
+
+  // --------------------------------------------------------------- q243
+  /** q243 — corpus integrity fingerprint ([[Diff.contentChecksum]]):
+    * per source, row count, NULL count, and two order-insensitive
+    * content checksums (exact DECIMAL sum of the 31-fold char hash
+    * mod 2⁶², bit-XOR of the independent 131-fold) — verify a 100 TB
+    * copy against its origin by comparing a |sources|-row table, no
+    * sort, no join, no full-row shuffle; sum and XOR merge across any
+    * partitioning, so the two sides need not even agree on engine
+    * (this oracle IS the other engine). */
+  val q243: Q = Q(
+    "q243_content_checksum",
+    (s, d) =>
+      Diff.contentChecksum(Tables.documents(s, d), "source", "text"),
+    Some(s"""
+      WITH h AS (
+        SELECT source AS grp,
+          CASE WHEN text IS NULL THEN NULL
+               WHEN length(text) = 0 THEN 0
+               ELSE list_reduce(list_prepend(0::BIGINT,
+                 list_transform(range(1, length(text) + 1),
+                   j -> ascii(text[j]))),
+                 (h, c) -> ((h * 31) + c) % $P) END AS h1,
+          CASE WHEN text IS NULL THEN NULL
+               WHEN length(text) = 0 THEN 7
+               ELSE list_reduce(list_prepend(7::BIGINT,
+                 list_transform(range(1, length(text) + 1),
+                   j -> ascii(text[j]))),
+                 (h, c) -> ((h * 131) + c) % $P) END AS h2
+        FROM documents)
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(CASE WHEN h1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_nulls,
+        CAST(sum(CAST(h1 AS HUGEINT)) % 4611686018427387904 AS BIGINT)
+          AS sum_hash,
+        bit_xor(h2) AS xor_hash
+      FROM h GROUP BY 1
+      ORDER BY grp NULLS FIRST
+    """.trim))
 }

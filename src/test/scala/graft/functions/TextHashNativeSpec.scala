@@ -248,4 +248,26 @@ class TextHashNativeSpec extends SparkSpec {
     assert(row.getLong(2) == viaCol.getLong(0))
     assert(row.getLong(3) == viaCol.getLong(1))
   }
+
+  test("char fold: native == HOF reference on 200 random texts, " +
+    "empty folds to the seed, both (mult, seed) pairs") {
+    val texts = (0 until 200).map(_ => randText()) ++
+      Seq("", " ", "a", "hello world")
+    val d = df(texts: _*)
+    for ((m, s) <- Seq((31L, 0L), (131L, 7L))) {
+      val hof = d.select(col("id"),
+          TextHash.charFold(col("text"), m, s).as("h"))
+        .orderBy("id").collect().map(_.getLong(1))
+      val native = d.select(col("id"),
+          TextHash.charFoldOf(col("text"), m, s).as("h"))
+        .orderBy("id").collect().map(_.getLong(1))
+      assert(hof.toSeq == native.toSeq, s"mult=$m seed=$s")
+    }
+    assert(df("").select(TextHash.charFoldOf(col("text"), 131L, 7L))
+      .collect().head.getLong(0) == 7L)
+    // documented fold value: "ab" with mult 31 seed 0 ->
+    // ((0*31+97)*31+98) % P = 3105
+    assert(df("ab").select(TextHash.charFoldOf(col("text"), 31L, 0L))
+      .collect().head.getLong(0) == 97L * 31L + 98L)
+  }
 }

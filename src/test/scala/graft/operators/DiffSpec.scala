@@ -55,4 +55,42 @@ class DiffSpec extends SparkSpec {
       Diff.snapshotDiff(df, df, "id", "src", Seq("nope"))
     }
   }
+
+  test("contentChecksum: invariant under row order and partitioning; " +
+    "a one-char edit flips both checksums; NULLs counted") {
+    val s = spark; import s.implicits._
+    val rows = Seq(("a", "hello"), ("a", "world"), ("a", null),
+      ("b", "hello"))
+    val base = Diff.contentChecksum(rows.toDF("src", "t"), "src", "t")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val shuffled = Diff.contentChecksum(
+      rows.reverse.toDF("src", "t").repartition(7), "src", "t")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(base == shuffled)
+    assert(base("a")._1 == 3L && base("a")._2 == 1L)
+    // same multiset of content across groups -> same checksums
+    assert(base("b")._3 != base("a")._3)
+    val edited = Diff.contentChecksum(
+      Seq(("a", "hellp"), ("a", "world"), ("a", null))
+        .toDF("src", "t"), "src", "t")
+      .collect().map(r => r.getString(0) -> ((r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(edited("a")._1 != base("a")._3 &&
+      edited("a")._2 != base("a")._4)
+  }
+
+  test("contentChecksum: dropping a duplicate PAIR preserves XOR but " +
+    "trips the count and the sum — why both checksums exist") {
+    val s = spark; import s.implicits._
+    val full = Diff.contentChecksum(
+      Seq(("a", "x"), ("a", "x"), ("a", "y")).toDF("src", "t"),
+      "src", "t").collect()(0)
+    val dropped = Diff.contentChecksum(
+      Seq(("a", "y")).toDF("src", "t"), "src", "t").collect()(0)
+    assert(full.getLong(4) == dropped.getLong(4)) // XOR blind to the pair
+    assert(full.getLong(1) != dropped.getLong(1))
+    assert(full.getLong(3) != dropped.getLong(3)) // sum catches it
+  }
 }
