@@ -337,7 +337,8 @@ object Bench {
     "q242_survival_hazard" -> 0.65,
     // q243 is sub-second only because of the codegen'd char fold
     // (the HOF form measured 3.55 s — the r4 native-expression lesson)
-    "q243_content_checksum" -> 0.29)
+    "q243_content_checksum" -> 0.29,
+    "q244_background_cosine" -> 0.47)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -520,6 +521,7 @@ object Bench {
     "q241_bootstrap_ci" -> 4480L,
     "q242_survival_hazard" -> 45886L,
     "q243_content_checksum" -> 9342L,
+    "q244_background_cosine" -> 0L,
     "q21_embedding_neardup_ivf" -> 5033608L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

@@ -850,4 +850,57 @@ object Similarity {
         col("min_affinity"))
       .orderBy(col("cell"))
   }
+
+  /** BACKGROUND COSINE CALIBRATION — [[graft.operators.Dedup.backgroundJaccard]]'s
+    * question asked of the embedding space: what does cosine
+    * similarity between UNRELATED vectors look like in THIS corpus?
+    * Every ANN threshold (q21's near-dup cut, q57's ADC shortlist,
+    * q113's decontamination radius) implicitly claims "above τ is
+    * signal"; this measures the noise floor that claim stands on — a
+    * deterministic K-vector sample, all K² pairs, and the pair-count
+    * distribution over fixed cosine bands. High-dimensional random
+    * vectors concentrate near 0; a fat `gt_075` band means the space
+    * is collapsed (anisotropy, duplicate embeddings) and NO cosine
+    * threshold separates well.
+    *
+    * Scale shape: the q222 exception family — ONE corpus top-k by the
+    * portable id hash (persisted: band fold and total both descend
+    * from it), then K² ≤ ~4k BROADCAST pairs, corpus-size-independent;
+    * cosine reuses the pinned-order [[DotProduct]] fold so every band
+    * edge decision replays exactly in the oracle. */
+  def backgroundCosine(embeddings: DataFrame, sampleK: Int = 64,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(sampleK >= 2 && sampleK <= 1024,
+      s"sampleK=$sampleK out of [2, 1024]")
+    val p = 1000000007L
+    val h = ((col("vec_id") % p) * lit(2654435761L) % p + lit(12345L)) % p
+    val n = embeddings.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+      .where(col("nrm") > 0)
+    val sample = scope.persist(n.withColumn("__h", h)
+      .orderBy(col("__h"), col("vec_id")).limit(sampleK)
+      .select(col("vec_id"), col("v"), col("nrm")))
+    val pairs = sample.select(col("vec_id").as("id_a"),
+        col("v").as("va"), col("nrm").as("na"))
+      .crossJoin(broadcast(sample.select(col("vec_id").as("id_b"),
+        col("v").as("vb"), col("nrm").as("nb"))))
+      .where(col("id_a") < col("id_b"))
+    val cos = dot("va", "vb") / (col("na") * col("nb"))
+    val banded = pairs.select(
+      when(cos <= -0.25, 0).when(cos <= 0.0, 1).when(cos <= 0.25, 2)
+        .when(cos <= 0.5, 3).when(cos <= 0.75, 4).otherwise(5)
+        .as("band_id"))
+    val counts = banded.groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val total = counts.agg(sum(col("n_pairs")).as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("band_id"),
+        element_at(array(lit("le_m025"), lit("le_0"), lit("le_025"),
+          lit("le_05"), lit("le_075"), lit("gt_075")),
+          col("band_id") + 1).as("band"),
+        col("n_pairs"),
+        (col("n_pairs").cast("double") / col("n_total").cast("double"))
+          .as("pair_frac"))
+      .orderBy(col("band_id"))
+  }
 }

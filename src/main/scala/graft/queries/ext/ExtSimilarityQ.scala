@@ -909,4 +909,59 @@ private[queries] trait ExtSimilarityQ { self: ExtHelpers =>
       FROM r WHERE kw_rank <= 3 ORDER BY doc_id, kw_rank
     """.trim))
 
+  // --------------------------------------------------------------- q244
+  /** q244 — background cosine calibration
+    * ([[Similarity.backgroundCosine]]): the noise floor every ANN
+    * threshold stands on — 64 hash-sampled vectors, all pairs, the
+    * pair-count distribution over fixed cosine bands. q222 asks this
+    * of the shingle space; this asks it of the embedding space, where
+    * a fat top band means anisotropy and no separating threshold.
+    * Zero shuffle by design (broadcast K² pairs); the pinned-order
+    * dot fold makes every band edge replay exactly. */
+  val q244: Q = Q(
+    "q244_background_cosine",
+    (s, d) =>
+      Similarity.backgroundCosine(Tables.embeddings(s, d), sampleK = 64),
+    Some("""
+      WITH e AS (
+        SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        FROM embeddings),
+      n0 AS (
+        SELECT vec_id, v,
+          sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(v, x -> x * x)), (a, b) -> a + b)) nrm
+        FROM e),
+      n AS (SELECT * FROM n0 WHERE nrm > 0),
+      smp AS (
+        SELECT vec_id, v, nrm FROM n
+        ORDER BY ((vec_id % 1000000007) * 2654435761 % 1000000007
+          + 12345) % 1000000007, vec_id
+        LIMIT 64),
+      pr AS (
+        SELECT (list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(range(1, len(a.v) + 1),
+              i -> a.v[i] * b.v[i])),
+            (x, y) -> x + y) / (a.nrm * b.nrm)) AS cosine
+        FROM smp a JOIN smp b ON a.vec_id < b.vec_id),
+      banded AS (
+        SELECT CASE WHEN cosine <= -0.25 THEN 0
+                    WHEN cosine <= 0.0 THEN 1
+                    WHEN cosine <= 0.25 THEN 2
+                    WHEN cosine <= 0.5 THEN 3
+                    WHEN cosine <= 0.75 THEN 4
+                    ELSE 5 END AS band_id
+        FROM pr),
+      counts AS (
+        SELECT band_id, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM banded GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS n_total FROM counts)
+      SELECT band_id,
+        CASE band_id WHEN 0 THEN 'le_m025' WHEN 1 THEN 'le_0'
+          WHEN 2 THEN 'le_025' WHEN 3 THEN 'le_05'
+          WHEN 4 THEN 'le_075' ELSE 'gt_075' END AS band,
+        n_pairs,
+        CAST(n_pairs AS DOUBLE) / CAST(n_total AS DOUBLE) AS pair_frac
+      FROM counts, tot ORDER BY band_id
+    """.trim))
 }

@@ -902,7 +902,11 @@ class PlanAuditSpec extends SparkSpec {
       // q242: the ONE-ROW observation-edge anchor appended to the
       // per-user lifetime frame — discreteHazard's scalar-append, the
       // q85/q215 anchor shape
-      "q242_survival_hazard")
+      "q242_survival_hazard",
+      // q244: BNLJ BY DESIGN over the ≤ 64-row broadcast vector sample
+      // (K² pairs, corpus-size-independent) + the one-row pair-total
+      // scalar-append — q222's exception on the embedding side
+      "q244_background_cosine")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()
