@@ -51,6 +51,9 @@ object Main {
         probes = rest.drop(1).headOption.map(_.toInt))
     case "cms-ingest" :: srcParquet :: hashCol :: storeDir :: Nil =>
       cmsIngest(srcParquet, hashCol, storeDir)
+    case "checksum-ingest" :: srcParquet :: groupCol :: textCol ::
+        storeDir :: Nil =>
+      checksumIngest(srcParquet, groupCol, textCol, storeDir)
     case "hll-ingest" :: srcParquet :: groupCol :: hashCol :: storeDir :: Nil =>
       hllIngest(srcParquet, groupCol, hashCol, storeDir)
     case "grid-ingest" :: srcParquet :: valueCol :: width :: storeDir :: Nil =>
@@ -97,7 +100,7 @@ object Main {
       profile(srcParquet, outDir, cols)
     case _ =>
       System.err.println(
-        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | df-ingest <docsParquet> <storeDir> <outDir> [minDf] | export-shards <docsParquet> <outDir> <shardBytes> | export-zorder <parquet> <outDir> <xCol> <yCol> [bits [files]] | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | stream-sessionize <eventsDir> <outDir> <ckptDir> [gapMinutes] | stream-dedup <docsDir> <outDir> <ckptDir> [watermarkDelay] | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
+        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | checksum-ingest <parquet> <groupCol> <textCol> <storeDir> | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | df-ingest <docsParquet> <storeDir> <outDir> [minDf] | export-shards <docsParquet> <outDir> <shardBytes> | export-zorder <parquet> <outDir> <xCol> <yCol> [bits [files]] | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | stream-sessionize <eventsDir> <outDir> <ckptDir> [gapMinutes] | stream-dedup <docsDir> <outDir> <ckptDir> [watermarkDelay] | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
       sys.exit(2)
   }
 
@@ -426,6 +429,28 @@ object Main {
     * the durable store — run per arriving batch; reads merge by SUM.
     * Exactly-once delivery is the scheduler's contract (counters are
     * not idempotent, scaladoc [[graft.etl.CmsStore]]). */
+  /** Incremental integrity ingest ([[graft.etl.ChecksumStore]]): fold
+    * one batch's per-group checksums in and report the merged
+    * fingerprint size. Verify a transfer by running the same ingests
+    * on both sides and diffing the two fingerprint tables. */
+  private def checksumIngest(srcParquet: String, groupCol: String,
+      textCol: String, storeDir: String): Unit = {
+    val spark = GraftSession.local()
+    val n = runChecksumIngest(spark, srcParquet, groupCol, textCol,
+      storeDir)
+    println(s"checksum-ingest: fingerprint covers $n groups -> $storeDir")
+    spark.stop()
+  }
+
+  /** Testable core of `checksum-ingest` (the [[runCompact]] pattern). */
+  private[graft] def runChecksumIngest(
+      spark: org.apache.spark.sql.SparkSession, srcParquet: String,
+      groupCol: String, textCol: String, storeDir: String): Long = {
+    val store = new graft.etl.ChecksumStore(spark, storeDir)
+    store.ingest(spark.read.parquet(srcParquet), groupCol, textCol)
+    store.fingerprint.count()
+  }
+
   private def cmsIngest(srcParquet: String, hashCol: String,
       storeDir: String): Unit = {
     val spark = GraftSession.local()

@@ -232,6 +232,26 @@ class MainSpec extends SparkSpec {
     assert(shard0.listFiles().count(_.getName.endsWith(".parquet")) == 1)
   }
 
+  test("checksum-ingest: batch ingests on a split corpus merge to the " +
+    "one-shot fingerprint of the union") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft_cki").toString
+    val src = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    src.where(col("doc_id") % 2 === 0).write.parquet(s"$base/b0")
+    src.where(col("doc_id") % 2 =!= 0).write.parquet(s"$base/b1")
+    Main.runChecksumIngest(spark, s"$base/b0", "source", "text",
+      s"$base/store")
+    val n = Main.runChecksumIngest(spark, s"$base/b1", "source", "text",
+      s"$base/store")
+    val got = new graft.etl.ChecksumStore(spark, s"$base/store")
+      .fingerprint.collect().toSeq
+    val want = graft.operators.Diff
+      .contentChecksum(src, "source", "text").collect().toSeq
+    assert(got == want)
+    assert(n == want.size.toLong)
+  }
+
   test("export-zorder: z-contiguous one-file spans, manifest zone map " +
     "matches the tree, a 2-D predicate prunes files") {
     import org.apache.spark.sql.functions.{col, count, max, min}
