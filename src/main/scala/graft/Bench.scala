@@ -338,7 +338,11 @@ object Bench {
     // q243 is sub-second only because of the codegen'd char fold
     // (the HOF form measured 3.55 s — the r4 native-expression lesson)
     "q243_content_checksum" -> 0.29,
-    "q244_background_cosine" -> 0.47)
+    "q244_background_cosine" -> 0.47,
+    "q245_large_quantity_orders" -> 0.89,
+    "q246_top_revenue_supplier" -> 0.42,
+    "q247_nation_pair_volume" -> 0.88,
+    "q248_regional_min_cost_supplier" -> 1.58)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -522,6 +526,10 @@ object Bench {
     "q242_survival_hazard" -> 45886L,
     "q243_content_checksum" -> 9342L,
     "q244_background_cosine" -> 0L,
+    "q245_large_quantity_orders" -> 3460312L,
+    "q246_top_revenue_supplier" -> 105507L,
+    "q247_nation_pair_volume" -> 25978L,
+    "q248_regional_min_cost_supplier" -> 8711223L,
     "q21_embedding_neardup_ivf" -> 5033608L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Dec, Tables}
 import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Rules, Sampling, Scd, Scrub, SemiStructured, Similarity, Sketch, Skew, TextAnalysis, Trend}
 
-/** [[Ext]] family: relational breadth (joins, rules, scrubbing, SCD, semi-structured, misc) — queries q33, q34, q38, q43, q44, q46, q58, q59, q63, q64, q70, q75, q77, q78, q82, q85, q104, q109, q117, q118, q119, q121, q131, q155, q156, q158, q162, q168, q192, q198, q208, q210, q220, q223.
+/** [[Ext]] family: relational breadth (joins, rules, scrubbing, SCD, semi-structured, misc) — queries q33, q34, q38, q43, q44, q46, q58, q59, q63, q64, q70, q75, q77, q78, q82, q85, q104, q109, q117, q118, q119, q121, q131, q155, q156, q158, q162, q168, q192, q198, q208, q210, q220, q223, q245, q246, q247, q248.
   * Split from the monolithic Ext.scala in round 12
   * (pure relocation; helpers live in [[ExtHelpers]]). */
 private[queries] trait ExtRelationalQ { self: ExtHelpers =>
@@ -1715,5 +1715,260 @@ private[queries] trait ExtRelationalQ { self: ExtHelpers =>
         bit_xor(h2) AS xor_hash
       FROM h GROUP BY 1
       ORDER BY grp NULLS FIRST
+    """.trim))
+
+  // --------------------------------------------------------------- q245
+  /** q245 — large-quantity orders (the TPC-H Q18 SHAPE: semi over a
+    * HAVING-aggregate): orders whose total lineitem quantity exceeds a
+    * threshold, reported with their customer — the IN-(GROUP BY …
+    * HAVING) planner shape. The qualifying set is an AGGREGATE of the
+    * fact, so the membership test must plan as aggregate-then-join,
+    * never as a re-scan per order.
+    *
+    * Scale shape: the quantity rollup is CO-KEYED with the orders
+    * probe on the orderkey — one hash partitioning planned once; the
+    * HAVING filter reduces the aggregate to a sliver BEFORE the join
+    * (at TPC-H's own selectivity, ~1 order in 10⁴), and that sliver
+    * side drives a hash join against orders. Customer scales with the
+    * corpus, so its join is left to Catalyst/AQE (auto-broadcast at
+    * fixture SF, keyed shuffle at 100 TB — the q155 discipline). The
+    * top-100 is TakeOrderedAndProject (per-partition heaps, no global
+    * sort), ties pinned by the unique orderkey. Quantity is DOUBLE in
+    * the fixture, so the sum folds in exact DECIMAL — a double fold
+    * would be partition-order-dependent. */
+  val q245: Q = Q(
+    "q245_large_quantity_orders",
+    (s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(Dec.d2(col("l_quantity"))).as("__qty"))
+        .where(col("__qty") > 250)
+      val cDim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(cDim, col("c_custkey") === col("o_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice").as("total_price"),
+          Dec.outD(col("__qty")).as("sum_qty"))
+        .orderBy(col("total_price").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    Some("""
+      WITH big AS (
+        SELECT l_orderkey,
+          sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+        FROM lineitem GROUP BY 1 HAVING qty > 250)
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        o_totalprice AS total_price, CAST(qty AS DOUBLE) AS sum_qty
+      FROM orders
+      JOIN big ON l_orderkey = o_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      ORDER BY total_price DESC, o_orderkey
+      LIMIT 100
+    """.trim))
+
+  // --------------------------------------------------------------- q246
+  /** q246 — top supplier by revenue (the TPC-H Q15 SHAPE: a global
+    * scalar MAX as the keep predicate, ties preserved): per-supplier
+    * revenue over one quarter, keeping exactly the supplier(s) whose
+    * revenue EQUALS the global maximum. The planner shape Q15 writes
+    * as a view + `WHERE total = (SELECT max(total) FROM view)`.
+    *
+    * Scale shape: ONE corpus pass builds the |suppliers|-keyed revenue
+    * rollup (date filter pushed to the scan, partial-aggregated fold);
+    * the global max is a ONE-ROW broadcast scalar-append onto that
+    * reduced frame — never a second corpus scan, never a global sort
+    * (an `ORDER BY total DESC LIMIT 1` would silently DROP ties; the
+    * equality keeps them, and the revenue compares as exact DECIMAL so
+    * the boundary cannot flip on an IEEE rounding). The supplier-dim
+    * join is left to Catalyst/AQE (corpus-scale at real SF). */
+  val q246: Q = Q(
+    "q246_top_revenue_supplier",
+    (s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1996-04-01")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(Dec.d2(col("l_extendedprice")) *
+          (lit(1) - Dec.d2(col("l_discount")))).as("__rev"))
+      val mx = rev.agg(max(col("__rev")).as("__mx"))
+      rev.crossJoin(broadcast(mx))
+        .where(col("__rev") === col("__mx"))
+        .join(Tables.supplier(s, d).select(col("s_suppkey"),
+          col("s_name")), col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          Dec.outD(col("__rev")).as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""
+      WITH rev AS (
+        SELECT l_suppkey,
+          sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+            (1 - CAST(l_discount AS DECIMAL(12,2)))) AS r
+        FROM lineitem
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        GROUP BY 1)
+      SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+      FROM rev JOIN supplier ON s_suppkey = l_suppkey
+      WHERE r = (SELECT max(r) FROM rev)
+      ORDER BY s_suppkey
+    """.trim))
+
+  // --------------------------------------------------------------- q247
+  /** q247 — nation-pair trade volume (the TPC-H Q7 SHAPE: a
+    * disjunction spanning TWO dimension sides of the join): shipping
+    * volume between two nations by year, counting flow in BOTH
+    * directions — `(supp = A AND cust = B) OR (supp = B AND cust =
+    * A)`. The trap is that neither disjunct alone can be pushed to a
+    * single scan (each constrains a DIFFERENT join side), but their
+    * UNION's projection can: Catalyst's constraint extraction derives
+    * the per-side shortlist `nation ∈ {A, B}` from the OR and both
+    * dim sides arrive pre-pruned, leaving only the cheap
+    * same-nation-pair rejection as a residual after the joins.
+    *
+    * Scale shape: the two-nation shortlist joins are written
+    * explicitly BEFORE the fact joins (supplier and customer each
+    * reduce ~12.5× here, |nations|/2-fold in general), so the big
+    * orderkey/custkey shuffles move only qualifying rows; nation is
+    * constant-size (broadcast); the date filter is pushed to the
+    * lineitem scan; the rollup is ≤ 2·|years| groups,
+    * partial-aggregated; money exact DECIMAL end-to-end. */
+  val q247: Q = Q(
+    "q247_nation_pair_volume",
+    (s, d) => {
+      val pair = Seq("NATION_3", "NATION_7")
+      val n = broadcast(Tables.nation(s, d)
+        .where(col("n_name").isin(pair: _*)))
+      val supp = Tables.supplier(s, d).select(col("s_suppkey"),
+          col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.customer(s, d).select(col("c_custkey"),
+          col("c_nationkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= "1995-01-01" &&
+          col("l_shipdate") < "1997-01-01")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("l_year"),
+          (Dec.d2(col("l_extendedprice")) *
+            (lit(1) - Dec.d2(col("l_discount")))).as("__vol"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_custkey")), col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(count(lit(1)).as("n_lines"),
+          Dec.outD(sum(col("__vol"))).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+    Some("""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(year(l_shipdate) AS INT) AS l_year,
+        CAST(count(*) AS BIGINT) AS n_lines,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+          (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate >= '1995-01-01' AND l_shipdate < '1997-01-01'
+      GROUP BY 1, 2, 3
+      ORDER BY supp_nation, cust_nation, l_year
+    """.trim))
+
+  // --------------------------------------------------------------- q248
+  /** q248 — regional minimum-cost supplier (the TPC-H Q2 SHAPE:
+    * argmin-per-group with an equality REJOIN, ties preserved): for
+    * parts in an attribute shortlist, the supplier(s) in one region
+    * offering the part at the region's MINIMUM price. The fixture has
+    * no partsupp table, so the offer book is derived: a (part,
+    * supplier) min-price rollup of lineitem restricted to the
+    * region's suppliers — the SHAPE (correlated min subquery planned
+    * as aggregate + equality rejoin) is Q2's exactly.
+    *
+    * Scale shape: region→nation→supplier is a constant-size broadcast
+    * chain pruning the fact FIRST (one region ≈ 1/5 of suppliers);
+    * the per-part minimum is a WINDOW MIN over the already-reduced
+    * offer book, partitioned on `l_partkey` — an aggregate-then-rejoin
+    * would duplicate the whole offer subtree (two corpus scans;
+    * ReuseExchange can't match the diverged subtrees), where the
+    * window reads it ONCE and appends the group min in place; the
+    * equality keep on exact DECIMAL preserves ties, where a
+    * `row_number = 1` would arbitrarily drop them and a double
+    * compare could flip the boundary; the part shortlist is a
+    * broadcast dim probe. The |parts|-sized offer frame must NOT
+    * broadcast at scale (parts scale with the corpus — the q223
+    * discipline). */
+  val q248: Q = Q(
+    "q248_regional_min_cost_supplier",
+    (s, d) => {
+      val rsup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d)
+            .where(col("r_name") === "AFRICA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name"))
+      val offers = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"),
+          Dec.d2(col("l_extendedprice")).as("__price"))
+        .join(rsup.select(col("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("__price")).as("__offer"))
+      val parts = broadcast(Tables.part(s, d)
+        .where(col("p_type") === "STANDARD" &&
+          col("p_size").between(1, 10))
+        .select(col("p_partkey"), col("p_brand"), col("p_size")))
+      offers
+        .withColumn("__best", min(col("__offer")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("l_partkey"))))
+        .where(col("__offer") === col("__best"))
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(rsup, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_acctbal"), col("n_name"), col("s_name"),
+          col("s_suppkey"), col("p_partkey"), col("p_brand"),
+          col("p_size"), Dec.outD(col("__offer")).as("min_price"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("s_suppkey"), col("p_partkey"))
+    },
+    Some("""
+      WITH rsup AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'AFRICA'),
+      offers AS (
+        SELECT l_partkey, l_suppkey,
+          min(CAST(l_extendedprice AS DECIMAL(12,2))) AS offer
+        FROM lineitem JOIN rsup ON s_suppkey = l_suppkey
+        GROUP BY 1, 2),
+      best AS (
+        SELECT l_partkey, min(offer) AS best FROM offers GROUP BY 1)
+      SELECT s_acctbal, n_name, s_name, s_suppkey, p_partkey, p_brand,
+        p_size, CAST(offer AS DOUBLE) AS min_price
+      FROM offers
+      JOIN best USING (l_partkey)
+      JOIN part ON p_partkey = l_partkey
+      JOIN rsup ON s_suppkey = l_suppkey
+      WHERE offer = best AND p_type = 'STANDARD'
+        AND p_size BETWEEN 1 AND 10
+      ORDER BY s_acctbal DESC, n_name, s_name, s_suppkey, p_partkey
     """.trim))
 }

@@ -719,6 +719,11 @@ class PlanAuditSpec extends SparkSpec {
     // Dedup.contaminationBySpan's, pairTransitivityAudit's and
     // thresholdCurve's)
     val bnljByDesign = Set("q20_embedding_topk",
+      // q246: the ONE-ROW global-max revenue appended to the
+      // |suppliers|-keyed rollup for the ties-preserving equality
+      // keep — the Q15 scalar subquery as a broadcast scalar-append,
+      // q88's exact shape
+      "q246_top_revenue_supplier",
       "q21_embedding_neardup_ivf", "q39_embedding_topk_ivf",
       "q52_bm25_scores",
       // q79: the (lo, hi) day span — a ONE-ROW broadcast appended to
