@@ -237,4 +237,93 @@ object Sketch {
           lit(1.0)).as("rel_error"))
       .orderBy(col(groupCol))
   }
+
+  /** KMV (k-minimum-values / theta) sketch SET OPERATIONS between two
+    * corpus sides over their distinct word-3-gram SHINGLE sets:
+    * estimated distinct-shingle counts per side, of the union, of the
+    * intersection, and an estimated Jaccard — WITHOUT ever joining
+    * the sides. This is the sketch family's missing member next to
+    * CMS (frequency, [[cmBuild]]) and HLL (single-set cardinality,
+    * [[hllDistinct]]): HLL registers cannot intersect, but KMV
+    * sketches compose — the k smallest of A ∪ B is a subset of
+    * (k smallest of A) ∪ (k smallest of B), so union and intersection
+    * estimates fall out of two k-row frames. The 100 TB use: "how
+    * much content does corpus A share with corpus B" (the coarse
+    * decontamination / source-redundancy signal) answered by shipping
+    * two k-row sketches, not by the exact distinct-join the q36/q91
+    * family pays; the shingle unit is [[graft.functions.TextHash]]'s
+    * q17/q18 unit — the one whose sets genuinely intersect across
+    * corpus slices.
+    *
+    * Estimator (Bar-Yossef et al.'s KMV, Beyer et al.'s unbiased
+    * form): hashes are the portable char fold in [0, P); with θ the
+    * k-th smallest distinct hash of a side, `D̂ = (k−1)·P div θ` —
+    * integer arithmetic end-to-end, so the DuckDB oracle replays the
+    * ESTIMATE bit-for-bit (the q89 discipline: approximate ⇒ still
+    * deterministic). A side with fewer than k distinct hashes is
+    * reported EXACTLY (its whole hash set is the sketch). The
+    * intersection estimate is `c·D̂_∪ div n_∪` where c counts union-k
+    * survivors present in BOTH side sketches (n_∪ = k normally; when
+    * the union has fewer than k distinct hashes the sketch IS the
+    * union and c is the exact intersection count);
+    * `jaccard_fp = c·2^20 div n_∪`.
+    *
+    * Scale shape: ONE corpus pass — the codegen'd shingle fold
+    * explodes scan-fused — to distinct (side, hash) rows
+    * (partial-aggregated dedup — repeated shingles never cross the
+    * wire twice); per-side k smallest via rank-limit (WindowGroupLimit
+    * pushes the k-cap into each map task BEFORE the exchange, so the
+    * shuffle after dedup is ≤ k rows per partition, not the distinct
+    * set); everything downstream touches ≤ 2k rows. The final
+    * one-row × one-row assembly is a broadcast scalar-append
+    * (PlanAuditSpec-documented). Payload text never shuffles — only
+    * 8-byte hashes. */
+  def kmvOverlap(docs: DataFrame, isA: Column, textCol: String,
+      k: Int = 256): DataFrame = {
+    require(k > 1 && (1 << 20) % k == 0,
+      s"need k > 1 dividing 2^20, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val kmv = docs.where(col(textCol).isNotNull)
+      .select(when(isA, lit("a")).otherwise(lit("b")).as("side"),
+        explode(TextHash.shingleHashesOf(col(textCol))).as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("side")).orderBy(col("h"))))
+      .where(col("rn") <= k)
+    val stats = kmv.agg(
+      sum(when(col("side") === "a", 1L).otherwise(0L)).as("n_a"),
+      max(when(col("side") === "a", col("h"))).as("theta_a"),
+      sum(when(col("side") === "b", 1L).otherwise(0L)).as("n_b"),
+      max(when(col("side") === "b", col("h"))).as("theta_b"))
+    // union sketch: k smallest across both side sketches (correct by
+    // the subset property above); ≤ 2k rows in, ≤ k out — the
+    // sort+limit is a TakeOrderedAndProject over a tiny frame
+    val uAgg = kmv
+      .groupBy(col("h"))
+      .agg(max(col("side") === "a").as("in_a"),
+        max(col("side") === "b").as("in_b"))
+      .orderBy(col("h")).limit(k)
+      .agg(count(lit(1)).as("n_union"),
+        max(col("h")).as("theta_union"),
+        sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L))
+          .as("inter_in_k"))
+    val kP = (k - 1).toLong * TextHash.P
+    // `div` (integer division), not `/` (IEEE): the estimate must be
+    // an exact BIGINT function of the sketch on both engines
+    def est(n: String, theta: String): Column =
+      when(col(n) < k, col(n))
+        .otherwise(expr(s"CAST(${kP}L div $theta AS BIGINT)"))
+    stats.crossJoin(broadcast(uAgg))
+      .withColumn("est_a", est("n_a", "theta_a"))
+      .withColumn("est_b", est("n_b", "theta_b"))
+      .withColumn("est_union", est("n_union", "theta_union"))
+      .withColumn("est_inter",
+        expr("CAST(inter_in_k * est_union div n_union AS BIGINT)"))
+      .withColumn("jaccard_fp",
+        expr(s"CAST(inter_in_k * 1048576 div n_union AS BIGINT)"))
+      .select(lit(k).as("k"), col("n_a"), col("theta_a"), col("est_a"),
+        col("n_b"), col("theta_b"), col("est_b"), col("n_union"),
+        col("theta_union"), col("est_union"), col("inter_in_k"),
+        col("est_inter"), col("jaccard_fp"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Dec, Tables}
 import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Rules, Sampling, Scd, Scrub, SemiStructured, Similarity, Sketch, Skew, TextAnalysis, Trend}
 
-/** [[Ext]] family: bounded-state sketches (CMS, HLL, grid percentile) and their accuracy evals — queries q80, q89, q148.
+/** [[Ext]] family: bounded-state sketches (CMS, HLL, KMV, grid percentile) and their accuracy evals — queries q80, q89, q148, q249.
   * Split from the monolithic Ext.scala in round 12
   * (pure relocation; helpers live in [[ExtHelpers]]). */
 private[queries] trait ExtSketchQ { self: ExtHelpers =>
@@ -106,4 +106,82 @@ private[queries] trait ExtSketchQ { self: ExtHelpers =>
       """.trim))
   }
 
+  // --------------------------------------------------------------- q249
+  /** q249 — KMV sketch content overlap ([[Sketch.kmvOverlap]]): how
+    * much word-3-gram shingle content does the English side of the
+    * corpus share with the rest, estimated from two 256-row
+    * k-minimum-values sketches instead of a distinct-join — the
+    * set-OPERATIONS sketch completing the CMS (q80, frequency) / HLL
+    * (q89, single-set cardinality) family: HLL registers cannot
+    * intersect, KMV sketches compose. The shingle unit (q17/q18's)
+    * is the one whose sets genuinely intersect across slices AND is
+    * plentiful enough (~10⁴ per side here) to exercise the θ
+    * estimator — the fixture has no exact duplicate texts and only
+    * ~31 distinct tokens, so whole-doc or token units would
+    * degenerate to the exact n < k branch. The oracle replays
+    * tokenize, shingle fold, per-side k-minima, union sketch and
+    * every integer-division estimate bit-for-bit (the q89
+    * discipline: approximate ⇒ still deterministic). */
+  val q249: Q = Q(
+    "q249_kmv_overlap",
+    (s, d) => Sketch.kmvOverlap(Tables.documents(s, d),
+      col("lang") === "en", "text"),
+    Some(s"""
+      WITH words AS (
+        SELECT CASE WHEN lang = 'en' THEN 'a' ELSE 'b' END AS side,
+          list_filter(string_split_regex(trim(text), '\\s+'),
+            t -> t <> '') AS w
+        FROM documents WHERE text IS NOT NULL),
+      wh AS (
+        SELECT side, list_transform(w, t ->
+          list_reduce(list_prepend(0::BIGINT,
+            list_transform(range(1, length(t) + 1),
+              j -> ascii(t[j]))),
+            (h, c) -> ((h * 31) + c) % $P)) AS whl
+        FROM words WHERE len(w) >= 3),
+      h AS (
+        SELECT DISTINCT side, hs AS h
+        FROM wh, LATERAL unnest(list_transform(range(1, len(whl) - 1),
+          i -> ((((((whl[i] * 31) + whl[i+1]) % $P) * 31) + whl[i+2])
+            % $P))) AS t(hs)),
+      ka AS (SELECT h FROM h WHERE side = 'a' ORDER BY h LIMIT 256),
+      kb AS (SELECT h FROM h WHERE side = 'b' ORDER BY h LIMIT 256),
+      ku AS (
+        SELECT h,
+          max(CASE WHEN h IN (SELECT h FROM ka) THEN 1 ELSE 0 END)
+            AS in_a,
+          max(CASE WHEN h IN (SELECT h FROM kb) THEN 1 ELSE 0 END)
+            AS in_b
+        FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+        GROUP BY h ORDER BY h LIMIT 256),
+      st AS (
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM ka) AS n_a,
+          (SELECT max(h) FROM ka) AS theta_a,
+          (SELECT CAST(count(*) AS BIGINT) FROM kb) AS n_b,
+          (SELECT max(h) FROM kb) AS theta_b,
+          (SELECT CAST(count(*) AS BIGINT) FROM ku) AS n_union,
+          (SELECT max(h) FROM ku) AS theta_union,
+          (SELECT CAST(coalesce(sum(CASE WHEN in_a = 1 AND in_b = 1
+             THEN 1 ELSE 0 END), 0) AS BIGINT) FROM ku) AS inter_in_k)
+      SELECT CAST(256 AS INT) AS k, n_a, theta_a,
+        CASE WHEN n_a < 256 THEN n_a
+             ELSE CAST(255 * ${P}::BIGINT // theta_a AS BIGINT) END
+          AS est_a,
+        n_b, theta_b,
+        CASE WHEN n_b < 256 THEN n_b
+             ELSE CAST(255 * ${P}::BIGINT // theta_b AS BIGINT) END
+          AS est_b,
+        n_union, theta_union,
+        CASE WHEN n_union < 256 THEN n_union
+             ELSE CAST(255 * ${P}::BIGINT // theta_union AS BIGINT) END
+          AS est_union,
+        inter_in_k,
+        CAST(inter_in_k *
+          (CASE WHEN n_union < 256 THEN n_union
+                ELSE CAST(255 * ${P}::BIGINT // theta_union AS BIGINT)
+           END) // n_union AS BIGINT) AS est_inter,
+        CAST(inter_in_k * 1048576 // n_union AS BIGINT) AS jaccard_fp
+      FROM st
+    """.trim))
 }

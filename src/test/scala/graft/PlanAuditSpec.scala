@@ -724,6 +724,11 @@ class PlanAuditSpec extends SparkSpec {
       // keep — the Q15 scalar subquery as a broadcast scalar-append,
       // q88's exact shape
       "q246_top_revenue_supplier",
+      // q249: the ONE-ROW side-stats × ONE-ROW union-sketch assembly
+      // of the KMV overlap estimates — both inputs are aggregates of
+      // the ≤ 2k-row sketch frame, the q95/q127 one-row × one-row
+      // shape verbatim
+      "q249_kmv_overlap",
       "q21_embedding_neardup_ivf", "q39_embedding_topk_ivf",
       "q52_bm25_scores",
       // q79: the (lo, hi) day span — a ONE-ROW broadcast appended to

@@ -181,4 +181,74 @@ class SketchSpec extends SparkSpec {
       assert(math.abs(rel) < 0.26, s"rel_error $rel out of band")
     }
   }
+
+  // ---- kmvOverlap (q249) -------------------------------------------
+
+  private def wordShingles(text: String): Set[Long] = {
+    val th = text.trim.split("\\s+").filter(_.nonEmpty).map(charFold)
+    if (th.length < 3) Set.empty[Long]
+    else th.sliding(3).map(a =>
+      (((a(0) * 31 + a(1)) % P) * 31 + a(2)) % P).toSet
+  }
+
+  /** Plain-Scala KMV replay: k smallest per side, union subset
+    * property, the n < k exact branch and the θ division. */
+  private def kmvReplay(a: Set[Long], b: Set[Long], k: Int) = {
+    def sk(s: Set[Long]) = s.toSeq.sorted.take(k)
+    val (ka, kb) = (sk(a), sk(b))
+    val ku = sk((ka ++ kb).toSet)
+    def est(n: Long, theta: Long) =
+      if (n < k) n else (k - 1).toLong * P / theta
+    val (na, nb, nu) = (ka.size.toLong, kb.size.toLong, ku.size.toLong)
+    val c = ku.count(h => ka.contains(h) && kb.contains(h)).toLong
+    val eu = est(nu, if (ku.nonEmpty) ku.max else 0L)
+    (na, if (ka.nonEmpty) ka.max else -1L, est(na, if (ka.nonEmpty) ka.max else 0L),
+      nb, if (kb.nonEmpty) kb.max else -1L, est(nb, if (kb.nonEmpty) kb.max else 0L),
+      nu, if (ku.nonEmpty) ku.max else -1L, eu,
+      c, if (nu > 0) c * eu / nu else 0L,
+      if (nu > 0) c * 1048576L / nu else 0L)
+  }
+
+  test("kmvOverlap replays the hand-computed sketch exactly — " +
+    "θ estimator branch (n = k) and exact branch (n < k) together") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // side A: enough distinct shingles to exceed k = 4 (θ branch);
+    // side B: exactly one 3-token doc (n < k exact branch); one doc
+    // SHARED verbatim so the intersection is non-empty
+    val aTexts = Seq("p q r s t u v w", "x y z p q", "m n o p")
+    val bTexts = Seq("m n o p")
+    val docs = (aTexts.map((_, true)) ++ bTexts.map((_, false)))
+      .toDF("text", "is_a")
+    val out = Sketch.kmvOverlap(docs, col("is_a"), "text", k = 4)
+      .collect().head
+    val want = kmvReplay(
+      aTexts.flatMap(wordShingles).toSet,
+      bTexts.flatMap(wordShingles).toSet, k = 4)
+    val got = (out.getLong(1), out.getLong(2), out.getLong(3),
+      out.getLong(4), out.getLong(5), out.getLong(6),
+      out.getLong(7), out.getLong(8), out.getLong(9),
+      out.getLong(10), out.getLong(11), out.getLong(12))
+    assert(out.getInt(0) == 4)
+    assert(got == want)
+    // the crafted fixture really exercises both branches
+    assert(out.getLong(1) == 4L, "side A must hit the θ branch")
+    assert(out.getLong(4) < 4L, "side B must hit the exact branch")
+    assert(out.getLong(10) > 0L, "intersection must be non-empty")
+  }
+
+  test("kmvOverlap: an absent side reports n = 0, est = 0, " +
+    "empty intersection — never a NULL-poisoned estimate row") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(("p q r s", false), ("x y z", false))
+      .toDF("text", "is_a")
+    val out = Sketch.kmvOverlap(docs, col("is_a"), "text", k = 4)
+      .collect().head
+    assert(out.getLong(1) == 0L)   // n_a
+    assert(out.isNullAt(2))        // theta_a: no hashes, honestly NULL
+    assert(out.getLong(3) == 0L)   // est_a = n_a via the exact branch
+    assert(out.getLong(10) == 0L)  // inter_in_k
+    assert(out.getLong(11) == 0L && out.getLong(12) == 0L)
+  }
 }
