@@ -256,8 +256,14 @@ object Sketch {
     * corpus slices.
     *
     * Estimator (Bar-Yossef et al.'s KMV, Beyer et al.'s unbiased
-    * form): hashes are the portable char fold in [0, P); with θ the
-    * k-th smallest distinct hash of a side, `D̂ = (k−1)·P div θ` —
+    * form): the raw shingle fold is SPREAD through the fixed affine
+    * permutation `(h·2654435761 + 12345) mod P` first — the
+    * polynomial fold is top-heavy in the LOW range (short tokens
+    * barely wrap the modulus), and KMV reads the density of values
+    * near 0, so the un-spread fold overshoots by ~25% (measured);
+    * the multiplicative mix restores near-uniformity on [0, P) (the
+    * q148 hash-conditioning lesson applied at the source). With θ
+    * the k-th smallest spread hash of a side, `D̂ = (k−1)·P div θ` —
     * integer arithmetic end-to-end, so the DuckDB oracle replays the
     * ESTIMATE bit-for-bit (the q89 discipline: approximate ⇒ still
     * deterministic). A side with fewer than k distinct hashes is
@@ -285,7 +291,10 @@ object Sketch {
     import org.apache.spark.sql.expressions.Window
     val kmv = docs.where(col(textCol).isNotNull)
       .select(when(isA, lit("a")).otherwise(lit("b")).as("side"),
-        explode(TextHash.shingleHashesOf(col(textCol))).as("h"))
+        explode(TextHash.shingleHashesOf(col(textCol))).as("h0"))
+      .select(col("side"),
+        ((col("h0") * lit(2654435761L) + lit(12345L)) %
+          lit(TextHash.P)).as("h"))
       .distinct()
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("side")).orderBy(col("h"))))
@@ -325,5 +334,48 @@ object Sketch {
         col("n_b"), col("theta_b"), col("est_b"), col("n_union"),
         col("theta_union"), col("est_union"), col("inter_in_k"),
         col("est_inter"), col("jaccard_fp"))
+  }
+
+  /** KMV accuracy evaluation — the eval rung over [[kmvOverlap]]
+    * completing the measured-accuracy quartet (q129 ANN recall, q144
+    * LSH operating point, q148 HLL accuracy, this): the sketch's four
+    * set-size estimates side-by-side with their EXACT counterparts
+    * and signed relative errors. The expected error is ±1/√(k−2) per
+    * set (±6.3% at k = 256); this measures it on YOUR corpus split —
+    * run at profile time on a slice the exact distinct-join can
+    * afford, production ships the k-row sketches alone.
+    *
+    * Two corpus passes by definition (sketch + exact ground truth —
+    * the q144 honest-eval cost); the exact side reduces to distinct
+    * (side, hash) rows then folds flags per hash, so the
+    * intersection never joins the corpus against itself. rel_* is
+    * one IEEE division of exact BIGINTs (q148's discipline). */
+  def kmvAccuracy(docs: DataFrame, isA: Column, textCol: String,
+      k: Int = 256): DataFrame = {
+    val est = kmvOverlap(docs, isA, textCol, k)
+      .select(col("k"), col("est_a"), col("est_b"), col("est_union"),
+        col("est_inter"))
+    val exact = docs.where(col(textCol).isNotNull)
+      .select(when(isA, lit("a")).otherwise(lit("b")).as("side"),
+        explode(TextHash.shingleHashesOf(col(textCol))).as("h"))
+      .distinct()
+      .groupBy(col("h"))
+      .agg(max(col("side") === "a").as("in_a"),
+        max(col("side") === "b").as("in_b"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("exact_a"),
+        sum(when(col("in_b"), 1L).otherwise(0L)).as("exact_b"),
+        count(lit(1)).as("exact_union"),
+        sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L))
+          .as("exact_inter"))
+    def rel(e: String, x: String): Column =
+      col(e) / col(x).cast("double") - lit(1.0)
+    est.crossJoin(broadcast(exact))
+      .select(col("k"),
+        col("exact_a"), col("est_a"), rel("est_a", "exact_a").as("rel_a"),
+        col("exact_b"), col("est_b"), rel("est_b", "exact_b").as("rel_b"),
+        col("exact_union"), col("est_union"),
+        rel("est_union", "exact_union").as("rel_union"),
+        col("exact_inter"), col("est_inter"),
+        rel("est_inter", "exact_inter").as("rel_inter"))
   }
 }

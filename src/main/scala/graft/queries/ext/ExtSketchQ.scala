@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Dec, Tables}
 import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Rules, Sampling, Scd, Scrub, SemiStructured, Similarity, Sketch, Skew, TextAnalysis, Trend}
 
-/** [[Ext]] family: bounded-state sketches (CMS, HLL, KMV, grid percentile) and their accuracy evals — queries q80, q89, q148, q249.
+/** [[Ext]] family: bounded-state sketches (CMS, HLL, KMV, grid percentile) and their accuracy evals — queries q80, q89, q148, q249, q250.
   * Split from the monolithic Ext.scala in round 12
   * (pure relocation; helpers live in [[ExtHelpers]]). */
 private[queries] trait ExtSketchQ { self: ExtHelpers =>
@@ -127,7 +127,19 @@ private[queries] trait ExtSketchQ { self: ExtHelpers =>
     (s, d) => Sketch.kmvOverlap(Tables.documents(s, d),
       col("lang") === "en", "text"),
     Some(s"""
-      WITH words AS (
+      WITH ${duckKmv(256)}
+      SELECT k, n_a, theta_a, est_a, n_b, theta_b, est_b, n_union,
+        theta_union, est_union, inter_in_k, est_inter, jaccard_fp
+      FROM est
+    """.trim))
+
+  /** Shared DuckDB replay of [[Sketch.kmvOverlap]] over the en/rest
+    * split of `documents` — the words→token-hash→shingle chain (the
+    * [[ExtHelpers]] fragments with a `side` key instead of `doc_id`),
+    * per-side k-minima, union sketch, and every integer-division
+    * estimate; `est` is the one-row sketch readout q249 emits and
+    * q250 grades. */
+  private def duckKmv(k: Int): String = s"""words AS (
         SELECT CASE WHEN lang = 'en' THEN 'a' ELSE 'b' END AS side,
           list_filter(string_split_regex(trim(text), '\\s+'),
             t -> t <> '') AS w
@@ -140,12 +152,13 @@ private[queries] trait ExtSketchQ { self: ExtHelpers =>
             (h, c) -> ((h * 31) + c) % $P)) AS whl
         FROM words WHERE len(w) >= 3),
       h AS (
-        SELECT DISTINCT side, hs AS h
+        SELECT DISTINCT side,
+          (hs * 2654435761 + 12345) % $P AS h
         FROM wh, LATERAL unnest(list_transform(range(1, len(whl) - 1),
           i -> ((((((whl[i] * 31) + whl[i+1]) % $P) * 31) + whl[i+2])
             % $P))) AS t(hs)),
-      ka AS (SELECT h FROM h WHERE side = 'a' ORDER BY h LIMIT 256),
-      kb AS (SELECT h FROM h WHERE side = 'b' ORDER BY h LIMIT 256),
+      ka AS (SELECT h FROM h WHERE side = 'a' ORDER BY h LIMIT $k),
+      kb AS (SELECT h FROM h WHERE side = 'b' ORDER BY h LIMIT $k),
       ku AS (
         SELECT h,
           max(CASE WHEN h IN (SELECT h FROM ka) THEN 1 ELSE 0 END)
@@ -153,7 +166,7 @@ private[queries] trait ExtSketchQ { self: ExtHelpers =>
           max(CASE WHEN h IN (SELECT h FROM kb) THEN 1 ELSE 0 END)
             AS in_b
         FROM (SELECT h FROM ka UNION SELECT h FROM kb)
-        GROUP BY h ORDER BY h LIMIT 256),
+        GROUP BY h ORDER BY h LIMIT $k),
       st AS (
         SELECT
           (SELECT CAST(count(*) AS BIGINT) FROM ka) AS n_a,
@@ -163,25 +176,66 @@ private[queries] trait ExtSketchQ { self: ExtHelpers =>
           (SELECT CAST(count(*) AS BIGINT) FROM ku) AS n_union,
           (SELECT max(h) FROM ku) AS theta_union,
           (SELECT CAST(coalesce(sum(CASE WHEN in_a = 1 AND in_b = 1
-             THEN 1 ELSE 0 END), 0) AS BIGINT) FROM ku) AS inter_in_k)
-      SELECT CAST(256 AS INT) AS k, n_a, theta_a,
-        CASE WHEN n_a < 256 THEN n_a
-             ELSE CAST(255 * ${P}::BIGINT // theta_a AS BIGINT) END
-          AS est_a,
-        n_b, theta_b,
-        CASE WHEN n_b < 256 THEN n_b
-             ELSE CAST(255 * ${P}::BIGINT // theta_b AS BIGINT) END
-          AS est_b,
-        n_union, theta_union,
-        CASE WHEN n_union < 256 THEN n_union
-             ELSE CAST(255 * ${P}::BIGINT // theta_union AS BIGINT) END
-          AS est_union,
-        inter_in_k,
-        CAST(inter_in_k *
-          (CASE WHEN n_union < 256 THEN n_union
-                ELSE CAST(255 * ${P}::BIGINT // theta_union AS BIGINT)
-           END) // n_union AS BIGINT) AS est_inter,
-        CAST(inter_in_k * 1048576 // n_union AS BIGINT) AS jaccard_fp
-      FROM st
+             THEN 1 ELSE 0 END), 0) AS BIGINT) FROM ku) AS inter_in_k),
+      est AS (
+        SELECT CAST($k AS INT) AS k, n_a, theta_a,
+          CASE WHEN n_a < $k THEN n_a
+               ELSE CAST(${k - 1} * ${P}::BIGINT // theta_a AS BIGINT)
+            END AS est_a,
+          n_b, theta_b,
+          CASE WHEN n_b < $k THEN n_b
+               ELSE CAST(${k - 1} * ${P}::BIGINT // theta_b AS BIGINT)
+            END AS est_b,
+          n_union, theta_union,
+          CASE WHEN n_union < $k THEN n_union
+               ELSE CAST(${k - 1} * ${P}::BIGINT // theta_union
+                 AS BIGINT) END AS est_union,
+          inter_in_k,
+          CAST(inter_in_k *
+            (CASE WHEN n_union < $k THEN n_union
+                  ELSE CAST(${k - 1} * ${P}::BIGINT // theta_union
+                    AS BIGINT) END) // n_union AS BIGINT) AS est_inter,
+          CAST(inter_in_k * 1048576 // n_union AS BIGINT) AS jaccard_fp
+        FROM st)"""
+
+  // --------------------------------------------------------------- q250
+  /** q250 — KMV accuracy evaluation ([[Sketch.kmvAccuracy]]): q249's
+    * four set-size estimates graded against their EXACT counterparts
+    * with signed relative errors — the eval rung completing the
+    * measured-accuracy quartet (q129 ANN recall, q144 LSH operating
+    * point, q148 HLL accuracy, this). ±1/√(k−2) ≈ ±6.3% is the
+    * EXPECTED per-set error at k = 256; this measures it on THIS
+    * corpus split. Two corpus passes by definition (sketch + exact
+    * ground truth — the q144 honest-eval cost); the oracle replays
+    * both sides, so the sketch's measured accuracy itself sits under
+    * the correctness gate. */
+  val q250: Q = Q(
+    "q250_kmv_accuracy",
+    (s, d) => Sketch.kmvAccuracy(Tables.documents(s, d),
+      col("lang") === "en", "text"),
+    Some(s"""
+      WITH ${duckKmv(256)},
+      exf AS (
+        SELECT h,
+          max(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS in_a,
+          max(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS in_b
+        FROM h GROUP BY h),
+      ex AS (
+        SELECT CAST(sum(in_a) AS BIGINT) AS exact_a,
+          CAST(sum(in_b) AS BIGINT) AS exact_b,
+          CAST(count(*) AS BIGINT) AS exact_union,
+          CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS exact_inter
+        FROM exf)
+      SELECT k,
+        exact_a, est_a,
+        est_a / CAST(exact_a AS DOUBLE) - 1.0e0 AS rel_a,
+        exact_b, est_b,
+        est_b / CAST(exact_b AS DOUBLE) - 1.0e0 AS rel_b,
+        exact_union, est_union,
+        est_union / CAST(exact_union AS DOUBLE) - 1.0e0 AS rel_union,
+        exact_inter, est_inter,
+        est_inter / CAST(exact_inter AS DOUBLE) - 1.0e0 AS rel_inter
+      FROM est, ex
     """.trim))
 }

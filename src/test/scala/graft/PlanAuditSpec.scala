@@ -729,6 +729,10 @@ class PlanAuditSpec extends SparkSpec {
       // the ≤ 2k-row sketch frame, the q95/q127 one-row × one-row
       // shape verbatim
       "q249_kmv_overlap",
+      // q250: composes q249's documented one-row assembly, plus its
+      // own ONE-ROW sketch-readout × ONE-ROW exact-counts join — the
+      // eval-rung shape (q148's), both sides ungrouped aggregates
+      "q250_kmv_accuracy",
       "q21_embedding_neardup_ivf", "q39_embedding_topk_ivf",
       "q52_bm25_scores",
       // q79: the (lo, hi) day span — a ONE-ROW broadcast appended to

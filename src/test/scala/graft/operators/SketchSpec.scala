@@ -188,7 +188,8 @@ class SketchSpec extends SparkSpec {
     val th = text.trim.split("\\s+").filter(_.nonEmpty).map(charFold)
     if (th.length < 3) Set.empty[Long]
     else th.sliding(3).map(a =>
-      (((a(0) * 31 + a(1)) % P) * 31 + a(2)) % P).toSet
+      (((a(0) * 31 + a(1)) % P) * 31 + a(2)) % P)
+      .map(h => (h * 2654435761L + 12345L) % P).toSet // the KMV spread
   }
 
   /** Plain-Scala KMV replay: k smallest per side, union subset
@@ -213,27 +214,28 @@ class SketchSpec extends SparkSpec {
     "θ estimator branch (n = k) and exact branch (n < k) together") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions.col
-    // side A: enough distinct shingles to exceed k = 4 (θ branch);
-    // side B: exactly one 3-token doc (n < k exact branch); one doc
-    // SHARED verbatim so the intersection is non-empty
+    // side A: enough distinct shingles (11) to exceed k = 8 (θ
+    // branch); side B: exactly one 4-token doc (n < k exact branch);
+    // that doc SHARED verbatim, and k covers most of the union, so
+    // the shared shingles land inside the union sketch
     val aTexts = Seq("p q r s t u v w", "x y z p q", "m n o p")
     val bTexts = Seq("m n o p")
     val docs = (aTexts.map((_, true)) ++ bTexts.map((_, false)))
       .toDF("text", "is_a")
-    val out = Sketch.kmvOverlap(docs, col("is_a"), "text", k = 4)
+    val out = Sketch.kmvOverlap(docs, col("is_a"), "text", k = 8)
       .collect().head
     val want = kmvReplay(
       aTexts.flatMap(wordShingles).toSet,
-      bTexts.flatMap(wordShingles).toSet, k = 4)
+      bTexts.flatMap(wordShingles).toSet, k = 8)
     val got = (out.getLong(1), out.getLong(2), out.getLong(3),
       out.getLong(4), out.getLong(5), out.getLong(6),
       out.getLong(7), out.getLong(8), out.getLong(9),
       out.getLong(10), out.getLong(11), out.getLong(12))
-    assert(out.getInt(0) == 4)
+    assert(out.getInt(0) == 8)
     assert(got == want)
     // the crafted fixture really exercises both branches
-    assert(out.getLong(1) == 4L, "side A must hit the θ branch")
-    assert(out.getLong(4) < 4L, "side B must hit the exact branch")
+    assert(out.getLong(1) == 8L, "side A must hit the θ branch")
+    assert(out.getLong(4) < 8L, "side B must hit the exact branch")
     assert(out.getLong(10) > 0L, "intersection must be non-empty")
   }
 
