@@ -344,7 +344,8 @@ object Bench {
     "q247_nation_pair_volume" -> 0.88,
     "q248_regional_min_cost_supplier" -> 1.58,
     "q249_kmv_overlap" -> 0.75,
-    "q250_kmv_accuracy" -> 0.81)
+    "q250_kmv_accuracy" -> 0.81,
+    "q251_kmv_source_matrix" -> 1.25)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -534,6 +535,7 @@ object Bench {
     "q248_regional_min_cost_supplier" -> 8711223L,
     "q249_kmv_overlap" -> 942161L,
     "q250_kmv_accuracy" -> 1378301L,
+    "q251_kmv_source_matrix" -> 5068030L,
     "q21_embedding_neardup_ivf" -> 5033608L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.engine.CacheScope
 import graft.functions.TextHash
 
 /** Count-min sketch over portable token hashes — the fixed-memory
@@ -284,21 +285,42 @@ object Sketch {
     * one-row × one-row assembly is a broadcast scalar-append
     * (PlanAuditSpec-documented). Payload text never shuffles — only
     * 8-byte hashes. */
-  def kmvOverlap(docs: DataFrame, isA: Column, textCol: String,
+  /** The fixed affine spread applied to every raw shingle fold before
+    * it enters a KMV sketch (see [[kmvOverlap]]'s scaladoc for why:
+    * the polynomial fold is top-heavy near 0; KMV reads density near
+    * 0). A bijection mod P, so distinct COUNTS are unchanged. */
+  def kmvSpread(h: Column): Column =
+    (h * lit(2654435761L) + lit(12345L)) % lit(TextHash.P)
+
+  /** Per-GROUP KMV sketch: the k smallest distinct spread shingle
+    * hashes of each group's text — the build stage shared by
+    * [[kmvOverlap]] (two-side split), [[kmvPairMatrix]] (all-pairs)
+    * and the durable/streaming forms. Output (groupCol, h), ≤ k rows
+    * per group. ONE corpus pass: scan-fused shingle explode →
+    * partial-aggregated distinct → per-group rank-limit
+    * (WindowGroupLimit caps each map task at k rows per group BEFORE
+    * the exchange). */
+  def kmvSketch(docs: DataFrame, groupCol: String, textCol: String,
       k: Int = 256): DataFrame = {
     require(k > 1 && (1 << 20) % k == 0,
       s"need k > 1 dividing 2^20, got $k")
     import org.apache.spark.sql.expressions.Window
-    val kmv = docs.where(col(textCol).isNotNull)
-      .select(when(isA, lit("a")).otherwise(lit("b")).as("side"),
+    docs.where(col(textCol).isNotNull)
+      .select(col(groupCol),
         explode(TextHash.shingleHashesOf(col(textCol))).as("h0"))
-      .select(col("side"),
-        ((col("h0") * lit(2654435761L) + lit(12345L)) %
-          lit(TextHash.P)).as("h"))
+      .select(col(groupCol), kmvSpread(col("h0")).as("h"))
       .distinct()
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("side")).orderBy(col("h"))))
+        Window.partitionBy(col(groupCol)).orderBy(col("h"))))
       .where(col("rn") <= k)
+      .select(col(groupCol), col("h"))
+  }
+
+  def kmvOverlap(docs: DataFrame, isA: Column, textCol: String,
+      k: Int = 256): DataFrame = {
+    val kmv = kmvSketch(docs
+      .select(when(isA, lit("a")).otherwise(lit("b")).as("side"),
+        col(textCol)), "side", textCol, k)
     val stats = kmv.agg(
       sum(when(col("side") === "a", 1L).otherwise(0L)).as("n_a"),
       max(when(col("side") === "a", col("h"))).as("theta_a"),
@@ -334,6 +356,80 @@ object Sketch {
         col("n_b"), col("theta_b"), col("est_b"), col("n_union"),
         col("theta_union"), col("est_union"), col("inter_in_k"),
         col("est_inter"), col("jaccard_fp"))
+  }
+
+  /** All-pairs KMV overlap matrix over PER-GROUP sketches — the
+    * sketch rung under q91's exact source-overlap matrix: estimated
+    * shared-shingle count and Jaccard for every unordered group pair,
+    * computed entirely from the ≤ k-row-per-group [[kmvSketch]]
+    * frame. q91 pays a corpus-wide distinct + per-pair intersection
+    * join; this touches |groups|²·k sketch rows — at web scale
+    * (hundreds of sources, k = 256) a few hundred thousand rows
+    * regardless of corpus size, which is the whole point: build the
+    * sketches once (or read them from the durable store), answer
+    * every pairwise composition question from them.
+    *
+    * Per pair: the union sketch is the k smallest of the two k-sets
+    * (the subset property), inter counts union-k survivors in both
+    * sides, and the estimates are [[kmvOverlap]]'s integer-division
+    * forms — deterministic, oracle-replayable. Pair fan-out is
+    * |groups|² over a |groups|-row distinct frame — never the corpus;
+    * zero-shingle groups simply have no sketch rows and pair with
+    * n = 0. The sketch frame feeds THREE consumers (stats + both pair
+    * sides) but is deliberately NOT persisted: the three subtrees are
+    * identical, so ReuseExchange shares the one corpus distinct
+    * exchange among them (measured: same shuffle bytes with or
+    * without a cache, and the cache only added build overhead — the
+    * r13 cache-vs-scan lesson holding for exchanges too). */
+  def kmvPairMatrix(sketch: DataFrame, groupCol: String,
+      k: Int = 256): DataFrame = {
+    require(k > 1 && (1 << 20) % k == 0,
+      s"need k > 1 dividing 2^20, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val gStats = sketch.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), max(col("h")).as("theta"))
+    val kP = (k - 1).toLong * TextHash.P
+    def est(n: String, theta: String): Column =
+      when(col(n) < k, col(n))
+        .otherwise(expr(s"CAST(${kP}L div $theta AS BIGINT)"))
+    // unordered pairs of the |groups|-row stats frame
+    val left = gStats.select(col(groupCol).as("g1"),
+      col("n").as("n_1"), col("theta").as("theta_1"))
+    val right = gStats.select(col(groupCol).as("g2"),
+      col("n").as("n_2"), col("theta").as("theta_2"))
+    val pairs = left.join(right, col("g1") < col("g2"))
+    // per-pair union sketch from the two k-sets: ≤ 2k rows per pair
+    val s1 = pairs.select(col("g1"), col("g2"))
+      .join(sketch.withColumnRenamed(groupCol, "g1"), Seq("g1"))
+      .select(col("g1"), col("g2"), col("h"), lit(true).as("one"))
+    val s2 = pairs.select(col("g1"), col("g2"))
+      .join(sketch.withColumnRenamed(groupCol, "g2"), Seq("g2"))
+      .select(col("g1"), col("g2"), col("h"), lit(false).as("one"))
+    val u = s1.unionByName(s2)
+      .groupBy(col("g1"), col("g2"), col("h"))
+      .agg(max(col("one")).as("in_1"), max(!col("one")).as("in_2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g1"), col("g2")).orderBy(col("h"))))
+      .where(col("rn") <= k)
+      .groupBy(col("g1"), col("g2"))
+      .agg(count(lit(1)).as("n_union"),
+        max(col("h")).as("theta_union"),
+        sum(when(col("in_1") && col("in_2"), 1L).otherwise(0L))
+          .as("inter_in_k"))
+    pairs.join(u, Seq("g1", "g2"))
+      .select(col("g1"), col("g2"),
+        col("n_1"), est("n_1", "theta_1").as("est_1"),
+        col("n_2"), est("n_2", "theta_2").as("est_2"),
+        col("n_union"),
+        est("n_union", "theta_union").as("est_union"),
+        col("inter_in_k"),
+        expr("CAST(inter_in_k * " +
+          "(CASE WHEN n_union < " + k + " THEN n_union ELSE " +
+          s"CAST(${kP}L div theta_union AS BIGINT) END) " +
+          "div n_union AS BIGINT)").as("est_inter"),
+        expr("CAST(inter_in_k * 1048576 div n_union AS BIGINT)")
+          .as("jaccard_fp"))
+      .orderBy(col("g1"), col("g2"))
   }
 
   /** KMV accuracy evaluation — the eval rung over [[kmvOverlap]]

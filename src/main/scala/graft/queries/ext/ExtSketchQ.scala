@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Dec, Tables}
 import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Rules, Sampling, Scd, Scrub, SemiStructured, Similarity, Sketch, Skew, TextAnalysis, Trend}
 
-/** [[Ext]] family: bounded-state sketches (CMS, HLL, KMV, grid percentile) and their accuracy evals — queries q80, q89, q148, q249, q250.
+/** [[Ext]] family: bounded-state sketches (CMS, HLL, KMV, grid percentile) and their accuracy evals — queries q80, q89, q148, q249, q250, q251.
   * Split from the monolithic Ext.scala in round 12
   * (pure relocation; helpers live in [[ExtHelpers]]). */
 private[queries] trait ExtSketchQ { self: ExtHelpers =>
@@ -238,4 +238,95 @@ private[queries] trait ExtSketchQ { self: ExtHelpers =>
         est_inter / CAST(exact_inter AS DOUBLE) - 1.0e0 AS rel_inter
       FROM est, ex
     """.trim))
+
+  // --------------------------------------------------------------- q251
+  /** q251 — KMV source-overlap matrix ([[Sketch.kmvPairMatrix]] over
+    * [[Sketch.kmvSketch]]): estimated shared-shingle count and
+    * Jaccard for every unordered SOURCE pair, from one k = 64 sketch
+    * per source — the sketch rung under q91's exact source-overlap
+    * matrix. q91 pays a corpus-wide distinct and per-pair
+    * intersection joins; this answers every pairwise composition
+    * question from |sources|·k sketch rows built in ONE corpus pass
+    * (at web scale: a few hundred KB regardless of corpus size).
+    * k = 64 trades ±1/√62 ≈ ±12.7% per-set error for a 4× smaller
+    * sketch — the matrix ranks pairs, it doesn't gate them. The
+    * oracle replays sketches, per-pair union rank and every
+    * integer-division estimate bit-for-bit. */
+  val q251: Q = {
+    val k = 64
+    Q(
+      "q251_kmv_source_matrix",
+      (s, d) => Sketch.kmvPairMatrix(
+        Sketch.kmvSketch(Tables.documents(s, d), "source", "text", k),
+        "source", k),
+      Some(s"""
+        WITH words AS (
+          SELECT source AS g,
+            list_filter(string_split_regex(trim(text), '\\s+'),
+              t -> t <> '') AS w
+          FROM documents WHERE text IS NOT NULL),
+        wh AS (
+          SELECT g, list_transform(w, t ->
+            list_reduce(list_prepend(0::BIGINT,
+              list_transform(range(1, length(t) + 1),
+                j -> ascii(t[j]))),
+              (h, c) -> ((h * 31) + c) % $P)) AS whl
+          FROM words WHERE len(w) >= 3),
+        hh AS (
+          SELECT DISTINCT g, (hs * 2654435761 + 12345) % $P AS h
+          FROM wh, LATERAL unnest(list_transform(range(1, len(whl) - 1),
+            i -> ((((((whl[i] * 31) + whl[i+1]) % $P) * 31) + whl[i+2])
+              % $P))) AS t(hs)),
+        sk AS (
+          SELECT g, h FROM (
+            SELECT g, h,
+              row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+            FROM hh) WHERE rn <= $k),
+        gs AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS n, max(h) AS theta
+          FROM sk GROUP BY 1),
+        pairs AS (
+          SELECT a.g AS g1, b.g AS g2, a.n AS n_1, a.theta AS theta_1,
+            b.n AS n_2, b.theta AS theta_2
+          FROM gs a JOIN gs b ON a.g < b.g),
+        pu AS (
+          SELECT g1, g2, h, max(one) AS in_1, max(two) AS in_2 FROM (
+            SELECT p.g1, p.g2, s.h, 1 AS one, 0 AS two
+            FROM pairs p JOIN sk s ON s.g = p.g1
+            UNION ALL
+            SELECT p.g1, p.g2, s.h, 0 AS one, 1 AS two
+            FROM pairs p JOIN sk s ON s.g = p.g2)
+          GROUP BY 1, 2, 3),
+        pur AS (
+          SELECT *, row_number()
+            OVER (PARTITION BY g1, g2 ORDER BY h) AS rn
+          FROM pu),
+        u AS (
+          SELECT g1, g2, CAST(count(*) AS BIGINT) AS n_union,
+            max(h) AS theta_union,
+            CAST(sum(CASE WHEN in_1 = 1 AND in_2 = 1 THEN 1 ELSE 0
+              END) AS BIGINT) AS inter_in_k
+          FROM pur WHERE rn <= $k GROUP BY 1, 2)
+        SELECT p.g1 AS g1, p.g2 AS g2, n_1,
+          CASE WHEN n_1 < $k THEN n_1
+               ELSE CAST(${k - 1} * ${P}::BIGINT // theta_1 AS BIGINT)
+            END AS est_1,
+          n_2,
+          CASE WHEN n_2 < $k THEN n_2
+               ELSE CAST(${k - 1} * ${P}::BIGINT // theta_2 AS BIGINT)
+            END AS est_2,
+          n_union,
+          CASE WHEN n_union < $k THEN n_union
+               ELSE CAST(${k - 1} * ${P}::BIGINT // theta_union
+                 AS BIGINT) END AS est_union,
+          inter_in_k,
+          CAST(inter_in_k *
+            (CASE WHEN n_union < $k THEN n_union
+                  ELSE CAST(${k - 1} * ${P}::BIGINT // theta_union
+                    AS BIGINT) END) // n_union AS BIGINT) AS est_inter,
+          CAST(inter_in_k * 1048576 // n_union AS BIGINT) AS jaccard_fp
+        FROM pairs p JOIN u USING (g1, g2)
+        ORDER BY 1, 2
+      """.trim))
+  }
 }

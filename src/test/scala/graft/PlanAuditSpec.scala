@@ -733,6 +733,12 @@ class PlanAuditSpec extends SparkSpec {
       // own ONE-ROW sketch-readout × ONE-ROW exact-counts join — the
       // eval-rung shape (q148's), both sides ungrouped aggregates
       "q250_kmv_accuracy",
+      // q251: the unordered-pair frame is an INEQUALITY join (g1 <
+      // g2) of two copies of the |sources|-row sketch-stats rollup —
+      // BNLJ over dim-bounded frames (|sources|² pairs, hundreds at
+      // web scale), never the corpus; the sketch rows themselves
+      // attach by hash equi-joins
+      "q251_kmv_source_matrix",
       "q21_embedding_neardup_ivf", "q39_embedding_topk_ivf",
       "q52_bm25_scores",
       // q79: the (lo, hi) day span — a ONE-ROW broadcast appended to
