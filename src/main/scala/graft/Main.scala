@@ -54,6 +54,10 @@ object Main {
     case "checksum-ingest" :: srcParquet :: groupCol :: textCol ::
         storeDir :: Nil =>
       checksumIngest(srcParquet, groupCol, textCol, storeDir)
+    case "kmv-ingest" :: srcParquet :: groupCol :: textCol ::
+        storeDir :: rest if rest.size <= 1 =>
+      kmvIngest(srcParquet, groupCol, textCol, storeDir,
+        k = rest.headOption.map(_.toInt).getOrElse(256))
     case "hll-ingest" :: srcParquet :: groupCol :: hashCol :: storeDir :: Nil =>
       hllIngest(srcParquet, groupCol, hashCol, storeDir)
     case "grid-ingest" :: srcParquet :: valueCol :: width :: storeDir :: Nil =>
@@ -100,7 +104,7 @@ object Main {
       profile(srcParquet, outDir, cols)
     case _ =>
       System.err.println(
-        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | checksum-ingest <parquet> <groupCol> <textCol> <storeDir> | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | df-ingest <docsParquet> <storeDir> <outDir> [minDf] | export-shards <docsParquet> <outDir> <shardBytes> | export-zorder <parquet> <outDir> <xCol> <yCol> [bits [files]] | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | stream-sessionize <eventsDir> <outDir> <ckptDir> [gapMinutes] | stream-dedup <docsDir> <outDir> <ckptDir> [watermarkDelay] | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
+        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | checksum-ingest <parquet> <groupCol> <textCol> <storeDir> | kmv-ingest <parquet> <groupCol> <textCol> <storeDir> [k] | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | df-ingest <docsParquet> <storeDir> <outDir> [minDf] | export-shards <docsParquet> <outDir> <shardBytes> | export-zorder <parquet> <outDir> <xCol> <yCol> [bits [files]] | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | stream-sessionize <eventsDir> <outDir> <ckptDir> [gapMinutes] | stream-dedup <docsDir> <outDir> <ckptDir> [watermarkDelay] | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
       sys.exit(2)
   }
 
@@ -449,6 +453,30 @@ object Main {
     val store = new graft.etl.ChecksumStore(spark, storeDir)
     store.ingest(spark.read.parquet(srcParquet), groupCol, textCol)
     store.fingerprint.count()
+  }
+
+  /** Incremental KMV sketch ingest ([[graft.etl.KmvStore]]): fold one
+    * batch's per-group k-minima in and report the merged sketch's
+    * group count. Re-delivery safe (idempotent min-merge); read the
+    * all-pairs overlap matrix from the store with zero corpus
+    * access. */
+  private def kmvIngest(srcParquet: String, groupCol: String,
+      textCol: String, storeDir: String, k: Int): Unit = {
+    val spark = GraftSession.local()
+    val n = runKmvIngest(spark, srcParquet, groupCol, textCol,
+      storeDir, k)
+    println(s"kmv-ingest: k=$k sketches cover $n groups -> $storeDir")
+    spark.stop()
+  }
+
+  /** Testable core of `kmv-ingest` (the [[runCompact]] pattern). */
+  private[graft] def runKmvIngest(
+      spark: org.apache.spark.sql.SparkSession, srcParquet: String,
+      groupCol: String, textCol: String, storeDir: String,
+      k: Int = 256): Long = {
+    val store = new graft.etl.KmvStore(spark, storeDir, k)
+    store.ingest(spark.read.parquet(srcParquet), groupCol, textCol)
+    store.sketches.select("grp").distinct().count()
   }
 
   private def cmsIngest(srcParquet: String, hashCol: String,

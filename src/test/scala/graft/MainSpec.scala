@@ -252,6 +252,27 @@ class MainSpec extends SparkSpec {
     assert(n == want.size.toLong)
   }
 
+  test("kmv-ingest: batch ingests on a split corpus merge to the " +
+    "one-shot sketch of the union") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft_kmvi").toString
+    val src = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    src.where(col("doc_id") % 2 === 0).write.parquet(s"$base/b0")
+    src.where(col("doc_id") % 2 =!= 0).write.parquet(s"$base/b1")
+    Main.runKmvIngest(spark, s"$base/b0", "source", "text",
+      s"$base/store", k = 32)
+    val n = Main.runKmvIngest(spark, s"$base/b1", "source", "text",
+      s"$base/store", k = 32)
+    val got = new graft.etl.KmvStore(spark, s"$base/store", 32)
+      .sketches.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = graft.operators.Sketch
+      .kmvSketch(src, "source", "text", 32)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(n == want.map(_._1).size.toLong)
+  }
+
   test("export-zorder: z-contiguous one-file spans, manifest zone map " +
     "matches the tree, a 2-D predicate prunes files") {
     import org.apache.spark.sql.functions.{col, count, max, min}
