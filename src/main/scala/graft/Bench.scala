@@ -345,7 +345,8 @@ object Bench {
     "q248_regional_min_cost_supplier" -> 1.58,
     "q249_kmv_overlap" -> 0.75,
     "q250_kmv_accuracy" -> 0.81,
-    "q251_kmv_source_matrix" -> 1.25)
+    "q251_kmv_source_matrix" -> 1.25,
+    "q252_national_market_share" -> 1.30)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -536,6 +537,7 @@ object Bench {
     "q249_kmv_overlap" -> 942161L,
     "q250_kmv_accuracy" -> 1378301L,
     "q251_kmv_source_matrix" -> 5068030L,
+    "q252_national_market_share" -> 7389304L,
     "q21_embedding_neardup_ivf" -> 5033608L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Dec, Tables}
 import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Rules, Sampling, Scd, Scrub, SemiStructured, Similarity, Sketch, Skew, TextAnalysis, Trend}
 
-/** [[Ext]] family: relational breadth (joins, rules, scrubbing, SCD, semi-structured, misc) — queries q33, q34, q38, q43, q44, q46, q58, q59, q63, q64, q70, q75, q77, q78, q82, q85, q104, q109, q117, q118, q119, q121, q131, q155, q156, q158, q162, q168, q192, q198, q208, q210, q220, q223, q245, q246, q247, q248.
+/** [[Ext]] family: relational breadth (joins, rules, scrubbing, SCD, semi-structured, misc) — queries q33, q34, q38, q43, q44, q46, q58, q59, q63, q64, q70, q75, q77, q78, q82, q85, q104, q109, q117, q118, q119, q121, q131, q155, q156, q158, q162, q168, q192, q198, q208, q210, q220, q223, q245, q246, q247, q248, q252.
   * Split from the monolithic Ext.scala in round 12
   * (pure relocation; helpers live in [[ExtHelpers]]). */
 private[queries] trait ExtRelationalQ { self: ExtHelpers =>
@@ -1970,5 +1970,92 @@ private[queries] trait ExtRelationalQ { self: ExtHelpers =>
       WHERE offer = best AND p_type = 'STANDARD'
         AND p_size BETWEEN 1 AND 10
       ORDER BY s_acctbal DESC, n_name, s_name, s_suppkey, p_partkey
+    """.trim))
+
+  // --------------------------------------------------------------- q252
+  /** q252 — national market share (the TPC-H Q8 SHAPE: a conditional
+    * share over a two-sided dimension join): of all revenue delivered
+    * to one REGION's customers per year, the fraction supplied by one
+    * NATION's suppliers — the same fact row keys into the dimension
+    * tree twice (customer side filters the denominator's scope,
+    * supplier side splits the numerator out of it), which is the
+    * planner shape: one join tree, the split as a row-local CASE
+    * inside the aggregate, never two scans or a self-join of the
+    * joined fact.
+    *
+    * Scale shape: region→nation is a constant-size broadcast chain on
+    * BOTH sides; the customer-region filter prunes the fact before
+    * the supplier probe; orders carries the year and its date filter
+    * is pushed to the scan; ≤ |years| rollup with numerator and
+    * denominator folded in ONE pass as exact DECIMAL (partial
+    * aggregation intact). The share itself is the single final IEEE
+    * division of the two exact sums — the one float, pinned on both
+    * engines (the q148 discipline). */
+  val q252: Q = Q(
+    "q252_national_market_share",
+    (s, d) => {
+      val nr = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+      val cust = Tables.customer(s, d).select(col("c_custkey"),
+          col("c_nationkey"))
+        .join(broadcast(nr.where(col("r_name") === "ASIA")
+          .select(col("n_nationkey").as("__cn"))),
+          col("c_nationkey") === col("__cn"))
+        .select(col("c_custkey"))
+      val supp = Tables.supplier(s, d).select(col("s_suppkey"),
+          col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (Dec.d2(col("l_extendedprice")) *
+            (lit(1) - Dec.d2(col("l_discount")))).as("__vol"))
+        .join(Tables.orders(s, d)
+          .where(col("o_orderdate") >= "1995-01-01" &&
+            col("o_orderdate") < "1997-01-01")
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("o_year"))
+        .agg(
+          Dec.outD(sum(when(col("supp_nation") === "NATION_2",
+            col("__vol")).otherwise(lit(0)))).as("nation_revenue"),
+          Dec.outD(sum(col("__vol"))).as("total_revenue"))
+        .withColumn("mkt_share",
+          col("nation_revenue") / col("total_revenue"))
+        .orderBy(col("o_year"))
+    },
+    Some("""
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        CAST(sum(CASE WHEN n1.n_name = 'NATION_2'
+          THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+            (1 - CAST(l_discount AS DECIMAL(12,2))) ELSE 0 END)
+          AS DOUBLE) AS nation_revenue,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+          (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+          AS total_revenue,
+        CAST(sum(CASE WHEN n1.n_name = 'NATION_2'
+          THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+            (1 - CAST(l_discount AS DECIMAL(12,2))) ELSE 0 END)
+          AS DOUBLE) /
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+          (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+          AS mkt_share
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      JOIN region ON r_regionkey = n2.n_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      WHERE region.r_name = 'ASIA'
+        AND o_orderdate >= '1995-01-01' AND o_orderdate < '1997-01-01'
+      GROUP BY 1
+      ORDER BY o_year
     """.trim))
 }
