@@ -636,7 +636,18 @@ object Bench {
     // the r13 driver bench flagged q112 (124 KB→910 KB) and q138
     // (2.8 MB→4.8 MB) purely because the canonical had run at the old
     // 4-thread default. The byte gate below only applies at this width.
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // parsed to Int once, failing fast: the value is embedded unquoted
+    // in the JSON artifact (a stray "4,8" would corrupt it) and the
+    // byte-floor gate compares it numerically (so "032"/" 32" can't
+    // silently disable the gate)
+    val cpus: Int = {
+      val raw = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").trim
+      try raw.toInt catch {
+        case _: NumberFormatException => sys.error(
+          s"SPARK_GRAFT_CPUS must be an integer, got '$raw'")
+      }
+    }
+    require(cpus >= 1, s"SPARK_GRAFT_CPUS must be >= 1, got $cpus")
     val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUPS", "1").toInt
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // dev-loop filter: comma-separated query-name substrings; unset = all.
@@ -746,7 +757,7 @@ object Bench {
     // byte floors are additionally partition-width-specific (see the
     // `cpus` default above): only gate when this run's width matches
     // the width the floors were recorded at
-    val byteFloorsApply = floorsApply && cpus == "32"
+    val byteFloorsApply = floorsApply && cpus == 32
     val bytesOver =
       if (!byteFloorsApply) Seq.empty[String]
       else byteMins.collect {
@@ -815,7 +826,7 @@ object Bench {
       "remeasured" -> remeasured.size.toString,
       (if (floorsApply) "worst_vs_floor" else "slowest") -> worstJson,
       "bytes_over" -> bytesOverJson,
-      "cpus" -> cpus,
+      "cpus" -> cpus.toString,
       "artifact" -> jStr(outPath),
       "loadavg" -> load,
       "sf" -> jStr(sfDir))))

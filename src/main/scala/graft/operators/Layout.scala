@@ -121,7 +121,18 @@ object Layout {
       .drop("__minx", "__maxx", "__miny", "__maxy", "__cx", "__cy")
     withZ.repartition(col("file_id"))
       .write.partitionBy("file_id").parquet(outDir)
-    val manifest = withZ.groupBy(col("file_id"))
+    // manifest from the WRITTEN tree, not a second run of the withZ
+    // pipeline: file_id survives as a partition column and z as a
+    // data column, so this pass is a column-pruned scan of the fresh
+    // (already z-assigned) output — the corpus and its bounds/cell/z
+    // computation are never evaluated twice (the writeShards
+    // one-pass discipline, achieved here by reading back instead of
+    // caching).
+    val spark = df.sparkSession
+    val manifest = spark.read.parquet(outDir)
+      // partition-column inference types file_id INT; the manifest
+      // contract (and its readers) keep the written BIGINT
+      .groupBy(col("file_id").cast("long").as("file_id"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("z")).as("min_z"), max(col("z")).as("max_z"),
         min(col(xCol).cast("long")).as("min_x"),
@@ -130,7 +141,6 @@ object Layout {
         max(col(yCol).cast("long")).as("max_y"))
       .orderBy(col("file_id"))
     manifest.coalesce(1).write.parquet(s"$outDir/_manifest")
-    val spark = df.sparkSession
     val m = spark.read.parquet(s"$outDir/_manifest")
       .agg(count(lit(1)), coalesce(sum(col("n_rows")), lit(0L)))
       .collect()(0)

@@ -373,9 +373,12 @@ object Sketch {
     * (the subset property), inter counts union-k survivors in both
     * sides, and the estimates are [[kmvOverlap]]'s integer-division
     * forms — deterministic, oracle-replayable. Pair fan-out is
-    * |groups|² over a |groups|-row distinct frame — never the corpus;
-    * zero-shingle groups simply have no sketch rows and pair with
-    * n = 0. The sketch frame feeds THREE consumers (stats + both pair
+    * |groups|² over a |groups|-row distinct frame — never the corpus.
+    * A group with NO shingles (all-null/empty text) has no sketch
+    * rows, so it is ABSENT from the matrix entirely — its pairs are
+    * omitted, not reported with n = 0; a caller who needs every group
+    * present should left-join its group universe against the output.
+    * The sketch frame feeds THREE consumers (stats + both pair
     * sides) but is deliberately NOT persisted: the three subtrees are
     * identical, so ReuseExchange shares the one corpus distinct
     * exchange among them (measured: same shuffle bytes with or

@@ -678,19 +678,24 @@ object TextAnalysis {
     * Gate semantics: same thresholds as [[curationFunnel]], negated
     * and de-cascaded — `empty`, `chars_out_of_range`, `few_tokens`,
     * `low_distinct_ratio` (a tokenless doc fails the ratio gate too:
-    * there is no vocabulary to defend it). */
+    * there is no vocabulary to defend it). NULL text fails EVERY
+    * gate: the funnel rejects a NULL doc at its first gate, and a
+    * de-cascaded readout that let NULL predicates sum as "no failure"
+    * would under-report exactly those docs (each bit is
+    * NULL-coalesced to failing). */
   def gateOverlap(docs: DataFrame, textCol: String,
       minChars: Int = 100, maxChars: Int = 20000, minTokens: Int = 20,
       minDistinctRatio: Double = 0.25): DataFrame = {
     require(minChars <= maxChars && minTokens >= 0,
       s"bad gate config: chars [$minChars,$maxChars], tokens $minTokens")
     val w = TextHash.tokens(col(textCol))
+    val isNull = col(textCol).isNull
     val fails: Seq[(String, Column)] = Seq(
-      "empty" -> (length(trim(col(textCol))) === 0),
-      "chars_out_of_range" -> !length(col(textCol))
-        .between(minChars, maxChars),
-      "few_tokens" -> (size(w) < minTokens),
-      "low_distinct_ratio" -> (size(w) === 0 ||
+      "empty" -> (isNull || length(trim(col(textCol))) === 0),
+      "chars_out_of_range" -> (isNull || !length(col(textCol))
+        .between(minChars, maxChars)),
+      "few_tokens" -> (isNull || size(w) < minTokens),
+      "low_distinct_ratio" -> (isNull || size(w) === 0 ||
         (size(array_distinct(w)).cast("double") /
           size(w).cast("double")) < minDistinctRatio))
     val names = fails.map(_._1)

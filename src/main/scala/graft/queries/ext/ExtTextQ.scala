@@ -1044,11 +1044,14 @@ private[queries] trait ExtTextQ { self: ExtHelpers =>
     Some("""
       WITH f AS (
         SELECT
-          (length(trim(text)) = 0) AS f0,
-          (NOT (length(text) BETWEEN 100 AND 20000)) AS f1,
-          (len(list_filter(string_split_regex(trim(text), '\s+'),
-            t -> t <> '')) < 20) AS f2,
-          (len(list_filter(string_split_regex(trim(text), '\s+'),
+          (text IS NULL OR length(trim(text)) = 0) AS f0,
+          (text IS NULL
+            OR NOT (length(text) BETWEEN 100 AND 20000)) AS f1,
+          (text IS NULL
+            OR len(list_filter(string_split_regex(trim(text), '\s+'),
+              t -> t <> '')) < 20) AS f2,
+          (text IS NULL
+            OR len(list_filter(string_split_regex(trim(text), '\s+'),
               t -> t <> '')) = 0
             OR (CAST(len(list_distinct(list_filter(
                   string_split_regex(trim(text), '\s+'), t -> t <> '')))

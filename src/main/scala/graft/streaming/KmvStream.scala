@@ -40,9 +40,28 @@ object KmvStream {
     * generated encoder code cannot reach a private nested class. */
   final case class KmvState(mins: Array[Long], version: Long)
 
+  /** Fold hashes into a k-capped ordered set: O(k) memory however
+    * many hashes arrive (the TreeSet dedups; anything ≥ the current
+    * k-th minimum is rejected in O(log k) without being stored). */
+  private def foldMinK(into: java.util.TreeSet[java.lang.Long],
+      hs: Iterator[Long], k: Int): Unit =
+    hs.foreach { h =>
+      if (into.size < k) into.add(h)
+      else if (h < into.last) { if (into.add(h)) into.pollLast() }
+    }
+
   /** Per-group current k-minima over a (streaming or batch) document
     * frame; run with `outputMode("append")`. Works unchanged on batch
-    * frames (a one-batch drain IS the batch sketch at version 1). */
+    * frames (a one-batch drain IS the batch sketch at version 1).
+    *
+    * Bounded at BOTH ends, matching the batch twin's rank-limit-
+    * before-exchange shape: a stateless per-partition min-k
+    * pre-reduction caps what crosses the shuffle at k hashes per
+    * group per partition (a hot group in a huge micro-batch never
+    * ships its full token mass), and the state fold streams the
+    * iterator through a k-capped ordered set, so per-trigger working
+    * memory is O(k) — the same bound as the stored state — not
+    * O(batch hashes per group). */
   def sketch(docs: DataFrame, groupCol: String, textCol: String,
       k: Int = 256): Dataset[SketchRow] = {
     require(k > 1 && (1 << 20) % k == 0,
@@ -55,14 +74,37 @@ object KmvStream {
         explode(TextHash.shingleHashesOf(col(textCol))).as("h0"))
       .select(col("grp"), Sketch.kmvSpread(col("h0")).as("h"))
       .as[HashRow]
+      .mapPartitions { it =>
+        // per-partition pre-reduction: ≤ k hashes per group survive
+        // (min-k of a subset can only come from the subset's min-k);
+        // memory is |groups seen in this partition| × k longs
+        val acc = scala.collection.mutable.LinkedHashMap
+          .empty[String, java.util.TreeSet[java.lang.Long]]
+        it.foreach { r =>
+          val s = acc.getOrElseUpdate(r.grp,
+            new java.util.TreeSet[java.lang.Long]())
+          foldMinK(s, Iterator.single(r.h), k)
+        }
+        acc.iterator.flatMap { case (g, s) =>
+          val it2 = s.iterator()
+          Iterator.continually(it2)
+            .takeWhile(_.hasNext).map(i => HashRow(g, i.next()))
+        }
+      }
       .groupByKey(_.grp)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout) {
         (grp: String, rows: Iterator[HashRow],
             st: GroupState[KmvState]) =>
           val prev = st.getOption.getOrElse(KmvState(Array.empty, 0L))
-          val merged = (prev.mins ++ rows.map(_.h))
-            .distinct.sorted.take(k)
+          val set = new java.util.TreeSet[java.lang.Long]()
+          prev.mins.foreach(h => set.add(h))
+          foldMinK(set, rows.map(_.h), k)
+          val merged = new Array[Long](set.size)
+          locally {
+            val it2 = set.iterator(); var i = 0
+            while (it2.hasNext) { merged(i) = it2.next(); i += 1 }
+          }
           if (merged.sameElements(prev.mins)) Iterator.empty
           else {
             val next = KmvState(merged, prev.version + 1)
