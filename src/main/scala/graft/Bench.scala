@@ -346,7 +346,9 @@ object Bench {
     "q249_kmv_overlap" -> 0.75,
     "q250_kmv_accuracy" -> 0.81,
     "q251_kmv_source_matrix" -> 1.25,
-    "q252_national_market_share" -> 1.30)
+    "q252_national_market_share" -> 1.30,
+    "q253_bpe_vocab" -> 0.54,
+    "q254_bpe_fertility" -> 0.74)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -538,6 +540,8 @@ object Bench {
     "q250_kmv_accuracy" -> 1378301L,
     "q251_kmv_source_matrix" -> 5068030L,
     "q252_national_market_share" -> 7389304L,
+    "q253_bpe_vocab" -> 11823L,
+    "q254_bpe_fertility" -> 898L,
     "q21_embedding_neardup_ivf" -> 5033608L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

@@ -1,0 +1,260 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumns
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** BPE-APPLY subword tokenization — greedy merge application over a
+  * pinned merge-rank table, as one compiled row-local pass.
+  *
+  * Why this exists: every token statistic in the engine (q24/q41/q37/
+  * q145/q212 budgets, fertility, packing) counted WHITESPACE tokens,
+  * but the budgets a training pipeline actually buys are SUBWORD
+  * tokens — fertility in particular is defined over a real tokenizer.
+  * This is the tokenizer: byte-pair-encoding APPLICATION (inference,
+  * not training) against a merge table learned elsewhere and shipped
+  * as a dim — exactly how production pipelines run (the merge table is
+  * the tokenizer artifact; applying it is row-local).
+  *
+  * Merge semantics — occurrence-at-a-time greedy, the HuggingFace
+  * `tokenizers` contract: a word starts as its codepoint sequence;
+  * repeatedly find the adjacent pair with the LOWEST merge rank
+  * (leftmost occurrence on ties — ranks are unique by construction,
+  * but a pair can occur at several positions) and merge that ONE
+  * occurrence; stop when no adjacent pair is in the table. Merging
+  * one occurrence and re-ranking (rather than sweeping all occurrences
+  * of the chosen pair first) matters only when a merge OUTPUT itself
+  * participates in a lower-ranked merge overlapping a remaining
+  * occurrence — the two variants are otherwise identical, and this
+  * one is replayable step-for-step in the DuckDB oracle's recursive
+  * CTE (one merge per recursion step; final state = the row with the
+  * fewest tokens, since every step shrinks the list by exactly one).
+  *
+  * Scale shape: pure per-word integer/string arithmetic — no shuffle,
+  * no state, merge table broadcast as an expression reference object
+  * (vocab-sized dim, the [[MarkerCount]] pattern). Worst case
+  * O(len² · merges-lookups) per word with O(1) hash lookups — bounded
+  * by word length, independent of corpus size. Applied per DISTINCT
+  * word where the consumer allows (q253's vocab frame); the per-doc
+  * count form ([[BpeSubwordCount]]) is one compiled pass over the
+  * document, O(chars + words·len).
+  *
+  * No reference-repo counterpart (the reference has no tokenizer);
+  * capability class: training-data token accounting (SURVEY §2.11).
+  */
+object BpeNative {
+
+  /** Merge-rank lookup key: the pair's two tokens joined by U+0001
+    * (mirrored by the oracle's chr(1); never a codepoint of any merge output — merge tables are built
+    * from text tokens, and a control char is not whitespace so it could only
+    * appear inside a token if the corpus contained it; the engine's
+    * fixture tables are letters-only). */
+  def key(a: String, b: String): String = a + "\u0001" + b
+
+  def rankMap(merges: Seq[(String, String)])
+      : java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), r) =>
+      require(m.put(key(a, b), Integer.valueOf(r)) == null,
+        s"duplicate merge pair ($a, $b)")
+    }
+    m
+  }
+
+  /** Greedy BPE over ONE word (see semantics above): the final
+    * subword strings in order. A word of one codepoint (or empty) is
+    * returned as-is. */
+  def subwordList(word: String,
+      ranks: java.util.HashMap[String, Integer])
+      : java.util.ArrayList[String] = {
+    val toks = new java.util.ArrayList[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      toks.add(new String(Character.toChars(cp)))
+      i += Character.charCount(cp)
+    }
+    var done = toks.size <= 1
+    while (!done) {
+      var bestRank = Integer.MAX_VALUE
+      var bestPos = -1
+      var j = 0
+      while (j < toks.size - 1) {
+        val r = ranks.get(key(toks.get(j), toks.get(j + 1)))
+        if (r != null && r.intValue() < bestRank) {
+          bestRank = r.intValue(); bestPos = j
+        }
+        j += 1
+      }
+      if (bestPos < 0) done = true
+      else {
+        toks.set(bestPos, toks.get(bestPos) + toks.get(bestPos + 1))
+        toks.remove(bestPos + 1)
+        if (toks.size <= 1) done = true
+      }
+    }
+    toks
+  }
+
+  /** `graft_bpe_subwords` eval: subword array of one word. */
+  def subwords(word: UTF8String,
+      ranks: java.util.HashMap[String, Integer]): ArrayData = {
+    val toks = subwordList(word.toString, ranks)
+    val out = new Array[AnyRef](toks.size)
+    var i = 0
+    while (i < toks.size) {
+      out(i) = UTF8String.fromString(toks.get(i)); i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def isWs(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b || cp == '\f' ||
+      cp == '\r'
+
+  /** `graft_bpe_count` eval: total subwords over the WHITESPACE tokens
+    * of `text` (the [[TextHashNative]] tokenization — trim/split/drop
+    * empties folded into one scan). Caller lowercases if its
+    * convention (q212's) wants case-folded merges. */
+  def subwordCount(text: UTF8String,
+      ranks: java.util.HashMap[String, Integer]): Long = {
+    val str = text.toString
+    val n = str.length
+    var total = 0L
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      if (isWs(cp)) {
+        if (sb.length > 0) {
+          total += subwordList(sb.toString, ranks).size
+          sb.setLength(0)
+        }
+      } else sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    if (sb.length > 0) total += subwordList(sb.toString, ranks).size
+    total
+  }
+}
+
+/** `graft_bpe_subwords(word)` → array<string>: the word's greedy-BPE
+  * subwords under the expression's pinned merge table (reference
+  * object — shared across rows, broadcast with the plan). */
+case class BpeSubwords(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  require(merges.nonEmpty, "BPE needs a non-empty merge table")
+  @transient private lazy val ranks = BpeNative.rankMap(merges)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_bpe_subwords needs a string input, got ${dt.catalogString}")
+  }
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(w: Any): Any =
+    BpeNative.subwords(w.asInstanceOf[UTF8String], ranks)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.addReferenceObj("graftBpeRanks", ranks,
+      "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeNative.subwords($c, $r);")
+  }
+  override protected def withNewChildInternal(newChild: Expression)
+      : BpeSubwords = copy(child = newChild)
+  override def prettyName: String = "graft_bpe_subwords"
+}
+
+/** `graft_bpe_count(text)` → bigint: total greedy-BPE subwords across
+  * the text's whitespace tokens — one compiled pass per document. */
+case class BpeSubwordCount(child: Expression,
+    merges: Seq[(String, String)]) extends UnaryExpression {
+  require(merges.nonEmpty, "BPE needs a non-empty merge table")
+  @transient private lazy val ranks = BpeNative.rankMap(merges)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_bpe_count needs a string input, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(t: Any): Any =
+    BpeNative.subwordCount(t.asInstanceOf[UTF8String], ranks)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.addReferenceObj("graftBpeRanks", ranks,
+      "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeNative.subwordCount($c, $r);")
+  }
+  override protected def withNewChildInternal(newChild: Expression)
+      : BpeSubwordCount = copy(child = newChild)
+  override def prettyName: String = "graft_bpe_count"
+}
+
+/** Column-API surface + the engine's pinned demo merge table. */
+object Bpe {
+
+  /** The fixture merge table every BPE query pins (rank = position).
+    * Learned-look merges over the documents fixture's vocabulary so
+    * several words fully fuse (join/order/row/scan/table/the/value)
+    * while others split mid-word — exercising rank precedence,
+    * overlapping candidates (fast: (a,s) vs the lower-ranked (s,t)),
+    * and multi-step chains. A real deployment passes its tokenizer's
+    * learned table instead; nothing below depends on this one. */
+  val demoMerges: Seq[(String, String)] = Seq(
+    ("s", "c"), ("a", "n"), ("sc", "an"),
+    ("t", "a"), ("b", "l"), ("ta", "bl"), ("tabl", "e"),
+    ("r", "o"), ("ro", "w"),
+    ("j", "o"), ("i", "n"), ("jo", "in"),
+    ("t", "h"), ("th", "e"),
+    ("e", "r"), ("o", "r"), ("d", "er"), ("or", "der"),
+    ("v", "a"), ("l", "u"), ("va", "lu"), ("valu", "e"),
+    ("s", "t"), ("a", "s"))
+
+  /** Codegen'd greedy-BPE subword array of a word column. */
+  def subwordsOf(word: Column, merges: Seq[(String, String)]): Column =
+    GraftColumns.of(BpeSubwords(GraftColumns.expr(word), merges))
+
+  /** Codegen'd total subword count over a text column's whitespace
+    * tokens. */
+  def subwordCountOf(text: Column, merges: Seq[(String, String)]): Column =
+    GraftColumns.of(BpeSubwordCount(GraftColumns.expr(text), merges))
+
+  /** The DuckDB MAP literal of a merge table — generated from the SAME
+    * Seq the Spark expressions hold (the q217 `bandLadderSql`
+    * discipline: one source of truth, two engines). Keys are
+    * `a || chr(1) || b`, values the rank. */
+  def mergeMapSql(merges: Seq[(String, String)]): String =
+    merges.zipWithIndex.map { case ((a, b), r) =>
+      s"'$a' || chr(1) || '$b': $r"
+    }.mkString("MAP {", ", ", "}")
+
+  /** The DuckDB recursive-CTE replay of the greedy merge over a
+    * `words(w)` relation: CTE fragments `bpe(w, toks)` + final
+    * `bpefin(w, toks)` — one merge per recursion step (the leftmost
+    * occurrence of the lowest-ranked pair), final state per word =
+    * the fewest-token row (each step shrinks the list by one). */
+  def bpeCteSql(merges: Seq[(String, String)]): String = {
+    val mp = mergeMapSql(merges)
+    s"""bpe(w, toks) AS (
+      |  SELECT w, string_split(w, '') FROM words
+      |  UNION ALL
+      |  SELECT w, toks[1:bi-1] || [toks[bi] || toks[bi+1]] || toks[bi+2:]
+      |  FROM (
+      |    SELECT w, toks,
+      |      CAST(list_sort(
+      |        [[CAST($mp[toks[i] || chr(1) || toks[i+1]][1] AS BIGINT),
+      |          CAST(i AS BIGINT)]
+      |         FOR i IN range(1, len(toks))
+      |         IF len($mp[toks[i] || chr(1) || toks[i+1]]) > 0]
+      |        )[1][2] AS BIGINT) AS bi
+      |    FROM bpe) s
+      |  WHERE bi IS NOT NULL),
+      |bpefin AS (
+      |  SELECT w, min_by(toks, len(toks)) AS toks FROM bpe GROUP BY w)""".stripMargin
+  }
+}

@@ -94,11 +94,23 @@ object TextAnalysis {
     * counts under Unicode), one partial-aggregable groupBy over
     * ≤ |languages|+1 groups. Ratios guarded null on zero tokens (the
     * engine-portable division discipline). */
-  def tokenFertility(docs: DataFrame, textCol: String): DataFrame = {
+  def tokenFertility(docs: DataFrame, textCol: String,
+      subwordMerges: Option[Seq[(String, String)]] = None): DataFrame = {
+    // tokenizer seam (r15): None counts whitespace tokens (the
+    // original contract — every existing caller/oracle unchanged);
+    // Some(merges) counts greedy-BPE SUBWORDS under that merge table
+    // (graft.functions.Bpe) — the fertility a token-budgeted pipeline
+    // actually pays. Same row-local one-pass shape either way.
+    def nTokens(w: Column): Column = subwordMerges match {
+      case None => size(w).cast("long")
+      case Some(m) =>
+        graft.functions.Bpe.subwordCountOf(lower(trim(col(textCol))), m)
+    }
     val scored = docs
       .select(octet_length(col(textCol)).cast("long").as("n_bytes"),
+        nTokens(TextHash.tokens(lower(col(textCol)))).as("n_tokens"),
         TextHash.tokens(lower(col(textCol))).as("w"))
-      .select(col("n_bytes") +: size(col("w")).as("n_tokens") +:
+      .select(col("n_bytes") +: col("n_tokens") +:
         markerSets.map { case (l, ms) =>
           markerCount(col("w"), ms).as(s"c_$l")
         }: _*)
@@ -117,6 +129,38 @@ object TextAnalysis {
         (col("total_tokens").cast("double") / col("n_docs"))
           .as("tokens_per_doc"))
       .orderBy(col("lang"))
+  }
+
+  /** BPE VOCABULARY TABLE — greedy-BPE subword segmentation of every
+    * DISTINCT corpus word under a pinned merge table
+    * ([[graft.functions.Bpe]]): per word, its corpus occurrence
+    * count, char length, subword count, and the segmentation itself
+    * (joined with '|' — an array column would hash-compare
+    * engine-dependently). The per-word fertility table a tokenizer
+    * rollout is judged by: which words fragment, which fuse, and how
+    * much of the token budget each costs corpus-wide.
+    *
+    * Scale shape: ONE corpus pass folds the token stream to the
+    * |vocab|-keyed count frame (partial-aggregated — per-task
+    * combining means only distinct (word, count) partials cross the
+    * exchange); the BPE fold then runs on |vocab| rows, NOT the
+    * corpus — the classic per-distinct-word memoization (GPT-2's
+    * `cache` dict) expressed as a plan shape. Everything after the
+    * one groupBy touches ≤ |vocab| rows. */
+  def bpeVocab(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    import graft.functions.Bpe
+    docs.where(col(textCol).isNotNull)
+      .select(explode(TextHash.tokens(lower(col(textCol)))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .withColumn("subwords", Bpe.subwordsOf(col("word"), merges))
+      .select(col("word"),
+        col("n_occurrences"),
+        length(col("word")).cast("long").as("n_chars"),
+        size(col("subwords")).cast("long").as("n_subwords"),
+        array_join(col("subwords"), "|").as("subword_str"))
+      .orderBy(col("word"))
   }
 
   /** Per-document quality signals: char/token counts, mean token

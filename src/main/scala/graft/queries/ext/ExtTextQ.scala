@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Dec, Tables}
 import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Rules, Sampling, Scd, Scrub, SemiStructured, Similarity, Sketch, Skew, TextAnalysis, Trend}
 
-/** [[Ext]] family: text analysis (language-ID, quality, tokens, fingerprints, n-gram stats) — queries q22, q23, q24, q25, q35, q45, q50, q54, q65, q66, q67, q97, q99, q105, q110, q112, q116, q124, q132, q133, q143, q153, q154, q159, q189, q190, q212, q217, q218, q219.
+/** [[Ext]] family: text analysis (language-ID, quality, tokens, fingerprints, n-gram stats) — queries q22, q23, q24, q25, q35, q45, q50, q54, q65, q66, q67, q97, q99, q105, q110, q112, q116, q124, q132, q133, q143, q153, q154, q159, q189, q190, q212, q217, q218, q219, q253, q254.
   * Split from the monolithic Ext.scala in round 12
   * (pure relocation; helpers live in [[ExtHelpers]]). */
 private[queries] trait ExtTextQ { self: ExtHelpers =>
@@ -1138,6 +1138,99 @@ private[queries] trait ExtTextQ { self: ExtHelpers =>
           CAST(t.n_windows AS DOUBLE) AS boiler_frac
       FROM tot t LEFT JOIN boiler b ON t.doc_id = b.doc_id
       ORDER BY t.doc_id
+    """.trim))
+
+  // --------------------------------------------------------------- q253
+  /** q253 — BPE subword vocabulary table
+    * ([[TextAnalysis.bpeVocab]] over the pinned
+    * [[graft.functions.Bpe.demoMerges]] table): greedy-BPE
+    * segmentation of every distinct corpus word — occurrence count,
+    * char length, subword count, and the segmentation itself. The
+    * oracle REPLAYS the greedy merge step-for-step in a recursive CTE
+    * generated from the SAME merge Seq (one leftmost-lowest-rank merge
+    * per recursion step; final state per word = fewest tokens), so the
+    * hash compare pins the merge ORDER semantics, not just counts. */
+  val q253: Q = Q(
+    "q253_bpe_vocab",
+    (s, d) =>
+      TextAnalysis.bpeVocab(Tables.documents(s, d),
+        "text", graft.functions.Bpe.demoMerges),
+    Some(s"""
+      WITH RECURSIVE
+      wordcounts AS (
+        SELECT t AS w, CAST(count(*) AS BIGINT) AS n_occurrences FROM (
+          SELECT unnest(list_filter(
+            string_split_regex(trim(lower(text)), '\\s+'),
+            x -> x <> '')) t
+          FROM documents WHERE text IS NOT NULL) GROUP BY 1),
+      words AS (SELECT w FROM wordcounts),
+      ${graft.functions.Bpe.bpeCteSql(graft.functions.Bpe.demoMerges)}
+      SELECT f.w AS word, wc.n_occurrences,
+        CAST(length(f.w) AS BIGINT) AS n_chars,
+        CAST(len(f.toks) AS BIGINT) AS n_subwords,
+        list_aggregate(f.toks, 'string_agg', '|') AS subword_str
+      FROM bpefin f JOIN wordcounts wc ON wc.w = f.w
+      ORDER BY word
+    """.trim))
+
+  // --------------------------------------------------------------- q254
+  /** q254 — tokenizer fertility under SUBWORD counts: q212's
+    * conversion table re-run with the tokenizer seam set to greedy
+    * BPE ([[TextAnalysis.tokenFertility]] with
+    * [[graft.functions.Bpe.demoMerges]]) — the per-language budget a
+    * byte-weighted mix buys in REAL (subword) tokens, not whitespace
+    * words. The oracle segments the distinct vocabulary once in the
+    * recursive CTE and charges each word occurrence its subword
+    * count — the same per-distinct-word memoization the Spark plan
+    * uses. NULL text stays n_tokens NULL ('und' bucket, excluded
+    * from the sum exactly as q212). */
+  val q254: Q = Q(
+    "q254_bpe_fertility",
+    (s, d) =>
+      TextAnalysis.tokenFertility(Tables.documents(s, d), "text",
+        subwordMerges = Some(graft.functions.Bpe.demoMerges)),
+    Some(s"""
+      WITH RECURSIVE
+      d AS (
+        SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+          text IS NULL AS is_null_text,
+          list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+            x -> x <> '') w
+        FROM documents),
+      words AS (SELECT DISTINCT unnest(w) AS w FROM d),
+      ${graft.functions.Bpe.bpeCteSql(graft.functions.Bpe.demoMerges)},
+      wn AS (SELECT w, CAST(len(toks) AS BIGINT) AS n_sub FROM bpefin),
+      tokc AS (
+        SELECT d.doc_id, CAST(sum(wn.n_sub) AS BIGINT) AS n_tokens
+        FROM d, LATERAL unnest(d.w) AS u(t)
+        JOIN wn ON wn.w = u.t
+        GROUP BY 1),
+      sc AS (
+        SELECT n_bytes,
+          CASE WHEN is_null_text THEN NULL ELSE
+            CAST(coalesce(tokc.n_tokens, 0) AS BIGINT) END AS n_tokens,
+          len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is'))) c_en,
+          len(list_filter(w, x -> x IN ('el', 'la', 'los', 'y', 'es'))) c_es,
+          len(list_filter(w, x -> x IN ('der', 'die', 'das', 'und', 'ist'))) c_de,
+          len(list_filter(w, x -> x IN ('le', 'les', 'et', 'est', 'une'))) c_fr
+        FROM d LEFT JOIN tokc USING (doc_id)),
+      pred AS (
+        SELECT *,
+          CASE WHEN c_en IS NULL THEN 'und'
+               WHEN c_en = 0 AND c_es = 0 AND c_de = 0 AND c_fr = 0 THEN 'und'
+               WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+               WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+               WHEN c_de >= c_fr THEN 'de'
+               ELSE 'fr' END AS lang
+        FROM sc)
+      SELECT lang, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        CASE WHEN sum(n_tokens) > 0 THEN
+          CAST(sum(n_bytes) AS DOUBLE) / sum(n_tokens)
+        END AS bytes_per_token,
+        CAST(sum(n_tokens) AS DOUBLE) / count(*) AS tokens_per_doc
+      FROM pred GROUP BY lang ORDER BY lang
     """.trim))
 
 }

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the greedy-BPE merge semantics (occurrence-at-a-time,
+  * lowest-rank-then-leftmost — the HF `tokenizers` contract) on the
+  * cases where the variants DIVERGE, plus the count/array consistency
+  * and null handling the q253/q254 oracles rely on. */
+class BpeSpec extends SparkSpec {
+  import BpeNative.{rankMap, subwordList}
+
+  private val ranks = rankMap(Bpe.demoMerges)
+
+  private def seg(w: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    subwordList(w, ranks).asScala.toSeq
+  }
+
+  test("rank precedence: 'fast' merges (s,t) rank 22 though the " +
+    "overlapping (a,s) rank 23 is leftmost") {
+    assert(seg("fast") == Seq("f", "a", "st"))
+  }
+
+  test("multi-step chains fuse whole words: table/order/value/join") {
+    assert(seg("table") == Seq("table"))
+    assert(seg("order") == Seq("order"))
+    assert(seg("value") == Seq("value"))
+    assert(seg("join") == Seq("join"))
+    assert(seg("scan") == Seq("scan"))
+  }
+
+  test("unknown chars pass through untouched; 1-char and empty words " +
+    "are identity") {
+    assert(seg("x") == Seq("x"))
+    assert(seg("") == Seq())
+    assert(seg("zq") == Seq("z", "q"))
+  }
+
+  test("occurrence-at-a-time: a merge output preempts remaining " +
+    "occurrences of the chosen pair") {
+    // ranks: (a,a)->1; (aa,a)->0. All-at-once on "aaaaa" gives
+    // [aa, aaa]; occurrence-at-a-time gives [aaa, aa] — the pinned
+    // semantics (first (a,a) merge creates aa whose (aa,a) pair has
+    // LOWER rank and fires before the remaining (a,a) pairs).
+    val r2 = rankMap(Seq(("aa", "a"), ("a", "a")))
+    import scala.jdk.CollectionConverters._
+    assert(subwordList("aaaaa", r2).asScala.toSeq == Seq("aaa", "aa"))
+  }
+
+  test("leftmost occurrence wins within one rank") {
+    val r2 = rankMap(Seq(("a", "b")))
+    import scala.jdk.CollectionConverters._
+    // both (a,b) occurrences merge, left one first; no cross-pair forms
+    assert(subwordList("abab", r2).asScala.toSeq == Seq("ab", "ab"))
+  }
+
+  test("column API: subword count over text == sum of per-word array " +
+    "sizes; null text is null count") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "the fast table  scan"),
+      (2L, "   "),
+      (3L, null.asInstanceOf[String])
+    )).toDF("id", "text")
+    val got = df.select(col("id"),
+      Bpe.subwordCountOf(lower(col("text")), Bpe.demoMerges).as("n"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // the=1, fast=3, table=1, scan=1 -> 6
+    assert(got == Map(1L -> 6L, 2L -> 0L, 3L -> -1L))
+    val arr = df.where(col("id") === 1)
+      .select(explode(graft.functions.TextHash.tokens(
+        lower(col("text")))).as("w"))
+      .select(size(Bpe.subwordsOf(col("w"), Bpe.demoMerges)).as("k"))
+      .collect().map(_.getInt(0)).sum
+    assert(arr == 6)
+  }
+
+  test("whole-stage codegen hosts both expressions (no fallback)") {
+    val df = spark.range(4).select(
+      concat(lit("tab"), col("id").cast("string")).as("w"))
+    val plan = df
+      .select(Bpe.subwordsOf(col("w"), Bpe.demoMerges).as("s"),
+        Bpe.subwordCountOf(col("w"), Bpe.demoMerges).as("n"))
+    // forces execution through codegen; a doGenCode bug throws here
+    assert(plan.collect().length == 4)
+    // the '*(n)' prefix marks a WholeStageCodegen-hosted operator
+    val exec = plan.queryExecution.executedPlan.toString
+    assert(exec.contains("*("), exec)
+  }
+}
