@@ -98,7 +98,10 @@ object Bench {
     "q9_sales_by_nation" -> 0.61,
     "q18_minhash_lsh_neardup" -> 0.52,
     "q37_sequence_packing" -> 0.39,
-    "q19_simhash_neardup" -> 0.36,
+    // q19's floor moved 0.36 -> 0.53 in r15: fingerprintPairs pairs
+    // DISTINCT fingerprints first (duplicate-robust at scale), two
+    // extra small exchanges by design; bytes re-seeded for the plan
+    "q19_simhash_neardup" -> 0.53,
     "q23_quality_score" -> 0.4,
     "q20_embedding_topk" -> 0.36,
     "q22_lang_id" -> 0.27,
@@ -348,7 +351,8 @@ object Bench {
     "q251_kmv_source_matrix" -> 1.25,
     "q252_national_market_share" -> 1.30,
     "q253_bpe_vocab" -> 0.54,
-    "q254_bpe_fertility" -> 0.74)
+    "q254_bpe_fertility" -> 0.74,
+    "q255_image_dhash_neardup" -> 1.50)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -482,7 +486,7 @@ object Bench {
     "q197_cluster_sizes" -> 413841L,
     "q198_scrub_closure" -> 244L,
     "q199_skyline" -> 38752L,
-    "q19_simhash_neardup" -> 27127L,
+    "q19_simhash_neardup" -> 239737L,
     "q1_pricing_summary" -> 4641L,
     "q200_sample_representativeness" -> 4106L,
     "q201_stratum_mean_se" -> 2619L,
@@ -542,6 +546,7 @@ object Bench {
     "q252_national_market_share" -> 7389304L,
     "q253_bpe_vocab" -> 11823L,
     "q254_bpe_fertility" -> 898L,
+    "q255_image_dhash_neardup" -> 14261508L,
     "q21_embedding_neardup_ivf" -> 5033608L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

@@ -512,6 +512,155 @@ object Multimodal {
     }
   }
 
+  /** One decoded image dHash row: `ok = 1` with the 64-bit difference
+    * hash when the payload decoded, `ok = 0`/null otherwise (the
+    * decoder totality contract, as [[ImageMeta]]). */
+  final case class ImageDhash(doc_id: Long, ok: Long,
+      dhash: Option[Long])
+
+  implicit val imageDhashEnc: Encoder[ImageDhash] =
+    Encoders.product[ImageDhash]
+
+  /** 64-bit dHASH (difference hash) of one image payload — the
+    * PERCEPTUAL near-dup fingerprint for the multimodal dedup rung:
+    * decode pixels, area-average the luminance onto a 9-wide × 8-tall
+    * grid, set bit `r·8 + c` iff cell (r, c+1) is brighter than cell
+    * (r, c). Horizontally-adjacent comparisons make the hash invariant
+    * to global brightness/contrast shifts and robust to resizing —
+    * the properties that let re-encoded/rescaled copies of one image
+    * land within small Hamming distance while the pipeline never
+    * compares pixels across rows.
+    *
+    * INTEGER-EXACT by construction (the engine's fixed-point
+    * discipline applied to pixels): luminance is the exact
+    * `(299·R + 587·G + 114·B) div 1000` on raw RASTER samples (single
+    * -band images use the sample directly — for 8-bit grayscale the
+    * luma formula collapses to the identity, so gray fixtures
+    * round-trip bit-exactly), the cell mean is `sum div count`, and
+    * the bit is a strict integer comparison — an oracle that knows
+    * the pixel function can restate the hash without any float path.
+    * Raster samples, not `getRGB`: Java's gray→sRGB conversion in
+    * `getRGB` is non-identity (gamma), which would un-pin the
+    * arithmetic.
+    *
+    * None for unclaimable/corrupt payloads or images smaller than the
+    * 9×8 grid (no block may be empty) — data, not exceptions. */
+  def dhash64(payload: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth < 9 || img.getHeight < 8) None
+      else {
+        val ras = img.getRaster
+        val bands = ras.getNumBands
+        val w = img.getWidth
+        val h = img.getHeight
+        val cell = Array.ofDim[Long](8, 9)
+        var r = 0
+        while (r < 8) {
+          val y0 = r * h / 8; val y1 = (r + 1) * h / 8
+          var c = 0
+          while (c < 9) {
+            val x0 = c * w / 9; val x1 = (c + 1) * w / 9
+            var sum = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                sum += (if (bands >= 3)
+                  (299L * ras.getSample(x, y, 0) +
+                    587L * ras.getSample(x, y, 1) +
+                    114L * ras.getSample(x, y, 2)) / 1000L
+                else ras.getSample(x, y, 0).toLong)
+                x += 1
+              }
+              y += 1
+            }
+            cell(r)(c) = sum / ((y1 - y0).toLong * (x1 - x0))
+            c += 1
+          }
+          r += 1
+        }
+        var fp = 0L
+        r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            if (cell(r)(c + 1) > cell(r)(c)) fp |= 1L << (r * 8 + c)
+            c += 1
+          }
+          r += 1
+        }
+        Some(fp)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Distributed dHash over a media frame — the [[decodeImageMeta]]
+    * batch shape (mapPartitions is justified: no Catalyst expression
+    * can host ImageIO) with the same contracts: corrupt rows surface
+    * as `ok = 0`, payload bytes never cross a shuffle (8 bytes of
+    * fingerprint do). */
+  def imageDhash(media: Dataset[MediaRecord]): Dataset[ImageDhash] =
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        dhash64(r.payload) match {
+          case Some(fp) => ImageDhash(r.doc_id, 1L, Some(fp))
+          case None => ImageDhash(r.doc_id, 0L, None)
+        }
+      }
+    }
+
+  /** REAL-BYTES gradient-image fixture for the dHash rung: per doc id,
+    * an actual grayscale PNG laid out as EXACTLY 9 × 8 constant-value
+    * blocks (block size `(1 + id % 3) × (1 + id % 2)` pixels, so
+    * dimensions vary but the area-average of every dHash cell equals
+    * the block value EXACTLY — the downsample is replayed by stating
+    * the block function). Block luminance is pure id arithmetic:
+    * `v(r, c) = ((id%25)·7 + r·5 + c·11) % 6 · 40`, plus a +45 tweak
+    * at cell (0,0) when `(id div 25) % 2 = 1` — 25 gradient patterns,
+    * each in two variants ≤ 1 Hamming bit apart, so the fixture
+    * carries exact-duplicate AND near-duplicate pairs the oracle can
+    * enumerate. Corruption families pin the never-fail contract:
+    * `id % 10 = 3` zeroes the PNG magic, `id % 10 = 6` truncates to
+    * 16 bytes. */
+  def encodeGradientImageFixture(docs: DataFrame, idCol: String)
+      : Dataset[MediaRecord] = {
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+      .where(col("doc_id").isNotNull && col("doc_id") >= 0)
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    ids.as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val sx = 1 + (id % 3).toInt
+        val sy = 1 + (id % 2).toInt
+        val img = new java.awt.image.BufferedImage(
+          9 * sx, 8 * sy, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val ras = img.getRaster
+        var y = 0
+        while (y < 8 * sy) {
+          val r = y / sy
+          var x = 0
+          while (x < 9 * sx) {
+            val c = x / sx
+            val tweak =
+              if (r == 0 && c == 0 && ((id / 25) % 2) == 1) 45 else 0
+            ras.setSample(x, y, 0,
+              (((id % 25) * 7 + r * 5 + c * 11) % 6).toInt * 40 + tweak)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        var bytes = bos.toByteArray
+        if (id % 10 == 3) bytes(0) = 0
+        else if (id % 10 == 6) bytes = bytes.take(16)
+        MediaRecord(id, s"memory://dimg/$id", "image/png", bytes)
+      }
+    }
+  }
+
   /** MEDIA CATALOG PROFILE — the first readout a multimodal curation
     * team asks of a freshly-decoded corpus: per modality, how healthy
     * is the decode (ok vs corrupt) and how is the catalog distributed

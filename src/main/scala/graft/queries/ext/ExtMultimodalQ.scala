@@ -257,4 +257,64 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
     """.trim))
 
+  // --------------------------------------------------------------- q255
+  /** q255 — IMAGE perceptual-hash near-dup (the dedup × multimodal
+    * rung): [[Multimodal.encodeGradientImageFixture]] writes real
+    * grayscale PNGs whose 9×8 block luminance is pure id arithmetic
+    * (25 gradient patterns × a one-bit tweak variant, plus two
+    * corruption families), [[Multimodal.dhash64]] decodes pixels and
+    * folds the integer-exact 64-bit difference hash, and
+    * [[Dedup.fingerprintPairs]] reuses q19's pigeonhole Hamming
+    * chunk-bucket machinery at 64 bits / radius 3. The oracle
+    * restates every dHash from the block function (no pixels) and
+    * brute-forces the pair set — Spark's chunk recall is exact by
+    * pigeonhole, so the sets must be identical. Corrupt payloads
+    * (magic zeroed / truncated) drop as ok = 0 before pairing. */
+  val q255: Q = Q(
+    "q255_image_dhash_neardup",
+    (s, d) => {
+      val media = Multimodal.encodeGradientImageFixture(
+        Tables.documents(s, d), "doc_id")
+      // the chunk self-join reads the fingerprint frame on BOTH sides:
+      // without the persist the ImageIO encode+decode subtree runs
+      // twice (measured 2× wall at sf0.1 — the simhashPairs lesson)
+      val dh = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.imageDhash(media).toDF()
+          .where(col("ok") === 1L)
+          .select(col("doc_id"), col("dhash").as("fp")))
+      Dedup.fingerprintPairs(dh, "doc_id", "fp",
+        maxHamming = 3, bits = 64)
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0
+          AND doc_id % 10 NOT IN (3, 6)),
+      cells AS (
+        SELECT doc_id, r.r AS r, c.c AS c,
+          CAST((((doc_id % 25) * 7 + r.r * 5 + c.c * 11) % 6) * 40 +
+            CASE WHEN r.r = 0 AND c.c = 0 AND ((doc_id // 25) % 2) = 1
+                 THEN 45 ELSE 0 END AS BIGINT) AS v
+        FROM ids,
+          (SELECT unnest(range(8)) AS r) r,
+          (SELECT unnest(range(9)) AS c) c),
+      bits AS (
+        SELECT a.doc_id, CAST(a.r * 8 + a.c AS INT) AS b
+        FROM cells a JOIN cells n
+          ON n.doc_id = a.doc_id AND n.r = a.r AND n.c = a.c + 1
+        WHERE a.c < 8 AND n.v > a.v),
+      dh AS (
+        SELECT i.doc_id,
+          CAST(coalesce(sum(CASE WHEN b.b = 63
+            THEN -9223372036854775808
+            ELSE (1::BIGINT << b.b) END), 0) AS BIGINT) AS fp
+        FROM ids i LEFT JOIN bits b USING (doc_id)
+        GROUP BY i.doc_id)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+      FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.fp, b.fp)) <= 3
+      ORDER BY doc_a, doc_b
+    """.trim))
+
 }

@@ -287,4 +287,62 @@ class MultimodalSpec extends SparkSpec {
       (1L, 2L, 625L), (1L, 3L, 875L)))
     assert(out.forall(t => t._3 > 0L && t._3 < 1000L))
   }
+
+  test("dhash64 round-trips the gradient fixture: hash equals the " +
+    "block function, corrupt rows ok=0, tweak flips at most one bit") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L, 3L, 5L, 6L, 7L, 25L, 27L, 50L).toDF("doc_id")
+    val dh = Multimodal.imageDhash(
+      Multimodal.encodeGradientImageFixture(ids, "doc_id"))
+      .collect().map(r => r.doc_id -> r).toMap
+    // id-arithmetic reference dHash (the oracle's block function)
+    def refHash(id: Long): Long = {
+      def v(r: Int, c: Int): Long =
+        (((id % 25) * 7 + r * 5 + c * 11) % 6) * 40 +
+          (if (r == 0 && c == 0 && ((id / 25) % 2) == 1) 45 else 0)
+      var fp = 0L
+      for (r <- 0 until 8; c <- 0 until 8)
+        if (v(r, c + 1) > v(r, c)) fp |= 1L << (r * 8 + c)
+      fp
+    }
+    for (id <- Seq(0L, 1L, 2L, 5L, 7L, 25L, 27L, 50L)) {
+      assert(dh(id).ok == 1L, s"id=$id")
+      assert(dh(id).dhash.contains(refHash(id)), s"id=$id")
+    }
+    // corruption families: magic zeroed (3), truncated (6)
+    assert(dh(3L).ok == 0L && dh(3L).dhash.isEmpty)
+    assert(dh(6L).ok == 0L && dh(6L).dhash.isEmpty)
+    // same pattern (0 vs 25, 2 vs 27): the (0,0) tweak moves <= 1 bit
+    assert(java.lang.Long.bitCount(refHash(0L) ^ refHash(25L)) <= 1)
+    assert(java.lang.Long.bitCount(refHash(2L) ^ refHash(27L)) <= 1)
+    // pattern identity: 0 vs 50 share pattern AND tweak parity
+    assert(refHash(0L) == refHash(50L))
+  }
+
+  test("fingerprintPairs at 64 bits: exact pigeonhole recall vs " +
+    "brute force, including sign-bit fingerprints") {
+    import spark.implicits._
+    // fingerprints engineered around the sign bit: f0/f1 differ in
+    // bit 63 only; f2 differs from f0 by 4 bits (excluded at radius 3)
+    val f0 = java.lang.Long.MIN_VALUE | 0x0F0FL
+    val f1 = 0x0F0FL
+    val f2 = f0 ^ 0xF0L // 4 bits apart from f0
+    val f3 = f0 ^ 0x7L  // 3 bits apart from f0
+    val fps = Seq((1L, f0), (2L, f1), (3L, f2), (4L, f3))
+      .toDF("doc_id", "fp")
+    val got = graft.operators.Dedup
+      .fingerprintPairs(fps, "doc_id", "fp", maxHamming = 3, bits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    val want = (for {
+      (a, fa) <- Seq((1L, f0), (2L, f1), (3L, f2), (4L, f3))
+      (b, fb) <- Seq((1L, f0), (2L, f1), (3L, f2), (4L, f3))
+      if a < b
+      h = java.lang.Long.bitCount(fa ^ fb)
+      if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got == want)
+    assert(got.contains((1L, 2L, 1)) && got.contains((1L, 4L, 3)))
+    assert(!got.exists(p => p._1 == 1L && p._2 == 3L))
+  }
 }
