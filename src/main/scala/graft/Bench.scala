@@ -352,7 +352,9 @@ object Bench {
     "q252_national_market_share" -> 1.30,
     "q253_bpe_vocab" -> 0.54,
     "q254_bpe_fertility" -> 0.74,
-    "q255_image_dhash_neardup" -> 1.50)
+    "q255_image_dhash_neardup" -> 1.50,
+    "q256_video_sample_bytes" -> 0.40,
+    "q257_frame_sample_bytes" -> 0.51)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -547,6 +549,8 @@ object Bench {
     "q253_bpe_vocab" -> 11823L,
     "q254_bpe_fertility" -> 898L,
     "q255_image_dhash_neardup" -> 14261508L,
+    "q256_video_sample_bytes" -> 485058L,
+    "q257_frame_sample_bytes" -> 485308L,
     "q21_embedding_neardup_ivf" -> 5033608L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

@@ -325,35 +325,46 @@ object Multimodal {
     * (unknown first box, box size past the payload end,
     * missing/truncated mvhd or tkhd, zero timescale) — total over
     * data, errors are data not exceptions. */
+  // ---- shared ISO-BMFF byte-walk helpers (decodeVideoHeader +
+  // decodeSampleTable read the same tree) ------------------------------
+  private def bmffU32(payload: Array[Byte], off: Int): Long =
+    ((payload(off) & 0xffL) << 24) | ((payload(off + 1) & 0xffL) << 16) |
+      ((payload(off + 2) & 0xffL) << 8) | (payload(off + 3) & 0xffL)
+  private def bmffU64(payload: Array[Byte], off: Int): Long =
+    (bmffU32(payload, off) << 32) | bmffU32(payload, off + 4)
+  private def bmffFourCC(payload: Array[Byte], off: Int): String =
+    new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Children of `[start, end)`: (type, payloadStart, payloadEnd), or
+    * None if any box is malformed. size==1 → 64-bit largesize after
+    * the type; size==0 → to end-of-window, last box by construction. */
+  private def bmffBoxes(payload: Array[Byte], start: Int, end: Int)
+      : Option[Seq[(String, Int, Int)]] = {
+    val out = Seq.newBuilder[(String, Int, Int)]
+    var off = start
+    while (off < end) {
+      if (off + 8 > end) return None
+      val sz32 = bmffU32(payload, off)
+      val (sz, hdr) =
+        if (sz32 == 1L) {
+          if (off + 16 > end) return None
+          (bmffU64(payload, off + 8), 16)
+        } else if (sz32 == 0L) ((end - off).toLong, 8)
+        else (sz32, 8)
+      if (sz < hdr || off + sz > end) return None
+      out += ((bmffFourCC(payload, off + 4), off + hdr, off + sz.toInt))
+      off += sz.toInt
+    }
+    Some(out.result())
+  }
+
   def decodeVideoHeader(payload: Array[Byte])
       : Option[(String, Long, Long, Long, Long)] = {
-    def u32(off: Int): Long =
-      ((payload(off) & 0xffL) << 24) | ((payload(off + 1) & 0xffL) << 16) |
-        ((payload(off + 2) & 0xffL) << 8) | (payload(off + 3) & 0xffL)
-    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
-    def fourCC(off: Int): String =
-      new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-    // children of [start, end): (type, payloadStart, payloadEnd), or
-    // None if any box is malformed. size==1 → 64-bit largesize after
-    // the type; size==0 → to end-of-window, last box by construction.
-    def boxes(start: Int, end: Int): Option[Seq[(String, Int, Int)]] = {
-      val out = Seq.newBuilder[(String, Int, Int)]
-      var off = start
-      while (off < end) {
-        if (off + 8 > end) return None
-        val sz32 = u32(off)
-        val (sz, hdr) =
-          if (sz32 == 1L) {
-            if (off + 16 > end) return None
-            (u64(off + 8), 16)
-          } else if (sz32 == 0L) ((end - off).toLong, 8)
-          else (sz32, 8)
-        if (sz < hdr || off + sz > end) return None
-        out += ((fourCC(off + 4), off + hdr, off + sz.toInt))
-        off += sz.toInt
-      }
-      Some(out.result())
-    }
+    def u32(off: Int): Long = bmffU32(payload, off)
+    def u64(off: Int): Long = bmffU64(payload, off)
+    def fourCC(off: Int): String = bmffFourCC(payload, off)
+    def boxes(start: Int, end: Int): Option[Seq[(String, Int, Int)]] =
+      bmffBoxes(payload, start, end)
     // FullBox version dispatch: (value offsets, min payload length)
     // differ between v0 (32-bit times) and v1 (64-bit); unknown
     // versions must NOT be read at guessed offsets
@@ -415,6 +426,198 @@ object Multimodal {
       }
     }
 
+  /** One decoded media sample (frame): its index, decode timestamp,
+    * and the BYTE RANGE in the file — what a downstream frame
+    * extractor actually fetches. */
+  final case class SampleByte(doc_id: Long, sample_idx: Long,
+      t_ms: Long, byte_off: Long, n_bytes: Long)
+
+  implicit val sampleByteEnc: Encoder[SampleByte] =
+    Encoders.product[SampleByte]
+
+  /** SAMPLE-TABLE decode (stts/stsc/stsz/stco) of the FIRST track —
+    * the r14 verdict's missing rung: q209 stopped at mvhd/tkhd, so
+    * the q238 seek plan ended at timestamps; the sample tables give
+    * each frame's BYTE offset and size in pure integer arithmetic,
+    * turning the plan into ranges a downstream extractor can fetch —
+    * still FFmpeg-free (the codec decode of those bytes remains the
+    * one declared out-of-scope step).
+    *
+    * Spec-correct ISO 14496-12 §8.6-8.7 layouts: `stts` run-length
+    * (sample_count, sample_delta) pairs cumulate to decode times
+    * (converted by the MEDIA timescale from `mdhd` — v0 and v1, NOT
+    * the movie timescale: the classic mp4 parsing bug); `stsz` either
+    * uniform (sample_size ≠ 0) or per-sample u32s; `stsc` run-length
+    * (first_chunk, samples_per_chunk) rows, last run extending to the
+    * `stco` chunk count; per-sample offset = its chunk's `stco` base
+    * plus the sizes of the samples before it IN that chunk. Returns
+    * None for anything malformed or inconsistent (counts that
+    * disagree between stts/stsz/stsc·stco, zero timescale,
+    * non-increasing stsc first_chunk, samples left unassigned) —
+    * total over data, never a confident misparse. `co64` (64-bit
+    * offsets) is recognized-unsupported → None, documented like the
+    * codec-frame gap. */
+  def decodeSampleTable(payload: Array[Byte])
+      : Option[IndexedSeq[(Long, Long, Long)]] = {
+    def mdhdTimescale(start: Int, end: Int): Option[Long] = {
+      val len = end - start
+      if (len < 1) None
+      else payload(start) match {
+        case 0 if len >= 16 => Some(bmffU32(payload, start + 12))
+        case 1 if len >= 24 => Some(bmffU32(payload, start + 20))
+        case _ => None
+      }
+    }
+    try {
+      for {
+        top <- bmffBoxes(payload, 0, payload.length)
+        _ <- top.headOption.filter(b => b._1 == "ftyp" && b._3 - b._2 >= 8)
+        moov <- top.find(_._1 == "moov")
+        inner <- bmffBoxes(payload, moov._2, moov._3)
+        trak <- inner.find(_._1 == "trak")
+        tb <- bmffBoxes(payload, trak._2, trak._3)
+        mdia <- tb.find(_._1 == "mdia")
+        mb <- bmffBoxes(payload, mdia._2, mdia._3)
+        mdhd <- mb.find(_._1 == "mdhd")
+        timescale <- mdhdTimescale(mdhd._2, mdhd._3)
+        if timescale > 0
+        minf <- mb.find(_._1 == "minf")
+        fb <- bmffBoxes(payload, minf._2, minf._3)
+        stbl <- fb.find(_._1 == "stbl")
+        sb <- bmffBoxes(payload, stbl._2, stbl._3)
+        if !sb.exists(_._1 == "co64") // 64-bit offsets: unsupported
+        stts <- sb.find(_._1 == "stts")
+        stsz <- sb.find(_._1 == "stsz")
+        stsc <- sb.find(_._1 == "stsc")
+        stco <- sb.find(_._1 == "stco")
+        samples <- assembleSamples(payload, timescale,
+          stts, stsz, stsc, stco)
+      } yield samples
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The pure fold from the four parsed tables to per-sample
+    * (t_ms, byte_off, n_bytes) rows; None on any inconsistency. */
+  private def assembleSamples(payload: Array[Byte], timescale: Long,
+      stts: (String, Int, Int), stsz: (String, Int, Int),
+      stsc: (String, Int, Int), stco: (String, Int, Int))
+      : Option[IndexedSeq[(Long, Long, Long)]] = {
+    def u32(off: Int): Long = bmffU32(payload, off)
+    def fullBoxU32s(b: (String, Int, Int), per: Int)
+        : Option[IndexedSeq[IndexedSeq[Long]]] = {
+      // version-0 FullBox: ver/flags, entry_count, then `per` u32s
+      // per entry
+      val (_, s, e) = b
+      if (e - s < 8 || payload(s) != 0) return None
+      val n = u32(s + 4)
+      if (n < 0 || e - s < 8 + n * 4 * per) return None
+      Some((0 until n.toInt).map(i =>
+        (0 until per).map(j => u32(s + 8 + (i * per + j) * 4))))
+    }
+    // stts: (sample_count, delta) runs -> per-sample decode times
+    val deltasOpt = fullBoxU32s(stts, 2)
+    // stsz: ver/flags, sample_size, sample_count [, per-sample sizes]
+    val sizesOpt: Option[IndexedSeq[Long]] = {
+      val (_, s, e) = stsz
+      if (e - s < 12 || payload(s) != 0) None
+      else {
+        val uniform = u32(s + 4)
+        val n = u32(s + 8)
+        if (uniform != 0L) Some(IndexedSeq.fill(n.toInt)(uniform))
+        else if (e - s < 12 + n * 4) None
+        else Some((0 until n.toInt).map(i => u32(s + 12 + i * 4)))
+      }
+    }
+    val runsOpt = fullBoxU32s(stsc, 3) // (first_chunk, spc, sdi)
+    val offsetsOpt = fullBoxU32s(stco, 1).map(_.map(_.head))
+    for {
+      druns <- deltasOpt
+      sizes <- sizesOpt
+      runs <- runsOpt
+      offsets <- offsetsOpt
+      n = sizes.length
+      if druns.map(_.head).sum == n.toLong
+      if runs.nonEmpty && runs.head.head == 1L &&
+        runs.map(_.head).sliding(2).forall(w =>
+          w.length < 2 || w(0) < w(1))
+      samples <- {
+        // per-sample deltas -> cumulative decode time in media units
+        val deltas = druns.flatMap { case IndexedSeq(c, d) =>
+          IndexedSeq.fill(c.toInt)(d)
+        }
+        val times = deltas.scanLeft(0L)(_ + _).take(n)
+        // chunk walk: run r covers chunks [first_chunk_r, next_first)
+        val out = IndexedSeq.newBuilder[(Long, Long, Long)]
+        var si = 0
+        var ri = 0
+        var chunk = 1
+        while (chunk <= offsets.length && si < n) {
+          while (ri + 1 < runs.length && runs(ri + 1).head <= chunk)
+            ri += 1
+          val spc = runs(ri)(1).toInt
+          var off = offsets(chunk - 1)
+          var j = 0
+          while (j < spc && si < n) {
+            out += ((times(si) * 1000L / timescale, off, sizes(si)))
+            off += sizes(si)
+            si += 1; j += 1
+          }
+          chunk += 1
+        }
+        if (si == n) Some(out.result()) else None
+      }
+    } yield samples
+  }
+
+  /** Distributed sample-table decode: one row per (video, sample)
+    * with the byte range — [[decodeImageMeta]]'s batch shape.
+    * Undecodable payloads contribute NO rows (the q238 plan
+    * contract: a seek schedule for a video you can't parse is
+    * meaningless; health accounting lives in q209/q221). */
+  def videoSampleBytes(media: Dataset[MediaRecord])
+      : Dataset[SampleByte] =
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeSampleTable(r.payload) match {
+          case Some(ss) => ss.iterator.zipWithIndex.map {
+            case ((t, off, sz), i) =>
+              SampleByte(r.doc_id, i.toLong, t, off, sz)
+          }
+          case None => Iterator.empty
+        }
+      }
+    }
+
+  /** FRAME-SAMPLE plan WITH BYTE RANGES — [[frameSamplePlan]]
+    * completed by the sample tables: k frames per video at the
+    * midpoints of k equal SAMPLE-INDEX segments
+    * (`idx_j = n·(2j+1) div 2k` — the q238 midpoint discipline over
+    * indices instead of time), each row carrying the sample's decode
+    * timestamp AND its (byte_off, n_bytes) fetch range. Videos with
+    * fewer than one sample have no rows; k > n picks duplicates of
+    * the same sample only when the formula lands twice (allowed — a
+    * short clip genuinely has fewer distinct frames than the budget).
+    *
+    * Scale shape: one \|videos\|-key partial-aggregated count, a
+    * k-row explode of THAT aggregate, one equi-join back to the
+    * sample frame on (doc_id, sample_idx). Row-local arithmetic
+    * throughout; never a corpus window. */
+  def frameSampleBytes(samples: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1024, s"k=$k out of [1, 1024]")
+    val n = samples.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_samples"))
+    val targets = n
+      .select(col("doc_id"), col("n_samples"),
+        explode(sequence(lit(0L), lit(k - 1L))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        expr(s"(n_samples * (2 * frame_idx + 1)) div ${2L * k}L")
+          .as("sample_idx"))
+    targets.join(samples, Seq("doc_id", "sample_idx"))
+      .select(col("doc_id"), col("frame_idx"), col("sample_idx"),
+        col("t_ms"), col("byte_off"), col("n_bytes"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** REAL-BYTES video fixture: per doc id, a structurally-valid MP4
     * (ISO 14496-12) box tree — `ftyp` (isom) + `moov` holding a
     * version-0 `mvhd` (timescale 1000, duration `1000 + (id%97)·250`)
@@ -461,14 +664,42 @@ object Multimodal {
             be16(0) ++ be16(0) ++ be16(0) ++ be16(0) ++ // layer..reserved
             unityMatrix ++
             be32(tw << 16) ++ be32(th << 16)) // 16.16 fixed point
-        val traks = box("trak", tkhd(1, w, h)) ++
+        // sample tables for track 1 (r15): n id-derived samples in TWO
+        // chunks with a dead-byte gap between them, so a decoder that
+        // misreads stsc/stco lands on wrong offsets for chunk-2
+        // samples. mdat rides FIRST (after ftyp — legal, and how
+        // faststart-less muxers write), making chunk 1's offset the
+        // CONSTANT 28 = len(ftyp) + 8, so every offset is pure id
+        // arithmetic the oracle restates.
+        val nSamples = 4 + (id % 5).toInt
+        val delta = 100L + (id % 7) * 50L
+        def sz(i: Int): Long = 100L + ((id + i) % 9) * 10L
+        val c1 = (nSamples + 1) / 2
+        val gap = 8 + (id % 4).toInt
+        val stts = box("stts",
+          be32(0) ++ be32(1) ++ be32(nSamples) ++ be32(delta))
+        val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(nSamples) ++
+          (0 until nSamples).flatMap(i => be32(sz(i))).toArray)
+        val stsc = box("stsc", be32(0) ++ be32(2) ++
+          be32(1) ++ be32(c1) ++ be32(1) ++
+          be32(2) ++ be32(nSamples - c1) ++ be32(1))
+        val stco = box("stco", be32(0) ++ be32(2) ++ be32(28L) ++
+          be32(28L + (0 until c1).map(sz).sum + gap))
+        val mdhd = box("mdhd",
+          be32(0) ++ be32(0) ++ be32(0) ++ // ver/flags, ctime, mtime
+            be32(1000L) ++ be32(duration) ++ // media timescale, duration
+            be16(0x55c4) ++ be16(0)) // language 'und', predefined
+        val mdia = box("mdia",
+          mdhd ++ box("minf", box("stbl", stts ++ stsc ++ stsz ++ stco)))
+        val traks = box("trak", tkhd(1, w, h) ++ mdia) ++
           (if (id % 2 == 1) box("trak", tkhd(2, 320, 240)) else Array.emptyByteArray)
         val ftyp = box("ftyp",
           "isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
             be32(0x200) ++
             "isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-        var bytes = ftyp ++ box("moov", mvhd ++ traks) ++
-          box("mdat", Array[Byte](0, 0, 0, 0))
+        val mdat = box("mdat", new Array[Byte](
+          (0 until nSamples).map(sz).sum.toInt + gap))
+        var bytes = ftyp ++ mdat ++ box("moov", mvhd ++ traks)
         if (id % 10 == 3 || id % 10 == 4) {
           bytes(4) = 0; bytes(5) = 0; bytes(6) = 0; bytes(7) = 0
         } else if (id % 10 == 6 || id % 10 == 7) bytes = bytes.take(16)

@@ -317,4 +317,83 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       ORDER BY doc_a, doc_b
     """.trim))
 
+  /** The shared id-arithmetic replay of the video fixture's sample
+    * tables (q256/q257): per decodable video, n samples, uniform
+    * delta, per-sample sizes, two chunks split at c1 with a dead-byte
+    * gap — offsets anchored at the constant 28 (ftyp 20 + mdat
+    * header 8). */
+  private def sampleBytesOracleCte: String = """
+      ids AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0
+          AND doc_id % 10 NOT IN (3, 4, 6, 7)),
+      par AS (
+        SELECT doc_id, CAST(4 + doc_id % 5 AS BIGINT) AS n,
+          CAST(100 + (doc_id % 7) * 50 AS BIGINT) AS delta,
+          CAST((4 + doc_id % 5 + 1) // 2 AS BIGINT) AS c1,
+          CAST(8 + doc_id % 4 AS BIGINT) AS gap
+        FROM ids),
+      s AS (
+        SELECT doc_id, n, delta, c1, gap, CAST(u.i AS BIGINT) AS i,
+          CAST(100 + ((doc_id + u.i) % 9) * 10 AS BIGINT) AS sz
+        FROM par, LATERAL unnest(range(n)) AS u(i)),
+      smp AS (
+        SELECT doc_id, n, i AS sample_idx,
+          CAST(i * delta AS BIGINT) AS t_ms,
+          CAST(28 + coalesce(sum(sz) OVER (PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + CASE WHEN i >= c1 THEN gap ELSE 0 END AS BIGINT)
+            AS byte_off,
+          sz AS n_bytes
+        FROM s)""".trim
+
+  // --------------------------------------------------------------- q256
+  /** q256 — MP4 SAMPLE-TABLE decode
+    * ([[Multimodal.decodeSampleTable]]): q209's box walk extended
+    * through trak→mdia→mdhd/minf→stbl to the stts/stsc/stsz/stco
+    * tables — per decodable video, every sample's decode timestamp
+    * (MEDIA-timescale cumulated deltas) and BYTE range, the thing a
+    * frame extractor actually fetches. The fixture writes two chunks
+    * with a dead-byte gap so a misparse of stsc/stco lands chunk-2
+    * samples on wrong offsets; the oracle restates all of it as id
+    * arithmetic (offsets anchored at the constant 28 — mdat rides
+    * before moov). Corrupt videos contribute no rows (the q238 plan
+    * contract). */
+  val q256: Q = Q(
+    "q256_video_sample_bytes",
+    (s, d) =>
+      Multimodal.videoSampleBytes(Multimodal.encodeVideoFixture(
+        Tables.documents(s, d), "doc_id")).toDF()
+        .orderBy(col("doc_id"), col("sample_idx")),
+    Some(s"""
+      WITH $sampleBytesOracleCte
+      SELECT doc_id, sample_idx, t_ms, byte_off, n_bytes
+      FROM smp ORDER BY doc_id, sample_idx
+    """.trim))
+
+  // --------------------------------------------------------------- q257
+  /** q257 — frame-sample plan WITH byte ranges
+    * ([[Multimodal.frameSampleBytes]]): q238's midpoint seek schedule
+    * completed by q256's sample tables — k = 4 frames per video at
+    * sample-index midpoints `n·(2j+1) div 2k`, each row carrying the
+    * timestamp AND the (byte_off, n_bytes) fetch range. */
+  val q257: Q = Q(
+    "q257_frame_sample_bytes",
+    (s, d) =>
+      Multimodal.frameSampleBytes(
+        Multimodal.videoSampleBytes(Multimodal.encodeVideoFixture(
+          Tables.documents(s, d), "doc_id")).toDF(), k = 4),
+    Some(s"""
+      WITH $sampleBytesOracleCte,
+      tgt AS (
+        SELECT DISTINCT doc_id, n, CAST(u.j AS BIGINT) AS frame_idx,
+          CAST((n * (2 * u.j + 1)) // 8 AS BIGINT) AS sample_idx
+        FROM smp, LATERAL unnest(range(4)) AS u(j))
+      SELECT t.doc_id, t.frame_idx, t.sample_idx,
+        m.t_ms, m.byte_off, m.n_bytes
+      FROM tgt t JOIN smp m
+        ON m.doc_id = t.doc_id AND m.sample_idx = t.sample_idx
+      ORDER BY t.doc_id, t.frame_idx
+    """.trim))
+
 }

@@ -345,4 +345,83 @@ class MultimodalSpec extends SparkSpec {
     assert(got.contains((1L, 2L, 1)) && got.contains((1L, 4L, 3)))
     assert(!got.exists(p => p._1 == 1L && p._2 == 3L))
   }
+
+  test("decodeSampleTable round-trips the fixture: media-timescale " +
+    "times, chunk-2 offsets include the stco gap, corrupt rows empty") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 3L, 5L, 6L, 12L).toDF("doc_id")
+    val got = Multimodal.videoSampleBytes(
+      Multimodal.encodeVideoFixture(ids, "doc_id"))
+      .collect().groupBy(_.doc_id)
+    // corrupt families decode to nothing
+    assert(!got.contains(3L) && !got.contains(6L))
+    for (id <- Seq(0L, 1L, 5L, 12L)) {
+      val n = 4 + (id % 5).toInt
+      val delta = 100L + (id % 7) * 50L
+      def sz(i: Int): Long = 100L + ((id + i) % 9) * 10L
+      val c1 = (n + 1) / 2
+      val gap = 8L + id % 4
+      val rows = got(id).sortBy(_.sample_idx)
+      assert(rows.length == n, s"id=$id")
+      var off = 28L
+      for (i <- 0 until n) {
+        if (i == c1) off += gap // the second chunk's dead-byte gap
+        assert(rows(i).t_ms == i * delta, s"id=$id i=$i")
+        assert(rows(i).byte_off == off, s"id=$id i=$i")
+        assert(rows(i).n_bytes == sz(i), s"id=$id i=$i")
+        off += sz(i)
+      }
+    }
+  }
+
+  test("decodeSampleTable is total and strict: garbage, co64, " +
+    "inconsistent counts, bad stsc all decode to None") {
+    assert(Multimodal.decodeSampleTable(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeSampleTable(Array.emptyByteArray).isEmpty)
+    // take a valid fixture payload and break it in targeted ways
+    import spark.implicits._
+    val payload = Multimodal.encodeVideoFixture(
+      Seq(0L).toDF("doc_id"), "doc_id").collect()(0).payload
+    assert(Multimodal.decodeSampleTable(payload).nonEmpty)
+    def find(tag: String): Int = {
+      val t = tag.getBytes("US-ASCII")
+      payload.indices.indexWhere(i => i + 4 <= payload.length &&
+        payload(i) == t(0) && payload(i + 1) == t(1) &&
+        payload(i + 2) == t(2) && payload(i + 3) == t(3))
+    }
+    // stco -> co64: recognized-unsupported, must refuse not misparse
+    val asCo64 = payload.clone()
+    val stcoAt = find("stco")
+    System.arraycopy("co64".getBytes("US-ASCII"), 0, asCo64, stcoAt, 4)
+    assert(Multimodal.decodeSampleTable(asCo64).isEmpty)
+    // stts sample_count inflated: totals disagree with stsz
+    val badCount = payload.clone()
+    val sttsAt = find("stts")
+    // payload layout after tag: ver/flags(4) entry_count(4) count(4)
+    badCount(sttsAt + 4 + 8 + 3) = (badCount(sttsAt + 4 + 8 + 3) + 1).toByte
+    assert(Multimodal.decodeSampleTable(badCount).isEmpty)
+    // stsc first_chunk not starting at 1
+    val badStsc = payload.clone()
+    val stscAt = find("stsc")
+    badStsc(stscAt + 4 + 8 + 3) = 9 // first run's first_chunk := 9
+    assert(Multimodal.decodeSampleTable(badStsc).isEmpty)
+  }
+
+  test("frameSampleBytes: k midpoint frames join back to real byte " +
+    "ranges; short videos duplicate samples rather than fail") {
+    import spark.implicits._
+    val samples = Multimodal.videoSampleBytes(
+      Multimodal.encodeVideoFixture(Seq(0L).toDF("doc_id"), "doc_id"))
+      .toDF()
+    // id=0: n=4 samples; k=4 -> indices (4*(2j+1)) div 8 = 1,3 wait:
+    // j=0:0, j=1:1, j=2:2, j=3:3 — all four samples in order
+    val out = Multimodal.frameSampleBytes(samples, k = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 0L), (1L, 1L), (2L, 2L), (3L, 3L)))
+    // k = 8 over 4 samples: duplicates allowed, schedule still total
+    val dup = Multimodal.frameSampleBytes(samples, k = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(dup.length == 8)
+    assert(dup.map(_._2).toSeq == Seq(0L, 0L, 1L, 1L, 2L, 2L, 3L, 3L))
+  }
 }
