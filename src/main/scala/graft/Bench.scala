@@ -354,7 +354,9 @@ object Bench {
     "q254_bpe_fertility" -> 0.74,
     "q255_image_dhash_neardup" -> 1.50,
     "q256_video_sample_bytes" -> 0.40,
-    "q257_frame_sample_bytes" -> 0.51)
+    "q257_frame_sample_bytes" -> 0.51,
+    "q258_product_type_profit" -> 1.21,
+    "q259_order_priority_exists" -> 0.60)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -551,6 +553,8 @@ object Bench {
     "q255_image_dhash_neardup" -> 14261508L,
     "q256_video_sample_bytes" -> 485058L,
     "q257_frame_sample_bytes" -> 485308L,
+    "q258_product_type_profit" -> 30913L,
+    "q259_order_priority_exists" -> 1845L,
     "q21_embedding_neardup_ivf" -> 5033608L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

@@ -2058,4 +2058,99 @@ private[queries] trait ExtRelationalQ { self: ExtHelpers =>
       GROUP BY 1
       ORDER BY o_year
     """.trim))
+
+  // --------------------------------------------------------------- q258
+  /** q258 — TPC-H Q9 shape (product-type profit): a LIKE-filtered
+    * part shortlist driven through the multi-way
+    * lineitem⋈part⋈supplier⋈nation⋈orders join with a PER-ROW profit
+    * expression, rolled up by (nation, order year). The two planner
+    * stressors Q9 exists for: the LIKE predicate must reach the part
+    * SCAN (StringContains pushdown — filtering after the join would
+    * drag the whole fact through), and the profit arithmetic must
+    * stay row-local inside the join output, never a second pass.
+    * No partsupp in the fixture (as q248): `p_retailprice` stands in
+    * for the per-unit supply cost — the SHAPE (cost joins in from the
+    * part dim, multiplies a fact column, subtracts from discounted
+    * revenue) is Q9's exactly. All money exact DECIMAL, one cast to
+    * double at the end (the q252 discipline). Plan-pinned: LIKE at
+    * the scan, dims broadcast, fact never broadcast. */
+  val q258: Q = Q(
+    "q258_product_type_profit",
+    (s, d) => {
+      val part = Tables.part(s, d)
+        .where(col("p_name").like("%bolt%"))
+        .select(col("p_partkey"),
+          Dec.d2(col("p_retailprice")).as("__cost"))
+      val supp = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          (Dec.d2(col("l_extendedprice")) *
+            (lit(1) - Dec.d2(col("l_discount")))).as("__rev"),
+          Dec.d2(col("l_quantity")).as("__qty"))
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"),
+          year(col("o_orderdate")).as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), col("o_year"))
+        .agg(Dec.outD(sum(col("__rev") - col("__cost") * col("__qty")))
+          .as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+    Some("""
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        CAST(sum(
+          CAST(l_extendedprice AS DECIMAL(12,2)) *
+            (1 - CAST(l_discount AS DECIMAL(12,2))) -
+          CAST(p_retailprice AS DECIMAL(12,2)) *
+            CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_profit
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+      WHERE p_name LIKE '%bolt%'
+      GROUP BY 1, 2
+      ORDER BY nation, o_year DESC
+    """.trim))
+
+  // --------------------------------------------------------------- q259
+  /** q259 — TPC-H Q4 shape (order priority checking): orders in a
+    * one-quarter date WINDOW counted by priority, kept only when an
+    * EXISTS-correlated lineitem predicate holds. The planner
+    * stressor: the EXISTS must plan as a LEFT SEMI hash join probing
+    * the orders sliver — one lineitem scan, never a re-scan or
+    * per-order subquery — and the date window must reach the orders
+    * scan as pushed filters. No l_commitdate/l_receiptdate in the
+    * fixture: the inner predicate is a lineitem-side discount test
+    * (same correlation structure — EXISTS over the fact keyed by the
+    * outer's orderkey with a residual inner filter). */
+  val q259: Q = Q(
+    "q259_order_priority_exists",
+    (s, d) => {
+      val lines = Tables.lineitem(s, d)
+        .where(col("l_discount") > 0.05)
+        .select(col("l_orderkey"))
+      Tables.orders(s, d)
+        .where(col("o_orderdate") >= "1996-07-01" &&
+          col("o_orderdate") < "1996-10-01")
+        .join(lines, col("o_orderkey") === col("l_orderkey"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= '1996-07-01' AND o_orderdate < '1996-10-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+      GROUP BY 1 ORDER BY 1
+    """.trim))
 }

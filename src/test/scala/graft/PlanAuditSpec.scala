@@ -674,6 +674,33 @@ class PlanAuditSpec extends SparkSpec {
       s"Generate must sit above the scan in the formatted tree:\n$p")
   }
 
+  test("q258: the LIKE shortlist reaches the part SCAN; dims " +
+    "broadcast; the fact never broadcasts; profit folds partially") {
+    val p = plan("q258_product_type_profit")
+    // StringContains pushdown — the Q9 stressor: filtering after the
+    // join would drag the whole fact through the part join
+    assert(p.contains("StringContains(p_name,bolt)"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    val broadcastSections = p.split("BroadcastExchange").drop(1)
+    assert(!broadcastSections.exists(_.linesIterator.take(4).mkString
+      .contains("lineitem")), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q259: EXISTS plans as ONE left-semi hash join — a single " +
+    "lineitem scan — with the date window pushed to the orders scan") {
+    val p = plan("q259_order_priority_exists")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"), p)
+    // l_discount reaches the lineitem scan; exactly one lineitem scan
+    assert(p.contains("GreaterThan(l_discount,0.05)"), p)
+    assert(p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem")) == 1, p)
+    assert(p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("orders")) == 1, p)
+  }
+
   test("q155: both fact predicates are pushed to their scans; the " +
     "constant dims broadcast") {
     val p = plan("q155_regional_volume")
