@@ -449,7 +449,7 @@ object Bench {
     "q15_sql_api" -> 10007L,
     "q160_cluster_impact" -> 492820L,
     "q161_abc_classes" -> 4676L,
-    "q162_staleness_audit" -> 768656L,
+    "q162_staleness_audit" -> 772493L,
     "q163_dow_anomaly" -> 119212L,
     "q164_drawdown" -> 33170L,
     "q165_missingness_lift" -> 158L,

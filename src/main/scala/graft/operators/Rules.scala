@@ -110,18 +110,23 @@ object Rules {
     * Recency compares INTEGER day distances (casts to DATE, the q72
     * discipline — interval arithmetic is not engine-portable). Scale
     * shape: ONE partial-aggregable per-key max over the facts, one
-    * key-join to the dimension, the global-last anchor via a window
-    * over the |items|-row joined frame, one rollup. */
+    * key-join to the dimension, the global-last anchor as a ONE-ROW
+    * aggregate of the per-key maxes broadcast-appended before the
+    * rollup (r15 — was an unpartitioned window over the joined
+    * catalog frame, which funneled \|items\| rows through one task;
+    * the window sweep caught it). */
   def stalenessAudit(dim: DataFrame, dimKey: String, groupCol: String,
       facts: DataFrame, factKey: String, tsCol: Column,
       horizonDays: Int): DataFrame = {
     require(horizonDays >= 0, s"need horizonDays >= 0, got $horizonDays")
-    import org.apache.spark.sql.expressions.Window
     val last = facts.groupBy(col(factKey).as("k"))
       .agg(max(tsCol).as("last_ts"))
+    // max over the reduced |keys| frame == max over the joined frame
+    // (items without facts carry NULL, which can never be the max)
+    val anchor = last.agg(max(col("last_ts")).as("gl"))
     dim.select(col(dimKey).as("k"), col(groupCol).as("g"))
       .join(last, Seq("k"), "left")
-      .withColumn("gl", max(col("last_ts")).over(Window.partitionBy()))
+      .crossJoin(broadcast(anchor))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n_items"),
         sum(when(col("last_ts").isNotNull, 1L).otherwise(0L))

@@ -856,6 +856,12 @@ class PlanAuditSpec extends SparkSpec {
       // ≤ max(ks)-row head frame — coverageCurve's scalar-append,
       // q84's exact shape
       "q159_coverage_curve",
+      // q162: the ONE-ROW global-last anchor (max of the per-key
+      // maxes) appended to the catalog frame before the rollup —
+      // stalenessAudit's scalar-append (r15: replaced the
+      // unpartitioned window the bounded-window sweep caught),
+      // q88's shape
+      "q162_staleness_audit",
       // q171: the ONE-ROW max-ts anchor appended to the event stream
       // for the row-local split CASE — temporalSplit's scalar-append,
       // q88's exact shape
@@ -962,6 +968,73 @@ class PlanAuditSpec extends SparkSpec {
         s"$name plans a cartesian product:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop join:\n$p")
+    }
+  }
+
+  test("registry sweep: every UNPARTITIONED window runs over an " +
+    "already-reduced frame — never the corpus") {
+    // The third non-negotiable (r14 verdict item 5): an unpartitioned
+    // Window funnels its whole input through ONE task. Every such
+    // window in the registry sits above an aggregate/limit-reduced
+    // frame (|days|/|bins|/|keys|-bounded) — a claim that until this
+    // sweep lived only in scaladoc. A frame is REDUCED when every
+    // leafward path passes a reducing node: Aggregate, GlobalLimit,
+    // an unpartitioned WindowGroupLimit (≤ k rows total), or a
+    // bounded literal relation; joins/unions of reduced frames stay
+    // reduced (bounded × bounded), anything rooted at a scan is not.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+      GlobalLimit, LocalRelation, LogicalPlan, OneRowRelation,
+      Window => LWindow, WindowGroupLimit => LWindowGroupLimit}
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.{
+      HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    // a cached frame hides its build behind InMemoryRelation — judge
+    // reduced-ness by the CACHED physical plan (q111's cum-window
+    // reads a cached |bins| aggregate; a string check would call it
+    // corpus-sized)
+    def reducedPhys(p: SparkPlan): Boolean = p match {
+      case _: HashAggregateExec | _: SortAggregateExec |
+           _: ObjectHashAggregateExec => true
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+        => true
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+      case w: WindowGroupLimitExec =>
+        w.partitionSpec.isEmpty || reducedPhys(w.child)
+      case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+      case a: AdaptiveSparkPlanExec => reducedPhys(a.inputPlan)
+      case l if l.children.isEmpty => false
+      case o => o.children.forall(reducedPhys)
+    }
+    def reduced(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case _: GlobalLimit => true
+      case w: LWindowGroupLimit =>
+        w.partitionSpec.isEmpty || reduced(w.child)
+      case _: LocalRelation => true
+      case _: OneRowRelation => true
+      case r: InMemoryRelation => reducedPhys(r.cachedPlan)
+      case l if l.children.isEmpty => false
+      case o => o.children.forall(reduced)
+    }
+    // Documented exceptions only (none today — new entries need the
+    // same justification discipline as the BNLJ list above).
+    val unboundedWindowByDesign = Set.empty[String]
+    for (name <- SparkEntry.queries.keys.toSeq.sorted
+         if !unboundedWindowByDesign.contains(name)) {
+      spark.catalog.clearCache()
+      graft.engine.GraftSession.tune(spark)
+      val qe = SparkEntry.queries(name)(spark, sf).queryExecution
+      val offenders = qe.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+          !reduced(w.child) => w
+      }
+      if (offenders.nonEmpty) fail(
+        s"$name plans an unpartitioned Window over a non-reduced " +
+          s"frame:\n${offenders.head}\n--- full plan ---\n" +
+          qe.optimizedPlan.toString)
     }
   }
 
