@@ -146,4 +146,91 @@ object Layout {
       .collect()(0)
     (m.getLong(0), m.getLong(1))
   }
+
+  /** INCREMENTAL z-order maintenance — append new rows into an
+    * EXISTING [[writeZOrdered]] tree without a full re-sort: the cell
+    * grid and the `file_id = (z · files) div G²` split are
+    * deterministic functions of the GRID BOUNDS, so an append only
+    * has to rewrite the file spans its rows land in — a per-touched-
+    * cell rewrite (read touched spans + union + dynamic partition
+    * overwrite), never a corpus pass. The bounds are recovered from
+    * the manifest (every row lives in some file, so the global min/
+    * max is the fold of the per-file zone maps), making
+    * append-then-maintain ≡ one-shot writeZOrdered on the union
+    * whenever the append stays inside the original bounds
+    * (spec-pinned). Rows OUTSIDE the original bounds are CLAMPED to
+    * the edge cells — their edge file's zone map widens to stay
+    * truthful (readers prune correctly, just less tightly); a
+    * periodic full [[writeZOrdered]] re-anchors the grid, exactly the
+    * OPTIMIZE-vs-append split Delta/Iceberg users run.
+    *
+    * Scale shape: ONE bounded collect (the 4-long bounds row +
+    * ≤ `files` touched ids), a scan of the TOUCHED spans only, the
+    * new batch assigned row-locally, one repartition by file_id for
+    * the one-file-per-span discipline. The untouched manifest rows
+    * are carried over, the touched ones recomputed from the
+    * rewritten spans. localCheckpoint materializes the combined
+    * spans before the overwrite (Spark refuses to overwrite a path
+    * it is reading — the standard read-modify-write fence), bounded
+    * by the touched mass, not the table.
+    *
+    * Returns (files touched, new rows written). */
+  def maintainZOrdered(newRows: DataFrame, xCol: String, yCol: String,
+      outDir: String, bits: Int = 4, files: Int = 16): (Long, Long) = {
+    require(files >= 1 && files <= 4096, s"files=$files out of [1, 4096]")
+    require(bits >= 1 && bits <= 16, s"bits=$bits out of [1, 16]")
+    val g = 1L << bits
+    val spark = newRows.sparkSession
+    val oldManifest = spark.read.parquet(s"$outDir/_manifest")
+    val b = oldManifest.agg(
+      min(col("min_x")).as("__minx"), max(col("max_x")).as("__maxx"),
+      min(col("min_y")).as("__miny"), max(col("max_y")).as("__maxy"))
+      .collect()(0)
+    val (minx, maxx, miny, maxy) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    def cell(c: String, lo: Long, hi: Long): String =
+      s"least(${g - 1}L, greatest(0L, " +
+        s"((CAST(`$c` AS BIGINT) - ${lo}L) * $g) div ${hi - lo + 1}L))"
+    val newZ = newRows
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .withColumn("__cx", expr(cell(xCol, minx, maxx)))
+      .withColumn("__cy", expr(cell(yCol, miny, maxy)))
+      .withColumn("z", interleaveBits(col("__cx"), col("__cy"), bits))
+      .withColumn("file_id", expr(s"(z * $files) div ${g * g}"))
+      .drop("__cx", "__cy")
+    val touched = newZ.select(col("file_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val nNew = newZ.count()
+    if (touched.isEmpty) return (0L, 0L)
+    val existingTouched = spark.read.parquet(outDir)
+      .withColumn("file_id", col("file_id").cast("long"))
+      .where(col("file_id").isin(touched: _*))
+    val combined = existingTouched
+      .unionByName(newZ.select(existingTouched.columns.map(col): _*))
+      .localCheckpoint(true)
+    combined.repartition(col("file_id"))
+      .write.partitionBy("file_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(outDir)
+    // manifest: untouched rows carried over, touched recomputed from
+    // the rewritten spans (both frames are ≤ `files` rows)
+    val touchedManifest = spark.read.parquet(outDir)
+      .withColumn("file_id", col("file_id").cast("long"))
+      .where(col("file_id").isin(touched: _*))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("z")).as("min_z"), max(col("z")).as("max_z"),
+        min(col(xCol).cast("long")).as("min_x"),
+        max(col(xCol).cast("long")).as("max_x"),
+        min(col(yCol).cast("long")).as("min_y"),
+        max(col(yCol).cast("long")).as("max_y"))
+    val newManifest = oldManifest
+      .where(!col("file_id").isin(touched: _*))
+      .unionByName(touchedManifest)
+      .orderBy(col("file_id"))
+      .localCheckpoint(true)
+    newManifest.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/_manifest")
+    (touched.length.toLong, nNew)
+  }
 }

@@ -315,6 +315,33 @@ class MainSpec extends SparkSpec {
       s"no file prunable for the low-quarter box: $manifest")
   }
 
+  test("zorder-maintain CLI: appended batch folds into the existing " +
+    "z tree; counts reported; tree total grows by the batch") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_zmcli").toString
+    val out = s"$base/z"
+    val src = "/root/testdata/sf0.001/lineitem.parquet"
+    val full = spark.read.parquet(src)
+      .where(col("l_partkey").isNotNull && col("l_suppkey").isNotNull)
+    full.where(col("l_orderkey") % 3 =!= 0)
+      .write.parquet(s"$base/b0")
+    full.where(col("l_orderkey") % 3 === 0)
+      .write.parquet(s"$base/b1")
+    Main.runExportZOrder(spark, s"$base/b0", out,
+      "l_partkey", "l_suppkey", bits = 3, files = 8)
+    val (t, n) = Main.runZOrderMaintain(spark, s"$base/b1", out,
+      "l_partkey", "l_suppkey", bits = 3, files = 8)
+    assert(n == full.where(col("l_orderkey") % 3 === 0).count())
+    assert(t >= 1 && t <= 8)
+    assert(spark.read.parquet(out).count() == full.count())
+    // manifest row total agrees with the tree after maintenance
+    val manTotal = spark.read.parquet(s"$out/_manifest")
+      .agg(org.apache.spark.sql.functions.sum(col("n_rows")))
+      .collect()(0).getLong(0)
+    assert(manTotal == full.count())
+  }
+
   test("stream-sessionize: closed sessions land across checkpointed " +
     "drains; the open tail closes when a later event breaks the gap") {
     import org.apache.spark.sql.functions.col

@@ -56,4 +56,89 @@ class LayoutSpec extends SparkSpec {
     val half = out.filter(_.getLong(0) < 8)
     assert(half.length == 8)
   }
+
+  test("maintainZOrdered: append-then-maintain == one-shot on the " +
+    "union (tree AND manifest); only touched spans rewritten") {
+    import org.apache.spark.sql.functions.{count, max, min}
+    val src = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .where(col("l_partkey").isNotNull && col("l_suppkey").isNotNull)
+    val base = src.where(col("l_orderkey") % 5 =!= 0)
+    val extra = src.where(col("l_orderkey") % 5 === 0)
+    // the equivalence contract needs the append INSIDE the original
+    // bounds — assert the fixture satisfies it (else the test is vacuous)
+    def bounds(df: org.apache.spark.sql.DataFrame) = df
+      .agg(min(col("l_partkey")), max(col("l_partkey")),
+        min(col("l_suppkey")), max(col("l_suppkey")))
+      .collect()(0).toSeq
+    assert(bounds(base) == bounds(src), "fixture split must preserve bounds")
+    val dirInc = java.nio.file.Files
+      .createTempDirectory("graft_zmaint").toString + "/z"
+    val dirOne = java.nio.file.Files
+      .createTempDirectory("graft_zone").toString + "/z"
+    Layout.writeZOrdered(base, "l_partkey", "l_suppkey", dirInc,
+      bits = 3, files = 8)
+    val preManifest = spark.read.parquet(s"$dirInc/_manifest")
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val (nTouched, nNew) = Layout.maintainZOrdered(extra,
+      "l_partkey", "l_suppkey", dirInc, bits = 3, files = 8)
+    assert(nNew == extra.count())
+    assert(nTouched >= 1 && nTouched <= 8)
+    Layout.writeZOrdered(src, "l_partkey", "l_suppkey", dirOne,
+      bits = 3, files = 8)
+    // tree contents equal as multisets (ordering within files differs)
+    def treeRows(dir: String) = spark.read.parquet(dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("z"),
+        col("file_id").cast("long"))
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(treeRows(dirInc) == treeRows(dirOne))
+    // manifests identical
+    def man(dir: String) = spark.read.parquet(s"$dir/_manifest")
+      .collect().map(_.toSeq).toSet
+    assert(man(dirInc) == man(dirOne))
+    // every manifest row that CHANGED must belong to a span the
+    // append actually touched — untouched spans carry over verbatim
+    val postManifest = spark.read.parquet(s"$dirInc/_manifest")
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val differing = postManifest.filter { case (id, row) =>
+      preManifest.get(id).exists(_ != row) || !preManifest.contains(id)
+    }.keySet
+    val extraZ = spark.read.parquet(dirOne)
+      .withColumn("fid", col("file_id").cast("long"))
+    val touchedByData = extra
+      .join(extraZ, Seq("l_orderkey", "l_linenumber"))
+      .select(col("fid")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(differing.subsetOf(touchedByData),
+      s"manifest changed outside touched spans: $differing vs $touchedByData")
+    // one-file discipline survives maintenance
+    val f0 = new java.io.File(s"$dirInc/file_id=0")
+    if (f0.isDirectory)
+      assert(f0.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+  }
+
+  test("maintainZOrdered: out-of-bounds appends clamp to edge cells " +
+    "and widen the edge zone map truthfully") {
+    val s2 = spark; import s2.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_zclamp").toString + "/z"
+    val base = (for (x <- 0L until 16L; y <- 0L until 16L)
+      yield (x, y)).toDF("x", "y")
+    Layout.writeZOrdered(base, "x", "y", dir, bits = 2, files = 4)
+    val beyond = Seq((99L, 99L)).toDF("x", "y")
+    val (t, n) = Layout.maintainZOrdered(beyond, "x", "y", dir,
+      bits = 2, files = 4)
+    assert(t == 1L && n == 1L)
+    // the row landed in the LAST file span (max cell, max z)
+    val m = spark.read.parquet(s"$dir/_manifest")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(6))))
+      .toMap // file_id -> (max_x?, ...) positions: (n_rows,min_z,max_z,min_x,max_x,min_y,max_y)
+    val maxFile = m.keys.max
+    val manMax = spark.read.parquet(s"$dir/_manifest")
+      .where(col("file_id") === maxFile)
+      .select(col("max_x"), col("max_y")).collect()(0)
+    assert(manMax.getLong(0) == 99L && manMax.getLong(1) == 99L)
+    // reads still see every row
+    assert(spark.read.parquet(dir).count() == 16 * 16 + 1)
+  }
 }
