@@ -356,7 +356,9 @@ object Bench {
     "q256_video_sample_bytes" -> 0.40,
     "q257_frame_sample_bytes" -> 0.51,
     "q258_product_type_profit" -> 1.21,
-    "q259_order_priority_exists" -> 0.60)
+    "q259_order_priority_exists" -> 0.60,
+    "q260_bpe_budget_mix" -> 0.53,
+    "q261_image_dhash_clusters" -> 1.55)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -555,6 +557,8 @@ object Bench {
     "q257_frame_sample_bytes" -> 485308L,
     "q258_product_type_profit" -> 30913L,
     "q259_order_priority_exists" -> 1845L,
+    "q260_bpe_budget_mix" -> 8364L,
+    "q261_image_dhash_clusters" -> 77542L,
     "q21_embedding_neardup_ivf" -> 5033608L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

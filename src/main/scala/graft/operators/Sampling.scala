@@ -123,13 +123,23 @@ object Sampling {
     * still run-to-run deterministic within Spark). */
   def mixToTokenBudget(df: DataFrame, idCol: String, stratumCol: String,
       textCol: String, weights: Map[String, Double],
-      budgetTokens: Long): DataFrame = {
+      budgetTokens: Long,
+      subwordMerges: Option[Seq[(String, String)]] = None): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens=$budgetTokens must be positive")
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "need at least one stratum with a positive weight")
     val wsum = weights.values.sum
+    // tokenizer seam (r15, as tokenFertility's): None = whitespace
+    // tokens (the original contract, every existing caller/oracle
+    // unchanged); Some(merges) = greedy-BPE subwords — the budget a
+    // training pipeline actually buys. Both row-local one-pass.
+    val nTokens = subwordMerges match {
+      case None => size(TextHash.tokens(col(textCol)))
+      case Some(m) =>
+        graft.functions.Bpe.subwordCountOf(lower(trim(col(textCol))), m)
+    }
     val counts = df.select(col(idCol), col(stratumCol),
-      size(TextHash.tokens(col(textCol))).as("n_tokens"))
+      nTokens.as("n_tokens"))
     val target = weights.foldLeft(lit(0.0)) { case (acc, (s, wgt)) =>
       when(col(stratumCol) === s,
         lit(budgetTokens.toDouble) * lit(wgt) / lit(wsum)).otherwise(acc)

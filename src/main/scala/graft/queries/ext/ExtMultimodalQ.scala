@@ -285,7 +285,12 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       Dedup.fingerprintPairs(dh, "doc_id", "fp",
         maxHamming = 3, bits = 64)
     },
-    Some("""
+    Some(dhashPairsOracleSql))
+
+  /** The q255 oracle, shared with q261's cluster closure (the
+    * q18OracleSql-inside-q31 pattern): id-arithmetic dHash replay +
+    * brute-force Hamming-≤3 pairs. */
+  private def dhashPairsOracleSql: String = """
       WITH ids AS (
         SELECT doc_id FROM documents
         WHERE doc_id IS NOT NULL AND doc_id >= 0
@@ -315,6 +320,51 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       FROM dh a JOIN dh b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.fp, b.fp)) <= 3
       ORDER BY doc_a, doc_b
+    """.trim
+
+  // --------------------------------------------------------------- q261
+  /** q261 — image near-dup CLUSTERS: q255's dHash pair set closed
+    * into connected components ([[Dedup.nearDupClusters]] — min-id
+    * label propagation, singletons included) — the actual KEEP/DROP
+    * decision an image-dedup pipeline emits, completing the
+    * dedup × multimodal rung end-to-end (fingerprint → pairs →
+    * families → canonical picks). Universe = decodable images
+    * (corrupt rows have no hash to cluster by). The oracle closes the
+    * SAME replayed pair set with a recursive CTE (the q31 pattern:
+    * min reachable id ≡ the propagation fixpoint). */
+  val q261: Q = Q(
+    "q261_image_dhash_clusters",
+    (s, d) => {
+      val media = Multimodal.encodeGradientImageFixture(
+        Tables.documents(s, d), "doc_id")
+      val dh = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.imageDhash(media).toDF()
+          .where(col("ok") === 1L)
+          .select(col("doc_id"), col("dhash").as("fp")))
+      Dedup.fingerprintClusters(dh, "doc_id", "fp",
+        maxHamming = 3, bits = 64)
+    },
+    Some(s"""
+      WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ($dhashPairsOracleSql) q
+      ),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+      ),
+      universe AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0
+          AND doc_id % 10 NOT IN (3, 6)),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM universe
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+      )
+      SELECT id AS doc_id, min(r) AS cluster_id,
+        (id = min(r)) AS is_canonical
+      FROM reach GROUP BY id ORDER BY doc_id
     """.trim))
 
   /** The shared id-arithmetic replay of the video fixture's sample

@@ -751,4 +751,62 @@ private[queries] trait ExtSamplingQ { self: ExtHelpers with ExtDedupQ =>
       FROM agg
       """.trim
     }))
+
+  // --------------------------------------------------------------- q260
+  /** q260 — token-budget mixing under SUBWORD counts: q41's
+    * deterministic budget draw re-run with the tokenizer seam set to
+    * greedy BPE ([[Sampling.mixToTokenBudget]] with
+    * [[graft.functions.Bpe.demoMerges]]) — per-language keep
+    * thresholds now derive from the SUBWORD mass each language
+    * actually charges the budget, so a language whose words fragment
+    * (high fertility) correctly gets fewer documents for the same
+    * token share. Same portable affine-hash draw, same floor'd
+    * millionths threshold; only the token accounting changed. The
+    * oracle charges each word occurrence its recursive-CTE subword
+    * count (the q254 distinct-vocab join). */
+  val q260: Q = Q(
+    "q260_bpe_budget_mix",
+    (s, d) =>
+      Sampling.mixToTokenBudget(Tables.documents(s, d), "doc_id", "lang",
+        "text", Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.125,
+          "fr" -> 0.125), budgetTokens = 20000L,
+        subwordMerges = Some(graft.functions.Bpe.demoMerges))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH RECURSIVE
+      d AS (
+        SELECT doc_id, lang, text IS NULL AS is_null_text,
+          list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+            x -> x <> '') w
+        FROM documents),
+      words AS (SELECT DISTINCT unnest(w) AS w FROM d),
+      ${graft.functions.Bpe.bpeCteSql(graft.functions.Bpe.demoMerges)},
+      wn AS (SELECT w, CAST(len(toks) AS BIGINT) AS n_sub FROM bpefin),
+      tokc AS (
+        SELECT d.doc_id, CAST(sum(wn.n_sub) AS BIGINT) AS n_tokens
+        FROM d, LATERAL unnest(d.w) AS u(t)
+        JOIN wn ON wn.w = u.t
+        GROUP BY 1),
+      c AS (
+        SELECT d.doc_id, d.lang,
+          CASE WHEN is_null_text THEN NULL ELSE
+            CAST(coalesce(tokc.n_tokens, 0) AS BIGINT) END AS n_tokens
+        FROM d LEFT JOIN tokc USING (doc_id)),
+      tot AS (
+        SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS t
+        FROM c GROUP BY lang),
+      thr AS (
+        SELECT lang,
+          CAST(floor(least(1.0,
+            (20000.0 * CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25
+                       WHEN 'de' THEN 0.125 WHEN 'fr' THEN 0.125
+                       ELSE 0.0 END / 1.0) / CAST(t AS DOUBLE))
+            * 1000000.0) AS BIGINT) AS thr
+        FROM tot)
+      SELECT c.doc_id, c.lang, c.n_tokens
+      FROM c JOIN thr ON c.lang = thr.lang
+      WHERE ((c.doc_id % $P) * 2654435761 % $P + 12345) % $P % 1000000
+        < thr.thr
+      ORDER BY c.doc_id
+    """.trim))
 }

@@ -424,4 +424,29 @@ class MultimodalSpec extends SparkSpec {
     assert(dup.length == 8)
     assert(dup.map(_._2).toSeq == Seq(0L, 0L, 1L, 1L, 2L, 2L, 3L, 3L))
   }
+
+  test("fingerprintClusters == nearDupClusters over fingerprintPairs " +
+    "(the fp-graph shortcut is exact)") {
+    import spark.implicits._
+    val ids = (0L until 60L).filter(i => i % 10 != 3 && i % 10 != 6)
+    val dh = graft.operators.Multimodal.imageDhash(
+      graft.operators.Multimodal.encodeGradientImageFixture(
+        ids.toDF("doc_id"), "doc_id"))
+      .toDF().where(col("ok") === 1L)
+      .select(col("doc_id"), col("dhash").as("fp"))
+      .persist()
+    val fast = graft.operators.Dedup
+      .fingerprintClusters(dh, "doc_id", "fp", 3, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    val slow = graft.operators.Dedup.nearDupClusters(
+      dh.select(col("doc_id")), "doc_id",
+      graft.operators.Dedup.fingerprintPairs(dh, "doc_id", "fp", 3, 64))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    assert(fast == slow)
+    // sanity: real near-dup families exist in the fixture slice
+    assert(fast.exists(!_._3), "expected at least one non-canonical doc")
+    dh.unpersist()
+  }
 }
