@@ -86,6 +86,8 @@ object Main {
       zorderMaintain(srcParquet, outDir, xCol, yCol,
         bits = rest.headOption.map(_.toInt).getOrElse(4),
         files = rest.drop(1).headOption.map(_.toInt).getOrElse(16))
+    case "dhash-ingest" :: mediaParquet :: storeDir :: outDir :: Nil =>
+      dhashIngest(mediaParquet, storeDir, outDir)
     case "bucketize" :: srcParquet :: table :: key :: buckets :: Nil =>
       bucketize(srcParquet, table, key, buckets.toInt)
     case "stream-curate" :: inDir :: outDir :: ckptDir :: rest
@@ -109,7 +111,7 @@ object Main {
       profile(srcParquet, outDir, cols)
     case _ =>
       System.err.println(
-        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | checksum-ingest <parquet> <groupCol> <textCol> <storeDir> | kmv-ingest <parquet> <groupCol> <textCol> <storeDir> [k] | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | df-ingest <docsParquet> <storeDir> <outDir> [minDf] | export-shards <docsParquet> <outDir> <shardBytes> | export-zorder <parquet> <outDir> <xCol> <yCol> [bits [files]] | zorder-maintain <parquet> <outDir> <xCol> <yCol> [bits [files]] | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | stream-sessionize <eventsDir> <outDir> <ckptDir> [gapMinutes] | stream-dedup <docsDir> <outDir> <ckptDir> [watermarkDelay] | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
+        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | checksum-ingest <parquet> <groupCol> <textCol> <storeDir> | kmv-ingest <parquet> <groupCol> <textCol> <storeDir> [k] | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | df-ingest <docsParquet> <storeDir> <outDir> [minDf] | export-shards <docsParquet> <outDir> <shardBytes> | export-zorder <parquet> <outDir> <xCol> <yCol> [bits [files]] | zorder-maintain <parquet> <outDir> <xCol> <yCol> [bits [files]] | dhash-ingest <mediaParquet> <storeDir> <outDir> | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | stream-sessionize <eventsDir> <outDir> <ckptDir> [gapMinutes] | stream-dedup <docsDir> <outDir> <ckptDir> [watermarkDelay] | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
       sys.exit(2)
   }
 
@@ -189,6 +191,35 @@ object Main {
     println(s"zorder-maintain: $nRows new rows -> $nTouched touched " +
       s"spans under $outDir")
     spark.stop()
+  }
+
+  /** Incremental image-dedup ingest ([[graft.etl.DhashStore]]):
+    * decode the batch's payloads ONCE, append the 8-byte dHashes,
+    * write the store's current cluster decision (doc_id, cluster_id,
+    * is_canonical) to `outDir` — payload bytes are never re-read. */
+  private def dhashIngest(mediaParquet: String, storeDir: String,
+      outDir: String): Unit = {
+    val spark = GraftSession.local()
+    val (n, clusters) = runDhashIngest(spark, mediaParquet, storeDir,
+      outDir)
+    println(s"dhash-ingest: $n decodable payloads fingerprinted -> " +
+      s"store $storeDir; $clusters cluster rows -> $outDir")
+    spark.stop()
+  }
+
+  /** Testable core of `dhash-ingest` (the [[runCompact]] pattern).
+    * Expects a parquet of (doc_id, uri, mime, payload) rows. */
+  private[graft] def runDhashIngest(
+      spark: org.apache.spark.sql.SparkSession, mediaParquet: String,
+      storeDir: String, outDir: String): (Long, Long) = {
+    import graft.operators.Multimodal
+    val media = spark.read.parquet(mediaParquet)
+      .as[Multimodal.MediaRecord](Multimodal.mediaRecordEnc)
+    val store = new graft.etl.DhashStore(spark, storeDir)
+    val n = store.ingest(media)
+    val clusters = store.clusters()
+    clusters.write.mode("overwrite").parquet(outDir)
+    (n, spark.read.parquet(outDir).count())
   }
 
   /** Testable core of `zorder-maintain` (the [[runCompact]] pattern). */
