@@ -151,7 +151,7 @@ object Bench {
     // q92's floor moved 0.29 -> 0.41 in r11: the block-cap guard adds
     // a count aggregate + broadcast anti-join by design (scale safety
     // traded for ~0.1 s at this SF); best observed for the new plan
-    "q92_fuzzy_match" -> 0.39,
+    "q92_fuzzy_match" -> 0.37,
     "q93_stratum_percentile" -> 0.24,
     "q94_leakage_safe_split" -> 1.26,
     "q95_value_drift" -> 0.48,
@@ -178,7 +178,7 @@ object Bench {
     "q115_correlation_matrix" -> 1.1,
     "q116_mixed_language" -> 0.79,
     "q117_fd_audit" -> 0.26,
-    "q118_touch_attribution" -> 0.85,
+    "q118_touch_attribution" -> 0.82,
     "q119_join_blowup" -> 0.24,
     "q120_benford_profile" -> 0.53,
     "q121_k_anonymity" -> 0.27,
@@ -236,14 +236,14 @@ object Bench {
     "q165_missingness_lift" -> 0.16,
     "q166_peak_rate" -> 0.42,
     "q167_ship_latency" -> 0.92,
-    "q168_order_distribution" -> 0.44,
+    "q168_order_distribution" -> 0.39,
     "q169_activity_streaks" -> 0.59,
     "q170_rank_shift" -> 0.97,
     "q171_temporal_split" -> 0.37,
     "q172_causal_zscore" -> 0.83,
     "q173_seasonal_naive" -> 0.44,
     "q174_winnowing_neardup" -> 1.67,
-    "q175_profile_drift" -> 0.31,
+    "q175_profile_drift" -> 0.30,
     "q176_value_tail_bands" -> 0.47,
     "q177_type_pagerank" -> 1.31,
     "q178_fuzzy_operating_point" -> 0.81,
@@ -266,7 +266,7 @@ object Bench {
     // BENCH_local_r11k (focused q191-q198 run). q195 runs THREE
     // near-dup pipelines (the q188 rule); q197 pays the q31 closure
     "q191_lag_autocorrelation" -> 0.44,
-    "q192_fact_reconciliation" -> 1.24,
+    "q192_fact_reconciliation" -> 1.20,
     "q193_contribution_shares" -> 0.56,
     "q194_event_trigrams" -> 0.56,
     "q195_dedup_disagreements" -> 2.34,
@@ -276,7 +276,7 @@ object Bench {
     // q199-q202: closing-canonical (r11l) + focused runs
     "q199_skyline" -> 0.36,
     "q200_sample_representativeness" -> 0.33,
-    "q201_stratum_mean_se" -> 0.22,
+    "q201_stratum_mean_se" -> 0.19,
     "q202_metric_correlation" -> 1.54,
     // BENCH_local_r11m (focused q203-q205 run)
     "q203_split_balance" -> 0.52,
@@ -284,14 +284,14 @@ object Bench {
     "q205_price_volume_mix" -> 1.14,
     // BENCH_local_r13a (the r13 canonical: first full run with the
     // file-based artifact + shuffle-bytes meter; 69 floors lowered)
-    "q206_image_decode" -> 0.83,
+    "q206_image_decode" -> 0.76,
     "q207_audio_decode" -> 1.31,
     "q208_sole_fault_suppliers" -> 0.85,
     // focused post-canonical runs
     "q209_video_decode" -> 0.23,
-    "q210_key_skew_profile" -> 0.43,
+    "q210_key_skew_profile" -> 0.42,
     "q211_contamination_sweep" -> 0.74,
-    "q212_token_fertility" -> 0.38,
+    "q212_token_fertility" -> 0.37,
     // q213 pays the full q17 pipeline + the wedge joins (pair-frame
     // scale) — the audit's honest cost
     "q213_pair_transitivity" -> 2.22,
@@ -311,54 +311,54 @@ object Bench {
     // profile's honest cost — q206+q207+q209 in one query)
     "q221_media_profile" -> 2.37,
     "q222_background_jaccard" -> 0.37,
-    "q223_small_qty_revenue" -> 1.15,
+    "q223_small_qty_revenue" -> 1.02,
     "q224_shard_manifest" -> 0.57,
     // q225 pays the full q17 pair pipeline (the label side)
     "q225_quality_calibration" -> 2.44,
     // q226 pays the q39 IVF search (index + probe + rank)
     "q226_search_mrr" -> 1.65,
-    "q227_effective_sample_size" -> 0.33,
+    "q227_effective_sample_size" -> 0.29,
     // r14 continuation: score-gate evals (both pay the sha2 dup-label
     // shuffle; the rank math itself runs on the distinct-score frame)
     "q228_score_auc" -> 0.40,
-    "q229_gain_curve" -> 0.48,
+    "q229_gain_curve" -> 0.33,
     // the Q20/Q22 planner shapes: two lineitem aggregates + semi
     // chain; scalar-append + date-filtered anti
-    "q230_dominant_share_suppliers" -> 0.84,
-    "q231_idle_customers" -> 0.52,
-    "q232_recursive_l_diversity" -> 0.50,
-    "q233_zorder_manifest" -> 0.58,
+    "q230_dominant_share_suppliers" -> 0.71,
+    "q231_idle_customers" -> 0.40,
+    "q232_recursive_l_diversity" -> 0.41,
+    "q233_zorder_manifest" -> 0.53,
     // q234 pays the full q17 pair pipeline (the q225 cost shape)
     "q234_neighbor_label_audit" -> 2.59,
-    "q235_part_supplier_census" -> 0.73,
-    "q236_column_profile_sketch" -> 0.69,
-    "q237_waterfill_quota" -> 0.45,
+    "q235_part_supplier_census" -> 0.72,
+    "q236_column_profile_sketch" -> 0.48,
+    "q237_waterfill_quota" -> 0.43,
     "q238_frame_sample_plan" -> 0.32,
-    "q239_disjunctive_revenue" -> 0.52,
+    "q239_disjunctive_revenue" -> 0.41,
     "q240_calibration_ece" -> 0.46,
     "q241_bootstrap_ci" -> 0.29,
-    "q242_survival_hazard" -> 0.65,
+    "q242_survival_hazard" -> 0.54,
     // q243 is sub-second only because of the codegen'd char fold
     // (the HOF form measured 3.55 s — the r4 native-expression lesson)
-    "q243_content_checksum" -> 0.29,
-    "q244_background_cosine" -> 0.47,
+    "q243_content_checksum" -> 0.25,
+    "q244_background_cosine" -> 0.43,
     "q245_large_quantity_orders" -> 0.89,
     "q246_top_revenue_supplier" -> 0.42,
-    "q247_nation_pair_volume" -> 0.88,
+    "q247_nation_pair_volume" -> 0.85,
     "q248_regional_min_cost_supplier" -> 1.58,
-    "q249_kmv_overlap" -> 0.75,
-    "q250_kmv_accuracy" -> 0.81,
+    "q249_kmv_overlap" -> 0.73,
+    "q250_kmv_accuracy" -> 0.53,
     "q251_kmv_source_matrix" -> 1.25,
-    "q252_national_market_share" -> 1.30,
-    "q253_bpe_vocab" -> 0.54,
-    "q254_bpe_fertility" -> 0.74,
+    "q252_national_market_share" -> 1.25,
+    "q253_bpe_vocab" -> 0.41,
+    "q254_bpe_fertility" -> 0.51,
     "q255_image_dhash_neardup" -> 1.50,
-    "q256_video_sample_bytes" -> 0.40,
-    "q257_frame_sample_bytes" -> 0.51,
-    "q258_product_type_profit" -> 1.21,
-    "q259_order_priority_exists" -> 0.60,
-    "q260_bpe_budget_mix" -> 0.53,
-    "q261_image_dhash_clusters" -> 1.55)
+    "q256_video_sample_bytes" -> 0.33,
+    "q257_frame_sample_bytes" -> 0.44,
+    "q258_product_type_profit" -> 0.92,
+    "q259_order_priority_exists" -> 0.49,
+    "q260_bpe_budget_mix" -> 0.40,
+    "q261_image_dhash_clusters" -> 1.46)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -385,15 +385,15 @@ object Bench {
   private[graft] val byteFloors: Map[String, Long] = Map(
     "q100_containment_pairs" -> 30009842L,
     "q101_cross_containment" -> 16860731L,
-    "q102_winsorize" -> 3714912L,
+    "q102_winsorize" -> 3714362L,
     "q103_temperature_mix" -> 1058L,
     "q104_rule_audit" -> 175892L,
     "q105_bigram_fluency" -> 510245L,
     "q106_hard_negatives" -> 29075L,
     "q107_intra_label_diversity" -> 25829L,
-    "q108_mad_outliers" -> 3119592L,
+    "q108_mad_outliers" -> 3119378L,
     "q109_json_field_stats" -> 1953L,
-    "q10_incremental_antijoin" -> 776136L,
+    "q10_incremental_antijoin" -> 776256L,
     "q110_curation_funnel" -> 15401L,
     "q111_grid_percentile" -> 76300L,
     "q112_unigram_divergence" -> 913504L,
@@ -408,7 +408,7 @@ object Bench {
     "q120_benford_profile" -> 7728L,
     "q121_k_anonymity" -> 170457L,
     "q122_transition_matrix" -> 3630283L,
-    "q123_hybrid_rrf" -> 3932688L,
+    "q123_hybrid_rrf" -> 3932738L,
     "q124_distinct_ngrams" -> 10267965L,
     "q125_embedding_health" -> 3629L,
     "q126_cusum_changepoint" -> 62447L,
@@ -462,14 +462,14 @@ object Bench {
     "q16_exact_dedup" -> 1877902L,
     "q170_rank_shift" -> 1056670L,
     "q171_temporal_split" -> 52492L,
-    "q172_causal_zscore" -> 11992692L,
+    "q172_causal_zscore" -> 11992602L,
     "q173_seasonal_naive" -> 28508L,
-    "q174_winnowing_neardup" -> 21677236L,
+    "q174_winnowing_neardup" -> 21677326L,
     "q175_profile_drift" -> 4842L,
     "q176_value_tail_bands" -> 1147199L,
     "q177_type_pagerank" -> 5443190L,
     "q178_fuzzy_operating_point" -> 122180L,
-    "q179_tfidf_keywords" -> 5027404L,
+    "q179_tfidf_keywords" -> 5026894L,
     "q17_ngram_jaccard_neardup" -> 30011208L,
     "q180_grid_accuracy" -> 733984L,
     "q181_transition_predictability" -> 3626489L,
@@ -492,7 +492,7 @@ object Bench {
     "q197_cluster_sizes" -> 413841L,
     "q198_scrub_closure" -> 244L,
     "q199_skyline" -> 38752L,
-    "q19_simhash_neardup" -> 239737L,
+    "q19_simhash_neardup" -> 239743L,
     "q1_pricing_summary" -> 4641L,
     "q200_sample_representativeness" -> 4106L,
     "q201_stratum_mean_se" -> 2619L,
@@ -535,7 +535,7 @@ object Bench {
     "q235_part_supplier_census" -> 1427433L,
     "q236_column_profile_sketch" -> 20426L,
     "q237_waterfill_quota" -> 3547L,
-    "q238_frame_sample_plan" -> 273298L,
+    "q238_frame_sample_plan" -> 272586L,
     "q239_disjunctive_revenue" -> 432L,
     "q240_calibration_ece" -> 694042L,
     "q241_bootstrap_ci" -> 4480L,
@@ -552,14 +552,15 @@ object Bench {
     "q252_national_market_share" -> 7389304L,
     "q253_bpe_vocab" -> 11823L,
     "q254_bpe_fertility" -> 898L,
-    "q255_image_dhash_neardup" -> 14261508L,
-    "q256_video_sample_bytes" -> 485058L,
-    "q257_frame_sample_bytes" -> 485308L,
+    "q255_image_dhash_neardup" -> 14254990L,
+    "q256_video_sample_bytes" -> 485052L,
+    "q257_frame_sample_bytes" -> 485406L,
     "q258_product_type_profit" -> 30913L,
     "q259_order_priority_exists" -> 1845L,
     "q260_bpe_budget_mix" -> 8364L,
     "q261_image_dhash_clusters" -> 77542L,
-    "q21_embedding_neardup_ivf" -> 5033608L,
+    "q262_audio_envelope_neardup" -> 13624851L,
+    "q21_embedding_neardup_ivf" -> 5000834L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,
     "q24_token_stats" -> 3229944L,
@@ -567,45 +568,45 @@ object Bench {
     "q26_multimodal_meta" -> 983684L,
     "q27_report_metrics" -> 200L,
     "q28_report_distributors" -> 8219L,
-    "q29_trycast_timestamp" -> 5733110L,
+    "q29_trycast_timestamp" -> 5733572L,
     "q2_select_project" -> 417504L,
-    "q30_embedding_neardup_rplsh" -> 20501401L,
+    "q30_embedding_neardup_rplsh" -> 20501393L,
     "q31_neardup_clusters" -> 466383L,
     "q32_stratified_sample" -> 35782L,
     "q33_pii_redact" -> 721556L,
-    "q34_event_sessionize" -> 10666028L,
+    "q34_event_sessionize" -> 10666270L,
     "q35_repetition_signals" -> 253330L,
     "q36_cross_contamination" -> 17527841L,
     "q37_sequence_packing" -> 458719L,
     "q38_network_redact" -> 728946L,
     "q39_embedding_topk_ivf" -> 672881L,
-    "q3_try_cast" -> 332020L,
+    "q3_try_cast" -> 332008L,
     "q40_training_order" -> 308517L,
     "q41_token_budget_mix" -> 16110L,
     "q42_epoch_sharded_packing" -> 2925907L,
-    "q43_asof_join" -> 4568887L,
+    "q43_asof_join" -> 4569789L,
     "q44_interval_join" -> 7612L,
     "q45_length_profile" -> 15385L,
     "q46_grouped_topk" -> 4152L,
     "q47_sliding_chunks" -> 1055100L,
     "q48_keepbest_dedup" -> 2018227L,
     "q49_eval_overlap" -> 543962L,
-    "q4_left_join_enrich" -> 740022L,
+    "q4_left_join_enrich" -> 740086L,
     "q50_curriculum_bins" -> 17628L,
     "q51_priority_sample" -> 6082L,
     "q52_bm25_scores" -> 1123003L,
     "q53_semantic_clusters" -> 20314969L,
     "q54_shingle_novelty" -> 958251L,
-    "q55_embedding_quantize" -> 3015224L,
-    "q56_pq_codes" -> 535418L,
+    "q55_embedding_quantize" -> 3017066L,
+    "q56_pq_codes" -> 535464L,
     "q57_pq_adc_topk" -> 2036259L,
     "q58_rollup_revenue" -> 11541L,
     "q59_pivot_returnflag" -> 37108L,
     "q5_anti_orphans" -> 0L,
     "q60_paragraph_dedup" -> 4919719L,
     "q61_ivfpq_topk" -> 762530L,
-    "q62_column_profile" -> 3482762L,
-    "q63_asof_tolerance" -> 4097085L,
+    "q62_column_profile" -> 3510210L,
+    "q63_asof_tolerance" -> 4097597L,
     "q64_cube_revenue" -> 16600L,
     "q65_term_zipf" -> 3229944L,
     "q66_lexical_richness" -> 3719211L,
@@ -621,14 +622,14 @@ object Bench {
     "q75_grouping_sets" -> 5532L,
     "q76_eval_overlap_bloom" -> 957475L,
     "q77_snapshot_diff" -> 1234867L,
-    "q78_asof_forward" -> 4561192L,
+    "q78_asof_forward" -> 4560572L,
     "q79_ingest_gaps" -> 16700L,
-    "q7_dedup_keepfirst" -> 1110647L,
+    "q7_dedup_keepfirst" -> 1110535L,
     "q80_cms_heavy_hitters" -> 10638L,
-    "q81_moving_revenue" -> 7994208L,
-    "q82_scd2_intervals" -> 9001557L,
+    "q81_moving_revenue" -> 7993450L,
+    "q82_scd2_intervals" -> 9001399L,
     "q83_volume_anomaly" -> 88350L,
-    "q84_posting_lists" -> 12121277L,
+    "q84_posting_lists" -> 12120953L,
     "q85_state_dwell" -> 3726840L,
     "q86_growth_curve" -> 560000L,
     "q87_sliding_wau" -> 1362039L,

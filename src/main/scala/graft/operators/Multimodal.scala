@@ -290,6 +290,143 @@ object Multimodal {
     }
   }
 
+  /** One decoded audio fingerprint row: `ok = 1` with the 64-bit
+    * envelope hash when the payload decoded and carried enough
+    * samples; `ok = 0`/null otherwise. */
+  final case class AudioFingerprint(doc_id: Long, ok: Long,
+      fp: Option[Long])
+
+  implicit val audioFingerprintEnc: Encoder[AudioFingerprint] =
+    Encoders.product[AudioFingerprint]
+
+  /** 64-bit ENERGY-ENVELOPE hash of one audio payload — the
+    * dedup × audio rung (the dHash idea applied to the time axis, and
+    * the standard pre-spectral audio-fingerprint baseline): decode
+    * the REAL PCM sample stream (`javax.sound.sampled`, WAV/AIFF,
+    * 16-bit), fold the first channel into 65 consecutive
+    * `window`-sample mean-absolute-amplitude values (the energy
+    * envelope), set bit w iff window w+1 is louder than window w.
+    * Adjacent-window comparisons make the hash invariant to global
+    * gain (volume re-normalization — the commonest re-encode
+    * transform) while tracking the envelope SHAPE, which is what
+    * repeats across copies of one recording.
+    *
+    * INTEGER-exact: sample values are exact 16-bit integers off the
+    * container (endianness per the format header — WAV little, AIFF
+    * big), the window mean is `sum(|s|) div window`, the bit a strict
+    * integer comparison — an oracle that knows the waveform restates
+    * the hash without decoding. None for unclaimable/corrupt
+    * payloads, non-16-bit encodings, or streams shorter than 65 full
+    * windows — data, not exceptions. */
+  def audioEnvelopeHash64(payload: Array[Byte], window: Int = 256)
+      : Option[Long] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val frameSize = fmt.getFrameSize
+          val big = fmt.isBigEndian
+          val needed = 65 * window
+          val buf = new Array[Byte](needed * frameSize)
+          var off = 0
+          var read = 0
+          while (read >= 0 && off < buf.length) {
+            read = ais.read(buf, off, buf.length - off)
+            if (read > 0) off += read
+          }
+          if (off < buf.length) None
+          else {
+            val env = new Array[Long](65)
+            var w = 0
+            while (w < 65) {
+              var sum = 0L
+              var j = 0
+              while (j < window) {
+                val base = (w * window + j) * frameSize
+                val s =
+                  if (big) ((buf(base) << 8) | (buf(base + 1) & 0xff))
+                  else ((buf(base + 1) << 8) | (buf(base) & 0xff))
+                sum += math.abs(s.toLong)
+                j += 1
+              }
+              env(w) = sum / window
+              w += 1
+            }
+            var fp = 0L
+            w = 0
+            while (w < 64) {
+              if (env(w + 1) > env(w)) fp |= 1L << w
+              w += 1
+            }
+            Some(fp)
+          }
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Distributed audio fingerprinting — the decode batch shape with
+    * the usual contracts (corrupt → ok = 0, payloads never shuffle). */
+  def audioFingerprints(media: Dataset[MediaRecord])
+      : Dataset[AudioFingerprint] =
+    media.mapPartitions { it =>
+      it.map { r =>
+        audioEnvelopeHash64(r.payload) match {
+          case Some(fp) => AudioFingerprint(r.doc_id, 1L, Some(fp))
+          case None => AudioFingerprint(r.doc_id, 0L, None)
+        }
+      }
+    }
+
+  /** REAL-BYTES waveform fixture for the envelope-hash rung: per doc
+    * id, a mono 16-bit 8 kHz WAV of 66 × 256 samples whose value is a
+    * ±1 square carrier times a PER-WINDOW amplitude
+    * `A(w) = 500 + ((id%21 + w) % 7)·300`, plus a +400 tweak on
+    * window 0 when `(id div 21) % 2 = 1` — so each window's mean
+    * absolute amplitude IS A(w) exactly and the envelope hash is pure
+    * id arithmetic (21 envelope patterns × a ≤-1-bit tweak variant).
+    * Corruption families: `id % 10 = 3` zeroes the RIFF magic,
+    * `id % 10 = 6` truncates to 16 bytes. */
+  def encodeWaveformFixture(docs: DataFrame, idCol: String)
+      : Dataset[MediaRecord] = {
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+      .where(col("doc_id").isNotNull && col("doc_id") >= 0)
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    ids.as[Long].mapPartitions { it =>
+      it.map { id =>
+        val window = 256
+        val nWin = 66
+        val pcm = new Array[Byte](nWin * window * 2) // mono s16le
+        var i = 0
+        while (i < nWin * window) {
+          val w = i / window
+          val amp = 500 + (((id % 21) + w) % 7).toInt * 300 +
+            (if (w == 0 && (id / 21) % 2 == 1) 400 else 0)
+          val s = if (i % 4 < 2) amp else -amp
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt,
+          (nWin * window).toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        var bytes = bos.toByteArray
+        if (id % 10 == 3) bytes(0) = 0
+        else if (id % 10 == 6) bytes = bytes.take(16)
+        MediaRecord(id, s"memory://wave/$id", "audio/wav", bytes)
+      }
+    }
+  }
+
   /** Video container metadata decoded from REAL payload bytes — the
     * third modality, same contract: `ok = 1` when the MP4 (ISO BMFF)
     * container header parsed; corrupt/unrecognized payloads keep the

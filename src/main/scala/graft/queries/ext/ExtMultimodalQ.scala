@@ -367,6 +367,60 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       FROM reach GROUP BY id ORDER BY doc_id
     """.trim))
 
+  // --------------------------------------------------------------- q262
+  /** q262 — AUDIO content near-dup (the dedup × audio rung, closing
+    * the modality row the image dHash opened):
+    * [[Multimodal.encodeWaveformFixture]] writes real 16-bit WAVs
+    * whose per-window amplitude is pure id arithmetic,
+    * [[Multimodal.audioEnvelopeHash64]] decodes the PCM stream and
+    * folds the integer-exact 64-bit energy-ENVELOPE hash (louder-
+    * than-previous-window bits — gain-invariant, the dHash idea on
+    * the time axis), and [[Dedup.fingerprintPairs]] reuses the
+    * pigeonhole Hamming machinery. Oracle restates every hash from
+    * the waveform's amplitude function (no audio decode) and
+    * brute-forces the pair set. */
+  val q262: Q = Q(
+    "q262_audio_envelope_neardup",
+    (s, d) => {
+      val media = Multimodal.encodeWaveformFixture(
+        Tables.documents(s, d), "doc_id")
+      val fp = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.audioFingerprints(media).toDF()
+          .where(col("ok") === 1L)
+          .select(col("doc_id"), col("fp")))
+      Dedup.fingerprintPairs(fp, "doc_id", "fp",
+        maxHamming = 3, bits = 64)
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0
+          AND doc_id % 10 NOT IN (3, 6)),
+      cells AS (
+        SELECT doc_id, CAST(u.w AS BIGINT) AS w,
+          CAST(500 + ((doc_id % 21 + u.w) % 7) * 300 +
+            CASE WHEN u.w = 0 AND (doc_id // 21) % 2 = 1
+                 THEN 400 ELSE 0 END AS BIGINT) AS a
+        FROM ids, LATERAL unnest(range(65)) AS u(w)),
+      bits AS (
+        SELECT x.doc_id, CAST(x.w AS INT) AS b
+        FROM cells x JOIN cells n
+          ON n.doc_id = x.doc_id AND n.w = x.w + 1
+        WHERE n.a > x.a),
+      fp AS (
+        SELECT i.doc_id,
+          CAST(coalesce(sum(CASE WHEN b.b = 63
+            THEN -9223372036854775808
+            ELSE (1::BIGINT << b.b) END), 0) AS BIGINT) AS fp
+        FROM ids i LEFT JOIN bits b USING (doc_id)
+        GROUP BY i.doc_id)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.fp, b.fp)) <= 3
+      ORDER BY doc_a, doc_b
+    """.trim))
+
   /** The shared id-arithmetic replay of the video fixture's sample
     * tables (q256/q257): per decodable video, n samples, uniform
     * delta, per-sample sizes, two chunks split at c1 with a dead-byte

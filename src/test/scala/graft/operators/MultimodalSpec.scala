@@ -449,4 +449,42 @@ class MultimodalSpec extends SparkSpec {
     assert(fast.exists(!_._3), "expected at least one non-canonical doc")
     dh.unpersist()
   }
+
+  test("audioEnvelopeHash64 round-trips the waveform fixture: hash " +
+    "equals the amplitude function, corrupt ok=0, tweak <= 1 bit") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L, 3L, 5L, 6L, 21L, 22L, 44L).toDF("doc_id")
+    val got = Multimodal.audioFingerprints(
+      Multimodal.encodeWaveformFixture(ids, "doc_id"))
+      .collect().map(r => r.doc_id -> r).toMap
+    def refHash(id: Long): Long = {
+      def a(w: Int): Long = 500L + ((id % 21 + w) % 7) * 300L +
+        (if (w == 0 && (id / 21) % 2 == 1) 400L else 0L)
+      var fp = 0L
+      for (w <- 0 until 64) if (a(w + 1) > a(w)) fp |= 1L << w
+      fp
+    }
+    for (id <- Seq(0L, 1L, 2L, 5L, 21L, 22L, 44L)) {
+      assert(got(id).ok == 1L, s"id=$id")
+      assert(got(id).fp.contains(refHash(id)), s"id=$id")
+    }
+    assert(got(3L).ok == 0L && got(6L).ok == 0L)
+    // same pattern across the tweak boundary: <= 1 bit apart
+    assert(java.lang.Long.bitCount(refHash(0L) ^ refHash(21L)) <= 1)
+    assert(java.lang.Long.bitCount(refHash(1L) ^ refHash(22L)) <= 1)
+    // identical pattern + tweak parity: identical hash
+    assert(refHash(2L) == refHash(44L))
+  }
+
+  test("audioEnvelopeHash64 is total and strict: garbage, empty, and " +
+    "too-short streams decode to None") {
+    assert(Multimodal.audioEnvelopeHash64(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.audioEnvelopeHash64(Array.emptyByteArray).isEmpty)
+    // a REAL but too-short wav (the q207 fixture: 50-201 frames,
+    // far below the 65*256 the envelope needs)
+    import spark.implicits._
+    val short = Multimodal.encodeAudioFixture(
+      Seq(0L).toDF("doc_id"), "doc_id").collect()(0).payload
+    assert(Multimodal.audioEnvelopeHash64(short).isEmpty)
+  }
 }
