@@ -88,6 +88,12 @@ object Main {
         files = rest.drop(1).headOption.map(_.toInt).getOrElse(16))
     case "dhash-ingest" :: mediaParquet :: storeDir :: outDir :: Nil =>
       dhashIngest(mediaParquet, storeDir, outDir)
+    case "bpe-train" :: docsParquet :: outParquet :: rest
+        if rest.size <= 1 =>
+      bpeTrain(docsParquet, outParquet,
+        nMerges = rest.headOption.map(_.toInt).getOrElse(256))
+    case "bpe-apply" :: docsParquet :: mergesParquet :: outDir :: Nil =>
+      bpeApply(docsParquet, mergesParquet, outDir)
     case "bucketize" :: srcParquet :: table :: key :: buckets :: Nil =>
       bucketize(srcParquet, table, key, buckets.toInt)
     case "stream-curate" :: inDir :: outDir :: ckptDir :: rest
@@ -111,7 +117,7 @@ object Main {
       profile(srcParquet, outDir, cols)
     case _ =>
       System.err.println(
-        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | checksum-ingest <parquet> <groupCol> <textCol> <storeDir> | kmv-ingest <parquet> <groupCol> <textCol> <storeDir> [k] | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | df-ingest <docsParquet> <storeDir> <outDir> [minDf] | export-shards <docsParquet> <outDir> <shardBytes> | export-zorder <parquet> <outDir> <xCol> <yCol> [bits [files]] | zorder-maintain <parquet> <outDir> <xCol> <yCol> [bits [files]] | dhash-ingest <mediaParquet> <storeDir> <outDir> | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | stream-sessionize <eventsDir> <outDir> <ckptDir> [gapMinutes] | stream-dedup <docsDir> <outDir> <ckptDir> [watermarkDelay] | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
+        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | checksum-ingest <parquet> <groupCol> <textCol> <storeDir> | kmv-ingest <parquet> <groupCol> <textCol> <storeDir> [k] | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | df-ingest <docsParquet> <storeDir> <outDir> [minDf] | export-shards <docsParquet> <outDir> <shardBytes> | export-zorder <parquet> <outDir> <xCol> <yCol> [bits [files]] | zorder-maintain <parquet> <outDir> <xCol> <yCol> [bits [files]] | dhash-ingest <mediaParquet> <storeDir> <outDir> | bpe-train <docsParquet> <outParquet> [nMerges] | bpe-apply <docsParquet> <mergesParquet> <outDir> | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | stream-sessionize <eventsDir> <outDir> <ckptDir> [gapMinutes] | stream-dedup <docsDir> <outDir> <ckptDir> [watermarkDelay] | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
       sys.exit(2)
   }
 
@@ -220,6 +226,59 @@ object Main {
     val clusters = store.clusters()
     clusters.write.mode("overwrite").parquet(outDir)
     (n, spark.read.parquet(outDir).count())
+  }
+
+  /** Train a BPE merge table from a corpus
+    * ([[graft.functions.Bpe.trainMerges]]) and write the (rank, a, b)
+    * tokenizer artifact — the shippable dim [[bpeApply]] and the
+    * q253/q254/q260 machinery consume. */
+  private def bpeTrain(docsParquet: String, outParquet: String,
+      nMerges: Int): Unit = {
+    val spark = GraftSession.local()
+    val n = runBpeTrain(spark, docsParquet, outParquet, nMerges)
+    println(s"bpe-train: $n merges learned -> $outParquet")
+    spark.stop()
+  }
+
+  /** Testable core of `bpe-train` (the [[runCompact]] pattern).
+    * Expects a `text` column. */
+  private[graft] def runBpeTrain(
+      spark: org.apache.spark.sql.SparkSession, docsParquet: String,
+      outParquet: String, nMerges: Int): Long = {
+    import graft.functions.Bpe
+    val merges = Bpe.trainMerges(spark.read.parquet(docsParquet),
+      "text", nMerges)
+    Bpe.mergesToDf(spark, merges).coalesce(1)
+      .write.mode("overwrite").parquet(outParquet)
+    merges.size.toLong
+  }
+
+  /** Apply a trained merge table: per-doc whitespace and SUBWORD
+    * token counts to `outDir` — the honest token accounting for a
+    * budget pass. */
+  private def bpeApply(docsParquet: String, mergesParquet: String,
+      outDir: String): Unit = {
+    val spark = GraftSession.local()
+    val n = runBpeApply(spark, docsParquet, mergesParquet, outDir)
+    println(s"bpe-apply: $n docs counted -> $outDir")
+    spark.stop()
+  }
+
+  /** Testable core of `bpe-apply` (the [[runCompact]] pattern).
+    * Expects `doc_id`/`text` columns. */
+  private[graft] def runBpeApply(
+      spark: org.apache.spark.sql.SparkSession, docsParquet: String,
+      mergesParquet: String, outDir: String): Long = {
+    import org.apache.spark.sql.functions.{col, lower, size, trim}
+    import graft.functions.{Bpe, TextHash}
+    val merges = Bpe.mergesFromDf(spark.read.parquet(mergesParquet))
+    spark.read.parquet(docsParquet)
+      .select(col("doc_id"),
+        size(TextHash.tokens(col("text"))).cast("long").as("n_words"),
+        Bpe.subwordCountOf(lower(trim(col("text"))), merges)
+          .as("n_subwords"))
+      .write.mode("overwrite").parquet(outDir)
+    spark.read.parquet(outDir).count()
   }
 
   /** Testable core of `zorder-maintain` (the [[runCompact]] pattern). */

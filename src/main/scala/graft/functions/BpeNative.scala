@@ -224,6 +224,78 @@ object Bpe {
   def subwordCountOf(text: Column, merges: Seq[(String, String)]): Column =
     GraftColumns.of(BpeSubwordCount(GraftColumns.expr(text), merges))
 
+  /** TRAIN a merge table from a corpus — the tokenizer-ARTIFACT
+    * producer completing the BPE story (train → ship the table as a
+    * dim → apply row-locally): classic byte-pair-encoding training on
+    * WORD COUNTS, exactly how Sennrich/HF train — the corpus folds
+    * once to the (word, count) vocabulary (partial-aggregated,
+    * dim-bounded: distinct words ≪ corpus; at web scale train on a
+    * q51-style deterministic sample, the standard practice), the
+    * vocabulary collects to the driver like any dim, and the greedy
+    * loop runs locally: count adjacent pairs weighted by word count,
+    * merge the most frequent everywhere, repeat. DETERMINISTIC by
+    * construction — ties break (count DESC, pair ASC), so the same
+    * corpus always yields the same table (spec-pinned), which is what
+    * makes the artifact shippable.
+    *
+    * Stops early when no pair occurs twice (merging singleton pairs
+    * only memorizes words). Returns merges in rank order, directly
+    * usable by [[subwordsOf]]/[[subwordCountOf]]. */
+  def trainMerges(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      nMerges: Int): Seq[(String, String)] = {
+    require(nMerges >= 1 && nMerges <= 65536, s"nMerges=$nMerges")
+    import org.apache.spark.sql.functions.{col, count, explode, lit, lower}
+    val vocab = docs.where(col(textCol).isNotNull)
+      .select(explode(TextHash.tokens(lower(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // words as mutable token lists, weighted by corpus count
+    val words = vocab.map { case (w, n) =>
+      val toks = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        toks += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      (toks, n)
+    }
+    val merges = Seq.newBuilder[(String, String)]
+    var made = 0
+    var done = false
+    while (made < nMerges && !done) {
+      val pairCounts =
+        scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (toks, n) =>
+        var j = 0
+        while (j < toks.length - 1) {
+          val p = (toks(j), toks(j + 1))
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + n)
+          j += 1
+        }
+      }
+      val best = pairCounts.filter(_._2 >= 2).toSeq
+        .sortBy { case ((a, b), n) => (-n, a, b) }.headOption
+      best match {
+        case None => done = true
+        case Some(((a, b), _)) =>
+          merges += ((a, b))
+          made += 1
+          // merge every occurrence left-to-right in every word
+          words.foreach { case (toks, _) =>
+            var j = 0
+            while (j < toks.length - 1) {
+              if (toks(j) == a && toks(j + 1) == b) {
+                toks(j) = a + b
+                toks.remove(j + 1)
+              } else j += 1
+            }
+          }
+      }
+    }
+    merges.result()
+  }
+
   /** The DuckDB MAP literal of a merge table — generated from the SAME
     * Seq the Spark expressions hold (the q217 `bandLadderSql`
     * discipline: one source of truth, two engines). Keys are
@@ -232,6 +304,27 @@ object Bpe {
     merges.zipWithIndex.map { case ((a, b), r) =>
       s"'$a' || chr(1) || '$b': $r"
     }.mkString("MAP {", ", ", "}")
+
+  /** The merge table as a (rank, a, b) frame — the on-disk artifact
+    * form (`bpe-train` writes it; any engine reads it). */
+  def mergesToDf(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), r) => (r.toLong, a, b) }
+      .toDF("rank", "a", "b")
+  }
+
+  /** Load a merge table written by [[mergesToDf]] — a bounded dim
+    * collect (the table IS the tokenizer artifact), rank order
+    * restored. */
+  def mergesFromDf(df: org.apache.spark.sql.DataFrame)
+      : Seq[(String, String)] = {
+    import org.apache.spark.sql.functions.col
+    df.select(col("rank").cast("long"), col("a"), col("b"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+  }
 
   /** The DuckDB recursive-CTE replay of the greedy merge over a
     * `words(w)` relation: CTE fragments `bpe(w, toks)` + final

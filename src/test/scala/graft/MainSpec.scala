@@ -372,6 +372,30 @@ class MainSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("bpe-train + bpe-apply CLIs: the trained artifact round-trips " +
+    "and the applied counts compress vs characters") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_bpecli").toString
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val n = Main.runBpeTrain(spark, docs, s"$base/merges", nMerges = 24)
+    assert(n >= 1 && n <= 24)
+    val merges = graft.functions.Bpe.mergesFromDf(
+      spark.read.parquet(s"$base/merges"))
+    assert(merges.size == n)
+    // training is deterministic: re-train equals the artifact
+    assert(graft.functions.Bpe.trainMerges(
+      spark.read.parquet(docs), "text", 24) == merges)
+    val cnt = Main.runBpeApply(spark, docs, s"$base/merges", s"$base/o")
+    val out = spark.read.parquet(s"$base/o")
+    assert(cnt == spark.read.parquet(docs).count())
+    // a trained table must COMPRESS: fewer subwords than characters,
+    // at least as many as whitespace words
+    val bad = out.where(col("n_subwords") < col("n_words")).count()
+    assert(bad == 0)
+    assert(out.where(col("n_subwords") > 0).count() > 0)
+  }
+
   test("stream-sessionize: closed sessions land across checkpointed " +
     "drains; the open tail closes when a later event breaks the gap") {
     import org.apache.spark.sql.functions.col

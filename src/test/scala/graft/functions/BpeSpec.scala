@@ -89,4 +89,35 @@ class BpeSpec extends SparkSpec {
     val exec = plan.queryExecution.executedPlan.toString
     assert(exec.contains("*("), exec)
   }
+
+  test("trainMerges learns the hand-computed table: most frequent " +
+    "pair first, (count desc, pair asc) ties, singleton pairs never " +
+    "merged, deterministic across runs") {
+    import org.apache.spark.sql.functions._
+    // counts: "aaab" x3, "ab" x2 -> pair counts round 1:
+    //   (a,a): 2 per "aaab" word x3 = 6; (a,b): 1x3 + 1x2 = 5
+    // round 2 (after a+a->aa): (aa,a) 3, (a,b) 5 -> (a,b) wins
+    // round 3: (aa,ab) 3, ... continues until pairs are singletons
+    val df = spark.createDataFrame(Seq(
+      (1L, "aaab aaab aaab ab"), (2L, "ab")
+    )).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(df, "text", 10)
+    assert(merges.take(2) == Seq(("a", "a"), ("a", "b")))
+    // every learned pair occurred at least twice at its turn
+    assert(merges == Bpe.trainMerges(df, "text", 10), "nondeterministic")
+    // applying the learned table compresses: subwords <= chars
+    val ranks = BpeNative.rankMap(merges)
+    import scala.jdk.CollectionConverters._
+    val seg = BpeNative.subwordList("aaab", ranks).asScala
+    assert(seg.length < 4, seg)
+    // nMerges caps the table
+    assert(Bpe.trainMerges(df, "text", 1) == Seq(("a", "a")))
+  }
+
+  test("merge-table artifact round-trips through parquet form " +
+    "(mergesToDf / mergesFromDf preserve rank order)") {
+    val back = Bpe.mergesFromDf(
+      Bpe.mergesToDf(spark, Bpe.demoMerges))
+    assert(back == Bpe.demoMerges)
+  }
 }
