@@ -290,6 +290,38 @@ object Multimodal {
     }
   }
 
+  /** MODALITY ROUTER — sniff the container from MAGIC BYTES, never
+    * the mime column: at lake scale the declared mime is whatever the
+    * crawler guessed (wrong extensions, text/plain blobs holding
+    * JPEGs), and every downstream decoder dispatch
+    * ([[decodeImageMeta]]/[[decodeAudioMeta]]/[[decodeVideoMeta]])
+    * wastes a full SPI probe on misrouted payloads. The router is the
+    * cheap row-local pre-pass production pipelines actually run:
+    * first-bytes signatures for PNG (\\x89PNG), JPEG (FF D8 FF),
+    * RIFF/WAVE, FORM/AIFF, ISO-BMFF (`ftyp` at offset 4), else
+    * `unknown`. Pure byte comparisons — codegen-friendly, exactly
+    * restatable by an oracle that knows the fixture's encoder, and
+    * the disagreement count (sniffed ≠ declared) is the lake-health
+    * readout. */
+  def sniffModality(payload: Column): Column = {
+    // substring on BINARY yields the raw bytes; compare against
+    // X'..' literals (both engines define binary equality bytewise)
+    def bytesAt(pos: Int, len: Int): Column =
+      substring(payload, pos, len)
+    when(bytesAt(1, 4) === lit(Array[Byte](0x89.toByte, 'P', 'N', 'G')),
+      "image/png")
+      .when(bytesAt(1, 3) ===
+        lit(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte)),
+        "image/jpeg")
+      .when(bytesAt(1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
+        bytesAt(9, 4) === lit("WAVE".getBytes("US-ASCII")), "audio/wav")
+      .when(bytesAt(1, 4) === lit("FORM".getBytes("US-ASCII")) &&
+        bytesAt(9, 4) === lit("AIFF".getBytes("US-ASCII")), "audio/aiff")
+      .when(bytesAt(5, 4) === lit("ftyp".getBytes("US-ASCII")),
+        "video/mp4")
+      .otherwise("unknown")
+  }
+
   /** One decoded audio fingerprint row: `ok = 1` with the 64-bit
     * envelope hash when the payload decoded and carried enough
     * samples; `ok = 0`/null otherwise. */

@@ -50,6 +50,7 @@ object Ext extends ExtHelpers
       q221, q222, q223, q224, q225, q226, q227, q228, q229, q230,
       q231, q232, q233, q234, q235, q236, q237, q238, q239, q240,
       q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251,
-      q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262)
+      q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262,
+      q263)
 }
 

@@ -421,6 +421,61 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       ORDER BY doc_a, doc_b
     """.trim))
 
+  // --------------------------------------------------------------- q263
+  /** q263 — MODALITY ROUTER health ([[Multimodal.sniffModality]]):
+    * sniff every payload's container from MAGIC BYTES across a mixed
+    * media lake (all three fixture encoders, routed by id % 3) and
+    * report the declared-vs-sniffed confusion — the pre-decode
+    * dispatch check production runs because crawler mimes lie.
+    * Corrupted magics surface as `unknown` against their declared
+    * mime (agree = false); truncation families keep their magic and
+    * still route. The oracle restates both columns as id arithmetic
+    * over the fixtures' encoders. */
+  val q263: Q = Q(
+    "q263_modality_router",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val mixed = Multimodal.encodeImageFixture(
+          docs.where(col("doc_id") % 3 === 0), "doc_id").toDF()
+        .unionByName(Multimodal.encodeAudioFixture(
+          docs.where(col("doc_id") % 3 === 1), "doc_id").toDF())
+        .unionByName(Multimodal.encodeVideoFixture(
+          docs.where(col("doc_id") % 3 === 2), "doc_id").toDF())
+      mixed.select(col("mime").as("declared"),
+          Multimodal.sniffModality(col("payload")).as("sniffed"))
+        .groupBy(col("declared"), col("sniffed"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("agree", col("declared") === col("sniffed"))
+        .orderBy(col("declared"), col("sniffed"))
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0),
+      m AS (
+        SELECT doc_id,
+          CASE
+            WHEN doc_id % 3 = 0 THEN
+              CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+                   ELSE 'image/jpeg' END
+            WHEN doc_id % 3 = 1 THEN
+              CASE WHEN doc_id % 2 = 0 THEN 'audio/wav'
+                   ELSE 'audio/aiff' END
+            ELSE 'video/mp4' END AS declared,
+          CASE WHEN doc_id % 10 IN (3, 4) THEN 'unknown'
+            WHEN doc_id % 3 = 0 THEN
+              CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+                   ELSE 'image/jpeg' END
+            WHEN doc_id % 3 = 1 THEN
+              CASE WHEN doc_id % 2 = 0 THEN 'audio/wav'
+                   ELSE 'audio/aiff' END
+            ELSE 'video/mp4' END AS sniffed
+        FROM ids)
+      SELECT declared, sniffed, CAST(count(*) AS BIGINT) AS n,
+        declared = sniffed AS agree
+      FROM m GROUP BY 1, 2 ORDER BY 1, 2
+    """.trim))
+
   /** The shared id-arithmetic replay of the video fixture's sample
     * tables (q256/q257): per decodable video, n samples, uniform
     * delta, per-sample sizes, two chunks split at c1 with a dead-byte
