@@ -561,6 +561,7 @@ object Bench {
     "q261_image_dhash_clusters" -> 77542L,
     "q262_audio_envelope_neardup" -> 13624851L,
     "q263_modality_router" -> 4572L,
+    "q264_small_quantity_revenue" -> 38838L,
     "q21_embedding_neardup_ivf" -> 5000834L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

@@ -2153,4 +2153,54 @@ private[queries] trait ExtRelationalQ { self: ExtHelpers =>
                     WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
       GROUP BY 1 ORDER BY 1
     """.trim))
+
+  // --------------------------------------------------------------- q264
+  /** q264 — TPC-H Q17 shape (correlated scalar-aggregate threshold):
+    * revenue of small-quantity orders for one brand's parts, where
+    * "small" means below a fraction of THAT PART's average quantity —
+    * the classic decorrelation stressor: the correlated
+    * `(SELECT 0.2·avg(quantity) WHERE same part)` must plan as ONE
+    * per-part aggregate joined back (never a per-row re-scan), and
+    * the aggregate side is itself pre-pruned by the brand shortlist
+    * (aggregating only the parts the probe can use). Engine-exact
+    * twist: `avg` is a division, so the threshold comparison is
+    * CROSS-MULTIPLIED — `5·n·qty < sum_qty` in DECIMAL — and the
+    * boundary cannot float (the q45/q233 integer-comparison
+    * discipline applied to Q17's 0.2 factor). Output is the one-row
+    * Q17 total (sum/7.0 as its single IEEE division). */
+  val q264: Q = Q(
+    "q264_small_quantity_revenue",
+    (s, d) => {
+      val part = Tables.part(s, d)
+        .where(col("p_brand") === "Brand#4")
+        .select(col("p_partkey"))
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"),
+          Dec.d2(col("l_quantity")).as("__qty"),
+          Dec.d2(col("l_extendedprice")).as("__price"))
+      val perPart = li.groupBy(col("l_partkey").as("__pk"))
+        .agg(sum(col("__qty")).as("__sum_qty"),
+          count(lit(1)).as("__n"))
+      li.join(broadcast(perPart), col("l_partkey") === col("__pk"))
+        .where(col("__qty") * lit(5) * col("__n") < col("__sum_qty"))
+        .agg((Dec.outD(sum(col("__price"))) / lit(7.0))
+          .as("avg_yearly"))
+    },
+    Some("""
+      WITH pp AS (
+        SELECT l_partkey AS pk,
+          sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+          CAST(count(*) AS BIGINT) AS n
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#4'
+        GROUP BY 1)
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+          AS DOUBLE) / 7.0 AS avg_yearly
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN pp ON pp.pk = l_partkey
+      WHERE p_brand = 'Brand#4'
+        AND CAST(l_quantity AS DECIMAL(12,2)) * 5 * n < sum_qty
+    """.trim))
 }

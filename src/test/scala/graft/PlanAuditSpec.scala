@@ -701,6 +701,22 @@ class PlanAuditSpec extends SparkSpec {
       l.contains("Scan parquet") && l.contains("orders")) == 1, p)
   }
 
+  test("q264: the correlated scalar avg decorrelates to ONE per-part " +
+    "aggregate — at most two lineitem scans, all joins broadcast") {
+    val p = plan("q264_small_quantity_revenue")
+    // Q17's stressor: a per-row subquery would re-scan lineitem per
+    // probe row; the decorrelated plan reads it at most twice (the
+    // aggregate side + the probe side)
+    assert(p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem")) <= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the brand shortlist prunes BOTH lineitem reads (pre-aggregation
+    // pruning — aggregate only what the probe can use)
+    assert(p.contains("EqualTo(p_brand,Brand#4)"), p)
+  }
+
   test("q155: both fact predicates are pushed to their scans; the " +
     "constant dims broadcast") {
     val p = plan("q155_regional_volume")
