@@ -562,6 +562,7 @@ object Bench {
     "q262_audio_envelope_neardup" -> 13624851L,
     "q263_modality_router" -> 4572L,
     "q264_small_quantity_revenue" -> 38838L,
+    "q265_bpe_sequence_packing" -> 484900L,
     "q21_embedding_neardup_ivf" -> 5000834L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

@@ -82,10 +82,20 @@ object Packing {
 
   def contiguousOffsets(docs: DataFrame, idCol: String, textCol: String,
       maxTokens: Int = 2048,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.unmanaged,
+      subwordMerges: Option[Seq[(String, String)]] = None): DataFrame = {
     require(maxTokens >= 1, s"need maxTokens >= 1, got $maxTokens")
+    // tokenizer seam (r15, as tokenFertility's/mixToTokenBudget's):
+    // None = whitespace tokens (original contract); Some(merges) =
+    // greedy-BPE subwords — block boundaries land where the model's
+    // real token budget does. Both row-local compiled passes.
+    val nTokens = subwordMerges match {
+      case None => size(TextHash.tokenHashesOf(col(textCol)))
+      case Some(m) => graft.functions.Bpe
+        .subwordCountOf(lower(trim(col(textCol))), m)
+    }
     val counts = docs.select(col(idCol).as("doc_id"),
-      size(TextHash.tokenHashesOf(col(textCol))).as("n_tokens"))
+      nTokens.as("n_tokens"))
     globalOffsets(counts, scope)
       // `div` = exact integer division on longs — a double round-trip
       // would silently mis-bucket offsets past 2^53 (a few hundred TB

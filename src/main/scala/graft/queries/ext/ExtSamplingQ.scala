@@ -809,4 +809,53 @@ private[queries] trait ExtSamplingQ { self: ExtHelpers with ExtDedupQ =>
         < thr.thr
       ORDER BY c.doc_id
     """.trim))
+
+  // --------------------------------------------------------------- q265
+  /** q265 — sequence packing under SUBWORD counts: q37's two-phase
+    * prefix-sum packing with the tokenizer seam set to greedy BPE
+    * ([[Packing.contiguousOffsets]] with
+    * [[graft.functions.Bpe.demoMerges]]) — block boundaries now land
+    * where the MODEL's token budget does, not at whitespace-word
+    * counts (the difference is exactly the fertility q254 measures:
+    * a 2048-budget block holds fewer high-fertility documents). Same
+    * distributed prefix sum, same exact `div` bucketing; only the
+    * per-doc count changed. */
+  val q265: Q = Q(
+    "q265_bpe_sequence_packing",
+    (s, d) =>
+      Packing.contiguousOffsets(Tables.documents(s, d), "doc_id", "text",
+        maxTokens = 2048,
+        subwordMerges = Some(graft.functions.Bpe.demoMerges)),
+    Some(s"""
+      WITH RECURSIVE
+      d AS (
+        SELECT doc_id, text IS NULL AS is_null_text,
+          list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+            x -> x <> '') w
+        FROM documents),
+      words AS (SELECT DISTINCT unnest(w) AS w FROM d),
+      ${graft.functions.Bpe.bpeCteSql(graft.functions.Bpe.demoMerges)},
+      wn AS (SELECT w, CAST(len(toks) AS BIGINT) AS n_sub FROM bpefin),
+      tokc AS (
+        SELECT d.doc_id, CAST(sum(wn.n_sub) AS BIGINT) AS n_tokens
+        FROM d, LATERAL unnest(d.w) AS u(t)
+        JOIN wn ON wn.w = u.t
+        GROUP BY 1),
+      t AS (
+        SELECT d.doc_id,
+          CASE WHEN is_null_text THEN NULL ELSE
+            CAST(coalesce(tokc.n_tokens, 0) AS BIGINT) END AS n_tokens
+        FROM d LEFT JOIN tokc USING (doc_id)),
+      o AS (
+        SELECT doc_id, n_tokens,
+          CAST(COALESCE(SUM(n_tokens) OVER (
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) AS BIGINT) AS global_offset
+        FROM t)
+      SELECT doc_id, n_tokens, global_offset,
+        global_offset // 2048 AS pack_id,
+        global_offset % 2048 AS pack_offset,
+        (global_offset % 2048) + n_tokens > 2048 AS spans_boundary
+      FROM o ORDER BY doc_id
+    """.trim))
 }
