@@ -189,7 +189,7 @@ object Bench {
     "q123_hybrid_rrf" -> 1.39,
     "q124_distinct_ngrams" -> 1.42,
     "q125_embedding_health" -> 0.28,
-    "q126_cusum_changepoint" -> 0.44,
+    "q126_cusum_changepoint" -> 0.42,
     "q127_ks_drift" -> 0.51,
     "q128_rfm_segments" -> 0.34,
     "q129_ann_recall" -> 1.64,
@@ -317,21 +317,21 @@ object Bench {
     "q225_quality_calibration" -> 2.44,
     // q226 pays the q39 IVF search (index + probe + rank)
     "q226_search_mrr" -> 1.65,
-    "q227_effective_sample_size" -> 0.29,
+    "q227_effective_sample_size" -> 0.28,
     // r14 continuation: score-gate evals (both pay the sha2 dup-label
     // shuffle; the rank math itself runs on the distinct-score frame)
     "q228_score_auc" -> 0.40,
     "q229_gain_curve" -> 0.33,
     // the Q20/Q22 planner shapes: two lineitem aggregates + semi
     // chain; scalar-append + date-filtered anti
-    "q230_dominant_share_suppliers" -> 0.71,
+    "q230_dominant_share_suppliers" -> 0.69,
     "q231_idle_customers" -> 0.40,
     "q232_recursive_l_diversity" -> 0.41,
     "q233_zorder_manifest" -> 0.53,
     // q234 pays the full q17 pair pipeline (the q225 cost shape)
     "q234_neighbor_label_audit" -> 2.59,
     "q235_part_supplier_census" -> 0.72,
-    "q236_column_profile_sketch" -> 0.48,
+    "q236_column_profile_sketch" -> 0.47,
     "q237_waterfill_quota" -> 0.43,
     "q238_frame_sample_plan" -> 0.32,
     "q239_disjunctive_revenue" -> 0.41,
@@ -353,7 +353,7 @@ object Bench {
     "q253_bpe_vocab" -> 0.41,
     "q254_bpe_fertility" -> 0.51,
     "q255_image_dhash_neardup" -> 1.50,
-    "q256_video_sample_bytes" -> 0.33,
+    "q256_video_sample_bytes" -> 0.32,
     "q257_frame_sample_bytes" -> 0.44,
     "q258_product_type_profit" -> 0.92,
     "q259_order_priority_exists" -> 0.49,
@@ -385,15 +385,15 @@ object Bench {
   private[graft] val byteFloors: Map[String, Long] = Map(
     "q100_containment_pairs" -> 30009842L,
     "q101_cross_containment" -> 16860731L,
-    "q102_winsorize" -> 3714362L,
+    "q102_winsorize" -> 3714766L,
     "q103_temperature_mix" -> 1058L,
     "q104_rule_audit" -> 175892L,
     "q105_bigram_fluency" -> 510245L,
     "q106_hard_negatives" -> 29075L,
     "q107_intra_label_diversity" -> 25829L,
-    "q108_mad_outliers" -> 3119378L,
+    "q108_mad_outliers" -> 3120086L,
     "q109_json_field_stats" -> 1953L,
-    "q10_incremental_antijoin" -> 776256L,
+    "q10_incremental_antijoin" -> 776342L,
     "q110_curation_funnel" -> 15401L,
     "q111_grid_percentile" -> 76300L,
     "q112_unigram_divergence" -> 913504L,
@@ -408,7 +408,7 @@ object Bench {
     "q120_benford_profile" -> 7728L,
     "q121_k_anonymity" -> 170457L,
     "q122_transition_matrix" -> 3630283L,
-    "q123_hybrid_rrf" -> 3932738L,
+    "q123_hybrid_rrf" -> 3933630L,
     "q124_distinct_ngrams" -> 10267965L,
     "q125_embedding_health" -> 3629L,
     "q126_cusum_changepoint" -> 62447L,
@@ -462,14 +462,14 @@ object Bench {
     "q16_exact_dedup" -> 1877902L,
     "q170_rank_shift" -> 1056670L,
     "q171_temporal_split" -> 52492L,
-    "q172_causal_zscore" -> 11992602L,
+    "q172_causal_zscore" -> 11991872L,
     "q173_seasonal_naive" -> 28508L,
-    "q174_winnowing_neardup" -> 21677326L,
-    "q175_profile_drift" -> 4842L,
+    "q174_winnowing_neardup" -> 21677270L,
+    "q175_profile_drift" -> 4728L,
     "q176_value_tail_bands" -> 1147199L,
     "q177_type_pagerank" -> 5443190L,
     "q178_fuzzy_operating_point" -> 122180L,
-    "q179_tfidf_keywords" -> 5026894L,
+    "q179_tfidf_keywords" -> 5027166L,
     "q17_ngram_jaccard_neardup" -> 30011208L,
     "q180_grid_accuracy" -> 733984L,
     "q181_transition_predictability" -> 3626489L,
@@ -535,7 +535,7 @@ object Bench {
     "q235_part_supplier_census" -> 1427433L,
     "q236_column_profile_sketch" -> 20426L,
     "q237_waterfill_quota" -> 3547L,
-    "q238_frame_sample_plan" -> 272586L,
+    "q238_frame_sample_plan" -> 273414L,
     "q239_disjunctive_revenue" -> 432L,
     "q240_calibration_ece" -> 694042L,
     "q241_bootstrap_ci" -> 4480L,
@@ -552,18 +552,18 @@ object Bench {
     "q252_national_market_share" -> 7389304L,
     "q253_bpe_vocab" -> 11823L,
     "q254_bpe_fertility" -> 898L,
-    "q255_image_dhash_neardup" -> 14254990L,
-    "q256_video_sample_bytes" -> 485052L,
-    "q257_frame_sample_bytes" -> 485406L,
+    "q255_image_dhash_neardup" -> 14255562L,
+    "q256_video_sample_bytes" -> 485068L,
+    "q257_frame_sample_bytes" -> 485272L,
     "q258_product_type_profit" -> 30913L,
     "q259_order_priority_exists" -> 1845L,
     "q260_bpe_budget_mix" -> 8364L,
     "q261_image_dhash_clusters" -> 77542L,
-    "q262_audio_envelope_neardup" -> 13624851L,
+    "q262_audio_envelope_neardup" -> 13620833L,
     "q263_modality_router" -> 4572L,
     "q264_small_quantity_revenue" -> 38838L,
     "q265_bpe_sequence_packing" -> 484900L,
-    "q21_embedding_neardup_ivf" -> 5000834L,
+    "q21_embedding_neardup_ivf" -> 5033608L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,
     "q24_token_stats" -> 3229944L,
@@ -571,45 +571,45 @@ object Bench {
     "q26_multimodal_meta" -> 983684L,
     "q27_report_metrics" -> 200L,
     "q28_report_distributors" -> 8219L,
-    "q29_trycast_timestamp" -> 5733572L,
+    "q29_trycast_timestamp" -> 5733020L,
     "q2_select_project" -> 417504L,
-    "q30_embedding_neardup_rplsh" -> 20501393L,
+    "q30_embedding_neardup_rplsh" -> 20501381L,
     "q31_neardup_clusters" -> 466383L,
     "q32_stratified_sample" -> 35782L,
     "q33_pii_redact" -> 721556L,
-    "q34_event_sessionize" -> 10666270L,
+    "q34_event_sessionize" -> 10663712L,
     "q35_repetition_signals" -> 253330L,
     "q36_cross_contamination" -> 17527841L,
     "q37_sequence_packing" -> 458719L,
     "q38_network_redact" -> 728946L,
     "q39_embedding_topk_ivf" -> 672881L,
-    "q3_try_cast" -> 332008L,
+    "q3_try_cast" -> 331974L,
     "q40_training_order" -> 308517L,
     "q41_token_budget_mix" -> 16110L,
     "q42_epoch_sharded_packing" -> 2925907L,
-    "q43_asof_join" -> 4569789L,
+    "q43_asof_join" -> 4569905L,
     "q44_interval_join" -> 7612L,
     "q45_length_profile" -> 15385L,
     "q46_grouped_topk" -> 4152L,
     "q47_sliding_chunks" -> 1055100L,
     "q48_keepbest_dedup" -> 2018227L,
     "q49_eval_overlap" -> 543962L,
-    "q4_left_join_enrich" -> 740086L,
+    "q4_left_join_enrich" -> 740018L,
     "q50_curriculum_bins" -> 17628L,
     "q51_priority_sample" -> 6082L,
     "q52_bm25_scores" -> 1123003L,
     "q53_semantic_clusters" -> 20314969L,
     "q54_shingle_novelty" -> 958251L,
-    "q55_embedding_quantize" -> 3017066L,
-    "q56_pq_codes" -> 535464L,
+    "q55_embedding_quantize" -> 3015138L,
+    "q56_pq_codes" -> 535006L,
     "q57_pq_adc_topk" -> 2036259L,
     "q58_rollup_revenue" -> 11541L,
     "q59_pivot_returnflag" -> 37108L,
     "q5_anti_orphans" -> 0L,
     "q60_paragraph_dedup" -> 4919719L,
     "q61_ivfpq_topk" -> 762530L,
-    "q62_column_profile" -> 3510210L,
-    "q63_asof_tolerance" -> 4097597L,
+    "q62_column_profile" -> 3526296L,
+    "q63_asof_tolerance" -> 4097353L,
     "q64_cube_revenue" -> 16600L,
     "q65_term_zipf" -> 3229944L,
     "q66_lexical_richness" -> 3719211L,
@@ -625,14 +625,14 @@ object Bench {
     "q75_grouping_sets" -> 5532L,
     "q76_eval_overlap_bloom" -> 957475L,
     "q77_snapshot_diff" -> 1234867L,
-    "q78_asof_forward" -> 4560572L,
+    "q78_asof_forward" -> 4561068L,
     "q79_ingest_gaps" -> 16700L,
-    "q7_dedup_keepfirst" -> 1110535L,
+    "q7_dedup_keepfirst" -> 1110709L,
     "q80_cms_heavy_hitters" -> 10638L,
-    "q81_moving_revenue" -> 7993450L,
-    "q82_scd2_intervals" -> 9001399L,
+    "q81_moving_revenue" -> 7994418L,
+    "q82_scd2_intervals" -> 9001839L,
     "q83_volume_anomaly" -> 88350L,
-    "q84_posting_lists" -> 12120953L,
+    "q84_posting_lists" -> 12120629L,
     "q85_state_dwell" -> 3726840L,
     "q86_growth_curve" -> 560000L,
     "q87_sliding_wau" -> 1362039L,

@@ -6,7 +6,10 @@ import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing,
 
 /** [[Ext]] family: multimodal binary-column plumbing and decode —
   * queries q26 (columnar metadata), q206 (image), q207 (audio),
-  * q209 (video container), q221 (catalog profile over all three).
+  * q209 (video container), q221 (catalog profile over all three),
+  * q238 (frame-sample plan), q255/q261 (image dHash pairs/clusters),
+  * q256/q257 (sample tables + byte-range seeks), q262 (audio
+  * envelope near-dup), q263 (modality router).
   * Split from the monolithic Ext.scala in round 12
   * (pure relocation; helpers live in [[ExtHelpers]]). */
 private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
