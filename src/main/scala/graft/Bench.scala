@@ -563,6 +563,7 @@ object Bench {
     "q263_modality_router" -> 4572L,
     "q264_small_quantity_revenue" -> 38838L,
     "q265_bpe_sequence_packing" -> 484900L,
+    "q266_audio_envelope_clusters" -> 84704L,
     "q21_embedding_neardup_ivf" -> 5033608L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

@@ -394,7 +394,11 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       Dedup.fingerprintPairs(fp, "doc_id", "fp",
         maxHamming = 3, bits = 64)
     },
-    Some("""
+    Some(envelopePairsOracleSql))
+
+  /** The q262 oracle, shared with q266's cluster closure (the q255 →
+    * q261 pattern on the audio side). */
+  private def envelopePairsOracleSql: String = """
       WITH ids AS (
         SELECT doc_id FROM documents
         WHERE doc_id IS NOT NULL AND doc_id >= 0
@@ -422,6 +426,47 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       FROM fp a JOIN fp b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.fp, b.fp)) <= 3
       ORDER BY doc_a, doc_b
+    """.trim
+
+  // --------------------------------------------------------------- q266
+  /** q266 — audio near-dup CLUSTERS: q262's envelope-hash pair set
+    * closed into components via the \|F\|-node fingerprint graph
+    * ([[Dedup.fingerprintClusters]] — the q261 shape on the audio
+    * side), completing the audio dedup family end-to-end
+    * (fingerprint → pairs → families → canonical picks). */
+  val q266: Q = Q(
+    "q266_audio_envelope_clusters",
+    (s, d) => {
+      val media = Multimodal.encodeWaveformFixture(
+        Tables.documents(s, d), "doc_id")
+      val fp = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.audioFingerprints(media).toDF()
+          .where(col("ok") === 1L)
+          .select(col("doc_id"), col("fp")))
+      Dedup.fingerprintClusters(fp, "doc_id", "fp",
+        maxHamming = 3, bits = 64)
+    },
+    Some(s"""
+      WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ($envelopePairsOracleSql) q
+      ),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+      ),
+      universe AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0
+          AND doc_id % 10 NOT IN (3, 6)),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM universe
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+      )
+      SELECT id AS doc_id, min(r) AS cluster_id,
+        (id = min(r)) AS is_canonical
+      FROM reach GROUP BY id ORDER BY doc_id
     """.trim))
 
   // --------------------------------------------------------------- q263
