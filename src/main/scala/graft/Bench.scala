@@ -564,6 +564,7 @@ object Bench {
     "q264_small_quantity_revenue" -> 38838L,
     "q265_bpe_sequence_packing" -> 484900L,
     "q266_audio_envelope_clusters" -> 84704L,
+    "q267_image_dedup_agreement" -> 13346L,
     "q21_embedding_neardup_ivf" -> 5033608L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

@@ -396,6 +396,104 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
     },
     Some(envelopePairsOracleSql))
 
+  // --------------------------------------------------------------- q267
+  /** q267 — exact-vs-perceptual dedup AGREEMENT (the q188-family
+    * audit for the multimodal rung): over the decodable gradient
+    * images, compare byte-identity groups (sha-256 of the payload —
+    * what a naive exact-dedup pass finds) against the dHash
+    * clusters (q261) — group/cluster counts, duplicate-doc counts,
+    * and pair masses side by side. Perceptual SUBSUMES exact by
+    * construction (the hash is a pure byte function), so
+    * `pairs_gained` is exactly what the perceptual rung buys:
+    * re-encodes of one image that byte-compare different. The oracle
+    * can restate BYTE-identity without bytes because the fixture
+    * encoder is deterministic — two decodable payloads are
+    * byte-equal iff their (pattern, tweak, block-width, block-height)
+    * id residues agree — with the fixture's own arithmetic quirk made
+    * explicit: the block formula reduces the 25 pattern ids MOD 6
+    * (`(p·7 + …) % 6` and 7 ≡ 1 mod 6), so byte-identity keys on
+    * `(id%25)%6`, which is exactly why exact groups are FEWER than
+    * naive residue counting predicts — and replays the perceptual
+    * side through the q261 closure. */
+  val q267: Q = Q(
+    "q267_image_dedup_agreement",
+    (s, d) => {
+      val media = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.encodeGradientImageFixture(
+          Tables.documents(s, d), "doc_id").toDF())
+      val dh = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.imageDhash(
+          media.as[Multimodal.MediaRecord](Multimodal.mediaRecordEnc))
+          .toDF().where(col("ok") === 1L)
+          .select(col("doc_id"), col("dhash").as("fp")))
+      val exactSizes = media
+        .join(dh.select(col("doc_id")), Seq("doc_id")) // decodable only
+        .select(sha2(col("payload"), 256).as("bh"))
+        .groupBy(col("bh")).agg(count(lit(1)).as("n"))
+      val percSizes = Dedup.fingerprintClusters(dh, "doc_id", "fp",
+          maxHamming = 3, bits = 64)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+      def summarize(sizes: org.apache.spark.sql.DataFrame, tag: String) =
+        sizes.agg(
+          count(lit(1)).as(s"${tag}_groups"),
+          sum(col("n")).as(s"${tag}_docs"),
+          sum(when(col("n") >= 2, col("n")).otherwise(0L))
+            .as(s"${tag}_dup_docs"),
+          sum(expr("n * (n - 1) div 2")).as(s"${tag}_pairs"))
+      summarize(exactSizes, "exact")
+        .crossJoin(broadcast(summarize(percSizes, "perc")))
+        .select(col("exact_docs").as("n_docs"),
+          col("exact_groups"), col("exact_dup_docs"), col("exact_pairs"),
+          col("perc_groups").as("perc_clusters"), col("perc_dup_docs"),
+          col("perc_pairs"),
+          (col("perc_pairs") - col("exact_pairs")).as("pairs_gained"))
+    },
+    Some(s"""
+      WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ($dhashPairsOracleSql) q
+      ),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+      ),
+      universe AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0
+          AND doc_id % 10 NOT IN (3, 6)),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM universe
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+      ),
+      pclusters AS (
+        SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+      psizes AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS n
+        FROM pclusters GROUP BY 1),
+      esizes AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM universe
+        GROUP BY (doc_id % 25) % 6, (doc_id // 25) % 2,
+          doc_id % 3, doc_id % 2),
+      e AS (
+        SELECT CAST(count(*) AS BIGINT) AS exact_groups,
+          CAST(sum(n) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT)
+            AS exact_dup_docs,
+          CAST(sum(n * (n - 1) // 2) AS BIGINT) AS exact_pairs
+        FROM esizes),
+      p AS (
+        SELECT CAST(count(*) AS BIGINT) AS perc_clusters,
+          CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT)
+            AS perc_dup_docs,
+          CAST(sum(n * (n - 1) // 2) AS BIGINT) AS perc_pairs
+        FROM psizes)
+      SELECT e.n_docs, e.exact_groups, e.exact_dup_docs, e.exact_pairs,
+        p.perc_clusters, p.perc_dup_docs, p.perc_pairs,
+        p.perc_pairs - e.exact_pairs AS pairs_gained
+      FROM e, p
+    """.trim))
+
   /** The q262 oracle, shared with q266's cluster closure (the q255 →
     * q261 pattern on the audio side). */
   private def envelopePairsOracleSql: String = """

@@ -975,7 +975,11 @@ class PlanAuditSpec extends SparkSpec {
       // q244: BNLJ BY DESIGN over the ≤ 64-row broadcast vector sample
       // (K² pairs, corpus-size-independent) + the one-row pair-total
       // scalar-append — q222's exception on the embedding side
-      "q244_background_cosine")
+      "q244_background_cosine",
+      // q267: the ONE-ROW exact-side summary × ONE-ROW perceptual-side
+      // summary meet on a broadcast scalar join — the q95/q127/q249
+      // eval-rung 1×1 shape verbatim
+      "q267_image_dedup_agreement")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()
