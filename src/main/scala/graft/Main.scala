@@ -81,11 +81,8 @@ object Main {
       exportZOrder(srcParquet, outDir, xCol, yCol,
         bits = rest.headOption.map(_.toInt).getOrElse(4),
         files = rest.drop(1).headOption.map(_.toInt).getOrElse(16))
-    case "zorder-maintain" :: srcParquet :: outDir :: xCol :: yCol :: rest
-        if rest.size <= 2 =>
-      zorderMaintain(srcParquet, outDir, xCol, yCol,
-        bits = rest.headOption.map(_.toInt).getOrElse(4),
-        files = rest.drop(1).headOption.map(_.toInt).getOrElse(16))
+    case "zorder-maintain" :: srcParquet :: outDir :: xCol :: yCol :: Nil =>
+      zorderMaintain(srcParquet, outDir, xCol, yCol)
     case "dhash-ingest" :: mediaParquet :: storeDir :: outDir :: Nil =>
       dhashIngest(mediaParquet, storeDir, outDir)
     case "bpe-train" :: docsParquet :: outParquet :: rest
@@ -117,7 +114,7 @@ object Main {
       profile(srcParquet, outDir, cols)
     case _ =>
       System.err.println(
-        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | checksum-ingest <parquet> <groupCol> <textCol> <storeDir> | kmv-ingest <parquet> <groupCol> <textCol> <storeDir> [k] | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | df-ingest <docsParquet> <storeDir> <outDir> [minDf] | export-shards <docsParquet> <outDir> <shardBytes> | export-zorder <parquet> <outDir> <xCol> <yCol> [bits [files]] | zorder-maintain <parquet> <outDir> <xCol> <yCol> [bits [files]] | dhash-ingest <mediaParquet> <storeDir> <outDir> | bpe-train <docsParquet> <outParquet> [nMerges] | bpe-apply <docsParquet> <mergesParquet> <outDir> | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | stream-sessionize <eventsDir> <outDir> <ckptDir> [gapMinutes] | stream-dedup <docsDir> <outDir> <ckptDir> [watermarkDelay] | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
+        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | checksum-ingest <parquet> <groupCol> <textCol> <storeDir> | kmv-ingest <parquet> <groupCol> <textCol> <storeDir> [k] | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | df-ingest <docsParquet> <storeDir> <outDir> [minDf] | export-shards <docsParquet> <outDir> <shardBytes> | export-zorder <parquet> <outDir> <xCol> <yCol> [bits [files]] | zorder-maintain <parquet> <outDir> <xCol> <yCol> | dhash-ingest <mediaParquet> <storeDir> <outDir> | bpe-train <docsParquet> <outParquet> [nMerges] | bpe-apply <docsParquet> <mergesParquet> <outDir> | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | stream-sessionize <eventsDir> <outDir> <ckptDir> [gapMinutes] | stream-dedup <docsDir> <outDir> <ckptDir> [watermarkDelay] | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
       sys.exit(2)
   }
 
@@ -190,10 +187,10 @@ object Main {
     * ([[graft.operators.Layout.maintainZOrdered]]): per-touched-span
     * rewrite against the tree's own grid — never a full re-sort. */
   private def zorderMaintain(srcParquet: String, outDir: String,
-      xCol: String, yCol: String, bits: Int, files: Int): Unit = {
+      xCol: String, yCol: String): Unit = {
     val spark = GraftSession.local()
     val (nTouched, nRows) = runZOrderMaintain(spark, srcParquet, outDir,
-      xCol, yCol, bits, files)
+      xCol, yCol)
     println(s"zorder-maintain: $nRows new rows -> $nTouched touched " +
       s"spans under $outDir")
     spark.stop()
@@ -284,10 +281,9 @@ object Main {
   /** Testable core of `zorder-maintain` (the [[runCompact]] pattern). */
   private[graft] def runZOrderMaintain(
       spark: org.apache.spark.sql.SparkSession, srcParquet: String,
-      outDir: String, xCol: String, yCol: String, bits: Int,
-      files: Int): (Long, Long) =
+      outDir: String, xCol: String, yCol: String): (Long, Long) =
     graft.operators.Layout.maintainZOrdered(
-      spark.read.parquet(srcParquet), xCol, yCol, outDir, bits, files)
+      spark.read.parquet(srcParquet), xCol, yCol, outDir)
 
   /** Testable core of `export-shards` (the [[runCompact]] pattern). */
   private[graft] def runExportShards(

@@ -44,9 +44,17 @@ final class DhashStore(spark: SparkSession, storeDir: String) {
     val fps = Multimodal.imageDhash(media).toDF()
       .where(col("ok") === 1L)
       .select(col("doc_id"), col("dhash").as("fp"))
-    val n = fps.count()
-    fps.write.mode(SaveMode.Append).parquet(storeDir)
-    n
+    // Persist the 16-byte/row fingerprint frame so the batch is
+    // decoded exactly once: count materializes the cache, the append
+    // reads it back — without this, count + write each re-run the
+    // mapPartitions ImageIO pass (the 2x-decode cost q255 persists
+    // to avoid).
+    fps.persist()
+    try {
+      val n = fps.count()
+      fps.write.mode(SaveMode.Append).parquet(storeDir)
+      n
+    } finally fps.unpersist()
   }
 
   /** The stored fingerprint frame, re-delivery folded: one

@@ -66,9 +66,23 @@ object BpeNative {
     m
   }
 
+  /** Pre-tokenization length bound, the real-tokenizer guard (HF
+    * WordPiece's max_input_chars_per_word, byte-level BPE's regex
+    * pre-split): the greedy merge loop is O(len²) per word, so a
+    * single multi-megabyte whitespace-free "word" in a web corpus
+    * (a base64 blob, a minified bundle) would stall a task for hours.
+    * Words longer than this many CODEPOINTS skip the merge loop and
+    * are emitted as their raw codepoint sequence (counted at one
+    * subword per codepoint) — linear cost, and an honest budget
+    * number: pathological blobs barely merge anyway. Part of the
+    * oracle contract: fixture words are orders of magnitude shorter,
+    * so the DuckDB CTE replay never sees the cap. */
+  val MaxWordCodepoints: Int = 4096
+
   /** Greedy BPE over ONE word (see semantics above): the final
     * subword strings in order. A word of one codepoint (or empty) is
-    * returned as-is. */
+    * returned as-is; a word over [[MaxWordCodepoints]] is returned as
+    * its unmerged codepoints (the length-cap contract above). */
   def subwordList(word: String,
       ranks: java.util.HashMap[String, Integer])
       : java.util.ArrayList[String] = {
@@ -79,7 +93,7 @@ object BpeNative {
       toks.add(new String(Character.toChars(cp)))
       i += Character.charCount(cp)
     }
-    var done = toks.size <= 1
+    var done = toks.size <= 1 || toks.size > MaxWordCodepoints
     while (!done) {
       var bestRank = Integer.MAX_VALUE
       var bestPos = -1
@@ -127,18 +141,23 @@ object BpeNative {
     val n = str.length
     var total = 0L
     val sb = new java.lang.StringBuilder
+    // over-[[MaxWordCodepoints]] words count one subword per
+    // codepoint WITHOUT materializing the token list (the cap
+    // contract, allocation-free here)
+    def flush(): Unit = if (sb.length > 0) {
+      val cps = sb.codePointCount(0, sb.length)
+      total +=
+        (if (cps > MaxWordCodepoints) cps.toLong
+         else subwordList(sb.toString, ranks).size.toLong)
+      sb.setLength(0)
+    }
     var i = 0
     while (i < n) {
       val cp = str.codePointAt(i)
-      if (isWs(cp)) {
-        if (sb.length > 0) {
-          total += subwordList(sb.toString, ranks).size
-          sb.setLength(0)
-        }
-      } else sb.appendCodePoint(cp)
+      if (isWs(cp)) flush() else sb.appendCodePoint(cp)
       i += Character.charCount(cp)
     }
-    if (sb.length > 0) total += subwordList(sb.toString, ranks).size
+    flush()
     total
   }
 }
@@ -228,26 +247,40 @@ object Bpe {
     * producer completing the BPE story (train → ship the table as a
     * dim → apply row-locally): classic byte-pair-encoding training on
     * WORD COUNTS, exactly how Sennrich/HF train — the corpus folds
-    * once to the (word, count) vocabulary (partial-aggregated,
-    * dim-bounded: distinct words ≪ corpus; at web scale train on a
-    * q51-style deterministic sample, the standard practice), the
-    * vocabulary collects to the driver like any dim, and the greedy
-    * loop runs locally: count adjacent pairs weighted by word count,
-    * merge the most frequent everywhere, repeat. DETERMINISTIC by
-    * construction — ties break (count DESC, pair ASC), so the same
-    * corpus always yields the same table (spec-pinned), which is what
-    * makes the artifact shippable.
+    * once to the (word, count) vocabulary (partial-aggregated), the
+    * TOP-`maxVocab` vocabulary rows by count collect to the driver,
+    * and the greedy loop runs locally: count adjacent pairs weighted
+    * by word count, merge the most frequent everywhere, repeat.
+    * DETERMINISTIC by construction — ties break (count DESC, pair
+    * ASC), so the same corpus always yields the same table
+    * (spec-pinned), which is what makes the artifact shippable.
+    *
+    * The `maxVocab` cap is the STRUCTURAL driver-memory bound, not a
+    * convention: at web scale distinct whitespace "words" (typos,
+    * URLs, hex blobs) are not dim-bounded, so the collect is gated
+    * through a TakeOrdered top-N by count (ties word ASC — still
+    * deterministic). Dropping the singleton tail is also what
+    * Sennrich/HF training effectively does: merges are chosen by
+    * pair frequency ≥ 2, and a hapax tail of unique junk words
+    * contributes no winning pair. A cap large enough to hold the
+    * real vocabulary (default 2²⁰) therefore trains the SAME table
+    * as the uncapped fold (spec-pinned on the fixture).
     *
     * Stops early when no pair occurs twice (merging singleton pairs
     * only memorizes words). Returns merges in rank order, directly
     * usable by [[subwordsOf]]/[[subwordCountOf]]. */
   def trainMerges(docs: org.apache.spark.sql.DataFrame, textCol: String,
-      nMerges: Int): Seq[(String, String)] = {
+      nMerges: Int, maxVocab: Int = 1 << 20): Seq[(String, String)] = {
     require(nMerges >= 1 && nMerges <= 65536, s"nMerges=$nMerges")
+    require(maxVocab >= 1 && maxVocab <= (1 << 24), s"maxVocab=$maxVocab")
     import org.apache.spark.sql.functions.{col, count, explode, lit, lower}
     val vocab = docs.where(col(textCol).isNotNull)
       .select(explode(TextHash.tokens(lower(col(textCol)))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      // TakeOrderedAndProject, never a full collect: the enforced
+      // top-N bound (count DESC, word ASC — deterministic under ties)
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(maxVocab)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     // words as mutable token lists, weighted by corpus count
     val words = vocab.map { case (w, n) =>

@@ -1115,7 +1115,6 @@ object Dedup {
     val fpPairs = distinctFpPairs(docs, maxHamming, bits)
       .withColumn("hamming",
         bit_count(col("fa").bitwiseXOR(col("fb"))))
-    val hamming = bit_count(col("fa").bitwiseXOR(col("fb")))
     // identical fingerprints: Hamming 0 by definition — one equi-join
     val same = docs.select(col("fp"), col("doc_id").as("doc_a"))
       .join(docs.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))

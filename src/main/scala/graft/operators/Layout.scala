@@ -139,6 +139,11 @@ object Layout {
         max(col(xCol).cast("long")).as("max_x"),
         min(col(yCol).cast("long")).as("min_y"),
         max(col(yCol).cast("long")).as("max_y"))
+      // the grid PARAMETERS travel with the zone maps: maintenance
+      // recovers (bits, files) from here, so an append can never be
+      // assigned under a different grid than the tree was written with
+      .withColumn("grid_bits", lit(bits.toLong))
+      .withColumn("grid_files", lit(files.toLong))
       .orderBy(col("file_id"))
     manifest.coalesce(1).write.parquet(s"$outDir/_manifest")
     val m = spark.read.parquet(s"$outDir/_manifest")
@@ -174,20 +179,38 @@ object Layout {
     * it is reading — the standard read-modify-write fence), bounded
     * by the touched mass, not the table.
     *
+    * The grid parameters (bits, files) are NOT caller-supplied: they
+    * are recovered from the `_manifest` written by [[writeZOrdered]],
+    * so a maintenance run can never silently assign rows under a
+    * different grid than the tree holds (the zone maps would stay
+    * truthful but the append-then-maintain ≡ one-shot equivalence
+    * would break without any error).
+    *
     * Returns (files touched, new rows written). */
   def maintainZOrdered(newRows: DataFrame, xCol: String, yCol: String,
-      outDir: String, bits: Int = 4, files: Int = 16): (Long, Long) = {
-    require(files >= 1 && files <= 4096, s"files=$files out of [1, 4096]")
-    require(bits >= 1 && bits <= 16, s"bits=$bits out of [1, 16]")
-    val g = 1L << bits
+      outDir: String): (Long, Long) = {
     val spark = newRows.sparkSession
     val oldManifest = spark.read.parquet(s"$outDir/_manifest")
+    require(oldManifest.columns.contains("grid_bits") &&
+      oldManifest.columns.contains("grid_files"),
+      s"$outDir/_manifest carries no grid parameters — " +
+        "re-anchor with writeZOrdered before maintaining")
     val b = oldManifest.agg(
       min(col("min_x")).as("__minx"), max(col("max_x")).as("__maxx"),
-      min(col("min_y")).as("__miny"), max(col("max_y")).as("__maxy"))
+      min(col("min_y")).as("__miny"), max(col("max_y")).as("__maxy"),
+      min(col("grid_bits")).as("__b0"), max(col("grid_bits")).as("__b1"),
+      min(col("grid_files")).as("__f0"), max(col("grid_files")).as("__f1"))
       .collect()(0)
     val (minx, maxx, miny, maxy) =
       (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    require(b.getLong(4) == b.getLong(5) && b.getLong(6) == b.getLong(7),
+      s"$outDir/_manifest declares inconsistent grid parameters")
+    val bits = b.getLong(4).toInt
+    val files = b.getLong(6).toInt
+    require(bits >= 1 && bits <= 16, s"manifest bits=$bits out of [1, 16]")
+    require(files >= 1 && files <= 4096,
+      s"manifest files=$files out of [1, 4096]")
+    val g = 1L << bits
     def cell(c: String, lo: Long, hi: Long): String =
       s"least(${g - 1}L, greatest(0L, " +
         s"((CAST(`$c` AS BIGINT) - ${lo}L) * $g) div ${hi - lo + 1}L))"
@@ -224,6 +247,8 @@ object Layout {
         max(col(xCol).cast("long")).as("max_x"),
         min(col(yCol).cast("long")).as("min_y"),
         max(col(yCol).cast("long")).as("max_y"))
+      .withColumn("grid_bits", lit(bits.toLong))
+      .withColumn("grid_files", lit(files.toLong))
     val newManifest = oldManifest
       .where(!col("file_id").isin(touched: _*))
       .unionByName(touchedManifest)

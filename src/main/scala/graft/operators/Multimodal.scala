@@ -692,7 +692,12 @@ object Multimodal {
       else {
         val uniform = u32(s + 4)
         val n = u32(s + 8)
-        if (uniform != 0L) Some(IndexedSeq.fill(n.toInt)(uniform))
+        // Bound the materialized count by the payload itself: a
+        // non-zero uniform size means every sample occupies >=1 byte
+        // of mdat, so sample_count > payload.length is malformed — a
+        // crafted header must stay "data, not an OOM Error".
+        if (n > payload.length.toLong) None
+        else if (uniform != 0L) Some(IndexedSeq.fill(n.toInt)(uniform))
         else if (e - s < 12 + n * 4) None
         else Some((0 until n.toInt).map(i => u32(s + 12 + i * 4)))
       }
@@ -710,7 +715,12 @@ object Multimodal {
         runs.map(_.head).sliding(2).forall(w =>
           w.length < 2 || w(0) < w(1))
       samples <- {
-        // per-sample deltas -> cumulative decode time in media units
+        // per-sample deltas -> cumulative decode time in media units.
+        // Each run's declared sample_count is bounded by n (the sum
+        // check above guarantees it for well-formed input; re-assert
+        // per run so no single crafted u32 can drive the fill).
+        if (druns.exists(r => r.head < 0L || r.head > n.toLong)) None
+        else {
         val deltas = druns.flatMap { case IndexedSeq(c, d) =>
           IndexedSeq.fill(c.toInt)(d)
         }
@@ -734,6 +744,7 @@ object Multimodal {
           chunk += 1
         }
         if (si == n) Some(out.result()) else None
+        }
       }
     } yield samples
   }

@@ -2182,7 +2182,12 @@ private[queries] trait ExtRelationalQ { self: ExtHelpers =>
       val perPart = li.groupBy(col("l_partkey").as("__pk"))
         .agg(sum(col("__qty")).as("__sum_qty"),
           count(lit(1)).as("__n"))
-      li.join(broadcast(perPart), col("l_partkey") === col("__pk"))
+      // No broadcast hint on the stats frame: it is brand-pre-pruned
+      // (1/25 of parts) but still |parts|-scaled, the frame q223's
+      // contract says must NOT be forced to broadcast at scale — AQE
+      // broadcasts it at fixture SF on its own and correctly refuses
+      // at an SF where it would not fit.
+      li.join(perPart, col("l_partkey") === col("__pk"))
         .where(col("__qty") * lit(5) * col("__n") < col("__sum_qty"))
         .agg((Dec.outD(sum(col("__price"))) / lit(7.0))
           .as("avg_yearly"))

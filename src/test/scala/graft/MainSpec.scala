@@ -331,7 +331,7 @@ class MainSpec extends SparkSpec {
     Main.runExportZOrder(spark, s"$base/b0", out,
       "l_partkey", "l_suppkey", bits = 3, files = 8)
     val (t, n) = Main.runZOrderMaintain(spark, s"$base/b1", out,
-      "l_partkey", "l_suppkey", bits = 3, files = 8)
+      "l_partkey", "l_suppkey")
     assert(n == full.where(col("l_orderkey") % 3 === 0).count())
     assert(t >= 1 && t <= 8)
     assert(spark.read.parquet(out).count() == full.count())

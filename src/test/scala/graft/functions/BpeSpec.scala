@@ -120,4 +120,41 @@ class BpeSpec extends SparkSpec {
       Bpe.mergesToDf(spark, Bpe.demoMerges))
     assert(back == Bpe.demoMerges)
   }
+
+  test("maxVocab is an enforced top-N bound: a cap holding the real " +
+    "vocabulary trains the same table as the uncapped fold; a " +
+    "tail-dropping cap still trains deterministically") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "aaab aaab aaab ab"), (2L, "ab zq xk")
+    )).toDF("doc_id", "text")
+    // 4 distinct words (aaab, ab, zq, xk); cap >= 4 ≡ uncapped
+    val full = Bpe.trainMerges(df, "text", 10)
+    assert(Bpe.trainMerges(df, "text", 10, maxVocab = 4) == full)
+    assert(Bpe.trainMerges(df, "text", 10, maxVocab = 1 << 16) == full)
+    // cap=2 keeps the two most frequent words (aaab x3, ab x2) —
+    // the hapax tail (zq, xk) never contributed a winning pair, so
+    // the table is unchanged here too, and still deterministic
+    val capped = Bpe.trainMerges(df, "text", 10, maxVocab = 2)
+    assert(capped == full)
+    assert(capped == Bpe.trainMerges(df, "text", 10, maxVocab = 2))
+  }
+
+  test("over-MaxWordCodepoints words skip the merge loop: raw " +
+    "codepoint emission, count = codepoint count (the length-cap " +
+    "contract)") {
+    import scala.jdk.CollectionConverters._
+    val ranks = BpeNative.rankMap(Seq(("a", "a"), ("a", "b")))
+    val blob = "ab" * (BpeNative.MaxWordCodepoints / 2 + 1)
+    val toks = BpeNative.subwordList(blob, ranks).asScala
+    assert(toks.length == blob.length, "must stay unmerged")
+    assert(toks.forall(_.length == 1))
+    // one codepoint per subword through the count path too
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(BpeNative.subwordCount(
+      UTF8String.fromString(s"ab $blob ab"), ranks) ==
+      1L + blob.length + 1L) // "ab" merges to 1 token each side
+    // at the boundary the merge loop still runs
+    val atCap = "ab" * (BpeNative.MaxWordCodepoints / 2)
+    assert(BpeNative.subwordList(atCap, ranks).size < atCap.length)
+  }
 }

@@ -81,7 +81,7 @@ class LayoutSpec extends SparkSpec {
     val preManifest = spark.read.parquet(s"$dirInc/_manifest")
       .collect().map(r => r.getLong(0) -> r.toSeq).toMap
     val (nTouched, nNew) = Layout.maintainZOrdered(extra,
-      "l_partkey", "l_suppkey", dirInc, bits = 3, files = 8)
+      "l_partkey", "l_suppkey", dirInc)
     assert(nNew == extra.count())
     assert(nTouched >= 1 && nTouched <= 8)
     Layout.writeZOrdered(src, "l_partkey", "l_suppkey", dirOne,
@@ -126,8 +126,7 @@ class LayoutSpec extends SparkSpec {
       yield (x, y)).toDF("x", "y")
     Layout.writeZOrdered(base, "x", "y", dir, bits = 2, files = 4)
     val beyond = Seq((99L, 99L)).toDF("x", "y")
-    val (t, n) = Layout.maintainZOrdered(beyond, "x", "y", dir,
-      bits = 2, files = 4)
+    val (t, n) = Layout.maintainZOrdered(beyond, "x", "y", dir)
     assert(t == 1L && n == 1L)
     // the row landed in the LAST file span (max cell, max z)
     val m = spark.read.parquet(s"$dir/_manifest")
@@ -140,5 +139,41 @@ class LayoutSpec extends SparkSpec {
     assert(manMax.getLong(0) == 99L && manMax.getLong(1) == 99L)
     // reads still see every row
     assert(spark.read.parquet(dir).count() == 16 * 16 + 1)
+  }
+
+  test("manifest persists the grid parameters; maintenance recovers " +
+    "them (non-default grid) and refuses a tree without them") {
+    val s2 = spark; import s2.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_zgrid").toString + "/z"
+    val base = (for (x <- 0L until 8L; y <- 0L until 8L)
+      yield (x, y)).toDF("x", "y")
+    Layout.writeZOrdered(base, "x", "y", dir, bits = 3, files = 8)
+    val man = spark.read.parquet(s"$dir/_manifest")
+    val grids = man.select(col("grid_bits"), col("grid_files"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(grids.toSeq == Seq((3L, 8L)))
+    // maintenance under the manifest grid: the appended row's file_id
+    // must come from the 3-bit/8-file split, not any caller default
+    val (t, n) = Layout.maintainZOrdered(
+      Seq((7L, 7L)).toDF("x", "y"), "x", "y", dir)
+    assert(t == 1L && n == 1L)
+    assert(spark.read.parquet(dir)
+      .select(col("file_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).forall(_ < 8L))
+    // a pre-grid-column tree is rejected, not silently re-gridded
+    val legacy = java.nio.file.Files
+      .createTempDirectory("graft_zleg").toString + "/z"
+    Layout.writeZOrdered(base, "x", "y", legacy, bits = 2, files = 4)
+    spark.read.parquet(s"$legacy/_manifest")
+      .drop("grid_bits", "grid_files")
+      .localCheckpoint(true)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$legacy/_manifest")
+    val e = intercept[IllegalArgumentException] {
+      Layout.maintainZOrdered(Seq((1L, 1L)).toDF("x", "y"),
+        "x", "y", legacy)
+    }
+    assert(e.getMessage.contains("grid parameters"))
   }
 }
