@@ -358,7 +358,10 @@ object Bench {
     "q258_product_type_profit" -> 0.92,
     "q259_order_priority_exists" -> 0.49,
     "q260_bpe_budget_mix" -> 0.40,
-    "q261_image_dhash_clusters" -> 1.46)
+    "q261_image_dhash_clusters" -> 1.46,
+    "q268_returned_item_customers" -> 0.55,
+    "q269_shipping_priority_buckets" -> 0.55,
+    "q270_promo_revenue_share" -> 0.38)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -561,10 +564,16 @@ object Bench {
     "q261_image_dhash_clusters" -> 77542L,
     "q262_audio_envelope_neardup" -> 13620833L,
     "q263_modality_router" -> 4572L,
-    "q264_small_quantity_revenue" -> 38838L,
+    // q264 re-seeded r16: the forced broadcast(perPart) hint dropped
+    // (judge item) — AQE now stages both join inputs before choosing
+    // the broadcast, so the shuffle write grows ~0.6 MB by design
+    "q264_small_quantity_revenue" -> 653542L,
     "q265_bpe_sequence_packing" -> 484900L,
     "q266_audio_envelope_clusters" -> 84704L,
     "q267_image_dedup_agreement" -> 13346L,
+    "q268_returned_item_customers" -> 139834L,
+    "q269_shipping_priority_buckets" -> 765L,
+    "q270_promo_revenue_share" -> 510L,
     "q21_embedding_neardup_ivf" -> 5033608L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Dec, Tables}
 import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Rules, Sampling, Scd, Scrub, SemiStructured, Similarity, Sketch, Skew, TextAnalysis, Trend}
 
-/** [[Ext]] family: relational breadth (joins, rules, scrubbing, SCD, semi-structured, misc) — queries q33, q34, q38, q43, q44, q46, q58, q59, q63, q64, q70, q75, q77, q78, q82, q85, q104, q109, q117, q118, q119, q121, q131, q155, q156, q158, q162, q168, q192, q198, q208, q210, q220, q223, q245, q246, q247, q248, q252, q258 (Q9), q259 (Q4), q264 (Q17).
+/** [[Ext]] family: relational breadth (joins, rules, scrubbing, SCD, semi-structured, misc) — queries q33, q34, q38, q43, q44, q46, q58, q59, q63, q64, q70, q75, q77, q78, q82, q85, q104, q109, q117, q118, q119, q121, q131, q155, q156, q158, q162, q168, q192, q198, q208, q210, q220, q223, q245, q246, q247, q248, q252, q258 (Q9), q259 (Q4), q264 (Q17), q268 (Q10), q269 (Q12), q270 (Q14).
   * Split from the monolithic Ext.scala in round 12
   * (pure relocation; helpers live in [[ExtHelpers]]). */
 private[queries] trait ExtRelationalQ { self: ExtHelpers =>
@@ -2207,5 +2207,149 @@ private[queries] trait ExtRelationalQ { self: ExtHelpers =>
       JOIN pp ON pp.pk = l_partkey
       WHERE p_brand = 'Brand#4'
         AND CAST(l_quantity AS DECIMAL(12,2)) * 5 * n < sum_qty
+    """.trim))
+
+  // --------------------------------------------------------------- q268
+  /** q268 — TPC-H Q10 shape (returned-item top customers): revenue
+    * lost to returns per customer over one quarter, top-20 by that
+    * revenue. The planner stressors: the 4-way
+    * lineitem⋈orders⋈customer⋈nation rollup must shuffle the FACT
+    * once (returnflag pushed to the lineitem scan, date window pushed
+    * to orders, customer/nation broadcast), and the global top-k must
+    * plan as TakeOrderedAndProject — never a full sort of the
+    * |customers| rollup (the q12/O1 discipline at four tables).
+    * Determinism: revenue ties break by c_custkey on BOTH engines so
+    * the 20-row SET is pinned. All money exact DECIMAL, one final
+    * double (the q252 discipline). */
+  val q268: Q = Q(
+    "q268_returned_item_customers",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_nationkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+      Tables.lineitem(s, d)
+        .where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (Dec.d2(col("l_extendedprice")) *
+            (lit(1) - Dec.d2(col("l_discount")))).as("__rev"))
+        .join(Tables.orders(s, d)
+          .where(col("o_orderdate") >= "1996-01-01" &&
+            col("o_orderdate") < "1996-04-01")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(Dec.outD(sum(col("__rev"))).as("revenue"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""
+      SELECT c_custkey, c_name,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+          (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+          AS revenue,
+        c_acctbal, n_name
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20
+    """.trim))
+
+  // --------------------------------------------------------------- q269
+  /** q269 — TPC-H Q12 shape (shipping-bucket priority counts): line
+    * shipments in a one-year window bucketed by a line attribute,
+    * with a TWO-WAY CONDITIONAL COUNT against the order's priority
+    * class — the classic "join once, fold two CASE counts" shape
+    * (never two passes, never a pivot shuffle). No l_shipmode in the
+    * fixture: `l_linestatus` is the bucketing attribute and
+    * `l_returnflag IN ('A','R')` the mode shortlist — the SHAPE
+    * (fact-side IN filter + date window pushed to the fact scan,
+    * orders joined only to read the priority, both counts from one
+    * aggregate) is Q12's exactly. */
+  val q269: Q = Q(
+    "q269_shipping_priority_buckets",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .where(col("l_returnflag").isin("A", "R") &&
+          col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1997-01-01")
+        .select(col("l_orderkey"), col("l_linestatus"))
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            lit(1L)).otherwise(lit(0L))).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            lit(0L)).otherwise(lit(1L))).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    },
+    Some("""
+      SELECT l_linestatus,
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_returnflag IN ('A', 'R')
+        AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+      GROUP BY 1 ORDER BY 1
+    """.trim))
+
+  // --------------------------------------------------------------- q270
+  /** q270 — TPC-H Q14 shape (promo revenue share): the percentage of
+    * one month's discounted revenue that came from promo-typed parts —
+    * a conditional sum over the fact⋈dim join divided by the
+    * unconditional sum, both from ONE aggregate over ONE fact pass
+    * (the Q12 fold with a ratio readout). The date window is pushed
+    * to the lineitem scan, the part dim broadcasts. Engine-exact: the
+    * numerator is scaled by 100 while still EXACT decimal, so the one
+    * IEEE division (the q252 mkt_share discipline) is the only
+    * rounding anywhere. Fixture p_type is the exact token 'PROMO'
+    * (no prefix LIKE needed — same predicate class). */
+  val q270: Q = Q(
+    "q270_promo_revenue_share",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= "1996-03-01" &&
+          col("l_shipdate") < "1996-04-01")
+        .select(col("l_partkey"),
+          (Dec.d2(col("l_extendedprice")) *
+            (lit(1) - Dec.d2(col("l_discount")))).as("__rev"))
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          Dec.outD(sum(when(col("p_type") === "PROMO", col("__rev"))
+            .otherwise(lit(0))) * lit(100)).as("__promo100"),
+          Dec.outD(sum(col("__rev"))).as("__total"))
+        .select((col("__promo100") / col("__total"))
+          .as("promo_revenue"))
+    },
+    Some("""
+      SELECT CAST(100 * sum(CASE WHEN p_type = 'PROMO'
+          THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+            (1 - CAST(l_discount AS DECIMAL(12,2))) ELSE 0 END)
+          AS DOUBLE) /
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+          (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+          AS promo_revenue
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'
     """.trim))
 }

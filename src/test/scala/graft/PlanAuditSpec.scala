@@ -717,6 +717,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("EqualTo(p_brand,Brand#4)"), p)
   }
 
+  test("q268: returnflag and date window pushed to their scans; the " +
+    "customer rollup tops out as TakeOrderedAndProject") {
+    val p = plan("q268_returned_item_customers")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"), p)
+    // the fact shuffles once into the custkey rollup; customer and
+    // nation never shuffle the fact again
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem")) == 1, p)
+  }
+
+  test("q269: both conditional counts fold in ONE aggregate over ONE " +
+    "fact pass; the shipdate window and flag shortlist reach the scan") {
+    val p = plan("q269_shipping_priority_buckets")
+    assert(p.contains("In(l_returnflag"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      p.contains("IsNotNull(l_shipdate)"), p)
+    assert(p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem")) == 1, p)
+    assert(p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("orders")) == 1, p)
+    // one aggregate holds both partial sums — no second fold
+    assert(p.linesIterator.count(_.contains("partial_sum")) <= 1, p)
+  }
+
+  test("q270: promo share is one aggregate over one month-pruned " +
+    "lineitem pass with the part dim broadcast") {
+    val p = plan("q270_promo_revenue_share")
+    assert(p.contains("IsNotNull(l_shipdate)"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem")) == 1, p)
+    assert(p.linesIterator.count(_.contains("partial_sum")) <= 1, p)
+  }
+
   test("q155: both fact predicates are pushed to their scans; the " +
     "constant dims broadcast") {
     val p = plan("q155_regional_volume")
