@@ -361,7 +361,12 @@ object Bench {
     "q261_image_dhash_clusters" -> 1.46,
     "q268_returned_item_customers" -> 0.55,
     "q269_shipping_priority_buckets" -> 0.55,
-    "q270_promo_revenue_share" -> 0.38)
+    "q270_promo_revenue_share" -> 0.38,
+    // q271/q272 pay the full MinHash-LSH pipeline + image decode +
+    // both recursive closures to COMPARE the modality decisions —
+    // the q188/q195 eval-cost shape across modalities
+    "q271_crossmodal_dedup_agreement" -> 3.31,
+    "q272_crossmodal_dedup_worklist" -> 2.87)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -574,6 +579,8 @@ object Bench {
     "q268_returned_item_customers" -> 139834L,
     "q269_shipping_priority_buckets" -> 765L,
     "q270_promo_revenue_share" -> 510L,
+    "q271_crossmodal_dedup_agreement" -> 751173L,
+    "q272_crossmodal_dedup_worklist" -> 641947L,
     "q21_embedding_neardup_ivf" -> 5033608L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

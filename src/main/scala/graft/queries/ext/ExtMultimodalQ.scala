@@ -9,7 +9,8 @@ import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing,
   * q209 (video container), q221 (catalog profile over all three),
   * q238 (frame-sample plan), q255/q261 (image dHash pairs/clusters),
   * q256/q257 (sample tables + byte-range seeks), q262 (audio
-  * envelope near-dup), q263 (modality router).
+  * envelope near-dup), q263 (modality router), q271/q272 (cross-modal
+  * paired-row dedup agreement + disagreement worklist).
   * Split from the monolithic Ext.scala in round 12
   * (pure relocation; helpers live in [[ExtHelpers]]). */
 private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
@@ -699,6 +700,196 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       FROM tgt t JOIN smp m
         ON m.doc_id = t.doc_id AND m.sample_idx = t.sample_idx
       ORDER BY t.doc_id, t.frame_idx
+    """.trim))
+
+  /** Shared build for q271/q272 — the PAIRED-ROW cross-modal joint
+    * frame: each doc's TEXT near-dup cluster (q31's MinHash-LSH
+    * closure) joined to its IMAGE cluster (q261's dHash closure) on
+    * doc_id — the (caption, image) pair being the actual unit of a
+    * multimodal training corpus. Universe = docs with BOTH decisions
+    * (text always exists; images restrict to decodable payloads).
+    * Scale shape: both cluster frames are |docs|-row 16-byte
+    * decisions, the join is one equi-shuffle of those decisions
+    * (never payloads or pair sets). */
+  private def crossModalJoint(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+    val textC = Dedup.nearDupClusters(docs, "doc_id",
+      Dedup.minhashLshPairs(docs, "doc_id", "text",
+        threshold = 0.5, k = minhashK, bands = minhashBands))
+      .select(col("doc_id"), col("cluster_id").as("tcid"))
+    val dh = graft.engine.CacheScope.unmanaged.persist(
+      Multimodal.imageDhash(Multimodal.encodeGradientImageFixture(
+        docs, "doc_id")).toDF()
+        .where(col("ok") === 1L)
+        .select(col("doc_id"), col("dhash").as("fp")))
+    val imgC = Dedup.fingerprintClusters(dh, "doc_id", "fp",
+        maxHamming = 3, bits = 64)
+      .select(col("doc_id"), col("cluster_id").as("icid"))
+    textC.join(imgC, Seq("doc_id"))
+  }
+
+  /** The two recursive closures + joint frame restated in DuckDB —
+    * the q31 oracle (text side, over all documents) and the q261
+    * oracle (image side, over the decodable universe) joined on id.
+    * Emits CTE fragments ending in `jsz(id, tcid, icid)`. */
+  private def crossModalJointOracleSql: String = s"""
+      tpairs AS (
+        SELECT doc_a, doc_b FROM ($q18OracleSql) tq
+      ),
+      tedges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM tpairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM tpairs
+      ),
+      treach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, treach.r FROM treach JOIN tedges e
+          ON e.src = treach.id
+      ),
+      tclusters AS (SELECT id, min(r) AS tcid FROM treach GROUP BY id),
+      ipairs AS (
+        SELECT doc_a, doc_b FROM ($dhashPairsOracleSql) iq
+      ),
+      iedges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM ipairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM ipairs
+      ),
+      iuniverse AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0
+          AND doc_id % 10 NOT IN (3, 6)),
+      ireach(id, r) AS (
+        SELECT doc_id, doc_id FROM iuniverse
+        UNION
+        SELECT e.dst, ireach.r FROM ireach JOIN iedges e
+          ON e.src = ireach.id
+      ),
+      iclusters AS (SELECT id, min(r) AS icid FROM ireach GROUP BY id),
+      jsz AS (
+        SELECT id, tcid, icid
+        FROM tclusters JOIN iclusters USING (id))"""
+
+  // --------------------------------------------------------------- q271
+  /** q271 — CROSS-MODAL paired-row dedup agreement (q267 generalized
+    * ACROSS modalities): for each (caption, image) pair — a document
+    * and its same-id fixture image — compare the TEXT near-dup
+    * decision (q31's MinHash-LSH closure) with the IMAGE decision
+    * (q261's dHash closure). Everything folds from the FINEST
+    * partition, the per-(text cluster × image cluster) joint-cell
+    * counts: both modalities' pair masses, the pairs only one
+    * modality finds (`text_only_pairs` / `image_only_pairs` — what
+    * each rung buys for paired rows), and the union a compose-OR
+    * dedup policy would drop. Cluster sizes are JOINT-restricted
+    * (pairs both modalities can see), so the masses are comparable.
+    * Scale shape: the cell frame is ≤ min(|text clusters| ×
+    * |image clusters|, |docs|) rows; every readout is a fold of it —
+    * no doc pair ever materializes (the q267 group-size identity
+    * `Σ n·(n−1)/2`, per modality via regrouping the SAME cells). */
+  val q271: Q = Q(
+    "q271_crossmodal_dedup_agreement",
+    (s, d) => {
+      val cells = graft.engine.CacheScope.unmanaged.persist(
+        crossModalJoint(s, d)
+          .groupBy(col("tcid"), col("icid"))
+          .agg(count(lit(1)).as("n")))
+      val both = cells.agg(
+        coalesce(sum(col("n")), lit(0L)).as("n_docs"),
+        coalesce(sum(expr("n * (n - 1) div 2")), lit(0L))
+          .as("both_pairs"))
+      val t = cells.groupBy(col("tcid"))
+        .agg(sum(col("n")).as("n"))
+        .agg(count(lit(1)).as("text_clusters"),
+          coalesce(sum(expr("n * (n - 1) div 2")), lit(0L))
+            .as("text_pairs"))
+      val i = cells.groupBy(col("icid"))
+        .agg(sum(col("n")).as("n"))
+        .agg(count(lit(1)).as("image_clusters"),
+          coalesce(sum(expr("n * (n - 1) div 2")), lit(0L))
+            .as("image_pairs"))
+      both.crossJoin(broadcast(t)).crossJoin(broadcast(i))
+        .select(col("n_docs"), col("text_clusters"),
+          col("image_clusters"), col("text_pairs"), col("image_pairs"),
+          col("both_pairs"),
+          (col("text_pairs") - col("both_pairs")).as("text_only_pairs"),
+          (col("image_pairs") - col("both_pairs"))
+            .as("image_only_pairs"),
+          (col("text_pairs") + col("image_pairs") - col("both_pairs"))
+            .as("union_pairs"))
+    },
+    Some(s"""
+      WITH RECURSIVE $crossModalJointOracleSql,
+      cells AS (
+        SELECT tcid, icid, CAST(count(*) AS BIGINT) AS n
+        FROM jsz GROUP BY 1, 2),
+      bb AS (
+        SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_docs,
+          CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT)
+            AS both_pairs
+        FROM cells),
+      tt AS (
+        SELECT CAST(count(*) AS BIGINT) AS text_clusters,
+          CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT)
+            AS text_pairs
+        FROM (SELECT tcid, sum(n) AS n FROM cells GROUP BY 1) tsz),
+      ii AS (
+        SELECT CAST(count(*) AS BIGINT) AS image_clusters,
+          CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT)
+            AS image_pairs
+        FROM (SELECT icid, sum(n) AS n FROM cells GROUP BY 1) isz)
+      SELECT bb.n_docs, tt.text_clusters, ii.image_clusters,
+        tt.text_pairs, ii.image_pairs, bb.both_pairs,
+        tt.text_pairs - bb.both_pairs AS text_only_pairs,
+        ii.image_pairs - bb.both_pairs AS image_only_pairs,
+        tt.text_pairs + ii.image_pairs - bb.both_pairs AS union_pairs
+      FROM bb, tt, ii
+    """.trim))
+
+  // --------------------------------------------------------------- q272
+  /** q272 — the cross-modal DISAGREEMENT worklist (q271's readout at
+    * doc grain, the q188→q195 split applied across modalities): the
+    * paired rows whose duplicate STATUS disagrees — text says dup
+    * (joint-restricted text cluster ≥ 2) while the image is unique,
+    * or vice versa — exactly the rows a curator reviews before
+    * trusting a single-modality dedup policy on a paired corpus.
+    * Sizes re-attach by cluster-id equi-joins (cluster ids are never
+    * null — min-id labels); output is bounded by the joint universe,
+    * ordered by doc_id. */
+  val q272: Q = Q(
+    "q272_crossmodal_dedup_worklist",
+    (s, d) => {
+      val joint = graft.engine.CacheScope.unmanaged.persist(
+        crossModalJoint(s, d))
+      val tsz = joint.groupBy(col("tcid"))
+        .agg(count(lit(1)).as("text_size"))
+      val isz = joint.groupBy(col("icid"))
+        .agg(count(lit(1)).as("image_size"))
+      joint.join(tsz, Seq("tcid")).join(isz, Seq("icid"))
+        .where((col("text_size") >= 2) =!= (col("image_size") >= 2))
+        .select(col("doc_id"), col("tcid").as("text_cluster_id"),
+          col("icid").as("image_cluster_id"),
+          col("text_size"), col("image_size"),
+          when(col("text_size") >= 2, lit("text_only"))
+            .otherwise(lit("image_only")).as("modality"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $crossModalJointOracleSql,
+      tsz AS (
+        SELECT tcid, CAST(count(*) AS BIGINT) AS text_size
+        FROM jsz GROUP BY 1),
+      isz AS (
+        SELECT icid, CAST(count(*) AS BIGINT) AS image_size
+        FROM jsz GROUP BY 1)
+      SELECT j.id AS doc_id, j.tcid AS text_cluster_id,
+        j.icid AS image_cluster_id, tsz.text_size, isz.image_size,
+        CASE WHEN tsz.text_size >= 2 THEN 'text_only'
+             ELSE 'image_only' END AS modality
+      FROM jsz j JOIN tsz USING (tcid) JOIN isz USING (icid)
+      WHERE (tsz.text_size >= 2) != (isz.image_size >= 2)
+      ORDER BY doc_id
     """.trim))
 
 }

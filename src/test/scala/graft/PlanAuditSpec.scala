@@ -1017,7 +1017,12 @@ class PlanAuditSpec extends SparkSpec {
       // q267: the ONE-ROW exact-side summary × ONE-ROW perceptual-side
       // summary meet on a broadcast scalar join — the q95/q127/q249
       // eval-rung 1×1 shape verbatim
-      "q267_image_dedup_agreement")
+      "q267_image_dedup_agreement",
+      // q271: the ONE-ROW both-pairs fold × ONE-ROW text summary ×
+      // ONE-ROW image summary — three regroupings of the same
+      // persisted joint-cell frame meeting on 1×1 broadcast scalar
+      // joins, q267's shape across modalities
+      "q271_crossmodal_dedup_agreement")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()
