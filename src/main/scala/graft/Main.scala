@@ -38,6 +38,12 @@ object Main {
       corpus(docsParquet, outDir, epoch = None)
     case "corpus" :: docsParquet :: outDir :: epochSeed :: Nil =>
       corpus(docsParquet, outDir, epoch = Some(epochSeed.toLong))
+    case "media-fixture" :: docsParquet :: outDir :: Nil =>
+      mediaFixture(docsParquet, outDir)
+    case "corpus-media" :: mediaParquet :: outDir :: rest
+        if rest.size <= 1 =>
+      corpusMedia(mediaParquet, outDir,
+        shardBytes = rest.headOption.map(_.toLong).getOrElse(64L << 20))
     case "index" :: embParquet :: outDir :: Nil => index(embParquet, outDir)
     case "dedup-ingest" :: docsParquet :: storeDir :: outDir :: rest
         if rest.size <= 2 =>
@@ -114,7 +120,7 @@ object Main {
       profile(srcParquet, outDir, cols)
     case _ =>
       System.err.println(
-        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | checksum-ingest <parquet> <groupCol> <textCol> <storeDir> | kmv-ingest <parquet> <groupCol> <textCol> <storeDir> [k] | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | df-ingest <docsParquet> <storeDir> <outDir> [minDf] | export-shards <docsParquet> <outDir> <shardBytes> | export-zorder <parquet> <outDir> <xCol> <yCol> [bits [files]] | zorder-maintain <parquet> <outDir> <xCol> <yCol> | dhash-ingest <mediaParquet> <storeDir> <outDir> | bpe-train <docsParquet> <outParquet> [nMerges] | bpe-apply <docsParquet> <mergesParquet> <outDir> | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | stream-sessionize <eventsDir> <outDir> <ckptDir> [gapMinutes] | stream-dedup <docsDir> <outDir> <ckptDir> [watermarkDelay] | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
+        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | media-fixture <docsParquet> <outDir> | corpus-media <mediaParquet> <outDir> [shardBytes] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | checksum-ingest <parquet> <groupCol> <textCol> <storeDir> | kmv-ingest <parquet> <groupCol> <textCol> <storeDir> [k] | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | df-ingest <docsParquet> <storeDir> <outDir> [minDf] | export-shards <docsParquet> <outDir> <shardBytes> | export-zorder <parquet> <outDir> <xCol> <yCol> [bits [files]] | zorder-maintain <parquet> <outDir> <xCol> <yCol> | dhash-ingest <mediaParquet> <storeDir> <outDir> | bpe-train <docsParquet> <outParquet> [nMerges] | bpe-apply <docsParquet> <mergesParquet> <outDir> | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | stream-sessionize <eventsDir> <outDir> <ckptDir> [gapMinutes] | stream-dedup <docsDir> <outDir> <ckptDir> [watermarkDelay] | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
       sys.exit(2)
   }
 
@@ -836,6 +842,60 @@ object Main {
       s"neardup=${s.afterNearDup} paragraph=${s.afterParagraph} " +
       s"quality=${s.afterQuality} packs=${s.packs}")
     spark.stop()
+  }
+
+  /** The media lake's composed product path ([[graft.etl
+    * .MediaPipeline]]): magic-byte routing → per-modality dedup
+    * keep-canonical → catalog profile → byte-budgeted shard export. */
+  private def corpusMedia(mediaParquet: String, outDir: String,
+      shardBytes: Long): Unit = {
+    val spark = GraftSession.local()
+    val s = runCorpusMedia(spark, mediaParquet, outDir, shardBytes)
+    println(s"[corpus-media] raw=${s.raw} " +
+      s"routed=img:${s.routedImage}/aud:${s.routedAudio}/" +
+      s"vid:${s.routedVideo}/unknown:${s.unroutable} " +
+      s"decoded=img:${s.decodedImage}/aud:${s.decodedAudio}/" +
+      s"vid:${s.decodedVideo} " +
+      s"kept=img:${s.keptImage}/aud:${s.keptAudio}/vid:${s.keptVideo} " +
+      s"shards=${s.shards} exported=${s.exported}")
+    spark.stop()
+  }
+
+  /** Testable core of `corpus-media` (the [[runCompact]] pattern). */
+  private[graft] def runCorpusMedia(
+      spark: org.apache.spark.sql.SparkSession, mediaParquet: String,
+      outDir: String, shardBytes: Long = 64L << 20)
+      : graft.etl.MediaPipeline.Stats =
+    graft.etl.MediaPipeline.curate(spark, mediaParquet, outDir,
+      shardBytes)
+
+  /** Write the MIXED media fixture lake (`corpus-media`'s demo
+    * input): ids fan out id%3 across the three content encoders —
+    * gradient PNGs (real rasters, the dedup-bearing family), PCM
+    * WAVs, ISO-BMFF MP4s — with each encoder's corrupt families
+    * intact, so routing, decode gates and dedup all exercise. */
+  private def mediaFixture(docsParquet: String, outDir: String): Unit = {
+    val spark = GraftSession.local()
+    val n = runMediaFixture(spark, docsParquet, outDir)
+    println(s"media-fixture: $n media rows under $outDir")
+    spark.stop()
+  }
+
+  /** Testable core of `media-fixture`. */
+  private[graft] def runMediaFixture(
+      spark: org.apache.spark.sql.SparkSession, docsParquet: String,
+      outDir: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val M = graft.operators.Multimodal
+    val docs = spark.read.parquet(docsParquet)
+    M.encodeGradientImageFixture(
+        docs.where(col("doc_id") % 3 === 0), "doc_id").toDF()
+      .unionByName(M.encodeWaveformFixture(
+        docs.where(col("doc_id") % 3 === 1), "doc_id").toDF())
+      .unionByName(M.encodeVideoFixture(
+        docs.where(col("doc_id") % 3 === 2), "doc_id").toDF())
+      .write.mode("overwrite").parquet(outDir)
+    spark.read.parquet(outDir).count()
   }
 
   /** The Varios sheet is KB-scale control data whose ROW ORDER is part

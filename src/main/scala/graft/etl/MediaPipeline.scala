@@ -1,0 +1,172 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.CacheScope
+import graft.operators.{Dedup, Multimodal, Packing}
+
+/** The MULTIMODAL curation funnel — [[CorpusPipeline]]'s media sibling
+  * (SURVEY.md §2.11 composed end to end): the individual operators are
+  * each oracle-checked in the registry (q263 router, q255/q261 image
+  * dHash, q262/q266 audio envelope, q209 video container, q221
+  * profile, q224 shard manifest); this is the single composed path a
+  * media-corpus team actually runs — one pass from a mixed binary
+  * lake to a deduplicated, profiled, shard-exported corpus.
+  *
+  *   raw → modality routing by MAGIC BYTES (q263 — crawler mimes lie;
+  *         the routed tree is written partitioned by modality so every
+  *         later stage reads ONLY its modality's payload bytes)
+  *       → per-modality dedup decision, keep-canonical:
+  *           image: dHash → Hamming clusters (q261's decision)
+  *           audio: envelope hash → Hamming clusters (q266's)
+  *           video: container-decodable + exact payload identity
+  *                  (sha-256 keep-min — codec-frame perception is the
+  *                  documented out-of-scope rung, so byte identity is
+  *                  the honest video decision)
+  *         unroutable payloads and rows that sniff but fail their
+  *         modality's decode are DROPPED and counted (lake health)
+  *       → q221 catalog profile OVER THE KEPT media (the distributions
+  *         that drive training decisions, measured on what survives)
+  *       → byte-budgeted shard export with `_manifest`
+  *         ([[Packing.writeShards]] with payload octet lengths — the
+  *         same deterministic file plan, diffable across re-runs)
+  *
+  * Scale shape: payloads are only ever SCANNED (fingerprint/meta
+  * decode passes are mapPartitions over the modality's partition) or
+  * routed by one hash repartition (the two writes); every decision
+  * frame that crosses a shuffle is a 16-byte (doc_id, fp) or
+  * (doc_id, cluster) row. The driver holds stage COUNTS, never rows.
+  * Stage counts come back as [[MediaPipeline.Stats]].
+  */
+object MediaPipeline {
+
+  final case class Stats(
+      raw: Long, routedImage: Long, routedAudio: Long, routedVideo: Long,
+      unroutable: Long, decodedImage: Long, decodedAudio: Long,
+      decodedVideo: Long, keptImage: Long, keptAudio: Long,
+      keptVideo: Long, shards: Long, exported: Long)
+
+  private val mediaCols = Seq("doc_id", "uri", "mime", "payload")
+
+  /** Run the funnel over `mediaParquet` (MediaRecord schema: doc_id,
+    * uri, mime, payload), writing under `outDir`:
+    * `routed/` (modality-partitioned lake), `curated/` (the kept
+    * canonical rows, modality-partitioned), `profile/` (q221 catalog
+    * readout over the kept media), `shards/` (+ `_manifest`).
+    * Intermediate decision frames live in one managed [[CacheScope]],
+    * released before return. */
+  def curate(spark: SparkSession, mediaParquet: String, outDir: String,
+      shardBytes: Long = 64L << 20, maxHamming: Int = 3,
+      onScope: CacheScope => Unit = _ => ()): Stats =
+    CacheScope.withScope { scope =>
+      val media = spark.read.parquet(mediaParquet)
+      val raw = media.count()
+
+      // 1. ROUTE by sniffed magic (never the declared mime): one
+      // payload pass, written partitioned by modality so each later
+      // stage scans only its own bytes. `unknown` rows are counted
+      // and go no further (a real lake quarantines them).
+      media
+        .withColumn("sniffed", Multimodal.sniffModality(col("payload")))
+        .withColumn("modality",
+          split(col("sniffed"), "/").getItem(0))
+        .repartition(col("modality"))
+        .write.partitionBy("modality").mode("overwrite")
+        .parquet(s"$outDir/routed")
+      val routed = spark.read.parquet(s"$outDir/routed")
+      val routeCounts = routed.groupBy(col("modality"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      def routedOf(modality: String) = routed
+        .where(col("modality") === modality)
+        .select(mediaCols.map(col): _*)
+      def asMedia(df: DataFrame) =
+        df.as[Multimodal.MediaRecord](Multimodal.mediaRecordEnc)
+
+      // 2. PER-MODALITY dedup decision — canonical ids to keep.
+      // Fingerprint frames are persisted (16 bytes/row): each feeds
+      // its cluster closure AND the decoded count, and without the
+      // persist the decode pass would run once per consumer (the
+      // q255/DhashStore lesson).
+      val imgFp = scope.persist(
+        Multimodal.imageDhash(asMedia(routedOf("image"))).toDF()
+          .where(col("ok") === 1L)
+          .select(col("doc_id"), col("dhash").as("fp")))
+      val decodedImage = imgFp.count()
+      val keepImage = Dedup.fingerprintClusters(imgFp, "doc_id", "fp",
+          maxHamming = maxHamming, bits = 64)
+        .where(col("is_canonical")).select(col("doc_id"))
+
+      val audFp = scope.persist(
+        Multimodal.audioFingerprints(asMedia(routedOf("audio"))).toDF()
+          .where(col("ok") === 1L)
+          .select(col("doc_id"), col("fp")))
+      val decodedAudio = audFp.count()
+      val keepAudio = Dedup.fingerprintClusters(audFp, "doc_id", "fp",
+          maxHamming = maxHamming, bits = 64)
+        .where(col("is_canonical")).select(col("doc_id"))
+
+      // video: container decode gates health; identity is exact bytes
+      // (sha-256 keep-min, the q16 rule on payloads)
+      val vidHash = scope.persist(
+        routedOf("video")
+          .select(col("doc_id"), sha2(col("payload"), 256).as("bh"))
+          .join(Multimodal.decodeVideoMeta(asMedia(routedOf("video")))
+            .toDF().where(col("ok") === 1L).select(col("doc_id")),
+            Seq("doc_id")))
+      val decodedVideo = vidHash.count()
+      val keepVideo = vidHash.groupBy(col("bh"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+
+      // 3. CURATED tree: the kept canonical rows, still partitioned
+      // by modality (one payload pass per modality, keep-id joins are
+      // decision-frame-sized and broadcast)
+      def keptOf(modality: String, keep: DataFrame) =
+        routedOf(modality).join(broadcast(keep), Seq("doc_id"))
+          .withColumn("modality", lit(modality))
+      keptOf("image", keepImage)
+        .unionByName(keptOf("audio", keepAudio))
+        .unionByName(keptOf("video", keepVideo))
+        .repartition(col("modality"))
+        .write.partitionBy("modality").mode("overwrite")
+        .parquet(s"$outDir/curated")
+      val curated = spark.read.parquet(s"$outDir/curated")
+      val keptCounts = curated.groupBy(col("modality"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      def curatedOf(modality: String) = curated
+        .where(col("modality") === modality)
+        .select(mediaCols.map(col): _*)
+
+      // 4. PROFILE the kept media (q221's readout, measured on what
+      // survives — the distributions a training run will actually see)
+      Multimodal.mediaProfile(
+          Multimodal.decodeImageMeta(asMedia(curatedOf("image"))).toDF(),
+          Multimodal.decodeAudioMeta(asMedia(curatedOf("audio"))).toDF(),
+          Multimodal.decodeVideoMeta(asMedia(curatedOf("video"))).toDF())
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/profile")
+
+      // 5. SHARD EXPORT: byte-budgeted one-file-per-shard tree with
+      // _manifest — payload octet lengths drive the same
+      // deterministic prefix-sum file plan the text funnel uses
+      val (shards, exported) = Packing.writeShards(
+        curated.select((mediaCols :+ "modality").map(col): _*),
+        "doc_id", "payload", s"$outDir/shards", shardBytes)
+
+      val stats = Stats(raw,
+        routeCounts.getOrElse("image", 0L),
+        routeCounts.getOrElse("audio", 0L),
+        routeCounts.getOrElse("video", 0L),
+        routeCounts.getOrElse("unknown", 0L),
+        decodedImage, decodedAudio, decodedVideo,
+        keptCounts.getOrElse("image", 0L),
+        keptCounts.getOrElse("audio", 0L),
+        keptCounts.getOrElse("video", 0L),
+        shards, exported)
+      onScope(scope)
+      stats
+    }
+}

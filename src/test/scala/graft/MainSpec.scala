@@ -372,6 +372,91 @@ class MainSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("corpus-media CLI: the composed funnel routes by magic, " +
+    "dedups per modality keep-canonical, profiles the kept media, " +
+    "and the shard read-back agrees with its manifest") {
+    import org.apache.spark.sql.functions._
+    val M = graft.operators.Multimodal
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cmcli").toString
+    val s2 = spark; import s2.implicits._
+    (0L until 60L).toDF("doc_id").write.parquet(s"$base/docs")
+    val nLake = Main.runMediaFixture(spark, s"$base/docs", s"$base/lake")
+    assert(nLake == 60)
+    val st = Main.runCorpusMedia(spark, s"$base/lake", s"$base/out",
+      shardBytes = 4096)
+    assert(st.raw == 60)
+    // routing ≡ the q263 sniff applied to the lake, and it partitions
+    val sniffed = spark.read.parquet(s"$base/lake")
+      .select(M.sniffModality(col("payload")).as("sn"))
+    def nSniffed(pred: org.apache.spark.sql.Column) =
+      sniffed.where(pred).count()
+    assert(st.routedImage == nSniffed(col("sn").startsWith("image")))
+    assert(st.routedAudio == nSniffed(col("sn").startsWith("audio")))
+    assert(st.routedVideo == nSniffed(col("sn").startsWith("video")))
+    assert(st.unroutable == nSniffed(col("sn") === "unknown"))
+    assert(st.unroutable > 0, "fixture must exercise the quarantine")
+    assert(st.raw == st.routedImage + st.routedAudio + st.routedVideo +
+      st.unroutable)
+    // keep decision ≡ the ONE-SHOT q261 canonical set over the same
+    // routed image rows (the composition adds nothing and loses nothing)
+    val routedImg = spark.read.parquet(s"$base/out/routed")
+      .where(col("modality") === "image")
+      .select(col("doc_id"), col("uri"), col("mime"), col("payload"))
+    val oneShot = graft.operators.Dedup.fingerprintClusters(
+        M.imageDhash(routedImg.as[M.MediaRecord](M.mediaRecordEnc))
+          .toDF().where(col("ok") === 1L)
+          .select(col("doc_id"), col("dhash").as("fp")),
+        "doc_id", "fp", 3, 64)
+      .where(col("is_canonical"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val curatedImg = spark.read.parquet(s"$base/out/curated")
+      .where(col("modality") === "image")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(curatedImg == oneShot)
+    assert(st.keptImage == oneShot.size.toLong)
+    assert(st.keptImage < st.decodedImage,
+      "gradient fixture must actually deduplicate")
+    // decode gates drop the truncated-but-routable family
+    assert(st.decodedImage < st.routedImage)
+    assert(st.decodedAudio < st.routedAudio)
+    // shards: read-back ≡ manifest, every shard one file
+    val shards = spark.read.parquet(s"$base/out/shards")
+    assert(st.exported ==
+      st.keptImage + st.keptAudio + st.keptVideo)
+    assert(shards.count() == st.exported)
+    val gotByShard = shards
+      .groupBy(col("shard_id").cast("long").as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(octet_length(col("payload")).cast("long")).as("n_bytes"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val manByShard = spark.read.parquet(s"$base/out/shards/_manifest")
+      .select(col("shard_id"), col("n_docs"), col("n_bytes"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(gotByShard == manByShard)
+    assert(manByShard.size.toLong == st.shards)
+    // the profile is measured on the KEPT media: health all ok, and
+    // the per-modality ok masses equal the kept counts
+    val prof = spark.read.parquet(s"$base/out/profile")
+    assert(prof.where(col("dimension") === "health" &&
+      col("bucket") === "corrupt").count() == 0)
+    val okBy = prof.where(col("dimension") === "health")
+      .select(col("modality"), col("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(okBy == Map("image" -> st.keptImage,
+      "audio" -> st.keptAudio, "video" -> st.keptVideo))
+    // curated payloads are byte-identical to their routed originals
+    val mismatch = spark.read.parquet(s"$base/out/curated")
+      .select(col("doc_id"), sha2(col("payload"), 256).as("ch"))
+      .join(spark.read.parquet(s"$base/lake")
+        .select(col("doc_id"), sha2(col("payload"), 256).as("lh")),
+        Seq("doc_id"))
+      .where(col("ch") =!= col("lh")).count()
+    assert(mismatch == 0)
+  }
+
   test("bpe-train + bpe-apply CLIs: the trained artifact round-trips " +
     "and the applied counts compress vs characters") {
     import org.apache.spark.sql.functions.col
