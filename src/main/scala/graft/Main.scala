@@ -114,13 +114,15 @@ object Main {
         if rest.size <= 1 =>
       streamDedup(inDir, outDir, ckptDir,
         delay = rest.headOption.getOrElse("10 minutes"))
+    case "stream-route" :: inDir :: outDir :: ckptDir :: Nil =>
+      streamRoute(inDir, outDir, ckptDir)
     case "explain" :: name :: rest if rest.size <= 1 =>
       explain(name, rest.headOption.getOrElse("/root/testdata/sf0.001"))
     case "profile" :: srcParquet :: outDir :: cols =>
       profile(srcParquet, outDir, cols)
     case _ =>
       System.err.println(
-        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | media-fixture <docsParquet> <outDir> | corpus-media <mediaParquet> <outDir> [shardBytes] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | checksum-ingest <parquet> <groupCol> <textCol> <storeDir> | kmv-ingest <parquet> <groupCol> <textCol> <storeDir> [k] | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | df-ingest <docsParquet> <storeDir> <outDir> [minDf] | export-shards <docsParquet> <outDir> <shardBytes> | export-zorder <parquet> <outDir> <xCol> <yCol> [bits [files]] | zorder-maintain <parquet> <outDir> <xCol> <yCol> | dhash-ingest <mediaParquet> <storeDir> <outDir> | bpe-train <docsParquet> <outParquet> [nMerges] | bpe-apply <docsParquet> <mergesParquet> <outDir> | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | stream-sessionize <eventsDir> <outDir> <ckptDir> [gapMinutes] | stream-dedup <docsDir> <outDir> <ckptDir> [watermarkDelay] | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
+        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | media-fixture <docsParquet> <outDir> | corpus-media <mediaParquet> <outDir> [shardBytes] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | checksum-ingest <parquet> <groupCol> <textCol> <storeDir> | kmv-ingest <parquet> <groupCol> <textCol> <storeDir> [k] | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | df-ingest <docsParquet> <storeDir> <outDir> [minDf] | export-shards <docsParquet> <outDir> <shardBytes> | export-zorder <parquet> <outDir> <xCol> <yCol> [bits [files]] | zorder-maintain <parquet> <outDir> <xCol> <yCol> | dhash-ingest <mediaParquet> <storeDir> <outDir> | bpe-train <docsParquet> <outParquet> [nMerges] | bpe-apply <docsParquet> <mergesParquet> <outDir> | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | stream-sessionize <eventsDir> <outDir> <ckptDir> [gapMinutes] | stream-dedup <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-route <mediaDir> <outDir> <ckptDir> | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
       sys.exit(2)
   }
 
@@ -470,6 +472,44 @@ object Main {
       .start()
     q.awaitTermination()
     spark.read.parquet(outDir).count()
+  }
+
+  /** Serve the streaming modality router ([[graft.streaming
+    * .RouteStream]]) from the CLI: drain `inDir` (parquet with
+    * doc_id, ts_us, mime, payload) under `Trigger.AvailableNow`,
+    * landing every payload in `outDir/modality=<sniffed>/` — the
+    * stream-side front door of the `corpus-media` routed tree, with
+    * the declared-vs-sniffed health columns carried per row. Zero
+    * state: the sniff is row-local. Prints per-modality counts. */
+  private def streamRoute(inDir: String, outDir: String,
+      ckptDir: String): Unit = {
+    val spark = GraftSession.local()
+    val counts = runStreamRoute(spark, inDir, outDir, ckptDir)
+    val byMod = counts.toSeq.sortBy(_._1)
+      .map { case (m, n) => s"$m:$n" }.mkString("/")
+    println(s"stream-route: $byMod -> $outDir")
+    spark.stop()
+  }
+
+  /** Testable core of `stream-route` (the [[runCompact]] pattern). */
+  private[graft] def runStreamRoute(
+      spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, ckptDir: String): Map[String, Long] = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val schema = spark.read.parquet(inDir).schema
+    val media = spark.readStream.schema(schema).parquet(inDir)
+    val q = graft.streaming.RouteStream.routed(media)
+      .writeStream.format("parquet")
+      .partitionBy("modality")
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).groupBy(col("modality"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
   /** Pre-flight profile of an arbitrary parquet table — the first
