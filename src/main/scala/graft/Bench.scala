@@ -377,7 +377,11 @@ object Bench {
     // both recursive closures to COMPARE the modality decisions —
     // the q188/q195 eval-cost shape across modalities
     "q271_crossmodal_dedup_agreement" -> 3.31,
-    "q272_crossmodal_dedup_worklist" -> 2.87)
+    "q272_crossmodal_dedup_worklist" -> 2.87,
+    // q273 adds the distributed bipartite-closure loop (iteration
+    // fixed costs, not data) on top of q271's joint build
+    "q273_crossmodal_dedup_policies" -> 5.61,
+    "q274_token_shard_manifest" -> 1.23)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -592,6 +596,8 @@ object Bench {
     "q270_promo_revenue_share" -> 510L,
     "q271_crossmodal_dedup_agreement" -> 751173L,
     "q272_crossmodal_dedup_worklist" -> 641947L,
+    "q273_crossmodal_dedup_policies" -> 1668871L,
+    "q274_token_shard_manifest" -> 268010L,
     "q21_embedding_neardup_ivf" -> 5033608L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

@@ -148,6 +148,46 @@ object Packing {
       .orderBy(col("shard_id"))
   }
 
+  /** TOKEN-budget shard manifest — [[shardManifest]] metered in the
+    * MODEL's currency: shards sized by SUBWORD counts (the q265
+    * tokenizer seam applied to the export plan), because a training
+    * loader buys tokens, not bytes, and byte-sized shards of
+    * mixed-fertility corpora (CJK vs ASCII, code vs prose) deliver
+    * wildly uneven step counts per shard. Same deterministic
+    * two-phase prefix sum, same manifest shape with `n_tokens`
+    * columns; `None` merges = whitespace tokens (the q37 contract),
+    * `Some(merges)` = greedy-BPE subwords against the shipped
+    * tokenizer artifact. `fill` is the one IEEE division at the
+    * output edge. Scale shape: one compiled tokenize pass + one range
+    * shuffle + a ≤ |shards|-key fold. */
+  def tokenShardManifest(docs: DataFrame, idCol: String,
+      textCol: String, shardTokens: Long = 1L << 22,
+      subwordMerges: Option[Seq[(String, String)]] = None,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(shardTokens >= 1L, s"need shardTokens >= 1, got $shardTokens")
+    val nTokens = subwordMerges match {
+      case None => size(TextHash.tokenHashesOf(col(textCol))).cast("long")
+      case Some(m) => graft.functions.Bpe
+        .subwordCountOf(lower(trim(col(textCol))), m)
+    }
+    val counts = docs.select(col(idCol).as("doc_id"),
+      nTokens.as("n_tokens"))
+    globalOffsets(counts, scope)
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"global_offset div $shardTokens").as("shard_id"),
+        ((col("global_offset") % shardTokens) + col("n_tokens") >
+          shardTokens).as("straddles"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("straddles"), 1L).otherwise(0L)).as("n_straddle"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .withColumn("fill",
+        col("n_tokens").cast("double") / lit(shardTokens.toDouble))
+      .orderBy(col("shard_id"))
+  }
+
   /** SHARD EXPORT — [[shardManifest]] made actionable: write the
     * corpus to `outDir` as a parquet tree partitioned by the
     * manifest's `shard_id`, each shard ONE file of roughly

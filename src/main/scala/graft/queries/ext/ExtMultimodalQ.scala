@@ -892,4 +892,95 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       ORDER BY doc_id
     """.trim))
 
+  // --------------------------------------------------------------- q273
+  /** q273 — cross-modal dedup POLICY masses (the DECISION layer over
+    * q271's agreement): how many paired (caption, image) rows survive
+    * each composition policy a multimodal corpus team can pick.
+    * Canonicals are JOINT-restricted (the min-id PAIRED member of
+    * each cluster — a global canonical without an image would zero
+    * out whole clusters), so the policies are:
+    *   kept_text / kept_image — single-modality dedup (one canonical
+    *     per text / image cluster);
+    *   kept_and — keep only docs canonical in BOTH (the naive
+    *     intersection: OVER-drops, can kill clusters entirely);
+    *   kept_or — keep docs canonical in EITHER (leaves cross-modal
+    *     dups in);
+    *   union_clusters — the PRINCIPLED compose-OR dedup: connected
+    *     components of the union graph (dup-in-either links), one
+    *     canonical each. Computed WITHOUT pair frames: two docs are
+    *     union-linked iff chained through shared text or image
+    *     clusters, which is exactly the closure of the BIPARTITE
+    *     (text cluster)–(image cluster) cell graph — |cells| nodes
+    *     (t-nodes at 2·tcid, i-nodes at 2·icid+1; cluster labels are
+    *     doc ids, so the encoding stays in range anywhere below 2⁶²
+    *     ids), corpus-size-independent, the [[Dedup
+    *     .fingerprintClusters]] |F|-node trick on the policy layer.
+    * The ordering kept_and ≤ union_clusters ≤ min(kept_text,
+    * kept_image) ≤ kept_or is the readout: what intersection
+    * over-drops and OR leaves behind. */
+  val q273: Q = Q(
+    "q273_crossmodal_dedup_policies",
+    (s, d) => {
+      val joint = graft.engine.CacheScope.unmanaged.persist(
+        crossModalJoint(s, d))
+      val flags = joint
+        .join(joint.groupBy(col("tcid"))
+          .agg(min(col("doc_id")).as("tmin")), Seq("tcid"))
+        .join(joint.groupBy(col("icid"))
+          .agg(min(col("doc_id")).as("imin")), Seq("icid"))
+        .select((col("doc_id") === col("tmin")).as("tkeep"),
+          (col("doc_id") === col("imin")).as("ikeep"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("tkeep"), 1L).otherwise(0L)).as("kept_text"),
+          sum(when(col("ikeep"), 1L).otherwise(0L)).as("kept_image"),
+          sum(when(col("tkeep") && col("ikeep"), 1L).otherwise(0L))
+            .as("kept_and"),
+          sum(when(col("tkeep") || col("ikeep"), 1L).otherwise(0L))
+            .as("kept_or"))
+      val cells = joint.select((col("tcid") * 2).as("doc_a"),
+        (col("icid") * 2 + 1).as("doc_b")).distinct()
+      val nodes = cells.select(col("doc_a").as("node"))
+        .unionByName(cells.select(col("doc_b").as("node"))).distinct()
+      val unionClusters = Dedup.nearDupClusters(nodes, "node", cells)
+        .agg(countDistinct(col("cluster_id")).as("union_clusters"))
+      flags.crossJoin(broadcast(unionClusters))
+        .select(col("n_docs"), col("kept_text"), col("kept_image"),
+          col("kept_and"), col("kept_or"), col("union_clusters"))
+    },
+    Some(s"""
+      WITH RECURSIVE $crossModalJointOracleSql,
+      tmin AS (SELECT tcid, min(id) AS tmin FROM jsz GROUP BY 1),
+      imin AS (SELECT icid, min(id) AS imin FROM jsz GROUP BY 1),
+      f AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN id = tmin THEN 1 ELSE 0 END) AS BIGINT)
+            AS kept_text,
+          CAST(sum(CASE WHEN id = imin THEN 1 ELSE 0 END) AS BIGINT)
+            AS kept_image,
+          CAST(sum(CASE WHEN id = tmin AND id = imin THEN 1 ELSE 0 END)
+            AS BIGINT) AS kept_and,
+          CAST(sum(CASE WHEN id = tmin OR id = imin THEN 1 ELSE 0 END)
+            AS BIGINT) AS kept_or
+        FROM jsz JOIN tmin USING (tcid) JOIN imin USING (icid)),
+      bedges AS (
+        SELECT DISTINCT 2 * tcid AS src, 2 * icid + 1 AS dst FROM jsz
+        UNION ALL
+        SELECT DISTINCT 2 * icid + 1 AS src, 2 * tcid AS dst FROM jsz),
+      bnodes AS (
+        SELECT DISTINCT src AS node FROM bedges
+        UNION SELECT DISTINCT dst FROM bedges),
+      breach(node, r) AS (
+        SELECT node, node FROM bnodes
+        UNION
+        SELECT e.dst, breach.r FROM breach JOIN bedges e
+          ON e.src = breach.node
+      ),
+      u AS (
+        SELECT CAST(count(DISTINCT lbl) AS BIGINT) AS union_clusters
+        FROM (SELECT node, min(r) AS lbl FROM breach GROUP BY node))
+      SELECT f.n_docs, f.kept_text, f.kept_image, f.kept_and,
+        f.kept_or, u.union_clusters
+      FROM f, u
+    """.trim))
+
 }

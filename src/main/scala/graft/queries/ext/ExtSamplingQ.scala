@@ -858,4 +858,56 @@ private[queries] trait ExtSamplingQ { self: ExtHelpers with ExtDedupQ =>
         (global_offset % 2048) + n_tokens > 2048 AS spans_boundary
       FROM o ORDER BY doc_id
     """.trim))
+
+  // --------------------------------------------------------------- q274
+  /** q274 — TOKEN-budget shard manifest ([[Packing
+    * .tokenShardManifest]]): q224's export plan metered in the
+    * MODEL's currency — shards sized by greedy-BPE SUBWORD counts
+    * against the shipped tokenizer artifact (4096-token shards at
+    * fixture scale; ~4M at production), because a training loader
+    * buys tokens, not bytes, and byte-sized shards of mixed-fertility
+    * corpora deliver uneven step counts per shard. Same deterministic
+    * prefix sum; the oracle nests q265's recursive BPE replay under
+    * q224's window formulation. */
+  val q274: Q = Q(
+    "q274_token_shard_manifest",
+    (s, d) =>
+      Packing.tokenShardManifest(Tables.documents(s, d), "doc_id",
+        "text", shardTokens = 4096L,
+        subwordMerges = Some(graft.functions.Bpe.demoMerges)),
+    Some(s"""
+      WITH RECURSIVE
+      d AS (
+        SELECT doc_id, text IS NULL AS is_null_text,
+          list_filter(string_split_regex(trim(lower(text)), \'\\s+\'),
+            x -> x <> \'\') w
+        FROM documents),
+      words AS (SELECT DISTINCT unnest(w) AS w FROM d),
+      ${graft.functions.Bpe.bpeCteSql(graft.functions.Bpe.demoMerges)},
+      wn AS (SELECT w, CAST(len(toks) AS BIGINT) AS n_sub FROM bpefin),
+      tokc AS (
+        SELECT d.doc_id, CAST(sum(wn.n_sub) AS BIGINT) AS n_tokens
+        FROM d, LATERAL unnest(d.w) AS u(t)
+        JOIN wn ON wn.w = u.t
+        GROUP BY 1),
+      t AS (
+        SELECT d.doc_id,
+          CASE WHEN is_null_text THEN NULL ELSE
+            CAST(coalesce(tokc.n_tokens, 0) AS BIGINT) END AS n_tokens
+        FROM d LEFT JOIN tokc USING (doc_id)),
+      o AS (
+        SELECT doc_id, n_tokens,
+          CAST(COALESCE(SUM(n_tokens) OVER (
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) AS BIGINT) AS off
+        FROM t)
+      SELECT off // 4096 AS shard_id,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        CAST(sum(CASE WHEN (off % 4096) + n_tokens > 4096 THEN 1 ELSE 0
+          END) AS BIGINT) AS n_straddle,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        CAST(sum(n_tokens) AS DOUBLE) / 4096.0 AS fill
+      FROM o GROUP BY 1 ORDER BY 1
+    """.trim))
 }

@@ -1022,7 +1022,11 @@ class PlanAuditSpec extends SparkSpec {
       // ONE-ROW image summary — three regroupings of the same
       // persisted joint-cell frame meeting on 1×1 broadcast scalar
       // joins, q267's shape across modalities
-      "q271_crossmodal_dedup_agreement")
+      "q271_crossmodal_dedup_agreement",
+      // q273: the ONE-ROW policy-mass fold × ONE-ROW union-component
+      // count (a closure over the |cells|-node bipartite graph) —
+      // the same 1×1 eval-rung assembly
+      "q273_crossmodal_dedup_policies")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()
