@@ -67,7 +67,7 @@ import org.apache.spark.sql.SparkSession
   *    `"partial":true,"only":"<filter>"`, so a dev-loop artifact can
   *    never pass for a full-registry run even if the env var leaks into
   *    the driver environment;
-  *  - SHUFFLE-BYTES per query (r12 verdict item 6): a SparkListener
+  *  - SHUFFLE-177762L per query (r12 verdict item 6): a SparkListener
   *    accumulates task shuffle read+write bytes, attributed per query
   *    by draining the listener bus around each timed run. Bytes are a
   *    DETERMINISTIC plan property where wall time is load-sensitive —
@@ -381,12 +381,13 @@ object Bench {
     // q273 adds the distributed bipartite-closure loop (iteration
     // fixed costs, not data) on top of q271's joint build
     "q273_crossmodal_dedup_policies" -> 5.61,
-    "q274_token_shard_manifest" -> 1.23)
+    "q274_token_shard_manifest" -> 1.23,
+    "q275_audio_chunk_inventory" -> 0.99)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
 
-  /** Best-observed per-query TOTAL SHUFFLE BYTES (task shuffle read +
+  /** Best-observed per-query TOTAL SHUFFLE 177762L (task shuffle read +
     * write, sf0.1, 32 shuffle partitions) — the deterministic floor
     * dimension: unlike wall time, bytes move only when the PLAN moves,
     * so the gate below catches a dropped persist or a
@@ -598,6 +599,7 @@ object Bench {
     "q272_crossmodal_dedup_worklist" -> 641947L,
     "q273_crossmodal_dedup_policies" -> 1668871L,
     "q274_token_shard_manifest" -> 268010L,
+    "q275_audio_chunk_inventory" -> 177762L,
     "q21_embedding_neardup_ivf" -> 5033608L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,
@@ -691,7 +693,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default matches the driver's environment (local[32]) — shuffle
-    // BYTES are partition-count-dependent (per-reducer block overhead +
+    // 177762L are partition-count-dependent (per-reducer block overhead +
     // compression ratio), so floors seeded at one width don't transfer:
     // the r13 driver bench flagged q112 (124 KB→910 KB) and q138
     // (2.8 MB→4.8 MB) purely because the canonical had run at the old

@@ -414,6 +414,85 @@ object Multimodal {
       }
     }
 
+  /** One audio-container chunk row from [[audioChunks]]' walk. */
+  final case class AudioChunk(doc_id: Long, chunk_idx: Long,
+      container: String, fourcc: String, byte_off: Long, n_bytes: Long)
+
+  implicit val audioChunkEnc: Encoder[AudioChunk] =
+    Encoders.product[AudioChunk]
+
+  /** AUDIO container chunk inventory — the RIFF/WAVE + FORM/AIFF
+    * sibling of the ISO-BMFF box walk ([[decodeSampleTable]]): the
+    * pre-decode STRUCTURE audit a media lake runs before trusting a
+    * payload to a decoder — which chunks exist, where, how big (the
+    * byte ranges a selective reader fetches; `data`/`SSND` is the
+    * sample mass, everything else is header). Pure integer byte
+    * arithmetic on the IFF layouts (RIFF little-endian, AIFF
+    * big-endian, both even-padded), TOTAL over bytes: corrupt magic,
+    * truncation mid-chunk, a declared size overrunning the payload,
+    * or a walk that does not consume the declared extent exactly all
+    * yield None — errors are data, never exceptions. Chunk count is
+    * bounded (hostile headers cannot drive the walk). */
+  def audioChunkList(payload: Array[Byte])
+      : Option[(String, IndexedSeq[(String, Long, Long)])] = {
+    def fourcc(off: Int): String =
+      new String(payload, off, 4, "US-ASCII")
+    def u32le(off: Int): Long =
+      (payload(off) & 0xffL) | ((payload(off + 1) & 0xffL) << 8) |
+        ((payload(off + 2) & 0xffL) << 16) |
+        ((payload(off + 3) & 0xffL) << 24)
+    def u32be(off: Int): Long =
+      ((payload(off) & 0xffL) << 24) | ((payload(off + 1) & 0xffL) << 16) |
+        ((payload(off + 2) & 0xffL) << 8) | (payload(off + 3) & 0xffL)
+    try {
+      if (payload.length < 12) return None
+      val container = (fourcc(0), fourcc(8)) match {
+        case ("RIFF", "WAVE") => "wave"
+        case ("FORM", "AIFF") => "aiff"
+        case _ => return None
+      }
+      val le = container == "wave"
+      // the declared container extent: 8 + the size field after the
+      // magic; a payload shorter than it is truncated -> malformed
+      val end = (if (le) u32le(4) else u32be(4)) + 8L
+      if (end > payload.length.toLong) return None
+      val out = IndexedSeq.newBuilder[(String, Long, Long)]
+      var off = 12L
+      var n = 0
+      while (off + 8 <= end) {
+        val sz = if (le) u32le(off.toInt + 4) else u32be(off.toInt + 4)
+        if (off + 8 + sz > end) return None
+        out += ((fourcc(off.toInt), off, sz))
+        off += 8 + sz + (sz & 1) // IFF even padding
+        n += 1
+        if (n > 64) return None // structure bound, not a data bound
+      }
+      // the walk must consume the declared extent exactly (one final
+      // pad byte may land just past an odd extent) and find at least
+      // one chunk — a bare magic is not a valid container
+      if (off != end && off != end + 1) return None
+      if (n == 0) return None
+      Some((container, out.result()))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Distributed chunk inventory: one row per (audio, chunk) with the
+    * byte range — the [[videoSampleBytes]] batch shape on the audio
+    * container. Undecodable payloads have no rows (the structure
+    * audit reads health from the q207 decode pass). */
+  def audioChunks(media: Dataset[MediaRecord]): Dataset[AudioChunk] =
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        audioChunkList(r.payload) match {
+          case Some((c, chunks)) => chunks.iterator.zipWithIndex.map {
+            case ((fc, off, sz), i) =>
+              AudioChunk(r.doc_id, i.toLong, c, fc, off, sz)
+          }
+          case None => Iterator.empty
+        }
+      }
+    }
+
   /** REAL-BYTES waveform fixture for the envelope-hash rung: per doc
     * id, a mono 16-bit 8 kHz WAV of 66 × 256 samples whose value is a
     * ±1 square carrier times a PER-WINDOW amplitude

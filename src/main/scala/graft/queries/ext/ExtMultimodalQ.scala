@@ -892,6 +892,55 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       ORDER BY doc_id
     """.trim))
 
+  // --------------------------------------------------------------- q275
+  /** q275 — audio container CHUNK INVENTORY
+    * ([[Multimodal.audioChunks]]): the RIFF/AIFF structure audit over
+    * the q207 fixture — per decodable payload, every chunk's fourcc,
+    * byte offset and size (the byte ranges a selective reader
+    * fetches: `data`/`SSND` is the sample mass, the rest is header),
+    * the ISO-BMFF box walk's sibling on the audio side. The oracle
+    * restates the JDK writers' deterministic layouts as id
+    * arithmetic: WAVE = fmt(16) at 12, data(frames·frameSize) at 36;
+    * AIFF = COMM(18) at 12, SSND(8 + frames·frameSize) at 38 —
+    * frameSize = 2·channels, frames/channels from the fixture's
+    * encode parameters (spec-pinned so a writer change fails loudly
+    * here, not silently downstream). Corrupt families have no rows
+    * (zeroed magic and 16-byte truncations both fail the total
+    * walk). */
+  val q275: Q = Q(
+    "q275_audio_chunk_inventory",
+    (s, d) =>
+      Multimodal.audioChunks(
+        Multimodal.encodeAudioFixture(Tables.documents(s, d),
+          "doc_id"))
+        .toDF().orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, 1 + doc_id % 2 AS ch,
+          50 + (doc_id * 7) % 151 AS frames,
+          doc_id % 2 = 0 AS wav
+        FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0
+          AND doc_id % 10 NOT IN (3, 4, 6, 7))
+      SELECT doc_id, chunk_idx, container, fourcc, byte_off, n_bytes
+      FROM (
+        SELECT doc_id, CAST(0 AS BIGINT) AS chunk_idx,
+          CASE WHEN wav THEN 'wave' ELSE 'aiff' END AS container,
+          CASE WHEN wav THEN 'fmt ' ELSE 'COMM' END AS fourcc,
+          CAST(12 AS BIGINT) AS byte_off,
+          CAST(CASE WHEN wav THEN 16 ELSE 18 END AS BIGINT) AS n_bytes
+        FROM ids
+        UNION ALL
+        SELECT doc_id, CAST(1 AS BIGINT),
+          CASE WHEN wav THEN 'wave' ELSE 'aiff' END,
+          CASE WHEN wav THEN 'data' ELSE 'SSND' END,
+          CAST(CASE WHEN wav THEN 36 ELSE 38 END AS BIGINT),
+          CAST(frames * 2 * ch + CASE WHEN wav THEN 0 ELSE 8 END
+            AS BIGINT)
+        FROM ids)
+      ORDER BY doc_id, chunk_idx
+    """.trim))
+
   // --------------------------------------------------------------- q273
   /** q273 — cross-modal dedup POLICY masses (the DECISION layer over
     * q271's agreement): how many paired (caption, image) rows survive

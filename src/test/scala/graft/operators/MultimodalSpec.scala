@@ -487,4 +487,35 @@ class MultimodalSpec extends SparkSpec {
       Seq(0L).toDF("doc_id"), "doc_id").collect()(0).payload
     assert(Multimodal.audioEnvelopeHash64(short).isEmpty)
   }
+
+  test("audioChunkList round-trips both JDK writers and is total: " +
+    "WAVE fmt/data and AIFF COMM/SSND at pinned offsets; corrupt " +
+    "magic, truncation, overrun sizes, hostile counts all -> None") {
+    import spark.implicits._
+    def payload(id: Long): Array[Byte] = Multimodal
+      .encodeAudioFixture(Seq(id).toDF("doc_id"), "doc_id")
+      .collect()(0).payload
+    // id 0: WAV (even), mono, 50 frames -> frameSize 2
+    val wav = payload(0L)
+    assert(Multimodal.audioChunkList(wav).contains(
+      ("wave", IndexedSeq(("fmt ", 12L, 16L), ("data", 36L, 100L)))))
+    // id 1: AIFF (odd), stereo, 57 frames -> frameSize 4
+    val aiff = payload(1L)
+    assert(Multimodal.audioChunkList(aiff).contains(
+      ("aiff", IndexedSeq(("COMM", 12L, 18L),
+        ("SSND", 38L, 8L + 57L * 4L)))))
+    // totality: garbage / empty / fixture corruption families
+    assert(Multimodal.audioChunkList(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.audioChunkList(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.audioChunkList(payload(3L)).isEmpty) // magic
+    assert(Multimodal.audioChunkList(payload(6L)).isEmpty) // truncate
+    // a chunk size overrunning the declared extent refuses
+    val overrun = wav.clone()
+    overrun(16) = 0x7f // fmt size low byte -> huge
+    assert(Multimodal.audioChunkList(overrun).isEmpty)
+    // declared container extent beyond the payload refuses
+    val beyond = wav.clone()
+    beyond(4) = (beyond(4) + 1).toByte
+    assert(Multimodal.audioChunkList(beyond).isEmpty)
+  }
 }
