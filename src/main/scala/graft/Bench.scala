@@ -592,7 +592,9 @@ object Bench {
     "q265_bpe_sequence_packing" -> 484900L,
     "q266_audio_envelope_clusters" -> 84704L,
     "q267_image_dedup_agreement" -> 13346L,
-    "q268_returned_item_customers" -> 139834L,
+    // q268 re-seeded r16b: customer-hint drop (scale discipline) stages
+    // both rollup join inputs under AQE
+    "q268_returned_item_customers" -> 916274L,
     "q269_shipping_priority_buckets" -> 765L,
     "q270_promo_revenue_share" -> 510L,
     "q271_crossmodal_dedup_agreement" -> 751173L,

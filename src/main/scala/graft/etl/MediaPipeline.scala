@@ -121,10 +121,14 @@ object MediaPipeline {
         .select(col("doc_id"))
 
       // 3. CURATED tree: the kept canonical rows, still partitioned
-      // by modality (one payload pass per modality, keep-id joins are
-      // decision-frame-sized and broadcast)
+      // by modality (one payload pass per modality). The keep-id
+      // frames are NOT hint-broadcast: canonical lists scale with the
+      // corpus (a near-dup-free lake keeps ~everything), so a forced
+      // broadcast is exactly the at-scale OOM the q223/q264
+      // discipline forbids — AQE broadcasts them at small SF on its
+      // own and correctly refuses when they would not fit.
       def keptOf(modality: String, keep: DataFrame) =
-        routedOf(modality).join(broadcast(keep), Seq("doc_id"))
+        routedOf(modality).join(keep, Seq("doc_id"))
           .withColumn("modality", lit(modality))
       keptOf("image", keepImage)
         .unionByName(keptOf("audio", keepAudio))

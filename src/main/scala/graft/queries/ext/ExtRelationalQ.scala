@@ -2244,7 +2244,12 @@ private[queries] trait ExtRelationalQ { self: ExtHelpers =>
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey"))
         .agg(Dec.outD(sum(col("__rev"))).as("revenue"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        // customer is NOT hint-broadcast: unlike q258's LIKE-pruned
+        // part shortlist it scales 1:1 with SF, and the rollup side
+        // is already reduced to ≤ |customers| rows — a co-keyed
+        // shuffle join is the at-scale plan (AQE still broadcasts at
+        // fixture SF where it fits)
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("c_name"), col("revenue"),
           col("c_acctbal"), col("n_name"))
         .orderBy(col("revenue").desc, col("c_custkey"))
