@@ -155,7 +155,15 @@ object MediaPipeline {
 
       // 5. SHARD EXPORT: byte-budgeted one-file-per-shard tree with
       // _manifest — payload octet lengths drive the same
-      // deterministic prefix-sum file plan the text funnel uses
+      // deterministic prefix-sum file plan the text funnel uses.
+      // writeShards targets a fresh tree by contract; replace any
+      // prior run's output so the whole funnel is re-runnable like
+      // its other stages (the assignment is deterministic, so a
+      // re-run reproduces the same file plan).
+      val shardsPath = new org.apache.hadoop.fs.Path(s"$outDir/shards")
+      val fs = shardsPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(shardsPath)) fs.delete(shardsPath, true)
       val (shards, exported) = Packing.writeShards(
         curated.select((mediaCols :+ "modality").map(col): _*),
         "doc_id", "payload", s"$outDir/shards", shardBytes)

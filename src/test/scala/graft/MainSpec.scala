@@ -455,6 +455,16 @@ class MainSpec extends SparkSpec {
         Seq("doc_id"))
       .where(col("ch") =!= col("lh")).count()
     assert(mismatch == 0)
+    // the funnel is re-runnable: a second pass over the same lake
+    // replaces every stage and reproduces the same stats + file plan
+    val st2 = Main.runCorpusMedia(spark, s"$base/lake", s"$base/out",
+      shardBytes = 4096)
+    assert(st2 == st)
+    val manAgain = spark.read.parquet(s"$base/out/shards/_manifest")
+      .select(col("shard_id"), col("n_docs"), col("n_bytes"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(manAgain == manByShard)
   }
 
   test("bpe-train + bpe-apply CLIs: the trained artifact round-trips " +
