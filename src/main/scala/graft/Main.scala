@@ -91,6 +91,8 @@ object Main {
       zorderMaintain(srcParquet, outDir, xCol, yCol)
     case "dhash-ingest" :: mediaParquet :: storeDir :: outDir :: Nil =>
       dhashIngest(mediaParquet, storeDir, outDir)
+    case "audiofp-ingest" :: mediaParquet :: storeDir :: outDir :: Nil =>
+      audioFpIngest(mediaParquet, storeDir, outDir)
     case "bpe-train" :: docsParquet :: outParquet :: rest
         if rest.size <= 1 =>
       bpeTrain(docsParquet, outParquet,
@@ -122,7 +124,7 @@ object Main {
       profile(srcParquet, outDir, cols)
     case _ =>
       System.err.println(
-        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | media-fixture <docsParquet> <outDir> | corpus-media <mediaParquet> <outDir> [shardBytes] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | checksum-ingest <parquet> <groupCol> <textCol> <storeDir> | kmv-ingest <parquet> <groupCol> <textCol> <storeDir> [k] | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | df-ingest <docsParquet> <storeDir> <outDir> [minDf] | export-shards <docsParquet> <outDir> <shardBytes> | export-zorder <parquet> <outDir> <xCol> <yCol> [bits [files]] | zorder-maintain <parquet> <outDir> <xCol> <yCol> | dhash-ingest <mediaParquet> <storeDir> <outDir> | bpe-train <docsParquet> <outParquet> [nMerges] | bpe-apply <docsParquet> <mergesParquet> <outDir> | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | stream-sessionize <eventsDir> <outDir> <ckptDir> [gapMinutes] | stream-dedup <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-route <mediaDir> <outDir> <ckptDir> | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
+        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | media-fixture <docsParquet> <outDir> | corpus-media <mediaParquet> <outDir> [shardBytes] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | checksum-ingest <parquet> <groupCol> <textCol> <storeDir> | kmv-ingest <parquet> <groupCol> <textCol> <storeDir> [k] | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | df-ingest <docsParquet> <storeDir> <outDir> [minDf] | export-shards <docsParquet> <outDir> <shardBytes> | export-zorder <parquet> <outDir> <xCol> <yCol> [bits [files]] | zorder-maintain <parquet> <outDir> <xCol> <yCol> | dhash-ingest <mediaParquet> <storeDir> <outDir> | audiofp-ingest <mediaParquet> <storeDir> <outDir> | bpe-train <docsParquet> <outParquet> [nMerges] | bpe-apply <docsParquet> <mergesParquet> <outDir> | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | stream-sessionize <eventsDir> <outDir> <ckptDir> [gapMinutes] | stream-dedup <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-route <mediaDir> <outDir> <ckptDir> | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
       sys.exit(2)
   }
 
@@ -227,6 +229,35 @@ object Main {
     val media = spark.read.parquet(mediaParquet)
       .as[Multimodal.MediaRecord](Multimodal.mediaRecordEnc)
     val store = new graft.etl.DhashStore(spark, storeDir)
+    val n = store.ingest(media)
+    val clusters = store.clusters()
+    clusters.write.mode("overwrite").parquet(outDir)
+    (n, spark.read.parquet(outDir).count())
+  }
+
+  /** Incremental audio-fingerprint ingest
+    * ([[graft.etl.AudioFpStore]]): decode the batch's envelope hashes
+    * once into the store, then write the full-history near-dup
+    * cluster decision — `dhash-ingest`'s audio sibling. */
+  private def audioFpIngest(mediaParquet: String, storeDir: String,
+      outDir: String): Unit = {
+    val spark = GraftSession.local()
+    val (n, clusters) = runAudioFpIngest(spark, mediaParquet, storeDir,
+      outDir)
+    println(s"audiofp-ingest: $n decodable payloads fingerprinted -> " +
+      s"store $storeDir; $clusters cluster rows -> $outDir")
+    spark.stop()
+  }
+
+  /** Testable core of `audiofp-ingest` (the [[runCompact]] pattern).
+    * Expects a parquet of (doc_id, uri, mime, payload) rows. */
+  private[graft] def runAudioFpIngest(
+      spark: org.apache.spark.sql.SparkSession, mediaParquet: String,
+      storeDir: String, outDir: String): (Long, Long) = {
+    import graft.operators.Multimodal
+    val media = spark.read.parquet(mediaParquet)
+      .as[Multimodal.MediaRecord](Multimodal.mediaRecordEnc)
+    val store = new graft.etl.AudioFpStore(spark, storeDir)
     val n = store.ingest(media)
     val clusters = store.clusters()
     clusters.write.mode("overwrite").parquet(outDir)

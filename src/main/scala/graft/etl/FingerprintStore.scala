@@ -1,0 +1,92 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal}
+
+/** Shared machinery of the incremental MEDIA-fingerprint stores (the
+  * [[DhashStore]]/[[AudioFpStore]] family): a live pipeline decodes
+  * each arriving batch ONCE, appends the 8-byte content fingerprints,
+  * and answers every dedup question (pairs, clusters, canonical
+  * picks) from the stored |docs|-row frame — payload bytes are never
+  * re-read, which at 100 TB of media is the entire point (the decode
+  * is ~10⁶× the byte mass of the hash).
+  *
+  * Merge law, shared by every binding: the fingerprint is a PURE
+  * function of the payload, so re-delivered batches append duplicate
+  * (doc_id, fp) rows that the read-side distinct folds away —
+  * at-least-once safe (the counter stores double-count; this cannot
+  * move). Docs are immutable by contract (content-addressed ids);
+  * corrupt payloads are never stored (they carry no fingerprint —
+  * the decoders' totality contract).
+  *
+  * Scale shape: each ingest is one decode pass over the batch
+  * (payloads stay where the scan runs; 16 bytes per row cross into
+  * the store), reads are distinct-then-cluster via
+  * [[Dedup.fingerprintClusters]]'s |F|-node component propagation,
+  * [[compact]] folds the per-ingest appends through the shared
+  * verified-swap [[ParquetStore]] discipline. */
+abstract class FingerprintStore(spark: SparkSession, storeDir: String,
+    what: String) {
+
+  /** One decode pass over the batch: the (doc_id, fp) rows of the
+    * DECODABLE payloads only — the binding's single seam. */
+  protected def fingerprintFrame(
+      media: Dataset[Multimodal.MediaRecord]): DataFrame
+
+  private def storeExists: Boolean =
+    ParquetStore.gatedExists(spark, storeDir, what)
+
+  /** Decode one media batch and append its fingerprints. Returns the
+    * number of DECODABLE rows appended (corrupt rows drop, never
+    * fail). The fingerprint frame is persisted so the batch is
+    * decoded exactly once: count materializes the cache, the append
+    * reads it back. */
+  def ingest(media: Dataset[Multimodal.MediaRecord]): Long = {
+    val fps = fingerprintFrame(media)
+    fps.persist()
+    try {
+      val n = fps.count()
+      fps.write.mode(SaveMode.Append).parquet(storeDir)
+      n
+    } finally fps.unpersist()
+  }
+
+  /** The stored fingerprint frame, re-delivery folded: one
+    * (doc_id, fp) row per doc. */
+  def fingerprints: DataFrame =
+    if (storeExists) spark.read.parquet(storeDir).distinct()
+    else spark.range(0).select(col("id").as("doc_id"), col("id").as("fp"))
+
+  /** Hamming-≤ near-dup pairs over the STORE — zero payload access. */
+  def pairs(maxHamming: Int = 3, bits: Int = 64): DataFrame =
+    Dedup.fingerprintPairs(fingerprints, "doc_id", "fp", maxHamming,
+      bits)
+
+  /** Near-dup components + canonical picks (the KEEP/DROP list) over
+    * the STORE — zero payload access. */
+  def clusters(maxHamming: Int = 3, bits: Int = 64): DataFrame =
+    Dedup.fingerprintClusters(fingerprints, "doc_id", "fp",
+      maxHamming, bits)
+
+  /** Fold the per-ingest appends into the distinct frame via the
+    * shared verified swap. Returns (files before, files after). */
+  def compact(targetFileBytes: Long = 128L << 20): (Long, Long) =
+    ParquetStore.compact(spark, storeDir, fingerprints, targetFileBytes)
+}
+
+/** Incremental AUDIO-fingerprint store — the [[DhashStore]] family's
+  * audio binding (q262/q266's envelope-hash state): gain-robust
+  * 64-bit energy-envelope hashes ([[Multimodal.audioFingerprints]])
+  * with the shared decode-once / distinct-merge / verified-compact
+  * discipline. PCM WAV/AIFF only (the documented JDK limit — q262's
+  * contract). */
+final class AudioFpStore(spark: SparkSession, storeDir: String)
+    extends FingerprintStore(spark, storeDir, "audio fp store") {
+  protected def fingerprintFrame(
+      media: Dataset[Multimodal.MediaRecord]): DataFrame =
+    Multimodal.audioFingerprints(media).toDF()
+      .where(col("ok") === 1L)
+      .select(col("doc_id"), col("fp"))
+}

@@ -372,6 +372,36 @@ class MainSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("audiofp-ingest CLI: two batch passes build the store; the " +
+    "cluster output equals the one-shot decision") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_afpcli").toString
+    val s2 = spark; import s2.implicits._
+    val ids = (0L until 30L)
+    def mediaDf(sel: Seq[Long]) = graft.operators.Multimodal
+      .encodeWaveformFixture(sel.toDF("doc_id"), "doc_id").toDF()
+    mediaDf(ids.filter(_ < 15L)).write.parquet(s"$base/b0")
+    mediaDf(ids.filter(_ >= 15L)).write.parquet(s"$base/b1")
+    Main.runAudioFpIngest(spark, s"$base/b0", s"$base/store", s"$base/o0")
+    val (n, c) = Main.runAudioFpIngest(spark, s"$base/b1",
+      s"$base/store", s"$base/o1")
+    val decodable = ids.filterNot(i => i % 10 == 3 || i % 10 == 6)
+    assert(n == ids.count(i => i >= 15L && i % 10 != 3 && i % 10 != 6))
+    assert(c == decodable.size.toLong)
+    val got = spark.read.parquet(s"$base/o1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.operators.Dedup.fingerprintClusters(
+      graft.operators.Multimodal.audioFingerprints(
+        graft.operators.Multimodal.encodeWaveformFixture(
+          ids.toDF("doc_id"), "doc_id")).toDF()
+        .where(col("ok") === 1L)
+        .select(col("doc_id"), col("fp")),
+      "doc_id", "fp", 3, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
   test("corpus-media CLI: the composed funnel routes by magic, " +
     "dedups per modality keep-canonical, profiles the kept media, " +
     "and the shard read-back agrees with its manifest") {
