@@ -134,8 +134,8 @@ object Bench {
     "q66_lexical_richness" -> 0.45,
     "q67_novelty_decay" -> 0.55,
     "q68_holdout_split" -> 0.18,
-    "q69_event_drift" -> 0.63,
-    "q79_ingest_gaps" -> 0.33,
+    "q69_event_drift" -> 0.61,
+    "q79_ingest_gaps" -> 0.31,
     "q80_cms_heavy_hitters" -> 0.28,
     "q81_moving_revenue" -> 0.8,
     "q82_scd2_intervals" -> 0.4,
@@ -145,7 +145,7 @@ object Bench {
     "q86_growth_curve" -> 0.33,
     "q87_sliding_wau" -> 0.46,
     "q88_equidepth_histogram" -> 0.6,
-    "q89_hll_distinct" -> 0.38,
+    "q89_hll_distinct" -> 0.37,
     "q90_weighted_sample" -> 0.23,
     "q91_source_overlap" -> 1.22,
     // q92's floor moved 0.29 -> 0.41 in r11: the block-cap guard adds
@@ -175,11 +175,11 @@ object Bench {
     "q112_unigram_divergence" -> 0.65,
     "q113_semantic_decontam" -> 0.42,
     "q114_centroid_confusion" -> 0.56,
-    "q115_correlation_matrix" -> 1.1,
+    "q115_correlation_matrix" -> 1.07,
     "q116_mixed_language" -> 0.79,
     "q117_fd_audit" -> 0.26,
-    "q118_touch_attribution" -> 0.82,
-    "q119_join_blowup" -> 0.24,
+    "q118_touch_attribution" -> 0.74,
+    "q119_join_blowup" -> 0.21,
     "q120_benford_profile" -> 0.53,
     "q121_k_anonymity" -> 0.27,
     "q122_transition_matrix" -> 0.5,
@@ -187,7 +187,7 @@ object Bench {
     // so these seeds are conservative — later quiet canonicals lower
     // them as better minimums are observed)
     "q123_hybrid_rrf" -> 1.39,
-    "q124_distinct_ngrams" -> 1.42,
+    "q124_distinct_ngrams" -> 1.38,
     "q125_embedding_health" -> 0.28,
     "q126_cusum_changepoint" -> 0.42,
     "q127_ks_drift" -> 0.51,
@@ -286,10 +286,10 @@ object Bench {
     // file-based artifact + shuffle-bytes meter; 69 floors lowered)
     "q206_image_decode" -> 0.76,
     "q207_audio_decode" -> 1.31,
-    "q208_sole_fault_suppliers" -> 0.85,
+    "q208_sole_fault_suppliers" -> 0.82,
     // focused post-canonical runs
     "q209_video_decode" -> 0.23,
-    "q210_key_skew_profile" -> 0.42,
+    "q210_key_skew_profile" -> 0.4,
     "q211_contamination_sweep" -> 0.74,
     "q212_token_fertility" -> 0.37,
     // q213 pays the full q17 pipeline + the wedge joins (pair-frame
@@ -312,7 +312,7 @@ object Bench {
     "q221_media_profile" -> 2.37,
     "q222_background_jaccard" -> 0.37,
     "q223_small_qty_revenue" -> 1.02,
-    "q224_shard_manifest" -> 0.57,
+    "q224_shard_manifest" -> 0.54,
     // q225 pays the full q17 pair pipeline (the label side)
     "q225_quality_calibration" -> 2.44,
     // q226 pays the q39 IVF search (index + probe + rank)
@@ -324,65 +324,65 @@ object Bench {
     "q229_gain_curve" -> 0.33,
     // the Q20/Q22 planner shapes: two lineitem aggregates + semi
     // chain; scalar-append + date-filtered anti
-    "q230_dominant_share_suppliers" -> 0.69,
+    "q230_dominant_share_suppliers" -> 0.67,
     "q231_idle_customers" -> 0.40,
     "q232_recursive_l_diversity" -> 0.41,
     "q233_zorder_manifest" -> 0.53,
     // q234 pays the full q17 pair pipeline (the q225 cost shape)
     "q234_neighbor_label_audit" -> 2.59,
-    "q235_part_supplier_census" -> 0.72,
+    "q235_part_supplier_census" -> 0.71,
     "q236_column_profile_sketch" -> 0.47,
     "q237_waterfill_quota" -> 0.43,
-    "q238_frame_sample_plan" -> 0.32,
+    "q238_frame_sample_plan" -> 0.31,
     "q239_disjunctive_revenue" -> 0.41,
-    "q240_calibration_ece" -> 0.46,
+    "q240_calibration_ece" -> 0.44,
     "q241_bootstrap_ci" -> 0.29,
-    "q242_survival_hazard" -> 0.54,
+    "q242_survival_hazard" -> 0.45,
     // q243 is sub-second only because of the codegen'd char fold
     // (the HOF form measured 3.55 s — the r4 native-expression lesson)
     "q243_content_checksum" -> 0.25,
-    "q244_background_cosine" -> 0.43,
-    "q245_large_quantity_orders" -> 0.89,
+    "q244_background_cosine" -> 0.41,
+    "q245_large_quantity_orders" -> 0.85,
     "q246_top_revenue_supplier" -> 0.42,
     "q247_nation_pair_volume" -> 0.85,
-    "q248_regional_min_cost_supplier" -> 1.58,
-    "q249_kmv_overlap" -> 0.73,
-    "q250_kmv_accuracy" -> 0.53,
+    "q248_regional_min_cost_supplier" -> 1.46,
+    "q249_kmv_overlap" -> 0.6,
+    "q250_kmv_accuracy" -> 0.51,
     "q251_kmv_source_matrix" -> 1.25,
-    "q252_national_market_share" -> 1.25,
-    "q253_bpe_vocab" -> 0.41,
-    "q254_bpe_fertility" -> 0.51,
-    "q255_image_dhash_neardup" -> 1.50,
+    "q252_national_market_share" -> 0.99,
+    "q253_bpe_vocab" -> 0.36,
+    "q254_bpe_fertility" -> 0.43,
+    "q255_image_dhash_neardup" -> 1.35,
     "q256_video_sample_bytes" -> 0.32,
-    "q257_frame_sample_bytes" -> 0.44,
-    "q258_product_type_profit" -> 0.92,
-    "q259_order_priority_exists" -> 0.49,
-    "q260_bpe_budget_mix" -> 0.40,
-    "q261_image_dhash_clusters" -> 1.46,
+    "q257_frame_sample_bytes" -> 0.34,
+    "q258_product_type_profit" -> 0.84,
+    "q259_order_priority_exists" -> 0.42,
+    "q260_bpe_budget_mix" -> 0.38,
+    "q261_image_dhash_clusters" -> 1.41,
     // q262-q267 floors seeded from a QUIET host in r16 (loadavg 0.27;
     // the r15 driver run seeded them implicitly at the 1.2 default
     // under a 1.6->6.7 load ramp — the judge's floors-hygiene item):
     // the audio pairs/clusters pay the WAV encode+decode pass by
     // design, the agreement audit pays both dedup screens
-    "q262_audio_envelope_neardup" -> 2.30,
-    "q263_modality_router" -> 0.59,
-    "q264_small_quantity_revenue" -> 0.63,
-    "q265_bpe_sequence_packing" -> 0.85,
-    "q266_audio_envelope_clusters" -> 2.50,
-    "q267_image_dedup_agreement" -> 1.53,
-    "q268_returned_item_customers" -> 0.55,
+    "q262_audio_envelope_neardup" -> 1.87,
+    "q263_modality_router" -> 0.45,
+    "q264_small_quantity_revenue" -> 0.49,
+    "q265_bpe_sequence_packing" -> 0.76,
+    "q266_audio_envelope_clusters" -> 2.42,
+    "q267_image_dedup_agreement" -> 1.42,
+    "q268_returned_item_customers" -> 0.49,
     "q269_shipping_priority_buckets" -> 0.55,
-    "q270_promo_revenue_share" -> 0.38,
+    "q270_promo_revenue_share" -> 0.33,
     // q271/q272 pay the full MinHash-LSH pipeline + image decode +
     // both recursive closures to COMPARE the modality decisions —
     // the q188/q195 eval-cost shape across modalities
-    "q271_crossmodal_dedup_agreement" -> 3.31,
-    "q272_crossmodal_dedup_worklist" -> 2.87,
+    "q271_crossmodal_dedup_agreement" -> 3.18,
+    "q272_crossmodal_dedup_worklist" -> 2.69,
     // q273 adds the distributed bipartite-closure loop (iteration
     // fixed costs, not data) on top of q271's joint build
-    "q273_crossmodal_dedup_policies" -> 5.61,
-    "q274_token_shard_manifest" -> 1.23,
-    "q275_audio_chunk_inventory" -> 0.99)
+    "q273_crossmodal_dedup_policies" -> 4.17,
+    "q274_token_shard_manifest" -> 0.89,
+    "q275_audio_chunk_inventory" -> 0.66)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -409,18 +409,18 @@ object Bench {
   private[graft] val byteFloors: Map[String, Long] = Map(
     "q100_containment_pairs" -> 30009842L,
     "q101_cross_containment" -> 16860731L,
-    "q102_winsorize" -> 3714766L,
+    "q102_winsorize" -> 3715148L,
     "q103_temperature_mix" -> 1058L,
     "q104_rule_audit" -> 175892L,
     "q105_bigram_fluency" -> 510245L,
     "q106_hard_negatives" -> 29075L,
     "q107_intra_label_diversity" -> 25829L,
-    "q108_mad_outliers" -> 3120086L,
+    "q108_mad_outliers" -> 3119220L,
     "q109_json_field_stats" -> 1953L,
-    "q10_incremental_antijoin" -> 776342L,
+    "q10_incremental_antijoin" -> 776150L,
     "q110_curation_funnel" -> 15401L,
     "q111_grid_percentile" -> 76300L,
-    "q112_unigram_divergence" -> 913504L,
+    "q112_unigram_divergence" -> 910244L,
     "q113_semantic_decontam" -> 161760L,
     "q114_centroid_confusion" -> 75390L,
     "q115_correlation_matrix" -> 962L,
@@ -432,7 +432,7 @@ object Bench {
     "q120_benford_profile" -> 7728L,
     "q121_k_anonymity" -> 170457L,
     "q122_transition_matrix" -> 3630283L,
-    "q123_hybrid_rrf" -> 3933630L,
+    "q123_hybrid_rrf" -> 3932810L,
     "q124_distinct_ngrams" -> 10267965L,
     "q125_embedding_health" -> 3629L,
     "q126_cusum_changepoint" -> 62447L,
@@ -486,14 +486,14 @@ object Bench {
     "q16_exact_dedup" -> 1877902L,
     "q170_rank_shift" -> 1056670L,
     "q171_temporal_split" -> 52492L,
-    "q172_causal_zscore" -> 11991872L,
+    "q172_causal_zscore" -> 11992154L,
     "q173_seasonal_naive" -> 28508L,
-    "q174_winnowing_neardup" -> 21677270L,
-    "q175_profile_drift" -> 4728L,
+    "q174_winnowing_neardup" -> 21677456L,
+    "q175_profile_drift" -> 4842L,
     "q176_value_tail_bands" -> 1147199L,
     "q177_type_pagerank" -> 5443190L,
     "q178_fuzzy_operating_point" -> 122180L,
-    "q179_tfidf_keywords" -> 5027166L,
+    "q179_tfidf_keywords" -> 5026962L,
     "q17_ngram_jaccard_neardup" -> 30011208L,
     "q180_grid_accuracy" -> 733984L,
     "q181_transition_predictability" -> 3626489L,
@@ -559,7 +559,7 @@ object Bench {
     "q235_part_supplier_census" -> 1427433L,
     "q236_column_profile_sketch" -> 20426L,
     "q237_waterfill_quota" -> 3547L,
-    "q238_frame_sample_plan" -> 273414L,
+    "q238_frame_sample_plan" -> 273618L,
     "q239_disjunctive_revenue" -> 432L,
     "q240_calibration_ece" -> 694042L,
     "q241_bootstrap_ci" -> 4480L,
@@ -576,14 +576,14 @@ object Bench {
     "q252_national_market_share" -> 7389304L,
     "q253_bpe_vocab" -> 11823L,
     "q254_bpe_fertility" -> 898L,
-    "q255_image_dhash_neardup" -> 14255562L,
-    "q256_video_sample_bytes" -> 485068L,
-    "q257_frame_sample_bytes" -> 485272L,
+    "q255_image_dhash_neardup" -> 14258558L,
+    "q256_video_sample_bytes" -> 484994L,
+    "q257_frame_sample_bytes" -> 485540L,
     "q258_product_type_profit" -> 30913L,
     "q259_order_priority_exists" -> 1845L,
     "q260_bpe_budget_mix" -> 8364L,
     "q261_image_dhash_clusters" -> 77542L,
-    "q262_audio_envelope_neardup" -> 13620833L,
+    "q262_audio_envelope_neardup" -> 13628023L,
     "q263_modality_router" -> 4572L,
     // q264 re-seeded r16: the forced broadcast(perPart) hint dropped
     // (judge item) — AQE now stages both join inputs before choosing
@@ -602,7 +602,7 @@ object Bench {
     "q273_crossmodal_dedup_policies" -> 1668871L,
     "q274_token_shard_manifest" -> 268010L,
     "q275_audio_chunk_inventory" -> 177762L,
-    "q21_embedding_neardup_ivf" -> 5033608L,
+    "q21_embedding_neardup_ivf" -> 5000834L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,
     "q24_token_stats" -> 3229944L,
@@ -610,45 +610,45 @@ object Bench {
     "q26_multimodal_meta" -> 983684L,
     "q27_report_metrics" -> 200L,
     "q28_report_distributors" -> 8219L,
-    "q29_trycast_timestamp" -> 5733020L,
+    "q29_trycast_timestamp" -> 5731326L,
     "q2_select_project" -> 417504L,
-    "q30_embedding_neardup_rplsh" -> 20501381L,
+    "q30_embedding_neardup_rplsh" -> 20501427L,
     "q31_neardup_clusters" -> 466383L,
     "q32_stratified_sample" -> 35782L,
     "q33_pii_redact" -> 721556L,
-    "q34_event_sessionize" -> 10663712L,
+    "q34_event_sessionize" -> 10665970L,
     "q35_repetition_signals" -> 253330L,
     "q36_cross_contamination" -> 17527841L,
     "q37_sequence_packing" -> 458719L,
     "q38_network_redact" -> 728946L,
     "q39_embedding_topk_ivf" -> 672881L,
-    "q3_try_cast" -> 331974L,
+    "q3_try_cast" -> 331988L,
     "q40_training_order" -> 308517L,
     "q41_token_budget_mix" -> 16110L,
     "q42_epoch_sharded_packing" -> 2925907L,
-    "q43_asof_join" -> 4569905L,
+    "q43_asof_join" -> 4570061L,
     "q44_interval_join" -> 7612L,
     "q45_length_profile" -> 15385L,
     "q46_grouped_topk" -> 4152L,
     "q47_sliding_chunks" -> 1055100L,
     "q48_keepbest_dedup" -> 2018227L,
     "q49_eval_overlap" -> 543962L,
-    "q4_left_join_enrich" -> 740018L,
+    "q4_left_join_enrich" -> 740280L,
     "q50_curriculum_bins" -> 17628L,
     "q51_priority_sample" -> 6082L,
     "q52_bm25_scores" -> 1123003L,
     "q53_semantic_clusters" -> 20314969L,
     "q54_shingle_novelty" -> 958251L,
-    "q55_embedding_quantize" -> 3015138L,
-    "q56_pq_codes" -> 535006L,
+    "q55_embedding_quantize" -> 3016432L,
+    "q56_pq_codes" -> 535170L,
     "q57_pq_adc_topk" -> 2036259L,
     "q58_rollup_revenue" -> 11541L,
     "q59_pivot_returnflag" -> 37108L,
     "q5_anti_orphans" -> 0L,
     "q60_paragraph_dedup" -> 4919719L,
     "q61_ivfpq_topk" -> 762530L,
-    "q62_column_profile" -> 3526296L,
-    "q63_asof_tolerance" -> 4097353L,
+    "q62_column_profile" -> 3506162L,
+    "q63_asof_tolerance" -> 4097279L,
     "q64_cube_revenue" -> 16600L,
     "q65_term_zipf" -> 3229944L,
     "q66_lexical_richness" -> 3719211L,
@@ -664,14 +664,14 @@ object Bench {
     "q75_grouping_sets" -> 5532L,
     "q76_eval_overlap_bloom" -> 957475L,
     "q77_snapshot_diff" -> 1234867L,
-    "q78_asof_forward" -> 4561068L,
+    "q78_asof_forward" -> 4560190L,
     "q79_ingest_gaps" -> 16700L,
-    "q7_dedup_keepfirst" -> 1110709L,
+    "q7_dedup_keepfirst" -> 1110727L,
     "q80_cms_heavy_hitters" -> 10638L,
-    "q81_moving_revenue" -> 7994418L,
-    "q82_scd2_intervals" -> 9001839L,
+    "q81_moving_revenue" -> 7993956L,
+    "q82_scd2_intervals" -> 9001093L,
     "q83_volume_anomaly" -> 88350L,
-    "q84_posting_lists" -> 12120629L,
+    "q84_posting_lists" -> 12121693L,
     "q85_state_dwell" -> 3726840L,
     "q86_growth_curve" -> 560000L,
     "q87_sliding_wau" -> 1362039L,

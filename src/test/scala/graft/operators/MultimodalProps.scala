@@ -62,4 +62,22 @@ object MultimodalProps extends Properties("MultimodalDecode") {
     ok.isEmpty || (b.length >= 8 &&
       new String(b, 4, 4, "US-ASCII") == "ftyp")
   }
+
+  property("audioChunkList never throws, and every accepted walk " +
+    "stays inside the payload with in-order offsets") =
+    forAll(payload) { b =>
+      Multimodal.audioChunkList(b) match {
+        case None => true
+        case Some((container, chunks)) =>
+          (container == "wave" || container == "aiff") &&
+            chunks.nonEmpty && chunks.size <= 64 &&
+            chunks.forall { case (_, off, sz) =>
+              off >= 12L && sz >= 0L && off + 8 + sz <= b.length.toLong
+            } &&
+            chunks.sliding(2).forall {
+              case Seq((_, a, _), (_, c, _)) => a < c
+              case _ => true
+            }
+      }
+    }
 }
