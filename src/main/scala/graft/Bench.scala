@@ -382,7 +382,8 @@ object Bench {
     // fixed costs, not data) on top of q271's joint build
     "q273_crossmodal_dedup_policies" -> 4.17,
     "q274_token_shard_manifest" -> 0.89,
-    "q275_audio_chunk_inventory" -> 0.66)
+    "q275_audio_chunk_inventory" -> 0.66,
+    "q276_png_chunk_inventory" -> 0.43)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -602,6 +603,7 @@ object Bench {
     "q273_crossmodal_dedup_policies" -> 1668871L,
     "q274_token_shard_manifest" -> 268010L,
     "q275_audio_chunk_inventory" -> 177762L,
+    "q276_png_chunk_inventory" -> 216538L,
     "q21_embedding_neardup_ivf" -> 5000834L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

@@ -493,6 +493,152 @@ object Multimodal {
       }
     }
 
+  /** One PNG chunk row from [[pngChunks]]' walk. */
+  final case class PngChunk(doc_id: Long, chunk_idx: Long,
+      fourcc: String, byte_off: Long, n_bytes: Long)
+
+  implicit val pngChunkEnc: Encoder[PngChunk] =
+    Encoders.product[PngChunk]
+
+  /** PNG container chunk inventory — the third leg of the structure
+    * audit family ([[decodeSampleTable]] walks ISO-BMFF boxes,
+    * [[audioChunkList]] walks RIFF/AIFF chunks): which chunks a PNG
+    * payload declares, where, how big — the byte ranges a selective
+    * reader fetches (`IDAT` is the pixel mass, everything else is
+    * header/ancillary). Pure integer byte arithmetic on the PNG
+    * chunk grammar (big-endian `length ‖ type ‖ data ‖ CRC`,
+    * signature-prefixed), TOTAL over bytes: a corrupt signature, a
+    * declared length overrunning the payload, a non-alphabetic chunk
+    * type, a walk that does not open with `IHDR`, close with `IEND`,
+    * or consume the payload exactly, and a hostile chunk count all
+    * yield None — errors are data, never exceptions. CRCs are
+    * deliberately NOT validated: this is the pre-decode STRUCTURE
+    * audit (where are the bytes), not an integrity pass — the q243
+    * content checksum and the decode rung own integrity. */
+  def pngChunkList(payload: Array[Byte])
+      : Option[IndexedSeq[(String, Long, Long)]] = {
+    def u32be(off: Int): Long =
+      ((payload(off) & 0xffL) << 24) | ((payload(off + 1) & 0xffL) << 16) |
+        ((payload(off + 2) & 0xffL) << 8) | (payload(off + 3) & 0xffL)
+    try {
+      if (payload.length < 8) return None
+      val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      var i = 0
+      while (i < 8) {
+        if ((payload(i) & 0xff) != sig(i)) return None
+        i += 1
+      }
+      val out = IndexedSeq.newBuilder[(String, Long, Long)]
+      var off = 8L
+      var n = 0
+      var last = ""
+      while (off + 8 <= payload.length) {
+        val sz = u32be(off.toInt)
+        if (off + 12 + sz > payload.length.toLong) return None
+        var j = 0
+        while (j < 4) { // chunk types are four ASCII letters by spec
+          val c = payload(off.toInt + 4 + j) & 0xff
+          if (!((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')))
+            return None
+          j += 1
+        }
+        last = new String(payload, off.toInt + 4, 4, "US-ASCII")
+        if (n == 0 && last != "IHDR") return None
+        out += ((last, off, sz))
+        off += 12 + sz
+        n += 1
+        if (n > 64) return None // structure bound, not a data bound
+      }
+      // consume the payload exactly (no trailing bytes) and close well
+      if (off != payload.length.toLong) return None
+      if (n < 2 || last != "IEND") return None
+      Some(out.result())
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Distributed PNG chunk inventory: one row per (image, chunk) with
+    * the byte range — the [[audioChunks]] batch shape on the image
+    * container. Undecodable payloads have no rows. */
+  def pngChunks(media: Dataset[MediaRecord]): Dataset[PngChunk] =
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        pngChunkList(r.payload) match {
+          case Some(chunks) => chunks.iterator.zipWithIndex.map {
+            case ((fc, off, sz), i) =>
+              PngChunk(r.doc_id, i.toLong, fc, off, sz)
+          }
+          case None => Iterator.empty
+        }
+      }
+    }
+
+  /** STRUCTURE-EXACT PNG fixture: per doc id, a hand-assembled but
+    * fully standard PNG — 8-bit grayscale `(1 + id%8) × (1 + (id·3)%5)`,
+    * pixel `(x, y) = (id + x + 7y) mod 256`, one `IDAT` whose zlib
+    * stream uses a single STORED deflate block — so the chunk layout
+    * is pure id arithmetic an oracle can restate WITHOUT parsing
+    * bytes: `IHDR(13)` at 8, `IDAT(rawlen + 11)` at 33,
+    * `IEND(0)` at `56 + rawlen`, `rawlen = h·(w+1)` (stored-block
+    * framing: 2-byte zlib header + 5-byte block header + raw
+    * filter-0 scanlines + 4-byte Adler-32). The [[encodeImageFixture]]
+    * `ImageIO.write` twin stays the DECODE rung's fixture — a
+    * compressor owns its `IDAT` sizes there, which is exactly why the
+    * STRUCTURE rung assembles its own deflate framing (CRCs and
+    * Adler-32 are real: the JDK's own ImageIO reads these payloads
+    * back pixel-exact, spec-pinned). Corruption families:
+    * `id % 10 = 3` zeroes the signature, `id % 10 = 6` truncates to
+    * 16 bytes (EOF inside `IHDR`), `id % 10 = 9` declares an
+    * `IDAT` length of 2³²−1 (overrun — the q275 hostile-size
+    * branch). */
+  def encodePngFixture(docs: DataFrame, idCol: String)
+      : Dataset[MediaRecord] = {
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+      .where(col("doc_id").isNotNull && col("doc_id") >= 0)
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    ids.as[Long].map { id =>
+      val w = 1 + (id % 8).toInt
+      val h = 1 + ((id * 3) % 5).toInt
+      val raw = new Array[Byte](h * (w + 1))
+      var y = 0
+      while (y < h) { // raw(y·(w+1)) stays 0: filter None
+        var x = 0
+        while (x < w) {
+          raw(y * (w + 1) + 1 + x) = ((id + x + 7L * y) % 256).toByte
+          x += 1
+        }
+        y += 1
+      }
+      def be32(v: Long): Array[Byte] = Array(
+        ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      def chunk(fourcc: String, data: Array[Byte]): Array[Byte] = {
+        val crc = new java.util.zip.CRC32()
+        val t = fourcc.getBytes("US-ASCII")
+        crc.update(t); crc.update(data)
+        be32(data.length.toLong) ++ t ++ data ++ be32(crc.getValue)
+      }
+      val ihdr = be32(w.toLong) ++ be32(h.toLong) ++
+        Array[Byte](8, 0, 0, 0, 0) // 8-bit gray, deflate/none/none
+      val adler = new java.util.zip.Adler32()
+      adler.update(raw)
+      val idat = Array(0x78, 0x01, 0x01, // zlib hdr + final stored blk
+        raw.length & 0xff, (raw.length >> 8) & 0xff,
+        ~raw.length & 0xff, (~raw.length >> 8) & 0xff)
+        .map(_.toByte) ++ raw ++ be32(adler.getValue)
+      val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte)
+      var bytes = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++
+        chunk("IEND", Array.emptyByteArray)
+      if (id % 10 == 3) {
+        var i = 0; while (i < 8) { bytes(i) = 0; i += 1 }
+      } else if (id % 10 == 6) bytes = bytes.take(16)
+      else if (id % 10 == 9) {
+        var i = 0; while (i < 4) { bytes(33 + i) = 0xff.toByte; i += 1 }
+      }
+      MediaRecord(id, s"memory://spng/$id", "image/png", bytes)
+    }
+  }
+
   /** REAL-BYTES waveform fixture for the envelope-hash rung: per doc
     * id, a mono 16-bit 8 kHz WAV of 66 × 256 samples whose value is a
     * ±1 square carrier times a PER-WINDOW amplitude

@@ -10,7 +10,8 @@ import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing,
   * q238 (frame-sample plan), q255/q261 (image dHash pairs/clusters),
   * q256/q257 (sample tables + byte-range seeks), q262 (audio
   * envelope near-dup), q263 (modality router), q271/q272 (cross-modal
-  * paired-row dedup agreement + disagreement worklist).
+  * paired-row dedup agreement + disagreement worklist),
+  * q275/q276 (audio + PNG chunk inventories).
   * Split from the monolithic Ext.scala in round 12
   * (pure relocation; helpers live in [[ExtHelpers]]). */
 private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
@@ -937,6 +938,50 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
           CAST(CASE WHEN wav THEN 36 ELSE 38 END AS BIGINT),
           CAST(frames * 2 * ch + CASE WHEN wav THEN 0 ELSE 8 END
             AS BIGINT)
+        FROM ids)
+      ORDER BY doc_id, chunk_idx
+    """.trim))
+
+  // --------------------------------------------------------------- q276
+  /** q276 — PNG container CHUNK INVENTORY ([[Multimodal.pngChunks]]):
+    * the third leg of the structure-audit family (q256 walks ISO-BMFF
+    * boxes, q275 walks RIFF/AIFF chunks, this walks PNG chunks) over
+    * the structure-exact fixture: per decodable payload, every
+    * chunk's type, byte offset and declared size (`IDAT` is the pixel
+    * mass a selective reader actually fetches; the rest is header).
+    * The fixture assembles its own stored-deflate `IDAT` framing
+    * precisely so the layout is pure id arithmetic — an `ImageIO`
+    * compressor owns its `IDAT` sizes, which no oracle can restate —
+    * while staying a standard, JDK-readable PNG (spec-pinned
+    * pixel-exact read-back). Corrupt families (zeroed signature,
+    * 16-byte truncation, 2³²−1 declared length) have no rows — the
+    * total walk rejects all three. */
+  val q276: Q = Q(
+    "q276_png_chunk_inventory",
+    (s, d) =>
+      Multimodal.pngChunks(
+        Multimodal.encodePngFixture(Tables.documents(s, d), "doc_id"))
+        .toDF().orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""
+      WITH ids AS (
+        SELECT doc_id,
+          (1 + (doc_id * 3) % 5) * (2 + doc_id % 8) AS rawlen
+        FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0
+          AND doc_id % 10 NOT IN (3, 6, 9))
+      SELECT doc_id, chunk_idx, fourcc, byte_off, n_bytes
+      FROM (
+        SELECT doc_id, CAST(0 AS BIGINT) AS chunk_idx,
+          'IHDR' AS fourcc, CAST(8 AS BIGINT) AS byte_off,
+          CAST(13 AS BIGINT) AS n_bytes
+        FROM ids
+        UNION ALL
+        SELECT doc_id, CAST(1 AS BIGINT), 'IDAT',
+          CAST(33 AS BIGINT), CAST(rawlen + 11 AS BIGINT)
+        FROM ids
+        UNION ALL
+        SELECT doc_id, CAST(2 AS BIGINT), 'IEND',
+          CAST(56 + rawlen AS BIGINT), CAST(0 AS BIGINT)
         FROM ids)
       ORDER BY doc_id, chunk_idx
     """.trim))

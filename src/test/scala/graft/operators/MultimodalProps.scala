@@ -80,4 +80,24 @@ object MultimodalProps extends Properties("MultimodalDecode") {
             }
       }
     }
+
+  property("pngChunkList never throws, and every accepted walk opens " +
+    "IHDR, closes IEND, and stays inside the payload in order") =
+    forAll(payload) { b =>
+      Multimodal.pngChunkList(b) match {
+        case None => true
+        case Some(chunks) =>
+          chunks.size >= 2 && chunks.size <= 64 &&
+            chunks.head._1 == "IHDR" && chunks.last._1 == "IEND" &&
+            chunks.forall { case (fc, off, sz) =>
+              fc.forall(c => (c >= 'A' && c <= 'Z') ||
+                (c >= 'a' && c <= 'z')) &&
+                off >= 8L && sz >= 0L && off + 12 + sz <= b.length.toLong
+            } &&
+            chunks.sliding(2).forall {
+              case Seq((_, a, _), (_, c, _)) => a < c
+              case _ => true
+            }
+      }
+    }
 }

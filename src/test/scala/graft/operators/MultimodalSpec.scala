@@ -518,4 +518,45 @@ class MultimodalSpec extends SparkSpec {
     beyond(4) = (beyond(4) + 1).toByte
     assert(Multimodal.audioChunkList(beyond).isEmpty)
   }
+
+  test("encodePngFixture is a standard PNG: ImageIO reads it back " +
+    "pixel-exact, and pngChunkList walks the id-arithmetic layout") {
+    import spark.implicits._
+    val ids = (0L until 40L).toDF("doc_id")
+    val payload = Multimodal.encodePngFixture(ids, "doc_id")
+      .collect().map(r => r.doc_id -> r.payload).toMap
+    for (id <- 0L until 40L) {
+      val w = 1 + (id % 8).toInt
+      val h = 1 + ((id * 3) % 5).toInt
+      val rawlen = h * (w + 1)
+      Multimodal.pngChunkList(payload(id)) match {
+        case Some(chunks) =>
+          assert(id % 10 != 3 && id % 10 != 6 && id % 10 != 9, s"id=$id")
+          assert(chunks == IndexedSeq(
+            ("IHDR", 8L, 13L),
+            ("IDAT", 33L, rawlen + 11L),
+            ("IEND", 56L + rawlen, 0L)), s"id=$id")
+          // the stored-deflate framing is REAL png: the JDK decoder
+          // reads the payload back pixel-exact
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload(id)))
+          assert(img.getWidth == w && img.getHeight == h, s"id=$id")
+          for (y <- 0 until h; x <- 0 until w)
+            assert(img.getRaster.getSample(x, y, 0) ==
+              ((id + x + 7L * y) % 256).toInt, s"id=$id ($x,$y)")
+        case None =>
+          assert(id % 10 == 3 || id % 10 == 6 || id % 10 == 9, s"id=$id")
+      }
+    }
+    // totality edges beyond the fixture families
+    assert(Multimodal.pngChunkList(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.pngChunkList(Array[Byte](1, 2, 3)).isEmpty)
+    val good = payload(0L)
+    // trailing garbage after IEND refuses (consume-exactly)
+    assert(Multimodal.pngChunkList(good ++ Array[Byte](0)).isEmpty)
+    // a non-alphabetic chunk type refuses
+    val badType = good.clone()
+    badType(12) = '0'.toByte
+    assert(Multimodal.pngChunkList(badType).isEmpty)
+  }
 }
