@@ -383,7 +383,14 @@ object Bench {
     "q273_crossmodal_dedup_policies" -> 4.17,
     "q274_token_shard_manifest" -> 0.89,
     "q275_audio_chunk_inventory" -> 0.66,
-    "q276_png_chunk_inventory" -> 0.43)
+    "q276_png_chunk_inventory" -> 0.43,
+    // the MJPEG rung pays a real 24k-frame JPEG encode+decode fixture
+    // pass per query (the q221/q266 honest-decode-cost shape); q278
+    // additionally emits the ~600k-row verified pair frame, q279
+    // closes over the distinct-sequence graph instead (bytes at KB)
+    "q277_video_frame_fingerprints" -> 6.85,
+    "q278_video_neardup_pairs" -> 6.11,
+    "q279_video_neardup_clusters" -> 5.71)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -604,6 +611,9 @@ object Bench {
     "q274_token_shard_manifest" -> 268010L,
     "q275_audio_chunk_inventory" -> 177762L,
     "q276_png_chunk_inventory" -> 216538L,
+    "q277_video_frame_fingerprints" -> 532560L,
+    "q278_video_neardup_pairs" -> 27545672L,
+    "q279_video_neardup_clusters" -> 650408L,
     "q21_embedding_neardup_ivf" -> 5000834L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

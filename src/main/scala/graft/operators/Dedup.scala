@@ -1196,6 +1196,190 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Near-dup pairs of fingerprint SEQUENCES — videos as per-frame
+    * dHash streams ([[Multimodal.videoFrameFingerprints]]), audio as
+    * per-window envelope hashes, any (id, align, fp) frame: two
+    * sequences are near-dup when at least `minMatchNum/minMatchDen`
+    * of the longer one's positions carry fingerprints within
+    * Hamming ≤ `maxHamming` of the other's AT THE SAME position
+    * (temporal alignment — the dup class re-encodes/rescales frames
+    * but does not re-order them; trims show up as missing positions
+    * and are tolerated up to the share threshold).
+    *
+    * Scale shape — the r15 distinct-fingerprint discipline lifted to
+    * sequences, twice over:
+    *  1. EXACT sequence signature first: group ids by their full
+    *     sorted (align, fp) list (exact, collision-free — the
+    *     signature IS the sequence). Re-encoded copies of the same
+    *     video collapse to one representative; only representatives
+    *     ever enter the match join, so a million-copy dup family
+    *     costs ONE sequence there (the member-pair expansion at the
+    *     end is the pair-output mass itself — irreducible for a pair
+    *     operator, and exactly where [[fingerprintClusters]]-style
+    *     consumers fold it back down).
+    *  2. Within representatives, the per-position match is the
+    *     [[fingerprintPairs]] pigeonhole: DISTINCT (align, fp) rows
+    *     chunk into `maxHamming + 1` buckets keyed (align, chunk_id,
+    *     chunk) — candidates never cross positions, recall is exact
+    *     for the radius, verification is one `bit_count(xor)`.
+    * No all-pairs anywhere: every join is keyed by position buckets
+    * or signature, and the only corpus-quadratic object is the
+    * verified pair OUTPUT itself.
+    *
+    * Output: (doc_a, doc_b, n_match, n_frames_a, n_frames_b) with
+    * doc_a < doc_b, `minMatchDen·n_match ≥ minMatchNum·max(n_a, n_b)`.
+    * Input must carry at most one fp per (id, align) — decode rungs
+    * emit exactly that; corrupt frames (`ok = 0`) are the caller's
+    * filter. */
+  def alignedFingerprintPairs(fps: DataFrame, idCol: String,
+      alignCol: String, fpCol: String, maxHamming: Int, bits: Int,
+      minMatchNum: Int = 1, minMatchDen: Int = 2,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val (members, repPairs) = alignedRepGraph(fps, idCol, alignCol,
+      fpCol, maxHamming, bits, minMatchNum, minMatchDen, scope)
+    // same-signature members: exact sequence duplicates by definition
+    val exact = members.where(size(col("docs")) > 1)
+      .select(col("n_frames"), explode(col("docs")).as("doc_a"),
+        col("docs"))
+      .select(col("n_frames"), col("doc_a"),
+        explode(col("docs")).as("doc_b"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        col("n_frames").as("n_match"),
+        col("n_frames").as("n_frames_a"),
+        col("n_frames").as("n_frames_b"))
+    // kept representative pairs expand through both member lists
+    val cross = repPairs
+      .join(members.select(col("rep").as("ra"), col("docs").as("da")),
+        Seq("ra"))
+      .join(members.select(col("rep").as("rb"), col("docs").as("db")),
+        Seq("rb"))
+      .select(col("n_match"), col("n_a"), col("n_b"), col("db"),
+        explode(col("da")).as("ia"))
+      .select(col("n_match"), col("n_a"), col("n_b"), col("ia"),
+        explode(col("db")).as("ib"))
+      .select(least(col("ia"), col("ib")).as("doc_a"),
+        greatest(col("ia"), col("ib")).as("doc_b"),
+        col("n_match"),
+        when(col("ia") < col("ib"), col("n_a")).otherwise(col("n_b"))
+          .as("n_frames_a"),
+        when(col("ia") < col("ib"), col("n_b")).otherwise(col("n_a"))
+          .as("n_frames_b"))
+    exact.unionByName(cross).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Near-dup CLUSTERS of fingerprint sequences — the KEEP/DROP
+    * decision over [[alignedFingerprintPairs]]' relation, computed
+    * WITHOUT ever materializing doc-level pairs (the
+    * [[fingerprintClusters]] discipline lifted to sequences): label
+    * propagation runs over the DISTINCT-sequence graph (one node per
+    * exact signature, edges = threshold-passing representative
+    * pairs), and docs join their signature's component afterwards.
+    * The signature count is corpus-size-independent for dup-heavy
+    * video corpora (re-encodes collapse), where the doc-pair graph is
+    * quadratic in duplicate mass — measured on the MJPEG fixture at
+    * sf0.1: 78 MB of pair-frame shuffle down to ~2 MB. A signature
+    * component's cluster id is its min doc id, which IS the min
+    * representative id (each rep is already its signature's min doc),
+    * so the rep-level propagation label needs no second fold. Output
+    * (doc_id, cluster_id, is_canonical), identical to
+    * [[nearDupClusters]] over the pair relation. */
+  def alignedFingerprintClusters(fps: DataFrame, idCol: String,
+      alignCol: String, fpCol: String, maxHamming: Int, bits: Int,
+      minMatchNum: Int = 1, minMatchDen: Int = 2,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val (members, repPairs) = alignedRepGraph(fps, idCol, alignCol,
+      fpCol, maxHamming, bits, minMatchNum, minMatchDen, scope)
+    val comps = nearDupClusters(
+      members.select(col("rep").as("doc_id")), "doc_id",
+      repPairs.select(col("ra").as("doc_a"), col("rb").as("doc_b")))
+      .select(col("doc_id").as("rep"), col("cluster_id"))
+    members.select(col("rep"), explode(col("docs")).as("doc_id"))
+      .join(broadcast(comps), Seq("rep"))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The signature/representative layer shared by
+    * [[alignedFingerprintPairs]] and [[alignedFingerprintClusters]]:
+    * `members` = one row per DISTINCT sequence (its sorted (align,
+    * fp) signature, frame count, min-id representative, member
+    * list); `repPairs` = the threshold-passing representative pairs
+    * (ra, rb, n_match, n_a, n_b) from the per-position pigeonhole
+    * match. Both persisted under `scope`. */
+  private def alignedRepGraph(fps: DataFrame, idCol: String,
+      alignCol: String, fpCol: String, maxHamming: Int, bits: Int,
+      minMatchNum: Int, minMatchDen: Int,
+      scope: CacheScope): (DataFrame, DataFrame) = {
+    require(minMatchNum >= 0 && minMatchDen >= 1 &&
+      minMatchNum <= minMatchDen,
+      s"bad match share $minMatchNum/$minMatchDen")
+    val nChunks = maxHamming + 1
+    require(bits % nChunks == 0,
+      s"bits=$bits must split evenly into ${nChunks} chunks")
+    val width = bits / nChunks
+    val mask = (1L << width) - 1
+    val f = fps.select(col(idCol).as("doc_id"),
+      col(alignCol).as("align"), col(fpCol).as("fp"))
+    // exact sequence signatures: one row per DISTINCT sequence, with
+    // its member list and its min-id representative
+    val members = scope.persist(f
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("align"), col("fp"))))
+        .as("sig"), count(lit(1)).as("n_frames"))
+      .groupBy(col("sig"), col("n_frames"))
+      .agg(min(col("doc_id")).as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("docs")))
+    // representative frames only enter the match join
+    val repFrames = scope.persist(f.join(
+      members.select(col("rep").as("doc_id")), Seq("doc_id")))
+    // per-position pigeonhole over DISTINCT (align, fp)
+    val distinctFp = repFrames.select(col("align"), col("fp")).distinct()
+    val chunks = distinctFp.select(col("align"), col("fp"),
+      explode(array((0 until nChunks).map(c =>
+        struct(lit(c).as("chunk_id"),
+          shiftright(col("fp"), c * width).bitwiseAND(lit(mask))
+            .as("chunk"))): _*)).as("cs"))
+      .select(col("align"), col("fp"), col("cs.chunk_id").as("chunk_id"),
+        col("cs.chunk").as("chunk"))
+    val fpPairs = chunks
+      .select(col("align"), col("fp").as("fa"), col("chunk_id"),
+        col("chunk"))
+      .join(chunks.select(col("align"), col("fp").as("fb"),
+        col("chunk_id"), col("chunk")),
+        Seq("align", "chunk_id", "chunk"))
+      .where(col("fa") < col("fb"))
+      .select(col("align"), col("fa"), col("fb")).distinct()
+      .where(bit_count(col("fa").bitwiseXOR(col("fb"))) <= maxHamming)
+    // identical fp at the same position: one equi-join, Hamming 0
+    val sameFp = repFrames
+      .select(col("align"), col("fp"), col("doc_id").as("ra"))
+      .join(repFrames.select(col("align"), col("fp"),
+        col("doc_id").as("rb")), Seq("align", "fp"))
+      .where(col("ra") < col("rb"))
+      .select(col("align"), col("ra"), col("rb"))
+    // near fp pairs expand through the per-(align, fp) rep lists
+    val crossFp = fpPairs
+      .join(repFrames.select(col("align"), col("fp").as("fa"),
+        col("doc_id").as("ia")), Seq("align", "fa"))
+      .join(repFrames.select(col("align"), col("fp").as("fb"),
+        col("doc_id").as("ib")), Seq("align", "fb"))
+      .select(col("align"), least(col("ia"), col("ib")).as("ra"),
+        greatest(col("ia"), col("ib")).as("rb"))
+    // one fp per (id, align) => each position contributes <= 1 match
+    val repPairs = sameFp.unionByName(crossFp)
+      .groupBy(col("ra"), col("rb"))
+      .agg(count(lit(1)).as("n_match"))
+      .join(members.select(col("rep").as("ra"),
+        col("n_frames").as("n_a")), Seq("ra"))
+      .join(members.select(col("rep").as("rb"),
+        col("n_frames").as("n_b")), Seq("rb"))
+      .where(col("n_match") * minMatchDen >=
+        greatest(col("n_a"), col("n_b")) * minMatchNum)
+    (members, repPairs)
+  }
+
   /** The winnowing SELECTION alone: distinct (doc_id, fp) fingerprint
     * rows per document — the per-document-local half of
     * [[winnowingPairs]], exposed so the incremental index

@@ -1297,6 +1297,242 @@ object Multimodal {
     }
   }
 
+  /** The four per-row dHash bit patterns of the MJPEG fixture, as
+    * bytes (bit `c` = the compare bit between dHash cells `c` and
+    * `c+1`). Each is chosen so its ±1 level walk from the middle
+    * level stays inside the 9-level alphabet — including with bit 3
+    * flipped (the 1-bit tweak variant). */
+  private val mjpegPatterns: Array[Int] = Array(0x55, 0xaa, 0x2b, 0xd4)
+
+  /** REAL-BYTES Motion-JPEG video fixture — the rung that retires
+    * "video near-dup is codec-blocked": MJPEG is the one mainstream
+    * video coding the JDK can genuinely decode (every frame is a
+    * complete baseline JPEG, read by `ImageIO`), so a hand-assembled
+    * but standard RIFF/AVI container (`hdrl` with spec-correct 56-byte
+    * `avih`/`strh` and 40-byte `strf` BITMAPINFOHEADER, one `movi`
+    * LIST of `00dc` frame chunks, a keyframe `idx1`) around real
+    * `ImageIO.write` JPEG frames is an honest end-to-end video corpus.
+    *
+    * Each frame is 72 × 64 grayscale laid out as 9 × 8 flat 8 × 8
+    * blocks — aligned BOTH to JPEG's DCT grid (flat blocks quantize
+    * to a lone DC coefficient: reconstruction error ≤ ~2 gray levels)
+    * and to [[dhash64]]'s 9 × 8 cell grid (cell mean = block value
+    * ± that error). Block values walk a 9-level alphabet
+    * `16 + 24·k` (separation 24 ≫ 2·error, so every dHash compare is
+    * decisive THROUGH the lossy codec), stepping k ±1 by the bits of
+    * [[mjpegPatterns]] — so each frame's dHash is pure id arithmetic:
+    * row `r` of frame `f` uses pattern
+    * `(g·5 + f·3 + r + 2·[variant=2]) % 4` where `g = id % 12` is the
+    * content group and `variant = (id/12) % 3` — variant 0 the base,
+    * variant 1 flips bit 3 of frame 0 row 0 (a 1-bit perceptual
+    * tweak: near-dup, not exact), variant 2 shifts every row's
+    * pattern (48 bits per frame apart: decisively distinct). Frame
+    * count is group-determined (`4 + g % 5`) so temporal alignment is
+    * well-posed within a group. Corruption families:
+    * `id % 10 = 3` zeroes the RIFF magic, `id % 10 = 6` truncates to
+    * 16 bytes (both: no frames), `id % 10 = 9` zeroes frame 1's JPEG
+    * SOI marker (the container walks; that one frame decodes to
+    * `ok = 0`). */
+  def encodeMjpegFixture(docs: DataFrame, idCol: String)
+      : Dataset[MediaRecord] = {
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+      .where(col("doc_id").isNotNull && col("doc_id") >= 0)
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    ids.as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      def le32(v: Long): Array[Byte] = Array(
+        (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      def le16(v: Int): Array[Byte] =
+        Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+      def chunk(fourcc: String, data: Array[Byte]): Array[Byte] =
+        fcc(fourcc) ++ le32(data.length.toLong) ++ data ++
+          (if (data.length % 2 == 1) Array[Byte](0)
+           else Array.emptyByteArray)
+      def list(listType: String, children: Array[Byte]): Array[Byte] =
+        fcc("LIST") ++ le32(4L + children.length) ++ fcc(listType) ++
+          children
+      it.map { id =>
+        val g = (id % 12).toInt
+        val variant = ((id / 12) % 3).toInt
+        val nFrames = 4 + g % 5
+        val jpegs = (0 until nFrames).map { f =>
+          val img = new java.awt.image.BufferedImage(
+            72, 64, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val ras = img.getRaster
+          var r = 0
+          while (r < 8) {
+            var pb = mjpegPatterns(
+              (g * 5 + f * 3 + r + (if (variant == 2) 2 else 0)) % 4)
+            if (variant == 1 && f == 0 && r == 0) pb ^= 8
+            var k = 4
+            var c = 0
+            while (c <= 8) { // 9 cells per row; k walks the bits
+              val v = 16 + 24 * k
+              var y = r * 8
+              while (y < r * 8 + 8) {
+                var x = c * 8
+                while (x < c * 8 + 8) {
+                  ras.setSample(x, y, 0, v); x += 1
+                }
+                y += 1
+              }
+              if (c < 8)
+                k += (if (((pb >> c) & 1) == 1) 1 else -1)
+              c += 1
+            }
+            r += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", bos)
+          bos.toByteArray
+        }
+        val avih = le32(40000L) ++ le32(0L) ++ le32(0L) ++
+          le32(0x10L) ++ le32(nFrames.toLong) ++ le32(0L) ++
+          le32(1L) ++ le32(0L) ++ le32(72L) ++ le32(64L) ++
+          le32(0L) ++ le32(0L) ++ le32(0L) ++ le32(0L)
+        val strh = fcc("vids") ++ fcc("MJPG") ++ le32(0L) ++
+          le16(0) ++ le16(0) ++ le32(0L) ++ le32(1L) ++ le32(25L) ++
+          le32(0L) ++ le32(nFrames.toLong) ++ le32(0L) ++
+          le32(0xffffffffL) ++ le32(0L) ++
+          le16(0) ++ le16(0) ++ le16(72) ++ le16(64)
+        val strf = le32(40L) ++ le32(72L) ++ le32(64L) ++
+          le16(1) ++ le16(24) ++ fcc("MJPG") ++ le32(0L) ++
+          le32(0L) ++ le32(0L) ++ le32(0L) ++ le32(0L)
+        val hdrl = list("hdrl", chunk("avih", avih) ++
+          list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+        val frameChunks = jpegs.map(j => chunk("00dc", j))
+        val movi = list("movi", frameChunks.flatten.toArray)
+        // idx1 offsets are relative to the 'movi' fourcc byte
+        val offsets = frameChunks.scanLeft(4L)(_ + _.length)
+        val idx1 = chunk("idx1", jpegs.indices.flatMap(i =>
+          fcc("00dc") ++ le32(0x10L) ++ le32(offsets(i)) ++
+            le32(jpegs(i).length.toLong)).toArray)
+        val body = fcc("AVI ") ++ hdrl ++ movi ++ idx1
+        var bytes = fcc("RIFF") ++ le32(body.length.toLong) ++ body
+        if (id % 10 == 3) {
+          bytes(0) = 0; bytes(1) = 0; bytes(2) = 0; bytes(3) = 0
+        } else if (id % 10 == 6) bytes = bytes.take(16)
+        else if (id % 10 == 9) {
+          // the movi LIST begins after RIFF(8) + 'AVI '(4) + hdrl;
+          // its 'movi' fourcc sits 8 bytes in, chunk 1's fourcc at
+          // offsets(1) past that, and the JPEG payload 8 past that
+          val at = (12 + hdrl.length) + 8 + offsets(1).toInt + 8
+          bytes(at) = 0; bytes(at + 1) = 0
+        }
+        MediaRecord(id, s"memory://mjpeg/$id", "video/x-msvideo", bytes)
+      }
+    }
+  }
+
+  /** The per-frame byte ranges of an MJPEG AVI payload — (offset,
+    * size) of each complete JPEG inside the `movi` LIST, in stream
+    * order. TOTAL over bytes with the house walk contract: corrupt
+    * magic, truncation, a chunk overrunning its parent, a walk that
+    * does not consume its declared extent exactly, duplicate `movi`
+    * lists, and hostile chunk counts (> 64 top-level, > 4096 frames)
+    * all yield None — errors are data, never exceptions. Frame chunks
+    * are the `##dc`/`##db` convention; `idx1` is deliberately not
+    * trusted (a lying index must not redirect the walk — frames come
+    * from the `movi` structure itself). */
+  def aviFrameRanges(payload: Array[Byte])
+      : Option[IndexedSeq[(Long, Long)]] = {
+    def fourcc(off: Int): String =
+      new String(payload, off, 4, "US-ASCII")
+    def u32le(off: Int): Long =
+      (payload(off) & 0xffL) | ((payload(off + 1) & 0xffL) << 8) |
+        ((payload(off + 2) & 0xffL) << 16) |
+        ((payload(off + 3) & 0xffL) << 24)
+    try {
+      if (payload.length < 12) return None
+      if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+      val end = u32le(4) + 8L
+      // the declared extent must be the payload (± one RIFF pad byte):
+      // truncation AND trailing bytes both refuse
+      if (end > payload.length.toLong) return None
+      if (payload.length.toLong > end + 1) return None
+      val out = IndexedSeq.newBuilder[(Long, Long)]
+      var off = 12L
+      var top = 0
+      var sawMovi = false
+      while (off + 8 <= end) {
+        val sz = u32le(off.toInt + 4)
+        if (off + 8 + sz > end) return None
+        if (fourcc(off.toInt) == "LIST") {
+          if (sz < 4) return None
+          if (fourcc(off.toInt + 8) == "movi") {
+            if (sawMovi) return None
+            sawMovi = true
+            var co = off + 12
+            val cend = off + 8 + sz
+            var n = 0
+            while (co + 8 <= cend) {
+              val csz = u32le(co.toInt + 4)
+              if (co + 8 + csz > cend) return None
+              val cfc = fourcc(co.toInt)
+              if (cfc(0).isDigit && cfc(1).isDigit && cfc(2) == 'd' &&
+                (cfc(3) == 'c' || cfc(3) == 'b'))
+                out += ((co + 8, csz))
+              co += 8 + csz + (csz & 1)
+              n += 1
+              if (n > 4096) return None
+            }
+            if (co != cend && co != cend + 1) return None
+          }
+        }
+        off += 8 + sz + (sz & 1)
+        top += 1
+        if (top > 64) return None
+      }
+      if (off != end && off != end + 1) return None
+      if (!sawMovi) return None
+      val frames = out.result()
+      if (frames.isEmpty) return None
+      Some(frames)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** One per-frame perceptual fingerprint row: `ok = 1` with the
+    * frame's [[dhash64]] when the frame JPEG decoded, `ok = 0`/null
+    * otherwise. Videos whose CONTAINER fails the walk have no rows
+    * (the chunk-inventory contract); per-FRAME decode failures are
+    * data. */
+  final case class VideoFrameFp(doc_id: Long, frame_idx: Long,
+      ok: Long, fp: Option[Long])
+
+  implicit val videoFrameFpEnc: Encoder[VideoFrameFp] =
+    Encoders.product[VideoFrameFp]
+
+  /** Distributed per-frame perceptual fingerprints of MJPEG videos:
+    * walk the container ([[aviFrameRanges]]), decode each frame JPEG,
+    * dHash it — the decode pass a video near-dup pipeline runs ONCE,
+    * after which every dedup question is answered from
+    * `frames × 8 bytes` of fingerprints ([[Dedup
+    * .alignedFingerprintPairs]]), never the payload. mapPartitions is
+    * justified (ImageIO cannot live in a Catalyst expression); payload
+    * bytes never cross a shuffle. */
+  def videoFrameFingerprints(media: Dataset[MediaRecord])
+      : Dataset[VideoFrameFp] =
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        aviFrameRanges(r.payload) match {
+          case Some(ranges) => ranges.iterator.zipWithIndex.map {
+            case ((o, s), i) =>
+              val frame = java.util.Arrays.copyOfRange(
+                r.payload, o.toInt, (o + s).toInt)
+              dhash64(frame) match {
+                case Some(fp) => VideoFrameFp(r.doc_id, i.toLong, 1L,
+                  Some(fp))
+                case None => VideoFrameFp(r.doc_id, i.toLong, 0L, None)
+              }
+          }
+          case None => Iterator.empty
+        }
+      }
+    }
+
   /** MEDIA CATALOG PROFILE — the first readout a multimodal curation
     * team asks of a freshly-decoded corpus: per modality, how healthy
     * is the decode (ok vs corrupt) and how is the catalog distributed

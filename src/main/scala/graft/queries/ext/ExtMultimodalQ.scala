@@ -986,6 +986,169 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       ORDER BY doc_id, chunk_idx
     """.trim))
 
+  // --------------------------------------------------------------- q277
+  /** The shared fps CTE of the MJPEG rung (q277/q278/q279): replay
+    * [[Multimodal.encodeMjpegFixture]]'s per-frame dHash as pure id
+    * arithmetic — row `r` of frame `f` carries pattern byte
+    * `P[(g·5 + f·3 + r + 2·[variant=2]) % 4]` (P = 85/170/43/212),
+    * bit 3 of frame 0 row 0 XOR-flipped for variant 1, composed into
+    * the 64-bit hash with the bit-63 MIN_BIGINT trick (the q255
+    * composition). The JPEG codec sits between the pattern and the
+    * hash on the Spark side — the fixture's 24-level block separation
+    * is what makes the lossy round-trip exact, and this oracle is the
+    * proof. */
+  private def mjpegFpsCte: String = """
+      ids AS (
+        SELECT doc_id, doc_id % 12 AS g, (doc_id // 12) % 3 AS variant
+        FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0
+          AND doc_id % 10 NOT IN (3, 6)),
+      vframes AS (
+        SELECT doc_id, g, variant, f.f AS frame_idx
+        FROM ids, (SELECT unnest(range(8)) AS f) f
+        WHERE f.f < 4 + g % 5),
+      rowbytes AS (
+        SELECT doc_id, frame_idx, r.r AS r,
+          xor(CASE CAST((g * 5 + frame_idx * 3 + r.r +
+                CASE WHEN variant = 2 THEN 2 ELSE 0 END) % 4 AS INT)
+            WHEN 0 THEN 85 WHEN 1 THEN 170 WHEN 2 THEN 43
+            ELSE 212 END,
+            CASE WHEN variant = 1 AND frame_idx = 0 AND r.r = 0
+                 THEN 8 ELSE 0 END) AS pb
+        FROM vframes, (SELECT unnest(range(8)) AS r) r),
+      fps AS (
+        SELECT doc_id, frame_idx,
+          CAST(sum(CASE WHEN r = 7 AND pb >= 128
+            THEN -9223372036854775808 + ((pb % 128)::BIGINT << 56)
+            ELSE pb::BIGINT << (8 * r) END) AS BIGINT) AS fp
+        FROM rowbytes GROUP BY doc_id, frame_idx)"""
+
+  /** q277 — per-frame VIDEO perceptual fingerprints: the decode pass
+    * that retires "video near-dup is codec-blocked" at the honest JDK
+    * rung — [[Multimodal.encodeMjpegFixture]] assembles standard
+    * RIFF/AVI Motion-JPEG (every frame a complete baseline JPEG),
+    * [[Multimodal.videoFrameFingerprints]] walks the container
+    * (idx1 never trusted), decodes each frame with ImageIO and
+    * dHashes it. Corrupt containers (zeroed magic / truncation) have
+    * no rows; the zeroed-SOI frame family surfaces as `ok = 0` rows —
+    * per-frame errors are data. The oracle restates every hash as id
+    * arithmetic THROUGH the lossy codec (see [[mjpegFpsCte]]). */
+  val q277: Q = Q(
+    "q277_video_frame_fingerprints",
+    (s, d) =>
+      Multimodal.videoFrameFingerprints(
+        Multimodal.encodeMjpegFixture(Tables.documents(s, d),
+          "doc_id"))
+        .toDF().orderBy(col("doc_id"), col("frame_idx")),
+    Some(s"""
+      WITH $mjpegFpsCte
+      SELECT doc_id, frame_idx,
+        CAST(CASE WHEN doc_id % 10 = 9 AND frame_idx = 1
+             THEN 0 ELSE 1 END AS BIGINT) AS ok,
+        CASE WHEN doc_id % 10 = 9 AND frame_idx = 1 THEN NULL
+             ELSE fp END AS fp
+      FROM fps ORDER BY doc_id, frame_idx
+    """.trim))
+
+  // --------------------------------------------------------------- q278
+  /** q278 — VIDEO near-dup pairs ([[Dedup.alignedFingerprintPairs]]):
+    * two videos are near-dup when ≥ half the longer one's frames
+    * carry dHashes within Hamming ≤ 3 of the other's at the SAME
+    * frame index. Exact sequence signatures collapse re-encoded
+    * copies before any join; per-position pigeonhole buckets make the
+    * match exact-recall; the only corpus-quadratic object is the
+    * verified pair output. The fixture exercises all three paths:
+    * same-signature exact dups (same g/variant class), the 1-bit
+    * tweak variant (cross-signature, all-but-one-bit aligned), and
+    * the corrupt-frame family (one missing position — still above the
+    * half-share bar). Oracle: brute-force aligned Hamming join over
+    * the replayed fps. */
+  val q278: Q = Q(
+    "q278_video_neardup_pairs",
+    (s, d) => {
+      val fps = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.videoFrameFingerprints(
+          Multimodal.encodeMjpegFixture(Tables.documents(s, d),
+            "doc_id"))
+          .toDF().where(col("ok") === 1L)
+          .select(col("doc_id"), col("frame_idx"), col("fp")))
+      Dedup.alignedFingerprintPairs(fps, "doc_id", "frame_idx", "fp",
+        maxHamming = 3, bits = 64)
+    },
+    Some(videoPairsOracleSql))
+
+  /** The q278 oracle, shared with q279's cluster closure (the
+    * q255-inside-q261 pattern). */
+  private def videoPairsOracleSql: String = s"""
+      WITH $mjpegFpsCte,
+      okf AS (
+        SELECT doc_id, frame_idx, fp FROM fps
+        WHERE NOT (doc_id % 10 = 9 AND frame_idx = 1)),
+      cnt AS (SELECT doc_id, count(*) AS n FROM okf GROUP BY doc_id),
+      m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          count(*) AS n_match
+        FROM okf a JOIN okf b
+          ON a.frame_idx = b.frame_idx AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        GROUP BY 1, 2)
+      SELECT m.doc_a, m.doc_b, CAST(m.n_match AS BIGINT) AS n_match,
+        CAST(ca.n AS BIGINT) AS n_frames_a,
+        CAST(cb.n AS BIGINT) AS n_frames_b
+      FROM m
+      JOIN cnt ca ON ca.doc_id = m.doc_a
+      JOIN cnt cb ON cb.doc_id = m.doc_b
+      WHERE 2 * m.n_match >= greatest(ca.n, cb.n)
+      ORDER BY doc_a, doc_b
+    """.trim
+
+  // --------------------------------------------------------------- q279
+  /** q279 — VIDEO near-dup CLUSTERS: the KEEP/DROP decision of
+    * closing q278's pair relation into connected components,
+    * computed WITHOUT materializing doc pairs
+    * ([[Dedup.alignedFingerprintClusters]]: label propagation over
+    * the distinct-SEQUENCE graph, members re-attached afterwards —
+    * measured 78 MB → ~2 MB of shuffle at sf0.1 vs the pair-frame
+    * closure). Completes the per-modality dedup ladder (text q31,
+    * image q261, audio q266, video here). Universe =
+    * container-decodable videos (every such video has ≥ 1 decodable
+    * frame in the fixture). The oracle brute-forces the pair set it
+    * never materializes and closes it with a recursive CTE. */
+  val q279: Q = Q(
+    "q279_video_neardup_clusters",
+    (s, d) => {
+      val fps = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.videoFrameFingerprints(
+          Multimodal.encodeMjpegFixture(Tables.documents(s, d),
+            "doc_id"))
+          .toDF().where(col("ok") === 1L)
+          .select(col("doc_id"), col("frame_idx"), col("fp")))
+      Dedup.alignedFingerprintClusters(fps, "doc_id", "frame_idx",
+        "fp", maxHamming = 3, bits = 64)
+    },
+    Some(s"""
+      WITH RECURSIVE vpairs AS (
+        SELECT doc_a, doc_b FROM ($videoPairsOracleSql) q
+      ),
+      vuniverse AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0
+          AND doc_id % 10 NOT IN (3, 6)),
+      vedges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM vpairs
+        UNION ALL SELECT doc_b, doc_a FROM vpairs),
+      reach(doc_id, via) AS (
+        SELECT doc_id, doc_id FROM vuniverse
+        UNION
+        SELECT r.doc_id, e.dst FROM reach r
+        JOIN vedges e ON e.src = r.via),
+      comp AS (
+        SELECT doc_id, min(via) AS cluster_id FROM reach
+        GROUP BY doc_id)
+      SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
+      FROM comp ORDER BY doc_id
+    """.trim))
+
   // --------------------------------------------------------------- q273
   /** q273 — cross-modal dedup POLICY masses (the DECISION layer over
     * q271's agreement): how many paired (caption, image) rows survive

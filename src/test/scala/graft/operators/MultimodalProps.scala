@@ -81,6 +81,23 @@ object MultimodalProps extends Properties("MultimodalDecode") {
       }
     }
 
+  property("aviFrameRanges never throws, and every accepted walk " +
+    "yields in-order frame ranges inside the payload") =
+    forAll(payload) { b =>
+      Multimodal.aviFrameRanges(b) match {
+        case None => true
+        case Some(frames) =>
+          frames.nonEmpty && frames.size <= 4096 &&
+            frames.forall { case (off, sz) =>
+              off >= 20L && sz >= 0L && off + sz <= b.length.toLong
+            } &&
+            frames.sliding(2).forall {
+              case Seq((a, _), (c, _)) => a < c
+              case _ => true
+            }
+      }
+    }
+
   property("pngChunkList never throws, and every accepted walk opens " +
     "IHDR, closes IEND, and stays inside the payload in order") =
     forAll(payload) { b =>

@@ -559,4 +559,92 @@ class MultimodalSpec extends SparkSpec {
     badType(12) = '0'.toByte
     assert(Multimodal.pngChunkList(badType).isEmpty)
   }
+
+  test("encodeMjpegFixture round-trips THROUGH the lossy codec: every " +
+    "frame dHash equals the pattern arithmetic, corrupt families hold") {
+    import spark.implicits._
+    val ids = (0L until 80L).toDF("doc_id")
+    val got = Multimodal.videoFrameFingerprints(
+      Multimodal.encodeMjpegFixture(ids, "doc_id"))
+      .collect().groupBy(_.doc_id)
+    val patterns = Array(0x55, 0xaa, 0x2b, 0xd4)
+    def refFp(id: Long, f: Int): Long = {
+      val g = (id % 12).toInt
+      val variant = ((id / 12) % 3).toInt
+      var fp = 0L
+      for (r <- 0 until 8) {
+        var pb = patterns(
+          (g * 5 + f * 3 + r + (if (variant == 2) 2 else 0)) % 4)
+        if (variant == 1 && f == 0 && r == 0) pb ^= 8
+        fp |= pb.toLong << (8 * r)
+      }
+      fp
+    }
+    for (id <- 0L until 80L) {
+      val g = (id % 12).toInt
+      if (id % 10 == 3 || id % 10 == 6)
+        assert(!got.contains(id), s"id=$id") // container refuses
+      else {
+        val rows = got(id).sortBy(_.frame_idx)
+        assert(rows.length == 4 + g % 5, s"id=$id")
+        for (row <- rows) {
+          if (id % 10 == 9 && row.frame_idx == 1L)
+            assert(row.ok == 0L && row.fp.isEmpty, s"id=$id corrupt")
+          else {
+            assert(row.ok == 1L, s"id=$id f=${row.frame_idx}")
+            assert(row.fp.contains(refFp(id, row.frame_idx.toInt)),
+              s"id=$id f=${row.frame_idx}: JPEG round-trip drifted")
+          }
+        }
+      }
+    }
+    // walker totality edges
+    assert(Multimodal.aviFrameRanges(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.aviFrameRanges(Array[Byte](1, 2, 3)).isEmpty)
+    val good = Multimodal.encodeMjpegFixture(Seq(0L).toDF("doc_id"),
+      "doc_id").collect().head.payload
+    assert(Multimodal.aviFrameRanges(good).nonEmpty)
+    // trailing bytes past the declared extent refuse
+    assert(Multimodal.aviFrameRanges(good ++ Array[Byte](0, 0)).isEmpty)
+    // a declared size overrunning the payload refuses
+    val overrun = good.clone()
+    overrun(4) = (overrun(4) + 1).toByte
+    assert(Multimodal.aviFrameRanges(overrun).isEmpty)
+  }
+
+  test("alignedFingerprintPairs matches the brute-force aligned " +
+    "decision on the MJPEG fixture, through all three pair paths") {
+    import spark.implicits._
+    val ids = (0L until 90L).toDF("doc_id")
+    val fps = Multimodal.videoFrameFingerprints(
+      Multimodal.encodeMjpegFixture(ids, "doc_id"))
+      .toDF().where(col("ok") === 1L)
+      .select(col("doc_id"), col("frame_idx"), col("fp")).persist()
+    val got = graft.operators.Dedup.alignedFingerprintPairs(
+      fps, "doc_id", "frame_idx", "fp", maxHamming = 3, bits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // brute force on the collected frames
+    val rows = fps.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = rows.groupBy(_._1)
+    val docs = byDoc.keys.toSeq.sorted
+    val ref = (for {
+      i <- docs.indices.iterator
+      j <- (i + 1 until docs.size).iterator
+      a = docs(i); b = docs(j)
+      fa = byDoc(a).map(t => t._2 -> t._3).toMap
+      fb = byDoc(b).map(t => t._2 -> t._3).toMap
+      nMatch = fa.keySet.intersect(fb.keySet).count(k =>
+        java.lang.Long.bitCount(fa(k) ^ fb(k)) <= 3)
+      if 2 * nMatch >= math.max(fa.size, fb.size)
+    } yield (a, b, nMatch.toLong, fa.size.toLong, fb.size.toLong)).toSet
+    assert(got == ref)
+    // the fixture exercises every path: exact same-signature pairs,
+    // the 1-bit tweak (cross-signature, hamming 1 on one frame), and
+    // the corrupt-frame family (one missing position, still kept)
+    assert(ref.exists(p => p._3 == p._4 && p._4 == p._5))
+    assert(ref.exists(p => p._4 != p._5))
+    fps.unpersist()
+  }
 }
