@@ -941,10 +941,12 @@ object Main {
       shardBytes)
 
   /** Write the MIXED media fixture lake (`corpus-media`'s demo
-    * input): ids fan out id%3 across the three content encoders —
-    * gradient PNGs (real rasters, the dedup-bearing family), PCM
-    * WAVs, ISO-BMFF MP4s — with each encoder's corrupt families
-    * intact, so routing, decode gates and dedup all exercise. */
+    * input): ids fan out (id/4)%4 across the four content encoders —
+    * gradient PNGs (real rasters, the dedup-bearing image family),
+    * PCM WAVs, ISO-BMFF MP4s (the exact-identity video tier), and
+    * MJPEG AVIs (the PERCEPTUAL video tier) — with each encoder's
+    * corrupt families intact, so routing, decode gates and both
+    * video dedup tiers all exercise. */
   private def mediaFixture(docsParquet: String, outDir: String): Unit = {
     val spark = GraftSession.local()
     val n = runMediaFixture(spark, docsParquet, outDir)
@@ -959,12 +961,18 @@ object Main {
     import org.apache.spark.sql.functions.col
     val M = graft.operators.Multimodal
     val docs = spark.read.parquet(docsParquet)
+    // class = (id/4) % 4, NOT id % 4: the corrupt families live on
+    // id % 10 residues, and a parity-pure class would silently lose
+    // its truncation members (truncated ids are even)
+    val cls = (col("doc_id") / 4).cast("long") % 4
     M.encodeGradientImageFixture(
-        docs.where(col("doc_id") % 3 === 0), "doc_id").toDF()
+        docs.where(cls === 0), "doc_id").toDF()
       .unionByName(M.encodeWaveformFixture(
-        docs.where(col("doc_id") % 3 === 1), "doc_id").toDF())
+        docs.where(cls === 1), "doc_id").toDF())
       .unionByName(M.encodeVideoFixture(
-        docs.where(col("doc_id") % 3 === 2), "doc_id").toDF())
+        docs.where(cls === 2), "doc_id").toDF())
+      .unionByName(M.encodeMjpegFixture(
+        docs.where(cls === 3), "doc_id").toDF())
       .write.mode("overwrite").parquet(outDir)
     spark.read.parquet(outDir).count()
   }

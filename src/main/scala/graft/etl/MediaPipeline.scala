@@ -20,10 +20,13 @@ import graft.operators.{Dedup, Multimodal, Packing}
   *       → per-modality dedup decision, keep-canonical:
   *           image: dHash → Hamming clusters (q261's decision)
   *           audio: envelope hash → Hamming clusters (q266's)
-  *           video: container-decodable + exact payload identity
-  *                  (sha-256 keep-min — codec-frame perception is the
-  *                  documented out-of-scope rung, so byte identity is
-  *                  the honest video decision)
+  *           video, two-tier by what the JDK honestly decodes:
+  *                  MJPEG/AVI — per-frame dHash → aligned sequence
+  *                  clusters (q279's PERCEPTUAL decision); MP4 —
+  *                  container-decodable + exact payload identity
+  *                  (sha-256 keep-min; codec-frame perception stays
+  *                  the documented out-of-scope rung for non-MJPEG
+  *                  codecs)
   *         unroutable payloads and rows that sniff but fail their
   *         modality's decode are DROPPED and counted (lake health)
   *       → q221 catalog profile OVER THE KEPT media (the distributions
@@ -107,18 +110,36 @@ object MediaPipeline {
           maxHamming = maxHamming, bits = 64)
         .where(col("is_canonical")).select(col("doc_id"))
 
-      // video: container decode gates health; identity is exact bytes
-      // (sha-256 keep-min, the q16 rule on payloads)
+      // video, two-tier by what the JDK can honestly decode:
+      //   MJPEG/AVI — per-frame dHash → aligned sequence clusters
+      //     (q279's decision: the PERCEPTUAL rung, since every frame
+      //     is a baseline JPEG ImageIO reads)
+      //   MP4 — container decode gates health; identity is exact
+      //     bytes (sha-256 keep-min, the q16 rule on payloads —
+      //     codec-FRAME perception stays the documented out-of-scope
+      //     rung for non-MJPEG codecs)
+      // The two universes are disjoint by magic (RIFF vs ftyp), so
+      // decoded/kept counts add.
+      val mjpegFps = scope.persist(
+        Multimodal.videoFrameFingerprints(asMedia(routedOf("video")))
+          .toDF().where(col("ok") === 1L)
+          .select(col("doc_id"), col("frame_idx"), col("fp")))
+      val decodedMjpeg = mjpegFps.select(col("doc_id")).distinct().count()
+      val keepMjpeg = Dedup.alignedFingerprintClusters(mjpegFps,
+          "doc_id", "frame_idx", "fp", maxHamming = maxHamming,
+          bits = 64)
+        .where(col("is_canonical")).select(col("doc_id"))
       val vidHash = scope.persist(
         routedOf("video")
           .select(col("doc_id"), sha2(col("payload"), 256).as("bh"))
           .join(Multimodal.decodeVideoMeta(asMedia(routedOf("video")))
             .toDF().where(col("ok") === 1L).select(col("doc_id")),
             Seq("doc_id")))
-      val decodedVideo = vidHash.count()
+      val decodedVideo = vidHash.count() + decodedMjpeg
       val keepVideo = vidHash.groupBy(col("bh"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
+        .unionByName(keepMjpeg)
 
       // 3. CURATED tree: the kept canonical rows, still partitioned
       // by modality (one payload pass per modality). The keep-id
@@ -145,11 +166,21 @@ object MediaPipeline {
         .select(mediaCols.map(col): _*)
 
       // 4. PROFILE the kept media (q221's readout, measured on what
-      // survives — the distributions a training run will actually see)
+      // survives — the distributions a training run will actually
+      // see). Video metadata dispatches by the same magic the router
+      // used: MP4s through the ISO-BMFF box walk, MJPEG/AVIs through
+      // the avih header — each tier's kept rows profile as ok=1
+      // through THEIR decoder, never the other's.
+      val vidCurated = curatedOf("video")
+      val isAvi = Multimodal.sniffModality(col("payload")) ===
+        "video/x-msvideo"
       Multimodal.mediaProfile(
           Multimodal.decodeImageMeta(asMedia(curatedOf("image"))).toDF(),
           Multimodal.decodeAudioMeta(asMedia(curatedOf("audio"))).toDF(),
-          Multimodal.decodeVideoMeta(asMedia(curatedOf("video"))).toDF())
+          Multimodal.decodeVideoMeta(asMedia(vidCurated.where(!isAvi)))
+            .toDF()
+            .unionByName(Multimodal.decodeMjpegMeta(
+              asMedia(vidCurated.where(isAvi))).toDF()))
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/profile")
 

@@ -298,7 +298,8 @@ object Multimodal {
     * wastes a full SPI probe on misrouted payloads. The router is the
     * cheap row-local pre-pass production pipelines actually run:
     * first-bytes signatures for PNG (\\x89PNG), JPEG (FF D8 FF),
-    * RIFF/WAVE, FORM/AIFF, ISO-BMFF (`ftyp` at offset 4), else
+    * RIFF/WAVE, RIFF/AVI (MJPEG — byte 8 splits the shared RIFF
+    * prefix), FORM/AIFF, ISO-BMFF (`ftyp` at offset 4), else
     * `unknown`. Pure byte comparisons — codegen-friendly, exactly
     * restatable by an oracle that knows the fixture's encoder, and
     * the disagreement count (sniffed ≠ declared) is the lake-health
@@ -315,6 +316,9 @@ object Multimodal {
         "image/jpeg")
       .when(bytesAt(1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
         bytesAt(9, 4) === lit("WAVE".getBytes("US-ASCII")), "audio/wav")
+      .when(bytesAt(1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
+        bytesAt(9, 4) === lit("AVI ".getBytes("US-ASCII")),
+        "video/x-msvideo")
       .when(bytesAt(1, 4) === lit("FORM".getBytes("US-ASCII")) &&
         bytesAt(9, 4) === lit("AIFF".getBytes("US-ASCII")), "audio/aiff")
       .when(bytesAt(5, 4) === lit("ftyp".getBytes("US-ASCII")),
@@ -1492,6 +1496,49 @@ object Multimodal {
       Some(frames)
     } catch { case scala.util.control.NonFatal(_) => None }
   }
+
+  /** MJPEG/AVI container metadata — [[decodeVideoMeta]]'s sibling for
+    * the RIFF tier, the same pure-integer honesty level as the
+    * ISO-BMFF box walk: width/height/stream-count/µs-per-frame read
+    * from the spec-required `avih` header (first chunk of the `hdrl`
+    * LIST), duration = frame count (from the [[aviFrameRanges]] movi
+    * walk — never the header's claim) × µs-per-frame. `brand` is the
+    * RIFF form type (`avi `). Total: anything the frame walk or the
+    * header layout rejects is an `ok = 0` row, never an exception. */
+  def decodeMjpegMeta(media: Dataset[MediaRecord])
+      : Dataset[VideoMeta] =
+    media.mapPartitions { it =>
+      it.map { r =>
+        val p = r.payload
+        def u32le(off: Int): Long =
+          (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
+            ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
+        val meta = try {
+          aviFrameRanges(p).flatMap { frames =>
+            // hdrl must be the first LIST, avih its first chunk
+            val ok = p.length >= 12 + 12 + 8 + 56 &&
+              new String(p, 12, 4, "US-ASCII") == "LIST" &&
+              new String(p, 20, 4, "US-ASCII") == "hdrl" &&
+              new String(p, 24, 4, "US-ASCII") == "avih" &&
+              u32le(28) >= 56
+            if (!ok) None
+            else {
+              val d = 32 // avih payload offset
+              val usPerFrame = u32le(d)
+              Some((frames.size.toLong * usPerFrame / 1000L,
+                u32le(d + 24), u32le(d + 32), u32le(d + 36)))
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+        meta match {
+          case Some((durMs, streams, w, h)) =>
+            VideoMeta(r.doc_id, 1L, Some("avi "), Some(durMs),
+              Some(streams), Some(w), Some(h))
+          case None =>
+            VideoMeta(r.doc_id, 0L, None, None, None, None, None)
+        }
+      }
+    }
 
   /** One per-frame perceptual fingerprint row: `ok = 1` with the
     * frame's [[dhash64]] when the frame JPEG decoded, `ok = 0`/null

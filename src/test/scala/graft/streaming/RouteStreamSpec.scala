@@ -21,11 +21,13 @@ class RouteStreamSpec extends SparkSpec {
     def lake(ids: Seq[Long]) = {
       val docs = ids.toDF("doc_id")
       Multimodal.encodeGradientImageFixture(
-          docs.where(col("doc_id") % 3 === 0), "doc_id").toDF()
+          docs.where(col("doc_id") % 4 === 0), "doc_id").toDF()
         .unionByName(Multimodal.encodeWaveformFixture(
-          docs.where(col("doc_id") % 3 === 1), "doc_id").toDF())
+          docs.where(col("doc_id") % 4 === 1), "doc_id").toDF())
         .unionByName(Multimodal.encodeVideoFixture(
-          docs.where(col("doc_id") % 3 === 2), "doc_id").toDF())
+          docs.where(col("doc_id") % 4 === 2), "doc_id").toDF())
+        .unionByName(Multimodal.encodeMjpegFixture(
+          docs.where(col("doc_id") % 4 === 3), "doc_id").toDF())
         .withColumn("ts_us",
           org.apache.spark.sql.functions.lit(1700000000000000L) +
             col("doc_id") * 1000000L)
@@ -34,7 +36,7 @@ class RouteStreamSpec extends SparkSpec {
     lake(0L until 20L).write.parquet(in)
     val c1 = graft.Main.runStreamRoute(spark, in, s"$base/out", s"$base/ckpt")
     assert(c1.values.sum == 20L)
-    // id 3: gradient image with byte 0 zeroed -> unknown quarantine
+    // id 3: MJPEG AVI with the RIFF magic zeroed -> unknown quarantine
     assert(c1.getOrElse("unknown", 0L) >= 1L)
     // the streamed decision per row == the batch sniff (q263's column)
     val want = spark.read.parquet(in)
