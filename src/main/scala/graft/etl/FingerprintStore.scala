@@ -90,3 +90,65 @@ final class AudioFpStore(spark: SparkSession, storeDir: String)
       .where(col("ok") === 1L)
       .select(col("doc_id"), col("fp"))
 }
+
+/** Incremental VIDEO-fingerprint store — the family's SEQUENCE
+  * binding (q277/q278/q279's per-frame dHash state): rows are
+  * (doc_id, frame_idx, fp) rather than one fp per doc, so the dedup
+  * readouts go through the aligned sequence machinery
+  * ([[graft.operators.Dedup.alignedFingerprintPairs]] /
+  * [[graft.operators.Dedup.alignedFingerprintClusters]]) instead of
+  * [[graft.operators.Dedup.fingerprintPairs]] — everything else is
+  * the family contract verbatim: each arriving MJPEG batch is walked
+  * and frame-decoded ONCE (the dominant cost — container walk + one
+  * ImageIO decode per frame), 16 bytes per FRAME cross into the
+  * store, re-delivered batches fold away in the read-side distinct
+  * (fingerprints are pure functions of the payload), corrupt frames
+  * are never stored, and [[compact]] is the shared verified swap.
+  * Non-MJPEG videos contribute no rows (their honest tier is exact
+  * byte identity, which [[ChecksumStore]] already serves). */
+final class VideoFpStore(spark: SparkSession, storeDir: String) {
+
+  private def storeExists: Boolean =
+    ParquetStore.gatedExists(spark, storeDir, "video fp store")
+
+  /** Walk + frame-decode one media batch and append its per-frame
+    * fingerprints. Returns the number of DECODABLE VIDEOS appended
+    * (corrupt containers and frames drop, never fail). The frame
+    * frame is persisted so the batch is decoded exactly once: the
+    * count materializes the cache, the append reads it back. */
+  def ingest(media: Dataset[Multimodal.MediaRecord]): Long = {
+    val fps = Multimodal.videoFrameFingerprints(media).toDF()
+      .where(col("ok") === 1L)
+      .select(col("doc_id"), col("frame_idx"), col("fp"))
+    fps.persist()
+    try {
+      val n = fps.select(col("doc_id")).distinct().count()
+      fps.write.mode(SaveMode.Append).parquet(storeDir)
+      n
+    } finally fps.unpersist()
+  }
+
+  /** The stored frame-fingerprint frame, re-delivery folded: one
+    * (doc_id, frame_idx, fp) row per decoded frame. */
+  def fingerprints: DataFrame =
+    if (storeExists) spark.read.parquet(storeDir).distinct()
+    else spark.range(0).select(col("id").as("doc_id"),
+      col("id").as("frame_idx"), col("id").as("fp"))
+
+  /** Aligned sequence near-dup pairs over the STORE — zero payload
+    * access (q278's decision on the full history). */
+  def pairs(maxHamming: Int = 3, bits: Int = 64): DataFrame =
+    graft.operators.Dedup.alignedFingerprintPairs(fingerprints,
+      "doc_id", "frame_idx", "fp", maxHamming, bits)
+
+  /** Sequence near-dup components + canonical picks over the STORE —
+    * zero payload access (q279's KEEP/DROP list). */
+  def clusters(maxHamming: Int = 3, bits: Int = 64): DataFrame =
+    graft.operators.Dedup.alignedFingerprintClusters(fingerprints,
+      "doc_id", "frame_idx", "fp", maxHamming, bits)
+
+  /** Fold the per-ingest appends into the distinct frame via the
+    * shared verified swap. Returns (files before, files after). */
+  def compact(targetFileBytes: Long = 128L << 20): (Long, Long) =
+    ParquetStore.compact(spark, storeDir, fingerprints, targetFileBytes)
+}

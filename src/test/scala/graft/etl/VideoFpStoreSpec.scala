@@ -1,0 +1,67 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+import graft.operators.{Dedup, Multimodal}
+
+/** The [[FingerprintStore]] family invariants on the SEQUENCE binding
+  * (the AudioFpStoreSpec contract, lifted to per-frame rows): batch
+  * splits merge to the one-shot aligned cluster decision, re-delivery
+  * is a NO-OP, corrupt containers and frames are never stored,
+  * compact preserves the answers. */
+class VideoFpStoreSpec extends SparkSpec {
+
+  private val allIds = (0L until 60L)
+
+  private def media(ids: Seq[Long]) = {
+    val s = spark; import s.implicits._
+    Multimodal.encodeMjpegFixture(ids.toDF("doc_id"), "doc_id")
+  }
+
+  private def rows(d: org.apache.spark.sql.DataFrame) =
+    d.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+
+  test("row-disjoint batches merge to the one-shot aligned clusters; " +
+    "corrupt containers/frames never stored; re-delivery a NO-OP; " +
+    "compact preserves") {
+    val dir = Files.createTempDirectory("graft_vfp").toString + "/store"
+    val store = new VideoFpStore(spark, dir)
+    assert(store.fingerprints.collect().isEmpty)
+    val n1 = store.ingest(media(allIds.filter(_ % 2 == 0)))
+    val n2 = store.ingest(media(allIds.filter(_ % 2 == 1)))
+    val decodable = allIds.filterNot(i => i % 10 == 3 || i % 10 == 6)
+    assert(n1 + n2 == decodable.size.toLong)
+    val storedIds = store.fingerprints.select(col("doc_id"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(storedIds == decodable.toSet)
+    // the zeroed-SOI frame family stores every frame EXCEPT frame 1
+    val corruptFrameIds = decodable.filter(_ % 10 == 9)
+    assert(corruptFrameIds.nonEmpty)
+    val frame1 = store.fingerprints
+      .where(col("frame_idx") === 1L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(corruptFrameIds.forall(!frame1.contains(_)))
+    val oneShotFps = Multimodal.videoFrameFingerprints(media(allIds))
+      .toDF().where(col("ok") === 1L)
+      .select(col("doc_id"), col("frame_idx"), col("fp")).persist()
+    val oneShot = Dedup.alignedFingerprintClusters(oneShotFps,
+      "doc_id", "frame_idx", "fp", 3, 64)
+    assert(rows(store.clusters()) == rows(oneShot))
+    // the MJPEG fixture must actually deduplicate or the merge test
+    // is vacuous
+    assert(rows(store.clusters()).count(_._3) < decodable.size)
+    // re-delivery: same answers after re-ingesting a whole batch
+    store.ingest(media(allIds.filter(_ % 2 == 0)))
+    assert(rows(store.clusters()) == rows(oneShot))
+    val pairsBefore = store.pairs().collect().toSeq
+    val (before, after) = store.compact()
+    assert(before >= 2L && after >= 1L)
+    assert(rows(store.clusters()) == rows(oneShot))
+    assert(store.pairs().collect().toSeq == pairsBefore)
+    oneShotFps.unpersist()
+  }
+}
