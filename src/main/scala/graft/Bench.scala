@@ -390,7 +390,8 @@ object Bench {
     // closes over the distinct-sequence graph instead (bytes at KB)
     "q277_video_frame_fingerprints" -> 6.85,
     "q278_video_neardup_pairs" -> 6.11,
-    "q279_video_neardup_clusters" -> 5.71)
+    "q279_video_neardup_clusters" -> 5.71,
+    "q280_video_dedup_agreement" -> 6.21)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -614,6 +615,7 @@ object Bench {
     "q277_video_frame_fingerprints" -> 532560L,
     "q278_video_neardup_pairs" -> 27545672L,
     "q279_video_neardup_clusters" -> 650408L,
+    "q280_video_dedup_agreement" -> 563422L,
     "q21_embedding_neardup_ivf" -> 5000834L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

@@ -1149,6 +1149,111 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       FROM comp ORDER BY doc_id
     """.trim))
 
+  // --------------------------------------------------------------- q280
+  /** q280 — exact-vs-perceptual VIDEO dedup agreement (q267's video
+    * sibling, closing the audit family across modalities): over the
+    * container-decodable MJPEG videos, compare byte-identity groups
+    * (sha-256 of the payload — the naive exact pass, which IS the
+    * honest MP4 tier) against the aligned sequence clusters (q279) —
+    * group/cluster counts, duplicate-doc counts, pair masses, and
+    * the pairs the perceptual rung buys. Perceptual subsumes exact
+    * (byte-identical payloads have identical frame-fp sequences), and
+    * the GAIN here is structural, not just re-encodes: identical
+    * pattern streams at different frame counts prefix-chain into one
+    * component (2·min ≥ max), which byte identity can never see. The
+    * oracle restates byte identity without bytes — the fixture
+    * encoder is deterministic, so payloads are byte-equal iff their
+    * PATTERN FUNCTIONS agree, with the fixture's arithmetic quirk
+    * made explicit (the q267 discipline): every pattern index is
+    * `(g·5 + f·3 + r + 2·[v=2]) % 4`, so identity keys on the phase
+    * `(5g + 2·[v=2]) % 4`, the tweak flag `[v=1]`, the frame count
+    * `g % 5`, and the frame-corrupt flag — under which variant-2 of
+    * group g is byte-identical to variant-0 of group g+10 (mod 20),
+    * exactly the classes naive (g, variant) counting over-splits.
+    * The perceptual side replays through the q278 closure. */
+  val q280: Q = Q(
+    "q280_video_dedup_agreement",
+    (s, d) => {
+      val media = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.encodeMjpegFixture(
+          Tables.documents(s, d), "doc_id").toDF())
+      val fps = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.videoFrameFingerprints(
+          media.as[Multimodal.MediaRecord](Multimodal.mediaRecordEnc))
+          .toDF().where(col("ok") === 1L)
+          .select(col("doc_id"), col("frame_idx"), col("fp")))
+      val vids = fps.select(col("doc_id")).distinct()
+      val exactSizes = media
+        .join(vids, Seq("doc_id")) // container-decodable only
+        .select(sha2(col("payload"), 256).as("bh"))
+        .groupBy(col("bh")).agg(count(lit(1)).as("n"))
+      val percSizes = Dedup.alignedFingerprintClusters(fps, "doc_id",
+          "frame_idx", "fp", maxHamming = 3, bits = 64)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+      def summarize(sizes: org.apache.spark.sql.DataFrame, tag: String) =
+        sizes.agg(
+          count(lit(1)).as(s"${tag}_groups"),
+          sum(col("n")).as(s"${tag}_docs"),
+          sum(when(col("n") >= 2, col("n")).otherwise(0L))
+            .as(s"${tag}_dup_docs"),
+          sum(expr("n * (n - 1) div 2")).as(s"${tag}_pairs"))
+      summarize(exactSizes, "exact")
+        .crossJoin(broadcast(summarize(percSizes, "perc")))
+        .select(col("exact_docs").as("n_docs"),
+          col("exact_groups"), col("exact_dup_docs"), col("exact_pairs"),
+          col("perc_groups").as("perc_clusters"), col("perc_dup_docs"),
+          col("perc_pairs"),
+          (col("perc_pairs") - col("exact_pairs")).as("pairs_gained"))
+    },
+    Some(s"""
+      WITH RECURSIVE vpairs AS (
+        SELECT doc_a, doc_b FROM ($videoPairsOracleSql) q
+      ),
+      vuniverse AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0
+          AND doc_id % 10 NOT IN (3, 6)),
+      vedges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM vpairs
+        UNION ALL SELECT doc_b, doc_a FROM vpairs),
+      reach(doc_id, via) AS (
+        SELECT doc_id, doc_id FROM vuniverse
+        UNION
+        SELECT r.doc_id, e.dst FROM reach r
+        JOIN vedges e ON e.src = r.via),
+      pclusters AS (
+        SELECT doc_id, min(via) AS cluster_id FROM reach
+        GROUP BY doc_id),
+      psizes AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS n
+        FROM pclusters GROUP BY 1),
+      esizes AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM vuniverse
+        GROUP BY
+          (5 * (doc_id % 12) +
+            CASE WHEN (doc_id // 12) % 3 = 2 THEN 2 ELSE 0 END) % 4,
+          (doc_id // 12) % 3 = 1,
+          (doc_id % 12) % 5,
+          doc_id % 10 = 9),
+      e AS (
+        SELECT CAST(count(*) AS BIGINT) AS exact_groups,
+          CAST(sum(n) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT)
+            AS exact_dup_docs,
+          CAST(sum(n * (n - 1) // 2) AS BIGINT) AS exact_pairs
+        FROM esizes),
+      p AS (
+        SELECT CAST(count(*) AS BIGINT) AS perc_clusters,
+          CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT)
+            AS perc_dup_docs,
+          CAST(sum(n * (n - 1) // 2) AS BIGINT) AS perc_pairs
+        FROM psizes)
+      SELECT e.n_docs, e.exact_groups, e.exact_dup_docs, e.exact_pairs,
+        p.perc_clusters, p.perc_dup_docs, p.perc_pairs,
+        p.perc_pairs - e.exact_pairs AS pairs_gained
+      FROM e, p
+    """.trim))
+
   // --------------------------------------------------------------- q273
   /** q273 — cross-modal dedup POLICY masses (the DECISION layer over
     * q271's agreement): how many paired (caption, image) rows survive

@@ -1026,7 +1026,10 @@ class PlanAuditSpec extends SparkSpec {
       // q273: the ONE-ROW policy-mass fold × ONE-ROW union-component
       // count (a closure over the |cells|-node bipartite graph) —
       // the same 1×1 eval-rung assembly
-      "q273_crossmodal_dedup_policies")
+      "q273_crossmodal_dedup_policies",
+      // q280: the ONE-ROW exact-side summary × ONE-ROW perceptual-side
+      // summary — q267's 1×1 eval-rung shape on the video modality
+      "q280_video_dedup_agreement")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()
