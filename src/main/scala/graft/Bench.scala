@@ -94,9 +94,9 @@ object Bench {
     "q39_embedding_topk_ivf" -> 1.35,
     "q36_cross_contamination" -> 1.15,
     "q30_embedding_neardup_rplsh" -> 1.35,
-    "q34_event_sessionize" -> 0.75,
+    "q34_event_sessionize" -> 0.71,
     "q9_sales_by_nation" -> 0.61,
-    "q18_minhash_lsh_neardup" -> 0.52,
+    "q18_minhash_lsh_neardup" -> 0.46,
     "q37_sequence_packing" -> 0.39,
     // q19's floor moved 0.36 -> 0.53 in r15: fingerprintPairs pairs
     // DISTINCT fingerprints first (duplicate-robust at scale), two
@@ -220,10 +220,10 @@ object Bench {
     "q149_daily_snapshot" -> 0.54,
     "q150_cohort_ltv" -> 0.69,
     "q151_daily_value_bands" -> 0.75,
-    "q152_funnel_timing" -> 0.79,
+    "q152_funnel_timing" -> 0.75,
     "q153_domain_profile" -> 0.34,
     "q154_casing_profile" -> 0.67,
-    "q155_regional_volume" -> 0.74,
+    "q155_regional_volume" -> 0.73,
     "q156_order_priority" -> 0.51,
     "q157_period_growth" -> 0.36,
     "q158_json_topk" -> 0.57,
@@ -265,7 +265,7 @@ object Bench {
     "q190_heaps_curve" -> 0.77,
     // BENCH_local_r11k (focused q191-q198 run). q195 runs THREE
     // near-dup pipelines (the q188 rule); q197 pays the q31 closure
-    "q191_lag_autocorrelation" -> 0.44,
+    "q191_lag_autocorrelation" -> 0.42,
     "q192_fact_reconciliation" -> 1.20,
     "q193_contribution_shares" -> 0.56,
     "q194_event_trigrams" -> 0.56,
@@ -316,7 +316,7 @@ object Bench {
     // q225 pays the full q17 pair pipeline (the label side)
     "q225_quality_calibration" -> 2.44,
     // q226 pays the q39 IVF search (index + probe + rank)
-    "q226_search_mrr" -> 1.65,
+    "q226_search_mrr" -> 1.48,
     "q227_effective_sample_size" -> 0.28,
     // r14 continuation: score-gate evals (both pay the sha2 dup-label
     // shuffle; the rank math itself runs on the distinct-score frame)
@@ -334,7 +334,7 @@ object Bench {
     "q236_column_profile_sketch" -> 0.47,
     "q237_waterfill_quota" -> 0.43,
     "q238_frame_sample_plan" -> 0.31,
-    "q239_disjunctive_revenue" -> 0.41,
+    "q239_disjunctive_revenue" -> 0.34,
     "q240_calibration_ece" -> 0.44,
     "q241_bootstrap_ci" -> 0.29,
     "q242_survival_hazard" -> 0.45,
@@ -365,33 +365,33 @@ object Bench {
     // the audio pairs/clusters pay the WAV encode+decode pass by
     // design, the agreement audit pays both dedup screens
     "q262_audio_envelope_neardup" -> 1.87,
-    "q263_modality_router" -> 0.45,
-    "q264_small_quantity_revenue" -> 0.49,
+    "q263_modality_router" -> 0.42,
+    "q264_small_quantity_revenue" -> 0.47,
     "q265_bpe_sequence_packing" -> 0.76,
-    "q266_audio_envelope_clusters" -> 2.42,
-    "q267_image_dedup_agreement" -> 1.42,
+    "q266_audio_envelope_clusters" -> 2.33,
+    "q267_image_dedup_agreement" -> 1.23,
     "q268_returned_item_customers" -> 0.49,
     "q269_shipping_priority_buckets" -> 0.55,
-    "q270_promo_revenue_share" -> 0.33,
+    "q270_promo_revenue_share" -> 0.28,
     // q271/q272 pay the full MinHash-LSH pipeline + image decode +
     // both recursive closures to COMPARE the modality decisions —
     // the q188/q195 eval-cost shape across modalities
-    "q271_crossmodal_dedup_agreement" -> 3.18,
+    "q271_crossmodal_dedup_agreement" -> 2.89,
     "q272_crossmodal_dedup_worklist" -> 2.69,
     // q273 adds the distributed bipartite-closure loop (iteration
     // fixed costs, not data) on top of q271's joint build
-    "q273_crossmodal_dedup_policies" -> 4.17,
-    "q274_token_shard_manifest" -> 0.89,
-    "q275_audio_chunk_inventory" -> 0.66,
-    "q276_png_chunk_inventory" -> 0.43,
+    "q273_crossmodal_dedup_policies" -> 3.98,
+    "q274_token_shard_manifest" -> 0.86,
+    "q275_audio_chunk_inventory" -> 0.61,
+    "q276_png_chunk_inventory" -> 0.19,
     // the MJPEG rung pays a real 24k-frame JPEG encode+decode fixture
     // pass per query (the q221/q266 honest-decode-cost shape); q278
     // additionally emits the ~600k-row verified pair frame, q279
     // closes over the distinct-sequence graph instead (bytes at KB)
-    "q277_video_frame_fingerprints" -> 6.85,
-    "q278_video_neardup_pairs" -> 6.11,
-    "q279_video_neardup_clusters" -> 5.71,
-    "q280_video_dedup_agreement" -> 6.21)
+    "q277_video_frame_fingerprints" -> 6.43,
+    "q278_video_neardup_pairs" -> 5.41,
+    "q279_video_neardup_clusters" -> 4.87,
+    "q280_video_dedup_agreement" -> 5.13)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -418,15 +418,15 @@ object Bench {
   private[graft] val byteFloors: Map[String, Long] = Map(
     "q100_containment_pairs" -> 30009842L,
     "q101_cross_containment" -> 16860731L,
-    "q102_winsorize" -> 3715148L,
+    "q102_winsorize" -> 3714452L,
     "q103_temperature_mix" -> 1058L,
     "q104_rule_audit" -> 175892L,
     "q105_bigram_fluency" -> 510245L,
     "q106_hard_negatives" -> 29075L,
     "q107_intra_label_diversity" -> 25829L,
-    "q108_mad_outliers" -> 3119220L,
+    "q108_mad_outliers" -> 3119294L,
     "q109_json_field_stats" -> 1953L,
-    "q10_incremental_antijoin" -> 776150L,
+    "q10_incremental_antijoin" -> 776346L,
     "q110_curation_funnel" -> 15401L,
     "q111_grid_percentile" -> 76300L,
     "q112_unigram_divergence" -> 910244L,
@@ -441,7 +441,7 @@ object Bench {
     "q120_benford_profile" -> 7728L,
     "q121_k_anonymity" -> 170457L,
     "q122_transition_matrix" -> 3630283L,
-    "q123_hybrid_rrf" -> 3932810L,
+    "q123_hybrid_rrf" -> 3933166L,
     "q124_distinct_ngrams" -> 10267965L,
     "q125_embedding_health" -> 3629L,
     "q126_cusum_changepoint" -> 62447L,
@@ -495,14 +495,14 @@ object Bench {
     "q16_exact_dedup" -> 1877902L,
     "q170_rank_shift" -> 1056670L,
     "q171_temporal_split" -> 52492L,
-    "q172_causal_zscore" -> 11992154L,
+    "q172_causal_zscore" -> 11992188L,
     "q173_seasonal_naive" -> 28508L,
-    "q174_winnowing_neardup" -> 21677456L,
+    "q174_winnowing_neardup" -> 21677360L,
     "q175_profile_drift" -> 4842L,
     "q176_value_tail_bands" -> 1147199L,
     "q177_type_pagerank" -> 5443190L,
     "q178_fuzzy_operating_point" -> 122180L,
-    "q179_tfidf_keywords" -> 5026962L,
+    "q179_tfidf_keywords" -> 5027642L,
     "q17_ngram_jaccard_neardup" -> 30011208L,
     "q180_grid_accuracy" -> 733984L,
     "q181_transition_predictability" -> 3626489L,
@@ -568,7 +568,7 @@ object Bench {
     "q235_part_supplier_census" -> 1427433L,
     "q236_column_profile_sketch" -> 20426L,
     "q237_waterfill_quota" -> 3547L,
-    "q238_frame_sample_plan" -> 273618L,
+    "q238_frame_sample_plan" -> 273632L,
     "q239_disjunctive_revenue" -> 432L,
     "q240_calibration_ece" -> 694042L,
     "q241_bootstrap_ci" -> 4480L,
@@ -585,14 +585,14 @@ object Bench {
     "q252_national_market_share" -> 7389304L,
     "q253_bpe_vocab" -> 11823L,
     "q254_bpe_fertility" -> 898L,
-    "q255_image_dhash_neardup" -> 14258558L,
-    "q256_video_sample_bytes" -> 484994L,
-    "q257_frame_sample_bytes" -> 485540L,
+    "q255_image_dhash_neardup" -> 14262548L,
+    "q256_video_sample_bytes" -> 485046L,
+    "q257_frame_sample_bytes" -> 485254L,
     "q258_product_type_profit" -> 30913L,
     "q259_order_priority_exists" -> 1845L,
     "q260_bpe_budget_mix" -> 8364L,
     "q261_image_dhash_clusters" -> 77542L,
-    "q262_audio_envelope_neardup" -> 13628023L,
+    "q262_audio_envelope_neardup" -> 13626751L,
     "q263_modality_router" -> 4572L,
     // q264 re-seeded r16: the forced broadcast(perPart) hint dropped
     // (judge item) — AQE now stages both join inputs before choosing
@@ -611,10 +611,10 @@ object Bench {
     "q273_crossmodal_dedup_policies" -> 1668871L,
     "q274_token_shard_manifest" -> 268010L,
     "q275_audio_chunk_inventory" -> 177762L,
-    "q276_png_chunk_inventory" -> 216538L,
-    "q277_video_frame_fingerprints" -> 532560L,
-    "q278_video_neardup_pairs" -> 27545672L,
-    "q279_video_neardup_clusters" -> 650408L,
+    "q276_png_chunk_inventory" -> 216598L,
+    "q277_video_frame_fingerprints" -> 535970L,
+    "q278_video_neardup_pairs" -> 27551790L,
+    "q279_video_neardup_clusters" -> 650518L,
     "q280_video_dedup_agreement" -> 563422L,
     "q21_embedding_neardup_ivf" -> 5000834L,
     "q22_lang_id" -> 4396L,
@@ -624,45 +624,45 @@ object Bench {
     "q26_multimodal_meta" -> 983684L,
     "q27_report_metrics" -> 200L,
     "q28_report_distributors" -> 8219L,
-    "q29_trycast_timestamp" -> 5731326L,
+    "q29_trycast_timestamp" -> 5733324L,
     "q2_select_project" -> 417504L,
-    "q30_embedding_neardup_rplsh" -> 20501427L,
+    "q30_embedding_neardup_rplsh" -> 20501447L,
     "q31_neardup_clusters" -> 466383L,
     "q32_stratified_sample" -> 35782L,
     "q33_pii_redact" -> 721556L,
-    "q34_event_sessionize" -> 10665970L,
+    "q34_event_sessionize" -> 10666686L,
     "q35_repetition_signals" -> 253330L,
     "q36_cross_contamination" -> 17527841L,
     "q37_sequence_packing" -> 458719L,
     "q38_network_redact" -> 728946L,
     "q39_embedding_topk_ivf" -> 672881L,
-    "q3_try_cast" -> 331988L,
+    "q3_try_cast" -> 332004L,
     "q40_training_order" -> 308517L,
     "q41_token_budget_mix" -> 16110L,
     "q42_epoch_sharded_packing" -> 2925907L,
-    "q43_asof_join" -> 4570061L,
+    "q43_asof_join" -> 4568585L,
     "q44_interval_join" -> 7612L,
     "q45_length_profile" -> 15385L,
     "q46_grouped_topk" -> 4152L,
     "q47_sliding_chunks" -> 1055100L,
     "q48_keepbest_dedup" -> 2018227L,
     "q49_eval_overlap" -> 543962L,
-    "q4_left_join_enrich" -> 740280L,
+    "q4_left_join_enrich" -> 739748L,
     "q50_curriculum_bins" -> 17628L,
     "q51_priority_sample" -> 6082L,
     "q52_bm25_scores" -> 1123003L,
     "q53_semantic_clusters" -> 20314969L,
     "q54_shingle_novelty" -> 958251L,
-    "q55_embedding_quantize" -> 3016432L,
-    "q56_pq_codes" -> 535170L,
+    "q55_embedding_quantize" -> 3015618L,
+    "q56_pq_codes" -> 535468L,
     "q57_pq_adc_topk" -> 2036259L,
     "q58_rollup_revenue" -> 11541L,
     "q59_pivot_returnflag" -> 37108L,
     "q5_anti_orphans" -> 0L,
     "q60_paragraph_dedup" -> 4919719L,
     "q61_ivfpq_topk" -> 762530L,
-    "q62_column_profile" -> 3506162L,
-    "q63_asof_tolerance" -> 4097279L,
+    "q62_column_profile" -> 3508988L,
+    "q63_asof_tolerance" -> 4097237L,
     "q64_cube_revenue" -> 16600L,
     "q65_term_zipf" -> 3229944L,
     "q66_lexical_richness" -> 3719211L,
@@ -678,14 +678,14 @@ object Bench {
     "q75_grouping_sets" -> 5532L,
     "q76_eval_overlap_bloom" -> 957475L,
     "q77_snapshot_diff" -> 1234867L,
-    "q78_asof_forward" -> 4560190L,
+    "q78_asof_forward" -> 4560348L,
     "q79_ingest_gaps" -> 16700L,
-    "q7_dedup_keepfirst" -> 1110727L,
+    "q7_dedup_keepfirst" -> 1110907L,
     "q80_cms_heavy_hitters" -> 10638L,
-    "q81_moving_revenue" -> 7993956L,
-    "q82_scd2_intervals" -> 9001093L,
+    "q81_moving_revenue" -> 7994898L,
+    "q82_scd2_intervals" -> 9001469L,
     "q83_volume_anomaly" -> 88350L,
-    "q84_posting_lists" -> 12121693L,
+    "q84_posting_lists" -> 12120913L,
     "q85_state_dwell" -> 3726840L,
     "q86_growth_curve" -> 560000L,
     "q87_sliding_wau" -> 1362039L,
