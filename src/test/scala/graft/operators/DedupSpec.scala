@@ -682,4 +682,71 @@ class DedupSpec extends SparkSpec {
     // 6 and 7 agree with each other: not in the worklist
     assert(!out.contains(6L) && !out.contains(7L))
   }
+
+  test("alignedFingerprintPairs/Clusters equal brute force on seeded " +
+    "random sequence sets (lengths, gaps, dup families, bit-63 fps)") {
+    import spark.implicits._
+    // brute-force twin of the aligned decision
+    def bruteForce(rows: Seq[(Long, Long, Long)])
+        : (Set[(Long, Long, Long, Long, Long)], Map[Long, Long]) = {
+      val byDoc = rows.groupBy(_._1)
+        .map { case (d, rs) => d -> rs.map(r => r._2 -> r._3).toMap }
+      val docs = byDoc.keys.toSeq.sorted
+      val pairs = for {
+        i <- docs.indices
+        j <- i + 1 until docs.size
+        a = docs(i); b = docs(j)
+        fa = byDoc(a); fb = byDoc(b)
+        nm = fa.keySet.intersect(fb.keySet).count(k =>
+          java.lang.Long.bitCount(fa(k) ^ fb(k)) <= 3)
+        if 2 * nm >= math.max(fa.size, fb.size)
+      } yield (a, b, nm.toLong, fa.size.toLong, fb.size.toLong)
+      // clusters = components over the pair set, min-id labels
+      val adj = pairs.flatMap(p => Seq(p._1 -> p._2, p._2 -> p._1))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      def component(seed: Long): Set[Long] = {
+        var seen = Set(seed); var frontier = Set(seed)
+        while (frontier.nonEmpty) {
+          val next = frontier.flatMap(adj.getOrElse(_, Set.empty))
+            .diff(seen)
+          seen ++= next; frontier = next
+        }
+        seen
+      }
+      val labels = docs.map(d => d -> component(d).min).toMap
+      (pairs.toSet, labels)
+    }
+    val rng = new scala.util.Random(20260815L)
+    for (trial <- 0 until 6) {
+      val nDocs = 4 + rng.nextInt(12)
+      val fpAlphabet = Seq.fill(3 + rng.nextInt(4))(
+        rng.nextLong()) // includes bit-63-set values
+      val rows = (0 until nDocs).flatMap { d =>
+        val len = 1 + rng.nextInt(6)
+        // gappy positions: some frames missing
+        (0 until len).filter(_ => rng.nextInt(10) > 1).map { f =>
+          // near-dup shaping: tweak a base fp by <= 4 random bits
+          val base = fpAlphabet(rng.nextInt(fpAlphabet.size))
+          val flips = rng.nextInt(5)
+          val fp = (0 until flips).foldLeft(base)((v, _) =>
+            v ^ (1L << rng.nextInt(64)))
+          (d.toLong, f.toLong, fp)
+        }
+      }.filter(_ => true)
+      if (rows.nonEmpty) {
+        val fps = rows.toDF("doc_id", "frame_idx", "fp").persist()
+        val (wantPairs, wantLabels) = bruteForce(rows)
+        val gotPairs = Dedup.alignedFingerprintPairs(fps, "doc_id",
+          "frame_idx", "fp", 3, 64)
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+        assert(gotPairs == wantPairs, s"trial $trial pairs")
+        val gotLabels = Dedup.alignedFingerprintClusters(fps, "doc_id",
+          "frame_idx", "fp", 3, 64)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(gotLabels == wantLabels, s"trial $trial clusters")
+        fps.unpersist()
+      }
+    }
+  }
 }
