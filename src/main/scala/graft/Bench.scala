@@ -616,6 +616,7 @@ object Bench {
     "q278_video_neardup_pairs" -> 27551790L,
     "q279_video_neardup_clusters" -> 650518L,
     "q280_video_dedup_agreement" -> 563422L,
+    "q281_video_shot_segments" -> 1224672L,
     "q21_embedding_neardup_ivf" -> 5000834L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

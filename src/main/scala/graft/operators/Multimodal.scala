@@ -1344,90 +1344,185 @@ object Multimodal {
     implicit val longEnc: Encoder[Long] = Encoders.scalaLong
     ids.as[Long].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
-      def le32(v: Long): Array[Byte] = Array(
-        (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-      def le16(v: Int): Array[Byte] =
-        Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
-      def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
-      def chunk(fourcc: String, data: Array[Byte]): Array[Byte] =
-        fcc(fourcc) ++ le32(data.length.toLong) ++ data ++
-          (if (data.length % 2 == 1) Array[Byte](0)
-           else Array.emptyByteArray)
-      def list(listType: String, children: Array[Byte]): Array[Byte] =
-        fcc("LIST") ++ le32(4L + children.length) ++ fcc(listType) ++
-          children
       it.map { id =>
         val g = (id % 12).toInt
         val variant = ((id / 12) % 3).toInt
         val nFrames = 4 + g % 5
         val jpegs = (0 until nFrames).map { f =>
-          val img = new java.awt.image.BufferedImage(
-            72, 64, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-          val ras = img.getRaster
-          var r = 0
-          while (r < 8) {
+          flatBlockJpeg { r =>
             var pb = mjpegPatterns(
               (g * 5 + f * 3 + r + (if (variant == 2) 2 else 0)) % 4)
             if (variant == 1 && f == 0 && r == 0) pb ^= 8
-            var k = 4
-            var c = 0
-            while (c <= 8) { // 9 cells per row; k walks the bits
-              val v = 16 + 24 * k
-              var y = r * 8
-              while (y < r * 8 + 8) {
-                var x = c * 8
-                while (x < c * 8 + 8) {
-                  ras.setSample(x, y, 0, v); x += 1
-                }
-                y += 1
-              }
-              if (c < 8)
-                k += (if (((pb >> c) & 1) == 1) 1 else -1)
-              c += 1
-            }
-            r += 1
+            pb
           }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "jpg", bos)
-          bos.toByteArray
         }
-        val avih = le32(40000L) ++ le32(0L) ++ le32(0L) ++
-          le32(0x10L) ++ le32(nFrames.toLong) ++ le32(0L) ++
-          le32(1L) ++ le32(0L) ++ le32(72L) ++ le32(64L) ++
-          le32(0L) ++ le32(0L) ++ le32(0L) ++ le32(0L)
-        val strh = fcc("vids") ++ fcc("MJPG") ++ le32(0L) ++
-          le16(0) ++ le16(0) ++ le32(0L) ++ le32(1L) ++ le32(25L) ++
-          le32(0L) ++ le32(nFrames.toLong) ++ le32(0L) ++
-          le32(0xffffffffL) ++ le32(0L) ++
-          le16(0) ++ le16(0) ++ le16(72) ++ le16(64)
-        val strf = le32(40L) ++ le32(72L) ++ le32(64L) ++
-          le16(1) ++ le16(24) ++ fcc("MJPG") ++ le32(0L) ++
-          le32(0L) ++ le32(0L) ++ le32(0L) ++ le32(0L)
-        val hdrl = list("hdrl", chunk("avih", avih) ++
-          list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
-        val frameChunks = jpegs.map(j => chunk("00dc", j))
-        val movi = list("movi", frameChunks.flatten.toArray)
-        // idx1 offsets are relative to the 'movi' fourcc byte
-        val offsets = frameChunks.scanLeft(4L)(_ + _.length)
-        val idx1 = chunk("idx1", jpegs.indices.flatMap(i =>
-          fcc("00dc") ++ le32(0x10L) ++ le32(offsets(i)) ++
-            le32(jpegs(i).length.toLong)).toArray)
-        val body = fcc("AVI ") ++ hdrl ++ movi ++ idx1
-        var bytes = fcc("RIFF") ++ le32(body.length.toLong) ++ body
-        if (id % 10 == 3) {
-          bytes(0) = 0; bytes(1) = 0; bytes(2) = 0; bytes(3) = 0
-        } else if (id % 10 == 6) bytes = bytes.take(16)
-        else if (id % 10 == 9) {
-          // the movi LIST begins after RIFF(8) + 'AVI '(4) + hdrl;
-          // its 'movi' fourcc sits 8 bytes in, chunk 1's fourcc at
-          // offsets(1) past that, and the JPEG payload 8 past that
-          val at = (12 + hdrl.length) + 8 + offsets(1).toInt + 8
-          bytes(at) = 0; bytes(at + 1) = 0
-        }
-        MediaRecord(id, s"memory://mjpeg/$id", "video/x-msvideo", bytes)
+        MediaRecord(id, s"memory://mjpeg/$id", "video/x-msvideo",
+          assembleMjpegAvi(jpegs, (id % 10).toInt))
       }
     }
+  }
+
+  /** One 72 × 64 grayscale baseline-JPEG frame of 9 × 8 flat 8 × 8
+    * blocks whose values walk the 9-level alphabet `16 + 24k` by the
+    * bits of `rowPattern(r)` — the [[encodeMjpegFixture]] frame
+    * writer, shared with the scene-structured fixture. */
+  private def flatBlockJpeg(rowPattern: Int => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      72, 64, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val ras = img.getRaster
+    var r = 0
+    while (r < 8) {
+      val pb = rowPattern(r)
+      var k = 4
+      var c = 0
+      while (c <= 8) { // 9 cells per row; k walks the bits
+        val v = 16 + 24 * k
+        var y = r * 8
+        while (y < r * 8 + 8) {
+          var x = c * 8
+          while (x < c * 8 + 8) {
+            ras.setSample(x, y, 0, v); x += 1
+          }
+          y += 1
+        }
+        if (c < 8)
+          k += (if (((pb >> c) & 1) == 1) 1 else -1)
+        c += 1
+      }
+      r += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Assemble a standard MJPEG AVI around complete JPEG frames, with
+    * the house corruption selector (`corrupt` = id % 10): 3 zeroes
+    * the RIFF magic, 6 truncates to 16 bytes, 9 zeroes frame 1's
+    * JPEG SOI marker, anything else leaves the file intact. */
+  private def assembleMjpegAvi(jpegs: IndexedSeq[Array[Byte]],
+      corrupt: Int): Array[Byte] = {
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(fourcc: String, data: Array[Byte]): Array[Byte] =
+      fcc(fourcc) ++ le32(data.length.toLong) ++ data ++
+        (if (data.length % 2 == 1) Array[Byte](0)
+         else Array.emptyByteArray)
+    def list(listType: String, children: Array[Byte]): Array[Byte] =
+      fcc("LIST") ++ le32(4L + children.length) ++ fcc(listType) ++
+        children
+    val nFrames = jpegs.size
+    val avih = le32(40000L) ++ le32(0L) ++ le32(0L) ++
+      le32(0x10L) ++ le32(nFrames.toLong) ++ le32(0L) ++
+      le32(1L) ++ le32(0L) ++ le32(72L) ++ le32(64L) ++
+      le32(0L) ++ le32(0L) ++ le32(0L) ++ le32(0L)
+    val strh = fcc("vids") ++ fcc("MJPG") ++ le32(0L) ++
+      le16(0) ++ le16(0) ++ le32(0L) ++ le32(1L) ++ le32(25L) ++
+      le32(0L) ++ le32(nFrames.toLong) ++ le32(0L) ++
+      le32(0xffffffffL) ++ le32(0L) ++
+      le16(0) ++ le16(0) ++ le16(72) ++ le16(64)
+    val strf = le32(40L) ++ le32(72L) ++ le32(64L) ++
+      le16(1) ++ le16(24) ++ fcc("MJPG") ++ le32(0L) ++
+      le32(0L) ++ le32(0L) ++ le32(0L) ++ le32(0L)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val frameChunks = jpegs.map(j => chunk("00dc", j))
+    val movi = list("movi", frameChunks.flatten.toArray)
+    // idx1 offsets are relative to the 'movi' fourcc byte
+    val offsets = frameChunks.scanLeft(4L)(_ + _.length)
+    val idx1 = chunk("idx1", jpegs.indices.flatMap(i =>
+      fcc("00dc") ++ le32(0x10L) ++ le32(offsets(i)) ++
+        le32(jpegs(i).length.toLong)).toArray)
+    val body = fcc("AVI ") ++ hdrl ++ movi ++ idx1
+    var bytes = fcc("RIFF") ++ le32(body.length.toLong) ++ body
+    if (corrupt == 3) {
+      bytes(0) = 0; bytes(1) = 0; bytes(2) = 0; bytes(3) = 0
+    } else if (corrupt == 6) bytes = bytes.take(16)
+    else if (corrupt == 9) {
+      // the movi LIST begins after RIFF(8) + 'AVI '(4) + hdrl;
+      // its 'movi' fourcc sits 8 bytes in, chunk 1's fourcc at
+      // offsets(1) past that, and the JPEG payload 8 past that
+      val at = (12 + hdrl.length) + 8 + offsets(1).toInt + 8
+      bytes(at) = 0; bytes(at + 1) = 0
+    }
+    bytes
+  }
+
+  /** SCENE-STRUCTURED MJPEG fixture for the shot-segmentation rung:
+    * `2 + id % 3` scenes of 3 frames each — within a scene every
+    * frame repeats the same row patterns
+    * (`P[(g·7 + scene·5 + r) % 4]`, g = id % 12), so consecutive
+    * intra-scene frames are dHash-IDENTICAL (Hamming 0), while a
+    * scene change shifts every row's pattern by 5 ≡ 1 (mod 4) — a
+    * constant, decisive Hamming-40 jump (Σ over the pattern cycle of
+    * \|P[m] xor P[m+1]\| = 8+2+8+2 doubled). Cuts are therefore
+    * exactly the scene boundaries at ANY threshold in (0, 40), making
+    * the segmentation oracle pure id arithmetic. House corruption
+    * families via [[assembleMjpegAvi]] (the zeroed-SOI family leaves
+    * a mid-scene GAP in the observed frames — segmentation over
+    * observed frames must bridge it). */
+  def encodeSceneMjpegFixture(docs: DataFrame, idCol: String)
+      : Dataset[MediaRecord] = {
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+      .where(col("doc_id").isNotNull && col("doc_id") >= 0)
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    ids.as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val g = (id % 12).toInt
+        val nScenes = 2 + (id % 3).toInt
+        val jpegs = (0 until nScenes * 3).map { f =>
+          val scene = f / 3
+          flatBlockJpeg(r => mjpegPatterns((g * 7 + scene * 5 + r) % 4))
+        }
+        MediaRecord(id, s"memory://scene/$id", "video/x-msvideo",
+          assembleMjpegAvi(jpegs, (id % 10).toInt))
+      }
+    }
+  }
+
+  /** SHOT segmentation over per-frame perceptual fingerprints — the
+    * readout that drives a video-text pipeline's frame-sample budget
+    * (sample per SHOT, not per fixed stride: a static shot wastes
+    * budget, a cut-heavy segment starves): group consecutive OBSERVED
+    * frames into shots, cutting wherever the frame-to-frame dHash
+    * Hamming distance exceeds `cutHamming` (re-encode/level noise
+    * moves a flat-ish frame pair by a few bits; a content cut moves
+    * tens — the threshold sits between the two regimes). Decode
+    * failures leave gaps in the observed frames; segmentation bridges
+    * a gap whose flanks still agree (the shot survives a dropped
+    * frame) and cuts where they do not.
+    *
+    * Scale shape: ONE window pass partitioned by video (per-video
+    * frame counts bound the partition — never a global window) + the
+    * per-(video, shot) fold; input is the 16-byte fingerprint frame
+    * ([[videoFrameFingerprints]]), payloads never touched. Output
+    * (doc_id, shot_idx, start_frame, end_frame, n_frames). */
+  def videoShotSegments(frameFps: DataFrame, idCol: String,
+      frameCol: String, fpCol: String, cutHamming: Int = 8)
+      : DataFrame = {
+    require(cutHamming >= 0 && cutHamming < 64,
+      s"cutHamming=$cutHamming out of range")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val f = frameFps.select(col(idCol).as("doc_id"),
+      col(frameCol).as("frame_idx"), col(fpCol).as("fp"))
+    f.withColumn("__prev", lag(col("fp"), 1).over(w))
+      .withColumn("__cut", when(col("__prev").isNull ||
+        bit_count(col("fp").bitwiseXOR(col("__prev"))) > cutHamming,
+        1L).otherwise(0L))
+      .withColumn("shot_idx", sum(col("__cut")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - 1L)
+      .groupBy(col("doc_id"), col("shot_idx"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"))
+      .orderBy(col("doc_id"), col("shot_idx"))
   }
 
   /** The per-frame byte ranges of an MJPEG AVI payload — (offset,

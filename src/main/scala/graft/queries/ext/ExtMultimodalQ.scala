@@ -1254,6 +1254,49 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       FROM e, p
     """.trim))
 
+  // --------------------------------------------------------------- q281
+  /** q281 — video SHOT segmentation ([[Multimodal.videoShotSegments]]):
+    * cut the frame-fingerprint stream wherever consecutive observed
+    * frames' dHash Hamming distance exceeds the threshold — the
+    * readout that sizes a per-SHOT frame-sample budget (q238's plan
+    * assumes a stride; this finds the shots the stride should adapt
+    * to). Runs on the scene-structured fixture
+    * ([[Multimodal.encodeSceneMjpegFixture]]): intra-scene frames are
+    * dHash-identical (Hamming 0) and scene changes jump by exactly 40
+    * bits, so shots ≡ scenes at any threshold in (0, 40) and the
+    * oracle is pure id arithmetic. The zeroed-SOI family drops frame
+    * 1 mid-scene — segmentation must BRIDGE the gap (its flanks still
+    * agree), which the oracle states by grouping observed frames by
+    * their scene. */
+  val q281: Q = Q(
+    "q281_video_shot_segments",
+    (s, d) =>
+      Multimodal.videoShotSegments(
+        Multimodal.videoFrameFingerprints(
+          Multimodal.encodeSceneMjpegFixture(Tables.documents(s, d),
+            "doc_id"))
+          .toDF().where(col("ok") === 1L)
+          .select(col("doc_id"), col("frame_idx"), col("fp")),
+        "doc_id", "frame_idx", "fp", cutHamming = 8),
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, 2 + doc_id % 3 AS s
+        FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0
+          AND doc_id % 10 NOT IN (3, 6)),
+      obs AS (
+        SELECT doc_id, f.f AS frame_idx, f.f // 3 AS scene
+        FROM ids, (SELECT unnest(range(12)) AS f) f
+        WHERE f.f < s * 3
+          AND NOT (doc_id % 10 = 9 AND f.f = 1))
+      SELECT doc_id, CAST(scene AS BIGINT) AS shot_idx,
+        CAST(min(frame_idx) AS BIGINT) AS start_frame,
+        CAST(max(frame_idx) AS BIGINT) AS end_frame,
+        CAST(count(*) AS BIGINT) AS n_frames
+      FROM obs GROUP BY doc_id, scene
+      ORDER BY doc_id, shot_idx
+    """.trim))
+
   // --------------------------------------------------------------- q273
   /** q273 — cross-modal dedup POLICY masses (the DECISION layer over
     * q271's agreement): how many paired (caption, image) rows survive
