@@ -1230,7 +1230,11 @@ object Dedup {
     * doc_a < doc_b, `minMatchDen·n_match ≥ minMatchNum·max(n_a, n_b)`.
     * Input must carry at most one fp per (id, align) — decode rungs
     * emit exactly that; corrupt frames (`ok = 0`) are the caller's
-    * filter. */
+    * filter. The signature fold's per-group state is one (align, fp)
+    * pair per FRAME of one video — the per-video frame count is the
+    * operator's state bound, and it is a policy choice upstream (a
+    * sampling plan caps it: q238's stride, q281's per-shot budget),
+    * not corpus-dependent. */
   def alignedFingerprintPairs(fps: DataFrame, idCol: String,
       alignCol: String, fpCol: String, maxHamming: Int, bits: Int,
       minMatchNum: Int = 1, minMatchDen: Int = 2,

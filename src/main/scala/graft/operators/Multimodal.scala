@@ -551,7 +551,11 @@ object Multimodal {
         out += ((last, off, sz))
         off += 12 + sz
         n += 1
-        if (n > 64) return None // structure bound, not a data bound
+        // structure bound, not a data bound — sized for real encoders
+        // that split IDAT every 8-64 KB (a 256 MB image at 64 KB per
+        // IDAT is ~4k chunks), unlike the 64-chunk audio/RIFF bound
+        // (no legitimate WAV/AIFF carries dozens of chunks)
+        if (n > 4096) return None
       }
       // consume the payload exactly (no trailing bytes) and close well
       if (off != payload.length.toLong) return None

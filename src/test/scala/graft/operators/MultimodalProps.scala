@@ -104,7 +104,7 @@ object MultimodalProps extends Properties("MultimodalDecode") {
       Multimodal.pngChunkList(b) match {
         case None => true
         case Some(chunks) =>
-          chunks.size >= 2 && chunks.size <= 64 &&
+          chunks.size >= 2 && chunks.size <= 4096 &&
             chunks.head._1 == "IHDR" && chunks.last._1 == "IEND" &&
             chunks.forall { case (fc, off, sz) =>
               fc.forall(c => (c >= 'A' && c <= 'Z') ||
