@@ -110,7 +110,7 @@ object Bench {
     "q43_asof_join" -> 0.41,
     "q44_interval_join" -> 0.25,
     "q45_length_profile" -> 0.22,
-    "q46_grouped_topk" -> 0.2,
+    "q46_grouped_topk" -> 0.18,
     "q47_sliding_chunks" -> 0.4,
     "q48_keepbest_dedup" -> 0.29,
     "q49_eval_overlap" -> 0.47,
@@ -144,7 +144,7 @@ object Bench {
     "q85_state_dwell" -> 0.4,
     "q86_growth_curve" -> 0.33,
     "q87_sliding_wau" -> 0.46,
-    "q88_equidepth_histogram" -> 0.6,
+    "q88_equidepth_histogram" -> 0.58,
     "q89_hll_distinct" -> 0.37,
     "q90_weighted_sample" -> 0.23,
     "q91_source_overlap" -> 1.22,
@@ -160,7 +160,7 @@ object Bench {
     "q98_label_affinity" -> 0.56,
     "q99_vocab_coverage" -> 0.7,
     "q100_containment_pairs" -> 1.82,
-    "q101_cross_containment" -> 1.37,
+    "q101_cross_containment" -> 1.36,
     "q102_winsorize" -> 0.37,
     // r11 additions: best of the r11d/r11e canonicals (BASELINE.md)
     "q103_temperature_mix" -> 0.29,
@@ -171,7 +171,7 @@ object Bench {
     "q108_mad_outliers" -> 0.46,
     "q109_json_field_stats" -> 0.57,
     "q110_curation_funnel" -> 0.33,
-    "q111_grid_percentile" -> 0.37,
+    "q111_grid_percentile" -> 0.31,
     "q112_unigram_divergence" -> 0.65,
     "q113_semantic_decontam" -> 0.42,
     "q114_centroid_confusion" -> 0.56,
@@ -189,7 +189,7 @@ object Bench {
     "q123_hybrid_rrf" -> 1.39,
     "q124_distinct_ngrams" -> 1.38,
     "q125_embedding_health" -> 0.28,
-    "q126_cusum_changepoint" -> 0.42,
+    "q126_cusum_changepoint" -> 0.38,
     "q127_ks_drift" -> 0.51,
     "q128_rfm_segments" -> 0.34,
     "q129_ann_recall" -> 1.64,
@@ -285,12 +285,12 @@ object Bench {
     // BENCH_local_r13a (the r13 canonical: first full run with the
     // file-based artifact + shuffle-bytes meter; 69 floors lowered)
     "q206_image_decode" -> 0.76,
-    "q207_audio_decode" -> 1.31,
+    "q207_audio_decode" -> 1.3,
     "q208_sole_fault_suppliers" -> 0.82,
     // focused post-canonical runs
     "q209_video_decode" -> 0.23,
     "q210_key_skew_profile" -> 0.4,
-    "q211_contamination_sweep" -> 0.74,
+    "q211_contamination_sweep" -> 0.71,
     "q212_token_fertility" -> 0.37,
     // q213 pays the full q17 pipeline + the wedge joins (pair-frame
     // scale) — the audit's honest cost
@@ -320,7 +320,7 @@ object Bench {
     "q227_effective_sample_size" -> 0.28,
     // r14 continuation: score-gate evals (both pay the sha2 dup-label
     // shuffle; the rank math itself runs on the distinct-score frame)
-    "q228_score_auc" -> 0.40,
+    "q228_score_auc" -> 0.37,
     "q229_gain_curve" -> 0.33,
     // the Q20/Q22 planner shapes: two lineitem aggregates + semi
     // chain; scalar-append + date-filtered anti
@@ -331,7 +331,7 @@ object Bench {
     // q234 pays the full q17 pair pipeline (the q225 cost shape)
     "q234_neighbor_label_audit" -> 2.59,
     "q235_part_supplier_census" -> 0.71,
-    "q236_column_profile_sketch" -> 0.47,
+    "q236_column_profile_sketch" -> 0.44,
     "q237_waterfill_quota" -> 0.43,
     "q238_frame_sample_plan" -> 0.31,
     "q239_disjunctive_revenue" -> 0.34,
@@ -344,7 +344,7 @@ object Bench {
     "q244_background_cosine" -> 0.41,
     "q245_large_quantity_orders" -> 0.85,
     "q246_top_revenue_supplier" -> 0.42,
-    "q247_nation_pair_volume" -> 0.85,
+    "q247_nation_pair_volume" -> 0.81,
     "q248_regional_min_cost_supplier" -> 1.46,
     "q249_kmv_overlap" -> 0.6,
     "q250_kmv_accuracy" -> 0.51,
@@ -353,7 +353,7 @@ object Bench {
     "q253_bpe_vocab" -> 0.36,
     "q254_bpe_fertility" -> 0.43,
     "q255_image_dhash_neardup" -> 1.35,
-    "q256_video_sample_bytes" -> 0.32,
+    "q256_video_sample_bytes" -> 0.25,
     "q257_frame_sample_bytes" -> 0.34,
     "q258_product_type_profit" -> 0.84,
     "q259_order_priority_exists" -> 0.42,
@@ -369,29 +369,30 @@ object Bench {
     "q264_small_quantity_revenue" -> 0.47,
     "q265_bpe_sequence_packing" -> 0.76,
     "q266_audio_envelope_clusters" -> 2.33,
-    "q267_image_dedup_agreement" -> 1.23,
+    "q267_image_dedup_agreement" -> 1.19,
     "q268_returned_item_customers" -> 0.49,
-    "q269_shipping_priority_buckets" -> 0.55,
-    "q270_promo_revenue_share" -> 0.28,
+    "q269_shipping_priority_buckets" -> 0.52,
+    "q270_promo_revenue_share" -> 0.27,
     // q271/q272 pay the full MinHash-LSH pipeline + image decode +
     // both recursive closures to COMPARE the modality decisions —
     // the q188/q195 eval-cost shape across modalities
-    "q271_crossmodal_dedup_agreement" -> 2.89,
-    "q272_crossmodal_dedup_worklist" -> 2.69,
+    "q271_crossmodal_dedup_agreement" -> 2.82,
+    "q272_crossmodal_dedup_worklist" -> 2.35,
     // q273 adds the distributed bipartite-closure loop (iteration
     // fixed costs, not data) on top of q271's joint build
-    "q273_crossmodal_dedup_policies" -> 3.98,
-    "q274_token_shard_manifest" -> 0.86,
+    "q273_crossmodal_dedup_policies" -> 3.66,
+    "q274_token_shard_manifest" -> 0.81,
     "q275_audio_chunk_inventory" -> 0.61,
     "q276_png_chunk_inventory" -> 0.19,
     // the MJPEG rung pays a real 24k-frame JPEG encode+decode fixture
     // pass per query (the q221/q266 honest-decode-cost shape); q278
     // additionally emits the ~600k-row verified pair frame, q279
     // closes over the distinct-sequence graph instead (bytes at KB)
-    "q277_video_frame_fingerprints" -> 6.43,
+    "q277_video_frame_fingerprints" -> 6.34,
     "q278_video_neardup_pairs" -> 5.41,
     "q279_video_neardup_clusters" -> 4.87,
-    "q280_video_dedup_agreement" -> 5.13)
+    "q280_video_dedup_agreement" -> 5.13,
+    "q281_video_shot_segments" -> 5.04)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -418,15 +419,15 @@ object Bench {
   private[graft] val byteFloors: Map[String, Long] = Map(
     "q100_containment_pairs" -> 30009842L,
     "q101_cross_containment" -> 16860731L,
-    "q102_winsorize" -> 3714452L,
+    "q102_winsorize" -> 3715034L,
     "q103_temperature_mix" -> 1058L,
     "q104_rule_audit" -> 175892L,
     "q105_bigram_fluency" -> 510245L,
     "q106_hard_negatives" -> 29075L,
     "q107_intra_label_diversity" -> 25829L,
-    "q108_mad_outliers" -> 3119294L,
+    "q108_mad_outliers" -> 3120562L,
     "q109_json_field_stats" -> 1953L,
-    "q10_incremental_antijoin" -> 776346L,
+    "q10_incremental_antijoin" -> 776318L,
     "q110_curation_funnel" -> 15401L,
     "q111_grid_percentile" -> 76300L,
     "q112_unigram_divergence" -> 910244L,
@@ -441,7 +442,7 @@ object Bench {
     "q120_benford_profile" -> 7728L,
     "q121_k_anonymity" -> 170457L,
     "q122_transition_matrix" -> 3630283L,
-    "q123_hybrid_rrf" -> 3933166L,
+    "q123_hybrid_rrf" -> 3934472L,
     "q124_distinct_ngrams" -> 10267965L,
     "q125_embedding_health" -> 3629L,
     "q126_cusum_changepoint" -> 62447L,
@@ -495,14 +496,14 @@ object Bench {
     "q16_exact_dedup" -> 1877902L,
     "q170_rank_shift" -> 1056670L,
     "q171_temporal_split" -> 52492L,
-    "q172_causal_zscore" -> 11992188L,
+    "q172_causal_zscore" -> 11992680L,
     "q173_seasonal_naive" -> 28508L,
-    "q174_winnowing_neardup" -> 21677360L,
-    "q175_profile_drift" -> 4842L,
+    "q174_winnowing_neardup" -> 21677364L,
+    "q175_profile_drift" -> 4728L,
     "q176_value_tail_bands" -> 1147199L,
     "q177_type_pagerank" -> 5443190L,
     "q178_fuzzy_operating_point" -> 122180L,
-    "q179_tfidf_keywords" -> 5027642L,
+    "q179_tfidf_keywords" -> 5027548L,
     "q17_ngram_jaccard_neardup" -> 30011208L,
     "q180_grid_accuracy" -> 733984L,
     "q181_transition_predictability" -> 3626489L,
@@ -525,7 +526,7 @@ object Bench {
     "q197_cluster_sizes" -> 413841L,
     "q198_scrub_closure" -> 244L,
     "q199_skyline" -> 38752L,
-    "q19_simhash_neardup" -> 239743L,
+    "q19_simhash_neardup" -> 239733L,
     "q1_pricing_summary" -> 4641L,
     "q200_sample_representativeness" -> 4106L,
     "q201_stratum_mean_se" -> 2619L,
@@ -568,7 +569,7 @@ object Bench {
     "q235_part_supplier_census" -> 1427433L,
     "q236_column_profile_sketch" -> 20426L,
     "q237_waterfill_quota" -> 3547L,
-    "q238_frame_sample_plan" -> 273632L,
+    "q238_frame_sample_plan" -> 274114L,
     "q239_disjunctive_revenue" -> 432L,
     "q240_calibration_ece" -> 694042L,
     "q241_bootstrap_ci" -> 4480L,
@@ -585,21 +586,21 @@ object Bench {
     "q252_national_market_share" -> 7389304L,
     "q253_bpe_vocab" -> 11823L,
     "q254_bpe_fertility" -> 898L,
-    "q255_image_dhash_neardup" -> 14262548L,
-    "q256_video_sample_bytes" -> 485046L,
-    "q257_frame_sample_bytes" -> 485254L,
+    "q255_image_dhash_neardup" -> 14265074L,
+    "q256_video_sample_bytes" -> 485052L,
+    "q257_frame_sample_bytes" -> 485504L,
     "q258_product_type_profit" -> 30913L,
     "q259_order_priority_exists" -> 1845L,
     "q260_bpe_budget_mix" -> 8364L,
     "q261_image_dhash_clusters" -> 77542L,
-    "q262_audio_envelope_neardup" -> 13626751L,
+    "q262_audio_envelope_neardup" -> 13629797L,
     "q263_modality_router" -> 4572L,
     // q264 re-seeded r16: the forced broadcast(perPart) hint dropped
     // (judge item) — AQE now stages both join inputs before choosing
     // the broadcast, so the shuffle write grows ~0.6 MB by design
     "q264_small_quantity_revenue" -> 653542L,
     "q265_bpe_sequence_packing" -> 484900L,
-    "q266_audio_envelope_clusters" -> 84704L,
+    "q266_audio_envelope_clusters" -> 84812L,
     "q267_image_dedup_agreement" -> 13346L,
     // q268 re-seeded r16b: customer-hint drop (scale discipline) stages
     // both rollup join inputs under AQE
@@ -611,12 +612,12 @@ object Bench {
     "q273_crossmodal_dedup_policies" -> 1668871L,
     "q274_token_shard_manifest" -> 268010L,
     "q275_audio_chunk_inventory" -> 177762L,
-    "q276_png_chunk_inventory" -> 216598L,
-    "q277_video_frame_fingerprints" -> 535970L,
-    "q278_video_neardup_pairs" -> 27551790L,
-    "q279_video_neardup_clusters" -> 650518L,
+    "q276_png_chunk_inventory" -> 216524L,
+    "q277_video_frame_fingerprints" -> 533728L,
+    "q278_video_neardup_pairs" -> 27541118L,
+    "q279_video_neardup_clusters" -> 650570L,
     "q280_video_dedup_agreement" -> 563422L,
-    "q281_video_shot_segments" -> 1224672L,
+    "q281_video_shot_segments" -> 1224740L,
     "q21_embedding_neardup_ivf" -> 5000834L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,
@@ -625,45 +626,45 @@ object Bench {
     "q26_multimodal_meta" -> 983684L,
     "q27_report_metrics" -> 200L,
     "q28_report_distributors" -> 8219L,
-    "q29_trycast_timestamp" -> 5733324L,
+    "q29_trycast_timestamp" -> 5732252L,
     "q2_select_project" -> 417504L,
-    "q30_embedding_neardup_rplsh" -> 20501447L,
+    "q30_embedding_neardup_rplsh" -> 20501415L,
     "q31_neardup_clusters" -> 466383L,
     "q32_stratified_sample" -> 35782L,
     "q33_pii_redact" -> 721556L,
-    "q34_event_sessionize" -> 10666686L,
+    "q34_event_sessionize" -> 10665506L,
     "q35_repetition_signals" -> 253330L,
     "q36_cross_contamination" -> 17527841L,
     "q37_sequence_packing" -> 458719L,
     "q38_network_redact" -> 728946L,
     "q39_embedding_topk_ivf" -> 672881L,
-    "q3_try_cast" -> 332004L,
+    "q3_try_cast" -> 331976L,
     "q40_training_order" -> 308517L,
     "q41_token_budget_mix" -> 16110L,
     "q42_epoch_sharded_packing" -> 2925907L,
-    "q43_asof_join" -> 4568585L,
+    "q43_asof_join" -> 4569335L,
     "q44_interval_join" -> 7612L,
     "q45_length_profile" -> 15385L,
     "q46_grouped_topk" -> 4152L,
     "q47_sliding_chunks" -> 1055100L,
     "q48_keepbest_dedup" -> 2018227L,
     "q49_eval_overlap" -> 543962L,
-    "q4_left_join_enrich" -> 739748L,
+    "q4_left_join_enrich" -> 739690L,
     "q50_curriculum_bins" -> 17628L,
     "q51_priority_sample" -> 6082L,
     "q52_bm25_scores" -> 1123003L,
     "q53_semantic_clusters" -> 20314969L,
     "q54_shingle_novelty" -> 958251L,
-    "q55_embedding_quantize" -> 3015618L,
-    "q56_pq_codes" -> 535468L,
+    "q55_embedding_quantize" -> 3014340L,
+    "q56_pq_codes" -> 535328L,
     "q57_pq_adc_topk" -> 2036259L,
     "q58_rollup_revenue" -> 11541L,
     "q59_pivot_returnflag" -> 37108L,
     "q5_anti_orphans" -> 0L,
     "q60_paragraph_dedup" -> 4919719L,
     "q61_ivfpq_topk" -> 762530L,
-    "q62_column_profile" -> 3508988L,
-    "q63_asof_tolerance" -> 4097237L,
+    "q62_column_profile" -> 3498256L,
+    "q63_asof_tolerance" -> 4097123L,
     "q64_cube_revenue" -> 16600L,
     "q65_term_zipf" -> 3229944L,
     "q66_lexical_richness" -> 3719211L,
@@ -679,14 +680,14 @@ object Bench {
     "q75_grouping_sets" -> 5532L,
     "q76_eval_overlap_bloom" -> 957475L,
     "q77_snapshot_diff" -> 1234867L,
-    "q78_asof_forward" -> 4560348L,
+    "q78_asof_forward" -> 4561120L,
     "q79_ingest_gaps" -> 16700L,
-    "q7_dedup_keepfirst" -> 1110907L,
+    "q7_dedup_keepfirst" -> 1110601L,
     "q80_cms_heavy_hitters" -> 10638L,
-    "q81_moving_revenue" -> 7994898L,
-    "q82_scd2_intervals" -> 9001469L,
+    "q81_moving_revenue" -> 7994366L,
+    "q82_scd2_intervals" -> 9001701L,
     "q83_volume_anomaly" -> 88350L,
-    "q84_posting_lists" -> 12120913L,
+    "q84_posting_lists" -> 12121861L,
     "q85_state_dwell" -> 3726840L,
     "q86_growth_curve" -> 560000L,
     "q87_sliding_wau" -> 1362039L,
