@@ -24,7 +24,8 @@ import graft.operators.{Dedup, Multimodal}
   * Scale shape: each ingest is one decode pass over the batch
   * (payloads stay where the scan runs; 16 bytes per row cross into
   * the store), reads are distinct-then-cluster via
-  * [[Dedup.fingerprintClusters]]'s |F|-node component propagation,
+  * [[Dedup.fingerprintClusters]]'s duplicate-mass-bounded component
+  * propagation (untouched fingerprints never broadcast),
   * [[compact]] folds the per-ingest appends through the shared
   * verified-swap [[ParquetStore]] discipline. */
 abstract class FingerprintStore(spark: SparkSession, storeDir: String,

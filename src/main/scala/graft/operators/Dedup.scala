@@ -1137,14 +1137,23 @@ object Dedup {
     * them to doc pairs) and [[fingerprintClusters]] (which never
     * does). Output (fa, fb) with fa < fb, verified Hamming ≤ max. */
   private def distinctFpPairs(docs: DataFrame, maxHamming: Int,
-      bits: Int): DataFrame = {
+      bits: Int): DataFrame =
+    distinctFpPairsOver(docs.select(col("fp")).distinct(), maxHamming,
+      bits)
+
+  /** [[distinctFpPairs]] over an ALREADY-distinct single-column `fp`
+    * frame — callers that computed the distinct pass themselves (e.g.
+    * as a groupBy carrying per-fp aggregates) reuse that shuffle
+    * instead of paying a second one for a distinct Catalyst cannot
+    * prove. */
+  private def distinctFpPairsOver(distinctFp: DataFrame,
+      maxHamming: Int, bits: Int): DataFrame = {
     val nChunks = maxHamming + 1
     require(bits % nChunks == 0,
       s"bits=$bits must split evenly into ${nChunks} chunks")
     require(bits >= nChunks && bits <= 64, s"bits=$bits out of range")
     val width = bits / nChunks
     val mask = (1L << width) - 1
-    val distinctFp = docs.select(col("fp")).distinct()
     val chunks = distinctFp.select(col("fp"),
       explode(array((0 until nChunks).map(c =>
         struct(lit(c).as("chunk_id"),
@@ -1166,31 +1175,61 @@ object Dedup {
     * decision, computed WITHOUT ever materializing doc-level pairs:
     * two docs are connected iff their fingerprints sit in the same
     * ≤-radius component (same-hash docs are always pairwise within
-    * radius 0), so label propagation runs over the \|F\|-node DISTINCT
-    * -fingerprint graph and docs join their component afterwards —
-    * |F| is corpus-size-INDEPENDENT for perceptual hashes (re-encodes
-    * collapse), where the doc-pair graph is quadratic in duplicate
-    * mass (measured at sf0.1 on the q255 fixture: 3.1 s / 50 MB via
-    * doc pairs, sub-second / ~2 MB this way). Output
-    * (doc_id, cluster_id = min doc id of the component,
+    * radius 0), so label propagation runs over the DISTINCT
+    * -fingerprint graph and docs attach their component afterwards —
+    * the doc-pair graph is quadratic in duplicate mass (measured at
+    * sf0.1 on the q255 fixture: 3.1 s / 50 MB via doc pairs,
+    * sub-second / ~2 MB this way).
+    *
+    * Broadcast discipline: every broadcast frame here is bounded by
+    * DUPLICATE MASS, never corpus size. On a mostly-unique lake —
+    * the common 100 TB case — \|distinct fingerprints\| ≈ \|docs\|,
+    * so a corpus-sized frame must never carry a broadcast hint. Only
+    * the INTERESTING fingerprints do: those touched by a ≤-radius
+    * pair (≤ 2·\|pairs\|) or shared by > 1 doc (≤ duplicate count) —
+    * both vanish as the lake approaches all-unique. Docs whose
+    * fingerprint is boring are their own singleton cluster
+    * ROW-LOCALLY (`coalesce` after the broadcast left join — no
+    * shuffle, no propagation node, no broadcast row for them). The
+    * per-fp (min doc, doc count) aggregate rides the distinct pass
+    * the pigeonhole needs anyway — same shuffle key, +16 bytes/row.
+    *
+    * Output (doc_id, cluster_id = min doc id of the component,
     * is_canonical), identical to [[nearDupClusters]] over
     * [[fingerprintPairs]]. */
   def fingerprintClusters(fps: DataFrame, idCol: String, fpCol: String,
-      maxHamming: Int, bits: Int): DataFrame = {
+      maxHamming: Int, bits: Int,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val docs = fps.select(col(idCol).as("doc_id"), col(fpCol).as("fp"))
-    // fp-level components: propagate over fingerprint VALUES (valid
-    // ids for the propagation — they are longs)
-    val fpComponents = nearDupClusters(
-      docs.select(col("fp").as("doc_id")).distinct(), "doc_id",
-      distinctFpPairs(docs, maxHamming, bits)
-        .select(col("fa").as("doc_a"), col("fb").as("doc_b")))
+    // the distinct pass, widened to carry per-fp min doc id and count
+    val fpAgg = scope.persist(docs.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("fp_min"), count(lit(1)).as("cnt")))
+    val pairs = scope.persist(distinctFpPairsOver(
+      fpAgg.select(col("fp")), maxHamming, bits))
+    // fp-level components over PAIR-TOUCHED fingerprints only (valid
+    // ids for the propagation — they are longs); bounded by 2·|pairs|
+    val touched = pairs.select(col("fa").as("fp"))
+      .unionByName(pairs.select(col("fb").as("fp"))).distinct()
+    val fpComponents = nearDupClusters(touched.select(
+        col("fp").as("doc_id")), "doc_id",
+      pairs.select(col("fa").as("doc_a"), col("fb").as("doc_b")))
       .select(col("doc_id").as("fp"), col("cluster_id").as("__comp"))
-    // a component's cluster id is its minimum DOC id; one |F|-row
-    // broadcast join attaches it
-    val byDoc = docs.join(broadcast(fpComponents), Seq("fp"))
-    val compMin = byDoc.groupBy(col("__comp"))
-      .agg(min(col("doc_id")).as("cluster_id"))
-    byDoc.join(broadcast(compMin), Seq("__comp"))
+    // interesting fps: pair-touched, or shared by >1 doc (same-hash
+    // docs cluster at radius 0 with no pair edge); untouched ones
+    // component to themselves
+    val interesting = scope.persist(fpAgg
+      .join(broadcast(fpComponents), Seq("fp"), "left")
+      .where(col("cnt") > 1 || col("__comp").isNotNull)
+      .select(col("fp"), col("fp_min"),
+        coalesce(col("__comp"), col("fp")).as("__comp")))
+    val compMin = interesting.groupBy(col("__comp"))
+      .agg(min(col("fp_min")).as("cluster_id"))
+    val clusterMap = interesting.join(broadcast(compMin), Seq("__comp"))
+      .select(col("fp"), col("cluster_id"))
+    // boring fps miss the map → singleton cluster, decided row-locally
+    docs.join(broadcast(clusterMap), Seq("fp"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       .select(col("doc_id"), col("cluster_id"),
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
       .orderBy(col("doc_id"))
@@ -1278,28 +1317,43 @@ object Dedup {
     * [[fingerprintClusters]] discipline lifted to sequences): label
     * propagation runs over the DISTINCT-sequence graph (one node per
     * exact signature, edges = threshold-passing representative
-    * pairs), and docs join their signature's component afterwards.
-    * The signature count is corpus-size-independent for dup-heavy
-    * video corpora (re-encodes collapse), where the doc-pair graph is
-    * quadratic in duplicate mass — measured on the MJPEG fixture at
-    * sf0.1: 78 MB of pair-frame shuffle down to ~2 MB. A signature
-    * component's cluster id is its min doc id, which IS the min
-    * representative id (each rep is already its signature's min doc),
-    * so the rep-level propagation label needs no second fold. Output
-    * (doc_id, cluster_id, is_canonical), identical to
-    * [[nearDupClusters]] over the pair relation. */
+    * pairs), and docs join their signature's component afterwards —
+    * the doc-pair graph is quadratic in duplicate mass, measured on
+    * the MJPEG fixture at sf0.1: 78 MB of pair-frame shuffle down to
+    * ~2 MB. A signature component's cluster id is its min doc id,
+    * which IS the min representative id (each rep is already its
+    * signature's min doc), so the rep-level propagation label needs
+    * no second fold.
+    *
+    * Broadcast discipline (the [[fingerprintClusters]] argument): on
+    * a mostly-unique video lake \|signatures\| ≈ \|docs\|, so the
+    * component frame must never be corpus-sized. Only reps TOUCHED by
+    * a threshold-passing pair propagate (≤ 2·\|repPairs\| — bounded
+    * by duplicate mass); an untouched signature's cluster id is its
+    * own rep, decided row-locally by `coalesce` after the broadcast
+    * left join (multi-doc same-signature groups included: their rep
+    * is already the group min). Output (doc_id, cluster_id,
+    * is_canonical), identical to [[nearDupClusters]] over the pair
+    * relation. */
   def alignedFingerprintClusters(fps: DataFrame, idCol: String,
       alignCol: String, fpCol: String, maxHamming: Int, bits: Int,
       minMatchNum: Int = 1, minMatchDen: Int = 2,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    val (members, repPairs) = alignedRepGraph(fps, idCol, alignCol,
+    val (members, rawRepPairs) = alignedRepGraph(fps, idCol, alignCol,
       fpCol, maxHamming, bits, minMatchNum, minMatchDen, scope)
+    // consumed three times below (touched twice, edges once) — don't
+    // re-run the pigeonhole match per consumer
+    val repPairs = scope.persist(rawRepPairs)
+    val touched = repPairs.select(col("ra").as("rep"))
+      .unionByName(repPairs.select(col("rb").as("rep"))).distinct()
     val comps = nearDupClusters(
-      members.select(col("rep").as("doc_id")), "doc_id",
+      touched.select(col("rep").as("doc_id")), "doc_id",
       repPairs.select(col("ra").as("doc_a"), col("rb").as("doc_b")))
       .select(col("doc_id").as("rep"), col("cluster_id"))
     members.select(col("rep"), explode(col("docs")).as("doc_id"))
-      .join(broadcast(comps), Seq("rep"))
+      .join(broadcast(comps), Seq("rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
       .select(col("doc_id"), col("cluster_id"),
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
       .orderBy(col("doc_id"))
@@ -1316,7 +1370,10 @@ object Dedup {
       alignCol: String, fpCol: String, maxHamming: Int, bits: Int,
       minMatchNum: Int, minMatchDen: Int,
       scope: CacheScope): (DataFrame, DataFrame) = {
-    require(minMatchNum >= 0 && minMatchDen >= 1 &&
+    // minMatchNum >= 1: candidates only arise from positions with an
+    // actual aligned match, so a 0-share threshold could never admit
+    // the zero-match pairs it nominally describes — refuse it
+    require(minMatchNum >= 1 && minMatchDen >= 1 &&
       minMatchNum <= minMatchDen,
       s"bad match share $minMatchNum/$minMatchDen")
     val nChunks = maxHamming + 1

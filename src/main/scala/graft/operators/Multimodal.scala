@@ -300,10 +300,16 @@ object Multimodal {
     * first-bytes signatures for PNG (\\x89PNG), JPEG (FF D8 FF),
     * RIFF/WAVE, RIFF/AVI (MJPEG — byte 8 splits the shared RIFF
     * prefix), FORM/AIFF, ISO-BMFF (`ftyp` at offset 4), else
-    * `unknown`. Pure byte comparisons — codegen-friendly, exactly
-    * restatable by an oracle that knows the fixture's encoder, and
-    * the disagreement count (sniffed ≠ declared) is the lake-health
-    * readout. */
+    * `unknown`. ISO-BMFF payloads dispatch on the MAJOR BRAND (the
+    * four bytes after `ftyp` — r16 verdict: the family is a shared
+    * container, not a video format): `M4A ` is M4A audio,
+    * `heic`/`mif1`/`avif` are HEIF-family still images, anything
+    * else (isom/mp42/qt..) routes `video/mp4` — brand-blind routing
+    * would dedup M4A podcasts and HEIC photos down the video branch
+    * and poison the modality profile. Pure byte comparisons —
+    * codegen-friendly, exactly restatable by an oracle that knows
+    * the fixture's encoder, and the disagreement count
+    * (sniffed ≠ declared) is the lake-health readout. */
   def sniffModality(payload: Column): Column = {
     // substring on BINARY yields the raw bytes; compare against
     // X'..' literals (both engines define binary equality bytewise)
@@ -322,7 +328,15 @@ object Multimodal {
       .when(bytesAt(1, 4) === lit("FORM".getBytes("US-ASCII")) &&
         bytesAt(9, 4) === lit("AIFF".getBytes("US-ASCII")), "audio/aiff")
       .when(bytesAt(5, 4) === lit("ftyp".getBytes("US-ASCII")),
-        "video/mp4")
+        when(bytesAt(9, 4) === lit("M4A ".getBytes("US-ASCII")),
+          "audio/mp4")
+          .when(bytesAt(9, 4) === lit("heic".getBytes("US-ASCII")),
+            "image/heic")
+          .when(bytesAt(9, 4) === lit("mif1".getBytes("US-ASCII")),
+            "image/heif")
+          .when(bytesAt(9, 4) === lit("avif".getBytes("US-ASCII")),
+            "image/avif")
+          .otherwise("video/mp4"))
       .otherwise("unknown")
   }
 
@@ -1121,6 +1135,44 @@ object Multimodal {
     }
   }
 
+  /** REAL-BYTES ISO-BMFF BRAND fixture: per doc id, a minimal
+    * ISO-BMFF payload whose `ftyp` MAJOR BRAND cycles by `id % 5`
+    * through the container family's reuses — `M4A ` (audio),
+    * `heic`/`mif1`/`avif` (HEIF-family still images), `isom` (plain
+    * video) — while the DECLARED mime is always `video/mp4`, the
+    * naive crawler guess for anything carrying `ftyp`. The router's
+    * brand dispatch is what disagrees: brand-blind routing would
+    * agree with the lie on every row. Corruption family shared with
+    * the sibling fixtures: `id % 10 ∈ {3, 4}` zeroes the `ftyp`
+    * fourCC (sniffs `unknown`). */
+  def encodeIsoBrandFixture(docs: DataFrame, idCol: String)
+      : Dataset[MediaRecord] = {
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+      .where(col("doc_id").isNotNull && col("doc_id") >= 0)
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    ids.as[Long].mapPartitions { it =>
+      def be32(v: Long): Array[Byte] = Array(
+        (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      def box(tp: String, payload: Array[Byte]): Array[Byte] =
+        be32(payload.length + 8L) ++
+          tp.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+          payload
+      val brands = IndexedSeq("M4A ", "heic", "mif1", "avif", "isom")
+      it.map { id =>
+        val brand = brands((id % 5).toInt)
+        val ftyp = box("ftyp",
+          brand.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+            be32(0) ++
+            brand.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        val bytes = ftyp ++ box("mdat", new Array[Byte](8))
+        if (id % 10 == 3 || id % 10 == 4) {
+          bytes(4) = 0; bytes(5) = 0; bytes(6) = 0; bytes(7) = 0
+        }
+        MediaRecord(id, s"memory://isobrand/$id", "video/mp4", bytes)
+      }
+    }
+  }
+
   /** REAL-BYTES image fixture: per doc id, an actual `ImageIO.write`
     * PNG (even ids) or JPEG (odd ids) encode of a
     * `(8 + id % 57) × (8 + (id·3) % 41)` 3-channel image — so the
@@ -1536,9 +1588,11 @@ object Multimodal {
     * does not consume its declared extent exactly, duplicate `movi`
     * lists, and hostile chunk counts (> 64 top-level, > 4096 frames)
     * all yield None — errors are data, never exceptions. Frame chunks
-    * are the `##dc`/`##db` convention; `idx1` is deliberately not
-    * trusted (a lying index must not redirect the walk — frames come
-    * from the `movi` structure itself). */
+    * are the `##dc`/`##db` convention, either as direct `movi`
+    * children or one level down inside interleaved `rec ` LISTs (the
+    * spec's only nesting); `idx1` is deliberately not trusted (a
+    * lying index must not redirect the walk — frames come from the
+    * `movi` structure itself). */
   def aviFrameRanges(payload: Array[Byte])
       : Option[IndexedSeq[(Long, Long)]] = {
     def fourcc(off: Int): String =
@@ -1570,13 +1624,30 @@ object Multimodal {
             var co = off + 12
             val cend = off + 8 + sz
             var n = 0
+            def isFrame(fc: String): Boolean =
+              fc(0).isDigit && fc(1).isDigit && fc(2) == 'd' &&
+                (fc(3) == 'c' || fc(3) == 'b')
             while (co + 8 <= cend) {
               val csz = u32le(co.toInt + 4)
               if (co + 8 + csz > cend) return None
               val cfc = fourcc(co.toInt)
-              if (cfc(0).isDigit && cfc(1).isDigit && cfc(2) == 'd' &&
-                (cfc(3) == 'c' || cfc(3) == 'b'))
-                out += ((co + 8, csz))
+              if (isFrame(cfc)) out += ((co + 8, csz))
+              else if (cfc == "LIST" && csz >= 4 &&
+                fourcc(co.toInt + 8) == "rec ") {
+                // interleaved AVIs wrap each frame group in a 'rec '
+                // LIST (one level deep by spec) — walk its children
+                var ro = co + 12
+                val rend = co + 8 + csz
+                while (ro + 8 <= rend) {
+                  val rsz = u32le(ro.toInt + 4)
+                  if (ro + 8 + rsz > rend) return None
+                  if (isFrame(fourcc(ro.toInt))) out += ((ro + 8, rsz))
+                  ro += 8 + rsz + (rsz & 1)
+                  n += 1
+                  if (n > 4096) return None
+                }
+                if (ro != rend && ro != rend + 1) return None
+              }
               co += 8 + csz + (csz & 1)
               n += 1
               if (n > 4096) return None

@@ -530,9 +530,10 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
 
   // --------------------------------------------------------------- q266
   /** q266 — audio near-dup CLUSTERS: q262's envelope-hash pair set
-    * closed into components via the \|F\|-node fingerprint graph
+    * closed into components via the distinct-fingerprint graph
     * ([[Dedup.fingerprintClusters]] — the q261 shape on the audio
-    * side), completing the audio dedup family end-to-end
+    * side; broadcasts bounded by duplicate mass, never corpus
+    * size), completing the audio dedup family end-to-end
     * (fingerprint → pairs → families → canonical picks). */
   val q266: Q = Q(
     "q266_audio_envelope_clusters",
@@ -572,13 +573,17 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
   // --------------------------------------------------------------- q263
   /** q263 — MODALITY ROUTER health ([[Multimodal.sniffModality]]):
     * sniff every payload's container from MAGIC BYTES across a mixed
-    * media lake (all three fixture encoders, routed by id % 3) and
+    * media lake (all three fixture encoders, routed by id % 3, PLUS
+    * the ISO-BMFF brand fixture over the video ids — r17) and
     * report the declared-vs-sniffed confusion — the pre-decode
     * dispatch check production runs because crawler mimes lie.
     * Corrupted magics surface as `unknown` against their declared
     * mime (agree = false); truncation families keep their magic and
-    * still route. The oracle restates both columns as id arithmetic
-    * over the fixtures' encoders. */
+    * still route. The brand rows are the sharpest case: all declared
+    * `video/mp4` (the naive ftyp guess), while the router dispatches
+    * the major brand — M4A audio and heic/mif1/avif images disagree
+    * with the lie, isom agrees. The oracle restates both columns as
+    * id arithmetic over the fixtures' encoders. */
   val q263: Q = Q(
     "q263_modality_router",
     (s, d) => {
@@ -588,6 +593,8 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
         .unionByName(Multimodal.encodeAudioFixture(
           docs.where(col("doc_id") % 3 === 1), "doc_id").toDF())
         .unionByName(Multimodal.encodeVideoFixture(
+          docs.where(col("doc_id") % 3 === 2), "doc_id").toDF())
+        .unionByName(Multimodal.encodeIsoBrandFixture(
           docs.where(col("doc_id") % 3 === 2), "doc_id").toDF())
       mixed.select(col("mime").as("declared"),
           Multimodal.sniffModality(col("payload")).as("sniffed"))
@@ -618,10 +625,22 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
               CASE WHEN doc_id % 2 = 0 THEN 'audio/wav'
                    ELSE 'audio/aiff' END
             ELSE 'video/mp4' END AS sniffed
-        FROM ids)
+        FROM ids),
+      mb AS (
+        SELECT doc_id, 'video/mp4' AS declared,
+          CASE WHEN doc_id % 10 IN (3, 4) THEN 'unknown'
+            WHEN doc_id % 5 = 0 THEN 'audio/mp4'
+            WHEN doc_id % 5 = 1 THEN 'image/heic'
+            WHEN doc_id % 5 = 2 THEN 'image/heif'
+            WHEN doc_id % 5 = 3 THEN 'image/avif'
+            ELSE 'video/mp4' END AS sniffed
+        FROM ids WHERE doc_id % 3 = 2),
+      allm AS (
+        SELECT declared, sniffed FROM m
+        UNION ALL SELECT declared, sniffed FROM mb)
       SELECT declared, sniffed, CAST(count(*) AS BIGINT) AS n,
         declared = sniffed AS agree
-      FROM m GROUP BY 1, 2 ORDER BY 1, 2
+      FROM allm GROUP BY 1, 2 ORDER BY 1, 2
     """.trim))
 
   /** The shared id-arithmetic replay of the video fixture's sample
@@ -1318,8 +1337,11 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
     *     (text cluster)–(image cluster) cell graph — |cells| nodes
     *     (t-nodes at 2·tcid, i-nodes at 2·icid+1; cluster labels are
     *     doc ids, so the encoding stays in range anywhere below 2⁶²
-    *     ids), corpus-size-independent, the [[Dedup
-    *     .fingerprintClusters]] |F|-node trick on the policy layer.
+    *     ids), never materializing doc-level pairs — the [[Dedup
+    *     .fingerprintClusters]] distinct-graph trick on the policy
+    *     layer (shuffle-based label propagation; no broadcast of
+    *     the cell frame, whose size tracks the doc count on a
+    *     mostly-unique corpus).
     * The ordering kept_and ≤ union_clusters ≤ min(kept_text,
     * kept_image) ≤ kept_or is the readout: what intersection
     * over-drops and OR leaves behind. */

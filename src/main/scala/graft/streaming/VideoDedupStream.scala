@@ -15,7 +15,9 @@ import graft.operators.Multimodal
   *
   * State discipline — [[DedupStream]]'s argument verbatim:
   * `dropDuplicatesWithinWatermark` bounds the state to the watermark
-  * horizon (8 bytes per distinct sequence seen within `delay`), the
+  * horizon (16 bytes per distinct sequence seen within `delay` — the
+  * fold plus the frame count, so a fold collision between
+  * different-length videos cannot merge them), the
   * right tool for re-fetch/retry bursts; FULL-history dedup belongs to
   * the stored frame fingerprints ([[graft.etl.VideoFpStore]] — the
   * `videofp-ingest` CLI pairs with this stream exactly as DhashStore
@@ -89,8 +91,12 @@ object VideoDedupStream {
       .toDF()
       .withColumn("ts", timestamp_micros(col("ts_us")))
       .withWatermark("ts", delay)
+    // key = (fold, frame count): the 64-bit fold alone would silently
+    // merge two distinct videos colliding on it within the horizon —
+    // n_frames (already computed, 8 bytes more state per key) cuts the
+    // collision surface to same-length sequences
     val okRows = keyed.where(col("ok") === 1L)
-      .dropDuplicatesWithinWatermark("seq_fp")
+      .dropDuplicatesWithinWatermark("seq_fp", "n_frames")
     okRows.unionByName(keyed.where(col("ok") === 0L))
       .select(col("doc_id"), col("ts"), col("ok"), col("seq_fp"),
         col("n_frames"))

@@ -749,4 +749,107 @@ class DedupSpec extends SparkSpec {
       }
     }
   }
+  test("fingerprintClusters / alignedFingerprintClusters broadcasts are " +
+    "bounded by duplicate mass: an all-unique corpus broadcasts ZERO " +
+    "rows and boring docs become singletons row-locally") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ReusedExchangeExec}
+
+    // every BroadcastExchange's output-row count in the FINAL adaptive
+    // plan — the direct reading of "no corpus-sized broadcast"
+    def broadcastRows(df: DataFrame): Seq[Long] = {
+      df.collect()
+      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => q +: walk(q.plan)
+        case r: ReusedExchangeExec => r +: walk(r.child)
+        case other => other +: other.children.flatMap(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+        .collect { case b: BroadcastExchangeLike =>
+          b.metrics("numOutputRows").value }
+    }
+
+    val scope = graft.engine.CacheScope()
+    try {
+      // 64 docs, all four 16-bit pigeonhole lanes distinct across
+      // docs: zero candidate pairs, zero multi-doc fingerprints — the
+      // mostly-unique-lake shape that used to force a corpus-sized
+      // broadcast
+      val lane = 0x0001000100010001L
+      val unique = (0L until 64L).map(i => (i, i * lane))
+        .toDF("doc_id", "fp").persist()
+      val uniq = Dedup.fingerprintClusters(unique, "doc_id", "fp", 3,
+        64, scope)
+      // AQE's empty-relation propagation usually erases the empty
+      // broadcast joins outright — either way, nothing corpus-sized
+      val bU = broadcastRows(uniq)
+      assert(bU.forall(_ == 0L),
+        s"unique-corpus broadcasts must be empty, got $bU")
+      val outU = uniq.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      assert(outU.length == 64 &&
+        outU.forall(t => t._1 == t._2 && t._3),
+        "all-unique corpus must come back as all-singleton clusters")
+
+      // add duplicate mass: one same-fp pair (NO pigeonhole pair —
+      // radius-0 by shared hash) and one Hamming-1 pair; broadcasts
+      // must scale with these 4 docs, not the 68-doc corpus
+      val dup = (unique.as[(Long, Long)].collect().toSeq ++ Seq(
+        (100L, 100L * lane), (101L, 100L * lane),
+        (200L, 200L * lane), (201L, 200L * lane ^ 1L)))
+        .toDF("doc_id", "fp").persist()
+      val mixed = Dedup.fingerprintClusters(dup, "doc_id", "fp", 3, 64,
+        scope)
+      val bM = broadcastRows(mixed)
+      assert(bM.nonEmpty, "plan-walk sanity: the duplicate-mass case " +
+        "must surface its broadcast exchanges")
+      assert(bM.forall(_ <= 4L),
+        s"broadcasts must stay duplicate-mass-sized, got $bM")
+      val got = mixed.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got(100L) == 100L && got(101L) == 100L)
+      assert(got(200L) == 200L && got(201L) == 200L)
+      assert((0L until 64L).forall(i => got(i) == i))
+      unique.unpersist(); dup.unpersist()
+
+      // sequence flavor: all-distinct signatures broadcast zero rows;
+      // a same-signature group and a threshold-passing near pair stay
+      // bounded by their own mass
+      val uniqSeq = (0L until 40L).flatMap(i => Seq(
+        (i, 0L, (1000L + i) * lane), (i, 1L, (2000L + i) * lane)))
+        .toDF("doc_id", "frame_idx", "fp").persist()
+      val alu = Dedup.alignedFingerprintClusters(uniqSeq, "doc_id",
+        "frame_idx", "fp", 3, 64, scope = scope)
+      val bA = broadcastRows(alu)
+      assert(bA.forall(_ == 0L),
+        s"unique-sequence broadcasts must be empty, got $bA")
+      assert(alu.collect().forall(r => r.getLong(0) == r.getLong(1)))
+
+      val dupSeq = (uniqSeq.as[(Long, Long, Long)].collect().toSeq ++
+        Seq(
+          (300L, 0L, 7000L * lane), (300L, 1L, 7001L * lane),
+          (301L, 0L, 7000L * lane), (301L, 1L, 7001L * lane),
+          (400L, 0L, 8000L * lane), (400L, 1L, 8001L * lane),
+          (401L, 0L, 8000L * lane ^ 1L), (401L, 1L, 8001L * lane)))
+        .toDF("doc_id", "frame_idx", "fp").persist()
+      val alm = Dedup.alignedFingerprintClusters(dupSeq, "doc_id",
+        "frame_idx", "fp", 3, 64, scope = scope)
+      val bS = broadcastRows(alm)
+      assert(bS.nonEmpty, "plan-walk sanity: the near-pair case must " +
+        "surface its broadcast exchange")
+      assert(bS.forall(_ <= 2L),
+        s"sequence broadcasts must stay pair-mass-sized, got $bS")
+      val gotS = alm.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotS(300L) == 300L && gotS(301L) == 300L,
+        "same-signature group must cluster to its rep with no pairs")
+      assert(gotS(400L) == 400L && gotS(401L) == 400L)
+      assert((0L until 40L).forall(i => gotS(i) == i))
+      uniqSeq.unpersist(); dupSeq.unpersist()
+    } finally scope.close()
+  }
 }

@@ -612,6 +612,71 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.aviFrameRanges(overrun).isEmpty)
   }
 
+  test("sniffModality dispatches ISO-BMFF payloads on the major " +
+    "brand: M4A audio, heic/mif1/avif images, else video/mp4") {
+    import spark.implicits._
+    val got = Multimodal.encodeIsoBrandFixture(
+      (0L until 20L).toDF("doc_id"), "doc_id").toDF()
+      .select(col("doc_id"),
+        Multimodal.sniffModality(col("payload")).as("sniffed"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byBrand = Map(0 -> "audio/mp4", 1 -> "image/heic",
+      2 -> "image/heif", 3 -> "image/avif", 4 -> "video/mp4")
+    for (id <- 0L until 20L) {
+      val want = if (id % 10 == 3 || id % 10 == 4) "unknown"
+        else byBrand((id % 5).toInt)
+      assert(got(id) == want, s"id=$id")
+    }
+    // a truncated real-MP4 keeps its ftyp+brand and still routes video
+    val truncated = Multimodal.encodeVideoFixture(
+      Seq(6L).toDF("doc_id"), "doc_id").toDF()
+      .select(Multimodal.sniffModality(col("payload")))
+      .collect().head.getString(0)
+    assert(truncated == "video/mp4")
+  }
+
+  test("aviFrameRanges walks frame chunks wrapped in interleaved " +
+    "'rec ' LISTs; a child overrunning the rec extent refuses") {
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(fourcc: String, data: Array[Byte]): Array[Byte] =
+      fcc(fourcc) ++ le32(data.length.toLong) ++ data ++
+        (if (data.length % 2 == 1) Array[Byte](0)
+         else Array.emptyByteArray)
+    def list(listType: String, children: Array[Byte]): Array[Byte] =
+      fcc("LIST") ++ le32(4L + children.length) ++ fcc(listType) ++
+        children
+    val d1 = Array[Byte](1, 1, 1)
+    val d2 = Array[Byte](2, 2)
+    val d3 = Array[Byte](3, 3, 3, 3)
+    val d4 = Array[Byte](4)
+    val movi = list("movi",
+      chunk("00dc", d1) ++
+        list("rec ", chunk("00dc", d2) ++ chunk("JUNK", Array[Byte](9)) ++
+          chunk("01db", d3)) ++
+        chunk("00db", d4))
+    val body = fcc("AVI ") ++ movi
+    val avi = fcc("RIFF") ++ le32(body.length.toLong) ++ body
+    val got = Multimodal.aviFrameRanges(avi)
+    assert(got.nonEmpty, "rec-interleaved AVI must walk")
+    val frames = got.get.map { case (o, s) =>
+      java.util.Arrays.copyOfRange(avi, o.toInt, (o + s).toInt).toSeq }
+    assert(frames == IndexedSeq(d1.toSeq, d2.toSeq, d3.toSeq, d4.toSeq),
+      "frames must come back in stream order, rec children inline")
+    // a rec child whose declared size overruns the rec extent refuses
+    val bad = avi.clone()
+    val recAt = {
+      var i = 0
+      while (!(bad(i) == 'L' && bad(i + 1) == 'I' && bad(i + 2) == 'S' &&
+        bad(i + 3) == 'T' && bad(i + 8) == 'r')) i += 1
+      i
+    }
+    bad(recAt + 12 + 4) = 0x7f // first rec child's size := huge
+    assert(Multimodal.aviFrameRanges(bad).isEmpty)
+  }
+
   test("alignedFingerprintPairs matches the brute-force aligned " +
     "decision on the MJPEG fixture, through all three pair paths") {
     import spark.implicits._
