@@ -392,7 +392,8 @@ object Bench {
     "q278_video_neardup_pairs" -> 5.41,
     "q279_video_neardup_clusters" -> 4.87,
     "q280_video_dedup_agreement" -> 5.13,
-    "q281_video_shot_segments" -> 5.04)
+    "q281_video_shot_segments" -> 5.04,
+    "q282_stock_value_concentration" -> 1.0)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -618,6 +619,7 @@ object Bench {
     "q279_video_neardup_clusters" -> 698442L,
     "q280_video_dedup_agreement" -> 611386L,
     "q281_video_shot_segments" -> 1224740L,
+    "q282_stock_value_concentration" -> 1745780L,
     "q21_embedding_neardup_ivf" -> 5000834L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

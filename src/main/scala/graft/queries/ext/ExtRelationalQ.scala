@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Dec, Tables}
 import graft.operators.{Cohorts, Dedup, Diff, Drift, Joins, Multimodal, Packing, Profiling, Quantize, Retrieval, Rolling, Rules, Sampling, Scd, Scrub, SemiStructured, Similarity, Sketch, Skew, TextAnalysis, Trend}
 
-/** [[Ext]] family: relational breadth (joins, rules, scrubbing, SCD, semi-structured, misc) — queries q33, q34, q38, q43, q44, q46, q58, q59, q63, q64, q70, q75, q77, q78, q82, q85, q104, q109, q117, q118, q119, q121, q131, q155, q156, q158, q162, q168, q192, q198, q208, q210, q220, q223, q245, q246, q247, q248, q252, q258 (Q9), q259 (Q4), q264 (Q17), q268 (Q10), q269 (Q12), q270 (Q14).
+/** [[Ext]] family: relational breadth (joins, rules, scrubbing, SCD, semi-structured, misc) — queries q33, q34, q38, q43, q44, q46, q58, q59, q63, q64, q70, q75, q77, q78, q82, q85, q104, q109, q117, q118, q119, q121, q131, q155, q156, q158, q162, q168, q192, q198, q208, q210, q220, q223, q245, q246, q247, q248, q252, q258 (Q9), q259 (Q4), q264 (Q17), q268 (Q10), q269 (Q12), q270 (Q14), q282 (Q11).
   * Split from the monolithic Ext.scala in round 12
   * (pure relocation; helpers live in [[ExtHelpers]]). */
 private[queries] trait ExtRelationalQ { self: ExtHelpers =>
@@ -2356,5 +2356,82 @@ private[queries] trait ExtRelationalQ { self: ExtHelpers =>
       FROM lineitem
       JOIN part ON p_partkey = l_partkey
       WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'
+    """.trim))
+
+  // --------------------------------------------------------------- q282
+  /** q282 — national stock-value concentration (the TPC-H Q11 SHAPE:
+    * a grouped rollup kept by `HAVING sum(...) > fraction × GLOBAL
+    * scalar`, the last unpinned shape of the named set): the value
+    * mass each part holds with ONE nation's suppliers, keeping the
+    * parts whose mass exceeds a multiple of the average part's. The
+    * fixture has no partsupp table, so the per-(part, supplier)
+    * value book is derived from lineitem exactly as q248 derives
+    * Q2's offer book — `sum(extendedprice · quantity)` per pair is
+    * the `ps_supplycost · ps_availqty` analog.
+    *
+    * Threshold honesty: TPC-H's literal `fraction = 0.0001/SF` bakes
+    * the scale factor into the query; the SF-portable restatement
+    * keeps parts above `C × (total / n_parts)` — still exactly Q11's
+    * planner shape (the HAVING compares each group's sum against a
+    * product of GLOBAL aggregates), and the boundary cannot float:
+    * the division never happens, the comparison is CROSS-MULTIPLIED
+    * `value · n_parts > C · total` in exact DECIMAL (the q264/q246
+    * disciplines).
+    *
+    * Scale shape: nation→supplier is a constant-size broadcast chain
+    * pruning the fact first (~1/|nations| of lineitem); the pair book
+    * and the per-part rollup are partial-aggregated folds keyed
+    * l_partkey (the second reuses the first's hash partitioning —
+    * zero extra exchange); the global (total, n_parts) scalar is a
+    * ONE-ROW broadcast append onto the reduced |parts| frame — never
+    * a second corpus scan (the q246 discipline); the final DESC order
+    * is on the kept minority only. */
+  val q282: Q = Q(
+    "q282_stock_value_concentration",
+    (s, d) => {
+      val nsup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .where(col("n_name") === "NATION_3")
+          .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val pairBook = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"),
+          (Dec.d2(col("l_extendedprice")) * Dec.d2(col("l_quantity")))
+            .as("__v"))
+        .join(broadcast(nsup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("__v")).as("__pair_value"))
+      val byPart = pairBook.groupBy(col("l_partkey"))
+        .agg(sum(col("__pair_value")).as("__value"))
+      val g = byPart.agg(sum(col("__value")).as("__total"),
+        count(lit(1)).as("__n_parts"))
+      byPart.crossJoin(broadcast(g))
+        .where(col("__value") * col("__n_parts") >
+          col("__total") * lit(2))
+        .select(col("l_partkey").as("ps_partkey"),
+          Dec.outD(col("__value")).as("value"))
+        .orderBy(col("value").desc, col("ps_partkey"))
+    },
+    Some("""
+      WITH nsup AS (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_3'),
+      pair AS (
+        SELECT l_partkey, l_suppkey,
+          sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+            CAST(l_quantity AS DECIMAL(12,2))) AS pv
+        FROM lineitem JOIN nsup ON s_suppkey = l_suppkey
+        GROUP BY 1, 2),
+      byp AS (
+        SELECT l_partkey, sum(pv) AS v FROM pair GROUP BY 1),
+      g AS (
+        SELECT sum(v) AS total, count(*) AS n_parts FROM byp)
+      SELECT l_partkey AS ps_partkey, CAST(v AS DOUBLE) AS value
+      FROM byp, g
+      WHERE v * n_parts > total * 2
+      ORDER BY value DESC, ps_partkey
     """.trim))
 }

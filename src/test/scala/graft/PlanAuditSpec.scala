@@ -755,6 +755,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("partial_sum")) <= 1, p)
   }
 
+  test("q282: one lineitem pass feeds the pair book; the global " +
+    "scalar is a one-row broadcast append, never a second corpus scan") {
+    graft.engine.GraftSession.tune(spark)
+    val df = SparkEntry.queries("q282_stock_value_concentration")(
+      spark, sf)
+    df.collect() // reuse only materializes in the FINAL adaptive plan
+    val p = df.queryExecution.executedPlan.toString()
+    // the nation-supplier shortlist broadcasts onto the fact
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the HAVING scalar rides a BNLJ of the ONE-ROW (total, n_parts)
+    // aggregate — Q11's scalar subquery as a scalar-append
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the scalar branch re-reads the pair book's EXCHANGE, so the
+    // fact scans once: exactly one live lineitem scan, the second
+    // appearance only as a reused stage
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage")
+      || p.linesIterator.count(l => l.contains("Scan parquet") &&
+        l.contains("lineitem")) == 1, p)
+  }
+
   test("q155: both fact predicates are pushed to their scans; the " +
     "constant dims broadcast") {
     val p = plan("q155_regional_volume")
@@ -1029,7 +1050,11 @@ class PlanAuditSpec extends SparkSpec {
       "q273_crossmodal_dedup_policies",
       // q280: the ONE-ROW exact-side summary × ONE-ROW perceptual-side
       // summary — q267's 1×1 eval-rung shape on the video modality
-      "q280_video_dedup_agreement")
+      "q280_video_dedup_agreement",
+      // q282: the ONE-ROW (total, n_parts) global scalar appended to
+      // the |parts|-keyed rollup for the cross-multiplied HAVING —
+      // Q11's scalar subquery as q246's broadcast scalar-append
+      "q282_stock_value_concentration")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()
