@@ -393,7 +393,8 @@ object Bench {
     "q279_video_neardup_clusters" -> 4.87,
     "q280_video_dedup_agreement" -> 5.13,
     "q281_video_shot_segments" -> 5.04,
-    "q282_stock_value_concentration" -> 1.0)
+    "q282_stock_value_concentration" -> 1.0,
+    "q283_shot_sample_schedule" -> 5.39)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -620,6 +621,7 @@ object Bench {
     "q280_video_dedup_agreement" -> 611386L,
     "q281_video_shot_segments" -> 1224740L,
     "q282_stock_value_concentration" -> 1745780L,
+    "q283_shot_sample_schedule" -> 2035564L,
     "q21_embedding_neardup_ivf" -> 5000834L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

@@ -1560,7 +1560,23 @@ object Multimodal {
     * (doc_id, shot_idx, start_frame, end_frame, n_frames). */
   def videoShotSegments(frameFps: DataFrame, idCol: String,
       frameCol: String, fpCol: String, cutHamming: Int = 8)
-      : DataFrame = {
+      : DataFrame =
+    videoShotLabels(frameFps, idCol, frameCol, fpCol, cutHamming)
+      .groupBy(col("doc_id"), col("shot_idx"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"))
+      .orderBy(col("doc_id"), col("shot_idx"))
+
+  /** The per-frame half of [[videoShotSegments]]: each observed
+    * frame's shot label — (doc_id, frame_idx, shot_idx) — before the
+    * per-shot fold. Exposed so [[shotSampleSchedule]] can address
+    * OBSERVED frames positionally inside a shot (a schedule written
+    * off the folded (start, end) spans would seek decode-failure
+    * gaps). */
+  private[graft] def videoShotLabels(frameFps: DataFrame,
+      idCol: String, frameCol: String, fpCol: String,
+      cutHamming: Int): DataFrame = {
     require(cutHamming >= 0 && cutHamming < 64,
       s"cutHamming=$cutHamming out of range")
     import org.apache.spark.sql.expressions.Window
@@ -1574,11 +1590,58 @@ object Multimodal {
       .withColumn("shot_idx", sum(col("__cut")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         - 1L)
-      .groupBy(col("doc_id"), col("shot_idx"))
-      .agg(min(col("frame_idx")).as("start_frame"),
-        max(col("frame_idx")).as("end_frame"),
-        count(lit(1)).as("n_frames"))
-      .orderBy(col("doc_id"), col("shot_idx"))
+      .select(col("doc_id"), col("frame_idx"), col("shot_idx"))
+  }
+
+  /** SHOT-ADAPTIVE frame-sample schedule — the q281 ∘ q238
+    * composition: a per-video budget of `k` frame seeks, split across
+    * the video's shots IN PROPORTION TO SHOT LENGTH (every shot gets
+    * at least one — the whole point of shot-adaptive sampling: a
+    * uniform stride starves short shots and wastes budget on static
+    * ones), each shot sampled at its own positional midpoints.
+    * Pure integer arithmetic end-to-end:
+    *  - `k_s = max(1, (k · n_s) div F)` seeks for a shot of `n_s`
+    *    observed frames in a video of `F` (⌊·⌋ keeps Σk_s ≤ k + the
+    *    short-shot floor — the floor is the policy, not rounding),
+    *  - seek j lands on the shot's OBSERVED frame at position
+    *    `(n_s · (2j + 1)) div (2 · k_s)` (q238's midpoint rule applied
+    *    within the shot) — positions index observed frames, so a
+    *    decode-failure gap can never be seeked.
+    *
+    * Scale shape: the q281 label pass (one per-video window) + one
+    * per-(video, shot) positional window + two reduced folds
+    * (per-shot sizes, per-video totals) re-attached by co-keyed
+    * shuffle joins — the shot frame scales with the corpus and is
+    * never broadcast. Output (doc_id, shot_idx, sample_idx,
+    * frame_idx) ordered. */
+  def shotSampleSchedule(frameFps: DataFrame, idCol: String,
+      frameCol: String, fpCol: String, cutHamming: Int = 8,
+      k: Int = 4): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val labeled = videoShotLabels(frameFps, idCol, frameCol, fpCol,
+      cutHamming)
+    val pos = labeled.withColumn("__pos",
+      row_number().over(Window.partitionBy(col("doc_id"),
+        col("shot_idx")).orderBy(col("frame_idx"))) - 1L)
+    val sizes = labeled.groupBy(col("doc_id"), col("shot_idx"))
+      .agg(count(lit(1)).as("__n_s"))
+    val totals = sizes.groupBy(col("doc_id"))
+      .agg(sum(col("__n_s")).as("__f"))
+    val targets = sizes.join(totals, Seq("doc_id"))
+      .withColumn("__k_s",
+        greatest(lit(1L), expr(s"($k * __n_s) div __f")))
+      .select(col("doc_id"), col("shot_idx"), col("__n_s"),
+        col("__k_s"),
+        explode(sequence(lit(0L), col("__k_s") - 1L))
+          .as("sample_idx"))
+      .select(col("doc_id"), col("shot_idx"), col("sample_idx"),
+        expr("(__n_s * (2 * sample_idx + 1)) div (2 * __k_s)")
+          .as("__pos"))
+    targets.join(pos, Seq("doc_id", "shot_idx", "__pos"))
+      .select(col("doc_id"), col("shot_idx"), col("sample_idx"),
+        col("frame_idx"))
+      .orderBy(col("doc_id"), col("shot_idx"), col("sample_idx"))
   }
 
   /** The per-frame byte ranges of an MJPEG AVI payload — (offset,

@@ -1316,6 +1316,65 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       ORDER BY doc_id, shot_idx
     """.trim))
 
+  // --------------------------------------------------------------- q283
+  /** q283 — SHOT-ADAPTIVE frame-sample schedule
+    * ([[Multimodal.shotSampleSchedule]] = q281 ∘ q238): a per-video
+    * budget of 4 seeks split across shots in proportion to shot
+    * length (every shot ≥ 1 — uniform strides starve short shots),
+    * each shot seeked at its own positional midpoints over OBSERVED
+    * frames, so decode-failure gaps are never addressed. Pure
+    * integer arithmetic: `k_s = max(1, (4·n_s) div F)`, seek j at
+    * position `(n_s·(2j+1)) div (2·k_s)`. Runs on the
+    * scene-structured fixture, where shots ≡ scenes and the oracle
+    * replays the whole schedule — shot table, allocation, midpoint
+    * positions — from id arithmetic (incl. the dropped-frame family,
+    * whose shot has one fewer position). */
+  val q283: Q = Q(
+    "q283_shot_sample_schedule",
+    (s, d) =>
+      Multimodal.shotSampleSchedule(
+        Multimodal.videoFrameFingerprints(
+          Multimodal.encodeSceneMjpegFixture(Tables.documents(s, d),
+            "doc_id"))
+          .toDF().where(col("ok") === 1L)
+          .select(col("doc_id"), col("frame_idx"), col("fp")),
+        "doc_id", "frame_idx", "fp", cutHamming = 8, k = 4),
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, 2 + doc_id % 3 AS s
+        FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0
+          AND doc_id % 10 NOT IN (3, 6)),
+      obs AS (
+        SELECT doc_id, f.f AS frame_idx, f.f // 3 AS scene
+        FROM ids, (SELECT unnest(range(12)) AS f) f
+        WHERE f.f < s * 3
+          AND NOT (doc_id % 10 = 9 AND f.f = 1)),
+      pos AS (
+        SELECT doc_id, scene, frame_idx,
+          row_number() OVER (PARTITION BY doc_id, scene
+            ORDER BY frame_idx) - 1 AS p
+        FROM obs),
+      shots AS (
+        SELECT doc_id, scene, count(*) AS n_s FROM obs GROUP BY 1, 2),
+      tot AS (
+        SELECT doc_id, CAST(sum(n_s) AS BIGINT) AS f
+        FROM shots GROUP BY 1),
+      alloc AS (
+        SELECT shots.doc_id, scene, n_s,
+          CAST(greatest(1, (4 * n_s) // f) AS BIGINT) AS k_s
+        FROM shots JOIN tot USING (doc_id)),
+      tgt AS (
+        SELECT doc_id, scene, CAST(u.j AS BIGINT) AS sample_idx,
+          (n_s * (2 * u.j + 1)) // (2 * k_s) AS p
+        FROM alloc, LATERAL unnest(range(k_s)) AS u(j))
+      SELECT t.doc_id, CAST(t.scene AS BIGINT) AS shot_idx,
+        t.sample_idx, CAST(p.frame_idx AS BIGINT) AS frame_idx
+      FROM tgt t JOIN pos p ON p.doc_id = t.doc_id
+        AND p.scene = t.scene AND p.p = t.p
+      ORDER BY t.doc_id, shot_idx, sample_idx
+    """.trim))
+
   // --------------------------------------------------------------- q273
   /** q273 — cross-modal dedup POLICY masses (the DECISION layer over
     * q271's agreement): how many paired (caption, image) rows survive

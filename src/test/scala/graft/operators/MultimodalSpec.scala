@@ -612,6 +612,36 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.aviFrameRanges(overrun).isEmpty)
   }
 
+  test("shotSampleSchedule: proportional integer allocation with a " +
+    "1-seek floor; midpoints index OBSERVED frames, never gaps") {
+    import spark.implicits._
+    // one video, two shots: frames 0..5 fp=0 except frame 3 MISSING
+    // (decode gap), frames 6..7 fp with Hamming 40 from shot 1
+    val far = (1L << 40) - 1 // bit_count = 40
+    val fps = (Seq(0L, 1L, 2L, 4L, 5L).map(f => (9L, f, 0L)) ++
+      Seq((9L, 6L, far), (9L, 7L, far)))
+      .toDF("doc_id", "frame_idx", "fp")
+    // F = 7, k = 4: shot0 n=5 -> k_s = max(1, 20/7) = 2;
+    // shot1 n=2 -> k_s = max(1, 8/7) = 1
+    // shot0 midpoints: p = (5*1)/4 = 1, (5*3)/4 = 3 -> observed
+    //   frames at positions 1,3 of [0,1,2,4,5] = frames 1 and 4
+    //   (frame 3 is a gap and must never be seeked)
+    // shot1 midpoint: p = (2*1)/2 = 1 -> frame 7
+    val got = Multimodal.shotSampleSchedule(fps, "doc_id",
+      "frame_idx", "fp", cutHamming = 8, k = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq((0L, 0L, 1L), (0L, 1L, 4L), (1L, 0L, 7L)), got)
+    // budget floor: a 3-shot video at k = 2 still seeks every shot
+    val tiny = Seq((5L, 0L, 0L), (5L, 1L, far),
+      (5L, 2L, far ^ ((1L << 50) - 1)))
+      .toDF("doc_id", "frame_idx", "fp")
+    val floor = Multimodal.shotSampleSchedule(tiny, "doc_id",
+      "frame_idx", "fp", cutHamming = 8, k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
+    assert(floor == Seq((0L, 0L), (1L, 1L), (2L, 2L)), floor)
+  }
+
   test("sniffModality dispatches ISO-BMFF payloads on the major " +
     "brand: M4A audio, heic/mif1/avif images, else video/mp4") {
     import spark.implicits._
