@@ -992,10 +992,14 @@ object Main {
     import org.apache.spark.sql.functions.col
     val M = graft.operators.Multimodal
     val docs = spark.read.parquet(docsParquet)
-    // class = (id/4) % 4, NOT id % 4: the corrupt families live on
-    // id % 10 residues, and a parity-pure class would silently lose
-    // its truncation members (truncated ids are even)
-    val cls = (col("doc_id") / 4).cast("long") % 4
+    // class = (id/4 + id/20) % 5: plain (id/4) % 5 has period 20,
+    // which ALIGNS with the fixtures' id % 10 corruption residues —
+    // each class would meet a fixed residue quadruple forever and
+    // silently lose some corruption family (the r15 parity-split
+    // lesson one level up). The per-20-block rotation (+ id/20)
+    // walks every class through every residue across blocks.
+    val cls = ((col("doc_id") / 4).cast("long") +
+      (col("doc_id") / 20).cast("long")) % 5
     M.encodeGradientImageFixture(
         docs.where(cls === 0), "doc_id").toDF()
       .unionByName(M.encodeWaveformFixture(
@@ -1004,6 +1008,8 @@ object Main {
         docs.where(cls === 2), "doc_id").toDF())
       .unionByName(M.encodeMjpegFixture(
         docs.where(cls === 3), "doc_id").toDF())
+      .unionByName(M.encodeGifFixture(
+        docs.where(cls === 4), "doc_id").toDF())
       .write.mode("overwrite").parquet(outDir)
     spark.read.parquet(outDir).count()
   }

@@ -92,14 +92,30 @@ object MediaPipeline {
       // its cluster closure AND the decoded count, and without the
       // persist the decode pass would run once per consumer (the
       // q255/DhashStore lesson).
+      // image, two-tier by coding (the video-branch discipline):
+      //   GIF — per-frame dHash → aligned sequence clusters (animated
+      //     GIFs are multi-frame; statics degenerate to one frame)
+      //   everything else — single dHash → fingerprint clusters
+      // The universes are disjoint by magic, so counts add.
+      val imgRouted = routedOf("image")
+      val isGif = Multimodal.sniffModality(col("payload")) ===
+        "image/gif"
       val imgFp = scope.persist(
-        Multimodal.imageDhash(asMedia(routedOf("image"))).toDF()
+        Multimodal.imageDhash(asMedia(imgRouted.where(!isGif))).toDF()
           .where(col("ok") === 1L)
           .select(col("doc_id"), col("dhash").as("fp")))
-      val decodedImage = imgFp.count()
+      val gifFp = scope.persist(
+        Multimodal.gifFrameFingerprints(asMedia(imgRouted.where(isGif)))
+          .toDF().where(col("ok") === 1L)
+          .select(col("doc_id"), col("frame_idx"), col("fp")))
+      val decodedImage = imgFp.count() +
+        gifFp.select(col("doc_id")).distinct().count()
       val keepImage = Dedup.fingerprintClusters(imgFp, "doc_id", "fp",
           maxHamming = maxHamming, bits = 64)
         .where(col("is_canonical")).select(col("doc_id"))
+        .unionByName(Dedup.alignedFingerprintClusters(gifFp, "doc_id",
+            "frame_idx", "fp", maxHamming = maxHamming, bits = 64)
+          .where(col("is_canonical")).select(col("doc_id")))
 
       val audFp = scope.persist(
         Multimodal.audioFingerprints(asMedia(routedOf("audio"))).toDF()

@@ -297,10 +297,10 @@ object Multimodal {
     * ([[decodeImageMeta]]/[[decodeAudioMeta]]/[[decodeVideoMeta]])
     * wastes a full SPI probe on misrouted payloads. The router is the
     * cheap row-local pre-pass production pipelines actually run:
-    * first-bytes signatures for PNG (\\x89PNG), JPEG (FF D8 FF),
-    * RIFF/WAVE, RIFF/AVI (MJPEG — byte 8 splits the shared RIFF
-    * prefix), FORM/AIFF, ISO-BMFF (`ftyp` at offset 4), else
-    * `unknown`. ISO-BMFF payloads dispatch on the MAJOR BRAND (the
+    * first-bytes signatures for PNG (\\x89PNG), GIF (GIF87a/GIF89a),
+    * JPEG (FF D8 FF), RIFF/WAVE, RIFF/AVI (MJPEG — byte 8 splits the
+    * shared RIFF prefix), FORM/AIFF, ISO-BMFF (`ftyp` at offset 4),
+    * else `unknown`. ISO-BMFF payloads dispatch on the MAJOR BRAND (the
     * four bytes after `ftyp` — r16 verdict: the family is a shared
     * container, not a video format): `M4A ` is M4A audio,
     * `heic`/`mif1`/`avif` are HEIF-family still images, anything
@@ -317,6 +317,9 @@ object Multimodal {
       substring(payload, pos, len)
     when(bytesAt(1, 4) === lit(Array[Byte](0x89.toByte, 'P', 'N', 'G')),
       "image/png")
+      .when(bytesAt(1, 6) === lit("GIF87a".getBytes("US-ASCII")) ||
+        bytesAt(1, 6) === lit("GIF89a".getBytes("US-ASCII")),
+        "image/gif")
       .when(bytesAt(1, 3) ===
         lit(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte)),
         "image/jpeg")
@@ -1243,10 +1246,32 @@ object Multimodal {
     * 9×8 grid (no block may be empty) — data, not exceptions. */
   def dhash64(payload: Array[Byte]): Option[Long] =
     try {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(payload))
+      dhashImage(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** [[dhash64]]'s in-memory half — hash an already-decoded frame
+    * (the GIF rung decodes many frames per payload through one
+    * reader, so the decode and the hash must separate). Palette
+    * images (GIF/indexed PNG) are normalized through their
+    * `IndexColorModel` first: the raster sample of an indexed image
+    * is the palette INDEX, not the luminance, and hashing indices
+    * would tie the fingerprint to palette ORDER (an encoder artifact
+    * a re-encode shuffles) instead of pixel content. The palette
+    * lookup is table-indexing, exact — for a gray palette the
+    * round-trip is still the identity. */
+  private[graft] def dhashImage(img: java.awt.image.BufferedImage)
+      : Option[Long] =
+    try {
       if (img == null || img.getWidth < 9 || img.getHeight < 8) None
-      else {
+      else if (img.getColorModel
+          .isInstanceOf[java.awt.image.IndexColorModel]) {
+        val rgb = new java.awt.image.BufferedImage(img.getWidth,
+          img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = rgb.createGraphics()
+        try g.drawImage(img, 0, 0, null) finally g.dispose()
+        dhashImage(rgb)
+      } else {
         val ras = img.getRaster
         val bands = ras.getNumBands
         val w = img.getWidth
@@ -1423,6 +1448,19 @@ object Multimodal {
     * bits of `rowPattern(r)` — the [[encodeMjpegFixture]] frame
     * writer, shared with the scene-structured fixture. */
   private def flatBlockJpeg(rowPattern: Int => Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(flatBlockImage(rowPattern), "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** The 72×64 flat-block frame shared by the MJPEG and GIF fixtures:
+    * 9×8 cells of 8×8 pixels, each flat at a 24-step gray level
+    * walked ±1 by the row's pattern bits — sized so the dHash row
+    * byte IS the pattern byte, exactly (lossily for JPEG thanks to
+    * the 24-level separation; bit-exactly for GIF's lossless
+    * palette). */
+  private def flatBlockImage(rowPattern: Int => Int)
+      : java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(
       72, 64, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val ras = img.getRaster
@@ -1447,9 +1485,7 @@ object Multimodal {
       }
       r += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "jpg", bos)
-    bos.toByteArray
+    img
   }
 
   /** Assemble a standard MJPEG AVI around complete JPEG frames, with
@@ -1812,6 +1848,117 @@ object Multimodal {
         }
       }
     }
+
+  /** The decoded frames of a GIF payload — one for a static GIF, one
+    * per stored frame for an animated one (the SECOND multi-frame
+    * coding the JDK honestly decodes, after MJPEG/AVI; ubiquitous in
+    * web crawls). TOTAL over hostile input with the house contract:
+    * wrong magic (`GIF87a`/`GIF89a` checked BEFORE any reader probe),
+    * truncation, any reader/decode failure, zero frames, or a
+    * hostile frame count (> 1024) all yield None — errors are data,
+    * never exceptions. Frames are returned as stored (the fixtures
+    * write full replacement frames; delta-composited animations
+    * fingerprint their stored deltas, which is still a pure function
+    * of the payload — the dedup contract needs determinism, not
+    * player-perfect compositing). */
+  def gifFrames(payload: Array[Byte])
+      : Option[IndexedSeq[java.awt.image.BufferedImage]] =
+    try {
+      if (payload.length < 6) return None
+      val magic = new String(payload, 0, 6, "US-ASCII")
+      if (magic != "GIF87a" && magic != "GIF89a") return None
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false, true)
+          val n = reader.getNumImages(true)
+          if (n < 1 || n > 1024) return None
+          Some((0 until n).map(reader.read(_): java.awt.image
+            .BufferedImage))
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Distributed per-frame perceptual fingerprints of GIFs — the
+    * [[videoFrameFingerprints]] contract on the GIF coding: decode
+    * ONCE, dHash each frame (palette-normalized — [[dhashImage]]),
+    * after which every dedup question is `frames × 8 bytes`, never
+    * the payload. Static GIFs emit one row (their aligned-sequence
+    * signature degenerates to the single-image dHash); undecodable
+    * containers emit none; a frame smaller than the 9×8 dHash grid is
+    * an `ok = 0` row. */
+  def gifFrameFingerprints(media: Dataset[MediaRecord])
+      : Dataset[VideoFrameFp] =
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        gifFrames(r.payload) match {
+          case Some(frames) => frames.iterator.zipWithIndex.map {
+            case (img, i) => dhashImage(img) match {
+              case Some(fp) => VideoFrameFp(r.doc_id, i.toLong, 1L,
+                Some(fp))
+              case None => VideoFrameFp(r.doc_id, i.toLong, 0L, None)
+            }
+          }
+          case None => Iterator.empty
+        }
+      }
+    }
+
+  /** REAL-BYTES GIF fixture: per doc id, an actual `ImageIO` GIF
+    * writer sequence of `1 + (id%12) % 3` flat-block frames (1 =
+    * STATIC, 2–3 = animated) — the [[encodeMjpegFixture]] pattern
+    * discipline on a LOSSLESS coding, so the per-frame dHash row
+    * byte IS the pattern byte `P[(g·7 + f·5 + r + 2·[v=2]) % 4]`
+    * bit-exactly (no 24-level codec-error argument needed; the
+    * 24-step alphabet is kept anyway so the frames share the MJPEG
+    * fixture's geometry). Variant structure for the dedup ladder:
+    * v0/v1 differ by ONE dHash bit in frame 0 (near-dup), v2 shifts
+    * the pattern phase (a different stream). Corruption families:
+    * `id%10 ∈ {3,4}` zeroes the magic (router → unknown, no rows),
+    * `id%10 = 6` truncates to 16 bytes (magic intact — routes — but
+    * the decode refuses: no rows). */
+  def encodeGifFixture(docs: DataFrame, idCol: String)
+      : Dataset[MediaRecord] = {
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+      .where(col("doc_id").isNotNull && col("doc_id") >= 0)
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    ids.as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val g = (id % 12).toInt
+        val v = ((id / 12) % 3).toInt
+        val n = 1 + g % 3
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        try {
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          (0 until n).foreach { f =>
+            val img = flatBlockImage { r =>
+              val pb = mjpegPatterns(
+                (g * 7 + f * 5 + r + (if (v == 2) 2 else 0)) % 4)
+              if (v == 1 && f == 0 && r == 0) pb ^ 8 else pb
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+          }
+          writer.endWriteSequence()
+        } finally { writer.dispose(); ios.close() }
+        var bytes = bos.toByteArray
+        if (id % 10 == 3 || id % 10 == 4) {
+          bytes(0) = 0; bytes(1) = 0; bytes(2) = 0
+        } else if (id % 10 == 6) bytes = bytes.take(16)
+        MediaRecord(id, s"memory://gif/$id", "image/gif", bytes)
+      }
+    }
+  }
 
   /** MEDIA CATALOG PROFILE — the first readout a multimodal curation
     * team asks of a freshly-decoded corpus: per modality, how healthy

@@ -574,7 +574,8 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
   /** q263 — MODALITY ROUTER health ([[Multimodal.sniffModality]]):
     * sniff every payload's container from MAGIC BYTES across a mixed
     * media lake (all three fixture encoders, routed by id % 3, PLUS
-    * the ISO-BMFF brand fixture over the video ids — r17) and
+    * the ISO-BMFF brand fixture over the video ids and the GIF
+    * fixture over the image ids — r17) and
     * report the declared-vs-sniffed confusion — the pre-decode
     * dispatch check production runs because crawler mimes lie.
     * Corrupted magics surface as `unknown` against their declared
@@ -596,6 +597,8 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
           docs.where(col("doc_id") % 3 === 2), "doc_id").toDF())
         .unionByName(Multimodal.encodeIsoBrandFixture(
           docs.where(col("doc_id") % 3 === 2), "doc_id").toDF())
+        .unionByName(Multimodal.encodeGifFixture(
+          docs.where(col("doc_id") % 3 === 0), "doc_id").toDF())
       mixed.select(col("mime").as("declared"),
           Multimodal.sniffModality(col("payload")).as("sniffed"))
         .groupBy(col("declared"), col("sniffed"))
@@ -635,9 +638,15 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
             WHEN doc_id % 5 = 3 THEN 'image/avif'
             ELSE 'video/mp4' END AS sniffed
         FROM ids WHERE doc_id % 3 = 2),
+      mg AS (
+        SELECT doc_id, 'image/gif' AS declared,
+          CASE WHEN doc_id % 10 IN (3, 4) THEN 'unknown'
+            ELSE 'image/gif' END AS sniffed
+        FROM ids WHERE doc_id % 3 = 0),
       allm AS (
         SELECT declared, sniffed FROM m
-        UNION ALL SELECT declared, sniffed FROM mb)
+        UNION ALL SELECT declared, sniffed FROM mb
+        UNION ALL SELECT declared, sniffed FROM mg)
       SELECT declared, sniffed, CAST(count(*) AS BIGINT) AS n,
         declared = sniffed AS agree
       FROM allm GROUP BY 1, 2 ORDER BY 1, 2
@@ -1373,6 +1382,113 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       FROM tgt t JOIN pos p ON p.doc_id = t.doc_id
         AND p.scene = t.scene AND p.p = t.p
       ORDER BY t.doc_id, shot_idx, sample_idx
+    """.trim))
+
+  // --------------------------------------------------------------- q284
+  /** The shared fps CTE of the GIF rung (q284/q285): replay
+    * [[Multimodal.encodeGifFixture]]'s per-frame dHash as pure id
+    * arithmetic — row `r` of frame `f` carries pattern byte
+    * `P[(g·7 + f·5 + r + 2·[variant=2]) % 4]` (P = 85/170/43/212),
+    * bit 3 of frame 0 row 0 XOR-flipped for variant 1, composed with
+    * the bit-63 MIN_BIGINT trick. No codec-error argument needed —
+    * GIF is lossless — but the 24-level flat-block geometry is the
+    * MJPEG fixture's, shared. */
+  private def gifFpsCte: String = """
+      gids AS (
+        SELECT doc_id, doc_id % 12 AS g, (doc_id // 12) % 3 AS variant
+        FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0
+          AND doc_id % 10 NOT IN (3, 4, 6)),
+      gframes AS (
+        SELECT doc_id, g, variant, f.f AS frame_idx
+        FROM gids, (SELECT unnest(range(3)) AS f) f
+        WHERE f.f < 1 + g % 3),
+      growbytes AS (
+        SELECT doc_id, frame_idx, r.r AS r,
+          xor(CASE CAST((g * 7 + frame_idx * 5 + r.r +
+                CASE WHEN variant = 2 THEN 2 ELSE 0 END) % 4 AS INT)
+            WHEN 0 THEN 85 WHEN 1 THEN 170 WHEN 2 THEN 43
+            ELSE 212 END,
+            CASE WHEN variant = 1 AND frame_idx = 0 AND r.r = 0
+                 THEN 8 ELSE 0 END) AS pb
+        FROM gframes, (SELECT unnest(range(8)) AS r) r),
+      gfps AS (
+        SELECT doc_id, frame_idx,
+          CAST(sum(CASE WHEN r = 7 AND pb >= 128
+            THEN -9223372036854775808 + ((pb % 128)::BIGINT << 56)
+            ELSE pb::BIGINT << (8 * r) END) AS BIGINT) AS fp
+        FROM growbytes GROUP BY doc_id, frame_idx)"""
+
+  /** q284 — per-frame GIF perceptual fingerprints: the decode pass of
+    * the SECOND multi-frame coding the JDK honestly decodes
+    * ([[Multimodal.gifFrameFingerprints]] over
+    * [[Multimodal.encodeGifFixture]] — static 1-frame GIFs, animated
+    * 2–3-frame ones, zeroed-magic and truncated corruption families
+    * contributing no rows). GIF is LOSSLESS, so the oracle replays
+    * every hash bit-exactly with no codec-error argument — the
+    * easier sibling of q277's through-the-codec proof. */
+  val q284: Q = Q(
+    "q284_gif_frame_fingerprints",
+    (s, d) =>
+      Multimodal.gifFrameFingerprints(
+        Multimodal.encodeGifFixture(Tables.documents(s, d), "doc_id"))
+        .toDF().orderBy(col("doc_id"), col("frame_idx")),
+    Some(s"""
+      WITH $gifFpsCte
+      SELECT doc_id, frame_idx, CAST(1 AS BIGINT) AS ok, fp
+      FROM gfps ORDER BY doc_id, frame_idx
+    """.trim))
+
+  // --------------------------------------------------------------- q285
+  /** q285 — GIF near-dup CLUSTERS: the aligned-sequence machinery
+    * ([[Dedup.alignedFingerprintClusters]] — exact signature collapse,
+    * per-position pigeonhole, duplicate-mass-bounded broadcasts)
+    * applied unchanged to the GIF rung: static GIFs degenerate to
+    * single-image dHash identity, animated ones match frame-by-frame
+    * (the v0/v1 one-bit tweak is a cross-signature near-dup, v2 a
+    * separate stream). Oracle: brute-force aligned Hamming pairs over
+    * the replayed fps, closed with the q279 recursive CTE. */
+  val q285: Q = Q(
+    "q285_gif_neardup_clusters",
+    (s, d) => {
+      val fps = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.gifFrameFingerprints(
+          Multimodal.encodeGifFixture(Tables.documents(s, d),
+            "doc_id"))
+          .toDF().where(col("ok") === 1L)
+          .select(col("doc_id"), col("frame_idx"), col("fp")))
+      Dedup.alignedFingerprintClusters(fps, "doc_id", "frame_idx",
+        "fp", maxHamming = 3, bits = 64)
+    },
+    Some(s"""
+      WITH RECURSIVE $gifFpsCte,
+      cnt AS (SELECT doc_id, count(*) AS n FROM gfps GROUP BY doc_id),
+      m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          count(*) AS n_match
+        FROM gfps a JOIN gfps b
+          ON a.frame_idx = b.frame_idx AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        GROUP BY 1, 2),
+      gpairs AS (
+        SELECT doc_a, doc_b FROM m
+        JOIN cnt ca ON ca.doc_id = m.doc_a
+        JOIN cnt cb ON cb.doc_id = m.doc_b
+        WHERE 2 * m.n_match >= greatest(ca.n, cb.n)),
+      guniverse AS (SELECT DISTINCT doc_id FROM gfps),
+      gedges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM gpairs
+        UNION ALL SELECT doc_b, doc_a FROM gpairs),
+      reach(doc_id, via) AS (
+        SELECT doc_id, doc_id FROM guniverse
+        UNION
+        SELECT r.doc_id, e.dst FROM reach r
+        JOIN gedges e ON e.src = r.via),
+      comp AS (
+        SELECT doc_id, min(via) AS cluster_id FROM reach
+        GROUP BY doc_id)
+      SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
+      FROM comp ORDER BY doc_id
     """.trim))
 
   // --------------------------------------------------------------- q273

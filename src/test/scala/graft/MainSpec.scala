@@ -458,16 +458,28 @@ class MainSpec extends SparkSpec {
     assert(st.unroutable > 0, "fixture must exercise the quarantine")
     assert(st.raw == st.routedImage + st.routedAudio + st.routedVideo +
       st.unroutable)
-    // keep decision ≡ the ONE-SHOT q261 canonical set over the same
-    // routed image rows (the composition adds nothing and loses nothing)
+    // keep decision ≡ the ONE-SHOT canonical sets over the same
+    // routed image rows (the composition adds nothing and loses
+    // nothing): q261's dHash clusters for stills, q285's aligned
+    // sequence clusters for the GIF tier — disjoint by magic
     val routedImg = spark.read.parquet(s"$base/out/routed")
       .where(col("modality") === "image")
       .select(col("doc_id"), col("uri"), col("mime"), col("payload"))
+    val gifPred = M.sniffModality(col("payload")) === "image/gif"
     val oneShot = graft.operators.Dedup.fingerprintClusters(
-        M.imageDhash(routedImg.as[M.MediaRecord](M.mediaRecordEnc))
+        M.imageDhash(routedImg.where(!gifPred)
+            .as[M.MediaRecord](M.mediaRecordEnc))
           .toDF().where(col("ok") === 1L)
           .select(col("doc_id"), col("dhash").as("fp")),
         "doc_id", "fp", 3, 64)
+      .where(col("is_canonical"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet ++
+      graft.operators.Dedup.alignedFingerprintClusters(
+        M.gifFrameFingerprints(routedImg.where(gifPred)
+            .as[M.MediaRecord](M.mediaRecordEnc))
+          .toDF().where(col("ok") === 1L)
+          .select(col("doc_id"), col("frame_idx"), col("fp")),
+        "doc_id", "frame_idx", "fp", 3, 64)
       .where(col("is_canonical"))
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     val curatedImg = spark.read.parquet(s"$base/out/curated")

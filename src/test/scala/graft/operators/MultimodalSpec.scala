@@ -612,6 +612,59 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.aviFrameRanges(overrun).isEmpty)
   }
 
+  test("gifFrameFingerprints round-trips the GIF fixture bit-exactly: " +
+    "static + animated frames hash to the pattern bytes, corrupt and " +
+    "truncated containers emit no rows, router sniffs image/gif") {
+    import spark.implicits._
+    val ids = (0L until 80L)
+    val media = Multimodal.encodeGifFixture(ids.toDF("doc_id"),
+      "doc_id")
+    val got = Multimodal.gifFrameFingerprints(media)
+      .collect().groupBy(_.doc_id)
+    val patterns = Array(0x55, 0xaa, 0x2b, 0xd4)
+    def refFp(id: Long, f: Int): Long = {
+      val g = (id % 12).toInt
+      val v = ((id / 12) % 3).toInt
+      var fp = 0L
+      for (r <- 0 until 8) {
+        var pb = patterns((g * 7 + f * 5 + r +
+          (if (v == 2) 2 else 0)) % 4)
+        if (v == 1 && f == 0 && r == 0) pb ^= 8
+        fp |= pb.toLong << (8 * r)
+      }
+      fp
+    }
+    for (id <- ids) {
+      val g = (id % 12).toInt
+      if (id % 10 == 3 || id % 10 == 4 || id % 10 == 6)
+        assert(!got.contains(id), s"id=$id must refuse")
+      else {
+        val rows = got(id).sortBy(_.frame_idx)
+        assert(rows.length == 1 + g % 3, s"id=$id frame count")
+        for (row <- rows) {
+          assert(row.ok == 1L, s"id=$id f=${row.frame_idx}")
+          assert(row.fp.contains(refFp(id, row.frame_idx.toInt)),
+            s"id=$id f=${row.frame_idx}: GIF round-trip drifted")
+        }
+      }
+    }
+    // the router: intact GIFs sniff image/gif (incl. the truncated
+    // family — magic survives), zeroed magic sniffs unknown
+    val sniffed = media.toDF()
+      .select(col("doc_id"), Multimodal.sniffModality(col("payload"))
+        .as("sn"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (id <- ids)
+      assert(sniffed(id) ==
+        (if (id % 10 == 3 || id % 10 == 4) "unknown" else "image/gif"),
+        s"id=$id sniff")
+    // dhash64 on a whole GIF payload (the still-image path) hashes
+    // frame 0 — the two rungs agree on statics
+    val stat = media.toDF().where(col("doc_id") === 12L)
+      .collect().head.getAs[Array[Byte]]("payload")
+    assert(Multimodal.dhash64(stat).contains(refFp(12L, 0)))
+  }
+
   test("shotSampleSchedule: proportional integer allocation with a " +
     "1-seek floor; midpoints index OBSERVED frames, never gaps") {
     import spark.implicits._
