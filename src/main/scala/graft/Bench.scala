@@ -396,7 +396,8 @@ object Bench {
     "q282_stock_value_concentration" -> 1.0,
     "q283_shot_sample_schedule" -> 5.39,
     "q284_gif_frame_fingerprints" -> 3.16,
-    "q285_gif_neardup_clusters" -> 5.03)
+    "q285_gif_neardup_clusters" -> 5.03,
+    "q286_kpartite_dedup_policies" -> 8.87)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -626,6 +627,7 @@ object Bench {
     "q283_shot_sample_schedule" -> 2035564L,
     "q284_gif_frame_fingerprints" -> 167230L,
     "q285_gif_neardup_clusters" -> 347522L,
+    "q286_kpartite_dedup_policies" -> 2181409L,
     "q21_embedding_neardup_ivf" -> 5000834L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

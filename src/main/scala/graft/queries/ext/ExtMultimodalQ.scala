@@ -1384,6 +1384,130 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       ORDER BY t.doc_id, shot_idx, sample_idx
     """.trim))
 
+  // --------------------------------------------------------------- q286
+  /** q286 — K-PARTITE cross-modal dedup policies (q273's bipartite
+    * cell closure generalized to THREE modalities): paired (caption,
+    * image, audio) rows — a document with its same-id fixture image
+    * AND waveform — scored under every composition policy. The
+    * union-dedup decision is the closure of the TRI-partite cell
+    * graph: each doc contributes nodes (3·tcid, 3·icid+1, 3·acid+2)
+    * and edges text–image and image–audio (the doc chains its own
+    * three nodes, so text–audio follows transitively) — |cells|
+    * nodes, never doc pairs, the q273 trick at k = 3 (and the
+    * construction generalizes to any k: one node family per
+    * modality, a spanning path of edge families per doc).
+    * Canonicals are JOINT-restricted (min-id member of each cluster
+    * within the 3-way-decodable universe); the readout ordering
+    * kept_and ≤ union_clusters ≤ min(kept_*) ≤ kept_or is the
+    * intersection-over-drops / OR-leaves-dups story at k = 3. */
+  val q286: Q = Q(
+    "q286_kpartite_dedup_policies",
+    (s, d) => {
+      val afp = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.audioFingerprints(Multimodal.encodeWaveformFixture(
+          Tables.documents(s, d), "doc_id")).toDF()
+          .where(col("ok") === 1L)
+          .select(col("doc_id"), col("fp")))
+      val audC = Dedup.fingerprintClusters(afp, "doc_id", "fp",
+          maxHamming = 3, bits = 64)
+        .select(col("doc_id"), col("cluster_id").as("acid"))
+      val joint = graft.engine.CacheScope.unmanaged.persist(
+        crossModalJoint(s, d).join(audC, Seq("doc_id")))
+      val flags = joint
+        .join(joint.groupBy(col("tcid"))
+          .agg(min(col("doc_id")).as("tmin")), Seq("tcid"))
+        .join(joint.groupBy(col("icid"))
+          .agg(min(col("doc_id")).as("imin")), Seq("icid"))
+        .join(joint.groupBy(col("acid"))
+          .agg(min(col("doc_id")).as("amin")), Seq("acid"))
+        .select((col("doc_id") === col("tmin")).as("tkeep"),
+          (col("doc_id") === col("imin")).as("ikeep"),
+          (col("doc_id") === col("amin")).as("akeep"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("tkeep"), 1L).otherwise(0L)).as("kept_text"),
+          sum(when(col("ikeep"), 1L).otherwise(0L)).as("kept_image"),
+          sum(when(col("akeep"), 1L).otherwise(0L)).as("kept_audio"),
+          sum(when(col("tkeep") && col("ikeep") && col("akeep"), 1L)
+            .otherwise(0L)).as("kept_and"),
+          sum(when(col("tkeep") || col("ikeep") || col("akeep"), 1L)
+            .otherwise(0L)).as("kept_or"))
+      val cells = joint.select((col("tcid") * 3).as("doc_a"),
+          (col("icid") * 3 + 1).as("doc_b")).distinct()
+        .unionByName(joint.select((col("icid") * 3 + 1).as("doc_a"),
+          (col("acid") * 3 + 2).as("doc_b")).distinct())
+      val nodes = cells.select(col("doc_a").as("node"))
+        .unionByName(cells.select(col("doc_b").as("node"))).distinct()
+      val unionClusters = Dedup.nearDupClusters(nodes, "node", cells)
+        .agg(countDistinct(col("cluster_id")).as("union_clusters"))
+      flags.crossJoin(broadcast(unionClusters))
+        .select(col("n_docs"), col("kept_text"), col("kept_image"),
+          col("kept_audio"), col("kept_and"), col("kept_or"),
+          col("union_clusters"))
+    },
+    Some(s"""
+      WITH RECURSIVE $crossModalJointOracleSql,
+      apairs AS (
+        SELECT doc_a, doc_b FROM ($envelopePairsOracleSql) aq),
+      aedges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM apairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM apairs),
+      auniverse AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0
+          AND doc_id % 10 NOT IN (3, 6)),
+      areach(id, r) AS (
+        SELECT doc_id, doc_id FROM auniverse
+        UNION
+        SELECT e.dst, areach.r FROM areach JOIN aedges e
+          ON e.src = areach.id),
+      aclusters AS (SELECT id, min(r) AS acid FROM areach GROUP BY id),
+      j3 AS (
+        SELECT id, tcid, icid, acid
+        FROM jsz JOIN aclusters USING (id)),
+      t3 AS (SELECT tcid, min(id) AS tmin FROM j3 GROUP BY 1),
+      i3 AS (SELECT icid, min(id) AS imin FROM j3 GROUP BY 1),
+      a3 AS (SELECT acid, min(id) AS amin FROM j3 GROUP BY 1),
+      f AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN id = tmin THEN 1 ELSE 0 END) AS BIGINT)
+            AS kept_text,
+          CAST(sum(CASE WHEN id = imin THEN 1 ELSE 0 END) AS BIGINT)
+            AS kept_image,
+          CAST(sum(CASE WHEN id = amin THEN 1 ELSE 0 END) AS BIGINT)
+            AS kept_audio,
+          CAST(sum(CASE WHEN id = tmin AND id = imin AND id = amin
+            THEN 1 ELSE 0 END) AS BIGINT) AS kept_and,
+          CAST(sum(CASE WHEN id = tmin OR id = imin OR id = amin
+            THEN 1 ELSE 0 END) AS BIGINT) AS kept_or
+        FROM j3 JOIN t3 USING (tcid) JOIN i3 USING (icid)
+        JOIN a3 USING (acid)),
+      kedges AS (
+        SELECT DISTINCT 3 * tcid AS src, 3 * icid + 1 AS dst FROM j3
+        UNION ALL
+        SELECT DISTINCT 3 * icid + 1 AS src, 3 * tcid AS dst FROM j3
+        UNION ALL
+        SELECT DISTINCT 3 * icid + 1 AS src, 3 * acid + 2 AS dst
+        FROM j3
+        UNION ALL
+        SELECT DISTINCT 3 * acid + 2 AS src, 3 * icid + 1 AS dst
+        FROM j3),
+      knodes AS (
+        SELECT DISTINCT src AS node FROM kedges
+        UNION SELECT DISTINCT dst FROM kedges),
+      kreach(node, r) AS (
+        SELECT node, node FROM knodes
+        UNION
+        SELECT e.dst, kreach.r FROM kreach JOIN kedges e
+          ON e.src = kreach.node),
+      u AS (
+        SELECT CAST(count(DISTINCT lbl) AS BIGINT) AS union_clusters
+        FROM (SELECT node, min(r) AS lbl FROM kreach GROUP BY node))
+      SELECT f.n_docs, f.kept_text, f.kept_image, f.kept_audio,
+        f.kept_and, f.kept_or, u.union_clusters
+      FROM f, u
+    """.trim))
+
   // --------------------------------------------------------------- q284
   /** The shared fps CTE of the GIF rung (q284/q285): replay
     * [[Multimodal.encodeGifFixture]]'s per-frame dHash as pure id

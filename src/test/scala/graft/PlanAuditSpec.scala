@@ -1054,7 +1054,11 @@ class PlanAuditSpec extends SparkSpec {
       // q282: the ONE-ROW (total, n_parts) global scalar appended to
       // the |parts|-keyed rollup for the cross-multiplied HAVING —
       // Q11's scalar subquery as q246's broadcast scalar-append
-      "q282_stock_value_concentration")
+      "q282_stock_value_concentration",
+      // q286: the ONE-ROW policy-mass fold × ONE-ROW tri-partite
+      // union-component count — q273's 1×1 eval-rung assembly at
+      // k = 3
+      "q286_kpartite_dedup_policies")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()
