@@ -44,6 +44,12 @@ object Main {
         if rest.size <= 1 =>
       corpusMedia(mediaParquet, outDir,
         shardBytes = rest.headOption.map(_.toLong).getOrElse(64L << 20))
+    case "paired-fixture" :: docsParquet :: outDir :: Nil =>
+      pairedFixture(docsParquet, outDir)
+    case "corpus-paired" :: pairedParquet :: outDir :: rest
+        if rest.size <= 1 =>
+      corpusPaired(pairedParquet, outDir,
+        shardBytes = rest.headOption.map(_.toLong).getOrElse(64L << 20))
     case "index" :: embParquet :: outDir :: Nil => index(embParquet, outDir)
     case "dedup-ingest" :: docsParquet :: storeDir :: outDir :: rest
         if rest.size <= 2 =>
@@ -126,7 +132,7 @@ object Main {
       profile(srcParquet, outDir, cols)
     case _ =>
       System.err.println(
-        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | media-fixture <docsParquet> <outDir> | corpus-media <mediaParquet> <outDir> [shardBytes] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | checksum-ingest <parquet> <groupCol> <textCol> <storeDir> | kmv-ingest <parquet> <groupCol> <textCol> <storeDir> [k] | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | df-ingest <docsParquet> <storeDir> <outDir> [minDf] | export-shards <docsParquet> <outDir> <shardBytes> | export-zorder <parquet> <outDir> <xCol> <yCol> [bits [files]] | zorder-maintain <parquet> <outDir> <xCol> <yCol> | dhash-ingest <mediaParquet> <storeDir> <outDir> | audiofp-ingest <mediaParquet> <storeDir> <outDir> | videofp-ingest <mediaParquet> <storeDir> <outDir> | bpe-train <docsParquet> <outParquet> [nMerges] | bpe-apply <docsParquet> <mergesParquet> <outDir> | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | stream-sessionize <eventsDir> <outDir> <ckptDir> [gapMinutes] | stream-dedup <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-route <mediaDir> <outDir> <ckptDir> | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
+        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | media-fixture <docsParquet> <outDir> | corpus-media <mediaParquet> <outDir> [shardBytes] | paired-fixture <docsParquet> <outDir> | corpus-paired <pairedParquet> <outDir> [shardBytes] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | checksum-ingest <parquet> <groupCol> <textCol> <storeDir> | kmv-ingest <parquet> <groupCol> <textCol> <storeDir> [k] | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | df-ingest <docsParquet> <storeDir> <outDir> [minDf] | export-shards <docsParquet> <outDir> <shardBytes> | export-zorder <parquet> <outDir> <xCol> <yCol> [bits [files]] | zorder-maintain <parquet> <outDir> <xCol> <yCol> | dhash-ingest <mediaParquet> <storeDir> <outDir> | audiofp-ingest <mediaParquet> <storeDir> <outDir> | videofp-ingest <mediaParquet> <storeDir> <outDir> | bpe-train <docsParquet> <outParquet> [nMerges] | bpe-apply <docsParquet> <mergesParquet> <outDir> | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | stream-sessionize <eventsDir> <outDir> <ckptDir> [gapMinutes] | stream-dedup <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-route <mediaDir> <outDir> <ckptDir> | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
       sys.exit(2)
   }
 
@@ -971,13 +977,62 @@ object Main {
     graft.etl.MediaPipeline.curate(spark, mediaParquet, outDir,
       shardBytes)
 
+  /** The PAIRED text+media funnel CLI ([[graft.etl.PairedPipeline]]):
+    * text clusters × image clusters → q273's compose-OR keep decision
+    * → curated pairs + weighted shard export. */
+  private def corpusPaired(pairedParquet: String, outDir: String,
+      shardBytes: Long): Unit = {
+    val spark = GraftSession.local()
+    val s = runCorpusPaired(spark, pairedParquet, outDir, shardBytes)
+    println(s"[corpus-paired] raw=${s.raw} decodable=${s.decodable} " +
+      s"dropped_image=${s.droppedImage} kept=${s.kept} " +
+      s"shards=${s.shards} exported=${s.exported}")
+    spark.stop()
+  }
+
+  /** Testable core of `corpus-paired`. */
+  private[graft] def runCorpusPaired(
+      spark: org.apache.spark.sql.SparkSession, pairedParquet: String,
+      outDir: String, shardBytes: Long = 64L << 20)
+      : graft.etl.PairedPipeline.Stats =
+    graft.etl.PairedPipeline.curate(spark, pairedParquet, outDir,
+      shardBytes)
+
+  /** Write the PAIRED (caption, image) demo lake (`corpus-paired`'s
+    * input): each document row paired with its same-id gradient-PNG
+    * fixture image — decodable-image rows carry real payload bytes,
+    * the fixture's corrupt families stay in (the funnel must drop
+    * and count them). */
+  private def pairedFixture(docsParquet: String, outDir: String): Unit = {
+    val spark = GraftSession.local()
+    val n = runPairedFixture(spark, docsParquet, outDir)
+    println(s"paired-fixture: $n paired rows under $outDir")
+    spark.stop()
+  }
+
+  /** Testable core of `paired-fixture`. */
+  private[graft] def runPairedFixture(
+      spark: org.apache.spark.sql.SparkSession, docsParquet: String,
+      outDir: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val M = graft.operators.Multimodal
+    val docs = spark.read.parquet(docsParquet)
+    docs.select(col("doc_id"), col("text"))
+      .join(M.encodeGradientImageFixture(docs, "doc_id").toDF()
+        .select(col("doc_id"), col("uri"), col("mime"),
+          col("payload")), Seq("doc_id"))
+      .write.mode("overwrite").parquet(outDir)
+    spark.read.parquet(outDir).count()
+  }
+
   /** Write the MIXED media fixture lake (`corpus-media`'s demo
-    * input): ids fan out (id/4)%4 across the four content encoders —
-    * gradient PNGs (real rasters, the dedup-bearing image family),
-    * PCM WAVs, ISO-BMFF MP4s (the exact-identity video tier), and
-    * MJPEG AVIs (the PERCEPTUAL video tier) — with each encoder's
-    * corrupt families intact, so routing, decode gates and both
-    * video dedup tiers all exercise. */
+    * input): ids fan out across the five content encoders on a
+    * per-20-block rotating (id/4 + id/20) % 5 split — gradient PNGs
+    * (real rasters, the dedup-bearing image family), PCM WAVs,
+    * ISO-BMFF MP4s (the exact-identity video tier), MJPEG AVIs (the
+    * PERCEPTUAL video tier), and GIFs (the second multi-frame tier)
+    * — with each encoder's corrupt families intact, so routing,
+    * decode gates and all dedup tiers exercise. */
   private def mediaFixture(docsParquet: String, outDir: String): Unit = {
     val spark = GraftSession.local()
     val n = runMediaFixture(spark, docsParquet, outDir)

@@ -1,0 +1,122 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.CacheScope
+import graft.operators.{Dedup, Multimodal, Packing}
+
+/** The PAIRED text+media curation funnel — the LAION-style product
+  * path: the unit of a multimodal training corpus is the (caption,
+  * image) ROW, and neither single-modality funnel ([[CorpusPipeline]]
+  * curates text, [[MediaPipeline]] curates media) makes the composed
+  * keep decision for it. q273 established WHICH decision is
+  * principled — `union_clusters`, the compose-OR policy: two pairs
+  * are duplicates when they chain through shared TEXT clusters or
+  * shared IMAGE clusters, and the corpus keeps one canonical per
+  * connected component of that union graph (kept_and over-drops,
+  * kept_or leaves cross-modal dups in). This pipeline APPLIES it end
+  * to end:
+  *
+  *   raw (doc_id, text, uri, mime, payload)
+  *       → text near-dup clusters (q31's MinHash-LSH closure — the
+  *         caption side) × image clusters (q261's dHash closure,
+  *         duplicate-mass-bounded broadcasts) joined on doc_id; rows
+  *         whose image fails decode are DROPPED and counted (a pair
+  *         without a usable image is not a training pair)
+  *       → the q273 compose-OR closure WITHOUT doc pairs: label
+  *         propagation over the bipartite (text cluster)–(image
+  *         cluster) cell graph (t-nodes at 2·tcid, i-nodes at
+  *         2·icid+1), each doc attached through its t-node, one
+  *         min-id canonical per union component
+  *       → kept pairs written as `curated/` (text AND payload — the
+  *         pair stays one row) → shard export with `_manifest`,
+  *         budgeted on `octet_length(text) + octet_length(payload)`
+  *         (both modalities ride the shard file, so both meter it —
+  *         [[Packing.writeShardsWeighted]])
+  *
+  * Scale shape: payloads are scanned once (the dHash pass); every
+  * decision frame that shuffles is a 16-byte (doc_id, cluster) row;
+  * the cell graph and its component labels scale with the corpus and
+  * are therefore NEVER broadcast (shuffle equi-joins on node /
+  * component / doc_id — the q273 scaladoc's discipline); the driver
+  * holds stage counts, never rows. `kept` EQUALS q273's
+  * `union_clusters` over the same paired lake by construction —
+  * MainSpec pins the identity.
+  */
+object PairedPipeline {
+
+  final case class Stats(
+      raw: Long, decodable: Long, droppedImage: Long, kept: Long,
+      shards: Long, exported: Long)
+
+  private val pairCols = Seq("doc_id", "text", "uri", "mime", "payload")
+
+  /** Run the paired funnel over `pairedParquet` (doc_id, text, uri,
+    * mime, payload), writing `curated/` (kept pairs) and `shards/`
+    * (+ `_manifest`) under `outDir`. Minhash parameters default to
+    * the registry's q273 configuration so the kept mass is the
+    * oracle-checked policy row. */
+  def curate(spark: SparkSession, pairedParquet: String, outDir: String,
+      shardBytes: Long = 64L << 20, maxHamming: Int = 3,
+      threshold: Double = 0.5, minhashK: Int = 16,
+      minhashBands: Int = 4): Stats =
+    CacheScope.withScope { scope =>
+      val paired = spark.read.parquet(pairedParquet)
+      val raw = paired.count()
+
+      // 1. per-modality decisions. Text clusters cover every row;
+      // image clusters only the decodable payloads.
+      val textC = Dedup.nearDupClusters(paired, "doc_id",
+        Dedup.minhashLshPairs(paired, "doc_id", "text",
+          threshold = threshold, k = minhashK, bands = minhashBands,
+          scope = scope))
+        .select(col("doc_id"), col("cluster_id").as("tcid"))
+      val dh = scope.persist(
+        Multimodal.imageDhash(paired.select(pairCols.map(col): _*)
+            .select(col("doc_id"), col("uri"), col("mime"),
+              col("payload"))
+            .as[Multimodal.MediaRecord](Multimodal.mediaRecordEnc))
+          .toDF().where(col("ok") === 1L)
+          .select(col("doc_id"), col("dhash").as("fp")))
+      val imgC = Dedup.fingerprintClusters(dh, "doc_id", "fp",
+          maxHamming = maxHamming, bits = 64, scope = scope)
+        .select(col("doc_id"), col("cluster_id").as("icid"))
+      val joint = scope.persist(textC.join(imgC, Seq("doc_id")))
+      val decodable = joint.count()
+
+      // 2. the compose-OR keep decision — q273's union closure, per
+      // doc: components of the bipartite cell graph, docs attached
+      // through their t-node, min-id canonical per component. The
+      // cell/component frames scale with the corpus: shuffle joins
+      // only.
+      val cells = joint.select((col("tcid") * 2).as("doc_a"),
+        (col("icid") * 2 + 1).as("doc_b")).distinct()
+      val nodes = cells.select(col("doc_a").as("node"))
+        .unionByName(cells.select(col("doc_b").as("node"))).distinct()
+      val comps = Dedup.nearDupClusters(nodes, "node", cells)
+        .select(col("doc_id").as("__node"), col("cluster_id")
+          .as("__comp"))
+      val keepIds = joint
+        .select(col("doc_id"), (col("tcid") * 2).as("__node"))
+        .join(comps, Seq("__node"))
+        .groupBy(col("__comp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+
+      // 3. curated pairs + weighted shard export.
+      paired.select(pairCols.map(col): _*).join(keepIds, Seq("doc_id"))
+        .write.mode("overwrite").parquet(s"$outDir/curated")
+      val curated = spark.read.parquet(s"$outDir/curated")
+      val kept = curated.count()
+      val shardsPath = new org.apache.hadoop.fs.Path(s"$outDir/shards")
+      val fs = shardsPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(shardsPath)) fs.delete(shardsPath, true)
+      val (shards, exported) = Packing.writeShardsWeighted(curated,
+        "doc_id", octet_length(col("text")) +
+          octet_length(col("payload")),
+        s"$outDir/shards", shardBytes)
+      Stats(raw, decodable, raw - decodable, kept, shards, exported)
+    }
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -128,10 +128,21 @@ object Packing {
     * ≤ |shards|-key partial-aggregated fold. */
   def shardManifest(docs: DataFrame, idCol: String, textCol: String,
       shardBytes: Long = 256L << 20,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    shardManifestWeighted(docs, idCol, octet_length(col(textCol)),
+      shardBytes, scope)
+
+  /** [[shardManifest]] under an arbitrary per-row WEIGHT expression —
+    * the seam that lets a PAIRED corpus budget on
+    * `octet_length(text) + octet_length(payload)` (both modalities
+    * ride one shard file, so both must meter it) without a second
+    * manifest discipline. */
+  def shardManifestWeighted(docs: DataFrame, idCol: String,
+      weight: Column, shardBytes: Long = 256L << 20,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(shardBytes >= 1L, s"need shardBytes >= 1, got $shardBytes")
     val counts = docs.select(col(idCol).as("doc_id"),
-      octet_length(col(textCol)).cast("long").as("n_tokens"))
+      weight.cast("long").as("n_tokens"))
     globalOffsets(counts, scope)
       .select(col("doc_id"), col("n_tokens").as("n_bytes"),
         expr(s"global_offset div $shardBytes").as("shard_id"),
@@ -206,9 +217,17 @@ object Packing {
     * plan reads it directly. Returns (shards, docs) written. */
   def writeShards(docs: DataFrame, idCol: String, textCol: String,
       outDir: String, shardBytes: Long = 256L << 20): (Long, Long) =
+    writeShardsWeighted(docs, idCol, octet_length(col(textCol)),
+      outDir, shardBytes)
+
+  /** [[writeShards]] under an arbitrary per-row WEIGHT expression
+    * (see [[shardManifestWeighted]]). */
+  def writeShardsWeighted(docs: DataFrame, idCol: String,
+      weight: Column, outDir: String,
+      shardBytes: Long = 256L << 20): (Long, Long) =
     CacheScope.withScope { scope =>
       val counts = docs.select(col(idCol).as("doc_id"),
-        octet_length(col(textCol)).cast("long").as("n_tokens"))
+        weight.cast("long").as("n_tokens"))
       val assigned = globalOffsets(counts, scope)
         .select(col("doc_id").as("__sid"),
           expr(s"global_offset div $shardBytes").as("shard_id"))
@@ -216,8 +235,8 @@ object Packing {
         .drop("__sid")
       data.repartition(col("shard_id"))
         .write.partitionBy("shard_id").parquet(outDir)
-      val manifest = shardManifest(docs, idCol, textCol, shardBytes,
-        scope)
+      val manifest = shardManifestWeighted(docs, idCol, weight,
+        shardBytes, scope)
       manifest.coalesce(1).write.parquet(s"$outDir/_manifest")
       val spark = docs.sparkSession
       val m = spark.read.parquet(s"$outDir/_manifest")

@@ -539,6 +539,63 @@ class MainSpec extends SparkSpec {
     assert(manAgain == manByShard)
   }
 
+  test("corpus-paired CLI: the composed paired funnel's kept mass IS " +
+    "q273's union_clusters policy row; shard read-back agrees with " +
+    "the text+payload-weighted manifest; re-runs reproduce") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cpcli").toString
+    val sfDir = "/root/testdata/sf0.001"
+    val nPaired = Main.runPairedFixture(spark,
+      s"$sfDir/documents.parquet", s"$base/lake")
+    assert(nPaired > 0)
+    val st = Main.runCorpusPaired(spark, s"$base/lake", s"$base/out",
+      shardBytes = 8192)
+    assert(st.raw == nPaired)
+    assert(st.droppedImage > 0, "corrupt-image pairs must drop")
+    assert(st.raw == st.decodable + st.droppedImage)
+    // the keep decision IS the oracle-checked q273 policy row over
+    // the same documents + gradient images: kept == union_clusters,
+    // decodable == the joint n_docs
+    val policy = SparkEntry.queries("q273_crossmodal_dedup_policies")(
+      spark, sfDir).collect().head
+    assert(st.decodable == policy.getLong(0), "joint universe")
+    assert(st.kept == policy.getLong(6 - 1), "compose-OR kept mass")
+    assert(st.kept < st.decodable, "the policy must actually dedup")
+    // kept canonicals are pairwise union-unlinked by construction:
+    // one per component — spot-check they are distinct docs with
+    // payloads byte-identical to the lake
+    val mismatch = spark.read.parquet(s"$base/out/curated")
+      .select(col("doc_id"), sha2(col("payload"), 256).as("ch"),
+        col("text").as("ct"))
+      .join(spark.read.parquet(s"$base/lake")
+        .select(col("doc_id"), sha2(col("payload"), 256).as("lh"),
+          col("text").as("lt")), Seq("doc_id"))
+      .where(col("ch") =!= col("lh") || col("ct") =!= col("lt"))
+      .count()
+    assert(mismatch == 0)
+    // shards: read-back ≡ manifest under the COMBINED weight
+    val shards = spark.read.parquet(s"$base/out/shards")
+    assert(shards.count() == st.exported && st.exported == st.kept)
+    val gotByShard = shards
+      .groupBy(col("shard_id").cast("long").as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((octet_length(col("text")) +
+          octet_length(col("payload"))).cast("long")).as("n_bytes"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val manByShard = spark.read.parquet(s"$base/out/shards/_manifest")
+      .select(col("shard_id"), col("n_docs"), col("n_bytes"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(gotByShard == manByShard)
+    assert(manByShard.size.toLong == st.shards)
+    // re-runnable: same lake, same stats, same file plan
+    val st2 = Main.runCorpusPaired(spark, s"$base/lake", s"$base/out",
+      shardBytes = 8192)
+    assert(st2 == st)
+  }
+
   test("bpe-train + bpe-apply CLIs: the trained artifact round-trips " +
     "and the applied counts compress vs characters") {
     import org.apache.spark.sql.functions.col
