@@ -102,7 +102,7 @@ object Bench {
     // DISTINCT fingerprints first (duplicate-robust at scale), two
     // extra small exchanges by design; bytes re-seeded for the plan
     "q19_simhash_neardup" -> 0.53,
-    "q23_quality_score" -> 0.4,
+    "q23_quality_score" -> 0.55,
     "q20_embedding_topk" -> 0.36,
     "q22_lang_id" -> 0.27,
     "q38_network_redact" -> 0.24,
@@ -112,7 +112,7 @@ object Bench {
     "q45_length_profile" -> 0.22,
     "q46_grouped_topk" -> 0.18,
     "q47_sliding_chunks" -> 0.4,
-    "q48_keepbest_dedup" -> 0.29,
+    "q48_keepbest_dedup" -> 0.37,
     "q49_eval_overlap" -> 0.47,
     "q50_curriculum_bins" -> 0.4,
     "q51_priority_sample" -> 0.17,
@@ -139,7 +139,7 @@ object Bench {
     "q80_cms_heavy_hitters" -> 0.28,
     "q81_moving_revenue" -> 0.8,
     "q82_scd2_intervals" -> 0.4,
-    "q83_volume_anomaly" -> 0.45,
+    "q83_volume_anomaly" -> 0.65,
     "q84_posting_lists" -> 1.03,
     "q85_state_dwell" -> 0.4,
     "q86_growth_curve" -> 0.33,
@@ -147,7 +147,7 @@ object Bench {
     "q88_equidepth_histogram" -> 0.58,
     "q89_hll_distinct" -> 0.37,
     "q90_weighted_sample" -> 0.23,
-    "q91_source_overlap" -> 1.22,
+    "q91_source_overlap" -> 1.29,
     // q92's floor moved 0.29 -> 0.41 in r11: the block-cap guard adds
     // a count aggregate + broadcast anti-join by design (scale safety
     // traded for ~0.1 s at this SF); best observed for the new plan
@@ -196,7 +196,7 @@ object Bench {
     "q130_dedup_impact" -> 0.39,
     "q131_encoding_health" -> 0.26,
     "q132_length_bias" -> 0.39,
-    "q133_simpson_concentration" -> 0.35,
+    "q133_simpson_concentration" -> 0.38,
     "q134_soft_dedup" -> 0.27,
     "q135_cramers_v" -> 0.38,
     "q136_source_concentration" -> 0.22,
