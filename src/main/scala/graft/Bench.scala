@@ -397,7 +397,8 @@ object Bench {
     "q283_shot_sample_schedule" -> 5.39,
     "q284_gif_frame_fingerprints" -> 3.16,
     "q285_gif_neardup_clusters" -> 5.03,
-    "q286_kpartite_dedup_policies" -> 8.87)
+    "q286_kpartite_dedup_policies" -> 8.87,
+    "q287_iso_exact_dedup" -> 0.55)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -628,6 +629,7 @@ object Bench {
     "q284_gif_frame_fingerprints" -> 167230L,
     "q285_gif_neardup_clusters" -> 347522L,
     "q286_kpartite_dedup_policies" -> 2181409L,
+    "q287_iso_exact_dedup" -> 46597L,
     "q21_embedding_neardup_ivf" -> 5000834L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

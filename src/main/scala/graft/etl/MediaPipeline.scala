@@ -17,16 +17,21 @@ import graft.operators.{Dedup, Multimodal, Packing}
   *   raw → modality routing by MAGIC BYTES (q263 — crawler mimes lie;
   *         the routed tree is written partitioned by modality so every
   *         later stage reads ONLY its modality's payload bytes)
-  *       → per-modality dedup decision, keep-canonical:
-  *           image: dHash → Hamming clusters (q261's decision)
-  *           audio: envelope hash → Hamming clusters (q266's)
-  *           video, two-tier by what the JDK honestly decodes:
-  *                  MJPEG/AVI — per-frame dHash → aligned sequence
+  *       → per-modality dedup decision, keep-canonical, TIERED by
+  *         what the JDK honestly decodes in every branch:
+  *           image: stills dHash → Hamming clusters (q261); GIF —
+  *                  per-frame dHash → aligned sequence clusters
+  *                  (q285); HEIF-family (heic/mif1/avif brands) —
+  *                  exact tier
+  *           audio: WAV/AIFF envelope hash → Hamming clusters
+  *                  (q266's); ISO-BMFF audio (M4A brand) — exact tier
+  *           video: MJPEG/AVI — per-frame dHash → aligned sequence
   *                  clusters (q279's PERCEPTUAL decision); MP4 —
   *                  container-decodable + exact payload identity
-  *                  (sha-256 keep-min; codec-frame perception stays
-  *                  the documented out-of-scope rung for non-MJPEG
-  *                  codecs)
+  *         the EXACT tier (q287's decision) = ISO container walk
+  *         gates health, identity is sha-256 keep-min — codec-frame
+  *         perception stays the documented out-of-scope rung for
+  *         codecs the JDK cannot decode
   *         unroutable payloads and rows that sniff but fail their
   *         modality's decode are DROPPED and counted (lake health)
   *       → q221 catalog profile OVER THE KEPT media (the distributions
@@ -92,39 +97,73 @@ object MediaPipeline {
       // its cluster closure AND the decoded count, and without the
       // persist the decode pass would run once per consumer (the
       // q255/DhashStore lesson).
-      // image, two-tier by coding (the video-branch discipline):
+      // the EXACT-identity tier shared by the brand-routed ISO-BMFF
+      // audio/image families (M4A, HEIC/HEIF/AVIF — the r17 brand
+      // dispatch lands them here instead of the video branch): the
+      // JDK cannot decode these codecs, but container health and
+      // byte identity are still honest — the MP4 video tier's
+      // discipline verbatim. Returns (decodable count, keep ids).
+      def exactIsoTier(rows: DataFrame): (Long, DataFrame) = {
+        val healthy = scope.persist(rows
+          .join(Multimodal.isoContainerHealth(asMedia(rows)).toDF()
+            .where(col("ok") === 1L).select(col("doc_id")),
+            Seq("doc_id"))
+          .select(col("doc_id"), sha2(col("payload"), 256).as("__bh")))
+        (healthy.count(),
+          healthy.groupBy(col("__bh"))
+            .agg(min(col("doc_id")).as("doc_id"))
+            .select(col("doc_id")))
+      }
+
+      // image, THREE-tier by coding (the video-branch discipline):
       //   GIF — per-frame dHash → aligned sequence clusters (animated
       //     GIFs are multi-frame; statics degenerate to one frame)
+      //   HEIF-family (heic/mif1/avif brands) — exact tier
       //   everything else — single dHash → fingerprint clusters
       // The universes are disjoint by magic, so counts add.
       val imgRouted = routedOf("image")
-      val isGif = Multimodal.sniffModality(col("payload")) ===
-        "image/gif"
+      val imgSniff = Multimodal.sniffModality(col("payload"))
+      val isGif = imgSniff === "image/gif"
+      val isIsoImg = imgSniff.isin("image/heic", "image/heif",
+        "image/avif")
       val imgFp = scope.persist(
-        Multimodal.imageDhash(asMedia(imgRouted.where(!isGif))).toDF()
+        Multimodal.imageDhash(asMedia(imgRouted.where(!isGif &&
+            !isIsoImg))).toDF()
           .where(col("ok") === 1L)
           .select(col("doc_id"), col("dhash").as("fp")))
       val gifFp = scope.persist(
         Multimodal.gifFrameFingerprints(asMedia(imgRouted.where(isGif)))
           .toDF().where(col("ok") === 1L)
           .select(col("doc_id"), col("frame_idx"), col("fp")))
+      val (isoImgDecoded, isoImgKeep) =
+        exactIsoTier(imgRouted.where(isIsoImg))
       val decodedImage = imgFp.count() +
-        gifFp.select(col("doc_id")).distinct().count()
+        gifFp.select(col("doc_id")).distinct().count() + isoImgDecoded
       val keepImage = Dedup.fingerprintClusters(imgFp, "doc_id", "fp",
           maxHamming = maxHamming, bits = 64)
         .where(col("is_canonical")).select(col("doc_id"))
         .unionByName(Dedup.alignedFingerprintClusters(gifFp, "doc_id",
             "frame_idx", "fp", maxHamming = maxHamming, bits = 64)
           .where(col("is_canonical")).select(col("doc_id")))
+        .unionByName(isoImgKeep)
 
+      // audio, two-tier: WAV/AIFF — envelope hash → Hamming clusters
+      // (the JDK decodes the PCM); ISO-BMFF audio (M4A) — exact tier.
+      val audRouted = routedOf("audio")
+      val isIsoAud = Multimodal.sniffModality(col("payload")) ===
+        "audio/mp4"
       val audFp = scope.persist(
-        Multimodal.audioFingerprints(asMedia(routedOf("audio"))).toDF()
+        Multimodal.audioFingerprints(asMedia(audRouted.where(!isIsoAud)))
+          .toDF()
           .where(col("ok") === 1L)
           .select(col("doc_id"), col("fp")))
-      val decodedAudio = audFp.count()
+      val (isoAudDecoded, isoAudKeep) =
+        exactIsoTier(audRouted.where(isIsoAud))
+      val decodedAudio = audFp.count() + isoAudDecoded
       val keepAudio = Dedup.fingerprintClusters(audFp, "doc_id", "fp",
           maxHamming = maxHamming, bits = 64)
         .where(col("is_canonical")).select(col("doc_id"))
+        .unionByName(isoAudKeep)
 
       // video, two-tier by what the JDK can honestly decode:
       //   MJPEG/AVI — per-frame dHash → aligned sequence clusters
@@ -190,13 +229,37 @@ object MediaPipeline {
       val vidCurated = curatedOf("video")
       val isAvi = Multimodal.sniffModality(col("payload")) ===
         "video/x-msvideo"
+      // exact-tier kept rows (M4A / HEIF-family) profile on what the
+      // JDK can honestly measure — container health (ok by
+      // construction: the keep gate walked them) and the ftyp BRAND —
+      // appended to q221's fold rather than run through the pixel/PCM
+      // decoders that would misreport a healthy-but-undecodable
+      // codec as corrupt
+      def isoProfileRows(cur: DataFrame, modality: String) = cur
+        .select(lit(modality).as("modality"),
+          lit("health").as("dimension"), lit("ok").as("bucket"))
+        .unionByName(cur.select(lit(modality).as("modality"),
+          lit("container").as("dimension"),
+          substring(col("payload"), 9, 4).cast("string").as("bucket")))
+      val isoExtra = isoProfileRows(curatedOf("image")
+          .where(isIsoImg), "image")
+        .unionByName(isoProfileRows(curatedOf("audio")
+          .where(isIsoAud), "audio"))
+        .groupBy(col("modality"), col("dimension"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
       Multimodal.mediaProfile(
-          Multimodal.decodeImageMeta(asMedia(curatedOf("image"))).toDF(),
-          Multimodal.decodeAudioMeta(asMedia(curatedOf("audio"))).toDF(),
+          Multimodal.decodeImageMeta(asMedia(curatedOf("image")
+            .where(!isIsoImg))).toDF(),
+          Multimodal.decodeAudioMeta(asMedia(curatedOf("audio")
+            .where(!isIsoAud))).toDF(),
           Multimodal.decodeVideoMeta(asMedia(vidCurated.where(!isAvi)))
             .toDF()
             .unionByName(Multimodal.decodeMjpegMeta(
               asMedia(vidCurated.where(isAvi))).toDF()))
+        .unionByName(isoExtra)
+        .groupBy(col("modality"), col("dimension"), col("bucket"))
+        .agg(sum(col("n")).as("n"))
+        .orderBy(col("modality"), col("dimension"), col("bucket"))
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/profile")
 

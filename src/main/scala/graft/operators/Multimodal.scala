@@ -777,6 +777,38 @@ object Multimodal {
     Some(out.result())
   }
 
+  /** Container-HEALTH gate for ANY ISO-BMFF payload, brand-agnostic:
+    * the top-level box walk must consume the payload exactly and the
+    * first box must be a well-formed `ftyp`. This is the gate of the
+    * EXACT-identity dedup tiers (M4A audio, HEIF-family images —
+    * codecs the JDK cannot decode, where container health still
+    * separates "a real file we keep by byte identity" from
+    * truncated/corrupt junk that must drop) — deliberately WEAKER
+    * than [[decodeVideoHeader]]'s moov/mvhd requirement, because
+    * HEIF stills carry a `meta` box, not a movie header. Total:
+    * any walk failure is `false`, never an exception. */
+  def isoBmffWalks(payload: Array[Byte]): Boolean =
+    try {
+      bmffBoxes(payload, 0, payload.length).exists(top =>
+        top.headOption.exists(b => b._1 == "ftyp" && b._3 - b._2 >= 8))
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** One container-health row of the exact-identity tiers. */
+  final case class ContainerHealth(doc_id: Long, ok: Long)
+
+  implicit val containerHealthEnc: Encoder[ContainerHealth] =
+    Encoders.product[ContainerHealth]
+
+  /** Distributed [[isoBmffWalks]] — the decode-gate pass of the
+    * exact tiers; payload bytes never cross a shuffle (8 bytes of
+    * verdict do). */
+  def isoContainerHealth(media: Dataset[MediaRecord])
+      : Dataset[ContainerHealth] =
+    media.mapPartitions { it =>
+      it.map(r => ContainerHealth(r.doc_id,
+        if (isoBmffWalks(r.payload)) 1L else 0L))
+    }
+
   def decodeVideoHeader(payload: Array[Byte])
       : Option[(String, Long, Long, Long, Long)] = {
     def u32(off: Int): Long = bmffU32(payload, off)

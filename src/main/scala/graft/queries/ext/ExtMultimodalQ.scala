@@ -1384,6 +1384,63 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       ORDER BY t.doc_id, shot_idx, sample_idx
     """.trim))
 
+  // --------------------------------------------------------------- q287
+  /** q287 — ISO-BMFF EXACT-identity dedup decision (the tier behind
+    * the r17 brand routing): for the families the router lands on
+    * the audio/image branches but the JDK cannot pixel/PCM-decode
+    * (M4A audio, HEIC/HEIF/AVIF stills), container health still
+    * gates and BYTE identity still deduplicates —
+    * [[Multimodal.isoBmffWalks]] + sha-256 keep-min, the MP4 video
+    * tier's discipline generalized (and what [[graft.etl
+    * .MediaPipeline]]'s exact tiers run). Fixture: the brand
+    * fixture's payload is a pure function of the brand, so exact
+    * groups ≡ brand classes and the oracle is id arithmetic
+    * (corrupt-magic rows sniff unknown and never reach the tier;
+    * isom rows route video/mp4 and are the existing MP4 tier's
+    * scope). */
+  val q287: Q = Q(
+    "q287_iso_exact_dedup",
+    (s, d) => {
+      val media = Multimodal.encodeIsoBrandFixture(
+        Tables.documents(s, d), "doc_id")
+      val routed = graft.engine.CacheScope.unmanaged.persist(
+        media.toDF().where(Multimodal.sniffModality(col("payload"))
+          .isin("audio/mp4", "image/heic", "image/heif",
+            "image/avif")))
+      val healthy = graft.engine.CacheScope.unmanaged.persist(routed
+        .join(Multimodal.isoContainerHealth(routed
+            .as[Multimodal.MediaRecord](Multimodal.mediaRecordEnc))
+          .toDF()
+          .where(col("ok") === 1L).select(col("doc_id")),
+          Seq("doc_id"))
+        .select(col("doc_id"),
+          Multimodal.sniffModality(col("payload")).as("modality"),
+          sha2(col("payload"), 256).as("__bh")))
+      // keep-min per exact group; the group frame scales with the
+      // corpus (mostly-unique lakes) — shuffle join, never broadcast
+      healthy.join(healthy.groupBy(col("__bh"))
+          .agg(min(col("doc_id")).as("cluster_id")), Seq("__bh"))
+        .select(col("doc_id"), col("modality"), col("cluster_id"),
+          (col("doc_id") === col("cluster_id")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0
+          AND doc_id % 10 NOT IN (3, 4) AND doc_id % 5 < 4),
+      cls AS (
+        SELECT doc_id, doc_id % 5 AS b,
+          CASE doc_id % 5 WHEN 0 THEN 'audio/mp4'
+            WHEN 1 THEN 'image/heic' WHEN 2 THEN 'image/heif'
+            ELSE 'image/avif' END AS modality
+        FROM ids),
+      m AS (SELECT b, min(doc_id) AS cluster_id FROM cls GROUP BY 1)
+      SELECT doc_id, modality, cluster_id,
+        doc_id = cluster_id AS is_canonical
+      FROM cls JOIN m USING (b) ORDER BY doc_id
+    """.trim))
+
   // --------------------------------------------------------------- q286
   /** q286 — K-PARTITE cross-modal dedup policies (q273's bipartite
     * cell closure generalized to THREE modalities): paired (caption,

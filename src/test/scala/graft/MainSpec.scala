@@ -539,6 +539,65 @@ class MainSpec extends SparkSpec {
     assert(manAgain == manByShard)
   }
 
+  test("corpus-media exact tiers: brand-routed M4A and HEIF-family " +
+    "rows keep by container-gated byte identity, and the profile " +
+    "counts them healthy instead of corrupt") {
+    import org.apache.spark.sql.functions._
+    val M = graft.operators.Multimodal
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_isocli").toString
+    val s2 = spark; import s2.implicits._
+    val ids = (0L until 60L).toDF("doc_id")
+    M.encodeGradientImageFixture(ids.where(col("doc_id") % 3 === 0),
+        "doc_id").toDF()
+      .unionByName(M.encodeWaveformFixture(
+        ids.where(col("doc_id") % 3 === 1), "doc_id").toDF())
+      .unionByName(M.encodeIsoBrandFixture(
+        ids.where(col("doc_id") % 3 === 2), "doc_id").toDF())
+      .write.parquet(s"$base/lake")
+    val st = Main.runCorpusMedia(spark, s"$base/lake", s"$base/out",
+      shardBytes = 4096)
+    // brand routing: M4A rows live on the AUDIO branch, HEIF-family
+    // on IMAGE, isom on VIDEO — recomputed from the sniff itself
+    val sniffed = spark.read.parquet(s"$base/lake")
+      .select(M.sniffModality(col("payload")).as("sn"))
+    def nSniffed(pred: org.apache.spark.sql.Column) =
+      sniffed.where(pred).count()
+    assert(st.routedAudio == nSniffed(col("sn").startsWith("audio")))
+    assert(nSniffed(col("sn") === "audio/mp4") > 0, "fixture sanity")
+    assert(st.routedImage == nSniffed(col("sn").startsWith("image")))
+    assert(nSniffed(col("sn") === "image/heic") > 0, "fixture sanity")
+    // the exact tier keeps ONE doc per byte-identical group: the
+    // brand fixture's payload is a pure function of the brand, so
+    // expected keeps = min doc id per (brand) among intact rows
+    def brandKeeps(resid: Long*) = (0L until 60L)
+      .filter(i => i % 3 == 2 && i % 10 != 3 && i % 10 != 4 &&
+        resid.contains(i % 5))
+      .groupBy(_ % 5).values.map(_.min).toSet
+    val curated = spark.read.parquet(s"$base/out/curated")
+    val curatedIso = curated
+      .where(M.sniffModality(col("payload")).isin("audio/mp4",
+        "image/heic", "image/heif", "image/avif"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(curatedIso == brandKeeps(0L, 1L, 2L, 3L),
+      s"exact-tier keeps: $curatedIso")
+    // the profile counts every kept row healthy — the assertion that
+    // fails if exact-tier rows run through the pixel/PCM decoders —
+    // and carries the ftyp brands as container buckets
+    val prof = spark.read.parquet(s"$base/out/profile")
+    assert(prof.where(col("dimension") === "health" &&
+      col("bucket") === "corrupt").count() == 0)
+    val okBy = prof.where(col("dimension") === "health")
+      .select(col("modality"), col("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(okBy("image") == st.keptImage &&
+      okBy("audio") == st.keptAudio)
+    val buckets = prof.where(col("dimension") === "container")
+      .select(col("bucket")).collect().map(_.getString(0)).toSet
+    assert(Set("M4A ", "heic", "mif1", "avif").subsetOf(buckets),
+      s"container buckets: $buckets")
+  }
+
   test("corpus-paired CLI: the composed paired funnel's kept mass IS " +
     "q273's union_clusters policy row; shard read-back agrees with " +
     "the text+payload-weighted manifest; re-runs reproduce") {
