@@ -101,6 +101,8 @@ object Main {
       audioFpIngest(mediaParquet, storeDir, outDir)
     case "videofp-ingest" :: mediaParquet :: storeDir :: outDir :: Nil =>
       videoFpIngest(mediaParquet, storeDir, outDir)
+    case "gif-ingest" :: mediaParquet :: storeDir :: outDir :: Nil =>
+      gifFpIngest(mediaParquet, storeDir, outDir)
     case "bpe-train" :: docsParquet :: outParquet :: rest
         if rest.size <= 1 =>
       bpeTrain(docsParquet, outParquet,
@@ -132,7 +134,7 @@ object Main {
       profile(srcParquet, outDir, cols)
     case _ =>
       System.err.println(
-        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | media-fixture <docsParquet> <outDir> | corpus-media <mediaParquet> <outDir> [shardBytes] | paired-fixture <docsParquet> <outDir> | corpus-paired <pairedParquet> <outDir> [shardBytes] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | checksum-ingest <parquet> <groupCol> <textCol> <storeDir> | kmv-ingest <parquet> <groupCol> <textCol> <storeDir> [k] | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | df-ingest <docsParquet> <storeDir> <outDir> [minDf] | export-shards <docsParquet> <outDir> <shardBytes> | export-zorder <parquet> <outDir> <xCol> <yCol> [bits [files]] | zorder-maintain <parquet> <outDir> <xCol> <yCol> | dhash-ingest <mediaParquet> <storeDir> <outDir> | audiofp-ingest <mediaParquet> <storeDir> <outDir> | videofp-ingest <mediaParquet> <storeDir> <outDir> | bpe-train <docsParquet> <outParquet> [nMerges] | bpe-apply <docsParquet> <mergesParquet> <outDir> | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | stream-sessionize <eventsDir> <outDir> <ckptDir> [gapMinutes] | stream-dedup <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-route <mediaDir> <outDir> <ckptDir> | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
+        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | media-fixture <docsParquet> <outDir> | corpus-media <mediaParquet> <outDir> [shardBytes] | paired-fixture <docsParquet> <outDir> | corpus-paired <pairedParquet> <outDir> [shardBytes] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | checksum-ingest <parquet> <groupCol> <textCol> <storeDir> | kmv-ingest <parquet> <groupCol> <textCol> <storeDir> [k] | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | df-ingest <docsParquet> <storeDir> <outDir> [minDf] | export-shards <docsParquet> <outDir> <shardBytes> | export-zorder <parquet> <outDir> <xCol> <yCol> [bits [files]] | zorder-maintain <parquet> <outDir> <xCol> <yCol> | dhash-ingest <mediaParquet> <storeDir> <outDir> | audiofp-ingest <mediaParquet> <storeDir> <outDir> | videofp-ingest <mediaParquet> <storeDir> <outDir> | gif-ingest <mediaParquet> <storeDir> <outDir> | bpe-train <docsParquet> <outParquet> [nMerges] | bpe-apply <docsParquet> <mergesParquet> <outDir> | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | stream-sessionize <eventsDir> <outDir> <ckptDir> [gapMinutes] | stream-dedup <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-route <mediaDir> <outDir> <ckptDir> | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
       sys.exit(2)
   }
 
@@ -298,6 +300,32 @@ object Main {
     val n = store.ingest(media)
     val clusters = store.clusters()
     clusters.write.mode("overwrite").parquet(outDir)
+    (n, spark.read.parquet(outDir).count())
+  }
+
+  /** Incremental GIF near-dup serving — `videofp-ingest`'s GIF
+    * sibling on the q284/q285 machinery (one decode pass into the
+    * sequence store, full-history aligned cluster decision out). */
+  private def gifFpIngest(mediaParquet: String, storeDir: String,
+      outDir: String): Unit = {
+    val spark = GraftSession.local()
+    val (n, clusters) = runGifFpIngest(spark, mediaParquet, storeDir,
+      outDir)
+    println(s"gif-ingest: $n decodable gifs fingerprinted -> " +
+      s"store $storeDir; $clusters cluster rows -> $outDir")
+    spark.stop()
+  }
+
+  /** Testable core of `gif-ingest`. */
+  private[graft] def runGifFpIngest(
+      spark: org.apache.spark.sql.SparkSession, mediaParquet: String,
+      storeDir: String, outDir: String): (Long, Long) = {
+    import graft.operators.Multimodal
+    val media = spark.read.parquet(mediaParquet)
+      .as[Multimodal.MediaRecord](Multimodal.mediaRecordEnc)
+    val store = new graft.etl.GifFpStore(spark, storeDir)
+    val n = store.ingest(media)
+    store.clusters().write.mode("overwrite").parquet(outDir)
     (n, spark.read.parquet(outDir).count())
   }
 

@@ -92,34 +92,40 @@ final class AudioFpStore(spark: SparkSession, storeDir: String)
       .select(col("doc_id"), col("fp"))
 }
 
-/** Incremental VIDEO-fingerprint store — the family's SEQUENCE
-  * binding (q277/q278/q279's per-frame dHash state): rows are
-  * (doc_id, frame_idx, fp) rather than one fp per doc, so the dedup
-  * readouts go through the aligned sequence machinery
+/** Incremental SEQUENCE-fingerprint store — the family's multi-frame
+  * shape (per-frame dHash state): rows are (doc_id, frame_idx, fp)
+  * rather than one fp per doc, so the dedup readouts go through the
+  * aligned sequence machinery
   * ([[graft.operators.Dedup.alignedFingerprintPairs]] /
   * [[graft.operators.Dedup.alignedFingerprintClusters]]) instead of
   * [[graft.operators.Dedup.fingerprintPairs]] — everything else is
-  * the family contract verbatim: each arriving MJPEG batch is walked
-  * and frame-decoded ONCE (the dominant cost — container walk + one
+  * the family contract verbatim: each arriving batch is walked and
+  * frame-decoded ONCE (the dominant cost — container walk + one
   * ImageIO decode per frame), 16 bytes per FRAME cross into the
   * store, re-delivered batches fold away in the read-side distinct
   * (fingerprints are pure functions of the payload), corrupt frames
   * are never stored, and [[compact]] is the shared verified swap.
-  * Non-MJPEG videos contribute no rows (their honest tier is exact
-  * byte identity, which [[ChecksumStore]] already serves). */
-final class VideoFpStore(spark: SparkSession, storeDir: String) {
+  * The decode pass is the binding's single seam — [[VideoFpStore]]
+  * (MJPEG/AVI) and [[GifFpStore]] (static + animated GIF) differ in
+  * nothing else. */
+abstract class SequenceFpStore(spark: SparkSession, storeDir: String,
+    what: String) {
+
+  /** One decode pass over the batch: the (doc_id, frame_idx, fp)
+    * rows of the DECODABLE frames only — the binding's single seam. */
+  protected def fingerprintFrame(
+      media: Dataset[Multimodal.MediaRecord]): DataFrame
 
   private def storeExists: Boolean =
-    ParquetStore.gatedExists(spark, storeDir, "video fp store")
+    ParquetStore.gatedExists(spark, storeDir, what)
 
   /** Walk + frame-decode one media batch and append its per-frame
-    * fingerprints. Returns the number of DECODABLE VIDEOS appended
+    * fingerprints. Returns the number of DECODABLE payloads appended
     * (corrupt containers and frames drop, never fail). The frame
     * frame is persisted so the batch is decoded exactly once: the
     * count materializes the cache, the append reads it back. */
   def ingest(media: Dataset[Multimodal.MediaRecord]): Long = {
-    val fps = Multimodal.videoFrameFingerprints(media).toDF()
-      .where(col("ok") === 1L)
+    val fps = fingerprintFrame(media)
       .select(col("doc_id"), col("frame_idx"), col("fp"))
     fps.persist()
     try {
@@ -152,4 +158,29 @@ final class VideoFpStore(spark: SparkSession, storeDir: String) {
     * shared verified swap. Returns (files before, files after). */
   def compact(targetFileBytes: Long = 128L << 20): (Long, Long) =
     ParquetStore.compact(spark, storeDir, fingerprints, targetFileBytes)
+}
+
+/** The MJPEG/AVI binding (q277/q278/q279's state). Non-MJPEG videos
+  * contribute no rows (their honest tier is exact byte identity,
+  * which [[ChecksumStore]] already serves). */
+final class VideoFpStore(spark: SparkSession, storeDir: String)
+    extends SequenceFpStore(spark, storeDir, "video fp store") {
+  protected def fingerprintFrame(
+      media: Dataset[Multimodal.MediaRecord]): DataFrame =
+    Multimodal.videoFrameFingerprints(media).toDF()
+      .where(col("ok") === 1L)
+      .select(col("doc_id"), col("frame_idx"), col("fp"))
+}
+
+/** The GIF binding (q284/q285's state): static GIFs store one frame
+  * (their aligned signature degenerates to single-image dHash
+  * identity), animated ones a row per stored frame. Non-GIF payloads
+  * contribute no rows. */
+final class GifFpStore(spark: SparkSession, storeDir: String)
+    extends SequenceFpStore(spark, storeDir, "gif fp store") {
+  protected def fingerprintFrame(
+      media: Dataset[Multimodal.MediaRecord]): DataFrame =
+    Multimodal.gifFrameFingerprints(media).toDF()
+      .where(col("ok") === 1L)
+      .select(col("doc_id"), col("frame_idx"), col("fp"))
 }

@@ -432,6 +432,40 @@ class MainSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("gif-ingest CLI: two batch passes build the GIF sequence " +
+    "store; the cluster output equals the one-shot aligned decision") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_gifcli").toString
+    val s2 = spark; import s2.implicits._
+    val ids = (0L until 48L)
+    def mediaDf(sel: Seq[Long]) = graft.operators.Multimodal
+      .encodeGifFixture(sel.toDF("doc_id"), "doc_id").toDF()
+    mediaDf(ids.filter(_ < 24L)).write.parquet(s"$base/b0")
+    mediaDf(ids.filter(_ >= 24L)).write.parquet(s"$base/b1")
+    Main.runGifFpIngest(spark, s"$base/b0", s"$base/store", s"$base/o0")
+    val (n, c) = Main.runGifFpIngest(spark, s"$base/b1",
+      s"$base/store", s"$base/o1")
+    val decodable = ids.filterNot(i =>
+      i % 10 == 3 || i % 10 == 4 || i % 10 == 6)
+    assert(n == ids.count(i => i >= 24L && i % 10 != 3 &&
+      i % 10 != 4 && i % 10 != 6))
+    assert(c == decodable.size.toLong)
+    val got = spark.read.parquet(s"$base/o1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.operators.Dedup.alignedFingerprintClusters(
+      graft.operators.Multimodal.gifFrameFingerprints(
+        graft.operators.Multimodal.encodeGifFixture(
+          ids.toDF("doc_id"), "doc_id")).toDF()
+        .where(col("ok") === 1L)
+        .select(col("doc_id"), col("frame_idx"), col("fp")),
+      "doc_id", "frame_idx", "fp", 3, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(want.exists(p => p._1 != p._2),
+      "fixture must carry at least one non-singleton GIF cluster")
+  }
+
   test("corpus-media CLI: the composed funnel routes by magic, " +
     "dedups per modality keep-canonical, profiles the kept media, " +
     "and the shard read-back agrees with its manifest") {
