@@ -102,7 +102,7 @@ object Bench {
     // DISTINCT fingerprints first (duplicate-robust at scale), two
     // extra small exchanges by design; bytes re-seeded for the plan
     "q19_simhash_neardup" -> 0.53,
-    "q23_quality_score" -> 0.55,
+    "q23_quality_score" -> 0.54,
     "q20_embedding_topk" -> 0.36,
     "q22_lang_id" -> 0.27,
     "q38_network_redact" -> 0.24,
@@ -132,21 +132,21 @@ object Bench {
     "q25_doc_fingerprint" -> 0.19,
     "q65_term_zipf" -> 0.39,
     "q66_lexical_richness" -> 0.45,
-    "q67_novelty_decay" -> 0.55,
+    "q67_novelty_decay" -> 0.54,
     "q68_holdout_split" -> 0.18,
-    "q69_event_drift" -> 0.61,
+    "q69_event_drift" -> 0.57,
     "q79_ingest_gaps" -> 0.31,
     "q80_cms_heavy_hitters" -> 0.28,
     "q81_moving_revenue" -> 0.8,
     "q82_scd2_intervals" -> 0.4,
-    "q83_volume_anomaly" -> 0.65,
+    "q83_volume_anomaly" -> 0.62,
     "q84_posting_lists" -> 1.03,
     "q85_state_dwell" -> 0.4,
     "q86_growth_curve" -> 0.33,
     "q87_sliding_wau" -> 0.46,
     "q88_equidepth_histogram" -> 0.58,
     "q89_hll_distinct" -> 0.37,
-    "q90_weighted_sample" -> 0.23,
+    "q90_weighted_sample" -> 0.2,
     "q91_source_overlap" -> 1.29,
     // q92's floor moved 0.29 -> 0.41 in r11: the block-cap guard adds
     // a count aggregate + broadcast anti-join by design (scale safety
@@ -160,7 +160,7 @@ object Bench {
     "q98_label_affinity" -> 0.56,
     "q99_vocab_coverage" -> 0.7,
     "q100_containment_pairs" -> 1.82,
-    "q101_cross_containment" -> 1.36,
+    "q101_cross_containment" -> 1.33,
     "q102_winsorize" -> 0.37,
     // r11 additions: best of the r11d/r11e canonicals (BASELINE.md)
     "q103_temperature_mix" -> 0.29,
@@ -169,18 +169,18 @@ object Bench {
     "q106_hard_negatives" -> 0.45,
     "q107_intra_label_diversity" -> 0.43,
     "q108_mad_outliers" -> 0.46,
-    "q109_json_field_stats" -> 0.57,
+    "q109_json_field_stats" -> 0.52,
     "q110_curation_funnel" -> 0.33,
     "q111_grid_percentile" -> 0.31,
     "q112_unigram_divergence" -> 0.65,
     "q113_semantic_decontam" -> 0.42,
     "q114_centroid_confusion" -> 0.56,
-    "q115_correlation_matrix" -> 1.07,
+    "q115_correlation_matrix" -> 1.0,
     "q116_mixed_language" -> 0.79,
     "q117_fd_audit" -> 0.26,
     "q118_touch_attribution" -> 0.74,
     "q119_join_blowup" -> 0.21,
-    "q120_benford_profile" -> 0.53,
+    "q120_benford_profile" -> 0.51,
     "q121_k_anonymity" -> 0.27,
     "q122_transition_matrix" -> 0.5,
     // r11f canonical (first full run over q123-q146; loadavg 1.8-8.7,
@@ -189,7 +189,7 @@ object Bench {
     "q123_hybrid_rrf" -> 1.39,
     "q124_distinct_ngrams" -> 1.38,
     "q125_embedding_health" -> 0.28,
-    "q126_cusum_changepoint" -> 0.38,
+    "q126_cusum_changepoint" -> 0.34,
     "q127_ks_drift" -> 0.51,
     "q128_rfm_segments" -> 0.34,
     "q129_ann_recall" -> 1.64,
@@ -215,7 +215,7 @@ object Bench {
     // r11 third wave: seeded from the 178-query canonical
     // (BENCH_local_r11g) and the focused q169-q180 follow-up run;
     // q170's floor reflects the one-pass conditional-fold rewrite
-    "q147_trimmed_order_value" -> 1.02,
+    "q147_trimmed_order_value" -> 0.98,
     "q148_hll_accuracy" -> 0.43,
     "q149_daily_snapshot" -> 0.54,
     "q150_cohort_ltv" -> 0.69,
@@ -223,7 +223,7 @@ object Bench {
     "q152_funnel_timing" -> 0.75,
     "q153_domain_profile" -> 0.34,
     "q154_casing_profile" -> 0.67,
-    "q155_regional_volume" -> 0.73,
+    "q155_regional_volume" -> 0.71,
     "q156_order_priority" -> 0.51,
     "q157_period_growth" -> 0.36,
     "q158_json_topk" -> 0.57,
@@ -244,7 +244,7 @@ object Bench {
     "q173_seasonal_naive" -> 0.44,
     "q174_winnowing_neardup" -> 1.67,
     "q175_profile_drift" -> 0.30,
-    "q176_value_tail_bands" -> 0.47,
+    "q176_value_tail_bands" -> 0.46,
     "q177_type_pagerank" -> 1.31,
     "q178_fuzzy_operating_point" -> 0.81,
     "q179_tfidf_keywords" -> 1.1,
@@ -276,21 +276,21 @@ object Bench {
     // q199-q202: closing-canonical (r11l) + focused runs
     "q199_skyline" -> 0.36,
     "q200_sample_representativeness" -> 0.33,
-    "q201_stratum_mean_se" -> 0.19,
-    "q202_metric_correlation" -> 1.54,
+    "q201_stratum_mean_se" -> 0.18,
+    "q202_metric_correlation" -> 1.35,
     // BENCH_local_r11m (focused q203-q205 run)
     "q203_split_balance" -> 0.52,
     "q204_ab_conversion_z" -> 0.22,
-    "q205_price_volume_mix" -> 1.14,
+    "q205_price_volume_mix" -> 1.1,
     // BENCH_local_r13a (the r13 canonical: first full run with the
     // file-based artifact + shuffle-bytes meter; 69 floors lowered)
     "q206_image_decode" -> 0.76,
-    "q207_audio_decode" -> 1.3,
+    "q207_audio_decode" -> 1.18,
     "q208_sole_fault_suppliers" -> 0.82,
     // focused post-canonical runs
     "q209_video_decode" -> 0.23,
     "q210_key_skew_profile" -> 0.4,
-    "q211_contamination_sweep" -> 0.71,
+    "q211_contamination_sweep" -> 0.6,
     "q212_token_fertility" -> 0.37,
     // q213 pays the full q17 pipeline + the wedge joins (pair-frame
     // scale) — the audit's honest cost
@@ -303,7 +303,7 @@ object Bench {
     "q216_cluster_keep_best" -> 1.39,
     // q217 pays two corpus token folds + the vocab band re-join
     "q217_importance_weights" -> 1.56,
-    "q218_gate_overlap" -> 0.34,
+    "q218_gate_overlap" -> 0.33,
     // q219 pays the occurrence-frame df fold + semi re-join
     "q219_boilerplate_ngrams" -> 1.12,
     "q220_t_closeness" -> 0.52,
@@ -311,7 +311,7 @@ object Bench {
     // profile's honest cost — q206+q207+q209 in one query)
     "q221_media_profile" -> 2.37,
     "q222_background_jaccard" -> 0.37,
-    "q223_small_qty_revenue" -> 1.02,
+    "q223_small_qty_revenue" -> 1.0,
     "q224_shard_manifest" -> 0.54,
     // q225 pays the full q17 pair pipeline (the label side)
     "q225_quality_calibration" -> 2.44,
@@ -320,28 +320,28 @@ object Bench {
     "q227_effective_sample_size" -> 0.28,
     // r14 continuation: score-gate evals (both pay the sha2 dup-label
     // shuffle; the rank math itself runs on the distinct-score frame)
-    "q228_score_auc" -> 0.37,
+    "q228_score_auc" -> 0.35,
     "q229_gain_curve" -> 0.33,
     // the Q20/Q22 planner shapes: two lineitem aggregates + semi
     // chain; scalar-append + date-filtered anti
-    "q230_dominant_share_suppliers" -> 0.67,
-    "q231_idle_customers" -> 0.40,
+    "q230_dominant_share_suppliers" -> 0.6,
+    "q231_idle_customers" -> 0.37,
     "q232_recursive_l_diversity" -> 0.41,
-    "q233_zorder_manifest" -> 0.53,
+    "q233_zorder_manifest" -> 0.49,
     // q234 pays the full q17 pair pipeline (the q225 cost shape)
-    "q234_neighbor_label_audit" -> 2.59,
+    "q234_neighbor_label_audit" -> 2.48,
     "q235_part_supplier_census" -> 0.71,
     "q236_column_profile_sketch" -> 0.44,
-    "q237_waterfill_quota" -> 0.43,
+    "q237_waterfill_quota" -> 0.42,
     "q238_frame_sample_plan" -> 0.31,
-    "q239_disjunctive_revenue" -> 0.34,
-    "q240_calibration_ece" -> 0.44,
+    "q239_disjunctive_revenue" -> 0.32,
+    "q240_calibration_ece" -> 0.43,
     "q241_bootstrap_ci" -> 0.29,
     "q242_survival_hazard" -> 0.45,
     // q243 is sub-second only because of the codegen'd char fold
     // (the HOF form measured 3.55 s — the r4 native-expression lesson)
     "q243_content_checksum" -> 0.25,
-    "q244_background_cosine" -> 0.41,
+    "q244_background_cosine" -> 0.37,
     "q245_large_quantity_orders" -> 0.85,
     "q246_top_revenue_supplier" -> 0.42,
     "q247_nation_pair_volume" -> 0.81,
@@ -355,10 +355,10 @@ object Bench {
     "q255_image_dhash_neardup" -> 1.35,
     "q256_video_sample_bytes" -> 0.25,
     "q257_frame_sample_bytes" -> 0.34,
-    "q258_product_type_profit" -> 0.84,
+    "q258_product_type_profit" -> 0.83,
     "q259_order_priority_exists" -> 0.42,
     "q260_bpe_budget_mix" -> 0.38,
-    "q261_image_dhash_clusters" -> 1.41,
+    "q261_image_dhash_clusters" -> 1.32,
     // q262-q267 floors seeded from a QUIET host in r16 (loadavg 0.27;
     // the r15 driver run seeded them implicitly at the 1.2 default
     // under a 1.6->6.7 load ramp — the judge's floors-hygiene item):
@@ -366,12 +366,12 @@ object Bench {
     // design, the agreement audit pays both dedup screens
     "q262_audio_envelope_neardup" -> 1.87,
     "q263_modality_router" -> 0.42,
-    "q264_small_quantity_revenue" -> 0.47,
-    "q265_bpe_sequence_packing" -> 0.76,
+    "q264_small_quantity_revenue" -> 0.43,
+    "q265_bpe_sequence_packing" -> 0.75,
     "q266_audio_envelope_clusters" -> 2.33,
     "q267_image_dedup_agreement" -> 1.19,
     "q268_returned_item_customers" -> 0.49,
-    "q269_shipping_priority_buckets" -> 0.52,
+    "q269_shipping_priority_buckets" -> 0.51,
     "q270_promo_revenue_share" -> 0.27,
     // q271/q272 pay the full MinHash-LSH pipeline + image decode +
     // both recursive closures to COMPARE the modality decisions —
@@ -382,23 +382,25 @@ object Bench {
     // fixed costs, not data) on top of q271's joint build
     "q273_crossmodal_dedup_policies" -> 3.66,
     "q274_token_shard_manifest" -> 0.81,
-    "q275_audio_chunk_inventory" -> 0.61,
+    "q275_audio_chunk_inventory" -> 0.54,
     "q276_png_chunk_inventory" -> 0.19,
     // the MJPEG rung pays a real 24k-frame JPEG encode+decode fixture
     // pass per query (the q221/q266 honest-decode-cost shape); q278
     // additionally emits the ~600k-row verified pair frame, q279
     // closes over the distinct-sequence graph instead (bytes at KB)
-    "q277_video_frame_fingerprints" -> 6.34,
-    "q278_video_neardup_pairs" -> 5.41,
+    "q277_video_frame_fingerprints" -> 6.11,
+    "q278_video_neardup_pairs" -> 5.11,
     "q279_video_neardup_clusters" -> 4.87,
     "q280_video_dedup_agreement" -> 5.13,
     "q281_video_shot_segments" -> 5.04,
-    "q282_stock_value_concentration" -> 1.0,
+    "q282_stock_value_concentration" -> 0.73,
     "q283_shot_sample_schedule" -> 5.39,
-    "q284_gif_frame_fingerprints" -> 3.16,
-    "q285_gif_neardup_clusters" -> 5.03,
-    "q286_kpartite_dedup_policies" -> 8.87,
-    "q287_iso_exact_dedup" -> 0.55)
+    "q284_gif_frame_fingerprints" -> 2.8,
+    "q285_gif_neardup_clusters" -> 4.23,
+    "q286_kpartite_dedup_policies" -> 8.41,
+    "q287_iso_exact_dedup" -> 0.52,
+    "q288_gif_neardup_pairs" -> 3.02,
+    "q289_gif_dedup_agreement" -> 5.08)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -425,15 +427,15 @@ object Bench {
   private[graft] val byteFloors: Map[String, Long] = Map(
     "q100_containment_pairs" -> 30009842L,
     "q101_cross_containment" -> 16860731L,
-    "q102_winsorize" -> 3715034L,
+    "q102_winsorize" -> 3715188L,
     "q103_temperature_mix" -> 1058L,
     "q104_rule_audit" -> 175892L,
     "q105_bigram_fluency" -> 510245L,
     "q106_hard_negatives" -> 29075L,
     "q107_intra_label_diversity" -> 25829L,
-    "q108_mad_outliers" -> 3120562L,
+    "q108_mad_outliers" -> 3119858L,
     "q109_json_field_stats" -> 1953L,
-    "q10_incremental_antijoin" -> 776318L,
+    "q10_incremental_antijoin" -> 776284L,
     "q110_curation_funnel" -> 15401L,
     "q111_grid_percentile" -> 76300L,
     "q112_unigram_divergence" -> 910244L,
@@ -448,7 +450,7 @@ object Bench {
     "q120_benford_profile" -> 7728L,
     "q121_k_anonymity" -> 170457L,
     "q122_transition_matrix" -> 3630283L,
-    "q123_hybrid_rrf" -> 3934472L,
+    "q123_hybrid_rrf" -> 3934854L,
     "q124_distinct_ngrams" -> 10267965L,
     "q125_embedding_health" -> 3629L,
     "q126_cusum_changepoint" -> 62447L,
@@ -502,14 +504,14 @@ object Bench {
     "q16_exact_dedup" -> 1877902L,
     "q170_rank_shift" -> 1056670L,
     "q171_temporal_split" -> 52492L,
-    "q172_causal_zscore" -> 11992680L,
+    "q172_causal_zscore" -> 11991758L,
     "q173_seasonal_naive" -> 28508L,
-    "q174_winnowing_neardup" -> 21677364L,
-    "q175_profile_drift" -> 4728L,
+    "q174_winnowing_neardup" -> 21677384L,
+    "q175_profile_drift" -> 4842L,
     "q176_value_tail_bands" -> 1147199L,
     "q177_type_pagerank" -> 5443190L,
     "q178_fuzzy_operating_point" -> 122180L,
-    "q179_tfidf_keywords" -> 5027548L,
+    "q179_tfidf_keywords" -> 5027468L,
     "q17_ngram_jaccard_neardup" -> 30011208L,
     "q180_grid_accuracy" -> 733984L,
     "q181_transition_predictability" -> 3626489L,
@@ -571,11 +573,11 @@ object Bench {
     "q231_idle_customers" -> 7926L,
     "q232_recursive_l_diversity" -> 335456L,
     "q233_zorder_manifest" -> 43589L,
-    "q234_neighbor_label_audit" -> 41862805L,
+    "q234_neighbor_label_audit" -> 41864271L,
     "q235_part_supplier_census" -> 1427433L,
     "q236_column_profile_sketch" -> 20426L,
     "q237_waterfill_quota" -> 3547L,
-    "q238_frame_sample_plan" -> 274114L,
+    "q238_frame_sample_plan" -> 273864L,
     "q239_disjunctive_revenue" -> 432L,
     "q240_calibration_ece" -> 694042L,
     "q241_bootstrap_ci" -> 4480L,
@@ -592,14 +594,14 @@ object Bench {
     "q252_national_market_share" -> 7389304L,
     "q253_bpe_vocab" -> 11823L,
     "q254_bpe_fertility" -> 898L,
-    "q255_image_dhash_neardup" -> 14265074L,
-    "q256_video_sample_bytes" -> 485052L,
-    "q257_frame_sample_bytes" -> 485504L,
+    "q255_image_dhash_neardup" -> 14262222L,
+    "q256_video_sample_bytes" -> 485066L,
+    "q257_frame_sample_bytes" -> 485386L,
     "q258_product_type_profit" -> 30913L,
     "q259_order_priority_exists" -> 1845L,
     "q260_bpe_budget_mix" -> 8364L,
     "q261_image_dhash_clusters" -> 74658L,
-    "q262_audio_envelope_neardup" -> 13629797L,
+    "q262_audio_envelope_neardup" -> 13621093L,
     "q263_modality_router" -> 8042L,
     // q264 re-seeded r16: the forced broadcast(perPart) hint dropped
     // (judge item) — AQE now stages both join inputs before choosing
@@ -618,18 +620,20 @@ object Bench {
     "q273_crossmodal_dedup_policies" -> 1665987L,
     "q274_token_shard_manifest" -> 268010L,
     "q275_audio_chunk_inventory" -> 177762L,
-    "q276_png_chunk_inventory" -> 216524L,
-    "q277_video_frame_fingerprints" -> 533728L,
-    "q278_video_neardup_pairs" -> 27541118L,
-    "q279_video_neardup_clusters" -> 698442L,
+    "q276_png_chunk_inventory" -> 216706L,
+    "q277_video_frame_fingerprints" -> 534878L,
+    "q278_video_neardup_pairs" -> 27536736L,
+    "q279_video_neardup_clusters" -> 698512L,
     "q280_video_dedup_agreement" -> 611386L,
-    "q281_video_shot_segments" -> 1224740L,
+    "q281_video_shot_segments" -> 1224810L,
     "q282_stock_value_concentration" -> 1745780L,
-    "q283_shot_sample_schedule" -> 2035564L,
+    "q283_shot_sample_schedule" -> 2035452L,
     "q284_gif_frame_fingerprints" -> 167230L,
-    "q285_gif_neardup_clusters" -> 347522L,
+    "q285_gif_neardup_clusters" -> 347452L,
     "q286_kpartite_dedup_policies" -> 2181409L,
-    "q287_iso_exact_dedup" -> 46597L,
+    "q287_iso_exact_dedup" -> 68744L,
+    "q288_gif_neardup_pairs" -> 16424500L,
+    "q289_gif_dedup_agreement" -> 293928L,
     "q21_embedding_neardup_ivf" -> 5000834L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,
@@ -638,45 +642,45 @@ object Bench {
     "q26_multimodal_meta" -> 983684L,
     "q27_report_metrics" -> 200L,
     "q28_report_distributors" -> 8219L,
-    "q29_trycast_timestamp" -> 5732252L,
+    "q29_trycast_timestamp" -> 5733184L,
     "q2_select_project" -> 417504L,
-    "q30_embedding_neardup_rplsh" -> 20501415L,
+    "q30_embedding_neardup_rplsh" -> 20501431L,
     "q31_neardup_clusters" -> 466383L,
     "q32_stratified_sample" -> 35782L,
     "q33_pii_redact" -> 721556L,
-    "q34_event_sessionize" -> 10665506L,
+    "q34_event_sessionize" -> 10663964L,
     "q35_repetition_signals" -> 253330L,
     "q36_cross_contamination" -> 17527841L,
     "q37_sequence_packing" -> 458719L,
     "q38_network_redact" -> 728946L,
     "q39_embedding_topk_ivf" -> 672881L,
-    "q3_try_cast" -> 331976L,
+    "q3_try_cast" -> 332016L,
     "q40_training_order" -> 308517L,
     "q41_token_budget_mix" -> 16110L,
     "q42_epoch_sharded_packing" -> 2925907L,
-    "q43_asof_join" -> 4569335L,
+    "q43_asof_join" -> 4570345L,
     "q44_interval_join" -> 7612L,
     "q45_length_profile" -> 15385L,
     "q46_grouped_topk" -> 4152L,
     "q47_sliding_chunks" -> 1055100L,
     "q48_keepbest_dedup" -> 2018227L,
     "q49_eval_overlap" -> 543962L,
-    "q4_left_join_enrich" -> 739690L,
+    "q4_left_join_enrich" -> 739910L,
     "q50_curriculum_bins" -> 17628L,
     "q51_priority_sample" -> 6082L,
     "q52_bm25_scores" -> 1123003L,
     "q53_semantic_clusters" -> 20314969L,
     "q54_shingle_novelty" -> 958251L,
-    "q55_embedding_quantize" -> 3014340L,
-    "q56_pq_codes" -> 535328L,
+    "q55_embedding_quantize" -> 3015636L,
+    "q56_pq_codes" -> 535256L,
     "q57_pq_adc_topk" -> 2036259L,
     "q58_rollup_revenue" -> 11541L,
     "q59_pivot_returnflag" -> 37108L,
     "q5_anti_orphans" -> 0L,
     "q60_paragraph_dedup" -> 4919719L,
     "q61_ivfpq_topk" -> 762530L,
-    "q62_column_profile" -> 3498256L,
-    "q63_asof_tolerance" -> 4097123L,
+    "q62_column_profile" -> 3501694L,
+    "q63_asof_tolerance" -> 4097103L,
     "q64_cube_revenue" -> 16600L,
     "q65_term_zipf" -> 3229944L,
     "q66_lexical_richness" -> 3719211L,
@@ -692,14 +696,14 @@ object Bench {
     "q75_grouping_sets" -> 5532L,
     "q76_eval_overlap_bloom" -> 957475L,
     "q77_snapshot_diff" -> 1234867L,
-    "q78_asof_forward" -> 4561120L,
+    "q78_asof_forward" -> 4561442L,
     "q79_ingest_gaps" -> 16700L,
-    "q7_dedup_keepfirst" -> 1110601L,
+    "q7_dedup_keepfirst" -> 1110509L,
     "q80_cms_heavy_hitters" -> 10638L,
-    "q81_moving_revenue" -> 7994366L,
-    "q82_scd2_intervals" -> 9001701L,
+    "q81_moving_revenue" -> 7994048L,
+    "q82_scd2_intervals" -> 9000939L,
     "q83_volume_anomaly" -> 88350L,
-    "q84_posting_lists" -> 12121861L,
+    "q84_posting_lists" -> 12121003L,
     "q85_state_dwell" -> 3726840L,
     "q86_growth_curve" -> 560000L,
     "q87_sliding_wau" -> 1362039L,

@@ -1441,6 +1441,161 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       FROM cls JOIN m USING (b) ORDER BY doc_id
     """.trim))
 
+  // --------------------------------------------------------------- q288
+  /** q288 — GIF near-dup PAIRS ([[Dedup.alignedFingerprintPairs]]
+    * over the GIF rung — the q278 decision at the second multi-frame
+    * coding, completing the family ladder fingerprints → pairs →
+    * clusters): two GIFs are near-dup when ≥ half the longer one's
+    * frames carry dHashes within Hamming ≤ 3 at the SAME frame
+    * index; exact signature collapse first, per-position pigeonhole
+    * candidates, verified pair output as the only quadratic object.
+    * The fixture exercises same-signature exact dups, the v0/v1
+    * one-bit tweak (cross-signature), statics (1-frame sequences
+    * pair only with sequences ≤ 2 frames under the half share), and
+    * the cross-phase v2 ≡ v0 stream identities. Oracle: brute-force
+    * aligned Hamming join over the bit-exact fps replay. */
+  val q288: Q = Q(
+    "q288_gif_neardup_pairs",
+    (s, d) => {
+      val fps = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.gifFrameFingerprints(
+          Multimodal.encodeGifFixture(Tables.documents(s, d),
+            "doc_id"))
+          .toDF().where(col("ok") === 1L)
+          .select(col("doc_id"), col("frame_idx"), col("fp")))
+      Dedup.alignedFingerprintPairs(fps, "doc_id", "frame_idx", "fp",
+        maxHamming = 3, bits = 64)
+    },
+    Some(s"""
+      WITH $gifFpsCte,
+      cnt AS (SELECT doc_id, count(*) AS n FROM gfps GROUP BY doc_id),
+      m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          count(*) AS n_match
+        FROM gfps a JOIN gfps b
+          ON a.frame_idx = b.frame_idx AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        GROUP BY 1, 2)
+      SELECT m.doc_a, m.doc_b, CAST(m.n_match AS BIGINT) AS n_match,
+        CAST(ca.n AS BIGINT) AS n_frames_a,
+        CAST(cb.n AS BIGINT) AS n_frames_b
+      FROM m
+      JOIN cnt ca ON ca.doc_id = m.doc_a
+      JOIN cnt cb ON cb.doc_id = m.doc_b
+      WHERE 2 * m.n_match >= greatest(ca.n, cb.n)
+      ORDER BY doc_a, doc_b
+    """.trim))
+
+  // --------------------------------------------------------------- q289
+  /** q289 — exact-vs-perceptual GIF dedup agreement (q280's sibling
+    * on the second multi-frame coding, closing the audit family):
+    * byte-identity groups (sha-256) vs q285's aligned sequence
+    * clusters over the decodable GIFs — group/cluster counts,
+    * dup-doc counts, pair masses, `pairs_gained` = what the
+    * perceptual rung buys beyond byte compare (the v0/v1 one-bit
+    * tweak and cross-phase stream identities of unequal LENGTH,
+    * which prefix-chain perceptually but can never byte-match). The
+    * oracle restates BYTE identity as id arithmetic — two intact
+    * GIFs are byte-equal iff they share the pattern phase
+    * `(7g + 2·[v=2]) mod 4`, the v1 tweak flag, and the frame count
+    * `g mod 3` (the fixture's own frame formula made explicit, the
+    * q267/q280 quirk discipline) — and replays the perceptual side
+    * through the q288 closure. */
+  val q289: Q = Q(
+    "q289_gif_dedup_agreement",
+    (s, d) => {
+      val media = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.encodeGifFixture(
+          Tables.documents(s, d), "doc_id").toDF())
+      val fps = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.gifFrameFingerprints(
+          media.as[Multimodal.MediaRecord](Multimodal.mediaRecordEnc))
+          .toDF().where(col("ok") === 1L)
+          .select(col("doc_id"), col("frame_idx"), col("fp")))
+      val gifs = fps.select(col("doc_id")).distinct()
+      val exactSizes = media
+        .join(gifs, Seq("doc_id")) // decodable only
+        .select(sha2(col("payload"), 256).as("bh"))
+        .groupBy(col("bh")).agg(count(lit(1)).as("n"))
+      val percSizes = Dedup.alignedFingerprintClusters(fps, "doc_id",
+          "frame_idx", "fp", maxHamming = 3, bits = 64)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+      def summarize(sizes: org.apache.spark.sql.DataFrame, tag: String) =
+        sizes.agg(
+          count(lit(1)).as(s"${tag}_groups"),
+          sum(col("n")).as(s"${tag}_docs"),
+          sum(when(col("n") >= 2, col("n")).otherwise(0L))
+            .as(s"${tag}_dup_docs"),
+          sum(expr("n * (n - 1) div 2")).as(s"${tag}_pairs"))
+      summarize(exactSizes, "exact")
+        .crossJoin(broadcast(summarize(percSizes, "perc")))
+        .select(col("exact_docs").as("n_docs"),
+          col("exact_groups"), col("exact_dup_docs"), col("exact_pairs"),
+          col("perc_groups").as("perc_clusters"), col("perc_dup_docs"),
+          col("perc_pairs"),
+          (col("perc_pairs") - col("exact_pairs")).as("pairs_gained"))
+    },
+    Some(s"""
+      WITH RECURSIVE gpairs0 AS (
+        SELECT doc_a, doc_b FROM (WITH $gifFpsCte,
+          cnt AS (
+            SELECT doc_id, count(*) AS n FROM gfps GROUP BY doc_id),
+          m AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              count(*) AS n_match
+            FROM gfps a JOIN gfps b
+              ON a.frame_idx = b.frame_idx AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.fp, b.fp)) <= 3
+            GROUP BY 1, 2)
+          SELECT m.doc_a, m.doc_b FROM m
+          JOIN cnt ca ON ca.doc_id = m.doc_a
+          JOIN cnt cb ON cb.doc_id = m.doc_b
+          WHERE 2 * m.n_match >= greatest(ca.n, cb.n)) q
+      ),
+      guniverse AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0
+          AND doc_id % 10 NOT IN (3, 4, 6)),
+      gedges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM gpairs0
+        UNION ALL SELECT doc_b, doc_a FROM gpairs0),
+      reach(doc_id, via) AS (
+        SELECT doc_id, doc_id FROM guniverse
+        UNION
+        SELECT r.doc_id, e.dst FROM reach r
+        JOIN gedges e ON e.src = r.via),
+      pclusters AS (
+        SELECT doc_id, min(via) AS cluster_id FROM reach
+        GROUP BY doc_id),
+      psizes AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS n
+        FROM pclusters GROUP BY 1),
+      esizes AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM guniverse
+        GROUP BY
+          (7 * (doc_id % 12) +
+            CASE WHEN (doc_id // 12) % 3 = 2 THEN 2 ELSE 0 END) % 4,
+          (doc_id // 12) % 3 = 1,
+          (doc_id % 12) % 3),
+      e AS (
+        SELECT CAST(count(*) AS BIGINT) AS exact_groups,
+          CAST(sum(n) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT)
+            AS exact_dup_docs,
+          CAST(sum(n * (n - 1) // 2) AS BIGINT) AS exact_pairs
+        FROM esizes),
+      p AS (
+        SELECT CAST(count(*) AS BIGINT) AS perc_clusters,
+          CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT)
+            AS perc_dup_docs,
+          CAST(sum(n * (n - 1) // 2) AS BIGINT) AS perc_pairs
+        FROM psizes)
+      SELECT e.n_docs, e.exact_groups, e.exact_dup_docs, e.exact_pairs,
+        p.perc_clusters, p.perc_dup_docs, p.perc_pairs,
+        p.perc_pairs - e.exact_pairs AS pairs_gained
+      FROM e, p
+    """.trim))
+
   // --------------------------------------------------------------- q286
   /** q286 — K-PARTITE cross-modal dedup policies (q273's bipartite
     * cell closure generalized to THREE modalities): paired (caption,

@@ -1058,7 +1058,10 @@ class PlanAuditSpec extends SparkSpec {
       // q286: the ONE-ROW policy-mass fold × ONE-ROW tri-partite
       // union-component count — q273's 1×1 eval-rung assembly at
       // k = 3
-      "q286_kpartite_dedup_policies")
+      "q286_kpartite_dedup_policies",
+      // q289: the ONE-ROW exact-side summary × ONE-ROW perceptual-side
+      // summary — q280's 1×1 eval-rung shape on the GIF coding
+      "q289_gif_dedup_agreement")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()
