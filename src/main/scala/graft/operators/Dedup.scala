@@ -355,7 +355,7 @@ object Dedup {
       threshold: Double = 0.5, maxDf: Int = 100,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     // the hot-shingle cap is the shared [[Skew.capHotKeys]]: a tiny
-    // hot-key list + broadcast anti-join, NOT a
+    // hot-key list + AQE-broadcast anti-join, NOT a
     // count-over-partition window: the window formulation sorted the
     // ENTIRE exploded shingle frame on hs (the single most expensive
     // stage of r4's q17 and the first thing to stall under host
@@ -1500,7 +1500,8 @@ object Dedup {
     * exchange and the inverted-index self-join on the SELECTED
     * fingerprints (a ~2/(window+1) sample of the shingle stream, vs
     * q17 joining every shingle); the df-cap is the shared
-    * [[Skew.capHotKeys]] broadcast anti-join. */
+    * [[Skew.capHotKeys]] anti-join (AQE-broadcast at
+    * any Zipf-shaped scale). */
   def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
       span: Int = 3, window: Int = 4, maxDf: Int = 100,
       minShared: Int = 2,

@@ -63,17 +63,21 @@ object Skew {
     * compared, exactly like q17's hot shingles.
     *
     * Plan shape: the count aggregate partial-combines map-side; the
-    * hot list is heavy-hitters-small BY CONSTRUCTION (at most
-    * total/maxKeyRows keys can exceed the cap), so it rides an
-    * explicit broadcast into a LeftAnti hash join — no sort, no
-    * second shuffle of `df`. Rows with a NULL key are never capped
-    * (an equi-self-join drops them anyway; callers' block keys
-    * coalesce NULL upstream). */
+    * hot list is heavy-hitters-small in any Zipf-shaped corpus, so
+    * AQE broadcasts it into a LeftAnti hash join on its own — no
+    * sort, no second shuffle of `df`. The hint is deliberately NOT
+    * forced (r17): the list's WORST-case bound is total/maxKeyRows —
+    * corpus-LINEAR, exactly the frame the q223/q264 discipline says
+    * must never carry a forced broadcast; on a pathological lake
+    * where every key is hot, AQE correctly refuses and the anti-join
+    * degrades to a shuffle instead of a driver OOM. Rows with a NULL
+    * key are never capped (an equi-self-join drops them anyway;
+    * callers' block keys coalesce NULL upstream). */
   def capHotKeys(df: DataFrame, key: String, maxKeyRows: Long): DataFrame = {
     require(maxKeyRows >= 1, s"maxKeyRows=$maxKeyRows must be >= 1")
     val hot = df.groupBy(col(key)).agg(count(lit(1)).as("__c"))
       .where(col("__c") > maxKeyRows).select(col(key))
-    df.join(broadcast(hot), Seq(key), "left_anti")
+    df.join(hot, Seq(key), "left_anti")
   }
 
   /** Two-phase skewed aggregation: count per (key, salt) first (spreads
