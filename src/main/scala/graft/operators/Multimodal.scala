@@ -422,6 +422,167 @@ object Multimodal {
       } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** One per-window energy row: window index and the EXACT
+    * mean-absolute amplitude `sum(|s|) div window` (the engine's
+    * fixed-point discipline — an oracle that knows the sample
+    * function restates it without a float). */
+  final case class AudioWindowEnergy(doc_id: Long, w: Long, amp: Long)
+
+  implicit val audioWindowEnergyEnc: Encoder[AudioWindowEnergy] =
+    Encoders.product[AudioWindowEnergy]
+
+  /** Distributed per-window energy decode — the
+    * [[audioEnvelopeHash64]] fold WITHOUT the hash: every COMPLETE
+    * `window`-sample window's mean-abs amplitude of the first
+    * channel, one row each, for the energy analyses that need the
+    * envelope itself (silence segmentation, clipping/level audits)
+    * rather than a dedup key. Total: corrupt / non-16-bit-PCM
+    * payloads contribute no rows; a trailing partial window is
+    * dropped (its mean is not comparable); hostile lengths cap at
+    * 2²⁰ windows. One decode pass, 24 bytes/row out, payloads never
+    * shuffle. */
+  def audioWindowEnergies(media: Dataset[MediaRecord],
+      window: Int = 256): Dataset[AudioWindowEnergy] = {
+    require(window >= 1, s"need window >= 1, got $window")
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val rows = try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          try {
+            val fmt = ais.getFormat
+            if (fmt.getSampleSizeInBits != 16 ||
+              fmt.getEncoding !=
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+              Seq.empty
+            else {
+              val frameSize = fmt.getFrameSize
+              val big = fmt.isBigEndian
+              val buf = new Array[Byte](window * frameSize)
+              val out = Seq.newBuilder[AudioWindowEnergy]
+              var w = 0L
+              var eof = false
+              while (!eof && w < (1L << 20)) {
+                var off = 0
+                var read = 0
+                while (read >= 0 && off < buf.length) {
+                  read = ais.read(buf, off, buf.length - off)
+                  if (read > 0) off += read
+                }
+                if (off < buf.length) eof = true // partial window drops
+                else {
+                  var sum = 0L
+                  var j = 0
+                  while (j < window) {
+                    val base = j * frameSize
+                    val s =
+                      if (big) ((buf(base) << 8) | (buf(base + 1) & 0xff))
+                      else ((buf(base + 1) << 8) | (buf(base) & 0xff))
+                    sum += math.abs(s.toLong)
+                    j += 1
+                  }
+                  out += AudioWindowEnergy(r.doc_id, w, sum / window)
+                  w += 1
+                }
+              }
+              out.result()
+            }
+          } finally ais.close()
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            Seq.empty[AudioWindowEnergy]
+        }
+        rows.iterator
+      }
+    }
+  }
+
+  /** AUDIO ENERGY SEGMENTATION — [[videoShotSegments]]' audio
+    * sibling, the VAD-shaped readout a speech pipeline runs before
+    * paying ASR (strip silence, meter speech mass): label each
+    * window QUIET iff its mean-abs amplitude < `quietBelow`, then
+    * group CONSECUTIVE same-label windows into segments. Output
+    * (doc_id, seg_idx, start_w, end_w, n_windows, is_quiet) ordered.
+    *
+    * Scale shape: ONE window pass partitioned by recording (per-doc
+    * window counts bound the partition — never a global window) +
+    * the per-(doc, segment) fold; input is the 24-byte energy frame
+    * ([[audioWindowEnergies]]), payloads never touched. The
+    * threshold compare is integer-exact, so the oracle replays the
+    * whole segment table from the fixture's amplitude function. */
+  def audioEnergySegments(energies: DataFrame, idCol: String,
+      winCol: String, ampCol: String, quietBelow: Long): DataFrame = {
+    require(quietBelow >= 1, s"need quietBelow >= 1, got $quietBelow")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("w"))
+    energies.select(col(idCol).as("doc_id"), col(winCol).as("w"),
+        (col(ampCol) < quietBelow).as("is_quiet"))
+      .withColumn("__prev", lag(col("is_quiet"), 1).over(w))
+      .withColumn("__cut", when(col("__prev").isNull ||
+        col("is_quiet") =!= col("__prev"), 1L).otherwise(0L))
+      .withColumn("seg_idx", sum(col("__cut")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - 1L)
+      .groupBy(col("doc_id"), col("seg_idx"))
+      .agg(min(col("w")).as("start_w"), max(col("w")).as("end_w"),
+        count(lit(1)).as("n_windows"),
+        // labels are equal within a segment by construction; min is
+        // the deterministic pick (first() is order-dependent)
+        min(col("is_quiet")).as("is_quiet"))
+      .orderBy(col("doc_id"), col("seg_idx"))
+  }
+
+  /** REAL-BYTES SEGMENTED waveform fixture — the audio sibling of
+    * [[encodeSceneMjpegFixture]]: per doc id, a mono 16-bit 8 kHz
+    * WAV of `2 + id%4` segments alternating LOUD/QUIET (starting
+    * loud), segment k spanning `2 + (id+k)%3` windows of 256
+    * samples, amplitudes `1000 + (id%7)·100` (loud) and
+    * `80 + (id%5)·10` (quiet) on the ±carrier, so every window's
+    * mean-abs IS the segment amplitude exactly and the segment table
+    * is pure id arithmetic at any threshold in (130, 1000].
+    * Corruption: `id%10 = 3` zeroes the RIFF magic, `id%10 = 6`
+    * truncates to 16 bytes. */
+  def encodeSegmentedWaveformFixture(docs: DataFrame, idCol: String)
+      : Dataset[MediaRecord] = {
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+      .where(col("doc_id").isNotNull && col("doc_id") >= 0)
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    ids.as[Long].mapPartitions { it =>
+      it.map { id =>
+        val window = 256
+        val nSeg = (2 + id % 4).toInt
+        val segLens = (0 until nSeg).map(k => (2 + (id + k) % 3).toInt)
+        val loud = (1000 + (id % 7) * 100).toInt
+        val quiet = (80 + (id % 5) * 10).toInt
+        val nWin = segLens.sum
+        val pcm = new Array[Byte](nWin * window * 2)
+        var i = 0
+        var seg = 0
+        var segEnd = segLens(0) * window
+        while (i < nWin * window) {
+          if (i >= segEnd) { seg += 1; segEnd += segLens(seg) * window }
+          val amp = if (seg % 2 == 0) loud else quiet
+          val s = if (i % 4 < 2) amp else -amp
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt,
+          (nWin * window).toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        var bytes = bos.toByteArray
+        if (id % 10 == 3) bytes(0) = 0
+        else if (id % 10 == 6) bytes = bytes.take(16)
+        MediaRecord(id, s"memory://segwave/$id", "audio/wav", bytes)
+      }
+    }
+  }
+
   /** Distributed audio fingerprinting — the decode batch shape with
     * the usual contracts (corrupt → ok = 0, payloads never shuffle). */
   def audioFingerprints(media: Dataset[MediaRecord])

@@ -1720,6 +1720,47 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       FROM f, u
     """.trim))
 
+  // --------------------------------------------------------------- q290
+  /** q290 — AUDIO ENERGY SEGMENTATION ([[Multimodal
+    * .audioEnergySegments]] over [[Multimodal.audioWindowEnergies]]):
+    * the VAD-shaped readout a speech pipeline runs before paying ASR
+    * — label windows quiet/loud by an integer threshold on the exact
+    * mean-abs amplitude, group consecutive same-label windows into
+    * segments. Runs on the SEGMENTED waveform fixture (alternating
+    * loud/quiet spans whose window amplitudes are pure id
+    * arithmetic), so the oracle replays the whole segment table —
+    * span lengths via a prefix sum over the replayed segment lens —
+    * with no decode. Corrupt families contribute no rows. */
+  val q290: Q = Q(
+    "q290_audio_energy_segments",
+    (s, d) =>
+      Multimodal.audioEnergySegments(
+        Multimodal.audioWindowEnergies(
+          Multimodal.encodeSegmentedWaveformFixture(
+            Tables.documents(s, d), "doc_id")).toDF(),
+        "doc_id", "w", "amp", quietBelow = 500L),
+    Some("""
+      WITH ids AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0
+          AND doc_id % 10 NOT IN (3, 6)),
+      segs AS (
+        SELECT doc_id, CAST(u.k AS BIGINT) AS seg_idx,
+          CAST(2 + (doc_id + u.k) % 3 AS BIGINT) AS len,
+          u.k % 2 = 1 AS is_quiet
+        FROM ids, LATERAL unnest(range(2 + doc_id % 4)) AS u(k)),
+      spans AS (
+        SELECT doc_id, seg_idx, len, is_quiet,
+          CAST(coalesce(sum(len) OVER (PARTITION BY doc_id
+            ORDER BY seg_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS start_w
+        FROM segs)
+      SELECT doc_id, seg_idx, start_w,
+        start_w + len - 1 AS end_w, len AS n_windows, is_quiet
+      FROM spans ORDER BY doc_id, seg_idx
+    """.trim))
+
   // --------------------------------------------------------------- q284
   /** The shared fps CTE of the GIF rung (q284/q285): replay
     * [[Multimodal.encodeGifFixture]]'s per-frame dHash as pure id

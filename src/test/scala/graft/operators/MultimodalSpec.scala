@@ -612,6 +612,45 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.aviFrameRanges(overrun).isEmpty)
   }
 
+  test("audioWindowEnergies: exact window means, trailing partial " +
+    "window dropped, corrupt payloads no rows; segments fold by " +
+    "label runs") {
+    import spark.implicits._
+    // hand WAV: 2.5 windows of 256 samples — amps 300, 900, (partial)
+    val window = 256
+    val pcm = new Array[Byte](640 * 2)
+    for (i <- 0 until 640) {
+      val amp = if (i < 256) 300 else 900
+      val v = if (i % 4 < 2) amp else -amp
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true,
+      false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 640L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "m://1", "audio/wav", bos.toByteArray),
+      Multimodal.MediaRecord(2L, "m://2", "audio/wav",
+        Array[Byte](1, 2, 3))).toDS()
+    val got = Multimodal.audioWindowEnergies(media).collect()
+      .map(r => (r.doc_id, r.w, r.amp)).sorted.toSeq
+    // 2 complete windows only; the 128-sample tail drops
+    assert(got == Seq((1L, 0L, 300L), (1L, 1L, 900L)))
+    // segmentation: a quiet run then a loud run
+    val segs = Multimodal.audioEnergySegments(
+      Seq((7L, 0L, 100L), (7L, 1L, 120L), (7L, 2L, 900L),
+        (7L, 3L, 80L)).toDF("doc_id", "w", "amp"),
+      "doc_id", "w", "amp", quietBelow = 500L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSeq
+    assert(segs == Seq((0L, 0L, 1L, 2L, true), (1L, 2L, 2L, 1L, false),
+      (2L, 3L, 3L, 1L, true)))
+  }
+
   test("gifFrameFingerprints round-trips the GIF fixture bit-exactly: " +
     "static + animated frames hash to the pattern bytes, corrupt and " +
     "truncated containers emit no rows, router sniffs image/gif") {
