@@ -445,57 +445,63 @@ object Multimodal {
       window: Int = 256): Dataset[AudioWindowEnergy] = {
     require(window >= 1, s"need window >= 1, got $window")
     media.mapPartitions { it =>
-      it.flatMap { r =>
-        val rows = try {
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(r.payload))
-          try {
-            val fmt = ais.getFormat
-            if (fmt.getSampleSizeInBits != 16 ||
-              fmt.getEncoding !=
-                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
-              Seq.empty
-            else {
-              val frameSize = fmt.getFrameSize
-              val big = fmt.isBigEndian
-              val buf = new Array[Byte](window * frameSize)
-              val out = Seq.newBuilder[AudioWindowEnergy]
-              var w = 0L
-              var eof = false
-              while (!eof && w < (1L << 20)) {
-                var off = 0
-                var read = 0
-                while (read >= 0 && off < buf.length) {
-                  read = ais.read(buf, off, buf.length - off)
-                  if (read > 0) off += read
-                }
-                if (off < buf.length) eof = true // partial window drops
-                else {
-                  var sum = 0L
-                  var j = 0
-                  while (j < window) {
-                    val base = j * frameSize
-                    val s =
-                      if (big) ((buf(base) << 8) | (buf(base + 1) & 0xff))
-                      else ((buf(base + 1) << 8) | (buf(base) & 0xff))
-                    sum += math.abs(s.toLong)
-                    j += 1
-                  }
-                  out += AudioWindowEnergy(r.doc_id, w, sum / window)
-                  w += 1
-                }
-              }
-              out.result()
-            }
-          } finally ais.close()
-        } catch {
-          case scala.util.control.NonFatal(_) =>
-            Seq.empty[AudioWindowEnergy]
-        }
-        rows.iterator
-      }
+      it.flatMap(r => windowEnergiesOf(r.payload, window).iterator
+        .zipWithIndex
+        .map { case (amp, w) => AudioWindowEnergy(r.doc_id, w, amp) })
     }
   }
+
+  /** The pure per-payload half of [[audioWindowEnergies]]: complete
+    * windows' exact mean-abs amplitudes, in order. Empty on any
+    * decode failure / non-16-bit-PCM stream — total over hostile
+    * bytes (property-fuzzed). */
+  private[graft] def windowEnergiesOf(payload: Array[Byte],
+      window: Int): IndexedSeq[Long] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          IndexedSeq.empty
+        else {
+          val frameSize = fmt.getFrameSize
+          val big = fmt.isBigEndian
+          val buf = new Array[Byte](window * frameSize)
+          val out = IndexedSeq.newBuilder[Long]
+          var w = 0L
+          var eof = false
+          while (!eof && w < (1L << 20)) {
+            var off = 0
+            var read = 0
+            while (read >= 0 && off < buf.length) {
+              read = ais.read(buf, off, buf.length - off)
+              if (read > 0) off += read
+            }
+            if (off < buf.length) eof = true // partial window drops
+            else {
+              var sum = 0L
+              var j = 0
+              while (j < window) {
+                val base = j * frameSize
+                val s =
+                  if (big) ((buf(base) << 8) | (buf(base + 1) & 0xff))
+                  else ((buf(base + 1) << 8) | (buf(base) & 0xff))
+                sum += math.abs(s.toLong)
+                j += 1
+              }
+              out += sum / window
+              w += 1
+            }
+          }
+          out.result()
+        }
+      } finally ais.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => IndexedSeq.empty
+    }
 
   /** AUDIO ENERGY SEGMENTATION — [[videoShotSegments]]' audio
     * sibling, the VAD-shaped readout a speech pipeline runs before

@@ -29,6 +29,8 @@ object MultimodalProps extends Properties("MultimodalDecode") {
     Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte),
     "RIFF".getBytes("US-ASCII"),
     "FORM".getBytes("US-ASCII"),
+    "GIF87a".getBytes("US-ASCII"),
+    "GIF89a".getBytes("US-ASCII"),
     // a plausible ftyp box header claiming various sizes
     Array[Byte](0, 0, 0, 20) ++ "ftyp".getBytes("US-ASCII"),
     Array[Byte](0, 0, 0, 0) ++ "ftyp".getBytes("US-ASCII"),
@@ -117,4 +119,31 @@ object MultimodalProps extends Properties("MultimodalDecode") {
             }
       }
     }
+  property("gifFrames never throws, only accepts GIF-magic payloads, " +
+    "and bounds the frame count") = forAll(payload) { b =>
+    Multimodal.gifFrames(b) match {
+      case None => true
+      case Some(frames) =>
+        frames.nonEmpty && frames.size <= 1024 && b.length >= 6 && {
+          val m = new String(b, 0, 6, "US-ASCII")
+          m == "GIF87a" || m == "GIF89a"
+        }
+    }
+  }
+
+  property("isoBmffWalks never throws and only accepts ftyp-first " +
+    "payloads") = forAll(payload) { b =>
+    !Multimodal.isoBmffWalks(b) || (b.length >= 16 &&
+      new String(b, 4, 4, "US-ASCII") == "ftyp")
+  }
+
+  property("dhash64 never throws; any accepted image hashes to a " +
+    "long") = forAll(payload) { b =>
+    Multimodal.dhash64(b); true
+  }
+
+  property("windowEnergiesOf never throws and every energy is a " +
+    "nonnegative exact mean") = forAll(payload) { b =>
+    Multimodal.windowEnergiesOf(b, 256).forall(_ >= 0L)
+  }
 }
