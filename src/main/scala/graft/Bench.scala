@@ -401,7 +401,8 @@ object Bench {
     "q287_iso_exact_dedup" -> 0.52,
     "q288_gif_neardup_pairs" -> 3.02,
     "q289_gif_dedup_agreement" -> 5.08,
-    "q290_audio_energy_segments" -> 1.44)
+    "q290_audio_energy_segments" -> 1.44,
+    "q291_audio_excerpt_schedule" -> 1.32)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -636,6 +637,7 @@ object Bench {
     "q288_gif_neardup_pairs" -> 16424500L,
     "q289_gif_dedup_agreement" -> 293928L,
     "q290_audio_energy_segments" -> 1410821L,
+    "q291_audio_excerpt_schedule" -> 1559128L,
     "q21_embedding_neardup_ivf" -> 5000834L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

@@ -538,6 +538,44 @@ object Multimodal {
       .orderBy(col("doc_id"), col("seg_idx"))
   }
 
+  /** SEGMENT-ADAPTIVE audio excerpt schedule — [[shotSampleSchedule]]'s
+    * audio sibling, composed over [[audioEnergySegments]]' output:
+    * a per-recording budget of `k` window seeks split across the
+    * LOUD segments in proportion to length (every loud segment gets
+    * at least one; quiet segments get none — the whole point: a
+    * speech pipeline excerpts speech, not silence), each segment
+    * seeked at its positional midpoints. Pure integer arithmetic:
+    * `k_s = max(1, (k·n_s) div F_loud)`, seek j at window
+    * `start_w + (n_s·(2j+1)) div (2·k_s)` — segments are runs of
+    * CONSECUTIVE windows by construction, so the offsets address
+    * real windows with no gap hazard.
+    *
+    * Scale shape: two reduced folds (per-segment sizes ride in, a
+    * per-recording loud total) re-attached by a co-keyed shuffle
+    * join — the segment frame scales with the corpus and is never
+    * broadcast. Input is [[audioEnergySegments]]' exact output
+    * shape; output (doc_id, seg_idx, sample_idx, w) ordered. */
+  def audioExcerptSchedule(segments: DataFrame, k: Int = 4)
+      : DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val loud = segments.where(!col("is_quiet"))
+      .select(col("doc_id"), col("seg_idx"), col("start_w"),
+        col("n_windows"))
+    val totals = loud.groupBy(col("doc_id"))
+      .agg(sum(col("n_windows")).as("__f"))
+    loud.join(totals, Seq("doc_id"))
+      .withColumn("__k_s",
+        greatest(lit(1L), expr(s"($k * n_windows) div __f")))
+      .select(col("doc_id"), col("seg_idx"), col("start_w"),
+        col("n_windows"), col("__k_s"),
+        explode(sequence(lit(0L), col("__k_s") - 1L)).as("sample_idx"))
+      .select(col("doc_id"), col("seg_idx"), col("sample_idx"),
+        (col("start_w") +
+          expr("(n_windows * (2 * sample_idx + 1)) div (2 * __k_s)"))
+          .as("w"))
+      .orderBy(col("doc_id"), col("seg_idx"), col("sample_idx"))
+  }
+
   /** REAL-BYTES SEGMENTED waveform fixture — the audio sibling of
     * [[encodeSceneMjpegFixture]]: per doc id, a mono 16-bit 8 kHz
     * WAV of `2 + id%4` segments alternating LOUD/QUIET (starting

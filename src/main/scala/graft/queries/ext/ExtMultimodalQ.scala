@@ -1761,6 +1761,56 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       FROM spans ORDER BY doc_id, seg_idx
     """.trim))
 
+  // --------------------------------------------------------------- q291
+  /** q291 — segment-adaptive AUDIO excerpt schedule
+    * ([[Multimodal.audioExcerptSchedule]] ∘ q290 — the audio sibling
+    * of q283's shot-adaptive plan): a per-recording budget of 4
+    * window seeks split across the LOUD segments in proportion to
+    * length (quiet segments get none — excerpt speech, skip
+    * silence), each segment seeked at its positional midpoints in
+    * pure integer arithmetic. The oracle replays segments, loud
+    * totals, allocation, and midpoints from the fixture's id
+    * arithmetic. */
+  val q291: Q = Q(
+    "q291_audio_excerpt_schedule",
+    (s, d) =>
+      Multimodal.audioExcerptSchedule(
+        Multimodal.audioEnergySegments(
+          Multimodal.audioWindowEnergies(
+            Multimodal.encodeSegmentedWaveformFixture(
+              Tables.documents(s, d), "doc_id")).toDF(),
+          "doc_id", "w", "amp", quietBelow = 500L), k = 4),
+    Some("""
+      WITH ids AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0
+          AND doc_id % 10 NOT IN (3, 6)),
+      segs AS (
+        SELECT doc_id, CAST(u.k AS BIGINT) AS seg_idx,
+          CAST(2 + (doc_id + u.k) % 3 AS BIGINT) AS len,
+          u.k % 2 = 1 AS is_quiet
+        FROM ids, LATERAL unnest(range(2 + doc_id % 4)) AS u(k)),
+      spans AS (
+        SELECT doc_id, seg_idx, len, is_quiet,
+          CAST(coalesce(sum(len) OVER (PARTITION BY doc_id
+            ORDER BY seg_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS start_w
+        FROM segs),
+      loud AS (SELECT * FROM spans WHERE NOT is_quiet),
+      tot AS (
+        SELECT doc_id, CAST(sum(len) AS BIGINT) AS f
+        FROM loud GROUP BY 1),
+      alloc AS (
+        SELECT loud.doc_id, seg_idx, start_w, len,
+          CAST(greatest(1, (4 * len) // f) AS BIGINT) AS k_s
+        FROM loud JOIN tot USING (doc_id))
+      SELECT doc_id, seg_idx, CAST(u.j AS BIGINT) AS sample_idx,
+        start_w + (len * (2 * u.j + 1)) // (2 * k_s) AS w
+      FROM alloc, LATERAL unnest(range(k_s)) AS u(j)
+      ORDER BY doc_id, seg_idx, sample_idx
+    """.trim))
+
   // --------------------------------------------------------------- q284
   /** The shared fps CTE of the GIF rung (q284/q285): replay
     * [[Multimodal.encodeGifFixture]]'s per-frame dHash as pure id
