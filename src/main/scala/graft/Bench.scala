@@ -402,7 +402,8 @@ object Bench {
     "q288_gif_neardup_pairs" -> 3.02,
     "q289_gif_dedup_agreement" -> 5.08,
     "q290_audio_energy_segments" -> 1.44,
-    "q291_audio_excerpt_schedule" -> 1.32)
+    "q291_audio_excerpt_schedule" -> 1.32,
+    "q292_image_quality_gates" -> 1.19)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -638,6 +639,7 @@ object Bench {
     "q289_gif_dedup_agreement" -> 293928L,
     "q290_audio_energy_segments" -> 1410821L,
     "q291_audio_excerpt_schedule" -> 1559128L,
+    "q292_image_quality_gates" -> 77322L,
     "q21_embedding_neardup_ivf" -> 5000834L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

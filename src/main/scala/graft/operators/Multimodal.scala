@@ -576,6 +576,101 @@ object Multimodal {
       .orderBy(col("doc_id"), col("seg_idx"), col("sample_idx"))
   }
 
+  /** One image-quality gate row: decoded dims plus the three
+    * row-local drop reasons and the composed keep. */
+  final case class ImageQuality(doc_id: Long, width: Long,
+      height: Long, flat: Boolean, too_small: Boolean,
+      extreme_aspect: Boolean, keep: Boolean)
+
+  implicit val imageQualityEnc: Encoder[ImageQuality] =
+    Encoders.product[ImageQuality]
+
+  /** IMAGE QUALITY GATES — the keep/drop curation decision an
+    * image-corpus team runs before any expensive downstream work
+    * (the LAION-style pre-filter): per DECODABLE image,
+    *  - `too_small`: pixel count < `minPx` (thumbnails/favicons
+    *    carry no training signal),
+    *  - `extreme_aspect`: `max(w,h) > aspectMax · min(w,h)` (banner
+    *    strips, sprite sheets),
+    *  - `flat`: the dHash carries ZERO gradient bits — a constant
+    *    (blank/solid) image; an image the 9×8 grid cannot cover is
+    *    treated flat too (its contrast cannot be attested),
+    *  - `keep` = none of the above.
+    * ONE ImageIO decode per payload computes dims AND the hash (the
+    * decode-once discipline — running [[decodeImageMeta]] and
+    * [[imageDhash]] separately would decode twice); undecodable
+    * payloads contribute no rows (they are the router/health
+    * funnel's business, not a quality judgment). All gates are
+    * integer-exact, so an oracle that knows the fixture replays the
+    * whole decision table. */
+  def imageQualityGates(media: Dataset[MediaRecord],
+      minPx: Long = 1024L, aspectMax: Int = 8)
+      : Dataset[ImageQuality] = {
+    require(minPx >= 1 && aspectMax >= 1,
+      s"bad gates minPx=$minPx aspectMax=$aspectMax")
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val img = try {
+          Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload)))
+        } catch { case scala.util.control.NonFatal(_) => None }
+        img.map { im =>
+          val w = im.getWidth.toLong
+          val h = im.getHeight.toLong
+          val flat = dhashImage(im).forall(_ == 0L)
+          val tooSmall = w * h < minPx
+          val extreme = math.max(w, h) > aspectMax * math.min(w, h)
+          ImageQuality(r.doc_id, w, h, flat, tooSmall, extreme,
+            !(flat || tooSmall || extreme))
+        }
+      }
+    }
+  }
+
+  /** REAL-BYTES image-QUALITY fixture: per doc id, a lossless PNG in
+    * one of five `id % 5` families — (0) a patterned 72×64 keeper,
+    * (1) a FLAT 72×64 solid, (2) a flat 16×8 thumbnail (too_small ∧
+    * flat), (3) a flat 128×8 banner strip (extreme_aspect ∧ flat —
+    * 1024 px, exactly AT the default minPx so only the aspect gate
+    * trips), (4) zeroed magic (no rows). Lossless + flat blocks keep
+    * every gate id-arithmetic. */
+  def encodeQualityImageFixture(docs: DataFrame, idCol: String)
+      : Dataset[MediaRecord] = {
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+      .where(col("doc_id").isNotNull && col("doc_id") >= 0)
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    ids.as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        def flatImg(w: Int, h: Int, v: Int) = {
+          val im = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val ras = im.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { ras.setSample(x, y, 0, v); x += 1 }
+            y += 1
+          }
+          im
+        }
+        val img = (id % 5) match {
+          case 0 => flatBlockImage(_ => 0x55)
+          case 1 => flatImg(72, 64, 128)
+          case 2 => flatImg(16, 8, 40)
+          case 3 => flatImg(128, 8, 200)
+          case _ => flatImg(72, 64, 0)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val bytes = bos.toByteArray
+        if (id % 5 == 4) { bytes(0) = 0; bytes(1) = 0 }
+        MediaRecord(id, s"memory://qimg/$id", "image/png", bytes)
+      }
+    }
+  }
+
   /** REAL-BYTES SEGMENTED waveform fixture — the audio sibling of
     * [[encodeSceneMjpegFixture]]: per doc id, a mono 16-bit 8 kHz
     * WAV of `2 + id%4` segments alternating LOUD/QUIET (starting

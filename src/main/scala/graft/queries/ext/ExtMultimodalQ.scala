@@ -1811,6 +1811,40 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       ORDER BY doc_id, seg_idx, sample_idx
     """.trim))
 
+  // --------------------------------------------------------------- q292
+  /** q292 — IMAGE QUALITY GATES ([[Multimodal.imageQualityGates]]):
+    * the keep/drop pre-filter an image-corpus team runs before any
+    * expensive downstream work — too-small thumbnails, extreme-
+    * aspect banner strips, and FLAT (zero-dHash-gradient) solids all
+    * drop, in ONE decode pass per payload. The quality fixture's
+    * five families make every gate id arithmetic: a patterned
+    * keeper, a flat solid, a flat thumbnail (two gates at once), a
+    * 1024-px banner strip sitting exactly AT the minPx boundary (so
+    * only the aspect gate trips — the boundary is the test), and a
+    * zeroed-magic family contributing no rows. */
+  val q292: Q = Q(
+    "q292_image_quality_gates",
+    (s, d) =>
+      Multimodal.imageQualityGates(
+        Multimodal.encodeQualityImageFixture(
+          Tables.documents(s, d), "doc_id"))
+        .toDF().orderBy(col("doc_id")),
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, doc_id % 5 AS fam FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id % 5 < 4)
+      SELECT doc_id,
+        CAST(CASE fam WHEN 2 THEN 16 WHEN 3 THEN 128 ELSE 72 END
+          AS BIGINT) AS width,
+        CAST(CASE fam WHEN 2 THEN 8 WHEN 3 THEN 8 ELSE 64 END
+          AS BIGINT) AS height,
+        fam <> 0 AS flat,
+        fam = 2 AS too_small,
+        fam = 3 AS extreme_aspect,
+        fam = 0 AS keep
+      FROM ids ORDER BY doc_id
+    """.trim))
+
   // --------------------------------------------------------------- q284
   /** The shared fps CTE of the GIF rung (q284/q285): replay
     * [[Multimodal.encodeGifFixture]]'s per-frame dHash as pure id
