@@ -21,13 +21,20 @@ class RouteStreamSpec extends SparkSpec {
     def lake(ids: Seq[Long]) = {
       val docs = ids.toDF("doc_id")
       Multimodal.encodeGradientImageFixture(
-          docs.where(col("doc_id") % 4 === 0), "doc_id").toDF()
+          docs.where(col("doc_id") % 6 === 0), "doc_id").toDF()
         .unionByName(Multimodal.encodeWaveformFixture(
-          docs.where(col("doc_id") % 4 === 1), "doc_id").toDF())
+          docs.where(col("doc_id") % 6 === 1), "doc_id").toDF())
         .unionByName(Multimodal.encodeVideoFixture(
-          docs.where(col("doc_id") % 4 === 2), "doc_id").toDF())
+          docs.where(col("doc_id") % 6 === 2), "doc_id").toDF())
         .unionByName(Multimodal.encodeMjpegFixture(
-          docs.where(col("doc_id") % 4 === 3), "doc_id").toDF())
+          docs.where(col("doc_id") % 6 === 3), "doc_id").toDF())
+        // the r17 families: GIFs route image/gif; ISO-brand payloads
+        // (all DECLARED video/mp4) brand-dispatch to audio/mp4,
+        // image/heic|heif|avif, or video/mp4 in-stream
+        .unionByName(Multimodal.encodeGifFixture(
+          docs.where(col("doc_id") % 6 === 4), "doc_id").toDF())
+        .unionByName(Multimodal.encodeIsoBrandFixture(
+          docs.where(col("doc_id") % 6 === 5), "doc_id").toDF())
         .withColumn("ts_us",
           org.apache.spark.sql.functions.lit(1700000000000000L) +
             col("doc_id") * 1000000L)
