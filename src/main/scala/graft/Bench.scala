@@ -189,7 +189,7 @@ object Bench {
     "q123_hybrid_rrf" -> 1.39,
     "q124_distinct_ngrams" -> 1.38,
     "q125_embedding_health" -> 0.28,
-    "q126_cusum_changepoint" -> 0.34,
+    "q126_cusum_changepoint" -> 0.33,
     "q127_ks_drift" -> 0.51,
     "q128_rfm_segments" -> 0.34,
     "q129_ann_recall" -> 1.64,
@@ -222,7 +222,7 @@ object Bench {
     "q151_daily_value_bands" -> 0.75,
     "q152_funnel_timing" -> 0.75,
     "q153_domain_profile" -> 0.34,
-    "q154_casing_profile" -> 0.67,
+    "q154_casing_profile" -> 0.66,
     "q155_regional_volume" -> 0.71,
     "q156_order_priority" -> 0.51,
     "q157_period_growth" -> 0.36,
@@ -245,7 +245,7 @@ object Bench {
     "q174_winnowing_neardup" -> 1.67,
     "q175_profile_drift" -> 0.30,
     "q176_value_tail_bands" -> 0.46,
-    "q177_type_pagerank" -> 1.31,
+    "q177_type_pagerank" -> 1.3,
     "q178_fuzzy_operating_point" -> 0.81,
     "q179_tfidf_keywords" -> 1.1,
     "q180_grid_accuracy" -> 0.59,
@@ -321,7 +321,7 @@ object Bench {
     // r14 continuation: score-gate evals (both pay the sha2 dup-label
     // shuffle; the rank math itself runs on the distinct-score frame)
     "q228_score_auc" -> 0.35,
-    "q229_gain_curve" -> 0.33,
+    "q229_gain_curve" -> 0.32,
     // the Q20/Q22 planner shapes: two lineitem aggregates + semi
     // chain; scalar-append + date-filtered anti
     "q230_dominant_share_suppliers" -> 0.6,
@@ -354,8 +354,8 @@ object Bench {
     "q254_bpe_fertility" -> 0.43,
     "q255_image_dhash_neardup" -> 1.35,
     "q256_video_sample_bytes" -> 0.25,
-    "q257_frame_sample_bytes" -> 0.34,
-    "q258_product_type_profit" -> 0.83,
+    "q257_frame_sample_bytes" -> 0.29,
+    "q258_product_type_profit" -> 0.81,
     "q259_order_priority_exists" -> 0.42,
     "q260_bpe_budget_mix" -> 0.38,
     "q261_image_dhash_clusters" -> 1.32,
@@ -397,13 +397,13 @@ object Bench {
     "q283_shot_sample_schedule" -> 5.39,
     "q284_gif_frame_fingerprints" -> 2.8,
     "q285_gif_neardup_clusters" -> 4.23,
-    "q286_kpartite_dedup_policies" -> 8.41,
-    "q287_iso_exact_dedup" -> 0.52,
+    "q286_kpartite_dedup_policies" -> 7.68,
+    "q287_iso_exact_dedup" -> 0.45,
     "q288_gif_neardup_pairs" -> 3.02,
-    "q289_gif_dedup_agreement" -> 5.08,
-    "q290_audio_energy_segments" -> 1.44,
+    "q289_gif_dedup_agreement" -> 4.73,
+    "q290_audio_energy_segments" -> 1.22,
     "q291_audio_excerpt_schedule" -> 1.32,
-    "q292_image_quality_gates" -> 1.19)
+    "q292_image_quality_gates" -> 0.99)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -430,18 +430,18 @@ object Bench {
   private[graft] val byteFloors: Map[String, Long] = Map(
     "q100_containment_pairs" -> 30009842L,
     "q101_cross_containment" -> 16860731L,
-    "q102_winsorize" -> 3715188L,
+    "q102_winsorize" -> 3714326L,
     "q103_temperature_mix" -> 1058L,
     "q104_rule_audit" -> 175892L,
     "q105_bigram_fluency" -> 510245L,
     "q106_hard_negatives" -> 29075L,
     "q107_intra_label_diversity" -> 25829L,
-    "q108_mad_outliers" -> 3119858L,
+    "q108_mad_outliers" -> 3120232L,
     "q109_json_field_stats" -> 1953L,
-    "q10_incremental_antijoin" -> 776284L,
+    "q10_incremental_antijoin" -> 776194L,
     "q110_curation_funnel" -> 15401L,
     "q111_grid_percentile" -> 76300L,
-    "q112_unigram_divergence" -> 910244L,
+    "q112_unigram_divergence" -> 913504L,
     "q113_semantic_decontam" -> 161760L,
     "q114_centroid_confusion" -> 75390L,
     "q115_correlation_matrix" -> 962L,
@@ -453,7 +453,7 @@ object Bench {
     "q120_benford_profile" -> 7728L,
     "q121_k_anonymity" -> 170457L,
     "q122_transition_matrix" -> 3630283L,
-    "q123_hybrid_rrf" -> 3934854L,
+    "q123_hybrid_rrf" -> 3932924L,
     "q124_distinct_ngrams" -> 10267965L,
     "q125_embedding_health" -> 3629L,
     "q126_cusum_changepoint" -> 62447L,
@@ -507,14 +507,14 @@ object Bench {
     "q16_exact_dedup" -> 1877902L,
     "q170_rank_shift" -> 1056670L,
     "q171_temporal_split" -> 52492L,
-    "q172_causal_zscore" -> 11991758L,
+    "q172_causal_zscore" -> 11992704L,
     "q173_seasonal_naive" -> 28508L,
-    "q174_winnowing_neardup" -> 21677384L,
-    "q175_profile_drift" -> 4842L,
+    "q174_winnowing_neardup" -> 21677416L,
+    "q175_profile_drift" -> 4728L,
     "q176_value_tail_bands" -> 1147199L,
     "q177_type_pagerank" -> 5443190L,
     "q178_fuzzy_operating_point" -> 122180L,
-    "q179_tfidf_keywords" -> 5027468L,
+    "q179_tfidf_keywords" -> 5027184L,
     "q17_ngram_jaccard_neardup" -> 30011208L,
     "q180_grid_accuracy" -> 733984L,
     "q181_transition_predictability" -> 3626489L,
@@ -537,7 +537,7 @@ object Bench {
     "q197_cluster_sizes" -> 413841L,
     "q198_scrub_closure" -> 244L,
     "q199_skyline" -> 38752L,
-    "q19_simhash_neardup" -> 239733L,
+    "q19_simhash_neardup" -> 239743L,
     "q1_pricing_summary" -> 4641L,
     "q200_sample_representativeness" -> 4106L,
     "q201_stratum_mean_se" -> 2619L,
@@ -576,11 +576,11 @@ object Bench {
     "q231_idle_customers" -> 7926L,
     "q232_recursive_l_diversity" -> 335456L,
     "q233_zorder_manifest" -> 43589L,
-    "q234_neighbor_label_audit" -> 41864271L,
+    "q234_neighbor_label_audit" -> 41862805L,
     "q235_part_supplier_census" -> 1427433L,
     "q236_column_profile_sketch" -> 20426L,
     "q237_waterfill_quota" -> 3547L,
-    "q238_frame_sample_plan" -> 273864L,
+    "q238_frame_sample_plan" -> 273860L,
     "q239_disjunctive_revenue" -> 432L,
     "q240_calibration_ece" -> 694042L,
     "q241_bootstrap_ci" -> 4480L,
@@ -597,14 +597,14 @@ object Bench {
     "q252_national_market_share" -> 7389304L,
     "q253_bpe_vocab" -> 11823L,
     "q254_bpe_fertility" -> 898L,
-    "q255_image_dhash_neardup" -> 14262222L,
-    "q256_video_sample_bytes" -> 485066L,
-    "q257_frame_sample_bytes" -> 485386L,
+    "q255_image_dhash_neardup" -> 14259564L,
+    "q256_video_sample_bytes" -> 485070L,
+    "q257_frame_sample_bytes" -> 485118L,
     "q258_product_type_profit" -> 30913L,
     "q259_order_priority_exists" -> 1845L,
     "q260_bpe_budget_mix" -> 8364L,
     "q261_image_dhash_clusters" -> 74658L,
-    "q262_audio_envelope_neardup" -> 13621093L,
+    "q262_audio_envelope_neardup" -> 13625673L,
     "q263_modality_router" -> 8042L,
     // q264 re-seeded r16: the forced broadcast(perPart) hint dropped
     // (judge item) — AQE now stages both join inputs before choosing
@@ -623,22 +623,22 @@ object Bench {
     "q273_crossmodal_dedup_policies" -> 1665987L,
     "q274_token_shard_manifest" -> 268010L,
     "q275_audio_chunk_inventory" -> 177762L,
-    "q276_png_chunk_inventory" -> 216706L,
-    "q277_video_frame_fingerprints" -> 534878L,
-    "q278_video_neardup_pairs" -> 27536736L,
-    "q279_video_neardup_clusters" -> 698512L,
+    "q276_png_chunk_inventory" -> 216774L,
+    "q277_video_frame_fingerprints" -> 531168L,
+    "q278_video_neardup_pairs" -> 27530844L,
+    "q279_video_neardup_clusters" -> 698468L,
     "q280_video_dedup_agreement" -> 611386L,
-    "q281_video_shot_segments" -> 1224810L,
+    "q281_video_shot_segments" -> 1224638L,
     "q282_stock_value_concentration" -> 1745780L,
-    "q283_shot_sample_schedule" -> 2035452L,
+    "q283_shot_sample_schedule" -> 2035442L,
     "q284_gif_frame_fingerprints" -> 167230L,
-    "q285_gif_neardup_clusters" -> 347452L,
-    "q286_kpartite_dedup_policies" -> 2181409L,
+    "q285_gif_neardup_clusters" -> 347572L,
+    "q286_kpartite_dedup_policies" -> 1794927L,
     "q287_iso_exact_dedup" -> 68744L,
-    "q288_gif_neardup_pairs" -> 16424500L,
+    "q288_gif_neardup_pairs" -> 16427244L,
     "q289_gif_dedup_agreement" -> 293928L,
-    "q290_audio_energy_segments" -> 1410821L,
-    "q291_audio_excerpt_schedule" -> 1559128L,
+    "q290_audio_energy_segments" -> 1410801L,
+    "q291_audio_excerpt_schedule" -> 1559100L,
     "q292_image_quality_gates" -> 77322L,
     "q21_embedding_neardup_ivf" -> 5000834L,
     "q22_lang_id" -> 4396L,
@@ -648,45 +648,45 @@ object Bench {
     "q26_multimodal_meta" -> 983684L,
     "q27_report_metrics" -> 200L,
     "q28_report_distributors" -> 8219L,
-    "q29_trycast_timestamp" -> 5733184L,
+    "q29_trycast_timestamp" -> 5731998L,
     "q2_select_project" -> 417504L,
-    "q30_embedding_neardup_rplsh" -> 20501431L,
+    "q30_embedding_neardup_rplsh" -> 20501417L,
     "q31_neardup_clusters" -> 466383L,
     "q32_stratified_sample" -> 35782L,
     "q33_pii_redact" -> 721556L,
-    "q34_event_sessionize" -> 10663964L,
+    "q34_event_sessionize" -> 10664278L,
     "q35_repetition_signals" -> 253330L,
     "q36_cross_contamination" -> 17527841L,
     "q37_sequence_packing" -> 458719L,
     "q38_network_redact" -> 728946L,
     "q39_embedding_topk_ivf" -> 672881L,
-    "q3_try_cast" -> 332016L,
+    "q3_try_cast" -> 331996L,
     "q40_training_order" -> 308517L,
     "q41_token_budget_mix" -> 16110L,
     "q42_epoch_sharded_packing" -> 2925907L,
-    "q43_asof_join" -> 4570345L,
+    "q43_asof_join" -> 4568797L,
     "q44_interval_join" -> 7612L,
     "q45_length_profile" -> 15385L,
     "q46_grouped_topk" -> 4152L,
     "q47_sliding_chunks" -> 1055100L,
     "q48_keepbest_dedup" -> 2018227L,
     "q49_eval_overlap" -> 543962L,
-    "q4_left_join_enrich" -> 739910L,
+    "q4_left_join_enrich" -> 739898L,
     "q50_curriculum_bins" -> 17628L,
     "q51_priority_sample" -> 6082L,
     "q52_bm25_scores" -> 1123003L,
     "q53_semantic_clusters" -> 20314969L,
     "q54_shingle_novelty" -> 958251L,
-    "q55_embedding_quantize" -> 3015636L,
-    "q56_pq_codes" -> 535256L,
+    "q55_embedding_quantize" -> 3016140L,
+    "q56_pq_codes" -> 535336L,
     "q57_pq_adc_topk" -> 2036259L,
     "q58_rollup_revenue" -> 11541L,
     "q59_pivot_returnflag" -> 37108L,
     "q5_anti_orphans" -> 0L,
     "q60_paragraph_dedup" -> 4919719L,
     "q61_ivfpq_topk" -> 762530L,
-    "q62_column_profile" -> 3501694L,
-    "q63_asof_tolerance" -> 4097103L,
+    "q62_column_profile" -> 3516966L,
+    "q63_asof_tolerance" -> 4097553L,
     "q64_cube_revenue" -> 16600L,
     "q65_term_zipf" -> 3229944L,
     "q66_lexical_richness" -> 3719211L,
@@ -702,14 +702,14 @@ object Bench {
     "q75_grouping_sets" -> 5532L,
     "q76_eval_overlap_bloom" -> 957475L,
     "q77_snapshot_diff" -> 1234867L,
-    "q78_asof_forward" -> 4561442L,
+    "q78_asof_forward" -> 4560374L,
     "q79_ingest_gaps" -> 16700L,
-    "q7_dedup_keepfirst" -> 1110509L,
+    "q7_dedup_keepfirst" -> 1110977L,
     "q80_cms_heavy_hitters" -> 10638L,
-    "q81_moving_revenue" -> 7994048L,
-    "q82_scd2_intervals" -> 9000939L,
+    "q81_moving_revenue" -> 7994126L,
+    "q82_scd2_intervals" -> 9001937L,
     "q83_volume_anomaly" -> 88350L,
-    "q84_posting_lists" -> 12121003L,
+    "q84_posting_lists" -> 12120965L,
     "q85_state_dwell" -> 3726840L,
     "q86_growth_curve" -> 560000L,
     "q87_sliding_wau" -> 1362039L,
