@@ -630,7 +630,7 @@ object Bench {
     "q280_video_dedup_agreement" -> 611386L,
     "q281_video_shot_segments" -> 1224638L,
     "q282_stock_value_concentration" -> 1745780L,
-    "q283_shot_sample_schedule" -> 2035442L,
+    "q283_shot_sample_schedule" -> 1133226L,
     "q284_gif_frame_fingerprints" -> 167230L,
     "q285_gif_neardup_clusters" -> 347572L,
     "q286_kpartite_dedup_policies" -> 1794927L,

@@ -1984,11 +1984,15 @@ object Multimodal {
     * frame_idx) ordered. */
   def shotSampleSchedule(frameFps: DataFrame, idCol: String,
       frameCol: String, fpCol: String, cutHamming: Int = 8,
-      k: Int = 4): DataFrame = {
+      k: Int = 4,
+      scope: graft.engine.CacheScope =
+        graft.engine.CacheScope.unmanaged): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
-    val labeled = videoShotLabels(frameFps, idCol, frameCol, fpCol,
-      cutHamming)
+    // two consumers (positions, sizes) — persist so the per-video
+    // labeling window pass runs once, not twice
+    val labeled = scope.persist(videoShotLabels(frameFps, idCol,
+      frameCol, fpCol, cutHamming))
     val pos = labeled.withColumn("__pos",
       row_number().over(Window.partitionBy(col("doc_id"),
         col("shot_idx")).orderBy(col("frame_idx"))) - 1L)
