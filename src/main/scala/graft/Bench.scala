@@ -638,7 +638,7 @@ object Bench {
     "q288_gif_neardup_pairs" -> 16427244L,
     "q289_gif_dedup_agreement" -> 293928L,
     "q290_audio_energy_segments" -> 1410801L,
-    "q291_audio_excerpt_schedule" -> 1559100L,
+    "q291_audio_excerpt_schedule" -> 1343063L,
     "q292_image_quality_gates" -> 77322L,
     "q21_embedding_neardup_ivf" -> 5000834L,
     "q22_lang_id" -> 4396L,

@@ -555,12 +555,15 @@ object Multimodal {
     * join — the segment frame scales with the corpus and is never
     * broadcast. Input is [[audioEnergySegments]]' exact output
     * shape; output (doc_id, seg_idx, sample_idx, w) ordered. */
-  def audioExcerptSchedule(segments: DataFrame, k: Int = 4)
-      : DataFrame = {
+  def audioExcerptSchedule(segments: DataFrame, k: Int = 4,
+      scope: graft.engine.CacheScope =
+        graft.engine.CacheScope.unmanaged): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
-    val loud = segments.where(!col("is_quiet"))
+    // two consumers (totals, the allocation join) — persist so the
+    // segment fold (and the decode pass under it) runs once
+    val loud = scope.persist(segments.where(!col("is_quiet"))
       .select(col("doc_id"), col("seg_idx"), col("start_w"),
-        col("n_windows"))
+        col("n_windows")))
     val totals = loud.groupBy(col("doc_id"))
       .agg(sum(col("n_windows")).as("__f"))
     loud.join(totals, Seq("doc_id"))
