@@ -674,6 +674,37 @@ object Multimodal {
     }
   }
 
+  /** AUDIO QUALITY GATES — the keep/drop pre-filter completing the
+    * per-modality gate symmetry (text q23, image
+    * [[imageQualityGates]], audio here), composed over
+    * [[audioEnergySegments]]' output: per recording,
+    *  - `too_short`: fewer than `minWindows` decoded windows (a clip
+    *    too short to carry training signal),
+    *  - `mostly_quiet`: quiet windows exceed `maxQuietNum /
+    *    maxQuietDen` of the total — CROSS-MULTIPLIED
+    *    (`quiet·den > total·num`), so the boundary is integer-exact
+    *    and cannot float,
+    *  - `keep` = neither.
+    * One reduced per-recording fold over the segment frame — the
+    * decode already happened upstream; this is pure decision
+    * arithmetic an oracle replays. */
+  def audioQualityGates(segments: DataFrame, minWindows: Long = 8L,
+      maxQuietNum: Int = 1, maxQuietDen: Int = 2): DataFrame = {
+    require(minWindows >= 1 && maxQuietNum >= 0 && maxQuietDen >= 1 &&
+      maxQuietNum <= maxQuietDen,
+      s"bad gates minWindows=$minWindows share=$maxQuietNum/$maxQuietDen")
+    segments.groupBy(col("doc_id"))
+      .agg(sum(col("n_windows")).as("n_windows"),
+        sum(when(col("is_quiet"), col("n_windows")).otherwise(0L))
+          .as("quiet_windows"))
+      .select(col("doc_id"), col("n_windows"), col("quiet_windows"),
+        (col("n_windows") < minWindows).as("too_short"),
+        (col("quiet_windows") * maxQuietDen >
+          col("n_windows") * maxQuietNum).as("mostly_quiet"))
+      .withColumn("keep", !col("too_short") && !col("mostly_quiet"))
+      .orderBy(col("doc_id"))
+  }
+
   /** REAL-BYTES SEGMENTED waveform fixture — the audio sibling of
     * [[encodeSceneMjpegFixture]]: per doc id, a mono 16-bit 8 kHz
     * WAV of `2 + id%4` segments alternating LOUD/QUIET (starting

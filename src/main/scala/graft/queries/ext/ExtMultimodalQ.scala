@@ -1845,6 +1845,46 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       FROM ids ORDER BY doc_id
     """.trim))
 
+  // --------------------------------------------------------------- q293
+  /** q293 — AUDIO QUALITY GATES ([[Multimodal.audioQualityGates]] ∘
+    * q290): the keep/drop pre-filter completing the per-modality
+    * gate symmetry (text q23, image q292, audio here) — too-short
+    * clips and mostly-silence recordings drop, with the quiet-share
+    * boundary CROSS-MULTIPLIED so it is integer-exact. The oracle
+    * replays window totals and quiet masses from the segmented
+    * fixture's id arithmetic. */
+  val q293: Q = Q(
+    "q293_audio_quality_gates",
+    (s, d) =>
+      Multimodal.audioQualityGates(
+        Multimodal.audioEnergySegments(
+          Multimodal.audioWindowEnergies(
+            Multimodal.encodeSegmentedWaveformFixture(
+              Tables.documents(s, d), "doc_id")).toDF(),
+          "doc_id", "w", "amp", quietBelow = 500L),
+        minWindows = 8L, maxQuietNum = 1, maxQuietDen = 2),
+    Some("""
+      WITH ids AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0
+          AND doc_id % 10 NOT IN (3, 6)),
+      segs AS (
+        SELECT doc_id, CAST(2 + (doc_id + u.k) % 3 AS BIGINT) AS len,
+          u.k % 2 = 1 AS is_quiet
+        FROM ids, LATERAL unnest(range(2 + doc_id % 4)) AS u(k)),
+      folds AS (
+        SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_windows,
+          CAST(sum(CASE WHEN is_quiet THEN len ELSE 0 END) AS BIGINT)
+            AS quiet_windows
+        FROM segs GROUP BY 1)
+      SELECT doc_id, n_windows, quiet_windows,
+        n_windows < 8 AS too_short,
+        quiet_windows * 2 > n_windows AS mostly_quiet,
+        NOT (n_windows < 8) AND NOT (quiet_windows * 2 > n_windows)
+          AS keep
+      FROM folds ORDER BY doc_id
+    """.trim))
+
   // --------------------------------------------------------------- q284
   /** The shared fps CTE of the GIF rung (q284/q285): replay
     * [[Multimodal.encodeGifFixture]]'s per-frame dHash as pure id
