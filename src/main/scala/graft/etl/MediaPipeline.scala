@@ -140,10 +140,11 @@ object MediaPipeline {
       val decodedImage = imgFp.count() +
         gifFp.select(col("doc_id")).distinct().count() + isoImgDecoded
       val keepImage = Dedup.fingerprintClusters(imgFp, "doc_id", "fp",
-          maxHamming = maxHamming, bits = 64)
+          maxHamming = maxHamming, bits = 64, scope = scope)
         .where(col("is_canonical")).select(col("doc_id"))
         .unionByName(Dedup.alignedFingerprintClusters(gifFp, "doc_id",
-            "frame_idx", "fp", maxHamming = maxHamming, bits = 64)
+            "frame_idx", "fp", maxHamming = maxHamming, bits = 64,
+            scope = scope)
           .where(col("is_canonical")).select(col("doc_id")))
         .unionByName(isoImgKeep)
 
@@ -161,7 +162,7 @@ object MediaPipeline {
         exactIsoTier(audRouted.where(isIsoAud))
       val decodedAudio = audFp.count() + isoAudDecoded
       val keepAudio = Dedup.fingerprintClusters(audFp, "doc_id", "fp",
-          maxHamming = maxHamming, bits = 64)
+          maxHamming = maxHamming, bits = 64, scope = scope)
         .where(col("is_canonical")).select(col("doc_id"))
         .unionByName(isoAudKeep)
 
@@ -182,7 +183,7 @@ object MediaPipeline {
       val decodedMjpeg = mjpegFps.select(col("doc_id")).distinct().count()
       val keepMjpeg = Dedup.alignedFingerprintClusters(mjpegFps,
           "doc_id", "frame_idx", "fp", maxHamming = maxHamming,
-          bits = 64)
+          bits = 64, scope = scope)
         .where(col("is_canonical")).select(col("doc_id"))
       val vidHash = scope.persist(
         routedOf("video")
