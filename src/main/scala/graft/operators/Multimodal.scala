@@ -631,6 +631,35 @@ object Multimodal {
     }
   }
 
+  /** KEEP-BEST-RESOLUTION canonical pick — the curation refinement on
+    * top of any image cluster decision: a min-id canonical keeps an
+    * ARBITRARY member of each near-dup family, but a corpus team
+    * wants the best copy — the highest-resolution member, ties to
+    * the smallest id. q48's keep-best discipline on the media rung:
+    * the argmax is a partial-aggregable `max(struct(px, -doc_id))` —
+    * NO window, no per-cluster sort; the per-cluster best frame
+    * scales with the corpus and re-attaches by a co-keyed shuffle
+    * join, never a broadcast. Input: `clusters` = (doc_id,
+    * cluster_id) (any cluster decision), `meta` = (doc_id, width,
+    * height) ([[decodeImageMeta]]'s ok rows). Members without meta
+    * drop (an undecodable member cannot be the best copy — nor
+    * judged against one). Output (doc_id, cluster_id, best_id,
+    * is_best) ordered. */
+  def keepBestResolution(clusters: DataFrame, meta: DataFrame)
+      : DataFrame = {
+    val m = clusters.select(col("doc_id"), col("cluster_id"))
+      .join(meta.select(col("doc_id"),
+        (col("width") * col("height")).as("__px")), Seq("doc_id"))
+    val best = m.groupBy(col("cluster_id"))
+      .agg(max(struct(col("__px"), (-col("doc_id")).as("__nid")))
+        .as("__b"))
+      .select(col("cluster_id"), (-col("__b.__nid")).as("best_id"))
+    m.join(best, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("best_id"),
+        (col("doc_id") === col("best_id")).as("is_best"))
+      .orderBy(col("doc_id"))
+  }
+
   /** REAL-BYTES image-QUALITY fixture: per doc id, a lossless PNG in
     * one of five `id % 5` families — (0) a patterned 72×64 keeper,
     * (1) a FLAT 72×64 solid, (2) a flat 16×8 thumbnail (too_small ∧

@@ -1885,6 +1885,62 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       FROM folds ORDER BY doc_id
     """.trim))
 
+  // --------------------------------------------------------------- q294
+  /** q294 — cluster KEEP-BEST-RESOLUTION
+    * ([[Multimodal.keepBestResolution]] over q261's cluster decision
+    * + [[Multimodal.decodeImageMeta]]): the curation refinement a
+    * min-id canonical misses — keep each near-dup family's
+    * highest-resolution copy, ties to the smallest id, as a
+    * partial-aggregable `max(struct(px, -id))` (q48's keep-best
+    * discipline: no window, no per-cluster sort). On the quality
+    * fixture the FLAT families (solid 72×64, 16×8 thumbnail, 128×8
+    * banner) share dHash 0 and cluster together, so the best pick
+    * must cross sizes — the 72×64 solid beats both skinny variants;
+    * the patterned family is byte-identical 72×64 and falls to the
+    * id tie-break. All id arithmetic for the oracle. */
+  val q294: Q = Q(
+    "q294_cluster_keep_best_resolution",
+    (s, d) => {
+      val media = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.encodeQualityImageFixture(
+          Tables.documents(s, d), "doc_id").toDF())
+      val asM = media.as[Multimodal.MediaRecord](
+        Multimodal.mediaRecordEnc)
+      val dh = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.imageDhash(asM).toDF()
+          .where(col("ok") === 1L)
+          .select(col("doc_id"), col("dhash").as("fp")))
+      val clusters = Dedup.fingerprintClusters(dh, "doc_id", "fp",
+        maxHamming = 3, bits = 64)
+      Multimodal.keepBestResolution(clusters,
+        Multimodal.decodeImageMeta(asM).toDF()
+          .where(col("ok") === 1L)
+          .select(col("doc_id"), col("width"), col("height")))
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, doc_id % 5 AS fam FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id % 5 < 4),
+      m AS (
+        SELECT doc_id, fam, fam <> 0 AS flat,
+          CAST(CASE fam WHEN 2 THEN 128 WHEN 3 THEN 1024
+            ELSE 4608 END AS BIGINT) AS px
+        FROM ids),
+      cl AS (
+        SELECT doc_id, flat, px,
+          min(doc_id) OVER (PARTITION BY flat) AS cluster_id
+        FROM m),
+      best AS (
+        SELECT cl.flat, min(doc_id) AS best_id
+        FROM cl JOIN (SELECT flat, max(px) AS mx FROM cl GROUP BY 1) t
+          ON t.flat = cl.flat AND cl.px = t.mx
+        GROUP BY 1)
+      SELECT cl.doc_id, cl.cluster_id, best.best_id,
+        cl.doc_id = best.best_id AS is_best
+      FROM cl JOIN best ON best.flat = cl.flat
+      ORDER BY cl.doc_id
+    """.trim))
+
   // --------------------------------------------------------------- q284
   /** The shared fps CTE of the GIF rung (q284/q285): replay
     * [[Multimodal.encodeGifFixture]]'s per-frame dHash as pure id
