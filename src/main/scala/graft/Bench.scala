@@ -405,7 +405,8 @@ object Bench {
     "q291_audio_excerpt_schedule" -> 1.32,
     "q292_image_quality_gates" -> 0.99,
     "q293_audio_quality_gates" -> 1.4,
-    "q294_cluster_keep_best_resolution" -> 2.47)
+    "q294_cluster_keep_best_resolution" -> 2.47,
+    "q295_image_decontam_gate" -> 0.85)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -644,6 +645,7 @@ object Bench {
     "q292_image_quality_gates" -> 77322L,
     "q293_audio_quality_gates" -> 1056915L,
     "q294_cluster_keep_best_resolution" -> 166295L,
+    "q295_image_decontam_gate" -> 41424L,
     "q21_embedding_neardup_ivf" -> 5000834L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

@@ -1235,6 +1235,63 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** EVAL-SET DECONTAMINATION on the fingerprint rung — the
+    * q36/q113 ladder's perceptual sibling for images/audio: flag
+    * every TRAIN doc whose fingerprint sits within Hamming ≤
+    * `maxHamming` of ANY eval-set fingerprint, with the closest hit
+    * as a deterministic witness (min hamming, then the smallest eval
+    * id carrying a closest fingerprint). A benchmark image that
+    * leaked into the training lake as a re-encode is invisible to
+    * byte-level decontamination — this is the gate that sees it.
+    *
+    * Scale shape: eval sets are benchmarks-SMALL by nature (the q113
+    * broadcast argument), so the eval pigeonhole chunk index rides
+    * an explicit broadcast and the TRAIN side streams — one pass
+    * over distinct train fingerprints, no self-join, exact recall
+    * for the radius (chunk cover + verify); the flagged output
+    * re-attaches to train docs by one fp-keyed shuffle join. Output
+    * (doc_id, hamming, eval_id) — only contaminated docs — ordered. */
+  def fingerprintDecontam(train: DataFrame, evalSet: DataFrame,
+      idCol: String, fpCol: String, maxHamming: Int,
+      bits: Int): DataFrame = {
+    val nChunks = maxHamming + 1
+    require(bits % nChunks == 0,
+      s"bits=$bits must split evenly into ${nChunks} chunks")
+    require(bits >= nChunks && bits <= 64, s"bits=$bits out of range")
+    val width = bits / nChunks
+    val mask = (1L << width) - 1
+    def chunksOf(fp: Column) = explode(array((0 until nChunks).map(c =>
+      struct(lit(c).as("chunk_id"),
+        shiftright(fp, c * width).bitwiseAND(lit(mask))
+          .as("chunk"))): _*))
+    val tr = train.select(col(idCol).as("doc_id"), col(fpCol).as("fp"))
+    val evFps = evalSet.select(col(idCol).as("eval_id"),
+        col(fpCol).as("fp"))
+      .groupBy(col("fp")).agg(min(col("eval_id")).as("eval_min"))
+    val evChunks = evFps.select(col("fp").as("fe"), col("eval_min"),
+        chunksOf(col("fp")).as("cs"))
+      .select(col("fe"), col("eval_min"),
+        col("cs.chunk_id").as("chunk_id"), col("cs.chunk").as("chunk"))
+    val trChunks = tr.select(col("fp")).distinct()
+      .select(col("fp").as("ft"), chunksOf(col("fp")).as("cs"))
+      .select(col("ft"), col("cs.chunk_id").as("chunk_id"),
+        col("cs.chunk").as("chunk"))
+    val best = trChunks
+      .join(broadcast(evChunks), Seq("chunk_id", "chunk"))
+      .select(col("ft"), col("fe"), col("eval_min")).distinct()
+      .withColumn("hamming",
+        bit_count(col("ft").bitwiseXOR(col("fe"))))
+      .where(col("hamming") <= maxHamming)
+      .groupBy(col("ft"))
+      .agg(min(struct(col("hamming"), col("eval_min"))).as("__b"))
+      .select(col("ft").as("fp"),
+        col("__b.hamming").as("hamming"),
+        col("__b.eval_min").as("eval_id"))
+    tr.join(best, Seq("fp"))
+      .select(col("doc_id"), col("hamming"), col("eval_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-dup pairs of fingerprint SEQUENCES — videos as per-frame
     * dHash streams ([[Multimodal.videoFrameFingerprints]]), audio as
     * per-window envelope hashes, any (id, align, fp) frame: two

@@ -1885,6 +1885,73 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       FROM folds ORDER BY doc_id
     """.trim))
 
+  // --------------------------------------------------------------- q295
+  /** q295 — IMAGE decontamination gate
+    * ([[Dedup.fingerprintDecontam]]): the q36/q113 decontamination
+    * ladder's perceptual rung — train images whose dHash sits within
+    * Hamming ≤ 3 of ANY eval-set image are flagged with the closest
+    * witness (min hamming, then smallest eval id); a benchmark image
+    * leaked as a RE-ENCODE is invisible to byte decontamination and
+    * exactly what this gate sees. Split: eval = gradient-fixture ids
+    * ≡ 0 (mod 4) — benchmarks-small by nature, so its pigeonhole
+    * index broadcasts — train = the rest. Oracle brute-forces the
+    * cross Hamming join over the replayed fps and re-derives the
+    * witness with a min-then-min fold. */
+  val q295: Q = Q(
+    "q295_image_decontam_gate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      def dh(part: org.apache.spark.sql.DataFrame) =
+        graft.engine.CacheScope.unmanaged.persist(
+          Multimodal.imageDhash(Multimodal.encodeGradientImageFixture(
+            part, "doc_id")).toDF()
+            .where(col("ok") === 1L)
+            .select(col("doc_id"), col("dhash").as("fp")))
+      Dedup.fingerprintDecontam(
+        dh(docs.where(col("doc_id") % 4 =!= 0)),
+        dh(docs.where(col("doc_id") % 4 === 0)),
+        "doc_id", "fp", maxHamming = 3, bits = 64)
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0
+          AND doc_id % 10 NOT IN (3, 6)),
+      cells AS (
+        SELECT doc_id, r.r AS r, c.c AS c,
+          CAST((((doc_id % 25) * 7 + r.r * 5 + c.c * 11) % 6) * 40 +
+            CASE WHEN r.r = 0 AND c.c = 0 AND ((doc_id // 25) % 2) = 1
+                 THEN 45 ELSE 0 END AS BIGINT) AS v
+        FROM ids,
+          (SELECT unnest(range(8)) AS r) r,
+          (SELECT unnest(range(9)) AS c) c),
+      bits AS (
+        SELECT a.doc_id, CAST(a.r * 8 + a.c AS INT) AS b
+        FROM cells a JOIN cells n
+          ON n.doc_id = a.doc_id AND n.r = a.r AND n.c = a.c + 1
+        WHERE a.c < 8 AND n.v > a.v),
+      dh AS (
+        SELECT i.doc_id,
+          CAST(coalesce(sum(CASE WHEN b.b = 63
+            THEN -9223372036854775808
+            ELSE (1::BIGINT << b.b) END), 0) AS BIGINT) AS fp
+        FROM ids i LEFT JOIN bits b USING (doc_id)
+        GROUP BY i.doc_id),
+      pairs AS (
+        SELECT t.doc_id, e.doc_id AS eval_id,
+          CAST(bit_count(xor(t.fp, e.fp)) AS INT) AS h
+        FROM dh t JOIN dh e
+          ON t.doc_id % 4 <> 0 AND e.doc_id % 4 = 0
+        WHERE bit_count(xor(t.fp, e.fp)) <= 3),
+      mh AS (SELECT doc_id, min(h) AS hamming FROM pairs GROUP BY 1),
+      w AS (
+        SELECT p.doc_id, mh.hamming, min(p.eval_id) AS eval_id
+        FROM pairs p JOIN mh
+          ON mh.doc_id = p.doc_id AND p.h = mh.hamming
+        GROUP BY 1, 2)
+      SELECT doc_id, hamming, eval_id FROM w ORDER BY doc_id
+    """.trim))
+
   // --------------------------------------------------------------- q294
   /** q294 — cluster KEEP-BEST-RESOLUTION
     * ([[Multimodal.keepBestResolution]] over q261's cluster decision
