@@ -144,7 +144,7 @@ object Bench {
     "q85_state_dwell" -> 0.4,
     "q86_growth_curve" -> 0.33,
     "q87_sliding_wau" -> 0.46,
-    "q88_equidepth_histogram" -> 0.58,
+    "q88_equidepth_histogram" -> 0.56,
     "q89_hll_distinct" -> 0.37,
     "q90_weighted_sample" -> 0.2,
     "q91_source_overlap" -> 1.29,
@@ -180,7 +180,7 @@ object Bench {
     "q117_fd_audit" -> 0.26,
     "q118_touch_attribution" -> 0.74,
     "q119_join_blowup" -> 0.21,
-    "q120_benford_profile" -> 0.51,
+    "q120_benford_profile" -> 0.5,
     "q121_k_anonymity" -> 0.27,
     "q122_transition_matrix" -> 0.5,
     // r11f canonical (first full run over q123-q146; loadavg 1.8-8.7,
@@ -288,7 +288,7 @@ object Bench {
     "q207_audio_decode" -> 1.18,
     "q208_sole_fault_suppliers" -> 0.82,
     // focused post-canonical runs
-    "q209_video_decode" -> 0.23,
+    "q209_video_decode" -> 0.22,
     "q210_key_skew_profile" -> 0.4,
     "q211_contamination_sweep" -> 0.6,
     "q212_token_fertility" -> 0.37,
@@ -333,27 +333,27 @@ object Bench {
     "q235_part_supplier_census" -> 0.71,
     "q236_column_profile_sketch" -> 0.44,
     "q237_waterfill_quota" -> 0.42,
-    "q238_frame_sample_plan" -> 0.31,
+    "q238_frame_sample_plan" -> 0.28,
     "q239_disjunctive_revenue" -> 0.32,
     "q240_calibration_ece" -> 0.43,
     "q241_bootstrap_ci" -> 0.29,
-    "q242_survival_hazard" -> 0.45,
+    "q242_survival_hazard" -> 0.44,
     // q243 is sub-second only because of the codegen'd char fold
     // (the HOF form measured 3.55 s — the r4 native-expression lesson)
     "q243_content_checksum" -> 0.25,
     "q244_background_cosine" -> 0.37,
     "q245_large_quantity_orders" -> 0.85,
     "q246_top_revenue_supplier" -> 0.42,
-    "q247_nation_pair_volume" -> 0.81,
-    "q248_regional_min_cost_supplier" -> 1.46,
+    "q247_nation_pair_volume" -> 0.76,
+    "q248_regional_min_cost_supplier" -> 1.45,
     "q249_kmv_overlap" -> 0.6,
     "q250_kmv_accuracy" -> 0.51,
     "q251_kmv_source_matrix" -> 1.25,
     "q252_national_market_share" -> 0.99,
     "q253_bpe_vocab" -> 0.36,
     "q254_bpe_fertility" -> 0.43,
-    "q255_image_dhash_neardup" -> 1.35,
-    "q256_video_sample_bytes" -> 0.25,
+    "q255_image_dhash_neardup" -> 1.32,
+    "q256_video_sample_bytes" -> 0.22,
     "q257_frame_sample_bytes" -> 0.29,
     "q258_product_type_profit" -> 0.81,
     "q259_order_priority_exists" -> 0.42,
@@ -401,12 +401,12 @@ object Bench {
     "q287_iso_exact_dedup" -> 0.45,
     "q288_gif_neardup_pairs" -> 3.02,
     "q289_gif_dedup_agreement" -> 4.73,
-    "q290_audio_energy_segments" -> 1.22,
+    "q290_audio_energy_segments" -> 1.1,
     "q291_audio_excerpt_schedule" -> 1.32,
     "q292_image_quality_gates" -> 0.99,
-    "q293_audio_quality_gates" -> 1.4,
-    "q294_cluster_keep_best_resolution" -> 2.47,
-    "q295_image_decontam_gate" -> 0.85)
+    "q293_audio_quality_gates" -> 1.17,
+    "q294_cluster_keep_best_resolution" -> 2.31,
+    "q295_image_decontam_gate" -> 0.82)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -433,15 +433,15 @@ object Bench {
   private[graft] val byteFloors: Map[String, Long] = Map(
     "q100_containment_pairs" -> 30009842L,
     "q101_cross_containment" -> 16860731L,
-    "q102_winsorize" -> 3714326L,
+    "q102_winsorize" -> 3714968L,
     "q103_temperature_mix" -> 1058L,
     "q104_rule_audit" -> 175892L,
     "q105_bigram_fluency" -> 510245L,
     "q106_hard_negatives" -> 29075L,
     "q107_intra_label_diversity" -> 25829L,
-    "q108_mad_outliers" -> 3120232L,
+    "q108_mad_outliers" -> 3120248L,
     "q109_json_field_stats" -> 1953L,
-    "q10_incremental_antijoin" -> 776194L,
+    "q10_incremental_antijoin" -> 776404L,
     "q110_curation_funnel" -> 15401L,
     "q111_grid_percentile" -> 76300L,
     "q112_unigram_divergence" -> 913504L,
@@ -456,7 +456,7 @@ object Bench {
     "q120_benford_profile" -> 7728L,
     "q121_k_anonymity" -> 170457L,
     "q122_transition_matrix" -> 3630283L,
-    "q123_hybrid_rrf" -> 3932924L,
+    "q123_hybrid_rrf" -> 3932940L,
     "q124_distinct_ngrams" -> 10267965L,
     "q125_embedding_health" -> 3629L,
     "q126_cusum_changepoint" -> 62447L,
@@ -510,14 +510,14 @@ object Bench {
     "q16_exact_dedup" -> 1877902L,
     "q170_rank_shift" -> 1056670L,
     "q171_temporal_split" -> 52492L,
-    "q172_causal_zscore" -> 11992704L,
+    "q172_causal_zscore" -> 11992236L,
     "q173_seasonal_naive" -> 28508L,
-    "q174_winnowing_neardup" -> 21677416L,
+    "q174_winnowing_neardup" -> 21677400L,
     "q175_profile_drift" -> 4728L,
     "q176_value_tail_bands" -> 1147199L,
     "q177_type_pagerank" -> 5443190L,
     "q178_fuzzy_operating_point" -> 122180L,
-    "q179_tfidf_keywords" -> 5027184L,
+    "q179_tfidf_keywords" -> 5027528L,
     "q17_ngram_jaccard_neardup" -> 30011208L,
     "q180_grid_accuracy" -> 733984L,
     "q181_transition_predictability" -> 3626489L,
@@ -583,7 +583,7 @@ object Bench {
     "q235_part_supplier_census" -> 1427433L,
     "q236_column_profile_sketch" -> 20426L,
     "q237_waterfill_quota" -> 3547L,
-    "q238_frame_sample_plan" -> 273860L,
+    "q238_frame_sample_plan" -> 274068L,
     "q239_disjunctive_revenue" -> 432L,
     "q240_calibration_ece" -> 694042L,
     "q241_bootstrap_ci" -> 4480L,
@@ -600,14 +600,14 @@ object Bench {
     "q252_national_market_share" -> 7389304L,
     "q253_bpe_vocab" -> 11823L,
     "q254_bpe_fertility" -> 898L,
-    "q255_image_dhash_neardup" -> 14259564L,
-    "q256_video_sample_bytes" -> 485070L,
-    "q257_frame_sample_bytes" -> 485118L,
+    "q255_image_dhash_neardup" -> 14263188L,
+    "q256_video_sample_bytes" -> 484956L,
+    "q257_frame_sample_bytes" -> 485534L,
     "q258_product_type_profit" -> 30913L,
     "q259_order_priority_exists" -> 1845L,
     "q260_bpe_budget_mix" -> 8364L,
     "q261_image_dhash_clusters" -> 74658L,
-    "q262_audio_envelope_neardup" -> 13625673L,
+    "q262_audio_envelope_neardup" -> 13625419L,
     "q263_modality_router" -> 8042L,
     // q264 re-seeded r16: the forced broadcast(perPart) hint dropped
     // (judge item) — AQE now stages both join inputs before choosing
@@ -626,21 +626,21 @@ object Bench {
     "q273_crossmodal_dedup_policies" -> 1665987L,
     "q274_token_shard_manifest" -> 268010L,
     "q275_audio_chunk_inventory" -> 177762L,
-    "q276_png_chunk_inventory" -> 216774L,
-    "q277_video_frame_fingerprints" -> 531168L,
-    "q278_video_neardup_pairs" -> 27530844L,
-    "q279_video_neardup_clusters" -> 698468L,
+    "q276_png_chunk_inventory" -> 216710L,
+    "q277_video_frame_fingerprints" -> 535164L,
+    "q278_video_neardup_pairs" -> 27544302L,
+    "q279_video_neardup_clusters" -> 698486L,
     "q280_video_dedup_agreement" -> 611386L,
-    "q281_video_shot_segments" -> 1224638L,
+    "q281_video_shot_segments" -> 1224796L,
     "q282_stock_value_concentration" -> 1745780L,
-    "q283_shot_sample_schedule" -> 1133226L,
+    "q283_shot_sample_schedule" -> 1133650L,
     "q284_gif_frame_fingerprints" -> 167230L,
-    "q285_gif_neardup_clusters" -> 347572L,
+    "q285_gif_neardup_clusters" -> 347446L,
     "q286_kpartite_dedup_policies" -> 1794927L,
     "q287_iso_exact_dedup" -> 68744L,
-    "q288_gif_neardup_pairs" -> 16427244L,
+    "q288_gif_neardup_pairs" -> 16440178L,
     "q289_gif_dedup_agreement" -> 293928L,
-    "q290_audio_energy_segments" -> 1410801L,
+    "q290_audio_energy_segments" -> 1410955L,
     "q291_audio_excerpt_schedule" -> 1343063L,
     "q292_image_quality_gates" -> 77322L,
     "q293_audio_quality_gates" -> 1056915L,
@@ -654,45 +654,45 @@ object Bench {
     "q26_multimodal_meta" -> 983684L,
     "q27_report_metrics" -> 200L,
     "q28_report_distributors" -> 8219L,
-    "q29_trycast_timestamp" -> 5731998L,
+    "q29_trycast_timestamp" -> 5730894L,
     "q2_select_project" -> 417504L,
-    "q30_embedding_neardup_rplsh" -> 20501417L,
+    "q30_embedding_neardup_rplsh" -> 20501449L,
     "q31_neardup_clusters" -> 466383L,
     "q32_stratified_sample" -> 35782L,
     "q33_pii_redact" -> 721556L,
-    "q34_event_sessionize" -> 10664278L,
+    "q34_event_sessionize" -> 10666654L,
     "q35_repetition_signals" -> 253330L,
     "q36_cross_contamination" -> 17527841L,
     "q37_sequence_packing" -> 458719L,
     "q38_network_redact" -> 728946L,
     "q39_embedding_topk_ivf" -> 672881L,
-    "q3_try_cast" -> 331996L,
+    "q3_try_cast" -> 332006L,
     "q40_training_order" -> 308517L,
     "q41_token_budget_mix" -> 16110L,
     "q42_epoch_sharded_packing" -> 2925907L,
-    "q43_asof_join" -> 4568797L,
+    "q43_asof_join" -> 4568819L,
     "q44_interval_join" -> 7612L,
     "q45_length_profile" -> 15385L,
     "q46_grouped_topk" -> 4152L,
     "q47_sliding_chunks" -> 1055100L,
     "q48_keepbest_dedup" -> 2018227L,
     "q49_eval_overlap" -> 543962L,
-    "q4_left_join_enrich" -> 739898L,
+    "q4_left_join_enrich" -> 739684L,
     "q50_curriculum_bins" -> 17628L,
     "q51_priority_sample" -> 6082L,
     "q52_bm25_scores" -> 1123003L,
     "q53_semantic_clusters" -> 20314969L,
     "q54_shingle_novelty" -> 958251L,
-    "q55_embedding_quantize" -> 3016140L,
-    "q56_pq_codes" -> 535336L,
+    "q55_embedding_quantize" -> 3015016L,
+    "q56_pq_codes" -> 535188L,
     "q57_pq_adc_topk" -> 2036259L,
     "q58_rollup_revenue" -> 11541L,
     "q59_pivot_returnflag" -> 37108L,
     "q5_anti_orphans" -> 0L,
     "q60_paragraph_dedup" -> 4919719L,
     "q61_ivfpq_topk" -> 762530L,
-    "q62_column_profile" -> 3516966L,
-    "q63_asof_tolerance" -> 4097553L,
+    "q62_column_profile" -> 3493660L,
+    "q63_asof_tolerance" -> 4097629L,
     "q64_cube_revenue" -> 16600L,
     "q65_term_zipf" -> 3229944L,
     "q66_lexical_richness" -> 3719211L,
@@ -708,14 +708,14 @@ object Bench {
     "q75_grouping_sets" -> 5532L,
     "q76_eval_overlap_bloom" -> 957475L,
     "q77_snapshot_diff" -> 1234867L,
-    "q78_asof_forward" -> 4560374L,
+    "q78_asof_forward" -> 4560892L,
     "q79_ingest_gaps" -> 16700L,
-    "q7_dedup_keepfirst" -> 1110977L,
+    "q7_dedup_keepfirst" -> 1110787L,
     "q80_cms_heavy_hitters" -> 10638L,
-    "q81_moving_revenue" -> 7994126L,
-    "q82_scd2_intervals" -> 9001937L,
+    "q81_moving_revenue" -> 7993490L,
+    "q82_scd2_intervals" -> 9001909L,
     "q83_volume_anomaly" -> 88350L,
-    "q84_posting_lists" -> 12120965L,
+    "q84_posting_lists" -> 12120523L,
     "q85_state_dwell" -> 3726840L,
     "q86_growth_curve" -> 560000L,
     "q87_sliding_wau" -> 1362039L,
