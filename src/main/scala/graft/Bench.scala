@@ -406,7 +406,8 @@ object Bench {
     "q292_image_quality_gates" -> 0.99,
     "q293_audio_quality_gates" -> 1.17,
     "q294_cluster_keep_best_resolution" -> 2.31,
-    "q295_image_decontam_gate" -> 0.82)
+    "q295_image_decontam_gate" -> 0.82,
+    "q296_audio_decontam_gate" -> 1.49)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -646,6 +647,7 @@ object Bench {
     "q293_audio_quality_gates" -> 1056915L,
     "q294_cluster_keep_best_resolution" -> 166295L,
     "q295_image_decontam_gate" -> 41424L,
+    "q296_audio_decontam_gate" -> 45731L,
     "q21_embedding_neardup_ivf" -> 5000834L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

@@ -1885,6 +1885,70 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       FROM folds ORDER BY doc_id
     """.trim))
 
+  // --------------------------------------------------------------- q296
+  /** q296 — AUDIO decontamination gate
+    * ([[Dedup.fingerprintDecontam]] on the envelope-hash rung): the
+    * q295 gate is fingerprint-generic by construction — here it
+    * flags train recordings whose energy envelope sits within
+    * Hamming ≤ 3 of any eval-set recording (a benchmark clip leaked
+    * as a volume-renormalized re-encode byte-compares different but
+    * keeps its envelope shape). Eval = waveform-fixture ids ≡ 0
+    * (mod 4); oracle brute-forces the cross Hamming join over the
+    * replayed envelope hashes with the same min-then-min witness
+    * fold. */
+  val q296: Q = Q(
+    "q296_audio_decontam_gate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      def fp(part: org.apache.spark.sql.DataFrame) =
+        graft.engine.CacheScope.unmanaged.persist(
+          Multimodal.audioFingerprints(Multimodal.encodeWaveformFixture(
+            part, "doc_id")).toDF()
+            .where(col("ok") === 1L)
+            .select(col("doc_id"), col("fp")))
+      Dedup.fingerprintDecontam(
+        fp(docs.where(col("doc_id") % 4 =!= 0)),
+        fp(docs.where(col("doc_id") % 4 === 0)),
+        "doc_id", "fp", maxHamming = 3, bits = 64)
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0
+          AND doc_id % 10 NOT IN (3, 6)),
+      cells AS (
+        SELECT doc_id, CAST(u.w AS BIGINT) AS w,
+          CAST(500 + ((doc_id % 21 + u.w) % 7) * 300 +
+            CASE WHEN u.w = 0 AND (doc_id // 21) % 2 = 1
+                 THEN 400 ELSE 0 END AS BIGINT) AS a
+        FROM ids, LATERAL unnest(range(65)) AS u(w)),
+      bits AS (
+        SELECT x.doc_id, CAST(x.w AS INT) AS b
+        FROM cells x JOIN cells n
+          ON n.doc_id = x.doc_id AND n.w = x.w + 1
+        WHERE n.a > x.a),
+      fp AS (
+        SELECT i.doc_id,
+          CAST(coalesce(sum(CASE WHEN b.b = 63
+            THEN -9223372036854775808
+            ELSE (1::BIGINT << b.b) END), 0) AS BIGINT) AS fp
+        FROM ids i LEFT JOIN bits b USING (doc_id)
+        GROUP BY i.doc_id),
+      pairs AS (
+        SELECT t.doc_id, e.doc_id AS eval_id,
+          CAST(bit_count(xor(t.fp, e.fp)) AS INT) AS h
+        FROM fp t JOIN fp e
+          ON t.doc_id % 4 <> 0 AND e.doc_id % 4 = 0
+        WHERE bit_count(xor(t.fp, e.fp)) <= 3),
+      mh AS (SELECT doc_id, min(h) AS hamming FROM pairs GROUP BY 1),
+      w AS (
+        SELECT p.doc_id, mh.hamming, min(p.eval_id) AS eval_id
+        FROM pairs p JOIN mh
+          ON mh.doc_id = p.doc_id AND p.h = mh.hamming
+        GROUP BY 1, 2)
+      SELECT doc_id, hamming, eval_id FROM w ORDER BY doc_id
+    """.trim))
+
   // --------------------------------------------------------------- q295
   /** q295 — IMAGE decontamination gate
     * ([[Dedup.fingerprintDecontam]]): the q36/q113 decontamination
