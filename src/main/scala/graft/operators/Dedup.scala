@@ -1245,11 +1245,17 @@ object Dedup {
     * byte-level decontamination — this is the gate that sees it.
     *
     * Scale shape: eval sets are benchmarks-SMALL by nature (the q113
-    * broadcast argument), so the eval pigeonhole chunk index rides
-    * an explicit broadcast and the TRAIN side streams — one pass
-    * over distinct train fingerprints, no self-join, exact recall
-    * for the radius (chunk cover + verify); the flagged output
-    * re-attaches to train docs by one fp-keyed shuffle join. Output
+    * broadcast argument), so the eval pigeonhole chunk index rides a
+    * broadcast and the TRAIN side streams — one pass over distinct
+    * train fingerprints, no self-join, exact recall for the radius
+    * (chunk cover + verify); the flagged output re-attaches to train
+    * docs by one fp-keyed shuffle join. The broadcast is AQE's
+    * runtime decision, not a forced hint (the r17 capHotKeys
+    * discipline): the chunk index is `(maxHamming+1) × |distinct
+    * eval fps|` rows — small for every real benchmark, but nothing
+    * BOUNDS a hostile caller's eval set, and a forced hint would
+    * turn that mistake into a driver OOM where the unhinted plan
+    * degrades to a shuffle join. Output
     * (doc_id, hamming, eval_id) — only contaminated docs — ordered. */
   def fingerprintDecontam(train: DataFrame, evalSet: DataFrame,
       idCol: String, fpCol: String, maxHamming: Int,
@@ -1277,7 +1283,7 @@ object Dedup {
       .select(col("ft"), col("cs.chunk_id").as("chunk_id"),
         col("cs.chunk").as("chunk"))
     val best = trChunks
-      .join(broadcast(evChunks), Seq("chunk_id", "chunk"))
+      .join(evChunks, Seq("chunk_id", "chunk"))
       .select(col("ft"), col("fe"), col("eval_min")).distinct()
       .withColumn("hamming",
         bit_count(col("ft").bitwiseXOR(col("fe"))))

@@ -302,8 +302,10 @@ object Multimodal {
     * shared RIFF prefix), FORM/AIFF, ISO-BMFF (`ftyp` at offset 4),
     * else `unknown`. ISO-BMFF payloads dispatch on the MAJOR BRAND (the
     * four bytes after `ftyp` — r16 verdict: the family is a shared
-    * container, not a video format): `M4A ` is M4A audio,
-    * `heic`/`mif1`/`avif` are HEIF-family still images, anything
+    * container, not a video format): `M4A `/`M4B `/`M4P ` are MPEG-4
+    * audio (music, audiobooks, protected tracks),
+    * `heic`/`heix`/`hevc`/`hevx` are HEIC stills/sequences,
+    * `mif1`/`msf1` generic HEIF, `avif`/`avis` AVIF, anything
     * else (isom/mp42/qt..) routes `video/mp4` — brand-blind routing
     * would dedup M4A podcasts and HEIC photos down the video branch
     * and poison the modality profile. Pure byte comparisons —
@@ -331,14 +333,14 @@ object Multimodal {
       .when(bytesAt(1, 4) === lit("FORM".getBytes("US-ASCII")) &&
         bytesAt(9, 4) === lit("AIFF".getBytes("US-ASCII")), "audio/aiff")
       .when(bytesAt(5, 4) === lit("ftyp".getBytes("US-ASCII")),
-        when(bytesAt(9, 4) === lit("M4A ".getBytes("US-ASCII")),
-          "audio/mp4")
-          .when(bytesAt(9, 4) === lit("heic".getBytes("US-ASCII")),
-            "image/heic")
-          .when(bytesAt(9, 4) === lit("mif1".getBytes("US-ASCII")),
-            "image/heif")
-          .when(bytesAt(9, 4) === lit("avif".getBytes("US-ASCII")),
-            "image/avif")
+        when(bytesAt(9, 4).isin(Seq("M4A ", "M4B ", "M4P ")
+          .map(b => lit(b.getBytes("US-ASCII"))): _*), "audio/mp4")
+          .when(bytesAt(9, 4).isin(Seq("heic", "heix", "hevc", "hevx")
+            .map(b => lit(b.getBytes("US-ASCII"))): _*), "image/heic")
+          .when(bytesAt(9, 4).isin(Seq("mif1", "msf1")
+            .map(b => lit(b.getBytes("US-ASCII"))): _*), "image/heif")
+          .when(bytesAt(9, 4).isin(Seq("avif", "avis")
+            .map(b => lit(b.getBytes("US-ASCII"))): _*), "image/avif")
           .otherwise("video/mp4"))
       .otherwise("unknown")
   }
@@ -545,10 +547,13 @@ object Multimodal {
     * at least one; quiet segments get none — the whole point: a
     * speech pipeline excerpts speech, not silence), each segment
     * seeked at its positional midpoints. Pure integer arithmetic:
-    * `k_s = max(1, (k·n_s) div F_loud)`, seek j at window
+    * `k_s = min(n_s, max(1, (k·n_s) div F_loud))`, seek j at window
     * `start_w + (n_s·(2j+1)) div (2·k_s)` — segments are runs of
     * CONSECUTIVE windows by construction, so the offsets address
-    * real windows with no gap hazard.
+    * real windows with no gap hazard, and the `n_s` ceiling keeps
+    * every seek DISTINCT (a recording whose loud mass sits in one
+    * short segment would otherwise seek the same window k times
+    * under distinct sample_idx).
     *
     * Scale shape: two reduced folds (per-segment sizes ride in, a
     * per-recording loud total) re-attached by a co-keyed shuffle
@@ -567,8 +572,8 @@ object Multimodal {
     val totals = loud.groupBy(col("doc_id"))
       .agg(sum(col("n_windows")).as("__f"))
     loud.join(totals, Seq("doc_id"))
-      .withColumn("__k_s",
-        greatest(lit(1L), expr(s"($k * n_windows) div __f")))
+      .withColumn("__k_s", least(col("n_windows"),
+        greatest(lit(1L), expr(s"($k * n_windows) div __f"))))
       .select(col("doc_id"), col("seg_idx"), col("start_w"),
         col("n_windows"), col("__k_s"),
         explode(sequence(lit(0L), col("__k_s") - 1L)).as("sample_idx"))
@@ -2031,9 +2036,12 @@ object Multimodal {
     * uniform stride starves short shots and wastes budget on static
     * ones), each shot sampled at its own positional midpoints.
     * Pure integer arithmetic end-to-end:
-    *  - `k_s = max(1, (k · n_s) div F)` seeks for a shot of `n_s`
-    *    observed frames in a video of `F` (⌊·⌋ keeps Σk_s ≤ k + the
-    *    short-shot floor — the floor is the policy, not rounding),
+    *  - `k_s = min(n_s, max(1, (k · n_s) div F))` seeks for a shot
+    *    of `n_s` observed frames in a video of `F` (⌊·⌋ keeps
+    *    Σk_s ≤ k + the short-shot floor — the floor is the policy,
+    *    not rounding; the `n_s` ceiling keeps every seek DISTINCT —
+    *    a budget above the shot's frame count would otherwise emit
+    *    duplicate midpoints and waste real decoder seeks),
     *  - seek j lands on the shot's OBSERVED frame at position
     *    `(n_s · (2j + 1)) div (2 · k_s)` (q238's midpoint rule applied
     *    within the shot) — positions index observed frames, so a
@@ -2064,8 +2072,8 @@ object Multimodal {
     val totals = sizes.groupBy(col("doc_id"))
       .agg(sum(col("__n_s")).as("__f"))
     val targets = sizes.join(totals, Seq("doc_id"))
-      .withColumn("__k_s",
-        greatest(lit(1L), expr(s"($k * __n_s) div __f")))
+      .withColumn("__k_s", least(col("__n_s"),
+        greatest(lit(1L), expr(s"($k * __n_s) div __f"))))
       .select(col("doc_id"), col("shot_idx"), col("__n_s"),
         col("__k_s"),
         explode(sequence(lit(0L), col("__k_s") - 1L))
@@ -2253,9 +2261,14 @@ object Multimodal {
     * coding the JDK honestly decodes, after MJPEG/AVI; ubiquitous in
     * web crawls). TOTAL over hostile input with the house contract:
     * wrong magic (`GIF87a`/`GIF89a` checked BEFORE any reader probe),
-    * truncation, any reader/decode failure, zero frames, or a
-    * hostile frame count (> 1024) all yield None — errors are data,
-    * never exceptions. Frames are returned as stored (the fixtures
+    * truncation, any reader/decode failure, zero frames, a
+    * hostile frame count (> 1024), or a hostile TOTAL PIXEL MASS
+    * (Σ w·h > 2²⁴ across frames — GIF dimensions are unbounded, and
+    * 1024 fully-decoded 4K frames would OOM the executor before any
+    * per-frame check ran; the running sum is checked against the
+    * reader's header dims BEFORE each decode) all yield None —
+    * errors are data, never exceptions, including resource-
+    * exhaustion errors. Frames are returned as stored (the fixtures
     * write full replacement frames; delta-composited animations
     * fingerprint their stored deltas, which is still a pure function
     * of the payload — the dedup contract needs determinism, not
@@ -2276,8 +2289,18 @@ object Multimodal {
           reader.setInput(iis, false, true)
           val n = reader.getNumImages(true)
           if (n < 1 || n > 1024) return None
-          Some((0 until n).map(reader.read(_): java.awt.image
-            .BufferedImage))
+          // header-dims pixel budget BEFORE each decode — the cap
+          // trips on the declared size, never after the allocation
+          var px = 0L
+          val out = IndexedSeq.newBuilder[java.awt.image.BufferedImage]
+          var i = 0
+          while (i < n) {
+            px += reader.getWidth(i).toLong * reader.getHeight(i).toLong
+            if (px > (1L << 24)) return None
+            out += reader.read(i)
+            i += 1
+          }
+          Some(out.result())
         } finally reader.dispose()
       } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }

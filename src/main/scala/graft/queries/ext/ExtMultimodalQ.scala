@@ -1332,7 +1332,8 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
     * length (every shot ≥ 1 — uniform strides starve short shots),
     * each shot seeked at its own positional midpoints over OBSERVED
     * frames, so decode-failure gaps are never addressed. Pure
-    * integer arithmetic: `k_s = max(1, (4·n_s) div F)`, seek j at
+    * integer arithmetic: `k_s = min(n_s, max(1, (4·n_s) div F))`
+    * (the ceiling keeps seeks distinct), seek j at
     * position `(n_s·(2j+1)) div (2·k_s)`. Runs on the
     * scene-structured fixture, where shots ≡ scenes and the oracle
     * replays the whole schedule — shot table, allocation, midpoint
@@ -1371,7 +1372,8 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
         FROM shots GROUP BY 1),
       alloc AS (
         SELECT shots.doc_id, scene, n_s,
-          CAST(greatest(1, (4 * n_s) // f) AS BIGINT) AS k_s
+          CAST(least(n_s, greatest(1, (4 * n_s) // f)) AS BIGINT)
+            AS k_s
         FROM shots JOIN tot USING (doc_id)),
       tgt AS (
         SELECT doc_id, scene, CAST(u.j AS BIGINT) AS sample_idx,
@@ -1803,7 +1805,8 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
         FROM loud GROUP BY 1),
       alloc AS (
         SELECT loud.doc_id, seg_idx, start_w, len,
-          CAST(greatest(1, (4 * len) // f) AS BIGINT) AS k_s
+          CAST(least(len, greatest(1, (4 * len) // f)) AS BIGINT)
+            AS k_s
         FROM loud JOIN tot USING (doc_id))
       SELECT doc_id, seg_idx, CAST(u.j AS BIGINT) AS sample_idx,
         start_w + (len * (2 * u.j + 1)) // (2 * k_s) AS w

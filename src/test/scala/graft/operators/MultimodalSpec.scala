@@ -732,6 +732,14 @@ class MultimodalSpec extends SparkSpec {
       "frame_idx", "fp", cutHamming = 8, k = 2)
       .collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
     assert(floor == Seq((0L, 0L), (1L, 1L), (2L, 2L)), floor)
+    // shot-size ceiling: a single 2-frame shot at k = 4 seeks each
+    // frame ONCE (k_s = min(n_s, ...) — never duplicate midpoints)
+    val clamp = Seq((7L, 0L, 0L), (7L, 1L, 0L))
+      .toDF("doc_id", "frame_idx", "fp")
+    val cg = Multimodal.shotSampleSchedule(clamp, "doc_id",
+      "frame_idx", "fp", cutHamming = 8, k = 4)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(cg == Seq((0L, 0L), (1L, 1L)), cg)
   }
 
   test("sniffModality dispatches ISO-BMFF payloads on the major " +
@@ -755,6 +763,24 @@ class MultimodalSpec extends SparkSpec {
       .select(Multimodal.sniffModality(col("payload")))
       .collect().head.getString(0)
     assert(truncated == "video/mp4")
+    // the long-tail brand table: sequences/codec brands and the
+    // M4B/M4P audio reuses route by family, not down the video branch
+    def ftyp(brand: String): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(16)
+      b.putInt(16).put("ftyp".getBytes("US-ASCII"))
+        .put(brand.getBytes("US-ASCII")).putInt(0)
+      b.array()
+    }
+    val tail = Map("M4B " -> "audio/mp4", "M4P " -> "audio/mp4",
+      "heix" -> "image/heic", "hevc" -> "image/heic",
+      "hevx" -> "image/heic", "msf1" -> "image/heif",
+      "avis" -> "image/avif", "mp42" -> "video/mp4")
+    val sniffed = tail.keys.toSeq.map(b => (b, ftyp(b)))
+      .toDF("brand", "payload")
+      .select(col("brand"),
+        Multimodal.sniffModality(col("payload")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((b, want) <- tail) assert(sniffed(b) == want, s"brand=$b")
   }
 
   test("aviFrameRanges walks frame chunks wrapped in interleaved " +
