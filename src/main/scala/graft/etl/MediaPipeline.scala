@@ -46,6 +46,23 @@ import graft.operators.{Dedup, Multimodal, Packing}
   * frame that crosses a shuffle is a 16-byte (doc_id, fp) or
   * (doc_id, cluster) row. The driver holds stage COUNTS, never rows.
   * Stage counts come back as [[MediaPipeline.Stats]].
+  *
+  * The two modality-partitioned writes repartition on `(modality,
+  * salt)` — NEVER on the bare modality: a modality key has ~5
+  * distinct values, so `repartition(col("modality"))` would funnel
+  * every video byte in the lake through ONE task's writer (the r17
+  * verdict's scale defect). The salt is `pmod(hash(doc_id), F)` with
+  * `F` budgeted from the REAL byte mass ÷ `routedFileBytes` — read
+  * off the filesystem, never a row-count proxy, so the task/file
+  * count scales with the lake's bytes exactly like
+  * [[Packing.writeShards]]' file plan does, while
+  * `partitionBy("modality")` keeps the directory layout. The route
+  * write budgets against the INPUT tree (per-modality masses do not
+  * exist before the sniff pass); the curated write budgets EACH
+  * branch against its own `routed/modality=…` mass, so a 95%-video
+  * lake does not shatter its audio sliver into video-sized bucket
+  * counts. Determinism holds (the salt is an affine hash of doc_id,
+  * no sampling pass), so re-runs reproduce the file plan.
   */
 object MediaPipeline {
 
@@ -57,6 +74,50 @@ object MediaPipeline {
 
   private val mediaCols = Seq("doc_id", "uri", "mime", "payload")
 
+  /** On-disk byte mass of a tree — the exact budget for the salted
+    * write fan-out, free off the namenode (no data scan). */
+  private def fsBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.getContentSummary(p).getLength
+  }
+
+  /** Salt cardinality for a byte mass at a per-file budget: ⌈bytes /
+    * target⌉, floored at 1, capped at 2¹⁸ buckets (a runaway-input
+    * backstop — 256 Ki files of `routedFileBytes` each is far past
+    * any single write's sane plan). */
+  private def saltCount(bytes: Long, targetBytes: Long): Int =
+    math.max(1L, math.min(1L << 18,
+      (bytes + targetBytes - 1) / targetBytes)).toInt
+
+  /** The salted modality distribution: hash-partition on `(modality,
+    * pmod(hash(doc_id), buckets))` across an EXPLICIT `buckets`-wide
+    * exchange so each modality's byte mass fans out across
+    * ~`its bytes / routedFileBytes` writer tasks instead of one. The
+    * width is explicit because a column-only `repartition` is
+    * AQE-coalescible — at small inputs AQE folds it back to one
+    * partition, which is correct for bytes but erases the fan-out
+    * this exists to pin (and at scale the explicit width IS the byte
+    * budget, so there is nothing for AQE to improve). */
+  private def saltedByModality(df: DataFrame, buckets: Int): DataFrame =
+    df.repartition(buckets, col("modality"),
+      pmod(hash(col("doc_id")), lit(buckets)))
+
+  /** Per-modality byte masses of a `modality=`-partitioned tree —
+    * free off the namenode, the exact per-branch budgets for the
+    * curated write. */
+  private def modalityBytes(spark: SparkSession, dir: String)
+      : Map[String, Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("modality="))
+      .map(st => st.getPath.getName.stripPrefix("modality=") ->
+        fs.getContentSummary(st.getPath).getLength)
+      .toMap
+  }
+
   /** Run the funnel over `mediaParquet` (MediaRecord schema: doc_id,
     * uri, mime, payload), writing under `outDir`:
     * `routed/` (modality-partitioned lake), `curated/` (the kept
@@ -66,20 +127,25 @@ object MediaPipeline {
     * released before return. */
   def curate(spark: SparkSession, mediaParquet: String, outDir: String,
       shardBytes: Long = 64L << 20, maxHamming: Int = 3,
-      onScope: CacheScope => Unit = _ => ()): Stats =
+      onScope: CacheScope => Unit = _ => (),
+      routedFileBytes: Long = 128L << 20): Stats =
     CacheScope.withScope { scope =>
+      require(routedFileBytes >= 1,
+        s"need routedFileBytes >= 1, got $routedFileBytes")
       val media = spark.read.parquet(mediaParquet)
       val raw = media.count()
 
       // 1. ROUTE by sniffed magic (never the declared mime): one
       // payload pass, written partitioned by modality so each later
       // stage scans only its own bytes. `unknown` rows are counted
-      // and go no further (a real lake quarantines them).
-      media
+      // and go no further (a real lake quarantines them). The write
+      // fans out on (modality, byte-budgeted salt) — see the object
+      // scaladoc; the budget is the INPUT tree's real byte mass.
+      saltedByModality(media
         .withColumn("sniffed", Multimodal.sniffModality(col("payload")))
         .withColumn("modality",
-          split(col("sniffed"), "/").getItem(0))
-        .repartition(col("modality"))
+          split(col("sniffed"), "/").getItem(0)),
+        saltCount(fsBytes(spark, mediaParquet), routedFileBytes))
         .write.partitionBy("modality").mode("overwrite")
         .parquet(s"$outDir/routed")
       val routed = spark.read.parquet(s"$outDir/routed")
@@ -204,13 +270,23 @@ object MediaPipeline {
       // broadcast is exactly the at-scale OOM the q223/q264
       // discipline forbids — AQE broadcasts them at small SF on its
       // own and correctly refuses when they would not fit.
+      // each branch salts against ITS OWN routed byte mass (free off
+      // the namenode; the kept subset is ≤ it) — a per-modality
+      // budget, so a lake that is 95% video by bytes does not
+      // shatter its audio sliver into video-sized bucket counts
+      val branchBuckets = modalityBytes(spark, s"$outDir/routed")
+        .map { case (m, b) => m -> saltCount(b, routedFileBytes) }
       def keptOf(modality: String, keep: DataFrame) =
         routedOf(modality).join(keep, Seq("doc_id"))
           .withColumn("modality", lit(modality))
+          .withColumn("__salt", pmod(hash(col("doc_id")),
+            lit(branchBuckets.getOrElse(modality, 1))))
       keptOf("image", keepImage)
         .unionByName(keptOf("audio", keepAudio))
         .unionByName(keptOf("video", keepVideo))
-        .repartition(col("modality"))
+        .repartition(math.max(1, branchBuckets.values.sum),
+          col("modality"), col("__salt"))
+        .drop("__salt")
         .write.partitionBy("modality").mode("overwrite")
         .parquet(s"$outDir/curated")
       val curated = spark.read.parquet(s"$outDir/curated")

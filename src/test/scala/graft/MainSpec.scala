@@ -573,6 +573,42 @@ class MainSpec extends SparkSpec {
     assert(manAgain == manByShard)
   }
 
+  test("corpus-media salted writes: a modality whose bytes exceed " +
+    "the per-file budget fans out across >1 written file (never the " +
+    "one-task-per-modality funnel), and the salt changes no content") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cmsalt").toString
+    val s2 = spark; import s2.implicits._
+    (0L until 60L).toDF("doc_id").write.parquet(s"$base/docs")
+    Main.runMediaFixture(spark, s"$base/docs", s"$base/lake")
+    // per-file budget far below any one modality's byte mass — every
+    // modality's routed/curated subtree must split across files
+    val st = graft.etl.MediaPipeline.curate(spark, s"$base/lake",
+      s"$base/out", shardBytes = 4096, routedFileBytes = 2048)
+    def partFiles(dir: String): Map[String, Int] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(f => f.isDirectory &&
+          f.getName.startsWith("modality="))
+        .map(d => d.getName.stripPrefix("modality=") ->
+          d.listFiles().count(f => f.getName.endsWith(".parquet")))
+        .toMap
+    }
+    val routedFiles = partFiles(s"$base/out/routed")
+    for (m <- Seq("image", "audio", "video"))
+      assert(routedFiles.getOrElse(m, 0) > 1,
+        s"routed/$m must fan out: $routedFiles")
+    val curatedFiles = partFiles(s"$base/out/curated")
+    for (m <- Seq("image", "audio", "video"))
+      assert(curatedFiles.getOrElse(m, 0) > 1,
+        s"curated/$m must fan out: $curatedFiles")
+    // fan-out is a write-plan property only: the routed tree is the
+    // sniffed lake, the curated tree is the kept canonicals
+    assert(spark.read.parquet(s"$base/out/routed").count() == st.raw)
+    assert(spark.read.parquet(s"$base/out/curated").count() ==
+      st.keptImage + st.keptAudio + st.keptVideo)
+  }
+
   test("corpus-media exact tiers: brand-routed M4A and HEIF-family " +
     "rows keep by container-gated byte identity, and the profile " +
     "counts them healthy instead of corrupt") {
