@@ -34,22 +34,27 @@ object Main {
     case "report" :: warehouse :: cut :: Nil =>
       report(warehouse, LocalDate.parse(cut))
     case "compact" :: warehouse :: Nil => compact(warehouse)
-    case "corpus" :: docsParquet :: outDir :: Nil =>
-      corpus(docsParquet, outDir, epoch = None)
-    case "corpus" :: docsParquet :: outDir :: epochSeed :: Nil =>
-      corpus(docsParquet, outDir, epoch = Some(epochSeed.toLong))
+    case "corpus" :: docsParquet :: outDir :: rest0
+        if popEval(rest0)._2.size <= 1 =>
+      val (evalPath, rest) = popEval(rest0)
+      corpus(docsParquet, outDir,
+        epoch = rest.headOption.map(_.toLong), evalPath = evalPath)
     case "media-fixture" :: docsParquet :: outDir :: Nil =>
       mediaFixture(docsParquet, outDir)
-    case "corpus-media" :: mediaParquet :: outDir :: rest
-        if rest.size <= 1 =>
+    case "corpus-media" :: mediaParquet :: outDir :: rest0
+        if popEval(rest0)._2.size <= 1 =>
+      val (evalPath, rest) = popEval(rest0)
       corpusMedia(mediaParquet, outDir,
-        shardBytes = rest.headOption.map(_.toLong).getOrElse(64L << 20))
+        shardBytes = rest.headOption.map(_.toLong).getOrElse(64L << 20),
+        evalPath = evalPath)
     case "paired-fixture" :: docsParquet :: outDir :: Nil =>
       pairedFixture(docsParquet, outDir)
-    case "corpus-paired" :: pairedParquet :: outDir :: rest
-        if rest.size <= 1 =>
+    case "corpus-paired" :: pairedParquet :: outDir :: rest0
+        if popEval(rest0)._2.size <= 1 =>
+      val (evalPath, rest) = popEval(rest0)
       corpusPaired(pairedParquet, outDir,
-        shardBytes = rest.headOption.map(_.toLong).getOrElse(64L << 20))
+        shardBytes = rest.headOption.map(_.toLong).getOrElse(64L << 20),
+        evalPath = evalPath)
     case "index" :: embParquet :: outDir :: Nil => index(embParquet, outDir)
     case "dedup-ingest" :: docsParquet :: storeDir :: outDir :: rest
         if rest.size <= 2 =>
@@ -134,7 +139,7 @@ object Main {
       profile(srcParquet, outDir, cols)
     case _ =>
       System.err.println(
-        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] | media-fixture <docsParquet> <outDir> | corpus-media <mediaParquet> <outDir> [shardBytes] | paired-fixture <docsParquet> <outDir> | corpus-paired <pairedParquet> <outDir> [shardBytes] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | checksum-ingest <parquet> <groupCol> <textCol> <storeDir> | kmv-ingest <parquet> <groupCol> <textCol> <storeDir> [k] | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | df-ingest <docsParquet> <storeDir> <outDir> [minDf] | export-shards <docsParquet> <outDir> <shardBytes> | export-zorder <parquet> <outDir> <xCol> <yCol> [bits [files]] | zorder-maintain <parquet> <outDir> <xCol> <yCol> | dhash-ingest <mediaParquet> <storeDir> <outDir> | audiofp-ingest <mediaParquet> <storeDir> <outDir> | videofp-ingest <mediaParquet> <storeDir> <outDir> | gif-ingest <mediaParquet> <storeDir> <outDir> | bpe-train <docsParquet> <outParquet> [nMerges] | bpe-apply <docsParquet> <mergesParquet> <outDir> | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | stream-sessionize <eventsDir> <outDir> <ckptDir> [gapMinutes] | stream-dedup <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-route <mediaDir> <outDir> <ckptDir> | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
+        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] [--eval <docsParquet>] | media-fixture <docsParquet> <outDir> | corpus-media <mediaParquet> <outDir> [shardBytes] [--eval <mediaParquet>] | paired-fixture <docsParquet> <outDir> | corpus-paired <pairedParquet> <outDir> [shardBytes] [--eval <pairedParquet>] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | checksum-ingest <parquet> <groupCol> <textCol> <storeDir> | kmv-ingest <parquet> <groupCol> <textCol> <storeDir> [k] | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | df-ingest <docsParquet> <storeDir> <outDir> [minDf] | export-shards <docsParquet> <outDir> <shardBytes> | export-zorder <parquet> <outDir> <xCol> <yCol> [bits [files]] | zorder-maintain <parquet> <outDir> <xCol> <yCol> | dhash-ingest <mediaParquet> <storeDir> <outDir> | audiofp-ingest <mediaParquet> <storeDir> <outDir> | videofp-ingest <mediaParquet> <storeDir> <outDir> | gif-ingest <mediaParquet> <storeDir> <outDir> | bpe-train <docsParquet> <outParquet> [nMerges] | bpe-apply <docsParquet> <mergesParquet> <outDir> | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | stream-sessionize <eventsDir> <outDir> <ckptDir> [gapMinutes] | stream-dedup <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-route <mediaDir> <outDir> <ckptDir> | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
       sys.exit(2)
   }
 
@@ -969,14 +974,27 @@ object Main {
   /** The LLM-corpus curation funnel (dedup → filters → redaction →
     * packing) as a CLI pass; an `epochSeed` switches the packing stage
     * to epoch-sharded training shards. See [[graft.etl.CorpusPipeline]]. */
+  /** Pull an optional `--eval <path>` flag pair out of a trailing
+    * argument list (shared by the three funnel CLIs — the flag may
+    * sit before or after the positional tail). */
+  private[graft] def popEval(rest: List[String])
+      : (Option[String], List[String]) =
+    rest.indexOf("--eval") match {
+      case -1 => (None, rest)
+      case i if i + 1 < rest.size =>
+        (Some(rest(i + 1)), rest.take(i) ++ rest.drop(i + 2))
+      case _ => (None, List("--eval", "--eval")) // malformed: fails the size guard
+    }
+
   private def corpus(docsParquet: String, outDir: String,
-      epoch: Option[Long]): Unit = {
+      epoch: Option[Long], evalPath: Option[String]): Unit = {
     val spark = GraftSession.local()
     val s = graft.etl.CorpusPipeline.curate(spark, docsParquet, outDir,
-      epoch = epoch)
+      epoch = epoch, eval = evalPath.map(spark.read.parquet(_)))
     println(s"[corpus] raw=${s.raw} exact=${s.afterExact} " +
       s"neardup=${s.afterNearDup} paragraph=${s.afterParagraph} " +
-      s"quality=${s.afterQuality} packs=${s.packs}")
+      s"quality=${s.afterQuality} decontam_dropped=${s.droppedEval} " +
+      s"packs=${s.packs}")
     spark.stop()
   }
 
@@ -984,15 +1002,18 @@ object Main {
     * .MediaPipeline]]): magic-byte routing → per-modality dedup
     * keep-canonical → catalog profile → byte-budgeted shard export. */
   private def corpusMedia(mediaParquet: String, outDir: String,
-      shardBytes: Long): Unit = {
+      shardBytes: Long, evalPath: Option[String]): Unit = {
     val spark = GraftSession.local()
-    val s = runCorpusMedia(spark, mediaParquet, outDir, shardBytes)
+    val s = runCorpusMedia(spark, mediaParquet, outDir, shardBytes,
+      evalPath)
     println(s"[corpus-media] raw=${s.raw} " +
       s"routed=img:${s.routedImage}/aud:${s.routedAudio}/" +
       s"vid:${s.routedVideo}/unknown:${s.unroutable} " +
       s"decoded=img:${s.decodedImage}/aud:${s.decodedAudio}/" +
       s"vid:${s.decodedVideo} " +
       s"kept=img:${s.keptImage}/aud:${s.keptAudio}/vid:${s.keptVideo} " +
+      s"decontam_dropped=img:${s.droppedEvalImage}/" +
+      s"aud:${s.droppedEvalAudio} " +
       s"shards=${s.shards} exported=${s.exported}")
     spark.stop()
   }
@@ -1000,20 +1021,23 @@ object Main {
   /** Testable core of `corpus-media` (the [[runCompact]] pattern). */
   private[graft] def runCorpusMedia(
       spark: org.apache.spark.sql.SparkSession, mediaParquet: String,
-      outDir: String, shardBytes: Long = 64L << 20)
+      outDir: String, shardBytes: Long = 64L << 20,
+      evalPath: Option[String] = None)
       : graft.etl.MediaPipeline.Stats =
     graft.etl.MediaPipeline.curate(spark, mediaParquet, outDir,
-      shardBytes)
+      shardBytes, eval = evalPath.map(spark.read.parquet(_)))
 
   /** The PAIRED text+media funnel CLI ([[graft.etl.PairedPipeline]]):
     * text clusters × image clusters → q273's compose-OR keep decision
     * → curated pairs + weighted shard export. */
   private def corpusPaired(pairedParquet: String, outDir: String,
-      shardBytes: Long): Unit = {
+      shardBytes: Long, evalPath: Option[String]): Unit = {
     val spark = GraftSession.local()
-    val s = runCorpusPaired(spark, pairedParquet, outDir, shardBytes)
+    val s = runCorpusPaired(spark, pairedParquet, outDir, shardBytes,
+      evalPath)
     println(s"[corpus-paired] raw=${s.raw} decodable=${s.decodable} " +
       s"dropped_image=${s.droppedImage} kept=${s.kept} " +
+      s"decontam_dropped=${s.droppedEval} " +
       s"shards=${s.shards} exported=${s.exported}")
     spark.stop()
   }
@@ -1021,10 +1045,11 @@ object Main {
   /** Testable core of `corpus-paired`. */
   private[graft] def runCorpusPaired(
       spark: org.apache.spark.sql.SparkSession, pairedParquet: String,
-      outDir: String, shardBytes: Long = 64L << 20)
+      outDir: String, shardBytes: Long = 64L << 20,
+      evalPath: Option[String] = None)
       : graft.etl.PairedPipeline.Stats =
     graft.etl.PairedPipeline.curate(spark, pairedParquet, outDir,
-      shardBytes)
+      shardBytes, eval = evalPath.map(spark.read.parquet(_)))
 
   /** Write the PAIRED (caption, image) demo lake (`corpus-paired`'s
     * input): each document row paired with its same-id gradient-PNG

@@ -21,6 +21,13 @@ import graft.operators.{Dedup, Packing, Scrub, TextAnalysis}
   *       → quality + repetition gates (length/stopword bands, dup-gram
   *         ratio — the boilerplate rules)
   *       → PII + network redaction (emails, digit runs, URLs, IPs)
+  *       → EVAL-SET DECONTAMINATION (optional — `eval = Some(df)`):
+  *         q49's one-sided overlap gate over the FINAL redacted text
+  *         (the text that will actually train is what must not leak a
+  *         benchmark), any doc with ≥ `contaminatedAt` of its 3-gram
+  *         shingles in the eval union set is dropped and counted —
+  *         a corpus team decontaminates BEFORE export, not as a
+  *         hand-wired afterthought between `clean/` and the loader
   *       → sequence packing offsets (2048-token windows)
   *
   * Every stage is shuffle-on-key or row-local — the funnel inherits
@@ -34,7 +41,8 @@ import graft.operators.{Dedup, Packing, Scrub, TextAnalysis}
 object CorpusPipeline {
 
   final case class Stats(raw: Long, afterExact: Long, afterNearDup: Long,
-      afterParagraph: Long, afterQuality: Long, packs: Long)
+      afterParagraph: Long, afterQuality: Long, droppedEval: Long,
+      packs: Long)
 
   /** Run the funnel over `docsParquet` (the documents schema: doc_id,
     * text, ...), writing `clean/` (curated, redacted docs) and `packs/`
@@ -53,7 +61,11 @@ object CorpusPipeline {
       // test seam: observe the managed scope right before it closes, so
       // specs can assert per-frame release without racing other suites
       // on global block-manager counts
-      onScope: CacheScope => Unit = _ => ()): Stats =
+      onScope: CacheScope => Unit = _ => (),
+      // eval-set decontamination (q49's gate over the final text);
+      // None skips the stage, matching the pre-r18 funnel exactly
+      eval: Option[DataFrame] = None,
+      contaminatedAt: Double = 0.2): Stats =
     CacheScope.withScope { scope =>
       val docs = spark.read.parquet(docsParquet)
       val raw = docs.count()
@@ -102,11 +114,32 @@ object CorpusPipeline {
         .select(col("doc_id"), col("redacted").as("text"))
         .join(kept.drop("text"), Seq("doc_id"))
 
-      clean.write.mode("overwrite").parquet(s"$outDir/clean")
+      // eval-set decontamination over the FINAL text (between dedup
+      // and export): q49's one-sided shingle-overlap gate — the eval
+      // union set broadcasts (benchmarks-small), the train side is
+      // one pass, contaminated docs leave by anti-join. Equivalent by
+      // construction to running the standalone gate over the no-eval
+      // funnel's `clean/` output (MainSpec pins the identity).
+      val gated = eval match {
+        case Some(ev) =>
+          val c = scope.persist(clean)
+          c.join(Dedup.evalOverlapRate(c, ev, "doc_id", "text",
+              contaminatedAt = contaminatedAt)
+              .where(col("contaminated") === 1).select(col("doc_id")),
+            Seq("doc_id"), "left_anti")
+        case None => clean
+      }
+
+      gated.write.mode("overwrite").parquet(s"$outDir/clean")
 
       // packing offsets over the curated corpus (re-read: the packing
       // scan should see the redacted text that will actually train)
       val cleanDocs = spark.read.parquet(s"$outDir/clean")
+      // drops are a count delta, not an extra flagged-side job: the
+      // redaction stage is row-preserving, so clean rows = afterQuality
+      // unless the gate removed some
+      val droppedEval =
+        if (eval.isDefined) afterQuality - cleanDocs.count() else 0L
       val packed = epoch match {
         case Some(seed) =>
           Packing.epochShardedOffsets(cleanDocs, "doc_id", "text",
@@ -126,7 +159,7 @@ object CorpusPipeline {
         }
 
       val stats = Stats(raw, afterExact, afterNearDup, afterParagraph,
-        afterQuality, packs)
+        afterQuality, droppedEval, packs)
       onScope(scope)
       stats
     }

@@ -34,6 +34,13 @@ import graft.operators.{Dedup, Multimodal, Packing}
   *         codecs the JDK cannot decode
   *         unroutable payloads and rows that sniff but fail their
   *         modality's decode are DROPPED and counted (lake health)
+  *       → optional EVAL-SET DECONTAMINATION over the kept canonicals
+  *         (`eval = Some(df)`): kept stills gate against the eval
+  *         set's dHashes, kept WAV/AIFF against its envelope hashes
+  *         (q295/q296's perceptual [[Dedup.fingerprintDecontam]] —
+  *         a benchmark leaked as a re-encode byte-compares different
+  *         but is caught here); flagged canonicals are dropped and
+  *         counted
   *       → q221 catalog profile OVER THE KEPT media (the distributions
   *         that drive training decisions, measured on what survives)
   *       → byte-budgeted shard export with `_manifest`
@@ -70,7 +77,8 @@ object MediaPipeline {
       raw: Long, routedImage: Long, routedAudio: Long, routedVideo: Long,
       unroutable: Long, decodedImage: Long, decodedAudio: Long,
       decodedVideo: Long, keptImage: Long, keptAudio: Long,
-      keptVideo: Long, shards: Long, exported: Long)
+      keptVideo: Long, droppedEvalImage: Long, droppedEvalAudio: Long,
+      shards: Long, exported: Long)
 
   private val mediaCols = Seq("doc_id", "uri", "mime", "payload")
 
@@ -128,7 +136,12 @@ object MediaPipeline {
   def curate(spark: SparkSession, mediaParquet: String, outDir: String,
       shardBytes: Long = 64L << 20, maxHamming: Int = 3,
       onScope: CacheScope => Unit = _ => (),
-      routedFileBytes: Long = 128L << 20): Stats =
+      routedFileBytes: Long = 128L << 20,
+      // eval-set decontamination ([[Dedup.fingerprintDecontam]] on
+      // the kept canonicals — perceptual, so a benchmark image/clip
+      // leaked as a re-encode is still caught); None skips the stage
+      eval: Option[DataFrame] = None,
+      decontamHamming: Int = 3): Stats =
     CacheScope.withScope { scope =>
       require(routedFileBytes >= 1,
         s"need routedFileBytes >= 1, got $routedFileBytes")
@@ -270,6 +283,54 @@ object MediaPipeline {
       // broadcast is exactly the at-scale OOM the q223/q264
       // discipline forbids — AQE broadcasts them at small SF on its
       // own and correctly refuses when they would not fit.
+      // 2b. EVAL-SET DECONTAMINATION (between dedup and export): the
+      // kept STILL canonicals gate against the eval set's dHashes and
+      // the kept WAV/AIFF canonicals against its envelope hashes —
+      // [[Dedup.fingerprintDecontam]]'s perceptual rung, the q295/
+      // q296 decision composed where a corpus team actually needs it.
+      // Eval fingerprints decode from the eval payloads by the SAME
+      // router dispatch; the gate reuses the persisted train fp
+      // frames, so no train payload is re-decoded. GIF/video
+      // sequences and the ISO exact tier keep their canonicals
+      // ungated here (the sequence rung is [[Dedup
+      // .alignedFingerprintDecontam]]'s scope — q297).
+      def decontamDrops(trainFp: DataFrame, evalFp: DataFrame,
+          keep: DataFrame): DataFrame =
+        Dedup.fingerprintDecontam(
+          trainFp.join(keep, Seq("doc_id")), evalFp,
+          "doc_id", "fp", maxHamming = decontamHamming, bits = 64)
+          .select(col("doc_id"))
+      val (keepImageG, keepAudioG, droppedEvalImage, droppedEvalAudio) =
+        eval match {
+          case Some(ev) =>
+            // the keep frames get a second consumer (gate + anti-join)
+            // — persist the id-only frames so the cluster closures
+            // above run once
+            val keepImageP = scope.persist(keepImage)
+            val keepAudioP = scope.persist(keepAudio)
+            val evSniff = Multimodal.sniffModality(col("payload"))
+            val evStill = ev.where(evSniff.startsWith("image") &&
+              evSniff =!= "image/gif" && !evSniff.isin("image/heic",
+                "image/heif", "image/avif"))
+              .select(mediaCols.map(col): _*)
+            val evWave = ev.where(evSniff.isin("audio/wav",
+              "audio/aiff")).select(mediaCols.map(col): _*)
+            val evImgFp = Multimodal.imageDhash(asMedia(evStill)).toDF()
+              .where(col("ok") === 1L)
+              .select(col("doc_id"), col("dhash").as("fp"))
+            val evAudFp = Multimodal.audioFingerprints(asMedia(evWave))
+              .toDF().where(col("ok") === 1L)
+              .select(col("doc_id"), col("fp"))
+            val dropsImg = scope.persist(
+              decontamDrops(imgFp, evImgFp, keepImageP))
+            val dropsAud = scope.persist(
+              decontamDrops(audFp, evAudFp, keepAudioP))
+            (keepImageP.join(dropsImg, Seq("doc_id"), "left_anti"),
+              keepAudioP.join(dropsAud, Seq("doc_id"), "left_anti"),
+              dropsImg.count(), dropsAud.count())
+          case None => (keepImage, keepAudio, 0L, 0L)
+        }
+
       // each branch salts against ITS OWN routed byte mass (free off
       // the namenode; the kept subset is ≤ it) — a per-modality
       // budget, so a lake that is 95% video by bytes does not
@@ -281,8 +342,8 @@ object MediaPipeline {
           .withColumn("modality", lit(modality))
           .withColumn("__salt", pmod(hash(col("doc_id")),
             lit(branchBuckets.getOrElse(modality, 1))))
-      keptOf("image", keepImage)
-        .unionByName(keptOf("audio", keepAudio))
+      keptOf("image", keepImageG)
+        .unionByName(keptOf("audio", keepAudioG))
         .unionByName(keptOf("video", keepVideo))
         .repartition(math.max(1, branchBuckets.values.sum),
           col("modality"), col("__salt"))
@@ -364,6 +425,7 @@ object MediaPipeline {
         keptCounts.getOrElse("image", 0L),
         keptCounts.getOrElse("audio", 0L),
         keptCounts.getOrElse("video", 0L),
+        droppedEvalImage, droppedEvalAudio,
         shards, exported)
       onScope(scope)
       stats

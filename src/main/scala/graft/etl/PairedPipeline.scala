@@ -29,6 +29,11 @@ import graft.operators.{Dedup, Multimodal, Packing}
   *         cluster) cell graph (t-nodes at 2·tcid, i-nodes at
   *         2·icid+1), each doc attached through its t-node, one
   *         min-id canonical per union component
+  *       → optional EVAL-SET DECONTAMINATION (`eval = Some(df)`),
+  *         compose-OR like the keep policy itself: a kept pair drops
+  *         when its caption overlaps the eval captions (q49's gate)
+  *         OR its image sits within Hamming `decontamHamming` of an
+  *         eval image (q295's gate) — flagged pairs counted
   *       → kept pairs written as `curated/` (text AND payload — the
   *         pair stays one row) → shard export with `_manifest`,
   *         budgeted on `octet_length(text) + octet_length(payload)`
@@ -48,7 +53,7 @@ object PairedPipeline {
 
   final case class Stats(
       raw: Long, decodable: Long, droppedImage: Long, kept: Long,
-      shards: Long, exported: Long)
+      droppedEval: Long, shards: Long, exported: Long)
 
   private val pairCols = Seq("doc_id", "text", "uri", "mime", "payload")
 
@@ -60,7 +65,13 @@ object PairedPipeline {
   def curate(spark: SparkSession, pairedParquet: String, outDir: String,
       shardBytes: Long = 64L << 20, maxHamming: Int = 3,
       threshold: Double = 0.5, minhashK: Int = 16,
-      minhashBands: Int = 4): Stats =
+      minhashBands: Int = 4,
+      // eval-set decontamination over the kept pairs — compose-OR,
+      // like the keep policy itself: a pair drops when its TEXT
+      // overlaps the eval captions (q49's gate) OR its IMAGE sits
+      // within `decontamHamming` of an eval image (q295's gate)
+      eval: Option[DataFrame] = None,
+      contaminatedAt: Double = 0.2, decontamHamming: Int = 3): Stats =
     CacheScope.withScope { scope =>
       val paired = spark.read.parquet(pairedParquet)
       val raw = paired.count()
@@ -104,9 +115,40 @@ object PairedPipeline {
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
 
+      // 2b. EVAL-SET DECONTAMINATION over the kept pairs (between
+      // dedup and export) — compose-OR like the keep policy: text
+      // overlap (q49's broadcast-eval shingle gate over the caption)
+      // OR image proximity (q295's fingerprintDecontam over the
+      // already-persisted pair dHashes — no payload re-decode).
+      val keptPairs0 = paired.select(pairCols.map(col): _*)
+        .join(keepIds, Seq("doc_id"))
+      val (keptPairs, droppedEval) = eval match {
+        case Some(ev) =>
+          val kp = scope.persist(keptPairs0)
+          val evSniff = Multimodal.sniffModality(col("payload"))
+          val evImgFp = Multimodal.imageDhash(
+            ev.where(evSniff.startsWith("image"))
+              .select(col("doc_id"), col("uri"), col("mime"),
+                col("payload"))
+              .as[Multimodal.MediaRecord](Multimodal.mediaRecordEnc))
+            .toDF().where(col("ok") === 1L)
+            .select(col("doc_id"), col("dhash").as("fp"))
+          val textFlagged = Dedup.evalOverlapRate(kp, ev, "doc_id",
+              "text", contaminatedAt = contaminatedAt)
+            .where(col("contaminated") === 1).select(col("doc_id"))
+          val imgFlagged = Dedup.fingerprintDecontam(
+            dh.join(kp.select(col("doc_id")), Seq("doc_id")),
+            evImgFp, "doc_id", "fp", maxHamming = decontamHamming,
+            bits = 64).select(col("doc_id"))
+          val flagged = scope.persist(
+            textFlagged.unionByName(imgFlagged).distinct())
+          (kp.join(flagged, Seq("doc_id"), "left_anti"),
+            flagged.count())
+        case None => (keptPairs0, 0L)
+      }
+
       // 3. curated pairs + weighted shard export.
-      paired.select(pairCols.map(col): _*).join(keepIds, Seq("doc_id"))
-        .write.mode("overwrite").parquet(s"$outDir/curated")
+      keptPairs.write.mode("overwrite").parquet(s"$outDir/curated")
       val curated = spark.read.parquet(s"$outDir/curated")
       val kept = curated.count()
       val shardsPath = new org.apache.hadoop.fs.Path(s"$outDir/shards")
@@ -117,6 +159,7 @@ object PairedPipeline {
         "doc_id", octet_length(col("text")) +
           octet_length(col("payload")),
         s"$outDir/shards", shardBytes)
-      Stats(raw, decodable, raw - decodable, kept, shards, exported)
+      Stats(raw, decodable, raw - decodable, kept, droppedEval,
+        shards, exported)
     }
 }

@@ -609,6 +609,108 @@ class MainSpec extends SparkSpec {
       st.keptImage + st.keptAudio + st.keptVideo)
   }
 
+  test("corpus-media with an eval set: kept stills and WAV/AIFF " +
+    "canonicals gate against the eval fingerprints, equal to the " +
+    "standalone fingerprintDecontam over the no-eval curated tree") {
+    import org.apache.spark.sql.functions._
+    val M = graft.operators.Multimodal
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cmeval").toString
+    val s2 = spark; import s2.implicits._
+    (0L until 60L).toDF("doc_id").write.parquet(s"$base/docs")
+    Main.runMediaFixture(spark, s"$base/docs", s"$base/lake")
+    // eval = the first ids' media rows (the fixture fps repeat across
+    // ids, so the eval set perceptually collides with kept canonicals)
+    spark.read.parquet(s"$base/lake").where(col("doc_id") < 12)
+      .write.parquet(s"$base/eval")
+    val st0 = Main.runCorpusMedia(spark, s"$base/lake", s"$base/out0",
+      shardBytes = 4096)
+    assert(st0.droppedEvalImage == 0L && st0.droppedEvalAudio == 0L)
+    val curated0 = spark.read.parquet(s"$base/out0/curated")
+    def asMedia(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("uri"), col("mime"), col("payload"))
+        .as[M.MediaRecord](M.mediaRecordEnc)
+    val sniff = M.sniffModality(col("payload"))
+    def stillFp(df: org.apache.spark.sql.DataFrame) =
+      M.imageDhash(asMedia(df.where(sniff.startsWith("image") &&
+          sniff =!= "image/gif" && !sniff.isin("image/heic",
+            "image/heif", "image/avif")))).toDF()
+        .where(col("ok") === 1L)
+        .select(col("doc_id"), col("dhash").as("fp"))
+    def waveFp(df: org.apache.spark.sql.DataFrame) =
+      M.audioFingerprints(asMedia(df.where(sniff.isin("audio/wav",
+          "audio/aiff")))).toDF()
+        .where(col("ok") === 1L).select(col("doc_id"), col("fp"))
+    val evalLake = spark.read.parquet(s"$base/eval")
+    def flaggedOf(train: org.apache.spark.sql.DataFrame,
+        ev: org.apache.spark.sql.DataFrame): Set[Long] =
+      graft.operators.Dedup.fingerprintDecontam(train, ev,
+        "doc_id", "fp", maxHamming = 3, bits = 64)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val flaggedImg = flaggedOf(stillFp(curated0), stillFp(evalLake))
+    val flaggedAud = flaggedOf(waveFp(curated0), waveFp(evalLake))
+    assert(flaggedImg.nonEmpty, "eval stills must collide")
+    assert(flaggedAud.nonEmpty, "eval audio must collide")
+    val st1 = Main.runCorpusMedia(spark, s"$base/lake", s"$base/out1",
+      shardBytes = 4096, evalPath = Some(s"$base/eval"))
+    val ids0 = curated0.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    val ids1 = spark.read.parquet(s"$base/out1/curated")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids0 -- flaggedImg -- flaggedAud)
+    assert(st1.droppedEvalImage == flaggedImg.size.toLong)
+    assert(st1.droppedEvalAudio == flaggedAud.size.toLong)
+    // the export and profile run over the GATED canonicals
+    assert(st1.exported ==
+      st1.keptImage + st1.keptAudio + st1.keptVideo)
+    assert(st1.keptImage == st0.keptImage - flaggedImg.size)
+    assert(st1.keptAudio == st0.keptAudio - flaggedAud.size)
+  }
+
+  test("corpus-paired with an eval set: kept pairs drop by compose-OR " +
+    "(caption overlap OR image proximity), equal to the standalone " +
+    "gates over the no-eval curated pairs") {
+    import org.apache.spark.sql.functions._
+    val M = graft.operators.Multimodal
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cpeval").toString
+    val s2 = spark; import s2.implicits._
+    Main.runPairedFixture(spark,
+      "/root/testdata/sf0.001/documents.parquet", s"$base/lake")
+    spark.read.parquet(s"$base/lake").where(col("doc_id") < 12)
+      .write.parquet(s"$base/eval")
+    val st0 = Main.runCorpusPaired(spark, s"$base/lake", s"$base/out0",
+      shardBytes = 4096)
+    assert(st0.droppedEval == 0L)
+    val curated0 = spark.read.parquet(s"$base/out0/curated")
+    val evalLake = spark.read.parquet(s"$base/eval")
+    def dhOf(df: org.apache.spark.sql.DataFrame) =
+      M.imageDhash(df.select(col("doc_id"), col("uri"), col("mime"),
+          col("payload")).as[M.MediaRecord](M.mediaRecordEnc))
+        .toDF().where(col("ok") === 1L)
+        .select(col("doc_id"), col("dhash").as("fp"))
+    val textFlagged = graft.operators.Dedup.evalOverlapRate(curated0,
+        evalLake, "doc_id", "text", contaminatedAt = 0.2)
+      .where(col("contaminated") === 1)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val imgFlagged = graft.operators.Dedup.fingerprintDecontam(
+        dhOf(curated0), dhOf(evalLake), "doc_id", "fp",
+        maxHamming = 3, bits = 64)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(textFlagged.nonEmpty, "eval captions must overlap")
+    assert(imgFlagged.nonEmpty, "eval images must collide")
+    val st1 = Main.runCorpusPaired(spark, s"$base/lake", s"$base/out1",
+      shardBytes = 4096, evalPath = Some(s"$base/eval"))
+    val ids0 = curated0.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    val ids1 = spark.read.parquet(s"$base/out1/curated")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids0 -- textFlagged -- imgFlagged)
+    assert(st1.droppedEval ==
+      (textFlagged ++ imgFlagged).size.toLong)
+    assert(st1.kept == ids1.size.toLong)
+  }
+
   test("corpus-media exact tiers: brand-routed M4A and HEIF-family " +
     "rows keep by container-gated byte identity, and the profile " +
     "counts them healthy instead of corrupt") {

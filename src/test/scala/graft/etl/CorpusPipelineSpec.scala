@@ -53,6 +53,40 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).toSeq == expected.toSeq)
   }
 
+  test("curate with an eval set: the decontamination stage equals the " +
+    "standalone q49 gate applied to the no-eval funnel's clean output") {
+    val out0 = Files.createTempDirectory("graft_corpus_noeval").toString
+    val out1 = Files.createTempDirectory("graft_corpus_eval").toString
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    // eval = every 7th doc's RAW text — the funnel must flag the
+    // surviving copies of exactly those texts in its FINAL (stripped,
+    // redacted) form, which is what the standalone composition below
+    // replays
+    val eval = spark.read.parquet(docs)
+      .where(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("text"))
+    val s0 = CorpusPipeline.curate(spark, docs, out0)
+    assert(s0.droppedEval == 0L)
+    val clean0 = spark.read.parquet(s"$out0/clean")
+    val flagged = graft.operators.Dedup.evalOverlapRate(clean0, eval,
+        "doc_id", "text", contaminatedAt = 0.2)
+      .where(col("contaminated") === 1)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty, "eval subset must actually contaminate")
+    val s1 = CorpusPipeline.curate(spark, docs, out1,
+      eval = Some(eval))
+    val ids0 = clean0.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val ids1 = spark.read.parquet(s"$out1/clean").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids0 -- flagged)
+    assert(s1.droppedEval == flagged.size.toLong)
+    // the pack plan is computed AFTER the gate (export sees only the
+    // decontaminated corpus)
+    assert(spark.read.parquet(s"$out1/packs").select("doc_id")
+      .distinct().count() == ids1.size.toLong)
+  }
+
   test("curate with an epoch seed: packs become per-shard streams over the same clean set") {
     val out = Files.createTempDirectory("graft_corpus_epoch").toString
     val s = CorpusPipeline.curate(spark,
