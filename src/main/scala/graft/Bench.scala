@@ -407,7 +407,9 @@ object Bench {
     "q293_audio_quality_gates" -> 1.17,
     "q294_cluster_keep_best_resolution" -> 2.31,
     "q295_image_decontam_gate" -> 0.82,
-    "q296_audio_decontam_gate" -> 1.49)
+    "q296_audio_decontam_gate" -> 1.49,
+    "q297_video_decontam_gate" -> 3.95,
+    "q298_gif_decontam_gate" -> 2.46)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -648,6 +650,8 @@ object Bench {
     "q294_cluster_keep_best_resolution" -> 166295L,
     "q295_image_decontam_gate" -> 41424L,
     "q296_audio_decontam_gate" -> 45731L,
+    "q297_video_decontam_gate" -> 425908L,
+    "q298_gif_decontam_gate" -> 260686L,
     "q21_embedding_neardup_ivf" -> 5000834L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

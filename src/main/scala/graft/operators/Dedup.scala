@@ -1422,6 +1422,117 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** SEQUENCE decontamination — [[fingerprintDecontam]] lifted to
+    * fingerprint SEQUENCES (videos as per-frame dHash streams, GIFs
+    * and audio windows alike): a TRAIN sequence is contaminated when
+    * at least `minMatchNum/minMatchDen` of the LONGER side's aligned
+    * positions carry fingerprints within Hamming ≤ `maxHamming` of
+    * some single EVAL sequence at the SAME position
+    * ([[alignedFingerprintPairs]]' match rule, restricted to
+    * train × eval). An eval VIDEO leaked into training as a
+    * re-encode/remux byte-compares different and is invisible to the
+    * single-fingerprint gates (q295/q296 see stills and whole-clip
+    * envelopes) — this is the rung that sees it.
+    *
+    * Scale shape — the eval-broadcast restriction of
+    * [[alignedRepGraph]]: TRAIN collapses to exact sequence
+    * signatures first (a million-copy dup family costs ONE
+    * representative in the match), then representative positions
+    * meet the eval positions through the per-position pigeonhole
+    * (chunk buckets keyed (align, chunk_id, chunk) — exact recall
+    * for the radius, one `bit_count(xor)` verify). Eval sets are
+    * benchmarks-small, so the eval chunk index is AQE's broadcast to
+    * make (never a forced hint — the [[fingerprintDecontam]] r18
+    * discipline); nothing corpus-sized crosses an exchange except
+    * 16-byte position rows.
+    *
+    * Witness: per contaminated train doc, the BEST eval match —
+    * most aligned positions, ties to the smallest eval id — so the
+    * readout is deterministic and replayable. Output (doc_id,
+    * n_match, n_frames, eval_id, n_frames_eval) — contaminated train
+    * docs only — ordered by doc_id. Inputs carry at most one fp per
+    * (id, align), the decode rungs' contract; corrupt frames
+    * (`ok = 0`) are the caller's filter. */
+  def alignedFingerprintDecontam(train: DataFrame, evalSet: DataFrame,
+      idCol: String, alignCol: String, fpCol: String, maxHamming: Int,
+      bits: Int, minMatchNum: Int = 1, minMatchDen: Int = 2,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(minMatchNum >= 1 && minMatchDen >= 1 &&
+      minMatchNum <= minMatchDen,
+      s"bad match share $minMatchNum/$minMatchDen")
+    val nChunks = maxHamming + 1
+    require(bits % nChunks == 0,
+      s"bits=$bits must split evenly into ${nChunks} chunks")
+    require(bits >= nChunks && bits <= 64, s"bits=$bits out of range")
+    val width = bits / nChunks
+    val mask = (1L << width) - 1
+    def chunksOf(fp: Column) = explode(array((0 until nChunks).map(c =>
+      struct(lit(c).as("chunk_id"),
+        shiftright(fp, c * width).bitwiseAND(lit(mask))
+          .as("chunk"))): _*))
+    val tr = train.select(col(idCol).as("doc_id"),
+      col(alignCol).as("align"), col(fpCol).as("fp"))
+    val ev = evalSet.select(col(idCol).as("eval_id"),
+      col(alignCol).as("align"), col(fpCol).as("fp"))
+    // TRAIN: exact-signature collapse — only representatives match
+    val members = scope.persist(tr
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("align"), col("fp"))))
+        .as("sig"), count(lit(1)).as("n_frames"))
+      .groupBy(col("sig"), col("n_frames"))
+      .agg(min(col("doc_id")).as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("docs")))
+    val repFrames = scope.persist(tr.join(
+      members.select(col("rep").as("doc_id")), Seq("doc_id"))
+      .select(col("doc_id").as("rep"), col("align"), col("fp")))
+    // EVAL: per-position chunk index, eval id carried through (the
+    // share threshold needs per-(rep, eval) match counts)
+    val evCounts = ev.groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_frames_eval"))
+    val evChunks = ev.select(col("eval_id"), col("align"),
+        col("fp").as("fe"), chunksOf(col("fp")).as("cs"))
+      .select(col("eval_id"), col("align"), col("fe"),
+        col("cs.chunk_id").as("chunk_id"), col("cs.chunk").as("chunk"))
+    // rep positions chunk once over DISTINCT (align, fp); candidates
+    // never cross positions, the verify is one bit_count
+    val repDistinct = repFrames.select(col("align"), col("fp"))
+      .distinct()
+    val candFp = repDistinct.select(col("align"), col("fp").as("ft"),
+        chunksOf(col("fp")).as("cs"))
+      .select(col("align"), col("ft"),
+        col("cs.chunk_id").as("chunk_id"), col("cs.chunk").as("chunk"))
+      .join(evChunks, Seq("align", "chunk_id", "chunk"))
+      .select(col("align"), col("ft"), col("fe"), col("eval_id"))
+      .distinct()
+      .where(bit_count(col("ft").bitwiseXOR(col("fe"))) <= maxHamming)
+    // expand fp matches back to rep positions; one fp per (id, align)
+    // on both sides => each (rep, eval, align) contributes <= 1
+    val repEval = candFp
+      .join(repFrames.select(col("align"), col("fp").as("ft"),
+        col("rep")), Seq("align", "ft"))
+      .groupBy(col("rep"), col("eval_id"))
+      .agg(count(lit(1)).as("n_match"))
+      .join(members.select(col("rep"), col("n_frames")), Seq("rep"))
+      .join(evCounts, Seq("eval_id"))
+      .where(col("n_match") * minMatchDen >=
+        greatest(col("n_frames"), col("n_frames_eval")) * minMatchNum)
+    // deterministic witness: most matched positions, ties to the
+    // smallest eval id (carry its frame count through the same fold)
+    val best = repEval.groupBy(col("rep"))
+      .agg(max(struct(col("n_match").as("m"),
+        (-col("eval_id")).as("ne"),
+        col("n_frames_eval").as("nfe"))).as("__b"))
+      .select(col("rep"), col("__b.m").as("n_match"),
+        (-col("__b.ne")).as("eval_id"),
+        col("__b.nfe").as("n_frames_eval"))
+    members.select(col("rep"), col("n_frames"),
+        explode(col("docs")).as("doc_id"))
+      .join(best, Seq("rep"))
+      .select(col("doc_id"), col("n_match"), col("n_frames"),
+        col("eval_id"), col("n_frames_eval"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The signature/representative layer shared by
     * [[alignedFingerprintPairs]] and [[alignedFingerprintClusters]]:
     * `members` = one row per DISTINCT sequence (its sorted (align,

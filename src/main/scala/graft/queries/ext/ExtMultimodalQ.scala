@@ -1952,6 +1952,123 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       SELECT doc_id, hamming, eval_id FROM w ORDER BY doc_id
     """.trim))
 
+  // --------------------------------------------------------------- q297
+  /** q297 — VIDEO sequence decontamination gate
+    * ([[Dedup.alignedFingerprintDecontam]]): an eval video leaked
+    * into training as a re-encode/remux byte-compares different AND
+    * escapes the single-fingerprint gates (q295 sees stills, q296
+    * whole-clip envelopes) — here a train video is flagged when ≥
+    * half the longer side's positions carry dHashes within Hamming
+    * ≤ 3 of one eval video at the SAME frame index, with the
+    * deterministic witness (most matched positions, ties to the
+    * smallest eval id). Split: eval = fixture ids ≡ 0 (mod 4) —
+    * the shared (g, variant) classes guarantee exact and one-bit
+    * leaks across the split, and the dropped-frame family exercises
+    * the missing-position tolerance. Oracle brute-forces the aligned
+    * train × eval Hamming join over the replayed fps and re-derives
+    * the witness with a max-then-min fold. */
+  val q297: Q = Q(
+    "q297_video_decontam_gate",
+    (s, d) => {
+      val fps = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.videoFrameFingerprints(
+          Multimodal.encodeMjpegFixture(Tables.documents(s, d),
+            "doc_id"))
+          .toDF().where(col("ok") === 1L)
+          .select(col("doc_id"), col("frame_idx"), col("fp")))
+      Dedup.alignedFingerprintDecontam(
+        fps.where(col("doc_id") % 4 =!= 0),
+        fps.where(col("doc_id") % 4 === 0),
+        "doc_id", "frame_idx", "fp", maxHamming = 3, bits = 64)
+    },
+    Some(s"""
+      WITH $mjpegFpsCte,
+      okf AS (
+        SELECT doc_id, frame_idx, fp FROM fps
+        WHERE NOT (doc_id % 10 = 9 AND frame_idx = 1)),
+      tr AS (SELECT * FROM okf WHERE doc_id % 4 <> 0),
+      ev AS (SELECT * FROM okf WHERE doc_id % 4 = 0),
+      tc AS (SELECT doc_id, count(*) AS n FROM tr GROUP BY 1),
+      ec AS (SELECT doc_id, count(*) AS n FROM ev GROUP BY 1),
+      m AS (
+        SELECT t.doc_id, e.doc_id AS eval_id, count(*) AS n_match
+        FROM tr t JOIN ev e ON t.frame_idx = e.frame_idx
+        WHERE bit_count(xor(t.fp, e.fp)) <= 3
+        GROUP BY 1, 2),
+      pass AS (
+        SELECT m.doc_id, m.eval_id, m.n_match, tc.n AS n_frames
+        FROM m JOIN tc ON tc.doc_id = m.doc_id
+        JOIN ec ON ec.doc_id = m.eval_id
+        WHERE 2 * m.n_match >= greatest(tc.n, ec.n)),
+      best AS (SELECT doc_id, max(n_match) AS n_match
+        FROM pass GROUP BY 1),
+      w AS (
+        SELECT p.doc_id, p.n_match, p.n_frames,
+          min(p.eval_id) AS eval_id
+        FROM pass p JOIN best b
+          ON b.doc_id = p.doc_id AND p.n_match = b.n_match
+        GROUP BY 1, 2, 3)
+      SELECT w.doc_id, CAST(w.n_match AS BIGINT) AS n_match,
+        CAST(w.n_frames AS BIGINT) AS n_frames, w.eval_id,
+        CAST(ec.n AS BIGINT) AS n_frames_eval
+      FROM w JOIN ec ON ec.doc_id = w.eval_id
+      ORDER BY w.doc_id
+    """.trim))
+
+  // --------------------------------------------------------------- q298
+  /** q298 — GIF sequence decontamination gate: q297's decision
+    * applied unchanged to the GIF rung (the operator is
+    * sequence-generic; GIF is lossless so the oracle replay is
+    * bit-exact with no codec argument) — an eval GIF leaked as a
+    * palette-shuffled or re-muxed copy keeps its per-frame dHash
+    * stream and is caught here; static GIFs degenerate to
+    * single-position sequences and still gate under the half-share
+    * rule. Same eval ≡ 0 (mod 4) split and witness fold. */
+  val q298: Q = Q(
+    "q298_gif_decontam_gate",
+    (s, d) => {
+      val fps = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.gifFrameFingerprints(
+          Multimodal.encodeGifFixture(Tables.documents(s, d),
+            "doc_id"))
+          .toDF().where(col("ok") === 1L)
+          .select(col("doc_id"), col("frame_idx"), col("fp")))
+      Dedup.alignedFingerprintDecontam(
+        fps.where(col("doc_id") % 4 =!= 0),
+        fps.where(col("doc_id") % 4 === 0),
+        "doc_id", "frame_idx", "fp", maxHamming = 3, bits = 64)
+    },
+    Some(s"""
+      WITH $gifFpsCte,
+      tr AS (SELECT * FROM gfps WHERE doc_id % 4 <> 0),
+      ev AS (SELECT * FROM gfps WHERE doc_id % 4 = 0),
+      tc AS (SELECT doc_id, count(*) AS n FROM tr GROUP BY 1),
+      ec AS (SELECT doc_id, count(*) AS n FROM ev GROUP BY 1),
+      m AS (
+        SELECT t.doc_id, e.doc_id AS eval_id, count(*) AS n_match
+        FROM tr t JOIN ev e ON t.frame_idx = e.frame_idx
+        WHERE bit_count(xor(t.fp, e.fp)) <= 3
+        GROUP BY 1, 2),
+      pass AS (
+        SELECT m.doc_id, m.eval_id, m.n_match, tc.n AS n_frames
+        FROM m JOIN tc ON tc.doc_id = m.doc_id
+        JOIN ec ON ec.doc_id = m.eval_id
+        WHERE 2 * m.n_match >= greatest(tc.n, ec.n)),
+      best AS (SELECT doc_id, max(n_match) AS n_match
+        FROM pass GROUP BY 1),
+      w AS (
+        SELECT p.doc_id, p.n_match, p.n_frames,
+          min(p.eval_id) AS eval_id
+        FROM pass p JOIN best b
+          ON b.doc_id = p.doc_id AND p.n_match = b.n_match
+        GROUP BY 1, 2, 3)
+      SELECT w.doc_id, CAST(w.n_match AS BIGINT) AS n_match,
+        CAST(w.n_frames AS BIGINT) AS n_frames, w.eval_id,
+        CAST(ec.n AS BIGINT) AS n_frames_eval
+      FROM w JOIN ec ON ec.doc_id = w.eval_id
+      ORDER BY w.doc_id
+    """.trim))
+
   // --------------------------------------------------------------- q295
   /** q295 — IMAGE decontamination gate
     * ([[Dedup.fingerprintDecontam]]): the q36/q113 decontamination

@@ -683,6 +683,35 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains(6L) && !out.contains(7L))
   }
 
+  test("alignedFingerprintDecontam: half-share rule over aligned " +
+    "positions, exact-dup member expansion, max-then-min witness") {
+    import spark.implicits._
+    val far = (1L << 44) - 1 // bit_count 44, never within Hamming 3
+    // eval 100: 4 positions of fp 0; eval 104: 2 positions of fp 0
+    val ev = ((0L to 3L).map(a => (100L, a, 0L)) ++
+      (0L to 1L).map(a => (104L, a, 0L)))
+      .toDF("doc_id", "frame_idx", "fp")
+    // train 1 and 2: exact same 4-position all-zero signature (the
+    //   member expansion must flag both off ONE representative match)
+    // train 3: only position 0 matches (1/4 < half) — clean
+    // train 7: 2 positions of fp 1 (Hamming 1): n_match 2 against
+    //   BOTH evals (2*2 >= max(4,2) and >= max(2,2)) — the witness
+    //   tie-break picks the smaller eval id 100
+    val tr = ((0L to 3L).map(a => (1L, a, 0L)) ++
+      (0L to 3L).map(a => (2L, a, 0L)) ++
+      ((3L, 0L, 0L) +: (1L to 3L).map(a => (3L, a, far))) ++
+      (0L to 1L).map(a => (7L, a, 1L)))
+      .toDF("doc_id", "frame_idx", "fp")
+    val got = Dedup.alignedFingerprintDecontam(tr, ev, "doc_id",
+      "frame_idx", "fp", maxHamming = 3, bits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 4L, 4L, 100L, 4L),
+      (2L, 4L, 4L, 100L, 4L),
+      (7L, 2L, 2L, 100L, 4L)), got)
+  }
+
   test("alignedFingerprintPairs/Clusters equal brute force on seeded " +
     "random sequence sets (lengths, gaps, dup families, bit-63 fps)") {
     import spark.implicits._
