@@ -651,13 +651,33 @@ object Multimodal {
     * judged against one). Output (doc_id, cluster_id, best_id,
     * is_best) ordered. */
   def keepBestResolution(clusters: DataFrame, meta: DataFrame)
-      : DataFrame = {
+      : DataFrame =
+    keepBest(clusters, meta.select(col("doc_id"),
+      (col("width") * col("height")).as("__px")), Seq("__px"))
+
+  /** The MODALITY-GENERIC keep-best canonical pick —
+    * [[keepBestResolution]]'s argmax lifted to ANY cluster decision
+    * and ANY quality readout (r18: the q294 `max(struct(quality,
+    * -id))` shape generalized so audio clusters pick their
+    * highest-sample-rate copy, video/GIF clusters their
+    * most-frames × largest-dims copy — never an arbitrary min-id
+    * member): per cluster, the member maximizing `qualityCols`
+    * LEXICOGRAPHICALLY (first column dominates), ties to the
+    * smallest id. Partial-aggregable — NO window, no per-cluster
+    * sort; the per-cluster best frame scales with the corpus and
+    * re-attaches by a co-keyed shuffle join, never a broadcast.
+    * Members without a quality row drop (a copy whose quality cannot
+    * be measured cannot be the best — nor judged against one).
+    * Output (doc_id, cluster_id, best_id, is_best) ordered. */
+  def keepBest(clusters: DataFrame, quality: DataFrame,
+      qualityCols: Seq[String]): DataFrame = {
+    require(qualityCols.nonEmpty, "need at least one quality column")
     val m = clusters.select(col("doc_id"), col("cluster_id"))
-      .join(meta.select(col("doc_id"),
-        (col("width") * col("height")).as("__px")), Seq("doc_id"))
+      .join(quality.select(col("doc_id") +: qualityCols.map(col): _*),
+        Seq("doc_id"))
     val best = m.groupBy(col("cluster_id"))
-      .agg(max(struct(col("__px"), (-col("doc_id")).as("__nid")))
-        .as("__b"))
+      .agg(max(struct(qualityCols.map(col) :+
+        (-col("doc_id")).as("__nid"): _*)).as("__b"))
       .select(col("cluster_id"), (-col("__b.__nid")).as("best_id"))
     m.join(best, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("best_id"),
@@ -737,6 +757,112 @@ object Multimodal {
           col("n_windows") * maxQuietNum).as("mostly_quiet"))
       .withColumn("keep", !col("too_short") && !col("mostly_quiet"))
       .orderBy(col("doc_id"))
+  }
+
+  /** VIDEO QUALITY GATES — the keep/drop pre-filter closing the
+    * per-modality gate symmetry (text q23, image [[imageQualityGates]],
+    * audio [[audioQualityGates]], video here), composed over the ONE
+    * frame-decode pass a video pipeline already ran
+    * ([[videoFrameFingerprints]] / [[gifFrameFingerprints]]) plus the
+    * header-only container metadata ([[decodeMjpegMeta]] — byte
+    * arithmetic, no second pixel decode): per video,
+    *  - `too_short`: fewer than `minFrames` DECODED frames (a clip
+    *    too short to carry temporal training signal; observed frames,
+    *    not the header's claim — a lying header must not vouch for
+    *    frames that never decoded),
+    *  - `tiny`: container pixel count `w·h < minPx` (thumbnail-sized
+    *    video trains nothing, the q292 rule on the third modality),
+    *  - `all_static`: ONE shot under [[videoShotSegments]]' cut rule
+    *    (no consecutive frame pair moves more than `cutHamming` dHash
+    *    bits) AND zero gradient bits in every frame — a solid-color
+    *    dead clip (a static-camera SCENE keeps its gradient bits and
+    *    survives; only flat nothing drops),
+    *  - `keep` = none of the above.
+    * Inputs: `frameFps` = (doc_id, frame_idx, fp) ok-filtered frame
+    * fingerprints; `meta` = (doc_id, width, height) ok rows. Videos
+    * whose container failed either pass have no rows (the router /
+    * health funnel's business — the image-gate contract). All gates
+    * are integer-exact and replayable.
+    *
+    * Scale shape: the q281 label pass (one per-video window, bounded
+    * by per-video frame counts) + one reduced per-video fold + a
+    * co-keyed join against the meta frame — 16-byte rows only. */
+  def videoQualityGates(frameFps: DataFrame, meta: DataFrame,
+      minFrames: Long = 4L, minPx: Long = 1024L,
+      cutHamming: Int = 8): DataFrame = {
+    require(minFrames >= 1 && minPx >= 1,
+      s"bad gates minFrames=$minFrames minPx=$minPx")
+    val folded = videoShotLabels(frameFps, "doc_id", "frame_idx",
+        "fp", cutHamming)
+      .join(frameFps.select(col("doc_id"), col("frame_idx"),
+        col("fp")), Seq("doc_id", "frame_idx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        (max(col("shot_idx")) + 1L).as("__n_shots"),
+        max(bit_count(col("fp"))).as("__max_grad"))
+    folded.join(meta.select(col("doc_id"), col("width"),
+        col("height")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_frames"), col("width"),
+        col("height"),
+        (col("n_frames") < minFrames).as("too_short"),
+        (col("width") * col("height") < minPx).as("tiny"),
+        (col("__n_shots") === 1L && col("__max_grad") === 0)
+          .as("all_static"))
+      .withColumn("keep",
+        !col("too_short") && !col("tiny") && !col("all_static"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** REAL-BYTES video-QUALITY fixture — [[encodeQualityImageFixture]]'s
+    * shape on the MJPEG rung: per doc id, a real AVI in one of five
+    * `id % 5` families — (0) a two-scene patterned 72×64 keeper
+    * (cuts AND gradient: survives every gate), (1) an ALL-STATIC
+    * 72×64 solid — six identical flat frames, zero cuts, zero
+    * gradient bits, (2) a too-short two-frame patterned clip,
+    * (3) a flat 24×16 thumbnail clip (tiny ∧ all_static — 384 px,
+    * under the default minPx), (4) zeroed RIFF magic (no rows).
+    * Flat frames quantize to a lone DC coefficient, so JPEG
+    * round-trips them constant and every gate is id-arithmetic. */
+  def encodeQualityMjpegFixture(docs: DataFrame, idCol: String)
+      : Dataset[MediaRecord] = {
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+      .where(col("doc_id").isNotNull && col("doc_id") >= 0)
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    ids.as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      def flatJpeg(w: Int, h: Int, v: Int): Array[Byte] = {
+        val im = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val ras = im.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { ras.setSample(x, y, 0, v); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, "jpg", bos)
+        bos.toByteArray
+      }
+      it.map { id =>
+        val g = (id % 12).toInt
+        def scenes(n: Int): IndexedSeq[Array[Byte]] =
+          (0 until n).map { f =>
+            val s = f / 3
+            flatBlockJpeg(r => mjpegPatterns((g * 7 + s * 5 + r) % 4))
+          }
+        val (jpegs, w, h) = (id % 5) match {
+          case 0 => (scenes(6), 72, 64)
+          case 1 => (IndexedSeq.fill(6)(flatJpeg(72, 64, 128)), 72, 64)
+          case 2 => (scenes(2), 72, 64)
+          case 3 => (IndexedSeq.fill(6)(flatJpeg(24, 16, 200)), 24, 16)
+          case _ => (scenes(3), 72, 64)
+        }
+        val corrupt = if (id % 5 == 4) 3 else 0
+        MediaRecord(id, s"memory://qvid/$id", "video/x-msvideo",
+          assembleMjpegAvi(jpegs, corrupt, w, h))
+      }
+    }
   }
 
   /** REAL-BYTES SEGMENTED waveform fixture — the audio sibling of
@@ -1040,8 +1166,16 @@ object Multimodal {
     * absolute amplitude IS A(w) exactly and the envelope hash is pure
     * id arithmetic (21 envelope patterns × a ≤-1-bit tweak variant).
     * Corruption families: `id % 10 = 3` zeroes the RIFF magic,
-    * `id % 10 = 6` truncates to 16 bytes. */
-  def encodeWaveformFixture(docs: DataFrame, idCol: String)
+    * `id % 10 = 6` truncates to 16 bytes.
+    *
+    * `rateOf` sets the DECLARED sample rate per id (default the
+    * constant 8 kHz) — the PCM bytes and therefore the envelope hash
+    * are rate-independent (windows are sample-indexed), so a
+    * rate-variant fixture carries dup families whose members differ
+    * in header QUALITY while fingerprinting identical — the
+    * keep-best rung's test bed (q300). */
+  def encodeWaveformFixture(docs: DataFrame, idCol: String,
+      rateOf: Long => Float = _ => 8000f)
       : Dataset[MediaRecord] = {
     val ids = docs.select(col(idCol).cast("long").as("doc_id"))
       .where(col("doc_id").isNotNull && col("doc_id") >= 0)
@@ -1062,7 +1196,7 @@ object Multimodal {
           i += 1
         }
         val fmt = new javax.sound.sampled.AudioFormat(
-          8000f, 16, 1, true, false)
+          rateOf(id), 16, 1, true, false)
         val ais = new javax.sound.sampled.AudioInputStream(
           new java.io.ByteArrayInputStream(pcm), fmt,
           (nWin * window).toLong)
@@ -1893,7 +2027,7 @@ object Multimodal {
     * the RIFF magic, 6 truncates to 16 bytes, 9 zeroes frame 1's
     * JPEG SOI marker, anything else leaves the file intact. */
   private def assembleMjpegAvi(jpegs: IndexedSeq[Array[Byte]],
-      corrupt: Int): Array[Byte] = {
+      corrupt: Int, w: Int = 72, h: Int = 64): Array[Byte] = {
     def le32(v: Long): Array[Byte] = Array(
       (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
       ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
@@ -1910,14 +2044,14 @@ object Multimodal {
     val nFrames = jpegs.size
     val avih = le32(40000L) ++ le32(0L) ++ le32(0L) ++
       le32(0x10L) ++ le32(nFrames.toLong) ++ le32(0L) ++
-      le32(1L) ++ le32(0L) ++ le32(72L) ++ le32(64L) ++
+      le32(1L) ++ le32(0L) ++ le32(w.toLong) ++ le32(h.toLong) ++
       le32(0L) ++ le32(0L) ++ le32(0L) ++ le32(0L)
     val strh = fcc("vids") ++ fcc("MJPG") ++ le32(0L) ++
       le16(0) ++ le16(0) ++ le32(0L) ++ le32(1L) ++ le32(25L) ++
       le32(0L) ++ le32(nFrames.toLong) ++ le32(0L) ++
       le32(0xffffffffL) ++ le32(0L) ++
-      le16(0) ++ le16(0) ++ le16(72) ++ le16(64)
-    val strf = le32(40L) ++ le32(72L) ++ le32(64L) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val strf = le32(40L) ++ le32(w.toLong) ++ le32(h.toLong) ++
       le16(1) ++ le16(24) ++ fcc("MJPG") ++ le32(0L) ++
       le32(0L) ++ le32(0L) ++ le32(0L) ++ le32(0L)
     val hdrl = list("hdrl", chunk("avih", avih) ++

@@ -2069,6 +2069,253 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       ORDER BY w.doc_id
     """.trim))
 
+  // --------------------------------------------------------------- q299
+  /** q299 — VIDEO QUALITY GATES ([[Multimodal.videoQualityGates]] ∘
+    * q277 ∘ q209's RIFF tier): the keep/drop pre-filter CLOSING the
+    * per-modality gate symmetry (text q23, image q292, audio q293,
+    * video here) — too-short clips (observed frames, never the
+    * header's claim), thumbnail-resolution video, and all-static
+    * dead clips (one q281 shot AND zero gradient bits — a
+    * static-camera SCENE survives, solid nothing drops). One frame
+    * decode pass feeds both the shot labels and the gradient fold;
+    * the container dims are header byte arithmetic. The oracle
+    * replays the whole decision table from the fixture's `id % 5`
+    * family arithmetic. */
+  val q299: Q = Q(
+    "q299_video_quality_gates",
+    (s, d) => {
+      val media = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.encodeQualityMjpegFixture(
+          Tables.documents(s, d), "doc_id").toDF())
+      val asM = media.as[Multimodal.MediaRecord](
+        Multimodal.mediaRecordEnc)
+      Multimodal.videoQualityGates(
+        Multimodal.videoFrameFingerprints(asM).toDF()
+          .where(col("ok") === 1L)
+          .select(col("doc_id"), col("frame_idx"), col("fp")),
+        Multimodal.decodeMjpegMeta(asM).toDF()
+          .where(col("ok") === 1L)
+          .select(col("doc_id"), col("width"), col("height")))
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, doc_id % 5 AS fam FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id % 5 < 4)
+      SELECT doc_id,
+        CAST(CASE fam WHEN 2 THEN 2 ELSE 6 END AS BIGINT) AS n_frames,
+        CAST(CASE fam WHEN 3 THEN 24 ELSE 72 END AS BIGINT) AS width,
+        CAST(CASE fam WHEN 3 THEN 16 ELSE 64 END AS BIGINT) AS height,
+        fam = 2 AS too_short,
+        fam = 3 AS tiny,
+        fam IN (1, 3) AS all_static,
+        fam = 0 AS keep
+      FROM ids ORDER BY doc_id
+    """.trim))
+
+  // --------------------------------------------------------------- q300
+  /** q300 — AUDIO cluster keep-best ([[Multimodal.keepBest]] ∘ q266):
+    * q294's best-copy refinement generalized off the image rung — an
+    * audio near-dup family keeps its highest-SAMPLE-RATE member
+    * (then most frames, ties to the smallest id), never an arbitrary
+    * min-id canonical that might be the worst encode. The fixture
+    * declares a rate of `8000 + (id%3)·4000` Hz over PCM whose
+    * envelope hash is rate-independent, so dup families span rates
+    * and the argmax is pinned non-degenerately (best ≠ min id in
+    * most clusters). Oracle: q266's recursive closure + the rate
+    * arithmetic. */
+  val q300: Q = Q(
+    "q300_audio_cluster_keep_best",
+    (s, d) => {
+      val media = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.encodeWaveformFixture(Tables.documents(s, d),
+          "doc_id", rateOf = id => (8000L + (id % 3) * 4000L).toFloat)
+          .toDF())
+      val asM = media.as[Multimodal.MediaRecord](
+        Multimodal.mediaRecordEnc)
+      val fp = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.audioFingerprints(asM).toDF()
+          .where(col("ok") === 1L)
+          .select(col("doc_id"), col("fp")))
+      Multimodal.keepBest(
+        Dedup.fingerprintClusters(fp, "doc_id", "fp",
+          maxHamming = 3, bits = 64),
+        Multimodal.decodeAudioMeta(asM).toDF()
+          .where(col("ok") === 1L)
+          .select(col("doc_id"), col("sample_rate"), col("n_frames")),
+        Seq("sample_rate", "n_frames"))
+    },
+    Some(s"""
+      WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ($envelopePairsOracleSql) q
+      ),
+      universe AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0
+          AND doc_id % 10 NOT IN (3, 6)),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach(doc_id, via) AS (
+        SELECT doc_id, doc_id FROM universe
+        UNION
+        SELECT r.doc_id, e.dst FROM reach r
+        JOIN edges e ON e.src = r.via),
+      cl AS (
+        SELECT doc_id, min(via) AS cluster_id FROM reach
+        GROUP BY doc_id),
+      qual AS (
+        SELECT doc_id,
+          CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS rate
+        FROM universe),
+      mx AS (
+        SELECT cl.cluster_id, max(qual.rate) AS mr
+        FROM cl JOIN qual USING (doc_id) GROUP BY 1),
+      best AS (
+        SELECT cl.cluster_id, min(cl.doc_id) AS best_id
+        FROM cl JOIN qual USING (doc_id)
+        JOIN mx ON mx.cluster_id = cl.cluster_id
+          AND qual.rate = mx.mr
+        GROUP BY 1)
+      SELECT cl.doc_id, cl.cluster_id, best.best_id,
+        cl.doc_id = best.best_id AS is_best
+      FROM cl JOIN best USING (cluster_id)
+      ORDER BY cl.doc_id
+    """.trim))
+
+  // --------------------------------------------------------------- q301
+  /** q301 — VIDEO cluster keep-best ([[Multimodal.keepBest]] ∘ q279):
+    * an aligned-sequence dup family keeps its MOST-DECODED-FRAMES
+    * member — the fixture's zeroed-SOI family (`id%10 = 9`) loses one
+    * frame yet still chains into its family (n−1 aligned matches ≥
+    * half), so a min-id canonical can be the DAMAGED copy; the argmax
+    * on observed frame count picks the intact one (pinning the fold
+    * non-degenerately: damaged members hold min id in some families).
+    * Quality is read off the ALREADY-COMPUTED fingerprint frame —
+    * zero extra decode. Oracle: q278/q279's pair+closure replay +
+    * the observed-count arithmetic. */
+  val q301: Q = Q(
+    "q301_video_cluster_keep_best",
+    (s, d) => {
+      val fps = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.videoFrameFingerprints(
+          Multimodal.encodeMjpegFixture(Tables.documents(s, d),
+            "doc_id"))
+          .toDF().where(col("ok") === 1L)
+          .select(col("doc_id"), col("frame_idx"), col("fp")))
+      Multimodal.keepBest(
+        Dedup.alignedFingerprintClusters(fps, "doc_id", "frame_idx",
+          "fp", maxHamming = 3, bits = 64),
+        fps.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_obs")),
+        Seq("n_obs"))
+    },
+    Some(s"""
+      WITH RECURSIVE vpairs AS (
+        SELECT doc_a, doc_b FROM ($videoPairsOracleSql) q
+      ),
+      vuniverse AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0
+          AND doc_id % 10 NOT IN (3, 6)),
+      vedges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM vpairs
+        UNION ALL SELECT doc_b, doc_a FROM vpairs),
+      reach(doc_id, via) AS (
+        SELECT doc_id, doc_id FROM vuniverse
+        UNION
+        SELECT r.doc_id, e.dst FROM reach r
+        JOIN vedges e ON e.src = r.via),
+      cl AS (
+        SELECT doc_id, min(via) AS cluster_id FROM reach
+        GROUP BY doc_id),
+      qual AS (
+        SELECT doc_id,
+          CAST(4 + (doc_id % 12) % 5
+            - CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 0 END
+            AS BIGINT) AS n_obs
+        FROM vuniverse),
+      mx AS (
+        SELECT cl.cluster_id, max(qual.n_obs) AS mn
+        FROM cl JOIN qual USING (doc_id) GROUP BY 1),
+      best AS (
+        SELECT cl.cluster_id, min(cl.doc_id) AS best_id
+        FROM cl JOIN qual USING (doc_id)
+        JOIN mx ON mx.cluster_id = cl.cluster_id
+          AND qual.n_obs = mx.mn
+        GROUP BY 1)
+      SELECT cl.doc_id, cl.cluster_id, best.best_id,
+        cl.doc_id = best.best_id AS is_best
+      FROM cl JOIN best USING (cluster_id)
+      ORDER BY cl.doc_id
+    """.trim))
+
+  // --------------------------------------------------------------- q302
+  /** q302 — GIF cluster keep-best ([[Multimodal.keepBest]] ∘ q285):
+    * the same argmax on the second multi-frame coding — quality =
+    * observed frame count off the already-computed fingerprint frame
+    * (the fixture's families share frame counts, so this pins the
+    * GIF plumbing and the ties-to-min-id edge of the fold; the
+    * argmax itself is pinned non-degenerately by q300/q301 — one
+    * shared implementation). Oracle: q285's pair+closure replay +
+    * the frame-count arithmetic. */
+  val q302: Q = Q(
+    "q302_gif_cluster_keep_best",
+    (s, d) => {
+      val fps = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.gifFrameFingerprints(
+          Multimodal.encodeGifFixture(Tables.documents(s, d),
+            "doc_id"))
+          .toDF().where(col("ok") === 1L)
+          .select(col("doc_id"), col("frame_idx"), col("fp")))
+      Multimodal.keepBest(
+        Dedup.alignedFingerprintClusters(fps, "doc_id", "frame_idx",
+          "fp", maxHamming = 3, bits = 64),
+        fps.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_obs")),
+        Seq("n_obs"))
+    },
+    Some(s"""
+      WITH RECURSIVE $gifFpsCte,
+      cnt AS (SELECT doc_id, count(*) AS n FROM gfps GROUP BY doc_id),
+      m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          count(*) AS n_match
+        FROM gfps a JOIN gfps b
+          ON a.frame_idx = b.frame_idx AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        GROUP BY 1, 2),
+      gpairs AS (
+        SELECT doc_a, doc_b FROM m
+        JOIN cnt ca ON ca.doc_id = m.doc_a
+        JOIN cnt cb ON cb.doc_id = m.doc_b
+        WHERE 2 * m.n_match >= greatest(ca.n, cb.n)),
+      guniverse AS (SELECT DISTINCT doc_id FROM gfps),
+      gedges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM gpairs
+        UNION ALL SELECT doc_b, doc_a FROM gpairs),
+      reach(doc_id, via) AS (
+        SELECT doc_id, doc_id FROM guniverse
+        UNION
+        SELECT r.doc_id, e.dst FROM reach r
+        JOIN gedges e ON e.src = r.via),
+      cl AS (
+        SELECT doc_id, min(via) AS cluster_id FROM reach
+        GROUP BY doc_id),
+      mx AS (
+        SELECT cl.cluster_id, max(cnt.n) AS mn
+        FROM cl JOIN cnt USING (doc_id) GROUP BY 1),
+      best AS (
+        SELECT cl.cluster_id, min(cl.doc_id) AS best_id
+        FROM cl JOIN cnt USING (doc_id)
+        JOIN mx ON mx.cluster_id = cl.cluster_id
+          AND cnt.n = mx.mn
+        GROUP BY 1)
+      SELECT cl.doc_id, cl.cluster_id, best.best_id,
+        cl.doc_id = best.best_id AS is_best
+      FROM cl JOIN best USING (cluster_id)
+      ORDER BY cl.doc_id
+    """.trim))
+
   // --------------------------------------------------------------- q295
   /** q295 — IMAGE decontamination gate
     * ([[Dedup.fingerprintDecontam]]): the q36/q113 decontamination
