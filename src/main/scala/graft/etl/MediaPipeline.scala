@@ -17,7 +17,17 @@ import graft.operators.{Dedup, Multimodal, Packing}
   *   raw → modality routing by MAGIC BYTES (q263 — crawler mimes lie;
   *         the routed tree is written partitioned by modality so every
   *         later stage reads ONLY its modality's payload bytes)
-  *       → per-modality dedup decision, keep-canonical, TIERED by
+  *       → VIDEO QUALITY GATE on the MJPEG tier (q299's keep —
+  *         too-short / tiny-resolution / all-static clips drop and
+  *         are counted BEFORE dedup, so junk never becomes a
+  *         canonical; the gate folds over the fingerprint frame the
+  *         dedup pass computes anyway — no extra decode)
+  *       → per-modality dedup decision with a KEEP-BEST canonical
+  *         (never min-id where quality varies: stills keep the
+  *         highest-resolution member — q294, audio the highest
+  *         sample rate — q300, MJPEG/GIF the most decoded frames —
+  *         q301/q302; the exact byte-identity tiers stay min-id,
+  *         their members are identical), TIERED by
   *         what the JDK honestly decodes in every branch:
   *           image: stills dHash → Hamming clusters (q261); GIF —
   *                  per-frame dHash → aligned sequence clusters
@@ -78,7 +88,7 @@ object MediaPipeline {
       unroutable: Long, decodedImage: Long, decodedAudio: Long,
       decodedVideo: Long, keptImage: Long, keptAudio: Long,
       keptVideo: Long, droppedEvalImage: Long, droppedEvalAudio: Long,
-      shards: Long, exported: Long)
+      droppedQualityVideo: Long, shards: Long, exported: Long)
 
   private val mediaCols = Seq("doc_id", "uri", "mime", "payload")
 
@@ -205,26 +215,40 @@ object MediaPipeline {
       val isGif = imgSniff === "image/gif"
       val isIsoImg = imgSniff.isin("image/heic", "image/heif",
         "image/avif")
-      val imgFp = scope.persist(
-        Multimodal.imageDhash(asMedia(imgRouted.where(!isGif &&
+      // ONE ImageIO pass yields fingerprint AND dims (the keep-best
+      // pick needs pixel counts — a second decodeImageMeta pass would
+      // decode every still twice)
+      val imgDm = scope.persist(
+        Multimodal.imageDhashMeta(asMedia(imgRouted.where(!isGif &&
             !isIsoImg))).toDF()
           .where(col("ok") === 1L)
-          .select(col("doc_id"), col("dhash").as("fp")))
+          .select(col("doc_id"), col("dhash"), col("width"),
+            col("height")))
+      val imgFp = imgDm.select(col("doc_id"), col("dhash").as("fp"))
       val gifFp = scope.persist(
         Multimodal.gifFrameFingerprints(asMedia(imgRouted.where(isGif)))
           .toDF().where(col("ok") === 1L)
           .select(col("doc_id"), col("frame_idx"), col("fp")))
       val (isoImgDecoded, isoImgKeep) =
         exactIsoTier(imgRouted.where(isIsoImg))
-      val decodedImage = imgFp.count() +
+      val decodedImage = imgDm.count() +
         gifFp.select(col("doc_id")).distinct().count() + isoImgDecoded
-      val keepImage = Dedup.fingerprintClusters(imgFp, "doc_id", "fp",
-          maxHamming = maxHamming, bits = 64, scope = scope)
-        .where(col("is_canonical")).select(col("doc_id"))
-        .unionByName(Dedup.alignedFingerprintClusters(gifFp, "doc_id",
-            "frame_idx", "fp", maxHamming = maxHamming, bits = 64,
-            scope = scope)
-          .where(col("is_canonical")).select(col("doc_id")))
+      // canonical pick = KEEP-BEST, never min-id (r18): stills keep
+      // the highest-resolution member (q294), GIFs the most-decoded-
+      // frames member (q302) — the exact ISO tier stays min-id, its
+      // members are byte-identical so no copy is better
+      val keepImage = Multimodal.keepBestResolution(
+          Dedup.fingerprintClusters(imgFp, "doc_id", "fp",
+            maxHamming = maxHamming, bits = 64, scope = scope),
+          imgDm.select(col("doc_id"), col("width"), col("height")))
+        .where(col("is_best")).select(col("doc_id"))
+        .unionByName(Multimodal.keepBest(
+            Dedup.alignedFingerprintClusters(gifFp, "doc_id",
+              "frame_idx", "fp", maxHamming = maxHamming, bits = 64,
+              scope = scope),
+            gifFp.groupBy(col("doc_id"))
+              .agg(count(lit(1)).as("n_obs")), Seq("n_obs"))
+          .where(col("is_best")).select(col("doc_id")))
         .unionByName(isoImgKeep)
 
       // audio, two-tier: WAV/AIFF — envelope hash → Hamming clusters
@@ -240,9 +264,19 @@ object MediaPipeline {
       val (isoAudDecoded, isoAudKeep) =
         exactIsoTier(audRouted.where(isIsoAud))
       val decodedAudio = audFp.count() + isoAudDecoded
-      val keepAudio = Dedup.fingerprintClusters(audFp, "doc_id", "fp",
-          maxHamming = maxHamming, bits = 64, scope = scope)
-        .where(col("is_canonical")).select(col("doc_id"))
+      // keep-best on the audio rung (q300): highest sample rate, then
+      // most frames — read from the HEADER-only meta pass (no second
+      // PCM decode; the envelope pass above is the only sample scan)
+      val keepAudio = Multimodal.keepBest(
+          Dedup.fingerprintClusters(audFp, "doc_id", "fp",
+            maxHamming = maxHamming, bits = 64, scope = scope),
+          Multimodal.decodeAudioMeta(asMedia(audRouted
+              .where(!isIsoAud))).toDF()
+            .where(col("ok") === 1L)
+            .select(col("doc_id"), col("sample_rate"),
+              col("n_frames")),
+          Seq("sample_rate", "n_frames"))
+        .where(col("is_best")).select(col("doc_id"))
         .unionByName(isoAudKeep)
 
       // video, two-tier by what the JDK can honestly decode:
@@ -260,10 +294,32 @@ object MediaPipeline {
           .toDF().where(col("ok") === 1L)
           .select(col("doc_id"), col("frame_idx"), col("fp")))
       val decodedMjpeg = mjpegFps.select(col("doc_id")).distinct().count()
-      val keepMjpeg = Dedup.alignedFingerprintClusters(mjpegFps,
-          "doc_id", "frame_idx", "fp", maxHamming = maxHamming,
-          bits = 64, scope = scope)
-        .where(col("is_canonical")).select(col("doc_id"))
+      // r18 QUALITY GATE before the dedup decision (q299's keep —
+      // junk must not survive as a cluster canonical): too-short,
+      // tiny-resolution, and all-static clips drop and are counted;
+      // a clip whose avih header cannot be read fails the gate too
+      // (its resolution cannot be attested). Gates fold over the
+      // ALREADY-COMPUTED fingerprint frame + the header-arithmetic
+      // meta pass — no extra pixel decode.
+      val mjpegGateKeep = scope.persist(
+        Multimodal.videoQualityGates(mjpegFps,
+            Multimodal.decodeMjpegMeta(asMedia(routedOf("video")))
+              .toDF().where(col("ok") === 1L)
+              .select(col("doc_id"), col("width"), col("height")))
+          .where(col("keep")).select(col("doc_id")))
+      val droppedQualityVideo = decodedMjpeg - mjpegGateKeep.count()
+      val gatedFps = scope.persist(
+        mjpegFps.join(mjpegGateKeep, Seq("doc_id")))
+      // keep-best on the video rung (q301): most decoded frames off
+      // the fingerprint frame — a damaged copy must not be the
+      // canonical just because it holds the min id
+      val keepMjpeg = Multimodal.keepBest(
+          Dedup.alignedFingerprintClusters(gatedFps,
+            "doc_id", "frame_idx", "fp", maxHamming = maxHamming,
+            bits = 64, scope = scope),
+          gatedFps.groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_obs")), Seq("n_obs"))
+        .where(col("is_best")).select(col("doc_id"))
       val vidHash = scope.persist(
         routedOf("video")
           .select(col("doc_id"), sha2(col("payload"), 256).as("bh"))
@@ -369,16 +425,41 @@ object MediaPipeline {
         "video/x-msvideo"
       // exact-tier kept rows (M4A / HEIF-family) profile on what the
       // JDK can honestly measure — container health (ok by
-      // construction: the keep gate walked them) and the ftyp BRAND —
-      // appended to q221's fold rather than run through the pixel/PCM
-      // decoders that would misreport a healthy-but-undecodable
-      // codec as corrupt
-      def isoProfileRows(cur: DataFrame, modality: String) = cur
-        .select(lit(modality).as("modality"),
-          lit("health").as("dimension"), lit("ok").as("bucket"))
-        .unionByName(cur.select(lit(modality).as("modality"),
-          lit("container").as("dimension"),
-          substring(col("payload"), 9, 4).cast("string").as("bucket")))
+      // construction: the keep gate walked them), the ftyp BRAND,
+      // and since r18 the box-walk METADATA readouts (q303's
+      // [[Multimodal.decodeIsoMeta]]): HEIF `ispe` pixel dims bucket
+      // into q221's image resolution bands, M4A `mvhd` duration into
+      // its audio duration bands — appended to q221's fold rather
+      // than run through the pixel/PCM decoders that would misreport
+      // a healthy-but-undecodable codec as corrupt
+      def isoProfileRows(cur: DataFrame, modality: String)
+          : DataFrame = {
+        val m = Multimodal.decodeIsoMeta(asMedia(cur)).toDF()
+        val px = col("width") * col("height")
+        val base = m.select(lit(modality).as("modality"),
+            lit("health").as("dimension"),
+            when(col("ok") === 1L, "ok").otherwise("corrupt")
+              .as("bucket"))
+          .unionByName(m.where(col("ok") === 1L)
+            .select(lit(modality).as("modality"),
+              lit("container").as("dimension"),
+              col("brand").as("bucket")))
+        val meta =
+          if (modality == "image")
+            m.where(col("ok") === 1L && col("width").isNotNull)
+              .select(lit(modality).as("modality"),
+                lit("resolution").as("dimension"),
+                when(px < 1024L, "tiny").when(px < 2048L, "small")
+                  .otherwise("medium").as("bucket"))
+          else
+            m.where(col("ok") === 1L && col("duration_ms").isNotNull)
+              .select(lit(modality).as("modality"),
+                lit("duration").as("dimension"),
+                when(col("duration_ms") < 10L, "lt_10ms")
+                  .when(col("duration_ms") < 20L, "lt_20ms")
+                  .otherwise("ge_20ms").as("bucket"))
+        base.unionByName(meta)
+      }
       val isoExtra = isoProfileRows(curatedOf("image")
           .where(isIsoImg), "image")
         .unionByName(isoProfileRows(curatedOf("audio")
@@ -425,7 +506,7 @@ object MediaPipeline {
         keptCounts.getOrElse("image", 0L),
         keptCounts.getOrElse("audio", 0L),
         keptCounts.getOrElse("video", 0L),
-        droppedEvalImage, droppedEvalAudio,
+        droppedEvalImage, droppedEvalAudio, droppedQualityVideo,
         shards, exported)
       onScope(scope)
       stats

@@ -1311,6 +1311,101 @@ object Multimodal {
         if (isoBmffWalks(r.payload)) 1L else 0L))
     }
 
+  /** One ISO-BMFF metadata row of the EXACT-identity tiers (r18):
+    * what the container walk can honestly measure for codecs the JDK
+    * cannot decode — the ftyp BRAND, the `moov`→`mvhd` duration when
+    * a movie header exists (M4A audio, plain video), and the HEIF
+    * still-item pixel dimensions from `meta`→`iprp`→`ipco`→`ispe`
+    * when an item-property tree exists (HEIC/HEIF/AVIF). Fields are
+    * independently optional: a healthy container missing a box keeps
+    * nulls there, never a confident misparse. */
+  final case class IsoMeta(doc_id: Long, ok: Long,
+      brand: Option[String], duration_ms: Option[Long],
+      width: Option[Long], height: Option[Long])
+
+  implicit val isoMetaEnc: Encoder[IsoMeta] = Encoders.product[IsoMeta]
+
+  /** Header-only metadata walk for ANY ISO-BMFF payload — the
+    * [[isoBmffWalks]] health gate upgraded to a READOUT (what the
+    * q221 profile needs for the exact-tier classes, which previously
+    * reported health + brand only):
+    *  - brand from the well-formed first `ftyp`,
+    *  - duration from `moov`→`mvhd` (both FullBox versions, the
+    *    [[decodeVideoHeader]] dispatch — `duration·1000 div
+    *    timescale`, zero timescale refuses),
+    *  - HEIF pixel dims from `meta`→`iprp`→`ipco`→`ispe` (ISO
+    *    23008-12 §6.5.3: the `meta` box is a FULLBOX — its children
+    *    start 4 bytes in, the version/flags the naive walk trips
+    *    over; `ispe` payload = version/flags + u32 width + u32
+    *    height).
+    * Pure byte arithmetic, total over data: any malformed layer
+    * yields None for ITS field (or the whole row when the top walk /
+    * ftyp fails), never an exception. */
+  def decodeIsoMetaHeader(payload: Array[Byte])
+      : Option[(String, Option[Long], Option[Long], Option[Long])] =
+    try {
+      for {
+        top <- bmffBoxes(payload, 0, payload.length)
+        ftyp <- top.headOption.filter(b =>
+          b._1 == "ftyp" && b._3 - b._2 >= 8)
+      } yield {
+        val brand = bmffFourCC(payload, ftyp._2)
+        val dur = for {
+          moov <- top.find(_._1 == "moov")
+          inner <- bmffBoxes(payload, moov._2, moov._3)
+          mvhd <- inner.find(_._1 == "mvhd")
+          tsDur <- bmffMvhdFields(payload, mvhd._2, mvhd._3)
+          if tsDur._1 > 0
+        } yield tsDur._2 * 1000L / tsDur._1
+        val dims = for {
+          meta <- top.find(_._1 == "meta")
+          if meta._3 - meta._2 >= 4 // FullBox: skip version/flags
+          inner <- bmffBoxes(payload, meta._2 + 4, meta._3)
+          iprp <- inner.find(_._1 == "iprp")
+          ipco <- bmffBoxes(payload, iprp._2, iprp._3)
+            .flatMap(_.find(_._1 == "ipco"))
+          ispe <- bmffBoxes(payload, ipco._2, ipco._3)
+            .flatMap(_.find(_._1 == "ispe"))
+          if ispe._3 - ispe._2 >= 12
+        } yield (bmffU32(payload, ispe._2 + 4),
+          bmffU32(payload, ispe._2 + 8))
+        (brand, dur, dims.map(_._1), dims.map(_._2))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Distributed [[decodeIsoMetaHeader]] — the exact tiers' catalog
+    * pass: brand + duration + HEIF dims where the scan runs, corrupt
+    * rows flagged `ok = 0`, no payload byte crossing a shuffle. */
+  def decodeIsoMeta(media: Dataset[MediaRecord]): Dataset[IsoMeta] =
+    media.mapPartitions { it =>
+      it.map { r =>
+        decodeIsoMetaHeader(r.payload) match {
+          case Some((brand, dur, w, h)) =>
+            IsoMeta(r.doc_id, 1L, Some(brand), dur, w, h)
+          case None => IsoMeta(r.doc_id, 0L, None, None, None, None)
+        }
+      }
+    }
+
+  /** `mvhd` FullBox version dispatch, shared by [[decodeVideoHeader]]
+    * and [[decodeIsoMeta]]: (value offsets, min payload length)
+    * differ between v0 (32-bit times) and v1 (64-bit); unknown
+    * versions must NOT be read at guessed offsets. Returns
+    * (timescale, duration). */
+  private def bmffMvhdFields(payload: Array[Byte], start: Int,
+      end: Int): Option[(Long, Long)] = {
+    val len = end - start
+    if (len < 1) None
+    else payload(start) match {
+      // ver/flags 4 + ctime/mtime (4+4 | 8+8) → timescale, duration
+      case 0 if len >= 20 =>
+        Some((bmffU32(payload, start + 12), bmffU32(payload, start + 16)))
+      case 1 if len >= 28 =>
+        Some((bmffU32(payload, start + 20), bmffU64(payload, start + 24)))
+      case _ => None
+    }
+  }
+
   def decodeVideoHeader(payload: Array[Byte])
       : Option[(String, Long, Long, Long, Long)] = {
     def u32(off: Int): Long = bmffU32(payload, off)
@@ -1318,19 +1413,8 @@ object Multimodal {
     def fourCC(off: Int): String = bmffFourCC(payload, off)
     def boxes(start: Int, end: Int): Option[Seq[(String, Int, Int)]] =
       bmffBoxes(payload, start, end)
-    // FullBox version dispatch: (value offsets, min payload length)
-    // differ between v0 (32-bit times) and v1 (64-bit); unknown
-    // versions must NOT be read at guessed offsets
-    def mvhdFields(start: Int, end: Int): Option[(Long, Long)] = {
-      val len = end - start
-      if (len < 1) None
-      else payload(start) match {
-        // ver/flags 4 + ctime/mtime (4+4 | 8+8) → timescale, duration
-        case 0 if len >= 20 => Some((u32(start + 12), u32(start + 16)))
-        case 1 if len >= 28 => Some((u32(start + 20), u64(start + 24)))
-        case _ => None
-      }
-    }
+    def mvhdFields(start: Int, end: Int): Option[(Long, Long)] =
+      bmffMvhdFields(payload, start, end)
     def tkhdDims(start: Int, end: Int): Option[(Long, Long)] = {
       val len = end - start
       if (len < 1) None
@@ -1710,6 +1794,55 @@ object Multimodal {
     }
   }
 
+  /** REAL-BYTES ISO-BMFF METADATA fixture — [[encodeIsoBrandFixture]]
+    * upgraded with the boxes [[decodeIsoMeta]] reads: the `id % 5`
+    * brand cycle carries a `moov`→`mvhd` (v0, timescale 1000,
+    * duration `500 + (id%50)·100` ms) for the movie-header brands
+    * (`M4A `, `isom`) and a `meta`(FullBox)→`iprp`→`ipco`→`ispe`
+    * item-property tree (width `64 + (id%9)·16`, height
+    * `48 + (id%7)·16`) for the HEIF-family stills
+    * (heic/mif1/avif) — every readout pure id arithmetic. Corruption
+    * family shared with the siblings: `id % 10 ∈ {3, 4}` zeroes the
+    * `ftyp` fourCC (ok = 0, all metadata null). */
+  def encodeIsoMetaFixture(docs: DataFrame, idCol: String)
+      : Dataset[MediaRecord] = {
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+      .where(col("doc_id").isNotNull && col("doc_id") >= 0)
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    ids.as[Long].mapPartitions { it =>
+      def be32(v: Long): Array[Byte] = Array(
+        (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      def box(tp: String, payload: Array[Byte]): Array[Byte] =
+        be32(payload.length + 8L) ++
+          tp.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+          payload
+      val brands = IndexedSeq("M4A ", "heic", "mif1", "avif", "isom")
+      it.map { id =>
+        val brand = brands((id % 5).toInt)
+        val ftyp = box("ftyp",
+          brand.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+            be32(0) ++
+            brand.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        val body = (id % 5) match {
+          case 1 | 2 | 3 =>
+            // meta is a FULLBOX: version/flags precede its children
+            val ispe = box("ispe", be32(0) ++
+              be32(64L + (id % 9) * 16L) ++ be32(48L + (id % 7) * 16L))
+            box("meta", be32(0) ++ box("iprp", box("ipco", ispe)))
+          case _ =>
+            // mvhd v0: ver/flags + ctime + mtime + timescale + duration
+            box("moov", box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++
+              be32(1000L) ++ be32(500L + (id % 50) * 100L)))
+        }
+        val bytes = ftyp ++ body ++ box("mdat", new Array[Byte](8))
+        if (id % 10 == 3 || id % 10 == 4) {
+          bytes(4) = 0; bytes(5) = 0; bytes(6) = 0; bytes(7) = 0
+        }
+        MediaRecord(id, s"memory://isometa/$id", "video/mp4", bytes)
+      }
+    }
+  }
+
   /** REAL-BYTES image fixture: per doc id, an actual `ImageIO.write`
     * PNG (even ids) or JPEG (odd ids) encode of a
     * `(8 + id % 57) × (8 + (id·3) % 41)` 3-channel image — so the
@@ -1862,6 +1995,43 @@ object Multimodal {
         dhash64(r.payload) match {
           case Some(fp) => ImageDhash(r.doc_id, 1L, Some(fp))
           case None => ImageDhash(r.doc_id, 0L, None)
+        }
+      }
+    }
+
+  /** One combined dHash + dimensions row — the decode-once readout
+    * for consumers that need BOTH the perceptual fingerprint and the
+    * quality metadata (the funnel's keep-best pick): `ok = 1` iff the
+    * payload decoded AND hashed (the [[imageDhash]] contract —
+    * images smaller than the 9×8 grid stay `ok = 0`), dims from the
+    * same decoded frame. */
+  final case class ImageDhashMeta(doc_id: Long, ok: Long,
+      dhash: Option[Long], width: Option[Long], height: Option[Long])
+
+  implicit val imageDhashMetaEnc: Encoder[ImageDhashMeta] =
+    Encoders.product[ImageDhashMeta]
+
+  /** Distributed dHash + dims in ONE ImageIO pass — running
+    * [[imageDhash]] and [[decodeImageMeta]] separately would decode
+    * every payload twice (the q283/q291 decode-once lesson, applied
+    * where [[graft.etl.MediaPipeline]] needs fingerprint AND quality
+    * from the same frame). Same totality contract; only 24 bytes of
+    * (fp, w, h) ever cross a shuffle. */
+  def imageDhashMeta(media: Dataset[MediaRecord])
+      : Dataset[ImageDhashMeta] =
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val decoded = try {
+          Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload)))
+            .flatMap(im => dhashImage(im)
+              .map(fp => (fp, im.getWidth.toLong, im.getHeight.toLong)))
+        } catch { case scala.util.control.NonFatal(_) => None }
+        decoded match {
+          case Some((fp, w, h)) => ImageDhashMeta(r.doc_id, 1L,
+            Some(fp), Some(w), Some(h))
+          case None => ImageDhashMeta(r.doc_id, 0L, None, None, None)
         }
       }
     }

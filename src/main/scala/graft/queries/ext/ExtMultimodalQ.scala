@@ -2316,6 +2316,46 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       ORDER BY cl.doc_id
     """.trim))
 
+  // --------------------------------------------------------------- q303
+  /** q303 — ISO-BMFF exact-tier METADATA readout
+    * ([[Multimodal.decodeIsoMeta]]): the q209 box walk extended
+    * through HEIF's `meta`(FullBox)→`iprp`→`ipco`→`ispe` for still
+    * pixel dimensions and reusing `moov`→`mvhd` for M4A/isom
+    * duration — the catalog distributions that drive training
+    * decisions, previously absent for exactly the brand-routed
+    * classes (the r17 verdict's missing readout). The oracle replays
+    * every field from the fixture's byte arithmetic: brand by the
+    * `id % 5` cycle, duration `500 + (id%50)·100` ms at timescale
+    * 1000, dims `(64 + (id%9)·16) × (48 + (id%7)·16)`, the zeroed-
+    * ftyp family `ok = 0` all-null. */
+  val q303: Q = Q(
+    "q303_iso_meta_readout",
+    (s, d) =>
+      Multimodal.decodeIsoMeta(
+        Multimodal.encodeIsoMetaFixture(Tables.documents(s, d),
+          "doc_id"))
+        .toDF().orderBy(col("doc_id")),
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, doc_id % 5 AS fam,
+          doc_id % 10 IN (3, 4) AS corrupt
+        FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0)
+      SELECT doc_id,
+        CAST(CASE WHEN corrupt THEN 0 ELSE 1 END AS BIGINT) AS ok,
+        CASE WHEN corrupt THEN NULL
+             WHEN fam = 0 THEN 'M4A ' WHEN fam = 1 THEN 'heic'
+             WHEN fam = 2 THEN 'mif1' WHEN fam = 3 THEN 'avif'
+             ELSE 'isom' END AS brand,
+        CASE WHEN corrupt OR fam IN (1, 2, 3) THEN NULL
+             ELSE CAST(500 + (doc_id % 50) * 100 AS BIGINT)
+        END AS duration_ms,
+        CASE WHEN corrupt OR fam NOT IN (1, 2, 3) THEN NULL
+             ELSE CAST(64 + (doc_id % 9) * 16 AS BIGINT) END AS width,
+        CASE WHEN corrupt OR fam NOT IN (1, 2, 3) THEN NULL
+             ELSE CAST(48 + (doc_id % 7) * 16 AS BIGINT) END AS height
+      FROM ids ORDER BY doc_id
+    """.trim))
+
   // --------------------------------------------------------------- q295
   /** q295 — IMAGE decontamination gate
     * ([[Dedup.fingerprintDecontam]]): the q36/q113 decontamination

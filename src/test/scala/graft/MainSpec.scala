@@ -492,29 +492,35 @@ class MainSpec extends SparkSpec {
     assert(st.unroutable > 0, "fixture must exercise the quarantine")
     assert(st.raw == st.routedImage + st.routedAudio + st.routedVideo +
       st.unroutable)
-    // keep decision ≡ the ONE-SHOT canonical sets over the same
+    // keep decision ≡ the ONE-SHOT keep-best picks over the same
     // routed image rows (the composition adds nothing and loses
-    // nothing): q261's dHash clusters for stills, q285's aligned
-    // sequence clusters for the GIF tier — disjoint by magic
+    // nothing): q261's dHash clusters with the q294 best-resolution
+    // pick for stills, q285's aligned sequence clusters with the
+    // q302 most-frames pick for the GIF tier — disjoint by magic
     val routedImg = spark.read.parquet(s"$base/out/routed")
       .where(col("modality") === "image")
       .select(col("doc_id"), col("uri"), col("mime"), col("payload"))
     val gifPred = M.sniffModality(col("payload")) === "image/gif"
-    val oneShot = graft.operators.Dedup.fingerprintClusters(
-        M.imageDhash(routedImg.where(!gifPred)
-            .as[M.MediaRecord](M.mediaRecordEnc))
-          .toDF().where(col("ok") === 1L)
-          .select(col("doc_id"), col("dhash").as("fp")),
-        "doc_id", "fp", 3, 64)
-      .where(col("is_canonical"))
+    val stillDm = M.imageDhashMeta(routedImg.where(!gifPred)
+        .as[M.MediaRecord](M.mediaRecordEnc))
+      .toDF().where(col("ok") === 1L).cache()
+    val gifFpRe = M.gifFrameFingerprints(routedImg.where(gifPred)
+        .as[M.MediaRecord](M.mediaRecordEnc))
+      .toDF().where(col("ok") === 1L)
+      .select(col("doc_id"), col("frame_idx"), col("fp")).cache()
+    val oneShot = M.keepBestResolution(
+        graft.operators.Dedup.fingerprintClusters(
+          stillDm.select(col("doc_id"), col("dhash").as("fp")),
+          "doc_id", "fp", 3, 64),
+        stillDm.select(col("doc_id"), col("width"), col("height")))
+      .where(col("is_best"))
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet ++
-      graft.operators.Dedup.alignedFingerprintClusters(
-        M.gifFrameFingerprints(routedImg.where(gifPred)
-            .as[M.MediaRecord](M.mediaRecordEnc))
-          .toDF().where(col("ok") === 1L)
-          .select(col("doc_id"), col("frame_idx"), col("fp")),
-        "doc_id", "frame_idx", "fp", 3, 64)
-      .where(col("is_canonical"))
+      M.keepBest(
+        graft.operators.Dedup.alignedFingerprintClusters(gifFpRe,
+          "doc_id", "frame_idx", "fp", 3, 64),
+        gifFpRe.groupBy(col("doc_id")).agg(count(lit(1)).as("n_obs")),
+        Seq("n_obs"))
+      .where(col("is_best"))
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     val curatedImg = spark.read.parquet(s"$base/out/curated")
       .where(col("modality") === "image")
@@ -607,6 +613,58 @@ class MainSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/out/routed").count() == st.raw)
     assert(spark.read.parquet(s"$base/out/curated").count() ==
       st.keptImage + st.keptAudio + st.keptVideo)
+  }
+
+  test("corpus-media video quality gate: junk MJPEG clips (too-short " +
+    "/ tiny / all-static) drop counted BEFORE dedup, and the curated " +
+    "video set is the gate-then-keep-best replay") {
+    import org.apache.spark.sql.functions._
+    val M = graft.operators.Multimodal
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cmqual").toString
+    val s2 = spark; import s2.implicits._
+    val ids = (0L until 60L)
+    M.encodeQualityMjpegFixture(ids.toDF("doc_id"), "doc_id").toDF()
+      .write.parquet(s"$base/lake")
+    val st = Main.runCorpusMedia(spark, s"$base/lake", s"$base/out",
+      shardBytes = 4096)
+    // fam 4 zeroes the magic (unroutable); fams 1/2/3 decode but fail
+    // a gate (all-static / too-short / tiny); only fam 0 survives
+    val decodable = ids.filter(_ % 5 < 4)
+    assert(st.routedVideo == decodable.size.toLong)
+    assert(st.unroutable == ids.count(_ % 5 == 4).toLong)
+    assert(st.decodedVideo == decodable.size.toLong)
+    assert(st.droppedQualityVideo ==
+      decodable.count(_ % 5 != 0).toLong)
+    assert(st.droppedQualityVideo > 0, "fixture must trip the gates")
+    // curated video ≡ the one-shot gate ∘ cluster ∘ keep-best replay
+    val lake = spark.read.parquet(s"$base/lake")
+      .select(col("doc_id"), col("uri"), col("mime"), col("payload"))
+      .as[M.MediaRecord](M.mediaRecordEnc)
+    val fps = M.videoFrameFingerprints(lake).toDF()
+      .where(col("ok") === 1L)
+      .select(col("doc_id"), col("frame_idx"), col("fp")).cache()
+    val gateKeep = M.videoQualityGates(fps,
+        M.decodeMjpegMeta(lake).toDF().where(col("ok") === 1L)
+          .select(col("doc_id"), col("width"), col("height")))
+      .where(col("keep")).select(col("doc_id"))
+    val gated = fps.join(gateKeep, Seq("doc_id")).cache()
+    val want = M.keepBest(
+        graft.operators.Dedup.alignedFingerprintClusters(gated,
+          "doc_id", "frame_idx", "fp", 3, 64),
+        gated.groupBy(col("doc_id")).agg(count(lit(1)).as("n_obs")),
+        Seq("n_obs"))
+      .where(col("is_best"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val curatedVid = spark.read.parquet(s"$base/out/curated")
+      .where(col("modality") === "video")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(curatedVid == want)
+    assert(want.nonEmpty, "fam-0 keepers must survive")
+    assert(st.keptVideo == want.size.toLong)
+    assert(curatedVid.forall(_ % 5 == 0), "only fam-0 clips survive")
+    // the keepers deduplicate (same-g fam-0 clips are byte-identical)
+    assert(st.keptVideo < decodable.count(_ % 5 == 0).toLong)
   }
 
   test("corpus-media with an eval set: kept stills and WAV/AIFF " +
@@ -768,6 +826,59 @@ class MainSpec extends SparkSpec {
       .select(col("bucket")).collect().map(_.getString(0)).toSet
     assert(Set("M4A ", "heic", "mif1", "avif").subsetOf(buckets),
       s"container buckets: $buckets")
+  }
+
+  test("corpus-media ISO metadata profile: kept HEIF stills bucket " +
+    "into image resolution bands from their ispe dims, kept M4A " +
+    "audio into duration bands from mvhd — the q303 readout composed") {
+    import org.apache.spark.sql.functions._
+    val M = graft.operators.Multimodal
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_isometa").toString
+    val s2 = spark; import s2.implicits._
+    M.encodeIsoMetaFixture((0L until 60L).toDF("doc_id"), "doc_id")
+      .toDF().write.parquet(s"$base/lake")
+    val st = Main.runCorpusMedia(spark, s"$base/lake", s"$base/out",
+      shardBytes = 4096)
+    assert(st.keptImage > 0 && st.keptAudio > 0)
+    val prof = spark.read.parquet(s"$base/out/profile")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2)) -> r.getLong(3)).toMap
+    // replay the expected buckets off the kept rows via the same
+    // oracle-checked decoder (q303)
+    def buckets(modality: String): Map[(String, String, String), Long] = {
+      val m = M.decodeIsoMeta(spark.read.parquet(s"$base/out/curated")
+          .where(col("modality") === modality)
+          .select(col("doc_id"), col("uri"), col("mime"),
+            col("payload"))
+          .as[M.MediaRecord](M.mediaRecordEnc)).toDF()
+        .where(col("ok") === 1L)
+      if (modality == "image")
+        m.select((col("width") * col("height")).as("px"))
+          .collect().map(_.getLong(0))
+          .groupBy(px => if (px < 1024L) "tiny"
+            else if (px < 2048L) "small" else "medium")
+          .map { case (b, xs) =>
+            (modality, "resolution", b) -> xs.size.toLong }
+      else
+        m.select(col("duration_ms")).collect().map(_.getLong(0))
+          .groupBy(d => if (d < 10L) "lt_10ms"
+            else if (d < 20L) "lt_20ms" else "ge_20ms")
+          .map { case (b, xs) =>
+            (modality, "duration", b) -> xs.size.toLong }
+    }
+    val wantImg = buckets("image")
+    val wantAud = buckets("audio")
+    assert(wantImg.nonEmpty, "HEIF keeps must carry ispe dims")
+    assert(wantAud.nonEmpty, "M4A keeps must carry mvhd durations")
+    wantImg.foreach { case (k, n) =>
+      assert(prof.get(k).contains(n), s"profile $k: ${prof.get(k)}") }
+    wantAud.foreach { case (k, n) =>
+      assert(prof.get(k).contains(n), s"profile $k: ${prof.get(k)}") }
+    // the brand buckets stay (container dimension), health all ok
+    assert(prof.keys.exists(k => k._2 == "container" &&
+      Set("M4A ", "heic", "mif1", "avif").contains(k._3)))
+    assert(!prof.keys.exists(_._3 == "corrupt"))
   }
 
   test("corpus-paired CLI: the composed paired funnel's kept mass IS " +

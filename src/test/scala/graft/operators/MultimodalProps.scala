@@ -131,6 +131,14 @@ object MultimodalProps extends Properties("MultimodalDecode") {
     }
   }
 
+  property("decodeIsoMetaHeader never throws, only accepts ftyp-first " +
+    "payloads, and its acceptance equals the health gate's") =
+    forAll(payload) { b =>
+      val got = Multimodal.decodeIsoMetaHeader(b)
+      got.isDefined == Multimodal.isoBmffWalks(b) &&
+        got.forall(_._1.length == 4)
+    }
+
   property("isoBmffWalks never throws and only accepts ftyp-first " +
     "payloads") = forAll(payload) { b =>
     !Multimodal.isoBmffWalks(b) || (b.length >= 16 &&

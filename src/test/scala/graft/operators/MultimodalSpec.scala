@@ -860,4 +860,77 @@ class MultimodalSpec extends SparkSpec {
     assert(ref.exists(p => p._4 != p._5))
     fps.unpersist()
   }
+
+  test("videoQualityGates: a static-camera SCENE (one shot, gradient " +
+    "bits) keeps; flat nothing drops; a video without readable meta " +
+    "has no row") {
+    val s2 = spark; import s2.implicits._
+    // observed-frame fingerprints: doc 1 = one-shot patterned (keeps),
+    // doc 2 = one-shot flat (all_static), doc 3 = patterned but only
+    // 2 frames (too_short), doc 4 = patterned, no meta row (dropped)
+    val fps = Seq(
+      (1L, 0L, 5L), (1L, 1L, 5L), (1L, 2L, 5L), (1L, 3L, 5L),
+      (2L, 0L, 0L), (2L, 1L, 0L), (2L, 2L, 0L), (2L, 3L, 0L),
+      (3L, 0L, 5L), (3L, 1L, 5L),
+      (4L, 0L, 5L), (4L, 1L, 5L), (4L, 2L, 5L), (4L, 3L, 5L))
+      .toDF("doc_id", "frame_idx", "fp")
+    val meta = Seq((1L, 72L, 64L), (2L, 72L, 64L), (3L, 72L, 64L))
+      .toDF("doc_id", "width", "height")
+    val got = Multimodal.videoQualityGates(fps, meta)
+      .select("doc_id", "too_short", "tiny", "all_static", "keep")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+          r.getBoolean(4)))).toMap
+    assert(got == Map(
+      1L -> ((false, false, false, true)),
+      2L -> ((false, false, true, false)),
+      3L -> ((true, false, false, false))))
+  }
+
+  test("keepBest: lexicographic quality dominance (first column " +
+    "wins), ties to the smallest id, members without a quality row " +
+    "drop") {
+    val s2 = spark; import s2.implicits._
+    val clusters = Seq((10L, 1L), (11L, 1L), (12L, 1L), (13L, 1L),
+      (20L, 2L), (21L, 2L))
+      .toDF("doc_id", "cluster_id")
+    // doc 12: highest primary, low secondary — must win over doc 11's
+    // higher secondary; docs 20/21 tie on both — min id wins; doc 13
+    // has no quality row — absent from the output
+    val quality = Seq((10L, 1L, 9L), (11L, 2L, 9L), (12L, 3L, 0L),
+      (20L, 5L, 5L), (21L, 5L, 5L))
+      .toDF("doc_id", "q1", "q2")
+    val got = Multimodal.keepBest(clusters, quality, Seq("q1", "q2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    assert(got == Set(
+      (10L, 1L, 12L, false), (11L, 1L, 12L, false),
+      (12L, 1L, 12L, true),
+      (20L, 2L, 20L, true), (21L, 2L, 20L, false)))
+  }
+
+  test("imageDhashMeta decode-once pass ≡ imageDhash + decodeImageMeta " +
+    "run separately (fingerprint, ok mask, and dims all agree)") {
+    val docs = Tables.documents(spark, sf).limit(120)
+    val media = Multimodal.encodeGradientImageFixture(docs, "doc_id")
+    val combined = Multimodal.imageDhashMeta(media).toDF()
+      .select("doc_id", "ok", "dhash", "width", "height")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))).toMap
+    val dh = Multimodal.imageDhash(media).toDF()
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2))))).toMap
+    val meta = Multimodal.decodeImageMeta(media).toDF()
+      .select("doc_id", "ok", "width", "height")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(combined.keySet == dh.keySet)
+    combined.foreach { case (id, (ok, fp, w, h)) =>
+      assert((ok, fp) == dh(id), s"doc $id fingerprint")
+      if (ok == 1L)
+        assert((1L, w, h) == meta(id), s"doc $id dims")
+    }
+    assert(combined.values.exists(_._1 == 1L))
+    assert(combined.values.exists(_._1 == 0L))
+  }
 }
