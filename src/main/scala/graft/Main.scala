@@ -47,8 +47,9 @@ object Main {
       corpusMedia(mediaParquet, outDir,
         shardBytes = rest.headOption.map(_.toLong).getOrElse(64L << 20),
         evalPath = evalPath)
-    case "paired-fixture" :: docsParquet :: outDir :: Nil =>
-      pairedFixture(docsParquet, outDir)
+    case "paired-fixture" :: docsParquet :: outDir :: rest
+        if rest.isEmpty || rest == List("--tri") =>
+      pairedFixture(docsParquet, outDir, tri = rest.nonEmpty)
     case "corpus-paired" :: pairedParquet :: outDir :: rest0
         if popEval(rest0)._2.size <= 1 =>
       val (evalPath, rest) = popEval(rest0)
@@ -139,7 +140,7 @@ object Main {
       profile(srcParquet, outDir, cols)
     case _ =>
       System.err.println(
-        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] [--eval <docsParquet>] | media-fixture <docsParquet> <outDir> | corpus-media <mediaParquet> <outDir> [shardBytes] [--eval <mediaParquet>] | paired-fixture <docsParquet> <outDir> | corpus-paired <pairedParquet> <outDir> [shardBytes] [--eval <pairedParquet>] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | checksum-ingest <parquet> <groupCol> <textCol> <storeDir> | kmv-ingest <parquet> <groupCol> <textCol> <storeDir> [k] | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | df-ingest <docsParquet> <storeDir> <outDir> [minDf] | export-shards <docsParquet> <outDir> <shardBytes> | export-zorder <parquet> <outDir> <xCol> <yCol> [bits [files]] | zorder-maintain <parquet> <outDir> <xCol> <yCol> | dhash-ingest <mediaParquet> <storeDir> <outDir> | audiofp-ingest <mediaParquet> <storeDir> <outDir> | videofp-ingest <mediaParquet> <storeDir> <outDir> | gif-ingest <mediaParquet> <storeDir> <outDir> | bpe-train <docsParquet> <outParquet> [nMerges] | bpe-apply <docsParquet> <mergesParquet> <outDir> | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | stream-sessionize <eventsDir> <outDir> <ckptDir> [gapMinutes] | stream-dedup <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-route <mediaDir> <outDir> <ckptDir> | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
+        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] [--eval <docsParquet>] | media-fixture <docsParquet> <outDir> | corpus-media <mediaParquet> <outDir> [shardBytes] [--eval <mediaParquet>] | paired-fixture <docsParquet> <outDir> [--tri] | corpus-paired <pairedParquet> <outDir> [shardBytes] [--eval <pairedParquet>] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | checksum-ingest <parquet> <groupCol> <textCol> <storeDir> | kmv-ingest <parquet> <groupCol> <textCol> <storeDir> [k] | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | df-ingest <docsParquet> <storeDir> <outDir> [minDf] | export-shards <docsParquet> <outDir> <shardBytes> | export-zorder <parquet> <outDir> <xCol> <yCol> [bits [files]] | zorder-maintain <parquet> <outDir> <xCol> <yCol> | dhash-ingest <mediaParquet> <storeDir> <outDir> | audiofp-ingest <mediaParquet> <storeDir> <outDir> | videofp-ingest <mediaParquet> <storeDir> <outDir> | gif-ingest <mediaParquet> <storeDir> <outDir> | bpe-train <docsParquet> <outParquet> [nMerges] | bpe-apply <docsParquet> <mergesParquet> <outDir> | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | stream-sessionize <eventsDir> <outDir> <ckptDir> [gapMinutes] | stream-dedup <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-route <mediaDir> <outDir> <ckptDir> | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
       sys.exit(2)
   }
 
@@ -1037,7 +1038,8 @@ object Main {
     val s = runCorpusPaired(spark, pairedParquet, outDir, shardBytes,
       evalPath)
     println(s"[corpus-paired] raw=${s.raw} decodable=${s.decodable} " +
-      s"dropped_image=${s.droppedImage} kept=${s.kept} " +
+      s"dropped_image=${s.droppedImage} " +
+      s"dropped_audio=${s.droppedAudio} kept=${s.kept} " +
       s"decontam_dropped=${s.droppedEval} " +
       s"shards=${s.shards} exported=${s.exported}")
     spark.stop()
@@ -1056,26 +1058,42 @@ object Main {
     * input): each document row paired with its same-id gradient-PNG
     * fixture image — decodable-image rows carry real payload bytes,
     * the fixture's corrupt families stay in (the funnel must drop
-    * and count them). */
-  private def pairedFixture(docsParquet: String, outDir: String): Unit = {
+    * and count them). `--tri` adds an `audio` column (the same-id
+    * waveform fixture's WAV bytes) — the TRI-MODAL training-triple
+    * lake that flips `corpus-paired` to q286's k=3 union decision. */
+  private def pairedFixture(docsParquet: String, outDir: String,
+      tri: Boolean = false): Unit = {
     val spark = GraftSession.local()
-    val n = runPairedFixture(spark, docsParquet, outDir)
-    println(s"paired-fixture: $n paired rows under $outDir")
+    val n = runPairedFixture(spark, docsParquet, outDir, tri)
+    println(s"paired-fixture: $n paired rows under $outDir" +
+      (if (tri) " (tri-modal)" else ""))
     spark.stop()
   }
 
   /** Testable core of `paired-fixture`. */
   private[graft] def runPairedFixture(
       spark: org.apache.spark.sql.SparkSession, docsParquet: String,
-      outDir: String): Long = {
+      outDir: String, tri: Boolean = false): Long = {
     import org.apache.spark.sql.functions.col
     val M = graft.operators.Multimodal
     val docs = spark.read.parquet(docsParquet)
-    docs.select(col("doc_id"), col("text"))
+    val pairs = docs.select(col("doc_id"), col("text"))
       .join(M.encodeGradientImageFixture(docs, "doc_id").toDF()
         .select(col("doc_id"), col("uri"), col("mime"),
           col("payload")), Seq("doc_id"))
-      .write.mode("overwrite").parquet(outDir)
+    // the audio encoder runs on SHIFTED ids so its corruption
+    // residues ((id+5) % 10 ∈ {3, 6}) land on DIFFERENT rows than
+    // the image fixture's — the audio-drop accounting is only
+    // observable when a row's image decodes but its audio does not
+    val rows =
+      if (!tri) pairs
+      else pairs.join(M.encodeWaveformFixture(
+          docs.select((col("doc_id") + 5).as("doc_id")), "doc_id")
+        .toDF()
+        .select((col("doc_id") - 5).as("doc_id"),
+          col("payload").as("audio")),
+        Seq("doc_id"))
+    rows.write.mode("overwrite").parquet(outDir)
     spark.read.parquet(outDir).count()
   }
 

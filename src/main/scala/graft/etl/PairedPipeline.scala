@@ -52,8 +52,9 @@ import graft.operators.{Dedup, Multimodal, Packing}
 object PairedPipeline {
 
   final case class Stats(
-      raw: Long, decodable: Long, droppedImage: Long, kept: Long,
-      droppedEval: Long, shards: Long, exported: Long)
+      raw: Long, decodable: Long, droppedImage: Long,
+      droppedAudio: Long, kept: Long, droppedEval: Long, shards: Long,
+      exported: Long)
 
   private val pairCols = Seq("doc_id", "text", "uri", "mime", "payload")
 
@@ -61,7 +62,21 @@ object PairedPipeline {
     * mime, payload), writing `curated/` (kept pairs) and `shards/`
     * (+ `_manifest`) under `outDir`. Minhash parameters default to
     * the registry's q273 configuration so the kept mass is the
-    * oracle-checked policy row. */
+    * oracle-checked policy row.
+    *
+    * TRI-MODAL rows (r18): when the input carries an `audio` column
+    * (a third per-row payload — the caption+image+audio training
+    * triple), the keep decision upgrades from q273's bipartite
+    * closure to q286's k-PARTITE one: audio near-dup clusters
+    * (q266's envelope rung) join the cell graph through the per-doc
+    * spanning path t-node — i-node — a-node (nodes at `3·cid +
+    * {0,1,2}`), and two triples are duplicates when they chain
+    * through ANY modality's clusters. Rows whose audio fails decode
+    * drop and are counted (`droppedAudio` — a triple without usable
+    * audio is not a training triple, the image rule's sibling); the
+    * eval gate gains the audio envelope rung (compose-OR, q296); the
+    * shard meter adds the audio octets. Without the column the
+    * 2-modal path is byte-identical to before. */
   def curate(spark: SparkSession, pairedParquet: String, outDir: String,
       shardBytes: Long = 64L << 20, maxHamming: Int = 3,
       threshold: Double = 0.5, minhashK: Int = 16,
@@ -74,10 +89,13 @@ object PairedPipeline {
       contaminatedAt: Double = 0.2, decontamHamming: Int = 3): Stats =
     CacheScope.withScope { scope =>
       val paired = spark.read.parquet(pairedParquet)
+      val hasAudio = paired.columns.contains("audio")
+      val outCols = if (hasAudio) pairCols :+ "audio" else pairCols
       val raw = paired.count()
 
       // 1. per-modality decisions. Text clusters cover every row;
-      // image clusters only the decodable payloads.
+      // image (and audio, tri-modal) clusters only the decodable
+      // payloads.
       val textC = Dedup.nearDupClusters(paired, "doc_id",
         Dedup.minhashLshPairs(paired, "doc_id", "text",
           threshold = threshold, k = minhashK, bands = minhashBands,
@@ -93,23 +111,51 @@ object PairedPipeline {
       val imgC = Dedup.fingerprintClusters(dh, "doc_id", "fp",
           maxHamming = maxHamming, bits = 64, scope = scope)
         .select(col("doc_id"), col("cluster_id").as("icid"))
-      val joint = scope.persist(textC.join(imgC, Seq("doc_id")))
-      val decodable = joint.count()
+      val joint2 = scope.persist(textC.join(imgC, Seq("doc_id")))
+      val decodable2 = joint2.count()
 
-      // 2. the compose-OR keep decision — q273's union closure, per
-      // doc: components of the bipartite cell graph, docs attached
-      // through their t-node, min-id canonical per component. The
-      // cell/component frames scale with the corpus: shuffle joins
-      // only.
-      val cells = joint.select((col("tcid") * 2).as("doc_a"),
-        (col("icid") * 2 + 1).as("doc_b")).distinct()
+      // tri-modal: audio payloads ride the same MediaRecord decode
+      // shape (the row's uri/mime carry over — the envelope hash
+      // reads bytes only); a triple whose audio fails decode is not
+      // a training triple, the image rule's sibling
+      def audioAsMedia(df: DataFrame) = df
+        .select(col("doc_id"), col("uri"), col("mime"),
+          col("audio").as("payload"))
+        .as[Multimodal.MediaRecord](Multimodal.mediaRecordEnc)
+      val audFp =
+        if (hasAudio) scope.persist(
+          Multimodal.audioFingerprints(audioAsMedia(paired)).toDF()
+            .where(col("ok") === 1L)
+            .select(col("doc_id"), col("fp")))
+        else spark.emptyDataFrame
+      val joint = if (!hasAudio) joint2 else scope.persist(
+        joint2.join(Dedup.fingerprintClusters(audFp, "doc_id", "fp",
+            maxHamming = maxHamming, bits = 64, scope = scope)
+          .select(col("doc_id"), col("cluster_id").as("acid")),
+          Seq("doc_id")))
+      val decodable = if (hasAudio) joint.count() else decodable2
+
+      // 2. the compose-OR keep decision — q273's union closure at
+      // k = 2, q286's at k = 3, per doc: components of the k-partite
+      // cell graph (each doc contributes its spanning path t-node —
+      // i-node [— a-node], nodes at k·cid + modality offset), docs
+      // attached through their t-node, min-id canonical per
+      // component. The cell/component frames scale with the corpus:
+      // shuffle joins only.
+      val k = if (hasAudio) 3 else 2
+      val tiCells = joint.select((col("tcid") * k).as("doc_a"),
+        (col("icid") * k + 1).as("doc_b")).distinct()
+      val cells = if (!hasAudio) tiCells
+        else tiCells.unionByName(
+          joint.select((col("icid") * k + 1).as("doc_a"),
+            (col("acid") * k + 2).as("doc_b")).distinct())
       val nodes = cells.select(col("doc_a").as("node"))
         .unionByName(cells.select(col("doc_b").as("node"))).distinct()
       val comps = Dedup.nearDupClusters(nodes, "node", cells)
         .select(col("doc_id").as("__node"), col("cluster_id")
           .as("__comp"))
       val keepIds = joint
-        .select(col("doc_id"), (col("tcid") * 2).as("__node"))
+        .select(col("doc_id"), (col("tcid") * k).as("__node"))
         .join(comps, Seq("__node"))
         .groupBy(col("__comp"))
         .agg(min(col("doc_id")).as("doc_id"))
@@ -119,8 +165,10 @@ object PairedPipeline {
       // dedup and export) — compose-OR like the keep policy: text
       // overlap (q49's broadcast-eval shingle gate over the caption)
       // OR image proximity (q295's fingerprintDecontam over the
-      // already-persisted pair dHashes — no payload re-decode).
-      val keptPairs0 = paired.select(pairCols.map(col): _*)
+      // already-persisted pair dHashes — no payload re-decode) OR,
+      // tri-modal, audio envelope proximity (q296's rung, when the
+      // eval set carries an audio column too).
+      val keptPairs0 = paired.select(outCols.map(col): _*)
         .join(keepIds, Seq("doc_id"))
       val (keptPairs, droppedEval) = eval match {
         case Some(ev) =>
@@ -140,14 +188,26 @@ object PairedPipeline {
             dh.join(kp.select(col("doc_id")), Seq("doc_id")),
             evImgFp, "doc_id", "fp", maxHamming = decontamHamming,
             bits = 64).select(col("doc_id"))
+          val audFlagged =
+            if (hasAudio && ev.columns.contains("audio"))
+              Dedup.fingerprintDecontam(
+                audFp.join(kp.select(col("doc_id")), Seq("doc_id")),
+                Multimodal.audioFingerprints(audioAsMedia(ev)).toDF()
+                  .where(col("ok") === 1L)
+                  .select(col("doc_id"), col("fp")),
+                "doc_id", "fp", maxHamming = decontamHamming,
+                bits = 64).select(col("doc_id"))
+            else textFlagged.limit(0)
           val flagged = scope.persist(
-            textFlagged.unionByName(imgFlagged).distinct())
+            textFlagged.unionByName(imgFlagged)
+              .unionByName(audFlagged).distinct())
           (kp.join(flagged, Seq("doc_id"), "left_anti"),
             flagged.count())
         case None => (keptPairs0, 0L)
       }
 
-      // 3. curated pairs + weighted shard export.
+      // 3. curated pairs + weighted shard export (the audio octets
+      // ride the shard file too, so they meter it too).
       keptPairs.write.mode("overwrite").parquet(s"$outDir/curated")
       val curated = spark.read.parquet(s"$outDir/curated")
       val kept = curated.count()
@@ -155,11 +215,12 @@ object PairedPipeline {
       val fs = shardsPath.getFileSystem(
         spark.sparkContext.hadoopConfiguration)
       if (fs.exists(shardsPath)) fs.delete(shardsPath, true)
+      val rowWeight = octet_length(col("text")) +
+        octet_length(col("payload")) +
+        (if (hasAudio) octet_length(col("audio")) else lit(0))
       val (shards, exported) = Packing.writeShardsWeighted(curated,
-        "doc_id", octet_length(col("text")) +
-          octet_length(col("payload")),
-        s"$outDir/shards", shardBytes)
-      Stats(raw, decodable, raw - decodable, kept, droppedEval,
-        shards, exported)
+        "doc_id", rowWeight, s"$outDir/shards", shardBytes)
+      Stats(raw, decodable, raw - decodable2, decodable2 - decodable,
+        kept, droppedEval, shards, exported)
     }
 }

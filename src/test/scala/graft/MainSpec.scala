@@ -828,6 +828,120 @@ class MainSpec extends SparkSpec {
       s"container buckets: $buckets")
   }
 
+  test("corpus-paired tri-modal: an audio column flips the keep " +
+    "decision to the k=3 union closure (q286's cell graph), " +
+    "audio-undecodable triples drop counted, and the manifest " +
+    "meters all three payloads") {
+    import org.apache.spark.sql.functions._
+    val M = graft.operators.Multimodal
+    val D = graft.operators.Dedup
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cptri").toString
+    val sfDir = "/root/testdata/sf0.001"
+    val n = Main.runPairedFixture(spark, s"$sfDir/documents.parquet",
+      s"$base/lake", tri = true)
+    val lake = spark.read.parquet(s"$base/lake").cache()
+    assert(lake.columns.contains("audio"))
+    val st = Main.runCorpusPaired(spark, s"$base/lake", s"$base/out",
+      shardBytes = 8192)
+    assert(st.raw == n)
+    assert(st.droppedImage > 0, "corrupt-image rows must drop")
+    assert(st.droppedAudio > 0,
+      "image-ok but audio-corrupt rows must drop counted")
+    assert(st.raw ==
+      st.decodable + st.droppedImage + st.droppedAudio)
+    // kept ≡ the q286-style k=3 union closure replayed with the
+    // same one-shot operators over the same lake
+    val textC = D.nearDupClusters(lake, "doc_id",
+        D.minhashLshPairs(lake, "doc_id", "text", threshold = 0.5,
+          k = 16, bands = 4))
+      .select(col("doc_id"), col("cluster_id").as("tcid"))
+    val imgC = D.fingerprintClusters(
+        M.imageDhash(lake.select(col("doc_id"), col("uri"),
+            col("mime"), col("payload"))
+          .as[M.MediaRecord](M.mediaRecordEnc)).toDF()
+          .where(col("ok") === 1L)
+          .select(col("doc_id"), col("dhash").as("fp")),
+        "doc_id", "fp", 3, 64)
+      .select(col("doc_id"), col("cluster_id").as("icid"))
+    val audC = D.fingerprintClusters(
+        M.audioFingerprints(lake.select(col("doc_id"), col("uri"),
+            col("mime"), col("audio").as("payload"))
+          .as[M.MediaRecord](M.mediaRecordEnc)).toDF()
+          .where(col("ok") === 1L)
+          .select(col("doc_id"), col("fp")),
+        "doc_id", "fp", 3, 64)
+      .select(col("doc_id"), col("cluster_id").as("acid"))
+    val joint = textC.join(imgC, Seq("doc_id"))
+      .join(audC, Seq("doc_id")).cache()
+    assert(st.decodable == joint.count())
+    val cells = joint.select((col("tcid") * 3).as("doc_a"),
+        (col("icid") * 3 + 1).as("doc_b")).distinct()
+      .unionByName(joint.select((col("icid") * 3 + 1).as("doc_a"),
+        (col("acid") * 3 + 2).as("doc_b")).distinct())
+    val nodes = cells.select(col("doc_a").as("node"))
+      .unionByName(cells.select(col("doc_b").as("node"))).distinct()
+    val comps = D.nearDupClusters(nodes, "node", cells)
+      .select(col("doc_id").as("__node"), col("cluster_id").as("__c"))
+    val want = joint
+      .select(col("doc_id"), (col("tcid") * 3).as("__node"))
+      .join(comps, Seq("__node"))
+      .groupBy(col("__c")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val got = spark.read.parquet(s"$base/out/curated")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    assert(st.kept == want.size.toLong)
+    assert(st.kept < st.decodable, "the k=3 policy must dedup")
+    // the manifest meters text + image + audio octets
+    val wantBytes = spark.read.parquet(s"$base/out/curated")
+      .agg(sum(octet_length(col("text")) +
+        octet_length(col("payload")) + octet_length(col("audio")))
+        .cast("long"))
+      .collect().head.getLong(0)
+    val manBytes = spark.read.parquet(s"$base/out/shards/_manifest")
+      .agg(sum(col("n_bytes")).cast("long")).collect().head.getLong(0)
+    assert(manBytes == wantBytes)
+    // eval gate gains the audio rung: kept triples drop by
+    // compose-OR over text overlap, image proximity, AND audio
+    // envelope proximity — replayed standalone over the no-eval
+    // curated triples
+    lake.where(col("doc_id") < 12).write.parquet(s"$base/eval")
+    val curated0 = spark.read.parquet(s"$base/out/curated")
+    val evalLake = spark.read.parquet(s"$base/eval")
+    def fpOf(df: org.apache.spark.sql.DataFrame, payloadCol: String,
+        dhash: Boolean) = {
+      val m = df.select(col("doc_id"), col("uri"), col("mime"),
+        col(payloadCol).as("payload")).as[M.MediaRecord](M.mediaRecordEnc)
+      (if (dhash) M.imageDhash(m).toDF()
+          .withColumnRenamed("dhash", "fp")
+        else M.audioFingerprints(m).toDF())
+        .where(col("ok") === 1L).select(col("doc_id"), col("fp"))
+    }
+    def flaggedOf(train: org.apache.spark.sql.DataFrame,
+        ev: org.apache.spark.sql.DataFrame): Set[Long] =
+      D.fingerprintDecontam(train, ev, "doc_id", "fp", 3, 64)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val textFlagged = D.evalOverlapRate(curated0, evalLake, "doc_id",
+        "text", contaminatedAt = 0.2)
+      .where(col("contaminated") === 1)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val imgFlagged = flaggedOf(fpOf(curated0, "payload", true),
+      fpOf(evalLake, "payload", true))
+    val audFlagged = flaggedOf(fpOf(curated0, "audio", false),
+      fpOf(evalLake, "audio", false))
+    assert(audFlagged.nonEmpty, "eval audio must collide")
+    val st1 = Main.runCorpusPaired(spark, s"$base/lake",
+      s"$base/out1", shardBytes = 8192,
+      evalPath = Some(s"$base/eval"))
+    val ids1 = spark.read.parquet(s"$base/out1/curated")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ids1 == got -- textFlagged -- imgFlagged -- audFlagged)
+    assert(st1.droppedEval ==
+      (textFlagged ++ imgFlagged ++ audFlagged).size.toLong)
+    lake.unpersist(); joint.unpersist()
+  }
+
   test("corpus-media ISO metadata profile: kept HEIF stills bucket " +
     "into image resolution bands from their ispe dims, kept M4A " +
     "audio into duration bands from mvhd — the q303 readout composed") {
