@@ -89,7 +89,7 @@ object Bench {
     "q75_grouping_sets" -> 1.08,
     "q70_novelty_store" -> 1.26,
     "q17_ngram_jaccard_neardup" -> 1.9,
-    "q31_neardup_clusters" -> 0.97,
+    "q31_neardup_clusters" -> 1.12, // re-seeded r18 (load-shaped drift, r17 hygiene item)
     "q21_embedding_neardup_ivf" -> 1.32,
     "q39_embedding_topk_ivf" -> 1.35,
     "q36_cross_contamination" -> 1.15,
@@ -106,7 +106,7 @@ object Bench {
     "q20_embedding_topk" -> 0.36,
     "q22_lang_id" -> 0.27,
     "q38_network_redact" -> 0.24,
-    "q35_repetition_signals" -> 0.19,
+    "q35_repetition_signals" -> 0.24, // re-seeded r18
     "q43_asof_join" -> 0.41,
     "q44_interval_join" -> 0.25,
     "q45_length_profile" -> 0.22,
@@ -138,7 +138,7 @@ object Bench {
     "q79_ingest_gaps" -> 0.31,
     "q80_cms_heavy_hitters" -> 0.28,
     "q81_moving_revenue" -> 0.8,
-    "q82_scd2_intervals" -> 0.4,
+    "q82_scd2_intervals" -> 0.55, // re-seeded r18
     "q83_volume_anomaly" -> 0.62,
     "q84_posting_lists" -> 1.03,
     "q85_state_dwell" -> 0.4,
@@ -202,7 +202,7 @@ object Bench {
     "q136_source_concentration" -> 0.22,
     "q137_interevent_gaps" -> 0.69,
     "q138_stickiness" -> 0.78,
-    "q139_session_cooccurrence" -> 1.0,
+    "q139_session_cooccurrence" -> 1.28, // re-seeded r18
     "q140_ivf_cell_balance" -> 1.12,
     "q141_key_candidates" -> 0.69,
     "q142_embedding_dups" -> 0.31,
@@ -262,7 +262,7 @@ object Bench {
     "q187_sorted_neighbor_match" -> 0.39,
     "q188_dedup_agreement" -> 2.75,
     "q189_skipgram_pairs" -> 1.01,
-    "q190_heaps_curve" -> 0.77,
+    "q190_heaps_curve" -> 0.88, // re-seeded r18
     // BENCH_local_r11k (focused q191-q198 run). q195 runs THREE
     // near-dup pipelines (the q188 rule); q197 pays the q31 closure
     "q191_lag_autocorrelation" -> 0.42,
@@ -289,7 +289,7 @@ object Bench {
     "q208_sole_fault_suppliers" -> 0.82,
     // focused post-canonical runs
     "q209_video_decode" -> 0.22,
-    "q210_key_skew_profile" -> 0.4,
+    "q210_key_skew_profile" -> 0.45, // re-seeded r18
     "q211_contamination_sweep" -> 0.6,
     "q212_token_fertility" -> 0.37,
     // q213 pays the full q17 pipeline + the wedge joins (pair-frame
@@ -409,7 +409,15 @@ object Bench {
     "q295_image_decontam_gate" -> 0.82,
     "q296_audio_decontam_gate" -> 1.49,
     "q297_video_decontam_gate" -> 3.95,
-    "q298_gif_decontam_gate" -> 2.46)
+    "q298_gif_decontam_gate" -> 2.46,
+    // r18 additions, seeded from the focused quiet-host run
+    // (loadavg 0.47 at start; decode-bound media fixtures dominate —
+    // q301 pays the MJPEG decode + aligned closure + argmax join)
+    "q299_video_quality_gates" -> 2.83,
+    "q300_audio_cluster_keep_best" -> 4.33,
+    "q301_video_cluster_keep_best" -> 6.36,
+    "q302_gif_cluster_keep_best" -> 4.6,
+    "q303_iso_meta_readout" -> 0.23)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -652,6 +660,11 @@ object Bench {
     "q296_audio_decontam_gate" -> 45731L,
     "q297_video_decontam_gate" -> 425908L,
     "q298_gif_decontam_gate" -> 260686L,
+    "q299_video_quality_gates" -> 618933L,
+    "q300_audio_cluster_keep_best" -> 414003L,
+    "q301_video_cluster_keep_best" -> 813611L,
+    "q302_gif_cluster_keep_best" -> 464161L,
+    "q303_iso_meta_readout" -> 149818L,
     "q21_embedding_neardup_ivf" -> 5000834L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

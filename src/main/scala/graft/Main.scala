@@ -1014,7 +1014,7 @@ object Main {
       s"vid:${s.decodedVideo} " +
       s"kept=img:${s.keptImage}/aud:${s.keptAudio}/vid:${s.keptVideo} " +
       s"decontam_dropped=img:${s.droppedEvalImage}/" +
-      s"aud:${s.droppedEvalAudio} " +
+      s"aud:${s.droppedEvalAudio}/vid:${s.droppedEvalVideo} " +
       s"quality_dropped=vid:${s.droppedQualityVideo} " +
       s"shards=${s.shards} exported=${s.exported}")
     spark.stop()

@@ -49,8 +49,11 @@ import graft.operators.{Dedup, Multimodal, Packing}
   *         set's dHashes, kept WAV/AIFF against its envelope hashes
   *         (q295/q296's perceptual [[Dedup.fingerprintDecontam]] —
   *         a benchmark leaked as a re-encode byte-compares different
-  *         but is caught here); flagged canonicals are dropped and
-  *         counted
+  *         but is caught here), and kept GIF/MJPEG canonicals against
+  *         the eval set's per-frame dHash SEQUENCES (q297/q298's
+  *         [[Dedup.alignedFingerprintDecontam]] — the rung that sees
+  *         a re-encoded/remuxed eval CLIP); flagged canonicals are
+  *         dropped and counted per modality
   *       → q221 catalog profile OVER THE KEPT media (the distributions
   *         that drive training decisions, measured on what survives)
   *       → byte-budgeted shard export with `_manifest`
@@ -88,7 +91,8 @@ object MediaPipeline {
       unroutable: Long, decodedImage: Long, decodedAudio: Long,
       decodedVideo: Long, keptImage: Long, keptAudio: Long,
       keptVideo: Long, droppedEvalImage: Long, droppedEvalAudio: Long,
-      droppedQualityVideo: Long, shards: Long, exported: Long)
+      droppedEvalVideo: Long, droppedQualityVideo: Long, shards: Long,
+      exported: Long)
 
   private val mediaCols = Seq("doc_id", "uri", "mime", "payload")
 
@@ -340,23 +344,36 @@ object MediaPipeline {
       // discipline forbids — AQE broadcasts them at small SF on its
       // own and correctly refuses when they would not fit.
       // 2b. EVAL-SET DECONTAMINATION (between dedup and export): the
-      // kept STILL canonicals gate against the eval set's dHashes and
-      // the kept WAV/AIFF canonicals against its envelope hashes —
-      // [[Dedup.fingerprintDecontam]]'s perceptual rung, the q295/
-      // q296 decision composed where a corpus team actually needs it.
-      // Eval fingerprints decode from the eval payloads by the SAME
-      // router dispatch; the gate reuses the persisted train fp
-      // frames, so no train payload is re-decoded. GIF/video
-      // sequences and the ISO exact tier keep their canonicals
-      // ungated here (the sequence rung is [[Dedup
-      // .alignedFingerprintDecontam]]'s scope — q297).
+      // kept STILL canonicals gate against the eval set's dHashes,
+      // the kept WAV/AIFF canonicals against its envelope hashes
+      // ([[Dedup.fingerprintDecontam]]'s perceptual rung — q295/
+      // q296), and since r18 the kept GIF and MJPEG canonicals gate
+      // against the eval set's per-frame dHash SEQUENCES
+      // ([[Dedup.alignedFingerprintDecontam]] — q297/q298: an eval
+      // clip leaked as a re-encode/remux byte-compares different AND
+      // escapes the single-fingerprint gates). Eval fingerprints
+      // decode from the eval payloads by the SAME router dispatch;
+      // every gate reuses the persisted train fp frames, so no train
+      // payload is re-decoded. Only the ISO exact tier keeps its
+      // canonicals ungated (the JDK cannot fingerprint those codecs
+      // — byte identity against eval bytes is subsumed by dedup when
+      // the eval rows are in the lake, and a perceptual gate would
+      // need the codec).
       def decontamDrops(trainFp: DataFrame, evalFp: DataFrame,
           keep: DataFrame): DataFrame =
         Dedup.fingerprintDecontam(
           trainFp.join(keep, Seq("doc_id")), evalFp,
           "doc_id", "fp", maxHamming = decontamHamming, bits = 64)
           .select(col("doc_id"))
-      val (keepImageG, keepAudioG, droppedEvalImage, droppedEvalAudio) =
+      def seqDecontamDrops(trainFps: DataFrame, evalFps: DataFrame,
+          keep: DataFrame): DataFrame =
+        Dedup.alignedFingerprintDecontam(
+          trainFps.join(keep, Seq("doc_id")), evalFps,
+          "doc_id", "frame_idx", "fp",
+          maxHamming = decontamHamming, bits = 64, scope = scope)
+          .select(col("doc_id"))
+      val (keepImageG, keepAudioG, keepVideoG, droppedEvalImage,
+          droppedEvalAudio, droppedEvalVideo) =
         eval match {
           case Some(ev) =>
             // the keep frames get a second consumer (gate + anti-join)
@@ -364,6 +381,7 @@ object MediaPipeline {
             // above run once
             val keepImageP = scope.persist(keepImage)
             val keepAudioP = scope.persist(keepAudio)
+            val keepVideoP = scope.persist(keepVideo)
             val evSniff = Multimodal.sniffModality(col("payload"))
             val evStill = ev.where(evSniff.startsWith("image") &&
               evSniff =!= "image/gif" && !evSniff.isin("image/heic",
@@ -377,14 +395,31 @@ object MediaPipeline {
             val evAudFp = Multimodal.audioFingerprints(asMedia(evWave))
               .toDF().where(col("ok") === 1L)
               .select(col("doc_id"), col("fp"))
+            val evGifFp = Multimodal.gifFrameFingerprints(asMedia(
+                ev.where(evSniff === "image/gif")
+                  .select(mediaCols.map(col): _*)))
+              .toDF().where(col("ok") === 1L)
+              .select(col("doc_id"), col("frame_idx"), col("fp"))
+            val evAviFp = Multimodal.videoFrameFingerprints(asMedia(
+                ev.where(evSniff === "video/x-msvideo")
+                  .select(mediaCols.map(col): _*)))
+              .toDF().where(col("ok") === 1L)
+              .select(col("doc_id"), col("frame_idx"), col("fp"))
+            // still + GIF drops both live on the image branch; the
+            // frame-frame joins restrict each gate to its own tier
             val dropsImg = scope.persist(
-              decontamDrops(imgFp, evImgFp, keepImageP))
+              decontamDrops(imgFp, evImgFp, keepImageP)
+              .unionByName(
+                seqDecontamDrops(gifFp, evGifFp, keepImageP)))
             val dropsAud = scope.persist(
               decontamDrops(audFp, evAudFp, keepAudioP))
+            val dropsVid = scope.persist(
+              seqDecontamDrops(gatedFps, evAviFp, keepVideoP))
             (keepImageP.join(dropsImg, Seq("doc_id"), "left_anti"),
               keepAudioP.join(dropsAud, Seq("doc_id"), "left_anti"),
-              dropsImg.count(), dropsAud.count())
-          case None => (keepImage, keepAudio, 0L, 0L)
+              keepVideoP.join(dropsVid, Seq("doc_id"), "left_anti"),
+              dropsImg.count(), dropsAud.count(), dropsVid.count())
+          case None => (keepImage, keepAudio, keepVideo, 0L, 0L, 0L)
         }
 
       // each branch salts against ITS OWN routed byte mass (free off
@@ -400,7 +435,7 @@ object MediaPipeline {
             lit(branchBuckets.getOrElse(modality, 1))))
       keptOf("image", keepImageG)
         .unionByName(keptOf("audio", keepAudioG))
-        .unionByName(keptOf("video", keepVideo))
+        .unionByName(keptOf("video", keepVideoG))
         .repartition(math.max(1, branchBuckets.values.sum),
           col("modality"), col("__salt"))
         .drop("__salt")
@@ -506,7 +541,8 @@ object MediaPipeline {
         keptCounts.getOrElse("image", 0L),
         keptCounts.getOrElse("audio", 0L),
         keptCounts.getOrElse("video", 0L),
-        droppedEvalImage, droppedEvalAudio, droppedQualityVideo,
+        droppedEvalImage, droppedEvalAudio, droppedEvalVideo,
+        droppedQualityVideo,
         shards, exported)
       onScope(scope)
       stats

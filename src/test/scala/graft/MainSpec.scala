@@ -668,8 +668,9 @@ class MainSpec extends SparkSpec {
   }
 
   test("corpus-media with an eval set: kept stills and WAV/AIFF " +
-    "canonicals gate against the eval fingerprints, equal to the " +
-    "standalone fingerprintDecontam over the no-eval curated tree") {
+    "canonicals gate against the eval fingerprints, kept GIF/MJPEG " +
+    "canonicals against the eval frame SEQUENCES, equal to the " +
+    "standalone gates over the no-eval curated tree") {
     import org.apache.spark.sql.functions._
     val M = graft.operators.Multimodal
     val base = java.nio.file.Files
@@ -677,13 +678,15 @@ class MainSpec extends SparkSpec {
     val s2 = spark; import s2.implicits._
     (0L until 60L).toDF("doc_id").write.parquet(s"$base/docs")
     Main.runMediaFixture(spark, s"$base/docs", s"$base/lake")
-    // eval = the first ids' media rows (the fixture fps repeat across
-    // ids, so the eval set perceptually collides with kept canonicals)
-    spark.read.parquet(s"$base/lake").where(col("doc_id") < 12)
+    // eval = the first block's media rows (< 20 spans all five fixture
+    // classes incl. MJPEG and GIF; the fixture fps repeat across ids,
+    // so the eval set perceptually collides with kept canonicals)
+    spark.read.parquet(s"$base/lake").where(col("doc_id") < 20)
       .write.parquet(s"$base/eval")
     val st0 = Main.runCorpusMedia(spark, s"$base/lake", s"$base/out0",
       shardBytes = 4096)
-    assert(st0.droppedEvalImage == 0L && st0.droppedEvalAudio == 0L)
+    assert(st0.droppedEvalImage == 0L && st0.droppedEvalAudio == 0L &&
+      st0.droppedEvalVideo == 0L)
     val curated0 = spark.read.parquet(s"$base/out0/curated")
     def asMedia(df: org.apache.spark.sql.DataFrame) =
       df.select(col("doc_id"), col("uri"), col("mime"), col("payload"))
@@ -699,30 +702,54 @@ class MainSpec extends SparkSpec {
       M.audioFingerprints(asMedia(df.where(sniff.isin("audio/wav",
           "audio/aiff")))).toDF()
         .where(col("ok") === 1L).select(col("doc_id"), col("fp"))
+    def gifFp(df: org.apache.spark.sql.DataFrame) =
+      M.gifFrameFingerprints(asMedia(df.where(
+          sniff === "image/gif"))).toDF()
+        .where(col("ok") === 1L)
+        .select(col("doc_id"), col("frame_idx"), col("fp"))
+    def aviFp(df: org.apache.spark.sql.DataFrame) =
+      M.videoFrameFingerprints(asMedia(df.where(
+          sniff === "video/x-msvideo"))).toDF()
+        .where(col("ok") === 1L)
+        .select(col("doc_id"), col("frame_idx"), col("fp"))
     val evalLake = spark.read.parquet(s"$base/eval")
     def flaggedOf(train: org.apache.spark.sql.DataFrame,
         ev: org.apache.spark.sql.DataFrame): Set[Long] =
       graft.operators.Dedup.fingerprintDecontam(train, ev,
         "doc_id", "fp", maxHamming = 3, bits = 64)
         .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    def seqFlaggedOf(train: org.apache.spark.sql.DataFrame,
+        ev: org.apache.spark.sql.DataFrame): Set[Long] =
+      graft.operators.Dedup.alignedFingerprintDecontam(train, ev,
+        "doc_id", "frame_idx", "fp", maxHamming = 3, bits = 64)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     val flaggedImg = flaggedOf(stillFp(curated0), stillFp(evalLake))
     val flaggedAud = flaggedOf(waveFp(curated0), waveFp(evalLake))
+    val flaggedGif = seqFlaggedOf(gifFp(curated0), gifFp(evalLake))
+    val flaggedVid = seqFlaggedOf(aviFp(curated0), aviFp(evalLake))
     assert(flaggedImg.nonEmpty, "eval stills must collide")
     assert(flaggedAud.nonEmpty, "eval audio must collide")
+    assert(flaggedGif.nonEmpty, "eval GIF sequences must collide")
+    assert(flaggedVid.nonEmpty, "eval MJPEG sequences must collide")
     val st1 = Main.runCorpusMedia(spark, s"$base/lake", s"$base/out1",
       shardBytes = 4096, evalPath = Some(s"$base/eval"))
     val ids0 = curated0.select(col("doc_id")).collect()
       .map(_.getLong(0)).toSet
     val ids1 = spark.read.parquet(s"$base/out1/curated")
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
-    assert(ids1 == ids0 -- flaggedImg -- flaggedAud)
-    assert(st1.droppedEvalImage == flaggedImg.size.toLong)
+    assert(ids1 == ids0 -- flaggedImg -- flaggedAud -- flaggedGif --
+      flaggedVid)
+    assert(st1.droppedEvalImage ==
+      (flaggedImg ++ flaggedGif).size.toLong)
     assert(st1.droppedEvalAudio == flaggedAud.size.toLong)
+    assert(st1.droppedEvalVideo == flaggedVid.size.toLong)
     // the export and profile run over the GATED canonicals
     assert(st1.exported ==
       st1.keptImage + st1.keptAudio + st1.keptVideo)
-    assert(st1.keptImage == st0.keptImage - flaggedImg.size)
+    assert(st1.keptImage ==
+      st0.keptImage - (flaggedImg ++ flaggedGif).size)
     assert(st1.keptAudio == st0.keptAudio - flaggedAud.size)
+    assert(st1.keptVideo == st0.keptVideo - flaggedVid.size)
   }
 
   test("corpus-paired with an eval set: kept pairs drop by compose-OR " +
