@@ -1015,7 +1015,8 @@ object Main {
       s"kept=img:${s.keptImage}/aud:${s.keptAudio}/vid:${s.keptVideo} " +
       s"decontam_dropped=img:${s.droppedEvalImage}/" +
       s"aud:${s.droppedEvalAudio}/vid:${s.droppedEvalVideo} " +
-      s"quality_dropped=vid:${s.droppedQualityVideo} " +
+      s"quality_dropped=img:${s.droppedQualityImage}/" +
+      s"aud:${s.droppedQualityAudio}/vid:${s.droppedQualityVideo} " +
       s"shards=${s.shards} exported=${s.exported}")
     spark.stop()
   }

@@ -17,11 +17,17 @@ import graft.operators.{Dedup, Multimodal, Packing}
   *   raw → modality routing by MAGIC BYTES (q263 — crawler mimes lie;
   *         the routed tree is written partitioned by modality so every
   *         later stage reads ONLY its modality's payload bytes)
-  *       → VIDEO QUALITY GATE on the MJPEG tier (q299's keep —
-  *         too-short / tiny-resolution / all-static clips drop and
-  *         are counted BEFORE dedup, so junk never becomes a
-  *         canonical; the gate folds over the fingerprint frame the
-  *         dedup pass computes anyway — no extra decode)
+  *       → PER-MODALITY QUALITY GATES before each tier's dedup (junk
+  *         never becomes a canonical), each read off a pass the
+  *         funnel already runs — no extra decode anywhere: stills
+  *         drop flat / sub-`imageMinPx` / extreme-aspect (q292's
+  *         decision off the one-pass dHash+dims frame), audio drops
+  *         below the `audioMinFrames` duration bar (q293's too-short
+  *         rule off the header meta; the envelope decode itself
+  *         already enforces ≥ 65 windows), MJPEG clips drop
+  *         too-short / tiny-resolution / all-static (q299's keep off
+  *         the fingerprint frame + avih header); every drop counted
+  *         per modality
   *       → per-modality dedup decision with a KEEP-BEST canonical
   *         (never min-id where quality varies: stills keep the
   *         highest-resolution member — q294, audio the highest
@@ -91,8 +97,9 @@ object MediaPipeline {
       unroutable: Long, decodedImage: Long, decodedAudio: Long,
       decodedVideo: Long, keptImage: Long, keptAudio: Long,
       keptVideo: Long, droppedEvalImage: Long, droppedEvalAudio: Long,
-      droppedEvalVideo: Long, droppedQualityVideo: Long, shards: Long,
-      exported: Long)
+      droppedEvalVideo: Long, droppedQualityImage: Long,
+      droppedQualityAudio: Long, droppedQualityVideo: Long,
+      shards: Long, exported: Long)
 
   private val mediaCols = Seq("doc_id", "uri", "mime", "payload")
 
@@ -155,7 +162,16 @@ object MediaPipeline {
       // the kept canonicals — perceptual, so a benchmark image/clip
       // leaked as a re-encode is still caught); None skips the stage
       eval: Option[DataFrame] = None,
-      decontamHamming: Int = 3): Stats =
+      decontamHamming: Int = 3,
+      // per-modality quality-gate thresholds (r18 — the q292/q293/
+      // q299 gates composed BEFORE each tier's dedup). Defaults are
+      // deliberately permissive floors (a funnel default must not
+      // surprise-drop a healthy lake); a corpus team tightens them to
+      // its own curation bar. Flat (zero-gradient) stills and the
+      // video gates are not parameterized — flat nothing is junk at
+      // any bar.
+      imageMinPx: Long = 64L, imageAspectMax: Int = 8,
+      audioMinFrames: Long = 256L): Stats =
     CacheScope.withScope { scope =>
       require(routedFileBytes >= 1,
         s"need routedFileBytes >= 1, got $routedFileBytes")
@@ -228,7 +244,19 @@ object MediaPipeline {
           .where(col("ok") === 1L)
           .select(col("doc_id"), col("dhash"), col("width"),
             col("height")))
-      val imgFp = imgDm.select(col("doc_id"), col("dhash").as("fp"))
+      // r18 IMAGE QUALITY GATE — q292's decision read off the SAME
+      // one-pass frame (zero extra decode), BEFORE dedup so junk
+      // never becomes a canonical: flat (zero-gradient) stills,
+      // sub-`imageMinPx` thumbnails, and extreme-aspect strips drop
+      // counted; stills smaller than the dHash grid are already
+      // ok=0 at the decode gate above.
+      val imgGated = scope.persist(imgDm.where(
+        col("dhash") =!= 0L &&
+          col("width") * col("height") >= imageMinPx &&
+          greatest(col("width"), col("height")) <=
+            least(col("width"), col("height")) * imageAspectMax))
+      val droppedQualityImage = imgDm.count() - imgGated.count()
+      val imgFp = imgGated.select(col("doc_id"), col("dhash").as("fp"))
       val gifFp = scope.persist(
         Multimodal.gifFrameFingerprints(asMedia(imgRouted.where(isGif)))
           .toDF().where(col("ok") === 1L)
@@ -244,7 +272,7 @@ object MediaPipeline {
       val keepImage = Multimodal.keepBestResolution(
           Dedup.fingerprintClusters(imgFp, "doc_id", "fp",
             maxHamming = maxHamming, bits = 64, scope = scope),
-          imgDm.select(col("doc_id"), col("width"), col("height")))
+          imgGated.select(col("doc_id"), col("width"), col("height")))
         .where(col("is_best")).select(col("doc_id"))
         .unionByName(Multimodal.keepBest(
             Dedup.alignedFingerprintClusters(gifFp, "doc_id",
@@ -260,26 +288,38 @@ object MediaPipeline {
       val audRouted = routedOf("audio")
       val isIsoAud = Multimodal.sniffModality(col("payload")) ===
         "audio/mp4"
-      val audFp = scope.persist(
+      val audFpAll = scope.persist(
         Multimodal.audioFingerprints(asMedia(audRouted.where(!isIsoAud)))
           .toDF()
           .where(col("ok") === 1L)
           .select(col("doc_id"), col("fp")))
       val (isoAudDecoded, isoAudKeep) =
         exactIsoTier(audRouted.where(isIsoAud))
-      val decodedAudio = audFp.count() + isoAudDecoded
+      val decodedAudio = audFpAll.count() + isoAudDecoded
+      // header-only meta pass: the keep-best quality AND the duration
+      // bar (no second PCM decode; the envelope pass above is the
+      // only sample scan)
+      val audMeta = scope.persist(
+        Multimodal.decodeAudioMeta(asMedia(audRouted.where(!isIsoAud)))
+          .toDF().where(col("ok") === 1L)
+          .select(col("doc_id"), col("sample_rate"), col("n_frames")))
+      // r18 AUDIO QUALITY BAR — q293's too-short rule composed as a
+      // configurable `n_frames >= audioMinFrames` floor BEFORE dedup.
+      // The envelope decode already enforces >= 65 windows (16640
+      // samples, ~2 s at 8 kHz) structurally, so the default bar is
+      // permissive; a speech-corpus team raises it (e.g. 10 s · rate).
+      // The quiet-share gate stays q293's standalone scope — it needs
+      // the segment pass, a second PCM decode this funnel refuses.
+      val audFp = scope.persist(audFpAll.join(
+        audMeta.where(col("n_frames") >= audioMinFrames)
+          .select(col("doc_id")), Seq("doc_id")))
+      val droppedQualityAudio = audFpAll.count() - audFp.count()
       // keep-best on the audio rung (q300): highest sample rate, then
-      // most frames — read from the HEADER-only meta pass (no second
-      // PCM decode; the envelope pass above is the only sample scan)
+      // most frames
       val keepAudio = Multimodal.keepBest(
           Dedup.fingerprintClusters(audFp, "doc_id", "fp",
             maxHamming = maxHamming, bits = 64, scope = scope),
-          Multimodal.decodeAudioMeta(asMedia(audRouted
-              .where(!isIsoAud))).toDF()
-            .where(col("ok") === 1L)
-            .select(col("doc_id"), col("sample_rate"),
-              col("n_frames")),
-          Seq("sample_rate", "n_frames"))
+          audMeta, Seq("sample_rate", "n_frames"))
         .where(col("is_best")).select(col("doc_id"))
         .unionByName(isoAudKeep)
 
@@ -542,7 +582,7 @@ object MediaPipeline {
         keptCounts.getOrElse("audio", 0L),
         keptCounts.getOrElse("video", 0L),
         droppedEvalImage, droppedEvalAudio, droppedEvalVideo,
-        droppedQualityVideo,
+        droppedQualityImage, droppedQualityAudio, droppedQualityVideo,
         shards, exported)
       onScope(scope)
       stats

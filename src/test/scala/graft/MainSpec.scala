@@ -532,6 +532,10 @@ class MainSpec extends SparkSpec {
     // decode gates drop the truncated-but-routable family
     assert(st.decodedImage < st.routedImage)
     assert(st.decodedAudio < st.routedAudio)
+    // the default quality bars are permissive floors: the healthy
+    // demo lake loses nothing to them
+    assert(st.droppedQualityImage == 0L)
+    assert(st.droppedQualityAudio == 0L)
     // shards: read-back ≡ manifest, every shard one file
     val shards = spark.read.parquet(s"$base/out/shards")
     assert(st.exported ==
@@ -665,6 +669,58 @@ class MainSpec extends SparkSpec {
     assert(curatedVid.forall(_ % 5 == 0), "only fam-0 clips survive")
     // the keepers deduplicate (same-g fam-0 clips are byte-identical)
     assert(st.keptVideo < decodable.count(_ % 5 == 0).toLong)
+  }
+
+  test("corpus-media image/audio quality gates: flat / tiny / " +
+    "extreme-aspect stills and under-duration-bar audio drop " +
+    "counted BEFORE dedup, replaying the q292/q293 decisions") {
+    import org.apache.spark.sql.functions._
+    val M = graft.operators.Multimodal
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cmiaq").toString
+    val s2 = spark; import s2.implicits._
+    // stills from the q292 fixture (ids 0-59: fam0 keeper, fam1 flat,
+    // fam2 flat thumbnail, fam3 flat banner, fam4 corrupt), audio
+    // from the waveform fixture (ids 60-99: 16896 frames each)
+    M.encodeQualityImageFixture((0L until 60L).toDF("doc_id"),
+        "doc_id").toDF()
+      .unionByName(M.encodeWaveformFixture(
+        (60L until 100L).toDF("doc_id"), "doc_id").toDF())
+      .write.parquet(s"$base/lake")
+    val st = graft.etl.MediaPipeline.curate(spark, s"$base/lake",
+      s"$base/out", shardBytes = 4096,
+      imageMinPx = 1024L, audioMinFrames = 17000L)
+    // stills: only fam0 survives the strict bar (q292's own default);
+    // fam4 never decodes, so quality drops = decodable − fam0
+    val stills = (0L until 60L)
+    val decodableStills = stills.count(_ % 5 < 4).toLong
+    val keepers = stills.count(_ % 5 == 0).toLong
+    assert(st.decodedImage == decodableStills)
+    assert(st.droppedQualityImage == decodableStills - keepers)
+    // fam0 stills are byte-identical → one cluster, one canonical
+    assert(st.keptImage == 1L)
+    // audio: every fingerprintable recording has exactly 16896
+    // frames — the 17000 bar drops them all, counted
+    val decodableAudio =
+      (60L until 100L).count(i => i % 10 != 3 && i % 10 != 6).toLong
+    assert(st.decodedAudio == decodableAudio)
+    assert(st.droppedQualityAudio == decodableAudio)
+    assert(st.keptAudio == 0L)
+    // the curated image set replays q292's keep ∘ the cluster pick
+    val curatedImg = spark.read.parquet(s"$base/out/curated")
+      .where(col("modality") === "image")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val gateKeep = M.imageQualityGates(
+        spark.read.parquet(s"$base/lake")
+          .where(col("doc_id") < 60)
+          .select(col("doc_id"), col("uri"), col("mime"),
+            col("payload"))
+          .as[M.MediaRecord](M.mediaRecordEnc),
+        minPx = 1024L, aspectMax = 8)
+      .toDF().where(col("keep"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(curatedImg.subsetOf(gateKeep))
+    assert(curatedImg.size == 1)
   }
 
   test("corpus-media with an eval set: kept stills and WAV/AIFF " +
