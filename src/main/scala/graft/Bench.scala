@@ -409,15 +409,15 @@ object Bench {
     "q295_image_decontam_gate" -> 0.82,
     "q296_audio_decontam_gate" -> 1.49,
     "q297_video_decontam_gate" -> 3.95,
-    "q298_gif_decontam_gate" -> 2.46,
+    "q298_gif_decontam_gate" -> 2.17,
     // r18 additions, seeded from the focused quiet-host run
     // (loadavg 0.47 at start; decode-bound media fixtures dominate —
     // q301 pays the MJPEG decode + aligned closure + argmax join)
     "q299_video_quality_gates" -> 2.83,
-    "q300_audio_cluster_keep_best" -> 4.33,
-    "q301_video_cluster_keep_best" -> 6.36,
+    "q300_audio_cluster_keep_best" -> 3.81,
+    "q301_video_cluster_keep_best" -> 6.05,
     "q302_gif_cluster_keep_best" -> 4.6,
-    "q303_iso_meta_readout" -> 0.23)
+    "q303_iso_meta_readout" -> 0.18)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
