@@ -156,6 +156,51 @@ object Sampling {
       .select(col(idCol), col(stratumCol), col("n_tokens"))
   }
 
+  /** Weighted corpus mixing to a BYTE budget — [[mixToTokenBudget]]'s
+    * media sibling (r18): a multimodal training mixture is stated in
+    * BYTES per modality ("a 10 TB mix at 50% image / 25% audio / 25%
+    * video" — a loader reading payload shards buys octets, and token
+    * counts do not exist for binary media), realized by the same
+    * machinery — each stratum contributes `budget · wᵢ/Σw` bytes IN
+    * EXPECTATION via the per-million affine id-hash keep fraction
+    * `min(1, targetᵢ/Bᵢ)` (`Bᵢ` = the stratum's total weight-column
+    * mass). A stratum lighter than its target is kept whole; the
+    * shortfall stays visible (weights are intent — silent rebalancing
+    * would corrupt the mixture). Rows whose stratum carries no weight
+    * (an unroutable modality) drop — quota zero is a decision, not an
+    * accident. `weightCol` is any non-negative integer column
+    * (`octet_length(payload)` for a media lake); rows never decode —
+    * mixing meters raw bytes, routing/decode gates live upstream.
+    *
+    * Same determinism and scale shape as [[mixToTokenBudget]]: no
+    * rand(), one \|strata\|-row partial-aggregated fold broadcast back
+    * to a row-local filter, no corpus-wide shuffle. Output (idCol,
+    * stratumCol, n_bytes). */
+  def mixToByteBudget(df: DataFrame, idCol: String, stratumCol: String,
+      weightCol: Column, weights: Map[String, Double],
+      budgetBytes: Long): DataFrame = {
+    require(budgetBytes > 0, s"budgetBytes=$budgetBytes must be positive")
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "need at least one stratum with a positive weight")
+    val wsum = weights.values.sum
+    val sized = df.select(col(idCol), col(stratumCol),
+      weightCol.cast("long").as("n_bytes"))
+    val target = weights.foldLeft(lit(0.0)) { case (acc, (s, wgt)) =>
+      when(col(stratumCol) === s,
+        lit(budgetBytes.toDouble) * lit(wgt) / lit(wsum)).otherwise(acc)
+    }
+    val thr = sized.groupBy(col(stratumCol))
+      .agg(sum(col("n_bytes")).cast("long").as("b"))
+      .select(col(stratumCol),
+        floor(least(lit(1.0), target / col("b").cast("double")) *
+          lit(1000000.0)).cast("long").as("thr"))
+    val bucket =
+      ((col(idCol) % P) * lit(2654435761L) % P + lit(12345L)) % P % 1000000L
+    sized.join(broadcast(thr), Seq(stratumCol))
+      .where(bucket < col("thr"))
+      .select(col(idCol), col(stratumCol), col("n_bytes"))
+  }
+
   /** Fixed-k-per-stratum priority sample: exactly `min(k, |stratum|)`
     * documents per stratum, chosen as the k SMALLEST affine id-hashes
     * (ties → lowest id). This is deterministic priority sampling — the

@@ -910,4 +910,60 @@ private[queries] trait ExtSamplingQ { self: ExtHelpers with ExtDedupQ =>
         CAST(sum(n_tokens) AS DOUBLE) / 4096.0 AS fill
       FROM o GROUP BY 1 ORDER BY 1
     """.trim))
+
+  // --------------------------------------------------------------- q304
+  /** q304 — media BYTE-budget mixture ([[Sampling.mixToByteBudget]] —
+    * q41's media sibling): a multimodal training mixture is stated in
+    * BYTES per modality (a loader reading payload shards buys octets;
+    * token counts do not exist for binary media), realized by the
+    * same per-million affine id-hash keep fraction against each
+    * modality's byte mass. Strata come from the ROUTER's sniffed
+    * modality (never the declared mime), so corrupted-magic rows land
+    * in `unknown` — no quota, dropped by construction. The fixture is
+    * the byte-ASSEMBLED ISO one, so every payload length is pure id
+    * arithmetic (HEIF-family rows carry the 84-byte meta tree, the
+    * movie-header rows 72 bytes) and the oracle replays masses,
+    * thresholds, and the hash filter exactly (dyadic weights — every
+    * intermediate double exact). */
+  val q304: Q = Q(
+    "q304_media_byte_budget_mix",
+    (s, d) =>
+      Sampling.mixToByteBudget(
+        Multimodal.encodeIsoMetaFixture(Tables.documents(s, d),
+          "doc_id").toDF()
+          .withColumn("modality",
+            split(Multimodal.sniffModality(col("payload")), "/")
+              .getItem(0)),
+        "doc_id", "modality", octet_length(col("payload")),
+        Map("image" -> 0.5, "audio" -> 0.25, "video" -> 0.25),
+        budgetBytes = 6000L)
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH ids AS (
+        SELECT doc_id, doc_id % 5 AS fam FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0
+          AND doc_id % 10 NOT IN (3, 4)),
+      m AS (
+        SELECT doc_id,
+          CASE WHEN fam IN (1, 2, 3) THEN 'image'
+               WHEN fam = 0 THEN 'audio' ELSE 'video' END AS modality,
+          CAST(CASE WHEN fam IN (1, 2, 3) THEN 84 ELSE 72 END
+            AS BIGINT) AS n_bytes
+        FROM ids),
+      tot AS (
+        SELECT modality, CAST(sum(n_bytes) AS BIGINT) AS b
+        FROM m GROUP BY 1),
+      thr AS (
+        SELECT modality,
+          CAST(floor(least(1.0,
+            (6000.0 * CASE modality WHEN 'image' THEN 0.5
+               WHEN 'audio' THEN 0.25 ELSE 0.25 END / 1.0)
+            / CAST(b AS DOUBLE)) * 1000000.0) AS BIGINT) AS thr
+        FROM tot)
+      SELECT m.doc_id, m.modality, m.n_bytes
+      FROM m JOIN thr USING (modality)
+      WHERE ((m.doc_id % $P) * 2654435761 % $P + 12345) % $P % 1000000
+        < thr.thr
+      ORDER BY m.doc_id
+    """.trim))
 }

@@ -59,6 +59,36 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("mixToByteBudget: realized byte mixture tracks the weights, " +
+    "under-supplied strata kept whole, no-quota strata dropped") {
+    val s2 = spark; import s2.implicits._
+    // synthetic media meta: 'image' heavy (400 × 100 B), 'audio'
+    // light enough that its quota exceeds its mass (20 × 10 B vs a
+    // 2000·0.25 = 500 B target → kept whole), 'unknown' has no quota
+    val rows = (0L until 400L).map(i => (i, "image", 100L)) ++
+      (1000L until 1020L).map(i => (i, "audio", 10L)) ++
+      (2000L until 2010L).map(i => (i, "unknown", 50L))
+    val df = rows.toDF("doc_id", "modality", "n_bytes")
+    val out = Sampling.mixToByteBudget(df, "doc_id", "modality",
+      col("n_bytes"), Map("image" -> 0.75, "audio" -> 0.25), 2000L)
+    val realized = out.groupBy("modality")
+      .agg(sum(col("n_bytes")).cast("long").as("rb"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!realized.contains("unknown"), "no quota → dropped")
+    // audio: 200 B total < 500 B target → kept whole
+    assert(realized("audio") == 200L)
+    // image: 40 KB mass vs 1500 B target → sampled near target (the
+    // fixture draw is deterministic; cannot flake)
+    val ratio = realized("image") / 1500.0
+    assert(ratio > 0.5 && ratio < 1.5, s"image realized $realized")
+    // deterministic across runs
+    val again = Sampling.mixToByteBudget(df, "doc_id", "modality",
+      col("n_bytes"), Map("image" -> 0.75, "audio" -> 0.25), 2000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("doc_id").collect()
+      .map(_.getLong(0)).toSet)
+  }
+
   test("mixToTokenBudget: deterministic and a subset of the corpus") {
     val weights = Map("en" -> 0.5, "es" -> 0.5)
     def run() = Sampling.mixToTokenBudget(docs, "doc_id", "lang", "text",
