@@ -1337,6 +1337,82 @@ object Dedup {
     * operator's state bound, and it is a policy choice upstream (a
     * sampling plan caps it: q238's stride, q281's per-shot budget),
     * not corpus-dependent. */
+  /** SEQUENCE-shingle clip CONTAINMENT — the OFFSET-TOLERANT rung the
+    * aligned family cannot cover: [[alignedFingerprintPairs]] matches
+    * frames at the SAME index, so a TRIMMED copy (an intro cut off, a
+    * clip embedded mid-video — the classic re-upload) shifts every
+    * index and escapes it entirely. Here each video's ordered
+    * fingerprint stream is k-gram SHINGLED over its OBSERVED frames
+    * (consecutive decoded frames — a mid-stream decode failure is
+    * bridged, the q281 discipline), and two videos match when they
+    * share at least `minSharedNum/minSharedDen` of the SMALLER side's
+    * distinct shingles — q100's containment decision lifted from word
+    * shingles to fingerprint sequences. Shingles join EXACTLY (k
+    * 8-byte fps as the key — no re-statable-hash gymnastics, and the
+    * perceptual tolerance already lives inside each dHash: a
+    * re-encode reproduces the fingerprints bit-for-bit on the
+    * codec-exact rungs).
+    *
+    * Scale shape (the [[containmentPairs]] discipline): one per-video
+    * window builds shingles (bounded by per-video frame counts),
+    * distinct-per-doc shingle rows, document-frequency cap `maxDf`
+    * BEFORE the self-join (a ubiquitous shingle — a black-frame run —
+    * floods candidates; capped shingles drop from pairing, exactly
+    * the text rung's argument), then the inverted-index intersection
+    * keyed on the shingle — candidate volume Σ_sh df², never
+    * all-pairs. Videos with fewer than k observed frames carry no
+    * shingles and are absent by construction.
+    *
+    * Output (doc_a, doc_b, n_shared, n_a, n_b) with doc_a < doc_b and
+    * `minSharedDen·n_shared ≥ minSharedNum·min(n_a, n_b)`, ordered. */
+  def sequenceShingleContainment(fps: DataFrame, idCol: String,
+      alignCol: String, fpCol: String, k: Int = 3,
+      minSharedNum: Int = 1, minSharedDen: Int = 2, maxDf: Long = 100L,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(k >= 1 && k <= 16, s"k=$k out of [1, 16]")
+    require(minSharedNum >= 1 && minSharedDen >= 1 &&
+      minSharedNum <= minSharedDen,
+      s"bad share threshold $minSharedNum/$minSharedDen")
+    require(maxDf >= 1, s"maxDf=$maxDf must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("align"))
+    val f = fps.select(col(idCol).as("doc_id"),
+      col(alignCol).as("align"), col(fpCol).as("fp"))
+    val keys = (0 until k).map(i => s"f$i")
+    val withLeads = (1 until k).foldLeft(
+      f.withColumn("f0", col("fp"))) { case (df, i) =>
+        df.withColumn(s"f$i", lead(col("fp"), i).over(w))
+      }
+    val sh = scope.persist(withLeads
+      .where(col(keys.last).isNotNull)
+      .select(col("doc_id") +: keys.map(col): _*)
+      .distinct())
+    // df cap over distinct-per-doc rows: count(*) IS the doc count
+    val hot = sh.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDf)
+      .select(keys.map(col): _*)
+    val cold = scope.persist(sh.join(hot, keys, "left_anti"))
+    val sz = cold.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cold.select(col("doc_id").as("doc_a") +:
+        keys.map(col): _*)
+      .join(cold.select(col("doc_id").as("doc_b") +:
+        keys.map(col): _*), keys)
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+        Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+        Seq("doc_b"))
+      .where(col("n_shared") * minSharedDen >=
+        least(col("n_a"), col("n_b")) * minSharedNum)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("n_a"), col("n_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   def alignedFingerprintPairs(fps: DataFrame, idCol: String,
       alignCol: String, fpCol: String, maxHamming: Int, bits: Int,
       minMatchNum: Int = 1, minMatchDen: Int = 2,

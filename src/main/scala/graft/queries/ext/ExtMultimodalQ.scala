@@ -2356,6 +2356,69 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       FROM ids ORDER BY doc_id
     """.trim))
 
+  // --------------------------------------------------------------- q305
+  /** q305 — VIDEO CLIP containment
+    * ([[Dedup.sequenceShingleContainment]]): the OFFSET-TOLERANT
+    * dedup rung q278's aligned matcher cannot cover — a TRIMMED
+    * re-upload (intro cut, clip embedded mid-video) shifts every
+    * frame index and escapes same-index matching entirely; here the
+    * per-frame dHash streams are 3-gram shingled over observed
+    * frames and pairs flag on sharing ≥ half the smaller side's
+    * distinct shingles (q100's containment decision on fingerprint
+    * sequences). The MJPEG fixture's pattern arithmetic guarantees
+    * genuine shifted matches: frame f of group g equals frame f+Δ of
+    * g' exactly when Δ ≡ g′−g (mod 4) — cross-group windows align at
+    * NONZERO offsets, which is precisely the case the aligned rung
+    * misses. Oracle replays shingles positionally (row_number over
+    * observed frames) and brute-forces the capped inverted index. */
+  val q305: Q = Q(
+    "q305_video_clip_containment",
+    (s, d) => {
+      val fps = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.videoFrameFingerprints(
+          Multimodal.encodeMjpegFixture(Tables.documents(s, d),
+            "doc_id"))
+          .toDF().where(col("ok") === 1L)
+          .select(col("doc_id"), col("frame_idx"), col("fp")))
+      Dedup.sequenceShingleContainment(fps, "doc_id", "frame_idx",
+        "fp", k = 3, minSharedNum = 1, minSharedDen = 2, maxDf = 100L)
+    },
+    Some(s"""
+      WITH $mjpegFpsCte,
+      okf AS (
+        SELECT doc_id, frame_idx, fp FROM fps
+        WHERE NOT (doc_id % 10 = 9 AND frame_idx = 1)),
+      r AS (
+        SELECT doc_id, fp, row_number() OVER (
+          PARTITION BY doc_id ORDER BY frame_idx) AS rn
+        FROM okf),
+      sh AS (
+        SELECT DISTINCT a.doc_id, a.fp AS f0, b.fp AS f1, c.fp AS f2
+        FROM r a
+        JOIN r b ON b.doc_id = a.doc_id AND b.rn = a.rn + 1
+        JOIN r c ON c.doc_id = a.doc_id AND c.rn = a.rn + 2),
+      dfc AS (
+        SELECT f0, f1, f2, count(*) AS d FROM sh GROUP BY 1, 2, 3),
+      cold AS (
+        SELECT sh.doc_id, sh.f0, sh.f1, sh.f2
+        FROM sh JOIN dfc USING (f0, f1, f2) WHERE dfc.d <= 100),
+      sz AS (SELECT doc_id, count(*) AS n FROM cold GROUP BY 1),
+      i AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          count(*) AS n_shared
+        FROM cold a JOIN cold b
+          ON a.f0 = b.f0 AND a.f1 = b.f1 AND a.f2 = b.f2
+          AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT i.doc_a, i.doc_b, CAST(i.n_shared AS BIGINT) AS n_shared,
+        CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b
+      FROM i
+      JOIN sz sa ON sa.doc_id = i.doc_a
+      JOIN sz sb ON sb.doc_id = i.doc_b
+      WHERE 2 * i.n_shared >= least(sa.n, sb.n)
+      ORDER BY i.doc_a, i.doc_b
+    """.trim))
+
   // --------------------------------------------------------------- q295
   /** q295 — IMAGE decontamination gate
     * ([[Dedup.fingerprintDecontam]]): the q36/q113 decontamination

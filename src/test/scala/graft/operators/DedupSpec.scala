@@ -881,4 +881,35 @@ class DedupSpec extends SparkSpec {
       uniqSeq.unpersist(); dupSeq.unpersist()
     } finally scope.close()
   }
+
+  test("sequenceShingleContainment: a TRIMMED copy (nonzero offset) " +
+    "flags where aligned matching finds nothing, and df-capped " +
+    "shingles drop from pairing") {
+    import org.apache.spark.sql.functions._
+    val s2 = spark; import s2.implicits._
+    def v(i: Int): Long = i.toLong * 2654435761L // well-separated fps
+    // doc 1 = frames v1..v6; doc 2 = v3..v7 (doc 1's tail, shifted by
+    // 2 — the trimmed re-upload); docs 100..219 all carry ONE
+    // identical hot shingle (v90,v91,v92) — df 120 > maxDf 100
+    val rows =
+      (0 until 6).map(i => (1L, i.toLong, v(i + 1))) ++
+      (0 until 5).map(i => (2L, i.toLong, v(i + 3))) ++
+      (100L until 220L).flatMap(d =>
+        (0 until 3).map(i => (d, i.toLong, v(90 + i))))
+    val fps = rows.toDF("doc_id", "frame_idx", "fp")
+    // the aligned (same-index) rung sees NOTHING: no position agrees
+    assert(Dedup.alignedFingerprintPairs(fps.where(col("doc_id") < 100),
+      "doc_id", "frame_idx", "fp", maxHamming = 0, bits = 64)
+      .count() == 0L)
+    val got = Dedup.sequenceShingleContainment(fps, "doc_id",
+        "frame_idx", "fp", k = 3, minSharedNum = 1, minSharedDen = 2,
+        maxDf = 100L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // doc 1: shingles (v1v2v3)...(v4v5v6) = 4; doc 2: (v3v4v5),
+    // (v4v5v6), (v5v6v7) = 3; shared = 2 ≥ ceil(min/2)
+    assert(got == Set((1L, 2L, 2L, 4L, 3L)),
+      s"containment pairs: $got")
+  }
 }
