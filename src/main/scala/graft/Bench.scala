@@ -419,7 +419,8 @@ object Bench {
     "q302_gif_cluster_keep_best" -> 4.6,
     "q303_iso_meta_readout" -> 0.18,
     "q304_media_byte_budget_mix" -> 0.74,
-    "q305_video_clip_containment" -> 4.62)
+    "q305_video_clip_containment" -> 4.21,
+    "q306_clip_decontam_gate" -> 4.59)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -668,7 +669,8 @@ object Bench {
     "q302_gif_cluster_keep_best" -> 464161L,
     "q303_iso_meta_readout" -> 149818L,
     "q304_media_byte_budget_mix" -> 6916L,
-    "q305_video_clip_containment" -> 814806L,
+    "q305_video_clip_containment" -> 634664L,
+    "q306_clip_decontam_gate" -> 766344L,
     "q21_embedding_neardup_ivf" -> 5000834L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

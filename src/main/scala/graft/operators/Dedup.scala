@@ -1413,6 +1413,80 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** SEQUENCE-shingle DECONTAMINATION —
+    * [[sequenceShingleContainment]]'s eval-restricted variant, the
+    * TRIMMED-eval-clip rung [[alignedFingerprintDecontam]] cannot
+    * see (same-index matching dies on any offset): a TRAIN video is
+    * contaminated when it contains at least `minSharedNum /
+    * minSharedDen` of some EVAL clip's distinct k-gram shingles —
+    * normalized by the EVAL side (the decontamination direction: "how
+    * much of the benchmark clip appears in this training video",
+    * regardless of how much longer the training video is — the
+    * [[crossContainFrom]] asymmetry on fingerprint sequences).
+    *
+    * Scale shape: shingles build per side with one per-video window;
+    * the document-frequency cap is computed over the COMBINED sides
+    * (a shingle hot in either floods the cross join all the same —
+    * the [[crossNgramJaccardPairs]] argument); eval sets are
+    * benchmarks-small, so AQE broadcasts the eval index on its own
+    * (never a forced hint). Witness per contaminated train doc: most
+    * shared shingles, ties to the smallest eval id. Output (doc_id,
+    * n_shared, n_shingles, eval_id, n_shingles_eval) ordered. */
+  def sequenceShingleDecontam(train: DataFrame, evalSet: DataFrame,
+      idCol: String, alignCol: String, fpCol: String, k: Int = 3,
+      minSharedNum: Int = 1, minSharedDen: Int = 2, maxDf: Long = 100L,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(k >= 1 && k <= 16, s"k=$k out of [1, 16]")
+    require(minSharedNum >= 1 && minSharedDen >= 1 &&
+      minSharedNum <= minSharedDen,
+      s"bad share threshold $minSharedNum/$minSharedDen")
+    require(maxDf >= 1, s"maxDf=$maxDf must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val keys = (0 until k).map(i => s"f$i")
+    def shinglesOf(df: DataFrame, outId: String): DataFrame = {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("align"))
+      val f = df.select(col(idCol).as("doc_id"),
+        col(alignCol).as("align"), col(fpCol).as("fp"))
+      (1 until k).foldLeft(f.withColumn("f0", col("fp"))) {
+        case (acc, i) => acc.withColumn(s"f$i", lead(col("fp"), i).over(w))
+      }
+        .where(col(keys.last).isNotNull)
+        .select(col("doc_id").as(outId) +: keys.map(col): _*)
+        .distinct()
+    }
+    val trSh = scope.persist(shinglesOf(train, "doc_id"))
+    val evSh = scope.persist(shinglesOf(evalSet, "eval_id"))
+    val hot = trSh.select(keys.map(col): _*)
+      .unionByName(evSh.select(keys.map(col): _*))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDf)
+      .select(keys.map(col): _*)
+    val trCold = scope.persist(trSh.join(hot, keys, "left_anti"))
+    val evCold = scope.persist(evSh.join(hot, keys, "left_anti"))
+    val trSz = trCold.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val evSz = evCold.groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_shingles_eval"))
+    val pass = trCold.join(evCold, keys)
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(evSz, Seq("eval_id"))
+      .where(col("n_shared") * minSharedDen >=
+        col("n_shingles_eval") * minSharedNum)
+    val best = pass.groupBy(col("doc_id"))
+      .agg(max(struct(col("n_shared").as("m"),
+        (-col("eval_id")).as("ne"),
+        col("n_shingles_eval").as("nse"))).as("__b"))
+      .select(col("doc_id"), col("__b.m").as("n_shared"),
+        (-col("__b.ne")).as("eval_id"),
+        col("__b.nse").as("n_shingles_eval"))
+    best.join(trSz, Seq("doc_id"))
+      .select(col("doc_id"), col("n_shared"), col("n_shingles"),
+        col("eval_id"), col("n_shingles_eval"))
+      .orderBy(col("doc_id"))
+  }
+
   def alignedFingerprintPairs(fps: DataFrame, idCol: String,
       alignCol: String, fpCol: String, maxHamming: Int, bits: Int,
       minMatchNum: Int = 1, minMatchDen: Int = 2,

@@ -2248,6 +2248,47 @@ object Multimodal {
     bytes
   }
 
+  /** TRIMMED-CLIP MJPEG fixture — the test bed for the OFFSET-TOLERANT
+    * sequence rungs (q305/q306), where [[encodeMjpegFixture]]'s
+    * period-4 pattern walk cannot serve (any arithmetic mod 4 repeats
+    * every 4 frames, collapsing the corpus to ~12 distinct shingles —
+    * measured — so shingle df-caps swallow everything): ids sharing a
+    * REEL (`g = id % 8`) each record a different WINDOW of it —
+    * offset `(id div 8) % 5`, length `5 + id % 3` — so same-reel
+    * pairs overlap at genuinely NONZERO offsets (the trimmed
+    * re-upload). Frame content at reel position `pos` is APERIODIC
+    * via the affine-hash row pattern
+    * `P[((g·97 + pos·2654435761 + r·31) mod 1000003) mod 4]` (an
+    * integer-exact mix both engines restate; the walk-safe 4-byte
+    * alphabet keeps every row's level walk inside the 9-level
+    * range), so distinct reel positions carry distinct fingerprints
+    * and shingle document-frequencies stay under any sane cap.
+    * Corruption family: `id % 10 = 3` zeroes the RIFF magic. */
+  def encodeClipMjpegFixture(docs: DataFrame, idCol: String)
+      : Dataset[MediaRecord] = {
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+      .where(col("doc_id").isNotNull && col("doc_id") >= 0)
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    ids.as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val g = (id % 8).toInt
+        val o = ((id / 8) % 5).toInt
+        val len = (5 + id % 3).toInt
+        val jpegs = (0 until len).map { f =>
+          val pos = (o + f).toLong
+          flatBlockJpeg { r =>
+            mjpegPatterns(
+              (((g * 97L + pos * 2654435761L + r * 31L) % 1000003L)
+                % 4L).toInt)
+          }
+        }
+        MediaRecord(id, s"memory://clip/$id", "video/x-msvideo",
+          assembleMjpegAvi(jpegs, if (id % 10 == 3) 3 else 0))
+      }
+    }
+  }
+
   /** SCENE-STRUCTURED MJPEG fixture for the shot-segmentation rung:
     * `2 + id % 3` scenes of 3 frames each — within a scene every
     * frame repeats the same row patterns

@@ -2356,42 +2356,41 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       FROM ids ORDER BY doc_id
     """.trim))
 
-  // --------------------------------------------------------------- q305
-  /** q305 — VIDEO CLIP containment
-    * ([[Dedup.sequenceShingleContainment]]): the OFFSET-TOLERANT
-    * dedup rung q278's aligned matcher cannot cover — a TRIMMED
-    * re-upload (intro cut, clip embedded mid-video) shifts every
-    * frame index and escapes same-index matching entirely; here the
-    * per-frame dHash streams are 3-gram shingled over observed
-    * frames and pairs flag on sharing ≥ half the smaller side's
-    * distinct shingles (q100's containment decision on fingerprint
-    * sequences). The MJPEG fixture's pattern arithmetic guarantees
-    * genuine shifted matches: frame f of group g equals frame f+Δ of
-    * g' exactly when Δ ≡ g′−g (mod 4) — cross-group windows align at
-    * NONZERO offsets, which is precisely the case the aligned rung
-    * misses. Oracle replays shingles positionally (row_number over
-    * observed frames) and brute-forces the capped inverted index. */
-  val q305: Q = Q(
-    "q305_video_clip_containment",
-    (s, d) => {
-      val fps = graft.engine.CacheScope.unmanaged.persist(
-        Multimodal.videoFrameFingerprints(
-          Multimodal.encodeMjpegFixture(Tables.documents(s, d),
-            "doc_id"))
-          .toDF().where(col("ok") === 1L)
-          .select(col("doc_id"), col("frame_idx"), col("fp")))
-      Dedup.sequenceShingleContainment(fps, "doc_id", "frame_idx",
-        "fp", k = 3, minSharedNum = 1, minSharedDen = 2, maxDf = 100L)
-    },
-    Some(s"""
-      WITH $mjpegFpsCte,
-      okf AS (
-        SELECT doc_id, frame_idx, fp FROM fps
-        WHERE NOT (doc_id % 10 = 9 AND frame_idx = 1)),
+  /** Shared oracle CTE of the clip rung (q305/q306): replay
+    * [[Multimodal.encodeClipMjpegFixture]]'s per-frame dHash as pure
+    * id arithmetic — id records reel `g = id % 8` from offset
+    * `(id div 8) % 5` for `5 + id % 3` frames, row `r` at reel
+    * position `pos` carrying pattern byte
+    * `P[((g·97 + pos·2654435761 + r·31) % 1000003) % 4]`, composed
+    * with the bit-63 MIN_BIGINT trick; `id % 10 = 3` zeroes the
+    * magic (no rows). Then the 3-gram shingles positionally. */
+  private def clipShinglesCte: String = """
+      clipids AS (
+        SELECT doc_id, doc_id % 8 AS g, (doc_id // 8) % 5 AS o,
+          5 + doc_id % 3 AS len
+        FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id % 10 <> 3),
+      cframes AS (
+        SELECT doc_id, f.f AS frame_idx, g, o + f.f AS pos
+        FROM clipids, (SELECT unnest(range(7)) AS f) f
+        WHERE f.f < len),
+      crows AS (
+        SELECT doc_id, frame_idx, r.r AS r,
+          CASE CAST(((g * 97 + pos * 2654435761 + r.r * 31)
+              % 1000003) % 4 AS INT)
+            WHEN 0 THEN 85 WHEN 1 THEN 170 WHEN 2 THEN 43
+            ELSE 212 END AS pb
+        FROM cframes, (SELECT unnest(range(8)) AS r) r),
+      cfps AS (
+        SELECT doc_id, frame_idx,
+          CAST(sum(CASE WHEN r = 7 AND pb >= 128
+            THEN -9223372036854775808 + ((pb % 128)::BIGINT << 56)
+            ELSE pb::BIGINT << (8 * r) END) AS BIGINT) AS fp
+        FROM crows GROUP BY doc_id, frame_idx),
       r AS (
         SELECT doc_id, fp, row_number() OVER (
           PARTITION BY doc_id ORDER BY frame_idx) AS rn
-        FROM okf),
+        FROM cfps),
       sh AS (
         SELECT DISTINCT a.doc_id, a.fp AS f0, b.fp AS f1, c.fp AS f2
         FROM r a
@@ -2401,7 +2400,36 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
         SELECT f0, f1, f2, count(*) AS d FROM sh GROUP BY 1, 2, 3),
       cold AS (
         SELECT sh.doc_id, sh.f0, sh.f1, sh.f2
-        FROM sh JOIN dfc USING (f0, f1, f2) WHERE dfc.d <= 100),
+        FROM sh JOIN dfc USING (f0, f1, f2) WHERE dfc.d <= 100)"""
+
+  // --------------------------------------------------------------- q305
+  /** q305 — VIDEO CLIP containment
+    * ([[Dedup.sequenceShingleContainment]]): the OFFSET-TOLERANT
+    * dedup rung q278's aligned matcher cannot cover — a TRIMMED
+    * re-upload (intro cut, clip embedded mid-video) shifts every
+    * frame index and escapes same-index matching entirely; here the
+    * per-frame dHash streams are 3-gram shingled over observed
+    * frames and pairs flag on sharing ≥ half the smaller side's
+    * distinct shingles (q100's containment decision on fingerprint
+    * sequences). The CLIP fixture makes the relationship genuine:
+    * same-reel ids record overlapping WINDOWS at different offsets,
+    * aperiodic frame content keeps shingle df under the cap. Oracle
+    * replays shingles positionally and brute-forces the capped
+    * inverted index. */
+  val q305: Q = Q(
+    "q305_video_clip_containment",
+    (s, d) => {
+      val fps = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.videoFrameFingerprints(
+          Multimodal.encodeClipMjpegFixture(Tables.documents(s, d),
+            "doc_id"))
+          .toDF().where(col("ok") === 1L)
+          .select(col("doc_id"), col("frame_idx"), col("fp")))
+      Dedup.sequenceShingleContainment(fps, "doc_id", "frame_idx",
+        "fp", k = 3, minSharedNum = 1, minSharedDen = 2, maxDf = 100L)
+    },
+    Some(s"""
+      WITH $clipShinglesCte,
       sz AS (SELECT doc_id, count(*) AS n FROM cold GROUP BY 1),
       i AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -2417,6 +2445,65 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       JOIN sz sb ON sb.doc_id = i.doc_b
       WHERE 2 * i.n_shared >= least(sa.n, sb.n)
       ORDER BY i.doc_a, i.doc_b
+    """.trim))
+
+  // --------------------------------------------------------------- q306
+  /** q306 — TRIMMED-clip decontamination gate
+    * ([[Dedup.sequenceShingleDecontam]] — q305's eval-restricted
+    * asymmetry): an eval VIDEO leaked into training as a trimmed or
+    * embedded clip shifts every frame index and escapes q297's
+    * aligned gate entirely; here a train video flags when it carries
+    * ≥ half of some eval clip's distinct 3-gram shingles (normalized
+    * by the EVAL side — "how much of the benchmark appears here"),
+    * with the deterministic witness (most shared, ties to smallest
+    * eval id). Split: eval = clip-fixture ids ≡ 0 (mod 4) — the
+    * shared reels guarantee genuine nonzero-offset leaks across the
+    * split. Oracle replays the capped inverted index and the witness
+    * fold positionally. */
+  val q306: Q = Q(
+    "q306_clip_decontam_gate",
+    (s, d) => {
+      val fps = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.videoFrameFingerprints(
+          Multimodal.encodeClipMjpegFixture(Tables.documents(s, d),
+            "doc_id"))
+          .toDF().where(col("ok") === 1L)
+          .select(col("doc_id"), col("frame_idx"), col("fp")))
+      Dedup.sequenceShingleDecontam(
+        fps.where(col("doc_id") % 4 =!= 0),
+        fps.where(col("doc_id") % 4 === 0),
+        "doc_id", "frame_idx", "fp", k = 3,
+        minSharedNum = 1, minSharedDen = 2, maxDf = 100L)
+    },
+    Some(s"""
+      WITH $clipShinglesCte,
+      tr AS (SELECT * FROM cold WHERE doc_id % 4 <> 0),
+      ev AS (SELECT * FROM cold WHERE doc_id % 4 = 0),
+      tsz AS (SELECT doc_id, count(*) AS n FROM tr GROUP BY 1),
+      esz AS (SELECT doc_id, count(*) AS n FROM ev GROUP BY 1),
+      m AS (
+        SELECT t.doc_id, e.doc_id AS eval_id, count(*) AS n_shared
+        FROM tr t JOIN ev e
+          ON t.f0 = e.f0 AND t.f1 = e.f1 AND t.f2 = e.f2
+        GROUP BY 1, 2),
+      pass AS (
+        SELECT m.doc_id, m.eval_id, m.n_shared, esz.n AS ne
+        FROM m JOIN esz ON esz.doc_id = m.eval_id
+        WHERE 2 * m.n_shared >= esz.n),
+      best AS (
+        SELECT doc_id, max(n_shared) AS n_shared FROM pass GROUP BY 1),
+      w AS (
+        SELECT p.doc_id, p.n_shared, min(p.eval_id) AS eval_id
+        FROM pass p JOIN best b
+          ON b.doc_id = p.doc_id AND p.n_shared = b.n_shared
+        GROUP BY 1, 2)
+      SELECT w.doc_id, CAST(w.n_shared AS BIGINT) AS n_shared,
+        CAST(tsz.n AS BIGINT) AS n_shingles, w.eval_id,
+        CAST(esz.n AS BIGINT) AS n_shingles_eval
+      FROM w
+      JOIN tsz ON tsz.doc_id = w.doc_id
+      JOIN esz ON esz.doc_id = w.eval_id
+      ORDER BY w.doc_id
     """.trim))
 
   // --------------------------------------------------------------- q295
