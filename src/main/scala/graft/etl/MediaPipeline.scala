@@ -405,13 +405,24 @@ object MediaPipeline {
           trainFp.join(keep, Seq("doc_id")), evalFp,
           "doc_id", "fp", maxHamming = decontamHamming, bits = 64)
           .select(col("doc_id"))
+      // sequence rungs compose-OR (r18): the ALIGNED gate sees
+      // re-encodes/remuxes (per-frame Hamming tolerance, same index),
+      // the SHINGLE gate sees TRIMMED/embedded eval clips (exact
+      // shingles at any offset — q306); either flags the canonical
       def seqDecontamDrops(trainFps: DataFrame, evalFps: DataFrame,
-          keep: DataFrame): DataFrame =
+          keep: DataFrame): DataFrame = {
+        // both gates read the kept frames — persist the restriction
+        val kept = scope.persist(trainFps.join(keep, Seq("doc_id")))
         Dedup.alignedFingerprintDecontam(
-          trainFps.join(keep, Seq("doc_id")), evalFps,
-          "doc_id", "frame_idx", "fp",
+          kept, evalFps, "doc_id", "frame_idx", "fp",
           maxHamming = decontamHamming, bits = 64, scope = scope)
           .select(col("doc_id"))
+          .unionByName(Dedup.sequenceShingleDecontam(
+            kept, evalFps, "doc_id", "frame_idx", "fp",
+            scope = scope)
+            .select(col("doc_id")))
+          .distinct()
+      }
       val (keepImageG, keepAudioG, keepVideoG, droppedEvalImage,
           droppedEvalAudio, droppedEvalVideo) =
         eval match {

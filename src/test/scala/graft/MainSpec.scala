@@ -778,6 +778,9 @@ class MainSpec extends SparkSpec {
         ev: org.apache.spark.sql.DataFrame): Set[Long] =
       graft.operators.Dedup.alignedFingerprintDecontam(train, ev,
         "doc_id", "frame_idx", "fp", maxHamming = 3, bits = 64)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet ++
+      graft.operators.Dedup.sequenceShingleDecontam(train, ev,
+        "doc_id", "frame_idx", "fp")
         .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     val flaggedImg = flaggedOf(stillFp(curated0), stillFp(evalLake))
     val flaggedAud = flaggedOf(waveFp(curated0), waveFp(evalLake))
