@@ -669,8 +669,8 @@ object Bench {
     "q302_gif_cluster_keep_best" -> 464161L,
     "q303_iso_meta_readout" -> 149818L,
     "q304_media_byte_budget_mix" -> 6916L,
-    "q305_video_clip_containment" -> 634664L,
-    "q306_clip_decontam_gate" -> 766344L,
+    "q305_video_clip_containment" -> 800774L,
+    "q306_clip_decontam_gate" -> 810960L,
     "q21_embedding_neardup_ivf" -> 5000834L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

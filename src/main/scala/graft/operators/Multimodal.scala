@@ -2253,8 +2253,11 @@ object Multimodal {
     * period-4 pattern walk cannot serve (any arithmetic mod 4 repeats
     * every 4 frames, collapsing the corpus to ~12 distinct shingles —
     * measured — so shingle df-caps swallow everything): ids sharing a
-    * REEL (`g = id % 8`) each record a different WINDOW of it —
-    * offset `(id div 8) % 5`, length `5 + id % 3` — so same-reel
+    * REEL (`g = id % 64` — the reel count keeps per-shingle document
+    * frequency at ~N/64·coverage, under the default df cap across
+    * the gate SFs; a handful of fixed reels would saturate the cap
+    * as the corpus grows) each record a different WINDOW of it —
+    * offset `(id div 64) % 5`, length `5 + id % 3` — so same-reel
     * pairs overlap at genuinely NONZERO offsets (the trimmed
     * re-upload). Frame content at reel position `pos` is APERIODIC
     * via the affine-hash row pattern
@@ -2272,8 +2275,8 @@ object Multimodal {
     ids.as[Long].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { id =>
-        val g = (id % 8).toInt
-        val o = ((id / 8) % 5).toInt
+        val g = (id % 64).toInt
+        val o = ((id / 64) % 5).toInt
         val len = (5 + id % 3).toInt
         val jpegs = (0 until len).map { f =>
           val pos = (o + f).toLong

@@ -2358,15 +2358,15 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
 
   /** Shared oracle CTE of the clip rung (q305/q306): replay
     * [[Multimodal.encodeClipMjpegFixture]]'s per-frame dHash as pure
-    * id arithmetic — id records reel `g = id % 8` from offset
-    * `(id div 8) % 5` for `5 + id % 3` frames, row `r` at reel
+    * id arithmetic — id records reel `g = id % 64` from offset
+    * `(id div 64) % 5` for `5 + id % 3` frames, row `r` at reel
     * position `pos` carrying pattern byte
     * `P[((g·97 + pos·2654435761 + r·31) % 1000003) % 4]`, composed
     * with the bit-63 MIN_BIGINT trick; `id % 10 = 3` zeroes the
     * magic (no rows). Then the 3-gram shingles positionally. */
   private def clipShinglesCte: String = """
       clipids AS (
-        SELECT doc_id, doc_id % 8 AS g, (doc_id // 8) % 5 AS o,
+        SELECT doc_id, doc_id % 64 AS g, (doc_id // 64) % 5 AS o,
           5 + doc_id % 3 AS len
         FROM documents
         WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id % 10 <> 3),
