@@ -420,7 +420,8 @@ object Bench {
     "q303_iso_meta_readout" -> 0.18,
     "q304_media_byte_budget_mix" -> 0.74,
     "q305_video_clip_containment" -> 4.21,
-    "q306_clip_decontam_gate" -> 4.59)
+    "q306_clip_decontam_gate" -> 4.59,
+    "q307_audio_clip_containment" -> 1.87)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -671,6 +672,7 @@ object Bench {
     "q304_media_byte_budget_mix" -> 6916L,
     "q305_video_clip_containment" -> 800774L,
     "q306_clip_decontam_gate" -> 810960L,
+    "q307_audio_clip_containment" -> 4246630L,
     "q21_embedding_neardup_ivf" -> 5000834L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

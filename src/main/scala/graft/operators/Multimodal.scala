@@ -2292,6 +2292,55 @@ object Multimodal {
     }
   }
 
+  /** TRIMMED-CLIP waveform fixture — [[encodeClipMjpegFixture]]'s
+    * audio twin for the offset-tolerant sequence rungs: ids sharing
+    * a REEL (`g = id % 64`) record different WINDOWS of it (offset
+    * `(id div 64) % 5`, length `5 + id % 3` windows of 256 samples),
+    * window amplitude at reel position `pos` the aperiodic
+    * `500 + ((g·97 + pos·2654435761) mod 1000003) mod 997` on the
+    * ±carrier — each window's mean-abs IS the amplitude exactly, so
+    * the energy stream is pure id arithmetic and same-reel pairs
+    * overlap at genuinely NONZERO offsets (trims are window-aligned
+    * by construction; an arbitrary-sample trim would shift window
+    * phase — the documented granularity of energy-stream matching).
+    * Corruption family: `id % 10 = 3` zeroes the RIFF magic. */
+  def encodeClipWaveformFixture(docs: DataFrame, idCol: String)
+      : Dataset[MediaRecord] = {
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+      .where(col("doc_id").isNotNull && col("doc_id") >= 0)
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    ids.as[Long].mapPartitions { it =>
+      it.map { id =>
+        val window = 256
+        val g = id % 64
+        val o = (id / 64) % 5
+        val nWin = (5 + id % 3).toInt
+        val pcm = new Array[Byte](nWin * window * 2)
+        var i = 0
+        while (i < nWin * window) {
+          val pos = o + i / window
+          val amp = (500L +
+            ((g * 97L + pos * 2654435761L) % 1000003L) % 997L).toInt
+          val s = if (i % 4 < 2) amp else -amp
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt,
+          (nWin * window).toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        val bytes = bos.toByteArray
+        if (id % 10 == 3) bytes(0) = 0
+        MediaRecord(id, s"memory://clipwav/$id", "audio/wav", bytes)
+      }
+    }
+  }
+
   /** SCENE-STRUCTURED MJPEG fixture for the shot-segmentation rung:
     * `2 + id % 3` scenes of 3 frames each — within a scene every
     * frame repeats the same row patterns

@@ -2506,6 +2506,70 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       ORDER BY w.doc_id
     """.trim))
 
+  // --------------------------------------------------------------- q307
+  /** q307 — AUDIO clip containment
+    * ([[Dedup.sequenceShingleContainment]] on the window-energy
+    * stream): the offset-tolerant rung on the SECOND modality — a
+    * trimmed audio re-upload (intro cut, excerpt embedded) shifts
+    * every window index and escapes both the whole-clip envelope
+    * hash (q262 fingerprints the first 65 windows) and any aligned
+    * matcher; here the per-window mean-abs energies shingle as exact
+    * 3-grams and pairs flag on sharing ≥ half the smaller side's
+    * shingles. Trims are window-aligned by the fixture (the
+    * documented granularity of energy matching). Oracle replays the
+    * aperiodic amplitude arithmetic and the capped inverted index —
+    * energy streams are dense (w = 0..n−1), so shingles join on
+    * w+1/w+2 directly. */
+  val q307: Q = Q(
+    "q307_audio_clip_containment",
+    (s, d) => {
+      val en = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.audioWindowEnergies(
+          Multimodal.encodeClipWaveformFixture(Tables.documents(s, d),
+            "doc_id")).toDF()
+          .select(col("doc_id"), col("w"), col("amp")))
+      Dedup.sequenceShingleContainment(en, "doc_id", "w", "amp",
+        k = 3, minSharedNum = 1, minSharedDen = 2, maxDf = 100L)
+    },
+    Some("""
+      WITH clipids AS (
+        SELECT doc_id, doc_id % 64 AS g, (doc_id // 64) % 5 AS o,
+          5 + doc_id % 3 AS len
+        FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id % 10 <> 3),
+      amps AS (
+        SELECT doc_id, w.w AS w,
+          CAST(500 + ((g * 97 + (o + w.w) * 2654435761) % 1000003)
+            % 997 AS BIGINT) AS amp
+        FROM clipids, (SELECT unnest(range(7)) AS w) w
+        WHERE w.w < len),
+      sh AS (
+        SELECT DISTINCT a.doc_id, a.amp AS f0, b.amp AS f1, c.amp AS f2
+        FROM amps a
+        JOIN amps b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+        JOIN amps c ON c.doc_id = a.doc_id AND c.w = a.w + 2),
+      dfc AS (
+        SELECT f0, f1, f2, count(*) AS d FROM sh GROUP BY 1, 2, 3),
+      cold AS (
+        SELECT sh.doc_id, sh.f0, sh.f1, sh.f2
+        FROM sh JOIN dfc USING (f0, f1, f2) WHERE dfc.d <= 100),
+      sz AS (SELECT doc_id, count(*) AS n FROM cold GROUP BY 1),
+      i AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          count(*) AS n_shared
+        FROM cold a JOIN cold b
+          ON a.f0 = b.f0 AND a.f1 = b.f1 AND a.f2 = b.f2
+          AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT i.doc_a, i.doc_b, CAST(i.n_shared AS BIGINT) AS n_shared,
+        CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b
+      FROM i
+      JOIN sz sa ON sa.doc_id = i.doc_a
+      JOIN sz sb ON sb.doc_id = i.doc_b
+      WHERE 2 * i.n_shared >= least(sa.n, sb.n)
+      ORDER BY i.doc_a, i.doc_b
+    """.trim))
+
   // --------------------------------------------------------------- q295
   /** q295 — IMAGE decontamination gate
     * ([[Dedup.fingerprintDecontam]]): the q36/q113 decontamination
