@@ -421,7 +421,8 @@ object Bench {
     "q304_media_byte_budget_mix" -> 0.74,
     "q305_video_clip_containment" -> 4.21,
     "q306_clip_decontam_gate" -> 4.59,
-    "q307_audio_clip_containment" -> 1.87)
+    "q307_audio_clip_containment" -> 1.87,
+    "q308_video_clip_clusters" -> 5.67)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -673,6 +674,7 @@ object Bench {
     "q305_video_clip_containment" -> 800774L,
     "q306_clip_decontam_gate" -> 810960L,
     "q307_audio_clip_containment" -> 4246630L,
+    "q308_video_clip_clusters" -> 1270138L,
     "q21_embedding_neardup_ivf" -> 5000834L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

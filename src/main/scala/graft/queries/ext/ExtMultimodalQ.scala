@@ -2570,6 +2570,66 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       ORDER BY i.doc_a, i.doc_b
     """.trim))
 
+  // --------------------------------------------------------------- q308
+  /** q308 — VIDEO CLIP families (q305 ∘ [[Dedup.nearDupClusters]]):
+    * the KEEP/DROP decision over the offset-tolerant relation —
+    * completing the clip rung's ladder the way every dedup family
+    * ends (fingerprint → pairs → FAMILIES → canonical): connected
+    * components over the containment pairs, one min-id canonical
+    * per family, so a reel recorded as five overlapping trims keeps
+    * ONE copy. Universe = videos with ≥ k observed frames (the
+    * shingle-able ones — a shorter clip cannot participate in the
+    * relation and has no row). Oracle closes the replayed pair set
+    * with the recursive CTE. */
+  val q308: Q = Q(
+    "q308_video_clip_clusters",
+    (s, d) => {
+      val fps = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.videoFrameFingerprints(
+          Multimodal.encodeClipMjpegFixture(Tables.documents(s, d),
+            "doc_id"))
+          .toDF().where(col("ok") === 1L)
+          .select(col("doc_id"), col("frame_idx"), col("fp")))
+      val pairs = Dedup.sequenceShingleContainment(fps, "doc_id",
+        "frame_idx", "fp", k = 3, minSharedNum = 1, minSharedDen = 2,
+        maxDf = 100L)
+      val universe = fps.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("__n"))
+        .where(col("__n") >= 3).select(col("doc_id"))
+      Dedup.nearDupClusters(universe, "doc_id",
+        pairs.select(col("doc_a"), col("doc_b")))
+    },
+    Some(s"""
+      WITH RECURSIVE $clipShinglesCte,
+      sz AS (SELECT doc_id, count(*) AS n FROM cold GROUP BY 1),
+      i AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          count(*) AS n_shared
+        FROM cold a JOIN cold b
+          ON a.f0 = b.f0 AND a.f1 = b.f1 AND a.f2 = b.f2
+          AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      cpairs AS (
+        SELECT doc_a, doc_b FROM i
+        JOIN sz sa ON sa.doc_id = i.doc_a
+        JOIN sz sb ON sb.doc_id = i.doc_b
+        WHERE 2 * i.n_shared >= least(sa.n, sb.n)),
+      cuniverse AS (SELECT doc_id FROM clipids),
+      cedges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM cpairs
+        UNION ALL SELECT doc_b, doc_a FROM cpairs),
+      reach(doc_id, via) AS (
+        SELECT doc_id, doc_id FROM cuniverse
+        UNION
+        SELECT rr.doc_id, e.dst FROM reach rr
+        JOIN cedges e ON e.src = rr.via),
+      comp AS (
+        SELECT doc_id, min(via) AS cluster_id FROM reach
+        GROUP BY doc_id)
+      SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
+      FROM comp ORDER BY doc_id
+    """.trim))
+
   // --------------------------------------------------------------- q295
   /** q295 — IMAGE decontamination gate
     * ([[Dedup.fingerprintDecontam]]): the q36/q113 decontamination
