@@ -42,7 +42,11 @@ import graft.operators.{Dedup, Multimodal, Packing}
   *           audio: WAV/AIFF envelope hash → Hamming clusters
   *                  (q266's); ISO-BMFF audio (M4A brand) — exact tier
   *           video: MJPEG/AVI — per-frame dHash → aligned sequence
-  *                  clusters (q279's PERCEPTUAL decision); MP4 —
+  *                  clusters (q279's PERCEPTUAL decision) → q305's
+  *                  clip containment over the family REPRESENTATIVES
+  *                  (overlapping trims of one reel chain into one
+  *                  family — q308 — without running the shingle join
+  *                  on collapsed duplicate mass); MP4 —
   *                  container-decodable + exact payload identity
   *         the EXACT tier (q287's decision) = ISO container walk
   *         gates health, identity is sha-256 keep-min — codec-frame
@@ -354,13 +358,34 @@ object MediaPipeline {
       val droppedQualityVideo = decodedMjpeg - mjpegGateKeep.count()
       val gatedFps = scope.persist(
         mjpegFps.join(mjpegGateKeep, Seq("doc_id")))
-      // keep-best on the video rung (q301): most decoded frames off
-      // the fingerprint frame — a damaged copy must not be the
-      // canonical just because it holds the min id
-      val keepMjpeg = Multimodal.keepBest(
-          Dedup.alignedFingerprintClusters(gatedFps,
-            "doc_id", "frame_idx", "fp", maxHamming = maxHamming,
-            bits = 64, scope = scope),
+      // VIDEO dedup decision, TWO-STAGE (r18): aligned families first
+      // (re-encodes/remuxes — exact-signature collapse keeps the
+      // clip pass off the duplicate mass), then q305's
+      // offset-tolerant clip containment over the FAMILY
+      // REPRESENTATIVES only — overlapping trims of one reel chain
+      // into ONE family (q308's decision) without ever running the
+      // shingle join on collapsed duplicates. Members attach through
+      // their aligned family's representative; canonical = keep-best
+      // by observed frames (q301 — a damaged copy must not win on
+      // min id).
+      val aligned = scope.persist(
+        Dedup.alignedFingerprintClusters(gatedFps,
+          "doc_id", "frame_idx", "fp", maxHamming = maxHamming,
+          bits = 64, scope = scope))
+      val repIds = aligned.where(col("is_canonical"))
+        .select(col("doc_id"))
+      val repFps = scope.persist(gatedFps.join(repIds, Seq("doc_id")))
+      val clipPairs = Dedup.sequenceShingleContainment(repFps,
+          "doc_id", "frame_idx", "fp", scope = scope)
+        .select(col("doc_a"), col("doc_b"))
+      val repComps = Dedup.nearDupClusters(
+        repIds, "doc_id", clipPairs)
+        .select(col("doc_id").as("__rep"), col("cluster_id"))
+      val vidClusters = aligned
+        .select(col("doc_id"), col("cluster_id").as("__rep"))
+        .join(repComps, Seq("__rep"))
+        .select(col("doc_id"), col("cluster_id"))
+      val keepMjpeg = Multimodal.keepBest(vidClusters,
           gatedFps.groupBy(col("doc_id"))
             .agg(count(lit(1)).as("n_obs")), Seq("n_obs"))
         .where(col("is_best")).select(col("doc_id"))

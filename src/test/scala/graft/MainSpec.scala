@@ -653,9 +653,21 @@ class MainSpec extends SparkSpec {
           .select(col("doc_id"), col("width"), col("height")))
       .where(col("keep")).select(col("doc_id"))
     val gated = fps.join(gateKeep, Seq("doc_id")).cache()
+    // two-stage replay: aligned families, clip containment over the
+    // family representatives, members through their rep, keep-best
+    val D = graft.operators.Dedup
+    val aligned = D.alignedFingerprintClusters(gated,
+      "doc_id", "frame_idx", "fp", 3, 64).cache()
+    val repIds = aligned.where(col("is_canonical")).select(col("doc_id"))
+    val repFps = gated.join(repIds, Seq("doc_id"))
+    val repComps = D.nearDupClusters(repIds, "doc_id",
+        D.sequenceShingleContainment(repFps, "doc_id", "frame_idx",
+          "fp").select(col("doc_a"), col("doc_b")))
+      .select(col("doc_id").as("__rep"), col("cluster_id"))
     val want = M.keepBest(
-        graft.operators.Dedup.alignedFingerprintClusters(gated,
-          "doc_id", "frame_idx", "fp", 3, 64),
+        aligned.select(col("doc_id"), col("cluster_id").as("__rep"))
+          .join(repComps, Seq("__rep"))
+          .select(col("doc_id"), col("cluster_id")),
         gated.groupBy(col("doc_id")).agg(count(lit(1)).as("n_obs")),
         Seq("n_obs"))
       .where(col("is_best"))
