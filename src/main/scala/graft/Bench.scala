@@ -422,7 +422,8 @@ object Bench {
     "q305_video_clip_containment" -> 4.21,
     "q306_clip_decontam_gate" -> 4.59,
     "q307_audio_clip_containment" -> 1.87,
-    "q308_video_clip_clusters" -> 5.67)
+    "q309_audio_clip_decontam_gate" -> 2.37,
+    "q308_video_clip_clusters" -> 5.60)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -671,10 +672,11 @@ object Bench {
     "q302_gif_cluster_keep_best" -> 464161L,
     "q303_iso_meta_readout" -> 149818L,
     "q304_media_byte_budget_mix" -> 6916L,
-    "q305_video_clip_containment" -> 800774L,
-    "q306_clip_decontam_gate" -> 810960L,
-    "q307_audio_clip_containment" -> 4246630L,
-    "q308_video_clip_clusters" -> 1270138L,
+    "q305_video_clip_containment" -> 704808L,
+    "q306_clip_decontam_gate" -> 855963L,
+    "q307_audio_clip_containment" -> 4210718L,
+    "q309_audio_clip_decontam_gate" -> 2396428L,
+    "q308_video_clip_clusters" -> 1124998L,
     "q21_embedding_neardup_ivf" -> 5000834L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,

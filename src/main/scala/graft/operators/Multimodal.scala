@@ -2261,7 +2261,7 @@ object Multimodal {
     * pairs overlap at genuinely NONZERO offsets (the trimmed
     * re-upload). Frame content at reel position `pos` is APERIODIC
     * via the affine-hash row pattern
-    * `P[((g·97 + pos·2654435761 + r·31) mod 1000003) mod 4]` (an
+    * `P[((g·1500450271 + pos·2654435761 + r·31) mod 1000003) mod 4]` (an
     * integer-exact mix both engines restate; the walk-safe 4-byte
     * alphabet keeps every row's level walk inside the 9-level
     * range), so distinct reel positions carry distinct fingerprints
@@ -2282,7 +2282,7 @@ object Multimodal {
           val pos = (o + f).toLong
           flatBlockJpeg { r =>
             mjpegPatterns(
-              (((g * 97L + pos * 2654435761L + r * 31L) % 1000003L)
+              (((g * 1500450271L + pos * 2654435761L + r * 31L) % 1000003L)
                 % 4L).toInt)
           }
         }
@@ -2297,7 +2297,7 @@ object Multimodal {
     * a REEL (`g = id % 64`) record different WINDOWS of it (offset
     * `(id div 64) % 5`, length `5 + id % 3` windows of 256 samples),
     * window amplitude at reel position `pos` the aperiodic
-    * `500 + ((g·97 + pos·2654435761) mod 1000003) mod 997` on the
+    * `500 + ((g·1500450271 + pos·2654435761) mod 1000003) mod 997` on the
     * ±carrier — each window's mean-abs IS the amplitude exactly, so
     * the energy stream is pure id arithmetic and same-reel pairs
     * overlap at genuinely NONZERO offsets (trims are window-aligned
@@ -2320,7 +2320,7 @@ object Multimodal {
         while (i < nWin * window) {
           val pos = o + i / window
           val amp = (500L +
-            ((g * 97L + pos * 2654435761L) % 1000003L) % 997L).toInt
+            ((g * 1500450271L + pos * 2654435761L) % 1000003L) % 997L).toInt
           val s = if (i % 4 < 2) amp else -amp
           pcm(2 * i) = (s & 0xff).toByte
           pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte

@@ -2361,7 +2361,7 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
     * id arithmetic — id records reel `g = id % 64` from offset
     * `(id div 64) % 5` for `5 + id % 3` frames, row `r` at reel
     * position `pos` carrying pattern byte
-    * `P[((g·97 + pos·2654435761 + r·31) % 1000003) % 4]`, composed
+    * `P[((g·1500450271 + pos·2654435761 + r·31) % 1000003) % 4]`, composed
     * with the bit-63 MIN_BIGINT trick; `id % 10 = 3` zeroes the
     * magic (no rows). Then the 3-gram shingles positionally. */
   private def clipShinglesCte: String = """
@@ -2376,7 +2376,7 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
         WHERE f.f < len),
       crows AS (
         SELECT doc_id, frame_idx, r.r AS r,
-          CASE CAST(((g * 97 + pos * 2654435761 + r.r * 31)
+          CASE CAST(((g * 1500450271 + pos * 2654435761 + r.r * 31)
               % 1000003) % 4 AS INT)
             WHEN 0 THEN 85 WHEN 1 THEN 170 WHEN 2 THEN 43
             ELSE 212 END AS pb
@@ -2456,9 +2456,11 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
     * ≥ half of some eval clip's distinct 3-gram shingles (normalized
     * by the EVAL side — "how much of the benchmark appears here"),
     * with the deterministic witness (most shared, ties to smallest
-    * eval id). Split: eval = clip-fixture ids ≡ 0 (mod 4) — the
-    * shared reels guarantee genuine nonzero-offset leaks across the
-    * split. Oracle replays the capped inverted index and the witness
+    * eval id). Split: eval = OFFSET-BLOCK `(id div 64) ≡ 0 (mod 4)` — a
+    * reel-independent split, so every reel carries BOTH eval and
+    * train windows and genuine nonzero-offset leaks cross the split
+    * (an id-mod split would partition BY reel: `id % 64` determines
+    * `id % 4` — measured empty). Oracle replays the capped inverted index and the witness
     * fold positionally. */
   val q306: Q = Q(
     "q306_clip_decontam_gate",
@@ -2470,15 +2472,15 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
           .toDF().where(col("ok") === 1L)
           .select(col("doc_id"), col("frame_idx"), col("fp")))
       Dedup.sequenceShingleDecontam(
-        fps.where(col("doc_id") % 4 =!= 0),
-        fps.where(col("doc_id") % 4 === 0),
+        fps.where(expr("(doc_id div 64) % 4") =!= 0),
+        fps.where(expr("(doc_id div 64) % 4") === 0),
         "doc_id", "frame_idx", "fp", k = 3,
         minSharedNum = 1, minSharedDen = 2, maxDf = 100L)
     },
     Some(s"""
       WITH $clipShinglesCte,
-      tr AS (SELECT * FROM cold WHERE doc_id % 4 <> 0),
-      ev AS (SELECT * FROM cold WHERE doc_id % 4 = 0),
+      tr AS (SELECT * FROM cold WHERE (doc_id // 64) % 4 <> 0),
+      ev AS (SELECT * FROM cold WHERE (doc_id // 64) % 4 = 0),
       tsz AS (SELECT doc_id, count(*) AS n FROM tr GROUP BY 1),
       esz AS (SELECT doc_id, count(*) AS n FROM ev GROUP BY 1),
       m AS (
@@ -2539,7 +2541,7 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
         WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id % 10 <> 3),
       amps AS (
         SELECT doc_id, w.w AS w,
-          CAST(500 + ((g * 97 + (o + w.w) * 2654435761) % 1000003)
+          CAST(500 + ((g * 1500450271 + (o + w.w) * 2654435761) % 1000003)
             % 997 AS BIGINT) AS amp
         FROM clipids, (SELECT unnest(range(7)) AS w) w
         WHERE w.w < len),
@@ -2628,6 +2630,82 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
         GROUP BY doc_id)
       SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
       FROM comp ORDER BY doc_id
+    """.trim))
+
+  // --------------------------------------------------------------- q309
+  /** q309 — TRIMMED-audio decontamination gate
+    * ([[Dedup.sequenceShingleDecontam]] on the window-energy
+    * stream): q306's decision on the second modality — an eval
+    * recording leaked as a trimmed excerpt shifts every window and
+    * escapes the envelope gate (q296 hashes the first 65 windows);
+    * a train recording flags when it carries ≥ half of some eval
+    * clip's energy 3-gram shingles, eval-normalized, with the
+    * deterministic witness. Split: eval = offset-block
+    * `(id div 64) ≡ 0 (mod 4)` (reel-independent — see q306). Oracle replays the aperiodic amplitudes, the capped
+    * cross inverted index, and the witness fold. */
+  val q309: Q = Q(
+    "q309_audio_clip_decontam_gate",
+    (s, d) => {
+      val en = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.audioWindowEnergies(
+          Multimodal.encodeClipWaveformFixture(Tables.documents(s, d),
+            "doc_id")).toDF()
+          .select(col("doc_id"), col("w"), col("amp")))
+      Dedup.sequenceShingleDecontam(
+        en.where(expr("(doc_id div 64) % 4") =!= 0),
+        en.where(expr("(doc_id div 64) % 4") === 0),
+        "doc_id", "w", "amp", k = 3,
+        minSharedNum = 1, minSharedDen = 2, maxDf = 100L)
+    },
+    Some("""
+      WITH clipids AS (
+        SELECT doc_id, doc_id % 64 AS g, (doc_id // 64) % 5 AS o,
+          5 + doc_id % 3 AS len
+        FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id % 10 <> 3),
+      amps AS (
+        SELECT doc_id, w.w AS w,
+          CAST(500 + ((g * 1500450271 + (o + w.w) * 2654435761) % 1000003)
+            % 997 AS BIGINT) AS amp
+        FROM clipids, (SELECT unnest(range(7)) AS w) w
+        WHERE w.w < len),
+      sh AS (
+        SELECT DISTINCT a.doc_id, a.amp AS f0, b.amp AS f1, c.amp AS f2
+        FROM amps a
+        JOIN amps b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+        JOIN amps c ON c.doc_id = a.doc_id AND c.w = a.w + 2),
+      dfc AS (
+        SELECT f0, f1, f2, count(*) AS d FROM sh GROUP BY 1, 2, 3),
+      cold AS (
+        SELECT sh.doc_id, sh.f0, sh.f1, sh.f2
+        FROM sh JOIN dfc USING (f0, f1, f2) WHERE dfc.d <= 100),
+      tr AS (SELECT * FROM cold WHERE (doc_id // 64) % 4 <> 0),
+      ev AS (SELECT * FROM cold WHERE (doc_id // 64) % 4 = 0),
+      tsz AS (SELECT doc_id, count(*) AS n FROM tr GROUP BY 1),
+      esz AS (SELECT doc_id, count(*) AS n FROM ev GROUP BY 1),
+      m AS (
+        SELECT t.doc_id, e.doc_id AS eval_id, count(*) AS n_shared
+        FROM tr t JOIN ev e
+          ON t.f0 = e.f0 AND t.f1 = e.f1 AND t.f2 = e.f2
+        GROUP BY 1, 2),
+      pass AS (
+        SELECT m.doc_id, m.eval_id, m.n_shared, esz.n AS ne
+        FROM m JOIN esz ON esz.doc_id = m.eval_id
+        WHERE 2 * m.n_shared >= esz.n),
+      best AS (
+        SELECT doc_id, max(n_shared) AS n_shared FROM pass GROUP BY 1),
+      w AS (
+        SELECT p.doc_id, p.n_shared, min(p.eval_id) AS eval_id
+        FROM pass p JOIN best b
+          ON b.doc_id = p.doc_id AND p.n_shared = b.n_shared
+        GROUP BY 1, 2)
+      SELECT w.doc_id, CAST(w.n_shared AS BIGINT) AS n_shared,
+        CAST(tsz.n AS BIGINT) AS n_shingles, w.eval_id,
+        CAST(esz.n AS BIGINT) AS n_shingles_eval
+      FROM w
+      JOIN tsz ON tsz.doc_id = w.doc_id
+      JOIN esz ON esz.doc_id = w.eval_id
+      ORDER BY w.doc_id
     """.trim))
 
   // --------------------------------------------------------------- q295
