@@ -292,17 +292,22 @@ object MediaPipeline {
       val audRouted = routedOf("audio")
       val isIsoAud = Multimodal.sniffModality(col("payload")) ===
         "audio/mp4"
+      // ONE PCM pass (r18 — the decode-once seam): the window-energy
+      // stream powers the envelope fingerprint (derived columnar,
+      // pinned ≡ the direct fold) AND the eval gate's clip shingles;
+      // nothing below decodes samples again
+      val audEnergies = scope.persist(
+        Multimodal.audioWindowEnergies(
+          asMedia(audRouted.where(!isIsoAud))).toDF()
+          .select(col("doc_id"), col("w"), col("amp")))
       val audFpAll = scope.persist(
-        Multimodal.audioFingerprints(asMedia(audRouted.where(!isIsoAud)))
-          .toDF()
-          .where(col("ok") === 1L)
-          .select(col("doc_id"), col("fp")))
+        Multimodal.envelopeFromEnergies(audEnergies))
       val (isoAudDecoded, isoAudKeep) =
         exactIsoTier(audRouted.where(isIsoAud))
       val decodedAudio = audFpAll.count() + isoAudDecoded
       // header-only meta pass: the keep-best quality AND the duration
-      // bar (no second PCM decode; the envelope pass above is the
-      // only sample scan)
+      // bar (no second PCM decode; the energy pass above is the only
+      // sample scan)
       val audMeta = scope.persist(
         Multimodal.decodeAudioMeta(asMedia(audRouted.where(!isIsoAud)))
           .toDF().where(col("ok") === 1L)
@@ -468,9 +473,13 @@ object MediaPipeline {
             val evImgFp = Multimodal.imageDhash(asMedia(evStill)).toDF()
               .where(col("ok") === 1L)
               .select(col("doc_id"), col("dhash").as("fp"))
-            val evAudFp = Multimodal.audioFingerprints(asMedia(evWave))
-              .toDF().where(col("ok") === 1L)
-              .select(col("doc_id"), col("fp"))
+            // eval audio decodes once too: energies → envelope fp
+            // AND the clip-shingle stream
+            val evWaveEnergies = scope.persist(
+              Multimodal.audioWindowEnergies(asMedia(evWave)).toDF()
+                .select(col("doc_id"), col("w"), col("amp")))
+            val evAudFp = Multimodal.envelopeFromEnergies(
+              evWaveEnergies)
             val evGifFp = Multimodal.gifFrameFingerprints(asMedia(
                 ev.where(evSniff === "image/gif")
                   .select(mediaCols.map(col): _*)))
@@ -487,8 +496,17 @@ object MediaPipeline {
               decontamDrops(imgFp, evImgFp, keepImageP)
               .unionByName(
                 seqDecontamDrops(gifFp, evGifFp, keepImageP)))
+            // audio gates compose-OR: envelope proximity (q296 — a
+            // renormalized re-encode) OR energy-stream clip shingles
+            // (q309 — a TRIMMED eval excerpt shifts every window and
+            // escapes the envelope, which hashes the first 65)
             val dropsAud = scope.persist(
-              decontamDrops(audFp, evAudFp, keepAudioP))
+              decontamDrops(audFp, evAudFp, keepAudioP)
+                .unionByName(Dedup.sequenceShingleDecontam(
+                  audEnergies.join(keepAudioP, Seq("doc_id")),
+                  evWaveEnergies, "doc_id", "w", "amp",
+                  scope = scope).select(col("doc_id")))
+                .distinct())
             val dropsVid = scope.persist(
               seqDecontamDrops(gatedFps, evAviFp, keepVideoP))
             (keepImageP.join(dropsImg, Seq("doc_id"), "left_anti"),

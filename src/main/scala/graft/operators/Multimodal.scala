@@ -424,6 +424,39 @@ object Multimodal {
       } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** The envelope hash DERIVED from an energy stream —
+    * [[audioEnvelopeHash64]]'s columnar twin (r18, the decode-once
+    * seam): the envelope's bit `w` is exactly `env(w+1) > env(w)`
+    * over the first 65 windows, and [[audioWindowEnergies]] computes
+    * those identical window means — so ONE PCM pass can power the
+    * envelope fingerprint (clusters, q296's decontam) AND every
+    * energy consumer (q290 segments, q293 gates, q307/q309 clip
+    * shingles) instead of each decoding the samples again.
+    * Recordings with fewer than 65 complete windows carry no row
+    * (the [[audioEnvelopeHash64]] None contract — too short to
+    * fingerprint). Bit 63 rides the two's-complement sum (the
+    * MIN_BIGINT composition every envelope oracle replays).
+    * MultimodalSpec pins `≡ audioFingerprints` on the fixtures.
+    *
+    * Scale shape: one per-recording self-join on `w+1` (co-keyed —
+    * the window frame is 24 bytes/row) + a reduced fold; no window
+    * function, no decode. */
+  def envelopeFromEnergies(energies: DataFrame): DataFrame = {
+    val first = energies.select(col("doc_id"), col("w"), col("amp"))
+      .where(col("w") < 65)
+    val full = first.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__n")).where(col("__n") === 65L)
+      .select(col("doc_id"))
+    first.join(full, Seq("doc_id"))
+      .join(first.select(col("doc_id"), (col("w") - 1).as("w"),
+        col("amp").as("__next")), Seq("doc_id", "w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("__next") > col("amp"),
+        expr("shiftleft(1L, cast(w as int))")).otherwise(0L))
+        .as("fp"))
+      .select(col("doc_id"), col("fp"))
+  }
+
   /** One per-window energy row: window index and the EXACT
     * mean-absolute amplitude `sum(|s|) div window` (the engine's
     * fixed-point discipline — an oracle that knows the sample

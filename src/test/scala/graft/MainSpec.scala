@@ -794,8 +794,16 @@ class MainSpec extends SparkSpec {
       graft.operators.Dedup.sequenceShingleDecontam(train, ev,
         "doc_id", "frame_idx", "fp")
         .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    def energiesOf(df: org.apache.spark.sql.DataFrame) =
+      M.audioWindowEnergies(asMedia(df.where(sniff.isin("audio/wav",
+          "audio/aiff")))).toDF()
+        .select(col("doc_id"), col("w"), col("amp"))
     val flaggedImg = flaggedOf(stillFp(curated0), stillFp(evalLake))
-    val flaggedAud = flaggedOf(waveFp(curated0), waveFp(evalLake))
+    val flaggedAud = flaggedOf(waveFp(curated0), waveFp(evalLake)) ++
+      graft.operators.Dedup.sequenceShingleDecontam(
+        energiesOf(curated0), energiesOf(evalLake), "doc_id", "w",
+        "amp")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     val flaggedGif = seqFlaggedOf(gifFp(curated0), gifFp(evalLake))
     val flaggedVid = seqFlaggedOf(aviFp(curated0), aviFp(evalLake))
     assert(flaggedImg.nonEmpty, "eval stills must collide")

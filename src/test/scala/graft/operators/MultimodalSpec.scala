@@ -909,6 +909,27 @@ class MultimodalSpec extends SparkSpec {
       (20L, 2L, 20L, true), (21L, 2L, 20L, false)))
   }
 
+  test("envelopeFromEnergies ≡ audioFingerprints: the envelope hash " +
+    "derived from one energy pass matches the direct PCM fold, and " +
+    "sub-65-window recordings carry no row") {
+    val docs = Tables.documents(spark, sf).limit(150)
+    // waveform fixture: 66 windows (fingerprintable); clip fixture:
+    // 5-7 windows (must be absent)
+    for ((media, expectAny) <- Seq(
+        (Multimodal.encodeWaveformFixture(docs, "doc_id"), true),
+        (Multimodal.encodeClipWaveformFixture(docs, "doc_id"), false))) {
+      val direct = Multimodal.audioFingerprints(media).toDF()
+        .where(col("ok") === 1L)
+        .select(col("doc_id"), col("fp"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val derived = Multimodal.envelopeFromEnergies(
+          Multimodal.audioWindowEnergies(media).toDF())
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(derived == direct)
+      assert(direct.nonEmpty == expectAny)
+    }
+  }
+
   test("imageDhashMeta decode-once pass ≡ imageDhash + decodeImageMeta " +
     "run separately (fingerprint, ok mask, and dims all agree)") {
     val docs = Tables.documents(spark, sf).limit(120)
