@@ -154,6 +154,31 @@ abstract class SequenceFpStore(spark: SparkSession, storeDir: String,
     graft.operators.Dedup.alignedFingerprintClusters(fingerprints,
       "doc_id", "frame_idx", "fp", maxHamming, bits)
 
+  /** OFFSET-TOLERANT clip containment pairs over the STORE (q305's
+    * decision on the full history — r18): the same stored frame rows
+    * answer the trimmed-re-upload question the aligned readouts
+    * cannot (a cut intro shifts every index), zero payload access —
+    * one store, both dedup geometries. */
+  def clipPairs(k: Int = 3, minSharedNum: Int = 1,
+      minSharedDen: Int = 2, maxDf: Long = 100L): DataFrame =
+    graft.operators.Dedup.sequenceShingleContainment(fingerprints,
+      "doc_id", "frame_idx", "fp", k, minSharedNum, minSharedDen,
+      maxDf)
+
+  /** Clip FAMILIES + canonical picks over the STORE (q308's decision
+    * on the full history): components over [[clipPairs]]' relation,
+    * universe = the store's shingle-able sequences (≥ k frames). */
+  def clipClusters(k: Int = 3, minSharedNum: Int = 1,
+      minSharedDen: Int = 2, maxDf: Long = 100L): DataFrame = {
+    val fps = fingerprints
+    val universe = fps.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= k).select(col("doc_id"))
+    graft.operators.Dedup.nearDupClusters(universe, "doc_id",
+      clipPairs(k, minSharedNum, minSharedDen, maxDf)
+        .select(col("doc_a"), col("doc_b")))
+  }
+
   /** Fold the per-ingest appends into the distinct frame via the
     * shared verified swap. Returns (files before, files after). */
   def compact(targetFileBytes: Long = 128L << 20): (Long, Long) =

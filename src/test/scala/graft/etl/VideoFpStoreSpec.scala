@@ -64,4 +64,38 @@ class VideoFpStoreSpec extends SparkSpec {
     assert(store.pairs().collect().toSeq == pairsBefore)
     oneShotFps.unpersist()
   }
+
+  test("clip readouts over the store: batch-split ingests answer the " +
+    "one-shot offset-tolerant containment and family decisions " +
+    "(q305/q308) with zero payload re-access") {
+    val s = spark; import s.implicits._
+    def clipMedia(ids: Seq[Long]) = Multimodal
+      .encodeClipMjpegFixture(ids.toDF("doc_id"), "doc_id")
+    val dir = Files.createTempDirectory("graft_vfpc").toString + "/store"
+    val store = new VideoFpStore(spark, dir)
+    store.ingest(clipMedia(allIds.filter(_ % 2 == 0)))
+    store.ingest(clipMedia(allIds.filter(_ % 2 == 1)))
+    val oneShotFps = Multimodal.videoFrameFingerprints(
+        clipMedia(allIds)).toDF()
+      .where(col("ok") === 1L)
+      .select(col("doc_id"), col("frame_idx"), col("fp")).persist()
+    val wantPairs = Dedup.sequenceShingleContainment(oneShotFps,
+        "doc_id", "frame_idx", "fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotPairs = store.clipPairs()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotPairs == wantPairs)
+    assert(wantPairs.nonEmpty, "same-reel trims must pair")
+    val universe = oneShotFps.groupBy(col("doc_id"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .where(col("n") >= 3).select(col("doc_id"))
+    val wantFam = rows(Dedup.nearDupClusters(universe, "doc_id",
+      Dedup.sequenceShingleContainment(oneShotFps, "doc_id",
+        "frame_idx", "fp").select(col("doc_a"), col("doc_b"))))
+    assert(rows(store.clipClusters()) == wantFam)
+    assert(wantFam.count(_._3) < wantFam.size,
+      "trim families must actually collapse")
+    oneShotFps.unpersist()
+  }
 }
