@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // cap plan-STRING rendering: the composed funnel plans are deep,
+  // and an explain/log render of an uncapped tree string OOM'd the
+  // shared test JVM (StringConcat grows an unbounded ArrayList; the
+  // default cap is ~2 GiB). 4 MiB keeps every diagnostic readable.
+  "-Dspark.sql.maxPlanStringLength=4194304",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "10g")}",
 )

@@ -526,6 +526,7 @@ class MainSpec extends SparkSpec {
       .where(col("modality") === "image")
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(curatedImg == oneShot)
+    stillDm.unpersist(); gifFpRe.unpersist()
     assert(st.keptImage == oneShot.size.toLong)
     assert(st.keptImage < st.decodedImage,
       "gradient fixture must actually deduplicate")
@@ -681,6 +682,7 @@ class MainSpec extends SparkSpec {
     assert(curatedVid.forall(_ % 5 == 0), "only fam-0 clips survive")
     // the keepers deduplicate (same-g fam-0 clips are byte-identical)
     assert(st.keptVideo < decodable.count(_ % 5 == 0).toLong)
+    fps.unpersist(); gated.unpersist(); aligned.unpersist()
   }
 
   test("corpus-media image/audio quality gates: flat / tiny / " +
