@@ -418,12 +418,12 @@ object Bench {
     "q301_video_cluster_keep_best" -> 6.05,
     "q302_gif_cluster_keep_best" -> 4.6,
     "q303_iso_meta_readout" -> 0.18,
-    "q304_media_byte_budget_mix" -> 0.74,
+    "q304_media_byte_budget_mix" -> 0.49,
     "q305_video_clip_containment" -> 4.21,
     "q306_clip_decontam_gate" -> 4.59,
     "q307_audio_clip_containment" -> 1.87,
     "q309_audio_clip_decontam_gate" -> 2.37,
-    "q308_video_clip_clusters" -> 5.60)
+    "q308_video_clip_clusters" -> 4.97)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
