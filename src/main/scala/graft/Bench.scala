@@ -423,6 +423,7 @@ object Bench {
     "q306_clip_decontam_gate" -> 4.59,
     "q307_audio_clip_containment" -> 1.87,
     "q309_audio_clip_decontam_gate" -> 2.37,
+    "q310_clip_alignment_offsets" -> 5.13,
     "q308_video_clip_clusters" -> 4.97)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
@@ -676,6 +677,7 @@ object Bench {
     "q306_clip_decontam_gate" -> 855963L,
     "q307_audio_clip_containment" -> 4210718L,
     "q309_audio_clip_decontam_gate" -> 2396428L,
+    "q310_clip_alignment_offsets" -> 667404L,
     "q308_video_clip_clusters" -> 1124998L,
     "q21_embedding_neardup_ivf" -> 5000834L,
     "q22_lang_id" -> 4396L,

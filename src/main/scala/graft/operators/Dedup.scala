@@ -1413,6 +1413,92 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** CLIP ALIGNMENT OFFSETS — the forensic readout over
+    * [[sequenceShingleContainment]]'s relation (r18): for every pair
+    * passing the containment threshold, WHERE the shared content
+    * aligns — the dominant positional offset (`position in A −
+    * position in B` over matched shingles, positions indexing
+    * OBSERVED frames) and how many shingles agree at it. This is the
+    * evidence a curator reviews before trusting an offset-tolerant
+    * dedup decision ("B is A starting at frame 17"), and the seek
+    * plan a downstream differ uses to fetch the overlapping spans.
+    * Deterministic: the modal offset, ties to the SMALLEST offset.
+    *
+    * Scale shape: the [[sequenceShingleContainment]] machinery with
+    * positions carried through — the inverted-index join emits one
+    * (pair, offset) row per matched shingle OCCURRENCE (within-doc
+    * shingle repeats multiply locally, bounded by per-video frame
+    * counts), folded to ≤ \|pairs\| modal rows; candidate volume is
+    * still Σ_sh df², never all-pairs. Output (doc_a, doc_b,
+    * n_shared, offset, n_at_offset) for threshold-passing pairs,
+    * ordered. */
+  def sequenceShingleOffsets(fps: DataFrame, idCol: String,
+      alignCol: String, fpCol: String, k: Int = 3,
+      minSharedNum: Int = 1, minSharedDen: Int = 2, maxDf: Long = 100L,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(k >= 1 && k <= 16, s"k=$k out of [1, 16]")
+    require(minSharedNum >= 1 && minSharedDen >= 1 &&
+      minSharedNum <= minSharedDen,
+      s"bad share threshold $minSharedNum/$minSharedDen")
+    require(maxDf >= 1, s"maxDf=$maxDf must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("align"))
+    val keys = (0 until k).map(i => s"f$i")
+    val f = fps.select(col(idCol).as("doc_id"),
+      col(alignCol).as("align"), col(fpCol).as("fp"))
+    // shingles WITH their observed-frame start position
+    val posed = (1 until k).foldLeft(
+      f.withColumn("f0", col("fp"))
+        .withColumn("pos", row_number().over(w) - 1)) {
+        case (df, i) => df.withColumn(s"f$i", lead(col("fp"), i).over(w))
+      }
+      .where(col(keys.last).isNotNull)
+      .select(col("doc_id") +: col("pos") +: keys.map(col): _*)
+    val sh = scope.persist(posed)
+    val distinctSh = sh.select(col("doc_id") +: keys.map(col): _*)
+      .distinct()
+    val hot = distinctSh.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDf)
+      .select(keys.map(col): _*)
+    val cold = scope.persist(sh.join(hot, keys, "left_anti"))
+    // distinct-shingle sizes and shared counts: the q305 decision
+    val coldDistinct = scope.persist(
+      cold.select(col("doc_id") +: keys.map(col): _*).distinct())
+    val sz = coldDistinct.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+    val passing = coldDistinct
+      .select(col("doc_id").as("doc_a") +: keys.map(col): _*)
+      .join(coldDistinct.select(col("doc_id").as("doc_b") +:
+        keys.map(col): _*), keys)
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+        Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+        Seq("doc_b"))
+      .where(col("n_shared") * minSharedDen >=
+        least(col("n_a"), col("n_b")) * minSharedNum)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"))
+    // offsets over matched shingle OCCURRENCES, modal per pair
+    val offs = cold.select(col("doc_id").as("doc_a") +:
+        col("pos").as("__pa") +: keys.map(col): _*)
+      .join(cold.select(col("doc_id").as("doc_b") +:
+        col("pos").as("__pb") +: keys.map(col): _*), keys)
+      .where(col("doc_a") < col("doc_b"))
+      .join(passing, Seq("doc_a", "doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_shared"),
+        (col("__pa") - col("__pb")).cast("long").as("offset"))
+      .agg(count(lit(1)).as("n_at_offset"))
+    offs.groupBy(col("doc_a"), col("doc_b"), col("n_shared"))
+      .agg(max(struct(col("n_at_offset").as("n"),
+        (-col("offset")).as("no"))).as("__b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        (-col("__b.no")).as("offset"), col("__b.n").as("n_at_offset"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** SEQUENCE-shingle DECONTAMINATION —
     * [[sequenceShingleContainment]]'s eval-restricted variant, the
     * TRIMMED-eval-clip rung [[alignedFingerprintDecontam]] cannot

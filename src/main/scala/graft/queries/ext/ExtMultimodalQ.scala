@@ -2708,6 +2708,72 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       ORDER BY w.doc_id
     """.trim))
 
+  // --------------------------------------------------------------- q310
+  /** q310 — clip ALIGNMENT OFFSETS
+    * ([[Dedup.sequenceShingleOffsets]]): the forensic readout over
+    * the q305 relation — for every threshold-passing pair, WHERE the
+    * shared content aligns (the modal `position-in-A −
+    * position-in-B` over matched shingles, ties to the smallest
+    * offset) and how many shingles agree there: the evidence a
+    * curator reviews before trusting offset-tolerant dedup, and the
+    * seek plan a differ uses to fetch the overlapping spans. On the
+    * clip fixture the modal offset IS the reel-window offset
+    * difference, which the oracle replays positionally. */
+  val q310: Q = Q(
+    "q310_clip_alignment_offsets",
+    (s, d) => {
+      val fps = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.videoFrameFingerprints(
+          Multimodal.encodeClipMjpegFixture(Tables.documents(s, d),
+            "doc_id"))
+          .toDF().where(col("ok") === 1L)
+          .select(col("doc_id"), col("frame_idx"), col("fp")))
+      Dedup.sequenceShingleOffsets(fps, "doc_id", "frame_idx", "fp",
+        k = 3, minSharedNum = 1, minSharedDen = 2, maxDf = 100L)
+    },
+    Some(s"""
+      WITH $clipShinglesCte,
+      shp AS (
+        SELECT a.doc_id, a.rn - 1 AS pos,
+          a.fp AS f0, b.fp AS f1, c.fp AS f2
+        FROM r a
+        JOIN r b ON b.doc_id = a.doc_id AND b.rn = a.rn + 1
+        JOIN r c ON c.doc_id = a.doc_id AND c.rn = a.rn + 2),
+      coldp AS (
+        SELECT shp.doc_id, shp.pos, shp.f0, shp.f1, shp.f2
+        FROM shp JOIN dfc USING (f0, f1, f2) WHERE dfc.d <= 100),
+      sz AS (SELECT doc_id, count(*) AS n FROM cold GROUP BY 1),
+      i AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          count(*) AS n_shared
+        FROM cold a JOIN cold b
+          ON a.f0 = b.f0 AND a.f1 = b.f1 AND a.f2 = b.f2
+          AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pass AS (
+        SELECT i.doc_a, i.doc_b, i.n_shared FROM i
+        JOIN sz sa ON sa.doc_id = i.doc_a
+        JOIN sz sb ON sb.doc_id = i.doc_b
+        WHERE 2 * i.n_shared >= least(sa.n, sb.n)),
+      offs AS (
+        SELECT p.doc_a, p.doc_b, p.n_shared,
+          a.pos - b.pos AS off, count(*) AS n
+        FROM pass p
+        JOIN coldp a ON a.doc_id = p.doc_a
+        JOIN coldp b ON b.doc_id = p.doc_b
+          AND a.f0 = b.f0 AND a.f1 = b.f1 AND a.f2 = b.f2
+        GROUP BY 1, 2, 3, 4),
+      mx AS (
+        SELECT doc_a, doc_b, max(n) AS m FROM offs GROUP BY 1, 2)
+      SELECT o.doc_a, o.doc_b, CAST(o.n_shared AS BIGINT) AS n_shared,
+        CAST(min(o.off) AS BIGINT) AS offset,
+        CAST(mx.m AS BIGINT) AS n_at_offset
+      FROM offs o JOIN mx
+        ON mx.doc_a = o.doc_a AND mx.doc_b = o.doc_b AND o.n = mx.m
+      GROUP BY o.doc_a, o.doc_b, o.n_shared, mx.m
+      ORDER BY o.doc_a, o.doc_b
+    """.trim))
+
   // --------------------------------------------------------------- q295
   /** q295 — IMAGE decontamination gate
     * ([[Dedup.fingerprintDecontam]]): the q36/q113 decontamination
