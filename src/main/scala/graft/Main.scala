@@ -42,11 +42,12 @@ object Main {
     case "media-fixture" :: docsParquet :: outDir :: Nil =>
       mediaFixture(docsParquet, outDir)
     case "corpus-media" :: mediaParquet :: outDir :: rest0
-        if popEval(rest0)._2.size <= 1 =>
-      val (evalPath, rest) = popEval(rest0)
+        if popEval(popMix(rest0)._2)._2.size <= 1 =>
+      val (mix, rest1) = popMix(rest0)
+      val (evalPath, rest) = popEval(rest1)
       corpusMedia(mediaParquet, outDir,
         shardBytes = rest.headOption.map(_.toLong).getOrElse(64L << 20),
-        evalPath = evalPath)
+        evalPath = evalPath, mix = mix)
     case "paired-fixture" :: docsParquet :: outDir :: rest
         if rest.isEmpty || rest == List("--tri") =>
       pairedFixture(docsParquet, outDir, tri = rest.nonEmpty)
@@ -140,7 +141,7 @@ object Main {
       profile(srcParquet, outDir, cols)
     case _ =>
       System.err.println(
-        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] [--eval <docsParquet>] | media-fixture <docsParquet> <outDir> | corpus-media <mediaParquet> <outDir> [shardBytes] [--eval <mediaParquet>] | paired-fixture <docsParquet> <outDir> [--tri] | corpus-paired <pairedParquet> <outDir> [shardBytes] [--eval <pairedParquet>] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | checksum-ingest <parquet> <groupCol> <textCol> <storeDir> | kmv-ingest <parquet> <groupCol> <textCol> <storeDir> [k] | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | df-ingest <docsParquet> <storeDir> <outDir> [minDf] | export-shards <docsParquet> <outDir> <shardBytes> | export-zorder <parquet> <outDir> <xCol> <yCol> [bits [files]] | zorder-maintain <parquet> <outDir> <xCol> <yCol> | dhash-ingest <mediaParquet> <storeDir> <outDir> | audiofp-ingest <mediaParquet> <storeDir> <outDir> | videofp-ingest <mediaParquet> <storeDir> <outDir> | gif-ingest <mediaParquet> <storeDir> <outDir> | bpe-train <docsParquet> <outParquet> [nMerges] | bpe-apply <docsParquet> <mergesParquet> <outDir> | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | stream-sessionize <eventsDir> <outDir> <ckptDir> [gapMinutes] | stream-dedup <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-route <mediaDir> <outDir> <ckptDir> | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
+        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] [--eval <docsParquet>] | media-fixture <docsParquet> <outDir> | corpus-media <mediaParquet> <outDir> [shardBytes] [--eval <mediaParquet>] [--mix w_img,w_aud,w_vid budgetBytes] | paired-fixture <docsParquet> <outDir> [--tri] | corpus-paired <pairedParquet> <outDir> [shardBytes] [--eval <pairedParquet>] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | checksum-ingest <parquet> <groupCol> <textCol> <storeDir> | kmv-ingest <parquet> <groupCol> <textCol> <storeDir> [k] | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | df-ingest <docsParquet> <storeDir> <outDir> [minDf] | export-shards <docsParquet> <outDir> <shardBytes> | export-zorder <parquet> <outDir> <xCol> <yCol> [bits [files]] | zorder-maintain <parquet> <outDir> <xCol> <yCol> | dhash-ingest <mediaParquet> <storeDir> <outDir> | audiofp-ingest <mediaParquet> <storeDir> <outDir> | videofp-ingest <mediaParquet> <storeDir> <outDir> | gif-ingest <mediaParquet> <storeDir> <outDir> | bpe-train <docsParquet> <outParquet> [nMerges] | bpe-apply <docsParquet> <mergesParquet> <outDir> | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | stream-sessionize <eventsDir> <outDir> <ckptDir> [gapMinutes] | stream-dedup <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-route <mediaDir> <outDir> <ckptDir> | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
       sys.exit(2)
   }
 
@@ -260,24 +261,50 @@ object Main {
     val spark = GraftSession.local()
     val (n, clusters) = runAudioFpIngest(spark, mediaParquet, storeDir,
       outDir)
-    println(s"audiofp-ingest: $n decodable payloads fingerprinted -> " +
+    println(s"audiofp-ingest: $n decodable payloads fingerprinted " +
+      s"(one PCM pass -> envelope + energy-window stores) -> " +
       s"store $storeDir; $clusters cluster rows -> $outDir")
     spark.stop()
   }
 
   /** Testable core of `audiofp-ingest` (the [[runCompact]] pattern).
-    * Expects a parquet of (doc_id, uri, mime, payload) rows. */
+    * Expects a parquet of (doc_id, uri, mime, payload) rows.
+    *
+    * Since r19 the ingest feeds TWO stores from ONE PCM pass (the
+    * decode-once seam): the batch's window-energy stream lands in an
+    * [[graft.etl.AudioEnergyStore]] at `storeDir/energy` — the state
+    * that answers q307/q309's trimmed-re-upload clip questions over
+    * FULL history with zero payload re-decode — and the envelope
+    * hashes DERIVED from those energies
+    * ([[graft.operators.Multimodal.envelopeFromEnergies]], pinned ≡
+    * the direct fold) land in the [[graft.etl.AudioFpStore]] at
+    * `storeDir/envelope`. The cluster output (and the returned
+    * counts) stay the envelope store's whole-clip decision — the
+    * prior contract unchanged. */
   private[graft] def runAudioFpIngest(
       spark: org.apache.spark.sql.SparkSession, mediaParquet: String,
       storeDir: String, outDir: String): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
     import graft.operators.Multimodal
     val media = spark.read.parquet(mediaParquet)
       .as[Multimodal.MediaRecord](Multimodal.mediaRecordEnc)
-    val store = new graft.etl.AudioFpStore(spark, storeDir)
-    val n = store.ingest(media)
-    val clusters = store.clusters()
-    clusters.write.mode("overwrite").parquet(outDir)
-    (n, spark.read.parquet(outDir).count())
+    val energies = Multimodal.audioWindowEnergies(media).toDF()
+      .select(col("doc_id"), col("w"), col("amp"))
+    energies.persist()
+    try {
+      val energyStore = new graft.etl.AudioEnergyStore(spark,
+        s"$storeDir/energy")
+      energyStore.ingestFrame(energies
+        .select(col("doc_id"), col("w").as("frame_idx"),
+          col("amp").as("fp")))
+      val store = new graft.etl.AudioFpStore(spark,
+        s"$storeDir/envelope")
+      val n = store.ingestFrame(
+        Multimodal.envelopeFromEnergies(energies))
+      val clusters = store.clusters()
+      clusters.write.mode("overwrite").parquet(outDir)
+      (n, spark.read.parquet(outDir).count())
+    } finally energies.unpersist()
   }
 
   /** Incremental VIDEO near-dup serving: walk + frame-decode arriving
@@ -987,6 +1014,27 @@ object Main {
       case _ => (None, List("--eval", "--eval")) // malformed: fails the size guard
     }
 
+  /** `--mix w_img,w_aud,w_vid <budgetBytes>` → the per-modality
+    * weight map + byte budget for [[graft.etl.MediaPipeline]]'s
+    * mixture stage (q304 composed). Weights bind positionally to
+    * image/audio/video; a zero weight drops its modality (quota zero
+    * is a decision), so zeros are filtered out of the map rather than
+    * passed to the operator (which requires positive weights). */
+  private[graft] def popMix(rest: List[String])
+      : (Option[(Map[String, Double], Long)], List[String]) =
+    rest.indexOf("--mix") match {
+      case -1 => (None, rest)
+      case i if rest.size > i + 2 =>
+        val ws = rest(i + 1).split(",").map(_.toDouble)
+        require(ws.length == 3,
+          s"--mix needs w_img,w_aud,w_vid, got ${rest(i + 1)}")
+        val m = Seq("image", "audio", "video").zip(ws)
+          .filter(_._2 > 0).toMap
+        (Some((m, rest(i + 2).toLong)),
+          rest.take(i) ++ rest.drop(i + 3))
+      case _ => (None, List("--mix", "--mix")) // malformed: fails guard
+    }
+
   private def corpus(docsParquet: String, outDir: String,
       epoch: Option[Long], evalPath: Option[String]): Unit = {
     val spark = GraftSession.local()
@@ -1003,10 +1051,11 @@ object Main {
     * .MediaPipeline]]): magic-byte routing → per-modality dedup
     * keep-canonical → catalog profile → byte-budgeted shard export. */
   private def corpusMedia(mediaParquet: String, outDir: String,
-      shardBytes: Long, evalPath: Option[String]): Unit = {
+      shardBytes: Long, evalPath: Option[String],
+      mix: Option[(Map[String, Double], Long)] = None): Unit = {
     val spark = GraftSession.local()
     val s = runCorpusMedia(spark, mediaParquet, outDir, shardBytes,
-      evalPath)
+      evalPath, mix)
     println(s"[corpus-media] raw=${s.raw} " +
       s"routed=img:${s.routedImage}/aud:${s.routedAudio}/" +
       s"vid:${s.routedVideo}/unknown:${s.unroutable} " +
@@ -1017,6 +1066,10 @@ object Main {
       s"aud:${s.droppedEvalAudio}/vid:${s.droppedEvalVideo} " +
       s"quality_dropped=img:${s.droppedQualityImage}/" +
       s"aud:${s.droppedQualityAudio}/vid:${s.droppedQualityVideo} " +
+      (if (s.mixKeptBytes.nonEmpty || s.mixDroppedBytes.nonEmpty)
+         s"mix_kept_bytes=${s.mixKeptBytes} " +
+           s"mix_dropped_bytes=${s.mixDroppedBytes} "
+       else "") +
       s"shards=${s.shards} exported=${s.exported}")
     spark.stop()
   }
@@ -1025,10 +1078,12 @@ object Main {
   private[graft] def runCorpusMedia(
       spark: org.apache.spark.sql.SparkSession, mediaParquet: String,
       outDir: String, shardBytes: Long = 64L << 20,
-      evalPath: Option[String] = None)
+      evalPath: Option[String] = None,
+      mix: Option[(Map[String, Double], Long)] = None)
       : graft.etl.MediaPipeline.Stats =
     graft.etl.MediaPipeline.curate(spark, mediaParquet, outDir,
-      shardBytes, eval = evalPath.map(spark.read.parquet(_)))
+      shardBytes, eval = evalPath.map(spark.read.parquet(_)),
+      mix = mix)
 
   /** The PAIRED text+media funnel CLI ([[graft.etl.PairedPipeline]]):
     * text clusters × image clusters → q273's compose-OR keep decision

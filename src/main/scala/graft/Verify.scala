@@ -14,6 +14,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.engine.GraftSession.quietKnownBenignWarnings()
     new java.io.File(outDir).mkdirs()
     // dev-loop filter (Bench's SPARK_GRAFT_BENCH_ONLY precedent): a
     // filtered dump writes only matching query dirs, so a later full

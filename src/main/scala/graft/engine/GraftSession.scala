@@ -33,6 +33,21 @@ object GraftSession {
     tune(spark)
   }
 
+  /** Silence the `WindowExec` no-partition warning CATEGORY in the
+    * driver-artifact mains (Bench/Verify) ONLY — the r18 verdict
+    * hygiene item: every occurrence in this engine is an
+    * unpartitioned window over a REDUCED frame (legal by the
+    * registry-wide PlanAuditSpec sweep, e.g. the \|strata\|-row
+    * profiling folds), but hundreds of repeats bury any REAL warning
+    * a future regression would emit in the artifact tail. Dev and
+    * test logging stay loud — only the two artifact mains call
+    * this, and PlanAuditSpec (not a log grep) remains the actual
+    * guard against a corpus-scale unpartitioned window. */
+  def quietKnownBenignWarnings(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+
   /** Apply the engine's required configs to an externally-created session
     * (the driver's Verify/Bench mains build their own). Session-local,
     * no restart needed. Also registers the engine's native expressions

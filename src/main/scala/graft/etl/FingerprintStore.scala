@@ -44,8 +44,18 @@ abstract class FingerprintStore(spark: SparkSession, storeDir: String,
     * fail). The fingerprint frame is persisted so the batch is
     * decoded exactly once: count materializes the cache, the append
     * reads it back. */
-  def ingest(media: Dataset[Multimodal.MediaRecord]): Long = {
-    val fps = fingerprintFrame(media)
+  def ingest(media: Dataset[Multimodal.MediaRecord]): Long =
+    ingestFrame(fingerprintFrame(media))
+
+  /** Append a PRECOMPUTED (doc_id, fp) frame — the decode-once
+    * composition seam (r19): `audiofp-ingest` derives the envelope
+    * store AND the energy-window store from ONE PCM pass, so the
+    * envelope side must accept the already-derived frame instead of
+    * re-decoding the batch. Same persist/count/append discipline as
+    * [[ingest]]; the caller owns the contract that the frame came
+    * from the binding's own decoder. */
+  private[graft] def ingestFrame(frame: DataFrame): Long = {
+    val fps = frame.select(col("doc_id"), col("fp"))
     fps.persist()
     try {
       val n = fps.count()
@@ -69,6 +79,20 @@ abstract class FingerprintStore(spark: SparkSession, storeDir: String,
     * the STORE — zero payload access. */
   def clusters(maxHamming: Int = 3, bits: Int = 64): DataFrame =
     Dedup.fingerprintClusters(fingerprints, "doc_id", "fp",
+      maxHamming, bits)
+
+  /** STORE-SIDE decontamination (r19 — the verdict's readout gap #4):
+    * screen the FULL stored history against a NEW eval set's
+    * fingerprints ([[Dedup.fingerprintDecontam]] over stored state) —
+    * the quarterly "does any of our 100 TB of history leak this
+    * benchmark" question, answered with zero train-side payload
+    * re-decode. `evalFps` is the eval set's (doc_id, fp) frame,
+    * decoded by the binding's own decoder (benchmarks-small — AQE
+    * broadcasts it on its own, never a forced hint). Output
+    * (doc_id, hamming, eval_id), contaminated stored docs only. */
+  def decontam(evalFps: DataFrame, maxHamming: Int = 3,
+      bits: Int = 64): DataFrame =
+    Dedup.fingerprintDecontam(fingerprints, evalFps, "doc_id", "fp",
       maxHamming, bits)
 
   /** Fold the per-ingest appends into the distinct frame via the
@@ -124,9 +148,15 @@ abstract class SequenceFpStore(spark: SparkSession, storeDir: String,
     * (corrupt containers and frames drop, never fail). The frame
     * frame is persisted so the batch is decoded exactly once: the
     * count materializes the cache, the append reads it back. */
-  def ingest(media: Dataset[Multimodal.MediaRecord]): Long = {
-    val fps = fingerprintFrame(media)
-      .select(col("doc_id"), col("frame_idx"), col("fp"))
+  def ingest(media: Dataset[Multimodal.MediaRecord]): Long =
+    ingestFrame(fingerprintFrame(media))
+
+  /** Append a PRECOMPUTED (doc_id, frame_idx, fp) frame — the
+    * decode-once composition seam (r19), the [[FingerprintStore
+    * .ingestFrame]] contract on sequences: `audiofp-ingest` feeds the
+    * energy-window store and the envelope store from ONE PCM pass. */
+  private[graft] def ingestFrame(frame: DataFrame): Long = {
+    val fps = frame.select(col("doc_id"), col("frame_idx"), col("fp"))
     fps.persist()
     try {
       val n = fps.select(col("doc_id")).distinct().count()
@@ -179,6 +209,32 @@ abstract class SequenceFpStore(spark: SparkSession, storeDir: String,
         .select(col("doc_a"), col("doc_b")))
   }
 
+  /** STORE-SIDE sequence decontamination (r19 — the readout gap #4,
+    * aligned geometry): screen the FULL stored history against a NEW
+    * eval set's frame sequences ([[graft.operators.Dedup
+    * .alignedFingerprintDecontam]] — the rung that sees a re-encoded/
+    * remuxed eval clip), zero train-side payload re-decode. `evalFps`
+    * = (doc_id, frame_idx, fp), decoded by the binding's own
+    * decoder. */
+  def decontam(evalFps: DataFrame, maxHamming: Int = 3,
+      bits: Int = 64): DataFrame =
+    graft.operators.Dedup.alignedFingerprintDecontam(fingerprints,
+      evalFps, "doc_id", "frame_idx", "fp", maxHamming, bits)
+
+  /** STORE-SIDE clip decontamination (r19 — the OFFSET-TOLERANT
+    * gate, [[graft.operators.Dedup.sequenceShingleDecontam]] over
+    * stored state): a TRIMMED/embedded eval clip shifts every frame
+    * index and escapes [[decontam]]'s aligned matching; this rung
+    * flags stored docs carrying ≥ `num/den` of some eval clip's
+    * k-gram shingles — both gates from the same stored frame rows,
+    * zero payload re-access. */
+  def clipDecontam(evalFps: DataFrame, k: Int = 3,
+      minSharedNum: Int = 1, minSharedDen: Int = 2,
+      maxDf: Long = 100L): DataFrame =
+    graft.operators.Dedup.sequenceShingleDecontam(fingerprints,
+      evalFps, "doc_id", "frame_idx", "fp", k, minSharedNum,
+      minSharedDen, maxDf)
+
   /** Fold the per-ingest appends into the distinct frame via the
     * shared verified swap. Returns (files before, files after). */
   def compact(targetFileBytes: Long = 128L << 20): (Long, Long) =
@@ -208,4 +264,29 @@ final class GifFpStore(spark: SparkSession, storeDir: String)
     Multimodal.gifFrameFingerprints(media).toDF()
       .where(col("ok") === 1L)
       .select(col("doc_id"), col("frame_idx"), col("fp"))
+}
+
+/** The AUDIO ENERGY-WINDOW binding (r19 — the verdict's store gap
+  * #3): a recording's window-energy stream IS a fingerprint sequence
+  * (rows `(doc_id, w, amp)` stored as `(doc_id, frame_idx, fp)`), so
+  * persisting it lets the OFFSET-TOLERANT clip readouts — q307/q309's
+  * decisions via [[clipPairs]]/[[clipClusters]]/[[clipDecontam]] —
+  * answer over FULL HISTORY with zero payload re-decode, the
+  * decode-once discipline the video/GIF sequence stores already
+  * honor (before this store, a trimmed-re-upload question over
+  * history meant re-decoding every payload's PCM). The aligned
+  * readouts stay meaningful at `maxHamming = 0` (exact window-energy
+  * alignment); envelope-hash proximity remains [[AudioFpStore]]'s
+  * readout — `audiofp-ingest` feeds BOTH stores from ONE PCM pass
+  * ([[graft.operators.Multimodal.envelopeFromEnergies]] derives the
+  * envelope from this store's batch frame). Rows are 24 B each; a
+  * policy-capped per-recording window count bounds the store's rows
+  * per doc exactly as frame sampling bounds the video stores. */
+final class AudioEnergyStore(spark: SparkSession, storeDir: String)
+    extends SequenceFpStore(spark, storeDir, "audio energy store") {
+  protected def fingerprintFrame(
+      media: Dataset[Multimodal.MediaRecord]): DataFrame =
+    Multimodal.audioWindowEnergies(media).toDF()
+      .select(col("doc_id"), col("w").as("frame_idx"),
+        col("amp").as("fp"))
 }

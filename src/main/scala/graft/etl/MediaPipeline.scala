@@ -103,7 +103,12 @@ object MediaPipeline {
       keptVideo: Long, droppedEvalImage: Long, droppedEvalAudio: Long,
       droppedEvalVideo: Long, droppedQualityImage: Long,
       droppedQualityAudio: Long, droppedQualityVideo: Long,
-      shards: Long, exported: Long)
+      shards: Long, exported: Long,
+      // r19 — the optional `--mix` stage's per-modality byte masses:
+      // what the mixture kept and what it dropped (both empty when no
+      // mix was requested)
+      mixKeptBytes: Map[String, Long] = Map.empty,
+      mixDroppedBytes: Map[String, Long] = Map.empty)
 
   private val mediaCols = Seq("doc_id", "uri", "mime", "payload")
 
@@ -175,7 +180,21 @@ object MediaPipeline {
       // video gates are not parameterized — flat nothing is junk at
       // any bar.
       imageMinPx: Long = 64L, imageAspectMax: Int = 8,
-      audioMinFrames: Long = 256L): Stats =
+      audioMinFrames: Long = 256L,
+      // clip-containment policy of the two-stage dedup tiers (r19 —
+      // the r18 advice finding: at real corpus scale the df cap is a
+      // consequential dedup policy, not a constant to hard-code).
+      // Defaults are [[Dedup.sequenceShingleContainment]]'s; a corpus
+      // team tunes them with its quality bars.
+      clipK: Int = 3, clipMinSharedNum: Int = 1,
+      clipMinSharedDen: Int = 2, clipMaxDf: Long = 100L,
+      // optional BYTE-BUDGET MIXTURE over the kept canonicals (r19 —
+      // q304 composed, [[Sampling.mixToByteBudget]]): `Some((weights,
+      // budgetBytes))` restates the funnel's output as a stated
+      // per-modality byte mixture between the keep decision and every
+      // export; a kept modality without a weight drops entirely
+      // (quota zero is a decision, not an accident)
+      mix: Option[(Map[String, Double], Long)] = None): Stats =
     CacheScope.withScope { scope =>
       require(routedFileBytes >= 1,
         s"need routedFileBytes >= 1, got $routedFileBytes")
@@ -228,6 +247,41 @@ object MediaPipeline {
             .select(col("doc_id")))
       }
 
+      // TWO-STAGE sequence dedup, shared by the MJPEG (r18), GIF and
+      // audio (r19) tiers: FAMILY clusters collapse re-encode mass
+      // first (aligned signatures for frame streams, envelope
+      // proximity for audio), then the offset-tolerant clip
+      // containment ([[Dedup.sequenceShingleContainment]]) runs over
+      // the family REPRESENTATIVES' sequence streams only —
+      // overlapping trims of one reel chain into ONE family without
+      // the shingle join ever touching collapsed duplicate mass;
+      // members attach through their family's representative, the
+      // canonical is keep-best on `quality` (never min-id — a damaged
+      // copy must not win).
+      def twoStageSeqKeep(famClusters: DataFrame, seq: DataFrame,
+          alignCol: String, fpCol: String, quality: DataFrame,
+          qCols: Seq[String]): DataFrame = {
+        val fam = scope.persist(famClusters)
+        val repIds = fam.where(col("is_canonical"))
+          .select(col("doc_id"))
+        val repSeq = scope.persist(seq.join(repIds, Seq("doc_id")))
+        val clipPairs = Dedup.sequenceShingleContainment(repSeq,
+            "doc_id", alignCol, fpCol, k = clipK,
+            minSharedNum = clipMinSharedNum,
+            minSharedDen = clipMinSharedDen, maxDf = clipMaxDf,
+            scope = scope)
+          .select(col("doc_a"), col("doc_b"))
+        val repComps = Dedup.nearDupClusters(repIds, "doc_id",
+            clipPairs)
+          .select(col("doc_id").as("__rep"), col("cluster_id"))
+        Multimodal.keepBest(
+            fam.select(col("doc_id"), col("cluster_id").as("__rep"))
+              .join(repComps, Seq("__rep"))
+              .select(col("doc_id"), col("cluster_id")),
+            quality, qCols)
+          .where(col("is_best")).select(col("doc_id"))
+      }
+
       // image, THREE-tier by coding (the video-branch discipline):
       //   GIF — per-frame dHash → aligned sequence clusters (animated
       //     GIFs are multi-frame; statics degenerate to one frame)
@@ -273,18 +327,24 @@ object MediaPipeline {
       // the highest-resolution member (q294), GIFs the most-decoded-
       // frames member (q302) — the exact ISO tier stays min-id, its
       // members are byte-identical so no copy is better
+      // GIF dedup is TWO-STAGE since r19 (the MJPEG tier's r18
+      // discipline on the second frame-stream coding): aligned
+      // families collapse re-encodes, then q311's clip containment
+      // chains trimmed/embedded GIF re-uploads over the family
+      // representatives; canonical keeps the most decoded frames
+      // (q302/q312).
       val keepImage = Multimodal.keepBestResolution(
           Dedup.fingerprintClusters(imgFp, "doc_id", "fp",
             maxHamming = maxHamming, bits = 64, scope = scope),
           imgGated.select(col("doc_id"), col("width"), col("height")))
         .where(col("is_best")).select(col("doc_id"))
-        .unionByName(Multimodal.keepBest(
-            Dedup.alignedFingerprintClusters(gifFp, "doc_id",
-              "frame_idx", "fp", maxHamming = maxHamming, bits = 64,
-              scope = scope),
-            gifFp.groupBy(col("doc_id"))
-              .agg(count(lit(1)).as("n_obs")), Seq("n_obs"))
-          .where(col("is_best")).select(col("doc_id")))
+        .unionByName(twoStageSeqKeep(
+          Dedup.alignedFingerprintClusters(gifFp, "doc_id",
+            "frame_idx", "fp", maxHamming = maxHamming, bits = 64,
+            scope = scope),
+          gifFp, "frame_idx", "fp",
+          gifFp.groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_obs")), Seq("n_obs")))
         .unionByName(isoImgKeep)
 
       // audio, two-tier: WAV/AIFF — envelope hash → Hamming clusters
@@ -323,13 +383,21 @@ object MediaPipeline {
         audMeta.where(col("n_frames") >= audioMinFrames)
           .select(col("doc_id")), Seq("doc_id")))
       val droppedQualityAudio = audFpAll.count() - audFp.count()
-      // keep-best on the audio rung (q300): highest sample rate, then
-      // most frames
-      val keepAudio = Multimodal.keepBest(
+      // audio dedup is TWO-STAGE since r19 (the verdict's composition
+      // gap #1): envelope-hash families collapse re-encodes (q266),
+      // then q307's clip containment runs over the family
+      // representatives' ALREADY-DECODED window-energy streams — a
+      // trimmed audio re-upload shifts every window and escapes the
+      // envelope (which hashes the first 65), but shares the
+      // excerpt's energy 3-grams; zero extra PCM decode (the one
+      // energy pass above powers fingerprint, gates, and this).
+      // Canonical = keep-best: highest sample rate, then most frames
+      // (q300).
+      val keepAudio = twoStageSeqKeep(
           Dedup.fingerprintClusters(audFp, "doc_id", "fp",
             maxHamming = maxHamming, bits = 64, scope = scope),
-          audMeta, Seq("sample_rate", "n_frames"))
-        .where(col("is_best")).select(col("doc_id"))
+          audEnergies.join(audFp.select(col("doc_id")), Seq("doc_id")),
+          "w", "amp", audMeta, Seq("sample_rate", "n_frames"))
         .unionByName(isoAudKeep)
 
       // video, two-tier by what the JDK can honestly decode:
@@ -373,27 +441,13 @@ object MediaPipeline {
       // their aligned family's representative; canonical = keep-best
       // by observed frames (q301 — a damaged copy must not win on
       // min id).
-      val aligned = scope.persist(
+      val keepMjpeg = twoStageSeqKeep(
         Dedup.alignedFingerprintClusters(gatedFps,
           "doc_id", "frame_idx", "fp", maxHamming = maxHamming,
-          bits = 64, scope = scope))
-      val repIds = aligned.where(col("is_canonical"))
-        .select(col("doc_id"))
-      val repFps = scope.persist(gatedFps.join(repIds, Seq("doc_id")))
-      val clipPairs = Dedup.sequenceShingleContainment(repFps,
-          "doc_id", "frame_idx", "fp", scope = scope)
-        .select(col("doc_a"), col("doc_b"))
-      val repComps = Dedup.nearDupClusters(
-        repIds, "doc_id", clipPairs)
-        .select(col("doc_id").as("__rep"), col("cluster_id"))
-      val vidClusters = aligned
-        .select(col("doc_id"), col("cluster_id").as("__rep"))
-        .join(repComps, Seq("__rep"))
-        .select(col("doc_id"), col("cluster_id"))
-      val keepMjpeg = Multimodal.keepBest(vidClusters,
-          gatedFps.groupBy(col("doc_id"))
-            .agg(count(lit(1)).as("n_obs")), Seq("n_obs"))
-        .where(col("is_best")).select(col("doc_id"))
+          bits = 64, scope = scope),
+        gatedFps, "frame_idx", "fp",
+        gatedFps.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_obs")), Seq("n_obs"))
       val vidHash = scope.persist(
         routedOf("video")
           .select(col("doc_id"), sha2(col("payload"), 256).as("bh"))
@@ -516,6 +570,42 @@ object MediaPipeline {
           case None => (keepImage, keepAudio, keepVideo, 0L, 0L, 0L)
         }
 
+      // 2c. OPTIONAL BYTE-BUDGET MIXTURE (r19 — q304 composed into
+      // the funnel): restate the kept canonicals as a stated
+      // per-modality byte mixture BEFORE any export, so the curated
+      // tree, profile, and shards all see the mixture. The decision
+      // frame is (doc_id, modality, n_bytes) — 24 B/row, payloads
+      // never shuffle; the per-modality masses are a ≤-3-row collect
+      // (driver-dim by construction).
+      val keptTriple = Seq("image" -> keepImageG, "audio" -> keepAudioG,
+        "video" -> keepVideoG)
+      val (keptMixed, mixKeptBytes, mixDroppedBytes) = mix match {
+        case Some((weights, budgetBytes)) =>
+          val lens = scope.persist(keptTriple.map { case (m, keep) =>
+            routedOf(m).join(keep, Seq("doc_id"))
+              .select(col("doc_id"), lit(m).as("modality"),
+                octet_length(col("payload")).cast("long")
+                  .as("n_bytes"))
+          }.reduce(_.unionByName(_)))
+          val picked = scope.persist(
+            graft.operators.Sampling.mixToByteBudget(lens, "doc_id",
+              "modality", col("n_bytes"), weights, budgetBytes))
+          def massOf(df: DataFrame): Map[String, Long] =
+            df.groupBy(col("modality"))
+              .agg(sum(col("n_bytes")).cast("long").as("b"))
+              .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          val pre = massOf(lens)
+          val post = massOf(picked)
+          (keptTriple.map { case (m, keep) =>
+            m -> keep.join(picked.where(col("modality") === m)
+              .select(col("doc_id")), Seq("doc_id"))
+          }, post,
+            pre.map { case (m, b) =>
+              m -> (b - post.getOrElse(m, 0L)) })
+        case None =>
+          (keptTriple, Map.empty[String, Long], Map.empty[String, Long])
+      }
+
       // each branch salts against ITS OWN routed byte mass (free off
       // the namenode; the kept subset is ≤ it) — a per-modality
       // budget, so a lake that is 95% video by bytes does not
@@ -527,9 +617,8 @@ object MediaPipeline {
           .withColumn("modality", lit(modality))
           .withColumn("__salt", pmod(hash(col("doc_id")),
             lit(branchBuckets.getOrElse(modality, 1))))
-      keptOf("image", keepImageG)
-        .unionByName(keptOf("audio", keepAudioG))
-        .unionByName(keptOf("video", keepVideoG))
+      keptMixed.map { case (m, keep) => keptOf(m, keep) }
+        .reduce(_.unionByName(_))
         .repartition(math.max(1, branchBuckets.values.sum),
           col("modality"), col("__salt"))
         .drop("__salt")
@@ -637,7 +726,7 @@ object MediaPipeline {
         keptCounts.getOrElse("video", 0L),
         droppedEvalImage, droppedEvalAudio, droppedEvalVideo,
         droppedQualityImage, droppedQualityAudio, droppedQualityVideo,
-        shards, exported)
+        shards, exported, mixKeptBytes, mixDroppedBytes)
       onScope(scope)
       stats
     }

@@ -1369,39 +1369,82 @@ object Dedup {
       alignCol: String, fpCol: String, k: Int = 3,
       minSharedNum: Int = 1, minSharedDen: Int = 2, maxDf: Long = 100L,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    requireClipPolicy(k, minSharedNum, minSharedDen, maxDf)
+    val keys = (0 until k).map(i => s"f$i")
+    val sh = scope.persist(clipShingleLeads(
+        fps, idCol, alignCol, fpCol, k, withPos = false)
+      .select(col("doc_id") +: keys.map(col): _*)
+      .distinct())
+    val cold = scope.persist(
+      sh.join(clipHotShingles(sh, keys, maxDf), keys, "left_anti"))
+    clipPassingPairs(cold, keys, minSharedNum, minSharedDen)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private def requireClipPolicy(k: Int, minSharedNum: Int,
+      minSharedDen: Int, maxDf: Long): Unit = {
     require(k >= 1 && k <= 16, s"k=$k out of [1, 16]")
     require(minSharedNum >= 1 && minSharedDen >= 1 &&
       minSharedNum <= minSharedDen,
       s"bad share threshold $minSharedNum/$minSharedDen")
     require(maxDf >= 1, s"maxDf=$maxDf must be positive")
+  }
+
+  /** Shared shingle build of the clip rung (the r18 advice factoring —
+    * [[sequenceShingleContainment]]/[[sequenceShingleOffsets]] built
+    * the same frames twice): k-gram shingle OCCURRENCE rows
+    * (doc_id, [pos,] f0..f{k−1}) over each doc's OBSERVED frames, one
+    * per-doc lead window. `withPos` adds the observed-frame start
+    * position (`row_number − 1` on the same window — the offsets
+    * readout needs it; the containment decision does not and skips
+    * the extra column). */
+  private def clipShingleLeads(fps: DataFrame, idCol: String,
+      alignCol: String, fpCol: String, k: Int,
+      withPos: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("align"))
     val f = fps.select(col(idCol).as("doc_id"),
       col(alignCol).as("align"), col(fpCol).as("fp"))
     val keys = (0 until k).map(i => s"f$i")
-    val withLeads = (1 until k).foldLeft(
-      f.withColumn("f0", col("fp"))) { case (df, i) =>
+    val base = f.withColumn("f0", col("fp"))
+    val posed =
+      if (withPos) base.withColumn("pos", row_number().over(w) - 1)
+      else base
+    val outCols = col("doc_id") +:
+      (if (withPos) Seq(col("pos")) else Nil) ++: keys.map(col)
+    (1 until k).foldLeft(posed) { case (df, i) =>
         df.withColumn(s"f$i", lead(col("fp"), i).over(w))
       }
-    val sh = scope.persist(withLeads
       .where(col(keys.last).isNotNull)
-      .select(col("doc_id") +: keys.map(col): _*)
-      .distinct())
-    // df cap over distinct-per-doc rows: count(*) IS the doc count
-    val hot = sh.groupBy(keys.map(col): _*)
+      .select(outCols: _*)
+  }
+
+  /** The ubiquitous-shingle cap: shingles carried by more than `maxDf`
+    * docs (computed over DISTINCT-per-doc rows — count(*) IS the doc
+    * count) are dropped from pairing before any self-join, bounding
+    * candidate mass at Σ_sh df². */
+  private def clipHotShingles(distinctSh: DataFrame,
+      keys: Seq[String], maxDf: Long): DataFrame =
+    distinctSh.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__df"))
       .where(col("__df") > maxDf)
       .select(keys.map(col): _*)
-    val cold = scope.persist(sh.join(hot, keys, "left_anti"))
-    val sz = cold.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cold.select(col("doc_id").as("doc_a") +:
-        keys.map(col): _*)
-      .join(cold.select(col("doc_id").as("doc_b") +:
+
+  /** The threshold-passing containment relation over capped DISTINCT
+    * shingle rows: (doc_a, doc_b, n_shared, n_a, n_b) with doc_a <
+    * doc_b and `minSharedDen·n_shared ≥ minSharedNum·min(n_a, n_b)` —
+    * the inverted-index intersection both clip readouts share. */
+  private def clipPassingPairs(coldDistinct: DataFrame,
+      keys: Seq[String], minSharedNum: Int,
+      minSharedDen: Int): DataFrame = {
+    val sz = coldDistinct.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+    coldDistinct.select(col("doc_id").as("doc_a") +: keys.map(col): _*)
+      .join(coldDistinct.select(col("doc_id").as("doc_b") +:
         keys.map(col): _*), keys)
       .where(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
-    inter
       .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
         Seq("doc_a"))
       .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
@@ -1410,7 +1453,6 @@ object Dedup {
         least(col("n_a"), col("n_b")) * minSharedNum)
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         col("n_a"), col("n_b"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** CLIP ALIGNMENT OFFSETS — the forensic readout over
@@ -1436,50 +1478,22 @@ object Dedup {
       alignCol: String, fpCol: String, k: Int = 3,
       minSharedNum: Int = 1, minSharedDen: Int = 2, maxDf: Long = 100L,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    require(k >= 1 && k <= 16, s"k=$k out of [1, 16]")
-    require(minSharedNum >= 1 && minSharedDen >= 1 &&
-      minSharedNum <= minSharedDen,
-      s"bad share threshold $minSharedNum/$minSharedDen")
-    require(maxDf >= 1, s"maxDf=$maxDf must be positive")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("align"))
+    requireClipPolicy(k, minSharedNum, minSharedDen, maxDf)
     val keys = (0 until k).map(i => s"f$i")
-    val f = fps.select(col(idCol).as("doc_id"),
-      col(alignCol).as("align"), col(fpCol).as("fp"))
     // shingles WITH their observed-frame start position
-    val posed = (1 until k).foldLeft(
-      f.withColumn("f0", col("fp"))
-        .withColumn("pos", row_number().over(w) - 1)) {
-        case (df, i) => df.withColumn(s"f$i", lead(col("fp"), i).over(w))
-      }
-      .where(col(keys.last).isNotNull)
-      .select(col("doc_id") +: col("pos") +: keys.map(col): _*)
-    val sh = scope.persist(posed)
+    val sh = scope.persist(clipShingleLeads(
+      fps, idCol, alignCol, fpCol, k, withPos = true))
     val distinctSh = sh.select(col("doc_id") +: keys.map(col): _*)
       .distinct()
-    val hot = distinctSh.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__df"))
-      .where(col("__df") > maxDf)
-      .select(keys.map(col): _*)
+    val hot = clipHotShingles(distinctSh, keys, maxDf)
     val cold = scope.persist(sh.join(hot, keys, "left_anti"))
-    // distinct-shingle sizes and shared counts: the q305 decision
+    // distinct-shingle sizes and shared counts: the q305 decision —
+    // the SAME passing stage as [[sequenceShingleContainment]] (the
+    // advice factoring: one machinery, two readouts)
     val coldDistinct = scope.persist(
       cold.select(col("doc_id") +: keys.map(col): _*).distinct())
-    val sz = coldDistinct.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n"))
-    val passing = coldDistinct
-      .select(col("doc_id").as("doc_a") +: keys.map(col): _*)
-      .join(coldDistinct.select(col("doc_id").as("doc_b") +:
-        keys.map(col): _*), keys)
-      .where(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
-        Seq("doc_a"))
-      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
-        Seq("doc_b"))
-      .where(col("n_shared") * minSharedDen >=
-        least(col("n_a"), col("n_b")) * minSharedNum)
+    val passing = clipPassingPairs(coldDistinct, keys, minSharedNum,
+        minSharedDen)
       .select(col("doc_a"), col("doc_b"), col("n_shared"))
     // offsets over matched shingle OCCURRENCES, modal per pair
     val offs = cold.select(col("doc_id").as("doc_a") +:

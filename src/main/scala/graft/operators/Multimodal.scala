@@ -2286,37 +2286,54 @@ object Multimodal {
     * period-4 pattern walk cannot serve (any arithmetic mod 4 repeats
     * every 4 frames, collapsing the corpus to ~12 distinct shingles —
     * measured — so shingle df-caps swallow everything): ids sharing a
-    * REEL (`g = id % 64` — the reel count keeps per-shingle document
-    * frequency at ~N/64·coverage, under the default df cap across
-    * the gate SFs; a handful of fixed reels would saturate the cap
-    * as the corpus grows) each record a different WINDOW of it —
-    * offset `(id div 64) % 5`, length `5 + id % 3` — so same-reel
+    * REEL (`g = id % G`, `G = ` [[clipReels]]) each record a
+    * different WINDOW of it —
+    * offset `(id div G) % 5`, length `5 + id % 3` — so same-reel
     * pairs overlap at genuinely NONZERO offsets (the trimmed
     * re-upload). Frame content at reel position `pos` is APERIODIC
-    * via the affine-hash row pattern
-    * `P[((g·1500450271 + pos·2654435761 + r·31) mod 1000003) mod 4]` (an
+    * via the MULTIPLICATIVE row mix
+    * `P[((h·(2r+3)) mod 1000003) mod 4]` with
+    * `h = (g·1500450271 + pos·2654435761) mod 1000003` (an
     * integer-exact mix both engines restate; the walk-safe 4-byte
     * alphabet keeps every row's level walk inside the 9-level
     * range), so distinct reel positions carry distinct fingerprints
-    * and shingle document-frequencies stay under any sane cap.
-    * Corruption family: `id % 10 = 3` zeroes the RIFF magic. */
+    * and shingle document-frequencies stay under any sane cap. The
+    * mix MUST be multiplicative in `r` (r19): the earlier additive
+    * `(h + 31r) mod M mod 4` collapses — within a frame the mod-M
+    * quotient is constant across r, so the row sequence reduces to
+    * `(h + 3r) mod 4` and the whole corpus carried FOUR distinct
+    * frame patterns (≈15 distinct shingles, 12 of 15 df-capped at
+    * sf0.1 — measured — leaving the containment path nearly
+    * vacuous); an r-dependent multiplier moves the quotient every
+    * row, and the measured shingle space is \|G·positions\|-sized
+    * with zero capped shingles at every SF.
+    * Corruption family: `id % 10 = 3` zeroes the RIFF magic.
+    *
+    * The reel count SCALES with corpus size ([[clipReels]] —
+    * `max(64, N div 64)`, the r18 advice finding): with a FIXED reel
+    * count, per-shingle document frequency grows linearly in N
+    * (~N/64 × window coverage), so above N ≈ 10–15k docs the default
+    * `maxDf = 100` cap would swallow every shingle and the clip
+    * queries would pass VACUOUSLY (engine and oracle agreeing on
+    * empty); scaling reels keeps per-reel membership ≈ 64 docs —
+    * under the cap at every SF — so the containment path stays
+    * genuinely exercised. */
   def encodeClipMjpegFixture(docs: DataFrame, idCol: String)
       : Dataset[MediaRecord] = {
-    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
-      .where(col("doc_id").isNotNull && col("doc_id") >= 0)
+    val ids = clipIds(docs, idCol)
+    val reels = clipReels(docs, idCol)
     implicit val longEnc: Encoder[Long] = Encoders.scalaLong
     ids.as[Long].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { id =>
-        val g = (id % 64).toInt
-        val o = ((id / 64) % 5).toInt
+        val g = id % reels
+        val o = ((id / reels) % 5).toInt
         val len = (5 + id % 3).toInt
         val jpegs = (0 until len).map { f =>
           val pos = (o + f).toLong
+          val h = (g * 1500450271L + pos * 2654435761L) % 1000003L
           flatBlockJpeg { r =>
-            mjpegPatterns(
-              (((g * 1500450271L + pos * 2654435761L + r * 31L) % 1000003L)
-                % 4L).toInt)
+            mjpegPatterns((h * (2 * r + 3) % 1000003L % 4L).toInt)
           }
         }
         MediaRecord(id, s"memory://clip/$id", "video/x-msvideo",
@@ -2325,35 +2342,66 @@ object Multimodal {
     }
   }
 
+  /** The clip fixtures' id universe: non-null, non-negative. */
+  private def clipIds(docs: DataFrame, idCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .where(col("doc_id").isNotNull && col("doc_id") >= 0)
+
+  /** Corpus-scaled reel count of the clip fixtures (shared by the
+    * MJPEG/waveform/GIF variants and their oracles — the oracle
+    * restates it as `greatest(64, count(*) // 64)` over the same id
+    * filter): `max(64, N div 64)` keeps per-reel membership ≈ 64 ids
+    * regardless of corpus size, so shingle document frequencies stay
+    * under any sane df cap at every SF. Driver-side count of the
+    * fixture's id universe — fixture assembly, not an operator. */
+  private[graft] def clipReels(docs: DataFrame, idCol: String): Long =
+    math.max(64L, clipIds(docs, idCol).count() / 64L)
+
   /** TRIMMED-CLIP waveform fixture — [[encodeClipMjpegFixture]]'s
     * audio twin for the offset-tolerant sequence rungs: ids sharing
-    * a REEL (`g = id % 64`) record different WINDOWS of it (offset
-    * `(id div 64) % 5`, length `5 + id % 3` windows of 256 samples),
+    * a REEL (`g = id % G`, `G = ` [[clipReels]] — corpus-scaled, the
+    * same vacuity argument) record different WINDOWS of it (offset
+    * `(id div G) % 5`, length `baseWindows + id % 3` windows of 256
+    * samples — the default 5 keeps recordings BELOW the 65-window
+    * envelope minimum, the q307 scope; `baseWindows ≥ 65` makes the
+    * same reels envelope-fingerprintable, the funnel's two-stage
+    * audio test bed),
     * window amplitude at reel position `pos` the aperiodic
-    * `500 + ((g·1500450271 + pos·2654435761) mod 1000003) mod 997` on the
+    * `500 + ((h·h) mod 1000003) mod 997` with
+    * `h = (g·1500450271 + pos·2654435761) mod 1000003` on the
     * ±carrier — each window's mean-abs IS the amplitude exactly, so
     * the energy stream is pure id arithmetic and same-reel pairs
     * overlap at genuinely NONZERO offsets (trims are window-aligned
     * by construction; an arbitrary-sample trim would shift window
     * phase — the documented granularity of energy-stream matching).
+    * The amplitude hash MUST be squared (r19): the earlier AFFINE
+    * `(g·A + pos·B) mod M mod 997` steps by a near-constant `+86`
+    * between consecutive positions (B mod M mod 997 = 86, wrap
+    * corrections also positive), so the derived ENVELOPE bits were
+    * almost all 1s — 173 fixture docs collapsed to 49 envelopes with
+    * cross-reel Hamming-0 collisions (measured), spuriously merging
+    * unrelated reels in any envelope-clustering consumer; squaring
+    * makes the per-step delta depend on `h` itself, the envelope a
+    * fair bit-mix, and every fixture doc's envelope distinct.
     * Corruption family: `id % 10 = 3` zeroes the RIFF magic. */
-  def encodeClipWaveformFixture(docs: DataFrame, idCol: String)
-      : Dataset[MediaRecord] = {
-    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
-      .where(col("doc_id").isNotNull && col("doc_id") >= 0)
+  def encodeClipWaveformFixture(docs: DataFrame, idCol: String,
+      baseWindows: Int = 5): Dataset[MediaRecord] = {
+    require(baseWindows >= 3, s"need baseWindows >= 3, got $baseWindows")
+    val ids = clipIds(docs, idCol)
+    val reels = clipReels(docs, idCol)
     implicit val longEnc: Encoder[Long] = Encoders.scalaLong
     ids.as[Long].mapPartitions { it =>
       it.map { id =>
         val window = 256
-        val g = id % 64
-        val o = (id / 64) % 5
-        val nWin = (5 + id % 3).toInt
+        val g = id % reels
+        val o = (id / reels) % 5
+        val nWin = (baseWindows + id % 3).toInt
         val pcm = new Array[Byte](nWin * window * 2)
         var i = 0
         while (i < nWin * window) {
           val pos = o + i / window
-          val amp = (500L +
-            ((g * 1500450271L + pos * 2654435761L) % 1000003L) % 997L).toInt
+          val h = (g * 1500450271L + pos * 2654435761L) % 1000003L
+          val amp = (500L + (h * h % 1000003L) % 997L).toInt
           val s = if (i % 4 < 2) amp else -amp
           pcm(2 * i) = (s & 0xff).toByte
           pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
@@ -2808,6 +2856,60 @@ object Multimodal {
           bytes(0) = 0; bytes(1) = 0; bytes(2) = 0
         } else if (id % 10 == 6) bytes = bytes.take(16)
         MediaRecord(id, s"memory://gif/$id", "image/gif", bytes)
+      }
+    }
+  }
+
+  /** TRIMMED-CLIP GIF fixture — [[encodeClipMjpegFixture]]'s
+    * animated-GIF sibling for the offset-tolerant rungs (q311/q312):
+    * ids sharing a REEL (`g = id % G`, `G = ` [[clipReels]] —
+    * corpus-scaled, the same vacuity argument) record different
+    * WINDOWS of it (offset `(id div G) % 5`, length `5 + id % 3`
+    * frames); frame content at reel position `pos` is the aperiodic
+    * multiplicative row mix `P[((h·(2r+5)) mod 1000003) mod 4]` with
+    * `h = (g·1500450271 + pos·2654435761) mod 1000003`
+    * (`2r+5`, not the MJPEG clip fixture's `2r+3` — the two fixtures
+    * are distinct streams; multiplicative in `r` for the
+    * [[encodeClipMjpegFixture]] collapse reason),
+    * written through the real ImageIO GIF
+    * sequence writer, so the per-frame dHash row byte IS the pattern
+    * byte bit-exactly (GIF is lossless — the [[encodeGifFixture]]
+    * argument). A trimmed/embedded animated-GIF re-upload shifts
+    * every frame index and escapes q285's aligned matching — this is
+    * its test bed. Corruption family: `id % 10 = 3` zeroes the magic
+    * (router → unknown, no rows). */
+  def encodeClipGifFixture(docs: DataFrame, idCol: String)
+      : Dataset[MediaRecord] = {
+    val ids = clipIds(docs, idCol)
+    val reels = clipReels(docs, idCol)
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    ids.as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val g = id % reels
+        val o = ((id / reels) % 5).toInt
+        val len = (5 + id % 3).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        try {
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          (0 until len).foreach { f =>
+            val pos = (o + f).toLong
+            val h = (g * 1500450271L + pos * 2654435761L) % 1000003L
+            val img = flatBlockImage { r =>
+              mjpegPatterns((h * (2 * r + 5) % 1000003L % 4L).toInt)
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+          }
+          writer.endWriteSequence()
+        } finally { writer.dispose(); ios.close() }
+        val bytes = bos.toByteArray
+        if (id % 10 == 3) { bytes(0) = 0; bytes(1) = 0; bytes(2) = 0 }
+        MediaRecord(id, s"memory://clipgif/$id", "image/gif", bytes)
       }
     }
   }

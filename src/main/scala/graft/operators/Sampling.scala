@@ -149,8 +149,13 @@ object Sampling {
       .select(col(stratumCol),
         floor(least(lit(1.0), target / col("t").cast("double")) *
           lit(1000000.0)).cast("long").as("thr"))
+    // pmod, not %: a NEGATIVE id's Java-% fold is negative all the way
+    // down, so `bucket < thr` would admit it unconditionally and
+    // silently distort the mixture (the r18 advice finding); for ids
+    // >= 0 the two agree, so every existing oracle is unchanged
     val bucket =
-      ((col(idCol) % P) * lit(2654435761L) % P + lit(12345L)) % P % 1000000L
+      (pmod(col(idCol), lit(P)) * lit(2654435761L) % P + lit(12345L)) %
+        P % 1000000L
     counts.join(broadcast(thr), Seq(stratumCol))
       .where(bucket < col("thr"))
       .select(col(idCol), col(stratumCol), col("n_tokens"))
@@ -194,8 +199,10 @@ object Sampling {
       .select(col(stratumCol),
         floor(least(lit(1.0), target / col("b").cast("double")) *
           lit(1000000.0)).cast("long").as("thr"))
+    // pmod for the same negative-id reason as [[mixToTokenBudget]]
     val bucket =
-      ((col(idCol) % P) * lit(2654435761L) % P + lit(12345L)) % P % 1000000L
+      (pmod(col(idCol), lit(P)) * lit(2654435761L) % P + lit(12345L)) %
+        P % 1000000L
     sized.join(broadcast(thr), Seq(stratumCol))
       .where(bucket < col("thr"))
       .select(col(idCol), col(stratumCol), col("n_bytes"))

@@ -2358,17 +2358,31 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
 
   /** Shared oracle CTE of the clip rung (q305/q306): replay
     * [[Multimodal.encodeClipMjpegFixture]]'s per-frame dHash as pure
-    * id arithmetic — id records reel `g = id % 64` from offset
-    * `(id div 64) % 5` for `5 + id % 3` frames, row `r` at reel
-    * position `pos` carrying pattern byte
-    * `P[((g·1500450271 + pos·2654435761 + r·31) % 1000003) % 4]`, composed
+    * id arithmetic — id records reel `g = id % G` from offset
+    * `(id div G) % 5` for `5 + id % 3` frames, where `G =
+    * greatest(64, N div 64)` is the corpus-scaled reel count
+    * ([[Multimodal.clipReels]] — N counts the fixture's id universe
+    * BEFORE the corruption family, so both engines agree), row `r`
+    * at reel position `pos` carrying pattern byte
+    * `P[((h·(2r+3)) % 1000003) % 4]` with
+    * `h = (g·1500450271 + pos·2654435761) % 1000003` (multiplicative
+    * in `r` — the additive mix collapsed mod 4, see
+    * [[Multimodal.encodeClipMjpegFixture]]), composed
     * with the bit-63 MIN_BIGINT trick; `id % 10 = 3` zeroes the
-    * magic (no rows). Then the 3-gram shingles positionally. */
-  private def clipShinglesCte: String = """
+    * magic (no rows). Then the 3-gram shingles positionally.
+    * Parameterized on the multiplier offset (`2r+3` = the MJPEG clip
+    * fixture, `2r+5` = the GIF one — q311/q312 share everything
+    * else). */
+  private def clipShinglesCte: String = clipShinglesCteFor(3)
+
+  private def clipShinglesCteFor(rOff: Int): String = s"""
+      gv AS (
+        SELECT greatest(64, count(*) // 64) AS ng FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0),
       clipids AS (
-        SELECT doc_id, doc_id % 64 AS g, (doc_id // 64) % 5 AS o,
+        SELECT doc_id, doc_id % ng AS g, (doc_id // ng) % 5 AS o,
           5 + doc_id % 3 AS len
-        FROM documents
+        FROM documents, gv
         WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id % 10 <> 3),
       cframes AS (
         SELECT doc_id, f.f AS frame_idx, g, o + f.f AS pos
@@ -2376,8 +2390,8 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
         WHERE f.f < len),
       crows AS (
         SELECT doc_id, frame_idx, r.r AS r,
-          CASE CAST(((g * 1500450271 + pos * 2654435761 + r.r * 31)
-              % 1000003) % 4 AS INT)
+          CASE CAST((((g * 1500450271 + pos * 2654435761) % 1000003)
+              * (2 * r.r + $rOff)) % 1000003 % 4 AS INT)
             WHEN 0 THEN 85 WHEN 1 THEN 170 WHEN 2 THEN 43
             ELSE 212 END AS pb
         FROM cframes, (SELECT unnest(range(8)) AS r) r),
@@ -2456,15 +2470,16 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
     * ≥ half of some eval clip's distinct 3-gram shingles (normalized
     * by the EVAL side — "how much of the benchmark appears here"),
     * with the deterministic witness (most shared, ties to smallest
-    * eval id). Split: eval = OFFSET-BLOCK `(id div 64) ≡ 0 (mod 4)` — a
-    * reel-independent split, so every reel carries BOTH eval and
-    * train windows and genuine nonzero-offset leaks cross the split
-    * (an id-mod split would partition BY reel: `id % 64` determines
-    * `id % 4` — measured empty). Oracle replays the capped inverted index and the witness
-    * fold positionally. */
+    * eval id). Split: eval = OFFSET-BLOCK `(id div G) ≡ 0 (mod 4)` — a
+    * reel-independent split (the quotient `id div G` varies within
+    * every reel), so every reel carries BOTH eval and train windows
+    * and genuine nonzero-offset leaks cross the split (an id-mod
+    * split would partition BY reel — measured empty). Oracle replays
+    * the capped inverted index and the witness fold positionally. */
   val q306: Q = Q(
     "q306_clip_decontam_gate",
     (s, d) => {
+      val reels = Multimodal.clipReels(Tables.documents(s, d), "doc_id")
       val fps = graft.engine.CacheScope.unmanaged.persist(
         Multimodal.videoFrameFingerprints(
           Multimodal.encodeClipMjpegFixture(Tables.documents(s, d),
@@ -2472,15 +2487,15 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
           .toDF().where(col("ok") === 1L)
           .select(col("doc_id"), col("frame_idx"), col("fp")))
       Dedup.sequenceShingleDecontam(
-        fps.where(expr("(doc_id div 64) % 4") =!= 0),
-        fps.where(expr("(doc_id div 64) % 4") === 0),
+        fps.where(expr(s"(doc_id div $reels) % 4") =!= 0),
+        fps.where(expr(s"(doc_id div $reels) % 4") === 0),
         "doc_id", "frame_idx", "fp", k = 3,
         minSharedNum = 1, minSharedDen = 2, maxDf = 100L)
     },
     Some(s"""
       WITH $clipShinglesCte,
-      tr AS (SELECT * FROM cold WHERE (doc_id // 64) % 4 <> 0),
-      ev AS (SELECT * FROM cold WHERE (doc_id // 64) % 4 = 0),
+      tr AS (SELECT c.* FROM cold c, gv WHERE (doc_id // ng) % 4 <> 0),
+      ev AS (SELECT c.* FROM cold c, gv WHERE (doc_id // ng) % 4 = 0),
       tsz AS (SELECT doc_id, count(*) AS n FROM tr GROUP BY 1),
       esz AS (SELECT doc_id, count(*) AS n FROM ev GROUP BY 1),
       m AS (
@@ -2534,15 +2549,19 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
         k = 3, minSharedNum = 1, minSharedDen = 2, maxDf = 100L)
     },
     Some("""
-      WITH clipids AS (
-        SELECT doc_id, doc_id % 64 AS g, (doc_id // 64) % 5 AS o,
+      WITH gv AS (
+        SELECT greatest(64, count(*) // 64) AS ng FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0),
+      clipids AS (
+        SELECT doc_id, doc_id % ng AS g, (doc_id // ng) % 5 AS o,
           5 + doc_id % 3 AS len
-        FROM documents
+        FROM documents, gv
         WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id % 10 <> 3),
       amps AS (
         SELECT doc_id, w.w AS w,
-          CAST(500 + ((g * 1500450271 + (o + w.w) * 2654435761) % 1000003)
-            % 997 AS BIGINT) AS amp
+          CAST(500 + (((g * 1500450271 + (o + w.w) * 2654435761) % 1000003)
+            * ((g * 1500450271 + (o + w.w) * 2654435761) % 1000003))
+            % 1000003 % 997 AS BIGINT) AS amp
         FROM clipids, (SELECT unnest(range(7)) AS w) w
         WHERE w.w < len),
       sh AS (
@@ -2641,7 +2660,7 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
     * a train recording flags when it carries ≥ half of some eval
     * clip's energy 3-gram shingles, eval-normalized, with the
     * deterministic witness. Split: eval = offset-block
-    * `(id div 64) ≡ 0 (mod 4)` (reel-independent — see q306). Oracle replays the aperiodic amplitudes, the capped
+    * `(id div G) ≡ 0 (mod 4)` (reel-independent — see q306). Oracle replays the aperiodic amplitudes, the capped
     * cross inverted index, and the witness fold. */
   val q309: Q = Q(
     "q309_audio_clip_decontam_gate",
@@ -2651,22 +2670,27 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
           Multimodal.encodeClipWaveformFixture(Tables.documents(s, d),
             "doc_id")).toDF()
           .select(col("doc_id"), col("w"), col("amp")))
+      val reels = Multimodal.clipReels(Tables.documents(s, d), "doc_id")
       Dedup.sequenceShingleDecontam(
-        en.where(expr("(doc_id div 64) % 4") =!= 0),
-        en.where(expr("(doc_id div 64) % 4") === 0),
+        en.where(expr(s"(doc_id div $reels) % 4") =!= 0),
+        en.where(expr(s"(doc_id div $reels) % 4") === 0),
         "doc_id", "w", "amp", k = 3,
         minSharedNum = 1, minSharedDen = 2, maxDf = 100L)
     },
     Some("""
-      WITH clipids AS (
-        SELECT doc_id, doc_id % 64 AS g, (doc_id // 64) % 5 AS o,
+      WITH gv AS (
+        SELECT greatest(64, count(*) // 64) AS ng FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0),
+      clipids AS (
+        SELECT doc_id, doc_id % ng AS g, (doc_id // ng) % 5 AS o,
           5 + doc_id % 3 AS len
-        FROM documents
+        FROM documents, gv
         WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id % 10 <> 3),
       amps AS (
         SELECT doc_id, w.w AS w,
-          CAST(500 + ((g * 1500450271 + (o + w.w) * 2654435761) % 1000003)
-            % 997 AS BIGINT) AS amp
+          CAST(500 + (((g * 1500450271 + (o + w.w) * 2654435761) % 1000003)
+            * ((g * 1500450271 + (o + w.w) * 2654435761) % 1000003))
+            % 1000003 % 997 AS BIGINT) AS amp
         FROM clipids, (SELECT unnest(range(7)) AS w) w
         WHERE w.w < len),
       sh AS (
@@ -2679,8 +2703,8 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       cold AS (
         SELECT sh.doc_id, sh.f0, sh.f1, sh.f2
         FROM sh JOIN dfc USING (f0, f1, f2) WHERE dfc.d <= 100),
-      tr AS (SELECT * FROM cold WHERE (doc_id // 64) % 4 <> 0),
-      ev AS (SELECT * FROM cold WHERE (doc_id // 64) % 4 = 0),
+      tr AS (SELECT c.* FROM cold c, gv WHERE (doc_id // ng) % 4 <> 0),
+      ev AS (SELECT c.* FROM cold c, gv WHERE (doc_id // ng) % 4 = 0),
       tsz AS (SELECT doc_id, count(*) AS n FROM tr GROUP BY 1),
       esz AS (SELECT doc_id, count(*) AS n FROM ev GROUP BY 1),
       m AS (
@@ -2772,6 +2796,108 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
         ON mx.doc_a = o.doc_a AND mx.doc_b = o.doc_b AND o.n = mx.m
       GROUP BY o.doc_a, o.doc_b, o.n_shared, mx.m
       ORDER BY o.doc_a, o.doc_b
+    """.trim))
+
+  // --------------------------------------------------------------- q311
+  /** q311 — GIF clip containment
+    * ([[Dedup.sequenceShingleContainment]] over
+    * [[Multimodal.gifFrameFingerprints]]): the offset-tolerant rung
+    * on the THIRD sequence coding — a trimmed/embedded animated-GIF
+    * re-upload shifts every frame index and escapes q285's aligned
+    * matching exactly as the MJPEG case escaped q278's; the per-frame
+    * dHash streams 3-gram shingle over observed frames and pairs flag
+    * on sharing ≥ half the smaller side's distinct shingles. The clip
+    * fixture is [[Multimodal.encodeClipGifFixture]] (multiplicative
+    * `2r+5` row mix, corpus-scaled reels — the q305 lessons);
+    * GIF is lossless, so the oracle replays every fingerprint
+    * bit-exactly with no codec-error argument. */
+  val q311: Q = Q(
+    "q311_gif_clip_containment",
+    (s, d) => {
+      val fps = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.gifFrameFingerprints(
+          Multimodal.encodeClipGifFixture(Tables.documents(s, d),
+            "doc_id"))
+          .toDF().where(col("ok") === 1L)
+          .select(col("doc_id"), col("frame_idx"), col("fp")))
+      Dedup.sequenceShingleContainment(fps, "doc_id", "frame_idx",
+        "fp", k = 3, minSharedNum = 1, minSharedDen = 2, maxDf = 100L)
+    },
+    Some(s"""
+      WITH ${clipShinglesCteFor(5)},
+      sz AS (SELECT doc_id, count(*) AS n FROM cold GROUP BY 1),
+      i AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          count(*) AS n_shared
+        FROM cold a JOIN cold b
+          ON a.f0 = b.f0 AND a.f1 = b.f1 AND a.f2 = b.f2
+          AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT i.doc_a, i.doc_b, CAST(i.n_shared AS BIGINT) AS n_shared,
+        CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b
+      FROM i
+      JOIN sz sa ON sa.doc_id = i.doc_a
+      JOIN sz sb ON sb.doc_id = i.doc_b
+      WHERE 2 * i.n_shared >= least(sa.n, sb.n)
+      ORDER BY i.doc_a, i.doc_b
+    """.trim))
+
+  // --------------------------------------------------------------- q312
+  /** q312 — GIF clip families (q311 ∘ [[Dedup.nearDupClusters]]):
+    * the KEEP/DROP decision over the GIF offset-tolerant relation —
+    * connected components over the containment pairs, one min-id
+    * canonical per family, so a reel recorded as five overlapping
+    * trimmed GIFs keeps ONE copy. Universe = GIFs with ≥ k observed
+    * frames (the shingle-able ones). Oracle closes the replayed pair
+    * set with the recursive CTE — the q308 pattern on the GIF
+    * fixture. */
+  val q312: Q = Q(
+    "q312_gif_clip_clusters",
+    (s, d) => {
+      val fps = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.gifFrameFingerprints(
+          Multimodal.encodeClipGifFixture(Tables.documents(s, d),
+            "doc_id"))
+          .toDF().where(col("ok") === 1L)
+          .select(col("doc_id"), col("frame_idx"), col("fp")))
+      val pairs = Dedup.sequenceShingleContainment(fps, "doc_id",
+        "frame_idx", "fp", k = 3, minSharedNum = 1, minSharedDen = 2,
+        maxDf = 100L)
+      val universe = fps.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("__n"))
+        .where(col("__n") >= 3).select(col("doc_id"))
+      Dedup.nearDupClusters(universe, "doc_id",
+        pairs.select(col("doc_a"), col("doc_b")))
+    },
+    Some(s"""
+      WITH RECURSIVE ${clipShinglesCteFor(5)},
+      sz AS (SELECT doc_id, count(*) AS n FROM cold GROUP BY 1),
+      i AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          count(*) AS n_shared
+        FROM cold a JOIN cold b
+          ON a.f0 = b.f0 AND a.f1 = b.f1 AND a.f2 = b.f2
+          AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      cpairs AS (
+        SELECT doc_a, doc_b FROM i
+        JOIN sz sa ON sa.doc_id = i.doc_a
+        JOIN sz sb ON sb.doc_id = i.doc_b
+        WHERE 2 * i.n_shared >= least(sa.n, sb.n)),
+      cuniverse AS (SELECT doc_id FROM clipids),
+      cedges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM cpairs
+        UNION ALL SELECT doc_b, doc_a FROM cpairs),
+      reach(doc_id, via) AS (
+        SELECT doc_id, doc_id FROM cuniverse
+        UNION
+        SELECT rr.doc_id, e.dst FROM reach rr
+        JOIN cedges e ON e.src = rr.via),
+      comp AS (
+        SELECT doc_id, min(via) AS cluster_id FROM reach
+        GROUP BY doc_id)
+      SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
+      FROM comp ORDER BY doc_id
     """.trim))
 
   // --------------------------------------------------------------- q295

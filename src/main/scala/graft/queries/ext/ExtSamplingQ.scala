@@ -921,8 +921,9 @@ private[queries] trait ExtSamplingQ { self: ExtHelpers with ExtDedupQ =>
     * modality (never the declared mime), so corrupted-magic rows land
     * in `unknown` — no quota, dropped by construction. The fixture is
     * the byte-ASSEMBLED ISO one, so every payload length is pure id
-    * arithmetic (HEIF-family rows carry the 84-byte meta tree, the
-    * movie-header rows 72 bytes) and the oracle replays masses,
+    * arithmetic (HEIF-family rows are an 84-byte total payload — a
+    * 48-byte meta tree between the 20-byte ftyp and 16-byte mdat —
+    * the movie-header rows 72 bytes) and the oracle replays masses,
     * thresholds, and the hash filter exactly (dyadic weights — every
     * intermediate double exact). */
   val q304: Q = Q(

@@ -16,6 +16,34 @@ class MainSpec extends SparkSpec {
   private def write(dir: Path, name: String, content: String): Unit =
     Files.writeString(dir.resolve(name), content)
 
+  /** The funnel's TWO-STAGE sequence dedup replay (family clusters →
+    * clip containment over family representatives → members through
+    * their rep → keep-best): the pinned composition every sequence
+    * tier of [[graft.etl.MediaPipeline]] runs since r19. */
+  private def twoStageReplay(fam: org.apache.spark.sql.DataFrame,
+      seq: org.apache.spark.sql.DataFrame, alignCol: String,
+      fpCol: String, quality: org.apache.spark.sql.DataFrame,
+      qCols: Seq[String]): Set[Long] = {
+    import org.apache.spark.sql.functions._
+    val D = graft.operators.Dedup
+    val famC = fam.cache()
+    try {
+      val repIds = famC.where(col("is_canonical")).select(col("doc_id"))
+      val repSeq = seq.join(repIds, Seq("doc_id"))
+      val repComps = D.nearDupClusters(repIds, "doc_id",
+          D.sequenceShingleContainment(repSeq, "doc_id", alignCol,
+            fpCol).select(col("doc_a"), col("doc_b")))
+        .select(col("doc_id").as("__rep"), col("cluster_id"))
+      graft.operators.Multimodal.keepBest(
+          famC.select(col("doc_id"), col("cluster_id").as("__rep"))
+            .join(repComps, Seq("__rep"))
+            .select(col("doc_id"), col("cluster_id")),
+          quality, qCols)
+        .where(col("is_best"))
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    } finally famC.unpersist()
+  }
+
   test("etl over the CSV layout → star; report; compact — end to end") {
     val src = Files.createTempDirectory("graft_cli_src")
     val wh = Files.createTempDirectory("graft_cli_wh").toString
@@ -515,13 +543,12 @@ class MainSpec extends SparkSpec {
         stillDm.select(col("doc_id"), col("width"), col("height")))
       .where(col("is_best"))
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet ++
-      M.keepBest(
+      twoStageReplay(
         graft.operators.Dedup.alignedFingerprintClusters(gifFpRe,
           "doc_id", "frame_idx", "fp", 3, 64),
+        gifFpRe, "frame_idx", "fp",
         gifFpRe.groupBy(col("doc_id")).agg(count(lit(1)).as("n_obs")),
         Seq("n_obs"))
-      .where(col("is_best"))
-      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     val curatedImg = spark.read.parquet(s"$base/out/curated")
       .where(col("modality") === "image")
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
@@ -593,6 +620,14 @@ class MainSpec extends SparkSpec {
     val s2 = spark; import s2.implicits._
     (0L until 60L).toDF("doc_id").write.parquet(s"$base/docs")
     Main.runMediaFixture(spark, s"$base/docs", s"$base/lake")
+    // the demo lake's waveform audio is PERIODIC (a 7-window amp
+    // cycle), so the r19 two-stage audio dedup correctly collapses it
+    // to ONE canonical — a single row cannot fan out; add genuinely
+    // distinct-reel audio (the aperiodic clip fixture) so the curated
+    // audio branch has real byte mass to split
+    graft.operators.Multimodal.encodeClipWaveformFixture(
+        (100L until 292L).toDF("doc_id"), "doc_id", baseWindows = 70)
+      .toDF().write.mode("append").parquet(s"$base/lake")
     // per-file budget far below any one modality's byte mass — every
     // modality's routed/curated subtree must split across files
     val st = graft.etl.MediaPipeline.curate(spark, s"$base/lake",
@@ -735,6 +770,146 @@ class MainSpec extends SparkSpec {
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(curatedImg.subsetOf(gateKeep))
     assert(curatedImg.size == 1)
+  }
+
+  test("corpus-media audio tier is TWO-STAGE: trimmed re-uploads at " +
+    "nonzero window offsets chain into one family via clip " +
+    "containment over envelope-family representatives — the funnel " +
+    "keep equals the q266 ∘ q307 replay and strictly beats " +
+    "envelope-only dedup") {
+    import org.apache.spark.sql.functions._
+    val M = graft.operators.Multimodal
+    val D = graft.operators.Dedup
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cmaclip").toString
+    val s2 = spark; import s2.implicits._
+    // 64 reels × 3 window offsets, ≥ 65 windows each → every
+    // recording is envelope-fingerprintable, same-reel recordings
+    // overlap at genuinely nonzero offsets (the trimmed re-upload)
+    val ids = (0L until 192L)
+    M.encodeClipWaveformFixture(ids.toDF("doc_id"), "doc_id",
+        baseWindows = 70).toDF()
+      .write.parquet(s"$base/lake")
+    val st = Main.runCorpusMedia(spark, s"$base/lake", s"$base/out",
+      shardBytes = 4096)
+    val lake = spark.read.parquet(s"$base/lake")
+      .select(col("doc_id"), col("uri"), col("mime"), col("payload"))
+      .as[M.MediaRecord](M.mediaRecordEnc)
+    val energies = M.audioWindowEnergies(lake).toDF()
+      .select(col("doc_id"), col("w"), col("amp")).cache()
+    val fp = M.envelopeFromEnergies(energies).cache()
+    val meta = M.decodeAudioMeta(lake).toDF()
+      .where(col("ok") === 1L)
+      .select(col("doc_id"), col("sample_rate"), col("n_frames"))
+    // default duration bar (256 frames) passes every decodable row
+    val famClusters = D.fingerprintClusters(fp, "doc_id", "fp", 3, 64)
+    val want = twoStageReplay(famClusters,
+      energies.join(fp.select(col("doc_id")), Seq("doc_id")),
+      "w", "amp", meta, Seq("sample_rate", "n_frames"))
+    val got = spark.read.parquet(s"$base/out/curated")
+      .where(col("modality") === "audio")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    assert(st.keptAudio == want.size.toLong)
+    // the clip stage must do real work: envelope-only keep-best
+    // keeps MORE canonicals (each trim offset its own family)
+    val envOnly = M.keepBest(famClusters, meta,
+        Seq("sample_rate", "n_frames"))
+      .where(col("is_best"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(want.size < envOnly.size,
+      "clip containment must chain trimmed re-uploads across " +
+        "envelope families")
+    energies.unpersist(); fp.unpersist()
+  }
+
+  test("corpus-media GIF tier is TWO-STAGE: trimmed animated-GIF " +
+    "re-uploads chain into one family via clip containment over " +
+    "aligned-family representatives — the funnel keep equals the " +
+    "q285 ∘ q311 replay and strictly beats aligned-only dedup") {
+    import org.apache.spark.sql.functions._
+    val M = graft.operators.Multimodal
+    val D = graft.operators.Dedup
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cmgclip").toString
+    val s2 = spark; import s2.implicits._
+    val ids = (0L until 192L)
+    M.encodeClipGifFixture(ids.toDF("doc_id"), "doc_id").toDF()
+      .write.parquet(s"$base/lake")
+    val st = Main.runCorpusMedia(spark, s"$base/lake", s"$base/out",
+      shardBytes = 4096)
+    val lake = spark.read.parquet(s"$base/lake")
+      .select(col("doc_id"), col("uri"), col("mime"), col("payload"))
+      .as[M.MediaRecord](M.mediaRecordEnc)
+    val fps = M.gifFrameFingerprints(lake).toDF()
+      .where(col("ok") === 1L)
+      .select(col("doc_id"), col("frame_idx"), col("fp")).cache()
+    val nObs = fps.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_obs"))
+    val famClusters = D.alignedFingerprintClusters(fps, "doc_id",
+      "frame_idx", "fp", 3, 64)
+    val want = twoStageReplay(famClusters, fps, "frame_idx", "fp",
+      nObs, Seq("n_obs"))
+    val got = spark.read.parquet(s"$base/out/curated")
+      .where(col("modality") === "image")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    assert(st.keptImage == want.size.toLong)
+    val alignedOnly = M.keepBest(famClusters, nObs, Seq("n_obs"))
+      .where(col("is_best"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(want.size < alignedOnly.size,
+      "clip containment must chain trimmed GIF re-uploads across " +
+        "aligned families")
+    fps.unpersist()
+  }
+
+  test("corpus-media --mix: the mixed curated tree equals the " +
+    "standalone mixToByteBudget pick over the without-mix keeps, an " +
+    "unweighted modality drops entirely, and stats carry the " +
+    "per-modality kept/dropped byte masses") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cmmix").toString
+    val s2 = spark; import s2.implicits._
+    (0L until 60L).toDF("doc_id").write.parquet(s"$base/docs")
+    Main.runMediaFixture(spark, s"$base/docs", s"$base/lake")
+    val st0 = Main.runCorpusMedia(spark, s"$base/lake", s"$base/out0",
+      shardBytes = 4096)
+    assert(st0.mixKeptBytes.isEmpty && st0.mixDroppedBytes.isEmpty)
+    val kept0 = spark.read.parquet(s"$base/out0/curated")
+      .select(col("doc_id"), col("modality"),
+        octet_length(col("payload")).cast("long").as("n_bytes"))
+      .cache()
+    // no video weight → the kept video canonicals must drop entirely
+    val weights = Map("image" -> 0.5, "audio" -> 0.5)
+    val budget = 4000L
+    val st1 = Main.runCorpusMedia(spark, s"$base/lake", s"$base/out1",
+      shardBytes = 4096, mix = Some((weights, budget)))
+    val pick = graft.operators.Sampling.mixToByteBudget(kept0,
+        "doc_id", "modality", col("n_bytes"), weights, budget)
+      .select(col("doc_id"), col("modality"), col("n_bytes")).cache()
+    val wantIds = pick.select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val gotIds = spark.read.parquet(s"$base/out1/curated")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(gotIds == wantIds)
+    assert(gotIds.nonEmpty, "the mixture must keep something")
+    assert(st1.keptVideo == 0L && st0.keptVideo > 0L,
+      "quota-zero video must drop")
+    // stats masses ≡ the standalone pick's masses
+    def massOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("modality"))
+        .agg(sum(col("n_bytes")).cast("long").as("b"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pre = massOf(kept0)
+    val post = massOf(pick)
+    assert(st1.mixKeptBytes == post)
+    assert(st1.mixDroppedBytes ==
+      pre.map { case (m, b) => m -> (b - post.getOrElse(m, 0L)) })
+    // exports and profile run over the MIXED keeps
+    assert(st1.exported == gotIds.size.toLong)
+    kept0.unpersist(); pick.unpersist()
   }
 
   test("corpus-media with an eval set: kept stills and WAV/AIFF " +

@@ -52,6 +52,30 @@ class DhashStoreSpec extends SparkSpec {
     assert(store.pairs().collect().toSeq == pairsBefore)
   }
 
+  test("store-side decontam (r19) ≡ the one-shot fingerprintDecontam " +
+    "gate over the ingested union — full-history screening against a " +
+    "new eval set with zero payload re-decode") {
+    val dir = Files.createTempDirectory("graft_dhd").toString + "/store"
+    val store = new DhashStore(spark, dir)
+    val trainIds = allIds.filter(_ % 3 != 0)
+    val evalIds = allIds.filter(_ % 3 == 0)
+    store.ingest(media(trainIds))
+    def fpsOf(ids: Seq[Long]) =
+      Multimodal.imageDhash(media(ids)).toDF()
+        .where(col("ok") === 1L)
+        .select(col("doc_id"), col("dhash").as("fp"))
+    // hamming is bit_count's INT32
+    def decRows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSet
+    val got = decRows(store.decontam(fpsOf(evalIds)))
+    val want = decRows(Dedup.fingerprintDecontam(fpsOf(trainIds),
+      fpsOf(evalIds), "doc_id", "fp", maxHamming = 3, bits = 64))
+    assert(got == want)
+    assert(got.nonEmpty,
+      "perceptually-colliding eval images must flag stored docs")
+  }
+
   test("re-delivering a batch is a NO-OP — the hash is a pure payload " +
     "function, distinct folds the duplicate rows") {
     val dir = Files.createTempDirectory("graft_dh2").toString + "/store"

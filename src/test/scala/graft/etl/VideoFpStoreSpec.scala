@@ -98,4 +98,53 @@ class VideoFpStoreSpec extends SparkSpec {
       "trim families must actually collapse")
     oneShotFps.unpersist()
   }
+
+  test("store-side decontam readouts (r19): the aligned gate and the " +
+    "offset-tolerant clip gate over the STORE equal the one-shot " +
+    "gates over the ingested union — full-history screening with " +
+    "zero payload re-decode") {
+    val s = spark; import s.implicits._
+    def fpsOf(m: org.apache.spark.sql.Dataset[
+        Multimodal.MediaRecord]) =
+      Multimodal.videoFrameFingerprints(m).toDF()
+        .where(col("ok") === 1L)
+        .select(col("doc_id"), col("frame_idx"), col("fp"))
+    // ALIGNED gate on the base MJPEG fixture: same-pattern-group ids
+    // land on both sides of an id-mod split, so re-encoded eval clips
+    // flag at the same frame indices
+    val dir = Files.createTempDirectory("graft_vfpd").toString + "/store"
+    val store = new VideoFpStore(spark, dir)
+    val trainIds = allIds.filter(_ % 3 != 0)
+    val evalIds = allIds.filter(_ % 3 == 0)
+    store.ingest(media(trainIds))
+    def decRows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val evalFps = fpsOf(media(evalIds))
+    val gotAligned = decRows(store.decontam(evalFps))
+    val wantAligned = decRows(graft.operators.Dedup
+      .alignedFingerprintDecontam(fpsOf(media(trainIds)), evalFps,
+        "doc_id", "frame_idx", "fp", 3, 64))
+    assert(gotAligned == wantAligned)
+    assert(gotAligned.nonEmpty, "same-group eval clips must flag")
+    // CLIP gate on the clip fixture with the q306 offset-block split
+    // (trimmed eval clips shift every index and escape the aligned
+    // gate — only this rung sees them)
+    val clipIds = (0L until 128L)
+    def clipMedia(ids: Seq[Long]) = Multimodal
+      .encodeClipMjpegFixture(ids.toDF("doc_id"), "doc_id")
+    val dir2 = Files.createTempDirectory("graft_vfpd2").toString +
+      "/store"
+    val store2 = new VideoFpStore(spark, dir2)
+    val trainClip = clipIds.filter(i => (i / 64) % 4 != 0)
+    val evalClip = clipIds.filter(i => (i / 64) % 4 == 0)
+    store2.ingest(clipMedia(trainClip))
+    val evalClipFps = fpsOf(clipMedia(evalClip))
+    val gotClip = decRows(store2.clipDecontam(evalClipFps))
+    val wantClip = decRows(graft.operators.Dedup
+      .sequenceShingleDecontam(fpsOf(clipMedia(trainClip)),
+        evalClipFps, "doc_id", "frame_idx", "fp"))
+    assert(gotClip == wantClip)
+    assert(gotClip.nonEmpty, "trimmed eval clips must flag")
+  }
 }

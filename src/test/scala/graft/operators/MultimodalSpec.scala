@@ -954,4 +954,49 @@ class MultimodalSpec extends SparkSpec {
     assert(combined.values.exists(_._1 == 1L))
     assert(combined.values.exists(_._1 == 0L))
   }
+
+  test("clip fixtures are NON-VACUOUS under the default df cap (the " +
+    "r18 vacuity finding): every clip fixture yields containment " +
+    "pairs at genuinely different trim offsets, and the MJPEG/GIF " +
+    "streams are distinct") {
+    val docs = Tables.documents(spark, sf)
+    val D = graft.operators.Dedup
+    // this SF's corpus is 500 ids → the corpus-scaled reel count is
+    // the 64 floor; recompute rather than hard-code so the spec
+    // survives a testdata resize
+    val reels = math.max(64L, docs.where(col("doc_id").isNotNull &&
+      col("doc_id") >= 0).count() / 64L)
+    val mj = Multimodal.videoFrameFingerprints(
+        Multimodal.encodeClipMjpegFixture(docs, "doc_id")).toDF()
+      .where(col("ok") === 1L)
+      .select(col("doc_id"), col("frame_idx"), col("fp"))
+    val gif = Multimodal.gifFrameFingerprints(
+        Multimodal.encodeClipGifFixture(docs, "doc_id")).toDF()
+      .where(col("ok") === 1L)
+      .select(col("doc_id"), col("frame_idx"), col("fp"))
+    val wav = Multimodal.audioWindowEnergies(
+        Multimodal.encodeClipWaveformFixture(docs, "doc_id")).toDF()
+      .select(col("doc_id"), col("w").as("frame_idx"),
+        col("amp").as("fp"))
+    for ((fps, name) <- Seq((mj, "mjpeg"), (gif, "gif"), (wav, "wav"))) {
+      val p = D.sequenceShingleContainment(fps, "doc_id", "frame_idx",
+        "fp").cache()
+      try {
+        assert(p.count() > 0, s"$name containment must be non-vacuous")
+        // the offset-tolerant value proposition: pairs whose fixture
+        // trim offsets DIFFER (an aligned matcher cannot see these)
+        val crossOffset = p.where(
+          expr(s"(doc_a div $reels) % 5") =!=
+            expr(s"(doc_b div $reels) % 5")).count()
+        assert(crossOffset > 0,
+          s"$name must pair across different trim offsets")
+      } finally p.unpersist()
+    }
+    // 2r+3 vs 2r+5 multipliers: the two frame streams must differ
+    val mjFps = mj.select(col("fp")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val gifFps = gif.select(col("fp")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(mjFps != gifFps, "MJPEG and GIF clip streams must differ")
+  }
 }
