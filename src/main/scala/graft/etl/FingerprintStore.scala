@@ -196,18 +196,16 @@ abstract class SequenceFpStore(spark: SparkSession, storeDir: String,
       maxDf)
 
   /** Clip FAMILIES + canonical picks over the STORE (q308's decision
-    * on the full history): components over [[clipPairs]]' relation,
-    * universe = the store's shingle-able sequences (≥ k frames). */
+    * on the full history): components over [[clipPairs]]' relation
+    * via the representative pair graph
+    * ([[graft.operators.Dedup.sequenceShingleClusters]] — r19: the
+    * member-pair expansion never materializes), universe = the
+    * store's shingle-able sequences (≥ k frames). */
   def clipClusters(k: Int = 3, minSharedNum: Int = 1,
-      minSharedDen: Int = 2, maxDf: Long = 100L): DataFrame = {
-    val fps = fingerprints
-    val universe = fps.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("__n"))
-      .where(col("__n") >= k).select(col("doc_id"))
-    graft.operators.Dedup.nearDupClusters(universe, "doc_id",
-      clipPairs(k, minSharedNum, minSharedDen, maxDf)
-        .select(col("doc_a"), col("doc_b")))
-  }
+      minSharedDen: Int = 2, maxDf: Long = 100L): DataFrame =
+    graft.operators.Dedup.sequenceShingleClusters(fingerprints,
+      "doc_id", "frame_idx", "fp", k, minSharedNum, minSharedDen,
+      maxDf)
 
   /** STORE-SIDE sequence decontamination (r19 — the readout gap #4,
     * aligned geometry): screen the FULL stored history against a NEW

@@ -1353,15 +1353,25 @@ object Dedup {
     * re-encode reproduces the fingerprints bit-for-bit on the
     * codec-exact rungs).
     *
-    * Scale shape (the [[containmentPairs]] discipline): one per-video
-    * window builds shingles (bounded by per-video frame counts),
-    * distinct-per-doc shingle rows, document-frequency cap `maxDf`
-    * BEFORE the self-join (a ubiquitous shingle — a black-frame run —
-    * floods candidates; capped shingles drop from pairing, exactly
-    * the text rung's argument), then the inverted-index intersection
-    * keyed on the shingle — candidate volume Σ_sh df², never
-    * all-pairs. Videos with fewer than k observed frames carry no
-    * shingles and are absent by construction.
+    * Scale shape (the [[containmentPairs]] discipline, plus the
+    * [[alignedRepGraph]] signature collapse since r19): EXACT stream
+    * signatures collapse first — a million-copy dup family costs ONE
+    * representative in the shingle machinery, so the self-join runs
+    * on distinct-STREAM mass (before r19 only the funnel collapsed,
+    * via aligned families; standalone calls paid full duplicate
+    * mass) — then one per-representative window builds shingles
+    * (bounded by per-video frame counts), the document-frequency cap
+    * `maxDf` applies BEFORE the self-join with each representative
+    * row WEIGHTED by its member count (the cap still counts DOCS — a
+    * ubiquitous black-frame shingle carried by a million copies
+    * still trips it), then the inverted-index intersection keyed on
+    * the shingle — candidate volume Σ_sh df² over streams, never
+    * all-pairs. The member-pair expansion at the end is the pair
+    * OUTPUT mass itself (irreducible for a pair operator;
+    * [[sequenceShingleClusters]] is the consumer that never expands
+    * it). Videos with fewer than k observed frames carry no shingles
+    * and are absent by construction; an all-capped stream pairs with
+    * nothing, including its own byte-identical copies.
     *
     * Output (doc_a, doc_b, n_shared, n_a, n_b) with doc_a < doc_b and
     * `minSharedDen·n_shared ≥ minSharedNum·min(n_a, n_b)`, ordered. */
@@ -1371,14 +1381,137 @@ object Dedup {
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     requireClipPolicy(k, minSharedNum, minSharedDen, maxDf)
     val keys = (0 until k).map(i => s"f$i")
-    val sh = scope.persist(clipShingleLeads(
-        fps, idCol, alignCol, fpCol, k, withPos = false)
+    val f = fps.select(col(idCol).as("doc_id"),
+      col(alignCol).as("align"), col(fpCol).as("fp"))
+    val (members, repPairs, sz) = clipRepGraph(f, keys, k,
+      minSharedNum, minSharedDen, maxDf, scope)
+    // same-signature members share EVERY cold shingle, so they pair
+    // iff the stream kept at least one (an all-capped stream pairs
+    // with nothing — not even its own byte-identical copies — exactly
+    // the uncollapsed relation)
+    val exact = members.where(size(col("docs")) > 1)
+      .join(sz.select(col("doc_id").as("rep"), col("n")), Seq("rep"))
+      .select(col("n"), explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("n"), col("doc_a"), explode(col("docs")).as("doc_b"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n").as("n_shared"),
+        col("n").as("n_a"), col("n").as("n_b"))
+    // threshold-passing representative pairs expand through both
+    // member lists; the (a, b) order can flip inside the cross
+    // product — n_a/n_b swap with it
+    val cross = repPairs
+      .join(members.select(col("rep").as("ra"), col("docs").as("__da")),
+        Seq("ra"))
+      .join(members.select(col("rep").as("rb"), col("docs").as("__db")),
+        Seq("rb"))
+      .select(col("n_shared"), col("n_a"), col("n_b"),
+        explode(col("__da")).as("__a"), col("__db"))
+      .select(col("n_shared"), col("n_a"), col("n_b"), col("__a"),
+        explode(col("__db")).as("__b"))
+      .select(least(col("__a"), col("__b")).as("doc_a"),
+        greatest(col("__a"), col("__b")).as("doc_b"),
+        col("n_shared"),
+        when(col("__a") < col("__b"), col("n_a")).otherwise(col("n_b"))
+          .as("n_a"),
+        when(col("__a") < col("__b"), col("n_b")).otherwise(col("n_a"))
+          .as("n_b"))
+    exact.unionByName(cross)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** CLIP FAMILIES without the member-pair expansion (r19) — the
+    * KEEP/DROP decision over [[sequenceShingleContainment]]'s
+    * relation, computed the [[alignedFingerprintClusters]] way:
+    * components propagate over the REPRESENTATIVE pair graph only
+    * (bounded by duplicate mass), members attach through their
+    * stream's representative afterwards — the doc-pair graph (125k
+    * edges on the sf0.1 clip fixture) never materializes. Exact
+    * same-signature groups cluster with their representative iff the
+    * stream kept ≥ 1 cold shingle (all-capped streams pair with
+    * nothing in the uncollapsed relation, so their members stay
+    * SINGLETONS — preserved bit-for-bit). Universe = shingle-able
+    * docs (≥ k observed frames). Output (doc_id, cluster_id,
+    * is_canonical), identical to [[nearDupClusters]] over the
+    * containment pairs. */
+  def sequenceShingleClusters(fps: DataFrame, idCol: String,
+      alignCol: String, fpCol: String, k: Int = 3,
+      minSharedNum: Int = 1, minSharedDen: Int = 2, maxDf: Long = 100L,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    requireClipPolicy(k, minSharedNum, minSharedDen, maxDf)
+    val keys = (0 until k).map(i => s"f$i")
+    val f = fps.select(col(idCol).as("doc_id"),
+      col(alignCol).as("align"), col(fpCol).as("fp"))
+    val (members, rawRepPairs, sz) = clipRepGraph(f, keys, k,
+      minSharedNum, minSharedDen, maxDf, scope)
+    val repPairs = scope.persist(
+      rawRepPairs.select(col("ra"), col("rb")))
+    val touched = repPairs.select(col("ra").as("rep"))
+      .unionByName(repPairs.select(col("rb").as("rep"))).distinct()
+    val comps = nearDupClusters(
+      touched.select(col("rep").as("doc_id")), "doc_id",
+      repPairs.select(col("ra").as("doc_a"), col("rb").as("doc_b")))
+      .select(col("doc_id").as("rep"), col("cluster_id"))
+    // comps is bounded by 2·|repPairs| (duplicate mass) — broadcast;
+    // the has-cold-shingles join is |streams|-keyed, AQE's call
+    members.where(col("n_frames") >= k)
+      .join(broadcast(comps), Seq("rep"), "left")
+      .join(sz.select(col("doc_id").as("rep"), col("n")), Seq("rep"),
+        "left")
+      .select(explode(col("docs")).as("doc_id"), col("rep"),
+        col("cluster_id"), col("n"))
+      .select(col("doc_id"),
+        when(col("n").isNotNull, coalesce(col("cluster_id"), col("rep")))
+          .otherwise(col("doc_id")).as("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The signature-collapse layer of the clip rung (r19 — the
+    * [[alignedRepGraph]] discipline lifted to shingles, closing the
+    * funnel-vs-standalone gap: standalone q305/q308 paid the shingle
+    * self-join on FULL duplicate mass while the funnel collapsed
+    * first): `members` = one row per DISTINCT (align, fp) stream
+    * (min-id representative, sorted member list, member count,
+    * frame count); shingles build over REPRESENTATIVE streams only;
+    * the df cap weights each representative shingle row by its
+    * member count, so the cap still counts DOCS (a million-copy
+    * black-frame family still trips it); `repPairs` = the
+    * threshold-passing (ra, rb, n_shared, n_a, n_b) representative
+    * relation; `sz` = per-representative distinct COLD shingle
+    * counts. All persisted under `scope`. */
+  private def clipRepGraph(f: DataFrame, keys: Seq[String], k: Int,
+      minSharedNum: Int, minSharedDen: Int, maxDf: Long,
+      scope: CacheScope): (DataFrame, DataFrame, DataFrame) = {
+    val members = scope.persist(f
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("align"), col("fp"))))
+        .as("sig"), count(lit(1)).as("n_frames"))
+      .groupBy(col("sig"), col("n_frames"))
+      .agg(min(col("doc_id")).as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("docs"),
+        count(lit(1)).as("w"))
+      .select(col("rep"), col("docs"), col("w"), col("n_frames")))
+    val repFrames = f.join(members.select(col("rep").as("doc_id")),
+      Seq("doc_id"))
+    val sh = scope.persist(clipShingleLeads(repFrames, "doc_id",
+        "align", "fp", k, withPos = false)
       .select(col("doc_id") +: keys.map(col): _*)
       .distinct())
-    val cold = scope.persist(
-      sh.join(clipHotShingles(sh, keys, maxDf), keys, "left_anti"))
-    clipPassingPairs(cold, keys, minSharedNum, minSharedDen)
-      .orderBy(col("doc_a"), col("doc_b"))
+    val hot = sh
+      .join(members.select(col("rep").as("doc_id"), col("w")),
+        Seq("doc_id"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("w")).as("__df"))
+      .where(col("__df") > maxDf)
+      .select(keys.map(col): _*)
+    val cold = scope.persist(sh.join(hot, keys, "left_anti"))
+    val repPairs = clipPassingPairs(cold, keys, minSharedNum,
+        minSharedDen)
+      .select(col("doc_a").as("ra"), col("doc_b").as("rb"),
+        col("n_shared"), col("n_a"), col("n_b"))
+    val sz = cold.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    (members, repPairs, sz)
   }
 
   private def requireClipPolicy(k: Int, minSharedNum: Int,
@@ -1536,34 +1669,54 @@ object Dedup {
       idCol: String, alignCol: String, fpCol: String, k: Int = 3,
       minSharedNum: Int = 1, minSharedDen: Int = 2, maxDf: Long = 100L,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    require(k >= 1 && k <= 16, s"k=$k out of [1, 16]")
-    require(minSharedNum >= 1 && minSharedDen >= 1 &&
-      minSharedNum <= minSharedDen,
-      s"bad share threshold $minSharedNum/$minSharedDen")
-    require(maxDf >= 1, s"maxDf=$maxDf must be positive")
-    import org.apache.spark.sql.expressions.Window
+    requireClipPolicy(k, minSharedNum, minSharedDen, maxDf)
     val keys = (0 until k).map(i => s"f$i")
-    def shinglesOf(df: DataFrame, outId: String): DataFrame = {
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("align"))
-      val f = df.select(col(idCol).as("doc_id"),
-        col(alignCol).as("align"), col(fpCol).as("fp"))
-      (1 until k).foldLeft(f.withColumn("f0", col("fp"))) {
-        case (acc, i) => acc.withColumn(s"f$i", lead(col("fp"), i).over(w))
-      }
-        .where(col(keys.last).isNotNull)
-        .select(col("doc_id").as(outId) +: keys.map(col): _*)
-        .distinct()
-    }
-    val trSh = scope.persist(shinglesOf(train, "doc_id"))
-    val evSh = scope.persist(shinglesOf(evalSet, "eval_id"))
-    val hot = trSh.select(keys.map(col): _*)
-      .unionByName(evSh.select(keys.map(col): _*))
+    val tr = train.select(col(idCol).as("doc_id"),
+      col(alignCol).as("align"), col(fpCol).as("fp"))
+    val ev = evalSet.select(col(idCol).as("doc_id"),
+      col(alignCol).as("align"), col(fpCol).as("fp"))
+    // BOTH sides collapse to exact stream signatures (r19 — the
+    // clipRepGraph discipline on the cross relation): identical
+    // streams share identical shingle sets, so every per-(train,
+    // eval) count, the threshold, and the witness are stream-level
+    // facts; the TRAIN side is the corpus-sized one and is where the
+    // collapse pays, the eval side rides along for the witness
+    // argument (an eval rep IS the min id of its identical-stream
+    // members, so the min-id witness over members equals the min-id
+    // witness over reps)
+    def membersOf(f: DataFrame) = scope.persist(f
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("align"), col("fp"))))
+        .as("sig"))
+      .groupBy(col("sig"))
+      .agg(min(col("doc_id")).as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("docs"),
+        count(lit(1)).as("w"))
+      .select(col("rep"), col("docs"), col("w")))
+    val trM = membersOf(tr)
+    val evM = membersOf(ev)
+    def repShingles(f: DataFrame, m: DataFrame) = scope.persist(
+      clipShingleLeads(
+          f.join(m.select(col("rep").as("doc_id")), Seq("doc_id")),
+          "doc_id", "align", "fp", k, withPos = false)
+        .select(col("doc_id") +: keys.map(col): _*)
+        .distinct())
+    val trSh = repShingles(tr, trM)
+    val evSh = repShingles(ev, evM)
+    // the df cap counts DOCS across the COMBINED sides (a shingle hot
+    // in either floods the cross join all the same) — weight each
+    // representative row by its member count
+    def weighted(sh: DataFrame, m: DataFrame) = sh
+      .join(m.select(col("rep").as("doc_id"), col("w")), Seq("doc_id"))
+      .select(keys.map(col) :+ col("w"): _*)
+    val hot = weighted(trSh, trM).unionByName(weighted(evSh, evM))
       .groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__df"))
+      .agg(sum(col("w")).as("__df"))
       .where(col("__df") > maxDf)
       .select(keys.map(col): _*)
     val trCold = scope.persist(trSh.join(hot, keys, "left_anti"))
-    val evCold = scope.persist(evSh.join(hot, keys, "left_anti"))
+    val evCold = scope.persist(evSh.join(hot, keys, "left_anti")
+      .withColumnRenamed("doc_id", "eval_id"))
     val trSz = trCold.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"))
     val evSz = evCold.groupBy(col("eval_id"))
@@ -1578,12 +1731,16 @@ object Dedup {
       .agg(max(struct(col("n_shared").as("m"),
         (-col("eval_id")).as("ne"),
         col("n_shingles_eval").as("nse"))).as("__b"))
-      .select(col("doc_id"), col("__b.m").as("n_shared"),
+      .select(col("doc_id").as("rep"), col("__b.m").as("n_shared"),
         (-col("__b.ne")).as("eval_id"),
         col("__b.nse").as("n_shingles_eval"))
-    best.join(trSz, Seq("doc_id"))
-      .select(col("doc_id"), col("n_shared"), col("n_shingles"),
-        col("eval_id"), col("n_shingles_eval"))
+    // flagged train representatives expand to their members — every
+    // identical-stream copy carries the same counts and witness
+    best.join(trSz.select(col("doc_id").as("rep"), col("n_shingles")),
+        Seq("rep"))
+      .join(trM.select(col("rep"), col("docs")), Seq("rep"))
+      .select(explode(col("docs")).as("doc_id"), col("n_shared"),
+        col("n_shingles"), col("eval_id"), col("n_shingles_eval"))
       .orderBy(col("doc_id"))
   }
 

@@ -2592,16 +2592,19 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
     """.trim))
 
   // --------------------------------------------------------------- q308
-  /** q308 — VIDEO CLIP families (q305 ∘ [[Dedup.nearDupClusters]]):
-    * the KEEP/DROP decision over the offset-tolerant relation —
-    * completing the clip rung's ladder the way every dedup family
-    * ends (fingerprint → pairs → FAMILIES → canonical): connected
-    * components over the containment pairs, one min-id canonical
-    * per family, so a reel recorded as five overlapping trims keeps
-    * ONE copy. Universe = videos with ≥ k observed frames (the
-    * shingle-able ones — a shorter clip cannot participate in the
-    * relation and has no row). Oracle closes the replayed pair set
-    * with the recursive CTE. */
+  /** q308 — VIDEO CLIP families
+    * ([[Dedup.sequenceShingleClusters]] — q305's relation closed to
+    * the KEEP/DROP decision): completing the clip rung's ladder the
+    * way every dedup family ends (fingerprint → pairs → FAMILIES →
+    * canonical): connected components over the containment relation,
+    * one min-id canonical per family, so a reel recorded as five
+    * overlapping trims keeps ONE copy — computed the
+    * [[Dedup.alignedFingerprintClusters]] way since r19 (components
+    * propagate over the REPRESENTATIVE pair graph; the member-pair
+    * expansion never materializes). Universe = videos with ≥ k
+    * observed frames (the shingle-able ones — a shorter clip cannot
+    * participate in the relation and has no row). Oracle closes the
+    * replayed pair set with the recursive CTE. */
   val q308: Q = Q(
     "q308_video_clip_clusters",
     (s, d) => {
@@ -2611,14 +2614,9 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
             "doc_id"))
           .toDF().where(col("ok") === 1L)
           .select(col("doc_id"), col("frame_idx"), col("fp")))
-      val pairs = Dedup.sequenceShingleContainment(fps, "doc_id",
+      Dedup.sequenceShingleClusters(fps, "doc_id",
         "frame_idx", "fp", k = 3, minSharedNum = 1, minSharedDen = 2,
         maxDf = 100L)
-      val universe = fps.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("__n"))
-        .where(col("__n") >= 3).select(col("doc_id"))
-      Dedup.nearDupClusters(universe, "doc_id",
-        pairs.select(col("doc_a"), col("doc_b")))
     },
     Some(s"""
       WITH RECURSIVE $clipShinglesCte,
@@ -2843,14 +2841,15 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
     """.trim))
 
   // --------------------------------------------------------------- q312
-  /** q312 — GIF clip families (q311 ∘ [[Dedup.nearDupClusters]]):
-    * the KEEP/DROP decision over the GIF offset-tolerant relation —
-    * connected components over the containment pairs, one min-id
-    * canonical per family, so a reel recorded as five overlapping
-    * trimmed GIFs keeps ONE copy. Universe = GIFs with ≥ k observed
-    * frames (the shingle-able ones). Oracle closes the replayed pair
-    * set with the recursive CTE — the q308 pattern on the GIF
-    * fixture. */
+  /** q312 — GIF clip families ([[Dedup.sequenceShingleClusters]] on
+    * the GIF rung): the KEEP/DROP decision over the GIF
+    * offset-tolerant relation — connected components over the
+    * containment relation via the representative pair graph (r19 —
+    * member pairs never materialize), one min-id canonical per
+    * family, so a reel recorded as five overlapping trimmed GIFs
+    * keeps ONE copy. Universe = GIFs with ≥ k observed frames (the
+    * shingle-able ones). Oracle closes the replayed pair set with
+    * the recursive CTE — the q308 pattern on the GIF fixture. */
   val q312: Q = Q(
     "q312_gif_clip_clusters",
     (s, d) => {
@@ -2860,14 +2859,9 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
             "doc_id"))
           .toDF().where(col("ok") === 1L)
           .select(col("doc_id"), col("frame_idx"), col("fp")))
-      val pairs = Dedup.sequenceShingleContainment(fps, "doc_id",
+      Dedup.sequenceShingleClusters(fps, "doc_id",
         "frame_idx", "fp", k = 3, minSharedNum = 1, minSharedDen = 2,
         maxDf = 100L)
-      val universe = fps.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("__n"))
-        .where(col("__n") >= 3).select(col("doc_id"))
-      Dedup.nearDupClusters(universe, "doc_id",
-        pairs.select(col("doc_a"), col("doc_b")))
     },
     Some(s"""
       WITH RECURSIVE ${clipShinglesCteFor(5)},

@@ -912,4 +912,111 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 2L, 4L, 3L)),
       s"containment pairs: $got")
   }
+
+  test("clip rung signature collapse (r19) ≡ the naive doc-level " +
+    "relation: containment pairs (incl. the member-order swap), " +
+    "families, and the decontam gate all agree with a driver-side " +
+    "model on a frame with copies, an all-capped copy group, trims, " +
+    "and sub-k streams") {
+    import org.apache.spark.sql.functions._
+    val s2 = spark; import s2.implicits._
+    def v(i: Int): Long = i.toLong * 2654435761L
+    val k = 3; val maxDf = 5L
+    // stream s1 = v1..v6 on docs {3, 10, 11} (rep 3 — member ids
+    // interleave with s2's, exercising the a/b swap in the cross
+    // expansion); s2 = v3..v7 on {5, 20} (s1's trimmed tail);
+    // s3 = v100..v104 on {30} (unrelated); s4 = one shingle on
+    // 7 copies {40..46} — its df (7) trips the cap, so the copies
+    // must pair with NOTHING and stay cluster singletons;
+    // doc 50 has < k frames — absent from every readout
+    val streams: Map[Long, Seq[Long]] = (
+      Seq(3L, 10L, 11L).map(_ -> (1 to 6).map(v)) ++
+      Seq(5L, 20L).map(_ -> (3 to 7).map(v)) ++
+      Seq(30L -> (100 to 104).map(v)) ++
+      (40L to 46L).map(_ -> (90 to 92).map(v)) ++
+      Seq(50L -> (200 to 201).map(v))).toMap
+        .map { case (d, fs) => d -> fs.map(_.toLong) }
+    val rows = streams.toSeq.flatMap { case (d, fs) =>
+      fs.zipWithIndex.map { case (fp, i) => (d, i.toLong, fp) } }
+    val fps = rows.toDF("doc_id", "frame_idx", "fp")
+
+    // ---- driver-side naive model ----
+    val shOf: Map[Long, Set[Seq[Long]]] = streams.map { case (d, fs) =>
+      d -> fs.sliding(k).filter(_.size == k).map(_.toSeq).toSet }
+    val df = shOf.values.flatten.groupBy(identity)
+      .map { case (s, o) => s -> o.size }
+    val cold = shOf.map { case (d, ss) =>
+      d -> ss.filter(df(_) <= maxDf) }
+    val ids = streams.keySet.toSeq.sorted
+    def naivePairs(docs: Seq[Long]): Set[(Long, Long, Long, Long, Long)] =
+      (for {
+        a <- docs; b <- docs if a < b
+        na = cold(a).size; nb = cold(b).size
+        sh = (cold(a) & cold(b)).size
+        if sh * 2 >= math.min(na, nb) && sh > 0
+      } yield (a, b, sh.toLong, na.toLong, nb.toLong)).toSet
+    val wantPairs = naivePairs(ids)
+    val gotPairs = Dedup.sequenceShingleContainment(fps, "doc_id",
+        "frame_idx", "fp", k = k, minSharedNum = 1, minSharedDen = 2,
+        maxDf = maxDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(gotPairs == wantPairs, s"pairs: $gotPairs vs $wantPairs")
+    // the swap case really occurred: a pair whose smaller id carries
+    // the SMALLER shingle count (s2 member 5 vs s1 member 10)
+    assert(gotPairs.contains((5L, 10L, 2L, 3L, 4L)))
+    // the capped copy group pairs with nothing, not even itself
+    assert(!gotPairs.exists(p => p._1 >= 40L && p._1 <= 46L))
+
+    // ---- families ≡ union-find over the naive pairs ----
+    val universe = ids.filter(d => streams(d).size >= k)
+    val parent = scala.collection.mutable.Map(
+      universe.map(d => d -> d): _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r); r
+    }
+    wantPairs.foreach { case (a, b, _, _, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val wantClusters = universe.map(d => (d, find(d), d == find(d)))
+      .toSet
+    val gotClusters = Dedup.sequenceShingleClusters(fps, "doc_id",
+        "frame_idx", "fp", k = k, minSharedNum = 1, minSharedDen = 2,
+        maxDf = maxDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getBoolean(2))).toSet
+    assert(gotClusters == wantClusters,
+      s"clusters: $gotClusters vs $wantClusters")
+    // capped copies are singletons; sub-k doc 50 has no row
+    assert(gotClusters.contains((41L, 41L, true)))
+    assert(!gotClusters.exists(_._1 == 50L))
+
+    // ---- decontam ≡ the naive eval-normalized gate ----
+    val evalIds = Set(3L, 20L)
+    val trainIds = ids.filterNot(evalIds)
+    val wantDecontam = trainIds.flatMap { t =>
+      val hits = evalIds.toSeq.flatMap { e =>
+        val sh = (cold(t) & cold(e)).size
+        if (cold(e).nonEmpty && sh * 2 >= cold(e).size && sh > 0)
+          Some((sh, e)) else None
+      }
+      if (hits.isEmpty) None
+      else {
+        val best = hits.maxBy { case (sh, e) => (sh, -e) }
+        Some((t, best._1.toLong, cold(t).size.toLong, best._2,
+          cold(best._2).size.toLong))
+      }
+    }.toSet
+    val gotDecontam = Dedup.sequenceShingleDecontam(
+        fps.where(!col("doc_id").isin(evalIds.toSeq: _*)),
+        fps.where(col("doc_id").isin(evalIds.toSeq: _*)),
+        "doc_id", "frame_idx", "fp", k = k, minSharedNum = 1,
+        minSharedDen = 2, maxDf = maxDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(gotDecontam == wantDecontam,
+      s"decontam: $gotDecontam vs $wantDecontam")
+    assert(wantDecontam.nonEmpty, "the gate must flag something")
+  }
 }
