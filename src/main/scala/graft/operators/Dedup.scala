@@ -1204,8 +1204,10 @@ object Dedup {
     // the distinct pass, widened to carry per-fp min doc id and count
     val fpAgg = scope.persist(docs.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("fp_min"), count(lit(1)).as("cnt")))
-    val pairs = scope.persist(distinctFpPairsOver(
-      fpAgg.select(col("fp")), maxHamming, bits))
+    // eager checkpoint — the pair frame seeds the propagation loop
+    // (the q308 4 MB-plan lesson); duplicate-mass-bounded
+    val pairs = distinctFpPairsOver(
+      fpAgg.select(col("fp")), maxHamming, bits).localCheckpoint(true)
     // fp-level components over PAIR-TOUCHED fingerprints only (valid
     // ids for the propagation — they are longs); bounded by 2·|pairs|
     val touched = pairs.select(col("fa").as("fp"))
@@ -1216,18 +1218,23 @@ object Dedup {
       .select(col("doc_id").as("fp"), col("cluster_id").as("__comp"))
     // interesting fps: pair-touched, or shared by >1 doc (same-hash
     // docs cluster at radius 0 with no pair edge); untouched ones
-    // component to themselves
+    // component to themselves. Every small side below is
+    // duplicate-mass-bounded — AQE broadcasts them at runtime; the
+    // hints are deliberately NOT forced (the r17 capHotKeys
+    // discipline: a hostile all-duplicates lake degrades to a shuffle
+    // join instead of a driver OOM), and the corpus-sized frames sit
+    // on the storage side of LEFT joins, which Spark cannot broadcast.
     val interesting = scope.persist(fpAgg
-      .join(broadcast(fpComponents), Seq("fp"), "left")
+      .join(fpComponents, Seq("fp"), "left")
       .where(col("cnt") > 1 || col("__comp").isNotNull)
       .select(col("fp"), col("fp_min"),
         coalesce(col("__comp"), col("fp")).as("__comp")))
     val compMin = interesting.groupBy(col("__comp"))
       .agg(min(col("fp_min")).as("cluster_id"))
-    val clusterMap = interesting.join(broadcast(compMin), Seq("__comp"))
+    val clusterMap = interesting.join(compMin, Seq("__comp"))
       .select(col("fp"), col("cluster_id"))
     // boring fps miss the map → singleton cluster, decided row-locally
-    docs.join(broadcast(clusterMap), Seq("fp"), "left")
+    docs.join(clusterMap, Seq("fp"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       .select(col("doc_id"), col("cluster_id"),
@@ -1443,18 +1450,27 @@ object Dedup {
       col(alignCol).as("align"), col(fpCol).as("fp"))
     val (members, rawRepPairs, sz) = clipRepGraph(f, keys, k,
       minSharedNum, minSharedDen, maxDf, scope)
-    val repPairs = scope.persist(
-      rawRepPairs.select(col("ra"), col("rb")))
+    // eager checkpoint, not persist (r20): the pair frame seeds the
+    // label-propagation loop, whose per-pass plans would otherwise
+    // each render the ENTIRE shingle pipeline's lineage — at sf0.1
+    // the q308 plan string exceeded the 4 MB render cap and every
+    // Catalyst pass walked it. The frame is duplicate-mass-bounded.
+    val repPairs = rawRepPairs.select(col("ra"), col("rb"))
+      .localCheckpoint(true)
     val touched = repPairs.select(col("ra").as("rep"))
       .unionByName(repPairs.select(col("rb").as("rep"))).distinct()
     val comps = nearDupClusters(
       touched.select(col("rep").as("doc_id")), "doc_id",
       repPairs.select(col("ra").as("doc_a"), col("rb").as("doc_b")))
       .select(col("doc_id").as("rep"), col("cluster_id"))
-    // comps is bounded by 2·|repPairs| (duplicate mass) — broadcast;
-    // the has-cold-shingles join is |streams|-keyed, AQE's call
+    // comps is bounded by 2·|repPairs| (duplicate mass) — small on
+    // every honest lake, so AQE broadcasts it at runtime; the hint is
+    // deliberately NOT forced (the r17 capHotKeys discipline): an
+    // all-duplicates lake makes comps corpus-sized, and the unhinted
+    // plan degrades to a shuffle join instead of a driver OOM. The
+    // has-cold-shingles join is |streams|-keyed, AQE's call too.
     members.where(col("n_frames") >= k)
-      .join(broadcast(comps), Seq("rep"), "left")
+      .join(comps, Seq("rep"), "left")
       .join(sz.select(col("doc_id").as("rep"), col("n")), Seq("rep"),
         "left")
       .select(explode(col("docs")).as("doc_id"), col("rep"),
@@ -1483,15 +1499,7 @@ object Dedup {
   private def clipRepGraph(f: DataFrame, keys: Seq[String], k: Int,
       minSharedNum: Int, minSharedDen: Int, maxDf: Long,
       scope: CacheScope): (DataFrame, DataFrame, DataFrame) = {
-    val members = scope.persist(f
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("align"), col("fp"))))
-        .as("sig"), count(lit(1)).as("n_frames"))
-      .groupBy(col("sig"), col("n_frames"))
-      .agg(min(col("doc_id")).as("rep"),
-        sort_array(collect_list(col("doc_id"))).as("docs"),
-        count(lit(1)).as("w"))
-      .select(col("rep"), col("docs"), col("w"), col("n_frames")))
+    val members = streamMembers(f, scope)
     val repFrames = f.join(members.select(col("rep").as("doc_id")),
       Seq("doc_id"))
     val sh = scope.persist(clipShingleLeads(repFrames, "doc_id",
@@ -1513,6 +1521,43 @@ object Dedup {
     val sz = cold.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     (members, repPairs, sz)
   }
+
+  /** The exact-stream signature collapse shared by the clip and
+    * aligned rep-graph rungs: one row per DISTINCT (align, fp) stream
+    * — (rep = min member id, docs = sorted member list, w = member
+    * count, n_frames), persisted under `scope`.
+    *
+    * The grouping key is a 128-bit HASH of the stream (two
+    * independent per-row `xxhash64` folds XOR-combined per doc, plus
+    * the frame count), NOT the materialized
+    * `sort_array(collect_list(struct(align, fp)))` array the r19
+    * implementation grouped on: the array key is unbounded-width (a
+    * 2-hour video is tens of KB per key), forces object-hash
+    * aggregation, and ships whole streams through the exchange —
+    * measured on the sf0.1 clip fixture it made q308/q312 SLOWER
+    * than the collapse it was meant to speed up. The hash key is
+    * 24 bytes and hash-aggregable, the
+    * [[graft.streaming.VideoDedupStream.sequenceKey]] discipline in
+    * aggregate form. No ordered fold is needed: `align` IS the
+    * position, so the (align, fp) SET determines the stream, and XOR
+    * is a sound set hash because inputs carry at most one fp per
+    * (id, align) — the decode rungs' contract (duplicate rows would
+    * self-cancel). A 2⁻¹²⁸-per-pair collision merges two streams;
+    * the naive array model stays in DedupSpec as the equivalence
+    * oracle. */
+  private def streamMembers(f: DataFrame,
+      scope: CacheScope): DataFrame =
+    scope.persist(f
+      .groupBy(col("doc_id"))
+      .agg(bit_xor(xxhash64(col("align"), col("fp"))).as("__sig1"),
+        bit_xor(xxhash64(col("fp"), col("align"),
+          lit(0x9e3779b97f4a7c15L))).as("__sig2"),
+        count(lit(1)).as("n_frames"))
+      .groupBy(col("__sig1"), col("__sig2"), col("n_frames"))
+      .agg(min(col("doc_id")).as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("docs"),
+        count(lit(1)).as("w"))
+      .select(col("rep"), col("docs"), col("w"), col("n_frames")))
 
   private def requireClipPolicy(k: Int, minSharedNum: Int,
       minSharedDen: Int, maxDf: Long): Unit = {
@@ -1684,15 +1729,8 @@ object Dedup {
     // argument (an eval rep IS the min id of its identical-stream
     // members, so the min-id witness over members equals the min-id
     // witness over reps)
-    def membersOf(f: DataFrame) = scope.persist(f
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("align"), col("fp"))))
-        .as("sig"))
-      .groupBy(col("sig"))
-      .agg(min(col("doc_id")).as("rep"),
-        sort_array(collect_list(col("doc_id"))).as("docs"),
-        count(lit(1)).as("w"))
-      .select(col("rep"), col("docs"), col("w")))
+    def membersOf(f: DataFrame) = streamMembers(f, scope)
+      .select(col("rep"), col("docs"), col("w"))
     val trM = membersOf(tr)
     val evM = membersOf(ev)
     def repShingles(f: DataFrame, m: DataFrame) = scope.persist(
@@ -1811,17 +1849,23 @@ object Dedup {
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val (members, rawRepPairs) = alignedRepGraph(fps, idCol, alignCol,
       fpCol, maxHamming, bits, minMatchNum, minMatchDen, scope)
-    // consumed three times below (touched twice, edges once) — don't
-    // re-run the pigeonhole match per consumer
-    val repPairs = scope.persist(rawRepPairs)
+    // consumed three times below (touched twice, edges once), and it
+    // seeds the propagation loop — eager checkpoint, not persist, so
+    // the per-pass plans stop rendering the pigeonhole pipeline's
+    // lineage (the q308 4 MB-plan lesson); duplicate-mass-bounded
+    val repPairs = rawRepPairs.select(col("ra"), col("rb"))
+      .localCheckpoint(true)
     val touched = repPairs.select(col("ra").as("rep"))
       .unionByName(repPairs.select(col("rb").as("rep"))).distinct()
     val comps = nearDupClusters(
       touched.select(col("rep").as("doc_id")), "doc_id",
       repPairs.select(col("ra").as("doc_a"), col("rb").as("doc_b")))
       .select(col("doc_id").as("rep"), col("cluster_id"))
+    // comps is duplicate-mass-bounded — AQE's broadcast call at
+    // runtime, never a forced hint (a hostile all-duplicates lake
+    // degrades to a shuffle join, not a driver OOM)
     members.select(col("rep"), explode(col("docs")).as("doc_id"))
-      .join(broadcast(comps), Seq("rep"), "left")
+      .join(comps, Seq("rep"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
       .select(col("doc_id"), col("cluster_id"),
@@ -1882,13 +1926,7 @@ object Dedup {
     val ev = evalSet.select(col(idCol).as("eval_id"),
       col(alignCol).as("align"), col(fpCol).as("fp"))
     // TRAIN: exact-signature collapse — only representatives match
-    val members = scope.persist(tr
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("align"), col("fp"))))
-        .as("sig"), count(lit(1)).as("n_frames"))
-      .groupBy(col("sig"), col("n_frames"))
-      .agg(min(col("doc_id")).as("rep"),
-        sort_array(collect_list(col("doc_id"))).as("docs")))
+    val members = streamMembers(tr, scope)
     val repFrames = scope.persist(tr.join(
       members.select(col("rep").as("doc_id")), Seq("doc_id"))
       .select(col("doc_id").as("rep"), col("align"), col("fp")))
@@ -1942,8 +1980,8 @@ object Dedup {
 
   /** The signature/representative layer shared by
     * [[alignedFingerprintPairs]] and [[alignedFingerprintClusters]]:
-    * `members` = one row per DISTINCT sequence (its sorted (align,
-    * fp) signature, frame count, min-id representative, member
+    * `members` = one row per DISTINCT sequence ([[streamMembers]] —
+    * frame count, min-id representative, member
     * list); `repPairs` = the threshold-passing representative pairs
     * (ra, rb, n_match, n_a, n_b) from the per-position pigeonhole
     * match. Both persisted under `scope`. */
@@ -1966,13 +2004,7 @@ object Dedup {
       col(alignCol).as("align"), col(fpCol).as("fp"))
     // exact sequence signatures: one row per DISTINCT sequence, with
     // its member list and its min-id representative
-    val members = scope.persist(f
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("align"), col("fp"))))
-        .as("sig"), count(lit(1)).as("n_frames"))
-      .groupBy(col("sig"), col("n_frames"))
-      .agg(min(col("doc_id")).as("rep"),
-        sort_array(collect_list(col("doc_id"))).as("docs")))
+    val members = streamMembers(f, scope)
     // representative frames only enter the match join
     val repFrames = scope.persist(f.join(
       members.select(col("rep").as("doc_id")), Seq("doc_id")))
