@@ -5,7 +5,7 @@ Usage: python3 scripts/seed_floors.py <BENCH_local_full_*.json> \
            [--replace q62_x,q305_y,...]
 
 - Adds a time floor for every registry query the artifact measured that
-  has no entry yet (annotated as r19 seeds).
+  has no entry yet (annotated as r20 seeds).
 - Replaces the time floor for every query named in --replace.
 - Adds byte floors for artifact queries missing one; replaces byte
   floors for --replace queries.
@@ -31,7 +31,7 @@ m = re.search(r"(val floors: Map\[String, Double\] = Map\()(.*?)(\))\n(  private
 floors_body = m.group(2)
 existing = dict(re.findall(r'"(q\w+)" -> ([\d.]+)', floors_body))
 
-mb = re.search(r"(val byteFloors: Map\[String, Long\] = Map\()(.*?)(\))\n", src, re.S)
+mb = re.search(r"(val byteFloors: Map\[String, Long\] = Map\()(.*?)(\)\n  private\[graft\] val byteFactor)", src, re.S)
 bytes_body = mb.group(2)
 bexisting = dict(re.findall(r'"(q\w+)" -> (\d+)L', bytes_body))
 
@@ -46,21 +46,32 @@ def sub_in_span(source, span_re, entry_re, repl):
     return source[:mm.start(2)] + body + source[mm.end(2):]
 
 FLOORS_SPAN = r"(val floors: Map\[String, Double\] = Map\()(.*?)(\)\n  private\[graft\] val defaultFloor)"
-BYTES_SPAN = r"(val byteFloors: Map\[String, Long\] = Map\()(.*?)(\)\n)"
+BYTES_SPAN = r"(val byteFloors: Map\[String, Long\] = Map\()(.*?)(\)\n  private\[graft\] val byteFactor)"
 for q in sorted(replace):
+    # re.escape + loud misses (r20, the r19 advice finding): a typo'd
+    # --replace name used to produce no edit and no error
+    hit = False
     if q in times and q in existing:
-        src = sub_in_span(src, FLOORS_SPAN, r'"%s" -> [\d.]+' % q,
+        src = sub_in_span(src, FLOORS_SPAN,
+                          r'"%s" -> [\d.]+' % re.escape(q),
                           '"%s" -> %.2f' % (q, times[q]))
         replaced_t.append((q, existing[q], times[q]))
+        hit = True
     if q in byts and q in bexisting:
-        src = sub_in_span(src, BYTES_SPAN, r'"%s" -> \d+L' % q,
+        src = sub_in_span(src, BYTES_SPAN,
+                          r'"%s" -> \d+L' % re.escape(q),
                           '"%s" -> %dL' % (q, byts[q]))
         replaced_b.append((q, bexisting[q], byts[q]))
+        hit = True
+    if not hit:
+        sys.exit("--replace name %r matched nothing: not (in the "
+                 "artifact AND in an existing floor map). Check for a "
+                 "typo." % q)
 
 # additions: time floors
 new_t = {q: t for q, t in times.items() if q not in existing}
 if new_t:
-    ins = ",\n    // r19 seeds: quiet-host canonical (this artifact's min)\n"
+    ins = ",\n    // r20 seeds: quiet-host canonical (this artifact's min)\n"
     ins += ",\n".join('    "%s" -> %.2f' % (q, t) for q, t in sorted(new_t.items()))
     src = re.sub(r'(val floors: Map\[String, Double\] = Map\(.*?)(\))\n(  private\[graft\] val defaultFloor)',
                  lambda mm: mm.group(1) + ins + mm.group(2) + "\n" + mm.group(3),
@@ -69,10 +80,10 @@ if new_t:
 
 new_b = {q: b for q, b in byts.items() if q not in bexisting}
 if new_b:
-    ins = ",\n    // r19 seeds (same canonical)\n"
+    ins = ",\n    // r20 seeds (same canonical)\n"
     ins += ",\n".join('    "%s" -> %dL' % (q, b) for q, b in sorted(new_b.items()))
-    src = re.sub(r'(val byteFloors: Map\[String, Long\] = Map\(.*?)(\))\n',
-                 lambda mm: mm.group(1) + ins + mm.group(2) + "\n",
+    src = re.sub(r'(val byteFloors: Map\[String, Long\] = Map\(.*?)(\)\n  private\[graft\] val byteFactor)',
+                 lambda mm: mm.group(1) + ins + mm.group(2),
                  src, count=1, flags=re.S)
     added_b = sorted(new_b.items())
 

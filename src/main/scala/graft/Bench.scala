@@ -172,7 +172,7 @@ object Bench {
     "q109_json_field_stats" -> 0.52,
     "q110_curation_funnel" -> 0.33,
     "q111_grid_percentile" -> 0.31,
-    "q112_unigram_divergence" -> 0.65,
+    "q112_unigram_divergence" -> 1.19,
     "q113_semantic_decontam" -> 0.42,
     "q114_centroid_confusion" -> 0.56,
     "q115_correlation_matrix" -> 1.0,
@@ -419,12 +419,12 @@ object Bench {
     "q302_gif_cluster_keep_best" -> 4.6,
     "q303_iso_meta_readout" -> 0.18,
     "q304_media_byte_budget_mix" -> 0.49,
-    "q305_video_clip_containment" -> 5.58,
-    "q306_clip_decontam_gate" -> 5.86,
-    "q307_audio_clip_containment" -> 2.16,
-    "q309_audio_clip_decontam_gate" -> 3.00,
-    "q310_clip_alignment_offsets" -> 6.30,
-    "q308_video_clip_clusters" -> 11.23,
+    "q305_video_clip_containment" -> 6.51,
+    "q306_clip_decontam_gate" -> 7.32,
+    "q307_audio_clip_containment" -> 3.23,
+    "q309_audio_clip_decontam_gate" -> 4.12,
+    "q310_clip_alignment_offsets" -> 6.82,
+    "q308_video_clip_clusters" -> 8.25,
     // r19 seeds: quiet-host canonical (this artifact's min)
     "q10_incremental_antijoin" -> 0.40,
     "q11_distinct" -> 0.35,
@@ -440,8 +440,8 @@ object Bench {
     "q28_report_distributors" -> 0.48,
     "q29_trycast_timestamp" -> 0.51,
     "q2_select_project" -> 0.22,
-    "q311_gif_clip_containment" -> 6.20,
-    "q312_gif_clip_clusters" -> 12.10,
+    "q311_gif_clip_containment" -> 7.82,
+    "q312_gif_clip_clusters" -> 10.04,
     "q32_stratified_sample" -> 0.20,
     "q33_pii_redact" -> 0.79,
     "q3_try_cast" -> 0.55,
@@ -459,7 +459,12 @@ object Bench {
     "q77_snapshot_diff" -> 0.40,
     "q78_asof_forward" -> 0.70,
     "q7_dedup_keepfirst" -> 0.49,
-    "q8_conditional_agg" -> 0.22)
+    "q8_conditional_agg" -> 0.22,
+    // r20 seeds: quiet-host canonical (this artifact's min)
+    "q313_clip_operating_point" -> 2.18,
+    "q314_video_clip_keep_best" -> 8.73,
+    "q315_gif_clip_keep_best" -> 10.43,
+    "q316_paired_byte_budget_mix" -> 0.35)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -708,12 +713,12 @@ object Bench {
     "q302_gif_cluster_keep_best" -> 464161L,
     "q303_iso_meta_readout" -> 149818L,
     "q304_media_byte_budget_mix" -> 6916L,
-    "q305_video_clip_containment" -> 3959276L,
-    "q306_clip_decontam_gate" -> 2641442L,
-    "q307_audio_clip_containment" -> 3160082L,
-    "q309_audio_clip_decontam_gate" -> 2428014L,
-    "q310_clip_alignment_offsets" -> 24209447L,
-    "q308_video_clip_clusters" -> 7542004L,
+    "q305_video_clip_containment" -> 3551547L,
+    "q306_clip_decontam_gate" -> 1879303L,
+    "q307_audio_clip_containment" -> 2880745L,
+    "q309_audio_clip_decontam_gate" -> 1858596L,
+    "q310_clip_alignment_offsets" -> 24209597L,
+    "q308_video_clip_clusters" -> 1591706L,
     "q21_embedding_neardup_ivf" -> 5000834L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,
@@ -801,9 +806,13 @@ object Bench {
     "q98_label_affinity" -> 311764L,
     "q99_vocab_coverage" -> 289089L,
     "q9_sales_by_nation" -> 10007L,
-    // r19 seeds (same canonical)
-    "q311_gif_clip_containment" -> 3826656L,
-    "q312_gif_clip_clusters" -> 7514870L)
+    // r20 seeds: quiet-host canonical + focused confirms
+    "q311_gif_clip_containment" -> 3444968L,
+    "q312_gif_clip_clusters" -> 1615468L,
+    "q313_clip_operating_point" -> 865442L,
+    "q314_video_clip_keep_best" -> 1930815L,
+    "q315_gif_clip_keep_best" -> 1962436L,
+    "q316_paired_byte_budget_mix" -> 30302L)
   private[graft] val byteFactor = 1.5
   private[graft] val byteSlack = 256L * 1024
 

@@ -52,11 +52,13 @@ object Main {
         if rest.isEmpty || rest == List("--tri") =>
       pairedFixture(docsParquet, outDir, tri = rest.nonEmpty)
     case "corpus-paired" :: pairedParquet :: outDir :: rest0
-        if popEval(rest0)._2.size <= 1 =>
-      val (evalPath, rest) = popEval(rest0)
+        if popEval(popMix(rest0,
+          Seq("text", "image", "audio"))._2)._2.size <= 1 =>
+      val (mix, rest1) = popMix(rest0, Seq("text", "image", "audio"))
+      val (evalPath, rest) = popEval(rest1)
       corpusPaired(pairedParquet, outDir,
         shardBytes = rest.headOption.map(_.toLong).getOrElse(64L << 20),
-        evalPath = evalPath)
+        evalPath = evalPath, mix = mix)
     case "index" :: embParquet :: outDir :: Nil => index(embParquet, outDir)
     case "dedup-ingest" :: docsParquet :: storeDir :: outDir :: rest
         if rest.size <= 2 =>
@@ -141,7 +143,7 @@ object Main {
       profile(srcParquet, outDir, cols)
     case _ =>
       System.err.println(
-        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] [--eval <docsParquet>] | media-fixture <docsParquet> <outDir> | corpus-media <mediaParquet> <outDir> [shardBytes] [--eval <mediaParquet>] [--mix w_img,w_aud,w_vid budgetBytes] | paired-fixture <docsParquet> <outDir> [--tri] | corpus-paired <pairedParquet> <outDir> [shardBytes] [--eval <pairedParquet>] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | checksum-ingest <parquet> <groupCol> <textCol> <storeDir> | kmv-ingest <parquet> <groupCol> <textCol> <storeDir> [k] | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | df-ingest <docsParquet> <storeDir> <outDir> [minDf] | export-shards <docsParquet> <outDir> <shardBytes> | export-zorder <parquet> <outDir> <xCol> <yCol> [bits [files]] | zorder-maintain <parquet> <outDir> <xCol> <yCol> | dhash-ingest <mediaParquet> <storeDir> <outDir> | audiofp-ingest <mediaParquet> <storeDir> <outDir> | videofp-ingest <mediaParquet> <storeDir> <outDir> | gif-ingest <mediaParquet> <storeDir> <outDir> | bpe-train <docsParquet> <outParquet> [nMerges] | bpe-apply <docsParquet> <mergesParquet> <outDir> | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | stream-sessionize <eventsDir> <outDir> <ckptDir> [gapMinutes] | stream-dedup <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-route <mediaDir> <outDir> <ckptDir> | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
+        "usage: graft.Main etl <srcDir> <warehouseDir> | report <warehouseDir> <cutDate> | compact <warehouseDir> | corpus <docsParquet> <outDir> [epochSeed] [--eval <docsParquet>] | media-fixture <docsParquet> <outDir> | corpus-media <mediaParquet> <outDir> [shardBytes] [--eval <mediaParquet>] [--mix w_img,w_aud,w_vid budgetBytes] | paired-fixture <docsParquet> <outDir> [--tri] | corpus-paired <pairedParquet> <outDir> [shardBytes] [--eval <pairedParquet>] [--mix w_text,w_img,w_aud budgetBytes] | index <embeddingsParquet> <outDir> | search <indexDir> <queriesParquet> <outDir> [topK] [probes] | dedup-ingest <docsParquet> <lshStoreDir> <outDir> [confirmCorpusParquet [threshold]] | cms-ingest <parquet> <hashCol> <storeDir> | checksum-ingest <parquet> <groupCol> <textCol> <storeDir> | kmv-ingest <parquet> <groupCol> <textCol> <storeDir> [k] | bloom-ingest <parquet> <hashCol> <storeDir> | winnow-ingest <docsParquet> <storeDir> <outDir> [minShared] | trend-ingest <parquet> <keyCol> <dayCol> <storeDir> | hll-ingest <parquet> <groupCol> <hashCol> <storeDir> | grid-ingest <parquet> <valueCol> <width> <storeDir> | bucketize <parquet> <table> <key> <nBuckets> | df-ingest <docsParquet> <storeDir> <outDir> [minDf] | export-shards <docsParquet> <outDir> <shardBytes> | export-zorder <parquet> <outDir> <xCol> <yCol> [bits [files]] | zorder-maintain <parquet> <outDir> <xCol> <yCol> | dhash-ingest <mediaParquet> <storeDir> <outDir> | audiofp-ingest <mediaParquet> <storeDir> <outDir> | videofp-ingest <mediaParquet> <storeDir> <outDir> | gif-ingest <mediaParquet> <storeDir> <outDir> | bpe-train <docsParquet> <outParquet> [nMerges] | bpe-apply <docsParquet> <mergesParquet> <outDir> | stream-curate <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-funnel <eventsDir> <outDir> <ckptDir> <step1> [step2...] | stream-sessionize <eventsDir> <outDir> <ckptDir> [gapMinutes] | stream-dedup <docsDir> <outDir> <ckptDir> [watermarkDelay] | stream-route <mediaDir> <outDir> <ckptDir> | profile <parquet> <outDir> [cols...] | explain <queryName|all> [sfDir]")
       sys.exit(2)
   }
 
@@ -286,6 +288,25 @@ object Main {
       storeDir: String, outDir: String): (Long, Long) = {
     import org.apache.spark.sql.functions.col
     import graft.operators.Multimodal
+    // r20 (the r19 advice finding): the r19 split re-homed the
+    // envelope store from `storeDir` to `storeDir/envelope`; a
+    // pre-r19 store's part files sit directly under `storeDir` and
+    // would be silently ORPHANED — full-history readouts would lose
+    // every previously ingested fingerprint. Detect the legacy
+    // layout and refuse with the migration hint instead.
+    {
+      val p = new org.apache.hadoop.fs.Path(storeDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p) && fs.listStatus(p).exists(s => s.isFile &&
+          (s.getPath.getName.startsWith("part-") ||
+            s.getPath.getName.endsWith(".parquet"))))
+        sys.error(s"audiofp-ingest: legacy store layout at $storeDir " +
+          "(parquet files directly under the store root, the pre-r19 " +
+          "envelope store). Move them to " + s"$storeDir/envelope " +
+          "(plain file move — the schema is unchanged) and re-run; " +
+          "the energy store will rebuild at " + s"$storeDir/energy " +
+          "as new batches arrive.")
+    }
     val media = spark.read.parquet(mediaParquet)
       .as[Multimodal.MediaRecord](Multimodal.mediaRecordEnc)
     val energies = Multimodal.audioWindowEnergies(media).toDF()
@@ -1020,16 +1041,17 @@ object Main {
     * image/audio/video; a zero weight drops its modality (quota zero
     * is a decision), so zeros are filtered out of the map rather than
     * passed to the operator (which requires positive weights). */
-  private[graft] def popMix(rest: List[String])
+  private[graft] def popMix(rest: List[String],
+      strata: Seq[String] = Seq("image", "audio", "video"))
       : (Option[(Map[String, Double], Long)], List[String]) =
     rest.indexOf("--mix") match {
       case -1 => (None, rest)
       case i if rest.size > i + 2 =>
         val ws = rest(i + 1).split(",").map(_.toDouble)
-        require(ws.length == 3,
-          s"--mix needs w_img,w_aud,w_vid, got ${rest(i + 1)}")
-        val m = Seq("image", "audio", "video").zip(ws)
-          .filter(_._2 > 0).toMap
+        require(ws.length == strata.length,
+          s"--mix needs ${strata.map("w_" + _).mkString(",")}, " +
+            s"got ${rest(i + 1)}")
+        val m = strata.zip(ws).filter(_._2 > 0).toMap
         (Some((m, rest(i + 2).toLong)),
           rest.take(i) ++ rest.drop(i + 3))
       case _ => (None, List("--mix", "--mix")) // malformed: fails guard
@@ -1089,15 +1111,22 @@ object Main {
     * text clusters × image clusters → q273's compose-OR keep decision
     * → curated pairs + weighted shard export. */
   private def corpusPaired(pairedParquet: String, outDir: String,
-      shardBytes: Long, evalPath: Option[String]): Unit = {
+      shardBytes: Long, evalPath: Option[String],
+      mix: Option[(Map[String, Double], Long)]): Unit = {
     val spark = GraftSession.local()
     val s = runCorpusPaired(spark, pairedParquet, outDir, shardBytes,
-      evalPath)
+      evalPath, mix)
+    val mixNote =
+      if (mix.isEmpty) ""
+      else s" mix_kept_bytes=${s.mixKeptBytes.toSeq.sorted
+        .map { case (m, b) => s"$m:$b" }.mkString(",")}" +
+        s" mix_dropped_bytes=${s.mixDroppedBytes.toSeq.sorted
+          .map { case (m, b) => s"$m:$b" }.mkString(",")}"
     println(s"[corpus-paired] raw=${s.raw} decodable=${s.decodable} " +
       s"dropped_image=${s.droppedImage} " +
       s"dropped_audio=${s.droppedAudio} kept=${s.kept} " +
       s"decontam_dropped=${s.droppedEval} " +
-      s"shards=${s.shards} exported=${s.exported}")
+      s"shards=${s.shards} exported=${s.exported}" + mixNote)
     spark.stop()
   }
 
@@ -1105,10 +1134,12 @@ object Main {
   private[graft] def runCorpusPaired(
       spark: org.apache.spark.sql.SparkSession, pairedParquet: String,
       outDir: String, shardBytes: Long = 64L << 20,
-      evalPath: Option[String] = None)
+      evalPath: Option[String] = None,
+      mix: Option[(Map[String, Double], Long)] = None)
       : graft.etl.PairedPipeline.Stats =
     graft.etl.PairedPipeline.curate(spark, pairedParquet, outDir,
-      shardBytes, eval = evalPath.map(spark.read.parquet(_)))
+      shardBytes, eval = evalPath.map(spark.read.parquet(_)),
+      mix = mix)
 
   /** Write the PAIRED (caption, image) demo lake (`corpus-paired`'s
     * input): each document row paired with its same-id gradient-PNG

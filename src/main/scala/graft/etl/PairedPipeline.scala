@@ -54,7 +54,11 @@ object PairedPipeline {
   final case class Stats(
       raw: Long, decodable: Long, droppedImage: Long,
       droppedAudio: Long, kept: Long, droppedEval: Long, shards: Long,
-      exported: Long)
+      exported: Long,
+      // --mix readout (r20): per-modality byte masses kept/dropped by
+      // the paired byte-budget stage; empty when mix = None
+      mixKeptBytes: Map[String, Long] = Map.empty,
+      mixDroppedBytes: Map[String, Long] = Map.empty)
 
   private val pairCols = Seq("doc_id", "text", "uri", "mime", "payload")
 
@@ -67,16 +71,22 @@ object PairedPipeline {
     * TRI-MODAL rows (r18): when the input carries an `audio` column
     * (a third per-row payload — the caption+image+audio training
     * triple), the keep decision upgrades from q273's bipartite
-    * closure to q286's k-PARTITE one: audio near-dup clusters
-    * (q266's envelope rung) join the cell graph through the per-doc
-    * spanning path t-node — i-node — a-node (nodes at `3·cid +
-    * {0,1,2}`), and two triples are duplicates when they chain
-    * through ANY modality's clusters. Rows whose audio fails decode
-    * drop and are counted (`droppedAudio` — a triple without usable
-    * audio is not a training triple, the image rule's sibling); the
-    * eval gate gains the audio envelope rung (compose-OR, q296); the
-    * shard meter adds the audio octets. Without the column the
-    * 2-modal path is byte-identical to before. */
+    * closure to q286's k-PARTITE one: audio near-dup clusters join
+    * the cell graph through the per-doc spanning path t-node —
+    * i-node — a-node (nodes at `3·cid + {0,1,2}`), and two triples
+    * are duplicates when they chain through ANY modality's clusters.
+    * The audio cluster decision is TWO-STAGE since r20 (q266 ∘ q307,
+    * the corpus-media discipline): envelope-hash families collapse
+    * re-encodes, then clip containment over the family
+    * representatives' energy streams chains TRIMMED re-uploads the
+    * whole-clip envelope cannot see — one PCM pass powers both
+    * stages and the eval gate. Rows whose audio fails decode drop
+    * and are counted (`droppedAudio` — a triple without usable audio
+    * is not a training triple, the image rule's sibling); the eval
+    * gate composes the audio envelope rung (q296) OR the
+    * trim-tolerant energy-shingle rung (q309); the shard meter adds
+    * the audio octets. Without the column the 2-modal path is
+    * byte-identical to before. */
   def curate(spark: SparkSession, pairedParquet: String, outDir: String,
       shardBytes: Long = 64L << 20, maxHamming: Int = 3,
       threshold: Double = 0.5, minhashK: Int = 16,
@@ -84,9 +94,25 @@ object PairedPipeline {
       // eval-set decontamination over the kept pairs — compose-OR,
       // like the keep policy itself: a pair drops when its TEXT
       // overlaps the eval captions (q49's gate) OR its IMAGE sits
-      // within `decontamHamming` of an eval image (q295's gate)
+      // within `decontamHamming` of an eval image (q295's gate) OR,
+      // tri-modal, its AUDIO matches an eval clip on the envelope
+      // (q296) or on trim-tolerant energy shingles (q309)
       eval: Option[DataFrame] = None,
-      contaminatedAt: Double = 0.2, decontamHamming: Int = 3): Stats =
+      contaminatedAt: Double = 0.2, decontamHamming: Int = 3,
+      // clip-containment policy of the two-stage audio tier (r20 —
+      // [[MediaPipeline.curate]]'s knobs, same rationale: at corpus
+      // scale the df cap is a consequential dedup policy). Defaults
+      // are [[Dedup.sequenceShingleContainment]]'s; q313 is the
+      // measured operating-point readout behind them.
+      clipK: Int = 3, clipMinSharedNum: Int = 1,
+      clipMinSharedDen: Int = 2, clipMaxDf: Long = 100L,
+      // optional PAIRED BYTE-BUDGET MIXTURE over the kept pairs (r20
+      // — [[Sampling.pairedMixToByteBudget]], q316's decision):
+      // `Some((weights, budgetBytes))` keeps a uniform deterministic
+      // row fraction such that NO modality exceeds its stated byte
+      // share of the budget — rows are atomic, so the binding
+      // modality fixes the fraction and the others land under cap
+      mix: Option[(Map[String, Double], Long)] = None): Stats =
     CacheScope.withScope { scope =>
       val paired = spark.read.parquet(pairedParquet)
       val hasAudio = paired.columns.contains("audio")
@@ -122,17 +148,54 @@ object PairedPipeline {
         .select(col("doc_id"), col("uri"), col("mime"),
           col("audio").as("payload"))
         .as[Multimodal.MediaRecord](Multimodal.mediaRecordEnc)
+      // ONE PCM pass (r20 — the corpus-media decode-once seam): the
+      // window-energy stream powers the envelope fingerprint (derived
+      // columnar, pinned ≡ the direct fold), the TWO-STAGE cluster
+      // decision, and the eval gate's clip shingles; nothing below
+      // decodes samples again
+      val audEnergies =
+        if (hasAudio) scope.persist(
+          Multimodal.audioWindowEnergies(audioAsMedia(paired)).toDF()
+            .select(col("doc_id"), col("w"), col("amp")))
+        else spark.emptyDataFrame
       val audFp =
         if (hasAudio) scope.persist(
-          Multimodal.audioFingerprints(audioAsMedia(paired)).toDF()
-            .where(col("ok") === 1L)
-            .select(col("doc_id"), col("fp")))
+          Multimodal.envelopeFromEnergies(audEnergies))
         else spark.emptyDataFrame
+      // the audio cluster decision is TWO-STAGE (r20, the r19 verdict
+      // gap: whole-clip envelope proximity misses a TRIMMED audio
+      // re-upload — every window shifts, the envelope hashes the
+      // first 65): envelope-hash families (q266) collapse re-encodes
+      // first, then q307's clip containment chains trimmed excerpts
+      // over the family REPRESENTATIVES' already-decoded energy
+      // streams; each doc's acid is its two-stage component — the
+      // composition [[MediaPipeline]]'s twoStageSeqKeep embodies,
+      // here as a CLUSTER id because the k-partite cell graph (not a
+      // per-modality keep-best) makes the paired keep decision
+      val acid =
+        if (!hasAudio) spark.emptyDataFrame
+        else {
+          val fam = scope.persist(
+            Dedup.fingerprintClusters(audFp, "doc_id", "fp",
+              maxHamming = maxHamming, bits = 64, scope = scope))
+          val repIds = fam.where(col("is_canonical"))
+            .select(col("doc_id"))
+          val clipPairs = Dedup.sequenceShingleContainment(
+              audEnergies.join(repIds, Seq("doc_id")), "doc_id", "w",
+              "amp", k = clipK, minSharedNum = clipMinSharedNum,
+              minSharedDen = clipMinSharedDen, maxDf = clipMaxDf,
+              scope = scope)
+            .select(col("doc_a"), col("doc_b"))
+          val repComps = Dedup.nearDupClusters(repIds, "doc_id",
+              clipPairs)
+            .select(col("doc_id").as("__rep"),
+              col("cluster_id").as("acid"))
+          fam.select(col("doc_id"), col("cluster_id").as("__rep"))
+            .join(repComps, Seq("__rep"))
+            .select(col("doc_id"), col("acid"))
+        }
       val joint = if (!hasAudio) joint2 else scope.persist(
-        joint2.join(Dedup.fingerprintClusters(audFp, "doc_id", "fp",
-            maxHamming = maxHamming, bits = 64, scope = scope)
-          .select(col("doc_id"), col("cluster_id").as("acid")),
-          Seq("doc_id")))
+        joint2.join(acid, Seq("doc_id")))
       val decodable = if (hasAudio) joint.count() else decodable2
 
       // 2. the compose-OR keep decision — q273's union closure at
@@ -189,15 +252,31 @@ object PairedPipeline {
             evImgFp, "doc_id", "fp", maxHamming = decontamHamming,
             bits = 64).select(col("doc_id"))
           val audFlagged =
-            if (hasAudio && ev.columns.contains("audio"))
+            if (hasAudio && ev.columns.contains("audio")) {
+              // the eval audio decodes ONCE too: energies power the
+              // envelope fp AND the clip shingles. The two rungs
+              // compose-OR (r20): q296's envelope gate sees
+              // re-encodes, q309's trim-tolerant shingle gate sees a
+              // TRIMMED eval excerpt that shifts every window and
+              // escapes the envelope (which hashes the first 65) —
+              // the exact gap the keep decision's two-stage upgrade
+              // closes, closed for the gate as well
+              val evEnergies = scope.persist(
+                Multimodal.audioWindowEnergies(audioAsMedia(ev)).toDF()
+                  .select(col("doc_id"), col("w"), col("amp")))
               Dedup.fingerprintDecontam(
-                audFp.join(kp.select(col("doc_id")), Seq("doc_id")),
-                Multimodal.audioFingerprints(audioAsMedia(ev)).toDF()
-                  .where(col("ok") === 1L)
-                  .select(col("doc_id"), col("fp")),
-                "doc_id", "fp", maxHamming = decontamHamming,
-                bits = 64).select(col("doc_id"))
-            else textFlagged.limit(0)
+                  audFp.join(kp.select(col("doc_id")), Seq("doc_id")),
+                  Multimodal.envelopeFromEnergies(evEnergies),
+                  "doc_id", "fp", maxHamming = decontamHamming,
+                  bits = 64).select(col("doc_id"))
+                .unionByName(Dedup.sequenceShingleDecontam(
+                  audEnergies.join(kp.select(col("doc_id")),
+                    Seq("doc_id")),
+                  evEnergies, "doc_id", "w", "amp", k = clipK,
+                  minSharedNum = clipMinSharedNum,
+                  minSharedDen = clipMinSharedDen, maxDf = clipMaxDf,
+                  scope = scope).select(col("doc_id")))
+            } else textFlagged.limit(0)
           val flagged = scope.persist(
             textFlagged.unionByName(imgFlagged)
               .unionByName(audFlagged).distinct())
@@ -206,9 +285,53 @@ object PairedPipeline {
         case None => (keptPairs0, 0L)
       }
 
+      // 2c. OPTIONAL PAIRED BYTE-BUDGET MIXTURE (r20 — q316 composed
+      // into the funnel, the media funnel's --mix sibling): rows are
+      // ATOMIC (text+image[+audio] travel together), so the stated
+      // per-modality byte shares act as CAPS and the binding modality
+      // fixes ONE uniform deterministic keep fraction
+      // ([[graft.operators.Sampling.pairedMixToByteBudget]]) —
+      // applied between the keep decision and every export so the
+      // curated tree and the shards both see the mixture. The
+      // decision frame is (doc_id, ≤3 longs); payloads never
+      // shuffle; the mass readout is a ≤-3-entry driver map.
+      val modMasses: Seq[(String, org.apache.spark.sql.Column)] =
+        Seq("text" -> octet_length(col("text")).cast("long"),
+          "image" -> octet_length(col("payload")).cast("long")) ++
+          (if (hasAudio)
+            Seq("audio" -> octet_length(col("audio")).cast("long"))
+          else Nil)
+      val (keptMixed, mixKeptBytes, mixDroppedBytes) = mix match {
+        case Some((weights, budgetBytes)) =>
+          val kp2 = scope.persist(keptPairs)
+          val picked = scope.persist(
+            graft.operators.Sampling.pairedMixToByteBudget(
+              kp2, "doc_id", modMasses, weights, budgetBytes))
+          def massOf(df: DataFrame): Map[String, Long] = {
+            val r = df.agg(
+              sum(col(s"${modMasses.head._1}_bytes")).cast("long")
+                .as(modMasses.head._1),
+              modMasses.tail.map { case (m, _) =>
+                sum(col(s"${m}_bytes")).cast("long").as(m) }: _*)
+              .collect().head
+            modMasses.map { case (m, _) =>
+              m -> Option(r.getAs[java.lang.Long](m))
+                .map(_.longValue).getOrElse(0L) }.toMap
+          }
+          val lens = kp2.select(col("doc_id") +: modMasses.map {
+            case (m, c) => c.as(s"${m}_bytes") }: _*)
+          val pre = massOf(lens)
+          val post = massOf(picked)
+          (kp2.join(picked.select(col("doc_id")), Seq("doc_id")),
+            post,
+            pre.map { case (m, b) => m -> (b - post.getOrElse(m, 0L)) })
+        case None =>
+          (keptPairs, Map.empty[String, Long], Map.empty[String, Long])
+      }
+
       // 3. curated pairs + weighted shard export (the audio octets
       // ride the shard file too, so they meter it too).
-      keptPairs.write.mode("overwrite").parquet(s"$outDir/curated")
+      keptMixed.write.mode("overwrite").parquet(s"$outDir/curated")
       val curated = spark.read.parquet(s"$outDir/curated")
       val kept = curated.count()
       val shardsPath = new org.apache.hadoop.fs.Path(s"$outDir/shards")
@@ -221,6 +344,7 @@ object PairedPipeline {
       val (shards, exported) = Packing.writeShardsWeighted(curated,
         "doc_id", rowWeight, s"$outDir/shards", shardBytes)
       Stats(raw, decodable, raw - decodable2, decodable2 - decodable,
-        kept, droppedEval, shards, exported)
+        kept, droppedEval, shards, exported, mixKeptBytes,
+        mixDroppedBytes)
     }
 }

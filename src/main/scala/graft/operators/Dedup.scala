@@ -1608,6 +1608,99 @@ object Dedup {
       .where(col("__df") > maxDf)
       .select(keys.map(col): _*)
 
+  /** OPERATING-POINT CURVE of the clip rung's (share, maxDf) policy
+    * grid — the measured readout behind [[sequenceShingleContainment]]'s
+    * knobs (r20, the q144/q214/q250 discipline): per grid policy, the
+    * flagged-pair mass, the true hits, precision and recall against
+    * the UNCAPPED shared-shingle GROUND TRUTH (a shared k-gram IS a
+    * shared k-window run at some offset — the brute-force
+    * offset-shifted truth).
+    *
+    * ONE inverted-index self-join powers the whole grid: every capped
+    * screen is a deterministic function of (per-pair shared-shingle
+    * counts bucketed by shingle df, per-doc cold counts per cap), so
+    * the join runs once over ALL distinct doc-level shingles with the
+    * df annotated, and each policy's relation falls out of
+    * conditional sums — 5 containment runs' worth of readout for one
+    * join (measured at sf0.1: 13.5 s per-policy reruns → one-join).
+    * Doc-level df over DISTINCT rows equals the operator's
+    * member-weighted representative df, and the doc-level pair
+    * relation equals its member expansion, so the derived screens
+    * match [[sequenceShingleContainment]] exactly (DedupSpec pins the
+    * equivalence per policy). Screen ⊆ truth by construction (a cold
+    * shingle IS a shingle), so precision ≡ 1 against this truth and
+    * RECALL is the information: what the df cap and the share
+    * threshold silently discard.
+    *
+    * The truth join is the one quantity the screen's own cap cannot
+    * bound — Σ_sh df² over UNCAPPED df. At corpus scale run this on a
+    * deterministic sample (the q129 brute-force-on-a-sample stance);
+    * the curve is a policy readout, not a per-doc decision. Output
+    * (share_num, share_den, max_df, n_flagged, n_hits, n_truth,
+    * precision, recall) ordered by the grid. */
+  def sequenceShinglePolicyCurve(fps: DataFrame, idCol: String,
+      alignCol: String, fpCol: String, k: Int = 3,
+      policies: Seq[(Int, Int, Long)] =
+        Seq((1, 2, 2L), (1, 2, 100L), (1, 4, 100L), (3, 4, 100L)),
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(policies.nonEmpty, "need at least one policy")
+    policies.foreach { case (num, den, cap) =>
+      requireClipPolicy(k, num, den, cap) }
+    val keys = (0 until k).map(i => s"f$i")
+    val caps = policies.map(_._3).distinct
+    val f = fps.select(col(idCol).as("doc_id"),
+      col(alignCol).as("align"), col(fpCol).as("fp"))
+    val sh = clipShingleLeads(f, "doc_id", "align", "fp", k,
+        withPos = false)
+      .select(col("doc_id") +: keys.map(col): _*)
+      .distinct()
+    val shd = scope.persist(sh.join(
+      sh.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__df")),
+      keys))
+    val sz = scope.persist(shd.groupBy(col("doc_id")).agg(
+      sum(when(col("__df") <= caps.head, 1L).otherwise(0L))
+        .as(s"n_le_${caps.head}"),
+      caps.tail.map(c => sum(when(col("__df") <= c, 1L).otherwise(0L))
+        .as(s"n_le_$c")): _*))
+    val pairAgg = scope.persist(
+      shd.select(col("doc_id").as("doc_a") +:
+          keys.map(col) :+ col("__df"): _*)
+        .join(shd.select(col("doc_id").as("doc_b") +: keys.map(col): _*),
+          keys)
+        .where(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("__all"),
+          caps.map(c => sum(when(col("__df") <= c, 1L).otherwise(0L))
+            .as(s"sh_le_$c")): _*))
+    val truthAgg = pairAgg.agg(count(lit(1)).as("n_truth"))
+    val grid = policies.map { case (num, den, cap) =>
+      pairAgg
+        .join(sz.select(col("doc_id").as("doc_a"),
+          col(s"n_le_$cap").as("__na")), Seq("doc_a"))
+        .join(sz.select(col("doc_id").as("doc_b"),
+          col(s"n_le_$cap").as("__nb")), Seq("doc_b"))
+        .where(col(s"sh_le_$cap") >= 1L &&
+          col(s"sh_le_$cap") * den >=
+            least(col("__na"), col("__nb")) * num)
+        .agg(count(lit(1)).as("n_flagged"))
+        .select(lit(num.toLong).as("share_num"),
+          lit(den.toLong).as("share_den"), lit(cap).as("max_df"),
+          col("n_flagged"),
+          // screen ⊆ truth (cold ⊆ all shingles): hits = flagged
+          col("n_flagged").as("n_hits"))
+    }.reduce(_.unionByName(_))
+    grid.crossJoin(broadcast(truthAgg))
+      .select(col("share_num"), col("share_den"), col("max_df"),
+        col("n_flagged"), col("n_hits"), col("n_truth"),
+        when(col("n_flagged") > 0,
+          col("n_hits").cast("double") / col("n_flagged"))
+          .otherwise(lit(0.0)).as("precision"),
+        when(col("n_truth") > 0,
+          col("n_hits").cast("double") / col("n_truth"))
+          .otherwise(lit(0.0)).as("recall"))
+      .orderBy(col("share_num"), col("share_den"), col("max_df"))
+  }
+
   /** The threshold-passing containment relation over capped DISTINCT
     * shingle rows: (doc_a, doc_b, n_shared, n_a, n_b) with doc_a <
     * doc_b and `minSharedDen·n_shared ≥ minSharedNum·min(n_a, n_b)` —

@@ -208,6 +208,65 @@ object Sampling {
       .select(col(idCol), col(stratumCol), col("n_bytes"))
   }
 
+  /** PAIRED byte-budget mixture — [[mixToByteBudget]] for ATOMIC
+    * multi-payload rows (the caption+image+audio training triple): a
+    * paired row carries EVERY modality's bytes at once, so
+    * per-stratum keep fractions cannot apply (dropping a row drops
+    * all of its modalities together, and an arbitrary per-row
+    * modality composition makes an exact stated mixture generally
+    * unreachable by row selection). The mixture statement therefore
+    * becomes per-modality byte CAPS: modality m may spend at most
+    * `budget·wₘ/Σw` octets. A UNIFORM deterministic keep fraction f
+    * scales every modality's byte mass by f in expectation, so the
+    * BINDING modality (largest mass-to-target ratio) fixes
+    * `f = min(1, minₘ targetₘ/Mₘ)` and every modality lands at or
+    * under its cap — the binding one at its target, the others
+    * under, and the shortfall stays VISIBLE (weights are intent;
+    * silent rebalancing would corrupt the mixture). A modality
+    * listed in `masses` but absent from `weights` has target 0: if
+    * it carries any bytes, f = 0 and NOTHING is kept — quota zero is
+    * a decision, not an accident (the [[mixToByteBudget]] rule for
+    * unroutable strata, stated per-column here).
+    *
+    * Same determinism and scale shape as the stratified siblings: no
+    * rand(), one \|modalities\|-column single-row fold broadcast back
+    * to the row-local affine id-hash filter, no corpus-wide shuffle.
+    * Output: (idCol, `<modality>_bytes`...) — the KEPT rows with
+    * their per-modality octets. */
+  def pairedMixToByteBudget(df: DataFrame, idCol: String,
+      masses: Seq[(String, Column)], weights: Map[String, Double],
+      budgetBytes: Long): DataFrame = {
+    require(budgetBytes > 0, s"budgetBytes=$budgetBytes must be positive")
+    require(masses.nonEmpty, "need at least one modality byte column")
+    require(weights.values.forall(_ >= 0), "weights must be non-negative")
+    val wsum = weights.values.sum
+    require(wsum > 0, "need at least one positive weight")
+    val sized = df.select(col(idCol) +: masses.map { case (m, c) =>
+      c.cast("long").as(s"${m}_bytes") }: _*)
+    // one row: per-modality total masses → the binding keep fraction,
+    // floored to per-million (the portable threshold every stratified
+    // mixer uses, so engines agree bit-for-bit)
+    val fr = masses.map { case (m, _) =>
+      val target = lit(budgetBytes.toDouble) *
+        lit(weights.getOrElse(m, 0.0)) / lit(wsum)
+      when(col(s"__t_$m") > 0L,
+        target / col(s"__t_$m").cast("double")).otherwise(lit(1.0))
+    }
+    val thr = sized.agg(
+        sum(col(s"${masses.head._1}_bytes")).cast("long")
+          .as(s"__t_${masses.head._1}"),
+        masses.tail.map { case (m, _) =>
+          sum(col(s"${m}_bytes")).cast("long").as(s"__t_$m") }: _*)
+      .select(floor(least(fr.reduceLeft(least(_, _)), lit(1.0)) *
+        lit(1000000.0)).cast("long").as("__thr"))
+    val bucket =
+      (pmod(col(idCol), lit(P)) * lit(2654435761L) % P + lit(12345L)) %
+        P % 1000000L
+    sized.crossJoin(broadcast(thr))
+      .where(bucket < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Fixed-k-per-stratum priority sample: exactly `min(k, |stratum|)`
     * documents per stratum, chosen as the k SMALLEST affine id-hashes
     * (ties → lowest id). This is deterministic priority sampling — the

@@ -51,6 +51,7 @@ object Ext extends ExtHelpers
       q231, q232, q233, q234, q235, q236, q237, q238, q239, q240,
       q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251,
       q252, q253, q254, q255, q256, q257, q258, q259, q260, q261, q262,
-      q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312)
+      q263, q264, q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315,
+      q316)
 }
 

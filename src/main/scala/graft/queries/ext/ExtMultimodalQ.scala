@@ -3218,4 +3218,268 @@ private[queries] trait ExtMultimodalQ { self: ExtHelpers =>
       FROM f, u
     """.trim))
 
+  // --------------------------------------------------------------- q313
+  /** q307's amps replay over q313's half-sample (the reel count `ng`
+    * scales with the SAMPLED doc count — the fixture derives it from
+    * the frame it is handed). */
+  private def clipAmpsCte: String = """
+      gv AS (
+        SELECT greatest(64, count(*) // 64) AS ng FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id % 2 = 0),
+      clipids AS (
+        SELECT doc_id, doc_id % ng AS g, (doc_id // ng) % 5 AS o,
+          5 + doc_id % 3 AS len
+        FROM documents, gv
+        WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id % 10 <> 3
+          AND doc_id % 2 = 0),
+      amps AS (
+        SELECT doc_id, w.w AS w,
+          CAST(500 + (((g * 1500450271 + (o + w.w) * 2654435761) % 1000003)
+            * ((g * 1500450271 + (o + w.w) * 2654435761) % 1000003))
+            % 1000003 % 997 AS BIGINT) AS amp
+        FROM clipids, (SELECT unnest(range(7)) AS w) w
+        WHERE w.w < len),
+      sh AS (
+        SELECT DISTINCT a.doc_id, a.amp AS f0, b.amp AS f1, c.amp AS f2
+        FROM amps a
+        JOIN amps b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+        JOIN amps c ON c.doc_id = a.doc_id AND c.w = a.w + 2),
+      dfc AS (
+        SELECT f0, f1, f2, count(*) AS d FROM sh GROUP BY 1, 2, 3)"""
+
+  /** The (share, maxDf) grid q313 measures — shared between the Spark
+    * runner and the oracle generator so the two sweeps cannot drift. */
+  private val clipOperatingPolicies: Seq[(Int, Int, Long)] = Seq(
+    (1, 2, 2L), (1, 2, 100L), (1, 4, 100L), (3, 4, 100L))
+
+  /** q313 — CLIP-rung OPERATING POINT
+    * ([[Dedup.sequenceShingleContainment]]'s measured (share, maxDf)
+    * curve — the q144/q214/q250 discipline applied to the last
+    * approximate screen that shipped without one): every policy knob
+    * of the clip rung is now a `curate()` parameter, but a curator
+    * tuning `clipMaxDf` at 100 TB was flying blind — no recall
+    * readout existed. GROUND TRUTH is the UNCAPPED shared-shingle
+    * relation (maxDf = 2⁶⁰, threshold ≥ 1 shared k-gram: a shared
+    * 3-gram IS a shared 3-window run at some offset — the
+    * brute-force offset-shifted truth the fixture can replay);
+    * each grid policy reports flagged mass, true hits, precision
+    * and recall — all derived from ONE uncapped inverted-index join
+    * ([[Dedup.sequenceShinglePolicyCurve]]: every capped screen is a
+    * conditional sum over the df-annotated truth join, pinned ≡ the
+    * per-policy operator reruns by DedupSpec). The honest eval cost
+    * is paid at profile time, q144's stance — on a DETERMINISTIC
+    * HALF SAMPLE of the corpus (`doc_id ≡ 0 (mod 2)`, the q129
+    * brute-force-on-a-sample discipline: the TRUTH relation has no
+    * df cap, so its candidate mass is the one quantity the screen's
+    * own cap cannot bound; the sample bounds it instead, and the
+    * curve is a policy readout, not a per-doc decision). Runs on the
+    * audio clip fixture — the cheapest honest sequence fixture; the
+    * policy machinery is modality-shared, so the curve transfers.
+    * Oracle replays shingles, every capped screen, and the truth
+    * join positionally over the same sample. */
+  val q313: Q = Q(
+    "q313_clip_operating_point",
+    (s, d) => {
+      val en = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.audioWindowEnergies(
+          Multimodal.encodeClipWaveformFixture(
+            Tables.documents(s, d).where(col("doc_id") % 2 === 0),
+            "doc_id")).toDF()
+          .select(col("doc_id"), col("w"), col("amp")))
+      Dedup.sequenceShinglePolicyCurve(en, "doc_id", "w", "amp",
+        k = 3, policies = clipOperatingPolicies)
+    },
+    Some {
+      val perPolicy = clipOperatingPolicies.map { case (num, den, df) =>
+        s"""
+      cold_${num}_${den}_$df AS (
+        SELECT sh.doc_id, sh.f0, sh.f1, sh.f2
+        FROM sh JOIN dfc USING (f0, f1, f2) WHERE dfc.d <= $df),
+      sz_${num}_${den}_$df AS (
+        SELECT doc_id, count(*) AS n FROM cold_${num}_${den}_$df
+        GROUP BY 1),
+      pass_${num}_${den}_$df AS (
+        SELECT i.doc_a, i.doc_b FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            count(*) AS n_shared
+          FROM cold_${num}_${den}_$df a JOIN cold_${num}_${den}_$df b
+            ON a.f0 = b.f0 AND a.f1 = b.f1 AND a.f2 = b.f2
+            AND a.doc_id < b.doc_id
+          GROUP BY 1, 2) i
+        JOIN sz_${num}_${den}_$df sa ON sa.doc_id = i.doc_a
+        JOIN sz_${num}_${den}_$df sb ON sb.doc_id = i.doc_b
+        WHERE $den * i.n_shared >= $num * least(sa.n, sb.n))"""
+      }.mkString(",")
+      val rows = clipOperatingPolicies.map { case (num, den, df) =>
+        s"""
+        SELECT CAST($num AS BIGINT) AS share_num,
+          CAST($den AS BIGINT) AS share_den,
+          CAST($df AS BIGINT) AS max_df,
+          (SELECT CAST(count(*) AS BIGINT)
+            FROM pass_${num}_${den}_$df) AS n_flagged,
+          (SELECT CAST(count(*) AS BIGINT) FROM pass_${num}_${den}_$df
+            JOIN truth USING (doc_a, doc_b)) AS n_hits"""
+      }.mkString(" UNION ALL ")
+      s"""
+      WITH $clipAmpsCte,
+      truth AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b
+          ON a.f0 = b.f0 AND a.f1 = b.f1 AND a.f2 = b.f2
+          AND a.doc_id < b.doc_id),
+      tn AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+      $perPolicy,
+      grid AS ($rows)
+      SELECT g.share_num, g.share_den, g.max_df, g.n_flagged,
+        g.n_hits, tn.n_truth,
+        CASE WHEN g.n_flagged = 0 THEN 0.0
+          ELSE CAST(g.n_hits AS DOUBLE) / g.n_flagged END AS precision,
+        CASE WHEN tn.n_truth = 0 THEN 0.0
+          ELSE CAST(g.n_hits AS DOUBLE) / tn.n_truth END AS recall
+      FROM grid g, tn
+      ORDER BY g.share_num, g.share_den, g.max_df
+    """.trim })
+
+  // --------------------------------------------------------------- q314
+  /** q314 — VIDEO clip-family keep-best ([[Multimodal.keepBest]] ∘
+    * q308, the r19 verdict's missing composition): the clip ladder
+    * ends the way every dedup family ends since r18 — a reel
+    * recorded as five overlapping trims keeps its MOST-OBSERVED-
+    * FRAMES member (the longest trim — the copy a training run
+    * wants), never an arbitrary min-id one; ties to the smallest id.
+    * Quality reads off the ALREADY-COMPUTED fingerprint frame (zero
+    * extra decode), the q301 discipline on the offset-tolerant
+    * decision. Non-degenerate on the clip fixture: family members'
+    * lengths differ (`5 + id mod 3`), so min-id members lose
+    * whenever a longer trim exists. Oracle: q308's recursive-CTE
+    * closure + the observed-count argmax. */
+  val q314: Q = Q(
+    "q314_video_clip_keep_best",
+    (s, d) => {
+      val fps = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.videoFrameFingerprints(
+          Multimodal.encodeClipMjpegFixture(Tables.documents(s, d),
+            "doc_id"))
+          .toDF().where(col("ok") === 1L)
+          .select(col("doc_id"), col("frame_idx"), col("fp")))
+      Multimodal.keepBest(
+        Dedup.sequenceShingleClusters(fps, "doc_id", "frame_idx",
+          "fp", k = 3, minSharedNum = 1, minSharedDen = 2,
+          maxDf = 100L),
+        fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_obs")),
+        Seq("n_obs"))
+    },
+    Some(s"""
+      WITH RECURSIVE $clipShinglesCte,
+      sz AS (SELECT doc_id, count(*) AS n FROM cold GROUP BY 1),
+      i AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          count(*) AS n_shared
+        FROM cold a JOIN cold b
+          ON a.f0 = b.f0 AND a.f1 = b.f1 AND a.f2 = b.f2
+          AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      cpairs AS (
+        SELECT doc_a, doc_b FROM i
+        JOIN sz sa ON sa.doc_id = i.doc_a
+        JOIN sz sb ON sb.doc_id = i.doc_b
+        WHERE 2 * i.n_shared >= least(sa.n, sb.n)),
+      cuniverse AS (SELECT doc_id FROM clipids),
+      cedges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM cpairs
+        UNION ALL SELECT doc_b, doc_a FROM cpairs),
+      reach(doc_id, via) AS (
+        SELECT doc_id, doc_id FROM cuniverse
+        UNION
+        SELECT rr.doc_id, e.dst FROM reach rr
+        JOIN cedges e ON e.src = rr.via),
+      comp AS (
+        SELECT doc_id, min(via) AS cluster_id FROM reach
+        GROUP BY doc_id),
+      qual AS (
+        SELECT doc_id, CAST(5 + doc_id % 3 AS BIGINT) AS n_obs
+        FROM clipids),
+      mx AS (
+        SELECT comp.cluster_id, max(qual.n_obs) AS mn
+        FROM comp JOIN qual USING (doc_id) GROUP BY 1),
+      best AS (
+        SELECT comp.cluster_id, min(comp.doc_id) AS best_id
+        FROM comp JOIN qual USING (doc_id)
+        JOIN mx ON mx.cluster_id = comp.cluster_id
+          AND qual.n_obs = mx.mn
+        GROUP BY 1)
+      SELECT comp.doc_id, comp.cluster_id, best.best_id,
+        comp.doc_id = best.best_id AS is_best
+      FROM comp JOIN best USING (cluster_id)
+      ORDER BY comp.doc_id
+    """.trim))
+
+  // --------------------------------------------------------------- q315
+  /** q315 — GIF clip-family keep-best ([[Multimodal.keepBest]] ∘
+    * q312): q314's argmax on the second frame-stream coding — one
+    * shared fold, pinned here over the GIF clip fixture (lossless
+    * coding, so the oracle replays every fingerprint bit-exactly);
+    * quality = observed frame count off the already-computed
+    * fingerprint frame. Oracle: q312's closure + the argmax. */
+  val q315: Q = Q(
+    "q315_gif_clip_keep_best",
+    (s, d) => {
+      val fps = graft.engine.CacheScope.unmanaged.persist(
+        Multimodal.gifFrameFingerprints(
+          Multimodal.encodeClipGifFixture(Tables.documents(s, d),
+            "doc_id"))
+          .toDF().where(col("ok") === 1L)
+          .select(col("doc_id"), col("frame_idx"), col("fp")))
+      Multimodal.keepBest(
+        Dedup.sequenceShingleClusters(fps, "doc_id", "frame_idx",
+          "fp", k = 3, minSharedNum = 1, minSharedDen = 2,
+          maxDf = 100L),
+        fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_obs")),
+        Seq("n_obs"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${clipShinglesCteFor(5)},
+      sz AS (SELECT doc_id, count(*) AS n FROM cold GROUP BY 1),
+      i AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          count(*) AS n_shared
+        FROM cold a JOIN cold b
+          ON a.f0 = b.f0 AND a.f1 = b.f1 AND a.f2 = b.f2
+          AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      cpairs AS (
+        SELECT doc_a, doc_b FROM i
+        JOIN sz sa ON sa.doc_id = i.doc_a
+        JOIN sz sb ON sb.doc_id = i.doc_b
+        WHERE 2 * i.n_shared >= least(sa.n, sb.n)),
+      cuniverse AS (SELECT doc_id FROM clipids),
+      cedges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM cpairs
+        UNION ALL SELECT doc_b, doc_a FROM cpairs),
+      reach(doc_id, via) AS (
+        SELECT doc_id, doc_id FROM cuniverse
+        UNION
+        SELECT rr.doc_id, e.dst FROM reach rr
+        JOIN cedges e ON e.src = rr.via),
+      comp AS (
+        SELECT doc_id, min(via) AS cluster_id FROM reach
+        GROUP BY doc_id),
+      qual AS (
+        SELECT doc_id, CAST(5 + doc_id % 3 AS BIGINT) AS n_obs
+        FROM clipids),
+      mx AS (
+        SELECT comp.cluster_id, max(qual.n_obs) AS mn
+        FROM comp JOIN qual USING (doc_id) GROUP BY 1),
+      best AS (
+        SELECT comp.cluster_id, min(comp.doc_id) AS best_id
+        FROM comp JOIN qual USING (doc_id)
+        JOIN mx ON mx.cluster_id = comp.cluster_id
+          AND qual.n_obs = mx.mn
+        GROUP BY 1)
+      SELECT comp.doc_id, comp.cluster_id, best.best_id,
+        comp.doc_id = best.best_id AS is_best
+      FROM comp JOIN best USING (cluster_id)
+      ORDER BY comp.doc_id
+    """.trim))
+
 }

@@ -967,4 +967,68 @@ private[queries] trait ExtSamplingQ { self: ExtHelpers with ExtDedupQ =>
         < thr.thr
       ORDER BY m.doc_id
     """.trim))
+
+  // --------------------------------------------------------------- q316
+  /** q316 — PAIRED byte-budget mixture
+    * ([[Sampling.pairedMixToByteBudget]] — q304 for ATOMIC
+    * multi-payload rows, the r19 verdict's missing `--mix` sibling
+    * for the paired funnel): a (caption, image, audio) training
+    * triple carries every modality's bytes at once, so per-stratum
+    * keep fractions cannot apply; the mixture statement becomes
+    * per-modality byte CAPS and the BINDING modality (largest
+    * mass-to-target ratio) fixes ONE uniform deterministic keep
+    * fraction — every modality lands at or under its cap, the
+    * shortfall visible. The per-row modality masses here are the
+    * caption's real octet length plus id-arithmetic payload sizes,
+    * so the oracle replays masses, the binding fold, and the affine
+    * id-hash filter exactly (dyadic weights — every intermediate
+    * double exact). */
+  val q316: Q = Q(
+    "q316_paired_byte_budget_mix",
+    (s, d) =>
+      Sampling.pairedMixToByteBudget(
+        Tables.documents(s, d)
+          .where(col("doc_id").isNotNull && col("doc_id") >= 0)
+          .select(col("doc_id"),
+            octet_length(col("text")).cast("long").as("tb"),
+            (lit(100L) + (col("doc_id") % 7) * 13L).as("ib"),
+            (lit(50L) + (col("doc_id") % 5) * 31L).as("ab")),
+        "doc_id",
+        Seq("text" -> col("tb"), "image" -> col("ib"),
+          "audio" -> col("ab")),
+        Map("text" -> 0.25, "image" -> 0.5, "audio" -> 0.25),
+        budgetBytes = 1000000L)
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH m AS (
+        SELECT doc_id,
+          CAST(octet_length(encode(text)) AS BIGINT) AS text_bytes,
+          CAST(100 + (doc_id % 7) * 13 AS BIGINT) AS image_bytes,
+          CAST(50 + (doc_id % 5) * 31 AS BIGINT) AS audio_bytes
+        FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id >= 0),
+      tot AS (
+        SELECT CAST(sum(text_bytes) AS BIGINT) AS tt,
+          CAST(sum(image_bytes) AS BIGINT) AS ti,
+          CAST(sum(audio_bytes) AS BIGINT) AS ta
+        FROM m),
+      thr AS (
+        SELECT CAST(floor(least(
+            CASE WHEN tt > 0
+              THEN (1000000.0 * 0.25 / 1.0) / CAST(tt AS DOUBLE)
+              ELSE 1.0 END,
+            CASE WHEN ti > 0
+              THEN (1000000.0 * 0.5 / 1.0) / CAST(ti AS DOUBLE)
+              ELSE 1.0 END,
+            CASE WHEN ta > 0
+              THEN (1000000.0 * 0.25 / 1.0) / CAST(ta AS DOUBLE)
+              ELSE 1.0 END,
+            1.0) * 1000000.0) AS BIGINT) AS thr
+        FROM tot)
+      SELECT m.doc_id, m.text_bytes, m.image_bytes, m.audio_bytes
+      FROM m, thr
+      WHERE ((m.doc_id % $P) * 2654435761 % $P + 12345) % $P % 1000000
+        < thr.thr
+      ORDER BY m.doc_id
+    """.trim))
 }

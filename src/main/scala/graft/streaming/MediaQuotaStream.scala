@@ -24,10 +24,18 @@ import graft.operators.Multimodal
   * stateful fold). Skip-then-admit, NOT a window cumsum: an
   * overflowing payload is skipped and a later smaller one still
   * admits (the [[QuotaStream]] under-fill argument, pinned by its
-  * spec). State per modality is ONE long — constant forever;
-  * modalities without a cap pass unmetered but tallied (admission
-  * control semantics — the batch MIXTURE's quota-zero-drops rule is
-  * expressed here as an explicit `cap = 0`, which admits nothing).
+  * spec). State per modality is ONE long — constant forever.
+  *
+  * UNMAPPED strata admit NOTHING by default (r20, the r19 advice
+  * finding): [[QuotaStream]]'s generic contract passes capless
+  * strata unmetered — fine for token quotas a caller states
+  * exhaustively — but for ADMISSION CONTROL that default is
+  * backwards, because `unknown` is where corrupt-magic payloads
+  * sniff to, and a caller who forgets `caps("unknown") = 0` would
+  * be flooded by junk. Here quota-zero-for-the-unstated is the
+  * default (the batch MIXTURE's rule: no weight, no bytes);
+  * `admitUnmapped = true` opts back into the tally-through
+  * behavior for callers genuinely metering only some modalities.
   * Within a micro-batch rows fold in doc_id order so a one-batch
   * drain is deterministic and engine-replayable; across batches
   * admission order is arrival order — the inherent stream/batch
@@ -43,18 +51,25 @@ object MediaQuotaStream {
   /** Admit `media` (doc_id, payload, …) under per-modality byte caps.
     * Works unchanged on batch frames (a one-batch drain IS the greedy
     * doc_id-order fill). The state machinery is [[QuotaStream]]'s —
-    * one fold, two bindings. */
-  def admitted(media: DataFrame, caps: Map[String, Long])
-      : Dataset[Admitted] = {
+    * one fold, two bindings. Modalities absent from `caps` admit
+    * nothing unless `admitUnmapped` — the drop is a stateless
+    * row-local filter BEFORE the fold (equivalent to cap 0: neither
+    * admits, neither moves state), so junk strata cost no state
+    * entries either. */
+  def admitted(media: DataFrame, caps: Map[String, Long],
+      admitUnmapped: Boolean = false): Dataset[Admitted] = {
     val spark = media.sparkSession
     import spark.implicits._
-    QuotaStream.admitted(
-      media.select(
-        split(Multimodal.sniffModality(col("payload")), "/")
-          .getItem(0).as("stratum"),
-        col("doc_id").cast("long").as("doc_id"),
-        octet_length(col("payload")).cast("long").as("n_tokens")),
-      caps)
+    val metered = media.select(
+      split(Multimodal.sniffModality(col("payload")), "/")
+        .getItem(0).as("stratum"),
+      col("doc_id").cast("long").as("doc_id"),
+      octet_length(col("payload")).cast("long").as("n_tokens"))
+    val gated =
+      if (admitUnmapped) metered
+      else metered.where(col("stratum")
+        .isin(caps.keys.toSeq.map(x => x: Any): _*))
+    QuotaStream.admitted(gated, caps)
       .map(a => Admitted(a.stratum, a.doc_id, a.n_tokens,
         a.consumed_after))
   }

@@ -430,6 +430,33 @@ class MainSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("audiofp-ingest refuses a pre-r19 LEGACY store layout (parquet " +
+    "part files directly under the store root) with a migration hint " +
+    "instead of silently orphaning the ingested history") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_afplegacy").toString
+    val s2 = spark; import s2.implicits._
+    val media = graft.operators.Multimodal
+      .encodeWaveformFixture((0L until 10L).toDF("doc_id"), "doc_id")
+      .toDF()
+    media.write.parquet(s"$base/batch")
+    // fabricate the legacy layout: envelope rows written DIRECTLY at
+    // the store root, the pre-r19 AudioFpStore location
+    spark.range(3).select(col("id").as("doc_id"), col("id").as("fp"))
+      .write.parquet(s"$base/store")
+    val e = intercept[RuntimeException] {
+      Main.runAudioFpIngest(spark, s"$base/batch", s"$base/store",
+        s"$base/out")
+    }
+    assert(e.getMessage.contains("legacy store layout") &&
+      e.getMessage.contains("envelope"), e.getMessage)
+    // a fresh (or already-migrated) root ingests fine
+    Main.runAudioFpIngest(spark, s"$base/batch", s"$base/store2",
+      s"$base/out2")
+    assert(spark.read.parquet(s"$base/out2").count() > 0)
+  }
+
   test("videofp-ingest CLI: two batch passes build the sequence " +
     "store; the cluster output equals the one-shot aligned decision") {
     import org.apache.spark.sql.functions.col
@@ -1223,6 +1250,222 @@ class MainSpec extends SparkSpec {
     assert(st1.droppedEval ==
       (textFlagged ++ imgFlagged ++ audFlagged).size.toLong)
     lake.unpersist(); joint.unpersist()
+  }
+
+  test("corpus-paired audio tier is TWO-STAGE on a clip-waveform " +
+    "lake: trimmed re-uploads chain via energy-shingle containment " +
+    "over envelope-family representatives (keep ≡ the q266 ∘ q307 " +
+    "replay, strictly beats envelope-only); the eval gate composes " +
+    "the trim-tolerant shingle rung; --mix ≡ the standalone q316 " +
+    "pick over the unmixed keeps") {
+    import org.apache.spark.sql.functions._
+    val M = graft.operators.Multimodal
+    val D = graft.operators.Dedup
+    val S = graft.operators.Sampling
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cpclip").toString
+    val s2 = spark; import s2.implicits._
+    // 64 reels × 3 window offsets, ≥ 65 windows each (the corpus-media
+    // two-stage test's lake), paired with captions + gradient images:
+    // same-reel audio overlaps at genuinely nonzero offsets — the
+    // trimmed re-upload the whole-clip envelope cannot see
+    val ids = (0L until 192L)
+    val docsText = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(col("doc_id") < 192).select(col("doc_id"), col("text"))
+    // images are REEL-ALIGNED (encoded on doc_id % 64): the gradient
+    // fixture's content repeats mod 25, and a mod-25 image partition
+    // crossed with the mod-64 audio reels percolates the whole union
+    // graph into ONE component (gcd(25, 64) = 1) — reel-keyed images
+    // keep the closure non-degenerate so the audio tier is observable
+    val imgs = M.encodeGradientImageFixture(
+        (0L until 64L).toDF("doc_id"), "doc_id").toDF()
+      .select(col("doc_id").as("__img"), col("uri"), col("mime"),
+        col("payload"))
+    docsText.withColumn("__img", col("doc_id") % 64)
+      .join(imgs, Seq("__img")).drop("__img")
+      .join(M.encodeClipWaveformFixture(ids.toDF("doc_id"), "doc_id",
+          baseWindows = 70).toDF()
+        .select(col("doc_id"), col("payload").as("audio")),
+        Seq("doc_id"))
+      .write.parquet(s"$base/lake")
+    val lake = spark.read.parquet(s"$base/lake").cache()
+    val st = Main.runCorpusPaired(spark, s"$base/lake", s"$base/out",
+      shardBytes = 8192)
+    // audio corruption (id%10=3) is a SUBSET of image corruption
+    // ({3,6}) on this unshifted lake, so droppedAudio is 0 here by
+    // construction — the audio-drop accounting is pinned by the
+    // shifted-ids tri-modal test above; the identity still holds
+    assert(st.raw == st.decodable + st.droppedImage + st.droppedAudio)
+    assert(st.droppedImage > 0, "corrupt-image rows must drop")
+
+    // ---- keep ≡ the k=3 closure with the TWO-STAGE audio acid ----
+    val textC = D.nearDupClusters(lake, "doc_id",
+        D.minhashLshPairs(lake, "doc_id", "text", threshold = 0.5,
+          k = 16, bands = 4))
+      .select(col("doc_id"), col("cluster_id").as("tcid"))
+    val imgC = D.fingerprintClusters(
+        M.imageDhash(lake.select(col("doc_id"), col("uri"),
+            col("mime"), col("payload"))
+          .as[M.MediaRecord](M.mediaRecordEnc)).toDF()
+          .where(col("ok") === 1L)
+          .select(col("doc_id"), col("dhash").as("fp")),
+        "doc_id", "fp", 3, 64)
+      .select(col("doc_id"), col("cluster_id").as("icid"))
+    val energies = M.audioWindowEnergies(
+        lake.select(col("doc_id"), col("uri"), col("mime"),
+          col("audio").as("payload"))
+        .as[M.MediaRecord](M.mediaRecordEnc)).toDF()
+      .select(col("doc_id"), col("w"), col("amp")).cache()
+    val fam = D.fingerprintClusters(
+      M.envelopeFromEnergies(energies), "doc_id", "fp", 3, 64).cache()
+    val repIds = fam.where(col("is_canonical")).select(col("doc_id"))
+    val repComps = D.nearDupClusters(repIds, "doc_id",
+        D.sequenceShingleContainment(
+          energies.join(repIds, Seq("doc_id")), "doc_id", "w", "amp")
+          .select(col("doc_a"), col("doc_b")))
+      .select(col("doc_id").as("__rep"), col("cluster_id").as("acid"))
+    val audC = fam.select(col("doc_id"), col("cluster_id").as("__rep"))
+      .join(repComps, Seq("__rep")).select(col("doc_id"), col("acid"))
+    // the clip stage must do real work: two-stage audio components
+    // are strictly coarser than envelope families on this lake
+    assert(audC.select(col("acid")).distinct().count() <
+      fam.select(col("cluster_id")).distinct().count(),
+      "clip containment must chain trimmed re-uploads across " +
+        "envelope families")
+    val joint = textC.join(imgC, Seq("doc_id"))
+      .join(audC, Seq("doc_id")).cache()
+    assert(st.decodable == joint.count())
+    val cells = joint.select((col("tcid") * 3).as("doc_a"),
+        (col("icid") * 3 + 1).as("doc_b")).distinct()
+      .unionByName(joint.select((col("icid") * 3 + 1).as("doc_a"),
+        (col("acid") * 3 + 2).as("doc_b")).distinct())
+    val nodes = cells.select(col("doc_a").as("node"))
+      .unionByName(cells.select(col("doc_b").as("node"))).distinct()
+    val comps = D.nearDupClusters(nodes, "node", cells)
+      .select(col("doc_id").as("__node"), col("cluster_id").as("__c"))
+    val want = joint
+      .select(col("doc_id"), (col("tcid") * 3).as("__node"))
+      .join(comps, Seq("__node"))
+      .groupBy(col("__c")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val got = spark.read.parquet(s"$base/out/curated")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    assert(st.kept == want.size.toLong)
+
+    // ---- eval gate: compose-OR including the shingle rung ----
+    // eval = OFFSET-1 reel members (ids 64..75): the kept canonical
+    // of a reel is its min-id OFFSET-0 member, so an offset-0 eval
+    // set would flag every same-reel keep by envelope IDENTITY and
+    // the shingle rung would prove nothing; an offset-1 eval clip is
+    // a TRIM of the kept canonical — high shingle share, envelope
+    // bits all shifted — exactly the leak only the shingle rung sees
+    lake.where(col("doc_id") >= 64 && col("doc_id") < 76)
+      .write.parquet(s"$base/eval")
+    val evalLake = spark.read.parquet(s"$base/eval")
+    val curated0 = spark.read.parquet(s"$base/out/curated")
+    val evEnergies = M.audioWindowEnergies(
+        evalLake.select(col("doc_id"), col("uri"), col("mime"),
+          col("audio").as("payload"))
+        .as[M.MediaRecord](M.mediaRecordEnc)).toDF()
+      .select(col("doc_id"), col("w"), col("amp")).cache()
+    val keptEnergies = energies
+      .join(curated0.select(col("doc_id")), Seq("doc_id"))
+    val envFlagged = D.fingerprintDecontam(
+        M.envelopeFromEnergies(keptEnergies),
+        M.envelopeFromEnergies(evEnergies), "doc_id", "fp", 3, 64)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val shingleFlagged = D.sequenceShingleDecontam(keptEnergies,
+        evEnergies, "doc_id", "w", "amp")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert((shingleFlagged -- envFlagged).nonEmpty,
+      "the shingle rung must flag trimmed leaks the envelope misses")
+    val textFlagged = D.evalOverlapRate(curated0, evalLake, "doc_id",
+        "text", contaminatedAt = 0.2)
+      .where(col("contaminated") === 1)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val imgFlagged = D.fingerprintDecontam(
+        M.imageDhash(curated0.select(col("doc_id"), col("uri"),
+            col("mime"), col("payload"))
+          .as[M.MediaRecord](M.mediaRecordEnc)).toDF()
+          .where(col("ok") === 1L)
+          .select(col("doc_id"), col("dhash").as("fp")),
+        M.imageDhash(evalLake.select(col("doc_id"), col("uri"),
+            col("mime"), col("payload"))
+          .as[M.MediaRecord](M.mediaRecordEnc)).toDF()
+          .where(col("ok") === 1L)
+          .select(col("doc_id"), col("dhash").as("fp")),
+        "doc_id", "fp", 3, 64)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val st1 = Main.runCorpusPaired(spark, s"$base/lake",
+      s"$base/out1", shardBytes = 8192,
+      evalPath = Some(s"$base/eval"))
+    val ids1 = spark.read.parquet(s"$base/out1/curated")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val allFlagged = textFlagged ++ imgFlagged ++ envFlagged ++
+      shingleFlagged
+    assert(ids1 == got -- allFlagged)
+    assert(st1.droppedEval == allFlagged.size.toLong)
+
+    // ---- --mix ≡ the standalone q316 pick over the unmixed keeps —
+    // applied BEFORE export, so curated, manifest, and stats see it
+    val weights = Map("text" -> 0.25, "image" -> 0.5, "audio" -> 0.25)
+    val masses = Seq("text" -> octet_length(col("text")).cast("long"),
+      "image" -> octet_length(col("payload")).cast("long"),
+      "audio" -> octet_length(col("audio")).cast("long"))
+    val totalBytes = curated0.agg(sum(octet_length(col("text")) +
+        octet_length(col("payload")) + octet_length(col("audio")))
+        .cast("long")).collect().head.getLong(0)
+    val budget = totalBytes / 4 // binding fraction strictly inside (0, 1)
+    val picked = S.pairedMixToByteBudget(curated0, "doc_id", masses,
+      weights, budget).cache()
+    val wantMix = picked.select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(wantMix.nonEmpty && wantMix.size < got.size,
+      "the byte budget must bind without emptying the corpus")
+    val st2 = Main.runCorpusPaired(spark, s"$base/lake",
+      s"$base/out2", shardBytes = 8192,
+      mix = Some((weights, budget)))
+    val ids2 = spark.read.parquet(s"$base/out2/curated")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ids2 == wantMix)
+    assert(st2.kept == wantMix.size.toLong)
+    // per-modality caps hold: kept byte masses stay at or under
+    // budget·w_m, and the stats readout equals the picked masses
+    val pickedMass = picked.agg(sum(col("text_bytes")).cast("long"),
+        sum(col("image_bytes")).cast("long"),
+        sum(col("audio_bytes")).cast("long"))
+      .collect().head
+    val wantKeptBytes = Map("text" -> pickedMass.getLong(0),
+      "image" -> pickedMass.getLong(1),
+      "audio" -> pickedMass.getLong(2))
+    assert(st2.mixKeptBytes == wantKeptBytes)
+    // the caps are EXPECTATION-level (per-million hash fraction), so
+    // realized masses on a ~40-row frame can overshoot — what must
+    // hold exactly is the BINDING construction: the keep fraction is
+    // min over modalities of target/mass, strictly inside (0, 1)
+    val preMass = curated0.agg(
+        sum(octet_length(col("text"))).cast("double"),
+        sum(octet_length(col("payload"))).cast("double"),
+        sum(octet_length(col("audio"))).cast("double"))
+      .collect().head
+    val fBind = Seq("text" -> preMass.getDouble(0),
+      "image" -> preMass.getDouble(1), "audio" -> preMass.getDouble(2))
+      .map { case (m, mass) => budget.toDouble * weights(m) / mass }
+      .min
+    assert(fBind > 0.0 && fBind < 1.0,
+      s"fixture must make the budget bind, got fraction $fBind")
+    // manifest meters only the mixed keeps
+    val manBytes2 = spark.read.parquet(s"$base/out2/shards/_manifest")
+      .agg(sum(col("n_bytes")).cast("long")).collect().head.getLong(0)
+    val wantBytes2 = spark.read.parquet(s"$base/out2/curated")
+      .agg(sum(octet_length(col("text")) + octet_length(col("payload"))
+        + octet_length(col("audio"))).cast("long"))
+      .collect().head.getLong(0)
+    assert(manBytes2 == wantBytes2)
+    picked.unpersist(); evEnergies.unpersist(); energies.unpersist()
+    fam.unpersist(); lake.unpersist(); joint.unpersist()
   }
 
   test("corpus-media ISO metadata profile: kept HEIF stills bucket " +

@@ -1061,7 +1061,17 @@ class PlanAuditSpec extends SparkSpec {
       "q286_kpartite_dedup_policies",
       // q289: the ONE-ROW exact-side summary × ONE-ROW perceptual-side
       // summary — q280's 1×1 eval-rung shape on the GIF coding
-      "q289_gif_dedup_agreement")
+      "q289_gif_dedup_agreement",
+      // q313: the |policies|-row grid (4 ungrouped count aggregates)
+      // meets the ONE-ROW truth count on a broadcast scalar-append —
+      // the q144/q178 eval-rung assembly; the screens themselves are
+      // hash joins over the df-annotated pair frame
+      "q313_clip_operating_point",
+      // q316: the ONE-ROW binding-fraction threshold (a fold over the
+      // ≤3 per-modality masses) appended to the row stream for the
+      // row-local hash filter — pairedMixToByteBudget's
+      // scalar-append, q88's exact shape
+      "q316_paired_byte_budget_mix")
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !bnljByDesign.contains(name)) {
       spark.catalog.clearCache()

@@ -882,6 +882,54 @@ class DedupSpec extends SparkSpec {
     } finally scope.close()
   }
 
+  test("sequenceShinglePolicyCurve ≡ per-policy operator reruns: " +
+    "n_flagged matches sequenceShingleContainment's pair count at " +
+    "every grid point, hits = flagged (screen ⊆ truth), truth = the " +
+    "uncapped shared-shingle relation — on a frame with trims, " +
+    "copies, an all-capped group, and sub-k streams") {
+    import org.apache.spark.sql.functions._
+    val s2 = spark; import s2.implicits._
+    def v(i: Int): Long = i.toLong * 2654435761L
+    // reuse the collapse-equivalence fixture shape: overlapping trims
+    // (streams s1/s2), copies, a 7-copy one-shingle group that trips
+    // small caps, an unrelated stream, a sub-k doc
+    val streams: Map[Long, Seq[Long]] = (
+      Seq(3L, 10L, 11L).map(_ -> (1 to 6).map(v)) ++
+      Seq(5L, 20L).map(_ -> (3 to 7).map(v)) ++
+      Seq(30L -> (100 to 104).map(v)) ++
+      (40L to 46L).map(_ -> (90 to 92).map(v)) ++
+      Seq(50L -> (200 to 201).map(v))).toMap
+        .map { case (d, fs) => d -> fs.map(_.toLong) }
+    val fps = streams.toSeq.flatMap { case (d, fs) =>
+      fs.zipWithIndex.map { case (fp, i) => (d, i.toLong, fp) } }
+      .toDF("doc_id", "frame_idx", "fp")
+    val policies = Seq((1, 2, 2L), (1, 2, 5L), (1, 4, 100L),
+      (3, 4, 100L))
+    val got = Dedup.sequenceShinglePolicyCurve(fps, "doc_id",
+        "frame_idx", "fp", k = 3, policies = policies)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // truth: any shared 3-gram, no cap
+    val shOf = streams.map { case (d, fs) =>
+      d -> fs.sliding(3).filter(_.size == 3).map(_.toSeq).toSet }
+    val ids = streams.keySet.toSeq.sorted
+    val nTruth = (for {
+      a <- ids; b <- ids if a < b
+      if (shOf(a) & shOf(b)).nonEmpty
+    } yield 1).size.toLong
+    policies.foreach { case (num, den, cap) =>
+      val want = Dedup.sequenceShingleContainment(fps, "doc_id",
+          "frame_idx", "fp", k = 3, minSharedNum = num,
+          minSharedDen = den, maxDf = cap).count()
+      val (nf, nh, nt) = got((num.toLong, den.toLong, cap))
+      assert(nf == want, s"policy ($num/$den, df<=$cap): $nf vs $want")
+      assert(nh == nf, "screen must be a subset of the truth")
+      assert(nt == nTruth, s"truth: $nt vs $nTruth")
+    }
+    // the grid is non-degenerate: the tight cap loses real pairs
+    assert(got((1L, 2L, 2L))._1 < got((1L, 4L, 100L))._1)
+  }
+
   test("sequenceShingleContainment: a TRIMMED copy (nonzero offset) " +
     "flags where aligned matching finds nothing, and df-capped " +
     "shingles drop from pairing") {

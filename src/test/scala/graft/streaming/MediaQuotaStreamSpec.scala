@@ -34,7 +34,7 @@ class MediaQuotaStreamSpec extends SparkSpec {
       spark.readStream
         .schema("doc_id LONG, uri STRING, mime STRING, payload BINARY")
         .parquet(src),
-      caps)
+      caps, admitUnmapped = true)
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", ckpt)
@@ -74,6 +74,18 @@ class MediaQuotaStreamSpec extends SparkSpec {
       "corrupt rows must route to the unmetered unknown stratum")
     // the quota must actually skip something (byte caps bind)
     assert(streamed.size < all.length)
+
+    // DEFAULT policy (r20 advice): unmapped strata admit NOTHING —
+    // the same lake WITHOUT admitUnmapped drops every corrupt-magic
+    // `unknown` row, and the mapped strata are byte-identical (the
+    // gate is a pre-fold filter, so it cannot shift admission order)
+    val dflt = MediaQuotaStream.admitted(
+        spark.read.parquet(src), caps)
+      .collect().map(a => (a.modality, a.doc_id, a.n_bytes)).toSet
+    assert(!dflt.exists(_._1 == "unknown"),
+      "default must drop unmapped (unknown) strata")
+    assert(dflt == streamed.filter(t => caps.contains(t._1)),
+      "mapped strata must be unaffected by the unmapped-drop gate")
   }
 
   test("state carries across batches; a skipped payload frees room " +
