@@ -396,17 +396,17 @@ object Bench {
     "q282_stock_value_concentration" -> 0.73,
     "q283_shot_sample_schedule" -> 5.39,
     "q284_gif_frame_fingerprints" -> 2.8,
-    "q285_gif_neardup_clusters" -> 4.23,
+    "q285_gif_neardup_clusters" -> 2.71,
     "q286_kpartite_dedup_policies" -> 7.68,
     "q287_iso_exact_dedup" -> 0.45,
     "q288_gif_neardup_pairs" -> 3.02,
-    "q289_gif_dedup_agreement" -> 4.73,
+    "q289_gif_dedup_agreement" -> 3.04,
     "q290_audio_energy_segments" -> 1.1,
     "q291_audio_excerpt_schedule" -> 1.32,
     "q292_image_quality_gates" -> 0.99,
-    "q293_audio_quality_gates" -> 1.17,
-    "q294_cluster_keep_best_resolution" -> 2.31,
-    "q295_image_decontam_gate" -> 0.82,
+    "q293_audio_quality_gates" -> 0.92,
+    "q294_cluster_keep_best_resolution" -> 1.77,
+    "q295_image_decontam_gate" -> 0.63,
     "q296_audio_decontam_gate" -> 1.49,
     "q297_video_decontam_gate" -> 3.95,
     "q298_gif_decontam_gate" -> 2.17,
@@ -416,7 +416,7 @@ object Bench {
     "q299_video_quality_gates" -> 2.83,
     "q300_audio_cluster_keep_best" -> 3.81,
     "q301_video_cluster_keep_best" -> 6.05,
-    "q302_gif_cluster_keep_best" -> 4.6,
+    "q302_gif_cluster_keep_best" -> 3.56,
     "q303_iso_meta_readout" -> 0.18,
     "q304_media_byte_budget_mix" -> 0.49,
     "q305_video_clip_containment" -> 6.51,
@@ -432,39 +432,39 @@ object Bench {
     "q13_scalar_funcs" -> 0.20,
     "q14_monthly_revenue" -> 0.53,
     "q15_sql_api" -> 0.60,
-    "q16_exact_dedup" -> 0.48,
+    "q16_exact_dedup" -> 0.37,
     "q1_pricing_summary" -> 1.12,
-    "q24_token_stats" -> 0.75,
+    "q24_token_stats" -> 0.56,
     "q26_multimodal_meta" -> 0.22,
     "q27_report_metrics" -> 0.16,
     "q28_report_distributors" -> 0.48,
     "q29_trycast_timestamp" -> 0.51,
     "q2_select_project" -> 0.22,
     "q311_gif_clip_containment" -> 7.82,
-    "q312_gif_clip_clusters" -> 10.04,
+    "q312_gif_clip_clusters" -> 8.14,
     "q32_stratified_sample" -> 0.20,
     "q33_pii_redact" -> 0.79,
     "q3_try_cast" -> 0.55,
     "q40_training_order" -> 0.29,
-    "q41_token_budget_mix" -> 0.66,
+    "q41_token_budget_mix" -> 0.49,
     "q42_epoch_sharded_packing" -> 0.38,
     "q4_left_join_enrich" -> 0.30,
     "q5_anti_orphans" -> 0.35,
     "q6_ri_repair" -> 0.46,
     "q71_span_dedup" -> 1.00,
-    "q72_retention_cohorts" -> 0.56,
-    "q73_conversion_funnel" -> 0.85,
-    "q74_histogram" -> 0.57,
+    "q72_retention_cohorts" -> 0.42,
+    "q73_conversion_funnel" -> 0.64,
+    "q74_histogram" -> 0.46,
     "q76_eval_overlap_bloom" -> 1.08,
     "q77_snapshot_diff" -> 0.40,
-    "q78_asof_forward" -> 0.70,
+    "q78_asof_forward" -> 0.58,
     "q7_dedup_keepfirst" -> 0.49,
     "q8_conditional_agg" -> 0.22,
     // r20 seeds: quiet-host canonical (this artifact's min)
     "q313_clip_operating_point" -> 2.18,
     "q314_video_clip_keep_best" -> 8.73,
     "q315_gif_clip_keep_best" -> 10.43,
-    "q316_paired_byte_budget_mix" -> 0.35)
+    "q316_paired_byte_budget_mix" -> 0.29)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
   private[graft] val maxRemeasures = 3
@@ -693,16 +693,16 @@ object Bench {
     "q282_stock_value_concentration" -> 1745780L,
     "q283_shot_sample_schedule" -> 1133650L,
     "q284_gif_frame_fingerprints" -> 167230L,
-    "q285_gif_neardup_clusters" -> 347446L,
+    "q285_gif_neardup_clusters" -> 268498L,
     "q286_kpartite_dedup_policies" -> 1794927L,
     "q287_iso_exact_dedup" -> 68744L,
     "q288_gif_neardup_pairs" -> 16440178L,
-    "q289_gif_dedup_agreement" -> 293928L,
+    "q289_gif_dedup_agreement" -> 209084L,
     "q290_audio_energy_segments" -> 1410955L,
     "q291_audio_excerpt_schedule" -> 1343063L,
     "q292_image_quality_gates" -> 77322L,
     "q293_audio_quality_gates" -> 1056915L,
-    "q294_cluster_keep_best_resolution" -> 166295L,
+    "q294_cluster_keep_best_resolution" -> 229683L,
     "q295_image_decontam_gate" -> 41424L,
     "q296_audio_decontam_gate" -> 45731L,
     "q297_video_decontam_gate" -> 425908L,
@@ -710,7 +710,7 @@ object Bench {
     "q299_video_quality_gates" -> 618933L,
     "q300_audio_cluster_keep_best" -> 414003L,
     "q301_video_cluster_keep_best" -> 813611L,
-    "q302_gif_cluster_keep_best" -> 464161L,
+    "q302_gif_cluster_keep_best" -> 456169L,
     "q303_iso_meta_readout" -> 149818L,
     "q304_media_byte_budget_mix" -> 6916L,
     "q305_video_clip_containment" -> 3551547L,
@@ -781,7 +781,7 @@ object Bench {
     "q75_grouping_sets" -> 5532L,
     "q76_eval_overlap_bloom" -> 957475L,
     "q77_snapshot_diff" -> 1234867L,
-    "q78_asof_forward" -> 4560892L,
+    "q78_asof_forward" -> 4560760L,
     "q79_ingest_gaps" -> 16700L,
     "q7_dedup_keepfirst" -> 1110787L,
     "q80_cms_heavy_hitters" -> 10638L,
