@@ -50,6 +50,77 @@ object Multimodal {
   implicit val mediaFeaturesEnc: Encoder[MediaFeatures] =
     Encoders.product[MediaFeatures]
 
+  /** Fixture-side id routing (r21, guide §2.5 input skew / §2.6 idle
+    * capacity): the test tables are single-row-group parquet files, so
+    * their scan is ONE partition and every fixture's encode+decode
+    * mapPartitions chain would otherwise run on ONE core of the
+    * cluster — measured at sf0.1 the MJPEG rung spent ~6 s single-
+    * threaded on a 32-core host. Hash-repartition the tiny id frame
+    * (8 bytes/row) by the fixture's CONTENT-CLASS key with an EXPLICIT
+    * width (`defaultParallelism`: cores locally, total executor cores
+    * on a cluster — scale-adaptive, never a constant), so AQE cannot
+    * coalesce the small exchange back to one partition. Routing by the
+    * content class rather than the id both parallelizes the encode and
+    * CO-LOCATES byte-identical fixture classes, letting the per-task
+    * encode memo collapse duplicate encodes. Fixture assembly only —
+    * OPERATORS never route by content class (unknowable on a real
+    * lake); their parallelism is inherited from the routed fixture. */
+  private def routeIds(ids: DataFrame, classKey: Column): DataFrame =
+    ids.repartition(
+      ids.sparkSession.sparkContext.defaultParallelism, classKey)
+
+  /** Per-TASK bounded memo for fixture encodes (r21): the dedup
+    * corpora are duplicate-heavy BY DESIGN — the aligned MJPEG/GIF
+    * fixtures carry ≤ 36 distinct payloads across 5,000 ids — so
+    * computing each distinct content class once per task is plain
+    * common-subexpression elimination. Fresh per task: nothing
+    * survives a query invocation (the bench's no-cross-run-caching
+    * rule). Admission-bounded: past `maxEntries` the memo stops
+    * ADMITTING (hits keep serving), so a hostile all-distinct input
+    * degrades to the unmemoized path, never to executor OOM. Stored
+    * arrays are shared by reference across rows and MUST NOT be
+    * mutated by callers — corruption variants are part of the key. */
+  private final class TaskMemo[K, V](maxEntries: Int = 4096) {
+    private val m = new java.util.HashMap[K, V]()
+    def get(k: K)(compute: => V): V =
+      if (m.containsKey(k)) m.get(k)
+      else {
+        val v = compute
+        if (m.size < maxEntries) m.put(k, v)
+        v
+      }
+  }
+
+  /** Per-TASK bounded decode memo keyed on PAYLOAD BYTES (r21):
+    * decoders are pure functions of the payload, and a dedup corpus
+    * repeats payloads by design, so decode-once-per-distinct-payload
+    * is the content-addressed discipline a production pipeline runs
+    * (checksum dedup BEFORE expensive decode). Keyed on
+    * `ByteBuffer.wrap` (content hash/equality over the full bytes —
+    * never a truncated digest). Doubly bounded: entry count AND total
+    * retained payload bytes, so hostile all-distinct / giant-payload
+    * input degrades to plain per-row decode, never OOM. Fresh per
+    * task. */
+  private final class PayloadMemo[V](maxEntries: Int = 4096,
+      maxTotalBytes: Long = 32L << 20) {
+    private val m = new java.util.HashMap[java.nio.ByteBuffer, V]()
+    private var stored = 0L
+    def get(payload: Array[Byte])(compute: => V): V = {
+      if (payload == null) return compute
+      val k = java.nio.ByteBuffer.wrap(payload)
+      if (m.containsKey(k)) m.get(k)
+      else {
+        val v = compute
+        if (m.size < maxEntries &&
+            stored + payload.length <= maxTotalBytes) {
+          m.put(k, v)
+          stored += payload.length
+        }
+        v
+      }
+    }
+  }
+
   /** Wrap a text table as a media frame: payload = UTF-8 bytes of the
     * text (the deterministic stand-in for real image/audio blobs), a
     * mime fanned out across the four modality families, and a struct
@@ -181,8 +252,9 @@ object Multimodal {
   def decodeImageMeta(media: Dataset[MediaRecord]): Dataset[ImageMeta] =
     media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
+      val memo = new PayloadMemo[Option[(Long, Long, Long, String)]]()
       it.map { r =>
-        decodeImageHeader(r.payload) match {
+        memo.get(r.payload)(decodeImageHeader(r.payload)) match {
           case Some((w, h, ch, fmt)) =>
             ImageMeta(r.doc_id, 1L, Some(w), Some(h), Some(ch), Some(fmt))
           case None =>
@@ -203,32 +275,132 @@ object Multimodal {
   implicit val audioMetaEnc: Encoder[AudioMeta] =
     Encoders.product[AudioMeta]
 
+  /** The `javax.sound.sampled` SPI provider lists, resolved ONCE per
+    * JVM (r21 — guide §4.5 "initialise heavyweight state once per
+    * task", applied to the JDK itself): every
+    * `AudioSystem.getAudioFileFormat` / `getAudioInputStream` /
+    * `write` call resolves its provider list through
+    * `JDK13Services.getProviders` — a global SYNCHRONIZED static —
+    * and the JDK's `SoftMidiAudioFileReader` additionally consults
+    * `MidiSystem` (the same lock) for every payload the sampled-audio
+    * readers rejected. Under a 32-way-parallel decode stage that lock
+    * serializes the whole executor: measured 5,000 parallel header
+    * decodes = 0.64 s through `AudioSystem` vs 0.012 s through
+    * per-JVM providers with the MThd-guarded midi reader (50×), and
+    * parallel 5,000 WAV writes 0.25 s → 0.01 s. Provider instances
+    * are the SAME stateless singletons `AudioSystem` hands every
+    * caller — caching providers is classpath configuration, not data
+    * (no result crosses queries). The midi reader is consulted ONLY
+    * for payloads bearing the standard-MIDI `MThd` magic —
+    * `MidiSystem`'s parsers can claim nothing else — so skipping it
+    * elsewhere is result-identical and saves the MidiSystem lock
+    * round-trip on every corrupt/foreign payload. All shipped
+    * sampled-audio readers claim disjoint magics (RIFF/FORM/.snd),
+    * so iteration order among them is immaterial; midi goes last
+    * (the last-resort provider, as in the JDK's own ordering). */
+  private lazy val audioReaders
+      : IndexedSeq[javax.sound.sampled.spi.AudioFileReader] = {
+    val out =
+      IndexedSeq.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    while (it.hasNext) out += it.next()
+    val (midi, sampled) =
+      out.result().partition(_.getClass.getName.contains("Midi"))
+    sampled ++ midi
+  }
+
+  private lazy val audioWriters
+      : IndexedSeq[javax.sound.sampled.spi.AudioFileWriter] = {
+    val out =
+      IndexedSeq.newBuilder[javax.sound.sampled.spi.AudioFileWriter]
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    while (it.hasNext) out += it.next()
+    out.result()
+  }
+
+  private def isMidiMagic(p: Array[Byte]): Boolean =
+    p.length >= 4 && p(0) == 'M' && p(1) == 'T' && p(2) == 'h' &&
+      p(3) == 'd'
+
+  /** First-claiming provider's AudioFileFormat for the payload, or
+    * None — `AudioSystem.getAudioFileFormat` semantics through the
+    * per-JVM provider list (see [[audioReaders]]). */
+  private def audioFileFormatOf(payload: Array[Byte])
+      : Option[javax.sound.sampled.AudioFileFormat] = {
+    val midiOk = isMidiMagic(payload)
+    val it = audioReaders.iterator
+    while (it.hasNext) {
+      val r = it.next()
+      if (midiOk || !r.getClass.getName.contains("Midi")) {
+        try return Some(r.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(payload)))
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+    None
+  }
+
+  /** First-claiming provider's AudioInputStream for the payload, or
+    * None — `AudioSystem.getAudioInputStream` semantics through the
+    * per-JVM provider list (see [[audioReaders]]). */
+  private def audioInputStreamOf(payload: Array[Byte])
+      : Option[javax.sound.sampled.AudioInputStream] = {
+    val midiOk = isMidiMagic(payload)
+    val it = audioReaders.iterator
+    while (it.hasNext) {
+      val r = it.next()
+      if (midiOk || !r.getClass.getName.contains("Midi")) {
+        try return Some(r.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload)))
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+    None
+  }
+
+  /** `AudioSystem.write` through the per-JVM provider list (first
+    * writer claiming the type — the JDK's own selection rule). */
+  private def writeAudio(ais: javax.sound.sampled.AudioInputStream,
+      tpe: javax.sound.sampled.AudioFileFormat.Type,
+      out: java.io.OutputStream): Unit = {
+    val it = audioWriters.iterator
+    while (it.hasNext) {
+      val w = it.next()
+      if (w.isFileTypeSupported(tpe, ais)) { w.write(ais, tpe, out); return }
+    }
+    throw new IllegalArgumentException(
+      s"no AudioFileWriter supports $tpe")
+  }
+
   /** Header-only audio decode of one payload via the JDK's
     * `javax.sound.sampled` SPI (WAV + AIFF ship with the JDK — the
     * same zero-new-dependency argument as [[decodeImageHeader]]'s
     * ImageIO): parse the container header to (sample_rate, channels,
     * frame_count, encoding, container) WITHOUT touching sample data.
     * Returns None for any payload no provider claims or whose header
-    * is truncated/corrupt — total over DATA: the catch is NonFatal,
-    * because `getAudioFileFormat` iterates EVERY AudioFileReader SPI
-    * on the executor classpath (a real cluster often carries
+    * is truncated/corrupt — total over DATA: each provider probe is
+    * caught NonFatal, because the loop iterates EVERY AudioFileReader
+    * SPI on the executor classpath (a real cluster often carries
     * third-party mp3/flac readers transitively), and an unusual
     * payload making any of them throw an unchecked exception must be
     * a corrupt-data row, not a stage failure — the same totality
     * argument MultimodalProps pins for all three decoders. (A missing
     * SPI is NOT silently absorbed the way ImageIO's null stream would
-    * be: with zero providers every row is UnsupportedAudioFileException
-    * → wholesale ok=0, which the fixture spec catches loudly.) */
+    * be: with zero providers every row is None → wholesale ok=0,
+    * which the fixture spec catches loudly.) Providers are resolved
+    * per JVM, not per call — see [[audioReaders]]. */
   def decodeAudioHeader(payload: Array[Byte])
       : Option[(Long, Long, Long, String, String)] =
     try {
-      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
-        new java.io.ByteArrayInputStream(payload))
-      val fmt = aff.getFormat
-      Some((fmt.getSampleRate.toLong, fmt.getChannels.toLong,
-        aff.getFrameLength.toLong,
-        fmt.getEncoding.toString.toLowerCase(java.util.Locale.ROOT),
-        aff.getType.toString.toLowerCase(java.util.Locale.ROOT)))
+      audioFileFormatOf(payload).map { aff =>
+        val fmt = aff.getFormat
+        (fmt.getSampleRate.toLong, fmt.getChannels.toLong,
+          aff.getFrameLength.toLong,
+          fmt.getEncoding.toString.toLowerCase(java.util.Locale.ROOT),
+          aff.getType.toString.toLowerCase(java.util.Locale.ROOT))
+      }
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Distributed REAL audio-header decode — [[decodeImageMeta]]'s
@@ -237,8 +409,10 @@ object Multimodal {
     * payload byte crossing a shuffle. */
   def decodeAudioMeta(media: Dataset[MediaRecord]): Dataset[AudioMeta] =
     media.mapPartitions { it =>
+      val memo =
+        new PayloadMemo[Option[(Long, Long, Long, String, String)]]()
       it.map { r =>
-        decodeAudioHeader(r.payload) match {
+        memo.get(r.payload)(decodeAudioHeader(r.payload)) match {
           case Some((rate, ch, frames, enc, container)) =>
             AudioMeta(r.doc_id, 1L, Some(rate), Some(ch), Some(frames),
               Some(enc), Some(container))
@@ -266,7 +440,10 @@ object Multimodal {
     val ids = docs.select(col(idCol).cast("long").as("doc_id"))
       .where(col("doc_id").isNotNull && col("doc_id") >= 0)
     implicit val longEnc: Encoder[Long] = Encoders.scalaLong
-    ids.as[Long].mapPartitions { it =>
+    // frame counts walk mod 151 (prime) ≫ other periods, payloads
+    // effectively all-distinct: no memo, ROUTE for parallelism (r21)
+    routeIds(ids, col("doc_id"))
+      .as[Long].mapPartitions { it =>
       it.map { id =>
         val rate = 8000 + (id % 5).toInt * 2000
         val channels = 1 + (id % 2).toInt
@@ -278,7 +455,7 @@ object Multimodal {
         val ais = new javax.sound.sampled.AudioInputStream(
           new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
         val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
+        writeAudio(ais,
           if (wav) javax.sound.sampled.AudioFileFormat.Type.WAVE
           else javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
         var bytes = bos.toByteArray
@@ -376,8 +553,12 @@ object Multimodal {
   def audioEnvelopeHash64(payload: Array[Byte], window: Int = 256)
       : Option[Long] =
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      // per-JVM provider list, not AudioSystem — the r21 SPI-lock
+      // finding (see audioReaders)
+      val ais = audioInputStreamOf(payload) match {
+        case Some(s) => s
+        case None => return None
+      }
       try {
         val fmt = ais.getFormat
         if (fmt.getSampleSizeInBits != 16 ||
@@ -480,9 +661,11 @@ object Multimodal {
       window: Int = 256): Dataset[AudioWindowEnergy] = {
     require(window >= 1, s"need window >= 1, got $window")
     media.mapPartitions { it =>
-      it.flatMap(r => windowEnergiesOf(r.payload, window).iterator
-        .zipWithIndex
-        .map { case (amp, w) => AudioWindowEnergy(r.doc_id, w, amp) })
+      val memo = new PayloadMemo[IndexedSeq[Long]]()
+      it.flatMap(r =>
+        memo.get(r.payload)(windowEnergiesOf(r.payload, window))
+          .iterator.zipWithIndex
+          .map { case (amp, w) => AudioWindowEnergy(r.doc_id, w, amp) })
     }
   }
 
@@ -493,8 +676,12 @@ object Multimodal {
   private[graft] def windowEnergiesOf(payload: Array[Byte],
       window: Int): IndexedSeq[Long] =
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      // per-JVM provider list, not AudioSystem — the r21 SPI-lock
+      // finding (see audioReaders)
+      val ais = audioInputStreamOf(payload) match {
+        case Some(s) => s
+        case None => return IndexedSeq.empty
+      }
       try {
         val fmt = ais.getFormat
         if (fmt.getSampleSizeInBits != 16 ||
@@ -651,15 +838,17 @@ object Multimodal {
       s"bad gates minPx=$minPx aspectMax=$aspectMax")
     media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
+      // memo carries the decode-derived triple (w, h, flat); the gate
+      // arithmetic is row-local and cheap
+      val memo = new PayloadMemo[Option[(Long, Long, Boolean)]]()
       it.flatMap { r =>
-        val img = try {
+        val decoded = memo.get(r.payload)(try {
           Option(javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(r.payload)))
-        } catch { case scala.util.control.NonFatal(_) => None }
-        img.map { im =>
-          val w = im.getWidth.toLong
-          val h = im.getHeight.toLong
-          val flat = dhashImage(im).forall(_ == 0L)
+            .map(im => (im.getWidth.toLong, im.getHeight.toLong,
+              dhashImage(im).forall(_ == 0L)))
+        } catch { case scala.util.control.NonFatal(_) => None })
+        decoded.map { case (w, h, flat) =>
           val tooSmall = w * h < minPx
           val extreme = math.max(w, h) > aspectMax * math.min(w, h)
           ImageQuality(r.doc_id, w, h, flat, tooSmall, extreme,
@@ -730,33 +919,40 @@ object Multimodal {
     val ids = docs.select(col(idCol).cast("long").as("doc_id"))
       .where(col("doc_id").isNotNull && col("doc_id") >= 0)
     implicit val longEnc: Encoder[Long] = Encoders.scalaLong
-    ids.as[Long].mapPartitions { it =>
+    // payload is a pure function of id % 5 — five distinct PNGs in
+    // the whole corpus (r21 route+memo)
+    routeIds(ids, pmod(col("doc_id"), lit(5L)))
+      .as[Long].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
+      val memo = new TaskMemo[Long, Array[Byte]]()
       it.map { id =>
-        def flatImg(w: Int, h: Int, v: Int) = {
-          val im = new java.awt.image.BufferedImage(w, h,
-            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-          val ras = im.getRaster
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { ras.setSample(x, y, 0, v); x += 1 }
-            y += 1
+        val payload = memo.get(id % 5L) {
+          def flatImg(w: Int, h: Int, v: Int) = {
+            val im = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val ras = im.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { ras.setSample(x, y, 0, v); x += 1 }
+              y += 1
+            }
+            im
           }
-          im
+          val img = (id % 5) match {
+            case 0 => flatBlockImage(_ => 0x55)
+            case 1 => flatImg(72, 64, 128)
+            case 2 => flatImg(16, 8, 40)
+            case 3 => flatImg(128, 8, 200)
+            case _ => flatImg(72, 64, 0)
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val bytes = bos.toByteArray
+          if (id % 5 == 4) { bytes(0) = 0; bytes(1) = 0 }
+          bytes
         }
-        val img = (id % 5) match {
-          case 0 => flatBlockImage(_ => 0x55)
-          case 1 => flatImg(72, 64, 128)
-          case 2 => flatImg(16, 8, 40)
-          case 3 => flatImg(128, 8, 200)
-          case _ => flatImg(72, 64, 0)
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        val bytes = bos.toByteArray
-        if (id % 5 == 4) { bytes(0) = 0; bytes(1) = 0 }
-        MediaRecord(id, s"memory://qimg/$id", "image/png", bytes)
+        MediaRecord(id, s"memory://qimg/$id", "image/png", payload)
       }
     }
   }
@@ -861,7 +1057,10 @@ object Multimodal {
     val ids = docs.select(col(idCol).cast("long").as("doc_id"))
       .where(col("doc_id").isNotNull && col("doc_id") >= 0)
     implicit val longEnc: Encoder[Long] = Encoders.scalaLong
-    ids.as[Long].mapPartitions { it =>
+    // payload is a pure function of id % 60 (g = id%12, family/
+    // corruption by id%5; lcm(12,5) = 60) — r21 route+memo
+    routeIds(ids, pmod(col("doc_id"), lit(60L)))
+      .as[Long].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       def flatJpeg(w: Int, h: Int, v: Int): Array[Byte] = {
         val im = new java.awt.image.BufferedImage(w, h,
@@ -877,23 +1076,30 @@ object Multimodal {
         javax.imageio.ImageIO.write(im, "jpg", bos)
         bos.toByteArray
       }
+      val memo = new TaskMemo[Long, Array[Byte]]()
       it.map { id =>
-        val g = (id % 12).toInt
-        def scenes(n: Int): IndexedSeq[Array[Byte]] =
-          (0 until n).map { f =>
-            val s = f / 3
-            flatBlockJpeg(r => mjpegPatterns((g * 7 + s * 5 + r) % 4))
+        val payload = memo.get(id % 60L) {
+          val g = (id % 12).toInt
+          def scenes(n: Int): IndexedSeq[Array[Byte]] =
+            (0 until n).map { f =>
+              val s = f / 3
+              flatBlockJpeg(r =>
+                mjpegPatterns((g * 7 + s * 5 + r) % 4))
+            }
+          val (jpegs, w, h) = (id % 5) match {
+            case 0 => (scenes(6), 72, 64)
+            case 1 => (IndexedSeq.fill(6)(flatJpeg(72, 64, 128)),
+              72, 64)
+            case 2 => (scenes(2), 72, 64)
+            case 3 => (IndexedSeq.fill(6)(flatJpeg(24, 16, 200)),
+              24, 16)
+            case _ => (scenes(3), 72, 64)
           }
-        val (jpegs, w, h) = (id % 5) match {
-          case 0 => (scenes(6), 72, 64)
-          case 1 => (IndexedSeq.fill(6)(flatJpeg(72, 64, 128)), 72, 64)
-          case 2 => (scenes(2), 72, 64)
-          case 3 => (IndexedSeq.fill(6)(flatJpeg(24, 16, 200)), 24, 16)
-          case _ => (scenes(3), 72, 64)
+          val corrupt = if (id % 5 == 4) 3 else 0
+          assembleMjpegAvi(jpegs, corrupt, w, h)
         }
-        val corrupt = if (id % 5 == 4) 3 else 0
         MediaRecord(id, s"memory://qvid/$id", "video/x-msvideo",
-          assembleMjpegAvi(jpegs, corrupt, w, h))
+          payload)
       }
     }
   }
@@ -913,38 +1119,49 @@ object Multimodal {
     val ids = docs.select(col(idCol).cast("long").as("doc_id"))
       .where(col("doc_id").isNotNull && col("doc_id") >= 0)
     implicit val longEnc: Encoder[Long] = Encoders.scalaLong
-    ids.as[Long].mapPartitions { it =>
+    // payload is a pure function of id % 420 (segments id%4/id%3,
+    // amplitudes id%7/id%5, corruption id%10; lcm = 420) — r21
+    // route+memo
+    routeIds(ids, pmod(col("doc_id"), lit(420L)))
+      .as[Long].mapPartitions { it =>
+      val memo = new TaskMemo[Long, Array[Byte]]()
       it.map { id =>
-        val window = 256
-        val nSeg = (2 + id % 4).toInt
-        val segLens = (0 until nSeg).map(k => (2 + (id + k) % 3).toInt)
-        val loud = (1000 + (id % 7) * 100).toInt
-        val quiet = (80 + (id % 5) * 10).toInt
-        val nWin = segLens.sum
-        val pcm = new Array[Byte](nWin * window * 2)
-        var i = 0
-        var seg = 0
-        var segEnd = segLens(0) * window
-        while (i < nWin * window) {
-          if (i >= segEnd) { seg += 1; segEnd += segLens(seg) * window }
-          val amp = if (seg % 2 == 0) loud else quiet
-          val s = if (i % 4 < 2) amp else -amp
-          pcm(2 * i) = (s & 0xff).toByte
-          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
-          i += 1
+        val payload = memo.get(id % 420L) {
+          val window = 256
+          val nSeg = (2 + id % 4).toInt
+          val segLens =
+            (0 until nSeg).map(k => (2 + (id + k) % 3).toInt)
+          val loud = (1000 + (id % 7) * 100).toInt
+          val quiet = (80 + (id % 5) * 10).toInt
+          val nWin = segLens.sum
+          val pcm = new Array[Byte](nWin * window * 2)
+          var i = 0
+          var seg = 0
+          var segEnd = segLens(0) * window
+          while (i < nWin * window) {
+            if (i >= segEnd) {
+              seg += 1; segEnd += segLens(seg) * window
+            }
+            val amp = if (seg % 2 == 0) loud else quiet
+            val s = if (i % 4 < 2) amp else -amp
+            pcm(2 * i) = (s & 0xff).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt,
+            (nWin * window).toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          writeAudio(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          var bytes = bos.toByteArray
+          if (id % 10 == 3) bytes(0) = 0
+          else if (id % 10 == 6) bytes = bytes.take(16)
+          bytes
         }
-        val fmt = new javax.sound.sampled.AudioFormat(
-          8000f, 16, 1, true, false)
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(pcm), fmt,
-          (nWin * window).toLong)
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-        var bytes = bos.toByteArray
-        if (id % 10 == 3) bytes(0) = 0
-        else if (id % 10 == 6) bytes = bytes.take(16)
-        MediaRecord(id, s"memory://segwave/$id", "audio/wav", bytes)
+        MediaRecord(id, s"memory://segwave/$id", "audio/wav", payload)
       }
     }
   }
@@ -954,8 +1171,9 @@ object Multimodal {
   def audioFingerprints(media: Dataset[MediaRecord])
       : Dataset[AudioFingerprint] =
     media.mapPartitions { it =>
+      val memo = new PayloadMemo[Option[Long]]()
       it.map { r =>
-        audioEnvelopeHash64(r.payload) match {
+        memo.get(r.payload)(audioEnvelopeHash64(r.payload)) match {
           case Some(fp) => AudioFingerprint(r.doc_id, 1L, Some(fp))
           case None => AudioFingerprint(r.doc_id, 0L, None)
         }
@@ -1213,33 +1431,42 @@ object Multimodal {
     val ids = docs.select(col(idCol).cast("long").as("doc_id"))
       .where(col("doc_id").isNotNull && col("doc_id") >= 0)
     implicit val longEnc: Encoder[Long] = Encoders.scalaLong
-    ids.as[Long].mapPartitions { it =>
+    // PCM/corruption are a pure function of id % 210 (pattern id%21,
+    // tweak (id/21)%2 → period 42, corruption id%10; lcm = 210); the
+    // caller-supplied DECLARED rate also shapes the header, so it
+    // rides in the memo key — r21 route+memo
+    routeIds(ids, pmod(col("doc_id"), lit(210L)))
+      .as[Long].mapPartitions { it =>
+      val memo = new TaskMemo[(Long, Float), Array[Byte]]()
       it.map { id =>
-        val window = 256
-        val nWin = 66
-        val pcm = new Array[Byte](nWin * window * 2) // mono s16le
-        var i = 0
-        while (i < nWin * window) {
-          val w = i / window
-          val amp = 500 + (((id % 21) + w) % 7).toInt * 300 +
-            (if (w == 0 && (id / 21) % 2 == 1) 400 else 0)
-          val s = if (i % 4 < 2) amp else -amp
-          pcm(2 * i) = (s & 0xff).toByte
-          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
-          i += 1
+        val payload = memo.get((id % 210L, rateOf(id))) {
+          val window = 256
+          val nWin = 66
+          val pcm = new Array[Byte](nWin * window * 2) // mono s16le
+          var i = 0
+          while (i < nWin * window) {
+            val w = i / window
+            val amp = 500 + (((id % 21) + w) % 7).toInt * 300 +
+              (if (w == 0 && (id / 21) % 2 == 1) 400 else 0)
+            val s = if (i % 4 < 2) amp else -amp
+            pcm(2 * i) = (s & 0xff).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            rateOf(id), 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt,
+            (nWin * window).toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          writeAudio(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          var bytes = bos.toByteArray
+          if (id % 10 == 3) bytes(0) = 0
+          else if (id % 10 == 6) bytes = bytes.take(16)
+          bytes
         }
-        val fmt = new javax.sound.sampled.AudioFormat(
-          rateOf(id), 16, 1, true, false)
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(pcm), fmt,
-          (nWin * window).toLong)
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-        var bytes = bos.toByteArray
-        if (id % 10 == 3) bytes(0) = 0
-        else if (id % 10 == 6) bytes = bytes.take(16)
-        MediaRecord(id, s"memory://wave/$id", "audio/wav", bytes)
+        MediaRecord(id, s"memory://wave/$id", "audio/wav", payload)
       }
     }
   }
@@ -1892,7 +2119,11 @@ object Multimodal {
     val ids = docs.select(col(idCol).cast("long").as("doc_id"))
       .where(col("doc_id").isNotNull && col("doc_id") >= 0)
     implicit val longEnc: Encoder[Long] = Encoders.scalaLong
-    ids.as[Long].mapPartitions { it =>
+    // dims walk lcm(57,41) ≫ corpus, so payloads are effectively
+    // all-distinct: no memo, but ROUTE for encode parallelism (the
+    // single-row-group scan is one partition — r21 routeIds note)
+    routeIds(ids, col("doc_id"))
+      .as[Long].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { id =>
         val w = 8 + (id % 57).toInt
@@ -2024,8 +2255,9 @@ object Multimodal {
   def imageDhash(media: Dataset[MediaRecord]): Dataset[ImageDhash] =
     media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
+      val memo = new PayloadMemo[Option[Long]]()
       it.map { r =>
-        dhash64(r.payload) match {
+        memo.get(r.payload)(dhash64(r.payload)) match {
           case Some(fp) => ImageDhash(r.doc_id, 1L, Some(fp))
           case None => ImageDhash(r.doc_id, 0L, None)
         }
@@ -2054,13 +2286,14 @@ object Multimodal {
       : Dataset[ImageDhashMeta] =
     media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
+      val memo = new PayloadMemo[Option[(Long, Long, Long)]]()
       it.map { r =>
-        val decoded = try {
+        val decoded = memo.get(r.payload)(try {
           Option(javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(r.payload)))
             .flatMap(im => dhashImage(im)
               .map(fp => (fp, im.getWidth.toLong, im.getHeight.toLong)))
-        } catch { case scala.util.control.NonFatal(_) => None }
+        } catch { case scala.util.control.NonFatal(_) => None })
         decoded match {
           case Some((fp, w, h)) => ImageDhashMeta(r.doc_id, 1L,
             Some(fp), Some(w), Some(h))
@@ -2087,9 +2320,15 @@ object Multimodal {
     val ids = docs.select(col(idCol).cast("long").as("doc_id"))
       .where(col("doc_id").isNotNull && col("doc_id") >= 0)
     implicit val longEnc: Encoder[Long] = Encoders.scalaLong
-    ids.as[Long].mapPartitions { it =>
+    // payload is a pure function of id % 150 (pattern id%25, tweak
+    // (id/25)%2 → period 50, block size id%3/id%2, corruption id%10;
+    // lcm = 150) — r21 route+memo
+    routeIds(ids, pmod(col("doc_id"), lit(150L)))
+      .as[Long].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
+      val memo = new TaskMemo[Long, Array[Byte]]()
       it.map { id =>
+        val payload = memo.get(id % 150L) {
         val sx = 1 + (id % 3).toInt
         val sy = 1 + (id % 2).toInt
         val img = new java.awt.image.BufferedImage(
@@ -2114,7 +2353,9 @@ object Multimodal {
         var bytes = bos.toByteArray
         if (id % 10 == 3) bytes(0) = 0
         else if (id % 10 == 6) bytes = bytes.take(16)
-        MediaRecord(id, s"memory://dimg/$id", "image/png", bytes)
+        bytes
+        }
+        MediaRecord(id, s"memory://dimg/$id", "image/png", payload)
       }
     }
   }
@@ -2160,22 +2401,31 @@ object Multimodal {
     val ids = docs.select(col(idCol).cast("long").as("doc_id"))
       .where(col("doc_id").isNotNull && col("doc_id") >= 0)
     implicit val longEnc: Encoder[Long] = Encoders.scalaLong
-    ids.as[Long].mapPartitions { it =>
+    // payload is a pure function of id % 180 (g = id%12 and
+    // variant = (id/12)%3 are determined by id%36; the corruption
+    // selector by id%10; lcm(36,10) = 180) — route classes together
+    // and encode each once per task (r21, routeIds/TaskMemo notes)
+    routeIds(ids, pmod(col("doc_id"), lit(180L)))
+      .as[Long].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
+      val memo = new TaskMemo[Long, Array[Byte]]()
       it.map { id =>
-        val g = (id % 12).toInt
-        val variant = ((id / 12) % 3).toInt
-        val nFrames = 4 + g % 5
-        val jpegs = (0 until nFrames).map { f =>
-          flatBlockJpeg { r =>
-            var pb = mjpegPatterns(
-              (g * 5 + f * 3 + r + (if (variant == 2) 2 else 0)) % 4)
-            if (variant == 1 && f == 0 && r == 0) pb ^= 8
-            pb
+        val payload = memo.get(id % 180L) {
+          val g = (id % 12).toInt
+          val variant = ((id / 12) % 3).toInt
+          val nFrames = 4 + g % 5
+          val jpegs = (0 until nFrames).map { f =>
+            flatBlockJpeg { r =>
+              var pb = mjpegPatterns(
+                (g * 5 + f * 3 + r + (if (variant == 2) 2 else 0)) % 4)
+              if (variant == 1 && f == 0 && r == 0) pb ^= 8
+              pb
+            }
           }
+          assembleMjpegAvi(jpegs, (id % 10).toInt)
         }
         MediaRecord(id, s"memory://mjpeg/$id", "video/x-msvideo",
-          assembleMjpegAvi(jpegs, (id % 10).toInt))
+          payload)
       }
     }
   }
@@ -2323,21 +2573,36 @@ object Multimodal {
     val ids = clipIds(docs, idCol)
     val reels = clipReels(docs, idCol)
     implicit val longEnc: Encoder[Long] = Encoders.scalaLong
-    ids.as[Long].mapPartitions { it =>
+    // route by REEL: same-reel windows overlap in positions, so the
+    // per-task FRAME memo (keyed on the position mix h — the frame's
+    // full content class) collapses the overlapping JPEG encodes; the
+    // payload memo additionally collapses ids sharing (g, o, len,
+    // corrupt) outright (r21)
+    routeIds(ids, pmod(col("doc_id"), lit(reels)))
+      .as[Long].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
+      val payloadMemo = new TaskMemo[Long, Array[Byte]]()
+      val frameMemo = new TaskMemo[Long, Array[Byte]]()
       it.map { id =>
         val g = id % reels
         val o = ((id / reels) % 5).toInt
         val len = (5 + id % 3).toInt
-        val jpegs = (0 until len).map { f =>
-          val pos = (o + f).toLong
-          val h = (g * 1500450271L + pos * 2654435761L) % 1000003L
-          flatBlockJpeg { r =>
-            mjpegPatterns((h * (2 * r + 3) % 1000003L % 4L).toInt)
+        val key = (((g * 5L + o) * 3L + (id % 3)) * 2L +
+          (if (id % 10 == 3) 1L else 0L))
+        val payload = payloadMemo.get(key) {
+          val jpegs = (0 until len).map { f =>
+            val pos = (o + f).toLong
+            val h = (g * 1500450271L + pos * 2654435761L) % 1000003L
+            frameMemo.get(h) {
+              flatBlockJpeg { r =>
+                mjpegPatterns((h * (2 * r + 3) % 1000003L % 4L).toInt)
+              }
+            }
           }
+          assembleMjpegAvi(jpegs, if (id % 10 == 3) 3 else 0)
         }
         MediaRecord(id, s"memory://clip/$id", "video/x-msvideo",
-          assembleMjpegAvi(jpegs, if (id % 10 == 3) 3 else 0))
+          payload)
       }
     }
   }
@@ -2390,12 +2655,19 @@ object Multimodal {
     val ids = clipIds(docs, idCol)
     val reels = clipReels(docs, idCol)
     implicit val longEnc: Encoder[Long] = Encoders.scalaLong
-    ids.as[Long].mapPartitions { it =>
+    // route by REEL, memoize payloads on (g, o, nWin, corrupt) — the
+    // full content class (baseWindows is fixed per invocation) — r21
+    routeIds(ids, pmod(col("doc_id"), lit(reels)))
+      .as[Long].mapPartitions { it =>
+      val memo = new TaskMemo[Long, Array[Byte]]()
       it.map { id =>
         val window = 256
         val g = id % reels
         val o = (id / reels) % 5
         val nWin = (baseWindows + id % 3).toInt
+        val key = (((g * 5L + o) * 3L + (id % 3)) * 2L +
+          (if (id % 10 == 3) 1L else 0L))
+        val payload = memo.get(key) {
         val pcm = new Array[Byte](nWin * window * 2)
         var i = 0
         while (i < nWin * window) {
@@ -2413,11 +2685,13 @@ object Multimodal {
           new java.io.ByteArrayInputStream(pcm), fmt,
           (nWin * window).toLong)
         val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
+        writeAudio(ais,
           javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
         val bytes = bos.toByteArray
         if (id % 10 == 3) bytes(0) = 0
-        MediaRecord(id, s"memory://clipwav/$id", "audio/wav", bytes)
+        bytes
+        }
+        MediaRecord(id, s"memory://clipwav/$id", "audio/wav", payload)
       }
     }
   }
@@ -2440,17 +2714,25 @@ object Multimodal {
     val ids = docs.select(col(idCol).cast("long").as("doc_id"))
       .where(col("doc_id").isNotNull && col("doc_id") >= 0)
     implicit val longEnc: Encoder[Long] = Encoders.scalaLong
-    ids.as[Long].mapPartitions { it =>
+    // payload is a pure function of id % 60 (g = id%12 determines
+    // id%3; corruption by id%10; lcm(12,10) = 60) — r21 route+memo
+    routeIds(ids, pmod(col("doc_id"), lit(60L)))
+      .as[Long].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
+      val memo = new TaskMemo[Long, Array[Byte]]()
       it.map { id =>
-        val g = (id % 12).toInt
-        val nScenes = 2 + (id % 3).toInt
-        val jpegs = (0 until nScenes * 3).map { f =>
-          val scene = f / 3
-          flatBlockJpeg(r => mjpegPatterns((g * 7 + scene * 5 + r) % 4))
+        val payload = memo.get(id % 60L) {
+          val g = (id % 12).toInt
+          val nScenes = 2 + (id % 3).toInt
+          val jpegs = (0 until nScenes * 3).map { f =>
+            val scene = f / 3
+            flatBlockJpeg(r =>
+              mjpegPatterns((g * 7 + scene * 5 + r) % 4))
+          }
+          assembleMjpegAvi(jpegs, (id % 10).toInt)
         }
         MediaRecord(id, s"memory://scene/$id", "video/x-msvideo",
-          assembleMjpegAvi(jpegs, (id % 10).toInt))
+          payload)
       }
     }
   }
@@ -2717,13 +2999,18 @@ object Multimodal {
       : Dataset[VideoFrameFp] =
     media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
+      // FRAME-level memo: MJPEG corpora repeat frame JPEGs massively
+      // (re-uploads, overlapping clip windows) — hash each distinct
+      // frame's bytes once per task (r21 PayloadMemo note); the
+      // container walk itself is cheap byte arithmetic
+      val memo = new PayloadMemo[Option[Long]]()
       it.flatMap { r =>
         aviFrameRanges(r.payload) match {
           case Some(ranges) => ranges.iterator.zipWithIndex.map {
             case ((o, s), i) =>
               val frame = java.util.Arrays.copyOfRange(
                 r.payload, o.toInt, (o + s).toInt)
-              dhash64(frame) match {
+              memo.get(frame)(dhash64(frame)) match {
                 case Some(fp) => VideoFrameFp(r.doc_id, i.toLong, 1L,
                   Some(fp))
                 case None => VideoFrameFp(r.doc_id, i.toLong, 0L, None)
@@ -2795,14 +3082,20 @@ object Multimodal {
       : Dataset[VideoFrameFp] =
     media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
+      // PAYLOAD-level memo of the fingerprint sequence: GIF frames
+      // decode through one sequence reader, so the memoizable unit is
+      // the whole payload's (ok, fp) list — small rows, bounded (r21)
+      val memo = new PayloadMemo[Option[IndexedSeq[(Long,
+        Option[Long])]]]()
       it.flatMap { r =>
-        gifFrames(r.payload) match {
+        memo.get(r.payload)(gifFrames(r.payload).map(_.map(img =>
+          dhashImage(img) match {
+            case Some(fp) => (1L, Some(fp))
+            case None => (0L, None)
+          }))) match {
           case Some(frames) => frames.iterator.zipWithIndex.map {
-            case (img, i) => dhashImage(img) match {
-              case Some(fp) => VideoFrameFp(r.doc_id, i.toLong, 1L,
-                Some(fp))
-              case None => VideoFrameFp(r.doc_id, i.toLong, 0L, None)
-            }
+            case ((ok, fp), i) => VideoFrameFp(r.doc_id, i.toLong, ok,
+              fp)
           }
           case None => Iterator.empty
         }
@@ -2827,35 +3120,44 @@ object Multimodal {
     val ids = docs.select(col(idCol).cast("long").as("doc_id"))
       .where(col("doc_id").isNotNull && col("doc_id") >= 0)
     implicit val longEnc: Encoder[Long] = Encoders.scalaLong
-    ids.as[Long].mapPartitions { it =>
+    // payload is a pure function of id % 180 (g/v by id%36,
+    // corruption by id%10) — r21 route+memo; the memoized array is
+    // never mutated (corruption is applied inside the compute, part
+    // of the key)
+    routeIds(ids, pmod(col("doc_id"), lit(180L)))
+      .as[Long].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
+      val memo = new TaskMemo[Long, Array[Byte]]()
       it.map { id =>
-        val g = (id % 12).toInt
-        val v = ((id / 12) % 3).toInt
-        val n = 1 + g % 3
-        val bos = new java.io.ByteArrayOutputStream()
-        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-        val writer = javax.imageio.ImageIO
-          .getImageWritersByFormatName("gif").next()
-        try {
-          writer.setOutput(ios)
-          writer.prepareWriteSequence(null)
-          (0 until n).foreach { f =>
-            val img = flatBlockImage { r =>
-              val pb = mjpegPatterns(
-                (g * 7 + f * 5 + r + (if (v == 2) 2 else 0)) % 4)
-              if (v == 1 && f == 0 && r == 0) pb ^ 8 else pb
+        val payload = memo.get(id % 180L) {
+          val g = (id % 12).toInt
+          val v = ((id / 12) % 3).toInt
+          val n = 1 + g % 3
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("gif").next()
+          try {
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            (0 until n).foreach { f =>
+              val img = flatBlockImage { r =>
+                val pb = mjpegPatterns(
+                  (g * 7 + f * 5 + r + (if (v == 2) 2 else 0)) % 4)
+                if (v == 1 && f == 0 && r == 0) pb ^ 8 else pb
+              }
+              writer.writeToSequence(
+                new javax.imageio.IIOImage(img, null, null), null)
             }
-            writer.writeToSequence(
-              new javax.imageio.IIOImage(img, null, null), null)
-          }
-          writer.endWriteSequence()
-        } finally { writer.dispose(); ios.close() }
-        var bytes = bos.toByteArray
-        if (id % 10 == 3 || id % 10 == 4) {
-          bytes(0) = 0; bytes(1) = 0; bytes(2) = 0
-        } else if (id % 10 == 6) bytes = bytes.take(16)
-        MediaRecord(id, s"memory://gif/$id", "image/gif", bytes)
+            writer.endWriteSequence()
+          } finally { writer.dispose(); ios.close() }
+          var bytes = bos.toByteArray
+          if (id % 10 == 3 || id % 10 == 4) {
+            bytes(0) = 0; bytes(1) = 0; bytes(2) = 0
+          } else if (id % 10 == 6) bytes = bytes.take(16)
+          bytes
+        }
+        MediaRecord(id, s"memory://gif/$id", "image/gif", payload)
       }
     }
   }
@@ -2883,33 +3185,43 @@ object Multimodal {
     val ids = clipIds(docs, idCol)
     val reels = clipReels(docs, idCol)
     implicit val longEnc: Encoder[Long] = Encoders.scalaLong
-    ids.as[Long].mapPartitions { it =>
+    // route by REEL, memoize whole payloads on (g, o, len, corrupt) —
+    // same-reel ids repeat the full class ~4× at any SF (r21); the
+    // memoized array is never mutated (corruption inside the compute)
+    routeIds(ids, pmod(col("doc_id"), lit(reels)))
+      .as[Long].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
+      val memo = new TaskMemo[Long, Array[Byte]]()
       it.map { id =>
         val g = id % reels
         val o = ((id / reels) % 5).toInt
         val len = (5 + id % 3).toInt
-        val bos = new java.io.ByteArrayOutputStream()
-        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-        val writer = javax.imageio.ImageIO
-          .getImageWritersByFormatName("gif").next()
-        try {
-          writer.setOutput(ios)
-          writer.prepareWriteSequence(null)
-          (0 until len).foreach { f =>
-            val pos = (o + f).toLong
-            val h = (g * 1500450271L + pos * 2654435761L) % 1000003L
-            val img = flatBlockImage { r =>
-              mjpegPatterns((h * (2 * r + 5) % 1000003L % 4L).toInt)
+        val key = (((g * 5L + o) * 3L + (id % 3)) * 2L +
+          (if (id % 10 == 3) 1L else 0L))
+        val payload = memo.get(key) {
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("gif").next()
+          try {
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            (0 until len).foreach { f =>
+              val pos = (o + f).toLong
+              val h = (g * 1500450271L + pos * 2654435761L) % 1000003L
+              val img = flatBlockImage { r =>
+                mjpegPatterns((h * (2 * r + 5) % 1000003L % 4L).toInt)
+              }
+              writer.writeToSequence(
+                new javax.imageio.IIOImage(img, null, null), null)
             }
-            writer.writeToSequence(
-              new javax.imageio.IIOImage(img, null, null), null)
-          }
-          writer.endWriteSequence()
-        } finally { writer.dispose(); ios.close() }
-        val bytes = bos.toByteArray
-        if (id % 10 == 3) { bytes(0) = 0; bytes(1) = 0; bytes(2) = 0 }
-        MediaRecord(id, s"memory://clipgif/$id", "image/gif", bytes)
+            writer.endWriteSequence()
+          } finally { writer.dispose(); ios.close() }
+          val bytes = bos.toByteArray
+          if (id % 10 == 3) { bytes(0) = 0; bytes(1) = 0; bytes(2) = 0 }
+          bytes
+        }
+        MediaRecord(id, s"memory://clipgif/$id", "image/gif", payload)
       }
     }
   }
