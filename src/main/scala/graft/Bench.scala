@@ -189,7 +189,7 @@ object Bench {
     "q123_hybrid_rrf" -> 1.39,
     "q124_distinct_ngrams" -> 1.38,
     "q125_embedding_health" -> 0.28,
-    "q126_cusum_changepoint" -> 0.33,
+    "q126_cusum_changepoint" -> 0.5,
     "q127_ks_drift" -> 0.51,
     "q128_rfm_segments" -> 0.34,
     "q129_ann_recall" -> 1.64,
@@ -284,8 +284,8 @@ object Bench {
     "q205_price_volume_mix" -> 1.1,
     // BENCH_local_r13a (the r13 canonical: first full run with the
     // file-based artifact + shuffle-bytes meter; 69 floors lowered)
-    "q206_image_decode" -> 0.76,
-    "q207_audio_decode" -> 1.18,
+    "q206_image_decode" -> 0.54,
+    "q207_audio_decode" -> 0.4,
     "q208_sole_fault_suppliers" -> 0.82,
     // focused post-canonical runs
     "q209_video_decode" -> 0.22,
@@ -309,7 +309,7 @@ object Bench {
     "q220_t_closeness" -> 0.52,
     // q221 pays all three encode+decode fixture pipelines (the
     // profile's honest cost — q206+q207+q209 in one query)
-    "q221_media_profile" -> 2.37,
+    "q221_media_profile" -> 1.01,
     "q222_background_jaccard" -> 0.37,
     "q223_small_qty_revenue" -> 1.0,
     "q224_shard_manifest" -> 0.54,
@@ -358,17 +358,17 @@ object Bench {
     "q258_product_type_profit" -> 0.81,
     "q259_order_priority_exists" -> 0.42,
     "q260_bpe_budget_mix" -> 0.38,
-    "q261_image_dhash_clusters" -> 1.32,
+    "q261_image_dhash_clusters" -> 1.26,
     // q262-q267 floors seeded from a QUIET host in r16 (loadavg 0.27;
     // the r15 driver run seeded them implicitly at the 1.2 default
     // under a 1.6->6.7 load ramp — the judge's floors-hygiene item):
     // the audio pairs/clusters pay the WAV encode+decode pass by
     // design, the agreement audit pays both dedup screens
-    "q262_audio_envelope_neardup" -> 1.87,
+    "q262_audio_envelope_neardup" -> 1.78,
     "q263_modality_router" -> 0.42,
     "q264_small_quantity_revenue" -> 0.43,
     "q265_bpe_sequence_packing" -> 0.75,
-    "q266_audio_envelope_clusters" -> 2.33,
+    "q266_audio_envelope_clusters" -> 1.76,
     "q267_image_dedup_agreement" -> 1.19,
     "q268_returned_item_customers" -> 0.49,
     "q269_shipping_priority_buckets" -> 0.51,
@@ -382,49 +382,49 @@ object Bench {
     // fixed costs, not data) on top of q271's joint build
     "q273_crossmodal_dedup_policies" -> 3.66,
     "q274_token_shard_manifest" -> 0.81,
-    "q275_audio_chunk_inventory" -> 0.54,
+    "q275_audio_chunk_inventory" -> 0.48,
     "q276_png_chunk_inventory" -> 0.19,
     // the MJPEG rung pays a real 24k-frame JPEG encode+decode fixture
     // pass per query (the q221/q266 honest-decode-cost shape); q278
     // additionally emits the ~600k-row verified pair frame, q279
     // closes over the distinct-sequence graph instead (bytes at KB)
-    "q277_video_frame_fingerprints" -> 6.11,
-    "q278_video_neardup_pairs" -> 5.11,
-    "q279_video_neardup_clusters" -> 4.87,
-    "q280_video_dedup_agreement" -> 5.13,
-    "q281_video_shot_segments" -> 5.04,
+    "q277_video_frame_fingerprints" -> 0.52,
+    "q278_video_neardup_pairs" -> 2.96,
+    "q279_video_neardup_clusters" -> 1.97,
+    "q280_video_dedup_agreement" -> 2.68,
+    "q281_video_shot_segments" -> 0.71,
     "q282_stock_value_concentration" -> 0.73,
-    "q283_shot_sample_schedule" -> 5.39,
-    "q284_gif_frame_fingerprints" -> 2.8,
-    "q285_gif_neardup_clusters" -> 2.71,
+    "q283_shot_sample_schedule" -> 1.16,
+    "q284_gif_frame_fingerprints" -> 0.42,
+    "q285_gif_neardup_clusters" -> 2.06,
     "q286_kpartite_dedup_policies" -> 7.68,
     "q287_iso_exact_dedup" -> 0.45,
     "q288_gif_neardup_pairs" -> 3.02,
-    "q289_gif_dedup_agreement" -> 3.04,
-    "q290_audio_energy_segments" -> 1.1,
-    "q291_audio_excerpt_schedule" -> 1.32,
-    "q292_image_quality_gates" -> 0.99,
-    "q293_audio_quality_gates" -> 0.92,
-    "q294_cluster_keep_best_resolution" -> 1.77,
+    "q289_gif_dedup_agreement" -> 2.37,
+    "q290_audio_energy_segments" -> 0.75,
+    "q291_audio_excerpt_schedule" -> 1.1,
+    "q292_image_quality_gates" -> 0.21,
+    "q293_audio_quality_gates" -> 0.64,
+    "q294_cluster_keep_best_resolution" -> 1.48,
     "q295_image_decontam_gate" -> 0.63,
-    "q296_audio_decontam_gate" -> 1.49,
-    "q297_video_decontam_gate" -> 3.95,
-    "q298_gif_decontam_gate" -> 2.17,
+    "q296_audio_decontam_gate" -> 0.54,
+    "q297_video_decontam_gate" -> 1.41,
+    "q298_gif_decontam_gate" -> 1.06,
     // r18 additions, seeded from the focused quiet-host run
     // (loadavg 0.47 at start; decode-bound media fixtures dominate —
     // q301 pays the MJPEG decode + aligned closure + argmax join)
-    "q299_video_quality_gates" -> 2.83,
-    "q300_audio_cluster_keep_best" -> 3.81,
-    "q301_video_cluster_keep_best" -> 6.05,
-    "q302_gif_cluster_keep_best" -> 3.56,
+    "q299_video_quality_gates" -> 0.91,
+    "q300_audio_cluster_keep_best" -> 2.33,
+    "q301_video_cluster_keep_best" -> 2.87,
+    "q302_gif_cluster_keep_best" -> 2.49,
     "q303_iso_meta_readout" -> 0.18,
     "q304_media_byte_budget_mix" -> 0.49,
-    "q305_video_clip_containment" -> 6.51,
-    "q306_clip_decontam_gate" -> 7.32,
-    "q307_audio_clip_containment" -> 3.23,
+    "q305_video_clip_containment" -> 3.13,
+    "q306_clip_decontam_gate" -> 3.75,
+    "q307_audio_clip_containment" -> 2.8,
     "q309_audio_clip_decontam_gate" -> 4.12,
-    "q310_clip_alignment_offsets" -> 6.82,
-    "q308_video_clip_clusters" -> 8.25,
+    "q310_clip_alignment_offsets" -> 3.32,
+    "q308_video_clip_clusters" -> 4.58,
     // r19 seeds: quiet-host canonical (this artifact's min)
     "q10_incremental_antijoin" -> 0.40,
     "q11_distinct" -> 0.35,
@@ -440,8 +440,8 @@ object Bench {
     "q28_report_distributors" -> 0.48,
     "q29_trycast_timestamp" -> 0.51,
     "q2_select_project" -> 0.22,
-    "q311_gif_clip_containment" -> 7.82,
-    "q312_gif_clip_clusters" -> 8.14,
+    "q311_gif_clip_containment" -> 3.08,
+    "q312_gif_clip_clusters" -> 4.35,
     "q32_stratified_sample" -> 0.20,
     "q33_pii_redact" -> 0.79,
     "q3_try_cast" -> 0.55,
@@ -462,8 +462,8 @@ object Bench {
     "q8_conditional_agg" -> 0.22,
     // r20 seeds: quiet-host canonical (this artifact's min)
     "q313_clip_operating_point" -> 2.18,
-    "q314_video_clip_keep_best" -> 8.73,
-    "q315_gif_clip_keep_best" -> 10.43,
+    "q314_video_clip_keep_best" -> 5.76,
+    "q315_gif_clip_keep_best" -> 5.4,
     "q316_paired_byte_budget_mix" -> 0.29)
   private[graft] val defaultFloor = 1.2
   private[graft] val remeasureFactor = 1.5
@@ -606,8 +606,8 @@ object Bench {
     "q203_split_balance" -> 1728L,
     "q204_ab_conversion_z" -> 25508L,
     "q205_price_volume_mix" -> 3454L,
-    "q206_image_decode" -> 176914L,
-    "q207_audio_decode" -> 169166L,
+    "q206_image_decode" -> 417772L,
+    "q207_audio_decode" -> 464436L,
     "q208_sole_fault_suppliers" -> 4730L,
     "q209_video_decode" -> 179382L,
     "q20_embedding_topk" -> 24884L,
@@ -623,7 +623,7 @@ object Bench {
     "q219_boilerplate_ngrams" -> 8989564L,
     "q220_t_closeness" -> 426295L,
     // q221: the ≤ few-dozen-key count is the only exchange
-    "q221_media_profile" -> 14829L,
+    "q221_media_profile" -> 359366L,
     // q222: top-k heap + broadcast pairs — ZERO shuffle by design
     "q222_background_jaccard" -> 0L,
     "q223_small_qty_revenue" -> 629248L,
@@ -658,67 +658,67 @@ object Bench {
     "q252_national_market_share" -> 7389304L,
     "q253_bpe_vocab" -> 11823L,
     "q254_bpe_fertility" -> 898L,
-    "q255_image_dhash_neardup" -> 14263188L,
+    "q255_image_dhash_neardup" -> 19037914L,
     "q256_video_sample_bytes" -> 484956L,
     "q257_frame_sample_bytes" -> 485534L,
     "q258_product_type_profit" -> 30913L,
     "q259_order_priority_exists" -> 1845L,
     "q260_bpe_budget_mix" -> 8364L,
-    "q261_image_dhash_clusters" -> 74658L,
-    "q262_audio_envelope_neardup" -> 13625419L,
-    "q263_modality_router" -> 8042L,
+    "q261_image_dhash_clusters" -> 230736L,
+    "q262_audio_envelope_neardup" -> 14001806L,
+    "q263_modality_router" -> 163283L,
     // q264 re-seeded r16: the forced broadcast(perPart) hint dropped
     // (judge item) — AQE now stages both join inputs before choosing
     // the broadcast, so the shuffle write grows ~0.6 MB by design
     "q264_small_quantity_revenue" -> 653542L,
     "q265_bpe_sequence_packing" -> 484900L,
-    "q266_audio_envelope_clusters" -> 84398L,
-    "q267_image_dedup_agreement" -> 10462L,
+    "q266_audio_envelope_clusters" -> 260657L,
+    "q267_image_dedup_agreement" -> 162838L,
     // q268 re-seeded r16b: customer-hint drop (scale discipline) stages
     // both rollup join inputs under AQE
     "q268_returned_item_customers" -> 916274L,
     "q269_shipping_priority_buckets" -> 765L,
     "q270_promo_revenue_share" -> 510L,
-    "q271_crossmodal_dedup_agreement" -> 748289L,
-    "q272_crossmodal_dedup_worklist" -> 639063L,
-    "q273_crossmodal_dedup_policies" -> 1665987L,
+    "q271_crossmodal_dedup_agreement" -> 882899L,
+    "q272_crossmodal_dedup_worklist" -> 813856L,
+    "q273_crossmodal_dedup_policies" -> 1837809L,
     "q274_token_shard_manifest" -> 268010L,
-    "q275_audio_chunk_inventory" -> 177762L,
+    "q275_audio_chunk_inventory" -> 499306L,
     "q276_png_chunk_inventory" -> 216710L,
-    "q277_video_frame_fingerprints" -> 535164L,
-    "q278_video_neardup_pairs" -> 27544302L,
-    "q279_video_neardup_clusters" -> 698486L,
-    "q280_video_dedup_agreement" -> 611386L,
-    "q281_video_shot_segments" -> 1224796L,
+    "q277_video_frame_fingerprints" -> 766367L,
+    "q278_video_neardup_pairs" -> 28163040L,
+    "q279_video_neardup_clusters" -> 651154L,
+    "q280_video_dedup_agreement" -> 716648L,
+    "q281_video_shot_segments" -> 1326145L,
     "q282_stock_value_concentration" -> 1745780L,
-    "q283_shot_sample_schedule" -> 1133650L,
-    "q284_gif_frame_fingerprints" -> 167230L,
-    "q285_gif_neardup_clusters" -> 268498L,
-    "q286_kpartite_dedup_policies" -> 1794927L,
-    "q287_iso_exact_dedup" -> 68744L,
+    "q283_shot_sample_schedule" -> 1220628L,
+    "q284_gif_frame_fingerprints" -> 399585L,
+    "q285_gif_neardup_clusters" -> 510034L,
+    "q286_kpartite_dedup_policies" -> 2521997L,
+    "q287_iso_exact_dedup" -> 46597L,
     "q288_gif_neardup_pairs" -> 16440178L,
-    "q289_gif_dedup_agreement" -> 209084L,
-    "q290_audio_energy_segments" -> 1410955L,
-    "q291_audio_excerpt_schedule" -> 1343063L,
-    "q292_image_quality_gates" -> 77322L,
-    "q293_audio_quality_gates" -> 1056915L,
-    "q294_cluster_keep_best_resolution" -> 229683L,
-    "q295_image_decontam_gate" -> 41424L,
-    "q296_audio_decontam_gate" -> 45731L,
-    "q297_video_decontam_gate" -> 425908L,
-    "q298_gif_decontam_gate" -> 260686L,
-    "q299_video_quality_gates" -> 618933L,
-    "q300_audio_cluster_keep_best" -> 414003L,
-    "q301_video_cluster_keep_best" -> 813611L,
-    "q302_gif_cluster_keep_best" -> 456169L,
+    "q289_gif_dedup_agreement" -> 583746L,
+    "q290_audio_energy_segments" -> 1640478L,
+    "q291_audio_excerpt_schedule" -> 1572742L,
+    "q292_image_quality_gates" -> 197721L,
+    "q293_audio_quality_gates" -> 1286594L,
+    "q294_cluster_keep_best_resolution" -> 284720L,
+    "q295_image_decontam_gate" -> 133906L,
+    "q296_audio_decontam_gate" -> 147985L,
+    "q297_video_decontam_gate" -> 534198L,
+    "q298_gif_decontam_gate" -> 458542L,
+    "q299_video_quality_gates" -> 777736L,
+    "q300_audio_cluster_keep_best" -> 728286L,
+    "q301_video_cluster_keep_best" -> 1115692L,
+    "q302_gif_cluster_keep_best" -> 927851L,
     "q303_iso_meta_readout" -> 149818L,
     "q304_media_byte_budget_mix" -> 6916L,
-    "q305_video_clip_containment" -> 3551547L,
-    "q306_clip_decontam_gate" -> 1879303L,
-    "q307_audio_clip_containment" -> 2880745L,
-    "q309_audio_clip_decontam_gate" -> 1858596L,
-    "q310_clip_alignment_offsets" -> 24209597L,
-    "q308_video_clip_clusters" -> 1591706L,
+    "q305_video_clip_containment" -> 3758549L,
+    "q306_clip_decontam_gate" -> 2169231L,
+    "q307_audio_clip_containment" -> 3081537L,
+    "q309_audio_clip_decontam_gate" -> 2148058L,
+    "q310_clip_alignment_offsets" -> 24345611L,
+    "q308_video_clip_clusters" -> 1798454L,
     "q21_embedding_neardup_ivf" -> 5000834L,
     "q22_lang_id" -> 4396L,
     "q23_quality_score" -> 271262L,
@@ -807,11 +807,11 @@ object Bench {
     "q99_vocab_coverage" -> 289089L,
     "q9_sales_by_nation" -> 10007L,
     // r20 seeds: quiet-host canonical + focused confirms
-    "q311_gif_clip_containment" -> 3444968L,
-    "q312_gif_clip_clusters" -> 1615468L,
-    "q313_clip_operating_point" -> 865442L,
-    "q314_video_clip_keep_best" -> 1930815L,
-    "q315_gif_clip_keep_best" -> 1962436L,
+    "q311_gif_clip_containment" -> 3651890L,
+    "q312_gif_clip_clusters" -> 1821996L,
+    "q313_clip_operating_point" -> 1028030L,
+    "q314_video_clip_keep_best" -> 2366735L,
+    "q315_gif_clip_keep_best" -> 2398136L,
     "q316_paired_byte_budget_mix" -> 30302L)
   private[graft] val byteFactor = 1.5
   private[graft] val byteSlack = 256L * 1024
